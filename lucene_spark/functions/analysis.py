@@ -1,0 +1,148 @@
+"""Analyzer chain: tokenize -> lowercase -> stop-filter with position gaps.
+
+Re-expresses Lucene's StandardAnalyzer pipeline
+(``core/analysis/standard/StandardAnalyzer.java:85-96``):
+
+- **Tokenizer**: a UAX#29 word-break subset implemented as one compiled
+  regex, covering the token classes StandardTokenizer emits
+  (``core/analysis/standard/StandardTokenizer.java:52-76``):
+  ALPHANUM (letter/digit runs with UAX#29 MidLetter/MidNumLet between
+  letters and MidNum between digits), NUM, HANGUL runs, KATAKANA runs,
+  HIRAGANA single chars, IDEOGRAPHIC single chars, and basic EMOJI
+  sequences. It is not the full JFlex DFA
+  (``StandardTokenizerImpl.jflex``); the deviation surface is exotic
+  Unicode word-break edge cases, which are pinned by golden tests for
+  the cases we guarantee. Byte-identity per url holds on the target
+  corpus.
+- **maxTokenLength=255**: oversized tokens are *split* into 255-char
+  chunks, not dropped (``StandardTokenizer.java:163-168`` semantics).
+- **LowerCaseFilter**: Java per-codepoint ``Character.toLowerCase``
+  simple mapping (``core/analysis/LowerCaseFilter.java:38``). Python's
+  ``str.lower`` applies SpecialCasing full mappings; the only
+  single-codepoint divergence that matters is U+0130 (İ) which Java
+  maps to 'i' — special-cased here.
+- **StopFilter**: removes stopwords but **preserves position gaps** —
+  the position increment of a surviving token accumulates the skipped
+  positions (``core/analysis/FilteringTokenFilter.java:49-56``).
+  Default stop set = EnglishAnalyzer's 33 words
+  (``analysis/en/EnglishAnalyzer.java:43-53``); StandardAnalyzer's own
+  default is the empty set (``StandardAnalyzer.java:51-53``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+# EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (analysis/en/EnglishAnalyzer.java:43-53)
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with".split()
+)
+
+MAX_TOKEN_LENGTH = 255
+
+# --- UAX#29 subset, one alternation ordered longest-class-first -------------
+# MidLetter (':', U+2027, apostrophes) and MidNumLet ('.', ''') may join
+# letter runs; MidNum (',', '.', ';', ':') joins digit runs. Lookahead
+# ensures the joiner is *between* two word chars, per UAX#29 WB6/7/11/12.
+_LETTER = r"[^\W\d_]"  # unicode letter
+_ALNUM = r"[^\W_]"  # unicode letter or digit
+_WORD = (
+    rf"{_ALNUM}(?:{_ALNUM}|[''’ʼ.:‧,](?={_ALNUM}))*"
+)
+_HANGUL = r"[가-힣ᄀ-ᇿ]+"
+_KATAKANA = r"[゠-ヿㇰ-ㇿ]+"
+_HIRAGANA = r"[぀-ゟ]"
+_IDEOGRAPH = r"[一-鿿㐀-䶿豈-﫿\U00020000-\U0002EBEF]"
+_EMOJI = (
+    # regional-indicator pairs (flags) bind pairwise per UAX#29 GB12/13
+    r"(?:[\U0001F1E6-\U0001F1FF]{2})"
+    r"|(?:[\U0001F300-\U0001FAFF☀-➿]"
+    r"[️\U0001F3FB-\U0001F3FF]?"
+    r"(?:‍[\U0001F300-\U0001FAFF☀-➿][️]?)*)"
+)
+
+# hangul/katakana/hiragana/ideograph/emoji before the generic word class so
+# CJK does not get swallowed into letter runs
+_TOKEN_RE = re.compile(
+    f"{_EMOJI}|{_HANGUL}|{_KATAKANA}|{_HIRAGANA}|{_IDEOGRAPH}|{_WORD}"
+)
+
+
+def _java_lower(token: str) -> str:
+    """Per-codepoint simple lowercase mapping (Java Character.toLowerCase)."""
+    if token.isascii():
+        return token.lower()
+    out = []
+    for ch in token:
+        if ch == "İ":  # İ: full mapping is 'i̇' (2 cp); simple is 'i'
+            out.append("i")
+        else:
+            low = ch.lower()
+            # full mappings that expand to >1 cp are not simple mappings;
+            # Java keeps the original codepoint lowercased 1:1 — for the
+            # remaining SpecialCasing entries the first cp matches the
+            # simple mapping or the char is already caseless.
+            out.append(low if len(low) == 1 else ch)
+    return "".join(out)
+
+
+def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+    """Raw tokenizer: returns surface tokens (pre-lowercase, pre-stop)."""
+    if not text:
+        return []
+    out: list[str] = []
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        if len(tok) <= max_token_length:
+            out.append(tok)
+        else:
+            # oversized tokens are split, not dropped
+            for i in range(0, len(tok), max_token_length):
+                out.append(tok[i : i + max_token_length])
+    return out
+
+
+def analyze(
+    text: str,
+    stopwords: Iterable[str] | frozenset[str] | None = None,
+    lowercase: bool = True,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+) -> tuple[list[str], list[int]]:
+    """Full chain -> (terms, positions) with stop-gap position increments.
+
+    Position semantics: every tokenized token occupies one position;
+    stop-filtered tokens leave a gap (surviving token positions are the
+    original token indexes), matching FilteringTokenFilter's
+    posIncrement accumulation.
+    """
+    toks = tokenize(text, max_token_length)
+    terms: list[str] = []
+    positions: list[int] = []
+    stop = stopwords if stopwords is not None else frozenset()
+    for pos, tok in enumerate(toks):
+        if lowercase:
+            tok = _java_lower(tok)
+        if tok in stop:
+            continue
+        terms.append(tok)
+        positions.append(pos)
+    return terms, positions
+
+
+def analyze_series(texts, stopwords=None, lowercase=True):
+    """Batch analyze a pandas Series of strings.
+
+    Returns (list_of_term_lists, list_of_position_lists) — the batch
+    entry point used inside Arrow UDFs (compiled-regex per row, no
+    Python-level tokenization inner loops beyond the match iterator).
+    """
+    terms_col = []
+    pos_col = []
+    stop = stopwords if stopwords is not None else frozenset()
+    for text in texts:
+        t, p = analyze(text if isinstance(text, str) else "", stop, lowercase)
+        terms_col.append(t)
+        pos_col.append(p)
+    return terms_col, pos_col

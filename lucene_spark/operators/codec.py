@@ -1,0 +1,270 @@
+"""Posting-block codec: FOR / bitset / dense docs, FOR / PFOR freqs.
+
+Numpy re-expression of the Lucene104 postings block format decisions
+(``core/codecs/lucene104/Lucene104PostingsWriter.java:389-470``):
+
+- blocks of up to ``BLOCK_SIZE=256`` postings per (field, term)
+  (``Lucene104PostingsFormat.java:343``);
+- docIDs are delta-encoded within the block and stored one of 3 ways,
+  chosen by cost exactly like ``flushDocBlock``:
+  * DENSE  — every delta == 1 (block is a contiguous docid run):
+    zero payload bytes (the marker-byte-0 case);
+  * FOR    — fixed-width bit-packing at ``bitsRequired(max delta)``;
+  * BITSET — unary/bitset over the docid span when that is smaller;
+- freqs are stored as ALL_ONES (zero bytes), FOR, or PFOR
+  (patched FOR: low ``base`` bits packed + up to 8 byte-indexed
+  exceptions, cf. ``PForUtil.java:51-90``);
+- positions are per-occurrence deltas, FOR-packed, with per-posting
+  offsets derived from freqs (cf. the .pos file layout).
+
+The on-disk unit is a **row in the postings table**, not a file:
+``(segment_id, field, term, block_id, first_docid, last_docid,
+num_docs, doc_block, freq_block, pos_block, impact_freqs,
+impact_norms)``. Parquet min/max column stats over ``term`` and the
+block metadata columns play the role of the term dictionary seek +
+skip list (``Lucene104PostingsFormat.java:347-351``).
+
+All kernels are array-in/array-out numpy — no per-element Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 256
+
+# encoding tags (first byte of each blob)
+ENC_DENSE = 0
+ENC_FOR = 1
+ENC_BITSET = 2
+ENC_PFOR = 3
+ENC_ALL_ONES = 4
+
+_POW2 = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint64)
+
+
+def bits_required(max_val: int) -> int:
+    return max(1, int(max_val).bit_length()) if max_val >= 0 else 32
+
+
+def pack_bits(values: np.ndarray, bits: int) -> bytes:
+    """Pack uint32 values into a little-bit-endian fixed-width stream."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # bit matrix (n, bits): LSB first
+    mat = ((v[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.uint8)
+    flat = mat.reshape(-1)
+    return np.packbits(flat, bitorder="little").tobytes()
+
+
+def unpack_bits(buf: bytes, bits: int, n: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits` -> uint32 array of length n."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    flat = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), bitorder="little", count=n * bits
+    )
+    mat = flat.reshape(n, bits).astype(np.uint64)
+    return (mat * _POW2[:bits]).sum(axis=1).astype(np.uint32)
+
+
+# --------------------------------------------------------------------------
+# doc blocks
+# --------------------------------------------------------------------------
+
+
+def pack_doc_block(docids: np.ndarray) -> bytes:
+    """Encode sorted docids of one block. Needs first_docid/num_docs cols."""
+    docids = np.asarray(docids, dtype=np.int64)
+    n = len(docids)
+    if n == 1:
+        return bytes([ENC_DENSE])
+    gaps = np.diff(docids)
+    if np.all(gaps == 1):
+        return bytes([ENC_DENSE])
+    bits = bits_required(int(gaps.max()))
+    for_bytes = 1 + 1 + (len(gaps) * bits + 7) // 8
+    span = int(docids[-1] - docids[0] + 1)
+    bitset_bytes = 1 + (span + 7) // 8
+    if bitset_bytes < for_bytes:
+        rel = (docids - docids[0]).astype(np.int64)
+        bs = np.zeros(span, dtype=np.uint8)
+        bs[rel] = 1
+        return bytes([ENC_BITSET]) + np.packbits(bs, bitorder="little").tobytes()
+    return bytes([ENC_FOR, bits]) + pack_bits(gaps.astype(np.uint64), bits)
+
+
+def unpack_doc_block(buf: bytes, first_docid: int, num_docs: int) -> np.ndarray:
+    enc = buf[0]
+    if enc == ENC_DENSE:
+        return first_docid + np.arange(num_docs, dtype=np.int64)
+    if enc == ENC_FOR:
+        bits = buf[1]
+        gaps = unpack_bits(buf[2:], bits, num_docs - 1).astype(np.int64)
+        out = np.empty(num_docs, dtype=np.int64)
+        out[0] = first_docid
+        np.cumsum(gaps, out=out[1:])
+        out[1:] += first_docid
+        return out
+    if enc == ENC_BITSET:
+        bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8, offset=1),
+                             bitorder="little")
+        rel = np.flatnonzero(bits)[:num_docs]
+        return first_docid + rel.astype(np.int64)
+    raise ValueError(f"bad doc encoding {enc}")
+
+
+# --------------------------------------------------------------------------
+# freq blocks
+# --------------------------------------------------------------------------
+
+_PFOR_MAX_EXCEPTIONS = 8
+
+
+def pack_freq_block(freqs: np.ndarray) -> bytes:
+    freqs = np.asarray(freqs, dtype=np.int64)
+    if np.all(freqs == 1):
+        return bytes([ENC_ALL_ONES])
+    fm1 = (freqs - 1).astype(np.uint64)
+    full_bits = bits_required(int(fm1.max()))
+    # PFOR candidate: base bits covering all but <= 8 outliers
+    srt = np.sort(fm1)
+    n = len(fm1)
+    best = (ENC_FOR, full_bits, None)
+    best_size = 2 + (n * full_bits + 7) // 8
+    if n > _PFOR_MAX_EXCEPTIONS:
+        base_val = int(srt[n - 1 - _PFOR_MAX_EXCEPTIONS])
+        base_bits = bits_required(base_val)
+        if base_bits < full_bits:
+            exc_idx = np.flatnonzero(fm1 > ((1 << base_bits) - 1))
+            if len(exc_idx) <= _PFOR_MAX_EXCEPTIONS:
+                size = (3 + (n * base_bits + 7) // 8 + 5 * len(exc_idx))
+                if size < best_size:
+                    best = (ENC_PFOR, base_bits, exc_idx)
+                    best_size = size
+    enc, bits, exc_idx = best
+    if enc == ENC_FOR:
+        return bytes([ENC_FOR, bits]) + pack_bits(fm1, bits)
+    mask = np.uint64((1 << bits) - 1)
+    low = fm1 & mask
+    head = bytes([ENC_PFOR, bits, len(exc_idx)])
+    payload = pack_bits(low, bits)
+    exc = b"".join(
+        bytes([int(i)]) + int(fm1[i] >> np.uint64(bits)).to_bytes(4, "little")
+        for i in exc_idx
+    )
+    return head + payload + exc
+
+
+def unpack_freq_block(buf: bytes, num_docs: int) -> np.ndarray:
+    enc = buf[0]
+    if enc == ENC_ALL_ONES:
+        return np.ones(num_docs, dtype=np.int64)
+    if enc == ENC_FOR:
+        bits = buf[1]
+        return unpack_bits(buf[2:], bits, num_docs).astype(np.int64) + 1
+    if enc == ENC_PFOR:
+        bits, n_exc = buf[1], buf[2]
+        body_len = (num_docs * bits + 7) // 8
+        vals = unpack_bits(buf[3 : 3 + body_len], bits, num_docs).astype(np.int64)
+        off = 3 + body_len
+        for _ in range(n_exc):
+            idx = buf[off]
+            high = int.from_bytes(buf[off + 1 : off + 5], "little")
+            vals[idx] |= high << bits
+            off += 5
+        return vals + 1
+    raise ValueError(f"bad freq encoding {enc}")
+
+
+# --------------------------------------------------------------------------
+# position blocks
+# --------------------------------------------------------------------------
+
+
+def pack_pos_block(flat_position_deltas: np.ndarray) -> bytes:
+    """Pack the flattened per-occurrence position deltas of a block.
+
+    Layout convention: for each posting (doc) its positions are
+    delta-encoded (first absolute, then gaps); the per-doc slices are
+    recovered from the freqs at unpack time.
+    """
+    d = np.asarray(flat_position_deltas, dtype=np.int64)
+    if len(d) == 0:
+        return bytes([ENC_ALL_ONES])
+    bits = bits_required(int(d.max()))
+    return bytes([ENC_FOR, bits]) + pack_bits(d.astype(np.uint64), bits)
+
+
+def unpack_pos_block(buf: bytes, total_occurrences: int) -> np.ndarray:
+    enc = buf[0]
+    if enc == ENC_ALL_ONES:
+        return np.zeros(0, dtype=np.int64)
+    bits = buf[1]
+    return unpack_bits(buf[2:], bits, total_occurrences).astype(np.int64)
+
+
+def encode_position_deltas(positions: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+    """Flat positions (grouped per doc, each group ascending) -> deltas.
+
+    First position of each doc stays absolute; subsequent are gaps.
+    """
+    positions = np.asarray(positions, dtype=np.int64)
+    if len(positions) == 0:
+        return positions
+    deltas = np.empty_like(positions)
+    starts = np.zeros(len(positions), dtype=bool)
+    starts[np.cumsum(np.asarray(freqs, dtype=np.int64))[:-1]] = True
+    starts[0] = True
+    deltas[0] = positions[0]
+    deltas[1:] = positions[1:] - positions[:-1]
+    deltas[starts] = positions[starts]
+    return deltas
+
+
+def decode_position_deltas(deltas: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_position_deltas`."""
+    deltas = np.asarray(deltas, dtype=np.int64)
+    if len(deltas) == 0:
+        return deltas
+    freqs = np.asarray(freqs, dtype=np.int64)
+    # segmented cumsum: cumsum minus the cumsum value at each segment start
+    cs = np.cumsum(deltas)
+    starts = np.zeros(len(deltas), dtype=np.int64)
+    starts[np.cumsum(freqs)[:-1]] = 1
+    seg_id = np.cumsum(starts)
+    # offset per segment = cs at position before segment start
+    seg_start_idx = np.flatnonzero(np.r_[1, starts[1:]])
+    base = np.where(seg_start_idx > 0, cs[seg_start_idx - 1], 0)
+    return cs - base[seg_id]
+
+
+# --------------------------------------------------------------------------
+# impact skylines
+# --------------------------------------------------------------------------
+
+
+def impact_skyline(freqs: np.ndarray, norms: np.ndarray):
+    """Pareto skyline of (freq, norm) pairs for one block.
+
+    A pair is competitive iff no other pair has freq >= it with
+    norm <= it (``CompetitiveImpactAccumulator.java:102-124``). Result
+    is (freqs asc, norms asc) — max freq per norm bucket filtered to
+    strictly-increasing freq.
+    """
+    freqs = np.asarray(freqs, dtype=np.int64)
+    norms = np.asarray(norms).astype(np.uint8).astype(np.int64)
+    order = np.lexsort((-freqs, norms))
+    n_sorted = norms[order]
+    f_sorted = freqs[order]
+    # first occurrence per norm (has max freq within the norm)
+    first = np.r_[True, n_sorted[1:] != n_sorted[:-1]]
+    nf = n_sorted[first]
+    ff = f_sorted[first]
+    # keep only strictly increasing freq as norm increases
+    cummax = np.maximum.accumulate(ff)
+    keep = np.r_[True, ff[1:] > cummax[:-1]]
+    return ff[keep], nf[keep]

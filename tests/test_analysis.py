@@ -1,0 +1,105 @@
+"""Golden analyzer tests (BaseTokenStreamTestCase-style fixtures).
+
+Expected values derive from Lucene StandardAnalyzer semantics
+(tf/analysis/BaseTokenStreamTestCase.java assertion style): exact
+token arrays + position arrays, including stop-filter position gaps
+and maxTokenLength=255 splitting.
+"""
+
+from lucene_spark.functions.analysis import (
+    ENGLISH_STOP_WORDS,
+    analyze,
+    analyze_series,
+    tokenize,
+)
+
+
+def test_simple_ascii():
+    terms, pos = analyze("The quick brown fox")
+    assert terms == ["the", "quick", "brown", "fox"]
+    assert pos == [0, 1, 2, 3]
+
+
+def test_stopwords_leave_position_gaps():
+    terms, pos = analyze("the quick and the dead", stopwords=ENGLISH_STOP_WORDS)
+    assert terms == ["quick", "dead"]
+    assert pos == [1, 4]  # gaps where 'the'/'and'/'the' were
+
+
+def test_english_stop_set_has_33_words():
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert "the" in ENGLISH_STOP_WORDS and "with" in ENGLISH_STOP_WORDS
+
+
+def test_punctuation_splits():
+    assert tokenize("foo-bar foo_bar") == ["foo", "bar", "foo", "bar"]
+    assert tokenize("hello, world!") == ["hello", "world"]
+
+
+def test_apostrophes_and_numerics():
+    # UAX#29 MidLetter: apostrophe joins letters
+    assert tokenize("can't o'clock") == ["can't", "o'clock"]
+    # MidNum: '.'/',' join digits
+    assert tokenize("3.14 1,000 v1.0") == ["3.14", "1,000", "v1.0"]
+    # trailing joiners don't attach
+    assert tokenize("end. next,") == ["end", "next"]
+
+
+def test_alphanumerics():
+    assert tokenize("XY&Z Corporation - xyz@example.com") == [
+        "XY",
+        "Z",
+        "Corporation",
+        "xyz",
+        "example.com",
+    ]
+
+
+def test_lowercase_unicode():
+    terms, _ = analyze("Straße ÉCOLE İstanbul")
+    assert terms == ["straße", "école", "istanbul"]
+
+
+def test_cjk_ideographs_single_char_tokens():
+    assert tokenize("我是中国人") == ["我", "是", "中", "国", "人"]
+
+
+def test_katakana_runs_hiragana_singles():
+    assert tokenize("コンピュータ") == ["コンピュータ"]
+    assert tokenize("これは") == ["こ", "れ", "は"]
+
+
+def test_hangul_runs():
+    assert tokenize("안녕하세요 세계") == ["안녕하세요", "세계"]
+
+
+def test_emoji():
+    toks = tokenize("hello 👍 world 🇺🇸")
+    assert toks == ["hello", "👍", "world", "🇺🇸"]
+
+
+def test_max_token_length_splits_not_drops():
+    long_tok = "a" * 600
+    toks = tokenize(long_tok)
+    assert toks == ["a" * 255, "a" * 255, "a" * 90]
+    # and each chunk occupies its own position
+    terms, pos = analyze(long_tok + " end")
+    assert len(terms) == 4 and pos == [0, 1, 2, 3]
+
+
+def test_empty_and_none():
+    assert analyze("") == ([], [])
+    assert tokenize("   \n\t ") == []
+
+
+def test_analyze_series_batch():
+    terms, pos = analyze_series(
+        ["the cat", None, "dog"], stopwords=ENGLISH_STOP_WORDS
+    )
+    assert terms == [["cat"], [], ["dog"]]
+    assert pos == [[1], [], [0]]
+
+
+def test_deterministic():
+    s = "spark builds indexes 3.14 コンピュータ 我们 👍"
+    assert analyze(s) == analyze(s)

@@ -1,0 +1,164 @@
+"""Postings codec round-trip tests (BasePostingsFormatTestCase pattern).
+
+Random (docid, freq, positions) lists are packed and unpacked across
+every encoding decision branch; property-style seeded generators mirror
+tf/index/BasePostingsFormatTestCase.java:104-190 / RandomPostingsTester.
+"""
+
+import numpy as np
+import pytest
+
+from lucene_spark.operators.codec import (
+    BLOCK_SIZE,
+    ENC_ALL_ONES,
+    ENC_BITSET,
+    ENC_DENSE,
+    ENC_FOR,
+    ENC_PFOR,
+    decode_position_deltas,
+    encode_position_deltas,
+    impact_skyline,
+    pack_bits,
+    pack_doc_block,
+    pack_freq_block,
+    pack_pos_block,
+    unpack_bits,
+    unpack_doc_block,
+    unpack_freq_block,
+    unpack_pos_block,
+)
+
+
+def test_pack_bits_roundtrip():
+    rng = np.random.default_rng(42)
+    for bits in (1, 3, 7, 8, 13, 17, 24, 31):
+        vals = rng.integers(0, 2**bits, size=257, dtype=np.uint64)
+        buf = pack_bits(vals, bits)
+        assert len(buf) == (257 * bits + 7) // 8
+        got = unpack_bits(buf, bits, 257)
+        assert np.array_equal(got, vals.astype(np.uint32))
+
+
+def test_doc_block_dense():
+    docids = np.arange(1000, 1256)
+    buf = pack_doc_block(docids)
+    assert buf[0] == ENC_DENSE and len(buf) == 1
+    assert np.array_equal(unpack_doc_block(buf, 1000, 256), docids)
+
+
+def test_doc_block_for():
+    rng = np.random.default_rng(7)
+    docids = np.cumsum(rng.integers(1, 50, size=BLOCK_SIZE)) + 12345
+    buf = pack_doc_block(docids)
+    assert buf[0] == ENC_FOR
+    assert np.array_equal(unpack_doc_block(buf, int(docids[0]), BLOCK_SIZE), docids)
+
+
+def test_doc_block_bitset_chosen_when_dense_range():
+    # very dense but not contiguous: bitset should win over FOR
+    rng = np.random.default_rng(3)
+    rel = np.sort(rng.choice(300, size=BLOCK_SIZE, replace=False))
+    docids = rel + 5000
+    buf = pack_doc_block(docids)
+    assert buf[0] == ENC_BITSET
+    assert np.array_equal(unpack_doc_block(buf, int(docids[0]), BLOCK_SIZE), docids)
+
+
+def test_doc_block_singleton():
+    buf = pack_doc_block(np.array([42]))
+    assert np.array_equal(unpack_doc_block(buf, 42, 1), [42])
+
+
+def test_freq_all_ones():
+    buf = pack_freq_block(np.ones(100, dtype=np.int64))
+    assert buf[0] == ENC_ALL_ONES and len(buf) == 1
+    assert np.array_equal(unpack_freq_block(buf, 100), np.ones(100))
+
+
+def test_freq_for():
+    freqs = np.array([1, 2, 3, 4, 5, 6, 7, 8])
+    buf = pack_freq_block(freqs)
+    assert buf[0] == ENC_FOR
+    assert np.array_equal(unpack_freq_block(buf, 8), freqs)
+
+
+def test_freq_pfor_with_outliers():
+    freqs = np.ones(BLOCK_SIZE, dtype=np.int64)
+    freqs[7] = 100000
+    freqs[130] = 5000
+    buf = pack_freq_block(freqs)
+    assert buf[0] == ENC_PFOR
+    got = unpack_freq_block(buf, BLOCK_SIZE)
+    assert np.array_equal(got, freqs)
+    # PFOR must beat plain FOR here
+    assert len(buf) < 2 + (BLOCK_SIZE * 17 + 7) // 8
+
+
+def test_positions_roundtrip():
+    rng = np.random.default_rng(11)
+    freqs = rng.integers(1, 6, size=40)
+    pos = np.concatenate(
+        [np.sort(rng.choice(500, size=f, replace=False)) for f in freqs]
+    )
+    deltas = encode_position_deltas(pos, freqs)
+    back = decode_position_deltas(deltas, freqs)
+    assert np.array_equal(back, pos)
+    buf = pack_pos_block(deltas)
+    flat = unpack_pos_block(buf, int(freqs.sum()))
+    assert np.array_equal(flat, deltas)
+
+
+def test_positions_empty():
+    assert len(encode_position_deltas(np.array([]), np.array([]))) == 0
+    assert len(unpack_pos_block(pack_pos_block(np.array([])), 0)) == 0
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_roundtrip_property(seed):
+    """RandomPostingsTester analog: random block shapes, all branches."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, BLOCK_SIZE + 1))
+    style = seed % 4
+    if style == 0:  # contiguous
+        docids = np.arange(n) + int(rng.integers(0, 10**6))
+    elif style == 1:  # sparse
+        docids = np.sort(rng.choice(10**7, size=n, replace=False))
+    elif style == 2:  # dense-range
+        docids = np.sort(rng.choice(int(n * 1.1) + 2, size=n, replace=False))
+    else:  # clustered
+        docids = np.cumsum(rng.choice([1, 1, 1, 200], size=n)) + 500
+    freqs = rng.choice([1, 1, 1, 2, 3, 17, 40000], size=n)
+    dbuf = pack_doc_block(docids)
+    fbuf = pack_freq_block(freqs)
+    assert np.array_equal(unpack_doc_block(dbuf, int(docids[0]), n), docids)
+    assert np.array_equal(unpack_freq_block(fbuf, n), freqs)
+
+
+def test_impact_skyline():
+    freqs = np.array([3, 1, 7, 3, 2])
+    norms = np.array([10, 5, 20, 20, 10])
+    ff, nn = impact_skyline(freqs, norms)
+    # norm 5 -> maxfreq 1; norm 10 -> 3; norm 20 -> 7; all increasing => keep all
+    assert nn.tolist() == [5, 10, 20]
+    assert ff.tolist() == [1, 3, 7]
+
+
+def test_impact_skyline_dominated_pruned():
+    # (freq 2, norm 20) dominated by (freq 5, norm 10)
+    ff, nn = impact_skyline(np.array([5, 2]), np.array([10, 20]))
+    assert ff.tolist() == [5] and nn.tolist() == [10]
+
+
+def test_impact_skyline_upper_bound_property():
+    """Max score over skyline == max score over all pairs (soundness)."""
+    from lucene_spark.functions.bm25 import BM25Scorer
+
+    rng = np.random.default_rng(5)
+    scorer = BM25Scorer(doc_freq=10, doc_count=1000, sum_total_term_freq=40000)
+    for _ in range(20):
+        freqs = rng.integers(1, 1000, size=50)
+        norms = rng.integers(0, 256, size=50)
+        ff, nn = impact_skyline(freqs, norms)
+        full = scorer.score(freqs.astype(np.float32), norms).max()
+        sky = scorer.score(ff.astype(np.float32), nn).max()
+        assert sky == full
