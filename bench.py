@@ -1,0 +1,91 @@
+"""Benchmark harness: index-build throughput + BM25 query latency.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "build_sec": ..., "docs_per_sec": ...}
+
+The float32 Lucene-exact path with block-max pruning is what gets
+timed — the production configuration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    num_segments = int(os.environ.get("SPARK_GRAFT_SEGMENTS", str(max(cpus, 8))))
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.session import get_spark
+    from lucene_spark.sources.web_pages import load_web_pages
+
+    spark = get_spark(app_name="lucene_spark_bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    wp = load_web_pages(spark, sf_dir).cache()
+    n_docs = wp.count()  # materialize input before the clock starts
+
+    idx = f"/tmp/lucene_spark_bench_idx_{os.path.basename(sf_dir.rstrip('/'))}_{cpus}"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    t0 = time.monotonic()
+    build_index(spark, wp, idx, num_segments=num_segments)
+    build_sec = time.monotonic() - t0
+
+    s = Searcher(spark, idx)
+
+    def timed(fn):
+        t = time.monotonic()
+        fn()
+        return round(time.monotonic() - t, 4)
+
+    queries = {
+        "q_term_top10": lambda: s.term_query("window", k=10).collect(),
+        "q_term_rare": lambda: s.term_query("lpad", k=10).collect(),
+        "q_or_top10": lambda: s.boolean_query(
+            should=["window", "spark"], k=10
+        ).collect(),
+        "q_and_top10": lambda: s.boolean_query(
+            must=["window", "spark"], k=10
+        ).collect(),
+        "q_and_not": lambda: s.boolean_query(
+            must=["window"], must_not=["spark"], k=10
+        ).collect(),
+        "q_msm2": lambda: s.boolean_query(
+            should=["window", "spark", "data"], min_should_match=2, k=10
+        ).collect(),
+        "q_phrase": lambda: s.phrase_query(["the", "query"], k=10).collect(),
+        "q_count": lambda: s.count("window"),
+    }
+    q_times = {name: timed(fn) for name, fn in queries.items()}
+
+    total = round(build_sec + sum(q_times.values()), 4)
+    out = {
+        "metric": "index_build_plus_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "num_segments": num_segments,
+        "n_docs": n_docs,
+        "build_sec": round(build_sec, 4),
+        "docs_per_sec": round(n_docs / build_sec, 2),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

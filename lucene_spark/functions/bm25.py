@@ -62,18 +62,21 @@ def score(
     weight: np.float32,
     cache: np.ndarray,
 ) -> np.ndarray:
-    """Vectorized ``weight - weight / (1 + freq * cache[norm])`` in float32.
+    """Vectorized ``weight - weight / (1 + freq * cache[norm])``.
 
-    Mirrors BM25Scorer.doScore / BulkSimScorer.score
-    (BM25Similarity.java:254-268, 277-297).
+    The computation dtype follows ``cache.dtype``: float32 caches give
+    the Lucene-exact float32 chain (BM25Scorer.doScore /
+    BulkSimScorer.score, BM25Similarity.java:254-268, 277-297);
+    float64 caches give the double chain used for SQL-oracle parity.
     """
-    freqs = np.asarray(freqs, dtype=np.float32)
+    dt = cache.dtype.type
+    freqs = np.asarray(freqs, dtype=cache.dtype)
     norm_inv = cache[np.asarray(norms).astype(np.uint8)]
-    w = np.float32(weight)
-    # float32 overflow -> inf is the Java semantics (score saturates to
+    w = dt(weight)
+    # float overflow -> inf is the Java semantics (score saturates to
     # weight); silence numpy's warning about it.
     with np.errstate(over="ignore"):
-        return (w - w / (np.float32(1.0) + freqs * norm_inv)).astype(np.float32)
+        return (w - w / (dt(1.0) + freqs * norm_inv)).astype(cache.dtype)
 
 
 class BM25Scorer:

@@ -1,0 +1,359 @@
+"""Index build job: web_pages -> segment postings/docs/terms tables.
+
+Spark shape (SURVEY.md §3.1 / north rule):
+
+    web_pages
+      -> segment_id = xxhash64(url) % num_segments      (pure function of
+         the row key: docIDs and results are independent of parallelism)
+      -> repartition(num_segments, segment_id)           (the ONLY shuffle)
+      -> mapInArrow(build_segments)                      (analyze + invert +
+         sort + block-pack + impacts, all partition-local — the DWPT
+         analog, core/index/DocumentsWriterPerThread.java)
+      -> staging parquet, then metadata-only derivations of the terms
+         dict and field stats (no second pass over text)
+      -> atomic manifest commit with per-segment lineage + metrics
+
+Per-segment build mirrors the flush path
+(``core/index/FreqProxTermsWriter.java:83-134``): sort (term, docid),
+then hand sorted postings to the block codec
+(``Lucene104PostingsWriter.flushDocBlock`` analog in codec.py), with
+per-block impact skylines (``CompetitiveImpactAccumulator.java``).
+
+Scale notes (100 TB / 10^12 docs):
+- num_segments sizes each segment; target 100k-1M docs so a segment's
+  postings accumulator fits executor memory (the 16 MB RAM-buffer knob
+  of IndexWriterConfig.java:83 scaled to executor heaps).
+- the single repartition is a hash shuffle on segment_id — uniform by
+  construction (xxhash64 of unique urls), no skew; stopword-heavy
+  *terms* skew inside a segment is bounded because 256-doc blocks make
+  posting construction independent per block.
+- one pass over text: terms dict + field stats derive from block
+  metadata, never re-tokenizing.
+- resume: committed segment_ids are filtered out *before* the shuffle,
+  so a restarted build moves only the missing segments' bytes.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analysis import analyze_series
+from ..functions.smallfloat import int_to_byte4
+from ..sources.catalog import IndexCatalog
+from .codec import (
+    BLOCK_SIZE,
+    encode_position_deltas,
+    impact_skyline,
+    pack_doc_block,
+    pack_freq_block,
+    pack_pos_block,
+)
+
+STAGE_DDL = (
+    "kind tinyint, segment_id long, field string, term string, block_id int, "
+    "first_docid long, last_docid long, num_docs int, block_total_tf long, "
+    "doc_block binary, freq_block binary, norm_block binary, pos_block binary, "
+    "impact_freqs array<int>, impact_norms array<int>, "
+    "url string, doclen int, norm int"
+)
+
+STAGE_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),  # 0 = posting block, 1 = doc
+        ("segment_id", pa.int64()),
+        ("field", pa.string()),
+        ("term", pa.string()),
+        ("block_id", pa.int32()),
+        ("first_docid", pa.int64()),
+        ("last_docid", pa.int64()),
+        ("num_docs", pa.int32()),
+        ("block_total_tf", pa.int64()),
+        ("doc_block", pa.binary()),
+        ("freq_block", pa.binary()),
+        ("norm_block", pa.binary()),
+        ("pos_block", pa.binary()),
+        ("impact_freqs", pa.list_(pa.int32())),
+        ("impact_norms", pa.list_(pa.int32())),
+        ("url", pa.string()),
+        ("doclen", pa.int32()),
+        ("norm", pa.int32()),
+    ]
+)
+
+
+def _build_one_segment(
+    seg_id: int, urls: list[str], texts: list[str], field: str, stopwords
+) -> Iterator[pa.RecordBatch]:
+    """Build all rows for one segment. Pure function of (urls, texts)."""
+    import pandas as pd
+
+    t0 = time.monotonic()
+    order = np.argsort(np.asarray(urls, dtype=object), kind="stable")
+    urls_s = [urls[i] for i in order]
+    texts_s = [texts[i] for i in order]
+    n_docs = len(urls_s)
+
+    terms_col, pos_col = analyze_series(texts_s, stopwords=stopwords)
+    doclens = np.array([len(t) for t in terms_col], dtype=np.int64)
+    norms = int_to_byte4(doclens)
+
+    # ---- doc rows ----
+    yield pa.RecordBatch.from_pydict(
+        {
+            "kind": np.full(n_docs, 1, dtype=np.int8),
+            "segment_id": np.full(n_docs, seg_id, dtype=np.int64),
+            "field": [field] * n_docs,
+            "term": [None] * n_docs,
+            "block_id": np.zeros(n_docs, dtype=np.int32),
+            "first_docid": np.arange(n_docs, dtype=np.int64),  # local docid
+            "last_docid": np.arange(n_docs, dtype=np.int64),
+            "num_docs": np.ones(n_docs, dtype=np.int32),
+            "block_total_tf": doclens,
+            "doc_block": [None] * n_docs,
+            "freq_block": [None] * n_docs,
+            "norm_block": [None] * n_docs,
+            "pos_block": [None] * n_docs,
+            "impact_freqs": [None] * n_docs,
+            "impact_norms": [None] * n_docs,
+            "url": urls_s,
+            "doclen": doclens.astype(np.int32),
+            "norm": norms.astype(np.int32),
+        },
+        schema=STAGE_SCHEMA,
+    )
+
+    # ---- invert: flat (term, docid, pos), sorted ----
+    n_tokens = int(doclens.sum())
+    if n_tokens == 0:
+        return
+    flat_terms = np.concatenate(
+        [np.asarray(t, dtype=object) for t in terms_col if t]
+    )
+    flat_pos = np.concatenate(
+        [np.asarray(p, dtype=np.int64) for p in pos_col if p]
+    )
+    flat_docid = np.repeat(np.arange(n_docs, dtype=np.int64), doclens)
+
+    df = pd.DataFrame(
+        {"term": flat_terms, "docid": flat_docid, "pos": flat_pos}
+    )
+    # FreqProxTermsWriter.sortTerms analog: one vectorized sort
+    df.sort_values(["term", "docid", "pos"], inplace=True, kind="stable")
+    t_arr = df["term"].to_numpy()
+    d_arr = df["docid"].to_numpy()
+    p_arr = df["pos"].to_numpy()
+
+    # posting boundaries: first row of each (term, docid) group
+    new_term = np.r_[True, t_arr[1:] != t_arr[:-1]]
+    new_post = new_term | np.r_[True, d_arr[1:] != d_arr[:-1]]
+    post_starts = np.flatnonzero(new_post)
+    tfs = np.diff(np.r_[post_starts, len(t_arr)])
+    post_docids = d_arr[post_starts]
+    post_terms = t_arr[post_starts]
+    post_norms = norms[post_docids]
+
+    # term boundaries over postings
+    term_first_post = np.flatnonzero(new_term[post_starts])
+    term_post_counts = np.diff(np.r_[term_first_post, len(post_starts)])
+
+    # pre-compute position deltas for the whole segment at once
+    pos_deltas = encode_position_deltas(p_arr, tfs)
+    occ_offsets = np.r_[0, np.cumsum(tfs)]
+
+    cols: dict[str, list] = {k.name: [] for k in STAGE_SCHEMA}
+
+    for ti, first_post in enumerate(term_first_post):
+        n_post = term_post_counts[ti]
+        term = post_terms[first_post]
+        for b0 in range(0, n_post, BLOCK_SIZE):
+            lo = first_post + b0
+            hi = min(first_post + b0 + BLOCK_SIZE, first_post + n_post)
+            dids = post_docids[lo:hi]
+            fs = tfs[lo:hi]
+            ns = post_norms[lo:hi]
+            occ_lo, occ_hi = occ_offsets[lo], occ_offsets[hi]
+            i_f, i_n = impact_skyline(fs, ns)
+            cols["kind"].append(0)
+            cols["segment_id"].append(seg_id)
+            cols["field"].append(field)
+            cols["term"].append(term)
+            cols["block_id"].append(b0 // BLOCK_SIZE)
+            cols["first_docid"].append(int(dids[0]))
+            cols["last_docid"].append(int(dids[-1]))
+            cols["num_docs"].append(len(dids))
+            cols["block_total_tf"].append(int(fs.sum()))
+            cols["doc_block"].append(pack_doc_block(dids))
+            cols["freq_block"].append(pack_freq_block(fs))
+            cols["norm_block"].append(ns.astype(np.uint8).tobytes())
+            cols["pos_block"].append(pack_pos_block(pos_deltas[occ_lo:occ_hi]))
+            cols["impact_freqs"].append(i_f.astype(np.int32))
+            cols["impact_norms"].append(i_n.astype(np.int32))
+            cols["url"].append(None)
+            cols["doclen"].append(0)
+            cols["norm"].append(0)
+
+    if cols["kind"]:
+        yield pa.RecordBatch.from_pydict(cols, schema=STAGE_SCHEMA)
+    # lineage metrics row is derived downstream (docs count + wall time
+    # recorded by the driver); keep the builder pure.
+    del t0
+
+
+def _make_builder(field: str, stopwords):
+    stopset = frozenset(stopwords) if stopwords else frozenset()
+
+    def build_segments(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # accumulate this partition's rows per segment (a partition may
+        # carry several segment_ids after the hash repartition)
+        segs: dict[int, tuple[list, list]] = {}
+        for batch in batches:
+            seg = batch.column("segment_id").to_numpy(zero_copy_only=False)
+            urls = batch.column("url").to_pylist()
+            texts = batch.column("text").to_pylist()
+            for s, u, t in zip(seg, urls, texts):
+                bucket = segs.setdefault(int(s), ([], []))
+                bucket[0].append(u)
+                bucket[1].append(t if t is not None else "")
+        for seg_id in sorted(segs):
+            urls, texts = segs[seg_id]
+            yield from _build_one_segment(seg_id, urls, texts, field, stopset)
+
+    return build_segments
+
+
+def build_index(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    index_dir: str,
+    num_segments: int = 8,
+    field: str = "text",
+    stopwords=None,
+    resume: bool = False,
+) -> IndexCatalog:
+    """Build (or resume) the inverted index for ``web_pages[field]``.
+
+    Returns the catalog; tables land under ``index_dir`` as parquet:
+    postings (block rows), docs (url/norm map), terms (dict + stats).
+    """
+    catalog = IndexCatalog(index_dir)
+    t_start = time.monotonic()
+
+    src = web_pages.select("url", F.col(field).alias("text")).withColumn(
+        "segment_id", F.pmod(F.xxhash64("url"), F.lit(num_segments)).cast("long")
+    )
+
+    done: set[int] = set()
+    if resume:
+        done = catalog.committed_segment_ids()
+        if done:
+            src = src.where(~F.col("segment_id").isin(sorted(done)))
+
+    if resume and done and src.isEmpty():
+        return catalog
+
+    staged = src.repartition(num_segments, "segment_id").mapInArrow(
+        _make_builder(field, stopwords), schema=STAGE_DDL
+    )
+
+    commit_id = catalog.new_commit_dir("stage")
+    staged.write.mode("overwrite").partitionBy("kind").parquet(commit_id)
+
+    stage = spark.read.parquet(commit_id)
+    rel_commit = commit_id[len(catalog.index_dir) + 1 :]
+
+    # per-segment lineage + metrics from the staged doc rows
+    seg_rows = (
+        stage.where(F.col("kind") == 1)
+        .groupBy("segment_id")
+        .agg(
+            F.count("*").alias("num_docs"),
+            F.sum("doclen").alias("sum_doclen"),
+            F.min("url").alias("min_url"),
+            F.max("url").alias("max_url"),
+        )
+        .collect()
+    )
+    n_blocks = {
+        r["segment_id"]: r["n"]
+        for r in stage.where(F.col("kind") == 0)
+        .groupBy("segment_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    manifest = catalog.read_manifest()
+    wall = time.monotonic() - t_start
+    for r in seg_rows:
+        manifest["segments"].append(
+            {
+                "segment_id": int(r["segment_id"]),
+                "status": "COMMITTED",
+                "num_docs": int(r["num_docs"]),
+                "sum_doclen": int(r["sum_doclen"] or 0),
+                "num_blocks": int(n_blocks.get(r["segment_id"], 0)),
+                "lineage": {
+                    "source": "web_pages",
+                    "field": field,
+                    "min_url": r["min_url"],
+                    "max_url": r["max_url"],
+                    "num_segments_mod": num_segments,
+                },
+                "metrics": {"build_wall_sec_total_job": round(wall, 3)},
+                "data": {"stage": rel_commit},
+            }
+        )
+    # refresh corpus-level field stats (BM25Similarity.java:144-146 inputs)
+    live = manifest["segments"]
+    manifest["field_stats"] = {
+        field: {
+            "doc_count": sum(s["num_docs"] for s in live if s["status"] == "COMMITTED"),
+            "sum_total_term_freq": sum(
+                s["sum_doclen"] for s in live if s["status"] == "COMMITTED"
+            ),
+        }
+    }
+    catalog.commit_manifest(manifest)
+    return catalog
+
+
+# ---------------------------------------------------------------------------
+# readers
+# ---------------------------------------------------------------------------
+
+
+def read_postings(spark: SparkSession, catalog: IndexCatalog) -> DataFrame:
+    dirs = [f"{d}/kind=0" for d in catalog.live_data_dirs("stage")]
+    return spark.read.parquet(*dirs).select(
+        "segment_id", "field", "term", "block_id", "first_docid", "last_docid",
+        "num_docs", "block_total_tf", "doc_block", "freq_block", "norm_block",
+        "pos_block", "impact_freqs", "impact_norms",
+    )
+
+
+def read_docs(spark: SparkSession, catalog: IndexCatalog) -> DataFrame:
+    dirs = [f"{d}/kind=1" for d in catalog.live_data_dirs("stage")]
+    return spark.read.parquet(*dirs).select(
+        "segment_id",
+        F.col("first_docid").alias("local_docid"),
+        "url",
+        "doclen",
+        "norm",
+    )
+
+
+def read_terms(spark: SparkSession, catalog: IndexCatalog) -> DataFrame:
+    """Term dictionary + stats, derived from block metadata only."""
+    return (
+        read_postings(spark, catalog)
+        .groupBy("field", "term")
+        .agg(
+            F.sum("num_docs").cast("long").alias("doc_freq"),
+            F.sum("block_total_tf").cast("long").alias("total_term_freq"),
+        )
+    )

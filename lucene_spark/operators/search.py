@@ -1,0 +1,489 @@
+"""BM25 search: term/boolean/phrase queries with block-max pruning.
+
+Query lifecycle (SURVEY.md §3.2 mapped to Spark):
+
+1. stats lookup — the queried terms' (doc_freq, total_term_freq) rows
+   are read from the materialized terms table (parquet predicate
+   pushdown on ``term`` = the term-dictionary seek) and bound into
+   per-term scorers driver-side (Weight creation,
+   ``core/search/TermQuery.java:51-87``).
+2. postings scan — block rows for the queried terms only; parquet
+   row-group min/max stats on ``term`` prune like the block-tree index.
+3. unpack + score — one ``mapInArrow`` kernel decodes blocks and
+   computes float32 BM25 per posting (the fork's BulkSimScorer shape,
+   ``BM25Similarity.java:277-297``), with **block-max pruning**: per
+   input partition a running top-k threshold skips whole blocks whose
+   impact-skyline upper bound can't compete
+   (``WANDScorer.java:31-55`` / ``ImpactsDISI.java:56-70`` analog;
+   partition-local thresholds only ever skip non-competitive blocks,
+   so results are identical to the exhaustive path).
+4. combine — boolean algebra over (docid, score) rows:
+   SHOULD = union + groupBy-sum (DisjunctionSumScorer), MUST = match
+   count == clause count (ConjunctionScorer), MUST_NOT = left_anti
+   (ReqExclScorer), minimumNumberShouldMatch = HAVING count >= m
+   (``core/search/BooleanQuery.java:125-147``). Spark sums float32
+   scores in a double accumulator and we cast back to float32 —
+   Lucene's SimpleScorable accumulation semantics.
+5. top-k — ``orderBy(score desc, global_docid asc).limit(k)``:
+   Catalyst's TakeOrderedAndProject = per-partition heaps + driver
+   merge, exactly TopScoreDocCollectorManager.reduce + TopDocs.merge
+   tie-breaks (``core/search/TopDocs.java:74-121``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import FloatType
+
+from ..functions import bm25
+from ..functions.analysis import analyze
+from ..functions.smallfloat import byte4_to_int
+from ..sources.catalog import IndexCatalog
+from .codec import (
+    decode_position_deltas,
+    unpack_doc_block,
+    unpack_freq_block,
+    unpack_pos_block,
+)
+
+
+def _unpack_schema(score_type: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("segment_id", pa.int64()),
+            ("docid", pa.int64()),
+            ("freq", pa.int32()),
+            ("norm", pa.int32()),
+            ("score", score_type),
+            ("positions", pa.list_(pa.int32())),
+        ]
+    )
+
+
+def _unpack_ddl(dtype) -> str:
+    score_t = "float" if dtype == np.float32 else "double"
+    return (
+        "term string, segment_id long, docid long, freq int, norm int, "
+        f"score {score_t}, positions array<int>"
+    )
+
+
+class _TermScorerParams:
+    """Plain-data scorer (weight + norm-inverse cache) for one term."""
+
+    __slots__ = ("weight", "cache")
+
+    def __init__(self, weight, cache):
+        self.weight = weight
+        self.cache = cache
+
+
+def _bind_scorers(stats, field_stats, k1, b, boost, dtype):
+    """Per-term BM25 weights. float32 chain for np.float32 (Lucene-
+    exact); float64 chain used for SQL-oracle-comparable runs."""
+    doc_count = field_stats["doc_count"]
+    sttf = field_stats["sum_total_term_freq"]
+    scorers = {}
+    for term, (df_, _ttf) in stats.items():
+        if dtype == np.float32:
+            s = bm25.BM25Scorer(df_, doc_count, sttf, boost=boost, k1=k1, b=b)
+            scorers[term] = _TermScorerParams(s.weight, s.cache)
+        else:
+            import math
+
+            idf = math.log(1 + (doc_count - df_ + 0.5) / (df_ + 0.5))
+            avgdl = sttf / float(doc_count)
+            cache = 1.0 / (
+                k1 * ((1 - b) + b * byte4_to_int(np.arange(256)).astype(np.float64) / avgdl)
+            )
+            scorers[term] = _TermScorerParams(np.float64(boost * idf), cache)
+    return scorers
+
+
+def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
+    """mapInArrow kernel: block rows -> scored posting rows.
+
+    When ``k_for_pruning`` is set (single-term top-k), keeps a running
+    partition-local k-th-best score and skips blocks whose skyline
+    upper bound is not competitive — sound because the threshold only
+    grows from docs actually scored in this partition.
+    """
+    score_pa = pa.float32() if dtype == np.float32 else pa.float64()
+    out_schema = _unpack_schema(score_pa)
+
+    def kernel(batches):
+        import heapq
+
+        topk_heap: list[float] = []  # partition-local kth-score tracker
+
+        for batch in batches:
+            terms = batch.column("term").to_pylist()
+            first = batch.column("first_docid").to_numpy(zero_copy_only=False)
+            nums = batch.column("num_docs").to_numpy(zero_copy_only=False)
+            segs = batch.column("segment_id").to_numpy(zero_copy_only=False)
+            dbufs = batch.column("doc_block").to_pylist()
+            fbufs = batch.column("freq_block").to_pylist()
+            nbufs = batch.column("norm_block").to_pylist()
+            pbufs = batch.column("pos_block").to_pylist() if need_positions else None
+            i_f = batch.column("impact_freqs").to_pylist()
+            i_n = batch.column("impact_norms").to_pylist()
+
+            n_blocks = len(terms)
+            # block-max upper bounds for this batch
+            ubs = np.empty(n_blocks, dtype=np.float64)
+            for j in range(n_blocks):
+                sc = scorers[terms[j]]
+                ubs[j] = float(
+                    bm25.score(
+                        np.asarray(i_f[j], dtype=dtype),
+                        np.asarray(i_n[j]),
+                        sc.weight,
+                        sc.cache,
+                    ).max()
+                )
+            # visit most-promising blocks first so the threshold rises fast
+            order = np.argsort(-ubs) if k_for_pruning else np.arange(n_blocks)
+
+            out: dict[str, list] = {k: [] for k in (
+                "term", "segment_id", "docid", "freq", "norm", "score", "positions")}
+            for j in order:
+                if (
+                    k_for_pruning
+                    and len(topk_heap) >= k_for_pruning
+                    and ubs[j] <= topk_heap[0]
+                ):
+                    continue  # block cannot contribute a competitive doc
+                sc = scorers[terms[j]]
+                nd = int(nums[j])
+                docids = unpack_doc_block(dbufs[j], int(first[j]), nd)
+                freqs = unpack_freq_block(fbufs[j], nd)
+                norms = np.frombuffer(nbufs[j], dtype=np.uint8)
+                scores = bm25.score(freqs.astype(dtype), norms, sc.weight, sc.cache)
+                if k_for_pruning:
+                    for s in scores:
+                        if len(topk_heap) < k_for_pruning:
+                            heapq.heappush(topk_heap, float(s))
+                        elif s > topk_heap[0]:
+                            heapq.heapreplace(topk_heap, float(s))
+                out["term"].extend([terms[j]] * nd)
+                out["segment_id"].append(np.full(nd, segs[j]))
+                out["docid"].append(docids)
+                out["freq"].append(freqs.astype(np.int32))
+                out["norm"].append(norms.astype(np.int32))
+                out["score"].append(scores)
+                if need_positions:
+                    deltas = unpack_pos_block(pbufs[j], int(freqs.sum()))
+                    pos = decode_position_deltas(deltas, freqs)
+                    bounds = np.cumsum(freqs)[:-1]
+                    out["positions"].extend(
+                        np.split(pos.astype(np.int32), bounds)
+                    )
+                else:
+                    out["positions"].extend([None] * nd)
+            if out["term"]:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "term": out["term"],
+                        "segment_id": np.concatenate(out["segment_id"]),
+                        "docid": np.concatenate(out["docid"]),
+                        "freq": np.concatenate(out["freq"]),
+                        "norm": np.concatenate(out["norm"]),
+                        "score": np.concatenate(out["score"]).astype(
+                            dtype, copy=False
+                        ),
+                        "positions": out["positions"],
+                    },
+                    schema=out_schema,
+                )
+
+    return kernel, out_schema
+
+
+class Searcher:
+    """IndexSearcher analog bound to one index directory."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        field: str = "text",
+        k1: float = 1.2,
+        b: float = 0.75,
+        dtype=np.float32,
+    ):
+        from .build import read_docs, read_postings, read_terms
+
+        self.spark = spark
+        self.catalog = IndexCatalog(index_dir)
+        self.field = field
+        self.k1, self.b = k1, b
+        self.dtype = dtype
+        manifest = self.catalog.read_manifest()
+        self.field_stats = manifest["field_stats"][field]
+        self._postings = read_postings(spark, self.catalog).where(
+            F.col("field") == field
+        )
+        self._docs = read_docs(spark, self.catalog)
+        self._terms_df = read_terms(spark, self.catalog).where(
+            F.col("field") == field
+        )
+        bases = self.catalog.segment_bases()
+        self._bases_df = spark.createDataFrame(
+            [(int(s), int(o)) for s, o in bases.items()],
+            "segment_id long, doc_base long",
+        )
+
+    # ------------------------------------------------------------------
+    def analyze_query(self, text: str) -> list[str]:
+        """Same analyzer over query text (QueryBuilder.createFieldQuery)."""
+        terms, _ = analyze(text)
+        return terms
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        rows = self._terms_df.where(F.col("term").isin(terms)).collect()
+        return {
+            r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"]))
+            for r in rows
+        }
+
+    # ------------------------------------------------------------------
+    def scored_postings(
+        self,
+        terms: list[str],
+        boost: float = 1.0,
+        need_positions: bool = False,
+        k_for_pruning: int | None = None,
+    ) -> DataFrame:
+        """(term, segment_id, docid, freq, norm, score[, positions]) rows
+        for every posting of the given terms."""
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return self._empty_scored()
+        scorers = _bind_scorers(
+            stats, self.field_stats, self.k1, self.b, boost, self.dtype
+        )
+        posts = self._postings.where(F.col("term").isin(present))
+        kernel, _ = _make_unpack_kernel(
+            scorers, self.dtype, need_positions, k_for_pruning
+        )
+        return posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
+
+    def _empty_scored(self):
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return self.spark.createDataFrame(
+            [],
+            f"term string, segment_id long, docid long, freq int, norm int, "
+            f"score {score_t}, positions array<int>",
+        )
+
+    def _globalize(self, df: DataFrame) -> DataFrame:
+        """local docid -> global docid via broadcast of segment bases."""
+        return df.join(F.broadcast(self._bases_df), "segment_id").withColumn(
+            "docid", F.col("doc_base") + F.col("docid")
+        ).drop("doc_base")
+
+    def _attach_urls(self, df: DataFrame) -> DataFrame:
+        docs = self._docs.select(
+            "segment_id", F.col("local_docid"), "url"
+        )
+        return df.join(
+            docs,
+            (df["segment_id"] == docs["segment_id"])
+            & (df["local_docid"] == docs["local_docid"]),
+        ).drop(docs["segment_id"]).drop(docs["local_docid"])
+
+    def _finish_topk(self, scored: DataFrame, k: int) -> DataFrame:
+        """Global top-k with (score desc, docid asc) tie-break, then url."""
+        scored = scored.withColumn("local_docid", F.col("docid"))
+        g = self._globalize(scored)
+        top = g.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        out = self._attach_urls(top)
+        return out.select("docid", "url", "score").orderBy(
+            F.desc("score"), F.asc("docid")
+        )
+
+    # ------------------------------------------------------------------
+    # query operators
+    # ------------------------------------------------------------------
+    def term_query(self, term: str, k: int = 10, prune: bool = True) -> DataFrame:
+        """TermQuery top-k (core/search/TermQuery.java:39)."""
+        sc = self.scored_postings(
+            [term], k_for_pruning=k if prune else None
+        ).select("segment_id", "docid", "score")
+        return self._finish_topk(sc, k)
+
+    def scored_boolean(
+        self,
+        should: list[str] | None = None,
+        must: list[str] | None = None,
+        must_not: list[str] | None = None,
+        min_should_match: int = 0,
+    ) -> DataFrame:
+        """Full (segment_id, docid, score) set for a BooleanQuery —
+        the exhaustive scorer, before any top-k collection."""
+        should = list(should or [])
+        must = list(must or [])
+        must_not = list(must_not or [])
+        pos_terms = must + should
+        if not pos_terms:
+            return self._empty_scored().select("segment_id", "docid", "score")
+
+        stats = self.term_stats(pos_terms)
+        # a MUST term absent from the index matches nothing
+        if any(t not in stats for t in must):
+            return self._empty_scored().select("segment_id", "docid", "score")
+
+        sc = self.scored_postings(pos_terms)
+        must_set = set(must)
+        agg = (
+            sc.groupBy("segment_id", "docid")
+            .agg(
+                F.sum("score").alias("score_acc"),  # double accumulator
+                F.sum(
+                    F.when(F.col("term").isin(list(must_set)), 1).otherwise(0)
+                ).alias("must_cnt"),
+                F.sum(
+                    F.when(~F.col("term").isin(list(must_set)), 1).otherwise(0)
+                ).alias("should_cnt"),
+            )
+        )
+        cond = F.col("must_cnt") == len(must_set & set(stats))
+        if min_should_match > 0:
+            cond = cond & (F.col("should_cnt") >= min_should_match)
+        agg = agg.where(cond)
+        if must_not:
+            mn_stats = self.term_stats(must_not)
+            mn_terms = [t for t in must_not if t in mn_stats]
+            if mn_terms:
+                excl = self.scored_postings(mn_terms).select(
+                    "segment_id", "docid"
+                ).distinct()
+                agg = agg.join(excl, ["segment_id", "docid"], "left_anti")
+        cast_t = FloatType() if self.dtype == np.float32 else "double"
+        return agg.select(
+            "segment_id", "docid", F.col("score_acc").cast(cast_t).alias("score")
+        )
+
+    def boolean_query(
+        self,
+        should: list[str] | None = None,
+        must: list[str] | None = None,
+        must_not: list[str] | None = None,
+        min_should_match: int = 0,
+        k: int = 10,
+    ) -> DataFrame:
+        """BooleanQuery Occur algebra (core/search/BooleanQuery.java:40).
+
+        Scores = float32 sum over matching MUST+SHOULD clauses; FILTER
+        semantics are MUST with boost 0 (not exposed separately v1).
+        """
+        return self._finish_topk(
+            self.scored_boolean(should, must, must_not, min_should_match), k
+        )
+
+    def scored_phrase(self, terms: list[str]) -> DataFrame:
+        """Exact PhraseQuery scorer, slop=0 — full match set.
+
+        Alignment check is pure DataFrame array algebra: positions of
+        term i shifted by -i, intersected across terms
+        (ExactPhraseMatcher semantics); phrase_freq = |intersection|.
+        Scored as one pseudo-term with idf = sum of term idfs
+        (BM25Similarity.idfExplain over TermStats[]).
+        """
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return self._empty_scored().select("segment_id", "docid", "score")
+
+        sc = self.scored_postings(list(dict.fromkeys(terms)), need_positions=True)
+        # pivot each term's shifted positions per doc, then intersect
+        per_term = []
+        for i, t in enumerate(terms):
+            shifted = sc.where(F.col("term") == t).select(
+                "segment_id",
+                "docid",
+                F.col("norm"),
+                F.transform("positions", lambda p: p - F.lit(i)).alias(f"p{i}"),
+            )
+            per_term.append(shifted)
+        joined = per_term[0]
+        for i in range(1, len(terms)):
+            nxt = per_term[i].withColumnRenamed("norm", f"_n{i}")
+            joined = joined.join(nxt, ["segment_id", "docid"]).drop(f"_n{i}")
+        inter = F.col("p0")
+        for i in range(1, len(terms)):
+            inter = F.array_intersect(inter, F.col(f"p{i}"))
+        matched = joined.withColumn("phrase_freq", F.size(inter)).where(
+            F.col("phrase_freq") > 0
+        )
+
+        # bind a pseudo-term scorer with summed idf (double acc -> f32)
+        import math
+
+        doc_count = self.field_stats["doc_count"]
+        sttf = self.field_stats["sum_total_term_freq"]
+        if self.dtype == np.float32:
+            idf_sum = np.float32(
+                float(
+                    np.sum(
+                        np.array(
+                            [bm25.idf(stats[t][0], doc_count) for t in terms],
+                            dtype=np.float64,
+                        )
+                    )
+                )
+            )
+            cache = bm25.norm_inverse_cache(
+                bm25.avg_field_length(sttf, doc_count),
+                np.float32(self.k1),
+                np.float32(self.b),
+            )
+            weight = idf_sum
+        else:
+            weight = np.float64(
+                sum(
+                    math.log(1 + (doc_count - stats[t][0] + 0.5) / (stats[t][0] + 0.5))
+                    for t in terms
+                )
+            )
+            avgdl = sttf / float(doc_count)
+            cache = 1.0 / (
+                self.k1
+                * (
+                    (1 - self.b)
+                    + self.b * byte4_to_int(np.arange(256)).astype(np.float64) / avgdl
+                )
+            )
+
+        dtype = self.dtype
+
+        @F.pandas_udf("float" if dtype == np.float32 else "double")
+        def phrase_score(pf, norm):
+            import pandas as pd
+
+            s = bm25.score(
+                pf.to_numpy().astype(dtype), norm.to_numpy(), weight, cache
+            )
+            return pd.Series(s)
+
+        return matched.select(
+            "segment_id",
+            "docid",
+            phrase_score(F.col("phrase_freq"), F.col("norm")).alias("score"),
+        )
+
+    def phrase_query(self, terms: list[str], k: int = 10) -> DataFrame:
+        """Exact PhraseQuery top-k (core/search/PhraseQuery.java:71)."""
+        return self._finish_topk(self.scored_phrase(terms), k)
+
+    # ------------------------------------------------------------------
+    def count(self, term: str) -> int:
+        """Weight#count shortcut: answer from the terms table when the
+        query is a single term and there are no deletes
+        (core/search/IndexSearcher.java:495-527)."""
+        stats = self.term_stats([term])
+        return stats.get(term, (0, 0))[0]

@@ -1,0 +1,94 @@
+"""Index catalog: atomic snapshot commits + per-segment lineage manifest.
+
+Emulates the Iceberg snapshot/manifest model (the near-perfect analog
+of Lucene's ``segments_N`` generation files,
+``core/index/SegmentInfos.java:54-132``) on a plain filesystem so the
+sandbox needs no Iceberg jars:
+
+- every build/merge round writes data files under a fresh commit dir
+  (``postings/c{N}/``, ``docs/c{N}/``) — never in place;
+- the manifest (``segments.json``) lists live segments with status,
+  lineage and metrics, and is swapped atomically via ``os.replace``
+  (= publishing a new ``segments_N``);
+- resume reads the manifest and skips COMMITTED segments, Lucene's
+  "a flushed+committed segment is never recomputed" property
+  (``core/index/IndexDeletionPolicy.java`` commit-point semantics).
+
+On a real cluster the same layout maps 1:1 onto Iceberg tables
+(snapshot commit per round, time travel for point-in-time readers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class IndexCatalog:
+    """Filesystem layout + manifest bookkeeping for one index."""
+
+    MANIFEST = "segments.json"
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        os.makedirs(index_dir, exist_ok=True)
+
+    # ---- paths ----
+    def table_path(self, table: str) -> str:
+        return os.path.join(self.index_dir, table)
+
+    def new_commit_dir(self, table: str) -> str:
+        cid = f"c{uuid.uuid4().hex[:12]}"
+        return os.path.join(self.index_dir, table, cid)
+
+    # ---- manifest ----
+    def read_manifest(self) -> dict:
+        path = os.path.join(self.index_dir, self.MANIFEST)
+        if not os.path.exists(path):
+            return {"generation": 0, "segments": [], "field_stats": {}}
+        with open(path) as f:
+            return json.load(f)
+
+    def commit_manifest(self, manifest: dict) -> None:
+        """Atomic swap — the segments_N publish."""
+        manifest = dict(manifest)
+        manifest["generation"] = manifest.get("generation", 0) + 1
+        manifest["committed_ts"] = time.time()
+        path = os.path.join(self.index_dir, self.MANIFEST)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
+    def committed_segment_ids(self) -> set[int]:
+        return {
+            s["segment_id"]
+            for s in self.read_manifest()["segments"]
+            if s.get("status") == "COMMITTED"
+        }
+
+    def live_data_dirs(self, table: str) -> list[str]:
+        """Data dirs referenced by the current manifest for a table."""
+        man = self.read_manifest()
+        dirs = {
+            s["data"][table]
+            for s in man["segments"]
+            if s.get("status") == "COMMITTED" and table in s.get("data", {})
+        }
+        return sorted(os.path.join(self.index_dir, d) for d in dirs)
+
+    def segment_bases(self) -> dict[int, int]:
+        """Global docID base per segment: cumulative num_docs in
+        segment_id order (BaseCompositeReader docBase semantics)."""
+        segs = sorted(
+            (s for s in self.read_manifest()["segments"]
+             if s.get("status") == "COMMITTED"),
+            key=lambda s: s["segment_id"],
+        )
+        bases, acc = {}, 0
+        for s in segs:
+            bases[s["segment_id"]] = acc
+            acc += s["num_docs"]
+        return bases

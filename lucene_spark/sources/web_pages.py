@@ -1,0 +1,57 @@
+"""The ``web_pages`` content source.
+
+The engine's input shape (BASELINE.json input_hint) is a Common-Crawl
+style table::
+
+    web_pages(url: string, warc_ts: timestamp, html: binary,
+              text: string, lang: string)
+
+playing the role of Lucene's benchmark content feeds
+(``lucene/benchmark/.../byTask/feeds/``) plus the stored-fields store
+(``core/codecs/lucene90/Lucene90StoredFieldsFormat.java``) — retrieval
+of stored document content is a plain lookup into this table.
+
+For tests and benchmarks we synthesize it **deterministically** from
+the driver-provided ``documents`` parquet table: each document row
+becomes one web page with a stable url derived from doc_id. All
+derivations are pure column expressions, so the same doc_id always
+yields the same row at any scale or parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+URL_PREFIX = "https://example.org/doc/"
+
+# SQL fragment (DuckDB + Spark compatible) mapping doc_id -> url, so
+# oracle queries can reconstruct the join key.
+URL_SQL = f"'{URL_PREFIX}' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+
+
+def url_for_doc_id_col():
+    return F.concat(
+        F.lit(URL_PREFIX), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    )
+
+
+def load_web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the web_pages table from {sf_dir}/documents.parquet.
+
+    Deterministic per doc_id: url, a fake warc timestamp offset by
+    doc_id seconds, html = utf-8 bytes of a minimal wrapper, text and
+    lang passed through.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        url_for_doc_id_col().alias("url"),
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00")) +
+         F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "utf-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )

@@ -1,0 +1,55 @@
+import shutil
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+NUM_SEGMENTS = 4
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from lucene_spark.session import get_spark
+
+    s = get_spark(app_name="lucene_spark_tests", cpus=8, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def web_pages(spark):
+    from lucene_spark.sources.web_pages import load_web_pages
+
+    return load_web_pages(spark, SF_DIR).cache()
+
+
+@pytest.fixture(scope="session")
+def index_dir(spark, web_pages, tmp_path_factory):
+    from lucene_spark.operators.build import build_index
+
+    d = str(tmp_path_factory.mktemp("index") / "idx")
+    shutil.rmtree(d, ignore_errors=True)
+    build_index(spark, web_pages, d, num_segments=NUM_SEGMENTS)
+    return d
+
+
+@pytest.fixture(scope="session")
+def searcher(spark, index_dir):
+    from lucene_spark.operators.search import Searcher
+
+    return Searcher(spark, index_dir)
+
+
+@pytest.fixture(scope="session")
+def naive(spark, web_pages):
+    import pyspark.sql.functions as F
+
+    from .oracle import NaiveIndex
+
+    seg_of = {
+        r["url"]: r["sid"]
+        for r in web_pages.select(
+            "url", F.pmod(F.xxhash64("url"), F.lit(NUM_SEGMENTS)).alias("sid")
+        ).collect()
+    }
+    docs = [(r["url"], r["text"]) for r in web_pages.select("url", "text").collect()]
+    return NaiveIndex(docs, NUM_SEGMENTS, seg_of)

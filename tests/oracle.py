@@ -1,0 +1,106 @@
+"""Deliberately-naive single-node oracle (CheckHits pattern).
+
+Exact float32 BM25 over fully-analyzed in-memory postings, no pruning,
+no Spark — the "exhaustive re-collection" comparator of
+tf/search/CheckHits.java:708. Engine results must match it rank- and
+score-identically (docIDs exact, scores tol 1e-6 per CheckHits.java:222).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_spark.functions.analysis import analyze
+from lucene_spark.functions.bm25 import BM25Scorer, idf, norm_inverse_cache, avg_field_length, score as bm25_score
+from lucene_spark.functions.smallfloat import int_to_byte4
+
+
+class NaiveIndex:
+    def __init__(self, docs: list[tuple[str, str]], num_segments: int,
+                 seg_of: dict[str, int], stopwords=None):
+        """docs: (url, text); seg_of: url -> segment id (must mirror the
+        engine's xxhash64-based assignment, supplied by the test)."""
+        ordered = sorted(docs, key=lambda x: (seg_of[x[0]], x[0]))
+        self.urls = [u for u, _ in ordered]
+        self.analyzed = [analyze(t, stopwords=stopwords) for _, t in ordered]
+        self.doclens = np.array([len(a[0]) for a in self.analyzed])
+        self.norms = int_to_byte4(self.doclens)
+        self.N = len(ordered)
+        self.sttf = int(self.doclens.sum())
+
+    def tf(self, term: str) -> np.ndarray:
+        return np.array([a[0].count(term) for a in self.analyzed])
+
+    def doc_freq(self, term: str) -> int:
+        return int((self.tf(term) > 0).sum())
+
+    def scorer(self, term: str) -> BM25Scorer:
+        return BM25Scorer(self.doc_freq(term), self.N, self.sttf)
+
+    def term_scores(self, term: str) -> np.ndarray:
+        """float32 score per doc (0 where absent)."""
+        tf = self.tf(term)
+        s = self.scorer(term).score(tf.astype(np.float32), self.norms)
+        return np.where(tf > 0, s, np.float32(0.0))
+
+    def top_k(self, per_doc_scores: np.ndarray, mask: np.ndarray, k: int):
+        cand = [
+            (float(per_doc_scores[i]), i, self.urls[i])
+            for i in np.flatnonzero(mask)
+        ]
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        return [(i, u, s) for s, i, u in cand[:k]]
+
+    def term_query(self, term: str, k: int = 10):
+        return self.top_k(self.term_scores(term), self.tf(term) > 0, k)
+
+    def boolean_query(self, should=(), must=(), must_not=(),
+                      min_should_match: int = 0, k: int = 10):
+        should, must, must_not = list(should), list(must), list(must_not)
+        acc = np.zeros(self.N, dtype=np.float64)
+        mask = np.ones(self.N, dtype=bool)
+        present_any = np.zeros(self.N, dtype=bool)
+        for t in must:
+            tf = self.tf(t)
+            mask &= tf > 0
+            acc += self.term_scores(t).astype(np.float64)
+            present_any |= tf > 0
+        should_cnt = np.zeros(self.N, dtype=np.int64)
+        for t in should:
+            tf = self.tf(t)
+            should_cnt += (tf > 0).astype(np.int64)
+            acc += self.term_scores(t).astype(np.float64)
+            present_any |= tf > 0
+        if min_should_match > 0:
+            mask &= should_cnt >= min_should_match
+        elif not must:
+            mask &= should_cnt > 0
+        for t in must_not:
+            mask &= self.tf(t) == 0
+        mask &= present_any
+        return self.top_k(acc.astype(np.float32), mask, k)
+
+    def phrase_query(self, terms: list[str], k: int = 10):
+        w = np.float32(
+            np.sum(np.array(
+                [idf(self.doc_freq(t), self.N) for t in terms], dtype=np.float64
+            ))
+        )
+        cache = norm_inverse_cache(avg_field_length(self.sttf, self.N))
+        pf = np.zeros(self.N, dtype=np.int64)
+        for i, (terms_i, pos_i) in enumerate(self.analyzed):
+            pos_of = {}
+            for t, p in zip(terms_i, pos_i):
+                pos_of.setdefault(t, []).append(p)
+            sets = []
+            ok = True
+            for j, t in enumerate(terms):
+                if t not in pos_of:
+                    ok = False
+                    break
+                sets.append({p - j for p in pos_of[t]})
+            if ok:
+                inter = set.intersection(*sets)
+                pf[i] = len(inter)
+        scores = bm25_score(pf.astype(np.float32), self.norms, w, cache)
+        return self.top_k(scores, pf > 0, k)

@@ -1,0 +1,178 @@
+"""End-to-end rank-identity tests vs the naive oracle (CheckHits pattern).
+
+Every query compares engine top-k against the exhaustive float32 oracle:
+docIDs exact, scores bit-compared with tolerance 1e-6
+(tf/search/CheckHits.java:222-246).
+"""
+
+import numpy as np
+import pytest
+
+TOL = 1e-6
+
+
+def _check(engine_rows, oracle):
+    got = [(r["docid"], r["url"], r["score"]) for r in engine_rows]
+    assert len(got) == len(oracle), (got, oracle)
+    for (gd, gu, gs), (od, ou, os_) in zip(got, oracle):
+        assert gd == od and gu == ou, (got, oracle)
+        assert abs(gs - os_) <= TOL, (gs, os_)
+
+
+# ---------------------------------------------------------------------------
+# term queries
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("term", ["window", "spark", "data", "zzz_missing"])
+def test_term_query_rank_identity(searcher, naive, term):
+    _check(searcher.term_query(term, k=10).collect(), naive.term_query(term, 10))
+
+
+def test_term_query_pruned_equals_unpruned(searcher):
+    """CheckHits.java:708 pattern: pruned vs exhaustive collection."""
+    a = searcher.term_query("table", k=10, prune=True).collect()
+    b = searcher.term_query("table", k=10, prune=False).collect()
+    assert [(r["docid"], r["score"]) for r in a] == [
+        (r["docid"], r["score"]) for r in b
+    ]
+
+
+def test_count_shortcut(searcher, naive):
+    assert searcher.count("window") == naive.doc_freq("window")
+    assert searcher.count("zzz_missing") == 0
+
+
+# ---------------------------------------------------------------------------
+# boolean queries
+# ---------------------------------------------------------------------------
+
+def test_boolean_should(searcher, naive):
+    q = dict(should=["window", "spark"])
+    _check(
+        searcher.boolean_query(**q, k=10).collect(),
+        naive.boolean_query(**q, k=10),
+    )
+
+
+def test_boolean_must(searcher, naive):
+    q = dict(must=["window", "spark"])
+    _check(
+        searcher.boolean_query(**q, k=10).collect(),
+        naive.boolean_query(**q, k=10),
+    )
+
+
+def test_boolean_must_not(searcher, naive):
+    q = dict(must=["window"], must_not=["spark"])
+    _check(
+        searcher.boolean_query(**q, k=10).collect(),
+        naive.boolean_query(**q, k=10),
+    )
+
+
+def test_boolean_min_should_match(searcher, naive):
+    q = dict(should=["window", "spark", "data"], min_should_match=2)
+    _check(
+        searcher.boolean_query(**q, k=10).collect(),
+        naive.boolean_query(**q, k=10),
+    )
+
+
+def test_boolean_must_missing_term_matches_nothing(searcher):
+    assert searcher.boolean_query(must=["window", "zzz_missing"], k=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# phrase queries
+# ---------------------------------------------------------------------------
+
+def test_phrase_query_two_terms(searcher, naive, web_pages):
+    # pick a phrase that actually occurs: first two tokens of doc 0
+    text = web_pages.where(
+        web_pages.url.endswith("00000000")
+    ).select("text").first()["text"]
+    t1, t2 = text.split()[:2]
+    q = [t1, t2]
+    _check(searcher.phrase_query(q, k=10).collect(), naive.phrase_query(q, 10))
+
+
+def test_phrase_query_three_terms(searcher, naive, web_pages):
+    text = web_pages.where(
+        web_pages.url.endswith("00000007")
+    ).select("text").first()["text"]
+    q = text.split()[:3]
+    _check(searcher.phrase_query(q, k=10).collect(), naive.phrase_query(q, 10))
+
+
+def test_phrase_missing_term_empty(searcher):
+    assert searcher.phrase_query(["window", "zzz_missing"], k=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# build invariants
+# ---------------------------------------------------------------------------
+
+def test_terms_table_stats(searcher, naive):
+    import pyspark.sql.functions as F
+
+    row = searcher._terms_df.where(F.col("term") == "window").first()
+    assert row["doc_freq"] == naive.doc_freq("window")
+    assert row["total_term_freq"] == int(naive.tf("window").sum())
+
+
+def test_field_stats_match_oracle(searcher, naive):
+    assert searcher.field_stats["doc_count"] == naive.N
+    assert searcher.field_stats["sum_total_term_freq"] == naive.sttf
+
+
+def test_docid_determinism_across_parallelism(spark, web_pages, tmp_path, searcher):
+    """Same num_segments, different input partitioning -> identical
+    results (SURVEY.md §7.3 risk 3: docids are a pure function of
+    input, never of parallelism)."""
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+
+    d = str(tmp_path / "idx_par1")
+    build_index(spark, web_pages.repartition(1), d, num_segments=4)
+    s1 = Searcher(spark, d)
+    a = s1.term_query("window", k=10).collect()
+    b = searcher.term_query("window", k=10).collect()  # session index
+    assert [(r["docid"], r["url"], r["score"]) for r in a] == [
+        (r["docid"], r["url"], r["score"]) for r in b
+    ]
+
+
+def test_resume_skips_committed_segments(spark, web_pages, tmp_path, naive):
+    """Kill-and-resume: build half the segments, resume, identical index."""
+    import pyspark.sql.functions as F
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.sources.catalog import IndexCatalog
+
+    d = str(tmp_path / "idx_resume")
+    # simulate an interrupted build: only segments 0 and 1 got committed
+    partial = web_pages.where(
+        F.pmod(F.xxhash64("url"), F.lit(4)).isin([0, 1])
+    )
+    build_index(spark, partial, d, num_segments=4)
+    cat = IndexCatalog(d)
+    assert cat.committed_segment_ids() == {0, 1}
+    gen1 = cat.read_manifest()["generation"]
+
+    # resume with the full input: only 2 and 3 must be (re)built
+    build_index(spark, web_pages, d, num_segments=4, resume=True)
+    assert cat.committed_segment_ids() == {0, 1, 2, 3}
+    man = cat.read_manifest()
+    assert man["generation"] == gen1 + 1
+    # lineage: segments 0/1 rows untouched (same data dir as commit 1)
+    dirs = {s["segment_id"]: s["data"]["stage"] for s in man["segments"]}
+    assert dirs[0] == dirs[1] and dirs[2] == dirs[3] and dirs[0] != dirs[2]
+
+    # and the resumed index answers identically to the oracle
+    s = Searcher(spark, d)
+    _check(s.term_query("window", k=10).collect(), naive.term_query("window", 10))
+
+    # resuming again with everything committed is a no-op
+    build_index(spark, web_pages, d, num_segments=4, resume=True)
+    assert cat.read_manifest()["generation"] == gen1 + 1
