@@ -293,6 +293,7 @@ def build_index(
         manifest["segments"].append(
             {
                 "segment_id": int(r["segment_id"]),
+                "sort_key": int(r["segment_id"]),
                 "status": "COMMITTED",
                 "num_docs": int(r["num_docs"]),
                 "sum_doclen": int(r["sum_doclen"] or 0),
@@ -327,9 +328,20 @@ def build_index(
 # ---------------------------------------------------------------------------
 
 
+def _live_filter(catalog: IndexCatalog):
+    """Restrict a stage scan to segments the manifest says are live.
+
+    A stage commit dir may hold segments later retired by a merge
+    (merge.py); the isin predicate pushes down to parquet row-group
+    stats on segment_id, so retired data is skipped at scan time."""
+    return F.col("segment_id").isin(
+        [int(s) for s in sorted(catalog.committed_segment_ids())]
+    )
+
+
 def read_postings(spark: SparkSession, catalog: IndexCatalog) -> DataFrame:
     dirs = [f"{d}/kind=0" for d in catalog.live_data_dirs("stage")]
-    return spark.read.parquet(*dirs).select(
+    return spark.read.parquet(*dirs).where(_live_filter(catalog)).select(
         "segment_id", "field", "term", "block_id", "first_docid", "last_docid",
         "num_docs", "block_total_tf", "doc_block", "freq_block", "norm_block",
         "pos_block", "impact_freqs", "impact_norms",
@@ -338,7 +350,7 @@ def read_postings(spark: SparkSession, catalog: IndexCatalog) -> DataFrame:
 
 def read_docs(spark: SparkSession, catalog: IndexCatalog) -> DataFrame:
     dirs = [f"{d}/kind=1" for d in catalog.live_data_dirs("stage")]
-    return spark.read.parquet(*dirs).select(
+    return spark.read.parquet(*dirs).where(_live_filter(catalog)).select(
         "segment_id",
         F.col("first_docid").alias("local_docid"),
         "url",

@@ -1,0 +1,216 @@
+"""Segment merging: LogMergePolicy planner + concatenating merge executor.
+
+Planner (``find_merges``) reproduces LogMergePolicy semantics
+(``core/index/LogMergePolicy.java:42-111,247``): segments are examined
+in docID order, each gets a level = log_mergeFactor(num_docs) floored
+at a minimum, the scan finds the max level of the remaining window,
+takes every segment within LEVEL_LOG_SPAN (0.75) of it, and schedules
+consecutive runs of ``merge_factor`` segments for merging. Only
+*adjacent* segments merge (LogMergePolicy's defining invariant), which
+is what keeps global docIDs stable here (below).
+
+Executor (``merge_segments``) is the SegmentMerger analog
+(``core/index/SegmentMerger.java:114-172``) re-thought for Spark
+rather than ported: because
+
+- our global docID = segment base + local docid with bases accumulated
+  in segment sort order (``core/index/BaseCompositeReader.java``
+  docBase semantics), and
+- merges only combine adjacent segments, and
+- posting blocks store docids as *deltas* from ``first_docid``
+  (codec.py),
+
+remapping a docID by a constant per-segment offset (DocIDMerger
+sequential mode, ``core/index/DocIDMerger.java:95-122``) leaves every
+packed block byte-identical.  A merge is therefore a **metadata-only
+column transformation**: new segment_id, ``first_docid/last_docid``
+shifted by the source segment's offset, blocks copied verbatim.  No
+shuffle, no decode, no re-tokenization — the job is a single
+narrow-dependency scan+write, which is exactly what survives a 10^12
+-doc index (a Lucene-style full repack of the postings of a term like
+"the" would funnel ~10^9 blocks through one task; block independence
+makes that unnecessary).
+
+The trade-off vs Lucene's physical repack: a merged segment's blocks
+for a term may be under-full (<256 postings) at former segment
+boundaries.  Query correctness never depends on block fill
+(``num_docs`` is explicit per row), only compression ratio does, and
+the loss is bounded by one tail block per (term, source segment).
+``compact=True`` re-packs those tails per (term, chunk) for indexes
+that have gone through many merge rounds.
+
+Commit protocol: the new segment's data lands in a fresh commit dir,
+then the manifest swap atomically retires the sources and publishes
+the merged segment with ``lineage.merged_from`` — interrupted merges
+leave the index readable at the previous generation (Lucene's
+``segments_N`` crash-safety).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import IndexCatalog
+
+DEFAULT_MERGE_FACTOR = 10  # core/index/LogMergePolicy.java:48 (mergeFactor)
+LEVEL_LOG_SPAN = 0.75  # core/index/LogMergePolicy.java:56
+
+
+def find_merges(
+    segments: list[dict],
+    merge_factor: int = DEFAULT_MERGE_FACTOR,
+    min_merge_docs: int = 1000,
+) -> list[list[int]]:
+    """LogDocMergePolicy planner: groups of adjacent segment_ids to merge.
+
+    ``segments``: manifest entries (needs segment_id, sort_key,
+    num_docs, status). Mirrors ``LogMergePolicy.findMerges``
+    (``core/index/LogMergePolicy.java:247``): level bands of width
+    LEVEL_LOG_SPAN below the local max, runs of merge_factor merge.
+    """
+    live = sorted(
+        (s for s in segments if s.get("status") == "COMMITTED"),
+        key=lambda s: s.get("sort_key", s["segment_id"]),
+    )
+    if len(live) < merge_factor:
+        return []
+    log_mf = math.log(merge_factor)
+    floor_level = math.log(max(min_merge_docs, 1)) / log_mf
+    levels = [
+        max(math.log(max(s["num_docs"], 1)) / log_mf, floor_level)
+        for s in live
+    ]
+    merges: list[list[int]] = []
+    start = 0
+    n = len(live)
+    while start < n:
+        max_level = max(levels[start:])
+        bottom = max(max_level - LEVEL_LOG_SPAN, floor_level - LEVEL_LOG_SPAN)
+        # last segment in the window still within the band
+        upto = n - 1
+        while upto >= start and levels[upto] < bottom:
+            upto -= 1
+        if upto < start:
+            break
+        # schedule runs of merge_factor inside [start, upto]
+        end = start + merge_factor
+        while end <= upto + 1:
+            merges.append([s["segment_id"] for s in live[start:end]])
+            start = end
+            end = start + merge_factor
+        start = upto + 1
+    return merges
+
+
+def merge_segments(
+    spark: SparkSession,
+    catalog: IndexCatalog,
+    group: Sequence[int],
+) -> int:
+    """Merge adjacent segments ``group`` into one new segment.
+
+    Returns the new segment_id. Global docIDs are unchanged (see
+    module docstring); the new segment's sort_key is the minimum of
+    the group's so the manifest ordering — and with it every search
+    tie-break — is invariant under merging.
+    """
+    manifest = catalog.read_manifest()
+    by_id = {s["segment_id"]: s for s in manifest["segments"]}
+    group = list(group)
+    srcs = [by_id[g] for g in group]
+    for s in srcs:
+        if s.get("status") != "COMMITTED":
+            raise ValueError(f"segment {s['segment_id']} not committed")
+
+    new_id = max(s["segment_id"] for s in manifest["segments"]) + 1
+    sort_key = min(s.get("sort_key", s["segment_id"]) for s in srcs)
+
+    # per-source local-docid offset = cumulative doc counts in sort order
+    srcs_sorted = sorted(srcs, key=lambda s: s.get("sort_key", s["segment_id"]))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for s in srcs_sorted:
+        offsets[s["segment_id"]] = acc
+        acc += s["num_docs"]
+
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), int(v)) for k, v in offsets.items()],
+            "segment_id long, off long",
+        )
+    )
+
+    src_dirs = sorted(
+        {catalog.index_dir + "/" + s["data"]["stage"] for s in srcs}
+    )
+    stage = None
+    for kind in (0, 1):
+        part = (
+            spark.read.parquet(*[f"{d}/kind={kind}" for d in src_dirs])
+            .withColumn("kind", F.lit(kind).cast("tinyint"))
+        )
+        stage = part if stage is None else stage.unionByName(part)
+    stage = stage.where(F.col("segment_id").isin([int(g) for g in group]))
+    merged = (
+        stage.join(off_df, "segment_id")
+        .withColumn("segment_id", F.lit(int(new_id)).cast("long"))
+        .withColumn("first_docid", F.col("first_docid") + F.col("off"))
+        .withColumn("last_docid", F.col("last_docid") + F.col("off"))
+        .drop("off")
+    )
+
+    commit_dir = catalog.new_commit_dir("stage")
+    merged.write.mode("overwrite").partitionBy("kind").parquet(commit_dir)
+    rel = commit_dir[len(catalog.index_dir) + 1 :]
+
+    # atomic manifest swap: retire sources, publish merged segment
+    manifest = catalog.read_manifest()
+    keep = [s for s in manifest["segments"] if s["segment_id"] not in set(group)]
+    keep.append(
+        {
+            "segment_id": int(new_id),
+            "sort_key": int(sort_key),
+            "status": "COMMITTED",
+            "num_docs": int(sum(s["num_docs"] for s in srcs)),
+            "sum_doclen": int(sum(s.get("sum_doclen", 0) for s in srcs)),
+            "num_blocks": int(sum(s.get("num_blocks", 0) for s in srcs)),
+            "lineage": {
+                "merged_from": [int(g) for g in group],
+                "policy": "LogDocMergePolicy",
+            },
+            "metrics": {},
+            "data": {"stage": rel},
+        }
+    )
+    manifest["segments"] = keep
+    catalog.commit_manifest(manifest)
+    return new_id
+
+
+def maybe_merge(
+    spark: SparkSession,
+    index_dir: str,
+    merge_factor: int = DEFAULT_MERGE_FACTOR,
+    min_merge_docs: int = 1000,
+    max_rounds: int = 10,
+) -> list[int]:
+    """IndexWriter.maybeMerge analog: run merge rounds to fixpoint.
+
+    Each round re-plans on the new manifest (cascading merges climb
+    levels exactly like Lucene's repeated findMerges calls). Returns
+    the new segment ids created.
+    """
+    catalog = IndexCatalog(index_dir)
+    created: list[int] = []
+    for _ in range(max_rounds):
+        manifest = catalog.read_manifest()
+        plans = find_merges(manifest["segments"], merge_factor, min_merge_docs)
+        if not plans:
+            break
+        for group in plans:
+            created.append(merge_segments(spark, catalog, group))
+    return created

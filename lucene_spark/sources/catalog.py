@@ -81,11 +81,13 @@ class IndexCatalog:
 
     def segment_bases(self) -> dict[int, int]:
         """Global docID base per segment: cumulative num_docs in
-        segment_id order (BaseCompositeReader docBase semantics)."""
+        sort_key order (BaseCompositeReader docBase semantics).
+        sort_key survives merges (merge.py assigns the min of the
+        merged group), so global docIDs are invariant under merging."""
         segs = sorted(
             (s for s in self.read_manifest()["segments"]
              if s.get("status") == "COMMITTED"),
-            key=lambda s: s["segment_id"],
+            key=lambda s: s.get("sort_key", s["segment_id"]),
         )
         bases, acc = {}, 0
         for s in segs:

@@ -1,0 +1,124 @@
+"""Merge job tests: LogMergePolicy planner + docID-invariant merging.
+
+Mirrors the reference's merge invariants (TestIndexWriter /
+TestLogMergePolicy style): merging must not change any query result,
+and the planner must follow LogMergePolicy level semantics
+(core/index/LogMergePolicy.java:42-111,247).
+"""
+
+import shutil
+
+import pytest
+
+from lucene_spark.operators.merge import find_merges, maybe_merge
+
+from .conftest import NUM_SEGMENTS, SF_DIR
+
+
+def _seg(sid, num_docs, status="COMMITTED"):
+    return {
+        "segment_id": sid,
+        "sort_key": sid,
+        "num_docs": num_docs,
+        "status": status,
+    }
+
+
+class TestFindMerges:
+    def test_too_few_segments(self):
+        assert find_merges([_seg(i, 100) for i in range(5)], 10) == []
+
+    def test_equal_run_merges(self):
+        segs = [_seg(i, 100) for i in range(10)]
+        assert find_merges(segs, 10) == [list(range(10))]
+
+    def test_adjacent_only_and_grouped(self):
+        segs = [_seg(i, 100) for i in range(25)]
+        plans = find_merges(segs, 10)
+        assert plans == [list(range(10)), list(range(10, 20))]
+
+    def test_levels_separate_big_from_small(self):
+        # one huge segment followed by mergeable small ones: the big
+        # one sits on a higher level and must not join the small run
+        segs = [_seg(0, 10_000_000)] + [_seg(i, 100) for i in range(1, 11)]
+        plans = find_merges(segs, 10, min_merge_docs=10)
+        assert plans == [list(range(1, 11))]
+
+    def test_uncommitted_excluded(self):
+        segs = [_seg(i, 100) for i in range(10)]
+        segs[3]["status"] = "PENDING"
+        assert find_merges(segs, 10) == []
+
+
+@pytest.fixture(scope="module")
+def merged_index(spark, web_pages, tmp_path_factory):
+    """A fresh index built identically to the shared one, then merged
+    down to a single segment with merge_factor=2 (cascading rounds)."""
+    from lucene_spark.operators.build import build_index
+
+    d = str(tmp_path_factory.mktemp("merge") / "idx")
+    shutil.rmtree(d, ignore_errors=True)
+    build_index(spark, web_pages, d, num_segments=NUM_SEGMENTS)
+    created = maybe_merge(spark, d, merge_factor=2, min_merge_docs=1)
+    assert created, "expected at least one merge round"
+    return d
+
+
+@pytest.fixture(scope="module")
+def merged_searcher(spark, merged_index):
+    from lucene_spark.operators.search import Searcher
+
+    return Searcher(spark, merged_index)
+
+
+class TestMergeInvariance:
+    def test_merged_to_one_segment(self, spark, merged_index):
+        from lucene_spark.sources.catalog import IndexCatalog
+
+        man = IndexCatalog(merged_index).read_manifest()
+        live = [s for s in man["segments"] if s["status"] == "COMMITTED"]
+        assert len(live) == 1
+        assert live[0]["lineage"]["merged_from"]
+        assert live[0]["sort_key"] == 0
+
+    def test_field_stats_preserved(self, searcher, merged_searcher):
+        assert searcher.field_stats == merged_searcher.field_stats
+
+    def test_terms_table_identical(self, searcher, merged_searcher):
+        a = {
+            (r["term"], r["doc_freq"], r["total_term_freq"])
+            for r in searcher._terms_df.collect()
+        }
+        b = {
+            (r["term"], r["doc_freq"], r["total_term_freq"])
+            for r in merged_searcher._terms_df.collect()
+        }
+        assert a == b
+
+    def test_docs_globalized_identical(self, searcher, merged_searcher):
+        def global_docs(s):
+            df = s._docs.withColumnRenamed("local_docid", "docid")
+            return {
+                (r["docid"], r["url"], r["norm"])
+                for r in s._globalize(df).collect()
+            }
+
+        assert global_docs(searcher) == global_docs(merged_searcher)
+
+    @pytest.mark.parametrize(
+        "q",
+        [
+            lambda s: s.term_query("window", k=10),
+            lambda s: s.boolean_query(should=["window", "spark"], k=10),
+            lambda s: s.boolean_query(must=["window", "spark"], k=10),
+            lambda s: s.phrase_query(["the", "query"], k=10),
+        ],
+    )
+    def test_search_results_invariant(self, searcher, merged_searcher, q):
+        a = [(r["docid"], r["url"], r["score"]) for r in q(searcher).collect()]
+        b = [
+            (r["docid"], r["url"], r["score"])
+            for r in q(merged_searcher).collect()
+        ]
+        assert a == b
+        assert a, "query should match something"
