@@ -189,6 +189,132 @@ def _phrase_sql(terms: list[str], k: int = 10) -> str:
 
 
 # ---------------------------------------------------------------------------
+# oracle SQL: extended search operators
+# ---------------------------------------------------------------------------
+
+_SC_PER_TERM = (
+    "psc AS (SELECT tf.doc_id, tf.term, "
+    "ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) "
+    "- ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))"
+    "/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))))) AS s "
+    "FROM tf JOIN dl ON tf.doc_id = dl.doc_id "
+    "JOIN df ON tf.term = df.term CROSS JOIN st)"
+)
+
+
+def _sql_prelude(terms: list[str]) -> str:
+    norm = _norm_len_sql("dl.dl")
+    return ", ".join(
+        [
+            _TOK,
+            _DL,
+            _ST,
+            f"tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok "
+            f"WHERE term IN ({_quoted(terms)}) GROUP BY doc_id, term)",
+            "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+            "FROM tok WHERE term IN (SELECT term FROM tf) GROUP BY term)",
+            _SC_PER_TERM.format(norm=norm),
+        ]
+    )
+
+
+def _sigmoid_sql(x: str) -> str:
+    return (
+        f"(CASE WHEN ({x}) >= 0 THEN 1.0/(1.0 + exp(-({x}))) "
+        f"ELSE exp({x})/(1.0 + exp({x})) END)"
+    )
+
+
+def _synonym_sql(terms: list[str], k: int = 10) -> str:
+    norm = _norm_len_sql("dl.dl")
+    return f"""WITH {_sql_prelude(terms)},
+      tfsum AS (SELECT doc_id, sum(tf)::BIGINT AS tf FROM tf GROUP BY doc_id),
+      dfm AS (SELECT max(df) AS df FROM df),
+      sy AS (SELECT tfsum.doc_id,
+              ln(1 + (st.n - dfm.df + 0.5)/(dfm.df + 0.5)) AS w,
+              1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+              tfsum.tf AS tf
+             FROM tfsum JOIN dl ON tfsum.doc_id = dl.doc_id
+             CROSS JOIN st CROSS JOIN dfm)
+      SELECT doc_id, round(w - w/(1 + tf*inv), 6) AS score
+      FROM sy ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
+def _dismax_sql(terms: list[str], tie: float, k: int = 10) -> str:
+    return f"""WITH {_sql_prelude(terms)},
+      dm AS (SELECT doc_id, max(s) AS mx, sum(s) AS sm
+             FROM psc GROUP BY doc_id)
+      SELECT doc_id, round(mx + {tie!r}*(sm - mx), 6) AS score
+      FROM dm ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
+def _bayes_sql(term: str, alpha: float, beta: float, base_rate: float, k: int = 10) -> str:
+    logit_br = (
+        f"ln({base_rate!r}/(1 - {base_rate!r}))" if base_rate > 0 else "0.0"
+    )
+    x = f"{alpha!r}*(s - {beta!r}) + {logit_br}"
+    return f"""WITH {_sql_prelude([term])}
+      SELECT doc_id, round({_sigmoid_sql(x)}, 6) AS score
+      FROM psc ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
+def _fusion_sql(terms: list[str], alpha: float = 0.5, k: int = 10) -> str:
+    """Two single-term Bayesian clauses fused with uniform log-odds."""
+    n = len(terms)
+    p = _sigmoid_sql("2.0*(s - 0.5)")
+    clamp = f"greatest(least({p}, 1.0 - 1e-7), 1e-7)"
+    lo = f"ln({clamp}/(1.0 - {clamp}))"
+    gated = f"(CASE WHEN ({lo}) > 20.0 THEN ({lo}) ELSE ln(1.0 + exp({lo})) END)"
+    x = f"(gs / {n} * power({n}, {alpha!r}))"
+    return f"""WITH {_sql_prelude(terms)},
+      gt AS (SELECT doc_id, sum({gated}) AS gs FROM psc GROUP BY doc_id)
+      SELECT doc_id, round({_sigmoid_sql(x)}, 6) AS score
+      FROM gt ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
+def _const_match_sql(term_pred: str, k: int = 1000) -> str:
+    return f"""WITH {_TOK}
+      SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE {term_pred}
+      ORDER BY doc_id LIMIT {k}"""
+
+
+def _dedup_shingles_sql() -> str:
+    from lucene_spark.operators.dedup import shingles_sql
+
+    return shingles_sql("text", 3)
+
+
+def _dedup_minhash_sql() -> list[str]:
+    from lucene_spark.operators.dedup import minhash_sql
+
+    return minhash_sql("text", num_perm=8)
+
+
+def _dedup_simhash_sql() -> str:
+    from lucene_spark.operators.dedup import simhash_sql
+
+    return simhash_sql("text", "doc_id")
+
+
+def _textstats_lang_sql() -> str:
+    from lucene_spark.functions.textstats import lang_id_sql
+
+    return lang_id_sql("text")
+
+
+def _textstats_fp_sql() -> str:
+    from lucene_spark.functions.textstats import FINGERPRINT_SQL
+
+    return FINGERPRINT_SQL.format(text="text")
+
+
+def _en_stop_sql() -> str:
+    from lucene_spark.functions.textstats import EN_STOP
+
+    return ", ".join(f"'{w}'" for w in EN_STOP)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -277,6 +403,191 @@ def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- extended search operators -------------------------------------------
+
+
+def _q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_prefix("wi")
+    return s._attach_urls(
+        s._globalize(sc.withColumn("local_docid", F.col("docid")))
+    ).select(_doc_id("url"), F.col("score").cast("double").alias("score")).orderBy(
+        "doc_id"
+    ).limit(1000)
+
+
+def _q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_wildcard("w*w")
+    return s._attach_urls(
+        s._globalize(sc.withColumn("local_docid", F.col("docid")))
+    ).select(_doc_id("url"), F.col("score").cast("double").alias("score")).orderBy(
+        "doc_id"
+    ).limit(1000)
+
+
+def _q_term_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_term_range("spark", "table")
+    return s._attach_urls(
+        s._globalize(sc.withColumn("local_docid", F.col("docid")))
+    ).select(_doc_id("url"), F.col("score").cast("double").alias("score")).orderBy(
+        "doc_id"
+    ).limit(1000)
+
+
+def _q_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(s, s.scored_synonym(["window", "table"]))
+
+
+def _q_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    clauses = [s.scored_boolean(should=[t]) for t in ["window", "spark"]]
+    return _topk_by_doc_id(s, s.scored_dismax(clauses, tie_breaker=0.3))
+
+
+def _q_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    sc = s.bayesian_score(s.scored_boolean(should=["window"]), 2.0, 0.5, 0.1)
+    return _topk_by_doc_id(s, sc)
+
+
+def _q_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    c1 = s.bayesian_score(s.scored_boolean(should=["window"]), 2.0, 0.5)
+    c2 = s.bayesian_score(s.scored_boolean(should=["spark"]), 2.0, 0.5)
+    return _topk_by_doc_id(s, s.log_odds_fusion([c1, c2], 0.5))
+
+
+def _q_group_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping collector: top-2 docs per lang among 'data' matches."""
+    from pyspark.sql import Window
+
+    s = _get_searcher(spark, sf_dir)
+    matched = s._attach_urls(
+        s.scored_boolean(should=["data"]).withColumn(
+            "local_docid", F.col("docid")
+        )
+    ).select(_doc_id("url"), F.round("score", 6).alias("score"))
+    docs = _docs_table(spark, sf_dir).select("doc_id", "lang")
+    g = matched.join(F.broadcast(docs), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("lang", "doc_id", "score", "rn")
+    )
+
+
+def _q_facet_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range facet: doclen buckets [0,20) [20,40) [40,inf) of matches."""
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_boolean(should=["window"])
+    from lucene_spark.operators.queries import QueryOpsMixin  # noqa: F401
+
+    return s.range_facet_counts(
+        sc, F.col("doclen").cast("double"), [0.0, 20.0, 40.0, 1e18]
+    ).select(F.col("bucket").cast("int").alias("bucket"), "cnt")
+
+
+# ---- training-data pipeline operators ------------------------------------
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.dedup import exact_duplicates
+
+    docs = _docs_table(spark, sf_dir)
+    # report all content groups (the corpus may have no exact dups)
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(_docs_table(spark, sf_dir), num_perm=8)
+    return sig.select(
+        "doc_id", *[F.element_at("sig", j + 1).alias(f"m{j}") for j in range(8)]
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.dedup import simhash
+
+    return simhash(_docs_table(spark, sf_dir))
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_table(spark, sf_dir), k=3, threshold=0.05
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return brute_force_topk(emb, [float(x) for x in q], k=10).select(
+        "vec_id", F.round("cos", 6).alias("cos")
+    )
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path) — rows-only check: approximate
+    by construction, so no SQL oracle; recall vs brute force is covered
+    in tests/test_pipeline.py."""
+    from lucene_spark.operators.similarity import lsh_topk_per_query
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk_per_query(emb, queries_df, k=5, n_planes=12, bands=4).select(
+        "qid", "vec_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.functions.textstats import lang_id
+
+    return _docs_table(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.functions.textstats import fingerprint
+
+    return _docs_table(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.functions.textstats import quality_score
+
+    return _docs_table(spark, sf_dir).select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.functions.textstats import subword_count, token_count
+
+    return _docs_table(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+        subword_count(F.col("text")).cast("long").alias("n_sub"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
@@ -289,6 +600,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_top10": _q_phrase,
         "total_hit_count": _q_total_hits,
         "facet_lang": _q_facet_lang,
+        "prefix_match": _q_prefix,
+        "wildcard_match": _q_wildcard,
+        "term_range_match": _q_term_range,
+        "synonym_top10": _q_synonym,
+        "dismax_top10": _q_dismax,
+        "bayes_top10": _q_bayes,
+        "fusion_top10": _q_fusion,
+        "group_by_lang_top2": _q_group_by_lang,
+        "facet_doclen_ranges": _q_facet_doclen,
+        "dedup_exact_groups": _q_dedup_exact,
+        "minhash_sig8": _q_minhash,
+        "simhash64": _q_simhash,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "ann_cosine_top10": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "quality_score": _q_quality,
+        "token_counts": _q_token_counts,
     }
 
 
@@ -321,4 +651,94 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data')
             SELECT d.lang, count(*)::BIGINT AS cnt
             FROM m JOIN documents d USING (doc_id) GROUP BY d.lang""",
+        "prefix_match": _const_match_sql("term LIKE 'wi%'"),
+        "wildcard_match": _const_match_sql("regexp_matches(term, '^w.*w$')"),
+        "term_range_match": _const_match_sql(
+            "term >= 'spark' AND term <= 'table'"
+        ),
+        "synonym_top10": _synonym_sql(["window", "table"]),
+        "dismax_top10": _dismax_sql(["window", "spark"], 0.3),
+        "bayes_top10": _bayes_sql("window", 2.0, 0.5, 0.1),
+        "fusion_top10": _fusion_sql(["window", "spark"], 0.5),
+        "group_by_lang_top2": f"""
+            WITH {_sql_prelude(["data"])},
+            m AS (SELECT doc_id, round(s, 6) AS score FROM psc),
+            j AS (SELECT d.lang, m.doc_id, m.score,
+                         row_number() OVER (
+                             PARTITION BY d.lang
+                             ORDER BY m.score DESC, m.doc_id
+                         ) AS rn
+                  FROM m JOIN documents d USING (doc_id))
+            SELECT lang, doc_id, score, rn::BIGINT AS rn FROM j
+            WHERE rn <= 2""",
+        "facet_doclen_ranges": f"""
+            WITH {_TOK}, {_DL},
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window'),
+            b AS (SELECT CASE WHEN dl.dl < 20 THEN 0
+                              WHEN dl.dl < 40 THEN 1
+                              ELSE 2 END AS bucket
+                  FROM m JOIN dl USING (doc_id))
+            SELECT bucket, count(*)::BIGINT AS cnt FROM b GROUP BY bucket""",
+        "dedup_exact_groups": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS canonical_id,
+                   count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY md5(text)""",
+        "minhash_sig8": (
+            "WITH sh AS (SELECT doc_id, unnest("
+            + _dedup_shingles_sql()
+            + ") AS s FROM documents) SELECT doc_id, "
+            + ", ".join(
+                f"{expr} AS m{j}" for j, expr in enumerate(_dedup_minhash_sql())
+            )
+            + " FROM sh GROUP BY doc_id"
+        ),
+        "simhash64": _dedup_simhash_sql(),
+        "jaccard_pairs": (
+            "WITH sh AS (SELECT DISTINCT doc_id, unnest("
+            + _dedup_shingles_sql()
+            + """) AS s FROM documents),
+            sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+            i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         count(*)::BIGINT AS inter
+                  FROM sh a JOIN sh b USING (s)
+                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter/(na.n + nb.n - inter), 6) AS jaccard
+            FROM i JOIN sz na ON i.id_a = na.doc_id
+                 JOIN sz nb ON i.id_b = nb.doc_id
+            WHERE inter/(na.n + nb.n - inter) >= 0.05"""
+        ),
+        "ann_cosine_top10": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings
+                        WHERE vec_id = 0)), 6) AS cos
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings
+                        WHERE vec_id = 0)) DESC, vec_id
+            LIMIT 10""",
+        "lang_id": "SELECT doc_id, "
+        + _textstats_lang_sql()
+        + " AS pred_lang FROM documents",
+        "doc_fingerprint": "SELECT doc_id, "
+        + _textstats_fp_sql()
+        + " AS fp FROM documents",
+        "quality_score": f"""
+            SELECT doc_id, round(
+              0.4*least(len(string_split(text, ' ')), 100)/100.0
+              + 0.4*(1 - abs(
+                  len(list_filter(string_split(text, ' '),
+                      t -> t IN ({_en_stop_sql()})))
+                  / greatest(len(string_split(text, ' ')), 1) - 0.4))
+              + 0.2*(1 - strlen(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                  / greatest(strlen(text), 1)), 6) AS quality
+            FROM documents""",
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_tok,
+                   list_sum(list_transform(string_split(text, ' '),
+                       t -> ceil(strlen(t)/4.0)::BIGINT))::BIGINT AS n_sub
+            FROM documents""",
     }

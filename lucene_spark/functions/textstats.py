@@ -1,0 +1,177 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting — all pure ``pyspark.sql.functions`` column algebra
+(JVM-side, whole-stage-codegen friendly; no Python in the hot path).
+Each builder has an exactly-equivalent ANSI-SQL form used by the
+DuckDB oracles in ``__spark_entry__``; the shared primitive is the
+md5-derived 60-bit integer hash (identical in both engines).
+
+These extend the reference's surface: Lucene has no corpus-hygiene
+operators, but a 10^12-doc web index is unusable without them, and
+they reuse the same analyzed-token view of a document the index build
+uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^31 - 1 (Mersenne prime): keeps a*h + b within int64 in both engines
+HASH_MOD = 2147483647
+
+# the engine's default English stopword set (analysis.py mirrors
+# analysis/en/EnglishAnalyzer.java:43-53); used here as the en signal
+EN_STOP = (
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with"
+).split()
+
+# tiny deterministic function-word lists for the n-gram-free heuristic
+# language detector (real deployments would plug in fastText etc.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": EN_STOP,
+    "de": "der die das und ist nicht ein eine mit von zu im den".split(),
+    "fr": "le la les et est une un des du dans que pour sur pas".split(),
+    "es": "el la los las y es un una de en que por con para no".split(),
+}
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokens (the corpus contract: single-space-separated)."""
+    return F.split(text_col, " ")
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def subword_count(text_col: Column, max_len: int = 4) -> Column:
+    """BPE-ish token-count proxy: ceil(len(word)/max_len) summed — a
+    deterministic stand-in for a real tokenizer's piece count."""
+    return F.aggregate(
+        tokens(text_col),
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(max_len)).cast("int"),
+    )
+
+
+def token_hash(term_col: Column) -> Column:
+    """60-bit md5-derived integer hash, identical in Spark and DuckDB:
+    Spark ``conv(substr(md5(t),1,15),16,10)`` ==
+    DuckDB ``('0x'||substr(md5(t),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(term_col), 1, 15), 16, 10).cast("long")
+
+
+TOKEN_HASH_SQL = "('0x'||substr(md5({t}),1,15))::BIGINT"
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Rolling-hash document fingerprint: fold token hashes with
+    ``acc*31 + h mod 2^31-1``. Order-sensitive (unlike a bag-of-words
+    hash), so token transpositions change the fingerprint."""
+    h = lambda t: F.pmod(token_hash(t), F.lit(HASH_MOD))  # noqa: E731
+    return F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(31) + h(t), F.lit(HASH_MOD)),
+    )
+
+
+FINGERPRINT_SQL = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "[('0x'||substr(md5(t),1,15))::BIGINT % 2147483647 "
+    "for t in string_split({text}, ' ')]), "
+    "(a, b) -> (a*31 + b) % 2147483647)"
+)
+
+
+def stopword_ratio(text_col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords if stopwords is not None else EN_STOP
+    toks = tokens(text_col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_len(text_col: Column) -> Column:
+    toks = tokens(text_col)
+    return F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(F.size(toks), F.lit(1))
+
+
+def non_alnum_ratio(text_col: Column) -> Column:
+    """Punctuation/noise ratio: chars outside [a-z0-9 ] over all chars."""
+    clean = F.length(F.regexp_replace(text_col, "[a-z0-9 ]", ""))
+    return clean / F.greatest(F.length(text_col), F.lit(1))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Deterministic quality heuristic in [0, 1]: rewards mid-length
+    docs with a natural stopword rate and low punctuation noise
+    (Gopher/C4-style rule-of-thumb filters, re-expressed as one
+    column formula):
+
+        0.4 * min(n_tokens, 100)/100
+      + 0.4 * (1 - |stopword_ratio - 0.4|)
+      + 0.2 * (1 - non_alnum_ratio)
+    """
+    n = token_count(text_col)
+    return (
+        F.lit(0.4) * F.least(n, F.lit(100)) / F.lit(100.0)
+        + F.lit(0.4) * (F.lit(1.0) - F.abs(stopword_ratio(text_col) - F.lit(0.4)))
+        + F.lit(0.2) * (F.lit(1.0) - non_alnum_ratio(text_col))
+    )
+
+
+def lang_votes(text_col: Column) -> dict[str, Column]:
+    """Per-language function-word hit counts."""
+    toks = tokens(text_col)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text_col: Column, min_hits: int = 1) -> Column:
+    """Heuristic language ID: the language with the most function-word
+    hits; ties break in LANG_MARKERS order (en first); fewer than
+    ``min_hits`` hits -> 'und'."""
+    votes = lang_votes(text_col)
+    best = None
+    langs = list(votes)
+    for lang in langs:
+        cond_is_max = votes[lang] >= F.greatest(
+            *[votes[o] for o in langs if o != lang]
+        )
+        cur = F.when(
+            cond_is_max & (votes[lang] >= min_hits), F.lit(lang)
+        )
+        best = cur if best is None else best.when(
+            cond_is_max & (votes[lang] >= min_hits), F.lit(lang)
+        )
+    return best.otherwise(F.lit("und"))
+
+
+def _sql_hits(lang: str, text_expr: str) -> str:
+    quoted = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split({text_expr}, ' '), "
+        f"t -> t IN ({quoted})))"
+    )
+
+
+def lang_id_sql(text_expr: str, min_hits: int = 1) -> str:
+    """DuckDB expression equivalent to :func:`lang_id`."""
+    langs = list(LANG_MARKERS)
+    hits = {lang: _sql_hits(lang, text_expr) for lang in langs}
+    arms = []
+    for lang in langs:
+        others = ", ".join(hits[o] for o in langs if o != lang)
+        arms.append(
+            f"WHEN {hits[lang]} >= greatest({others}) "
+            f"AND {hits[lang]} >= {min_hits} THEN '{lang}'"
+        )
+    return "(CASE " + " ".join(arms) + " ELSE 'und' END)"

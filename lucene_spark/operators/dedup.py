@@ -1,0 +1,382 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH, SimHash, and exact n-gram Jaccard —
+the standard web-corpus dedup ladder, expressed Spark-first:
+
+- every stage is DataFrame algebra over an exploded shingle/token view
+  (shuffles on doc_id or band key only, map-side combinable aggs);
+- the hash primitives are md5-derived integer hashes with explicit
+  modular arithmetic, reproducible bit-for-bit in the DuckDB oracles
+  (``functions/textstats.token_hash``);
+- at 100 TB the LSH band join is the only pair-producing step — it
+  shuffles on (band, band signature), so candidate generation never
+  goes quadratic; the exact-Jaccard verify runs only on candidates.
+
+These are additions beyond the reference's operator surface (Lucene
+has no dedup); they share the corpus contract of the index build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import HASH_MOD, token_hash
+
+# deterministic universal-hash parameters (a_j, b_j) derived from j by
+# fixed affine formulas so the DuckDB oracle can re-derive them without
+# any RNG: a must be odd and non-zero mod p, b arbitrary
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    return [
+        ((2 * j + 1) * 40503 % HASH_MOD, (j * 69069 + 12345) % HASH_MOD)
+        for j in range(num_perm)
+    ]
+
+
+def shingles(text_col: Column, k: int = 3) -> Column:
+    """k-token shingles of a single-space-tokenized text column."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+def shingles_sql(text_expr: str, k: int = 3) -> str:
+    """DuckDB list expression equivalent to :func:`shingles`."""
+    toks = f"string_split({text_expr}, ' ')"
+    join = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({toks}) < {k} THEN [array_to_string({toks}, ' ')] "
+        f"ELSE list_transform(range(1, len({toks}) - {k - 2}), "
+        f"i -> {join}) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by content hash: (content_hash,
+    canonical_id, n_dups). Canonical = min id. One map-side-combinable
+    groupBy on the hash — the cheapest rung of the ladder."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_dups"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def distinct_by_content(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one row (min id) per distinct content — the filter stage."""
+    w = (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>[num_perm]) MinHash signatures.
+
+    Permutation j's hash of a shingle s is ``(a_j*h(s) + b_j) mod p``
+    with h the shared 60-bit md5 hash reduced mod p = 2^31-1; the
+    signature component is the min over the doc's shingles. One explode
+    + one groupBy(id) with num_perm min() aggregates (all partial-agg
+    friendly)."""
+    params = _perm_params(num_perm)
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("s")
+    ).withColumn("h", F.pmod(token_hash(F.col("s")), F.lit(HASH_MOD)))
+    aggs = [
+        F.min(F.pmod(F.col("h") * a + b, F.lit(HASH_MOD))).alias(f"m{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("sig"),
+    )
+
+
+def minhash_sql(
+    text_expr: str, num_perm: int = 16, shingle_k: int = 3
+) -> list[str]:
+    """DuckDB min-expressions (over an exploded shingle column ``s``)
+    matching :func:`minhash_signatures` component-for-component."""
+    h = f"(('0x'||substr(md5(s),1,15))::BIGINT % {HASH_MOD})"
+    return [
+        f"min(({h} * {a} + {b}) % {HASH_MOD})"
+        for a, b in _perm_params(num_perm)
+    ]
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """Banding: split each signature into ``bands`` equal row-groups;
+    docs sharing any band's sub-signature become a candidate pair
+    (id_a < id_b). The band join shuffles on (band, sub-signature) —
+    near-duplicate clusters hash to small buckets, so the pair count
+    stays linear in the duplicate mass, not quadratic in corpus size.
+    Pathological buckets (boilerplate shingles) can be salted by
+    splitting on id ranges; at sf scales AQE skew-join covers it."""
+    num_perm_col = F.size(F.col("sig"))
+    rows_per_band = (num_perm_col / bands).cast("int")
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(
+                        F.col("sig"), b * rows_per_band + 1, rows_per_band
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.key") == F.col(f"b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_k: int = 3,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: signatures -> banded
+    candidates -> signature-estimated Jaccard filter. Returns
+    (id_a, id_b, est_jaccard >= threshold)."""
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+    cand = lsh_candidate_pairs(sig, id_col, bands)
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.lit(float(num_perm)),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    return est.select("id_a", "id_b", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (the verify stage)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-shingles: |A∩B| / |A∪B| >=
+    threshold. With ``candidates`` (id_a, id_b) the intersection join
+    runs only on those pairs (LSH-verify mode); without, it considers
+    every pair sharing >=1 shingle (small corpora / tests only —
+    at scale always pass candidates)."""
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), k)).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, simhash long): per-token md5-hash bit votes weighted by tf;
+    bit k of the result is 1 iff the summed vote is positive
+    (Charikar's scheme). Explode + one groupBy with ``bits`` sum
+    aggregates — heavyweight in columns but fully JVM-side and
+    partial-agg friendly."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    ).withColumn("h", token_hash(F.col("t")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    out = F.lit(0).cast("long")
+    for k in range(bits):
+        # bit 63 is the sign bit: 1<<63 overflows BIGINT, so add
+        # Long.MIN_VALUE instead (same bit pattern, two's complement)
+        bit_val = -(1 << 63) if k == 63 else (1 << k)
+        out = out + F.when(
+            F.col(f"v{k}") > 0, F.lit(bit_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), out.alias("simhash"))
+
+
+def simhash_sql(text_expr: str, id_expr: str, bits: int = SIMHASH_BITS) -> str:
+    """DuckDB query producing (doc_id, simhash) identical to
+    :func:`simhash` (FROM documents)."""
+    h = "('0x'||substr(md5(t),1,15))::BIGINT"
+    votes = ", ".join(
+        f"sum(CASE WHEN ({h} >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(bits)
+    )
+    def _bit_sql(k: int) -> str:
+        if k == 63:  # sign bit: BIGINT can't hold 1<<63, use min-long
+            return "(-9223372036854775807 - 1)"
+        return f"{1 << k}::BIGINT"
+
+    assemble = " + ".join(
+        f"(CASE WHEN v{k} > 0 THEN {_bit_sql(k)} ELSE 0 END)"
+        for k in range(bits)
+    )
+    return (
+        f"WITH tok AS (SELECT {id_expr} AS doc_id, "
+        f"unnest(string_split({text_expr}, ' ')) AS t FROM documents), "
+        f"v AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id) "
+        f"SELECT doc_id, ({assemble}) AS simhash FROM v"
+    )
+
+
+def simhash_near_duplicates(
+    sim_df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole banding: split the 64 bits into ``bands`` chunks; a pair
+    within ``bands - 1`` differing bits shares at least one identical
+    chunk, so the join key is (band, chunk value) — never a cross
+    join. Exact Hamming verify via bit_count(xor) on candidates."""
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    banded = sim_df.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(mask)
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

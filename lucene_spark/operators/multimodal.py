@@ -1,0 +1,167 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Web-scale training tables carry image/audio/video as ``binary``
+columns next to text. This module provides the Spark-side contract —
+schemas, Arrow-batched UDF signatures, partitioning — with the actual
+media decoding stubbed (codec libraries are not in this environment):
+
+- :func:`media_metadata` — real: cheap byte-level inspection (size,
+  magic-number sniffing) as column algebra + a vectorized UDF.
+- :func:`decode_image` / :func:`sample_frames` — plumbing is real
+  (``mapInPandas`` over Arrow batches, explicit output schemas,
+  deterministic fake features for tests); the pixel work raises
+  ``NotImplementedError`` unless ``fake=True``.
+
+At scale the rule is: media bytes stay out of shuffles. Every operator
+here is a narrow map over the source table; anything that must group
+(e.g. per-host stats) aggregates the extracted metadata, never the
+binary column.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# magic-number prefixes -> media kind (hex string of the bytes column)
+_MAGIC = {
+    "89504e47": "png",
+    "ffd8ff": "jpeg",
+    "47494638": "gif",
+    "52494646": "riff",  # wav/avi container
+    "3c68746d6c": "html",
+    "3c21646f63": "html",
+}
+
+IMAGE_FEATURES_SCHEMA = (
+    "url string, n_bytes long, kind string, width int, height int, "
+    "feature array<float>"
+)
+
+
+def media_kind(bin_col: Column) -> Column:
+    """Sniff media type from magic numbers — pure column algebra."""
+    h = F.lower(F.hex(F.substring(bin_col, 1, 5)))
+    out = None
+    for magic, kind in _MAGIC.items():
+        cond = h.startswith(magic)
+        out = F.when(cond, kind) if out is None else out.when(cond, kind)
+    return out.otherwise(F.lit("unknown"))
+
+
+def media_metadata(
+    df: DataFrame, bin_col: str = "html", key_col: str = "url"
+) -> DataFrame:
+    """(key, n_bytes, kind) for a binary column — scan-only, prunes to
+    the two referenced columns."""
+    return df.select(
+        F.col(key_col),
+        F.length(F.col(bin_col)).alias("n_bytes"),
+        media_kind(F.col(bin_col)).alias("kind"),
+    )
+
+
+def _fake_feature(data: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real image/audio embedding: seeded
+    from the content bytes, so tests get stable vectors."""
+    seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def decode_image(
+    df: DataFrame,
+    bin_col: str = "html",
+    key_col: str = "url",
+    feature_dim: int = 8,
+    fake: bool = True,
+) -> DataFrame:
+    """Decode + feature-extract a binary image column via
+    ``mapInPandas`` (Arrow-batched; one Python roundtrip per batch,
+    never per row).
+
+    ``fake=True`` (default here) produces deterministic content-seeded
+    features so the distributed plumbing is fully testable;
+    ``fake=False`` is the production signature and raises
+    ``NotImplementedError`` until a codec library (PIL/ffmpeg) is
+    provided.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decoding requires a codec library; "
+                    "run with fake=True for the plumbing path"
+                )
+            blobs = pdf[bin_col]
+            feats = [
+                _fake_feature(b if b is not None else b"", feature_dim)
+                for b in blobs
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": pdf[key_col],
+                    "n_bytes": [len(b) if b is not None else 0 for b in blobs],
+                    "kind": [
+                        _sniff(bytes(b) if b is not None else b"") for b in blobs
+                    ],
+                    "width": np.zeros(len(pdf), dtype=np.int32),
+                    "height": np.zeros(len(pdf), dtype=np.int32),
+                    "feature": feats,
+                }
+            )
+
+    return df.select(key_col, bin_col).mapInPandas(
+        kernel, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def _sniff(data: bytes) -> str:
+    h = data[:5].hex()
+    for magic, kind in _MAGIC.items():
+        if h.startswith(magic):
+            return kind
+    return "unknown"
+
+
+def sample_frames(
+    df: DataFrame,
+    bin_col: str = "html",
+    key_col: str = "url",
+    every_n_bytes: int = 4096,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling contract for video-like blobs: emit up to
+    ``max_frames`` (key, frame_no, offset, frame binary) rows per blob.
+    The sampling grid is real (deterministic byte offsets); real video
+    frame extraction would replace the slice with a decoder call."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, frame_nos, offsets, frames = [], [], [], []
+            for key, blob in zip(pdf[key_col], pdf[bin_col]):
+                data = bytes(blob) if blob is not None else b""
+                n = min(max_frames, max(1, len(data) // every_n_bytes))
+                for i in range(n):
+                    off = i * every_n_bytes
+                    keys.append(key)
+                    frame_nos.append(i)
+                    offsets.append(off)
+                    frames.append(data[off : off + 64])
+            yield pd.DataFrame(
+                {
+                    "url": keys,
+                    "frame_no": np.array(frame_nos, dtype=np.int32),
+                    "offset": np.array(offsets, dtype=np.int64),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(key_col, bin_col).mapInPandas(
+        kernel, schema="url string, frame_no int, offset long, frame binary"
+    )

@@ -1,0 +1,92 @@
+"""Driver-contract regression: every queries() entry must match its
+oracle_sql() on DuckDB, row-for-row (columns sorted by name, rows
+sorted, floats to 1e-6) — the same comparison the round driver runs
+at sf0.01, here at sf0.001 for speed."""
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def _approx_equal(a, b):
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) or isinstance(vb, float):
+                if not math.isclose(float(va), float(vb), abs_tol=2e-6):
+                    return False
+            elif va != vb:
+                return False
+    return True
+
+
+def _oracle_names():
+    import __spark_entry__ as e
+
+    return sorted(e.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle(spark, entrymod, duck, name):
+    q = entrymod.queries()[name]
+    df = q(spark, SF_DIR)
+    cols = df.columns
+    mine = _normalize([tuple(r) for r in df.collect()], cols)
+    res = duck.execute(entrymod.oracle_sql()[name])
+    theirs = _normalize(res.fetchall(), [d[0] for d in res.description])
+    assert _approx_equal(mine, theirs), (
+        f"{name}: {len(mine)} vs {len(theirs)} rows;"
+        f" first mine={mine[:3]} theirs={theirs[:3]}"
+    )
+
+
+def test_every_query_has_entry_or_reason(entrymod):
+    """Queries without an oracle must be the documented approximate ones."""
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q
+    assert q - o == {"ann_lsh_topk"}
+
+
+def test_entry_smoke(spark, entrymod):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert {"docid", "url", "score"} <= set(df.columns)

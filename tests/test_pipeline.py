@@ -1,0 +1,355 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing — engine vs numpy/DuckDB recomputation."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Small corpus with planted exact + near duplicates."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    other = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, base),
+        (1, base),          # exact dup of 0
+        (2, near),          # near dup of 0 (9/10 tokens shared)
+        (3, other),
+        (4, "completely different words entirely unrelated content here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------------
+
+
+class TestTextStats:
+    def test_token_count(self, spark):
+        from lucene_spark.functions.textstats import token_count
+
+        df = spark.createDataFrame([("a b c",), ("x",)], "text string")
+        assert [r[0] for r in df.select(token_count(F.col("text"))).collect()] == [3, 1]
+
+    def test_fingerprint_matches_duckdb(self, docs, duck):
+        from lucene_spark.functions.textstats import FINGERPRINT_SQL, fingerprint
+
+        mine = {
+            r["doc_id"]: r["fp"]
+            for r in docs.select(
+                "doc_id", fingerprint(F.col("text")).alias("fp")
+            ).collect()
+        }
+        theirs = dict(
+            duck.execute(
+                "SELECT doc_id, "
+                + FINGERPRINT_SQL.format(text="text")
+                + " FROM documents"
+            ).fetchall()
+        )
+        assert mine == theirs
+
+    def test_fingerprint_order_sensitive(self, spark):
+        from lucene_spark.functions.textstats import fingerprint
+
+        df = spark.createDataFrame(
+            [("a b c",), ("c b a",)], "text string"
+        ).select(fingerprint(F.col("text")).alias("fp"))
+        a, b = [r["fp"] for r in df.collect()]
+        assert a != b
+
+    def test_lang_id(self, spark):
+        from lucene_spark.functions.textstats import lang_id
+
+        rows = [
+            ("the cat is on the mat and it is not sad",),
+            ("der hund ist nicht da und die katze im haus",),
+            ("le chat est dans la maison et les chiens",),
+            ("el perro es un animal y la casa es grande",),
+            ("zzz qqq xxx",),
+        ]
+        df = spark.createDataFrame(rows, "text string")
+        got = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+        assert got == ["en", "de", "fr", "es", "und"]
+
+    def test_lang_id_matches_duckdb(self, docs, duck):
+        from lucene_spark.functions.textstats import lang_id, lang_id_sql
+
+        mine = {
+            r["doc_id"]: r["l"]
+            for r in docs.select(
+                "doc_id", lang_id(F.col("text")).alias("l")
+            ).collect()
+        }
+        theirs = dict(
+            duck.execute(
+                "SELECT doc_id, " + lang_id_sql("text") + " FROM documents"
+            ).fetchall()
+        )
+        assert mine == theirs
+
+    def test_quality_score_bounds(self, docs):
+        from lucene_spark.functions.textstats import quality_score
+
+        rows = docs.select(quality_score(F.col("text")).alias("q")).collect()
+        assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+    def test_subword_count(self, spark):
+        from lucene_spark.functions.textstats import subword_count
+
+        df = spark.createDataFrame([("abcd ef abcdefgh",)], "text string")
+        # ceil(4/4)+ceil(2/4)+ceil(8/4) = 1+1+2
+        assert df.select(subword_count(F.col("text"))).collect()[0][0] == 4
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+class TestDedup:
+    def test_shingles(self, spark):
+        from lucene_spark.operators.dedup import shingles
+
+        df = spark.createDataFrame([("a b c d e",), ("x y",)], "text string")
+        got = [r[0] for r in df.select(shingles(F.col("text"), 3)).collect()]
+        assert got[0] == ["a b c", "b c d", "c d e"]
+        assert got[1] == ["x y"]
+
+    def test_exact_duplicates(self, dup_docs):
+        from lucene_spark.operators.dedup import distinct_by_content, exact_duplicates
+
+        groups = exact_duplicates(dup_docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["canonical_id"] == 0 and groups[0]["n_dups"] == 2
+        kept = {r["doc_id"] for r in distinct_by_content(dup_docs).collect()}
+        assert kept == {0, 2, 3, 4}
+
+    def test_minhash_identical_docs_equal_sigs(self, dup_docs):
+        from lucene_spark.operators.dedup import minhash_signatures
+
+        sigs = {
+            r["doc_id"]: tuple(r["sig"])
+            for r in minhash_signatures(dup_docs).collect()
+        }
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[3]
+
+    def test_minhash_matches_duckdb(self, docs, duck):
+        from lucene_spark.operators.dedup import (
+            minhash_signatures,
+            minhash_sql,
+            shingles_sql,
+        )
+
+        mine = {
+            r["doc_id"]: tuple(r["sig"])
+            for r in minhash_signatures(docs, num_perm=8).collect()
+        }
+        mins = ", ".join(minhash_sql("text", num_perm=8))
+        q = (
+            "WITH sh AS (SELECT doc_id, unnest("
+            + shingles_sql("text", 3)
+            + ") AS s FROM documents) "
+            f"SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
+        )
+        theirs = {row[0]: tuple(row[1:]) for row in duck.execute(q).fetchall()}
+        assert mine == theirs
+
+    def test_minhash_lsh_finds_near_dup(self, dup_docs):
+        from lucene_spark.operators.dedup import minhash_near_duplicates
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in minhash_near_duplicates(
+                dup_docs, num_perm=16, bands=4, threshold=0.5
+            ).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+        assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5
+        assert not any({a, b} & {3, 4} for a, b in pairs)
+
+    def test_ngram_jaccard_exact(self, dup_docs):
+        from lucene_spark.operators.dedup import ngram_jaccard_pairs
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(dup_docs, k=3, threshold=0.1).collect()
+        }
+        assert pairs[(0, 1)] == 1.0
+        # doc2 shares 7 of its 8 shingles with doc0: J = 7/9
+        assert abs(pairs[(0, 2)] - 7 / 9) < 1e-12
+
+    def test_simhash_matches_duckdb(self, docs, duck):
+        from lucene_spark.operators.dedup import simhash, simhash_sql
+
+        mine = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+        theirs = dict(duck.execute(simhash_sql("text", "doc_id")).fetchall())
+        assert mine == theirs
+
+    def test_simhash_near_duplicates(self, dup_docs):
+        from lucene_spark.operators.dedup import simhash, simhash_near_duplicates
+
+        sim = simhash(dup_docs)
+        vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+        assert vals[0] == vals[1]
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_near_duplicates(sim, max_hamming=16).collect()
+        }
+        assert pairs[(0, 1)] == 0
+        ham02 = bin(vals[0] ^ vals[2]).count("1")
+        if ham02 <= 16:
+            assert pairs[(0, 2)] == ham02
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, emb):
+        from lucene_spark.operators.similarity import brute_force_topk
+
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        q = mat[0]
+        cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = sorted(zip(-cos, ids))[:10]
+        expect = [(int(i), float(-c)) for c, i in order]
+
+        got = [
+            (r["vec_id"], r["cos"])
+            for r in brute_force_topk(emb, list(map(float, q)), k=10).collect()
+        ]
+        assert [g[0] for g in got] == [e[0] for e in expect]
+        for (_, a), (_, b) in zip(got, expect):
+            assert abs(a - b) < 1e-6
+
+    def test_topk_per_query(self, spark, emb):
+        from lucene_spark.operators.similarity import topk_per_query
+
+        qrows = emb.limit(3).collect()
+        queries = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in qrows],
+            "qid long, qvec array<float>",
+        )
+        got = topk_per_query(emb, queries, k=5).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["qid"], []).append(r)
+        assert set(by_q) == {r["vec_id"] for r in qrows}
+        for qid, rows in by_q.items():
+            assert len(rows) == 5
+            # rank 1 must be the query vector itself (cos = 1)
+            top = min(rows, key=lambda r: r["rank"])
+            assert top["vec_id"] == qid and abs(top["cos"] - 1.0) < 1e-9
+
+    def test_lsh_recall(self, spark, emb):
+        from lucene_spark.operators.similarity import (
+            lsh_topk_per_query,
+            topk_per_query,
+        )
+
+        qrows = emb.limit(5).collect()
+        queries = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in qrows],
+            "qid long, qvec array<float>",
+        )
+        exact = topk_per_query(emb, queries, k=5).collect()
+        approx = lsh_topk_per_query(
+            emb, queries, k=5, n_planes=12, bands=4
+        ).collect()
+        ex = {}
+        for r in exact:
+            ex.setdefault(r["qid"], set()).add(r["vec_id"])
+        ap = {}
+        for r in approx:
+            ap.setdefault(r["qid"], set()).add(r["vec_id"])
+        recalls = [
+            len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex
+        ]
+        # self-match always survives banding; demand decent avg recall
+        assert all(r > 0 for r in recalls)
+        assert sum(recalls) / len(recalls) >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+class TestMultimodal:
+    def test_media_metadata(self, web_pages):
+        from lucene_spark.operators.multimodal import media_metadata
+
+        rows = media_metadata(web_pages, "html", "url").limit(5).collect()
+        assert rows
+        for r in rows:
+            assert r["kind"] == "html" and r["n_bytes"] > 0
+
+    def test_decode_image_fake_deterministic(self, web_pages):
+        from lucene_spark.operators.multimodal import decode_image
+
+        a = {
+            r["url"]: tuple(r["feature"])
+            for r in decode_image(web_pages.limit(5), fake=True).collect()
+        }
+        b = {
+            r["url"]: tuple(r["feature"])
+            for r in decode_image(web_pages.limit(5), fake=True).collect()
+        }
+        assert a == b
+        assert all(len(f) == 8 for f in a.values())
+
+    def test_decode_image_real_raises(self, web_pages):
+        from lucene_spark.operators.multimodal import decode_image
+
+        with pytest.raises(Exception) as ei:
+            decode_image(web_pages.limit(1), fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
+
+    def test_sample_frames(self, web_pages):
+        from lucene_spark.operators.multimodal import sample_frames
+
+        rows = sample_frames(
+            web_pages.limit(3), every_n_bytes=64, max_frames=4
+        ).collect()
+        assert rows
+        by_url = {}
+        for r in rows:
+            by_url.setdefault(r["url"], []).append(r)
+        for frames in by_url.values():
+            assert 1 <= len(frames) <= 4
+            assert [f["frame_no"] for f in sorted(frames, key=lambda x: x["offset"])] == list(
+                range(len(frames))
+            )
