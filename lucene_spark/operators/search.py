@@ -481,6 +481,123 @@ class Searcher(QueryOpsMixin):
         """Exact PhraseQuery top-k (core/search/PhraseQuery.java:71)."""
         return self._finish_topk(self.scored_phrase(terms), k)
 
+    def scored_multi_phrase(self, slots: list[list[str]]) -> DataFrame:
+        """MultiPhraseQuery (``core/search/MultiPhraseQuery.java:54``):
+        a phrase where each position admits alternatives, e.g.
+        [["fast", "quick"], ["search"]] matches "fast search" OR
+        "quick search".
+
+        Per doc, slot i's position set is the union of its terms'
+        positions (``UnionPostingsEnum`` semantics); the alignment
+        check and phrase-freq count are then identical to the exact
+        matcher. Scored as one pseudo-term whose idf is the sum over
+        every term in every slot (PhraseQuery-style idfExplain over
+        the flattened term array)."""
+        all_terms = [t for slot in slots for t in slot]
+        stats = self.term_stats(all_terms)
+        # a slot with no indexed term can never match
+        for slot in slots:
+            if not any(t in stats for t in slot):
+                return self._empty_scored().select(
+                    "segment_id", "docid", "score"
+                )
+        present = [t for t in dict.fromkeys(all_terms) if t in stats]
+        sc = self.scored_postings(present, need_positions=True)
+
+        per_slot = []
+        for i, slot in enumerate(slots):
+            terms_i = [t for t in slot if t in stats]
+            ps = (
+                sc.where(F.col("term").isin(terms_i))
+                .groupBy("segment_id", "docid")
+                .agg(
+                    F.first("norm").alias("norm" if i == 0 else f"_n{i}"),
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("positions")))
+                    ).alias(f"raw{i}"),
+                )
+                .withColumn(
+                    f"p{i}",
+                    F.transform(f"raw{i}", lambda p: p - F.lit(i)),
+                )
+                .drop(f"raw{i}")
+            )
+            if i != 0:
+                ps = ps.drop(f"_n{i}")
+            per_slot.append(ps)
+        joined = per_slot[0]
+        for i in range(1, len(slots)):
+            joined = joined.join(per_slot[i], ["segment_id", "docid"])
+        inter = F.col("p0")
+        for i in range(1, len(slots)):
+            inter = F.array_intersect(inter, F.col(f"p{i}"))
+        matched = joined.withColumn("phrase_freq", F.size(inter)).where(
+            F.col("phrase_freq") > 0
+        )
+
+        import math
+
+        doc_count = self.field_stats["doc_count"]
+        sttf = self.field_stats["sum_total_term_freq"]
+        if self.dtype == np.float32:
+            weight = np.float32(
+                float(
+                    np.sum(
+                        np.array(
+                            [
+                                bm25.idf(stats[t][0], doc_count)
+                                for t in all_terms
+                                if t in stats
+                            ],
+                            dtype=np.float64,
+                        )
+                    )
+                )
+            )
+            cache = bm25.norm_inverse_cache(
+                bm25.avg_field_length(sttf, doc_count),
+                np.float32(self.k1),
+                np.float32(self.b),
+            )
+        else:
+            weight = np.float64(
+                sum(
+                    math.log(
+                        1 + (doc_count - stats[t][0] + 0.5) / (stats[t][0] + 0.5)
+                    )
+                    for t in all_terms
+                    if t in stats
+                )
+            )
+            avgdl = sttf / float(doc_count)
+            cache = 1.0 / (
+                self.k1
+                * (
+                    (1 - self.b)
+                    + self.b
+                    * byte4_to_int(np.arange(256)).astype(np.float64)
+                    / avgdl
+                )
+            )
+        dtype = self.dtype
+
+        @F.pandas_udf("float" if dtype == np.float32 else "double")
+        def mp_score(pf, norm):
+            import pandas as pd
+
+            return pd.Series(
+                bm25.score(pf.to_numpy().astype(dtype), norm.to_numpy(), weight, cache)
+            )
+
+        return matched.select(
+            "segment_id",
+            "docid",
+            mp_score(F.col("phrase_freq"), F.col("norm")).alias("score"),
+        )
+
+    def multi_phrase_query(self, slots: list[list[str]], k: int = 10) -> DataFrame:
+        return self._finish_topk(self.scored_multi_phrase(slots), k)
+
     # ------------------------------------------------------------------
     def count(self, term: str) -> int:
         """Weight#count shortcut: answer from the terms table when the

@@ -1,0 +1,265 @@
+"""Classic query-string parser -> executable query plan.
+
+A small recursive-descent parser for the common subset of Lucene's
+classic QueryParser syntax (``lucene/queryparser/.../classic/
+QueryParserBase.java:130-133``, grammar ``QueryParser.java:72``):
+
+    term                 bare term (analyzed)
+    "a b c"              exact phrase
+    +term / -term        required / prohibited
+    a AND b, a OR b      operators (NOT x == -x)
+    wi* / w?w            prefix / wildcard
+    roam~ / roam~1       fuzzy (maxEdits, default 2)
+    [a TO b] / {a TO b}  term range (inclusive / exclusive)
+    term^2.5             boost
+    field:term           accepted; only the default field exists, so
+                         the prefix is validated and stripped
+
+Unsupported (raises ``QueryParseError``): grouping parens, slop on
+phrases, regex /…/ (use Searcher.regexp_query directly).
+
+Semantics follow the classic parser with default operator OR: bare
+clauses are SHOULD; AND promotes both neighbours to MUST; +/- set
+MUST/MUST_NOT. Query text runs through the same analyzer as indexing
+(``core/util/QueryBuilder.java:59-135``) — a quoted phrase whose terms
+stop-filter away matches nothing, like Lucene.
+
+Execution maps each clause to a scored DataFrame and combines with
+``Searcher.scored_boolean_clauses`` (the Occur algebra lifted over
+sub-plans); boosts multiply clause scores (BoostQuery semantics —
+exact for constant-score clauses, and exact in the float64 engine
+dtype for BM25 clauses since the score is linear in the weight).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+@dataclass
+class Clause:
+    kind: str  # term | phrase | prefix | wildcard | fuzzy | range
+    occur: str  # MUST | SHOULD | MUST_NOT
+    text: str = ""
+    terms: list[str] = field(default_factory=list)
+    boost: float = 1.0
+    max_edits: int = 2
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(?:
+      (?P<phrase>"[^"]*")
+     | (?P<range>[\[{][^\]}]*(?:TO)[^\]}]*[\]}])
+     | (?P<word>[^\s"\[\]{}]+)
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+def _split_boost(tok: str) -> tuple[str, float]:
+    if "^" in tok:
+        base, _, b = tok.rpartition("^")
+        try:
+            return base, float(b)
+        except ValueError as e:
+            raise QueryParseError(f"bad boost in {tok!r}") from e
+    return tok, 1.0
+
+
+def parse(query: str, default_field: str = "text") -> list[Clause]:
+    """Tokenize + classify a query string into clauses (pre-analysis)."""
+    if "(" in query or ")" in query:
+        raise QueryParseError("grouping parentheses are not supported")
+    raw: list[tuple[str, str, float]] = []  # (occur, token, boost)
+    pending_ops: list[str] = []
+    pos = 0
+    toks: list[str] = []
+    while pos < len(query):
+        m = _TOKEN_RE.match(query, pos)
+        if not m or m.end() == pos:
+            break
+        pos = m.end()
+        toks.append(m.group("phrase") or m.group("range") or m.group("word"))
+
+    clauses: list[Clause] = []
+    i = 0
+    pending_occur: str | None = None
+    while i < len(toks):
+        tok = toks[i]
+        up = tok.upper()
+        if up == "AND":
+            if clauses and clauses[-1].occur == "SHOULD":
+                clauses[-1].occur = "MUST"
+            pending_occur = "MUST"
+            i += 1
+            continue
+        if up == "OR":
+            pending_occur = "SHOULD"
+            i += 1
+            continue
+        if up == "NOT":
+            pending_occur = "MUST_NOT"
+            i += 1
+            continue
+
+        if tok in ("+", "-"):
+            # +/- split off a following phrase/range token by the lexer
+            pending_occur = "MUST" if tok == "+" else "MUST_NOT"
+            i += 1
+            if i >= len(toks):
+                raise QueryParseError("dangling +/- operator")
+            continue
+
+        occur = pending_occur or "SHOULD"
+        pending_occur = None
+        if tok.startswith("+"):
+            occur, tok = "MUST", tok[1:]
+        elif tok.startswith("-"):
+            occur, tok = "MUST_NOT", tok[1:]
+        if not tok:
+            raise QueryParseError("dangling +/- operator")
+
+        if tok.startswith('"'):
+            body, boost = _split_boost(tok)
+            if not body.endswith('"'):
+                body = tok  # boost split ate the quote; no boost then
+                boost = 1.0
+            clauses.append(
+                Clause("phrase", occur, text=body.strip('"'), boost=boost)
+            )
+            i += 1
+            continue
+        if tok[0] in "[{":
+            inc_lo = tok[0] == "["
+            inc_hi = tok[-1] == "]"
+            inner = tok[1:-1]
+            parts = re.split(r"\s+TO\s+", inner.strip(), flags=re.I)
+            if len(parts) != 2:
+                raise QueryParseError(f"bad range {tok!r}")
+            lo = None if parts[0] == "*" else parts[0].lower()
+            hi = None if parts[1] == "*" else parts[1].lower()
+            clauses.append(
+                Clause(
+                    "range",
+                    occur,
+                    lower=lo,
+                    upper=hi,
+                    include_lower=inc_lo,
+                    include_upper=inc_hi,
+                )
+            )
+            i += 1
+            continue
+
+        body, boost = _split_boost(tok)
+        if ":" in body:
+            fld, _, body = body.partition(":")
+            if fld != default_field:
+                raise QueryParseError(
+                    f"unknown field {fld!r} (only {default_field!r} exists)"
+                )
+        fuzzy_m = re.fullmatch(r"(.+?)~(\d?)", body)
+        if fuzzy_m:
+            clauses.append(
+                Clause(
+                    "fuzzy",
+                    occur,
+                    text=fuzzy_m.group(1).lower(),
+                    boost=boost,
+                    max_edits=int(fuzzy_m.group(2) or 2),
+                )
+            )
+        elif body.endswith("*") and "*" not in body[:-1] and "?" not in body:
+            clauses.append(
+                Clause("prefix", occur, text=body[:-1].lower(), boost=boost)
+            )
+        elif "*" in body or "?" in body:
+            clauses.append(
+                Clause("wildcard", occur, text=body.lower(), boost=boost)
+            )
+        else:
+            clauses.append(Clause("term", occur, text=body, boost=boost))
+        i += 1
+    if pending_occur is not None and pending_occur != "SHOULD":
+        raise QueryParseError("trailing operator")
+    if not clauses:
+        raise QueryParseError("empty query")
+    return clauses
+
+
+def execute(searcher, query: str, k: int = 10) -> DataFrame:
+    """Parse and run a classic query string; returns the top-k frame
+    (docid, url, score) like the other Searcher entry points."""
+    from pyspark.sql import functions as F
+
+    clauses = parse(query)
+    must, should, must_not = [], [], []
+
+    def scored(c: Clause) -> DataFrame | None:
+        if c.kind == "term":
+            terms = searcher.analyze_query(c.text)
+            if not terms:
+                return None
+            df = searcher.scored_boolean(should=terms)
+        elif c.kind == "phrase":
+            terms = searcher.analyze_query(c.text)
+            if not terms:
+                return None
+            df = (
+                searcher.scored_boolean(should=terms)
+                if len(terms) == 1
+                else searcher.scored_phrase(terms)
+            )
+        elif c.kind == "prefix":
+            df = searcher.scored_prefix(c.text)
+        elif c.kind == "wildcard":
+            df = searcher.scored_wildcard(c.text)
+        elif c.kind == "fuzzy":
+            df = searcher.scored_fuzzy(c.text, max_edits=c.max_edits)
+        elif c.kind == "range":
+            df = searcher.scored_term_range(
+                c.lower,
+                c.upper,
+                include_lower=c.include_lower,
+                include_upper=c.include_upper,
+            )
+        else:  # pragma: no cover
+            raise QueryParseError(f"unhandled clause kind {c.kind}")
+        if c.boost != 1.0:
+            score_t = "float" if searcher.dtype.__name__ == "float32" else "double"
+            df = df.select(
+                "segment_id",
+                "docid",
+                (F.col("score") * float(c.boost)).cast(score_t).alias("score"),
+            )
+        return df
+
+    for c in clauses:
+        df = scored(c)
+        if df is None:
+            if c.occur == "MUST":
+                # a MUST clause that analyzes to nothing matches nothing
+                return searcher._finish_topk(
+                    searcher._empty_scored().select(
+                        "segment_id", "docid", "score"
+                    ),
+                    k,
+                )
+            continue
+        {"MUST": must, "SHOULD": should, "MUST_NOT": must_not}[c.occur].append(df)
+
+    combined = searcher.scored_boolean_clauses(must, should, must_not)
+    return searcher._finish_topk(combined, k)

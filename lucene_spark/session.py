@@ -21,6 +21,13 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)
+    # shuffle/spill dir: this sandbox's block device has erratic latency
+    # under concurrent writers (multi-second stalls at local[32]);
+    # tmpfs removes that noise. On a real cluster leave it unset —
+    # executors use their configured local disks.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -35,4 +42,30 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, cpus: int | None = None) -> None:
+    """Pre-fork the Python worker pool and pay its import cost
+    (numpy/pandas/pyarrow) before timing anything.
+
+    At local[32] the first Arrow-UDF stage forks 32 workers that each
+    import the scientific stack concurrently — tens of seconds that
+    belong to process startup, not to the job under test. Real
+    clusters amortize this over long-lived executors."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def _touch(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    spark.range(0, cpus * 4, 1, cpus * 4).mapInArrow(
+        _touch, "id long"
+    ).count()

@@ -1,0 +1,105 @@
+"""Near-real-time indexing: Structured Streaming -> segment appends.
+
+Lucene's NRT model (``core/index/DirectoryReader.java:241-267``
+``openIfChanged`` + ``SearcherManager``) re-expressed for Spark:
+
+- the write side is a Structured Streaming query whose ``foreachBatch``
+  handler runs the same partition-local segment build as the batch job
+  (build.py) with a fresh segment-id range per micro-batch, then
+  commits the manifest atomically — each micro-batch is a Lucene
+  "flush + commit";
+- the read side is simply constructing a new :class:`Searcher`, which
+  reads the latest manifest generation (openIfChanged == re-open);
+- batches are idempotent: the manifest records the streaming batch id
+  in each segment's lineage, and a replayed batch (after a crash
+  between the manifest commit and Spark's checkpoint commit) is
+  detected and skipped — the segment-level exactly-once that
+  Lucene gets from ``segments_N`` generations;
+- merge pressure from many small NRT segments is handled by running
+  ``maybe_merge`` after appends (LogMergePolicy-style, merge.py).
+
+There are no watermarks or event-time windows here because the
+reference has none (SURVEY.md §2.11): indexing is append + refresh.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.build import build_index
+from ..operators.merge import maybe_merge
+from ..sources.catalog import IndexCatalog
+
+
+def batch_committed(index_dir: str, batch_id: int) -> bool:
+    man = IndexCatalog(index_dir).read_manifest()
+    return any(
+        s.get("lineage", {}).get("batch_id") == batch_id
+        for s in man["segments"]
+    )
+
+
+def append_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    num_segments: int = 4,
+    field: str = "text",
+    merge_factor: int | None = None,
+) -> None:
+    """Index one micro-batch as new segments (idempotent on batch_id)."""
+    if batch_committed(index_dir, batch_id):
+        return  # replay after crash: segments already durable
+    catalog = IndexCatalog(index_dir)
+    man = catalog.read_manifest()
+    offset = max((s["segment_id"] for s in man["segments"]), default=-1) + 1
+    build_index(
+        spark,
+        batch_df,
+        index_dir,
+        num_segments=num_segments,
+        field=field,
+        segment_id_offset=offset,
+        lineage_extra={"batch_id": batch_id},
+    )
+    if merge_factor:
+        maybe_merge(spark, index_dir, merge_factor=merge_factor, min_merge_docs=1)
+
+
+def index_stream(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    num_segments_per_batch: int = 4,
+    field: str = "text",
+    merge_factor: int | None = None,
+    trigger_once: bool = True,
+):
+    """Start the NRT indexing query over a streaming DataFrame with
+    columns (url, text, ...). Returns the StreamingQuery.
+
+    ``trigger_once=True`` processes everything available and stops
+    (the batch-catchup mode); pass False for continuous micro-batches.
+    """
+    spark = stream_df.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(
+            spark,
+            batch_df,
+            index_dir,
+            batch_id,
+            num_segments=num_segments_per_batch,
+            field=field,
+            merge_factor=merge_factor,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

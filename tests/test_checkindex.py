@@ -1,0 +1,95 @@
+"""CheckIndex integrity validation (core/index/CheckIndex.java analog)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from lucene_spark.operators.checkindex import CorruptIndexError, check_index
+from lucene_spark.sources.catalog import IndexCatalog
+
+
+class TestCheckIndex:
+    def test_clean_index_passes(self, spark, index_dir, naive):
+        report = check_index(spark, index_dir)
+        assert report["status"] == "OK"
+        assert report["num_docs"] == naive.N
+        assert report["sum_doclen"] == naive.sttf
+        assert report["segments"] >= 1
+
+    def test_detects_manifest_doc_count_corruption(
+        self, spark, index_dir, tmp_path
+    ):
+        # copy the index, corrupt the manifest's num_docs
+        d = str(tmp_path / "corrupt")
+        shutil.copytree(index_dir, d)
+        cat = IndexCatalog(d)
+        man = cat.read_manifest()
+        man["segments"][0]["num_docs"] += 1
+        cat.commit_manifest(man)
+        with pytest.raises(CorruptIndexError, match="docs vs manifest"):
+            check_index(spark, d)
+
+    def test_detects_field_stats_corruption(self, spark, index_dir, tmp_path):
+        d = str(tmp_path / "corrupt2")
+        shutil.copytree(index_dir, d)
+        cat = IndexCatalog(d)
+        man = cat.read_manifest()
+        man["field_stats"]["text"]["sum_total_term_freq"] += 7
+        cat.commit_manifest(man)
+        with pytest.raises(CorruptIndexError, match="field_stats"):
+            check_index(spark, d)
+
+    def test_detects_block_payload_corruption(self, spark, index_dir, tmp_path):
+        """Flip posting-block metadata by rewriting one parquet file's
+        num_docs column — the decode pass must flag it."""
+        import pyarrow.parquet as pq
+
+        d = str(tmp_path / "corrupt3")
+        shutil.copytree(index_dir, d)
+        cat = IndexCatalog(d)
+        stage_dirs = cat.live_data_dirs("stage")
+        # find a kind=0 parquet file with at least one row
+        target = None
+        for sd in stage_dirs:
+            k0 = os.path.join(sd, "kind=0")
+            for f in sorted(os.listdir(k0)):
+                if f.endswith(".parquet"):
+                    t = pq.read_table(os.path.join(k0, f))
+                    if t.num_rows > 0:
+                        target = (os.path.join(k0, f), t)
+                        break
+            if target:
+                break
+        assert target is not None
+        path, t = target
+        import pyarrow as pa
+
+        vals = t.column("block_total_tf").to_pylist()
+        vals[0] += 1  # breaks the sum(freqs) invariant
+        idx = t.schema.get_field_index("block_total_tf")
+        t2 = t.set_column(
+            idx,
+            t.schema.field("block_total_tf"),
+            pa.array(vals, type=t.schema.field("block_total_tf").type),
+        )
+        pq.write_table(t2, path)
+        # drop Hadoop's checksum sidecar or the reader rejects the
+        # rewritten file before CheckIndex can inspect it
+        crc = os.path.join(
+            os.path.dirname(path), "." + os.path.basename(path) + ".crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        with pytest.raises(CorruptIndexError, match="block violations"):
+            check_index(spark, d)
+
+    def test_merged_index_passes(self, spark, web_pages, tmp_path):
+        from lucene_spark.operators.build import build_index
+        from lucene_spark.operators.merge import maybe_merge
+
+        d = str(tmp_path / "m")
+        build_index(spark, web_pages, d, num_segments=4)
+        maybe_merge(spark, d, merge_factor=2, min_merge_docs=1)
+        assert check_index(spark, d)["status"] == "OK"

@@ -1,0 +1,117 @@
+"""Classic query-string parser: syntax -> clauses -> execution parity
+with the directly-constructed queries."""
+
+import pytest
+
+from lucene_spark.plans.parser import QueryParseError, execute, parse
+
+
+class TestParse:
+    def test_bare_terms_are_should(self):
+        cs = parse("window spark")
+        assert [(c.kind, c.occur, c.text) for c in cs] == [
+            ("term", "SHOULD", "window"),
+            ("term", "SHOULD", "spark"),
+        ]
+
+    def test_and_promotes_both(self):
+        cs = parse("window AND spark")
+        assert [c.occur for c in cs] == ["MUST", "MUST"]
+
+    def test_plus_minus(self):
+        cs = parse("+window -spark data")
+        assert [c.occur for c in cs] == ["MUST", "MUST_NOT", "SHOULD"]
+
+    def test_not_operator(self):
+        cs = parse("window NOT spark")
+        assert [c.occur for c in cs] == ["SHOULD", "MUST_NOT"]
+
+    def test_phrase(self):
+        cs = parse('"the query" window')
+        assert cs[0].kind == "phrase" and cs[0].text == "the query"
+        assert cs[1].kind == "term"
+
+    def test_prefix_wildcard_fuzzy(self):
+        cs = parse("wi* w?w spark~1 roam~")
+        assert [c.kind for c in cs] == ["prefix", "wildcard", "fuzzy", "fuzzy"]
+        assert cs[0].text == "wi"
+        assert cs[2].max_edits == 1 and cs[3].max_edits == 2
+
+    def test_range(self):
+        cs = parse("[spark TO table] {a TO b}")
+        assert cs[0].kind == "range" and cs[0].include_lower and cs[0].include_upper
+        assert not cs[1].include_lower and not cs[1].include_upper
+
+    def test_boost(self):
+        cs = parse("window^2.5")
+        assert cs[0].boost == 2.5
+
+    def test_field_prefix(self):
+        assert parse("text:window")[0].text == "window"
+        with pytest.raises(QueryParseError, match="unknown field"):
+            parse("title:window")
+
+    def test_errors(self):
+        with pytest.raises(QueryParseError):
+            parse("(a b)")
+        with pytest.raises(QueryParseError):
+            parse("")
+
+
+class TestExecute:
+    def _rows(self, df):
+        return [(r["docid"], r["url"], r["score"]) for r in df.collect()]
+
+    def test_or_matches_boolean_query(self, searcher):
+        got = self._rows(execute(searcher, "window spark", k=10))
+        expect = self._rows(
+            searcher.boolean_query(should=["window", "spark"], k=10)
+        )
+        assert got == expect
+
+    def test_and_matches_boolean_query(self, searcher):
+        got = self._rows(execute(searcher, "window AND spark", k=10))
+        expect = self._rows(searcher.boolean_query(must=["window", "spark"], k=10))
+        assert got == expect
+
+    def test_must_not(self, searcher):
+        got = self._rows(execute(searcher, "+window -spark", k=10))
+        expect = self._rows(
+            searcher.boolean_query(must=["window"], must_not=["spark"], k=10)
+        )
+        assert got == expect
+
+    def test_phrase_matches_phrase_query(self, searcher):
+        got = self._rows(execute(searcher, '"the query"', k=10))
+        expect = self._rows(searcher.phrase_query(["the", "query"], k=10))
+        assert got == expect
+
+    def test_must_absent_term_matches_nothing(self, searcher):
+        # a MUST clause on a term absent from the corpus empties the
+        # result set (BooleanQuery conjunction semantics)
+        got = execute(searcher, '+"zzzznotaword" window', k=10).collect()
+        assert got == []
+
+    def test_prefix_constant_score(self, searcher):
+        got = self._rows(execute(searcher, "wi*", k=5))
+        expect = self._rows(searcher.prefix_query("wi", k=5))
+        assert got == expect
+
+    def test_mixed_phrase_and_term(self, searcher):
+        """BooleanQuery over heterogeneous clauses: phrase MUST + term
+        SHOULD, checked against a hand-built combination."""
+        got = self._rows(execute(searcher, '+"the query" window', k=10))
+        combined = searcher.scored_boolean_clauses(
+            must=[searcher.scored_phrase(["the", "query"])],
+            should=[searcher.scored_boolean(should=["window"])],
+        )
+        expect = self._rows(searcher._finish_topk(combined, 10))
+        assert got == expect
+        assert got, "should match something"
+
+    def test_boosted_term(self, searcher):
+        got = self._rows(execute(searcher, "window^2", k=10))
+        base = self._rows(searcher.term_query("window", k=10))
+        assert [g[0] for g in got] == [b[0] for b in base]
+        for (_, _, gs), (_, _, bs) in zip(got, base):
+            assert abs(gs - 2 * bs) < 1e-5

@@ -274,6 +274,89 @@ class TestCollectors:
         assert got == expect
 
 
+class TestRescoreAndFunctionScore:
+    def test_rescore_combines_weighted(self, searcher, naive):
+        first = searcher.scored_boolean(should=["window"])
+        second = searcher.scored_phrase(["the", "query"])
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.rescore(
+                    first, second, top_n=1000, query_weight=1.0,
+                    rescore_weight=2.0,
+                )
+            ).collect()
+        }
+        s1 = naive.term_scores("window")
+        phrase = dict(
+            (d, s) for d, _, s in naive.phrase_query(["the", "query"], k=10**6)
+        )
+        for i in np.flatnonzero(naive.tf("window") > 0):
+            expect = float(s1[i]) + 2.0 * phrase.get(int(i), 0.0)
+            assert abs(got[int(i)] - expect) <= 1e-5
+
+    def test_rescore_limits_to_top_n(self, searcher):
+        first = searcher.scored_boolean(should=["window"])
+        n_all = first.count()
+        top_n = max(1, n_all - 2)
+        out = searcher.rescore(first, first, top_n=top_n)
+        assert out.count() == top_n
+
+    def test_function_score_expression(self, searcher, naive):
+        sc = searcher.scored_boolean(should=["window"])
+        out = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.function_score(sc, "score + doclen / 1000.0")
+            ).collect()
+        }
+        raw = naive.term_scores("window")
+        for i in np.flatnonzero(naive.tf("window") > 0):
+            assert abs(out[int(i)] - (float(raw[i]) + naive.doclens[i] / 1000.0)) <= 1e-5
+
+
+class TestMultiPhrase:
+    def test_single_alternatives_equal_exact_phrase(self, searcher):
+        a = [
+            (r["docid"], r["score"])
+            for r in searcher.multi_phrase_query([["the"], ["query"]], k=10).collect()
+        ]
+        b = [
+            (r["docid"], r["score"])
+            for r in searcher.phrase_query(["the", "query"], k=10).collect()
+        ]
+        # same matches; scores differ only if idf sums differ (they
+        # don't: same term set), so full equality is required
+        assert a == b
+
+    def test_alternatives_union_positions(self, searcher, naive):
+        """[[t1a|t1b], [t2]] must match docs where EITHER variant
+        immediately precedes t2, per a python mirror of the union
+        semantics."""
+        slots = [["window", "table"], ["the"]]
+        expect_docs = set()
+        for i, (terms_i, pos_i) in enumerate(naive.analyzed):
+            pos_of = {}
+            for t, p in zip(terms_i, pos_i):
+                pos_of.setdefault(t, set()).add(p)
+            s0 = pos_of.get("window", set()) | pos_of.get("table", set())
+            s1 = {p - 1 for p in pos_of.get("the", set())}
+            if s0 & s1:
+                expect_docs.add(i)
+        got = {
+            r["docid"]
+            for r in searcher.multi_phrase_query(slots, k=1000).collect()
+        }
+        assert got == expect_docs
+        assert got, "fixture should contain at least one match"
+
+    def test_missing_slot_matches_nothing(self, searcher):
+        assert (
+            searcher.multi_phrase_query([["zzznoterm"], ["query"]], k=10).count()
+            == 0
+        )
+
+
 class TestMoreLikeThis:
     def test_terms_and_query(self, searcher, naive):
         seed_text = " ".join(naive.analyzed[0][0])

@@ -1,0 +1,93 @@
+"""Term-frequency skew: stopword-heavy postings stay bounded.
+
+The north rule calls out stopword-heavy posting skew. This engine's
+design makes build-time term skew structurally impossible — the only
+build shuffle is keyed by segment_id (uniform: xxhash64 of unique
+urls), never by term, and a term's postings inside a segment are
+chunked into independent 256-doc blocks at pack time ("split posting
+blocks"). These tests prove the properties on a deliberately skewed
+corpus: one term ("the") in every document, a zipf tail behind it.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.build import build_index, read_postings
+from lucene_spark.operators.codec import BLOCK_SIZE
+from lucene_spark.sources.catalog import IndexCatalog
+
+N_DOCS = 3000
+N_SEGMENTS = 4
+
+
+@pytest.fixture(scope="module")
+def skewed_index(spark, tmp_path_factory):
+    """Corpus where 'the' appears in every doc (3x), plus a zipf tail."""
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for d in range(N_DOCS):
+        toks = ["the", "the", "the"]
+        # deterministic zipf-ish tail: doc d uses words w_{d%i} coarsely
+        for i in range(1, 12):
+            toks.append(vocab[(d * i + i * i) % (i * 4 + 1)])
+        rows.append((f"https://example.org/doc/{d:08d}", " ".join(toks)))
+    wp = spark.createDataFrame(rows, "url string, text string")
+    d = str(tmp_path_factory.mktemp("skew") / "idx")
+    build_index(spark, wp, d, num_segments=N_SEGMENTS)
+    return d, wp
+
+
+class TestSkewBounds:
+    def test_stopword_blocks_split_and_bounded(self, spark, skewed_index):
+        d, _ = skewed_index
+        posts = read_postings(spark, IndexCatalog(d)).where(
+            F.col("term") == "the"
+        )
+        rows = posts.select("segment_id", "num_docs").collect()
+        # every block holds at most BLOCK_SIZE postings...
+        assert all(r["num_docs"] <= BLOCK_SIZE for r in rows)
+        by_seg = {}
+        for r in rows:
+            by_seg.setdefault(r["segment_id"], []).append(r["num_docs"])
+        # ...and the stopword's postings are split into ceil(df/256)
+        # independent blocks per segment (the "split posting blocks"
+        # of the north rule), all but the tail exactly full
+        for seg, sizes in by_seg.items():
+            df_seg = sum(sizes)
+            assert len(sizes) == -(-df_seg // BLOCK_SIZE)
+            assert sorted(sizes, reverse=True)[:-1] == [BLOCK_SIZE] * (
+                len(sizes) - 1
+            )
+
+    def test_segment_sizes_uniform(self, spark, skewed_index):
+        d, _ = skewed_index
+        man = IndexCatalog(d).read_manifest()
+        sizes = [s["num_docs"] for s in man["segments"]]
+        assert len(sizes) == N_SEGMENTS
+        # xxhash64(url) assignment: no segment more than 30% off mean
+        mean = N_DOCS / N_SEGMENTS
+        assert all(abs(s - mean) / mean < 0.3 for s in sizes)
+
+    def test_stopword_query_correct_under_skew(self, spark, skewed_index):
+        from lucene_spark.operators.search import Searcher
+
+        d, wp = skewed_index
+        s = Searcher(spark, d)
+        # 'the' matches every doc; freq ties everywhere -> top-10 by
+        # (score desc, docid asc); all docs have freq 3 but doclen 14
+        # so scores tie -> first 10 global docids
+        top = s.term_query("the", k=10).collect()
+        assert [r["docid"] for r in top] == list(range(10))
+        assert s.count("the") == N_DOCS
+
+    def test_tail_term_unaffected(self, spark, skewed_index):
+        from lucene_spark.operators.search import Searcher
+
+        d, _ = skewed_index
+        s = Searcher(spark, d)
+        stats = s.term_stats(["w0", "the"])
+        assert stats["the"][0] == N_DOCS
+        assert 0 < stats["w0"][0] < N_DOCS
+        rows = s.boolean_query(must=["w0"], must_not=["nosuch"], k=5).collect()
+        assert rows

@@ -1,0 +1,124 @@
+"""NRT streaming appends: micro-batch segments, idempotent replay,
+openIfChanged-style re-open, merge-after-append, and invariance vs a
+single batch build over the same rows."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.search import Searcher
+from lucene_spark.sources.catalog import IndexCatalog
+from lucene_spark.streaming.nrt import append_batch, batch_committed, index_stream
+
+
+@pytest.fixture()
+def halves(web_pages):
+    """Two deterministic halves of the corpus (streaming batches)."""
+    h = web_pages.withColumn("h", F.pmod(F.xxhash64("url"), F.lit(2)))
+    return (
+        h.where(F.col("h") == 0).drop("h"),
+        h.where(F.col("h") == 1).drop("h"),
+    )
+
+
+class TestAppendBatch:
+    def test_incremental_equals_batch(
+        self, spark, web_pages, halves, tmp_path
+    ):
+        inc = str(tmp_path / "inc")
+        append_batch(spark, halves[0], inc, batch_id=0, num_segments=2)
+        mid = Searcher(spark, inc)
+        # after batch 0 only half the corpus is visible
+        n_mid = mid.field_stats["doc_count"]
+        append_batch(spark, halves[1], inc, batch_id=1, num_segments=2)
+
+        # openIfChanged: a NEW searcher sees the appended segments
+        s2 = Searcher(spark, inc)
+        assert s2.field_stats["doc_count"] > n_mid
+
+        flat = str(tmp_path / "flat")
+        from lucene_spark.operators.build import build_index
+
+        build_index(spark, web_pages, flat, num_segments=4)
+        sf = Searcher(spark, flat)
+
+        assert s2.field_stats == sf.field_stats
+        # same term stats regardless of arrival order
+        a = {
+            (r["term"], r["doc_freq"], r["total_term_freq"])
+            for r in s2._terms_df.collect()
+        }
+        b = {
+            (r["term"], r["doc_freq"], r["total_term_freq"])
+            for r in sf._terms_df.collect()
+        }
+        assert a == b
+        # same top-10 scores (docids differ: segment layout differs,
+        # so compare (url, score) pairs)
+        qa = [
+            (r["url"], r["score"])
+            for r in s2.boolean_query(should=["window", "spark"], k=10).collect()
+        ]
+        qb = [
+            (r["url"], r["score"])
+            for r in sf.boolean_query(should=["window", "spark"], k=10).collect()
+        ]
+        assert qa == qb
+
+    def test_replay_is_idempotent(self, spark, halves, tmp_path):
+        inc = str(tmp_path / "inc2")
+        append_batch(spark, halves[0], inc, batch_id=0, num_segments=2)
+        man1 = IndexCatalog(inc).read_manifest()
+        assert batch_committed(inc, 0)
+        append_batch(spark, halves[0], inc, batch_id=0, num_segments=2)
+        man2 = IndexCatalog(inc).read_manifest()
+        assert len(man1["segments"]) == len(man2["segments"])
+        assert man1["field_stats"] == man2["field_stats"]
+
+    def test_merge_after_append(self, spark, halves, tmp_path):
+        inc = str(tmp_path / "inc3")
+        append_batch(spark, halves[0], inc, 0, num_segments=2)
+        append_batch(
+            spark, halves[1], inc, 1, num_segments=2, merge_factor=2
+        )
+        man = IndexCatalog(inc).read_manifest()
+        live = [s for s in man["segments"] if s["status"] == "COMMITTED"]
+        assert any("merged_from" in s.get("lineage", {}) for s in live)
+        from lucene_spark.operators.checkindex import check_index
+
+        assert check_index(spark, inc)["status"] == "OK"
+
+
+class TestStreamingQuery:
+    def test_file_stream_end_to_end(self, spark, web_pages, tmp_path):
+        """Real Structured Streaming run: file source, availableNow
+        trigger, foreachBatch appends, results match batch build."""
+        src_dir = str(tmp_path / "stream_src")
+        web_pages.select("url", "text").write.parquet(src_dir)
+
+        idx = str(tmp_path / "stream_idx")
+        ckpt = str(tmp_path / "ckpt")
+        stream = (
+            spark.readStream.schema("url string, text string")
+            .parquet(src_dir)
+        )
+        q = index_stream(stream, idx, ckpt, num_segments_per_batch=2)
+        q.awaitTermination(120)
+
+        s = Searcher(spark, idx)
+        flat = str(tmp_path / "flat_idx")
+        from lucene_spark.operators.build import build_index
+
+        build_index(spark, web_pages, flat, num_segments=4)
+        sf = Searcher(spark, flat)
+        assert s.field_stats == sf.field_stats
+        qa = [
+            (r["url"], r["score"])
+            for r in s.term_query("window", k=10).collect()
+        ]
+        qb = [
+            (r["url"], r["score"])
+            for r in sf.term_query("window", k=10).collect()
+        ]
+        assert qa == qb
