@@ -292,6 +292,23 @@ def build_index(
     stage = spark.read.parquet(commit_id)
     rel_commit = commit_id[len(catalog.index_dir) + 1 :]
 
+    # materialize the per-segment term dictionary (block-tree .tim/.tip
+    # analog): derived once from block metadata here, so query-time
+    # stats lookups are a tiny parquet scan instead of re-aggregating
+    # the whole postings table per query
+    terms_dir = catalog.new_commit_dir("terms")
+    (
+        stage.where(F.col("kind") == 0)
+        .groupBy("segment_id", "field", "term")
+        .agg(
+            F.sum("num_docs").cast("long").alias("doc_freq"),
+            F.sum("block_total_tf").cast("long").alias("total_term_freq"),
+        )
+        .write.mode("overwrite")
+        .parquet(terms_dir)
+    )
+    rel_terms = terms_dir[len(catalog.index_dir) + 1 :]
+
     # per-segment lineage + metrics from the staged rows — one job for
     # both kinds (conditional aggregates) instead of two scans
     all_rows = (
@@ -330,7 +347,7 @@ def build_index(
                     **(lineage_extra or {}),
                 },
                 "metrics": {"build_wall_sec_total_job": round(wall, 3)},
-                "data": {"stage": rel_commit},
+                "data": {"stage": rel_commit, "terms": rel_terms},
             }
         )
     # refresh corpus-level field stats (BM25Similarity.java:144-146 inputs)
@@ -384,12 +401,24 @@ def read_docs(spark: SparkSession, catalog: IndexCatalog) -> DataFrame:
 
 
 def read_terms(spark: SparkSession, catalog: IndexCatalog) -> DataFrame:
-    """Term dictionary + stats, derived from block metadata only."""
-    return (
-        read_postings(spark, catalog)
-        .groupBy("field", "term")
-        .agg(
+    """Global term dictionary + stats.
+
+    Fast path: aggregate the materialized per-segment terms files
+    (tiny — vocab x segments rows). Indexes written before terms
+    materialization fall back to deriving from block metadata."""
+    man = catalog.read_manifest()
+    live = [s for s in man["segments"] if s.get("status") == "COMMITTED"]
+    if live and all("terms" in s.get("data", {}) for s in live):
+        dirs = catalog.live_data_dirs("terms")
+        per_seg = spark.read.parquet(*dirs).where(_live_filter(catalog))
+    else:
+        per_seg = read_postings(spark, catalog).groupBy(
+            "segment_id", "field", "term"
+        ).agg(
             F.sum("num_docs").cast("long").alias("doc_freq"),
             F.sum("block_total_tf").cast("long").alias("total_term_freq"),
         )
+    return per_seg.groupBy("field", "term").agg(
+        F.sum("doc_freq").cast("long").alias("doc_freq"),
+        F.sum("total_term_freq").cast("long").alias("total_term_freq"),
     )

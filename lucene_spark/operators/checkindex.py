@@ -200,6 +200,26 @@ def check_index(spark: SparkSession, index_dir: str, field: str = "text") -> dic
     if bad_norms:
         raise CorruptIndexError(f"{bad_norms} docs with wrong norm byte")
 
+    # pass 3.5: materialized term dictionary == derivation from blocks
+    from .build import read_terms
+
+    derived = posts.groupBy("field", "term").agg(
+        F.sum("num_docs").cast("long").alias("doc_freq"),
+        F.sum("block_total_tf").cast("long").alias("total_term_freq"),
+    )
+    stored = read_terms(spark, catalog).where(F.col("field") == field)
+    diff = (
+        stored.unionByName(derived)
+        .groupBy("field", "term", "doc_freq", "total_term_freq")
+        .count()
+        .where(F.col("count") != 2)
+        .count()
+    )
+    if diff:
+        raise CorruptIndexError(
+            f"terms table disagrees with postings for {diff} (term, stats) rows"
+        )
+
     # pass 4: corpus stats vs manifest
     stats = manifest["field_stats"][field]
     tot = docs.agg(

@@ -167,6 +167,29 @@ def merge_segments(
     merged.write.mode("overwrite").partitionBy("kind").parquet(commit_dir)
     rel = commit_dir[len(catalog.index_dir) + 1 :]
 
+    # merged term dictionary: re-tag the sources' per-segment terms to
+    # the new segment id and sum — a scan over vocab-sized files, the
+    # block-tree merge analog of SegmentMerger's FieldsConsumer.merge
+    rel_terms = None
+    if all("terms" in s.get("data", {}) for s in srcs):
+        tdirs = sorted(
+            {catalog.index_dir + "/" + s["data"]["terms"] for s in srcs}
+        )
+        terms_dir = catalog.new_commit_dir("terms")
+        (
+            spark.read.parquet(*tdirs)
+            .where(F.col("segment_id").isin([int(g) for g in group]))
+            .groupBy("field", "term")
+            .agg(
+                F.sum("doc_freq").cast("long").alias("doc_freq"),
+                F.sum("total_term_freq").cast("long").alias("total_term_freq"),
+            )
+            .withColumn("segment_id", F.lit(int(new_id)).cast("long"))
+            .write.mode("overwrite")
+            .parquet(terms_dir)
+        )
+        rel_terms = terms_dir[len(catalog.index_dir) + 1 :]
+
     # atomic manifest swap: retire sources, publish merged segment
     manifest = catalog.read_manifest()
     keep = [s for s in manifest["segments"] if s["segment_id"] not in set(group)]
@@ -183,7 +206,11 @@ def merge_segments(
                 "policy": "LogDocMergePolicy",
             },
             "metrics": {},
-            "data": {"stage": rel},
+            "data": (
+                {"stage": rel, "terms": rel_terms}
+                if rel_terms
+                else {"stage": rel}
+            ),
         }
     )
     manifest["segments"] = keep
