@@ -233,8 +233,33 @@ def check_index(spark: SparkSession, index_dir: str, field: str = "text") -> dic
             f"manifest says {stats}"
         )
 
+    # pass 5: tombstones reference live segments and valid docids
+    from .deletes import read_tombstones
+
+    tomb = read_tombstones(spark, catalog)
+    n_deleted = 0
+    if tomb is not None:
+        seg_max = {s["segment_id"]: s["num_docs"] for s in live}
+        bad = tomb.join(
+            spark.createDataFrame(
+                [(int(k), int(v)) for k, v in seg_max.items()],
+                "segment_id long, n long",
+            ),
+            "segment_id",
+            "left",
+        ).where(
+            F.col("n").isNull()
+            | (F.col("local_docid") < 0)
+            | (F.col("local_docid") >= F.col("n"))
+        )
+        n_bad = bad.count()
+        if n_bad:
+            raise CorruptIndexError(f"{n_bad} invalid tombstones")
+        n_deleted = tomb.count()
+
     return {
         "segments": len(live),
+        "num_deleted": int(n_deleted),
         "num_docs": int(tot["n"]),
         "num_blocks": int(n_blocks),
         "sum_doclen": int(tot["dl"] or 0),

@@ -1,0 +1,107 @@
+"""Deletes / live docs: tombstone tables + query-time anti-join.
+
+The reference tracks deletions as per-segment live-doc bitsets
+(``core/codecs/lucene90/Lucene90LiveDocsFormat``, wired
+``Lucene104Codec.java:74``) written as new generations next to the
+immutable segment. The Spark re-expression:
+
+- a delete operation resolves the victim (segment_id, local_docid)
+  pairs and writes them as a tombstone parquet under ``deletes/c{N}``,
+  then appends a generation record to the manifest (atomic swap) —
+  the segment data files are never touched;
+- readers anti-join tombstones against scored postings (liveDocs
+  filtering in the scorer, ``scorer.score(collector, liveDocs, ...)``);
+- corpus stats and norms are intentionally NOT updated — exactly
+  Lucene's behavior: deleted docs still count toward docFreq/avgdl
+  until a merge reclaims them;
+- the ``Weight#count`` shortcut is only valid when no deletes exist
+  (``core/search/IndexSearcher.java:495-527`` checks liveDocs == null);
+  Searcher.count falls back to counting live matches;
+- concat merges carry tombstones forward (re-tagged to the new
+  segment id, docids shifted); physical reclamation is future work —
+  queries are already exact without it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import IndexCatalog
+
+TOMBSTONE_SCHEMA = "segment_id long, local_docid long"
+
+
+def _commit_tombstones(
+    catalog: IndexCatalog, df: DataFrame, op: dict
+) -> int:
+    d = catalog.new_commit_dir("deletes")
+    df.select("segment_id", "local_docid").distinct().write.mode(
+        "overwrite"
+    ).parquet(d)
+    n = df.sparkSession.read.parquet(d).count()
+    man = catalog.read_manifest()
+    man.setdefault("deletes", []).append(
+        {"dir": d[len(catalog.index_dir) + 1 :], "count": int(n), "op": op}
+    )
+    catalog.commit_manifest(man)
+    return n
+
+
+def delete_by_urls(
+    spark: SparkSession, index_dir: str, urls: list[str]
+) -> int:
+    """Delete documents by their url key (updateDocument's delete half,
+    ``core/index/IndexWriter.java:1881``). Returns tombstones written."""
+    from .build import read_docs
+
+    catalog = IndexCatalog(index_dir)
+    docs = read_docs(spark, catalog)
+    victims = docs.where(F.col("url").isin(list(urls))).select(
+        "segment_id", "local_docid"
+    )
+    return _commit_tombstones(
+        catalog, victims, {"kind": "by_urls", "n_keys": len(urls)}
+    )
+
+
+def delete_by_term(
+    spark: SparkSession, index_dir: str, term: str, field: str = "text"
+) -> int:
+    """IndexWriter.deleteDocuments(Term) analog: every doc containing
+    ``term`` becomes a tombstone."""
+    from .search import Searcher
+
+    catalog = IndexCatalog(index_dir)
+    s = Searcher(spark, index_dir, field=field)
+    victims = (
+        s.scored_postings([term])
+        .select("segment_id", F.col("docid").alias("local_docid"))
+        .distinct()
+    )
+    return _commit_tombstones(
+        catalog, victims, {"kind": "by_term", "field": field, "term": term}
+    )
+
+
+def read_tombstones(
+    spark: SparkSession, catalog: IndexCatalog
+) -> DataFrame | None:
+    """Union of all live tombstones, restricted to live segments.
+    None when the index has no deletes (the fast path)."""
+    man = catalog.read_manifest()
+    gens = man.get("deletes", [])
+    if not gens:
+        return None
+    dirs = [f"{catalog.index_dir}/{g['dir']}" for g in gens]
+    live = [int(s) for s in sorted(catalog.committed_segment_ids())]
+    return (
+        spark.read.parquet(*dirs)
+        .where(F.col("segment_id").isin(live))
+        .distinct()
+    )
+
+
+def deleted_count(spark: SparkSession, index_dir: str) -> int:
+    t = read_tombstones(spark, IndexCatalog(index_dir))
+    return 0 if t is None else t.count()

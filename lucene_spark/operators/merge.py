@@ -190,8 +190,37 @@ def merge_segments(
         )
         rel_terms = terms_dir[len(catalog.index_dir) + 1 :]
 
+    # carry tombstones forward: the group's deleted docs remap by the
+    # same per-segment offsets (liveDocs survive a concat merge; Lucene
+    # instead reclaims them physically — see deletes.py docstring)
+    del_rel = None
+    man_now = catalog.read_manifest()
+    if man_now.get("deletes"):
+        ddirs = [f"{catalog.index_dir}/{g['dir']}" for g in man_now["deletes"]]
+        remapped = (
+            spark.read.parquet(*ddirs)
+            .where(F.col("segment_id").isin([int(g) for g in group]))
+            .join(off_df, "segment_id")
+            .select(
+                F.lit(int(new_id)).cast("long").alias("segment_id"),
+                (F.col("local_docid") + F.col("off")).alias("local_docid"),
+            )
+            .distinct()
+        )
+        n_del = remapped.count()
+        if n_del:
+            ddir = catalog.new_commit_dir("deletes")
+            remapped.write.mode("overwrite").parquet(ddir)
+            del_rel = {
+                "dir": ddir[len(catalog.index_dir) + 1 :],
+                "count": int(n_del),
+                "op": {"kind": "merge_remap", "merged_from": list(map(int, group))},
+            }
+
     # atomic manifest swap: retire sources, publish merged segment
     manifest = catalog.read_manifest()
+    if del_rel:
+        manifest.setdefault("deletes", []).append(del_rel)
     keep = [s for s in manifest["segments"] if s["segment_id"] not in set(group)]
     keep.append(
         {

@@ -116,9 +116,11 @@ class QueryOpsMixin:
                         }
                     )
 
-        return posts.mapInArrow(
-            kernel, schema="segment_id long, docid long"
-        ).distinct()
+        return self._filter_live(
+            posts.mapInArrow(
+                kernel, schema="segment_id long, docid long"
+            ).distinct()
+        )
 
     def constant_score(self, matches: DataFrame, boost: float = 1.0) -> DataFrame:
         """ConstantScoreQuery (``core/search/ConstantScoreQuery.java:28``)."""
@@ -654,4 +656,4 @@ class QueryOpsMixin:
         docs = self._docs.select(
             "segment_id", F.col("local_docid").alias("docid")
         )
-        return self.constant_score(docs, 1.0)
+        return self.constant_score(self._filter_live(docs), 1.0)

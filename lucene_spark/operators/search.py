@@ -73,6 +73,57 @@ def _unpack_ddl(dtype) -> str:
     )
 
 
+def sloppy_phrase_freq(adjusted_pos_lists: list[list[int]], slop: int) -> float:
+    """Greedy sloppy-phrase frequency over ADJUSTED positions (raw
+    position minus phrase offset), the ``SloppyPhraseMatcher``
+    algorithm for non-repeating terms:
+
+    a priority queue holds one cursor per term ordered by (position,
+    phrase offset); repeatedly advance the minimum cursor; whenever it
+    overtakes the next-smallest, the spread ``end - min`` at that
+    point is a candidate match — if within slop it scores
+    ``1/(1+matchLength)``; a cursor running out ends the doc with one
+    final candidate. Returns the summed sloppy weights (Lucene's
+    phraseFreq for slop > 0).
+    """
+    import heapq
+
+    n = len(adjusted_pos_lists)
+    its = adjusted_pos_lists
+    if any(not pl for pl in its):
+        return 0.0
+    idx = [0] * n
+    heap = [(pl[0], i) for i, pl in enumerate(its)]
+    heapq.heapify(heap)
+    end = max(pl[0] for pl in its)
+
+    freq = 0.0
+    pos, i = heapq.heappop(heap)
+    match_length = end - pos
+    next_pos = heap[0][0]
+    while True:
+        idx[i] += 1
+        if idx[i] >= len(its[i]):
+            if match_length <= slop:
+                freq += 1.0 / (1 + match_length)
+            break
+        p = its[i][idx[i]]
+        if p > end:
+            end = p
+        if p > next_pos:
+            heapq.heappush(heap, (p, i))
+            if match_length <= slop:
+                freq += 1.0 / (1 + match_length)
+            pos, i = heapq.heappop(heap)
+            next_pos = heap[0][0]
+            match_length = end - pos
+        else:
+            ml2 = end - p
+            if ml2 < match_length:
+                match_length = ml2
+    return freq
+
+
 class _TermScorerParams:
     """Plain-data scorer (weight + norm-inverse cache) for one term."""
 
@@ -237,6 +288,23 @@ class Searcher(QueryOpsMixin):
             [(int(s), int(o)) for s, o in bases.items()],
             "segment_id long, doc_base long",
         )
+        # liveDocs snapshot: tombstones as of open time (a Searcher is
+        # a point-in-time reader; openIfChanged = construct a new one)
+        from .deletes import read_tombstones
+
+        self._tombstones = read_tombstones(spark, self.catalog)
+
+    def _filter_live(self, df: DataFrame, docid_col: str = "docid") -> DataFrame:
+        """Drop deleted docs (liveDocs anti-join); no-op when the index
+        has no deletes — the common fast path costs nothing."""
+        if self._tombstones is None:
+            return df
+        t = self._tombstones.select(
+            "segment_id", F.col("local_docid").alias(docid_col)
+        )
+        return df.join(
+            F.broadcast(t), ["segment_id", docid_col], "left_anti"
+        )
 
     # ------------------------------------------------------------------
     def analyze_query(self, text: str) -> list[str]:
@@ -268,11 +336,23 @@ class Searcher(QueryOpsMixin):
         scorers = _bind_scorers(
             stats, self.field_stats, self.k1, self.b, boost, self.dtype
         )
-        posts = self._postings.where(F.col("term").isin(present))
+        # explicit pruning: Catalyst can't see through mapInArrow, so
+        # select only what the kernel touches — pos_block (the widest
+        # column) is read from parquet only for position-needing queries
+        cols = [
+            "term", "segment_id", "first_docid", "num_docs",
+            "doc_block", "freq_block", "norm_block",
+            "impact_freqs", "impact_norms",
+        ]
+        if need_positions:
+            cols.append("pos_block")
+        posts = self._postings.where(F.col("term").isin(present)).select(*cols)
         kernel, _ = _make_unpack_kernel(
             scorers, self.dtype, need_positions, k_for_pruning
         )
-        return posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
+        return self._filter_live(
+            posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
+        )
 
     def _empty_scored(self):
         score_t = "float" if self.dtype == np.float32 else "double"
@@ -481,6 +561,119 @@ class Searcher(QueryOpsMixin):
         """Exact PhraseQuery top-k (core/search/PhraseQuery.java:71)."""
         return self._finish_topk(self.scored_phrase(terms), k)
 
+    def scored_sloppy_phrase(self, terms: list[str], slop: int) -> DataFrame:
+        """Sloppy PhraseQuery (``core/search/SloppyPhraseMatcher.java``,
+        non-repeating terms): greedy minimal-advance matching over a
+        priority queue of phrase positions; each match within ``slop``
+        contributes sloppyWeight = 1/(1+matchLength) to the phrase
+        freq, which then feeds the same pseudo-term BM25 scorer as the
+        exact matcher (weight = summed idf).
+
+        At slop=0 this reduces to the exact matcher's freq (every
+        match has length 0, weight 1) — asserted in tests."""
+        if slop == 0:
+            return self.scored_phrase(terms)
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return self._empty_scored().select("segment_id", "docid", "score")
+
+        sc = self.scored_postings(
+            list(dict.fromkeys(terms)), need_positions=True
+        )
+        per_term = []
+        for i, t in enumerate(terms):
+            shifted = sc.where(F.col("term") == t).select(
+                "segment_id",
+                "docid",
+                F.col("norm") if i == 0 else F.col("norm").alias(f"_n{i}"),
+                F.transform("positions", lambda p: p - F.lit(i)).alias(f"p{i}"),
+            )
+            if i != 0:
+                shifted = shifted.drop(f"_n{i}")
+            per_term.append(shifted)
+        joined = per_term[0]
+        for i in range(1, len(terms)):
+            joined = joined.join(per_term[i], ["segment_id", "docid"])
+
+        import math
+
+        doc_count = self.field_stats["doc_count"]
+        sttf = self.field_stats["sum_total_term_freq"]
+        if self.dtype == np.float32:
+            weight = np.float32(
+                float(
+                    np.sum(
+                        np.array(
+                            [bm25.idf(stats[t][0], doc_count) for t in terms],
+                            dtype=np.float64,
+                        )
+                    )
+                )
+            )
+            cache = bm25.norm_inverse_cache(
+                bm25.avg_field_length(sttf, doc_count),
+                np.float32(self.k1),
+                np.float32(self.b),
+            )
+        else:
+            weight = np.float64(
+                sum(
+                    math.log(
+                        1 + (doc_count - stats[t][0] + 0.5) / (stats[t][0] + 0.5)
+                    )
+                    for t in terms
+                )
+            )
+            avgdl = sttf / float(doc_count)
+            cache = 1.0 / (
+                self.k1
+                * (
+                    (1 - self.b)
+                    + self.b
+                    * byte4_to_int(np.arange(256)).astype(np.float64)
+                    / avgdl
+                )
+            )
+        dtype = self.dtype
+        n_terms = len(terms)
+
+        @F.pandas_udf("double")
+        def sloppy_freq_udf(*pos_cols):
+            import pandas as pd
+
+            out = []
+            for row in zip(*pos_cols):
+                out.append(
+                    sloppy_phrase_freq([list(p) for p in row], slop)
+                )
+            return pd.Series(out)
+
+        pos_args = [F.col(f"p{i}") for i in range(n_terms)]
+        matched = joined.withColumn(
+            "phrase_freq", sloppy_freq_udf(*pos_args)
+        ).where(F.col("phrase_freq") > 0)
+
+        @F.pandas_udf("float" if dtype == np.float32 else "double")
+        def sp_score(pf, norm):
+            import pandas as pd
+
+            return pd.Series(
+                bm25.score(
+                    pf.to_numpy().astype(dtype), norm.to_numpy(), weight, cache
+                )
+            )
+
+        return matched.select(
+            "segment_id",
+            "docid",
+            sp_score(F.col("phrase_freq"), F.col("norm")).alias("score"),
+        )
+
+    def sloppy_phrase_query(
+        self, terms: list[str], slop: int, k: int = 10
+    ) -> DataFrame:
+        return self._finish_topk(self.scored_sloppy_phrase(terms, slop), k)
+
     def scored_multi_phrase(self, slots: list[list[str]]) -> DataFrame:
         """MultiPhraseQuery (``core/search/MultiPhraseQuery.java:54``):
         a phrase where each position admits alternatives, e.g.
@@ -602,6 +795,10 @@ class Searcher(QueryOpsMixin):
     def count(self, term: str) -> int:
         """Weight#count shortcut: answer from the terms table when the
         query is a single term and there are no deletes
-        (core/search/IndexSearcher.java:495-527)."""
+        (core/search/IndexSearcher.java:495-527); with deletes the
+        shortcut is invalid (liveDocs != null) and we count live
+        matches."""
+        if self._tombstones is not None:
+            return self.scored_postings([term]).count()
         stats = self.term_stats([term])
         return stats.get(term, (0, 0))[0]

@@ -1,0 +1,105 @@
+"""Deletes / live docs: tombstone filtering across the query surface,
+Weight#count fallback, merge remapping, CheckIndex validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.checkindex import check_index
+from lucene_spark.operators.deletes import (
+    delete_by_term,
+    delete_by_urls,
+    deleted_count,
+)
+from lucene_spark.operators.search import Searcher
+
+from .conftest import NUM_SEGMENTS
+
+
+@pytest.fixture(scope="module")
+def del_index(spark, web_pages, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("deletes") / "idx")
+    build_index(spark, web_pages, d, num_segments=NUM_SEGMENTS)
+    return d
+
+
+class TestDeletes:
+    def test_delete_by_urls_removes_from_results(
+        self, spark, del_index, searcher
+    ):
+        base = searcher.term_query("window", k=5).collect()
+        victim_urls = [base[0]["url"], base[1]["url"]]
+        n = delete_by_urls(spark, del_index, victim_urls)
+        assert n == 2
+        s2 = Searcher(spark, del_index)
+        after = s2.term_query("window", k=5).collect()
+        got_urls = {r["url"] for r in after}
+        assert not (got_urls & set(victim_urls))
+        # survivors keep identical scores (stats NOT updated — Lucene
+        # semantics: deletes don't touch corpus stats until reclaim)
+        surv = [
+            (r["url"], r["score"]) for r in base if r["url"] not in victim_urls
+        ]
+        assert [(r["url"], r["score"]) for r in after[: len(surv)]] == surv
+
+    def test_count_fallback_with_deletes(self, spark, del_index, naive):
+        s2 = Searcher(spark, del_index)
+        # shortcut invalid now; count = live matching docs
+        expected = naive.doc_freq("window") - 2
+        assert s2.count("window") == expected
+
+    def test_snapshot_semantics(self, spark, del_index, searcher):
+        """A Searcher opened before the delete still sees the doc
+        (point-in-time reader)."""
+        assert searcher._tombstones is None  # opened pre-delete
+
+    def test_match_all_and_constant_score_respect_deletes(
+        self, spark, del_index, naive
+    ):
+        s2 = Searcher(spark, del_index)
+        assert s2.match_all().count() == naive.N - 2
+        # multi-term constant-score path
+        pre = {r["url"] for r in s2.prefix_query("wi", k=10_000).collect()}
+        assert len(pre) <= naive.N - 2
+
+    def test_delete_by_term(self, spark, del_index, naive):
+        n = delete_by_term(spark, del_index, "spark")
+        s3 = Searcher(spark, del_index)
+        assert s3.count("spark") == 0
+        assert s3.term_query("spark", k=10).collect() == []
+        assert deleted_count(spark, del_index) >= n
+
+    def test_checkindex_validates_tombstones(self, spark, del_index):
+        rep = check_index(spark, del_index)
+        assert rep["status"] == "OK"
+        assert rep["num_deleted"] == deleted_count(spark, del_index)
+
+    def test_merge_remaps_tombstones(self, spark, del_index, naive):
+        from lucene_spark.operators.merge import maybe_merge
+
+        before = Searcher(spark, del_index)
+        live_before = {
+            r["url"] for r in before.match_all().join(
+                before._docs.select(
+                    "segment_id",
+                    F.col("local_docid").alias("docid"),
+                    "url",
+                ),
+                ["segment_id", "docid"],
+            ).collect()
+        }
+        maybe_merge(spark, del_index, merge_factor=2, min_merge_docs=1)
+        after = Searcher(spark, del_index)
+        live_after = {
+            r["url"] for r in after.match_all().join(
+                after._docs.select(
+                    "segment_id",
+                    F.col("local_docid").alias("docid"),
+                    "url",
+                ),
+                ["segment_id", "docid"],
+            ).collect()
+        }
+        assert live_after == live_before
+        assert check_index(spark, del_index)["status"] == "OK"
+        assert after.count("spark") == 0

@@ -1,0 +1,146 @@
+"""Sloppy phrase: kernel properties + Spark path cross-checks."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.operators.search import sloppy_phrase_freq
+
+
+class TestSloppyKernel:
+    def test_exact_adjacent_slop0(self):
+        # "a b": a@0 b@1 -> adjusted [0],[0]: one match, length 0
+        assert sloppy_phrase_freq([[0], [0]], 0) == 1.0
+
+    def test_gap_needs_slop(self):
+        # "a x b": a@0 b@2 -> adjusted [0],[1]: spread 1
+        assert sloppy_phrase_freq([[0], [1]], 0) == 0.0
+        assert sloppy_phrase_freq([[0], [1]], 1) == pytest.approx(0.5)
+
+    def test_reversed_within_slop(self):
+        # "b a": b@0 a@1 -> adjusted a=[1], b=[-1]: spread 2
+        assert sloppy_phrase_freq([[1], [-1]], 1) == 0.0
+        assert sloppy_phrase_freq([[1], [-1]], 2) == pytest.approx(1 / 3)
+
+    def test_multiple_matches_sum(self):
+        # "a b a b": a@[0,2] b@[1,3] -> adjusted a=[0,2], b=[0,2]
+        assert sloppy_phrase_freq([[0, 2], [0, 2]], 0) == 2.0
+
+    def test_three_terms(self):
+        # "a b c" exact: adjusted all [0]
+        assert sloppy_phrase_freq([[0], [0], [0]], 0) == 1.0
+        # "a b x c": c@3 -> adjusted [0],[0],[1]: spread 1
+        assert sloppy_phrase_freq([[0], [0], [1]], 0) == 0.0
+        assert sloppy_phrase_freq([[0], [0], [1]], 1) == pytest.approx(0.5)
+
+    def test_missing_term(self):
+        assert sloppy_phrase_freq([[0], []], 5) == 0.0
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_slop0_equals_exact_alignment_count(self, seed):
+        """Property: at slop=0 the greedy matcher finds exactly the
+        set-intersection alignments the exact matcher counts."""
+        rng = np.random.default_rng(seed)
+        for _ in range(50):
+            n_terms = int(rng.integers(2, 4))
+            lists = [
+                sorted(
+                    set(rng.integers(0, 12, size=rng.integers(1, 6)).tolist())
+                )
+                for _ in range(n_terms)
+            ]
+            exact = len(set.intersection(*[set(pl) for pl in lists]))
+            got = sloppy_phrase_freq([list(pl) for pl in lists], 0)
+            assert got == float(exact), (lists, exact, got)
+
+    def test_monotonic_in_slop(self):
+        rng = np.random.default_rng(7)
+        for _ in range(30):
+            lists = [
+                sorted(set(rng.integers(0, 10, size=4).tolist()))
+                for _ in range(2)
+            ]
+            freqs = [
+                sloppy_phrase_freq([list(pl) for pl in lists], s)
+                for s in range(5)
+            ]
+            # more slop can only find at-least-as-many matches
+            assert all(b >= a - 1e-12 for a, b in zip(freqs, freqs[1:]))
+
+
+class TestSloppySpark:
+    def test_slop0_equals_exact_phrase(self, searcher):
+        a = [
+            (r["docid"], r["url"], r["score"])
+            for r in searcher.sloppy_phrase_query(["the", "query"], 0, k=10).collect()
+        ]
+        b = [
+            (r["docid"], r["url"], r["score"])
+            for r in searcher.phrase_query(["the", "query"], k=10).collect()
+        ]
+        assert a == b
+
+    def test_slop_widens_match_set(self, searcher):
+        exact = {
+            r["docid"]
+            for r in searcher.sloppy_phrase_query(
+                ["the", "query"], 0, k=10_000
+            ).collect()
+        }
+        sloppy = {
+            r["docid"]
+            for r in searcher.sloppy_phrase_query(
+                ["the", "query"], 3, k=10_000
+            ).collect()
+        }
+        assert exact <= sloppy
+        assert len(sloppy) >= len(exact)
+
+    def test_matches_python_mirror(self, searcher, naive):
+        """Spark scores == driver-side recomputation from the naive
+        index's positions with the same kernel + scorer."""
+        from lucene_spark.functions import bm25
+
+        terms, slop = ["the", "query"], 2
+        w = np.float32(
+            float(
+                np.sum(
+                    np.array(
+                        [bm25.idf(naive.doc_freq(t), naive.N) for t in terms],
+                        dtype=np.float64,
+                    )
+                )
+            )
+        )
+        cache = bm25.norm_inverse_cache(
+            bm25.avg_field_length(naive.sttf, naive.N)
+        )
+        expect = {}
+        for i, (terms_i, pos_i) in enumerate(naive.analyzed):
+            pos_of = {}
+            for t, p in zip(terms_i, pos_i):
+                pos_of.setdefault(t, []).append(p)
+            if not all(t in pos_of for t in terms):
+                continue
+            lists = [
+                sorted(p - j for p in pos_of[t])
+                for j, t in enumerate(terms)
+            ]
+            pf = sloppy_phrase_freq(lists, slop)
+            if pf > 0:
+                expect[i] = float(
+                    bm25.score(
+                        np.array([pf], dtype=np.float32),
+                        naive.norms[i : i + 1],
+                        w,
+                        cache,
+                    )[0]
+                )
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_sloppy_phrase(terms, slop)
+            ).collect()
+        }
+        assert set(got) == set(expect)
+        for d in got:
+            assert abs(got[d] - expect[d]) <= 1e-6
