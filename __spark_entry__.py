@@ -631,6 +631,74 @@ def _q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinUtil semi-join, score mode None: customers that placed a
+    high-value order."""
+    from lucene_spark.operators.joins import join_query
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    frm = orders.where(F.col("o_totalprice") > 100000)
+    return join_query(frm, customer, "o_custkey", "c_custkey", "none").select(
+        "c_custkey"
+    )
+
+
+def _q_join_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinUtil join, score mode Total: summed matching-order value."""
+    from lucene_spark.operators.joins import join_query
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    frm = orders.where(F.col("o_totalprice") > 100000).select(
+        "o_custkey", F.col("o_totalprice").alias("score")
+    )
+    return join_query(
+        frm, customer, "o_custkey", "c_custkey", "total"
+    ).select("c_custkey", F.round("join_score", 4).alias("join_score"))
+
+
+def _q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToParentBlockJoin, score mode Max: orders by best matching item."""
+    from lucene_spark.operators.joins import to_parent_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    kids = (
+        lineitem.where(F.col("l_quantity") > 45)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("l_extendedprice").alias("score"),
+        )
+    )
+    return to_parent_join(kids, orders, "o_orderkey", "max").select(
+        "o_orderkey", F.round("join_score", 4).alias("join_score")
+    )
+
+
+def _q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DrillSideways over documents: dims lang x source, drill-down
+    lang='en' AND source='src1'; one frame, tagged per dimension."""
+    from lucene_spark.operators.joins import drill_sideways
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = drill_sideways(
+        docs,
+        dims={"lang": F.col("lang"), "source": F.col("source")},
+        filters={
+            "lang": F.col("lang") == "en",
+            "source": F.col("source") == "src1",
+        },
+    )
+    a = out["lang"].select(
+        F.lit("lang").alias("dim"), F.col("lang").alias("value"), "cnt"
+    )
+    b = out["source"].select(
+        F.lit("source").alias("dim"), F.col("source").alias("value"), "cnt"
+    )
+    return a.unionByName(b)
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.functions.textstats import subword_count, token_count
 
@@ -674,6 +742,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "parsed_query_top10": _q_parsed,
         "multi_phrase_top10": _q_multi_phrase,
+        "join_semi_customers": _q_join_semi,
+        "join_total_customers": _q_join_total,
+        "block_join_orders_max": _q_block_join,
+        "drill_sideways_docs": _q_drill_sideways,
     }
 
 
@@ -800,4 +872,23 @@ def oracle_sql() -> dict[str, str]:
         "multi_phrase_top10": _multi_phrase_sql(
             [["window", "table"], ["the"]]
         ),
+        "join_semi_customers": """
+            SELECT c_custkey FROM customer WHERE c_custkey IN
+            (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""",
+        "join_total_customers": """
+            SELECT c.c_custkey,
+                   round(sum(o.o_totalprice), 4) AS join_score
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE o.o_totalprice > 100000 GROUP BY c.c_custkey""",
+        "block_join_orders_max": """
+            SELECT o.o_orderkey,
+                   round(max(l.l_extendedprice), 4) AS join_score
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity > 45 GROUP BY o.o_orderkey""",
+        "drill_sideways_docs": """
+            SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS cnt
+            FROM documents WHERE source = 'src1' GROUP BY lang
+            UNION ALL
+            SELECT 'source' AS dim, source AS value, count(*)::BIGINT AS cnt
+            FROM documents WHERE lang = 'en' GROUP BY source""",
     }

@@ -1,0 +1,132 @@
+"""Lucene's specialized joins re-expressed as DataFrame joins.
+
+The reference has no general relational join; it has three specialized
+ones (SURVEY.md §2.5), all of which degenerate to standard Spark join
+shapes — this module keeps their exact scoring semantics:
+
+- ``join_query`` = ``JoinUtil.createJoinQuery`` global-ordinals join
+  (``lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java:56``):
+  match "to"-side docs whose ``to_field`` value appears among the
+  ``from_field`` values of "from"-side docs matching a query, with
+  score modes None / Max / Total / Avg aggregating the from-side
+  scores per join key.
+- ``to_parent_join`` / ``to_child_join`` = block joins
+  (``join/.../ToParentBlockJoinQuery.java:68``,
+  ``ToChildBlockJoinQuery.java:41``): parent/child rows related by a
+  parent-key column; parent score aggregates child scores by the
+  ScoreMode (None/Avg/Max/Total).
+
+Spark-first notes: the join key side built from the matching "from"
+docs is usually tiny (one query's match set) — broadcast it; Catalyst
+turns score-mode None into a plain left-semi join with no aggregation
+at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCORE_AGGS = {
+    "none": None,
+    "max": F.max,
+    "total": F.sum,
+    "avg": F.avg,
+}
+
+
+def join_query(
+    from_matches: DataFrame,
+    to_df: DataFrame,
+    from_field: str,
+    to_field: str,
+    score_mode: str = "none",
+    score_col: str = "score",
+) -> DataFrame:
+    """JoinUtil.createJoinQuery analog.
+
+    ``from_matches``: the from-side query's match set, carrying
+    ``from_field`` and (unless score_mode == 'none') ``score_col``.
+    Returns ``to_df`` rows joined to the aggregated join-key scores;
+    score mode none yields a left-semi join (constant-score docs).
+    """
+    mode = score_mode.lower()
+    if mode not in _SCORE_AGGS:
+        raise ValueError(f"unknown score mode {score_mode!r}")
+    if mode == "none":
+        keys = from_matches.select(
+            F.col(from_field).alias(to_field)
+        ).distinct()
+        return to_df.join(F.broadcast(keys), to_field, "left_semi")
+    agg = _SCORE_AGGS[mode]
+    keys = (
+        from_matches.groupBy(F.col(from_field).alias(to_field))
+        .agg(agg(score_col).alias("join_score"))
+    )
+    return to_df.join(F.broadcast(keys), to_field)
+
+
+def to_parent_join(
+    child_matches: DataFrame,
+    parents: DataFrame,
+    parent_key: str,
+    score_mode: str = "none",
+    score_col: str = "score",
+) -> DataFrame:
+    """ToParentBlockJoinQuery: parents with >=1 matching child; parent
+    score aggregates child scores by ``score_mode``."""
+    mode = score_mode.lower()
+    if mode not in _SCORE_AGGS:
+        raise ValueError(f"unknown score mode {score_mode!r}")
+    if mode == "none":
+        keys = child_matches.select(parent_key).distinct()
+        return parents.join(F.broadcast(keys), parent_key, "left_semi")
+    agg = _SCORE_AGGS[mode]
+    keys = child_matches.groupBy(parent_key).agg(
+        agg(score_col).alias("join_score")
+    )
+    return parents.join(F.broadcast(keys), parent_key)
+
+
+def to_child_join(
+    parent_matches: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    score_col: str = "score",
+) -> DataFrame:
+    """ToChildBlockJoinQuery: children of matching parents, each child
+    inheriting its parent's score."""
+    cols = [parent_key] + (
+        [score_col] if score_col in parent_matches.columns else []
+    )
+    keys = parent_matches.select(*cols).distinct()
+    return children.join(F.broadcast(keys), parent_key)
+
+
+def drill_sideways(
+    base: DataFrame,
+    dims: dict[str, Column],
+    filters: dict[str, Column],
+    count_col: str = "cnt",
+) -> dict[str, DataFrame]:
+    """DrillSideways (``lucene/facet/.../DrillSideways.java``): for each
+    dimension, facet counts computed with every OTHER dimension's
+    drill-down filter applied but its own removed — the "sideways"
+    counts that power faceted navigation.
+
+    ``dims``: dimension name -> grouping column over ``base``.
+    ``filters``: dimension name -> drill-down predicate (may cover a
+    subset of dims). Returns one counts frame per dimension.
+    """
+    out = {}
+    for dim, group_col in dims.items():
+        df = base
+        for other, pred in filters.items():
+            if other != dim:
+                df = df.where(pred)
+        out[dim] = (
+            df.groupBy(group_col.alias(dim))
+            .agg(F.count("*").alias(count_col))
+            .orderBy(dim)
+        )
+    return out

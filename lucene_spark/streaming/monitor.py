@@ -1,0 +1,162 @@
+"""Monitor (percolator): stream of documents matched against stored
+queries — the inverted search problem
+(``lucene/monitor/src/java/org/apache/lucene/monitor/Monitor.java:42``).
+
+Lucene's Monitor keeps an index of registered queries and, per
+incoming document, runs a presearcher to select candidate queries,
+then executes them against a single-doc in-memory index. The Spark
+re-expression is set algebra over an exploded term view:
+
+- registered queries normalize to (query_id, occur, term) rows — a
+  small DataFrame broadcast to every executor (the "query index");
+- a batch (or micro-batch) of documents explodes to (url, term) pairs
+  through the same analyzer used for indexing;
+- one broadcast join + one groupBy(url, query_id) evaluates every
+  boolean query against every doc simultaneously: a query matches iff
+  its matched MUST count equals its total MUST count, matched SHOULD
+  count >= min_should_match (or >= 1 when it has no MUST clauses),
+  and no MUST_NOT term matched.
+
+This vectorizes the percolator across docs AND queries with no
+per-row Python; the stream side is a thin foreachBatch wrapper.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analysis import analyze
+
+
+@dataclass
+class MonitorQuery:
+    query_id: str
+    must: list[str] = field(default_factory=list)
+    should: list[str] = field(default_factory=list)
+    must_not: list[str] = field(default_factory=list)
+    min_should_match: int = 0
+
+
+class Monitor:
+    """Registry of stored queries + batch/stream matchers."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._queries: dict[str, MonitorQuery] = {}
+
+    def register(self, q: MonitorQuery) -> None:
+        """Register (or replace) a stored query. Query text is run
+        through the analyzer so 'Hello World' matches like indexing."""
+        norm = MonitorQuery(
+            q.query_id,
+            [t for txt in q.must for t in analyze(txt)[0]],
+            [t for txt in q.should for t in analyze(txt)[0]],
+            [t for txt in q.must_not for t in analyze(txt)[0]],
+            q.min_should_match,
+        )
+        self._queries[q.query_id] = norm
+
+    def _query_terms_df(self) -> DataFrame:
+        rows = []
+        for q in self._queries.values():
+            for t in q.must:
+                rows.append((q.query_id, t, "must"))
+            for t in q.should:
+                rows.append((q.query_id, t, "should"))
+            for t in q.must_not:
+                rows.append((q.query_id, t, "must_not"))
+        return self.spark.createDataFrame(
+            rows, "query_id string, term string, occur string"
+        )
+
+    def _query_meta_df(self) -> DataFrame:
+        rows = [
+            (
+                q.query_id,
+                len(set(q.must)),
+                len(set(q.should)),
+                q.min_should_match,
+            )
+            for q in self._queries.values()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "query_id string, n_must int, n_should int, msm int",
+        )
+
+    def match_batch(
+        self, docs: DataFrame, url_col: str = "url", text_col: str = "text"
+    ) -> DataFrame:
+        """(url, query_id) pairs for every stored query matching each
+        doc. One analyzer pass + one broadcast join + one groupBy."""
+        if not self._queries:
+            return self.spark.createDataFrame(
+                [], "url string, query_id string"
+            )
+        doc_terms = docs.select(
+            F.col(url_col).alias("url"),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+            ).alias("term"),
+        )
+        qt = F.broadcast(self._query_terms_df())
+        hits = (
+            doc_terms.join(qt, "term")
+            .groupBy("url", "query_id")
+            .agg(
+                F.countDistinct(
+                    F.when(F.col("occur") == "must", F.col("term"))
+                ).alias("m"),
+                F.countDistinct(
+                    F.when(F.col("occur") == "should", F.col("term"))
+                ).alias("s"),
+                F.countDistinct(
+                    F.when(F.col("occur") == "must_not", F.col("term"))
+                ).alias("x"),
+            )
+        )
+        meta = F.broadcast(self._query_meta_df())
+        matched = (
+            hits.join(meta, "query_id")
+            .where(
+                (F.col("m") == F.col("n_must"))
+                & (F.col("x") == 0)
+                & (
+                    F.when(F.col("msm") > 0, F.col("s") >= F.col("msm"))
+                    .when(F.col("n_must") == 0, F.col("s") >= 1)
+                    .otherwise(F.lit(True))
+                )
+            )
+            .select("url", "query_id")
+        )
+        return matched
+
+    def match_stream(
+        self,
+        stream_df: DataFrame,
+        sink_dir: str,
+        checkpoint_dir: str,
+        url_col: str = "url",
+        text_col: str = "text",
+        trigger_once: bool = True,
+    ):
+        """Percolate a document stream; matches append to a parquet
+        sink (alerting outbox)."""
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            out = self.match_batch(batch_df, url_col, text_col)
+            out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(sink_dir)
+
+        writer = (
+            stream_df.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -21,7 +21,10 @@ def entrymod():
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )

@@ -1,0 +1,138 @@
+"""Join family (JoinUtil / block joins / DrillSideways) vs DuckDB."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.joins import (
+    drill_sideways,
+    join_query,
+    to_child_join,
+    to_parent_join,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return {
+        t: spark.read.parquet(f"{SF_DIR}/{t}.parquet").cache()
+        for t in ["customer", "orders", "lineitem", "documents"]
+    }
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+class TestJoinQuery:
+    def test_semi_join_none_mode(self, tables, duck):
+        frm = tables["orders"].where(F.col("o_totalprice") > 100000)
+        got = {
+            r["c_custkey"]
+            for r in join_query(
+                frm, tables["customer"], "o_custkey", "c_custkey", "none"
+            ).collect()
+        }
+        expect = {
+            r[0]
+            for r in duck.execute(
+                "SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IN "
+                "(SELECT o_custkey FROM orders WHERE o_totalprice > 100000)"
+            ).fetchall()
+        }
+        assert got == expect and got
+
+    @pytest.mark.parametrize(
+        "mode,agg", [("max", "max"), ("total", "sum"), ("avg", "avg")]
+    )
+    def test_score_modes(self, tables, duck, mode, agg):
+        frm = tables["orders"].where(F.col("o_totalprice") > 100000).select(
+            "o_custkey", F.col("o_totalprice").alias("score")
+        )
+        got = {
+            r["c_custkey"]: round(r["join_score"], 4)
+            for r in join_query(
+                frm, tables["customer"], "o_custkey", "c_custkey", mode
+            ).collect()
+        }
+        expect = {
+            r[0]: round(r[1], 4)
+            for r in duck.execute(
+                f"SELECT o_custkey, {agg}(o_totalprice) FROM orders "
+                "WHERE o_totalprice > 100000 GROUP BY o_custkey"
+            ).fetchall()
+        }
+        assert got == expect
+
+
+class TestBlockJoins:
+    def test_to_parent(self, tables, duck):
+        kids = tables["lineitem"].where(F.col("l_quantity") > 45).select(
+            "l_orderkey", F.col("l_extendedprice").alias("score")
+        ).withColumnRenamed("l_orderkey", "o_orderkey")
+        got = {
+            r["o_orderkey"]: round(r["join_score"], 4)
+            for r in to_parent_join(
+                kids, tables["orders"], "o_orderkey", "max"
+            ).collect()
+        }
+        expect = {
+            r[0]: round(r[1], 4)
+            for r in duck.execute(
+                "SELECT l_orderkey, max(l_extendedprice) FROM lineitem "
+                "WHERE l_quantity > 45 AND l_orderkey IN "
+                "(SELECT o_orderkey FROM orders) GROUP BY l_orderkey"
+            ).fetchall()
+        }
+        assert got == expect and got
+
+    def test_to_child(self, tables, duck):
+        parents = tables["orders"].where(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey", F.lit(1.0).alias("score"))
+        kids = tables["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey")
+        got = to_child_join(parents, kids, "o_orderkey")
+        n = got.count()
+        expect = duck.execute(
+            "SELECT count(*) FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+        ).fetchall()[0][0]
+        assert n == expect and n > 0
+        assert got.select("score").distinct().collect()[0][0] == 1.0
+
+
+class TestDrillSideways:
+    def test_sideways_counts(self, tables, duck):
+        docs = tables["documents"]
+        out = drill_sideways(
+            docs,
+            dims={"lang": F.col("lang"), "source": F.col("source")},
+            filters={
+                "lang": F.col("lang") == "en",
+                "source": F.col("source") == "src1",
+            },
+        )
+        got_lang = {
+            (r["lang"], r["cnt"]) for r in out["lang"].collect()
+        }
+        expect_lang = set(
+            duck.execute(
+                "SELECT lang, count(*) FROM documents WHERE source = 'src1' "
+                "GROUP BY lang"
+            ).fetchall()
+        )
+        assert got_lang == expect_lang
+        got_src = {(r["source"], r["cnt"]) for r in out["source"].collect()}
+        expect_src = set(
+            duck.execute(
+                "SELECT source, count(*) FROM documents WHERE lang = 'en' "
+                "GROUP BY source"
+            ).fetchall()
+        )
+        assert got_src == expect_src

@@ -1,0 +1,82 @@
+"""Monitor (percolator): stored queries vs document batches/streams."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.streaming.monitor import Monitor, MonitorQuery
+
+
+@pytest.fixture()
+def monitor(spark):
+    m = Monitor(spark)
+    m.register(MonitorQuery("q_window", must=["window"]))
+    m.register(MonitorQuery("q_and", must=["window", "spark"]))
+    m.register(MonitorQuery("q_or", should=["merge", "batch"]))
+    m.register(MonitorQuery("q_not", must=["window"], must_not=["spark"]))
+    m.register(
+        MonitorQuery(
+            "q_msm", should=["window", "spark", "data"], min_should_match=2
+        )
+    )
+    return m
+
+
+def _expected(naive, monitor):
+    out = set()
+    for i, (terms_i, _) in enumerate(naive.analyzed):
+        ts = set(terms_i)
+        for q in monitor._queries.values():
+            if q.must and not set(q.must) <= ts:
+                continue
+            if set(q.must_not) & ts:
+                continue
+            n_should = len(set(q.should) & ts)
+            if q.min_should_match > 0:
+                if n_should < q.min_should_match:
+                    continue
+            elif not q.must and n_should < 1:
+                continue
+            out.add((naive.urls[i], q.query_id))
+    return out
+
+
+class TestMonitorBatch:
+    def test_matches_python_mirror(self, monitor, web_pages, naive):
+        got = {
+            (r["url"], r["query_id"])
+            for r in monitor.match_batch(web_pages).collect()
+        }
+        assert got == _expected(naive, monitor)
+        assert got, "fixture should produce matches"
+
+    def test_empty_registry(self, spark, web_pages):
+        m = Monitor(spark)
+        assert m.match_batch(web_pages).count() == 0
+
+    def test_query_text_is_analyzed(self, spark, web_pages, naive):
+        m = Monitor(spark)
+        # multi-word text in one clause analyzes into two MUST terms
+        m.register(MonitorQuery("q", must=["window spark"]))
+        got = {r["url"] for r in m.match_batch(web_pages).collect()}
+        expect = {
+            naive.urls[i]
+            for i in range(naive.N)
+            if {"window", "spark"} <= set(naive.analyzed[i][0])
+        }
+        assert got == expect
+
+
+class TestMonitorStream:
+    def test_stream_percolation(self, monitor, spark, web_pages, naive, tmp_path):
+        src = str(tmp_path / "src")
+        web_pages.select("url", "text").write.parquet(src)
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        stream = spark.readStream.schema("url string, text string").parquet(src)
+        q = monitor.match_stream(stream, sink, ckpt)
+        q.awaitTermination(120)
+        got = {
+            (r["url"], r["query_id"])
+            for r in spark.read.parquet(sink).collect()
+        }
+        assert got == _expected(naive, monitor)
