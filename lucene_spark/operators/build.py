@@ -88,9 +88,20 @@ STAGE_SCHEMA = pa.schema(
 
 
 def _build_one_segment(
-    seg_id: int, urls: list[str], texts: list[str], field: str, stopwords
+    seg_id: int,
+    urls: list[str],
+    texts: list[str],
+    field: str,
+    stopwords,
+    index_sort: str = "url",
 ) -> Iterator[pa.RecordBatch]:
-    """Build all rows for one segment. Pure function of (urls, texts)."""
+    """Build all rows for one segment. Pure function of (urls, texts).
+
+    ``index_sort`` is the IndexWriterConfig.setIndexSort analog
+    (``core/index/IndexWriterConfig.java:475-482``): docids within the
+    segment follow the sort, enabling early termination on queries
+    sorted the same way. 'url' (default, the canonical deterministic
+    order) or 'doclen_desc' (longest docs first; ties by url)."""
     import pandas as pd
 
     t0 = time.monotonic()
@@ -101,6 +112,17 @@ def _build_one_segment(
 
     terms_col, pos_col = analyze_series(texts_s, stopwords=stopwords)
     doclens = np.array([len(t) for t in terms_col], dtype=np.int64)
+
+    if index_sort == "doclen_desc":
+        # stable re-sort on top of the url order -> (doclen desc, url)
+        order2 = np.argsort(-doclens, kind="stable")
+        urls_s = [urls_s[i] for i in order2]
+        texts_s = [texts_s[i] for i in order2]
+        terms_col = [terms_col[i] for i in order2]
+        pos_col = [pos_col[i] for i in order2]
+        doclens = doclens[order2]
+    elif index_sort != "url":
+        raise ValueError(f"unknown index_sort {index_sort!r}")
     norms = int_to_byte4(doclens)
 
     # ---- doc rows ----
@@ -205,7 +227,7 @@ def _build_one_segment(
     del t0
 
 
-def _make_builder(field: str, stopwords):
+def _make_builder(field: str, stopwords, index_sort: str = "url"):
     stopset = frozenset(stopwords) if stopwords else frozenset()
 
     def build_segments(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -236,7 +258,9 @@ def _make_builder(field: str, stopwords):
             url_chunks, text_chunks = segs[seg_id]
             us = list(np.concatenate(url_chunks))
             ts = list(np.concatenate(text_chunks))
-            yield from _build_one_segment(seg_id, us, ts, field, stopset)
+            yield from _build_one_segment(
+                seg_id, us, ts, field, stopset, index_sort
+            )
 
     return build_segments
 
@@ -251,6 +275,7 @@ def build_index(
     resume: bool = False,
     segment_id_offset: int = 0,
     lineage_extra: dict | None = None,
+    index_sort: str = "url",
 ) -> IndexCatalog:
     """Build (or resume) the inverted index for ``web_pages[field]``.
 
@@ -283,7 +308,7 @@ def build_index(
         return catalog
 
     staged = src.repartition(num_segments, "segment_id").mapInArrow(
-        _make_builder(field, stopwords), schema=STAGE_DDL
+        _make_builder(field, stopwords, index_sort), schema=STAGE_DDL
     )
 
     commit_id = catalog.new_commit_dir("stage")

