@@ -631,6 +631,17 @@ def _q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PointRangeQuery: docs whose analyzed length is in [20, 40)."""
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_point_range("doclen", 20, 40, include_upper=False)
+    return s._attach_urls(
+        s._globalize(sc.withColumn("local_docid", F.col("docid")))
+    ).select(_doc_id("url"), F.col("score").cast("double").alias("score")).orderBy(
+        "doc_id"
+    )
+
+
 def _q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JoinUtil semi-join, score mode None: customers that placed a
     high-value order."""
@@ -742,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "parsed_query_top10": _q_parsed,
         "multi_phrase_top10": _q_multi_phrase,
+        "point_range_doclen": _q_point_range,
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
         "block_join_orders_max": _q_block_join,
@@ -872,6 +884,10 @@ def oracle_sql() -> dict[str, str]:
         "multi_phrase_top10": _multi_phrase_sql(
             [["window", "table"], ["the"]]
         ),
+        "point_range_doclen": f"""
+            WITH {_TOK}, {_DL}
+            SELECT doc_id, 1.0 AS score FROM dl
+            WHERE dl >= 20 AND dl < 40 ORDER BY doc_id""",
         "join_semi_customers": """
             SELECT c_custkey FROM customer WHERE c_custkey IN
             (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""",

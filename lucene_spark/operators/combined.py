@@ -167,3 +167,87 @@ def combined_field_query(
 ) -> DataFrame:
     first = next(iter(fields.values()))[0]
     return first._finish_topk(combined_field_scored(fields, term), k)
+
+
+def blended_term_scored(
+    searchers: dict[str, object], term: str
+) -> DataFrame:
+    """BlendedTermQuery (``core/search/BlendedTermQuery.java:47``),
+    DisjunctionMaxRewrite with tie=0.01 semantics simplified to its
+    core idea: the per-field term queries all score with a BLENDED
+    docFreq (the max across fields, so a term rare in one field but
+    common in another is not over-rewarded), then combine per doc by
+    max + 0.01 * (sum - max).
+
+    Unlike CombinedFieldQuery, each field keeps its own norms and
+    avgdl — only df is blended.
+    """
+    first = next(iter(searchers.values()))
+    dtype = first.dtype
+
+    stats = {f: s.term_stats([term]) for f, s in searchers.items()}
+    dfs = [st[term][0] for st in stats.values() if term in st]
+    if not dfs:
+        return first._empty_scored().select("segment_id", "docid", "score")
+    df_blend = max(dfs)
+
+    parts = []
+    for f, s in searchers.items():
+        if term not in stats[f]:
+            continue
+        fs = s.field_stats
+        if dtype == np.float32:
+            sc = bm25.BM25Scorer(
+                df_blend, fs["doc_count"], fs["sum_total_term_freq"],
+                k1=s.k1, b=s.b,
+            )
+            weight, cache = sc.weight, sc.cache
+        else:
+            weight = np.float64(
+                math.log(
+                    1
+                    + (fs["doc_count"] - df_blend + 0.5) / (df_blend + 0.5)
+                )
+            )
+            avgdl = fs["sum_total_term_freq"] / float(fs["doc_count"])
+            cache = 1.0 / (s.k1 * ((1 - s.b) + s.b * LENGTH_TABLE / avgdl))
+
+        def _mk(weight_b, cache_b):
+            @F.pandas_udf("float" if dtype == np.float32 else "double")
+            def bscore(freq, norm):
+                import pandas as pd
+
+                return pd.Series(
+                    bm25.score(
+                        freq.to_numpy().astype(dtype),
+                        norm.to_numpy(),
+                        weight_b,
+                        cache_b,
+                    )
+                )
+
+            return bscore
+
+        bscore = _mk(weight, cache)
+        parts.append(
+            s.scored_postings([term]).select(
+                "segment_id",
+                "docid",
+                bscore(F.col("freq"), F.col("norm")).alias("score"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    score_t = "float" if dtype == np.float32 else "double"
+    return (
+        u.groupBy("segment_id", "docid")
+        .agg(F.max("score").alias("mx"), F.sum("score").alias("sm"))
+        .select(
+            "segment_id",
+            "docid",
+            (F.col("mx") + F.lit(0.01) * (F.col("sm") - F.col("mx")))
+            .cast(score_t)
+            .alias("score"),
+        )
+    )

@@ -583,6 +583,66 @@ class QueryOpsMixin:
         )
 
     # ------------------------------------------------------------------
+    # numeric / attribute queries
+    # ------------------------------------------------------------------
+    def scored_point_range(
+        self,
+        attr: str,
+        lower=None,
+        upper=None,
+        include_lower: bool = True,
+        include_upper: bool = True,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """PointRangeQuery (``core/search/PointRangeQuery.java:54``):
+        numeric range over a stored doc attribute (doclen, norm, url).
+        The BKD tree's job — pruning ranges without scanning — is done
+        by parquet min/max row-group stats on the docs table; the
+        predicate pushes down whole."""
+        pred = F.lit(True)
+        c = F.col(attr)
+        if lower is not None:
+            pred = pred & (c >= lower if include_lower else c > lower)
+        if upper is not None:
+            pred = pred & (c <= upper if include_upper else c < upper)
+        matches = self._filter_live(
+            self._docs.where(pred).select(
+                "segment_id", F.col("local_docid").alias("docid")
+            )
+        )
+        return self.constant_score(matches, boost)
+
+    def point_range_query(self, attr: str, lower, upper, k: int = 10, **kw):
+        return self._finish_topk(
+            self.scored_point_range(attr, lower, upper, **kw), k
+        )
+
+    # ------------------------------------------------------------------
+    # suggest / spellcheck
+    # ------------------------------------------------------------------
+    def suggest(
+        self, term: str, max_edits: int = 2, num: int = 5
+    ) -> list[tuple[str, int, int]]:
+        """DirectSpellChecker-style suggestions (``lucene/suggest``
+        module's term-dictionary approach): terms within ``max_edits``
+        of the input, ranked by (edit distance asc, docFreq desc,
+        term asc) — more-popular corrections first."""
+        rows = (
+            self._terms_df.where(
+                F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+            )
+            .select(
+                "term",
+                F.levenshtein(F.col("term"), F.lit(term)).alias("dist"),
+                "doc_freq",
+            )
+            .orderBy(F.asc("dist"), F.desc("doc_freq"), F.asc("term"))
+            .limit(num)
+            .collect()
+        )
+        return [(r["term"], int(r["dist"]), int(r["doc_freq"])) for r in rows]
+
+    # ------------------------------------------------------------------
     # rescoring / function score
     # ------------------------------------------------------------------
     def rescore(

@@ -1,0 +1,71 @@
+"""Point-range query, suggester, BlendedTermQuery."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions import bm25
+
+
+class TestPointRange:
+    def test_doclen_range(self, searcher, naive):
+        got = {
+            r["url"]
+            for r in searcher.point_range_query(
+                "doclen", 20, 40, k=10_000, include_upper=False
+            ).collect()
+        }
+        expect = {
+            naive.urls[i]
+            for i in range(naive.N)
+            if 20 <= naive.doclens[i] < 40
+        }
+        assert got == expect
+
+    def test_open_ended(self, searcher, naive):
+        got = searcher.point_range_query("doclen", None, None, k=10_000)
+        assert got.count() == naive.N
+
+    def test_constant_score(self, searcher):
+        rows = searcher.point_range_query("doclen", 1, None, k=5).collect()
+        assert rows and all(r["score"] == 1.0 for r in rows)
+
+
+class TestSuggest:
+    def test_exact_term_first(self, searcher):
+        out = searcher.suggest("window", max_edits=2, num=5)
+        assert out[0][0] == "window" and out[0][1] == 0
+
+    def test_typo_correction(self, searcher, naive):
+        out = searcher.suggest("windoq", max_edits=1, num=3)
+        assert out and out[0][0] == "window" and out[0][1] == 1
+
+    def test_popularity_ranking(self, searcher):
+        # among equal-distance candidates, higher docFreq first
+        out = searcher.suggest("sprk", max_edits=2, num=5)
+        dists = [d for _, d, _ in out]
+        assert dists == sorted(dists)
+        for d in set(dists):
+            dfs = [df for _, dd, df in out if dd == d]
+            assert dfs == sorted(dfs, reverse=True)
+
+
+class TestBlendedTerm:
+    def test_blended_df_is_max(self, spark, searcher, naive):
+        """Single searcher on both 'fields': blended df == df, score =
+        mx + 0.01*(sm-mx) with identical parts -> mx + 0.01*mx... (two
+        identical clauses sum). Verify formula directly."""
+        from lucene_spark.operators.combined import blended_term_scored
+
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                blended_term_scored(
+                    {"a": searcher, "b": searcher}, "window"
+                )
+            ).collect()
+        }
+        raw = naive.term_scores("window")
+        for i in np.flatnonzero(naive.tf("window") > 0):
+            s = float(raw[i])
+            expect = s + 0.01 * (2 * s - s)
+            assert abs(got[int(i)] - np.float32(expect)) <= 1e-6
