@@ -276,6 +276,7 @@ def build_index(
     segment_id_offset: int = 0,
     lineage_extra: dict | None = None,
     index_sort: str = "url",
+    waves: int = 1,
 ) -> IndexCatalog:
     """Build (or resume) the inverted index for ``web_pages[field]``.
 
@@ -286,7 +287,39 @@ def build_index(
     appends (NRT batches, streaming/nrt.py) never collide with
     existing segments; ``lineage_extra`` is merged into each new
     segment's lineage record (e.g. the streaming batch id).
+
+    ``waves > 1`` enables mid-build checkpointing: segments build and
+    COMMIT in ``waves`` independent rounds (wave w = segments with
+    segment_id % waves == w), so a killed build loses at most one
+    wave and ``resume=True`` recomputes only the missing segments —
+    the per-partition-lineage resumability of the north rule at wave
+    granularity. Costs one extra input scan per wave (the analyze +
+    pack work, which dominates, is never repeated).
     """
+    if waves > 1:
+        catalog = IndexCatalog(index_dir)
+        for w in range(waves):
+            wave_df = web_pages.where(
+                F.pmod(
+                    F.pmod(F.xxhash64("url"), F.lit(num_segments)),
+                    F.lit(waves),
+                )
+                == w
+            )
+            build_index(
+                spark,
+                wave_df,
+                index_dir,
+                num_segments=num_segments,
+                field=field,
+                stopwords=stopwords,
+                resume=True,
+                segment_id_offset=segment_id_offset,
+                lineage_extra={**(lineage_extra or {}), "wave": w},
+                index_sort=index_sort,
+                waves=1,
+            )
+        return catalog
     catalog = IndexCatalog(index_dir)
     t_start = time.monotonic()
 

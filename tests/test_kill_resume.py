@@ -1,0 +1,128 @@
+"""Kill-and-resume: a SIGKILLed wave-committed build resumes without
+recomputing committed segments, converging to the clean-build result.
+
+This is the north rule's resumability clause tested end-to-end with a
+real process kill, not a simulation: a subprocess builds in waves
+(committing the manifest after each), the parent kills it between
+waves, and the resumed build must (a) keep the committed segments'
+data files untouched and (b) produce an index identical to one built
+in a single run.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from .conftest import NUM_SEGMENTS, SF_DIR
+
+BUILD_SCRIPT = r"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from lucene_spark.session import get_spark
+from lucene_spark.sources.web_pages import load_web_pages
+from lucene_spark.operators.build import build_index
+idx, waves = sys.argv[1], int(sys.argv[2])
+spark = get_spark(app_name="kill_me", cpus=2)
+spark.sparkContext.setLogLevel("ERROR")
+wp = load_web_pages(spark, "%s")
+import pyspark.sql.functions as F
+for w in range(waves):
+    wave = wp.where(F.pmod(F.pmod(F.xxhash64("url"), F.lit(%d)), F.lit(waves)) == w)
+    build_index(spark, wave, idx, num_segments=%d, resume=True,
+                lineage_extra={"wave": w})
+    print(f"WAVE_DONE {w}", flush=True)
+    time.sleep(3)   # deterministic kill window for the parent
+print("ALL_DONE", flush=True)
+""" % (SF_DIR, NUM_SEGMENTS, NUM_SEGMENTS)
+
+
+def _manifest(idx):
+    p = os.path.join(idx, "segments.json")
+    if not os.path.exists(p):
+        return {"segments": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def test_kill_and_resume(spark, web_pages, tmp_path):
+    idx = str(tmp_path / "killed_idx")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", BUILD_SCRIPT, idx, "4"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    # wait until at least one wave committed, then SIGKILL mid-run
+    deadline = time.monotonic() + 240
+    killed_after = None
+    while time.monotonic() < deadline:
+        segs = _manifest(idx)["segments"]
+        if segs:
+            killed_after = len(segs)
+            proc.kill()
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.25)
+    proc.wait()
+    segs = _manifest(idx)["segments"]
+    assert segs, "expected at least one committed wave before the kill"
+    assert len(segs) < NUM_SEGMENTS, (
+        "build finished before the kill; wave sleep too short"
+    )
+    committed_dirs = {
+        s["segment_id"]: s["data"]["stage"] for s in segs
+    }
+    committed_mtimes = {
+        sid: os.path.getmtime(os.path.join(idx, d))
+        for sid, d in committed_dirs.items()
+    }
+
+    # resume in this process: only missing segments rebuild
+    from lucene_spark.operators.build import build_index
+
+    build_index(
+        spark, web_pages, idx, num_segments=NUM_SEGMENTS, resume=True
+    )
+    man = _manifest(idx)
+    assert len(man["segments"]) == NUM_SEGMENTS
+
+    # (a) committed segments were not recomputed: same data dirs,
+    # untouched on disk
+    by_id = {s["segment_id"]: s for s in man["segments"]}
+    for sid, d in committed_dirs.items():
+        assert by_id[sid]["data"]["stage"] == d
+        assert os.path.getmtime(os.path.join(idx, d)) == committed_mtimes[sid]
+
+    # (b) identical to a clean single-run build
+    from lucene_spark.operators.checkindex import check_index
+    from lucene_spark.operators.search import Searcher
+
+    clean = str(tmp_path / "clean_idx")
+    build_index(spark, web_pages, clean, num_segments=NUM_SEGMENTS)
+    a, b = Searcher(spark, idx), Searcher(spark, clean)
+    assert a.field_stats == b.field_stats
+    ta = {
+        (r["term"], r["doc_freq"], r["total_term_freq"])
+        for r in a._terms_df.collect()
+    }
+    tb = {
+        (r["term"], r["doc_freq"], r["total_term_freq"])
+        for r in b._terms_df.collect()
+    }
+    assert ta == tb
+    qa = [
+        (r["docid"], r["url"], r["score"])
+        for r in a.boolean_query(should=["window", "spark"], k=10).collect()
+    ]
+    qb = [
+        (r["docid"], r["url"], r["score"])
+        for r in b.boolean_query(should=["window", "spark"], k=10).collect()
+    ]
+    assert qa == qb
+    assert check_index(spark, idx)["status"] == "OK"
