@@ -1,0 +1,139 @@
+"""Pluggable similarity kernels (the custom-Similarity extension
+surface, ``core/search/similarities/`` — 17 families in the reference;
+three families here with Lucene-exact float discipline):
+
+- ``bm25``    — BM25Similarity (the default; functions/bm25.py)
+- ``classic`` — ClassicSimilarity / TFIDFSimilarity:
+  score = (sqrt(freq) * queryWeight) * normTable[norm], queryWeight =
+  boost * float32(ln((docCount+1)/(docFreq+1)) + 1), normTable[i] =
+  lengthNorm = 1/sqrt(length) with normTable[0] = 1/normTable[255]
+  (``TFIDFSimilarity.java:435-470``, ``ClassicSimilarity.java:44-70``)
+- ``lmd``     — LMDirichletSimilarity(mu=2000):
+  score = max(0, boost * (ln(1 + freq/(mu*p)) + ln(mu/(len+mu)))),
+  p = (totalTermFreq+1)/(sumTotalTermFreq+1), double math cast to
+  float32 at the end (``LMDirichletSimilarity.java:76-82``,
+  ``LMSimilarity.DefaultCollectionModel``, SimilarityBase cast at
+  ``SimilarityBase.java:185``)
+
+A kernel binds per-term statistics into a vectorized
+``score(freqs, norms) -> float32`` used identically for posting
+scoring and impact-skyline upper bounds (every kernel is monotone in
+freq at fixed norm, so the skyline max is a valid block bound).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import bm25
+from .smallfloat import LENGTH_TABLE
+
+
+class BoundScorer:
+    """A similarity bound to one term's stats: vectorized scoring."""
+
+    __slots__ = ("score_fn", "weight", "cache")
+
+    def __init__(self, score_fn, weight=None, cache=None):
+        self.score_fn = score_fn
+        self.weight = weight  # kept for the BM25 float64 oracle path
+        self.cache = cache
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        return self.score_fn(freqs, norms)
+
+    def max_from_impacts(self, imp_f, imp_n, dtype=np.float32) -> float:
+        return float(
+            self.score_fn(
+                np.asarray(imp_f, dtype=dtype), np.asarray(imp_n)
+            ).max()
+        )
+
+
+def bind_bm25(
+    doc_freq, total_term_freq, doc_count, sttf, boost, k1, b, dtype
+) -> BoundScorer:
+    if dtype == np.float32:
+        s = bm25.BM25Scorer(
+            doc_freq, doc_count, sttf, boost=boost, k1=k1, b=b
+        )
+        w, c = s.weight, s.cache
+    else:
+        import math
+
+        idf = math.log(1 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
+        avgdl = sttf / float(doc_count)
+        c = 1.0 / (
+            k1
+            * ((1 - b) + b * LENGTH_TABLE.astype(np.float64) / avgdl)
+        )
+        w = np.float64(boost * idf)
+    return BoundScorer(
+        lambda f, n: bm25.score(f.astype(dtype, copy=False), n, w, c),
+        weight=w,
+        cache=c,
+    )
+
+
+def bind_classic(
+    doc_freq, total_term_freq, doc_count, sttf, boost, dtype=np.float32
+) -> BoundScorer:
+    idf = np.float32(
+        np.log((doc_count + 1) / np.float64(doc_freq + 1)) + 1.0
+    )
+    query_weight = np.float32(boost) * idf
+    norm_table = np.empty(256, dtype=np.float32)
+    lt = LENGTH_TABLE.astype(np.float64)
+    norm_table[1:] = (1.0 / np.sqrt(lt[1:])).astype(np.float32)
+    norm_table[0] = np.float32(1.0) / norm_table[255]
+
+    def score_fn(freqs, norms):
+        tf = np.sqrt(freqs.astype(np.float32, copy=False)).astype(np.float32)
+        raw = tf * query_weight
+        return raw * norm_table[np.asarray(norms, dtype=np.int64)]
+
+    return BoundScorer(score_fn)
+
+
+def bind_lmd(
+    doc_freq, total_term_freq, doc_count, sttf, boost, mu: float = 2000.0,
+    dtype=np.float32,
+) -> BoundScorer:
+    p = (total_term_freq + 1.0) / (sttf + 1.0)  # DefaultCollectionModel
+    lt = LENGTH_TABLE.astype(np.float64)
+
+    def score_fn(freqs, norms):
+        doclen = lt[np.asarray(norms, dtype=np.int64)]
+        s = boost * (
+            np.log(1 + freqs.astype(np.float64, copy=False) / (mu * p))
+            + np.log(mu / (doclen + mu))
+        )
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    return BoundScorer(score_fn)
+
+
+def bind_similarity(
+    name: str,
+    doc_freq: int,
+    total_term_freq: int,
+    doc_count: int,
+    sttf: int,
+    boost: float,
+    k1: float,
+    b: float,
+    dtype,
+) -> BoundScorer:
+    if name == "bm25":
+        return bind_bm25(
+            doc_freq, total_term_freq, doc_count, sttf, boost, k1, b, dtype
+        )
+    if name == "classic":
+        return bind_classic(
+            doc_freq, total_term_freq, doc_count, sttf, boost, dtype
+        )
+    if name == "lmd":
+        return bind_lmd(
+            doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
+        )
+    raise ValueError(f"unknown similarity {name!r} (bm25 | classic | lmd)")

@@ -124,36 +124,20 @@ def sloppy_phrase_freq(adjusted_pos_lists: list[list[int]], slop: int) -> float:
     return freq
 
 
-class _TermScorerParams:
-    """Plain-data scorer (weight + norm-inverse cache) for one term."""
+def _bind_scorers(stats, field_stats, k1, b, boost, dtype, similarity="bm25"):
+    """Per-term bound scorers from the similarity registry
+    (functions/similarities.py). BM25 keeps the float32 Lucene-exact
+    chain (or the float64 oracle chain); classic/lmd are float32."""
+    from ..functions.similarities import bind_similarity
 
-    __slots__ = ("weight", "cache")
-
-    def __init__(self, weight, cache):
-        self.weight = weight
-        self.cache = cache
-
-
-def _bind_scorers(stats, field_stats, k1, b, boost, dtype):
-    """Per-term BM25 weights. float32 chain for np.float32 (Lucene-
-    exact); float64 chain used for SQL-oracle-comparable runs."""
     doc_count = field_stats["doc_count"]
     sttf = field_stats["sum_total_term_freq"]
-    scorers = {}
-    for term, (df_, _ttf) in stats.items():
-        if dtype == np.float32:
-            s = bm25.BM25Scorer(df_, doc_count, sttf, boost=boost, k1=k1, b=b)
-            scorers[term] = _TermScorerParams(s.weight, s.cache)
-        else:
-            import math
-
-            idf = math.log(1 + (doc_count - df_ + 0.5) / (df_ + 0.5))
-            avgdl = sttf / float(doc_count)
-            cache = 1.0 / (
-                k1 * ((1 - b) + b * byte4_to_int(np.arange(256)).astype(np.float64) / avgdl)
-            )
-            scorers[term] = _TermScorerParams(np.float64(boost * idf), cache)
-    return scorers
+    return {
+        term: bind_similarity(
+            similarity, df_, ttf, doc_count, sttf, boost, k1, b, dtype
+        )
+        for term, (df_, ttf) in stats.items()
+    }
 
 
 def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
@@ -189,14 +173,7 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
             ubs = np.empty(n_blocks, dtype=np.float64)
             for j in range(n_blocks):
                 sc = scorers[terms[j]]
-                ubs[j] = float(
-                    bm25.score(
-                        np.asarray(i_f[j], dtype=dtype),
-                        np.asarray(i_n[j]),
-                        sc.weight,
-                        sc.cache,
-                    ).max()
-                )
+                ubs[j] = sc.max_from_impacts(i_f[j], i_n[j], dtype)
             # visit most-promising blocks first so the threshold rises fast
             order = np.argsort(-ubs) if k_for_pruning else np.arange(n_blocks)
 
@@ -214,7 +191,7 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
                 docids = unpack_doc_block(dbufs[j], int(first[j]), nd)
                 freqs = unpack_freq_block(fbufs[j], nd)
                 norms = np.frombuffer(nbufs[j], dtype=np.uint8)
-                scores = bm25.score(freqs.astype(dtype), norms, sc.weight, sc.cache)
+                scores = sc.score(freqs.astype(dtype), norms)
                 if k_for_pruning:
                     for s in scores:
                         if len(topk_heap) < k_for_pruning:
@@ -266,6 +243,7 @@ class Searcher(QueryOpsMixin):
         k1: float = 1.2,
         b: float = 0.75,
         dtype=np.float32,
+        similarity: str = "bm25",
     ):
         from .build import read_docs, read_postings, read_terms
 
@@ -274,6 +252,8 @@ class Searcher(QueryOpsMixin):
         self.field = field
         self.k1, self.b = k1, b
         self.dtype = dtype
+        self.similarity = similarity  # bm25 | classic | lmd (term/boolean
+        # paths; phrase/synonym/combined pseudo-term scoring is BM25)
         manifest = self.catalog.read_manifest()
         self.field_stats = manifest["field_stats"][field]
         self._postings = read_postings(spark, self.catalog).where(
@@ -334,7 +314,8 @@ class Searcher(QueryOpsMixin):
         if not present:
             return self._empty_scored()
         scorers = _bind_scorers(
-            stats, self.field_stats, self.k1, self.b, boost, self.dtype
+            stats, self.field_stats, self.k1, self.b, boost, self.dtype,
+            self.similarity,
         )
         # explicit pruning: Catalyst can't see through mapInArrow, so
         # select only what the kernel touches — pos_block (the widest
@@ -422,10 +403,11 @@ class Searcher(QueryOpsMixin):
                 self._empty_scored().select("segment_id", "docid", "score"), k
             )
         scorers = _bind_scorers(
-            stats, self.field_stats, self.k1, self.b, 1.0, self.dtype
+            stats, self.field_stats, self.k1, self.b, 1.0, self.dtype,
+            self.similarity,
         )
         sc = scorers[term]
-        weight, cache = sc.weight, sc.cache
+        score_fn = sc.score_fn
         dtype = self.dtype
 
         @F.pandas_udf("double")
@@ -436,11 +418,8 @@ class Searcher(QueryOpsMixin):
             for fs, ns in zip(i_f, i_n):
                 out.append(
                     float(
-                        bm25.score(
-                            np.asarray(fs, dtype=dtype),
-                            np.asarray(ns),
-                            weight,
-                            cache,
+                        score_fn(
+                            np.asarray(fs, dtype=dtype), np.asarray(ns)
                         ).max()
                     )
                 )

@@ -1,0 +1,136 @@
+"""Similarity registry: BaseSimilarityTestCase-style properties for
+classic and lmd kernels (finiteness, non-negativity, monotonicity over
+all 256 norms) + Spark rank parity against python mirrors."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.similarities import (
+    bind_classic,
+    bind_lmd,
+    bind_similarity,
+)
+from lucene_spark.functions.smallfloat import LENGTH_TABLE
+
+
+ALL_NORMS = np.arange(256, dtype=np.int64)
+
+
+def _kernels():
+    return {
+        "classic": bind_classic(10, 50, 100, 10_000, 1.0),
+        "lmd": bind_lmd(10, 50, 100, 10_000, 1.0),
+    }
+
+
+class TestKernelProperties:
+    @pytest.mark.parametrize("name", ["classic", "lmd"])
+    def test_finite_nonnegative_all_norms(self, name):
+        k = _kernels()[name]
+        for freq in [1.0, 2.0, 10.0, 255.0, 1e6]:
+            s = k.score(np.full(256, freq, dtype=np.float32), ALL_NORMS)
+            assert np.all(np.isfinite(s))
+            assert np.all(s >= 0)
+
+    @pytest.mark.parametrize("name", ["classic", "lmd"])
+    def test_monotonic_in_freq(self, name):
+        k = _kernels()[name]
+        freqs = np.arange(1, 200, dtype=np.float32)
+        for norm in [1, 100, 255]:
+            s = k.score(freqs, np.full(len(freqs), norm, dtype=np.int64))
+            assert np.all(np.diff(s) >= 0)
+
+    @pytest.mark.parametrize("name", ["classic", "lmd"])
+    def test_monotonic_in_doclen(self, name):
+        """Longer docs never score higher at equal freq (norms 1..255
+        decode to nondecreasing lengths)."""
+        k = _kernels()[name]
+        s = k.score(np.full(255, 5.0, dtype=np.float32), ALL_NORMS[1:])
+        assert np.all(np.diff(s) <= 1e-9)
+
+    @pytest.mark.parametrize("name", ["classic", "lmd"])
+    def test_rarity_monotonic(self, name):
+        """Rarer terms score >= at identical freq/norm."""
+        if name == "classic":
+            rare = bind_classic(2, 10, 100, 10_000, 1.0)
+            common = bind_classic(90, 5000, 100, 10_000, 1.0)
+        else:
+            rare = bind_lmd(2, 10, 100, 10_000, 1.0)
+            common = bind_lmd(90, 5000, 100, 10_000, 1.0)
+        f = np.array([3.0], dtype=np.float32)
+        n = np.array([50], dtype=np.int64)
+        assert rare.score(f, n)[0] >= common.score(f, n)[0]
+
+    def test_classic_known_value(self):
+        # docCount=100, df=10 -> idf = ln(101/11)+1; freq=4, len=16
+        k = bind_classic(10, 0, 100, 0, 1.0)
+        idf = np.float32(np.log(101 / 11.0) + 1.0)
+        norm_idx = int(np.searchsorted(LENGTH_TABLE, 16))
+        got = k.score(
+            np.array([4.0], dtype=np.float32), np.array([norm_idx])
+        )[0]
+        expect = np.float32(
+            np.float32(2.0) * idf * np.float32(1 / np.sqrt(16.0))
+        )
+        assert got == pytest.approx(float(expect), abs=1e-7)
+
+    def test_lmd_known_value_and_clamp(self):
+        k = bind_lmd(10, 50, 100, 10_000, 1.0, mu=2000.0)
+        p = 51 / 10_001
+        ln = LENGTH_TABLE[100]
+        expect = max(
+            0.0,
+            np.log(1 + 4.0 / (2000.0 * p)) + np.log(2000.0 / (ln + 2000.0)),
+        )
+        got = k.score(np.array([4.0], dtype=np.float32), np.array([100]))[0]
+        assert got == pytest.approx(np.float32(expect), abs=1e-6)
+        # very common term in a long doc -> negative raw -> clamped 0
+        k2 = bind_lmd(99, 9_999, 100, 10_000, 1.0)
+        assert k2.score(
+            np.array([1.0], dtype=np.float32), np.array([255])
+        )[0] == 0.0
+
+    def test_registry_dispatch_and_unknown(self):
+        s = bind_similarity(
+            "classic", 10, 50, 100, 10_000, 1.0, 1.2, 0.75, np.float32
+        )
+        assert s.score(np.array([1.0], dtype=np.float32), np.array([1]))[0] > 0
+        with pytest.raises(ValueError, match="unknown similarity"):
+            bind_similarity("tfidfx", 1, 1, 1, 1, 1.0, 1.2, 0.75, np.float32)
+
+
+class TestSparkIntegration:
+    @pytest.mark.parametrize("name", ["classic", "lmd"])
+    def test_term_query_matches_mirror(self, spark, index_dir, naive, name):
+        from lucene_spark.operators.search import Searcher
+
+        s = Searcher(spark, index_dir, similarity=name)
+        got = [
+            (r["docid"], r["url"], r["score"])
+            for r in s.term_query("window", k=10).collect()
+        ]
+        tf = naive.tf("window")
+        df = naive.doc_freq("window")
+        k = bind_similarity(
+            name, df, int(tf.sum()), naive.N, naive.sttf, 1.0, 1.2, 0.75,
+            np.float32,
+        )
+        scores = k.score(tf.astype(np.float32), naive.norms.astype(np.int64))
+        expect = naive.top_k(scores, tf > 0, 10)
+        assert [(d, u) for d, u, _ in got] == [(d, u) for d, u, _ in expect]
+        for (_, _, a), (_, _, b) in zip(got, expect):
+            assert abs(a - b) <= 1e-6
+
+    def test_global_prune_works_with_classic(self, spark, index_dir):
+        from lucene_spark.operators.search import Searcher
+
+        s = Searcher(spark, index_dir, similarity="classic")
+        a = [
+            (r["docid"], r["score"])
+            for r in s.term_query_global_prune("window", k=5).collect()
+        ]
+        b = [
+            (r["docid"], r["score"])
+            for r in s.term_query("window", k=5, prune=False).collect()
+        ]
+        assert a == b
