@@ -120,6 +120,27 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
     return out
 
 
+def tokenize_with_offsets(
+    text: str, max_token_length: int = MAX_TOKEN_LENGTH
+) -> list[tuple[str, int, int]]:
+    """(surface_token, start_char, end_char) triples — the
+    OffsetAttribute view of the token stream, used by highlighting
+    (re-analysis offset source, like UnifiedHighlighter when offsets
+    are not indexed). Oversized tokens split with sub-offsets."""
+    if not text:
+        return []
+    out: list[tuple[str, int, int]] = []
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        if len(tok) <= max_token_length:
+            out.append((tok, m.start(), m.end()))
+        else:
+            for i in range(0, len(tok), max_token_length):
+                part = tok[i : i + max_token_length]
+                out.append((part, m.start() + i, m.start() + i + len(part)))
+    return out
+
+
 def analyze(
     text: str,
     stopwords: Iterable[str] | frozenset[str] | None = None,

@@ -1,0 +1,113 @@
+"""Highlighting: best-passage snippets for top-k results.
+
+The UnifiedHighlighter's re-analysis mode
+(``lucene/highlighter/src/java/org/apache/lucene/search/uhighlight/
+UnifiedHighlighter.java``, offset source ANALYSIS): offsets are not
+stored in the index; the top-k documents (a handful of rows) are
+re-tokenized at query time with offset tracking, match occurrences are
+located, and the best-scoring fixed-width passage per doc is returned
+with the hits wrapped in tags.
+
+Spark shape: join the (tiny) top-k frame against the source table —
+Catalyst broadcasts the k urls so the stored-fields "fetch" reads only
+matching rows — then one ``mapInPandas`` over at most k documents.
+Passage selection: the window of ``passage_chars`` characters covering
+the most query-term occurrences (ties: leftmost), a simplified
+PassageScorer.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import _java_lower, tokenize_with_offsets
+
+
+def _best_passage(
+    text: str,
+    terms: set[str],
+    passage_chars: int,
+    pre: str,
+    post: str,
+) -> tuple[str, int]:
+    """(tagged snippet, n_matches_in_passage) for one document."""
+    toks = tokenize_with_offsets(text)
+    hits = [
+        (s, e) for tok, s, e in toks if _java_lower(tok) in terms
+    ]
+    if not hits:
+        return "", 0
+    # best window: two pointers over hit start offsets
+    best_i, best_j = 0, 0
+    i = 0
+    for j in range(len(hits)):
+        while hits[j][1] - hits[i][0] > passage_chars:
+            i += 1
+        if j - i > best_j - best_i:
+            best_i, best_j = i, j
+    w_start = hits[best_i][0]
+    w_end = min(len(text), max(hits[best_j][1], w_start + passage_chars))
+    # expand left a little for context, snap to whitespace
+    w_start = max(0, w_start - 20)
+    while w_start > 0 and text[w_start - 1] != " ":
+        w_start -= 1
+    in_window = [h for h in hits if h[0] >= w_start and h[1] <= w_end]
+    out, cur = [], w_start
+    for s, e in in_window:
+        out.append(text[cur:s])
+        out.append(pre)
+        out.append(text[s:e])
+        out.append(post)
+        cur = e
+    out.append(text[cur:w_end])
+    return "".join(out), len(in_window)
+
+
+def highlight(
+    top: DataFrame,
+    source: DataFrame,
+    query_terms: list[str],
+    url_col: str = "url",
+    text_col: str = "text",
+    passage_chars: int = 120,
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+) -> DataFrame:
+    """Attach a highlighted snippet to each row of a top-k frame.
+
+    ``top``: any frame with a ``url`` column (e.g. a query result).
+    ``source``: the web_pages table (stored fields). Returns
+    (url, score?, snippet, n_hits) — original columns preserved.
+    """
+    terms = {t for t in query_terms}
+    fetched = top.join(
+        source.select(F.col(url_col), F.col(text_col)), url_col, "left"
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in top.schema.fields
+    ) + ", snippet string, n_hits int"
+    top_cols = [f.name for f in top.schema.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            snippets, counts = [], []
+            for text in pdf[text_col]:
+                snip, n = _best_passage(
+                    text if isinstance(text, str) else "",
+                    terms,
+                    passage_chars,
+                    pre_tag,
+                    post_tag,
+                )
+                snippets.append(snip)
+                counts.append(n)
+            res = pdf[top_cols].copy()
+            res["snippet"] = snippets
+            res["n_hits"] = pd.array(counts, dtype="int32")
+            yield res
+
+    return fetched.mapInPandas(kernel, schema=out_schema)

@@ -1,0 +1,73 @@
+"""Highlighting: offsets + best-passage snippets."""
+
+import pytest
+
+from lucene_spark.functions.analysis import tokenize, tokenize_with_offsets
+from lucene_spark.operators.highlight import _best_passage, highlight
+
+
+class TestOffsets:
+    def test_offsets_match_text(self):
+        text = "the Quick brown fox jumps"
+        triples = tokenize_with_offsets(text)
+        assert [t for t, _, _ in triples] == tokenize(text)
+        for tok, s, e in triples:
+            assert text[s:e] == tok
+
+    def test_oversize_split_offsets(self):
+        text = "x" * 600
+        triples = tokenize_with_offsets(text)
+        assert [len(t) for t, _, _ in triples] == [255, 255, 90]
+        for tok, s, e in triples:
+            assert text[s:e] == tok
+
+    def test_empty(self):
+        assert tokenize_with_offsets("") == []
+
+
+class TestBestPassage:
+    def test_tags_all_window_hits(self):
+        text = "alpha beta gamma alpha delta beta"
+        snip, n = _best_passage(text, {"alpha", "beta"}, 200, "<b>", "</b>")
+        assert n == 4
+        assert snip.count("<b>") == 4
+        assert "<b>alpha</b>" in snip and "<b>beta</b>" in snip
+
+    def test_window_limits_passage(self):
+        text = "match " + "filler " * 60 + "match match match"
+        snip, n = _best_passage(text, {"match"}, 40, "[", "]")
+        # the dense cluster at the end wins over the lone first hit
+        assert n == 3
+        assert snip.count("[match]") == 3
+
+    def test_case_insensitive_match(self):
+        snip, n = _best_passage("The WINDOW closed", {"window"}, 100, "<b>", "</b>")
+        assert n == 1 and "<b>WINDOW</b>" in snip
+
+    def test_no_hits(self):
+        assert _best_passage("nothing here", {"absent"}, 100, "<b>", "</b>") == ("", 0)
+
+
+class TestHighlightSpark:
+    def test_top_k_snippets(self, searcher, web_pages):
+        top = searcher.boolean_query(should=["window", "spark"], k=5)
+        terms = ["window", "spark"]
+        out = highlight(top, web_pages, terms).collect()
+        assert len(out) == 5
+        for r in out:
+            assert r["n_hits"] >= 1
+            assert "<b>" in r["snippet"]
+            # snippet text minus tags must be a substring of the doc
+            raw = r["snippet"].replace("<b>", "").replace("</b>", "")
+            src = {
+                w["text"]
+                for w in web_pages.where(
+                    web_pages.url == r["url"]
+                ).collect()
+            }
+            assert any(raw in s for s in src)
+
+    def test_preserves_top_columns_and_order_info(self, searcher, web_pages):
+        top = searcher.term_query("window", k=3)
+        out = highlight(top, web_pages, ["window"])
+        assert {"docid", "url", "score", "snippet", "n_hits"} <= set(out.columns)
