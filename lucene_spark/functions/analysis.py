@@ -168,18 +168,23 @@ def analyze(
     return terms, positions
 
 
-def analyze_series(texts, stopwords=None, lowercase=True):
+def analyze_series(texts, stopwords=None, lowercase=True, stem=False):
     """Batch analyze a pandas Series of strings.
 
     Returns (list_of_term_lists, list_of_position_lists) — the batch
     entry point used inside Arrow UDFs (compiled-regex per row, no
     Python-level tokenization inner loops beyond the match iterator).
+    ``stem=True`` appends the Porter stemmer (EnglishAnalyzer chain).
     """
     terms_col = []
     pos_col = []
     stop = stopwords if stopwords is not None else frozenset()
+    if stem:
+        from .stemmer import porter_stem
     for text in texts:
         t, p = analyze(text if isinstance(text, str) else "", stop, lowercase)
+        if stem:
+            t = [porter_stem(x) for x in t]
         terms_col.append(t)
         pos_col.append(p)
     return terms_col, pos_col

@@ -1,0 +1,179 @@
+"""Porter stemmer (Porter, 1980) + the EnglishAnalyzer chain variant.
+
+Implements the ORIGINAL Porter algorithm from the published paper
+("An algorithm for suffix stripping", Program 14(3) 1980) — the same
+algorithm behind the reference's ``PorterStemFilter``
+(``analysis/en/PorterStemFilter.java`` wrapping ``PorterStemmer``,
+itself a port of Martin Porter's reference implementation). Written
+from the paper's rule tables, not ported from the Java.
+
+The measure m counts VC sequences in the [C](VC)^m[V] decomposition;
+conditions: *v* (stem contains a vowel), *d (double consonant ending),
+*o (cvc ending where the last c is not w, x or y), *S/*L/*T/*z (ends
+with a given letter).
+"""
+
+from __future__ import annotations
+
+from .analysis import ENGLISH_STOP_WORDS, analyze
+
+
+def _is_consonant(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in "aeiou":
+        return False
+    if ch == "y":
+        return i == 0 or not _is_consonant(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m in [C](VC)^m[V]."""
+    m = 0
+    i, n = 0, len(stem)
+    while i < n and _is_consonant(stem, i):
+        i += 1
+    while True:
+        while i < n and not _is_consonant(stem, i):
+            i += 1
+        if i >= n:
+            return m
+        m += 1
+        while i < n and _is_consonant(stem, i):
+            i += 1
+        if i >= n:
+            return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_consonant(stem, i) for i in range(len(stem)))
+
+
+def _double_consonant(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_consonant(word, len(word) - 1)
+    )
+
+
+def _cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    return (
+        _is_consonant(word, len(word) - 3)
+        and not _is_consonant(word, len(word) - 2)
+        and _is_consonant(word, len(word) - 1)
+        and word[-1] not in "wxy"
+    )
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+    ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+    ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+    ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+    ("iviti", "ive"), ("biliti", "ble"),
+]
+
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(word: str) -> str:
+    """Stem one lowercase word."""
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag = True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag = True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _double_consonant(w) and not w.endswith(("l", "s", "z")):
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                continue
+            if _measure(stem) > 1:
+                w = stem
+            break
+
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+
+    # step 5b
+    if _measure(w) > 1 and _double_consonant(w) and w.endswith("l"):
+        w = w[:-1]
+
+    return w
+
+
+def english_analyze(
+    text: str, stopwords=ENGLISH_STOP_WORDS
+) -> tuple[list[str], list[int]]:
+    """EnglishAnalyzer chain (``analysis/en/EnglishAnalyzer.java``):
+    StandardTokenizer -> lowercase -> stop (33 English words, with
+    position gaps) -> Porter stem. Possessive stripping ('s) is folded
+    into the tokenizer's apostrophe handling."""
+    terms, positions = analyze(text, stopwords=stopwords)
+    return [porter_stem(t) for t in terms], positions

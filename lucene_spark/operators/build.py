@@ -94,6 +94,7 @@ def _build_one_segment(
     field: str,
     stopwords,
     index_sort: str = "url",
+    stem: bool = False,
 ) -> Iterator[pa.RecordBatch]:
     """Build all rows for one segment. Pure function of (urls, texts).
 
@@ -110,7 +111,7 @@ def _build_one_segment(
     texts_s = [texts[i] for i in order]
     n_docs = len(urls_s)
 
-    terms_col, pos_col = analyze_series(texts_s, stopwords=stopwords)
+    terms_col, pos_col = analyze_series(texts_s, stopwords=stopwords, stem=stem)
     doclens = np.array([len(t) for t in terms_col], dtype=np.int64)
 
     if index_sort == "doclen_desc":
@@ -227,7 +228,7 @@ def _build_one_segment(
     del t0
 
 
-def _make_builder(field: str, stopwords, index_sort: str = "url"):
+def _make_builder(field: str, stopwords, index_sort: str = "url", stem: bool = False):
     stopset = frozenset(stopwords) if stopwords else frozenset()
 
     def build_segments(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -259,7 +260,7 @@ def _make_builder(field: str, stopwords, index_sort: str = "url"):
             us = list(np.concatenate(url_chunks))
             ts = list(np.concatenate(text_chunks))
             yield from _build_one_segment(
-                seg_id, us, ts, field, stopset, index_sort
+                seg_id, us, ts, field, stopset, index_sort, stem
             )
 
     return build_segments
@@ -277,6 +278,7 @@ def build_index(
     lineage_extra: dict | None = None,
     index_sort: str = "url",
     waves: int = 1,
+    analyzer: str = "standard",
 ) -> IndexCatalog:
     """Build (or resume) the inverted index for ``web_pages[field]``.
 
@@ -318,10 +320,32 @@ def build_index(
                 lineage_extra={**(lineage_extra or {}), "wave": w},
                 index_sort=index_sort,
                 waves=1,
+                analyzer=analyzer,
             )
         return catalog
     catalog = IndexCatalog(index_dir)
     t_start = time.monotonic()
+
+    # analyzer chain: 'standard' = tokenize+lower (+ explicit stopwords),
+    # 'english' = EnglishAnalyzer (33 stopwords + Porter stem,
+    # analysis/en/EnglishAnalyzer.java). Recorded in the manifest so
+    # readers analyze queries identically.
+    if analyzer == "english":
+        from ..functions.analysis import ENGLISH_STOP_WORDS
+
+        if stopwords is None:
+            stopwords = ENGLISH_STOP_WORDS
+        stem = True
+    elif analyzer == "standard":
+        stem = False
+    else:
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    man0 = catalog.read_manifest()
+    if man0["segments"] and man0.get("analyzer", "standard") != analyzer:
+        raise ValueError(
+            f"index built with analyzer {man0.get('analyzer')!r}; "
+            f"cannot append with {analyzer!r}"
+        )
 
     src = web_pages.select("url", F.col(field).alias("text")).withColumn(
         "segment_id",
@@ -341,7 +365,7 @@ def build_index(
         return catalog
 
     staged = src.repartition(num_segments, "segment_id").mapInArrow(
-        _make_builder(field, stopwords, index_sort), schema=STAGE_DDL
+        _make_builder(field, stopwords, index_sort, stem), schema=STAGE_DDL
     )
 
     commit_id = catalog.new_commit_dir("stage")
@@ -408,6 +432,8 @@ def build_index(
                 "data": {"stage": rel_commit, "terms": rel_terms},
             }
         )
+    manifest["analyzer"] = analyzer
+    manifest["stopwords"] = sorted(stopwords) if stopwords else []
     # refresh corpus-level field stats (BM25Similarity.java:144-146 inputs)
     live = manifest["segments"]
     manifest["field_stats"] = {

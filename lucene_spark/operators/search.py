@@ -256,6 +256,10 @@ class Searcher(QueryOpsMixin):
         # paths; phrase/synonym/combined pseudo-term scoring is BM25)
         manifest = self.catalog.read_manifest()
         self.field_stats = manifest["field_stats"][field]
+        # query-time analysis must mirror the build chain
+        # (QueryBuilder.createFieldQuery runs the same analyzer)
+        self.analyzer = manifest.get("analyzer", "standard")
+        self._stopwords = frozenset(manifest.get("stopwords", []))
         self._postings = read_postings(spark, self.catalog).where(
             F.col("field") == field
         )
@@ -288,8 +292,13 @@ class Searcher(QueryOpsMixin):
 
     # ------------------------------------------------------------------
     def analyze_query(self, text: str) -> list[str]:
-        """Same analyzer over query text (QueryBuilder.createFieldQuery)."""
-        terms, _ = analyze(text)
+        """Same analyzer over query text (QueryBuilder.createFieldQuery):
+        the chain recorded in the manifest at build time."""
+        terms, _ = analyze(text, stopwords=self._stopwords)
+        if self.analyzer == "english":
+            from ..functions.stemmer import porter_stem
+
+            terms = [porter_stem(t) for t in terms]
         return terms
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:

@@ -1,0 +1,68 @@
+"""EnglishAnalyzer end-to-end: build with stemming + stopwords, query
+analysis mirrors the chain automatically via the manifest."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.search import Searcher
+
+
+@pytest.fixture(scope="module")
+def english_index(spark, tmp_path_factory):
+    rows = [
+        ("https://e.org/1", "the troubled oscillators are failing badly"),
+        ("https://e.org/2", "trouble with an oscillator and its failure"),
+        ("https://e.org/3", "nothing relevant in this document at all"),
+        ("https://e.org/4", "conflated relational predication operators"),
+    ]
+    wp = spark.createDataFrame(rows, "url string, text string")
+    d = str(tmp_path_factory.mktemp("english") / "idx")
+    build_index(spark, wp, d, num_segments=2, analyzer="english")
+    return d
+
+
+class TestEnglishIndex:
+    def test_stems_in_term_dictionary(self, spark, english_index):
+        s = Searcher(spark, english_index)
+        terms = {r["term"] for r in s._terms_df.collect()}
+        assert "troubl" in terms and "oscil" in terms and "fail" in terms
+        # surface forms must NOT be indexed
+        assert "troubled" not in terms and "oscillators" not in terms
+        # stopwords filtered
+        assert "the" not in terms and "are" not in terms
+
+    def test_query_analysis_mirrors_build(self, spark, english_index):
+        s = Searcher(spark, english_index)
+        assert s.analyzer == "english"
+        assert s.analyze_query("The Troubled oscillators") == ["troubl", "oscil"]
+
+    def test_morphology_variants_match(self, spark, english_index):
+        """'oscillators' (query) finds docs with 'oscillator(s)'."""
+        s = Searcher(spark, english_index)
+        terms = s.analyze_query("oscillators failing")
+        got = {
+            r["url"]
+            for r in s.boolean_query(should=terms, k=10).collect()
+        }
+        assert got == {"https://e.org/1", "https://e.org/2"}
+
+    def test_append_with_other_analyzer_rejected(
+        self, spark, english_index
+    ):
+        wp = spark.createDataFrame(
+            [("https://e.org/9", "more text")], "url string, text string"
+        )
+        with pytest.raises(Exception, match="analyzer"):
+            build_index(
+                spark,
+                wp,
+                english_index,
+                num_segments=1,
+                segment_id_offset=100,
+                analyzer="standard",
+            )
+
+    def test_standard_index_unaffected(self, searcher):
+        assert searcher.analyzer == "standard"
+        assert searcher.analyze_query("troubled") == ["troubled"]

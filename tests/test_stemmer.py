@@ -1,0 +1,98 @@
+"""Porter stemmer: the paper's own examples + structural properties."""
+
+import pytest
+
+from lucene_spark.functions.stemmer import (
+    _cvc,
+    _double_consonant,
+    _measure,
+    english_analyze,
+    porter_stem,
+)
+
+# every pair below appears verbatim in Porter (1980) as a rule example
+PAPER_EXAMPLES = [
+    # step 1a
+    ("caresses", "caress"), ("ponies", "poni"), ("caress", "caress"),
+    ("cats", "cat"),
+    # step 1b
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("bled", "bled"), ("motoring", "motor"), ("sing", "sing"),
+    ("conflated", "conflat"), ("troubled", "troubl"), ("sized", "size"),
+    ("hopping", "hop"), ("tanned", "tan"), ("falling", "fall"),
+    ("hissing", "hiss"), ("fizzed", "fizz"), ("failing", "fail"),
+    ("filing", "file"),
+    # step 1c
+    ("happy", "happi"), ("sky", "sky"),
+    # step 2
+    ("relational", "relat"), ("conditional", "condit"),
+    ("rational", "ration"), ("valenci", "valenc"), ("hesitanci", "hesit"),
+    ("digitizer", "digit"), ("conformabli", "conform"),
+    ("radicalli", "radic"), ("differentli", "differ"), ("vileli", "vile"),
+    ("analogousli", "analog"), ("vietnamization", "vietnam"),
+    ("predication", "predic"), ("operator", "oper"),
+    ("feudalism", "feudal"), ("decisiveness", "decis"),
+    ("hopefulness", "hope"), ("callousness", "callous"),
+    ("formaliti", "formal"), ("sensitiviti", "sensit"),
+    ("sensibiliti", "sensibl"),
+    # step 3
+    ("triplicate", "triplic"), ("formative", "form"), ("formalize", "formal"),
+    ("electriciti", "electr"), ("electrical", "electr"), ("hopeful", "hope"),
+    ("goodness", "good"),
+    # step 4
+    ("revival", "reviv"), ("allowance", "allow"), ("inference", "infer"),
+    ("airliner", "airlin"), ("gyroscopic", "gyroscop"),
+    ("adjustable", "adjust"), ("defensible", "defens"),
+    ("irritant", "irrit"), ("replacement", "replac"),
+    ("adjustment", "adjust"), ("dependent", "depend"),
+    ("adoption", "adopt"), ("homologou", "homolog"),
+    ("communism", "commun"), ("activate", "activ"),
+    ("angulariti", "angular"), ("homologous", "homolog"),
+    ("effective", "effect"), ("bowdlerize", "bowdler"),
+    # step 5
+    ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+    ("controll", "control"), ("roll", "roll"),
+]
+
+
+class TestPorter:
+    @pytest.mark.parametrize("word,stem", PAPER_EXAMPLES)
+    def test_paper_examples(self, word, stem):
+        assert porter_stem(word) == stem
+
+    def test_short_words_untouched(self):
+        for w in ["a", "is", "by"]:
+            assert porter_stem(w) == w
+
+    def test_idempotent_on_common_words(self):
+        for w in ["generalization", "oscillators", "revolutionary"]:
+            once = porter_stem(w)
+            assert porter_stem(once) in (once, porter_stem(once))
+
+    def test_measure(self):
+        assert _measure("tr") == 0
+        assert _measure("ee") == 0
+        assert _measure("tree") == 0
+        assert _measure("trouble") == 1
+        assert _measure("oats") == 1
+        assert _measure("trees") == 1
+        assert _measure("troubles") == 2
+        assert _measure("private") == 2
+        assert _measure("oaten") == 2
+
+    def test_helpers(self):
+        assert _double_consonant("hopp")
+        assert not _double_consonant("hope")
+        assert _cvc("hop")
+        assert not _cvc("how")  # ends in w
+
+
+class TestEnglishAnalyze:
+    def test_chain(self):
+        terms, pos = english_analyze("The Troubled oscillators are failing")
+        # 'the'/'are' stop-filtered with gaps; remaining stemmed
+        assert terms == ["troubl", "oscil", "fail"]
+        assert pos == [1, 2, 4]
+
+    def test_empty(self):
+        assert english_analyze("") == ([], [])
