@@ -95,6 +95,7 @@ def _build_one_segment(
     stopwords,
     index_sort: str = "url",
     stem: bool = False,
+    docids=None,
 ) -> Iterator[pa.RecordBatch]:
     """Build all rows for one segment. Pure function of (urls, texts).
 
@@ -106,7 +107,14 @@ def _build_one_segment(
     import pandas as pd
 
     t0 = time.monotonic()
-    order = np.argsort(np.asarray(urls, dtype=object), kind="stable")
+    if docids is None:
+        order = np.argsort(np.asarray(urls, dtype=object), kind="stable")
+        local_ids = None
+    else:
+        # salted path: docids precomputed by the distributed window;
+        # order rows by docid (== url order within the segment)
+        order = np.argsort(np.asarray(docids, dtype=np.int64), kind="stable")
+        local_ids = np.asarray(docids, dtype=np.int64)[order]
     urls_s = [urls[i] for i in order]
     texts_s = [texts[i] for i in order]
     n_docs = len(urls_s)
@@ -115,6 +123,8 @@ def _build_one_segment(
     doclens = np.array([len(t) for t in terms_col], dtype=np.int64)
 
     if index_sort == "doclen_desc":
+        if local_ids is not None:
+            raise ValueError("salt_splits requires index_sort='url'")
         # stable re-sort on top of the url order -> (doclen desc, url)
         order2 = np.argsort(-doclens, kind="stable")
         urls_s = [urls_s[i] for i in order2]
@@ -125,6 +135,8 @@ def _build_one_segment(
     elif index_sort != "url":
         raise ValueError(f"unknown index_sort {index_sort!r}")
     norms = int_to_byte4(doclens)
+    if local_ids is None:
+        local_ids = np.arange(n_docs, dtype=np.int64)
 
     # ---- doc rows ----
     yield pa.RecordBatch.from_pydict(
@@ -134,8 +146,8 @@ def _build_one_segment(
             "field": [field] * n_docs,
             "term": [None] * n_docs,
             "block_id": np.zeros(n_docs, dtype=np.int32),
-            "first_docid": np.arange(n_docs, dtype=np.int64),  # local docid
-            "last_docid": np.arange(n_docs, dtype=np.int64),
+            "first_docid": local_ids,  # local docid
+            "last_docid": local_ids,
             "num_docs": np.ones(n_docs, dtype=np.int32),
             "block_total_tf": doclens,
             "doc_block": [None] * n_docs,
@@ -161,7 +173,7 @@ def _build_one_segment(
     flat_pos = np.concatenate(
         [np.asarray(p, dtype=np.int64) for p in pos_col if p]
     )
-    flat_docid = np.repeat(np.arange(n_docs, dtype=np.int64), doclens)
+    flat_docid = np.repeat(local_ids, doclens)
 
     df = pd.DataFrame(
         {"term": flat_terms, "docid": flat_docid, "pos": flat_pos}
@@ -179,7 +191,10 @@ def _build_one_segment(
     tfs = np.diff(np.r_[post_starts, len(t_arr)])
     post_docids = d_arr[post_starts]
     post_terms = t_arr[post_starts]
-    post_norms = norms[post_docids]
+    # norms are indexed by row position, not docid value (salted splits
+    # carry non-zero-based docids); local_ids is sorted, so searchsorted
+    # maps docid -> row (identity in the unsalted case)
+    post_norms = norms[np.searchsorted(local_ids, post_docids)]
 
     # term boundaries over postings
     term_first_post = np.flatnonzero(new_term[post_starts])
@@ -266,6 +281,35 @@ def _make_builder(field: str, stopwords, index_sort: str = "url", stem: bool = F
     return build_segments
 
 
+def _make_salted_builder(field: str, stopwords, stem: bool = False):
+    """Builder for the salted path: rows arrive with precomputed
+    (segment_id, salt, local_docid); each (segment, salt) group packs
+    its contiguous docid range independently."""
+    stopset = frozenset(stopwords) if stopwords else frozenset()
+
+    def build_splits(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        groups: dict[tuple[int, int], tuple[list, list, list]] = {}
+        for batch in batches:
+            seg = batch.column("segment_id").to_numpy(zero_copy_only=False)
+            salt = batch.column("salt").to_numpy(zero_copy_only=False)
+            did = batch.column("local_docid").to_numpy(zero_copy_only=False)
+            urls = batch.column("url").to_pylist()
+            texts = batch.column("text").to_pylist()
+            for i in range(len(seg)):
+                key = (int(seg[i]), int(salt[i]))
+                g = groups.setdefault(key, ([], [], []))
+                g[0].append(urls[i])
+                g[1].append(texts[i] if texts[i] is not None else "")
+                g[2].append(int(did[i]))
+        for (seg_id, _salt) in sorted(groups):
+            us, ts, ids = groups[(seg_id, _salt)]
+            yield from _build_one_segment(
+                seg_id, us, ts, field, stopset, "url", stem, docids=ids
+            )
+
+    return build_splits
+
+
 def build_index(
     spark: SparkSession,
     web_pages: DataFrame,
@@ -279,6 +323,7 @@ def build_index(
     index_sort: str = "url",
     waves: int = 1,
     analyzer: str = "standard",
+    salt_splits: int = 1,
 ) -> IndexCatalog:
     """Build (or resume) the inverted index for ``web_pages[field]``.
 
@@ -297,6 +342,16 @@ def build_index(
     the per-partition-lineage resumability of the north rule at wave
     granularity. Costs one extra input scan per wave (the analyze +
     pack work, which dominates, is never repeated).
+
+    ``salt_splits > 1`` is the salted-repartitioning path for segments
+    too large for one task: local docids are assigned DISTRIBUTED by a
+    row_number window over (segment, url) and each of the
+    ``salt_splits`` contiguous docid ranges of a segment builds its
+    posting blocks independently (a term's blocks may end under-full
+    at split edges — the split-posting-blocks trade, harmless to
+    scoring since num_docs per block is explicit). Results are
+    identical to the unsalted build except for block fill; requires
+    index_sort='url'.
     """
     if waves > 1:
         catalog = IndexCatalog(index_dir)
@@ -364,9 +419,25 @@ def build_index(
     if resume and done and src.isEmpty():
         return catalog
 
-    staged = src.repartition(num_segments, "segment_id").mapInArrow(
-        _make_builder(field, stopwords, index_sort, stem), schema=STAGE_DDL
-    )
+    if salt_splits > 1:
+        if index_sort != "url":
+            raise ValueError("salt_splits requires index_sort='url'")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("segment_id").orderBy("url")
+        salted = (
+            src.withColumn("local_docid", F.row_number().over(w) - 1)
+            .withColumn("salt", F.ntile(salt_splits).over(w))
+        )
+        staged = salted.repartition(
+            num_segments * salt_splits, "segment_id", "salt"
+        ).mapInArrow(
+            _make_salted_builder(field, stopwords, stem), schema=STAGE_DDL
+        )
+    else:
+        staged = src.repartition(num_segments, "segment_id").mapInArrow(
+            _make_builder(field, stopwords, index_sort, stem), schema=STAGE_DDL
+        )
 
     commit_id = catalog.new_commit_dir("stage")
     staged.write.mode("overwrite").partitionBy("kind").parquet(commit_id)

@@ -1,0 +1,74 @@
+"""Salted segment builds: distributed docid assignment + split-local
+block packing must produce an index with identical search behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.build import build_index, read_postings
+from lucene_spark.operators.checkindex import check_index
+from lucene_spark.operators.search import Searcher
+from lucene_spark.sources.catalog import IndexCatalog
+
+from .conftest import NUM_SEGMENTS
+
+
+@pytest.fixture(scope="module")
+def salted_index(spark, web_pages, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("salted") / "idx")
+    build_index(
+        spark, web_pages, d, num_segments=NUM_SEGMENTS, salt_splits=3
+    )
+    return d
+
+
+class TestSaltedBuild:
+    def test_checkindex_passes(self, spark, salted_index):
+        assert check_index(spark, salted_index)["status"] == "OK"
+
+    def test_docs_identical_to_unsalted(self, spark, salted_index, searcher):
+        s2 = Searcher(spark, salted_index)
+        a = {
+            (r["segment_id"], r["local_docid"], r["url"], r["norm"])
+            for r in searcher._docs.collect()
+        }
+        b = {
+            (r["segment_id"], r["local_docid"], r["url"], r["norm"])
+            for r in s2._docs.collect()
+        }
+        assert a == b
+
+    def test_terms_identical(self, spark, salted_index, searcher):
+        s2 = Searcher(spark, salted_index)
+        a = {
+            (r["term"], r["doc_freq"], r["total_term_freq"])
+            for r in searcher._terms_df.collect()
+        }
+        b = {
+            (r["term"], r["doc_freq"], r["total_term_freq"])
+            for r in s2._terms_df.collect()
+        }
+        assert a == b
+
+    def test_blocks_split_at_salt_edges(self, spark, salted_index, searcher):
+        """The salted index may carry MORE (possibly under-full) blocks
+        for a term, never different posting content."""
+        n_salted = read_postings(
+            spark, IndexCatalog(salted_index)
+        ).count()
+        n_flat = read_postings(spark, searcher.catalog).count()
+        assert n_salted >= n_flat
+
+    @pytest.mark.parametrize(
+        "q",
+        [
+            lambda s: s.term_query("window", k=10),
+            lambda s: s.boolean_query(should=["window", "spark"], k=10),
+            lambda s: s.boolean_query(must=["window", "spark"], k=10),
+            lambda s: s.phrase_query(["the", "query"], k=10),
+        ],
+    )
+    def test_search_identical(self, spark, salted_index, searcher, q):
+        s2 = Searcher(spark, salted_index)
+        a = [(r["docid"], r["url"], r["score"]) for r in q(searcher).collect()]
+        b = [(r["docid"], r["url"], r["score"]) for r in q(s2).collect()]
+        assert a == b and a
