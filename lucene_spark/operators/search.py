@@ -244,11 +244,18 @@ class Searcher(QueryOpsMixin):
         b: float = 0.75,
         dtype=np.float32,
         similarity: str = "bm25",
+        generation: int | None = None,
     ):
         from .build import read_docs, read_postings, read_terms
 
         self.spark = spark
-        self.catalog = IndexCatalog(index_dir)
+        if generation is None:
+            self.catalog = IndexCatalog(index_dir)
+        else:
+            # point-in-time reader (DirectoryReader.open(IndexCommit))
+            from ..sources.catalog import PointInTimeCatalog
+
+            self.catalog = PointInTimeCatalog(index_dir, generation)
         self.field = field
         self.k1, self.b = k1, b
         self.dtype = dtype

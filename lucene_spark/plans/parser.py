@@ -6,6 +6,7 @@ QueryParserBase.java:130-133``, grammar ``QueryParser.java:72``):
 
     term                 bare term (analyzed)
     "a b c"              exact phrase
+    "a b"~2              sloppy phrase (slop=2)
     +term / -term        required / prohibited
     a AND b, a OR b      operators (NOT x == -x)
     wi* / w?w            prefix / wildcard
@@ -15,8 +16,8 @@ QueryParserBase.java:130-133``, grammar ``QueryParser.java:72``):
     field:term           accepted; only the default field exists, so
                          the prefix is validated and stripped
 
-Unsupported (raises ``QueryParseError``): grouping parens, slop on
-phrases, regex /…/ (use Searcher.regexp_query directly).
+Unsupported (raises ``QueryParseError``): grouping parens, regex /…/
+(use Searcher.regexp_query directly).
 
 Semantics follow the classic parser with default operator OR: bare
 clauses are SHOULD; AND promotes both neighbours to MUST; +/- set
@@ -51,6 +52,7 @@ class Clause:
     terms: list[str] = field(default_factory=list)
     boost: float = 1.0
     max_edits: int = 2
+    slop: int = 0
     lower: str | None = None
     upper: str | None = None
     include_lower: bool = True
@@ -60,7 +62,7 @@ class Clause:
 _TOKEN_RE = re.compile(
     r"""
     \s*(?:
-      (?P<phrase>"[^"]*")
+      (?P<phrase>"[^"]*"(?:~\d+)?)
      | (?P<range>[\[{][^\]}]*(?:TO)[^\]}]*[\]}])
      | (?P<word>[^\s"\[\]{}]+)
     )
@@ -133,12 +135,19 @@ def parse(query: str, default_field: str = "text") -> list[Clause]:
             raise QueryParseError("dangling +/- operator")
 
         if tok.startswith('"'):
+            slop = 0
+            slop_m = re.fullmatch(r'("[^"]*")~(\d+)', tok)
+            if slop_m:
+                tok, slop = slop_m.group(1), int(slop_m.group(2))
             body, boost = _split_boost(tok)
             if not body.endswith('"'):
                 body = tok  # boost split ate the quote; no boost then
                 boost = 1.0
             clauses.append(
-                Clause("phrase", occur, text=body.strip('"'), boost=boost)
+                Clause(
+                    "phrase", occur, text=body.strip('"'), boost=boost,
+                    slop=slop,
+                )
             )
             i += 1
             continue
@@ -218,11 +227,12 @@ def execute(searcher, query: str, k: int = 10) -> DataFrame:
             terms = searcher.analyze_query(c.text)
             if not terms:
                 return None
-            df = (
-                searcher.scored_boolean(should=terms)
-                if len(terms) == 1
-                else searcher.scored_phrase(terms)
-            )
+            if len(terms) == 1:
+                df = searcher.scored_boolean(should=terms)
+            elif c.slop > 0:
+                df = searcher.scored_sloppy_phrase(terms, c.slop)
+            else:
+                df = searcher.scored_phrase(terms)
         elif c.kind == "prefix":
             df = searcher.scored_prefix(c.text)
         elif c.kind == "wildcard":

@@ -44,15 +44,39 @@ class IndexCatalog:
         return os.path.join(self.index_dir, table, cid)
 
     # ---- manifest ----
-    def read_manifest(self) -> dict:
-        path = os.path.join(self.index_dir, self.MANIFEST)
+    def read_manifest(self, generation: int | None = None) -> dict:
+        """Latest manifest, or a historical generation (time travel —
+        Lucene IndexCommit / Iceberg snapshot semantics: old
+        generations are retained as ``segments_N.json`` and their data
+        files are never rewritten, so a point-in-time reader of any
+        retained generation stays consistent)."""
+        if generation is None:
+            path = os.path.join(self.index_dir, self.MANIFEST)
+        else:
+            path = os.path.join(self.index_dir, f"segments_{generation}.json")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"generation {generation} not retained in {self.index_dir}"
+                )
         if not os.path.exists(path):
             return {"generation": 0, "segments": [], "field_stats": {}}
         with open(path) as f:
             return json.load(f)
 
+    def generations(self) -> list[int]:
+        """Retained historical generations, ascending."""
+        out = []
+        for name in os.listdir(self.index_dir):
+            if name.startswith("segments_") and name.endswith(".json"):
+                try:
+                    out.append(int(name[len("segments_"):-len(".json")]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
     def commit_manifest(self, manifest: dict) -> None:
-        """Atomic swap — the segments_N publish."""
+        """Atomic swap — the segments_N publish. Also retains the new
+        generation as ``segments_{N}.json`` for time travel."""
         manifest = dict(manifest)
         manifest["generation"] = manifest.get("generation", 0) + 1
         manifest["committed_ts"] = time.time()
@@ -60,6 +84,15 @@ class IndexCatalog:
         tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
+        gen_path = os.path.join(
+            self.index_dir, f"segments_{manifest['generation']}.json"
+        )
+        # hard link the same bytes; fall back to copy on exotic fs
+        try:
+            os.link(tmp, gen_path)
+        except OSError:
+            with open(gen_path, "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, path)
 
     def committed_segment_ids(self) -> set[int]:
@@ -94,3 +127,24 @@ class IndexCatalog:
             bases[s["segment_id"]] = acc
             acc += s["num_docs"]
         return bases
+
+
+class PointInTimeCatalog(IndexCatalog):
+    """Read-only view of one retained manifest generation — the
+    DirectoryReader.open(IndexCommit) analog. Every derived lookup
+    (live segments, data dirs, docid bases, tombstones) resolves
+    against the pinned generation; data files are never rewritten by
+    builds/merges/deletes, so the view stays consistent. There is no
+    retention GC yet: all generations and data commits are kept."""
+
+    def __init__(self, index_dir: str, generation: int):
+        super().__init__(index_dir)
+        self.pinned_generation = generation
+
+    def read_manifest(self, generation: int | None = None) -> dict:
+        return super().read_manifest(
+            self.pinned_generation if generation is None else generation
+        )
+
+    def commit_manifest(self, manifest: dict) -> None:
+        raise RuntimeError("point-in-time catalog is read-only")

@@ -1,0 +1,120 @@
+"""Time travel: point-in-time readers over retained manifest
+generations (IndexCommit / Iceberg snapshot semantics) + parser slop."""
+
+import pytest
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.deletes import delete_by_urls
+from lucene_spark.operators.merge import maybe_merge
+from lucene_spark.operators.search import Searcher
+from lucene_spark.plans.parser import execute, parse
+from lucene_spark.sources.catalog import IndexCatalog
+
+from .conftest import NUM_SEGMENTS
+
+
+@pytest.fixture(scope="module")
+def history_index(spark, web_pages, tmp_path_factory):
+    """gen1 = build, gen2+ = merges, genN = delete."""
+    d = str(tmp_path_factory.mktemp("tt") / "idx")
+    build_index(spark, web_pages, d, num_segments=NUM_SEGMENTS)
+    gens_after_build = IndexCatalog(d).generations()
+    maybe_merge(spark, d, merge_factor=2, min_merge_docs=1)
+    s = Searcher(spark, d)
+    victim = s.term_query("window", k=1).collect()[0]["url"]
+    delete_by_urls(spark, d, [victim])
+    return d, gens_after_build[-1], victim
+
+
+class TestTimeTravel:
+    def test_generations_retained(self, spark, history_index):
+        d, build_gen, _ = history_index
+        gens = IndexCatalog(d).generations()
+        assert build_gen in gens and len(gens) >= 3
+        assert gens == sorted(gens)
+
+    def test_past_reader_sees_pre_merge_segments(self, spark, history_index):
+        d, build_gen, _ = history_index
+        old = Searcher(spark, d, generation=build_gen)
+        now = Searcher(spark, d)
+        old_live = {
+            s["segment_id"]
+            for s in old.catalog.read_manifest()["segments"]
+        }
+        now_live = {
+            s["segment_id"]
+            for s in now.catalog.read_manifest()["segments"]
+            if s["status"] == "COMMITTED"
+        }
+        assert old_live != now_live
+        assert len(old_live) == NUM_SEGMENTS
+
+    def test_past_reader_sees_deleted_doc(self, spark, history_index):
+        d, build_gen, victim = history_index
+        old = Searcher(spark, d, generation=build_gen)
+        now = Searcher(spark, d)
+        old_urls = {r["url"] for r in old.term_query("window", k=10).collect()}
+        now_urls = {r["url"] for r in now.term_query("window", k=10).collect()}
+        assert victim in old_urls
+        assert victim not in now_urls
+
+    def test_results_identical_across_generations_pre_delete(
+        self, spark, history_index, searcher
+    ):
+        """The build-time generation must answer exactly like the
+        shared fixture index (same corpus, same layout)."""
+        d, build_gen, _ = history_index
+        old = Searcher(spark, d, generation=build_gen)
+        a = [
+            (r["docid"], r["url"], r["score"])
+            for r in old.boolean_query(should=["window", "spark"], k=10).collect()
+        ]
+        b = [
+            (r["docid"], r["url"], r["score"])
+            for r in searcher.boolean_query(
+                should=["window", "spark"], k=10
+            ).collect()
+        ]
+        assert a == b
+
+    def test_missing_generation_raises(self, spark, history_index):
+        d, _, _ = history_index
+        with pytest.raises(Exception, match="not retained"):
+            Searcher(spark, d, generation=99999)
+
+    def test_pit_catalog_read_only(self, history_index):
+        from lucene_spark.sources.catalog import PointInTimeCatalog
+
+        d, build_gen, _ = history_index
+        c = PointInTimeCatalog(d, build_gen)
+        with pytest.raises(RuntimeError, match="read-only"):
+            c.commit_manifest({})
+
+
+class TestParserSlop:
+    def test_parse_slop(self):
+        cs = parse('"the query"~2 window')
+        assert cs[0].kind == "phrase" and cs[0].slop == 2
+        assert cs[1].kind == "term"
+
+    def test_execute_slop_matches_sloppy_query(self, searcher):
+        a = [
+            (r["docid"], r["score"])
+            for r in execute(searcher, '"the query"~2', k=10).collect()
+        ]
+        b = [
+            (r["docid"], r["score"])
+            for r in searcher.sloppy_phrase_query(["the", "query"], 2, k=10).collect()
+        ]
+        assert a == b
+
+    def test_slop_zero_unchanged(self, searcher):
+        a = [
+            (r["docid"], r["score"])
+            for r in execute(searcher, '"the query"', k=10).collect()
+        ]
+        b = [
+            (r["docid"], r["score"])
+            for r in searcher.phrase_query(["the", "query"], k=10).collect()
+        ]
+        assert a == b
