@@ -105,3 +105,39 @@ def read_tombstones(
 def deleted_count(spark: SparkSession, index_dir: str) -> int:
     t = read_tombstones(spark, IndexCatalog(index_dir))
     return 0 if t is None else t.count()
+
+
+def update_documents(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    num_segments: int = 2,
+    field: str = "text",
+) -> None:
+    """IndexWriter.updateDocument analog
+    (``core/index/IndexWriter.java:1881``): replace-by-key — tombstone
+    any existing docs with the incoming urls, then append the new
+    versions as fresh segments. Both steps are manifest commits, so a
+    reader opened in between sees either the old or the new version,
+    never both (the delete generation lands first, exactly like
+    Lucene's buffered delete applied with the flush).
+
+    ``docs``: (url, <field>, ...) rows; urls must be unique.
+    """
+    from .build import build_index
+
+    urls = [r["url"] for r in docs.select("url").distinct().collect()]
+    catalog = IndexCatalog(index_dir)
+    man = catalog.read_manifest()
+    offset = max((s["segment_id"] for s in man["segments"]), default=-1) + 1
+    delete_by_urls(spark, index_dir, urls)
+    build_index(
+        spark,
+        docs,
+        index_dir,
+        num_segments=num_segments,
+        field=field,
+        segment_id_offset=offset,
+        lineage_extra={"op": "update_documents"},
+        analyzer=man.get("analyzer", "standard"),
+    )

@@ -74,6 +74,32 @@ class TestDeletes:
         assert rep["status"] == "OK"
         assert rep["num_deleted"] == deleted_count(spark, del_index)
 
+    def test_update_documents_replaces_by_key(
+        self, spark, web_pages, naive, tmp_path
+    ):
+        from lucene_spark.operators.deletes import update_documents
+
+        d = str(tmp_path / "upd_idx")
+        build_index(spark, web_pages, d, num_segments=NUM_SEGMENTS)
+        s0 = Searcher(spark, d)
+        victim = s0.term_query("window", k=1).collect()[0]["url"]
+
+        new_docs = spark.createDataFrame(
+            [(victim, "entirely replacement content zzzreplaced")],
+            "url string, text string",
+        )
+        update_documents(spark, d, new_docs, num_segments=1)
+        s1 = Searcher(spark, d)
+        # old content no longer matches for that url...
+        assert victim not in {
+            r["url"] for r in s1.term_query("window", k=1000).collect()
+        }
+        # ...new content does
+        got = {r["url"] for r in s1.term_query("zzzreplaced", k=10).collect()}
+        assert got == {victim}
+        # live doc count unchanged (one killed, one added)
+        assert s1.match_all().count() == naive.N
+
     def test_merge_remaps_tombstones(self, spark, del_index, naive):
         from lucene_spark.operators.merge import maybe_merge
 
