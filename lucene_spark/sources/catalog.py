@@ -129,6 +129,59 @@ class IndexCatalog:
         return bases
 
 
+def expunge_generations(catalog: IndexCatalog, keep_last: int = 2) -> dict:
+    """IndexDeletionPolicy analog (``core/index/IndexDeletionPolicy.java``,
+    default KeepOnlyLastCommitDeletionPolicy generalized to keep N):
+    drop all but the newest ``keep_last`` retained generations, then
+    delete every data commit dir no surviving generation references.
+
+    Safe by construction: the current manifest is always among the
+    survivors, and data dirs are only removed when unreferenced by
+    every kept snapshot. Returns {"generations_removed", "dirs_removed"}.
+    """
+    import shutil
+
+    gens = catalog.generations()
+    keep = set(gens[-keep_last:]) if keep_last > 0 else set()
+    current = catalog.read_manifest().get("generation", 0)
+    keep.add(current)
+
+    removed_gens = []
+    for g in gens:
+        if g not in keep:
+            os.remove(os.path.join(catalog.index_dir, f"segments_{g}.json"))
+            removed_gens.append(g)
+
+    # referenced data dirs across surviving generations
+    referenced: set[str] = set()
+    for g in sorted(keep):
+        try:
+            man = catalog.read_manifest(g)
+        except FileNotFoundError:
+            continue
+        for s in man.get("segments", []):
+            for rel in s.get("data", {}).values():
+                referenced.add(rel)
+        for d in man.get("deletes", []):
+            referenced.add(d["dir"])
+
+    removed_dirs = []
+    for table in ("stage", "terms", "deletes"):
+        troot = catalog.table_path(table)
+        if not os.path.isdir(troot):
+            continue
+        for name in sorted(os.listdir(troot)):
+            rel = f"{table}/{name}"
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(troot, name), ignore_errors=True)
+                removed_dirs.append(rel)
+
+    return {
+        "generations_removed": removed_gens,
+        "dirs_removed": removed_dirs,
+    }
+
+
 class PointInTimeCatalog(IndexCatalog):
     """Read-only view of one retained manifest generation — the
     DirectoryReader.open(IndexCommit) analog. Every derived lookup

@@ -1,0 +1,70 @@
+"""Generation GC: old snapshots and unreferenced data dirs removed,
+current index untouched."""
+
+import os
+
+import pytest
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.checkindex import check_index
+from lucene_spark.operators.merge import maybe_merge
+from lucene_spark.operators.search import Searcher
+from lucene_spark.sources.catalog import IndexCatalog, expunge_generations
+
+from .conftest import NUM_SEGMENTS
+
+
+class TestExpunge:
+    def test_expunge_removes_old_and_keeps_current_consistent(
+        self, spark, web_pages, tmp_path
+    ):
+        d = str(tmp_path / "gc_idx")
+        build_index(spark, web_pages, d, num_segments=NUM_SEGMENTS)
+        maybe_merge(spark, d, merge_factor=2, min_merge_docs=1)
+        cat = IndexCatalog(d)
+        before_gens = cat.generations()
+        assert len(before_gens) >= 3
+        baseline = [
+            (r["docid"], r["url"], r["score"])
+            for r in Searcher(spark, d)
+            .boolean_query(should=["window", "spark"], k=10)
+            .collect()
+        ]
+
+        report = expunge_generations(cat, keep_last=1)
+        assert report["generations_removed"]
+        # pre-merge stage dirs become unreferenced once the only kept
+        # generation is the fully-merged one
+        assert report["dirs_removed"]
+
+        after_gens = cat.generations()
+        assert after_gens == [before_gens[-1]]
+        # current index still fully functional and identical
+        s = Searcher(spark, d)
+        got = [
+            (r["docid"], r["url"], r["score"])
+            for r in s.boolean_query(should=["window", "spark"], k=10).collect()
+        ]
+        assert got == baseline
+        assert check_index(spark, d)["status"] == "OK"
+
+    def test_time_travel_to_removed_generation_fails(
+        self, spark, web_pages, tmp_path
+    ):
+        d = str(tmp_path / "gc_idx2")
+        build_index(spark, web_pages, d, num_segments=2)
+        maybe_merge(spark, d, merge_factor=2, min_merge_docs=1)
+        cat = IndexCatalog(d)
+        old_gen = cat.generations()[0]
+        expunge_generations(cat, keep_last=1)
+        with pytest.raises(Exception, match="not retained"):
+            Searcher(spark, d, generation=old_gen)
+
+    def test_keep_all_is_noop_for_dirs(self, spark, web_pages, tmp_path):
+        d = str(tmp_path / "gc_idx3")
+        build_index(spark, web_pages, d, num_segments=2)
+        cat = IndexCatalog(d)
+        n_gens = len(cat.generations())
+        report = expunge_generations(cat, keep_last=n_gens)
+        assert report["generations_removed"] == []
+        assert report["dirs_removed"] == []

@@ -1,0 +1,102 @@
+"""Hypothesis property tests: codec round-trips, skyline soundness,
+sloppy matcher invariants — the RandomPostingsTester pattern
+(tf/index/BasePostingsFormatTestCase.java:104-190) with generated
+inputs instead of a seeded RNG."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_spark.functions.smallfloat import byte4_to_int, int_to_byte4
+from lucene_spark.operators.codec import (
+    impact_skyline,
+    pack_doc_block,
+    pack_freq_block,
+    unpack_doc_block,
+    unpack_freq_block,
+)
+from lucene_spark.operators.search import sloppy_phrase_freq
+
+docid_lists = st.lists(
+    st.integers(min_value=0, max_value=100_000), min_size=1, max_size=256
+).map(lambda xs: sorted(set(xs)))
+
+freq_lists = st.lists(
+    st.integers(min_value=1, max_value=1 << 20), min_size=1, max_size=256
+)
+
+
+class TestCodecProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(docid_lists)
+    def test_doc_block_roundtrip(self, docids):
+        arr = np.asarray(docids, dtype=np.int64)
+        buf = pack_doc_block(arr)
+        out = unpack_doc_block(buf, int(arr[0]), len(arr))
+        assert np.array_equal(out, arr)
+
+    @settings(max_examples=200, deadline=None)
+    @given(freq_lists)
+    def test_freq_block_roundtrip(self, freqs):
+        arr = np.asarray(freqs, dtype=np.int64)
+        buf = pack_freq_block(arr)
+        out = unpack_freq_block(buf, len(arr))
+        assert np.array_equal(out, arr)
+
+    @settings(max_examples=200, deadline=None)
+    @given(freq_lists, st.lists(st.integers(0, 255), min_size=1, max_size=256))
+    def test_skyline_dominates_all_pairs(self, freqs, norms):
+        n = min(len(freqs), len(norms))
+        f = np.asarray(freqs[:n], dtype=np.int64)
+        m = np.asarray(norms[:n], dtype=np.int64)
+        sf, sn = impact_skyline(f, m)
+        # every original pair is dominated: some skyline entry has
+        # freq >= f at norm <= n
+        for fi, ni in zip(f, m):
+            idx = np.searchsorted(sn, ni, "right") - 1
+            assert idx >= 0 and sf[idx] >= fi
+        # skyline strictly increasing in both coordinates
+        assert np.all(np.diff(sf) > 0) and np.all(np.diff(sn) > 0)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=(1 << 31) - 1))
+    def test_smallfloat_quantization_bounds(self, length):
+        b = int(int_to_byte4(np.array([length]))[0])
+        lo = int(byte4_to_int(np.array([b]))[0])
+        assert lo <= length
+        if b < 255:
+            hi = int(byte4_to_int(np.array([b + 1]))[0])
+            assert length < hi
+
+
+class TestSloppyProperties:
+    pos_lists = st.lists(
+        st.lists(st.integers(-5, 30), min_size=1, max_size=6).map(
+            lambda xs: sorted(set(xs))
+        ),
+        min_size=2,
+        max_size=4,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(pos_lists, st.integers(0, 6))
+    def test_freq_nonnegative_and_bounded(self, lists, slop):
+        f = sloppy_phrase_freq([list(pl) for pl in lists], slop)
+        assert f >= 0
+        # at most one weighted match per advance of any cursor
+        assert f <= sum(len(pl) for pl in lists)
+
+    @settings(max_examples=150, deadline=None)
+    @given(pos_lists)
+    def test_slop0_equals_exact(self, lists):
+        exact = len(set.intersection(*[set(pl) for pl in lists]))
+        assert sloppy_phrase_freq([list(pl) for pl in lists], 0) == float(
+            exact
+        )
+
+    @settings(max_examples=100, deadline=None)
+    @given(pos_lists, st.integers(0, 4))
+    def test_monotone_in_slop(self, lists, slop):
+        a = sloppy_phrase_freq([list(pl) for pl in lists], slop)
+        b = sloppy_phrase_freq([list(pl) for pl in lists], slop + 1)
+        assert b >= a - 1e-12
