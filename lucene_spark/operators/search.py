@@ -124,6 +124,93 @@ def sloppy_phrase_freq(adjusted_pos_lists: list[list[int]], slop: int) -> float:
     return freq
 
 
+def ordered_intervals(pos_lists: list[list[int]]) -> list[tuple[int, int]]:
+    """Minimal ordered intervals containing one position of each term
+    in phrase order (``queries/intervals`` OrderedIntervalsSource
+    semantics): forward-advance each cursor past the previous term's
+    position, then shrink the start to the latest position still
+    before the second term. Cursors never rewind."""
+    n = len(pos_lists)
+    if any(not pl for pl in pos_lists):
+        return []
+    if n == 1:
+        return [(p, p) for p in pos_lists[0]]
+    idx = [0] * n
+    out: list[tuple[int, int]] = []
+    while idx[0] < len(pos_lists[0]):
+        prev = pos_lists[0][idx[0]]
+        ok = True
+        for k in range(1, n):
+            while (
+                idx[k] < len(pos_lists[k]) and pos_lists[k][idx[k]] <= prev
+            ):
+                idx[k] += 1
+            if idx[k] >= len(pos_lists[k]):
+                ok = False
+                break
+            prev = pos_lists[k][idx[k]]
+        if not ok:
+            break
+        while (
+            idx[0] + 1 < len(pos_lists[0])
+            and pos_lists[0][idx[0] + 1] < pos_lists[1][idx[1]]
+        ):
+            idx[0] += 1
+        out.append((pos_lists[0][idx[0]], prev))
+        idx[0] += 1
+    return out
+
+
+def unordered_intervals(pos_lists: list[list[int]]) -> list[tuple[int, int]]:
+    """Minimal unordered intervals covering one position of every term
+    (UnorderedIntervalsSource): sliding window over the merged
+    position stream, emitting each window that cannot shrink."""
+    n = len(pos_lists)
+    if any(not pl for pl in pos_lists):
+        return []
+    if n == 1:
+        return [(p, p) for p in pos_lists[0]]
+    events = sorted(
+        (p, t) for t, pl in enumerate(pos_lists) for p in pl
+    )
+    counts = [0] * n
+    covered = 0
+    out: list[tuple[int, int]] = []
+    left = 0
+    for right, (p_r, t_r) in enumerate(events):
+        counts[t_r] += 1
+        if counts[t_r] == 1:
+            covered += 1
+        while covered == n:
+            p_l, t_l = events[left]
+            if counts[t_l] > 1:
+                counts[t_l] -= 1
+                left += 1
+            else:
+                out.append((p_l, p_r))
+                counts[t_l] -= 1
+                covered -= 1
+                left += 1
+    return out
+
+
+def interval_freq(
+    intervals: list[tuple[int, int]],
+    min_extent: int,
+    max_width: int | None = None,
+) -> float:
+    """IntervalScorer freq (``queries/intervals/IntervalScorer.java:66``):
+    Σ 1/max(length - minExtent + 1, 1), optionally dropping intervals
+    wider than ``max_width`` (Intervals.maxwidth)."""
+    freq = 0.0
+    for s, e in intervals:
+        length = e - s + 1
+        if max_width is not None and length > max_width:
+            continue
+        freq += 1.0 / max(length - min_extent + 1, 1)
+    return freq
+
+
 def _bind_scorers(stats, field_stats, k1, b, boost, dtype, similarity="bm25"):
     """Per-term bound scorers from the similarity registry
     (functions/similarities.py). BM25 keeps the float32 Lucene-exact
@@ -772,6 +859,83 @@ class Searcher(QueryOpsMixin):
         self, terms: list[str], slop: int, k: int = 10
     ) -> DataFrame:
         return self._finish_topk(self.scored_sloppy_phrase(terms, slop), k)
+
+    def scored_intervals(
+        self,
+        terms: list[str],
+        ordered: bool = True,
+        max_width: int | None = None,
+        pivot: float = 1.0,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """IntervalQuery (``lucene/queries/.../intervals/
+        IntervalQuery.java:59-84``): docs scored by their minimal
+        ordered/unordered intervals over RAW positions; freq =
+        Σ 1/max(width - n + 1, 1) per IntervalScorer, score =
+        boost * (1 - pivot/(pivot + freq)) — the default saturation
+        function with pivot 1 (``IntervalScoreFunction.java:56-74``)."""
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in terms):
+            return self._empty_scored().select("segment_id", "docid", "score")
+        sc = self.scored_postings(
+            list(dict.fromkeys(terms)), need_positions=True
+        )
+        per_term = []
+        for i, t in enumerate(terms):
+            d = sc.where(F.col("term") == t).select(
+                "segment_id", "docid", F.col("positions").alias(f"p{i}")
+            )
+            per_term.append(d)
+        joined = per_term[0]
+        for i in range(1, len(terms)):
+            joined = joined.join(per_term[i], ["segment_id", "docid"])
+
+        n_terms = len(terms)
+
+        @F.pandas_udf("double")
+        def ifreq(*pos_cols):
+            import pandas as pd
+
+            out = []
+            for row in zip(*pos_cols):
+                lists = [sorted(p) for p in row]
+                iv = (
+                    ordered_intervals(lists)
+                    if ordered
+                    else unordered_intervals(lists)
+                )
+                out.append(interval_freq(iv, n_terms, max_width))
+            return pd.Series(out)
+
+        pos_args = [F.col(f"p{i}") for i in range(n_terms)]
+        matched = joined.withColumn("ifreq", ifreq(*pos_args)).where(
+            F.col("ifreq") > 0
+        )
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return matched.select(
+            "segment_id",
+            "docid",
+            (
+                F.lit(float(boost))
+                * (
+                    F.lit(1.0)
+                    - F.lit(float(pivot)) / (F.lit(float(pivot)) + F.col("ifreq"))
+                )
+            )
+            .cast(score_t)
+            .alias("score"),
+        )
+
+    def interval_query(
+        self,
+        terms: list[str],
+        ordered: bool = True,
+        max_width: int | None = None,
+        k: int = 10,
+    ) -> DataFrame:
+        return self._finish_topk(
+            self.scored_intervals(terms, ordered, max_width), k
+        )
 
     def scored_multi_phrase(self, slots: list[list[str]]) -> DataFrame:
         """MultiPhraseQuery (``core/search/MultiPhraseQuery.java:54``):

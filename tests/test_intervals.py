@@ -1,0 +1,127 @@
+"""Interval queries: minimal-interval kernels + Spark path vs a
+python mirror over the naive index."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.operators.search import (
+    interval_freq,
+    ordered_intervals,
+    unordered_intervals,
+)
+
+
+class TestOrderedIntervals:
+    def test_simple_in_order(self):
+        assert ordered_intervals([[0], [1]]) == [(0, 1)]
+
+    def test_shrinks_start(self):
+        # t1 at 0 and 5, t2 at 6: minimal interval starts at 5
+        assert ordered_intervals([[0, 5], [6]]) == [(5, 6)]
+
+    def test_out_of_order_not_matched(self):
+        assert ordered_intervals([[5], [1]]) == []
+
+    def test_multiple_minimal(self):
+        # "a b a b": a=[0,2], b=[1,3] -> (0,1) and (2,3)
+        assert ordered_intervals([[0, 2], [1, 3]]) == [(0, 1), (2, 3)]
+
+    def test_three_terms(self):
+        assert ordered_intervals([[0], [2], [4]]) == [(0, 4)]
+        assert ordered_intervals([[0], [4], [2]]) == []
+
+    def test_missing_term(self):
+        assert ordered_intervals([[0], []]) == []
+
+    def test_single_term(self):
+        assert ordered_intervals([[3, 7]]) == [(3, 3), (7, 7)]
+
+
+class TestUnorderedIntervals:
+    def test_any_order(self):
+        assert unordered_intervals([[5], [1]]) == [(1, 5)]
+
+    def test_minimal_windows(self):
+        # a=[0,10], b=[2,11]: three minimal windows — (0,2), the
+        # cross window (2,10) (b then a, nothing nested inside), (10,11)
+        out = unordered_intervals([[0, 10], [2, 11]])
+        assert out == [(0, 2), (2, 10), (10, 11)]
+        # no emitted window strictly contains another
+        for s1, e1 in out:
+            for s2, e2 in out:
+                if (s1, e1) != (s2, e2):
+                    assert not (s1 < s2 and e2 < e1)
+
+    def test_three_terms(self):
+        out = unordered_intervals([[0, 9], [5], [6]])
+        assert (5, 9) in out or (0, 6) in out
+        # every emitted window covers all terms minimally
+        for s, e in out:
+            assert e > s
+
+
+class TestIntervalFreq:
+    def test_exact_adjacency_weight_one(self):
+        # width == n -> weight 1 each
+        assert interval_freq([(0, 1)], 2) == 1.0
+        assert interval_freq([(0, 2)], 3) == 1.0
+
+    def test_wider_interval_decays(self):
+        assert interval_freq([(0, 3)], 2) == pytest.approx(1 / 3)
+
+    def test_max_width_filters(self):
+        assert interval_freq([(0, 9), (20, 21)], 2, max_width=3) == 1.0
+
+
+class TestSparkIntervals:
+    def _mirror(self, naive, terms, ordered, max_width, pivot=1.0):
+        out = {}
+        for i, (terms_i, pos_i) in enumerate(naive.analyzed):
+            pos_of = {}
+            for t, p in zip(terms_i, pos_i):
+                pos_of.setdefault(t, []).append(p)
+            if not all(t in pos_of for t in terms):
+                continue
+            lists = [sorted(pos_of[t]) for t in terms]
+            iv = (
+                ordered_intervals(lists) if ordered else unordered_intervals(lists)
+            )
+            f = interval_freq(iv, len(terms), max_width)
+            if f > 0:
+                out[i] = np.float32(1.0 * (1.0 - pivot / (pivot + f)))
+        return out
+
+    @pytest.mark.parametrize("ordered", [True, False])
+    def test_matches_mirror(self, searcher, naive, ordered):
+        terms = ["the", "query"]
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_intervals(terms, ordered=ordered)
+            ).collect()
+        }
+        expect = self._mirror(naive, terms, ordered, None)
+        assert set(got) == set(expect)
+        for d in got:
+            assert abs(got[d] - float(expect[d])) <= 1e-6
+        assert got, "fixture should match"
+
+    def test_max_width_narrows(self, searcher):
+        wide = searcher.scored_intervals(["the", "query"], max_width=None).count()
+        tight = searcher.scored_intervals(["the", "query"], max_width=2).count()
+        assert tight <= wide
+
+    def test_unordered_superset_of_ordered(self, searcher):
+        o = {
+            r["docid"]
+            for r in searcher._globalize(
+                searcher.scored_intervals(["window", "spark"], ordered=True)
+            ).collect()
+        }
+        u = {
+            r["docid"]
+            for r in searcher._globalize(
+                searcher.scored_intervals(["window", "spark"], ordered=False)
+            ).collect()
+        }
+        assert o <= u
