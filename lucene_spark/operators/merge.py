@@ -217,11 +217,28 @@ def merge_segments(
                 "op": {"kind": "merge_remap", "merged_from": list(map(int, group))},
             }
 
+    # streaming exactly-once: a merged segment must keep claiming its
+    # sources' micro-batch ids, or a replay after a crash between the
+    # merge and Spark's checkpoint commit would re-index the batch
+    # (nrt.batch_committed checks batch_id AND batch_ids)
+    batch_ids: set[int] = set()
+    for s in srcs:
+        lin = s.get("lineage", {}) or {}
+        if "batch_id" in lin:
+            batch_ids.add(int(lin["batch_id"]))
+        batch_ids.update(int(b) for b in lin.get("batch_ids", []))
+
     # atomic manifest swap: retire sources, publish merged segment
     manifest = catalog.read_manifest()
     if del_rel:
         manifest.setdefault("deletes", []).append(del_rel)
     keep = [s for s in manifest["segments"] if s["segment_id"] not in set(group)]
+    lineage = {
+        "merged_from": [int(g) for g in group],
+        "policy": "LogDocMergePolicy",
+    }
+    if batch_ids:
+        lineage["batch_ids"] = sorted(batch_ids)
     keep.append(
         {
             "segment_id": int(new_id),
@@ -230,10 +247,7 @@ def merge_segments(
             "num_docs": int(sum(s["num_docs"] for s in srcs)),
             "sum_doclen": int(sum(s.get("sum_doclen", 0) for s in srcs)),
             "num_blocks": int(sum(s.get("num_blocks", 0) for s in srcs)),
-            "lineage": {
-                "merged_from": [int(g) for g in group],
-                "policy": "LogDocMergePolicy",
-            },
+            "lineage": lineage,
             "metrics": {},
             "data": (
                 {"stage": rel, "terms": rel_terms}

@@ -233,7 +233,10 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
     When ``k_for_pruning`` is set (single-term top-k), keeps a running
     partition-local k-th-best score and skips blocks whose skyline
     upper bound is not competitive — sound because the threshold only
-    grows from docs actually scored in this partition.
+    grows from docs actually scored in this partition, and the skip is
+    STRICT (``ub < kth``): a block whose bound ties the k-th score may
+    hold a doc that wins the (score desc, docid asc) tie-break
+    (HitQueue.java:76-83), so it must still be decoded.
     """
     score_pa = pa.float32() if dtype == np.float32 else pa.float64()
     out_schema = _unpack_schema(score_pa)
@@ -270,7 +273,7 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
                 if (
                     k_for_pruning
                     and len(topk_heap) >= k_for_pruning
-                    and ubs[j] <= topk_heap[0]
+                    and ubs[j] < topk_heap[0]
                 ):
                     continue  # block cannot contribute a competitive doc
                 sc = scorers[terms[j]]
@@ -416,6 +419,13 @@ class Searcher(QueryOpsMixin):
         present = [t for t in terms if t in stats]
         if not present:
             return self._empty_scored()
+        if k_for_pruning is not None and self._tombstones is not None:
+            # liveDocs filtering happens AFTER the kernel; a threshold
+            # heap fed by deleted docs could wrongly skip blocks holding
+            # true live top-k docs (scorer.score(collector, liveDocs)
+            # applies liveDocs BEFORE collection in Lucene). Fall back
+            # to the exhaustive path when the index has deletes.
+            k_for_pruning = None
         scorers = _bind_scorers(
             stats, self.field_stats, self.k1, self.b, boost, self.dtype,
             self.similarity,

@@ -129,7 +129,9 @@ class IndexCatalog:
         return bases
 
 
-def expunge_generations(catalog: IndexCatalog, keep_last: int = 2) -> dict:
+def expunge_generations(
+    catalog: IndexCatalog, keep_last: int = 2, grace_seconds: float = 3600.0
+) -> dict:
     """IndexDeletionPolicy analog (``core/index/IndexDeletionPolicy.java``,
     default KeepOnlyLastCommitDeletionPolicy generalized to keep N):
     drop all but the newest ``keep_last`` retained generations, then
@@ -137,9 +139,15 @@ def expunge_generations(catalog: IndexCatalog, keep_last: int = 2) -> dict:
 
     Safe by construction: the current manifest is always among the
     survivors, and data dirs are only removed when unreferenced by
-    every kept snapshot. Returns {"generations_removed", "dirs_removed"}.
+    every kept snapshot AND older than ``grace_seconds`` — an in-flight
+    build/merge/delete writes its parquet dir before the manifest swap
+    publishes it, so a concurrent GC must not reap young dirs (Lucene's
+    IndexFileDeleter likewise protects files of pending commits).
+    Pass ``grace_seconds=0`` only when no writer can be running.
+    Returns {"generations_removed", "dirs_removed"}.
     """
     import shutil
+    import time
 
     gens = catalog.generations()
     keep = set(gens[-keep_last:]) if keep_last > 0 else set()
@@ -166,15 +174,24 @@ def expunge_generations(catalog: IndexCatalog, keep_last: int = 2) -> dict:
             referenced.add(d["dir"])
 
     removed_dirs = []
+    now = time.time()
     for table in ("stage", "terms", "deletes"):
         troot = catalog.table_path(table)
         if not os.path.isdir(troot):
             continue
         for name in sorted(os.listdir(troot)):
             rel = f"{table}/{name}"
-            if rel not in referenced:
-                shutil.rmtree(os.path.join(troot, name), ignore_errors=True)
-                removed_dirs.append(rel)
+            if rel in referenced:
+                continue
+            path = os.path.join(troot, name)
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue
+            if age < grace_seconds:
+                continue  # possibly an in-flight commit: not yet published
+            shutil.rmtree(path, ignore_errors=True)
+            removed_dirs.append(rel)
 
     return {
         "generations_removed": removed_gens,
@@ -187,8 +204,11 @@ class PointInTimeCatalog(IndexCatalog):
     DirectoryReader.open(IndexCommit) analog. Every derived lookup
     (live segments, data dirs, docid bases, tombstones) resolves
     against the pinned generation; data files are never rewritten by
-    builds/merges/deletes, so the view stays consistent. There is no
-    retention GC yet: all generations and data commits are kept."""
+    builds/merges/deletes, so the view stays consistent. A pinned
+    generation survives only while ``expunge_generations`` retains it
+    (keep_last newest) — GC of older generations invalidates readers
+    pinned to them, like Lucene's IndexDeletionPolicy releasing an
+    IndexCommit."""
 
     def __init__(self, index_dir: str, generation: int):
         super().__init__(index_dir)

@@ -41,20 +41,36 @@ class MonitorQuery:
 
 
 class Monitor:
-    """Registry of stored queries + batch/stream matchers."""
+    """Registry of stored queries + batch/stream matchers.
 
-    def __init__(self, spark: SparkSession):
+    ``stopwords``/``stem`` configure the analyzer chain applied to BOTH
+    query registration and incoming documents — the two sides must run
+    the identical chain or punctuated/mixed-case text silently fails to
+    match (Lucene's Monitor shares one Analyzer for the query index and
+    the single-doc index)."""
+
+    def __init__(self, spark: SparkSession, stopwords=None, stem: bool = False):
         self.spark = spark
         self._queries: dict[str, MonitorQuery] = {}
+        self._stopwords = frozenset(stopwords or [])
+        self._stem = stem
+
+    def _analyze_text(self, txt: str) -> list[str]:
+        terms, _ = analyze(txt, stopwords=self._stopwords)
+        if self._stem:
+            from ..functions.stemmer import porter_stem
+
+            terms = [porter_stem(t) for t in terms]
+        return terms
 
     def register(self, q: MonitorQuery) -> None:
         """Register (or replace) a stored query. Query text is run
         through the analyzer so 'Hello World' matches like indexing."""
         norm = MonitorQuery(
             q.query_id,
-            [t for txt in q.must for t in analyze(txt)[0]],
-            [t for txt in q.should for t in analyze(txt)[0]],
-            [t for txt in q.must_not for t in analyze(txt)[0]],
+            [t for txt in q.must for t in self._analyze_text(txt)],
+            [t for txt in q.should for t in self._analyze_text(txt)],
+            [t for txt in q.must_not for t in self._analyze_text(txt)],
             q.min_should_match,
         )
         self._queries[q.query_id] = norm
@@ -96,10 +112,22 @@ class Monitor:
             return self.spark.createDataFrame(
                 [], "url string, query_id string"
             )
+        stop = self._stopwords
+        stem = self._stem
+
+        @F.pandas_udf("array<string>")
+        def _doc_terms(texts):
+            import pandas as pd
+
+            from lucene_spark.functions.analysis import analyze_series
+
+            terms_col, _ = analyze_series(texts, stopwords=stop, stem=stem)
+            return pd.Series(terms_col)
+
         doc_terms = docs.select(
             F.col(url_col).alias("url"),
             F.explode(
-                F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+                F.array_distinct(_doc_terms(F.col(text_col)))
             ).alias("term"),
         )
         qt = F.broadcast(self._query_terms_df())

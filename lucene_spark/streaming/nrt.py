@@ -32,11 +32,17 @@ from ..sources.catalog import IndexCatalog
 
 
 def batch_committed(index_dir: str, batch_id: int) -> bool:
+    """True when some live segment claims this micro-batch — directly
+    (lineage.batch_id) or through a merge (lineage.batch_ids, the union
+    of the merged sources' batch ids carried by merge_segments)."""
     man = IndexCatalog(index_dir).read_manifest()
-    return any(
-        s.get("lineage", {}).get("batch_id") == batch_id
-        for s in man["segments"]
-    )
+    for s in man["segments"]:
+        lin = s.get("lineage", {}) or {}
+        if lin.get("batch_id") == batch_id:
+            return True
+        if batch_id in lin.get("batch_ids", []):
+            return True
+    return False
 
 
 def append_batch(
@@ -62,6 +68,11 @@ def append_batch(
         field=field,
         segment_id_offset=offset,
         lineage_extra={"batch_id": batch_id},
+        # appends must use the chain the index was built with, like
+        # update_documents — an english-analyzer index otherwise raises
+        # the analyzer-mismatch guard on every micro-batch
+        analyzer=man.get("analyzer", "standard"),
+        stopwords=man.get("stopwords") or None,
     )
     if merge_factor:
         maybe_merge(spark, index_dir, merge_factor=merge_factor, min_merge_docs=1)

@@ -129,3 +129,24 @@ class TestDeletes:
         assert live_after == live_before
         assert check_index(spark, del_index)["status"] == "OK"
         assert after.count("spark") == 0
+
+
+class TestPruningWithDeletes:
+    def test_pruned_equals_exhaustive_on_deleted_index(
+        self, spark, del_index
+    ):
+        """With tombstones present the in-kernel threshold heap would
+        be fed by deleted docs' scores; scored_postings must disable
+        block pruning so results stay exact (liveDocs are applied
+        before collection in Lucene, after the kernel here)."""
+        s = Searcher(spark, del_index)
+        assert s._tombstones is not None
+        a = [
+            (r["docid"], r["url"], r["score"])
+            for r in s.term_query("window", k=10, prune=True).collect()
+        ]
+        b = [
+            (r["docid"], r["url"], r["score"])
+            for r in s.term_query("window", k=10, prune=False).collect()
+        ]
+        assert a == b

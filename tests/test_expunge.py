@@ -31,7 +31,7 @@ class TestExpunge:
             .collect()
         ]
 
-        report = expunge_generations(cat, keep_last=1)
+        report = expunge_generations(cat, keep_last=1, grace_seconds=0)
         assert report["generations_removed"]
         # pre-merge stage dirs become unreferenced once the only kept
         # generation is the fully-merged one
@@ -56,7 +56,7 @@ class TestExpunge:
         maybe_merge(spark, d, merge_factor=2, min_merge_docs=1)
         cat = IndexCatalog(d)
         old_gen = cat.generations()[0]
-        expunge_generations(cat, keep_last=1)
+        expunge_generations(cat, keep_last=1, grace_seconds=0)
         with pytest.raises(Exception, match="not retained"):
             Searcher(spark, d, generation=old_gen)
 
@@ -65,6 +65,21 @@ class TestExpunge:
         build_index(spark, web_pages, d, num_segments=2)
         cat = IndexCatalog(d)
         n_gens = len(cat.generations())
-        report = expunge_generations(cat, keep_last=n_gens)
+        report = expunge_generations(cat, keep_last=n_gens, grace_seconds=0)
         assert report["generations_removed"] == []
         assert report["dirs_removed"] == []
+
+
+class TestGraceWindow:
+    def test_young_unreferenced_dirs_survive(self, spark, web_pages, tmp_path):
+        """An in-flight commit dir (young mtime, not yet in a manifest)
+        must not be reaped by a concurrent GC."""
+        d = str(tmp_path / "gc_idx4")
+        build_index(spark, web_pages, d, num_segments=2)
+        maybe_merge(spark, d, merge_factor=2, min_merge_docs=1)
+        cat = IndexCatalog(d)
+        report = expunge_generations(cat, keep_last=1, grace_seconds=3600)
+        # generations (manifest files) still expire, data dirs do not
+        assert report["generations_removed"]
+        assert report["dirs_removed"] == []
+        assert check_index(spark, d)["status"] == "OK"

@@ -80,3 +80,32 @@ class TestMonitorStream:
             for r in spark.read.parquet(sink).collect()
         }
         assert got == _expected(naive, monitor)
+
+
+class TestAnalyzerParity:
+    def test_punctuated_mixed_case_doc_matches(self, spark):
+        """Doc-side terms must run through the SAME analyzer chain as
+        query registration: 'World!' has to match query term 'world'
+        (the split/lower shortcut failed on any punctuation)."""
+        m = Monitor(spark)
+        m.register(MonitorQuery("q_world", must=["world"]))
+        m.register(MonitorQuery("q_both", must=["hello", "world"]))
+        m.register(MonitorQuery("q_miss", must=["mars"]))
+        docs = spark.createDataFrame(
+            [("u1", "Hello, World! Greetings."), ("u2", "hello only")],
+            "url string, text string",
+        )
+        got = {
+            (r["url"], r["query_id"]) for r in m.match_batch(docs).collect()
+        }
+        assert got == {("u1", "q_world"), ("u1", "q_both")}
+
+    def test_stopword_chain_applies_to_both_sides(self, spark):
+        m = Monitor(spark, stopwords={"the"})
+        m.register(MonitorQuery("q", must=["the window"]))
+        docs = spark.createDataFrame(
+            [("u1", "a Window appears")], "url string, text string"
+        )
+        got = {(r["url"], r["query_id"]) for r in m.match_batch(docs).collect()}
+        # 'the' stop-filtered from the query; 'Window' lowercased doc-side
+        assert got == {("u1", "q")}

@@ -122,3 +122,25 @@ class TestStreamingQuery:
             for r in sf.term_query("window", k=10).collect()
         ]
         assert qa == qb
+
+
+class TestMergeLineageBatchIds:
+    def test_batch_committed_survives_merge(self, spark, halves, tmp_path):
+        """Crash between maybe_merge and Spark's checkpoint commit:
+        the replayed batch must still be detected as committed even
+        though its segments were merged away (merged lineage carries
+        the union of source batch_ids)."""
+        inc = str(tmp_path / "inc4")
+        append_batch(spark, halves[0], inc, 0, num_segments=2)
+        append_batch(spark, halves[1], inc, 1, num_segments=2, merge_factor=2)
+        man = IndexCatalog(inc).read_manifest()
+        live = [s for s in man["segments"] if s["status"] == "COMMITTED"]
+        # the merge replaced the batch-0 segments
+        assert any("merged_from" in s.get("lineage", {}) for s in live)
+        assert all(s.get("lineage", {}).get("batch_id") != 0 for s in live)
+        assert batch_committed(inc, 0)
+        assert batch_committed(inc, 1)
+        # replay is a no-op (no duplicate docs)
+        n_before = Searcher(spark, inc).field_stats["doc_count"]
+        append_batch(spark, halves[0], inc, 0, num_segments=2, merge_factor=2)
+        assert Searcher(spark, inc).field_stats["doc_count"] == n_before
