@@ -60,6 +60,43 @@ def _logit(p: Column) -> Column:
     return F.log(c / (F.lit(1.0) - c))
 
 
+def osa_distance(a: str, b: str, cutoff: int = 2) -> int:
+    """Optimal-string-alignment distance (Levenshtein + adjacent
+    transposition as one edit) — the distance Lucene's parameterized
+    Levenshtein automaton recognizes with transpositions=true
+    (``core/util/automaton/LevenshteinAutomata.java``). Banded DP with
+    early exit at ``cutoff + 1`` (only distances <= cutoff matter)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cutoff:
+        return cutoff + 1
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - cutoff)
+        hi = min(lb, i + cutoff)
+        if lo > 1:
+            cur[lo - 1] = cutoff + 1
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                prev2 is not None
+                and i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                d = min(d, prev2[j - 2] + 1)
+            cur[j] = d
+        if hi < lb:
+            cur[hi + 1 :] = [cutoff + 1] * (lb - hi)
+        if min(cur[lo - 1 : hi + 1]) > cutoff:
+            return cutoff + 1
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
 def wildcard_to_regex(pattern: str) -> str:
     """Lucene wildcard syntax (``WildcardQuery.java:38``): ``*`` = any
     sequence, ``?`` = any single char, ``\\`` escapes."""
@@ -197,32 +234,56 @@ class QueryOpsMixin:
         return self._finish_topk(self.scored_term_in_set(terms), k)
 
     def expand_fuzzy(
-        self, term: str, max_edits: int = 2, prefix_length: int = 0
+        self,
+        term: str,
+        max_edits: int = 2,
+        prefix_length: int = 0,
+        transpositions: bool = True,
     ) -> list[str]:
         """FuzzyQuery term expansion (``core/search/FuzzyQuery.java:52``)
-        via the JVM levenshtein built-in over the terms table.
+        over the terms table.
 
-        Deviation from the reference: Lucene's LevenshteinAutomata
-        counts a transposition as one edit (transpositions=true
-        default); ``F.levenshtein`` is classic Levenshtein, counting it
-        as two. Exact terms and sub/ins/del edits agree.
+        ``transpositions=True`` (the reference default,
+        ``core/util/automaton/LevenshteinAutomata.java``) counts a
+        transposition as ONE edit — the optimal-string-alignment
+        distance the parameterized Levenshtein automaton recognizes —
+        via a vectorized pandas UDF; ``fuzzy("hte")`` finds "the" at
+        maxEdits=1. ``transpositions=False`` uses the JVM
+        ``levenshtein`` built-in (classic distance). Both paths first
+        push a cheap, parquet-friendly length-band prefilter (an edit
+        changes length by at most 1) so the UDF only sees plausible
+        terms — the automaton-seek analog for a columnar term dict.
         """
-        pred = F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+        n = len(term)
+        pred = F.length("term").between(n - max_edits, n + max_edits)
         if prefix_length > 0:
             pred = pred & F.col("term").startswith(term[:prefix_length])
-        rows = (
-            self._terms_df.where(pred)
-            .select("term")
-            .limit(MAX_EXPANSIONS)
-            .collect()
-        )
+        cand = self._terms_df.where(pred)
+        if transpositions:
+            q = term
+            me = max_edits
+
+            @F.pandas_udf("int")
+            def osa(cands):
+                import pandas as pd
+
+                return pd.Series(
+                    [osa_distance(q, c, me) for c in cands], dtype="int32"
+                )
+
+            cand = cand.where(osa(F.col("term")) <= max_edits)
+        else:
+            cand = cand.where(
+                F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+            )
+        rows = cand.select("term").limit(MAX_EXPANSIONS).collect()
         return sorted(r["term"] for r in rows)
 
     def scored_fuzzy(
         self, term: str, max_edits: int = 2, prefix_length: int = 0,
-        boost: float = 1.0,
+        boost: float = 1.0, transpositions: bool = True,
     ) -> DataFrame:
-        terms = self.expand_fuzzy(term, max_edits, prefix_length)
+        terms = self.expand_fuzzy(term, max_edits, prefix_length, transpositions)
         if not terms:
             return self._empty_scored().select("segment_id", "docid", "score")
         return self.scored_term_in_set(terms, boost)
@@ -717,3 +778,45 @@ class QueryOpsMixin:
             "segment_id", F.col("local_docid").alias("docid")
         )
         return self.constant_score(self._filter_live(docs), 1.0)
+
+    def scored_field_exists(self, attr: str, boost: float = 1.0) -> DataFrame:
+        """FieldExistsQuery (``core/search/FieldExistsQuery.java:41``):
+        docs where the attribute has any value — one IS NOT NULL filter
+        pushed into the docs-table parquet scan (norms/doc-values
+        presence check)."""
+        matches = self._filter_live(
+            self._docs.where(F.col(attr).isNotNull()).select(
+                "segment_id", F.col("local_docid").alias("docid")
+            )
+        )
+        return self.constant_score(matches, boost)
+
+    def field_exists_query(self, attr: str, k: int = 10) -> DataFrame:
+        return self._finish_topk(self.scored_field_exists(attr), k)
+
+    def distinct_values(
+        self, scored: DataFrame, group_col: Column, value_col: Column
+    ) -> DataFrame:
+        """DistinctValuesCollector
+        (``lucene/grouping/.../DistinctValuesCollector.java:35``):
+        distinct values of ``value_col`` per group over the match set —
+        one partial-aggregating groupBy."""
+        g = (
+            scored.withColumn("local_docid", F.col("docid"))
+            .join(self._docs, ["segment_id", "local_docid"])
+            .withColumn("grp", group_col)
+            .withColumn("val", value_col)
+        )
+        return g.groupBy("grp").agg(
+            F.countDistinct("val").alias("n_distinct")
+        )
+
+    def all_groups_count(self, scored: DataFrame, group_col: Column) -> int:
+        """AllGroupsCollector (``grouping/AllGroupsCollector.java``):
+        number of distinct groups among matching docs."""
+        g = (
+            scored.withColumn("local_docid", F.col("docid"))
+            .join(self._docs, ["segment_id", "local_docid"])
+            .withColumn("grp", group_col)
+        )
+        return g.select("grp").distinct().count()

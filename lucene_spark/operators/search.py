@@ -56,6 +56,7 @@ def _unpack_schema(score_type: pa.DataType) -> pa.Schema:
         [
             ("term", pa.string()),
             ("segment_id", pa.int64()),
+            ("block_id", pa.int64()),
             ("docid", pa.int64()),
             ("freq", pa.int32()),
             ("norm", pa.int32()),
@@ -68,9 +69,15 @@ def _unpack_schema(score_type: pa.DataType) -> pa.Schema:
 def _unpack_ddl(dtype) -> str:
     score_t = "float" if dtype == np.float32 else "double"
     return (
-        "term string, segment_id long, docid long, freq int, norm int, "
-        f"score {score_t}, positions array<int>"
+        "term string, segment_id long, block_id long, docid long, "
+        f"freq int, norm int, score {score_t}, positions array<int>"
     )
+
+
+def _shift_positions(col, off: int):
+    """positions - off via a UNARY transform lambda (a binary lambda
+    would make Spark pass the array index as the second argument)."""
+    return F.transform(col, lambda p: p - F.lit(int(off)))
 
 
 def sloppy_phrase_freq(adjusted_pos_lists: list[list[int]], slop: int) -> float:
@@ -251,6 +258,7 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
             first = batch.column("first_docid").to_numpy(zero_copy_only=False)
             nums = batch.column("num_docs").to_numpy(zero_copy_only=False)
             segs = batch.column("segment_id").to_numpy(zero_copy_only=False)
+            bids = batch.column("block_id").to_numpy(zero_copy_only=False)
             dbufs = batch.column("doc_block").to_pylist()
             fbufs = batch.column("freq_block").to_pylist()
             nbufs = batch.column("norm_block").to_pylist()
@@ -268,7 +276,8 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
             order = np.argsort(-ubs) if k_for_pruning else np.arange(n_blocks)
 
             out: dict[str, list] = {k: [] for k in (
-                "term", "segment_id", "docid", "freq", "norm", "score", "positions")}
+                "term", "segment_id", "block_id", "docid", "freq", "norm",
+                "score", "positions")}
             for j in order:
                 if (
                     k_for_pruning
@@ -290,6 +299,7 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
                             heapq.heapreplace(topk_heap, float(s))
                 out["term"].extend([terms[j]] * nd)
                 out["segment_id"].append(np.full(nd, segs[j]))
+                out["block_id"].append(np.full(nd, bids[j]))
                 out["docid"].append(docids)
                 out["freq"].append(freqs.astype(np.int32))
                 out["norm"].append(norms.astype(np.int32))
@@ -308,6 +318,7 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
                     {
                         "term": out["term"],
                         "segment_id": np.concatenate(out["segment_id"]),
+                        "block_id": np.concatenate(out["block_id"]),
                         "docid": np.concatenate(out["docid"]),
                         "freq": np.concatenate(out["freq"]),
                         "norm": np.concatenate(out["norm"]),
@@ -399,10 +410,26 @@ class Searcher(QueryOpsMixin):
         return terms
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        rows = self._terms_df.where(F.col("term").isin(terms)).collect()
+        """(doc_freq, total_term_freq) per term, cached per Searcher —
+        the TermStates cache (``core/index/TermStates.java``): a
+        Searcher is an immutable point-in-time reader, so stats never
+        change under it. Only cache-missing terms hit the terms table
+        (parquet pushdown on ``term``)."""
+        if not hasattr(self, "_stats_cache"):
+            self._stats_cache: dict[str, tuple[int, int] | None] = {}
+        missing = [t for t in set(terms) if t not in self._stats_cache]
+        if missing:
+            rows = self._terms_df.where(F.col("term").isin(missing)).collect()
+            found = {
+                r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"]))
+                for r in rows
+            }
+            for t in missing:
+                self._stats_cache[t] = found.get(t)
         return {
-            r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"]))
-            for r in rows
+            t: self._stats_cache[t]
+            for t in terms
+            if self._stats_cache.get(t) is not None
         }
 
     # ------------------------------------------------------------------
@@ -434,7 +461,7 @@ class Searcher(QueryOpsMixin):
         # select only what the kernel touches — pos_block (the widest
         # column) is read from parquet only for position-needing queries
         cols = [
-            "term", "segment_id", "first_docid", "num_docs",
+            "term", "segment_id", "block_id", "first_docid", "num_docs",
             "doc_block", "freq_block", "norm_block",
             "impact_freqs", "impact_norms",
         ]
@@ -449,11 +476,101 @@ class Searcher(QueryOpsMixin):
         )
 
     def _empty_scored(self):
-        score_t = "float" if self.dtype == np.float32 else "double"
-        return self.spark.createDataFrame(
-            [],
-            f"term string, segment_id long, docid long, freq int, norm int, "
-            f"score {score_t}, positions array<int>",
+        return self.spark.createDataFrame([], _unpack_ddl(self.dtype))
+
+    def _candidate_positions(
+        self, terms: list[str], slots: list[list[str]] | None = None
+    ) -> DataFrame:
+        """Two-phase iteration (``core/search/TwoPhaseIterator.java``,
+        ``ExactPhraseMatcher.java:37``): pass 1 intersects docids
+        WITHOUT reading ``pos_block`` (the cheap approximation); pass 2
+        decodes positions only for posting blocks that contain a
+        candidate doc (the ``matches()`` verification).
+
+        Candidates contain every term of ``terms`` — or, with
+        ``slots``, at least one term of every slot (MultiPhraseQuery's
+        UnionPostingsEnum view). Returns scored posting rows WITH
+        positions, restricted to candidate blocks; callers re-group per
+        doc and re-verify term presence, so extra rows from
+        non-candidate docs sharing a block are harmless.
+
+        Scale shape: for ``"rare the"`` the expensive column is decoded
+        for ~|postings(rare)| candidate blocks per term instead of
+        every posting of "the" — the asymmetry Lucene exploits by
+        seeking the .pos file per candidate only. The block semi-join
+        is AQE-planned: broadcast when the candidate block set is
+        small, shuffle join otherwise.
+        """
+        uniq = list(dict.fromkeys(terms))
+        if slots is None:
+            slot_rows = [(t, t) for t in uniq]
+            n_groups = len(uniq)
+        else:
+            pairs = {
+                (t, str(i)) for i, slot in enumerate(slots) for t in slot
+            }
+            slot_rows = sorted(pairs)
+            n_groups = len(slots)
+        slot_df = F.broadcast(
+            self.spark.createDataFrame(slot_rows, "term string, slot string")
+        )
+
+        first_pass = self.scored_postings(uniq, need_positions=False)
+        cand_blocks = (
+            first_pass.join(slot_df, "term")
+            .groupBy("segment_id", "docid")
+            .agg(
+                F.countDistinct("slot").alias("ns"),
+                F.collect_set(F.struct("term", "block_id")).alias("blocks"),
+            )
+            .where(F.col("ns") == n_groups)
+            .select("segment_id", F.explode("blocks").alias("b"))
+            .select(
+                F.col("b.term").alias("term"),
+                "segment_id",
+                F.col("b.block_id").alias("block_id"),
+            )
+            .distinct()
+        )
+
+        stats = self.term_stats(uniq)
+        present = [t for t in uniq if t in stats]
+        scorers = _bind_scorers(
+            stats, self.field_stats, self.k1, self.b, 1.0, self.dtype,
+            self.similarity,
+        )
+        cols = [
+            "term", "segment_id", "block_id", "first_docid", "num_docs",
+            "doc_block", "freq_block", "norm_block",
+            "impact_freqs", "impact_norms", "pos_block",
+        ]
+        posts = (
+            self._postings.where(F.col("term").isin(present))
+            .join(cand_blocks, ["term", "segment_id", "block_id"], "left_semi")
+            .select(*cols)
+        )
+        kernel, _ = _make_unpack_kernel(scorers, self.dtype, True, None)
+        return self._filter_live(
+            posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
+        )
+
+    def _pivot_positions(
+        self, pos_rows: DataFrame, n_required: int
+    ) -> DataFrame:
+        """One conditional-aggregation pivot replacing a T−1 join
+        chain: per candidate doc, a term→positions map plus the norm,
+        keeping only docs where all ``n_required`` distinct terms (or
+        slot representatives) verified present after liveDocs."""
+        return (
+            pos_rows.groupBy("segment_id", "docid")
+            .agg(
+                F.first("norm").alias("norm"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("pm"),
+                F.countDistinct("term").alias("nt"),
+            )
+            .where(F.col("nt") >= n_required)
         )
 
     def _globalize(self, df: DataFrame) -> DataFrame:
@@ -561,7 +678,7 @@ class Searcher(QueryOpsMixin):
             F.broadcast(seed_blocks), ["segment_id", "block_id"], "left_semi"
         )
         cols = [
-            "term", "segment_id", "first_docid", "num_docs",
+            "term", "segment_id", "block_id", "first_docid", "num_docs",
             "doc_block", "freq_block", "norm_block",
             "impact_freqs", "impact_norms",
         ]
@@ -653,48 +770,308 @@ class Searcher(QueryOpsMixin):
         must_not: list[str] | None = None,
         min_should_match: int = 0,
         k: int = 10,
+        prune: bool | str = "auto",
     ) -> DataFrame:
         """BooleanQuery Occur algebra (core/search/BooleanQuery.java:40).
 
         Scores = float32 sum over matching MUST+SHOULD clauses; FILTER
         semantics are MUST with boost 0 (not exposed separately v1).
+
+        ``prune`` picks the physical strategy the way
+        ``BooleanScorerSupplier.bulkScorer`` does
+        (``core/search/BooleanScorerSupplier.java:197-225``): the
+        block-max WAND/MAXSCORE plan (`_boolean_topk_blockmax`) pays
+        ~3 extra scheduler round-trips (metadata pass, θ seed), which
+        only amortizes once the clauses carry enough postings to make
+        decode the dominant cost — "auto" uses it when the summed
+        doc_freq exceeds ``_PRUNE_MIN_POSTINGS``, else the exhaustive
+        single-job plan. Both produce identical results (pytest-
+        asserted equality); only the plan differs.
         """
+        if prune == "auto":
+            stats = self.term_stats(list(must or []) + list(should or []))
+            prune = (
+                sum(df for df, _ in stats.values()) >= self._PRUNE_MIN_POSTINGS
+            )
+        if prune:
+            return self._boolean_topk_blockmax(
+                should, must, must_not, min_should_match, k
+            )
         return self._finish_topk(
             self.scored_boolean(should, must, must_not, min_should_match), k
         )
 
+    # -- block-max boolean execution -----------------------------------
+    _BUCKET = 8192  # level-1 skip granularity (Lucene104PostingsFormat:347)
+    # below this many summed postings the exhaustive one-job plan wins
+    # (decode is cheaper than two extra driver round-trips)
+    _PRUNE_MIN_POSTINGS = 100_000
+
+    def _block_meta(self, terms: list[str], scorers) -> DataFrame:
+        """Metadata-only view of the query terms' posting blocks with a
+        per-block score upper bound from the impact skyline — the
+        ImpactsEnum/advanceShallow surface (``core/index/Impacts.java:
+        30-45``): no posting bytes are read."""
+        score_fns = {t: scorers[t].score_fn for t in terms}
+        dtype = self.dtype
+
+        @F.pandas_udf("double")
+        def block_ub(term_s, i_f, i_n):
+            import pandas as pd
+
+            out = []
+            for t, fs, ns in zip(term_s, i_f, i_n):
+                out.append(
+                    float(
+                        score_fns[t](
+                            np.asarray(fs, dtype=dtype), np.asarray(ns)
+                        ).max()
+                    )
+                )
+            return pd.Series(out)
+
+        return (
+            self._postings.where(F.col("term").isin(terms))
+            .select(
+                "term", "segment_id", "block_id", "first_docid",
+                "last_docid", "impact_freqs", "impact_norms",
+            )
+            .withColumn("ub", block_ub("term", "impact_freqs", "impact_norms"))
+            .drop("impact_freqs", "impact_norms")
+        )
+
+    def _bucketize_blocks(self, meta: DataFrame) -> DataFrame:
+        """Explode block rows to the 8K-docid buckets they overlap.
+        A term's blocks are disjoint docid intervals, so the exploded
+        row count per (term, segment) is bounded by num_buckets +
+        num_blocks — never quadratic."""
+        b = F.lit(self._BUCKET)
+        return meta.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col("first_docid") / b).cast("long"),
+                    (F.col("last_docid") / b).cast("long"),
+                )
+            ),
+        )
+
+    def _unpack_blocks(
+        self, block_keys: DataFrame, scorers, terms: list[str]
+    ) -> DataFrame:
+        """Decode + score only the blocks named by ``block_keys``
+        (term, segment_id, block_id); liveDocs applied."""
+        cols = [
+            "term", "segment_id", "block_id", "first_docid", "num_docs",
+            "doc_block", "freq_block", "norm_block",
+            "impact_freqs", "impact_norms",
+        ]
+        posts = (
+            self._postings.where(F.col("term").isin(terms))
+            .join(
+                block_keys.select("term", "segment_id", "block_id").distinct(),
+                ["term", "segment_id", "block_id"],
+                "left_semi",
+            )
+            .select(*cols)
+        )
+        kernel, _ = _make_unpack_kernel(scorers, self.dtype, False, None)
+        return self._filter_live(
+            posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
+        )
+
+    def _boolean_topk_blockmax(
+        self,
+        should: list[str] | None = None,
+        must: list[str] | None = None,
+        must_not: list[str] | None = None,
+        min_should_match: int = 0,
+        k: int = 10,
+    ) -> DataFrame:
+        """Top-k BooleanQuery with block-max pruning — the WAND /
+        MAXSCORE default execution generalized to the distributed
+        setting (``core/search/WANDScorer.java:31-55``,
+        ``MaxScoreBulkScorer.java:109-143``,
+        ``BooleanScorerSupplier.java:197-225``).
+
+        1. metadata pass: per-block upper bounds from impact skylines
+           (no posting bytes) + per-term global max UB (driver dict).
+        2. conjunction leapfrog (MUST only): the rarest clause's live
+           docids D are bucketized (8K docids = level-1 skip span) and
+           every other clause's blocks semi-join D's buckets — the
+           ConjunctionDISI lead-iterator analog, fully distributed.
+        3. θ seeding: unpack only the k most-promising blocks; θ = the
+           k-th best per-doc partial sum among seed docs that already
+           satisfy MUST/msm *within the seed* (a subset match implies a
+           global match, and a partial sum lower-bounds the total, so
+           θ lower-bounds the true k-th score — with must_not, seeds
+           are excluded first for the same reason).
+        4. pruned pass: skip term t's block when
+           ``ub_block + Σ_{t'≠t} max_ub(t') < θ``. Any doc that loses a
+           clause contribution this way has total < θ, hence is not in
+           the true top-k; every true top-k doc keeps ALL its blocks
+           (their bound ≥ their total ≥ θ), so returned scores are
+           exact and the (score desc, docid asc) order is identical to
+           the exhaustive path.
+        """
+        should = list(should or [])
+        must = list(must or [])
+        must_not = list(must_not or [])
+        pos_terms = list(dict.fromkeys(must + should))
+        if not pos_terms:
+            return self._finish_topk(
+                self._empty_scored().select("segment_id", "docid", "score"), k
+            )
+        stats = self.term_stats(pos_terms + must_not)
+        if any(t not in stats for t in must):
+            return self._finish_topk(
+                self._empty_scored().select("segment_id", "docid", "score"), k
+            )
+        present = [t for t in pos_terms if t in stats]
+        mn_terms = [t for t in dict.fromkeys(must_not) if t in stats]
+        scorers = _bind_scorers(
+            {t: stats[t] for t in present + mn_terms},
+            self.field_stats, self.k1, self.b, 1.0, self.dtype,
+            self.similarity,
+        )
+        must_set = set(must)
+        n_must = len(must_set & set(stats))
+        msm = min_should_match
+
+        # the metadata view is re-read by the max-UB aggregate, the θ
+        # seed, and the pruned pass — persist it once (MEMORY_AND_DISK:
+        # block metadata is ~50 B/block, spilling if a term is huge)
+        meta = self._block_meta(present, scorers).persist()
+
+        # -- 2. conjunction leapfrog against the rarest MUST clause
+        base_meta = meta
+        if must_set:
+            rarest = min(must_set & set(stats), key=lambda t: stats[t][0])
+            lead_keys = meta.where(F.col("term") == rarest).select(
+                "term", "segment_id", "block_id"
+            )
+            lead_docs = self._unpack_blocks(lead_keys, scorers, [rarest])
+            b = F.lit(self._BUCKET)
+            lead_buckets = lead_docs.select(
+                "segment_id", (F.col("docid") / b).cast("long").alias("bucket")
+            ).distinct()
+            others = self._bucketize_blocks(
+                meta.where(F.col("term") != rarest)
+            ).join(lead_buckets, ["segment_id", "bucket"], "left_semi")
+            meta = meta.where(F.col("term") == rarest).unionByName(
+                others.drop("bucket").distinct()
+            ).persist()
+
+        # -- 1b. per-term global max UB -> rest-of-clauses bound
+        max_ub = {
+            r["term"]: float(r["mx"])
+            for r in meta.groupBy("term").agg(F.max("ub").alias("mx")).collect()
+        }
+        total_ub = sum(max_ub.values())
+        rest = {t: total_ub - max_ub.get(t, 0.0) for t in present}
+
+        def _qualify(agg: DataFrame) -> DataFrame:
+            cond = F.lit(True)
+            if n_must:
+                cond = cond & (F.col("must_cnt") == n_must)
+            if msm > 0:
+                cond = cond & (F.col("should_cnt") >= msm)
+            return agg.where(cond)
+
+        def _agg_docs(rows: DataFrame) -> DataFrame:
+            return rows.groupBy("segment_id", "docid").agg(
+                F.sum("score").alias("score_acc"),
+                F.sum(
+                    F.when(F.col("term").isin(list(must_set)), 1).otherwise(0)
+                ).alias("must_cnt"),
+                F.sum(
+                    F.when(~F.col("term").isin(list(must_set)), 1).otherwise(0)
+                ).alias("should_cnt"),
+            )
+
+        def _exclude(cand: DataFrame) -> DataFrame:
+            if not mn_terms:
+                return cand
+            b = F.lit(self._BUCKET)
+            buckets = cand.select(
+                "segment_id", (F.col("docid") / b).cast("long").alias("bucket")
+            ).distinct()
+            mn_meta = self._block_meta(mn_terms, scorers)
+            mn_keys = self._bucketize_blocks(mn_meta).join(
+                buckets, ["segment_id", "bucket"], "left_semi"
+            )
+            excl = self._unpack_blocks(mn_keys, scorers, mn_terms).select(
+                "segment_id", "docid"
+            ).distinct()
+            return cand.join(excl, ["segment_id", "docid"], "left_anti")
+
+        # -- 3. θ from the k most promising blocks
+        seed_keys = meta.orderBy(F.desc("ub")).limit(k)
+        seed_rows = self._unpack_blocks(seed_keys, scorers, present)
+        seed_cand = _exclude(_qualify(_agg_docs(seed_rows)))
+        kth = (
+            seed_cand.select("score_acc")
+            .orderBy(F.desc("score_acc"))
+            .limit(k)
+            .collect()
+        )
+        theta = float(kth[-1]["score_acc"]) if len(kth) == k else None
+
+        # -- 4. pruned full pass
+        pruned = meta
+        if theta is not None and len(present) > 1:
+            rest_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [(t, rest[t]) for t in present], "term string, rest double"
+                )
+            )
+            pruned = meta.join(rest_df, "term").where(
+                F.col("ub") + F.col("rest") >= theta
+            ).drop("rest")
+        elif theta is not None:
+            pruned = meta.where(F.col("ub") >= theta)
+        rows = self._unpack_blocks(pruned, scorers, present)
+        agg = _exclude(_qualify(_agg_docs(rows)))
+        cast_t = FloatType() if self.dtype == np.float32 else "double"
+        scored = agg.select(
+            "segment_id", "docid",
+            F.col("score_acc").cast(cast_t).alias("score"),
+        )
+        # materialize the (≤ k rows) result so the persisted metadata
+        # can be released before returning
+        final = self._finish_topk(scored, k)
+        out = final.collect()
+        meta.unpersist()
+        if meta is not base_meta:
+            base_meta.unpersist()
+        return self.spark.createDataFrame(out, final.schema)
+
     def scored_phrase(self, terms: list[str]) -> DataFrame:
         """Exact PhraseQuery scorer, slop=0 — full match set.
 
-        Alignment check is pure DataFrame array algebra: positions of
-        term i shifted by -i, intersected across terms
-        (ExactPhraseMatcher semantics); phrase_freq = |intersection|.
-        Scored as one pseudo-term with idf = sum of term idfs
-        (BM25Similarity.idfExplain over TermStats[]).
+        Two-phase execution (``core/search/TwoPhaseIterator.java``):
+        docid conjunction first, position decode only for candidate
+        blocks (``_candidate_positions``). Alignment check is pure
+        DataFrame array algebra over one per-doc term→positions map:
+        positions of phrase slot i shifted by -i, intersected across
+        slots (ExactPhraseMatcher semantics — repeated phrase terms
+        just reuse the same map entry at several offsets);
+        phrase_freq = |intersection|. Scored as one pseudo-term with
+        idf = sum of term idfs (BM25Similarity.idfExplain over
+        TermStats[]).
         """
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
             return self._empty_scored().select("segment_id", "docid", "score")
 
-        sc = self.scored_postings(list(dict.fromkeys(terms)), need_positions=True)
-        # pivot each term's shifted positions per doc, then intersect
-        per_term = []
-        for i, t in enumerate(terms):
-            shifted = sc.where(F.col("term") == t).select(
-                "segment_id",
-                "docid",
-                F.col("norm"),
-                F.transform("positions", lambda p: p - F.lit(i)).alias(f"p{i}"),
+        pos_rows = self._candidate_positions(terms)
+        per_doc = self._pivot_positions(pos_rows, len(set(terms)))
+        inter = F.col("pm")[terms[0]]
+        for i in range(1, len(terms)):
+            inter = F.array_intersect(
+                inter, _shift_positions(F.col("pm")[terms[i]], i)
             )
-            per_term.append(shifted)
-        joined = per_term[0]
-        for i in range(1, len(terms)):
-            nxt = per_term[i].withColumnRenamed("norm", f"_n{i}")
-            joined = joined.join(nxt, ["segment_id", "docid"]).drop(f"_n{i}")
-        inter = F.col("p0")
-        for i in range(1, len(terms)):
-            inter = F.array_intersect(inter, F.col(f"p{i}"))
-        matched = joined.withColumn("phrase_freq", F.size(inter)).where(
+        matched = per_doc.withColumn("phrase_freq", F.size(inter)).where(
             F.col("phrase_freq") > 0
         )
 
@@ -773,23 +1150,18 @@ class Searcher(QueryOpsMixin):
         if any(t not in stats for t in terms):
             return self._empty_scored().select("segment_id", "docid", "score")
 
-        sc = self.scored_postings(
-            list(dict.fromkeys(terms)), need_positions=True
+        per_doc = self._pivot_positions(
+            self._candidate_positions(terms), len(set(terms))
         )
-        per_term = []
-        for i, t in enumerate(terms):
-            shifted = sc.where(F.col("term") == t).select(
-                "segment_id",
-                "docid",
-                F.col("norm") if i == 0 else F.col("norm").alias(f"_n{i}"),
-                F.transform("positions", lambda p: p - F.lit(i)).alias(f"p{i}"),
-            )
-            if i != 0:
-                shifted = shifted.drop(f"_n{i}")
-            per_term.append(shifted)
-        joined = per_term[0]
-        for i in range(1, len(terms)):
-            joined = joined.join(per_term[i], ["segment_id", "docid"])
+        joined = per_doc.select(
+            "segment_id",
+            "docid",
+            "norm",
+            *[
+                _shift_positions(F.col("pm")[t], i).alias(f"p{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
 
         import math
 
@@ -887,18 +1259,16 @@ class Searcher(QueryOpsMixin):
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
             return self._empty_scored().select("segment_id", "docid", "score")
-        sc = self.scored_postings(
-            list(dict.fromkeys(terms)), need_positions=True
+        per_doc = self._pivot_positions(
+            self._candidate_positions(terms), len(set(terms))
         )
-        per_term = []
-        for i, t in enumerate(terms):
-            d = sc.where(F.col("term") == t).select(
-                "segment_id", "docid", F.col("positions").alias(f"p{i}")
-            )
-            per_term.append(d)
-        joined = per_term[0]
-        for i in range(1, len(terms)):
-            joined = joined.join(per_term[i], ["segment_id", "docid"])
+        joined = per_doc.select(
+            "segment_id",
+            "docid",
+            *[
+                F.col("pm")[t].alias(f"p{i}") for i, t in enumerate(terms)
+            ],
+        )
 
         n_terms = len(terms)
 
@@ -968,35 +1338,39 @@ class Searcher(QueryOpsMixin):
                     "segment_id", "docid", "score"
                 )
         present = [t for t in dict.fromkeys(all_terms) if t in stats]
-        sc = self.scored_postings(present, need_positions=True)
-
-        per_slot = []
-        for i, slot in enumerate(slots):
-            terms_i = [t for t in slot if t in stats]
-            ps = (
-                sc.where(F.col("term").isin(terms_i))
-                .groupBy("segment_id", "docid")
-                .agg(
-                    F.first("norm").alias("norm" if i == 0 else f"_n{i}"),
-                    F.array_sort(
-                        F.array_distinct(F.flatten(F.collect_list("positions")))
-                    ).alias(f"raw{i}"),
+        slots_present = [[t for t in slot if t in stats] for slot in slots]
+        pos_rows = self._candidate_positions(present, slots=slots_present)
+        per_doc = pos_rows.groupBy("segment_id", "docid").agg(
+            F.first("norm").alias("norm"),
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pm"),
+        )
+        empty_arr = F.expr("cast(array() as array<int>)")
+        slot_cols = []
+        for i, slot in enumerate(slots_present):
+            # slot position set = union of its terms' positions
+            # (UnionPostingsEnum), shifted to phrase offset i
+            u = F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.array(
+                            *[
+                                F.coalesce(F.col("pm")[t], empty_arr)
+                                for t in slot
+                            ]
+                        )
+                    )
                 )
-                .withColumn(
-                    f"p{i}",
-                    F.transform(f"raw{i}", lambda p: p - F.lit(i)),
-                )
-                .drop(f"raw{i}")
             )
-            if i != 0:
-                ps = ps.drop(f"_n{i}")
-            per_slot.append(ps)
-        joined = per_slot[0]
-        for i in range(1, len(slots)):
-            joined = joined.join(per_slot[i], ["segment_id", "docid"])
+            slot_cols.append(_shift_positions(u, i).alias(f"p{i}"))
+        joined = per_doc.select("segment_id", "docid", "norm", *slot_cols)
         inter = F.col("p0")
         for i in range(1, len(slots)):
             inter = F.array_intersect(inter, F.col(f"p{i}"))
+        # an empty slot array empties the intersection, so the
+        # phrase_freq > 0 filter re-verifies slot presence after
+        # liveDocs without an extra pass
         matched = joined.withColumn("phrase_freq", F.size(inter)).where(
             F.col("phrase_freq") > 0
         )

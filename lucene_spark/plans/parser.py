@@ -9,27 +9,31 @@ QueryParserBase.java:130-133``, grammar ``QueryParser.java:72``):
     "a b"~2              sloppy phrase (slop=2)
     +term / -term        required / prohibited
     a AND b, a OR b      operators (NOT x == -x)
+    (a OR b) AND c       grouping parentheses (nested sub-queries)
     wi* / w?w            prefix / wildcard
     roam~ / roam~1       fuzzy (maxEdits, default 2)
     [a TO b] / {a TO b}  term range (inclusive / exclusive)
-    term^2.5             boost
+    term^2.5 / (...)^2   boost
     field:term           accepted; only the default field exists, so
                          the prefix is validated and stripped
 
-Unsupported (raises ``QueryParseError``): grouping parens, regex /…/
+Unsupported (raises ``QueryParseError``): regex /…/ literals
 (use Searcher.regexp_query directly).
 
 Semantics follow the classic parser with default operator OR: bare
 clauses are SHOULD; AND promotes both neighbours to MUST; +/- set
-MUST/MUST_NOT. Query text runs through the same analyzer as indexing
+MUST/MUST_NOT. A parenthesized group becomes a nested BooleanQuery
+clause (``QueryParser.java:72`` TopLevelQuery -> Query -> Clause ->
+'(' Query ')'). Query text runs through the same analyzer as indexing
 (``core/util/QueryBuilder.java:59-135``) — a quoted phrase whose terms
 stop-filter away matches nothing, like Lucene.
 
 Execution maps each clause to a scored DataFrame and combines with
 ``Searcher.scored_boolean_clauses`` (the Occur algebra lifted over
-sub-plans); boosts multiply clause scores (BoostQuery semantics —
-exact for constant-score clauses, and exact in the float64 engine
-dtype for BM25 clauses since the score is linear in the weight).
+sub-plans), recursing into groups; boosts multiply clause scores
+(BoostQuery semantics — exact for constant-score clauses, and exact in
+the float64 engine dtype for BM25 clauses since the score is linear in
+the weight).
 """
 
 from __future__ import annotations
@@ -46,7 +50,7 @@ class QueryParseError(ValueError):
 
 @dataclass
 class Clause:
-    kind: str  # term | phrase | prefix | wildcard | fuzzy | range
+    kind: str  # term | phrase | prefix | wildcard | fuzzy | range | group
     occur: str  # MUST | SHOULD | MUST_NOT
     text: str = ""
     terms: list[str] = field(default_factory=list)
@@ -57,18 +61,40 @@ class Clause:
     upper: str | None = None
     include_lower: bool = True
     include_upper: bool = True
+    children: list["Clause"] = field(default_factory=list)
 
 
 _TOKEN_RE = re.compile(
     r"""
     \s*(?:
-      (?P<phrase>"[^"]*"(?:~\d+)?)
+      (?P<phrase>"[^"]*"(?:~\d+)?(?:\^[0-9.]+)?)
      | (?P<range>[\[{][^\]}]*(?:TO)[^\]}]*[\]}])
-     | (?P<word>[^\s"\[\]{}]+)
+     | (?P<paren>[()])
+     | (?P<word>[^\s"\[\]{}()]+)
     )
     """,
     re.VERBOSE,
 )
+
+
+def _lex(query: str) -> list[str]:
+    toks: list[str] = []
+    pos = 0
+    while pos < len(query):
+        m = _TOKEN_RE.match(query, pos)
+        if not m or m.end() == pos:
+            rest = query[pos:].strip()
+            if rest:
+                raise QueryParseError(f"cannot lex at {rest[:20]!r}")
+            break
+        pos = m.end()
+        toks.append(
+            m.group("phrase")
+            or m.group("range")
+            or m.group("paren")
+            or m.group("word")
+        )
+    return toks
 
 
 def _split_boost(tok: str) -> tuple[str, float]:
@@ -82,25 +108,52 @@ def _split_boost(tok: str) -> tuple[str, float]:
 
 
 def parse(query: str, default_field: str = "text") -> list[Clause]:
-    """Tokenize + classify a query string into clauses (pre-analysis)."""
-    if "(" in query or ")" in query:
-        raise QueryParseError("grouping parentheses are not supported")
-    raw: list[tuple[str, str, float]] = []  # (occur, token, boost)
-    pending_ops: list[str] = []
-    pos = 0
-    toks: list[str] = []
-    while pos < len(query):
-        m = _TOKEN_RE.match(query, pos)
-        if not m or m.end() == pos:
-            break
-        pos = m.end()
-        toks.append(m.group("phrase") or m.group("range") or m.group("word"))
+    """Tokenize + parse a query string into a clause tree
+    (pre-analysis); parenthesized groups become ``group`` clauses with
+    ``children``."""
+    toks = _lex(query)
+    clauses, i = _parse_clauses(toks, 0, default_field, depth=0)
+    if i != len(toks):
+        raise QueryParseError(f"unbalanced ')' at token {i}")
+    if not clauses:
+        raise QueryParseError("empty query")
+    return clauses
 
+
+def _parse_clauses(
+    toks: list[str], i: int, default_field: str, depth: int
+) -> tuple[list[Clause], int]:
     clauses: list[Clause] = []
-    i = 0
     pending_occur: str | None = None
     while i < len(toks):
         tok = toks[i]
+        if tok == ")":
+            if depth == 0:
+                raise QueryParseError("unbalanced ')'")
+            break
+        if tok == "(":
+            children, i = _parse_clauses(toks, i + 1, default_field, depth + 1)
+            if i >= len(toks) or toks[i] != ")":
+                raise QueryParseError("unbalanced '('")
+            i += 1
+            if not children:
+                raise QueryParseError("empty group '()'")
+            boost = 1.0
+            # (a b)^2 — the boost lexes as its own word token
+            if i < len(toks) and re.fullmatch(r"\^[0-9.]+", toks[i]):
+                boost = float(toks[i][1:])
+                i += 1
+            clauses.append(
+                Clause(
+                    "group",
+                    pending_occur or "SHOULD",
+                    boost=boost,
+                    children=children,
+                )
+            )
+            pending_occur = None
+            continue
+
         up = tok.upper()
         if up == "AND":
             if clauses and clauses[-1].occur == "SHOULD":
@@ -118,7 +171,7 @@ def parse(query: str, default_field: str = "text") -> list[Clause]:
             continue
 
         if tok in ("+", "-"):
-            # +/- split off a following phrase/range token by the lexer
+            # +/- split off a following phrase/range/group by the lexer
             pending_occur = "MUST" if tok == "+" else "MUST_NOT"
             i += 1
             if i >= len(toks):
@@ -136,13 +189,14 @@ def parse(query: str, default_field: str = "text") -> list[Clause]:
 
         if tok.startswith('"'):
             slop = 0
-            slop_m = re.fullmatch(r'("[^"]*")~(\d+)', tok)
-            if slop_m:
-                tok, slop = slop_m.group(1), int(slop_m.group(2))
             body, boost = _split_boost(tok)
-            if not body.endswith('"'):
-                body = tok  # boost split ate the quote; no boost then
-                boost = 1.0
+            if not body.endswith('"') and not re.fullmatch(
+                r'"[^"]*"~\d+', body
+            ):
+                body, boost = tok, 1.0  # boost split ate the quote
+            slop_m = re.fullmatch(r'("[^"]*")~(\d+)', body)
+            if slop_m:
+                body, slop = slop_m.group(1), int(slop_m.group(2))
             clauses.append(
                 Clause(
                     "phrase", occur, text=body.strip('"'), boost=boost,
@@ -204,72 +258,80 @@ def parse(query: str, default_field: str = "text") -> list[Clause]:
         i += 1
     if pending_occur is not None and pending_occur != "SHOULD":
         raise QueryParseError("trailing operator")
-    if not clauses:
-        raise QueryParseError("empty query")
-    return clauses
+    return clauses, i
+
+
+def _scored_clause(searcher, c: Clause) -> DataFrame | None:
+    """Scored (segment_id, docid, score) frame for one clause; None
+    when the clause analyzes to nothing (caller decides occur
+    semantics). Groups recurse through scored_boolean_clauses."""
+    from pyspark.sql import functions as F
+
+    if c.kind == "group":
+        df = _scored_group(searcher, c.children)
+    elif c.kind == "term":
+        terms = searcher.analyze_query(c.text)
+        if not terms:
+            return None
+        df = searcher.scored_boolean(should=terms)
+    elif c.kind == "phrase":
+        terms = searcher.analyze_query(c.text)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            df = searcher.scored_boolean(should=terms)
+        elif c.slop > 0:
+            df = searcher.scored_sloppy_phrase(terms, c.slop)
+        else:
+            df = searcher.scored_phrase(terms)
+    elif c.kind == "prefix":
+        df = searcher.scored_prefix(c.text)
+    elif c.kind == "wildcard":
+        df = searcher.scored_wildcard(c.text)
+    elif c.kind == "fuzzy":
+        df = searcher.scored_fuzzy(c.text, max_edits=c.max_edits)
+    elif c.kind == "range":
+        df = searcher.scored_term_range(
+            c.lower,
+            c.upper,
+            include_lower=c.include_lower,
+            include_upper=c.include_upper,
+        )
+    else:  # pragma: no cover
+        raise QueryParseError(f"unhandled clause kind {c.kind}")
+    if c.boost != 1.0:
+        score_t = (
+            "float" if searcher.dtype.__name__ == "float32" else "double"
+        )
+        df = df.select(
+            "segment_id",
+            "docid",
+            (F.col("score") * float(c.boost)).cast(score_t).alias("score"),
+        )
+    return df
+
+
+def _scored_group(searcher, clauses: list[Clause]) -> DataFrame:
+    """Combine a clause list (one nesting level) into one scored frame
+    via the Occur algebra over sub-plans."""
+    must, should, must_not = [], [], []
+    for c in clauses:
+        df = _scored_clause(searcher, c)
+        if df is None:
+            if c.occur == "MUST":
+                # a MUST clause that analyzes to nothing matches nothing
+                return searcher._empty_scored().select(
+                    "segment_id", "docid", "score"
+                )
+            continue
+        {"MUST": must, "SHOULD": should, "MUST_NOT": must_not}[c.occur].append(
+            df
+        )
+    return searcher.scored_boolean_clauses(must, should, must_not)
 
 
 def execute(searcher, query: str, k: int = 10) -> DataFrame:
     """Parse and run a classic query string; returns the top-k frame
     (docid, url, score) like the other Searcher entry points."""
-    from pyspark.sql import functions as F
-
     clauses = parse(query)
-    must, should, must_not = [], [], []
-
-    def scored(c: Clause) -> DataFrame | None:
-        if c.kind == "term":
-            terms = searcher.analyze_query(c.text)
-            if not terms:
-                return None
-            df = searcher.scored_boolean(should=terms)
-        elif c.kind == "phrase":
-            terms = searcher.analyze_query(c.text)
-            if not terms:
-                return None
-            if len(terms) == 1:
-                df = searcher.scored_boolean(should=terms)
-            elif c.slop > 0:
-                df = searcher.scored_sloppy_phrase(terms, c.slop)
-            else:
-                df = searcher.scored_phrase(terms)
-        elif c.kind == "prefix":
-            df = searcher.scored_prefix(c.text)
-        elif c.kind == "wildcard":
-            df = searcher.scored_wildcard(c.text)
-        elif c.kind == "fuzzy":
-            df = searcher.scored_fuzzy(c.text, max_edits=c.max_edits)
-        elif c.kind == "range":
-            df = searcher.scored_term_range(
-                c.lower,
-                c.upper,
-                include_lower=c.include_lower,
-                include_upper=c.include_upper,
-            )
-        else:  # pragma: no cover
-            raise QueryParseError(f"unhandled clause kind {c.kind}")
-        if c.boost != 1.0:
-            score_t = "float" if searcher.dtype.__name__ == "float32" else "double"
-            df = df.select(
-                "segment_id",
-                "docid",
-                (F.col("score") * float(c.boost)).cast(score_t).alias("score"),
-            )
-        return df
-
-    for c in clauses:
-        df = scored(c)
-        if df is None:
-            if c.occur == "MUST":
-                # a MUST clause that analyzes to nothing matches nothing
-                return searcher._finish_topk(
-                    searcher._empty_scored().select(
-                        "segment_id", "docid", "score"
-                    ),
-                    k,
-                )
-            continue
-        {"MUST": must, "SHOULD": should, "MUST_NOT": must_not}[c.occur].append(df)
-
-    combined = searcher.scored_boolean_clauses(must, should, must_not)
-    return searcher._finish_topk(combined, k)
+    return searcher._finish_topk(_scored_group(searcher, clauses), k)

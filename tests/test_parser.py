@@ -53,9 +53,34 @@ class TestParse:
 
     def test_errors(self):
         with pytest.raises(QueryParseError):
-            parse("(a b)")
+            parse("(a b")  # unbalanced '('
+        with pytest.raises(QueryParseError):
+            parse("a b)")  # unbalanced ')'
+        with pytest.raises(QueryParseError):
+            parse("()")
         with pytest.raises(QueryParseError):
             parse("")
+
+    def test_group_parsing(self):
+        cs = parse("(a OR b) AND c")
+        assert [c.kind for c in cs] == ["group", "term"]
+        assert cs[0].occur == "MUST" and cs[1].occur == "MUST"
+        assert [g.text for g in cs[0].children] == ["a", "b"]
+        assert all(g.occur == "SHOULD" for g in cs[0].children)
+
+    def test_group_modifiers_and_boost(self):
+        cs = parse('-(a b) +(c "d e")^2.5')
+        assert cs[0].kind == "group" and cs[0].occur == "MUST_NOT"
+        assert cs[1].kind == "group" and cs[1].occur == "MUST"
+        assert cs[1].boost == 2.5
+        assert [g.kind for g in cs[1].children] == ["term", "phrase"]
+
+    def test_nested_groups(self):
+        cs = parse("((a OR b) AND c) OR d")
+        assert cs[0].kind == "group"
+        inner = cs[0].children
+        assert inner[0].kind == "group" and inner[0].occur == "MUST"
+        assert inner[1].text == "c" and inner[1].occur == "MUST"
 
 
 class TestExecute:
@@ -115,3 +140,37 @@ class TestExecute:
         assert [g[0] for g in got] == [b[0] for b in base]
         for (_, _, gs), (_, _, bs) in zip(got, base):
             assert abs(gs - 2 * bs) < 1e-5
+
+
+class TestExecuteGroups:
+    def _rows(self, df):
+        return [(r["docid"], r["url"], r["score"]) for r in df.collect()]
+
+    def test_group_and_term(self, searcher):
+        """(window OR spark) AND data == nested boolean sub-plans."""
+        got = self._rows(execute(searcher, "(window OR spark) AND data", k=10))
+        combined = searcher.scored_boolean_clauses(
+            must=[
+                searcher.scored_boolean(should=["window", "spark"]),
+                searcher.scored_boolean(should=["data"]),
+            ],
+        )
+        expect = self._rows(searcher._finish_topk(combined, 10))
+        assert got == expect
+        assert got, "should match something"
+
+    def test_negated_group(self, searcher):
+        got = self._rows(execute(searcher, "+window -(spark data)", k=10))
+        combined = searcher.scored_boolean_clauses(
+            must=[searcher.scored_boolean(should=["window"])],
+            must_not=[searcher.scored_boolean(should=["spark", "data"])],
+        )
+        expect = self._rows(searcher._finish_topk(combined, 10))
+        assert got == expect
+
+    def test_flat_group_is_transparent(self, searcher):
+        """(a b) as the whole query scores like the flat OR (sum of the
+        same clause scores, one extra no-op nesting level)."""
+        got = self._rows(execute(searcher, "(window spark)", k=10))
+        expect = self._rows(execute(searcher, "window spark", k=10))
+        assert got == expect

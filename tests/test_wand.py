@@ -1,0 +1,76 @@
+"""Block-max boolean execution (WAND/MAXSCORE analog): the pruned
+top-k path must be result-identical to the exhaustive scorer across
+the Occur algebra — the CheckHits.checkEqual / TestWANDScorer
+pruned-vs-complete pattern (``core/search/WANDScorer.java:31-55``,
+``lucene/core/src/test/.../search/TestWANDScorer.java``)."""
+
+import pytest
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.deletes import delete_by_urls
+from lucene_spark.operators.search import Searcher
+
+CASES = [
+    dict(should=["window", "spark"]),
+    dict(should=["the", "window"]),  # frequent + rare disjunction
+    dict(must=["window", "spark"]),
+    dict(must=["the", "window"]),  # rare MUST leapfrogs 'the'
+    dict(must=["window"], must_not=["spark"]),
+    dict(should=["window", "spark", "data"], min_should_match=2),
+    dict(must=["window", "spark"], should=["data"]),
+    dict(must=["window"], should=["spark"], must_not=["the"]),
+    dict(should=["window", "nosuchterm"]),
+    dict(must=["nosuchterm"]),
+    dict(should=["zzzz_rare_none"]),
+]
+
+
+def _rows(df):
+    return [(r["docid"], r["url"], r["score"]) for r in df.collect()]
+
+
+class TestBlockMaxBoolean:
+    @pytest.mark.parametrize("case", CASES)
+    def test_pruned_equals_exhaustive(self, searcher, case):
+        got = _rows(searcher.boolean_query(k=10, prune=True, **case))
+        want = _rows(searcher.boolean_query(k=10, prune=False, **case))
+        assert got == want
+
+    def test_small_k_and_large_k(self, searcher):
+        for k in (1, 3, 100):
+            got = _rows(
+                searcher.boolean_query(
+                    should=["window", "spark"], k=k, prune=True
+                )
+            )
+            want = _rows(
+                searcher.boolean_query(
+                    should=["window", "spark"], k=k, prune=False
+                )
+            )
+            assert got == want
+
+    def test_pruned_with_deletes(self, spark, web_pages, tmp_path):
+        """θ seeding and the pruned pass run over live docs only, so
+        the pruned path stays exact on an index with tombstones."""
+        d = str(tmp_path / "wand_del")
+        build_index(spark, web_pages, d, num_segments=4)
+        s0 = Searcher(spark, d)
+        victims = [
+            r["url"]
+            for r in s0.boolean_query(
+                should=["window", "spark"], k=3, prune=False
+            ).collect()
+        ]
+        delete_by_urls(spark, d, victims)
+        s = Searcher(spark, d)
+        assert s._tombstones is not None
+        for case in (
+            dict(should=["window", "spark"]),
+            dict(must=["window", "spark"]),
+            dict(should=["window", "spark", "data"], min_should_match=2),
+        ):
+            got = _rows(s.boolean_query(k=10, prune=True, **case))
+            want = _rows(s.boolean_query(k=10, prune=False, **case))
+            assert got == want
+            assert not ({u for _, u, _ in got} & set(victims))
