@@ -52,7 +52,9 @@ def delete_by_urls(
     spark: SparkSession, index_dir: str, urls: list[str]
 ) -> int:
     """Delete documents by their url key (updateDocument's delete half,
-    ``core/index/IndexWriter.java:1881``). Returns tombstones written."""
+    ``core/index/IndexWriter.java:1881``). Returns tombstones written.
+    For key sets that don't fit a literal list, use
+    :func:`delete_by_keys` with a DataFrame."""
     from .build import read_docs
 
     catalog = IndexCatalog(index_dir)
@@ -63,6 +65,29 @@ def delete_by_urls(
     return _commit_tombstones(
         catalog, victims, {"kind": "by_urls", "n_keys": len(urls)}
     )
+
+
+def delete_by_keys(
+    spark: SparkSession,
+    index_dir: str,
+    keys: DataFrame,
+    key_col: str = "url",
+) -> int:
+    """Distributed bulk delete: victims resolved by a semi-join of the
+    docs table against a key DataFrame — no key ever reaches the
+    driver, so a 10^8-key update is a plain shuffle join (Lucene's
+    buffered-delete-by-term queue applied at flush; only the manifest
+    commit is driver-side). Returns tombstones written."""
+    from .build import read_docs
+
+    catalog = IndexCatalog(index_dir)
+    docs = read_docs(spark, catalog)
+    victims = docs.join(
+        keys.select(F.col(key_col).alias("url")).distinct(),
+        "url",
+        "left_semi",
+    ).select("segment_id", "local_docid")
+    return _commit_tombstones(catalog, victims, {"kind": "by_keys"})
 
 
 def delete_by_term(
@@ -122,15 +147,17 @@ def update_documents(
     never both (the delete generation lands first, exactly like
     Lucene's buffered delete applied with the flush).
 
-    ``docs``: (url, <field>, ...) rows; urls must be unique.
+    ``docs``: (url, <field>, ...) rows; urls must be unique. The
+    delete half is a distributed semi-join (:func:`delete_by_keys`) —
+    no key list is ever collected to the driver, so bulk updates scale
+    with the cluster, not driver memory.
     """
     from .build import build_index
 
-    urls = [r["url"] for r in docs.select("url").distinct().collect()]
     catalog = IndexCatalog(index_dir)
     man = catalog.read_manifest()
     offset = max((s["segment_id"] for s in man["segments"]), default=-1) + 1
-    delete_by_urls(spark, index_dir, urls)
+    delete_by_keys(spark, index_dir, docs.select("url"))
     build_index(
         spark,
         docs,

@@ -131,6 +131,93 @@ def sloppy_phrase_freq(adjusted_pos_lists: list[list[int]], slop: int) -> float:
     return freq
 
 
+def sloppy_phrase_freq_repeats(
+    raw_lists: list[list[int]],
+    offsets: list[int],
+    groups: list[int],
+    slop: int,
+) -> float:
+    """Sloppy-phrase frequency with REPEATING terms
+    (``core/search/SloppyPhraseMatcher.java`` repeats handling): the
+    same greedy minimal-advance matcher as :func:`sloppy_phrase_freq`,
+    with the repeat rule that no two cursors of the same term group may
+    occupy the same RAW position — a cursor advancing onto an occupied
+    raw position keeps advancing (Lucene's ``advanceRpts``), including
+    during initialization (``fillQueue``'s collision resolution).
+
+    ``raw_lists[i]``: raw positions of phrase slot i's term;
+    ``offsets[i]``: the slot's phrase offset (adjusted = raw − offset);
+    ``groups[i]``: term-group id (slots of the same term share one).
+    With all groups distinct this reduces to the non-repeating matcher
+    (property-tested).
+    """
+    import heapq
+
+    n = len(raw_lists)
+    if any(not pl for pl in raw_lists):
+        return 0.0
+    idx = [0] * n
+    raw = [pl[0] for pl in raw_lists]
+    repeated = {g for g in groups if groups.count(g) > 1}
+
+    def occupied(i: int) -> set[int]:
+        return {
+            raw[j] for j in range(n) if j != i and groups[j] == groups[i]
+        }
+
+    def advance_past_collisions(i: int) -> bool:
+        if groups[i] not in repeated:
+            return True
+        occ = occupied(i)
+        while raw[i] in occ:
+            idx[i] += 1
+            if idx[i] >= len(raw_lists[i]):
+                return False
+            raw[i] = raw_lists[i][idx[i]]
+        return True
+
+    # init: resolve collisions processing LARGER offsets first, so the
+    # earlier phrase slot keeps the earlier raw occurrence and later
+    # slots advance past it (matching exact-alignment intuition)
+    for i in sorted(range(n), key=lambda j: -offsets[j]):
+        if not advance_past_collisions(i):
+            return 0.0
+
+    adj = [raw[i] - offsets[i] for i in range(n)]
+    heap = [(adj[i], i) for i in range(n)]
+    heapq.heapify(heap)
+    end = max(adj)
+
+    freq = 0.0
+    pos, i = heapq.heappop(heap)
+    match_length = end - pos
+    next_pos = heap[0][0]
+    while True:
+        idx[i] += 1
+        if idx[i] >= len(raw_lists[i]):
+            break
+        raw[i] = raw_lists[i][idx[i]]
+        if not advance_past_collisions(i):
+            break
+        p = raw[i] - offsets[i]
+        if p > end:
+            end = p
+        if p > next_pos:
+            heapq.heappush(heap, (p, i))
+            if match_length <= slop:
+                freq += 1.0 / (1 + match_length)
+            pos, i = heapq.heappop(heap)
+            next_pos = heap[0][0]
+            match_length = end - pos
+        else:
+            ml2 = end - p
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq += 1.0 / (1 + match_length)
+    return freq
+
+
 def ordered_intervals(pos_lists: list[list[int]]) -> list[tuple[int, int]]:
     """Minimal ordered intervals containing one position of each term
     in phrase order (``queries/intervals`` OrderedIntervalsSource
@@ -331,6 +418,66 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
                 )
 
     return kernel, out_schema
+
+
+def _make_freq_kernel(n_terms: int, freq_fn):
+    """mapInArrow kernel: (segment_id, docid, norm, p0..p{n-1}) rows →
+    (segment_id, docid, norm, freq) keeping rows with freq > 0.
+
+    Position lists are sliced straight out of the Arrow list buffers
+    (offsets + flat values as numpy views) — no per-row pandas object
+    conversion; the per-doc matcher is the only Python loop left
+    (it is inherently sequential, like Lucene's per-doc matchers).
+    """
+    out_schema = pa.schema(
+        [
+            ("segment_id", pa.int64()),
+            ("docid", pa.int64()),
+            ("norm", pa.int32()),
+            ("freq", pa.float64()),
+        ]
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
+                continue
+            segs = batch.column("segment_id").to_numpy(zero_copy_only=False)
+            docs = batch.column("docid").to_numpy(zero_copy_only=False)
+            norms = batch.column("norm").to_numpy(zero_copy_only=False)
+            cols = []
+            for i in range(n_terms):
+                c = batch.column(f"p{i}")
+                cols.append(
+                    (
+                        c.offsets.to_numpy(zero_copy_only=False),
+                        c.values.to_numpy(zero_copy_only=False),
+                    )
+                )
+            out = np.empty(m, dtype=np.float64)
+            for r in range(m):
+                lists = [
+                    vals[offs[r] : offs[r + 1]].tolist()
+                    for (offs, vals) in cols
+                ]
+                out[r] = freq_fn(lists)
+            mask = out > 0.0
+            if mask.any():
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "segment_id": segs[mask],
+                        "docid": docs[mask],
+                        "norm": norms[mask].astype(np.int32),
+                        "freq": out[mask],
+                    },
+                    schema=out_schema,
+                )
+
+    return kernel
+
+
+_FREQ_DDL = "segment_id long, docid long, norm int, freq double"
 
 
 class Searcher(QueryOpsMixin):
@@ -1136,14 +1283,19 @@ class Searcher(QueryOpsMixin):
 
     def scored_sloppy_phrase(self, terms: list[str], slop: int) -> DataFrame:
         """Sloppy PhraseQuery (``core/search/SloppyPhraseMatcher.java``,
-        non-repeating terms): greedy minimal-advance matching over a
-        priority queue of phrase positions; each match within ``slop``
+        including REPEATING terms): greedy minimal-advance matching
+        over a priority queue of phrase positions with advanceRpts-
+        style raw-position collision avoidance for repeated terms
+        (``sloppy_phrase_freq_repeats``); each match within ``slop``
         contributes sloppyWeight = 1/(1+matchLength) to the phrase
         freq, which then feeds the same pseudo-term BM25 scorer as the
         exact matcher (weight = summed idf).
 
-        At slop=0 this reduces to the exact matcher's freq (every
-        match has length 0, weight 1) — asserted in tests."""
+        Two-phase like the exact matcher (positions decoded for
+        candidate blocks only); the matcher runs batched in one
+        mapInArrow kernel over typed position buffers, not per-row
+        pandas. At slop=0 this reduces to the exact matcher's freq
+        (every match has length 0, weight 1) — asserted in tests."""
         if slop == 0:
             return self.scored_phrase(terms)
         stats = self.term_stats(terms)
@@ -1153,15 +1305,25 @@ class Searcher(QueryOpsMixin):
         per_doc = self._pivot_positions(
             self._candidate_positions(terms), len(set(terms))
         )
+        n_terms = len(terms)
         joined = per_doc.select(
             "segment_id",
             "docid",
             "norm",
-            *[
-                _shift_positions(F.col("pm")[t], i).alias(f"p{i}")
-                for i, t in enumerate(terms)
-            ],
+            # RAW positions per phrase slot; a repeated term reuses its
+            # map entry at every offset it occupies
+            *[F.col("pm")[t].alias(f"p{i}") for i, t in enumerate(terms)],
         )
+        group_of = {t: gi for gi, t in enumerate(dict.fromkeys(terms))}
+        groups = [group_of[t] for t in terms]
+        slot_offsets = list(range(n_terms))
+
+        def freq_fn(lists, _o=slot_offsets, _g=groups, _s=slop):
+            return sloppy_phrase_freq_repeats(lists, _o, _g, _s)
+
+        matched = joined.mapInArrow(
+            _make_freq_kernel(n_terms, freq_fn), schema=_FREQ_DDL
+        ).withColumnRenamed("freq", "phrase_freq")
 
         import math
 
@@ -1203,23 +1365,6 @@ class Searcher(QueryOpsMixin):
                 )
             )
         dtype = self.dtype
-        n_terms = len(terms)
-
-        @F.pandas_udf("double")
-        def sloppy_freq_udf(*pos_cols):
-            import pandas as pd
-
-            out = []
-            for row in zip(*pos_cols):
-                out.append(
-                    sloppy_phrase_freq([list(p) for p in row], slop)
-                )
-            return pd.Series(out)
-
-        pos_args = [F.col(f"p{i}") for i in range(n_terms)]
-        matched = joined.withColumn(
-            "phrase_freq", sloppy_freq_udf(*pos_args)
-        ).where(F.col("phrase_freq") > 0)
 
         @F.pandas_udf("float" if dtype == np.float32 else "double")
         def sp_score(pf, norm):
@@ -1265,6 +1410,7 @@ class Searcher(QueryOpsMixin):
         joined = per_doc.select(
             "segment_id",
             "docid",
+            "norm",
             *[
                 F.col("pm")[t].alias(f"p{i}") for i, t in enumerate(terms)
             ],
@@ -1272,24 +1418,14 @@ class Searcher(QueryOpsMixin):
 
         n_terms = len(terms)
 
-        @F.pandas_udf("double")
-        def ifreq(*pos_cols):
-            import pandas as pd
+        def freq_fn(lists, _ord=ordered, _n=n_terms, _mw=max_width):
+            iv = (
+                ordered_intervals(lists) if _ord else unordered_intervals(lists)
+            )
+            return interval_freq(iv, _n, _mw)
 
-            out = []
-            for row in zip(*pos_cols):
-                lists = [sorted(p) for p in row]
-                iv = (
-                    ordered_intervals(lists)
-                    if ordered
-                    else unordered_intervals(lists)
-                )
-                out.append(interval_freq(iv, n_terms, max_width))
-            return pd.Series(out)
-
-        pos_args = [F.col(f"p{i}") for i in range(n_terms)]
-        matched = joined.withColumn("ifreq", ifreq(*pos_args)).where(
-            F.col("ifreq") > 0
+        matched = joined.mapInArrow(
+            _make_freq_kernel(n_terms, freq_fn), schema=_FREQ_DDL
         )
         score_t = "float" if self.dtype == np.float32 else "double"
         return matched.select(
@@ -1299,7 +1435,7 @@ class Searcher(QueryOpsMixin):
                 F.lit(float(boost))
                 * (
                     F.lit(1.0)
-                    - F.lit(float(pivot)) / (F.lit(float(pivot)) + F.col("ifreq"))
+                    - F.lit(float(pivot)) / (F.lit(float(pivot)) + F.col("freq"))
                 )
             )
             .cast(score_t)

@@ -144,3 +144,97 @@ class TestSloppySpark:
         assert set(got) == set(expect)
         for d in got:
             assert abs(got[d] - expect[d]) <= 1e-6
+
+
+class TestSloppyRepeats:
+    """Repeating-term sloppy phrase (SloppyPhraseMatcher.java repeats
+    handling: no two cursors of one term group share a raw position)."""
+
+    def test_reduces_to_nonrepeating(self):
+        from lucene_spark.operators.search import sloppy_phrase_freq_repeats
+
+        rng = np.random.default_rng(11)
+        for _ in range(300):
+            n = int(rng.integers(2, 4))
+            raw = [
+                sorted(
+                    set(rng.integers(0, 30, size=int(rng.integers(1, 6))))
+                )
+                for _ in range(n)
+            ]
+            raw = [[int(x) for x in pl] for pl in raw]
+            offsets = list(range(n))
+            slop = int(rng.integers(0, 4))
+            adjusted = [
+                [p - i for p in pl] for i, pl in enumerate(raw)
+            ]
+            a = sloppy_phrase_freq_repeats(raw, offsets, list(range(n)), slop)
+            b = sloppy_phrase_freq(adjusted, slop)
+            assert a == pytest.approx(b), (raw, slop)
+
+    def test_repeated_term_simple(self):
+        from lucene_spark.operators.search import sloppy_phrase_freq_repeats
+
+        # doc "a b a", phrase "a b a": slots 0,2 share term 'a'
+        raw = [[0, 2], [1], [0, 2]]
+        # collision resolution pins slot0@0, slot2@2 -> exact match
+        assert sloppy_phrase_freq_repeats(
+            raw, [0, 1, 2], [0, 1, 0], 1
+        ) == pytest.approx(1.0)
+
+    def test_repeated_term_cannot_reuse_position(self):
+        from lucene_spark.operators.search import sloppy_phrase_freq_repeats
+
+        # doc "a b", phrase "a a": only ONE 'a' -> both cursors would
+        # need raw 0; collision resolution exhausts -> no match
+        assert sloppy_phrase_freq_repeats([[0], [0]], [0, 1], [0, 0], 5) == 0.0
+
+    def test_spark_path_with_repeats(self, spark, searcher, naive):
+        """Spark two-phase + mapInArrow matcher == python mirror over
+        the naive index for a repeated-term phrase."""
+        from lucene_spark.functions import bm25
+        from lucene_spark.operators.search import sloppy_phrase_freq_repeats
+
+        terms, slop = ["the", "query", "the"], 3
+        groups = [0, 1, 0]
+        w = np.float32(
+            float(
+                np.sum(
+                    np.array(
+                        [bm25.idf(naive.doc_freq(t), naive.N) for t in terms],
+                        dtype=np.float64,
+                    )
+                )
+            )
+        )
+        cache = bm25.norm_inverse_cache(
+            bm25.avg_field_length(naive.sttf, naive.N)
+        )
+        expect = {}
+        for i, (terms_i, pos_i) in enumerate(naive.analyzed):
+            pos_of = {}
+            for t, p in zip(terms_i, pos_i):
+                pos_of.setdefault(t, []).append(p)
+            if not all(t in pos_of for t in set(terms)):
+                continue
+            raw = [sorted(pos_of[t]) for t in terms]
+            pf = sloppy_phrase_freq_repeats(raw, [0, 1, 2], groups, slop)
+            if pf > 0:
+                expect[i] = float(
+                    bm25.score(
+                        np.array([pf], dtype=np.float32),
+                        naive.norms[i : i + 1],
+                        w,
+                        cache,
+                    )[0]
+                )
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_sloppy_phrase(terms, slop)
+            ).collect()
+        }
+        assert set(got) == set(expect)
+        assert expect, "fixture phrase should match some docs"
+        for d in got:
+            assert abs(got[d] - expect[d]) <= 1e-6
