@@ -348,6 +348,328 @@ def _en_stop_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# variant indexes (title field, english analyzer, deletes, updates,
+# merged, NRT-appended) — built once per sf dir and cached
+# ---------------------------------------------------------------------------
+
+_TITLE_TOKENS = 8
+_DEL_IDS = [3, 7]
+_UPD_IDS = [1, 2]
+_UPD_TEXT = "updated spark window pipeline"
+
+
+def _url_of(doc_id: int) -> str:
+    return f"https://example.org/doc/{doc_id:08d}"
+
+
+def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.sources.catalog import IndexCatalog
+    from lucene_spark.sources.web_pages import load_web_pages
+
+    key = (sf_dir, "variant", kind)
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx = _index_dir(sf_dir) + "_" + kind
+    wp = load_web_pages(spark, sf_dir)
+    n_seg = _num_segments(sf_dir)
+    if not IndexCatalog(idx).committed_segment_ids():
+        if kind == "title":
+            titled = wp.withColumn(
+                "text",
+                F.concat_ws(
+                    " ", F.slice(F.split("text", " "), 1, _TITLE_TOKENS)
+                ),
+            )
+            build_index(spark, titled, idx, num_segments=n_seg)
+        elif kind == "english":
+            build_index(
+                spark, wp, idx, num_segments=n_seg, analyzer="english"
+            )
+        elif kind == "del":
+            from lucene_spark.operators.deletes import delete_by_urls
+
+            build_index(spark, wp, idx, num_segments=n_seg)
+            delete_by_urls(spark, idx, [_url_of(i) for i in _DEL_IDS])
+        elif kind == "upd":
+            from lucene_spark.operators.deletes import update_documents
+
+            build_index(spark, wp, idx, num_segments=n_seg)
+            upd = spark.createDataFrame(
+                [(_url_of(i), _UPD_TEXT) for i in _UPD_IDS],
+                "url string, text string",
+            )
+            update_documents(spark, idx, upd, num_segments=1)
+        elif kind == "merged":
+            from lucene_spark.operators.merge import maybe_merge
+
+            build_index(spark, wp, idx, num_segments=8)
+            maybe_merge(spark, idx, merge_factor=2, min_merge_docs=1)
+        elif kind == "nrt":
+            from lucene_spark.streaming.nrt import append_batch
+
+            num = F.substring("url", -8, 8).cast("long")
+            append_batch(
+                spark, wp.where(num % 2 == 0), idx, 0, num_segments=2
+            )
+            append_batch(
+                spark, wp.where(num % 2 == 1), idx, 1, num_segments=2
+            )
+        else:  # pragma: no cover
+            raise ValueError(kind)
+    s = Searcher(spark, idx, dtype=np.float64)
+    _SEARCHERS[key] = s
+    return s
+
+
+def _const_matches(searcher, scored: DataFrame, k: int = 1000) -> DataFrame:
+    """Constant-score match set as oracle-facing (doc_id, score) rows."""
+    return (
+        searcher._attach_urls(
+            searcher._globalize(
+                scored.withColumn("local_docid", F.col("docid"))
+            )
+        )
+        .select(_doc_id("url"), F.col("score").cast("double").alias("score"))
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL: analyzer-variant and advanced BM25 oracles
+# ---------------------------------------------------------------------------
+
+
+def _en33_sql() -> str:
+    from lucene_spark.functions.analysis import ENGLISH_STOP_WORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+
+def _english_bm25_sql(term: str, k: int = 10) -> str:
+    """EnglishAnalyzer BM25 oracle for a STEM-INVARIANT term (its own
+    Porter stem, and no other corpus token stems to it — verified for
+    this corpus), so the SQL side only needs the 33-word stop filter:
+    dl/norms count non-stopword tokens, tf/df count the term itself."""
+    norm = _norm_len_sql("dl.dl")
+    return f"""WITH
+      etok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+      tok AS (SELECT doc_id, term FROM etok
+              WHERE term NOT IN ({_en33_sql()})),
+      {_DL}, {_ST},
+      tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+             WHERE term = '{term}' GROUP BY doc_id),
+      df AS (SELECT count(*)::BIGINT AS df FROM tf),
+      sc AS (SELECT tf.doc_id,
+                    ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+                    tf.tf AS tf
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN st CROSS JOIN df)
+      SELECT doc_id, round(w - w/(1 + tf*inv), 6) AS score
+      FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
+def _excluded_bm25_sql(term: str, exclude_ids: list[int], k: int = 10) -> str:
+    """BM25 over an index with tombstones: stats stay whole-corpus
+    (deletes don't touch docFreq/avgdl until merge reclaim — Lucene
+    semantics), only the RESULT set excludes the deleted ids."""
+    norm = _norm_len_sql("dl.dl")
+    ids = ", ".join(str(i) for i in exclude_ids)
+    return f"""WITH {_TOK}, {_DL}, {_ST},
+      tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+             WHERE term = '{term}' GROUP BY doc_id),
+      df AS (SELECT count(*)::BIGINT AS df FROM tf),
+      sc AS (SELECT tf.doc_id,
+                    ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+                    tf.tf AS tf
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN st CROSS JOIN df)
+      SELECT doc_id, round(w - w/(1 + tf*inv), 6) AS score
+      FROM sc WHERE doc_id NOT IN ({ids})
+      ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
+def _updated_bm25_sql(term: str, k: int = 10) -> str:
+    """BM25 after update_documents: the corpus is documents plus the
+    appended new versions; old versions of the updated ids are
+    tombstoned OUT of the result but still counted in stats (doc_count
+    and sttf include them — replace-by-key is delete+append)."""
+    news = ", ".join(f"({i}, '{_UPD_TEXT}', 1)" for i in _UPD_IDS)
+    olds = ", ".join(str(i) for i in _UPD_IDS)
+    norm = _norm_len_sql("dl.dl")
+    return f"""WITH
+      corpus AS (SELECT doc_id, text, 0 AS ver FROM documents
+                 UNION ALL
+                 SELECT * FROM (VALUES {news}) v(doc_id, text, ver)),
+      tok AS (SELECT doc_id, ver, unnest(string_split(text, ' ')) AS term
+              FROM corpus),
+      dl AS (SELECT doc_id, ver, count(*) AS dl FROM tok
+             GROUP BY doc_id, ver),
+      st AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE AS sttf FROM dl),
+      tf AS (SELECT doc_id, ver, count(*)::BIGINT AS tf FROM tok
+             WHERE term = '{term}' GROUP BY doc_id, ver),
+      df AS (SELECT count(*)::BIGINT AS df FROM tf),
+      sc AS (SELECT tf.doc_id, tf.ver,
+                    ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+                    tf.tf AS tf
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id AND tf.ver = dl.ver
+             CROSS JOIN st CROSS JOIN df)
+      SELECT doc_id, round(w - w/(1 + tf*inv), 6) AS score
+      FROM sc WHERE NOT (ver = 0 AND doc_id IN ({olds}))
+      ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
+def _bm25f_sql(term: str, w_body: float = 1.0, w_title: float = 2.0, k: int = 10) -> str:
+    """CombinedFieldQuery (BM25F) oracle mirroring
+    ``CombinedFieldQuery.java:274-312,424-433``: weighted freq sum,
+    weighted SmallFloat-quantized length re-quantized, df = max over
+    fields, avgdl from the weighted sumTotalTermFreq."""
+    qb = _norm_len_sql("f.len_b")
+    qt = _norm_len_sql("f.len_t")
+    qc = _norm_len_sql("g.wlen_r")
+    return f"""WITH
+      base AS (SELECT doc_id, string_split(text, ' ') AS body FROM documents),
+      f AS (SELECT doc_id,
+                   len(body) AS len_b,
+                   len(list_slice(body, 1, {_TITLE_TOKENS})) AS len_t,
+                   len(list_filter(body, t -> t = '{term}')) AS tf_b,
+                   len(list_filter(list_slice(body, 1, {_TITLE_TOKENS}),
+                       t -> t = '{term}')) AS tf_t
+            FROM base),
+      st AS (SELECT count(*)::BIGINT AS n,
+                    {w_body!r}*sum(len_b) + {w_title!r}*sum(len_t) AS sttf,
+                    greatest(count(*) FILTER (tf_b > 0),
+                             count(*) FILTER (tf_t > 0))::BIGINT AS dfm
+             FROM f),
+      g AS (SELECT doc_id,
+                   {w_body!r}*tf_b + {w_title!r}*tf_t AS freq_c,
+                   floor({w_body!r}*{qb} + {w_title!r}*{qt} + 0.5) AS wlen_r
+            FROM f WHERE tf_b > 0 OR tf_t > 0),
+      sc AS (SELECT g.doc_id,
+                    ln(1 + (st.n - st.dfm + 0.5)/(st.dfm + 0.5)) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{qc}/(st.sttf/st.n))) AS inv,
+                    g.freq_c AS freq_c
+             FROM g CROSS JOIN st)
+      SELECT doc_id, round(w - w/(1 + freq_c*inv), 6) AS score
+      FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
+def _blended_sql(term: str, k: int = 10) -> str:
+    """BlendedTermQuery oracle: per-field BM25 with the BLENDED
+    docFreq (max across fields), each field keeping its own norms and
+    avgdl; per-doc combine = max + 0.01·(sum − max)."""
+    qb = _norm_len_sql("f.len_b")
+    qt = _norm_len_sql("f.len_t")
+    return f"""WITH
+      base AS (SELECT doc_id, string_split(text, ' ') AS body FROM documents),
+      f AS (SELECT doc_id,
+                   len(body) AS len_b,
+                   len(list_slice(body, 1, {_TITLE_TOKENS})) AS len_t,
+                   len(list_filter(body, t -> t = '{term}')) AS tf_b,
+                   len(list_filter(list_slice(body, 1, {_TITLE_TOKENS}),
+                       t -> t = '{term}')) AS tf_t
+            FROM base),
+      st AS (SELECT count(*)::BIGINT AS n,
+                    sum(len_b)::DOUBLE AS sttf_b,
+                    sum(len_t)::DOUBLE AS sttf_t,
+                    greatest(count(*) FILTER (tf_b > 0),
+                             count(*) FILTER (tf_t > 0))::BIGINT AS dfm
+             FROM f),
+      per AS (SELECT f.doc_id,
+                     ln(1 + (st.n - st.dfm + 0.5)/(st.dfm + 0.5)) AS w,
+                     CASE WHEN f.tf_b > 0 THEN
+                       w - w/(1 + f.tf_b *
+                         (1.0/(1.2*(0.25 + 0.75*{qb}/(st.sttf_b/st.n)))))
+                     END AS s_b,
+                     CASE WHEN f.tf_t > 0 THEN
+                       w - w/(1 + f.tf_t *
+                         (1.0/(1.2*(0.25 + 0.75*{qt}/(st.sttf_t/st.n)))))
+                     END AS s_t
+              FROM f CROSS JOIN st
+              WHERE f.tf_b > 0 OR f.tf_t > 0),
+      dm AS (SELECT doc_id,
+                    greatest(coalesce(s_b, -1e300), coalesce(s_t, -1e300))
+                      AS mx,
+                    coalesce(s_b, 0) + coalesce(s_t, 0) AS sm
+             FROM per)
+      SELECT doc_id, round(mx + 0.01*(sm - mx), 6) AS score
+      FROM dm ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
+def _mlt_sql(src_doc_id: int = 0, k: int = 10) -> str:
+    """MoreLikeThis oracle (``mlt/MoreLikeThis.java:149`` defaults):
+    candidate terms with tf >= 2 in the source doc and df >= 5 in the
+    corpus, ranked by tf·(ln((N+1)/(df+1))+1) desc then term asc, top
+    25 become an OR query scored with the standard BM25 sum."""
+    norm = _norm_len_sql("dl.dl")
+    return f"""WITH {_TOK}, {_DL}, {_ST},
+      qtf AS (SELECT term, count(*)::BIGINT AS qtf FROM tok
+              WHERE doc_id = {src_doc_id} GROUP BY term
+              HAVING count(*) >= 2),
+      cdf AS (SELECT t.term, count(DISTINCT t.doc_id)::BIGINT AS df
+              FROM tok t JOIN qtf ON t.term = qtf.term GROUP BY t.term),
+      sel AS (SELECT qtf.term FROM qtf JOIN cdf ON qtf.term = cdf.term
+              CROSS JOIN st WHERE cdf.df >= 5
+              ORDER BY qtf.qtf*(ln((st.n + 1.0)/(cdf.df + 1.0)) + 1.0) DESC,
+                       qtf.term
+              LIMIT 25),
+      tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+             WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+      df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+      sc AS (SELECT tf.doc_id,
+                    ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+                    tf.tf AS tf
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                  JOIN df ON tf.term = df.term CROSS JOIN st),
+      ds AS (SELECT doc_id, sum(w - w/(1 + tf*inv)) AS s FROM sc
+             GROUP BY doc_id)
+      SELECT doc_id, round(s, 6) AS score FROM ds
+      ORDER BY s DESC, doc_id LIMIT {k}"""
+
+
+def _rescore_sql(
+    first_term: str, second_term: str, top_n: int, qw: float, rw: float,
+    k: int = 10,
+) -> str:
+    """QueryRescorer oracle: first-pass top-N by (score desc, doc_id),
+    combined with qw·first + rw·second (0 when the second query misses
+    the doc)."""
+    return f"""WITH {_sql_prelude([first_term, second_term])},
+      fp AS (SELECT doc_id, s,
+                    row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+             FROM psc WHERE term = '{first_term}'),
+      sp AS (SELECT doc_id, s FROM psc WHERE term = '{second_term}'),
+      cmb AS (SELECT fp.doc_id,
+                     {qw!r}*fp.s + {rw!r}*coalesce(sp.s, 0) AS s
+              FROM fp LEFT JOIN sp ON fp.doc_id = sp.doc_id
+              WHERE fp.rn <= {top_n})
+      SELECT doc_id, round(s, 6) AS score FROM cmb
+      ORDER BY s DESC, doc_id LIMIT {k}"""
+
+
+def _group_query_sql(k: int = 10) -> str:
+    """(window OR spark) AND data — nested boolean: score is the sum
+    of all matched clause contributions; a doc must match 'data' and
+    at least one of the group's terms."""
+    return f"""WITH {_sql_prelude(["window", "spark", "data"])},
+      ds AS (SELECT doc_id, sum(s) AS s,
+                    max(CASE WHEN term = 'data' THEN 1 ELSE 0 END) AS has_c,
+                    max(CASE WHEN term IN ('window', 'spark') THEN 1
+                        ELSE 0 END) AS has_g
+             FROM psc GROUP BY doc_id)
+      SELECT doc_id, round(s, 6) AS score FROM ds
+      WHERE has_c = 1 AND has_g = 1
+      ORDER BY s DESC, doc_id LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -720,6 +1042,277 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- round-2 entries: previously pytest-only operators -------------------
+
+
+def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery with transpositions: 'teh' finds 'the' at 1 edit
+    (optimal-string-alignment == Damerau at maxEdits=1)."""
+    s = _get_searcher(spark, sf_dir)
+    return _const_matches(s, s.scored_fuzzy("teh", max_edits=1))
+
+
+def _q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    return _const_matches(s, s.scored_regexp("s.*k"))
+
+
+def _q_term_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    return _const_matches(
+        s, s.scored_term_in_set(["window", "table", "data"])
+    )
+
+
+def _q_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    return spark.createDataFrame(
+        [(s.match_all().count(),)], "n long"
+    )
+
+
+def _q_field_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    return spark.createDataFrame(
+        [(s.scored_field_exists("doclen").count(),)], "n long"
+    )
+
+
+def _q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryRescorer: 'window' top-100 re-ranked with 2x 'spark'.
+    First-pass selection is by (score desc, doc_id asc) so the oracle
+    can reproduce the cut deterministically."""
+    s = _get_searcher(spark, sf_dir)
+    first = s.scored_boolean(should=["window"])
+    second = s.scored_boolean(should=["spark"])
+    g = s._attach_urls(first.withColumn("local_docid", F.col("docid")))
+    top = (
+        g.orderBy(F.desc("score"), F.asc(_doc_id("url")))
+        .limit(100)
+        .select(
+            "segment_id", F.col("local_docid").alias("docid"), "score"
+        )
+    )
+    combined = s.rescore(top, second, top_n=100, query_weight=1.0,
+                         rescore_weight=2.0)
+    return _topk_by_doc_id(s, combined, 10)
+
+
+def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopFieldCollector + searchAfter: page 2 of 'window' matches
+    sorted by (doclen asc, doc_id asc)."""
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_boolean(should=["window"])
+    docs = s._docs.select(
+        "segment_id", F.col("local_docid").alias("docid"), "url", "doclen"
+    )
+    g = sc.join(docs, ["segment_id", "docid"]).withColumn(
+        "doc_id", _doc_id("url")
+    )
+    page1 = (
+        g.orderBy(F.asc("doclen"), F.asc("doc_id")).limit(5).collect()
+    )
+    last = page1[-1]
+    after = (F.col("doclen") > last["doclen"]) | (
+        (F.col("doclen") == last["doclen"])
+        & (F.col("doc_id") > last["doc_id"])
+    )
+    return (
+        g.where(after)
+        .orderBy(F.asc("doclen"), F.asc("doc_id"))
+        .limit(5)
+        .select("doc_id", F.col("doclen").cast("long").alias("doclen"))
+    )
+
+
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    rows = s.suggest("window", max_edits=2, num=5)
+    return spark.createDataFrame(
+        [(t, int(d), int(df_)) for t, d, df_ in rows],
+        "term string, dist int, doc_freq long",
+    )
+
+
+def _q_sloppy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase (rows-only: the greedy matcher's weights are not
+    SQL-expressible; bit-exact parity vs the python mirror is covered
+    in tests/test_sloppy.py)."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(s, s.scored_sloppy_phrase(["the", "query"], 2))
+
+
+def _q_sloppy_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase with a REPEATED term (rows-only, same reason)."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s, s.scored_sloppy_phrase(["the", "query", "the"], 3)
+    )
+
+
+def _q_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered intervals (rows-only: minimal-interval algebra is not
+    SQL-expressible; mirror parity in tests/test_intervals.py)."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s, s.scored_intervals(["the", "query"], ordered=True)
+    )
+
+
+def _q_combined_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombinedFieldQuery (BM25F) over body (w=1) + title (first 8
+    tokens, w=2), title as a second per-field index."""
+    from lucene_spark.operators.combined import combined_field_scored
+
+    body = _get_searcher(spark, sf_dir)
+    title = _variant_searcher(spark, sf_dir, "title")
+    sc = combined_field_scored({"body": (body, 1.0), "title": (title, 2.0)},
+                               "window")
+    return _topk_by_doc_id(body, sc, 10)
+
+
+def _q_blended_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.combined import blended_term_scored
+
+    body = _get_searcher(spark, sf_dir)
+    title = _variant_searcher(spark, sf_dir, "title")
+    sc = blended_term_scored({"body": body, "title": title}, "window")
+    return _topk_by_doc_id(body, sc, 10)
+
+
+def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis seeded with doc 0's text (defaults: minTermFreq=2,
+    minDocFreq=5, maxQueryTerms=25)."""
+    s = _get_searcher(spark, sf_dir)
+    text = (
+        _docs_table(spark, sf_dir)
+        .where(F.col("doc_id") == 0)
+        .collect()[0]["text"]
+    )
+    terms = s.more_like_this_terms(text)
+    sc = s.scored_boolean(should=terms)
+    return _topk_by_doc_id(s, sc, 10)
+
+
+def _q_post_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _variant_searcher(spark, sf_dir, "del")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
+def _q_post_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _variant_searcher(spark, sf_dir, "upd")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
+def _q_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query over a LogMergePolicy-merged index — results must be
+    byte-identical to the flat build (docID merge invariance)."""
+    s = _variant_searcher(spark, sf_dir, "merged")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
+def _q_nrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query over an NRT-appended index (two streaming micro-batches)."""
+    s = _variant_searcher(spark, sf_dir, "nrt")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
+def _q_english(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EnglishAnalyzer index (33 stopwords + Porter): queried with a
+    stem-invariant term so the oracle is expressible without SQL-side
+    stemming."""
+    s = _variant_searcher(spark, sf_dir, "english")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["scan"]))
+
+
+def _q_global_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term_query_global_prune (metadata pass -> θ -> pruned pass) must
+    hash-match the exhaustive BM25 oracle."""
+    s = _get_searcher(spark, sf_dir)
+    top = s.term_query_global_prune("the", k=10)
+    return top.select(
+        _doc_id("url"), F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def _q_wand_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND OR path (prune forced on) vs the exhaustive
+    BM25 oracle."""
+    s = _get_searcher(spark, sf_dir)
+    top = s.boolean_query(should=OR_TERMS, k=10, prune=True)
+    return top.select(
+        _doc_id("url"), F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def _q_wand_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    top = s.boolean_query(
+        must=["window"], must_not=["spark"], k=10, prune=True
+    )
+    return top.select(
+        _doc_id("url"), F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def _q_parsed_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parser with grouping parens: (window OR spark) AND data."""
+    from lucene_spark.plans.parser import _scored_group, parse
+
+    s = _get_searcher(spark, sf_dir)
+    sc = _scored_group(s, parse("(window OR spark) AND data"))
+    return _topk_by_doc_id(s, sc, 10)
+
+
+def _q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistinctValuesCollector: distinct doclen values per lang among
+    'data' matches."""
+    s = _get_searcher(spark, sf_dir)
+    matched = s._attach_urls(
+        s.scored_boolean(should=["data"]).withColumn(
+            "local_docid", F.col("docid")
+        )
+    ).select(_doc_id("url"))
+    docs = _docs_table(spark, sf_dir).select("doc_id", "lang")
+    tok_len = _docs_table(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    return (
+        matched.join(F.broadcast(docs), "doc_id")
+        .join(F.broadcast(tok_len), "doc_id")
+        .groupBy("lang")
+        .agg(F.countDistinct("dl").alias("n_distinct"))
+    )
+
+
+def _q_all_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllGroupsCollector: number of distinct langs among matches."""
+    s = _get_searcher(spark, sf_dir)
+    matched = s._attach_urls(
+        s.scored_boolean(should=["data"]).withColumn(
+            "local_docid", F.col("docid")
+        )
+    ).select(_doc_id("url"))
+    docs = _docs_table(spark, sf_dir).select("doc_id", "lang")
+    n = matched.join(F.broadcast(docs), "doc_id").select("lang").distinct().count()
+    return spark.createDataFrame([(n,)], "n long")
+
+
+def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting (rows-only: passage selection is deterministic but
+    not worth a SQL re-implementation; golden tests in
+    tests/test_highlight.py)."""
+    from lucene_spark.operators.highlight import highlight
+    from lucene_spark.sources.web_pages import load_web_pages
+
+    s = _get_searcher(spark, sf_dir)
+    top = s.term_query("window", k=5).select(
+        _doc_id("url"), "url", F.round("score", 6).alias("score")
+    )
+    out = highlight(top, load_web_pages(spark, sf_dir), ["window"])
+    return out.select("doc_id", "snippet", "n_hits").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
@@ -758,6 +1351,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_total_customers": _q_join_total,
         "block_join_orders_max": _q_block_join,
         "drill_sideways_docs": _q_drill_sideways,
+        # round-2: previously pytest-only operators
+        "fuzzy_match": _q_fuzzy,
+        "regexp_match": _q_regexp,
+        "term_in_set_match": _q_term_in_set,
+        "match_all_count": _q_match_all,
+        "field_exists_count": _q_field_exists,
+        "rescore_top10": _q_rescore,
+        "search_after_page2": _q_search_after,
+        "suggest_terms": _q_suggest,
+        "sloppy_phrase_top10": _q_sloppy,
+        "sloppy_repeat_top10": _q_sloppy_repeat,
+        "interval_ordered_top10": _q_interval,
+        "combined_field_top10": _q_combined_field,
+        "blended_term_top10": _q_blended_term,
+        "mlt_top10": _q_mlt,
+        "post_delete_top10": _q_post_delete,
+        "post_update_top10": _q_post_update,
+        "merged_index_top10": _q_merged,
+        "nrt_appended_top10": _q_nrt,
+        "english_analyzer_top10": _q_english,
+        "global_prune_top10": _q_global_prune,
+        "wand_or_top10": _q_wand_or,
+        "wand_and_not_top10": _q_wand_and_not,
+        "parsed_group_top10": _q_parsed_group,
+        "distinct_values_by_lang": _q_distinct_values,
+        "all_groups_count": _q_all_groups,
+        "highlight_top5": _q_highlight,
     }
 
 
@@ -907,4 +1527,62 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'source' AS dim, source AS value, count(*)::BIGINT AS cnt
             FROM documents WHERE lang = 'en' GROUP BY source""",
+        # round-2: previously pytest-only operators
+        "fuzzy_match": _const_match_sql(
+            "term IN (SELECT DISTINCT term FROM tok "
+            "WHERE damerau_levenshtein(term, 'teh') <= 1)"
+        ),
+        "regexp_match": _const_match_sql(
+            "regexp_matches(term, '^(?:s.*k)$')"
+        ),
+        "term_in_set_match": _const_match_sql(
+            "term IN ('window', 'table', 'data')"
+        ),
+        "match_all_count": "SELECT count(*)::BIGINT AS n FROM documents",
+        "field_exists_count": "SELECT count(*)::BIGINT AS n FROM documents",
+        "rescore_top10": _rescore_sql("window", "spark", 100, 1.0, 2.0),
+        "search_after_page2": f"""
+            WITH {_TOK}, {_DL},
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window')
+            SELECT m.doc_id, dl.dl::BIGINT AS doclen
+            FROM m JOIN dl USING (doc_id)
+            ORDER BY dl.dl, m.doc_id LIMIT 5 OFFSET 5""",
+        "suggest_terms": f"""
+            WITH {_TOK},
+            cand AS (SELECT term,
+                            levenshtein(term, 'window') AS dist,
+                            count(DISTINCT doc_id)::BIGINT AS doc_freq
+                     FROM tok GROUP BY term
+                     HAVING levenshtein(term, 'window') <= 2)
+            SELECT term, dist::INT AS dist, doc_freq FROM cand
+            ORDER BY dist, doc_freq DESC, term LIMIT 5""",
+        "combined_field_top10": _bm25f_sql("window"),
+        "blended_term_top10": _blended_sql("window"),
+        "mlt_top10": _mlt_sql(0),
+        "post_delete_top10": _excluded_bm25_sql("window", _DEL_IDS),
+        "post_update_top10": _updated_bm25_sql("window"),
+        "merged_index_top10": _bm25_sql(["window"]),
+        "nrt_appended_top10": _bm25_sql(["window"]),
+        "english_analyzer_top10": _english_bm25_sql("scan"),
+        "global_prune_top10": _bm25_sql(["the"]),
+        "wand_or_top10": _bm25_sql(OR_TERMS),
+        "wand_and_not_top10": _bm25_sql(["window"], must_not=["spark"]),
+        "parsed_group_top10": _group_query_sql(),
+        "distinct_values_by_lang": f"""
+            WITH {_TOK}, {_DL},
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data')
+            SELECT d.lang, count(DISTINCT dl.dl)::BIGINT AS n_distinct
+            FROM m JOIN documents d USING (doc_id)
+                 JOIN dl USING (doc_id)
+            GROUP BY d.lang""",
+        "all_groups_count": f"""
+            WITH {_TOK},
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data')
+            SELECT count(DISTINCT d.lang)::BIGINT AS n
+            FROM m JOIN documents d USING (doc_id)""",
+        # sloppy_phrase_top10 / sloppy_repeat_top10 /
+        # interval_ordered_top10 / highlight_top5: intentionally
+        # oracle-less (greedy matcher weights, minimal-interval algebra
+        # and passage selection are not SQL-expressible; bit-exact
+        # python-mirror parity is asserted in tests/).
     }

@@ -85,7 +85,16 @@ def test_every_query_has_entry_or_reason(entrymod):
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o <= q
-    assert q - o == {"ann_lsh_topk"}
+    assert q - o == {
+        # approximate by construction (recall eval in tests/bench):
+        "ann_lsh_topk",
+        # not SQL-expressible (greedy matcher weights, minimal-interval
+        # algebra, passage selection) — python-mirror parity in tests/:
+        "sloppy_phrase_top10",
+        "sloppy_repeat_top10",
+        "interval_ordered_top10",
+        "highlight_top5",
+    }
 
 
 def test_entry_smoke(spark, entrymod):
@@ -93,3 +102,19 @@ def test_entry_smoke(spark, entrymod):
     rows = df.collect()
     assert len(rows) >= 1
     assert {"docid", "url", "score"} <= set(df.columns)
+
+
+def _rows_only_names():
+    import __spark_entry__ as e
+
+    return sorted(set(e.queries()) - set(e.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", _rows_only_names())
+def test_rows_only_entries_run(spark, entrymod, name):
+    """Oracle-less entries (the driver's weaker rows-only check) must
+    still execute and produce a stable schema."""
+    df = entrymod.queries()[name](spark, SF_DIR)
+    rows = df.collect()
+    assert df.columns, name
+    assert rows is not None
