@@ -1159,6 +1159,18 @@ def _q_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval algebra (rows-only): unordered ("the","query")
+    intervals NOT containing "window"."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s,
+        s.scored_interval_filter(
+            ["the", "query"], ["window"], "not_containing", a_ordered=False
+        ),
+    )
+
+
 def _q_combined_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CombinedFieldQuery (BM25F) over body (w=1) + title (first 8
     tokens, w=2), title as a second per-field index."""
@@ -1363,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sloppy_phrase_top10": _q_sloppy,
         "sloppy_repeat_top10": _q_sloppy_repeat,
         "interval_ordered_top10": _q_interval,
+        "interval_not_containing_top10": _q_interval_containing,
         "combined_field_top10": _q_combined_field,
         "blended_term_top10": _q_blended_term,
         "mlt_top10": _q_mlt,

@@ -88,6 +88,20 @@ def main() -> None:
     }
     q_times = {name: timed(fn) for name, fn in queries.items()}
 
+    # approximate-ANN quality evidence: recall@10 of the LSH path vs
+    # the exact batch scorer over 20 held-out query vectors
+    from pyspark.sql import functions as F
+
+    from lucene_spark.operators.similarity import lsh_recall_at_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.limit(20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    recall = round(
+        lsh_recall_at_k(emb, qs, k=10, n_planes=12, bands=4), 4
+    )
+
     total = round(build_sec + sum(q_times.values()), 4)
     out = {
         "metric": "index_build_plus_query_wall",
@@ -100,6 +114,7 @@ def main() -> None:
         "n_docs": n_docs,
         "build_sec": round(build_sec, 4),
         "docs_per_sec": round(n_docs / build_sec, 2),
+        "ann_lsh_recall_at10": recall,
     }
     print(json.dumps(out))
     shutil.rmtree(idx, ignore_errors=True)

@@ -106,10 +106,100 @@ def find_merges(
     return merges
 
 
+def find_merges_tiered(
+    segments: list[dict],
+    deletes_per_segment: dict[int, int] | None = None,
+    segs_per_tier: int = 8,
+    max_merge_at_once: int = 8,
+    floor_docs: int = 1000,
+    max_merged_docs: int = 5_000_000,
+    reclaim_deletes_weight: float = 2.0,
+) -> list[list[int]]:
+    """TieredMergePolicy planner
+    (``core/index/TieredMergePolicy.java:76-80,314-416``) re-expressed
+    over the manifest, sizes in docs rather than bytes:
+
+    - effective size = live docs (num_docs − tombstones), so
+      delete-heavy segments look small and get selected early — the
+      reclaim incentive;
+    - the allowed segment count follows the reference's tier budget:
+      ``segsPerTier`` segments per geometric level above the floor;
+    - while over budget, candidate merges are windows of up to
+      ``max_merge_at_once`` segments over the size-sorted list, scored
+      by skew · size^0.05 · nonDeletedRatio^reclaimDeletesWeight
+      (lower is better, ``TieredMergePolicy.java:551-563``), best
+      candidate scheduled, repeat.
+
+    Unlike LogMergePolicy the groups need NOT be adjacent; the merge
+    executor concatenates in sort_key order, so docids stay a
+    deterministic function of the merge history (Lucene reassigns
+    docids on every merge too — only (url, score) results are
+    invariant, which the tests assert).
+    """
+    dels = deletes_per_segment or {}
+    live = [
+        dict(s, _eff=max(s["num_docs"] - dels.get(s["segment_id"], 0), 0))
+        for s in segments
+        if s.get("status") == "COMMITTED"
+    ]
+    live = [s for s in live if s["_eff"] > 0 or s["num_docs"] > 0]
+    if len(live) <= segs_per_tier:
+        return []
+
+    tot = sum(s["_eff"] for s in live)
+    level = max(floor_docs, 1)
+    allowed = 0
+    remaining = tot
+    while True:
+        seg_count_level = remaining / level
+        if seg_count_level < segs_per_tier:
+            allowed += math.ceil(seg_count_level)
+            break
+        allowed += segs_per_tier
+        remaining -= segs_per_tier * level
+        level *= max_merge_at_once
+
+    merges: list[list[int]] = []
+    pool = sorted(live, key=lambda s: -s["_eff"])
+    while len(pool) > max(allowed, 1):
+        best: tuple[float, list[dict]] | None = None
+        for i in range(len(pool)):
+            group: list[dict] = []
+            size = 0
+            for s in pool[i:]:
+                if len(group) >= max_merge_at_once:
+                    break
+                if size + s["num_docs"] > max_merged_docs and group:
+                    continue
+                group.append(s)
+                size += s["num_docs"]
+            if len(group) < 2:
+                continue
+            eff = sum(s["_eff"] for s in group)
+            raw = sum(s["num_docs"] for s in group)
+            skew = group[0]["_eff"] / max(eff, 1)
+            non_del_ratio = eff / max(raw, 1)
+            score = (
+                skew
+                * (max(eff, 1) ** 0.05)
+                * (non_del_ratio ** reclaim_deletes_weight)
+            )
+            if best is None or score < best[0]:
+                best = (score, group)
+        if best is None:
+            break
+        group = best[1]
+        merges.append([s["segment_id"] for s in group])
+        chosen = {s["segment_id"] for s in group}
+        pool = [s for s in pool if s["segment_id"] not in chosen]
+    return merges
+
+
 def merge_segments(
     spark: SparkSession,
     catalog: IndexCatalog,
     group: Sequence[int],
+    policy: str = "LogDocMergePolicy",
 ) -> int:
     """Merge adjacent segments ``group`` into one new segment.
 
@@ -235,7 +325,7 @@ def merge_segments(
     keep = [s for s in manifest["segments"] if s["segment_id"] not in set(group)]
     lineage = {
         "merged_from": [int(g) for g in group],
-        "policy": "LogDocMergePolicy",
+        "policy": policy,
     }
     if batch_ids:
         lineage["batch_ids"] = sorted(batch_ids)
@@ -267,20 +357,50 @@ def maybe_merge(
     merge_factor: int = DEFAULT_MERGE_FACTOR,
     min_merge_docs: int = 1000,
     max_rounds: int = 10,
+    policy: str = "log",
+    **tiered_kw,
 ) -> list[int]:
     """IndexWriter.maybeMerge analog: run merge rounds to fixpoint.
 
     Each round re-plans on the new manifest (cascading merges climb
     levels exactly like Lucene's repeated findMerges calls). Returns
-    the new segment ids created.
+    the new segment ids created. ``policy``: "log" (LogDocMergePolicy,
+    adjacent groups, docid-invariant) or "tiered" (TieredMergePolicy,
+    size-tiered delete-reclaiming selection; ``tiered_kw`` forwards
+    segs_per_tier / max_merge_at_once / floor_docs / ...).
     """
     catalog = IndexCatalog(index_dir)
     created: list[int] = []
     for _ in range(max_rounds):
         manifest = catalog.read_manifest()
-        plans = find_merges(manifest["segments"], merge_factor, min_merge_docs)
+        if policy == "tiered":
+            from .deletes import read_tombstones
+
+            dels: dict[int, int] = {}
+            t = read_tombstones(spark, catalog)
+            if t is not None:
+                for r in t.groupBy("segment_id").count().collect():
+                    dels[int(r["segment_id"])] = int(r["count"])
+            plans = find_merges_tiered(
+                manifest["segments"], dels, **tiered_kw
+            )
+        else:
+            plans = find_merges(
+                manifest["segments"], merge_factor, min_merge_docs
+            )
         if not plans:
             break
         for group in plans:
-            created.append(merge_segments(spark, catalog, group))
+            created.append(
+                merge_segments(
+                    spark,
+                    catalog,
+                    group,
+                    policy=(
+                        "TieredMergePolicy"
+                        if policy == "tiered"
+                        else "LogDocMergePolicy"
+                    ),
+                )
+            )
     return created

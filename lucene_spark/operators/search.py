@@ -131,6 +131,62 @@ def sloppy_phrase_freq(adjusted_pos_lists: list[list[int]], slop: int) -> float:
     return freq
 
 
+INTERVAL_OPS = (
+    "containing", "not_containing", "contained_by", "not_contained_by",
+    "before", "after",
+)
+
+
+def filter_intervals(
+    a_iv: list[tuple[int, int]],
+    b_iv: list[tuple[int, int]],
+    op: str,
+) -> list[tuple[int, int]]:
+    """Interval algebra combinators over two minimal-interval lists
+    (``lucene/queries/.../intervals/Intervals.java``):
+
+    - ``containing``: A-intervals that contain some B-interval;
+    - ``not_containing``: A-intervals containing no B-interval;
+    - ``contained_by``: A-intervals lying inside some B-interval;
+    - ``not_contained_by``: the complement;
+    - ``before``: A-intervals ending before the start of some
+      B-interval (⇔ end < max B start);
+    - ``after``: A-intervals starting after the end of some B-interval
+      (⇔ start > min B end).
+    """
+    if op == "containing":
+        return [
+            i for i in a_iv
+            if any(i[0] <= s and e <= i[1] for s, e in b_iv)
+        ]
+    if op == "not_containing":
+        return [
+            i for i in a_iv
+            if not any(i[0] <= s and e <= i[1] for s, e in b_iv)
+        ]
+    if op == "contained_by":
+        return [
+            i for i in a_iv
+            if any(s <= i[0] and i[1] <= e for s, e in b_iv)
+        ]
+    if op == "not_contained_by":
+        return [
+            i for i in a_iv
+            if not any(s <= i[0] and i[1] <= e for s, e in b_iv)
+        ]
+    if op == "before":
+        if not b_iv:
+            return []
+        last_start = max(s for s, _ in b_iv)
+        return [i for i in a_iv if i[1] < last_start]
+    if op == "after":
+        if not b_iv:
+            return []
+        first_end = min(e for _, e in b_iv)
+        return [i for i in a_iv if i[0] > first_end]
+    raise ValueError(f"unknown interval op {op!r}")
+
+
 def sloppy_phrase_freq_repeats(
     raw_lists: list[list[int]],
     offsets: list[int],
@@ -662,9 +718,12 @@ class Searcher(QueryOpsMixin):
             self.spark.createDataFrame(slot_rows, "term string, slot string")
         )
 
+        # left join: terms outside every slot (optional sources, e.g.
+        # the B side of a not_containing interval filter) contribute
+        # blocks but not to the slot-coverage count
         first_pass = self.scored_postings(uniq, need_positions=False)
         cand_blocks = (
-            first_pass.join(slot_df, "term")
+            first_pass.join(slot_df, "term", "left")
             .groupBy("segment_id", "docid")
             .agg(
                 F.countDistinct("slot").alias("ns"),
@@ -1451,6 +1510,104 @@ class Searcher(QueryOpsMixin):
     ) -> DataFrame:
         return self._finish_topk(
             self.scored_intervals(terms, ordered, max_width), k
+        )
+
+    def scored_interval_filter(
+        self,
+        a_terms: list[str],
+        b_terms: list[str],
+        op: str,
+        a_ordered: bool = True,
+        b_ordered: bool = True,
+        max_width: int | None = None,
+        pivot: float = 1.0,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """Interval filter algebra (``Intervals.containing/containedBy/
+        notContaining/notContainedBy/before/after``): source A's
+        minimal intervals kept by their relation to source B's, then
+        scored with the saturation function like ``scored_intervals``.
+
+        For the negative ops B is optional per doc (a doc without B
+        keeps all its A intervals); positive ops require both sources,
+        so B joins the candidate conjunction."""
+        if op not in INTERVAL_OPS:
+            raise ValueError(f"unknown interval op {op!r}")
+        stats = self.term_stats(a_terms + b_terms)
+        if any(t not in stats for t in a_terms):
+            return self._empty_scored().select("segment_id", "docid", "score")
+        positive = op in ("containing", "contained_by", "before", "after")
+        if positive and any(t not in stats for t in b_terms):
+            return self._empty_scored().select("segment_id", "docid", "score")
+        b_present = [t for t in b_terms if t in stats]
+        required = list(dict.fromkeys(a_terms + (b_present if positive else [])))
+        all_terms = list(dict.fromkeys(a_terms + b_present))
+        pos_rows = self._candidate_positions(
+            all_terms, slots=[[t] for t in required]
+        )
+        per_doc = pos_rows.groupBy("segment_id", "docid").agg(
+            F.first("norm").alias("norm"),
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pm"),
+        )
+        empty_arr = F.expr("cast(array() as array<int>)")
+        cols = []
+        n_a, n_b = len(a_terms), len(b_present)
+        for i, t in enumerate(a_terms + b_present):
+            cols.append(
+                F.coalesce(F.col("pm")[t], empty_arr).alias(f"p{i}")
+            )
+        joined = per_doc.select("segment_id", "docid", "norm", *cols)
+
+        def freq_fn(
+            lists, _na=n_a, _nb=n_b, _ao=a_ordered, _bo=b_ordered,
+            _op=op, _mw=max_width,
+        ):
+            a_lists, b_lists = lists[:_na], lists[_na:]
+            if any(not pl for pl in a_lists):
+                return 0.0
+            a_iv = (
+                ordered_intervals(a_lists)
+                if _ao
+                else unordered_intervals(a_lists)
+            )
+            if _nb and all(pl for pl in b_lists):
+                b_iv = (
+                    ordered_intervals(b_lists)
+                    if _bo
+                    else unordered_intervals(b_lists)
+                )
+            else:
+                b_iv = []
+            kept = filter_intervals(a_iv, b_iv, _op)
+            return interval_freq(kept, _na, _mw)
+
+        matched = joined.mapInArrow(
+            _make_freq_kernel(n_a + n_b, freq_fn), schema=_FREQ_DDL
+        )
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return matched.select(
+            "segment_id",
+            "docid",
+            (
+                F.lit(float(boost))
+                * (
+                    F.lit(1.0)
+                    - F.lit(float(pivot))
+                    / (F.lit(float(pivot)) + F.col("freq"))
+                )
+            )
+            .cast(score_t)
+            .alias("score"),
+        )
+
+    def interval_filter_query(
+        self, a_terms: list[str], b_terms: list[str], op: str, k: int = 10,
+        **kw,
+    ) -> DataFrame:
+        return self._finish_topk(
+            self.scored_interval_filter(a_terms, b_terms, op, **kw), k
         )
 
     def scored_multi_phrase(self, slots: list[list[str]]) -> DataFrame:

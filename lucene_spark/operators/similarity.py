@@ -175,3 +175,34 @@ def lsh_topk_per_query(
         .where(F.col("rank") <= k)
         .select(qid_col, id_col, "cos", "rank")
     )
+
+
+def lsh_recall_at_k(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    bands: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> float:
+    """Recall@k of the LSH path vs the exact batch scorer — the
+    quantitative quality check an approximate index must ship with
+    (Lucene's KnnGraphTester / luceneutil recall methodology). Returns
+    |approx ∩ exact| / (k · n_queries) over the given query set."""
+    exact = topk_per_query(
+        emb, queries, k, id_col, vec_col, qid_col, qvec_col
+    ).select(qid_col, id_col)
+    approx = lsh_topk_per_query(
+        emb, queries, k, n_planes, bands, dim, seed,
+        id_col, vec_col, qid_col, qvec_col,
+    ).select(qid_col, id_col)
+    nq = queries.count()
+    if nq == 0:
+        return 1.0
+    hit = approx.join(exact, [qid_col, id_col], "left_semi").count()
+    return hit / float(k * nq)

@@ -93,6 +93,7 @@ def test_every_query_has_entry_or_reason(entrymod):
         "sloppy_phrase_top10",
         "sloppy_repeat_top10",
         "interval_ordered_top10",
+        "interval_not_containing_top10",
         "highlight_top5",
     }
 

