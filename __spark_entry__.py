@@ -1325,6 +1325,35 @@ def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "snippet", "n_hits").orderBy("doc_id")
 
 
+def _q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTMLStripCharFilter analog: stripping the synthesized html
+    column must recover the source text byte-for-byte."""
+    from lucene_spark.functions.html import strip_html_col
+    from lucene_spark.sources.web_pages import load_web_pages
+
+    wp = load_web_pages(spark, sf_dir)
+    return wp.select(
+        _doc_id("url"),
+        F.trim(strip_html_col(F.col("html"))).alias("text"),
+    )
+
+
+def _q_taxonomy_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastTaxonomyFacetCounts analog: hierarchical lang/source path
+    counts over 'data' matches — one rollup aggregation."""
+    from lucene_spark.operators.joins import taxonomy_facet_counts
+
+    s = _get_searcher(spark, sf_dir)
+    matched = s._attach_urls(
+        s.scored_boolean(should=["data"]).withColumn(
+            "local_docid", F.col("docid")
+        )
+    ).select(_doc_id("url"))
+    docs = _docs_table(spark, sf_dir).select("doc_id", "lang", "source")
+    m = matched.join(F.broadcast(docs), "doc_id")
+    return taxonomy_facet_counts(m, ["lang", "source"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
@@ -1391,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_values_by_lang": _q_distinct_values,
         "all_groups_count": _q_all_groups,
         "highlight_top5": _q_highlight,
+        "html_strip_roundtrip": _q_html_strip,
+        "taxonomy_facets": _q_taxonomy_facets,
     }
 
 
@@ -1593,6 +1624,20 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data')
             SELECT count(DISTINCT d.lang)::BIGINT AS n
             FROM m JOIN documents d USING (doc_id)""",
+        "html_strip_roundtrip": "SELECT doc_id, text FROM documents",
+        "taxonomy_facets": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+                         AS term FROM documents),
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+            j AS (SELECT d.lang, d.source FROM m
+                  JOIN documents d USING (doc_id))
+            SELECT 2 AS depth, lang || '/' || source AS path,
+                   count(*)::BIGINT AS cnt
+            FROM j GROUP BY lang, source
+            UNION ALL
+            SELECT 1, lang, count(*)::BIGINT FROM j GROUP BY lang
+            UNION ALL
+            SELECT 0, '', count(*)::BIGINT FROM j""",
         # sloppy_phrase_top10 / sloppy_repeat_top10 /
         # interval_ordered_top10 / highlight_top5: intentionally
         # oracle-less (greedy matcher weights, minimal-interval algebra

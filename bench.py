@@ -83,8 +83,20 @@ def main() -> None:
             should=["window", "spark", "data"], min_should_match=2, k=10
         ).collect(),
         "q_phrase": lambda: s.phrase_query(["the", "query"], k=10).collect(),
+        "q_sloppy": lambda: s.sloppy_phrase_query(
+            ["the", "query"], slop=2, k=10
+        ).collect(),
         "q_prefix": lambda: s.prefix_query("wi", k=10).collect(),
         "q_count": lambda: s.count("window"),
+        # forced block-max plans (the default is cost-gated and picks
+        # the exhaustive one-job plan at this sf; these rows track the
+        # pruned plan's fixed overhead per round)
+        "q_or_wand": lambda: s.boolean_query(
+            should=["window", "spark"], k=10, prune=True
+        ).collect(),
+        "q_and_wand": lambda: s.boolean_query(
+            must=["window", "spark"], k=10, prune=True
+        ).collect(),
     }
     q_times = {name: timed(fn) for name, fn in queries.items()}
 

@@ -114,6 +114,9 @@ def unpack_doc_block(buf: bytes, first_docid: int, num_docs: int) -> np.ndarray:
                              bitorder="little")
         rel = np.flatnonzero(bits)[:num_docs]
         return first_docid + rel.astype(np.int64)
+    custom = unpack_custom_doc_block(buf, first_docid, num_docs)
+    if custom is not None:
+        return custom
     raise ValueError(f"bad doc encoding {enc}")
 
 
@@ -268,3 +271,45 @@ def impact_skyline(freqs: np.ndarray, norms: np.ndarray):
     cummax = np.maximum.accumulate(ff)
     keep = np.r_[True, ff[1:] > cummax[:-1]]
     return ff[keep], nf[keep]
+
+
+# ---------------------------------------------------------------------------
+# codec SPI: pluggable block encodings (``core/codecs/Codec.java:141-152``
+# name-based SPI lookup). A custom codec claims an unused encoding tag;
+# the first byte of every blob routes decode, so segments packed with
+# different codecs coexist in one index (exactly how Lucene reads
+# per-segment codecs recorded in SegmentInfo).
+# ---------------------------------------------------------------------------
+
+_CODEC_REGISTRY: dict[int, tuple] = {}
+
+
+def register_block_codec(tag: int, pack_fn, unpack_fn) -> None:
+    """Register a custom doc-block codec under an encoding ``tag``
+    (16-127; tags below 16 are reserved for the built-in FOR / bitset
+    / dense / vInt family).
+
+    ``pack_fn(docids: np.ndarray) -> bytes`` must NOT emit the tag —
+    it is prepended here; ``unpack_fn(body: bytes, first_docid: int,
+    num_docs: int) -> np.ndarray`` receives the blob without the tag.
+    """
+    if not 16 <= tag <= 127:
+        raise ValueError(f"custom codec tags are 16..127, got {tag}")
+    _CODEC_REGISTRY[tag] = (pack_fn, unpack_fn)
+
+
+def pack_doc_block_with(tag: int, docids: np.ndarray) -> bytes:
+    pack_fn, _ = _CODEC_REGISTRY[tag]
+    return bytes([tag]) + pack_fn(docids)
+
+
+def unpack_custom_doc_block(
+    buf: bytes, first_docid: int, num_docs: int
+) -> np.ndarray | None:
+    """Decode hook: returns the docids when the blob's tag belongs to
+    a registered custom codec, else None (caller falls through to the
+    built-in decoders)."""
+    if buf and buf[0] in _CODEC_REGISTRY:
+        _, unpack_fn = _CODEC_REGISTRY[buf[0]]
+        return unpack_fn(buf[1:], first_docid, num_docs)
+    return None

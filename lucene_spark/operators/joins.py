@@ -130,3 +130,47 @@ def drill_sideways(
             .orderBy(dim)
         )
     return out
+
+
+def taxonomy_facet_counts(
+    matches: DataFrame, path_cols: list[str], top_n: int | None = None
+) -> DataFrame:
+    """Hierarchical taxonomy facets
+    (``lucene/facet/.../taxonomy/FastTaxonomyFacetCounts.java:40``):
+    match counts at EVERY level of a dimension path, e.g. path_cols
+    ["lang", "source"] yields counts for each lang and for each
+    (lang, source) pair — Lucene's facet tree rollup re-expressed as
+    ONE aggregation with grouping sets (``rollup``), so the whole
+    hierarchy costs a single partial-aggregating shuffle instead of a
+    pass per level.
+
+    Returns (depth, path, cnt): depth = number of filled components,
+    path = "/"-joined prefix (the FacetLabel). The all-null rollup row
+    (grand total, depth 0) is kept — it is Lucene's dimension root
+    count. ``top_n`` keeps the top-N per depth by (cnt desc, path asc)
+    like getTopChildren.
+    """
+    rolled = matches.rollup(*path_cols).agg(F.count("*").alias("cnt"))
+    depth = sum(
+        F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in path_cols
+    )
+    path = F.concat_ws(
+        "/", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in path_cols]
+    )
+    # strip trailing separators left by null components
+    path = F.regexp_replace(path, "/+$", "")
+    out = rolled.select(
+        depth.alias("depth"), path.alias("path"), "cnt"
+    )
+    if top_n is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("depth").orderBy(
+            F.desc("cnt"), F.asc("path")
+        )
+        out = (
+            out.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= top_n)
+            .drop("rn")
+        )
+    return out

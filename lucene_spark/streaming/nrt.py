@@ -25,6 +25,7 @@ reference has none (SURVEY.md §2.11): indexing is append + refresh.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.build import build_index
 from ..operators.merge import maybe_merge
@@ -114,3 +115,58 @@ def index_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+class LiveFieldValues:
+    """Read-your-writes for documents indexed but not yet visible to a
+    reopened reader (``core/search/LiveFieldValues.java``): writers
+    record pending values keyed by url at index time; lookups serve
+    the pending value until a refresh generation at-or-after the write
+    makes the segment searchable, at which point the entry is dropped
+    and lookups fall through to the index's docs table.
+
+    Driver-side state by design — Lucene's class is likewise an
+    in-writer concurrent map, not an index structure; the authoritative
+    data is always the committed segments.
+    """
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self._pending: dict[str, tuple[int, object]] = {}
+
+    def _generation(self) -> int:
+        return int(
+            IndexCatalog(self.index_dir).read_manifest().get("generation", 0)
+        )
+
+    def add(self, url: str, value) -> None:
+        """Record a write that has been handed to the indexer but may
+        not be searchable yet (call alongside append/update)."""
+        self._pending[url] = (self._generation(), value)
+
+    def delete(self, url: str) -> None:
+        self.add(url, None)
+
+    def refresh(self) -> None:
+        """Drop entries whose write predates the current manifest
+        generation (the reader now sees them) — Lucene's
+        ``SearcherManager.refresh`` hook."""
+        gen = self._generation()
+        self._pending = {
+            u: (g, v) for u, (g, v) in self._pending.items() if g >= gen
+        }
+
+    def get(self, spark: SparkSession, url: str, field: str = "doclen"):
+        """Current value for ``url``: the pending write if one is
+        buffered, else the committed docs-table row's ``field``."""
+        if url in self._pending:
+            return self._pending[url][1]
+        from ..operators.build import read_docs
+
+        rows = (
+            read_docs(spark, IndexCatalog(self.index_dir))
+            .where(F.col("url") == url)
+            .select(field)
+            .collect()
+        )
+        return rows[0][field] if rows else None

@@ -162,3 +162,42 @@ def test_impact_skyline_upper_bound_property():
         full = scorer.score(freqs.astype(np.float32), norms).max()
         sky = scorer.score(ff.astype(np.float32), nn).max()
         assert sky == full
+
+
+class TestCodecSPI:
+    def test_custom_codec_roundtrip(self):
+        """Codec SPI (core/codecs/Codec.java:141-152): a registered
+        custom tag routes decode through the registry; built-ins are
+        untouched."""
+        import numpy as np
+
+        from lucene_spark.operators.codec import (
+            pack_doc_block_with,
+            register_block_codec,
+            unpack_doc_block,
+        )
+
+        def pack(docids):
+            # toy codec: raw int64 little-endian deltas
+            d = np.diff(docids, prepend=docids[0]).astype("<i8")
+            return d.tobytes()
+
+        def unpack(body, first_docid, num_docs):
+            d = np.frombuffer(body, dtype="<i8").copy()
+            d[0] = first_docid
+            return np.cumsum(d)
+
+        register_block_codec(42, pack, unpack)
+        docids = np.array([7, 9, 15, 100], dtype=np.int64)
+        blob = pack_doc_block_with(42, docids)
+        assert blob[0] == 42
+        out = unpack_doc_block(blob, int(docids[0]), len(docids))
+        assert out.tolist() == docids.tolist()
+
+    def test_reserved_tags_rejected(self):
+        import pytest as _pytest
+
+        from lucene_spark.operators.codec import register_block_codec
+
+        with _pytest.raises(ValueError):
+            register_block_codec(3, None, None)

@@ -1,0 +1,67 @@
+"""HTMLStripCharFilter analog: markup removal semantics + the Spark
+column path over the synthesized web_pages html column."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.functions.html import strip_html, strip_html_col
+
+
+class TestStripHtml:
+    def test_plain_wrapper_roundtrip(self):
+        # html/body are not block boundaries -> removed cleanly
+        assert strip_html("<html><body>hello world</body></html>") == (
+            "hello world"
+        )
+
+    def test_inline_tags_fuse_like_lucene(self):
+        # inline markup is removed without substitution
+        assert strip_html("a<b>b</b>c") == "abc"
+
+    def test_block_tags_separate(self):
+        out = strip_html("one<br>two<p>three</p>")
+        assert out.split() == ["one", "two", "three"]
+
+    def test_script_style_content_dropped(self):
+        out = strip_html(
+        "keep<script type='x'>var a = '<b>no</b>';</script>"
+            "<style>.x{color:red}</style>also"
+        )
+        assert "no" not in out and "color" not in out
+        assert "keep" in out and "also" in out
+
+    def test_comments_cdata_doctype(self):
+        out = strip_html(
+            "<!DOCTYPE html><!-- secret -->x<![CDATA[ hidden ]]>y"
+        )
+        assert out == "xy"
+
+    def test_entities(self):
+        assert strip_html("a&amp;b &lt;c&gt; &#65; &#x42; &nbsp;d") == (
+            "a&b <c> A B \xa0d"
+        )
+
+    def test_empty_and_none(self):
+        assert strip_html("") == ""
+        assert strip_html(None) == ""
+
+
+class TestStripHtmlSpark:
+    def test_roundtrip_recovers_text(self, spark, web_pages):
+        """The synthesized html is <html><body>{text}</body></html>;
+        stripping must recover text exactly for every doc."""
+        got = web_pages.select(
+            "url",
+            F.trim(strip_html_col(F.col("html"))).alias("stripped"),
+            "text",
+        )
+        bad = got.where(F.col("stripped") != F.col("text")).count()
+        assert bad == 0
+
+    def test_binary_and_entities(self, spark):
+        df = spark.createDataFrame(
+            [("u", "<p>a&amp;b</p><script>x</script>".encode(),)],
+            "url string, html binary",
+        )
+        row = df.select(strip_html_col(F.col("html")).alias("t")).collect()[0]
+        assert "a&b" in row["t"] and "x" not in row["t"]

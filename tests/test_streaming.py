@@ -144,3 +144,31 @@ class TestMergeLineageBatchIds:
         n_before = Searcher(spark, inc).field_stats["doc_count"]
         append_batch(spark, halves[0], inc, 0, num_segments=2, merge_factor=2)
         assert Searcher(spark, inc).field_stats["doc_count"] == n_before
+
+
+class TestLiveFieldValues:
+    def test_read_your_writes_then_refresh(self, spark, halves, tmp_path):
+        from lucene_spark.streaming.nrt import LiveFieldValues
+
+        inc = str(tmp_path / "lfv")
+        append_batch(spark, halves[0], inc, 0, num_segments=2)
+        lfv = LiveFieldValues(inc)
+        url = halves[1].select("url").limit(1).collect()[0]["url"]
+        # buffered write visible before the segment lands
+        lfv.add(url, {"doclen": 42})
+        assert lfv.get(spark, url) == {"doclen": 42}
+        # the write becomes searchable -> refresh drops the buffer and
+        # the committed docs table answers
+        append_batch(spark, halves[1], inc, 1, num_segments=2)
+        lfv.refresh()
+        assert url not in lfv._pending
+        got = lfv.get(spark, url, field="doclen")
+        assert isinstance(got, int) and got > 0
+
+    def test_miss_returns_none(self, spark, halves, tmp_path):
+        from lucene_spark.streaming.nrt import LiveFieldValues
+
+        inc = str(tmp_path / "lfv2")
+        append_batch(spark, halves[0], inc, 0, num_segments=2)
+        lfv = LiveFieldValues(inc)
+        assert lfv.get(spark, "https://nope/xx") is None
