@@ -143,14 +143,23 @@ def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banding: split each signature into ``bands`` equal row-groups;
     docs sharing any band's sub-signature become a candidate pair
     (id_a < id_b). The band join shuffles on (band, sub-signature) —
     near-duplicate clusters hash to small buckets, so the pair count
     stays linear in the duplicate mass, not quadratic in corpus size.
-    Pathological buckets (boilerplate shingles) can be salted by
-    splitting on id ranges; at sf scales AQE skew-join covers it."""
+
+    ``max_bucket`` is the skew guard for pathological buckets
+    (boilerplate shingles hashing web-scale corpora into one key): a
+    bucket with more than ``max_bucket`` members is DROPPED before the
+    self-join — its pair count would be quadratic, and a sub-signature
+    shared by that many documents carries no near-duplicate signal
+    (it is the MinHash analog of a stopword). Recall for true
+    near-dup clusters <= max_bucket is unaffected; larger true
+    clusters still surface through their other, rarer bands. AQE
+    skew-join handles the moderate buckets below the cap."""
     num_perm_col = F.size(F.col("sig"))
     rows_per_band = (num_perm_col / bands).cast("int")
     banded = sig_df.select(
@@ -167,6 +176,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band", "key")
+            .count()
+            .where(F.col("count") <= max_bucket)
+            .select("band", "key")
+        )
+        banded = banded.join(small, ["band", "key"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -369,3 +369,26 @@ class TestMultimodal:
             assert [f["frame_no"] for f in sorted(frames, key=lambda x: x["offset"])] == list(
                 range(len(frames))
             )
+
+
+class TestLSHBucketCap:
+    def test_oversized_buckets_dropped(self, spark):
+        """Skew guard: a sub-signature shared by many docs (boilerplate)
+        would make the band self-join quadratic; with max_bucket set the
+        bucket is dropped while small true-duplicate buckets survive."""
+        from lucene_spark.operators.dedup import lsh_candidate_pairs
+
+        # 20 docs share one full signature (pathological bucket);
+        # docs 100/101 share a distinct signature (true near-dup pair)
+        rows = [(i, [1, 1, 1, 1]) for i in range(20)]
+        rows += [(100, [7, 8, 9, 9]), (101, [7, 8, 9, 9])]
+        sig = spark.createDataFrame(rows, "doc_id long, sig array<long>")
+
+        uncapped = lsh_candidate_pairs(sig, bands=2).collect()
+        assert len(uncapped) == 20 * 19 // 2 + 1
+
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(sig, bands=2, max_bucket=5).collect()
+        }
+        assert capped == {(100, 101)}
