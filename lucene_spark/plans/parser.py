@@ -11,14 +11,12 @@ QueryParserBase.java:130-133``, grammar ``QueryParser.java:72``):
     a AND b, a OR b      operators (NOT x == -x)
     (a OR b) AND c       grouping parentheses (nested sub-queries)
     wi* / w?w            prefix / wildcard
+    /reg.ex/             regular expression (anchored, full-term)
     roam~ / roam~1       fuzzy (maxEdits, default 2)
     [a TO b] / {a TO b}  term range (inclusive / exclusive)
     term^2.5 / (...)^2   boost
     field:term           accepted; only the default field exists, so
                          the prefix is validated and stripped
-
-Unsupported (raises ``QueryParseError``): regex /…/ literals
-(use Searcher.regexp_query directly).
 
 Semantics follow the classic parser with default operator OR: bare
 clauses are SHOULD; AND promotes both neighbours to MUST; +/- set
@@ -50,7 +48,7 @@ class QueryParseError(ValueError):
 
 @dataclass
 class Clause:
-    kind: str  # term | phrase | prefix | wildcard | fuzzy | range | group
+    kind: str  # term|phrase|prefix|wildcard|regexp|fuzzy|range|group
     occur: str  # MUST | SHOULD | MUST_NOT
     text: str = ""
     terms: list[str] = field(default_factory=list)
@@ -68,6 +66,7 @@ _TOKEN_RE = re.compile(
     r"""
     \s*(?:
       (?P<phrase>"[^"]*"(?:~\d+)?(?:\^[0-9.]+)?)
+     | (?P<regex>/(?:[^/\\]|\\.)*/(?:\^[0-9.]+)?)
      | (?P<range>[\[{][^\]}]*(?:TO)[^\]}]*[\]}])
      | (?P<paren>[()])
      | (?P<word>[^\s"\[\]{}()]+)
@@ -90,6 +89,7 @@ def _lex(query: str) -> list[str]:
         pos = m.end()
         toks.append(
             m.group("phrase")
+            or m.group("regex")
             or m.group("range")
             or m.group("paren")
             or m.group("word")
@@ -187,6 +187,15 @@ def _parse_clauses(
         if not tok:
             raise QueryParseError("dangling +/- operator")
 
+        if tok.startswith("/"):
+            body, boost = _split_boost(tok)
+            if not body.endswith("/"):
+                body, boost = tok, 1.0  # '^' inside the regex itself
+            clauses.append(
+                Clause("regexp", occur, text=body[1:-1], boost=boost)
+            )
+            i += 1
+            continue
         if tok.startswith('"'):
             slop = 0
             body, boost = _split_boost(tok)
@@ -284,6 +293,8 @@ def _scored_clause(searcher, c: Clause) -> DataFrame | None:
             df = searcher.scored_sloppy_phrase(terms, c.slop)
         else:
             df = searcher.scored_phrase(terms)
+    elif c.kind == "regexp":
+        df = searcher.scored_regexp(c.text)
     elif c.kind == "prefix":
         df = searcher.scored_prefix(c.text)
     elif c.kind == "wildcard":

@@ -61,6 +61,13 @@ class TestParse:
         with pytest.raises(QueryParseError):
             parse("")
 
+    def test_regex_literal(self):
+        cs = parse("/s.*k/ AND window")
+        assert cs[0].kind == "regexp" and cs[0].text == "s.*k"
+        assert cs[0].occur == "MUST" and cs[1].occur == "MUST"
+        # mid-word slashes are still plain terms
+        assert parse("foo/bar")[0].kind == "term"
+
     def test_group_parsing(self):
         cs = parse("(a OR b) AND c")
         assert [c.kind for c in cs] == ["group", "term"]
