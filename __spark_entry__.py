@@ -387,20 +387,8 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer="english"
             )
-        elif kind == "del":
-            from lucene_spark.operators.deletes import delete_by_urls
-
+        elif kind in ("del", "upd"):
             build_index(spark, wp, idx, num_segments=n_seg)
-            delete_by_urls(spark, idx, [_url_of(i) for i in _DEL_IDS])
-        elif kind == "upd":
-            from lucene_spark.operators.deletes import update_documents
-
-            build_index(spark, wp, idx, num_segments=n_seg)
-            upd = spark.createDataFrame(
-                [(_url_of(i), _UPD_TEXT) for i in _UPD_IDS],
-                "url string, text string",
-            )
-            update_documents(spark, idx, upd, num_segments=1)
         elif kind == "merged":
             from lucene_spark.operators.merge import maybe_merge
 
@@ -418,6 +406,27 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             )
         else:  # pragma: no cover
             raise ValueError(kind)
+    if kind in ("del", "upd"):
+        # the mutation is applied OUTSIDE the build guard and keyed on
+        # the manifest, so a cached index from an interrupted earlier
+        # run (built but not yet mutated) self-heals instead of
+        # silently serving unmutated results
+        man = IndexCatalog(idx).read_manifest()
+        if kind == "del" and not man.get("deletes"):
+            from lucene_spark.operators.deletes import delete_by_urls
+
+            delete_by_urls(spark, idx, [_url_of(i) for i in _DEL_IDS])
+        if kind == "upd" and not any(
+            s.get("lineage", {}).get("op") == "update_documents"
+            for s in man["segments"]
+        ):
+            from lucene_spark.operators.deletes import update_documents
+
+            upd = spark.createDataFrame(
+                [(_url_of(i), _UPD_TEXT) for i in _UPD_IDS],
+                "url string, text string",
+            )
+            update_documents(spark, idx, upd, num_segments=1)
     s = Searcher(spark, idx, dtype=np.float64)
     _SEARCHERS[key] = s
     return s
