@@ -1640,11 +1640,14 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
             j AS (SELECT d.lang, d.source FROM m
                   JOIN documents d USING (doc_id))
-            SELECT 2 AS depth, lang || '/' || source AS path,
+            SELECT 2 AS depth,
+                   coalesce(lang, '<null>') || '/' ||
+                   coalesce(source, '<null>') AS path,
                    count(*)::BIGINT AS cnt
             FROM j GROUP BY lang, source
             UNION ALL
-            SELECT 1, lang, count(*)::BIGINT FROM j GROUP BY lang
+            SELECT 1, coalesce(lang, '<null>'), count(*)::BIGINT
+            FROM j GROUP BY lang
             UNION ALL
             SELECT 0, '', count(*)::BIGINT FROM j""",
         # sloppy_phrase_top10 / sloppy_repeat_top10 /

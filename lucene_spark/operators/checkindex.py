@@ -141,9 +141,12 @@ def check_index(spark: SparkSession, index_dir: str, field: str = "text") -> dic
     docs = read_docs(spark, catalog)
 
     # pass 1: block decode invariants (distributed)
+    from .codec import with_codecs
+
     block_errs = (
         posts.mapInArrow(
-            _check_blocks_kernel, schema="segment_id long, term string, error string"
+            with_codecs(_check_blocks_kernel),
+            schema="segment_id long, term string, error string",
         )
         .where(F.col("error") != "")
         .limit(20)

@@ -313,3 +313,36 @@ def unpack_custom_doc_block(
         _, unpack_fn = _CODEC_REGISTRY[buf[0]]
         return unpack_fn(buf[1:], first_docid, num_docs)
     return None
+
+
+def with_codecs(kernel):
+    """Wrap a mapInArrow kernel so driver-registered custom codecs are
+    available inside executor Python workers, which import this module
+    fresh (empty ``_CODEC_REGISTRY``). The registered (pack, unpack)
+    functions travel in the kernel closure via cloudpickle and are
+    re-installed before the first batch — the Spark analog of Lucene's
+    name-based SPI resolution per SegmentInfo
+    (``core/codecs/Codec.java:141-152``: the codec NAME is recorded
+    with the segment and resolved in whatever process reads it).
+
+    No-op (returns ``kernel`` unchanged) when no custom codec is
+    registered, so the default path pickles nothing extra."""
+    if not _CODEC_REGISTRY:
+        return kernel
+    snap = dict(_CODEC_REGISTRY)
+
+    def wrapped(batches):
+        # install_codecs is pickled BY REFERENCE (top-level importable),
+        # so it mutates the executor module's real registry — updating
+        # _CODEC_REGISTRY directly here would hit cloudpickle's copied
+        # globals dict instead.
+        install_codecs(snap)
+        return kernel(batches)
+
+    return wrapped
+
+
+def install_codecs(snap: dict[int, tuple]) -> None:
+    """Merge a registry snapshot into this process's registry (executor
+    side of :func:`with_codecs`)."""
+    _CODEC_REGISTRY.update(snap)

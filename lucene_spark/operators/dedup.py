@@ -353,13 +353,21 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
     Pigeonhole banding: split the 64 bits into ``bands`` chunks; a pair
     within ``bands - 1`` differing bits shares at least one identical
     chunk, so the join key is (band, chunk value) — never a cross
-    join. Exact Hamming verify via bit_count(xor) on candidates."""
+    join. Exact Hamming verify via bit_count(xor) on candidates.
+
+    ``max_bucket`` is the same skew guard as
+    :func:`lsh_candidate_pairs`: a (band, chunk) bucket with more than
+    ``max_bucket`` members (web boilerplate collapsing millions of docs
+    onto one 16-bit chunk) is dropped before the self-join instead of
+    going quadratic; true near-dup pairs inside an oversized bucket
+    still surface through their other, rarer bands."""
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
     banded = sim_df.select(
@@ -379,6 +387,14 @@ def simhash_near_duplicates(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.chunk")
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band", "chunk")
+            .count()
+            .where(F.col("count") <= max_bucket)
+            .select("band", "chunk")
+        )
+        banded = banded.join(small, ["band", "chunk"], "left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

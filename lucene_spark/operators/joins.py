@@ -149,16 +149,28 @@ def taxonomy_facet_counts(
     (grand total, depth 0) is kept — it is Lucene's dimension root
     count. ``top_n`` keeps the top-N per depth by (cnt desc, path asc)
     like getTopChildren.
+
+    Depth is derived from ``grouping()`` bits, NOT column NULL-ness, so
+    a data-NULL dimension value (rendered as the explicit label
+    ``<null>``) stays distinct from a rollup subtotal row.
     """
-    rolled = matches.rollup(*path_cols).agg(F.count("*").alias("cnt"))
+    rolled = matches.rollup(*path_cols).agg(
+        F.count("*").alias("cnt"),
+        *[F.grouping(c).alias(f"__g_{c}") for c in path_cols],
+    )
+    # grouping(c) = 1 when c is rolled up; depth = #non-rolled prefix cols
     depth = sum(
-        F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in path_cols
+        F.lit(1) - F.col(f"__g_{c}") for c in path_cols
     )
     path = F.concat_ws(
-        "/", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in path_cols]
+        "/",
+        *[
+            F.when(F.col(f"__g_{c}") == 1, F.lit(None)).otherwise(
+                F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+            )
+            for c in path_cols
+        ],
     )
-    # strip trailing separators left by null components
-    path = F.regexp_replace(path, "/+$", "")
     out = rolled.select(
         depth.alias("depth"), path.alias("path"), "cnt"
     )

@@ -51,6 +51,8 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -195,18 +197,170 @@ def find_merges_tiered(
     return merges
 
 
+def _make_reclaim_kernel(
+    deleted: dict[int, "np.ndarray"],
+    doc_off: dict[int, int],
+    blk_off: dict[int, int],
+):
+    """mapInArrow kernel rewriting stage rows for a delete-reclaiming
+    merge (``core/index/SegmentMerger.java:114-172`` +
+    ``DocIDMerger.java:139-186`` sequential mode): tombstoned docs are
+    DROPPED and survivors remapped to dense new local docids
+    ``new = old - #deleted_before(old) + live_offset(segment)``.
+
+    Per posting block: decode, filter, re-pack (docs/freqs/norms/
+    positions), impacts recomputed over the survivors. Blocks whose
+    docid span contains no tombstone keep their packed bytes verbatim
+    (the remap is then a constant shift, and blocks store deltas from
+    ``first_docid`` — the metadata-only fast path per block).
+
+    ``deleted``: segment_id -> SORTED np.int64 array of tombstoned
+    local docids; ``doc_off``: segment_id -> cumulative LIVE doc count
+    of earlier segments (sort order); ``blk_off``: segment_id ->
+    block_id offset making (term, block_id) unique and docid-ordered in
+    the merged segment.
+    """
+    from .build import STAGE_SCHEMA
+    from .codec import (
+        decode_position_deltas,
+        encode_position_deltas,
+        impact_skyline,
+        pack_doc_block,
+        pack_freq_block,
+        pack_pos_block,
+        unpack_doc_block,
+        unpack_freq_block,
+        unpack_pos_block,
+    )
+
+    col_names = [f.name for f in STAGE_SCHEMA]
+
+    def kernel(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cols = {c: batch.column(c) for c in col_names}
+            kinds = cols["kind"].to_numpy(zero_copy_only=False)
+            segs = cols["segment_id"].to_numpy(zero_copy_only=False)
+            first = cols["first_docid"].to_numpy(zero_copy_only=False)
+            last = cols["last_docid"].to_numpy(zero_copy_only=False)
+            bids = cols["block_id"].to_numpy(zero_copy_only=False)
+            nums = cols["num_docs"].to_numpy(zero_copy_only=False)
+
+            out: dict[str, list] = {c: [] for c in col_names}
+
+            def emit(j, **over):
+                for c in col_names:
+                    if c in over:
+                        out[c].append(over[c])
+                    else:
+                        out[c].append(cols[c][j].as_py())
+
+            dbufs = cols["doc_block"].to_pylist()
+            fbufs = cols["freq_block"].to_pylist()
+            nbufs = cols["norm_block"].to_pylist()
+            pbufs = cols["pos_block"].to_pylist()
+
+            for j in range(n):
+                sid = int(segs[j])
+                dels = deleted.get(sid)
+                doff = doc_off[sid]
+                boff = blk_off[sid]
+                if kinds[j] == 1:  # doc row: first_docid == local docid
+                    old = int(first[j])
+                    if dels is not None:
+                        k = int(np.searchsorted(dels, old))
+                        if k < len(dels) and dels[k] == old:
+                            continue  # tombstoned: reclaim
+                        new = old - k + doff
+                    else:
+                        new = old + doff
+                    emit(j, first_docid=new, last_docid=new)
+                    continue
+                # posting block
+                nd = int(nums[j])
+                if dels is None:
+                    shift = doff
+                    same = True
+                else:
+                    k_lo = int(np.searchsorted(dels, first[j]))
+                    k_hi = int(np.searchsorted(dels, last[j], side="right"))
+                    same = k_lo == k_hi  # no tombstone inside the span
+                    shift = doff - k_lo
+                if same:
+                    emit(
+                        j,
+                        first_docid=int(first[j]) + shift,
+                        last_docid=int(last[j]) + shift,
+                        block_id=int(bids[j]) + boff,
+                    )
+                    continue
+                docids = unpack_doc_block(dbufs[j], int(first[j]), nd)
+                ins = np.searchsorted(dels, docids)
+                is_del = (ins < len(dels)) & (
+                    dels[np.minimum(ins, len(dels) - 1)] == docids
+                )
+                keep = ~is_del
+                if not keep.any():
+                    continue  # whole block tombstoned
+                freqs = unpack_freq_block(fbufs[j], nd)
+                norms = np.frombuffer(nbufs[j], dtype=np.uint8)
+                deltas = unpack_pos_block(pbufs[j], int(freqs.sum()))
+                pos = decode_position_deltas(deltas, freqs)
+                pos_keep = np.repeat(keep, freqs)
+
+                new_docids = docids[keep] - ins[keep] + doff
+                new_freqs = freqs[keep]
+                new_norms = norms[keep]
+                new_pos = pos[pos_keep]
+                sky_f, sky_n = impact_skyline(new_freqs, new_norms)
+                emit(
+                    j,
+                    block_id=int(bids[j]) + boff,
+                    first_docid=int(new_docids[0]),
+                    last_docid=int(new_docids[-1]),
+                    num_docs=int(len(new_docids)),
+                    block_total_tf=int(new_freqs.sum()),
+                    doc_block=pack_doc_block(new_docids),
+                    freq_block=pack_freq_block(new_freqs),
+                    norm_block=new_norms.astype(np.uint8).tobytes(),
+                    pos_block=pack_pos_block(
+                        encode_position_deltas(new_pos, new_freqs)
+                    ),
+                    impact_freqs=[int(x) for x in sky_f],
+                    impact_norms=[int(x) for x in sky_n],
+                )
+            if out["kind"]:
+                yield pa.RecordBatch.from_pydict(out, schema=STAGE_SCHEMA)
+
+    return kernel
+
+
 def merge_segments(
     spark: SparkSession,
     catalog: IndexCatalog,
     group: Sequence[int],
     policy: str = "LogDocMergePolicy",
+    reclaim_deletes: bool = False,
 ) -> int:
     """Merge adjacent segments ``group`` into one new segment.
 
-    Returns the new segment_id. Global docIDs are unchanged (see
-    module docstring); the new segment's sort_key is the minimum of
-    the group's so the manifest ordering — and with it every search
-    tie-break — is invariant under merging.
+    Returns the new segment_id. Without ``reclaim_deletes`` global
+    docIDs are unchanged (see module docstring); the new segment's
+    sort_key is the minimum of the group's so the manifest ordering —
+    and with it every search tie-break — is invariant under merging.
+
+    ``reclaim_deletes=True`` is the SegmentMerger semantics
+    (``core/index/SegmentMerger.java:114-172``): the group's
+    tombstoned docs are physically dropped, survivors get dense new
+    local docids, and the merged segment carries ZERO tombstones —
+    postings/docs stop paying the anti-join and corpus stats shrink to
+    the live docs (docFreq/avgdl change exactly as in Lucene). The
+    group's tombstones are materialized driver-side as per-segment
+    sorted arrays — bounded by the merge group's doc count (Lucene's
+    liveDocs bitsets are likewise in-memory per merge), NOT by index
+    size.
     """
     manifest = catalog.read_manifest()
     by_id = {s["segment_id"]: s for s in manifest["segments"]}
@@ -218,21 +372,7 @@ def merge_segments(
 
     new_id = max(s["segment_id"] for s in manifest["segments"]) + 1
     sort_key = min(s.get("sort_key", s["segment_id"]) for s in srcs)
-
-    # per-source local-docid offset = cumulative doc counts in sort order
     srcs_sorted = sorted(srcs, key=lambda s: s.get("sort_key", s["segment_id"]))
-    offsets: dict[int, int] = {}
-    acc = 0
-    for s in srcs_sorted:
-        offsets[s["segment_id"]] = acc
-        acc += s["num_docs"]
-
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(k), int(v)) for k, v in offsets.items()],
-            "segment_id long, off long",
-        )
-    )
 
     src_dirs = sorted(
         {catalog.index_dir + "/" + s["data"]["stage"] for s in srcs}
@@ -245,47 +385,158 @@ def merge_segments(
         )
         stage = part if stage is None else stage.unionByName(part)
     stage = stage.where(F.col("segment_id").isin([int(g) for g in group]))
-    merged = (
-        stage.join(off_df, "segment_id")
-        .withColumn("segment_id", F.lit(int(new_id)).cast("long"))
-        .withColumn("first_docid", F.col("first_docid") + F.col("off"))
-        .withColumn("last_docid", F.col("last_docid") + F.col("off"))
-        .drop("off")
-    )
+
+    # block_id remap: per-source offsets so (term, block_id) stays a
+    # UNIQUE, docid-ordered key in the merged segment (multiply-merged
+    # sources can exceed ceil(num_docs/BLOCK_SIZE), so measure the
+    # actual max — a metadata-only agg, no binary columns read)
+    maxb = {
+        int(r["segment_id"]): int(r["mb"])
+        for r in stage.where(F.col("kind") == 0)
+        .groupBy("segment_id")
+        .agg(F.max("block_id").alias("mb"))
+        .collect()
+    }
+    blk_off: dict[int, int] = {}
+    bacc = 0
+    for s in srcs_sorted:
+        blk_off[s["segment_id"]] = bacc
+        bacc += maxb.get(s["segment_id"], -1) + 1
+
+    # group tombstones (reclaim path needs them driver-side)
+    from .deletes import read_tombstones
+
+    deleted: dict[int, np.ndarray] = {}
+    if reclaim_deletes:
+        t = read_tombstones(spark, catalog)
+        if t is not None:
+            rows = t.where(
+                F.col("segment_id").isin([int(g) for g in group])
+            ).collect()
+            tmp: dict[int, list[int]] = {}
+            for r in rows:
+                tmp.setdefault(int(r["segment_id"]), []).append(
+                    int(r["local_docid"])
+                )
+            deleted = {
+                sid: np.array(sorted(v), dtype=np.int64)
+                for sid, v in tmp.items()
+            }
+
+    # per-source local-docid offset = cumulative doc counts in sort
+    # order; the reclaim path counts LIVE docs only (DocIDMerger
+    # sequential mode with deletions)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for s in srcs_sorted:
+        offsets[s["segment_id"]] = acc
+        acc += s["num_docs"] - len(deleted.get(s["segment_id"], ()))
 
     commit_dir = catalog.new_commit_dir("stage")
+    if deleted:
+        kernel = _make_reclaim_kernel(deleted, offsets, blk_off)
+        from .build import STAGE_DDL
+
+        merged = stage.mapInArrow(kernel, schema=STAGE_DDL).withColumn(
+            "segment_id", F.lit(int(new_id)).cast("long")
+        )
+    else:
+        off_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (int(k), int(v), int(blk_off[k]))
+                    for k, v in offsets.items()
+                ],
+                "segment_id long, off long, boff int",
+            )
+        )
+        merged = (
+            stage.join(off_df, "segment_id")
+            .withColumn("segment_id", F.lit(int(new_id)).cast("long"))
+            .withColumn("first_docid", F.col("first_docid") + F.col("off"))
+            .withColumn("last_docid", F.col("last_docid") + F.col("off"))
+            .withColumn(
+                "block_id",
+                F.when(F.col("kind") == 0, F.col("block_id") + F.col("boff"))
+                .otherwise(F.col("block_id"))
+                .cast("int"),
+            )
+            .drop("off", "boff")
+        )
     merged.write.mode("overwrite").partitionBy("kind").parquet(commit_dir)
     rel = commit_dir[len(catalog.index_dir) + 1 :]
 
-    # merged term dictionary: re-tag the sources' per-segment terms to
-    # the new segment id and sum — a scan over vocab-sized files, the
-    # block-tree merge analog of SegmentMerger's FieldsConsumer.merge
+    # merged segment stats: exact when reclaiming (survivor counts),
+    # source sums otherwise
+    if deleted:
+        written = spark.read.parquet(commit_dir)
+        agg = written.agg(
+            F.count(F.when(F.col("kind") == 1, 1)).alias("nd"),
+            F.sum(F.when(F.col("kind") == 1, F.col("doclen"))).alias("sd"),
+            F.count(F.when(F.col("kind") == 0, 1)).alias("nb"),
+        ).collect()[0]
+        seg_num_docs = int(agg["nd"])
+        seg_sum_doclen = int(agg["sd"] or 0)
+        seg_num_blocks = int(agg["nb"])
+    else:
+        seg_num_docs = int(sum(s["num_docs"] for s in srcs))
+        seg_sum_doclen = int(sum(s.get("sum_doclen", 0) for s in srcs))
+        seg_num_blocks = int(sum(s.get("num_blocks", 0) for s in srcs))
+
+    # merged term dictionary: the block-tree merge analog of
+    # SegmentMerger's FieldsConsumer.merge. Reclaiming recomputes from
+    # the survivor blocks (docFreq/totalTermFreq shrink); concat merges
+    # re-tag the sources' per-segment terms and sum.
     rel_terms = None
     if all("terms" in s.get("data", {}) for s in srcs):
-        tdirs = sorted(
-            {catalog.index_dir + "/" + s["data"]["terms"] for s in srcs}
-        )
         terms_dir = catalog.new_commit_dir("terms")
-        (
-            spark.read.parquet(*tdirs)
-            .where(F.col("segment_id").isin([int(g) for g in group]))
-            .groupBy("field", "term")
-            .agg(
-                F.sum("doc_freq").cast("long").alias("doc_freq"),
-                F.sum("total_term_freq").cast("long").alias("total_term_freq"),
+        if deleted:
+            (
+                spark.read.parquet(commit_dir)
+                .where(F.col("kind") == 0)
+                .groupBy("field", "term")
+                .agg(
+                    F.sum("num_docs").cast("long").alias("doc_freq"),
+                    F.sum("block_total_tf")
+                    .cast("long")
+                    .alias("total_term_freq"),
+                )
+                .withColumn("segment_id", F.lit(int(new_id)).cast("long"))
+                .write.mode("overwrite")
+                .parquet(terms_dir)
             )
-            .withColumn("segment_id", F.lit(int(new_id)).cast("long"))
-            .write.mode("overwrite")
-            .parquet(terms_dir)
-        )
+        else:
+            tdirs = sorted(
+                {catalog.index_dir + "/" + s["data"]["terms"] for s in srcs}
+            )
+            (
+                spark.read.parquet(*tdirs)
+                .where(F.col("segment_id").isin([int(g) for g in group]))
+                .groupBy("field", "term")
+                .agg(
+                    F.sum("doc_freq").cast("long").alias("doc_freq"),
+                    F.sum("total_term_freq")
+                    .cast("long")
+                    .alias("total_term_freq"),
+                )
+                .withColumn("segment_id", F.lit(int(new_id)).cast("long"))
+                .write.mode("overwrite")
+                .parquet(terms_dir)
+            )
         rel_terms = terms_dir[len(catalog.index_dir) + 1 :]
 
-    # carry tombstones forward: the group's deleted docs remap by the
-    # same per-segment offsets (liveDocs survive a concat merge; Lucene
-    # instead reclaims them physically — see deletes.py docstring)
+    # tombstones: the reclaim path physically dropped them (the merged
+    # segment starts clean); concat merges carry them forward remapped
+    # by the same per-segment offsets
     del_rel = None
     man_now = catalog.read_manifest()
-    if man_now.get("deletes"):
+    if man_now.get("deletes") and not deleted:
+        off_df = F.broadcast(
+            spark.createDataFrame(
+                [(int(k), int(v)) for k, v in offsets.items()],
+                "segment_id long, off long",
+            )
+        )
         ddirs = [f"{catalog.index_dir}/{g['dir']}" for g in man_now["deletes"]]
         remapped = (
             spark.read.parquet(*ddirs)
@@ -327,6 +578,10 @@ def merge_segments(
         "merged_from": [int(g) for g in group],
         "policy": policy,
     }
+    if deleted:
+        lineage["reclaimed_deletes"] = int(
+            sum(len(v) for v in deleted.values())
+        )
     if batch_ids:
         lineage["batch_ids"] = sorted(batch_ids)
     keep.append(
@@ -334,9 +589,9 @@ def merge_segments(
             "segment_id": int(new_id),
             "sort_key": int(sort_key),
             "status": "COMMITTED",
-            "num_docs": int(sum(s["num_docs"] for s in srcs)),
-            "sum_doclen": int(sum(s.get("sum_doclen", 0) for s in srcs)),
-            "num_blocks": int(sum(s.get("num_blocks", 0) for s in srcs)),
+            "num_docs": seg_num_docs,
+            "sum_doclen": seg_sum_doclen,
+            "num_blocks": seg_num_blocks,
             "lineage": lineage,
             "metrics": {},
             "data": (
@@ -347,6 +602,17 @@ def merge_segments(
         }
     )
     manifest["segments"] = keep
+    # corpus-level stats follow the live segments (reclaim shrinks
+    # docFreq/avgdl exactly as a Lucene merge does; a concat merge
+    # leaves the sums unchanged)
+    committed = [s for s in keep if s["status"] == "COMMITTED"]
+    for fld in manifest.get("field_stats", {}):
+        manifest["field_stats"][fld] = {
+            "doc_count": int(sum(s["num_docs"] for s in committed)),
+            "sum_total_term_freq": int(
+                sum(s.get("sum_doclen", 0) for s in committed)
+            ),
+        }
     catalog.commit_manifest(manifest)
     return new_id
 
@@ -358,6 +624,7 @@ def maybe_merge(
     min_merge_docs: int = 1000,
     max_rounds: int = 10,
     policy: str = "log",
+    reclaim_deletes: bool | None = None,
     **tiered_kw,
 ) -> list[int]:
     """IndexWriter.maybeMerge analog: run merge rounds to fixpoint.
@@ -368,7 +635,14 @@ def maybe_merge(
     adjacent groups, docid-invariant) or "tiered" (TieredMergePolicy,
     size-tiered delete-reclaiming selection; ``tiered_kw`` forwards
     segs_per_tier / max_merge_at_once / floor_docs / ...).
+
+    ``reclaim_deletes`` defaults to True for tiered (which already
+    reassigns docids, so physical reclamation is free semantically) and
+    False for log (whose docid-invariance contract a reclaim would
+    break).
     """
+    if reclaim_deletes is None:
+        reclaim_deletes = policy == "tiered"
     catalog = IndexCatalog(index_dir)
     created: list[int] = []
     for _ in range(max_rounds):
@@ -401,6 +675,50 @@ def maybe_merge(
                         if policy == "tiered"
                         else "LogDocMergePolicy"
                     ),
+                    reclaim_deletes=reclaim_deletes,
                 )
             )
+    return created
+
+
+def force_merge_deletes(
+    spark: SparkSession,
+    index_dir: str,
+    pct_allowed: float = 10.0,
+) -> list[int]:
+    """IndexWriter.forceMergeDeletes analog
+    (``core/index/IndexWriter.java:2120-2160`` +
+    ``TieredMergePolicy.findForcedDeletesMerges``): rewrite every
+    segment whose tombstone ratio exceeds ``pct_allowed`` percent,
+    physically reclaiming the deleted docs. Each victim rewrites
+    independently (group of one), so the job parallelizes per segment
+    and never funnels the whole index through one merge.
+    """
+    from .deletes import read_tombstones
+
+    catalog = IndexCatalog(index_dir)
+    t = read_tombstones(spark, catalog)
+    if t is None:
+        return []
+    dels = {
+        int(r["segment_id"]): int(r["count"])
+        for r in t.groupBy("segment_id").count().collect()
+    }
+    manifest = catalog.read_manifest()
+    created: list[int] = []
+    for s in manifest["segments"]:
+        sid = s["segment_id"]
+        if s.get("status") != "COMMITTED" or sid not in dels:
+            continue
+        if dels[sid] * 100.0 <= pct_allowed * max(s["num_docs"], 1):
+            continue
+        created.append(
+            merge_segments(
+                spark,
+                catalog,
+                [sid],
+                policy="forceMergeDeletes",
+                reclaim_deletes=True,
+            )
+        )
     return created

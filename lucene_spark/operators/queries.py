@@ -153,9 +153,11 @@ class QueryOpsMixin:
                         }
                     )
 
+        from .codec import with_codecs
+
         return self._filter_live(
             posts.mapInArrow(
-                kernel, schema="segment_id long, docid long"
+                with_codecs(kernel), schema="segment_id long, docid long"
             ).distinct()
         )
 

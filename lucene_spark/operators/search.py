@@ -473,7 +473,9 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
                     schema=out_schema,
                 )
 
-    return kernel, out_schema
+    from .codec import with_codecs
+
+    return with_codecs(kernel), out_schema
 
 
 def _make_freq_kernel(n_terms: int, freq_fn):

@@ -191,6 +191,10 @@ def _parse_clauses(
             body, boost = _split_boost(tok)
             if not body.endswith("/"):
                 body, boost = tok, 1.0  # '^' inside the regex itself
+            if len(body) < 2 or not body.endswith("/"):
+                # '/foo' lexed as a word: slicing would silently run
+                # the regex 'fo' — error out like Lucene's parser.
+                raise QueryParseError(f"unterminated regex literal: {tok}")
             clauses.append(
                 Clause("regexp", occur, text=body[1:-1], boost=boost)
             )

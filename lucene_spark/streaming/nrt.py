@@ -132,7 +132,9 @@ class LiveFieldValues:
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
-        self._pending: dict[str, tuple[int, object]] = {}
+        # url -> (commit_generation | None, value); None = the write
+        # has not committed yet, so no refresh may drop it
+        self._pending: dict[str, tuple[int | None, object]] = {}
 
     def _generation(self) -> int:
         return int(
@@ -141,19 +143,47 @@ class LiveFieldValues:
 
     def add(self, url: str, value) -> None:
         """Record a write that has been handed to the indexer but may
-        not be searchable yet (call alongside append/update)."""
-        self._pending[url] = (self._generation(), value)
+        not be searchable yet (call alongside append/update).
+
+        The entry carries NO generation yet: generation advance does
+        not imply THIS write committed (an unrelated batch / merge /
+        delete between add() and the write's segment landing bumps the
+        generation), so stamping here would let refresh() silently drop
+        a still-invisible write. Call :meth:`committed` once the write's
+        commit lands (Lucene's equivalent moment is the writer's flush
+        making the id searchable in the next reader)."""
+        self._pending[url] = (None, value)
 
     def delete(self, url: str) -> None:
         self.add(url, None)
 
+    def committed(self, url: str | None = None, gen: int | None = None) -> None:
+        """Stamp pending entries with the generation of the commit that
+        contained their write (default: the current manifest generation,
+        correct when called right after that commit returns). ``url``
+        None stamps every unstamped entry — the common case where one
+        append_batch carried all buffered writes."""
+        if gen is None:
+            gen = self._generation()
+        if url is not None:
+            if url in self._pending and self._pending[url][0] is None:
+                self._pending[url] = (gen, self._pending[url][1])
+            return
+        for u, (g, v) in list(self._pending.items()):
+            if g is None:
+                self._pending[u] = (gen, v)
+
     def refresh(self) -> None:
-        """Drop entries whose write predates the current manifest
-        generation (the reader now sees them) — Lucene's
-        ``SearcherManager.refresh`` hook."""
+        """Drop entries whose write's COMMIT is visible to a reader at
+        the current manifest generation — Lucene's
+        ``SearcherManager.refresh`` hook. Unstamped entries (write not
+        yet committed) always survive: read-your-writes must hold even
+        when unrelated commits advance the generation in between."""
         gen = self._generation()
         self._pending = {
-            u: (g, v) for u, (g, v) in self._pending.items() if g >= gen
+            u: (g, v)
+            for u, (g, v) in self._pending.items()
+            if g is None or g > gen
         }
 
     def get(self, spark: SparkSession, url: str, field: str = "doclen"):

@@ -160,10 +160,39 @@ class TestLiveFieldValues:
         # the write becomes searchable -> refresh drops the buffer and
         # the committed docs table answers
         append_batch(spark, halves[1], inc, 1, num_segments=2)
+        lfv.committed(url)
         lfv.refresh()
         assert url not in lfv._pending
         got = lfv.get(spark, url, field="doclen")
         assert isinstance(got, int) and got > 0
+
+    def test_unrelated_commit_does_not_drop_pending(
+        self, spark, halves, tmp_path
+    ):
+        """Generation advance from an UNRELATED commit between add()
+        and the write's own commit must not evict the buffered value
+        (the read-your-writes race ADVICE r2 flagged)."""
+        from lucene_spark.streaming.nrt import LiveFieldValues
+
+        inc = str(tmp_path / "lfv3")
+        append_batch(spark, halves[0], inc, 0, num_segments=2)
+        lfv = LiveFieldValues(inc)
+        url = halves[1].select("url").limit(1).collect()[0]["url"]
+        lfv.add(url, {"doclen": 7})
+        # unrelated commit bumps the manifest generation
+        extra = halves[0].limit(3).withColumn(
+            "url", F.concat(F.col("url"), F.lit("#nrt-extra"))
+        )
+        append_batch(spark, extra, inc, 1, num_segments=1)
+        lfv.refresh()
+        # still buffered: its own write never committed
+        assert lfv.get(spark, url) == {"doclen": 7}
+        # now the real write lands; stamped + refreshed -> falls through
+        append_batch(spark, halves[1], inc, 2, num_segments=2)
+        lfv.committed()
+        lfv.refresh()
+        assert url not in lfv._pending
+        assert isinstance(lfv.get(spark, url, field="doclen"), int)
 
     def test_miss_returns_none(self, spark, halves, tmp_path):
         from lucene_spark.streaming.nrt import LiveFieldValues
