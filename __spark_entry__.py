@@ -272,6 +272,130 @@ def _fusion_sql(terms: list[str], alpha: float = 0.5, k: int = 10) -> str:
       FROM gt ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _chain_cte(t0: str, t1: str, adjust: int) -> str:
+    """Shared CTEs computing the 2-term crossing chain — the closed
+    form of Lucene's greedy sloppy/interval matchers (see
+    ``lucene_spark.operators.search.pair_boundary_freqs``): with
+    X1 = max(first t0 pos, first t1 pos) and the walker = the other
+    list, repeatedly emit gap = X - pred_walker(X) and hop to
+    X' = succ_walker(X), alternating lists until exhaustion. pred/succ
+    are window functions over the merged position stream; the hops are
+    a recursive CTE (values strictly increase, so it terminates).
+    ``adjust=1`` subtracts the phrase offset from t1 (sloppy adjusted
+    positions); 0 keeps raw positions (intervals). The caller must open
+    with WITH RECURSIVE and provide tok/tokp."""
+    return f"""pos AS (
+  SELECT doc_id, p::BIGINT AS val, 0 AS slot FROM tokp WHERE term = '{t0}'
+  UNION ALL
+  SELECT doc_id, p::BIGINT - {adjust}, 1 FROM tokp WHERE term = '{t1}'
+),
+mg AS (
+  SELECT doc_id, val, slot,
+    max(CASE WHEN slot = 0 THEN val END) OVER
+      (PARTITION BY doc_id ORDER BY val
+       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm0,
+    max(CASE WHEN slot = 1 THEN val END) OVER
+      (PARTITION BY doc_id ORDER BY val
+       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm1,
+    min(CASE WHEN slot = 0 THEN val END) OVER
+      (PARTITION BY doc_id ORDER BY val
+       RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx0,
+    min(CASE WHEN slot = 1 THEN val END) OVER
+      (PARTITION BY doc_id ORDER BY val
+       RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx1
+  FROM pos
+),
+ini AS (
+  SELECT doc_id, greatest(a0, b0) AS val,
+         CASE WHEN a0 <= b0 THEN 1 ELSE 0 END AS slot
+  FROM (SELECT doc_id,
+               min(CASE WHEN slot = 0 THEN val END) AS a0,
+               min(CASE WHEN slot = 1 THEN val END) AS b0
+        FROM pos GROUP BY doc_id)
+  WHERE a0 IS NOT NULL AND b0 IS NOT NULL
+),
+chain AS (
+  SELECT m.doc_id, m.val, m.slot, m.pm0, m.pm1, m.nx0, m.nx1
+  FROM mg m JOIN ini i
+    ON m.doc_id = i.doc_id AND m.val = i.val AND m.slot = i.slot
+  UNION ALL
+  SELECT m.doc_id, m.val, m.slot, m.pm0, m.pm1, m.nx0, m.nx1
+  FROM chain c JOIN mg m
+    ON m.doc_id = c.doc_id AND m.slot = 1 - c.slot
+   AND m.val = CASE WHEN c.slot = 0 THEN c.nx1 ELSE c.nx0 END
+),
+emits AS (
+  SELECT doc_id, slot, val,
+         val - (CASE WHEN slot = 0 THEN pm1 ELSE pm0 END) AS gap
+  FROM chain
+)"""
+
+
+def _sloppy_sql(t0: str, t1: str, slop: int, k: int = 10) -> str:
+    """Sloppy PhraseQuery oracle: chain gaps within slop weigh
+    1/(1+matchLength); the float phrase freq feeds the same pseudo-term
+    BM25 as _phrase_sql."""
+    norm = _norm_len_sql("dl.dl")
+    w = " + ".join(
+        f"ln(1 + (st.n - (SELECT count(DISTINCT doc_id) FROM tok "
+        f"WHERE term = '{t}') + 0.5)/((SELECT count(DISTINCT doc_id) "
+        f"FROM tok WHERE term = '{t}') + 0.5))"
+        for t in (t0, t1)
+    )
+    return f"""WITH RECURSIVE {_TOK}, {_TOKP}, {_DL}, {_ST},
+{_chain_cte(t0, t1, adjust=1)},
+pf AS (
+  SELECT doc_id,
+         sum(CASE WHEN gap <= {slop} THEN 1.0/(1.0 + gap) ELSE 0.0 END) AS pf
+  FROM emits GROUP BY doc_id HAVING pf > 0
+),
+sc AS (SELECT pf.doc_id, ({w}) AS w,
+              1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+              pf.pf AS pf
+       FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st)
+SELECT doc_id, round(w - w/(1 + pf*inv), 6) AS score
+FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
+def _interval_ordered_sql(t0: str, t1: str, k: int = 10) -> str:
+    """Ordered IntervalQuery oracle: ordered minimal intervals are the
+    chain emissions landing on slot 1; freq = sum 1/max(len-1, 1) with
+    len = gap + 1 (minExtent 2), score = 1 - 1/(1 + freq)
+    (IntervalScoreFunction saturation, pivot 1)."""
+    return f"""WITH RECURSIVE {_TOK}, {_TOKP}, {_DL}, {_ST},
+{_chain_cte(t0, t1, adjust=0)},
+fr AS (
+  SELECT doc_id, sum(1.0/greatest(gap, 1)) AS freq
+  FROM emits WHERE slot = 1 GROUP BY doc_id HAVING freq > 0
+)
+SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
+FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
+def _interval_not_containing_sql(
+    t0: str, t1: str, filt: str, k: int = 10
+) -> str:
+    """Unordered (t0, t1) minimal intervals NOT containing any ``filt``
+    occurrence (Intervals.notContaining): every chain emission is an
+    interval [val - gap, val]; drop those with a filt position inside;
+    docs lacking filt keep all their intervals."""
+    return f"""WITH RECURSIVE {_TOK}, {_TOKP}, {_DL}, {_ST},
+{_chain_cte(t0, t1, adjust=0)},
+fpos AS (SELECT doc_id, p::BIGINT AS w FROM tokp WHERE term = '{filt}'),
+kept AS (
+  SELECT e.doc_id, e.gap FROM emits e
+  WHERE NOT EXISTS (SELECT 1 FROM fpos f
+                    WHERE f.doc_id = e.doc_id
+                      AND f.w BETWEEN e.val - e.gap AND e.val)
+),
+fr AS (
+  SELECT doc_id, sum(1.0/greatest(gap, 1)) AS freq
+  FROM kept GROUP BY doc_id HAVING freq > 0
+)
+SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
+FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _multi_phrase_sql(slots: list[list[str]], k: int = 10) -> str:
     """MultiPhraseQuery oracle: per-slot position unions, aligned
     intersection count, idf summed over every term in every slot."""
@@ -1650,9 +1774,13 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY lang
             UNION ALL
             SELECT 0, '', count(*)::BIGINT FROM j""",
-        # sloppy_phrase_top10 / sloppy_repeat_top10 /
-        # interval_ordered_top10 / highlight_top5: intentionally
-        # oracle-less (greedy matcher weights, minimal-interval algebra
-        # and passage selection are not SQL-expressible; bit-exact
-        # python-mirror parity is asserted in tests/).
+        "sloppy_phrase_top10": _sloppy_sql("the", "query", 2),
+        "interval_ordered_top10": _interval_ordered_sql("the", "query"),
+        "interval_not_containing_top10": _interval_not_containing_sql(
+            "the", "query", "window"
+        ),
+        # sloppy_repeat_top10 / highlight_top5: intentionally
+        # oracle-less (the repeats matcher's advanceRpts collision
+        # resolution and passage selection are not SQL-expressible;
+        # bit-exact python-mirror parity is asserted in tests/).
     }

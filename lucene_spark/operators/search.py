@@ -478,6 +478,212 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
     return with_codecs(kernel), out_schema
 
 
+def pair_boundary_freqs(
+    rows0: np.ndarray,
+    val0: np.ndarray,
+    rows1: np.ndarray,
+    val1: np.ndarray,
+    m: int,
+    mode: str,
+    slop: int = 0,
+    min_extent: int = 2,
+    max_width: int | None = None,
+) -> np.ndarray:
+    """Vectorized 2-term sloppy/interval frequencies for ``m`` docs at
+    once — the run-boundary closed form of the sequential matchers.
+
+    For two DISTINCT terms the greedy ``SloppyPhraseMatcher`` emits a
+    candidate exactly at each boundary between a maximal run of one
+    term's (adjusted) positions and the next run of the other term's in
+    the merged sorted order, with matchLength = the difference across
+    the boundary (property-tested against the sequential matcher in
+    tests/test_sloppy.py). Likewise ``OrderedIntervalsSource`` emits
+    precisely the A-run→B-run boundaries and UNORDERED all boundaries
+    (tests/test_intervals.py). One ``lexsort`` over every position of
+    every doc replaces the per-doc interpreted heap loop — the Spark
+    analog of Lucene's per-doc matcher cost, ~50× cheaper in Python.
+
+    ``rows0``/``val0``: doc row-id and position of every term-0
+    occurrence (``val0`` ADJUSTED for sloppy, raw for intervals);
+    ``mode``: 'sloppy' | 'ordered' | 'unordered'. Returns float64
+    freq per row id.
+
+    The closed form (derived from the heap matcher, incl. ties — equal
+    adjusted positions, i.e. exact adjacency): with X1 = max(first A,
+    first B) and the walker = the other list, repeat
+
+        emit  X_k - pred_walker(X_k)   (largest walker value <= X_k)
+        X_{k+1} = succ_walker(X_k)     (smallest walker value > X_k)
+        stop when no successor; the walker alternates each step.
+
+    Ordered intervals emit only when X lands on slot B; the weight is
+    the mode's (sloppy weight 1/(1+len) within slop, interval weight
+    1/max(len - minExtent + 1, 1)). All rows advance their chains in
+    LOCKSTEP over precomputed positional next/prev-opposite arrays, so
+    the per-batch cost is O(total positions · log) for the sort plus
+    O(max chain length) vectorized steps — no per-doc Python.
+    """
+    N = len(rows0) + len(rows1)
+    if N < 2:
+        return np.zeros(m, dtype=np.float64)
+    r = np.concatenate([rows0, rows1])
+    v = np.concatenate([val0, val1])
+    s = np.concatenate(
+        [
+            np.zeros(len(val0), dtype=np.int8),
+            np.ones(len(val1), dtype=np.int8),
+        ]
+    )
+    # ties (equal adjusted position) order slot 0 first — the matcher's
+    # heap key is (position, phrase slot)
+    order = np.lexsort((s, v, r))
+    r, v, s = r[order], v[order], s[order]
+    idx = np.arange(N)
+    BIG = N  # sentinel: no such index
+
+    # next index at-or-after i with slot t (row bound checked at gather)
+    def _next_at_or_after(cond):
+        f = np.where(cond, idx, BIG)
+        return np.minimum.accumulate(f[::-1])[::-1]
+
+    def _prev_at_or_before(cond):
+        f = np.where(cond, idx, -1)
+        return np.maximum.accumulate(f)
+
+    naa = [_next_at_or_after(s == t) for t in (0, 1)]
+    # strictly-after variants (shift left by one)
+    nafter = [
+        np.concatenate([a[1:], [BIG]]) for a in naa
+    ]
+    pab = [_prev_at_or_before(s == t) for t in (0, 1)]
+    pbefore = [np.concatenate([[-1], a[:-1]]) for a in pab]
+
+    def _valid(j, i):
+        ok = j < BIG
+        jj = np.where(ok, j, 0)
+        return ok & (r[jj] == r[i])
+
+    # per-element chain successor: next opposite-slot index with value
+    # STRICTLY greater (a tied partner shares the value -> skip once)
+    opp = 1 - s.astype(np.int64)
+    nxt = np.where(opp == 0, nafter[0], nafter[1])
+    ok = _valid(nxt, idx)
+    j = np.where(ok, nxt, 0)
+    tied = ok & (v[j] == v)
+    # jump one more same-slot successor past the tied partner
+    j2_src = np.where(opp == 0, nafter[0][j], nafter[1][j])
+    nxt = np.where(tied, j2_src, nxt)
+    ok = _valid(nxt, idx)
+    nxt = np.where(ok, nxt, BIG)
+
+    # per-element emission gap: v[i] - largest opposite value <= v[i];
+    # positional prev-opposite, except an A-element whose tied B
+    # partner sorts AFTER it (gap 0)
+    pprev = np.where(opp == 0, pbefore[0], pbefore[1])
+    pok = (pprev >= 0) & (r[np.maximum(pprev, 0)] == r)
+    gap = np.where(pok, v - v[np.maximum(pprev, 0)], np.int64(-1))
+    nxt_adj = np.minimum(idx + 1, N - 1)
+    tie_after = (idx + 1 < N) & (r[nxt_adj] == r) & (v[nxt_adj] == v)
+    gap = np.where(tie_after & (s == 0), 0, gap)
+    emit_ok = gap >= 0
+
+    safe_gap = np.maximum(gap, 0)
+    if mode == "sloppy":
+        w = np.where(
+            emit_ok & (gap <= slop), 1.0 / (1.0 + safe_gap), 0.0
+        )
+    else:
+        ww = 1.0 / np.maximum(safe_gap + 2 - min_extent, 1)
+        sel = emit_ok.copy()
+        if max_width is not None:
+            sel &= gap + 1 <= max_width
+        if mode == "ordered":
+            sel &= s == 1
+        w = np.where(sel, ww, 0.0)
+
+    # chain start per row: the first element's first opposite-slot
+    # successor INCLUDING an equal-value tied partner (init crossing
+    # X1 = max(first A, first B); tie -> the B partner, walker A)
+    row_first = np.concatenate([[True], r[1:] != r[:-1]])
+    starts = idx[row_first]
+    so = 1 - s[starts].astype(np.int64)
+    cur = np.where(so == 0, nafter[0][starts], nafter[1][starts])
+    okc = _valid(cur, starts)
+    cur = np.where(okc, cur, BIG)
+    rows_of = r[starts]
+
+    freq = np.zeros(m, dtype=np.float64)
+    active = cur < BIG
+    cur = cur[active]
+    rows_of = rows_of[active]
+    while len(cur):
+        np.add.at(freq, rows_of, w[cur])
+        cur = nxt[cur]
+        alive = cur < BIG
+        cur = cur[alive]
+        rows_of = rows_of[alive]
+    return freq
+
+
+def _make_pair_freq_kernel(
+    mode: str,
+    slop: int = 0,
+    min_extent: int = 2,
+    max_width: int | None = None,
+):
+    """mapInArrow kernel: the 2-distinct-term fast path of
+    :func:`_make_freq_kernel` — no per-row Python at all; the whole
+    batch goes through :func:`pair_boundary_freqs` as four flat numpy
+    arrays sliced zero-copy out of the Arrow list buffers."""
+    out_schema = pa.schema(
+        [
+            ("segment_id", pa.int64()),
+            ("docid", pa.int64()),
+            ("norm", pa.int32()),
+            ("freq", pa.float64()),
+        ]
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
+                continue
+            segs = batch.column("segment_id").to_numpy(zero_copy_only=False)
+            docs = batch.column("docid").to_numpy(zero_copy_only=False)
+            norms = batch.column("norm").to_numpy(zero_copy_only=False)
+            flats = []
+            for name in ("p0", "p1"):
+                c = batch.column(name)
+                offs = c.offsets.to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                vals = c.values.to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )[offs[0] : offs[-1]]
+                rows = np.repeat(np.arange(m), np.diff(offs))
+                flats.append((rows, vals))
+            (rows0, val0), (rows1, val1) = flats
+            if mode == "sloppy":
+                val1 = val1 - 1  # phrase-slot offset: adjusted = raw - 1
+            out = pair_boundary_freqs(
+                rows0, val0, rows1, val1, m, mode, slop, min_extent, max_width
+            )
+            sel = out > 0.0
+            if sel.any():
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "segment_id": segs[sel],
+                        "docid": docs[sel],
+                        "norm": norms[sel].astype(np.int32),
+                        "freq": out[sel],
+                    },
+                    schema=out_schema,
+                )
+
+    return kernel
+
+
 def _make_freq_kernel(n_terms: int, freq_fn):
     """mapInArrow kernel: (segment_id, docid, norm, p0..p{n-1}) rows →
     (segment_id, docid, norm, freq) keeping rows with freq > 0.
@@ -1379,12 +1585,20 @@ class Searcher(QueryOpsMixin):
         groups = [group_of[t] for t in terms]
         slot_offsets = list(range(n_terms))
 
-        def freq_fn(lists, _o=slot_offsets, _g=groups, _s=slop):
-            return sloppy_phrase_freq_repeats(lists, _o, _g, _s)
+        if n_terms == 2 and len(set(terms)) == 2:
+            # distinct-2-term fast path: run-boundary closed form,
+            # fully vectorized (pair_boundary_freqs)
+            kern = _make_pair_freq_kernel("sloppy", slop=slop)
+        else:
 
-        matched = joined.mapInArrow(
-            _make_freq_kernel(n_terms, freq_fn), schema=_FREQ_DDL
-        ).withColumnRenamed("freq", "phrase_freq")
+            def freq_fn(lists, _o=slot_offsets, _g=groups, _s=slop):
+                return sloppy_phrase_freq_repeats(lists, _o, _g, _s)
+
+            kern = _make_freq_kernel(n_terms, freq_fn)
+
+        matched = joined.mapInArrow(kern, schema=_FREQ_DDL).withColumnRenamed(
+            "freq", "phrase_freq"
+        )
 
         import math
 
@@ -1479,15 +1693,25 @@ class Searcher(QueryOpsMixin):
 
         n_terms = len(terms)
 
-        def freq_fn(lists, _ord=ordered, _n=n_terms, _mw=max_width):
-            iv = (
-                ordered_intervals(lists) if _ord else unordered_intervals(lists)
+        if n_terms == 2 and len(set(terms)) == 2:
+            kern = _make_pair_freq_kernel(
+                "ordered" if ordered else "unordered",
+                min_extent=n_terms,
+                max_width=max_width,
             )
-            return interval_freq(iv, _n, _mw)
+        else:
 
-        matched = joined.mapInArrow(
-            _make_freq_kernel(n_terms, freq_fn), schema=_FREQ_DDL
-        )
+            def freq_fn(lists, _ord=ordered, _n=n_terms, _mw=max_width):
+                iv = (
+                    ordered_intervals(lists)
+                    if _ord
+                    else unordered_intervals(lists)
+                )
+                return interval_freq(iv, _n, _mw)
+
+            kern = _make_freq_kernel(n_terms, freq_fn)
+
+        matched = joined.mapInArrow(kern, schema=_FREQ_DDL)
         score_t = "float" if self.dtype == np.float32 else "double"
         return matched.select(
             "segment_id",

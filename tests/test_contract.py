@@ -88,12 +88,10 @@ def test_every_query_has_entry_or_reason(entrymod):
     assert q - o == {
         # approximate by construction (recall eval in tests/bench):
         "ann_lsh_topk",
-        # not SQL-expressible (greedy matcher weights, minimal-interval
-        # algebra, passage selection) — python-mirror parity in tests/:
-        "sloppy_phrase_top10",
+        # not SQL-expressible (the repeats matcher's advanceRpts
+        # collision resolution; passage selection) — python-mirror
+        # parity in tests/:
         "sloppy_repeat_top10",
-        "interval_ordered_top10",
-        "interval_not_containing_top10",
         "highlight_top5",
     }
 

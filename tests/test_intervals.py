@@ -204,3 +204,58 @@ class TestIntervalAlgebra:
             assert abs(got[d] - expect[d]) <= 1e-6
         if op in ("not_containing", "not_contained_by", "before", "after"):
             assert got, f"{op} should match something on this corpus"
+
+
+class TestPairBoundaryIntervals:
+    """Vectorized 2-term interval closed form == sequential algebra."""
+
+    @staticmethod
+    def _fast(a, b, mode, max_width=None):
+        import numpy as np
+
+        from lucene_spark.operators.search import pair_boundary_freqs
+
+        return float(
+            pair_boundary_freqs(
+                np.zeros(len(a), dtype=np.int64),
+                np.asarray(a, dtype=np.int64),
+                np.zeros(len(b), dtype=np.int64),
+                np.asarray(b, dtype=np.int64),
+                1,
+                mode,
+                min_extent=2,
+                max_width=max_width,
+            )[0]
+        )
+
+    @pytest.mark.parametrize("mode", ["ordered", "unordered"])
+    @pytest.mark.parametrize("seed", range(6))
+    def test_equals_sequential(self, mode, seed):
+        import numpy as np
+
+        from lucene_spark.operators.search import (
+            interval_freq,
+            ordered_intervals,
+            unordered_intervals,
+        )
+
+        rng = np.random.default_rng(seed)
+        for _ in range(300):
+            na = int(rng.integers(1, 9))
+            nb = int(rng.integers(1, 9))
+            raw = rng.permutation(24)[: na + nb]
+            a = sorted(int(x) for x in raw[:na])
+            b = sorted(int(x) for x in raw[na:])
+            mw = (
+                None
+                if rng.integers(0, 2) == 0
+                else int(rng.integers(1, 10))
+            )
+            iv = (
+                ordered_intervals([a, b])
+                if mode == "ordered"
+                else unordered_intervals([a, b])
+            )
+            want = interval_freq(iv, 2, mw)
+            got = self._fast(a, b, mode, max_width=mw)
+            assert got == pytest.approx(want, abs=1e-12), (a, b, mode, mw)

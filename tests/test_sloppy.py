@@ -238,3 +238,76 @@ class TestSloppyRepeats:
         assert expect, "fixture phrase should match some docs"
         for d in got:
             assert abs(got[d] - expect[d]) <= 1e-6
+
+
+class TestPairBoundaryFastPath:
+    """The vectorized 2-distinct-term closed form must equal the
+    sequential greedy matcher on arbitrary inputs (this is the
+    equivalence the Spark fast path relies on)."""
+
+    @staticmethod
+    def _fast(a, b, slop):
+        from lucene_spark.operators.search import pair_boundary_freqs
+
+        return float(
+            pair_boundary_freqs(
+                np.zeros(len(a), dtype=np.int64),
+                np.asarray(a, dtype=np.int64),
+                np.zeros(len(b), dtype=np.int64),
+                np.asarray(b, dtype=np.int64),
+                1,
+                "sloppy",
+                slop=slop,
+            )[0]
+        )
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_equals_sequential_matcher(self, seed):
+        from lucene_spark.operators.search import sloppy_phrase_freq_repeats
+
+        rng = np.random.default_rng(seed)
+        for _ in range(300):
+            na = int(rng.integers(1, 9))
+            nb = int(rng.integers(1, 9))
+            # raw positions per term are distinct; two different terms
+            # never share a raw position in one doc
+            raw = rng.permutation(24)[: na + nb]
+            a_raw = sorted(int(x) for x in raw[:na])
+            b_raw = sorted(int(x) for x in raw[na:])
+            slop = int(rng.integers(0, 7))
+            want = sloppy_phrase_freq_repeats(
+                [a_raw, b_raw], [0, 1], [0, 1], slop
+            )
+            # fast path consumes adjusted positions (slot1 - 1)
+            got = self._fast(a_raw, [p - 1 for p in b_raw], slop)
+            assert got == pytest.approx(want, abs=1e-12), (
+                a_raw,
+                b_raw,
+                slop,
+                want,
+                got,
+            )
+
+    def test_empty_list_is_zero(self):
+        assert self._fast([], [3, 4], 5) == 0.0
+        assert self._fast([1], [], 5) == 0.0
+
+    def test_multi_row_batch_isolated(self):
+        """Rows in one batch must not leak positions into each other."""
+        from lucene_spark.operators.search import (
+            pair_boundary_freqs,
+            sloppy_phrase_freq_repeats,
+        )
+
+        rows0 = np.array([0, 0, 1, 2], dtype=np.int64)
+        val0 = np.array([0, 5, 2, 7], dtype=np.int64)
+        rows1 = np.array([0, 1, 1, 2], dtype=np.int64)
+        val1 = np.array([1, 0, 3, 6], dtype=np.int64)
+        out = pair_boundary_freqs(rows0, val0, rows1, val1, 3, "sloppy", slop=3)
+        for r in range(3):
+            a = val0[rows0 == r].tolist()
+            b = val1[rows1 == r].tolist()
+            want = sloppy_phrase_freq_repeats(
+                [a, [p + 1 for p in b]], [0, 1], [0, 1], 3
+            )
+            assert out[r] == pytest.approx(want, abs=1e-12)
