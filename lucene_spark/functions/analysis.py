@@ -3,19 +3,16 @@
 Re-expresses Lucene's StandardAnalyzer pipeline
 (``core/analysis/standard/StandardAnalyzer.java:85-96``):
 
-- **Tokenizer**: a UAX#29 word-break subset implemented as one compiled
-  regex, covering the token classes StandardTokenizer emits
-  (``core/analysis/standard/StandardTokenizer.java:52-76``):
-  ALPHANUM (letter/digit runs with UAX#29 MidLetter/MidNumLet between
-  letters and MidNum between digits), NUM, HANGUL runs, KATAKANA runs,
-  HIRAGANA single chars, IDEOGRAPHIC single chars, and basic EMOJI
-  sequences. It is not the full JFlex DFA
-  (``StandardTokenizerImpl.jflex``); the deviation surface is exotic
-  Unicode word-break edge cases, which are pinned by golden tests for
-  the cases we guarantee. Byte-identity per url holds on the target
-  corpus.
-- **maxTokenLength=255**: oversized tokens are *split* into 255-char
-  chunks, not dropped (``StandardTokenizer.java:163-168`` semantics).
+- **Tokenizer**: the genuine Unicode 12.1 UAX#29 word-break DFA
+  (``functions/uax29.py``): Lucene's JFlex-compiled tables driven by a
+  lockstep-vectorized scanner, byte-identical to
+  ``StandardTokenizerImpl`` on 1994 golden fixtures generated from the
+  Java scanner itself (tests/fixtures/uax29_golden.jsonl.gz, incl.
+  emoji ZWJ/flag/skin-tone sequences, CJK, mixed scripts, astral
+  chars straddling the scan window, and random Unicode fuzz).
+- **maxTokenLength=255**: the 255-UTF-16-unit scan buffer chunks
+  over-long runs into 255-unit tokens (``ZZ_BUFFERSIZE`` exhaustion
+  reads as EOF mid-match — ``StandardTokenizerImpl.java:755-772``).
 - **LowerCaseFilter**: Java per-codepoint ``Character.toLowerCase``
   simple mapping (``core/analysis/LowerCaseFilter.java:38``). Python's
   ``str.lower`` applies SpecialCasing full mappings; the only
@@ -42,32 +39,6 @@ ENGLISH_STOP_WORDS = frozenset(
 
 MAX_TOKEN_LENGTH = 255
 
-# --- UAX#29 subset, one alternation ordered longest-class-first -------------
-# MidLetter (':', U+2027, apostrophes) and MidNumLet ('.', ''') may join
-# letter runs; MidNum (',', '.', ';', ':') joins digit runs. Lookahead
-# ensures the joiner is *between* two word chars, per UAX#29 WB6/7/11/12.
-_LETTER = r"[^\W\d_]"  # unicode letter
-_ALNUM = r"[^\W_]"  # unicode letter or digit
-_WORD = (
-    rf"{_ALNUM}(?:{_ALNUM}|[''’ʼ.:‧,](?={_ALNUM}))*"
-)
-_HANGUL = r"[가-힣ᄀ-ᇿ]+"
-_KATAKANA = r"[゠-ヿㇰ-ㇿ]+"
-_HIRAGANA = r"[぀-ゟ]"
-_IDEOGRAPH = r"[一-鿿㐀-䶿豈-﫿\U00020000-\U0002EBEF]"
-_EMOJI = (
-    # regional-indicator pairs (flags) bind pairwise per UAX#29 GB12/13
-    r"(?:[\U0001F1E6-\U0001F1FF]{2})"
-    r"|(?:[\U0001F300-\U0001FAFF☀-➿]"
-    r"[️\U0001F3FB-\U0001F3FF]?"
-    r"(?:‍[\U0001F300-\U0001FAFF☀-➿][️]?)*)"
-)
-
-# hangul/katakana/hiragana/ideograph/emoji before the generic word class so
-# CJK does not get swallowed into letter runs
-_TOKEN_RE = re.compile(
-    f"{_EMOJI}|{_HANGUL}|{_KATAKANA}|{_HIRAGANA}|{_IDEOGRAPH}|{_WORD}"
-)
 
 
 def _java_lower(token: str) -> str:
@@ -88,15 +59,23 @@ def _java_lower(token: str) -> str:
     return "".join(out)
 
 
-# fast path: for text made only of lowercase ASCII alphanumerics and
-# spaces, the UAX#29 tokenizer degenerates to whitespace split (every
-# [a-z0-9]+ run is one ALPHANUM token; no mid-joiners, nothing to
-# lowercase). str.split is ~5x the regex iterator's throughput.
-_FAST_SAFE_RE = re.compile(r"[a-z0-9 ]*\Z")
+# fast path: for text made only of ASCII alphanumerics and whitespace,
+# the UAX#29 DFA degenerates to whitespace split (every [A-Za-z0-9]+
+# run is one ALPHANUM token — no MidLetter/MidNum joiners present, and
+# the 255-chunking is reproduced below). str.split is ~50x the
+# lockstep scanner's throughput; equivalence is fuzz-asserted in
+# tests/test_analysis.py.
+_FAST_SAFE_RE = re.compile(r"[A-Za-z0-9 \t\r\n]*\Z")
 
 
 def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
-    """Raw tokenizer: returns surface tokens (pre-lowercase, pre-stop)."""
+    """Raw tokenizer: returns surface tokens (pre-lowercase, pre-stop).
+
+    Byte-identical to Lucene's StandardTokenizer: the JFlex UAX#29 DFA
+    (functions/uax29.py) with the 255-UTF-16-unit scan window that
+    chunks over-long runs. Texts of ``[a-z0-9 ]`` only take the
+    whitespace-split fast path, which provably equals the DFA there
+    (alnum runs with no MidLetter/MidNum joiners; same 255-chunking)."""
     if not text:
         return []
     if _FAST_SAFE_RE.match(text):
@@ -108,16 +87,9 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
             for i in range(0, len(tok), max_token_length):
                 out.append(tok[i : i + max_token_length])
         return out
-    out: list[str] = []
-    for m in _TOKEN_RE.finditer(text):
-        tok = m.group(0)
-        if len(tok) <= max_token_length:
-            out.append(tok)
-        else:
-            # oversized tokens are split, not dropped
-            for i in range(0, len(tok), max_token_length):
-                out.append(tok[i : i + max_token_length])
-    return out
+    from .uax29 import tokenize_dfa
+
+    return tokenize_dfa(text, max_token_length)[0]
 
 
 def tokenize_with_offsets(
@@ -126,19 +98,16 @@ def tokenize_with_offsets(
     """(surface_token, start_char, end_char) triples — the
     OffsetAttribute view of the token stream, used by highlighting
     (re-analysis offset source, like UnifiedHighlighter when offsets
-    are not indexed). Oversized tokens split with sub-offsets."""
+    are not indexed). Over-long runs chunk with sub-offsets (the DFA
+    scan window)."""
     if not text:
         return []
-    out: list[tuple[str, int, int]] = []
-    for m in _TOKEN_RE.finditer(text):
-        tok = m.group(0)
-        if len(tok) <= max_token_length:
-            out.append((tok, m.start(), m.end()))
-        else:
-            for i in range(0, len(tok), max_token_length):
-                part = tok[i : i + max_token_length]
-                out.append((part, m.start() + i, m.start() + i + len(part)))
-    return out
+    from .uax29 import segment_batch
+
+    return [
+        (text[s:e], s, e)
+        for (s, e, _a) in segment_batch([text], window=max_token_length)[0]
+    ]
 
 
 def analyze(
@@ -172,19 +141,48 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False):
     """Batch analyze a pandas Series of strings.
 
     Returns (list_of_term_lists, list_of_position_lists) — the batch
-    entry point used inside Arrow UDFs (compiled-regex per row, no
-    Python-level tokenization inner loops beyond the match iterator).
+    entry point used inside Arrow UDFs (one lockstep DFA pass for the
+    whole batch; fast whitespace split for plain-ASCII rows).
     ``stem=True`` appends the Porter stemmer (EnglishAnalyzer chain).
     """
-    terms_col = []
-    pos_col = []
     stop = stopwords if stopwords is not None else frozenset()
     if stem:
         from .stemmer import porter_stem
-    for text in texts:
-        t, p = analyze(text if isinstance(text, str) else "", stop, lowercase)
-        if stem:
-            t = [porter_stem(x) for x in t]
-        terms_col.append(t)
-        pos_col.append(p)
+    items = [t if isinstance(t, str) else "" for t in texts]
+    # partition: [a-z0-9 ]-only rows split directly; everything else
+    # goes through ONE lockstep DFA batch (functions/uax29.py) so the
+    # vectorized scanner amortizes across the whole Arrow batch
+    tok_lists: list[list[str] | None] = [None] * len(items)
+    dfa_rows: list[int] = []
+    dfa_texts: list[str] = []
+    for i, t in enumerate(items):
+        if not t:
+            tok_lists[i] = []
+        elif _FAST_SAFE_RE.match(t):
+            tok_lists[i] = tokenize(t)
+        else:
+            dfa_rows.append(i)
+            dfa_texts.append(t)
+    if dfa_rows:
+        from .uax29 import tokenize_dfa_batch
+
+        toks_b, _incs = tokenize_dfa_batch(dfa_texts)
+        for i, tl in zip(dfa_rows, toks_b):
+            tok_lists[i] = tl
+    terms_col = []
+    pos_col = []
+    for toks in tok_lists:
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(toks):
+            if lowercase:
+                tok = _java_lower(tok)
+            if tok in stop:
+                continue
+            if stem:
+                tok = porter_stem(tok)
+            terms.append(tok)
+            positions.append(pos)
+        terms_col.append(terms)
+        pos_col.append(positions)
     return terms_col, pos_col

@@ -1,0 +1,247 @@
+"""Byte-identical UAX#29 word-break tokenizer (Unicode 12.1).
+
+Drives the exact DFA Lucene's StandardTokenizer uses: the JFlex-
+compiled Unicode 12.1 word-break tables shipped as pure data in
+``core/analysis/standard/StandardTokenizerImpl.java:64-559`` (the
+``ZZ_*`` constants, decoded once by ``tools/extract_uax29_dfa.py``
+into ``uax29_dfa.npz``). The scanner itself is original: instead of
+Java's per-document char loop
+(``StandardTokenizerImpl.java:959-1030``), every document in a batch
+advances through the DFA in LOCKSTEP — one numpy gather per step for
+all live documents — so the Python interpreter cost is per *step
+column*, not per character.
+
+Semantics mirrored exactly:
+
+- max-munch longest match with backtracking to the last accepting
+  state (``zzMarkedPos``), resuming the next scan at the match end;
+- code-point input (surrogate pairs = one step) with the two-level
+  cmap (``StandardTokenizerImpl.java:739-745``);
+- action classes: 1 ignored, 2..9 emit NUM/WORD/EMOJI/SEA/HANGUL/
+  IDEOGRAPHIC/KATAKANA/HIRAGANA (``:1040-1100``);
+- the 255-UTF-16-unit scan buffer (``ZZ_BUFFERSIZE``,
+  ``StandardTokenizer.setMaxTokenLength`` keeps it == maxTokenLength):
+  a match reaching the window limit terminates as if at EOF
+  (``zzRefill`` returns true when no room is left before the match
+  start), CHUNKING long runs into <=255-unit tokens exactly like the
+  Java scanner; the ``yylength() > maxTokenLength`` drop-with-gap
+  branch (``StandardTokenizer.java:152-174``) is therefore
+  unreachable at default settings but still mirrored.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_NPZ = os.path.join(os.path.dirname(__file__), "uax29_dfa.npz")
+
+# token-type actions in the generated switch (StandardTokenizerImpl
+# .java:1040-1100); 1 = "not a token, ignore"
+ACTION_NUM = 2
+ACTION_WORD = 3
+ACTION_EMOJI = 4
+ACTION_SEA = 5
+ACTION_HANGUL = 6
+ACTION_IDEOGRAPHIC = 7
+ACTION_KATAKANA = 8
+ACTION_HIRAGANA = 9
+
+_tables = None
+
+
+def _load():
+    global _tables
+    if _tables is None:
+        z = np.load(_NPZ)
+        _tables = (
+            z["cmap_top"].astype(np.int32),
+            z["cmap_blocks"].astype(np.int32),
+            z["action"].astype(np.int32),
+            z["rowmap"].astype(np.int32),
+            z["trans"].astype(np.int32),
+            z["attribute"].astype(np.int32),
+        )
+    return _tables
+
+
+def codepoint_classes(cp: np.ndarray) -> np.ndarray:
+    """Vectorized two-level cmap: code point -> DFA character class
+    (``StandardTokenizerImpl.java:739-745``)."""
+    cmap_top, cmap_blocks, *_ = _load()
+    off = cp & 255
+    idx = np.where(cp == off, off, cmap_top[cp >> 8] | off)
+    return cmap_blocks[idx]
+
+
+def segment_batch(
+    texts: list[str],
+    window: int = 255,
+) -> list[list[tuple[int, int, int]]]:
+    """Tokenize a batch of strings with the Lucene DFA, all documents
+    in lockstep. Returns per document a list of
+    (start, end, action) spans in CODE POINT offsets (Python string
+    indices), action one of ACTION_*.
+
+    ``window`` is the scan-buffer size in UTF-16 units (Lucene's
+    ZZ_BUFFERSIZE == maxTokenLength): a match attempt that would read
+    past ``window`` units from its start sees EOF instead, chunking
+    long runs exactly like the Java scanner.
+    """
+    _, _, zz_action, rowmap, trans, attr = _load()
+    n = len(texts)
+    if n == 0:
+        return []
+    # flat code-point buffer + per-doc windows: ONE encode of the
+    # whole batch (len(str) == UTF-32 unit count, so doc windows are
+    # exact)
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    starts_flat = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    joined = "".join(texts)
+    flat = np.frombuffer(
+        joined.encode("utf-32-le"), dtype="<u4"
+    ).astype(np.int32)
+    classes = codepoint_classes(flat) if len(flat) else flat
+    widths = (1 + (flat > 0xFFFF)).astype(np.int64)  # UTF-16 units
+
+    # lane state (doc-local code-point offsets)
+    lanes = np.arange(n)
+    st = np.zeros(n, dtype=np.int32)
+    cur = np.zeros(n, dtype=np.int64)
+    tok_start = np.zeros(n, dtype=np.int64)
+    marked = np.zeros(n, dtype=np.int64)
+    action = np.full(n, -1, dtype=np.int32)
+    u16 = np.zeros(n, dtype=np.int64)
+
+    out_doc: list[np.ndarray] = []
+    out_start: list[np.ndarray] = []
+    out_end: list[np.ndarray] = []
+    out_act: list[np.ndarray] = []
+
+    alive = lanes[lens > 0]
+    st, cur, tok_start, marked, action, u16, doc_lens, base = (
+        st[alive],
+        cur[alive],
+        tok_start[alive],
+        marked[alive],
+        action[alive],
+        u16[alive],
+        lens[alive],
+        starts_flat[alive],
+    )
+    while len(alive):
+        eof = cur >= doc_lens
+        safe = np.where(eof, 0, cur)
+        cls = classes[base + safe]
+        w = widths[base + safe]
+        # scan-buffer exhaustion reads as EOF (zzRefill "no room")
+        stop = eof | (~eof & (u16 + w > window))
+        nxt = np.where(stop, -2, trans[rowmap[st] + cls])
+        ok = nxt >= 0
+        # consume: advance, record acceptance
+        st = np.where(ok, np.maximum(nxt, 0), st)
+        cur = cur + ok
+        u16 = u16 + np.where(ok, w, 0)
+        a = attr[st]
+        acc = ok & ((a & 1) == 1)
+        action = np.where(acc, st, action)
+        marked = np.where(acc, cur, marked)
+        hard = acc & ((a & 8) == 8)
+        brk = stop | (nxt == -1) | hard
+
+        if brk.any():
+            b = brk.nonzero()[0]
+            # finished docs consumed nothing at EOF
+            done = eof[b] & (tok_start[b] == cur[b])
+            emit_rows = b[~done]
+            if len(emit_rows):
+                act_state = action[emit_rows]
+                # catch-all [^] rule: action >= 0 whenever chars were
+                # consumed; guard against a malformed table anyway
+                mapped = np.where(
+                    act_state >= 0, zz_action[np.maximum(act_state, 0)], 1
+                )
+                is_tok = mapped >= 2
+                t = emit_rows[is_tok]
+                if len(t):
+                    out_doc.append(alive[t])
+                    out_start.append(tok_start[t])
+                    out_end.append(marked[t])
+                    out_act.append(mapped[is_tok])
+                # resume the next scan at the match end
+                tok_start[emit_rows] = marked[emit_rows]
+                cur[emit_rows] = marked[emit_rows]
+                st[emit_rows] = 0
+                action[emit_rows] = -1
+                u16[emit_rows] = 0
+            if done.any():
+                keep = np.ones(len(alive), dtype=bool)
+                keep[b[done]] = False
+                alive = alive[keep]
+                st, cur, tok_start, marked, action, u16, doc_lens, base = (
+                    st[keep],
+                    cur[keep],
+                    tok_start[keep],
+                    marked[keep],
+                    action[keep],
+                    u16[keep],
+                    doc_lens[keep],
+                    base[keep],
+                )
+
+    spans: list[list[tuple[int, int, int]]] = [[] for _ in range(n)]
+    if out_doc:
+        d = np.concatenate(out_doc)
+        s = np.concatenate(out_start)
+        e = np.concatenate(out_end)
+        a = np.concatenate(out_act)
+        order = np.lexsort((s, d))
+        dl = d[order].tolist()
+        sl = s[order].tolist()
+        el = e[order].tolist()
+        al = a[order].tolist()
+        for i in range(len(dl)):
+            spans[dl[i]].append((sl[i], el[i], al[i]))
+    return spans
+
+
+def tokenize_dfa(
+    text: str, max_token_length: int = 255
+) -> tuple[list[str], list[int]]:
+    """Single-string convenience wrapper: (tokens, position_increments)
+    with over-long tokens dropped as position gaps."""
+    toks, incs = tokenize_dfa_batch([text], max_token_length)
+    return toks[0], incs[0]
+
+
+def tokenize_dfa_batch(
+    texts: list[str], max_token_length: int = 255
+) -> tuple[list[list[str]], list[list[int]]]:
+    """Batch tokenization: per doc (token_texts, position_increments).
+
+    ``position_increments[i]`` is the Lucene PositionIncrement of token
+    i (1 + tokens dropped immediately before it for exceeding
+    ``max_token_length`` UTF-16 units)."""
+    spans = segment_batch(texts, window=max_token_length)
+    all_toks: list[list[str]] = []
+    all_incs: list[list[int]] = []
+    for text, doc_spans in zip(texts, spans):
+        toks: list[str] = []
+        incs: list[int] = []
+        gap = 1
+        for s, e, _a in doc_spans:
+            tok = text[s:e]
+            # yylength is UTF-16 units: astral code points count twice
+            n16 = len(tok) if tok.isascii() else (
+                len(tok) + sum(1 for ch in tok if ord(ch) > 0xFFFF)
+            )
+            if n16 > max_token_length:
+                gap += 1
+                continue
+            toks.append(tok)
+            incs.append(gap)
+            gap = 1
+        all_toks.append(toks)
+        all_incs.append(incs)
+    return all_toks, all_incs
