@@ -32,11 +32,15 @@ Query lifecycle (SURVEY.md §3.2 mapped to Spark):
 
 from __future__ import annotations
 
+import functools
+import operator
+
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import FloatType
+from pyspark.sql.window import Window
 
 from ..functions import bm25
 from ..functions.analysis import analyze
@@ -72,6 +76,18 @@ def _unpack_ddl(dtype) -> str:
         "term string, segment_id long, block_id long, docid long, "
         f"freq int, norm int, score {score_t}, positions array<int>"
     )
+
+
+def _merge_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Coalesce overlapping/adjacent [lo, hi] docid intervals so the
+    seed predicates stay short (≤ n_anchor disjuncts, usually fewer)."""
+    out: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return [(lo, hi) for lo, hi in out]
 
 
 def _shift_positions(col, off: int):
@@ -1301,6 +1317,7 @@ class Searcher(QueryOpsMixin):
         must_not: list[str] | None = None,
         min_should_match: int = 0,
         k: int = 10,
+        leapfrog: bool | None = None,
     ) -> DataFrame:
         """Top-k BooleanQuery with block-max pruning — the WAND /
         MAXSCORE default execution generalized to the distributed
@@ -1309,17 +1326,22 @@ class Searcher(QueryOpsMixin):
         ``BooleanScorerSupplier.java:197-225``).
 
         1. metadata pass: per-block upper bounds from impact skylines
-           (no posting bytes) + per-term global max UB (driver dict).
-        2. conjunction leapfrog (MUST only): the rarest clause's live
+           (no posting bytes); ONE collect of the per-term top blocks
+           yields both the per-term global max UB (driver dict) and
+           the θ seed anchors.
+        2. conjunction leapfrog (MUST only, cost-gated on lead
+           sparsity vs the bucket grid): the rarest clause's live
            docids D are bucketized (8K docids = level-1 skip span) and
            every other clause's blocks semi-join D's buckets — the
            ConjunctionDISI lead-iterator analog, fully distributed.
-        3. θ seeding: unpack only the k most-promising blocks; θ = the
-           k-th best per-doc partial sum among seed docs that already
-           satisfy MUST/msm *within the seed* (a subset match implies a
-           global match, and a partial sum lower-bounds the total, so
-           θ lower-bounds the true k-th score — with must_not, seeds
-           are excluded first for the same reason).
+           The decoded lead rows are reused by steps 3 and 4.
+        3. θ seeding, docid-range-aligned: decode every clause's
+           blocks overlapping the anchor blocks' docid ranges, so seed
+           docs carry full scores and genuine MUST/msm qualification;
+           θ = the k-th best per-doc sum among qualifying seed docs (a
+           range-edge doc may under-count, which only lowers θ, so θ
+           lower-bounds the true k-th score — with must_not, seeds are
+           excluded first for the same reason).
         4. pruned pass: skip term t's block when
            ``ub_block + Σ_{t'≠t} max_ub(t') < θ``. Any doc that loses a
            clause contribution this way has total < θ, hence is not in
@@ -1327,6 +1349,9 @@ class Searcher(QueryOpsMixin):
            (their bound ≥ their total ≥ θ), so returned scores are
            exact and the (score desc, docid asc) order is identical to
            the exhaustive path.
+
+        ``leapfrog``: None = auto (doc_freq(lead) < bucket count);
+        True/False force the step-2 plan for tests.
         """
         should = list(should or [])
         must = list(must or [])
@@ -1352,37 +1377,70 @@ class Searcher(QueryOpsMixin):
         n_must = len(must_set & set(stats))
         msm = min_should_match
 
-        # the metadata view is re-read by the max-UB aggregate, the θ
+        # the metadata view is re-read by the anchor collect, the θ
         # seed, and the pruned pass — persist it once (MEMORY_AND_DISK:
         # block metadata is ~50 B/block, spilling if a term is huge)
         meta = self._block_meta(present, scorers).persist()
 
-        # -- 2. conjunction leapfrog against the rarest MUST clause
-        base_meta = meta
-        if must_set:
-            rarest = min(must_set & set(stats), key=lambda t: stats[t][0])
-            lead_keys = meta.where(F.col("term") == rarest).select(
-                "term", "segment_id", "block_id"
-            )
-            lead_docs = self._unpack_blocks(lead_keys, scorers, [rarest])
-            b = F.lit(self._BUCKET)
-            lead_buckets = lead_docs.select(
-                "segment_id", (F.col("docid") / b).cast("long").alias("bucket")
-            ).distinct()
-            others = self._bucketize_blocks(
-                meta.where(F.col("term") != rarest)
-            ).join(lead_buckets, ["segment_id", "bucket"], "left_semi")
-            meta = meta.where(F.col("term") == rarest).unionByName(
-                others.drop("bucket").distinct()
-            ).persist()
-
-        # -- 1b. per-term global max UB -> rest-of-clauses bound
-        max_ub = {
-            r["term"]: float(r["mx"])
-            for r in meta.groupBy("term").agg(F.max("ub").alias("mx")).collect()
-        }
+        # -- 1b. ONE collect over the metadata: the per-term top blocks
+        # by ub give BOTH the per-term global max UB (rest-of-clauses
+        # bound) and the θ seed anchors — the previous revision paid a
+        # separate max-UB aggregate plus a seed-key job for the same
+        # information.
+        n_anchor = max(k, 8)
+        wnd = Window.partitionBy("term").orderBy(
+            F.desc("ub"), F.asc("segment_id"), F.asc("block_id")
+        )
+        top_rows = (
+            meta.withColumn("_rn", F.row_number().over(wnd))
+            .where(F.col("_rn") <= n_anchor)
+            .drop("_rn")
+            .collect()
+        )
+        max_ub: dict[str, float] = {}
+        by_term: dict[str, list] = {}
+        for r in top_rows:
+            max_ub[r["term"]] = max(max_ub.get(r["term"], 0.0), float(r["ub"]))
+            by_term.setdefault(r["term"], []).append(r)
         total_ub = sum(max_ub.values())
         rest = {t: total_ub - max_ub.get(t, 0.0) for t in present}
+
+        # -- 2. conjunction leapfrog against the rarest MUST clause —
+        # cost-gated (ConjunctionDISI picks its lead the same way): the
+        # bucket semi-join only pays off when the lead clause is sparse
+        # relative to the 8K-docid bucket grid; a frequent lead touches
+        # every bucket, so the join prunes nothing and its ~2 extra
+        # jobs are pure overhead. When it runs, the decoded lead rows
+        # are kept and reused by the θ seed and the final pass (the
+        # previous revision decoded the lead clause twice).
+        base_meta = meta
+        lead_rows = None
+        rarest = None
+        if must_set:
+            rarest = min(must_set & set(stats), key=lambda t: stats[t][0])
+            n_buckets = max(
+                1, int(self.field_stats["doc_count"]) // self._BUCKET
+            )
+            if leapfrog is None:
+                leapfrog = stats[rarest][0] < n_buckets
+            if leapfrog:
+                lead_keys = meta.where(F.col("term") == rarest).select(
+                    "term", "segment_id", "block_id"
+                )
+                lead_rows = self._unpack_blocks(
+                    lead_keys, scorers, [rarest]
+                ).persist()
+                b = F.lit(self._BUCKET)
+                lead_buckets = lead_rows.select(
+                    "segment_id",
+                    (F.col("docid") / b).cast("long").alias("bucket"),
+                ).distinct()
+                others = self._bucketize_blocks(
+                    meta.where(F.col("term") != rarest)
+                ).join(lead_buckets, ["segment_id", "bucket"], "left_semi")
+                meta = meta.where(F.col("term") == rarest).unionByName(
+                    others.drop("bucket").distinct()
+                ).persist()
 
         def _qualify(agg: DataFrame) -> DataFrame:
             cond = F.lit(True)
@@ -1419,17 +1477,103 @@ class Searcher(QueryOpsMixin):
             ).distinct()
             return cand.join(excl, ["segment_id", "docid"], "left_anti")
 
-        # -- 3. θ from the k most promising blocks
-        seed_keys = meta.orderBy(F.desc("ub")).limit(k)
-        seed_rows = self._unpack_blocks(seed_keys, scorers, present)
-        seed_cand = _exclude(_qualify(_agg_docs(seed_rows)))
-        kth = (
-            seed_cand.select("score_acc")
-            .orderBy(F.desc("score_acc"))
-            .limit(k)
-            .collect()
-        )
-        theta = float(kth[-1]["score_acc"]) if len(kth) == k else None
+        # -- 3. θ seed, docid-range-aligned: decode EVERY present
+        # term's blocks overlapping the anchor blocks' docid ranges
+        # (anchors = the rarest MUST clause's top blocks, or the global
+        # top blocks for pure disjunctions), so seed docs carry their
+        # FULL scores and genuine MUST/msm qualification. The previous
+        # global-top-k-block seed almost never produced k conjunctive
+        # matches — θ stayed None and the "pruned" pass decoded
+        # everything. Docs straddling a range edge may under-count
+        # must_cnt or score; both errors only shrink the seed set /
+        # lower θ, so θ remains a valid lower bound of the true k-th
+        # score (every seed doc's true score ≥ its seed partial sum).
+        theta = None
+        if n_must == 0 and msm == 0:
+            # pure disjunction: every decoded doc qualifies, so the
+            # cheap seed — the k highest-ub blocks alone, θ from
+            # per-doc partial sums — already lands a θ; the range
+            # machinery below would decode far more for no better
+            # bound.
+            seed_keys = meta.orderBy(F.desc("ub")).limit(k)
+            seed_rows = self._unpack_blocks(seed_keys, scorers, present)
+            seed_cand = _exclude(_agg_docs(seed_rows))
+            kth = (
+                seed_cand.select("score_acc")
+                .orderBy(F.desc("score_acc"))
+                .limit(k)
+                .collect()
+            )
+            theta = float(kth[-1]["score_acc"]) if len(kth) == k else None
+            ranges = []
+        else:
+            if rarest is not None:
+                anchor_rows = by_term.get(rarest, [])
+            else:
+                anchor_rows = list(top_rows)
+            anchor_rows = sorted(anchor_rows, key=lambda r: -float(r["ub"]))
+            # adaptive anchor count: stop once the expected number of
+            # qualifying docs inside the seed ranges comfortably
+            # exceeds k (independence estimate — it only sizes the
+            # seed, never affects correctness)
+            n_total = max(1, int(self.field_stats["doc_count"]))
+            p = 1.0
+            for t in must_set & set(stats):
+                p *= stats[t][0] / n_total
+            if msm > 0:
+                sdfs = sorted(
+                    (stats[t][0] for t in present if t not in must_set),
+                    reverse=True,
+                )
+                for df_t in sdfs[:msm]:
+                    p *= df_t / n_total
+            picked, width = [], 0
+            for r in anchor_rows[:n_anchor]:
+                picked.append(r)
+                width += int(r["last_docid"]) - int(r["first_docid"]) + 1
+                if width * p >= 4 * k:
+                    break
+            ranges = _merge_ranges(
+                [
+                    (int(r["first_docid"]), int(r["last_docid"]))
+                    for r in picked
+                ]
+            )
+        if ranges:
+            overlap = functools.reduce(
+                operator.or_,
+                [
+                    (F.col("first_docid") <= hi) & (F.col("last_docid") >= lo)
+                    for lo, hi in ranges
+                ],
+            )
+            in_range = functools.reduce(
+                operator.or_,
+                [F.col("docid").between(lo, hi) for lo, hi in ranges],
+            )
+            seed_parts = []
+            seed_terms = present
+            if lead_rows is not None:
+                seed_parts.append(lead_rows.where(in_range))
+                seed_terms = [t for t in present if t != rarest]
+                seed_meta = meta.where(overlap & (F.col("term") != rarest))
+            else:
+                seed_meta = meta.where(overlap)
+            if seed_terms:
+                seed_parts.append(
+                    self._unpack_blocks(seed_meta, scorers, seed_terms)
+                )
+            seed_rows = functools.reduce(
+                lambda a, c: a.unionByName(c), seed_parts
+            )
+            seed_cand = _exclude(_qualify(_agg_docs(seed_rows)))
+            kth = (
+                seed_cand.select("score_acc")
+                .orderBy(F.desc("score_acc"))
+                .limit(k)
+                .collect()
+            )
+            theta = float(kth[-1]["score_acc"]) if len(kth) == k else None
 
         # -- 4. pruned full pass
         pruned = meta
@@ -1444,7 +1588,22 @@ class Searcher(QueryOpsMixin):
             ).drop("rest")
         elif theta is not None:
             pruned = meta.where(F.col("ub") >= theta)
-        rows = self._unpack_blocks(pruned, scorers, present)
+        if lead_rows is not None:
+            # the lead clause is already decoded — never re-unpack it
+            # (keeping all its rows is safe: a pruned block only names
+            # docs whose total < θ, which the final top-k drops anyway)
+            other_terms = [t for t in present if t != rarest]
+            rows = lead_rows
+            if other_terms:
+                rows = rows.unionByName(
+                    self._unpack_blocks(
+                        pruned.where(F.col("term") != rarest),
+                        scorers,
+                        other_terms,
+                    )
+                )
+        else:
+            rows = self._unpack_blocks(pruned, scorers, present)
         agg = _exclude(_qualify(_agg_docs(rows)))
         cast_t = FloatType() if self.dtype == np.float32 else "double"
         scored = agg.select(
@@ -1458,6 +1617,8 @@ class Searcher(QueryOpsMixin):
         meta.unpersist()
         if meta is not base_meta:
             base_meta.unpersist()
+        if lead_rows is not None:
+            lead_rows.unpersist()
         return self.spark.createDataFrame(out, final.schema)
 
     def scored_phrase(self, terms: list[str]) -> DataFrame:

@@ -50,6 +50,25 @@ class TestBlockMaxBoolean:
             )
             assert got == want
 
+    @pytest.mark.parametrize(
+        "case",
+        [
+            dict(must=["window", "spark"]),
+            dict(must=["the", "window"]),
+            dict(must=["window"], should=["spark"], must_not=["the"]),
+        ],
+    )
+    def test_leapfrog_forced_both_ways(self, searcher, case):
+        """The auto-gate disables the bucket leapfrog on corpora
+        smaller than one 8K-docid bucket, so force both plans and
+        assert each equals the exhaustive scorer."""
+        want = _rows(searcher.boolean_query(k=10, prune=False, **case))
+        for lf in (True, False):
+            got = _rows(
+                searcher._boolean_topk_blockmax(k=10, leapfrog=lf, **case)
+            )
+            assert got == want, f"leapfrog={lf}"
+
     def test_pruned_with_deletes(self, spark, web_pages, tmp_path):
         """θ seeding and the pruned pass run over live docs only, so
         the pruned path stays exact on an index with tombstones."""
