@@ -513,6 +513,8 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             )
         elif kind in ("del", "upd"):
             build_index(spark, wp, idx, num_segments=n_seg)
+        elif kind == "feat":
+            build_index(spark, wp, idx, num_segments=n_seg)
         elif kind == "merged":
             from lucene_spark.operators.merge import maybe_merge
 
@@ -551,6 +553,24 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
                 "url string, text string",
             )
             update_documents(spark, idx, upd, num_segments=1)
+    if kind == "feat":
+        # same self-healing rule as del/upd: attach runs OUTSIDE the
+        # build guard and is keyed on the manifest, so a cached index
+        # from an interrupted run gets its feature field on next use
+        man = IndexCatalog(idx).read_manifest()
+        if not man.get("feature_fields"):
+            from lucene_spark.operators.features import attach_feature_field
+
+            docs = _docs_table(spark, sf_dir)
+            feats = docs.select(
+                F.concat(
+                    F.lit("https://example.org/doc/"),
+                    F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                ).alias("url"),
+                F.lit("doclen_boost").alias("feature"),
+                F.col("n_chars").cast("double").alias("weight"),
+            )
+            attach_feature_field(spark, idx, feats)
     s = Searcher(spark, idx, dtype=np.float64)
     _SEARCHERS[key] = s
     return s
@@ -1370,6 +1390,58 @@ def _q_english(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["scan"]))
 
 
+def _q_feature_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed FeatureField (core/document/FeatureField.java:106):
+    BM25 MUST term + log-function feature SHOULD over freq-encoded
+    doclen weights (operators/features.py)."""
+    s = _variant_searcher(spark, sf_dir, "feat")
+    base = s.scored_boolean(must=["data"])
+    feat = s.scored_feature(
+        "doclen_boost", function="log", boost=1.5, scale=1.0
+    )
+    combined = base.join(
+        feat.withColumnRenamed("score", "fscore"),
+        ["segment_id", "docid"],
+        "left",
+    ).select(
+        "segment_id",
+        "docid",
+        (F.col("score") + F.coalesce(F.col("fscore"), F.lit(0.0))).alias(
+            "score"
+        ),
+    )
+    return _topk_by_doc_id(s, combined)
+
+
+def _feature_boosted_sql(
+    term: str = "data", boost: float = 1.5, scale: float = 1.0, k: int = 10
+) -> str:
+    """BM25(term) + boost*ln(scale + q(n_chars)) where q() reproduces
+    FeatureField's 16-bit freq encoding (float32 mantissa truncated to
+    8 explicit bits) — exact in double arithmetic for integer
+    weights."""
+    norm = _norm_len_sql("dl.dl")
+    w = "CAST(d.n_chars AS DOUBLE)"
+    e = f"power(2.0, floor(log2({w})))"
+    qv = f"({e} * (1 + floor(({w}/{e} - 1)*256)/256))"
+    return f"""WITH {_TOK}, {_DL}, {_ST},
+      tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+             WHERE term = '{term}' GROUP BY doc_id),
+      dfc AS (SELECT count(*)::BIGINT AS df FROM tf),
+      sc AS (SELECT tf.doc_id,
+                    ln(1 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5)) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+                    tf.tf AS tf
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                  CROSS JOIN dfc CROSS JOIN st),
+      ds AS (SELECT doc_id, (w - w/(1 + tf*inv)) AS s FROM sc),
+      fb AS (SELECT ds.doc_id,
+                    round(ds.s + {boost}*ln({scale} + {qv}), 6) AS score
+             FROM ds JOIN documents d ON ds.doc_id = d.doc_id)
+      SELECT doc_id, score FROM fb
+      ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _q_global_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """term_query_global_prune (metadata pass -> θ -> pruned pass) must
     hash-match the exhaustive BM25 oracle."""
@@ -1546,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_index_top10": _q_merged,
         "nrt_appended_top10": _q_nrt,
         "english_analyzer_top10": _q_english,
+        "feature_boosted_top10": _q_feature_boosted,
         "global_prune_top10": _q_global_prune,
         "wand_or_top10": _q_wand_or,
         "wand_and_not_top10": _q_wand_and_not,
@@ -1741,6 +1814,7 @@ def oracle_sql() -> dict[str, str]:
         "merged_index_top10": _bm25_sql(["window"]),
         "nrt_appended_top10": _bm25_sql(["window"]),
         "english_analyzer_top10": _english_bm25_sql("scan"),
+        "feature_boosted_top10": _feature_boosted_sql(),
         "global_prune_top10": _bm25_sql(["the"]),
         "wand_or_top10": _bm25_sql(OR_TERMS),
         "wand_and_not_top10": _bm25_sql(["window"], must_not=["spark"]),

@@ -537,6 +537,9 @@ def _live_filter(catalog: IndexCatalog):
 
 def read_postings(spark: SparkSession, catalog: IndexCatalog) -> DataFrame:
     dirs = [f"{d}/kind=0" for d in catalog.live_data_dirs("stage")]
+    # feature pseudo-term postings (operators/features.py) live in
+    # their own commit dirs with the same stage schema, field='features'
+    dirs += [f"{d}/kind=0" for d in catalog.live_data_dirs("features")]
     return spark.read.parquet(*dirs).where(_live_filter(catalog)).select(
         "segment_id", "field", "term", "block_id", "first_docid", "last_docid",
         "num_docs", "block_total_tf", "doc_block", "freq_block", "norm_block",

@@ -1,0 +1,211 @@
+"""Indexed FeatureField: static-rank signals as pseudo-term postings.
+
+Re-expresses ``core/document/FeatureField.java:106`` for the Spark
+index: a (url, feature, weight) table becomes posting blocks in a
+dedicated ``features`` field, with the weight freq-encoded exactly the
+way Lucene does it (``FeatureField.java`` featureValueToFreq /
+decodeFeatureValue: the top 16 bits of the float32 pattern —
+``floatToIntBits(w) >>> 15`` — stored as term frequency, decoded by
+``intBitsToFloat(freq << 15)``). Because positive IEEE floats order
+like their bit patterns, the encoded freq is monotone in the weight,
+so the ordinary impact skylines give exact block upper bounds and the
+whole block-max pruning machinery applies unchanged.
+
+Scoring functions mirror ``FeatureField.java``'s inner classes
+(LogFunction / SaturationFunction / SigmoidFunction): score =
+``boost * ln(scale + w)``, ``boost * w/(w + pivot)``,
+``boost * w^a/(w^a + pivot^a)`` — computed in float64 and cast to the
+searcher dtype (Java computes Math.log in double and casts to float).
+
+Scale shape: the feature table joins the docs table on url (hash join
+on the url-partitioned docs side), packing is one applyInPandas over
+(segment, feature) groups, and queries decode only the feature's own
+blocks — never the text postings.
+
+Limitations (v1, documented): attach features after the index reaches
+its final segment layout — a merge rewrites segments from the `stage`
+table only, so merged segments drop their feature postings and the
+feature field must be re-attached.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import IndexCatalog
+from .codec import BLOCK_SIZE, impact_skyline, pack_doc_block, pack_freq_block
+
+FEATURE_FIELD = "features"
+
+
+def quantize_weights(w: np.ndarray) -> np.ndarray:
+    """float32 weights -> 16-bit freq codes (FeatureField.java
+    featureValueToFreq): ``floatToIntBits(w) >>> 15``. Requires
+    finite weights > 0 (Lucene throws on others)."""
+    w32 = np.asarray(w, dtype=np.float32)
+    if not np.all(np.isfinite(w32)) or np.any(w32 <= 0):
+        raise ValueError("feature weights must be finite and > 0")
+    return (w32.view(np.uint32) >> np.uint32(15)).astype(np.int64)
+
+
+def decode_weights(freqs: np.ndarray) -> np.ndarray:
+    """freq codes -> truncated float32 weights (decodeFeatureValue)."""
+    bits = (np.asarray(freqs).astype(np.uint32) << np.uint32(15))
+    return bits.view(np.float32)
+
+
+class FeatureScorer:
+    """Scorer shim compatible with ``_make_unpack_kernel``: norms are
+    ignored, freqs are decoded weights (FeatureQuery.java:41)."""
+
+    def __init__(
+        self,
+        function: str = "log",
+        boost: float = 1.0,
+        scale: float = 1.0,
+        pivot: float = 1.0,
+        exp: float = 1.0,
+        dtype=np.float32,
+    ):
+        if function not in ("log", "saturation", "sigmoid"):
+            raise ValueError(f"unknown feature function {function!r}")
+        self.function = function
+        self.boost = float(boost)
+        self.scale = float(scale)
+        self.pivot = float(pivot)
+        self.exp = float(exp)
+        self.dtype = dtype
+
+    def _score64(self, freqs) -> np.ndarray:
+        w = decode_weights(np.asarray(freqs)).astype(np.float64)
+        if self.function == "log":
+            s = self.boost * np.log(self.scale + w)
+        elif self.function == "saturation":
+            s = self.boost * w / (w + self.pivot)
+        else:  # sigmoid
+            wa = np.power(w, self.exp)
+            s = self.boost * wa / (wa + self.pivot**self.exp)
+        return s
+
+    def score(self, freqs, norms) -> np.ndarray:  # norms unused
+        return self._score64(freqs).astype(self.dtype)
+
+    def max_from_impacts(self, i_f, i_n, dtype) -> float:
+        # decode is monotone in the freq code, and all three functions
+        # are increasing in w, so the max impact freq bounds the block
+        return float(self._score64(np.asarray(i_f)).max())
+
+
+def attach_feature_field(
+    spark: SparkSession,
+    index_dir: str,
+    features: DataFrame,
+    url_col: str = "url",
+    name_col: str = "feature",
+    weight_col: str = "weight",
+) -> None:
+    """Index a (url, feature, weight) table as posting blocks in the
+    ``features`` field of an existing index.
+
+    One hash join against the docs table resolves urls to (segment,
+    local docid); one applyInPandas over (segment, feature) groups
+    packs docid-sorted blocks with impact skylines. The commit adds a
+    ``features`` data dir to every segment and bumps the manifest
+    generation, so point-in-time readers are unaffected."""
+    import pandas as pd
+
+    from .build import STAGE_DDL, read_docs
+
+    catalog = IndexCatalog(index_dir)
+    manifest = catalog.read_manifest()
+    live = [
+        s for s in manifest["segments"] if s.get("status") == "COMMITTED"
+    ]
+    if not live:
+        raise ValueError(f"no committed segments in {index_dir}")
+    if any("features" in s.get("data", {}) for s in live):
+        raise ValueError(
+            "index already has a feature field (re-attach not supported)"
+        )
+
+    q_udf = F.pandas_udf(
+        lambda w: pd.Series(quantize_weights(w.to_numpy(np.float64))),
+        "long",
+    )
+
+    docs = read_docs(spark, catalog).select("segment_id", "local_docid", "url")
+    rows = (
+        features.select(
+            F.col(url_col).alias("url"),
+            F.col(name_col).alias("feature"),
+            F.col(weight_col).cast("double").alias("weight"),
+        )
+        .join(docs, "url")
+        .select(
+            "segment_id",
+            "feature",
+            "local_docid",
+            q_udf(F.col("weight")).alias("freq"),
+        )
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("local_docid")
+        seg = int(pdf["segment_id"].iloc[0])
+        feat = pdf["feature"].iloc[0]
+        dids = pdf["local_docid"].to_numpy(np.int64)
+        fs = pdf["freq"].to_numpy(np.int64)
+        out = []
+        for b0 in range(0, len(dids), BLOCK_SIZE):
+            d = dids[b0 : b0 + BLOCK_SIZE]
+            f = fs[b0 : b0 + BLOCK_SIZE]
+            ones = np.ones(len(d), dtype=np.int64)
+            i_f, i_n = impact_skyline(f, ones)
+            out.append(
+                {
+                    "kind": 0,
+                    "segment_id": seg,
+                    "field": FEATURE_FIELD,
+                    "term": feat,
+                    "block_id": b0 // BLOCK_SIZE,
+                    "first_docid": int(d[0]),
+                    "last_docid": int(d[-1]),
+                    "num_docs": len(d),
+                    "block_total_tf": int(f.sum()),
+                    "doc_block": pack_doc_block(d),
+                    "freq_block": pack_freq_block(f),
+                    "norm_block": ones.astype(np.uint8).tobytes(),
+                    "pos_block": None,
+                    "impact_freqs": i_f.astype(np.int32).tolist(),
+                    "impact_norms": i_n.astype(np.int32).tolist(),
+                    "url": None,
+                    "doclen": 0,
+                    "norm": 0,
+                }
+            )
+        return pd.DataFrame(out)
+
+    fdir = catalog.new_commit_dir("features")
+    (
+        rows.groupBy("segment_id", "feature")
+        .applyInPandas(pack, schema=STAGE_DDL)
+        .write.mode("overwrite")
+        .partitionBy("kind")
+        .parquet(fdir)
+    )
+
+    rel = fdir[len(catalog.index_dir) + 1 :]
+    manifest = catalog.read_manifest()
+    names = sorted(
+        r["feature"]
+        for r in features.select(
+            F.col(name_col).alias("feature")
+        ).distinct().collect()
+    )
+    for s in manifest["segments"]:
+        if s.get("status") == "COMMITTED":
+            s.setdefault("data", {})["features"] = rel
+    manifest["feature_fields"] = {FEATURE_FIELD: names}
+    catalog.commit_manifest(manifest)

@@ -1039,6 +1039,70 @@ class Searcher(QueryOpsMixin):
         ).select("segment_id", "docid", "score")
         return self._finish_topk(sc, k)
 
+    def scored_feature(
+        self,
+        feature: str,
+        function: str = "log",
+        boost: float = 1.0,
+        scale: float = 1.0,
+        pivot: float = 1.0,
+        exp: float = 1.0,
+    ) -> DataFrame:
+        """Full (segment_id, docid, score) set for a FeatureQuery over
+        an indexed feature field (``core/search/FeatureQuery.java:41``;
+        weights attached by ``operators/features.attach_feature_field``).
+        Decodes only the feature's own blocks — the text postings are
+        never touched — and the freq-encoded weights ride the normal
+        impact machinery."""
+        from .build import read_postings
+        from .features import FEATURE_FIELD, FeatureScorer
+
+        fposts = read_postings(self.spark, self.catalog).where(
+            (F.col("field") == FEATURE_FIELD) & (F.col("term") == feature)
+        )
+        scorer = FeatureScorer(function, boost, scale, pivot, exp, self.dtype)
+        kernel, _ = _make_unpack_kernel(
+            {feature: scorer}, self.dtype, False, None
+        )
+        cols = [
+            "term", "segment_id", "block_id", "first_docid", "num_docs",
+            "doc_block", "freq_block", "norm_block",
+            "impact_freqs", "impact_norms",
+        ]
+        rows = self._filter_live(
+            fposts.select(*cols).mapInArrow(
+                kernel, schema=_unpack_ddl(self.dtype)
+            )
+        )
+        return rows.select("segment_id", "docid", "score")
+
+    def feature_query(self, feature: str, k: int = 10, **kw) -> DataFrame:
+        """Top-k by feature score alone (FeatureField.newLogQuery and
+        friends run standalone exactly like this)."""
+        return self._finish_topk(self.scored_feature(feature, **kw), k)
+
+    def feature_boosted_query(
+        self, term: str, feature: str, k: int = 10, **kw
+    ) -> DataFrame:
+        """The canonical FeatureField usage: BM25 TermQuery MUST +
+        FeatureQuery SHOULD (``FeatureField.java:60-78`` javadoc
+        pattern) — docs matching the term, scored bm25 + feature."""
+        base = self.scored_boolean(must=[term])
+        feat = self.scored_feature(feature, **kw)
+        combined = base.join(
+            feat.withColumnRenamed("score", "fscore"),
+            ["segment_id", "docid"],
+            "left",
+        ).select(
+            "segment_id",
+            "docid",
+            (
+                F.col("score") + F.coalesce(F.col("fscore"), F.lit(0.0))
+            ).cast("float" if self.dtype == np.float32 else "double")
+            .alias("score"),
+        )
+        return self._finish_topk(combined, k)
+
     def term_query_global_prune(self, term: str, k: int = 10) -> DataFrame:
         """TermQuery with CROSS-PARTITION block-max pruning — the
         distributed realization of Lucene's shared minCompetitiveScore

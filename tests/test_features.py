@@ -1,0 +1,146 @@
+"""Indexed FeatureField: freq-encoded static-rank weights as pseudo-
+term postings in a dedicated field (``core/document/FeatureField.java:
+106``, ``core/search/FeatureQuery.java:41``)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.features import (
+    FeatureScorer,
+    attach_feature_field,
+    decode_weights,
+    quantize_weights,
+)
+from lucene_spark.operators.search import Searcher
+
+
+class TestEncoding:
+    def test_roundtrip_truncates_toward_zero(self):
+        w = np.array([1.0, 3.7, 255.9, 10000.5, 1e-3, 7.0], dtype=np.float64)
+        dec = decode_weights(quantize_weights(w)).astype(np.float64)
+        assert np.all(dec <= w + 1e-12)
+        # truncating the float32 mantissa to 8 explicit bits keeps a
+        # relative error below 2^-8
+        assert np.all((w - dec) / w < 2 ** -8 + 1e-9)
+
+    def test_monotone(self):
+        w = np.sort(np.abs(np.random.default_rng(7).normal(5, 3, 500))) + 0.01
+        q = quantize_weights(w)
+        assert np.all(np.diff(q) >= 0)
+
+    def test_small_ints_exact(self):
+        # <= 9 significant bits survive the mantissa truncation exactly
+        w = np.arange(1, 512, dtype=np.float64)
+        assert np.array_equal(
+            decode_weights(quantize_weights(w)).astype(np.float64), w
+        )
+
+    def test_rejects_nonpositive(self):
+        with pytest.raises(ValueError):
+            quantize_weights(np.array([0.0]))
+        with pytest.raises(ValueError):
+            quantize_weights(np.array([-1.0]))
+
+    def test_scorer_functions(self):
+        fs = quantize_weights(np.array([2.0, 8.0]))
+        log = FeatureScorer("log", boost=2.0, scale=1.0, dtype=np.float64)
+        assert np.allclose(
+            log.score(fs, None), 2.0 * np.log(1.0 + np.array([2.0, 8.0]))
+        )
+        sat = FeatureScorer(
+            "saturation", boost=1.0, pivot=2.0, dtype=np.float64
+        )
+        assert np.allclose(sat.score(fs, None), [0.5, 0.8])
+        sig = FeatureScorer(
+            "sigmoid", boost=1.0, pivot=2.0, exp=2.0, dtype=np.float64
+        )
+        assert np.allclose(sig.score(fs, None), [0.5, 64 / 68])
+        # impacts bound = score at max impact freq (monotone decode)
+        assert log.max_from_impacts(fs.tolist(), [1, 1], np.float64) == (
+            pytest.approx(2.0 * np.log(9.0))
+        )
+
+
+@pytest.fixture(scope="module")
+def feat_index(spark, web_pages, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("feat") / "idx")
+    build_index(spark, web_pages, idx, num_segments=4)
+    feats = web_pages.select(
+        "url",
+        F.lit("doclen_boost").alias("feature"),
+        F.length("text").cast("double").alias("weight"),
+    )
+    attach_feature_field(spark, idx, feats)
+    return idx
+
+
+class TestFeatureQueries:
+    def test_scored_feature_matches_direct(self, spark, web_pages, feat_index):
+        s = Searcher(spark, feat_index, dtype=np.float64)
+        got = {
+            r["url"]: r["score"]
+            for r in s._attach_urls(
+                s.scored_feature(
+                    "doclen_boost", function="log", boost=1.5, scale=1.0
+                ).withColumn("local_docid", F.col("docid"))
+            ).collect()
+        }
+        raw = {
+            r["url"]: float(r["w"])
+            for r in web_pages.select(
+                "url", F.length("text").cast("double").alias("w")
+            ).collect()
+        }
+        assert set(got) == set(raw)
+        for url, w in raw.items():
+            dec = float(decode_weights(quantize_weights([w]))[0])
+            assert got[url] == pytest.approx(1.5 * np.log(1.0 + dec))
+
+    def test_feature_boosted_adds_per_doc(self, spark, feat_index):
+        s = Searcher(spark, feat_index, dtype=np.float64)
+        base = {
+            (r["segment_id"], r["docid"]): r["score"]
+            for r in s.scored_boolean(must=["data"]).collect()
+        }
+        feat = {
+            (r["segment_id"], r["docid"]): r["score"]
+            for r in s.scored_feature(
+                "doclen_boost", function="log", boost=1.5, scale=1.0
+            ).collect()
+        }
+        top = s.feature_boosted_query(
+            "data", "doclen_boost", k=10, function="log", boost=1.5, scale=1.0
+        )
+        # verify through the score values: every returned score must be
+        # base + feature for some matching doc, and the top-1 must be
+        # the true max of the combined map
+        want = {kk: base[kk] + feat.get(kk, 0.0) for kk in base}
+        got = [r["score"] for r in top.collect()]
+        best = sorted(want.values(), reverse=True)[: len(got)]
+        assert got == pytest.approx(best)
+
+    def test_text_queries_unaffected(self, spark, web_pages, feat_index, tmp_path):
+        plain = str(tmp_path / "plain")
+        build_index(spark, web_pages, plain, num_segments=4)
+        s_feat = Searcher(spark, feat_index, dtype=np.float64)
+        s_plain = Searcher(spark, plain, dtype=np.float64)
+        a = [
+            (r["url"], round(r["score"], 9))
+            for r in s_feat.term_query("data", k=10).collect()
+        ]
+        b = [
+            (r["url"], round(r["score"], 9))
+            for r in s_plain.term_query("data", k=10).collect()
+        ]
+        assert a == b
+        # term_stats must not see the pseudo-terms in the text field
+        assert "doclen_boost" not in s_feat.term_stats(["doclen_boost"])
+
+    def test_reattach_rejected(self, spark, feat_index):
+        feats = spark.createDataFrame(
+            [("u", "f", 1.0)], "url string, feature string, weight double"
+        )
+        with pytest.raises(ValueError):
+            attach_feature_field(spark, feat_index, feats)
