@@ -1048,18 +1048,102 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (the scale path) — rows-only check: approximate
-    by construction, so no SQL oracle; recall vs brute force is covered
-    in tests/test_pipeline.py."""
+    """LSH-bucketed ANN with multi-probe (the scale path). Approximate
+    w.r.t. brute force, but fully DETERMINISTIC given the seeded
+    hyperplanes — so the oracle replays the same banding, probe bit
+    flips, and cosine rescore in SQL with the plane literals inlined
+    (recall vs brute force is separately covered in
+    tests/test_pipeline.py and the bench)."""
     from lucene_spark.operators.similarity import lsh_topk_per_query
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries_df = emb.limit(3).select(
+    queries_df = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return lsh_topk_per_query(emb, queries_df, k=5, n_planes=12, bands=4).select(
         "qid", "vec_id", F.round("cos", 6).alias("cos"), "rank"
     )
+
+
+def _ann_lsh_sql(
+    k: int = 5,
+    n_planes: int = 12,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    n_probes: int = 2,
+    n_queries: int = 3,
+) -> str:
+    """Replay the multi-probe LSH plan in DuckDB: the seeded planes are
+    inlined as literals, sign-bit chunks and the lowest-|margin| probe
+    flips are CASE algebra, candidates join on (band, chunk), and the
+    rescore is the same double cosine as ann_cosine_top10."""
+    from lucene_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    assert width == 3 and n_probes == 2, "oracle written for width=3/probes=2"
+
+    d_exprs = ", ".join(
+        f"list_dot_product(v, {[float(x) for x in p]}) AS d{i}"
+        for i, p in enumerate(planes)
+    )
+
+    def chunk(b: int) -> str:
+        j = b * width
+        return (
+            f"((d{j} >= 0)::INT + 2*(d{j+1} >= 0)::INT"
+            f" + 4*(d{j+2} >= 0)::INT)"
+        )
+
+    def probe_rows(b: int) -> list[str]:
+        j = b * width
+        m = [f"abs(d{j})", f"abs(d{j+1})", f"abs(d{j+2})"]
+        # argmin/second-argmin of (|margin|, index) — <= breaks margin
+        # ties toward the lower index, matching array_sort on the
+        # (m, i) structs in lsh_topk_per_query
+        i1 = (
+            f"(CASE WHEN {m[0]} <= {m[1]} AND {m[0]} <= {m[2]} THEN 0 "
+            f"WHEN {m[1]} <= {m[2]} THEN 1 ELSE 2 END)"
+        )
+        i2 = (
+            f"(CASE {i1} "
+            f"WHEN 0 THEN (CASE WHEN {m[1]} <= {m[2]} THEN 1 ELSE 2 END) "
+            f"WHEN 1 THEN (CASE WHEN {m[0]} <= {m[2]} THEN 0 ELSE 2 END) "
+            f"ELSE (CASE WHEN {m[0]} <= {m[1]} THEN 0 ELSE 1 END) END)"
+        )
+        bit = "(CASE {i} WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)"
+        c = chunk(b)
+        return [
+            f"SELECT vec_id AS qid, {b} AS band, {c} AS chunk FROM qsig",
+            f"SELECT vec_id, {b}, xor({c}, {bit.format(i=i1)}) FROM qsig",
+            f"SELECT vec_id, {b}, xor({c}, {bit.format(i=i2)}) FROM qsig",
+        ]
+
+    ck_case = " ".join(f"WHEN {b} THEN {chunk(b)}" for b in range(bands))
+    band_values = ", ".join(f"({b})" for b in range(bands))
+    qk_union = " UNION ALL ".join(
+        r for b in range(bands) for r in probe_rows(b)
+    )
+    return f"""WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sig AS (SELECT vec_id, v, {d_exprs} FROM emb),
+      ck AS (SELECT vec_id, band, CASE band {ck_case} END AS chunk
+             FROM sig CROSS JOIN (VALUES {band_values}) AS bs(band)),
+      qsig AS (SELECT * FROM sig WHERE vec_id < {n_queries}),
+      qk AS ({qk_union}),
+      cand AS (SELECT DISTINCT qk.qid, ck.vec_id
+               FROM qk JOIN ck ON qk.band = ck.band AND qk.chunk = ck.chunk),
+      sc AS (SELECT c.qid, c.vec_id,
+                    list_cosine_similarity(e.v, q.v) AS cos
+             FROM cand c JOIN emb e ON c.vec_id = e.vec_id
+                  JOIN emb q ON c.qid = q.vec_id),
+      rk AS (SELECT qid, vec_id, cos,
+                    row_number() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             FROM sc)
+      SELECT qid, vec_id, round(cos, 6) AS cos, rank
+      FROM rk WHERE rank <= {k} ORDER BY qid, rank"""
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1728,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT embedding::DOUBLE[] FROM embeddings
                         WHERE vec_id = 0)) DESC, vec_id
             LIMIT 10""",
+        "ann_lsh_topk": _ann_lsh_sql(),
         "lang_id": "SELECT doc_id, "
         + _textstats_lang_sql()
         + " AS pred_lang FROM documents",

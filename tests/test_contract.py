@@ -86,11 +86,9 @@ def test_every_query_has_entry_or_reason(entrymod):
     o = set(entrymod.oracle_sql())
     assert o <= q
     assert q - o == {
-        # approximate by construction (recall eval in tests/bench):
-        "ann_lsh_topk",
         # not SQL-expressible (the repeats matcher's advanceRpts
-        # collision resolution; passage selection) — python-mirror
-        # parity in tests/:
+        # collision resolution; UAX#29 offset-tracking passage
+        # selection) — python-mirror parity in tests/:
         "sloppy_repeat_top10",
         "highlight_top5",
     }
