@@ -372,6 +372,37 @@ SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
 FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _interval_phrase_sql(t0: str, t1: str, k: int = 10) -> str:
+    """Intervals.phrase oracle: zero-gap adjacency count via a tokp
+    self-join, saturation score 1 - 1/(1 + freq)."""
+    return f"""WITH {_TOK}, {_TOKP},
+pf AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS pf
+  FROM tokp a JOIN tokp b
+    ON a.doc_id = b.doc_id AND b.p = a.p + 1 AND b.term = '{t1}'
+  WHERE a.term = '{t0}'
+  GROUP BY a.doc_id
+)
+SELECT doc_id, round(1.0 - 1.0/(1.0 + pf), 6) AS score
+FROM pf ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
+def _interval_maxgaps_sql(t0: str, t1: str, max_gaps: int, k: int = 10) -> str:
+    """Intervals.maxgaps oracle: the ordered chain emissions with
+    gaps = width - 2 = gap - 1 <= max_gaps kept, same weights as
+    _interval_ordered_sql."""
+    return f"""WITH RECURSIVE {_TOK}, {_TOKP}, {_DL}, {_ST},
+{_chain_cte(t0, t1, adjust=0)},
+fr AS (
+  SELECT doc_id,
+         sum(CASE WHEN gap <= {max_gaps + 1} THEN 1.0/greatest(gap, 1)
+                  ELSE 0.0 END) AS freq
+  FROM emits WHERE slot = 1 GROUP BY doc_id HAVING freq > 0
+)
+SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
+FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _interval_not_containing_sql(
     t0: str, t1: str, filt: str, k: int = 10
 ) -> str:
@@ -1388,11 +1419,28 @@ def _q_sloppy_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered intervals (rows-only: minimal-interval algebra is not
-    SQL-expressible; mirror parity in tests/test_intervals.py)."""
+    """Ordered intervals; oracle = the recursive chain CTE
+    (_interval_ordered_sql)."""
     s = _get_searcher(spark, sf_dir)
     return _topk_by_doc_id(
         s, s.scored_intervals(["the", "query"], ordered=True)
+    )
+
+
+def _q_interval_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals.phrase (zero-gap ordered block): freq = exact-phrase
+    count, saturation score."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s, s.scored_intervals(["the", "query"], mode="phrase")
+    )
+
+
+def _q_interval_maxgaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals.maxgaps(1) over ordered ("the","query")."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s, s.scored_intervals(["the", "query"], max_gaps=1)
     )
 
 
@@ -1693,6 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sloppy_phrase_top10": _q_sloppy,
         "sloppy_repeat_top10": _q_sloppy_repeat,
         "interval_ordered_top10": _q_interval,
+        "interval_phrase_top10": _q_interval_phrase,
+        "interval_maxgaps_top10": _q_interval_maxgaps,
         "interval_not_containing_top10": _q_interval_containing,
         "combined_field_top10": _q_combined_field,
         "blended_term_top10": _q_blended_term,
@@ -1935,6 +1985,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0, '', count(*)::BIGINT FROM j""",
         "sloppy_phrase_top10": _sloppy_sql("the", "query", 2),
         "interval_ordered_top10": _interval_ordered_sql("the", "query"),
+        "interval_phrase_top10": _interval_phrase_sql("the", "query"),
+        "interval_maxgaps_top10": _interval_maxgaps_sql("the", "query", 1),
         "interval_not_containing_top10": _interval_not_containing_sql(
             "the", "query", "window"
         ),

@@ -360,6 +360,29 @@ def unordered_intervals(pos_lists: list[list[int]]) -> list[tuple[int, int]]:
     return out
 
 
+def phrase_intervals(pos_lists: list[list[int]]) -> list[tuple[int, int]]:
+    """Intervals.phrase over term sources: ordered with ZERO gaps —
+    one interval [p, p + n - 1] per exact-phrase occurrence
+    (``queries/intervals/Intervals.java`` phrase(...) via
+    BlockIntervalsSource)."""
+    if not pos_lists or any(not p for p in pos_lists):
+        return []
+    starts = set(pos_lists[0])
+    for i, plist in enumerate(pos_lists[1:], start=1):
+        starts &= {p - i for p in plist}
+    n = len(pos_lists)
+    return [(s, s + n - 1) for s in sorted(starts)]
+
+
+def extend_intervals(
+    intervals: list[tuple[int, int]], before: int, after: int
+) -> list[tuple[int, int]]:
+    """Intervals.extend: widen each interval by ``before`` positions
+    left (clamped at 0, like ExtendedIntervalsSource) and ``after``
+    right."""
+    return [(max(0, s - before), e + after) for s, e in intervals]
+
+
 def interval_freq(
     intervals: list[tuple[int, int]],
     min_extent: int,
@@ -1894,49 +1917,102 @@ class Searcher(QueryOpsMixin):
         max_width: int | None = None,
         pivot: float = 1.0,
         boost: float = 1.0,
+        mode: str | None = None,
+        max_gaps: int | None = None,
+        extend: tuple[int, int] | None = None,
     ) -> DataFrame:
         """IntervalQuery (``lucene/queries/.../intervals/
         IntervalQuery.java:59-84``): docs scored by their minimal
-        ordered/unordered intervals over RAW positions; freq =
-        Σ 1/max(width - n + 1, 1) per IntervalScorer, score =
+        intervals over RAW positions; freq =
+        Σ 1/max(width - minExtent + 1, 1) per IntervalScorer, score =
         boost * (1 - pivot/(pivot + freq)) — the default saturation
-        function with pivot 1 (``IntervalScoreFunction.java:56-74``)."""
+        function with pivot 1 (``IntervalScoreFunction.java:56-74``).
+
+        Combinators (``Intervals.java``):
+
+        - ``mode``: 'ordered' | 'unordered' | 'phrase' (zero-gap
+          ordered block — BlockIntervalsSource); defaults from the
+          legacy ``ordered`` flag.
+        - ``max_gaps``: Intervals.maxgaps — for term sources just
+          ``max_width = n + max_gaps`` (gaps = width − minExtent).
+        - ``extend``: Intervals.extend(before, after) — each interval
+          widens (start clamped at 0) and minExtent grows by
+          before+after; applied BEFORE the max_width filter.
+        """
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
             return self._empty_scored().select("segment_id", "docid", "score")
+        if mode is None:
+            mode = "ordered" if ordered else "unordered"
+        if mode not in ("ordered", "unordered", "phrase"):
+            raise ValueError(f"unknown interval mode {mode!r}")
+        n_terms = len(terms)
+        if max_gaps is not None:
+            if max_width is not None:
+                raise ValueError("give max_gaps or max_width, not both")
+            max_width = n_terms + max_gaps
+        min_extent = n_terms + (extend[0] + extend[1] if extend else 0)
+
         per_doc = self._pivot_positions(
             self._candidate_positions(terms), len(set(terms))
         )
-        joined = per_doc.select(
-            "segment_id",
-            "docid",
-            "norm",
-            *[
-                F.col("pm")[t].alias(f"p{i}") for i, t in enumerate(terms)
-            ],
-        )
 
-        n_terms = len(terms)
-
-        if n_terms == 2 and len(set(terms)) == 2:
-            kern = _make_pair_freq_kernel(
-                "ordered" if ordered else "unordered",
-                min_extent=n_terms,
-                max_width=max_width,
+        if mode == "phrase" and extend is None and max_width is None:
+            # vectorized fast path: phrase intervals all have width n
+            # and weight 1, so freq = the exact-phrase count — pure
+            # array algebra, no Python kernel (same intersection as
+            # scored_phrase)
+            inter = F.col("pm")[terms[0]]
+            for i in range(1, n_terms):
+                inter = F.array_intersect(
+                    inter, _shift_positions(F.col("pm")[terms[i]], i)
+                )
+            matched = per_doc.withColumn(
+                "freq", F.size(inter).cast("double")
+            ).where(F.col("freq") > 0).select(
+                "segment_id", "docid", "norm", "freq"
             )
         else:
+            joined = per_doc.select(
+                "segment_id",
+                "docid",
+                "norm",
+                *[
+                    F.col("pm")[t].alias(f"p{i}") for i, t in enumerate(terms)
+                ],
+            )
 
-            def freq_fn(lists, _ord=ordered, _n=n_terms, _mw=max_width):
-                iv = (
-                    ordered_intervals(lists)
-                    if _ord
-                    else unordered_intervals(lists)
+            if (
+                mode in ("ordered", "unordered")
+                and n_terms == 2
+                and len(set(terms)) == 2
+                and extend is None
+            ):
+                kern = _make_pair_freq_kernel(
+                    mode, min_extent=n_terms, max_width=max_width
                 )
-                return interval_freq(iv, _n, _mw)
+            else:
 
-            kern = _make_freq_kernel(n_terms, freq_fn)
+                def freq_fn(
+                    lists,
+                    _mode=mode,
+                    _me=min_extent,
+                    _mw=max_width,
+                    _ext=extend,
+                ):
+                    if _mode == "ordered":
+                        iv = ordered_intervals(lists)
+                    elif _mode == "unordered":
+                        iv = unordered_intervals(lists)
+                    else:
+                        iv = phrase_intervals(lists)
+                    if _ext is not None:
+                        iv = extend_intervals(iv, _ext[0], _ext[1])
+                    return interval_freq(iv, _me, _mw)
 
-        matched = joined.mapInArrow(kern, schema=_FREQ_DDL)
+                kern = _make_freq_kernel(n_terms, freq_fn)
+
+            matched = joined.mapInArrow(kern, schema=_FREQ_DDL)
         score_t = "float" if self.dtype == np.float32 else "double"
         return matched.select(
             "segment_id",
@@ -1958,9 +2034,16 @@ class Searcher(QueryOpsMixin):
         ordered: bool = True,
         max_width: int | None = None,
         k: int = 10,
+        mode: str | None = None,
+        max_gaps: int | None = None,
+        extend: tuple[int, int] | None = None,
     ) -> DataFrame:
         return self._finish_topk(
-            self.scored_intervals(terms, ordered, max_width), k
+            self.scored_intervals(
+                terms, ordered, max_width,
+                mode=mode, max_gaps=max_gaps, extend=extend,
+            ),
+            k,
         )
 
     def scored_interval_filter(

@@ -5,8 +5,10 @@ import numpy as np
 import pytest
 
 from lucene_spark.operators.search import (
+    extend_intervals,
     interval_freq,
     ordered_intervals,
+    phrase_intervals,
     unordered_intervals,
 )
 
@@ -259,3 +261,137 @@ class TestPairBoundaryIntervals:
             want = interval_freq(iv, 2, mw)
             got = self._fast(a, b, mode, max_width=mw)
             assert got == pytest.approx(want, abs=1e-12), (a, b, mode, mw)
+
+
+class TestIntervalCombinators:
+    """Intervals.phrase / extend / maxgaps (``queries/intervals/
+    Intervals.java`` BlockIntervalsSource, ExtendedIntervalsSource,
+    maxgaps filter)."""
+
+    def test_phrase_intervals_basic(self):
+        # "a b" at positions 2 and 7
+        assert phrase_intervals([[2, 7, 9], [3, 8]]) == [(2, 3), (7, 8)]
+
+    def test_phrase_three_terms(self):
+        assert phrase_intervals([[0, 5], [1, 9], [2]]) == [(0, 2)]
+
+    def test_phrase_repeated_term(self):
+        # "a a": same position list for both slots
+        assert phrase_intervals([[1, 2, 3], [1, 2, 3]]) == [(1, 2), (2, 3)]
+
+    def test_phrase_missing_term(self):
+        assert phrase_intervals([[1, 2], []]) == []
+
+    def test_phrase_is_zero_gap_ordered(self):
+        rng = np.random.default_rng(11)
+        for _ in range(200):
+            a = sorted(rng.choice(30, size=rng.integers(1, 8), replace=False))
+            b = sorted(rng.choice(30, size=rng.integers(1, 8), replace=False))
+            ph = phrase_intervals([list(a), list(b)])
+            # phrase == ordered intervals of width exactly n
+            oi = [
+                iv for iv in ordered_intervals([list(a), list(b)])
+                if iv[1] - iv[0] + 1 == 2
+            ]
+            assert ph == oi
+
+    def test_extend_clamps_at_zero(self):
+        assert extend_intervals([(1, 3), (10, 12)], 5, 2) == [
+            (0, 5),
+            (5, 14),
+        ]
+
+    def test_extend_weights(self):
+        # unclamped: width' - minExtent' == width - minExtent, so the
+        # freq only changes through start-of-doc clamping
+        iv = [(10, 12)]
+        assert interval_freq(
+            extend_intervals(iv, 3, 4), 2 + 3 + 4
+        ) == interval_freq(iv, 2)
+        clamped = [(1, 3)]
+        assert interval_freq(
+            extend_intervals(clamped, 5, 0), 2 + 5
+        ) > interval_freq(clamped, 2)
+
+    def test_spark_phrase_mode_matches_mirror(self, searcher, naive):
+        terms = ["the", "query"]
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_intervals(terms, mode="phrase")
+            ).collect()
+        }
+        expect = {}
+        for i, (terms_i, pos_i) in enumerate(naive.analyzed):
+            pos_of = {}
+            for t, p in zip(terms_i, pos_i):
+                pos_of.setdefault(t, []).append(p)
+            if not all(t in pos_of for t in terms):
+                continue
+            lists = [sorted(pos_of[t]) for t in terms]
+            f = interval_freq(phrase_intervals(lists), 2)
+            if f > 0:
+                expect[i] = np.float32(1.0 - 1.0 / (1.0 + f))
+        assert set(got) == set(expect) and got
+        for d in got:
+            assert abs(got[d] - float(expect[d])) <= 1e-6
+
+    def test_spark_phrase_fast_equals_general(self, searcher):
+        """The vectorized zero-gap path must equal the general python
+        matcher (forced via extend=(0, 0), a semantic no-op)."""
+        fast = {
+            (r["segment_id"], r["docid"]): r["score"]
+            for r in searcher.scored_intervals(
+                ["the", "query"], mode="phrase"
+            ).collect()
+        }
+        gen = {
+            (r["segment_id"], r["docid"]): r["score"]
+            for r in searcher.scored_intervals(
+                ["the", "query"], mode="phrase", extend=(0, 0)
+            ).collect()
+        }
+        assert fast == gen and fast
+
+    def test_spark_maxgaps_is_maxwidth_sugar(self, searcher):
+        a = sorted(
+            (r["segment_id"], r["docid"], r["score"])
+            for r in searcher.scored_intervals(
+                ["the", "query"], max_gaps=1
+            ).collect()
+        )
+        b = sorted(
+            (r["segment_id"], r["docid"], r["score"])
+            for r in searcher.scored_intervals(
+                ["the", "query"], max_width=3
+            ).collect()
+        )
+        assert a == b and a
+        with pytest.raises(ValueError):
+            searcher.scored_intervals(
+                ["the", "query"], max_gaps=1, max_width=3
+            )
+
+    def test_spark_extend_matches_mirror(self, searcher, naive):
+        terms = ["the", "query"]
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_intervals(terms, extend=(2, 1))
+            ).collect()
+        }
+        expect = {}
+        for i, (terms_i, pos_i) in enumerate(naive.analyzed):
+            pos_of = {}
+            for t, p in zip(terms_i, pos_i):
+                pos_of.setdefault(t, []).append(p)
+            if not all(t in pos_of for t in terms):
+                continue
+            lists = [sorted(pos_of[t]) for t in terms]
+            iv = extend_intervals(ordered_intervals(lists), 2, 1)
+            f = interval_freq(iv, 2 + 3)
+            if f > 0:
+                expect[i] = np.float32(1.0 - 1.0 / (1.0 + f))
+        assert set(got) == set(expect) and got
+        for d in got:
+            assert abs(got[d] - float(expect[d])) <= 1e-6
