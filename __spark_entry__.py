@@ -1177,6 +1177,58 @@ def _ann_lsh_sql(
       FROM rk WHERE rank <= {k} ORDER BY qid, rank"""
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file cells, nprobe search): deterministic
+    first-16-vectors coarse quantizer, so the oracle recomputes the
+    identical cells from the table itself."""
+    from lucene_spark.operators.similarity import ivf_topk_per_query
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk_per_query(
+        emb, queries_df, k=5, n_centroids=16, nprobe=4
+    ).select("qid", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+
+
+def _ann_ivf_sql(
+    k: int = 5, n_centroids: int = 16, nprobe: int = 4, n_queries: int = 3
+) -> str:
+    """Replay the IVF plan: centroids = first n_centroids vectors,
+    argmax-cosine assignment (ties to the lower centroid id, matching
+    array_position-of-max), nprobe cells per query, exact rescore."""
+    return f"""WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cid, v AS cv FROM emb
+                WHERE vec_id < {n_centroids}),
+      asg AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid
+               ) AS rn
+        FROM emb e CROSS JOIN cents c) WHERE rn = 1),
+      qprobe AS (SELECT qid, cell FROM (
+        SELECT q.vec_id AS qid, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid
+               ) AS rn
+        FROM emb q CROSS JOIN cents c WHERE q.vec_id < {n_queries})
+        WHERE rn <= {nprobe}),
+      cand AS (SELECT DISTINCT qp.qid, a.vec_id
+               FROM qprobe qp JOIN asg a ON qp.cell = a.cell),
+      sc AS (SELECT c.qid, c.vec_id,
+                    list_cosine_similarity(e.v, q.v) AS cos
+             FROM cand c JOIN emb e ON c.vec_id = e.vec_id
+                  JOIN emb q ON c.qid = q.vec_id),
+      rk AS (SELECT qid, vec_id, cos,
+                    row_number() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             FROM sc)
+      SELECT qid, vec_id, round(cos, 6) AS cos, rank
+      FROM rk WHERE rank <= {k} ORDER BY qid, rank"""
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.functions.textstats import lang_id
 
@@ -1718,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "ann_cosine_top10": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
@@ -1863,6 +1916,7 @@ def oracle_sql() -> dict[str, str]:
                         WHERE vec_id = 0)) DESC, vec_id
             LIMIT 10""",
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "lang_id": "SELECT doc_id, "
         + _textstats_lang_sql()
         + " AS pred_lang FROM documents",

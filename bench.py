@@ -124,6 +124,20 @@ def main() -> None:
     ).count()
     lsh_cost = round(n_cand / float(n_vecs * 20), 4)
 
+    from lucene_spark.operators.similarity import (
+        ivf_recall_at_k,
+        ivf_topk_per_query,
+    )
+
+    ivf_recall = round(
+        ivf_recall_at_k(emb, qs, k=10, n_centroids=32, nprobe=8), 4
+    )
+    ivf_cost = round(
+        ivf_topk_per_query(emb, qs, k=10**9, n_centroids=32, nprobe=8).count()
+        / float(n_vecs * 20),
+        4,
+    )
+
     total = round(build_sec + sum(q_times.values()), 4)
     out = {
         "metric": "index_build_plus_query_wall",
@@ -138,6 +152,8 @@ def main() -> None:
         "docs_per_sec": round(n_docs / build_sec, 2),
         "ann_lsh_recall_at10": recall,
         "ann_lsh_cost_vs_brute": lsh_cost,
+        "ann_ivf_recall_at10": ivf_recall,
+        "ann_ivf_cost_vs_brute": ivf_cost,
     }
     print(json.dumps(out))
     shutil.rmtree(idx, ignore_errors=True)

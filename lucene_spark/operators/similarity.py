@@ -228,6 +228,148 @@ def lsh_topk_per_query(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd-refined coarse centroids for IVF: init = the first
+    ``n_centroids`` vectors by id (deterministic), then ``iters``
+    rounds of assign + per-cell mean, all as DataFrame aggregations
+    (one broadcast join + one groupBy per round — linear in the
+    corpus, no collect of vectors beyond the centroid set)."""
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in emb.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, vec_col).groupBy("cell").agg(
+            *[
+                F.avg(F.col(vec_col)[i]).alias(f"c{i}")
+                for i in range(len(cents[0]))
+            ]
+        )
+        got = {
+            int(r["cell"]): [float(r[f"c{i}"]) for i in range(len(cents[0]))]
+            for r in assigned.collect()
+        }
+        cents = [got.get(i, c) for i, c in enumerate(cents)]
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add a ``cell`` column: argmax-cosine centroid id (ties to the
+    lower id). Pure column algebra — the centroid literals fold into
+    codegen, so assignment is one linear scan, no shuffle."""
+    sims = [
+        cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+        for c in centroids
+    ]
+    best = F.array_position(
+        F.array(*sims), F.array_max(F.array(*sims))
+    ) - F.lit(1)
+    return emb.withColumn("cell", best.cast("int"))
+
+
+def ivf_topk_per_query(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF approximate top-k (the inverted-file analog of Lucene's
+    coarse-quantized KNN): corpus vectors bucket into ``n_centroids``
+    cells by nearest centroid; each query probes its ``nprobe``
+    closest cells and exact-rescores only those candidates.
+
+    ``centroids`` defaults to the first ``n_centroids`` corpus vectors
+    by id — deterministic and SQL-reproducible (the oracle recomputes
+    the same cells); pass ``kmeans_centroids(...)`` output for
+    Lloyd-refined cells when recall matters more than oracle parity.
+
+    Scale shape: assignment is a broadcast-literal linear scan (done
+    once, cacheable); the candidate join shuffles on ``cell``; probed
+    fraction ≈ nprobe/n_centroids of the corpus per query."""
+    if centroids is None:
+        centroids = [
+            [float(x) for x in r[vec_col]]
+            for r in emb.orderBy(id_col).limit(n_centroids).collect()
+        ]
+    cells = ivf_assign(emb, centroids, vec_col).select(id_col, vec_col, "cell")
+
+    qsims = [
+        cosine(F.col(qvec_col), F.array(*[F.lit(x) for x in c]))
+        for c in centroids
+    ]
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-s).alias("d"), F.lit(i).cast("int").alias("cell")
+                )
+                for i, s in enumerate(qsims)
+            ]
+        )
+    )
+    probes = queries.select(
+        qid_col,
+        qvec_col,
+        F.explode(F.slice(ranked, 1, nprobe)).alias("pr"),
+    ).select(qid_col, qvec_col, F.col("pr.cell").alias("cell"))
+
+    cand = cells.join(F.broadcast(probes), "cell").select(
+        qid_col, id_col, vec_col, qvec_col
+    )
+    scored = cand.select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos", "rank")
+    )
+
+
+def ivf_recall_at_k(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> float:
+    """Recall@k of the IVF path vs the exact batch scorer."""
+    exact = topk_per_query(
+        emb, queries, k, id_col, vec_col, qid_col, qvec_col
+    ).select(qid_col, id_col)
+    approx = ivf_topk_per_query(
+        emb, queries, k, n_centroids, nprobe, centroids,
+        id_col, vec_col, qid_col, qvec_col,
+    ).select(qid_col, id_col)
+    nq = queries.count()
+    if nq == 0:
+        return 1.0
+    hit = approx.join(exact, [qid_col, id_col], "left_semi").count()
+    return hit / float(k * nq)
+
+
 def lsh_recall_at_k(
     emb: DataFrame,
     queries: DataFrame,

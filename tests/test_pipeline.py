@@ -300,6 +300,43 @@ class TestSimilarity:
         assert all(r > 0 for r in recalls)
         assert sum(recalls) / len(recalls) >= 0.5
 
+    def test_ivf_recall_and_cells(self, spark, emb):
+        from lucene_spark.operators.similarity import (
+            ivf_assign,
+            ivf_recall_at_k,
+            ivf_topk_per_query,
+            kmeans_centroids,
+        )
+
+        from pyspark.sql import functions as F
+
+        queries = emb.limit(5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        # every vector lands in exactly one valid cell
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(8).collect()
+        ]
+        cells = ivf_assign(emb, cents).select("vec_id", "cell").collect()
+        assert len(cells) == emb.count()
+        assert all(0 <= r["cell"] < 8 for r in cells)
+        # self-query always survives probing (its own cell is probe #1)
+        got = ivf_topk_per_query(
+            emb, queries, k=5, n_centroids=8, nprobe=2
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["qid"], []).append(r)
+        for qid, rows in by_q.items():
+            top = min(rows, key=lambda r: r["rank"])
+            assert top["vec_id"] == qid and abs(top["cos"] - 1.0) < 1e-9
+        r = ivf_recall_at_k(emb, queries, k=5, n_centroids=8, nprobe=4)
+        assert r >= 0.5
+        # Lloyd refinement yields well-formed centroids
+        km = kmeans_centroids(emb, n_centroids=4, iters=1)
+        assert len(km) == 4 and all(len(c) == len(cents[0]) for c in km)
+
     def test_lsh_recall_at_k_metric(self, spark, emb):
         """The packaged recall@k evaluator (bench reports this number
         per round) agrees with a hand-rolled computation."""
