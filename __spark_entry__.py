@@ -538,9 +538,9 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
                 ),
             )
             build_index(spark, titled, idx, num_segments=n_seg)
-        elif kind == "english":
+        elif kind in ("english", "french", "german"):
             build_index(
-                spark, wp, idx, num_segments=n_seg, analyzer="english"
+                spark, wp, idx, num_segments=n_seg, analyzer=kind
             )
         elif kind in ("del", "upd"):
             build_index(spark, wp, idx, num_segments=n_seg)
@@ -626,6 +626,18 @@ def _const_matches(searcher, scored: DataFrame, k: int = 1000) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _FR_STOPS():
+    from lucene_spark.functions.lang import FRENCH_STOP_WORDS
+
+    return FRENCH_STOP_WORDS
+
+
+def _DE_STOPS():
+    from lucene_spark.functions.lang import GERMAN_STOP_WORDS
+
+    return GERMAN_STOP_WORDS
+
+
 def _en33_sql() -> str:
     from lucene_spark.functions.analysis import ENGLISH_STOP_WORDS
 
@@ -637,12 +649,27 @@ def _english_bm25_sql(term: str, k: int = 10) -> str:
     Porter stem, and no other corpus token stems to it — verified for
     this corpus), so the SQL side only needs the 33-word stop filter:
     dl/norms count non-stopword tokens, tf/df count the term itself."""
+    return _stop_filtered_bm25_sql(term, _en33_sql(), k)
+
+
+def _lang_stop_sql(words) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(words))
+
+
+def _stop_filtered_bm25_sql(term: str, stop_sql: str, k: int = 10) -> str:
+    """BM25 oracle over a stop-filtered corpus for a STEM-INVARIANT
+    query term (its own stem under the index's analyzer chain, with a
+    singleton preimage in the corpus vocabulary — verified per sf in
+    tests/test_lang.py). Stemming never changes token COUNTS, so dl
+    and avgdl only need the stop filter; tf/df of the invariant term
+    need no stemming at all. Used by the english/french/german
+    analyzer-variant oracles."""
     norm = _norm_len_sql("dl.dl")
     return f"""WITH
       etok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                FROM documents),
       tok AS (SELECT doc_id, term FROM etok
-              WHERE term NOT IN ({_en33_sql()})),
+              WHERE term NOT IN ({stop_sql})),
       {_DL}, {_ST},
       tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
              WHERE term = '{term}' GROUP BY doc_id),
@@ -1574,6 +1601,23 @@ def _q_english(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["scan"]))
 
 
+def _q_french(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FrenchAnalyzer index (elision + snowball stops + UniNE light
+    stemmer, functions/lang.py; fr/FrenchAnalyzer.java chain): queried
+    with a stem-invariant term ('join' — verified singleton preimage
+    under french_light_stem at every sf)."""
+    s = _variant_searcher(spark, sf_dir, "french")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["join"]))
+
+
+def _q_german(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GermanAnalyzer index (snowball stops + normalization +
+    UniNE light stemmer; de/GermanAnalyzer.java chain): queried with a
+    stem-invariant term ('batch')."""
+    s = _variant_searcher(spark, sf_dir, "german")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["batch"]))
+
+
 def _q_feature_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexed FeatureField (core/document/FeatureField.java:106):
     BM25 MUST term + log-function feature SHOULD over freq-encoded
@@ -1805,6 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_index_top10": _q_merged,
         "nrt_appended_top10": _q_nrt,
         "english_analyzer_top10": _q_english,
+        "french_analyzer_top10": _q_french,
+        "german_analyzer_top10": _q_german,
         "feature_boosted_top10": _q_feature_boosted,
         "global_prune_top10": _q_global_prune,
         "wand_or_top10": _q_wand_or,
@@ -2003,6 +2049,12 @@ def oracle_sql() -> dict[str, str]:
         "merged_index_top10": _bm25_sql(["window"]),
         "nrt_appended_top10": _bm25_sql(["window"]),
         "english_analyzer_top10": _english_bm25_sql("scan"),
+        "french_analyzer_top10": _stop_filtered_bm25_sql(
+            "join", _lang_stop_sql(_FR_STOPS())
+        ),
+        "german_analyzer_top10": _stop_filtered_bm25_sql(
+            "batch", _lang_stop_sql(_DE_STOPS())
+        ),
         "feature_boosted_top10": _feature_boosted_sql(),
         "global_prune_top10": _bm25_sql(["the"]),
         "wand_or_top10": _bm25_sql(OR_TERMS),

@@ -137,13 +137,16 @@ def analyze(
     return terms, positions
 
 
-def analyze_series(texts, stopwords=None, lowercase=True, stem=False):
+def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None):
     """Batch analyze a pandas Series of strings.
 
     Returns (list_of_term_lists, list_of_position_lists) — the batch
     entry point used inside Arrow UDFs (one lockstep DFA pass for the
     whole batch; fast whitespace split for plain-ASCII rows).
     ``stem=True`` appends the Porter stemmer (EnglishAnalyzer chain).
+    ``chain`` (a ``functions.lang.AnalyzerChain``) supersedes
+    stopwords/stem and applies the full per-language chain
+    (elision → lower → stop → normalize → stem).
     """
     stop = stopwords if stopwords is not None else frozenset()
     if stem:
@@ -174,15 +177,23 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False):
     for toks in tok_lists:
         terms: list[str] = []
         positions: list[int] = []
-        for pos, tok in enumerate(toks):
-            if lowercase:
-                tok = _java_lower(tok)
-            if tok in stop:
-                continue
-            if stem:
-                tok = porter_stem(tok)
-            terms.append(tok)
-            positions.append(pos)
+        if chain is not None:
+            for pos, tok in enumerate(toks):
+                t = chain.apply_token(tok)
+                if t is None:
+                    continue
+                terms.append(t)
+                positions.append(pos)
+        else:
+            for pos, tok in enumerate(toks):
+                if lowercase:
+                    tok = _java_lower(tok)
+                if tok in stop:
+                    continue
+                if stem:
+                    tok = porter_stem(tok)
+                terms.append(tok)
+                positions.append(pos)
         terms_col.append(terms)
         pos_col.append(positions)
     return terms_col, pos_col

@@ -1,0 +1,569 @@
+"""Language analyzers beyond English: elision, normalization, and the
+UniNE/Savoy light + minimal stemmers for French / German / Spanish /
+Italian.
+
+Re-expresses the reference's per-language analyzer chains
+(``analysis/common/src/java/org/apache/lucene/analysis/{fr,de,es,it}``)
+from their published rule sets — Jacques Savoy's CLEF light-stemming
+algorithms ("Light Stemming Approaches for the French, Portuguese,
+German and Hungarian Languages"; "Report on CLEF-2001 Experiments") —
+not ported from the Java:
+
+- ``ElisionFilter`` (``util/ElisionFilter.java:48-71``): strips a
+  leading article before ``'``/``’`` when the prefix is in the
+  article set (case-insensitive), BEFORE lowercasing. French and
+  Italian article sets from ``FrenchAnalyzer.java:56`` /
+  ``ItalianAnalyzer.java:48``.
+- ``GermanNormalizationFilter`` (``de/GermanNormalizationFilter.java``):
+  snowball-German heuristics — ss for sharp-s, umlaut folding, and
+  e-deletion after a/o/u in the "umlaut state" (ae→a, oe→o, ue→u
+  unless the u follows a vowel or q).
+- Light stemmers (the analyzers' defaults): ``fr/FrenchLightStemmer``,
+  ``de/GermanLightStemmer``, ``es/SpanishLightStemmer``,
+  ``it/ItalianLightStemmer``. Minimal stemmers
+  (``fr/FrenchMinimalStemmer``, ``de/GermanMinimalStemmer``) as the
+  lighter alternates.
+- Stop sets: the snowball stopword lists the analyzers load as their
+  defaults (``snowball/{french,german,spanish,italian}_stop.txt`` —
+  public Snowball project data).
+
+Chain order per analyzer (each language's ``createComponents``):
+
+- french:  tokenize → elision → lower → stop → FrenchLightStem
+- italian: tokenize → elision → lower → stop → ItalianLightStem
+- german:  tokenize → lower → stop → GermanNormalization → GermanLightStem
+- spanish: tokenize → lower → stop → SpanishLightStem
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+# ---------------------------------------------------------------------------
+# Elision (util/ElisionFilter.java) — article sets are matched
+# case-insensitively against the prefix before the first ' or ’.
+
+ELISION_ARTICLES_FR = frozenset(
+    "l m t qu n s j d c jusqu quoiqu lorsqu puisqu".split()
+)
+ELISION_ARTICLES_IT = frozenset(
+    "c l all dall dell nell sull coll pell gl agl dagl degl negl sugl "
+    "un m t s v d".split()
+)
+
+_APOSTROPHES = ("'", "’")
+
+
+def strip_elision(token: str, articles: frozenset[str]) -> str:
+    """Strip ``<article>'`` from the token head when the prefix (before
+    the FIRST apostrophe) is an article; otherwise leave untouched."""
+    idx = -1
+    for i, ch in enumerate(token):
+        if ch in _APOSTROPHES:
+            idx = i
+            break
+    if idx >= 0 and token[:idx].lower() in articles:
+        return token[idx + 1 :]
+    return token
+
+
+# ---------------------------------------------------------------------------
+# German normalization (de/GermanNormalizationFilter.java): a 3-state
+# scan — N ordinary, V blocks 'u' from the umlaut state, U allows the
+# following 'e' to be deleted (ae→a, oe→o, ue→u not after vowel/q).
+
+_N, _V, _U = 0, 1, 2
+
+
+def german_normalize(token: str) -> str:
+    out: list[str] = []
+    state = _N
+    for ch in token:
+        if ch in ("a", "o"):
+            out.append(ch)
+            state = _U
+        elif ch == "u":
+            out.append(ch)
+            state = _U if state == _N else _V
+        elif ch == "e":
+            if state == _U:
+                state = _V
+                continue  # the e of ae/oe/ue — delete
+            out.append(ch)
+            state = _V
+        elif ch in ("i", "q", "y"):
+            out.append(ch)
+            state = _V
+        elif ch == "ä":
+            out.append("a")
+            state = _V
+        elif ch == "ö":
+            out.append("o")
+            state = _V
+        elif ch == "ü":
+            out.append("u")
+            state = _V
+        elif ch == "ß":
+            out.append("ss")
+            state = _N
+        else:
+            out.append(ch)
+            state = _N
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Stemmers. All operate on an already-lowercased token and return the
+# stem; each transcribes the published rule set with the same guards
+# and rule order as the reference class named in its docstring.
+
+
+def _collapse_runs(s: str) -> str:
+    """Collapse runs of the same letter to one occurrence (the
+    delete-loop in FrenchLightStemmer#norm)."""
+    out = [s[0]]
+    for ch in s[1:]:
+        if ch == out[-1] and ch.isalpha():
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
+_FR_NORM_FOLD = str.maketrans(
+    {"à": "a", "á": "a", "â": "a", "ô": "o", "è": "e", "é": "e",
+     "ê": "e", "ù": "u", "û": "u", "î": "i", "ç": "c"}
+)
+
+
+def _fr_norm(s: str) -> str:
+    """FrenchLightStemmer#norm: accent fold + run collapse (len>4),
+    drop 'ie', then the r/e/e/duplicate tail trim (len>4 at entry)."""
+    if len(s) > 4:
+        s = _collapse_runs(s.translate(_FR_NORM_FOLD))
+    if len(s) > 4 and s.endswith("ie"):
+        s = s[:-2]
+    if len(s) > 4:
+        if s.endswith("r"):
+            s = s[:-1]
+        if s.endswith("e"):
+            s = s[:-1]
+        if s.endswith("e"):
+            s = s[:-1]
+        if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+            s = s[:-1]
+    return s
+
+
+def french_light_stem(w: str) -> str:
+    """UniNE French light stemmer (fr/FrenchLightStemmer.java)."""
+    s = w
+    if len(s) > 5 and s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u" and s[-4] != "e":
+            s = s[:-2] + "l"  # -aux → -al (chevaux → cheval)
+        else:
+            s = s[:-1]
+    if len(s) > 3 and s[-1] == "x":
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "s":
+        s = s[:-1]
+
+    if len(s) > 9 and s.endswith("issement"):
+        return _fr_norm(s[:-7] + "r")  # -issement → -ir
+    if len(s) > 8 and s.endswith("issant"):
+        return _fr_norm(s[:-5] + "r")  # -issant → -ir
+    if len(s) > 6 and s.endswith("ement"):
+        s = s[:-4]  # keep the e
+        if len(s) > 3 and s.endswith("ive"):
+            s = s[:-2] + "f"  # -ivement → -if
+        return _fr_norm(s)
+    if len(s) > 11 and s.endswith("ficatrice"):
+        return _fr_norm(s[:-7] + "er")  # -ficatrice → -fier
+    if len(s) > 10 and s.endswith("ficateur"):
+        return _fr_norm(s[:-6] + "er")
+    if len(s) > 9 and s.endswith("catrice"):
+        return _fr_norm(s[:-7] + "quer")
+    if len(s) > 8 and s.endswith("cateur"):
+        return _fr_norm(s[:-6] + "quer")
+    if len(s) > 8 and s.endswith("atrice"):
+        return _fr_norm(s[:-6] + "er")
+    if len(s) > 7 and s.endswith("ateur"):
+        return _fr_norm(s[:-5] + "er")
+    if len(s) > 6 and s.endswith("trice"):
+        s = s[:-5] + "teur"  # no return: falls through like the Java
+    if len(s) > 5 and s.endswith("ième"):
+        return _fr_norm(s[:-4])
+    if len(s) > 7 and s.endswith("teuse"):
+        return _fr_norm(s[:-5] + "ter")
+    if len(s) > 6 and s.endswith("teur"):
+        return _fr_norm(s[:-4] + "ter")
+    if len(s) > 5 and s.endswith("euse"):
+        return _fr_norm(s[:-2])
+    if len(s) > 8 and s.endswith("ère"):
+        return _fr_norm(s[:-3] + "er")
+    if len(s) > 7 and s.endswith("ive"):
+        return _fr_norm(s[:-2] + "f")
+    if len(s) > 4 and (s.endswith("folle") or s.endswith("molle")):
+        return _fr_norm(s[:-3] + "u")  # folle → fou, molle → mou
+    if len(s) > 9 and s.endswith("nnelle"):
+        return _fr_norm(s[:-5])
+    if len(s) > 9 and s.endswith("nnel"):
+        return _fr_norm(s[:-3])
+    if len(s) > 4 and s.endswith("ète"):
+        s = s[:-3] + "et"
+    if len(s) > 8 and s.endswith("ique"):
+        s = s[:-4]
+    if len(s) > 8 and s.endswith("esse"):
+        return _fr_norm(s[:-3])
+    if len(s) > 7 and s.endswith("inage"):
+        return _fr_norm(s[:-3])
+    if len(s) > 9 and s.endswith("isation"):
+        s = s[:-7]
+        if len(s) > 5 and s.endswith("ual"):
+            s = s[:-2] + "el"  # -ualisation → -uel
+        return _fr_norm(s)
+    if len(s) > 9 and s.endswith("isateur"):
+        return _fr_norm(s[:-7])
+    if len(s) > 8 and s.endswith("ation"):
+        return _fr_norm(s[:-5])
+    if len(s) > 8 and s.endswith("ition"):
+        return _fr_norm(s[:-5])
+    return _fr_norm(s)
+
+
+def french_minimal_stem(w: str) -> str:
+    """Savoy's minimal French stemmer (fr/FrenchMinimalStemmer.java)."""
+    if len(w) < 6:
+        return w
+    s = w
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            return s[:-2] + "l"
+        return s[:-1]
+    if s[-1] == "s":
+        s = s[:-1]
+    if s[-1] == "r":
+        s = s[:-1]
+    if s[-1] == "e":
+        s = s[:-1]
+    if s[-1] == "é":
+        s = s[:-1]
+    if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+        s = s[:-1]
+    return s
+
+
+_DE_LIGHT_FOLD = str.maketrans(
+    {"ä": "a", "à": "a", "á": "a", "â": "a",
+     "ö": "o", "ò": "o", "ó": "o", "ô": "o",
+     "ï": "i", "ì": "i", "í": "i", "î": "i",
+     "ü": "u", "ù": "u", "ú": "u", "û": "u"}
+)
+
+_DE_ST_PRECEDERS = frozenset("bdfghklmnt")
+
+
+def german_light_stem(w: str) -> str:
+    """UniNE German light stemmer (de/GermanLightStemmer.java):
+    accent/umlaut fold, then two suffix-strip steps."""
+    s = w.translate(_DE_LIGHT_FOLD)
+    # step 1: plural/case endings
+    if len(s) > 5 and s.endswith("ern"):
+        s = s[:-3]
+    elif len(s) > 4 and len(s) >= 2 and s[-2] == "e" and s[-1] in "mnrs":
+        s = s[:-2]
+    elif len(s) > 3 and s.endswith("e"):
+        s = s[:-1]
+    elif len(s) > 3 and s.endswith("s") and s[-2] in _DE_ST_PRECEDERS:
+        s = s[:-1]
+    # step 2: comparative / superlative / inflection
+    if len(s) > 5 and s.endswith("est"):
+        s = s[:-3]
+    elif len(s) > 4 and (s.endswith("er") or s.endswith("en")):
+        s = s[:-2]
+    elif len(s) > 4 and s.endswith("st") and s[-3] in _DE_ST_PRECEDERS:
+        s = s[:-2]
+    return s
+
+
+_DE_MIN_FOLD = str.maketrans({"ä": "a", "ö": "o", "ü": "u"})
+
+
+def german_minimal_stem(w: str) -> str:
+    """Savoy's minimal German stemmer (de/GermanMinimalStemmer.java)."""
+    if len(w) < 5:
+        return w
+    s = w.translate(_DE_MIN_FOLD)
+    if len(s) > 6 and s.endswith("nen"):
+        return s[:-3]
+    if len(s) > 5:
+        if s.endswith("en") or s.endswith("se") or s.endswith("es") or s.endswith("er"):
+            return s[:-2]
+    if s[-1] in "nesr":
+        return s[:-1]
+    return s
+
+
+_ES_IT_FOLD = str.maketrans(
+    {"à": "a", "á": "a", "â": "a", "ä": "a",
+     "ò": "o", "ó": "o", "ô": "o", "ö": "o",
+     "è": "e", "é": "e", "ê": "e", "ë": "e",
+     "ù": "u", "ú": "u", "û": "u", "ü": "u",
+     "ì": "i", "í": "i", "î": "i", "ï": "i"}
+)
+
+_ES_FOLD = str.maketrans(
+    {"à": "a", "á": "a", "â": "a", "ä": "a",
+     "ò": "o", "ó": "o", "ô": "o", "ö": "o",
+     "è": "e", "é": "e", "ê": "e", "ë": "e",
+     "ù": "u", "ú": "u", "û": "u", "ü": "u",
+     "ì": "i", "í": "i", "î": "i", "ï": "i", "ñ": "n"}
+)
+
+
+def spanish_light_stem(w: str) -> str:
+    """CLEF-2001 Spanish light stemmer (es/SpanishLightStemmer.java)."""
+    if len(w) < 5:
+        return w
+    s = w.translate(_ES_FOLD)
+    last = s[-1]
+    if last in "oae":
+        return s[:-1]
+    if last == "s":
+        if len(s) >= 4 and s[-2] == "e" and s[-3] == "s" and s[-4] == "e":
+            return s[:-2]
+        if len(s) >= 3 and s[-2] == "e" and s[-3] == "c":
+            return s[:-3] + "z"  # -ces → -z (voces → voz)
+        if s[-2] in "oae":
+            return s[:-2]
+    return s
+
+
+def italian_light_stem(w: str) -> str:
+    """CLEF-2001 Italian light stemmer (it/ItalianLightStemmer.java)."""
+    if len(w) < 6:
+        return w
+    s = w.translate(_ES_IT_FOLD)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in "ih" else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in "hi" else s[:-1]
+    if last == "a":
+        return s[:-2] if prev == "i" else s[:-1]
+    if last == "o":
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Snowball stopword lists (the analyzers' default stop sets; data from
+# the public Snowball project, shipped by the reference as
+# snowball/*_stop.txt resources).
+
+FRENCH_STOP_WORDS = frozenset(
+    """au aux avec ce ces dans de des du elle en et eux il je la le leur
+    lui ma mais me même mes moi mon ne nos notre nous on ou par pas pour
+    qu que qui sa se ses sur ta te tes toi ton tu un une vos votre vous
+    c d j l à m n s t y étée étées étant suis es êtes sont serai seras
+    sera serons serez seront serais serait serions seriez seraient étais
+    était étions étiez étaient fus fut fûmes fûtes furent sois soit
+    soyons soyez soient fusse fusses fussions fussiez fussent ayant eu
+    eue eues eus ai avons avez ont aurai aurons aurez auront aurais
+    aurait aurions auriez auraient avais avait aviez avaient eut eûmes
+    eûtes eurent aie aies ait ayons ayez aient eusse eusses eût eussions
+    eussiez eussent ceci cela celà cet cette ici ils les leurs quel
+    quels quelle quelles sans soi""".split()
+)
+
+GERMAN_STOP_WORDS = frozenset(
+    """aber alle allem allen aller alles als also am an ander andere
+    anderem anderen anderer anderes anderm andern anderr anders auch auf
+    aus bei bin bis bist da damit dann der den des dem die das daß
+    derselbe derselben denselben desselben demselben dieselbe dieselben
+    dasselbe dazu dein deine deinem deinen deiner deines denn derer
+    dessen dich dir du dies diese diesem diesen dieser dieses doch dort
+    durch ein eine einem einen einer eines einig einige einigem einigen
+    einiger einiges einmal er ihn ihm es etwas euer eure eurem euren
+    eurer eures für gegen gewesen hab habe haben hat hatte hatten hier
+    hin hinter ich mich mir ihr ihre ihrem ihren ihrer ihres euch im in
+    indem ins ist jede jedem jeden jeder jedes jene jenem jenen jener
+    jenes jetzt kann kein keine keinem keinen keiner keines können
+    könnte machen man manche manchem manchen mancher manches mein meine
+    meinem meinen meiner meines mit muss musste nach nicht nichts noch
+    nun nur ob oder ohne sehr sein seine seinem seinen seiner seines
+    selbst sich sie ihnen sind so solche solchem solchen solcher solches
+    soll sollte sondern sonst über um und uns unse unsem unsen unser
+    unses unter viel vom von vor während war waren warst was weg weil
+    weiter welche welchem welchen welcher welches wenn werde werden wie
+    wieder will wir wird wirst wo wollen wollte würde würden zu zum zur
+    zwar zwischen""".split()
+)
+
+SPANISH_STOP_WORDS = frozenset(
+    """de la que el en y a los del se las por un para con no una su al
+    lo como más pero sus le ya o este sí porque esta entre cuando muy
+    sin sobre también me hasta hay donde quien desde todo nos durante
+    todos uno les ni contra otros ese eso ante ellos e esto mí antes
+    algunos qué unos yo otro otras otra él tanto esa estos mucho quienes
+    nada muchos cual poco ella estar estas algunas algo nosotros mi mis
+    tú te ti tu tus ellas nosotras vosotros vosotras os mío mía míos
+    mías tuyo tuya tuyos tuyas suyo suya suyos suyas nuestro nuestra
+    nuestros nuestras vuestro vuestra vuestros vuestras esos esas estoy
+    estás está estamos estáis están esté estés estemos estéis estén
+    estaré estarás estará estaremos estaréis estarán estaría estarías
+    estaríamos estaríais estarían estaba estabas estábamos estabais
+    estaban estuve estuviste estuvo estuvimos estuvisteis estuvieron
+    estuviera estuvieras estuviéramos estuvierais estuvieran estuviese
+    estuvieses estuviésemos estuvieseis estuviesen estando estado estada
+    estados estadas estad he has ha hemos habéis han haya hayas hayamos
+    hayáis hayan habré habrás habrá habremos habréis habrán habría
+    habrías habríamos habríais habrían había habías habíamos habíais
+    habían hube hubiste hubo hubimos hubisteis hubieron hubiera hubieras
+    hubiéramos hubierais hubieran hubiese hubieses hubiésemos hubieseis
+    hubiesen habiendo habido habida habidos habidas soy eres es somos
+    sois son sea seas seamos seáis sean seré serás será seremos seréis
+    serán sería serías seríamos seríais serían era eras éramos erais
+    eran fui fuiste fue fuimos fuisteis fueron fuera fueras fuéramos
+    fuerais fueran fuese fueses fuésemos fueseis fuesen siendo sido
+    tengo tienes tiene tenemos tenéis tienen tenga tengas tengamos
+    tengáis tengan tendré tendrás tendrá tendremos tendréis tendrán
+    tendría tendrías tendríamos tendríais tendrían tenía tenías teníamos
+    teníais tenían tuve tuviste tuvo tuvimos tuvisteis tuvieron tuviera
+    tuvieras tuviéramos tuvierais tuvieran tuviese tuvieses tuviésemos
+    tuvieseis tuviesen teniendo tenido tenida tenidos tenidas tened""".split()
+)
+
+ITALIAN_STOP_WORDS = frozenset(
+    """ad al allo ai agli all agl alla alle con col coi da dal dallo dai
+    dagli dall dagl dalla dalle di del dello dei degli dell degl della
+    delle in nel nello nei negli nell negl nella nelle su sul sullo sui
+    sugli sull sugl sulla sulle per tra contro io tu lui lei noi voi
+    loro mio mia miei mie tuo tua tuoi tue suo sua suoi sue nostro
+    nostra nostri nostre vostro vostra vostri vostre mi ti ci vi lo la
+    li le gli ne il un uno una ma ed se perché anche come dov dove che
+    chi cui non più quale quanto quanti quanta quante quello quelli
+    quella quelle questo questi questa queste si tutto tutti a c e i l
+    o ho hai ha abbiamo avete hanno abbia abbiate abbiano avrò avrai
+    avrà avremo avrete avranno avrei avresti avrebbe avremmo avreste
+    avrebbero avevo avevi aveva avevamo avevate avevano ebbi avesti ebbe
+    avemmo aveste ebbero avessi avesse avessimo avessero avendo avuto
+    avuta avuti avute sono sei è siamo siete sia siate siano sarò sarai
+    sarà saremo sarete saranno sarei saresti sarebbe saremmo sareste
+    sarebbero ero eri era eravamo eravate erano fui fosti fu fummo
+    foste furono fossi fosse fossimo fossero essendo faccio fai
+    facciamo fanno faccia facciate facciano farò farai farà faremo
+    farete faranno farei faresti farebbe faremmo fareste farebbero
+    facevo facevi faceva facevamo facevate facevano feci facesti fece
+    facemmo faceste fecero facessi facesse facessimo facessero facendo
+    sto stai sta stiamo stanno stia stiate stiano starò starai starà
+    staremo starete staranno starei staresti starebbe staremmo stareste
+    starebbero stavo stavi stava stavamo stavate stavano stetti stesti
+    stette stemmo steste stettero stessi stesse stessimo stessero
+    stando""".split()
+)
+
+
+# ---------------------------------------------------------------------------
+# Analyzer chain registry. A chain is applied per surface token as:
+#   [elision] -> java-simple lowercase -> stop -> [normalize] -> [stem]
+# which covers every reference chain order above (normalize only exists
+# for German, where it runs post-stop like GermanNormalizationFilter).
+
+
+@dataclass(frozen=True)
+class AnalyzerChain:
+    name: str
+    stopwords: frozenset
+    stem: Optional[Callable[[str], str]] = None
+    elision: Optional[frozenset] = None
+    normalize: Optional[Callable[[str], str]] = None
+
+    def apply_token(self, surface: str) -> Optional[str]:
+        """Surface token -> indexed term, or None if stop-filtered."""
+        from .analysis import _java_lower
+
+        tok = surface
+        if self.elision is not None:
+            tok = strip_elision(tok, self.elision)
+        tok = _java_lower(tok)
+        if tok in self.stopwords:
+            return None
+        if self.normalize is not None:
+            tok = self.normalize(tok)
+        if self.stem is not None:
+            tok = self.stem(tok)
+        return tok
+
+
+def _build_chains() -> dict:
+    from .analysis import ENGLISH_STOP_WORDS
+    from .stemmer import porter_stem
+
+    return {
+        "standard": AnalyzerChain("standard", frozenset()),
+        "english": AnalyzerChain("english", ENGLISH_STOP_WORDS, porter_stem),
+        "french": AnalyzerChain(
+            "french", FRENCH_STOP_WORDS, french_light_stem,
+            elision=ELISION_ARTICLES_FR,
+        ),
+        "french_minimal": AnalyzerChain(
+            "french_minimal", FRENCH_STOP_WORDS, french_minimal_stem,
+            elision=ELISION_ARTICLES_FR,
+        ),
+        "german": AnalyzerChain(
+            "german", GERMAN_STOP_WORDS, german_light_stem,
+            normalize=german_normalize,
+        ),
+        "german_minimal": AnalyzerChain(
+            "german_minimal", GERMAN_STOP_WORDS, german_minimal_stem,
+            normalize=german_normalize,
+        ),
+        "spanish": AnalyzerChain(
+            "spanish", SPANISH_STOP_WORDS, spanish_light_stem
+        ),
+        "italian": AnalyzerChain(
+            "italian", ITALIAN_STOP_WORDS, italian_light_stem,
+            elision=ELISION_ARTICLES_IT,
+        ),
+    }
+
+
+_CHAINS: dict | None = None
+
+
+def get_chain(name: str, stopwords=None) -> AnalyzerChain:
+    """Resolve an analyzer name to its chain; explicit ``stopwords``
+    override the chain's default stop set (Analyzer(CharArraySet)
+    constructors)."""
+    global _CHAINS
+    if _CHAINS is None:
+        _CHAINS = _build_chains()
+    try:
+        chain = _CHAINS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown analyzer {name!r}; known: {sorted(_CHAINS)}"
+        ) from None
+    if stopwords is not None:
+        chain = AnalyzerChain(
+            chain.name, frozenset(stopwords), chain.stem,
+            chain.elision, chain.normalize,
+        )
+    return chain
+
+
+def chain_analyze(text: str, chain: AnalyzerChain):
+    """Full chain over one text -> (terms, positions) with stop-gap
+    position increments (query-time / monitor entry point)."""
+    from .analysis import tokenize
+
+    terms: list[str] = []
+    positions: list[int] = []
+    for pos, tok in enumerate(tokenize(text)):
+        t = chain.apply_token(tok)
+        if t is None:
+            continue
+        terms.append(t)
+        positions.append(pos)
+    return terms, positions

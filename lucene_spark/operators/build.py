@@ -94,7 +94,7 @@ def _build_one_segment(
     field: str,
     stopwords,
     index_sort: str = "url",
-    stem: bool = False,
+    chain=None,
     docids=None,
 ) -> Iterator[pa.RecordBatch]:
     """Build all rows for one segment. Pure function of (urls, texts).
@@ -119,7 +119,7 @@ def _build_one_segment(
     texts_s = [texts[i] for i in order]
     n_docs = len(urls_s)
 
-    terms_col, pos_col = analyze_series(texts_s, stopwords=stopwords, stem=stem)
+    terms_col, pos_col = analyze_series(texts_s, stopwords=stopwords, chain=chain)
     doclens = np.array([len(t) for t in terms_col], dtype=np.int64)
 
     if index_sort == "doclen_desc":
@@ -243,7 +243,7 @@ def _build_one_segment(
     del t0
 
 
-def _make_builder(field: str, stopwords, index_sort: str = "url", stem: bool = False):
+def _make_builder(field: str, stopwords, index_sort: str = "url", chain=None):
     stopset = frozenset(stopwords) if stopwords else frozenset()
 
     def build_segments(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -275,13 +275,13 @@ def _make_builder(field: str, stopwords, index_sort: str = "url", stem: bool = F
             us = list(np.concatenate(url_chunks))
             ts = list(np.concatenate(text_chunks))
             yield from _build_one_segment(
-                seg_id, us, ts, field, stopset, index_sort, stem
+                seg_id, us, ts, field, stopset, index_sort, chain
             )
 
     return build_segments
 
 
-def _make_salted_builder(field: str, stopwords, stem: bool = False):
+def _make_salted_builder(field: str, stopwords, chain=None):
     """Builder for the salted path: rows arrive with precomputed
     (segment_id, salt, local_docid); each (segment, salt) group packs
     its contiguous docid range independently."""
@@ -304,7 +304,7 @@ def _make_salted_builder(field: str, stopwords, stem: bool = False):
         for (seg_id, _salt) in sorted(groups):
             us, ts, ids = groups[(seg_id, _salt)]
             yield from _build_one_segment(
-                seg_id, us, ts, field, stopset, "url", stem, docids=ids
+                seg_id, us, ts, field, stopset, "url", chain, docids=ids
             )
 
     return build_splits
@@ -381,20 +381,17 @@ def build_index(
     catalog = IndexCatalog(index_dir)
     t_start = time.monotonic()
 
-    # analyzer chain: 'standard' = tokenize+lower (+ explicit stopwords),
-    # 'english' = EnglishAnalyzer (33 stopwords + Porter stem,
-    # analysis/en/EnglishAnalyzer.java). Recorded in the manifest so
-    # readers analyze queries identically.
-    if analyzer == "english":
-        from ..functions.analysis import ENGLISH_STOP_WORDS
+    # analyzer chain, resolved from the registry
+    # (functions/lang.py): 'standard' = tokenize+lower (+ explicit
+    # stopwords), 'english' = EnglishAnalyzer (33 stopwords + Porter
+    # stem, analysis/en/EnglishAnalyzer.java), 'french'/'german'/
+    # 'spanish'/'italian' (+ *_minimal variants) = the per-language
+    # chains (elision/normalization + UniNE light stemmers). Recorded
+    # in the manifest so readers analyze queries identically.
+    from ..functions.lang import get_chain
 
-        if stopwords is None:
-            stopwords = ENGLISH_STOP_WORDS
-        stem = True
-    elif analyzer == "standard":
-        stem = False
-    else:
-        raise ValueError(f"unknown analyzer {analyzer!r}")
+    chain = get_chain(analyzer, stopwords=stopwords)
+    stopwords = chain.stopwords
     man0 = catalog.read_manifest()
     if man0["segments"] and man0.get("analyzer", "standard") != analyzer:
         raise ValueError(
@@ -432,11 +429,11 @@ def build_index(
         staged = salted.repartition(
             num_segments * salt_splits, "segment_id", "salt"
         ).mapInArrow(
-            _make_salted_builder(field, stopwords, stem), schema=STAGE_DDL
+            _make_salted_builder(field, stopwords, chain), schema=STAGE_DDL
         )
     else:
         staged = src.repartition(num_segments, "segment_id").mapInArrow(
-            _make_builder(field, stopwords, index_sort, stem), schema=STAGE_DDL
+            _make_builder(field, stopwords, index_sort, chain), schema=STAGE_DDL
         )
 
     commit_id = catalog.new_commit_dir("stage")

@@ -851,12 +851,12 @@ class Searcher(QueryOpsMixin):
     # ------------------------------------------------------------------
     def analyze_query(self, text: str) -> list[str]:
         """Same analyzer over query text (QueryBuilder.createFieldQuery):
-        the chain recorded in the manifest at build time."""
-        terms, _ = analyze(text, stopwords=self._stopwords)
-        if self.analyzer == "english":
-            from ..functions.stemmer import porter_stem
+        the chain recorded in the manifest at build time — including
+        the per-language chains (functions/lang.py registry)."""
+        from ..functions.lang import chain_analyze, get_chain
 
-            terms = [porter_stem(t) for t in terms]
+        chain = get_chain(self.analyzer, stopwords=self._stopwords or None)
+        terms, _ = chain_analyze(text, chain)
         return terms
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:

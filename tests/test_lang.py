@@ -1,0 +1,234 @@
+"""Language analyzers (functions/lang.py): elision, German
+normalization, the UniNE light/minimal stemmers, and chain wiring.
+
+Golden expectations are hand-traced from the published rule sets
+(Savoy's CLEF light stemmers) as transcribed in
+``analysis/common/.../{fr,de,es,it}/*Stemmer.java``.
+"""
+
+import pytest
+
+from lucene_spark.functions.lang import (
+    ELISION_ARTICLES_FR,
+    ELISION_ARTICLES_IT,
+    FRENCH_STOP_WORDS,
+    GERMAN_STOP_WORDS,
+    chain_analyze,
+    french_light_stem,
+    french_minimal_stem,
+    german_light_stem,
+    german_minimal_stem,
+    german_normalize,
+    get_chain,
+    italian_light_stem,
+    spanish_light_stem,
+    strip_elision,
+)
+
+
+class TestElision:
+    def test_french_articles(self):
+        assert strip_elision("l'avion", ELISION_ARTICLES_FR) == "avion"
+        assert strip_elision("L'avion", ELISION_ARTICLES_FR) == "avion"
+        assert strip_elision("d'une", ELISION_ARTICLES_FR) == "une"
+        assert strip_elision("qu'il", ELISION_ARTICLES_FR) == "il"
+        assert strip_elision("jusqu'au", ELISION_ARTICLES_FR) == "au"
+        # U+2019 right single quote counts too (ElisionFilter.java:57)
+        assert strip_elision("l’avion", ELISION_ARTICLES_FR) == "avion"
+
+    def test_non_article_prefix_untouched(self):
+        assert strip_elision("aujourd'hui", ELISION_ARTICLES_FR) == "aujourd'hui"
+        assert strip_elision("avion", ELISION_ARTICLES_FR) == "avion"
+
+    def test_only_first_apostrophe_splits(self):
+        # prefix before the FIRST apostrophe decides
+        assert strip_elision("l'o'clock", ELISION_ARTICLES_FR) == "o'clock"
+
+    def test_italian_articles(self):
+        assert strip_elision("dell'arte", ELISION_ARTICLES_IT) == "arte"
+        assert strip_elision("un'ora", ELISION_ARTICLES_IT) == "ora"
+
+
+class TestGermanNormalization:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("weißbier", "weissbier"),  # sharp-s
+            ("bücher", "bucher"),  # umlaut fold
+            ("buecher", "bucher"),  # ue after consonant: e deleted
+            ("haeuser", "hauser"),  # ae -> a
+            ("boett", "bott"),  # oe -> o
+            ("quelle", "quelle"),  # ue after q: kept (V state)
+            ("aue", "aue"),  # ue after vowel: kept
+            ("tag", "tag"),
+        ],
+    )
+    def test_fsm(self, word, expect):
+        assert german_normalize(word) == expect
+
+
+class TestFrenchLight:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("chevaux", "cheval"),  # -aux -> -al
+            ("eaux", "eau"),  # e before aux blocks the u->l
+            ("chanteuse", "chant"),  # teuse -> ter, then norm trims
+            ("chanteur", "chant"),
+            ("complète", "complet"),
+            ("folles", "fou"),
+            ("rapidement", "rapid"),
+            ("attentivement", "atentif"),  # norm collapses 'tt'
+            ("blanchissement", "blanchi"),  # -issement -> -ir, norm trims r
+            ("finissant", "fini"),
+            ("modificatrice", "modifi"),
+            ("véritablement", "veritabl"),
+            ("propositions", "propos"),  # -ition rule
+        ],
+    )
+    def test_examples(self, word, expect):
+        assert french_light_stem(word) == expect
+
+    def test_short_words_pass_through_norm_only(self):
+        assert french_light_stem("chat") == "chat"
+        assert french_light_stem("très") == "trè"  # s dropped (len>3)
+
+
+class TestFrenchMinimal:
+    def test_examples(self):
+        assert french_minimal_stem("chevaux") == "cheval"
+        assert french_minimal_stem("fenêtres") == "fenêtr"
+        assert french_minimal_stem("courir") == "couri"
+        assert french_minimal_stem("short") == "short"  # len < 6
+
+
+class TestGermanLight:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("häusern", "haus"),  # fold + -ern
+            ("katzen", "katz"),  # -en
+            ("hauses", "haus"),  # -es
+            ("grösste", "grosst"),  # -e; 'st' survives ('s' not stEnding)
+            ("kleinst", "klein"),  # -st after n
+            ("tages", "tag"),
+        ],
+    )
+    def test_examples(self, word, expect):
+        assert german_light_stem(word) == expect
+
+
+class TestGermanMinimal:
+    def test_examples(self):
+        assert german_minimal_stem("bildern") == "bilder"  # only -n (len guard)
+        assert german_minimal_stem("spielen") == "spiel"
+        assert german_minimal_stem("häuser") == "haus"
+        assert german_minimal_stem("kurz") == "kurz"
+
+
+class TestSpanishLight:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("voces", "voz"),  # -ces -> -z
+            ("casas", "cas"),
+            ("niños", "nin"),
+            ("especiales", "especial"),
+            ("intereses", "interes"),  # -eses -> -es
+            ("corto", "cort"),
+            ("casa", "casa"),  # len < 5 guard
+        ],
+    )
+    def test_examples(self, word, expect):
+        assert spanish_light_stem(word) == expect
+
+    def test_short_pass_through(self):
+        assert spanish_light_stem("años") == "años"  # len < 5
+
+
+class TestItalianLight:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("ragazzi", "ragazz"),
+            ("ragazzo", "ragazz"),
+            ("amiche", "amic"),  # -he -> 2 chars
+            ("lunghi", "lung"),  # -hi -> 2 chars
+            ("negozio", "negoz"),  # -io -> 2 chars
+            ("politica", "politic"),
+        ],
+    )
+    def test_examples(self, word, expect):
+        assert italian_light_stem(word) == expect
+
+
+class TestChains:
+    def test_french_chain(self):
+        c = get_chain("french")
+        terms, pos = chain_analyze(
+            "L'église du village était très belle", c
+        )
+        # l' stripped by elision; du/était in the stop list leave gaps
+        assert terms == ["eglis", "vilag", "trè", "bele"]
+        assert pos == [0, 2, 4, 5]
+
+    def test_german_chain(self):
+        c = get_chain("german")
+        terms, pos = chain_analyze("Die Häuser der Städte sind größer", c)
+        assert terms == ["haus", "stadt", "gross"]
+        assert pos == [1, 3, 5]
+
+    def test_stop_sets_are_snowball_defaults(self):
+        assert "même" in FRENCH_STOP_WORDS
+        assert len(FRENCH_STOP_WORDS) > 120
+        assert "daß" in GERMAN_STOP_WORDS
+
+    def test_stopword_override(self):
+        # the stop filter runs PRE-stem on the lowercased surface form
+        # (StopFilter precedes the stem filter in every chain): an
+        # override of the stemmed form does not remove the word...
+        c = get_chain("french", stopwords=["bele"])
+        terms, _ = chain_analyze("belle église", c)
+        assert terms == ["bele", "eglis"]
+        # ...an override of the surface form does
+        c2 = get_chain("french", stopwords=["belle"])
+        terms2, _ = chain_analyze("belle église", c2)
+        assert terms2 == ["eglis"]
+
+    def test_unknown_analyzer_raises(self):
+        with pytest.raises(ValueError, match="unknown analyzer"):
+            get_chain("klingon")
+
+    def test_registry_covers_standard_and_english(self):
+        std = get_chain("standard")
+        assert std.stem is None and std.stopwords == frozenset()
+        en = get_chain("english")
+        assert en.stem is not None and "the" in en.stopwords
+
+
+class TestOraclePrecondition:
+    """The driver oracles for french/german query a STEM-INVARIANT
+    term; re-assert the invariance here so a corpus or stemmer change
+    fails loudly instead of silently hash-mismatching."""
+
+    @pytest.mark.parametrize(
+        "term,lang", [("join", "french"), ("batch", "german")]
+    )
+    def test_invariant_terms(self, term, lang, spark):
+        import collections
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        vocab = {
+            r["t"]
+            for r in docs.selectExpr(
+                "explode(split(text, ' ')) AS t"
+            ).distinct().collect()
+        }
+        chain = get_chain(lang)
+        pre = collections.defaultdict(list)
+        for t in vocab:
+            out = chain.apply_token(t)
+            if out is not None:
+                pre[out].append(t)
+        assert chain.apply_token(term) == term
+        assert pre[term] == [term]
