@@ -427,6 +427,31 @@ SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
 FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _interval_within_sql(
+    t0: str, t1: str, filt: str, positions: int, k: int = 10
+) -> str:
+    """Intervals.within oracle: ordered (t0, t1) chain emissions
+    (slot 1; interval [val-gap, val]) contained by some ``filt``
+    position extended by ``positions`` on both sides."""
+    return f"""WITH RECURSIVE {_TOK}, {_TOKP}, {_DL}, {_ST},
+{_chain_cte(t0, t1, adjust=0)},
+fpos AS (SELECT doc_id, p::BIGINT AS w FROM tokp WHERE term = '{filt}'),
+kept AS (
+  SELECT e.doc_id, e.gap FROM emits e
+  WHERE e.slot = 1
+    AND EXISTS (SELECT 1 FROM fpos f
+                WHERE f.doc_id = e.doc_id
+                  AND e.val - e.gap >= f.w - {positions}
+                  AND e.val <= f.w + {positions})
+),
+fr AS (
+  SELECT doc_id, sum(1.0/greatest(gap, 1)) AS freq
+  FROM kept GROUP BY doc_id HAVING freq > 0
+)
+SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
+FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _multi_phrase_sql(slots: list[list[str]], k: int = 10) -> str:
     """MultiPhraseQuery oracle: per-slot position unions, aligned
     intersection count, idf summed over every term in every slot."""
@@ -1105,6 +1130,20 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector analog of the
+    MinHash dedup ladder): exact verify path here (deterministic,
+    oracle-matchable); the scale path feeds candidates from
+    embedding_band_candidates — banded-LSH self-join, recall-asserted
+    in tests/test_embedding_dedup.py."""
+    from lucene_spark.operators.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_duplicates(emb, threshold=0.35).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN with multi-probe (the scale path). Approximate
     w.r.t. brute force, but fully DETERMINISTIC given the seeded
@@ -1535,6 +1574,19 @@ def _q_interval_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals.within (Intervals.java:506-515 — containedBy against
+    extend(reference, positions, positions)): ordered ("the","query")
+    intervals within 3 positions of a "window" occurrence."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s,
+        s.scored_interval_filter(
+            ["the", "query"], ["window"], "within", positions=3
+        ),
+    )
+
+
 def _q_combined_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CombinedFieldQuery (BM25F) over body (w=1) + title (first 8
     tokens, w=2), title as a second per-field index."""
@@ -1813,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
         "ann_cosine_top10": _q_ann_cosine,
+        "embedding_near_dup_pairs": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "lang_id": _q_lang_id,
@@ -1841,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_phrase_top10": _q_interval_phrase,
         "interval_maxgaps_top10": _q_interval_maxgaps,
         "interval_not_containing_top10": _q_interval_containing,
+        "interval_within_top10": _q_interval_within,
         "combined_field_top10": _q_combined_field,
         "blended_term_top10": _q_blended_term,
         "mlt_top10": _q_mlt,
@@ -1961,6 +2015,13 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT embedding::DOUBLE[] FROM embeddings
                         WHERE vec_id = 0)) DESC, vec_id
             LIMIT 10""",
+        "embedding_near_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""",
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "lang_id": "SELECT doc_id, "
@@ -2093,6 +2154,9 @@ def oracle_sql() -> dict[str, str]:
         "interval_ordered_top10": _interval_ordered_sql("the", "query"),
         "interval_phrase_top10": _interval_phrase_sql("the", "query"),
         "interval_maxgaps_top10": _interval_maxgaps_sql("the", "query", 1),
+        "interval_within_top10": _interval_within_sql(
+            "the", "query", "window", 3
+        ),
         "interval_not_containing_top10": _interval_not_containing_sql(
             "the", "query", "window"
         ),

@@ -40,6 +40,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
+from .analysis import _java_lower
+
 # ---------------------------------------------------------------------------
 # Elision (util/ElisionFilter.java) — article sets are matched
 # case-insensitively against the prefix before the first ' or ’.
@@ -481,8 +483,6 @@ class AnalyzerChain:
 
     def apply_token(self, surface: str) -> Optional[str]:
         """Surface token -> indexed term, or None if stop-filtered."""
-        from .analysis import _java_lower
-
         tok = surface
         if self.elision is not None:
             tok = strip_elision(tok, self.elision)

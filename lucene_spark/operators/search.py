@@ -149,7 +149,8 @@ def sloppy_phrase_freq(adjusted_pos_lists: list[list[int]], slop: int) -> float:
 
 INTERVAL_OPS = (
     "containing", "not_containing", "contained_by", "not_contained_by",
-    "before", "after",
+    "before", "after", "overlapping", "non_overlapping",
+    "within", "not_within",
 )
 
 
@@ -168,7 +169,12 @@ def filter_intervals(
     - ``before``: A-intervals ending before the start of some
       B-interval (⇔ end < max B start);
     - ``after``: A-intervals starting after the end of some B-interval
-      (⇔ start > min B end).
+      (⇔ start > min B end);
+    - ``overlapping``: A-intervals intersecting some B-interval
+      (``OverlappingIntervalsSource``);
+    - ``non_overlapping``: A-intervals intersecting none
+      (``NonOverlappingIntervalsSource``; ``Intervals.notWithin(a, n,
+      b)`` = non_overlapping against extend(b, n, n)).
     """
     if op == "containing":
         return [
@@ -189,6 +195,16 @@ def filter_intervals(
         return [
             i for i in a_iv
             if not any(s <= i[0] and i[1] <= e for s, e in b_iv)
+        ]
+    if op == "overlapping":
+        return [
+            i for i in a_iv
+            if any(s <= i[1] and i[0] <= e for s, e in b_iv)
+        ]
+    if op == "non_overlapping":
+        return [
+            i for i in a_iv
+            if not any(s <= i[1] and i[0] <= e for s, e in b_iv)
         ]
     if op == "before":
         if not b_iv:
@@ -2056,21 +2072,34 @@ class Searcher(QueryOpsMixin):
         max_width: int | None = None,
         pivot: float = 1.0,
         boost: float = 1.0,
+        positions: int | None = None,
     ) -> DataFrame:
         """Interval filter algebra (``Intervals.containing/containedBy/
-        notContaining/notContainedBy/before/after``): source A's
-        minimal intervals kept by their relation to source B's, then
-        scored with the saturation function like ``scored_intervals``.
+        notContaining/notContainedBy/before/after/overlapping/
+        nonOverlapping/within/notWithin``): source A's minimal
+        intervals kept by their relation to source B's, then scored
+        with the saturation function like ``scored_intervals``.
+
+        ``within``/``not_within`` take ``positions`` and compose
+        exactly like the reference (``Intervals.java:491-515``):
+        within = containedBy against extend(B, positions, positions);
+        notWithin = nonOverlapping against the same extension.
 
         For the negative ops B is optional per doc (a doc without B
         keeps all its A intervals); positive ops require both sources,
         so B joins the candidate conjunction."""
         if op not in INTERVAL_OPS:
             raise ValueError(f"unknown interval op {op!r}")
+        if op in ("within", "not_within"):
+            if positions is None:
+                raise ValueError(f"{op} requires positions=")
+        elif positions is not None:
+            raise ValueError(f"positions= only applies to within ops")
         stats = self.term_stats(a_terms + b_terms)
         if any(t not in stats for t in a_terms):
             return self._empty_scored().select("segment_id", "docid", "score")
-        positive = op in ("containing", "contained_by", "before", "after")
+        positive = op in ("containing", "contained_by", "before", "after",
+                          "overlapping", "within")
         if positive and any(t not in stats for t in b_terms):
             return self._empty_scored().select("segment_id", "docid", "score")
         b_present = [t for t in b_terms if t in stats]
@@ -2094,9 +2123,16 @@ class Searcher(QueryOpsMixin):
             )
         joined = per_doc.select("segment_id", "docid", "norm", *cols)
 
+        if op == "within":
+            eff_op, b_extend = "contained_by", positions
+        elif op == "not_within":
+            eff_op, b_extend = "non_overlapping", positions
+        else:
+            eff_op, b_extend = op, None
+
         def freq_fn(
             lists, _na=n_a, _nb=n_b, _ao=a_ordered, _bo=b_ordered,
-            _op=op, _mw=max_width,
+            _op=eff_op, _mw=max_width, _bx=b_extend,
         ):
             a_lists, b_lists = lists[:_na], lists[_na:]
             if any(not pl for pl in a_lists):
@@ -2112,6 +2148,8 @@ class Searcher(QueryOpsMixin):
                     if _bo
                     else unordered_intervals(b_lists)
                 )
+                if _bx is not None:
+                    b_iv = extend_intervals(b_iv, _bx, _bx)
             else:
                 b_iv = []
             kept = filter_intervals(a_iv, b_iv, _op)

@@ -400,3 +400,108 @@ def lsh_recall_at_k(
         return 1.0
     hit = approx.join(exact, [qid_col, id_col], "left_semi").count()
     return hit / float(k * nq)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate detection (the vector analog of the
+# MinHash-LSH dedup ladder in operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def embedding_band_candidates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Corpus self-join LSH candidates for near-dup detection:
+    (id_a < id_b) pairs whose hyperplane signatures agree on at least
+    one band of sign bits. The self-join shuffles on (band, chunk) —
+    near-identical vectors collide in every band, so the pair count
+    tracks the duplicate mass, never the corpus square.
+
+    ``max_bucket`` mirrors the MinHash guard (``dedup.py
+    lsh_candidate_pairs``): a band bucket larger than the cap (a
+    degenerate region of embedding space — the vector analog of
+    boilerplate) is dropped before the self-join to keep it linear;
+    true near-dup pairs in such regions still surface via their other
+    bands."""
+    planes = hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    sig = emb.select(
+        F.col(id_col),
+        lsh_signature(F.col(vec_col).cast("array<double>"), planes).alias(
+            "_sig"
+        ),
+    )
+    keys = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("_sig", b * width)
+            .bitwiseAND(mask)
+            .alias("chunk"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col, F.explode(F.array(*keys)).alias("bk")
+    ).select(id_col, "bk.band", "bk.chunk")
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band", "chunk")
+            .count()
+            .where(F.col("count") <= max_bucket)
+            .select("band", "chunk")
+        )
+        banded = banded.join(small, ["band", "chunk"], "left_semi")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine >= threshold, id_a < id_b —
+    exact verification over candidate pairs. With ``candidates`` (from
+    :func:`embedding_band_candidates`) only those pairs are scored
+    (the 100 TB path); without, every pair is scored via a sorted
+    theta-join (small corpora / oracle checks only — at scale always
+    pass candidates). Same double-widened cosine as the ANN paths, so
+    results hash-match a DuckDB ``list_cosine_similarity`` oracle."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    if candidates is None:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = candidates.join(a, "id_a").join(b, "id_b")
+    return (
+        pairs.withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,107 @@
+"""Embedding-cosine near-duplicate detection
+(operators/similarity.py embedding_band_candidates /
+embedding_near_duplicates): the vector analog of the MinHash-LSH
+dedup ladder."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lucene_spark.operators.similarity import (
+    embedding_band_candidates,
+    embedding_near_duplicates,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def emb_with_dups(spark, emb):
+    """Corpus plus exact copies of 10 vectors under shifted ids —
+    planted true near-duplicates (cos = 1.0)."""
+    dups = (
+        emb.where(F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return emb.unionByName(dups).cache()
+
+
+class TestExactPairs:
+    def test_threshold_monotone(self, emb):
+        hi = embedding_near_duplicates(emb, threshold=0.45).count()
+        lo = embedding_near_duplicates(emb, threshold=0.35).count()
+        assert hi <= lo
+
+    def test_pairs_ordered_and_above_threshold(self, emb):
+        rows = embedding_near_duplicates(emb, threshold=0.35).collect()
+        assert rows, "sf0.001 corpus has pairs >= 0.35"
+        for r in rows:
+            assert r["id_a"] < r["id_b"]
+            assert r["cos"] >= 0.35
+
+    def test_planted_duplicates_found(self, emb_with_dups):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(
+                emb_with_dups, threshold=0.999
+            ).collect()
+        }
+        assert {(i, i + 100000) for i in range(10)} <= got
+
+
+class TestBandCandidates:
+    def test_candidates_are_a_pair_subset(self, emb):
+        cand = embedding_band_candidates(emb)
+        n = emb.count()
+        assert cand.count() < n * (n - 1) / 2  # banding prunes
+        bad = cand.where(F.col("id_a") >= F.col("id_b")).count()
+        assert bad == 0
+
+    def test_exact_copies_collide_in_every_band(self, emb_with_dups):
+        """An identical vector has the identical signature — the pair
+        must survive banding (recall 1.0 on true duplicates), so the
+        candidates= scale path loses nothing vs exact on real dups."""
+        cand = embedding_band_candidates(emb_with_dups)
+        via = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(
+                emb_with_dups, threshold=0.999, candidates=cand
+            ).collect()
+        }
+        assert {(i, i + 100000) for i in range(10)} <= via
+
+    def test_verify_on_candidates_is_subset_of_exact(self, emb):
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(emb, threshold=0.3).collect()
+        }
+        cand = embedding_band_candidates(emb)
+        via = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(
+                emb, threshold=0.3, candidates=cand
+            ).collect()
+        }
+        assert via <= exact
+
+    def test_max_bucket_guard_drops_degenerate_buckets(self, spark, emb):
+        """1000 copies of one vector = a degenerate bucket; the guard
+        keeps the band self-join linear by dropping it."""
+        one = emb.where(F.col("vec_id") == 0).select("embedding")
+        flood = (
+            spark.range(200000, 201000)
+            .withColumnRenamed("id", "vec_id")
+            .crossJoin(F.broadcast(one))
+        )
+        corpus = emb.unionByName(flood.select("vec_id", "embedding"))
+        guarded = embedding_band_candidates(corpus, max_bucket=100)
+        # the 1000-clone cluster would alone contribute ~500k pairs
+        assert guarded.count() < 100_000

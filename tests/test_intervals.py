@@ -147,13 +147,47 @@ class TestIntervalAlgebra:
         assert filter_intervals(a, [], "not_containing") == a
         assert filter_intervals(a, [], "containing") == []
         assert filter_intervals(a, [], "before") == []
+        # overlapping: any intersection counts (partial overlap too)
+        assert filter_intervals(a, [(3, 5)], "overlapping") == [
+            (0, 3), (5, 6)
+        ]
+        assert filter_intervals(a, [(3, 5)], "non_overlapping") == [(10, 12)]
+        assert filter_intervals(a, [], "non_overlapping") == a
+        assert filter_intervals(a, [], "overlapping") == []
 
-    def _mirror(self, naive, a_terms, b_terms, op, a_ordered, b_ordered):
+    def test_within_composes_like_reference(self):
+        """Intervals.within = containedBy(src, extend(ref, n, n));
+        notWithin = nonOverlapping(src, extend(ref, n, n))
+        (Intervals.java:491-515)."""
         from lucene_spark.operators.search import (
+            extend_intervals,
+            filter_intervals,
+        )
+
+        a = [(4, 6), (20, 22), (9, 9)]
+        ref = [(10, 10)]
+        ext = extend_intervals(ref, 3, 3)  # [(7, 13)]
+        assert filter_intervals(a, ext, "contained_by") == [(9, 9)]
+        assert filter_intervals(a, ext, "non_overlapping") == [
+            (4, 6), (20, 22)
+        ]
+
+    def _mirror(
+        self, naive, a_terms, b_terms, op, a_ordered, b_ordered,
+        positions=None,
+    ):
+        from lucene_spark.operators.search import (
+            extend_intervals,
             filter_intervals,
             interval_freq,
         )
 
+        if op == "within":
+            eff_op, b_ext = "contained_by", positions
+        elif op == "not_within":
+            eff_op, b_ext = "non_overlapping", positions
+        else:
+            eff_op, b_ext = op, None
         out = {}
         for i, (terms_i, pos_i) in enumerate(naive.analyzed):
             pos_of = {}
@@ -161,7 +195,8 @@ class TestIntervalAlgebra:
                 pos_of.setdefault(t, []).append(p)
             if not all(t in pos_of for t in a_terms):
                 continue
-            positive = op in ("containing", "contained_by", "before", "after")
+            positive = op in ("containing", "contained_by", "before",
+                              "after", "overlapping", "within")
             if positive and not all(t in pos_of for t in b_terms):
                 continue
             a_lists = [sorted(pos_of[t]) for t in a_terms]
@@ -177,10 +212,12 @@ class TestIntervalAlgebra:
                     if b_ordered
                     else unordered_intervals(b_lists)
                 )
+                if b_ext is not None:
+                    b_iv = extend_intervals(b_iv, b_ext, b_ext)
             else:
                 b_iv = []
             freq = interval_freq(
-                filter_intervals(a_iv, b_iv, op), len(a_terms)
+                filter_intervals(a_iv, b_iv, eff_op), len(a_terms)
             )
             if freq > 0:
                 out[i] = 1.0 * (1 - 1.0 / (1.0 + freq))
@@ -188,7 +225,8 @@ class TestIntervalAlgebra:
 
     @pytest.mark.parametrize(
         "op", ["containing", "not_containing", "contained_by",
-               "not_contained_by", "before", "after"],
+               "not_contained_by", "before", "after",
+               "overlapping", "non_overlapping"],
     )
     def test_spark_matches_mirror(self, searcher, naive, op):
         a_terms, b_terms = ["the", "query"], ["window"]
@@ -204,8 +242,35 @@ class TestIntervalAlgebra:
         assert set(got) == set(expect), op
         for d in got:
             assert abs(got[d] - expect[d]) <= 1e-6
-        if op in ("not_containing", "not_contained_by", "before", "after"):
+        if op in ("not_containing", "not_contained_by", "before", "after",
+                  "non_overlapping"):
             assert got, f"{op} should match something on this corpus"
+
+    @pytest.mark.parametrize("op", ["within", "not_within"])
+    def test_within_spark_matches_mirror(self, searcher, naive, op):
+        a_terms, b_terms = ["the", "query"], ["window"]
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_interval_filter(
+                    a_terms, b_terms, op,
+                    a_ordered=True, b_ordered=True, positions=3,
+                )
+            ).collect()
+        }
+        expect = self._mirror(
+            naive, a_terms, b_terms, op, True, True, positions=3
+        )
+        assert set(got) == set(expect), op
+        for d in got:
+            assert abs(got[d] - expect[d]) <= 1e-6
+        assert got, f"{op} should match something on this corpus"
+
+    def test_within_requires_positions(self, searcher):
+        with pytest.raises(ValueError, match="requires positions"):
+            searcher.scored_interval_filter(
+                ["the", "query"], ["window"], "within"
+            )
 
 
 class TestPairBoundaryIntervals:
