@@ -341,6 +341,72 @@ def spanish_light_stem(w: str) -> str:
     return s
 
 
+_PT_FOLD = str.maketrans(
+    {"à": "a", "á": "a", "â": "a", "ä": "a", "ã": "a",
+     "ò": "o", "ó": "o", "ô": "o", "ö": "o", "õ": "o",
+     "è": "e", "é": "e", "ê": "e", "ë": "e",
+     "ù": "u", "ú": "u", "û": "u", "ü": "u",
+     "ì": "i", "í": "i", "î": "i", "ï": "i", "ç": "c"}
+)
+
+
+def _pt_remove_suffix(s: str) -> str:
+    """Plural/adverb suffix step of pt/PortugueseLightStemmer.java."""
+    if len(s) > 4 and s.endswith("es") and s[-3] in "rslz":
+        return s[:-2]
+    if len(s) > 3 and s.endswith("ns"):
+        return s[:-2] + "m"
+    if len(s) > 4 and (s.endswith("eis") or s.endswith("éis")):
+        return s[:-3] + "el"
+    if len(s) > 4 and s.endswith("ais"):
+        return s[:-2] + "l"
+    if len(s) > 4 and s.endswith("óis"):
+        return s[:-3] + "ol"
+    if len(s) > 4 and s.endswith("is"):
+        return s[:-1] + "l"
+    if len(s) > 3 and (s.endswith("ões") or s.endswith("ães")):
+        return s[:-3] + "ão"
+    if len(s) > 6 and s.endswith("mente"):
+        return s[:-5]
+    if len(s) > 3 and s.endswith("s"):
+        return s[:-1]
+    return s
+
+
+def _pt_norm_feminine(s: str) -> str:
+    if len(s) > 7 and (
+        s.endswith("inha") or s.endswith("iaca") or s.endswith("eira")
+    ):
+        return s[:-1] + "o"
+    if len(s) > 6:
+        if s[-3:] in ("osa", "ica", "ida", "ada", "iva", "ama"):
+            return s[:-1] + "o"
+        if s.endswith("ona"):
+            return s[:-3] + "ão"
+        if s.endswith("ora"):
+            return s[:-1]
+        if s.endswith("esa"):
+            return s[:-3] + "ês"
+        if s.endswith("na"):
+            return s[:-1] + "o"
+    return s
+
+
+def portuguese_light_stem(w: str) -> str:
+    """UniNE Portuguese light stemmer
+    (pt/PortugueseLightStemmer.java): suffix removal, feminine
+    normalization, final-vowel trim, accent fold LAST (the rules match
+    on accented forms like -ões/-éis before folding)."""
+    if len(w) < 4:
+        return w
+    s = _pt_remove_suffix(w)
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+    return s.translate(_PT_FOLD)
+
+
 def italian_light_stem(w: str) -> str:
     """CLEF-2001 Italian light stemmer (it/ItalianLightStemmer.java)."""
     if len(w) < 6:
@@ -436,6 +502,29 @@ SPANISH_STOP_WORDS = frozenset(
     tuvieseis tuviesen teniendo tenido tenida tenidos tenidas tened""".split()
 )
 
+PORTUGUESE_STOP_WORDS = frozenset(
+    """de a o que e do da em um para com não uma os no se na por mais
+    as dos como mas ao ele das à seu sua ou quando muito nos já eu
+    também só pelo pela até isso ela entre depois sem mesmo aos seus
+    quem nas me esse eles você essa num nem suas meu às minha numa
+    pelos elas qual nós lhe deles essas esses pelas este dele tu te
+    vocês vos lhes meus minhas teu tua teus tuas nosso nossa nossos
+    nossas dela delas esta estes estas aquele aquela aqueles aquelas
+    isto aquilo estou está estamos estão estive esteve estivemos
+    estiveram estava estávamos estavam estivera estivéramos esteja
+    estejamos estejam estivesse estivéssemos estivessem estiver
+    estivermos estiverem hei há havemos hão houve houvemos houveram
+    houvera houvéramos haja hajamos hajam houvesse houvéssemos
+    houvessem houver houvermos houverem houverei houverá houveremos
+    houverão houveria houveríamos houveriam sou somos são era éramos
+    eram fui foi fomos foram fora fôramos seja sejamos sejam fosse
+    fôssemos fossem for formos forem serei será seremos serão seria
+    seríamos seriam tenho tem temos tém tinha tínhamos tinham tive
+    teve tivemos tiveram tivera tivéramos tenha tenhamos tenham
+    tivesse tivéssemos tivessem tiver tivermos tiverem terei terá
+    teremos terão teria teríamos teriam""".split()
+)
+
 ITALIAN_STOP_WORDS = frozenset(
     """ad al allo ai agli all agl alla alle con col coi da dal dallo dai
     dagli dall dagl dalla dalle di del dello dei degli dell degl della
@@ -525,6 +614,9 @@ def _build_chains() -> dict:
         "italian": AnalyzerChain(
             "italian", ITALIAN_STOP_WORDS, italian_light_stem,
             elision=ELISION_ARTICLES_IT,
+        ),
+        "portuguese": AnalyzerChain(
+            "portuguese", PORTUGUESE_STOP_WORDS, portuguese_light_stem
         ),
     }
 

@@ -21,6 +21,7 @@ from lucene_spark.functions.lang import (
     german_normalize,
     get_chain,
     italian_light_stem,
+    portuguese_light_stem,
     spanish_light_stem,
     strip_elision,
 )
@@ -144,6 +145,28 @@ class TestSpanishLight:
 
     def test_short_pass_through(self):
         assert spanish_light_stem("años") == "años"  # len < 5
+
+
+class TestPortugueseLight:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("flores", "flor"),  # -es after r
+            ("bens", "bem"),  # -ns -> -m
+            ("papéis", "papel"),  # -éis -> -el
+            ("animais", "animal"),  # -ais -> -al
+            ("barris", "barril"),  # -is -> -il
+            ("botões", "bota"),  # -ões -> -ão, vowel trim, fold
+            ("rapidamente", "rapid"),  # -mente, vowel trim
+            ("menininha", "menininh"),  # feminine -inha -> -inho, trim
+            ("grandona", "granda"),  # -ona -> -ão, trim, fold
+            ("inglesa", "ingles"),  # -esa -> -ês, fold
+            ("livros", "livr"),
+            ("casa", "casa"),  # feminine needs len > 6
+        ],
+    )
+    def test_examples(self, word, expect):
+        assert portuguese_light_stem(word) == expect
 
 
 class TestItalianLight:
