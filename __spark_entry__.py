@@ -427,6 +427,30 @@ SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
 FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _interval_or_sql(
+    or_terms: list[str], t1: str, k: int = 10
+) -> str:
+    """Intervals.or-inside-ordered oracle: disjunct terms collapse to
+    one pseudo-term in the position stream (or() of term sources =
+    position union), then the ordered chain CTE runs unchanged."""
+    quoted = ", ".join(f"'{t}'" for t in or_terms)
+    return f"""WITH RECURSIVE {_TOK},
+tokp0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+          generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+          FROM documents),
+tokp AS (SELECT doc_id,
+         CASE WHEN term IN ({quoted}) THEN '__or0' ELSE term END AS term,
+         p FROM tokp0),
+{_DL}, {_ST},
+{_chain_cte("__or0", t1, adjust=0)},
+fr AS (
+  SELECT doc_id, sum(1.0/greatest(gap, 1)) AS freq
+  FROM emits WHERE slot = 1 GROUP BY doc_id HAVING freq > 0
+)
+SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
+FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _interval_within_sql(
     t0: str, t1: str, filt: str, positions: int, k: int = 10
 ) -> str:
@@ -1574,6 +1598,17 @@ def _q_interval_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals.or inside ordered (Intervals.java:123-158):
+    ordered(or(window, spark), data) — slot position unions feed the
+    same minimal-interval algebra."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s,
+        s.scored_interval_or([["window", "spark"], ["data"]]),
+    )
+
+
 def _q_interval_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intervals.within (Intervals.java:506-515 — containedBy against
     extend(reference, positions, positions)): ordered ("the","query")
@@ -1895,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_maxgaps_top10": _q_interval_maxgaps,
         "interval_not_containing_top10": _q_interval_containing,
         "interval_within_top10": _q_interval_within,
+        "interval_or_top10": _q_interval_or,
         "combined_field_top10": _q_combined_field,
         "blended_term_top10": _q_blended_term,
         "mlt_top10": _q_mlt,
@@ -2154,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_ordered_top10": _interval_ordered_sql("the", "query"),
         "interval_phrase_top10": _interval_phrase_sql("the", "query"),
         "interval_maxgaps_top10": _interval_maxgaps_sql("the", "query", 1),
+        "interval_or_top10": _interval_or_sql(["window", "spark"], "data"),
         "interval_within_top10": _interval_within_sql(
             "the", "query", "window", 3
         ),

@@ -2062,6 +2062,103 @@ class Searcher(QueryOpsMixin):
             k,
         )
 
+    def scored_interval_or(
+        self,
+        slots: list[list[str]],
+        mode: str = "ordered",
+        max_width: int | None = None,
+        max_gaps: int | None = None,
+        pivot: float = 1.0,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """``Intervals.or`` nested inside ordered/unordered/phrase
+        (``Intervals.java:123-158``): each slot is a disjunction of
+        term sources, e.g. slots=[["fast","quick"], ["search"]] ≡
+        ordered(or(term(fast), term(quick)), term(search)).
+
+        For term sources or()'s minimal intervals are single positions,
+        so a slot's interval set is the UNION of its members' position
+        lists (the same UnionPostingsEnum view MultiPhraseQuery takes);
+        the ordered/unordered/phrase minimal-interval algebra then runs
+        over the per-slot unions unchanged. A slot with no indexed
+        member contributes an empty source, so no doc matches
+        (or() over nothing = no intervals)."""
+        if mode not in ("ordered", "unordered", "phrase"):
+            raise ValueError(f"unknown interval mode {mode!r}")
+        all_terms = [t for slot in slots for t in slot]
+        stats = self.term_stats(all_terms)
+        slots_present = [[t for t in s if t in stats] for s in slots]
+        if any(not s for s in slots_present):
+            return self._empty_scored().select("segment_id", "docid", "score")
+        n_slots = len(slots)
+        if max_gaps is not None:
+            if max_width is not None:
+                raise ValueError("give max_gaps or max_width, not both")
+            max_width = n_slots + max_gaps
+
+        present = list(
+            dict.fromkeys(t for s in slots_present for t in s)
+        )
+        pos_rows = self._candidate_positions(present, slots=slots_present)
+        per_doc = pos_rows.groupBy("segment_id", "docid").agg(
+            F.first("norm").alias("norm"),
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pm"),
+        )
+        empty_arr = F.expr("cast(array() as array<int>)")
+        slot_cols = [
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.array(
+                            *[
+                                F.coalesce(F.col("pm")[t], empty_arr)
+                                for t in slot
+                            ]
+                        )
+                    )
+                )
+            ).alias(f"p{i}")
+            for i, slot in enumerate(slots_present)
+        ]
+        joined = per_doc.select("segment_id", "docid", "norm", *slot_cols)
+
+        def freq_fn(lists, _mode=mode, _me=n_slots, _mw=max_width):
+            if any(not pl for pl in lists):
+                return 0.0
+            if _mode == "ordered":
+                iv = ordered_intervals(lists)
+            elif _mode == "unordered":
+                iv = unordered_intervals(lists)
+            else:
+                iv = phrase_intervals(lists)
+            return interval_freq(iv, _me, _mw)
+
+        matched = joined.mapInArrow(
+            _make_freq_kernel(n_slots, freq_fn), schema=_FREQ_DDL
+        )
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return matched.select(
+            "segment_id",
+            "docid",
+            (
+                F.lit(float(boost))
+                * (
+                    F.lit(1.0)
+                    - F.lit(float(pivot))
+                    / (F.lit(float(pivot)) + F.col("freq"))
+                )
+            )
+            .cast(score_t)
+            .alias("score"),
+        )
+
+    def interval_or_query(
+        self, slots: list[list[str]], k: int = 10, **kw
+    ) -> DataFrame:
+        return self._finish_topk(self.scored_interval_or(slots, **kw), k)
+
     def scored_interval_filter(
         self,
         a_terms: list[str],

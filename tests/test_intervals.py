@@ -113,6 +113,68 @@ class TestSparkIntervals:
         tight = searcher.scored_intervals(["the", "query"], max_width=2).count()
         assert tight <= wide
 
+    def _mirror_or(self, naive, slots, mode, max_width=None, pivot=1.0):
+        out = {}
+        for i, (terms_i, pos_i) in enumerate(naive.analyzed):
+            pos_of = {}
+            for t, p in zip(terms_i, pos_i):
+                pos_of.setdefault(t, []).append(p)
+            lists = [
+                sorted({p for t in slot for p in pos_of.get(t, [])})
+                for slot in slots
+            ]
+            if any(not pl for pl in lists):
+                continue
+            if mode == "ordered":
+                iv = ordered_intervals(lists)
+            else:
+                iv = unordered_intervals(lists)
+            f = interval_freq(iv, len(slots), max_width)
+            if f > 0:
+                out[i] = np.float32(1.0 * (1.0 - pivot / (pivot + f)))
+        return out
+
+    @pytest.mark.parametrize("mode", ["ordered", "unordered"])
+    def test_or_slots_match_mirror(self, searcher, naive, mode):
+        """Intervals.or inside ordered/unordered: per-slot position
+        unions vs the python mirror."""
+        slots = [["window", "spark"], ["data"]]
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_interval_or(slots, mode=mode)
+            ).collect()
+        }
+        expect = self._mirror_or(naive, slots, mode)
+        assert set(got) == set(expect), mode
+        for d in got:
+            assert abs(got[d] - float(expect[d])) <= 1e-6
+        assert got, "fixture should match"
+
+    def test_or_missing_disjunct_widens_nothing(self, searcher, naive):
+        """A disjunct absent from the index contributes nothing: or(a,
+        zz) == or(a)."""
+        base = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_interval_or([["window"], ["data"]])
+            ).collect()
+        }
+        plus = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_interval_or(
+                    [["window", "zzqqxx"], ["data"]]
+                )
+            ).collect()
+        }
+        assert base == plus
+
+    def test_or_empty_slot_matches_nothing(self, searcher):
+        assert (
+            searcher.scored_interval_or([["zzqqxx"], ["data"]]).count() == 0
+        )
+
     def test_unordered_superset_of_ordered(self, searcher):
         o = {
             r["docid"]
