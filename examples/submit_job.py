@@ -1,0 +1,92 @@
+"""Cluster entry point: build an index and run a query batch via
+spark-submit.
+
+Usage (cluster; the north-rule deployment shape)::
+
+    python tools/make_pyfiles.py dist/lucene_spark.zip
+    spark-submit --py-files dist/lucene_spark.zip \\
+        examples/submit_job.py \\
+        --input  /data/web_pages_parquet_or_sf_dir \\
+        --index  hdfs:///indexes/cc_main \\
+        --segments 4096 \\
+        --query "spark window" --k 10
+
+The job is driver-thin by design: every stage (analysis, posting
+build, merge, query scoring) runs as DataFrame/Arrow plans on the
+executors; the driver only coordinates and collects the final top-k.
+On a multi-executor cluster nothing changes except
+``--master``/``--deploy-mode`` on the spark-submit line — the build's
+unit of parallelism is the segment (pick ``--segments`` >= 2x total
+cores), and resume-from-checkpoint means a preempted job re-submitted
+with the same --index continues from committed segments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="parquet dir of web pages, or a testdata sf dir")
+    ap.add_argument("--index", required=True, help="index output dir")
+    ap.add_argument("--segments", type=int, default=0,
+                    help="number of segments (default: 2x parallelism)")
+    ap.add_argument("--analyzer", default="standard")
+    ap.add_argument("--query", default="")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    # created by spark-submit; inherits --master/--conf from the CLI
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("lucene_spark_build")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.sources.catalog import IndexCatalog
+    from lucene_spark.sources.web_pages import load_web_pages
+
+    sc = spark.sparkContext
+    n_seg = args.segments or max(2 * sc.defaultParallelism, 8)
+
+    wp_path = args.input
+    if os.path.isdir(wp_path) and os.path.exists(
+        os.path.join(wp_path, "documents.parquet")
+    ):
+        wp = load_web_pages(spark, wp_path)  # testdata sf dir
+    else:
+        wp = spark.read.parquet(wp_path)  # (url, ..., text) table
+
+    if IndexCatalog(args.index).committed_segment_ids():
+        print(f"resuming: index at {args.index} has committed segments",
+              file=sys.stderr)
+    build_index(
+        spark, wp, args.index, num_segments=n_seg, analyzer=args.analyzer
+    )
+
+    out = {"index": args.index, "segments": n_seg}
+    if args.query:
+        s = Searcher(spark, args.index)
+        terms = s.analyze_query(args.query)
+        rows = s.boolean_query(should=terms, k=args.k).collect()
+        out["query"] = args.query
+        out["top"] = [
+            {"url": r["url"], "score": float(r["score"])} for r in rows
+        ]
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

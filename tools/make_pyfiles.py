@@ -1,0 +1,37 @@
+"""Package lucene_spark for spark-submit --py-files.
+
+    python tools/make_pyfiles.py dist/lucene_spark.zip
+
+Writes a zip with the package at the archive root, importable on every
+executor once shipped via ``--py-files`` (PYTHONPATH injection is
+handled by Spark)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(out: str) -> int:
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    pkg = os.path.join(ROOT, "lucene_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirs, files in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for f in sorted(files):
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, f)
+                zf.write(full, os.path.relpath(full, ROOT))
+    print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(
+        main(sys.argv[1] if len(sys.argv) > 1 else "dist/lucene_spark.zip")
+    )
