@@ -387,14 +387,59 @@ class TestMultimodal:
         assert a == b
         assert all(len(f) == 8 for f in a.values())
 
-    def test_decode_image_real_raises(self, web_pages):
+    def test_decode_image_real_marks_nonimages(self, web_pages):
+        """Production path on non-image blobs: NULL feature + zero
+        dims, never a raise (one bad blob must not kill a partition)."""
         from lucene_spark.operators.multimodal import decode_image
 
-        with pytest.raises(Exception) as ei:
-            decode_image(web_pages.limit(1), fake=False).collect()
-        assert "NotImplementedError" in str(ei.value) or isinstance(
-            ei.value, NotImplementedError
+        rows = decode_image(web_pages.limit(3), fake=False).collect()
+        assert rows
+        for r in rows:
+            assert r["kind"] == "html"
+            assert r["feature"] is None
+            assert r["width"] == 0 and r["height"] == 0
+
+    def test_decode_image_real_png_pixels(self, spark):
+        """fake=False decodes PNG for real: width/height from IHDR,
+        feature from the actual pixels (functions/png.py)."""
+        import numpy as np
+
+        from lucene_spark.functions.png import encode_png, image_feature
+        from lucene_spark.operators.multimodal import decode_image
+
+        rng = np.random.default_rng(11)
+        imgs = {
+            f"img://{i}": rng.integers(
+                0, 256, size=(6 + i, 5 + 2 * i, 3), dtype=np.uint8
+            )
+            for i in range(4)
+        }
+        df = spark.createDataFrame(
+            [
+                (u, bytearray(encode_png(img, filter_type=i % 5)))
+                for i, (u, img) in enumerate(imgs.items())
+            ],
+            "url string, html binary",
         )
+        rows = {r["url"]: r for r in decode_image(df, fake=False).collect()}
+        assert len(rows) == 4
+        for u, img in imgs.items():
+            r = rows[u]
+            assert r["kind"] == "png"
+            assert (r["height"], r["width"]) == img.shape[:2]
+            expect = image_feature(img, 8)
+            got = np.asarray(r["feature"], dtype=np.float32)
+            assert np.allclose(got, expect, atol=1e-6)
+
+    def test_decode_image_real_corrupt_png_marked(self, spark):
+        from lucene_spark.operators.multimodal import decode_image
+
+        bad = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+        df = spark.createDataFrame(
+            [("img://bad", bytearray(bad))], "url string, html binary"
+        )
+        r = decode_image(df, fake=False).collect()[0]
+        assert r["kind"] == "png" and r["feature"] is None
 
     def test_sample_frames(self, web_pages):
         from lucene_spark.operators.multimodal import sample_frames

@@ -1,0 +1,125 @@
+"""Pure-stdlib PNG codec (functions/png.py): decode vs the
+independently-written spec-side encoder across every channel count and
+predictor filter, palette images, and malformed input."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.png import (
+    PNG_SIGNATURE,
+    PngError,
+    decode_png,
+    encode_png,
+    image_feature,
+)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    def test_random_images(self, channels, filter_type):
+        rng = np.random.default_rng(channels * 10 + filter_type)
+        img = rng.integers(0, 256, size=(17, 11, channels), dtype=np.uint8)
+        assert (decode_png(encode_png(img, filter_type)) == img).all()
+
+    def test_gradient_image_all_filters_agree(self):
+        """The same image through different filter encodings must
+        decode identically — unfiltering is exact, not approximate."""
+        y, x = np.mgrid[0:24, 0:31]
+        img = np.stack(
+            [(y * 7) % 256, (x * 5) % 256, (y + x) % 256], axis=2
+        ).astype(np.uint8)
+        decoded = [decode_png(encode_png(img, f)) for f in range(5)]
+        for d in decoded:
+            assert (d == img).all()
+
+    def test_one_pixel(self):
+        img = np.array([[[200]]], dtype=np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+
+
+class TestPalette:
+    def test_palette_expands_to_rgb(self):
+        # hand-build a color-type-3 PNG: 2x2 indices into a 3-color PLTE
+        palette = b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff"
+        raw = b"\x00\x00\x01" + b"\x00\x02\x00"  # rows: [0,1], [2,0]
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        data = (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", palette)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        img = decode_png(data)
+        assert img.shape == (2, 2, 3)
+        assert (img[0, 0] == [255, 0, 0]).all()
+        assert (img[0, 1] == [0, 255, 0]).all()
+        assert (img[1, 0] == [0, 0, 255]).all()
+
+
+class TestErrors:
+    def test_bad_signature(self):
+        with pytest.raises(PngError, match="signature"):
+            decode_png(b"JFIF" + b"\x00" * 32)
+
+    def test_truncated(self):
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        data = encode_png(img)
+        with pytest.raises(PngError):
+            decode_png(data[:30])
+
+    def test_wrong_scanline_size(self):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        data = (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(PngError, match="scanline"):
+            decode_png(data)
+
+    def test_16bit_unsupported(self):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        data = PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+        with pytest.raises(PngError, match="bit depth"):
+            decode_png(data)
+
+
+class TestFeature:
+    def test_deterministic_and_sized(self):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(10, 10, 3), dtype=np.uint8)
+        f1, f2 = image_feature(img, 8), image_feature(img, 8)
+        assert f1.shape == (8,) and (f1 == f2).all()
+
+    def test_constant_image_stats(self):
+        img = np.full((5, 5, 1), 255, dtype=np.uint8)
+        f = image_feature(img, 4)
+        assert abs(f[0] - 1.0) < 1e-6  # mean of all-white
+        assert abs(f[1]) < 1e-6  # zero std
