@@ -407,6 +407,113 @@ def portuguese_light_stem(w: str) -> str:
     return s.translate(_PT_FOLD)
 
 
+_HU_FOLD = str.maketrans(
+    {"á": "a", "ë": "e", "é": "e", "í": "i",
+     "ó": "o", "ő": "o", "õ": "o", "ö": "o",
+     "ú": "u", "ű": "u", "ũ": "u", "û": "u", "ü": "u"}
+)
+
+_HU_VOWELS = frozenset("aeiouy")
+
+
+def _hu_remove_case(s: str) -> str:
+    if len(s) > 6 and s.endswith("kent"):
+        return s[:-4]
+    if len(s) > 5:
+        if s[-3:] in ("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                      "ben", "bol", "nal", "nel", "hoz", "hez", "tol"):
+            return s[:-3]
+        if s[-2:] in ("al", "el"):
+            if s[-3] not in _HU_VOWELS and s[-3] == s[-4]:
+                return s[:-3]
+    if len(s) > 4:
+        if s[-2:] in ("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                      "be", "ul", "ig"):
+            return s[:-2]
+        if s[-2:] in ("on", "en") and s[-3] not in _HU_VOWELS:
+            return s[:-2]
+        if s[-1] in "tn":
+            return s[:-1]
+        if s[-1] in "ae" and s[-2] == s[-3] and s[-2] not in _HU_VOWELS:
+            return s[:-2]
+    return s
+
+
+def _hu_remove_possessive(s: str) -> str:
+    if len(s) > 6:
+        if s[-5] not in _HU_VOWELS and s[-4:] in ("atok", "otok", "etek"):
+            return s[:-4]
+        if s[-4:] in ("itek", "itok"):
+            return s[:-4]
+    if len(s) > 5:
+        if s[-4] not in _HU_VOWELS and s[-3:] in ("unk", "tok", "tek"):
+            return s[:-3]
+        if s[-4] in _HU_VOWELS and s[-3:] == "juk":
+            return s[:-3]
+        if s[-3:] == "ink":
+            return s[:-3]
+    if len(s) > 4:
+        if s[-3] not in _HU_VOWELS and s[-2:] in (
+            "am", "em", "om", "ad", "ed", "od", "uk"
+        ):
+            return s[:-2]
+        if s[-3] in _HU_VOWELS and s[-2:] in ("nk", "ja", "je"):
+            return s[:-2]
+        if s[-2:] in ("im", "id", "ik"):
+            return s[:-2]
+    if len(s) > 3:
+        if s[-1] in "ae" and s[-2] not in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] in "md" and s[-2] in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] == "i":
+            return s[:-1]
+    return s
+
+
+def _hu_remove_plural(s: str) -> str:
+    if len(s) > 3 and s[-1] == "k":
+        if s[-2] in "aoe" and len(s) > 4:
+            return s[:-2]
+        return s[:-1]
+    return s
+
+
+def hungarian_light_stem(w: str) -> str:
+    """UniNE Hungarian light stemmer (hu/HungarianLightStemmer.java):
+    accent fold FIRST (case/possessive rules see folded vowels), then
+    case -> possessive -> plural removal and a final vowel trim."""
+    s = w.translate(_HU_FOLD)
+    s = _hu_remove_case(s)
+    s = _hu_remove_possessive(s)
+    s = _hu_remove_plural(s)
+    if len(s) > 3 and s[-1] in "aeio":
+        s = s[:-1]
+    return s
+
+
+HUNGARIAN_STOP_WORDS = frozenset(
+    """a ahogy ahol aki akik akkor alatt által általában amely amelyek
+    amelyekben amelyeket amelyet amelynek ami amit amolyan amíg amikor
+    át abban ahhoz annak arra arról az azok azon azt azzal azért aztán
+    azután azonban bár be belül benne cikk cikkek cikkeket csak de e
+    eddig egész egy egyes egyetlen egyéb egyik egyre ekkor el elég
+    ellen elő először előtt első én éppen ebben ehhez emilyen ennek
+    erre ez ezt ezek ezen ezzel ezért és fel felé hanem hiszen hogy
+    hogyan igen így illetve ill. ill ilyen ilyenkor ison ismét itt jó
+    jól jobban kell kellett keresztül keressünk ki kívül között közül
+    legalább lehet lehetett legyen lenne lenni lesz lett maga magát
+    majd már más másik meg még mellett mert mely melyek mi mit míg
+    miért milyen mikor minden mindent mindenki mindig mint mintha
+    mivel most nagy nagyobb nagyon ne néha nekem neki nem néhány
+    nélkül nincs olyan ott össze ő ők őket pedig persze rá s saját sem
+    semmi sok sokat sokkal számára szemben szerint szinte talán tehát
+    teljes tovább továbbá több úgy ugyanis új újabb újra után utána
+    utolsó vagy vagyis valaki valami valamint való vagyok van vannak
+    volt voltam voltak voltunk vissza vele viszont volna""".split()
+)
+
+
 def italian_light_stem(w: str) -> str:
     """CLEF-2001 Italian light stemmer (it/ItalianLightStemmer.java)."""
     if len(w) < 6:
@@ -617,6 +724,9 @@ def _build_chains() -> dict:
         ),
         "portuguese": AnalyzerChain(
             "portuguese", PORTUGUESE_STOP_WORDS, portuguese_light_stem
+        ),
+        "hungarian": AnalyzerChain(
+            "hungarian", HUNGARIAN_STOP_WORDS, hungarian_light_stem
         ),
     }
 

@@ -20,6 +20,7 @@ from lucene_spark.functions.lang import (
     german_minimal_stem,
     german_normalize,
     get_chain,
+    hungarian_light_stem,
     italian_light_stem,
     portuguese_light_stem,
     spanish_light_stem,
@@ -167,6 +168,25 @@ class TestPortugueseLight:
     )
     def test_examples(self, word, expect):
         assert portuguese_light_stem(word) == expect
+
+
+class TestHungarianLight:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("házakban", "haz"),  # fold, -ban case, -ak plural
+            ("városokról", "varos"),  # -rol case, -ok plural
+            ("gyerekeknek", "gyerek"),  # -nek case, -ek plural
+            ("autóval", "aut"),  # -val case, final vowel trim
+            ("könyveink", "konyv"),  # -ink possessive, -e trim
+            ("barátom", "barat"),  # -om possessive after consonant
+            ("kertjeként", "kertj"),  # -kent case, possessive -e trim
+            ("alma", "alm"),  # final vowel trim only
+            ("ház", "haz"),
+        ],
+    )
+    def test_examples(self, word, expect):
+        assert hungarian_light_stem(word) == expect
 
 
 class TestItalianLight:
