@@ -376,6 +376,54 @@ def unordered_intervals(pos_lists: list[list[int]]) -> list[tuple[int, int]]:
     return out
 
 
+def at_least_intervals(
+    pos_lists: list[list[int]], min_match: int
+) -> list[tuple[int, int]]:
+    """Minimal intervals covering >= ``min_match`` of the sources
+    (``Intervals.atLeast`` / MinimumShouldMatchIntervalsSource): the
+    unordered sweep generalized — shrink the left edge while the
+    window still covers ``min_match`` distinct sources; same-start
+    candidates keep only the shortest (the longer ones contain it)."""
+    present = [pl for pl in pos_lists if pl]
+    if min_match <= 0 or len(present) < min_match:
+        return []
+    if min_match == 1:
+        return [(p, p) for p in sorted({p for pl in present for p in pl})]
+    n = len(present)
+    events = sorted((p, t) for t, pl in enumerate(present) for p in pl)
+    counts = [0] * n
+    covered = 0
+    left = 0
+    out: list[tuple[int, int]] = []
+    for right, (p_r, t_r) in enumerate(events):
+        counts[t_r] += 1
+        if counts[t_r] == 1:
+            covered += 1
+        while left < right:
+            t_l = events[left][1]
+            if counts[t_l] > 1:
+                counts[t_l] -= 1
+                left += 1
+            elif covered - 1 >= min_match:
+                counts[t_l] -= 1
+                covered -= 1
+                left += 1
+            else:
+                break
+        if covered >= min_match:
+            iv = (events[left][0], p_r)
+            # starts and ends are both non-decreasing, so containment
+            # only occurs at equal start (later contains earlier — skip
+            # the later) or equal end (earlier contains later, e.g. a
+            # position shared by two sources — pop the earlier)
+            if out and out[-1][0] == iv[0]:
+                continue
+            while out and out[-1][1] == iv[1]:
+                out.pop()
+            out.append(iv)
+    return out
+
+
 def phrase_intervals(pos_lists: list[list[int]]) -> list[tuple[int, int]]:
     """Intervals.phrase over term sources: ordered with ZERO gaps —
     one interval [p, p + n - 1] per exact-phrase occurrence
@@ -945,7 +993,10 @@ class Searcher(QueryOpsMixin):
         return self.spark.createDataFrame([], _unpack_ddl(self.dtype))
 
     def _candidate_positions(
-        self, terms: list[str], slots: list[list[str]] | None = None
+        self,
+        terms: list[str],
+        slots: list[list[str]] | None = None,
+        min_slots: int | None = None,
     ) -> DataFrame:
         """Two-phase iteration (``core/search/TwoPhaseIterator.java``,
         ``ExactPhraseMatcher.java:37``): pass 1 intersects docids
@@ -992,7 +1043,7 @@ class Searcher(QueryOpsMixin):
                 F.countDistinct("slot").alias("ns"),
                 F.collect_set(F.struct("term", "block_id")).alias("blocks"),
             )
-            .where(F.col("ns") == n_groups)
+            .where(F.col("ns") >= (min_slots if min_slots is not None else n_groups))
             .select("segment_id", F.explode("blocks").alias("b"))
             .select(
                 F.col("b.term").alias("term"),
@@ -2158,6 +2209,73 @@ class Searcher(QueryOpsMixin):
         self, slots: list[list[str]], k: int = 10, **kw
     ) -> DataFrame:
         return self._finish_topk(self.scored_interval_or(slots, **kw), k)
+
+    def scored_interval_at_least(
+        self,
+        terms: list[str],
+        min_match: int,
+        max_width: int | None = None,
+        pivot: float = 1.0,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """``Intervals.atLeast(minShouldMatch, sources...)``
+        (``Intervals.java:564-573``, MinimumShouldMatchIntervalsSource)
+        over term sources: docs scored by minimal intervals covering at
+        least ``min_match`` of the terms; minExtent = ``min_match``.
+
+        Two-phase: the candidate pass keeps blocks of docs carrying
+        >= ``min_match`` distinct terms (``_candidate_positions
+        min_slots``) — the pruning mirrors the coverage requirement, so
+        a doc with a single rare term never decodes positions."""
+        if not 0 < min_match <= len(terms):
+            raise ValueError("min_match must be in 1..len(terms)")
+        stats = self.term_stats(terms)
+        present = [t for t in dict.fromkeys(terms) if t in stats]
+        if len(present) < min_match:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        pos_rows = self._candidate_positions(
+            present, slots=[[t] for t in present], min_slots=min_match
+        )
+        per_doc = self._pivot_positions(pos_rows, min_match)
+        empty_arr = F.expr("cast(array() as array<int>)")
+        joined = per_doc.select(
+            "segment_id",
+            "docid",
+            "norm",
+            *[
+                F.coalesce(F.col("pm")[t], empty_arr).alias(f"p{i}")
+                for i, t in enumerate(present)
+            ],
+        )
+
+        def freq_fn(lists, _m=min_match, _mw=max_width):
+            return interval_freq(at_least_intervals(lists, _m), _m, _mw)
+
+        matched = joined.mapInArrow(
+            _make_freq_kernel(len(present), freq_fn), schema=_FREQ_DDL
+        )
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return matched.select(
+            "segment_id",
+            "docid",
+            (
+                F.lit(float(boost))
+                * (
+                    F.lit(1.0)
+                    - F.lit(float(pivot))
+                    / (F.lit(float(pivot)) + F.col("freq"))
+                )
+            )
+            .cast(score_t)
+            .alias("score"),
+        )
+
+    def interval_at_least_query(
+        self, terms: list[str], min_match: int, k: int = 10, **kw
+    ) -> DataFrame:
+        return self._finish_topk(
+            self.scored_interval_at_least(terms, min_match, **kw), k
+        )
 
     def scored_interval_filter(
         self,

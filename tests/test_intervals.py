@@ -191,6 +191,95 @@ class TestSparkIntervals:
         assert o <= u
 
 
+class TestAtLeastIntervals:
+    @staticmethod
+    def _brute(pos_lists, m):
+        """Reference: enumerate every [s, e] window over observed
+        positions, keep those covering >= m distinct sources, then keep
+        only minimal ones (containing no other qualifying window)."""
+        present = [pl for pl in pos_lists if pl]
+        if m <= 0 or len(present) < m:
+            return []
+        points = sorted({p for pl in present for p in pl})
+        qualifying = []
+        for i, s in enumerate(points):
+            for e in points[i:]:
+                cov = sum(1 for pl in present if any(s <= p <= e for p in pl))
+                if cov >= m:
+                    qualifying.append((s, e))
+                    break  # larger e only contains this one
+        minimal = [
+            iv for iv in qualifying
+            if not any(
+                o != iv and iv[0] <= o[0] and o[1] <= iv[1]
+                for o in qualifying
+            )
+        ]
+        return sorted(set(minimal))
+
+    @pytest.mark.parametrize("m", [1, 2, 3])
+    def test_matches_brute_force_random(self, m):
+        import random
+
+        from lucene_spark.operators.search import at_least_intervals
+
+        rng = random.Random(42 + m)
+        for _ in range(200):
+            n = rng.randint(1, 4)
+            lists = [
+                sorted(rng.sample(range(20), rng.randint(0, 5)))
+                for _ in range(n)
+            ]
+            got = sorted(set(at_least_intervals(lists, m)))
+            want = self._brute(lists, m)
+            assert got == want, (lists, m, got, want)
+
+    def test_m_equals_n_matches_unordered(self):
+        from lucene_spark.operators.search import at_least_intervals
+
+        lists = [[0, 7, 15], [3, 9], [5, 20]]
+        assert sorted(at_least_intervals(lists, 3)) == sorted(
+            unordered_intervals(lists)
+        )
+
+    def test_m_one_is_position_union(self):
+        from lucene_spark.operators.search import at_least_intervals
+
+        assert at_least_intervals([[3, 5], [5, 9]], 1) == [
+            (3, 3), (5, 5), (9, 9)
+        ]
+
+    def test_missing_sources_count_against_m(self):
+        from lucene_spark.operators.search import at_least_intervals
+
+        assert at_least_intervals([[1], [], []], 2) == []
+        assert at_least_intervals([[1], [], [4]], 2) == [(1, 4)]
+
+    def test_spark_matches_mirror(self, searcher, naive):
+        from lucene_spark.operators.search import interval_freq
+
+        terms, m = ["window", "spark", "data"], 2
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_interval_at_least(terms, m)
+            ).collect()
+        }
+        expect = {}
+        for i, (terms_i, pos_i) in enumerate(naive.analyzed):
+            pos_of = {}
+            for t, p in zip(terms_i, pos_i):
+                pos_of.setdefault(t, []).append(p)
+            lists = [sorted(pos_of.get(t, [])) for t in terms]
+            f = interval_freq(self._brute(lists, m), m, None)
+            if f > 0:
+                expect[i] = 1.0 * (1.0 - 1.0 / (1.0 + f))
+        assert set(got) == set(expect)
+        for d in got:
+            assert abs(got[d] - expect[d]) <= 1e-6
+        assert got, "fixture should match"
+
+
 class TestIntervalAlgebra:
     def test_combinators_kernel(self):
         from lucene_spark.operators.search import filter_intervals
