@@ -1343,6 +1343,30 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: fraction of duplicate
+    word 2-grams per doc (functions/textstats.repetition_score) —
+    pure JVM column algebra."""
+    from lucene_spark.functions.textstats import repetition_score
+
+    return _docs_table(spark, sf_dir).select(
+        "doc_id", F.round(repetition_score(F.col("text"), 2), 6).alias("rep2")
+    )
+
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document boilerplate load: fraction of a doc's
+    3-gram occurrences that appear in >= 20 distinct docs
+    (operators/dedup.frequent_ngrams + boilerplate_ngram_fraction).
+    Docs with < 3 tokens have no 3-grams and are absent by contract
+    (the oracle mirrors that)."""
+    from lucene_spark.operators.dedup import boilerplate_ngram_fraction
+
+    return boilerplate_ngram_fraction(
+        _docs_table(spark, sf_dir), n=3, min_docs=20
+    ).select("doc_id", F.round("frac", 6).alias("frac"))
+
+
 def _q_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic query-string parser path: 'window spark' -> SHOULD
     clauses -> generalized boolean combiner; same result contract as
@@ -1906,6 +1930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
+        "repetition_2gram": _q_repetition,
+        "boilerplate_3gram": _q_boilerplate,
         "token_counts": _q_token_counts,
         "parsed_query_top10": _q_parsed,
         "multi_phrase_top10": _q_multi_phrase,
@@ -2060,6 +2086,41 @@ def oracle_sql() -> dict[str, str]:
                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""",
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "repetition_2gram": """
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+                       list_transform(
+                         generate_series(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' ||
+                              string_split(text, ' ')[i + 1])
+                     ELSE [] END AS grams
+              FROM documents)
+            SELECT doc_id,
+                   round(CASE WHEN len(grams) > 0 THEN
+                       (len(grams) - len(list_distinct(grams)))
+                       / len(grams)::DOUBLE
+                     ELSE 0.0 END, 6) AS rep2
+            FROM g""",
+        "boilerplate_3gram": """
+            WITH g AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1] || ' ' ||
+                            string_split(text, ' ')[i + 2])) AS gram
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 3),
+            freq AS (
+              SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+              WHERE nd >= 20),
+            tot AS (SELECT doc_id, count(*) AS n_total FROM g GROUP BY doc_id),
+            hit AS (SELECT g.doc_id, count(*) AS n_hits FROM g
+                    JOIN freq ON g.gram = freq.gram GROUP BY g.doc_id)
+            SELECT tot.doc_id,
+                   round(coalesce(hit.n_hits, 0) / n_total::DOUBLE, 6) AS frac
+            FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""",
         "lang_id": "SELECT doc_id, "
         + _textstats_lang_sql()
         + " AS pred_lang FROM documents",

@@ -175,3 +175,32 @@ def lang_id_sql(text_expr: str, min_hits: int = 1) -> str:
             f"AND {hits[lang]} >= {min_hits} THEN '{lang}'"
         )
     return "(CASE " + " ".join(arms) + " ELSE 'und' END)"
+
+
+def ngrams(text_col: Column, n: int = 2) -> Column:
+    """Word n-grams as an array<string> column — pure column algebra
+    (F.transform over a position sequence; no UDF). Docs shorter than
+    n tokens yield an empty array."""
+    toks = F.split(text_col, " ")
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+
+
+def repetition_score(text_col: Column, n: int = 2) -> Column:
+    """Within-document repetition: fraction of word n-gram occurrences
+    that duplicate an earlier one — the Gopher repetition-filter
+    signal ("fraction of duplicate n-grams"). 0 for docs with no
+    repeated n-grams (or fewer than n tokens); approaches 1 for
+    boilerplate loops."""
+    grams = ngrams(text_col, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        (total - F.size(F.array_distinct(grams))) / total.cast("double"),
+    ).otherwise(F.lit(0.0))

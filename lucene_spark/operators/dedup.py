@@ -413,3 +413,71 @@ def simhash_near_duplicates(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequent n-grams (sub-document boilerplate detection)
+# ---------------------------------------------------------------------------
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 10,
+) -> DataFrame:
+    """(gram, n_docs) word n-grams appearing in >= ``min_docs``
+    DISTINCT documents — the C4-style sub-document boilerplate
+    signal (navigation strings, cookie banners, templated footers
+    repeat across pages; prose n-grams don't).
+
+    Scale shape: explode + per-doc distinct (map-side combinable on
+    (gram, doc)), then one count per gram. The output is tiny after
+    the threshold — broadcastable to whoever consumes it."""
+    from ..functions.textstats import ngrams
+
+    per_doc = df.select(
+        F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_ngram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 10,
+    frequent: DataFrame | None = None,
+) -> DataFrame:
+    """(id, frac) per document: the fraction of its n-gram occurrences
+    that are corpus-frequent (from :func:`frequent_ngrams`) — the
+    per-doc boilerplate load a C4-style cleaner would strip or filter
+    on. Pass a precomputed ``frequent`` table to reuse one corpus scan
+    across consumers (at 100 TB the frequent table is computed once
+    and broadcast — it is small by construction)."""
+    from ..functions.textstats import ngrams
+
+    if frequent is None:
+        frequent = frequent_ngrams(df, id_col, text_col, n, min_docs)
+    occ = df.select(
+        F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        occ.join(F.broadcast(frequent.select("gram")), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = occ.groupBy(id_col).agg(F.count("*").alias("n_total"))
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            / F.col("n_total").cast("double")
+        ).alias("frac"),
+    )

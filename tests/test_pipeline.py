@@ -479,3 +479,44 @@ class TestLSHBucketCap:
             for r in lsh_candidate_pairs(sig, bands=2, max_bucket=5).collect()
         }
         assert capped == {(100, 101)}
+
+
+class TestRepetitionAndBoilerplate:
+    def test_repetition_score_known_values(self, spark):
+        from lucene_spark.functions.textstats import repetition_score
+
+        df = spark.createDataFrame(
+            [("a b c a b",), ("x y",), ("q",), ("a a a a",)], "text string"
+        )
+        got = [
+            round(r["r"], 4)
+            for r in df.select(
+                F.round(repetition_score(F.col("text"), 2), 4).alias("r")
+            ).collect()
+        ]
+        # 4 grams 3 distinct -> 1/4; 1 gram -> 0; no grams -> 0;
+        # 3 grams 1 distinct -> 2/3
+        assert got == [0.25, 0.0, 0.0, 0.6667]
+
+    def test_frequent_ngrams_threshold(self, spark):
+        from lucene_spark.operators.dedup import frequent_ngrams
+
+        rows = [(i, "cookie banner text unique%d" % i) for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        freq = {
+            r["gram"]: r["n_docs"]
+            for r in frequent_ngrams(df, n=3, min_docs=10).collect()
+        }
+        assert freq.get("cookie banner text") == 12
+        assert len(freq) == 1  # the unique-suffix grams stay below 10
+
+    def test_boilerplate_fraction_bounds(self, spark):
+        from lucene_spark.operators.dedup import boilerplate_ngram_fraction
+
+        rows = [(i, "cookie banner text unique%d tail" % i) for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = boilerplate_ngram_fraction(df, n=3, min_docs=10).collect()
+        assert len(out) == 12
+        for r in out:
+            assert 0.0 < r["frac"] < 1.0  # 1 frequent gram of 3 per doc
+            assert abs(r["frac"] - 1.0 / 3.0) < 1e-9
