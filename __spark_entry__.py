@@ -451,6 +451,27 @@ SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
 FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _interval_prefix_sql(prefix: str, t1: str, k: int = 10) -> str:
+    """Intervals.prefix-inside-ordered oracle: every term with the
+    prefix collapses to one pseudo-term (the expansion's or()), then
+    the ordered chain CTE runs unchanged."""
+    return f"""WITH RECURSIVE {_TOK},
+tokp0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+          generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+          FROM documents),
+tokp AS (SELECT doc_id,
+         CASE WHEN term LIKE '{prefix}%' THEN '__or0' ELSE term END AS term,
+         p FROM tokp0),
+{_DL}, {_ST},
+{_chain_cte("__or0", t1, adjust=0)},
+fr AS (
+  SELECT doc_id, sum(1.0/greatest(gap, 1)) AS freq
+  FROM emits WHERE slot = 1 GROUP BY doc_id HAVING freq > 0
+)
+SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
+FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _interval_within_sql(
     t0: str, t1: str, filt: str, positions: int, k: int = 10
 ) -> str:
@@ -1633,6 +1654,16 @@ def _q_interval_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals.prefix inside ordered (MultiTermIntervalsSource =
+    or() over the term-dict expansion): ordered(prefix(win*), data)."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s,
+        s.scored_interval_or([s.expand_source("win*"), ["data"]]),
+    )
+
+
 def _q_interval_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intervals.within (Intervals.java:506-515 — containedBy against
     extend(reference, positions, positions)): ordered ("the","query")
@@ -1957,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_not_containing_top10": _q_interval_containing,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
+        "interval_prefix_top10": _q_interval_prefix,
         "combined_field_top10": _q_combined_field,
         "blended_term_top10": _q_blended_term,
         "mlt_top10": _q_mlt,
@@ -2252,6 +2284,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_phrase_top10": _interval_phrase_sql("the", "query"),
         "interval_maxgaps_top10": _interval_maxgaps_sql("the", "query", 1),
         "interval_or_top10": _interval_or_sql(["window", "spark"], "data"),
+        "interval_prefix_top10": _interval_prefix_sql("win", "data"),
         "interval_within_top10": _interval_within_sql(
             "the", "query", "window", 3
         ),

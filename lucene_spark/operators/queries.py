@@ -281,6 +281,25 @@ class QueryOpsMixin:
         rows = cand.select("term").limit(MAX_EXPANSIONS).collect()
         return sorted(r["term"] for r in rows)
 
+    def expand_source(self, pattern: str) -> list[str]:
+        """Multiterm interval-source expansion (``Intervals.prefix`` /
+        ``Intervals.wildcard``, ``Intervals.java:160-205``): a pattern
+        with ``*``/``?`` expands against the term dictionary (bounded
+        by MAX_EXPANSIONS, like the automaton rewrites); a plain term
+        returns itself. Feed the result as a ``scored_interval_or``
+        slot — or() over the expansion is exactly Lucene's
+        MultiTermIntervalsSource disjunction."""
+        if "*" not in pattern and "?" not in pattern:
+            return [pattern]
+        rx = "^" + wildcard_to_regex(pattern) + "$"
+        rows = (
+            self._terms_df.where(F.col("term").rlike(rx))
+            .select("term")
+            .limit(MAX_EXPANSIONS)
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)
+
     def scored_fuzzy(
         self, term: str, max_edits: int = 2, prefix_length: int = 0,
         boost: float = 1.0, transpositions: bool = True,

@@ -611,3 +611,43 @@ class TestIntervalCombinators:
         assert set(got) == set(expect) and got
         for d in got:
             assert abs(got[d] - float(expect[d])) <= 1e-6
+
+
+class TestMultitermIntervalSources:
+    def test_expand_source_plain_term_identity(self, searcher):
+        assert searcher.expand_source("window") == ["window"]
+
+    def test_expand_source_prefix(self, searcher):
+        terms = searcher.expand_source("win*")
+        assert "window" in terms
+        assert all(t.startswith("win") for t in terms)
+
+    def test_prefix_or_matches_mirror(self, searcher, naive):
+        """Intervals.prefix == or() over the term-dict expansion: the
+        Spark result must equal the python mirror where the slot's
+        position set is the union over ALL corpus terms with the
+        prefix (not just the expansion list — equality proves the
+        expansion covered them)."""
+        expanded = searcher.expand_source("win*")
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_interval_or([expanded, ["data"]])
+            ).collect()
+        }
+        expect = {}
+        for i, (terms_i, pos_i) in enumerate(naive.analyzed):
+            slot0 = sorted(
+                {p for t, p in zip(terms_i, pos_i) if t.startswith("win")}
+            )
+            slot1 = sorted(
+                {p for t, p in zip(terms_i, pos_i) if t == "data"}
+            )
+            if not slot0 or not slot1:
+                continue
+            f = interval_freq(ordered_intervals([slot0, slot1]), 2, None)
+            if f > 0:
+                expect[i] = np.float32(1.0 - 1.0 / (1.0 + f))
+        assert set(got) == set(expect) and got
+        for d in got:
+            assert abs(got[d] - float(expect[d])) <= 1e-6
