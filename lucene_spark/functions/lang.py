@@ -514,6 +514,52 @@ HUNGARIAN_STOP_WORDS = frozenset(
 )
 
 
+_RU_CASE_3 = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его",
+              "ему", "ери", "ими", "ого", "ому", "ыми", "оев")
+_RU_CASE_2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию",
+              "ьв", "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей",
+              "ём", "ев", "ий", "им", "ое", "ой", "ом", "ов", "ые",
+              "ый", "ым", "ми")
+
+
+def russian_light_stem(w: str) -> str:
+    """Dolamic & Savoy's Russian light stemmer
+    (ru/RussianLightStemmer.java: "Indexing and Searching Strategies
+    for the Russian Language"): case-suffix removal by length tier,
+    then the ь/и/нн normalization."""
+    s = w
+    if len(s) > 6 and (s.endswith("иями") or s.endswith("оями")):
+        s = s[:-4]
+    elif len(s) > 5 and s[-3:] in _RU_CASE_3:
+        s = s[:-3]
+    elif len(s) > 4 and s[-2:] in _RU_CASE_2:
+        s = s[:-2]
+    elif len(s) > 3 and s[-1] in "аеиоуйыяь":
+        s = s[:-1]
+    if len(s) > 3:
+        if s[-1] in "ьи":
+            return s[:-1]
+        if s[-1] == "н" and s[-2] == "н":
+            return s[:-1]
+    return s
+
+
+RUSSIAN_STOP_WORDS = frozenset(
+    """и в во не что он на я с со как а то все она так его но да ты к
+    у же вы за бы по только ее мне было вот от меня еще нет о из ему
+    теперь когда даже ну вдруг ли если уже или ни быть был него до вас
+    нибудь опять уж вам сказал ведь там потом себя ничего ей может они
+    тут где есть надо ней для мы тебя их чем была сам чтоб без будто
+    человек чего раз тоже себе под жизнь будет ж тогда кто этот
+    говорил того потому этого какой совсем ним здесь этом один почти
+    мой тем чтобы нее кажется сейчас были куда зачем сказать всех
+    никогда сегодня можно при наконец два об другой хоть после над
+    больше тот через эти нас про всего них какая много разве сказала
+    три эту моя впрочем хорошо свою этой перед иногда лучше чуть том
+    нельзя такой им более всегда конечно всю между""".split()
+)
+
+
 def italian_light_stem(w: str) -> str:
     """CLEF-2001 Italian light stemmer (it/ItalianLightStemmer.java)."""
     if len(w) < 6:
@@ -727,6 +773,9 @@ def _build_chains() -> dict:
         ),
         "hungarian": AnalyzerChain(
             "hungarian", HUNGARIAN_STOP_WORDS, hungarian_light_stem
+        ),
+        "russian": AnalyzerChain(
+            "russian", RUSSIAN_STOP_WORDS, russian_light_stem
         ),
     }
 

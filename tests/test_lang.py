@@ -23,6 +23,7 @@ from lucene_spark.functions.lang import (
     hungarian_light_stem,
     italian_light_stem,
     portuguese_light_stem,
+    russian_light_stem,
     spanish_light_stem,
     strip_elision,
 )
@@ -187,6 +188,31 @@ class TestHungarianLight:
     )
     def test_examples(self, word, expect):
         assert hungarian_light_stem(word) == expect
+
+
+class TestRussianLight:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("книгами", "книг"),  # -ами case tier
+            ("домов", "дом"),  # -ов
+            ("красная", "красн"),  # -ая
+            ("жизнь", "жизн"),  # final -ь
+            ("осенний", "осен"),  # -ий, then нн normalization
+            ("иглоями", "игл"),  # -оями 4-char tier
+            ("дом", "дом"),  # len guard
+        ],
+    )
+    def test_examples(self, word, expect):
+        assert russian_light_stem(word) == expect
+
+    def test_cyrillic_chain_through_dfa_tokenizer(self):
+        c = get_chain("russian")
+        terms, pos = chain_analyze(
+            "Мы читали интересные книги в библиотеке", c
+        )
+        assert terms == ["читал", "интересн", "книг", "библиотек"]
+        assert pos == [1, 2, 3, 5]  # мы/в stop-filtered with gaps
 
 
 class TestItalianLight:
