@@ -1364,6 +1364,30 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitor / percolator (lucene/monitor Monitor.java:42): four
+    stored queries (AND / OR / NOT / msm) percolated over the
+    documents batch in ONE broadcast join + groupBy — every (doc,
+    stored query) match pair."""
+    from lucene_spark.streaming.monitor import Monitor, MonitorQuery
+
+    m = Monitor(spark)
+    m.register(MonitorQuery("q_and", must=["window", "spark"]))
+    m.register(MonitorQuery("q_or", should=["lpad", "rpad"]))
+    m.register(MonitorQuery("q_not", must=["window"], must_not=["spark"]))
+    m.register(
+        MonitorQuery(
+            "q_msm", should=["window", "spark", "data"], min_should_match=2
+        )
+    )
+    docs = _docs_table(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    return m.match_batch(docs).select(
+        F.col("url").cast("long").alias("doc_id"), "query_id"
+    )
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signal: fraction of duplicate
     word 2-grams per doc (functions/textstats.repetition_score) —
@@ -1961,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
+        "monitor_matches": _q_monitor,
         "repetition_2gram": _q_repetition,
         "boilerplate_3gram": _q_boilerplate,
         "token_counts": _q_token_counts,
@@ -2118,6 +2143,31 @@ def oracle_sql() -> dict[str, str]:
                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""",
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "monitor_matches": """
+            WITH dt AS (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents)
+            SELECT d.doc_id, 'q_and' AS query_id FROM documents d
+            WHERE EXISTS (SELECT 1 FROM dt WHERE dt.doc_id = d.doc_id
+                          AND term = 'window')
+              AND EXISTS (SELECT 1 FROM dt WHERE dt.doc_id = d.doc_id
+                          AND term = 'spark')
+            UNION ALL
+            SELECT d.doc_id, 'q_or' FROM documents d
+            WHERE EXISTS (SELECT 1 FROM dt WHERE dt.doc_id = d.doc_id
+                          AND term IN ('lpad', 'rpad'))
+            UNION ALL
+            SELECT d.doc_id, 'q_not' FROM documents d
+            WHERE EXISTS (SELECT 1 FROM dt WHERE dt.doc_id = d.doc_id
+                          AND term = 'window')
+              AND NOT EXISTS (SELECT 1 FROM dt WHERE dt.doc_id = d.doc_id
+                              AND term = 'spark')
+            UNION ALL
+            SELECT d.doc_id, 'q_msm' FROM documents d
+            WHERE (SELECT count(DISTINCT term) FROM dt
+                   WHERE dt.doc_id = d.doc_id
+                     AND term IN ('window', 'spark', 'data')) >= 2""",
         "repetition_2gram": """
             WITH g AS (
               SELECT doc_id,
