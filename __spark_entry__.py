@@ -1364,6 +1364,33 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim_searcher(spark: SparkSession, sf_dir: str, name: str):
+    from lucene_spark.operators.search import Searcher
+
+    key = (sf_dir, "sim", name)
+    if key not in _SEARCHERS:
+        _get_searcher(spark, sf_dir)  # ensure the index exists
+        _SEARCHERS[key] = Searcher(
+            spark, _index_dir(sf_dir), dtype=np.float64, similarity=name
+        )
+    return _SEARCHERS[key]
+
+
+def _q_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClassicSimilarity (TF-IDF) term query — the similarity registry
+    is a query-time kernel choice over the same index
+    (functions/similarities.bind_classic)."""
+    s = _sim_searcher(spark, sf_dir, "classic")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
+def _q_lmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-Dirichlet (mu=2000) term query
+    (functions/similarities.bind_lmd; LMDirichletSimilarity)."""
+    s = _sim_searcher(spark, sf_dir, "lmd")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitor / percolator (lucene/monitor Monitor.java:42): four
     stored queries (AND / OR / NOT / msm) percolated over the
@@ -1985,6 +2012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
+        "classic_sim_top10": _q_classic,
+        "lmd_sim_top10": _q_lmd,
         "monitor_matches": _q_monitor,
         "repetition_2gram": _q_repetition,
         "boilerplate_3gram": _q_boilerplate,
@@ -2143,6 +2172,33 @@ def oracle_sql() -> dict[str, str]:
                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""",
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "classic_sim_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            df AS (SELECT count(*)::BIGINT AS df FROM tf)
+            SELECT tf.doc_id AS doc_id,
+                   round(sqrt(tf.tf)
+                         * (ln((st.n + 1) / (df.df + 1.0)) + 1.0)
+                         / sqrt({_norm_len_sql('dl.dl')}), 6) AS score
+            FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN st CROSS JOIN df
+            ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
+        "lmd_sim_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            ttf AS (SELECT count(*)::BIGINT AS ttf FROM tok
+                    WHERE term = 'window')
+            SELECT tf.doc_id AS doc_id,
+                   round(greatest(
+                       ln(1 + tf.tf / (2000.0 * (ttf.ttf + 1.0)
+                                       / (st.sttf + 1.0)))
+                       + ln(2000.0 / ({_norm_len_sql('dl.dl')} + 2000.0)),
+                       0.0), 6) AS score
+            FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN st CROSS JOIN ttf
+            ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
         "monitor_matches": """
             WITH dt AS (
               SELECT DISTINCT doc_id,

@@ -78,17 +78,24 @@ def bind_bm25(
 def bind_classic(
     doc_freq, total_term_freq, doc_count, sttf, boost, dtype=np.float32
 ) -> BoundScorer:
-    idf = np.float32(
-        np.log((doc_count + 1) / np.float64(doc_freq + 1)) + 1.0
-    )
-    query_weight = np.float32(boost) * idf
-    norm_table = np.empty(256, dtype=np.float32)
+    """ClassicSimilarity (TF-IDF). The float32 path mirrors Lucene's
+    rounding exactly; the float64 path keeps every intermediate in
+    double for DuckDB-oracle parity (the same split bind_bm25 makes)."""
+    idf64 = np.log((doc_count + 1) / np.float64(doc_freq + 1)) + 1.0
     lt = LENGTH_TABLE.astype(np.float64)
-    norm_table[1:] = (1.0 / np.sqrt(lt[1:])).astype(np.float32)
-    norm_table[0] = np.float32(1.0) / norm_table[255]
+    if dtype == np.float32:
+        query_weight = np.float32(boost) * np.float32(idf64)
+        norm_table = np.empty(256, dtype=np.float32)
+        norm_table[1:] = (1.0 / np.sqrt(lt[1:])).astype(np.float32)
+        norm_table[0] = np.float32(1.0) / norm_table[255]
+    else:
+        query_weight = np.float64(boost) * idf64
+        norm_table = np.empty(256, dtype=np.float64)
+        norm_table[1:] = 1.0 / np.sqrt(lt[1:])
+        norm_table[0] = 1.0 / norm_table[255]
 
     def score_fn(freqs, norms):
-        tf = np.sqrt(freqs.astype(np.float32, copy=False)).astype(np.float32)
+        tf = np.sqrt(freqs.astype(dtype, copy=False)).astype(dtype)
         raw = tf * query_weight
         return raw * norm_table[np.asarray(norms, dtype=np.int64)]
 
@@ -108,7 +115,7 @@ def bind_lmd(
             np.log(1 + freqs.astype(np.float64, copy=False) / (mu * p))
             + np.log(mu / (doclen + mu))
         )
-        return np.maximum(s, 0.0).astype(np.float32)
+        return np.maximum(s, 0.0).astype(dtype)
 
     return BoundScorer(score_fn)
 
