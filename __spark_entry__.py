@@ -124,12 +124,23 @@ def _bm25_sql(
     must_not: list[str] | None = None,
     min_should_match: int = 0,
     k: int = 10,
+    corpus_where: str | None = None,
 ) -> str:
     """BM25 top-k oracle: same double expressions, same eval order as
-    the engine's float64 kernel."""
+    the engine's float64 kernel. ``corpus_where`` restricts the corpus
+    (stats AND results) — the point-in-time oracle for a snapshot that
+    contains only part of the table."""
     norm = _norm_len_sql("dl.dl")
+    tok_cte = (
+        _TOK
+        if corpus_where is None
+        else (
+            "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            f"FROM documents WHERE {corpus_where})"
+        )
+    )
     parts = [
-        _TOK,
+        tok_cte,
         _DL,
         _ST,
         f"tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok "
@@ -611,6 +622,11 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
         elif kind in ("english", "french", "german"):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
+            )
+        elif kind == "sorted":
+            build_index(
+                spark, wp, idx, num_segments=n_seg,
+                index_sort="doclen_desc",
             )
         elif kind in ("del", "upd"):
             build_index(spark, wp, idx, num_segments=n_seg)
@@ -1780,6 +1796,36 @@ def _q_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_index_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index sorting (IndexWriterConfig.setIndexSort, doclen desc):
+    docids are reassigned by the sort, but (url, score) results are
+    invariant — the oracle is the plain BM25 query."""
+    s = _variant_searcher(spark, sf_dir, "sorted")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
+def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexCommit time travel (DirectoryReader.open(IndexCommit)):
+    open GENERATION 1 of the NRT-appended index — the snapshot that
+    contains only the first micro-batch (even doc_ids); stats and
+    results must both reflect that point-in-time corpus."""
+    import numpy as np
+
+    from lucene_spark.operators.search import Searcher
+
+    _variant_searcher(spark, sf_dir, "nrt")  # ensure both commits exist
+    key = (sf_dir, "nrt_gen1")
+    if key not in _SEARCHERS:
+        _SEARCHERS[key] = Searcher(
+            spark,
+            _index_dir(sf_dir) + "_nrt",
+            dtype=np.float64,
+            generation=1,
+        )
+    s = _SEARCHERS[key]
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_nrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query over an NRT-appended index (two streaming micro-batches)."""
     s = _variant_searcher(spark, sf_dir, "nrt")
@@ -2050,6 +2096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_update_top10": _q_post_update,
         "merged_index_top10": _q_merged,
         "nrt_appended_top10": _q_nrt,
+        "time_travel_top10": _q_time_travel,
+        "index_sorted_top10": _q_index_sorted,
         "english_analyzer_top10": _q_english,
         "french_analyzer_top10": _q_french,
         "german_analyzer_top10": _q_german,
@@ -2079,6 +2127,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS tf FROM tok
             WHERE term = 'window' GROUP BY doc_id""",
         "bm25_top10_term": _bm25_sql(["window"]),
+        "time_travel_top10": _bm25_sql(
+            ["window"], corpus_where="doc_id % 2 = 0"
+        ),
+        "index_sorted_top10": _bm25_sql(["window"]),
         "bm25_top10_or": _bm25_sql(OR_TERMS),
         "bm25_top10_and": _bm25_sql(AND_TERMS, mode="must"),
         "bm25_top10_and_not": _bm25_sql(["window"], must_not=["spark"]),
