@@ -483,6 +483,28 @@ SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
 FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _interval_fuzzy_sql(term: str, t1: str, k: int = 10) -> str:
+    """Intervals.fuzzyTerm-inside-ordered oracle: terms within OSA
+    distance 1 of the pattern collapse to one pseudo-term (at
+    max_edits=1 OSA == Damerau, so damerau_levenshtein is exact)."""
+    return f"""WITH RECURSIVE {_TOK},
+tokp0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+          generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+          FROM documents),
+tokp AS (SELECT doc_id,
+         CASE WHEN damerau_levenshtein(term, '{term}') <= 1
+              THEN '__or0' ELSE term END AS term,
+         p FROM tokp0),
+{_DL}, {_ST},
+{_chain_cte("__or0", t1, adjust=0)},
+fr AS (
+  SELECT doc_id, sum(1.0/greatest(gap, 1)) AS freq
+  FROM emits WHERE slot = 1 GROUP BY doc_id HAVING freq > 0
+)
+SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
+FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _interval_within_sql(
     t0: str, t1: str, filt: str, positions: int, k: int = 10
 ) -> str:
@@ -1731,6 +1753,18 @@ def _q_interval_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals.fuzzyTerm inside ordered (Intervals.java:307-350):
+    or() over the OSA<=1 expansion of 'window' (transposition = one
+    edit), then data. At max_edits=1 OSA == true Damerau, so the
+    oracle's damerau_levenshtein collapse is exact."""
+    s = _get_searcher(spark, sf_dir)
+    fuzz = s.expand_fuzzy("window", max_edits=1, transpositions=True)
+    return _topk_by_doc_id(
+        s, s.scored_interval_or([fuzz, ["data"]])
+    )
+
+
 def _q_interval_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intervals.within (Intervals.java:506-515 — containedBy against
     extend(reference, positions, positions)): ordered ("the","query")
@@ -2089,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
+        "interval_fuzzy_top10": _q_interval_fuzzy,
         "combined_field_top10": _q_combined_field,
         "blended_term_top10": _q_blended_term,
         "mlt_top10": _q_mlt,
@@ -2443,6 +2478,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_maxgaps_top10": _interval_maxgaps_sql("the", "query", 1),
         "interval_or_top10": _interval_or_sql(["window", "spark"], "data"),
         "interval_prefix_top10": _interval_prefix_sql("win", "data"),
+        "interval_fuzzy_top10": _interval_fuzzy_sql("window", "data"),
         "interval_within_top10": _interval_within_sql(
             "the", "query", "window", 3
         ),
