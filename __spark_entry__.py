@@ -1586,6 +1586,80 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJKAnalyzer chain (analysis/cjk/CJKAnalyzer.java:43-60) over
+    deterministic Han text synthesized per doc_id (the sf corpus is
+    ASCII-only): 'the alpha <L-char han run> beta' with
+    L = 1 + doc_id % 5, char k = chr(0x4E00 + (doc_id*3 + k) % 64).
+    The engine runs the full DFA tokenize + width-fold/lower + bigram +
+    stop chain (functions/cjk.py); the oracle derives expected bigrams
+    and positions with SQL string algebra — 'the' stop-drops (gap at
+    position 0), L == 1 emits a lone unigram, else L-1 adjacent
+    bigrams each occupying one position."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("cjk")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 1 + i % 5
+                han = "".join(
+                    chr(0x4E00 + (i * 3 + k) % 64) for k in range(n)
+                )
+                terms, pos = chain_analyze(f"the alpha {han} beta", chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_CJK_BIGRAM_SQL = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 5 AS L FROM documents WHERE doc_id < 200
+),
+c AS (
+  SELECT d.doc_id, g.k,
+         chr(CAST(19968 + (d.doc_id*3 + g.k) % 64 AS INTEGER)) AS ch
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(0, CAST(d.L - 1 AS BIGINT))) AS k
+  ) g
+),
+big AS (
+  SELECT c.doc_id, string_agg(c.ch || c2.ch, '|' ORDER BY c.k) AS bi
+  FROM c JOIN c c2 ON c2.doc_id = c.doc_id AND c2.k = c.k + 1
+  GROUP BY c.doc_id
+),
+uni AS (SELECT doc_id, ch FROM c WHERE k = 0),
+parts AS (
+  SELECT d.doc_id,
+         CASE WHEN d.L = 1 THEN uni.ch ELSE big.bi END AS cjkpart,
+         greatest(d.L - 1, 1) AS nb
+  FROM d
+  LEFT JOIN big ON big.doc_id = d.doc_id
+  JOIN uni ON uni.doc_id = d.doc_id
+)
+SELECT doc_id,
+       'alpha|' || cjkpart || '|beta' AS terms,
+       (SELECT string_agg(CAST(x AS VARCHAR), ',' ORDER BY x)
+        FROM unnest(generate_series(1, CAST(2 + nb AS BIGINT))) AS t(x)
+       ) AS positions
+FROM parts
+"""
+
+
 # ---- round-2 entries: previously pytest-only operators -------------------
 
 
@@ -2098,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_2gram": _q_repetition,
         "boilerplate_3gram": _q_boilerplate,
         "token_counts": _q_token_counts,
+        "cjk_bigram_tokens": _q_cjk_bigram,
         "parsed_query_top10": _q_parsed,
         "multi_phrase_top10": _q_multi_phrase,
         "point_range_doclen": _q_point_range,
@@ -2368,6 +2443,7 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(string_split(text, ' '),
                        t -> ceil(strlen(t)/4.0)::BIGINT))::BIGINT AS n_sub
             FROM documents""",
+        "cjk_bigram_tokens": _CJK_BIGRAM_SQL,
         "parsed_query_top10": _bm25_sql(["window", "spark"]),
         "multi_phrase_top10": _multi_phrase_sql(
             [["window", "table"], ["the"]]

@@ -156,6 +156,8 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
     # goes through ONE lockstep DFA batch (functions/uax29.py) so the
     # vectorized scanner amortizes across the whole Arrow batch
     tok_lists: list[list[str] | None] = [None] * len(items)
+    typ_lists: list[list[int] | None] = [None] * len(items)
+    off_lists: list[list[tuple[int, int]] | None] = [None] * len(items)
     dfa_rows: list[int] = []
     dfa_texts: list[str] = []
     for i, t in enumerate(items):
@@ -167,17 +169,35 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
             dfa_rows.append(i)
             dfa_texts.append(t)
     if dfa_rows:
-        from .uax29 import tokenize_dfa_batch
+        # stream chains (CJK bigrams) dispatch on the TypeAttribute, so
+        # keep the DFA actions for those rows; ASCII fast-path rows
+        # keep types=None (provably no CJK present)
+        if chain is not None and chain.stream is not None:
+            from .uax29 import tokenize_dfa_batch_typed
 
-        toks_b, _incs = tokenize_dfa_batch(dfa_texts)
-        for i, tl in zip(dfa_rows, toks_b):
-            tok_lists[i] = tl
+            toks_b, _incs, acts_b, offs_b = tokenize_dfa_batch_typed(
+                dfa_texts
+            )
+            for i, tl, al, ol in zip(dfa_rows, toks_b, acts_b, offs_b):
+                tok_lists[i] = tl
+                typ_lists[i] = al
+                off_lists[i] = ol
+        else:
+            from .uax29 import tokenize_dfa_batch
+
+            toks_b, _incs = tokenize_dfa_batch(dfa_texts)
+            for i, tl in zip(dfa_rows, toks_b):
+                tok_lists[i] = tl
     terms_col = []
     pos_col = []
-    for toks in tok_lists:
+    for row_i, toks in enumerate(tok_lists):
         terms: list[str] = []
         positions: list[int] = []
-        if chain is not None:
+        if chain is not None and chain.stream is not None:
+            terms, positions = chain.analyze_tokens(
+                toks, typ_lists[row_i], off_lists[row_i]
+            )
+        elif chain is not None:
             for pos, tok in enumerate(toks):
                 t = chain.apply_token(tok)
                 if t is None:

@@ -1,0 +1,152 @@
+"""CJK analysis: width normalization + bigram indexing.
+
+Re-expresses Lucene's CJKAnalyzer chain
+(``analysis/common/src/java/org/apache/lucene/analysis/cjk/
+CJKAnalyzer.java:43-60``): StandardTokenizer -> CJKWidthFilter ->
+LowerCaseFilter -> CJKBigramFilter -> StopFilter. Indexing CJK text as
+overlapping character bigrams is the classic no-dictionary approach for
+scripts without word delimiters — every two adjacent CJK code points
+become one indexed term, so any query substring of length >= 2 matches
+exactly without segmentation.
+
+- ``cjk_width_fold`` (``cjk/CJKWidthFilter.java:33-46``): folds
+  fullwidth ASCII variants (U+FF01-U+FF5E) to basic Latin and halfwidth
+  Katakana variants to their fullwidth composed forms ("a more
+  efficient, streamlined alternative to ICUNormalizer2Filter using
+  NFKC" — the Javadoc's own characterization). Implemented from the
+  Unicode compatibility data itself: per-code-point NFKD over the
+  Halfwidth-and-Fullwidth-Forms block (halfwidth voice marks U+FF9E/
+  U+FF9F decompose to the COMBINING marks U+3099/U+309A), then NFC to
+  compose ``ka + combining dakuten -> ga`` exactly like the filter's
+  mapping table. Code points outside the FF00 block never change, so
+  (unlike whole-string NFKC) ligatures etc. are untouched.
+- ``cjk_bigram`` (``cjk/CJKBigramFilter.java:160-238``): buffers code
+  points of consecutive tokens whose type is HAN / HIRAGANA / KATAKANA
+  / HANGUL (the default flag set — bigrams DO span scripts, e.g.
+  han+hiragana, matching the canonical "多くの学生" fixture) and emits
+  adjacent-pair bigrams; a run BREAKS when the next token's start
+  offset is not the previous token's end offset (the filter's
+  "unaligned, clear queue" branch at :193 — bigrams never span a space
+  or punctuation). A lone CJK code point with no neighbor to pair with
+  is emitted as a unigram (``hasBufferedUnigram``, outputUnigrams=
+  false). All non-CJK tokens pass through unmodified. Every emitted
+  token has position increment 1 (multi-char katakana/hangul runs
+  therefore EXPAND the position axis, as in Lucene where downstream
+  positions are relative).
+- ``CJK_STOP_WORDS`` (``cjk/stopwords.txt``): the classic English stop
+  list the analyzer loads as its default — applied AFTER bigramming,
+  so it only ever drops pass-through Latin tokens.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from .uax29 import (
+    ACTION_HANGUL,
+    ACTION_HIRAGANA,
+    ACTION_IDEOGRAPHIC,
+    ACTION_KATAKANA,
+)
+
+# analysis/cjk/stopwords.txt: the classic Lucene English stop set plus
+# the single-letter s/t (from contractions) and "www"
+CJK_STOP_WORDS = frozenset(
+    "a and are as at be but by for if in into is it no not of on or s "
+    "such t that the their then there these they this to was will with "
+    "www".split()
+)
+
+_BIGRAM_TYPES = frozenset(
+    (ACTION_IDEOGRAPHIC, ACTION_HIRAGANA, ACTION_KATAKANA, ACTION_HANGUL)
+)
+
+# per-code-point NFKD over the Halfwidth-and-Fullwidth-Forms block;
+# built once at import (pure Unicode data, ~230 entries)
+_FOLD: dict[int, str] = {}
+for _cp in range(0xFF00, 0xFFF0):
+    _d = unicodedata.normalize("NFKD", chr(_cp))
+    if _d != chr(_cp):
+        _FOLD[_cp] = _d
+
+
+def cjk_width_fold(token: str) -> str:
+    """Fullwidth ASCII -> Latin; halfwidth kana -> composed fullwidth.
+
+    Only code points in U+FF00-U+FFEF are rewritten; the NFC pass
+    composes kana + combining voice mark pairs produced by the fold
+    (``ｶ + ﾞ -> ガ``)."""
+    if not any(0xFF00 <= ord(c) < 0xFFF0 for c in token):
+        return token
+    folded = "".join(_FOLD.get(ord(c), c) for c in token)
+    return unicodedata.normalize("NFC", folded)
+
+
+def cjk_bigram(
+    tokens: list[str],
+    types: list[int] | None,
+    offsets: list[tuple[int, int]] | None = None,
+) -> list[str]:
+    """CJKBigramFilter over a (token, type, offset) stream: returns the
+    output token sequence (each with position increment 1).
+
+    ``types=None`` means the batch fast path already proved the text is
+    plain ASCII — no CJK present, stream is the identity. Runs extend
+    only across tokens whose offsets touch (startOffset ==
+    lastEndOffset, ``CJKBigramFilter.java:193``); a space or stripped
+    punctuation between two CJK tokens breaks the run."""
+    if types is None or not tokens:
+        return tokens
+    out: list[str] = []
+    buf: list[str] = []  # code points of the current CJK run
+    last_end = -1
+
+    def flush() -> None:
+        if not buf:
+            return
+        if len(buf) == 1:  # lone CJK char -> unigram
+            out.append(buf[0])
+        else:
+            for i in range(len(buf) - 1):
+                out.append(buf[i] + buf[i + 1])
+        buf.clear()
+
+    for i, (tok, typ) in enumerate(zip(tokens, types)):
+        if typ in _BIGRAM_TYPES:
+            if offsets is not None:
+                s, e = offsets[i]
+                if s != last_end:  # unaligned: clear the queue
+                    flush()
+                last_end = e
+            buf.extend(tok)  # code points join the run (runs span tokens)
+        else:
+            flush()
+            last_end = -1
+            out.append(tok)
+    flush()
+    return out
+
+
+def cjk_stream(
+    tokens: list[str],
+    types: list[int] | None,
+    stopwords: frozenset[str],
+    offsets: list[tuple[int, int]] | None = None,
+) -> tuple[list[str], list[int]]:
+    """The full CJKAnalyzer stream after tokenization: width-fold +
+    lowercase per token, bigram the CJK runs, then stop-filter with
+    position gaps. Returns (terms, absolute positions) — position = the
+    token's index in the post-bigram stream (every emission has
+    increment 1; StopFilter leaves gaps)."""
+    from .analysis import _java_lower
+
+    pre = [_java_lower(cjk_width_fold(t)) for t in tokens]
+    stream = cjk_bigram(pre, types, offsets)
+    terms: list[str] = []
+    positions: list[int] = []
+    for pos, tok in enumerate(stream):
+        if tok in stopwords:
+            continue
+        terms.append(tok)
+        positions.append(pos)
+    return terms, positions

@@ -722,6 +722,13 @@ class AnalyzerChain:
     stem: Optional[Callable[[str], str]] = None
     elision: Optional[frozenset] = None
     normalize: Optional[Callable[[str], str]] = None
+    # stream-level transform (tokens, types, stopwords) -> (terms,
+    # positions); set for chains whose filters change the token COUNT
+    # (CJKBigramFilter merges adjacent code points into bigrams), which
+    # the per-token apply_token model can't express. Token types come
+    # from the UAX#29 DFA (uax29.ACTION_*); ``types=None`` asserts the
+    # text was plain ASCII (fast path — no CJK possible).
+    stream: Optional[Callable] = None
 
     def apply_token(self, surface: str) -> Optional[str]:
         """Surface token -> indexed term, or None if stop-filtered."""
@@ -736,6 +743,26 @@ class AnalyzerChain:
         if self.stem is not None:
             tok = self.stem(tok)
         return tok
+
+    def analyze_tokens(
+        self,
+        tokens: list[str],
+        types: Optional[list[int]] = None,
+        offsets: Optional[list[tuple[int, int]]] = None,
+    ) -> tuple[list[str], list[int]]:
+        """Post-tokenizer chain over one document's surface tokens ->
+        (terms, positions) with stop-gap position increments."""
+        if self.stream is not None:
+            return self.stream(tokens, types, self.stopwords, offsets)
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(tokens):
+            t = self.apply_token(tok)
+            if t is None:
+                continue
+            terms.append(t)
+            positions.append(pos)
+        return terms, positions
 
 
 def _build_chains() -> dict:
@@ -777,7 +804,25 @@ def _build_chains() -> dict:
         "russian": AnalyzerChain(
             "russian", RUSSIAN_STOP_WORDS, russian_light_stem
         ),
+        # CJKAnalyzer (cjk/CJKAnalyzer.java:43-60): width fold + lower
+        # + character bigrams over HAN/HIRAGANA/KATAKANA/HANGUL runs,
+        # stop applied post-bigram (only pass-through Latin can match)
+        "cjk": AnalyzerChain(
+            "cjk", _cjk_stops(), stream=_cjk_stream()
+        ),
     }
+
+
+def _cjk_stops() -> frozenset:
+    from .cjk import CJK_STOP_WORDS
+
+    return CJK_STOP_WORDS
+
+
+def _cjk_stream():
+    from .cjk import cjk_stream
+
+    return cjk_stream
 
 
 _CHAINS: dict | None = None
@@ -799,7 +844,7 @@ def get_chain(name: str, stopwords=None) -> AnalyzerChain:
     if stopwords is not None:
         chain = AnalyzerChain(
             chain.name, frozenset(stopwords), chain.stem,
-            chain.elision, chain.normalize,
+            chain.elision, chain.normalize, chain.stream,
         )
     return chain
 
@@ -807,14 +852,11 @@ def get_chain(name: str, stopwords=None) -> AnalyzerChain:
 def chain_analyze(text: str, chain: AnalyzerChain):
     """Full chain over one text -> (terms, positions) with stop-gap
     position increments (query-time / monitor entry point)."""
-    from .analysis import tokenize
+    from .analysis import _FAST_SAFE_RE, tokenize
 
-    terms: list[str] = []
-    positions: list[int] = []
-    for pos, tok in enumerate(tokenize(text)):
-        t = chain.apply_token(tok)
-        if t is None:
-            continue
-        terms.append(t)
-        positions.append(pos)
-    return terms, positions
+    if chain.stream is not None and text and not _FAST_SAFE_RE.match(text):
+        from .uax29 import tokenize_dfa_batch_typed
+
+        toks_b, _incs, acts_b, offs_b = tokenize_dfa_batch_typed([text])
+        return chain.analyze_tokens(toks_b[0], acts_b[0], offs_b[0])
+    return chain.analyze_tokens(tokenize(text))

@@ -223,14 +223,38 @@ def tokenize_dfa_batch(
     ``position_increments[i]`` is the Lucene PositionIncrement of token
     i (1 + tokens dropped immediately before it for exceeding
     ``max_token_length`` UTF-16 units)."""
+    toks, incs, _acts, _offs = tokenize_dfa_batch_typed(
+        texts, max_token_length
+    )
+    return toks, incs
+
+
+def tokenize_dfa_batch_typed(
+    texts: list[str], max_token_length: int = 255
+) -> tuple[
+    list[list[str]],
+    list[list[int]],
+    list[list[int]],
+    list[list[tuple[int, int]]],
+]:
+    """Batch tokenization keeping the Type/Offset attributes: per doc
+    (token_texts, position_increments, actions, (start, end) offsets)
+    with actions one of ACTION_* — the token-type + offset view
+    CJKBigramFilter dispatches on (``StandardTokenizer.TOKEN_TYPES``;
+    run adjacency = ``startOffset == lastEndOffset``). Offsets are code
+    point indexes (equality-of-adjacency is unit-independent)."""
     spans = segment_batch(texts, window=max_token_length)
     all_toks: list[list[str]] = []
     all_incs: list[list[int]] = []
+    all_acts: list[list[int]] = []
+    all_offs: list[list[tuple[int, int]]] = []
     for text, doc_spans in zip(texts, spans):
         toks: list[str] = []
         incs: list[int] = []
+        acts: list[int] = []
+        offs: list[tuple[int, int]] = []
         gap = 1
-        for s, e, _a in doc_spans:
+        for s, e, a in doc_spans:
             tok = text[s:e]
             # yylength is UTF-16 units: astral code points count twice
             n16 = len(tok) if tok.isascii() else (
@@ -241,7 +265,11 @@ def tokenize_dfa_batch(
                 continue
             toks.append(tok)
             incs.append(gap)
+            acts.append(a)
+            offs.append((s, e))
             gap = 1
         all_toks.append(toks)
         all_incs.append(incs)
-    return all_toks, all_incs
+        all_acts.append(acts)
+        all_offs.append(offs)
+    return all_toks, all_incs, all_acts, all_offs

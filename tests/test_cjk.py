@@ -1,0 +1,144 @@
+"""CJKAnalyzer chain (functions/cjk.py): width folding, character
+bigrams over HAN/HIRAGANA/KATAKANA/HANGUL runs, run-break on offset
+misalignment, and the end-to-end index/search path.
+
+Goldens hand-derived from the documented filter semantics
+(``analysis/cjk/CJKWidthFilter.java``, ``CJKBigramFilter.java:160-238``,
+``CJKAnalyzer.java:43-60``), including the canonical Japanese sentence
+from Lucene's own CJK tests.
+"""
+
+import pytest
+
+from lucene_spark.functions.cjk import (
+    CJK_STOP_WORDS,
+    cjk_bigram,
+    cjk_width_fold,
+)
+from lucene_spark.functions.lang import chain_analyze, get_chain
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.search import Searcher
+
+
+class TestWidthFold:
+    @pytest.mark.parametrize(
+        "src,expect",
+        [
+            ("Ｔｅｓｔ", "Test"),  # fullwidth ASCII -> basic latin
+            ("１２３４", "1234"),
+            ("ﾊﾞﾅﾅ", "バナナ"),  # halfwidth kana + dakuten compose
+            ("ｳﾞｨｯﾂ", "ヴィッツ"),
+            ("ﾊﾟﾅｿﾆｯｸ", "パナソニック"),  # handakuten
+            ("ｱｲｳ", "アイウ"),
+            ("banana", "banana"),  # untouched
+            ("ﬁle", "ﬁle"),  # NON-FF-block compat chars NOT folded
+        ],
+    )
+    def test_fold(self, src, expect):
+        assert cjk_width_fold(src) == expect
+
+
+class TestBigram:
+    def test_ascii_fast_path_identity(self):
+        toks = ["hello", "world"]
+        assert cjk_bigram(toks, None) is toks
+
+    def test_lone_unigram(self):
+        from lucene_spark.functions.uax29 import ACTION_IDEOGRAPHIC, ACTION_WORD
+
+        out = cjk_bigram(
+            ["中", "english", "国"],
+            [ACTION_IDEOGRAPHIC, ACTION_WORD, ACTION_IDEOGRAPHIC],
+            [(0, 1), (2, 9), (10, 11)],
+        )
+        assert out == ["中", "english", "国"]
+
+
+class TestChainGoldens:
+    """chain_analyze through the real DFA tokenizer."""
+
+    @pytest.mark.parametrize(
+        "text,expect",
+        [
+            # the canonical Lucene CJK fixture: bigrams cross the
+            # han/hiragana script boundary inside one adjacent run
+            (
+                "多くの学生が試験に落ちた。",
+                ["多く", "くの", "の学", "学生", "生が",
+                 "が試", "試験", "験に", "に落", "落ち", "ちた"],
+            ),
+            # a space breaks the run (CJKBigramFilter.java:193)
+            ("한국어 텍스트", ["한국", "국어", "텍스", "스트"]),
+            # punctuation breaks the run too
+            ("中国、日本", ["中国", "日本"]),
+            # lone CJK chars emit unigrams; latin passes through
+            ("中 english 国", ["中", "english", "国"]),
+            ("一 二 三", ["一", "二", "三"]),
+            # katakana runs split into char bigrams
+            ("アイウエオ", ["アイ", "イウ", "ウエ", "エオ"]),
+            # width fold feeds the bigrammer; stop post-bigram
+            ("ﾊﾞﾅﾅ and Ｔｅｓｔ", ["バナ", "ナナ", "test"]),
+        ],
+    )
+    def test_terms(self, text, expect):
+        chain = get_chain("cjk")
+        terms, _pos = chain_analyze(text, chain)
+        assert terms == expect
+
+    def test_positions_expand_with_runs(self):
+        """Bigram emissions each take one position; stops leave gaps."""
+        chain = get_chain("cjk")
+        terms, pos = chain_analyze("ﾊﾞﾅﾅ and Ｔｅｓｔ", chain)
+        # stream: バナ(0) ナナ(1) and(2, stopped) test(3)
+        assert terms == ["バナ", "ナナ", "test"]
+        assert pos == [0, 1, 3]
+
+    def test_stopwords_only_hit_latin(self):
+        assert "the" in CJK_STOP_WORDS and "www" in CJK_STOP_WORDS
+        chain = get_chain("cjk")
+        terms, _ = chain_analyze("the 学生 www", chain)
+        assert terms == ["学生"]
+
+
+@pytest.fixture(scope="module")
+def cjk_index(spark, tmp_path_factory):
+    rows = [
+        ("https://cjk.org/1", "多くの学生が試験に落ちた。"),
+        ("https://cjk.org/2", "学生 spark engine"),
+        ("https://cjk.org/3", "nothing relevant here at all"),
+        ("https://cjk.org/4", "試験 は アイウエオ"),
+    ]
+    wp = spark.createDataFrame(rows, "url string, text string")
+    d = str(tmp_path_factory.mktemp("cjk") / "idx")
+    build_index(spark, wp, d, num_segments=2, analyzer="cjk")
+    return d
+
+
+class TestCJKIndex:
+    def test_bigrams_in_term_dictionary(self, spark, cjk_index):
+        s = Searcher(spark, cjk_index)
+        terms = {r["term"] for r in s._terms_df.collect()}
+        assert "学生" in terms and "試験" in terms and "アイ" in terms
+        # single source chars are NOT separately indexed inside runs
+        assert "学" not in terms
+        # latin passes through lowercased
+        assert "spark" in terms
+
+    def test_query_analysis_mirrors_build(self, spark, cjk_index):
+        s = Searcher(spark, cjk_index)
+        assert s.analyzer == "cjk"
+        assert s.analyze_query("学生") == ["学生"]
+        assert s.analyze_query("試験に") == ["試験", "験に"]
+
+    def test_term_query_matches_bigram(self, spark, cjk_index):
+        s = Searcher(spark, cjk_index)
+        got = {r["url"] for r in s.term_query("学生", k=10).collect()}
+        assert got == {"https://cjk.org/1", "https://cjk.org/2"}
+
+    def test_phrase_over_bigrams(self, spark, cjk_index):
+        """Querying 試験に = bigrams [試験, 験に] adjacent — only doc 1
+        has them contiguous (doc 4 has 試験 followed by a break)."""
+        s = Searcher(spark, cjk_index)
+        terms = s.analyze_query("試験に")
+        got = {r["url"] for r in s.phrase_query(terms, k=10).collect()}
+        assert got == {"https://cjk.org/1"}
