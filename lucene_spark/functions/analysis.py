@@ -66,6 +66,9 @@ def _java_lower(token: str) -> str:
 # lockstep scanner's throughput; equivalence is fuzz-asserted in
 # tests/test_analysis.py.
 _FAST_SAFE_RE = re.compile(r"[A-Za-z0-9 \t\r\n]*\Z")
+# any 256-char non-space run means some token needs 255-chunking; the
+# C-level scan replaces a per-token Python length check
+_LONG_RUN_RE = re.compile(r"\S{256}")
 
 
 def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
@@ -80,13 +83,20 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
         return []
     if _FAST_SAFE_RE.match(text):
         toks = text.split()
-        if all(len(t) <= max_token_length for t in toks):
-            return toks
-        out = []
-        for tok in toks:
-            for i in range(0, len(tok), max_token_length):
-                out.append(tok[i : i + max_token_length])
-        return out
+        if (
+            max_token_length != MAX_TOKEN_LENGTH
+            and any(len(t) > max_token_length for t in toks)
+        ) or (
+            max_token_length == MAX_TOKEN_LENGTH
+            and len(text) > MAX_TOKEN_LENGTH
+            and _LONG_RUN_RE.search(text)
+        ):
+            out = []
+            for tok in toks:
+                for i in range(0, len(tok), max_token_length):
+                    out.append(tok[i : i + max_token_length])
+            return out
+        return toks
     from .uax29 import tokenize_dfa
 
     return tokenize_dfa(text, max_token_length)[0]
@@ -152,22 +162,36 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
     if stem:
         from .stemmer import porter_stem
     items = [t if isinstance(t, str) else "" for t in texts]
+    # trivial chain = tokenize + lower + stop only (StandardAnalyzer
+    # and language chains without elision/normalize/stem/stream): the
+    # per-token apply_token dispatch collapses to one str.lower on the
+    # WHOLE text before the fast-path split (~4x on the build's hot
+    # analyze kernel; ASCII lower commutes with whitespace split)
+    trivial = (
+        chain is not None
+        and chain.stream is None
+        and chain.elision is None
+        and chain.normalize is None
+        and chain.stem is None
+    )
     # partition: [a-z0-9 ]-only rows split directly; everything else
     # goes through ONE lockstep DFA batch (functions/uax29.py) so the
     # vectorized scanner amortizes across the whole Arrow batch
     tok_lists: list[list[str] | None] = [None] * len(items)
     typ_lists: list[list[int] | None] = [None] * len(items)
     off_lists: list[list[tuple[int, int]] | None] = [None] * len(items)
+    dfa_set: set[int] = set()
     dfa_rows: list[int] = []
     dfa_texts: list[str] = []
     for i, t in enumerate(items):
         if not t:
             tok_lists[i] = []
         elif _FAST_SAFE_RE.match(t):
-            tok_lists[i] = tokenize(t)
+            tok_lists[i] = tokenize(t.lower() if trivial else t)
         else:
             dfa_rows.append(i)
             dfa_texts.append(t)
+    dfa_set = set(dfa_rows)
     if dfa_rows:
         # stream chains (CJK bigrams) dispatch on the TypeAttribute, so
         # keep the DFA actions for those rows; ASCII fast-path rows
@@ -197,6 +221,18 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
             terms, positions = chain.analyze_tokens(
                 toks, typ_lists[row_i], off_lists[row_i]
             )
+        elif trivial:
+            if row_i in dfa_set:  # DFA rows still need the Java lower
+                toks = [_java_lower(tok) for tok in toks]
+            stopset = chain.stopwords
+            if stopset:
+                positions = [
+                    p for p, tok in enumerate(toks) if tok not in stopset
+                ]
+                terms = [toks[p] for p in positions]
+            else:
+                terms = toks
+                positions = list(range(len(toks)))
         elif chain is not None:
             for pos, tok in enumerate(toks):
                 t = chain.apply_token(tok)

@@ -175,22 +175,31 @@ def _build_one_segment(
     )
     flat_docid = np.repeat(local_ids, doclens)
 
-    df = pd.DataFrame(
-        {"term": flat_terms, "docid": flat_docid, "pos": flat_pos}
-    )
-    # FreqProxTermsWriter.sortTerms analog: one vectorized sort
-    df.sort_values(["term", "docid", "pos"], inplace=True, kind="stable")
-    t_arr = df["term"].to_numpy()
-    d_arr = df["docid"].to_numpy()
-    p_arr = df["pos"].to_numpy()
+    # TermsHash + sortTerms analog (``index/TermsHashPerField.java``,
+    # ``FreqProxTermsWriter.java:flush``): hash-factorize every token to
+    # an integer id (O(n)), LEXICOGRAPHICALLY sort only the ~distinct
+    # terms, then one integer lexsort over (term_rank, docid, pos).
+    # Sorting the unique-term table instead of every token is the same
+    # trick Lucene's TermsHash uses — and it beats a whole-column
+    # object-string sort by ~2x wall on a web-text segment.
+    codes, uniques = pd.factorize(flat_terms)
+    sorted_idx = np.argsort(uniques)  # unique terms only
+    rank = np.empty(len(sorted_idx), dtype=np.int64)
+    rank[sorted_idx] = np.arange(len(sorted_idx))
+    sorted_terms = uniques[sorted_idx]
+    term_rank = rank[codes]
+    order = np.lexsort((flat_pos, flat_docid, term_rank))
+    r_arr = term_rank[order]
+    d_arr = flat_docid[order]
+    p_arr = flat_pos[order]
 
     # posting boundaries: first row of each (term, docid) group
-    new_term = np.r_[True, t_arr[1:] != t_arr[:-1]]
+    new_term = np.r_[True, r_arr[1:] != r_arr[:-1]]
     new_post = new_term | np.r_[True, d_arr[1:] != d_arr[:-1]]
     post_starts = np.flatnonzero(new_post)
-    tfs = np.diff(np.r_[post_starts, len(t_arr)])
+    tfs = np.diff(np.r_[post_starts, len(r_arr)])
     post_docids = d_arr[post_starts]
-    post_terms = t_arr[post_starts]
+    post_terms = sorted_terms[r_arr[post_starts]]
     # norms are indexed by row position, not docid value (salted splits
     # carry non-zero-based docids); local_ids is sorted, so searchsorted
     # maps docid -> row (identity in the unsalted case)
