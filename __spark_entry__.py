@@ -1626,6 +1626,56 @@ def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ascii_folding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASCIIFoldingFilter chain (miscellaneous/ASCIIFoldingFilter.java)
+    over deterministic accented text synthesized per doc_id (the sf
+    corpus is ASCII-only): 'naïve cafX résumé' where X cycles through
+    ten precomposed accented Latin letters. The engine runs tokenize +
+    lower + fold; the oracle folds INDEPENDENTLY with DuckDB's
+    strip_accents (Unicode decomposition data, the same source the
+    fold derives from)."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    accents = "éàöüñçåèìó"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("ascii_folding")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                text = f"naïve caf{accents[i % 10]} résumé"
+                terms, pos = chain_analyze(text, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_ASCII_FOLDING_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         chr(CAST([233,224,246,252,241,231,229,232,236,243]
+             [1 + doc_id % 10] AS INTEGER)) AS acc
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       'naive|' || strip_accents('caf' || acc) || '|resume' AS terms,
+       '0,1,2' AS positions
+FROM d
+"""
+
+
 _CJK_BIGRAM_SQL = """
 WITH d AS (
   SELECT doc_id, 1 + doc_id % 5 AS L FROM documents WHERE doc_id < 200
@@ -2173,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_3gram": _q_boilerplate,
         "token_counts": _q_token_counts,
         "cjk_bigram_tokens": _q_cjk_bigram,
+        "ascii_folding_tokens": _q_ascii_folding,
         "parsed_query_top10": _q_parsed,
         "multi_phrase_top10": _q_multi_phrase,
         "point_range_doclen": _q_point_range,
@@ -2444,6 +2495,7 @@ def oracle_sql() -> dict[str, str]:
                        t -> ceil(strlen(t)/4.0)::BIGINT))::BIGINT AS n_sub
             FROM documents""",
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,
+        "ascii_folding_tokens": _ASCII_FOLDING_SQL,
         "parsed_query_top10": _bm25_sql(["window", "spark"]),
         "multi_phrase_top10": _multi_phrase_sql(
             [["window", "table"], ["the"]]

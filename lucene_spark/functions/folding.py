@@ -1,0 +1,92 @@
+"""ASCII folding: map Latin-script letters and common punctuation above
+U+007F to their ASCII equivalents.
+
+Re-expresses ``analysis/miscellaneous/ASCIIFoldingFilter.java:74-146``
+(whose body is a ~1,900-case generated switch over the Latin blocks)
+from the Unicode data the switch was generated from, rather than
+transcribing it:
+
+1. per code point NFKD decomposition with combining marks (category
+   ``Mn``) dropped — covers every precomposed accent in Latin-1
+   Supplement / Extended A-D / Extended Additional ('à' -> 'a',
+   'İ' -> 'I', ligature 'ﬁ' -> 'fi', '…' -> '...', fullwidth forms);
+2. a small table of standard romanizations for letters with NO
+   decomposition (æ -> ae, ø -> o, ß -> ss, đ -> d, þ -> th, ł -> l,
+   …) and for punctuation the charts fold by shape (curly quotes ->
+   ' / ", dashes -> -, ⁅⁆«» -> brackets/quotes);
+3. anything still non-ASCII is left unchanged (the filter does the
+   same for unmapped characters).
+
+The fold happens AFTER tokenization/lowercase (it is a TokenFilter),
+so surface token boundaries are the UAX#29 DFA's.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+# letters with no NFKD decomposition -> standard romanization
+# (both cases listed because folding may run before OR after lowercase)
+_ROMAN = {
+    "ß": "ss", "ẞ": "SS",
+    "æ": "ae", "Æ": "AE",
+    "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O",
+    "đ": "d", "Đ": "D",
+    "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "TH",
+    "ł": "l", "Ł": "L",
+    "ı": "i", "ſ": "s",
+    "ħ": "h", "Ħ": "H",
+    "ŋ": "n", "Ŋ": "N",
+    "ĸ": "q",
+    "ƒ": "f", "Ƒ": "F",
+    "ɵ": "o", "Ɵ": "O",
+    "ǝ": "e", "Ǝ": "E",
+    "ɛ": "e", "Ɛ": "E",
+    "ɔ": "o", "Ɔ": "O",
+    "ʒ": "s", "Ʒ": "S",
+    # punctuation folded by shape (General/Supplemental Punctuation)
+    "ʼ": "'",  # modifier apostrophe (appears in ŉ's decomposition)
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "‹": "'", "›": "'",
+    "“": '"', "”": '"', "„": '"', "‟": '"',
+    "«": '"', "»": '"',
+    "‐": "-", "‑": "-", "‒": "-", "–": "-",
+    "—": "-", "―": "-", "−": "-",
+    "⁄": "/", "∕": "/",
+    " ": " ", " ": " ", " ": " ",
+}
+
+_fold_cache: dict[int, str] = {}
+
+
+def _fold_char(ch: str) -> str:
+    cp = ord(ch)
+    if cp < 0x80:
+        return ch
+    hit = _fold_cache.get(cp)
+    if hit is not None:
+        return hit
+    if ch in _ROMAN:
+        out = _ROMAN[ch]
+    else:
+        decomp = unicodedata.normalize("NFKD", ch)
+        kept = "".join(
+            # romanize non-decomposable pieces inside the decomposition
+            # too (e.g. 'ǽ' -> 'æ' + acute -> "ae")
+            _ROMAN.get(c, c)
+            for c in decomp
+            if unicodedata.category(c) != "Mn"
+        )
+        out = kept if kept and kept.isascii() else ch
+    _fold_cache[cp] = out
+    return out
+
+
+def ascii_fold(token: str) -> str:
+    """Fold a single (surface or lowercased) token to ASCII where a
+    reasonable equivalent exists; non-Latin scripts pass through."""
+    if token.isascii():
+        return token
+    return "".join(_fold_char(ch) for ch in token)

@@ -810,7 +810,19 @@ def _build_chains() -> dict:
         "cjk": AnalyzerChain(
             "cjk", _cjk_stops(), stream=_cjk_stream()
         ),
+        # StandardTokenizer + LowerCase + ASCIIFoldingFilter
+        # (miscellaneous/ASCIIFoldingFilter.java) — the usual
+        # accent-insensitive web-search configuration
+        "ascii_folding": AnalyzerChain(
+            "ascii_folding", frozenset(), normalize=_ascii_fold()
+        ),
     }
+
+
+def _ascii_fold():
+    from .folding import ascii_fold
+
+    return ascii_fold
 
 
 def _cjk_stops() -> frozenset:

@@ -1,0 +1,59 @@
+"""ASCIIFoldingFilter (functions/folding.py): Unicode-data-derived
+accent folding + romanizations, and the ascii_folding analyzer chain.
+
+Goldens from the documented behavior of
+``analysis/miscellaneous/ASCIIFoldingFilter.java`` (accented Latin
+folds to the base letter; æ/ß/ø/þ-class letters romanize; curly
+quotes/dashes/ellipsis fold by shape; non-Latin scripts pass through).
+"""
+
+import pytest
+
+from lucene_spark.functions.folding import ascii_fold
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+
+class TestAsciiFold:
+    @pytest.mark.parametrize(
+        "src,expect",
+        [
+            ("Des mot clés À LA CHAÎNE", "Des mot cles A LA CHAINE"),
+            ("àáâãäåāăą", "aaaaaaaaa"),
+            ("èéêëēĕėęě", "eeeeeeeee"),
+            ("çćĉċč", "ccccc"),
+            ("ñńņňŉ", "nnnn'n"),  # ŉ NFKD = ' + n
+            ("œæßøđþłı", "oeaessodthli"),
+            ("ǽǣ", "aeae"),  # accented ae: decomposition then romanize
+            ("ﬁﬂ", "fifl"),  # presentation-form ligatures
+            ("“x” – it’s…", "\"x\" - it's..."),
+            ("naïve café résumé", "naive cafe resume"),
+            ("ASCII stays", "ASCII stays"),
+        ],
+    )
+    def test_fold(self, src, expect):
+        assert ascii_fold(src) == expect
+
+    def test_non_latin_untouched(self):
+        assert ascii_fold("русский") == "русский"
+        assert ascii_fold("中文テスト") == "中文テスト"
+        assert ascii_fold("ελληνικά") == "ελληνικά"
+
+    def test_idempotent(self):
+        s = "Ångström–Öl “süß”"
+        once = ascii_fold(s)
+        assert ascii_fold(once) == once
+
+
+class TestFoldingChain:
+    def test_chain_lower_then_fold(self):
+        chain = get_chain("ascii_folding")
+        terms, pos = chain_analyze("Café RÉSUMÉ Ångström", chain)
+        assert terms == ["cafe", "resume", "angstrom"]
+        assert pos == [0, 1, 2]
+
+    def test_accent_insensitive_match_terms(self):
+        """'cafe' and 'café' analyze to the same term."""
+        chain = get_chain("ascii_folding")
+        a, _ = chain_analyze("café", chain)
+        b, _ = chain_analyze("cafe", chain)
+        assert a == b == ["cafe"]
