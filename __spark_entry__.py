@@ -641,7 +641,10 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
                 ),
             )
             build_index(spark, titled, idx, num_segments=n_seg)
-        elif kind in ("english", "french", "german"):
+        elif kind in (
+            "english", "french", "german",
+            "swedish", "norwegian", "finnish",
+        ):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
             )
@@ -744,6 +747,24 @@ def _DE_STOPS():
     from lucene_spark.functions.lang import GERMAN_STOP_WORDS
 
     return GERMAN_STOP_WORDS
+
+
+def _SV_STOPS():
+    from lucene_spark.functions.lang import SWEDISH_STOP_WORDS
+
+    return SWEDISH_STOP_WORDS
+
+
+def _NO_STOPS():
+    from lucene_spark.functions.lang import NORWEGIAN_STOP_WORDS
+
+    return NORWEGIAN_STOP_WORDS
+
+
+def _FI_STOPS():
+    from lucene_spark.functions.lang import FINNISH_STOP_WORDS
+
+    return FINNISH_STOP_WORDS
 
 
 def _en33_sql() -> str:
@@ -2015,6 +2036,28 @@ def _q_german(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["batch"]))
 
 
+def _q_swedish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SwedishLightStemFilter chain (sv/SwedishLightStemmer.java, Savoy
+    CLEF-2003; snowball stops): queried with the stem-invariant term
+    'window' (singleton preimage asserted in tests/test_lang.py)."""
+    s = _variant_searcher(spark, sf_dir, "swedish")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
+def _q_norwegian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NorwegianLightStemFilter chain, Bokmal flags
+    (no/NorwegianLightStemmer.java): stem-invariant term 'vector'."""
+    s = _variant_searcher(spark, sf_dir, "norwegian")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["vector"]))
+
+
+def _q_finnish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinnishLightStemFilter chain (fi/FinnishLightStemmer.java):
+    stem-invariant term 'scan'."""
+    s = _variant_searcher(spark, sf_dir, "finnish")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["scan"]))
+
+
 def _q_feature_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexed FeatureField (core/document/FeatureField.java:106):
     BM25 MUST term + log-function feature SHOULD over freq-encoded
@@ -2262,6 +2305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "english_analyzer_top10": _q_english,
         "french_analyzer_top10": _q_french,
         "german_analyzer_top10": _q_german,
+        "swedish_analyzer_top10": _q_swedish,
+        "norwegian_analyzer_top10": _q_norwegian,
+        "finnish_analyzer_top10": _q_finnish,
         "feature_boosted_top10": _q_feature_boosted,
         "global_prune_top10": _q_global_prune,
         "wand_or_top10": _q_wand_or,
@@ -2565,6 +2611,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "german_analyzer_top10": _stop_filtered_bm25_sql(
             "batch", _lang_stop_sql(_DE_STOPS())
+        ),
+        "swedish_analyzer_top10": _stop_filtered_bm25_sql(
+            "window", _lang_stop_sql(_SV_STOPS())
+        ),
+        "norwegian_analyzer_top10": _stop_filtered_bm25_sql(
+            "vector", _lang_stop_sql(_NO_STOPS())
+        ),
+        "finnish_analyzer_top10": _stop_filtered_bm25_sql(
+            "scan", _lang_stop_sql(_FI_STOPS())
         ),
         "feature_boosted_top10": _feature_boosted_sql(),
         "global_prune_top10": _bm25_sql(["the"]),

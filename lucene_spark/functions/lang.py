@@ -578,6 +578,231 @@ def italian_light_stem(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Nordic light stemmers (Savoy, "Report on CLEF-2003 Monolingual
+# Tracks"): the rule sets the reference ships as
+# ``sv/SwedishLightStemmer.java``, ``no/NorwegianLightStemmer.java``
+# (Bokmal flag set, the filter default) and
+# ``fi/FinnishLightStemmer.java``. Note the reference's sv/no/fi
+# *Analyzer defaults* chain the Snowball stemmers; these light
+# variants are its documented ``*LightStemFilter`` alternates, chosen
+# here like german_minimal for their published, compact rule sets.
+
+
+def swedish_light_stem(w: str) -> str:
+    """sv/SwedishLightStemmer.java (Savoy CLEF-2003)."""
+    n = len(w)
+    if n > 4 and w[n - 1] == "s":
+        n -= 1
+    t = w[:n]
+    if n > 7 and t.endswith(("elser", "heten")):
+        return t[:-5]
+    if n > 6 and t.endswith(
+        ("arne", "erna", "ande", "else", "aste", "orna", "aren")
+    ):
+        return t[:-4]
+    if n > 5 and t.endswith(("are", "ast", "het")):
+        return t[:-3]
+    if n > 4 and t.endswith(("ar", "er", "or", "en", "at", "te", "et")):
+        return t[:-2]
+    if n > 3 and t[-1] in "taen":
+        return t[:-1]
+    return t
+
+
+def norwegian_light_stem(w: str) -> str:
+    """no/NorwegianLightStemmer.java with the BOKMAAL flag set (the
+    NorwegianLightStemFilter default); Nynorsk-only endings skipped."""
+    n = len(w)
+    if n > 4 and w[n - 1] == "s":
+        n -= 1
+    t = w[:n]
+    if n > 7 and t.endswith(("heter", "heten")):
+        return t[:-5]
+    if n > 5 and t.endswith(("dom", "het")):
+        return t[:-3]
+    if n > 7 and t.endswith(("elser", "elsen")):
+        return t[:-5]
+    if n > 6 and t.endswith(("ende", "else", "este", "eren")):
+        return t[:-4]
+    if n > 5 and t.endswith(("ere", "est", "ene")):
+        return t[:-3]
+    if n > 4 and t.endswith(("er", "en", "et", "st", "te")):
+        return t[:-2]
+    if n > 3 and t[-1] in "aen":
+        return t[:-1]
+    return t
+
+
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def _fi_step1(s: list) -> list:
+    if len(s) > 8:
+        if s[-3:] == list("kin"):
+            return _fi_step1(s[:-3])
+        if s[-2:] == list("ko"):
+            return _fi_step1(s[:-2])
+    if len(s) > 11:
+        if s[-8:] == list("dellinen"):
+            return s[:-8]
+        if s[-9:] == list("dellisuus"):
+            return s[:-9]
+    return s
+
+
+def _fi_step2(s: list) -> list:
+    if len(s) > 5:
+        t = "".join(s[-3:])
+        if t in ("lla", "tse", "sti"):
+            return s[:-3]
+        if s[-2:] == list("ni"):
+            return s[:-2]
+        if s[-2:] == list("aa"):
+            return s[:-1]
+    return s
+
+
+def _fi_step3(s: list) -> list:
+    n = len(s)
+    if n > 8:
+        if s[-4:] == list("nnen"):
+            s = s[:-3]
+            s[-1] = "s"
+            return s
+        if s[-5:] == list("ntena"):
+            s = s[:-4]
+            s[-1] = "s"
+            return s
+        if s[-4:] == list("tten"):
+            return s[:-4]
+        if s[-5:] == list("eiden"):
+            return s[:-5]
+    if n > 6:
+        if "".join(s[-4:]) in ("neen", "niin", "seen", "teen", "inen"):
+            return s[:-4]
+        if s[-3] == "h" and s[-2] in _FI_VOWELS and s[-1] == "n":
+            return s[:-3]
+        if s[-3:] == list("den"):
+            s = s[:-2]
+            s[-1] = "s"
+            return s
+        if s[-4:] == list("ksen"):
+            s = s[:-3]
+            s[-1] = "s"
+            return s
+        if "".join(s[-3:]) in (
+            "ssa", "sta", "lla", "lta", "tta", "ksi", "lle"
+        ):
+            return s[:-3]
+    if n > 5:
+        if "".join(s[-2:]) in ("na", "ne"):
+            return s[:-2]
+        if s[-3:] == list("nei"):
+            return s[:-3]
+    if n > 4:
+        if "".join(s[-2:]) in ("ja", "ta"):
+            return s[:-2]
+        if s[-1] == "a":
+            return s[:-1]
+        if s[-1] == "n" and s[-2] in _FI_VOWELS:
+            return s[:-2]
+        if s[-1] == "n":
+            return s[:-1]
+    return s
+
+
+def _fi_norm1(s: list) -> list:
+    if len(s) > 5 and s[-3:] == list("hde"):
+        s = s[:-3] + list("ksi")
+    if len(s) > 4 and "".join(s[-2:]) in ("ei", "at"):
+        return s[:-2]
+    if len(s) > 3 and s[-1] in "tsjeai":
+        return s[:-1]
+    return s
+
+
+def _fi_norm2(s: list) -> list:
+    if len(s) > 8 and s[-1] in "eou":
+        s = s[:-1]
+    if len(s) > 4:
+        if s[-1] == "i":
+            s = s[:-1]
+        if len(s) > 4:
+            # collapse doubled k/p/t (delete-in-place scan)
+            out = [s[0]]
+            ch = s[0]
+            for c in s[1:]:
+                if c == ch and ch in "kpt":
+                    continue
+                out.append(c)
+                ch = c
+            s = out
+    return s
+
+
+def finnish_light_stem(w: str) -> str:
+    """fi/FinnishLightStemmer.java (Savoy CLEF-2003): umlaut fold then
+    step1 -> step2 -> step3 -> norm1 -> norm2."""
+    if len(w) < 4:
+        return w
+    s = ["a" if c in "\u00e4\u00e5" else ("o" if c == "\u00f6" else c) for c in w]
+    s = _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(s)))))
+    return "".join(s)
+
+
+SWEDISH_STOP_WORDS = frozenset(
+    """och det att i en jag hon som han på den med var sig för så till är men
+ett om hade de av icke mig du henne då sin nu har inte hans honom
+skulle hennes där min man ej vid kunde något från ut när efter upp vi
+dem vara vad över än dig kan sina här ha mot alla under någon eller
+allt mycket sedan ju denna själv detta åt utan varit hur ingen mitt ni
+bli blev oss din dessa några deras blir mina samma vilken er sådan vår
+blivit dess inom mellan sådant varför varje vilka ditt vem vilket sitt
+sådana vart dina vars vårt våra ert era vilkas""".split()
+)
+
+NORWEGIAN_STOP_WORDS = frozenset(
+    """og i jeg det at en et den til er som på de med han av ikke ikkje der
+så var meg seg men ett har om vi min mitt ha hadde hun nå over da ved
+fra du ut sin dem oss opp man kan hans hvor eller hva skal selv sjøl
+her alle vil bli ble blei blitt kunne inn når være kom noen noe ville
+dere deres kun ja etter ned skulle denne for deg si sine sitt mot å
+meget hvorfor dette disse uten hvordan ingen din ditt blir samme
+hvilken hvilke sånn inni mellom vår hver hvem vors hvis både bare enn
+fordi før mange også slik vært båe begge siden dykk dykkar dei deira
+deires deim di då eg ein eit eitt elles honom hjå ho hoe henne hennar
+hennes hoss hossen ingi inkje korleis korso kva kvar kvarhelst kven
+kvi kvifor me medan mi mine mykje no nokon noka nokor noko nokre sia
+sidan so somt somme um upp vere vore verte vort varte vart""".split()
+)
+
+FINNISH_STOP_WORDS = frozenset(
+    """olla olen olet on olemme olette ovat ole oli olisi olisit olisin
+olisimme olisitte olisivat olit olin olimme olitte olivat ollut olleet
+en et ei emme ette eivät minä minun minut minua minussa minusta minuun
+minulla minulta minulle sinä sinun sinut sinua sinussa sinusta sinuun
+sinulla sinulta sinulle hän hänen hänet häntä hänessä hänestä häneen
+hänellä häneltä hänelle me meidän meidät meitä meissä meistä meihin
+meillä meiltä meille te teidän teidät teitä teissä teistä teihin
+teillä teiltä teille he heidän heidät heitä heissä heistä heihin
+heillä heiltä heille tämä tämän tätä tässä tästä tähän tällä tältä
+tälle tänä täksi tuo tuon tuota tuossa tuosta tuohon tuolla tuolta
+tuolle tuona tuoksi se sen sitä siinä siitä siihen sillä siltä sille
+sinä siksi nämä näiden näitä näissä näistä näihin näillä näiltä näille
+näinä näiksi nuo noiden noita noissa noista noihin noilla noilta
+noille noina noiksi ne niiden niitä niissä niistä niihin niillä niiltä
+niille niinä niiksi kuka kenen kenet ketä kenessä kenestä keneen
+kenellä keneltä kenelle kenenä keneksi ketkä keiden ketkä keitä keissä
+keistä keihin keillä keiltä keille keinä keiksi mikä minkä minkä mitä
+missä mistä mihin millä miltä mille minä miksi mitkä joka jonka jota
+jossa josta johon jolla jolta jolle jona joksi jotka joiden joita
+joissa joista joihin joilla joilta joille joina joiksi että ja jos
+koska kuin mutta niin sekä sillä tai vaan vai vaikka kanssa mukaan
+noin poikki yli kun nyt itse""".split()
+)
+
+
+# ---------------------------------------------------------------------------
 # Snowball stopword lists (the analyzers' default stop sets; data from
 # the public Snowball project, shipped by the reference as
 # snowball/*_stop.txt resources).
@@ -809,6 +1034,18 @@ def _build_chains() -> dict:
         # stop applied post-bigram (only pass-through Latin can match)
         "cjk": AnalyzerChain(
             "cjk", _cjk_stops(), stream=_cjk_stream()
+        ),
+        # Nordic chains: tokenize -> lower -> stop -> light stem
+        # (the *LightStemFilter configurations; the reference's
+        # analyzer defaults use Snowball instead)
+        "swedish": AnalyzerChain(
+            "swedish", SWEDISH_STOP_WORDS, swedish_light_stem
+        ),
+        "norwegian": AnalyzerChain(
+            "norwegian", NORWEGIAN_STOP_WORDS, norwegian_light_stem
+        ),
+        "finnish": AnalyzerChain(
+            "finnish", FINNISH_STOP_WORDS, finnish_light_stem
         ),
         # StandardTokenizer + LowerCase + ASCIIFoldingFilter
         # (miscellaneous/ASCIIFoldingFilter.java) — the usual

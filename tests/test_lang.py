@@ -23,8 +23,11 @@ from lucene_spark.functions.lang import (
     hungarian_light_stem,
     italian_light_stem,
     portuguese_light_stem,
+    finnish_light_stem,
+    norwegian_light_stem,
     russian_light_stem,
     spanish_light_stem,
+    swedish_light_stem,
     strip_elision,
 )
 
@@ -275,13 +278,83 @@ class TestChains:
         assert en.stem is not None and "the" in en.stopwords
 
 
+
+
+class TestNordicLight:
+    """Savoy CLEF-2003 light stemmers (sv/no/fi *LightStemmer.java);
+    goldens hand-traced through the published rule order."""
+
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("jackorna", "jack"),     # -orna plural definite
+            ("klubbar", "klubb"),     # -ar plural
+            ("klubben", "klubb"),     # -en definite
+            ("hemligheten", "hemlig"),  # -heten
+            ("vackraste", "vackr"),   # -aste superlative
+            ("bil", "bil"),           # too short to trim
+        ],
+    )
+    def test_swedish(self, word, expect):
+        assert swedish_light_stem(word) == expect
+
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("hemmeligheter", "hemmelig"),  # -heter
+            ("kristendom", "kristen"),      # -dom
+            ("sovende", "sov"),             # -ende participle
+            ("husene", "hus"),              # -ene plural definite
+            ("kaker", "kak"),               # -er then trailing-e rule
+            ("billigst", "billig"),         # -st superlative (bokmal)
+        ],
+    )
+    def test_norwegian(self, word, expect):
+        assert norwegian_light_stem(word) == expect
+
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("autoja", "auto"),     # partitive -ja
+            ("autolla", "auto"),    # adessive -lla
+            ("autot", "auto"),      # plural -t via norm1
+            ("kirjassa", "kirj"),   # inessive -ssa then final -a
+            ("kirjat", "kirj"),     # -at in norm1
+            ("tytt\u00f6", "tyto"),  # umlaut fold + kpt collapse
+            ("iso", "iso"),         # < 4 chars untouched
+        ],
+    )
+    def test_finnish(self, word, expect):
+        assert finnish_light_stem(word) == expect
+
+    def test_chains_stop_and_stem(self):
+        sv = get_chain("swedish")
+        assert chain_analyze("Jackorna och klubben", sv)[0] == [
+            "jack", "klubb"
+        ]
+        no = get_chain("norwegian")
+        assert chain_analyze("hemmeligheter og kaker", no)[0] == [
+            "hemmelig", "kak"
+        ]
+        fi = get_chain("finnish")
+        assert chain_analyze("autoja ja kirjat", fi)[0] == ["auto", "kirj"]
+
+
+
 class TestOraclePrecondition:
     """The driver oracles for french/german query a STEM-INVARIANT
     term; re-assert the invariance here so a corpus or stemmer change
     fails loudly instead of silently hash-mismatching."""
 
     @pytest.mark.parametrize(
-        "term,lang", [("join", "french"), ("batch", "german")]
+        "term,lang",
+        [
+            ("join", "french"),
+            ("batch", "german"),
+            ("window", "swedish"),
+            ("vector", "norwegian"),
+            ("scan", "finnish"),
+        ],
     )
     def test_invariant_terms(self, term, lang, spark):
         import collections
