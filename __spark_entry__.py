@@ -2184,9 +2184,12 @@ def _q_all_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Highlighting (rows-only: passage selection is deterministic but
-    not worth a SQL re-implementation; golden tests in
-    tests/test_highlight.py)."""
+    """Highlighting (UnifiedHighlighter re-analysis mode). The oracle
+    pins ``passage_chars`` above every doc length so the best passage
+    is deterministic text-tail tagging: window start = first hit minus
+    20 chars snapped to a space, window end = end of doc, every token
+    match tagged — all SQL-expressible. The 120-char sliding-window
+    selection keeps its golden tests in tests/test_highlight.py."""
     from lucene_spark.operators.highlight import highlight
     from lucene_spark.sources.web_pages import load_web_pages
 
@@ -2194,8 +2197,40 @@ def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = s.term_query("window", k=5).select(
         _doc_id("url"), "url", F.round("score", 6).alias("score")
     )
-    out = highlight(top, load_web_pages(spark, sf_dir), ["window"])
+    out = highlight(
+        top, load_web_pages(spark, sf_dir), ["window"],
+        passage_chars=100_000,
+    )
     return out.select("doc_id", "snippet", "n_hits").orderBy("doc_id")
+
+
+def _highlight_sql(term: str, k: int = 5) -> str:
+    """Independent re-derivation of the whole-doc passage: BM25 top-k
+    doc set, first-hit window start (minus-20, space-snapped), word-
+    boundary regex tagging, total hit count."""
+    bm25 = _bm25_sql([term], k=k)
+    return f"""
+WITH top5 AS (SELECT doc_id FROM ({bm25})),
+d AS (SELECT t.doc_id, doc.text FROM top5 t
+      JOIN documents doc ON doc.doc_id = t.doc_id),
+calc AS (
+  SELECT doc_id, text,
+         strpos(' ' || text || ' ', ' {term} ') - 1 AS p0
+  FROM d
+),
+w AS (
+  SELECT doc_id, text,
+         length(regexp_replace(
+             substr(text, 1, greatest(p0 - 20, 0)), '[^ ]*$', '')) AS ws
+  FROM calc
+)
+SELECT doc_id,
+       regexp_replace(substr(text, ws + 1),
+                      '\\b{term}\\b', '<b>{term}</b>', 'g') AS snippet,
+       CAST(len(list_filter(string_split(text, ' '),
+                x -> x = '{term}')) AS INTEGER) AS n_hits
+FROM w ORDER BY doc_id
+"""
 
 
 def _q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2668,7 +2703,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_not_containing_top10": _interval_not_containing_sql(
             "the", "query", "window"
         ),
-        # sloppy_repeat_top10 / highlight_top5: intentionally
+        "highlight_top5": _highlight_sql("window"),
+        # sloppy_repeat_top10: intentionally
         # oracle-less (the repeats matcher's advanceRpts collision
         # resolution and passage selection are not SQL-expressible;
         # bit-exact python-mirror parity is asserted in tests/).

@@ -87,10 +87,8 @@ def test_every_query_has_entry_or_reason(entrymod):
     assert o <= q
     assert q - o == {
         # not SQL-expressible (the repeats matcher's advanceRpts
-        # collision resolution; UAX#29 offset-tracking passage
-        # selection) — python-mirror parity in tests/:
+        # collision resolution) — python-mirror parity in tests/:
         "sloppy_repeat_top10",
-        "highlight_top5",
     }
 
 
