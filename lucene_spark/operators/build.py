@@ -184,11 +184,20 @@ def _build_one_segment(
     # object-string sort by ~2x wall on a web-text segment.
     codes, uniques = pd.factorize(flat_terms)
     sorted_idx = np.argsort(uniques)  # unique terms only
-    rank = np.empty(len(sorted_idx), dtype=np.int64)
-    rank[sorted_idx] = np.arange(len(sorted_idx))
+    # int32 sort keys: positions/docids/ranks all fit, and halving the
+    # key bytes matters — at 8+ concurrent builder workers this lexsort
+    # is memory-bandwidth-bound on this class of box
+    rank = np.empty(len(sorted_idx), dtype=np.int32)
+    rank[sorted_idx] = np.arange(len(sorted_idx), dtype=np.int32)
     sorted_terms = uniques[sorted_idx]
     term_rank = rank[codes]
-    order = np.lexsort((flat_pos, flat_docid, term_rank))
+    # docids can exceed int32 on salted/global-window builds — downcast
+    # only when the segment's range provably fits
+    if n_docs and local_ids[-1] < 2**31 and local_ids[0] >= 0:
+        sort_docid = flat_docid.astype(np.int32)
+    else:
+        sort_docid = flat_docid
+    order = np.lexsort((flat_pos.astype(np.int32), sort_docid, term_rank))
     r_arr = term_rank[order]
     d_arr = flat_docid[order]
     p_arr = flat_pos[order]
