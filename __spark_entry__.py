@@ -1607,6 +1607,40 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_free_text_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FreeTextSuggester analog (suggest/analyzing/FreeTextSuggester
+    .java:114,439,533 — stupid-backoff bigram LM, Brants et al. 2007):
+    complete 'v…' in the context of 'hash'; bigram conditionals win,
+    prefix unigrams back off at ALPHA=0.4."""
+    from lucene_spark.operators.suggest_lm import free_text_suggest
+
+    out = free_text_suggest(
+        _docs_table(spark, sf_dir), "hash v", k=10
+    )
+    return out.select("term", F.round("score", 6).alias("score"))
+
+
+_FREE_TEXT_SUGGEST_SQL = """
+WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+bi AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+       FROM tok, LATERAL (
+         SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g),
+ctx AS (SELECT w2, count(*) AS c FROM bi WHERE w1 = 'hash' GROUP BY w2),
+ctot AS (SELECT sum(c) AS t FROM ctx),
+hits AS (SELECT w2 AS term, c / t.t AS score
+         FROM ctx, ctot t WHERE w2 LIKE 'v%'),
+uni AS (SELECT unnest(ts) AS w FROM tok),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+ut AS (SELECT sum(c) AS t FROM uc),
+back AS (SELECT w AS term, 0.4 * c / t.t AS score FROM uc, ut t
+         WHERE w LIKE 'v%'
+           AND w NOT IN (SELECT term FROM hits)),
+allr AS (SELECT * FROM hits UNION ALL SELECT * FROM back)
+SELECT term, round(score, 6) AS score
+FROM allr ORDER BY score DESC, term LIMIT 10
+"""
+
+
 def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJKAnalyzer chain (analysis/cjk/CJKAnalyzer.java:43-60) over
     deterministic Han text synthesized per doc_id (the sf corpus is
@@ -2300,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_2gram": _q_repetition,
         "boilerplate_3gram": _q_boilerplate,
         "token_counts": _q_token_counts,
+        "free_text_suggest": _q_free_text_suggest,
         "cjk_bigram_tokens": _q_cjk_bigram,
         "ascii_folding_tokens": _q_ascii_folding,
         "parsed_query_top10": _q_parsed,
@@ -2575,6 +2610,7 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(string_split(text, ' '),
                        t -> ceil(strlen(t)/4.0)::BIGINT))::BIGINT AS n_sub
             FROM documents""",
+        "free_text_suggest": _FREE_TEXT_SUGGEST_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,
         "parsed_query_top10": _bm25_sql(["window", "spark"]),

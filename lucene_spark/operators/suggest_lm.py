@@ -1,0 +1,113 @@
+"""Free-text suggestion: an n-gram language model with stupid backoff.
+
+Re-expresses ``lucene/suggest/src/java/org/apache/lucene/search/
+suggest/analyzing/FreeTextSuggester.java`` (which builds an FST over
+analyzer shingles and looks up with the "stupid backoff" score of
+Brants et al. 2007, "Large Language Models in Machine Translation";
+``ALPHA = 0.4`` at :114) as two Spark aggregations:
+
+- **model**: token bigram counts and unigram counts over the corpus —
+  both map-side-combinable ``groupBy`` aggregations, the scale path at
+  any corpus size (the FST is a single-node artifact; the counts table
+  IS the distributed equivalent).
+- **lookup**: the last query token is a prefix to complete (a trailing
+  space means "predict the next word", matching the suggester's
+  end-of-input handling at :439); the token before it is the context.
+  Candidates score ``count(context, w) / count(context)`` from the
+  bigram table, and prefix-matching unigrams score
+  ``ALPHA * count(w) / total`` as the backoff — a candidate already
+  found at the higher order keeps the higher-order score only
+  (the seen-set dedup at :533).
+
+Ties break on the term (ascending), mirroring the suggester's
+deterministic output ordering for equal weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 0.4  # FreeTextSuggester.ALPHA: the stupid-backoff multiplier
+
+
+def _token_arrays(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(F.split(F.col(text_col), " ").alias("ts"))
+
+
+def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w1, w2, cnt) bigram counts — partial-agg friendly."""
+    toks = _token_arrays(docs, text_col)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, ts[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    return pairs.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+
+
+def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = _token_arrays(docs, text_col)
+    return (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def free_text_suggest(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k next-word / word-completion suggestions for ``query``.
+
+    Returns (term, score) with score in (0, 1]: the stupid-backoff
+    conditional probability estimate. ``query`` ending in a space
+    predicts the next word after its last token; otherwise the last
+    token is completed in the context of the one before it."""
+    parts = query.split()
+    if not parts:
+        raise ValueError("empty suggest query")
+    if query.endswith(" "):
+        context, prefix = parts[-1], ""
+    elif len(parts) >= 2:
+        context, prefix = parts[-2], parts[-1]
+    else:
+        context, prefix = None, parts[-1]
+
+    uni = unigram_model(docs, text_col)
+    total = uni.agg(F.sum("cnt")).withColumnRenamed("sum(cnt)", "total")
+    backoff = (
+        uni.where(F.col("w").startswith(prefix))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("w").alias("term"),
+            (F.lit(ALPHA) * F.col("cnt") / F.col("total")).alias("score"),
+        )
+    )
+    if context is None:
+        scored = backoff.withColumn("score", F.col("score") / ALPHA)
+    else:
+        bi = bigram_model(docs, text_col).where(F.col("w1") == context)
+        ctx_total = bi.agg(F.sum("cnt")).withColumnRenamed(
+            "sum(cnt)", "ctx_total"
+        )
+        hits = (
+            bi.where(F.col("w2").startswith(prefix))
+            .crossJoin(F.broadcast(ctx_total))
+            .select(
+                F.col("w2").alias("term"),
+                (F.col("cnt") / F.col("ctx_total")).alias("score"),
+            )
+        )
+        # higher order wins: drop backoff rows for terms the bigram
+        # order already suggested (FreeTextSuggester's seen set)
+        scored = hits.unionByName(
+            backoff.join(hits.select("term"), "term", "left_anti")
+        )
+    return scored.orderBy(F.desc("score"), F.asc("term")).limit(k)

@@ -1,0 +1,58 @@
+"""FreeTextSuggester analog (operators/suggest_lm.py): stupid-backoff
+bigram LM suggestions, hand-computed on a tiny corpus."""
+
+import pytest
+
+from lucene_spark.operators.suggest_lm import free_text_suggest
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        ("u1", "big data big deal big data"),
+        ("u2", "data lake big data"),
+        ("u3", "deal done"),
+    ]
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+class TestFreeTextSuggest:
+    def test_completion_in_context(self, spark, corpus):
+        # bigrams from 'big': data x3, deal x1 -> ctx_total 4
+        got = free_text_suggest(corpus, "big d", k=5).collect()
+        assert [(r["term"], round(r["score"], 6)) for r in got] == [
+            ("data", 0.75),
+            ("deal", 0.25),
+            # backoff: 'done' count 1 / 12 tokens * 0.4
+            ("done", 0.033333),
+        ]
+
+    def test_trailing_space_predicts_next(self, spark, corpus):
+        got = free_text_suggest(corpus, "big ", k=2).collect()
+        assert got[0]["term"] == "data" and round(got[0]["score"], 2) == 0.75
+
+    def test_higher_order_wins_dedup(self, spark, corpus):
+        """'data' appears in both orders; only the bigram row (0.75)
+        survives, not the 0.4 * 5/16 backoff."""
+        got = free_text_suggest(corpus, "big data", k=5).collect()
+        scores = {r["term"]: r["score"] for r in got}
+        assert round(scores["data"], 6) == 0.75
+
+    def test_unknown_context_backs_off(self, spark, corpus):
+        # unseen context -> pure unigram backoff (alpha * count/total)
+        got = free_text_suggest(corpus, "zzz d", k=5).collect()
+        # data 4/12, deal 2/12, done 1/12, each * 0.4
+        assert [r["term"] for r in got] == ["data", "deal", "done"]
+        assert round(got[0]["score"], 6) == round(0.4 * 4 / 12, 6)
+
+    def test_single_token_no_context(self, spark, corpus):
+        got = free_text_suggest(corpus, "d", k=5).collect()
+        # no context: plain unigram proportions (no alpha penalty)
+        assert round(got[0]["score"], 6) == round(4 / 12, 6)
+
+    def test_plan_is_aggregation_only(self, spark, corpus):
+        """Scale shape: the lookup is groupBy aggregations + broadcast
+        of two scalar totals — no per-row Python anywhere."""
+        plan = free_text_suggest(corpus, "big d")._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "mapInPandas" not in plan
