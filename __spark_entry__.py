@@ -1607,6 +1607,51 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShingleFilter defaults (analysis/shingle/ShingleFilter.java:
+    unigrams + word bigrams at the same position): per doc the term
+    count (2L-1) and the first three stream terms, derivable in SQL
+    from the space-split token list."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("standard_shingle")
+        for pdf in batches:
+            n_out, first3 = [], []
+            for t in pdf["text"]:
+                terms, _pos = chain_analyze(
+                    t if isinstance(t, str) else "", chain
+                )
+                n_out.append(len(terms))
+                first3.append("|".join(terms[:3]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_terms": n_out,
+                    "first3": first3,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, n_terms long, first3 string"
+    )
+
+
+_SHINGLES_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+SELECT doc_id,
+       CAST(2 * len(ts) - 1 AS BIGINT) AS n_terms,
+       CASE WHEN len(ts) >= 2
+            THEN ts[1] || '|' || ts[1] || ' ' || ts[2] || '|' || ts[2]
+            ELSE ts[1] END AS first3
+FROM d
+"""
+
+
 def _q_free_text_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FreeTextSuggester analog (suggest/analyzing/FreeTextSuggester
     .java:114,439,533 — stupid-backoff bigram LM, Brants et al. 2007):
@@ -2335,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_3gram": _q_boilerplate,
         "token_counts": _q_token_counts,
         "free_text_suggest": _q_free_text_suggest,
+        "shingle_tokens": _q_shingles,
         "cjk_bigram_tokens": _q_cjk_bigram,
         "ascii_folding_tokens": _q_ascii_folding,
         "parsed_query_top10": _q_parsed,
@@ -2611,6 +2657,7 @@ def oracle_sql() -> dict[str, str]:
                        t -> ceil(strlen(t)/4.0)::BIGINT))::BIGINT AS n_sub
             FROM documents""",
         "free_text_suggest": _FREE_TEXT_SUGGEST_SQL,
+        "shingle_tokens": _SHINGLES_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,
         "parsed_query_top10": _bm25_sql(["window", "spark"]),

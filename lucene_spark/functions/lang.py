@@ -1047,6 +1047,13 @@ def _build_chains() -> dict:
         "finnish": AnalyzerChain(
             "finnish", FINNISH_STOP_WORDS, finnish_light_stem
         ),
+        # ShingleFilter defaults (analysis/shingle/ShingleFilter.java):
+        # unigrams + word bigrams, "_" filler for stop gaps (no stops
+        # in this registration, so fillers only appear with an
+        # explicit stopword override)
+        "standard_shingle": AnalyzerChain(
+            "standard_shingle", frozenset(), stream=_shingle_stream()
+        ),
         # StandardTokenizer + LowerCase + ASCIIFoldingFilter
         # (miscellaneous/ASCIIFoldingFilter.java) — the usual
         # accent-insensitive web-search configuration
@@ -1109,3 +1116,9 @@ def chain_analyze(text: str, chain: AnalyzerChain):
         toks_b, _incs, acts_b, offs_b = tokenize_dfa_batch_typed([text])
         return chain.analyze_tokens(toks_b[0], acts_b[0], offs_b[0])
     return chain.analyze_tokens(tokenize(text))
+
+
+def _shingle_stream():
+    from .shingle import shingle_stream_factory
+
+    return shingle_stream_factory()

@@ -1,0 +1,80 @@
+"""ShingleFilter: word n-grams ("shingles") over the token stream.
+
+Re-expresses ``analysis/shingle/ShingleFilter.java`` (defaults
+``minShingleSize = maxShingleSize = 2``, separator " ", filler "_",
+``outputUnigrams = true``):
+
+- at each real token position, emit the unigram (posInc 1) then every
+  shingle of ``min_size..max_size`` starting there (posInc 0 — same
+  position, like the Java filter's ``isOutputHere`` bookkeeping);
+- a stop-filtered position materializes as the FILLER inside any
+  shingle window that crosses it (``ShingleFilter.java:82``); shingles
+  may start on a filler ("_ b" after "a <stop> b") but a window of
+  only fillers is never emitted (``isAllFiller``), and fillers are
+  never emitted as unigrams;
+- trailing gaps never materialize (filler insertion is driven by the
+  position increment of a FOLLOWING token), so shingles never extend
+  past the last real token.
+
+In this engine's absolute-position model "posInc 0" means the shingle
+shares its starting token's position, so a phrase over (unigram,
+next-unigram) and the equivalent single shingle term score the same
+docs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+FILLER = "_"
+SEPARATOR = " "
+
+
+def shingle_stream_factory(
+    min_size: int = 2,
+    max_size: int = 2,
+    output_unigrams: bool = True,
+):
+    """Build an AnalyzerChain ``stream`` hook applying lowercase ->
+    stop(gaps) -> shingle."""
+    if not 2 <= min_size <= max_size:
+        raise ValueError("need 2 <= min_size <= max_size")
+
+    def stream(
+        tokens: list[str],
+        types: Optional[list[int]],
+        stopwords: frozenset[str],
+        offsets=None,
+    ) -> tuple[list[str], list[int]]:
+        from .analysis import _java_lower
+
+        slots: list[Optional[str]] = []
+        for t in tokens:
+            low = _java_lower(t)
+            slots.append(None if low in stopwords else low)
+        # trailing gaps never materialize
+        while slots and slots[-1] is None:
+            slots.pop()
+        terms: list[str] = []
+        positions: list[int] = []
+        n = len(slots)
+        for i in range(n):
+            real = slots[i] is not None
+            if real and output_unigrams:
+                terms.append(slots[i])
+                positions.append(i)
+            for size in range(min_size, max_size + 1):
+                if i + size > n:
+                    break
+                window = slots[i : i + size]
+                if all(w is None for w in window):
+                    continue
+                terms.append(
+                    SEPARATOR.join(
+                        w if w is not None else FILLER for w in window
+                    )
+                )
+                positions.append(i)
+        return terms, positions
+
+    return stream

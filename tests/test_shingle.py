@@ -1,0 +1,70 @@
+"""ShingleFilter (functions/shingle.py): word n-grams with filler
+semantics, on Lucene's own canonical fixture sentence."""
+
+import pytest
+
+from lucene_spark.functions.lang import AnalyzerChain, chain_analyze, get_chain
+from lucene_spark.functions.shingle import shingle_stream_factory
+
+
+def _chain(stops=(), **kw):
+    return AnalyzerChain(
+        "t", frozenset(stops), stream=shingle_stream_factory(**kw)
+    )
+
+
+class TestShingles:
+    def test_unigrams_and_bigrams(self):
+        terms, pos = chain_analyze(
+            "please divide this sentence", get_chain("standard_shingle")
+        )
+        assert terms == [
+            "please", "please divide",
+            "divide", "divide this",
+            "this", "this sentence",
+            "sentence",
+        ]
+        # shingles share their starting token's position (posInc 0)
+        assert pos == [0, 0, 1, 1, 2, 2, 3]
+
+    def test_filler_on_stop_gap(self):
+        terms, _ = chain_analyze(
+            "please divide this sentence", _chain(stops=["this"])
+        )
+        assert "divide _" in terms and "_ sentence" in terms
+        assert "this" not in terms
+
+    def test_trailing_gap_never_materializes(self):
+        terms, _ = chain_analyze(
+            "please divide this sentence", _chain(stops=["sentence"])
+        )
+        assert terms == [
+            "please", "please divide", "divide", "divide this", "this"
+        ]
+
+    def test_all_filler_window_dropped(self):
+        terms, _ = chain_analyze(
+            "a x y b", _chain(stops=["x", "y"], min_size=2, max_size=2)
+        )
+        # the [x y] window is all fillers -> dropped; the windows
+        # crossing a real token keep their filler side
+        assert terms == ["a", "a _", "_ b", "b"]
+
+    def test_trigrams(self):
+        terms, pos = chain_analyze(
+            "one two three four",
+            _chain(min_size=2, max_size=3),
+        )
+        assert "one two three" in terms and "two three four" in terms
+        assert terms.index("one two three") == 2  # after unigram+bigram
+
+    def test_no_unigrams(self):
+        terms, _ = chain_analyze(
+            "one two three",
+            _chain(output_unigrams=False),
+        )
+        assert terms == ["one two", "two three"]
+
+    def test_lowercases(self):
+        terms, _ = chain_analyze("One Two", get_chain("standard_shingle"))
+        assert terms == ["one", "one two", "two"]
