@@ -191,16 +191,28 @@ def _build_one_segment(
     rank[sorted_idx] = np.arange(len(sorted_idx), dtype=np.int32)
     sorted_terms = uniques[sorted_idx]
     term_rank = rank[codes]
-    # docids can exceed int32 on salted/global-window builds — downcast
-    # only when the segment's range provably fits
-    if n_docs and local_ids[-1] < 2**31 and local_ids[0] >= 0:
-        sort_docid = flat_docid.astype(np.int32)
-    else:
-        sort_docid = flat_docid
-    order = np.lexsort((flat_pos.astype(np.int32), sort_docid, term_rank))
-    r_arr = term_rank[order]
-    d_arr = flat_docid[order]
-    p_arr = flat_pos[order]
+    # pack (term_rank, docid, pos) into ONE int64 key when the ranges
+    # fit (they always do for realistic segments): a single np.sort
+    # replaces the 3-pass lexsort AND the three post-sort gathers —
+    # fields decode by shift/mask. The kernel is memory-bandwidth-bound
+    # at 8+ concurrent workers, so bytes moved is what scales.
+    kb_pos = int(flat_pos.max()).bit_length() or 1
+    kb_doc = (int(local_ids[-1]).bit_length() or 1) if n_docs else 1
+    kb_rank = max(len(uniques) - 1, 1).bit_length()
+    if local_ids[0] >= 0 and kb_pos + kb_doc + kb_rank <= 63:
+        keys = np.sort(
+            (term_rank.astype(np.int64) << (kb_doc + kb_pos))
+            | (flat_docid << kb_pos)
+            | flat_pos
+        )
+        p_arr = keys & ((1 << kb_pos) - 1)
+        d_arr = (keys >> kb_pos) & ((1 << kb_doc) - 1)
+        r_arr = keys >> (kb_pos + kb_doc)
+    else:  # degenerate ranges: stable 3-key fallback
+        order = np.lexsort((flat_pos, flat_docid, term_rank))
+        r_arr = term_rank[order]
+        d_arr = flat_docid[order]
+        p_arr = flat_pos[order]
 
     # posting boundaries: first row of each (term, docid) group
     new_term = np.r_[True, r_arr[1:] != r_arr[:-1]]
