@@ -1,0 +1,488 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) decode + encode, numpy only.
+
+Backs the multimodal column operators (``operators/multimodal.py``)
+the way ``functions/png.py`` does for PNG: the container has no image
+libraries, so the codec is implemented from the public specification —
+ITU-T Recommendation T.81 (1992), sections F.2 (baseline decoding),
+F.1 (encoding), A.3.3 (zig-zag), A.3.6 (IDCT) — not from any existing
+library.
+
+Supported: baseline sequential DCT (SOF0), 8-bit samples, 1- or
+3-component scans, 4:4:4 / 4:2:2 / 4:2:0 chroma sampling, restart
+intervals (DRI/RSTn), multi-table DQT/DHT segments. Progressive
+(SOF2), arithmetic coding, and 12-bit precision raise ``ValueError``
+(the multimodal operator surfaces that as a NULL decode, never a
+crash).
+
+The encoder exists so tests can round-trip without fixtures: it writes
+4:4:4 (or grayscale) baseline JPEG with uniform quantization and
+simple fixed-length canonical Huffman tables (every table is declared
+in DHT, so ANY valid table round-trips; optimality is irrelevant).
+
+Everything after entropy decoding is vectorized: coefficients for all
+blocks of a component dequantize, de-zig-zag, and IDCT in one einsum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# zig-zag order (T.81 A.3.3): index i of the scan -> (row, col)
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZIG = np.argsort(_ZIGZAG)
+
+# 8x8 DCT-II basis: C[u, x] = a(u) cos((2x+1) u pi / 16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _idct_blocks(coef: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) frequency blocks -> (n, 8, 8) samples (spec A.3.6)."""
+    return np.einsum("ux,nuv,vy->nxy", _C, coef, _C, optimize=True)
+
+
+def _fdct_blocks(samples: np.ndarray) -> np.ndarray:
+    return np.einsum("ux,nxy,vy->nuv", _C, samples, _C, optimize=True)
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte unstuffing; stops at any real marker (F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.n <= 24:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) | 0xFF  # pad past EOI
+                self.n += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                else:  # a real marker: behave as end-of-data padding
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.n += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def align_to_marker(self) -> None:
+        """Drop partial byte and skip an RSTn marker (F.2.1.3.1)."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+class _Huff:
+    """Canonical Huffman decoder from a DHT (bits, values) spec
+    (C.2): mincode/maxcode/valptr per length."""
+
+    def __init__(self, counts: list[int], values: bytes):
+        self.values = values
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            if counts[ln - 1] == 0:
+                self.maxcode[ln] = -1
+            else:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += counts[ln - 1]
+                k += counts[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.bits(1)
+        ln = 1
+        while code > self.maxcode[ln]:
+            if ln >= 16:
+                raise ValueError("bad huffman code")
+            code = (code << 1) | br.bits(1)
+            ln += 1
+        return self.values[self.valptr[ln] + code - self.mincode[ln]]
+
+
+def _extend(v: int, t: int) -> int:
+    """RECEIVE/EXTEND (F.2.2.1): t-bit magnitude -> signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """bytes -> (H, W, 3) RGB uint8, or (H, W) for grayscale."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _Huff] = {}
+    frame = None
+    restart = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue
+        ln = int.from_bytes(data[pos : pos + 2], "big")
+        seg = data[pos + 2 : pos + ln]
+        if m == 0xDB:  # DQT (B.2.4.1)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[i : i + 64], np.uint8)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(
+                        seg[i : i + 128], ">u2"
+                    )
+                    i += 128
+                qt[tq] = tbl.astype(np.int32)[_UNZIG].reshape(8, 8)
+        elif m == 0xC4:  # DHT (B.2.4.2)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                nv = sum(counts)
+                huff[(tc, th)] = _Huff(
+                    counts, seg[i + 17 : i + 17 + nv]
+                )
+                i += 17 + nv
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError("only 8-bit precision")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq_ = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq_}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG")
+        elif m == 0xDD:  # DRI
+            restart = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:  # SOS -> entropy-coded data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cs] = (tt >> 4, tt & 15)
+            pos += ln
+            return _decode_scan(
+                data, pos, frame, scan, qt, huff, restart
+            )
+        pos += ln
+    raise ValueError("no scan found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    # per component: coefficient store (blocks_y, blocks_x, 64)
+    store = []
+    for c in comps:
+        bx = mcus_x * c["h"]
+        by = mcus_y * c["v"]
+        store.append(np.zeros((by, bx, 64), dtype=np.int32))
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    for m in range(n_mcus):
+        if restart and m and m % restart == 0:
+            br.align_to_marker()
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, c in enumerate(comps):
+            dc_t, ac_t = scan[c["id"]]
+            hd, ha = huff[(0, dc_t)], huff[(1, ac_t)]
+            for v in range(c["v"]):
+                for u in range(c["h"]):
+                    blk = store[ci][my * c["v"] + v, mx * c["h"] + u]
+                    t = hd.decode(br)
+                    diff = _extend(br.bits(t), t)
+                    pred[ci] += diff
+                    blk[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = ha.decode(br)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        blk[k] = _extend(br.bits(s), s)
+                        k += 1
+    # vectorized dequant + dezigzag + IDCT per component
+    planes = []
+    for ci, c in enumerate(comps):
+        by, bx, _ = store[ci].shape
+        coef = store[ci].reshape(-1, 64) * qt[c["tq"]].reshape(-1)[
+            _ZIGZAG
+        ]
+        blocks = _idct_blocks(
+            coef[:, _UNZIG].reshape(-1, 8, 8).astype(np.float64)
+        ) + 128.0
+        plane = (
+            blocks.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        # upsample to full resolution (nearest, the JFIF default)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# minimal baseline encoder (tests' fixture generator)
+# --------------------------------------------------------------------------
+
+# fixed-length canonical tables: 12 DC symbols at 4 bits, 162 AC
+# symbols at 8 bits — valid Huffman specs (Kraft <= 1), declared in
+# DHT, trivially decodable
+_DC_SYMS = list(range(12))
+_AC_SYMS = [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+] + [0x00, 0xF0]
+
+
+def _fixed_table(symbols: list[int], length: int):
+    counts = [0] * 16
+    counts[length - 1] = len(symbols)
+    codes = {
+        sym: (i, length) for i, sym in enumerate(sorted(symbols))
+    }
+    return counts, sorted(symbols), codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, k: int) -> None:
+        self.acc = (self.acc << k) | (value & ((1 << k) - 1))
+        self.n += k
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # 1-pad
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quant: int = 8,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) or (H, W, 3) uint8 -> baseline JFIF bytes.
+
+    ``subsample``: "444" or "420" (2x2-mean chroma downsampling);
+    ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none)."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+    if subsample == "420" and not gray:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        h2, w2 = -(-h // 2) * 2, -(-w // 2) * 2
+        for i in (1, 2):
+            p = np.pad(
+                planes[i],
+                ((0, h2 - h), (0, w2 - w)),
+                mode="edge",
+            )
+            planes[i] = p.reshape(h2 // 2, 2, w2 // 2, 2).mean((1, 3))
+    elif subsample == "444" or gray:
+        samp = [(1, 1)] * len(planes)
+    else:
+        raise ValueError("subsample must be '444' or '420'")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    qtbl = np.full((8, 8), quant, dtype=np.int32)
+    dc_counts, dc_vals, dc_codes = _fixed_table(_DC_SYMS, 4)
+    ac_counts, ac_vals, ac_codes = _fixed_table(_AC_SYMS, 8)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(
+            bytes([0xFF, marker])
+            + (len(body) + 2).to_bytes(2, "big")
+            + body
+        )
+
+    seg(0xDB, bytes([0]) + bytes(qtbl.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [ncomp]
+    )
+    for cid in range(1, ncomp + 1):
+        sh, sv = samp[cid - 1]
+        sof += bytes([cid, (sh << 4) | sv, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_vals))
+    seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_vals))
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    # per-component zig-zag coefficient grids (by, bx, 64)
+    grids = []
+    for ci, p in enumerate(planes):
+        sh, sv = samp[ci]
+        by, bx = mcus_y * sv, mcus_x * sh
+        ph, pw = p.shape
+        pad = np.pad(
+            p, ((0, by * 8 - ph), (0, bx * 8 - pw)), mode="edge"
+        )
+        blocks = (
+            pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coef = np.round(_fdct_blocks(blocks) / qtbl).astype(np.int64)
+        grids.append(coef.reshape(by, bx, 64)[:, :, _ZIGZAG])
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+
+    def put_block(zz, ci):
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t = _category(diff)
+        code, ln = dc_codes[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c0, l0 = ac_codes[0xF0]
+                bw.put(c0, l0)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_codes[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]
+            bw.put(code, ln)
+
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out.extend(bw.out)
+            bw.out = bytearray()
+            out.extend(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) & 7
+            pred = [0] * len(planes)
+        my, mx = divmod(m, mcus_x)
+        for ci in range(len(planes)):
+            sh, sv = samp[ci]
+            for v in range(sv):
+                for u in range(sh):
+                    put_block(grids[ci][my * sv + v, mx * sh + u], ci)
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -92,13 +92,16 @@ def decode_image(
     ``fake=True`` (default) produces deterministic content-seeded
     features so the distributed plumbing is testable without pixels;
     ``fake=False`` is the production path: PNG decodes for real
-    (``functions/png.py``, zlib + numpy — no codec library needed),
-    other kinds come back with NULL feature and width/height 0 (a bad
+    (``functions/png.py``, zlib + numpy) and baseline JPEG decodes for
+    real (``functions/jpeg.py``, T.81 from the spec — no codec library
+    needed); other kinds (progressive JPEG, video) come back with NULL
+    feature and width/height 0 (a bad
     or unsupported blob is marked, not fatal — at 100 TB a raise in
     the kernel would kill the partition for one crawl artifact).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import decode_jpeg
         from ..functions.png import PngError, decode_png, image_feature
 
         for pdf in batches:
@@ -114,12 +117,18 @@ def decode_image(
                 if fake:
                     feats.append(_fake_feature(data, feature_dim))
                     continue
-                if kinds[i] == "png":
+                if kinds[i] in ("png", "jpeg"):
                     try:
-                        img = decode_png(data)
-                    except PngError:
+                        img = (
+                            decode_png(data)
+                            if kinds[i] == "png"
+                            else decode_jpeg(data)
+                        )
+                    except (PngError, ValueError):
                         feats.append(None)
                         continue
+                    if img.ndim == 2:  # grayscale JPEG -> 1 channel
+                        img = img[:, :, None]
                     heights[i], widths[i] = img.shape[0], img.shape[1]
                     feats.append(image_feature(img, feature_dim))
                 else:

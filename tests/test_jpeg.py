@@ -1,0 +1,112 @@
+"""Baseline JPEG codec (functions/jpeg.py): round-trips through our
+own encoder (fixtures need no image library), sampling/restart paths,
+and the multimodal decode_image integration.
+
+Spec: ITU-T T.81 — F.2 baseline decode, A.3.3 zig-zag, A.3.6 IDCT.
+"""
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+
+def _test_image(h=64, w=64):
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    g = (np.add.outer(y, x) / 2).astype(np.float64)
+    return np.stack(
+        [g, g[::-1], np.full_like(g, 100)], axis=-1
+    ).astype(np.uint8)
+
+
+class TestRoundTrip:
+    def test_rgb_444(self):
+        img = _test_image()
+        out = decode_jpeg(encode_jpeg(img, quant=4))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    def test_rgb_420_subsampled(self):
+        img = _test_image()
+        data = encode_jpeg(img, quant=4, subsample="420")
+        out = decode_jpeg(data)
+        assert out.shape == img.shape
+        # chroma subsampling loses a little more
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+        # and genuinely shrinks the stream
+        assert len(data) < len(encode_jpeg(img, quant=4))
+
+    def test_grayscale(self):
+        g = _test_image()[:, :, 0]
+        out = decode_jpeg(encode_jpeg(g, quant=2))
+        assert out.shape == g.shape and out.ndim == 2
+        assert np.abs(out.astype(int) - g.astype(int)).max() <= 2
+
+    def test_restart_markers(self):
+        img = _test_image()
+        data = encode_jpeg(img, quant=4, restart_interval=2)
+        assert b"\xff\xd0" in data or b"\xff\xd1" in data
+        out = decode_jpeg(data)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    def test_restart_with_420(self):
+        img = _test_image()
+        out = decode_jpeg(
+            encode_jpeg(img, quant=4, subsample="420", restart_interval=3)
+        )
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+    @pytest.mark.parametrize("hw", [(50, 37), (8, 8), (9, 17), (1, 1)])
+    def test_non_multiple_of_8(self, hw):
+        h, w = hw
+        img = _test_image(64, 64)[:h, :w]
+        out = decode_jpeg(encode_jpeg(img, quant=4))
+        assert out.shape == img.shape
+
+    def test_odd_size_420(self):
+        img = _test_image()[:51, :39]
+        out = decode_jpeg(encode_jpeg(img, quant=4, subsample="420"))
+        assert out.shape == img.shape
+
+    def test_sharp_edges_tolerate_ringing(self):
+        img = np.zeros((32, 32, 3), np.uint8)
+        img[8:24, 8:24] = 255
+        out = decode_jpeg(encode_jpeg(img, quant=4))
+        # interior far from edges is clean
+        assert np.abs(
+            out[12:20, 12:20].astype(int) - 255
+        ).max() <= 12
+
+
+class TestErrors:
+    def test_not_a_jpeg(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x89PNG....")
+
+    def test_progressive_rejected(self):
+        img = _test_image(16, 16)
+        data = bytearray(encode_jpeg(img))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(data))
+
+
+class TestMultimodalIntegration:
+    def test_decode_image_real_jpeg(self, spark):
+        from lucene_spark.operators.multimodal import decode_image
+
+        img = _test_image(24, 24)
+        blob = encode_jpeg(img, quant=4)
+        df = spark.createDataFrame(
+            [("u1", bytearray(blob)), ("u2", bytearray(b"not an image"))],
+            "url string, html binary",
+        )
+        rows = {
+            r["url"]: r for r in decode_image(df, fake=False).collect()
+        }
+        assert rows["u1"]["kind"] == "jpeg"
+        assert rows["u1"]["width"] == 24 and rows["u1"]["height"] == 24
+        assert rows["u1"]["feature"] is not None
+        assert rows["u2"]["feature"] is None
