@@ -1652,6 +1652,78 @@ FROM d
 """
 
 
+def _geo_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic coordinates per customer (the sf tables
+    carry no geo columns): lat in [-60, 60), lon in [-170, 170)."""
+    return spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        (F.col("c_custkey") * 7 % 120 - 60 + 0.25).alias("lat"),
+        (F.col("c_custkey") * 13 % 340 - 170 + 0.5).alias("lon"),
+    )
+
+
+def _q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLonPoint.newDistanceQuery analog (operators/geo.py): bbox
+    approximation + exact haversine verify, 3000 km around
+    (5.25, 10.5)."""
+    from lucene_spark.operators.geo import distance_query, haversine_meters
+
+    pts = _geo_customers(spark, sf_dir)
+    hit = distance_query(pts, "lat", "lon", 5.25, 10.5, 3_000_000.0)
+    return hit.select(
+        "c_custkey",
+        F.round(
+            haversine_meters(
+                F.col("lat"), F.col("lon"), F.lit(5.25), F.lit(10.5)
+            ) / 1000.0,
+            2,
+        ).alias("dist_km"),
+    )
+
+
+def _q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLonPoint.nearest analog: global 10 nearest customers to
+    (48.25, 2.5), custkey tie-break."""
+    from lucene_spark.operators.geo import nearest
+
+    pts = _geo_customers(spark, sf_dir)
+    top = nearest(
+        pts, "lat", "lon", 48.25, 2.5, k=10, tie_breaker=("c_custkey",)
+    )
+    return top.select(
+        "c_custkey", F.round(F.col("distance_m") / 1000.0, 2).alias("dist_km")
+    )
+
+
+_GEO_HAV = """2 * 6371008.7714 * asin(least(1.0, sqrt(
+    pow(sin(radians(lat - {qlat}) / 2), 2)
+    + cos(radians({qlat})) * cos(radians(lat))
+      * pow(sin(radians(lon - {qlon}) / 2), 2))))"""
+
+_GEO_PTS = """pts AS (
+  SELECT c_custkey,
+         c_custkey * 7 % 120 - 60 + 0.25 AS lat,
+         c_custkey * 13 % 340 - 170 + 0.5 AS lon
+  FROM customer
+)"""
+
+
+def _geo_distance_sql() -> str:
+    hav = _GEO_HAV.format(qlat=5.25, qlon=10.5)
+    return f"""WITH {_GEO_PTS},
+d AS (SELECT c_custkey, {hav} AS m FROM pts)
+SELECT c_custkey, round(m / 1000.0, 2) AS dist_km
+FROM d WHERE m <= 3000000.0"""
+
+
+def _geo_nearest_sql() -> str:
+    hav = _GEO_HAV.format(qlat=48.25, qlon=2.5)
+    return f"""WITH {_GEO_PTS},
+d AS (SELECT c_custkey, {hav} AS m FROM pts)
+SELECT c_custkey, round(m / 1000.0, 2) AS dist_km
+FROM d ORDER BY m, c_custkey LIMIT 10"""
+
+
 def _q_free_text_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FreeTextSuggester analog (suggest/analyzing/FreeTextSuggester
     .java:114,439,533 — stupid-backoff bigram LM, Brants et al. 2007):
@@ -2380,6 +2452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_3gram": _q_boilerplate,
         "token_counts": _q_token_counts,
         "free_text_suggest": _q_free_text_suggest,
+        "geo_distance_custkeys": _q_geo_distance,
+        "geo_nearest_top10": _q_geo_nearest,
         "shingle_tokens": _q_shingles,
         "cjk_bigram_tokens": _q_cjk_bigram,
         "ascii_folding_tokens": _q_ascii_folding,
@@ -2657,6 +2731,8 @@ def oracle_sql() -> dict[str, str]:
                        t -> ceil(strlen(t)/4.0)::BIGINT))::BIGINT AS n_sub
             FROM documents""",
         "free_text_suggest": _FREE_TEXT_SUGGEST_SQL,
+        "geo_distance_custkeys": _geo_distance_sql(),
+        "geo_nearest_top10": _geo_nearest_sql(),
         "shingle_tokens": _SHINGLES_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,

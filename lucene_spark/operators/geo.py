@@ -1,0 +1,127 @@
+"""Geo point queries: bounding box, distance, nearest — the
+LatLonPoint family as column algebra.
+
+Re-expresses ``core/document/LatLonPoint.java`` (``newBoxQuery`` :220,
+``newDistanceQuery`` :296, ``LatLonPoint.nearest``) and
+``core/search/LatLonPointDistanceQuery``'s two-phase shape: Lucene
+prunes BKD cells against the circle's bounding rectangle, then
+verifies exact haversine distance per hit. The Spark translation keeps
+both phases:
+
+1. **approximation** — a bounding-box predicate on the lat/lon
+   columns. Plain comparisons, so Catalyst pushes them into the
+   parquet scan (row-group min/max pruning = the BKD cell skip);
+   dateline-crossing boxes split into two longitude ranges exactly
+   like ``newBoxQuery``'s two-query rewrite.
+2. **verification** — exact haversine (the great-circle formula on
+   the mean-Earth radius ``GeoUtils.EARTH_MEAN_RADIUS_METERS`` =
+   6371008.7714) on the boxed survivors only.
+
+``nearest`` is a global top-k by exact distance — at scale
+``TakeOrderedAndProject`` keeps per-partition heaps before the single
+exchange, the same shape as every other top-k in this engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# GeoUtils.EARTH_MEAN_RADIUS_METERS (core/geo/GeoUtils.java)
+EARTH_MEAN_RADIUS_METERS = 6371008.7714
+
+
+def haversine_meters(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in meters (the exact-verify phase of
+    LatLonPointDistanceQuery; SloppyMath.haversinMeters semantics)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
+    )
+    return (
+        F.lit(2.0 * EARTH_MEAN_RADIUS_METERS)
+        * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+    )
+
+
+def box_query(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+) -> DataFrame:
+    """LatLonPoint.newBoxQuery: inclusive ranges; a box with
+    ``min_lon > max_lon`` crosses the dateline and splits into two
+    longitude ranges (the Java method's two-query rewrite)."""
+    lat = (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat)
+    if min_lon <= max_lon:
+        lon = (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
+    else:  # dateline crossing
+        lon = (F.col(lon_col) >= min_lon) | (F.col(lon_col) <= max_lon)
+    return df.where(lat & lon)
+
+
+def _circle_bbox(lat: float, lon: float, radius_m: float):
+    """Bounding rectangle of a circle (GeoUtils / Rectangle.fromPointDistance):
+    latitude pad is exact; longitude pad widens by 1/cos(lat) and
+    degrades to the full range near the poles."""
+    rad = radius_m / EARTH_MEAN_RADIUS_METERS
+    dlat = math.degrees(rad)
+    min_lat, max_lat = lat - dlat, lat + dlat
+    if min_lat <= -90.0 or max_lat >= 90.0:
+        return max(min_lat, -90.0), min(max_lat, 90.0), -180.0, 180.0
+    cos = math.cos(math.radians(max(abs(min_lat), abs(max_lat))))
+    dlon = math.degrees(rad / max(cos, 1e-12))
+    min_lon, max_lon = lon - dlon, lon + dlon
+    if min_lon < -180.0:
+        min_lon += 360.0  # dateline wrap
+    if max_lon > 180.0:
+        max_lon -= 360.0
+    return min_lat, max_lat, min_lon, max_lon
+
+
+def distance_query(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    lat: float,
+    lon: float,
+    radius_m: float,
+) -> DataFrame:
+    """LatLonPoint.newDistanceQuery: bbox approximation (pushdown-able
+    comparisons) then exact haversine verify — two-phase like the BKD
+    distance query."""
+    boxed = box_query(df, lat_col, lon_col, *_circle_bbox(lat, lon, radius_m))
+    dist = haversine_meters(
+        F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon)
+    )
+    return boxed.where(dist <= radius_m)
+
+
+def nearest(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    lat: float,
+    lon: float,
+    k: int = 10,
+    tie_breaker: tuple[str, ...] = (),
+) -> DataFrame:
+    """LatLonPoint.nearest: global k nearest by exact distance;
+    ``tie_breaker`` columns make the k-boundary deterministic when
+    two points are equidistant (Lucene breaks ties on docid)."""
+    dist = haversine_meters(
+        F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon)
+    )
+    order = [F.asc("distance_m")] + [F.asc(c) for c in tie_breaker]
+    return df.withColumn("distance_m", dist).orderBy(*order).limit(k)

@@ -1,0 +1,129 @@
+"""LatLonPoint analog (operators/geo.py): box/distance/nearest
+against numpy-recomputed haversine, dateline and pole edge cases."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.geo import (
+    EARTH_MEAN_RADIUS_METERS,
+    _circle_bbox,
+    box_query,
+    distance_query,
+    nearest,
+)
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    rlat1, rlat2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    a = (
+        math.sin(dlat / 2) ** 2
+        + math.cos(rlat1) * math.cos(rlat2) * math.sin(dlon / 2) ** 2
+    )
+    return 2 * EARTH_MEAN_RADIUS_METERS * math.asin(min(1.0, math.sqrt(a)))
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rng = np.random.default_rng(42)
+    rows = [
+        (int(i), float(lat), float(lon))
+        for i, (lat, lon) in enumerate(
+            zip(rng.uniform(-85, 85, 400), rng.uniform(-180, 180, 400))
+        )
+    ]
+    rows += [(1000, 0.0, 179.9), (1001, 0.0, -179.9), (1002, 89.5, 10.0)]
+    return spark.createDataFrame(
+        rows, "id long, lat double, lon double"
+    ).cache()
+
+
+class TestBox:
+    def test_simple_box(self, spark, points):
+        got = {
+            r["id"]
+            for r in box_query(points, "lat", "lon", -10, 10, -20, 20).collect()
+        }
+        exp = {
+            r["id"]
+            for r in points.collect()
+            if -10 <= r["lat"] <= 10 and -20 <= r["lon"] <= 20
+        }
+        assert got == exp
+
+    def test_dateline_crossing(self, spark, points):
+        got = {
+            r["id"]
+            for r in box_query(points, "lat", "lon", -5, 5, 170, -170).collect()
+        }
+        assert {1000, 1001} <= got
+        for r in box_query(points, "lat", "lon", -5, 5, 170, -170).collect():
+            assert r["lon"] >= 170 or r["lon"] <= -170
+
+
+class TestDistance:
+    @pytest.mark.parametrize(
+        "qlat,qlon,radius",
+        [(0.0, 0.0, 2_000_000.0), (45.0, 90.0, 1_000_000.0),
+         (0.0, 179.95, 500_000.0), (88.0, 0.0, 1_500_000.0)],
+    )
+    def test_matches_exact_recompute(self, spark, points, qlat, qlon, radius):
+        got = {
+            r["id"]
+            for r in distance_query(
+                points, "lat", "lon", qlat, qlon, radius
+            ).collect()
+        }
+        exp = {
+            r["id"]
+            for r in points.collect()
+            if _hav(r["lat"], r["lon"], qlat, qlon) <= radius
+        }
+        assert got == exp, (qlat, qlon, radius)
+
+    def test_bbox_never_excludes_circle(self):
+        # the approximation must be a superset: sample circle edges
+        for lat, lon, r in [(0, 0, 3e6), (60, 10, 2e6), (0, 179, 1e6)]:
+            lo_lat, hi_lat, lo_lon, hi_lon = _circle_bbox(lat, lon, r)
+            for brg in range(0, 360, 30):
+                d = r / EARTH_MEAN_RADIUS_METERS
+                b = math.radians(brg)
+                la1, lo1 = math.radians(lat), math.radians(lon)
+                la2 = math.asin(
+                    math.sin(la1) * math.cos(d)
+                    + math.cos(la1) * math.sin(d) * math.cos(b)
+                )
+                lo2 = lo1 + math.atan2(
+                    math.sin(b) * math.sin(d) * math.cos(la1),
+                    math.cos(d) - math.sin(la1) * math.sin(la2),
+                )
+                plat, plon = math.degrees(la2), math.degrees(lo2)
+                if plon > 180:
+                    plon -= 360
+                if plon < -180:
+                    plon += 360
+                assert lo_lat - 1e-6 <= plat <= hi_lat + 1e-6
+                if lo_lon <= hi_lon:
+                    assert lo_lon - 1e-6 <= plon <= hi_lon + 1e-6
+                else:  # dateline box
+                    assert plon >= lo_lon - 1e-6 or plon <= hi_lon + 1e-6
+
+
+class TestNearest:
+    def test_top_k_order(self, spark, points):
+        got = nearest(
+            points, "lat", "lon", 10.0, 10.0, k=5, tie_breaker=("id",)
+        ).collect()
+        exact = sorted(
+            points.collect(),
+            key=lambda r: (_hav(r["lat"], r["lon"], 10.0, 10.0), r["id"]),
+        )[:5]
+        assert [r["id"] for r in got] == [r["id"] for r in exact]
+        assert all(
+            abs(g["distance_m"] - _hav(g["lat"], g["lon"], 10, 10)) < 1e-3
+            for g in got
+        )
