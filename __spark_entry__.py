@@ -1758,6 +1758,73 @@ FROM allr ORDER BY score DESC, term LIMIT 10
 """
 
 
+def _q_arabic_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArabicAnalyzer chain (ar/ArabicAnalyzer.java:130-142, Larkey
+    light10) over deterministic Arabic synthesized per doc_id (the sf
+    corpus is ASCII-only): 'في ال<base><sfx> ٢٠٢٤' where base draws
+    3-5 letters from a suffix-free alphabet and sfx alternates ''/'ون'.
+    The engine runs the full chain (stop gap at 'في', al-/..wn strip,
+    digit fold); the oracle reconstructs base by the same arithmetic
+    and hardcodes the digit fold — pure string construction, no
+    stemmer re-implementation."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "\u0643\u062a\u0628\u0645\u062f\u0631\u0633\u0639"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("arabic")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                sfx = "" if i % 2 == 0 else "\u0648\u0646"
+                text = (
+                    "\u0641\u064a \u0627\u0644" + base + sfx
+                    + " \u0662\u0660\u0662\u0664"
+                )
+                terms, pos = chain_analyze(text, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_ARABIC_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+a AS (
+  SELECT doc_id,
+         [1603, 1578, 1576, 1605, 1583, 1585, 1587, 1593] AS cps,
+         L
+  FROM d
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             chr(CAST(cps[1 + (doc_id*5 + g.k) % 8] AS INTEGER)),
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM a
+)
+SELECT doc_id, base || '|2024' AS terms, '1,2' AS positions
+FROM b
+"""
+
+
 def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJKAnalyzer chain (analysis/cjk/CJKAnalyzer.java:43-60) over
     deterministic Han text synthesized per doc_id (the sf corpus is
@@ -2455,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_custkeys": _q_geo_distance,
         "geo_nearest_top10": _q_geo_nearest,
         "shingle_tokens": _q_shingles,
+        "arabic_analyzer_tokens": _q_arabic_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
         "ascii_folding_tokens": _q_ascii_folding,
         "parsed_query_top10": _q_parsed,
@@ -2734,6 +2802,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_distance_custkeys": _geo_distance_sql(),
         "geo_nearest_top10": _geo_nearest_sql(),
         "shingle_tokens": _SHINGLES_SQL,
+        "arabic_analyzer_tokens": _ARABIC_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,
         "parsed_query_top10": _bm25_sql(["window", "spark"]),

@@ -1,0 +1,90 @@
+"""Arabic analysis: normalization + the Larkey light10 stemmer.
+
+Re-expresses ``analysis/common/.../ar/`` — ArabicAnalyzer's chain
+(``ArabicAnalyzer.java:130-142``: tokenize -> lower -> decimal-digit
+fold -> stop -> normalize -> light stem) from the published algorithm
+(Larkey, Ballesteros, Connell, "Improving Stemming for Arabic
+Information Retrieval: Light Stemming and Co-occurrence Analysis",
+SIGIR 2002 — the "light10" rules):
+
+- ``arabic_normalize`` (``ArabicNormalizer.java``): hamza'd/madda
+  alef forms fold to bare alef, dotless yeh -> yeh, teh marbuta ->
+  heh; tatweel and the eight harakat/tanwin diacritics delete.
+- ``arabic_stem`` (``ArabicStemmer.java``): strip ONE definite-article
+  prefix (al-, wal-, bal-, kal-, fal-, lil-, or lone waw — the waw
+  needs a 4+-letter word, the others 2 letters of remainder), then
+  strip suffixes in list order (-ha, -an, -at, -wn, -yn, -yh, -yp,
+  -h, -p, -y), each requiring 2 letters of remainder, several may
+  apply.
+- ``fold_decimal_digits`` (``core/analysis/miscellaneous/
+  DecimalDigitFilter`` semantics): any Unicode decimal digit folds to
+  its ASCII value ('\u0661' -> '1').
+
+The stop set is the analyzer's default ``ar/stopwords.txt`` (public
+Larkey list), matched BEFORE normalization exactly like the Java
+chain's filter order.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+_ALEF = "\u0627"
+_NORM_MAP = {
+    "\u0622": _ALEF,  # alef madda
+    "\u0623": _ALEF,  # alef hamza above
+    "\u0625": _ALEF,  # alef hamza below
+    "\u0649": "\u064A",  # dotless yeh -> yeh
+    "\u0629": "\u0647",  # teh marbuta -> heh
+}
+_DELETE = set("\u0640\u064B\u064C\u064D\u064E\u064F\u0650\u0651\u0652")
+
+_PREFIXES = ["\u0627\u0644", "\u0648\u0627\u0644", "\u0628\u0627\u0644",
+             "\u0643\u0627\u0644", "\u0641\u0627\u0644",
+             "\u0644\u0644", "\u0648"]
+_SUFFIXES = ["\u0647\u0627", "\u0627\u0646", "\u0627\u062A",
+             "\u0648\u0646", "\u064A\u0646", "\u064A\u0647",
+             "\u064A\u0629", "\u0647", "\u0629", "\u064A"]
+
+
+def fold_decimal_digits(token: str) -> str:
+    if token.isascii():
+        return token
+    out = []
+    for ch in token:
+        d = unicodedata.decimal(ch, None)
+        out.append(chr(48 + d) if d is not None else ch)
+    return "".join(out)
+
+
+def arabic_normalize(token: str) -> str:
+    token = fold_decimal_digits(token)
+    return "".join(
+        _NORM_MAP.get(c, c) for c in token if c not in _DELETE
+    )
+
+
+def arabic_stem(w: str) -> str:
+    for p in _PREFIXES:
+        if len(p) == 1:
+            if len(w) >= 4 and w.startswith(p):
+                w = w[1:]
+                break
+        elif len(w) >= len(p) + 2 and w.startswith(p):
+            w = w[len(p):]
+            break
+    for s in _SUFFIXES:
+        if len(w) >= len(s) + 2 and w.endswith(s):
+            w = w[: -len(s)]
+    return w
+
+
+ARABIC_STOP_WORDS = frozenset(
+    """من ومن منها منه في وفي فيها فيه و ف ثم او أو ب بها به ا أ اى اي أي أى
+لا ولا الا ألا إلا لكن ما وما كما فما عن مع اذا إذا ان أن إن انها أنها
+إنها انه أنه إنه بان بأن فان فأن وان وأن وإن التى التي الذى الذي الذين
+الى الي إلى إلي على عليها عليه اما أما إما ايضا أيضا كل وكل لم ولم لن
+ولن هى هي هو وهى وهي وهو فهى فهي فهو انت أنت لك لها له هذه هذا تلك ذلك
+هناك كانت كان يكون تكون وكانت وكان غير بعض قد نحو بين بينما منذ ضمن
+حيث الان الآن خلال بعد قبل حتى عند عندما لدى جميع""".split()
+)

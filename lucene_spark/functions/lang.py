@@ -1047,6 +1047,13 @@ def _build_chains() -> dict:
         "finnish": AnalyzerChain(
             "finnish", FINNISH_STOP_WORDS, finnish_light_stem
         ),
+        # ArabicAnalyzer (ar/ArabicAnalyzer.java:130-142): stop
+        # matched pre-normalization like the Java filter order;
+        # normalize folds digits/diacritics/letter variants, then the
+        # Larkey light10 stemmer
+        "arabic": AnalyzerChain(
+            "arabic", _ar_stops(), stem=_ar_stem(), normalize=_ar_norm()
+        ),
         # ShingleFilter defaults (analysis/shingle/ShingleFilter.java):
         # unigrams + word bigrams, "_" filler for stop gaps (no stops
         # in this registration, so fillers only appear with an
@@ -1122,3 +1129,21 @@ def _shingle_stream():
     from .shingle import shingle_stream_factory
 
     return shingle_stream_factory()
+
+
+def _ar_stops():
+    from .arabic import ARABIC_STOP_WORDS
+
+    return ARABIC_STOP_WORDS
+
+
+def _ar_norm():
+    from .arabic import arabic_normalize
+
+    return arabic_normalize
+
+
+def _ar_stem():
+    from .arabic import arabic_stem
+
+    return arabic_stem

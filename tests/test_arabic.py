@@ -1,0 +1,75 @@
+"""Arabic analyzer (functions/arabic.py): normalization, light10
+stemming, digit folding, chain order — goldens hand-traced from the
+Larkey light10 rules as shipped in ``analysis/common/.../ar/``."""
+
+import pytest
+
+from lucene_spark.functions.arabic import (
+    ARABIC_STOP_WORDS,
+    arabic_normalize,
+    arabic_stem,
+    fold_decimal_digits,
+)
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+
+class TestNormalize:
+    @pytest.mark.parametrize(
+        "src,expect",
+        [
+            ("آمن", "امن"),          # alef madda -> alef
+            ("أحمد", "احمد"),        # hamza above
+            ("إسلام", "اسلام"),      # hamza below
+            ("مكتبة", "مكتبه"),      # teh marbuta -> heh
+            ("مصطفى", "مصطفي"),      # dotless yeh -> yeh
+            ("كِتَاب", "كتاب"),      # harakat deleted
+            ("ـتطويلـ", "تطويل"),    # tatweel deleted
+            ("محمّد", "محمد"),       # shadda deleted
+        ],
+    )
+    def test_normalize(self, src, expect):
+        assert arabic_normalize(src) == expect
+
+    def test_digit_fold(self):
+        assert fold_decimal_digits("سنة ٢٠٢٤") == "سنة 2024"
+        assert fold_decimal_digits("ascii 123") == "ascii 123"
+
+
+class TestLight10Stem:
+    @pytest.mark.parametrize(
+        "src,expect",
+        [
+            ("الكتاب", "كتاب"),      # al- prefix
+            ("والكتاب", "كتاب"),     # wal- prefix
+            ("بالبيت", "بيت"),       # bal- prefix
+            ("للعلم", "علم"),        # lil- prefix
+            ("وعند", "عند"),         # lone waw needs len >= 4
+            ("وفي", "وف"),           # len 3: waw kept, -y strips
+            ("مدرسون", "مدرس"),      # -wn suffix
+            ("مكتبه", "مكتب"),       # -h suffix (post-normalize form)
+            ("كتابها", "كتاب"),      # -ha suffix
+            ("مدرستين", "مدرست"),    # -yn suffix
+            ("كتب", "كتب"),          # too short for any rule
+        ],
+    )
+    def test_stem(self, src, expect):
+        assert arabic_stem(src) == expect
+
+    def test_prefix_strips_once_only(self):
+        # after al- strips, the loop does NOT restart on the remainder
+        assert arabic_stem("الاليف") == "اليف"
+
+
+class TestChain:
+    def test_chain_order_stop_before_normalize(self):
+        # "في" is a stop word (surface form, pre-normalization)
+        assert "في" in ARABIC_STOP_WORDS
+        chain = get_chain("arabic")
+        terms, pos = chain_analyze("المدرسة الكبيرة في المدينة", chain)
+        assert terms == ["مدرس", "كبير", "مدين"]
+        assert pos == [0, 1, 3]  # gap where the stop word was
+
+    def test_digits_fold_in_chain(self):
+        chain = get_chain("arabic")
+        terms, _ = chain_analyze("سنة ٢٠٢٤", chain)
+        assert terms == ["سن", "2024"]
