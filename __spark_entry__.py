@@ -1825,6 +1825,66 @@ FROM b
 """
 
 
+def _q_persian_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PersianAnalyzer chain (fa/PersianAnalyzer.java:128-143) over
+    deterministic Persian synthesized per doc_id: 'از <base>ها ۱۲۳'
+    with base drawn from a keheh-leading alphabet, so the entry
+    exercises the ZWNJ-free path + keheh->kaf normalization +
+    stop-after-normalize + the -ha strip + extended-digit folding. The
+    oracle reconstructs base directly in NORMALIZED code points."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    # surface alphabet: keheh (U+06A9) normalizes to kaf (U+0643)
+    alpha = "\u06A9\u062a\u0628\u0645\u062f\u0631\u0633\u0639"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("persian")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                text = (
+                    "\u0627\u0632 " + base + "\u0647\u0627"
+                    + " \u06f1\u06f2\u06f3"
+                )
+                terms, pos = chain_analyze(text, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_PERSIAN_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             chr(CAST([1603, 1578, 1576, 1605, 1583, 1585, 1587, 1593]
+                 [1 + (doc_id*5 + g.k) % 8] AS INTEGER)),
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id, base || '|123' AS terms, '1,2' AS positions
+FROM b
+"""
+
+
 def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJKAnalyzer chain (analysis/cjk/CJKAnalyzer.java:43-60) over
     deterministic Han text synthesized per doc_id (the sf corpus is
@@ -2523,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_nearest_top10": _q_geo_nearest,
         "shingle_tokens": _q_shingles,
         "arabic_analyzer_tokens": _q_arabic_analyzer,
+        "persian_analyzer_tokens": _q_persian_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
         "ascii_folding_tokens": _q_ascii_folding,
         "parsed_query_top10": _q_parsed,
@@ -2803,6 +2864,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_nearest_top10": _geo_nearest_sql(),
         "shingle_tokens": _SHINGLES_SQL,
         "arabic_analyzer_tokens": _ARABIC_SQL,
+        "persian_analyzer_tokens": _PERSIAN_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,
         "parsed_query_top10": _bm25_sql(["window", "spark"]),

@@ -183,7 +183,10 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
     dfa_set: set[int] = set()
     dfa_rows: list[int] = []
     dfa_texts: list[str] = []
+    cf = chain.char_filter if chain is not None else None
     for i, t in enumerate(items):
+        if cf is not None and t:
+            t = cf(t)
         if not t:
             tok_lists[i] = []
         elif _FAST_SAFE_RE.match(t):

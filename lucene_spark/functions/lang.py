@@ -954,6 +954,11 @@ class AnalyzerChain:
     # from the UAX#29 DFA (uax29.ACTION_*); ``types=None`` asserts the
     # text was plain ASCII (fast path — no CJK possible).
     stream: Optional[Callable] = None
+    # pre-tokenizer text transform (PersianCharFilter's ZWNJ -> space)
+    char_filter: Optional[Callable[[str], str]] = None
+    # PersianAnalyzer stops AFTER normalization (its stop list ships
+    # pre-normalized); every other chain stops before
+    stop_after_normalize: bool = False
 
     def apply_token(self, surface: str) -> Optional[str]:
         """Surface token -> indexed term, or None if stop-filtered."""
@@ -961,10 +966,16 @@ class AnalyzerChain:
         if self.elision is not None:
             tok = strip_elision(tok, self.elision)
         tok = _java_lower(tok)
-        if tok in self.stopwords:
-            return None
-        if self.normalize is not None:
-            tok = self.normalize(tok)
+        if self.stop_after_normalize:
+            if self.normalize is not None:
+                tok = self.normalize(tok)
+            if tok in self.stopwords:
+                return None
+        else:
+            if tok in self.stopwords:
+                return None
+            if self.normalize is not None:
+                tok = self.normalize(tok)
         if self.stem is not None:
             tok = self.stem(tok)
         return tok
@@ -1047,6 +1058,14 @@ def _build_chains() -> dict:
         "finnish": AnalyzerChain(
             "finnish", FINNISH_STOP_WORDS, finnish_light_stem
         ),
+        # PersianAnalyzer (fa/PersianAnalyzer.java:128-143): ZWNJ char
+        # filter, arabic+persian normalization BEFORE the
+        # (pre-normalized) stop list, then the light suffix stemmer
+        "persian": AnalyzerChain(
+            "persian", _fa_stops(), stem=_fa_stem(),
+            normalize=_fa_norm(), char_filter=_fa_char(),
+            stop_after_normalize=True,
+        ),
         # ArabicAnalyzer (ar/ArabicAnalyzer.java:130-142): stop
         # matched pre-normalization like the Java filter order;
         # normalize folds digits/diacritics/letter variants, then the
@@ -1105,10 +1124,9 @@ def get_chain(name: str, stopwords=None) -> AnalyzerChain:
             f"unknown analyzer {name!r}; known: {sorted(_CHAINS)}"
         ) from None
     if stopwords is not None:
-        chain = AnalyzerChain(
-            chain.name, frozenset(stopwords), chain.stem,
-            chain.elision, chain.normalize, chain.stream,
-        )
+        import dataclasses
+
+        chain = dataclasses.replace(chain, stopwords=frozenset(stopwords))
     return chain
 
 
@@ -1117,6 +1135,8 @@ def chain_analyze(text: str, chain: AnalyzerChain):
     position increments (query-time / monitor entry point)."""
     from .analysis import _FAST_SAFE_RE, tokenize
 
+    if chain.char_filter is not None and text:
+        text = chain.char_filter(text)
     if chain.stream is not None and text and not _FAST_SAFE_RE.match(text):
         from .uax29 import tokenize_dfa_batch_typed
 
@@ -1147,3 +1167,27 @@ def _ar_stem():
     from .arabic import arabic_stem
 
     return arabic_stem
+
+
+def _fa_stops():
+    from .persian import PERSIAN_STOP_WORDS
+
+    return PERSIAN_STOP_WORDS
+
+
+def _fa_norm():
+    from .persian import persian_normalize
+
+    return persian_normalize
+
+
+def _fa_stem():
+    from .persian import persian_stem
+
+    return persian_stem
+
+
+def _fa_char():
+    from .persian import persian_char_filter
+
+    return persian_char_filter

@@ -1,0 +1,83 @@
+"""Persian analysis: ZWNJ char filter, normalization, light stemmer.
+
+Re-expresses ``analysis/common/.../fa/`` — PersianAnalyzer's chain
+(``PersianAnalyzer.java:128-143``): ZWNJ -> space BEFORE tokenization
+(``PersianCharFilter.java:23``), then lower -> decimal-digit fold ->
+Arabic normalization -> Persian normalization -> STOP (the stop list
+ships pre-normalized, so stopping happens AFTER normalization — the
+chain order the Java analyzer documents as load-bearing) -> light
+suffix stemmer (``PersianStemmer.java``: -at/-an/-tarin/-tar/-ii/-i/
+-ha/-ZWNJ in order, each needing 2 letters of remainder).
+"""
+
+from __future__ import annotations
+
+from .arabic import arabic_normalize
+
+ZWNJ = "\u200c"
+
+_FA_MAP = {
+    "\u06CC": "\u064A",  # farsi yeh -> yeh
+    "\u06D2": "\u064A",  # yeh barree -> yeh
+    "\u06A9": "\u0643",  # keheh -> kaf
+    "\u06C0": "\u0647",  # heh+yeh -> heh
+    "\u06C1": "\u0647",  # heh goal -> heh
+}
+
+_FA_SUFFIXES = [
+    "\u0627\u062A",                  # -at
+    "\u0627\u0646",                  # -an
+    "\u062A\u0631\u064A\u0646",    # -tarin
+    "\u062A\u0631",                  # -tar
+    "\u064A\u064A",                  # -ii
+    "\u064A",                         # -i
+    "\u0647\u0627",                  # -ha
+    ZWNJ,
+]
+
+
+def persian_char_filter(text: str) -> str:
+    """PersianCharFilter: zero-width non-joiner -> ordinary space."""
+    return text.replace(ZWNJ, " ")
+
+
+def persian_normalize(token: str) -> str:
+    """ArabicNormalizationFilter + PersianNormalizationFilter (+ the
+    chain's DecimalDigitFilter via arabic_normalize)."""
+    token = arabic_normalize(token)
+    return "".join(
+        _FA_MAP.get(c, c) for c in token if c != "\u0654"
+    )
+
+
+def persian_stem(w: str) -> str:
+    for s in _FA_SUFFIXES:
+        if len(w) >= len(s) + 2 and w.endswith(s):
+            w = w[: -len(s)]
+    return w
+
+
+PERSIAN_STOP_WORDS = frozenset(
+    """انان نداشته سراسر خياه ايشان وي تاكنون بيشتري دوم پس ناشي وگو يا
+داشتند سپس هنگام هرگز پنج نشان امسال ديگر گروهي شدند چطور ده و دو
+نخستين ولي چرا چه وسط ه كدام قابل يك رفت هفت همچنين در هزار بله بلي
+شايد اما شناسي گرفته دهد داشته دانست داشتن خواهيم ميليارد وقتيكه امد
+خواهد جز اورده شده بلكه خدمات شدن برخي نبود بسياري جلوگيري حق كردند
+نوعي بعري نكرده نظير نبايد بوده بودن داد اورد هست جايي شود دنبال داده
+بايد سابق هيچ همان انجا كمتر كجاست گردد كسي تر مردم تان دادن بودند سري
+جدا ندارند مگر يكديگر دارد دهند بنابراين هنگامي سمت جا انچه خود دادند
+زياد دارند اثر بدون بهترين بيشتر البته به براساس بيرون كرد بعضي گرفت
+توي اي ميليون او جريان تول بر مانند برابر باشيم مدتي گويند اكنون تا
+تنها جديد چند بي نشده كردن كردم گويد كرده كنيم نمي نزد روي قصد فقط
+بالاي ديگران اين ديروز توسط سوم ايم دانند سوي استفاده شما كنار داريم
+ساخته طور امده رفته نخست بيست نزديك طي كنيد از انها تمامي داشت يكي
+طريق اش چيست روب نمايد گفت چندين چيزي تواند ام ايا با ان ايد ترين
+اينكه ديگري راه هايي بروز همچنان پاعين كس حدود مختلف مقابل چيز گيرد
+ندارد ضد همچون سازي شان مورد باره مرسي خويش برخوردار چون خارج شش هنوز
+تحت ضمن هستيم گفته فكر بسيار پيش براي روزهاي انكه نخواهد بالا كل وقتي
+كي چنين كه گيري نيست است كجا كند نيز يابد بندي حتي توانند عقب خواست
+كنند بين تمام همه ما باشند مثل شد اري باشد اره طبق بعد اگر صورت غير
+جاي بيش ريزي اند زيرا چگونه بار لطفا مي درباره من ديده همين گذاري
+برداري علت گذاشته هم فوق نه ها شوند اباد همواره هر اول خواهند چهار نام
+امروز مان هاي قبل كنم سعي تازه را هستند زير جلوي عنوان بود""".split()
+)

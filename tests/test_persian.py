@@ -1,0 +1,68 @@
+"""Persian analyzer (functions/persian.py): ZWNJ char filter,
+normalization stack, light stemmer, stop-after-normalize order."""
+
+import pytest
+
+from lucene_spark.functions.lang import chain_analyze, get_chain
+from lucene_spark.functions.persian import (
+    PERSIAN_STOP_WORDS,
+    ZWNJ,
+    persian_char_filter,
+    persian_normalize,
+    persian_stem,
+)
+
+
+class TestNormalize:
+    @pytest.mark.parametrize(
+        "src,expect",
+        [
+            ("کتاب", "كتاب"),    # keheh -> kaf
+            ("می", "مي"),        # farsi yeh -> yeh
+            ("ۀ", "ه"),          # heh+yeh -> heh (then hamza dropped)
+            ("ہ", "ه"),          # heh goal -> heh
+            ("آباد", "اباد"),    # arabic normalization applies too
+            ("۱۲۳", "123"),      # extended digits fold
+        ],
+    )
+    def test_normalize(self, src, expect):
+        assert persian_normalize(src) == expect
+
+
+class TestStem:
+    @pytest.mark.parametrize(
+        "src,expect",
+        [
+            ("كتابها", "كتاب"),      # -ha
+            ("كتابان", "كتاب"),      # -an
+            ("بزرگتر", "بزرگ"),      # -tar
+            ("بزرگترين", "بزرگ"),    # -tarin
+            ("خوبي", "خوب"),         # -i
+            ("ها", "ها"),            # too short
+        ],
+    )
+    def test_stem(self, src, expect):
+        assert persian_stem(src) == expect
+
+
+class TestChain:
+    def test_zwnj_splits_tokens(self):
+        assert persian_char_filter(f"كتاب{ZWNJ}ها") == "كتاب ها"
+        chain = get_chain("persian")
+        terms, _ = chain_analyze(f"كتاب{ZWNJ}ها", chain)
+        # "ها" is a stop word once split off
+        assert terms == ["كتاب"]
+
+    def test_stop_after_normalize(self):
+        """The stop list ships pre-normalized; a farsi-yeh surface form
+        must normalize BEFORE the stop lookup to be dropped."""
+        assert "براي" in PERSIAN_STOP_WORDS  # normalized arabic-yeh form
+        chain = get_chain("persian")
+        terms, _ = chain_analyze("برای كتاب", chain)  # farsi-yeh surface
+        assert terms == ["كتاب"]
+
+    def test_full_sentence(self):
+        chain = get_chain("persian")
+        terms, pos = chain_analyze("از کتابها ۱۲۳", chain)
+        assert terms == ["كتاب", "123"]
+        assert pos == [1, 2]  # stop gap at از
