@@ -643,7 +643,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             build_index(spark, titled, idx, num_segments=n_seg)
         elif kind in (
             "english", "french", "german",
-            "swedish", "norwegian", "finnish",
+            "swedish", "norwegian", "finnish", "czech",
         ):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
@@ -765,6 +765,12 @@ def _FI_STOPS():
     from lucene_spark.functions.lang import FINNISH_STOP_WORDS
 
     return FINNISH_STOP_WORDS
+
+
+def _CZ_STOPS():
+    from lucene_spark.functions.czech import CZECH_STOP_WORDS
+
+    return CZECH_STOP_WORDS
 
 
 def _en33_sql() -> str:
@@ -2336,6 +2342,13 @@ def _q_finnish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["scan"]))
 
 
+def _q_czech(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Czech Dolamic-Savoy light stemmer chain (cz/CzechStemmer.java):
+    stem-invariant term 'column'."""
+    s = _variant_searcher(spark, sf_dir, "czech")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["column"]))
+
+
 def _q_feature_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexed FeatureField (core/document/FeatureField.java:106):
     BM25 MUST term + log-function feature SHOULD over freq-encoded
@@ -2627,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swedish_analyzer_top10": _q_swedish,
         "norwegian_analyzer_top10": _q_norwegian,
         "finnish_analyzer_top10": _q_finnish,
+        "czech_analyzer_top10": _q_czech,
         "feature_boosted_top10": _q_feature_boosted,
         "global_prune_top10": _q_global_prune,
         "wand_or_top10": _q_wand_or,
@@ -2945,6 +2959,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "finnish_analyzer_top10": _stop_filtered_bm25_sql(
             "scan", _lang_stop_sql(_FI_STOPS())
+        ),
+        "czech_analyzer_top10": _stop_filtered_bm25_sql(
+            "column", _lang_stop_sql(_CZ_STOPS())
         ),
         "feature_boosted_top10": _feature_boosted_sql(),
         "global_prune_top10": _bm25_sql(["the"]),

@@ -1,0 +1,85 @@
+"""Czech analysis: the light stemmer of Dolamic & Savoy.
+
+Re-expresses ``analysis/common/.../cz/CzechStemmer.java`` (the
+algorithm of Ljiljana Dolamic and Jacques Savoy, "Indexing and
+stemming approaches for the Czech language", IP&M 45(6), 2009) and
+``CzechAnalyzer.java``'s chain: tokenize -> lower -> stop -> stem.
+Three passes over an already-lowercased token:
+
+1. **case endings**: the longest of -atech(7) / -etem,-atum(6) /
+   23 three-letter endings(5) / 12 two-letter endings(4) / single
+   vowels incl. the accented set(3) — the number in parens is the
+   MINIMUM pre-strip length guard;
+2. **possessives**: -ov/-in/-uv at length > 5;
+3. **normalization** of the exposed stem ending: ct->ck, st'->sk,
+   c/\u010d->k, z/\u017e->h, e-insertion undone (e* -> *), \u016f -> o.
+"""
+
+from __future__ import annotations
+
+
+def _remove_case(w: str) -> str:
+    n = len(w)
+    if n > 7 and w.endswith("atech"):
+        return w[:-5]
+    if n > 6 and w.endswith(("\u011btem", "etem", "at\u016fm")):
+        return w[:-4]
+    if n > 5 and w.endswith((
+        "ech", "ich", "\u00edch", "\u00e9ho", "\u011bmi", "emi",
+        "\u00e9mu", "\u011bte", "ete", "\u011bti", "eti", "\u00edho",
+        "iho", "\u00edmi", "\u00edmu", "imu", "\u00e1ch", "ata",
+        "aty", "\u00fdch", "ama", "ami", "ov\u00e9", "ovi", "\u00fdmi",
+    )):
+        return w[:-3]
+    if n > 4 and w.endswith((
+        "em", "es", "\u00e9m", "\u00edm", "\u016fm", "at", "\u00e1m",
+        "os", "us", "\u00fdm", "mi", "ou",
+    )):
+        return w[:-2]
+    if n > 3 and w[-1] in "aeiou\u016fy\u00e1\u00e9\u00ed\u00fd\u011b":
+        return w[:-1]
+    return w
+
+
+def _remove_possessives(w: str) -> str:
+    if len(w) > 5 and w.endswith(("ov", "in", "\u016fv")):
+        return w[:-2]
+    return w
+
+
+def _normalize(w: str) -> str:
+    if w.endswith("\u010dt"):
+        return w[:-2] + "ck"
+    if w.endswith("\u0161t"):
+        return w[:-2] + "sk"
+    if w[-1] in ("c", "\u010d"):
+        return w[:-1] + "k"
+    if w[-1] in ("z", "\u017e"):
+        return w[:-1] + "h"
+    if len(w) > 1 and w[-2] == "e":
+        return w[:-2] + w[-1]
+    if len(w) > 2 and w[-2] == "\u016f":
+        return w[:-2] + "o" + w[-1]
+    return w
+
+
+def czech_stem(w: str) -> str:
+    """cz/CzechStemmer.java: case -> possessive -> normalize."""
+    w = _remove_possessives(_remove_case(w))
+    return _normalize(w) if w else w
+
+
+CZECH_STOP_WORDS = frozenset(
+    """a s k o i u v z dnes cz tímto budeš budem byli jseš můj svým ta tomto
+tohle tuto tyto jej zda proč máte tato kam tohoto kdo kteří mi nám tom
+tomuto mít nic proto kterou byla toho protože asi ho naši napište re
+což tím takže svých její svými jste aj tu tedy teto bylo kde ke pravé
+ji nad nejsou či pod téma mezi přes ty pak vám ani když však neg jsem
+tento článku články aby jsme před pta jejich byl ještě až bez také
+pouze první vaše která nás nový tipy pokud může strana jeho své jiné
+zprávy nové není vás jen podle zde už být více bude již než který by
+které co nebo ten tak má při od po jsou jak další ale si se ve to jako
+za zpět ze do pro je na atd atp jakmile přičemž já on ona ono oni ony
+my vy jí ji mě mne jemu tomu těm těmu němu němuž jehož jíž jelikož jež
+jakož načež""".split()
+)

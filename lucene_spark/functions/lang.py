@@ -1058,6 +1058,9 @@ def _build_chains() -> dict:
         "finnish": AnalyzerChain(
             "finnish", FINNISH_STOP_WORDS, finnish_light_stem
         ),
+        # CzechAnalyzer (cz/CzechAnalyzer.java): tokenize -> lower ->
+        # stop -> Dolamic-Savoy light stemmer
+        "czech": AnalyzerChain("czech", _cz_stops(), _cz_stem()),
         # PersianAnalyzer (fa/PersianAnalyzer.java:128-143): ZWNJ char
         # filter, arabic+persian normalization BEFORE the
         # (pre-normalized) stop list, then the light suffix stemmer
@@ -1191,3 +1194,15 @@ def _fa_char():
     from .persian import persian_char_filter
 
     return persian_char_filter
+
+
+def _cz_stops():
+    from .czech import CZECH_STOP_WORDS
+
+    return CZECH_STOP_WORDS
+
+
+def _cz_stem():
+    from .czech import czech_stem
+
+    return czech_stem

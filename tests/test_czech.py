@@ -1,0 +1,36 @@
+"""Czech light stemmer (functions/czech.py): Dolamic-Savoy rules,
+hand-traced goldens including the palatalization normalizations."""
+
+import pytest
+
+from lucene_spark.functions.czech import czech_stem
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+
+class TestCzechStem:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("hotelech", "hotl"),   # -ech, then e* -> * normalization
+            ("hotely", "hotl"),     # -y single vowel, same conflation
+            ("praze", "prah"),      # -e, then z -> h palatalization
+            ("bance", "bank"),      # -e, then c -> k palatalization
+            ("banka", "bank"),      # -a; conflates with bance
+            ("matkou", "matk"),     # -ou two-letter ending
+            ("osobnostech", "osobnost"),  # -ech, no normalization hit
+            ("atech", "atech"),     # guard: len == 5 not > 7
+            ("dům", "dom"),         # no case rule, but ů -> o normalizes
+        ],
+    )
+    def test_stem(self, word, expect):
+        assert czech_stem(word) == expect
+
+    def test_possessive(self):
+        # -in possessive after case removal at length > 5
+        assert czech_stem("matčin") == "matk"  # strips -in, č -> k
+
+    def test_chain(self):
+        chain = get_chain("czech")
+        terms, pos = chain_analyze("je to banka", chain)
+        # je/to are stop words
+        assert terms == ["bank"] and pos == [2]
