@@ -1730,6 +1730,103 @@ SELECT c_custkey, round(m / 1000.0, 2) AS dist_km
 FROM d ORDER BY m, c_custkey LIMIT 10"""
 
 
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urls.py — RFC 3986 syntax
+    normalization + tracking strip) over messy URLs synthesized per
+    doc_id; the oracle constructs both the messy input and the
+    expected canonical form independently in SQL."""
+    from lucene_spark.operators.urls import canonicalize_url, host_of
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+    g = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    messy = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://Site"), g, F.lit(".COM:443/p/"), i,
+                F.lit("?utm_source=x&b=2&a=1#f"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://Site"), g, F.lit(".com:80/p/"), i),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://site"), g, F.lit(".com/p/"), i,
+                F.lit("?z=9&y=8&fbclid=q"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://site"), g, F.lit(".com/p/"), i)
+        )
+    )
+    return docs.select(
+        "doc_id",
+        canonicalize_url(messy).alias("canonical_url"),
+        host_of(messy).alias("host"),
+    )
+
+
+_URL_CANONICAL_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'https://site' || doc_id % 7 || '.com/p/'
+                     || doc_id || '?a=1&b=2'
+         WHEN 1 THEN 'http://site' || doc_id % 7 || '.com/p/' || doc_id
+         WHEN 2 THEN 'https://site' || doc_id % 7 || '.com/p/'
+                     || doc_id || '?y=8&z=9'
+         ELSE 'https://site' || doc_id % 7 || '.com/p/' || doc_id
+       END AS canonical_url,
+       'site' || doc_id % 7 || '.com' AS host
+FROM documents WHERE doc_id < 400
+"""
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL exact dedup (crawl 'keep first capture'): doc
+    pairs (2k, 2k+1) synthesize to the SAME canonical URL through two
+    different messy spellings; the min key survives."""
+    from lucene_spark.operators.urls import url_dedup
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+    i2c = (F.col("doc_id") / 2).cast("long")
+    g = (i2c % 7).cast("string")
+    i2 = i2c.cast("string")
+    messy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://Site"), g, F.lit(".COM:443/p/"), i2,
+            F.lit("?b=2&a=1#x"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://site"), g, F.lit(".com/p/"), i2,
+            F.lit("?a=1&b=2&utm_campaign=c"),
+        ),
+    )
+    return url_dedup(
+        docs.select("doc_id", messy.alias("url")), "url", "doc_id"
+    )
+
+
+_URL_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         'https://site' || (doc_id // 2) % 7 || '.com/p/'
+         || CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2' AS canonical_url
+  FROM documents WHERE doc_id < 400
+)
+SELECT canonical_url, min(doc_id) AS doc_id FROM d GROUP BY 1
+"""
+
+
 def _q_free_text_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FreeTextSuggester analog (suggest/analyzing/FreeTextSuggester
     .java:114,439,533 — stupid-backoff bigram LM, Brants et al. 2007):
@@ -2591,6 +2688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_2gram": _q_repetition,
         "boilerplate_3gram": _q_boilerplate,
         "token_counts": _q_token_counts,
+        "url_canonical": _q_url_canonical,
+        "url_dedup_groups": _q_url_dedup,
         "free_text_suggest": _q_free_text_suggest,
         "geo_distance_custkeys": _q_geo_distance,
         "geo_nearest_top10": _q_geo_nearest,
@@ -2873,6 +2972,8 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(string_split(text, ' '),
                        t -> ceil(strlen(t)/4.0)::BIGINT))::BIGINT AS n_sub
             FROM documents""",
+        "url_canonical": _URL_CANONICAL_SQL,
+        "url_dedup_groups": _URL_DEDUP_SQL,
         "free_text_suggest": _FREE_TEXT_SUGGEST_SQL,
         "geo_distance_custkeys": _geo_distance_sql(),
         "geo_nearest_top10": _geo_nearest_sql(),

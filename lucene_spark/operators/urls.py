@@ -1,0 +1,92 @@
+"""URL canonicalization + host-level corpus operators.
+
+Training-data-pipeline operators for Common-Crawl-style corpora (the
+companions of ``operators/dedup.py``): crawl URLs are the document
+keys at 10^12-doc scale, and near-identical URLs (tracking params,
+case-variant hosts, fragments, default ports) are the single largest
+source of trivially duplicated documents. The rules below are the
+widely published crawl-dedup set (RFC 3986 §6 syntax-based
+normalization plus the tracking-parameter strip used by CC/web-corpus
+pipelines):
+
+- scheme and host lowercase (RFC 3986 §6.2.2.1);
+- fragment dropped (§3.5 — never sent to the server);
+- default ports (:80 http, :443 https) dropped (§6.2.3);
+- tracking query parameters removed (utm_*, gclid, fbclid, msclkid,
+  ref, mc_eid);
+- remaining query parameters SORTED by key (param order is almost
+  never semantic; sorting makes the form canonical);
+- empty query/trailing '?' dropped.
+
+Everything is Catalyst column algebra (regexp + higher-order array
+functions) — no Python in the path, fully pushdown/codegen friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING_RE = "^(utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_eid)="
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host (without port) of an absolute URL."""
+    return F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1)
+    )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """RFC 3986 syntax-based normalization + tracking-param strip."""
+    # 1. drop the fragment
+    u = F.regexp_replace(url, r"#.*$", "")
+    # 2. lowercase scheme://host[:port]; rest = everything after it
+    head = F.lower(
+        F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    )
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    # 3. drop default ports
+    head = F.regexp_replace(head, r"^(https://[^/:]+):443$", r"$1")
+    head = F.regexp_replace(head, r"^(http://[^/:]+):80$", r"$1")
+    # 4. split path?query; strip tracking params; sort the rest
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    query = F.when(
+        rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    q2 = F.array_join(kept, "&")
+    return F.concat(
+        head,
+        path,
+        F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", key_col: str = "doc_id"
+) -> DataFrame:
+    """One row per canonical URL: the member with the smallest key
+    survives (deterministic; the crawl-dedup 'keep first capture'
+    policy). Map-side-combinable min aggregation — scales."""
+    canon = canonicalize_url(F.col(url_col)).alias("canonical_url")
+    return (
+        df.select(canon, F.col(key_col))
+        .groupBy("canonical_url")
+        .agg(F.min(key_col).alias(key_col))
+    )
+
+
+def host_doc_counts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Documents per host — the standard crawl-balance diagnostic (a
+    head-heavy host histogram predicts dedup and boilerplate mass)."""
+    return (
+        df.select(host_of(F.col(url_col)).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -1,0 +1,80 @@
+"""URL canonicalization operators (operators/urls.py): RFC 3986
+syntax normalization + tracking strip + host ops, plan checked
+Python-free."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.urls import (
+    canonicalize_url,
+    host_doc_counts,
+    host_of,
+    url_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    rows = [
+        (1, "HTTPS://Example.COM:443/Path/a?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.com/Path/a?a=1&b=2"),
+        (3, "http://Example.com:80/?fbclid=zzz"),
+        (4, "http://example.com/"),
+        (5, "https://other.org/p?x=1&x=0"),
+        (6, "https://example.com/Path/a?b=2&a=1&gclid=t"),
+        (7, "https://example.com:8443/p"),  # NON-default port kept
+        (8, "https://example.com/p?"),      # empty query dropped
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string").cache()
+
+
+def _canon(df):
+    return {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+
+
+class TestCanonicalize:
+    def test_rules(self, spark, messy):
+        c = _canon(messy)
+        assert c[1] == "https://example.com/Path/a?a=1&b=2"
+        assert c[2] == c[1]  # already canonical
+        assert c[6] == c[1]  # gclid stripped, params sorted
+        assert c[3] == "http://example.com/"
+        assert c[4] == c[3]
+        assert c[5] == "https://other.org/p?x=0&x=1"  # dup keys sorted
+        assert c[7] == "https://example.com:8443/p"  # 8443 preserved
+        assert c[8] == "https://example.com/p"
+
+    def test_host(self, spark, messy):
+        hosts = {
+            r["doc_id"]: r["h"]
+            for r in messy.select(
+                "doc_id", host_of(F.col("url")).alias("h")
+            ).collect()
+        }
+        assert hosts[1] == "example.com" and hosts[7] == "example.com"
+        assert hosts[5] == "other.org"
+
+    def test_dedup_keeps_min_key(self, spark, messy):
+        got = {
+            r["canonical_url"]: r["doc_id"]
+            for r in url_dedup(messy).collect()
+        }
+        assert got["https://example.com/Path/a?a=1&b=2"] == 1
+        assert got["http://example.com/"] == 3
+
+    def test_host_counts(self, spark, messy):
+        got = {
+            r["host"]: r["n_docs"] for r in host_doc_counts(messy).collect()
+        }
+        assert got == {"example.com": 7, "other.org": 1}
+
+    def test_plan_python_free(self, spark, messy):
+        plan = url_dedup(messy)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "mapInPandas" not in plan
