@@ -1988,6 +1988,66 @@ FROM b
 """
 
 
+def _q_hindi_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HindiAnalyzer chain (hi/HindiAnalyzer.java:122-130) over
+    deterministic Devanagari synthesized per doc_id:
+    'और <base>ियाँ १२३' — exercises the stop gap, the -iyaaM strip,
+    and Devanagari digit folding. The oracle reconstructs base by the
+    same arithmetic (consonant-only alphabet: no normalization or
+    stemming applies to base itself)."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "\u0915\u0916\u0917\u091c\u091f\u0921\u092a\u092c"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("hindi")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                text = (
+                    "\u0914\u0930 " + base
+                    + "\u093f\u092f\u093e\u0901"
+                    + " \u0967\u0968\u0969"
+                )
+                terms, pos = chain_analyze(text, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_HINDI_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             chr(CAST([2325, 2326, 2327, 2332, 2335, 2337, 2346, 2348]
+                 [1 + (doc_id*5 + g.k) % 8] AS INTEGER)),
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id, base || '|123' AS terms, '1,2' AS positions
+FROM b
+"""
+
+
 def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJKAnalyzer chain (analysis/cjk/CJKAnalyzer.java:43-60) over
     deterministic Han text synthesized per doc_id (the sf corpus is
@@ -2696,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_tokens": _q_shingles,
         "arabic_analyzer_tokens": _q_arabic_analyzer,
         "persian_analyzer_tokens": _q_persian_analyzer,
+        "hindi_analyzer_tokens": _q_hindi_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
         "ascii_folding_tokens": _q_ascii_folding,
         "parsed_query_top10": _q_parsed,
@@ -2980,6 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "shingle_tokens": _SHINGLES_SQL,
         "arabic_analyzer_tokens": _ARABIC_SQL,
         "persian_analyzer_tokens": _PERSIAN_SQL,
+        "hindi_analyzer_tokens": _HINDI_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,
         "parsed_query_top10": _bm25_sql(["window", "spark"]),

@@ -1,0 +1,130 @@
+"""Hindi analysis: Devanagari normalization + light stemmer.
+
+Re-expresses ``analysis/common/.../hi/`` — HindiAnalyzer's chain
+(``HindiAnalyzer.java:122-130``): lower -> decimal digits -> Indic +
+Hindi normalization -> STOP (after normalization) -> light stemmer
+(the algorithm of Ramanathan & Rao, "A Lightweight Stemmer for
+Hindi", EACL 2003 workshop — ``HindiStemmer.java``'s suffix ladder).
+
+``hindi_normalize`` composes to NFC first (the Devanagari slice of
+IndicNormalizationFilter's composed-form table; NFC covers the
+canonical matra/nukta compositions) and then applies
+``HindiNormalizer.java``'s folds: anusvara variants, nukta deletion
+and nukta-consonant folds, chandra vowels, short/long vowel merges,
+halant and ZWJ/ZWNJ deletion.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+_MAP = {
+    "\u0901": "\u0902",  # chandrabindu -> anusvara
+    "\u0929": "\u0928", "\u0931": "\u0930", "\u0934": "\u0933",
+    "\u0958": "\u0915", "\u0959": "\u0916", "\u095A": "\u0917",
+    "\u095B": "\u091C", "\u095C": "\u0921", "\u095D": "\u0922",
+    "\u095E": "\u092B", "\u095F": "\u092F",
+    "\u0945": "\u0947", "\u0946": "\u0947",
+    "\u0949": "\u094B", "\u094A": "\u094B",
+    "\u090D": "\u090F", "\u090E": "\u090F",
+    "\u0911": "\u0913", "\u0912": "\u0913",
+    "\u0972": "\u0905", "\u0906": "\u0905",
+    "\u0908": "\u0907", "\u090A": "\u0909",
+    "\u0960": "\u090B", "\u0961": "\u090C",
+    "\u0910": "\u090F", "\u0914": "\u0913",
+    "\u0940": "\u093F", "\u0942": "\u0941",
+    "\u0944": "\u0943", "\u0963": "\u0962",
+    "\u0948": "\u0947", "\u094C": "\u094B",
+}
+_DELETE = {"\u093C", "\u094D", "\u200C", "\u200D"}
+
+
+def hindi_normalize(token: str) -> str:
+    from .arabic import fold_decimal_digits
+
+    # the chain's DecimalDigitFilter precedes normalization
+    token = fold_decimal_digits(unicodedata.normalize("NFC", token))
+    out: list[str] = []
+    i = 0
+    while i < len(token):
+        ch = token[i]
+        # na + halant -> anusvara (the one two-char rule)
+        if (
+            ch == "\u0928"
+            and i + 1 < len(token)
+            and token[i + 1] == "\u094D"
+        ):
+            out.append("\u0902")
+            i += 2
+            continue
+        if ch in _DELETE:
+            i += 1
+            continue
+        out.append(_MAP.get(ch, ch))
+        i += 1
+    return "".join(out)
+
+
+_SUFFIX_LADDER = [
+    # (min_len_exclusive, strip, suffixes)
+    (6, 5, ["\u093e\u090f\u0902\u0917\u0940", "\u093e\u090f\u0902\u0917\u0947",
+            "\u093e\u090a\u0902\u0917\u0940", "\u093e\u090a\u0902\u0917\u093e",
+            "\u093e\u0907\u092f\u093e\u0901", "\u093e\u0907\u092f\u094b\u0902",
+            "\u093e\u0907\u092f\u093e\u0902"]),
+    (5, 4, ["\u093e\u090f\u0917\u0940", "\u093e\u090f\u0917\u093e",
+            "\u093e\u0913\u0917\u0940", "\u093e\u0913\u0917\u0947",
+            "\u090f\u0902\u0917\u0940", "\u0947\u0902\u0917\u0940",
+            "\u090f\u0902\u0917\u0947", "\u0947\u0902\u0917\u0947",
+            "\u0942\u0902\u0917\u0940", "\u0942\u0902\u0917\u093e",
+            "\u093e\u0924\u0940\u0902", "\u0928\u093e\u0913\u0902",
+            "\u0928\u093e\u090f\u0902", "\u0924\u093e\u0913\u0902",
+            "\u0924\u093e\u090f\u0902", "\u093f\u092f\u093e\u0901",
+            "\u093f\u092f\u094b\u0902", "\u093f\u092f\u093e\u0902"]),
+    (4, 3, ["\u093e\u0915\u0930", "\u093e\u0907\u090f",
+            "\u093e\u0908\u0902", "\u093e\u092f\u093e",
+            "\u0947\u0917\u0940", "\u0947\u0917\u093e",
+            "\u094b\u0917\u0940", "\u094b\u0917\u0947",
+            "\u093e\u0928\u0947", "\u093e\u0928\u093e",
+            "\u093e\u0924\u0947", "\u093e\u0924\u0940",
+            "\u093e\u0924\u093e", "\u0924\u0940\u0902",
+            "\u093e\u0913\u0902", "\u093e\u090f\u0902",
+            "\u0941\u0913\u0902", "\u0941\u090f\u0902",
+            "\u0941\u0906\u0902"]),
+    (3, 2, ["\u0915\u0930", "\u093e\u0913", "\u093f\u090f",
+            "\u093e\u0908", "\u093e\u090f", "\u0928\u0947",
+            "\u0928\u0940", "\u0928\u093e", "\u0924\u0947",
+            "\u0940\u0902", "\u0924\u0940", "\u0924\u093e",
+            "\u093e\u0901", "\u093e\u0902", "\u094b\u0902",
+            "\u0947\u0902"]),
+    (2, 1, ["\u094b", "\u0947", "\u0942", "\u0941", "\u0940",
+            "\u093f", "\u093e"]),
+]
+
+
+def hindi_stem(w: str) -> str:
+    """Ramanathan-Rao light stemmer (HindiStemmer.java): strip the
+    longest matching suffix, one ladder rung only."""
+    for min_len, strip, suffixes in _SUFFIX_LADDER:
+        if len(w) > min_len and any(w.endswith(s) for s in suffixes):
+            return w[:-strip]
+    return w
+
+
+HINDI_STOP_WORDS = frozenset(
+    """अंदर अत अपना अपनी अपने अभी आदि आप इत्यादि इन इनका इन्हीं इन्हें इन्हों
+इस इसका इसकी इसके इसमें इसी इसे उन उनका उनकी उनके उनको उन्हीं उन्हें
+उन्हों उस उसके उसी उसे एक एवं एस ऐसे और कई कर करता करते करना करने करें
+कहते कहा का काफ़ी कि कितना किन्हें किन्हों किया किर किस किसी किसे की
+कुछ कुल के को कोई कौन कौनसा गया घर जब जहाँ जा जितना जिन जिन्हें
+जिन्हों जिस जिसे जीधर जैसा जैसे जो तक तब तरह तिन तिन्हें तिन्हों तिस
+तिसे तो था थी थे दबारा दिया दुसरा दूसरे दो द्वारा न नहीं ना निहायत
+नीचे ने पर पर पहले पूरा पे फिर बनी बही बहुत बाद बाला बिलकुल भी भीतर
+मगर मानो मे में यदि यह यहाँ यही या यिह ये रखें रहा रहे ऱ्वासा लिए लिये
+लेकिन व वर्ग वह वह वहाँ वहीं वाले वुह वे वग़ैरह संग सकता सकते सबसे सभी
+साथ साबुत साभ सारा से सो ही हुआ हुई हुए है हैं हो होता होती होते होना
+होने अपनि जेसे होति सभि तिंहों इंहों दवारा इसि किंहें थि उंहों ओर
+जिंहें वहिं अभि बनि हि उंहिं उंहें हें वगेरह एसे रवासा कोन निचे काफि
+उसि पुरा भितर हे बहि वहां कोइ यहां जिंहों तिंहें किसि कइ यहि इंहिं
+जिधर इंहें अदि इतयादि हुइ कोनसा इसकि दुसरे जहां अप किंहों उनकि भि वरग
+हुअ जेसा नहिं""".split()
+)

@@ -1058,6 +1058,13 @@ def _build_chains() -> dict:
         "finnish": AnalyzerChain(
             "finnish", FINNISH_STOP_WORDS, finnish_light_stem
         ),
+        # HindiAnalyzer (hi/HindiAnalyzer.java:122-130): normalize
+        # BEFORE the stop list (it ships in normalized forms), then
+        # the Ramanathan-Rao light stemmer
+        "hindi": AnalyzerChain(
+            "hindi", _hi_stops(), stem=_hi_stem(),
+            normalize=_hi_norm(), stop_after_normalize=True,
+        ),
         # CzechAnalyzer (cz/CzechAnalyzer.java): tokenize -> lower ->
         # stop -> Dolamic-Savoy light stemmer
         "czech": AnalyzerChain("czech", _cz_stops(), _cz_stem()),
@@ -1206,3 +1213,21 @@ def _cz_stem():
     from .czech import czech_stem
 
     return czech_stem
+
+
+def _hi_stops():
+    from .hindi import HINDI_STOP_WORDS
+
+    return HINDI_STOP_WORDS
+
+
+def _hi_norm():
+    from .hindi import hindi_normalize
+
+    return hindi_normalize
+
+
+def _hi_stem():
+    from .hindi import hindi_stem
+
+    return hindi_stem

@@ -1,0 +1,57 @@
+"""Hindi analyzer (functions/hindi.py): Devanagari normalization +
+Ramanathan-Rao light stemmer, hand-traced goldens."""
+
+import pytest
+
+from lucene_spark.functions.hindi import (
+    HINDI_STOP_WORDS,
+    hindi_normalize,
+    hindi_stem,
+)
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+
+class TestNormalize:
+    @pytest.mark.parametrize(
+        "src,expect",
+        [
+            ("लड़का", "लडका"),   # nukta consonant folds (ड़ -> ड)
+            ("कीं", "किं"),      # long ii matra -> short i
+            ("आम", "अम"),        # aa -> a
+            ("क़लम", "कलम"),     # qa -> ka
+            ("हिन्दी", "हिंदि"),  # na+halant -> anusvara; ii -> i
+            ("१२३", "123"),      # Devanagari digits fold
+        ],
+    )
+    def test_normalize(self, src, expect):
+        assert hindi_normalize(src) == expect
+
+
+class TestStem:
+    @pytest.mark.parametrize(
+        "src,expect",
+        [
+            ("लडकियाँ", "लडक"),   # -iyaaM (4)
+            ("लडका", "लडक"),      # -aa (1)
+            ("लडके", "लडक"),      # -e (1)
+            ("करने", "कर"),       # -ne (2)
+            ("बनाकर", "बन"),      # -aakar (3)
+            ("कर", "कर"),         # too short
+        ],
+    )
+    def test_stem(self, src, expect):
+        assert hindi_stem(src) == expect
+
+    def test_one_rung_only(self):
+        # the ladder strips the longest match once, not repeatedly
+        assert hindi_stem("लडकियाँ") == "लडक"
+        assert hindi_stem(hindi_stem("लडकियाँ")) == "लडक"
+
+
+class TestChain:
+    def test_stop_after_normalize_with_gap(self):
+        assert "और" in HINDI_STOP_WORDS
+        chain = get_chain("hindi")
+        terms, pos = chain_analyze("लड़का और लडकियाँ", chain)
+        assert terms == ["लडक", "लडक"]
+        assert pos == [0, 2]
