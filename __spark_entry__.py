@@ -1730,6 +1730,74 @@ SELECT c_custkey, round(m / 1000.0, 2) AS dist_km
 FROM d ORDER BY m, c_custkey LIMIT 10"""
 
 
+def _q_frequent_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level cross-doc dedup model (the C4/RefinedWeb boilerplate
+    rule; operators/dedup.py frequent_lines): corpus docs become
+    multi-line by splitting at ' the ' (deterministic in both
+    engines), then lines in >= 40 distinct docs are boilerplate."""
+    from lucene_spark.operators.dedup import frequent_lines
+
+    docs = _docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", " the ", "\n").alias("text"),
+    )
+    out = frequent_lines(docs, min_docs=40)
+    return out.select("line", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+_FREQUENT_LINES_SQL = """
+WITH d AS (
+  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents
+),
+l AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM d
+)
+SELECT line, count(*)::BIGINT AS n_docs
+FROM l WHERE trim(line) <> '' GROUP BY line HAVING count(*) >= 40
+"""
+
+
+def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/textstats.py scrub_pii) over
+    deterministic synthesized PII text; the oracle applies the SAME
+    published regex patterns through DuckDB's independent RE2 engine."""
+    from lucene_spark.functions.textstats import scrub_pii
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+    i = F.col("doc_id")
+    text = F.concat(
+        F.lit("contact user"), i.cast("string"),
+        F.lit("@example.com or 10.1."),
+        (i % 256).cast("string"), F.lit("."),
+        ((i * 3) % 256).cast("string"),
+        F.lit(" or +1-202-555-"),
+        (1000 + i % 9000).cast("string"),
+        F.lit(" end"),
+    )
+    return docs.select(
+        "doc_id", scrub_pii(text).alias("redacted")
+    )
+
+
+_SCRUB_PII_SQL = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        'contact user' || doc_id || '@example.com or 10.1.'
+        || doc_id % 256 || '.' || (doc_id*3) % 256
+        || ' or +1-202-555-' || 1000 + doc_id % 9000 || ' end',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+    '\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}',
+    '<PHONE>', 'g') AS redacted
+FROM documents WHERE doc_id < 300
+"""
+
+
 def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (operators/urls.py — RFC 3986 syntax
     normalization + tracking strip) over messy URLs synthesized per
@@ -2748,6 +2816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_2gram": _q_repetition,
         "boilerplate_3gram": _q_boilerplate,
         "token_counts": _q_token_counts,
+        "frequent_lines": _q_frequent_lines,
+        "scrub_pii": _q_scrub_pii,
         "url_canonical": _q_url_canonical,
         "url_dedup_groups": _q_url_dedup,
         "free_text_suggest": _q_free_text_suggest,
@@ -3033,6 +3103,8 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(string_split(text, ' '),
                        t -> ceil(strlen(t)/4.0)::BIGINT))::BIGINT AS n_sub
             FROM documents""",
+        "frequent_lines": _FREQUENT_LINES_SQL,
+        "scrub_pii": _SCRUB_PII_SQL,
         "url_canonical": _URL_CANONICAL_SQL,
         "url_dedup_groups": _URL_DEDUP_SQL,
         "free_text_suggest": _FREE_TEXT_SUGGEST_SQL,

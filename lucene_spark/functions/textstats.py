@@ -204,3 +204,26 @@ def repetition_score(text_col: Column, n: int = 2) -> Column:
         total > 0,
         (total - F.size(F.array_distinct(grams))) / total.cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene): redact emails / IPv4 / phone
+# numbers with typed placeholders. Patterns stay in the common
+# Java-regex / RE2 subset (no backreferences or lookaround) so the
+# DuckDB oracle can apply the IDENTICAL expressions.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = (
+    r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}"
+)
+
+
+def scrub_pii(text_col: Column) -> Column:
+    """Redact emails -> <EMAIL>, IPv4 -> <IP>, phone-shaped digit
+    groups -> <PHONE>, in that order (emails first — they may contain
+    digit runs a later pattern would mangle). Pure regexp_replace
+    chain: whole-stage codegen, no Python."""
+    out = F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")

@@ -481,3 +481,87 @@ def boilerplate_ngram_fraction(
             / F.col("n_total").cast("double")
         ).alias("frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level cross-document dedup (the C4 / RefinedWeb rule: a LINE
+# that repeats across too many documents is boilerplate — nav bars,
+# cookie banners, footers — and is dropped from every document, while
+# document-unique lines survive)
+
+
+def frequent_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Lines appearing in >= ``min_docs`` DISTINCT documents ->
+    (line, n_docs). Two partial-agg-friendly aggregations (per-doc
+    distinct then per-line count), the same scale shape as
+    ``frequent_ngrams``."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), line_sep)).alias("line"),
+    ).where(F.trim("line") != "")
+    return (
+        lines.distinct()
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def drop_frequent_lines(
+    docs: DataFrame,
+    frequent: DataFrame | None = None,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Rewrite ``text`` with cross-document-frequent lines removed
+    (empty lines drop too); adds ``n_lines_kept``/``n_lines_dropped``.
+
+    Scale shape: explode lines -> LEFT ANTI join against the frequent
+    set (small by construction: boilerplate mass, broadcast-able) ->
+    re-assemble per doc ordered by line position. One shuffle on
+    ``id_col`` for the reassembly."""
+    if frequent is None:
+        frequent = frequent_lines(
+            docs, min_docs, id_col, text_col, line_sep
+        )
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            "pos", "line"
+        ),
+    ).where(F.trim("line") != "")
+    kept = lines.join(
+        F.broadcast(frequent.select("line")), "line", "left_anti"
+    )
+    n_all = lines.groupBy(id_col).agg(F.count("*").alias("n_total"))
+    out = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias(text_col),
+            F.count("*").alias("n_lines_kept"),
+        )
+    )
+    return out.join(n_all, id_col, "left").select(
+        id_col,
+        text_col,
+        "n_lines_kept",
+        (F.col("n_total") - F.col("n_lines_kept")).alias(
+            "n_lines_dropped"
+        ),
+    )

@@ -1,0 +1,68 @@
+"""Corpus-hygiene ops: line-level cross-doc dedup (C4/RefinedWeb rule)
+and PII scrubbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.functions.textstats import scrub_pii
+from lucene_spark.operators.dedup import drop_frequent_lines, frequent_lines
+
+
+@pytest.fixture(scope="module")
+def lined(spark):
+    rows = [
+        (1, "keep me\ncookie banner\nunique line one"),
+        (2, "cookie banner\nunique line two"),
+        (3, "cookie banner\nkeep me too\n\n"),
+        (4, "totally unique document"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+class TestLineDedup:
+    def test_frequent_lines(self, spark, lined):
+        got = {(r["line"], r["n_docs"]) for r in frequent_lines(lined).collect()}
+        assert got == {("cookie banner", 3)}
+
+    def test_within_doc_repeat_not_counted_twice(self, spark, lined):
+        df = spark.createDataFrame(
+            [(1, "x\nx\nx"), (2, "y")], "doc_id long, text string"
+        )
+        # 'x' repeats within ONE doc -> distinct doc count is 1
+        assert frequent_lines(df, min_docs=2).count() == 0
+
+    def test_drop_rewrites_and_counts(self, spark, lined):
+        rows = {r["doc_id"]: r for r in drop_frequent_lines(lined).collect()}
+        assert rows[1]["text"] == "keep me\nunique line one"
+        assert rows[1]["n_lines_kept"] == 2
+        assert rows[1]["n_lines_dropped"] == 1
+        assert rows[2]["text"] == "unique line two"
+        assert rows[3]["text"] == "keep me too"  # empty line gone too
+        assert rows[4]["n_lines_dropped"] == 0
+
+    def test_line_order_preserved(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\nzz\nb\nzz\nc"), (2, "zz")], "doc_id long, text string"
+        )
+        out = drop_frequent_lines(df).where(F.col("doc_id") == 1).collect()
+        assert out[0]["text"] == "a\nb\nc"
+
+
+class TestPII:
+    @pytest.mark.parametrize(
+        "src,expect",
+        [
+            ("mail a.b+c@ex-ample.org now", "mail <EMAIL> now"),
+            ("at 10.0.0.1 and 255.255.255.0", "at <IP> and <IP>"),
+            ("call +1 (415) 555-0134 ok", "call <PHONE> ok"),
+            ("call 020 7946 0958", "call <PHONE>"),
+            ("no pii here at all", "no pii here at all"),
+            # email wins over the phone-shaped digits inside it
+            ("x 123456789@mail.com y", "x <EMAIL> y"),
+        ],
+    )
+    def test_scrub(self, spark, src, expect):
+        df = spark.createDataFrame([(src,)], "t string")
+        assert df.select(
+            scrub_pii(F.col("t")).alias("r")
+        ).collect()[0]["r"] == expect
