@@ -1731,30 +1731,30 @@ FROM d ORDER BY m, c_custkey LIMIT 10"""
 
 
 def _q_frequent_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Line-level cross-doc dedup model (the C4/RefinedWeb boilerplate
-    rule; operators/dedup.py frequent_lines): corpus docs become
-    multi-line by splitting at ' the ' (deterministic in both
-    engines), then lines in >= 40 distinct docs are boilerplate."""
+    """Line-level cross-doc dedup (the C4/RefinedWeb boilerplate-line
+    rule; operators/dedup.py frequent_lines): synthesized multi-line
+    docs — every doc carries a shared banner line 'banner <doc_id%5>'
+    (each in ~N/5 docs), a line repeated WITHIN the doc (must count
+    once), and a unique line (must not appear)."""
     from lucene_spark.operators.dedup import frequent_lines
 
+    i = F.col("doc_id")
     docs = _docs_table(spark, sf_dir).select(
         "doc_id",
-        F.regexp_replace("text", " the ", "\n").alias("text"),
+        F.concat(
+            F.lit("banner "), (i % 5).cast("string"),
+            F.lit("\nbanner "), (i % 5).cast("string"),
+            F.lit("\nunique line "), i.cast("string"),
+        ).alias("text"),
     )
-    out = frequent_lines(docs, min_docs=40)
+    out = frequent_lines(docs, min_docs=10)
     return out.select("line", F.col("n_docs").cast("long").alias("n_docs"))
 
 
 _FREQUENT_LINES_SQL = """
-WITH d AS (
-  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents
-),
-l AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line
-  FROM d
-)
-SELECT line, count(*)::BIGINT AS n_docs
-FROM l WHERE trim(line) <> '' GROUP BY line HAVING count(*) >= 40
+SELECT 'banner ' || g AS line, count(*)::BIGINT AS n_docs
+FROM (SELECT doc_id % 5 AS g FROM documents)
+GROUP BY g HAVING count(*) >= 10
 """
 
 
