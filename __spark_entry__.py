@@ -643,7 +643,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             build_index(spark, titled, idx, num_segments=n_seg)
         elif kind in (
             "english", "french", "german",
-            "swedish", "norwegian", "finnish", "czech",
+            "swedish", "norwegian", "finnish", "czech", "bulgarian",
         ):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
@@ -771,6 +771,12 @@ def _CZ_STOPS():
     from lucene_spark.functions.czech import CZECH_STOP_WORDS
 
     return CZECH_STOP_WORDS
+
+
+def _BG_STOPS():
+    from lucene_spark.functions.bulgarian import BULGARIAN_STOP_WORDS
+
+    return BULGARIAN_STOP_WORDS
 
 
 def _en33_sql() -> str:
@@ -2574,6 +2580,13 @@ def _q_czech(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["column"]))
 
 
+def _q_bulgarian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulgarian BulStem light stemmer chain (bg/BulgarianStemmer
+    .java): stem-invariant term 'filter'."""
+    s = _variant_searcher(spark, sf_dir, "bulgarian")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["filter"]))
+
+
 def _q_feature_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexed FeatureField (core/document/FeatureField.java:106):
     BM25 MUST term + log-function feature SHOULD over freq-encoded
@@ -2871,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norwegian_analyzer_top10": _q_norwegian,
         "finnish_analyzer_top10": _q_finnish,
         "czech_analyzer_top10": _q_czech,
+        "bulgarian_analyzer_top10": _q_bulgarian,
         "feature_boosted_top10": _q_feature_boosted,
         "global_prune_top10": _q_global_prune,
         "wand_or_top10": _q_wand_or,
@@ -3197,6 +3211,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "czech_analyzer_top10": _stop_filtered_bm25_sql(
             "column", _lang_stop_sql(_CZ_STOPS())
+        ),
+        "bulgarian_analyzer_top10": _stop_filtered_bm25_sql(
+            "filter", _lang_stop_sql(_BG_STOPS())
         ),
         "feature_boosted_top10": _feature_boosted_sql(),
         "global_prune_top10": _bm25_sql(["the"]),

@@ -1,0 +1,86 @@
+"""Bulgarian analysis: the light stemmer of Nakov (BulStem) as
+shipped in ``analysis/common/.../bg/BulgarianStemmer.java``
+(Searching/indexing Bulgarian: the light-stemmer track) —
+definite-article removal, plural removal with palatalization repairs
+(ци -> к, зи -> г, си -> х, еве -> й), trailing-vowel trims, the
+-ен -> -н contraction and the ъN -> N metathesis undo.
+
+Chain (``BulgarianAnalyzer.java``): tokenize -> lower -> stop -> stem.
+"""
+
+from __future__ import annotations
+
+
+def _remove_article(w: str) -> str:
+    n = len(w)
+    if n > 6 and w.endswith("ият"):
+        return w[:-3]
+    if n > 5 and w.endswith(("ът", "то", "те", "та", "ия")):
+        return w[:-2]
+    if n > 4 and w.endswith("ят"):
+        return w[:-2]
+    return w
+
+
+def _remove_plural(w: str) -> str:
+    n = len(w)
+    if n > 6:
+        if w.endswith("овци"):
+            return w[:-3]
+        if w.endswith("ове"):
+            return w[:-3]
+        if w.endswith("еве"):
+            return w[:-3] + "й"
+    if n > 5:
+        if w.endswith("ища"):
+            return w[:-3]
+        if w.endswith("та"):
+            return w[:-2]
+        if w.endswith("ци"):
+            return w[:-2] + "к"
+        if w.endswith("зи"):
+            return w[:-2] + "г"
+        if w[-3] == "е" and w[-1] == "и":
+            return w[:-3] + "я" + w[-2]
+    if n > 4:
+        if w.endswith("си"):
+            return w[:-2] + "х"
+        if w.endswith("и"):
+            return w[:-1]
+    return w
+
+
+def bulgarian_stem(w: str) -> str:
+    if len(w) < 4:
+        return w
+    if len(w) > 5 and w.endswith("ища"):
+        return w[:-3]
+    w = _remove_plural(_remove_article(w))
+    if len(w) > 3:
+        if w.endswith("я"):
+            w = w[:-1]
+        if w.endswith(("а", "о", "е")):
+            w = w[:-1]
+    if len(w) > 4 and w.endswith("ен"):
+        w = w[:-2] + "н"
+    if len(w) > 5 and w[-2] == "ъ":
+        w = w[:-2] + w[-1]
+    return w
+
+
+BULGARIAN_STOP_WORDS = frozenset(
+    """а аз ако ала бе без беше би бил била били било близо бъдат бъде бяха в
+вас ваш ваша вероятно вече взема ви вие винаги все всеки всички всичко
+всяка във въпреки върху г ги главно го д да дали до докато докога дори
+досега доста е едва един ето за зад заедно заради засега затова защо
+защото и из или им има имат иска й каза как каква какво както какъв
+като кога когато което които кой който колко която къде където към ли
+м ме между мен ми мнозина мога могат може моля момента му н на над
+назад най направи напред например нас не него нея ни ние никой нито но
+някои някой няма обаче около освен особено от отгоре отново още пак по
+повече повечето под поне поради после почти прави пред преди през при
+пък първо с са само се сега си скоро след сме според сред срещу сте
+съм със също т тази така такива такъв там твой те тези ти тн то това
+тогава този той толкова точно трябва тук тъй тя тях у харесва ч че
+често чрез ще щом я""".split()
+)

@@ -1058,6 +1058,11 @@ def _build_chains() -> dict:
         "finnish": AnalyzerChain(
             "finnish", FINNISH_STOP_WORDS, finnish_light_stem
         ),
+        # BulgarianAnalyzer (bg/BulgarianAnalyzer.java): tokenize ->
+        # lower -> stop -> BulStem light stemmer
+        "bulgarian": AnalyzerChain(
+            "bulgarian", _bg_stops(), _bg_stem()
+        ),
         # HindiAnalyzer (hi/HindiAnalyzer.java:122-130): normalize
         # BEFORE the stop list (it ships in normalized forms), then
         # the Ramanathan-Rao light stemmer
@@ -1231,3 +1236,15 @@ def _hi_stem():
     from .hindi import hindi_stem
 
     return hindi_stem
+
+
+def _bg_stops():
+    from .bulgarian import BULGARIAN_STOP_WORDS
+
+    return BULGARIAN_STOP_WORDS
+
+
+def _bg_stem():
+    from .bulgarian import bulgarian_stem
+
+    return bulgarian_stem

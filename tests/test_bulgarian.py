@@ -1,0 +1,39 @@
+"""Bulgarian light stemmer (functions/bulgarian.py): BulStem rules,
+goldens hand-traced through the guard lengths."""
+
+import pytest
+
+from lucene_spark.functions.bulgarian import bulgarian_stem
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+
+class TestBulgarianStem:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("градът", "град"),      # definite article -ът
+            ("градове", "град"),     # plural -ове
+            ("книгите", "книг"),     # -те article then -и plural
+            ("хубава", "хубав"),     # trailing -а
+            ("ръцете", "ръц"),       # -те then trailing -е
+            ("певци", "певц"),       # len 5: -ци repair needs len > 5
+            ("селища", "сел"),       # -ища early return
+            ("къщи", "къщи"),        # len 4: plural -и needs len > 4
+            ("дом", "дом"),          # < 4 chars untouched
+            ("народен", "народн"),   # -ен -> -н contraction
+        ],
+    )
+    def test_stem(self, word, expect):
+        assert bulgarian_stem(word) == expect
+
+    def test_palatalization_repairs(self):
+        # at len > 5 the -ци -> -к repair fires
+        assert bulgarian_stem("работници") == "работник"
+        # at len == 5 the guard blocks it (plural -и strips instead)
+        assert bulgarian_stem("езици") == "езиц"
+
+    def test_chain(self):
+        chain = get_chain("bulgarian")
+        terms, pos = chain_analyze("това е градът", chain)
+        # това / е are stop words
+        assert terms == ["град"] and pos == [2]

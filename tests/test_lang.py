@@ -354,6 +354,8 @@ class TestOraclePrecondition:
             ("window", "swedish"),
             ("vector", "norwegian"),
             ("scan", "finnish"),
+            ("column", "czech"),
+            ("filter", "bulgarian"),
         ],
     )
     def test_invariant_terms(self, term, lang, spark):
