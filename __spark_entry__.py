@@ -1764,6 +1764,59 @@ GROUP BY g HAVING count(*) >= 10
 """
 
 
+def _q_drop_frequent_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_frequent_lines over the same synthesized multi-line docs:
+    the shared banner (and its within-doc repeat) drops from every
+    doc, the unique line survives — rewrite + counts per doc."""
+    from lucene_spark.operators.dedup import drop_frequent_lines
+
+    i = F.col("doc_id")
+    docs = _docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("banner "), (i % 5).cast("string"),
+            F.lit("\nbanner "), (i % 5).cast("string"),
+            F.lit("\nunique line "), i.cast("string"),
+        ).alias("text"),
+    )
+    out = drop_frequent_lines(docs, min_docs=10)
+    return out.select(
+        "doc_id", "text",
+        F.col("n_lines_kept").cast("long").alias("n_kept"),
+        F.col("n_lines_dropped").cast("long").alias("n_dropped"),
+    )
+
+
+_DROP_FREQUENT_LINES_SQL = """
+SELECT doc_id,
+       'unique line ' || doc_id AS text,
+       1::BIGINT AS n_kept,
+       2::BIGINT AS n_dropped
+FROM documents
+"""
+
+
+def _q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """host_doc_counts over the url_canonical synthesis: 7 hosts."""
+    from lucene_spark.operators.urls import host_doc_counts
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+    g = (F.col("doc_id") % 7).cast("string")
+    url = F.concat(
+        F.lit("HTTPS://Site"), g, F.lit(".COM:443/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return host_doc_counts(docs.select(url.alias("url")))
+
+
+_HOST_COUNTS_SQL = """
+SELECT 'site' || doc_id % 7 || '.com' AS host, count(*)::BIGINT AS n_docs
+FROM documents WHERE doc_id < 400 GROUP BY 1
+"""
+
+
 def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (functions/textstats.py scrub_pii) over
     deterministic synthesized PII text; the oracle applies the SAME
@@ -2830,6 +2883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_3gram": _q_boilerplate,
         "token_counts": _q_token_counts,
         "frequent_lines": _q_frequent_lines,
+        "drop_frequent_lines": _q_drop_frequent_lines,
+        "host_doc_counts": _q_host_counts,
         "scrub_pii": _q_scrub_pii,
         "url_canonical": _q_url_canonical,
         "url_dedup_groups": _q_url_dedup,
@@ -3118,6 +3173,8 @@ def oracle_sql() -> dict[str, str]:
                        t -> ceil(strlen(t)/4.0)::BIGINT))::BIGINT AS n_sub
             FROM documents""",
         "frequent_lines": _FREQUENT_LINES_SQL,
+        "drop_frequent_lines": _DROP_FREQUENT_LINES_SQL,
+        "host_doc_counts": _HOST_COUNTS_SQL,
         "scrub_pii": _SCRUB_PII_SQL,
         "url_canonical": _URL_CANONICAL_SQL,
         "url_dedup_groups": _URL_DEDUP_SQL,
