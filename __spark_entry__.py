@@ -644,6 +644,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
         elif kind in (
             "english", "french", "german",
             "swedish", "norwegian", "finnish", "czech", "bulgarian",
+            "indonesian",
         ):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
@@ -777,6 +778,12 @@ def _BG_STOPS():
     from lucene_spark.functions.bulgarian import BULGARIAN_STOP_WORDS
 
     return BULGARIAN_STOP_WORDS
+
+
+def _ID_STOPS():
+    from lucene_spark.functions.indonesian import INDONESIAN_STOP_WORDS
+
+    return INDONESIAN_STOP_WORDS
 
 
 def _en33_sql() -> str:
@@ -2640,6 +2647,13 @@ def _q_bulgarian(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["filter"]))
 
 
+def _q_indonesian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indonesian Tala stemmer chain (id/IndonesianStemmer.java):
+    stem-invariant term 'customer'."""
+    s = _variant_searcher(spark, sf_dir, "indonesian")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["customer"]))
+
+
 def _q_feature_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexed FeatureField (core/document/FeatureField.java:106):
     BM25 MUST term + log-function feature SHOULD over freq-encoded
@@ -2940,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "finnish_analyzer_top10": _q_finnish,
         "czech_analyzer_top10": _q_czech,
         "bulgarian_analyzer_top10": _q_bulgarian,
+        "indonesian_analyzer_top10": _q_indonesian,
         "feature_boosted_top10": _q_feature_boosted,
         "global_prune_top10": _q_global_prune,
         "wand_or_top10": _q_wand_or,
@@ -3271,6 +3286,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bulgarian_analyzer_top10": _stop_filtered_bm25_sql(
             "filter", _lang_stop_sql(_BG_STOPS())
+        ),
+        "indonesian_analyzer_top10": _stop_filtered_bm25_sql(
+            "customer", _lang_stop_sql(_ID_STOPS())
         ),
         "feature_boosted_top10": _feature_boosted_sql(),
         "global_prune_top10": _bm25_sql(["the"]),

@@ -1,0 +1,198 @@
+"""Indonesian analysis: the Tala-derived stemmer.
+
+Re-expresses ``analysis/common/.../id/IndonesianStemmer.java`` (the
+algorithm of Fadillah Z. Tala, "A Study of Stemming Effects on
+Information Retrieval in Bahasa Indonesia", with the reference's flag
+bookkeeping): inflectional particles (-kah/-lah/-pun) and possessive
+pronouns (-ku/-mu/-nya) strip while the word keeps > 2 syllables
+(vowel count, decremented per fired rule, never recomputed); then
+derivational stemming — first-order prefixes (meng-/meny-/men-/mem-/
+me-/peng-/peny-/pen-/pem-/di-/ter-/ke- with the meny->s and
+pen+vowel->t sound repairs), suffixes (-kan/-an/-i) gated by WHICH
+prefix was removed (the flag matrix), and second-order prefixes
+(ber-/be..er-/per-/pe- plus the belajar/pelajar exceptions), in the
+reference's fire-dependent order.
+
+Chain (``IndonesianAnalyzer.java``): tokenize -> lower -> stop -> stem.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiou")
+
+_KE, _PENG, _DI, _MENG, _TER, _BER, _PE = 1, 2, 4, 8, 16, 32, 64
+
+
+def indonesian_stem(word: str, stem_derivational: bool = True) -> str:
+    syll = sum(1 for c in word if c in _VOWELS)
+    flags = 0
+    w = word
+
+    def fire(new_w: str) -> str:
+        nonlocal syll
+        syll -= 1
+        return new_w
+
+    # particles
+    if syll > 2 and w.endswith(("kah", "lah", "pun")):
+        w = fire(w[:-3])
+    # possessive pronouns
+    if syll > 2:
+        if w.endswith(("ku", "mu")):
+            w = fire(w[:-2])
+        elif w.endswith("nya"):
+            w = fire(w[:-3])
+    if not stem_derivational:
+        return w
+
+    def first_order(w: str) -> str:
+        nonlocal flags
+        if w.startswith("meng"):
+            flags |= _MENG
+            return fire(w[4:])
+        if w.startswith("meny") and len(w) > 4 and w[4] in _VOWELS:
+            flags |= _MENG
+            return fire("s" + w[4:])  # meny + V -> s (sound repair)
+        if w.startswith(("men", "mem")):
+            flags |= _MENG
+            return fire(w[3:])
+        if w.startswith("me"):
+            flags |= _MENG
+            return fire(w[2:])
+        if w.startswith("peng"):
+            flags |= _PENG
+            return fire(w[4:])
+        if w.startswith("peny") and len(w) > 4 and w[4] in _VOWELS:
+            flags |= _PENG
+            return fire("s" + w[4:])
+        if w.startswith("peny"):
+            flags |= _PENG
+            return fire(w[4:])
+        if w.startswith("pen") and len(w) > 3 and w[3] in _VOWELS:
+            flags |= _PENG
+            return fire("t" + w[3:])  # pen + V -> t
+        if w.startswith(("pen", "pem")):
+            flags |= _PENG
+            return fire(w[3:])
+        if w.startswith("di"):
+            flags |= _DI
+            return fire(w[2:])
+        if w.startswith("ter"):
+            flags |= _TER
+            return fire(w[3:])
+        if w.startswith("ke"):
+            flags |= _KE
+            return fire(w[2:])
+        return w
+
+    def second_order(w: str) -> str:
+        nonlocal flags
+        if w.startswith("ber"):
+            flags |= _BER
+            return fire(w[3:])
+        if w == "belajar":
+            flags |= _BER
+            return fire(w[3:])
+        if (
+            w.startswith("be")
+            and len(w) > 4
+            and w[2] not in _VOWELS
+            and w[3] == "e"
+            and w[4] == "r"
+        ):
+            flags |= _BER
+            return fire(w[2:])
+        if w.startswith("per"):
+            return fire(w[3:])
+        if w == "pelajar":
+            return fire(w[3:])
+        if w.startswith("pe"):
+            flags |= _PE
+            return fire(w[2:])
+        return w
+
+    def suffix(w: str) -> str:
+        if (
+            w.endswith("kan")
+            and not flags & _KE
+            and not flags & _PENG
+            and not flags & _PE
+        ):
+            return fire(w[:-3])
+        if (
+            w.endswith("an")
+            and not flags & _DI
+            and not flags & _MENG
+            and not flags & _TER
+        ):
+            return fire(w[:-2])
+        if (
+            w.endswith("i")
+            and not w.endswith("si")
+            and not flags & _BER
+            and not flags & _KE
+            and not flags & _PENG
+        ):
+            return fire(w[:-1])
+        return w
+
+    before = w
+    if syll > 2:
+        w = first_order(w)
+    if w != before:  # a first-order rule fired
+        before2 = w
+        if syll > 2:
+            w = suffix(w)
+        if w != before2:  # a suffix fired too
+            if syll > 2:
+                w = second_order(w)
+    else:
+        if syll > 2:
+            w = second_order(w)
+        if syll > 2:
+            w = suffix(w)
+    return w
+
+
+INDONESIAN_STOP_WORDS = frozenset(
+    """ada adanya adalah adapun agak agaknya agar akan akankah akhirnya aku
+akulah amat amatlah anda andalah antar diantaranya antara antaranya
+diantara apa apaan mengapa apabila apakah apalagi apatah atau ataukah
+ataupun bagai bagaikan sebagai sebagainya bagaimana bagaimanapun
+sebagaimana bagaimanakah bagi bahkan bahwa bahwasanya sebaliknya
+banyak sebanyak beberapa seberapa begini beginian beginikah beginilah
+sebegini begitu begitukah begitulah begitupun sebegitu belum belumlah
+sebelum sebelumnya sebenarnya berapa berapakah berapalah berapapun
+betulkah sebetulnya biasa biasanya bila bilakah bisa bisakah sebisanya
+boleh bolehkah bolehlah buat bukan bukankah bukanlah bukannya cuma
+percuma dahulu dalam dan dapat dari daripada dekat demi demikian
+demikianlah sedemikian dengan depan di dia dialah dini diri dirinya
+terdiri dong dulu enggak enggaknya entah entahlah terhadap terhadapnya
+hal hampir hanya hanyalah harus haruslah harusnya seharusnya hendak
+hendaklah hendaknya hingga sehingga ia ialah ibarat ingin inginkah
+inginkan ini inikah inilah itu itukah itulah jangan jangankan
+janganlah jika jikalau juga justru kala kalau kalaulah kalaupun kalian
+kami kamilah kamu kamulah kan kapan kapankah kapanpun dikarenakan
+karena karenanya ke kecil kemudian kenapa kepada kepadanya ketika
+seketika khususnya kini kinilah kiranya sekiranya kita kitalah kok
+lagi lagian selagi lah lain lainnya melainkan selaku lalu melalui
+terlalu lama lamanya selama selama selamanya lebih terlebih bermacam
+macam semacam maka makanya makin malah malahan mampu mampukah mana
+manakala manalagi masih masihkah semasih masing mau maupun semaunya
+memang mereka merekalah meski meskipun semula mungkin mungkinkah nah
+namun nanti nantinya nyaris oleh olehnya seorang seseorang pada
+padanya padahal paling sepanjang pantas sepantasnya sepantasnyalah
+para pasti pastilah per pernah pula pun merupakan rupanya serupa saat
+saatnya sesaat saja sajalah saling bersama sama sesama sambil sampai
+sana sangat sangatlah saya sayalah se sebab sebabnya sebuah tersebut
+tersebutlah sedang sedangkan sedikit sedikitnya segala segalanya
+segera sesegera sejak sejenak sekali sekalian sekalipun sesekali
+sekaligus sekarang sekarang sekitar sekitarnya sela selain selalu
+seluruh seluruhnya semakin sementara sempat semua semuanya sendiri
+sendirinya seolah seperti sepertinya sering seringnya serta siapa
+siapakah siapapun disini disinilah sini sinilah sesuatu sesuatunya
+suatu sesudah sesudahnya sudah sudahkah sudahlah supaya tadi tadinya
+tak tanpa setelah telah tentang tentu tentulah tentunya tertentu
+seterusnya tapi tetapi setiap tiap setidaknya tidak tidakkah tidaklah
+toh waduh wah wahai sewaktu walau walaupun wong yaitu yakni yang""".split()
+)

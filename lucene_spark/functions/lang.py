@@ -1058,6 +1058,11 @@ def _build_chains() -> dict:
         "finnish": AnalyzerChain(
             "finnish", FINNISH_STOP_WORDS, finnish_light_stem
         ),
+        # IndonesianAnalyzer (id/IndonesianAnalyzer.java): tokenize ->
+        # lower -> stop -> Tala stemmer (derivational)
+        "indonesian": AnalyzerChain(
+            "indonesian", _id_stops(), _id_stem()
+        ),
         # BulgarianAnalyzer (bg/BulgarianAnalyzer.java): tokenize ->
         # lower -> stop -> BulStem light stemmer
         "bulgarian": AnalyzerChain(
@@ -1248,3 +1253,15 @@ def _bg_stem():
     from .bulgarian import bulgarian_stem
 
     return bulgarian_stem
+
+
+def _id_stops():
+    from .indonesian import INDONESIAN_STOP_WORDS
+
+    return INDONESIAN_STOP_WORDS
+
+
+def _id_stem():
+    from .indonesian import indonesian_stem
+
+    return indonesian_stem

@@ -1,0 +1,51 @@
+"""Indonesian Tala stemmer (functions/indonesian.py): inflectional +
+derivational rules with the flag-gated suffix matrix."""
+
+import pytest
+
+from lucene_spark.functions.indonesian import indonesian_stem
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+
+class TestIndonesianStem:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("bukunya", "buku"),     # possessive -nya
+            ("bukukah", "buku"),     # particle -kah
+            ("menyapu", "sapu"),     # meny + vowel -> s repair
+            ("mengambil", "ambil"),  # meng-
+            ("penulis", "tulis"),    # pen + vowel -> t repair
+            ("membaca", "baca"),     # mem-
+            ("dibeli", "beli"),      # di- (syllable gate stops -i)
+            ("terbaik", "baik"),     # ter-
+            ("berlari", "lari"),     # ber- second-order (-i BER-gated)
+            ("makanan", "makan"),    # no prefix -> plain -an
+            ("kebaikan", "baik"),    # ke- then -an (kan blocked by KE)
+            ("belajar", "ajar"),     # the exact-word exception (bel-)
+            ("buku", "buku"),        # 2 syllables: untouched
+        ],
+    )
+    def test_stem(self, word, expect):
+        assert indonesian_stem(word) == expect
+
+    def test_suffix_gates(self):
+        # -kan blocked when PENG was removed: "pengakuan" -> peng- then
+        # NOT -kan (PENG gate) but -an is allowed -> "aku"
+        assert indonesian_stem("pengakuan") == "aku"
+        # -an blocked when MENG was removed: "mengambilkan" -> meng-,
+        # then -kan fires (not KE/PENG/PE) -> "ambil"
+        assert indonesian_stem("mengambilkan") == "ambil"
+
+    def test_inflectional_only(self):
+        assert indonesian_stem("bukunya", stem_derivational=False) == "buku"
+        assert (
+            indonesian_stem("mengambil", stem_derivational=False)
+            == "mengambil"
+        )
+
+    def test_chain(self):
+        chain = get_chain("indonesian")
+        terms, pos = chain_analyze("dia membaca bukunya", chain)
+        # "dia" is a stop word
+        assert terms == ["baca", "buku"] and pos == [1, 2]

@@ -356,6 +356,7 @@ class TestOraclePrecondition:
             ("scan", "finnish"),
             ("column", "czech"),
             ("filter", "bulgarian"),
+            ("customer", "indonesian"),
         ],
     )
     def test_invariant_terms(self, term, lang, spark):
