@@ -612,6 +612,7 @@ def _en_stop_sql() -> str:
 
 _TITLE_TOKENS = 8
 _DEL_IDS = [3, 7]
+_SOFT_DEL_IDS = [4, 9]
 _UPD_IDS = [1, 2]
 _UPD_TEXT = "updated spark window pipeline"
 
@@ -654,7 +655,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
                 spark, wp, idx, num_segments=n_seg,
                 index_sort="doclen_desc",
             )
-        elif kind in ("del", "upd"):
+        elif kind in ("del", "softdel", "upd"):
             build_index(spark, wp, idx, num_segments=n_seg)
         elif kind == "feat":
             build_index(spark, wp, idx, num_segments=n_seg)
@@ -675,7 +676,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             )
         else:  # pragma: no cover
             raise ValueError(kind)
-    if kind in ("del", "upd"):
+    if kind in ("del", "softdel", "upd"):
         # the mutation is applied OUTSIDE the build guard and keyed on
         # the manifest, so a cached index from an interrupted earlier
         # run (built but not yet mutated) self-heals instead of
@@ -685,6 +686,12 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             from lucene_spark.operators.deletes import delete_by_urls
 
             delete_by_urls(spark, idx, [_url_of(i) for i in _DEL_IDS])
+        if kind == "softdel" and not man.get("soft_deletes"):
+            from lucene_spark.operators.deletes import soft_delete_by_urls
+
+            soft_delete_by_urls(
+                spark, idx, [_url_of(i) for i in _SOFT_DEL_IDS]
+            )
         if kind == "upd" and not any(
             s.get("lineage", {}).get("op") == "update_documents"
             for s in man["segments"]
@@ -2538,6 +2545,17 @@ def _q_post_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deletes (SoftDeletesDirectoryReaderWrapper semantics,
+    ``core/index/SoftDeletesDirectoryReaderWrapper.java:45-60``): the
+    soft-deleted docs are hidden from results exactly like hard
+    tombstones — stats stay whole-corpus until a merge reclaims — but
+    remain undeletable until a retention-less merge (tested in
+    tests/test_soft_deletes.py). Oracle: BM25 excluding the ids."""
+    s = _variant_searcher(spark, sf_dir, "softdel")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_post_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _variant_searcher(spark, sf_dir, "upd")
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
@@ -2941,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blended_term_top10": _q_blended_term,
         "mlt_top10": _q_mlt,
         "post_delete_top10": _q_post_delete,
+        "soft_delete_top10": _q_soft_delete,
         "post_update_top10": _q_post_update,
         "merged_index_top10": _q_merged,
         "nrt_appended_top10": _q_nrt,
@@ -3262,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "blended_term_top10": _blended_sql("window"),
         "mlt_top10": _mlt_sql(0),
         "post_delete_top10": _excluded_bm25_sql("window", _DEL_IDS),
+        "soft_delete_top10": _excluded_bm25_sql("window", _SOFT_DEL_IDS),
         "post_update_top10": _updated_bm25_sql("window"),
         "merged_index_top10": _bm25_sql(["window"]),
         "nrt_appended_top10": _bm25_sql(["window"]),

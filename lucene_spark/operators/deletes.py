@@ -110,26 +110,231 @@ def delete_by_term(
 
 
 def read_tombstones(
-    spark: SparkSession, catalog: IndexCatalog
+    spark: SparkSession,
+    catalog: IndexCatalog,
+    include_soft: bool = True,
 ) -> DataFrame | None:
     """Union of all live tombstones, restricted to live segments.
-    None when the index has no deletes (the fast path)."""
+    None when the index has no deletes (the fast path).
+
+    ``include_soft=True`` (the default for every reader) folds the
+    currently-soft-deleted docs in, the
+    ``SoftDeletesDirectoryReaderWrapper`` semantics
+    (``core/index/SoftDeletesDirectoryReaderWrapper.java:45-60``):
+    search treats a soft-deleted doc exactly like a hard-deleted one;
+    only merge reclamation and undelete distinguish them."""
     man = catalog.read_manifest()
     gens = man.get("deletes", [])
-    if not gens:
-        return None
-    dirs = [f"{catalog.index_dir}/{g['dir']}" for g in gens]
     live = [int(s) for s in sorted(catalog.committed_segment_ids())]
-    return (
-        spark.read.parquet(*dirs)
-        .where(F.col("segment_id").isin(live))
-        .distinct()
-    )
+    hard = None
+    if gens:
+        dirs = [f"{catalog.index_dir}/{g['dir']}" for g in gens]
+        hard = (
+            spark.read.parquet(*dirs)
+            .where(F.col("segment_id").isin(live))
+            .distinct()
+        )
+    if not include_soft:
+        return hard
+    soft = read_soft_tombstones(spark, catalog)
+    if soft is None:
+        return hard
+    soft = soft.select("segment_id", "local_docid")
+    if hard is None:
+        return soft
+    return hard.unionByName(soft).distinct()
 
 
 def deleted_count(spark: SparkSession, index_dir: str) -> int:
     t = read_tombstones(spark, IndexCatalog(index_dir))
     return 0 if t is None else t.count()
+
+
+# ---------------------------------------------------------------------------
+# soft deletes (SoftDeletesRetentionMergePolicy family)
+# ---------------------------------------------------------------------------
+#
+# The reference marks soft-deleted docs via a doc-values field instead
+# of the liveDocs bitset (``core/index/IndexWriter.java`` softUpdateDocument,
+# ``core/index/SoftDeletesRetentionMergePolicy.java:38-70``): readers
+# hide them, but merges RETAIN the ones matching a retention query so
+# they stay recoverable (replication / rollback). The Spark
+# re-expression: soft ops are generation-stamped parquet sets under
+# ``soft_deletes/c{N}`` with an op kind ("soft_delete" | "undelete" |
+# "merge_remap"); the CURRENT soft set is reconstructed by
+# latest-op-wins per (segment_id, local_docid) — a plain groupBy-max,
+# fully distributed. Hard tombstones are permanent and always win:
+# an undelete never resurrects a hard-deleted doc.
+
+_SOFT_DELETING_KINDS = ("soft_delete", "merge_remap")
+
+
+def _commit_soft_op(
+    catalog: IndexCatalog, df: DataFrame, kind: str, op_extra: dict
+) -> int:
+    d = catalog.new_commit_dir("soft_deletes")
+    df.select("segment_id", "local_docid").distinct().write.mode(
+        "overwrite"
+    ).parquet(d)
+    n = df.sparkSession.read.parquet(d).count()
+    man = catalog.read_manifest()
+    man.setdefault("soft_deletes", []).append(
+        {
+            "dir": d[len(catalog.index_dir) + 1 :],
+            "count": int(n),
+            "op": {"kind": kind, **op_extra},
+        }
+    )
+    catalog.commit_manifest(man)
+    return n
+
+
+def _resolve_by_urls(
+    spark: SparkSession, catalog: IndexCatalog, urls: list[str]
+) -> DataFrame:
+    from .build import read_docs
+
+    return (
+        read_docs(spark, catalog)
+        .where(F.col("url").isin(list(urls)))
+        .select("segment_id", "local_docid")
+    )
+
+
+def soft_delete_by_urls(
+    spark: SparkSession, index_dir: str, urls: list[str]
+) -> int:
+    """Soft-delete documents by url: hidden from every reader, but
+    recoverable via :func:`undelete_by_urls` until a merge without a
+    matching retention predicate physically reclaims them."""
+    catalog = IndexCatalog(index_dir)
+    victims = _resolve_by_urls(spark, catalog, urls)
+    return _commit_soft_op(
+        catalog, victims, "soft_delete", {"n_keys": len(urls)}
+    )
+
+
+def soft_delete_by_keys(
+    spark: SparkSession,
+    index_dir: str,
+    keys: DataFrame,
+    key_col: str = "url",
+) -> int:
+    """Distributed bulk soft delete (semi-join, no driver collect —
+    same scale contract as :func:`delete_by_keys`)."""
+    from .build import read_docs
+
+    catalog = IndexCatalog(index_dir)
+    victims = (
+        read_docs(spark, catalog)
+        .join(
+            keys.select(F.col(key_col).alias("url")).distinct(),
+            "url",
+            "left_semi",
+        )
+        .select("segment_id", "local_docid")
+    )
+    return _commit_soft_op(catalog, victims, "soft_delete", {"kind2": "by_keys"})
+
+
+def undelete_by_urls(
+    spark: SparkSession, index_dir: str, urls: list[str]
+) -> int:
+    """Reverse a soft delete: the docs become visible again (the
+    recoverability that distinguishes soft from hard deletes). A doc
+    that was also HARD-deleted stays deleted — hard tombstones are
+    permanent. Docs already reclaimed by a merge cannot come back."""
+    catalog = IndexCatalog(index_dir)
+    victims = _resolve_by_urls(spark, catalog, urls)
+    return _commit_soft_op(
+        catalog, victims, "undelete", {"n_keys": len(urls)}
+    )
+
+
+def undelete_by_keys(
+    spark: SparkSession,
+    index_dir: str,
+    keys: DataFrame,
+    key_col: str = "url",
+) -> int:
+    from .build import read_docs
+
+    catalog = IndexCatalog(index_dir)
+    victims = (
+        read_docs(spark, catalog)
+        .join(
+            keys.select(F.col(key_col).alias("url")).distinct(),
+            "url",
+            "left_semi",
+        )
+        .select("segment_id", "local_docid")
+    )
+    return _commit_soft_op(catalog, victims, "undelete", {"kind2": "by_keys"})
+
+
+def read_soft_tombstones(
+    spark: SparkSession, catalog: IndexCatalog
+) -> DataFrame | None:
+    """CURRENT soft-deleted (segment_id, local_docid) set: replay the
+    soft-op generations latest-wins. None when no soft ops exist."""
+    man = catalog.read_manifest()
+    gens = man.get("soft_deletes", [])
+    if not gens:
+        return None
+    parts = []
+    for seq, g in enumerate(gens):
+        deleting = g["op"]["kind"] in _SOFT_DELETING_KINDS
+        parts.append(
+            spark.read.parquet(f"{catalog.index_dir}/{g['dir']}")
+            .select("segment_id", "local_docid")
+            .withColumn("seq", F.lit(int(seq)))
+            .withColumn("deleting", F.lit(bool(deleting)))
+        )
+    allops = parts[0]
+    for p in parts[1:]:
+        allops = allops.unionByName(p)
+    live = [int(s) for s in sorted(catalog.committed_segment_ids())]
+    current = (
+        allops.where(F.col("segment_id").isin(live))
+        .groupBy("segment_id", "local_docid")
+        .agg(F.max(F.struct("seq", "deleting")).alias("last"))
+        .where(F.col("last.deleting"))
+        .select("segment_id", "local_docid")
+    )
+    return current
+
+
+def soft_deleted_count(spark: SparkSession, index_dir: str) -> int:
+    t = read_soft_tombstones(spark, IndexCatalog(index_dir))
+    return 0 if t is None else t.count()
+
+
+def soft_update_documents(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    num_segments: int = 2,
+    field: str = "text",
+) -> None:
+    """IndexWriter.softUpdateDocument analog: replace-by-key where the
+    old versions are SOFT-deleted (recoverable, retainable at merge)
+    instead of hard-tombstoned."""
+    from .build import build_index
+
+    catalog = IndexCatalog(index_dir)
+    man = catalog.read_manifest()
+    offset = max((s["segment_id"] for s in man["segments"]), default=-1) + 1
+    soft_delete_by_keys(spark, index_dir, docs.select("url"))
+    build_index(
+        spark,
+        docs,
+        index_dir,
+        num_segments=num_segments,
+        field=field,
+        segment_id_offset=offset,
+        lineage_extra={"op": "soft_update_documents"},
+        analyzer=man.get("analyzer", "standard"),
+    )
 
 
 def update_documents(

@@ -343,6 +343,7 @@ def merge_segments(
     group: Sequence[int],
     policy: str = "LogDocMergePolicy",
     reclaim_deletes: bool = False,
+    retention_urls: Sequence[str] | None = None,
 ) -> int:
     """Merge adjacent segments ``group`` into one new segment.
 
@@ -361,6 +362,14 @@ def merge_segments(
     sorted arrays — bounded by the merge group's doc count (Lucene's
     liveDocs bitsets are likewise in-memory per merge), NOT by index
     size.
+
+    ``retention_urls`` is the SoftDeletesRetentionMergePolicy analog
+    (``core/index/SoftDeletesRetentionMergePolicy.java:38-70``): when
+    reclaiming, SOFT-deleted docs whose url matches the retention set
+    survive the merge physically (postings/doc rows kept, docids
+    remapped) and stay soft-deleted in the merged segment — hidden
+    from search but still recoverable via undelete. Hard-deleted docs
+    are always reclaimed regardless of retention.
     """
     manifest = catalog.read_manifest()
     by_id = {s["segment_id"]: s for s in manifest["segments"]}
@@ -404,9 +413,10 @@ def merge_segments(
         bacc += maxb.get(s["segment_id"], -1) + 1
 
     # group tombstones (reclaim path needs them driver-side)
-    from .deletes import read_tombstones
+    from .deletes import read_soft_tombstones, read_tombstones
 
     deleted: dict[int, np.ndarray] = {}
+    retained: dict[int, np.ndarray] = {}
     if reclaim_deletes:
         t = read_tombstones(spark, catalog)
         if t is not None:
@@ -422,6 +432,43 @@ def merge_segments(
                 sid: np.array(sorted(v), dtype=np.int64)
                 for sid, v in tmp.items()
             }
+        if retention_urls and deleted:
+            # retention query = soft-deleted ∩ retention urls − hard
+            # (hard tombstones always reclaim); bounded by the group's
+            # soft-delete count, like the liveDocs arrays above
+            soft = read_soft_tombstones(spark, catalog)
+            if soft is not None:
+                from .build import read_docs
+
+                keep = soft.where(
+                    F.col("segment_id").isin([int(g) for g in group])
+                ).join(
+                    read_docs(spark, catalog)
+                    .where(F.col("url").isin(list(retention_urls)))
+                    .select("segment_id", "local_docid"),
+                    ["segment_id", "local_docid"],
+                    "left_semi",
+                )
+                hard = read_tombstones(spark, catalog, include_soft=False)
+                if hard is not None:
+                    keep = keep.join(
+                        hard, ["segment_id", "local_docid"], "left_anti"
+                    )
+                rtmp: dict[int, list[int]] = {}
+                for r in keep.collect():
+                    rtmp.setdefault(int(r["segment_id"]), []).append(
+                        int(r["local_docid"])
+                    )
+                retained = {
+                    sid: np.array(sorted(v), dtype=np.int64)
+                    for sid, v in rtmp.items()
+                }
+                for sid, keep_arr in retained.items():
+                    left = np.setdiff1d(deleted[sid], keep_arr)
+                    if left.size:
+                        deleted[sid] = left
+                    else:
+                        del deleted[sid]
 
     # per-source local-docid offset = cumulative doc counts in sort
     # order; the reclaim path counts LIVE docs only (DocIDMerger
@@ -558,6 +605,66 @@ def merge_segments(
                 "op": {"kind": "merge_remap", "merged_from": list(map(int, group))},
             }
 
+    # soft tombstones: a concat merge carries the CURRENT soft set
+    # forward remapped (same offsets as hard); a reclaiming merge
+    # carries only the retention-matched survivors, remapped by the
+    # survivor-density formula (they are live rows in the merged
+    # segment, still hidden from search, still undeletable)
+    soft_rel = None
+    if not deleted:
+        soft_cur = read_soft_tombstones(spark, catalog)
+        if soft_cur is not None:
+            soff_df = F.broadcast(
+                spark.createDataFrame(
+                    [(int(k), int(v)) for k, v in offsets.items()],
+                    "segment_id long, off long",
+                )
+            )
+            sremap = (
+                soft_cur.where(
+                    F.col("segment_id").isin([int(g) for g in group])
+                )
+                .join(soff_df, "segment_id")
+                .select(
+                    F.lit(int(new_id)).cast("long").alias("segment_id"),
+                    (F.col("local_docid") + F.col("off")).alias(
+                        "local_docid"
+                    ),
+                )
+                .distinct()
+            )
+            n_soft = sremap.count()
+            if n_soft:
+                sdir = catalog.new_commit_dir("soft_deletes")
+                sremap.write.mode("overwrite").parquet(sdir)
+                soft_rel = {
+                    "dir": sdir[len(catalog.index_dir) + 1 :],
+                    "count": int(n_soft),
+                    "op": {
+                        "kind": "merge_remap",
+                        "merged_from": list(map(int, group)),
+                    },
+                }
+    elif retained:
+        pairs: list[tuple[int, int]] = []
+        for sid, arr in retained.items():
+            drop = deleted.get(sid, np.empty(0, dtype=np.int64))
+            new_ids = offsets[sid] + arr - np.searchsorted(drop, arr)
+            pairs.extend((int(new_id), int(x)) for x in new_ids)
+        sdir = catalog.new_commit_dir("soft_deletes")
+        spark.createDataFrame(
+            pairs, "segment_id long, local_docid long"
+        ).write.mode("overwrite").parquet(sdir)
+        soft_rel = {
+            "dir": sdir[len(catalog.index_dir) + 1 :],
+            "count": len(pairs),
+            "op": {
+                "kind": "merge_remap",
+                "merged_from": list(map(int, group)),
+                "retained": True,
+            },
+        }
+
     # streaming exactly-once: a merged segment must keep claiming its
     # sources' micro-batch ids, or a replay after a crash between the
     # merge and Spark's checkpoint commit would re-index the batch
@@ -573,6 +680,8 @@ def merge_segments(
     manifest = catalog.read_manifest()
     if del_rel:
         manifest.setdefault("deletes", []).append(del_rel)
+    if soft_rel:
+        manifest.setdefault("soft_deletes", []).append(soft_rel)
     keep = [s for s in manifest["segments"] if s["segment_id"] not in set(group)]
     lineage = {
         "merged_from": [int(g) for g in group],
@@ -625,6 +734,7 @@ def maybe_merge(
     max_rounds: int = 10,
     policy: str = "log",
     reclaim_deletes: bool | None = None,
+    retention_urls: Sequence[str] | None = None,
     **tiered_kw,
 ) -> list[int]:
     """IndexWriter.maybeMerge analog: run merge rounds to fixpoint.
@@ -676,6 +786,7 @@ def maybe_merge(
                         else "LogDocMergePolicy"
                     ),
                     reclaim_deletes=reclaim_deletes,
+                    retention_urls=retention_urls,
                 )
             )
     return created

@@ -1,0 +1,192 @@
+"""Soft deletes: hidden-from-search semantics, undelete recovery,
+retention-at-merge (SoftDeletesRetentionMergePolicy analog), and the
+hard-wins interaction.
+
+Reference semantics:
+- ``core/index/SoftDeletesDirectoryReaderWrapper.java:45-60`` — a
+  reader over an index with a soft-deletes field hides soft-deleted
+  docs exactly like hard-deleted ones;
+- ``core/index/SoftDeletesRetentionMergePolicy.java:38-70`` — merges
+  physically keep soft-deleted docs matching the retention query, so
+  they stay recoverable; everything else is reclaimed;
+- hard deletes are permanent: an undelete never resurrects one.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.checkindex import check_index
+from lucene_spark.operators.deletes import (
+    delete_by_urls,
+    deleted_count,
+    soft_delete_by_keys,
+    soft_delete_by_urls,
+    soft_deleted_count,
+    soft_update_documents,
+    undelete_by_urls,
+)
+from lucene_spark.operators.merge import maybe_merge, merge_segments
+from lucene_spark.operators.search import Searcher
+from lucene_spark.sources.catalog import IndexCatalog
+
+from .conftest import NUM_SEGMENTS
+
+
+def _top(spark, d, term="window", k=5):
+    return [
+        (r["url"], r["score"])
+        for r in Searcher(spark, d).term_query(term, k=k).collect()
+    ]
+
+
+@pytest.fixture()
+def soft_index(spark, web_pages, tmp_path):
+    d = str(tmp_path / "soft_idx")
+    build_index(spark, web_pages, d, num_segments=NUM_SEGMENTS)
+    return d
+
+
+class TestSoftDeleteVisibility:
+    def test_soft_delete_hides_and_undelete_restores(
+        self, spark, soft_index
+    ):
+        base = _top(spark, soft_index)
+        victims = [base[0][0], base[2][0]]
+        n = soft_delete_by_urls(spark, soft_index, victims)
+        assert n == 2
+        assert soft_deleted_count(spark, soft_index) == 2
+
+        after = _top(spark, soft_index)
+        assert not ({u for u, _ in after} & set(victims))
+        # survivors keep identical scores (stats untouched, like hard
+        # deletes pre-reclaim)
+        surv = [(u, s) for u, s in base if u not in victims]
+        assert after[: len(surv)] == surv
+
+        # undelete restores the ORIGINAL results byte-identically
+        undelete_by_urls(spark, soft_index, victims)
+        assert soft_deleted_count(spark, soft_index) == 0
+        assert _top(spark, soft_index) == base
+
+    def test_latest_op_wins_resoftdelete(self, spark, soft_index):
+        base = _top(spark, soft_index)
+        v = base[0][0]
+        soft_delete_by_urls(spark, soft_index, [v])
+        undelete_by_urls(spark, soft_index, [v])
+        soft_delete_by_urls(spark, soft_index, [v])
+        assert soft_deleted_count(spark, soft_index) == 1
+        assert v not in {u for u, _ in _top(spark, soft_index)}
+
+    def test_hard_delete_wins_over_undelete(self, spark, soft_index):
+        base = _top(spark, soft_index)
+        v = base[0][0]
+        soft_delete_by_urls(spark, soft_index, [v])
+        delete_by_urls(spark, soft_index, [v])
+        undelete_by_urls(spark, soft_index, [v])
+        # still hidden: hard tombstones are permanent
+        assert v not in {u for u, _ in _top(spark, soft_index)}
+
+    def test_count_fallback_sees_soft_deletes(self, spark, soft_index):
+        s0 = Searcher(spark, soft_index)
+        full = s0.count("window")
+        base = _top(spark, soft_index)
+        soft_delete_by_urls(spark, soft_index, [base[0][0]])
+        s1 = Searcher(spark, soft_index)
+        assert s1.count("window") == full - 1
+
+    def test_soft_delete_by_keys_distributed(self, spark, soft_index):
+        base = _top(spark, soft_index)
+        keys = spark.createDataFrame(
+            [(base[0][0],), (base[1][0],)], "url string"
+        )
+        n = soft_delete_by_keys(spark, soft_index, keys)
+        assert n == 2
+        after = {u for u, _ in _top(spark, soft_index)}
+        assert not (after & {base[0][0], base[1][0]})
+
+
+class TestRetentionMerge:
+    def test_reclaim_without_retention_drops_soft(
+        self, spark, soft_index
+    ):
+        base = _top(spark, soft_index)
+        victims = [base[0][0], base[1][0]]
+        soft_delete_by_urls(spark, soft_index, victims)
+        cat = IndexCatalog(soft_index)
+        merge_segments(
+            spark,
+            cat,
+            sorted(cat.committed_segment_ids()),
+            policy="TieredMergePolicy",
+            reclaim_deletes=True,
+        )
+        # fully reclaimed: no tombstones anywhere, undelete cannot
+        # bring them back
+        assert deleted_count(spark, soft_index) == 0
+        undelete_by_urls(spark, soft_index, victims)
+        after = {u for u, _ in _top(spark, soft_index, k=20)}
+        assert not (after & set(victims))
+        assert check_index(spark, soft_index)["status"] == "OK"
+
+    def test_retention_keeps_soft_docs_recoverable(
+        self, spark, soft_index
+    ):
+        base = _top(spark, soft_index)
+        reclaim_u, retain_u = base[0][0], base[1][0]
+        soft_delete_by_urls(spark, soft_index, [reclaim_u, retain_u])
+        cat = IndexCatalog(soft_index)
+        group = sorted(cat.committed_segment_ids())
+        merge_segments(
+            spark,
+            cat,
+            group,
+            policy="SoftDeletesRetentionMergePolicy",
+            reclaim_deletes=True,
+            retention_urls=[retain_u],
+        )
+        # both still hidden from search
+        hidden = {u for u, _ in _top(spark, soft_index, k=20)}
+        assert reclaim_u not in hidden and retain_u not in hidden
+        # retained doc is STILL soft-deleted (carried, remapped) ...
+        assert soft_deleted_count(spark, soft_index) == 1
+        # ... and recoverable; the reclaimed one is gone for good
+        undelete_by_urls(spark, soft_index, [reclaim_u, retain_u])
+        after = {u for u, _ in _top(spark, soft_index, k=20)}
+        assert retain_u in after
+        assert reclaim_u not in after
+        assert check_index(spark, soft_index)["status"] == "OK"
+
+    def test_concat_merge_carries_soft_tombstones(
+        self, spark, soft_index
+    ):
+        base = _top(spark, soft_index)
+        v = base[0][0]
+        soft_delete_by_urls(spark, soft_index, [v])
+        before = _top(spark, soft_index)
+        # LOG concat merge: docids invariant, soft set carried remapped
+        maybe_merge(spark, soft_index, merge_factor=2, min_merge_docs=1)
+        assert soft_deleted_count(spark, soft_index) == 1
+        assert _top(spark, soft_index) == before
+        # still recoverable after the merge
+        undelete_by_urls(spark, soft_index, [v])
+        assert v in {u for u, _ in _top(spark, soft_index)}
+
+
+class TestSoftUpdate:
+    def test_soft_update_replaces_and_is_revertible(
+        self, spark, soft_index, web_pages
+    ):
+        base = _top(spark, soft_index)
+        v = base[0][0]
+        upd = spark.createDataFrame(
+            [(v, "replacement text entirely without the query term")],
+            "url string, text string",
+        )
+        soft_update_documents(spark, soft_index, upd, num_segments=1)
+        after = _top(spark, soft_index)
+        assert v not in {u for u, _ in after}
+        # the OLD version is soft-deleted, not hard: undelete restores
+        # it (both versions then carry the url; Lucene would too if the
+        # soft-deleted doc were un-marked without deleting the new one)
+        assert soft_deleted_count(spark, soft_index) == 1
