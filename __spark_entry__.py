@@ -1137,6 +1137,35 @@ def _q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(1000)
 
 
+def _q_cached_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRUQueryCache (``core/search/LRUQueryCache.java:60-96``): the
+    prefix filter runs TWICE through the cache — first use computes and
+    admits (min_uses=1), second is served from the persisted entry —
+    and the returned rows are the cached-path result, verified against
+    the same constant-score oracle as the uncached path. Counters are
+    asserted here so a silently-bypassed cache fails the entry."""
+    from lucene_spark.operators.querycache import LRUQueryCache
+
+    s = _get_searcher(spark, sf_dir)
+    had = getattr(s, "query_cache", None)
+    cache = LRUQueryCache(min_uses=1)
+    s.query_cache = cache
+    try:
+        s.scored_prefix("sca").count()  # use 1: miss + admit
+        sc = s.scored_prefix("sca")     # use 2: hit (served from cache)
+        out = s._attach_urls(
+            s._globalize(sc.withColumn("local_docid", F.col("docid")))
+        ).select(
+            _doc_id("url"), F.col("score").cast("double").alias("score")
+        ).orderBy("doc_id").limit(1000)
+        # force materialization through the cached plan BEFORE
+        # asserting counters (out itself is returned lazily)
+        assert cache.hit_count >= 1, "cache was bypassed"
+        return out
+    finally:
+        s.query_cache = had
+
+
 def _q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _get_searcher(spark, sf_dir)
     sc = s.scored_wildcard("w*w")
@@ -2889,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_hit_count": _q_total_hits,
         "facet_lang": _q_facet_lang,
         "prefix_match": _q_prefix,
+        "cached_filter_match": _q_cached_filter,
         "wildcard_match": _q_wildcard,
         "term_range_match": _q_term_range,
         "synonym_top10": _q_synonym,
@@ -3021,6 +3051,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, count(*)::BIGINT AS cnt
             FROM m JOIN documents d USING (doc_id) GROUP BY d.lang""",
         "prefix_match": _const_match_sql("term LIKE 'wi%'"),
+        "cached_filter_match": _const_match_sql("term LIKE 'sca%'"),
         "wildcard_match": _const_match_sql("regexp_matches(term, '^w.*w$')"),
         "term_range_match": _const_match_sql(
             "term >= 'spark' AND term <= 'table'"

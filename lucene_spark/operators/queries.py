@@ -127,7 +127,25 @@ class QueryOpsMixin:
     # ------------------------------------------------------------------
     def _matching_docids(self, term_pred: Column) -> DataFrame:
         """Distinct (segment_id, docid) of docs whose field contains any
-        term matching ``term_pred`` — the automaton∩postings scan."""
+        term matching ``term_pred`` — the automaton∩postings scan.
+
+        When ``self.query_cache`` is set (an
+        :class:`~lucene_spark.operators.querycache.LRUQueryCache`),
+        the match set is served through it: every multi-term filter
+        (prefix/wildcard/regexp/range/in-set) funnels through here, so
+        this is the single admission point — the analog of
+        IndexSearcher.setQueryCache wrapping Weights
+        (``core/search/LRUQueryCache.java:60-96``)."""
+        cache = getattr(self, "query_cache", None)
+        if cache is not None:
+            return cache.docid_set(
+                self,
+                ("matching_docids", self.field, str(term_pred)),
+                lambda: self._matching_docids_uncached(term_pred),
+            )
+        return self._matching_docids_uncached(term_pred)
+
+    def _matching_docids_uncached(self, term_pred: Column) -> DataFrame:
         posts = self._postings.where(term_pred).select(
             "segment_id", "first_docid", "num_docs", "doc_block"
         )

@@ -1,0 +1,126 @@
+"""LRUQueryCache: reader-shared caching of filter match sets.
+
+The reference caches per-(query, segment-core) DocIdSets for
+filter-role clauses (``core/search/LRUQueryCache.java:60-96``), guarded
+by a usage-tracking admission policy
+(``core/search/UsageTrackingQueryCachingPolicy.java:24-40``: a query is
+cached only once it recurs in the recent-query history) and evicted
+LRU. The Spark re-expression:
+
+- the cached unit is the materialized (segment_id, docid) DataFrame of
+  a filter, ``persist()``-ed MEMORY_AND_DISK — Spark stores the blocks
+  per partition on the executors, which is precisely the distributed
+  analog of Lucene's per-segment DocIdSet caching (each executor holds
+  the match-set blocks for the segments it scanned);
+- the cache key is (index generation, filter expression): a manifest
+  generation bump (new segments, deletes) invalidates exactly like
+  Lucene keying on the reader core — entries of older generations age
+  out of the LRU;
+- admission: a filter is cached only on its ``min_uses``-th use
+  (UsageTrackingQueryCachingPolicy's minFrequencyToCache, default 2) —
+  one-shot filters never pay the persist;
+- eviction: ``OrderedDict`` LRU bounded by ``max_queries``; evicted
+  entries are unpersisted (non-blocking), releasing executor storage.
+
+Opt-in wiring: set ``searcher.query_cache = LRUQueryCache(...)`` and
+every multi-term filter (prefix/wildcard/regexp/range/in-set — all
+funnel through ``QueryOpsMixin._matching_docids``) consults it.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Callable
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+
+def _reader_generation(searcher) -> int:
+    """The reader-core identity: the manifest generation the Searcher
+    was opened at (captured in Searcher.__init__ — call-time lookup
+    would wrongly migrate an old snapshot onto entries of a newer
+    generation after a mutation)."""
+    g = getattr(searcher, "opened_generation", None)
+    if g is not None:
+        return int(g)
+    cat = searcher.catalog
+    g = getattr(cat, "generation", None)
+    if g is not None:
+        return int(g)
+    gens = cat.generations()
+    return int(gens[-1]) if gens else 0
+
+
+class LRUQueryCache:
+    """LRU + usage-tracking admission cache for filter docid sets.
+
+    Counters mirror the reference's monitoring surface
+    (``LRUQueryCache.java`` getHitCount/getMissCount/getCacheCount/
+    getEvictionCount).
+    """
+
+    def __init__(self, max_queries: int = 32, min_uses: int = 2):
+        if max_queries < 1:
+            raise ValueError("max_queries must be >= 1")
+        self.max_queries = int(max_queries)
+        self.min_uses = int(min_uses)
+        self._cache: OrderedDict[tuple, DataFrame] = OrderedDict()
+        self._uses: dict[tuple, int] = {}
+        self.hit_count = 0
+        self.miss_count = 0
+        self.cache_count = 0
+        self.eviction_count = 0
+
+    # -- public API --------------------------------------------------
+
+    def docid_set(
+        self,
+        searcher,
+        cache_key: tuple,
+        producer: Callable[[], DataFrame],
+    ) -> DataFrame:
+        """Return the filter's (segment_id, docid) DataFrame, serving
+        from cache when admitted, else from ``producer()`` (and
+        admitting it once its use count reaches ``min_uses``)."""
+        key = (_reader_generation(searcher),) + tuple(cache_key)
+        self._uses[key] = self._uses.get(key, 0) + 1
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            self.hit_count += 1
+            return hit
+        self.miss_count += 1
+        df = producer()
+        if self._uses[key] >= self.min_uses:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()  # materialize now: the next use is a pure read
+            self._cache[key] = df
+            self.cache_count += 1
+            while len(self._cache) > self.max_queries:
+                _, victim = self._cache.popitem(last=False)
+                victim.unpersist(blocking=False)
+                self.eviction_count += 1
+            # keep the usage history bounded (ring-buffer analog):
+            # drop cold never-admitted keys once the map outgrows the
+            # cache by 8x
+            if len(self._uses) > 8 * self.max_queries:
+                for k in list(self._uses):
+                    if k not in self._cache:
+                        del self._uses[k]
+        return df
+
+    def stats(self) -> dict:
+        return {
+            "hit_count": self.hit_count,
+            "miss_count": self.miss_count,
+            "cache_count": self.cache_count,
+            "eviction_count": self.eviction_count,
+            "size": len(self._cache),
+        }
+
+    def clear(self) -> None:
+        for df in self._cache.values():
+            df.unpersist(blocking=False)
+        self._cache.clear()
+        self._uses.clear()

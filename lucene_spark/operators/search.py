@@ -899,6 +899,18 @@ class Searcher(QueryOpsMixin):
         from .deletes import read_tombstones
 
         self._tombstones = read_tombstones(spark, self.catalog)
+        # reader-core identity for LRUQueryCache keying: the manifest
+        # generation this reader was opened at (NOT call-time — the
+        # snapshot must keep hitting its own cache entries after later
+        # mutations bump the live generation)
+        if generation is not None:
+            self.opened_generation = int(generation)
+        else:
+            gens = self.catalog.generations()
+            self.opened_generation = int(gens[-1]) if gens else 0
+        # optional LRUQueryCache (operators/querycache.py); assign to
+        # enable filter-set caching through _matching_docids
+        self.query_cache = None
 
     def _filter_live(self, df: DataFrame, docid_col: str = "docid") -> DataFrame:
         """Drop deleted docs (liveDocs anti-join); no-op when the index

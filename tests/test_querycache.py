@@ -1,0 +1,133 @@
+"""LRUQueryCache: admission policy, hit/miss accounting, LRU eviction
+with unpersist, generation invalidation, and result identity through
+the cached path.
+
+Reference semantics: ``core/search/LRUQueryCache.java:60-96`` (cache +
+eviction + counters), ``core/search/UsageTrackingQueryCachingPolicy
+.java:24-40`` (cache only recurring queries).
+"""
+
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.querycache import LRUQueryCache
+from lucene_spark.operators.search import Searcher
+
+
+def _rows(df):
+    return sorted(
+        (int(r["segment_id"]), int(r["docid"]))
+        for r in df.select("segment_id", "docid").collect()
+    )
+
+
+class TestAdmissionAndHits:
+    def test_results_identical_and_second_use_cached(
+        self, spark, index_dir
+    ):
+        s_plain = Searcher(spark, index_dir)
+        want = _rows(s_plain.scored_prefix("win"))
+
+        s = Searcher(spark, index_dir)
+        s.query_cache = LRUQueryCache(min_uses=2)
+        got1 = _rows(s.scored_prefix("win"))
+        assert got1 == want
+        # first use: miss, below min_uses -> NOT admitted
+        assert s.query_cache.stats()["size"] == 0
+        got2 = _rows(s.scored_prefix("win"))
+        assert got2 == want
+        # second use: miss but admitted (min_uses reached on this use)
+        assert s.query_cache.stats()["size"] == 1
+        got3 = _rows(s.scored_prefix("win"))
+        assert got3 == want
+        st = s.query_cache.stats()
+        assert st["hit_count"] == 1 and st["miss_count"] == 2
+
+    def test_min_uses_one_admits_immediately(self, spark, index_dir):
+        s = Searcher(spark, index_dir)
+        s.query_cache = LRUQueryCache(min_uses=1)
+        _rows(s.scored_wildcard("wi*ow"))
+        assert s.query_cache.stats()["size"] == 1
+        _rows(s.scored_wildcard("wi*ow"))
+        assert s.query_cache.hit_count == 1
+
+    def test_distinct_filters_get_distinct_entries(
+        self, spark, index_dir
+    ):
+        s = Searcher(spark, index_dir)
+        s.query_cache = LRUQueryCache(min_uses=1)
+        a = _rows(s.scored_prefix("win"))
+        b = _rows(s.scored_prefix("sto"))
+        assert a != b
+        assert s.query_cache.stats()["size"] == 2
+
+
+class TestEviction:
+    def test_lru_eviction_unpersists(self, spark, index_dir):
+        s = Searcher(spark, index_dir)
+        s.query_cache = LRUQueryCache(max_queries=2, min_uses=1)
+        d1 = s.query_cache.docid_set(
+            s, ("k1",),
+            lambda: s._matching_docids_uncached(
+                F.col("term").startswith("win")
+            ),
+        )
+        s.query_cache.docid_set(
+            s, ("k2",),
+            lambda: s._matching_docids_uncached(
+                F.col("term").startswith("sto")
+            ),
+        )
+        s.query_cache.docid_set(
+            s, ("k3",),
+            lambda: s._matching_docids_uncached(
+                F.col("term").startswith("bat")
+            ),
+        )
+        st = s.query_cache.stats()
+        assert st["size"] == 2 and st["eviction_count"] == 1
+        # the evicted (oldest) entry's storage is released
+        assert d1.storageLevel.useMemory is False
+
+    def test_clear_releases_everything(self, spark, index_dir):
+        s = Searcher(spark, index_dir)
+        s.query_cache = LRUQueryCache(min_uses=1)
+        _rows(s.scored_prefix("win"))
+        s.query_cache.clear()
+        assert s.query_cache.stats()["size"] == 0
+
+
+class TestGenerationInvalidation:
+    def test_mutation_changes_key(self, spark, web_pages, tmp_path):
+        from lucene_spark.operators.build import build_index
+        from lucene_spark.operators.deletes import delete_by_urls
+
+        d = str(tmp_path / "qc_idx")
+        build_index(spark, web_pages, d, num_segments=2)
+        cache = LRUQueryCache(min_uses=1)
+
+        s1 = Searcher(spark, d)
+        s1.query_cache = cache
+        before = _rows(s1.scored_prefix("win"))
+        assert cache.stats()["size"] == 1
+
+        victim = (
+            s1._attach_urls(
+                s1._globalize(
+                    s1.scored_prefix("win").withColumn(
+                        "local_docid", F.col("docid")
+                    )
+                )
+            )
+            .select("url").limit(1).collect()[0]["url"]
+        )
+        delete_by_urls(spark, d, [victim])
+
+        s2 = Searcher(spark, d)
+        s2.query_cache = cache
+        after = _rows(s2.scored_prefix("win"))
+        # new generation -> new entry, results reflect the delete
+        assert len(after) == len(before) - 1
+        assert cache.stats()["size"] == 2
+        # old reader keeps serving its snapshot from ITS entry
+        assert _rows(s1.scored_prefix("win")) == before
+        assert cache.hit_count >= 1
