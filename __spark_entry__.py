@@ -1137,6 +1137,30 @@ def _q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(1000)
 
 
+def _q_time_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeLimitingBulkScorer under a generous budget
+    (``core/search/TimeLimitingBulkScorer.java:33-77``): runs the
+    budget-checking kernel end-to-end (sentinel machinery, persist,
+    flag aggregation) and must be byte-identical to the plain BM25
+    top-10 with timed_out = false. The exceeded-budget partial-results
+    contract is pytest-verified (tests/test_time_limited.py) — a
+    timing-dependent result set can't be a deterministic oracle."""
+    s = _get_searcher(spark, sf_dir)
+    # over-fetch on raw scores, then apply the oracle-facing
+    # round-then-rank cut (same convention as _topk_by_doc_id: ties at
+    # the k-th ROUNDED score break by doc_id)
+    res = s.term_query_time_limited("window", k=50, budget_ms=600_000.0)
+    return (
+        res.select(
+            _doc_id("url"),
+            F.round("score", 6).alias("score"),
+            "timed_out",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def _q_cached_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LRUQueryCache (``core/search/LRUQueryCache.java:60-96``): the
     prefix filter runs TWICE through the cache — first use computes and
@@ -2919,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang": _q_facet_lang,
         "prefix_match": _q_prefix,
         "cached_filter_match": _q_cached_filter,
+        "time_limited_top10": _q_time_limited,
         "wildcard_match": _q_wildcard,
         "term_range_match": _q_term_range,
         "synonym_top10": _q_synonym,
@@ -3052,6 +3077,11 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN documents d USING (doc_id) GROUP BY d.lang""",
         "prefix_match": _const_match_sql("term LIKE 'wi%'"),
         "cached_filter_match": _const_match_sql("term LIKE 'sca%'"),
+        "time_limited_top10": (
+            "SELECT doc_id, score, false AS timed_out FROM ("
+            + _bm25_sql(["window"])
+            + ") ORDER BY score DESC, doc_id"
+        ),
         "wildcard_match": _const_match_sql("regexp_matches(term, '^w.*w$')"),
         "term_range_match": _const_match_sql(
             "term >= 'spark' AND term <= 'table'"

@@ -480,7 +480,9 @@ def _bind_scorers(stats, field_stats, k1, b, boost, dtype, similarity="bm25"):
     }
 
 
-def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
+def _make_unpack_kernel(
+    scorers, dtype, need_positions, k_for_pruning, time_budget_ms=None
+):
     """mapInArrow kernel: block rows -> scored posting rows.
 
     When ``k_for_pruning`` is set (single-term top-k), keeps a running
@@ -490,14 +492,33 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
     STRICT (``ub < kth``): a block whose bound ties the k-th score may
     hold a doc that wins the (score desc, docid asc) tie-break
     (HitQueue.java:76-83), so it must still be decoded.
+
+    ``time_budget_ms`` is the TimeLimitingBulkScorer analog
+    (``core/search/TimeLimitingBulkScorer.java:33-77``): each TASK gets
+    a compute budget from its first batch (per-task, not per-query —
+    executor clocks are not comparable across machines, and parallel
+    tasks each doing ≤ budget of work bounds the query wall clock the
+    same way Lucene's per-slice scorers do). The clock is checked per
+    block (≤256 docs), Lucene's growing-interval check at our block
+    granularity. On exceed the task STOPS decoding and emits one
+    sentinel row (docid = −1) so the caller can surface
+    ``TopDocs``-style partial-results flagging; docs already scored are
+    kept — exactly the reference's partial-hits contract.
     """
     score_pa = pa.float32() if dtype == np.float32 else pa.float64()
     out_schema = _unpack_schema(score_pa)
 
     def kernel(batches):
         import heapq
+        import time as _time
 
         topk_heap: list[float] = []  # partition-local kth-score tracker
+        deadline = (
+            _time.monotonic() + time_budget_ms / 1000.0
+            if time_budget_ms is not None
+            else None
+        )
+        expired = False
 
         for batch in batches:
             terms = batch.column("term").to_pylist()
@@ -525,6 +546,9 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
                 "term", "segment_id", "block_id", "docid", "freq", "norm",
                 "score", "positions")}
             for j in order:
+                if deadline is not None and _time.monotonic() > deadline:
+                    expired = True
+                    break
                 if (
                     k_for_pruning
                     and len(topk_heap) >= k_for_pruning
@@ -575,6 +599,25 @@ def _make_unpack_kernel(scorers, dtype, need_positions, k_for_pruning):
                     },
                     schema=out_schema,
                 )
+            if expired:
+                break
+        if expired:
+            # partial-results marker: one sentinel row per expired
+            # task; downstream filters docid >= 0 and aggregates the
+            # flag (TimeExceededException -> TopDocs partial flag)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "term": [""],
+                    "segment_id": np.array([-1], dtype=np.int64),
+                    "block_id": np.array([-1], dtype=np.int64),
+                    "docid": np.array([-1], dtype=np.int64),
+                    "freq": np.array([0], dtype=np.int32),
+                    "norm": np.array([0], dtype=np.int32),
+                    "score": np.array([0.0], dtype=dtype),
+                    "positions": [None],
+                },
+                schema=out_schema,
+            )
 
     from .codec import with_codecs
 
@@ -965,9 +1008,12 @@ class Searcher(QueryOpsMixin):
         boost: float = 1.0,
         need_positions: bool = False,
         k_for_pruning: int | None = None,
+        time_budget_ms: float | None = None,
     ) -> DataFrame:
         """(term, segment_id, docid, freq, norm, score[, positions]) rows
-        for every posting of the given terms."""
+        for every posting of the given terms. With ``time_budget_ms``
+        set, tasks stop at the budget and emit docid = −1 sentinels
+        (see :func:`_make_unpack_kernel`); callers must filter."""
         stats = self.term_stats(terms)
         present = [t for t in terms if t in stats]
         if not present:
@@ -995,7 +1041,8 @@ class Searcher(QueryOpsMixin):
             cols.append("pos_block")
         posts = self._postings.where(F.col("term").isin(present)).select(*cols)
         kernel, _ = _make_unpack_kernel(
-            scorers, self.dtype, need_positions, k_for_pruning
+            scorers, self.dtype, need_positions, k_for_pruning,
+            time_budget_ms=time_budget_ms,
         )
         return self._filter_live(
             posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
@@ -1140,6 +1187,42 @@ class Searcher(QueryOpsMixin):
             [term], k_for_pruning=k if prune else None
         ).select("segment_id", "docid", "score")
         return self._finish_topk(sc, k)
+
+    def term_query_time_limited(
+        self, term: str, k: int = 10, budget_ms: float = 10_000.0
+    ) -> DataFrame:
+        """TermQuery under a time budget
+        (``core/search/TimeLimitingBulkScorer.java:33-77`` +
+        IndexSearcher.setTimeout partial-results semantics): top-k over
+        the docs each task managed to score within ``budget_ms``, plus
+        a ``timed_out`` flag column (TopDocs' partial-result marker).
+        With a generous budget the result is byte-identical to
+        :meth:`term_query`; an exceeded budget yields a correct top-k
+        of the SCORED subset — Lucene's exact contract.
+
+        The scored set is persisted before deriving rows and flag so
+        both come from the SAME (inherently timing-dependent) kernel
+        run, then materialized and unpersisted — no storage leak.
+        """
+        scored = (
+            self.scored_postings([term], time_budget_ms=budget_ms)
+            .select("segment_id", "docid", "score")
+            .persist()
+        )
+        try:
+            timed_out = bool(
+                scored.where(F.col("docid") < 0).limit(1).count()
+            )
+            rows = self._finish_topk(
+                scored.where(F.col("docid") >= 0), k
+            ).collect()
+        finally:
+            scored.unpersist(blocking=False)
+        score_t = "float" if self.dtype == np.float32 else "double"
+        out = self.spark.createDataFrame(
+            rows, f"docid long, url string, score {score_t}"
+        )
+        return out.withColumn("timed_out", F.lit(timed_out))
 
     def scored_feature(
         self,

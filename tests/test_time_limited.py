@@ -1,0 +1,56 @@
+"""TimeLimitingBulkScorer analog: per-task compute budgets with
+partial-results semantics (``core/search/TimeLimitingBulkScorer.java:
+33-77``; IndexSearcher.setTimeout -> TopDocs partial flag).
+
+Contract: a generous budget is byte-identical to the exhaustive
+TermQuery; an exceeded budget returns a correct top-k of the subset of
+docs that WERE scored, flagged timed_out — never a wrong score, never
+an unflagged truncation.
+"""
+
+from lucene_spark.operators.search import Searcher
+
+
+class TestTimeLimited:
+    def test_generous_budget_identical_and_unflagged(
+        self, spark, searcher
+    ):
+        full = [
+            (r["docid"], r["url"], r["score"])
+            for r in searcher.term_query("window", k=10).collect()
+        ]
+        got = searcher.term_query_time_limited(
+            "window", k=10, budget_ms=300_000.0
+        ).collect()
+        assert [(r["docid"], r["url"], r["score"]) for r in got] == full
+        assert all(r["timed_out"] is False for r in got)
+
+    def test_zero_budget_times_out_empty(self, spark, searcher):
+        got = searcher.term_query_time_limited(
+            "window", k=10, budget_ms=0.0
+        ).collect()
+        # every task expires before scoring its first block: no rows,
+        # and any row that WERE returned must carry the flag
+        assert all(r["timed_out"] is True for r in got)
+        assert got == []
+
+    def test_partial_results_are_true_scores(self, spark, index_dir):
+        """Whatever survives a tight budget must be a subset of the
+        exhaustive result with identical scores (partial, never
+        wrong)."""
+        s = Searcher(spark, index_dir)
+        truth = {
+            r["docid"]: r["score"]
+            for r in s.term_query("window", k=10_000, prune=False).collect()
+        }
+        got = s.term_query_time_limited(
+            "window", k=10_000, budget_ms=2.0
+        ).collect()
+        for r in got:
+            assert truth[r["docid"]] == r["score"]
+
+    def test_sentinels_never_leak(self, spark, searcher):
+        got = searcher.term_query_time_limited(
+            "window", k=1000, budget_ms=1.0
+        ).collect()
+        assert all(r["docid"] >= 0 for r in got)
