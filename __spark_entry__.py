@@ -645,7 +645,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
         elif kind in (
             "english", "french", "german",
             "swedish", "norwegian", "finnish", "czech", "bulgarian",
-            "indonesian",
+            "indonesian", "latvian",
         ):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
@@ -791,6 +791,12 @@ def _ID_STOPS():
     from lucene_spark.functions.indonesian import INDONESIAN_STOP_WORDS
 
     return INDONESIAN_STOP_WORDS
+
+
+def _LV_STOPS():
+    from lucene_spark.functions.latvian import LATVIAN_STOP_WORDS
+
+    return LATVIAN_STOP_WORDS
 
 
 def _en33_sql() -> str:
@@ -2718,6 +2724,139 @@ def _q_bulgarian(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["filter"]))
 
 
+def _q_latvian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latvian Kreslins light stemmer chain (lv/LatvianStemmer.java):
+    stem-invariant term 'spark' (singleton preimage asserted in
+    tests/test_latvian.py)."""
+    s = _variant_searcher(spark, sf_dir, "latvian")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["spark"]))
+
+
+def _q_sorani_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoraniAnalyzer chain (ckb/SoraniAnalyzer.java:121-129) over
+    deterministic Sorani synthesized per doc_id (the sf corpus is
+    ASCII-only): 'لە <base><sfx> ٢٠٢٤' with base drawn from a
+    suffix-free, normalization-free alphabet and sfx alternating
+    ''/'ەکە' (the definite-singular strip). The engine runs the full
+    chain (stop gap at لە, the ladder strip, Arabic-Indic digit fold);
+    the oracle reconstructs base by the same arithmetic."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "بجچخزژفق"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("sorani")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 4 + i % 2
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                sfx = "" if i % 2 else "ەکە"
+                text = "لە " + base + sfx + " ٢٠٢٤"
+                terms, pos = chain_analyze(text, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+def _q_bengali_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BengaliAnalyzer chain (bn/BengaliAnalyzer.java:119-130) over
+    deterministic Bengali synthesized per doc_id: 'এই <base><sfx> ১২৩'
+    with base drawn from a suffix-free, normalization-free consonant
+    alphabet and sfx alternating ''/'টা' (the classifier strip). The
+    engine runs the full chain (stop gap at এই, the ladder strip,
+    Bengali digit fold); the oracle reconstructs base by the same
+    arithmetic."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "গজপমলচফঘ"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("bengali")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                sfx = "" if i % 2 else "টা"
+                text = "এই " + base + sfx + " ১২৩"
+                terms, pos = chain_analyze(text, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_SORANI_SQL = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 2 AS L FROM documents WHERE doc_id < 200
+),
+a AS (
+  SELECT doc_id,
+         [1576, 1580, 1670, 1582, 1586, 1688, 1601, 1602] AS cps,
+         L
+  FROM d
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             chr(CAST(cps[1 + (doc_id*5 + g.k) % 8] AS INTEGER)),
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM a
+)
+SELECT doc_id, base || '|2024' AS terms, '1,2' AS positions
+FROM b
+"""
+
+_BENGALI_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+a AS (
+  SELECT doc_id,
+         [2455, 2460, 2474, 2478, 2482, 2458, 2475, 2456] AS cps,
+         L
+  FROM d
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             chr(CAST(cps[1 + (doc_id*5 + g.k) % 8] AS INTEGER)),
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM a
+)
+SELECT doc_id, base || '|123' AS terms, '1,2' AS positions
+FROM b
+"""
+
+
 def _q_indonesian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indonesian Tala stemmer chain (id/IndonesianStemmer.java):
     stem-invariant term 'customer'."""
@@ -3028,6 +3167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "finnish_analyzer_top10": _q_finnish,
         "czech_analyzer_top10": _q_czech,
         "bulgarian_analyzer_top10": _q_bulgarian,
+        "latvian_analyzer_top10": _q_latvian,
+        "sorani_analyzer_tokens": _q_sorani_analyzer,
+        "bengali_analyzer_tokens": _q_bengali_analyzer,
         "indonesian_analyzer_top10": _q_indonesian,
         "feature_boosted_top10": _q_feature_boosted,
         "global_prune_top10": _q_global_prune,
@@ -3368,6 +3510,11 @@ def oracle_sql() -> dict[str, str]:
         "bulgarian_analyzer_top10": _stop_filtered_bm25_sql(
             "filter", _lang_stop_sql(_BG_STOPS())
         ),
+        "latvian_analyzer_top10": _stop_filtered_bm25_sql(
+            "spark", _lang_stop_sql(_LV_STOPS())
+        ),
+        "sorani_analyzer_tokens": _SORANI_SQL,
+        "bengali_analyzer_tokens": _BENGALI_SQL,
         "indonesian_analyzer_top10": _stop_filtered_bm25_sql(
             "customer", _lang_stop_sql(_ID_STOPS())
         ),

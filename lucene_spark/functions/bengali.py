@@ -1,0 +1,172 @@
+"""Bengali analysis: Indic + Bengali normalization, light stemmer.
+
+Re-expresses ``analysis/common/.../bn/`` — BengaliAnalyzer's chain
+(``BengaliAnalyzer.java:119-130``: tokenize -> lower -> decimal digits
+-> IndicNormalization -> BengaliNormalization -> stop -> stem):
+
+- ``bengali_normalize`` first applies the Bengali slice of
+  ``in/IndicNormalizer.java``'s composition table (decomposed
+  nukta/matra sequences compose to the precomposed letters: DDA/DDHA/
+  YA+nukta -> RRA/RHA/YYA, TA+virama+ZWJ -> khanda ta, E+AA/E+AU-mark
+  -> O/AU — NOTE: Unicode NFC deliberately EXCLUDES these
+  compositions, so NFC is not a substitute), then
+  ``BengaliNormalizer.java:33-149``'s folds from UzZaman & Khan,
+  *A Double Metaphone encoding for Bangla* (PAN Localization BAN16):
+  chandrabindu deletion, long->short i/u matras, the khio cluster,
+  nga -> anusvara, ja-phala and ba-phala simplification, visarga
+  handling, sh variants -> dental sa, retroflex na -> dental na,
+  rra/rha -> ra, khanda ta -> ta.
+- ``bengali_stem`` (``BengaliStemmer.java:24-175``): the
+  longest-first suffix ladder (verb conjugation, plural/case and
+  classifier endings, 8 chars down to 1), one strip, each group
+  guarded by a minimum remainder.
+
+The stop set is the analyzer's default ``bn/stopwords.txt``, matched
+AFTER normalization exactly like the Java chain order. Suffix and
+stop tables are ported verbatim as data (like the UAX#29 DFA tables);
+the matching logic is original.
+"""
+
+from __future__ import annotations
+
+_B = 0x0980  # Bengali block base
+
+# IndicNormalizer.decompositions, Bengali rows: (ch, ch1, ch2, target)
+# offsets from the block base; ch2 = None -> 2-char rule, 0xFF = ZWJ
+_INDIC_COMPOSE = [
+    (0x21, 0x3C, None, 0x5C),  # DDA + nukta -> RRA
+    (0x22, 0x3C, None, 0x5D),  # DDHA + nukta -> RHA
+    (0x24, 0x4D, 0xFF, 0x4E),  # TA + virama + ZWJ -> khanda ta
+    (0x2F, 0x3C, None, 0x5F),  # YA + nukta -> YYA
+    (0x47, 0x3E, None, 0x4B),  # E + AA -> O
+    (0x47, 0x57, None, 0x4C),  # E + AU-length-mark -> AU
+]
+
+
+def _indic_compose(s: list[str]) -> list[str]:
+    """Bengali slice of ``in/IndicNormalizer.java:269-300``: compose
+    decomposed sequences left-to-right, in place."""
+    i = 0
+    while i < len(s):
+        c0 = ord(s[i]) - _B
+        for ch0, ch1, ch2, tgt in _INDIC_COMPOSE:
+            if c0 != ch0 or i + 1 >= len(s):
+                continue
+            if ord(s[i + 1]) - _B != ch1:
+                continue
+            if ch2 is None:
+                s[i : i + 2] = [chr(_B + tgt)]
+                break
+            if i + 2 < len(s) and (
+                (ch2 == 0xFF and s[i + 2] == "\u200D")
+                or ord(s[i + 2]) - _B == ch2
+            ):
+                s[i : i + 3] = [chr(_B + tgt)]
+                break
+        i += 1
+    return s
+
+
+def bengali_normalize(token: str) -> str:
+    from .arabic import fold_decimal_digits
+
+    # the chain's DecimalDigitFilter precedes normalization
+    s = list(_indic_compose(list(fold_decimal_digits(token))))
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "\u0981":  # chandrabindu: delete
+            del s[i]
+            continue
+        if ch == "\u09C0":  # dirgho-i -> rossho-i matra
+            s[i] = "\u09BF"
+        elif ch == "\u09C2":  # dirgho-u -> rossho-u matra
+            s[i] = "\u09C1"
+        elif ch == "\u0995":  # khio cluster
+            if (
+                i + 2 < len(s)
+                and s[i + 1] == "\u09CD"
+                and s[i + 2] == "\u09BF"
+            ):
+                if i == 0:
+                    s[i : i + 3] = ["\u0996"]
+                else:
+                    s[i + 1 : i + 3] = ["\u0996"]
+        elif ch == "\u0999":  # nga -> anusvara
+            s[i] = "\u0982"
+        elif ch == "\u09AF":  # ja phala
+            if i - 2 == 0 and s[i - 1] == "\u09CD":
+                s[i - 1] = "\u09C7"
+                if i + 1 < len(s) and s[i + 1] == "\u09BE":
+                    del s[i + 1]
+                del s[i]
+                continue
+            elif i - 1 >= 0 and s[i - 1] == "\u09CD":
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+        elif ch == "\u09AC":  # ba phala
+            if i == 0 or s[i - 1] != "\u09CD":
+                pass
+            elif i - 2 == 0:
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+            elif i - 5 >= 0 and s[i - 3] == "\u09CD":
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+            elif i - 2 >= 0:
+                s[i - 1] = s[i - 2]
+                del s[i]
+                continue
+        elif ch == "\u0983":  # visarga
+            if i == len(s) - 1:
+                if len(s) <= 3:
+                    s[i] = "\u09B9"
+                else:
+                    del s[i]
+                    continue
+            else:
+                s[i] = s[i + 1]
+        elif ch in ("\u09B6", "\u09B7"):  # sh variants -> sa
+            s[i] = "\u09B8"
+        elif ch == "\u09A3":  # retroflex na -> dental na
+            s[i] = "\u09A8"
+        elif ch in ("\u09DC", "\u09DD"):  # rra/rha -> ra
+            s[i] = "\u09B0"
+        elif ch == "\u09CE":  # khanda ta -> ta
+            s[i] = "\u09A4"
+        i += 1
+    return "".join(s)
+
+
+# BengaliStemmer.java suffix ladder: (min_len_exclusive, strip, suffixes)
+_SUFFIX_GROUPS = [
+    (9, 8, ("িয়াছিলাম", "িতেছিলাম", "িতেছিলেন", "ইতেছিলেন", "িয়াছিলেন", "ইয়াছিলেন")),
+    (8, 7, ("িতেছিলি", "িতেছিলে", "িয়াছিলা", "িয়াছিলে", "িতেছিলা", "িয়াছিলি", "য়েদেরকে")),
+    (7, 6, ("িতেছিস", "িতেছেন", "িয়াছিস", "িয়াছেন", "েছিলাম", "েছিলেন", "েদেরকে")),
+    (6, 5, ("িতেছি", "িতেছা", "িতেছে", "ছিলাম", "ছিলেন", "িয়াছি", "িয়াছা", "িয়াছে", "েছিলে", "েছিলা", "য়েদের", "দেরকে")),
+    (5, 4, ("িলাম", "িলেন", "িতাম", "িতেন", "িবেন", "ছিলি", "ছিলে", "ছিলা", "তেছে", "িতেছ", "খানা", "খানি", "গুলো", "গুলি", "য়েরা", "েদের")),
+    (4, 3, ("লাম", "িলি", "ইলি", "িলে", "ইলে", "লেন", "িলা", "ইলা", "তাম", "িতি", "ইতি", "িতে", "ইতে", "তেন", "িতা", "িবা", "ইবা", "িবি", "ইবি", "বেন", "িবে", "ইবে", "ছেন", "য়োন", "য়ের", "েরা", "দের")),
+    (3, 2, ("িস", "েন", "লি", "লে", "লা", "তি", "তে", "তা", "বি", "বে", "বা", "ছি", "ছা", "ছে", "ুন", "ুক", "টা", "টি", "নি", "ের", "রা", "কে")),
+    (2, 1, ("ি", "ী", "া", "ো", "ে", "ব", "ত")),
+]
+
+
+def bengali_stem(word: str) -> str:
+    """One longest-first strip from the guarded ladder
+    (``bn/BengaliStemmer.java:24-175``)."""
+    n = len(word)
+    for min_len, strip, sufs in _SUFFIX_GROUPS:
+        if n > min_len and word.endswith(sufs):
+            return word[:-strip]
+    return word
+
+
+BENGALI_STOP_WORDS = frozenset(
+    """এই ও থেকে করে এ না ওই এক্ নিয়ে করা বলেন সঙ্গে যে এব তা আর কোনো বলে সেই দিন হয় কি দু পরে সব দেওয়া মধ্যে এর সি শুরু কাজ কিছু কাছে সে তবে বা বন আগে জ্নজন পি পর তো ছিল এখন আমরা প্রায় দুই আমাদের তাই অন্য গিয়ে প্রযন্ত মনে নতুন মতো কেখা প্রথম আজ টি ধামার অনেক বিভিন্ন র হাজার জানা নয় অবশ্য বেশি এস কে হতে বি কয়েক সহ বেশ এমন এমনি কেন কেউ নেওয়া চেষ্টা লক্ষ বলা কারণ আছে শুধু তখন যা এসে চার যদি আবার কোটি উত্তর সামনে উপর বক্তব্য এত প্রাথমিক উপরে প্রতি কাজে যখন খুব বহু গেল পেয়্র্ চালু ই নাগাদ থাকা পাচ যাওয়া রকম সাধারণ কমনে""".split()
+)

@@ -1093,6 +1093,25 @@ def _build_chains() -> dict:
         "arabic": AnalyzerChain(
             "arabic", _ar_stops(), stem=_ar_stem(), normalize=_ar_norm()
         ),
+        # LatvianAnalyzer (lv/LatvianAnalyzer.java:101-108): lower ->
+        # stop -> Kreslins light stemmer
+        "latvian": AnalyzerChain(
+            "latvian", _lv_stops(), stem=_lv_stem()
+        ),
+        # SoraniAnalyzer (ckb/SoraniAnalyzer.java:121-129): normalize
+        # -> lower -> digits -> stop -> stem; normalize commutes with
+        # lower (Arabic script), stop list matched post-normalization
+        # like the Java order
+        "sorani": AnalyzerChain(
+            "sorani", _ckb_stops(), stem=_ckb_stem(),
+            normalize=_ckb_norm(), stop_after_normalize=True,
+        ),
+        # BengaliAnalyzer (bn/BengaliAnalyzer.java:119-130): lower ->
+        # digits -> Indic + Bengali normalization -> stop -> stem
+        "bengali": AnalyzerChain(
+            "bengali", _bn_stops(), stem=_bn_stem(),
+            normalize=_bn_norm(), stop_after_normalize=True,
+        ),
         # ShingleFilter defaults (analysis/shingle/ShingleFilter.java):
         # unigrams + word bigrams, "_" filler for stop gaps (no stops
         # in this registration, so fillers only appear with an
@@ -1169,6 +1188,58 @@ def _shingle_stream():
     from .shingle import shingle_stream_factory
 
     return shingle_stream_factory()
+
+
+def _lv_stops():
+    from .latvian import LATVIAN_STOP_WORDS
+
+    return LATVIAN_STOP_WORDS
+
+
+def _lv_stem():
+    from .latvian import latvian_stem
+
+    return latvian_stem
+
+
+def _ckb_stops():
+    from .sorani import SORANI_STOP_WORDS_SURFACE
+
+    return SORANI_STOP_WORDS_SURFACE
+
+
+def _ckb_norm():
+    from .arabic import fold_decimal_digits
+    from .sorani import sorani_normalize
+
+    # the chain's DecimalDigitFilter runs with normalization (the Java
+    # order normalize -> digits is preserved: digit codepoints are not
+    # normalizer inputs)
+    return lambda tok: fold_decimal_digits(sorani_normalize(tok))
+
+
+def _ckb_stem():
+    from .sorani import sorani_stem
+
+    return sorani_stem
+
+
+def _bn_stops():
+    from .bengali import BENGALI_STOP_WORDS
+
+    return BENGALI_STOP_WORDS
+
+
+def _bn_norm():
+    from .bengali import bengali_normalize
+
+    return bengali_normalize
+
+
+def _bn_stem():
+    from .bengali import bengali_stem
+
+    return bengali_stem
 
 
 def _ar_stops():

@@ -1,0 +1,110 @@
+"""Latvian analysis: the Kreslins light stemmer.
+
+Re-expresses ``analysis/common/.../lv/`` — LatvianAnalyzer's chain
+(``LatvianAnalyzer.java:101-108``: tokenize -> lower -> stop -> stem)
+with the light stemmer of ``LatvianStemmer.java`` (a restricted
+version of Karlis Kreslins, *A stemming algorithm for Latvian*, PhD
+thesis: noun/adjective inflection only, strict vowel guard,
+palatalization repair only for declension II/V/VI suffixes):
+
+- the FIRST matching affix in the fixed list strips, provided the word
+  holds strictly more vowels than the affix (so at least one vowel
+  stays in the stem) and keeps >= 3 chars of remainder;
+- affixes marked palatalizing fire the un-palatalization repair on the
+  new ending: kš->kst / ņņ->nn (only after a stripped -u-), labial+j
+  drops the j, š/ž+ņ/ļ revert to s/z+n/l, and lone č/ļ/ņ revert to
+  c/l/n.
+
+The stop set is the analyzer's default ``lv/stopwords.txt`` (the
+thesis' refined function-word list).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouāīēū")
+
+# (affix, vowel count of the affix, fires palatalization repair) —
+# list order IS the algorithm: first match wins
+_AFFIXES: list[tuple[str, int, bool]] = [
+    ("ajiem", 3, False), ("ajai", 3, False),
+    ("ajam", 2, False), ("ajām", 2, False),
+    ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False),
+    ("ais", 2, False), ("ai", 2, False),
+    ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False),
+    ("īm", 1, False), ("im", 1, False),
+    ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False),
+    ("es", 1, False), ("os", 1, True),
+    ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False),
+    ("ie", 1, False), ("u", 1, True),
+    ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False),
+    ("ē", 1, False), ("ī", 1, False),
+    ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+]
+
+_LABIAL_J = ("pj", "bj", "mj", "vj")
+_PAIR_REPAIR = {
+    "šņ": "sn", "žņ": "zn", "šļ": "sl", "žļ": "zl",
+    "ļņ": "ln", "ļļ": "ll",
+}
+_LONE_REPAIR = {"č": "c", "ļ": "l", "ņ": "n"}
+
+
+def _unpalatalize(stem: str, removed_first: str) -> str:
+    """``LatvianStemmer.unpalatalize``: repair the consonant cluster a
+    declension II/V/VI suffix palatalized. ``removed_first`` is the
+    first char of the suffix just stripped (the -u-only rules key on
+    it)."""
+    if removed_first == "u":
+        if stem.endswith("kš"):
+            return stem[:-2] + "kst"
+        if stem.endswith("ņņ"):
+            return stem[:-2] + "nn"
+    if stem.endswith(_LABIAL_J):
+        return stem[:-1]
+    tail2 = stem[-2:]
+    if tail2 in _PAIR_REPAIR:
+        return stem[:-2] + _PAIR_REPAIR[tail2]
+    tail1 = stem[-1:]
+    if tail1 in _LONE_REPAIR:
+        return stem[:-1] + _LONE_REPAIR[tail1]
+    return stem
+
+
+def latvian_stem(word: str) -> str:
+    """Light-stem one lowercased Latvian token
+    (``lv/LatvianStemmer.java:35-48``)."""
+    n_vowels = sum(c in _VOWELS for c in word)
+    for affix, vc, palatalizes in _AFFIXES:
+        if (
+            n_vowels > vc
+            and len(word) >= len(affix) + 3
+            and word.endswith(affix)
+        ):
+            stem = word[: -len(affix)]
+            return _unpalatalize(stem, affix[0]) if palatalizes else stem
+    return word
+
+
+LATVIAN_STOP_WORDS = frozenset(
+    """aiz ap ar apakš ārpus augšpus bez caur dēļ gar iekš iz kopš
+labad lejpus līdz no otrpus pa par pār pēc pie pirms pret priekš
+starp šaipus uz viņpus virs virspus zem apakšpus un bet jo ja ka lai
+tomēr tikko turpretī arī kaut gan tādēļ tā ne tikvien vien kā ir
+te vai kamēr diezin droši diemžēl nebūt ik it taču nu pat tiklab
+iekšpus nedz tik nevis turpretim jeb iekam iekām iekāms kolīdz
+līdzko tiklīdz jebšu tālab tāpēc nekā itin jā jau jel nē nezin
+tad tikai vis tak iekams būt biju biji bija bijām bijāt esmu esi
+esam esat būšu būsi būs būsim būsiet tikt tiku tiki tika tikām
+tikāt tieku tiec tiek tiekam tiekat tikšu tiks tiksim tiksiet tapt
+tapi tapāt topat tapšu tapsi taps tapsim tapsiet kļūt kļuvu
+kļuvi kļuva kļuvām kļuvāt kļūstu kļūsti kļūst kļūstam
+kļūstat kļūšu kļūsi kļūs kļūsim kļūsiet varēt varēju
+varējām varēšu varēsim var varēji varējāt varēsi varēsiet
+varat varēja varēs""".split()
+)

@@ -1,0 +1,145 @@
+"""Sorani Kurdish analysis: orthography normalization + light stemmer.
+
+Re-expresses ``analysis/common/.../ckb/`` — SoraniAnalyzer's chain
+(``SoraniAnalyzer.java:121-129``: tokenize -> normalize -> lower ->
+decimal digits -> stop -> stem), from the algorithm of Esmaili et al.,
+*Building a Test Collection for Sorani Kurdish* (the Pewan collection
+paper) that the reference implements:
+
+- ``sorani_normalize`` (``SoraniNormalizer.java:40-96``): Arabic
+  yeh/dotless-yeh fold to Farsi yeh, kaf -> keheh, heh at word end and
+  teh marbuta -> ae, heh-doachashmee -> heh, initial reh -> rreh (and
+  reh-with-small-v-above -> rreh), ZWNJ deletes with a preceding heh
+  becoming ae, tatweel/harakat delete, and any other Unicode FORMAT
+  character deletes.
+- ``sorani_stem`` (``SoraniStemmer.java:29-85``): strip the
+  postposition/possessive layers cumulatively (دا / نا / ەوە, then
+  مان / یان / تان), then exactly one definiteness/number/ezafe suffix
+  by the guarded ladder (indefinite/definite singular and plural,
+  demonstratives, ezafe), each guard keeping a minimum stem length.
+
+Chain-order note: the Java chain normalizes BEFORE lowercasing; our
+AnalyzerChain lowercases first. The two commute here — every char the
+normalizer touches is Arabic-script or a FORMAT control, none of which
+Java's toLowerCase maps — so per-token output is identical. The stop
+set (``ckb/stopwords.txt``) ships in surface forms that the Java chain
+matches AFTER normalization+digit-fold, so registration pre-normalizes
+the list (same treatment as Persian's pre-normalized stops).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+_FARSI_YEH = "ی"
+_KEHEH = "ک"
+_HEH = "ه"
+_AE = "ە"
+_RREH = "ڕ"
+
+_SIMPLE = {
+    "ي": _FARSI_YEH,  # yeh
+    "ى": _FARSI_YEH,  # dotless yeh
+    "ك": _KEHEH,      # kaf
+    "ة": _AE,         # teh marbuta
+    "ھ": _HEH,        # heh doachashmee
+    "ڒ": _RREH,       # reh with small v above
+}
+# tatweel + harakat/tanwin: deleted outright
+_DELETE = set("ـًٌٍَُِّْ")
+
+
+def sorani_normalize(token: str) -> str:
+    """``SoraniNormalizer.normalize`` over a str (single pass with the
+    same index semantics as the char[]-editing Java loop)."""
+    out: list[str] = []
+    for ch in token:
+        if ch in _SIMPLE:
+            out.append(_SIMPLE[ch])
+        elif ch == "‌":  # ZWNJ
+            if out and out[-1] == _HEH:
+                out[-1] = _AE
+            # the ZWNJ itself deletes
+        elif ch == "ر":  # reh: initial position becomes rreh
+            out.append(_RREH if not out else ch)
+        elif ch in _DELETE:
+            pass
+        elif unicodedata.category(ch) == "Cf":
+            pass  # any other FORMAT char deletes
+        else:
+            out.append(ch)
+    # heh at (new) end of word -> ae
+    if out and out[-1] == _HEH:
+        out[-1] = _AE
+    return "".join(out)
+
+
+def sorani_stem(word: str) -> str:
+    """``SoraniStemmer.stem`` over a str: cumulative postposition and
+    possessive strips, then ONE suffix from the guarded ladder."""
+    n = len(word)
+    # postposition
+    if n > 5 and word.endswith("دا"):          # دا
+        word = word[:-2]
+    elif n > 4 and word.endswith("نا"):        # نا
+        word = word[:-1]
+    elif n > 6 and word.endswith("ەوە"):  # ەوە
+        word = word[:-3]
+    n = len(word)
+    # possessive pronoun
+    if n > 6 and (
+        word.endswith("مان")      # مان
+        or word.endswith("یان")   # یان
+        or word.endswith("تان")   # تان
+    ):
+        word = word[:-3]
+    n = len(word)
+    # the suffix ladder: guards are Java's len > K thresholds, first
+    # match returns (if/else-if chain)
+    if n > 6 and word.endswith("ێکی"):
+        return word[:-3]
+    if n > 7 and word.endswith("یەکی"):
+        return word[:-4]
+    if n > 5 and word.endswith("ێک"):
+        return word[:-2]
+    if n > 6 and word.endswith("یەک"):
+        return word[:-3]
+    if n > 6 and word.endswith("ەکە"):
+        return word[:-3]
+    if n > 5 and word.endswith("کە"):
+        return word[:-2]
+    if n > 7 and word.endswith("ەکان"):
+        return word[:-4]
+    if n > 6 and word.endswith("کان"):
+        return word[:-3]
+    if n > 7 and word.endswith("یانی"):
+        return word[:-4]
+    if n > 6 and word.endswith("انی"):
+        return word[:-3]
+    if n > 6 and word.endswith("یان"):
+        return word[:-3]
+    if n > 5 and word.endswith("ان"):
+        return word[:-2]
+    if n > 7 and word.endswith("یانە"):
+        return word[:-4]
+    if n > 6 and word.endswith("انە"):
+        return word[:-3]
+    if n > 5 and (
+        word.endswith("ایە")
+        or word.endswith("ەیە")
+    ):
+        return word[:-2]
+    if n > 4 and word.endswith("ە"):
+        return word[:-1]
+    if n > 4 and word.endswith("ی"):
+        return word[:-1]
+    return word
+
+
+SORANI_STOP_WORDS_SURFACE = frozenset(
+    """و کە ی کرد ئەوەی سەر دوو هەروەها لەو دەکات چەند هەر ئەو ئەم من
+ئێمە تۆ ئێوە ئەوان بە پێ بەبێ بەدەم بەلای بەپێی بەرلە بەرەوی بەرەوە
+بەردەم بێ بێجگە بۆ دە تێ دەگەڵ دوای جگە لە لێ لەبەر لەبەینی لەبابەت
+لەبارەی لەباتی لەبن لەبرێتی لەدەم لەگەڵ لەلایەن لەناو لەنێو لەپێناوی
+لەرەوی لەرێ لەرێگا لەسەر لەژێر ناو نێوان پاش پێش وەک""".split()
+)

@@ -1,0 +1,90 @@
+"""Bengali analysis (functions/bengali.py): Indic composition +
+Bengali normalization + the longest-first stemmer ladder, goldens
+traced from bn/BengaliNormalizer.java, bn/BengaliStemmer.java, and the
+Bengali rows of in/IndicNormalizer.java."""
+
+import pytest
+
+from lucene_spark.functions.bengali import (
+    _SUFFIX_GROUPS,
+    bengali_normalize,
+    bengali_stem,
+)
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+
+class TestIndicCompose:
+    @pytest.mark.parametrize(
+        "raw,expect",
+        [
+            ("ড়", "ড়"),  # DDA+nukta -> RRA (then ->RA)
+            ("য়", "য়"),  # YA+nukta -> YYA
+            ("ো", "ো"),  # E+AA -> O
+            ("ৌ", "ৌ"),  # E+AU mark -> AU
+            ("ত্‍", "ৎ"),  # TA+virama+ZWJ -> khanda
+        ],
+    )
+    def test_compose(self, raw, expect):
+        from lucene_spark.functions.bengali import _indic_compose
+
+        assert "".join(_indic_compose(list(raw))) == expect
+
+
+class TestBengaliNormalize:
+    @pytest.mark.parametrize(
+        "raw,expect",
+        [
+            ("কাঁদা", "কাদা"),      # chandrabindu deletes
+            ("কী", "কি"),            # dirgho-i matra -> rossho-i
+            ("ভূল", "ভুল"),        # dirgho-u matra -> rossho-u
+            ("ঙ", "ং"),                  # nga -> anusvara
+            ("শসষ", "সসস"),        # sh variants -> dental sa
+            ("ণ", "ন"),                  # retroflex na -> dental na
+            ("ড়", "র"),                  # rra -> ra (precomposed)
+            ("ড়", "র"),          # rra via nukta composition
+            ("ৎ", "ত"),                  # khanda ta -> ta
+            ("মঃ", "মহ"),            # final visarga, len <= 3 -> ha
+            ("কলমঃ", "কলম"),      # final visarga, len > 3 deletes
+            ("মঃত", "মতত"),        # medial visarga doubles next
+        ],
+    )
+    def test_normalize(self, raw, expect):
+        assert bengali_normalize(raw) == expect
+
+    def test_khio_cluster(self):
+        # word-initial ka+virama+i-kar becomes kha (reference keys the
+        # rule on U+09BF exactly — mirrored verbatim)
+        assert bengali_normalize("ক্ি") == "খ"
+        # non-initial: ka stays, cluster tail becomes kha
+        out = bengali_normalize("মক্ি")
+        assert out == "মকখ"
+
+
+class TestBengaliStem:
+    def test_ladder_is_longest_first_with_exact_lengths(self):
+        for min_len, strip, sufs in _SUFFIX_GROUPS:
+            assert min_len == strip + 1
+            for s in sufs:
+                assert len(s) == strip
+
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("বইটা", "বই"),        # classifier টা (len 4 > 3)
+            ("বইটি", "বই"),        # classifier টি
+            ("ছেলেরা", "ছেল"),  # -েরা (3, len 6 > 4)
+            ("বইগুলো", "বই"),  # plural গুলো (4, len 6 > 5)
+            ("করব", "কর"),          # 1-char ব (len 3 > 2)
+            ("কর", "কর"),            # guard: len 2 not > 2
+        ],
+    )
+    def test_stem(self, word, expect):
+        assert bengali_stem(word) == expect
+
+
+class TestBengaliChain:
+    def test_chain_stop_gap_and_digits(self):
+        chain = get_chain("bengali")
+        terms, pos = chain_analyze("এই বইটা ১২৩", chain)
+        # এই is a stopword at position 0; Bengali digits fold
+        assert terms == ["বই", "123"] and pos == [1, 2]

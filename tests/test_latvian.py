@@ -1,0 +1,71 @@
+"""Latvian light stemmer (functions/latvian.py): Kreslins rules as
+restricted by lv/LatvianStemmer.java, hand-traced goldens including
+the palatalization repairs."""
+
+import pytest
+
+from lucene_spark.functions.lang import chain_analyze, get_chain
+from lucene_spark.functions.latvian import latvian_stem
+
+
+class TestLatvianStem:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("cilvēkiem", "cilvēk"),  # -iem (dat pl), no repair needed
+            ("grāmatas", "grāmat"),   # -as
+            ("grāmata", "grāmat"),    # -a; conflates with the plural
+            ("vīrs", "vīr"),          # -s needs only >0 vowels
+            ("tirgus", "tirg"),       # -us palatalizing, no cluster hit
+            ("kaļu", "kal"),          # -u strip, ļ -> l repair
+            ("ceļi", "cel"),          # -i strip, ļ -> l repair
+            ("zvaņņu", "zvann"),      # -u strip, ņņ -> nn (u-only rule)
+            ("mākslai", "māksl"),     # -ai (vc 2)
+            ("spark", "spark"),       # invariant: no affix, ends in k
+            ("ā", "ā"),               # too short for any strip
+        ],
+    )
+    def test_stem(self, word, expect):
+        assert latvian_stem(word) == expect
+
+    def test_vowel_guard(self):
+        # 'tks' has no vowels: numVowels 0 is NOT > vc 0 for -s
+        assert latvian_stem("tks") == "tks"
+        # strip must leave >= 3 chars: 'las' keeps its -s (3 < 1+3)
+        assert latvian_stem("las") == "las"
+
+    def test_labial_j_repair(self):
+        # -iem palatalizing after labial+j drops the j
+        assert latvian_stem("kalpjiem") == "kalp"
+
+    def test_chain(self):
+        chain = get_chain("latvian")
+        terms, pos = chain_analyze("no grāmatas cilvēkiem", chain)
+        # 'no' is a stopword: position gap preserved
+        assert terms == ["grāmat", "cilvēk"] and pos == [1, 2]
+
+
+class TestOraclePrecondition:
+    def test_spark_invariant_singleton_preimage(self, spark):
+        """The driver oracle queries 'spark' over a latvian-analyzed
+        index; it must be its own stem with a singleton preimage in
+        the sf corpus vocabulary."""
+        import collections
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        vocab = {
+            r["t"]
+            for r in docs.selectExpr("explode(split(text, ' ')) AS t")
+            .distinct()
+            .collect()
+        }
+        chain = get_chain("latvian")
+        pre = collections.defaultdict(list)
+        for t in vocab:
+            out = chain.apply_token(t)
+            if out is not None:
+                pre[out].append(t)
+        assert chain.apply_token("spark") == "spark"
+        assert pre["spark"] == ["spark"]

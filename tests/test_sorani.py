@@ -1,0 +1,76 @@
+"""Sorani Kurdish analysis (functions/sorani.py): orthography
+normalization + the light stemmer's suffix ladder, goldens traced from
+ckb/SoraniNormalizer.java and ckb/SoraniStemmer.java semantics."""
+
+import pytest
+
+from lucene_spark.functions.lang import chain_analyze, get_chain
+from lucene_spark.functions.sorani import sorani_normalize, sorani_stem
+
+
+class TestSoraniNormalize:
+    @pytest.mark.parametrize(
+        "raw,expect",
+        [
+            ("ي", "ی"),          # yeh -> farsi yeh
+            ("ى", "ی"),          # dotless yeh -> farsi yeh
+            ("ك", "ک"),          # kaf -> keheh
+            ("مه", "مە"),  # final heh -> ae
+            ("هم", "هم"),  # non-final heh stays
+            ("مه‌ب", "مەب"),  # heh+ZWNJ
+            ("م‌ب", "مب"),  # lone ZWNJ deletes
+            ("ة", "ە"),          # teh marbuta -> ae
+            ("ھم", "هم"),  # heh doachashmee -> heh
+            ("را", "ڕا"),  # initial reh -> rreh
+            ("ار", "ار"),  # medial reh stays
+            ("ڒ", "ڕ"),          # reh small-v-above -> rreh
+            ("مـن", "من"),  # tatweel deletes
+            ("مَن", "من"),  # fatha deletes
+            ("م‎ن", "من"),  # FORMAT cat deletes
+        ],
+    )
+    def test_normalize(self, raw, expect):
+        assert sorani_normalize(raw) == expect
+
+
+class TestSoraniStem:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("پیاوەکە", "پیاو"),        # def sg  ەکە (len 7 > 6)
+            ("پیاوان", "پیاو"),          # indef pl  ان (len 6 > 5)
+            ("پیاوەکان", "پیاو"),      # def pl  ەکان (len 8 > 7)
+            ("کتاوێک", "کتاو"),          # indef sg  ێک (len 6 > 5)
+            ("کتاوەوە", "کتاو"),        # postposition  ەوە (len 7 > 6)
+            ("کتاودا", "کتاو"),          # postposition  دا (len 6 > 5)
+            ("کتاومان", "کتاو"),        # possessive  مان (len 7 > 6)
+            ("بچچە", "بچچ"),                  # demonstrative  ە (len 4 > 4? NO)
+        ],
+    )
+    def test_stem(self, word, expect):
+        # the last row's guard: len 4 is NOT > 4, so ە survives
+        if word == "بچچە":
+            assert sorani_stem(word) == word
+        else:
+            assert sorani_stem(word) == expect
+
+    def test_cumulative_postposition_possessive(self):
+        # دا then مان both strip before the ladder (len guards hold)
+        w = "کتاوەکانماندا"  # kitaw + ekan + man + da
+        assert sorani_stem(w) == "کتاو"
+
+
+class TestSoraniChain:
+    def test_chain_stop_gap_and_digits(self):
+        chain = get_chain("sorani")
+        terms, pos = chain_analyze(
+            "لە پیاوەکە ٢٠٢٤", chain
+        )
+        # لە is a stopword at position 0; Arabic-Indic digits fold
+        assert terms == ["پیاو", "2024"] and pos == [1, 2]
+
+    def test_stop_matched_after_normalization(self):
+        chain = get_chain("sorani")
+        # surface 'كە' (with Arabic KAF) normalizes to the stopword کە
+        terms, _ = chain_analyze("كە پیاوان", chain)
+        assert terms == ["پیاو"]
