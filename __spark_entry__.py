@@ -1143,6 +1143,27 @@ def _q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(1000)
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C 13-gram collision
+    rule): the 'benchmark' is the first 25 tokens of docs 0-9; every
+    corpus doc sharing a 13-gram with it is flagged with its collision
+    counts. Exercises the broadcast-semi-join shape of
+    dedup.benchmark_contamination — the corpus side never shuffles."""
+    from lucene_spark.operators.dedup import benchmark_contamination
+
+    docs = _docs_table(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") < 10).select(
+        F.concat_ws(
+            " ", F.slice(F.split("text", " "), 1, 25)
+        ).alias("text")
+    )
+    return (
+        benchmark_contamination(docs, bench, n=13)
+        .select("doc_id", "n_hits", "distinct_grams", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
 def _q_time_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TimeLimitingBulkScorer under a generous budget
     (``core/search/TimeLimitingBulkScorer.java:33-77``): runs the
@@ -3083,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_match": _q_prefix,
         "cached_filter_match": _q_cached_filter,
         "time_limited_top10": _q_time_limited,
+        "contamination_13gram": _q_contamination,
         "wildcard_match": _q_wildcard,
         "term_range_match": _q_term_range,
         "synonym_top10": _q_synonym,
@@ -3224,6 +3246,32 @@ def oracle_sql() -> dict[str, str]:
             + _bm25_sql(["window"])
             + ") ORDER BY score DESC, doc_id"
         ),
+        "contamination_13gram": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+            bg AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest(list_transform(
+                         generate_series(1, least(len(toks), 25) - 12),
+                         i -> array_to_string(
+                                list_slice(toks, i, i + 12), ' ')))
+                       AS gram
+                FROM t WHERE doc_id < 10
+                  AND least(len(toks), 25) >= 13)),
+            dg AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, len(toks) - 12),
+                       i -> array_to_string(
+                              list_slice(toks, i, i + 12), ' ')))
+                     AS gram
+              FROM t WHERE len(toks) >= 13)
+            SELECT dg.doc_id,
+                   count(*)::BIGINT AS n_hits,
+                   count(DISTINCT dg.gram)::BIGINT AS distinct_grams,
+                   true AS contaminated
+            FROM dg JOIN bg ON dg.gram = bg.gram
+            GROUP BY dg.doc_id ORDER BY dg.doc_id""",
         "wildcard_match": _const_match_sql("regexp_matches(term, '^w.*w$')"),
         "term_range_match": _const_match_sql(
             "term >= 'spark' AND term <= 'table'"

@@ -565,3 +565,50 @@ def drop_frequent_lines(
             "n_lines_dropped"
         ),
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per-document overlap with a held-out
+    evaluation set, the GPT-3/C4/Llama training-pipeline rule (Brown
+    et al. 2020 appendix C: a training doc is contaminated if it shares
+    any 13-gram with an eval example; Llama/Chinchilla variants use the
+    same n-gram-collision shape).
+
+    Returns (id, n_hits, distinct_grams, contaminated) for every doc
+    with n_hits >= 1 — docs with no collision are absent (anti-join the
+    result to get the clean set).
+
+    Scale shape: the benchmark side is eval suites — thousands of
+    docs, millions of n-grams at most — so its DISTINCT gram set is
+    broadcastable by construction; the 100 TB side streams through one
+    explode + broadcast-hash semi-join with NO shuffle of the corpus
+    (the groupBy shuffles only colliding (id, gram) pairs, which
+    decontamination assumes are rare). Never join the other direction.
+    """
+    from ..functions.textstats import ngrams
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(ngrams(F.col(bench_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    occ = docs.select(
+        F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("gram")
+    )
+    hits = occ.join(F.broadcast(bench_grams), "gram", "left_semi")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("gram").alias("distinct_grams"),
+        )
+        .withColumn("contaminated", F.lit(True))
+    )

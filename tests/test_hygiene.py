@@ -66,3 +66,49 @@ class TestPII:
         assert df.select(
             scrub_pii(F.col("t")).alias("r")
         ).collect()[0]["r"] == expect
+
+
+class TestContamination:
+    def test_flags_copying_docs_only(self, spark):
+        from lucene_spark.operators.dedup import benchmark_contamination
+
+        bench_text = " ".join(f"b{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [
+                # copies 15 benchmark tokens -> 3 colliding 13-grams
+                (1, "x y " + " ".join(f"b{i}" for i in range(15)) + " z"),
+                # only 12 consecutive benchmark tokens -> no 13-gram
+                (2, " ".join(f"b{i}" for i in range(12)) + " other"),
+                # disjoint
+                (3, " ".join(f"c{i}" for i in range(30))),
+                # the same collision twice -> occurrences counted
+                (
+                    4,
+                    " ".join(f"b{i}" for i in range(13))
+                    + " sep "
+                    + " ".join(f"b{i}" for i in range(13)),
+                ),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(bench_text,)], "text string")
+        got = {
+            r["doc_id"]: (r["n_hits"], r["distinct_grams"])
+            for r in benchmark_contamination(docs, bench, n=13).collect()
+        }
+        assert set(got) == {1, 4}
+        assert got[1] == (3, 3)   # windows starting at b0, b1, b2
+        assert got[4] == (2, 1)   # one gram, two occurrences
+
+    def test_clean_set_by_anti_join(self, spark):
+        from lucene_spark.operators.dedup import benchmark_contamination
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"b{i}" for i in range(13))),
+             (2, " ".join(f"c{i}" for i in range(13)))],
+            "doc_id long, text string",
+        )
+        bench = docs.where("doc_id = 1").select("text")
+        dirty = benchmark_contamination(docs, bench, n=13)
+        clean = docs.join(dirty.select("doc_id"), "doc_id", "left_anti")
+        assert [r["doc_id"] for r in clean.collect()] == [2]
