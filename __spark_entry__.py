@@ -2792,6 +2792,70 @@ def _q_sorani_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_greek_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GreekAnalyzer chain (el/GreekAnalyzer.java:95-101, the Ntais
+    stemmer) over deterministic Greek synthesized per doc_id:
+    'το <base><sfx> 2024' with base drawn from an all-consonant
+    alphabet (no stemmer rule can fire on it — verified by the rule
+    table: every suffix and the rule-21 vowel strip need a vowel) and
+    sfx alternating ''/'ικα' (rule 6's strip, no re-add for a
+    consonant stem outside exc6). Exercises the stop gap at 'το', the
+    rule-6 strip, and ASCII-digit passthrough."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "βγδζθκλμ"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("greek")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 4 + i % 2
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                sfx = "" if i % 2 else "ικα"
+                text = "το " + base + sfx + " 2024"
+                terms, pos = chain_analyze(text, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_GREEK_SQL = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 2 AS L FROM documents WHERE doc_id < 200
+),
+a AS (
+  SELECT doc_id,
+         [946, 947, 948, 950, 952, 954, 955, 956] AS cps,
+         L
+  FROM d
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             chr(CAST(cps[1 + (doc_id*5 + g.k) % 8] AS INTEGER)),
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM a
+)
+SELECT doc_id, base || '|2024' AS terms, '1,2' AS positions
+FROM b
+"""
+
+
 def _q_bengali_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BengaliAnalyzer chain (bn/BengaliAnalyzer.java:119-130) over
     deterministic Bengali synthesized per doc_id: 'এই <base><sfx> ১২৩'
@@ -3191,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulgarian_analyzer_top10": _q_bulgarian,
         "latvian_analyzer_top10": _q_latvian,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
+        "greek_analyzer_tokens": _q_greek_analyzer,
         "bengali_analyzer_tokens": _q_bengali_analyzer,
         "indonesian_analyzer_top10": _q_indonesian,
         "feature_boosted_top10": _q_feature_boosted,
@@ -3562,6 +3627,7 @@ def oracle_sql() -> dict[str, str]:
             "spark", _lang_stop_sql(_LV_STOPS())
         ),
         "sorani_analyzer_tokens": _SORANI_SQL,
+        "greek_analyzer_tokens": _GREEK_SQL,
         "bengali_analyzer_tokens": _BENGALI_SQL,
         "indonesian_analyzer_top10": _stop_filtered_bm25_sql(
             "customer", _lang_stop_sql(_ID_STOPS())

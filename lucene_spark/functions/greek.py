@@ -1,0 +1,493 @@
+"""Greek analysis: GreekLowerCaseFilter folds + the Ntais stemmer.
+
+Re-expresses ``analysis/common/.../el/`` — GreekAnalyzer's chain
+(``GreekAnalyzer.java:95-101``: tokenize -> GreekLowerCase -> stop ->
+stem), from Georgios Ntais, *Development of a Stemmer for the Greek
+Language* (the algorithm ``GreekStemmer.java`` implements):
+
+- ``greek_normalize`` (``GreekLowerCaseFilter.java:54-113`` composed
+  with Java lowercase, which our chain applies first): final sigma
+  standardizes to sigma, tonos/dialytika vowel variants fold to the
+  bare lowercase vowel, and the reserved U+03A2 keeps its historical
+  mapping to final sigma WITHOUT re-folding (the single-pass switch
+  quirk, preserved via a single dict lookup).
+- ``greek_stem`` (``GreekStemmer.java:42-73``): words shorter than 4
+  pass through; rules 0-20 (noun/verb suffix families, each with its
+  exception set or vowel condition deciding a partial re-add) run in
+  sequence; the rule-21 "long list" fires only when none of them
+  changed the length; rule 22 strips comparative/superlative endings
+  unconditionally. Exception word-sets and suffix tables are ported
+  verbatim as data; two reference precedence quirks (rule 0's σκαγιου
+  group and rule 8's τανε ladder apply their length guard to the
+  FIRST alternative only) are preserved deliberately.
+
+The stop set is the analyzer's default ``el/stopwords.txt`` (already
+in post-GreekLowerCase form), matched after normalization like the
+Java filter order.
+"""
+
+from __future__ import annotations
+
+_FOLD = str.maketrans({
+    "ς": "σ",  # final sigma -> sigma
+    "ά": "α", "έ": "ε", "ή": "η",
+    "ί": "ι", "ϊ": "ι", "ΐ": "ι",
+    "ύ": "υ", "ϋ": "υ", "ΰ": "υ",
+    "ό": "ο", "ώ": "ω",
+    "΢": "ς",  # reserved -> final sigma (legacy, no re-fold)
+})
+
+
+def greek_normalize(token: str) -> str:
+    return token.translate(_FOLD)
+
+
+_VOWELS = frozenset("αεηιουω")
+_VOWELS_NO_Y = frozenset("αεηιοω")
+
+
+def _ev(w: str) -> bool:
+    return bool(w) and w[-1] in _VOWELS
+
+
+def _ev_no_y(w: str) -> bool:
+    return bool(w) and w[-1] in _VOWELS_NO_Y
+
+
+def _ends(w: str, *sufs: str) -> str | None:
+    for suf in sufs:
+        if w.endswith(suf):
+            return suf
+    return None
+
+
+_EXC4 = frozenset("θ δ ελ γαλ ν π ιδ παρ".split())
+_EXC6 = frozenset(
+    """αλ αδ ενδ αμαν αμμοχαλ ηθ ανηθ αντιδ φυσ βρωμ γερ εξωδ καλπ
+καλλιν καταδ μουλ μπαν μπαγιατ μπολ μποσ νιτ ξικ συνομηλ πετσ πιτσ
+πικαντ πλιατσ ποστελν πρωτοδ σερτ συναδ τσαμ υποδ φιλον φυλοδ
+χασ""".split()
+)
+_EXC7 = frozenset(
+    "αναπ αποθ αποκ αποστ βουβ ξεθ ουλ πεθ πικρ ποτ σιχ χ".split()
+)
+_EXC8A = frozenset("τρ τσ".split())
+_EXC8B = frozenset(
+    """βετερ βουλκ βραχμ γ δραδουμ θ καλπουζ καστελ κορμορ λαοπλ μωαμεθ
+μ μουσουλμ ν ουλ π πελεκ πλ πολισ πορτολ σαρακατσ σουλτ τσαρλατ ορφ
+τσιγγ τσοπ φωτοστεφ χ ψυχοπλ αγ γαλ γερ δεκ διπλ αμερικαν ουρ πιθ
+πουριτ σ ζωντ ικ καστ κοπ λιχ λουθηρ μαιντ μελ σιγ σπ στεγ τραγ τσαγ
+φ ερ αδαπ αθιγγ αμηχ ανικ ανοργ απηγ απιθ ατσιγγ βασ βασκ βαθυγαλ
+βιομηχ βραχυκ διατ διαφ ενοργ θυσ καπνοβιομηχ καταγαλ κλιβ κοιλαρφ
+λιβ μεγλοβιομηχ μικροβιομηχ νταβ ξηροκλιβ ολιγοδαμ ολογαλ πενταρφ
+περηφ περιτρ πλατ πολυδαπ πολυμηχ στεφ ταβ τετ υπερηφ υποκοπ
+χαμηλοδαπ ψηλοταβ""".split()
+)
+_EXC9 = frozenset(
+    """αβαρ βεν εναρ αβρ αδ αθ αν απλ βαρον ντρ σκ κοπ μπορ νιφ παγ
+παρακαλ σερπ σκελ συρφ τοκ υ δ εμ θαρρ θ""".split()
+)
+_EXC12A = frozenset("π απ συμπ ασυμπ ακαταπ αμεταμφ".split())
+_EXC12B = frozenset("αλ αρ εκτελ ζ μ ξ παρακαλ προ νισ".split())
+_EXC13 = frozenset("διαθ θ παρακαταθ προσθ συνθ".split())
+_EXC14 = frozenset(
+    """φαρμακ χαδ αγκ αναρρ βρομ εκλιπ λαμπιδ λεχ μ πατ ρ λ μεδ μεσαζ
+υποτειν αμ αιθ ανηκ δεσποζ ενδιαφερ δε δευτερευ καθαρευ πλε
+τσα""".split()
+)
+_EXC15A = frozenset(
+    """αβαστ πολυφ αδηφ παμφ ρ ασπ αφ αμαλ αμαλλι ανυστ απερ ασπαρ
+αχαρ δερβεν δροσοπ ξεφ νεοπ νομοτ ολοπ ομοτ προστ προσωποπ συμπ συντ
+τ υποτ χαρ αειπ αιμοστ ανυπ αποτ αρτιπ διατ εν επιτ κροκαλοπ σιδηροπ
+λ ναυ ουλαμ ουρ π τρ μ""".split()
+)
+_EXC15B = frozenset("ψοφ ναυλοχ".split())
+_EXC16 = frozenset("ν χερσον δωδεκαν ερημον μεγαλον επταν".split())
+_EXC17 = frozenset(
+    "ασβ σβ αχρ χρ απλ αειμν δυσχρ ευχρ κοινοχρ παλιμψ".split()
+)
+_EXC18 = frozenset("ν ρ σπι στραβομουτσ κακομουτσ εξων".split())
+_EXC19 = frozenset("παρασουσ φ χ ωριοπλ αζ αλλοσουσ ασουσ".split())
+
+
+def _rule0(w: str) -> str:
+    n = len(w)
+    if n > 9 and _ends(w, "καθεστωτοσ", "καθεστωτων"):
+        return w[:-4]
+    if n > 8 and _ends(w, "γεγονοτοσ", "γεγονοτων"):
+        return w[:-4]
+    if n > 8 and w.endswith("καθεστωτα"):
+        return w[:-3]
+    if n > 7 and _ends(w, "τατογιου", "τατογιων"):
+        return w[:-4]
+    if n > 7 and w.endswith("γεγονοτα"):
+        return w[:-3]
+    if n > 7 and w.endswith("καθεστωσ"):
+        return w[:-2]
+    # reference precedence quirk: the n > 6 guard binds only to the
+    # first alternative (GreekStemmer.java rule0's σκαγιου group)
+    if (n > 6 and w.endswith("σκαγιου")) or _ends(
+        w, "σκαγιων", "ολογιου", "ολογιων", "κρεατοσ", "κρεατων",
+        "περατοσ", "περατων", "τερατοσ", "τερατων",
+    ):
+        return w[:-4]
+    if n > 6 and w.endswith("τατογια"):
+        return w[:-3]
+    if n > 6 and w.endswith("γεγονοσ"):
+        return w[:-2]
+    if n > 5 and _ends(w, "φαγιου", "φαγιων", "σογιου", "σογιων"):
+        return w[:-4]
+    if n > 5 and _ends(w, "σκαγια", "ολογια", "κρεατα", "περατα", "τερατα"):
+        return w[:-3]
+    if n > 4 and _ends(w, "φαγια", "σογια", "φωτοσ", "φωτων"):
+        return w[:-3]
+    if n > 4 and _ends(w, "κρεασ", "περασ", "τερασ"):
+        return w[:-2]
+    if n > 3 and w.endswith("φωτα"):
+        return w[:-2]
+    if n > 2 and w.endswith("φωσ"):
+        return w[:-1]
+    return w
+
+
+def _rule1(w: str) -> str:
+    if len(w) > 4 and _ends(w, "αδεσ", "αδων"):
+        w = w[:-4]
+        if not _ends(
+            w, "οκ", "μαμ", "μαν", "μπαμπ", "πατερ", "γιαγι", "νταντ",
+            "κυρ", "θει", "πεθερ",
+        ):
+            w += "αδ"
+    return w
+
+
+def _rule2(w: str) -> str:
+    if len(w) > 4 and _ends(w, "εδεσ", "εδων"):
+        w = w[:-4]
+        if _ends(w, "οπ", "ιπ", "εμπ", "υπ", "γηπ", "δαπ", "κρασπ", "μιλ"):
+            w += "εδ"
+    return w
+
+
+def _rule3(w: str) -> str:
+    if len(w) > 5 and _ends(w, "ουδεσ", "ουδων"):
+        w = w[:-5]
+        if _ends(
+            w, "αρκ", "καλιακ", "πεταλ", "λιχ", "πλεξ", "σκ", "σ", "φλ",
+            "φρ", "βελ", "λουλ", "χν", "σπ", "τραγ", "φε",
+        ):
+            w += "ουδ"
+    return w
+
+
+def _rule4(w: str) -> str:
+    if len(w) > 3 and _ends(w, "εωσ", "εων"):
+        w = w[:-3]
+        if w in _EXC4:
+            w += "ε"
+    return w
+
+
+def _rule5(w: str) -> str:
+    if len(w) > 2 and w.endswith("ια"):
+        w = w[:-2]
+        if _ev(w):
+            w += "ι"
+    elif len(w) > 3 and _ends(w, "ιου", "ιων"):
+        w = w[:-3]
+        if _ev(w):
+            w += "ι"
+    return w
+
+
+def _rule6(w: str) -> str:
+    removed = False
+    if len(w) > 3 and _ends(w, "ικα", "ικο"):
+        w = w[:-3]
+        removed = True
+    elif len(w) > 4 and _ends(w, "ικου", "ικων"):
+        w = w[:-4]
+        removed = True
+    if removed and (_ev(w) or w in _EXC6):
+        w += "ικ"
+    return w
+
+
+def _rule7(w: str) -> str:
+    if len(w) == 5 and w.endswith("αγαμε"):
+        return w[:-1]
+    if len(w) > 7 and w.endswith("ηθηκαμε"):
+        w = w[:-7]
+    elif len(w) > 6 and w.endswith("ουσαμε"):
+        w = w[:-6]
+    elif len(w) > 5 and _ends(w, "αγαμε", "ησαμε", "ηκαμε"):
+        w = w[:-5]
+    if len(w) > 3 and w.endswith("αμε"):
+        w = w[:-3]
+        if w in _EXC7:
+            w += "αμ"
+    return w
+
+
+def _rule8(w: str) -> str:
+    removed = False
+    n = len(w)
+    # the τανε ladder keeps the reference's guard-binds-first quirk
+    if n > 8 and w.endswith("ιουντανε"):
+        w = w[:-8]
+        removed = True
+    elif (n > 7 and w.endswith("ιοντανε")) or _ends(
+        w, "ουντανε", "ηθηκανε"
+    ):
+        w = w[:-7]
+        removed = True
+    elif (n > 6 and w.endswith("ιοτανε")) or _ends(w, "οντανε", "ουσανε"):
+        w = w[:-6]
+        removed = True
+    elif (n > 5 and w.endswith("αγανε")) or _ends(
+        w, "ησανε", "οτανε", "ηκανε"
+    ):
+        w = w[:-5]
+        removed = True
+    if removed and w in _EXC8A:
+        w += "αγαν"
+    if len(w) > 3 and w.endswith("ανε"):
+        w = w[:-3]
+        if _ev_no_y(w) or w in _EXC8B:
+            w += "αν"
+    return w
+
+
+def _rule9(w: str) -> str:
+    if len(w) > 5 and w.endswith("ησετε"):
+        w = w[:-5]
+    if len(w) > 3 and w.endswith("ετε"):
+        w = w[:-3]
+        if (
+            w in _EXC9
+            or _ev_no_y(w)
+            or _ends(
+                w, "οδ", "αιρ", "φορ", "ταθ", "διαθ", "σχ", "ενδ", "ευρ",
+                "τιθ", "υπερθ", "ραθ", "ενθ", "ροθ", "σθ", "πυρ", "αιν",
+                "συνδ", "συν", "συνθ", "χωρ", "πον", "βρ", "καθ", "ευθ",
+                "εκθ", "νετ", "ρον", "αρκ", "βαρ", "βολ", "ωφελ",
+            )
+        ):
+            w += "ετ"
+    return w
+
+
+def _rule10(w: str) -> str:
+    if len(w) > 5 and _ends(w, "οντασ", "ωντασ"):
+        w = w[:-5]
+        if len(w) == 3 and w.endswith("αρχ"):
+            w += "οντ"
+        if w.endswith("κρε"):
+            w += "ωντ"
+    return w
+
+
+def _rule11(w: str) -> str:
+    if len(w) > 6 and w.endswith("ομαστε"):
+        w = w[:-6]
+        if len(w) == 2 and w.endswith("ον"):
+            w += "ομαστ"
+    elif len(w) > 7 and w.endswith("ιομαστε"):
+        w = w[:-7]
+        if len(w) == 2 and w.endswith("ον"):
+            w += "ομαστ"
+    return w
+
+
+def _rule12(w: str) -> str:
+    if len(w) > 5 and w.endswith("ιεστε"):
+        w = w[:-5]
+        if w in _EXC12A:
+            w += "ιεστ"
+    if len(w) > 4 and w.endswith("εστε"):
+        w = w[:-4]
+        if w in _EXC12B:
+            w += "εστ"
+    return w
+
+
+def _rule13(w: str) -> str:
+    if len(w) > 6 and w.endswith("ηθηκεσ"):
+        w = w[:-6]
+    elif len(w) > 5 and _ends(w, "ηθηκα", "ηθηκε"):
+        w = w[:-5]
+    removed = False
+    if len(w) > 4 and w.endswith("ηκεσ"):
+        w = w[:-4]
+        removed = True
+    elif len(w) > 3 and _ends(w, "ηκα", "ηκε"):
+        w = w[:-3]
+        removed = True
+    if removed and (
+        w in _EXC13
+        or _ends(w, "σκωλ", "σκουλ", "ναρθ", "σφ", "οθ", "πιθ")
+    ):
+        w += "ηκ"
+    return w
+
+
+def _rule14(w: str) -> str:
+    removed = False
+    if len(w) > 5 and w.endswith("ουσεσ"):
+        w = w[:-5]
+        removed = True
+    elif len(w) > 4 and _ends(w, "ουσα", "ουσε"):
+        w = w[:-4]
+        removed = True
+    if removed and (
+        w in _EXC14
+        or _ev(w)
+        or _ends(
+            w, "ποδαρ", "βλεπ", "πανταχ", "φρυδ", "μαντιλ", "μαλλ",
+            "κυματ", "λαχ", "ληγ", "φαγ", "ομ", "πρωτ",
+        )
+    ):
+        w += "ουσ"
+    return w
+
+
+def _rule15(w: str) -> str:
+    removed = False
+    if len(w) > 4 and w.endswith("αγεσ"):
+        w = w[:-4]
+        removed = True
+    elif len(w) > 3 and _ends(w, "αγα", "αγε"):
+        w = w[:-3]
+        removed = True
+    if removed:
+        cond1 = w in _EXC15A or _ends(
+            w, "οφ", "πελ", "χορτ", "λλ", "σφ", "ρπ", "φρ", "πρ",
+            "λοχ", "σμην",
+        )
+        cond2 = w in _EXC15B or w.endswith("κολλ")
+        if cond1 and not cond2:
+            w += "αγ"
+    return w
+
+
+def _rule16(w: str) -> str:
+    removed = False
+    if len(w) > 4 and w.endswith("ησου"):
+        w = w[:-4]
+        removed = True
+    elif len(w) > 3 and _ends(w, "ησε", "ησα"):
+        w = w[:-3]
+        removed = True
+    if removed and w in _EXC16:
+        w += "ησ"
+    return w
+
+
+def _rule17(w: str) -> str:
+    if len(w) > 4 and w.endswith("ηστε"):
+        w = w[:-4]
+        if w in _EXC17:
+            w += "ηστ"
+    return w
+
+
+def _rule18(w: str) -> str:
+    removed = False
+    if len(w) > 6 and _ends(w, "ησουνε", "ηθουνε"):
+        w = w[:-6]
+        removed = True
+    elif len(w) > 4 and w.endswith("ουνε"):
+        w = w[:-4]
+        removed = True
+    if removed and w in _EXC18:
+        w += "ουν"
+    return w
+
+
+def _rule19(w: str) -> str:
+    removed = False
+    if len(w) > 6 and _ends(w, "ησουμε", "ηθουμε"):
+        w = w[:-6]
+        removed = True
+    elif len(w) > 4 and w.endswith("ουμε"):
+        w = w[:-4]
+        removed = True
+    if removed and w in _EXC19:
+        w += "ουμ"
+    return w
+
+
+def _rule20(w: str) -> str:
+    if len(w) > 5 and _ends(w, "ματων", "ματοσ"):
+        return w[:-3]
+    if len(w) > 4 and w.endswith("ματα"):
+        return w[:-2]
+    return w
+
+
+_R21_GROUPS: list[tuple[int, int, tuple[str, ...]]] = [
+    (9, 9, ("ιοντουσαν",)),
+    (8, 8, ("ιομασταν", "ιοσασταν", "ιουμαστε", "οντουσαν")),
+    (7, 7, ("ιεμαστε", "ιεσαστε", "ιομουνα", "ιοσαστε", "ιοσουνα",
+            "ιουνται", "ιουνταν", "ηθηκατε", "ομασταν", "οσασταν",
+            "ουμαστε")),
+    (6, 6, ("ιομουν", "ιονταν", "ιοσουν", "ηθειτε", "ηθηκαν", "ομουνα",
+            "οσαστε", "οσουνα", "ουνται", "ουνταν", "ουσατε")),
+    (5, 5, ("αγατε", "ιεμαι", "ιεται", "ιεσαι", "ιοταν", "ιουμα",
+            "ηθεισ", "ηθουν", "ηκατε", "ησατε", "ησουν", "ομουν",
+            "ονται", "ονταν", "οσουν", "ουμαι", "ουσαν")),
+    (4, 4, ("αγαν", "αμαι", "ασαι", "αται", "ειτε", "εσαι", "εται",
+            "ηδεσ", "ηδων", "ηθει", "ηκαν", "ησαν", "ησει", "ησεσ",
+            "ομαι", "οταν")),
+    (3, 3, ("αει", "εισ", "ηθω", "ησω", "ουν", "ουσ")),
+    (2, 2, ("αν", "ασ", "αω", "ει", "εσ", "ησ", "οι", "οσ", "ου",
+            "υσ", "ων")),
+]
+
+
+def _rule21(w: str) -> str:
+    n = len(w)
+    for guard, strip, sufs in _R21_GROUPS:
+        if n > guard and w.endswith(sufs):
+            return w[:-strip]
+    if n > 1 and _ev(w):
+        return w[:-1]
+    return w
+
+
+def _rule22(w: str) -> str:
+    if _ends(w, "εστερ", "εστατ"):
+        return w[:-5]
+    if _ends(w, "οτερ", "οτατ", "υτερ", "υτατ", "ωτερ", "ωτατ"):
+        return w[:-4]
+    return w
+
+
+_RULES = (
+    _rule0, _rule1, _rule2, _rule3, _rule4, _rule5, _rule6, _rule7,
+    _rule8, _rule9, _rule10, _rule11, _rule12, _rule13, _rule14,
+    _rule15, _rule16, _rule17, _rule18, _rule19, _rule20,
+)
+
+
+def greek_stem(word: str) -> str:
+    """Stem one Greek token already folded by :func:`greek_normalize`
+    (``el/GreekStemmer.java:42-73``)."""
+    if len(word) < 4:
+        return word
+    orig = len(word)
+    for rule in _RULES:
+        word = rule(word)
+    if len(word) == orig:
+        word = _rule21(word)
+    return _rule22(word)
+
+
+GREEK_STOP_WORDS = frozenset(
+    """ο η το οι τα του τησ των τον την και κι κ ειμαι εισαι ειναι
+ειμαστε ειστε στο στον στη στην μα αλλα απο για προσ με σε ωσ παρα
+αντι κατα μετα θα να δε δεν μη μην επι ενω εαν αν τοτε που πωσ ποιοσ
+ποια ποιο ποιοι ποιεσ ποιων ποιουσ αυτοσ αυτη αυτο αυτοι αυτων
+αυτουσ αυτεσ αυτα εκεινοσ εκεινη εκεινο εκεινοι εκεινεσ εκεινα
+εκεινων εκεινουσ οπωσ ομωσ ισωσ οσο οτι""".split()
+)

@@ -1093,6 +1093,13 @@ def _build_chains() -> dict:
         "arabic": AnalyzerChain(
             "arabic", _ar_stops(), stem=_ar_stem(), normalize=_ar_norm()
         ),
+        # GreekAnalyzer (el/GreekAnalyzer.java:95-101): GreekLowerCase
+        # (sigma/tonos folds composed with Java lowercase) -> stop
+        # (list ships post-fold) -> the Ntais stemmer
+        "greek": AnalyzerChain(
+            "greek", _el_stops(), stem=_el_stem(),
+            normalize=_el_norm(), stop_after_normalize=True,
+        ),
         # LatvianAnalyzer (lv/LatvianAnalyzer.java:101-108): lower ->
         # stop -> Kreslins light stemmer
         "latvian": AnalyzerChain(
@@ -1188,6 +1195,24 @@ def _shingle_stream():
     from .shingle import shingle_stream_factory
 
     return shingle_stream_factory()
+
+
+def _el_stops():
+    from .greek import GREEK_STOP_WORDS
+
+    return GREEK_STOP_WORDS
+
+
+def _el_norm():
+    from .greek import greek_normalize
+
+    return greek_normalize
+
+
+def _el_stem():
+    from .greek import greek_stem
+
+    return greek_stem
 
 
 def _lv_stops():

@@ -1,0 +1,82 @@
+"""Greek analysis (functions/greek.py): GreekLowerCaseFilter folds and
+the Ntais stemmer, goldens hand-traced from el/GreekStemmer.java rule
+semantics."""
+
+import pytest
+
+from lucene_spark.functions.greek import (
+    greek_normalize,
+    greek_stem,
+)
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+
+class TestGreekNormalize:
+    @pytest.mark.parametrize(
+        "raw,expect",
+        [
+            ("ς", "σ"),        # final sigma standardizes
+            ("ά", "α"),        # tonos folds
+            ("έ", "ε"),
+            ("ή", "η"),
+            ("ί", "ι"),
+            ("ϊ", "ι"),        # dialytika folds
+            ("ΐ", "ι"),        # dialytika + tonos
+            ("ύ", "υ"),
+            ("ϋ", "υ"),
+            ("ΰ", "υ"),
+            ("ό", "ο"),
+            ("ώ", "ω"),
+            ("΢", "ς"),   # reserved -> final sigma, NOT re-folded
+        ],
+    )
+    def test_fold(self, raw, expect):
+        assert greek_normalize(raw) == expect
+
+    def test_chain_composes_with_java_lower(self):
+        chain = get_chain("greek")
+        # capital alpha with tonos lowercases then folds; final sigma
+        # standardizes — 'Άλλος' -> 'αλλοσ'... which is not a stopword
+        # ('αλλα' is); 'Της' -> 'τησ' IS one
+        terms, pos = chain_analyze("Της χώρας", chain)
+        assert pos == [1]
+        assert terms == [greek_stem("χωρασ")]
+
+
+class TestGreekStem:
+    @pytest.mark.parametrize(
+        "word,expect",
+        [
+            ("καθεστωτοσ", "καθεστ"),  # rule0, -4
+            ("γεγονοτα", "γεγον"),      # rule0, -3
+            ("φωσ", "φωσ"),                # len < 4: untouched
+            ("ομαδεσ", "ομαδ"),          # rule1: strip then re-add -αδ
+            ("μαμαδεσ", "μαμ"),          # rule1 exception: no re-add
+            ("γηπεδων", "γηπεδ"),      # rule2: εδων + re-add for γηπ
+            ("πολεωσ", "πολ"),            # rule4, no exception
+            ("θεων", "θε"),                # rule4 exception θ -> re-add ε
+            ("αξια", "αξ"),                # rule5, consonant: no re-add
+            ("ζωιων", "ζωι"),            # rule5, vowel: re-add ι
+            ("ελληνικα", "ελλην"),    # rule6, no re-add
+            ("τραγικα", "τραγ"),        # rule6: τραγ not in exc6
+            ("καλυτερη", "καλ"),        # rule21 vowel strip + rule22 υτερ
+            ("κρατουσαν", "κρατ"),    # rule21 only (rules 0-20 miss)
+            ("2024", "2024"),              # non-Greek token unchanged
+            ("καθε", "καθ"),              # rules 0-20 miss -> rule21 vowel
+        ],
+    )
+    def test_stem(self, word, expect):
+        assert greek_stem(word) == expect
+
+    def test_short_words_pass_through(self):
+        assert greek_stem("και") == "και"
+        assert greek_stem("α") == "α"
+
+    def test_rule21_only_when_rules_0_20_missed(self):
+        # 'ομαδεσ' was handled by rule1 (len changed), so the rule-21
+        # 'εσ' strip must NOT also fire
+        assert greek_stem("ομαδεσ") == "ομαδ"
+
+    def test_rule22_unconditional(self):
+        # comparative strips even after rule21 already shortened
+        assert greek_stem("νεοτερη") == "νε"
