@@ -645,7 +645,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
         elif kind in (
             "english", "french", "german",
             "swedish", "norwegian", "finnish", "czech", "bulgarian",
-            "indonesian", "latvian",
+            "indonesian", "latvian", "danish",
         ):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
@@ -797,6 +797,12 @@ def _LV_STOPS():
     from lucene_spark.functions.latvian import LATVIAN_STOP_WORDS
 
     return LATVIAN_STOP_WORDS
+
+
+def _DA_STOPS():
+    from lucene_spark.functions.danish import DANISH_STOP_WORDS
+
+    return DANISH_STOP_WORDS
 
 
 def _en33_sql() -> str:
@@ -2745,6 +2751,14 @@ def _q_bulgarian(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["filter"]))
 
 
+def _q_danish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Danish snowball stemmer chain (snowball/ext/DanishStemmer
+    .java): stem-invariant term 'vector' (singleton preimage asserted
+    in tests/test_danish.py)."""
+    s = _variant_searcher(spark, sf_dir, "danish")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["vector"]))
+
+
 def _q_latvian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latvian Kreslins light stemmer chain (lv/LatvianStemmer.java):
     stem-invariant term 'spark' (singleton preimage asserted in
@@ -3254,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "czech_analyzer_top10": _q_czech,
         "bulgarian_analyzer_top10": _q_bulgarian,
         "latvian_analyzer_top10": _q_latvian,
+        "danish_analyzer_top10": _q_danish,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
         "greek_analyzer_tokens": _q_greek_analyzer,
         "bengali_analyzer_tokens": _q_bengali_analyzer,
@@ -3625,6 +3640,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "latvian_analyzer_top10": _stop_filtered_bm25_sql(
             "spark", _lang_stop_sql(_LV_STOPS())
+        ),
+        "danish_analyzer_top10": _stop_filtered_bm25_sql(
+            "vector", _lang_stop_sql(_DA_STOPS())
         ),
         "sorani_analyzer_tokens": _SORANI_SQL,
         "greek_analyzer_tokens": _GREEK_SQL,

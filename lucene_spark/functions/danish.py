@@ -1,0 +1,117 @@
+"""Danish analysis: the snowball Danish stemmer.
+
+Re-expresses ``analysis/common/.../da/DanishAnalyzer.java`` (tokenize
+-> lower -> stop -> SnowballFilter(DanishStemmer)) from the published
+snowball Danish algorithm (snowballstem.org), pinned to the generated
+reference's exact semantics
+(``org/tartarus/snowball/ext/DanishStemmer.java``):
+
+- R1 = region after the first non-vowel following a vowel, moved
+  right so at least 3 letters precede it; vowels are aeiouyæåø.
+- Step 1 (longest suffix lying ENTIRELY in R1): the 31-entry e/en/er/
+  hed/et family deletes; bare -s deletes only when the preceding
+  letter (anywhere in the word — the generated code restores the R1
+  window BEFORE this check) is a valid s-ending
+  (abcdfghjklmnoprtvyzå).
+- Step 2: word ending gd/dt/gt/kt with the pair in R1 -> drop the
+  last letter.
+- Step 3: an -igst ending drops its -st unconditionally (not
+  R1-gated); then ig/lig/elig/els in R1 delete and re-run step 2,
+  løst in R1 -> løs.
+- Step 4 (undouble): a final consonant (bcdfghjklmnpqrstvwxz) lying
+  in R1 that doubles the letter before it is dropped.
+
+When region marking fails (word shorter than 3, or no non-vowel after
+a vowel), the reference's reused-stemmer instance leaves a STALE p1
+from the previous token (a snowball implementation artifact); we take
+the deterministic steady state — R1 empty, nothing strips — which is
+what any stale p1 >= 3 yields for such words.
+
+The stop set is the analyzer's default ``snowball/danish_stop.txt``.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouyæåø")
+_S_ENDING = frozenset("abcdfghjklmnoprtvyzå")
+_CONSONANT = frozenset("bcdfghjklmnpqrstvwxz")
+_PAIRS = ("gd", "dt", "gt", "kt")
+
+_STEP1 = sorted(
+    """hed ethed ered e erede ende erende ene erne ere en heden eren
+er heder erer s heds es endes erendes enes ernes eres ens hedens
+erens ers ets erets et eret""".split(),
+    key=len,
+    reverse=True,
+)
+_STEP3 = sorted(
+    ["ig", "lig", "elig", "els", "løst"], key=len, reverse=True
+)
+
+
+def _r1_start(word: str) -> int:
+    """p1 per the snowball region rule; len(word)+1 (empty R1) when
+    marking fails — see module docstring for the stale-p1 note."""
+    n = len(word)
+    if n < 3:
+        return n + 1
+    i = 0
+    while i < n and word[i] not in _VOWELS:
+        i += 1
+    while i < n and word[i] in _VOWELS:
+        i += 1
+    if i >= n:
+        return n + 1  # no non-vowel after a vowel: marking fails
+    return max(i + 1, 3)
+
+
+def _consonant_pair(word: str, p1: int) -> str:
+    if word[-2:] in _PAIRS and len(word) - 2 >= p1:
+        return word[:-1]
+    return word
+
+
+def danish_stem(word: str) -> str:
+    p1 = _r1_start(word)
+    # step 1: longest suffix fully within R1
+    for suf in _STEP1:
+        if word.endswith(suf) and len(word) - len(suf) >= p1:
+            if suf == "s":
+                if len(word) >= 2 and word[-2] in _S_ENDING:
+                    word = word[:-1]
+            else:
+                word = word[: -len(suf)]
+            break
+    # step 2
+    word = _consonant_pair(word, p1)
+    # step 3
+    if word.endswith("igst"):
+        word = word[:-2]
+    for suf in _STEP3:
+        if word.endswith(suf) and len(word) - len(suf) >= p1:
+            if suf == "løst":
+                word = word[:-1]
+            else:
+                word = word[: -len(suf)]
+                word = _consonant_pair(word, p1)
+            break
+    # step 4: undouble a final R1 consonant
+    if (
+        len(word) >= 2
+        and word[-1] in _CONSONANT
+        and len(word) - 1 >= p1
+        and word[-2] == word[-1]
+    ):
+        word = word[:-1]
+    return word
+
+
+DANISH_STOP_WORDS = frozenset(
+    """og i jeg det at en den til er som på de med han af for ikke
+der var mig sig men et har om vi min havde ham hun nu over da fra du
+ud sin dem os op man hans hvor eller hvad skal selv her alle vil
+blev kunne ind når være dog noget ville jo deres efter ned skulle
+denne end dette mit også under have dig anden hende mine alt meget
+sit sine vor mod disse hvis din nogle hos blive mange ad bliver
+hendes været thi jer sådan""".split()
+)

@@ -1100,6 +1100,12 @@ def _build_chains() -> dict:
             "greek", _el_stops(), stem=_el_stem(),
             normalize=_el_norm(), stop_after_normalize=True,
         ),
+        # DanishAnalyzer (da/DanishAnalyzer.java): lower -> stop ->
+        # snowball Danish (R1 suffix families, consonant pairs,
+        # undouble)
+        "danish": AnalyzerChain(
+            "danish", _da_stops(), stem=_da_stem()
+        ),
         # LatvianAnalyzer (lv/LatvianAnalyzer.java:101-108): lower ->
         # stop -> Kreslins light stemmer
         "latvian": AnalyzerChain(
@@ -1213,6 +1219,18 @@ def _el_stem():
     from .greek import greek_stem
 
     return greek_stem
+
+
+def _da_stops():
+    from .danish import DANISH_STOP_WORDS
+
+    return DANISH_STOP_WORDS
+
+
+def _da_stem():
+    from .danish import danish_stem
+
+    return danish_stem
 
 
 def _lv_stops():
