@@ -646,6 +646,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             "english", "french", "german",
             "swedish", "norwegian", "finnish", "czech", "bulgarian",
             "indonesian", "latvian", "danish",
+            "swedish_snowball", "norwegian_snowball",
         ):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
@@ -803,6 +804,18 @@ def _DA_STOPS():
     from lucene_spark.functions.danish import DANISH_STOP_WORDS
 
     return DANISH_STOP_WORDS
+
+
+def _SV_SB_STOPS():
+    from lucene_spark.functions.swedish_sb import SWEDISH_STOP_WORDS
+
+    return SWEDISH_STOP_WORDS
+
+
+def _NO_SB_STOPS():
+    from lucene_spark.functions.norwegian_sb import NORWEGIAN_STOP_WORDS
+
+    return NORWEGIAN_STOP_WORDS
 
 
 def _en33_sql() -> str:
@@ -2759,6 +2772,22 @@ def _q_danish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["vector"]))
 
 
+def _q_swedish_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT SwedishAnalyzer chain = snowball Swedish
+    (snowball/ext/SwedishStemmer.java; the swedish_analyzer_top10
+    entry covers the Light variant): stem-invariant term 'join'."""
+    s = _variant_searcher(spark, sf_dir, "swedish_snowball")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["join"]))
+
+
+def _q_norwegian_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT NorwegianAnalyzer chain = snowball Norwegian
+    (snowball/ext/NorwegianStemmer.java): stem-invariant term
+    'hash'."""
+    s = _variant_searcher(spark, sf_dir, "norwegian_snowball")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["hash"]))
+
+
 def _q_latvian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latvian Kreslins light stemmer chain (lv/LatvianStemmer.java):
     stem-invariant term 'spark' (singleton preimage asserted in
@@ -3269,6 +3298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulgarian_analyzer_top10": _q_bulgarian,
         "latvian_analyzer_top10": _q_latvian,
         "danish_analyzer_top10": _q_danish,
+        "swedish_snowball_top10": _q_swedish_sb,
+        "norwegian_snowball_top10": _q_norwegian_sb,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
         "greek_analyzer_tokens": _q_greek_analyzer,
         "bengali_analyzer_tokens": _q_bengali_analyzer,
@@ -3643,6 +3674,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "danish_analyzer_top10": _stop_filtered_bm25_sql(
             "vector", _lang_stop_sql(_DA_STOPS())
+        ),
+        "swedish_snowball_top10": _stop_filtered_bm25_sql(
+            "join", _lang_stop_sql(_SV_SB_STOPS())
+        ),
+        "norwegian_snowball_top10": _stop_filtered_bm25_sql(
+            "hash", _lang_stop_sql(_NO_SB_STOPS())
         ),
         "sorani_analyzer_tokens": _SORANI_SQL,
         "greek_analyzer_tokens": _GREEK_SQL,

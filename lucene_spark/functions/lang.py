@@ -1106,6 +1106,16 @@ def _build_chains() -> dict:
         "danish": AnalyzerChain(
             "danish", _da_stops(), stem=_da_stem()
         ),
+        # the DEFAULT SwedishAnalyzer / NorwegianAnalyzer chains use
+        # the snowball stemmers (sv/SwedishAnalyzer.java,
+        # no/NorwegianAnalyzer.java); the 'swedish'/'norwegian'
+        # registrations above are the separate Light variants
+        "swedish_snowball": AnalyzerChain(
+            "swedish_snowball", _sv_sb_stops(), stem=_sv_sb_stem()
+        ),
+        "norwegian_snowball": AnalyzerChain(
+            "norwegian_snowball", _no_sb_stops(), stem=_no_sb_stem()
+        ),
         # LatvianAnalyzer (lv/LatvianAnalyzer.java:101-108): lower ->
         # stop -> Kreslins light stemmer
         "latvian": AnalyzerChain(
@@ -1219,6 +1229,30 @@ def _el_stem():
     from .greek import greek_stem
 
     return greek_stem
+
+
+def _sv_sb_stops():
+    from .swedish_sb import SWEDISH_STOP_WORDS
+
+    return SWEDISH_STOP_WORDS
+
+
+def _sv_sb_stem():
+    from .swedish_sb import swedish_snowball_stem
+
+    return swedish_snowball_stem
+
+
+def _no_sb_stops():
+    from .norwegian_sb import NORWEGIAN_STOP_WORDS
+
+    return NORWEGIAN_STOP_WORDS
+
+
+def _no_sb_stem():
+    from .norwegian_sb import norwegian_snowball_stem
+
+    return norwegian_snowball_stem
 
 
 def _da_stops():

@@ -1,0 +1,145 @@
+"""Norwegian analysis: the snowball Norwegian stemmer (the DEFAULT
+NorwegianAnalyzer chain — the 'norwegian' chain in this repo is the
+separate NorwegianLightStemFilter variant).
+
+Re-expresses ``analysis/common/.../no/NorwegianAnalyzer.java``
+(tokenize -> lower -> stop -> SnowballFilter(NorwegianStemmer)) from
+the published snowball Norwegian algorithm, pinned to the generated
+reference (``org/tartarus/snowball/ext/NorwegianStemmer.java``, the
+snowball-3.0 revision):
+
+- vowels aeiouyåæêòóôø (3.0 added the accented forms); R1 with the
+  3-letter floor.
+- Step 1 (longest suffix entirely in R1): the a/e/ede/ende/ene/en/ar/
+  er/as/es/ens/ets/et/het/ast family deletes; -erte/-ert replace with
+  -er; -ers deletes only when the preceding context is NOT one of the
+  blocked endings (ind kk nk amm omm kap pp lt ast øst v) unless a
+  longer allowed context (skap hav giv) re-permits it; bare -s
+  deletes when the preceding letter is a valid s-ending
+  (bcdfghjlmnoptvyz), OR is an 'r' not preceded by 'e', OR is a 'k'
+  preceded by a non-vowel (context letters may sit outside R1 — the
+  generated code restores the window before these checks).
+- Step 2: word ending dt/vt with the pair in R1 -> drop the last
+  letter.
+- Step 3 (in R1): leg/eleg/ig/eig/lig/elig/els/lov/elov/slov/hetslov
+  delete.
+
+The stop set is the analyzer's default ``snowball/norwegian_stop.txt``
+(bokmål + nynorsk function words).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouyåæêòóôø")
+_S_ENDING = frozenset("bcdfghjlmnoptvyz")
+_PAIRS = ("dt", "vt")
+
+# -ers context: longest match decides; True = delete allowed
+_ERS_CONTEXTS = sorted(
+    [
+        ("", True), ("ind", False), ("kk", False), ("nk", False),
+        ("amm", False), ("omm", False), ("kap", False), ("skap", True),
+        ("pp", False), ("lt", False), ("ast", False), ("øst", False),
+        ("v", False), ("hav", True), ("giv", True),
+    ],
+    key=lambda t: len(t[0]),
+    reverse=True,
+)
+
+# (suffix, action): 1 delete, 2 the -ers context rule, 3 bare -s,
+# 4 replace with 'er'
+_STEP1 = sorted(
+    [
+        ("a", 1), ("e", 1), ("ede", 1), ("ande", 1), ("ende", 1),
+        ("ane", 1), ("ene", 1), ("hetene", 1), ("erte", 4), ("en", 1),
+        ("heten", 1), ("ar", 1), ("er", 1), ("heter", 1), ("s", 3),
+        ("as", 1), ("es", 1), ("edes", 1), ("endes", 1), ("enes", 1),
+        ("hetenes", 1), ("ens", 1), ("hetens", 1), ("ers", 2),
+        ("ets", 1), ("et", 1), ("het", 1), ("ert", 4), ("ast", 1),
+    ],
+    key=lambda t: len(t[0]),
+    reverse=True,
+)
+_STEP3 = sorted(
+    ["leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+     "slov", "hetslov"],
+    key=len,
+    reverse=True,
+)
+
+
+def _r1_start(word: str) -> int:
+    n = len(word)
+    if n < 3:
+        return n + 1
+    i = 0
+    while i < n and word[i] not in _VOWELS:
+        i += 1
+    while i < n and word[i] in _VOWELS:
+        i += 1
+    if i >= n:
+        return n + 1
+    return max(i + 1, 3)
+
+
+def _s_deletable(stem: str) -> bool:
+    """The bare -s conditions over the part before 's' (window
+    restored: context letters need not be in R1)."""
+    if not stem:
+        return False
+    c = stem[-1]
+    if c in _S_ENDING:
+        return True
+    if c == "r":
+        return len(stem) < 2 or stem[-2] != "e"
+    if c == "k":
+        return len(stem) >= 2 and stem[-2] not in _VOWELS
+    return False
+
+
+def norwegian_snowball_stem(word: str) -> str:
+    p1 = _r1_start(word)
+    # step 1
+    for suf, act in _STEP1:
+        if word.endswith(suf) and len(word) - len(suf) >= p1:
+            if act == 1:
+                word = word[: -len(suf)]
+            elif act == 2:  # -ers: longest context decides
+                stem = word[:-3]
+                for ctx, allowed in _ERS_CONTEXTS:
+                    if stem.endswith(ctx):
+                        if allowed:
+                            word = stem
+                        break
+            elif act == 3:  # bare -s
+                if _s_deletable(word[:-1]):
+                    word = word[:-1]
+            else:  # erte/ert -> er
+                word = word[: -len(suf)] + "er"
+            break
+    # step 2
+    if word[-2:] in _PAIRS and len(word) - 2 >= p1:
+        word = word[:-1]
+    # step 3
+    for suf in _STEP3:
+        if word.endswith(suf) and len(word) - len(suf) >= p1:
+            word = word[: -len(suf)]
+            break
+    return word
+
+
+NORWEGIAN_STOP_WORDS = frozenset(
+    """og i jeg det at en et den til er som på de med han av ikke
+ikkje der så var meg seg men ett har om vi min mitt ha hadde hun nå
+over da ved fra du ut sin dem oss opp man kan hans hvor eller hva
+skal selv sjøl her alle vil bli ble blei blitt kunne inn når være
+kom noen noe ville dere deres kun ja etter ned skulle denne for deg
+si sine sitt mot å meget hvorfor dette disse uten hvordan ingen din
+ditt blir samme hvilken hvilke sånn inni mellom vår hver hvem vors
+hvis både bare enn fordi før mange også slik vært båe begge siden
+dykk dykkar dei deira deires deim di då eg ein eit eitt elles honom
+hjå ho hoe henne hennar hennes hoss hossen ingi inkje korleis korso
+kva kvar kvarhelst kven kvi kvifor me medan mi mine mykje no nokon
+noka nokor noko nokre sia sidan so somt somme um upp vere vore verte
+vort varte vart""".split()
+)

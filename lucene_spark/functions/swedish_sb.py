@@ -1,0 +1,134 @@
+"""Swedish analysis: the snowball Swedish stemmer (the DEFAULT
+SwedishAnalyzer chain — the 'swedish' chain in this repo is the
+separate SwedishLightStemFilter variant).
+
+Re-expresses ``analysis/common/.../sv/SwedishAnalyzer.java`` (tokenize
+-> lower -> stop -> SnowballFilter(SwedishStemmer)) from the published
+snowball Swedish algorithm, pinned to the generated reference
+(``org/tartarus/snowball/ext/SwedishStemmer.java``, the snowball-3.0
+revision with the et/ets condition):
+
+- vowels aeiouyäåö; R1 with the 3-letter floor.
+- Step 1 (longest suffix entirely in R1): the 37-entry a/arna/e/en/
+  ar/er/or/as/es/at/ast/het family deletes; bare -s deletes when
+  either the word ends -ets with the et-condition below (the 'et'
+  itself may sit OUTSIDE R1 — the generated code restores the window
+  first) or the preceding letter is a valid s-ending
+  (bcdfghjklmnoprtvy); bare -et deletes only under the et-condition.
+  The et-condition: the letter before 'et' is a non-vowel preceded by
+  a vowel with at least one more letter before it, and the stem does
+  not end in one of the 21 exception contexts (fab h pak rak stak kom
+  iet cit dit alit ilit mit nit pit rit sit tit uit ivit kvit xit).
+- Step 2: word ending dd/gd/nn/dt/gt/kt/tt with the pair in R1 ->
+  drop the last letter.
+- Step 3 (in R1): ig/lig/els delete; öst -> ös when preceded by one
+  of ikl npr tuv; fullt -> full.
+
+The stop set is the analyzer's default ``snowball/swedish_stop.txt``.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouyäåö")
+_S_ENDING = frozenset("bcdfghjklmnoprtvy")
+_OST_ENDING = frozenset("iklnprtuv")
+_PAIRS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+_ET_EXC = (
+    "fab", "h", "pak", "rak", "stak", "kom", "iet", "cit", "dit",
+    "alit", "ilit", "mit", "nit", "pit", "rit", "sit", "tit", "uit",
+    "ivit", "kvit", "xit",
+)
+
+# (suffix, action): 1 = delete, 2 = the bare-s rule, 3 = et-condition
+_STEP1 = sorted(
+    [
+        ("a", 1), ("arna", 1), ("erna", 1), ("heterna", 1), ("orna", 1),
+        ("ad", 1), ("e", 1), ("ade", 1), ("ande", 1), ("arne", 1),
+        ("are", 1), ("aste", 1), ("en", 1), ("anden", 1), ("aren", 1),
+        ("heten", 1), ("ern", 1), ("ar", 1), ("er", 1), ("heter", 1),
+        ("or", 1), ("s", 2), ("as", 1), ("arnas", 1), ("ernas", 1),
+        ("ornas", 1), ("es", 1), ("ades", 1), ("andes", 1), ("ens", 1),
+        ("arens", 1), ("hetens", 1), ("erns", 1), ("at", 1), ("et", 3),
+        ("andet", 1), ("het", 1), ("ast", 1),
+    ],
+    key=lambda t: len(t[0]),
+    reverse=True,
+)
+_STEP3 = sorted(
+    [("lig", 1), ("ig", 1), ("els", 1), ("öst", 2), ("fullt", 3)],
+    key=lambda t: len(t[0]),
+    reverse=True,
+)
+
+
+def _r1_start(word: str) -> int:
+    n = len(word)
+    if n < 3:
+        return n + 1
+    i = 0
+    while i < n and word[i] not in _VOWELS:
+        i += 1
+    while i < n and word[i] in _VOWELS:
+        i += 1
+    if i >= n:
+        return n + 1
+    return max(i + 1, 3)
+
+
+def _et_condition(stem: str) -> bool:
+    """SwedishStemmer.r_et_condition over the part before 'et': ends
+    vowel+non-vowel with >= 1 letter before the vowel, and not one of
+    the exception contexts."""
+    if len(stem) < 3:
+        return False
+    if stem[-1] in _VOWELS or stem[-2] not in _VOWELS:
+        return False
+    if stem.endswith(_ET_EXC):
+        return False
+    return True
+
+
+def swedish_snowball_stem(word: str) -> str:
+    p1 = _r1_start(word)
+    # step 1
+    for suf, act in _STEP1:
+        if word.endswith(suf) and len(word) - len(suf) >= p1:
+            if act == 1:
+                word = word[: -len(suf)]
+            elif act == 2:  # bare -s
+                if word.endswith("ets") and _et_condition(word[:-3]):
+                    word = word[:-3]
+                elif len(word) >= 2 and word[-2] in _S_ENDING:
+                    word = word[:-1]
+            else:  # act == 3: bare -et
+                if _et_condition(word[:-2]):
+                    word = word[:-2]
+            break
+    # step 2
+    if word[-2:] in _PAIRS and len(word) - 2 >= p1:
+        word = word[:-1]
+    # step 3
+    for suf, act in _STEP3:
+        if word.endswith(suf) and len(word) - len(suf) >= p1:
+            if act == 1:
+                word = word[: -len(suf)]
+            elif act == 2:  # öst -> ös
+                if len(word) >= 4 and word[-4] in _OST_ENDING:
+                    word = word[:-1]
+            else:  # fullt -> full
+                word = word[:-1]
+            break
+    return word
+
+
+SWEDISH_STOP_WORDS = frozenset(
+    """och det att i en jag hon som han på den med var sig för så
+till är men ett om hade de av icke mig du henne då sin nu har inte
+hans honom skulle hennes där min man ej vid kunde något från ut när
+efter upp vi dem vara vad över än dig kan sina här ha mot alla under
+någon eller allt mycket sedan ju denna själv detta åt utan varit hur
+ingen mitt ni bli blev oss din dessa några deras blir mina samma
+vilken er sådan vår blivit dess inom mellan sådant varför varje
+vilka ditt vem vilket sitt sådana vart dina vars vårt våra ert era
+vilkas""".split()
+)
