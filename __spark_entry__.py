@@ -1183,6 +1183,91 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_SUFFIX = " contact admin@site.org or 10.1.2.3 soon"
+
+
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline (operators/pipeline.py): exact
+    dedup -> 13-gram decontamination vs a benchmark built from docs
+    0-4 -> quality >= 0.68 -> repetition <= 0.9 -> PII scrub, over the
+    corpus with a constant PII suffix appended (same suffix per doc so
+    dup groups survive the injection; makes the scrub stage visible).
+    The oracle recomputes the whole chain in one DuckDB query."""
+    from lucene_spark.operators.pipeline import clean_corpus
+
+    docs = _docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_PII_SUFFIX)).alias("text"),
+    )
+    bench = docs.where(F.col("doc_id") < 5).select(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 25)).alias(
+            "text"
+        )
+    )
+    out = clean_corpus(
+        docs, bench, min_quality=0.68, max_repetition=0.9
+    )
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
+def _clean_corpus_sql() -> str:
+    quality = f"""(
+      0.4*least(len(string_split(text, ' ')), 100)/100.0
+      + 0.4*(1 - abs(
+          len(list_filter(string_split(text, ' '),
+              t -> t IN ({_en_stop_sql()})))
+          / greatest(len(string_split(text, ' ')), 1) - 0.4))
+      + 0.2*(1 - strlen(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+          / greatest(strlen(text), 1)))"""
+    rep2 = """(
+      CASE WHEN len(g.grams) > 0 THEN
+        (len(g.grams) - len(list_distinct(g.grams)))/len(g.grams)::DOUBLE
+      ELSE 0.0 END)"""
+    return rf"""
+WITH aug AS (
+  SELECT doc_id, text || '{_PII_SUFFIX}' AS text FROM documents),
+dd AS (
+  SELECT a.doc_id, a.text FROM aug a
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS k FROM aug GROUP BY 1) c
+    ON md5(a.text) = c.h AND a.doc_id = c.k),
+bt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug
+       WHERE doc_id < 5),
+bg AS (SELECT DISTINCT unnest(list_transform(
+           generate_series(1, least(len(toks), 25) - 12),
+           i -> array_to_string(list_slice(toks, i, i + 12), ' ')))
+         AS gram
+       FROM bt WHERE least(len(toks), 25) >= 13),
+dirty AS (SELECT DISTINCT dg.doc_id FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 12),
+             i -> array_to_string(
+                    list_slice(string_split(text, ' '), i, i + 12),
+                    ' '))) AS gram
+    FROM dd WHERE len(string_split(text, ' ')) >= 13) dg
+  JOIN bg ON dg.gram = bg.gram),
+flt AS (
+  SELECT dd.doc_id, dd.text FROM dd,
+    LATERAL (SELECT CASE WHEN len(string_split(dd.text, ' ')) >= 2 THEN
+               list_transform(
+                 generate_series(1, len(string_split(dd.text, ' ')) - 1),
+                 i -> string_split(dd.text, ' ')[i] || ' ' ||
+                      string_split(dd.text, ' ')[i + 1])
+             ELSE [] END AS grams) g
+  WHERE dd.doc_id NOT IN (SELECT doc_id FROM dirty)
+    AND {quality} >= 0.68
+    AND {rep2} <= 0.9)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+        '<EMAIL>', 'g'),
+      '\b(\d{{1,3}}\.){{3}}\d{{1,3}}\b', '<IP>', 'g'),
+    '\+?\d{{1,3}}[-. ]?\(?\d{{2,4}}\)?[-. ]?\d{{3,4}}[-. ]?\d{{3,4}}',
+    '<PHONE>', 'g') AS text
+FROM flt ORDER BY doc_id"""
+
+
 def _q_time_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TimeLimitingBulkScorer under a generous budget
     (``core/search/TimeLimitingBulkScorer.java:33-77``): runs the
@@ -3212,6 +3297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cached_filter_match": _q_cached_filter,
         "time_limited_top10": _q_time_limited,
         "contamination_13gram": _q_contamination,
+        "clean_corpus_sample": _q_clean_corpus,
         "wildcard_match": _q_wildcard,
         "term_range_match": _q_term_range,
         "synonym_top10": _q_synonym,
@@ -3383,6 +3469,7 @@ def oracle_sql() -> dict[str, str]:
                    true AS contaminated
             FROM dg JOIN bg ON dg.gram = bg.gram
             GROUP BY dg.doc_id ORDER BY dg.doc_id""",
+        "clean_corpus_sample": _clean_corpus_sql(),
         "wildcard_match": _const_match_sql("regexp_matches(term, '^w.*w$')"),
         "term_range_match": _const_match_sql(
             "term >= 'spark' AND term <= 'table'"

@@ -1,0 +1,65 @@
+"""Composed training-data cleaning pipeline.
+
+One declarative DataFrame chain stitching the hygiene ladder together
+the way C4 / Gopher / GPT-3-style corpus builds do (exact dedup ->
+benchmark decontamination -> quality/repetition/language filters ->
+PII scrubbing), built entirely from this repo's existing operators so
+Catalyst sees ONE plan:
+
+- dedup and every filter are computed over the ORIGINAL text (the
+  scrub must not perturb content hashes or quality signals);
+- scrubbing runs last, on survivors only — at 100 TB you never pay
+  regex time for docs a cheaper filter already dropped (Catalyst
+  orders the scan predicates; the scrub is a projection after them);
+- the decontamination side keeps the broadcast-semi-join shape of
+  :func:`~lucene_spark.operators.dedup.benchmark_contamination` —
+  the corpus side never shuffles for it. The only corpus shuffle in
+  the whole pipeline is the dedup groupBy on the content hash.
+
+Pipeline-order reference points: C4's dedup-then-filter (Raffel et
+al. 2020 §2.2), GPT-3's eval decontamination (Brown et al. 2020
+appendix C), Gopher's repetition filters (Rae et al. 2021 §A1.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import (
+    lang_id,
+    quality_score,
+    repetition_score,
+    scrub_pii,
+)
+from .dedup import benchmark_contamination, distinct_by_content
+
+
+def clean_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    min_quality: float = 0.0,
+    max_repetition: float = 1.0,
+    langs: list[str] | None = None,
+    ngram: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The cleaned corpus: one row per surviving document with its
+    PII-scrubbed text. All thresholds apply to the original text."""
+    out = distinct_by_content(docs, id_col, text_col)
+    if benchmark is not None:
+        dirty = benchmark_contamination(
+            out, benchmark, n=ngram, id_col=id_col, text_col=text_col
+        )
+        out = out.join(dirty.select(id_col), id_col, "left_anti")
+    if min_quality > 0.0:
+        out = out.where(quality_score(F.col(text_col)) >= min_quality)
+    if max_repetition < 1.0:
+        out = out.where(
+            repetition_score(F.col(text_col)) <= max_repetition
+        )
+    if langs:
+        out = out.where(lang_id(F.col(text_col)).isin(list(langs)))
+    return out.withColumn(text_col, scrub_pii(F.col(text_col)))

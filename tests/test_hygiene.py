@@ -112,3 +112,54 @@ class TestContamination:
         dirty = benchmark_contamination(docs, bench, n=13)
         clean = docs.join(dirty.select("doc_id"), "doc_id", "left_anti")
         assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+class TestCleanCorpusPipeline:
+    def test_composed_stages(self, spark):
+        from lucene_spark.operators.pipeline import clean_corpus
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the data spark batch join merge filter row scan "
+                    "hash line order window vector small slow column"),
+                (2, "the data spark batch join merge filter row scan "
+                    "hash line order window vector small slow column"),
+                (3, "contact me at bob@mail.com " + "spam " * 40),
+                (4, "a b " * 2),
+            ],
+            "doc_id long, text string",
+        )
+        # doc 2 = exact dup of 1 (dropped); doc 3 repetitive boiler
+        # (dropped by repetition, 0.86 > 0.5); docs 1 and 4 pass the
+        # 0.5 quality bar (0.53 / 0.62 measured)
+        out = clean_corpus(
+            docs, None, min_quality=0.5, max_repetition=0.5
+        ).collect()
+        ids = {r["doc_id"] for r in out}
+        assert ids == {1, 4}
+
+    def test_scrub_applies_to_survivors(self, spark):
+        from lucene_spark.operators.pipeline import clean_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "reach me at bob@mail.com for the data spark batch "
+                 "join merge filter row scan hash line order window")],
+            "doc_id long, text string",
+        )
+        out = clean_corpus(docs).collect()
+        assert "<EMAIL>" in out[0]["text"]
+        assert "bob@mail.com" not in out[0]["text"]
+
+    def test_decontamination_stage(self, spark):
+        from lucene_spark.operators.pipeline import clean_corpus
+
+        body = " ".join(f"w{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [(1, body), (2, " ".join(f"x{i}" for i in range(20)))],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(body,)], "text string")
+        ids = {
+            r["doc_id"] for r in clean_corpus(docs, bench).collect()
+        }
+        assert ids == {2}
