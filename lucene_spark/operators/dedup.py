@@ -468,18 +468,16 @@ def boilerplate_ngram_fraction(
     occ = df.select(
         F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("gram")
     )
-    hits = (
-        occ.join(F.broadcast(frequent.select("gram")), "gram", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+    # single corpus scan: mark each occurrence via a broadcast LEFT
+    # join (count of the marker = hits, count(*) = total) instead of
+    # two separate aggregations over the unpersisted explode
+    marked = occ.join(
+        F.broadcast(frequent.select("gram").withColumn("__hit", F.lit(1))),
+        "gram",
+        "left",
     )
-    totals = occ.groupBy(id_col).agg(F.count("*").alias("n_total"))
-    return totals.join(hits, id_col, "left").select(
-        F.col(id_col),
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0))
-            / F.col("n_total").cast("double")
-        ).alias("frac"),
+    return marked.groupBy(id_col).agg(
+        (F.count("__hit") / F.count("*").cast("double")).alias("frac")
     )
 
 
@@ -524,10 +522,13 @@ def drop_frequent_lines(
     """Rewrite ``text`` with cross-document-frequent lines removed
     (empty lines drop too); adds ``n_lines_kept``/``n_lines_dropped``.
 
-    Scale shape: explode lines -> LEFT ANTI join against the frequent
-    set (small by construction: boilerplate mass, broadcast-able) ->
-    re-assemble per doc ordered by line position. One shuffle on
-    ``id_col`` for the reassembly."""
+    Scale shape: explode lines -> broadcast LEFT join marking frequent
+    lines (the frequent set is small by construction: boilerplate
+    mass) -> ONE re-assembly aggregation per doc ordered by line
+    position, counting kept and total in the same pass. One shuffle on
+    ``id_col``. Every input document survives — a doc whose lines are
+    all frequent (or all blank) comes back with empty text and its
+    drop count, never silently vanishing from the corpus."""
     if frequent is None:
         frequent = frequent_lines(
             docs, min_docs, id_col, text_col, line_sep
@@ -538,32 +539,39 @@ def drop_frequent_lines(
             "pos", "line"
         ),
     ).where(F.trim("line") != "")
-    kept = lines.join(
-        F.broadcast(frequent.select("line")), "line", "left_anti"
+    marked = lines.join(
+        F.broadcast(frequent.select("line").withColumn("__freq", F.lit(1))),
+        "line",
+        "left",
     )
-    n_all = lines.groupBy(id_col).agg(F.count("*").alias("n_total"))
-    out = (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "line"))
-                    ),
-                    lambda s: s["line"],
+    # collect_list skips NULLs, so the un-otherwise'd when() keeps
+    # only non-frequent lines in the rebuilt text while count(*) still
+    # sees every line — kept/dropped from one aggregation
+    out = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__freq").isNull(),
+                            F.struct("pos", "line"),
+                        )
+                    )
                 ),
-                line_sep,
-            ).alias(text_col),
-            F.count("*").alias("n_lines_kept"),
-        )
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias(text_col),
+        F.count(F.when(F.col("__freq").isNull(), 1)).alias("n_lines_kept"),
+        F.count("*").alias("n_total"),
     )
-    return out.join(n_all, id_col, "left").select(
+    return docs.select(id_col).join(out, id_col, "left").select(
         id_col,
-        text_col,
-        "n_lines_kept",
-        (F.col("n_total") - F.col("n_lines_kept")).alias(
-            "n_lines_dropped"
-        ),
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+        F.coalesce(
+            F.col("n_total") - F.col("n_lines_kept"), F.lit(0)
+        ).alias("n_lines_dropped"),
     )
 
 

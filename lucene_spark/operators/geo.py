@@ -82,6 +82,10 @@ def _circle_bbox(lat: float, lon: float, radius_m: float):
         return max(min_lat, -90.0), min(max_lat, 90.0), -180.0, 180.0
     cos = math.cos(math.radians(max(abs(min_lat), abs(max_lat))))
     dlon = math.degrees(rad / max(cos, 1e-12))
+    if dlon >= 180.0:
+        # the pad spans every longitude (high-latitude circles): a
+        # single ±360 wrap would invert or truncate the box
+        return min_lat, max_lat, -180.0, 180.0
     min_lon, max_lon = lon - dlon, lon + dlon
     if min_lon < -180.0:
         min_lon += 360.0  # dateline wrap

@@ -483,8 +483,14 @@ def merge_segments(
     if deleted:
         kernel = _make_reclaim_kernel(deleted, offsets, blk_off)
         from .build import STAGE_DDL
+        from .codec import with_codecs
 
-        merged = stage.mapInArrow(kernel, schema=STAGE_DDL).withColumn(
+        # with_codecs: the reclaim kernel unpacks doc blocks inside
+        # fresh executor workers, which must see driver-registered
+        # custom codecs (same wrapping as every other unpack kernel)
+        merged = stage.mapInArrow(
+            with_codecs(kernel), schema=STAGE_DDL
+        ).withColumn(
             "segment_id", F.lit(int(new_id)).cast("long")
         )
     else:

@@ -102,7 +102,7 @@ def decode_image(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.jpeg import decode_jpeg
-        from ..functions.png import PngError, decode_png, image_feature
+        from ..functions.png import decode_png, image_feature
 
         for pdf in batches:
             blobs = pdf[bin_col]
@@ -124,7 +124,11 @@ def decode_image(
                             if kinds[i] == "png"
                             else decode_jpeg(data)
                         )
-                    except (PngError, ValueError):
+                    except Exception:  # noqa: BLE001 — a corrupt blob
+                        # raises whatever the codec hit (zlib.error,
+                        # IndexError, struct.error, PngError, ...); the
+                        # contract is "marked, never fatal", so the
+                        # catch must be as broad as the corruption space
                         feats.append(None)
                         continue
                     if img.ndim == 2:  # grayscale JPEG -> 1 channel

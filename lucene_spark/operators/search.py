@@ -974,7 +974,11 @@ class Searcher(QueryOpsMixin):
         the per-language chains (functions/lang.py registry)."""
         from ..functions.lang import chain_analyze, get_chain
 
-        chain = get_chain(self.analyzer, stopwords=self._stopwords or None)
+        # the manifest records the EFFECTIVE stop set (build resolves
+        # defaults before writing it), so pass it verbatim — `or None`
+        # would silently re-apply the analyzer's default stop list to
+        # an index built with an explicit empty override
+        chain = get_chain(self.analyzer, stopwords=self._stopwords)
         terms, _ = chain_analyze(text, chain)
         return terms
 

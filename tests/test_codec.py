@@ -271,3 +271,22 @@ class TestCodecSPI:
             for r in Searcher(spark, d).term_query("data", k=10).collect()
         )
         assert after == before and len(after) == 10
+
+        # reclaim-merge leg: the delete-reclaiming kernel unpacks doc
+        # blocks in fresh executor workers too, so it must see the
+        # registered codec (with_codecs wrapping) or the merge dies on
+        # 'bad doc encoding'
+        from lucene_spark.operators.deletes import delete_by_urls
+        from lucene_spark.operators.merge import force_merge_deletes
+
+        victims = [u for u, _ in after[:2]]
+        delete_by_urls(spark, d, victims)
+        created = force_merge_deletes(spark, d, pct_allowed=0.0)
+        assert created  # at least one segment rewrote
+        from lucene_spark.operators.deletes import deleted_count
+
+        assert deleted_count(spark, d) == 0  # physically reclaimed
+        final = {
+            r["url"] for r in Searcher(spark, d).term_query("data", k=10).collect()
+        }
+        assert not (final & set(victims))

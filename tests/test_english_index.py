@@ -66,3 +66,29 @@ class TestEnglishIndex:
     def test_standard_index_unaffected(self, searcher):
         assert searcher.analyzer == "standard"
         assert searcher.analyze_query("troubled") == ["troubled"]
+
+
+class TestEmptyStopwordOverride:
+    def test_explicit_empty_stopset_survives_to_query_time(
+        self, spark, tmp_path
+    ):
+        """Analyzer(CharArraySet.EMPTY_SET) semantics: an index built
+        with an explicit EMPTY stopword override must analyze queries
+        with that same empty set — not silently fall back to the
+        analyzer's default stop list (the falsy-empty trap)."""
+        rows = [
+            ("https://s.org/1", "the cat sat on the mat"),
+            ("https://s.org/2", "a dog barked at the cat"),
+        ]
+        wp = spark.createDataFrame(rows, "url string, text string")
+        d = str(tmp_path / "idx_nostop")
+        build_index(
+            spark, wp, d, num_segments=1, analyzer="english", stopwords=[]
+        )
+        s = Searcher(spark, d)
+        # 'the' is indexed (no stop filtering at build)...
+        terms = {r["term"] for r in s._terms_df.collect()}
+        assert "the" in terms
+        # ...and survives query analysis too (build/query parity)
+        assert "the" in s.analyze_query("the cat")
+        assert s.term_query("the", k=10).count() == 2

@@ -85,6 +85,26 @@ class TestDistance:
         }
         assert got == exp, (qlat, qlon, radius)
 
+    def test_high_latitude_wide_lon_pad(self, spark):
+        """Longitude pads > 180 deg (high-latitude circles below the
+        pole fallback): the box must widen to the full lon range, not
+        wrap ±360 into an inverted/truncated dateline box that drops
+        in-circle docs."""
+        lo_lat, hi_lat, lo_lon, hi_lon = _circle_bbox(88.5, 0.0, 130_000.0)
+        assert (lo_lon, hi_lon) == (-180.0, 180.0)
+        # a point ~10 km from the center must survive the bbox phase
+        df = spark.createDataFrame(
+            [(1, 88.59, 0.0), (2, -30.0, 100.0)],
+            "id long, lat double, lon double",
+        )
+        got = {
+            r["id"]
+            for r in distance_query(
+                df, "lat", "lon", 88.5, 0.0, 130_000.0
+            ).collect()
+        }
+        assert got == {1}
+
     def test_bbox_never_excludes_circle(self):
         # the approximation must be a superset: sample circle edges
         for lat, lon, r in [(0, 0, 3e6), (60, 10, 2e6), (0, 179, 1e6)]:

@@ -47,6 +47,23 @@ class TestLineDedup:
         out = drop_frequent_lines(df).where(F.col("doc_id") == 1).collect()
         assert out[0]["text"] == "a\nb\nc"
 
+    def test_all_frequent_doc_survives_with_empty_text(self, spark):
+        """A doc whose every line is boilerplate (or blank) must come
+        back with empty text and full drop accounting — never silently
+        vanish from the corpus output."""
+        df = spark.createDataFrame(
+            [(1, "zz\nzz"), (2, "zz\nreal"), (3, "\n\n")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in drop_frequent_lines(df).collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[1]["text"] == ""
+        assert rows[1]["n_lines_kept"] == 0
+        assert rows[1]["n_lines_dropped"] == 2
+        assert rows[3]["text"] == ""  # blank-only doc: nothing to keep
+        assert rows[3]["n_lines_kept"] == 0 and rows[3]["n_lines_dropped"] == 0
+        assert rows[2]["text"] == "real"
+
 
 class TestPII:
     @pytest.mark.parametrize(

@@ -441,6 +441,35 @@ class TestMultimodal:
         r = decode_image(df, fake=False).collect()[0]
         assert r["kind"] == "png" and r["feature"] is None
 
+    def test_decode_image_corrupt_stream_marked_not_fatal(self, spark):
+        """Blobs that pass the structural checks but die inside the
+        codec (zlib.error on garbage IDAT, IndexError on truncated
+        JPEG) must be marked NULL, not kill the task — the raise space
+        is wider than (PngError, ValueError)."""
+        import numpy as np
+
+        from lucene_spark.functions.jpeg import encode_jpeg
+        from lucene_spark.functions.png import encode_png
+        from lucene_spark.operators.multimodal import decode_image
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+        png = bytearray(encode_png(img))
+        i = bytes(png).index(b"IDAT") + 4
+        png[i : i + 2] = b"\xff\xff"  # break the zlib header -> zlib.error
+
+        jpg = bytes(encode_jpeg(img))
+        jpg = jpg[: jpg.index(b"\xff\xda") + 4]  # truncate inside SOS
+
+        df = spark.createDataFrame(
+            [("img://zlib", png), ("img://trunc", bytearray(jpg))],
+            "url string, html binary",
+        )
+        rows = {r["url"]: r for r in decode_image(df, fake=False).collect()}
+        assert rows["img://zlib"]["feature"] is None
+        assert rows["img://trunc"]["feature"] is None
+
     def test_sample_frames(self, web_pages):
         from lucene_spark.operators.multimodal import sample_frames
 
