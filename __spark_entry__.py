@@ -3281,6 +3281,72 @@ def _q_taxonomy_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return taxonomy_facet_counts(m, ["lang", "source"])
 
 
+def _lang_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, class) training labels: the docs table's lang column keyed
+    by the synthesized url (the classification 'class field')."""
+    from lucene_spark.sources.web_pages import url_for_doc_id_col
+
+    return _docs_table(spark, sf_dir).select(
+        url_for_doc_id_col().alias("url"), F.col("lang").alias("class")
+    )
+
+
+def _q_nb_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleNaiveBayesClassifier analog: softmax posteriors of the
+    first 4 docs' own texts against lang classes, one distributed
+    model aggregation + one scoring join (classify.py docstring)."""
+    from lucene_spark.operators.classify import naive_bayes_scores
+
+    s = _get_searcher(spark, sf_dir)
+    texts = (
+        _docs_table(spark, sf_dir)
+        .where(F.col("doc_id") < 4)
+        .select("doc_id", "text")
+    )
+    sc = naive_bayes_scores(s, _lang_classes(spark, sf_dir), texts)
+    return sc.select(
+        F.col("id"), F.col("class"), F.round("score", 6).alias("score")
+    ).orderBy("id", "class")
+
+
+def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNearestNeighborClassifier vote over a deterministic neighbor
+    set: BM25 top-10 for 'window' (doc_id tie-break), class = lang;
+    score = sum(score/max)/min(sumdoc, k)."""
+    from lucene_spark.operators.classify import knn_classify
+    from lucene_spark.sources.web_pages import url_for_doc_id_col
+
+    s = _get_searcher(spark, sf_dir)
+    top = _topk_by_doc_id(s, s.scored_boolean(should=["window"]), k=10)
+    neighbors = top.select(url_for_doc_id_col().alias("url"), "score")
+    out = knn_classify(s, _lang_classes(spark, sf_dir), "", k=10,
+                       neighbors=neighbors)
+    return out.select(
+        "class", F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("class"))
+
+
+def _q_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConfusionMatrixGenerator metrics over a deterministic synthetic
+    prediction (every 3rd doc mispredicted as 'en')."""
+    from lucene_spark.operators.classify import classification_metrics
+
+    docs = _docs_table(spark, sf_dir)
+    df = docs.select(
+        F.col("lang").alias("actual"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("en"))
+        .otherwise(F.col("lang"))
+        .alias("predicted"),
+    )
+    m = classification_metrics(df, "actual", "predicted")
+    return m.select(
+        "class",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    ).orderBy("class")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
@@ -3400,6 +3466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_top5": _q_highlight,
         "html_strip_roundtrip": _q_html_strip,
         "taxonomy_facets": _q_taxonomy_facets,
+        "nb_classify_posteriors": _q_nb_posteriors,
+        "knn_classify_vote": _q_knn_classify,
+        "classification_metrics": _q_classification_metrics,
     }
 
 
@@ -3808,6 +3877,79 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY lang
             UNION ALL
             SELECT 0, '', count(*)::BIGINT FROM j""",
+        "nb_classify_posteriors": f"""
+            WITH {_TOK},
+            udoc AS (SELECT DISTINCT doc_id, term FROM tok),
+            sdf AS (SELECT count(*)::DOUBLE AS sum_doc_freq FROM udoc),
+            nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            cs AS (SELECT lang AS class, ln(count(*)) - ln(nn.n) AS prior,
+                          (sdf.sum_doc_freq / nn.n) * count(*) + nn.n AS den
+                   FROM documents CROSS JOIN sdf CROSS JOIN nn
+                   GROUP BY lang, sdf.sum_doc_freq, nn.n),
+            itok AS (SELECT doc_id AS id, term, count(*)::BIGINT AS tf
+                     FROM tok WHERE doc_id < 4 GROUP BY doc_id, term),
+            hits AS (SELECT u.term, d.lang AS class, count(*)::BIGINT AS h
+                     FROM udoc u JOIN documents d USING (doc_id)
+                     WHERE u.term IN (SELECT DISTINCT term FROM itok)
+                     GROUP BY u.term, d.lang),
+            raw AS (SELECT itok.id, cs.class,
+                           cs.prior + sum(itok.tf *
+                             ln((coalesce(h.h, 0) + 1.0) / cs.den)) AS sc
+                    FROM itok CROSS JOIN cs
+                    LEFT JOIN hits h
+                      ON h.term = itok.term AND h.class = cs.class
+                    GROUP BY itok.id, cs.class, cs.prior),
+            norm AS (SELECT id, class, sc,
+                            max(sc) OVER (PARTITION BY id) AS m FROM raw),
+            fin AS (SELECT id, class,
+                           exp(sc - (m + ln(sum(exp(sc - m))
+                             OVER (PARTITION BY id)))) AS score FROM norm)
+            SELECT id, class, round(score, 6) AS score
+            FROM fin ORDER BY id, class""",
+        "knn_classify_vote": f"""
+            WITH top AS (SELECT * FROM ({_bm25_sql(['window'])})),
+            j AS (SELECT t.score, d.lang AS class
+                  FROM top t JOIN documents d USING (doc_id)),
+            m AS (SELECT max(score) AS mx, count(*)::BIGINT AS sumdoc
+                  FROM j)
+            SELECT class,
+                   round(sum(score / m.mx) /
+                         least(m.sumdoc, 10)::DOUBLE, 6) AS score
+            FROM j CROSS JOIN m GROUP BY class, m.mx, m.sumdoc
+            ORDER BY score DESC, class""",
+        "classification_metrics": """
+            WITH d AS (SELECT lang AS actual,
+                              CASE WHEN doc_id % 3 = 0 THEN 'en'
+                                   ELSE lang END AS predicted
+                       FROM documents),
+            cm AS (SELECT actual, predicted, count(*)::BIGINT AS n
+                   FROM d GROUP BY 1, 2),
+            tp AS (SELECT actual AS class, n AS tp FROM cm
+                   WHERE actual = predicted),
+            bp AS (SELECT predicted AS class, sum(n)::BIGINT AS pred_n
+                   FROM cm GROUP BY 1),
+            ba AS (SELECT actual AS class, sum(n)::BIGINT AS act_n
+                   FROM cm GROUP BY 1),
+            pc AS (SELECT coalesce(ba.class, bp.class) AS class,
+                          coalesce(tp.tp, 0) /
+                            greatest(coalesce(bp.pred_n, 0), 1)::DOUBLE AS p,
+                          coalesce(tp.tp, 0) /
+                            greatest(coalesce(ba.act_n, 0), 1)::DOUBLE AS r
+                   FROM ba FULL JOIN bp ON ba.class = bp.class
+                   LEFT JOIN tp ON coalesce(ba.class, bp.class) = tp.class),
+            pcf AS (SELECT class, p, r,
+                           CASE WHEN p + r > 0 THEN 2*p*r/(p+r)
+                                ELSE 0.0 END AS f1 FROM pc),
+            acc AS (SELECT coalesce(
+                             sum(CASE WHEN actual = predicted THEN n END),
+                             0) / sum(n)::DOUBLE AS a FROM cm)
+            SELECT * FROM (
+              SELECT class, round(p, 6) AS "precision",
+                     round(r, 6) AS recall, round(f1, 6) AS f1 FROM pcf
+              UNION ALL
+              SELECT '__accuracy__', round(a, 6), round(a, 6), round(a, 6)
+              FROM acc)
+            ORDER BY class""",
         "sloppy_phrase_top10": _sloppy_sql("the", "query", 2),
         "interval_ordered_top10": _interval_ordered_sql("the", "query"),
         "interval_phrase_top10": _interval_phrase_sql("the", "query"),

@@ -1,0 +1,367 @@
+"""Classification over the index — the ``lucene/classification``
+module re-expressed as distributed Spark jobs.
+
+- Naive Bayes (``classification/SimpleNaiveBayesClassifier.java``):
+  Lucene classifies ONE string per call and issues one ``count()``
+  query per (word, class) pair (``getWordFreqForClass`` :263-278) —
+  at corpus scale that is O(words x classes) searcher round-trips per
+  input. The Spark shape inverts it: materialize the (term, class,
+  doc_freq) statistics for the query vocabulary in ONE distributed
+  aggregation over the inverted index, broadcast the tiny per-class
+  stats, and score EVERY unseen text in one join + groupBy. Formulas
+  are kept bit-compatible with the reference:
+
+  * log prior  = ln(docFreq(c)) - ln(docsWithClass)        (:280-282)
+  * likelihood = sum over token OCCURRENCES of
+      ln((hits(w, c) + 1) / (avgUniqueTerms * docFreq(c)
+                             + docsWithClass))              (:208-230)
+    where ``avgUniqueTerms`` = sumDocFreq/docCount of the text field
+    (``getTextTermFreqForClass`` :239-251) and hits(w, c) = number of
+    class-c docs containing w.
+  * normalization = softmax via log-sum-exp
+    (``normClassificationResults`` :289-316).
+
+- k-NN (``classification/KNearestNeighborClassifier.java``): MLT
+  top-k then a class vote of count x (totalBoost/count) / k with the
+  sumdoc < k correction (``buildListFromTopDocs`` :190-238); boosts
+  are scores normalized by the best hit's score.
+
+- ConfusionMatrixGenerator (``utils/ConfusionMatrixGenerator.java``):
+  counts + accuracy/precision/recall/F1 (per class tp/(tp+fp),
+  tp/(tp+fn); accuracy (tp+tn)/total :258-282) as two small
+  aggregations over a (actual, predicted) frame.
+
+- DatasetSplitter (``utils/DatasetSplitter.java``): deterministic
+  train/test/cv split. Lucene samples randomly into three indexes;
+  here the split is a pure-column bucket expression (default
+  xxhash64 of the id) so it is reproducible, partition-local, and
+  never shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+
+# ---------------------------------------------------------------------------
+# distributed tokenization of unseen texts (same chain as the index)
+# ---------------------------------------------------------------------------
+
+
+def _texts_tokens(searcher, texts_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) for every text, analyzed with the SAME chain the
+    index was built with (the classifier contract: ``tokenize`` runs
+    the classifier's analyzer, SimpleNaiveBayesClassifier.java:186-206).
+    One Arrow-batched kernel — no per-row Python."""
+    import pandas as pd
+
+    from ..functions.analysis import analyze_series
+    from ..functions.lang import get_chain
+
+    chain = get_chain(searcher.analyzer, stopwords=searcher._stopwords)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms_col, _pos = analyze_series(pdf[text_col], chain=chain)
+            ids, terms = [], []
+            for i, terms_i in zip(pdf[id_col], terms_col):
+                ids.extend([i] * len(terms_i))
+                terms.extend(terms_i)
+            yield pd.DataFrame({"id": ids, "term": terms})
+
+    toks = texts_df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"id long, term string"
+    )
+    return toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes
+# ---------------------------------------------------------------------------
+
+
+def naive_bayes_scores(
+    searcher,
+    classes_df: DataFrame,
+    texts_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    class_col: str = "class",
+) -> DataFrame:
+    """(id, class, score) for every text x class: the softmax-normalized
+    Naive Bayes posteriors of ``SimpleNaiveBayesClassifier`` — see the
+    module docstring for the formula mapping. ``classes_df`` assigns a
+    class to indexed docs by url (the class "field"); texts without
+    tokens score prior-only, exactly like an input that analyzes to
+    nothing.
+
+    Scale shape: the per-class stats and the (term, class, hits) model
+    are tiny (vocab x classes) and broadcast; the unseen corpus is
+    analyzed in one kernel pass and scored with one groupBy — no
+    per-input driver round-trips."""
+    spark = searcher.spark
+    classes_df = classes_df.where(
+        F.col(class_col).isNotNull() & (F.col(class_col) != "")
+    ).select("url", F.col(class_col).alias("class"))
+
+    # class "field" stats over the indexed docs (docFreq(c), docCount)
+    doc_classes = (
+        searcher._docs.select("segment_id", "local_docid", "url")
+        .join(classes_df, "url")
+    )
+    cstats = doc_classes.groupBy("class").agg(
+        F.count("*").alias("class_df")
+    )
+    rows = cstats.collect()
+    if not rows:
+        return spark.createDataFrame([], "id long, class string, score double")
+    docs_with_class = sum(int(r["class_df"]) for r in rows)
+
+    # avg unique terms per doc = sumDocFreq / docCount of the text
+    # field (getTextTermFreqForClass): sumDocFreq = sum of per-term
+    # doc_freq over the whole dictionary — one agg on the terms table
+    sum_doc_freq = int(
+        searcher._terms_df.agg(F.sum("doc_freq")).collect()[0][0] or 0
+    )
+    avg_unique = sum_doc_freq / float(searcher.field_stats["doc_count"])
+
+    import math
+
+    class_stats = spark.createDataFrame(
+        [
+            (
+                r["class"],
+                math.log(r["class_df"]) - math.log(docs_with_class),
+                avg_unique * r["class_df"] + docs_with_class,
+            )
+            for r in rows
+        ],
+        "class string, prior double, den double",
+    )
+
+    tokens = _texts_tokens(searcher, texts_df, id_col, text_col)
+    vocab = [r["term"] for r in tokens.select("term").distinct().collect()]
+    if vocab:
+        # hits(w, c): docs of class c containing w — decoded from the
+        # index postings (the text:w AND class:c count), one pass
+        hits = (
+            searcher._attach_urls(
+                searcher.scored_postings(vocab).withColumn(
+                    "local_docid", F.col("docid")
+                )
+            )
+            .join(classes_df, "url")
+            .groupBy("term", "class")
+            .agg(F.count("*").alias("hits"))
+        )
+    else:
+        hits = spark.createDataFrame([], "term string, class string, hits long")
+
+    # per-(id, class) log-likelihood: sum tf * ln((hits+1)/den)
+    ll = (
+        tokens.crossJoin(F.broadcast(class_stats))
+        .join(F.broadcast(hits), ["term", "class"], "left")
+        .groupBy("id", "class")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log(
+                    (F.coalesce(F.col("hits"), F.lit(0)) + F.lit(1.0))
+                    / F.col("den")
+                )
+            ).alias("ll")
+        )
+    )
+    base = (
+        texts_df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .crossJoin(F.broadcast(class_stats.select("class", "prior")))
+    )
+    raw = base.join(ll, ["id", "class"], "left").select(
+        "id",
+        "class",
+        (F.col("prior") + F.coalesce(F.col("ll"), F.lit(0.0))).alias("s"),
+    )
+    # normClassificationResults: softmax via log-sum-exp per input
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id")
+    smax = F.max("s").over(w)
+    with_lse = raw.withColumn(
+        "lse",
+        smax
+        + F.log(F.sum(F.exp(F.col("s") - smax)).over(w)),
+    )
+    return with_lse.select(
+        "id", "class", F.exp(F.col("s") - F.col("lse")).alias("score")
+    )
+
+
+def naive_bayes_classify(
+    searcher,
+    classes_df: DataFrame,
+    texts_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    class_col: str = "class",
+) -> DataFrame:
+    """(id, class, score): ``assignClass`` for every input — the
+    max-posterior class per text (ties broken by class name for
+    determinism; Lucene's loop keeps the first of equal scores in
+    term order, which is the same ordering)."""
+    scores = naive_bayes_scores(
+        searcher, classes_df, texts_df, id_col, text_col, class_col
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("class"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-nearest-neighbor (MoreLikeThis vote)
+# ---------------------------------------------------------------------------
+
+
+def knn_classify(
+    searcher,
+    classes_df: DataFrame,
+    text: str,
+    k: int = 10,
+    class_col: str = "class",
+    neighbors: DataFrame | None = None,
+    **mlt_kw,
+) -> DataFrame:
+    """(class, score) ranked desc — ``KNearestNeighborClassifier``:
+    MLT top-k neighbors of ``text``, then the class vote
+    count x (totalBoost/count) / k with boosts = score/maxScore and
+    the sumdoc < k correction (which algebraically reduces to
+    totalBoost / min(sumdoc, k) for single-valued classes).
+
+    ``neighbors`` (url, score) overrides the MLT search — callers that
+    need a specific k-boundary tie-break (Lucene breaks on internal
+    docid; deterministic harnesses may prefer an external id) pass
+    their own top-k."""
+    classes_df = classes_df.where(
+        F.col(class_col).isNotNull() & (F.col(class_col) != "")
+    ).select("url", F.col(class_col).alias("class"))
+    top = (
+        neighbors
+        if neighbors is not None
+        else searcher.more_like_this_query(text, k=k, **mlt_kw)
+    )
+    j = top.join(classes_df, "url")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()  # k rows at most: a single tiny partition
+    voted = (
+        j.withColumn("boost", F.col("score") / F.max("score").over(w))
+        .withColumn("sumdoc", F.count("*").over(w))
+        .groupBy("class")
+        .agg(
+            (
+                F.sum("boost")
+                / F.least(F.first("sumdoc"), F.lit(k)).cast("double")
+            ).alias("score")
+        )
+    )
+    return voted.orderBy(F.desc("score"), F.asc("class"))
+
+
+# ---------------------------------------------------------------------------
+# evaluation utilities
+# ---------------------------------------------------------------------------
+
+
+def confusion_matrix(df: DataFrame, actual_col: str, predicted_col: str) -> DataFrame:
+    """(actual, predicted, n) counts — the linearized counts map of
+    ``ConfusionMatrixGenerator.getConfusionMatrix``."""
+    return (
+        df.groupBy(
+            F.col(actual_col).alias("actual"),
+            F.col(predicted_col).alias("predicted"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def classification_metrics(
+    df: DataFrame, actual_col: str, predicted_col: str
+) -> DataFrame:
+    """(class, precision, recall, f1) per class + an '__accuracy__' row:
+    tp/(tp+fp), tp/(tp+fn), 2pr/(p+r) (0 where undefined) and
+    correct/total — ConfusionMatrixGenerator.java:188-282 semantics."""
+    cm = confusion_matrix(df, actual_col, predicted_col).cache()
+    tp = (
+        cm.where(F.col("actual") == F.col("predicted"))
+        .select(F.col("actual").alias("class"), F.col("n").alias("tp"))
+    )
+    by_pred = cm.groupBy(F.col("predicted").alias("class")).agg(
+        F.sum("n").alias("pred_n")
+    )
+    by_act = cm.groupBy(F.col("actual").alias("class")).agg(
+        F.sum("n").alias("act_n")
+    )
+    per_class = (
+        by_act.join(by_pred, "class", "full")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            (
+                F.coalesce(F.col("tp"), F.lit(0))
+                / F.greatest(F.col("pred_n"), F.lit(1)).cast("double")
+            ).alias("precision"),
+            (
+                F.coalesce(F.col("tp"), F.lit(0))
+                / F.greatest(F.col("act_n"), F.lit(1)).cast("double")
+            ).alias("recall"),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    acc = cm.agg(
+        (
+            F.sum(F.when(F.col("actual") == F.col("predicted"), F.col("n")))
+            / F.sum("n").cast("double")
+        ).alias("precision")
+    ).select(
+        F.lit("__accuracy__").alias("class"),
+        F.coalesce(F.col("precision"), F.lit(0.0)).alias("precision"),
+        F.coalesce(F.col("precision"), F.lit(0.0)).alias("recall"),
+        F.coalesce(F.col("precision"), F.lit(0.0)).alias("f1"),
+    )
+    return per_class.unionByName(acc)
+
+
+def split_dataset(
+    df: DataFrame,
+    test_fraction: float = 0.1,
+    cv_fraction: float = 0.1,
+    id_col: str = "url",
+    buckets: int = 1000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(train, test, cv) — DatasetSplitter.java's three-way split as a
+    deterministic partition-local filter: bucket = pmod(xxhash64(id),
+    buckets); the first ``test_fraction`` of buckets are test, the
+    next ``cv_fraction`` cv, the rest train. Reproducible across runs
+    and executors, no shuffle, no sampling state."""
+    b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+    t_hi = int(round(test_fraction * buckets))
+    cv_hi = t_hi + int(round(cv_fraction * buckets))
+    return (
+        df.where(b >= cv_hi),
+        df.where(b < t_hi),
+        df.where((b >= t_hi) & (b < cv_hi)),
+    )

@@ -1,0 +1,203 @@
+"""Classification module (operators/classify.py): Naive Bayes formula
+parity with SimpleNaiveBayesClassifier.java, the k-NN MLT vote, the
+confusion-matrix metrics, and the deterministic dataset splitter."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.classify import (
+    classification_metrics,
+    confusion_matrix,
+    knn_classify,
+    naive_bayes_classify,
+    naive_bayes_scores,
+    split_dataset,
+)
+from lucene_spark.operators.search import Searcher
+
+ROWS = [
+    ("u://1", "spam spam buy pills now", "spam"),
+    ("u://2", "buy cheap pills spam offer", "spam"),
+    ("u://3", "meeting notes for the quarterly review", "ham"),
+    ("u://4", "quarterly review notes and meeting agenda", "ham"),
+    ("u://5", "agenda for the next meeting review", "ham"),
+]
+
+
+@pytest.fixture(scope="module")
+def nb_index(spark, tmp_path_factory):
+    wp = spark.createDataFrame(
+        [(u, t) for u, t, _ in ROWS], "url string, text string"
+    )
+    d = str(tmp_path_factory.mktemp("classify") / "idx")
+    build_index(spark, wp, d, num_segments=2)
+    classes = spark.createDataFrame(
+        [(u, c) for u, _, c in ROWS], "url string, class string"
+    )
+    return Searcher(spark, d), classes
+
+
+def _expected_nb(tokens: list[str]):
+    """Independent recomputation of SimpleNaiveBayesClassifier's
+    formula (:139-316) for the ROWS corpus."""
+    docs = [(set(t.split()), c, t.split()) for _, t, c in ROWS]
+    n = len(docs)
+    sum_doc_freq = sum(len(u) for u, _, _ in docs)
+    avg_unique = sum_doc_freq / n
+    dwc = n
+    out = {}
+    for cls in ("spam", "ham"):
+        cdf = sum(1 for _, c, _ in docs if c == cls)
+        den = avg_unique * cdf + dwc
+        s = math.log(cdf) - math.log(dwc)
+        for w in tokens:
+            hits = sum(1 for u, c, _ in docs if c == cls and w in u)
+            s += math.log((hits + 1) / den)
+        out[cls] = s
+    smax = max(out.values())
+    lse = smax + math.log(sum(math.exp(v - smax) for v in out.values()))
+    return {c: math.exp(v - lse) for c, v in out.items()}
+
+
+class TestNaiveBayes:
+    def test_formula_exact(self, spark, nb_index):
+        s, classes = nb_index
+        texts = spark.createDataFrame(
+            [(1, "buy pills"), (2, "meeting review agenda"),
+             (3, "spam meeting")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id"], r["class"]): r["score"]
+            for r in naive_bayes_scores(s, classes, texts).collect()
+        }
+        for i, toks in [(1, ["buy", "pills"]),
+                        (2, ["meeting", "review", "agenda"]),
+                        (3, ["spam", "meeting"])]:
+            exp = _expected_nb(toks)
+            for cls, p in exp.items():
+                assert got[(i, cls)] == pytest.approx(p, abs=1e-12), (i, cls)
+
+    def test_classify_argmax(self, spark, nb_index):
+        s, classes = nb_index
+        texts = spark.createDataFrame(
+            [(1, "buy cheap pills"), (2, "quarterly meeting notes")],
+            "doc_id long, text string",
+        )
+        got = {r["id"]: r["class"]
+               for r in naive_bayes_classify(s, classes, texts).collect()}
+        assert got == {1: "spam", 2: "ham"}
+
+    def test_empty_text_scores_prior_only(self, spark, nb_index):
+        """An input that analyzes to nothing ranks classes by prior
+        (ham: 3/5 of docs)."""
+        s, classes = nb_index
+        texts = spark.createDataFrame([(9, "")], "doc_id long, text string")
+        rows = {r["class"]: r["score"]
+                for r in naive_bayes_scores(s, classes, texts).collect()}
+        assert rows["ham"] == pytest.approx(0.6, abs=1e-12)
+        assert rows["spam"] == pytest.approx(0.4, abs=1e-12)
+
+    def test_unknown_word_smoothed(self, spark, nb_index):
+        """Words absent from the index still contribute the +1-smoothed
+        likelihood, never a NULL/zero probability."""
+        s, classes = nb_index
+        texts = spark.createDataFrame(
+            [(1, "zzzzz qqqqq")], "doc_id long, text string"
+        )
+        rows = naive_bayes_scores(s, classes, texts).collect()
+        assert len(rows) == 2
+        assert abs(sum(r["score"] for r in rows) - 1.0) < 1e-9
+
+
+class TestKnn:
+    def test_vote_formula(self, spark, nb_index):
+        s, classes = nb_index
+        # fixed neighbor set: scores 1.0/0.8/0.5; maxScore=1.0,
+        # boosts 1.0, 0.8, 0.5; spam boost 1.8 (2 docs), ham 0.5
+        # k=3, sumdoc=3 -> spam 1.8/3, ham 0.5/3
+        nb = spark.createDataFrame(
+            [("u://1", 1.0), ("u://2", 0.8), ("u://3", 0.5)],
+            "url string, score double",
+        )
+        got = {r["class"]: r["score"]
+               for r in knn_classify(s, classes, "", k=3, neighbors=nb).collect()}
+        assert got["spam"] == pytest.approx(1.8 / 3)
+        assert got["ham"] == pytest.approx(0.5 / 3)
+
+    def test_sumdoc_correction(self, spark, nb_index):
+        """Neighbors without a class row shrink sumdoc below k: the
+        vote divides by sumdoc, not k (the reference's correction)."""
+        s, classes = nb_index
+        nb = spark.createDataFrame(
+            [("u://1", 1.0), ("u://noclass", 0.9), ("u://3", 0.5)],
+            "url string, score double",
+        )
+        got = {r["class"]: r["score"]
+               for r in knn_classify(s, classes, "", k=3, neighbors=nb).collect()}
+        # sumdoc = 2: spam 1.0/2, ham 0.5/2
+        assert got["spam"] == pytest.approx(0.5)
+        assert got["ham"] == pytest.approx(0.25)
+
+    def test_mlt_path_end_to_end(self, spark, nb_index):
+        s, classes = nb_index
+        got = knn_classify(
+            s, classes, "quarterly meeting review agenda", k=3,
+            min_term_freq=1, min_doc_freq=1,
+        ).collect()
+        assert got[0]["class"] == "ham"
+
+
+class TestMetrics:
+    def test_confusion_counts(self, spark):
+        df = spark.createDataFrame(
+            [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b")],
+            "actual string, predicted string",
+        )
+        got = {(r["actual"], r["predicted"]): r["n"]
+               for r in confusion_matrix(df, "actual", "predicted").collect()}
+        assert got == {("a", "a"): 1, ("a", "b"): 1, ("b", "b"): 2}
+
+    def test_metrics_values(self, spark):
+        df = spark.createDataFrame(
+            [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b")],
+            "actual string, predicted string",
+        )
+        m = {r["class"]: r
+             for r in classification_metrics(df, "actual", "predicted").collect()}
+        assert m["a"]["precision"] == pytest.approx(1.0)
+        assert m["a"]["recall"] == pytest.approx(0.5)
+        assert m["b"]["precision"] == pytest.approx(2 / 3)
+        assert m["b"]["recall"] == pytest.approx(1.0)
+        assert m["b"]["f1"] == pytest.approx(0.8)
+        assert m["__accuracy__"]["precision"] == pytest.approx(0.75)
+
+    def test_never_predicted_class_zero_precision(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "b")], "actual string, predicted string"
+        )
+        m = {r["class"]: r
+             for r in classification_metrics(df, "actual", "predicted").collect()}
+        assert m["a"]["precision"] == 0.0 and m["a"]["recall"] == 0.0
+        assert m["a"]["f1"] == 0.0
+
+
+class TestSplitter:
+    def test_partition_and_determinism(self, spark):
+        df = spark.range(0, 1000).select(
+            F.concat(F.lit("u://"), F.col("id")).alias("url")
+        )
+        tr, te, cv = split_dataset(df, 0.2, 0.1)
+        n_tr, n_te, n_cv = tr.count(), te.count(), cv.count()
+        assert n_tr + n_te + n_cv == 1000
+        # deterministic: same split every call
+        tr2, te2, cv2 = split_dataset(df, 0.2, 0.1)
+        assert te2.exceptAll(te).count() == 0 and te.exceptAll(te2).count() == 0
+        # fractions approximately honored (hash uniformity)
+        assert 120 < n_te < 280 and 50 < n_cv < 160
+        # disjoint
+        assert tr.join(te, "url", "left_semi").count() == 0
+        assert tr.join(cv, "url", "left_semi").count() == 0
