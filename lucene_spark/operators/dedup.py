@@ -620,3 +620,129 @@ def benchmark_contamination(
         )
         .withColumn("contaminated", F.lit(True))
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components: near-dup PAIRS -> dedup CLUSTERS
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``pairs``, where
+    ``component`` is the smallest id reachable through the pair graph —
+    the clustering step the dedup ladder needs after LSH/Jaccard
+    produces pairs (near-duplication is transitive in practice: A~B,
+    B~C must collapse to ONE keeper, not two independent pairs).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014), chosen
+    over naive label propagation because it converges in O(log^2 n)
+    rounds INDEPENDENT of graph diameter — boilerplate near-dup chains
+    on web corpora can be thousands of hops long, where per-hop
+    propagation would mean thousands of shuffles. Each round here is
+    two map-side-combinable groupBy-min aggregations plus two joins on
+    the node id; the edge set only contracts toward stars, so late
+    rounds are tiny. Giant clusters (the usual skew risk) become one
+    hot join key, which AQE's skew-join splitting handles — there is no
+    per-component serial work anywhere.
+
+    - large-star(u): every neighbor v > u re-attaches to
+      min(neighborhood(u) + {u});
+    - small-star(u): u and every neighbor v < u attach to the minimum
+      smaller neighbor.
+
+    Convergence is detected by (count, hash-sum) stability of the edge
+    set; at the fixpoint every edge is (node, component-min).
+
+    Each round ends with ``localCheckpoint(eager=True)``: iterative
+    DataFrame algorithms MUST truncate lineage per round or the
+    Catalyst plan nests one full round deeper every iteration and the
+    driver OOMs stringifying/optimizing it long before the data is
+    big. On a real cluster with a checkpoint dir configured,
+    ``df.checkpoint()`` (reliable, survives executor loss) is the
+    drop-in upgrade; local checkpoint is the right call in local mode.
+    """
+    e = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _stats(edges: DataFrame) -> tuple[int, int]:
+        r = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"])
+
+    cur = e.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: group the symmetric neighborhood by u
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges are now (larger, smaller); group by the
+        # larger endpoint over its strictly-smaller neighbors
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        withm = ls.join(mins2, "u")
+        ss = (
+            withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .unionByName(withm.select("u", F.col("m").alias("v")).distinct())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = _stats(ss)
+        cur = ss
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint: (node, root) stars; add the roots themselves
+    comp = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = comp.select(F.col("component").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    return comp.unionByName(roots)
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Every row of ``df`` mapped to its cluster keeper: (id, canonical,
+    keep). Singletons (no near-dup pair) are their own canonical; the
+    keeper of a cluster is its minimum id (deterministic under any
+    partitioning). ``df.where(keep)`` is the deduplicated corpus."""
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    return (
+        ids.join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("canonical"),
+        )
+        .withColumn("keep", F.col("id") == F.col("canonical"))
+    )

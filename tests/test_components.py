@@ -1,0 +1,116 @@
+"""Connected components (dedup.connected_components): the alternating
+large-star/small-star contraction must match a reference union-find on
+arbitrary pair graphs, converge on long chains well inside the
+iteration budget, and compose with the dedup ladder (dedup_clusters)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.dedup import (
+    connected_components,
+    dedup_clusters,
+    ngram_jaccard_pairs,
+)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min of component
+    comps = {}
+    for x in list(parent):
+        comps.setdefault(find(x), []).append(x)
+    out = {}
+    for root, members in comps.items():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def _run(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+class TestConnectedComponents:
+    def test_two_components(self, spark):
+        got = _run(spark, [(1, 2), (2, 3), (10, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_long_chain_converges(self, spark):
+        """A 64-hop path: per-hop propagation would need 64 rounds;
+        star contraction must finish inside the default budget."""
+        pairs = [(i, i + 1) for i in range(64)]
+        got = _run(spark, pairs)
+        assert got == {i: 0 for i in range(65)}
+
+    def test_random_graphs_match_union_find(self, spark):
+        rng = random.Random(7)
+        for trial in range(3):
+            n = 40
+            pairs = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+            ]
+            pairs = [(a, b) for a, b in pairs if a != b]
+            exp = _union_find(pairs)
+            got = _run(spark, pairs)
+            assert got == exp, (trial, pairs)
+
+    def test_duplicate_and_reversed_edges(self, spark):
+        got = _run(spark, [(2, 1), (1, 2), (2, 1), (3, 2)])
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_empty(self, spark):
+        df = spark.createDataFrame([], "id_a long, id_b long")
+        assert connected_components(df).count() == 0
+
+
+class TestDedupClusters:
+    def test_singletons_kept(self, spark):
+        docs = spark.createDataFrame(
+            [(i,) for i in range(6)], "doc_id long"
+        )
+        pairs = spark.createDataFrame(
+            [(0, 3), (3, 5)], "id_a long, id_b long"
+        )
+        rows = {r["id"]: (r["canonical"], r["keep"])
+                for r in dedup_clusters(docs, pairs).collect()}
+        assert rows[0] == (0, True)
+        assert rows[3] == (0, False)
+        assert rows[5] == (0, False)
+        for i in (1, 2, 4):
+            assert rows[i] == (i, True)
+
+    def test_composes_with_jaccard_ladder(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "alpha beta gamma delta epsilon eta"),
+                (2, "alpha beta gamma delta theta eta"),
+                (3, "completely different text about spark engines"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.3)
+        rows = {r["id"]: r for r in dedup_clusters(docs, pairs).collect()}
+        # 0~1 and 1~2 chain into one cluster even if 0~2 is below
+        # threshold; 3 is a singleton
+        assert rows[0]["canonical"] == 0 and rows[0]["keep"]
+        assert rows[1]["canonical"] == 0 and not rows[1]["keep"]
+        assert rows[3]["canonical"] == 3 and rows[3]["keep"]
