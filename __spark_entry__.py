@@ -229,6 +229,47 @@ def _sql_prelude(terms: list[str]) -> str:
     )
 
 
+def _common_terms_sql(
+    terms: list[str],
+    max_term_frequency: float,
+    low_msm: int = 0,
+    high_msm: int = 0,
+    k: int = 10,
+) -> str:
+    """CommonTermsQuery oracle: terms split into low/high docFreq
+    groups BY THE SQL ITSELF (floor(mtf*n + 0.5) = Java Math.round);
+    low group gates the match, high group adds score when its own msm
+    is met — the same sum-of-group-sums the engine computes."""
+    lo_gate = f"GREATEST(1, {low_msm})"
+    hi_gate = f"GREATEST(1, {high_msm})"
+    return f"""
+        WITH {_sql_prelude(terms)},
+        cls AS (SELECT df.term,
+                       df.df > floor({max_term_frequency} * st.n + 0.5)
+                         AS hi
+                FROM df CROSS JOIN st),
+        ds AS (SELECT psc.doc_id,
+                      sum(CASE WHEN NOT cls.hi THEN psc.s ELSE 0 END) AS ls,
+                      sum(CASE WHEN cls.hi THEN psc.s ELSE 0 END) AS hs,
+                      count(CASE WHEN NOT cls.hi THEN 1 END) AS lc,
+                      count(CASE WHEN cls.hi THEN 1 END) AS hc
+               FROM psc JOIN cls USING (term) GROUP BY psc.doc_id),
+        gl AS (SELECT count(*) FILTER (WHERE NOT hi) AS nl,
+                      count(*) FILTER (WHERE hi) AS nh
+               FROM cls),
+        fin AS (SELECT doc_id,
+                       CASE WHEN gl.nl = 0 THEN hs
+                            WHEN gl.nh = 0 THEN ls
+                            ELSE ls + CASE WHEN hc >= {hi_gate}
+                                           THEN hs ELSE 0 END
+                       END AS s
+                FROM ds CROSS JOIN gl
+                WHERE CASE WHEN gl.nl = 0 THEN hc >= {hi_gate}
+                           ELSE lc >= {lo_gate} END)
+        SELECT doc_id, round(s, 6) AS score
+        FROM fin ORDER BY s DESC, doc_id LIMIT {k}"""
+
+
 def _sigmoid_sql(x: str) -> str:
     return (
         f"(CASE WHEN ({x}) >= 0 THEN 1.0/(1.0 + exp(-({x}))) "
@@ -1116,6 +1157,19 @@ def _q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
         s,
         s.scored_boolean(
             should=["window", "spark", "data"], min_should_match=2
+        ),
+    )
+
+
+def _q_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 'dup' is the one genuinely rare corpus term (df ~5%); 'the'/'data'
+    # sit near df=80%, so at max_term_frequency=0.5 the query gates on
+    # 'dup' and the stop-like terms only contribute score
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s,
+        s.scored_common_terms(
+            ["dup", "the", "data"], max_term_frequency=0.5
         ),
     )
 
@@ -3356,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_and": _q_bm25_and,
         "bm25_top10_and_not": _q_bm25_and_not,
         "bm25_top10_msm": _q_bm25_msm,
+        "common_terms_top10": _q_common_terms,
         "phrase_top10": _q_phrase,
         "total_hit_count": _q_total_hits,
         "facet_lang": _q_facet_lang,
@@ -3494,6 +3549,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10_and_not": _bm25_sql(["window"], must_not=["spark"]),
         "bm25_top10_msm": _bm25_sql(
             ["window", "spark", "data"], min_should_match=2
+        ),
+        "common_terms_top10": _common_terms_sql(
+            ["dup", "the", "data"], max_term_frequency=0.5
         ),
         "phrase_top10": _phrase_sql(PHRASE),
         "total_hit_count": f"""

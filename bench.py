@@ -15,8 +15,11 @@ timed — the production configuration. Methodology notes:
   otherwise pays 32 concurrent numpy/pandas imports);
 - the index lands on tmpfs — this sandbox's block device shows
   multi-second latency stalls under concurrent writers;
-- each query is timed as the median of 3 runs after one warm-up,
-  because the VM sees 0-25% fluctuating hypervisor steal time.
+- each query is timed as the median of 3 INTERLEAVED rounds after one
+  warm-up pass over the whole set, because the VM sees 0-25%
+  fluctuating hypervisor steal time: a steal spike then lands on one
+  round of every query instead of all three samples of one query, so
+  per-query medians stay comparable round-over-round.
 """
 
 from __future__ import annotations
@@ -58,15 +61,6 @@ def main() -> None:
 
     s = Searcher(spark, idx)
 
-    def timed(fn):
-        fn()  # warm-up
-        samples = []
-        for _ in range(3):
-            t = time.monotonic()
-            fn()
-            samples.append(time.monotonic() - t)
-        return round(sorted(samples)[1], 4)
-
     queries = {
         "q_term_top10": lambda: s.term_query("window", k=10).collect(),
         "q_term_rare": lambda: s.term_query("lpad", k=10).collect(),
@@ -98,7 +92,17 @@ def main() -> None:
             must=["window", "spark"], k=10, prune=True
         ).collect(),
     }
-    q_times = {name: timed(fn) for name, fn in queries.items()}
+    samples: dict[str, list[float]] = {name: [] for name in queries}
+    for name, fn in queries.items():  # warm-up pass, unclocked
+        fn()
+    for _ in range(3):  # interleaved rounds
+        for name, fn in queries.items():
+            t = time.monotonic()
+            fn()
+            samples[name].append(time.monotonic() - t)
+    q_times = {
+        name: round(sorted(ts)[1], 4) for name, ts in samples.items()
+    }
 
     # approximate-ANN quality evidence: recall@10 of the multi-probe
     # LSH path vs the exact batch scorer over 20 held-out query

@@ -859,3 +859,92 @@ class QueryOpsMixin:
             .withColumn("grp", group_col)
         )
         return g.select("grp").distinct().count()
+
+    # ------------------------------------------------------------------
+    # CommonTermsQuery
+    # ------------------------------------------------------------------
+    def common_terms_partition(
+        self, terms: list[str], max_term_frequency: float = 0.01
+    ) -> tuple[list[str], list[str]]:
+        """Split query terms into (low, high) docFreq groups — the
+        rewrite step of CommonTermsQuery
+        (``queries/.../CommonTermsQuery.java:183-215``): a term is
+        high-frequency when ``docFreq > maxTermFrequency`` (absolute
+        when >= 1, else ``Math.round(maxTermFrequency * doc_count)``).
+        Absent terms are dropped (a SHOULD term not in the index
+        contributes nothing)."""
+        stats = self.term_stats(terms)
+        n = int(self.field_stats["doc_count"])
+        cutoff = (
+            max_term_frequency
+            if max_term_frequency >= 1.0
+            # Java Math.round = floor(x + 0.5); Python round() is
+            # banker's and would diverge on exact halves
+            else math.floor(max_term_frequency * n + 0.5)
+        )
+        present = [t for t in terms if t in stats]
+        low = [t for t in present if stats[t][0] <= cutoff]
+        high = [t for t in present if stats[t][0] > cutoff]
+        return low, high
+
+    def scored_common_terms(
+        self,
+        terms: list[str],
+        max_term_frequency: float = 0.01,
+        low_freq_msm: int = 0,
+        high_freq_msm: int = 0,
+    ) -> DataFrame:
+        """CommonTermsQuery (``queries/.../CommonTermsQuery.java:58``):
+        low-docFreq terms gate the match (grouped as a required SHOULD
+        sub-query), high-docFreq "stop-like" terms only add score (an
+        optional SHOULD sub-query) — the query-time alternative to a
+        stop filter. When one group is empty the query IS the other
+        sub-query (``buildQuery``'s two early returns).
+
+        Plan shape: the two groups score independently through the
+        exhaustive boolean scorer (shared postings scan per group), and
+        combine with ONE left join on (segment_id, docid) — no extra
+        shuffle beyond the per-group aggregation; the high group never
+        expands the candidate set, exactly why the operator stays cheap
+        when the high terms are corpus-wide."""
+        low, high = self.common_terms_partition(terms, max_term_frequency)
+        if not low and not high:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        if not high:
+            return self.scored_boolean(
+                should=low, min_should_match=low_freq_msm
+            )
+        if not low:
+            return self.scored_boolean(
+                should=high, min_should_match=high_freq_msm
+            )
+        low_s = self.scored_boolean(should=low, min_should_match=low_freq_msm)
+        high_s = self.scored_boolean(
+            should=high, min_should_match=high_freq_msm
+        ).withColumnRenamed("score", "h_score")
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return (
+            low_s.join(high_s, ["segment_id", "docid"], "left")
+            .select(
+                "segment_id",
+                "docid",
+                (F.col("score") + F.coalesce(F.col("h_score"), F.lit(0.0)))
+                .cast(score_t)
+                .alias("score"),
+            )
+        )
+
+    def common_terms_query(
+        self,
+        terms: list[str],
+        max_term_frequency: float = 0.01,
+        low_freq_msm: int = 0,
+        high_freq_msm: int = 0,
+        k: int = 10,
+    ) -> DataFrame:
+        return self._finish_topk(
+            self.scored_common_terms(
+                terms, max_term_frequency, low_freq_msm, high_freq_msm
+            ),
+            k,
+        )

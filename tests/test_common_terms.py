@@ -1,0 +1,100 @@
+"""CommonTermsQuery (queries/.../CommonTermsQuery.java): low-docFreq
+terms gate the match, high-docFreq terms only add score; a single-group
+split degenerates to the plain SHOULD boolean."""
+
+import pyspark.sql.functions as F
+
+
+def _rows(df):
+    return {
+        (r["segment_id"], r["docid"]): r["score"]
+        for r in df.collect()
+    }
+
+
+class TestCommonTerms:
+    TERMS = ["window", "spark", "data"]
+
+    def test_all_low_degenerates_to_boolean(self, searcher):
+        # cutoff = doc_count (absolute) => every term is low-frequency
+        n = int(searcher.field_stats["doc_count"])
+        got = _rows(
+            searcher.scored_common_terms(self.TERMS, max_term_frequency=n)
+        )
+        want = _rows(searcher.scored_boolean(should=self.TERMS))
+        assert got == want
+
+    def test_all_high_degenerates_to_boolean(self, searcher):
+        # absolute cutoff 0 => every present term is high-frequency
+        low, high = searcher.common_terms_partition(
+            self.TERMS, max_term_frequency=1.0
+        )
+        assert low == []
+        got = _rows(
+            searcher.scored_common_terms(self.TERMS, max_term_frequency=1.0)
+        )
+        want = _rows(searcher.scored_boolean(should=self.TERMS))
+        assert got == want
+
+    def test_mixed_split_gates_on_low(self, searcher):
+        stats = searcher.term_stats(self.TERMS)
+        n = int(searcher.field_stats["doc_count"])
+        dfs = sorted((df, t) for t, (df, _ttf) in stats.items())
+        rare_t, common_t = dfs[0][1], dfs[-1][1]
+        assert dfs[0][0] < dfs[-1][0], "corpus lacks a df spread"
+        # pick a fractional cutoff strictly between the two dfs
+        mtf = (dfs[0][0] + 0.5) / n
+        low, high = searcher.common_terms_partition(
+            [rare_t, common_t], max_term_frequency=mtf
+        )
+        assert low == [rare_t] and high == [common_t]
+
+        got = _rows(
+            searcher.scored_common_terms(
+                [rare_t, common_t], max_term_frequency=mtf
+            )
+        )
+        low_rows = _rows(searcher.scored_boolean(should=[rare_t]))
+        high_rows = _rows(searcher.scored_boolean(should=[common_t]))
+        # match set == low match set (high never expands it)
+        assert set(got) == set(low_rows)
+        for key, score in got.items():
+            want = low_rows[key] + high_rows.get(key, 0.0)
+            assert abs(score - want) < 1e-5
+
+    def test_high_msm_zeroes_contribution(self, searcher):
+        stats = searcher.term_stats(self.TERMS)
+        n = int(searcher.field_stats["doc_count"])
+        dfs = sorted((df, t) for t, (df, _ttf) in stats.items())
+        rare_t = dfs[0][1]
+        mtf = (dfs[0][0] + 0.5) / n
+        # high group = 2 common terms; high_freq_msm=2 means a doc with
+        # only one of them gets NO high contribution
+        terms = [rare_t, dfs[-1][1], dfs[-2][1]]
+        got = _rows(
+            searcher.scored_common_terms(
+                terms, max_term_frequency=mtf, high_freq_msm=2
+            )
+        )
+        low_rows = _rows(searcher.scored_boolean(should=[rare_t]))
+        both_rows = _rows(
+            searcher.scored_boolean(
+                should=[dfs[-1][1], dfs[-2][1]], min_should_match=2
+            )
+        )
+        assert set(got) == set(low_rows)
+        for key, score in got.items():
+            want = low_rows[key] + both_rows.get(key, 0.0)
+            assert abs(score - want) < 1e-5
+
+    def test_topk_and_missing_terms(self, searcher):
+        out = searcher.common_terms_query(
+            ["zzz_not_a_term"], max_term_frequency=0.5, k=5
+        )
+        assert out.count() == 0
+        top = searcher.common_terms_query(
+            self.TERMS, max_term_frequency=0.5, k=5
+        ).collect()
+        assert 0 < len(top) <= 5
+        scores = [r["score"] for r in top]
+        assert scores == sorted(scores, reverse=True)
