@@ -1161,6 +1161,48 @@ def _q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.sources.web_pages import URL_PREFIX
+
+    s = _get_searcher(spark, sf_dir)
+    ex = s.explain(URL_PREFIX + "00000026", ["dup", "window", "the"])
+    return ex.select(
+        "term",
+        "freq",
+        "doc_freq",
+        "doc_count",
+        F.round("idf", 6).alias("idf"),
+        "dl",
+        F.round("avgdl", 6).alias("avgdl"),
+        F.round("tf", 6).alias("tf"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _explain_sql(doc_id: int, terms: list[str]) -> str:
+    norm = _norm_len_sql("dl.dl")
+    w = "ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))"
+    inv = f"(1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))))"
+    return f"""
+        WITH {_TOK}, {_DL}, {_ST},
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok
+               WHERE term IN ({_quoted(terms)}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+        SELECT tf.term,
+               tf.c::INT AS freq,
+               df.df AS doc_freq,
+               st.n AS doc_count,
+               round({w}, 6) AS idf,
+               {norm}::INT AS dl,
+               round(st.sttf/st.n, 6) AS avgdl,
+               round(tf.c / (tf.c + 1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))),
+                     6) AS tf,
+               round({w} - {w}/(1 + tf.c*{inv}), 6) AS score
+        FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+             JOIN df ON tf.term = df.term CROSS JOIN st
+        WHERE tf.doc_id = {doc_id} ORDER BY tf.term"""
+
+
 def _q_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'dup' is the one genuinely rare corpus term (df ~5%); 'the'/'data'
     # sit near df=80%, so at max_term_frequency=0.5 the query gates on
@@ -3411,6 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_and_not": _q_bm25_and_not,
         "bm25_top10_msm": _q_bm25_msm,
         "common_terms_top10": _q_common_terms,
+        "explain_components": _q_explain,
         "phrase_top10": _q_phrase,
         "total_hit_count": _q_total_hits,
         "facet_lang": _q_facet_lang,
@@ -3553,6 +3596,7 @@ def oracle_sql() -> dict[str, str]:
         "common_terms_top10": _common_terms_sql(
             ["dup", "the", "data"], max_term_frequency=0.5
         ),
+        "explain_components": _explain_sql(26, ["dup", "window", "the"]),
         "phrase_top10": _phrase_sql(PHRASE),
         "total_hit_count": f"""
             WITH {_TOK}

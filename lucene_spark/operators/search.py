@@ -33,6 +33,7 @@ Query lifecycle (SURVEY.md §3.2 mapped to Spark):
 from __future__ import annotations
 
 import functools
+import math
 import operator
 
 import numpy as np
@@ -1013,11 +1014,15 @@ class Searcher(QueryOpsMixin):
         need_positions: bool = False,
         k_for_pruning: int | None = None,
         time_budget_ms: float | None = None,
+        block_pred: F.Column | None = None,
     ) -> DataFrame:
         """(term, segment_id, docid, freq, norm, score[, positions]) rows
         for every posting of the given terms. With ``time_budget_ms``
         set, tasks stop at the budget and emit docid = −1 sentinels
-        (see :func:`_make_unpack_kernel`); callers must filter."""
+        (see :func:`_make_unpack_kernel`); callers must filter.
+        ``block_pred`` (over segment_id/first_docid/last_docid) filters
+        posting BLOCKS before decode — the advance(target) analog for
+        callers that need one doc/range, not the full postings."""
         stats = self.term_stats(terms)
         present = [t for t in terms if t in stats]
         if not present:
@@ -1043,7 +1048,10 @@ class Searcher(QueryOpsMixin):
         ]
         if need_positions:
             cols.append("pos_block")
-        posts = self._postings.where(F.col("term").isin(present)).select(*cols)
+        posts = self._postings.where(F.col("term").isin(present))
+        if block_pred is not None:
+            posts = posts.where(block_pred)
+        posts = posts.select(*cols)
         kernel, _ = _make_unpack_kernel(
             scorers, self.dtype, need_positions, k_for_pruning,
             time_budget_ms=time_budget_ms,
@@ -1181,6 +1189,80 @@ class Searcher(QueryOpsMixin):
         return out.select("docid", "url", "score").orderBy(
             F.desc("score"), F.asc("docid")
         )
+
+    # ------------------------------------------------------------------
+    # explain
+    # ------------------------------------------------------------------
+    def explain(
+        self, url: str, terms: list[str], boost: float = 1.0
+    ) -> DataFrame:
+        """``IndexSearcher.explain`` for BM25 term/boolean queries
+        (``core/search/IndexSearcher.java:750``,
+        ``BM25Similarity.BM25Scorer.explain`` at
+        ``BM25Similarity.java:277-297``): the score breakdown for ONE
+        document, flattened from Lucene's Explanation tree into one row
+        per matching term::
+
+            term, freq, doc_freq, doc_count, idf, dl, avgdl, tf, score
+
+        where ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+        ``tf = freq / (freq + k1*((1-b) + b*dl/avgdl))`` over the
+        SmallFloat-quantized length ``dl`` (the norms byte is what the
+        scorer sees — explaining the raw length would not explain the
+        score), and ``score = boost * idf * tf`` — algebraically the
+        kernel's ``w - w/(1 + freq*inv)``. The per-term scores sum to
+        the boolean query's score for the doc.
+
+        One-doc diagnostic: posting BLOCKS are pruned to the target
+        docid range before decode (advance(target) analog), so the scan
+        reads ~1 block per term regardless of corpus size.
+        """
+        out_ddl = (
+            "term string, freq int, doc_freq long, doc_count long, "
+            "idf double, dl int, avgdl double, tf double, score double"
+        )
+        doc = (
+            self._docs.where(F.col("url") == url)
+            .select("segment_id", "local_docid")
+            .collect()
+        )
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not doc or not present:
+            return self.spark.createDataFrame([], out_ddl)
+        sid, did = int(doc[0]["segment_id"]), int(doc[0]["local_docid"])
+        rows = (
+            self.scored_postings(
+                present,
+                boost=boost,
+                block_pred=(
+                    (F.col("segment_id") == sid)
+                    & (F.col("first_docid") <= did)
+                    & (F.col("last_docid") >= did)
+                ),
+            )
+            .where((F.col("segment_id") == sid) & (F.col("docid") == did))
+            .select("term", "freq", "norm", "score")
+            .collect()
+        )
+        n = int(self.field_stats["doc_count"])
+        avgdl = self.field_stats["sum_total_term_freq"] / float(n)
+        out = []
+        for r in sorted(rows, key=lambda r: r["term"]):
+            df_t = stats[r["term"]][0]
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            dl = int(byte4_to_int(np.array([r["norm"]], dtype=np.uint8))[0])
+            tf = r["freq"] / (
+                r["freq"]
+                + float(self.k1) * ((1.0 - float(self.b)) + float(self.b) * dl / avgdl)
+            )
+            out.append(
+                (
+                    r["term"], int(r["freq"]), df_t, n,
+                    idf, dl, avgdl, tf, float(r["score"]),
+                )
+            )
+        return self.spark.createDataFrame(out, out_ddl)
 
     # ------------------------------------------------------------------
     # query operators

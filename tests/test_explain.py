@@ -1,0 +1,63 @@
+"""Searcher.explain (IndexSearcher.java:750 + BM25Scorer.explain):
+component identities and the sum-equals-boolean-score invariant."""
+
+import math
+
+import pyspark.sql.functions as F
+
+
+class TestExplain:
+    TERMS = ["window", "spark", "data"]
+
+    def _target(self, searcher):
+        top = searcher.boolean_query(should=self.TERMS, k=1).collect()
+        assert top, "corpus has no match for the test terms"
+        return top[0]
+
+    def test_components_reconstruct_score(self, searcher):
+        hit = self._target(searcher)
+        rows = searcher.explain(hit["url"], self.TERMS).collect()
+        assert rows
+        n = int(searcher.field_stats["doc_count"])
+        for r in rows:
+            # idf identity
+            want_idf = math.log(
+                1 + (n - r["doc_freq"] + 0.5) / (r["doc_freq"] + 0.5)
+            )
+            assert abs(r["idf"] - want_idf) < 1e-12
+            # score ~= boost * idf * tf (float32 kernel vs double
+            # components: agree to float32 precision)
+            assert abs(r["score"] - r["idf"] * r["tf"]) < 1e-5 * max(
+                1.0, abs(r["score"])
+            )
+
+    def test_sum_matches_boolean_score(self, searcher):
+        hit = self._target(searcher)
+        rows = searcher.explain(hit["url"], self.TERMS).collect()
+        total = sum(r["score"] for r in rows)
+        assert abs(total - hit["score"]) < 1e-4 * max(1.0, abs(hit["score"]))
+
+    def test_absent_term_and_doc(self, searcher):
+        hit = self._target(searcher)
+        assert (
+            searcher.explain(hit["url"], ["zzz_not_a_term"]).count() == 0
+        )
+        assert (
+            searcher.explain("https://nope.invalid/x", self.TERMS).count()
+            == 0
+        )
+
+    def test_boost_scales_score_only(self, searcher):
+        hit = self._target(searcher)
+        base = {
+            r["term"]: r for r in searcher.explain(hit["url"], self.TERMS).collect()
+        }
+        boosted = {
+            r["term"]: r
+            for r in searcher.explain(hit["url"], self.TERMS, boost=2.0).collect()
+        }
+        assert set(base) == set(boosted)
+        for t, r in base.items():
+            b = boosted[t]
+            assert abs(b["score"] - 2.0 * r["score"]) < 1e-4
+            assert b["idf"] == r["idf"] and b["tf"] == r["tf"]
