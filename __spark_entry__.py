@@ -1203,6 +1203,26 @@ def _explain_sql(doc_id: int, terms: list[str]) -> str:
         WHERE tf.doc_id = {doc_id} ORDER BY tf.term"""
 
 
+def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.termvectors import term_vectors
+    from lucene_spark.sources.web_pages import URL_PREFIX, load_web_pages
+
+    s = _get_searcher(spark, sf_dir)
+    top = spark.createDataFrame(
+        [(URL_PREFIX + "00000026",), (URL_PREFIX + "00000027",)],
+        "url string",
+    )
+    tv = term_vectors(s, top, load_web_pages(spark, sf_dir))
+    return tv.select(
+        _doc_id("url"),
+        "term",
+        "freq",
+        F.array_join(F.col("positions").cast("array<string>"), ",").alias(
+            "positions"
+        ),
+    )
+
+
 def _q_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'dup' is the one genuinely rare corpus term (df ~5%); 'the'/'data'
     # sit near df=80%, so at max_term_frequency=0.5 the query gates on
@@ -3454,6 +3474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_msm": _q_bm25_msm,
         "common_terms_top10": _q_common_terms,
         "explain_components": _q_explain,
+        "term_vectors_doc": _q_term_vectors,
         "phrase_top10": _q_phrase,
         "total_hit_count": _q_total_hits,
         "facet_lang": _q_facet_lang,
@@ -3597,6 +3618,13 @@ def oracle_sql() -> dict[str, str]:
             ["dup", "the", "data"], max_term_frequency=0.5
         ),
         "explain_components": _explain_sql(26, ["dup", "window", "the"]),
+        "term_vectors_doc": f"""
+            WITH {_TOKP}
+            SELECT doc_id, term, count(*)::INT AS freq,
+                   array_to_string(list(p::INT ORDER BY p), ',')
+                     AS positions
+            FROM tokp WHERE doc_id IN (26, 27)
+            GROUP BY doc_id, term""",
         "phrase_top10": _phrase_sql(PHRASE),
         "total_hit_count": f"""
             WITH {_TOK}

@@ -1,0 +1,79 @@
+"""Term vectors: the per-document term -> (freq, positions) view.
+
+Lucene's TermVectors API (``core/index/TermVectors.java:38``,
+``core/codecs/lucene90/compressing/Lucene90CompressingTermVectorsReader``)
+serves a doc-indexed mini-inverted-index recorded at index time. A
+doc-indexed sidecar is the wrong trade in a columnar store — it
+duplicates every posting — so this implementation uses the
+re-analysis route (the same choice our highlighter makes, and what
+Lucene itself does when vectors weren't stored: UnifiedHighlighter
+offset source ANALYSIS): fetch the requested docs' stored text, run
+the index's OWN analyzer chain (from the manifest, so positions agree
+with the postings' stop-gap increments), and aggregate.
+
+Scale shape: the requested doc set is a top-k frame (a handful of
+urls) — Catalyst broadcasts it into the source-table join, so the
+"stored fields fetch" reads only matching rows; analysis is one
+Arrow-batched ``mapInPandas`` over k documents; the final
+(url, term) aggregation shuffles k * |doc terms| tiny rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OUT = "url string, term string, freq int, positions array<int>"
+
+
+def term_vectors(
+    searcher,
+    top: DataFrame,
+    source: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(url, term, freq, positions) for every doc in ``top``.
+
+    ``positions`` are the analyzer-chain token positions INCLUDING
+    stop-filter gaps (``FilteringTokenFilter.java:49-56``) — identical
+    to what the index's postings recorded, so a phrase verifier could
+    run off this view.
+    """
+    from ..functions.analysis import analyze_series
+    from ..functions.lang import get_chain
+
+    chain = get_chain(searcher.analyzer, stopwords=searcher._stopwords)
+    fetched = (
+        top.select(F.col(url_col).alias("url"))
+        .distinct()
+        .join(
+            source.select(
+                F.col(url_col).alias("url"), F.col(text_col).alias("text")
+            ),
+            "url",
+        )
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms_col, pos_col = analyze_series(pdf["text"], chain=chain)
+            urls, terms, poss = [], [], []
+            for url, ts, ps in zip(pdf["url"], terms_col, pos_col):
+                urls.extend([url] * len(ts))
+                terms.extend(ts)
+                poss.extend(ps)
+            yield pd.DataFrame(
+                {"url": urls, "term": terms, "position": poss}
+            )
+
+    occ = fetched.mapInPandas(
+        kernel, schema="url string, term string, position int"
+    )
+    return occ.groupBy("url", "term").agg(
+        F.count("*").cast("int").alias("freq"),
+        F.sort_array(F.collect_list("position")).alias("positions"),
+    )

@@ -1,0 +1,57 @@
+"""Term vectors (core/index/TermVectors.java, re-analysis route):
+freq/positions must agree with the index's own postings for the same
+doc — the vector is a transpose of the posting rows, not a new
+tokenization."""
+
+import pyspark.sql.functions as F
+
+from lucene_spark.operators.termvectors import term_vectors
+
+
+class TestTermVectors:
+    def test_matches_postings_freq(self, spark, searcher, web_pages):
+        top = searcher.term_query("window", k=3)
+        tv = term_vectors(searcher, top, web_pages)
+        got = {
+            (r["url"], r["term"]): (r["freq"], r["positions"])
+            for r in tv.collect()
+        }
+        assert got, "no vectors produced"
+        # freq parity against the scored postings for a couple of terms
+        urls = {u for (u, _t) in got}
+        check_terms = sorted({t for (_u, t) in got})[:3]
+        posts = (
+            searcher.scored_postings(check_terms)
+            .withColumn("local_docid", F.col("docid"))
+        )
+        posts = searcher._attach_urls(posts).where(
+            F.col("url").isin(list(urls))
+        )
+        for r in posts.select("url", "term", "freq").collect():
+            assert got[(r["url"], r["term"])][0] == r["freq"]
+
+    def test_positions_sorted_and_distinct(self, spark, searcher, web_pages):
+        top = searcher.term_query("window", k=2)
+        tv = term_vectors(searcher, top, web_pages)
+        for r in tv.collect():
+            ps = r["positions"]
+            assert ps == sorted(ps)
+            assert len(ps) == len(set(ps))
+            assert len(ps) == r["freq"]
+
+    def test_doc_length_reconstruction(self, spark, searcher, web_pages):
+        """Sum of freqs over a doc's vector == the doc's stored doclen
+        (norms are computed from the same chain)."""
+        top = searcher.term_query("window", k=2)
+        tv = term_vectors(searcher, top, web_pages)
+        sums = {
+            r["url"]: r["s"]
+            for r in tv.groupBy("url")
+            .agg(F.sum("freq").alias("s"))
+            .collect()
+        }
+        docs = searcher._docs.where(
+            F.col("url").isin(list(sums))
+        ).select("url", "doclen")
+        for r in docs.collect():
+            assert sums[r["url"]] == r["doclen"]
