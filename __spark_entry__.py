@@ -1550,6 +1550,51 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs_table(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.05)
+    return dedup_clusters(docs, pairs, id_col="doc_id")
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected-components oracle: transitive closure of the jaccard
+    pair graph via a recursive CTE, canonical = min reachable id —
+    independent algorithm (closure+min) vs the engine's star
+    contraction."""
+    return (
+        "WITH RECURSIVE sh AS (SELECT DISTINCT doc_id, unnest("
+        + _dedup_shingles_sql()
+        + """) AS s FROM documents),
+        sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh
+               GROUP BY doc_id),
+        i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*)::BIGINT AS inter
+              FROM sh a JOIN sh b USING (s)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        p AS (SELECT id_a, id_b FROM i
+              JOIN sz na ON i.id_a = na.doc_id
+              JOIN sz nb ON i.id_b = nb.doc_id
+              WHERE inter/(na.n + nb.n - inter) >= 0.05),
+        e AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p),
+        reach AS (SELECT u AS a, v AS b FROM e
+                  UNION
+                  SELECT reach.a, e.v FROM reach
+                  JOIN e ON reach.b = e.u),
+        comp AS (SELECT a AS id, least(a, min(b)) AS canonical
+                 FROM reach GROUP BY a)
+        SELECT d.doc_id AS id,
+               coalesce(c.canonical, d.doc_id) AS canonical,
+               coalesce(c.canonical, d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
+    )
+
+
 def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.operators.similarity import brute_force_topk
 
@@ -3495,6 +3540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig8": _q_minhash,
         "simhash64": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_cosine_top10": _q_ann_cosine,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh,
@@ -3726,6 +3772,7 @@ def oracle_sql() -> dict[str, str]:
                  JOIN sz nb ON i.id_b = nb.doc_id
             WHERE inter/(na.n + nb.n - inter) >= 0.05"""
         ),
+        "dedup_clusters": _dedup_clusters_sql(),
         "ann_cosine_top10": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],
