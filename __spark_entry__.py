@@ -1550,6 +1550,48 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.lm_score import lm_doc_scores
+
+    return lm_doc_scores(_docs_table(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("log_ppl", 6).alias("log_ppl"),
+    )
+
+
+def _lm_doc_scores_sql() -> str:
+    """Self-perplexity under the stupid-backoff bigram LM — identical
+    probability contract to operators/lm_score.py."""
+    return f"""
+        WITH {_TOKP},
+        uni AS (SELECT term AS w, count(*)::BIGINT AS cnt
+                FROM tokp GROUP BY term),
+        bi AS (SELECT b.term AS w1, a.term AS w2, count(*)::BIGINT AS cnt
+               FROM tokp a JOIN tokp b
+                 ON a.doc_id = b.doc_id AND b.p = a.p - 1
+               GROUP BY 1, 2),
+        tot AS (SELECT sum(cnt)::DOUBLE AS total FROM uni),
+        ctx AS (SELECT a.doc_id, a.term AS w, b.term AS ctx
+                FROM tokp a LEFT JOIN tokp b
+                  ON a.doc_id = b.doc_id AND b.p = a.p - 1),
+        pr AS (SELECT c.doc_id,
+                      CASE WHEN c.ctx IS NULL
+                             THEN coalesce(uw.cnt, 1) / tot.total
+                           WHEN bi.cnt IS NOT NULL
+                             THEN bi.cnt / (uc.cnt::DOUBLE)
+                           ELSE 0.4 * coalesce(uw.cnt, 1) / tot.total
+                      END AS p
+               FROM ctx c
+               LEFT JOIN uni uw ON c.w = uw.w
+               LEFT JOIN uni uc ON c.ctx = uc.w
+               LEFT JOIN bi ON bi.w1 = c.ctx AND bi.w2 = c.w
+               CROSS JOIN tot)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               round(avg(-ln(p)), 6) AS log_ppl
+        FROM pr GROUP BY doc_id"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.operators.dedup import (
         dedup_clusters,
@@ -3541,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "lm_doc_scores": _q_lm_doc_scores,
         "ann_cosine_top10": _q_ann_cosine,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh,
@@ -3773,6 +3816,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter/(na.n + nb.n - inter) >= 0.05"""
         ),
         "dedup_clusters": _dedup_clusters_sql(),
+        "lm_doc_scores": _lm_doc_scores_sql(),
         "ann_cosine_top10": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],

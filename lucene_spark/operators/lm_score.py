@@ -1,0 +1,117 @@
+"""Language-model document scoring: the CCNet-style quality signal.
+
+Web-scale training pipelines score every document's fluency under a
+language model trained on a trusted reference corpus and filter by
+perplexity buckets (Wenzek et al. 2020, "CCNet: Extracting High
+Quality Monolingual Datasets from Web Crawl Data" — their KenLM
+5-gram; the Gopher/RefinedWeb pipelines keep the same shape). This
+module is the distributed analog over the stupid-backoff bigram LM we
+already build for suggestions (``operators/suggest_lm.py``, Brants et
+al. 2007): the model IS two count tables, so scoring a corpus is pure
+join algebra — no per-row Python anywhere.
+
+Per-token probability (deterministic, documented contract):
+
+- first token:          p = coalesce(cnt(w), 1) / total
+- bigram seen:          p = cnt(ctx, w) / cnt(ctx)
+- backoff:              p = ALPHA * coalesce(cnt(w), 1) / total
+
+(the ``coalesce(_, 1)`` floor keeps unseen words finite when scoring
+against an external reference model; self-scoring never hits it).
+Document score: ``log_ppl = avg(-ln p)`` — the mean negative log
+probability, i.e. ln(perplexity).
+
+Scale shape: token pairs explode map-side from the text array (one
+scan); the three count joins are plain shuffle joins on word keys —
+frequent-word skew is exactly what AQE skew-split handles — and the
+final per-doc aggregation is partial-agg friendly. The model tables
+are corpus-bounded (distinct unigrams/bigrams), never per-token.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .suggest_lm import ALPHA, bigram_model, unigram_model
+
+
+def lm_doc_scores(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, log_ppl) per document of ``docs``, scored under
+    the bigram stupid-backoff LM of ``model`` (default: ``docs``
+    itself — the self-perplexity used for outlier filtering)."""
+    model_src = model if model is not None else docs
+    bi = bigram_model(model_src, text_col).withColumnRenamed("cnt", "cnt_bi")
+    uni = unigram_model(model_src, text_col)
+    total = uni.agg(F.sum("cnt").alias("total"))
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("ts")
+    ).select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(ts, (x, i) -> struct("
+                "x AS w, CASE WHEN i = 0 THEN NULL ELSE ts[i - 1] END"
+                " AS ctx))"
+            )
+        ).alias("t"),
+    ).select("id", "t.w", "t.ctx")
+
+    uw = uni.select(F.col("w"), F.col("cnt").alias("cnt_w"))
+    uc = uni.select(
+        F.col("w").alias("ctx"), F.col("cnt").alias("cnt_ctx")
+    )
+    j = (
+        toks.join(uw, "w", "left")
+        .join(uc, "ctx", "left")
+        .join(bi.withColumnRenamed("w1", "ctx").withColumnRenamed("w2", "w"),
+              ["ctx", "w"], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    p = (
+        F.when(
+            F.col("ctx").isNull(),
+            F.coalesce(F.col("cnt_w"), F.lit(1)) / F.col("total"),
+        )
+        .when(
+            F.col("cnt_bi").isNotNull(), F.col("cnt_bi") / F.col("cnt_ctx")
+        )
+        .otherwise(
+            F.lit(ALPHA)
+            * F.coalesce(F.col("cnt_w"), F.lit(1))
+            / F.col("total")
+        )
+    )
+    return (
+        j.select("id", (-F.log(p)).alias("nll"))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("nll").alias("log_ppl"),
+        )
+    )
+
+
+def lm_quality_filter(
+    docs: DataFrame,
+    max_log_ppl: float,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``docs`` restricted to documents whose LM score passes the
+    threshold — CCNet's "head/middle" bucket selection reduced to one
+    cut. The scores frame joins back on the id (broadcastable when the
+    survivor set is small; a plain hash join otherwise)."""
+    keep = (
+        lm_doc_scores(docs, model=model, text_col=text_col, id_col=id_col)
+        .where(F.col("log_ppl") <= max_log_ppl)
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(keep, id_col, "left_semi")

@@ -1,0 +1,87 @@
+"""LM document scoring (lm_score.py): the stupid-backoff probability
+contract, hand-computed on a tiny corpus, plus filter composition."""
+
+import math
+
+from lucene_spark.operators.lm_score import lm_doc_scores, lm_quality_filter
+
+ALPHA = 0.4
+
+
+def _score_by_hand(corpus, doc):
+    """Reference implementation in plain Python."""
+    uni, bi, total = {}, {}, 0
+    for text in corpus:
+        ts = text.split(" ")
+        total += len(ts)
+        for i, w in enumerate(ts):
+            uni[w] = uni.get(w, 0) + 1
+            if i:
+                bi[(ts[i - 1], w)] = bi.get((ts[i - 1], w), 0) + 1
+    nll = []
+    ts = doc.split(" ")
+    for i, w in enumerate(ts):
+        if i == 0:
+            p = uni.get(w, 1) / total
+        elif (ts[i - 1], w) in bi:
+            p = bi[(ts[i - 1], w)] / uni[ts[i - 1]]
+        else:
+            p = ALPHA * uni.get(w, 1) / total
+        nll.append(-math.log(p))
+    return sum(nll) / len(nll)
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cat ate the fish",
+    "a dog sat on a log",
+    "fish swim in the sea",
+]
+
+
+class TestLmDocScores:
+    def test_matches_hand_computation(self, spark):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+        )
+        got = {
+            r["id"]: (r["n_tokens"], r["log_ppl"])
+            for r in lm_doc_scores(docs).collect()
+        }
+        assert set(got) == set(range(len(CORPUS)))
+        for i, text in enumerate(CORPUS):
+            n, lp = got[i]
+            assert n == len(text.split(" "))
+            assert abs(lp - _score_by_hand(CORPUS, text)) < 1e-9
+
+    def test_external_model_and_unseen_floor(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "the cat sat"), (1, "zz qq")], "doc_id long, text string"
+        )
+        model = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+        )
+        got = {
+            r["id"]: r["log_ppl"]
+            for r in lm_doc_scores(docs, model=model).collect()
+        }
+        assert abs(got[0] - _score_by_hand(CORPUS, "the cat sat")) < 1e-9
+        # unseen words hit the coalesce(cnt,1) floor: finite, and worse
+        # than the fluent doc
+        assert math.isfinite(got[1]) and got[1] > got[0]
+
+    def test_quality_filter_keeps_fluent_docs(self, spark):
+        rows = [(i, t) for i, t in enumerate(CORPUS)] + [
+            (99, "qq zz xx vv qq zz")
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        scores = {
+            r["id"]: r["log_ppl"] for r in lm_doc_scores(docs).collect()
+        }
+        cut = max(scores[i] for i in range(len(CORPUS)))
+        kept = lm_quality_filter(docs, max_log_ppl=cut)
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert set(range(len(CORPUS))) <= ids
+        assert scores[99] > cut or 99 in ids
+        if scores[99] > cut:
+            assert 99 not in ids
