@@ -1550,6 +1550,38 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dynamic_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.queries import dynamic_range_facets
+
+    out = dynamic_range_facets(
+        _docs_table(spark, sf_dir), "n_chars", topn=5
+    )
+    return out.select(
+        "range_idx",
+        "count",
+        "weight",
+        "min_value",
+        "max_value",
+        F.round("centroid", 6).alias("centroid"),
+    )
+
+
+def _dynamic_ranges_sql(topn: int = 5) -> str:
+    return f"""
+        WITH v AS (SELECT n_chars::BIGINT AS v FROM documents),
+        st AS (SELECT count(*)::BIGINT AS n FROM v),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk FROM v),
+        b AS (SELECT v,
+                     floor(rk / ceil(n::DOUBLE / least({topn}, n)))::INT
+                       AS range_idx
+              FROM r CROSS JOIN st)
+        SELECT range_idx, count(*)::BIGINT AS count,
+               count(*)::BIGINT AS weight,
+               min(v) AS min_value, max(v) AS max_value,
+               round(avg(v), 6) AS centroid
+        FROM b GROUP BY range_idx"""
+
+
 def _q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.operators.lm_score import lm_doc_scores
 
@@ -3584,6 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "lm_doc_scores": _q_lm_doc_scores,
+        "dynamic_range_facets": _q_dynamic_ranges,
         "ann_cosine_top10": _q_ann_cosine,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh,
@@ -3817,6 +3850,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": _dedup_clusters_sql(),
         "lm_doc_scores": _lm_doc_scores_sql(),
+        "dynamic_range_facets": _dynamic_ranges_sql(),
         "ann_cosine_top10": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],

@@ -32,11 +32,78 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import bm25
 from ..functions.smallfloat import byte4_to_int
 
 MAX_EXPANSIONS = 1024  # IndexSearcher.maxClauseCount analog
+
+
+def dynamic_range_facets(
+    df: DataFrame,
+    value_col: str,
+    topn: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Dynamic (equal-weight) range facets —
+    ``facet/range/DynamicRangeUtil.java:204-268``: sort values, emit a
+    range each time the accumulated weight reaches
+    ``totalWeight / min(topN, len)``; report per range (count, weight,
+    min, max, centroid).
+
+    Unit weights (``weight_col=None``) reproduce Lucene's greedy EXACTLY
+    via the closed form: every range holds ``ceil(n / min(topN, n))``
+    consecutive sorted values (the greedy's reset fires at the same
+    ranks), so the bucket is a pure function of the global rank — no
+    sequential scan. Weighted inputs use the prefix-cumsum bucket
+    ``floor(exclusive_cumsum / target)`` which can shift a boundary one
+    row versus Lucene's reset-accumulator when a single weight
+    overshoots the target (declared deviation; outputs are otherwise
+    identical).
+
+    Scale note: the rank/cumsum window is unpartitioned — one task ranks
+    the value column. Range facets run over a match set's values, which
+    is orders below the corpus; for corpus-wide percentiles use
+    ``approxQuantile`` instead.
+    """
+    vals = df.select(
+        F.col(value_col).cast("long").alias("v"),
+        (
+            F.col(weight_col) if weight_col is not None else F.lit(1)
+        ).cast("long").alias("wt"),
+    )
+    st = vals.agg(
+        F.count("*").alias("n"), F.sum("wt").alias("total")
+    )
+    w = Window.orderBy("v", "wt")
+    if weight_col is None:
+        ranked = vals.withColumn(
+            "rk", F.row_number().over(w) - 1
+        ).crossJoin(F.broadcast(st))
+        bucket = F.floor(
+            F.col("rk")
+            / F.ceil(F.col("n") / F.least(F.lit(topn), F.col("n")))
+        )
+    else:
+        ranked = vals.withColumn(
+            "cum", F.sum("wt").over(w) - F.col("wt")
+        ).crossJoin(F.broadcast(st))
+        target = F.col("total") / F.least(F.lit(topn), F.col("n"))
+        bucket = F.least(
+            F.floor(F.col("cum") / target), F.lit(topn - 1)
+        )
+    return (
+        ranked.withColumn("range_idx", bucket.cast("int"))
+        .groupBy("range_idx")
+        .agg(
+            F.count("*").alias("count"),
+            F.sum("wt").alias("weight"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+            F.avg("v").alias("centroid"),
+        )
+    )
 
 
 def _sigmoid(x: Column) -> Column:

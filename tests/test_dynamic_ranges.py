@@ -1,0 +1,76 @@
+"""Dynamic range facets (facet/range/DynamicRangeUtil.java:204-268):
+outputs must match a direct port of Lucene's greedy accumulator run in
+plain Python on the same values."""
+
+import math
+
+from lucene_spark.operators.queries import dynamic_range_facets
+
+
+def _lucene_greedy(values, weights, topn):
+    """Reference: the Java loop, verbatim semantics."""
+    order = sorted(range(len(values)), key=lambda i: (values[i], weights[i]))
+    values = [values[i] for i in order]
+    weights = [weights[i] for i in order]
+    out = []
+    if not values or topn == 0:
+        return out
+    target = sum(weights) / min(topn, len(values))
+    accu = vsum = count = 0
+    min_idx = 0
+    for i, (v, w) in enumerate(zip(values, weights)):
+        accu += w
+        vsum += v
+        count += 1
+        if accu >= target:
+            out.append((count, accu, values[min_idx], v, vsum / count))
+            accu = vsum = count = 0
+            min_idx = i + 1
+    if min_idx < len(values):
+        out.append(
+            (count, accu, values[min_idx], values[-1], vsum / count)
+        )
+    return out
+
+
+def _run(spark, values, topn, weights=None):
+    if weights is None:
+        rows = [(v, 1) for v in values]
+    else:
+        rows = list(zip(values, weights))
+    df = spark.createDataFrame(rows, "x long, wt long")
+    out = dynamic_range_facets(
+        df, "x", topn, weight_col=None if weights is None else "wt"
+    )
+    return [
+        (r["count"], r["weight"], r["min_value"], r["max_value"], r["centroid"])
+        for r in out.orderBy("range_idx").collect()
+    ]
+
+
+class TestDynamicRanges:
+    def test_unit_weights_match_lucene_exactly(self, spark):
+        for n, topn in [(20, 4), (23, 5), (7, 3), (5, 9), (1, 1)]:
+            values = [(i * 37) % 101 for i in range(n)]
+            got = _run(spark, values, topn)
+            want = _lucene_greedy(values, [1] * n, topn)
+            assert len(got) == len(want), (n, topn, got, want)
+            for g, w in zip(got, want):
+                assert g[:4] == w[:4], (n, topn, got, want)
+                assert math.isclose(g[4], w[4], abs_tol=1e-9)
+
+    def test_tied_values_are_order_invariant(self, spark):
+        values = [5] * 10 + [9] * 10
+        got = _run(spark, values, 4)
+        want = _lucene_greedy(values, [1] * 20, 4)
+        assert [g[:4] for g in got] == [w[:4] for w in want]
+
+    def test_weighted_buckets_cover_everything(self, spark):
+        values = list(range(30))
+        weights = [(i % 5) + 1 for i in range(30)]
+        got = _run(spark, values, 4, weights=weights)
+        assert sum(g[0] for g in got) == 30
+        assert sum(g[1] for g in got) == sum(weights)
+        # ranges are contiguous and ordered
+        for a, b in zip(got, got[1:]):
+            assert a[3] <= b[2]
