@@ -1550,6 +1550,36 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_infix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.suggest_lm import analyzing_infix_suggest
+
+    # suggestion corpus synthesized from the documents table: first 4
+    # tokens as the suggestion text, n_chars as the weight (the oracle
+    # rebuilds the same corpus by string algebra)
+    docs = _docs_table(spark, sf_dir)
+    sugg = docs.select(
+        F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias(
+            "suggestion"
+        ),
+        F.col("n_chars").alias("weight"),
+    )
+    return analyzing_infix_suggest(sugg, "agg sc", k=5)
+
+
+def _infix_suggest_sql(full: str, prefix: str, k: int = 5) -> str:
+    return f"""
+        WITH s AS (SELECT array_to_string(
+                     list_slice(string_split(text, ' '), 1, 4), ' ')
+                     AS suggestion,
+                   max(n_chars)::BIGINT AS weight
+            FROM documents GROUP BY 1)
+        SELECT suggestion, weight FROM s
+        WHERE list_contains(string_split(suggestion, ' '), '{full}')
+          AND len(list_filter(string_split(suggestion, ' '),
+                              x -> starts_with(x, '{prefix}'))) > 0
+        ORDER BY weight DESC, suggestion LIMIT {k}"""
+
+
 def _q_dynamic_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.operators.queries import dynamic_range_facets
 
@@ -3617,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "lm_doc_scores": _q_lm_doc_scores,
         "dynamic_range_facets": _q_dynamic_ranges,
+        "infix_suggest": _q_infix_suggest,
         "ann_cosine_top10": _q_ann_cosine,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh,
@@ -3851,6 +3882,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "lm_doc_scores": _lm_doc_scores_sql(),
         "dynamic_range_facets": _dynamic_ranges_sql(),
+        "infix_suggest": _infix_suggest_sql("agg", "sc"),
         "ann_cosine_top10": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],

@@ -111,3 +111,49 @@ def free_text_suggest(
             backoff.join(hits.select("term"), "term", "left_anti")
         )
     return scored.orderBy(F.desc("score"), F.asc("term")).limit(k)
+
+
+def analyzing_infix_suggest(
+    suggestions: DataFrame,
+    query: str,
+    k: int = 5,
+    text_col: str = "suggestion",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """AnalyzingInfixSuggester lookup
+    (``lucene/suggest/.../analyzing/AnalyzingInfixSuggester.java:63``,
+    finishQuery at :616-668): every fully-typed query token must occur
+    as a token ANYWHERE in the suggestion (the "infix" part — Lucene
+    indexes suggestion tokens and ANDs TermQueries), and the trailing
+    partially-typed token must prefix-match some suggestion token (the
+    PrefixQuery on the last token). Results rank by stored weight
+    descending, text ascending (LookupResult comparator).
+
+    Pure Catalyst: token membership via ``array_contains`` and the
+    prefix via ``exists`` over the split array — both whole-stage
+    codegen; the top-k is one TakeOrderedAndProject. Duplicate
+    suggestion strings collapse to their max weight first
+    (the suggester's update-by-key storage).
+    """
+    toks = [t for t in query.lower().split(" ") if t]
+    if not toks:
+        raise ValueError("empty suggest query")
+    full, prefix = toks[:-1], toks[-1]
+    base = (
+        suggestions.select(
+            F.lower(F.col(text_col)).alias("suggestion"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .groupBy("suggestion")
+        .agg(F.max("weight").alias("weight"))
+        .withColumn("ts", F.split(F.col("suggestion"), " "))
+    )
+    cond = F.exists("ts", lambda x: x.startswith(prefix))
+    for t in full:
+        cond = cond & F.array_contains("ts", t)
+    return (
+        base.where(cond)
+        .select("suggestion", "weight")
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(k)
+    )

@@ -1,0 +1,66 @@
+"""AnalyzingInfixSuggester (suggest/analyzing/AnalyzingInfixSuggester
+.java): full tokens AND-match anywhere, last token prefix-matches,
+rank by weight desc then text."""
+
+import pytest
+
+from lucene_spark.operators.suggest_lm import analyzing_infix_suggest
+
+SUGG = [
+    ("a penny saved is earned", 10),
+    ("lend me your ear", 25),
+    ("pay it forward", 8),
+    ("penny wise pound foolish", 7),
+    ("the ear of the beholder", 25),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(SUGG, "suggestion string, weight long")
+
+
+class TestInfixSuggest:
+    def test_prefix_matches_any_token(self, spark):
+        got = [
+            r["suggestion"]
+            for r in analyzing_infix_suggest(_df(spark), "ear").collect()
+        ]
+        # 'ear' prefixes 'ear'/'earned' anywhere in the text
+        assert got == [
+            "lend me your ear",
+            "the ear of the beholder",
+            "a penny saved is earned",
+        ]
+
+    def test_full_tokens_must_all_occur(self, spark):
+        got = [
+            r["suggestion"]
+            for r in analyzing_infix_suggest(
+                _df(spark), "penny po"
+            ).collect()
+        ]
+        assert got == ["penny wise pound foolish"]
+
+    def test_weight_then_text_ordering_and_k(self, spark):
+        got = analyzing_infix_suggest(_df(spark), "ear", k=2).collect()
+        assert [r["suggestion"] for r in got] == [
+            "lend me your ear",
+            "the ear of the beholder",
+        ]
+        assert [r["weight"] for r in got] == [25, 25]
+
+    def test_duplicate_suggestions_take_max_weight(self, spark):
+        df = spark.createDataFrame(
+            [("same text here", 3), ("same text here", 9)],
+            "suggestion string, weight long",
+        )
+        got = analyzing_infix_suggest(df, "tex").collect()
+        assert len(got) == 1 and got[0]["weight"] == 9
+
+    def test_case_folds_and_empty_query_raises(self, spark):
+        got = analyzing_infix_suggest(_df(spark), "PENNY WI").collect()
+        assert [r["suggestion"] for r in got] == [
+            "penny wise pound foolish"
+        ]
+        with pytest.raises(ValueError):
+            analyzing_infix_suggest(_df(spark), "   ")
