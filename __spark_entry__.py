@@ -2678,6 +2678,81 @@ def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _analysis_tokens_entry(chain_name: str, make_text):
+    """Construction-based analysis oracle (the cjk/arabic pattern):
+    synthesize deterministic text per doc_id, run the engine chain,
+    return (doc_id, terms '|', positions ',')."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.functions.lang import chain_analyze, get_chain
+
+        docs = _docs_table(spark, sf_dir).select("doc_id").where(
+            F.col("doc_id") < 200
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            chain = get_chain(chain_name)
+            for pdf in batches:
+                ids = pdf["doc_id"].tolist()
+                terms_out, pos_out = [], []
+                for i in ids:
+                    terms, pos = chain_analyze(make_text(i), chain)
+                    terms_out.append("|".join(terms))
+                    pos_out.append(",".join(map(str, pos)))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "terms": terms_out,
+                        "positions": pos_out,
+                    }
+                )
+
+        return docs.mapInPandas(
+            gen, schema="doc_id long, terms string, positions string"
+        )
+
+    return q
+
+
+# WordDelimiterGraph: "Item{id}Pro x{id}y" splits to
+# item | {id} | pro | x | {id} | y  (case + numeric transitions)
+_q_wdgf_tokens = _analysis_tokens_entry(
+    "word_delimiter", lambda i: f"Item{i}Pro x{i}y"
+)
+_WDGF_SQL = """
+SELECT doc_id,
+       'item|' || doc_id || '|pro|x|' || doc_id || '|y' AS terms,
+       '0,1,2,3,4,5' AS positions
+FROM documents WHERE doc_id < 200"""
+
+# EdgeNGram 1..2 over the single token "w{id}": grams w, w+first digit
+_q_edge_ngram_tokens = _analysis_tokens_entry(
+    "edge_ngram", lambda i: f"w{i}"
+)
+_EDGE_NGRAM_SQL = """
+SELECT doc_id,
+       'w|w' || substr(CAST(doc_id AS VARCHAR), 1, 1) AS terms,
+       '0,0' AS positions
+FROM documents WHERE doc_id < 200"""
+
+# NGram 1..2 over "a{d1}{d2}" (d1 = id%10, d2 = (id+3)%10):
+# a | a d1 | d1 | d1 d2 | d2, all at position 0
+_q_ngram_tokens = _analysis_tokens_entry(
+    "ngram", lambda i: f"a{i % 10}{(i + 3) % 10}"
+)
+_NGRAM_SQL = """
+WITH d AS (SELECT doc_id,
+                  CAST(doc_id % 10 AS VARCHAR) AS d1,
+                  CAST((doc_id + 3) % 10 AS VARCHAR) AS d2
+           FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+       'a|a' || d1 || '|' || d1 || '|' || d1 || d2 || '|' || d2 AS terms,
+       '0,0,0,0,0' AS positions
+FROM d"""
+
+
 def _q_ascii_folding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASCIIFoldingFilter chain (miscellaneous/ASCIIFoldingFilter.java)
     over deterministic accented text synthesized per doc_id (the sf
@@ -3676,6 +3751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hindi_analyzer_tokens": _q_hindi_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
         "ascii_folding_tokens": _q_ascii_folding,
+        "word_delimiter_tokens": _q_wdgf_tokens,
+        "edge_ngram_tokens": _q_edge_ngram_tokens,
+        "ngram_tokens": _q_ngram_tokens,
         "parsed_query_top10": _q_parsed,
         "multi_phrase_top10": _q_multi_phrase,
         "point_range_doclen": _q_point_range,
@@ -4025,6 +4103,9 @@ def oracle_sql() -> dict[str, str]:
         "persian_analyzer_tokens": _PERSIAN_SQL,
         "hindi_analyzer_tokens": _HINDI_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,
+        "word_delimiter_tokens": _WDGF_SQL,
+        "edge_ngram_tokens": _EDGE_NGRAM_SQL,
+        "ngram_tokens": _NGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,
         "parsed_query_top10": _bm25_sql(["window", "spark"]),
         "multi_phrase_top10": _multi_phrase_sql(

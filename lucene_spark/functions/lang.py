@@ -1148,6 +1148,21 @@ def _build_chains() -> dict:
         "ascii_folding": AnalyzerChain(
             "ascii_folding", frozenset(), normalize=_ascii_fold()
         ),
+        # WordDelimiterGraphFilter with the default factory flags
+        # (miscellaneous/WordDelimiterGraphFilter.java) — product-code
+        # and identifier splitting ("PowerShot500" -> power shot 500)
+        "word_delimiter": AnalyzerChain(
+            "word_delimiter", frozenset(), stream=_word_delimiter_stream()
+        ),
+        # Edge/character n-grams (ngram/EdgeNGramTokenFilter.java,
+        # NGramTokenFilter.java, defaults 1..2) — autocomplete /
+        # substring-search index configurations
+        "edge_ngram": AnalyzerChain(
+            "edge_ngram", frozenset(), stream=_edge_ngram_stream()
+        ),
+        "ngram": AnalyzerChain(
+            "ngram", frozenset(), stream=_ngram_stream()
+        ),
     }
 
 
@@ -1155,6 +1170,24 @@ def _ascii_fold():
     from .folding import ascii_fold
 
     return ascii_fold
+
+
+def _word_delimiter_stream():
+    from .worddelim import word_delimiter_stream_factory
+
+    return word_delimiter_stream_factory()
+
+
+def _edge_ngram_stream():
+    from .ngram_filter import edge_ngram_stream_factory
+
+    return edge_ngram_stream_factory()
+
+
+def _ngram_stream():
+    from .ngram_filter import ngram_stream_factory
+
+    return ngram_stream_factory()
 
 
 def _cjk_stops() -> frozenset:

@@ -1,0 +1,73 @@
+"""N-gram token filters: character grams over each token.
+
+Re-expresses ``analysis/common/.../ngram/NGramTokenFilter.java`` and
+``EdgeNGramTokenFilter.java`` (both DEFAULT_MIN/MAX = 1/2,
+``preserveOriginal`` optional). Modern-Lucene position semantics: all
+grams of a token share the token's position (the filters emit
+posInc 1 for the first gram, 0 for the rest — NGramTokenFilter.java:
+105-118), so downstream phrase/interval positions stay aligned with
+the original token stream.
+
+- NGram: every substring of length min..max, ordered by start offset
+  then gram length (the filter's curPos/curGramSize loop order);
+- EdgeNGram: the prefixes of length min..max;
+- preserve_original: tokens shorter than min or longer than max also
+  emit themselves (KEEP_SHORT_TERM / KEEP_LONG_TERM).
+
+The chain applies lowercase -> stop(gaps) BEFORE gramming (the usual
+autocomplete configuration: stopwords should not produce grams).
+"""
+
+from __future__ import annotations
+
+
+def _gram_stream(edge_only: bool, min_gram: int, max_gram: int,
+                 preserve_original: bool):
+    if not 1 <= min_gram <= max_gram:
+        raise ValueError("need 1 <= min_gram <= max_gram")
+
+    def stream(
+        tokens: list[str],
+        types,
+        stopwords: frozenset[str],
+        offsets=None,
+    ) -> tuple[list[str], list[int]]:
+        from .analysis import _java_lower
+
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(tokens):
+            low = _java_lower(tok)
+            if low in stopwords:
+                continue  # gap: position consumed, nothing emitted
+            n = len(low)
+            if n < min_gram:
+                if preserve_original:
+                    terms.append(low)
+                    positions.append(pos)
+                continue
+            starts = [0] if edge_only else range(n)
+            for s in starts:
+                for g in range(min_gram, max_gram + 1):
+                    if s + g > n:
+                        break
+                    terms.append(low[s : s + g])
+                    positions.append(pos)
+            if preserve_original and n > max_gram:
+                terms.append(low)
+                positions.append(pos)
+        return terms, positions
+
+    return stream
+
+
+def ngram_stream_factory(
+    min_gram: int = 1, max_gram: int = 2, preserve_original: bool = False
+):
+    return _gram_stream(False, min_gram, max_gram, preserve_original)
+
+
+def edge_ngram_stream_factory(
+    min_gram: int = 1, max_gram: int = 2, preserve_original: bool = False
+):
+    return _gram_stream(True, min_gram, max_gram, preserve_original)

@@ -1,0 +1,155 @@
+"""WordDelimiterGraphFilter: intra-token subword splitting.
+
+Re-expresses ``analysis/common/.../miscellaneous/
+WordDelimiterGraphFilter.java`` with the default factory flags
+(GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS | SPLIT_ON_CASE_CHANGE |
+SPLIT_ON_NUMERICS | STEM_ENGLISH_POSSESSIVE), plus the CATENATE_ALL
+and PRESERVE_ORIGINAL options. The subword scan is a direct
+re-expression of ``WordDelimiterIterator.java``:
+
+- character classes LOWER / UPPER / DIGIT / delimiter (every
+  non-alphanumeric); other-category letters count as both cases
+  (the DEFAULT_WORD_DELIM_TABLE's ALPHA);
+- a boundary falls between characters of disjoint classes, EXCEPT
+  upper->letter never breaks (``isBreak``: "PowerShot" splits at
+  r|S, "USAToday" does NOT split at A|T — the documented behavior);
+- a subword's trailing ``'s`` (apostrophe-s before a delimiter or the
+  token end, after a letter) is skipped — ``endsWithPossessive``.
+
+Graph-position semantics: each emitted part advances the position by
+one; the catenated term and the preserved original stack at the FIRST
+part's position (posInc 0 spans, like the Java graph filter's
+multi-position tokens).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+LOWER, UPPER, DIGIT, DELIM = 1, 2, 4, 8
+ALPHA = LOWER | UPPER
+
+
+def _char_type(ch: str) -> int:
+    if ch.isdigit():
+        return DIGIT
+    if ch.isalpha():
+        if ch.islower():
+            return LOWER
+        if ch.isupper():
+            return UPPER
+        return ALPHA  # titlecase/other letters: both cases
+    return DELIM
+
+
+def _is_break(last: int, cur: int, split_case: bool, split_num: bool) -> bool:
+    if last & cur:
+        return False
+    if not split_case and (last & ALPHA) and (cur & ALPHA):
+        return False
+    if (last & UPPER) and (cur & ALPHA):
+        return False  # UPPER -> letter never breaks
+    if not split_num and (
+        ((last & ALPHA) and cur == DIGIT) or (last == DIGIT and (cur & ALPHA))
+    ):
+        return False
+    return True
+
+
+def word_delimiter_parts(
+    token: str,
+    split_on_case_change: bool = True,
+    split_on_numerics: bool = True,
+    stem_english_possessive: bool = True,
+) -> list[str]:
+    """The subword sequence of one token (WordDelimiterIterator.next)."""
+    types = [_char_type(c) for c in token]
+    n = len(token)
+    parts: list[str] = []
+    cur = 0
+    skip_possessive = False
+    while cur < n:
+        if skip_possessive:
+            cur += 2
+            skip_possessive = False
+        while cur < n and types[cur] == DELIM:
+            cur += 1
+        if cur >= n:
+            break
+        last = types[cur]
+        end = cur + 1
+        while end < n and not _is_break(
+            last, types[end], split_on_case_change, split_on_numerics
+        ):
+            last = types[end]
+            end += 1
+        # endsWithPossessive(end + 2)
+        if (
+            stem_english_possessive
+            and end < n - 1
+            and token[end] == "'"
+            and token[end + 1] in "sS"
+            and (types[end - 1] & ALPHA)
+            and (end + 2 == n or types[end + 2] == DELIM)
+        ):
+            skip_possessive = True
+        parts.append(token[cur:end])
+        cur = end
+    return parts
+
+
+def word_delimiter_stream_factory(
+    catenate_all: bool = False,
+    preserve_original: bool = False,
+    split_on_case_change: bool = True,
+    split_on_numerics: bool = True,
+    stem_english_possessive: bool = True,
+):
+    """AnalyzerChain ``stream`` hook: split -> lowercase -> stop(gaps).
+
+    Positions: parts advance one position each; catenated/original
+    terms stack at the first part's position.
+    """
+
+    def stream(
+        tokens: list[str],
+        types,
+        stopwords: frozenset[str],
+        offsets=None,
+    ) -> tuple[list[str], list[int]]:
+        from .analysis import _java_lower
+
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = 0
+        for tok in tokens:
+            parts = word_delimiter_parts(
+                tok,
+                split_on_case_change=split_on_case_change,
+                split_on_numerics=split_on_numerics,
+                stem_english_possessive=stem_english_possessive,
+            )
+            if not parts:
+                # all-delimiter token: consumes no position (the Java
+                # filter emits nothing and passes the increment on)
+                continue
+            first_pos = pos
+            for p in parts:
+                low = _java_lower(p)
+                if low not in stopwords:
+                    terms.append(low)
+                    positions.append(pos)
+                pos += 1
+            if preserve_original and len(parts) > 1:
+                low = _java_lower(tok)
+                if low not in stopwords:
+                    terms.append(low)
+                    positions.append(first_pos)
+            if catenate_all and len(parts) > 1:
+                cat = _java_lower("".join(parts))
+                if cat not in stopwords:
+                    terms.append(cat)
+                    positions.append(first_pos)
+        return terms, positions
+
+    return stream

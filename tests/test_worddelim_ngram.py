@@ -1,0 +1,110 @@
+"""WordDelimiterGraphFilter + Edge/NGram token filters: Lucene's
+documented golden cases (TestWordDelimiterGraphFilter,
+NGramTokenFilter/EdgeNGramTokenFilter javadoc) through the full
+analyzer-chain path."""
+
+import pytest
+
+from lucene_spark.functions.lang import chain_analyze, get_chain
+from lucene_spark.functions.ngram_filter import (
+    edge_ngram_stream_factory,
+    ngram_stream_factory,
+)
+from lucene_spark.functions.worddelim import (
+    word_delimiter_parts,
+    word_delimiter_stream_factory,
+)
+
+
+class TestWordDelimiterParts:
+    CASES = [
+        ("PowerShot", ["Power", "Shot"]),
+        ("Power-Shot", ["Power", "Shot"]),
+        ("PowerShot500", ["Power", "Shot", "500"]),
+        ("O'Neil's", ["O", "Neil"]),
+        ("j2se", ["j", "2", "se"]),
+        ("500-42", ["500", "42"]),
+        (
+            "SuperDuperXL500-42AutoCoder!",
+            ["Super", "Duper", "XL", "500", "42", "Auto", "Coder"],
+        ),
+        ("USAToday", ["USAToday"]),  # UPPER->letter never breaks
+        ("wi-fi", ["wi", "fi"]),
+        ("---", []),
+        ("McDonald's", ["Mc", "Donald"]),
+    ]
+
+    @pytest.mark.parametrize("tok,want", CASES)
+    def test_golden(self, tok, want):
+        assert word_delimiter_parts(tok) == want
+
+    def test_split_on_numerics_off(self):
+        assert word_delimiter_parts(
+            "j2se", split_on_numerics=False
+        ) == ["j2se"]
+
+    def test_split_on_case_change_off(self):
+        assert word_delimiter_parts(
+            "PowerShot", split_on_case_change=False
+        ) == ["PowerShot"]
+
+
+class TestWdgfStream:
+    def test_chain_positions(self):
+        chain = get_chain("word_delimiter")
+        terms, pos = chain_analyze("PowerShot500 rocks", chain)
+        assert terms == ["power", "shot", "500", "rocks"]
+        assert pos == [0, 1, 2, 3]
+
+    def test_catenate_and_preserve_stack_at_first(self):
+        stream = word_delimiter_stream_factory(
+            catenate_all=True, preserve_original=True
+        )
+        terms, pos = stream(["wi-fi", "ok"], None, frozenset())
+        assert list(zip(terms, pos)) == [
+            ("wi", 0),
+            ("fi", 1),
+            ("wi-fi", 0),
+            ("wifi", 0),
+            ("ok", 2),
+        ]
+
+    def test_stopword_leaves_gap(self):
+        stream = word_delimiter_stream_factory()
+        terms, pos = stream(
+            ["the-Fox", "jumps"], None, frozenset({"the"})
+        )
+        assert list(zip(terms, pos)) == [("fox", 1), ("jumps", 2)]
+
+
+class TestNGramFilters:
+    def test_edge_defaults(self):
+        chain = get_chain("edge_ngram")
+        terms, pos = chain_analyze("hello ok", chain)
+        assert list(zip(terms, pos)) == [
+            ("h", 0), ("he", 0), ("o", 1), ("ok", 1),
+        ]
+
+    def test_ngram_defaults_order(self):
+        stream = ngram_stream_factory()
+        terms, pos = stream(["abc"], None, frozenset())
+        assert terms == ["a", "ab", "b", "bc", "c"]
+        assert pos == [0, 0, 0, 0, 0]
+
+    def test_preserve_original_short_and_long(self):
+        stream = edge_ngram_stream_factory(2, 3, preserve_original=True)
+        terms, _ = stream(["a", "abcdef"], None, frozenset())
+        assert terms == ["a", "ab", "abc", "abcdef"]
+        # without the flag: short token vanishes, long isn't kept
+        stream2 = edge_ngram_stream_factory(2, 3)
+        terms2, _ = stream2(["a", "abcdef"], None, frozenset())
+        assert terms2 == ["ab", "abc"]
+
+    def test_stop_positions_preserved(self):
+        stream = edge_ngram_stream_factory()
+        terms, pos = stream(["the", "cat"], None, frozenset({"the"}))
+        assert list(zip(terms, pos)) == [("c", 1), ("ca", 1)]
+
+    def test_bad_params(self):
+        with pytest.raises(ValueError):
+            ngram_stream_factory(3, 2)
