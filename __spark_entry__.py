@@ -1161,6 +1161,52 @@ def _q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s, s.scored_graph_synonyms([["window"], ["data", "query"]])
+    )
+
+
+def _graph_synonym_sql(term: str, phrase: list[str], k: int = 10) -> str:
+    """BooleanQuery(SHOULD term, SHOULD phrase) oracle: the term clause
+    and the exact-phrase clause score independently and sum per doc."""
+    norm = _norm_len_sql("dl.dl")
+    inv = f"(1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))))"
+    pw = " + ".join(
+        f"ln(1 + (st.n - (SELECT count(DISTINCT doc_id) FROM tok "
+        f"WHERE term = '{t}') + 0.5)/((SELECT count(DISTINCT doc_id) "
+        f"FROM tok WHERE term = '{t}') + 0.5))"
+        for t in phrase
+    )
+    pjoin = " ".join(
+        f"JOIN tokp t{i} ON t0.doc_id = t{i}.doc_id AND "
+        f"t{i}.p = t0.p + {i} AND t{i}.term = '{phrase[i]}'"
+        for i in range(1, len(phrase))
+    )
+    return f"""WITH {_TOK}, {_TOKP}, {_DL}, {_ST},
+      tfw AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+              WHERE term = '{term}' GROUP BY doc_id),
+      dfw AS (SELECT count(*)::BIGINT AS df FROM tfw),
+      sterm AS (SELECT tfw.doc_id,
+                 ln(1 + (st.n - dfw.df + 0.5)/(dfw.df + 0.5))
+                 - ln(1 + (st.n - dfw.df + 0.5)/(dfw.df + 0.5))
+                   /(1 + tfw.tf*{inv}) AS s
+                FROM tfw JOIN dl ON tfw.doc_id = dl.doc_id
+                CROSS JOIN dfw CROSS JOIN st),
+      pf AS (SELECT t0.doc_id, count(*)::BIGINT AS pf
+             FROM tokp t0 {pjoin} WHERE t0.term = '{phrase[0]}'
+             GROUP BY t0.doc_id),
+      sphr AS (SELECT pf.doc_id,
+                ({pw}) - ({pw})/(1 + pf.pf*{inv}) AS s
+               FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st),
+      u AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   coalesce(a.s, 0) + coalesce(b.s, 0) AS s
+            FROM sterm a FULL OUTER JOIN sphr b ON a.doc_id = b.doc_id)
+      SELECT doc_id, round(s, 6) AS score FROM u
+      ORDER BY s DESC, doc_id LIMIT {k}"""
+
+
 def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.sources.web_pages import URL_PREFIX
 
@@ -3699,6 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms_top10": _q_common_terms,
         "explain_components": _q_explain,
         "term_vectors_doc": _q_term_vectors,
+        "graph_synonym_top10": _q_graph_synonyms,
         "phrase_top10": _q_phrase,
         "total_hit_count": _q_total_hits,
         "facet_lang": _q_facet_lang,
@@ -3849,6 +3896,9 @@ def oracle_sql() -> dict[str, str]:
             ["dup", "the", "data"], max_term_frequency=0.5
         ),
         "explain_components": _explain_sql(26, ["dup", "window", "the"]),
+        "graph_synonym_top10": _graph_synonym_sql(
+            "window", ["data", "query"]
+        ),
         "term_vectors_doc": f"""
             WITH {_TOKP}
             SELECT doc_id, term, count(*)::INT AS freq,

@@ -928,6 +928,51 @@ class QueryOpsMixin:
         return g.select("grp").distinct().count()
 
     # ------------------------------------------------------------------
+    # multi-word synonym graph query
+    # ------------------------------------------------------------------
+    def scored_graph_synonyms(self, paths: list[list[str]]) -> DataFrame:
+        """Query-time multi-word synonyms —
+        ``core/util/QueryBuilder.java analyzeGraphBoolean`` (:586-640):
+        a SynonymGraphFilter expansion ("ny" ~ "new york") enumerates
+        the token-stream paths and builds ONE BooleanQuery with a
+        SHOULD clause per path — single-token paths score as terms,
+        multi-token paths as exact phrases; a doc's score is the SUM of
+        its matching path clauses (plain boolean SHOULD semantics).
+
+        Plan shape: each phrase path runs the two-phase position
+        verifier it already owns; the final combine is one union +
+        per-doc aggregation — no cross-path shuffle coupling."""
+        clauses = [
+            self.scored_phrase(p)
+            if len(p) > 1
+            else self.scored_boolean(should=p)
+            for p in paths
+            if p
+        ]
+        if not clauses:
+            return self._empty_scored().select(
+                "segment_id", "docid", "score"
+            )
+        u = clauses[0]
+        for c in clauses[1:]:
+            u = u.unionByName(c)
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return (
+            u.groupBy("segment_id", "docid")
+            .agg(F.sum("score").alias("score_acc"))
+            .select(
+                "segment_id",
+                "docid",
+                F.col("score_acc").cast(score_t).alias("score"),
+            )
+        )
+
+    def graph_synonym_query(
+        self, paths: list[list[str]], k: int = 10
+    ) -> DataFrame:
+        return self._finish_topk(self.scored_graph_synonyms(paths), k)
+
+    # ------------------------------------------------------------------
     # CommonTermsQuery
     # ------------------------------------------------------------------
     def common_terms_partition(

@@ -1,0 +1,37 @@
+"""Multi-word synonym graph query (QueryBuilder.analyzeGraphBoolean):
+path clauses score independently and sum per doc."""
+
+import pyspark.sql.functions as F
+
+
+def _rows(df):
+    return {
+        (r["segment_id"], r["docid"]): r["score"] for r in df.collect()
+    }
+
+
+class TestGraphSynonyms:
+    def test_single_paths_equal_boolean(self, searcher):
+        got = _rows(
+            searcher.scored_graph_synonyms([["window"], ["spark"]])
+        )
+        want = _rows(searcher.scored_boolean(should=["window", "spark"]))
+        assert set(got) == set(want)
+        for key, s in got.items():
+            assert abs(s - want[key]) < 1e-5
+
+    def test_phrase_path_sums_with_term_path(self, searcher):
+        paths = [["window"], ["the", "query"]]
+        got = _rows(searcher.scored_graph_synonyms(paths))
+        term = _rows(searcher.scored_boolean(should=["window"]))
+        phrase = _rows(searcher.scored_phrase(["the", "query"]))
+        assert set(got) == set(term) | set(phrase)
+        for key, s in got.items():
+            want = term.get(key, 0.0) + phrase.get(key, 0.0)
+            assert abs(s - want) < 1e-5
+
+    def test_empty_and_missing(self, searcher):
+        assert searcher.graph_synonym_query([]).count() == 0
+        assert (
+            searcher.graph_synonym_query([["zzz_not_a_term"]]).count() == 0
+        )
