@@ -2168,6 +2168,7 @@ class Searcher(QueryOpsMixin):
         mode: str | None = None,
         max_gaps: int | None = None,
         extend: tuple[int, int] | None = None,
+        first_end: int | None = None,
     ) -> DataFrame:
         """IntervalQuery (``lucene/queries/.../intervals/
         IntervalQuery.java:59-84``): docs scored by their minimal
@@ -2186,6 +2187,10 @@ class Searcher(QueryOpsMixin):
         - ``extend``: Intervals.extend(before, after) — each interval
           widens (start clamped at 0) and minExtent grows by
           before+after; applied BEFORE the max_width filter.
+        - ``first_end``: SpanFirstQuery semantics
+          (``queries/spans/SpanFirstQuery.java:33``): keep only
+          intervals ending before position ``first_end`` (Lucene's
+          exclusive ``end() <= n`` over spans ⇔ last position < n).
         """
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
@@ -2205,7 +2210,12 @@ class Searcher(QueryOpsMixin):
             self._candidate_positions(terms), len(set(terms))
         )
 
-        if mode == "phrase" and extend is None and max_width is None:
+        if (
+            mode == "phrase"
+            and extend is None
+            and max_width is None
+            and first_end is None
+        ):
             # vectorized fast path: phrase intervals all have width n
             # and weight 1, so freq = the exact-phrase count — pure
             # array algebra, no Python kernel (same intersection as
@@ -2235,6 +2245,7 @@ class Searcher(QueryOpsMixin):
                 and n_terms == 2
                 and len(set(terms)) == 2
                 and extend is None
+                and first_end is None
             ):
                 kern = _make_pair_freq_kernel(
                     mode, min_extent=n_terms, max_width=max_width
@@ -2247,6 +2258,7 @@ class Searcher(QueryOpsMixin):
                     _me=min_extent,
                     _mw=max_width,
                     _ext=extend,
+                    _fe=first_end,
                 ):
                     if _mode == "ordered":
                         iv = ordered_intervals(lists)
@@ -2256,6 +2268,8 @@ class Searcher(QueryOpsMixin):
                         iv = phrase_intervals(lists)
                     if _ext is not None:
                         iv = extend_intervals(iv, _ext[0], _ext[1])
+                    if _fe is not None:
+                        iv = [i for i in iv if i[1] < _fe]
                     return interval_freq(iv, _me, _mw)
 
                 kern = _make_freq_kernel(n_terms, freq_fn)
@@ -2285,11 +2299,13 @@ class Searcher(QueryOpsMixin):
         mode: str | None = None,
         max_gaps: int | None = None,
         extend: tuple[int, int] | None = None,
+        first_end: int | None = None,
     ) -> DataFrame:
         return self._finish_topk(
             self.scored_intervals(
                 terms, ordered, max_width,
                 mode=mode, max_gaps=max_gaps, extend=extend,
+                first_end=first_end,
             ),
             k,
         )

@@ -113,6 +113,35 @@ class TestSparkIntervals:
         tight = searcher.scored_intervals(["the", "query"], max_width=2).count()
         assert tight <= wide
 
+    def test_first_end_matches_mirror(self, searcher, naive):
+        """SpanFirstQuery semantics: only intervals ending before n."""
+        terms, n = ["the", "query"], 25
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_intervals(
+                    terms, ordered=True, first_end=n
+                )
+            ).collect()
+        }
+        expect = {}
+        for i, (terms_i, pos_i) in enumerate(naive.analyzed):
+            pos_of = {}
+            for t, p in zip(terms_i, pos_i):
+                pos_of.setdefault(t, []).append(p)
+            if not all(t in pos_of for t in terms):
+                continue
+            iv = ordered_intervals([sorted(pos_of[t]) for t in terms])
+            iv = [x for x in iv if x[1] < n]
+            f = interval_freq(iv, len(terms), None)
+            if f > 0:
+                expect[i] = np.float32(1.0 - 1.0 / (1.0 + f))
+        assert set(got) == set(expect)
+        for d in got:
+            assert abs(got[d] - float(expect[d])) <= 1e-6
+        full = searcher.scored_intervals(terms, ordered=True).count()
+        assert len(got) <= full
+
     def _mirror_or(self, naive, slots, mode, max_width=None, pivot=1.0):
         out = {}
         for i, (terms_i, pos_i) in enumerate(naive.analyzed):
