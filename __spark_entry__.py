@@ -1161,6 +1161,36 @@ def _q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.queries import diversified_top_k
+
+    s = _get_searcher(spark, sf_dir)
+    matched = s._attach_urls(
+        s.scored_boolean(should=["data"]).withColumn(
+            "local_docid", F.col("docid")
+        )
+    ).select(_doc_id("url"), F.round("score", 6).alias("score"))
+    docs = _docs_table(spark, sf_dir).select("doc_id", "lang")
+    keyed = matched.join(F.broadcast(docs), "doc_id")
+    return diversified_top_k(
+        keyed, "lang", k=6, max_per_key=2, tiebreak_col="doc_id"
+    ).select("doc_id", "lang", "score")
+
+
+def _diversified_sql(term: str, k: int = 6, max_per_key: int = 2) -> str:
+    return f"""
+        WITH {_sql_prelude([term])},
+        m AS (SELECT psc.doc_id, round(psc.s, 6) AS score, d.lang
+              FROM psc JOIN documents d USING (doc_id)),
+        r AS (SELECT doc_id, lang, score,
+                     row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY score DESC, doc_id) AS rn
+              FROM m)
+        SELECT doc_id, lang, score FROM r WHERE rn <= {max_per_key}
+        ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _q_graph_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _get_searcher(spark, sf_dir)
     return _topk_by_doc_id(
@@ -3771,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_components": _q_explain,
         "term_vectors_doc": _q_term_vectors,
         "graph_synonym_top10": _q_graph_synonyms,
+        "diversified_top6": _q_diversified,
         "phrase_top10": _q_phrase,
         "total_hit_count": _q_total_hits,
         "facet_lang": _q_facet_lang,
@@ -3925,6 +3956,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_synonym_top10": _graph_synonym_sql(
             "window", ["data", "query"]
         ),
+        "diversified_top6": _diversified_sql("data"),
         "term_vectors_doc": f"""
             WITH {_TOKP}
             SELECT doc_id, term, count(*)::INT AS freq,

@@ -106,6 +106,39 @@ def dynamic_range_facets(
     )
 
 
+def diversified_top_k(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    max_per_key: int = 1,
+    score_col: str = "score",
+    tiebreak_col: str = "docid",
+) -> DataFrame:
+    """DiversifiedTopDocsCollector
+    (``lucene/misc/.../search/DiversifiedTopDocsCollector.java:55``):
+    top-k with at most ``max_per_key`` hits sharing a key (host, site,
+    author...). The streaming PQ's result is exactly the declarative
+    form — a doc outside its key's top ``max_per_key`` can never
+    survive (its key's stronger docs evict it), and the per-key
+    survivors compete globally — so this is one window rank plus a
+    TakeOrderedAndProject; NULL keys count as one shared key (the
+    collector's getDocKey contract).
+
+    The same operator is the training-pipeline "host cap": key by
+    registrable domain to stop any single site from dominating a
+    sampled corpus."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(score_col), F.asc(tiebreak_col)
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_per_key)
+        .drop("rn")
+        .orderBy(F.desc(score_col), F.asc(tiebreak_col))
+        .limit(k)
+    )
+
+
 def _sigmoid(x: Column) -> Column:
     """Numerically-stable sigmoid, branch-for-branch the reference's
     ``BayesianScoreQuery.sigmoid`` / ``LogOddsFusionScorer.sigmoid``."""

@@ -1,0 +1,47 @@
+"""DiversifiedTopDocsCollector (misc/search/DiversifiedTopDocsCollector
+.java): at most max_per_key hits per key in the global top-k."""
+
+from lucene_spark.operators.queries import diversified_top_k
+
+
+def _df(spark):
+    rows = [
+        # (docid, key, score)
+        (1, "a", 9.0),
+        (2, "a", 8.0),
+        (3, "a", 7.0),
+        (4, "b", 6.0),
+        (5, "b", 5.0),
+        (6, None, 4.0),
+        (7, None, 3.0),
+        (8, "c", 2.0),
+    ]
+    return spark.createDataFrame(
+        rows, "docid long, key string, score double"
+    )
+
+
+class TestDiversified:
+    def test_caps_per_key(self, spark):
+        got = diversified_top_k(_df(spark), "key", k=5, max_per_key=2)
+        ids = [r["docid"] for r in got.collect()]
+        # doc 3 (third 'a') is evicted by the cap; 6,7 fill in
+        assert ids == [1, 2, 4, 5, 6]
+
+    def test_max_per_key_one(self, spark):
+        got = diversified_top_k(_df(spark), "key", k=10, max_per_key=1)
+        ids = [r["docid"] for r in got.collect()]
+        assert ids == [1, 4, 6, 8]
+
+    def test_null_keys_share_one_key(self, spark):
+        got = diversified_top_k(_df(spark), "key", k=10, max_per_key=1)
+        nulls = [r for r in got.collect() if r["key"] is None]
+        assert len(nulls) == 1 and nulls[0]["docid"] == 6
+
+    def test_score_tie_breaks_on_docid(self, spark):
+        df = spark.createDataFrame(
+            [(2, "x", 1.0), (1, "x", 1.0)],
+            "docid long, key string, score double",
+        )
+        got = diversified_top_k(df, "key", k=1, max_per_key=1)
+        assert [r["docid"] for r in got.collect()] == [1]
