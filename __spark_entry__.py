@@ -1161,6 +1161,49 @@ def _q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs_table(spark, sf_dir),
+        "lang",
+        {"en": 0.5, "de": 0.2},
+        default_fraction=0.1,
+    ).select("doc_id", "lang")
+
+
+def _stratified_sample_sql() -> str:
+    return """
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % 1000000 <
+              (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                         ELSE 0.1 END) * 1000000"""
+
+
+def _q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.sampling import pack_windows
+
+    return pack_windows(_docs_table(spark, sf_dir), max_tokens=512)
+
+
+def _pack_windows_sql(max_tokens: int = 512) -> str:
+    return f"""
+        WITH t AS (SELECT doc_id::BIGINT AS id,
+                          len(string_split(text, ' '))::BIGINT
+                            AS n_tokens
+                   FROM documents),
+        c AS (SELECT id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY id) - n_tokens
+                       AS start
+              FROM t)
+        SELECT id, n_tokens,
+               (start // {max_tokens})::BIGINT AS first_window,
+               ((start + n_tokens - 1) // {max_tokens})::BIGINT
+                 AS last_window,
+               (start % {max_tokens})::BIGINT AS offset
+        FROM c"""
+
+
 def _q_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.operators.queries import diversified_top_k
 
@@ -3802,6 +3845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors_doc": _q_term_vectors,
         "graph_synonym_top10": _q_graph_synonyms,
         "diversified_top6": _q_diversified,
+        "stratified_sample": _q_stratified_sample,
+        "pack_windows": _q_pack_windows,
         "phrase_top10": _q_phrase,
         "total_hit_count": _q_total_hits,
         "facet_lang": _q_facet_lang,
@@ -3957,6 +4002,8 @@ def oracle_sql() -> dict[str, str]:
             "window", ["data", "query"]
         ),
         "diversified_top6": _diversified_sql("data"),
+        "stratified_sample": _stratified_sample_sql(),
+        "pack_windows": _pack_windows_sql(),
         "term_vectors_doc": f"""
             WITH {_TOKP}
             SELECT doc_id, term, count(*)::INT AS freq,

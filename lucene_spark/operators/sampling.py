@@ -1,0 +1,88 @@
+"""Corpus sampling and sequence packing for training-data pipelines.
+
+Two operators a 100 TB pretraining pipeline runs after cleaning:
+
+- **stratified_sample**: per-stratum (language, source, quality
+  bucket) keep-fractions, decided by a DETERMINISTIC arithmetic hash
+  of the document id — the same row set on every run, any
+  parallelism, any partitioning (Spark's ``sampleBy`` is seeded
+  per-partition and reshuffle-sensitive; a pure id hash is not). The
+  hash is explicit multiplicative arithmetic (Knuth 1998, §6.4) kept
+  under 2^63 so the identical expression runs in any SQL engine.
+
+- **pack_windows**: the GPT-style concat-and-chunk packing — all
+  documents are concatenated in id order and cut into fixed
+  ``max_tokens`` windows; each doc reports its window span and offset.
+  One global prefix-sum window expresses it exactly. Scale note: the
+  unpartitioned cumsum ranks in one task; the two-pass variant
+  (per-range-partition token subtotals broadcast as offsets) is the
+  drop-in for corpus-scale runs, same outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Knuth multiplicative constant; doc_id * A stays < 2^63 for ids
+# < ~3.4e9 (cast up for bigger id spaces)
+_HASH_A = 2654435761
+_HASH_MOD = 1_000_000
+
+
+def _keep_hash(id_col: str) -> F.Column:
+    return (F.col(id_col).cast("long") * F.lit(_HASH_A)) % F.lit(_HASH_MOD)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Rows whose id-hash falls under their stratum's keep-fraction.
+
+    ``fractions`` maps stratum value -> fraction in [0, 1]; strata not
+    listed keep ``default_fraction``. Exactly reproducible: membership
+    is ``(id * A) % 1e6 < fraction * 1e6``."""
+    expr = F.lit(float(default_fraction))
+    for val, frac in sorted(fractions.items()):
+        expr = F.when(
+            F.col(stratum_col) == val, F.lit(float(frac))
+        ).otherwise(expr)
+    return df.where(_keep_hash(id_col) < expr * _HASH_MOD)
+
+
+def pack_windows(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, first_window, last_window, offset) per document
+    under concat-and-chunk packing: documents concatenate in ``id``
+    order, the token stream cuts every ``max_tokens`` tokens; a doc
+    spans ``first_window..last_window`` and starts ``offset`` tokens
+    into its first window. ``sum(n_tokens)`` / windows is the packing
+    efficiency (always 100% for chunked training, the point of the
+    scheme)."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    w = Window.orderBy("id")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    m = F.lit(int(max_tokens))
+    return toks.select(
+        "id",
+        "n_tokens",
+        F.floor(start / m).alias("first_window"),
+        F.floor((start + F.col("n_tokens") - 1) / m).alias("last_window"),
+        (start % m).alias("offset"),
+    )

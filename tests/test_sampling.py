@@ -1,0 +1,88 @@
+"""Stratified sampling + sequence packing (operators/sampling.py):
+determinism, fraction accuracy, and exact concat-and-chunk geometry."""
+
+import pytest
+
+from lucene_spark.operators.sampling import (
+    _HASH_A,
+    _HASH_MOD,
+    pack_windows,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=1000):
+    rows = [
+        (i, "en" if i % 3 else "de", "tok " * ((i % 7) + 1)) for i in range(n)
+    ]
+    return spark.createDataFrame(
+        [(i, l, t.strip()) for i, l, t in rows],
+        "doc_id long, lang string, text string",
+    )
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_repartition_invariant(self, spark):
+        df = _docs(spark)
+        a = {r["doc_id"] for r in stratified_sample(
+            df, "lang", {"en": 0.3, "de": 0.7}
+        ).collect()}
+        b = {r["doc_id"] for r in stratified_sample(
+            df.repartition(7), "lang", {"en": 0.3, "de": 0.7}
+        ).collect()}
+        assert a == b and a
+
+    def test_matches_hash_rule(self, spark):
+        df = _docs(spark, 300)
+        got = {r["doc_id"] for r in stratified_sample(
+            df, "lang", {"en": 0.3}, default_fraction=0.05
+        ).collect()}
+        want = set()
+        for i in range(300):
+            frac = 0.3 if i % 3 else 0.05
+            if (i * _HASH_A) % _HASH_MOD < frac * _HASH_MOD:
+                want.add(i)
+        assert got == want
+
+    def test_fraction_rates_roughly_hold(self, spark):
+        df = _docs(spark, 3000)
+        kept = stratified_sample(df, "lang", {"en": 0.5, "de": 0.1})
+        rates = {
+            r["lang"]: r["cnt"]
+            for r in kept.groupBy("lang").count().withColumnRenamed(
+                "count", "cnt"
+            ).collect()
+        }
+        n_en = 3000 - 3000 // 3
+        assert abs(rates["en"] / n_en - 0.5) < 0.05
+        assert abs(rates.get("de", 0) / (3000 // 3) - 0.1) < 0.05
+
+
+class TestPackWindows:
+    def test_exact_geometry(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "d e"), (2, "f g h i"), (3, "j")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["id"]: (
+                r["n_tokens"], r["first_window"], r["last_window"], r["offset"]
+            )
+            for r in pack_windows(df, max_tokens=4).collect()
+        }
+        # stream: |a b c d|e f g h|i j
+        assert got[0] == (3, 0, 0, 0)
+        assert got[1] == (2, 0, 1, 3)  # straddles the boundary
+        assert got[2] == (4, 1, 2, 1)
+        assert got[3] == (1, 2, 2, 1)
+
+    def test_total_tokens_conserved(self, spark):
+        df = _docs(spark, 200)
+        rows = pack_windows(df, max_tokens=64).collect()
+        total = sum(r["n_tokens"] for r in rows)
+        last = max(r["last_window"] for r in rows)
+        assert (total - 1) // 64 == last
+
+    def test_bad_max_tokens(self, spark):
+        with pytest.raises(ValueError):
+            pack_windows(_docs(spark, 3), 0)
