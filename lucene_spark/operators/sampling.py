@@ -13,10 +13,14 @@ Two operators a 100 TB pretraining pipeline runs after cleaning:
 - **pack_windows**: the GPT-style concat-and-chunk packing — all
   documents are concatenated in id order and cut into fixed
   ``max_tokens`` windows; each doc reports its window span and offset.
-  One global prefix-sum window expresses it exactly. Scale note: the
-  unpartitioned cumsum ranks in one task; the two-pass variant
-  (per-range-partition token subtotals broadcast as offsets) is the
-  drop-in for corpus-scale runs, same outputs.
+
+The global prefix sum both operators need is computed the scale-right
+way (``global_prefix_sum``): range-partition on the order key, local
+window cumsums run in parallel per partition, and the per-partition
+subtotals (one row per partition) collect to the driver to become
+exclusive offsets broadcast back in — the classic two-pass parallel
+scan. No stage ever funnels the data through one task, and the result
+is bit-identical to the naive unpartitioned window.
 """
 
 from __future__ import annotations
@@ -33,6 +37,51 @@ _HASH_MOD = 1_000_000
 
 def _keep_hash(id_col: str) -> F.Column:
     return (F.col(id_col).cast("long") * F.lit(_HASH_A)) % F.lit(_HASH_MOD)
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix",
+    partitions: int | None = None,
+) -> DataFrame:
+    """``df`` plus an EXCLUSIVE global prefix sum of ``value_col`` in
+    ``order_col`` order — the two-pass parallel scan: range-partition,
+    per-partition cumsum (parallel windows), driver-side exclusive
+    offsets over the per-partition subtotals (|partitions| rows),
+    broadcast join back. Output is independent of the incoming
+    partitioning; ``order_col`` values must be distinct."""
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local_w = Window.partitionBy("__pid").orderBy(order_col)
+    local = ranged.withColumn(
+        "__cum", F.sum(value_col).over(local_w)
+    )
+    subtotals = sorted(
+        (r["__pid"], r["__s"])
+        for r in local.groupBy("__pid")
+        .agg(F.max("__cum").alias("__s"))
+        .collect()
+    )
+    running, offsets = 0, []
+    for pid, s in subtotals:
+        offsets.append((pid, running))
+        running += int(s)
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "__pid int, __off long"
+        )
+    )
+    return (
+        local.join(off, "__pid")
+        .withColumn(out_col, F.col("__cum") - F.col(value_col) + F.col("__off"))
+        .drop("__pid", "__cum", "__off")
+    )
 
 
 def stratified_sample(
@@ -76,10 +125,10 @@ def pack_windows(
             "n_tokens"
         ),
     )
-    w = Window.orderBy("id")
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    with_start = global_prefix_sum(toks, "id", "n_tokens", out_col="start")
+    start = F.col("start")
     m = F.lit(int(max_tokens))
-    return toks.select(
+    return with_start.select(
         "id",
         "n_tokens",
         F.floor(start / m).alias("first_window"),

@@ -86,3 +86,28 @@ class TestPackWindows:
     def test_bad_max_tokens(self, spark):
         with pytest.raises(ValueError):
             pack_windows(_docs(spark, 3), 0)
+
+
+class TestGlobalPrefixSum:
+    def test_matches_naive_on_shuffled_input(self, spark):
+        from pyspark.sql import functions as F
+
+        from lucene_spark.operators.sampling import global_prefix_sum
+
+        rows = [(i, (i * 13) % 29 + 1) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, v long").repartition(11)
+        got = {
+            r["id"]: r["prefix"]
+            for r in global_prefix_sum(df, "id", "v").collect()
+        }
+        acc, want = 0, {}
+        for i, v in rows:
+            want[i] = acc
+            acc += v
+        assert got == want
+
+    def test_empty_frame(self, spark):
+        from lucene_spark.operators.sampling import global_prefix_sum
+
+        df = spark.createDataFrame([], "id long, v long")
+        assert global_prefix_sum(df, "id", "v").count() == 0
