@@ -1,0 +1,31 @@
+"""IndexDiskUsage analog: per-column byte attribution over the live
+commit dirs of the shared test index."""
+
+from lucene_spark.operators.diskusage import index_disk_usage
+
+
+class TestDiskUsage:
+    def test_report_covers_index_structures(self, spark, index_dir, searcher):
+        rows = index_disk_usage(spark, index_dir).collect()
+        by_col = {(r["table"], r["kind"], r["column"]): r for r in rows}
+        cols = {c for (_t, _k, c) in by_col}
+        # the load-bearing structures all show up
+        for expected in ("doc_block", "pos_block", "norm_block", "url"):
+            assert any(expected in c for c in cols), (expected, cols)
+        for r in rows:
+            assert r["compressed_bytes"] > 0
+            assert r["uncompressed_bytes"] >= r["compressed_bytes"] // 20
+            assert r["files"] >= 1
+
+    def test_rows_match_postings_count(self, spark, index_dir, searcher):
+        rows = index_disk_usage(spark, index_dir).collect()
+        postings_rows = [
+            r
+            for r in rows
+            if r["table"] == "stage"
+            and r["kind"] == "kind=0"
+            and r["column"] == "term"
+        ]
+        assert postings_rows
+        total = sum(r["rows"] for r in postings_rows)
+        assert total == searcher._postings.count()
