@@ -1,0 +1,301 @@
+"""SimpleQueryParser: the end-user query syntax that never throws.
+
+Re-expresses ``lucene/queryparser/.../simple/SimpleQueryParser.java``
+(:160-556) — the parser exposed to untrusted search boxes:
+
+- whitespace separates clauses, combined with the default operator;
+- ``+`` AND / ``|`` OR between clauses (an operator before any clause,
+  or repeated, is ignored);
+- ``-`` prefix negates (two ``-`` cancel) — a negated clause becomes
+  ``BooleanQuery(MUST_NOT branch, SHOULD MatchAllDocs)`` exactly like
+  the Java ``buildQueryTree`` NOT wrapper, so a pure negation still
+  matches (and contributes MatchAll's constant 1.0 to sums);
+- ``"..."`` phrase, with ``~N`` slop after the closing quote;
+- trailing ``*`` prefix query; ``~N`` after a term = fuzzy
+  (bare ``~`` = 2, capped at 2, ``~0`` = plain term);
+- ``(...)`` precedence; an unclosed ``(`` or ``"`` is treated as an
+  extraneous character — NO syntax error ever escapes (the class
+  contract: "will never throw an exception");
+- ``\\`` escapes the next character;
+- operator chaining follows the Java tree builder: when the operator
+  CHANGES, the current tree is wrapped as one clause of a new parent,
+  so ``a b | c`` groups as ``((a b) | c)`` — left-to-right, no
+  AND-over-OR precedence (use parens).
+
+Execution maps each leaf to the engine's scored plans (term, sloppy
+phrase, prefix constant-score, OSA fuzzy) and each boolean node to
+``scored_boolean_clauses`` — all Catalyst sub-plans, combined by one
+per-doc aggregation per node.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+MUST = "MUST"
+SHOULD = "SHOULD"
+MUST_NOT = "MUST_NOT"
+
+_WS = {" ", "\t", "\n", "\r"}
+_MAX_FUZZ = 2  # LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE
+
+
+@dataclass
+class Node:
+    kind: str  # term|phrase|prefix|fuzzy|match_all|bool
+    text: str = ""
+    slop: int = 0
+    max_edits: int = 0
+    clauses: list[tuple[str, "Node"]] = field(default_factory=list)
+
+
+class _State:
+    __slots__ = ("data", "i", "n", "top", "cur_op", "prev_op", "not_")
+
+    def __init__(self, data: str, start: int, end: int):
+        self.data = data
+        self.i = start
+        self.n = end
+        self.top: Node | None = None
+        self.cur_op: str | None = None
+        self.prev_op: str | None = None
+        self.not_ = 0
+
+
+def parse(query: str, default_operator: str = SHOULD) -> Node | None:
+    """Query tree, or None for the empty query (MatchNoDocs). ``"*"``
+    alone is MatchAllDocs (SimpleQueryParser.parse:160-166)."""
+    if query.strip() == "*":
+        return Node("match_all")
+    st = _State(query, 0, len(query))
+    _parse_sub(st, default_operator)
+    return st.top
+
+
+def _parse_sub(st: _State, default_op: str) -> None:
+    while st.i < st.n:
+        c = st.data[st.i]
+        if c == "(":
+            _consume_subquery(st, default_op)
+        elif c == ")":
+            st.i += 1
+        elif c == '"':
+            _consume_phrase(st, default_op)
+        elif c == "+":
+            if st.cur_op is None and st.top is not None:
+                st.cur_op = MUST
+            st.i += 1
+        elif c == "|":
+            if st.cur_op is None and st.top is not None:
+                st.cur_op = SHOULD
+            st.i += 1
+        elif c == "-":
+            st.not_ += 1
+            st.i += 1
+            continue  # whitespace resets NOT, so skip the reset below
+        elif c in _WS:
+            st.i += 1
+        else:
+            _consume_token(st, default_op)
+        st.not_ = 0
+
+
+def _consume_subquery(st: _State, default_op: str) -> None:
+    start = st.i = st.i + 1
+    depth, escaped = 1, False
+    while st.i < st.n:
+        if not escaped:
+            c = st.data[st.i]
+            if c == "\\":
+                escaped = True
+                st.i += 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        escaped = False
+        st.i += 1
+    if st.i == st.n:
+        st.i = start  # unclosed '(' is extraneous
+    elif st.i == start:
+        st.cur_op = None  # '()'
+        st.i += 1
+    else:
+        sub = _State(st.data, start, st.i)
+        _parse_sub(sub, default_op)
+        _build_tree(st, sub.top, default_op)
+        st.i += 1
+
+
+def _consume_phrase(st: _State, default_op: str) -> None:
+    start = st.i = st.i + 1
+    buf: list[str] = []
+    escaped = has_slop = False
+    while st.i < st.n:
+        if not escaped:
+            c = st.data[st.i]
+            if c == "\\":
+                escaped = True
+                st.i += 1
+                continue
+            if c == '"':
+                if st.i + 1 < st.n and st.data[st.i + 1] == "~":
+                    st.i += 1
+                    has_slop = st.i + 1 < st.n
+                break
+        escaped = False
+        buf.append(st.data[st.i])
+        st.i += 1
+    if st.i == st.n:
+        st.i = start  # unclosed '"' is extraneous
+    elif not buf and not has_slop:
+        st.cur_op = None  # empty phrase
+        st.i += 1
+    else:
+        slop = _parse_fuzziness(st) if has_slop else 0
+        _build_tree(
+            st, Node("phrase", text="".join(buf), slop=slop), default_op
+        )
+        st.i += 1
+
+
+def _token_finished(st: _State) -> bool:
+    # note: '-' does NOT finish a token (tokenFinished:538-553) —
+    # "wi-fi" is one token; NOT applies only before a clause starts
+    c = st.data[st.i]
+    return c in _WS or c in '"|+()'
+
+
+def _consume_token(st: _State, default_op: str) -> None:
+    buf: list[str] = []
+    escaped = prefix = fuzzy = False
+    while st.i < st.n:
+        if not escaped:
+            c = st.data[st.i]
+            if c == "\\":
+                escaped = True
+                prefix = False
+                st.i += 1
+                continue
+            if _token_finished(st):
+                break
+            if buf and c == "~":
+                fuzzy = True
+                break
+            prefix = bool(buf) and c == "*"
+        escaped = False
+        buf.append(st.data[st.i])
+        st.i += 1
+    if not buf:
+        return
+    if fuzzy:
+        edits = min(_parse_fuzziness(st), _MAX_FUZZ)
+        tok = "".join(buf)
+        node = (
+            Node("term", text=tok)
+            if edits == 0
+            else Node("fuzzy", text=tok, max_edits=edits)
+        )
+    elif prefix:
+        node = Node("prefix", text="".join(buf[:-1]))
+    else:
+        node = Node("term", text="".join(buf))
+    _build_tree(st, node, default_op)
+
+
+def _parse_fuzziness(st: _State) -> int:
+    digits: list[str] = []
+    while st.i < st.n:
+        st.i += 1
+        if st.i < st.n:
+            if _token_finished(st):
+                break
+            digits.append(st.data[st.i])
+    try:
+        v = int("".join(digits)) if digits else 2
+    except ValueError:
+        return 0
+    return max(v, 0)
+
+
+def _build_tree(st: _State, branch: Node | None, default_op: str) -> None:
+    if branch is None:
+        return
+    if st.not_ % 2 == 1:
+        branch = Node(
+            "bool",
+            clauses=[(MUST_NOT, branch), (SHOULD, Node("match_all"))],
+        )
+    if st.top is None:
+        st.top = branch
+    else:
+        if st.cur_op is None:
+            st.cur_op = default_op
+        if st.prev_op != st.cur_op:
+            st.top = Node("bool", clauses=[(st.cur_op, st.top)])
+        elif st.top.kind != "bool":
+            st.top = Node("bool", clauses=[(st.cur_op, st.top)])
+        st.top.clauses.append((st.cur_op, branch))
+        st.prev_op = st.cur_op
+    st.cur_op = None
+
+
+def _score_node(searcher, node: Node) -> DataFrame:
+    if node.kind == "match_all":
+        return searcher.match_all()
+    if node.kind == "term":
+        terms = searcher.analyze_query(node.text)
+        if not terms:
+            return searcher._empty_scored().select(
+                "segment_id", "docid", "score"
+            )
+        return searcher.scored_boolean(should=terms)
+    if node.kind == "phrase":
+        terms = searcher.analyze_query(node.text)
+        if not terms:
+            return searcher._empty_scored().select(
+                "segment_id", "docid", "score"
+            )
+        if len(terms) == 1:
+            return searcher.scored_boolean(should=terms)
+        if node.slop > 0:
+            return searcher.scored_sloppy_phrase(terms, node.slop)
+        return searcher.scored_phrase(terms)
+    if node.kind == "prefix":
+        return searcher.scored_prefix(node.text.lower())
+    if node.kind == "fuzzy":
+        return searcher.scored_fuzzy(
+            node.text.lower(), max_edits=node.max_edits
+        )
+    if node.kind == "bool":
+        must, should, must_not = [], [], []
+        for occur, child in node.clauses:
+            scored = _score_node(searcher, child)
+            if occur == MUST:
+                must.append(scored)
+            elif occur == MUST_NOT:
+                must_not.append(scored)
+            else:
+                should.append(scored)
+        return searcher.scored_boolean_clauses(
+            must=must, should=should, must_not=must_not
+        )
+    raise AssertionError(f"unknown node kind {node.kind!r}")
+
+
+def execute(searcher, query: str, k: int = 10) -> DataFrame:
+    """Parse and run a simple query string; (docid, url, score) top-k.
+    Empty/unmatchable input returns zero rows (MatchNoDocsQuery)."""
+    tree = parse(query)
+    if tree is None:
+        scored = searcher._empty_scored().select(
+            "segment_id", "docid", "score"
+        )
+    else:
+        scored = _score_node(searcher, tree)
+    return searcher._finish_topk(scored, k)

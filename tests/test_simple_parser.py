@@ -1,0 +1,113 @@
+"""SimpleQueryParser (queryparser/simple/SimpleQueryParser.java):
+tree shapes, never-throws degradation, and execution parity against
+the equivalent hand-built queries."""
+
+import pytest
+
+from lucene_spark.plans import simple_parser as sp
+
+
+def _leafs(node):
+    if node is None:
+        return []
+    if node.kind != "bool":
+        return [(node.kind, node.text)]
+    out = []
+    for _occ, c in node.clauses:
+        out.extend(_leafs(c))
+    return out
+
+
+class TestParseTree:
+    def test_default_or_and_explicit_ops(self):
+        t = sp.parse("a b")
+        assert t.kind == "bool"
+        assert [o for o, _ in t.clauses] == ["SHOULD", "SHOULD"]
+        t = sp.parse("a + b")
+        assert [o for o, _ in t.clauses] == ["MUST", "MUST"]
+
+    def test_same_op_flattens(self):
+        t = sp.parse("a b | c")
+        # SHOULD then SHOULD: no operator change, one flat boolean
+        assert [o for o, _ in t.clauses] == ["SHOULD"] * 3
+
+    def test_operator_change_wraps_left(self):
+        t = sp.parse("a b + c")
+        # SHOULD -> MUST changes: (a SHOULD b) becomes one MUST clause
+        # of a new parent alongside c
+        assert t.kind == "bool" and len(t.clauses) == 2
+        assert [o for o, _ in t.clauses] == ["MUST", "MUST"]
+        left = t.clauses[0][1]
+        assert [x[1] for x in _leafs(left)] == ["a", "b"]
+        assert t.clauses[1][1].text == "c"
+
+    def test_not_wrapper_and_double_not(self):
+        t = sp.parse("-a")
+        assert t.kind == "bool"
+        assert [o for o, _ in t.clauses] == ["MUST_NOT", "SHOULD"]
+        assert t.clauses[1][1].kind == "match_all"
+        t2 = sp.parse("--a")
+        assert t2.kind == "term" and t2.text == "a"
+
+    def test_phrase_slop_prefix_fuzzy(self):
+        t = sp.parse('"x y"~3')
+        assert t.kind == "phrase" and t.slop == 3
+        t = sp.parse("dat*")
+        assert t.kind == "prefix" and t.text == "dat"
+        t = sp.parse("roam~1")
+        assert t.kind == "fuzzy" and t.max_edits == 1
+        assert sp.parse("roam~").max_edits == 2  # bare ~ = 2
+        assert sp.parse("roam~9").max_edits == 2  # capped
+        assert sp.parse("roam~0").kind == "term"  # 0 = plain term
+
+    def test_never_throws_on_garbage(self):
+        for q in ['"unclosed', "(unclosed", "))", "+", "|", "-", "", "  ",
+                  "a~x", "\\", "()", 'a "" b']:
+            sp.parse(q)  # must not raise
+
+    def test_star_alone_and_hyphen_token(self):
+        assert sp.parse("*").kind == "match_all"
+        t = sp.parse("wi-fi")
+        assert t.kind == "term" and t.text == "wi-fi"
+
+    def test_parens_precedence(self):
+        t = sp.parse("a + (b | c)")
+        assert [o for o, _ in t.clauses] == ["MUST", "MUST"]
+        sub = t.clauses[1][1]
+        assert [x[1] for x in _leafs(sub)] == ["b", "c"]
+
+
+class TestExecution:
+    def test_or_matches_boolean(self, searcher):
+        got = {
+            r["docid"]: r["score"]
+            for r in sp.execute(searcher, "window spark", k=10).collect()
+        }
+        want = {
+            r["docid"]: r["score"]
+            for r in searcher.boolean_query(
+                should=["window", "spark"], k=10
+            ).collect()
+        }
+        assert got == want
+
+    def test_and_not_via_operators(self, searcher):
+        got = {
+            r["docid"]
+            for r in sp.execute(searcher, "window + -spark", k=10).collect()
+        }
+        # every hit contains window, none contain spark
+        want = {
+            r["docid"]
+            for r in searcher.boolean_query(
+                must=["window"], must_not=["spark"], k=10
+            ).collect()
+        }
+        assert got == want
+
+    def test_phrase_and_prefix_run(self, searcher):
+        assert sp.execute(searcher, '"the query"', k=5).count() > 0
+        assert sp.execute(searcher, "wi* + spark", k=5).count() > 0
+
+    def test_empty_is_match_none(self, searcher):
+        assert sp.execute(searcher, "   ", k=5).count() == 0
