@@ -1204,6 +1204,39 @@ def _pack_windows_sql(max_tokens: int = 512) -> str:
         FROM c"""
 
 
+def _q_simple_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleQueryParser: 'dup + win*' = MUST(term dup) +
+    MUST(constant-score prefix win)."""
+    from lucene_spark.plans.simple_parser import execute
+
+    s = _get_searcher(spark, sf_dir)
+    out = execute(s, "dup + win*", k=10)
+    return out.select(
+        _doc_id("url"), F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def _simple_parsed_sql(term: str, prefix: str, k: int = 10) -> str:
+    norm = _norm_len_sql("dl.dl")
+    inv = f"(1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))))"
+    return f"""WITH {_TOK}, {_DL}, {_ST},
+      tfw AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+              WHERE term = '{term}' GROUP BY doc_id),
+      dfw AS (SELECT count(*)::BIGINT AS df FROM tfw),
+      pm AS (SELECT DISTINCT doc_id FROM tok
+             WHERE term LIKE '{prefix}%'),
+      s AS (SELECT tfw.doc_id,
+              ln(1 + (st.n - dfw.df + 0.5)/(dfw.df + 0.5))
+              - ln(1 + (st.n - dfw.df + 0.5)/(dfw.df + 0.5))
+                /(1 + tfw.tf*{inv})
+              + 1.0 AS s
+            FROM tfw JOIN pm ON tfw.doc_id = pm.doc_id
+                 JOIN dl ON tfw.doc_id = dl.doc_id
+            CROSS JOIN dfw CROSS JOIN st)
+      SELECT doc_id, round(s, 6) AS score FROM s
+      ORDER BY s DESC, doc_id LIMIT {k}"""
+
+
 def _q_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.operators.queries import diversified_top_k
 
@@ -3845,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors_doc": _q_term_vectors,
         "graph_synonym_top10": _q_graph_synonyms,
         "diversified_top6": _q_diversified,
+        "simple_parsed_top10": _q_simple_parsed,
         "stratified_sample": _q_stratified_sample,
         "pack_windows": _q_pack_windows,
         "phrase_top10": _q_phrase,
@@ -4002,6 +4036,7 @@ def oracle_sql() -> dict[str, str]:
             "window", ["data", "query"]
         ),
         "diversified_top6": _diversified_sql("data"),
+        "simple_parsed_top10": _simple_parsed_sql("dup", "win"),
         "stratified_sample": _stratified_sample_sql(),
         "pack_windows": _pack_windows_sql(),
         "term_vectors_doc": f"""
