@@ -1161,6 +1161,63 @@ def _q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.functions.textstats import gopher_quality_flags
+
+    docs = _docs_table(spark, sf_dir)
+    return docs.select(
+        "doc_id", gopher_quality_flags(F.col("text")).alias("g")
+    ).select("doc_id", "g.*")
+
+
+def _gopher_flags_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in
+                      ["the", "be", "to", "of", "and", "that",
+                       "have", "with"])
+    return f"""
+        WITH w AS (SELECT doc_id, text,
+                     string_split(text, ' ') AS words,
+                     string_split(text, chr(10)) AS lines
+                   FROM documents),
+        m AS (SELECT doc_id,
+                len(words)::DOUBLE AS n,
+                len(replace(text, ' ', ''))::DOUBLE
+                  / greatest(len(words), 1) AS mean_len,
+                ((len(text) - len(replace(text, '#', '')))::BIGINT
+                 + ((len(text) - len(replace(text, '...', ''))) / 3)
+                     ::BIGINT)::DOUBLE
+                  / greatest(len(words), 1) AS symbols,
+                len(lines)::DOUBLE AS n_lines,
+                len(list_filter(lines,
+                    l -> starts_with(l, '•') OR starts_with(l, '- ')))
+                  ::DOUBLE AS bullets,
+                len(list_filter(lines,
+                    l -> ends_with(l, '...') OR ends_with(l, '…')))
+                  ::DOUBLE AS ell,
+                len(list_filter(words,
+                    x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                  AS alpha,
+                len(list_intersect(list_distinct(words),
+                                   [{stops}])) AS stops
+              FROM w)
+        SELECT doc_id,
+               n >= 50 AND n <= 100000 AS word_count_ok,
+               mean_len >= 3.0 AND mean_len <= 10.0 AS mean_word_len_ok,
+               symbols <= 0.1 AS symbol_ratio_ok,
+               bullets <= 0.09999999999999998 * n_lines AS bullet_ok,
+               ell <= 0.3 * n_lines AS ellipsis_ok,
+               alpha >= 0.8 * n AS alpha_ratio_ok,
+               stops >= 2 AS stopword_ok,
+               (n >= 50 AND n <= 100000)
+                 AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                 AND symbols <= 0.1
+                 AND bullets <= 0.09999999999999998 * n_lines
+                 AND ell <= 0.3 * n_lines
+                 AND alpha >= 0.8 * n
+                 AND stops >= 2 AS gopher_pass
+        FROM m"""
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.operators.sampling import stratified_sample
 
@@ -3881,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_parsed_top10": _q_simple_parsed,
         "stratified_sample": _q_stratified_sample,
         "pack_windows": _q_pack_windows,
+        "gopher_quality_flags": _q_gopher_flags,
         "phrase_top10": _q_phrase,
         "total_hit_count": _q_total_hits,
         "facet_lang": _q_facet_lang,
@@ -4039,6 +4097,7 @@ def oracle_sql() -> dict[str, str]:
         "simple_parsed_top10": _simple_parsed_sql("dup", "win"),
         "stratified_sample": _stratified_sample_sql(),
         "pack_windows": _pack_windows_sql(),
+        "gopher_quality_flags": _gopher_flags_sql(),
         "term_vectors_doc": f"""
             WITH {_TOKP}
             SELECT doc_id, term, count(*)::INT AS freq,

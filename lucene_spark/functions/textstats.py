@@ -126,6 +126,104 @@ def quality_score(text_col: Column) -> Column:
     )
 
 
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A1)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9  # >= 90% of lines must NOT be bullets
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOP_HITS = 2
+
+
+def _substr_count(text: Column, s: str) -> Column:
+    """Occurrences of literal ``s`` (left-to-right, non-overlapping) —
+    the length-difference trick so the DuckDB oracle can run the
+    byte-identical expression."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(s), F.lit(""))))
+        / F.lit(len(s))
+    ).cast("long")
+
+
+def gopher_quality_flags(text_col: Column) -> Column:
+    """The Gopher quality rule set as one struct of per-rule booleans
+    plus the conjunction — the configuration practitioners actually
+    tune, kept as individual signals instead of one opaque score:
+
+    - ``word_count_ok``: 50 <= words <= 100,000;
+    - ``mean_word_len_ok``: mean word length in [3, 10];
+    - ``symbol_ratio_ok``: (# of '#' + '...') / words <= 0.1;
+    - ``bullet_ok``: >= 90% of lines do NOT start with a bullet
+      ('•' or '- ');
+    - ``ellipsis_ok``: <= 30% of lines end with '...' or '…';
+    - ``alpha_ratio_ok``: >= 80% of words contain a letter;
+    - ``stopword_ok``: >= 2 distinct hits in Gopher's 8-word stop list
+      (the/be/to/of/and/that/have/with);
+    - ``gopher_pass``: all of the above.
+
+    Pure column algebra (whole-stage codegen); every sub-expression has
+    a byte-identical SQL form for the oracle."""
+    words = tokens(text_col)
+    n = F.size(words).cast("double")
+    # mean word length over single-space-joined text: total non-space
+    # chars / words (identical algebra in SQL)
+    mean_len = F.length(
+        F.replace(text_col, F.lit(" "), F.lit(""))
+    ) / F.greatest(n, F.lit(1.0))
+    symbols = (
+        _substr_count(text_col, "#") + _substr_count(text_col, "...")
+    ) / F.greatest(n, F.lit(1.0))
+    lines = F.split(text_col, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("•") | l.startswith("- "),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.endswith("...") | l.endswith("…"),
+        )
+    )
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+        )
+    )
+    flags = {
+        "word_count_ok": (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS),
+        "mean_word_len_ok": (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "symbol_ratio_ok": symbols <= GOPHER_MAX_SYMBOL_RATIO,
+        "bullet_ok": bullet_lines
+        <= (F.lit(1.0) - GOPHER_MAX_BULLET_LINE_FRAC) * n_lines,
+        "ellipsis_ok": ellipsis_lines
+        <= F.lit(GOPHER_MAX_ELLIPSIS_LINE_FRAC) * n_lines,
+        "alpha_ratio_ok": alpha_words
+        >= F.lit(GOPHER_MIN_ALPHA_WORD_RATIO) * n,
+        "stopword_ok": stop_hits >= GOPHER_MIN_STOP_HITS,
+    }
+    overall = None
+    for c in flags.values():
+        overall = c if overall is None else (overall & c)
+    return F.struct(
+        *[c.alias(name) for name, c in flags.items()],
+        overall.alias("gopher_pass"),
+    )
+
+
 def lang_votes(text_col: Column) -> dict[str, Column]:
     """Per-language function-word hit counts."""
     toks = tokens(text_col)

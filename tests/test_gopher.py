@@ -1,0 +1,56 @@
+"""Gopher quality rule set (Rae et al. 2021 App. A1) as per-rule
+flags: each crafted document violates exactly the rules it targets."""
+
+import pyspark.sql.functions as F
+
+from lucene_spark.functions.textstats import gopher_quality_flags
+
+
+def _flags(spark, text):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = df.select(
+        gopher_quality_flags(F.col("text")).alias("g")
+    ).select("g.*").collect()[0]
+    return row.asDict()
+
+
+class TestGopherFlags:
+    def test_fluent_doc_passes_all(self, spark):
+        text = (
+            "the cat and dog have fun with that be to of " + "word " * 45
+        ).strip()
+        f = _flags(spark, text)
+        assert all(f.values()), f
+
+    def test_bullet_lines_fail(self, spark):
+        f = _flags(spark, "- bullet one\n- bullet two\n- bullet three")
+        assert not f["bullet_ok"] and not f["gopher_pass"]
+        assert f["ellipsis_ok"]
+
+    def test_ellipsis_lines_fail(self, spark):
+        f = _flags(spark, "trailing...\nalso trailing...\nmore…")
+        assert not f["ellipsis_ok"]
+        assert f["bullet_ok"]
+
+    def test_symbol_ratio_fails_on_hashes(self, spark):
+        f = _flags(spark, "### ### ### few words")
+        assert not f["symbol_ratio_ok"]
+
+    def test_numeric_doc_fails_alpha_ratio(self, spark):
+        f = _flags(spark, "12 34 56 78 90")
+        assert not f["alpha_ratio_ok"]
+        assert f["symbol_ratio_ok"]
+
+    def test_word_count_bounds(self, spark):
+        short = _flags(spark, "too short")
+        assert not short["word_count_ok"]
+        long_ok = _flags(
+            spark, ("the of " + "w " * 60).strip()
+        )
+        assert long_ok["word_count_ok"]
+
+    def test_stopword_rule_needs_two_distinct(self, spark):
+        one = _flags(spark, ("the " * 60).strip())
+        assert not one["stopword_ok"]
+        two = _flags(spark, ("the of " + "x " * 58).strip())
+        assert two["stopword_ok"]
