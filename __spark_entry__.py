@@ -237,16 +237,19 @@ def _common_terms_sql(
     k: int = 10,
 ) -> str:
     """CommonTermsQuery oracle: terms split into low/high docFreq
-    groups BY THE SQL ITSELF (floor(mtf*n + 0.5) = Java Math.round);
+    groups BY THE SQL ITSELF (ceil of the float32 product, the Java
+    ``Math.ceil(mtf * (float) maxDoc)`` — DuckDB FLOAT is float32);
     low group gates the match, high group adds score when its own msm
-    is met — the same sum-of-group-sums the engine computes."""
+    is met — the same sum-of-group-sums the engine computes. Assumes
+    every query term occurs in the corpus (absent terms would join the
+    gating low group engine-side; pick present terms for entries)."""
     lo_gate = f"GREATEST(1, {low_msm})"
     hi_gate = f"GREATEST(1, {high_msm})"
     return f"""
         WITH {_sql_prelude(terms)},
         cls AS (SELECT df.term,
-                       df.df > floor({max_term_frequency} * st.n + 0.5)
-                         AS hi
+                       df.df > ceil(CAST({max_term_frequency} AS FLOAT)
+                                    * CAST(st.n AS FLOAT)) AS hi
                 FROM df CROSS JOIN st),
         ds AS (SELECT psc.doc_id,
                       sum(CASE WHEN NOT cls.hi THEN psc.s ELSE 0 END) AS ls,
@@ -1176,13 +1179,13 @@ def _gopher_flags_sql() -> str:
                        "have", "with"])
     return f"""
         WITH w AS (SELECT doc_id, text,
-                     string_split(text, ' ') AS words,
+                     string_split_regex(text, '[ \n]') AS words,
                      string_split(text, chr(10)) AS lines
                    FROM documents),
         m AS (SELECT doc_id,
                 len(words)::DOUBLE AS n,
-                len(replace(text, ' ', ''))::DOUBLE
-                  / greatest(len(words), 1) AS mean_len,
+                len(replace(replace(text, ' ', ''), chr(10), ''))
+                  ::DOUBLE / greatest(len(words), 1) AS mean_len,
                 ((len(text) - len(replace(text, '#', '')))::BIGINT
                  + ((len(text) - len(replace(text, '...', ''))) / 3)
                      ::BIGINT)::DOUBLE
@@ -1232,7 +1235,8 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stratified_sample_sql() -> str:
     return """
         SELECT doc_id, lang FROM documents
-        WHERE (doc_id * 2654435761) % 1000000 <
+        WHERE (((doc_id % 1000000 + 1000000) % 1000000) * 2654435761)
+                % 1000000 <
               (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
                          ELSE 0.1 END) * 1000000"""
 

@@ -167,13 +167,20 @@ def gopher_quality_flags(text_col: Column) -> Column:
     - ``gopher_pass``: all of the above.
 
     Pure column algebra (whole-stage codegen); every sub-expression has
-    a byte-identical SQL form for the oracle."""
-    words = tokens(text_col)
+    a byte-identical SQL form for the oracle. Words split on space OR
+    newline (the line rules prove multi-line docs are the intended
+    input; a space-only split would hide the first word of every
+    line from the word rules and count the newline bytes into mean
+    word length)."""
+    words = F.split(text_col, "[ \n]")
     n = F.size(words).cast("double")
-    # mean word length over single-space-joined text: total non-space
-    # chars / words (identical algebra in SQL)
+    # mean word length: total non-separator chars / words
     mean_len = F.length(
-        F.replace(text_col, F.lit(" "), F.lit(""))
+        F.replace(
+            F.replace(text_col, F.lit(" "), F.lit("")),
+            F.lit("\n"),
+            F.lit(""),
+        )
     ) / F.greatest(n, F.lit(1.0))
     symbols = (
         _substr_count(text_col, "#") + _substr_count(text_col, "...")

@@ -28,10 +28,13 @@ _TABLES = ("stage", "features", "terms")
 def index_disk_usage(spark: SparkSession, index_dir: str) -> DataFrame:
     """(table, kind, column, files, rows, compressed_bytes,
     uncompressed_bytes) over the LIVE commit dirs of the index —
-    superseded commit dirs are excluded, so the report reflects what a
-    fresh reader would actually open. ``kind`` is the partition
-    subdirectory (kind=0 postings rows, kind=1 doc rows in the stage
-    table)."""
+    superseded commit dirs are excluded. This is a DISK accounting,
+    like the Java tool: a live commit dir may still hold segments a
+    later merge retired (readers drop them via the manifest's
+    segment-id filter, the bytes remain until ``expunge_generations``
+    reclaims the dir), and those bytes are correctly counted here as
+    occupied. ``kind`` is the partition subdirectory (kind=0 postings
+    rows, kind=1 doc rows in the stage table)."""
     import pyarrow.parquet as pq
 
     catalog = IndexCatalog(index_dir)

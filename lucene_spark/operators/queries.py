@@ -86,8 +86,12 @@ def dynamic_range_facets(
             / F.ceil(F.col("n") / F.least(F.lit(topn), F.col("n")))
         )
     else:
+        # explicit ROWS frame: the default RANGE frame includes ALL
+        # peer rows tied on (v, wt) in each row's sum, which would
+        # collapse every tie group into the last bucket
+        row_frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ranked = vals.withColumn(
-            "cum", F.sum("wt").over(w) - F.col("wt")
+            "cum", F.sum("wt").over(row_frame) - F.col("wt")
         ).crossJoin(F.broadcast(st))
         target = F.col("total") / F.least(F.lit(topn), F.col("n"))
         bucket = F.least(
@@ -1013,23 +1017,28 @@ class QueryOpsMixin:
     ) -> tuple[list[str], list[str]]:
         """Split query terms into (low, high) docFreq groups — the
         rewrite step of CommonTermsQuery
-        (``queries/.../CommonTermsQuery.java:183-215``): a term is
-        high-frequency when ``docFreq > maxTermFrequency`` (absolute
-        when >= 1, else ``Math.round(maxTermFrequency * doc_count)``).
-        Absent terms are dropped (a SHOULD term not in the index
-        contributes nothing)."""
+        (``queries/.../CommonTermsQuery.java:149-160``): high-frequency
+        when ``docFreq > maxTermFrequency`` (absolute, when >= 1) or
+        ``docFreq > ceil(float32(mtf) * float32(maxDoc))`` — the Java
+        expression multiplies in float, so the cutoff is reproduced in
+        float32. ABSENT terms go to the LOW group (:151-152): they
+        gate — a query whose low group can't match anything matches
+        nothing — rather than silently dropping out. maxDoc ==
+        doc_count here (docids are dense, deletes are tombstones)."""
         stats = self.term_stats(terms)
         n = int(self.field_stats["doc_count"])
-        cutoff = (
-            max_term_frequency
-            if max_term_frequency >= 1.0
-            # Java Math.round = floor(x + 0.5); Python round() is
-            # banker's and would diverge on exact halves
-            else math.floor(max_term_frequency * n + 0.5)
+        mtf = float(max_term_frequency)
+        ceil32 = math.ceil(
+            float(np.float32(mtf) * np.float32(n))
         )
-        present = [t for t in terms if t in stats]
-        low = [t for t in present if stats[t][0] <= cutoff]
-        high = [t for t in present if stats[t][0] > cutoff]
+        low, high = [], []
+        for t in terms:
+            if t not in stats:
+                low.append(t)
+            elif (mtf >= 1.0 and stats[t][0] > mtf) or stats[t][0] > ceil32:
+                high.append(t)
+            else:
+                low.append(t)
         return low, high
 
     def scored_common_terms(
@@ -1055,6 +1064,9 @@ class QueryOpsMixin:
         low, high = self.common_terms_partition(terms, max_term_frequency)
         if not low and not high:
             return self._empty_scored().select("segment_id", "docid", "score")
+        # absent terms stay in `low`: scored_boolean skips them when
+        # scoring, but an all-absent low group then matches nothing —
+        # the gating CommonTermsQuery.java:151-152 implies
         if not high:
             return self.scored_boolean(
                 should=low, min_should_match=low_freq_msm

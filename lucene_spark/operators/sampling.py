@@ -29,14 +29,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# Knuth multiplicative constant; doc_id * A stays < 2^63 for ids
-# < ~3.4e9 (cast up for bigger id spaces)
+# Knuth multiplicative constant. The id is reduced mod 1e6 BEFORE the
+# multiply so the product is bounded by ~2.7e15 << 2^63 for ANY long
+# id (a raw id*A overflows int64 past ~3.4e9 ids and wraps negative,
+# which would keep every row of every stratum); pmod keeps negative
+# ids in range too.
 _HASH_A = 2654435761
 _HASH_MOD = 1_000_000
 
 
 def _keep_hash(id_col: str) -> F.Column:
-    return (F.col(id_col).cast("long") * F.lit(_HASH_A)) % F.lit(_HASH_MOD)
+    return (
+        F.pmod(F.col(id_col).cast("long"), F.lit(_HASH_MOD))
+        * F.lit(_HASH_A)
+    ) % F.lit(_HASH_MOD)
 
 
 def global_prefix_sum(
@@ -119,11 +125,15 @@ def pack_windows(
     scheme)."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
+    # NULL text coalesces to '' (1 empty token, the split() convention
+    # both engines share) — size(split(NULL)) would be -1 under
+    # spark.sql.legacy.sizeOfNull and silently shift every later doc's
+    # window geometry
     toks = docs.select(
         F.col(id_col).cast("long").alias("id"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias(
-            "n_tokens"
-        ),
+        F.size(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).cast("long").alias("n_tokens"),
     )
     with_start = global_prefix_sum(toks, "id", "n_tokens", out_col="start")
     start = F.col("start")

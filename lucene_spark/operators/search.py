@@ -1221,16 +1221,20 @@ class Searcher(QueryOpsMixin):
             "term string, freq int, doc_freq long, doc_count long, "
             "idf double, dl int, avgdl double, tf double, score double"
         )
-        doc = (
-            self._docs.where(F.col("url") == url)
-            .select("segment_id", "local_docid")
-            .collect()
-        )
+        # liveDocs BEFORE picking the row: after an update the url has
+        # a tombstoned old copy and a live new one, and an unfiltered
+        # collect()[0] is partition-order roulette (every reader path
+        # must go through the tombstone filter — repo invariant)
+        doc = self._filter_live(
+            self._docs.where(F.col("url") == url).select(
+                "segment_id", F.col("local_docid").alias("docid")
+            )
+        ).collect()
         stats = self.term_stats(terms)
         present = [t for t in terms if t in stats]
         if not doc or not present:
             return self.spark.createDataFrame([], out_ddl)
-        sid, did = int(doc[0]["segment_id"]), int(doc[0]["local_docid"])
+        sid, did = int(doc[0]["segment_id"]), int(doc[0]["docid"])
         rows = (
             self.scored_postings(
                 present,

@@ -122,12 +122,14 @@ def analyzing_infix_suggest(
 ) -> DataFrame:
     """AnalyzingInfixSuggester lookup
     (``lucene/suggest/.../analyzing/AnalyzingInfixSuggester.java:63``,
-    finishQuery at :616-668): every fully-typed query token must occur
+    finishQuery at :616-684): every fully-typed query token must occur
     as a token ANYWHERE in the suggestion (the "infix" part — Lucene
-    indexes suggestion tokens and ANDs TermQueries), and the trailing
-    partially-typed token must prefix-match some suggestion token (the
-    PrefixQuery on the last token). Results rank by stored weight
-    descending, text ascending (LookupResult comparator).
+    indexes suggestion tokens and ANDs TermQueries). The LAST token is
+    a PrefixQuery only when it reaches the end of the input — a query
+    with trailing whitespace means the user finished the word, so it
+    becomes an exact TermQuery like the others (:668-676). Results
+    rank by stored weight descending, text ascending (LookupResult
+    comparator).
 
     Pure Catalyst: token membership via ``array_contains`` and the
     prefix via ``exists`` over the split array — both whole-stage
@@ -138,7 +140,10 @@ def analyzing_infix_suggest(
     toks = [t for t in query.lower().split(" ") if t]
     if not toks:
         raise ValueError("empty suggest query")
-    full, prefix = toks[:-1], toks[-1]
+    if query != query.rstrip():
+        full, prefix = toks, None  # completed word: all-exact
+    else:
+        full, prefix = toks[:-1], toks[-1]
     base = (
         suggestions.select(
             F.lower(F.col(text_col)).alias("suggestion"),
@@ -148,7 +153,11 @@ def analyzing_infix_suggest(
         .agg(F.max("weight").alias("weight"))
         .withColumn("ts", F.split(F.col("suggestion"), " "))
     )
-    cond = F.exists("ts", lambda x: x.startswith(prefix))
+    cond = (
+        F.lit(True)
+        if prefix is None
+        else F.exists("ts", lambda x: x.startswith(prefix))
+    )
     for t in full:
         cond = cond & F.array_contains("ts", t)
     return (

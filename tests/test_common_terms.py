@@ -43,6 +43,7 @@ class TestCommonTerms:
         rare_t, common_t = dfs[0][1], dfs[-1][1]
         assert dfs[0][0] < dfs[-1][0], "corpus lacks a df spread"
         # pick a fractional cutoff strictly between the two dfs
+        assert dfs[-1][0] > dfs[0][0] + 1, "need df spread >= 2"
         mtf = (dfs[0][0] + 0.5) / n
         low, high = searcher.common_terms_partition(
             [rare_t, common_t], max_term_frequency=mtf
@@ -86,6 +87,25 @@ class TestCommonTerms:
         for key, score in got.items():
             want = low_rows[key] + both_rows.get(key, 0.0)
             assert abs(score - want) < 1e-5
+
+    def test_absent_term_gates_in_low_group(self, searcher):
+        """CommonTermsQuery.java:151-152: a null-TermStates term joins
+        the LOW (required) group, so it must zero the match set even
+        when a high-frequency term matches everywhere."""
+        stats = searcher.term_stats(self.TERMS)
+        n = int(searcher.field_stats["doc_count"])
+        mtf = 1.0 / n  # every present term is high-frequency
+        low, high = searcher.common_terms_partition(
+            ["zzz_not_a_term", "window"], max_term_frequency=mtf
+        )
+        assert low == ["zzz_not_a_term"] and high == ["window"]
+        assert (
+            searcher.scored_common_terms(
+                ["zzz_not_a_term", "window"], max_term_frequency=mtf
+            ).count()
+            == 0
+        )
+        assert stats  # searcher stats warm for the other tests
 
     def test_topk_and_missing_terms(self, searcher):
         out = searcher.common_terms_query(

@@ -18,6 +18,9 @@ class TestDiskUsage:
             assert r["files"] >= 1
 
     def test_rows_match_postings_count(self, spark, index_dir, searcher):
+        # disk rows == reader rows ONLY because the shared test index
+        # has no retired segments (never merged); after merges the disk
+        # report legitimately exceeds the reader view until expunge
         rows = index_disk_usage(spark, index_dir).collect()
         postings_rows = [
             r

@@ -65,6 +65,15 @@ class TestDynamicRanges:
         want = _lucene_greedy(values, [1] * 20, 4)
         assert [g[:4] for g in got] == [w[:4] for w in want]
 
+    def test_weighted_ties_do_not_collapse(self, spark):
+        """tied (value, weight) rows must spread across buckets — the
+        default RANGE window frame would give every peer the same
+        inclusive cumsum and dump all ties into the last bucket."""
+        values, weights = [5] * 10, [1] * 10
+        got = _run(spark, values, 5, weights=weights)
+        assert len(got) == 5
+        assert [g[0] for g in got] == [2, 2, 2, 2, 2]
+
     def test_weighted_buckets_cover_everything(self, spark):
         values = list(range(30))
         weights = [(i % 5) + 1 for i in range(30)]

@@ -49,6 +49,18 @@ class TestGopherFlags:
         )
         assert long_ok["word_count_ok"]
 
+    def test_multiline_words_counted_across_lines(self, spark):
+        """words split on newline too: 'the cat\\nthe dog' is 4 words
+        with 2 hits of 'the', and mean word length excludes the
+        newline byte."""
+        f = _flags(spark, "the cat\nthe dog of it " + "word " * 48)
+        assert f["word_count_ok"]
+        assert f["stopword_ok"]  # 'the' + 'of' both seen
+        assert f["mean_word_len_ok"]
+        # space-only splitting would see 'cat\nthe' as one word and
+        # push the count under 50
+        assert not _flags(spark, "the cat\nthe dog")["word_count_ok"]
+
     def test_stopword_rule_needs_two_distinct(self, spark):
         one = _flags(spark, ("the " * 60).strip())
         assert not one["stopword_ok"]

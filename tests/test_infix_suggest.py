@@ -57,6 +57,20 @@ class TestInfixSuggest:
         got = analyzing_infix_suggest(df, "tex").collect()
         assert len(got) == 1 and got[0]["weight"] == 9
 
+    def test_trailing_space_means_exact_token(self, spark):
+        """AnalyzingInfixSuggester.java:668-676: a completed word (the
+        query ends in whitespace) is an exact TermQuery, not a
+        prefix."""
+        got = [
+            r["suggestion"]
+            for r in analyzing_infix_suggest(_df(spark), "ear ").collect()
+        ]
+        # only the exact token 'ear' — 'earned' no longer matches
+        assert got == [
+            "lend me your ear",
+            "the ear of the beholder",
+        ]
+
     def test_case_folds_and_empty_query_raises(self, spark):
         got = analyzing_infix_suggest(_df(spark), "PENNY WI").collect()
         assert [r["suggestion"] for r in got] == [

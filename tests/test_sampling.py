@@ -40,9 +40,24 @@ class TestStratifiedSample:
         want = set()
         for i in range(300):
             frac = 0.3 if i % 3 else 0.05
-            if (i * _HASH_A) % _HASH_MOD < frac * _HASH_MOD:
+            if ((i % _HASH_MOD) * _HASH_A) % _HASH_MOD < frac * _HASH_MOD:
                 want.add(i)
         assert got == want
+
+    def test_huge_ids_do_not_overflow(self, spark):
+        """ids past 2^63 / A must still hash into [0, MOD) — a raw
+        id*A wraps negative and keeps EVERY row."""
+        base = 4_000_000_000
+        rows = [(base + i, "en", "t") for i in range(2000)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        )
+        kept = stratified_sample(df, "lang", {}, default_fraction=0.0)
+        assert kept.count() == 0
+        some = stratified_sample(
+            df, "lang", {"en": 0.25}
+        ).count()
+        assert 0 < some < 2000 and abs(some / 2000 - 0.25) < 0.1
 
     def test_fraction_rates_roughly_hold(self, spark):
         df = _docs(spark, 3000)
@@ -86,6 +101,21 @@ class TestPackWindows:
     def test_bad_max_tokens(self, spark):
         with pytest.raises(ValueError):
             pack_windows(_docs(spark, 3), 0)
+
+    def test_null_text_counts_as_empty(self, spark):
+        """NULL text must not shrink the token stream (size(split(
+        NULL)) is -1 under legacy sizeOfNull) — it coalesces to the
+        1-token empty string, like '' does."""
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, None), (2, "d e")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["id"]: (r["n_tokens"], r["first_window"], r["offset"])
+            for r in pack_windows(df, max_tokens=4).collect()
+        }
+        assert got[1] == (1, 0, 3)
+        assert got[2] == (2, 1, 0)
 
 
 class TestGlobalPrefixSum:
