@@ -1164,6 +1164,51 @@ def _q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# merges pre-trained by operators/bpe.train_bpe on the documents
+# corpus (deterministic: count-desc/pair-asc tie-break) and PINNED so
+# the static SQL oracle can apply the identical replace chain
+_BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+]
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.bpe import bpe_encode
+
+    enc = bpe_encode(_docs_table(spark, sf_dir), _BPE_MERGES)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        F.array_join("tokens", "|").alias("tokens"),
+        "n_tokens",
+    )
+
+
+def _bpe_encode_sql(merges: list[tuple[str, str]]) -> str:
+    """BPE-encode oracle: each word becomes '|c1||c2||...||</w>|' and
+    every merge is ONE string replace of '|a||b|' -> '|ab|' in rank
+    order — replace() is left-to-right non-overlapping, exactly the
+    trainer's fold; the double-bar separators make consecutive pairs
+    share no characters, so all occurrences merge in one pass."""
+    s = "'|' || array_to_string(list_append(string_split(word, ''), '</w>'), '||') || '|'"
+    for a, b in merges:
+        s = f"replace({s}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+        WITH w AS (SELECT doc_id,
+                     generate_subscripts(string_split(text, ' '), 1)
+                       AS i,
+                     unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        enc AS (SELECT doc_id, i,
+                       replace(trim({s}, '|'), '||', '|') AS toks
+                FROM w)
+        SELECT doc_id,
+               string_agg(toks, '|' ORDER BY i) AS tokens,
+               sum(len(string_split(toks, '|')))::BIGINT AS n_tokens
+        FROM enc GROUP BY doc_id"""
+
+
 def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.functions.textstats import gopher_quality_flags
 
@@ -3943,6 +3988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pack_windows": _q_pack_windows,
         "gopher_quality_flags": _q_gopher_flags,
+        "bpe_encode_tokens": _q_bpe_encode,
         "phrase_top10": _q_phrase,
         "total_hit_count": _q_total_hits,
         "facet_lang": _q_facet_lang,
@@ -4102,6 +4148,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "pack_windows": _pack_windows_sql(),
         "gopher_quality_flags": _gopher_flags_sql(),
+        "bpe_encode_tokens": _bpe_encode_sql(_BPE_MERGES),
         "term_vectors_doc": f"""
             WITH {_TOKP}
             SELECT doc_id, term, count(*)::INT AS freq,

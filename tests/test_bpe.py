@@ -1,0 +1,114 @@
+"""BPE training + encoding (operators/bpe.py): the distributed trainer
+must reproduce a pure-Python Sennrich-2016 reference (same tie-break)
+merge-for-merge, and encoding must be consistent with training."""
+
+from lucene_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_encode,
+    train_bpe,
+    word_freqs,
+)
+
+
+def _reference_bpe(word_freq: dict[str, int], num_merges: int,
+                   min_count: int = 2):
+    """Sennrich et al. 2016, Algorithm 1 — with (count desc, pair asc)
+    tie-break and left-to-right non-overlapping merging."""
+    vocab = {
+        tuple(list(w) + [END_OF_WORD]): f for w, f in word_freq.items()
+    }
+    merges = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges, vocab
+
+
+SENNRICH = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def _corpus(spark, word_freq):
+    rows = []
+    i = 0
+    for w, f in sorted(word_freq.items()):
+        for _ in range(f):
+            rows.append((i, w))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestTrainBpe:
+    def test_matches_reference_on_sennrich_corpus(self, spark):
+        docs = _corpus(spark, SENNRICH)
+        got = train_bpe(docs, num_merges=10)
+        want, _ = _reference_bpe(SENNRICH, 10)
+        assert got == want
+        # the famous first merges: ('e','s'), ('es','t'), ('est','</w>')
+        assert got[0] == ("e", "s")
+        assert got[1] == ("es", "t")
+        assert got[2] == ("est", END_OF_WORD)
+
+    def test_word_freqs_and_early_stop(self, spark):
+        docs = _corpus(spark, {"ab": 1, "cd": 1})
+        wf = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
+        assert wf == {"ab": 1, "cd": 1}
+        # every pair occurs once < min_pair_count=2 -> no merges
+        assert train_bpe(docs, num_merges=5) == []
+
+
+class TestBpeEncode:
+    def test_consistent_with_training(self, spark):
+        docs = _corpus(spark, SENNRICH)
+        merges = train_bpe(docs, num_merges=8)
+        _, vocab = _reference_bpe(SENNRICH, 8)
+        final = {
+            "".join(s).replace(END_OF_WORD, ""): list(s)
+            for s in vocab
+        }
+        enc = bpe_encode(docs, merges)
+        for r in enc.collect():
+            # each doc is one word; its tokens must equal the trained
+            # symbol sequence for that word
+            word = "".join(r["tokens"]).replace(END_OF_WORD, "")
+            assert r["tokens"] == final[word]
+            assert r["n_tokens"] == len(final[word])
+
+    def test_unseen_and_null_text(self, spark):
+        docs = _corpus(spark, SENNRICH)
+        merges = train_bpe(docs, num_merges=8)
+        extra = spark.createDataFrame(
+            [(100, "lowest zzz"), (101, None)],
+            "doc_id long, text string",
+        )
+        got = {r["id"]: r["tokens"] for r in
+               bpe_encode(extra, merges).collect()}
+        # 'lowest' composes from learned subwords (lo + w + est</w>)
+        assert "".join(got[100]).startswith("lowest")
+        assert got[101] == []
+
+    def test_empty_merges_is_char_split(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "ab")], "doc_id long, text string"
+        )
+        got = bpe_encode(docs, []).collect()[0]
+        assert got["tokens"] == ["a", "b", END_OF_WORD]
