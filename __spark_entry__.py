@@ -2183,6 +2183,24 @@ def _q_lmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_lmjm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Jelinek-Mercer (lambda=0.1) term query
+    (LMJelinekMercerSimilarity.java:43-56)."""
+    s = _sim_searcher(spark, sf_dir, "lmjm")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
+def _q_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occur.FILTER: required, scoreless — BM25('window') gated by a
+    constant-score prefix clause that contributes nothing."""
+    s = _get_searcher(spark, sf_dir)
+    scored = s.scored_boolean_clauses(
+        should=[s.scored_boolean(should=["window"])],
+        filter=[s.scored_prefix("sp")],
+    )
+    return _topk_by_doc_id(s, scored)
+
+
 def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitor / percolator (lucene/monitor Monitor.java:42): four
     stored queries (AND / OR / NOT / msm) percolated over the
@@ -4022,6 +4040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "classic_sim_top10": _q_classic,
         "lmd_sim_top10": _q_lmd,
+        "lmjm_sim_top10": _q_lmjm,
+        "filter_clause_top10": _q_filter_clause,
         "monitor_matches": _q_monitor,
         "repetition_2gram": _q_repetition,
         "boilerplate_3gram": _q_boilerplate,
@@ -4307,6 +4327,29 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dl ON tf.doc_id = dl.doc_id
             CROSS JOIN st CROSS JOIN ttf
             ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
+        "lmjm_sim_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            ttf AS (SELECT count(*)::BIGINT AS ttf FROM tok
+                    WHERE term = 'window')
+            SELECT tf.doc_id AS doc_id,
+                   round(greatest(
+                       ln(1 + ((1.0 - 0.1) * tf.tf
+                               / {_norm_len_sql('dl.dl')})
+                              / (0.1 * (ttf.ttf + 1.0)
+                                 / (st.sttf + 1.0))),
+                       0.0), 6) AS score
+            FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN st CROSS JOIN ttf
+            ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
+        "filter_clause_top10": f"""
+            WITH {_sql_prelude(["window"])},
+            f AS (SELECT DISTINCT doc_id FROM tok
+                  WHERE term LIKE 'sp%')
+            SELECT f.doc_id, round(coalesce(psc.s, 0.0), 6) AS score
+            FROM f LEFT JOIN psc USING (doc_id)
+            ORDER BY coalesce(psc.s, 0.0) DESC, f.doc_id LIMIT 10""",
         "monitor_matches": """
             WITH dt AS (
               SELECT DISTINCT doc_id,

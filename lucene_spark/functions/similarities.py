@@ -120,6 +120,30 @@ def bind_lmd(
     return BoundScorer(score_fn)
 
 
+def bind_lmjm(
+    doc_freq, total_term_freq, doc_count, sttf, boost, lam: float = 0.1,
+    dtype=np.float32,
+) -> BoundScorer:
+    """LMJelinekMercerSimilarity
+    (``core/search/similarities/LMJelinekMercerSimilarity.java:43-56``,
+    default lambda 0.1): score = boost * ln(1 + ((1-λ) tf/|d|) / (λ p))
+    with the DefaultCollectionModel p = (ttf+1)/(sttf+1); negative
+    scores clamp to 0 like every LMSimilarity."""
+    p = (total_term_freq + 1.0) / (sttf + 1.0)
+    lt = LENGTH_TABLE.astype(np.float64)
+
+    def score_fn(freqs, norms):
+        doclen = lt[np.asarray(norms, dtype=np.int64)]
+        s = boost * np.log(
+            1.0
+            + ((1.0 - lam) * freqs.astype(np.float64, copy=False) / doclen)
+            / (lam * p)
+        )
+        return np.maximum(s, 0.0).astype(dtype)
+
+    return BoundScorer(score_fn)
+
+
 def bind_similarity(
     name: str,
     doc_freq: int,
@@ -143,4 +167,10 @@ def bind_similarity(
         return bind_lmd(
             doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
         )
-    raise ValueError(f"unknown similarity {name!r} (bm25 | classic | lmd)")
+    if name == "lmjm":
+        return bind_lmjm(
+            doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
+        )
+    raise ValueError(
+        f"unknown similarity {name!r} (bm25 | classic | lmd | lmjm)"
+    )

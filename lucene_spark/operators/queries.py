@@ -718,6 +718,7 @@ class QueryOpsMixin:
         should: list[DataFrame] | None = None,
         must_not: list[DataFrame] | None = None,
         min_should_match: int = 0,
+        filter: list[DataFrame] | None = None,
     ) -> DataFrame:
         """BooleanQuery whose clauses are themselves scored DataFrames
         (term, phrase, multi-term, ...) — the Occur algebra of
@@ -727,11 +728,15 @@ class QueryOpsMixin:
         Score = sum over matching MUST+SHOULD clause scores (double
         accumulator, cast back to the engine dtype); a doc must match
         every MUST clause, at least ``min_should_match`` SHOULD
-        clauses, and no MUST_NOT clause."""
+        clauses, every FILTER clause (required but scoreless —
+        ``Occur.FILTER``, BooleanClause.java:33-36), and no MUST_NOT
+        clause. FILTER-only queries match like Lucene's (constant 0
+        score)."""
         must = list(must or [])
         should = list(should or [])
         must_not = list(must_not or [])
-        if not must and not should:
+        filt = list(filter or [])
+        if not must and not should and not filt:
             return self._empty_scored().select("segment_id", "docid", "score")
 
         tagged = []
@@ -755,6 +760,16 @@ class QueryOpsMixin:
                     F.lit(0).alias("is_must"),
                 )
             )
+        for i, df in enumerate(filt):
+            tagged.append(
+                df.select(
+                    "segment_id",
+                    "docid",
+                    F.lit(0.0).alias("score"),  # matches, never scores
+                    F.lit(2000 + i).alias("cid"),
+                    F.lit(2).alias("is_must"),
+                )
+            )
         u = tagged[0]
         for t in tagged[1:]:
             u = u.unionByName(t)
@@ -766,11 +781,16 @@ class QueryOpsMixin:
             F.countDistinct(F.when(F.col("is_must") == 0, F.col("cid"))).alias(
                 "n_should"
             ),
+            F.countDistinct(F.when(F.col("is_must") == 2, F.col("cid"))).alias(
+                "n_filter"
+            ),
         )
-        cond = F.col("n_must") == len(must)
+        cond = (F.col("n_must") == len(must)) & (
+            F.col("n_filter") == len(filt)
+        )
         if min_should_match > 0:
             cond = cond & (F.col("n_should") >= min_should_match)
-        elif not must and should:
+        elif not must and not filt and should:
             cond = cond & (F.col("n_should") >= 1)
         agg = agg.where(cond)
         for mn in must_not:

@@ -1,0 +1,45 @@
+"""Occur.FILTER (BooleanClause.java:33-36): required but scoreless."""
+
+import pyspark.sql.functions as F
+
+
+def _rows(df):
+    return {
+        (r["segment_id"], r["docid"]): r["score"] for r in df.collect()
+    }
+
+
+class TestFilterClause:
+    def test_filter_gates_without_scoring(self, searcher):
+        """ReqOptSumScorer (BooleanScorerSupplier.java:165-172): the
+        match set is the REQUIRED (filter) side; SHOULD only adds
+        score where it co-occurs."""
+        base = searcher.scored_boolean(should=["window"])
+        filt = searcher.scored_boolean(should=["spark"])
+        got = _rows(
+            searcher.scored_boolean_clauses(
+                should=[base], filter=[filt]
+            )
+        )
+        base_scores = _rows(base)
+        assert set(got) == set(_rows(filt))
+        for key, s in got.items():
+            want = base_scores.get(key, 0.0)
+            assert abs(s - want) < 1e-9
+
+    def test_filter_only_matches_at_zero_score(self, searcher):
+        filt = searcher.scored_boolean(should=["window"])
+        got = _rows(searcher.scored_boolean_clauses(filter=[filt]))
+        assert set(got) == set(_rows(filt))
+        assert all(s == 0.0 for s in got.values())
+
+    def test_should_optional_when_filter_present(self, searcher):
+        # Lucene: with a FILTER clause, SHOULD clauses no longer gate
+        filt = searcher.scored_boolean(should=["window"])
+        should = searcher.scored_boolean(should=["zz_absent"])
+        got = _rows(
+            searcher.scored_boolean_clauses(
+                should=[should], filter=[filt]
+            )
+        )
+        assert set(got) == set(_rows(filt))
