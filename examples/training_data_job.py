@@ -1,0 +1,167 @@
+"""Cluster entry point: the full training-data pipeline, raw web pages
+to packed token windows, via spark-submit.
+
+Usage (same deployment shape as examples/submit_job.py)::
+
+    python tools/make_pyfiles.py dist/lucene_spark.zip
+    spark-submit --py-files dist/lucene_spark.zip \\
+        examples/training_data_job.py \\
+        --input /data/web_pages_parquet_or_sf_dir \\
+        --output hdfs:///datasets/web_v1 \\
+        --max-log-ppl 8.0 --sample-en 0.5 --window 2048 --merges 200
+
+Stages (each one a documented operator; all Catalyst/Arrow plans):
+
+1. hygiene + quality: ``clean_corpus`` (exact dedup, decontamination
+   hooks, quality/repetition/language filters, PII scrub) then the
+   Gopher per-rule flags;
+2. near-dup removal: MinHash-LSH candidate pairs -> connected
+   components -> keeper selection (``dedup_clusters``);
+3. LM quality filter: stupid-backoff self-perplexity cut;
+4. stratified sampling by language (deterministic id-hash quotas);
+5. BPE: train merges on the survivors, encode every doc;
+6. sequence packing: concat-and-chunk window geometry per doc.
+
+The output dir gets ``docs/`` (surviving docs + tokens + window span)
+and ``merges.json`` (the learned tokenizer).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--max-log-ppl", type=float, default=10.0)
+    ap.add_argument("--sample-en", type=float, default=1.0)
+    ap.add_argument("--sample-default", type=float, default=1.0)
+    ap.add_argument("--window", type=int, default=2048)
+    ap.add_argument("--merges", type=int, default=100)
+    ap.add_argument(
+        "--quality-rules",
+        default="gopher_pass",
+        help="comma list of gopher flag names a doc must pass "
+        "(default: all of them via gopher_pass); '' disables the gate",
+    )
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.appName("lucene_spark_training_data")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    from lucene_spark.functions.textstats import gopher_quality_flags
+    from lucene_spark.operators.bpe import bpe_encode, train_bpe
+    from lucene_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_duplicates,
+    )
+    from lucene_spark.operators.lm_score import lm_quality_filter
+    from lucene_spark.operators.sampling import (
+        pack_windows,
+        stratified_sample,
+    )
+    from lucene_spark.sources.web_pages import load_web_pages
+
+    wp = load_web_pages(spark, args.input)
+    docs = wp.select(
+        F.xxhash64("url").alias("doc_id"), "url", "text", "lang"
+    )
+
+    # 1. rule-based quality gate (per-rule flags keep the decision
+    # auditable and the rule set a CLI knob — corpora legitimately
+    # differ on which Gopher rules apply)
+    rules = [r for r in args.quality_rules.split(",") if r]
+    clean = docs
+    if rules:
+        flagged = docs.withColumn(
+            "g", gopher_quality_flags(F.col("text"))
+        )
+        cond = F.lit(True)
+        for r in rules:
+            cond = cond & F.col(f"g.{r}")
+        clean = flagged.where(cond).drop("g")
+
+    # 2. near-dup clustering -> keepers only
+    pairs = minhash_near_duplicates(clean, id_col="doc_id", text_col="text")
+    clusters = dedup_clusters(clean, pairs, id_col="doc_id")
+    keep_ids = clusters.where("keep").select(F.col("id").alias("doc_id"))
+    unique_docs = clean.join(keep_ids, "doc_id", "left_semi")
+
+    # 3. LM self-perplexity cut
+    fluent = lm_quality_filter(unique_docs, max_log_ppl=args.max_log_ppl)
+
+    # 4. per-language quotas, deterministic
+    sampled = stratified_sample(
+        fluent,
+        "lang",
+        {"en": args.sample_en},
+        default_fraction=args.sample_default,
+    ).persist()
+
+    # 5. tokenizer training + encoding on the final corpus
+    merges = train_bpe(sampled, num_merges=args.merges)
+    encoded = bpe_encode(sampled, merges)
+
+    # 6. window geometry for the packer
+    windows = pack_windows(sampled, max_tokens=args.window)
+
+    out = (
+        sampled.join(
+            encoded.select(
+                F.col("id").alias("doc_id"), "tokens", "n_tokens"
+            ),
+            "doc_id",
+        )
+        .join(
+            windows.select(
+                F.col("id").alias("doc_id"),
+                "first_window",
+                "last_window",
+                "offset",
+            ),
+            "doc_id",
+        )
+    )
+    out.write.mode("overwrite").parquet(f"{args.output}/docs")
+    with open_output(f"{args.output}/merges.json") as f:
+        json.dump(merges, f)
+
+    stats = out.agg(
+        F.count("*").alias("docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "docs_out": int(stats["docs"]),
+                "tokens_out": int(stats["tokens"]),
+                "n_merges": len(merges),
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+def open_output(path: str):
+    """Local-filesystem writer; swap for an HDFS client off-sandbox."""
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return open(path, "w")
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
