@@ -12,18 +12,20 @@ Usage (same deployment shape as examples/submit_job.py)::
 
 Stages (each one a documented operator; all Catalyst/Arrow plans):
 
-1. hygiene + quality: ``clean_corpus`` (exact dedup, decontamination
-   hooks, quality/repetition/language filters, PII scrub) then the
-   Gopher per-rule flags;
-2. near-dup removal: MinHash-LSH candidate pairs -> connected
+1. hygiene: ``clean_corpus`` (exact dedup by content + PII scrub; pass
+   an eval-suite table off-sandbox for 13-gram decontamination);
+2. quality gate: the Gopher per-rule flags (rule set is a CLI knob);
+3. near-dup removal: MinHash-LSH candidate pairs -> connected
    components -> keeper selection (``dedup_clusters``);
-3. LM quality filter: stupid-backoff self-perplexity cut;
-4. stratified sampling by language (deterministic id-hash quotas);
-5. BPE: train merges on the survivors, encode every doc;
-6. sequence packing: concat-and-chunk window geometry per doc.
+4. LM quality filter: stupid-backoff self-perplexity cut;
+5. stratified sampling by language (deterministic id-hash quotas);
+6. BPE: train merges on the survivors, encode every doc;
+7. sequence packing: concat-and-chunk geometry in BPE-TOKEN units
+   (the same units as the emitted token stream).
 
 The output dir gets ``docs/`` (surviving docs + tokens + window span)
-and ``merges.json`` (the learned tokenizer).
+and ``merges/`` (the learned tokenizer, written through Spark so it
+lands on the SAME filesystem as the data — hdfs:// paths included).
 """
 
 from __future__ import annotations
@@ -67,6 +69,7 @@ def main(argv: list[str]) -> int:
         minhash_near_duplicates,
     )
     from lucene_spark.operators.lm_score import lm_quality_filter
+    from lucene_spark.operators.pipeline import clean_corpus
     from lucene_spark.operators.sampling import (
         pack_windows,
         stratified_sample,
@@ -78,13 +81,20 @@ def main(argv: list[str]) -> int:
         F.xxhash64("url").alias("doc_id"), "url", "text", "lang"
     )
 
-    # 1. rule-based quality gate (per-rule flags keep the decision
+    # 1. hygiene: exact content dedup + PII scrub (plug an eval-suite
+    # frame into benchmark= for decontamination)
+    lang_keep = docs.select("doc_id", "url", "lang")
+    hygienic = clean_corpus(docs.select("doc_id", "text")).join(
+        lang_keep, "doc_id"
+    )
+
+    # 2. rule-based quality gate (per-rule flags keep the decision
     # auditable and the rule set a CLI knob — corpora legitimately
     # differ on which Gopher rules apply)
     rules = [r for r in args.quality_rules.split(",") if r]
-    clean = docs
+    clean = hygienic
     if rules:
-        flagged = docs.withColumn(
+        flagged = hygienic.withColumn(
             "g", gopher_quality_flags(F.col("text"))
         )
         cond = F.lit(True)
@@ -111,10 +121,14 @@ def main(argv: list[str]) -> int:
 
     # 5. tokenizer training + encoding on the final corpus
     merges = train_bpe(sampled, num_merges=args.merges)
-    encoded = bpe_encode(sampled, merges)
+    encoded = bpe_encode(sampled, merges).persist()
 
-    # 6. window geometry for the packer
-    windows = pack_windows(sampled, max_tokens=args.window)
+    # 6. window geometry in BPE-token units — the stream being packed
+    # is the encoder's, so its counts drive the cuts
+    windows = pack_windows(
+        encoded, max_tokens=args.window, id_col="id",
+        n_tokens_col="n_tokens",
+    )
 
     out = (
         sampled.join(
@@ -134,13 +148,21 @@ def main(argv: list[str]) -> int:
         )
     )
     out.write.mode("overwrite").parquet(f"{args.output}/docs")
-    with open_output(f"{args.output}/merges.json") as f:
-        json.dump(merges, f)
+    # the tokenizer rides the same filesystem as the data (hdfs://
+    # included) by going through Spark, not a driver-local open()
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).coalesce(1).write.mode("overwrite").json(f"{args.output}/merges")
 
-    stats = out.agg(
+    # stats from the WRITTEN files: re-aggregating `out` would run the
+    # encode kernel + packing prefix-sum a second time
+    written = spark.read.parquet(f"{args.output}/docs")
+    stats = written.agg(
         F.count("*").alias("docs"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
     ).collect()[0]
+    encoded.unpersist()
     print(
         json.dumps(
             {
@@ -153,14 +175,6 @@ def main(argv: list[str]) -> int:
     )
     spark.stop()
     return 0
-
-
-def open_output(path: str):
-    """Local-filesystem writer; swap for an HDFS client off-sandbox."""
-    import os
-
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    return open(path, "w")
 
 
 if __name__ == "__main__":

@@ -27,10 +27,10 @@ truncate lineage or the plan nests one round deeper per merge).
 
 Encoding uses the learned merge list as a broadcast dict inside one
 Arrow-batched kernel (classic per-word BPE with a rank table — the
-per-word loop is bounded by word length, and words dedupe through an
-LRU cache per batch), because k chained Catalyst folds per document
-would re-scan the corpus k times: training iterates over the small
-table, encoding streams the big one ONCE.
+per-word loop is bounded by word length, and words dedupe through a
+size-capped per-task cache), because k chained Catalyst folds per
+document would re-scan the corpus k times: training iterates over the
+small table, encoding streams the big one ONCE.
 """
 
 from __future__ import annotations
@@ -162,8 +162,10 @@ def bpe_encode(
 ) -> DataFrame:
     """(id, tokens array<string>, n_tokens) per document under the
     learned merges: one Arrow-batched pass over the corpus with the
-    rank dict in the kernel closure; per-batch word cache collapses
-    Zipf-repeated words to one encode each."""
+    rank dict in the kernel closure; a size-capped word cache collapses
+    Zipf-repeated words to one encode each (cleared at 1M entries so a
+    long-tail vocabulary cannot grow a task's Python worker without
+    bound)."""
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     def encode_word(word: str, cache: dict) -> list[str]:
@@ -188,6 +190,8 @@ def bpe_encode(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict = {}
         for pdf in batches:
+            if len(cache) > 1_000_000:
+                cache.clear()
             toks_col = []
             for text in pdf["__text"]:
                 toks: list[str] = []

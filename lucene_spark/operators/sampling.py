@@ -115,6 +115,7 @@ def pack_windows(
     max_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, n_tokens, first_window, last_window, offset) per document
     under concat-and-chunk packing: documents concatenate in ``id``
@@ -122,19 +123,30 @@ def pack_windows(
     spans ``first_window..last_window`` and starts ``offset`` tokens
     into its first window. ``sum(n_tokens)`` / windows is the packing
     efficiency (always 100% for chunked training, the point of the
-    scheme)."""
+    scheme).
+
+    ``n_tokens_col`` names a precomputed per-doc token count (e.g. the
+    BPE encoder's ``n_tokens``) — the geometry must be computed in the
+    SAME units as the token stream being packed; the default
+    whitespace split only describes whitespace-tokenized streams."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
-    # NULL text coalesces to '' (1 empty token, the split() convention
-    # both engines share) — size(split(NULL)) would be -1 under
-    # spark.sql.legacy.sizeOfNull and silently shift every later doc's
-    # window geometry
-    toks = docs.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.size(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-        ).cast("long").alias("n_tokens"),
-    )
+    if n_tokens_col is not None:
+        toks = docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        )
+    else:
+        # NULL text coalesces to '' (1 empty token, the split()
+        # convention both engines share) — size(split(NULL)) would be
+        # -1 under spark.sql.legacy.sizeOfNull and silently shift
+        # every later doc's window geometry
+        toks = docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.size(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            ).cast("long").alias("n_tokens"),
+        )
     with_start = global_prefix_sum(toks, "id", "n_tokens", out_col="start")
     start = F.col("start")
     m = F.lit(int(max_tokens))
