@@ -659,6 +659,8 @@ _DEL_IDS = [3, 7]
 _SOFT_DEL_IDS = [4, 9]
 _UPD_IDS = [1, 2]
 _UPD_TEXT = "updated spark window pipeline"
+_DVU_IDS = [2, 5, 8]  # docs whose "rank" doc-value is updated in-place
+_DVU_RANK = 3.0
 
 
 def _url_of(doc_id: int) -> str:
@@ -700,7 +702,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
                 spark, wp, idx, num_segments=n_seg,
                 index_sort="doclen_desc",
             )
-        elif kind in ("del", "softdel", "upd"):
+        elif kind in ("del", "softdel", "upd", "dvu"):
             build_index(spark, wp, idx, num_segments=n_seg)
         elif kind == "feat":
             build_index(spark, wp, idx, num_segments=n_seg)
@@ -721,6 +723,18 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             )
         else:  # pragma: no cover
             raise ValueError(kind)
+    if kind == "dvu":
+        # same self-healing rule as del/softdel/upd: the mutation runs
+        # OUTSIDE the build guard, keyed on the manifest
+        man = IndexCatalog(idx).read_manifest()
+        if not man.get("dv_updates"):
+            from lucene_spark.operators.docvalues import (
+                update_numeric_docvalue_by_urls,
+            )
+
+            update_numeric_docvalue_by_urls(
+                spark, idx, [_url_of(i) for i in _DVU_IDS], "rank", _DVU_RANK
+            )
     if kind in ("del", "softdel", "upd"):
         # the mutation is applied OUTSIDE the build guard and keyed on
         # the manifest, so a cached index from an interrupted earlier
@@ -927,6 +941,32 @@ def _excluded_bm25_sql(term: str, exclude_ids: list[int], k: int = 10) -> str:
       SELECT doc_id, round(w - w/(1 + tf*inv), 6) AS score
       FROM sc WHERE doc_id NOT IN ({ids})
       ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
+def _dv_boosted_bm25_sql(
+    term: str, boost_ids: list[int], rank: float, k: int = 10
+) -> str:
+    """BM25 times an in-place doc-values boost: the dv update changes
+    NOTHING about the index (stats, norms, postings all whole-corpus);
+    only the per-doc multiplier differs — exactly Lucene's contract for
+    updateNumericDocValue + a DoubleValuesSource boost."""
+    norm = _norm_len_sql("dl.dl")
+    ids = ", ".join(str(i) for i in boost_ids)
+    return f"""WITH {_TOK}, {_DL}, {_ST},
+      tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+             WHERE term = '{term}' GROUP BY doc_id),
+      df AS (SELECT count(*)::BIGINT AS df FROM tf),
+      sc AS (SELECT tf.doc_id,
+                    ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+                    tf.tf AS tf
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN st CROSS JOIN df)
+      SELECT doc_id,
+             round((w - w/(1 + tf*inv)) *
+                   (CASE WHEN doc_id IN ({ids}) THEN {rank} ELSE 1.0 END),
+                   6) AS score
+      FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
 def _updated_bm25_sql(term: str, k: int = 10) -> str:
@@ -3386,6 +3426,36 @@ def _q_post_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_docvalue_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place numeric doc-values update + FunctionScoreQuery boost
+    (IndexWriter.updateNumericDocValue,
+    ``core/index/IndexWriter.java:1940-1969``, read back through
+    ``DoubleValuesSource.fromLongField`` like FeatureField static-rank
+    boosting): docs 2/5/8 had their "rank" dv set to 3.0 WITHOUT
+    reindexing; score = BM25("window") * rank (default 1.0). Postings,
+    norms, and corpus stats are untouched by the update — only the
+    multiplier moves, so the oracle is plain BM25 times a CASE."""
+    from lucene_spark.operators.docvalues import read_numeric_docvalues
+
+    s = _variant_searcher(spark, sf_dir, "dvu")
+    sc = s.scored_boolean(should=["window"])
+    dv = read_numeric_docvalues(spark, s.catalog, "rank")
+    boosted = (
+        sc.join(
+            dv.withColumnRenamed("local_docid", "docid").withColumnRenamed(
+                "value", "rank"
+            ),
+            ["segment_id", "docid"],
+            "left",
+        )
+        .withColumn(
+            "score", F.col("score") * F.coalesce("rank", F.lit(1.0))
+        )
+        .drop("rank")
+    )
+    return _topk_by_doc_id(s, boosted)
+
+
 def _q_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query over a LogMergePolicy-merged index — results must be
     byte-identical to the flat build (docID merge invariance)."""
@@ -4097,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_delete_top10": _q_post_delete,
         "soft_delete_top10": _q_soft_delete,
         "post_update_top10": _q_post_update,
+        "docvalue_boost_top10": _q_docvalue_boost,
         "merged_index_top10": _q_merged,
         "nrt_appended_top10": _q_nrt,
         "time_travel_top10": _q_time_travel,
@@ -4512,6 +4583,9 @@ def oracle_sql() -> dict[str, str]:
         "post_delete_top10": _excluded_bm25_sql("window", _DEL_IDS),
         "soft_delete_top10": _excluded_bm25_sql("window", _SOFT_DEL_IDS),
         "post_update_top10": _updated_bm25_sql("window"),
+        "docvalue_boost_top10": _dv_boosted_bm25_sql(
+            "window", _DVU_IDS, _DVU_RANK
+        ),
         "merged_index_top10": _bm25_sql(["window"]),
         "nrt_appended_top10": _bm25_sql(["window"]),
         "english_analyzer_top10": _english_bm25_sql("scan"),

@@ -1,0 +1,260 @@
+"""In-place numeric doc-values updates (no reindex).
+
+Lucene updates a numeric doc-value for every document matching a term
+WITHOUT touching postings or norms (``IndexWriter.updateNumericDocValue``,
+``core/index/IndexWriter.java:1940-1969``): the update is buffered,
+resolved against the docs that match *at update time*, and written as a
+new doc-values generation next to the immutable segment
+(``core/index/ReadersAndUpdates.java:338-420`` writes the ``.dvd/.dvm``
+update generation; ``FieldInfos`` bumps ``dvGen``). Readers resolve the
+LATEST generation per document; merges bake the resolved values into the
+merged segment.
+
+The Spark re-expression mirrors the tombstone machinery
+(``operators/deletes.py``):
+
+- an update op resolves its victims to (segment_id, local_docid) pairs
+  NOW — so a document later replaced via ``update_documents`` (new
+  segment, new docid) does NOT inherit the old value, exactly like
+  Lucene where the reindexed doc starts from its indexed doc-values;
+- the pairs + value land as a parquet generation under
+  ``dv_updates/c{N}`` and a manifest record (atomic swap, time-travel
+  comes free: a point-in-time reader sees only the ops recorded at its
+  pinned generation);
+- readers resolve latest-wins per (segment_id, local_docid, field) by
+  manifest list position — one ``max_by`` aggregation, no driver data;
+- postings, norms, docFreq, avgdl are intentionally untouched: a
+  doc-values update changes scoring INPUTS read from the field, never
+  the inverted index (Lucene semantics);
+- updates to tombstoned docs are written but invisible (the doc is
+  hidden by liveDocs); a soft-deleted doc that is later undeleted
+  resurfaces WITH its updated value — same as Lucene, where soft
+  deletes are live docs in the segment and dv updates apply to them.
+
+Merge interplay (``operators/merge.py``): concat merges carry dv rows
+forward remapped by the per-segment docid offsets (same rule as hard
+tombstones); reclaiming merges drop rows for reclaimed docs and remap
+survivors by the survivor-density formula — the merged segment then
+serves the same resolved values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import IndexCatalog
+
+DV_SCHEMA = "segment_id long, local_docid long, field string, value double"
+
+
+def _commit_dv(
+    catalog: IndexCatalog, df: DataFrame, field: str, op: dict
+) -> int:
+    d = catalog.new_commit_dir("dv_updates")
+    df.select("segment_id", "local_docid", "field", "value").distinct(
+    ).write.mode("overwrite").parquet(d)
+    n = df.sparkSession.read.parquet(d).count()
+    man = catalog.read_manifest()
+    man.setdefault("dv_updates", []).append(
+        {
+            "dir": d[len(catalog.index_dir) + 1 :],
+            "field": field,
+            "count": int(n),
+            "op": op,
+        }
+    )
+    catalog.commit_manifest(man)
+    return n
+
+
+def _victims(df: DataFrame, field: str, value: float) -> DataFrame:
+    return df.select(
+        "segment_id",
+        "local_docid",
+        F.lit(field).alias("field"),
+        F.lit(float(value)).cast("double").alias("value"),
+    )
+
+
+def update_numeric_docvalue_by_urls(
+    spark: SparkSession,
+    index_dir: str,
+    urls: list[str],
+    field: str,
+    value: float,
+) -> int:
+    """Set ``field`` = ``value`` for the docs currently keyed by these
+    urls (IndexWriter.updateNumericDocValue with the id term). Returns
+    the number of dv rows written."""
+    from .build import read_docs
+
+    catalog = IndexCatalog(index_dir)
+    docs = read_docs(spark, catalog)
+    v = docs.where(F.col("url").isin(list(urls)))
+    return _commit_dv(
+        catalog,
+        _victims(v, field, value),
+        field,
+        {"kind": "by_urls", "n_keys": len(urls), "value": float(value)},
+    )
+
+
+def update_numeric_docvalue_by_term(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    field: str,
+    value: float,
+) -> int:
+    """Lucene's exact signature: every doc whose body contains ``term``
+    (resolved through the inverted index, not a scan) gets the value.
+    The postings themselves are never modified."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .build import read_postings
+    from .codec import with_codecs
+
+    catalog = IndexCatalog(index_dir)
+    posts = (
+        read_postings(spark, catalog)
+        .where(F.col("term") == term)
+        .select("segment_id", "first_docid", "num_docs", "doc_block")
+    )
+
+    def kernel(batches):
+        from .codec import unpack_doc_block
+
+        for batch in batches:
+            segs = batch.column("segment_id").to_numpy(zero_copy_only=False)
+            first = batch.column("first_docid").to_numpy(zero_copy_only=False)
+            nums = batch.column("num_docs").to_numpy(zero_copy_only=False)
+            bufs = batch.column("doc_block").to_pylist()
+            seg_out, doc_out = [], []
+            for j in range(len(segs)):
+                d = unpack_doc_block(bufs[j], int(first[j]), int(nums[j]))
+                seg_out.append(np.full(len(d), segs[j], dtype=np.int64))
+                doc_out.append(d)
+            if seg_out:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "segment_id": np.concatenate(seg_out),
+                        "local_docid": np.concatenate(doc_out),
+                    }
+                )
+
+    hits = posts.mapInArrow(
+        with_codecs(kernel), schema="segment_id long, local_docid long"
+    ).distinct()
+    return _commit_dv(
+        catalog,
+        _victims(hits, field, value),
+        field,
+        {"kind": "by_term", "term": term, "value": float(value)},
+    )
+
+
+def update_numeric_docvalue_by_keys(
+    spark: SparkSession,
+    index_dir: str,
+    keys: DataFrame,
+    field: str,
+    key_col: str = "url",
+    value_col: str = "value",
+) -> int:
+    """Distributed bulk form: per-key values via a shuffle join of the
+    docs table against a (key, value) DataFrame — no key reaches the
+    driver (same scale contract as ``delete_by_keys``). Rows with the
+    same key keep one arbitrary value (feed distinct keys)."""
+    from .build import read_docs
+
+    catalog = IndexCatalog(index_dir)
+    docs = read_docs(spark, catalog)
+    v = docs.join(
+        keys.select(
+            F.col(key_col).alias("url"),
+            F.col(value_col).cast("double").alias("value"),
+        ),
+        "url",
+    ).select(
+        "segment_id",
+        "local_docid",
+        F.lit(field).alias("field"),
+        "value",
+    )
+    return _commit_dv(
+        catalog, v, field, {"kind": "by_keys", "value_col": value_col}
+    )
+
+
+def read_numeric_docvalues(
+    spark: SparkSession, catalog: IndexCatalog, field: str
+) -> DataFrame | None:
+    """CURRENT (segment_id, local_docid, value) overlay for ``field``:
+    latest op wins per doc (manifest list position = generation order,
+    mirroring Lucene's dvGen comparison). None when no update for this
+    field exists. Works against a point-in-time catalog too — the
+    pinned manifest simply lists fewer ops."""
+    man = catalog.read_manifest()
+    gens = [
+        (seq, g)
+        for seq, g in enumerate(man.get("dv_updates", []))
+        # "*" = a merge-consolidated generation carrying every field
+        # (operators/merge.py); the parquet-level field filter below
+        # narrows it
+        if g["field"] in (field, "*")
+    ]
+    if not gens:
+        return None
+    parts = []
+    for seq, g in gens:
+        parts.append(
+            spark.read.parquet(f"{catalog.index_dir}/{g['dir']}")
+            .where(F.col("field") == field)
+            .select("segment_id", "local_docid", "value")
+            .withColumn("seq", F.lit(int(seq)))
+        )
+    allops = parts[0]
+    for p in parts[1:]:
+        allops = allops.unionByName(p)
+    live = [int(s) for s in sorted(catalog.committed_segment_ids())]
+    return (
+        allops.where(F.col("segment_id").isin(live))
+        .groupBy("segment_id", "local_docid")
+        .agg(F.max_by("value", "seq").alias("value"))
+    )
+
+
+def with_numeric_docvalue(
+    spark: SparkSession,
+    catalog: IndexCatalog,
+    df: DataFrame,
+    field: str,
+    base=None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Resolve ``field`` for every row of ``df`` (which must carry
+    segment_id + local_docid, e.g. the docs table): updated docs read
+    the latest overlay value, everything else falls back to ``base``
+    (a Column, a column name, or a literal default). This is the
+    NumericDocValues.longValue() read path: one left join against the
+    resolved overlay — broadcast when small, plain shuffle otherwise
+    (Catalyst/AQE decides)."""
+    out = out_col or field
+    if base is None:
+        base = F.lit(None).cast("double")
+    elif isinstance(base, str):
+        base = F.col(base).cast("double")
+    dv = read_numeric_docvalues(spark, catalog, field)
+    if dv is None:
+        return df.withColumn(out, base)
+    return (
+        df.join(
+            dv.withColumnRenamed("value", "__dv_value"),
+            ["segment_id", "local_docid"],
+            "left",
+        )
+        .withColumn(out, F.coalesce(F.col("__dv_value"), base))
+        .drop("__dv_value")
+    )

@@ -671,6 +671,112 @@ def merge_segments(
             },
         }
 
+    # numeric doc-values overlays (operators/docvalues.py): resolve the
+    # group's ops latest-wins per (field, doc) NOW, then remap — concat
+    # merges by the constant per-segment offsets (like hard tombstones),
+    # reclaiming merges by the survivor-density formula with reclaimed
+    # docs' rows dropped (Lucene bakes dv updates into the merged
+    # segment: ReadersAndUpdates.java:338-420 / SegmentMerger). The
+    # consolidated generation is appended at the END of the manifest
+    # list, so later updates still win by list position.
+    dv_rel = None
+    if man_now.get("dv_updates"):
+        dvdirs = [
+            (seq, f"{catalog.index_dir}/{g['dir']}")
+            for seq, g in enumerate(man_now["dv_updates"])
+        ]
+        dvparts = []
+        for seq, d in dvdirs:
+            dvparts.append(
+                spark.read.parquet(d).withColumn("seq", F.lit(int(seq)))
+            )
+        dvall = dvparts[0]
+        for p in dvparts[1:]:
+            dvall = dvall.unionByName(p)
+        dvall = dvall.where(
+            F.col("segment_id").isin([int(g) for g in group])
+        )
+        resolved = dvall.groupBy("segment_id", "local_docid", "field").agg(
+            F.max_by("value", "seq").alias("value")
+        )
+        if deleted:
+            del_bc = {int(k): v for k, v in deleted.items()}
+            off_bc = {int(k): int(v) for k, v in offsets.items()}
+
+            def _dv_remap_kernel(batches):
+                for batch in batches:
+                    segs = batch.column("segment_id").to_numpy(
+                        zero_copy_only=False
+                    )
+                    locs = batch.column("local_docid").to_numpy(
+                        zero_copy_only=False
+                    )
+                    flds = batch.column("field").to_pylist()
+                    vals = batch.column("value").to_numpy(
+                        zero_copy_only=False
+                    )
+                    new_loc = np.empty(len(segs), dtype=np.int64)
+                    keep = np.ones(len(segs), dtype=bool)
+                    for j in range(len(segs)):
+                        sid = int(segs[j])
+                        x = int(locs[j])
+                        drop = del_bc.get(
+                            sid, np.empty(0, dtype=np.int64)
+                        )
+                        k = int(np.searchsorted(drop, x))
+                        if k < len(drop) and drop[k] == x:
+                            keep[j] = False  # reclaimed: value dies too
+                            new_loc[j] = -1
+                        else:
+                            new_loc[j] = off_bc[sid] + x - k
+                    import pyarrow as _pa
+
+                    yield _pa.RecordBatch.from_pydict(
+                        {
+                            "local_docid": new_loc[keep],
+                            "field": [
+                                f for f, m in zip(flds, keep) if m
+                            ],
+                            "value": vals[keep],
+                        }
+                    )
+
+            remapped_dv = resolved.mapInArrow(
+                _dv_remap_kernel,
+                schema="local_docid long, field string, value double",
+            ).select(
+                F.lit(int(new_id)).cast("long").alias("segment_id"),
+                "local_docid",
+                "field",
+                "value",
+            )
+        else:
+            dvoff_df = F.broadcast(
+                spark.createDataFrame(
+                    [(int(k), int(v)) for k, v in offsets.items()],
+                    "segment_id long, off long",
+                )
+            )
+            remapped_dv = resolved.join(dvoff_df, "segment_id").select(
+                F.lit(int(new_id)).cast("long").alias("segment_id"),
+                (F.col("local_docid") + F.col("off")).alias("local_docid"),
+                "field",
+                "value",
+            )
+        n_dv = remapped_dv.count()
+        if n_dv:
+            dvdir = catalog.new_commit_dir("dv_updates")
+            remapped_dv.write.mode("overwrite").parquet(dvdir)
+            dv_rel = {
+                "dir": dvdir[len(catalog.index_dir) + 1 :],
+                "field": "*",
+                "count": int(n_dv),
+                "op": {
+                    "kind": "merge_remap",
+                    "merged_from": list(map(int, group)),
+                },
+            }
+
     # streaming exactly-once: a merged segment must keep claiming its
     # sources' micro-batch ids, or a replay after a crash between the
     # merge and Spark's checkpoint commit would re-index the batch
@@ -688,6 +794,8 @@ def merge_segments(
         manifest.setdefault("deletes", []).append(del_rel)
     if soft_rel:
         manifest.setdefault("soft_deletes", []).append(soft_rel)
+    if dv_rel:
+        manifest.setdefault("dv_updates", []).append(dv_rel)
     keep = [s for s in manifest["segments"] if s["segment_id"] not in set(group)]
     lineage = {
         "merged_from": [int(g) for g in group],

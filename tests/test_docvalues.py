@@ -1,0 +1,167 @@
+"""In-place numeric doc-values updates (IndexWriter.updateNumericDocValue
+analog): latest-generation-wins resolution, term-resolved victims,
+update-time binding (a replaced doc does not inherit), time travel, and
+merge interplay (concat carry-forward + reclaim drop/remap)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lucene_spark.operators.build import build_index, read_docs
+from lucene_spark.operators.deletes import delete_by_urls, update_documents
+from lucene_spark.operators.docvalues import (
+    read_numeric_docvalues,
+    update_numeric_docvalue_by_keys,
+    update_numeric_docvalue_by_term,
+    update_numeric_docvalue_by_urls,
+    with_numeric_docvalue,
+)
+from lucene_spark.operators.merge import maybe_merge
+from lucene_spark.operators.search import Searcher
+from lucene_spark.sources.catalog import IndexCatalog, PointInTimeCatalog
+
+from .conftest import NUM_SEGMENTS
+
+
+def _resolved(spark, d, field="rank", base="doclen"):
+    cat = IndexCatalog(d)
+    out = with_numeric_docvalue(
+        spark, cat, read_docs(spark, cat), field, base=base
+    )
+    return {r["url"]: r[field] for r in out.select("url", field).collect()}
+
+
+@pytest.fixture()
+def dv_index(spark, web_pages, tmp_path):
+    d = str(tmp_path / "dv_idx")
+    build_index(spark, web_pages, d, num_segments=NUM_SEGMENTS)
+    return d
+
+
+class TestDocValuesUpdates:
+    def test_update_resolve_and_latest_wins(self, spark, web_pages, dv_index):
+        urls = [r["url"] for r in web_pages.select("url").limit(3).collect()]
+        base = {
+            r["url"]: float(r["doclen"])
+            for r in read_docs(spark, IndexCatalog(dv_index)).collect()
+        }
+
+        n = update_numeric_docvalue_by_urls(
+            spark, dv_index, urls, "rank", 7.0
+        )
+        assert n == 3
+        got = _resolved(spark, dv_index)
+        for u, v in got.items():
+            assert v == (7.0 if u in urls else base[u])
+
+        # a later generation overrides only its own victims
+        update_numeric_docvalue_by_urls(
+            spark, dv_index, urls[:1], "rank", 9.0
+        )
+        got2 = _resolved(spark, dv_index)
+        assert got2[urls[0]] == 9.0
+        assert got2[urls[1]] == 7.0 and got2[urls[2]] == 7.0
+
+        # an unrelated field resolves independently (and to base when
+        # never updated)
+        got_other = _resolved(spark, dv_index, field="boost", base="doclen")
+        assert got_other == base
+
+    def test_by_term_matches_doc_freq(self, spark, dv_index):
+        s = Searcher(spark, dv_index)
+        df_expected = s.term_stats(["window"])["window"][0]
+        n = update_numeric_docvalue_by_term(
+            spark, dv_index, "window", "rank", 1.0
+        )
+        assert n == df_expected
+        got = _resolved(spark, dv_index, base=None)
+        assert sum(1 for v in got.values() if v == 1.0) == df_expected
+
+    def test_by_keys_distributed_values(self, spark, web_pages, dv_index):
+        keys = web_pages.select("url").limit(5).withColumn(
+            "value", F.length("url").cast("double")
+        )
+        n = update_numeric_docvalue_by_keys(spark, dv_index, keys, "rank")
+        assert n == 5
+        expect = {r["url"]: float(r["value"]) for r in keys.collect()}
+        got = _resolved(spark, dv_index, base=None)
+        for u, v in expect.items():
+            assert got[u] == v
+
+    def test_time_travel_sees_pre_update_state(self, spark, dv_index):
+        cat = IndexCatalog(dv_index)
+        gen_before = cat.read_manifest()["generation"]
+        urls_all = [r["url"] for r in read_docs(spark, cat).limit(2).collect()]
+        update_numeric_docvalue_by_urls(spark, dv_index, urls_all, "rank", 5.0)
+
+        pinned = PointInTimeCatalog(dv_index, gen_before)
+        assert read_numeric_docvalues(spark, pinned, "rank") is None
+        assert read_numeric_docvalues(spark, cat, "rank") is not None
+
+    def test_replaced_doc_does_not_inherit(self, spark, web_pages, dv_index):
+        victim = web_pages.select("url").limit(1).collect()[0]["url"]
+        update_numeric_docvalue_by_urls(spark, dv_index, [victim], "rank", 7.0)
+        assert _resolved(spark, dv_index, base=None)[victim] == 7.0
+
+        # updateDocument = delete + re-add: the new doc's (segment_id,
+        # local_docid) differs, so the old dv row no longer binds —
+        # exactly Lucene, where the reindexed doc starts fresh
+        update_documents(
+            spark,
+            dv_index,
+            spark.createDataFrame(
+                [(victim, "replacement text body")], "url string, text string"
+            ),
+            num_segments=1,
+        )
+        assert _resolved(spark, dv_index, base=None)[victim] is None
+
+    def test_concat_merge_carries_values(self, spark, web_pages, dv_index):
+        urls = [r["url"] for r in web_pages.select("url").limit(4).collect()]
+        update_numeric_docvalue_by_urls(spark, dv_index, urls, "rank", 3.5)
+        before = _resolved(spark, dv_index)
+
+        created = maybe_merge(
+            spark, dv_index, merge_factor=2, min_merge_docs=1
+        )
+        assert created  # something actually merged
+        after = _resolved(spark, dv_index)
+        assert after == before  # (url -> value) invariant under merge
+
+    def test_reclaim_merge_drops_reclaimed_and_remaps_survivors(
+        self, spark, web_pages, dv_index
+    ):
+        rows = [r["url"] for r in web_pages.select("url").limit(6).collect()]
+        updated, deleted_too = rows[:4], rows[3:5]  # rows[3] = both
+        update_numeric_docvalue_by_urls(
+            spark, dv_index, updated, "rank", 2.25
+        )
+        delete_by_urls(spark, dv_index, deleted_too)
+        before = _resolved(spark, dv_index)
+        # the docs table still physically carries tombstoned docs
+        # (visibility is a query-time liveDocs anti-join) until a
+        # reclaiming merge drops them
+        for u in deleted_too:
+            assert u in before
+
+        created = maybe_merge(
+            spark,
+            dv_index,
+            policy="tiered",
+            min_merge_docs=1,
+            segs_per_tier=2,
+            max_merge_at_once=4,
+        )
+        assert created
+        after = _resolved(spark, dv_index)
+        # reclaimed docs are physically gone; survivors keep their
+        # values under the docid remap
+        assert after == {
+            u: v for u, v in before.items() if u not in deleted_too
+        }
+
+        # the reclaimed docs' dv rows died with them: only the live
+        # updated urls still resolve to 2.25
+        live_updated = [u for u in updated if u not in deleted_too]
+        assert sorted(u for u, v in after.items() if v == 2.25) == sorted(
+            live_updated
+        )
