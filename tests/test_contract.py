@@ -81,15 +81,13 @@ def test_query_matches_oracle(spark, entrymod, duck, name):
 
 
 def test_every_query_has_entry_or_reason(entrymod):
-    """Queries without an oracle must be the documented approximate ones."""
+    """Every query has an oracle — the allowlist is EMPTY (the last
+    holdout, sloppy_repeat_top10, got a recursive-CTE simulation of the
+    repeats matcher)."""
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o <= q
-    assert q - o == {
-        # not SQL-expressible (the repeats matcher's advanceRpts
-        # collision resolution) — python-mirror parity in tests/:
-        "sloppy_repeat_top10",
-    }
+    assert q - o == set()
 
 
 def test_entry_smoke(spark, entrymod):

@@ -1,0 +1,128 @@
+"""YUV4MPEG2 container: round-trip through our own writer, exact frame
+boundaries, truncation tolerance, and the real video path through
+sample_frames / video_metadata."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.y4m import (
+    Y4MError,
+    encode_y4m,
+    iter_y4m_frames,
+    iter_y4m_offsets,
+    parse_y4m_header,
+    y4m_luma,
+)
+
+
+def _gradients(n, h=16, w=20):
+    return [
+        ((np.arange(h * w, dtype=np.int64).reshape(h, w) + 7 * i) % 256).astype(
+            np.uint8
+        )
+        for i in range(n)
+    ]
+
+
+class TestY4MCodec:
+    def test_roundtrip_mono(self):
+        frames = _gradients(5)
+        data = encode_y4m(frames, fps=(30, 1))
+        head = parse_y4m_header(data)
+        assert (head["width"], head["height"]) == (20, 16)
+        assert (head["fps_num"], head["fps_den"]) == (30, 1)
+        assert head["frame_size"] == 20 * 16
+        got = list(iter_y4m_frames(data))
+        assert [f[0] for f in got] == [0, 1, 2, 3, 4]
+        for (fno, _, payload), orig in zip(got, frames):
+            assert np.array_equal(y4m_luma(payload, 20, 16), orig)
+
+    def test_roundtrip_420(self):
+        frames = _gradients(3)
+        data = encode_y4m(frames, chroma="420jpeg")
+        head = parse_y4m_header(data)
+        assert head["frame_size"] == 20 * 16 + 2 * (10 * 8)
+        got = list(iter_y4m_frames(data))
+        assert len(got) == 3
+        assert np.array_equal(y4m_luma(got[2][2], 20, 16), frames[2])
+
+    def test_exact_offsets(self):
+        data = encode_y4m(_gradients(4))
+        head = parse_y4m_header(data)
+        fs = head["frame_size"]
+        expect = [
+            (i, head["header_len"] + i * (6 + fs) + 6) for i in range(4)
+        ]
+        assert list(iter_y4m_offsets(data)) == expect
+
+    def test_truncated_trailing_frame_dropped(self):
+        data = encode_y4m(_gradients(3))
+        assert len(list(iter_y4m_frames(data[:-10]))) == 2
+
+    def test_corrupt_marker_raises(self):
+        data = bytearray(encode_y4m(_gradients(2)))
+        head = parse_y4m_header(bytes(data))
+        data[head["header_len"]] = ord("X")
+        with pytest.raises(Y4MError, match="FRAME marker"):
+            list(iter_y4m_frames(bytes(data)))
+
+    def test_not_y4m_raises(self):
+        with pytest.raises(Y4MError, match="not a YUV4MPEG2"):
+            parse_y4m_header(b"\x89PNG....")
+
+
+class TestY4MSpark:
+    def test_sample_frames_real_path_and_fallback(self, spark):
+        from lucene_spark.operators.multimodal import sample_frames
+
+        vid = encode_y4m(_gradients(12))  # 12 frames, max_frames=4
+        head = parse_y4m_header(vid)
+        fs = head["frame_size"]
+        df = spark.createDataFrame(
+            [("vid://a", vid), ("blob://b", b"\x00" * 300)],
+            "url string, html binary",
+        )
+        rows = sample_frames(df, max_frames=4).collect()
+        by_url = {}
+        for r in rows:
+            by_url.setdefault(r["url"], []).append(r)
+
+        # real path: every 3rd frame (ceil(12/4)), true stream indexes,
+        # container-derived offsets, full picture payloads
+        vids = sorted(by_url["vid://a"], key=lambda r: r["frame_no"])
+        assert [r["frame_no"] for r in vids] == [0, 3, 6, 9]
+        for r in vids:
+            assert r["offset"] == head["header_len"] + r["frame_no"] * (
+                6 + fs
+            ) + 6
+            assert len(r["frame"]) == fs
+            assert np.array_equal(
+                y4m_luma(bytes(r["frame"]), 20, 16),
+                _gradients(12)[r["frame_no"]],
+            )
+        # non-video blob keeps the byte-grid contract
+        assert [r["frame_no"] for r in by_url["blob://b"]] == [0]
+
+    def test_corrupt_y4m_falls_back_to_grid(self, spark):
+        from lucene_spark.operators.multimodal import sample_frames
+
+        bad = b"YUV4MPEG2 W20 H16 F25:1\nJUNK" + b"\x00" * 100
+        df = spark.createDataFrame([("v://bad", bad)], "url string, html binary")
+        rows = sample_frames(df, every_n_bytes=64, max_frames=4).collect()
+        assert [r["offset"] for r in rows] == [0, 64]  # grid, not FRAME
+
+    def test_video_metadata(self, spark):
+        from lucene_spark.operators.multimodal import video_metadata
+
+        vid = encode_y4m(_gradients(7), fps=(24, 1))
+        df = spark.createDataFrame(
+            [("vid://a", vid), ("blob://b", b"nope")],
+            "url string, html binary",
+        )
+        rows = {r["url"]: r for r in video_metadata(df).collect()}
+        a = rows["vid://a"]
+        assert (a["width"], a["height"], a["fps_num"], a["n_frames"]) == (
+            20, 16, 24, 7,
+        )
+        b = rows["blob://b"]
+        assert b["width"] is None and b["n_frames"] == 0
