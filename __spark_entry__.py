@@ -843,6 +843,19 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
 
             build_index(spark, wp, idx, num_segments=8)
             maybe_merge(spark, idx, merge_factor=2, min_merge_docs=1)
+        elif kind == "grafted":
+            # even half built natively; odd half grafted wholesale
+            # via addIndexes — results must equal one flat build
+            num = F.substring("url", -8, 8).cast("long")
+            build_index(
+                spark, wp.where(num % 2 == 0), idx, num_segments=2
+            )
+            build_index(
+                spark, wp.where(num % 2 == 1), idx + "_src",
+                num_segments=2,
+            )
+        elif kind == "rollback":
+            build_index(spark, wp, idx, num_segments=n_seg)
         elif kind == "nrt":
             from lucene_spark.streaming.nrt import append_batch
 
@@ -855,6 +868,31 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             )
         else:  # pragma: no cover
             raise ValueError(kind)
+    if kind == "grafted":
+        # self-healing like the other mutations: graft runs OUTSIDE the
+        # build guard, keyed on the manifest
+        man = IndexCatalog(idx).read_manifest()
+        if not any(
+            s.get("lineage", {}).get("op") == "add_indexes"
+            for s in man["segments"]
+        ):
+            from lucene_spark.operators.addindexes import add_indexes
+
+            add_indexes(spark, idx, [idx + "_src"])
+    if kind == "rollback":
+        # delete then roll back to the pre-delete commit: the head must
+        # serve the full corpus again (IndexWriter-on-older-IndexCommit)
+        cat = IndexCatalog(idx)
+        man = cat.read_manifest()
+        if "rollback_of" not in man:
+            from lucene_spark.operators.deletes import delete_by_urls
+            from lucene_spark.sources.catalog import rollback_to_generation
+
+            if not man.get("deletes"):
+                delete_by_urls(
+                    spark, idx, [_url_of(i) for i in _DEL_IDS]
+                )
+            rollback_to_generation(cat, 1)
     if kind == "dvu":
         # same self-healing rule as del/softdel/upd: the mutation runs
         # OUTSIDE the build guard, keyed on the manifest
@@ -3588,6 +3626,28 @@ def _q_docvalue_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, boosted)
 
 
+def _q_add_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexWriter.addIndexes(Directory...) analog
+    (``core/index/IndexWriter.java:3181-3282``): the odd-doc shard was
+    built as a separate index and grafted wholesale (segments copied,
+    renumbered, no re-analysis) into the even-doc index. Whole-corpus
+    stats are re-summed at graft time, so BM25 over the grafted index
+    must equal one flat build of the full corpus — the oracle is the
+    plain full-corpus BM25."""
+    s = _variant_searcher(spark, sf_dir, "grafted")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
+def _q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback-to-commit (IndexWriterConfig.setIndexCommit,
+    ``core/index/IndexWriter.java:1230-1268``): docs were deleted, then
+    the pre-delete commit was re-published as the new head — the full
+    corpus must be visible again, so the oracle is plain BM25 with NO
+    exclusions (contrast post_delete_top10)."""
+    s = _variant_searcher(spark, sf_dir, "rollback")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_y4m_frame_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame extraction over YUV4MPEG2 containers
     (``functions/y4m.py``; mjpegtools y4m format). Blobs are
@@ -4364,6 +4424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_update_top10": _q_post_update,
         "docvalue_boost_top10": _q_docvalue_boost,
         "y4m_frame_grid": _q_y4m_frame_grid,
+        "add_indexes_top10": _q_add_indexes,
+        "rollback_top10": _q_rollback,
         "merged_index_top10": _q_merged,
         "nrt_appended_top10": _q_nrt,
         "time_travel_top10": _q_time_travel,
@@ -4783,6 +4845,8 @@ def oracle_sql() -> dict[str, str]:
             "window", _DVU_IDS, _DVU_RANK
         ),
         "y4m_frame_grid": _Y4M_GRID_SQL,
+        "add_indexes_top10": _bm25_sql(["window"]),
+        "rollback_top10": _bm25_sql(["window"]),
         "merged_index_top10": _bm25_sql(["window"]),
         "nrt_appended_top10": _bm25_sql(["window"]),
         "english_analyzer_top10": _english_bm25_sql("scan"),

@@ -1,0 +1,248 @@
+"""IndexWriter.addIndexes(Directory...) analog: graft whole indexes.
+
+Lucene's ``addIndexes(Directory... dirs)``
+(``core/index/IndexWriter.java:3181-3282``) copies the source indexes'
+segments into the destination wholesale — no re-analysis, no merge —
+renumbering segments (and therefore global docIDs) while preserving
+every posting byte and the sources' liveDocs. It is THE primitive for
+hierarchical distributed index builds: shards are built independently
+(possibly on different clusters), then grafted into one searchable
+index.
+
+The Spark re-expression:
+
+- every live source segment's stage/terms rows are rewritten with a
+  fresh destination ``segment_id`` (one shuffle-free column swap per
+  source index; packed posting/doc/pos blocks are carried VERBATIM —
+  their bytes encode docids relative to the segment, which does not
+  change);
+- new segments are appended AFTER the destination's existing
+  ``sort_key`` order, so existing global docids are untouched and the
+  grafted docs renumber exactly like Lucene's appended SegmentInfos;
+- the sources' CURRENT hard tombstones, soft-delete sets, and numeric
+  doc-values overlays come along, re-tagged to the new segment ids
+  (liveDocs travel with the segment in Lucene, dv generations are
+  resolved latest-wins like a merge would);
+- corpus field stats (doc_count, sum_total_term_freq) are re-summed
+  over all committed segments, so BM25 over the grafted index equals
+  BM25 over one flat build of the union corpus — asserted by the
+  ``add_indexes_top10`` driver oracle;
+- one atomic manifest swap publishes everything (a reader sees the old
+  or the new index, never a partial graft).
+
+Source indexes must share the destination's analyzer chain and
+stopword set (the postings are analyzer-specific bytes; Lucene leaves
+this to the caller, we check because the manifest records it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import IndexCatalog
+
+
+def _remap_df(df: DataFrame, mapping: dict[int, int]) -> DataFrame:
+    m = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(a), int(b)) for a, b in mapping.items()],
+            "segment_id long, new_id long",
+        )
+    )
+    return (
+        df.join(m, "segment_id")
+        .drop("segment_id")
+        .withColumnRenamed("new_id", "segment_id")
+    )
+
+
+def add_indexes(
+    spark: SparkSession, dest_dir: str, src_dirs: list[str]
+) -> list[int]:
+    """Graft every live segment of ``src_dirs`` into ``dest_dir``.
+    Returns the new destination segment ids in graft order."""
+    from .build import read_docs  # noqa: F401 (keeps import surface hot)
+    from .deletes import read_soft_tombstones, read_tombstones
+    from .docvalues import read_numeric_docvalues  # noqa: F401
+
+    dest = IndexCatalog(dest_dir)
+    man = dest.read_manifest()
+    analyzer = man.get("analyzer", "standard")
+    stopwords = man.get("stopwords", [])
+    field = next(iter(man["field_stats"])) if man.get("field_stats") else "text"
+
+    next_id = max((s["segment_id"] for s in man["segments"]), default=-1) + 1
+    next_sort = max((s["sort_key"] for s in man["segments"]), default=-1) + 1
+
+    new_ids: list[int] = []
+    new_entries: list[dict] = []
+    carried_deletes: list[DataFrame] = []
+    carried_soft: list[DataFrame] = []
+    carried_dv: list[DataFrame] = []
+
+    for src_dir in src_dirs:
+        src = IndexCatalog(src_dir)
+        sman = src.read_manifest()
+        if sman.get("analyzer", "standard") != analyzer or sorted(
+            sman.get("stopwords", [])
+        ) != sorted(stopwords):
+            raise ValueError(
+                f"analyzer mismatch: dest {analyzer!r} vs "
+                f"{src_dir} {sman.get('analyzer', 'standard')!r} — "
+                "postings are analyzer-specific"
+            )
+        live = sorted(
+            (s for s in sman["segments"] if s.get("status") == "COMMITTED"),
+            key=lambda s: s["sort_key"],
+        )
+        if not live:
+            continue
+        mapping = {}
+        for s in live:
+            mapping[int(s["segment_id"])] = next_id
+            new_ids.append(next_id)
+            next_id += 1
+
+        # stage + terms rows: segment_id swap only, blocks verbatim
+        stage_dirs = src.live_data_dirs("stage")
+        stage = _remap_df(
+            spark.read.parquet(*stage_dirs).where(
+                F.col("segment_id").isin(list(mapping))
+            ),
+            mapping,
+        )
+        commit_id = dest.new_commit_dir("stage")
+        stage.write.mode("overwrite").partitionBy("kind").parquet(commit_id)
+        rel_commit = commit_id[len(dest.index_dir) + 1 :]
+
+        terms_dirs = src.live_data_dirs("terms")
+        rel_terms = None
+        if terms_dirs and all("terms" in s.get("data", {}) for s in live):
+            terms = _remap_df(
+                spark.read.parquet(*terms_dirs).where(
+                    F.col("segment_id").isin(list(mapping))
+                ),
+                mapping,
+            )
+            tdir = dest.new_commit_dir("terms")
+            terms.write.mode("overwrite").parquet(tdir)
+            rel_terms = tdir[len(dest.index_dir) + 1 :]
+
+        for s in live:
+            data = {"stage": rel_commit}
+            if rel_terms:
+                data["terms"] = rel_terms
+            new_entries.append(
+                {
+                    "segment_id": mapping[int(s["segment_id"])],
+                    "sort_key": next_sort,
+                    "status": "COMMITTED",
+                    "num_docs": int(s["num_docs"]),
+                    "sum_doclen": int(s.get("sum_doclen", 0)),
+                    "num_blocks": int(s.get("num_blocks", 0)),
+                    "lineage": {
+                        "op": "add_indexes",
+                        "source_index": src_dir,
+                        "source_segment": int(s["segment_id"]),
+                    },
+                    "metrics": {},
+                    "data": data,
+                }
+            )
+            next_sort += 1
+
+        # liveDocs travel with the segment: current hard + soft sets,
+        # re-tagged; numeric dv overlays resolved latest-wins
+        hard = read_tombstones(spark, src, include_soft=False)
+        if hard is not None:
+            carried_deletes.append(
+                _remap_df(
+                    hard.where(F.col("segment_id").isin(list(mapping))),
+                    mapping,
+                )
+            )
+        soft = read_soft_tombstones(spark, src)
+        if soft is not None:
+            carried_soft.append(
+                _remap_df(
+                    soft.where(F.col("segment_id").isin(list(mapping))),
+                    mapping,
+                )
+            )
+        if sman.get("dv_updates"):
+            parts = []
+            for seq, g in enumerate(sman["dv_updates"]):
+                parts.append(
+                    spark.read.parquet(f"{src.index_dir}/{g['dir']}")
+                    .withColumn("seq", F.lit(int(seq)))
+                )
+            dvall = parts[0]
+            for p in parts[1:]:
+                dvall = dvall.unionByName(p)
+            resolved = (
+                dvall.where(F.col("segment_id").isin(list(mapping)))
+                .groupBy("segment_id", "local_docid", "field")
+                .agg(F.max_by("value", "seq").alias("value"))
+            )
+            carried_dv.append(_remap_df(resolved, mapping))
+
+    if not new_entries:
+        return []
+
+    man = dest.read_manifest()
+    man["segments"].extend(new_entries)
+
+    def _union(dfs: list[DataFrame]) -> DataFrame:
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    if carried_deletes:
+        d = dest.new_commit_dir("deletes")
+        _union(carried_deletes).select(
+            "segment_id", "local_docid"
+        ).write.mode("overwrite").parquet(d)
+        man.setdefault("deletes", []).append(
+            {
+                "dir": d[len(dest.index_dir) + 1 :],
+                "count": int(spark.read.parquet(d).count()),
+                "op": {"kind": "add_indexes"},
+            }
+        )
+    if carried_soft:
+        d = dest.new_commit_dir("soft_deletes")
+        _union(carried_soft).select(
+            "segment_id", "local_docid"
+        ).write.mode("overwrite").parquet(d)
+        man.setdefault("soft_deletes", []).append(
+            {
+                "dir": d[len(dest.index_dir) + 1 :],
+                "count": int(spark.read.parquet(d).count()),
+                "op": {"kind": "soft_delete", "via": "add_indexes"},
+            }
+        )
+    if carried_dv:
+        d = dest.new_commit_dir("dv_updates")
+        _union(carried_dv).select(
+            "segment_id", "local_docid", "field", "value"
+        ).write.mode("overwrite").parquet(d)
+        man.setdefault("dv_updates", []).append(
+            {
+                "dir": d[len(dest.index_dir) + 1 :],
+                "field": "*",
+                "count": int(spark.read.parquet(d).count()),
+                "op": {"kind": "add_indexes"},
+            }
+        )
+
+    committed = [s for s in man["segments"] if s["status"] == "COMMITTED"]
+    man["field_stats"] = {
+        field: {
+            "doc_count": sum(s["num_docs"] for s in committed),
+            "sum_total_term_freq": sum(s["sum_doclen"] for s in committed),
+        }
+    }
+    dest.commit_manifest(man)
+    return new_ids

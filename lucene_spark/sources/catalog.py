@@ -153,6 +153,9 @@ def expunge_generations(
     keep = set(gens[-keep_last:]) if keep_last > 0 else set()
     current = catalog.read_manifest().get("generation", 0)
     keep.add(current)
+    # SnapshotDeletionPolicy semantics: pinned generations survive the
+    # deletion policy until released, whatever keep_last says
+    keep.update(snapshots(catalog))
 
     removed_gens = []
     for g in gens:
@@ -197,6 +200,80 @@ def expunge_generations(
         "generations_removed": removed_gens,
         "dirs_removed": removed_dirs,
     }
+
+
+def _snapshots_path(catalog: IndexCatalog) -> str:
+    return os.path.join(catalog.index_dir, "snapshots.json")
+
+
+def snapshots(catalog: IndexCatalog) -> list[int]:
+    """Currently pinned generations, ascending."""
+    try:
+        with open(_snapshots_path(catalog)) as f:
+            return sorted(int(g) for g in json.load(f))
+    except FileNotFoundError:
+        return []
+
+
+def snapshot(catalog: IndexCatalog) -> int:
+    """SnapshotDeletionPolicy.snapshot()
+    (``core/index/SnapshotDeletionPolicy.java:60-88``): pin the CURRENT
+    commit generation so the deletion policy (:func:`expunge_generations`)
+    cannot reap it or the data dirs it references — the hook backup /
+    replication tooling needs a stable commit to copy from. Returns the
+    pinned generation; release with :func:`release_snapshot`."""
+    gen = int(catalog.read_manifest().get("generation", 0))
+    pinned = set(snapshots(catalog))
+    pinned.add(gen)
+    tmp = _snapshots_path(catalog) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(pinned), f)
+    os.replace(tmp, _snapshots_path(catalog))
+    return gen
+
+
+def release_snapshot(catalog: IndexCatalog, generation: int) -> None:
+    """SnapshotDeletionPolicy.release(): unpin; the generation becomes
+    reclaimable by the next :func:`expunge_generations` run."""
+    pinned = set(snapshots(catalog))
+    pinned.discard(int(generation))
+    tmp = _snapshots_path(catalog) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(pinned), f)
+    os.replace(tmp, _snapshots_path(catalog))
+
+
+def rollback_to_generation(catalog: IndexCatalog, generation: int) -> int:
+    """Re-publish a retained historical commit as the NEW head — the
+    IndexWriter-opened-on-an-older-IndexCommit pattern
+    (``IndexWriterConfig.setIndexCommit``, ``IndexWriter.java:1230-1268``:
+    "a rollback to that commit" on the next successful commit). Nothing
+    is deleted: the rolled-back-over generations stay retained (and
+    time-travelable) until the deletion policy reaps them, exactly like
+    Lucene keeps the superseded commits until the policy runs.
+
+    Fails if the target generation is not retained or any data dir it
+    references has been GC'd. Returns the new head generation."""
+    man = catalog.read_manifest(generation)  # raises when not retained
+    missing = []
+    for s in man.get("segments", []):
+        for rel in s.get("data", {}).values():
+            if not os.path.isdir(os.path.join(catalog.index_dir, rel)):
+                missing.append(rel)
+    for key in ("deletes", "soft_deletes", "dv_updates"):
+        for d in man.get(key, []):
+            if not os.path.isdir(os.path.join(catalog.index_dir, d["dir"])):
+                missing.append(d["dir"])
+    if missing:
+        raise FileNotFoundError(
+            f"generation {generation} references GC'd data dirs: "
+            f"{missing[:5]}"
+        )
+    head = int(catalog.read_manifest().get("generation", 0))
+    man["generation"] = head  # commit_manifest publishes head + 1
+    man["rollback_of"] = int(generation)
+    catalog.commit_manifest(man)
+    return head + 1
 
 
 class PointInTimeCatalog(IndexCatalog):

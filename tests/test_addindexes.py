@@ -1,0 +1,104 @@
+"""IndexWriter.addIndexes analog: grafted shards equal one flat build
+(whole-corpus stats, (url, score) identity), liveDocs/dv overlays travel
+with their segments, analyzer mismatch refuses."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lucene_spark.operators.addindexes import add_indexes
+from lucene_spark.operators.build import build_index, read_docs
+from lucene_spark.operators.deletes import delete_by_urls
+from lucene_spark.operators.docvalues import (
+    update_numeric_docvalue_by_urls,
+    with_numeric_docvalue,
+)
+from lucene_spark.operators.search import Searcher
+from lucene_spark.sources.catalog import IndexCatalog
+
+
+def _results(spark, d, k=10):
+    top = Searcher(spark, d).boolean_query(should=["window"], k=k)
+    return sorted(
+        (r["url"], round(float(r["score"]), 6)) for r in top.collect()
+    )
+
+
+def _halves(web_pages):
+    num = F.substring("url", -8, 8).cast("long")
+    return web_pages.where(num % 2 == 0), web_pages.where(num % 2 == 1)
+
+
+class TestAddIndexes:
+    def test_graft_equals_flat_build(self, spark, web_pages, tmp_path):
+        flat = str(tmp_path / "flat")
+        build_index(spark, web_pages, flat, num_segments=4)
+
+        even_df, odd_df = _halves(web_pages)
+        dest = str(tmp_path / "dest")
+        other = str(tmp_path / "other")
+        build_index(spark, even_df, dest, num_segments=2)
+        build_index(spark, odd_df, other, num_segments=2)
+
+        new_ids = add_indexes(spark, dest, [other])
+        assert len(new_ids) == 2
+
+        # whole-corpus stats equal the flat build's
+        sf, sd = Searcher(spark, flat), Searcher(spark, dest)
+        assert sf.field_stats == sd.field_stats
+        assert sf.term_stats(["window"]) == sd.term_stats(["window"])
+        # (url, score) identity — docids renumber, results must not
+        assert _results(spark, flat, k=20) == _results(spark, dest, k=20)
+
+        # existing dest docids untouched: grafted segments sort AFTER
+        cat = IndexCatalog(dest)
+        man = cat.read_manifest()
+        grafted = [
+            s for s in man["segments"]
+            if s["lineage"].get("op") == "add_indexes"
+        ]
+        native = [
+            s for s in man["segments"]
+            if s["lineage"].get("op") != "add_indexes"
+        ]
+        assert min(s["sort_key"] for s in grafted) > max(
+            s["sort_key"] for s in native
+        )
+
+    def test_tombstones_and_dv_travel(self, spark, web_pages, tmp_path):
+        even_df, odd_df = _halves(web_pages)
+        dest = str(tmp_path / "dest2")
+        other = str(tmp_path / "other2")
+        build_index(spark, even_df, dest, num_segments=2)
+        build_index(spark, odd_df, other, num_segments=2)
+
+        odd_urls = [r["url"] for r in odd_df.select("url").limit(3).collect()]
+        delete_by_urls(spark, other, odd_urls[:1])
+        update_numeric_docvalue_by_urls(
+            spark, other, odd_urls[1:], "rank", 4.5
+        )
+
+        add_indexes(spark, dest, [other])
+
+        # the source's deleted doc stays hidden in the grafted index
+        urls = {u for u, _ in _results(spark, dest, k=10_000)}
+        assert odd_urls[0] not in urls
+
+        cat = IndexCatalog(dest)
+        resolved = with_numeric_docvalue(
+            spark, cat, read_docs(spark, cat), "rank"
+        )
+        got = {
+            r["url"]: r["rank"]
+            for r in resolved.where(F.col("url").isin(odd_urls)).collect()
+        }
+        assert got[odd_urls[1]] == 4.5 and got[odd_urls[2]] == 4.5
+
+    def test_analyzer_mismatch_refused(self, spark, web_pages, tmp_path):
+        dest = str(tmp_path / "dest3")
+        other = str(tmp_path / "other3")
+        build_index(spark, web_pages, dest, num_segments=1)
+        build_index(
+            spark, web_pages, other, num_segments=1, analyzer="english"
+        )
+        with pytest.raises(ValueError, match="analyzer mismatch"):
+            add_indexes(spark, dest, [other])

@@ -1,0 +1,81 @@
+"""SnapshotDeletionPolicy + rollback-to-commit: pinned generations
+survive the deletion policy, rollback re-publishes an old commit as the
+new head without deleting anything."""
+
+import pytest
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.deletes import delete_by_urls
+from lucene_spark.operators.merge import maybe_merge
+from lucene_spark.operators.search import Searcher
+from lucene_spark.sources.catalog import (
+    IndexCatalog,
+    PointInTimeCatalog,
+    expunge_generations,
+    release_snapshot,
+    rollback_to_generation,
+    snapshot,
+    snapshots,
+)
+
+
+def _urls(spark, d, k=10_000):
+    top = Searcher(spark, d).boolean_query(should=["window"], k=k)
+    return {r["url"] for r in top.collect()}
+
+
+class TestRollback:
+    def test_rollback_undoes_deletes(self, spark, web_pages, tmp_path):
+        d = str(tmp_path / "rb")
+        build_index(spark, web_pages, d, num_segments=2)
+        cat = IndexCatalog(d)
+        gen_clean = cat.read_manifest()["generation"]
+        before = _urls(spark, d)
+
+        victims = sorted(before)[:2]
+        delete_by_urls(spark, d, victims)
+        assert _urls(spark, d) == before - set(victims)
+
+        new_head = rollback_to_generation(cat, gen_clean)
+        assert cat.read_manifest()["generation"] == new_head
+        assert cat.read_manifest()["rollback_of"] == gen_clean
+        # the deletes are gone from the head...
+        assert _urls(spark, d) == before
+        # ...but the superseded commit is still time-travelable
+        assert PointInTimeCatalog(d, new_head - 1).read_manifest()[
+            "deletes"
+        ]
+
+    def test_rollback_to_unretained_generation_raises(
+        self, spark, web_pages, tmp_path
+    ):
+        d = str(tmp_path / "rb2")
+        build_index(spark, web_pages, d, num_segments=1)
+        cat = IndexCatalog(d)
+        with pytest.raises(FileNotFoundError, match="not retained"):
+            rollback_to_generation(cat, 999)
+
+
+class TestSnapshotPolicy:
+    def test_snapshot_survives_expunge_until_released(
+        self, spark, web_pages, tmp_path
+    ):
+        d = str(tmp_path / "snap")
+        build_index(spark, web_pages, d, num_segments=4)
+        cat = IndexCatalog(d)
+        pinned = snapshot(cat)  # pin the pre-merge commit
+        assert snapshots(cat) == [pinned]
+
+        maybe_merge(spark, d, merge_factor=2, min_merge_docs=1)
+        report = expunge_generations(cat, keep_last=1, grace_seconds=0)
+        # the pinned generation survived the keep_last=1 policy
+        assert pinned not in report["generations_removed"]
+        assert pinned in cat.generations()
+        # and its data is still fully readable (point-in-time search)
+        s = Searcher(spark, d, generation=pinned)
+        assert s.boolean_query(should=["window"], k=5).count() == 5
+
+        release_snapshot(cat, pinned)
+        assert snapshots(cat) == []
+        report2 = expunge_generations(cat, keep_last=1, grace_seconds=0)
+        assert pinned in report2["generations_removed"]
