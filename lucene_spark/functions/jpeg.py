@@ -7,17 +7,23 @@ ITU-T Recommendation T.81 (1992), sections F.2 (baseline decoding),
 F.1 (encoding), A.3.3 (zig-zag), A.3.6 (IDCT) — not from any existing
 library.
 
-Supported: baseline sequential DCT (SOF0), 8-bit samples, 1- or
-3-component scans, 4:4:4 / 4:2:2 / 4:2:0 chroma sampling, restart
-intervals (DRI/RSTn), multi-table DQT/DHT segments. Progressive
-(SOF2), arithmetic coding, and 12-bit precision raise ``ValueError``
-(the multimodal operator surfaces that as a NULL decode, never a
-crash).
+Supported: baseline sequential DCT (SOF0/1), PROGRESSIVE DCT (SOF2:
+spectral selection, successive approximation for DC and AC, EOB runs,
+interleaved DC scans + non-interleaved AC scans, restart intervals per
+scan — T.81 section G), 8-bit samples, 1- or 3-component scans,
+4:4:4 / 4:2:2 / 4:2:0 chroma sampling, restart intervals (DRI/RSTn),
+multi-table DQT/DHT segments. Arithmetic coding, hierarchical (SOF5+),
+and 12-bit precision raise ``ValueError`` (the multimodal operator
+surfaces that as a NULL decode, never a crash).
 
-The encoder exists so tests can round-trip without fixtures: it writes
-4:4:4 (or grayscale) baseline JPEG with uniform quantization and
-simple fixed-length canonical Huffman tables (every table is declared
-in DHT, so ANY valid table round-trips; optimality is irrelevant).
+The encoders exist so tests can round-trip without fixtures: baseline
+4:4:4/grayscale with uniform quantization and fixed-length canonical
+Huffman tables, and a progressive encoder emitting the full scan
+repertoire (DC first at Al=1 + DC refine, per-component AC first /
+AC refine with accumulated EOBn runs) whose decoded output must be
+bit-identical to decoding the baseline encoding of the same image —
+the coefficient store a progressive decode assembles across scans is
+exactly the baseline scan's.
 
 Everything after entropy decoding is vectorized: coefficients for all
 blocks of a component dequantize, de-zig-zag, and IDCT in one einsum.
@@ -146,8 +152,26 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _frame_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_store(frame):
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """bytes -> (H, W, 3) RGB uint8, or (H, W) for grayscale."""
+    """bytes -> (H, W, 3) RGB uint8, or (H, W) for grayscale.
+    Baseline (SOF0/1) and progressive (SOF2) DCT."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -155,7 +179,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _Huff] = {}
     frame = None
     restart = 0
-    while pos + 4 <= len(data):
+    store = None
+    pred = None
+    saw_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         m = data[pos + 1]
@@ -190,7 +217,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     counts, seg[i + 17 : i + 17 + nv]
                 )
                 i += 17 + nv
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise ValueError("only 8-bit precision")
@@ -203,26 +230,212 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq_}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps, "prog": m == 0xC2}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG")
+            raise ValueError("only baseline/progressive DCT JPEG")
         elif m == 0xDD:  # DRI
             restart = int.from_bytes(seg[0:2], "big")
         elif m == 0xDA:  # SOS -> entropy-coded data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan[cs] = (tt >> 4, tt & 15)
+                scan_comps.append((cs, tt >> 4, tt & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
             pos += ln
-            return _decode_scan(
-                data, pos, frame, scan, qt, huff, restart
+            saw_scan = True
+            if not frame["prog"]:
+                scan = {cs: (td, ta) for cs, td, ta in scan_comps}
+                return _decode_scan(
+                    data, pos, frame, scan, qt, huff, restart
+                )
+            if store is None:
+                store = _alloc_store(frame)
+                pred = [0] * len(frame["comps"])
+            pos = _decode_prog_scan(
+                data, pos, frame, scan_comps, ss, se, ah, al,
+                huff, restart, store,
             )
+            continue
         pos += ln
+    if frame is not None and frame.get("prog") and saw_scan:
+        return _reconstruct(frame, store, qt)
     raise ValueError("no scan found")
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skips
+    entropy bytes, stuffed 0xFF00, and 0xFF fill bytes)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_prog_scan(
+    data, pos, frame, scan_comps, ss, se, ah, al, huff, restart, store
+):
+    """One progressive scan (T.81 section G.2): mutates ``store``,
+    returns the byte position of the next marker.
+
+    Four scan kinds: DC first (Ss=0, Ah=0 — interleaved like
+    baseline, values point-transformed by Al), DC refine (Ah>0 — one
+    raw bit per block), AC first (Ss>0, Ah=0 — single component,
+    band [Ss..Se], EOBn run symbols), AC refine (Ah>0 — the G.7.2.3
+    correction algorithm: newly-significant coefficients arrive as
+    ±1<<Al, already-nonzero coefficients consume one correction bit
+    each whenever the scan passes over them)."""
+    comps = frame["comps"]
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    br = _BitReader(data, pos)
+    idx_of = {c["id"]: i for i, c in enumerate(comps)}
+
+    if ss == 0:  # DC scan (interleaved over the scan's components)
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        members = [idx_of[cs] for cs, _, _ in scan_comps]
+        tables = {idx_of[cs]: td for cs, td, _ in scan_comps}
+        interleaved = len(members) > 1
+        pred = [0] * len(comps)
+        if interleaved:
+            n_units = mcus_x * mcus_y
+        else:
+            ci = members[0]
+            c = comps[ci]
+            bx_used = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+            by_used = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+            n_units = bx_used * by_used
+        for m in range(n_units):
+            if restart and m and m % restart == 0:
+                br.align_to_marker()
+                pred = [0] * len(comps)
+            if interleaved:
+                my, mx = divmod(m, mcus_x)
+                blocks = []
+                for ci in members:
+                    c = comps[ci]
+                    for v in range(c["v"]):
+                        for u in range(c["h"]):
+                            blocks.append(
+                                (ci,
+                                 store[ci][my * c["v"] + v,
+                                           mx * c["h"] + u])
+                            )
+            else:
+                by_, bx_ = divmod(m, bx_used)
+                blocks = [(members[0], store[members[0]][by_, bx_])]
+            for ci, blk in blocks:
+                if ah == 0:  # DC first: differential, point-transformed
+                    t = huff[(0, tables[ci])].decode(br)
+                    diff = _extend(br.bits(t), t)
+                    pred[ci] += diff
+                    blk[0] = pred[ci] << al
+                else:  # DC refine: one raw bit
+                    if br.bits(1):
+                        blk[0] = int(blk[0]) | (1 << al)
+        return _next_marker(data, br.pos)
+
+    # AC scan: exactly one component (B.2.3 restriction)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cs, _, ta = scan_comps[0]
+    ci = idx_of[cs]
+    c = comps[ci]
+    ha = huff[(1, ta)]
+    bx_used = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+    by_used = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+    grid = store[ci]
+    eobrun = 0
+    n_units = bx_used * by_used
+    for m in range(n_units):
+        if restart and m and m % restart == 0:
+            br.align_to_marker()
+            eobrun = 0
+        by_, bx_ = divmod(m, bx_used)
+        blk = grid[by_, bx_]
+        if ah == 0:  # AC first (G.2.2)
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = ha.decode(br)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + br.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow")
+                blk[k] = _extend(br.bits(s), s) << al
+                k += 1
+        else:  # AC refine (G.7.2.3)
+            bit = 1 << al
+            k = ss
+            if eobrun > 0:
+                eobrun -= 1
+                # EOB processing: correction bits for every nonzero
+                # coefficient in the band
+                while k <= se:
+                    if blk[k] != 0 and br.bits(1):
+                        v = int(blk[k])
+                        if not (abs(v) & bit):
+                            blk[k] = v + bit if v > 0 else v - bit
+                    k += 1
+                continue
+            while k <= se:
+                rs = ha.decode(br)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1 + br.bits(r)
+                        # rest of this block = EOB processing
+                        while k <= se:
+                            if blk[k] != 0 and br.bits(1):
+                                v = int(blk[k])
+                                if not (abs(v) & bit):
+                                    blk[k] = v + bit if v > 0 else v - bit
+                            k += 1
+                        break
+                    newval = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("AC refine size must be 1")
+                    newval = bit if br.bits(1) else -bit
+                # advance past r zero-HISTORY coefficients, applying
+                # correction bits to nonzero-history ones passed over
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.bits(1):
+                            v = int(blk[k])
+                            if not (abs(v) & bit):
+                                blk[k] = v + bit if v > 0 else v - bit
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+    return _next_marker(data, br.pos)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart):
@@ -270,7 +483,17 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
                             raise ValueError("AC index overflow")
                         blk[k] = _extend(br.bits(s), s)
                         k += 1
-    # vectorized dequant + dezigzag + IDCT per component
+    return _reconstruct(frame, store, qt)
+
+
+def _reconstruct(frame, store, qt):
+    """Accumulated coefficient stores -> pixels: vectorized dequant +
+    dezigzag + IDCT per component, chroma upsample, color convert.
+    Shared by the baseline single-scan path and the progressive
+    multi-scan assembly."""
+    comps = frame["comps"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    h, w = frame["h"], frame["w"]
     planes = []
     for ci, c in enumerate(comps):
         by, bx, _ = store[ci].shape
@@ -484,5 +707,245 @@ def encode_jpeg(
                     put_block(grids[ci][my * sv + v, mx * sh + u], ci)
     bw.flush()
     out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (tests' fixture generator for the SOF2 decoder)
+# --------------------------------------------------------------------------
+
+# AC table for progressive scans: the baseline symbols plus the EOBn
+# run symbols (r<<4)|0 for r=1..14 — 176 symbols at 8 bits (Kraft 176/256)
+_AC_SYMS_PROG = _AC_SYMS + [(r << 4) for r in range(1, 15)]
+
+
+def _pt_dc(v: int, al: int) -> int:
+    """DC point transform: arithmetic shift (T.81 G.1.2.1)."""
+    return int(v) >> al
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward zero
+    (T.81 G.1.2.2) — sign-preserving magnitude shift."""
+    v = int(v)
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quant: int = 8) -> bytes:
+    """(H, W) or (H, W, 3) uint8 -> PROGRESSIVE (SOF2) JFIF bytes,
+    4:4:4 / grayscale.
+
+    Scan script exercises the full progressive repertoire the decoder
+    must support: interleaved DC first at Al=1, DC refine to Al=0, and
+    per component AC first (bands 1-5 and 6-63 at Al=1, with EOBn runs
+    accumulated across blocks) then AC refine (same bands, Ah=1→Al=0,
+    the G.7.2.3 correction-bit algorithm with libjpeg's buffered-bit
+    emission order). Decoding this stream must be BIT-IDENTICAL to
+    decoding the baseline encoding of the same image at the same
+    ``quant`` — the multi-scan assembly converges to the same
+    coefficient store."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    qtbl = np.full((8, 8), quant, dtype=np.int32)
+    grids = []
+    for p in planes:
+        pad = np.pad(
+            p, ((0, mcus_y * 8 - h), (0, mcus_x * 8 - w)), mode="edge"
+        )
+        blocks = (
+            pad.reshape(mcus_y, 8, mcus_x, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coef = np.round(_fdct_blocks(blocks) / qtbl).astype(np.int64)
+        grids.append(coef.reshape(mcus_y, mcus_x, 64)[:, :, _ZIGZAG])
+
+    dc_counts, dc_vals, dc_codes = _fixed_table(_DC_SYMS, 4)
+    ac_counts, ac_vals, ac_codes = _fixed_table(_AC_SYMS_PROG, 8)
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(
+            bytes([0xFF, marker])
+            + (len(body) + 2).to_bytes(2, "big")
+            + body
+        )
+
+    seg(0xDB, bytes([0]) + bytes(qtbl.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [ncomp]
+    )
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    seg(0xC2, sof)  # SOF2: progressive DCT
+    seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_vals))
+    seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_vals))
+
+    def sos_header(comp_ids, tables, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid, tt in zip(comp_ids, tables):
+            body += bytes([cid, tt])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+
+    def scan_bits(emit):
+        bw = _BitWriter()
+        emit(bw)
+        bw.flush()
+        out.extend(bw.out)
+
+    n_blocks = mcus_x * mcus_y
+
+    # --- scan 1: DC first, interleaved, Al=1 ---------------------------
+    sos_header(range(1, ncomp + 1), [0x00] * ncomp, 0, 0, 0, 1)
+
+    def dc_first(bw):
+        pred = [0] * ncomp
+        for m in range(n_blocks):
+            my, mx = divmod(m, mcus_x)
+            for ci in range(ncomp):
+                pd = _pt_dc(grids[ci][my, mx, 0], 1)
+                diff = pd - pred[ci]
+                pred[ci] = pd
+                t = _category(diff)
+                code, ln = dc_codes[t]
+                bw.put(code, ln)
+                if t:
+                    bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+    scan_bits(dc_first)
+
+    # --- scan 2: DC refine, Ah=1 -> Al=0 (raw bits, no Huffman) --------
+    sos_header(range(1, ncomp + 1), [0x00] * ncomp, 0, 0, 1, 0)
+
+    def dc_refine(bw):
+        for m in range(n_blocks):
+            my, mx = divmod(m, mcus_x)
+            for ci in range(ncomp):
+                bw.put(int(grids[ci][my, mx, 0]) & 1, 1)
+
+    scan_bits(dc_refine)
+
+    # --- per-component AC scans ----------------------------------------
+    def emit_eobrun(bw, state):
+        run = state["eobrun"]
+        if run:
+            r = run.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(run - (1 << r), r)
+            state["eobrun"] = 0
+        for bit in state["bits"]:
+            bw.put(bit, 1)
+        state["bits"] = []
+
+    def ac_first(bw, ci, ss, se, al):
+        state = {"eobrun": 0, "bits": []}
+        for m in range(n_blocks):
+            my, mx = divmod(m, mcus_x)
+            zz = grids[ci][my, mx]
+            tvals = [_pt_ac(zz[k], al) for k in range(ss, se + 1)]
+            nz = [i for i, t in enumerate(tvals) if t != 0]
+            if not nz:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    emit_eobrun(bw, state)
+                continue
+            emit_eobrun(bw, state)
+            run = 0
+            for i in range(nz[-1] + 1):
+                t = tvals[i]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                s = _category(t)
+                code, ln = ac_codes[(run << 4) | s]
+                bw.put(code, ln)
+                bw.put(t if t > 0 else t + (1 << s) - 1, s)
+                run = 0
+            if nz[-1] < se - ss:  # trailing zeros: this block EOBs
+                state["eobrun"] += 1
+        emit_eobrun(bw, state)
+
+    def ac_refine(bw, ci, ss, se, al):
+        """Inverse of the decoder's G.7.2.3 walk, with libjpeg's
+        emission order: correction bits buffer until the next Huffman
+        symbol (or EOBn flush); ZRL fires as soon as the zero-history
+        run exceeds 15 while still before the last newly-significant
+        coefficient."""
+        state = {"eobrun": 0, "bits": []}
+        for m in range(n_blocks):
+            my, mx = divmod(m, mcus_x)
+            zz = grids[ci][my, mx]
+            band = list(range(ss, se + 1))
+            tvals = {k: _pt_ac(zz[k], al) for k in band}
+            newly = [k for k in band if abs(tvals[k]) == 1]
+            if not newly:
+                # pure-EOB block: correction bits for history coefs
+                # buffer until the EOBn (or next symbol) flush
+                for k in band:
+                    if abs(tvals[k]) > 1:
+                        state["bits"].append(abs(tvals[k]) & 1)
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    emit_eobrun(bw, state)
+                continue
+            emit_eobrun(bw, state)
+            last_ns = newly[-1]
+            run = 0
+            for k in band:
+                t = tvals[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= last_ns:
+                    code, ln = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                    for bit in state["bits"]:
+                        bw.put(bit, 1)
+                    state["bits"] = []
+                if abs(t) > 1:
+                    state["bits"].append(abs(t) & 1)
+                    continue
+                code, ln = ac_codes[(run << 4) | 1]
+                bw.put(code, ln)
+                bw.put(1 if t > 0 else 0, 1)
+                run = 0
+                for bit in state["bits"]:
+                    bw.put(bit, 1)
+                state["bits"] = []
+            if run > 0 or state["bits"]:
+                state["eobrun"] += 1
+        emit_eobrun(bw, state)
+
+    for ci in range(ncomp):
+        cid = ci + 1
+        for ss, se in ((1, 5), (6, 63)):
+            sos_header([cid], [0x10], ss, se, 0, 1)
+            scan_bits(lambda bw, ci=ci, ss=ss, se=se: ac_first(bw, ci, ss, se, 1))
+        for ss, se in ((1, 5), (6, 63)):
+            sos_header([cid], [0x10], ss, se, 1, 0)
+            scan_bits(lambda bw, ci=ci, ss=ss, se=se: ac_refine(bw, ci, ss, se, 0))
+
     out.extend(b"\xff\xd9")
     return bytes(out)

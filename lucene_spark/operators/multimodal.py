@@ -99,12 +99,12 @@ def decode_image(
     ``fake=True`` (default) produces deterministic content-seeded
     features so the distributed plumbing is testable without pixels;
     ``fake=False`` is the production path: PNG decodes for real
-    (``functions/png.py``, zlib + numpy) and baseline JPEG decodes for
-    real (``functions/jpeg.py``, T.81 from the spec — no codec library
-    needed); other kinds (progressive JPEG, video) come back with NULL
-    feature and width/height 0 (a bad
-    or unsupported blob is marked, not fatal — at 100 TB a raise in
-    the kernel would kill the partition for one crawl artifact).
+    (``functions/png.py``, zlib + numpy) and JPEG decodes for real —
+    baseline AND progressive (``functions/jpeg.py``, T.81 sections F
+    and G from the spec, no codec library needed); other kinds come
+    back with NULL feature and width/height 0 (a bad or unsupported
+    blob is marked, not fatal — at 100 TB a raise in the kernel would
+    kill the partition for one crawl artifact).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -84,13 +84,59 @@ class TestErrors:
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG....")
 
-    def test_progressive_rejected(self):
+    def test_hierarchical_rejected(self):
         img = _test_image(16, 16)
         data = bytearray(encode_jpeg(img))
         i = data.find(b"\xff\xc0")
-        data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-        with pytest.raises(ValueError, match="baseline"):
+        data[i + 1] = 0xC5  # flip SOF0 -> SOF5 (hierarchical)
+        with pytest.raises(ValueError, match="baseline/progressive"):
             decode_jpeg(bytes(data))
+
+
+class TestProgressive:
+    """SOF2: the multi-scan assembly must converge to the exact
+    coefficient store of the baseline scan — decoded pixels are
+    asserted BIT-IDENTICAL to decoding the baseline encoding (not
+    merely close), across DC successive approximation, banded AC
+    first scans with EOBn runs, and AC refinement (G.7.2.3)."""
+
+    def _identical(self, img, quant=8):
+        from lucene_spark.functions.jpeg import encode_jpeg_progressive
+
+        base = decode_jpeg(encode_jpeg(img, quant=quant))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quant=quant))
+        assert np.array_equal(base, prog)
+
+    def test_gray_noise(self):
+        rng = np.random.default_rng(11)
+        self._identical(rng.integers(0, 256, (37, 29), dtype=np.uint8))
+
+    def test_rgb_gradient(self):
+        self._identical(_test_image(45, 51))
+
+    def test_flat_image_long_eob_runs(self):
+        self._identical(np.full((64, 64), 128, np.uint8))
+        self._identical(np.full((40, 56, 3), 17, np.uint8))
+
+    def test_sparse_spikes_zrl_paths(self):
+        rng = np.random.default_rng(5)
+        img = np.full((48, 48), 100, np.uint8)
+        img[rng.integers(0, 48, 30), rng.integers(0, 48, 30)] = 255
+        self._identical(img)
+
+    def test_checkerboard_high_frequency(self):
+        yy, xx = np.mgrid[0:33, 0:47]
+        self._identical((((yy + xx) % 2) * 255).astype(np.uint8))
+
+    def test_quant_sweep(self):
+        img = _test_image(24, 40)
+        for quant in (4, 8, 24):
+            self._identical(img, quant=quant)
+
+    def test_tiny_partial_blocks(self):
+        rng = np.random.default_rng(13)
+        self._identical(rng.integers(0, 256, (3, 5), dtype=np.uint8))
+        self._identical(_test_image(8, 8))
 
 
 class TestMultimodalIntegration:
