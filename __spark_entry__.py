@@ -4313,6 +4313,13 @@ def _q_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("class")
 
 
+def _q_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.streaming.sessionize import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(events, gap_minutes=360)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
@@ -4459,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify_posteriors": _q_nb_posteriors,
         "knn_classify_vote": _q_knn_classify,
         "classification_metrics": _q_classification_metrics,
+        "sessionize_stats": _q_sessionize_stats,
     }
 
 
@@ -5012,4 +5020,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
+        "sessionize_stats": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts > lag(ts) OVER w + INTERVAL 360 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   COUNT(*)::BIGINT AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+            FROM sess
+            GROUP BY user_id, session_idx""",
     }

@@ -1,0 +1,202 @@
+"""Sessionization over the events table (gaps-and-islands).
+
+Part of the training-data / clickstream extension pack (SURVEY.md
+LLM-pipeline section): the reference engine has no event model, but a
+web-scale corpus pipeline needs per-user sessions (for behavioural
+quality signals, per-session sampling, and crawl-log analytics), so
+this module provides both execution shapes Spark offers:
+
+- :func:`sessionize` — the batch path, pure Catalyst window algebra
+  (``lag`` gap flag + running-sum island id + one aggregation).  One
+  shuffle on ``user_id``; everything else is whole-stage codegen.
+  At 100 TB the only hazard is per-user skew (a bot user with 10^8
+  events serializes one window partition) — callers can pre-filter
+  with :func:`user_event_caps` which finds such users with one cheap
+  aggregate and never materializes their event lists.
+- :func:`sessionize_stream` — the incremental path, Spark's custom
+  stateful operator (``applyInPandasWithState``), Lucene-NRT-style
+  "same answer, refreshed continuously".  State per user is one open
+  session (start, last-seen, count, cents); closed sessions are
+  emitted exactly once (``closed=true``) when the gap is crossed, and
+  the open session is re-emitted as an update snapshot each batch it
+  grows (classic update-mode sessionization).  The micro-batch source
+  must deliver a user's events in event-time order across batches
+  (true for a replayed log / file source; a late-data deployment
+  would put a watermark + sort-within-batch in front).
+
+Session identity: two consecutive events of one user belong to the
+same session iff ``ts <= prev_ts + gap`` (strictly-greater starts a
+new session).  Money sums use exact DECIMAL(18,2) (cents) so the
+batch, stream, and DuckDB oracle agree bit-for-bit after the final
+cast to double.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+from pyspark.sql.window import Window
+
+DEFAULT_GAP_MINUTES = 360
+
+
+def sessionize(events: DataFrame, gap_minutes: int = DEFAULT_GAP_MINUTES) -> DataFrame:
+    """Batch gaps-and-islands: one row per (user_id, session_idx).
+
+    Columns: user_id, session_idx (1-based per user, event-time
+    order), session_start, session_end, n_events, sum_value (exact
+    2-decimal sum as double), duration_us.
+    """
+    # parquet timestamps arrive as TIMESTAMP_NTZ; pin them to the
+    # session zone (UTC) so unix_micros matches DuckDB's epoch_us
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = events.select(
+        "user_id", "ts", "event_id", "value", new_sess.alias("new_sess")
+    ).withColumn("session_idx", F.sum("new_sess").over(run).cast("long"))
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
+def user_event_caps(events: DataFrame, max_events: int) -> DataFrame:
+    """Skew guard: users whose event count exceeds ``max_events``.
+
+    One map-side-combinable aggregate; at 100 TB run this first and
+    either drop or sample the offenders before the per-user window.
+    """
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") > int(max_events))
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming path
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_cents", LongType()),
+        StructField("closed", BooleanType()),
+    ]
+)
+
+# open-session state: (start_us, last_us, n_events, sum_cents)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_cents", LongType()),
+    ]
+)
+
+
+def _make_session_fn(gap_minutes: int):
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n, cents = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+            cents = 0
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = (
+                pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            ev_cents = (
+                (pdf["value"].to_numpy() * 100).round().astype("int64")
+            )
+            for t, c in zip(ts_us, ev_cents):
+                t = int(t)
+                if start_us is None:
+                    start_us, last_us, n, cents = t, t, 1, int(c)
+                elif t > last_us + gap_us:
+                    out.append((user_id, start_us, last_us, n, cents, True))
+                    start_us, last_us, n, cents = t, t, 1, int(c)
+                else:
+                    last_us = t
+                    n += 1
+                    cents += int(c)
+        if start_us is not None:
+            # update-mode snapshot of the still-open session
+            out.append((user_id, start_us, last_us, n, cents, False))
+            state.update((start_us, last_us, n, cents))
+        if not out:
+            return iter([])
+        df = pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "session_start",
+                "session_end",
+                "n_events",
+                "sum_cents",
+                "closed",
+            ],
+        )
+        df["session_start"] = pd.to_datetime(df["session_start"], unit="us")
+        df["session_end"] = pd.to_datetime(df["session_end"], unit="us")
+        return iter([df])
+
+    return fn
+
+
+def sessionize_stream(
+    events_stream: DataFrame, gap_minutes: int = DEFAULT_GAP_MINUTES
+) -> DataFrame:
+    """Stateful streaming sessionization (update-mode snapshots).
+
+    Returns a streaming DataFrame; each micro-batch emits every
+    session closed by that batch's events (``closed=true``, final)
+    plus one snapshot per still-open session touched by the batch
+    (``closed=false``, superseded by later snapshots).  The latest
+    row per (user_id, session_start) therefore equals the batch
+    :func:`sessionize` result for the same prefix of events —
+    asserted in tests/test_sessionize.py.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(gap_minutes),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

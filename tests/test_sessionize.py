@@ -1,0 +1,144 @@
+"""Sessionization: batch gaps-and-islands + stateful streaming parity.
+
+The DuckDB oracle for ``sessionize_stats`` is replayed by
+tests/test_contract.py; here we pin the gap semantics (boundary is
+inclusive: exactly-gap-apart events share a session) and prove the
+``applyInPandasWithState`` streaming path converges to the batch
+answer over 5 micro-batches.
+"""
+
+import datetime as dt
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+class TestGapSemantics:
+    def test_boundary_inclusive_and_split(self, spark):
+        from lucene_spark.streaming.sessionize import sessionize
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, t0, 1, 1.0),
+            (1, t0 + dt.timedelta(minutes=360), 1, 2.0),  # exactly gap: same
+            (2, t0 + dt.timedelta(minutes=721), 1, 4.0),  # 361 past: new
+            (3, t0, 2, 8.0),  # other user independent
+        ]
+        out = sessionize(_mk_events(spark, rows), gap_minutes=360)
+        got = {
+            (r["user_id"], r["session_idx"]): (r["n_events"], r["sum_value"])
+            for r in out.collect()
+        }
+        assert got == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (1, 8.0)}
+
+    def test_duration_and_bounds(self, spark):
+        from lucene_spark.streaming.sessionize import sessionize
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(0, t0, 1, 1.0), (1, t0 + dt.timedelta(seconds=90), 1, 1.0)]
+        r = sessionize(_mk_events(spark, rows), gap_minutes=360).collect()[0]
+        assert r["session_start"] == t0
+        assert r["session_end"] == t0 + dt.timedelta(seconds=90)
+        assert r["duration_us"] == 90 * 1_000_000
+
+    def test_skew_guard(self, spark):
+        from lucene_spark.streaming.sessionize import user_event_caps
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(i, t0, 7, 1.0) for i in range(5)] + [(9, t0, 8, 1.0)]
+        hot = user_event_caps(_mk_events(spark, rows), max_events=3).collect()
+        assert [(r["user_id"], r["n_events"]) for r in hot] == [(7, 5)]
+
+
+@pytest.fixture(scope="module")
+def stream_chunks(spark, tmp_path_factory):
+    """sf0.001 events sorted by ts, split into 5 single-file chunks
+    with ascending mtimes (the file source processes oldest-first)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet").sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")]
+    )
+    d = tmp_path_factory.mktemp("sess_stream")
+    n = tbl.num_rows
+    cuts = [0] + [n * i // 5 for i in range(1, 5)] + [n]
+    for i in range(5):
+        path = str(d / f"chunk{i}.parquet")
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(d)
+
+
+class TestStreamEquivalence:
+    def test_stream_converges_to_batch(self, spark, stream_chunks, tmp_path):
+        from lucene_spark.streaming.sessionize import (
+            sessionize,
+            sessionize_stream,
+        )
+
+        schema = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_chunks)
+        )
+        q = (
+            sessionize_stream(stream, gap_minutes=360)
+            .writeStream.format("memory")
+            .queryName("sess_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert q.lastProgress["batchId"] >= 4  # really ran 5 micro-batches
+
+        snap = spark.sql("SELECT * FROM sess_sink").toPandas()
+        # latest snapshot per (user, session_start) = the fullest one
+        snap = snap.sort_values("n_events").groupby(
+            ["user_id", "session_start"], as_index=False
+        ).last()
+        got = {
+            (
+                int(r.user_id),
+                r.session_start.value,
+                r.session_end.value,
+                int(r.n_events),
+                int(r.sum_cents),
+            )
+            for r in snap.itertuples()
+        }
+
+        batch = sessionize(
+            spark.read.parquet(f"{SF_DIR}/events.parquet"), gap_minutes=360
+        ).toPandas()
+        want = {
+            (
+                int(r.user_id),
+                r.session_start.value,
+                r.session_end.value,
+                int(r.n_events),
+                int(round(r.sum_value * 100)),
+            )
+            for r in batch.itertuples()
+        }
+        assert got == want
+
+    def test_closed_sessions_emitted_once(self, spark, stream_chunks):
+        snap = spark.sql(
+            "SELECT user_id, session_start, count(*) c FROM sess_sink"
+            " WHERE closed GROUP BY 1, 2 HAVING count(*) > 1"
+        )
+        assert snap.count() == 0
