@@ -823,7 +823,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
         elif kind in (
             "english", "french", "german",
             "swedish", "norwegian", "finnish", "czech", "bulgarian",
-            "indonesian", "latvian", "danish",
+            "indonesian", "latvian", "danish", "romanian",
             "swedish_snowball", "norwegian_snowball",
         ):
             build_index(
@@ -1026,6 +1026,12 @@ def _LV_STOPS():
     from lucene_spark.functions.latvian import LATVIAN_STOP_WORDS
 
     return LATVIAN_STOP_WORDS
+
+
+def _RO_STOPS():
+    from lucene_spark.functions.romanian import ROMANIAN_STOP_WORDS
+
+    return ROMANIAN_STOP_WORDS
 
 
 def _DA_STOPS():
@@ -3823,6 +3829,15 @@ def _q_danish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["vector"]))
 
 
+def _q_romanian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Romanian snowball chain (snowball/ext/RomanianStemmer.java,
+    validated against compiled-reference goldens): stem-invariant
+    term 'stream' (singleton preimage asserted in
+    tests/test_romanian.py)."""
+    s = _variant_searcher(spark, sf_dir, "romanian")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["stream"]))
+
+
 def _q_swedish_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEFAULT SwedishAnalyzer chain = snowball Swedish
     (snowball/ext/SwedishStemmer.java; the swedish_analyzer_top10
@@ -4447,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulgarian_analyzer_top10": _q_bulgarian,
         "latvian_analyzer_top10": _q_latvian,
         "danish_analyzer_top10": _q_danish,
+        "romanian_analyzer_top10": _q_romanian,
         "swedish_snowball_top10": _q_swedish_sb,
         "norwegian_snowball_top10": _q_norwegian_sb,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
@@ -4884,6 +4900,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "danish_analyzer_top10": _stop_filtered_bm25_sql(
             "vector", _lang_stop_sql(_DA_STOPS())
+        ),
+        "romanian_analyzer_top10": _stop_filtered_bm25_sql(
+            "stream", _lang_stop_sql(_RO_STOPS())
         ),
         "swedish_snowball_top10": _stop_filtered_bm25_sql(
             "join", _lang_stop_sql(_SV_SB_STOPS())

@@ -1135,6 +1135,13 @@ def _build_chains() -> dict:
             "bengali", _bn_stops(), stem=_bn_stem(),
             normalize=_bn_norm(), stop_after_normalize=True,
         ),
+        # RomanianAnalyzer (ro/RomanianAnalyzer.java:118-126): lower ->
+        # stop (list carries both cedilla/comma spellings) ->
+        # RomanianNormalizationFilter -> snowball Romanian — the
+        # default chain order (stop before normalize) fits exactly
+        "romanian": AnalyzerChain(
+            "romanian", _ro_stops(), stem=_ro_stem(), normalize=_ro_norm()
+        ),
         # ShingleFilter defaults (analysis/shingle/ShingleFilter.java):
         # unigrams + word bigrams, "_" filler for stop gaps (no stops
         # in this registration, so fillers only appear with an
@@ -1286,6 +1293,24 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _ro_stops():
+    from .romanian import ROMANIAN_STOP_WORDS
+
+    return ROMANIAN_STOP_WORDS
+
+
+def _ro_stem():
+    from .romanian import romanian_stem
+
+    return romanian_stem
+
+
+def _ro_norm():
+    from .romanian import romanian_normalize
+
+    return romanian_normalize
 
 
 def _da_stops():

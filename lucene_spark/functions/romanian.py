@@ -1,0 +1,263 @@
+"""Romanian analysis: the snowball Romanian stemmer + normalization.
+
+Re-expresses ``analysis/common/.../ro/RomanianAnalyzer.java`` (tokenize
+-> lower -> stop -> RomanianNormalizationFilter -> SnowballFilter
+(RomanianStemmer)) from the published snowball Romanian algorithm
+(snowballstem.org), pinned to the generated reference
+(``org/tartarus/snowball/ext/RomanianStemmer.java``) and validated
+against goldens produced by compiling and running that exact Java
+(tests/test_romanian.py, tests/fixtures/snowball_goldens.json.gz):
+
+- norm: cedilla forms fold to comma-below (ş->ș, ţ->ț) — both the
+  stemmer's own prelude and ``RomanianNormalizationFilter`` (ro/
+  RomanianNormalizer.java) perform this fold, so either entry point
+  yields identical terms;
+- prelude: u/i between vowels become the non-vowel markers U/I so
+  they can't anchor regions or suffix vowel checks;
+- regions: Spanish-style RV (second-letter cases) + standard R1/R2;
+  vowels are a e i o u â î ă;
+- step 0 (plural/article, R1): del(ul ului) / ->a(aua) / ->e(ea ele
+  elor) / ->i(iua iile iei ii ilor iilor; ile unless preceded by ab)
+  / ->at(atei) / ->ați(ația ație);
+- step 1 (combining suffixes, R1, repeated): icala/icale/icali/ical/
+  icală/iciv*/icit*->ic, ativ*/atoare/ator*/ătoare/ător*->at,
+  itiv*/itoare/itor*->it, abilit*->abil, ibilitate->ibil, ivit*->iv;
+- step 2 (standard suffixes, R2): the 62-entry table deletes; iune/
+  iuni require a preceding ț which becomes t; ist-family -> ist;
+- step 3 (verb suffixes, entirely within RV, only when steps 1-2
+  removed nothing): the 96-entry table; the -a*/-e*/-i* group
+  deletes only after a non-vowel or u; the -se*/-ăm/-ți group
+  deletes unconditionally;
+- step 4: final a/e/ie/i/ă in RV deleted; postlude restores U/I.
+"""
+
+from __future__ import annotations
+
+_V = frozenset("aeiouâîă")  # a e i o u â î ă
+
+_S = "ș"  # ș
+_T = "ț"  # ț
+_A = "ă"  # ă
+_ACIRC = "â"  # â
+
+
+def romanian_normalize(w: str) -> str:
+    """RomanianNormalizationFilter: cedilla -> comma-below forms."""
+    return w.replace("ş", _S).replace("ţ", _T)
+
+
+# step 0: suffix -> replacement (None = delete); R1-gated
+_STEP0 = {
+    "ea": "e", "a" + _T + "ia": "a" + _T + "i", "aua": "a",
+    "iua": "i", "a" + _T + "ie": "a" + _T + "i", "ele": "e",
+    "ile": "i", "iile": "i", "iei": "i", "atei": "at", "ii": "i",
+    "ului": None, "ul": None, "elor": "e", "ilor": "i", "iilor": "i",
+}
+
+# step 1 (combining): suffix -> replacement; R1-gated, repeated
+_COMBO = {}
+for _sfx in ("icala icale icali ical ical" + _A + " iciva icive icivi "
+             "iciv iciv" + _A + " icitate icitati icit" + _A + "i "
+             "icit" + _A + _T + "i icatori icator").split():
+    _COMBO[_sfx] = "ic"
+for _sfx in ("ativa ative ativi ativ ativ" + _A + " a" + _T + "iune "
+             "atoare atori ator " + _A + "toare " + _A + "tori "
+             + _A + "tor").split():
+    _COMBO[_sfx] = "at"
+for _sfx in ("itiva itive itivi itiv itiv" + _A + " i" + _T + "iune "
+             "itoare itori itor").split():
+    _COMBO[_sfx] = "it"
+for _sfx in ("abilitate abilitati abilit" + _A + "i "
+             "abilit" + _A + _T + "i").split():
+    _COMBO[_sfx] = "abil"
+_COMBO["ibilitate"] = "ibil"
+for _sfx in ("ivitate ivitati ivit" + _A + "i "
+             "ivit" + _A + _T + "i").split():
+    _COMBO[_sfx] = "iv"
+
+# step 2 (standard): R2-gated; value: None=delete, "t"=the ț->t iune
+# case, "ist"=ist-family normalization
+_STD = {}
+for _sfx in ("ica abila ibila oasa ata ita anta uta iva ic ice abile "
+             "ibile oase ate itate ite ante ute ive ici abili ibili "
+             "atori osi ati itati iti anti uti ivi it" + _A + "i o"
+             + _S + "i it" + _A + _T + "i abil ibil ator os at it ant "
+             "ut iv ic" + _A + " abil" + _A + " ibil" + _A + " oas"
+             + _A + " at" + _A + " it" + _A + " ant" + _A + " ut"
+             + _A + " iv" + _A).split():
+    _STD[_sfx] = None
+for _sfx in ("iune", "iuni"):
+    _STD[_sfx] = "t"
+for _sfx in ("ista iste isti ist" + _A + " i" + _S + "ti isme ism "
+             "ist").split():
+    _STD[_sfx] = "ist"
+
+# step 3 (verb, RV-bounded): True = unconditional delete, False =
+# delete only after non-vowel or u
+_VERB = {}
+for _sfx in ("se sese sei se" + _S + "i sese" + _S + "i a" + _T + "i "
+             "e" + _T + "i i" + _T + "i " + _ACIRC + _T + "i ser"
+             + _A + _T + "i seser" + _A + _T + "i em sesem im "
+             + _ACIRC + "m " + _A + "m ser" + _A + "m seser" + _A
+             + "m ser" + _A + " seser" + _A).split():
+    _VERB[_sfx] = True
+for _sfx in ("ea ia esc " + _A + "sc ind " + _ACIRC + "nd are ere ire "
+             + _ACIRC + "re ase ise use " + _ACIRC + "se e" + _S
+             + "te " + _A + _S + "te eze ai eai iai e" + _S + "ti "
+             + _A + _S + "ti ui ezi " + _ACIRC + "i a" + _S + "i ase"
+             + _S + "i ise" + _S + "i use" + _S + "i " + _ACIRC + "se"
+             + _S + "i i" + _S + "i u" + _S + "i " + _ACIRC + _S
+             + "i ea" + _T + "i ia" + _T + "i ar" + _A + _T + "i aser"
+             + _A + _T + "i iser" + _A + _T + "i user" + _A + _T
+             + "i " + _ACIRC + "ser" + _A + _T + "i ir" + _A + _T
+             + "i ur" + _A + _T + "i " + _ACIRC + "r" + _A + _T
+             + "i am eam iam asem isem usem " + _ACIRC + "sem ar"
+             + _A + "m aser" + _A + "m iser" + _A + "m user" + _A
+             + "m " + _ACIRC + "ser" + _A + "m ir" + _A + "m ur"
+             + _A + "m " + _ACIRC + "r" + _A + "m au eau iau indu "
+             + _ACIRC + "ndu ez easc" + _A + " ar" + _A + " aser"
+             + _A + " iser" + _A + " user" + _A + " " + _ACIRC
+             + "ser" + _A + " ir" + _A + " ur" + _A + " " + _ACIRC
+             + "r" + _A + " eaz" + _A).split():
+    _VERB[_sfx] = False
+
+_VOWEL_SFX = ("ie", "a", "e", "i", _A)
+
+_STEP0_BYLEN = sorted(_STEP0, key=len, reverse=True)
+_COMBO_BYLEN = sorted(_COMBO, key=len, reverse=True)
+_STD_BYLEN = sorted(_STD, key=len, reverse=True)
+_VERB_BYLEN = sorted(_VERB, key=len, reverse=True)
+
+
+def _prelude(w: str) -> str:
+    """u/i between vowels -> U/I (left-to-right over updated chars)."""
+    cs = list(w)
+    for i in range(1, len(cs) - 1):
+        if cs[i] in "ui" and cs[i - 1] in _V and cs[i + 1] in _V:
+            cs[i] = "U" if cs[i] == "u" else "I"
+    return "".join(cs)
+
+
+def _mark_regions(w: str) -> tuple[int, int, int]:
+    n = len(w)
+    pV = p1 = p2 = n
+    if n >= 2:
+        if w[1] not in _V:
+            i = 2
+            while i < n and w[i] not in _V:
+                i += 1
+            if i < n:
+                pV = i + 1
+        elif w[0] in _V:  # vowel-vowel: after the next consonant
+            i = 2
+            while i < n and w[i] in _V:
+                i += 1
+            if i < n:
+                pV = i + 1
+        else:  # consonant-vowel: after the third letter
+            if n > 2:
+                pV = 3
+    i = 0
+    while i < n and w[i] not in _V:
+        i += 1
+    while i < n and w[i] in _V:
+        i += 1
+    if i < n:
+        p1 = i + 1
+        i = p1
+        while i < n and w[i] not in _V:
+            i += 1
+        while i < n and w[i] in _V:
+            i += 1
+        if i < n:
+            p2 = i + 1
+    return pV, p1, p2
+
+
+def _longest(w: str, table: list[str]) -> str | None:
+    for suf in table:
+        if w.endswith(suf):
+            return suf
+    return None
+
+
+def romanian_stem(word: str) -> str:
+    w = _prelude(romanian_normalize(word))
+    pV, p1, p2 = _mark_regions(w)
+
+    # step 0 (longest a_2 suffix; R1 or abort)
+    suf = _longest(w, _STEP0_BYLEN)
+    if suf is not None and len(w) - len(suf) >= p1:
+        if not (suf == "ile" and w[: -len(suf)].endswith("ab")):
+            rep = _STEP0[suf]
+            w = w[: -len(suf)] + (rep or "")
+
+    # steps 1+2 (combining repeat, then standard in R2)
+    removed = False
+    while True:
+        suf = _longest(w, _COMBO_BYLEN)
+        if suf is None or len(w) - len(suf) < p1:
+            break
+        w = w[: -len(suf)] + _COMBO[suf]
+        removed = True
+    suf = _longest(w, _STD_BYLEN)
+    if suf is not None and len(w) - len(suf) >= p2:
+        rep = _STD[suf]
+        if rep == "t":
+            # iune/iuni valid only after ț, which becomes t
+            if w[: -len(suf)].endswith(_T):
+                w = w[: -len(suf) - 1] + "t"
+                removed = True
+        elif rep == "ist":
+            w = w[: -len(suf)] + "ist"
+            removed = True
+        else:
+            w = w[: -len(suf)]
+            removed = True
+
+    # step 3: verb suffixes, only when 1+2 removed nothing; the match
+    # must lie entirely within RV (snowball limit_backward = pV)
+    if not removed:
+        for suf in _VERB_BYLEN:
+            if w.endswith(suf) and len(w) - len(suf) >= pV:
+                i = len(w) - len(suf)
+                if _VERB[suf]:
+                    w = w[:i]
+                elif i > pV and (w[i - 1] not in _V or w[i - 1] == "u"):
+                    w = w[:i]
+                break
+
+    # step 4: final vowel in RV
+    suf = _longest(w, _VOWEL_SFX)
+    if suf is not None and len(w) - len(suf) >= pV:
+        w = w[: -len(suf)]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# The analyzer's default ro/stopwords.txt (Savoy list; carries BOTH
+# comma-below and cedilla spellings because the StopFilter runs
+# BEFORE RomanianNormalizationFilter in the reference chain)
+ROMANIAN_STOP_WORDS = frozenset(
+    """acea aceasta această aceea acei aceia acel acela acele acelea
+acest acesta aceste acestea acești aceşti aceștia aceştia acolo acum
+ai aia aibă aici al ăla ale alea ălea altceva altcineva am ar are aș
+aş așadar aşadar asemenea asta ăsta astăzi astea ăstea ăștia ăştia
+asupra ați aţi au avea avem aveți aveţi azi bine bucur bună ca că
+căci când care cărei căror cărui cât câte câți câţi către câtva ce
+cel ceva chiar cînd cine cineva cît cîte cîți cîţi cîtva contra cu
+cum cumva curând curînd da dă dacă dar datorită de deci deja
+deoarece departe deși deşi din dinaintea dintr dintre drept după ea
+ei el ele eram este ești eşti eu face fără fi fie fiecare fii fim
+fiți fiţi iar ieri îi îl îmi împotriva în înainte înaintea încât
+încît încotro între întrucât întrucît îți îţi la lângă le li lîngă
+lor lui mă mâine mea mei mele mereu meu mi mine mult multă mulți
+mulţi ne nicăieri nici nimeni niște nişte noastră noastre noi noștri
+noştri nostru nu ori oricând oricare oricât orice oricînd oricine
+oricît oricum oriunde până pe pentru peste pînă poate pot prea prima
+primul prin printr sa să săi sale sau său se și şi sînt sîntem
+sînteți sînteţi spre sub sunt suntem sunteți sunteţi ta tăi tale tău
+te ți ţi ție ţie tine toată toate tot toți toţi totuși totuşi tu un
+una unde undeva unei unele uneori unor vă vi voastră voastre voi
+voștri voştri vostru vouă vreo vreun""".split()
+)

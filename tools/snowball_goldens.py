@@ -1,0 +1,153 @@
+"""Generate snowball-stemmer golden fixtures from the reference Java.
+
+Compiles the reference's generated snowball stemmers
+(``org/tartarus/snowball/ext/*Stemmer.java`` — behavior study only,
+nothing is copied into the engine) and runs them over (a) the sf0.001
+corpus vocabulary and (b) a synthesized root x suffix cross-product
+that exercises every rule table, writing
+``tests/fixtures/snowball_goldens.json.gz`` as {lang: {word: stem}}.
+
+    python tools/snowball_goldens.py Romanian Catalan ...
+
+Requires the read-only reference checkout and a JDK; the committed
+fixture is what tests consume, so neither is needed at test time.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/lucene/analysis/common/src/java"
+WORK = "/tmp/sb"
+FIXTURE = os.path.join(ROOT, "tests", "fixtures", "snowball_goldens.json.gz")
+
+HARNESS = """
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import org.tartarus.snowball.SnowballStemmer;
+
+public class StemMain {
+  public static void main(String[] args) throws Exception {
+    SnowballStemmer s = (SnowballStemmer)
+        Class.forName("org.tartarus.snowball.ext." + args[0] + "Stemmer")
+            .getDeclaredConstructor().newInstance();
+    BufferedReader in = new BufferedReader(
+        new InputStreamReader(System.in, StandardCharsets.UTF_8));
+    PrintWriter out = new PrintWriter(
+        new OutputStreamWriter(System.out, StandardCharsets.UTF_8));
+    String line;
+    while ((line = in.readLine()) != null) {
+      s.setCurrent(line);
+      s.stem();
+      out.println(s.getCurrent());
+    }
+    out.flush();
+  }
+}
+"""
+
+# per-language roots for the synthesized cross-product; mixed vowel
+# shapes so R1/R2/RV land at different offsets
+ROOTS = {
+    "Romanian": ["lucr", "cânt", "copil", "național", "a", "înțeleg",
+                 "e", "ab", "absolut", "critic", "oraș", "țar"],
+    "Catalan": ["trebal", "cant", "nacion", "a", "crit", "form",
+                 "qualit", "ciutad"],
+    "Basque": ["etxe", "lagun", "a", "handi", "eder", "kale"],
+    "Armenian": ["գիր", "տուն", "ա", "մարդ", "քաղաք"],
+    "Lithuanian": ["nam", "darb", "a", "mokykl", "didž", "vaik"],
+    "Irish": ["scoil", "bail", "a", "obair", "fear", "leabhar"],
+    "Dutch": ["werk", "huiz", "a", "kind", "groot", "loop", "fiets"],
+    "Turkish": ["ev", "kitap", "a", "okul", "güzel", "araba"],
+}
+
+
+def suffixes_from_java(lang: str) -> list[str]:
+    """Pull every Among("...") literal out of the generated stemmer —
+    pure data (the published suffix tables), used only to build test
+    WORDS, never shipped."""
+    import re
+
+    path = os.path.join(REF, "org/tartarus/snowball/ext",
+                        f"{lang}Stemmer.java")
+    text = open(path, encoding="utf-8").read()
+    out = []
+    for m in re.finditer(r'new Among\("((?:[^"\\]|\\.)*)"', text):
+        s = m.group(1).encode().decode("unicode_escape")
+        if s:
+            out.append(s)
+    return sorted(set(out))
+
+
+def corpus_vocab() -> list[str]:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT DISTINCT t FROM (SELECT unnest(string_split(text, ' '))"
+        " AS t FROM '/root/testdata/sf0.001/documents.parquet')"
+        " WHERE t <> '' ORDER BY t"
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+def compile_harness() -> str:
+    cls = os.path.join(WORK, "cls")
+    if os.path.exists(os.path.join(cls, "StemMain.class")):
+        return cls
+    src = os.path.join(WORK, "src")
+    os.makedirs(os.path.join(src, "org"), exist_ok=True)
+    subprocess.run(
+        ["cp", "-r", os.path.join(REF, "org/tartarus"),
+         os.path.join(src, "org/")], check=True)
+    with open(os.path.join(src, "StemMain.java"), "w") as f:
+        f.write(HARNESS)
+    import glob
+
+    subprocess.run(
+        ["javac", "-d", cls, os.path.join(src, "StemMain.java")]
+        + glob.glob(os.path.join(src, "org/tartarus/snowball/*.java"))
+        + glob.glob(os.path.join(src, "org/tartarus/snowball/ext/*.java")),
+        check=True)
+    return cls
+
+
+def golden(lang: str, words: list[str], cls: str) -> dict[str, str]:
+    p = subprocess.run(
+        ["java", "-cp", cls, "StemMain", lang],
+        input="\n".join(words).encode(), capture_output=True, check=True)
+    stems = p.stdout.decode().splitlines()
+    assert len(stems) == len(words), (lang, len(stems), len(words))
+    return dict(zip(words, stems))
+
+
+def main(langs: list[str]) -> None:
+    cls = compile_harness()
+    vocab = corpus_vocab()
+    if os.path.exists(FIXTURE):
+        with gzip.open(FIXTURE, "rt") as f:
+            fix = json.load(f)
+    else:
+        fix = {}
+    for lang in langs:
+        sufs = suffixes_from_java(lang)
+        words = set(vocab) | set(sufs)
+        for root in ROOTS.get(lang, []):
+            for suf in sufs:
+                words.add(root + suf)
+            words.add(root)
+        ws = sorted(words)
+        fix[lang] = golden(lang, ws, cls)
+        print(f"{lang}: {len(ws)} goldens")
+    with gzip.open(FIXTURE, "wt") as f:
+        json.dump(fix, f, ensure_ascii=False)
+    print(FIXTURE)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
