@@ -824,6 +824,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             "english", "french", "german",
             "swedish", "norwegian", "finnish", "czech", "bulgarian",
             "indonesian", "latvian", "danish", "romanian",
+            "catalan", "basque", "lithuanian", "irish",
             "swedish_snowball", "norwegian_snowball",
         ):
             build_index(
@@ -1034,6 +1035,30 @@ def _RO_STOPS():
     return ROMANIAN_STOP_WORDS
 
 
+def _CA_STOPS():
+    from lucene_spark.functions.catalan import CATALAN_STOP_WORDS
+
+    return CATALAN_STOP_WORDS
+
+
+def _EU_STOPS():
+    from lucene_spark.functions.basque import BASQUE_STOP_WORDS
+
+    return BASQUE_STOP_WORDS
+
+
+def _LT_STOPS():
+    from lucene_spark.functions.lithuanian import LITHUANIAN_STOP_WORDS
+
+    return LITHUANIAN_STOP_WORDS
+
+
+def _GA_STOPS():
+    from lucene_spark.functions.irish import IRISH_STOP_WORDS
+
+    return IRISH_STOP_WORDS
+
+
 def _DA_STOPS():
     from lucene_spark.functions.danish import DANISH_STOP_WORDS
 
@@ -1067,7 +1092,8 @@ def _english_bm25_sql(term: str, k: int = 10) -> str:
 
 
 def _lang_stop_sql(words) -> str:
-    return ", ".join(f"'{w}'" for w in sorted(words))
+    # SQL-escape: Catalan/Irish stop lists carry apostrophes (d'un, b')
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
 
 
 def _stop_filtered_bm25_sql(term: str, stop_sql: str, k: int = 10) -> str:
@@ -3838,6 +3864,99 @@ def _q_romanian(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["stream"]))
 
 
+def _q_catalan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalan snowball chain (snowball/ext/CatalanStemmer.java,
+    compiled-reference goldens): stem-invariant term 'batch'."""
+    s = _variant_searcher(spark, sf_dir, "catalan")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["batch"]))
+
+
+def _q_basque(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basque snowball chain (snowball/ext/BasqueStemmer.java —
+    protector-entry cursor walk reproduced, goldens-validated):
+    stem-invariant term 'scan'."""
+    s = _variant_searcher(spark, sf_dir, "basque")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["scan"]))
+
+
+def _q_lithuanian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lithuanian snowball chain (snowball/ext/LithuanianStemmer
+    .java): stem-invariant term 'column'."""
+    s = _variant_searcher(spark, sf_dir, "lithuanian")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["column"]))
+
+
+def _q_irish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irish chain (ga/IrishAnalyzer.java:126-135: hyphenation
+    pre-stop, d/m/b elision, IrishLowerCaseFilter, snowball Irish):
+    stem-invariant term 'join'."""
+    s = _variant_searcher(spark, sf_dir, "irish")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["join"]))
+
+
+def _q_armenian_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArmenianAnalyzer chain (hy/ArmenianAnalyzer.java:114-121) over
+    deterministic Armenian synthesized per doc_id: 'այս <base><sfx>'
+    with base = CV pairs from a suffix-safe consonant alphabet ending
+    in գ, sfx cycling ների/ում/'' (plural-genitive / locative). The
+    engine runs the full chain (stop gap at այս, suffix strip); the
+    oracle reconstructs base by the same arithmetic
+    (tests/test_snowball_langs.py asserts the construction)."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    cons = "գժլմպքսվ"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("armenian")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 2 + i % 3
+                base = (
+                    "".join(cons[(i * 5 + k) % 8] + "ա" for k in range(n))
+                    + "գ"
+                )
+                sfx = ("ների", "ում", "")[i % 3]
+                terms, pos = chain_analyze("այս " + base + sfx, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_ARMENIAN_SQL = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+a AS (
+  SELECT doc_id,
+         [1379, 1386, 1388, 1396, 1402, 1412, 1405, 1406] AS cps,
+         L
+  FROM d
+)
+SELECT doc_id,
+       (SELECT string_agg(
+           chr(CAST(cps[1 + (doc_id*5 + g.k) % 8] AS INTEGER))
+             || chr(1377),
+           '' ORDER BY g.k)
+        FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+              AS k) g) || chr(1379) AS terms,
+       '1' AS positions
+FROM a
+"""
+
+
 def _q_swedish_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEFAULT SwedishAnalyzer chain = snowball Swedish
     (snowball/ext/SwedishStemmer.java; the swedish_analyzer_top10
@@ -4463,6 +4582,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latvian_analyzer_top10": _q_latvian,
         "danish_analyzer_top10": _q_danish,
         "romanian_analyzer_top10": _q_romanian,
+        "catalan_analyzer_top10": _q_catalan,
+        "basque_analyzer_top10": _q_basque,
+        "lithuanian_analyzer_top10": _q_lithuanian,
+        "irish_analyzer_top10": _q_irish,
+        "armenian_analyzer_tokens": _q_armenian_analyzer,
         "swedish_snowball_top10": _q_swedish_sb,
         "norwegian_snowball_top10": _q_norwegian_sb,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
@@ -4904,6 +5028,19 @@ def oracle_sql() -> dict[str, str]:
         "romanian_analyzer_top10": _stop_filtered_bm25_sql(
             "stream", _lang_stop_sql(_RO_STOPS())
         ),
+        "catalan_analyzer_top10": _stop_filtered_bm25_sql(
+            "batch", _lang_stop_sql(_CA_STOPS())
+        ),
+        "basque_analyzer_top10": _stop_filtered_bm25_sql(
+            "scan", _lang_stop_sql(_EU_STOPS())
+        ),
+        "lithuanian_analyzer_top10": _stop_filtered_bm25_sql(
+            "column", _lang_stop_sql(_LT_STOPS())
+        ),
+        "irish_analyzer_top10": _stop_filtered_bm25_sql(
+            "join", _lang_stop_sql(_GA_STOPS())
+        ),
+        "armenian_analyzer_tokens": _ARMENIAN_SQL,
         "swedish_snowball_top10": _stop_filtered_bm25_sql(
             "join", _lang_stop_sql(_SV_SB_STOPS())
         ),

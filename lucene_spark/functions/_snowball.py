@@ -1,0 +1,85 @@
+"""Shared snowball-runtime primitives for the generated-table stemmers.
+
+Semantics pinned to ``org/tartarus/snowball/SnowballProgram.java``:
+
+- ``longest_b``: find_among_b — the longest table suffix ending at
+  ``end`` whose start is >= ``min_start`` (limit_backward). Tables
+  come from ``_snowball_data`` pre-sorted longest-first. A result
+  value of -1 is a real match whose switch falls through (used by
+  protector entries); callers decide what that means.
+- ``longest_f``: forward find_among at position 0 (prefix tables).
+- ``mark_r1r2`` / ``mark_rv_es``: the standard R1/R2 regions and the
+  Spanish-style RV (second-letter case analysis).
+
+Region positions are computed once on the marked word and never
+recomputed after slicing, exactly like the generated code.
+"""
+
+from __future__ import annotations
+
+
+def longest_b(
+    w: str, table, end: int | None = None, min_start: int = 0
+) -> tuple[str | None, int]:
+    if end is None:
+        end = len(w)
+    for suf, val in table:
+        i = end - len(suf)
+        if i >= min_start and w.startswith(suf, i) and len(suf) <= end:
+            return suf, val
+    return None, 0
+
+
+def longest_f(w: str, table) -> tuple[str | None, int]:
+    for pre, val in table:
+        if w.startswith(pre):
+            return pre, val
+    return None, 0
+
+
+def mark_r1r2(w: str, vowels: frozenset) -> tuple[int, int]:
+    """Standard snowball R1/R2: after the first non-vowel following a
+    vowel; R2 the same, starting from R1."""
+    n = len(w)
+    p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in vowels:
+        i += 1
+    while i < n and w[i] in vowels:
+        i += 1
+    if i < n:
+        p1 = i + 1
+        i = p1
+        while i < n and w[i] not in vowels:
+            i += 1
+        while i < n and w[i] in vowels:
+            i += 1
+        if i < n:
+            p2 = i + 1
+    return p1, p2
+
+
+def mark_rv_es(w: str, vowels: frozenset) -> int:
+    """Spanish-family RV: if the second letter is a consonant, after
+    the next vowel; if the first two letters are vowels, after the
+    next consonant; consonant-vowel -> after the third letter; else
+    the end of the word."""
+    n = len(w)
+    pV = n
+    if n >= 2:
+        if w[1] not in vowels:
+            i = 2
+            while i < n and w[i] not in vowels:
+                i += 1
+            if i < n:
+                pV = i + 1
+        elif w[0] in vowels:
+            i = 2
+            while i < n and w[i] in vowels:
+                i += 1
+            if i < n:
+                pV = i + 1
+        else:
+            if n > 2:
+                pV = 3
+    return pV

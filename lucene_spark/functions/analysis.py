@@ -173,6 +173,8 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
         and chain.elision is None
         and chain.normalize is None
         and chain.stem is None
+        and chain.pre_stop is None
+        and chain.lower is None
     )
     # partition: [a-z0-9 ]-only rows split directly; everything else
     # goes through ONE lockstep DFA batch (functions/uax29.py) so the

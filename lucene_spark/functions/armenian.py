@@ -1,0 +1,68 @@
+"""Armenian analysis: the snowball Armenian stemmer.
+
+Re-expresses ``analysis/common/.../hy/ArmenianAnalyzer.java``
+(tokenize -> lower -> stop -> SnowballFilter(ArmenianStemmer)) from
+the published snowball Armenian algorithm, pinned to the generated
+reference (``org/tartarus/snowball/ext/ArmenianStemmer.java``) and
+validated against compiled-reference goldens (tests/test_armenian.py).
+
+Shape: RV = after the first vowel, R2 standard; four delete-only
+passes (ending gated on R2, then verb, adjective, noun) whose suffix
+matches must lie ENTIRELY within RV (the generated code pins
+limit_backward to pV for all of them). Vowels: ա ե է ը ի ու օ
+(the letters at U+0561..U+0585 marked in g_v).
+"""
+
+from __future__ import annotations
+
+from ._snowball import longest_b
+from ._snowball_data import GROUPS, TABLES
+
+_T = TABLES["armenian"]
+_V = frozenset(GROUPS["armenian"]["g_v"])
+
+
+def _mark(w: str) -> tuple[int, int]:
+    n = len(w)
+    pV = p2 = n
+    i = 0
+    while i < n and w[i] not in _V:
+        i += 1
+    if i < n:
+        pV = i + 1
+        i = pV
+        while i < n and w[i] in _V:
+            i += 1
+        if i < n:
+            i += 1  # past the first consonant (R1 boundary)
+            while i < n and w[i] not in _V:
+                i += 1
+            while i < n and w[i] in _V:
+                i += 1
+            if i < n:
+                p2 = i + 1
+    return pV, p2
+
+
+def armenian_stem(word: str) -> str:
+    w = word
+    pV, p2 = _mark(w)
+
+    # ending (R2-gated), then verb, adjective, noun — each once; every
+    # match must fit within RV
+    suf, _ = longest_b(w, _T["a_3"], min_start=pV)
+    if suf is not None and len(w) - len(suf) >= p2:
+        w = w[: -len(suf)]
+    for table in ("a_1", "a_0", "a_2"):
+        suf, _ = longest_b(w, _T[table], min_start=pV)
+        if suf is not None:
+            w = w[: -len(suf)]
+    return w
+
+
+# the analyzer's default hy/stopwords.txt
+ARMENIAN_STOP_WORDS = frozenset(
+    """այդ այլ այն այս դու դուք եմ են ենք ես եք է էի էին էինք էիր էիք
+էր ըստ թ ի ին իսկ իր կամ համար հետ հետո մենք մեջ մի ն նա նաև նրա
+նրանք որ որը որոնք որպես ու ում պիտի վրա և""".split()
+)

@@ -1,0 +1,103 @@
+"""Basque analysis: the snowball Basque stemmer.
+
+Re-expresses ``analysis/common/.../eu/BasqueAnalyzer.java`` (tokenize
+-> lower -> stop -> SnowballFilter(BasqueStemmer)) from the published
+snowball Basque algorithm, pinned to the generated reference
+(``org/tartarus/snowball/ext/BasqueStemmer.java``) and validated in
+bulk against compiled-reference goldens (tests/test_basque.py).
+
+Shape: Spanish-style RV + standard R1/R2, then two REPEATED suffix
+passes (aditzak = verb endings, izenak = noun endings) and one
+adjective pass. The repeats carry the snowball cursor: a protector
+entry (result -1, e.g. whole words like 'arabera') matches without
+deleting and moves the match point LEFT of itself, so later
+iterations can strip suffixes ENDING at that interior point — the
+walk is reproduced here with an explicit ``end`` index.
+"""
+
+from __future__ import annotations
+
+from ._snowball import longest_b, mark_r1r2, mark_rv_es
+from ._snowball_data import GROUPS, TABLES
+
+_T = TABLES["basque"]
+_V = frozenset(GROUPS["basque"]["g_v"])
+
+_IZENAK_REPL = {3: "jok", 5: "tra", 6: "minutu"}
+
+
+def basque_stem(word: str) -> str:
+    w = word
+    pV = mark_rv_es(w, _V)
+    p1, p2 = mark_r1r2(w, _V)
+
+    # aditzak, repeated with the walking cursor
+    end = len(w)
+    while True:
+        suf, val = longest_b(w, _T["a_0"], end=end)
+        if suf is None:
+            break
+        i = end - len(suf)
+        if val == -1:  # protector: match, no action, walk left
+            end = i
+        elif val == 1 and i >= pV:
+            w = w[:i] + w[end:]
+            end = i
+        elif val == 2 and i >= p2:
+            w = w[:i] + w[end:]
+            end = i
+        else:
+            break  # matched but gated: routine fails, repeat ends
+
+    # izenak, repeated likewise — the walked cursor CARRIES OVER from
+    # the aditzak repeat (stem() never resets it between passes), so a
+    # protector reached there keeps shielding the word's tail here
+    while True:
+        suf, val = longest_b(w, _T["a_1"], end=end)
+        if suf is None:
+            break
+        i = end - len(suf)
+        if val == -1:
+            end = i
+        elif val == 1 and i >= pV:
+            w = w[:i] + w[end:]
+            end = i
+        elif val == 2 and i >= p2:
+            w = w[:i] + w[end:]
+            end = i
+        elif val == 4 and i >= p1:
+            w = w[:i] + w[end:]
+            end = i
+        elif val in _IZENAK_REPL:
+            # slice_from leaves the cursor at bra: the replacement
+            # text lies AFTER the next match point
+            rep = _IZENAK_REPL[val]
+            w = w[:i] + rep + w[end:]
+            end = i
+        else:
+            break
+
+    # adjetiboak, once, still at the carried cursor
+    suf, val = longest_b(w, _T["a_2"], end=end)
+    if suf is not None:
+        i = end - len(suf)
+        if val == 1 and i >= pV:
+            w = w[:i] + w[end:]
+        elif val == 2:
+            w = w[:i] + "z" + w[end:]
+
+    return w
+
+
+# the analyzer's default eu/stopwords.txt
+BASQUE_STOP_WORDS = frozenset(
+    """al anitz arabera asko baina bat batean batek bati batzuei
+batzuek batzuetan batzuk bera beraiek berau berauek bere berori
+beroriek beste bezala da dago dira ditu du dute edo egin ere eta
+eurak ez gainera gu gutxi guzti haiei haiek haietan hainbeste hala
+han handik hango hara hari hark hartan hau hauei hauek hauetan
+hemen hemendik hemengo hi hona honek honela honetan honi hor hori
+horiei horiek horietan horko horra horrek horrela horretan horri
+hortik hura izan ni noiz nola non nondik nongo nor nora ze zein zen
+zenbait zenbat zer zergatik ziren zituen zu zuek zuen zuten""".split()
+)

@@ -1,0 +1,101 @@
+"""Catalan analysis: the snowball Catalan stemmer + elision.
+
+Re-expresses ``analysis/common/.../ca/CatalanAnalyzer.java`` (tokenize
+-> ElisionFilter(d l m n s t) -> lower -> stop -> SnowballFilter
+(CatalanStemmer)) from the published snowball Catalan algorithm,
+pinned to the generated reference
+(``org/tartarus/snowball/ext/CatalanStemmer.java``) and validated in
+bulk against compiled-reference goldens (tests/test_catalan.py).
+
+Shape: standard R1/R2 (no RV); attached-pronoun removal (R1), then
+standard suffixes (R1/R2 with log/ic/c rewrites) ELSE verb suffixes
+(R1/R2), then residual suffixes (R1), then a cleaning pass folding
+accented vowels and the middle dot. Tables live in
+``_snowball_data`` (extracted by tools/extract_snowball_tables.py).
+"""
+
+from __future__ import annotations
+
+from ._snowball import longest_b, mark_r1r2
+from ._snowball_data import GROUPS, TABLES
+
+_T = TABLES["catalan"]
+_V = frozenset(GROUPS["catalan"]["g_v"])
+
+_CLEAN = str.maketrans(
+    {
+        "à": "a", "á": "a", "è": "e", "é": "e", "ì": "i", "í": "i",
+        "ï": "i", "ò": "o", "ó": "o", "ú": "u", "ü": "u", "·": ".",
+    }
+)
+
+ELISION_ARTICLES_CA = frozenset("dlmnst")
+
+
+def catalan_stem(word: str) -> str:
+    w = word
+    p1, p2 = mark_r1r2(w, _V)
+
+    # attached pronoun (R1)
+    suf, _ = longest_b(w, _T["a_1"])
+    if suf is not None and len(w) - len(suf) >= p1:
+        w = w[: -len(suf)]
+
+    # standard suffix, else verb suffix
+    ok = False
+    suf, val = longest_b(w, _T["a_2"])
+    if suf is not None:
+        i = len(w) - len(suf)
+        if val == 1 and i >= p1:
+            w, ok = w[:i], True
+        elif val == 2 and i >= p2:
+            w, ok = w[:i], True
+        elif val == 3 and i >= p2:
+            w, ok = w[:i] + "log", True
+        elif val == 4 and i >= p2:
+            w, ok = w[:i] + "ic", True
+        elif val == 5 and i >= p1:
+            w, ok = w[:i] + "c", True
+    if not ok:
+        suf, val = longest_b(w, _T["a_3"])
+        if suf is not None:
+            i = len(w) - len(suf)
+            if val == 1 and i >= p1:
+                w = w[:i]
+            elif val == 2 and i >= p2:
+                w = w[:i]
+
+    # residual suffix (R1)
+    suf, val = longest_b(w, _T["a_4"])
+    if suf is not None:
+        i = len(w) - len(suf)
+        if val == 1 and i >= p1:
+            w = w[:i]
+        elif val == 2 and i >= p1:
+            w = w[:i] + "ic"
+
+    return w.translate(_CLEAN)
+
+
+# the analyzer's default ca/stopwords.txt (matched POST-elision)
+CATALAN_STOP_WORDS = frozenset(
+    """a abans ací ah així això al als aleshores algun alguna algunes
+alguns alhora allà allí allò altra altre altres amb ambdós ambdues
+apa aquell aquella aquelles aquells aquest aquesta aquestes aquests
+aquí baix cada cadascú cadascuna cadascunes cadascuns com contra
+d'un d'una d'unes d'uns dalt de del dels des després dins dintre
+donat doncs durant e eh el els em en encara ens entre érem eren
+éreu es és esta està estàvem estaven estàveu esteu et etc ets fins
+fora gairebé ha han has havia he hem heu hi ho i igual iguals ja
+l'hi la les li li'n llavors m'he ma mal malgrat mateix mateixa
+mateixes mateixos me mentre més meu meus meva meves molt molta
+moltes molts mon mons n'he n'hi ne ni no nogensmenys només
+nosaltres nostra nostre nostres o oh oi on pas pel pels per però
+perquè poc poca pocs poques potser propi qual quals quan quant que
+què quelcom qui quin quina quines quins s'ha s'han sa semblant
+semblants ses seu seus seva seves si sobre sobretot sóc solament
+sols son són sons sota sou t'ha t'han t'he ta tal també tampoc tan
+tant tanta tantes teu teus teva teves ton tons tot tota totes tots
+un una unes uns us va vaig vam van vas veu vosaltres vostra vostre
+vostres""".split()
+)

@@ -1,0 +1,128 @@
+"""Irish analysis: mutations, elision, special lowercase, stemmer.
+
+Re-expresses ``analysis/common/.../ga/IrishAnalyzer.java`` (tokenize
+-> StopFilter(h n t) -> ElisionFilter(d m b) -> IrishLowerCaseFilter
+-> stop -> SnowballFilter(IrishStemmer)):
+
+- the hyphenation pre-stop drops the bare h/n/t tokens the
+  tokenizer splits off hyphenated mutations (t-athair -> {t,
+  athair}); it runs BEFORE lowercasing, case-insensitively
+  (IrishAnalyzer.java:56-57,128);
+- elision strips d'/m'/b' prefixes (ga elision articles);
+- IrishLowerCaseFilter (ga/IrishLowerCaseFilter.java): a token like
+  nAthair/tAcht gets a hyphen after the initial n/t when an
+  UPPERCASE vowel (plain or fada) follows, then everything past it
+  lowercases — so unhyphenated eclipsis/prothesis matches the
+  hyphenated spelling;
+- the snowball Irish stemmer (org/tartarus/snowball/ext/
+  IrishStemmer.java, validated against compiled-reference goldens in
+  tests/test_irish.py): a FORWARD initial-mutation table (bhf- -> f-,
+  gc- -> c-, mb- -> b-, d'fh- -> f-, h-/n-/t- drop, ...), regions
+  pV = after the first vowel / R1 = after the consonant closing the
+  first vowel run / R2 standard, then noun (R1/R2), derivational
+  (R2 with arc/gin/graf/paite/óid rewrites) and verb (RV/R1)
+  suffix passes.
+"""
+
+from __future__ import annotations
+
+from ._snowball import longest_b, longest_f
+from ._snowball_data import GROUPS, TABLES
+
+_T = TABLES["irish"]
+_V = frozenset(GROUPS["irish"]["g_v"])
+
+_PREFIX_REPL = {
+    1: "", 2: "f", 3: "s", 4: "b", 5: "c",
+    6: "d", 7: "g", 8: "p", 9: "t", 10: "m",
+}
+_DERIV_REPL = {2: "arc", 3: "gin", 4: "graf", 5: "paite", 6: "óid"}
+
+IRISH_HYPHENATION_STOPS = frozenset("hnt")
+ELISION_ARTICLES_GA = frozenset("dmb")
+
+_UPPER_VOWELS = frozenset("AEIOUÁÉÍÓÚ")
+
+
+def irish_lower(token: str) -> str:
+    """IrishLowerCaseFilter: hyphenate unmarked initial mutation
+    (n/t before an uppercase vowel), lowercase the rest."""
+    from .analysis import _java_lower
+
+    if (
+        len(token) > 1
+        and token[0] in ("n", "t")
+        and token[1] in _UPPER_VOWELS
+    ):
+        return token[0] + "-" + _java_lower(token[1:])
+    return _java_lower(token)
+
+
+def _mark(w: str) -> tuple[int, int, int]:
+    n = len(w)
+    pV = p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in _V:
+        i += 1
+    if i < n:
+        pV = i + 1
+        i = pV
+        while i < n and w[i] in _V:
+            i += 1
+        if i < n:
+            p1 = i + 1
+            i = p1
+            while i < n and w[i] not in _V:
+                i += 1
+            while i < n and w[i] in _V:
+                i += 1
+            if i < n:
+                p2 = i + 1
+    return pV, p1, p2
+
+
+def irish_stem(word: str) -> str:
+    w = word
+    pre, val = longest_f(w, _T["a_0"])  # initial mutation
+    if pre is not None:
+        w = _PREFIX_REPL[val] + w[len(pre):]
+    pV, p1, p2 = _mark(w)
+
+    suf, val = longest_b(w, _T["a_1"])  # noun suffixes
+    if suf is not None:
+        i = len(w) - len(suf)
+        if val == 1 and i >= p1:
+            w = w[:i]
+        elif val == 2 and i >= p2:
+            w = w[:i]
+
+    suf, val = longest_b(w, _T["a_2"])  # derivational
+    if suf is not None:
+        i = len(w) - len(suf)
+        if val == 1 and i >= p2:
+            w = w[:i]
+        elif val in _DERIV_REPL:
+            w = w[:i] + _DERIV_REPL[val]
+
+    suf, val = longest_b(w, _T["a_3"])  # verb suffixes
+    if suf is not None:
+        i = len(w) - len(suf)
+        if val == 1 and i >= pV:
+            w = w[:i]
+        elif val == 2 and i >= p1:
+            w = w[:i]
+
+    return w
+
+
+# the analyzer's default snowball/irish_stop.txt
+IRISH_STOP_WORDS = frozenset(
+    """a ach ag agus an aon ar arna as b' ba beirt bhúr caoga ceathair
+ceathrar chomh chtó chuig chun cois céad cúig cúigear d' daichead
+dar de deich deichniúr den dhá do don dtí dá dár dó faoi faoin
+faoina faoinár fara fiche gach gan go gur haon hocht i iad idir in
+ina ins inár is le leis lena lenár m' mar mo mé na nach naoi naonúr
+ná ní níor nó nócha ocht ochtar os roimh sa seacht seachtar seachtó
+seasca seisear siad sibh sinn sna sé sí tar thar thú triúr trí
+trína trínár tríocha tú um ár é éis í ó ón óna ónár""".split()
+)

@@ -959,13 +959,21 @@ class AnalyzerChain:
     # PersianAnalyzer stops AFTER normalization (its stop list ships
     # pre-normalized); every other chain stops before
     stop_after_normalize: bool = False
+    # IrishAnalyzer's HYPHENATIONS StopFilter: surface tokens dropped
+    # case-insensitively BEFORE elision/lowercase (entries lowercase)
+    pre_stop: Optional[frozenset] = None
+    # custom lowercase filter (IrishLowerCaseFilter); default is the
+    # Java simple mapping
+    lower: Optional[Callable[[str], str]] = None
 
     def apply_token(self, surface: str) -> Optional[str]:
         """Surface token -> indexed term, or None if stop-filtered."""
         tok = surface
+        if self.pre_stop is not None and _java_lower(tok) in self.pre_stop:
+            return None
         if self.elision is not None:
             tok = strip_elision(tok, self.elision)
-        tok = _java_lower(tok)
+        tok = self.lower(tok) if self.lower is not None else _java_lower(tok)
         if self.stop_after_normalize:
             if self.normalize is not None:
                 tok = self.normalize(tok)
@@ -1142,6 +1150,32 @@ def _build_chains() -> dict:
         "romanian": AnalyzerChain(
             "romanian", _ro_stops(), stem=_ro_stem(), normalize=_ro_norm()
         ),
+        # CatalanAnalyzer (ca/CatalanAnalyzer.java:121-131): elision
+        # (d l m n s t) -> lower -> stop -> snowball Catalan
+        "catalan": AnalyzerChain(
+            "catalan", _ca_stops(), stem=_ca_stem(), elision=_ca_articles()
+        ),
+        # BasqueAnalyzer (eu/BasqueAnalyzer.java:114-121): lower ->
+        # stop -> snowball Basque
+        "basque": AnalyzerChain("basque", _eu_stops(), stem=_eu_stem()),
+        # ArmenianAnalyzer (hy/ArmenianAnalyzer.java:114-121): lower ->
+        # stop -> snowball Armenian
+        "armenian": AnalyzerChain(
+            "armenian", _hy_stops(), stem=_hy_stem()
+        ),
+        # LithuanianAnalyzer (lt/LithuanianAnalyzer.java:114-121):
+        # lower -> stop -> snowball Lithuanian
+        "lithuanian": AnalyzerChain(
+            "lithuanian", _lt_stops(), stem=_lt_stem()
+        ),
+        # IrishAnalyzer (ga/IrishAnalyzer.java:126-135): hyphenation
+        # pre-stop (h n t, case-insensitive, BEFORE elision/lower) ->
+        # elision (d m b) -> IrishLowerCaseFilter -> stop -> snowball
+        "irish": AnalyzerChain(
+            "irish", _ga_stops(), stem=_ga_stem(),
+            elision=_ga_articles(), pre_stop=_ga_pre_stop(),
+            lower=_ga_lower(),
+        ),
         # ShingleFilter defaults (analysis/shingle/ShingleFilter.java):
         # unigrams + word bigrams, "_" filler for stop gaps (no stops
         # in this registration, so fillers only appear with an
@@ -1293,6 +1327,90 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _ca_stops():
+    from .catalan import CATALAN_STOP_WORDS
+
+    return CATALAN_STOP_WORDS
+
+
+def _ca_stem():
+    from .catalan import catalan_stem
+
+    return catalan_stem
+
+
+def _ca_articles():
+    from .catalan import ELISION_ARTICLES_CA
+
+    return ELISION_ARTICLES_CA
+
+
+def _eu_stops():
+    from .basque import BASQUE_STOP_WORDS
+
+    return BASQUE_STOP_WORDS
+
+
+def _eu_stem():
+    from .basque import basque_stem
+
+    return basque_stem
+
+
+def _hy_stops():
+    from .armenian import ARMENIAN_STOP_WORDS
+
+    return ARMENIAN_STOP_WORDS
+
+
+def _hy_stem():
+    from .armenian import armenian_stem
+
+    return armenian_stem
+
+
+def _lt_stops():
+    from .lithuanian import LITHUANIAN_STOP_WORDS
+
+    return LITHUANIAN_STOP_WORDS
+
+
+def _lt_stem():
+    from .lithuanian import lithuanian_stem
+
+    return lithuanian_stem
+
+
+def _ga_stops():
+    from .irish import IRISH_STOP_WORDS
+
+    return IRISH_STOP_WORDS
+
+
+def _ga_stem():
+    from .irish import irish_stem
+
+    return irish_stem
+
+
+def _ga_articles():
+    from .irish import ELISION_ARTICLES_GA
+
+    return ELISION_ARTICLES_GA
+
+
+def _ga_pre_stop():
+    from .irish import IRISH_HYPHENATION_STOPS
+
+    return IRISH_HYPHENATION_STOPS
+
+
+def _ga_lower():
+    from .irish import irish_lower
+
+    return irish_lower
 
 
 def _ro_stops():

@@ -1,0 +1,91 @@
+"""Lithuanian analysis: the snowball Lithuanian stemmer.
+
+Re-expresses ``analysis/common/.../lt/LithuanianAnalyzer.java``
+(tokenize -> lower -> stop -> SnowballFilter(LithuanianStemmer)) from
+the published snowball Lithuanian algorithm, pinned to the generated
+reference (``org/tartarus/snowball/ext/LithuanianStemmer.java``) and
+validated against compiled-reference goldens
+(tests/test_lithuanian.py).
+
+Shape: R1 standard, except words starting with 'a' and longer than 6
+letters mark R1 from the second letter on; then backward:
+fix_conflicts (ungated canonical rewrites, e.g. -aitės -> -aitė),
+one case-ending removal within R1 (193 entries), č/dž repair, a
+REPEATED derivational-suffix removal within R1 (62 entries), č/dž
+repair again, and a final gd -> g repair. Vowels: a e i o u y ą ė ę
+į ū ų.
+"""
+
+from __future__ import annotations
+
+from ._snowball import longest_b
+from ._snowball_data import GROUPS, TABLES
+
+_T = TABLES["lithuanian"]
+_V = frozenset(GROUPS["lithuanian"]["g_v"])
+
+_CONFLICT_REPL = {
+    1: "aitė", 2: "uotė", 3: "ėjimas", 4: "esys",
+    5: "asys", 6: "avimas", 7: "ojimas", 8: "okatė",
+}
+
+
+def _fix_chdz(w: str) -> str:
+    if w.endswith("č"):
+        return w[:-1] + "t"
+    if w.endswith("dž"):
+        return w[:-2] + "d"
+    return w
+
+
+def lithuanian_stem(word: str) -> str:
+    w = word
+    n = len(w)
+    # region start shifts past a leading 'a' on long words
+    start = 1 if (w.startswith("a") and n > 6) else 0
+    # R1 from `start`: first consonant after the first vowel run, + 1
+    p1 = n
+    i = start
+    while i < n and w[i] not in _V:
+        i += 1
+    while i < n and w[i] in _V:
+        i += 1
+    if i < n:
+        p1 = i + 1
+
+    suf, val = longest_b(w, _T["a_2"])  # fix_conflicts, ungated
+    if suf is not None:
+        w = w[: -len(suf)] + _CONFLICT_REPL[val]
+
+    if len(w) >= p1:  # step1: one case ending within R1
+        suf, _ = longest_b(w, _T["a_0"], min_start=p1)
+        if suf is not None:
+            w = w[: -len(suf)]
+
+    w = _fix_chdz(w)
+
+    while len(w) >= p1:  # step2: repeated within R1
+        suf, _ = longest_b(w, _T["a_1"], min_start=p1)
+        if suf is None:
+            break
+        w = w[: -len(suf)]
+
+    w = _fix_chdz(w)
+    if w.endswith("gd"):
+        w = w[:-1]
+    return w
+
+
+# the analyzer's default lt/stopwords.txt
+LITHUANIAN_STOP_WORDS = frozenset(
+    """ant apie ar arba aš be bei bet bus būti būtų buvo dėl gali į
+iki ir iš ja ją jai jais jam jame jas jei ji jį jie jiedu jiedvi
+jiedviem jiedviese jiems jis jo jodviem jog joje jomis joms jos
+jose jų judu judvi judviejų jųdviejų judviem judviese jumis jums
+jumyse juo juodu juodviese juos juose jus jūs jūsų ką kad kai kaip
+kas kiek kol kur kurie kuris man mane manęs manimi mano manyje mes
+metu mudu mudvi mudviejų mudviem mudviese mumis mums mumyse mus
+mūsų nei nes net nors nuo o pat per po prie prieš sau save savęs
+savimi savo savyje su tačiau tada tai taip tas tau tave tavęs
+tavimi tavyje ten to todėl tu tuo už visi yra""".split()
+)

@@ -1,0 +1,136 @@
+"""Catalan/Basque/Armenian/Lithuanian/Irish snowball chains: bulk
+golden validation against the COMPILED reference stemmers
+(tools/snowball_goldens.py -> tests/fixtures/snowball_goldens.json.gz),
+plus chain-order behavior and the oracle preconditions for the driver
+entries."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "snowball_goldens.json.gz"
+)
+
+STEMMERS = {
+    "Catalan": ("lucene_spark.functions.catalan", "catalan_stem"),
+    "Basque": ("lucene_spark.functions.basque", "basque_stem"),
+    "Armenian": ("lucene_spark.functions.armenian", "armenian_stem"),
+    "Lithuanian": ("lucene_spark.functions.lithuanian",
+                   "lithuanian_stem"),
+    "Irish": ("lucene_spark.functions.irish", "irish_stem"),
+}
+
+# chain name -> stem-invariant corpus term used by its oracle entry
+ORACLE_TERMS = {
+    "catalan": "batch",
+    "basque": "scan",
+    "lithuanian": "column",
+    "irish": "join",
+}
+
+
+def _goldens(lang):
+    with gzip.open(FIXTURE, "rt") as f:
+        return json.load(f)[lang]
+
+
+class TestGoldens:
+    @pytest.mark.parametrize("lang", sorted(STEMMERS))
+    def test_all_reference_goldens(self, lang):
+        mod, fn = STEMMERS[lang]
+        stem = getattr(__import__(mod, fromlist=[fn]), fn)
+        g = _goldens(lang)
+        assert len(g) > 500
+        bad = {
+            w: (stem(w), want) for w, want in g.items() if stem(w) != want
+        }
+        assert not bad, dict(list(bad.items())[:10])
+
+
+class TestChains:
+    def test_catalan_elision_then_stop(self):
+        # "d'una" -> elision strips d' -> "una" which is a stopword
+        chain = get_chain("catalan")
+        terms, pos = chain_analyze("d'una batch", chain)
+        assert terms == ["batch"] and pos == [1]
+
+    def test_irish_hyphenation_pre_stop(self):
+        # StandardTokenizer splits "t-athair" -> {t, athair}; the
+        # pre-stop drops the bare t WITH a position gap
+        chain = get_chain("irish")
+        terms, pos = chain_analyze("t-athair scoile", chain)
+        assert "athair" in terms[0] or terms[0] == "athair"
+        assert pos[0] == 1  # position 0 was the dropped 't'
+
+    def test_irish_lowercase_hyphenates_mutation(self):
+        # nAthair == n-athair after IrishLowerCaseFilter + stemmer
+        chain = get_chain("irish")
+        a, _ = chain_analyze("nAthair", chain)
+        b, _ = chain_analyze("n-athair", chain)
+        assert a == b
+
+    def test_irish_elision(self):
+        chain = get_chain("irish")
+        terms, _ = chain_analyze("d'fhear", chain)
+        # elision strips d' -> fhear -> initial morph fh- -> f-
+        assert terms == ["fear"]
+
+    def test_lithuanian_chain(self):
+        chain = get_chain("lithuanian")
+        # 'ir' is a stopword; case ending strips within R1
+        terms, pos = chain_analyze("ir namuose", chain)
+        assert pos == [1] and terms[0].startswith("nam")
+
+    def test_armenian_stop(self):
+        chain = get_chain("armenian")
+        terms, pos = chain_analyze("այս գիրք", chain)
+        assert pos == [1] and len(terms) == 1
+
+
+class TestOraclePrecondition:
+    @pytest.mark.parametrize("name", sorted(ORACLE_TERMS))
+    def test_invariant_singleton_preimage(self, name, spark):
+        import collections
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        vocab = {
+            r["t"]
+            for r in docs.selectExpr("explode(split(text, ' ')) AS t")
+            .distinct()
+            .collect()
+        }
+        chain = get_chain(name)
+        pre = collections.defaultdict(list)
+        for t in vocab:
+            out = chain.apply_token(t)
+            if out is not None:
+                pre[out].append(t)
+        term = ORACLE_TERMS[name]
+        assert chain.apply_token(term) == term
+        assert pre[term] == [term]
+
+    def test_armenian_synthesized_construction(self):
+        # the armenian_analyzer_tokens entry synthesizes base+sfx and
+        # expects the chain to return EXACTLY base at position 1 —
+        # assert over the whole id range the entry generates
+        from lucene_spark.functions.armenian import armenian_stem
+
+        cons = "գժլմպքսվ"
+        for i in range(200):
+            n = 2 + i % 3
+            base = (
+                "".join(cons[(i * 5 + k) % 8] + "ա" for k in range(n))
+                + "գ"
+            )
+            sfx = ("ների", "ում", "")[i % 3]
+            chain = get_chain("armenian")
+            terms, pos = chain_analyze("այս " + base + sfx, chain)
+            assert terms == [base] and pos == [1], (i, base, sfx, terms)
+            assert armenian_stem(base + sfx) == base

@@ -1,0 +1,96 @@
+"""Extract snowball suffix tables + vowel groupings into Python data.
+
+The generated reference stemmers (``org/tartarus/snowball/ext``) embed
+the published snowball suffix tables as ``Among`` arrays and letter
+groupings as bitmaps. These are pure DATA from snowballstem.org (like
+the stop lists and the UAX#29 DFA already extracted by
+tools/extract_uax29_dfa.py); this script decodes them into
+``lucene_spark/functions/_snowball_data.py`` so the hand-written
+per-language stemmer logic stays small and the tables stay typo-free.
+
+    python tools/extract_snowball_tables.py catalan:Catalan ...
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = ("/root/reference/lucene/analysis/common/src/java/"
+       "org/tartarus/snowball/ext")
+OUT = os.path.join(ROOT, "lucene_spark", "functions", "_snowball_data.py")
+
+HEADER = '''"""Snowball suffix tables and letter groupings (GENERATED).
+
+Decoded from the published snowball algorithm data
+(snowballstem.org, BSD) as shipped in the reference's generated
+stemmers, by tools/extract_snowball_tables.py. Each ``a_N`` is a list
+of (suffix, value) in longest-first order; each ``g_X`` is the
+grouping's explicit character set. Do not edit by hand.
+"""
+
+TABLES = {}
+GROUPS = {}
+'''
+
+
+def parse(lang_java: str) -> tuple[dict, dict]:
+    text = open(os.path.join(REF, f"{lang_java}Stemmer.java"),
+                encoding="utf-8").read()
+    tables = {}
+    for m in re.finditer(
+        r"Among\[\]\s+(a_\d+)\s*=\s*\{(.*?)\};", text, re.S
+    ):
+        name, body = m.group(1), m.group(2)
+        entries = []
+        for am in re.finditer(
+            r'new Among\("((?:[^"\\]|\\.)*)",\s*(-?\d+),\s*(-?\d+)', body
+        ):
+            suffix = am.group(1).encode().decode("unicode_escape")
+            entries.append((suffix, int(am.group(3))))
+        entries.sort(key=lambda e: (-len(e[0]), e[0]))
+        tables[name] = entries
+    groups = {}
+    for m in re.finditer(
+        r"char\[\]\s+(g_\w+)\s*=\s*\{([^}]*)\}", text, re.S
+    ):
+        name = m.group(1)
+        bits = [int(x) for x in m.group(2).replace("\n", " ").split(",")]
+        mm = re.search(rf"grouping(?:_b)?\({name}, (\d+), (\d+)\)", text)
+        lo = int(mm.group(1))
+        chars = set()
+        for i, b in enumerate(bits):
+            for j in range(8):
+                if b & (1 << j):
+                    chars.add(chr(lo + i * 8 + j))
+        groups[name] = "".join(sorted(chars))
+    return tables, groups
+
+
+def main(args: list[str]) -> None:
+    if os.path.exists(OUT):
+        scope = {}
+        exec(compile(open(OUT).read(), OUT, "exec"), scope)
+        all_tables = scope["TABLES"]
+        all_groups = scope["GROUPS"]
+    else:
+        all_tables, all_groups = {}, {}
+    for arg in args:
+        key, lang_java = arg.split(":")
+        t, g = parse(lang_java)
+        all_tables[key] = t
+        all_groups[key] = g
+        print(f"{key}: {sum(len(v) for v in t.values())} suffixes,"
+              f" groups {list(g)}")
+    with open(OUT, "w", encoding="utf-8") as f:
+        f.write(HEADER)
+        for key in sorted(all_tables):
+            f.write(f"\nTABLES[{key!r}] = {all_tables[key]!r}\n")
+            f.write(f"GROUPS[{key!r}] = {all_groups[key]!r}\n")
+    print(OUT)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
