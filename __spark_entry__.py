@@ -3957,6 +3957,69 @@ FROM a
 """
 
 
+def _q_nepali_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NepaliAnalyzer chain (ne/NepaliAnalyzer.java:122-131) over
+    deterministic Devanagari synthesized per doc_id: 'र <base><sfx>'
+    with base = CV-matra pairs from a suffix-safe consonant alphabet
+    ending in ग and sfx cycling को/ले/मा (case postpositions the
+    snowball Nepali stemmer strips). Stop gap at र; the oracle
+    reconstructs base by the same arithmetic
+    (tests/test_snowball_langs.py asserts the construction)."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    cons = "गजटडपबभस"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("nepali")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 2 + i % 3
+                base = (
+                    "".join(cons[(i * 5 + k) % 8] + "ा" for k in range(n))
+                    + "ग"
+                )
+                sfx = ("को", "ले", "मा")[i % 3]
+                terms, pos = chain_analyze("र " + base + sfx, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_NEPALI_SQL = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+a AS (
+  SELECT doc_id,
+         [2327, 2332, 2335, 2337, 2346, 2348, 2349, 2360] AS cps,
+         L
+  FROM d
+)
+SELECT doc_id,
+       (SELECT string_agg(
+           chr(CAST(cps[1 + (doc_id*5 + g.k) % 8] AS INTEGER))
+             || chr(2366),
+           '' ORDER BY g.k)
+        FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+              AS k) g) || chr(2327) AS terms,
+       '1' AS positions
+FROM a
+"""
+
+
 def _q_swedish_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEFAULT SwedishAnalyzer chain = snowball Swedish
     (snowball/ext/SwedishStemmer.java; the swedish_analyzer_top10
@@ -4587,6 +4650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lithuanian_analyzer_top10": _q_lithuanian,
         "irish_analyzer_top10": _q_irish,
         "armenian_analyzer_tokens": _q_armenian_analyzer,
+        "nepali_analyzer_tokens": _q_nepali_analyzer,
         "swedish_snowball_top10": _q_swedish_sb,
         "norwegian_snowball_top10": _q_norwegian_sb,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
@@ -5041,6 +5105,7 @@ def oracle_sql() -> dict[str, str]:
             "join", _lang_stop_sql(_GA_STOPS())
         ),
         "armenian_analyzer_tokens": _ARMENIAN_SQL,
+        "nepali_analyzer_tokens": _NEPALI_SQL,
         "swedish_snowball_top10": _stop_filtered_bm25_sql(
             "join", _lang_stop_sql(_SV_SB_STOPS())
         ),

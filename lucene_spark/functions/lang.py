@@ -1176,6 +1176,13 @@ def _build_chains() -> dict:
             elision=_ga_articles(), pre_stop=_ga_pre_stop(),
             lower=_ga_lower(),
         ),
+        # NepaliAnalyzer (ne/NepaliAnalyzer.java:122-131): lower ->
+        # decimal digits -> Indic normalization -> STOP (after
+        # normalization) -> snowball Nepali
+        "nepali": AnalyzerChain(
+            "nepali", _ne_stops(), stem=_ne_stem(),
+            normalize=_ne_norm(), stop_after_normalize=True,
+        ),
         # ShingleFilter defaults (analysis/shingle/ShingleFilter.java):
         # unigrams + word bigrams, "_" filler for stop gaps (no stops
         # in this registration, so fillers only appear with an
@@ -1327,6 +1334,24 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _ne_stops():
+    from .nepali import NEPALI_STOP_WORDS
+
+    return NEPALI_STOP_WORDS
+
+
+def _ne_stem():
+    from .nepali import nepali_stem
+
+    return nepali_stem
+
+
+def _ne_norm():
+    from .nepali import nepali_normalize
+
+    return nepali_normalize
 
 
 def _ca_stops():

@@ -1,0 +1,93 @@
+"""Nepali analysis: the snowball Nepali stemmer.
+
+Re-expresses ``analysis/common/.../ne/NepaliAnalyzer.java`` (tokenize
+-> lower -> DecimalDigitFilter -> IndicNormalizationFilter -> stop ->
+SnowballFilter(NepaliStemmer)) from the published snowball Nepali
+algorithm, pinned to the generated reference
+(``org/tartarus/snowball/ext/NepaliStemmer.java``) and validated
+against compiled-reference goldens (tests/test_nepali.py).
+
+No regions: one postposition/case pass (delete; the का/कि/की/कै/को
+group keeps a preceding ए or े), then a loop of {conditional
+anusvara/candrabindu/ै removal gated on specific preceding syllables}
+followed by a verb/participle-suffix delete that must succeed for the
+loop to continue. Normalization is NFC + decimal-digit folding (the
+Devanagari slice of IndicNormalizationFilter, same treatment as the
+Hindi/Bengali chains); the stop list is matched post-normalization.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from ._snowball import longest_b
+from ._snowball_data import TABLES
+
+_T = TABLES["nepali"]
+
+_E = "ए"      # ए
+_E_MATRA = "े"  # े
+_CAT2_KEEPERS = ("यौ", "छौ", "नौ",
+                 "थे")  # यौ छौ नौ थे
+_TR = "त्र"  # त्र
+
+
+def nepali_normalize(token: str) -> str:
+    from .arabic import fold_decimal_digits
+
+    return fold_decimal_digits(unicodedata.normalize("NFC", token))
+
+
+def nepali_stem(word: str) -> str:
+    w = word
+    # category 1: postpositions/case endings
+    suf, val = longest_b(w, _T["a_0"])
+    if suf is not None:
+        p = w[: -len(suf)]
+        if val == 1:
+            w = p
+        elif val == 2 and not (p.endswith(_E) or p.endswith(_E_MATRA)):
+            w = p
+    while True:
+        # category 2: nasal / ai-matra dropped after specific syllables
+        suf, val = longest_b(w, _T["a_1"])
+        if suf is not None:
+            p = w[: -len(suf)]
+            if val == 1 and p.endswith(_CAT2_KEEPERS):
+                w = p
+            elif val == 2 and p.endswith(_TR):
+                w = p
+        # category 3: verb/participle suffixes drive the loop
+        suf, _ = longest_b(w, _T["a_2"])
+        if suf is None:
+            break
+        w = w[: -len(suf)]
+    return w
+
+
+# the analyzer's default ne/stopwords.txt (matched post-normalization)
+NEPALI_STOP_WORDS = frozenset(
+    nepali_normalize(t)
+    for t in """छ र पनि छन् लागि भएको गरेको भने गर्न गर्ने हो तथा यो
+रहेको उनले थियो हुने गरेका थिए गर्दै तर नै को मा हुन् भन्ने हुन गरी
+त हुन्छ अब के रहेका गरेर छैन दिए भए यस ले गर्नु औं सो त्यो कि जुन
+यी का गरि ती न छु छौं लाई नि उप अक्सर आदि कसरी क्रमशः चाले अगाडी
+अझै अनुसार अन्तर्गत अन्य अन्यत्र अन्यथा अरु अरुलाई अर्को अर्थात
+अर्थात् अलग आए आजको ओठ आत्म आफू आफूलाई आफ्नै आफ्नो आयो उदाहरण उनको
+उहालाई एउटै एक एकदम कतै कम से कम कसै कसैले कहाँबाट कहिलेकाहीं
+किन किनभने कुनै कुरा कृपया केही कोही गए गरौं गर्छ गर्छु गर्नुपर्छ
+गयौ गैर चार चाहनुहुन्छ चाहन्छु चाहिए छू जताततै जब जबकि जसको जसबाट
+जसमा जसलाई जसले जस्तै जस्तो जस्तोसुकै जहाँ जान जाहिर जे जो ठीक
+तत्काल तदनुसार तपाईको तपाई पर्याप्त पहिले पहिलो पहिल्यै पाँच
+पाँचौं तल तापनी तिनी तिनीहरू तिनीहरुको तिनिहरुलाई तिमी तिर तीन
+तुरुन्तै तेस्रो तेस्कारण पूर्व प्रति प्रतेक प्लस फेरी बने त्सपछि
+त्सैले त्यहाँ थिएन दिनुभएको दिनुहुन्छ दुई देखि बरु बारे बाहिर
+देखिन्छ देखियो देखे देखेको देखेर दोस्रो धेरै नजिकै नत्र नयाँ
+निम्ति बाहेक बीच बीचमा भन निम्न निम्नानुसार निर्दिष्ट नौ पक्का
+पक्कै पछि पछिल्लो पटक पर्छ पर्थ्यो भन्छन् भन् भन्छु भन्दा
+भन्नुभयो भर भित्र भित्री म मलाई मात्र माथि मुख्य मेरो यति यथोचित
+यदि यद्यपि यसको यसपछि यसबाहेक यसरी यसो यस्तो यहाँ यहाँसम्म या रही
+राखे राख्छ राम्रो रूप लगभग वरीपरी वास्तवमा बिरुद्ध बिशेष सायद शायद
+संग संगै सक्छ सट्टा सधै सबै सबैलाई समय सम्भव सम्म सही साँच्चै सात
+साथ साथै सारा सोही स्पष्ट हरे हरेक""".split()
+)

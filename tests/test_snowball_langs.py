@@ -23,6 +23,7 @@ STEMMERS = {
     "Lithuanian": ("lucene_spark.functions.lithuanian",
                    "lithuanian_stem"),
     "Irish": ("lucene_spark.functions.irish", "irish_stem"),
+    "Nepali": ("lucene_spark.functions.nepali", "nepali_stem"),
 }
 
 # chain name -> stem-invariant corpus term used by its oracle entry
@@ -115,6 +116,22 @@ class TestOraclePrecondition:
         term = ORACLE_TERMS[name]
         assert chain.apply_token(term) == term
         assert pre[term] == [term]
+
+    def test_nepali_synthesized_construction(self):
+        from lucene_spark.functions.nepali import nepali_stem
+
+        cons = "गजटडपबभस"
+        chain = get_chain("nepali")
+        for i in range(200):
+            n = 2 + i % 3
+            base = (
+                "".join(cons[(i * 5 + k) % 8] + "ा" for k in range(n))
+                + "ग"
+            )
+            sfx = ("को", "ले", "मा")[i % 3]
+            terms, pos = chain_analyze("र " + base + sfx, chain)
+            assert terms == [base] and pos == [1], (i, base, sfx, terms)
+            assert nepali_stem(base + sfx) == base
 
     def test_armenian_synthesized_construction(self):
         # the armenian_analyzer_tokens entry synthesizes base+sfx and
