@@ -826,6 +826,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             "indonesian", "latvian", "danish", "romanian",
             "catalan", "basque", "lithuanian", "irish",
             "swedish_snowball", "norwegian_snowball",
+            "hungarian_snowball",
         ):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
@@ -1033,6 +1034,12 @@ def _RO_STOPS():
     from lucene_spark.functions.romanian import ROMANIAN_STOP_WORDS
 
     return ROMANIAN_STOP_WORDS
+
+
+def _HU_STOPS():
+    from lucene_spark.functions.lang import HUNGARIAN_STOP_WORDS
+
+    return HUNGARIAN_STOP_WORDS
 
 
 def _CA_STOPS():
@@ -4020,6 +4027,15 @@ FROM a
 """
 
 
+def _q_hungarian_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT HungarianAnalyzer chain = snowball Hungarian
+    (snowball/ext/HungarianStemmer.java, compiled-reference goldens;
+    the Light variant has no driver entry): stem-invariant term
+    'order'."""
+    s = _variant_searcher(spark, sf_dir, "hungarian_snowball")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["order"]))
+
+
 def _q_swedish_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEFAULT SwedishAnalyzer chain = snowball Swedish
     (snowball/ext/SwedishStemmer.java; the swedish_analyzer_top10
@@ -4651,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "irish_analyzer_top10": _q_irish,
         "armenian_analyzer_tokens": _q_armenian_analyzer,
         "nepali_analyzer_tokens": _q_nepali_analyzer,
+        "hungarian_snowball_top10": _q_hungarian_sb,
         "swedish_snowball_top10": _q_swedish_sb,
         "norwegian_snowball_top10": _q_norwegian_sb,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
@@ -5106,6 +5123,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "armenian_analyzer_tokens": _ARMENIAN_SQL,
         "nepali_analyzer_tokens": _NEPALI_SQL,
+        "hungarian_snowball_top10": _stop_filtered_bm25_sql(
+            "order", _lang_stop_sql(_HU_STOPS())
+        ),
         "swedish_snowball_top10": _stop_filtered_bm25_sql(
             "join", _lang_stop_sql(_SV_SB_STOPS())
         ),

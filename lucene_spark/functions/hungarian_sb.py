@@ -1,0 +1,109 @@
+"""Hungarian snowball stemmer (the DEFAULT HungarianAnalyzer chain).
+
+Re-expresses ``analysis/common/.../hu/HungarianAnalyzer.java``
+(tokenize -> lower -> stop -> SnowballFilter(HungarianStemmer); the
+'hungarian' registration in lang.py is the separate Light variant)
+from the published snowball Hungarian algorithm, pinned to the
+generated reference (``org/tartarus/snowball/ext/
+HungarianStemmer.java``) and validated against compiled-reference
+goldens (tests/test_hungarian_sb.py).
+
+Shape: R1 = after the first consonant when the word starts with a
+vowel, else after the first vowel; nine ordered passes (instrumental
+val/vel and factive vá/vé require a doubled consonant cluster before
+the suffix and undouble it after deletion; case endings restore the
+long final vowel á->a, é->e; then special/other case forms, owned,
+singular/plural owner and plural), all R1-gated.
+"""
+
+from __future__ import annotations
+
+from ._snowball import longest_b
+from ._snowball_data import GROUPS, TABLES
+
+_T = TABLES["hungarian_sb"]
+_V = frozenset(GROUPS["hungarian_sb"]["g_v"])
+
+
+def _mark_r1(w: str) -> int:
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _V:
+        i = 1
+        while i < n and w[i] in _V:
+            i += 1
+        return i + 1 if i < n else n
+    i = 0
+    while i < n and w[i] not in _V:
+        i += 1
+    return i + 1 if i < n else n
+
+
+def _double_ending_at(w: str, i: int) -> bool:
+    for suf, _ in _T["a_1"]:
+        if i - len(suf) >= 0 and w.startswith(suf, i - len(suf)):
+            return True
+    return False
+
+
+def _undouble(w: str) -> str:
+    """Drop the second-to-last char (one half of the doubled pair)."""
+    if len(w) >= 2:
+        return w[:-2] + w[-1]
+    return w
+
+
+def _v_ending(w: str, p1: int) -> str:
+    if w.endswith("á") and len(w) - 1 >= p1:
+        return w[:-1] + "a"
+    if w.endswith("é") and len(w) - 1 >= p1:
+        return w[:-1] + "e"
+    return w
+
+
+def hungarian_snowball_stem(word: str) -> str:
+    w = word
+    p1 = _mark_r1(w)
+
+    # instrumental val/vel: doubled cluster before it, undouble after
+    suf, _ = longest_b(w, _T["a_2"])
+    if suf is not None:
+        i = len(w) - len(suf)
+        if i >= p1 and _double_ending_at(w, i):
+            w = _undouble(w[:i])
+
+    # case endings, then long-vowel restore
+    suf, _ = longest_b(w, _T["a_3"])
+    if suf is not None and len(w) - len(suf) >= p1:
+        w = _v_ending(w[: -len(suf)], p1)
+
+    # special case forms -> e/a
+    suf, val = longest_b(w, _T["a_4"])
+    if suf is not None and len(w) - len(suf) >= p1:
+        w = w[: -len(suf)] + ("e" if val == 1 else "a")
+
+    # other case forms
+    suf, val = longest_b(w, _T["a_5"])
+    if suf is not None and len(w) - len(suf) >= p1:
+        w = w[: -len(suf)] + {1: "", 2: "a", 3: "e"}[val]
+
+    # factive vá/vé: doubled cluster + undouble
+    suf, _ = longest_b(w, _T["a_6"])
+    if suf is not None:
+        i = len(w) - len(suf)
+        if i >= p1 and _double_ending_at(w, i):
+            w = _undouble(w[:i])
+
+    # owned, singular owner, plural owner, plural
+    for table, reps in (
+        ("a_8", {1: "", 2: "e", 3: "a"}),
+        ("a_9", {1: "", 2: "a", 3: "e"}),
+        ("a_10", {1: "", 2: "a", 3: "e"}),
+        ("a_7", {1: "a", 2: "e", 3: ""}),
+    ):
+        suf, val = longest_b(w, _T[table])
+        if suf is not None and len(w) - len(suf) >= p1:
+            w = w[: -len(suf)] + reps[val]
+
+    return w

@@ -1124,6 +1124,12 @@ def _build_chains() -> dict:
         "norwegian_snowball": AnalyzerChain(
             "norwegian_snowball", _no_sb_stops(), stem=_no_sb_stem()
         ),
+        # the DEFAULT HungarianAnalyzer chain = snowball Hungarian
+        # (hu/HungarianAnalyzer.java; 'hungarian' above is the
+        # separate Light variant)
+        "hungarian_snowball": AnalyzerChain(
+            "hungarian_snowball", HUNGARIAN_STOP_WORDS, _hu_sb_stem()
+        ),
         # LatvianAnalyzer (lv/LatvianAnalyzer.java:101-108): lower ->
         # stop -> Kreslins light stemmer
         "latvian": AnalyzerChain(
@@ -1334,6 +1340,12 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _hu_sb_stem():
+    from .hungarian_sb import hungarian_snowball_stem
+
+    return hungarian_snowball_stem
 
 
 def _ne_stops():

@@ -24,6 +24,8 @@ STEMMERS = {
                    "lithuanian_stem"),
     "Irish": ("lucene_spark.functions.irish", "irish_stem"),
     "Nepali": ("lucene_spark.functions.nepali", "nepali_stem"),
+    "Hungarian": ("lucene_spark.functions.hungarian_sb",
+                  "hungarian_snowball_stem"),
 }
 
 # chain name -> stem-invariant corpus term used by its oracle entry
@@ -32,6 +34,7 @@ ORACLE_TERMS = {
     "basque": "scan",
     "lithuanian": "column",
     "irish": "join",
+    "hungarian_snowball": "order",
 }
 
 

@@ -64,6 +64,7 @@ ROOTS = {
     "Irish": ["scoil", "bail", "a", "obair", "fear", "leabhar"],
     "Dutch": ["werk", "huiz", "a", "kind", "groot", "loop", "fiets"],
     "Turkish": ["ev", "kitap", "a", "okul", "güzel", "araba"],
+    "Hungarian": ["munk", "ház", "a", "ember", "kert", "assz", "kedv"],
     "Nepali": ["गर", "भन", "किताब", "अ", "हेर", "खा"],
 }
 
