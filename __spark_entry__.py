@@ -826,7 +826,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             "indonesian", "latvian", "danish", "romanian",
             "catalan", "basque", "lithuanian", "irish",
             "swedish_snowball", "norwegian_snowball",
-            "hungarian_snowball",
+            "hungarian_snowball", "estonian",
         ):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
@@ -1034,6 +1034,12 @@ def _RO_STOPS():
     from lucene_spark.functions.romanian import ROMANIAN_STOP_WORDS
 
     return ROMANIAN_STOP_WORDS
+
+
+def _ET_STOPS():
+    from lucene_spark.functions.estonian import ESTONIAN_STOP_WORDS
+
+    return ESTONIAN_STOP_WORDS
 
 
 def _HU_STOPS():
@@ -4027,6 +4033,14 @@ FROM a
 """
 
 
+def _q_estonian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estonian snowball chain (snowball/ext/EstonianStemmer.java,
+    compiled-reference goldens incl. the whole-word irregular-verb
+    short circuit): stem-invariant term 'merge'."""
+    s = _variant_searcher(spark, sf_dir, "estonian")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["merge"]))
+
+
 def _q_hungarian_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEFAULT HungarianAnalyzer chain = snowball Hungarian
     (snowball/ext/HungarianStemmer.java, compiled-reference goldens;
@@ -4668,6 +4682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "armenian_analyzer_tokens": _q_armenian_analyzer,
         "nepali_analyzer_tokens": _q_nepali_analyzer,
         "hungarian_snowball_top10": _q_hungarian_sb,
+        "estonian_analyzer_top10": _q_estonian,
         "swedish_snowball_top10": _q_swedish_sb,
         "norwegian_snowball_top10": _q_norwegian_sb,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
@@ -5125,6 +5140,9 @@ def oracle_sql() -> dict[str, str]:
         "nepali_analyzer_tokens": _NEPALI_SQL,
         "hungarian_snowball_top10": _stop_filtered_bm25_sql(
             "order", _lang_stop_sql(_HU_STOPS())
+        ),
+        "estonian_analyzer_top10": _stop_filtered_bm25_sql(
+            "merge", _lang_stop_sql(_ET_STOPS())
         ),
         "swedish_snowball_top10": _stop_filtered_bm25_sql(
             "join", _lang_stop_sql(_SV_SB_STOPS())

@@ -1182,6 +1182,11 @@ def _build_chains() -> dict:
             elision=_ga_articles(), pre_stop=_ga_pre_stop(),
             lower=_ga_lower(),
         ),
+        # EstonianAnalyzer (et/EstonianAnalyzer.java:110-117): lower ->
+        # stop -> snowball Estonian
+        "estonian": AnalyzerChain(
+            "estonian", _et_stops(), stem=_et_stem()
+        ),
         # NepaliAnalyzer (ne/NepaliAnalyzer.java:122-131): lower ->
         # decimal digits -> Indic normalization -> STOP (after
         # normalization) -> snowball Nepali
@@ -1346,6 +1351,18 @@ def _hu_sb_stem():
     from .hungarian_sb import hungarian_snowball_stem
 
     return hungarian_snowball_stem
+
+
+def _et_stops():
+    from .estonian import ESTONIAN_STOP_WORDS
+
+    return ESTONIAN_STOP_WORDS
+
+
+def _et_stem():
+    from .estonian import estonian_stem
+
+    return estonian_stem
 
 
 def _ne_stops():

@@ -26,6 +26,7 @@ STEMMERS = {
     "Nepali": ("lucene_spark.functions.nepali", "nepali_stem"),
     "Hungarian": ("lucene_spark.functions.hungarian_sb",
                   "hungarian_snowball_stem"),
+    "Estonian": ("lucene_spark.functions.estonian", "estonian_stem"),
 }
 
 # chain name -> stem-invariant corpus term used by its oracle entry
@@ -35,6 +36,7 @@ ORACLE_TERMS = {
     "lithuanian": "column",
     "irish": "join",
     "hungarian_snowball": "order",
+    "estonian": "merge",
 }
 
 

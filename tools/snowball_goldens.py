@@ -65,6 +65,7 @@ ROOTS = {
     "Dutch": ["werk", "huiz", "a", "kind", "groot", "loop", "fiets"],
     "Turkish": ["ev", "kitap", "a", "okul", "güzel", "araba"],
     "Hungarian": ["munk", "ház", "a", "ember", "kert", "assz", "kedv"],
+    "Estonian": ["maja", "tuba", "a", "eestlas", "kirjutam", "ilusikk", "suur"],
     "Nepali": ["गर", "भन", "किताब", "अ", "हेर", "खा"],
 }
 
