@@ -3049,6 +3049,63 @@ FROM b
 """
 
 
+def _q_russian_snowball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default RussianAnalyzer chain (ru/RussianAnalyzer.java:106-114,
+    SnowballFilter(RussianStemmer)) over deterministic Russian
+    synthesized per doc_id: 'и <C1>о<C2><sfx> 2024' with consonants
+    from а suffix-free alphabet and sfx cycling ами/ах (noun endings)
+    and ой (adjective) — each deletes exactly, leaving the C1-о-C2
+    base (no trailing и/н/ь, so step 2 / derivational / tidy-up stay
+    quiet). The engine runs the full chain ('и' stop gap + snowball
+    stemmer validated against 1,795 compiled-reference goldens); the
+    oracle reconstructs the base by the same arithmetic — pure string
+    construction, no stemmer re-implementation."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "кгтмпдрс"
+    sfxs = ["ами", "ах", "ой"]
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("russian_snowball")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                base = alpha[(i * 3) % 8] + "о" + alpha[(i * 5 + 1) % 8]
+                text = "и " + base + sfxs[i % 3] + " 2024"
+                terms, pos = chain_analyze(text, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+# Cyrillic codepoints for the same alphabet: к г т м п д р с / о
+_RUSSIAN_SB_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         [1082, 1075, 1090, 1084, 1087, 1076, 1088, 1089] AS cps
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       chr(CAST(cps[1 + (doc_id*3) % 8] AS INTEGER)) || chr(1086)
+         || chr(CAST(cps[1 + (doc_id*5 + 1) % 8] AS INTEGER))
+         || '|2024' AS terms,
+       '1,2' AS positions
+FROM d
+"""
+
+
 def _q_persian_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PersianAnalyzer chain (fa/PersianAnalyzer.java:128-143) over
     deterministic Persian synthesized per doc_id: 'از <base>ها ۱۲۳'
@@ -4616,6 +4673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_nearest_top10": _q_geo_nearest,
         "shingle_tokens": _q_shingles,
         "arabic_analyzer_tokens": _q_arabic_analyzer,
+        "russian_snowball_tokens": _q_russian_snowball,
         "persian_analyzer_tokens": _q_persian_analyzer,
         "hindi_analyzer_tokens": _q_hindi_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
@@ -5016,6 +5074,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_nearest_top10": _geo_nearest_sql(),
         "shingle_tokens": _SHINGLES_SQL,
         "arabic_analyzer_tokens": _ARABIC_SQL,
+        "russian_snowball_tokens": _RUSSIAN_SB_SQL,
         "persian_analyzer_tokens": _PERSIAN_SQL,
         "hindi_analyzer_tokens": _HINDI_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,

@@ -1124,6 +1124,12 @@ def _build_chains() -> dict:
         "norwegian_snowball": AnalyzerChain(
             "norwegian_snowball", _no_sb_stops(), stem=_no_sb_stem()
         ),
+        # the DEFAULT RussianAnalyzer chain (ru/RussianAnalyzer.java:
+        # 106-114 -> SnowballFilter(RussianStemmer)); the plain
+        # "russian" chain is the RussianLightStemFilter variant
+        "russian_snowball": AnalyzerChain(
+            "russian_snowball", RUSSIAN_STOP_WORDS, stem=_ru_sb_stem()
+        ),
         # the DEFAULT HungarianAnalyzer chain = snowball Hungarian
         # (hu/HungarianAnalyzer.java; 'hungarian' above is the
         # separate Light variant)
@@ -1345,6 +1351,12 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _ru_sb_stem():
+    from .russian_sb import russian_snowball_stem
+
+    return russian_snowball_stem
 
 
 def _hu_sb_stem():

@@ -1,0 +1,162 @@
+"""Russian analysis: the snowball Russian stemmer (the DEFAULT
+RussianAnalyzer chain — the 'russian' chain in this repo is the
+separate RussianLightStemFilter variant).
+
+Re-expresses ``analysis/common/.../ru/RussianAnalyzer.java:106-114``
+(tokenize -> lower -> stop -> SnowballFilter(RussianStemmer)) from the
+published snowball Russian algorithm, pinned to the generated
+reference (``org/tartarus/snowball/ext/RussianStemmer.java``):
+
+- Prelude: every ё is rewritten to е (:398-432) before regions are
+  marked.
+- Regions: RV = after the first vowel; R2 = standard (two vowel-run ->
+  non-vowel sequences). All backward matching is confined to RV
+  (``limit_backward = I_pV``, :441), including the preceding-а/я
+  condition checks.
+- Step 1 (first that fires wins): perfective gerund (а/я-conditioned
+  entries keep the а/я, :210-242); else optional reflexive (сь/ся)
+  then adjectival (adjective + optional а/я-conditioned participle,
+  :254-295) OR verb (а/я-conditioned + plain families, :307-339) OR
+  noun (:341-349).
+- Step 2: trailing и deletes (:489-499).
+- Derivational: ость/ост delete when inside R2 (:351-362).
+- Tidy-up (:364-396): superlative ейше/ейш deletes and a remaining
+  нн collapses to н; bare н preceded by н collapses; trailing ь
+  deletes.
+
+Suffix tables come from ``_snowball_data`` (decoded published data,
+tools/extract_snowball_tables.py); the full battery is validated
+against the COMPILED reference stemmer's goldens in
+tests/test_snowball_langs.py. The stop set is the analyzer's default
+``snowball/russian_stop.txt``.
+"""
+
+from __future__ import annotations
+
+from ._snowball import longest_b
+from ._snowball_data import GROUPS, TABLES
+
+_T = TABLES["russian"]
+_A0 = _T["a_0"]  # perfective gerund
+_A1 = _T["a_1"]  # adjective
+_A2 = _T["a_2"]  # participle
+_A3 = _T["a_3"]  # reflexive
+_A4 = _T["a_4"]  # verb
+_A5 = _T["a_5"]  # noun
+_A6 = _T["a_6"]  # derivational (R2)
+_A7 = _T["a_7"]  # tidy-up
+_VOWELS = frozenset(GROUPS["russian"]["g_v"])
+
+
+def _mark(w: str) -> tuple[int, int]:
+    """(pV, p2): RV after the first vowel; R2 standard."""
+    n = len(w)
+    pV = p2 = n
+    i = 0
+    while i < n and w[i] not in _VOWELS:
+        i += 1
+    if i < n:
+        pV = i + 1
+        # R1 = after the first non-vowel following the vowel run
+        j = pV
+        while j < n and w[j] in _VOWELS:
+            j += 1
+        if j < n:
+            r1 = j + 1
+            # R2 = same sequence again starting from R1
+            k = r1
+            while k < n and w[k] not in _VOWELS:
+                k += 1
+            while k < n and w[k] in _VOWELS:
+                k += 1
+            if k < n:
+                p2 = k + 1
+    return pV, p2
+
+
+def _del_cond(w: str, suf: str, pV: int) -> str | None:
+    """Delete ``suf`` when preceded by а/я inside RV, else None."""
+    i = len(w) - len(suf)
+    if i - 1 >= pV and w[i - 1] in "ая":
+        return w[:i]
+    return None
+
+
+def russian_snowball_stem(word: str) -> str:
+    word = word.replace("ё", "е")
+    pV, p2 = _mark(word)
+    if len(word) < pV:
+        return word
+
+    # --- step 1 ---------------------------------------------------
+    suf, val = longest_b(word, _A0, min_start=pV)
+    stemmed = None
+    if suf is not None:
+        if val == 2:
+            stemmed = word[: -len(suf)]
+        else:
+            stemmed = _del_cond(word, suf, pV)
+    if stemmed is not None:
+        word = stemmed
+    else:
+        suf, _ = longest_b(word, _A3, min_start=pV)
+        if suf is not None:
+            word = word[: -len(suf)]
+        # adjectival | verb | noun — first that fires
+        suf, _ = longest_b(word, _A1, min_start=pV)
+        if suf is not None:  # adjective, then optional participle
+            word = word[: -len(suf)]
+            psuf, pval = longest_b(word, _A2, min_start=pV)
+            if psuf is not None:
+                if pval == 2:
+                    word = word[: -len(psuf)]
+                else:
+                    w2 = _del_cond(word, psuf, pV)
+                    if w2 is not None:
+                        word = w2
+        else:
+            suf, val = longest_b(word, _A4, min_start=pV)
+            done = False
+            if suf is not None:
+                if val == 2:
+                    word = word[: -len(suf)]
+                    done = True
+                else:
+                    w2 = _del_cond(word, suf, pV)
+                    if w2 is not None:
+                        word = w2
+                        done = True
+            if not done:
+                suf, _ = longest_b(word, _A5, min_start=pV)
+                if suf is not None:
+                    word = word[: -len(suf)]
+
+    # --- step 2: trailing и ---------------------------------------
+    if word.endswith("и") and len(word) - 1 >= pV:
+        word = word[:-1]
+
+    # --- derivational (R2) ----------------------------------------
+    suf, _ = longest_b(word, _A6, min_start=pV)
+    if suf is not None and len(word) - len(suf) >= p2:
+        word = word[: -len(suf)]
+
+    # --- tidy up ---------------------------------------------------
+    suf, val = longest_b(word, _A7, min_start=pV)
+    if suf is not None:
+        if val == 1:  # ейше / ейш
+            word = word[: -len(suf)]
+            if (
+                word.endswith("нн")
+                and len(word) - 1 >= pV
+                and len(word) - 2 >= pV
+            ):
+                word = word[:-1]
+        elif val == 2:  # н preceded by н
+            if len(word) - 2 >= pV and word[-2] == "н":
+                word = word[:-1]
+        else:  # ь
+            word = word[:-1]
+    return word
+
+
+RUSSIAN_SNOWBALL_NAME = "russian_snowball"

@@ -27,6 +27,8 @@ STEMMERS = {
     "Hungarian": ("lucene_spark.functions.hungarian_sb",
                   "hungarian_snowball_stem"),
     "Estonian": ("lucene_spark.functions.estonian", "estonian_stem"),
+    "Russian": ("lucene_spark.functions.russian_sb",
+                "russian_snowball_stem"),
 }
 
 # chain name -> stem-invariant corpus term used by its oracle entry
@@ -91,6 +93,15 @@ class TestChains:
         # 'ir' is a stopword; case ending strips within R1
         terms, pos = chain_analyze("ir namuose", chain)
         assert pos == [1] and terms[0].startswith("nam")
+
+    def test_russian_snowball_chain(self):
+        # 'и' stops with a gap; ё normalizes inside the stemmer
+        chain = get_chain("russian_snowball")
+        terms, pos = chain_analyze("и книгами", chain)
+        assert terms == ["книг"] and pos == [1]
+        a, _ = chain_analyze("весёлый", chain)
+        b, _ = chain_analyze("веселый", chain)
+        assert a == b
 
     def test_armenian_stop(self):
         chain = get_chain("armenian")

@@ -67,6 +67,10 @@ ROOTS = {
     "Hungarian": ["munk", "ház", "a", "ember", "kert", "assz", "kedv"],
     "Estonian": ["maja", "tuba", "a", "eestlas", "kirjutam", "ilusikk", "suur"],
     "Nepali": ["गर", "भन", "किताब", "अ", "हेर", "खा"],
+    "Russian": ["работ", "книг", "дел", "а", "стран", "больш", "нов",
+                "говор", "сказ", "жизн", "нн", "весёл", "в", "ст"],
+    "Finnish": ["talo", "kirja", "a", "suur", "opiskel", "kaunei",
+                "käs", "työ", "ihmis", "k", "pp"],
 }
 
 
