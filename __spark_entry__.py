@@ -826,7 +826,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             "indonesian", "latvian", "danish", "romanian",
             "catalan", "basque", "lithuanian", "irish",
             "swedish_snowball", "norwegian_snowball",
-            "hungarian_snowball", "estonian",
+            "finnish_snowball", "hungarian_snowball", "estonian",
         ):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
@@ -4115,6 +4115,14 @@ def _q_swedish_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["join"]))
 
 
+def _q_finnish_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT FinnishAnalyzer chain = snowball Finnish
+    (snowball/ext/FinnishStemmer.java; the finnish_analyzer_top10
+    entry covers the Light variant): stem-invariant term 'query'."""
+    s = _variant_searcher(spark, sf_dir, "finnish_snowball")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["query"]))
+
+
 def _q_norwegian_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEFAULT NorwegianAnalyzer chain = snowball Norwegian
     (snowball/ext/NorwegianStemmer.java): stem-invariant term
@@ -4743,6 +4751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "estonian_analyzer_top10": _q_estonian,
         "swedish_snowball_top10": _q_swedish_sb,
         "norwegian_snowball_top10": _q_norwegian_sb,
+        "finnish_snowball_top10": _q_finnish_sb,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
         "greek_analyzer_tokens": _q_greek_analyzer,
         "bengali_analyzer_tokens": _q_bengali_analyzer,
@@ -5208,6 +5217,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "norwegian_snowball_top10": _stop_filtered_bm25_sql(
             "hash", _lang_stop_sql(_NO_SB_STOPS())
+        ),
+        "finnish_snowball_top10": _stop_filtered_bm25_sql(
+            "query", _lang_stop_sql(_FI_STOPS())
         ),
         "sorani_analyzer_tokens": _SORANI_SQL,
         "greek_analyzer_tokens": _GREEK_SQL,

@@ -1,0 +1,249 @@
+"""Finnish analysis: the snowball Finnish stemmer (the DEFAULT
+FinnishAnalyzer chain — the 'finnish' chain in this repo is the
+separate FinnishLightStemFilter variant).
+
+Re-expresses ``analysis/common/.../fi/FinnishAnalyzer.java:110-118``
+(tokenize -> lower -> stop -> SnowballFilter(FinnishStemmer)) from the
+published snowball Finnish algorithm, pinned to the generated
+reference (``org/tartarus/snowball/ext/FinnishStemmer.java``):
+
+- R1/R2 standard over V1 = aeiouyäö. Every suffix match is confined
+  to its region (the matched suffix must start inside R1 — R2 for
+  other_endings and the t-plural's second half); the CONDITION checks
+  on preceding characters run after ``limit_backward`` is restored,
+  so they are unbounded (generated code restores before each switch).
+- particle_etc: kO/kin/kAAn/hAn/pA need a preceding particle_end
+  char (vowel or n/t); sti needs R2.
+- possessive: si (not after k); ni (then kse -> ksi); mme/nne/nsA;
+  an/än only after the matching a_1/a_2 case suffix; en after
+  lle/ine.
+- case_ending (sets the ending_removed flag): hXn needs the matching
+  preceding vowel; bare n also swallows a preceding long vowel or the
+  e of ie; a/ä need consonant+vowel before; the rest delete plainly.
+- other_endings (R2): superlative/comparative families; mpA/mmA
+  blocked after "po".
+- plural: i/j (R1) when an ending was removed, else t after a vowel
+  (R1) followed by the R2 imma/mma step (mma blocked after "po").
+- tidy (R1): trailing long vowel loses one char; AEI after consonant
+  drops; oj/uj lose j; jo loses o; finally (unbounded) a doubled
+  consonant before the trailing vowel run collapses.
+
+Suffix tables come from ``_snowball_data`` (decoded published data);
+the full battery is validated against the COMPILED reference
+stemmer's goldens in tests/test_snowball_langs.py. The stop set is
+the analyzer's default ``snowball/finnish_stop.txt``.
+"""
+
+from __future__ import annotations
+
+from ._snowball import longest_b
+from ._snowball_data import GROUPS, TABLES
+
+_T = TABLES["finnish"]
+_A0, _A1, _A2, _A3 = _T["a_0"], _T["a_1"], _T["a_2"], _T["a_3"]
+_A4, _A5, _A6, _A7 = _T["a_4"], _T["a_5"], _T["a_6"], _T["a_7"]
+_A8, _A9 = _T["a_8"], _T["a_9"]
+
+_V1 = frozenset(GROUPS["finnish"]["g_V1"])
+_V2 = frozenset(GROUPS["finnish"]["g_V2"])
+_C = frozenset(GROUPS["finnish"]["g_C"])
+_AEI = frozenset(GROUPS["finnish"]["g_AEI"])
+_PARTICLE_END = frozenset(GROUPS["finnish"]["g_particle_end"])
+
+_HN_VOWEL = {1: "a", 2: "e", 3: "i", 4: "o", 5: "ä", 6: "ö"}
+
+
+def _mark(w: str) -> tuple[int, int]:
+    n = len(w)
+    p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in _V1:
+        i += 1
+    while i < n and w[i] in _V1:
+        i += 1
+    if i < n:
+        p1 = i + 1
+        j = p1
+        while j < n and w[j] not in _V1:
+            j += 1
+        while j < n and w[j] in _V1:
+            j += 1
+        if j < n:
+            p2 = j + 1
+    return p1, p2
+
+
+def _ends_long(w: str, end: int, min_start: int) -> bool:
+    """LONG: the two chars before ``end`` are a doubled vowel, the
+    match starting inside the bound."""
+    suf, _ = longest_b(w, _A5, end=end, min_start=min_start)
+    return suf is not None
+
+
+def _particle_etc(w: str, p1: int, p2: int) -> str:
+    suf, val = longest_b(w, _A0, min_start=p1)
+    if suf is None:
+        return w
+    i = len(w) - len(suf)
+    if val == 1:
+        if i == 0 or w[i - 1] not in _PARTICLE_END:
+            return w
+    else:  # sti: R2
+        if i < p2:
+            return w
+    return w[:i]
+
+
+def _possessive(w: str, p1: int, p2: int) -> str:
+    suf, val = longest_b(w, _A4, min_start=p1)
+    if suf is None:
+        return w
+    i = len(w) - len(suf)
+    if val == 1:  # si, not preceded by k
+        if i >= 1 and w[i - 1] == "k":
+            return w
+        return w[:i]
+    if val == 2:  # ni; then kse -> ksi
+        w = w[:i]
+        if w.endswith("kse"):
+            w = w[:-1] + "i"
+        return w
+    if val == 3:  # mme nne nsa nsä
+        return w[:i]
+    if val == 4:  # an after a_1 (unbounded)
+        if longest_b(w, _A1, end=i)[0] is not None:
+            return w[:i]
+        return w
+    if val == 5:  # än after a_2
+        if longest_b(w, _A2, end=i)[0] is not None:
+            return w[:i]
+        return w
+    # val == 6: en after lle/ine
+    if longest_b(w, _A3, end=i)[0] is not None:
+        return w[:i]
+    return w
+
+
+# a_6 entries carrying an in-among condition (FinnishStemmer.java:
+# 89-94: den/tten/siin -> r_VI, seen -> r_LONG); on condition failure
+# find_among_b falls back along the parent chain to bare "n" — for
+# this table longest-first-with-skip reproduces that exactly.
+_A6_COND = {"den": "VI", "tten": "VI", "siin": "VI", "seen": "LONG"}
+
+
+def _vi(w: str, i: int, p1: int) -> bool:
+    """r_VI: an 'i' preceded by a V2 vowel, both inside R1."""
+    return i - 2 >= p1 and w[i - 1] == "i" and w[i - 2] in _V2
+
+
+def _match_a6(w: str, p1: int):
+    end = len(w)
+    for suf, val in _A6:
+        i = end - len(suf)
+        if i < p1 or not w.startswith(suf, i):
+            continue
+        cond = _A6_COND.get(suf)
+        if cond == "VI" and not _vi(w, i, p1):
+            continue
+        if cond == "LONG" and not _ends_long(w, i, p1):
+            continue
+        return suf, val
+    return None, 0
+
+
+def _case_ending(w: str, p1: int, p2: int) -> tuple[str, bool]:
+    suf, val = _match_a6(w, p1)
+    if suf is None:
+        return w, False
+    i = len(w) - len(suf)
+    if val in _HN_VOWEL:  # hXn: matching vowel must precede
+        if i == 0 or w[i - 1] != _HN_VOWEL[val]:
+            return w, False
+    elif val == 7:  # bare n: maybe swallow long vowel / ie's e
+        if (_ends_long(w, i, 0) or (i >= 2 and w[i - 2 : i] == "ie")) \
+                and i >= 1:
+            i -= 1
+    elif val == 8:  # a/ä after vowel+consonant
+        if i < 2 or w[i - 1] not in _V1 or w[i - 2] not in _C:
+            return w, False
+    return w[:i], True
+
+
+def _other_endings(w: str, p2: int) -> str:
+    suf, val = longest_b(w, _A7, min_start=p2)
+    if suf is None:
+        return w
+    i = len(w) - len(suf)
+    if val == 1 and w[:i].endswith("po"):  # mpA/mmA blocked after po
+        return w
+    return w[:i]
+
+
+def _i_plural(w: str, p1: int) -> str:
+    suf, _ = longest_b(w, _A8, min_start=p1)
+    if suf is not None:
+        return w[: -len(suf)]
+    return w
+
+
+def _t_plural(w: str, p1: int, p2: int) -> str:
+    # the t AND its preceding vowel must both sit inside R1
+    if w.endswith("t") and len(w) - 2 >= p1 and w[-2] in _V1:
+        w = w[:-1]
+        suf, val = longest_b(w, _A9, min_start=p2)
+        if suf is not None:
+            i = len(w) - len(suf)
+            if not (val == 1 and w[:i].endswith("po")):
+                w = w[:i]
+    return w
+
+
+def _tidy(w: str, p1: int, p2: int) -> str:
+    n = len(w)
+    if n < p1:
+        return w
+    # (a) trailing long vowel -> drop one char (match inside R1)
+    if _ends_long(w, len(w), p1) and len(w) > p1:
+        w = w[:-1]
+    # (b) AEI after consonant, both inside R1
+    if (
+        len(w) > p1
+        and w[-1] in _AEI
+        and len(w) - 2 >= p1
+        and w[-2] in _C
+    ):
+        w = w[:-1]
+    # (c) oj / uj -> drop j
+    if len(w) > p1 and w[-1] == "j" and len(w) - 2 >= p1 \
+            and w[-2] in ("o", "u"):
+        w = w[:-1]
+    # (d) jo -> drop o
+    if len(w) > p1 and w[-1] == "o" and len(w) - 2 >= p1 \
+            and w[-2] == "j":
+        w = w[:-1]
+    # (e) doubled consonant before the trailing vowel run (unbounded)
+    m = len(w)
+    while m > 0 and w[m - 1] in _V1:
+        m -= 1
+    if m > 0:  # w[m-1] is the first non-V1 char from the end
+        c = w[m - 1]
+        if c in _C and m - 2 >= 0 and w[m - 2] == c:
+            w = w[: m - 1] + w[m:]
+    return w
+
+
+def finnish_snowball_stem(word: str) -> str:
+    p1, p2 = _mark(word)
+    word = _particle_etc(word, p1, p2)
+    word = _possessive(word, p1, p2)
+    word, removed = _case_ending(word, p1, p2)
+    word = _other_endings(word, p2)
+    if removed:
+        word = _i_plural(word, p1)
+    else:
+        word = _t_plural(word, p1, p2)
+    word = _tidy(word, p1, p2)
+    return word
+
+
+FINNISH_SNOWBALL_NAME = "finnish_snowball"

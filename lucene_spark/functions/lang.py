@@ -1130,6 +1130,12 @@ def _build_chains() -> dict:
         "russian_snowball": AnalyzerChain(
             "russian_snowball", RUSSIAN_STOP_WORDS, stem=_ru_sb_stem()
         ),
+        # the DEFAULT FinnishAnalyzer chain (fi/FinnishAnalyzer.java:
+        # 110-118 -> SnowballFilter(FinnishStemmer)); the plain
+        # "finnish" chain is the FinnishLightStemFilter variant
+        "finnish_snowball": AnalyzerChain(
+            "finnish_snowball", FINNISH_STOP_WORDS, stem=_fi_sb_stem()
+        ),
         # the DEFAULT HungarianAnalyzer chain = snowball Hungarian
         # (hu/HungarianAnalyzer.java; 'hungarian' above is the
         # separate Light variant)
@@ -1351,6 +1357,12 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _fi_sb_stem():
+    from .finnish_sb import finnish_snowball_stem
+
+    return finnish_snowball_stem
 
 
 def _ru_sb_stem():

@@ -29,6 +29,8 @@ STEMMERS = {
     "Estonian": ("lucene_spark.functions.estonian", "estonian_stem"),
     "Russian": ("lucene_spark.functions.russian_sb",
                 "russian_snowball_stem"),
+    "Finnish": ("lucene_spark.functions.finnish_sb",
+                "finnish_snowball_stem"),
 }
 
 # chain name -> stem-invariant corpus term used by its oracle entry
@@ -39,6 +41,7 @@ ORACLE_TERMS = {
     "irish": "join",
     "hungarian_snowball": "order",
     "estonian": "merge",
+    "finnish_snowball": "query",
 }
 
 
