@@ -826,7 +826,8 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             "indonesian", "latvian", "danish", "romanian",
             "catalan", "basque", "lithuanian", "irish",
             "swedish_snowball", "norwegian_snowball",
-            "finnish_snowball", "hungarian_snowball", "estonian",
+            "finnish_snowball", "dutch", "hungarian_snowball",
+            "estonian",
         ):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
@@ -998,6 +999,12 @@ def _NO_STOPS():
     from lucene_spark.functions.lang import NORWEGIAN_STOP_WORDS
 
     return NORWEGIAN_STOP_WORDS
+
+
+def _NL_STOPS():
+    from lucene_spark.functions.dutch_sb import DUTCH_STOP_WORDS
+
+    return DUTCH_STOP_WORDS
 
 
 def _FI_STOPS():
@@ -4115,6 +4122,14 @@ def _q_swedish_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["join"]))
 
 
+def _q_dutch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT DutchAnalyzer chain = stem-override dict +
+    snowball-3.0 Dutch (nl/DutchAnalyzer.java:147-156,
+    snowball/ext/DutchStemmer.java): stem-invariant term 'window'."""
+    s = _variant_searcher(spark, sf_dir, "dutch")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_finnish_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEFAULT FinnishAnalyzer chain = snowball Finnish
     (snowball/ext/FinnishStemmer.java; the finnish_analyzer_top10
@@ -4752,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swedish_snowball_top10": _q_swedish_sb,
         "norwegian_snowball_top10": _q_norwegian_sb,
         "finnish_snowball_top10": _q_finnish_sb,
+        "dutch_analyzer_top10": _q_dutch,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
         "greek_analyzer_tokens": _q_greek_analyzer,
         "bengali_analyzer_tokens": _q_bengali_analyzer,
@@ -5220,6 +5236,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "finnish_snowball_top10": _stop_filtered_bm25_sql(
             "query", _lang_stop_sql(_FI_STOPS())
+        ),
+        "dutch_analyzer_top10": _stop_filtered_bm25_sql(
+            "window", _lang_stop_sql(_NL_STOPS())
         ),
         "sorani_analyzer_tokens": _SORANI_SQL,
         "greek_analyzer_tokens": _GREEK_SQL,

@@ -1,0 +1,607 @@
+"""Dutch analysis: the snowball-3.0 Dutch stemmer (the DEFAULT
+DutchAnalyzer chain).
+
+Re-expresses ``analysis/common/.../nl/DutchAnalyzer.java:147-156``
+(tokenize -> lower -> stop -> StemmerOverrideFilter(DEFAULT_STEM_DICT)
+-> SnowballFilter(DutchStemmer)) from the published snowball Dutch
+algorithm, pinned to the generated reference
+(``org/tartarus/snowball/ext/DutchStemmer.java``, Snowball 3.0 — the
+NEW dutch algorithm, not the legacy dutch_porter):
+
+- measure: R1/R2 standard over v = aeiouy+accents, with "ij" counted
+  as one vowel; re-measured after ge-prefix/infix loss.
+- Step 1: plural/verb endings (nde->nd; the en family with its
+  hed->heid, nd, Cd->den, i/j+V, default+lengthen branches; s with
+  the t-guard; ies->ie; es with ar/er contexts; és->é; aus->au).
+- Step 2: diminutive je family ('tje/etje/rntje/tje/inkje/mpje/'je/
+  je) and e-suffixes (ge->g, lijke->lijk, ische->isch, de, te->t,
+  se->s, re->r, le->l+lengthen, ene->en+lengthen, ieve->ief).
+- Step 3: noun suffixes (atie->eer, iteit, heid/sel/ster, rder->r,
+  ing/isme/erij + lengthen, arij->aar, fie/gie in R2 + lengthen,
+  tst->t, dst->d).
+- Step 4: adjective/agent suffixes (ioneel->ie, atief->eer, achtig/
+  baar, naar/laar/raar->n/l/r after V, tant->teer, lijker/lijkst->
+  lijk, end/erig + lengthen) with fall-through to the ig family
+  (inn-guard).
+- Lose_prefix/Lose_infix: drop "ge" when a non-final vowel run
+  follows (prefix blocked before eft/vaa/val/vare except vali), fold
+  a following ë/ï to e/i, then Step 1c (d/t with n-/h-guards).
+- Step 7 (kt/ft/pt -> k/f/p) and, when anything stemmed, Step 6
+  (undouble consonants, v->f, z->s, inn-guard on nn).
+- lengthen_V: re-double a short vowel before the final consonant
+  (boom/bomen regularity), with the e-specific diphthong guards;
+  eë -> eëe, ië -> iee.
+
+Suffix tables come from ``_snowball_data``; validated against the
+COMPILED reference stemmer's goldens (fixture + randomized battery)
+in tests/test_snowball_langs.py. The stop set is the analyzer's
+default ``snowball/dutch_stop.txt``.
+"""
+
+from __future__ import annotations
+
+from ._snowball_data import GROUPS, TABLES
+
+_T = TABLES["dutch"]
+_G = GROUPS["dutch"]
+_E = frozenset(_G["g_E"])
+_AIOU = frozenset(_G["g_AIOU"])
+_AEIOU = frozenset(_G["g_AEIOU"])
+_V = frozenset(_G["g_v"])
+_V_WX = frozenset(_G["g_v_WX"])
+
+# (suffix, case) longest-first
+_A1 = _T["a_1"]
+_A2 = _T["a_2"]
+_A3 = _T["a_3"]
+_A4 = _T["a_4"]
+_A5 = _T["a_5"]
+_A6 = _T["a_6"]
+_A7 = _T["a_7"]
+_A8 = _T["a_8"]
+
+_GE_BLOCK = ("eft", "vaa", "val", "vare")  # a_9 case 1; "vali" exempt
+# a_0's single-vowel entries (ë/ï/i/y are NOT lengthenable)
+_A0_SINGLES = frozenset(
+    s for s, _ in _T["a_0"] if len(s) == 1
+)
+
+
+def _is_v(w: str, i: int) -> bool:
+    return 0 <= i < len(w) and w[i] in _V
+
+
+def _match(w: str, table, end: int):
+    for suf, val in table:
+        i = end - len(suf)
+        if i >= 0 and w.startswith(suf, i):
+            return suf, val
+    return None, 0
+
+
+class _Word:
+    """Mutable word with R1/R2 marks (ij counts as one vowel)."""
+
+    __slots__ = ("w", "p1", "p2")
+
+    def __init__(self, w: str):
+        self.w = w
+        self.measure()
+
+    def measure(self) -> None:
+        w = self.w
+        n = len(w)
+        self.p1 = self.p2 = n
+
+        def scan(i: int) -> int:
+            """Skip non-vowels, then a vowel run (ij = one unit),
+            then one non-vowel; return the R mark or -1."""
+            while i < n and w[i] not in _V:
+                i += 1
+            runs = 0
+            while i < n:
+                if w.startswith("ij", i):
+                    i += 2
+                elif w[i] in _V:
+                    i += 1
+                else:
+                    break
+                runs += 1
+            if runs == 0 or i >= n or w[i] in _V:
+                return -1
+            return i + 1
+
+        r1 = scan(0)
+        if r1 < 0:
+            return
+        self.p1 = r1
+        r2 = scan(r1)
+        if r2 >= 0:
+            self.p2 = r2
+
+    def r1(self, i: int) -> bool:
+        return i >= self.p1
+
+    def r2(self, i: int) -> bool:
+        return i >= self.p2
+
+    # --- context predicates at position i (non-consuming) ----------
+    def V(self, i: int) -> bool:
+        w = self.w
+        return (i >= 1 and w[i - 1] in _V) or (
+            i >= 2 and w[i - 2 : i] == "ij"
+        )
+
+    def VX(self, i: int) -> bool:
+        if i < 1:
+            return False
+        return self.V(i - 1)
+
+    def C(self, i: int) -> bool:
+        w = self.w
+        if i >= 2 and w[i - 2 : i] == "ij":
+            return False
+        return i >= 1 and w[i - 1] not in _V
+
+    # --- the vowel lengthening at the word end ---------------------
+    def lengthen_V(self) -> None:
+        w = self.w
+        n = len(w)
+        if n < 1 or w[-1] in _V_WX:
+            return
+        # among a_0 on w[:n-1]
+        end = n - 1
+        if end >= 2 and w[end - 2 : end] == "eë":
+            self.w = w[: end - 2] + "eëe" + w[end:]
+            return
+        if end >= 2 and w[end - 2 : end] == "ië":
+            self.w = w[: end - 2] + "iee" + w[end:]
+            return
+        if end < 1:
+            return
+        ch = w[end - 1]
+        j = end - 1  # index of the matched single vowel
+        if ch not in _A0_SINGLES:
+            return
+        if ch in _E:  # e-family: case 2
+            # A: char before ∉ AEIOU, or at word start
+            if j >= 1 and w[j - 1] in _AEIOU:
+                return
+            c = j - 1 if j >= 1 else 0
+            # B: fail when w[c-1] ∈ AIOU, or (∈ E and at word start)
+            if c >= 1:
+                prev = w[c - 1]
+                if prev in _AIOU:
+                    return
+                if prev in _E and c - 1 == 0:
+                    return
+            # C: skip one char; fail when AIOU then non-AEIOU before
+            if c >= 1:
+                c2 = c - 1
+                if (
+                    c2 >= 1
+                    and w[c2 - 1] in _AIOU
+                    and c2 - 1 >= 1
+                    and w[c2 - 2] not in _AEIOU
+                ):
+                    return
+            self.w = w[:j] + ch + w[j:]
+        else:  # case 1: a/o/u family
+            if j >= 1 and w[j - 1] in _AEIOU:
+                return
+            self.w = w[:j] + ch + w[j:]
+
+    # --- slicing helpers --------------------------------------------
+    def replace(self, i: int, j: int, s: str) -> None:
+        self.w = self.w[:i] + s + self.w[j:]
+
+    def delete(self, i: int, j: int) -> None:
+        self.replace(i, j, "")
+
+
+def _step1(d: _Word) -> bool:
+    w = d.w
+    n = len(w)
+    suf, val = _match(w, _A1, n)
+    if suf is None:
+        return False
+    b = n - len(suf)
+    if val == 8:  # nde -> nd
+        d.replace(b, n, "nd")
+        return True
+    if val == 7:  # en
+        if w.endswith("heden") and d.r1(n - 5):
+            d.replace(n - 5, n, "heid")
+            return True
+        if w.endswith("nden"):
+            d.delete(b, n)
+            return True
+        if w.endswith("den") and d.r1(n - 3) and d.C(n - 3):
+            d.delete(n - 3, n)
+            return True
+        if (w.endswith("ien") or w.endswith("jen")) and d.V(n - 3):
+            d.delete(b, n)
+            return True
+        if d.r1(b) and d.C(b):
+            d.delete(b, n)
+            d.lengthen_V()
+            return True
+        return False
+    if val == 2:  # s
+        if not d.r1(b):
+            return False
+        if w.endswith("ts") and d.r1(n - 2):
+            return False
+        if not d.C(b):
+            return False
+        d.delete(b, n)
+        return True
+    if val == 1:  # 's
+        d.delete(b, n)
+        return True
+    if val == 3:  # ies -> ie
+        if not d.r1(b):
+            return False
+        d.replace(b, n, "ie")
+        return True
+    if val == 4:  # es
+        if w.endswith("ares") and d.r1(n - 4) and d.C(n - 4):
+            d.delete(b, n)
+            d.lengthen_V()
+            return True
+        if w.endswith("eres") and d.r1(n - 4) and d.C(n - 4):
+            d.delete(b, n)
+            return True
+        if d.r1(b) and d.C(b):
+            d.replace(b, n, "e")
+            return True
+        return False
+    if val == 5:  # és -> é
+        if not d.r1(b):
+            return False
+        d.replace(b, n, "é")
+        return True
+    # val == 6: aus -> au
+    if not (d.r1(b) and d.V(b)):
+        return False
+    d.replace(b, n, "au")
+    return True
+
+
+def _step2(d: _Word) -> bool:
+    w = d.w
+    n = len(w)
+    suf, val = _match(w, _A2, n)
+    if suf is None:
+        return False
+    b = n - len(suf)
+    if val == 1:  # je family
+        if w.endswith("'tje"):
+            d.delete(n - 4, n)
+            return True
+        if w.endswith("etje") and d.r1(n - 4) and d.C(n - 4):
+            d.delete(n - 4, n)
+            return True
+        if w.endswith("rntje"):
+            d.replace(n - 5, n, "rn")
+            return True
+        if w.endswith("tje") and d.r1(n - 3) and d.VX(n - 3):
+            d.delete(n - 3, n)
+            return True
+        if w.endswith("inkje"):
+            d.replace(n - 5, n, "ing")
+            return True
+        if w.endswith("mpje"):
+            d.replace(n - 4, n, "m")
+            return True
+        if w.endswith("'je") and d.r1(n - 3):
+            d.delete(n - 3, n)
+            return True
+        if d.r1(b) and d.C(b):
+            d.delete(b, n)
+            return True
+        return False
+    need_c = val in (5, 10, 11)
+    if not d.r1(b):
+        return False
+    if need_c and not d.C(b):
+        return False
+    if val == 2:
+        d.replace(b, n, "g")
+    elif val == 3:
+        d.replace(b, n, "lijk")
+    elif val == 4:
+        d.replace(b, n, "isch")
+    elif val == 5:
+        d.delete(b, n)
+    elif val == 6:
+        d.replace(b, n, "t")
+    elif val == 7:
+        d.replace(b, n, "s")
+    elif val == 8:
+        d.replace(b, n, "r")
+    elif val == 9:  # le -> (delete)+l + lengthen
+        d.delete(b, n)
+        d.w += "l"
+        d.lengthen_V()
+        # move the appended l after lengthening? insert happened
+        # BEFORE lengthen in the reference; lengthen sees ...Xl
+    elif val == 10:  # ene -> en + lengthen
+        d.delete(b, n)
+        d.w += "en"
+        d.lengthen_V()
+    else:  # 11: ieve -> ief
+        d.replace(b, n, "ief")
+    return True
+
+
+def _step3(d: _Word) -> bool:
+    w = d.w
+    n = len(w)
+    suf, val = _match(w, _A3, n)
+    if suf is None:
+        return False
+    b = n - len(suf)
+    if val == 1:
+        if not d.r1(b):
+            return False
+        d.replace(b, n, "eer")
+    elif val == 2:
+        if not d.r1(b):
+            return False
+        d.delete(b, n)
+        d.lengthen_V()
+    elif val == 3:
+        if not d.r1(b):
+            return False
+        d.delete(b, n)
+    elif val == 4:  # rder -> r
+        d.replace(b, n, "r")
+    elif val == 5:
+        if w.endswith("ilding") and suf == "ing":
+            d.replace(n - 3, n, "er")
+            return True
+        if not d.r1(b):
+            return False
+        d.delete(b, n)
+        d.lengthen_V()
+    elif val == 6:  # arij -> aar
+        if not (d.r1(b) and d.C(b)):
+            return False
+        d.replace(b, n, "aar")
+    elif val == 7:  # fie (R2)
+        if not d.r2(b):
+            return False
+        d.delete(b, n)
+        d.w += "f"
+        d.lengthen_V()
+    elif val == 8:  # gie (R2)
+        if not d.r2(b):
+            return False
+        d.delete(b, n)
+        d.w += "g"
+        d.lengthen_V()
+    elif val == 9:  # tst -> t
+        if not (d.r1(b) and d.C(b)):
+            return False
+        d.replace(b, n, "t")
+    else:  # 10: dst -> d
+        if not (d.r1(b) and d.C(b)):
+            return False
+        d.replace(b, n, "d")
+    return True
+
+
+def _step4(d: _Word) -> bool:
+    w = d.w
+    n = len(w)
+    suf, val = _match(w, _A4, n)
+    if suf is not None:
+        b = n - len(suf)
+        ok = d.r1(b)
+        if ok:
+            if val == 1:
+                d.replace(b, n, "ie")
+                return True
+            if val == 2:
+                d.replace(b, n, "eer")
+                return True
+            if val == 3:
+                d.delete(b, n)
+                return True
+            if val in (4, 5, 6):
+                if d.V(b):
+                    d.replace(b, n, {4: "n", 5: "l", 6: "r"}[val])
+                    return True
+            elif val == 7:
+                d.replace(b, n, "teer")
+                return True
+            elif val == 8:
+                d.replace(b, n, "lijk")
+                return True
+            else:  # 9
+                if d.C(b):
+                    d.delete(b, n)
+                    d.lengthen_V()
+                    return True
+    # fall through: the ig family
+    w = d.w
+    n = len(w)
+    suf, _ = _match(w, _A5, n)
+    if suf is None:
+        return False
+    b = n - len(suf)
+    if not d.r1(b):
+        return False
+    if b >= 3 and w[b - 3 : b] == "inn" and b - 3 == 0:
+        return False
+    if not d.C(b):
+        return False
+    d.delete(b, n)
+    d.lengthen_V()
+    return True
+
+
+def _vowel_run_after(w: str, i: int) -> bool:
+    """A vowel/ij run exists starting at or after i and does NOT
+    extend to the end of the word."""
+    n = len(w)
+    j = i
+    while j < n and not (w.startswith("ij", j) or w[j] in _V):
+        j += 1
+    if j >= n:
+        return False
+    while j < n:
+        if w.startswith("ij", j):
+            j += 2
+        elif w[j] in _V:
+            j += 1
+        else:
+            break
+    return j < n
+
+
+def _lose_prefix(d: _Word) -> bool:
+    w = d.w
+    if not w.startswith("ge") or len(w) < 5:
+        return False
+    if not _vowel_run_after(w, 2):
+        return False
+    rest = w[2:]
+    for blk in _GE_BLOCK:
+        if rest.startswith(blk) and not rest.startswith("vali"):
+            return False
+    if rest.startswith("ë"):
+        rest = "e" + rest[1:]
+    elif rest.startswith("ï"):
+        rest = "i" + rest[1:]
+    d.w = rest
+    return True
+
+
+def _lose_infix(d: _Word) -> bool:
+    w = d.w
+    k = w.find("ge", 1)
+    if k < 0:
+        return False
+    after = k + 2
+    if after + 3 > len(w):
+        return False
+    if not _vowel_run_after(w, after):
+        return False
+    rest = w[after:]
+    if rest.startswith("ë"):
+        rest = "e" + rest[1:]
+    elif rest.startswith("ï"):
+        rest = "i" + rest[1:]
+    d.w = w[:k] + rest
+    return True
+
+
+def _step1c(d: _Word) -> bool:
+    w = d.w
+    n = len(w)
+    suf, val = _match(w, _A8, n)
+    if suf is None:
+        return False
+    b = n - 1
+    if not (d.r1(b) and d.C(b)):
+        return False
+    if val == 1:  # d
+        if w.endswith("nd") and d.r1(n - 2):
+            return False
+        if w == "ind":
+            d.replace(b, n, "n")
+            return True
+        d.delete(b, n)
+        return True
+    # t
+    if w.endswith("ht") and d.r1(n - 2):
+        return False
+    if w == "ent":
+        return False
+    d.delete(b, n)
+    return True
+
+
+def _step7(d: _Word) -> bool:
+    w = d.w
+    for suf, rep in (("kt", "k"), ("ft", "f"), ("pt", "p")):
+        if w.endswith(suf):
+            d.replace(len(w) - 2, len(w), rep)
+            return True
+    return False
+
+
+def _step6(d: _Word) -> bool:
+    w = d.w
+    n = len(w)
+    suf, val = _match(w, _A7, n)
+    if suf is None:
+        return False
+    b = n - len(suf)
+    if len(suf) == 2:  # doubled consonant -> single
+        if suf == "nn" and w[:b].endswith("i") and b - 1 == 0:
+            return False
+        d.replace(b, n, suf[0])
+        return True
+    # single v -> f, single z -> s
+    d.replace(b, n, "f" if suf == "v" else "s")
+    return True
+
+
+def dutch_snowball_stem(word: str) -> str:
+    d = _Word(word)
+    stemmed = False
+    if _step1(d):
+        stemmed = True
+    if _step2(d):
+        stemmed = True
+    if _step3(d):
+        stemmed = True
+    if _step4(d):
+        stemmed = True
+    if _lose_prefix(d):
+        d.measure()
+        stemmed = True
+        _step1c(d)
+    if _lose_infix(d):
+        d.measure()
+        stemmed = True
+        _step1c(d)
+    if _step7(d):
+        stemmed = True
+    if stemmed:
+        _step6(d)
+    return d.w
+
+
+# the DutchAnalyzer's 4-entry stem-override dictionary
+# (nl/DutchAnalyzer.java DEFAULT_STEM_DICT)
+DUTCH_STEM_OVERRIDES = {
+    "fiets": "fiets",
+    "bromfiets": "bromfiets",
+    "ei": "eier",
+    "kind": "kinder",
+}
+
+
+def dutch_stem(word: str) -> str:
+    """StemmerOverrideFilter + SnowballFilter, as DutchAnalyzer wires
+    them (overridden tokens are KEYWORD-marked and skip the
+    stemmer)."""
+    o = DUTCH_STEM_OVERRIDES.get(word)
+    if o is not None:
+        return o
+    return dutch_snowball_stem(word)
+
+
+DUTCH_STOP_WORDS = frozenset(
+    """de en van ik te dat die in een hij het niet zijn is was op aan
+met als voor had er maar om hem dan zou of wat mijn men dit zo door
+over ze zich bij ook tot je mij uit der daar haar naar heb hoe heeft
+hebben deze u want nog zal me zij nu ge geen omdat iets worden toch
+al waren veel meer doen toen moet ben zonder kan hun dus alles onder
+ja eens hier wie werd altijd doch wordt wezen kunnen ons zelf tegen
+na reeds wil kon niets uw iemand geweest andere""".split()
+)

@@ -1130,6 +1130,12 @@ def _build_chains() -> dict:
         "russian_snowball": AnalyzerChain(
             "russian_snowball", RUSSIAN_STOP_WORDS, stem=_ru_sb_stem()
         ),
+        # the DEFAULT (and only) DutchAnalyzer chain (nl/DutchAnalyzer
+        # .java:147-156): stop -> StemmerOverride(4-entry dict) ->
+        # SnowballFilter(snowball-3.0 DutchStemmer)
+        "dutch": AnalyzerChain(
+            "dutch", _nl_stops(), stem=_nl_stem()
+        ),
         # the DEFAULT FinnishAnalyzer chain (fi/FinnishAnalyzer.java:
         # 110-118 -> SnowballFilter(FinnishStemmer)); the plain
         # "finnish" chain is the FinnishLightStemFilter variant
@@ -1357,6 +1363,18 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _nl_stops():
+    from .dutch_sb import DUTCH_STOP_WORDS
+
+    return DUTCH_STOP_WORDS
+
+
+def _nl_stem():
+    from .dutch_sb import dutch_stem
+
+    return dutch_stem
 
 
 def _fi_sb_stem():

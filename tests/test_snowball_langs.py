@@ -31,6 +31,8 @@ STEMMERS = {
                 "russian_snowball_stem"),
     "Finnish": ("lucene_spark.functions.finnish_sb",
                 "finnish_snowball_stem"),
+    "Dutch": ("lucene_spark.functions.dutch_sb",
+              "dutch_snowball_stem"),
 }
 
 # chain name -> stem-invariant corpus term used by its oracle entry
@@ -42,6 +44,7 @@ ORACLE_TERMS = {
     "hungarian_snowball": "order",
     "estonian": "merge",
     "finnish_snowball": "query",
+    "dutch": "window",
 }
 
 
@@ -96,6 +99,17 @@ class TestChains:
         # 'ir' is a stopword; case ending strips within R1
         terms, pos = chain_analyze("ir namuose", chain)
         assert pos == [1] and terms[0].startswith("nam")
+
+    def test_dutch_stem_override_dict(self):
+        # DutchAnalyzer.DEFAULT_STEM_DICT entries skip the stemmer
+        chain = get_chain("dutch")
+        assert chain.apply_token("kind") == "kinder"
+        assert chain.apply_token("fiets") == "fiets"
+        assert chain.apply_token("ei") == "eier"
+        # non-override words go through snowball: bomen -> boom
+        assert chain.apply_token("bomen") == "boom"
+        # 'de' is a stopword
+        assert chain.apply_token("de") is None
 
     def test_russian_snowball_chain(self):
         # 'и' stops with a gap; ё normalizes inside the stemmer
