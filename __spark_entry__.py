@@ -826,8 +826,8 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             "indonesian", "latvian", "danish", "romanian",
             "catalan", "basque", "lithuanian", "irish",
             "swedish_snowball", "norwegian_snowball",
-            "finnish_snowball", "dutch", "hungarian_snowball",
-            "estonian",
+            "finnish_snowball", "dutch", "turkish",
+            "hungarian_snowball", "estonian",
         ):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
@@ -999,6 +999,12 @@ def _NO_STOPS():
     from lucene_spark.functions.lang import NORWEGIAN_STOP_WORDS
 
     return NORWEGIAN_STOP_WORDS
+
+
+def _TR_STOPS():
+    from lucene_spark.functions.turkish import TURKISH_STOP_WORDS
+
+    return TURKISH_STOP_WORDS
 
 
 def _NL_STOPS():
@@ -4122,6 +4128,14 @@ def _q_swedish_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["join"]))
 
 
+def _q_turkish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT TurkishAnalyzer chain = apostrophe strip + Turkish
+    dotted/dotless-I lowercase + snowball Turkish
+    (tr/TurkishAnalyzer.java:114-126): stem-invariant term 'merge'."""
+    s = _variant_searcher(spark, sf_dir, "turkish")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["merge"]))
+
+
 def _q_dutch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEFAULT DutchAnalyzer chain = stem-override dict +
     snowball-3.0 Dutch (nl/DutchAnalyzer.java:147-156,
@@ -4768,6 +4782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norwegian_snowball_top10": _q_norwegian_sb,
         "finnish_snowball_top10": _q_finnish_sb,
         "dutch_analyzer_top10": _q_dutch,
+        "turkish_analyzer_top10": _q_turkish,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
         "greek_analyzer_tokens": _q_greek_analyzer,
         "bengali_analyzer_tokens": _q_bengali_analyzer,
@@ -5239,6 +5254,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dutch_analyzer_top10": _stop_filtered_bm25_sql(
             "window", _lang_stop_sql(_NL_STOPS())
+        ),
+        "turkish_analyzer_top10": _stop_filtered_bm25_sql(
+            "merge", _lang_stop_sql(_TR_STOPS())
         ),
         "sorani_analyzer_tokens": _SORANI_SQL,
         "greek_analyzer_tokens": _GREEK_SQL,

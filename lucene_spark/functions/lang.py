@@ -1136,6 +1136,13 @@ def _build_chains() -> dict:
         "dutch": AnalyzerChain(
             "dutch", _nl_stops(), stem=_nl_stem()
         ),
+        # the DEFAULT TurkishAnalyzer chain (tr/TurkishAnalyzer.java:
+        # 114-126): ApostropheFilter -> TurkishLowerCaseFilter ->
+        # stop -> SnowballFilter(TurkishStemmer); apostrophe strip +
+        # dotted/dotless-I casing compose as the custom lower hook
+        "turkish": AnalyzerChain(
+            "turkish", _tr_stops(), stem=_tr_stem(), lower=_tr_lower()
+        ),
         # the DEFAULT FinnishAnalyzer chain (fi/FinnishAnalyzer.java:
         # 110-118 -> SnowballFilter(FinnishStemmer)); the plain
         # "finnish" chain is the FinnishLightStemFilter variant
@@ -1363,6 +1370,24 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _tr_stops():
+    from .turkish import TURKISH_STOP_WORDS
+
+    return TURKISH_STOP_WORDS
+
+
+def _tr_stem():
+    from .turkish import turkish_snowball_stem
+
+    return turkish_snowball_stem
+
+
+def _tr_lower():
+    from .turkish import apostrophe_strip, turkish_lower
+
+    return lambda t: turkish_lower(apostrophe_strip(t))
 
 
 def _nl_stops():

@@ -1,0 +1,632 @@
+"""Turkish analysis: the DEFAULT TurkishAnalyzer chain.
+
+Re-expresses ``analysis/common/.../tr/TurkishAnalyzer.java:114-126``
+(tokenize -> ApostropheFilter -> TurkishLowerCaseFilter -> stop ->
+SnowballFilter(TurkishStemmer)) with:
+
+- ``apostrophe_strip``: drop the apostrophe and everything after it
+  (tr/ApostropheFilter.java:44-52; both ' and U+2019). Runs BEFORE
+  lowercasing, exactly as the analyzer wires it.
+- ``turkish_lower``: Turkish dotted/dotless I casing
+  (tr/TurkishLowerCaseFilter.java:49-88): I followed by combining dot
+  above (U+0307, other NSMs may intervene) -> i with the dot removed;
+  bare I -> ı; combining dots in the i-or-after state are deleted;
+  everything else takes the Java simple lowercase.
+- ``turkish_snowball_stem``: the snowball Turkish algorithm pinned to
+  the generated reference (``snowball/ext/TurkishStemmer.java``):
+  proper-noun apostrophe handling, the two-syllable gate, the nominal
+  verb suffix cascade (with its continue-stemming flag), the noun
+  suffix cascade with the recursive ki-chain, and the postlude
+  (ad/soyad reserve, harmony vowel append after d/g, final b/c/d/ğ
+  devoicing). Every suffix family checks vowel harmony backward from
+  the match point, and the optional y/n/s consonants and U vowels are
+  absorbed only in the contexts the reference allows. NOTE: Lucene's
+  SnowballFilter ignores stem()'s boolean (SnowballFilter.java:98-102)
+  — mutations made before an early exit are kept; this port returns
+  the buffer at the same exit points.
+
+Suffix tables come from ``_snowball_data`` (decoded published data);
+validated against the COMPILED reference stemmer's goldens in
+tests/test_snowball_langs.py. The stop set is the analyzer's default
+``tr/stopwords.txt``.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from ._snowball import longest_b
+from ._snowball_data import GROUPS, TABLES
+
+_T = TABLES["turkish"]
+_G = GROUPS["turkish"]
+_VOW = frozenset(_G["g_vowel"])      # aeiouöüı
+_U = frozenset(_G["g_U"])            # iuüı
+_HARM = {
+    "a": frozenset(_G["g_vowel1"]),  # aouı
+    "e": frozenset(_G["g_vowel2"]),  # eiöü
+    "ı": frozenset(_G["g_vowel3"]),  # aı
+    "i": frozenset(_G["g_vowel4"]),  # ei
+    "o": frozenset(_G["g_vowel5"]),  # ou
+    "u": frozenset(_G["g_vowel5"]),
+    "ö": frozenset(_G["g_vowel6"]),  # öü
+    "ü": frozenset(_G["g_vowel6"]),
+}
+
+_A = {k: _T[k] for k in _T}
+
+
+# ---------------------------------------------------------------------------
+# chain filters
+# ---------------------------------------------------------------------------
+
+def apostrophe_strip(token: str) -> str:
+    for i, ch in enumerate(token):
+        if ch == "'" or ch == "’":
+            return token[:i]
+    return token
+
+
+def _is_nsm(ch: str) -> bool:
+    return unicodedata.category(ch) == "Mn"
+
+
+def turkish_lower(token: str) -> str:
+    from .analysis import _java_lower
+
+    if "I" not in token and "̇" not in token:
+        return _java_lower(token)
+    out: list[str] = []
+    i_or_after = False
+    n = len(token)
+    i = 0
+    while i < n:
+        ch = token[i]
+        i_or_after = ch == "I" or (i_or_after and _is_nsm(ch))
+        if i_or_after:
+            if ch == "̇":  # combining dot above: delete
+                i += 1
+                continue
+            if ch == "I":
+                # lookahead through NSMs for a combining dot above
+                before_dot = False
+                j = i + 1
+                while j < n and _is_nsm(token[j]):
+                    if token[j] == "̇":
+                        before_dot = True
+                        break
+                    j += 1
+                if before_dot:
+                    out.append("i")
+                else:
+                    out.append("ı")
+                    i_or_after = False
+                i += 1
+                continue
+        out.append(_java_lower(ch))
+        i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# snowball helpers
+# ---------------------------------------------------------------------------
+
+def _among(w: str, key: str, e: int) -> int | None:
+    suf, _ = longest_b(w, _A[key], end=e)
+    if suf is None:
+        return None
+    return e - len(suf)
+
+
+def _harmony(w: str, e: int) -> bool:
+    i = e - 1
+    while i >= 0 and w[i] not in _VOW:
+        i -= 1
+    if i < 0:
+        return False
+    grp = _HARM[w[i]]
+    j = i - 1
+    while j >= 0 and w[j] not in grp:
+        j -= 1
+    return j >= 0
+
+
+def _opt_con(w: str, e: int, c: str) -> int | None:
+    """('c' test vowel) or ((not 'c') test(next vowel))."""
+    if e >= 1 and w[e - 1] == c:
+        if e >= 2 and w[e - 2] in _VOW:
+            return e - 1
+        return None
+    if e >= 2 and w[e - 2] in _VOW:
+        return e
+    return None
+
+
+def _opt_U_vowel(w: str, e: int) -> int | None:
+    """('U' test non-vowel) or ((not 'U') test(next non-vowel))."""
+    if e >= 1 and w[e - 1] in _U:
+        if e >= 2 and w[e - 2] not in _VOW:
+            return e - 1
+        return None
+    if e >= 2 and w[e - 2] not in _VOW:
+        return e
+    return None
+
+
+# --- mark_* : (w, e) -> new end or None ------------------------------------
+
+def _m_possessives(w, e):
+    e2 = _among(w, "a_0", e)
+    return None if e2 is None else _opt_U_vowel(w, e2)
+
+
+def _m_sU(w, e):
+    if not _harmony(w, e):
+        return None
+    if e < 1 or w[e - 1] not in _U:
+        return None
+    return _opt_con(w, e - 1, "s")
+
+
+def _m_lArI(w, e):
+    return _among(w, "a_1", e)
+
+
+def _m_yU(w, e):
+    if not _harmony(w, e):
+        return None
+    if e < 1 or w[e - 1] not in _U:
+        return None
+    return _opt_con(w, e - 1, "y")
+
+
+def _h_among(w, key, e):
+    if not _harmony(w, e):
+        return None
+    return _among(w, key, e)
+
+
+def _h_among_opt(w, key, e, c):
+    e2 = _h_among(w, key, e)
+    return None if e2 is None else _opt_con(w, e2, c)
+
+
+def _m_nU(w, e):
+    return _h_among(w, "a_2", e)
+
+
+def _m_nUn(w, e):
+    return _h_among_opt(w, "a_3", e, "n")
+
+
+def _m_yA(w, e):
+    return _h_among_opt(w, "a_4", e, "y")
+
+
+def _m_nA(w, e):
+    return _h_among(w, "a_5", e)
+
+
+def _m_DA(w, e):
+    return _h_among(w, "a_6", e)
+
+
+def _m_ndA(w, e):
+    return _h_among(w, "a_7", e)
+
+
+def _m_DAn(w, e):
+    return _h_among(w, "a_8", e)
+
+
+def _m_ndAn(w, e):
+    return _h_among(w, "a_9", e)
+
+
+def _m_ylA(w, e):
+    return _h_among_opt(w, "a_10", e, "y")
+
+
+def _m_ki(w, e):
+    return e - 2 if e >= 2 and w[e - 2 : e] == "ki" else None
+
+
+def _m_ncA(w, e):
+    return _h_among_opt(w, "a_11", e, "n")
+
+
+def _m_yUm(w, e):
+    return _h_among_opt(w, "a_12", e, "y")
+
+
+def _m_sUn(w, e):
+    return _h_among(w, "a_13", e)
+
+
+def _m_yUz(w, e):
+    return _h_among_opt(w, "a_14", e, "y")
+
+
+def _m_sUnUz(w, e):
+    return _among(w, "a_15", e)
+
+
+def _m_lAr(w, e):
+    return _h_among(w, "a_16", e)
+
+
+def _m_nUz(w, e):
+    return _h_among(w, "a_17", e)
+
+
+def _m_DUr(w, e):
+    return _h_among(w, "a_18", e)
+
+
+def _m_cAsInA(w, e):
+    return _among(w, "a_19", e)
+
+
+def _m_yDU(w, e):
+    return _h_among_opt(w, "a_20", e, "y")
+
+
+def _m_ysA(w, e):
+    e2 = _among(w, "a_21", e)
+    return None if e2 is None else _opt_con(w, e2, "y")
+
+
+def _m_ymUs(w, e):
+    return _h_among_opt(w, "a_22", e, "y")
+
+
+def _m_yken(w, e):
+    if e >= 3 and w[e - 3 : e] == "ken":
+        return _opt_con(w, e - 3, "y")
+    return None
+
+
+def _first(w, e, marks):
+    for m in marks:
+        r = m(w, e)
+        if r is not None:
+            return r
+    return None
+
+
+# ---------------------------------------------------------------------------
+# suffix cascades (TurkishStemmer.java control flow, transcribed)
+# ---------------------------------------------------------------------------
+
+def _nominal_verb(w: str) -> tuple[str, bool]:
+    """r_stem_nominal_verb_suffixes: returns (word, continue_flag)."""
+    e0 = len(w)
+    # alt 1: (ymUs | yDU | ysA | yken)
+    e = _first(w, e0, (_m_ymUs, _m_yDU, _m_ysA, _m_yken))
+    if e is not None:
+        return w[:e], True
+    # alt 2: cAsInA (sUnUz|lAr|yUm|sUn|yUz)? ymUs
+    e = _m_cAsInA(w, e0)
+    if e is not None:
+        e2 = _first(w, e, (_m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz))
+        e3 = _m_ymUs(w, e2 if e2 is not None else e)
+        if e3 is not None:
+            return w[:e3], True
+    # alt 3: lAr -> delete, then (DUr|yDU|ysA|ymUs)?; stop noun pass
+    e = _m_lAr(w, e0)
+    if e is not None:
+        w = w[:e]
+        e2 = _first(w, len(w), (_m_DUr, _m_yDU, _m_ysA, _m_ymUs))
+        if e2 is not None:
+            w = w[:e2]
+        return w, False
+    # alt 4: nUz (yDU | ysA)
+    e = _m_nUz(w, e0)
+    if e is not None:
+        e2 = _first(w, e, (_m_yDU, _m_ysA))
+        if e2 is not None:
+            return w[:e2], True
+    # alt 5: (sUnUz|yUz|sUn|yUm) -> delete, then ymUs?
+    e = _first(w, e0, (_m_sUnUz, _m_yUz, _m_sUn, _m_yUm))
+    if e is not None:
+        w = w[:e]
+        e2 = _m_ymUs(w, len(w))
+        if e2 is not None:
+            w = w[:e2]
+        return w, True
+    # alt 6: DUr -> delete, then ((sUnUz|lAr|yUm|sUn|yUz)? ymUs)?
+    e = _m_DUr(w, e0)
+    if e is None:
+        return w, True
+    w = w[:e]
+    e2 = _first(w, len(w), (_m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz))
+    e3 = _m_ymUs(w, e2 if e2 is not None else len(w))
+    if e3 is not None:
+        w = w[:e3]
+    return w, True
+
+
+def _chain_ki(w: str) -> tuple[str, bool]:
+    """r_stem_suffix_chain_before_ki over a word whose END is the
+    chain anchor. Returns (word, matched); matched=False implies no
+    mutation (all failure paths in the reference exit pre-slice)."""
+    e = _m_ki(w, len(w))
+    if e is None:
+        return w, False
+    # A: DA
+    eA = _m_DA(w, e)
+    if eA is not None:
+        w = w[:eA]
+        e1 = _m_lAr(w, len(w))
+        if e1 is not None:
+            w = w[:e1]
+            w2, ok = _chain_ki(w)
+            if ok:
+                w = w2
+            return w, True
+        e2 = _m_possessives(w, len(w))
+        if e2 is not None:
+            w = w[:e2]
+            e3 = _m_lAr(w, len(w))
+            if e3 is not None:
+                w3 = w[:e3]
+                w4, ok = _chain_ki(w3)
+                # lAr slice persists even when the inner chain fails
+                w = w4 if ok else w3
+        return w, True
+    # B: nUn
+    eB = _m_nUn(w, e)
+    if eB is not None:
+        w = w[:eB]
+        e1 = _m_lArI(w, len(w))
+        if e1 is not None:
+            return w[:e1], True
+        e2 = _first(w, len(w), (_m_possessives, _m_sU))
+        if e2 is not None:
+            w = w[:e2]
+            e3 = _m_lAr(w, len(w))
+            if e3 is not None:
+                w3 = w[:e3]
+                w4, ok = _chain_ki(w3)
+                w = w4 if ok else w3
+            return w, True
+        w2, ok = _chain_ki(w)
+        if ok:
+            w = w2
+        return w, True
+    # C: ndA
+    eC = _m_ndA(w, e)
+    if eC is None:
+        return w, False
+    e1 = _m_lArI(w, eC)
+    if e1 is not None:
+        return w[:e1], True
+    e2 = _m_sU(w, eC)
+    if e2 is not None:
+        w = w[:e2]
+        e3 = _m_lAr(w, len(w))
+        if e3 is not None:
+            w3 = w[:e3]
+            w4, ok = _chain_ki(w3)
+            w = w4 if ok else w3
+        return w, True
+    # recursive chain at the ndA anchor (mid-word: tail survives)
+    head, tail = w[:eC], w[eC:]
+    h2, ok = _chain_ki(head)
+    if not ok:
+        return w, False
+    return h2 + tail, True
+
+
+def _try_lar_chain(w: str) -> str:
+    """The recurring optional tail: ket; lAr -> delete; chain_ki
+    required (cursor-only restore: the lAr slice persists)."""
+    e = _m_lAr(w, len(w))
+    if e is None:
+        return w
+    w = w[:e]
+    w2, ok = _chain_ki(w)
+    return w2 if ok else w
+
+
+def _noun_suffixes(w: str) -> str:
+    e0 = len(w)
+    # alt 1: lAr -> delete; chain_ki?
+    e = _m_lAr(w, e0)
+    if e is not None:
+        w = w[:e]
+        w2, ok = _chain_ki(w)
+        return w2 if ok else w
+    # alt 2: ncA -> delete; optional (lArI | (poss|sU)(lAr chain?) |
+    #        lAr chain)
+    e = _m_ncA(w, e0)
+    if e is not None:
+        w = w[:e]
+        e1 = _m_lArI(w, len(w))
+        if e1 is not None:
+            return w[:e1]
+        e2 = _first(w, len(w), (_m_possessives, _m_sU))
+        if e2 is not None:
+            w = w[:e2]
+            return _try_lar_chain(w)
+        e3 = _m_lAr(w, len(w))
+        if e3 is not None:
+            w3 = w[:e3]
+            w4, ok = _chain_ki(w3)
+            if ok:
+                return w4
+            return w3  # lAr slice persists; cursor-only restore
+        return w
+    # alt 3: (ndA | nA) { lArI | sU (lar-chain?) | chain_ki }
+    e = _first(w, e0, (_m_ndA, _m_nA))
+    if e is not None:
+        e1 = _m_lArI(w, e)
+        if e1 is not None:
+            return w[:e1]
+        e2 = _m_sU(w, e)
+        if e2 is not None:
+            return _try_lar_chain(w[:e2])
+        head, tail = w[:e], w[e:]
+        h2, ok = _chain_ki(head)
+        if ok:
+            return h2 + tail
+        # alt 3 failed without mutation; fall through
+    # alt 4: (ndAn | nU) { sU (lar-chain?) | lArI (marked, no slice) }
+    e = _first(w, e0, (_m_ndAn, _m_nU))
+    if e is not None:
+        e1 = _m_sU(w, e)
+        if e1 is not None:
+            return _try_lar_chain(w[:e1])
+        if _m_lArI(w, e) is not None:
+            return w  # handled without deletion (reference quirk)
+    # alt 5: DAn -> delete; optional { poss (lar-chain?) |
+    #        lAr (chain?) | chain_ki }
+    e = _m_DAn(w, e0)
+    if e is not None:
+        w = w[:e]
+        e1 = _m_possessives(w, len(w))
+        if e1 is not None:
+            return _try_lar_chain(w[:e1])
+        e2 = _m_lAr(w, len(w))
+        if e2 is not None:
+            w2 = w[:e2]
+            w3, ok = _chain_ki(w2)
+            return w3 if ok else w2
+        w2, ok = _chain_ki(w)
+        return w2 if ok else w
+    # alt 6: (nUn | ylA) -> delete; optional { lAr chain (required) |
+    #        (poss|sU)(lar-chain?) | chain_ki }
+    e = _first(w, e0, (_m_nUn, _m_ylA))
+    if e is not None:
+        w = w[:e]
+        e1 = _m_lAr(w, len(w))
+        if e1 is not None:
+            w2 = w[:e1]
+            w3, ok = _chain_ki(w2)
+            if ok:
+                return w3
+            # lAr slice persists, but the alternative falls through
+            # to the next option on chain failure (cursor restore)
+            w = w2
+        e2 = _first(w, len(w), (_m_possessives, _m_sU))
+        if e2 is not None:
+            return _try_lar_chain(w[:e2])
+        w2, ok = _chain_ki(w)
+        return w2 if ok else w
+    # alt 7: lArI -> delete
+    e = _m_lArI(w, e0)
+    if e is not None:
+        return w[:e]
+    # alt 8: chain_ki alone
+    w2, ok = _chain_ki(w)
+    if ok:
+        return w2
+    # alt 9: (DA | yU | yA) -> delete; optional { (poss lAr?) | lAr }
+    #        then chain_ki required (cursor-only restore)
+    e = _first(w, e0, (_m_DA, _m_yU, _m_yA))
+    if e is not None:
+        w = w[:e]
+        e1 = _m_possessives(w, len(w))
+        if e1 is not None:
+            w = w[:e1]
+            e2 = _m_lAr(w, len(w))
+            if e2 is not None:
+                w = w[:e2]
+        else:
+            e2 = _m_lAr(w, len(w))
+            if e2 is None:
+                return w  # optional group exits before any slice
+            w = w[:e2]
+        w2, ok = _chain_ki(w)
+        return w2 if ok else w
+    # alt 10 (default): (poss | sU) -> delete; (lar-chain)?
+    e = _first(w, e0, (_m_possessives, _m_sU))
+    if e is None:
+        return w
+    return _try_lar_chain(w[:e])
+
+
+# ---------------------------------------------------------------------------
+# pre/post passes
+# ---------------------------------------------------------------------------
+
+def _remove_proper_noun_suffix(w: str) -> str:
+    i = 0
+    while i < len(w) and w[i] == "'":
+        i += 1
+    w = w[i:]
+    if len(w) >= 2:
+        k = w.find("'", 2)
+        if k >= 0:
+            w = w[:k]
+    return w
+
+
+def _more_than_one_syllable(w: str) -> bool:
+    return sum(1 for ch in w if ch in _VOW) >= 2
+
+
+def _append_U(w: str) -> str:
+    if not w or w[-1] not in "dg":
+        return w
+    i = len(w) - 2
+    while i >= 0 and w[i] not in _VOW:
+        i -= 1
+    if i < 0:
+        return w
+    v = w[i]
+    if v in "aı":
+        return w + "ı"
+    if v in "ei":
+        return w + "i"
+    if v in "ou":
+        return w + "u"
+    return w + "ü"  # ö/ü
+
+
+_DEVOICE = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+
+
+def _post_process(w: str) -> str:
+    if w and w[-1] in _DEVOICE:
+        return w[:-1] + _DEVOICE[w[-1]]
+    return w
+
+
+def turkish_snowball_stem(word: str) -> str:
+    w = _remove_proper_noun_suffix(word)
+    if not _more_than_one_syllable(w):
+        return w
+    w, cont = _nominal_verb(w)
+    if not cont:
+        return w
+    w = _noun_suffixes(w)
+    # postlude
+    if w in ("ad", "soyad"):
+        return w
+    w = _append_U(w)
+    return _post_process(w)
+
+
+TURKISH_STOP_WORDS = frozenset(
+    """acaba altmış altı ama ancak arada aslında ayrıca bana bazı
+belki ben benden beni benim beri beş bile bin bir birçok biri birkaç
+birkez birşey birşeyi biz bize bizden bizi bizim böyle böylece bu
+buna bunda bundan bunlar bunları bunların bunu bunun burada çok çünkü
+da daha dahi de defa değil diğer diye doksan dokuz dolayı dolayısıyla
+dört edecek eden ederek edilecek ediliyor edilmesi ediyor eğer elli
+en etmesi etti ettiği ettiğini gibi göre halen hangi hatta hem henüz
+hep hepsi her herhangi herkesin hiç hiçbir için iki ile ilgili ise
+işte itibaren itibariyle kadar karşın katrilyon kendi kendilerine
+kendini kendisi kendisine kendisini kez ki kim kimden kime kimi kimse
+kırk milyar milyon mu mü mı nasıl ne neden nedenle nerde nerede
+nereye niye niçin o olan olarak oldu olduğu olduğunu olduklarını
+olmadı olmadığı olmak olması olmayan olmaz olsa olsun olup olur
+olursa oluyor on ona ondan onlar onlardan onları onların onu onun
+otuz oysa öyle pek rağmen sadece sanki sekiz seksen sen senden seni
+senin siz sizden sizi sizin şey şeyden şeyi şeyler şöyle şu şuna
+şunda şundan şunları şunu tarafından trilyon tüm üç üzere var vardı
+ve veya ya yani yapacak yapılan yapılması yapıyor yapmak yaptı yaptığı
+yaptığını yaptıkları yedi yerine yetmiş yine yirmi yoksa yüz zaten""".split()
+)

@@ -33,6 +33,8 @@ STEMMERS = {
                 "finnish_snowball_stem"),
     "Dutch": ("lucene_spark.functions.dutch_sb",
               "dutch_snowball_stem"),
+    "Turkish": ("lucene_spark.functions.turkish",
+                "turkish_snowball_stem"),
 }
 
 # chain name -> stem-invariant corpus term used by its oracle entry
@@ -45,6 +47,7 @@ ORACLE_TERMS = {
     "estonian": "merge",
     "finnish_snowball": "query",
     "dutch": "window",
+    "turkish": "merge",
 }
 
 
@@ -99,6 +102,26 @@ class TestChains:
         # 'ir' is a stopword; case ending strips within R1
         terms, pos = chain_analyze("ir namuose", chain)
         assert pos == [1] and terms[0].startswith("nam")
+
+    def test_turkish_lowercase_filter(self):
+        # TestTurkishLowerCaseFilter's canonical cases
+        from lucene_spark.functions.turkish import turkish_lower
+
+        assert turkish_lower("\u0130STANBUL") == "istanbul"
+        assert turkish_lower("D\u0130YARBAKIR") == "diyarbak\u0131r"
+        assert turkish_lower("I") == "\u0131"
+        assert turkish_lower("\u0130") == "i"
+        # I + combining dot above -> i (dot removed)
+        assert turkish_lower("I\u0307") == "i"
+        # intervening non-spacing mark kept, dot removed
+        assert turkish_lower("I\u0316\u0307") == "i\u0316"
+
+    def test_turkish_apostrophe_before_lower(self):
+        # Türkiye'nin -> apostrophe strip first, then lower + stem
+        chain = get_chain("turkish")
+        a = chain.apply_token("Türkiye'nin")
+        b = chain.apply_token("türkiye")
+        assert a == b
 
     def test_dutch_stem_override_dict(self):
         # DutchAnalyzer.DEFAULT_STEM_DICT entries skip the stemmer
