@@ -826,7 +826,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             "indonesian", "latvian", "danish", "romanian",
             "catalan", "basque", "lithuanian", "irish",
             "swedish_snowball", "norwegian_snowball",
-            "finnish_snowball", "dutch", "turkish",
+            "finnish_snowball", "dutch", "turkish", "serbian",
             "hungarian_snowball", "estonian",
         ):
             build_index(
@@ -999,6 +999,12 @@ def _NO_STOPS():
     from lucene_spark.functions.lang import NORWEGIAN_STOP_WORDS
 
     return NORWEGIAN_STOP_WORDS
+
+
+def _SR_STOPS():
+    from lucene_spark.functions.serbian import SERBIAN_STOP_WORDS
+
+    return SERBIAN_STOP_WORDS
 
 
 def _TR_STOPS():
@@ -4128,6 +4134,14 @@ def _q_swedish_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["join"]))
 
 
+def _q_serbian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SerbianAnalyzer chain = snowball Serbian (incl. cyr->lat) +
+    SerbianNormalizationFilter (sr/SerbianAnalyzer.java):
+    stem-invariant term 'batch'."""
+    s = _variant_searcher(spark, sf_dir, "serbian")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["batch"]))
+
+
 def _q_turkish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEFAULT TurkishAnalyzer chain = apostrophe strip + Turkish
     dotted/dotless-I lowercase + snowball Turkish
@@ -4783,6 +4797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "finnish_snowball_top10": _q_finnish_sb,
         "dutch_analyzer_top10": _q_dutch,
         "turkish_analyzer_top10": _q_turkish,
+        "serbian_analyzer_top10": _q_serbian,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
         "greek_analyzer_tokens": _q_greek_analyzer,
         "bengali_analyzer_tokens": _q_bengali_analyzer,
@@ -5257,6 +5272,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "turkish_analyzer_top10": _stop_filtered_bm25_sql(
             "merge", _lang_stop_sql(_TR_STOPS())
+        ),
+        "serbian_analyzer_top10": _stop_filtered_bm25_sql(
+            "batch", _lang_stop_sql(_SR_STOPS())
         ),
         "sorani_analyzer_tokens": _SORANI_SQL,
         "greek_analyzer_tokens": _GREEK_SQL,

@@ -1136,6 +1136,12 @@ def _build_chains() -> dict:
         "dutch": AnalyzerChain(
             "dutch", _nl_stops(), stem=_nl_stem()
         ),
+        # SerbianAnalyzer (sr/SerbianAnalyzer.java): stop (both
+        # scripts) -> SnowballFilter(SerbianStemmer, incl. its
+        # cyr->lat transliteration) -> SerbianNormalizationFilter
+        "serbian": AnalyzerChain(
+            "serbian", _sr_stops(), stem=_sr_stem()
+        ),
         # the DEFAULT TurkishAnalyzer chain (tr/TurkishAnalyzer.java:
         # 114-126): ApostropheFilter -> TurkishLowerCaseFilter ->
         # stop -> SnowballFilter(TurkishStemmer); apostrophe strip +
@@ -1370,6 +1376,18 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _sr_stops():
+    from .serbian import SERBIAN_STOP_WORDS
+
+    return SERBIAN_STOP_WORDS
+
+
+def _sr_stem():
+    from .serbian import serbian_stem_and_normalize
+
+    return serbian_stem_and_normalize
 
 
 def _tr_stops():

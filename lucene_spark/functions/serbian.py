@@ -1,0 +1,185 @@
+"""Serbian analysis: the SerbianAnalyzer chain.
+
+Re-expresses ``analysis/common/.../sr/SerbianAnalyzer.java``
+(tokenize -> lower -> stop -> SnowballFilter(SerbianStemmer) ->
+SerbianNormalizationFilter) from the published snowball Serbian
+algorithm, pinned to the generated reference
+(``org/tartarus/snowball/ext/SerbianStemmer.java``):
+
+- cyr_to_lat: every Cyrillic letter transliterates to its Latin
+  digraph/letter (a_0 map; љ→lj, њ→nj, џ→dž ...).
+- prelude: C‑ije‑C -> C‑e‑C, C‑je‑C -> C‑e‑C (C ∈ the ca grouping),
+  then dj -> đ, each applied repeatedly left-to-right.
+- mark_regions: ``no_diacritics`` is false when any of ćčđšž occurs;
+  R1 after the first vowel (extended past position-0 vowels), pulled
+  back to a syllabic r when that shortens it by ≥ 2.
+- Step_1: whole-word-shape map (91 cases); Step_2 (R1-gated, 164
+  cases); Step_3 (R1-gated delete). Diacritic-free variants apply
+  only when the word carries no diacritics (the guard flag).
+- SerbianNormalizationFilter afterwards folds both scripts to "bald"
+  Latin (đ→dj, ž→z, ć/č→c, š→s, Cyrillic likewise)
+  (sr/SerbianNormalizationFilter.java:40-140).
+
+Tables come from ``_snowball_data``/``_serbian_data`` (decoded
+published data, tools/extract_snowball_tables.py +
+tools/extract_serbian_cases.py); the full battery is validated
+against the COMPILED reference stemmer's goldens in
+tests/test_snowball_langs.py. The stop set is the analyzer's default
+``sr/stopwords.txt`` (both scripts — stopping runs before the
+stemmer's transliteration).
+"""
+
+from __future__ import annotations
+
+from ._serbian_data import CASES
+from ._snowball import longest_b
+from ._snowball_data import GROUPS, TABLES
+
+_T = TABLES["serbian"]
+_G = GROUPS["serbian"]
+_V = frozenset(_G["g_v"])          # aeiou
+_SA = frozenset(_G["g_sa"])        # ćčđšž
+_CA = frozenset(_G["g_ca"])        # consonants incl. diacritics
+_A1, _A2, _A3 = _T["a_1"], _T["a_2"], _T["a_3"]
+
+_CYR2LAT = {
+    suf: CASES["cyr"][val][1] for suf, val in _T["a_0"]
+}
+_STEP1 = CASES["step1"]
+_STEP2 = CASES["step2"]
+
+_NORM = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "dj",
+    "đ": "dj", "е": "e", "ж": "z", "з": "z", "ž": "z", "и": "i",
+    "ј": "j", "к": "k", "л": "l", "љ": "lj", "м": "m", "н": "n",
+    "њ": "nj", "о": "o", "п": "p", "р": "r", "с": "s", "т": "t",
+    "ћ": "c", "ц": "c", "ч": "c", "č": "c", "ć": "c", "у": "u",
+    "ф": "f", "х": "h", "џ": "dz", "ш": "s", "š": "s",
+}
+
+
+def serbian_normalize(token: str) -> str:
+    """SerbianNormalizationFilter: both scripts -> bald Latin."""
+    return "".join(_NORM.get(ch, ch) for ch in token)
+
+
+def _cyr_to_lat(w: str) -> str:
+    return "".join(_CYR2LAT.get(ch, ch) for ch in w)
+
+
+def _ctx_replace(w: str, mid: str, rep: str) -> str:
+    """C-mid-C -> C-rep-C for C in the ca grouping, applied
+    repeatedly scanning from each match position."""
+    i = 0
+    m = len(mid)
+    while True:
+        found = -1
+        j = i
+        while j + 1 + m < len(w):
+            if (
+                w[j] in _CA
+                and w[j + 1 : j + 1 + m] == mid
+                and w[j + 1 + m] in _CA
+            ):
+                found = j
+                break
+            j += 1
+        if found < 0:
+            return w
+        w = w[: found + 1] + rep + w[found + 1 + m :]
+        i = found
+    return w
+
+
+def _prelude(w: str) -> str:
+    w = _ctx_replace(w, "ije", "e")
+    w = _ctx_replace(w, "je", "e")
+    return w.replace("dj", "đ")
+
+
+def _mark(w: str) -> tuple[int, bool]:
+    no_diacritics = not any(ch in _SA for ch in w)
+    n = len(w)
+    p1 = n
+    i = 0
+    while i < n and w[i] not in _V:
+        i += 1
+    if i < n:
+        p1 = i + 1
+        if p1 < 2:
+            j = p1
+            while j < n and w[j] in _V:
+                j += 1
+            if j < n:
+                p1 = j + 1
+    # syllabic r: pull R1 back when an r-position is ≥2 shorter
+    r = w.find("r")
+    if r >= 0:
+        c = r + 1
+        if c < 2:
+            # skip the r-run, then consume one more char
+            j = c
+            while j < n and w[j] == "r":
+                j += 1
+            if j < n:
+                c = j + 1
+            else:
+                c = -1
+        if c >= 0 and p1 - c > 1:
+            p1 = c
+    return p1, no_diacritics
+
+
+def _apply_step(w, table, cases, p1, nd, need_r1):
+    suf, val = longest_b(w, table)
+    if suf is None:
+        return None
+    b = len(w) - len(suf)
+    if need_r1 and b < p1:
+        return None
+    guard, repl = cases[val]
+    if guard and not nd:
+        return None
+    return w[:b] + repl
+
+
+def serbian_snowball_stem(word: str) -> str:
+    w = _cyr_to_lat(word)
+    w = _prelude(w)
+    p1, nd = _mark(w)
+    # regions are NOT recomputed between steps (mark_regions runs
+    # once in stem(); I_p1 is an absolute index the slices don't move)
+    w2 = _apply_step(w, _A1, _STEP1, p1, nd, need_r1=False)
+    if w2 is not None:
+        w = w2
+    w2 = _apply_step(w, _A2, _STEP2, p1, nd, need_r1=True)
+    if w2 is not None:
+        return w2
+    # Step 3: delete an a_3 suffix in R1
+    suf, _ = longest_b(w, _A3)
+    if suf is not None and len(w) - len(suf) >= p1:
+        return w[: -len(suf)]
+    return w
+
+
+def serbian_stem_and_normalize(token: str) -> str:
+    """SnowballFilter(SerbianStemmer) then the normalization filter,
+    as SerbianAnalyzer wires them."""
+    return serbian_normalize(serbian_snowball_stem(token))
+
+
+SERBIAN_STOP_WORDS = frozenset(
+    """i ili a ali pa biti ne jesam sam jesi si je jesmo smo jeste
+ste jesu su nijesam nisam nijesi nisi nije nijesmo nismo nijeste
+niste nijesu nisu budem budeš bude budemo budete budu budes bih bi
+bismo biste biše bise bio bili budimo budite bila bilo bile ću ćeš
+će ćemo ćete neću nećeš neće nećemo nećete cu ces ce cemo cete necu
+neces nece necemo necete mogu možeš može možemo možete mozes moze
+mozemo mozete и или а али па бити не јесам сам јеси си је јесмо смо
+јесте сте јесу су нијесам нисам нијеси ниси није нијесмо нисмо
+нијесте нисте нијесу нису будем будеш буде будемо будете буду будес
+бих би бисмо бисте бише бисе био били будимо будите била било биле
+ћу ћеш ће ћемо ћете нећу нећеш неће нећемо нећете цу цес це цемо
+цете нецу нецес неце нецемо нецете могу можеш може можемо можете
+мозес мозе моземо мозете""".split()
+)

@@ -35,6 +35,8 @@ STEMMERS = {
               "dutch_snowball_stem"),
     "Turkish": ("lucene_spark.functions.turkish",
                 "turkish_snowball_stem"),
+    "Serbian": ("lucene_spark.functions.serbian",
+                "serbian_snowball_stem"),
 }
 
 # chain name -> stem-invariant corpus term used by its oracle entry
@@ -48,6 +50,7 @@ ORACLE_TERMS = {
     "finnish_snowball": "query",
     "dutch": "window",
     "turkish": "merge",
+    "serbian": "batch",
 }
 
 
@@ -122,6 +125,13 @@ class TestChains:
         a = chain.apply_token("Türkiye'nin")
         b = chain.apply_token("türkiye")
         assert a == b
+
+    def test_serbian_normalization_after_stem(self):
+        # кућама (cyr) and kućama (lat) meet at the bald-Latin stem
+        chain = get_chain("serbian")
+        a = chain.apply_token("кућама")
+        b = chain.apply_token("kućama")
+        assert a == b and "ć" not in a and "\u045b" not in a
 
     def test_dutch_stem_override_dict(self):
         # DutchAnalyzer.DEFAULT_STEM_DICT entries skip the stemmer

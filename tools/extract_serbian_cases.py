@@ -1,0 +1,80 @@
+"""Extract the Serbian snowball stemmer's case->replacement maps.
+
+The generated ``SerbianStemmer.java`` encodes its three suffix steps
+as Among tables (already decoded into ``_snowball_data`` by
+tools/extract_snowball_tables.py) plus big switches mapping among_var
+to ``slice_from("...")`` with an optional ``B_no_diacritics`` guard —
+pure published-algorithm data (snowballstem.org serbian.sbl). This
+script decodes the switches into
+``lucene_spark/functions/_serbian_data.py``.
+
+    python tools/extract_serbian_cases.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = ("/root/reference/lucene/analysis/common/src/java/"
+       "org/tartarus/snowball/ext/SerbianStemmer.java")
+OUT = os.path.join(ROOT, "lucene_spark", "functions",
+                   "_serbian_data.py")
+
+
+def routine(text: str, name: str) -> str:
+    m = re.search(
+        rf"private boolean {name}\(\)(.*?)\n  private ", text, re.S
+    )
+    if m is None:  # last routine before stem()
+        m = re.search(
+            rf"private boolean {name}\(\)(.*?)\n  @Override", text, re.S
+        )
+    return m.group(1)
+
+
+def parse_switch(body: str) -> dict[int, tuple[bool, str]]:
+    """case N: [no_diacritics guard] slice_from(\"X\") ->
+    {N: (guard, X)}."""
+    out = {}
+    for m in re.finditer(
+        r"case (\d+):\s*(?:\{\s*)?"
+        r"(if \(!B_no_diacritics\) \{\s*return false;\s*\}\s*)?"
+        r"slice_from\(\"((?:[^\"\\]|\\.)*)\"\);",
+        body,
+    ):
+        case = int(m.group(1))
+        guard = m.group(2) is not None
+        repl = m.group(3).encode().decode("unicode_escape")
+        out[case] = (guard, repl)
+    return out
+
+
+def main() -> None:
+    text = open(SRC, encoding="utf-8").read()
+    parts = {
+        "cyr": parse_switch(routine(text, "r_cyr_to_lat")),
+        "step1": parse_switch(routine(text, "r_Step_1")),
+        "step2": parse_switch(routine(text, "r_Step_2")),
+    }
+    # sanity: every among value must have a case
+    with open(OUT, "w", encoding="utf-8") as f:
+        f.write('"""Serbian snowball switch maps (GENERATED).\n\n'
+                "Decoded from the published serbian.sbl data as shipped"
+                " in the\nreference's generated stemmer by"
+                " tools/extract_serbian_cases.py.\nEach map is"
+                " case -> (needs_no_diacritics, replacement).\n"
+                '"""\n\nCASES = {\n')
+        for k, cases in parts.items():
+            f.write(f"    {k!r}: {{\n")
+            for c in sorted(cases):
+                g, r = cases[c]
+                f.write(f"        {c}: ({g}, {r!r}),\n")
+            f.write("    },\n")
+        f.write("}\n")
+    print(OUT, {k: len(v) for k, v in parts.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -71,6 +71,9 @@ ROOTS = {
                 "говор", "сказ", "жизн", "нн", "весёл", "в", "ст"],
     "Finnish": ["talo", "kirja", "a", "suur", "opiskel", "kaunei",
                 "käs", "työ", "ihmis", "k", "pp"],
+    "Serbian": ["kuć", "rad", "a", "student", "prij", "vrijem",
+                "djel", "r", "trg", "книг", "рад"],
+    "Tamil": ["வீடு", "பட", "க", "மனித", "எத", "அவ"],
 }
 
 
