@@ -3245,6 +3245,68 @@ FROM b
 """
 
 
+def _q_telugu_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeluguAnalyzer chain (te/TeluguAnalyzer.java; no lowercase)
+    over deterministic Telugu synthesized per doc_id:
+    'గురించి <base><sfx> ౧౨౩' — exercises the stop gap (after
+    normalization), the 2-char suffix ladder, and Telugu digit
+    folding. base uses a consonant-only alphabet the normalizer and
+    stemmer leave untouched; the oracle reconstructs it by the same
+    arithmetic."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "కఖగజటడపబ"
+    sfxs = ["లు", "ని", "కి"]  # లు ని కి
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("telugu")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                text = (
+                    "గురించి "
+                    + base + sfxs[i % 3]
+                    + " ౧౨౩"
+                )
+                terms, pos = chain_analyze(text, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_TELUGU_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             chr(CAST([3093, 3094, 3095, 3100, 3103, 3105, 3114, 3116]
+                 [1 + (doc_id*5 + g.k) % 8] AS INTEGER)),
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id, base || '|123' AS terms, '1,2' AS positions
+FROM b
+"""
+
+
 def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJKAnalyzer chain (analysis/cjk/CJKAnalyzer.java:43-60) over
     deterministic Han text synthesized per doc_id (the sf corpus is
@@ -4725,6 +4787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_tokens": _q_shingles,
         "arabic_analyzer_tokens": _q_arabic_analyzer,
         "russian_snowball_tokens": _q_russian_snowball,
+        "telugu_analyzer_tokens": _q_telugu_analyzer,
         "persian_analyzer_tokens": _q_persian_analyzer,
         "hindi_analyzer_tokens": _q_hindi_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
@@ -5130,6 +5193,7 @@ def oracle_sql() -> dict[str, str]:
         "shingle_tokens": _SHINGLES_SQL,
         "arabic_analyzer_tokens": _ARABIC_SQL,
         "russian_snowball_tokens": _RUSSIAN_SB_SQL,
+        "telugu_analyzer_tokens": _TELUGU_SQL,
         "persian_analyzer_tokens": _PERSIAN_SQL,
         "hindi_analyzer_tokens": _HINDI_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,

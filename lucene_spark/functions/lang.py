@@ -1136,6 +1136,17 @@ def _build_chains() -> dict:
         "dutch": AnalyzerChain(
             "dutch", _nl_stops(), stem=_nl_stem()
         ),
+        # TeluguAnalyzer (te/TeluguAnalyzer.java): DecimalDigit ->
+        # IndicNormalization -> TeluguNormalization -> stop -> stem;
+        # NO lowercase filter in this chain (identity lower hook)
+        "telugu": AnalyzerChain(
+            "telugu",
+            _te_stops(),
+            stem=_te_stem(),
+            normalize=_te_norm(),
+            stop_after_normalize=True,
+            lower=lambda t: t,
+        ),
         # SerbianAnalyzer (sr/SerbianAnalyzer.java): stop (both
         # scripts) -> SnowballFilter(SerbianStemmer, incl. its
         # cyr->lat transliteration) -> SerbianNormalizationFilter
@@ -1376,6 +1387,24 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _te_stops():
+    from .telugu import TELUGU_STOP_WORDS
+
+    return TELUGU_STOP_WORDS
+
+
+def _te_stem():
+    from .telugu import telugu_stem
+
+    return telugu_stem
+
+
+def _te_norm():
+    from .telugu import telugu_full_normalize
+
+    return telugu_full_normalize
 
 
 def _sr_stops():

