@@ -3307,6 +3307,65 @@ FROM b
 """
 
 
+def _q_tamil_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TamilAnalyzer chain (ta/TamilAnalyzer.java) over deterministic
+    Tamil synthesized per doc_id: 'ஒரு <base>கள் ௧௨௩' — exercises the
+    stop gap, the plural-suffix strip (கள்), and Tamil digit folding.
+    base = consonant run + a final ட that no other rule in the
+    cascade touches; the oracle reconstructs it by the same
+    arithmetic."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "கசடதபறமன"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("tamil")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 3 + i % 3
+                base = (
+                    "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                    + "ட"
+                )
+                text = "ஒரு " + base + "கள்" + " ௧௨௩"
+                terms, pos = chain_analyze(text, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_TAMIL_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             chr(CAST([2965, 2970, 2975, 2980, 2986, 2993, 2990, 2985]
+                 [1 + (doc_id*5 + g.k) % 8] AS INTEGER)),
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) || chr(2975) AS base
+  FROM d
+)
+SELECT doc_id, base || '|123' AS terms, '1,2' AS positions
+FROM b
+"""
+
+
 def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJKAnalyzer chain (analysis/cjk/CJKAnalyzer.java:43-60) over
     deterministic Han text synthesized per doc_id (the sf corpus is
@@ -4788,6 +4847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arabic_analyzer_tokens": _q_arabic_analyzer,
         "russian_snowball_tokens": _q_russian_snowball,
         "telugu_analyzer_tokens": _q_telugu_analyzer,
+        "tamil_analyzer_tokens": _q_tamil_analyzer,
         "persian_analyzer_tokens": _q_persian_analyzer,
         "hindi_analyzer_tokens": _q_hindi_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
@@ -5194,6 +5254,7 @@ def oracle_sql() -> dict[str, str]:
         "arabic_analyzer_tokens": _ARABIC_SQL,
         "russian_snowball_tokens": _RUSSIAN_SB_SQL,
         "telugu_analyzer_tokens": _TELUGU_SQL,
+        "tamil_analyzer_tokens": _TAMIL_SQL,
         "persian_analyzer_tokens": _PERSIAN_SQL,
         "hindi_analyzer_tokens": _HINDI_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,

@@ -1147,6 +1147,15 @@ def _build_chains() -> dict:
             stop_after_normalize=True,
             lower=lambda t: t,
         ),
+        # TamilAnalyzer (ta/TamilAnalyzer.java): lower -> DecimalDigit
+        # -> IndicNormalization -> stop -> SnowballFilter(TamilStemmer)
+        "tamil": AnalyzerChain(
+            "tamil",
+            _ta_stops(),
+            stem=_ta_stem(),
+            normalize=_ta_norm(),
+            stop_after_normalize=True,
+        ),
         # SerbianAnalyzer (sr/SerbianAnalyzer.java): stop (both
         # scripts) -> SnowballFilter(SerbianStemmer, incl. its
         # cyr->lat transliteration) -> SerbianNormalizationFilter
@@ -1387,6 +1396,24 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _ta_stops():
+    from .tamil import TAMIL_STOP_WORDS
+
+    return TAMIL_STOP_WORDS
+
+
+def _ta_stem():
+    from .tamil import tamil_snowball_stem
+
+    return tamil_snowball_stem
+
+
+def _ta_norm():
+    from .tamil import tamil_pre_normalize
+
+    return tamil_pre_normalize
 
 
 def _te_stops():

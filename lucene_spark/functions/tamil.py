@@ -1,0 +1,385 @@
+"""Tamil analysis: the TamilAnalyzer chain.
+
+Re-expresses ``analysis/common/.../ta/TamilAnalyzer.java`` (tokenize
+-> lower -> DecimalDigitFilter -> IndicNormalizationFilter -> stop ->
+SnowballFilter(TamilStemmer)) from the published snowball Tamil
+algorithm, pinned to the generated reference
+(``org/tartarus/snowball/ext/TamilStemmer.java``):
+
+- fix_va_start: word-initial வொ/வோ/வு/வூ -> ஒ/ஓ/உ/ஊ.
+- fix_ending (repeated as fix_endings where noted): the a_5 cluster
+  map (ந்த்-family deletes, ட்க்->ள், ன்ற்->ல், ட்ட்->டு, த்த்->ம்
+  under the vetrumai flag, ுக்->், னு/ய்/ங் with lookbehind guards)
+  plus the trailing-virama cluster simplification (kcTtpR runs drop,
+  nasal+virama drops keeping the inner virama, matra+virama drops
+  the virama).
+- question/pronoun prefixes (எC்/அC்..) delete, then fix_va_start.
+- question suffixes (ா/ே/ோ -> ்), command suffixes (பி/வி delete),
+  ும் -> ், common word endings (a_17 map), vetrumai urupukal (case
+  endings incl. the ை branch with the doubled-consonant guard,
+  setting the flag th-rules read), plural suffixes
+  (ுங்கள்/ட்கள்/ற்கள்/கள்), and the tense-suffix loop (a_25/a_26
+  with vowel/matra lookbehind guards), each followed by the ending
+  fixups the reference runs.
+- stem() returns with the fix_ending mutation kept for short words
+  (SnowballFilter ignores the boolean — SnowballFilter.java:98-102).
+
+Tables come from ``_snowball_data``; validated against the COMPILED
+reference stemmer's goldens in tests/test_snowball_langs.py. The stop
+set is the analyzer's default ``ta/stopwords.txt``.
+"""
+
+from __future__ import annotations
+
+from ._snowball import longest_b
+from ._snowball_data import TABLES
+
+_T = TABLES["tamil"]
+_A = {k: _T[k] for k in _T}
+
+_VIRAMA = "்"  # ்
+_AI = "ை"      # ை
+
+
+def _among_b(w: str, key: str, end: int | None = None):
+    """(new_end, value) or (None, 0)."""
+    suf, val = longest_b(w, _A[key], end=end)
+    if suf is None:
+        return None, 0
+    e = (len(w) if end is None else end) - len(suf)
+    return e, val
+
+
+def _ends_any(w: str, key: str, end: int | None = None) -> bool:
+    return _among_b(w, key, end)[0] is not None
+
+
+def _fix_va_start(w: str) -> str:
+    rep = {"வோ": "ஓ", "வொ": "ஒ", "வு": "உ", "வூ": "ஊ"}
+    for pre, r in rep.items():
+        if w.startswith(pre):
+            return r + w[2:]
+    return w
+
+
+def _fix_ending(w: str, vetrumai: bool) -> str | None:
+    """One r_fix_ending pass; None when nothing fired."""
+    if len(w) <= 3:
+        return None
+    e, val = _among_b(w, "a_5")
+    if e is not None:
+        if val == 1:
+            return w[:e]
+        if val == 2:  # ய் after ி/ீ/ை
+            if _ends_any(w, "a_2", e):
+                return w[:e]
+            # fall through to the virama branch
+        elif val == 3:
+            return w[:e] + "ள்"
+        elif val == 4:
+            return w[:e] + "ல்"
+        elif val == 5:
+            return w[:e] + "டு"
+        elif val == 6:  # த்த், vetrumai-gated, not after ை
+            if vetrumai and not (e >= 1 and w[e - 1] == _AI):
+                return w[:e] + "ம்"
+            # fall through
+        elif val == 7:
+            return w[:e] + _VIRAMA
+        elif val == 8:  # னு, not after matra
+            if not _ends_any(w, "a_3", e):
+                return w[:e]
+        else:  # 9: ங் — after ை/் delete, else -> ம் (a_4 lookbehind)
+            if e >= 1 and w[e - 1] in (_AI, _VIRAMA):
+                return w[:e]
+            return w[:e] + "ம்"
+    # virama branch
+    if not w.endswith(_VIRAMA):
+        return None
+    e = len(w) - 1
+    # sub1: kcTtpR (optionally ் + kcTtpR before it) — drop cluster
+    e1, _ = _among_b(w, "a_6", e)
+    if e1 is not None:
+        b = e1
+        if b >= 1 and w[b - 1] == _VIRAMA:
+            e2, _ = _among_b(w, "a_7", b - 1)
+            if e2 is not None:
+                b = e2
+        return w[:b]
+    # sub2: nasal preceded by ் — drop nasal + trailing ்
+    e1, _ = _among_b(w, "a_8", e)
+    if e1 is not None and e1 >= 1 and w[e1 - 1] == _VIRAMA:
+        return w[:e1]
+    # sub3: matra before the ் — drop just the ்
+    if _ends_any(w, "a_9", e):
+        return w[:e]
+    return None
+
+
+def _fix_endings(w: str, vetrumai: bool) -> str:
+    while True:
+        w2 = _fix_ending(w, vetrumai)
+        if w2 is None:
+            return w
+        w = w2
+
+
+def _remove_question_prefixes(w: str) -> str | None:
+    if len(w) >= 3 and w[0] == "எ" and _has_pre(w, 1, "a_1"):
+        if w[2] == _VIRAMA:
+            return _fix_va_start(w[3:])
+    return None
+
+
+def _has_pre(w: str, i: int, key: str) -> bool:
+    return i < len(w) and any(
+        w.startswith(pre, i) for pre, _ in _A[key]
+    )
+
+
+def _remove_pronoun_prefixes(w: str) -> str | None:
+    if (
+        len(w) >= 3
+        and w[0] in ("அ", "இ", "உ")
+        and _has_pre(w, 1, "a_11")
+        and w[2] == _VIRAMA
+    ):
+        return _fix_va_start(w[3:])
+    return None
+
+
+def _min_len(w: str) -> bool:
+    return len(w) > 4
+
+
+def _remove_question_suffixes(w: str, vet: bool) -> str:
+    if not _min_len(w):
+        return w
+    e, _ = _among_b(w, "a_14")
+    if e is not None:
+        w = w[:e] + _VIRAMA
+    return _fix_endings(w, vet)
+
+
+def _remove_command_suffixes(w: str) -> str:
+    if not _min_len(w):
+        return w
+    e, _ = _among_b(w, "a_15")
+    if e is not None:
+        return w[:e]
+    return w
+
+
+def _remove_um(w: str, vet: bool) -> str:
+    if not _min_len(w) or not w.endswith("ும்"):
+        return w
+    w = w[:-3] + _VIRAMA
+    w2 = _fix_ending(w, vet)
+    return w2 if w2 is not None else w
+
+
+def _remove_common_word_endings(w: str, vet: bool) -> str:
+    if not _min_len(w):
+        return w
+    e, val = _among_b(w, "a_17")
+    if e is not None:
+        if val == 1:
+            w = w[:e] + _VIRAMA
+        elif val == 2:  # ல்ல, not after matra
+            if not _ends_any(w, "a_16", e):
+                w = w[:e] + _VIRAMA
+            else:
+                return w
+        else:
+            w = w[:e]
+    else:
+        return w
+    return _fix_endings(w, vet)
+
+
+def _remove_vetrumai_urupukal(w: str) -> tuple[str, bool]:
+    """Returns (word, found_vetrumai_urupu)."""
+    if not _min_len(w):
+        return w, False
+    found = False
+    e, val = _among_b(w, "a_20")
+    fired = False
+    if e is not None:
+        if val == 1:
+            w = w[:e]
+            fired = True
+        elif val == 2:
+            w = w[:e] + _VIRAMA
+            fired = True
+        elif val == 3:  # ின், not after ம
+            if not (e >= 1 and w[e - 1] == "ம"):
+                w = w[:e] + _VIRAMA
+                fired = True
+        elif val == 4:  # ிடம், length >= 7
+            if len(w) >= 7:
+                w = w[:e] + _VIRAMA
+                fired = True
+        elif val == 5:  # ல், not after matra
+            if not _ends_any(w, "a_18", e):
+                w = w[:e] + _VIRAMA
+                fired = True
+        elif val == 6:  # து, not after matra
+            if not _ends_any(w, "a_19", e):
+                w = w[:e]
+                fired = True
+        else:  # 7: ீ -> ி
+            w = w[:e] + "ி"
+            fired = True
+    if not fired:
+        # the ை branch
+        if not w.endswith(_AI):
+            return w, False
+        e = len(w) - 1
+        e1, _ = _among_b(w, "a_21", e)
+        if e1 is not None:
+            # kcTtpR right before ை: only allowed doubled (C் C ை)
+            e2, _ = _among_b(w, "a_22", e)
+            if e2 is None or not (e2 >= 1 and w[e2 - 1] == _VIRAMA):
+                return w, False
+        w = w[:e] + _VIRAMA
+    found = True
+    if w.endswith("ின்"):
+        w = w[:-3] + _VIRAMA
+    return _fix_endings(w, True), found
+
+
+def _remove_plural_suffix(w: str) -> str:
+    e, val = _among_b(w, "a_13")
+    if e is None:
+        return w
+    if val == 1:  # ுங்கள்
+        if _ends_any(w, "a_12", e):
+            return w[:e] + "ுங்"
+        return w[:e] + _VIRAMA
+    if val == 2:  # ற்கள் -> ல்
+        return w[:e] + "ல்"
+    if val == 3:  # ட்கள் -> ள்
+        return w[:e] + "ள்"
+    return w[:e]  # கள்
+
+
+def _remove_tense_suffix(w: str, vet: bool) -> tuple[str, bool]:
+    if not _min_len(w):
+        return w, False
+    found = False
+    e, val = _among_b(w, "a_25")
+    if e is not None:
+        fired = False
+        if val == 1:
+            w = w[:e]
+            fired = True
+        elif val == 2:  # வன், not after independent vowel
+            if not _ends_any(w, "a_23", e):
+                w = w[:e]
+                fired = True
+        elif val == 3:  # து, not after matra
+            if not _ends_any(w, "a_24", e):
+                w = w[:e]
+                fired = True
+        elif val == 4:  # ான், not after ச
+            if not (e >= 1 and w[e - 1] == "ச"):
+                w = w[:e] + _VIRAMA
+                fired = True
+        elif val == 5:
+            w = w[:e] + _VIRAMA
+            fired = True
+        else:  # 6: கு, requires ் before
+            if e >= 1 and w[e - 1] == _VIRAMA:
+                w = w[:e]
+                fired = True
+        found = fired
+    e, _ = _among_b(w, "a_26")
+    if e is not None:
+        w = w[:e]
+        found = True
+    return _fix_endings(w, vet), found
+
+
+def tamil_snowball_stem(word: str) -> str:
+    w = word
+    vet = False
+    w2 = _fix_ending(w, vet)
+    if w2 is not None:
+        w = w2
+    if not _min_len(w):
+        return w
+    w2 = _remove_question_prefixes(w)
+    if w2 is not None:
+        w = w2
+    w2 = _remove_pronoun_prefixes(w)
+    if w2 is not None:
+        w = w2
+    w = _remove_question_suffixes(w, vet)
+    w = _remove_um(w, vet)
+    w = _remove_common_word_endings(w, vet)
+    w, vet = _remove_vetrumai_urupukal(w)
+    w = _remove_plural_suffix(w)
+    w = _remove_command_suffixes(w)
+    while True:
+        w2, found = _remove_tense_suffix(w, vet)
+        w = w2
+        if not found:
+            break
+    return w
+
+
+
+
+# IndicNormalizer.decompositions, Tamil rows (offsets from U+0B80)
+_INDIC_TA = (
+    (0x09, 0x57, 0x0A),
+    (0x12, 0x57, 0x14),
+    (0x46, 0x3E, 0x4A),
+    (0x46, 0x57, 0x4C),
+    (0x47, 0x3E, 0x4B),
+)
+_TA_BASE = 0x0B80
+_TA_FIRST = {r[0] for r in _INDIC_TA}
+
+
+def indic_compose_tamil(token: str) -> str:
+    """Tamil rows of ``in/IndicNormalizer.java`` (all 2-char
+    compositions: decomposed ஊ/ஔ/ொ/ௌ/ோ -> precomposed)."""
+    s = list(token)
+    i = 0
+    while i < len(s):
+        c = ord(s[i]) - _TA_BASE
+        if c in _TA_FIRST and i + 1 < len(s):
+            c1 = ord(s[i + 1]) - _TA_BASE
+            if 0 <= c1 <= 0x7F:
+                for a, b, tgt in _INDIC_TA:
+                    if a == c and b == c1:
+                        s[i] = chr(_TA_BASE + tgt)
+                        del s[i + 1]
+                        break
+        i += 1
+    return "".join(s)
+
+
+def tamil_pre_normalize(token: str) -> str:
+    """DecimalDigit -> Indic compose (the chain stages between
+    lowercase and the stop filter)."""
+    from .arabic import fold_decimal_digits
+
+    return indic_compose_tamil(fold_decimal_digits(token))
+
+
+TAMIL_STOP_WORDS = frozenset(
+    """ஒரு என்று மற்றும் இந்த இது என்ற கொண்டு என்பது பல ஆகும் அல்லது அவர்
+நான் உள்ள அந்த இவர் என முதல் என்ன இருந்து சில என் போன்ற வேண்டும்
+வந்து இதன் அது அவன் தான் பலரும் என்னும் மேலும் பின்னர் கொண்ட
+இருக்கும் தனது உள்ளது போது என்றும் அதன் தன் பிறகு அவர்கள் வரை அவள்
+நீ ஆகிய இருந்தது உள்ளன வந்த இருந்த மிகவும் இங்கு மீது ஓர் இவை
+இந்தக் பற்றி வரும் வேறு இரு இதில் போல் இப்போது அவரது மட்டும்
+இந்தப் எனும் மேல் பின் சேர்ந்த ஆகியோர் எனக்கு இன்னும் அந்தப் அன்று
+ஒரே மிக அங்கு பல்வேறு விட்டு பெரும் அதை பற்றிய உன் அதிக அந்தக்
+பேர் இதனால் அவை அதே ஏன் முறை யார் என்பதை எல்லாம் மட்டுமே இங்கே
+அங்கே இடம் இடத்தில் அதில் நாம் அதற்கு எனவே பிற சிறு மற்ற விட எந்த
+எனவும் எனப்படும் எனினும் அடுத்த இதனை இதை கொள்ள இந்தத் இதற்கு
+அதனால் தவிர போல வரையில் சற்று எனக்""".split()
+)

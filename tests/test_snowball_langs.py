@@ -37,6 +37,8 @@ STEMMERS = {
                 "turkish_snowball_stem"),
     "Serbian": ("lucene_spark.functions.serbian",
                 "serbian_snowball_stem"),
+    "Tamil": ("lucene_spark.functions.tamil",
+              "tamil_snowball_stem"),
 }
 
 # chain name -> stem-invariant corpus term used by its oracle entry
