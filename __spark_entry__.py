@@ -827,6 +827,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             "catalan", "basque", "lithuanian", "irish",
             "swedish_snowball", "norwegian_snowball",
             "finnish_snowball", "dutch", "turkish", "serbian",
+            "galician", "portuguese_rslp", "tamil", "telugu",
             "hungarian_snowball", "estonian",
         ):
             build_index(
@@ -999,6 +1000,18 @@ def _NO_STOPS():
     from lucene_spark.functions.lang import NORWEGIAN_STOP_WORDS
 
     return NORWEGIAN_STOP_WORDS
+
+
+def _GL_STOPS():
+    from lucene_spark.functions.rslp import GALICIAN_STOP_WORDS
+
+    return GALICIAN_STOP_WORDS
+
+
+def _PT_STOPS():
+    from lucene_spark.functions.lang import PORTUGUESE_STOP_WORDS
+
+    return PORTUGUESE_STOP_WORDS
 
 
 def _SR_STOPS():
@@ -4255,6 +4268,23 @@ def _q_swedish_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["join"]))
 
 
+def _q_galician(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GalicianAnalyzer chain = the RSLP-derived GalicianStemmer
+    (gl/GalicianStemmer.java over galician.rslp): stem-invariant term
+    'column'."""
+    s = _variant_searcher(spark, sf_dir, "galician")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["column"]))
+
+
+def _q_pt_rslp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PortugueseStemFilter option = full RSLP
+    (pt/PortugueseStemmer.java over portuguese.rslp; the
+    portuguese_analyzer entry covers the default Light variant):
+    stem-invariant term 'hash'."""
+    s = _variant_searcher(spark, sf_dir, "portuguese_rslp")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["hash"]))
+
+
 def _q_serbian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SerbianAnalyzer chain = snowball Serbian (incl. cyr->lat) +
     SerbianNormalizationFilter (sr/SerbianAnalyzer.java):
@@ -4921,6 +4951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dutch_analyzer_top10": _q_dutch,
         "turkish_analyzer_top10": _q_turkish,
         "serbian_analyzer_top10": _q_serbian,
+        "galician_analyzer_top10": _q_galician,
+        "portuguese_rslp_top10": _q_pt_rslp,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
         "greek_analyzer_tokens": _q_greek_analyzer,
         "bengali_analyzer_tokens": _q_bengali_analyzer,
@@ -5400,6 +5432,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "serbian_analyzer_top10": _stop_filtered_bm25_sql(
             "batch", _lang_stop_sql(_SR_STOPS())
+        ),
+        "galician_analyzer_top10": _stop_filtered_bm25_sql(
+            "column", _lang_stop_sql(_GL_STOPS())
+        ),
+        "portuguese_rslp_top10": _stop_filtered_bm25_sql(
+            "hash", _lang_stop_sql(_PT_STOPS())
         ),
         "sorani_analyzer_tokens": _SORANI_SQL,
         "greek_analyzer_tokens": _GREEK_SQL,

@@ -1147,6 +1147,17 @@ def _build_chains() -> dict:
             stop_after_normalize=True,
             lower=lambda t: t,
         ),
+        # GalicianAnalyzer (gl/GalicianAnalyzer.java): lower -> stop
+        # -> GalicianStemFilter (the RSLP-derived stemmer)
+        "galician": AnalyzerChain(
+            "galician", _gl_stops(), stem=_gl_stem()
+        ),
+        # the PortugueseStemFilter OPTION (pt/PortugueseStemmer.java,
+        # full RSLP); the plain "portuguese" chain stays the default
+        # Light variant
+        "portuguese_rslp": AnalyzerChain(
+            "portuguese_rslp", PORTUGUESE_STOP_WORDS, stem=_pt_rslp()
+        ),
         # TamilAnalyzer (ta/TamilAnalyzer.java): lower -> DecimalDigit
         # -> IndicNormalization -> stop -> SnowballFilter(TamilStemmer)
         "tamil": AnalyzerChain(
@@ -1396,6 +1407,24 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _gl_stops():
+    from .rslp import GALICIAN_STOP_WORDS
+
+    return GALICIAN_STOP_WORDS
+
+
+def _gl_stem():
+    from .rslp import galician_stem
+
+    return galician_stem
+
+
+def _pt_rslp():
+    from .rslp import portuguese_rslp_stem
+
+    return portuguese_rslp_stem
 
 
 def _ta_stops():

@@ -1,0 +1,111 @@
+"""RSLP stemmers: Galician (the DEFAULT GalicianAnalyzer stemmer) and
+the Portuguese RSLP option.
+
+Re-expresses ``pt/RSLPStemmerBase.java`` (the step/rule engine:
+first-matching-rule-wins per step, min-stem guards, whole-word or
+suffix exceptions, optional step entry conditions) with the step
+tables decoded from the published .rslp resources
+(``_rslp_data.py``, tools/extract_rslp.py), plus:
+
+- ``galician_stem`` — ``gl/GalicianStemmer.java:48-91``: Plural,
+  Unification, Adverb, Augmentative (repeated to fixpoint), Noun or
+  else Verb, Vowel, then the RSLG accent removal.
+- ``portuguese_rslp_stem`` — ``pt/PortugueseStemmer.java``: Plural,
+  Adverb, Feminine, Augmentative, Noun else Verb else Vowel, then
+  accent removal. (The DEFAULT PortugueseAnalyzer stays the Light
+  variant — this is the PortugueseStemFilter option.)
+
+GalicianAnalyzer chain: tokenize -> lower -> stop -> GalicianStemFilter
+(``gl/GalicianAnalyzer.java``); stop set ``gl/stopwords.txt``.
+"""
+
+from __future__ import annotations
+
+from ._rslp_data import STEPS
+
+
+class _Step:
+    __slots__ = ("min", "whole", "conds", "rules")
+
+    def __init__(self, spec):
+        minlen, whole, conds, rules = spec
+        if minlen == 0:
+            minlen = min(r[1] + len(r[0]) for r in rules)
+        self.min = minlen
+        self.whole = whole
+        self.conds = conds or None
+        self.rules = rules
+
+    def apply(self, w: str) -> str:
+        if len(w) < self.min:
+            return w
+        if self.conds is not None and not w.endswith(self.conds):
+            return w
+        for suffix, minstem, repl, exceptions in self.rules:
+            if len(w) - len(suffix) >= minstem and w.endswith(suffix):
+                if exceptions:
+                    if self.whole:
+                        if w in exceptions:
+                            continue
+                    elif w.endswith(exceptions):
+                        continue
+                return w[: len(w) - len(suffix)] + repl
+        return w
+
+
+def _steps(lang):
+    return {k: _Step(v) for k, v in STEPS[lang].items()}
+
+
+_GL = _steps("galician")
+_PT = _steps("portuguese")
+
+_GL_ACCENTS = str.maketrans("áéêíóú", "aeeiou")
+_PT_ACCENTS = str.maketrans(
+    "àáâãäåçèéêëìíîïñòóôõöùúûü", "aaaaaaceeeeiiiinooooouuuu"
+)
+
+
+def galician_stem(word: str) -> str:
+    w = _GL["Plural"].apply(word)
+    w = _GL["Unification"].apply(w)
+    w = _GL["Adverb"].apply(w)
+    while True:
+        w2 = _GL["Augmentative"].apply(w)
+        if w2 == w:
+            break
+        w = w2
+    w2 = _GL["Noun"].apply(w)
+    if w2 == w:
+        w2 = _GL["Verb"].apply(w)
+    w = _GL["Vowel"].apply(w2)
+    return w.translate(_GL_ACCENTS)
+
+
+def portuguese_rslp_stem(word: str) -> str:
+    w = _PT["Plural"].apply(word)
+    w = _PT["Adverb"].apply(w)
+    w = _PT["Feminine"].apply(w)
+    w = _PT["Augmentative"].apply(w)
+    w2 = _PT["Noun"].apply(w)
+    if w2 == w:
+        w2 = _PT["Verb"].apply(w)
+        if w2 == w:
+            w2 = _PT["Vowel"].apply(w)
+    return w2.translate(_PT_ACCENTS)
+
+
+GALICIAN_STOP_WORDS = frozenset(
+    """a aínda alí aquel aquela aquelas aqueles aquilo ao aos aquí as así á
+ben cando che co coa comigo con connosco contigo convosco coas cos
+cun cuns cunha cunhas da dalgunha dalgunhas dalgún dalgúns das de
+del dela delas deles desde deste do dos dun duns dunha dunhas e el
+ela elas eles en era eran esa esas ese eses esta estar estaba está
+están este estes estiven estou eu é facer foi foron fun había hai
+iso isto la las lle lles lo los mais me meu meus min miña miñas moi
+na nas neste nin no non nos nosa nosas noso nosos nós nun nunha nuns
+nunhas o os ou ó ós para pero pode pois pola polas polo polos por
+que se senón ser seu seus sexa sido sobre súa súas tamén tan te ten
+teñen teño ter teu teus ti tido tiña tiven túa túas un unha unhas
+uns vos vosa vosas voso vosos vós""".split()
+)

@@ -1,0 +1,62 @@
+"""RSLP engine (Galician + Portuguese-RSLP stemmers): bulk golden
+validation against the COMPILED reference (tools/rslp_goldens.py ->
+tests/fixtures/rslp_goldens.json.gz) plus engine-semantics cases."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from lucene_spark.functions.lang import get_chain
+from lucene_spark.functions.rslp import (
+    galician_stem,
+    portuguese_rslp_stem,
+)
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "rslp_goldens.json.gz"
+)
+
+STEMMERS = {
+    "galician": galician_stem,
+    "portuguese_rslp": portuguese_rslp_stem,
+}
+
+
+@pytest.mark.parametrize("lang", sorted(STEMMERS))
+def test_all_reference_goldens(lang):
+    with gzip.open(FIXTURE, "rt") as f:
+        g = json.load(f)[lang]
+    stem = STEMMERS[lang]
+    assert len(g) > 5000
+    bad = {w: (stem(w), want) for w, want in g.items() if stem(w) != want}
+    assert not bad, dict(list(bad.items())[:10])
+
+
+class TestEngine:
+    def test_first_matching_rule_wins(self):
+        # pt Plural: 'es' fires before bare 's' on 'meses'-shapes
+        assert portuguese_rslp_stem("trabalhadores") == "trabalh"
+
+    def test_whole_word_exception(self):
+        # gl ns-rule excepts 'luns'; the bare-s rule then fires (the
+        # reference yields 'lun', verified against the compiled Java)
+        assert galician_stem("luns") == "lun"
+        # s-rule whole-word exception holds; only accents fold
+        assert galician_stem("barcelonés") == "barcelones"
+
+    def test_noun_else_verb(self):
+        # when a Noun suffix fires, Verb is skipped (pt driver)
+        assert portuguese_rslp_stem("cantarão") != ""
+
+    def test_accent_removal(self):
+        assert "á" not in galician_stem("alá")
+
+    def test_chains(self):
+        gl = get_chain("galician")
+        # 'unha' is a Galician stopword
+        assert gl.apply_token("unha") is None
+        assert gl.apply_token("column") == "column"
+        pt = get_chain("portuguese_rslp")
+        assert pt.apply_token("hash") == "hash"

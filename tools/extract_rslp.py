@@ -1,0 +1,113 @@
+"""Extract the RSLP step files (galician.rslp, portuguese.rslp) into
+Python data.
+
+Mirrors the reference parser exactly
+(``pt/RSLPStemmerBase.java:265-347``: header/strip/rep/exc patterns,
+comment-skipping readLine) and writes
+``lucene_spark/functions/_rslp_data.py`` as
+``STEPS[lang][name] = (min, whole_word_exceptions, conds, rules)``
+with rules ``(suffix, min, replacement, exceptions)`` in file order.
+The .rslp files are published algorithm data (Orengo et al.'s RSLP
+and its Galician adaptation).
+
+    python tools/extract_rslp.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RES = ("/root/reference/lucene/analysis/common/src/resources/"
+       "org/apache/lucene/analysis")
+SRC = {
+    "galician": f"{RES}/gl/galician.rslp",
+    "portuguese": f"{RES}/pt/portuguese.rslp",
+}
+OUT = os.path.join(ROOT, "lucene_spark", "functions", "_rslp_data.py")
+
+HEADER = re.compile(
+    r'^\{\s*"([^"]*)",\s*([0-9]+),\s*(0|1),\s*\{(.*)\},\s*$'
+)
+STRIP = re.compile(r'^\{\s*"([^"]*)",\s*([0-9]+)\s*\}\s*(,|(\}\s*;))$')
+REP = re.compile(
+    r'^\{\s*"([^"]*)",\s*([0-9]+),\s*"([^"]*)"\}\s*(,|(\}\s*;))$'
+)
+EXC = re.compile(
+    r'^\{\s*"([^"]*)",\s*([0-9]+),\s*"([^"]*)",\s*\{(.*)\}\s*\}'
+    r"\s*(,|(\}\s*;))$"
+)
+
+
+def lines(path):
+    for raw in open(path, encoding="utf-8"):
+        line = raw.strip()
+        if line and not line.startswith("#"):
+            yield line
+
+
+def parse_list(s: str):
+    if not s:
+        return ()
+    return tuple(x.strip()[1:-1] for x in s.split(","))
+
+
+def parse(path):
+    steps = {}
+    it = lines(path)
+    for line in it:
+        m = HEADER.match(line)
+        assert m, line
+        name, minlen, typ = m.group(1), int(m.group(2)), int(m.group(3))
+        conds = parse_list(m.group(4))
+        rules = []
+        for rl in it:
+            mm = STRIP.match(rl)
+            if mm:
+                rules.append((mm.group(1), int(mm.group(2)), "", ()))
+            else:
+                mm = REP.match(rl)
+                if mm:
+                    rules.append(
+                        (mm.group(1), int(mm.group(2)), mm.group(3), ())
+                    )
+                else:
+                    mm = EXC.match(rl)
+                    assert mm, rl
+                    rules.append(
+                        (
+                            mm.group(1),
+                            int(mm.group(2)),
+                            mm.group(3),
+                            parse_list(mm.group(4)),
+                        )
+                    )
+            if rl.endswith(";"):
+                break
+        steps[name] = (minlen, typ == 1, conds, tuple(rules))
+    return steps
+
+
+def main() -> None:
+    with open(OUT, "w", encoding="utf-8") as f:
+        f.write('"""RSLP step tables (GENERATED).\n\nDecoded from the'
+                " published RSLP data (Orengo et al.; Galician\n"
+                "adaptation) as shipped in the reference's .rslp"
+                " resources by\ntools/extract_rslp.py. STEPS[lang]"
+                "[name] = (min_word_len,\nwhole_word_exceptions,"
+                " conds, rules); rule = (suffix, min_stem,\n"
+                'replacement, exceptions).\n"""\n\nSTEPS = {\n')
+        for lang, path in SRC.items():
+            steps = parse(path)
+            f.write(f"    {lang!r}: {{\n")
+            for name, step in steps.items():
+                f.write(f"        {name!r}: {step!r},\n")
+            f.write("    },\n")
+            print(lang, {k: len(v[3]) for k, v in steps.items()})
+        f.write("}\n")
+    print(OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Generate RSLP golden fixtures from the reference Java.
+
+Compiles the reference RSLP engine + the Galician/Portuguese stemmers
+(behavior study only — the engine is re-expressed in
+lucene_spark/functions/rslp.py from the published .rslp data) and
+runs them over a deterministic root x suffix battery plus the corpus
+vocabulary, writing ``tests/fixtures/rslp_goldens.json.gz`` as
+{lang: {word: stem}}.
+
+    python tools/rslp_goldens.py
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import random
+import subprocess
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE = os.path.join(ROOT, "tests", "fixtures", "rslp_goldens.json.gz")
+CLS = "/tmp/gl/cls"  # built by the setup in this script's docstring
+
+MAINS = {
+    "galician": "org.apache.lucene.analysis.gl.GlMain",
+    "portuguese_rslp": "org.apache.lucene.analysis.pt.PtMain",
+}
+
+
+def words() -> list[str]:
+    random.seed(31)
+    alpha = "aeiouáéíóúâêôãõçbcdfghlmnpqrstvxz"
+    out = set()
+    for _ in range(20000):
+        out.add(
+            "".join(
+                random.choice(alpha) for _ in range(random.randint(2, 12))
+            )
+        )
+    roots = ["trabalh", "cas", "fal", "cant", "menin", "grand",
+             "nacion", "profes", "amig", "bonit", "traball", "mull"]
+    sufs = ["s", "es", "ões", "óns", "ais", "inho", "iño", "íssimo",
+            "mente", "ación", "ação", "adoras", "eiro", "oso",
+            "amento", "aria", "ava", "ando", "aram", "ización",
+            "ismo", "ista", "ível", "mento", "idade", "a", "o", "e",
+            ""]
+    for r in roots:
+        for s1 in sufs:
+            for s2 in sufs[:14]:
+                out.add(r + s1 + s2)
+    return sorted(out)
+
+
+def main() -> None:
+    ws = words()
+    fix = {}
+    for lang, cls in MAINS.items():
+        p = subprocess.run(
+            ["java", "-cp", CLS, cls],
+            input="\n".join(ws).encode(),
+            capture_output=True,
+            check=True,
+        )
+        stems = p.stdout.decode().splitlines()
+        assert len(stems) == len(ws)
+        fix[lang] = dict(zip(ws, stems))
+        print(lang, len(ws))
+    with gzip.open(FIXTURE, "wt") as f:
+        json.dump(fix, f, ensure_ascii=False)
+    print(FIXTURE)
+
+
+if __name__ == "__main__":
+    main()
