@@ -827,7 +827,8 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             "catalan", "basque", "lithuanian", "irish",
             "swedish_snowball", "norwegian_snowball",
             "finnish_snowball", "dutch", "turkish", "serbian",
-            "galician", "portuguese_rslp", "tamil", "telugu",
+            "galician", "portuguese_rslp", "brazilian", "tamil",
+            "telugu",
             "hungarian_snowball", "estonian",
         ):
             build_index(
@@ -1000,6 +1001,12 @@ def _NO_STOPS():
     from lucene_spark.functions.lang import NORWEGIAN_STOP_WORDS
 
     return NORWEGIAN_STOP_WORDS
+
+
+def _BR_STOPS():
+    from lucene_spark.functions.brazilian import BRAZILIAN_STOP_WORDS
+
+    return BRAZILIAN_STOP_WORDS
 
 
 def _GL_STOPS():
@@ -4268,6 +4275,14 @@ def _q_swedish_sb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["join"]))
 
 
+def _q_brazilian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BrazilianAnalyzer chain = BrazilianStemFilter over Lucene's
+    own RSLP-hybrid stemmer (br/BrazilianStemmer.java):
+    stem-invariant term 'vector'."""
+    s = _variant_searcher(spark, sf_dir, "brazilian")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["vector"]))
+
+
 def _q_galician(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GalicianAnalyzer chain = the RSLP-derived GalicianStemmer
     (gl/GalicianStemmer.java over galician.rslp): stem-invariant term
@@ -4953,6 +4968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serbian_analyzer_top10": _q_serbian,
         "galician_analyzer_top10": _q_galician,
         "portuguese_rslp_top10": _q_pt_rslp,
+        "brazilian_analyzer_top10": _q_brazilian,
         "sorani_analyzer_tokens": _q_sorani_analyzer,
         "greek_analyzer_tokens": _q_greek_analyzer,
         "bengali_analyzer_tokens": _q_bengali_analyzer,
@@ -5438,6 +5454,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "portuguese_rslp_top10": _stop_filtered_bm25_sql(
             "hash", _lang_stop_sql(_PT_STOPS())
+        ),
+        "brazilian_analyzer_top10": _stop_filtered_bm25_sql(
+            "vector", _lang_stop_sql(_BR_STOPS())
         ),
         "sorani_analyzer_tokens": _SORANI_SQL,
         "greek_analyzer_tokens": _GREEK_SQL,

@@ -1,0 +1,199 @@
+"""Brazilian Portuguese analysis: the BrazilianAnalyzer chain.
+
+Re-expresses ``analysis/common/.../br/BrazilianAnalyzer.java``
+(tokenize -> lower -> stop -> BrazilianStemFilter) and
+``br/BrazilianStemmer.java``:
+
+- changeTerm (:219-268): pt-BR lowercase + accent/cedilla folds;
+  createCT (:335-371) strips ONE leading and ONE trailing
+  punctuation character.
+- Regions (:116-217): R1 via the reference's quirky scan that
+  EXCLUDES the final character from both searches; R2 = R1 of R1;
+  RV with the consonant/vowel second-letter cases. All three are
+  computed once from the initial CT and NEVER recomputed — later
+  steps test suffixes against the stale region STRINGS while
+  remove/replace apply to the current CT (remove is a no-op when CT
+  no longer carries the suffix), exactly like the reference.
+- step1/step2 (:373-1059): ordered first-match-wins rule chains
+  decoded to data by tools/extract_brazilian.py — including the two
+  shipped quirks (the unassigned 'logias' replace that alters
+  nothing but reports success, and the ira-matches/ava-removes rule).
+- step3 (i after c -> drop), step4 (residual os/a/i/o), step5
+  (e after gu/ci drops the u/i too; all in stale-RV terms).
+- Filter semantics (``br/BrazilianStemFilter.java``): stem() returns
+  None for non-indexable terms (len<3 or >=30 after createCT) ->
+  token kept verbatim; non-letter terms return CT un-stemmed.
+"""
+
+from __future__ import annotations
+
+from ._brazilian_data import STEP1, STEP2
+
+_VOWELS = frozenset("aeiou")
+_FOLD = str.maketrans(
+    "áâãéêíóôõúüçñ",
+    "aaaeeiooouucn",
+)
+_PUNCT = set("\"'-,;.?!")
+
+
+def _change_term(value: str) -> str:
+    return value.lower().translate(_FOLD)
+
+
+def _create_ct(term: str) -> str:
+    ct = _change_term(term)
+    if len(ct) < 2:
+        return ct
+    if ct[0] in _PUNCT:
+        ct = ct[1:]
+    if len(ct) < 2:
+        return ct
+    if ct[-1] in _PUNCT:
+        ct = ct[:-1]
+    return ct
+
+
+def _get_r1(value: str | None) -> str | None:
+    """The reference's scan: BOTH searches exclude the final char."""
+    if value is None:
+        return None
+    i = len(value) - 1
+    j = 0
+    while j < i and value[j] not in _VOWELS:
+        j += 1
+    if j >= i:
+        return None
+    while j < i and value[j] in _VOWELS:
+        j += 1
+    if j >= i:
+        return None
+    return value[j + 1 :]
+
+
+def _get_rv(value: str | None) -> str | None:
+    if value is None:
+        return None
+    i = len(value) - 1
+    if i > 0 and value[1] not in _VOWELS:
+        j = 2
+        while j < i and value[j] not in _VOWELS:
+            j += 1
+        if j < i:
+            return value[j + 1 :]
+    if i > 1 and value[0] in _VOWELS and value[1] in _VOWELS:
+        j = 2
+        while j < i and value[j] in _VOWELS:
+            j += 1
+        if j < i:
+            return value[j + 1 :]
+    if i > 2:
+        return value[3:]
+    return None
+
+
+def _sfx(value: str | None, suffix: str) -> bool:
+    return value is not None and value.endswith(suffix)
+
+
+def _remove(value: str, suffix: str) -> str:
+    return value[: -len(suffix)] if value.endswith(suffix) else value
+
+
+def _replace(value: str, suffix: str, change: str) -> str:
+    v = _remove(value, suffix)
+    return value if v == value else v + change
+
+
+def _pre(value: str | None, suffix: str, preceded: str) -> bool:
+    if not _sfx(value, suffix):
+        return False
+    return _remove(value, suffix).endswith(preceded)
+
+
+def _apply_rules(ct, r1, r2, rv, rules):
+    """First matching rule fires; returns (new_ct, fired)."""
+    for suffix, kind, pre, act, act_sfx, repl in rules:
+        if kind == "r2":
+            ok = _sfx(ct, suffix) and _sfx(r2, suffix)
+        elif kind == "r1":
+            ok = _sfx(ct, suffix) and _sfx(r1, suffix)
+        elif kind == "rv_ct_pre":
+            ok = (
+                _sfx(ct, suffix)
+                and _sfx(rv, suffix)
+                and _pre(ct, suffix, pre)
+            )
+        else:  # rv
+            ok = _sfx(rv, suffix)
+        if not ok:
+            continue
+        if act == "remove":
+            ct = _remove(ct, act_sfx)
+        elif act == "replace":
+            ct = _replace(ct, act_sfx, repl)
+        # 'noop': the reference discards the replacement result
+        return ct, True
+    return ct, False
+
+
+def brazilian_stem(term: str) -> str | None:
+    """``BrazilianStemmer.stem``: None -> the filter keeps the
+    surface token."""
+    ct = _create_ct(term)
+    if not (2 < len(ct) < 30):
+        return None
+    if not ct.isalpha():
+        return ct
+    r1 = _get_r1(ct)
+    r2 = _get_r1(r1)
+    rv = _get_rv(ct)
+
+    ct, altered = _apply_rules(ct, r1, r2, rv, STEP1)
+    if not altered:
+        ct, altered = _apply_rules(ct, r1, r2, rv, STEP2)
+
+    if altered:
+        # step3: i preceded by c (stale RV)
+        if rv is not None and _pre(rv, "i", "c"):
+            ct = _remove(ct, "i")
+    else:
+        # step4: residual suffix (stale RV)
+        if rv is not None:
+            for s in ("os", "a", "i", "o"):
+                if rv.endswith(s):
+                    ct = _remove(ct, s)
+                    break
+    # step5
+    if rv is not None and rv.endswith("e"):
+        if _pre(rv, "e", "gu"):
+            ct = _remove(ct, "e")
+            ct = _remove(ct, "u")
+        elif _pre(rv, "e", "ci"):
+            ct = _remove(ct, "e")
+            ct = _remove(ct, "i")
+        else:
+            ct = _remove(ct, "e")
+    return ct
+
+
+def brazilian_stem_token(token: str) -> str:
+    """BrazilianStemFilter semantics: keep the token when stem()
+    declines (None) or returns the same string."""
+    s = brazilian_stem(token)
+    return token if s is None else s
+
+
+BRAZILIAN_STOP_WORDS = frozenset(
+    """a ainda alem ambas ambos antes ao aonde aos apos aquele aqueles
+as assim com como contra contudo cuja cujas cujo cujos da das de dela
+dele deles demais depois desde desta deste dispoe dispoem diversa
+diversas diversos do dos durante e ela elas ele eles em entao entre
+essa essas esse esses esta estas este estes ha isso isto logo mais
+mas mediante menos mesma mesmas mesmo mesmos na nao nas nem nesse
+neste no nos o os ou outra outras outro outros pelas pelas pelo pelos
+perante pois por porque portanto proprio propios quais qual qualquer
+quando quanto que quem quer se seja sem sendo seu seus sob sobre sua
+suas tal tambem teu teus toda todas todo todos tua tuas tudo um uma
+umas uns""".split()
+)

