@@ -3386,6 +3386,69 @@ FROM b
 """
 
 
+def _q_urlemail_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UAX29URLEmailAnalyzer chain (email/UAX29URLEmailAnalyzer.java)
+    over deterministic text synthesized per doc_id:
+    'the http://www.<base>.com and <base>@<base>.org end' — the URL
+    and EMAIL each come through as ONE lowercased token with stop
+    gaps at 'the'/'and'. The scanner is validated against 3.8k
+    compiled-reference golden texts; the oracle reconstructs base by
+    the same arithmetic."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "kbdgmprt"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("uax29_url_email")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                text = (
+                    f"the http://www.{base}.com and "
+                    f"{base}@{base}.org end"
+                )
+                terms, pos = chain_analyze(text, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_URLEMAIL_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             ['k','b','d','g','m','p','r','t']
+                 [1 + (doc_id*5 + g.k) % 8],
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id,
+       'http://www.' || base || '.com|' || base || '@' || base
+         || '.org|end' AS terms,
+       '1,3,4' AS positions
+FROM b
+"""
+
+
 def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJKAnalyzer chain (analysis/cjk/CJKAnalyzer.java:43-60) over
     deterministic Han text synthesized per doc_id (the sf corpus is
@@ -4893,6 +4956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "russian_snowball_tokens": _q_russian_snowball,
         "telugu_analyzer_tokens": _q_telugu_analyzer,
         "tamil_analyzer_tokens": _q_tamil_analyzer,
+        "urlemail_tokens": _q_urlemail_tokens,
         "persian_analyzer_tokens": _q_persian_analyzer,
         "hindi_analyzer_tokens": _q_hindi_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
@@ -5303,6 +5367,7 @@ def oracle_sql() -> dict[str, str]:
         "russian_snowball_tokens": _RUSSIAN_SB_SQL,
         "telugu_analyzer_tokens": _TELUGU_SQL,
         "tamil_analyzer_tokens": _TAMIL_SQL,
+        "urlemail_tokens": _URLEMAIL_SQL,
         "persian_analyzer_tokens": _PERSIAN_SQL,
         "hindi_analyzer_tokens": _HINDI_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,

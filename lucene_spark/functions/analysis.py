@@ -175,6 +175,7 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
         and chain.stem is None
         and chain.pre_stop is None
         and chain.lower is None
+        and chain.tokenizer is None
     )
     # partition: [a-z0-9 ]-only rows split directly; everything else
     # goes through ONE lockstep DFA batch (functions/uax29.py) so the
@@ -186,11 +187,16 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
     dfa_rows: list[int] = []
     dfa_texts: list[str] = []
     cf = chain.char_filter if chain is not None else None
+    custom_tok = chain.tokenizer if chain is not None else None
     for i, t in enumerate(items):
         if cf is not None and t:
             t = cf(t)
         if not t:
             tok_lists[i] = []
+        elif custom_tok is not None:
+            # chain-owned tokenizer (URL/email grammar): never the
+            # whitespace fast path, never the standard DFA
+            tok_lists[i] = custom_tok(t)
         elif _FAST_SAFE_RE.match(t):
             tok_lists[i] = tokenize(t.lower() if trivial else t)
         else:

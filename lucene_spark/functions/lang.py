@@ -965,6 +965,10 @@ class AnalyzerChain:
     # custom lowercase filter (IrishLowerCaseFilter); default is the
     # Java simple mapping
     lower: Optional[Callable[[str], str]] = None
+    # custom TOKENIZER (UAX29URLEmailTokenizer): text -> surface
+    # tokens, replacing the standard UAX#29 tokenizer entirely (the
+    # fast ASCII path must not apply — 'example.com' is ONE token)
+    tokenizer: Optional[Callable[[str], list]] = None
 
     def apply_token(self, surface: str) -> Optional[str]:
         """Surface token -> indexed term, or None if stop-filtered."""
@@ -1146,6 +1150,13 @@ def _build_chains() -> dict:
             normalize=_te_norm(),
             stop_after_normalize=True,
             lower=lambda t: t,
+        ),
+        # UAX29URLEmailAnalyzer (email/UAX29URLEmailAnalyzer.java):
+        # the URL+EMAIL-aware tokenizer -> lower -> English stop
+        "uax29_url_email": AnalyzerChain(
+            "uax29_url_email",
+            ENGLISH_STOP_WORDS,
+            tokenizer=_ue_tokenizer(),
         ),
         # BrazilianAnalyzer (br/BrazilianAnalyzer.java): lower -> stop
         # -> BrazilianStemFilter (keeps the token when stem declines)
@@ -1358,6 +1369,8 @@ def chain_analyze(text: str, chain: AnalyzerChain):
 
     if chain.char_filter is not None and text:
         text = chain.char_filter(text)
+    if chain.tokenizer is not None:
+        return chain.analyze_tokens(chain.tokenizer(text))
     if chain.stream is not None and text and not _FAST_SAFE_RE.match(text):
         from .uax29 import tokenize_dfa_batch_typed
 
@@ -1412,6 +1425,15 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _ue_tokenizer():
+    from .urlemail import tokenize_url_email
+
+    def tok(text: str) -> list:
+        return [text[s:e] for s, e, _ in tokenize_url_email(text)]
+
+    return tok
 
 
 def _br_stops():

@@ -1,0 +1,150 @@
+"""UAX29URLEmailTokenizer: the UAX#29 word-break grammar extended
+with URL and EMAIL rules (RFCs 3986/5321/5322), as a scanner over the
+reference's generated DFA tables.
+
+The JFlex DFA in ``analysis/email/UAX29URLEmailTokenizerImpl.java``
+(ZZ_* arrays — pure data, decoded by tools/extract_uax29_dfa.py into
+``urlemail_dfa.npz``) differs from the StandardTokenizer DFA in three
+ways this scanner reproduces:
+
+- TWO lexical states (YYINITIAL / AVOID_BAD_URL) with their own DFA
+  start states (ZZ_LEXSTATE);
+- fifteen actions (:33900-33980): word-class tokens reset to
+  YYINITIAL; URL matches may back off one code point (actions 12/14's
+  fixed-lookahead adjustment); action 14 pushes the whole match back
+  and re-scans it in AVOID_BAD_URL (the "letter followed by '.com'
+  etc. is not a URL host" rule); action 15 truncates the match to 6
+  code points; action 1 skips without touching the state.
+- the 255-UTF-16-unit scan buffer gives the same windowed-match
+  chunking as the standard scanner (zzRefill never grows the buffer);
+  the wrapper would additionally SKIP over-long tokens, which cannot
+  trigger at the default 255/255 sizes
+  (email/UAX29URLEmailTokenizer.java:146-168).
+
+This is the opt-in tokenizer (scalar scan, one Python loop per doc —
+the hot-path StandardTokenizer stays on the vectorized lockstep
+scanner in uax29.py). UAX29URLEmailAnalyzer = this tokenizer ->
+LowerCaseFilter -> StopFilter(English).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_NPZ = os.path.join(os.path.dirname(__file__), "urlemail_dfa.npz")
+_tables = None
+
+# action numbers (ZZ_ACTION values -> token kinds)
+ACTION_NUM = 2
+ACTION_WORD = 3
+ACTION_EMOJI = 4
+ACTION_SEA = 5
+ACTION_HANGUL = 6
+ACTION_IDEOGRAPHIC = 7
+ACTION_KATAKANA = 8
+ACTION_HIRAGANA = 9
+ACTION_EMAIL = 10
+ACTION_URL = 11  # 11/12/13 all emit URL
+
+TYPE_NAMES = {
+    2: "<NUM>", 3: "<ALPHANUM>", 4: "<EMOJI>",
+    5: "<SOUTHEAST_ASIAN>", 6: "<HANGUL>", 7: "<IDEOGRAPHIC>",
+    8: "<KATAKANA>", 9: "<HIRAGANA>", 10: "<EMAIL>", 11: "<URL>",
+}
+
+_YYINITIAL = 0
+_AVOID_BAD_URL = 2
+
+
+def _load():
+    global _tables
+    if _tables is None:
+        z = np.load(_NPZ)
+        _tables = (
+            z["cmap_top"].astype(np.int32),
+            z["cmap_blocks"].astype(np.int32),
+            z["action"].astype(np.int32),
+            z["rowmap"].astype(np.int64),
+            z["trans"].astype(np.int32),
+            z["attribute"].astype(np.int32),
+            z["lexstate"].astype(np.int32),
+        )
+    return _tables
+
+
+def tokenize_url_email(
+    text: str, window: int = 255
+) -> list[tuple[int, int, int]]:
+    """(start, end, kind) spans in code-point offsets; kind is one of
+    the ACTION_* token kinds (URL variants normalized to 11)."""
+    (cmap_top, cmap_blocks, zz_action, rowmap, trans, attr,
+     lexstate) = _load()
+    n = len(text)
+    if n == 0:
+        return []
+    cp = np.frombuffer(
+        text.encode("utf-32-le"), dtype="<u4"
+    ).astype(np.int32)
+    off = cp & 255
+    idx = np.where(cp == off, off, cmap_top[cp >> 8] | off)
+    classes = cmap_blocks[idx].tolist()
+    widths = (1 + (cp > 0xFFFF)).tolist()
+
+    out: list[tuple[int, int, int]] = []
+    pos = 0
+    lex = _YYINITIAL
+    while pos < n:
+        st = int(lexstate[lex])
+        cur = pos
+        u16 = 0
+        marked = -1
+        action_state = -1
+        while True:
+            if cur >= n or u16 + widths[cur] > window:
+                break  # EOF (real or scan-buffer exhaustion)
+            nxt = trans[rowmap[st] + classes[cur]]
+            if nxt == -1:
+                break
+            st = nxt
+            u16 += widths[cur]
+            cur += 1
+            a = attr[st]
+            if a & 1:
+                action_state = st
+                marked = cur
+                if a & 8:
+                    break
+        if action_state < 0:
+            # grammar has a catch-all; only reachable at EOF with
+            # nothing consumed
+            break
+        act = int(zz_action[action_state])
+        if act == 1:  # skip; lexical state untouched
+            pos = marked
+        elif act == 14:  # re-scan the match in AVOID_BAD_URL
+            lex = _AVOID_BAD_URL
+            # marked-pos -1 then full pushback: position unchanged
+        elif act == 15:  # fixed base: 6 code points, WORD
+            end = pos + 6
+            out.append((pos, end, ACTION_WORD))
+            pos = end
+            lex = _YYINITIAL
+        else:
+            end = marked - 1 if act == 12 else marked
+            kind = ACTION_URL if act in (12, 13) else act
+            out.append((pos, end, kind))
+            pos = end
+            if act != 11:  # bare URL return keeps the state
+                lex = _YYINITIAL
+    return out
+
+
+def tokenize_url_email_terms(text: str) -> tuple[list[str], list[str]]:
+    """(surface tokens, type names) — the tokenizer-level view."""
+    spans = tokenize_url_email(text)
+    return (
+        [text[s:e] for s, e, _ in spans],
+        [TYPE_NAMES[k] for _, _, k in spans],
+    )

@@ -1,0 +1,71 @@
+"""UAX29URLEmailTokenizer: bulk golden validation against the
+COMPILED reference scanner (tools/urlemail_goldens.py ->
+tests/fixtures/urlemail_goldens.json.gz) plus chain behavior."""
+
+import gzip
+import json
+import os
+
+from lucene_spark.functions.lang import chain_analyze, get_chain
+from lucene_spark.functions.urlemail import (
+    ACTION_EMAIL,
+    ACTION_URL,
+    ACTION_WORD,
+    tokenize_url_email,
+)
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "urlemail_goldens.json.gz"
+)
+
+
+def test_all_reference_goldens():
+    with gzip.open(FIXTURE, "rt") as f:
+        fix = json.load(f)
+    assert len(fix) > 3000
+    bad = []
+    for t, want in fix.items():
+        got = [list(x) for x in tokenize_url_email(t)]
+        if got != want:
+            bad.append((t, got[:5], want[:5]))
+    assert not bad, bad[:5]
+
+
+class TestScanner:
+    def test_url_and_email_single_tokens(self):
+        spans = tokenize_url_email(
+            "visit https://example.com/a?b=1 or mail bob@example.org"
+        )
+        kinds = [k for _, _, k in spans]
+        assert kinds == [
+            ACTION_WORD, ACTION_URL, ACTION_WORD, ACTION_WORD,
+            ACTION_EMAIL,
+        ]
+
+    def test_uppercase_scheme(self):
+        t = "HTTPS://Example.COM/A?b=1"
+        spans = tokenize_url_email(t)
+        assert spans == [(0, len(t), ACTION_URL)]
+
+    def test_avoid_bad_url_state(self):
+        # a bare word followed by '.com'-like text must not leak a
+        # URL across the AVOID_BAD_URL re-scan
+        spans = tokenize_url_email("e.g.")
+        assert all(k != ACTION_URL for _, _, k in spans)
+
+    def test_window_chunking(self):
+        # a 300-char URL cannot match past the 255-unit scan buffer
+        t = "http://ex.com/" + "a" * 300
+        spans = tokenize_url_email(t)
+        assert spans[0][2] == ACTION_URL
+        assert spans[0][1] - spans[0][0] <= 255
+
+
+class TestChain:
+    def test_chain_lower_stop_gap(self):
+        chain = get_chain("uax29_url_email")
+        terms, pos = chain_analyze(
+            "the HTTP://X.IO/Q and Bob@Y.ORG", chain
+        )
+        assert terms == ["http://x.io/q", "bob@y.org"]
+        assert pos == [1, 3]

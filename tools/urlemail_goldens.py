@@ -1,0 +1,85 @@
+"""Generate UAX29URLEmailTokenizer golden fixtures from the compiled
+reference scanner (staged as in the session notes: the generated Impl
++ a constants stub; behavior study only). Writes
+tests/fixtures/urlemail_goldens.json.gz as
+{text: [[start_cp, end_cp, kind], ...]} with kinds in the ACTION_*
+numbering of lucene_spark/functions/urlemail.py.
+
+    python tools/urlemail_goldens.py
+"""
+
+from __future__ import annotations
+
+import bisect
+import gzip
+import json
+import os
+import random
+import subprocess
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE = os.path.join(
+    ROOT, "tests", "fixtures", "urlemail_goldens.json.gz"
+)
+J2M = {0: 3, 1: 2, 2: 5, 3: 7, 4: 9, 5: 8, 6: 6, 7: 11, 8: 10, 9: 4}
+
+
+def texts() -> list[str]:
+    random.seed(41)
+    frags = ["http://", "https://", "ftp://", "www.", "example.com",
+             "foo.org", "a.b.co.uk", "bob", "alice.smith", "@",
+             "gmail.com", "x.y", "user+tag", "hello", "world", "123",
+             "3.14", "a-b", "?q=1&r=2", "/path/to;x", "#frag",
+             ":8080", "日本語", "한글",
+             "ひらがな", "カタカナ",
+             "\U0001F600", "e.g.", "...", " ", " ", " ", ",", "(",
+             ")", "<", ">", '"', "'", "//", "ab_cd", "~", "%20",
+             "[2001:db8::1]", "192.168.1.1", "mailto:", ".com",
+             ".net", "C1Control", "don't", "O'Neil"]
+    out = []
+    for _ in range(4000):
+        out.append("".join(random.choice(frags)
+                           for _ in range(random.randint(1, 12))))
+    for host in ("example.com", "sub.domain.org", "a.io",
+                 "192.168.0.1", "[::1]"):
+        for scheme in ("http://", "https://", "", ""):
+            for tail in ("", "/x?y=1", "/a/b.html#z", ":443/q"):
+                out.append(f"see {scheme}{host}{tail} end")
+                out.append(f"mail me: joe.doe+x@{host} ok")
+    return [t.replace("\n", " ") for t in out]
+
+
+def main() -> None:
+    ts = texts()
+    p = subprocess.run(
+        ["java", "-cp", "/tmp/ue/cls",
+         "org.apache.lucene.analysis.email.UeMain"],
+        input="\n".join(ts).encode(),
+        capture_output=True,
+        check=True,
+    )
+    jlines = p.stdout.decode().splitlines()
+    assert len(jlines) == len(ts)
+    fix = {}
+    for t, jl in zip(ts, jlines):
+        u16pos = [0]
+        for ch in t:
+            u16pos.append(u16pos[-1] + (2 if ord(ch) > 0xFFFF else 1))
+        spans = []
+        for part in filter(None, jl.split("|")):
+            ty, st, ln = map(int, part.split(":"))
+            spans.append(
+                [
+                    bisect.bisect_left(u16pos, st),
+                    bisect.bisect_left(u16pos, st + ln),
+                    J2M[ty],
+                ]
+            )
+        fix[t] = spans
+    with gzip.open(FIXTURE, "wt") as f:
+        json.dump(fix, f, ensure_ascii=False)
+    print(FIXTURE, len(fix))
+
+
+if __name__ == "__main__":
+    main()
