@@ -3449,6 +3449,115 @@ FROM b
 """
 
 
+def _q_common_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonGramsFilter chain (commongrams/CommonGramsFilter.java)
+    over deterministic text per doc_id: 'the <base> of data' — grams
+    stack at the first word's position whenever either side is a
+    common word. The oracle derives the exact gram sequence by string
+    algebra."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "kbdgmprt"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("common_grams")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                terms, pos = chain_analyze(
+                    f"the {base} of data", chain
+                )
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_COMMON_GRAMS_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             ['k','b','d','g','m','p','r','t']
+                 [1 + (doc_id*5 + g.k) % 8],
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id,
+       'the|the_' || base || '|' || base || '|' || base
+         || '_of|of|of_data|data' AS terms,
+       '0,0,1,1,2,2,3' AS positions
+FROM b
+"""
+
+
+def _q_compound_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DictionaryCompoundWordTokenFilter chain over deterministic
+    compounds per doc_id: 'und <w1><w2> hier' with the demo
+    dictionary — the original compound passes through and both
+    subwords stack at its position (posInc 0)."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("dictionary_compound")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                w1 = ("daten", "spiel")[i % 2]
+                w2 = ("bank", "zeug")[(i // 2) % 2]
+                terms, pos = chain_analyze(
+                    f"und {w1}{w2} hier", chain
+                )
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_COMPOUND_SQL = """
+SELECT doc_id,
+       'und|' || w1 || w2 || '|' || w1 || '|' || w2 || '|hier'
+         AS terms,
+       '0,1,1,1,2' AS positions
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'daten' ELSE 'spiel' END AS w1,
+         CASE WHEN (doc_id // 2) % 2 = 0 THEN 'bank' ELSE 'zeug' END
+           AS w2
+  FROM documents WHERE doc_id < 200
+)
+"""
+
+
 def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJKAnalyzer chain (analysis/cjk/CJKAnalyzer.java:43-60) over
     deterministic Han text synthesized per doc_id (the sf corpus is
@@ -4957,6 +5066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "telugu_analyzer_tokens": _q_telugu_analyzer,
         "tamil_analyzer_tokens": _q_tamil_analyzer,
         "urlemail_tokens": _q_urlemail_tokens,
+        "common_grams_tokens": _q_common_grams,
+        "compound_tokens": _q_compound_tokens,
         "persian_analyzer_tokens": _q_persian_analyzer,
         "hindi_analyzer_tokens": _q_hindi_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
@@ -5368,6 +5479,8 @@ def oracle_sql() -> dict[str, str]:
         "telugu_analyzer_tokens": _TELUGU_SQL,
         "tamil_analyzer_tokens": _TAMIL_SQL,
         "urlemail_tokens": _URLEMAIL_SQL,
+        "common_grams_tokens": _COMMON_GRAMS_SQL,
+        "compound_tokens": _COMPOUND_SQL,
         "persian_analyzer_tokens": _PERSIAN_SQL,
         "hindi_analyzer_tokens": _HINDI_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,

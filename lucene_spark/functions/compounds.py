@@ -1,0 +1,108 @@
+"""Stream token filters that change token counts: CommonGramsFilter
+and DictionaryCompoundWordTokenFilter, as analyzer-chain ``stream``
+hooks.
+
+- ``common_grams_stream_factory`` — re-expresses
+  ``commongrams/CommonGramsFilter.java:80-150``: when the previous or
+  the current token is a common word, a "prev_cur" GRAM is emitted
+  BEFORE the current unigram, stacked at the previous position
+  (posInc 0, posLen 2). No stop filtering — the grams replace it.
+- ``dictionary_compound_stream_factory`` — re-expresses
+  ``compound/DictionaryCompoundWordTokenFilterBase.java:95-125`` +
+  ``DictionaryCompoundWordTokenFilter.decompose``: tokens of at
+  least minWordSize (5) emit every dictionary subword of length
+  minSubwordSize(2)..maxSubwordSize(15) found at any offset, each at
+  posInc 0 after the original token; onlyLongestMatch keeps one per
+  start offset.
+
+Both apply the Java simple lowercase themselves (the chains place
+them after LowerCaseFilter).
+"""
+
+from __future__ import annotations
+
+from .analysis import _java_lower
+
+
+def common_grams_stream_factory(common_words: frozenset):
+    def stream(tokens, types, stopwords, offsets=None):
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = -1
+        prev: str | None = None
+        prev_common = False
+        for tok in tokens:
+            t = _java_lower(tok)
+            pos += 1
+            cur_common = t in common_words
+            if prev is not None and (prev_common or cur_common):
+                terms.append(prev + "_" + t)
+                positions.append(pos - 1)
+            terms.append(t)
+            positions.append(pos)
+            prev = t
+            prev_common = cur_common
+        return terms, positions
+
+    return stream
+
+
+def decompose(
+    term: str,
+    dictionary: frozenset,
+    min_word: int = 5,
+    min_sub: int = 2,
+    max_sub: int = 15,
+    only_longest: bool = False,
+) -> list[str]:
+    """Dictionary subwords of ``term`` in the reference's scan order
+    (start offset ascending; lengths ascending per offset)."""
+    out: list[str] = []
+    n = len(term)
+    if n < min_word:
+        return out
+    for i in range(0, n - min_sub + 1):
+        longest = None
+        for j in range(min_sub, max_sub + 1):
+            if i + j > n:
+                break
+            sub = term[i : i + j]
+            if sub in dictionary:
+                if only_longest:
+                    longest = sub
+                else:
+                    out.append(sub)
+        if longest is not None:
+            out.append(longest)
+    return out
+
+
+def dictionary_compound_stream_factory(
+    dictionary: frozenset,
+    stop_words: frozenset = frozenset(),
+    min_word: int = 5,
+    min_sub: int = 2,
+    max_sub: int = 15,
+    only_longest: bool = False,
+):
+    """lower -> stop (with position gaps) -> compound decomposition;
+    the original token always passes through, subwords stack at its
+    position."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(tokens):
+            t = _java_lower(tok)
+            if t in stop_words:
+                continue
+            terms.append(t)
+            positions.append(pos)
+            for sub in decompose(
+                t, dictionary, min_word, min_sub, max_sub, only_longest
+            ):
+                terms.append(sub)
+                positions.append(pos)
+        return terms, positions
+
+    return stream

@@ -1151,6 +1151,18 @@ def _build_chains() -> dict:
             stop_after_normalize=True,
             lower=lambda t: t,
         ),
+        # CommonGramsFilter chain (commongrams/CommonGramsFilter.java):
+        # common-word bigrams stacked at the first word's position,
+        # replacing stop filtering (common set = English stops)
+        "common_grams": AnalyzerChain(
+            "common_grams", frozenset(), stream=_cg_stream()
+        ),
+        # DictionaryCompoundWordTokenFilter chain (compound/...java)
+        # with a demo dictionary — the factory in
+        # functions/compounds.py is the configurable extension point
+        "dictionary_compound": AnalyzerChain(
+            "dictionary_compound", frozenset(), stream=_dc_stream()
+        ),
         # UAX29URLEmailAnalyzer (email/UAX29URLEmailAnalyzer.java):
         # the URL+EMAIL-aware tokenizer -> lower -> English stop
         "uax29_url_email": AnalyzerChain(
@@ -1425,6 +1437,24 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _cg_stream():
+    from .analysis import ENGLISH_STOP_WORDS
+    from .compounds import common_grams_stream_factory
+
+    return common_grams_stream_factory(ENGLISH_STOP_WORDS)
+
+
+COMPOUND_DEMO_DICT = frozenset(
+    ["daten", "bank", "spiel", "zeug", "wort", "schatz"]
+)
+
+
+def _dc_stream():
+    from .compounds import dictionary_compound_stream_factory
+
+    return dictionary_compound_stream_factory(COMPOUND_DEMO_DICT)
 
 
 def _ue_tokenizer():

@@ -1,0 +1,54 @@
+"""CommonGramsFilter + DictionaryCompoundWordTokenFilter stream
+chains: emission order, position stacking, and decompose scan-order
+parity with the reference's loops."""
+
+from lucene_spark.functions.compounds import decompose
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+
+class TestCommonGrams:
+    def test_gram_before_unigram_stacked(self):
+        chain = get_chain("common_grams")
+        terms, pos = chain_analyze("the quick brown fox", chain)
+        assert terms == [
+            "the", "the_quick", "quick", "brown", "fox"
+        ]
+        assert pos == [0, 0, 1, 2, 3]
+
+    def test_gram_on_either_side(self):
+        chain = get_chain("common_grams")
+        terms, pos = chain_analyze("spark of data", chain)
+        # 'of' common: grams on both sides
+        assert terms == [
+            "spark", "spark_of", "of", "of_data", "data"
+        ]
+        assert pos == [0, 0, 1, 1, 2]
+
+    def test_consecutive_commons(self):
+        chain = get_chain("common_grams")
+        terms, _ = chain_analyze("of the spark", chain)
+        assert terms == ["of", "of_the", "the", "the_spark", "spark"]
+
+
+class TestCompound:
+    def test_decompose_scan_order(self):
+        d = frozenset(["daten", "bank", "ban", "en"])
+        # offsets ascending; lengths ascending per offset
+        assert decompose("datenbank", d) == ["daten", "en", "ban",
+                                             "bank"]
+
+    def test_only_longest(self):
+        d = frozenset(["daten", "bank", "ban"])
+        assert decompose("datenbank", d, only_longest=True) == [
+            "daten", "bank"
+        ]
+
+    def test_min_word_size_gate(self):
+        d = frozenset(["ab", "cd"])
+        assert decompose("abcd", d) == []  # len 4 < minWordSize 5
+
+    def test_chain_stacks_at_position(self):
+        chain = get_chain("dictionary_compound")
+        terms, pos = chain_analyze("und spielzeug hier", chain)
+        assert terms == ["und", "spielzeug", "spiel", "zeug", "hier"]
+        assert pos == [0, 1, 1, 1, 2]
