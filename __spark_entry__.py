@@ -3558,6 +3558,118 @@ FROM (
 """
 
 
+def _q_keyword_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeywordRepeat -> PorterStem -> RemoveDuplicates sandwich over
+    deterministic text per doc_id: 'running jumps <base>' — surface +
+    stem stack at each position; the invariant base emits once."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "kbdgmprt"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("keyword_repeat")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                terms, pos = chain_analyze(
+                    f"running jumps {base}", chain
+                )
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_KEYWORD_REPEAT_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             ['k','b','d','g','m','p','r','t']
+                 [1 + (doc_id*5 + g.k) % 8],
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id,
+       'running|run|jumps|jump|' || base AS terms,
+       '0,0,1,1,2' AS positions
+FROM b
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FingerprintFilter over deterministic text per doc_id:
+    '<base> zz the <base> aa' collapses to ONE 'aa <base> zz' token
+    (sorted unique, stop word dropped)."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "kbdgmprt"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("fingerprint")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                terms, pos = chain_analyze(
+                    f"{base} zz the {base} aa", chain
+                )
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_FINGERPRINT_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             ['k','b','d','g','m','p','r','t']
+                 [1 + (doc_id*5 + g.k) % 8],
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id,
+       'aa ' || base || ' zz' AS terms,
+       '0' AS positions
+FROM b
+"""
+
+
 def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJKAnalyzer chain (analysis/cjk/CJKAnalyzer.java:43-60) over
     deterministic Han text synthesized per doc_id (the sf corpus is
@@ -5068,6 +5180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlemail_tokens": _q_urlemail_tokens,
         "common_grams_tokens": _q_common_grams,
         "compound_tokens": _q_compound_tokens,
+        "keyword_repeat_tokens": _q_keyword_repeat,
+        "fingerprint_tokens": _q_fingerprint,
         "persian_analyzer_tokens": _q_persian_analyzer,
         "hindi_analyzer_tokens": _q_hindi_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
@@ -5481,6 +5595,8 @@ def oracle_sql() -> dict[str, str]:
         "urlemail_tokens": _URLEMAIL_SQL,
         "common_grams_tokens": _COMMON_GRAMS_SQL,
         "compound_tokens": _COMPOUND_SQL,
+        "keyword_repeat_tokens": _KEYWORD_REPEAT_SQL,
+        "fingerprint_tokens": _FINGERPRINT_SQL,
         "persian_analyzer_tokens": _PERSIAN_SQL,
         "hindi_analyzer_tokens": _HINDI_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,

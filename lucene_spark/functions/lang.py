@@ -1151,6 +1151,17 @@ def _build_chains() -> dict:
             stop_after_normalize=True,
             lower=lambda t: t,
         ),
+        # KeywordRepeatFilter -> PorterStem -> RemoveDuplicates
+        # (miscellaneous/KeywordRepeatFilter.java sandwich): surface
+        # form + stem stacked at each position
+        "keyword_repeat": AnalyzerChain(
+            "keyword_repeat", frozenset(), stream=_kr_stream()
+        ),
+        # FingerprintFilter (miscellaneous/FingerprintFilter.java):
+        # whole stream -> one sorted-unique-joined token
+        "fingerprint": AnalyzerChain(
+            "fingerprint", frozenset(), stream=_fp_stream()
+        ),
         # CommonGramsFilter chain (commongrams/CommonGramsFilter.java):
         # common-word bigrams stacked at the first word's position,
         # replacing stop filtering (common set = English stops)
@@ -1437,6 +1448,23 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _kr_stream():
+    from .analysis import ENGLISH_STOP_WORDS
+    from .miscfilters import keyword_repeat_stem_stream_factory
+    from .stemmer import porter_stem
+
+    return keyword_repeat_stem_stream_factory(
+        porter_stem, ENGLISH_STOP_WORDS
+    )
+
+
+def _fp_stream():
+    from .analysis import ENGLISH_STOP_WORDS
+    from .miscfilters import fingerprint_stream_factory
+
+    return fingerprint_stream_factory(ENGLISH_STOP_WORDS)
 
 
 def _cg_stream():

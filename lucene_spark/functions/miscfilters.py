@@ -1,0 +1,200 @@
+"""The high-traffic ``analysis/miscellaneous`` token filters, as
+token-level functions and analyzer-chain stream hooks.
+
+Each re-expresses the corresponding reference filter:
+
+- ``length_keep``        — LengthFilter.java (min<=len<=max; dropped
+  tokens leave position gaps like any FilteringTokenFilter)
+- ``trim``               — TrimFilter.java (strip <= ' ' whitespace)
+- ``truncate``           — TruncateTokenFilter.java (prefix cut)
+- ``capitalize``         — CapitalizationFilter.java defaults
+  (every '.'/space-separated word: first char upper, rest lower)
+- ``scandinavian_normalize`` — ScandinavianNormalizer.ALL_FOLDINGS
+  (ä→æ ö→ø; aa/ao→å ae→æ oe/oo→ø digraph collapse, case-aware)
+- ``scandinavian_fold``  — ScandinavianFoldingFilter.java (å/ä/æ→a,
+  ö/ø→o; aA/aE/aO and oE/oO second-char deletion)
+- ``reverse``            — ReverseStringFilter.java (plain reverse;
+  the U+0001 start marker variant for leading-wildcard fields)
+- ``keyword_repeat_stem_stream_factory`` — the classic
+  KeywordRepeatFilter -> stemmer -> RemoveDuplicatesTokenFilter
+  sandwich: every token emits its surface form plus (when different)
+  its stem stacked at the same position
+  (KeywordRepeatFilter.java + RemoveDuplicatesTokenFilter.java:55-69,
+  dedup is per-position on the term text)
+- ``fingerprint_stream_factory`` — FingerprintFilter.java: the whole
+  stream collapses to ONE token of the sorted, de-duplicated terms
+  joined by the separator (empty when over maxOutputTokenSize)
+"""
+
+from __future__ import annotations
+
+from .analysis import _java_lower
+
+
+def length_keep(token: str, min_len: int, max_len: int) -> bool:
+    return min_len <= len(token) <= max_len
+
+
+def trim(token: str) -> str:
+    i, j = 0, len(token)
+    while i < j and token[i] <= " ":
+        i += 1
+    while j > i and token[j - 1] <= " ":
+        j -= 1
+    return token[i:j]
+
+
+def truncate(token: str, length: int) -> str:
+    return token[:length] if len(token) > length else token
+
+
+def capitalize(token: str) -> str:
+    out = []
+    for w in _split_cap(token):
+        if w:
+            out.append(w[0].upper() + w[1:].lower())
+        else:
+            out.append(w)
+    return _join_cap(token, out)
+
+
+def _split_cap(token: str) -> list[str]:
+    # words are separated by chars <= ' ' or '.'
+    words = []
+    cur = []
+    for ch in token:
+        if ch <= " " or ch == ".":
+            words.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    words.append("".join(cur))
+    return words
+
+
+def _join_cap(token: str, words: list[str]) -> str:
+    seps = [ch for ch in token if ch <= " " or ch == "."]
+    out = []
+    for k, w in enumerate(words):
+        out.append(w)
+        if k < len(seps):
+            out.append(seps[k])
+    return "".join(out)
+
+
+_SC_NORM_SINGLE = {"ä": "æ", "Ä": "Æ", "ö": "ø", "Ö": "Ø"}
+
+
+def scandinavian_normalize(token: str) -> str:
+    s = list(token)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in _SC_NORM_SINGLE:
+            s[i] = _SC_NORM_SINGLE[c]
+        elif i + 1 < len(s):
+            n = s[i + 1]
+            if c == "a" and n in "aAoO":
+                s[i] = "å"
+                del s[i + 1]
+            elif c == "A" and n in "aAoO":
+                s[i] = "Å"
+                del s[i + 1]
+            elif c == "a" and n in "eE":
+                s[i] = "æ"
+                del s[i + 1]
+            elif c == "A" and n in "eE":
+                s[i] = "Æ"
+                del s[i + 1]
+            elif c == "o" and n in "eEoO":
+                s[i] = "ø"
+                del s[i + 1]
+            elif c == "O" and n in "eEoO":
+                s[i] = "Ø"
+                del s[i + 1]
+        i += 1
+    return "".join(s)
+
+
+def scandinavian_fold(token: str) -> str:
+    s = list(token)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in "åäæ":
+            s[i] = "a"
+        elif c in "ÅÄÆ":
+            s[i] = "A"
+        elif c in "øö":
+            s[i] = "o"
+        elif c in "ØÖ":
+            s[i] = "O"
+        elif i + 1 < len(s):
+            n = s[i + 1]
+            if c in "aA" and n in "aAeEoO":
+                del s[i + 1]
+            elif c in "oO" and n in "eEoO":
+                del s[i + 1]
+        i += 1
+    return "".join(s)
+
+
+START_OF_HEADING_MARKER = "\u0001"
+
+
+def reverse(token: str, marker: str | None = None) -> str:
+    """ReverseStringFilter: reverse the term; with a marker the
+    reversed form is prefixed (the leading-wildcard field trick:
+    index reverse(term, U+0001), rewrite *suffix to the marked
+    reversed prefix)."""
+    r = token[::-1]
+    return (marker + r) if marker else r
+
+
+def keyword_repeat_stem_stream_factory(stem, stop_words: frozenset):
+    """lower -> stop (gaps) -> KeywordRepeat + stem +
+    RemoveDuplicates: surface form first, stem stacked at the same
+    position when it differs."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(tokens):
+            t = _java_lower(tok)
+            if t in stop_words:
+                continue
+            terms.append(t)
+            positions.append(pos)
+            st = stem(t)
+            if st != t:
+                terms.append(st)
+                positions.append(pos)
+        return terms, positions
+
+    return stream
+
+
+def fingerprint_stream_factory(
+    stop_words: frozenset,
+    separator: str = " ",
+    max_output_token_size: int = 1024,
+):
+    """lower -> stop -> FingerprintFilter: one sorted-unique-joined
+    token at position 0 (none when the result exceeds the size cap)."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        uniq = sorted(
+            {
+                t
+                for t in (_java_lower(tok) for tok in tokens)
+                if t not in stop_words
+            }
+        )
+        if not uniq:
+            return [], []
+        out = separator.join(uniq)
+        if len(out) > max_output_token_size:
+            return [], []
+        return [out], [0]
+
+    return stream

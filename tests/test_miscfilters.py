@@ -1,0 +1,74 @@
+"""Miscellaneous token filters: per-filter parity cases against the
+reference semantics (miscellaneous/*.java)."""
+
+from lucene_spark.functions.lang import chain_analyze, get_chain
+from lucene_spark.functions.miscfilters import (
+    START_OF_HEADING_MARKER,
+    capitalize,
+    length_keep,
+    reverse,
+    scandinavian_fold,
+    scandinavian_normalize,
+    trim,
+    truncate,
+)
+
+
+class TestTokenFilters:
+    def test_length(self):
+        assert length_keep("abc", 2, 5)
+        assert not length_keep("a", 2, 5)
+        assert not length_keep("abcdef", 2, 5)
+
+    def test_trim_java_le_space(self):
+        # TrimFilter strips chars <= ' ' (incl. control chars)
+        assert trim(" \t\x01abc\x00 ") == "abc"
+        assert trim("   ") == ""
+
+    def test_truncate(self):
+        assert truncate("abcdefgh", 3) == "abc"
+        assert truncate("ab", 3) == "ab"
+
+    def test_capitalize_defaults(self):
+        # words split on <= ' ' and '.', first upper rest lower
+        assert capitalize("hello world.FOO bar") == "Hello World.Foo Bar"
+        assert capitalize("x") == "X"
+
+    def test_scandinavian_normalize(self):
+        assert scandinavian_normalize("ä") == "æ"
+        assert scandinavian_normalize("ö") == "ø"
+        assert scandinavian_normalize("aa") == "å"
+        assert scandinavian_normalize("ao") == "å"
+        assert scandinavian_normalize("ae") == "æ"
+        assert scandinavian_normalize("oe") == "ø"
+        assert scandinavian_normalize("oo") == "ø"
+        assert scandinavian_normalize("AA") == "Å"
+        # blaabaer -> blåbær
+        assert scandinavian_normalize("blaabaersyltetoej") == (
+            "blåbærsyltetøj"
+        )
+
+    def test_scandinavian_fold(self):
+        assert scandinavian_fold("räksmörgås") == "raksmorgas"
+        assert scandinavian_fold("blåbærsyltetøj") == "blabarsyltetoj"
+        # digraph second-char deletion
+        assert scandinavian_fold("aa") == "a"
+        assert scandinavian_fold("oe") == "o"
+
+    def test_reverse_and_marker(self):
+        assert reverse("abc") == "cba"
+        assert reverse("abc", START_OF_HEADING_MARKER) == "\u0001cba"
+
+
+class TestStreamChains:
+    def test_keyword_repeat_sandwich(self):
+        chain = get_chain("keyword_repeat")
+        terms, pos = chain_analyze("running the code", chain)
+        assert terms == ["running", "run", "code"]
+        assert pos == [0, 0, 2]
+
+    def test_fingerprint_single_sorted_token(self):
+        chain = get_chain("fingerprint")
+        terms, pos = chain_analyze("delta the alpha delta beta", chain)
+        assert terms == ["alpha beta delta"]
+        assert pos == [0]
