@@ -3670,6 +3670,58 @@ FROM b
 """
 
 
+def _q_auto_stop_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryAutoStopWordAnalyzer.addStopWords: stop words derived
+    from index stats (docFreq > 0.4 * docCount, the analyzer's
+    default percent) — answered from the terms table only."""
+    from lucene_spark.operators.queries import auto_stop_words
+
+    s = _get_searcher(spark, sf_dir)
+    return auto_stop_words(s, max_percent_docs=0.4)
+
+
+def _q_path_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PathHierarchyTokenizer chain over deterministic paths per
+    doc_id: 'dir<a>/sub<b>/f<i>' -> the three prefix tokens at
+    positions 0,1,2."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("path_hierarchy")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                path = f"dir{i % 3}/sub{i % 5}/f{i}"
+                terms, pos = chain_analyze(path, chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_PATH_HIERARCHY_SQL = """
+SELECT doc_id,
+       'dir' || (doc_id % 3)
+         || '|dir' || (doc_id % 3) || '/sub' || (doc_id % 5)
+         || '|dir' || (doc_id % 3) || '/sub' || (doc_id % 5)
+             || '/f' || doc_id AS terms,
+       '0,1,2' AS positions
+FROM documents WHERE doc_id < 200
+"""
+
+
 def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJKAnalyzer chain (analysis/cjk/CJKAnalyzer.java:43-60) over
     deterministic Han text synthesized per doc_id (the sf corpus is
@@ -5182,6 +5234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compound_tokens": _q_compound_tokens,
         "keyword_repeat_tokens": _q_keyword_repeat,
         "fingerprint_tokens": _q_fingerprint,
+        "auto_stop_words": _q_auto_stop_words,
+        "path_hierarchy_tokens": _q_path_hierarchy,
         "persian_analyzer_tokens": _q_persian_analyzer,
         "hindi_analyzer_tokens": _q_hindi_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
@@ -5597,6 +5651,15 @@ def oracle_sql() -> dict[str, str]:
         "compound_tokens": _COMPOUND_SQL,
         "keyword_repeat_tokens": _KEYWORD_REPEAT_SQL,
         "fingerprint_tokens": _FINGERPRINT_SQL,
+        "auto_stop_words": f"""
+            WITH {_TOK}
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq
+            FROM tok GROUP BY term
+            HAVING count(DISTINCT doc_id) >
+                   (SELECT CAST(FLOOR(0.4 * count(*)) AS BIGINT)
+                    FROM documents)
+            ORDER BY term""",
+        "path_hierarchy_tokens": _PATH_HIERARCHY_SQL,
         "persian_analyzer_tokens": _PERSIAN_SQL,
         "hindi_analyzer_tokens": _HINDI_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,

@@ -1151,6 +1151,14 @@ def _build_chains() -> dict:
             stop_after_normalize=True,
             lower=lambda t: t,
         ),
+        # PathHierarchyTokenizer (path/PathHierarchyTokenizer.java):
+        # prefix tokens at each delimiter; no lowercase/stop
+        "path_hierarchy": AnalyzerChain(
+            "path_hierarchy",
+            frozenset(),
+            tokenizer=_ph_tokenizer(),
+            lower=lambda t: t,
+        ),
         # KeywordRepeatFilter -> PorterStem -> RemoveDuplicates
         # (miscellaneous/KeywordRepeatFilter.java sandwich): surface
         # form + stem stacked at each position
@@ -1448,6 +1456,12 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+def _ph_tokenizer():
+    from .pathpattern import path_hierarchy_tokens
+
+    return path_hierarchy_tokens
 
 
 def _kr_stream():

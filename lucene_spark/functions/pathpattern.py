@@ -1,0 +1,135 @@
+"""Path-hierarchy and pattern-based tokenizers/filters.
+
+- ``path_hierarchy_tokens`` — ``path/PathHierarchyTokenizer.java``
+  transcribed statefully (delimiter/replacement/skip, the
+  end-delimiter carry, consecutive-delimiter and trailing-delimiter
+  behavior, skip consuming leading components): "a/b/c" -> a, a/b,
+  a/b/c — each at its own position (posInc 1 in the reference).
+- ``reverse_path_hierarchy_tokens`` —
+  ``path/ReversePathHierarchyTokenizer.java:99-143``: suffix tokens
+  from each delimiter boundary, skip trimming components from the
+  END: "/a/b/c" -> /a/b/c, a/b/c, b/c, c.
+- ``pattern_tokenize`` — ``pattern/PatternTokenizer.java``: group=-1
+  splits on the regex (non-empty segments); group>=0 emits that
+  group of every match.
+- ``pattern_replace`` — ``pattern/PatternReplaceFilter.java``
+  (all or first).
+- ``pattern_capture_groups`` —
+  ``pattern/PatternCaptureGroupTokenFilter.java``: every capturing
+  group of every match of every pattern, stacked at the original
+  token's position; preserve_original emits the token first. When a
+  pattern has no groups the whole match counts (group 0).
+
+Regexes use the Java/Python common subset (no possessive
+quantifiers); the shipped chains only use common-subset patterns.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def path_hierarchy_tokens(
+    text: str,
+    delimiter: str = "/",
+    replacement: str | None = None,
+    skip: int = 0,
+) -> list[str]:
+    rep = delimiter if replacement is None else replacement
+    out: list[str] = []
+    result = ""
+    end_delim = False
+    skipped = 0
+    pos = 0
+    n = len(text)
+    while True:
+        buf: list[str] = []
+        added = False
+        if end_delim:
+            buf.append(rep)
+            added = True
+            end_delim = False
+        while True:
+            if pos >= n:
+                if skipped > skip and added:
+                    out.append(result + "".join(buf))
+                return out
+            c = text[pos]
+            pos += 1
+            if not added:
+                added = True
+                skipped += 1
+                if skipped > skip:
+                    buf.append(rep if c == delimiter else c)
+            elif c == delimiter:
+                if skipped > skip:
+                    end_delim = True
+                    break
+                skipped += 1
+                if skipped > skip:
+                    buf.append(rep)
+            elif skipped > skip:
+                buf.append(c)
+        tok = result + "".join(buf)
+        out.append(tok)
+        result = tok
+
+
+def reverse_path_hierarchy_tokens(
+    text: str,
+    delimiter: str = "/",
+    replacement: str | None = None,
+    skip: int = 0,
+) -> list[str]:
+    rep = delimiter if replacement is None else replacement
+    buf = "".join(rep if c == delimiter else c for c in text)
+    dp = [0] + [i + 1 for i, c in enumerate(text) if c == delimiter]
+    if dp[-1] < len(text):
+        dp.append(len(text))
+    count = len(dp)
+    idx = count - 1 - skip
+    if idx < 0:
+        return []
+    end = dp[idx]
+    return [buf[dp[i] : end] for i in range(count - skip - 1)]
+
+
+def pattern_tokenize(
+    text: str, pattern: str, group: int = -1
+) -> list[str]:
+    rx = re.compile(pattern)
+    if group >= 0:
+        return [
+            m.group(group)
+            for m in rx.finditer(text)
+            if m.group(group)
+        ]
+    return [seg for seg in rx.split(text) if seg]
+
+
+def pattern_replace(
+    token: str, pattern: str, replacement: str, all_matches: bool = True
+) -> str:
+    return re.sub(
+        pattern, replacement, token, count=0 if all_matches else 1
+    )
+
+
+def pattern_capture_groups(
+    token: str,
+    patterns: list[str],
+    preserve_original: bool = True,
+) -> list[str]:
+    out = [token] if preserve_original else []
+    for p in patterns:
+        rx = re.compile(p)
+        for m in rx.finditer(token):
+            if rx.groups == 0:
+                if m.group(0):
+                    out.append(m.group(0))
+            else:
+                for g in range(1, rx.groups + 1):
+                    cap = m.group(g)
+                    if cap:
+                        out.append(cap)
+    return out

@@ -1125,3 +1125,31 @@ class QueryOpsMixin:
             ),
             k,
         )
+
+
+def auto_stop_words(
+    searcher,
+    max_doc_freq: int | None = None,
+    max_percent_docs: float | None = None,
+):
+    """QueryAutoStopWordAnalyzer.addStopWords
+    (``analysis/query/QueryAutoStopWordAnalyzer.java``): derive
+    query-time stop words from INDEX statistics — every term whose
+    docFreq exceeds ``max_doc_freq``, or ``max_percent_docs`` of the
+    index's doc count (the analyzer's default is 0.4). Returns a
+    DataFrame of (term, doc_freq) sorted by term; pure terms-table
+    column algebra (parquet stats prune the scan — no posting bytes
+    are read)."""
+    from pyspark.sql import functions as F
+
+    if max_doc_freq is None and max_percent_docs is None:
+        max_percent_docs = 0.4
+    if max_percent_docs is not None:
+        thr = int(max_percent_docs * int(searcher.field_stats["doc_count"]))
+    else:
+        thr = int(max_doc_freq)
+    return (
+        searcher._terms_df.where(F.col("doc_freq") > F.lit(thr))
+        .select("term", "doc_freq")
+        .orderBy("term")
+    )

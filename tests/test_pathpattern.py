@@ -1,0 +1,78 @@
+"""Path-hierarchy and pattern tokenizers/filters: reference-semantics
+cases (path/PathHierarchyTokenizer.java, pattern/*.java test
+vectors)."""
+
+from lucene_spark.functions.lang import chain_analyze, get_chain
+from lucene_spark.functions.pathpattern import (
+    path_hierarchy_tokens,
+    pattern_capture_groups,
+    pattern_replace,
+    pattern_tokenize,
+    reverse_path_hierarchy_tokens,
+)
+
+
+class TestPathHierarchy:
+    def test_basic(self):
+        assert path_hierarchy_tokens("a/b/c") == ["a", "a/b", "a/b/c"]
+
+    def test_leading_delimiter(self):
+        assert path_hierarchy_tokens("/a/b") == ["/a", "/a/b"]
+
+    def test_trailing_and_double_delimiter(self):
+        assert path_hierarchy_tokens("a/b/") == ["a", "a/b", "a/b/"]
+        assert path_hierarchy_tokens("a//b") == ["a", "a/", "a//b"]
+
+    def test_skip(self):
+        assert path_hierarchy_tokens("/one/two/three", skip=1) == [
+            "/two", "/two/three"
+        ]
+
+    def test_replacement(self):
+        assert path_hierarchy_tokens("a/b", replacement="\\") == [
+            "a", "a\\b"
+        ]
+
+    def test_reverse(self):
+        assert reverse_path_hierarchy_tokens("/a/b/c") == [
+            "/a/b/c", "a/b/c", "b/c", "c"
+        ]
+        assert reverse_path_hierarchy_tokens("/a/b/c", skip=1) == [
+            "/a/b/", "a/b/", "b/"
+        ]
+
+    def test_chain(self):
+        chain = get_chain("path_hierarchy")
+        terms, pos = chain_analyze("Dir/Sub/File", chain)
+        # no lowercase in this chain
+        assert terms == ["Dir", "Dir/Sub", "Dir/Sub/File"]
+        assert pos == [0, 1, 2]
+
+
+class TestPattern:
+    def test_split_mode(self):
+        assert pattern_tokenize("a;b;;c", ";") == ["a", "b", "c"]
+
+    def test_group_mode(self):
+        assert pattern_tokenize("ab12cd34", r"\d+", group=0) == [
+            "12", "34"
+        ]
+        assert pattern_tokenize("'a' 'b'", r"'([^']+)'", group=1) == [
+            "a", "b"
+        ]
+
+    def test_replace(self):
+        assert pattern_replace("foobarfoo", "foo", "X") == "XbarX"
+        assert pattern_replace(
+            "foobarfoo", "foo", "X", all_matches=False
+        ) == "Xbarfoo"
+
+    def test_capture_groups(self):
+        out = pattern_capture_groups(
+            "http-1000", [r"(\w+)-(\d+)"], preserve_original=True
+        )
+        assert out == ["http-1000", "http", "1000"]
+        out = pattern_capture_groups(
+            "abc123", [r"\d+"], preserve_original=False
+        )
+        assert out == ["123"]
