@@ -3722,6 +3722,60 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def _q_synonym_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-time single-token synonyms (SynonymGraphFilter map) over
+    deterministic text per doc_id: 'the fast <base>' — synonyms stack
+    at the original's position with the stop gap preserved."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "kbdgmprt"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("synonyms")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            terms_out, pos_out = [], []
+            for i in ids:
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                terms, pos = chain_analyze(f"the fast {base}", chain)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_SYNONYM_INDEX_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             ['k','b','d','g','m','p','r','t']
+                 [1 + (doc_id*5 + g.k) % 8],
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id,
+       'fast|quick|rapid|' || base AS terms,
+       '1,1,1,2' AS positions
+FROM b
+"""
+
+
 def _q_cjk_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJKAnalyzer chain (analysis/cjk/CJKAnalyzer.java:43-60) over
     deterministic Han text synthesized per doc_id (the sf corpus is
@@ -5236,6 +5290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_tokens": _q_fingerprint,
         "auto_stop_words": _q_auto_stop_words,
         "path_hierarchy_tokens": _q_path_hierarchy,
+        "synonym_index_tokens": _q_synonym_index_tokens,
         "persian_analyzer_tokens": _q_persian_analyzer,
         "hindi_analyzer_tokens": _q_hindi_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
@@ -5660,6 +5715,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents)
             ORDER BY term""",
         "path_hierarchy_tokens": _PATH_HIERARCHY_SQL,
+        "synonym_index_tokens": _SYNONYM_INDEX_SQL,
         "persian_analyzer_tokens": _PERSIAN_SQL,
         "hindi_analyzer_tokens": _HINDI_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,

@@ -1151,6 +1151,12 @@ def _build_chains() -> dict:
             stop_after_normalize=True,
             lower=lambda t: t,
         ),
+        # Index-time single-token synonyms (SynonymGraphFilter over a
+        # demo SynonymMap; multi-word paths stay query-side via
+        # graph_synonym_query)
+        "synonyms": AnalyzerChain(
+            "synonyms", frozenset(), stream=_syn_stream()
+        ),
         # PathHierarchyTokenizer (path/PathHierarchyTokenizer.java):
         # prefix tokens at each delimiter; no lowercase/stop
         "path_hierarchy": AnalyzerChain(
@@ -1456,6 +1462,21 @@ def _no_sb_stem():
     from .norwegian_sb import norwegian_snowball_stem
 
     return norwegian_snowball_stem
+
+
+SYNONYM_DEMO_MAP = {
+    "fast": ["quick", "rapid"],
+    "spark": ["flame"],
+}
+
+
+def _syn_stream():
+    from .analysis import ENGLISH_STOP_WORDS
+    from .miscfilters import synonym_stream_factory
+
+    return synonym_stream_factory(
+        SYNONYM_DEMO_MAP, stop_words=ENGLISH_STOP_WORDS
+    )
 
 
 def _ph_tokenizer():

@@ -198,3 +198,50 @@ def fingerprint_stream_factory(
         return [out], [0]
 
     return stream
+
+
+def keep_words(token: str, keep: frozenset) -> bool:
+    """KeepWordFilter.java: inverse of stop filtering (position gaps
+    for dropped tokens, like any FilteringTokenFilter)."""
+    return token in keep
+
+
+def codepoint_count_keep(token: str, min_cp: int, max_cp: int) -> bool:
+    """CodepointCountFilter.java: like LengthFilter but counting CODE
+    POINTS (identical in Python where len() is code points)."""
+    return min_cp <= len(token) <= max_cp
+
+
+def synonym_stream_factory(
+    mapping: dict,
+    stop_words: frozenset = frozenset(),
+    include_original: bool = True,
+):
+    """Index-time single-token synonyms (SynonymGraphFilter over a
+    SynonymMap of single-word rules, ``synonym/SynonymGraphFilter
+    .java``): synonyms stack at the original position (posInc 0).
+    Multi-word synonym PATHS are handled at query time by
+    ``queries.graph_synonym_query`` — this is the single-token
+    index-side counterpart."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(tokens):
+            t = _java_lower(tok)
+            if t in stop_words:
+                continue
+            syns = mapping.get(t)
+            if syns is None:
+                terms.append(t)
+                positions.append(pos)
+                continue
+            if include_original:
+                terms.append(t)
+                positions.append(pos)
+            for s in syns:
+                terms.append(s)
+                positions.append(pos)
+        return terms, positions
+
+    return stream

@@ -72,3 +72,25 @@ class TestStreamChains:
         terms, pos = chain_analyze("delta the alpha delta beta", chain)
         assert terms == ["alpha beta delta"]
         assert pos == [0]
+
+
+class TestSmallFilters:
+    def test_keep_words(self):
+        from lucene_spark.functions.miscfilters import keep_words
+
+        assert keep_words("a", frozenset(["a"]))
+        assert not keep_words("b", frozenset(["a"]))
+
+    def test_codepoint_count(self):
+        from lucene_spark.functions.miscfilters import (
+            codepoint_count_keep,
+        )
+
+        assert codepoint_count_keep("ab", 1, 3)
+        assert not codepoint_count_keep("abcd", 1, 3)
+
+    def test_synonym_chain(self):
+        chain = get_chain("synonyms")
+        terms, pos = chain_analyze("the fast car", chain)
+        assert terms == ["fast", "quick", "rapid", "car"]
+        assert pos == [1, 1, 1, 2]
