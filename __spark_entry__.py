@@ -3614,7 +3614,7 @@ FROM b
 """
 
 
-def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_fingerprint_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FingerprintFilter over deterministic text per doc_id:
     '<base> zz the <base> aa' collapses to ONE 'aa <base> zz' token
     (sorted unique, stop word dropped)."""
@@ -3773,6 +3773,42 @@ SELECT doc_id,
        'fast|quick|rapid|' || base AS terms,
        '1,1,1,2' AS positions
 FROM b
+"""
+
+
+def _q_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PayloadScoreQuery + MaxPayloadFunction over deterministic
+    delimited-payload text per doc_id:
+    'alpha|<a> beta|<b> alpha|<c> gamma' — max payload of 'alpha'
+    per doc; the pure-column payload split (last-delimiter rule,
+    missing payload -> NULL) feeds a map-side-combinable groupBy."""
+    from lucene_spark.operators.payloads import (
+        delimited_payload_postings,
+        payload_score,
+    )
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    synth = docs.select(
+        "doc_id",
+        F.format_string(
+            "alpha|%s beta|%s alpha|%s gamma",
+            ((F.col("doc_id") % 5) / F.lit(2.0)),
+            (F.col("doc_id") % 3).cast("double"),
+            (F.col("doc_id") % 7).cast("double"),
+        ).alias("text"),
+    )
+    pp = delimited_payload_postings(synth)
+    return payload_score(pp, "alpha", fn="max").orderBy("doc_id")
+
+
+_PAYLOAD_SCORE_SQL = """
+SELECT doc_id,
+       CAST(GREATEST((doc_id % 5) / 2.0, (doc_id % 7)) AS FLOAT)
+         AS score
+FROM documents WHERE doc_id < 200
+ORDER BY doc_id
 """
 
 
@@ -5287,10 +5323,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_grams_tokens": _q_common_grams,
         "compound_tokens": _q_compound_tokens,
         "keyword_repeat_tokens": _q_keyword_repeat,
-        "fingerprint_tokens": _q_fingerprint,
+        "fingerprint_tokens": _q_fingerprint_filter,
         "auto_stop_words": _q_auto_stop_words,
         "path_hierarchy_tokens": _q_path_hierarchy,
         "synonym_index_tokens": _q_synonym_index_tokens,
+        "payload_score_max": _q_payload_score,
         "persian_analyzer_tokens": _q_persian_analyzer,
         "hindi_analyzer_tokens": _q_hindi_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
@@ -5716,6 +5753,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY term""",
         "path_hierarchy_tokens": _PATH_HIERARCHY_SQL,
         "synonym_index_tokens": _SYNONYM_INDEX_SQL,
+        "payload_score_max": _PAYLOAD_SCORE_SQL,
         "persian_analyzer_tokens": _PERSIAN_SQL,
         "hindi_analyzer_tokens": _HINDI_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,

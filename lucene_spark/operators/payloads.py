@@ -1,0 +1,99 @@
+"""Payload indexing and scoring: the ``analysis/payloads`` +
+``queries/payloads`` family.
+
+- ``delimited_payload_postings`` — DelimitedPayloadTokenFilter with
+  the float encoder (``analysis/payloads/DelimitedPayloadTokenFilter
+  .java``: the split is at the LAST delimiter occurrence; tokens
+  without a delimiter carry a NULL payload), over whitespace
+  tokenization (the package's usual pairing). Pure JVM column
+  algebra — posexplode + regexp split, no Python in the path, so the
+  payload table scales exactly like any projection.
+- ``payload_score`` — PayloadScoreQuery + Min/Max/Average/Sum
+  PayloadFunction (``queries/payloads/PayloadScoreQuery.java``,
+  ``MaxPayloadFunction.java:26-44``): every matched position
+  contributes its decoded payload (missing -> 1.0, the FLOAT_DECODER
+  null rule, ``PayloadDecoder.java:30``); docScore = the function
+  over those, multiplied by the span score when includeSpanScore
+  (pass a ``scores_df``). A doc with zero payloads seen scores 1 —
+  unreachable here since only matched positions group.
+
+At 100 TB the payload table is an ordinary columnar projection of the
+corpus (co-partitioned with the docs by the same id); the score query
+is one map-side-combinable groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def delimited_payload_postings(
+    docs_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "|",
+) -> DataFrame:
+    """(id, term, position, payload float|NULL) — whitespace tokens
+    split at the LAST delimiter."""
+    d = delimiter
+    esc = "\\" + d if d in "\\^$.|?*+()[]{}" else d
+    toks = docs_df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " +")).alias(
+            "position", "tok"
+        ),
+    ).where(F.col("tok") != "")
+    has_payload = F.col("tok").rlike(esc)
+    return toks.select(
+        id_col,
+        "position",
+        F.when(
+            has_payload,
+            F.regexp_replace("tok", esc + "[^" + esc + "]*$", ""),
+        )
+        .otherwise(F.col("tok"))
+        .alias("term"),
+        F.when(
+            has_payload,
+            # try_cast: a malformed payload decodes to NULL (-> the
+            # 1.0 default at scoring time), never a job failure
+            F.regexp_extract("tok", esc + "([^" + esc + "]*)$", 1)
+            .try_cast("float"),
+        ).alias("payload"),
+    )
+
+
+_FNS = {"max": F.max, "min": F.min, "avg": F.avg, "sum": F.sum}
+
+
+def payload_score(
+    payload_df: DataFrame,
+    term: str,
+    fn: str = "max",
+    id_col: str = "doc_id",
+    scores_df: DataFrame | None = None,
+) -> DataFrame:
+    """(id, score float32): the payload function over the term's
+    matched positions; multiplied by ``scores_df``'s (id, score) when
+    given (the includeSpanScore mode)."""
+    agg = _FNS[fn]
+    per_doc = (
+        payload_df.where(F.col("term") == term)
+        .groupBy(id_col)
+        .agg(
+            agg(F.coalesce(F.col("payload"), F.lit(1.0)))
+            .cast("float")
+            .alias("score")
+        )
+    )
+    if scores_df is not None:
+        per_doc = per_doc.alias("p").join(
+            scores_df.alias("s"), on=id_col, how="inner"
+        ).select(
+            F.col(id_col),
+            (F.col("p.score") * F.col("s.score"))
+            .cast("float")
+            .alias("score"),
+        )
+    return per_doc

@@ -1,0 +1,77 @@
+"""Payload family: delimited split rule, decoder null handling, the
+four payload functions, includeSpanScore composition."""
+
+import pytest
+
+from lucene_spark.operators.payloads import (
+    delimited_payload_postings,
+    payload_score,
+)
+
+
+@pytest.fixture(scope="module")
+def pp(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a|2.0 b a|0.5 c|x"),
+            (2, "a b|1.0"),
+            (3, "multi|part|3.0 a|4.0"),
+        ],
+        "doc_id long, text string",
+    )
+    return delimited_payload_postings(docs)
+
+
+class TestSplit:
+    def test_last_delimiter_rule(self, pp):
+        rows = {
+            (r["doc_id"], r["position"]): (r["term"], r["payload"])
+            for r in pp.collect()
+        }
+        assert rows[(1, 0)] == ("a", 2.0)
+        assert rows[(1, 1)] == ("b", None)  # no delimiter -> NULL
+        # non-numeric payload parses to NULL (cast float)
+        assert rows[(1, 3)][0] == "c" and rows[(1, 3)][1] is None
+        # LAST-delimiter split: term keeps earlier delimiters
+        assert rows[(3, 0)] == ("multi|part", 3.0)
+
+
+class TestScore:
+    def test_max_and_missing_as_one(self, pp, spark):
+        got = {
+            r["doc_id"]: r["score"]
+            for r in payload_score(pp, "a", fn="max").collect()
+        }
+        assert got[1] == 2.0
+        assert got[2] == 1.0  # missing payload decodes to 1.0
+        assert got[3] == 4.0
+
+    def test_avg_min_sum(self, pp):
+        avg = {
+            r["doc_id"]: r["score"]
+            for r in payload_score(pp, "a", fn="avg").collect()
+        }
+        assert avg[1] == pytest.approx(1.25)
+        mn = {
+            r["doc_id"]: r["score"]
+            for r in payload_score(pp, "a", fn="min").collect()
+        }
+        assert mn[1] == 0.5
+        sm = {
+            r["doc_id"]: r["score"]
+            for r in payload_score(pp, "a", fn="sum").collect()
+        }
+        assert sm[1] == 2.5
+
+    def test_include_span_score(self, pp, spark):
+        scores = spark.createDataFrame(
+            [(1, 3.0), (2, 2.0)], "doc_id long, score float"
+        )
+        got = {
+            r["doc_id"]: r["score"]
+            for r in payload_score(
+                pp, "a", fn="max", scores_df=scores
+            ).collect()
+        }
+        assert got[1] == 6.0 and got[2] == 2.0
+        assert 3 not in got  # inner join: no span score, no row
