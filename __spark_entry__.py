@@ -2563,6 +2563,51 @@ def _q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplexPhraseQueryParser: '"(window table) th*"' — a group of
+    alternatives followed by a prefix pattern, expanded against the
+    term dictionary and run as one MultiPhraseQuery (the parser's
+    rewrite target for in-order phrases)."""
+    from lucene_spark.plans.complex_phrase import expand_complex_phrase
+
+    s = _get_searcher(spark, sf_dir)
+    slots = expand_complex_phrase(s, "(window table) th*")
+    return _topk_by_doc_id(s, s.scored_multi_phrase(slots))
+
+
+def _complex_phrase_pred_sql(slot_preds: list[str], k: int = 10) -> str:
+    """Multi-phrase oracle whose slot term sets come from SQL
+    predicates over the corpus vocabulary (the oracle performs its
+    own wildcard expansion, mirroring the automaton rewrite)."""
+    norm = _norm_len_sql("dl.dl")
+    unions = []
+    for i, pred in enumerate(slot_preds):
+        unions.append(
+            f"u{i} AS (SELECT DISTINCT doc_id, p - {i} AS p FROM tokp "
+            f"WHERE {pred})"
+        )
+    join = " ".join(
+        f"JOIN u{i} ON u0.doc_id = u{i}.doc_id AND u0.p = u{i}.p"
+        for i in range(1, len(slot_preds))
+    )
+    w = " + ".join(
+        f"(SELECT sum(ln(1 + (st.n - e.df + 0.5)/(e.df + 0.5))) FROM "
+        f"(SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+        f"WHERE {pred} GROUP BY term) e)"
+        for pred in slot_preds
+    )
+    return f"""WITH {_TOK}, {_TOKP}, {_DL}, {_ST},
+      {", ".join(unions)},
+      pf AS (SELECT u0.doc_id, count(*)::BIGINT AS pf
+             FROM u0 {join} GROUP BY u0.doc_id),
+      sc AS (SELECT pf.doc_id, ({w}) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+                    pf.pf AS pf
+             FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st)
+      SELECT doc_id, round(w - w/(1 + pf*inv), 6) AS score
+      FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _q_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PointRangeQuery: docs whose analyzed length is in [20, 40)."""
     s = _get_searcher(spark, sf_dir)
@@ -5337,6 +5382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_tokens": _q_ngram_tokens,
         "parsed_query_top10": _q_parsed,
         "multi_phrase_top10": _q_multi_phrase,
+        "complex_phrase_top10": _q_complex_phrase,
         "point_range_doclen": _q_point_range,
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
@@ -5762,6 +5808,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_tokens": _NGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,
         "parsed_query_top10": _bm25_sql(["window", "spark"]),
+        "complex_phrase_top10": _complex_phrase_pred_sql(
+            ["term IN ('window', 'table')", "term LIKE 'th%'"]
+        ),
         "multi_phrase_top10": _multi_phrase_sql(
             [["window", "table"], ["the"]]
         ),

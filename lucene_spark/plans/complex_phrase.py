@@ -1,0 +1,112 @@
+"""ComplexPhraseQueryParser: phrases whose slots may be wildcards,
+prefixes, fuzzy terms, or parenthesised alternative groups.
+
+Re-expresses ``queryparser/.../complexPhrase/ComplexPhraseQueryParser
+.java``'s core capability: inside a quoted phrase, each
+whitespace-separated unit is
+
+- a plain term,
+- a wildcard/prefix pattern (``*``/``?`` — expanded against the term
+  dictionary, bounded by MAX_EXPANSIONS like the automaton rewrites),
+- a fuzzy term (``smyth~`` or ``smyth~1`` — OSA distance, the
+  LevenshteinAutomata default), or
+- a ``(a b c)`` group of alternatives (each itself any of the above).
+
+The parsed slots run through ``Searcher.scored_multi_phrase`` — the
+expansion union per slot IS Lucene's rewritten
+``MultiPhraseQuery``-over-the-automaton-matches (the parser's
+rewrite target for in-order zero-slop phrases). Range terms and
+slop>0 inside complex phrases are out of scope (documented
+deviation: the sloppy path pairs with the interval machinery
+instead).
+"""
+
+from __future__ import annotations
+
+
+class ComplexPhraseParseError(ValueError):
+    pass
+
+
+def parse_complex_phrase(phrase: str) -> list[list[tuple]]:
+    """Phrase content (no surrounding quotes) -> slots; each slot is
+    a list of specs ``("term", t) | ("wild", pattern) |
+    ("fuzzy", t, max_edits)``."""
+    slots: list[list[tuple]] = []
+    i = 0
+    n = len(phrase)
+    while i < n:
+        c = phrase[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "(":
+            j = phrase.find(")", i + 1)
+            if j < 0:
+                raise ComplexPhraseParseError(
+                    f"unclosed group at {i} in {phrase!r}"
+                )
+            group = phrase[i + 1 : j].split()
+            if not group:
+                raise ComplexPhraseParseError("empty group '()'")
+            slots.append([_unit(u) for u in group])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not phrase[j].isspace():
+                j += 1
+            slots.append([_unit(phrase[i:j])])
+            i = j
+    if not slots:
+        raise ComplexPhraseParseError("empty phrase")
+    return slots
+
+
+def _unit(u: str) -> tuple:
+    if "~" in u:
+        base, _, suff = u.partition("~")
+        if not base:
+            raise ComplexPhraseParseError(f"bad fuzzy unit {u!r}")
+        edits = 2
+        if suff:
+            try:
+                edits = int(suff)
+            except ValueError as e:
+                raise ComplexPhraseParseError(
+                    f"bad fuzzy edits in {u!r}"
+                ) from e
+            if not 0 <= edits <= 2:
+                raise ComplexPhraseParseError(
+                    f"fuzzy edits out of range in {u!r}"
+                )
+        return ("fuzzy", base, edits)
+    if "*" in u or "?" in u:
+        return ("wild", u)
+    return ("term", u)
+
+
+def expand_complex_phrase(searcher, phrase: str) -> list[list[str]]:
+    """Parse + expand every slot against the term dictionary."""
+    slots = parse_complex_phrase(phrase)
+    expanded: list[list[str]] = []
+    for slot in slots:
+        terms: list[str] = []
+        for spec in slot:
+            if spec[0] == "term":
+                terms.append(spec[1])
+            elif spec[0] == "wild":
+                terms.extend(searcher.expand_source(spec[1]))
+            else:
+                terms.extend(
+                    searcher.expand_fuzzy(spec[1], max_edits=spec[2])
+                )
+        # dedup, keep deterministic order
+        expanded.append(sorted(set(terms)))
+    return expanded
+
+
+def complex_phrase_query(searcher, phrase: str, k: int = 10):
+    """Parse + expand + run as a MultiPhraseQuery top-k."""
+    return searcher.multi_phrase_query(
+        expand_complex_phrase(searcher, phrase), k=k
+    )

@@ -1,0 +1,52 @@
+"""ComplexPhraseQueryParser: parse shapes, expansion, and
+equivalence with the explicit MultiPhraseQuery."""
+
+import pytest
+
+from lucene_spark.plans.complex_phrase import (
+    ComplexPhraseParseError,
+    expand_complex_phrase,
+    parse_complex_phrase,
+)
+
+
+class TestParse:
+    def test_units(self):
+        assert parse_complex_phrase("(a b) c* d~1 e") == [
+            [("term", "a"), ("term", "b")],
+            [("wild", "c*")],
+            [("fuzzy", "d", 1)],
+            [("term", "e")],
+        ]
+
+    def test_fuzzy_default_edits(self):
+        assert parse_complex_phrase("x~") == [[("fuzzy", "x", 2)]]
+
+    def test_errors(self):
+        with pytest.raises(ComplexPhraseParseError):
+            parse_complex_phrase("(a b")
+        with pytest.raises(ComplexPhraseParseError):
+            parse_complex_phrase("()")
+        with pytest.raises(ComplexPhraseParseError):
+            parse_complex_phrase("")
+        with pytest.raises(ComplexPhraseParseError):
+            parse_complex_phrase("a~9")
+
+
+class TestExecution:
+    def test_matches_explicit_multi_phrase(self, searcher):
+        # "(window table) the" with no expansion needed must equal
+        # the explicit MultiPhraseQuery result
+        slots = expand_complex_phrase(searcher, "(window table) the")
+        assert slots == [["table", "window"], ["the"]]
+        a = searcher.multi_phrase_query(slots, k=10).collect()
+        b = searcher.multi_phrase_query(
+            [["table", "window"], ["the"]], k=10
+        ).collect()
+        assert [(r["docid"], r["score"]) for r in a] == [
+            (r["docid"], r["score"]) for r in b
+        ]
+
+    def test_wildcard_slot_expands(self, searcher):
+        slots = expand_complex_phrase(searcher, "(window table) th*")
+        assert "the" in slots[1] and len(slots[1]) >= 1
