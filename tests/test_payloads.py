@@ -75,3 +75,12 @@ class TestScore:
         }
         assert got[1] == 6.0 and got[2] == 2.0
         assert 3 not in got  # inner join: no span score, no row
+
+
+class TestPlan:
+    def test_payload_split_is_python_free(self, pp):
+        # the delimited split is posexplode + regexp column algebra;
+        # no Python worker may appear in the plan
+        plan = pp._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "mapInPandas" not in plan.lower()
