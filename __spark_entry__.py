@@ -2608,6 +2608,19 @@ def _complex_phrase_pred_sql(slot_preds: list[str], k: int = 10) -> str:
       FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _q_surround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surround parser: '3w(window, the)' — ordered within distance 3
+    = SpanNear slop 2 = interval max_gaps 2; the oracle is the
+    interval-maxgaps chain CTE."""
+    from lucene_spark.plans.surround import surround_scored
+
+    s = _get_searcher(spark, sf_dir)
+    sc = surround_scored(s, "3w(window, the)").select(
+        "segment_id", F.col("local_docid").alias("docid"), "score"
+    )
+    return _topk_by_doc_id(s, sc)
+
+
 def _q_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PointRangeQuery: docs whose analyzed length is in [20, 40)."""
     s = _get_searcher(spark, sf_dir)
@@ -5383,6 +5396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_query_top10": _q_parsed,
         "multi_phrase_top10": _q_multi_phrase,
         "complex_phrase_top10": _q_complex_phrase,
+        "surround_top10": _q_surround,
         "point_range_doclen": _q_point_range,
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
@@ -6076,6 +6090,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_first_top10": _interval_first_sql("the", "query", 40),
         "interval_phrase_top10": _interval_phrase_sql("the", "query"),
         "interval_maxgaps_top10": _interval_maxgaps_sql("the", "query", 1),
+        "surround_top10": _interval_maxgaps_sql("window", "the", 2),
         "interval_or_top10": _interval_or_sql(["window", "spark"], "data"),
         "interval_prefix_top10": _interval_prefix_sql("win", "data"),
         "interval_fuzzy_top10": _interval_fuzzy_sql("window", "data"),

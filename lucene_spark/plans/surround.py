@@ -1,0 +1,238 @@
+"""Surround query parser: the span-language front end
+(``queryparser/.../surround/parser/QueryParser.jj``).
+
+Grammar subset (ops case-insensitive, both infix and prefix):
+
+- ``a OR b``, ``a AND b``, ``a NOT b`` with the reference precedence
+  OR < AND < NOT < N < W;
+- distance ops ``a 3W b`` / ``3W(a, b, ...)`` (ordered within
+  distance) and ``a 3N b`` / ``3N(a, ...)`` (unordered), default
+  distance 1; a distance d maps to SpanNear slop d-1, i.e. the
+  interval machinery's ``max_gaps = d - 1``
+  (``surround/query/DistanceQuery.java``);
+- truncated terms ``pre*``/``wild?card`` (SrndTruncQuery — expanded
+  against the term dictionary, run as a score-summing OR);
+- parenthesised sub-expressions.
+
+Execution maps onto the engine's algebra: distance ops over plain
+terms run ``scored_intervals`` (saturation-scored, like
+IntervalQuery); AND joins docids summing scores; OR unions and sums;
+NOT anti-joins — the ReqExcl/Conjunction/Disjunction scorer shapes.
+Declared deviation: the reference scores spans through BM25 sloppy
+freq; this engine scores distance ops with the interval saturation
+function (the two agree on MATCHING docs, not on score values — the
+oracle entry therefore exercises a pure distance query where the
+interval scoring is exact).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+
+class SurroundParseError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(r"\(|\)|,|[^\s(),]+")
+
+
+def _lex(q: str) -> list[str]:
+    return _TOKEN_RE.findall(q)
+
+
+_DIST_RE = re.compile(r"^(\d*)([wn])$", re.I)
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise SurroundParseError("unexpected end of query")
+        self.i += 1
+        return t
+
+    # precedence: OR < AND < NOT < N < W
+    def parse(self):
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise SurroundParseError(f"trailing input at {self.peek()!r}")
+        return node
+
+    def _infix(self, sub, match, build):
+        node = sub()
+        while True:
+            t = self.peek()
+            if t is None:
+                return node
+            m = match(t)
+            if m is None:
+                return node
+            self.next()
+            node = build(m, node, sub())
+
+    def or_expr(self):
+        return self._infix(
+            self.and_expr,
+            lambda t: "or" if t.lower() == "or" else None,
+            lambda _m, a, b: ("or", [a, b]),
+        )
+
+    def and_expr(self):
+        return self._infix(
+            self.not_expr,
+            lambda t: "and" if t.lower() == "and" else None,
+            lambda _m, a, b: ("and", [a, b]),
+        )
+
+    def not_expr(self):
+        return self._infix(
+            self.n_expr,
+            lambda t: "not" if t.lower() == "not" else None,
+            lambda _m, a, b: ("not", a, b),
+        )
+
+    def _dist(self, t: str, op: str) -> int | None:
+        m = _DIST_RE.match(t)
+        if m and m.group(2).lower() == op:
+            return int(m.group(1)) if m.group(1) else 1
+        return None
+
+    def n_expr(self):
+        return self._infix(
+            self.w_expr,
+            lambda t: self._dist(t, "n"),
+            lambda d, a, b: ("dist", "unordered", d, [a, b]),
+        )
+
+    def w_expr(self):
+        return self._infix(
+            self.primary,
+            lambda t: self._dist(t, "w"),
+            lambda d, a, b: ("dist", "ordered", d, [a, b]),
+        )
+
+    def primary(self):
+        t = self.next()
+        if t == "(":
+            node = self.or_expr()
+            if self.next() != ")":
+                raise SurroundParseError("expected ')'")
+            return node
+        low = t.lower()
+        if self.peek() == "(":
+            self.next()
+            args = [self.or_expr()]
+            while self.peek() == ",":
+                self.next()
+                args.append(self.or_expr())
+            if self.next() != ")":
+                raise SurroundParseError("expected ')'")
+            if low in ("and", "or"):
+                return (low, args)
+            if low == "not":
+                if len(args) != 2:
+                    raise SurroundParseError("NOT(a, b) takes 2 args")
+                return ("not", args[0], args[1])
+            d = self._dist(t, "w")
+            if d is not None:
+                return ("dist", "ordered", d, args)
+            d = self._dist(t, "n")
+            if d is not None:
+                return ("dist", "unordered", d, args)
+            raise SurroundParseError(f"unknown prefix op {t!r}")
+        if t in (")", ","):
+            raise SurroundParseError(f"unexpected {t!r}")
+        return ("term", t)
+
+
+def parse_surround(q: str):
+    return _Parser(_lex(q)).parse()
+
+
+def _leaf(searcher, scored):
+    """Segment-local scored frame -> GLOBAL docids (composition joins
+    must never compare local docids across segments)."""
+    s = scored.withColumn("local_docid", F.col("docid"))
+    return searcher._globalize(s).select(
+        "segment_id", "local_docid", "docid", "score"
+    )
+
+
+def _scored(node, searcher):
+    kind = node[0]
+    if kind == "term":
+        t = node[1]
+        if "*" in t or "?" in t:
+            terms = searcher.expand_source(t)
+            if not terms:
+                return _leaf(searcher, searcher._empty_scored())
+            return _leaf(searcher, searcher.scored_boolean(should=terms))
+        return _leaf(searcher, searcher.scored_boolean(should=[t]))
+    if kind == "dist":
+        _, mode, d, args = node
+        terms = []
+        for a in args:
+            if a[0] != "term" or "*" in a[1] or "?" in a[1]:
+                raise SurroundParseError(
+                    "distance ops take plain terms"
+                )
+            terms.append(a[1])
+        return _leaf(
+            searcher,
+            searcher.scored_intervals(terms, mode=mode, max_gaps=d - 1),
+        )
+    if kind == "and":
+        dfs = [_scored(a, searcher) for a in node[1]]
+        out = dfs[0]
+        for i, d in enumerate(dfs[1:], 1):
+            d = d.select(
+                F.col("docid"), F.col("score").alias(f"s{i}")
+            )
+            out = out.join(d, "docid").select(
+                "segment_id",
+                "local_docid",
+                "docid",
+                (F.col("score") + F.col(f"s{i}"))
+                .cast("float")
+                .alias("score"),
+            )
+        return out
+    if kind == "or":
+        dfs = [_scored(a, searcher) for a in node[1]]
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d)
+        return u.groupBy("segment_id", "local_docid", "docid").agg(
+            F.sum("score").cast("float").alias("score")
+        )
+    if kind == "not":
+        a = _scored(node[1], searcher)
+        b = _scored(node[2], searcher)
+        return a.join(b.select("docid"), "docid", "left_anti")
+    raise SurroundParseError(f"bad node {node!r}")
+
+
+def surround_scored(searcher, q: str):
+    """The composed scored frame: (segment_id, local_docid,
+    docid-global, score)."""
+    return _scored(parse_surround(q), searcher)
+
+
+def surround_query(searcher, q: str, k: int = 10):
+    """Parse + execute; global top-k (score desc, docid asc), urls
+    attached — the _finish_topk shape."""
+    scored = _scored(parse_surround(q), searcher)
+    top = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    return searcher._attach_urls(top).select(
+        "docid", "url", "score"
+    ).orderBy(F.desc("score"), F.asc("docid"))

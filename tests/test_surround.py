@@ -1,0 +1,93 @@
+"""Surround query parser: grammar (precedence, prefix/infix forms,
+distance defaults) and execution equivalences against the explicit
+algebra."""
+
+import pytest
+
+from lucene_spark.plans.surround import (
+    SurroundParseError,
+    parse_surround,
+    surround_scored,
+)
+
+
+class TestParse:
+    def test_precedence_or_lowest(self):
+        assert parse_surround("a AND b OR c") == (
+            "or",
+            [("and", [("term", "a"), ("term", "b")]), ("term", "c")],
+        )
+
+    def test_distance_defaults_and_prefix(self):
+        assert parse_surround("a w b") == (
+            "dist", "ordered", 1, [("term", "a"), ("term", "b")]
+        )
+        assert parse_surround("5N(a, b, c)") == (
+            "dist", "unordered", 5,
+            [("term", "a"), ("term", "b"), ("term", "c")],
+        )
+
+    def test_case_insensitive_ops(self):
+        assert parse_surround("a and b")[0] == "and"
+        assert parse_surround("a not b")[0] == "not"
+
+    def test_errors(self):
+        with pytest.raises(SurroundParseError):
+            parse_surround("a AND")
+        with pytest.raises(SurroundParseError):
+            parse_surround("(a b")
+        with pytest.raises(SurroundParseError):
+            parse_surround("NOT(a)")
+
+
+class TestExecution:
+    def test_distance_equals_interval_maxgaps(self, searcher):
+        got = surround_scored(searcher, "3w(window, the)")
+        want = searcher.scored_intervals(
+            ["window", "the"], mode="ordered", max_gaps=2
+        )
+        a = sorted(
+            (r["local_docid"], round(r["score"], 6))
+            for r in got.select("local_docid", "score").collect()
+        )
+        b = sorted(
+            (r["docid"], round(r["score"], 6))
+            for r in want.select("docid", "score").collect()
+        )
+        assert a == b
+
+    def test_not_is_anti_join(self, searcher):
+        both = {
+            r["docid"]
+            for r in surround_scored(searcher, "window").collect()
+        }
+        spark_docs = {
+            r["docid"]
+            for r in surround_scored(searcher, "spark").collect()
+        }
+        notted = {
+            r["docid"]
+            for r in surround_scored(
+                searcher, "window NOT spark"
+            ).collect()
+        }
+        assert notted == both - spark_docs
+
+    def test_and_sums_on_intersection(self, searcher):
+        a = {
+            r["docid"]: r["score"]
+            for r in surround_scored(searcher, "window").collect()
+        }
+        b = {
+            r["docid"]: r["score"]
+            for r in surround_scored(searcher, "spark").collect()
+        }
+        c = {
+            r["docid"]: r["score"]
+            for r in surround_scored(
+                searcher, "window AND spark"
+            ).collect()
+        }
+        assert set(c) == set(a) & set(b)
+        for d, sc in list(c.items())[:5]:
+            assert sc == pytest.approx(a[d] + b[d], rel=1e-5)
