@@ -5232,6 +5232,31 @@ def _q_taxonomy_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return taxonomy_facet_counts(m, ["lang", "source"])
 
 
+def _q_assoc_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TaxonomyFacetIntAssociations (SUM) analog: per lang/source
+    path, the SUM of an association value (doc length in tokens)
+    over 'data' matches — the same one-rollup shape as the count
+    facets, aggregating a value instead of counting."""
+    from lucene_spark.operators.joins import taxonomy_facet_associations
+
+    s = _get_searcher(spark, sf_dir)
+    matched = s._attach_urls(
+        s.scored_boolean(should=["data"]).withColumn(
+            "local_docid", F.col("docid")
+        )
+    ).select(_doc_id("url"))
+    docs = _docs_table(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("assoc"),
+    )
+    m = matched.join(F.broadcast(docs), "doc_id")
+    return taxonomy_facet_associations(
+        m, ["lang", "source"], "assoc", fn="sum"
+    ).withColumn("value", F.col("value").cast("long"))
+
+
 def _lang_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(url, class) training labels: the docs table's lang column keyed
     by the synthesized url (the classification 'class field')."""
@@ -5478,6 +5503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_top5": _q_highlight,
         "html_strip_roundtrip": _q_html_strip,
         "taxonomy_facets": _q_taxonomy_facets,
+        "taxonomy_facet_associations": _q_assoc_facets,
         "nb_classify_posteriors": _q_nb_posteriors,
         "knn_classify_vote": _q_knn_classify,
         "classification_metrics": _q_classification_metrics,
@@ -6012,6 +6038,23 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY lang
             UNION ALL
             SELECT 0, '', count(*)::BIGINT FROM j""",
+        "taxonomy_facet_associations": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+                         AS term FROM documents),
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+            j AS (SELECT d.lang, d.source,
+                         len(string_split(d.text, ' ')) AS assoc
+                  FROM m JOIN documents d USING (doc_id))
+            SELECT 2 AS depth,
+                   coalesce(lang, '<null>') || '/' ||
+                   coalesce(source, '<null>') AS path,
+                   sum(assoc)::BIGINT AS value
+            FROM j GROUP BY lang, source
+            UNION ALL
+            SELECT 1, coalesce(lang, '<null>'), sum(assoc)::BIGINT
+            FROM j GROUP BY lang
+            UNION ALL
+            SELECT 0, '', sum(assoc)::BIGINT FROM j""",
         "nb_classify_posteriors": f"""
             WITH {_TOK},
             udoc AS (SELECT DISTINCT doc_id, term FROM tok),

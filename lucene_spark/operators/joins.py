@@ -186,3 +186,62 @@ def taxonomy_facet_counts(
             .drop("rn")
         )
     return out
+
+
+def taxonomy_facet_associations(
+    matches: DataFrame,
+    path_cols: list[str],
+    value_col: str,
+    fn: str = "sum",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Association facets (``facet/taxonomy/TaxonomyFacetIntAssociations
+    .java:38`` / ``TaxonomyFacetFloatAssociations.java`` with
+    ``AssociationAggregationFunction.SUM``/``MAX``): every matching
+    doc carries a per-category association value; the facet
+    aggregates it per path prefix instead of counting. Same single
+    grouping-sets rollup shape as :func:`taxonomy_facet_counts` —
+    one partial-aggregating shuffle for the whole hierarchy.
+
+    Returns (depth, path, value); ``top_n`` keeps the top-N per depth
+    by (value desc, path asc) like getTopChildren."""
+    if fn not in ("sum", "max"):
+        raise ValueError(f"unknown association function {fn!r}")
+    agg = F.sum(value_col) if fn == "sum" else F.max(value_col)
+    gcols = [F.col(c) for c in path_cols]
+    rolled = (
+        matches.select(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+                .alias(c)
+                for c in path_cols
+            ],
+            F.col(value_col),
+        )
+        .rollup(*path_cols)
+        .agg(
+            agg.alias("value"),
+            *[F.grouping(c).alias(f"__g_{c}") for c in path_cols],
+        )
+    )
+    depth = sum(
+        (1 - F.col(f"__g_{c}")) for c in path_cols
+    ).alias("depth")
+    path = F.concat_ws(
+        "/",
+        *[
+            F.when(F.col(f"__g_{c}") == 0, F.col(c))
+            for c in path_cols
+        ],
+    ).alias("path")
+    out = rolled.select(depth, path, "value")
+    if top_n is not None:
+        w = Window.partitionBy("depth").orderBy(
+            F.desc("value"), F.asc("path")
+        )
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= top_n)
+            .drop("__rn")
+        )
+    return out
