@@ -2462,6 +2462,24 @@ def _sim_searcher(spark: SparkSession, sf_dir: str, name: str):
     return _SEARCHERS[key]
 
 
+def _q_dfr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR IF-L-H2 term query (DFRSimilarity.java:127-130)."""
+    s = _sim_searcher(spark, sf_dir, "dfr_ifl2")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
+def _q_ib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IB LL-D-H2 term query (IBSimilarity.java:114-118)."""
+    s = _sim_searcher(spark, sf_dir, "ib_lld2")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
+def _q_f2exp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axiomatic F2EXP term query (AxiomaticF2EXP.java:70-78)."""
+    s = _sim_searcher(spark, sf_dir, "f2exp")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClassicSimilarity (TF-IDF) term query — the similarity registry
     is a query-time kernel choice over the same index
@@ -5383,6 +5401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_sim_top10": _q_classic,
         "lmd_sim_top10": _q_lmd,
         "lmjm_sim_top10": _q_lmjm,
+        "dfr_sim_top10": _q_dfr,
+        "ib_sim_top10": _q_ib,
+        "f2exp_sim_top10": _q_f2exp,
         "filter_clause_top10": _q_filter_clause,
         "monitor_matches": _q_monitor,
         "repetition_2gram": _q_repetition,
@@ -5720,6 +5741,51 @@ def oracle_sql() -> dict[str, str]:
                        0.0), 6) AS score
             FROM tf JOIN dl ON tf.doc_id = dl.doc_id
             CROSS JOIN st CROSS JOIN ttf
+            ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
+        "dfr_sim_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            ttf AS (SELECT count(*)::BIGINT AS ttf FROM tok
+                    WHERE term = 'window')
+            SELECT tf.doc_id AS doc_id,
+                   round(log2(1 + (st.n + 1.0) / (ttf.ttf + 0.5))
+                         * (1.0 - 1.0 / (1.0 + tf.tf * log2(
+                             1 + (st.sttf/st.n)
+                                 / {_norm_len_sql('dl.dl')}))),
+                         6) AS score
+            FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN st CROSS JOIN ttf
+            ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
+        "ib_sim_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            df AS (SELECT count(*)::BIGINT AS df FROM tf)
+            SELECT tf.doc_id AS doc_id,
+                   round(-ln(CAST((df.df + 1.0)/(st.n + 1.0) AS FLOAT)
+                             / (tf.tf * log2(1 + (st.sttf/st.n)
+                                 / {_norm_len_sql('dl.dl')})
+                                + CAST((df.df + 1.0)/(st.n + 1.0)
+                                       AS FLOAT))),
+                         6) AS score
+            FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN st CROSS JOIN df
+            ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
+        "f2exp_sim_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            df AS (SELECT count(*)::BIGINT AS df FROM tf)
+            SELECT tf.doc_id AS doc_id,
+                   round(greatest(
+                       (tf.tf / (tf.tf + 0.25
+                                 + 0.25 * {_norm_len_sql('dl.dl')}
+                                   / (st.sttf/st.n)))
+                       * pow((st.n + 1.0) / df.df, 0.35), 0.0),
+                         6) AS score
+            FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN st CROSS JOIN df
             ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
         "filter_clause_top10": f"""
             WITH {_sql_prelude(["window"])},

@@ -171,6 +171,89 @@ def bind_similarity(
         return bind_lmjm(
             doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
         )
+    if name == "dfr_ifl2":
+        return bind_dfr_ifl2(
+            doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
+        )
+    if name == "ib_lld2":
+        return bind_ib_lld2(
+            doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
+        )
+    if name == "f2exp":
+        return bind_f2exp(
+            doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
+        )
     raise ValueError(
-        f"unknown similarity {name!r} (bm25 | classic | lmd | lmjm)"
+        f"unknown similarity {name!r} (bm25 | classic | lmd | lmjm |"
+        " dfr_ifl2 | ib_lld2 | f2exp)"
     )
+
+
+def bind_dfr_ifl2(
+    doc_freq, total_term_freq, doc_count, sttf, boost, c: float = 1.0,
+    dtype=np.float32,
+) -> BoundScorer:
+    """DFRSimilarity(BasicModelIF, AfterEffectL, NormalizationH2(c=1))
+    (``core/search/similarities/DFRSimilarity.java:127-130``):
+    tfn = tf·log2(1 + c·avgdl/dl) (NormalizationH2.java:58);
+    A = log2(1 + (N+1)/(F+0.5)) (BasicModelIF.java:34-44);
+    AfterEffect L contributes aeTimes1pTfn = 1 (AfterEffectL.java:33),
+    so score = boost · A · (1 − 1/(1+tfn)) = boost · A·tfn/(1+tfn)."""
+    avgdl = sttf / float(doc_count)
+    A = np.log2(1.0 + (doc_count + 1.0) / (total_term_freq + 0.5))
+    lt = LENGTH_TABLE.astype(np.float64)
+
+    def score_fn(freqs, norms):
+        dl = lt[np.asarray(norms, dtype=np.int64)]
+        tfn = freqs.astype(np.float64, copy=False) * np.log2(
+            1.0 + c * avgdl / dl
+        )
+        return (boost * A * (1.0 - 1.0 / (1.0 + tfn))).astype(dtype)
+
+    return BoundScorer(score_fn)
+
+
+def bind_ib_lld2(
+    doc_freq, total_term_freq, doc_count, sttf, boost, c: float = 1.0,
+    dtype=np.float32,
+) -> BoundScorer:
+    """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2)
+    (``IBSimilarity.java:114-118``): λ = (df+1)/(N+1)
+    (LambdaDF.java:38 with the ==1 nextDown guard), tfn as in H2,
+    score = boost · (−ln(λ/(tfn+λ))) (DistributionLL.java:34)."""
+    avgdl = sttf / float(doc_count)
+    lam = np.float32((doc_freq + 1.0) / (doc_count + 1.0))
+    if lam == np.float32(1.0):
+        lam = np.nextafter(lam, np.float32(0.0))
+    lam = float(lam)
+    lt = LENGTH_TABLE.astype(np.float64)
+
+    def score_fn(freqs, norms):
+        dl = lt[np.asarray(norms, dtype=np.int64)]
+        tfn = freqs.astype(np.float64, copy=False) * np.log2(
+            1.0 + c * avgdl / dl
+        )
+        return (boost * -np.log(lam / (tfn + lam))).astype(dtype)
+
+    return BoundScorer(score_fn)
+
+
+def bind_f2exp(
+    doc_freq, total_term_freq, doc_count, sttf, boost,
+    s: float = 0.25, k: float = 0.35, dtype=np.float32,
+) -> BoundScorer:
+    """AxiomaticF2EXP (``AxiomaticF2EXP.java:70-78``, defaults
+    s=0.25, k=0.35 from ``Axiomatic.java:102-104``): score = boost ·
+    tf/(tf + s + s·dl/avgdl) · ((N+1)/df)^k, clamped at 0
+    (Axiomatic.java:109-116)."""
+    avgdl = sttf / float(doc_count)
+    idf = ((doc_count + 1.0) / doc_freq) ** k
+    lt = LENGTH_TABLE.astype(np.float64)
+
+    def score_fn(freqs, norms):
+        dl = lt[np.asarray(norms, dtype=np.int64)]
+        f = freqs.astype(np.float64, copy=False)
+        sc = boost * (f / (f + s + s * dl / avgdl)) * idf
+        return np.maximum(sc, 0.0).astype(dtype)
+
+    return BoundScorer(score_fn)

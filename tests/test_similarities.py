@@ -17,22 +17,46 @@ ALL_NORMS = np.arange(256, dtype=np.int64)
 
 
 def _kernels():
+    from lucene_spark.functions.similarities import (
+        bind_dfr_ifl2,
+        bind_f2exp,
+        bind_ib_lld2,
+        bind_lmjm,
+    )
+
     return {
         "classic": bind_classic(10, 50, 100, 10_000, 1.0),
         "lmd": bind_lmd(10, 50, 100, 10_000, 1.0),
+        "lmjm": bind_lmjm(10, 50, 100, 10_000, 1.0),
+        "dfr_ifl2": bind_dfr_ifl2(10, 50, 100, 10_000, 1.0),
+        "ib_lld2": bind_ib_lld2(10, 50, 100, 10_000, 1.0),
+        "f2exp": bind_f2exp(10, 50, 100, 10_000, 1.0),
     }
 
 
 class TestKernelProperties:
-    @pytest.mark.parametrize("name", ["classic", "lmd"])
+    @pytest.mark.parametrize(
+        "name",
+        ["classic", "lmd", "lmjm", "dfr_ifl2", "ib_lld2", "f2exp"],
+    )
     def test_finite_nonnegative_all_norms(self, name):
+        # norm 0 decodes to length 0 = an empty doc, which never
+        # carries a posting and is unreachable in scoring; the
+        # length-sensitive families (LM/DFR/IB/Axiomatic) divide by
+        # doclen, so the property holds over norms 1..255
         k = _kernels()[name]
+        norms = ALL_NORMS if name in ("classic",) else ALL_NORMS[1:]
         for freq in [1.0, 2.0, 10.0, 255.0, 1e6]:
-            s = k.score(np.full(256, freq, dtype=np.float32), ALL_NORMS)
+            s = k.score(
+                np.full(len(norms), freq, dtype=np.float32), norms
+            )
             assert np.all(np.isfinite(s))
             assert np.all(s >= 0)
 
-    @pytest.mark.parametrize("name", ["classic", "lmd"])
+    @pytest.mark.parametrize(
+        "name",
+        ["classic", "lmd", "lmjm", "dfr_ifl2", "ib_lld2", "f2exp"],
+    )
     def test_monotonic_in_freq(self, name):
         k = _kernels()[name]
         freqs = np.arange(1, 200, dtype=np.float32)
@@ -40,7 +64,10 @@ class TestKernelProperties:
             s = k.score(freqs, np.full(len(freqs), norm, dtype=np.int64))
             assert np.all(np.diff(s) >= 0)
 
-    @pytest.mark.parametrize("name", ["classic", "lmd"])
+    @pytest.mark.parametrize(
+        "name",
+        ["classic", "lmd", "lmjm", "dfr_ifl2", "ib_lld2", "f2exp"],
+    )
     def test_monotonic_in_doclen(self, name):
         """Longer docs never score higher at equal freq (norms 1..255
         decode to nondecreasing lengths)."""
