@@ -2480,6 +2480,20 @@ def _q_f2exp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_boolean_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanSimilarity term query: every match scores the boost
+    (BooleanSimilarity.java:24-39)."""
+    s = _sim_searcher(spark, sf_dir, "boolean")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
+def _q_rawtf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RawTFSimilarity term query: score = raw tf
+    (RawTFSimilarity.java:22-40)."""
+    s = _sim_searcher(spark, sf_dir, "rawtf")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClassicSimilarity (TF-IDF) term query — the similarity registry
     is a query-time kernel choice over the same index
@@ -5402,6 +5416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmd_sim_top10": _q_lmd,
         "lmjm_sim_top10": _q_lmjm,
         "dfr_sim_top10": _q_dfr,
+        "boolean_sim_top10": _q_boolean_sim,
+        "rawtf_sim_top10": _q_rawtf_sim,
         "ib_sim_top10": _q_ib,
         "f2exp_sim_top10": _q_f2exp,
         "filter_clause_top10": _q_filter_clause,
@@ -5742,6 +5758,18 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dl ON tf.doc_id = dl.doc_id
             CROSS JOIN st CROSS JOIN ttf
             ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
+        "boolean_sim_top10": f"""
+            WITH {_TOK},
+            tf AS (SELECT DISTINCT doc_id FROM tok
+                   WHERE term = 'window')
+            SELECT doc_id, 1.0 AS score FROM tf
+            ORDER BY 2 DESC, doc_id LIMIT 10""",
+        "rawtf_sim_top10": f"""
+            WITH {_TOK},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id)
+            SELECT doc_id, round(tf * 1.0, 6) AS score FROM tf
+            ORDER BY 2 DESC, doc_id LIMIT 10""",
         "dfr_sim_top10": f"""
             WITH {_TOK}, {_DL}, {_ST},
             tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok

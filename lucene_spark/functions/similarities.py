@@ -183,9 +183,17 @@ def bind_similarity(
         return bind_f2exp(
             doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
         )
+    if name == "boolean":
+        return bind_boolean(
+            doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
+        )
+    if name == "rawtf":
+        return bind_rawtf(
+            doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
+        )
     raise ValueError(
         f"unknown similarity {name!r} (bm25 | classic | lmd | lmjm |"
-        " dfr_ifl2 | ib_lld2 | f2exp)"
+        " dfr_ifl2 | ib_lld2 | f2exp | boolean | rawtf)"
     )
 
 
@@ -255,5 +263,31 @@ def bind_f2exp(
         f = freqs.astype(np.float64, copy=False)
         sc = boost * (f / (f + s + s * dl / avgdl)) * idf
         return np.maximum(sc, 0.0).astype(dtype)
+
+    return BoundScorer(score_fn)
+
+
+def bind_boolean(
+    doc_freq, total_term_freq, doc_count, sttf, boost, dtype=np.float32
+) -> BoundScorer:
+    """BooleanSimilarity (``BooleanSimilarity.java:24-39``): every
+    match scores exactly the query boost — no stats, no norms."""
+
+    def score_fn(freqs, norms):
+        return np.full(len(freqs), boost, dtype=dtype)
+
+    return BoundScorer(score_fn)
+
+
+def bind_rawtf(
+    doc_freq, total_term_freq, doc_count, sttf, boost, dtype=np.float32
+) -> BoundScorer:
+    """RawTFSimilarity (``RawTFSimilarity.java:22-40``): score =
+    boost * raw term frequency."""
+
+    def score_fn(freqs, norms):
+        return (boost * freqs.astype(np.float64, copy=False)).astype(
+            dtype
+        )
 
     return BoundScorer(score_fn)

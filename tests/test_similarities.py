@@ -18,10 +18,12 @@ ALL_NORMS = np.arange(256, dtype=np.int64)
 
 def _kernels():
     from lucene_spark.functions.similarities import (
+        bind_boolean,
         bind_dfr_ifl2,
         bind_f2exp,
         bind_ib_lld2,
         bind_lmjm,
+        bind_rawtf,
     )
 
     return {
@@ -31,13 +33,16 @@ def _kernels():
         "dfr_ifl2": bind_dfr_ifl2(10, 50, 100, 10_000, 1.0),
         "ib_lld2": bind_ib_lld2(10, 50, 100, 10_000, 1.0),
         "f2exp": bind_f2exp(10, 50, 100, 10_000, 1.0),
+        "boolean": bind_boolean(10, 50, 100, 10_000, 1.0),
+        "rawtf": bind_rawtf(10, 50, 100, 10_000, 1.0),
     }
 
 
 class TestKernelProperties:
     @pytest.mark.parametrize(
         "name",
-        ["classic", "lmd", "lmjm", "dfr_ifl2", "ib_lld2", "f2exp"],
+        ["classic", "lmd", "lmjm", "dfr_ifl2", "ib_lld2", "f2exp",
+         "boolean", "rawtf"],
     )
     def test_finite_nonnegative_all_norms(self, name):
         # norm 0 decodes to length 0 = an empty doc, which never
@@ -45,7 +50,11 @@ class TestKernelProperties:
         # length-sensitive families (LM/DFR/IB/Axiomatic) divide by
         # doclen, so the property holds over norms 1..255
         k = _kernels()[name]
-        norms = ALL_NORMS if name in ("classic",) else ALL_NORMS[1:]
+        norms = (
+            ALL_NORMS
+            if name in ("classic", "boolean", "rawtf")
+            else ALL_NORMS[1:]
+        )
         for freq in [1.0, 2.0, 10.0, 255.0, 1e6]:
             s = k.score(
                 np.full(len(norms), freq, dtype=np.float32), norms
@@ -55,7 +64,8 @@ class TestKernelProperties:
 
     @pytest.mark.parametrize(
         "name",
-        ["classic", "lmd", "lmjm", "dfr_ifl2", "ib_lld2", "f2exp"],
+        ["classic", "lmd", "lmjm", "dfr_ifl2", "ib_lld2", "f2exp",
+         "boolean", "rawtf"],
     )
     def test_monotonic_in_freq(self, name):
         k = _kernels()[name]
