@@ -2494,6 +2494,13 @@ def _q_rawtf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_dfi_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFI (Standardized independence) term query
+    (DFISimilarity.java:70-81)."""
+    s = _sim_searcher(spark, sf_dir, "dfi_std")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClassicSimilarity (TF-IDF) term query — the similarity registry
     is a query-time kernel choice over the same index
@@ -5417,6 +5424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmjm_sim_top10": _q_lmjm,
         "dfr_sim_top10": _q_dfr,
         "boolean_sim_top10": _q_boolean_sim,
+        "dfi_sim_top10": _q_dfi_sim,
         "rawtf_sim_top10": _q_rawtf_sim,
         "ib_sim_top10": _q_ib,
         "f2exp_sim_top10": _q_f2exp,
@@ -5758,6 +5766,23 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dl ON tf.doc_id = dl.doc_id
             CROSS JOIN st CROSS JOIN ttf
             ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
+        "dfi_sim_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            ttf AS (SELECT count(*)::BIGINT AS ttf FROM tok
+                    WHERE term = 'window'),
+            e AS (SELECT tf.doc_id, tf.tf,
+                         (ttf.ttf + 1.0) * {_norm_len_sql('dl.dl')}
+                             / (st.sttf + 1.0) AS expected
+                  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                  CROSS JOIN st CROSS JOIN ttf)
+            SELECT doc_id,
+                   round(CASE WHEN tf <= expected THEN 0.0
+                         ELSE log2(1.0 + (tf - expected)
+                                   / sqrt(expected)) END, 6) AS score
+            FROM e
+            ORDER BY 2 DESC, doc_id LIMIT 10""",
         "boolean_sim_top10": f"""
             WITH {_TOK},
             tf AS (SELECT DISTINCT doc_id FROM tok

@@ -191,9 +191,13 @@ def bind_similarity(
         return bind_rawtf(
             doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
         )
+    if name == "dfi_std":
+        return bind_dfi_std(
+            doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
+        )
     raise ValueError(
         f"unknown similarity {name!r} (bm25 | classic | lmd | lmjm |"
-        " dfr_ifl2 | ib_lld2 | f2exp | boolean | rawtf)"
+        " dfr_ifl2 | ib_lld2 | f2exp | boolean | rawtf | dfi_std)"
     )
 
 
@@ -289,5 +293,26 @@ def bind_rawtf(
         return (boost * freqs.astype(np.float64, copy=False)).astype(
             dtype
         )
+
+    return BoundScorer(score_fn)
+
+
+def bind_dfi_std(
+    doc_freq, total_term_freq, doc_count, sttf, boost, dtype=np.float32
+) -> BoundScorer:
+    """DFISimilarity(IndependenceStandardized)
+    (``DFISimilarity.java:70-81``): expected = (F+1)·dl/(T+1) with
+    T = numberOfFieldTokens (= sttf); freq <= expected scores 0; else
+    score = boost · log2(1 + (freq−expected)/sqrt(expected))
+    (IndependenceStandardized.java:34)."""
+    lt = LENGTH_TABLE.astype(np.float64)
+
+    def score_fn(freqs, norms):
+        dl = lt[np.asarray(norms, dtype=np.int64)]
+        f = freqs.astype(np.float64, copy=False)
+        expected = (total_term_freq + 1.0) * dl / (sttf + 1.0)
+        measure = (f - expected) / np.sqrt(expected)
+        s = boost * np.log2(measure + 1.0)
+        return np.where(f <= expected, 0.0, s).astype(dtype)
 
     return BoundScorer(score_fn)

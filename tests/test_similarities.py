@@ -22,6 +22,7 @@ def _kernels():
         bind_dfr_ifl2,
         bind_f2exp,
         bind_ib_lld2,
+        bind_dfi_std,
         bind_lmjm,
         bind_rawtf,
     )
@@ -35,6 +36,7 @@ def _kernels():
         "f2exp": bind_f2exp(10, 50, 100, 10_000, 1.0),
         "boolean": bind_boolean(10, 50, 100, 10_000, 1.0),
         "rawtf": bind_rawtf(10, 50, 100, 10_000, 1.0),
+        "dfi_std": bind_dfi_std(10, 50, 100, 10_000, 1.0),
     }
 
 
@@ -42,7 +44,7 @@ class TestKernelProperties:
     @pytest.mark.parametrize(
         "name",
         ["classic", "lmd", "lmjm", "dfr_ifl2", "ib_lld2", "f2exp",
-         "boolean", "rawtf"],
+         "boolean", "rawtf", "dfi_std"],
     )
     def test_finite_nonnegative_all_norms(self, name):
         # norm 0 decodes to length 0 = an empty doc, which never
