@@ -5271,6 +5271,29 @@ def _q_taxonomy_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return taxonomy_facet_counts(m, ["lang", "source"])
 
 
+def _q_long_value_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LongValueFacetCounts (facet/LongValueFacetCounts.java): match
+    counts per distinct numeric value (doc length in tokens, bucketed
+    by value not by range) over 'data' matches — one groupBy on the
+    long value."""
+    s = _get_searcher(spark, sf_dir)
+    matched = s._attach_urls(
+        s.scored_boolean(should=["data"]).withColumn(
+            "local_docid", F.col("docid")
+        )
+    ).select(_doc_id("url"))
+    docs = _docs_table(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("value")
+    )
+    return (
+        matched.join(F.broadcast(docs), "doc_id")
+        .groupBy("value")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("value"))
+        .limit(10)
+    )
+
+
 def _q_assoc_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TaxonomyFacetIntAssociations (SUM) analog: per lang/source
     path, the SUM of an association value (doc length in tokens)
@@ -5549,6 +5572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip_roundtrip": _q_html_strip,
         "taxonomy_facets": _q_taxonomy_facets,
         "taxonomy_facet_associations": _q_assoc_facets,
+        "long_value_facets": _q_long_value_facets,
         "nb_classify_posteriors": _q_nb_posteriors,
         "knn_classify_vote": _q_knn_classify,
         "classification_metrics": _q_classification_metrics,
@@ -6157,6 +6181,14 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY lang
             UNION ALL
             SELECT 0, '', count(*)::BIGINT FROM j""",
+        "long_value_facets": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+                         AS term FROM documents),
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data')
+            SELECT len(string_split(d.text, ' '))::INTEGER AS value,
+                   count(*)::BIGINT AS cnt
+            FROM m JOIN documents d USING (doc_id)
+            GROUP BY 1 ORDER BY cnt DESC, value LIMIT 10""",
         "taxonomy_facet_associations": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
                          AS term FROM documents),
