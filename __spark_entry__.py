@@ -2501,6 +2501,14 @@ def _q_dfi_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_sweetspot_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SweetSpotSimilarity term query: classic TF-IDF with a length
+    plateau (1..5 -> norm 1) and a baseline tf floor (f<=2 -> 1.5)
+    (misc/SweetSpotSimilarity.java:110-147)."""
+    s = _sim_searcher(spark, sf_dir, "sweetspot")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClassicSimilarity (TF-IDF) term query — the similarity registry
     is a query-time kernel choice over the same index
@@ -5449,6 +5457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_sim_top10": _q_boolean_sim,
         "dfi_sim_top10": _q_dfi_sim,
         "rawtf_sim_top10": _q_rawtf_sim,
+        "sweetspot_sim_top10": _q_sweetspot_sim,
         "ib_sim_top10": _q_ib,
         "f2exp_sim_top10": _q_f2exp,
         "filter_clause_top10": _q_filter_clause,
@@ -5819,6 +5828,22 @@ def oracle_sql() -> dict[str, str]:
                    WHERE term = 'window' GROUP BY doc_id)
             SELECT doc_id, round(tf * 1.0, 6) AS score FROM tf
             ORDER BY 2 DESC, doc_id LIMIT 10""",
+        "sweetspot_sim_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            df AS (SELECT count(*)::BIGINT AS df FROM tf)
+            SELECT tf.doc_id AS doc_id,
+                   round((CASE WHEN tf.tf <= 2.0 THEN 1.5
+                          ELSE sqrt(tf.tf + 0.25) END)
+                         * (ln((st.n + 1.0) / (df.df + 1.0)) + 1.0)
+                         * (1.0 / sqrt(0.5 * (abs({_norm_len_sql('dl.dl')} - 1)
+                                              + abs({_norm_len_sql('dl.dl')} - 5)
+                                              - 4) + 1.0)),
+                         6) AS score
+            FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN st CROSS JOIN df
+            ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
         "dfr_sim_top10": f"""
             WITH {_TOK}, {_DL}, {_ST},
             tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok

@@ -195,9 +195,20 @@ def bind_similarity(
         return bind_dfi_std(
             doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
         )
+    if name == "sweetspot":
+        # the registry binding uses a visibly non-default "plateau"
+        # configuration (defaults degrade exactly to classic, which
+        # would make the binding indistinguishable in any test):
+        # lengths 1..5 all norm 1.0, tf plateau base 1.5 below freq 2
+        return bind_sweetspot(
+            doc_freq, total_term_freq, doc_count, sttf, boost,
+            ln_min=1, ln_max=5, ln_steep=0.5, tf_base=1.5, tf_min=2.0,
+            dtype=dtype,
+        )
     raise ValueError(
         f"unknown similarity {name!r} (bm25 | classic | lmd | lmjm |"
-        " dfr_ifl2 | ib_lld2 | f2exp | boolean | rawtf | dfi_std)"
+        " dfr_ifl2 | ib_lld2 | f2exp | boolean | rawtf | dfi_std |"
+        " sweetspot)"
     )
 
 
@@ -292,6 +303,57 @@ def bind_rawtf(
     def score_fn(freqs, norms):
         return (boost * freqs.astype(np.float64, copy=False)).astype(
             dtype
+        )
+
+    return BoundScorer(score_fn)
+
+
+def bind_sweetspot(
+    doc_freq, total_term_freq, doc_count, sttf, boost,
+    ln_min: int = 1, ln_max: int = 1, ln_steep: float = 0.5,
+    tf_base: float = 0.0, tf_min: float = 0.0, dtype=np.float32,
+) -> BoundScorer:
+    """SweetSpotSimilarity (``misc/SweetSpotSimilarity.java:110-147``,
+    extends ClassicSimilarity): lengthNorm gets a plateau of equally
+    good lengths — lengthNorm(L) = 1/sqrt(steep·(|L−min|+|L−max|−
+    (max−min)) + 1) — and tf delegates to baselineTf(f) = 0 when
+    f == 0, base when f ≤ min, else sqrt(f + base² − min).  With the
+    reference defaults (min=max=1, steep=0.5, tf base=min=0) both
+    functions degrade exactly to ClassicSimilarity's 1/sqrt(L) and
+    sqrt(f) (asserted in tests).  Norm-table construction mirrors
+    TFIDFSimilarity.java:441-446 incl. normTable[0] = 1/normTable[255].
+    """
+    idf64 = np.log((doc_count + 1) / np.float64(doc_freq + 1)) + 1.0
+    lt = LENGTH_TABLE.astype(np.float64)
+
+    def _length_norm(lengths):
+        return 1.0 / np.sqrt(
+            ln_steep
+            * (np.abs(lengths - ln_min) + np.abs(lengths - ln_max)
+               - (ln_max - ln_min))
+            + 1.0
+        )
+
+    if dtype == np.float32:
+        query_weight = np.float32(boost) * np.float32(idf64)
+        norm_table = np.empty(256, dtype=np.float32)
+        norm_table[1:] = _length_norm(lt[1:]).astype(np.float32)
+        norm_table[0] = np.float32(1.0) / norm_table[255]
+    else:
+        query_weight = np.float64(boost) * idf64
+        norm_table = np.empty(256, dtype=np.float64)
+        norm_table[1:] = _length_norm(lt[1:])
+        norm_table[0] = 1.0 / norm_table[255]
+
+    def score_fn(freqs, norms):
+        f64 = freqs.astype(np.float64, copy=False)
+        # Java computes sqrt in double then casts (float)
+        tf = np.sqrt(f64 + (tf_base * tf_base) - tf_min)
+        tf = np.where(f64 <= tf_min, tf_base, tf)
+        tf = np.where(f64 == 0.0, 0.0, tf).astype(dtype)
+        return (
+            tf * query_weight
+            * norm_table[np.asarray(norms, dtype=np.int64)]
         )
 
     return BoundScorer(score_fn)

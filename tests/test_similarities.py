@@ -19,6 +19,7 @@ ALL_NORMS = np.arange(256, dtype=np.int64)
 def _kernels():
     from lucene_spark.functions.similarities import (
         bind_boolean,
+        bind_sweetspot,
         bind_dfr_ifl2,
         bind_f2exp,
         bind_ib_lld2,
@@ -37,6 +38,10 @@ def _kernels():
         "boolean": bind_boolean(10, 50, 100, 10_000, 1.0),
         "rawtf": bind_rawtf(10, 50, 100, 10_000, 1.0),
         "dfi_std": bind_dfi_std(10, 50, 100, 10_000, 1.0),
+        "sweetspot": bind_sweetspot(
+            10, 50, 100, 10_000, 1.0,
+            ln_min=1, ln_max=5, ln_steep=0.5, tf_base=1.5, tf_min=2.0,
+        ),
     }
 
 
@@ -44,7 +49,7 @@ class TestKernelProperties:
     @pytest.mark.parametrize(
         "name",
         ["classic", "lmd", "lmjm", "dfr_ifl2", "ib_lld2", "f2exp",
-         "boolean", "rawtf", "dfi_std"],
+         "boolean", "rawtf", "dfi_std", "sweetspot"],
     )
     def test_finite_nonnegative_all_norms(self, name):
         # norm 0 decodes to length 0 = an empty doc, which never
@@ -54,7 +59,7 @@ class TestKernelProperties:
         k = _kernels()[name]
         norms = (
             ALL_NORMS
-            if name in ("classic", "boolean", "rawtf")
+            if name in ("classic", "boolean", "rawtf", "sweetspot")
             else ALL_NORMS[1:]
         )
         for freq in [1.0, 2.0, 10.0, 255.0, 1e6]:
@@ -67,7 +72,7 @@ class TestKernelProperties:
     @pytest.mark.parametrize(
         "name",
         ["classic", "lmd", "lmjm", "dfr_ifl2", "ib_lld2", "f2exp",
-         "boolean", "rawtf"],
+         "boolean", "rawtf", "sweetspot"],
     )
     def test_monotonic_in_freq(self, name):
         k = _kernels()[name]
@@ -78,7 +83,8 @@ class TestKernelProperties:
 
     @pytest.mark.parametrize(
         "name",
-        ["classic", "lmd", "lmjm", "dfr_ifl2", "ib_lld2", "f2exp"],
+        ["classic", "lmd", "lmjm", "dfr_ifl2", "ib_lld2", "f2exp",
+         "sweetspot"],
     )
     def test_monotonic_in_doclen(self, name):
         """Longer docs never score higher at equal freq (norms 1..255
@@ -128,6 +134,44 @@ class TestKernelProperties:
         assert k2.score(
             np.array([1.0], dtype=np.float32), np.array([255])
         )[0] == 0.0
+
+    def test_sweetspot_defaults_degrade_to_classic(self):
+        """SweetSpotSimilarity with the reference defaults IS
+        ClassicSimilarity (min=max=1, steep=0.5 -> 1/sqrt(L);
+        tf base=min=0 -> sqrt(f)) — SweetSpotSimilarity.java:104,135."""
+        from lucene_spark.functions.similarities import bind_sweetspot
+
+        ss = bind_sweetspot(10, 50, 100, 10_000, 1.0)
+        cl = bind_classic(10, 50, 100, 10_000, 1.0)
+        freqs = np.array([1, 2, 3, 7, 50, 255], dtype=np.float32)
+        for norm in [1, 17, 100, 255]:
+            n = np.full(len(freqs), norm, dtype=np.int64)
+            np.testing.assert_allclose(
+                ss.score(freqs, n), cl.score(freqs, n), rtol=1e-6
+            )
+
+    def test_sweetspot_plateau_and_tf_floor(self):
+        """Plateau config: lengths 1..5 share norm 1.0; freqs 1 and 2
+        share the tf floor 1.5; freq 3 scores sqrt(3+2.25-2)*idf."""
+        from lucene_spark.functions.similarities import bind_sweetspot
+        from lucene_spark.functions.smallfloat import LENGTH_TABLE
+
+        k = bind_sweetspot(
+            10, 50, 100, 10_000, 1.0,
+            ln_min=1, ln_max=5, ln_steep=0.5, tf_base=1.5, tf_min=2.0,
+        )
+        idf = np.float32(np.log(101 / 11.0) + 1.0)
+        n3 = int(np.searchsorted(LENGTH_TABLE, 3))
+        n5 = int(np.searchsorted(LENGTH_TABLE, 5))
+        f = np.array([1.0], dtype=np.float32)
+        a = k.score(f, np.array([n3]))[0]
+        b = k.score(f, np.array([n5]))[0]
+        assert a == b == pytest.approx(1.5 * float(idf), rel=1e-6)
+        assert k.score(np.array([2.0], dtype=np.float32), np.array([n3]))[0] == a
+        got3 = k.score(np.array([3.0], dtype=np.float32), np.array([n3]))[0]
+        assert got3 == pytest.approx(
+            np.sqrt(3 + 1.5 * 1.5 - 2.0) * float(idf), rel=1e-6
+        )
 
     def test_registry_dispatch_and_unknown(self):
         s = bind_similarity(
