@@ -5400,9 +5400,27 @@ def _q_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events, gap_minutes=360)
 
 
+def _q_high_freq_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HighFreqTerms (misc/HighFreqTerms.java:43-127): top-20 terms by
+    docFreq; PQ tie order = lexicographically larger term first."""
+    from lucene_spark.operators.stats import high_freq_terms
+
+    return high_freq_terms(_get_searcher(spark, sf_dir), n=20, by="df")
+
+
+def _q_doc_values_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocValuesStats over doclen (misc/search/DocValuesStats.java:
+    29-167): count/missing/min/max/sum/mean/population variance."""
+    from lucene_spark.operators.stats import doc_values_stats
+
+    return doc_values_stats(_get_searcher(spark, sf_dir), "doclen")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
+        "high_freq_terms": _q_high_freq_terms,
+        "doc_values_stats": _q_doc_values_stats,
         "postings_term": _q_postings,
         "bm25_top10_term": _q_bm25_term,
         "bm25_top10_or": _q_bm25_or,
@@ -5601,6 +5619,22 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOK}
             SELECT doc_id, count(*)::BIGINT AS tf FROM tok
             WHERE term = 'window' GROUP BY doc_id""",
+        "high_freq_terms": f"""
+            WITH {_TOK},
+            ts AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                          count(*)::BIGINT AS ttf
+                   FROM tok GROUP BY term)
+            SELECT term, df, ttf FROM ts
+            ORDER BY df DESC, term DESC LIMIT 20""",
+        "doc_values_stats": f"""
+            WITH {_TOK}, {_DL}
+            SELECT count(*)::BIGINT AS cnt, 0::BIGINT AS missing,
+                   min(dl)::BIGINT AS vmin, max(dl)::BIGINT AS vmax,
+                   sum(dl)::BIGINT AS vsum,
+                   round(avg(dl), 6) AS mean,
+                   round(var_pop(dl), 6) AS variance,
+                   round(stddev_pop(dl), 6) AS stdev
+            FROM dl""",
         "bm25_top10_term": _bm25_sql(["window"]),
         "time_travel_top10": _bm25_sql(
             ["window"], corpus_where="doc_id % 2 = 0"

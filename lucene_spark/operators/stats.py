@@ -1,0 +1,85 @@
+"""Index statistics tools (the reference's ``misc`` module):
+
+- ``high_freq_terms`` — HighFreqTerms (``misc/HighFreqTerms.java:43-127``):
+  top-N terms by document frequency, or by total term frequency with
+  the ``-t`` flag.  The comparators order by the count then field then
+  term text (``HighFreqTerms.java:129-158``); the priority queue keeps
+  the LARGEST N under that order, so equal counts tie-break toward the
+  lexicographically larger term — mirrored here as (count DESC,
+  term DESC).  ``GetTermInfo`` (``misc/GetTermInfo.java``) is the
+  single-term special case, exposed as ``term_info``.
+- ``doc_values_stats`` — DocValuesStats / DocValuesStatsCollector
+  (``misc/search/DocValuesStats.java:29-167``): count, missing, min,
+  max, sum, mean, population variance and stdev of a numeric doc
+  attribute over the live docs.  Lucene accumulates mean/variance with
+  Welford updates per collected doc; the closed-form population
+  moments computed here are algebraically identical.
+
+Scale shape: ``high_freq_terms`` is TakeOrderedAndProject over the
+(tiny, vocab-sized) term dictionary; ``doc_values_stats`` is a single
+map-side-combinable aggregate over the docs table — no joins, no
+per-row Python.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def high_freq_terms(searcher, n: int = 100, by: str = "df") -> DataFrame:
+    """Top-``n`` terms of the searcher's field, ordered by document
+    frequency (``by="df"``) or total term frequency (``by="ttf"``),
+    ties toward the larger term text (the PQ order of
+    ``HighFreqTerms.DocFreqComparator`` / ``TotalTermFreqComparator``).
+    Returns (term, df, ttf)."""
+    if by not in ("df", "ttf"):
+        raise ValueError(f"by must be 'df' or 'ttf', got {by!r}")
+    key = F.col("df") if by == "df" else F.col("ttf")
+    return (
+        searcher._terms_df.select(
+            "term",
+            F.col("doc_freq").alias("df"),
+            F.col("total_term_freq").alias("ttf"),
+        )
+        .orderBy(key.desc(), F.col("term").desc())
+        .limit(n)
+    )
+
+
+def term_info(searcher, term: str) -> DataFrame:
+    """GetTermInfo: docFreq + totalTermFreq of one term (pushdown on
+    the term column of the dictionary)."""
+    return searcher._terms_df.where(F.col("term") == term).select(
+        "term",
+        F.col("doc_freq").alias("df"),
+        F.col("total_term_freq").alias("ttf"),
+    )
+
+
+def doc_values_stats(searcher, attr: str = "doclen") -> DataFrame:
+    """One-row numeric doc-values statistics over live docs:
+    (cnt, missing, vmin, vmax, vsum, mean, variance, stdev).
+
+    ``variance`` is the population variance (Lucene divides the
+    accumulated second moment by count — DocValuesStats.java:150-153);
+    ``stdev`` its square root.  Docs with a NULL value count as
+    ``missing`` and contribute to no other statistic, matching
+    ``advanceExact == false`` docs in the collector."""
+    live = searcher._filter_live(
+        searcher._docs.select(
+            "segment_id",
+            F.col("local_docid").alias("docid"),
+            F.col(attr).alias("v"),
+        )
+    )
+    return live.agg(
+        F.count("v").alias("cnt"),
+        (F.count(F.lit(1)) - F.count("v")).alias("missing"),
+        F.min("v").cast("long").alias("vmin"),
+        F.max("v").cast("long").alias("vmax"),
+        F.sum("v").cast("long").alias("vsum"),
+        F.round(F.mean("v"), 6).alias("mean"),
+        F.round(F.var_pop("v"), 6).alias("variance"),
+        F.round(F.stddev_pop("v"), 6).alias("stdev"),
+    )

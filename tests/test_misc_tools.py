@@ -1,0 +1,96 @@
+"""misc-module tools: HighFreqTerms / GetTermInfo / DocValuesStats
+vs the naive in-memory index."""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from lucene_spark.operators.stats import (
+    doc_values_stats,
+    high_freq_terms,
+    term_info,
+)
+
+
+def _naive_term_counts(naive):
+    df = Counter()
+    ttf = Counter()
+    for terms, _pos in naive.analyzed:
+        ttf.update(terms)
+        df.update(set(terms))
+    return df, ttf
+
+
+class TestHighFreqTerms:
+    def test_top_by_df_matches_naive(self, searcher, naive):
+        df, ttf = _naive_term_counts(naive)
+        got = [
+            (r["term"], r["df"], r["ttf"])
+            for r in high_freq_terms(searcher, n=25, by="df").collect()
+        ]
+        # PQ order: count desc, ties toward the larger term text
+        expect = sorted(
+            ((t, df[t], ttf[t]) for t in df),
+            key=lambda x: (-x[1], [-ord(c) for c in x[0]]),
+        )[:25]
+        assert got == expect
+        # already sorted as returned (driver-visible determinism)
+        assert got == sorted(got, key=lambda x: (-x[1], [-ord(c) for c in x[0]]))
+
+    def test_top_by_ttf_matches_naive(self, searcher, naive):
+        df, ttf = _naive_term_counts(naive)
+        got = [
+            (r["term"], r["df"], r["ttf"])
+            for r in high_freq_terms(searcher, n=10, by="ttf").collect()
+        ]
+        expect = sorted(
+            ((t, df[t], ttf[t]) for t in ttf),
+            key=lambda x: (-x[2], [-ord(c) for c in x[0]]),
+        )[:10]
+        assert got == expect
+
+    def test_bad_order_key(self, searcher):
+        with pytest.raises(ValueError, match="df"):
+            high_freq_terms(searcher, by="freq")
+
+    def test_term_info_single_term(self, searcher, naive):
+        df, ttf = _naive_term_counts(naive)
+        rows = term_info(searcher, "window").collect()
+        assert len(rows) == 1
+        assert rows[0]["df"] == df["window"]
+        assert rows[0]["ttf"] == ttf["window"]
+        assert term_info(searcher, "zzz-no-such-term").count() == 0
+
+
+class TestDocValuesStats:
+    def test_doclen_stats_match_naive(self, searcher, naive):
+        row = doc_values_stats(searcher, "doclen").collect()[0]
+        dl = naive.doclens.astype(np.float64)
+        assert row["cnt"] == naive.N
+        assert row["missing"] == 0
+        assert row["vmin"] == int(dl.min())
+        assert row["vmax"] == int(dl.max())
+        assert row["vsum"] == int(dl.sum())
+        assert row["mean"] == pytest.approx(dl.mean(), abs=1e-6)
+        # population variance (DocValuesStats.java:150-153 divides by count)
+        assert row["variance"] == pytest.approx(dl.var(), rel=1e-9, abs=1e-6)
+        assert row["stdev"] == pytest.approx(dl.std(), rel=1e-9, abs=1e-6)
+
+    def test_deleted_docs_are_excluded(self, spark, web_pages, tmp_path):
+        import shutil
+
+        from lucene_spark.operators.build import build_index
+        from lucene_spark.operators.deletes import delete_by_keys
+        from lucene_spark.operators.search import Searcher
+
+        d = str(tmp_path / "idx")
+        shutil.rmtree(d, ignore_errors=True)
+        build_index(spark, web_pages, d, num_segments=2)
+        s0 = Searcher(spark, d)
+        url0 = s0._docs.orderBy("url").limit(1).collect()[0]["url"]
+        delete_by_keys(
+            spark, d, spark.createDataFrame([(url0,)], "url string")
+        )
+        row = doc_values_stats(Searcher(spark, d), "doclen").collect()[0]
+        assert row["cnt"] == web_pages.count() - 1
