@@ -2679,6 +2679,32 @@ def _q_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiRangeQuery (sandbox/search/MultiRangeQuery.java:49): docs
+    whose analyzed length is in [10,20] OR [40,50], constant score."""
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_multi_range("doclen", [(10, 20), (40, 50)])
+    return s._attach_urls(
+        s._globalize(sc.withColumn("local_docid", F.col("docid")))
+    ).select(
+        _doc_id("url"), F.col("score").cast("double").alias("score")
+    ).orderBy("doc_id")
+
+
+def _q_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoveringQuery (sandbox/search/CoveringQuery.java:51): per-doc
+    minimum clause count — long docs (doclen>=30) need all 3 terms,
+    short docs need 1; score = sum of matching BM25 clause scores."""
+    s = _get_searcher(spark, sf_dir)
+    clauses = [
+        s.scored_boolean(should=[t]) for t in ("window", "spark", "data")
+    ]
+    mm = s.long_values_from_attr(
+        F.when(F.col("doclen") >= 30, F.lit(3)).otherwise(F.lit(1))
+    )
+    return _topk_by_doc_id(s, s.scored_covering(clauses, mm))
+
+
 def _q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JoinUtil semi-join, score mode None: customers that placed a
     high-value order."""
@@ -5518,6 +5544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_phrase_top10": _q_complex_phrase,
         "surround_top10": _q_surround,
         "point_range_doclen": _q_point_range,
+        "multi_range_match": _q_multi_range,
+        "covering_top10": _q_covering,
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
         "block_join_orders_max": _q_block_join,
@@ -6060,6 +6088,31 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOK}, {_DL}
             SELECT doc_id, 1.0 AS score FROM dl
             WHERE dl >= 20 AND dl < 40 ORDER BY doc_id""",
+        "multi_range_match": f"""
+            WITH {_TOK}, {_DL}
+            SELECT doc_id, 1.0 AS score FROM dl
+            WHERE (dl BETWEEN 10 AND 20) OR (dl BETWEEN 40 AND 50)
+            ORDER BY doc_id""",
+        "covering_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+                   WHERE term IN ('window', 'spark', 'data')
+                   GROUP BY doc_id, term),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                   GROUP BY term),
+            sc AS (SELECT tf.doc_id,
+                          ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                          1.0/(1.2*(0.25 + 0.75*{_norm_len_sql('dl.dl')}
+                                    /(st.sttf/st.n))) AS inv,
+                          tf.tf AS tf
+                   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                        JOIN df ON tf.term = df.term CROSS JOIN st),
+            ds AS (SELECT doc_id, sum(w - w/(1 + tf*inv)) AS s,
+                          count(*) AS nt FROM sc GROUP BY doc_id)
+            SELECT ds.doc_id AS doc_id, round(s, 6) AS score
+            FROM ds JOIN dl ON ds.doc_id = dl.doc_id
+            WHERE nt >= (CASE WHEN dl.dl >= 30 THEN 3 ELSE 1 END)
+            ORDER BY s DESC, ds.doc_id LIMIT 10""",
         "join_semi_customers": """
             SELECT c_custkey FROM customer WHERE c_custkey IN
             (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""",

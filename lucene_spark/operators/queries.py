@@ -841,6 +841,117 @@ class QueryOpsMixin:
             self.scored_point_range(attr, lower, upper, **kw), k
         )
 
+    def scored_multi_range(
+        self,
+        attr: str,
+        ranges: list[tuple],
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """MultiRangeQuery (``sandbox/search/MultiRangeQuery.java:49``):
+        several [lower, upper] ranges over one point attribute,
+        logically ORed, constant score.  Overlapping/adjacent ranges
+        are merged up front (``mergeOverlappingRanges``, :197) — an
+        equivalence-preserving rewrite that also keeps the pushed
+        predicate small.  The single merged predicate pushes down to
+        the parquet scan as an OR of range filters (the BKD
+        multi-range visit becomes row-group pruning)."""
+        if not ranges:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        merged: list[list] = []
+        for lo, hi in sorted(ranges, key=lambda r: (r[0], r[1])):
+            if merged and lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        c = F.col(attr)
+        pred = None
+        for lo, hi in merged:
+            p = (c >= lo) & (c <= hi)
+            pred = p if pred is None else (pred | p)
+        matches = self._filter_live(
+            self._docs.where(pred).select(
+                "segment_id", F.col("local_docid").alias("docid")
+            )
+        )
+        return self.constant_score(matches, boost)
+
+    def multi_range_query(
+        self, attr: str, ranges: list[tuple], k: int = 10, **kw
+    ) -> DataFrame:
+        return self._finish_topk(self.scored_multi_range(attr, ranges, **kw), k)
+
+    def scored_covering(
+        self,
+        clauses: list[DataFrame],
+        min_match: DataFrame,
+    ) -> DataFrame:
+        """CoveringQuery (``sandbox/search/CoveringQuery.java:51``):
+        a per-document minimum number of matching clauses.
+        ``min_match`` is the LongValuesSource analog — a DataFrame of
+        (segment_id, docid, min_match) rows; docs absent from it do
+        NOT match (``advanceExact == false`` → no match,
+        CoveringQuery.java:188-192), and values below 1 are treated as
+        1 (:192).  Score = sum of the matching clauses' scores
+        (CoveringScorer sums like a SHOULD disjunction).
+
+        Shape at scale: one union + hash aggregate over the clause
+        results (identical to the boolean family), then a doc-keyed
+        join against the values table — no driver round-trips."""
+        if not clauses:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        tagged = []
+        for i, df in enumerate(clauses):
+            tagged.append(
+                df.select(
+                    "segment_id",
+                    "docid",
+                    F.col("score").cast("double").alias("score"),
+                    F.lit(i).alias("cid"),
+                )
+            )
+        u = tagged[0]
+        for t in tagged[1:]:
+            u = u.unionByName(t)
+        agg = u.groupBy("segment_id", "docid").agg(
+            F.sum("score").alias("score_acc"),
+            F.countDistinct("cid").alias("n_match"),
+        )
+        mm = min_match.select(
+            "segment_id",
+            "docid",
+            F.greatest(F.col("min_match").cast("long"), F.lit(1)).alias(
+                "_mm"
+            ),
+        )
+        agg = agg.join(mm, ["segment_id", "docid"]).where(
+            F.col("n_match") >= F.col("_mm")
+        )
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return agg.select(
+            "segment_id",
+            "docid",
+            F.col("score_acc").cast(score_t).alias("score"),
+        )
+
+    def covering_query(
+        self,
+        clauses: list[DataFrame],
+        min_match: DataFrame,
+        k: int = 10,
+    ) -> DataFrame:
+        return self._finish_topk(self.scored_covering(clauses, min_match), k)
+
+    def long_values_from_attr(self, expr: Column) -> DataFrame:
+        """LongValuesSource.fromLongField analog: per-live-doc long
+        values computed from a docs-table column expression."""
+        return self._filter_live(
+            self._docs.select(
+                "segment_id",
+                F.col("local_docid").alias("docid"),
+                expr.cast("long").alias("min_match"),
+            )
+        )
+
     # ------------------------------------------------------------------
     # suggest / spellcheck
     # ------------------------------------------------------------------

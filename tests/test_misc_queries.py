@@ -69,3 +69,103 @@ class TestBlendedTerm:
             s = float(raw[i])
             expect = s + 0.01 * (2 * s - s)
             assert abs(got[int(i)] - np.float32(expect)) <= 1e-6
+
+
+class TestMultiRange:
+    def test_union_of_ranges(self, searcher, naive):
+        got = {
+            r["url"]
+            for r in searcher.multi_range_query(
+                "doclen", [(10, 20), (40, 50)], k=10_000
+            ).collect()
+        }
+        expect = {
+            naive.urls[i]
+            for i in range(naive.N)
+            if 10 <= naive.doclens[i] <= 20 or 40 <= naive.doclens[i] <= 50
+        }
+        assert got == expect
+
+    def test_overlapping_ranges_merge_equivalence(self, searcher):
+        a = searcher.multi_range_query(
+            "doclen", [(10, 30), (25, 50)], k=10_000
+        )
+        b = searcher.multi_range_query("doclen", [(10, 50)], k=10_000)
+        assert {r["url"] for r in a.collect()} == {
+            r["url"] for r in b.collect()
+        }
+
+    def test_empty_ranges_match_nothing(self, searcher):
+        assert searcher.multi_range_query("doclen", [], k=10).count() == 0
+
+
+class TestCovering:
+    def _clauses(self, searcher):
+        return [
+            searcher.scored_boolean(should=[t])
+            for t in ("window", "spark", "data")
+        ]
+
+    def test_min_match_one_equals_or(self, searcher):
+        import pyspark.sql.functions as F
+
+        mm = searcher.long_values_from_attr(F.lit(1))
+        got = searcher.covering_query(self._clauses(searcher), mm, k=10)
+        ref = searcher.boolean_query(
+            should=["window", "spark", "data"], k=10
+        )
+        assert [(r["url"], r["score"]) for r in got.collect()] == [
+            (r["url"], r["score"]) for r in ref.collect()
+        ]
+
+    def test_min_match_below_one_clamps(self, searcher):
+        import pyspark.sql.functions as F
+
+        a = searcher.covering_query(
+            self._clauses(searcher),
+            searcher.long_values_from_attr(F.lit(-5)),
+            k=10,
+        )
+        b = searcher.covering_query(
+            self._clauses(searcher),
+            searcher.long_values_from_attr(F.lit(1)),
+            k=10,
+        )
+        assert [(r["url"], r["score"]) for r in a.collect()] == [
+            (r["url"], r["score"]) for r in b.collect()
+        ]
+
+    def test_per_doc_threshold(self, searcher, naive):
+        """min_match = 1 for short docs, 3 for long docs: long docs
+        must match ALL three terms to qualify."""
+        import pyspark.sql.functions as F
+
+        mm = searcher.long_values_from_attr(
+            F.when(F.col("doclen") >= 30, F.lit(3)).otherwise(F.lit(1))
+        )
+        got = searcher.covering_query(
+            self._clauses(searcher), mm, k=10_000
+        )
+        urls = {r["url"] for r in got.collect()}
+        for i in range(naive.N):
+            n_match = sum(
+                1
+                for t in ("window", "spark", "data")
+                if naive.tf(t)[i] > 0
+            )
+            need = 3 if naive.doclens[i] >= 30 else 1
+            assert (naive.urls[i] in urls) == (n_match >= need)
+
+    def test_doc_without_value_never_matches(self, searcher):
+        """advanceExact false -> no match (CoveringQuery.java:188)."""
+        import pyspark.sql.functions as F
+
+        full = searcher.long_values_from_attr(F.lit(1))
+        half = full.where(F.col("docid") % 2 == 0)
+        # every returned doc carries a value row
+        vals = {(r["segment_id"], r["docid"]) for r in half.collect()}
+        top = searcher.scored_covering(self._clauses(searcher), half)
+        rows = top.collect()
+        assert rows
+        for r in rows:
+            assert (r["segment_id"], r["docid"]) in vals
