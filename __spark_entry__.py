@@ -2261,6 +2261,27 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BYTE_KNN_Q = [((i * 37) % 17) - 8 for i in range(64)]
+
+
+def _q_byte_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KnnByteVectorQuery brute-force path: int8-quantized embeddings
+    scored with the byte COSINE overload (1+cos)/2
+    (core/index/VectorSimilarityFunction.java:79-81)."""
+    from lucene_spark.operators.similarity import (
+        byte_vector_topk,
+        quantize_to_bytes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = emb.select(
+        "vec_id", quantize_to_bytes(F.col("embedding")).alias("embedding_b")
+    )
+    return byte_vector_topk(b, _BYTE_KNN_Q, k=10, sim="cosine").select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector analog of the
     MinHash dedup ladder): exact verify path here (deterministic,
@@ -5488,6 +5509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_range_facets": _q_dynamic_ranges,
         "infix_suggest": _q_infix_suggest,
         "ann_cosine_top10": _q_ann_cosine,
+        "byte_knn_top10": _q_byte_knn,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -5809,6 +5831,24 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT embedding::DOUBLE[] FROM embeddings
                         WHERE vec_id = 0)) DESC, vec_id
             LIMIT 10""",
+        "byte_knn_top10": f"""
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> greatest(-128,
+                         least(127, CAST(floor(CAST(x AS DOUBLE) * 127
+                                               + 0.5) AS BIGINT)))) AS b
+              FROM embeddings),
+            s AS (
+              SELECT vec_id,
+                     list_dot_product(b,
+                         {list(map(float, _BYTE_KNN_Q))}::DOUBLE[]) AS dot,
+                     list_dot_product(b, b) AS na
+              FROM e)
+            SELECT vec_id,
+                   round((1.0 + dot / sqrt(na
+                       * {float(sum(x * x for x in _BYTE_KNN_Q))})) / 2.0,
+                       6) AS score
+            FROM s ORDER BY 2 DESC, vec_id LIMIT 10""",
         "embedding_near_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(

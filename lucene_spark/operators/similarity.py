@@ -505,3 +505,102 @@ def embedding_near_duplicates(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# byte (int8) vectors — KnnByteVectorField
+# ---------------------------------------------------------------------------
+
+def quantize_to_bytes(vec_col: Column, scale: float = 127.0) -> Column:
+    """int8 quantization of a float vector column (the
+    KnnByteVectorField ingestion convention: scale then clip to
+    [-128, 127]).  Rounding is floor(x+0.5) — "half toward +inf" —
+    because Spark's and DuckDB's ``round`` agree on floor but differ
+    on negative halves, and the driver oracle must reproduce the
+    quantization bit-for-bit in SQL."""
+    return F.transform(
+        vec_col,
+        lambda x: F.greatest(
+            F.lit(-128),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") * scale + 0.5).cast("int"),
+            ),
+        ),
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product accumulated in BIGINT (int8·int8
+    products can't overflow a long at any realistic dim)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def byte_vector_scores(
+    emb: DataFrame,
+    query_bytes: list[int],
+    sim: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding_b",
+) -> DataFrame:
+    """Per-vector byte similarity scores, one of the four
+    VectorSimilarityFunction byte overloads
+    (``core/index/VectorSimilarityFunction.java:35-101``):
+
+    - ``euclidean``: 1 / (1 + squareDistance)           (:42-44)
+    - ``dot``:       0.5 + dot / (dim * 2^15)           (VectorUtil.java:384-388)
+    - ``cosine``:    (1 + cos) / 2                      (:79-81)
+    - ``mip``:       dot < 0 ? 1/(1 - dot) : dot + 1    (VectorUtil.java:394-399)
+
+    Integer sums are exact (BIGINT); the final normalization is double
+    for oracle parity.  Pure column algebra: the literal query folds
+    into codegen, the scan prunes to (id, vec)."""
+    q = F.array(*[F.lit(int(x)) for x in query_bytes])
+    v = F.col(vec_col)
+    dot = _int_dot(v, q).cast("double")
+    if sim == "euclidean":
+        diff = F.zip_with(
+            v, q, lambda x, y: x.cast("long") - y.cast("long")
+        )
+        sqdist = F.aggregate(
+            F.zip_with(diff, diff, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        score = 1.0 / (1.0 + sqdist)
+    elif sim == "dot":
+        score = 0.5 + dot / float(len(query_bytes) * (1 << 15))
+    elif sim == "cosine":
+        na = _int_dot(v, v).cast("double")
+        nq = float(sum(int(x) * int(x) for x in query_bytes))
+        score = (1.0 + dot / F.sqrt(na * F.lit(nq))) / 2.0
+    elif sim == "mip":
+        score = F.when(dot < 0, 1.0 / (1.0 - dot)).otherwise(dot + 1.0)
+    else:
+        raise ValueError(
+            f"unknown byte similarity {sim!r} "
+            "(euclidean | dot | cosine | mip)"
+        )
+    return emb.select(F.col(id_col), score.alias("score"))
+
+
+def byte_vector_topk(
+    emb: DataFrame,
+    query_bytes: list[int],
+    k: int = 10,
+    sim: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding_b",
+) -> DataFrame:
+    """KnnByteVectorQuery analog (brute-force exact path): top-k by
+    byte similarity, ties toward the smaller id — TakeOrderedAndProject
+    at scale, no shuffle before the final k-row merge."""
+    return (
+        byte_vector_scores(emb, query_bytes, sim, id_col, vec_col)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -549,3 +549,69 @@ class TestRepetitionAndBoilerplate:
         for r in out:
             assert 0.0 < r["frac"] < 1.0  # 1 frequent gram of 3 per doc
             assert abs(r["frac"] - 1.0 / 3.0) < 1e-9
+
+
+class TestByteVectors:
+    """KnnByteVectorField brute-force path: the four
+    VectorSimilarityFunction byte overloads vs numpy."""
+
+    def _bytes(self, emb):
+        from lucene_spark.operators.similarity import quantize_to_bytes
+
+        b = emb.select(
+            "vec_id", quantize_to_bytes(F.col("embedding")).alias("embedding_b")
+        )
+        rows = b.collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding_b"] for r in rows], dtype=np.int64)
+        return b, ids, mat
+
+    def test_quantization_range_and_rule(self, emb):
+        b, ids, mat = self._bytes(emb)
+        assert mat.min() >= -128 and mat.max() <= 127
+        rows = emb.select("vec_id", "embedding").collect()
+        raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+        for vid, bv in zip(ids, mat):
+            expect = np.clip(
+                np.floor(raw[vid] * 127.0 + 0.5), -128, 127
+            ).astype(np.int64)
+            assert (bv == expect).all()
+
+    @pytest.mark.parametrize("sim", ["euclidean", "dot", "cosine", "mip"])
+    def test_topk_matches_numpy(self, emb, sim):
+        from lucene_spark.operators.similarity import byte_vector_topk
+
+        b, ids, mat = self._bytes(emb)
+        q = mat[0]
+        dot = mat @ q
+        if sim == "euclidean":
+            d = mat - q
+            scores = 1.0 / (1.0 + (d * d).sum(axis=1))
+        elif sim == "dot":
+            scores = 0.5 + dot / float(len(q) * (1 << 15))
+        elif sim == "cosine":
+            scores = (
+                1.0
+                + dot
+                / np.sqrt((mat * mat).sum(axis=1) * float(q @ q))
+            ) / 2.0
+        else:
+            scores = np.where(dot < 0, 1.0 / (1.0 - dot), dot + 1.0)
+        order = sorted(zip(-scores, ids))[:10]
+        expect = [(int(i), float(-s)) for s, i in order]
+        got = [
+            (r["vec_id"], r["score"])
+            for r in byte_vector_topk(
+                b, [int(x) for x in q], k=10, sim=sim
+            ).collect()
+        ]
+        assert [g[0] for g in got] == [e[0] for e in expect]
+        for (_, a), (_, b2) in zip(got, expect):
+            assert abs(a - b2) < 1e-9
+
+    def test_unknown_sim_raises(self, emb):
+        from lucene_spark.operators.similarity import byte_vector_topk
+
+        b, _, mat = self._bytes(emb)
+        with pytest.raises(ValueError, match="unknown byte similarity"):
+            byte_vector_topk(b, [0] * 64, sim="hamming").collect()
