@@ -2700,6 +2700,23 @@ def _q_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_term_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java:
+    75-199): union of two accepted paths — 'value <ANY> vector' and
+    'table hash' — freq = distinct matching start positions, scored
+    as one BM25 pseudo-term over the distinct real terms."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s,
+        s.scored_term_automaton(
+            [
+                [["value"], None, ["vector"]],
+                [["table"], ["hash"]],
+            ]
+        ),
+    )
+
+
 def _q_multi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MultiRangeQuery (sandbox/search/MultiRangeQuery.java:49): docs
     whose analyzed length is in [10,20] OR [40,50], constant score."""
@@ -5567,6 +5584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surround_top10": _q_surround,
         "point_range_doclen": _q_point_range,
         "multi_range_match": _q_multi_range,
+        "term_automaton_top10": _q_term_automaton,
         "covering_top10": _q_covering,
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
@@ -6133,6 +6151,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 1.0 AS score FROM dl
             WHERE (dl BETWEEN 10 AND 20) OR (dl BETWEEN 40 AND 50)
             ORDER BY doc_id""",
+        "term_automaton_top10": f"""
+            WITH {_TOK}, {_TOKP}, {_DL}, {_ST},
+            m1 AS (SELECT a.doc_id, a.p FROM tokp a
+                   JOIN tokp b ON a.doc_id = b.doc_id AND b.p = a.p + 2
+                   WHERE a.term = 'value' AND b.term = 'vector'),
+            m2 AS (SELECT a.doc_id, a.p FROM tokp a
+                   JOIN tokp b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                   WHERE a.term = 'table' AND b.term = 'hash'),
+            mm AS (SELECT doc_id, count(DISTINCT p)::BIGINT AS freq
+                   FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+                   GROUP BY doc_id),
+            dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                    FROM tok
+                    WHERE term IN ('value', 'vector', 'table', 'hash')
+                    GROUP BY term),
+            w AS (SELECT sum(ln(1 + (st.n - df + 0.5)/(df + 0.5))) AS w
+                  FROM dfq CROSS JOIN st)
+            SELECT mm.doc_id AS doc_id,
+                   round(w.w - w.w/(1 + mm.freq
+                       * (1.0/(1.2*(0.25 + 0.75*{_norm_len_sql('dl.dl')}
+                                    /(st.sttf/st.n))))), 6) AS score
+            FROM mm JOIN dl ON mm.doc_id = dl.doc_id
+            CROSS JOIN st CROSS JOIN w
+            ORDER BY 2 DESC, mm.doc_id LIMIT 10""",
         "covering_top10": f"""
             WITH {_TOK}, {_DL}, {_ST},
             tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok

@@ -2719,6 +2719,183 @@ class Searcher(QueryOpsMixin):
     def multi_phrase_query(self, slots: list[list[str]], k: int = 10) -> DataFrame:
         return self._finish_topk(self.scored_multi_phrase(slots), k)
 
+    def scored_term_automaton(
+        self, paths: list[list[list[str] | None]]
+    ) -> DataFrame:
+        """TermAutomatonQuery (``sandbox/search/TermAutomatonQuery.java:
+        75-199``): a term-level automaton expressed as its accepted
+        path set.  Each path is a list of slots; a slot is a list of
+        alternative terms, or ``None`` for an ANY transition
+        (``addAnyTransition``, :123).  A doc matches when some start
+        position spells out any path; freq = the number of distinct
+        matching start positions across all paths, scored as one BM25
+        pseudo-term whose idf sums over the distinct real terms (the
+        same convention as scored_multi_phrase / graph synonyms).
+
+        Like ``finish()`` (:154-169), leading or trailing ANY
+        transitions are rejected.  ANY is resolved against contiguous
+        positions: with no stop filter in the chain every interior
+        position between two matched anchors is occupied, so an
+        interior ANY imposes only the offset gap — exactly Lucene's
+        behavior on a hole-free token stream.  A stop-filtered chain
+        leaves position holes where ANY must NOT match, so that
+        combination is rejected rather than silently mis-matched.
+
+        Scale shape: one two-phase candidate pass per path (anchor
+        slots only — ``pos_block`` decoded for candidate blocks), a
+        per-doc pivot, then a union + hash aggregate; no driver
+        round-trips, no per-row Python outside the shared Arrow
+        position kernels."""
+        for path in paths:
+            if not path or path[0] is None or path[-1] is None:
+                raise ValueError(
+                    "automaton cannot lead or end with an ANY transition"
+                )
+        has_any = any(s is None for p in paths for s in p)
+        if has_any and self._stopwords:
+            raise ValueError(
+                "ANY transitions require a gap-free position chain "
+                "(stop-filtered chains leave position holes)"
+            )
+        all_terms = [t for p in paths for s in p if s is not None for t in s]
+        stats = self.term_stats(all_terms)
+        empty_arr = F.expr("cast(array() as array<int>)")
+        frames = []
+        for path in paths:
+            anchors = [
+                (i, [t for t in slot if t in stats])
+                for i, slot in enumerate(path)
+                if slot is not None
+            ]
+            # a slot with no indexed term kills this path only
+            if any(not slot for _, slot in anchors):
+                continue
+            terms = list(
+                dict.fromkeys(t for _, slot in anchors for t in slot)
+            )
+            pos_rows = self._candidate_positions(
+                terms, slots=[slot for _, slot in anchors]
+            )
+            per_doc = pos_rows.groupBy("segment_id", "docid").agg(
+                F.first("norm").alias("norm"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("pm"),
+            )
+            inter = None
+            for i, slot in anchors:
+                u = F.array_sort(
+                    F.array_distinct(
+                        F.flatten(
+                            F.array(
+                                *[
+                                    F.coalesce(F.col("pm")[t], empty_arr)
+                                    for t in slot
+                                ]
+                            )
+                        )
+                    )
+                )
+                shifted = _shift_positions(u, i)
+                inter = (
+                    shifted
+                    if inter is None
+                    else F.array_intersect(inter, shifted)
+                )
+            frames.append(
+                per_doc.select(
+                    "segment_id", "docid", "norm", inter.alias("starts")
+                )
+            )
+        if not frames:
+            return self._empty_scored().select(
+                "segment_id", "docid", "score"
+            )
+        u = frames[0]
+        for fdf in frames[1:]:
+            u = u.unionByName(fdf)
+        matched = (
+            u.groupBy("segment_id", "docid")
+            .agg(
+                F.first("norm").alias("norm"),
+                F.size(
+                    F.array_distinct(F.flatten(F.collect_list("starts")))
+                ).alias("freq"),
+            )
+            .where(F.col("freq") > 0)
+        )
+
+        import math
+
+        doc_count = self.field_stats["doc_count"]
+        sttf = self.field_stats["sum_total_term_freq"]
+        weight_terms = [t for t in dict.fromkeys(all_terms) if t in stats]
+        if self.dtype == np.float32:
+            weight = np.float32(
+                float(
+                    np.sum(
+                        np.array(
+                            [
+                                bm25.idf(stats[t][0], doc_count)
+                                for t in weight_terms
+                            ],
+                            dtype=np.float64,
+                        )
+                    )
+                )
+            )
+            cache = bm25.norm_inverse_cache(
+                bm25.avg_field_length(sttf, doc_count),
+                np.float32(self.k1),
+                np.float32(self.b),
+            )
+        else:
+            weight = np.float64(
+                sum(
+                    math.log(
+                        1
+                        + (doc_count - stats[t][0] + 0.5)
+                        / (stats[t][0] + 0.5)
+                    )
+                    for t in weight_terms
+                )
+            )
+            avgdl = sttf / float(doc_count)
+            cache = 1.0 / (
+                self.k1
+                * (
+                    (1 - self.b)
+                    + self.b
+                    * byte4_to_int(np.arange(256)).astype(np.float64)
+                    / avgdl
+                )
+            )
+        dtype = self.dtype
+
+        @F.pandas_udf("float" if dtype == np.float32 else "double")
+        def ta_score(pf, norm):
+            import pandas as pd
+
+            return pd.Series(
+                bm25.score(
+                    pf.to_numpy().astype(dtype),
+                    norm.to_numpy(),
+                    weight,
+                    cache,
+                )
+            )
+
+        return matched.select(
+            "segment_id",
+            "docid",
+            ta_score(F.col("freq"), F.col("norm")).alias("score"),
+        )
+
+    def term_automaton_query(
+        self, paths: list[list[list[str] | None]], k: int = 10
+    ) -> DataFrame:
+        return self._finish_topk(self.scored_term_automaton(paths), k)
+
     # ------------------------------------------------------------------
     def count(self, term: str) -> int:
         """Weight#count shortcut: answer from the terms table when the

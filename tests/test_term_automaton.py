@@ -1,0 +1,123 @@
+"""TermAutomatonQuery: accepted-path matching with ANY transitions
+(sandbox/search/TermAutomatonQuery.java) vs a naive recomputation."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions import bm25
+
+
+def _naive_automaton(naive, paths):
+    """(url -> freq) for docs accepted by any path; freq = distinct
+    start positions."""
+    out = {}
+    for i in range(naive.N):
+        terms_i, pos_i = naive.analyzed[i]
+        at = {}
+        for t, p in zip(terms_i, pos_i):
+            at.setdefault(p, set()).add(t)
+        starts = set()
+        for path in paths:
+            for p in range(len(pos_i)):
+                ok = True
+                for off, slot in enumerate(path):
+                    if slot is None:
+                        continue
+                    if not (at.get(p + off, set()) & set(slot)):
+                        ok = False
+                        break
+                if ok:
+                    starts.add(p)
+        if starts:
+            out[naive.urls[i]] = len(starts)
+    return out
+
+
+class TestTermAutomaton:
+    def test_single_path_equals_phrase(self, searcher):
+        got = searcher.term_automaton_query(
+            [[["table"], ["hash"]]], k=10
+        ).collect()
+        ref = searcher.phrase_query(["table", "hash"], k=10).collect()
+        assert [(r["url"], r["score"]) for r in got] == [
+            (r["url"], r["score"]) for r in ref
+        ]
+
+    def test_any_transition_matches_naive(self, searcher, naive):
+        paths = [[["value"], None, ["vector"]]]
+        expect = _naive_automaton(naive, paths)
+        rows = searcher.term_automaton_query(paths, k=10_000).collect()
+        assert {r["url"] for r in rows} == set(expect)
+
+    def test_union_of_paths_freq(self, searcher, naive):
+        paths = [
+            [["value"], None, ["vector"]],
+            [["table"], ["hash"]],
+        ]
+        expect = _naive_automaton(naive, paths)
+        rows = searcher.term_automaton_query(paths, k=10_000).collect()
+        assert {r["url"] for r in rows} == set(expect)
+        # scores follow the pseudo-term BM25 with freq = union size
+        stats = searcher.term_stats(["value", "vector", "table", "hash"])
+        w = np.float32(
+            float(
+                np.sum(
+                    np.array(
+                        [
+                            bm25.idf(stats[t][0], naive.N)
+                            for t in ("value", "vector", "table", "hash")
+                        ],
+                        dtype=np.float64,
+                    )
+                )
+            )
+        )
+        cache = bm25.norm_inverse_cache(
+            bm25.avg_field_length(naive.sttf, naive.N)
+        )
+        url_to_i = {u: i for i, u in enumerate(naive.urls)}
+        for r in rows:
+            i = url_to_i[r["url"]]
+            s = bm25.score(
+                np.array([expect[r["url"]]], dtype=np.float32),
+                naive.norms[i : i + 1],
+                w,
+                cache,
+            )[0]
+            assert abs(r["score"] - float(s)) < 1e-5
+
+    def test_alternatives_in_slot(self, searcher, naive):
+        paths = [[["value", "query"], None, ["vector", "value"]]]
+        expect = _naive_automaton(naive, paths)
+        rows = searcher.term_automaton_query(paths, k=10_000).collect()
+        assert {r["url"] for r in rows} == set(expect)
+
+    def test_unindexed_alternative_drops_path_only(self, searcher, naive):
+        paths = [
+            [["zzz-not-a-term"], ["hash"]],
+            [["table"], ["hash"]],
+        ]
+        got = {
+            r["url"]
+            for r in searcher.term_automaton_query(paths, k=10_000).collect()
+        }
+        expect = _naive_automaton(naive, [[["table"], ["hash"]]])
+        assert got == set(expect)
+
+    def test_leading_or_trailing_any_rejected(self, searcher):
+        with pytest.raises(ValueError, match="ANY transition"):
+            searcher.term_automaton_query([[None, ["table"]]])
+        with pytest.raises(ValueError, match="ANY transition"):
+            searcher.term_automaton_query([[["table"], None]])
+
+    def test_any_with_stop_chain_rejected(self, spark, index_dir):
+        from lucene_spark.operators.search import Searcher
+
+        s = Searcher(spark, index_dir)
+        s._stopwords = frozenset({"the"})
+        with pytest.raises(ValueError, match="gap-free"):
+            s.term_automaton_query([[["table"], None, ["hash"]]])
+        # no-ANY automata still work on stop-filtered chains
+        assert (
+            s.term_automaton_query([[["table"], ["hash"]]], k=5).count() > 0
+        )
