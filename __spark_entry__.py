@@ -2700,6 +2700,22 @@ def _q_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java:
+    54-340): two misspelled sources ('valu', 'tabel'); both are absent
+    from the index so the avg-variant-df rule fires; variants score
+    boost^2 * idf(df_src) and docs sum w * sqrt(tf) * idf1 / sqrt(len)
+    (the artificial df=1 ClassicSimilarity TermQuery)."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s,
+        s.scored_fuzzy_like_this(
+            ["valu", "tabel"], max_edits=1, prefix_length=1,
+            max_num_terms=8,
+        ),
+    )
+
+
 def _q_term_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java:
     75-199): union of two accepted paths — 'value <ANY> vector' and
@@ -5585,6 +5601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_range_doclen": _q_point_range,
         "multi_range_match": _q_multi_range,
         "term_automaton_top10": _q_term_automaton,
+        "fuzzy_like_this_top10": _q_fuzzy_like_this,
         "covering_top10": _q_covering,
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
@@ -6151,6 +6168,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 1.0 AS score FROM dl
             WHERE (dl BETWEEN 10 AND 20) OR (dl BETWEEN 40 AND 50)
             ORDER BY doc_id""",
+        "fuzzy_like_this_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                      FROM tok GROUP BY term),
+            v AS (
+              SELECT 'valu' AS src, term, df,
+                     CASE WHEN term = 'valu' THEN 1.0
+                          ELSE 1.0 - damerau_levenshtein('valu', term)
+                               / CAST(least(length(term), 4) AS DOUBLE)
+                     END AS boost
+              FROM vocab
+              WHERE length(term) BETWEEN 3 AND 5 AND term LIKE 'v%'
+                    AND damerau_levenshtein('valu', term) <= 1
+              UNION ALL
+              SELECT 'tabel', term, df,
+                     CASE WHEN term = 'tabel' THEN 1.0
+                          ELSE 1.0 - damerau_levenshtein('tabel', term)
+                               / CAST(least(length(term), 5) AS DOUBLE)
+                     END
+              FROM vocab
+              WHERE length(term) BETWEEN 4 AND 6 AND term LIKE 't%'
+                    AND damerau_levenshtein('tabel', term) <= 1),
+            srcdf AS (
+              SELECT src,
+                     coalesce(
+                       (SELECT df FROM vocab WHERE vocab.term = v2.src),
+                       CAST(floor(sum(df) * 1.0 / count(*)) AS BIGINT)
+                     ) AS df_src
+              FROM v v2 GROUP BY src),
+            w AS (SELECT v.term,
+                         sum(v.boost * v.boost
+                             * (ln((st.n + 1.0) / (s.df_src + 1.0))
+                                + 1.0)) AS w
+                  FROM v JOIN srcdf s ON v.src = s.src CROSS JOIN st
+                  GROUP BY v.term),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+                   WHERE term IN (SELECT term FROM w)
+                   GROUP BY doc_id, term),
+            sc AS (SELECT tf.doc_id,
+                          sum(w.w * sqrt(tf.tf)
+                              * (ln((st.n + 1.0)/2.0) + 1.0)
+                              * (1.0/sqrt({_norm_len_sql('dl.dl')}))) AS s
+                   FROM tf JOIN w ON tf.term = w.term
+                        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+                   GROUP BY tf.doc_id)
+            SELECT doc_id, round(s, 6) AS score FROM sc
+            ORDER BY 2 DESC, doc_id LIMIT 10""",
         "term_automaton_top10": f"""
             WITH {_TOK}, {_TOKP}, {_DL}, {_ST},
             m1 AS (SELECT a.doc_id, a.p FROM tokp a

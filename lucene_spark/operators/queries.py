@@ -434,6 +434,125 @@ class QueryOpsMixin:
     def fuzzy_query(self, term: str, k: int = 10, **kw) -> DataFrame:
         return self._finish_topk(self.scored_fuzzy(term, **kw), k)
 
+    def scored_fuzzy_like_this(
+        self,
+        query_terms: list[str],
+        max_edits: int = 2,
+        prefix_length: int = 0,
+        max_num_terms: int = 10,
+        max_variants_per_term: int = 50,
+        ignore_tf: bool = False,
+    ) -> DataFrame:
+        """FuzzyLikeThisQuery (``sandbox/queries/FuzzyLikeThisQuery.java:
+        54-340``): fuzzify every source term, keep the globally best
+        ``max_num_terms`` variants, and score their union.
+
+        Variant selection (addTerms, :194-259): per source term the
+        enumerated variants carry the FuzzyTermsEnum boost — 1 for an
+        exact match, else 1 − ed/min(|variant|, |source|)
+        (FuzzyTermsEnum.java:250-258) — the per-term queue keeps the
+        top ``max_variants_per_term`` and the kept scores become
+        boost² · idf(df_source) with ClassicSimilarity idf; a source
+        term absent from the index uses the (integer) average variant
+        df (:238-243).  The global queue then keeps ``max_num_terms``
+        by (score, then smaller term).
+
+        Doc scoring (rewrite + newTermQuery, :262-286): every chosen
+        variant is a ClassicSimilarity TermQuery with ARTIFICIAL
+        df = ttf = 1 (so rarer-misspelling idf never dominates),
+        boosted by its selection score, all SHOULD-summed; with
+        ``ignore_tf`` each variant contributes its boost as a constant
+        score.  Since df is pinned to 1, the per-doc contribution is
+        w_v · sqrt(tf) · idf₁ · 1/sqrt(len) with one shared constant
+        idf₁ = ln((N+1)/2)+1 — pure column algebra over one postings
+        decode; the driver does only the bounded variant selection
+        (Weight creation, like every multi-term rewrite here)."""
+        import math
+
+        doc_count = self.field_stats["doc_count"]
+        sources = list(dict.fromkeys(query_terms))
+        src_stats = self.term_stats(sources)
+        chosen: list[tuple[str, float]] = []
+        for src in sources:
+            variants = self.expand_fuzzy(src, max_edits, prefix_length)
+            if not variants:
+                continue
+            vstats = self.term_stats(variants)
+            scored_v = []
+            total_df = 0
+            for t in variants:
+                if t not in vstats:
+                    continue
+                ed = 0 if t == src else osa_distance(src, t, max_edits)
+                boost = (
+                    1.0
+                    if ed == 0
+                    else 1.0 - ed / float(min(len(t), len(src)))
+                )
+                scored_v.append((t, boost))
+                total_df += vstats[t][0]
+            if not scored_v:
+                continue
+            # per-term PQ: keep by (boost desc, smaller term)
+            scored_v.sort(key=lambda v: (-v[1], v[0]))
+            scored_v = scored_v[:max_variants_per_term]
+            df_src = src_stats.get(src, (0, 0))[0]
+            if df_src == 0:
+                df_src = total_df // len(scored_v) if scored_v else 0
+            idf_src = math.log((doc_count + 1) / (df_src + 1.0)) + 1.0
+            for t, b in scored_v:
+                chosen.append((t, b * b * idf_src))
+        if not chosen:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        # global queue: top max_num_terms by (score desc, smaller term)
+        chosen.sort(key=lambda v: (-v[1], v[0]))
+        chosen = chosen[:max_num_terms]
+        # the same variant reached from two source terms contributes
+        # twice (two ScoreTerms in the rewritten BooleanQuery)
+        weights: dict[str, float] = {}
+        for t, w in chosen:
+            weights[t] = weights.get(t, 0.0) + w
+        wmap = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(weights.items()), "term string, w double"
+            )
+        )
+        rows = self.scored_postings(list(weights), need_positions=False)
+        idf1 = math.log((doc_count + 1) / 2.0) + 1.0
+        from ..functions.smallfloat import LENGTH_TABLE
+
+        nt = np.empty(256, dtype=np.float64)
+        nt[1:] = 1.0 / np.sqrt(LENGTH_TABLE[1:].astype(np.float64))
+        nt[0] = 1.0 / nt[255]
+        ntab = F.array(*[F.lit(float(x)) for x in nt])
+        if ignore_tf:
+            contrib = F.col("w")
+        else:
+            contrib = (
+                F.col("w")
+                * F.sqrt(F.col("freq").cast("double"))
+                * F.lit(idf1)
+                * F.element_at(ntab, F.col("norm") + 1)
+            )
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return (
+            rows.join(wmap, "term")
+            .groupBy("segment_id", "docid")
+            .agg(F.sum(contrib).alias("score_acc"))
+            .select(
+                "segment_id",
+                "docid",
+                F.col("score_acc").cast(score_t).alias("score"),
+            )
+        )
+
+    def fuzzy_like_this_query(
+        self, query_terms: list[str], k: int = 10, **kw
+    ) -> DataFrame:
+        return self._finish_topk(
+            self.scored_fuzzy_like_this(query_terms, **kw), k
+        )
+
     # ------------------------------------------------------------------
     # SynonymQuery / DisjunctionMaxQuery
     # ------------------------------------------------------------------

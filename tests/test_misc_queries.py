@@ -169,3 +169,83 @@ class TestCovering:
         assert rows
         for r in rows:
             assert (r["segment_id"], r["docid"]) in vals
+
+
+class TestFuzzyLikeThis:
+    """FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java)."""
+
+    def test_exact_source_degenerates_to_artificial_tfidf(
+        self, searcher, naive
+    ):
+        import math
+
+        from lucene_spark.functions.smallfloat import LENGTH_TABLE
+
+        got = {
+            (r["url"], r["score"])
+            for r in searcher.fuzzy_like_this_query(
+                ["window"], max_edits=0, k=10_000
+            ).collect()
+        }
+        df = naive.doc_freq("window")
+        idf_src = math.log((naive.N + 1) / (df + 1.0)) + 1.0
+        idf1 = math.log((naive.N + 1) / 2.0) + 1.0
+        tf = naive.tf("window")
+        nt = 1.0 / np.sqrt(LENGTH_TABLE.astype(np.float64))
+        expect = {
+            (
+                naive.urls[i],
+                idf_src * math.sqrt(tf[i]) * idf1 * nt[naive.norms[i]],
+            )
+            for i in range(naive.N)
+            if tf[i] > 0
+        }
+        assert {u for u, _ in got} == {u for u, _ in expect}
+        em = dict(expect)
+        for u, s in got:
+            assert abs(s - em[u]) < 1e-5
+
+    def test_misspelled_source_matches_variants(self, searcher, naive):
+        from lucene_spark.operators.queries import osa_distance
+
+        rows = searcher.fuzzy_like_this_query(
+            ["windoq"], max_edits=1, prefix_length=1, k=10_000
+        ).collect()
+        assert rows
+        variants = {
+            t
+            for t in searcher.expand_fuzzy("windoq", 1, 1)
+        }
+        assert all(osa_distance("windoq", v, 1) <= 1 for v in variants)
+        url_ok = set()
+        for i in range(naive.N):
+            if any(naive.tf(v)[i] > 0 for v in variants):
+                url_ok.add(naive.urls[i])
+        assert {r["url"] for r in rows} == url_ok
+
+    def test_global_term_cut(self, searcher):
+        all_rows = searcher.fuzzy_like_this_query(
+            ["windoq", "tabel"], max_edits=1, prefix_length=1, k=10_000
+        )
+        one = searcher.fuzzy_like_this_query(
+            ["windoq", "tabel"],
+            max_edits=1,
+            prefix_length=1,
+            max_num_terms=1,
+            k=10_000,
+        )
+        assert one.count() <= all_rows.count()
+        assert one.count() > 0
+
+    def test_ignore_tf_constant_contribution(self, searcher, naive):
+        rows = searcher.fuzzy_like_this_query(
+            ["windoq"],
+            max_edits=1,
+            prefix_length=1,
+            max_num_terms=1,
+            ignore_tf=True,
+            k=10_000,
+        ).collect()
+        assert rows
+        # a single variant with constant score: every doc scores the same
+        assert len({round(r["score"], 9) for r in rows}) == 1
