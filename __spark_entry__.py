@@ -1800,6 +1800,20 @@ def _q_total_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sampled_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomSamplingFacetsCollector + amortizeFacetCounts
+    (facet/RandomSamplingFacetsCollector.java:90-260): lang facet over
+    a 1-in-binSize deterministic-hash sample, counts scaled back up
+    and capped at the label's true docFreq."""
+    from lucene_spark.operators.queries import sampled_facet_counts
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "lang")
+    caps = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("df"))
+    return sampled_facet_counts(
+        docs, "lang", 100, id_col="doc_id", label_max=caps
+    ).orderBy("label")
+
+
 def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FacetsCollector analog: per-lang counts of matching docs
     (lucene/facet/.../StringValueFacetCounts.java)."""
@@ -5520,6 +5534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_top10": _q_phrase,
         "total_hit_count": _q_total_hits,
         "facet_lang": _q_facet_lang,
+        "sampled_facet_lang": _q_sampled_facet_lang,
         "prefix_match": _q_prefix,
         "cached_filter_match": _q_cached_filter,
         "time_limited_top10": _q_time_limited,
@@ -5756,6 +5771,22 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOK}
             SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tok
             WHERE term IN ({_quoted(OR_TERMS)})""",
+        "sampled_facet_lang": """
+            WITH t AS (SELECT doc_id, lang FROM documents),
+            tot AS (SELECT count(*)::BIGINT AS total FROM t),
+            ex AS (SELECT lang, count(*)::BIGINT AS df FROM t
+                   GROUP BY lang),
+            samp AS (SELECT lang, count(*)::BIGINT AS c
+                     FROM t CROSS JOIN tot
+                     WHERE (((doc_id % 1000003) * 8191) % 1000003)
+                           % CAST(floor(1.0/(100.0/total)) AS BIGINT) = 0
+                     GROUP BY lang)
+            SELECT samp.lang AS label, samp.c AS sampled_count,
+                   least(ex.df,
+                         CAST(floor(samp.c / (100.0/tot.total))
+                              AS BIGINT)) AS corrected_count
+            FROM samp JOIN ex ON samp.lang = ex.lang CROSS JOIN tot
+            ORDER BY label""",
         "facet_lang": f"""
             WITH {_TOK},
             m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data')

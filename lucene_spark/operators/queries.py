@@ -1383,3 +1383,72 @@ def auto_stop_words(
         .select("term", "doc_freq")
         .orderBy("term")
     )
+
+
+def sampled_facet_counts(
+    df: DataFrame,
+    dim_col: str,
+    sample_size: int,
+    id_col: str = "doc_id",
+    label_max: DataFrame | None = None,
+) -> DataFrame:
+    """RandomSamplingFacetsCollector + amortizeFacetCounts
+    (``facet/RandomSamplingFacetsCollector.java:90-260``): when the
+    match set exceeds ``sample_size``, facet-count a ~1/binSize sample
+    and scale the counts back up, capping each label at its true
+    docFreq and never letting the total exceed the doc count.
+
+    Faithful mechanics: samplingRate = sampleSize/totalHits, binSize =
+    int(1/samplingRate), one doc kept per bin (:132-176); amortized
+    count = min(docFreq(label), int(count/samplingRate)) (:239-241).
+    The reference picks the doc per bin with XORShift64 — irrelevant
+    to the estimator and unreproducible across engines — so the kept
+    doc is chosen by the repo's overflow-safe arithmetic hash
+    (((id % 1000003) * 8191) % 1000003) % binSize == 0, which an
+    oracle can recompute exactly.  ``label_max`` supplies the docFreq
+    cap (label, max_count); Lucene reads it from the term dictionary —
+    at scale pass the facet field's dict aggregate, never a second
+    full scan.
+
+    Returns (label, sampled_count, corrected_count); below the
+    sample-size threshold the collector is exact and corrected ==
+    sampled (:132-136).
+
+    Scale shape: the sample predicate is a pushdown-able row filter
+    (no shuffle), the count a map-side-combinable groupBy on ~1/binSize
+    of the rows; totalHits arrives as one scalar count."""
+    total = df.count()
+    if total <= sample_size:
+        counts = (
+            df.groupBy(F.col(dim_col).alias("label"))
+            .agg(F.count(F.lit(1)).alias("sampled_count"))
+            .withColumn("corrected_count", F.col("sampled_count"))
+        )
+        return counts
+    rate = sample_size / float(total)
+    bin_size = int(1.0 / rate)
+    h = ((F.col(id_col) % 1000003) * 8191) % 1000003
+    samp = df.where(h % bin_size == 0)
+    counts = samp.groupBy(F.col(dim_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("sampled_count")
+    )
+    corrected = F.floor(F.col("sampled_count") / F.lit(rate)).cast("long")
+    if label_max is not None:
+        counts = counts.join(
+            F.broadcast(
+                label_max.select(
+                    F.col(label_max.columns[0]).alias("label"),
+                    F.col(label_max.columns[1]).alias("_max"),
+                )
+            ),
+            "label",
+            "left",
+        )
+        corrected = F.least(
+            F.coalesce(F.col("_max"), F.lit(total).cast("long")), corrected
+        )
+    return counts.select(
+        "label",
+        "sampled_count",
+        corrected.alias("corrected_count"),
+    )

@@ -1,0 +1,68 @@
+"""RandomSamplingFacetsCollector analog: deterministic-hash sampling
+with amortized counts (facet/RandomSamplingFacetsCollector.java)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.queries import sampled_facet_counts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def _hash_keep(doc_id: int, bin_size: int) -> bool:
+    return (((doc_id % 1000003) * 8191) % 1000003) % bin_size == 0
+
+
+class TestSampledFacets:
+    def test_below_threshold_is_exact(self, docs):
+        total = docs.count()
+        got = {
+            r["label"]: (r["sampled_count"], r["corrected_count"])
+            for r in sampled_facet_counts(docs, "lang", total + 10).collect()
+        }
+        exact = {
+            r["lang"]: r["cnt"]
+            for r in docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert {k: v[0] for k, v in got.items()} == exact
+        assert all(s == c for s, c in got.values())
+
+    def test_sampled_counts_match_manual(self, docs):
+        total = docs.count()
+        sample_size = max(1, total // 5)
+        rate = sample_size / float(total)
+        bin_size = int(1.0 / rate)
+        rows = docs.select("doc_id", "lang").collect()
+        manual: dict[str, int] = {}
+        for r in rows:
+            if _hash_keep(r["doc_id"], bin_size):
+                manual[r["lang"]] = manual.get(r["lang"], 0) + 1
+        got = {
+            r["label"]: (r["sampled_count"], r["corrected_count"])
+            for r in sampled_facet_counts(
+                docs, "lang", sample_size
+            ).collect()
+        }
+        assert {k: v[0] for k, v in got.items()} == manual
+        for k, (s, c) in got.items():
+            assert c == int(s / rate)
+
+    def test_docfreq_cap(self, docs, spark):
+        total = docs.count()
+        sample_size = max(1, total // 5)
+        # an artificially tiny cap: corrected counts clamp to it
+        caps = spark.createDataFrame(
+            [(r["lang"], 1) for r in docs.select("lang").distinct().collect()],
+            "lang string, max_count long",
+        )
+        got = sampled_facet_counts(
+            docs, "lang", sample_size, label_max=caps
+        ).collect()
+        assert got and all(r["corrected_count"] <= 1 for r in got)
