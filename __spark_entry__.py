@@ -2714,6 +2714,18 @@ def _q_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionScoreQuery (queries/function/FunctionScoreQuery.java:44)
+    with the expressions-module shape (expressions/js/
+    JavascriptCompiler.java analog): new score = _score + ln(1+doclen),
+    compiled by Catalyst instead of a bytecode compiler."""
+    s = _get_searcher(spark, sf_dir)
+    rescored = s.function_score(
+        s.scored_boolean(should=["window"]), "score + ln(1 + doclen)"
+    )
+    return _topk_by_doc_id(s, rescored)
+
+
 def _q_fuzzy_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java:
     54-340): two misspelled sources ('valu', 'tabel'); both are absent
@@ -5617,6 +5629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_range_match": _q_multi_range,
         "term_automaton_top10": _q_term_automaton,
         "fuzzy_like_this_top10": _q_fuzzy_like_this,
+        "function_score_top10": _q_function_score,
         "covering_top10": _q_covering,
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
@@ -6199,6 +6212,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 1.0 AS score FROM dl
             WHERE (dl BETWEEN 10 AND 20) OR (dl BETWEEN 40 AND 50)
             ORDER BY doc_id""",
+        "function_score_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            df AS (SELECT count(*)::BIGINT AS df FROM tf),
+            sc AS (SELECT tf.doc_id, dl.dl,
+                          ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                          1.0/(1.2*(0.25 + 0.75*{_norm_len_sql('dl.dl')}
+                                    /(st.sttf/st.n))) AS inv,
+                          tf.tf AS tf
+                   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN st CROSS JOIN df)
+            SELECT doc_id,
+                   round((w - w/(1 + tf*inv)) + ln(1 + dl), 6) AS score
+            FROM sc ORDER BY 2 DESC, doc_id LIMIT 10""",
         "fuzzy_like_this_top10": f"""
             WITH {_TOK}, {_DL}, {_ST},
             vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
