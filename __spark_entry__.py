@@ -2964,6 +2964,45 @@ _GEO_PTS = """pts AS (
 )"""
 
 
+_GEO_POLY = [
+    (0.1, -50.1),
+    (40.1, -10.1),
+    (30.1, 60.1),
+    (-10.1, 40.1),
+    (-30.1, -20.1),
+]
+
+
+def _q_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLonPoint.newPolygonQuery analog (operators/geo.py): bbox
+    prune then exact even-odd crossing test against a pentagon."""
+    from lucene_spark.operators.geo import polygon_query
+
+    pts = _geo_customers(spark, sf_dir)
+    return polygon_query(pts, "lat", "lon", _GEO_POLY).select(
+        "c_custkey", F.lit(1.0).alias("score")
+    )
+
+
+def _geo_polygon_sql() -> str:
+    terms = []
+    n = len(_GEO_POLY)
+    for i in range(n):
+        y1, x1 = _GEO_POLY[i]
+        y2, x2 = _GEO_POLY[(i + 1) % n]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({y1} > lat) != ({y2} > lat)) AND "
+            f"(lon < ({x2} - {x1}) * (lat - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    cross = " + ".join(terms)
+    return f"""WITH {_GEO_PTS}
+SELECT c_custkey, 1.0 AS score FROM pts
+WHERE ({cross}) % 2 = 1"""
+
+
 def _geo_distance_sql() -> str:
     hav = _GEO_HAV.format(qlat=5.25, qlon=10.5)
     return f"""WITH {_GEO_PTS},
@@ -5599,6 +5638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_groups": _q_url_dedup,
         "free_text_suggest": _q_free_text_suggest,
         "geo_distance_custkeys": _q_geo_distance,
+        "geo_polygon_custkeys": _q_geo_polygon,
         "geo_nearest_top10": _q_geo_nearest,
         "shingle_tokens": _q_shingles,
         "arabic_analyzer_tokens": _q_arabic_analyzer,
@@ -6167,6 +6207,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_groups": _URL_DEDUP_SQL,
         "free_text_suggest": _FREE_TEXT_SUGGEST_SQL,
         "geo_distance_custkeys": _geo_distance_sql(),
+        "geo_polygon_custkeys": _geo_polygon_sql(),
         "geo_nearest_top10": _geo_nearest_sql(),
         "shingle_tokens": _SHINGLES_SQL,
         "arabic_analyzer_tokens": _ARABIC_SQL,

@@ -129,3 +129,62 @@ def nearest(
     )
     order = [F.asc("distance_m")] + [F.asc(c) for c in tie_breaker]
     return df.withColumn("distance_m", dist).orderBy(*order).limit(k)
+
+
+def polygon_contains(
+    lat_col: Column, lon_col: Column, polygon: list[tuple[float, float]]
+) -> Column:
+    """Even-odd (crossing-number) point-in-polygon over a literal
+    vertex list [(lat, lon), ...] — the exact-verify phase of
+    ``LatLonPoint.newPolygonQuery`` (:258; Lucene tessellates into a
+    ``Polygon2D`` tree and tests crossings per BKD cell, ``core/geo/
+    Polygon2D.java``).  The ray is cast toward -lon; a point exactly
+    on an edge resolves by the same double arithmetic on both the
+    engine and any SQL oracle, so the convention is consistent even
+    though the reference's epsilon handling differs on boundaries.
+
+    The edge loop unrolls driver-side into one codegen'd expression
+    (polygons are query literals, like every other query shape)."""
+    if len(polygon) < 3:
+        raise ValueError("polygon needs at least 3 vertices")
+    crossings = None
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge can never cross the cast ray
+        cond = (
+            ((F.lit(y1) > lat_col) != (F.lit(y2) > lat_col))
+            & (
+                lon_col
+                < (F.lit(x2) - F.lit(x1))
+                * (lat_col - F.lit(y1))
+                / (F.lit(y2) - F.lit(y1))
+                + F.lit(x1)
+            )
+        )
+        c = F.when(cond, 1).otherwise(0)
+        crossings = c if crossings is None else crossings + c
+    return (crossings % 2) == 1
+
+
+def polygon_query(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    polygon: list[tuple[float, float]],
+) -> DataFrame:
+    """LatLonPoint.newPolygonQuery analog, two-phase like the box and
+    distance queries: (1) the polygon's bounding box as plain
+    comparisons — pushed into the parquet scan, the BKD outer-cell
+    skip — then (2) the exact crossing test on boxed survivors."""
+    lats = [p[0] for p in polygon]
+    lons = [p[1] for p in polygon]
+    boxed = df.where(
+        F.col(lat_col).between(min(lats), max(lats))
+        & F.col(lon_col).between(min(lons), max(lons))
+    )
+    return boxed.where(
+        polygon_contains(F.col(lat_col), F.col(lon_col), polygon)
+    )

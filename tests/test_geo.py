@@ -147,3 +147,86 @@ class TestNearest:
             abs(g["distance_m"] - _hav(g["lat"], g["lon"], 10, 10)) < 1e-3
             for g in got
         )
+
+
+class TestPolygon:
+    POLY = [
+        (0.1, -50.1),
+        (40.1, -10.1),
+        (30.1, 60.1),
+        (-10.1, 40.1),
+        (-30.1, -20.1),
+    ]
+
+    @staticmethod
+    def _inside(lat, lon, poly):
+        n = len(poly)
+        c = 0
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            if y1 == y2:
+                continue
+            if (y1 > lat) != (y2 > lat) and lon < (x2 - x1) * (lat - y1) / (
+                y2 - y1
+            ) + x1:
+                c += 1
+        return c % 2 == 1
+
+    def test_matches_python_ray_cast(self, spark):
+        from lucene_spark.operators.geo import polygon_query
+
+        rows = [
+            (i, float((i * 7) % 120 - 60) + 0.25, float((i * 13) % 340 - 170) + 0.5)
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "id long, lat double, lon double")
+        got = {
+            r["id"] for r in polygon_query(df, "lat", "lon", self.POLY).collect()
+        }
+        expect = {
+            i for i, la, lo in rows if self._inside(la, lo, self.POLY)
+        }
+        assert got == expect
+        assert got  # non-trivial match set
+
+    def test_convex_square_known_points(self, spark):
+        from lucene_spark.operators.geo import polygon_query
+
+        square = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+        df = spark.createDataFrame(
+            [(1, 5.0, 5.0), (2, 15.0, 5.0), (3, -1.0, 5.0), (4, 5.0, 11.0)],
+            "id long, lat double, lon double",
+        )
+        got = {r["id"] for r in polygon_query(df, "lat", "lon", square).collect()}
+        assert got == {1}
+
+    def test_concave_polygon(self, spark):
+        from lucene_spark.operators.geo import polygon_query
+
+        # a "C" shape: the notch (5, 6) is outside
+        c_shape = [
+            (0.0, 0.0),
+            (10.0, 0.0),
+            (10.0, 10.0),
+            (8.0, 10.0),
+            (8.0, 2.0),
+            (2.0, 2.0),
+            (2.0, 10.0),
+            (0.0, 10.0),
+        ]
+        df = spark.createDataFrame(
+            [(1, 5.0, 1.0), (2, 5.0, 6.0), (3, 9.0, 5.0)],
+            "id long, lat double, lon double",
+        )
+        got = {r["id"] for r in polygon_query(df, "lat", "lon", c_shape).collect()}
+        assert got == {1, 3}
+
+    def test_degenerate_polygon_rejected(self, spark):
+        from lucene_spark.operators.geo import polygon_query
+
+        df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lat double, lon double")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="3 vertices"):
+            polygon_query(df, "lat", "lon", [(0.0, 0.0), (1.0, 1.0)]).collect()
