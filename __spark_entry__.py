@@ -2132,6 +2132,23 @@ def _q_infix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyzing_infix_suggest(sugg, "agg sc", k=5)
 
 
+def _q_fuzzy_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzySuggester lookup (suggest/analyzing/FuzzySuggester.java:
+    60-113): the typed prefix 'windoe' completes against suggestions
+    within 1 edit (first char exact); transpositions=False here so the
+    oracle's levenshtein is the identical metric."""
+    from lucene_spark.operators.suggest_lm import fuzzy_suggest
+
+    docs = _docs_table(spark, sf_dir)
+    sugg = docs.select(
+        F.array_join(F.slice(F.split("text", " "), 1, 2), " ").alias(
+            "suggestion"
+        ),
+        F.col("n_chars").alias("weight"),
+    )
+    return fuzzy_suggest(sugg, "windoe", k=5, transpositions=False)
+
+
 def _infix_suggest_sql(full: str, prefix: str, k: int = 5) -> str:
     return f"""
         WITH s AS (SELECT array_to_string(
@@ -5607,6 +5624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "dynamic_range_facets": _q_dynamic_ranges,
         "infix_suggest": _q_infix_suggest,
+        "fuzzy_suggest": _q_fuzzy_suggest,
         "ann_cosine_top10": _q_ann_cosine,
         "byte_knn_top10": _q_byte_knn,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
@@ -5940,6 +5958,21 @@ def oracle_sql() -> dict[str, str]:
         "lm_doc_scores": _lm_doc_scores_sql(),
         "dynamic_range_facets": _dynamic_ranges_sql(),
         "infix_suggest": _infix_suggest_sql("agg", "sc"),
+        "fuzzy_suggest": """
+            WITH raw AS (
+              SELECT lower(array_to_string(
+                       list_slice(string_split(text, ' '), 1, 2), ' '))
+                       AS suggestion,
+                     n_chars AS weight
+              FROM documents),
+            s AS (SELECT suggestion, max(weight)::BIGINT AS weight
+                  FROM raw GROUP BY suggestion)
+            SELECT suggestion, weight FROM s
+            WHERE suggestion LIKE 'w%'
+              AND (levenshtein(substr(suggestion, 1, 5), 'windoe') <= 1
+                   OR levenshtein(substr(suggestion, 1, 6), 'windoe') <= 1
+                   OR levenshtein(substr(suggestion, 1, 7), 'windoe') <= 1)
+            ORDER BY weight DESC, suggestion LIMIT 5""",
         "ann_cosine_top10": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],

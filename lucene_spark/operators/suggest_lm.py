@@ -166,3 +166,88 @@ def analyzing_infix_suggest(
         .orderBy(F.desc("weight"), F.asc("suggestion"))
         .limit(k)
     )
+
+
+def fuzzy_suggest(
+    suggestions: DataFrame,
+    query: str,
+    k: int = 5,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+    transpositions: bool = True,
+    text_col: str = "suggestion",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """FuzzySuggester lookup
+    (``lucene/suggest/.../analyzing/FuzzySuggester.java:60-113``):
+    AnalyzingSuggester's prefix completion, except the typed input may
+    differ from the suggestion's prefix by up to ``max_edits`` edits.
+    The reference defaults carry over: the first ``non_fuzzy_prefix``
+    (=1) character must match exactly, inputs shorter than
+    ``min_fuzzy_length`` (=3) get no fuzz at all, and a transposition
+    counts as one edit (:66-86).  Results rank by stored weight
+    descending, text ascending (the LookupResult comparator), after
+    duplicate suggestion strings collapse to their max weight.
+
+    Where Lucene intersects a Levenshtein automaton of the analyzed
+    input with the suggestion FST, the columnar translation tests the
+    2·max_edits+1 candidate prefix LENGTHS explicitly: some prefix of
+    the suggestion with |q|±max_edits chars must be within
+    ``max_edits`` of the query.  With ``transpositions=False`` the
+    distance is the JVM-side ``levenshtein`` builtin (whole-stage
+    codegen, and exactly reproducible in a SQL oracle); the OSA
+    default routes through the same vectorized pandas kernel as
+    FuzzyQuery."""
+    q = query.lower()
+    if not q:
+        raise ValueError("empty suggest query")
+    me = 0 if len(q) < min_fuzzy_length else max_edits
+    base = (
+        suggestions.select(
+            F.lower(F.col(text_col)).alias("suggestion"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .groupBy("suggestion")
+        .agg(F.max("weight").alias("weight"))
+    )
+    cond = F.col("suggestion").startswith(q[:non_fuzzy_prefix])
+    if me == 0:
+        cond = cond & F.col("suggestion").startswith(q)
+    else:
+        dist_ok = None
+        if transpositions:
+            from .queries import osa_distance
+
+            @F.pandas_udf("int")
+            def min_osa(s):
+                import pandas as pd
+
+                out = []
+                for v in s:
+                    best = me + 1
+                    for L in range(len(q) - me, len(q) + me + 1):
+                        if L < 1:
+                            continue
+                        best = min(best, osa_distance(q, v[:L], me))
+                    out.append(best)
+                return pd.Series(out, dtype="int32")
+
+            dist_ok = min_osa(F.col("suggestion")) <= me
+        else:
+            for L in range(len(q) - me, len(q) + me + 1):
+                if L < 1:
+                    continue
+                c = (
+                    F.levenshtein(
+                        F.substring(F.col("suggestion"), 1, L), F.lit(q)
+                    )
+                    <= me
+                )
+                dist_ok = c if dist_ok is None else (dist_ok | c)
+        cond = cond & dist_ok
+    return (
+        base.where(cond)
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(k)
+    )

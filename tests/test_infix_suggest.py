@@ -78,3 +78,86 @@ class TestInfixSuggest:
         ]
         with pytest.raises(ValueError):
             analyzing_infix_suggest(_df(spark), "   ")
+
+
+class TestFuzzySuggest:
+    def _sugg(self, spark):
+        return spark.createDataFrame(
+            [
+                ("window manager", 50),
+                ("windows update", 80),
+                ("widow pension", 30),
+                ("vindow cleaner", 20),
+                ("spark window", 99),
+                ("win", 10),
+            ],
+            "suggestion string, weight long",
+        )
+
+    @pytest.mark.parametrize("transpositions", [True, False])
+    def test_typo_in_prefix_matches(self, spark, transpositions):
+        from lucene_spark.operators.suggest_lm import fuzzy_suggest
+
+        got = [
+            r["suggestion"]
+            for r in fuzzy_suggest(
+                self._sugg(spark), "windoe", transpositions=transpositions
+            ).collect()
+        ]
+        # 'windows update' (prefix 'window' @1 edit), 'window manager'
+        # (@1), 'widow pension' (prefix 'widow'/'widowp' within 2? no:
+        # osa('windoe','widow ')=2 > 1 -> excluded), 'vindow cleaner'
+        # fails the non-fuzzy first char, 'spark window' isn't a prefix
+        assert got == ["windows update", "window manager"]
+
+    def test_short_input_gets_no_fuzz(self, spark):
+        from lucene_spark.operators.suggest_lm import fuzzy_suggest
+
+        got = [
+            r["suggestion"]
+            for r in fuzzy_suggest(self._sugg(spark), "wi").collect()
+        ]
+        # exact-prefix only: everything starting 'wi', weight-ranked
+        assert got == [
+            "windows update",
+            "window manager",
+            "widow pension",
+            "win",
+        ]
+
+    def test_transposition_counts_one_edit(self, spark):
+        from lucene_spark.operators.suggest_lm import fuzzy_suggest
+
+        got = [
+            r["suggestion"]
+            for r in fuzzy_suggest(self._sugg(spark), "iwndow").collect()
+        ]
+        # OSA: 'iwndow' -> 'window' is one transposition; but the
+        # first char must match exactly (nonFuzzyPrefix=1) -> no hits
+        assert got == []
+        got2 = [
+            r["suggestion"]
+            for r in fuzzy_suggest(
+                self._sugg(spark), "wnidow"
+            ).collect()
+        ]
+        # 'widow pension' also matches: deleting the 'n' from
+        # 'wnidow' gives the length-5 prefix 'widow' at one edit
+        assert got2 == [
+            "windows update",
+            "window manager",
+            "widow pension",
+        ]
+
+    def test_weight_ranking_and_dedup(self, spark):
+        from lucene_spark.operators.suggest_lm import fuzzy_suggest
+
+        dup = spark.createDataFrame(
+            [("window", 5), ("window", 9), ("windows", 7)],
+            "suggestion string, weight long",
+        )
+        got = [
+            (r["suggestion"], r["weight"])
+            for r in fuzzy_suggest(dup, "window").collect()
+        ]
+        assert got == [("window", 9), ("windows", 7)]
