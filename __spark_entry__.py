@@ -5570,6 +5570,14 @@ def _q_high_freq_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return high_freq_terms(_get_searcher(spark, sf_dir), n=20, by="df")
 
 
+def _q_term_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetTermInfo (misc/GetTermInfo.java): one term's df + ttf via
+    term-dictionary pushdown."""
+    from lucene_spark.operators.stats import term_info
+
+    return term_info(_get_searcher(spark, sf_dir), "window")
+
+
 def _q_doc_values_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DocValuesStats over doclen (misc/search/DocValuesStats.java:
     29-167): count/missing/min/max/sum/mean/population variance."""
@@ -5582,6 +5590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
         "high_freq_terms": _q_high_freq_terms,
+        "term_info": _q_term_info,
         "doc_values_stats": _q_doc_values_stats,
         "postings_term": _q_postings,
         "bm25_top10_term": _q_bm25_term,
@@ -5797,6 +5806,11 @@ def oracle_sql() -> dict[str, str]:
                    FROM tok GROUP BY term)
             SELECT term, df, ttf FROM ts
             ORDER BY df DESC, term DESC LIMIT 20""",
+        "term_info": f"""
+            WITH {_TOK}
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                   count(*)::BIGINT AS ttf
+            FROM tok WHERE term = 'window' GROUP BY term""",
         "doc_values_stats": f"""
             WITH {_TOK}, {_DL}
             SELECT count(*)::BIGINT AS cnt, 0::BIGINT AS missing,
@@ -6000,7 +6014,11 @@ def oracle_sql() -> dict[str, str]:
                    round((1.0 + dot / sqrt(na
                        * {float(sum(x * x for x in _BYTE_KNN_Q))})) / 2.0,
                        6) AS score
-            FROM s ORDER BY 2 DESC, vec_id LIMIT 10""",
+            FROM s
+            ORDER BY (1.0 + dot / sqrt(na
+                       * {float(sum(x * x for x in _BYTE_KNN_Q))})) / 2.0
+                     DESC, vec_id
+            LIMIT 10""",
         "embedding_near_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(
@@ -6330,12 +6348,21 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(sum(df) * 1.0 / count(*)) AS BIGINT)
                      ) AS df_src
               FROM v v2 GROUP BY src),
-            w AS (SELECT v.term,
-                         sum(v.boost * v.boost
-                             * (ln((st.n + 1.0) / (s.df_src + 1.0))
-                                + 1.0)) AS w
-                  FROM v JOIN srcdf s ON v.src = s.src CROSS JOIN st
-                  GROUP BY v.term),
+            scored AS (
+              SELECT v.term,
+                     v.boost * v.boost
+                       * (ln((st.n + 1.0) / (s.df_src + 1.0)) + 1.0) AS sc,
+                     row_number() OVER (PARTITION BY v.src
+                                        ORDER BY v.boost DESC, v.term)
+                       AS rn_per
+              FROM v JOIN srcdf s ON v.src = s.src CROSS JOIN st),
+            cut AS (
+              SELECT term, sc FROM (
+                SELECT term, sc,
+                       row_number() OVER (ORDER BY sc DESC, term) AS rn
+                FROM scored WHERE rn_per <= 50)
+              WHERE rn <= 8),
+            w AS (SELECT term, sum(sc) AS w FROM cut GROUP BY term),
             tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
                    WHERE term IN (SELECT term FROM w)
                    GROUP BY doc_id, term),

@@ -75,6 +75,23 @@ def bind_bm25(
     )
 
 
+def classic_norm_table(dtype=np.float32) -> np.ndarray:
+    """TFIDFSimilarity's 1/sqrt(length) norm table, including the
+    ``normTable[0] = 1/normTable[255]`` quirk
+    (``TFIDFSimilarity.java:441-446``) — the single home for the
+    recipe (bind_classic and FuzzyLikeThis both index it)."""
+    lt = LENGTH_TABLE.astype(np.float64)
+    if dtype == np.float32:
+        norm_table = np.empty(256, dtype=np.float32)
+        norm_table[1:] = (1.0 / np.sqrt(lt[1:])).astype(np.float32)
+        norm_table[0] = np.float32(1.0) / norm_table[255]
+    else:
+        norm_table = np.empty(256, dtype=np.float64)
+        norm_table[1:] = 1.0 / np.sqrt(lt[1:])
+        norm_table[0] = 1.0 / norm_table[255]
+    return norm_table
+
+
 def bind_classic(
     doc_freq, total_term_freq, doc_count, sttf, boost, dtype=np.float32
 ) -> BoundScorer:
@@ -82,17 +99,11 @@ def bind_classic(
     rounding exactly; the float64 path keeps every intermediate in
     double for DuckDB-oracle parity (the same split bind_bm25 makes)."""
     idf64 = np.log((doc_count + 1) / np.float64(doc_freq + 1)) + 1.0
-    lt = LENGTH_TABLE.astype(np.float64)
+    norm_table = classic_norm_table(dtype)
     if dtype == np.float32:
         query_weight = np.float32(boost) * np.float32(idf64)
-        norm_table = np.empty(256, dtype=np.float32)
-        norm_table[1:] = (1.0 / np.sqrt(lt[1:])).astype(np.float32)
-        norm_table[0] = np.float32(1.0) / norm_table[255]
     else:
         query_weight = np.float64(boost) * idf64
-        norm_table = np.empty(256, dtype=np.float64)
-        norm_table[1:] = 1.0 / np.sqrt(lt[1:])
-        norm_table[0] = 1.0 / norm_table[255]
 
     def score_fn(freqs, norms):
         tf = np.sqrt(freqs.astype(dtype, copy=False)).astype(dtype)

@@ -166,6 +166,10 @@ def polygon_contains(
         )
         c = F.when(cond, 1).otherwise(0)
         crossings = c if crossings is None else crossings + c
+    if crossings is None:
+        raise ValueError(
+            "degenerate polygon: every edge is horizontal (zero area)"
+        )
     return (crossings % 2) == 1
 
 

@@ -493,12 +493,16 @@ class QueryOpsMixin:
                 total_df += vstats[t][0]
             if not scored_v:
                 continue
+            # avgDf divides by ALL enumerated variants (numVariants,
+            # FuzzyLikeThisQuery.java:238-243), counted BEFORE the
+            # per-term queue cut below
+            n_variants = len(scored_v)
             # per-term PQ: keep by (boost desc, smaller term)
             scored_v.sort(key=lambda v: (-v[1], v[0]))
             scored_v = scored_v[:max_variants_per_term]
             df_src = src_stats.get(src, (0, 0))[0]
             if df_src == 0:
-                df_src = total_df // len(scored_v) if scored_v else 0
+                df_src = total_df // n_variants
             idf_src = math.log((doc_count + 1) / (df_src + 1.0)) + 1.0
             for t, b in scored_v:
                 chosen.append((t, b * b * idf_src))
@@ -519,11 +523,9 @@ class QueryOpsMixin:
         )
         rows = self.scored_postings(list(weights), need_positions=False)
         idf1 = math.log((doc_count + 1) / 2.0) + 1.0
-        from ..functions.smallfloat import LENGTH_TABLE
+        from ..functions.similarities import classic_norm_table
 
-        nt = np.empty(256, dtype=np.float64)
-        nt[1:] = 1.0 / np.sqrt(LENGTH_TABLE[1:].astype(np.float64))
-        nt[0] = 1.0 / nt[255]
+        nt = classic_norm_table(np.float64)
         ntab = F.array(*[F.lit(float(x)) for x in nt])
         if ignore_tf:
             contrib = F.col("w")

@@ -1960,6 +1960,61 @@ class Searcher(QueryOpsMixin):
             lead_rows.unpersist()
         return self.spark.createDataFrame(out, final.schema)
 
+    def _pseudo_term_weight_cache(self, weight_terms: list[str], stats):
+        """BM25 pseudo-term binding shared by the phrase/sloppy/
+        multi-phrase/term-automaton scorers: weight = Σ idf(df_t) over
+        ``weight_terms`` (PhraseWeight's idfExplain over the term
+        array, ``core/search/PhraseQuery.java:444-452`` — duplicates
+        in the list count twice, exactly like the flattened term
+        array), cache = the 256-entry norm-inverse table.  float32
+        mirrors Lucene's rounding; float64 is the oracle-parity path.
+        """
+        import math
+
+        doc_count = self.field_stats["doc_count"]
+        sttf = self.field_stats["sum_total_term_freq"]
+        if self.dtype == np.float32:
+            weight = np.float32(
+                float(
+                    np.sum(
+                        np.array(
+                            [
+                                bm25.idf(stats[t][0], doc_count)
+                                for t in weight_terms
+                            ],
+                            dtype=np.float64,
+                        )
+                    )
+                )
+            )
+            cache = bm25.norm_inverse_cache(
+                bm25.avg_field_length(sttf, doc_count),
+                np.float32(self.k1),
+                np.float32(self.b),
+            )
+        else:
+            weight = np.float64(
+                sum(
+                    math.log(
+                        1
+                        + (doc_count - stats[t][0] + 0.5)
+                        / (stats[t][0] + 0.5)
+                    )
+                    for t in weight_terms
+                )
+            )
+            avgdl = sttf / float(doc_count)
+            cache = 1.0 / (
+                self.k1
+                * (
+                    (1 - self.b)
+                    + self.b
+                    * byte4_to_int(np.arange(256)).astype(np.float64)
+                    / avgdl
+                )
+            )
+        return weight, cache
+
     def scored_phrase(self, terms: list[str]) -> DataFrame:
         """Exact PhraseQuery scorer, slop=0 — full match set.
 
@@ -1990,43 +2045,7 @@ class Searcher(QueryOpsMixin):
         )
 
         # bind a pseudo-term scorer with summed idf (double acc -> f32)
-        import math
-
-        doc_count = self.field_stats["doc_count"]
-        sttf = self.field_stats["sum_total_term_freq"]
-        if self.dtype == np.float32:
-            idf_sum = np.float32(
-                float(
-                    np.sum(
-                        np.array(
-                            [bm25.idf(stats[t][0], doc_count) for t in terms],
-                            dtype=np.float64,
-                        )
-                    )
-                )
-            )
-            cache = bm25.norm_inverse_cache(
-                bm25.avg_field_length(sttf, doc_count),
-                np.float32(self.k1),
-                np.float32(self.b),
-            )
-            weight = idf_sum
-        else:
-            weight = np.float64(
-                sum(
-                    math.log(1 + (doc_count - stats[t][0] + 0.5) / (stats[t][0] + 0.5))
-                    for t in terms
-                )
-            )
-            avgdl = sttf / float(doc_count)
-            cache = 1.0 / (
-                self.k1
-                * (
-                    (1 - self.b)
-                    + self.b * byte4_to_int(np.arange(256)).astype(np.float64) / avgdl
-                )
-            )
-
+        weight, cache = self._pseudo_term_weight_cache(terms, stats)
         dtype = self.dtype
 
         @F.pandas_udf("float" if dtype == np.float32 else "double")
@@ -2100,45 +2119,7 @@ class Searcher(QueryOpsMixin):
             "freq", "phrase_freq"
         )
 
-        import math
-
-        doc_count = self.field_stats["doc_count"]
-        sttf = self.field_stats["sum_total_term_freq"]
-        if self.dtype == np.float32:
-            weight = np.float32(
-                float(
-                    np.sum(
-                        np.array(
-                            [bm25.idf(stats[t][0], doc_count) for t in terms],
-                            dtype=np.float64,
-                        )
-                    )
-                )
-            )
-            cache = bm25.norm_inverse_cache(
-                bm25.avg_field_length(sttf, doc_count),
-                np.float32(self.k1),
-                np.float32(self.b),
-            )
-        else:
-            weight = np.float64(
-                sum(
-                    math.log(
-                        1 + (doc_count - stats[t][0] + 0.5) / (stats[t][0] + 0.5)
-                    )
-                    for t in terms
-                )
-            )
-            avgdl = sttf / float(doc_count)
-            cache = 1.0 / (
-                self.k1
-                * (
-                    (1 - self.b)
-                    + self.b
-                    * byte4_to_int(np.arange(256)).astype(np.float64)
-                    / avgdl
-                )
-            )
+        weight, cache = self._pseudo_term_weight_cache(terms, stats)
         dtype = self.dtype
 
         @F.pandas_udf("float" if dtype == np.float32 else "double")
@@ -2656,50 +2637,9 @@ class Searcher(QueryOpsMixin):
             F.col("phrase_freq") > 0
         )
 
-        import math
-
-        doc_count = self.field_stats["doc_count"]
-        sttf = self.field_stats["sum_total_term_freq"]
-        if self.dtype == np.float32:
-            weight = np.float32(
-                float(
-                    np.sum(
-                        np.array(
-                            [
-                                bm25.idf(stats[t][0], doc_count)
-                                for t in all_terms
-                                if t in stats
-                            ],
-                            dtype=np.float64,
-                        )
-                    )
-                )
-            )
-            cache = bm25.norm_inverse_cache(
-                bm25.avg_field_length(sttf, doc_count),
-                np.float32(self.k1),
-                np.float32(self.b),
-            )
-        else:
-            weight = np.float64(
-                sum(
-                    math.log(
-                        1 + (doc_count - stats[t][0] + 0.5) / (stats[t][0] + 0.5)
-                    )
-                    for t in all_terms
-                    if t in stats
-                )
-            )
-            avgdl = sttf / float(doc_count)
-            cache = 1.0 / (
-                self.k1
-                * (
-                    (1 - self.b)
-                    + self.b
-                    * byte4_to_int(np.arange(256)).astype(np.float64)
-                    / avgdl
-                )
-            )
+        weight, cache = self._pseudo_term_weight_cache(
+            [t for t in all_terms if t in stats], stats
+        )
         dtype = self.dtype
 
         @F.pandas_udf("float" if dtype == np.float32 else "double")
@@ -2825,51 +2765,9 @@ class Searcher(QueryOpsMixin):
             .where(F.col("freq") > 0)
         )
 
-        import math
-
-        doc_count = self.field_stats["doc_count"]
-        sttf = self.field_stats["sum_total_term_freq"]
-        weight_terms = [t for t in dict.fromkeys(all_terms) if t in stats]
-        if self.dtype == np.float32:
-            weight = np.float32(
-                float(
-                    np.sum(
-                        np.array(
-                            [
-                                bm25.idf(stats[t][0], doc_count)
-                                for t in weight_terms
-                            ],
-                            dtype=np.float64,
-                        )
-                    )
-                )
-            )
-            cache = bm25.norm_inverse_cache(
-                bm25.avg_field_length(sttf, doc_count),
-                np.float32(self.k1),
-                np.float32(self.b),
-            )
-        else:
-            weight = np.float64(
-                sum(
-                    math.log(
-                        1
-                        + (doc_count - stats[t][0] + 0.5)
-                        / (stats[t][0] + 0.5)
-                    )
-                    for t in weight_terms
-                )
-            )
-            avgdl = sttf / float(doc_count)
-            cache = 1.0 / (
-                self.k1
-                * (
-                    (1 - self.b)
-                    + self.b
-                    * byte4_to_int(np.arange(256)).astype(np.float64)
-                    / avgdl
-                )
-            )
+        weight, cache = self._pseudo_term_weight_cache(
+            [t for t in dict.fromkeys(all_terms) if t in stats], stats
+        )
         dtype = self.dtype
 
         @F.pandas_udf("float" if dtype == np.float32 else "double")
