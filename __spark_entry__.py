@@ -2313,6 +2313,37 @@ def _q_byte_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KnnFloatVectorQuery with a filter (core/search/
+    KnnFloatVectorQuery.java:48): exact cosine top-10 restricted to
+    labels {1, 3} — the pre-filtered path, predicate pushed to scan."""
+    from lucene_spark.operators.similarity import filtered_brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return filtered_brute_force_topk(
+        emb, [float(x) for x in q], k=10, where=F.col("label").isin(1, 3)
+    ).select("vec_id", F.round("cos", 6).alias("cos"))
+
+
+def _q_sort_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SortRescorer (core/search/SortRescorer.java:33-76): re-order
+    the 'window' match set by Sort(doclen DESC, score DESC, doc ASC);
+    first-pass scores are preserved, only rank changes."""
+    s = _get_searcher(spark, sf_dir)
+    res = s.sort_rescore(
+        s.scored_boolean(should=["window"]),
+        [F.desc("doclen"), F.desc("score"), F.asc("url")],
+        top_n=10_000,
+    )
+    return res.select(
+        _doc_id("url"),
+        "rank",
+        F.round("score", 6).alias("score"),
+        F.col("doclen").cast("long").alias("doclen"),
+    ).orderBy("rank")
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector analog of the
     MinHash dedup ladder): exact verify path here (deterministic,
@@ -5636,6 +5667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_suggest": _q_fuzzy_suggest,
         "ann_cosine_top10": _q_ann_cosine,
         "byte_knn_top10": _q_byte_knn,
+        "filtered_knn_top10": _q_filtered_knn,
+        "sort_rescore_ranks": _q_sort_rescore,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -5997,6 +6030,35 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT embedding::DOUBLE[] FROM embeddings
                         WHERE vec_id = 0)) DESC, vec_id
             LIMIT 10""",
+        "filtered_knn_top10": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            f AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE label IN (1, 3))
+            SELECT vec_id,
+                   round(list_cosine_similarity(v, qv), 6) AS cos
+            FROM f CROSS JOIN q
+            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+            LIMIT 10""",
+        "sort_rescore_ranks": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            df AS (SELECT count(*)::BIGINT AS df FROM tf),
+            sc AS (SELECT tf.doc_id, dl.dl,
+                          ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                          1.0/(1.2*(0.25 + 0.75*{_norm_len_sql('dl.dl')}
+                                    /(st.sttf/st.n))) AS inv,
+                          tf.tf AS tf
+                   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN st CROSS JOIN df),
+            s AS (SELECT doc_id, dl, (w - w/(1 + tf*inv)) AS s FROM sc)
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY dl DESC, s DESC, doc_id)
+                     AS rank,
+                   round(s, 6) AS score,
+                   dl::BIGINT AS doclen
+            FROM s ORDER BY rank""",
         "byte_knn_top10": f"""
             WITH e AS (
               SELECT vec_id,

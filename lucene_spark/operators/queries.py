@@ -1146,6 +1146,54 @@ class QueryOpsMixin:
             )
         )
 
+    def sort_rescore(
+        self,
+        first_pass: DataFrame,
+        sort_exprs: list,
+        top_n: int = 100,
+    ) -> DataFrame:
+        """SortRescorer (``core/search/SortRescorer.java:33-76``):
+        take the first pass's top-N (score desc, docid asc) and
+        re-ORDER them by the given Sort — the original relevance score
+        is preserved on the hits, only their order changes (the
+        rescore() loop copies scores through).  ``sort_exprs`` are
+        Columns over the doc's attributes (doclen, norm, url) and
+        ``score``; pass e.g. ``[F.desc("doclen"), F.desc("score")]``
+        for Sort(doclen DESC, score DESC).
+
+        Scale: the window is top_n rows — one TakeOrderedAndProject
+        then a driver-sized re-sort, exactly Lucene's cost."""
+        top = (
+            self._globalize(
+                first_pass.withColumn("local_docid", F.col("docid"))
+            )
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(top_n)
+        )
+        joined = top.join(
+            self._docs.select(
+                "segment_id", "local_docid", "doclen", "norm", "url"
+            ),
+            ["segment_id", "local_docid"],
+        )
+        # the new order is made observable as an explicit rank column
+        # (a sorted DataFrame alone loses its order under set compare);
+        # the window holds top_n rows, so the unpartitioned rank is a
+        # driver-sized sort, not a corpus-wide one
+        w = Window.orderBy(*sort_exprs)
+        return (
+            joined.withColumn("rank", F.row_number().over(w))
+            .select(
+                "segment_id",
+                F.col("local_docid").alias("docid"),
+                "rank",
+                "score",
+                "doclen",
+                "url",
+            )
+            .orderBy("rank")
+        )
+
     def function_score(
         self, scored: DataFrame, expr: str
     ) -> DataFrame:

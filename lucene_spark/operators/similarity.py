@@ -604,3 +604,34 @@ def byte_vector_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def filtered_brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    where: Column | None = None,
+    candidates: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered KNN — ``KnnFloatVectorQuery(field, target, k, filter)``
+    (``core/search/KnnFloatVectorQuery.java:48``; AbstractKnnVectorQuery
+    collects the filter's bitset first, then either pre-filters the
+    graph search or falls back to exact-over-matches when the filter is
+    selective).  The columnar engine ALWAYS takes the exact
+    pre-filtered path: ``where`` is a Column predicate that pushes into
+    the scan; ``candidates`` (a DataFrame of ids — the filter query's
+    match set) restricts via a semi-join, broadcast when small.  Both
+    compose."""
+    base = emb
+    if where is not None:
+        base = base.where(where)
+    if candidates is not None:
+        base = base.join(
+            candidates.select(F.col(candidates.columns[0]).alias(id_col))
+            .distinct(),
+            id_col,
+            "left_semi",
+        )
+    return brute_force_topk(base, query_vec, k, id_col, vec_col)

@@ -249,3 +249,37 @@ class TestFuzzyLikeThis:
         assert rows
         # a single variant with constant score: every doc scores the same
         assert len({round(r["score"], 9) for r in rows}) == 1
+
+
+class TestSortRescore:
+    def test_reorders_by_field_keeps_scores(self, searcher, naive):
+        import pyspark.sql.functions as F
+
+        res = searcher.sort_rescore(
+            searcher.scored_boolean(should=["window"]),
+            [F.desc("doclen"), F.desc("score"), F.asc("url")],
+            top_n=10_000,
+        ).collect()
+        assert res
+        # ranks are 1..n in the requested order
+        keys = [(-r["doclen"], -r["score"], r["url"]) for r in res]
+        assert keys == sorted(keys)
+        assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+        # scores are the ORIGINAL first-pass scores (SortRescorer
+        # copies them through)
+        ref = {
+            r["url"]: r["score"]
+            for r in searcher.term_query("window", k=10_000).collect()
+        }
+        for r in res:
+            assert abs(r["score"] - ref[r["url"]]) < 1e-6
+
+    def test_top_n_window(self, searcher):
+        import pyspark.sql.functions as F
+
+        res = searcher.sort_rescore(
+            searcher.scored_boolean(should=["window"]),
+            [F.desc("doclen"), F.asc("url")],
+            top_n=3,
+        ).collect()
+        assert len(res) == 3

@@ -615,3 +615,48 @@ class TestByteVectors:
         b, _, mat = self._bytes(emb)
         with pytest.raises(ValueError, match="unknown byte similarity"):
             byte_vector_topk(b, [0] * 64, sim="hamming").collect()
+
+
+class TestFilteredKnn:
+    def test_filter_predicate(self, emb):
+        from lucene_spark.operators.similarity import (
+            filtered_brute_force_topk,
+        )
+
+        rows = emb.select("vec_id", "embedding", "label").collect()
+        q = next(r["embedding"] for r in rows if r["vec_id"] == 0)
+        qv = np.array(q, dtype=np.float64)
+        keep = [(r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+                for r in rows if r["label"] in (1, 3)]
+        cos = [
+            (float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), i)
+            for i, v in keep
+        ]
+        expect = [i for c, i in sorted(((-c, i) for c, i in cos))][:5]
+        got = [
+            r["vec_id"]
+            for r in filtered_brute_force_topk(
+                emb, list(map(float, q)), k=5,
+                where=F.col("label").isin(1, 3),
+            ).collect()
+        ]
+        assert got == expect
+
+    def test_candidates_semi_join(self, spark, emb):
+        from lucene_spark.operators.similarity import (
+            brute_force_topk,
+            filtered_brute_force_topk,
+        )
+
+        q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        cands = emb.select("vec_id").where(F.col("vec_id") % 2 == 0)
+        got = filtered_brute_force_topk(
+            emb, list(map(float, q)), k=5, candidates=cands
+        ).collect()
+        assert all(r["vec_id"] % 2 == 0 for r in got)
+        ref = brute_force_topk(
+            emb.where(F.col("vec_id") % 2 == 0), list(map(float, q)), k=5
+        ).collect()
+        assert [(r["vec_id"], r["cos"]) for r in got] == [
+            (r["vec_id"], r["cos"]) for r in ref
+        ]
