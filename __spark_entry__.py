@@ -2472,6 +2472,56 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
+def _q_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SeededKnnVectorQuery analog (core/search/SeededKnnVectorQuery
+    .java:49-76): the seed hits' IVF cells are the probed entry points
+    — seeds for query q are vectors q*10 .. q*10+4."""
+    from lucene_spark.operators.similarity import ivf_seeded_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    seeds = spark.createDataFrame(
+        [(q, q * 10 + i) for q in range(3) for i in range(5)],
+        "qid long, vec_id long",
+    )
+    return ivf_seeded_topk(
+        emb, queries_df, seeds, k=5, n_centroids=16
+    ).select("qid", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+
+
+def _ann_ivf_seeded_sql(k: int = 5, n_centroids: int = 16) -> str:
+    """Replay the seeded-IVF plan: same centroids/assignment as
+    _ann_ivf_sql, probe set = cells of the seed vectors."""
+    return f"""WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cid, v AS cv FROM emb
+                WHERE vec_id < {n_centroids}),
+      asg AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid
+               ) AS rn
+        FROM emb e CROSS JOIN cents c) WHERE rn = 1),
+      seeds AS (SELECT r1.range AS qid, r1.range * 10 + r2.range AS svec
+                FROM range(3) r1 CROSS JOIN range(5) r2),
+      qprobe AS (SELECT DISTINCT s.qid, a.cell
+                 FROM seeds s JOIN asg a ON s.svec = a.vec_id),
+      cand AS (SELECT DISTINCT qp.qid, a.vec_id
+               FROM qprobe qp JOIN asg a ON qp.cell = a.cell),
+      sc AS (SELECT c.qid, c.vec_id,
+                    list_cosine_similarity(e.v, q.v) AS cos
+             FROM cand c JOIN emb e ON c.vec_id = e.vec_id
+                  JOIN emb q ON c.qid = q.vec_id),
+      rk AS (SELECT qid, vec_id, cos,
+                    row_number() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             FROM sc)
+      SELECT qid, vec_id, round(cos, 6) AS cos, rank
+      FROM rk WHERE rank <= {k} ORDER BY qid, rank"""
+
+
 def _ann_ivf_sql(
     k: int = 5, n_centroids: int = 16, nprobe: int = 4, n_queries: int = 3
 ) -> str:
@@ -5672,6 +5722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_seeded_topk": _q_ann_ivf_seeded,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
@@ -6090,6 +6141,7 @@ def oracle_sql() -> dict[str, str]:
                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""",
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_ivf_seeded_topk": _ann_ivf_seeded_sql(),
         "classic_sim_top10": f"""
             WITH {_TOK}, {_DL}, {_ST},
             tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok

@@ -635,3 +635,61 @@ def filtered_brute_force_topk(
             "left_semi",
         )
     return brute_force_topk(base, query_vec, k, id_col, vec_col)
+
+
+def ivf_seeded_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    seeds: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """SeededKnnVectorQuery analog
+    (``core/search/SeededKnnVectorQuery.java:49-76``: a cheap seed
+    query's hits become the graph search's entry points instead of
+    HNSW's global roots).  In the IVF geometry the entry points ARE
+    cells: probe exactly the cells CONTAINING the seed vectors —
+    however many that is — rather than the query's nprobe
+    nearest-centroid cells, then exact-rescore the probed cells.
+    ``seeds`` is a (qid, vec_id) frame: the seed query's matches per
+    query.  A query whose seeds all land in one cell probes one cell;
+    degenerate seeds degrade recall exactly like bad entry points do
+    in the reference.
+
+    Scale shape: the seed→cell lookup is a semi-join against the
+    (tiny) assignment table; candidates shuffle on ``cell`` like the
+    unseeded path."""
+    if centroids is None:
+        centroids = [
+            [float(x) for x in r[vec_col]]
+            for r in emb.orderBy(id_col).limit(n_centroids).collect()
+        ]
+    cells = ivf_assign(emb, centroids, vec_col).select(
+        id_col, vec_col, "cell"
+    )
+    seed_cells = (
+        seeds.select(qid_col, id_col)
+        .join(cells.select(id_col, "cell"), id_col)
+        .select(qid_col, "cell")
+        .distinct()
+    )
+    probes = seed_cells.join(queries.select(qid_col, qvec_col), qid_col)
+    cand = cells.join(F.broadcast(probes), "cell").select(
+        qid_col, id_col, vec_col, qvec_col
+    )
+    scored = cand.select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos", "rank")
+    )

@@ -660,3 +660,65 @@ class TestFilteredKnn:
         assert [(r["vec_id"], r["cos"]) for r in got] == [
             (r["vec_id"], r["cos"]) for r in ref
         ]
+
+
+class TestSeededIvf:
+    def test_probes_only_seed_cells(self, spark, emb):
+        from lucene_spark.operators.similarity import (
+            ivf_assign,
+            ivf_seeded_topk,
+        )
+
+        centroids = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(16).collect()
+        ]
+        queries = emb.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        seeds = spark.createDataFrame(
+            [(q, s) for q in (0, 1) for s in range(q * 10, q * 10 + 5)],
+            "qid long, vec_id long",
+        )
+        got = ivf_seeded_topk(
+            emb, queries, seeds, k=5, centroids=centroids
+        ).collect()
+        assert got
+        cells = {
+            r["vec_id"]: r["cell"]
+            for r in ivf_assign(emb, centroids).select("vec_id", "cell").collect()
+        }
+        seed_cells = {
+            q: {cells[s] for s in range(q * 10, q * 10 + 5)} for q in (0, 1)
+        }
+        for r in got:
+            assert cells[r["vec_id"]] in seed_cells[r["qid"]]
+        # ranks are dense per query
+        for q in (0, 1):
+            ranks = sorted(r["rank"] for r in got if r["qid"] == q)
+            assert ranks == list(range(1, len(ranks) + 1))
+
+    def test_seed_containing_true_neighbors_finds_them(self, emb):
+        from lucene_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_seeded_topk,
+        )
+
+        q0 = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        exact = [
+            r["vec_id"]
+            for r in brute_force_topk(emb, list(map(float, q0)), k=3).collect()
+        ]
+        queries = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        # seed WITH the exact neighbors -> their cells are probed ->
+        # the seeded search returns them
+        seeds = queries.sparkSession.createDataFrame(
+            [(0, v) for v in exact], "qid long, vec_id long"
+        )
+        got = [
+            r["vec_id"]
+            for r in ivf_seeded_topk(emb, queries, seeds, k=3).collect()
+        ]
+        assert set(exact) <= set(got) or got == exact
