@@ -2812,6 +2812,20 @@ def _q_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_total_hits_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TotalHits.Relation under totalHitsThreshold
+    (TopScoreDocCollectorManager.java:62): exact count at-or-under
+    the threshold, a threshold+1 lower bound with GTE beyond it."""
+    s = _get_searcher(spark, sf_dir)
+    rows = []
+    for th in (100, 10_000):
+        v, rel = s.total_hits("window", total_hits_threshold=th)
+        rows.append((th, v, rel))
+    return spark.createDataFrame(
+        rows, "threshold long, total long, relation string"
+    )
+
+
 def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FunctionScoreQuery (queries/function/FunctionScoreQuery.java:44)
     with the expressions-module shape (expressions/js/
@@ -5781,6 +5795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_automaton_top10": _q_term_automaton,
         "fuzzy_like_this_top10": _q_fuzzy_like_this,
         "function_score_top10": _q_function_score,
+        "total_hits_relation": _q_total_hits_relation,
         "covering_top10": _q_covering,
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
@@ -6418,6 +6433,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 1.0 AS score FROM dl
             WHERE (dl BETWEEN 10 AND 20) OR (dl BETWEEN 40 AND 50)
             ORDER BY doc_id""",
+        "total_hits_relation": f"""
+            WITH {_TOK},
+            c AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tok
+                  WHERE term = 'window')
+            SELECT 100::BIGINT AS threshold,
+                   (CASE WHEN n > 100 THEN 101 ELSE n END)::BIGINT
+                     AS total,
+                   CASE WHEN n > 100 THEN 'GREATER_THAN_OR_EQUAL_TO'
+                        ELSE 'EQUAL_TO' END AS relation
+            FROM c
+            UNION ALL
+            SELECT 10000::BIGINT,
+                   (CASE WHEN n > 10000 THEN 10001 ELSE n END)::BIGINT,
+                   CASE WHEN n > 10000 THEN 'GREATER_THAN_OR_EQUAL_TO'
+                        ELSE 'EQUAL_TO' END
+            FROM c""",
         "function_score_top10": f"""
             WITH {_TOK}, {_DL}, {_ST},
             tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok

@@ -2794,6 +2794,30 @@ class Searcher(QueryOpsMixin):
     ) -> DataFrame:
         return self._finish_topk(self.scored_term_automaton(paths), k)
 
+    def total_hits(
+        self, term: str, total_hits_threshold: int = 1000
+    ) -> tuple[int, str]:
+        """TopScoreDocCollectorManager's ``totalHitsThreshold``
+        semantics (``core/search/TopScoreDocCollectorManager.java:62``,
+        ``TotalHits.Relation``): the reported total is EXACT
+        (``EQUAL_TO``) while counting stays at or under the threshold,
+        and a lower bound (``GREATER_THAN_OR_EQUAL_TO``) beyond it —
+        the collector stops counting so block-max pruning may skip
+        whole ranges.  The probe is ``matches.limit(threshold+1)``:
+        Spark's CollectLimit short-circuits the scan once satisfied,
+        the same early termination.  Beyond the threshold the bound
+        reported is ``threshold + 1`` (the smallest certificate of
+        GTE; Lucene reports whatever it happened to accumulate, which
+        is implementation-defined — a deterministic bound is the
+        oracle-checkable analog)."""
+        matches = self.scored_postings([term]).select(
+            "segment_id", "docid"
+        )  # liveDocs already applied by scored_postings
+        n = matches.limit(total_hits_threshold + 1).count()
+        if n <= total_hits_threshold:
+            return n, "EQUAL_TO"
+        return total_hits_threshold + 1, "GREATER_THAN_OR_EQUAL_TO"
+
     # ------------------------------------------------------------------
     def count(self, term: str) -> int:
         """Weight#count shortcut: answer from the terms table when the

@@ -283,3 +283,21 @@ class TestSortRescore:
             top_n=3,
         ).collect()
         assert len(res) == 3
+
+
+class TestTotalHitsThreshold:
+    def test_exact_below_threshold(self, searcher, naive):
+        df = int((naive.tf("window") > 0).sum())
+        n, rel = searcher.total_hits("window", total_hits_threshold=10_000)
+        assert (n, rel) == (df, "EQUAL_TO")
+
+    def test_lower_bound_above_threshold(self, searcher, naive):
+        df = int((naive.tf("window") > 0).sum())
+        assert df > 3
+        n, rel = searcher.total_hits("window", total_hits_threshold=3)
+        assert (n, rel) == (4, "GREATER_THAN_OR_EQUAL_TO")
+
+    def test_threshold_exactly_at_count(self, searcher, naive):
+        df = int((naive.tf("window") > 0).sum())
+        n, rel = searcher.total_hits("window", total_hits_threshold=df)
+        assert (n, rel) == (df, "EQUAL_TO")
