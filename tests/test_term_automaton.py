@@ -121,3 +121,38 @@ class TestTermAutomaton:
         assert (
             s.term_automaton_query([[["table"], ["hash"]]], k=5).count() > 0
         )
+
+
+class TestRandomizedAutomata:
+    """Fixed-seed randomized paths vs the naive mirror — the
+    BaseTokenStreamTestCase-style randomized battery for the automaton
+    (8 cases keep the Spark-job budget bounded)."""
+
+    def test_random_paths_match_naive(self, searcher, naive):
+        import random
+
+        rng = random.Random(42)
+        vocab = ["value", "vector", "table", "hash", "window", "query",
+                 "data", "key", "row", "scan", "join", "merge"]
+        for case in range(8):
+            n_paths = rng.randint(1, 3)
+            paths = []
+            for _ in range(n_paths):
+                plen = rng.randint(2, 4)
+                path = []
+                for slot_i in range(plen):
+                    interior = 0 < slot_i < plen - 1
+                    if interior and rng.random() < 0.3:
+                        path.append(None)
+                    else:
+                        n_alt = rng.randint(1, 2)
+                        path.append(rng.sample(vocab, n_alt))
+                paths.append(path)
+            expect = _naive_automaton(naive, paths)
+            got = {
+                r["url"]
+                for r in searcher.term_automaton_query(
+                    paths, k=10_000
+                ).collect()
+            }
+            assert got == set(expect), f"case {case}: {paths}"
