@@ -2812,6 +2812,34 @@ def _q_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PKIndexSplitter (misc/index/PKIndexSplitter.java:36-120): split
+    by doc_id parity, BM25 top-10 on the even side — the split index
+    scores exactly like a flat build over the even-doc subset, so the
+    oracle is the corpus-restricted BM25."""
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.operators.splitter import split_index
+    from lucene_spark.sources.catalog import IndexCatalog
+
+    _get_searcher(spark, sf_dir)  # ensure the source index exists
+    even_dir = _index_dir(sf_dir) + "_even"
+    key = (sf_dir, "split_even")
+    if key not in _SEARCHERS:
+        if not IndexCatalog(even_dir).committed_segment_ids():
+            split_index(
+                spark,
+                _index_dir(sf_dir),
+                even_dir,
+                _index_dir(sf_dir) + "_odd",
+                F.substring("url", -8, 8).cast("long") % 2 == 0,
+            )
+        _SEARCHERS[key] = Searcher(spark, even_dir, dtype=np.float64)
+    return _topk_by_doc_id(
+        _SEARCHERS[key],
+        _SEARCHERS[key].scored_boolean(should=["window"]),
+    )
+
+
 def _q_total_hits_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TotalHits.Relation under totalHitsThreshold
     (TopScoreDocCollectorManager.java:62): exact count at-or-under
@@ -5796,6 +5824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_like_this_top10": _q_fuzzy_like_this,
         "function_score_top10": _q_function_score,
         "total_hits_relation": _q_total_hits_relation,
+        "split_index_top10": _q_split_index,
         "covering_top10": _q_covering,
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
@@ -6433,6 +6462,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 1.0 AS score FROM dl
             WHERE (dl BETWEEN 10 AND 20) OR (dl BETWEEN 40 AND 50)
             ORDER BY doc_id""",
+        "split_index_top10": _bm25_sql(
+            ["window"], corpus_where="doc_id % 2 = 0"
+        ),
         "total_hits_relation": f"""
             WITH {_TOK},
             c AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tok

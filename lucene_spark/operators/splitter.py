@@ -1,0 +1,83 @@
+"""PKIndexSplitter — partition one index into two
+(``misc/index/PKIndexSplitter.java:36-120``).
+
+The reference wraps the source reader twice (filter, negated filter)
+and ``addIndexes``-copies each view into a fresh directory, physically
+dropping the other side's docs.  The columnar translation composes
+three operators this engine already has:
+
+1. clone the committed index directory (manifest + parquet — the
+   ``addIndexes`` copy),
+2. tombstone the complement of the predicate (``delete_by_keys`` —
+   distributed semi-join, no keys on the driver),
+3. force one delete-reclaiming merge of every live segment
+   (``merge_segments(reclaim_deletes=True)`` — the SegmentMerger
+   rewrite that drops tombstoned docs and re-sums stats).
+
+The result is exactly PKIndexSplitter's: each output index contains
+only its side's docs, with corpus statistics (docFreq, avgdl, ...)
+shrunk to the survivors — BM25 scores match a flat build over the
+same subset (asserted in tests and by the driver oracle).
+
+Scale shape: the clone is a filesystem copy (object-store server-side
+copy in production); the delete is one shuffle join; the reclaim
+merge is the same mapInArrow rewrite every merge uses.  Nothing is
+re-analyzed.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import IndexCatalog
+
+
+def _clone_index(src_dir: str, dst_dir: str) -> None:
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    shutil.copytree(src_dir, dst_dir)
+
+
+def _reclaim_all(spark: SparkSession, index_dir: str) -> None:
+    from .merge import merge_segments
+
+    catalog = IndexCatalog(index_dir)
+    manifest = catalog.read_manifest()
+    live = [
+        s["segment_id"]
+        for s in manifest["segments"]
+        if s.get("status") == "COMMITTED"
+    ]
+    merge_segments(spark, catalog, live, reclaim_deletes=True)
+
+
+def split_index(
+    spark: SparkSession,
+    src_dir: str,
+    dst_pass_dir: str,
+    dst_fail_dir: str,
+    doc_pred: Column,
+) -> tuple[str, str]:
+    """Split ``src_dir`` into two new indexes: docs whose docs-table
+    row satisfies ``doc_pred`` (over url/doclen/norm) land in
+    ``dst_pass_dir``, the rest in ``dst_fail_dir`` — the
+    PKIndexSplitter contract (getesIndexWriter side / negated side).
+    The source index is untouched.  Returns the two directories."""
+    from .build import read_docs
+
+    src_docs = read_docs(spark, IndexCatalog(src_dir)).select(
+        "url", "doclen", "norm"
+    )
+    from .deletes import delete_by_keys
+
+    for dst, victim_pred in (
+        (dst_pass_dir, ~doc_pred),
+        (dst_fail_dir, doc_pred),
+    ):
+        _clone_index(src_dir, dst)
+        victims = src_docs.where(victim_pred).select("url")
+        delete_by_keys(spark, dst, victims)
+        _reclaim_all(spark, dst)
+    return dst_pass_dir, dst_fail_dir

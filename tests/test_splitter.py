@@ -1,0 +1,93 @@
+"""PKIndexSplitter analog (misc/index/PKIndexSplitter.java): split an
+index by predicate; each side scores like a flat build of its subset."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def split_dirs(spark, web_pages, tmp_path_factory):
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.splitter import split_index
+
+    base = tmp_path_factory.mktemp("split")
+    src = str(base / "src")
+    shutil.rmtree(src, ignore_errors=True)
+    build_index(spark, web_pages, src, num_segments=4)
+    dst_pass, dst_fail = split_index(
+        spark,
+        src,
+        str(base / "even"),
+        str(base / "odd"),
+        F.col("doclen") % 2 == 0,
+    )
+    return src, dst_pass, dst_fail
+
+
+class TestSplitIndex:
+    def test_partition_is_exact_and_disjoint(
+        self, spark, split_dirs, naive
+    ):
+        from lucene_spark.operators.search import Searcher
+
+        _, dst_pass, dst_fail = split_dirs
+        even = {
+            r["url"]
+            for r in Searcher(spark, dst_pass)._docs.select("url").collect()
+        }
+        odd = {
+            r["url"]
+            for r in Searcher(spark, dst_fail)._docs.select("url").collect()
+        }
+        assert even.isdisjoint(odd)
+        assert even | odd == set(naive.urls)
+        for i in range(naive.N):
+            side = even if naive.doclens[i] % 2 == 0 else odd
+            assert naive.urls[i] in side
+
+    def test_no_tombstones_after_split(self, spark, split_dirs):
+        from lucene_spark.operators.deletes import deleted_count
+
+        _, dst_pass, dst_fail = split_dirs
+        assert deleted_count(spark, dst_pass) == 0
+        assert deleted_count(spark, dst_fail) == 0
+
+    def test_scores_match_flat_build_of_subset(
+        self, spark, split_dirs, web_pages, tmp_path
+    ):
+        from lucene_spark.operators.build import build_index
+        from lucene_spark.operators.search import Searcher
+
+        _, dst_pass, _ = split_dirs
+        split_s = Searcher(spark, dst_pass)
+        keep_urls = {
+            r["url"] for r in split_s._docs.select("url").collect()
+        }
+        flat_dir = str(tmp_path / "flat")
+        build_index(
+            spark,
+            web_pages.where(F.col("url").isin(list(keep_urls))),
+            flat_dir,
+            num_segments=1,
+        )
+        flat_s = Searcher(spark, flat_dir)
+        a = [
+            (r["url"], r["score"])
+            for r in split_s.term_query("window", k=10).collect()
+        ]
+        b = [
+            (r["url"], r["score"])
+            for r in flat_s.term_query("window", k=10).collect()
+        ]
+        assert [u for u, _ in a] == [u for u, _ in b]
+        for (_, x), (_, y) in zip(a, b):
+            assert abs(x - y) < 1e-6
+
+    def test_source_index_untouched(self, spark, split_dirs, naive):
+        from lucene_spark.operators.search import Searcher
+
+        src, _, _ = split_dirs
+        s = Searcher(spark, src)
+        assert s._docs.count() == naive.N
