@@ -2812,6 +2812,27 @@ def _q_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LongRange/DoubleRange + RangeFieldQuery.QueryType
+    (core/document/RangeFieldQuery.java:75-270): per-doc [lo, hi]
+    interval vs query [10, 20] in all four relations."""
+    from lucene_spark.operators.queries import range_field_match
+
+    docs = _docs_table(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 50).cast("double").alias("lo"),
+        ((F.col("doc_id") % 50) + (F.col("doc_id") % 31))
+        .cast("double")
+        .alias("hi"),
+    )
+    rows = []
+    for mode in ("intersects", "within", "contains", "crosses"):
+        rows.append(
+            (mode, range_field_match(docs, 10.0, 20.0, mode).count())
+        )
+    return spark.createDataFrame(rows, "mode string, cnt long")
+
+
 def _q_split_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PKIndexSplitter (misc/index/PKIndexSplitter.java:36-120): split
     by doc_id parity, BM25 top-10 on the even side — the split index
@@ -5825,6 +5846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_top10": _q_function_score,
         "total_hits_relation": _q_total_hits_relation,
         "split_index_top10": _q_split_index,
+        "range_field_counts": _q_range_field,
         "covering_top10": _q_covering,
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
@@ -6465,6 +6487,22 @@ def oracle_sql() -> dict[str, str]:
         "split_index_top10": _bm25_sql(
             ["window"], corpus_where="doc_id % 2 = 0"
         ),
+        "range_field_counts": """
+            WITH r AS (SELECT doc_id, (doc_id % 50)::DOUBLE AS lo,
+                              ((doc_id % 50) + (doc_id % 31))::DOUBLE AS hi
+                       FROM documents)
+            SELECT 'intersects' AS mode, count(*)::BIGINT AS cnt FROM r
+            WHERE lo <= 20 AND hi >= 10
+            UNION ALL
+            SELECT 'within', count(*)::BIGINT FROM r
+            WHERE lo >= 10 AND hi <= 20
+            UNION ALL
+            SELECT 'contains', count(*)::BIGINT FROM r
+            WHERE lo <= 10 AND hi >= 20
+            UNION ALL
+            SELECT 'crosses', count(*)::BIGINT FROM r
+            WHERE (lo <= 20 AND hi >= 10)
+              AND NOT (lo >= 10 AND hi <= 20)""",
         "total_hits_relation": f"""
             WITH {_TOK},
             c AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tok

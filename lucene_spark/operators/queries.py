@@ -1502,3 +1502,45 @@ def sampled_facet_counts(
         "sampled_count",
         corrected.alias("corrected_count"),
     )
+
+
+def range_field_match(
+    ranges: DataFrame,
+    q_lo,
+    q_hi,
+    mode: str = "intersects",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Range-valued fields (``core/document/LongRange.java:48`` /
+    ``DoubleRange``) queried with RangeFieldQuery.QueryType
+    (``core/document/RangeFieldQuery.java:75-270``): each doc carries
+    an interval [lo, hi]; the query asks how it relates to
+    [q_lo, q_hi]:
+
+    - ``intersects``: lo <= q_hi AND hi >= q_lo  (:75-101)
+    - ``within``:     lo >= q_lo AND hi <= q_hi  (:118-144)
+    - ``contains``:   lo <= q_lo AND hi >= q_hi  (:161-187)
+    - ``crosses``:    INTERSECTS AND NOT WITHIN  (:259-268 — the
+      reference defines crosses exactly this way, NOT minus-contains)
+
+    The BKD encodes (min, max) as one 2-dim point; here they are two
+    plain columns, so every mode is a pushdown-able conjunction of
+    range predicates (parquet row-group min/max prune both ends)."""
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    intersects = (lo <= q_hi) & (hi >= q_lo)
+    within = (lo >= q_lo) & (hi <= q_hi)
+    if mode == "intersects":
+        pred = intersects
+    elif mode == "within":
+        pred = within
+    elif mode == "contains":
+        pred = (lo <= q_lo) & (hi >= q_hi)
+    elif mode == "crosses":
+        pred = intersects & ~within
+    else:
+        raise ValueError(
+            f"unknown range relation {mode!r} "
+            "(intersects | within | contains | crosses)"
+        )
+    return ranges.where(pred)

@@ -301,3 +301,49 @@ class TestTotalHitsThreshold:
         df = int((naive.tf("window") > 0).sum())
         n, rel = searcher.total_hits("window", total_hits_threshold=df)
         assert (n, rel) == (df, "EQUAL_TO")
+
+
+class TestRangeField:
+    """LongRange + RangeFieldQuery.QueryType vs brute force."""
+
+    def _ranges(self, spark):
+        rows = [(i, float(i % 50), float(i % 50 + i % 31)) for i in range(200)]
+        return (
+            spark.createDataFrame(rows, "id long, lo double, hi double"),
+            rows,
+        )
+
+    @pytest.mark.parametrize(
+        "mode", ["intersects", "within", "contains", "crosses"]
+    )
+    def test_mode_matches_brute_force(self, spark, mode):
+        from lucene_spark.operators.queries import range_field_match
+
+        df, rows = self._ranges(spark)
+        q_lo, q_hi = 10.0, 20.0
+        got = {
+            r["id"]
+            for r in range_field_match(df, q_lo, q_hi, mode).collect()
+        }
+        expect = set()
+        for i, lo, hi in rows:
+            inter = lo <= q_hi and hi >= q_lo
+            within = lo >= q_lo and hi <= q_hi
+            contains = lo <= q_lo and hi >= q_hi
+            ok = {
+                "intersects": inter,
+                "within": within,
+                "contains": contains,
+                "crosses": inter and not within,
+            }[mode]
+            if ok:
+                expect.add(i)
+        assert got == expect
+        assert got  # non-trivial
+
+    def test_unknown_mode(self, spark):
+        from lucene_spark.operators.queries import range_field_match
+
+        df, _ = self._ranges(spark)
+        with pytest.raises(ValueError, match="unknown range relation"):
+            range_field_match(df, 0, 1, "touches")
