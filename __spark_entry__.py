@@ -2812,6 +2812,21 @@ def _q_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_xml_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML query parser (queryparser/xml/CoreParser.java:61-131): a
+    BooleanQuery element tree — must window+spark, mustNot data."""
+    from lucene_spark.plans.xml_parser import xml_scored
+
+    s = _get_searcher(spark, sf_dir)
+    xml = """
+    <BooleanQuery>
+      <Clause occurs="must"><TermQuery>window</TermQuery></Clause>
+      <Clause occurs="must"><TermQuery>spark</TermQuery></Clause>
+      <Clause occurs="mustNot"><TermQuery>data</TermQuery></Clause>
+    </BooleanQuery>"""
+    return _topk_by_doc_id(s, xml_scored(s, xml))
+
+
 def _q_range_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LongRange/DoubleRange + RangeFieldQuery.QueryType
     (core/document/RangeFieldQuery.java:75-270): per-doc [lo, hi]
@@ -5847,6 +5862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_hits_relation": _q_total_hits_relation,
         "split_index_top10": _q_split_index,
         "range_field_counts": _q_range_field,
+        "xml_parsed_top10": _q_xml_parsed,
         "covering_top10": _q_covering,
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
@@ -6486,6 +6502,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id""",
         "split_index_top10": _bm25_sql(
             ["window"], corpus_where="doc_id % 2 = 0"
+        ),
+        "xml_parsed_top10": _bm25_sql(
+            ["window", "spark"], mode="must", must_not=["data"]
         ),
         "range_field_counts": """
             WITH r AS (SELECT doc_id, (doc_id % 50)::DOUBLE AS lo,

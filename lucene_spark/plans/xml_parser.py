@@ -1,0 +1,230 @@
+"""XML query parser — the ``queryparser/xml`` CoreParser surface
+(``queryparser/xml/CoreParser.java:61-131``): queries arrive as an XML
+tree whose elements name query classes; each element maps onto the
+corresponding operator of this engine.
+
+Supported element set (the CoreParser registrations at :90-102 plus
+the span family via the interval algebra):
+
+- ``TermQuery`` (text = term, ``boost`` attr)
+- ``TermsQuery`` (text analyzed by the index chain → SHOULD group)
+- ``MatchAllDocsQuery``
+- ``BooleanQuery`` / ``Clause occurs="must|should|mustNot|filter"``
+  with ``minimumNumberShouldMatch`` (BooleanQueryBuilder.java:40-66)
+- ``DisjunctionMaxQuery`` (``tieBreaker`` attr)
+- ``ConstantScoreQuery`` (matches of the child, constant boost)
+- ``RangeQuery`` (term range; ``lowerTerm``/``upperTerm``,
+  ``includeLower``/``includeUpper`` — RangeQueryBuilder.java)
+- ``PointRangeQuery`` (numeric doc attribute, ``fieldName`` names the
+  docs-table column — PointRangeQueryBuilder.java)
+- ``UserQuery`` (classic query-parser syntax, UserInputQueryBuilder)
+- ``SpanTerm``, ``SpanOr``, ``SpanNear`` (``slop``, ``inOrder``),
+  ``SpanFirst`` (``end``) — mapped onto the minimal-interval algebra
+  with the established distance identity (SpanNear slop s = interval
+  max_gaps s; see plans/surround.py)
+
+Unknown elements raise ``XMLParseError`` like the reference's
+``ParserException`` for unregistered builders.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class XMLParseError(ValueError):
+    pass
+
+
+def _boosted(searcher, df: DataFrame, boost: float) -> DataFrame:
+    if boost == 1.0:
+        return df
+    import numpy as np
+
+    score_t = "float" if searcher.dtype == np.float32 else "double"
+    return df.select(
+        "segment_id",
+        "docid",
+        (F.col("score") * float(boost)).cast(score_t).alias("score"),
+    )
+
+
+def _text(el) -> str:
+    return (el.text or "").strip()
+
+
+def _child_queries(searcher, el) -> list[DataFrame]:
+    return [_build(searcher, c) for c in el]
+
+
+_OCCURS = {
+    "must": "must",
+    "should": "should",
+    "mustnot": "must_not",
+    "filter": "filter",
+}
+
+
+def _build(searcher, el) -> DataFrame:
+    tag = el.tag
+    boost = float(el.get("boost", 1.0))
+    if tag == "TermQuery":
+        return _boosted(
+            searcher, searcher.scored_boolean(should=[_text(el)]), boost
+        )
+    if tag == "TermsQuery":
+        terms = searcher.analyze_query(_text(el))
+        if not terms:
+            return searcher._empty_scored().select(
+                "segment_id", "docid", "score"
+            )
+        return _boosted(
+            searcher, searcher.scored_boolean(should=terms), boost
+        )
+    if tag == "MatchAllDocsQuery":
+        return _boosted(searcher, searcher.match_all(), boost)
+    if tag == "BooleanQuery":
+        groups: dict[str, list[DataFrame]] = {
+            "must": [],
+            "should": [],
+            "must_not": [],
+            "filter": [],
+        }
+        for clause in el:
+            if clause.tag != "Clause":
+                raise XMLParseError(
+                    f"BooleanQuery child must be Clause, got {clause.tag}"
+                )
+            occ = clause.get("occurs", "should").lower()
+            if occ not in _OCCURS:
+                raise XMLParseError(
+                    f'invalid value for "occurs" attribute: {occ}'
+                )
+            subs = list(clause)
+            if len(subs) != 1:
+                raise XMLParseError("Clause needs exactly one sub-query")
+            groups[_OCCURS[occ]].append(_build(searcher, subs[0]))
+        msm = int(el.get("minimumNumberShouldMatch", 0))
+        return _boosted(
+            searcher,
+            searcher.scored_boolean_clauses(
+                must=groups["must"],
+                should=groups["should"],
+                must_not=groups["must_not"],
+                filter=groups["filter"],
+                min_should_match=msm,
+            ),
+            boost,
+        )
+    if tag == "DisjunctionMaxQuery":
+        tie = float(el.get("tieBreaker", 0.0))
+        clauses = _child_queries(searcher, el)
+        if not clauses:
+            raise XMLParseError("DisjunctionMaxQuery needs sub-queries")
+        return _boosted(
+            searcher, searcher.scored_dismax(clauses, tie_breaker=tie), boost
+        )
+    if tag == "ConstantScoreQuery":
+        subs = list(el)
+        if len(subs) != 1:
+            raise XMLParseError("ConstantScoreQuery needs one sub-query")
+        matches = _build(searcher, subs[0]).select("segment_id", "docid")
+        return searcher.constant_score(matches, boost)
+    if tag == "RangeQuery":
+        return _boosted(
+            searcher,
+            searcher.scored_term_range(
+                el.get("lowerTerm"),
+                el.get("upperTerm"),
+                include_lower=el.get("includeLower", "true").lower()
+                == "true",
+                include_upper=el.get("includeUpper", "true").lower()
+                == "true",
+            ),
+            boost,
+        )
+    if tag == "PointRangeQuery":
+        attr = el.get("fieldName", "doclen")
+        lo = el.get("lowerTerm")
+        hi = el.get("upperTerm")
+        return _boosted(
+            searcher,
+            searcher.scored_point_range(
+                attr,
+                int(lo) if lo is not None else None,
+                int(hi) if hi is not None else None,
+            ),
+            boost,
+        )
+    if tag == "UserQuery":
+        from .parser import _scored_group, parse
+
+        return _boosted(
+            searcher, _scored_group(searcher, parse(_text(el))), boost
+        )
+    if tag in ("SpanTerm", "SpanOr", "SpanNear", "SpanFirst"):
+        slots, kw = _span_sources(el)
+        if all(len(s) == 1 for s in slots):
+            scored = searcher.scored_intervals(
+                [s[0] for s in slots], **kw
+            )
+        else:
+            if "first_end" in kw:
+                raise XMLParseError(
+                    "SpanFirst over SpanOr alternatives is unsupported"
+                )
+            scored = searcher.scored_interval_or(slots, **kw)
+        return _boosted(searcher, scored, boost)
+    raise XMLParseError(f"no builder registered for element {tag}")
+
+
+def _span_sources(el):
+    """Map the span element family onto scored_intervals arguments.
+    SpanNear slop s = interval max_gaps s (the surround identity);
+    inOrder chooses ordered vs unordered."""
+    if el.tag == "SpanTerm":
+        return [[_text(el)]], {"mode": "ordered"}
+    if el.tag == "SpanOr":
+        alts = []
+        for c in el:
+            if c.tag != "SpanTerm":
+                raise XMLParseError("SpanOr supports SpanTerm children")
+            alts.append(_text(c))
+        return [alts], {"mode": "ordered"}
+    if el.tag == "SpanNear":
+        slots = []
+        for c in el:
+            s, _ = _span_sources(c)
+            if len(s) != 1:
+                raise XMLParseError("SpanNear nests single-slot spans")
+            slots.append(s[0])
+        slop = int(el.get("slop", 0))
+        in_order = el.get("inOrder", "true").lower() == "true"
+        return slots, {
+            "mode": "ordered" if in_order else "unordered",
+            "max_gaps": slop,
+        }
+    if el.tag == "SpanFirst":
+        subs = list(el)
+        if len(subs) != 1:
+            raise XMLParseError("SpanFirst needs one sub-span")
+        slots, kw = _span_sources(subs[0])
+        kw["first_end"] = int(el.get("end", 1))
+        return slots, kw
+    raise XMLParseError(f"unsupported span element {el.tag}")
+
+
+def xml_scored(searcher, xml_text: str) -> DataFrame:
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError as e:
+        raise XMLParseError(f"malformed query XML: {e}") from e
+    return _build(searcher, root)
+
+
+def xml_query(searcher, xml_text: str, k: int = 10) -> DataFrame:
+    """Parse and run an XML query; top-k like the other parsers."""
+    return searcher._finish_topk(xml_scored(searcher, xml_text), k)

@@ -1,0 +1,131 @@
+"""XML query parser (queryparser/xml/CoreParser.java): element tree ==
+the equivalent direct operator calls."""
+
+import pytest
+
+from lucene_spark.plans.xml_parser import XMLParseError, xml_query
+
+
+def _rows(df):
+    return [(r["url"], r["score"]) for r in df.collect()]
+
+
+class TestXmlParser:
+    def test_term_query(self, searcher):
+        got = xml_query(searcher, "<TermQuery>window</TermQuery>", k=10)
+        ref = searcher.term_query("window", k=10)
+        assert _rows(got) == _rows(ref)
+
+    def test_boolean_with_occurs(self, searcher):
+        xml = """
+        <BooleanQuery>
+          <Clause occurs="must"><TermQuery>window</TermQuery></Clause>
+          <Clause occurs="should"><TermQuery>spark</TermQuery></Clause>
+          <Clause occurs="mustNot"><TermQuery>data</TermQuery></Clause>
+        </BooleanQuery>"""
+        got = xml_query(searcher, xml, k=10)
+        ref = searcher.boolean_query(
+            must=["window"], should=["spark"], must_not=["data"], k=10
+        )
+        assert _rows(got) == _rows(ref)
+
+    def test_boost_scales_scores(self, searcher):
+        a = xml_query(searcher, '<TermQuery boost="2.5">window</TermQuery>', k=5)
+        b = xml_query(searcher, "<TermQuery>window</TermQuery>", k=5)
+        for (ua, sa), (ub, sb) in zip(_rows(a), _rows(b)):
+            assert ua == ub and abs(sa - 2.5 * sb) < 1e-5
+
+    def test_dismax_tiebreaker(self, searcher):
+        xml = """
+        <DisjunctionMaxQuery tieBreaker="0.3">
+          <TermQuery>window</TermQuery>
+          <TermQuery>spark</TermQuery>
+        </DisjunctionMaxQuery>"""
+        got = xml_query(searcher, xml, k=10)
+        ref = searcher.dismax_query(
+            ["window", "spark"], tie_breaker=0.3, k=10
+        )
+        assert _rows(got) == _rows(ref)
+
+    def test_constant_score_and_match_all(self, searcher, naive):
+        got = xml_query(
+            searcher,
+            '<ConstantScoreQuery boost="0.5">'
+            "<MatchAllDocsQuery/></ConstantScoreQuery>",
+            k=10_000,
+        ).collect()
+        assert len(got) == naive.N
+        assert all(abs(r["score"] - 0.5) < 1e-7 for r in got)
+
+    def test_range_query(self, searcher):
+        got = xml_query(
+            searcher,
+            '<RangeQuery lowerTerm="s" upperTerm="t" '
+            'includeUpper="false"/>',
+            k=10_000,
+        )
+        ref = searcher.term_range_query("s", "t", include_upper=False, k=10_000)
+        assert sorted(_rows(got)) == sorted(_rows(ref))
+
+    def test_point_range_query(self, searcher):
+        got = xml_query(
+            searcher,
+            '<PointRangeQuery fieldName="doclen" lowerTerm="20" '
+            'upperTerm="40"/>',
+            k=10_000,
+        )
+        ref = searcher.point_range_query("doclen", 20, 40, k=10_000)
+        assert sorted(_rows(got)) == sorted(_rows(ref))
+
+    def test_user_query_delegates_to_classic_parser(self, searcher):
+        from lucene_spark.plans.parser import execute
+
+        got = xml_query(
+            searcher, "<UserQuery>window AND spark</UserQuery>", k=10
+        )
+        ref = execute(searcher, "window AND spark", k=10)
+        assert _rows(got) == _rows(ref)
+
+    def test_span_near_equals_intervals(self, searcher):
+        xml = """
+        <SpanNear slop="2" inOrder="true">
+          <SpanTerm>value</SpanTerm>
+          <SpanTerm>vector</SpanTerm>
+        </SpanNear>"""
+        got = xml_query(searcher, xml, k=10)
+        ref = searcher._finish_topk(
+            searcher.scored_intervals(
+                ["value", "vector"], mode="ordered", max_gaps=2
+            ),
+            10,
+        )
+        assert _rows(got) == _rows(ref)
+
+    def test_span_or_inside_near(self, searcher):
+        xml = """
+        <SpanNear slop="1" inOrder="true">
+          <SpanOr><SpanTerm>value</SpanTerm><SpanTerm>query</SpanTerm></SpanOr>
+          <SpanTerm>vector</SpanTerm>
+        </SpanNear>"""
+        got = xml_query(searcher, xml, k=10)
+        ref = searcher._finish_topk(
+            searcher.scored_interval_or(
+                [["value", "query"], ["vector"]],
+                mode="ordered",
+                max_gaps=1,
+            ),
+            10,
+        )
+        assert _rows(got) == _rows(ref)
+
+    def test_errors(self, searcher):
+        with pytest.raises(XMLParseError, match="no builder"):
+            xml_query(searcher, "<NoSuchQuery>x</NoSuchQuery>")
+        with pytest.raises(XMLParseError, match="occurs"):
+            xml_query(
+                searcher,
+                '<BooleanQuery><Clause occurs="maybe">'
+                "<TermQuery>a</TermQuery></Clause></BooleanQuery>",
+            )
+        with pytest.raises(XMLParseError, match="malformed"):
+            xml_query(searcher, "<TermQuery>unclosed")
