@@ -2810,10 +2810,16 @@ class Searcher(QueryOpsMixin):
         GTE; Lucene reports whatever it happened to accumulate, which
         is implementation-defined — a deterministic bound is the
         oracle-checkable analog)."""
-        matches = self.scored_postings([term]).select(
-            "segment_id", "docid"
-        )  # liveDocs already applied by scored_postings
-        n = matches.limit(total_hits_threshold + 1).count()
+        if self._tombstones is None:
+            # Weight#count shortcut (IndexSearcher.java:495-527): with
+            # no deletes the exact df is free from cached term stats —
+            # zero Spark jobs; the relation is decided the same way
+            n = self.term_stats([term]).get(term, (0, 0))[0]
+        else:
+            matches = self.scored_postings([term]).select(
+                "segment_id", "docid"
+            )  # liveDocs already applied by scored_postings
+            n = matches.limit(total_hits_threshold + 1).count()
         if n <= total_hits_threshold:
             return n, "EQUAL_TO"
         return total_hits_threshold + 1, "GREATER_THAN_OR_EQUAL_TO"

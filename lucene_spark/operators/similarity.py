@@ -275,6 +275,37 @@ def ivf_assign(
     return emb.withColumn("cell", best.cast("int"))
 
 
+
+def _default_centroids(emb, n_centroids, id_col, vec_col):
+    """First n vectors by id — deterministic and SQL-reproducible
+    (the oracles' cents CTE recomputes the same list). Shared by the
+    plain and seeded IVF paths so the cell geometry can never
+    diverge between them."""
+    return [
+        [float(x) for x in r[vec_col]]
+        for r in emb.orderBy(id_col).limit(n_centroids).collect()
+    ]
+
+
+def _ivf_rescore(cells, probes, k, id_col, vec_col, qid_col, qvec_col):
+    """Shared exact-rescore tail: join candidates on cell, cosine,
+    per-query dense rank (ties to the smaller id), keep k."""
+    cand = cells.join(F.broadcast(probes), "cell").select(
+        qid_col, id_col, vec_col, qvec_col
+    )
+    scored = cand.select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos", "rank")
+    )
+
+
 def ivf_topk_per_query(
     emb: DataFrame,
     queries: DataFrame,
@@ -301,10 +332,7 @@ def ivf_topk_per_query(
     once, cacheable); the candidate join shuffles on ``cell``; probed
     fraction ≈ nprobe/n_centroids of the corpus per query."""
     if centroids is None:
-        centroids = [
-            [float(x) for x in r[vec_col]]
-            for r in emb.orderBy(id_col).limit(n_centroids).collect()
-        ]
+        centroids = _default_centroids(emb, n_centroids, id_col, vec_col)
     cells = ivf_assign(emb, centroids, vec_col).select(id_col, vec_col, "cell")
 
     qsims = [
@@ -327,20 +355,7 @@ def ivf_topk_per_query(
         F.explode(F.slice(ranked, 1, nprobe)).alias("pr"),
     ).select(qid_col, qvec_col, F.col("pr.cell").alias("cell"))
 
-    cand = cells.join(F.broadcast(probes), "cell").select(
-        qid_col, id_col, vec_col, qvec_col
-    )
-    scored = cand.select(
-        F.col(qid_col),
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"),
-    )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(qid_col, id_col, "cos", "rank")
-    )
+    return _ivf_rescore(cells, probes, k, id_col, vec_col, qid_col, qvec_col)
 
 
 def ivf_recall_at_k(
@@ -628,12 +643,20 @@ def filtered_brute_force_topk(
     if where is not None:
         base = base.where(where)
     if candidates is not None:
-        base = base.join(
-            candidates.select(F.col(candidates.columns[0]).alias(id_col))
-            .distinct(),
-            id_col,
-            "left_semi",
-        )
+        # resolve the id column by NAME; a positional grab would
+        # silently semi-join on scores/urls for multi-column frames
+        if id_col in candidates.columns:
+            cand_ids = candidates.select(id_col)
+        elif len(candidates.columns) == 1:
+            cand_ids = candidates.select(
+                F.col(candidates.columns[0]).alias(id_col)
+            )
+        else:
+            raise ValueError(
+                f"candidates needs an {id_col!r} column (or exactly one"
+                f" column); got {candidates.columns}"
+            )
+        base = base.join(cand_ids.distinct(), id_col, "left_semi")
     return brute_force_topk(base, query_vec, k, id_col, vec_col)
 
 
@@ -665,10 +688,7 @@ def ivf_seeded_topk(
     (tiny) assignment table; candidates shuffle on ``cell`` like the
     unseeded path."""
     if centroids is None:
-        centroids = [
-            [float(x) for x in r[vec_col]]
-            for r in emb.orderBy(id_col).limit(n_centroids).collect()
-        ]
+        centroids = _default_centroids(emb, n_centroids, id_col, vec_col)
     cells = ivf_assign(emb, centroids, vec_col).select(
         id_col, vec_col, "cell"
     )
@@ -679,17 +699,4 @@ def ivf_seeded_topk(
         .distinct()
     )
     probes = seed_cells.join(queries.select(qid_col, qvec_col), qid_col)
-    cand = cells.join(F.broadcast(probes), "cell").select(
-        qid_col, id_col, vec_col, qvec_col
-    )
-    scored = cand.select(
-        F.col(qid_col),
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"),
-    )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(qid_col, id_col, "cos", "rank")
-    )
+    return _ivf_rescore(cells, probes, k, id_col, vec_col, qid_col, qvec_col)

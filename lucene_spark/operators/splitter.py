@@ -72,12 +72,23 @@ def split_index(
     )
     from .deletes import delete_by_keys
 
+    # SQL three-valued logic: a row where doc_pred is NULL satisfies
+    # neither `pred` nor `~pred`, which would leave the doc alive in
+    # BOTH outputs — coalesce to False so NULL rows land on the fail
+    # side exactly once (a filter a doc doesn't match = not passing)
+    pred_f = F.coalesce(doc_pred, F.lit(False))
     for dst, victim_pred in (
-        (dst_pass_dir, ~doc_pred),
-        (dst_fail_dir, doc_pred),
+        (dst_pass_dir, ~pred_f),
+        (dst_fail_dir, pred_f),
     ):
-        _clone_index(src_dir, dst)
+        # build in a temp dir and publish by rename: a crash between
+        # clone and reclaim must never leave dst looking like a
+        # completed (but unfiltered) index
+        tmp = dst.rstrip("/") + ".inprogress"
+        _clone_index(src_dir, tmp)
         victims = src_docs.where(victim_pred).select("url")
-        delete_by_keys(spark, dst, victims)
-        _reclaim_all(spark, dst)
+        delete_by_keys(spark, tmp, victims)
+        _reclaim_all(spark, tmp)
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.move(tmp, dst)
     return dst_pass_dir, dst_fail_dir

@@ -197,9 +197,15 @@ def _span_sources(el):
     if el.tag == "SpanNear":
         slots = []
         for c in el:
-            s, _ = _span_sources(c)
-            if len(s) != 1:
-                raise XMLParseError("SpanNear nests single-slot spans")
+            s, ckw = _span_sources(c)
+            # a nested child carrying its own constraints (another
+            # SpanNear's gaps, a SpanFirst's end bound) cannot fold
+            # into this flat slot list — reject loudly rather than
+            # silently dropping the constraint
+            if len(s) != 1 or ckw != {"mode": "ordered"}:
+                raise XMLParseError(
+                    "SpanNear nests only SpanTerm/SpanOr children"
+                )
             slots.append(s[0])
         slop = int(el.get("slop", 0))
         in_order = el.get("inOrder", "true").lower() == "true"
