@@ -4762,6 +4762,50 @@ def _q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction over RIFF/WAVE blobs
+    (``functions/wav.py``): per doc_id a PCM16 mono signal
+    s[i] = ((doc_id*31 + i*7) % 2048) − 1024 of n = 64 + (doc_id%5)*32
+    samples is ENCODED to WAV bytes, PARSED back through the container
+    reader, and reduced to exact-integer per-32-sample-frame energy +
+    zero crossings; the oracle reconstructs the numbers by arithmetic
+    (the y4m construction-oracle pattern)."""
+    from lucene_spark.operators.multimodal import audio_features
+
+    base = (
+        _docs_table(spark, sf_dir)
+        .where(F.col("doc_id") < 64)
+        .select("doc_id")
+        .repartition(8)
+    )
+
+    def blobs(batches):
+        import numpy as np
+        import pandas as pd
+
+        from lucene_spark.functions.wav import encode_wav
+
+        for pdf in batches:
+            urls, data = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + (did % 5) * 32
+                samples = (
+                    (np.arange(n, dtype=np.int64) * 7 + did * 31) % 2048
+                    - 1024
+                ).astype(np.int16)
+                urls.append(f"https://example.org/doc/{did:08d}")
+                data.append(encode_wav(samples, 8000))
+            yield pd.DataFrame({"url": urls, "html": data})
+
+    wavs = base.mapInPandas(blobs, schema="url string, html binary")
+    return (
+        audio_features(wavs, frame=32)
+        .select(_doc_id("url"), "frame", "energy", "zero_crossings")
+        .orderBy("doc_id", "frame")
+    )
+
+
 def _q_y4m_frame_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame extraction over YUV4MPEG2 containers
     (``functions/y4m.py``; mjpegtools y4m format). Blobs are
@@ -5896,6 +5940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_update_top10": _q_post_update,
         "docvalue_boost_top10": _q_docvalue_boost,
         "y4m_frame_grid": _q_y4m_frame_grid,
+        "wav_audio_features": _q_wav_audio_features,
         "add_indexes_top10": _q_add_indexes,
         "rollback_top10": _q_rollback,
         "merged_index_top10": _q_merged,
@@ -6711,6 +6756,25 @@ def oracle_sql() -> dict[str, str]:
             "window", _DVU_IDS, _DVU_RANK
         ),
         "y4m_frame_grid": _Y4M_GRID_SQL,
+        "wav_audio_features": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+            idx AS (SELECT d.doc_id, r.range AS i
+                    FROM d CROSS JOIN range(0, 192) r
+                    WHERE r.range < 64 + (d.doc_id % 5) * 32),
+            s AS (SELECT doc_id, i,
+                         ((doc_id * 31 + i * 7) % 2048) - 1024 AS v
+                  FROM idx),
+            w AS (SELECT doc_id, CAST(i // 32 AS INT) AS frame, v,
+                         lag(v) OVER (PARTITION BY doc_id, i // 32
+                                      ORDER BY i) AS pv
+                  FROM s)
+            SELECT doc_id, frame,
+                   sum(v * v)::BIGINT AS energy,
+                   sum(CASE WHEN pv IS NOT NULL
+                            AND ((v < 0) != (pv < 0))
+                       THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+            FROM w GROUP BY doc_id, frame
+            ORDER BY doc_id, frame""",
         "add_indexes_top10": _bm25_sql(["window"]),
         "rollback_top10": _bm25_sql(["window"]),
         "merged_index_top10": _bm25_sql(["window"]),

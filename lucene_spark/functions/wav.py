@@ -1,0 +1,108 @@
+"""WAV (RIFF/WAVE) audio codec — pure stdlib/numpy, no external libs.
+
+The audio leg of the multimodal columns (the reference has no audio
+either — this is the training-data-pipeline extension, same status as
+``png.py``/``jpeg.py``/``y4m.py``): web-scale tables carry audio as
+opaque ``binary``; the engine must parse containers and extract
+features without ever shuffling the payload bytes.
+
+Format support: canonical RIFF/WAVE with a PCM ``fmt `` chunk
+(audio format 1), 8-bit unsigned or 16-bit signed little-endian
+samples, any channel count.  Unknown chunks (LIST, fact, cue) are
+skipped by their declared size, like any spec-compliant reader.
+Compressed codecs (MP3, AAC, float WAV) surface as ``None`` metadata
+rows — never fatal — matching the NULL-marked video-codec policy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class WavError(ValueError):
+    pass
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """Minimal canonical WAV writer (PCM16): the test/synthesis side
+    of the round-trip.  ``samples`` is int16, shape (n,) mono or
+    (n, channels) interleaved on write."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 2:
+        channels = s.shape[1]
+    data = s.reshape(-1).tobytes()
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ",
+        16,
+        1,
+        channels,
+        sample_rate,
+        byte_rate,
+        block_align,
+        16,
+    )
+    chunks = fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def parse_wav(data: bytes):
+    """Parse a RIFF/WAVE blob → (sample_rate, channels, bits,
+    n_frames, samples) with samples int32, shape (n_frames, channels).
+    Returns None for non-WAV or non-PCM payloads (NULL-marked, never
+    fatal)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        body = data[pos : pos + size]
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        return None
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        return None  # non-PCM (float/mp3/...) -> NULL-marked
+    if bits == 16:
+        n = len(raw) // (2 * channels)
+        s = np.frombuffer(raw[: n * 2 * channels], dtype="<i2").astype(
+            np.int32
+        )
+    else:
+        n = len(raw) // channels
+        # 8-bit WAV is UNSIGNED; center to signed like every decoder
+        s = np.frombuffer(raw[: n * channels], dtype=np.uint8).astype(
+            np.int32
+        ) - 128
+    return sample_rate, channels, bits, n, s.reshape(n, channels)
+
+
+def frame_features(samples: np.ndarray, frame: int):
+    """Per-frame energy (sum of squared samples, exact int64) and
+    zero-crossing count (adjacent sign changes WITHIN the frame,
+    negative vs non-negative) over the mono mix (channel 0).  Integer
+    arithmetic end-to-end so any oracle can reproduce the numbers
+    bit-for-bit."""
+    mono = samples[:, 0].astype(np.int64)
+    n_frames = len(mono) // frame
+    out = []
+    for f in range(n_frames):
+        w = mono[f * frame : (f + 1) * frame]
+        energy = int((w * w).sum())
+        neg = w < 0
+        zc = int((neg[1:] != neg[:-1]).sum())
+        out.append((f, energy, zc))
+    return out

@@ -282,3 +282,97 @@ def video_metadata(
             "fps_den int, n_frames int"
         ),
     )
+
+
+def audio_metadata(
+    df: DataFrame, bin_col: str = "html", key_col: str = "url"
+) -> DataFrame:
+    """Real container metadata for WAV blobs (functions/wav.py):
+    (key, sample_rate, channels, bits, n_samples, duration_ms) via one
+    Arrow pass. Non-WAV / non-PCM blobs get NULL columns — marked,
+    never fatal (the same policy as compressed video codecs)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import parse_wav
+
+        for pdf in batches:
+            out = {
+                "url": pdf[key_col],
+                "sample_rate": [],
+                "channels": [],
+                "bits": [],
+                "n_samples": [],
+                "duration_ms": [],
+            }
+            for blob in pdf[bin_col]:
+                parsed = parse_wav(
+                    bytes(blob) if blob is not None else b""
+                )
+                if parsed is None:
+                    for c in (
+                        "sample_rate", "channels", "bits", "n_samples",
+                        "duration_ms",
+                    ):
+                        out[c].append(None)
+                else:
+                    sr, ch, bits, n, _s = parsed
+                    out["sample_rate"].append(sr)
+                    out["channels"].append(ch)
+                    out["bits"].append(bits)
+                    out["n_samples"].append(n)
+                    out["duration_ms"].append(int(n * 1000 // sr))
+            yield pd.DataFrame(out)
+
+    return df.select(key_col, bin_col).mapInPandas(
+        kernel,
+        schema=(
+            "url string, sample_rate int, channels int, bits int, "
+            "n_samples long, duration_ms long"
+        ),
+    )
+
+
+def audio_features(
+    df: DataFrame,
+    bin_col: str = "html",
+    key_col: str = "url",
+    frame: int = 32,
+) -> DataFrame:
+    """Per-frame audio features over decoded WAV samples: exact-integer
+    energy (sum of squares) and zero-crossing count per ``frame``
+    samples of channel 0 — the deterministic stand-in for spectral
+    feature extraction (same contract as decode_image's pixel stats:
+    REAL parsing, oracle-reproducible numbers).  Bytes stay inside the
+    Arrow pass; only (key, frame, features) rows come out, so payload
+    never shuffles."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import frame_features, parse_wav
+
+        for pdf in batches:
+            urls, frames, energies, zcs = [], [], [], []
+            for url, blob in zip(pdf[key_col], pdf[bin_col]):
+                parsed = parse_wav(
+                    bytes(blob) if blob is not None else b""
+                )
+                if parsed is None:
+                    continue
+                _sr, _ch, _bits, _n, samples = parsed
+                for f, energy, zc in frame_features(samples, frame):
+                    urls.append(url)
+                    frames.append(f)
+                    energies.append(energy)
+                    zcs.append(zc)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "frame": frames,
+                    "energy": energies,
+                    "zero_crossings": zcs,
+                }
+            )
+
+    return df.select(key_col, bin_col).mapInPandas(
+        kernel,
+        schema="url string, frame int, energy long, zero_crossings long",
+    )

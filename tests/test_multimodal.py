@@ -1,0 +1,118 @@
+
+
+class TestWavAudio:
+    def test_roundtrip_mono_and_stereo(self):
+        import numpy as np
+
+        from lucene_spark.functions.wav import encode_wav, parse_wav
+
+        mono = (np.arange(100, dtype=np.int16) * 37 % 2048) - 1024
+        sr, ch, bits, n, s = parse_wav(encode_wav(mono, 8000, 1))
+        assert (sr, ch, bits, n) == (8000, 1, 16, 100)
+        assert (s[:, 0] == mono).all()
+
+        stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+        sr, ch, bits, n, s = parse_wav(encode_wav(stereo, 44100))
+        assert (sr, ch, n) == (44100, 2, 100)
+        assert (s[:, 0] == mono).all() and (s[:, 1] == -mono).all()
+
+    def test_eight_bit_unsigned_centering(self):
+        import struct
+
+        from lucene_spark.functions.wav import parse_wav
+
+        raw = bytes([0, 128, 255])
+        fmt = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 4 + 24 + 8 + len(raw) + 1, b"WAVE",
+            b"fmt ", 16, 1, 1, 8000, 8000, 1, 8,
+            b"data", len(raw),
+        ) + raw + b"\x00"  # odd chunk padded to word boundary
+        sr, ch, bits, n, s = parse_wav(fmt)
+        assert bits == 8 and n == 3
+        assert list(s[:, 0]) == [-128, 0, 127]
+
+    def test_non_wav_and_non_pcm_are_null(self):
+        import struct
+
+        from lucene_spark.functions.wav import encode_wav, parse_wav
+
+        assert parse_wav(b"\x89PNG....") is None
+        assert parse_wav(b"") is None
+        # IEEE-float format tag 3 -> unsupported codec -> None
+        blob = bytearray(encode_wav([0, 1, 2], 8000, 1))
+        blob[20] = 3  # audio_format field
+        assert parse_wav(bytes(blob)) is None
+
+    def test_unknown_chunks_skipped(self):
+        import struct
+
+        import numpy as np
+
+        from lucene_spark.functions.wav import encode_wav, parse_wav
+
+        base = encode_wav(np.array([1, -2, 3], dtype=np.int16))
+        # splice a LIST chunk between fmt and data
+        head, fmt_and_rest = base[:12], base[12:]
+        fmt_chunk = fmt_and_rest[: 8 + 16]
+        rest = fmt_and_rest[8 + 16 :]
+        lst = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        spliced = struct.pack(
+            "<4sI4s",
+            b"RIFF",
+            4 + len(fmt_chunk) + len(lst) + len(rest),
+            b"WAVE",
+        ) + fmt_chunk + lst + rest
+        parsed = parse_wav(spliced)
+        assert parsed is not None and parsed[3] == 3
+
+    def test_frame_features_exact(self):
+        import numpy as np
+
+        from lucene_spark.functions.wav import frame_features
+
+        s = np.array([[1], [-1], [2], [-2], [3], [3], [-3], [0]],
+                     dtype=np.int32)
+        feats = frame_features(s, 4)
+        assert feats[0] == (0, 1 + 1 + 4 + 4, 3)
+        # frame 1: 9+9+9+0 energy; signs + + - 0 -> crossings: 3->-3 (1),
+        # -3->0 (1, negative vs non-negative)
+        assert feats[1] == (1, 27, 2)
+
+    def test_spark_audio_ops(self, spark):
+        import numpy as np
+
+        from lucene_spark.functions.wav import encode_wav
+        from lucene_spark.operators.multimodal import (
+            audio_features,
+            audio_metadata,
+        )
+
+        rows = []
+        for i in range(6):
+            n = 64 + (i % 3) * 32
+            samples = ((np.arange(n) * 7 + i * 31) % 2048 - 1024).astype(
+                np.int16
+            )
+            rows.append((f"u{i}", bytearray(encode_wav(samples, 8000))))
+        rows.append(("bad", bytearray(b"not audio")))
+        df = spark.createDataFrame(rows, "url string, html binary")
+        md = {r["url"]: r for r in audio_metadata(df).collect()}
+        assert md["u0"]["n_samples"] == 64
+        assert md["u1"]["n_samples"] == 96
+        assert md["u0"]["duration_ms"] == 8
+        assert md["bad"]["sample_rate"] is None
+        feats = audio_features(df, frame=32).collect()
+        per_url = {}
+        for r in feats:
+            per_url.setdefault(r["url"], []).append(r)
+        assert len(per_url["u0"]) == 2 and len(per_url["u1"]) == 3
+        assert "bad" not in per_url
+        # recompute one frame by hand
+        n = 64
+        s = ((np.arange(n) * 7 + 0 * 31) % 2048 - 1024).astype(np.int64)
+        w = s[:32]
+        r0 = next(r for r in per_url["u0"] if r["frame"] == 0)
+        assert r0["energy"] == int((w * w).sum())
+        neg = w < 0
+        assert r0["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())
