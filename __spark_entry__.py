@@ -2812,6 +2812,126 @@ def _q_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHAPE_DY = [1.0, 0.309, -0.809, -0.809, 0.309]
+_SHAPE_DX = [0.0, 0.951, 0.588, -0.588, -0.951]
+# chosen so all four relations are non-empty at sf0.01 (within 2,
+# contains 1, intersects 29, disjoint 371 — verified by brute force)
+_SHAPE_BOX = (-3.7, 4.3, -23.3, -15.3)  # min_lat, max_lat, min/max_lon
+
+
+def _q_shape_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLonShape.newBoxQuery relations (core/document/LatLonShape
+    .java + ShapeField.QueryRelation): pentagons synthesized per
+    doc_id (center + radius arithmetic), counted per relation against
+    the box [-2,2]x[-2,2]."""
+    from lucene_spark.operators.geo import shape_box_relations
+
+    d = _docs_table(spark, sf_dir).where(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("shape_id"),
+        ((F.col("doc_id") % 40) - 20 + 0.3).alias("cy"),
+        (((F.col("doc_id") * 3) % 80) - 40 + 0.7).alias("cx"),
+        (2 + F.col("doc_id") % 7).cast("double").alias("r"),
+    )
+    shapes = d.select(
+        "shape_id",
+        F.array(
+            *[F.col("cy") + F.col("r") * F.lit(dy) for dy in _SHAPE_DY]
+        ).alias("lats"),
+        F.array(
+            *[F.col("cx") + F.col("r") * F.lit(dx) for dx in _SHAPE_DX]
+        ).alias("lons"),
+    )
+    rel = shape_box_relations(shapes, *_SHAPE_BOX)
+    agg = rel.agg(
+        F.sum(F.col("within").cast("long")).alias("within"),
+        F.sum(F.col("contains").cast("long")).alias("contains"),
+        F.sum(F.col("intersects").cast("long")).alias("intersects"),
+        F.sum(F.col("disjoint").cast("long")).alias("disjoint"),
+    ).collect()[0]
+    rows = [(k, int(agg[k])) for k in
+            ("within", "contains", "intersects", "disjoint")]
+    return spark.createDataFrame(rows, "relation string, cnt long")
+
+
+def _shape_box_sql() -> str:
+    """Replay shape_box_relations edge algebra in SQL: same pentagon
+    synthesis, same orientation/crossing arithmetic (DuckDB's
+    NULL-on-zero-divide mirrors the engine's try_divide exactly)."""
+    min_lat, max_lat, min_lon, max_lon = _SHAPE_BOX
+    dy = ", ".join(str(v) for v in _SHAPE_DY)
+    dx = ", ".join(str(v) for v in _SHAPE_DX)
+    corners = [
+        (min_lat, min_lon),
+        (min_lat, max_lon),
+        (max_lat, max_lon),
+        (max_lat, min_lon),
+    ]
+    cc_cols = []
+    for j, (cy, cx) in enumerate(corners):
+        cc_cols.append(
+            f"CASE WHEN (({cy} < y1) != ({cy} < y2)) AND "
+            f"({cx} < (x2 - x1) * ({cy} - y1) / (y2 - y1) + x1) "
+            f"THEN 1 ELSE 0 END AS cc{j}"
+        )
+    box_edges = [
+        (min_lat, min_lon, min_lat, max_lon),
+        (min_lat, max_lon, max_lat, max_lon),
+        (max_lat, max_lon, max_lat, min_lon),
+        (max_lat, min_lon, min_lat, min_lon),
+    ]
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return (
+            f"(({bx}) - ({ax})) * (({cy}) - ({ay})) "
+            f"- (({by}) - ({ay})) * (({cx}) - ({ax}))"
+        )
+
+    ec_terms = []
+    for by1, bx1, by2, bx2 in box_edges:
+        o1 = orient("x1", "y1", "x2", "y2", bx1, by1)
+        o2 = orient("x1", "y1", "x2", "y2", bx2, by2)
+        o3 = orient(bx1, by1, bx2, by2, "x1", "y1")
+        o4 = orient(bx1, by1, bx2, by2, "x2", "y2")
+        ec_terms.append(
+            f"(({o1}) * ({o2}) <= 0 AND ({o3}) * ({o4}) <= 0)"
+        )
+    ec = " OR ".join(ec_terms)
+    return f"""WITH d AS (
+        SELECT doc_id, ((doc_id % 40) - 20 + 0.3)::DOUBLE AS cy,
+               (((doc_id * 3) % 80) - 40 + 0.7)::DOUBLE AS cx,
+               (2 + doc_id % 7)::DOUBLE AS r
+        FROM documents WHERE doc_id < 400),
+      dyx AS (SELECT list_value({dy}) AS dy, list_value({dx}) AS dx),
+      e AS (SELECT d.doc_id,
+              d.cy + d.r * dy[k.range + 1] AS y1,
+              d.cx + d.r * dx[k.range + 1] AS x1,
+              d.cy + d.r * dy[((k.range + 1) % 5) + 1] AS y2,
+              d.cx + d.r * dx[((k.range + 1) % 5) + 1] AS x2
+            FROM d CROSS JOIN range(0, 5) k CROSS JOIN dyx),
+      f AS (SELECT doc_id,
+              CASE WHEN y1 BETWEEN {min_lat} AND {max_lat}
+                    AND x1 BETWEEN {min_lon} AND {max_lon}
+                   THEN 1 ELSE 0 END AS vin,
+              CASE WHEN {ec} THEN 1 ELSE 0 END AS ec,
+              {", ".join(cc_cols)}
+            FROM e),
+      a AS (SELECT doc_id, min(vin) AS all_in, max(vin) AS any_in,
+              max(ec) AS ec,
+              (sum(cc0) % 2 = 1) AS c0, (sum(cc1) % 2 = 1) AS c1,
+              (sum(cc2) % 2 = 1) AS c2, (sum(cc3) % 2 = 1) AS c3
+            FROM f GROUP BY doc_id),
+      rel AS (SELECT doc_id, (all_in = 1) AS w,
+               (c0 AND c1 AND c2 AND c3 AND ec = 0) AS c,
+               (any_in = 1 OR c0 OR c1 OR c2 OR c3 OR ec = 1) AS i
+            FROM a)
+      SELECT 'within' AS relation, count(*) FILTER (w)::BIGINT AS cnt
+      FROM rel
+      UNION ALL SELECT 'contains', count(*) FILTER (c)::BIGINT FROM rel
+      UNION ALL SELECT 'intersects', count(*) FILTER (i)::BIGINT FROM rel
+      UNION ALL SELECT 'disjoint', count(*) FILTER (NOT i)::BIGINT
+      FROM rel"""
+
+
 def _q_xml_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML query parser (queryparser/xml/CoreParser.java:61-131): a
     BooleanQuery element tree — must window+spark, mustNot data."""
@@ -5907,6 +6027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_index_top10": _q_split_index,
         "range_field_counts": _q_range_field,
         "xml_parsed_top10": _q_xml_parsed,
+        "shape_box_relations": _q_shape_box,
         "covering_top10": _q_covering,
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
@@ -6548,6 +6669,7 @@ def oracle_sql() -> dict[str, str]:
         "split_index_top10": _bm25_sql(
             ["window"], corpus_where="doc_id % 2 = 0"
         ),
+        "shape_box_relations": _shape_box_sql(),
         "xml_parsed_top10": _bm25_sql(
             ["window", "spark"], mode="must", must_not=["data"]
         ),

@@ -192,3 +192,152 @@ def polygon_query(
     return boxed.where(
         polygon_contains(F.col(lat_col), F.col(lon_col), polygon)
     )
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    """Sign of the cross product (b-a) x (c-a): the orientation test
+    both segment-intersection predicates build on."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def shape_box_relations(
+    shapes: DataFrame,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    id_col: str = "shape_id",
+    lat_arr: str = "lats",
+    lon_arr: str = "lons",
+) -> DataFrame:
+    """Indexed shapes vs a query box — the LatLonShape surface
+    (``core/document/LatLonShape.java`` ``newBoxQuery`` with
+    ``ShapeField.QueryRelation`` INTERSECTS/WITHIN/CONTAINS/DISJOINT;
+    the reference tessellates polygons into triangles in a BKD tree,
+    ``core/document/ShapeField.java``).  Each row carries a closed
+    polygon as two vertex arrays; returns one row per shape with four
+    boolean relation columns:
+
+    - ``within``     — polygon inside the box: every vertex inside
+      (sufficient: boxes are convex)
+    - ``contains``   — polygon contains the box: all 4 box corners
+      inside (even-odd crossing) AND no polygon edge crosses a box
+      edge
+    - ``intersects`` — any vertex inside ∨ any corner inside ∨ any
+      edge pair crossing
+    - ``disjoint``   — ¬intersects
+
+    Execution is Spark-first: edges EXPLODE into rows (posexplode +
+    modular next-vertex lookup), per-edge predicates are pure codegen
+    arithmetic (orientation tests, crossing-number rays), and one
+    map-side-combinable groupBy folds them back per shape — the same
+    shuffle shape as every aggregate here, no per-row Python.
+    Boundary-touching cases resolve by the shared double arithmetic
+    (orientation ``<= 0`` counts touching as crossing), identically
+    on the engine and any SQL oracle."""
+    n = F.size(F.col(lat_arr))
+    edges = shapes.select(
+        id_col,
+        n.alias("_n"),
+        F.posexplode(F.arrays_zip(F.col(lat_arr), F.col(lon_arr))).alias(
+            "_i", "_v"
+        ),
+        F.col(lat_arr).alias("_lats"),
+        F.col(lon_arr).alias("_lons"),
+    ).select(
+        id_col,
+        F.col("_v")[lat_arr].alias("y1"),
+        F.col("_v")[lon_arr].alias("x1"),
+        F.element_at(
+            "_lats", (F.pmod(F.col("_i") + 1, F.col("_n")) + 1).cast("int")
+        ).alias("y2"),
+        F.element_at(
+            "_lons", (F.pmod(F.col("_i") + 1, F.col("_n")) + 1).cast("int")
+        ).alias("x2"),
+    )
+
+    y1, x1, y2, x2 = (F.col(c) for c in ("y1", "x1", "y2", "x2"))
+    v_in = (
+        (y1 >= min_lat)
+        & (y1 <= max_lat)
+        & (x1 >= min_lon)
+        & (x1 <= max_lon)
+    )
+
+    corners = [
+        (min_lat, min_lon),
+        (min_lat, max_lon),
+        (max_lat, max_lon),
+        (max_lat, min_lon),
+    ]
+    corner_cross = []
+    for cy, cx in corners:
+        # try_divide: a horizontal edge (y1 == y2) can never satisfy
+        # the first conjunct, but ANSI mode would still throw on the
+        # eager 0-divisor — NULL-and-drop matches the math
+        crosses = (
+            ((F.lit(cy) < y1) != (F.lit(cy) < y2))
+            & (
+                F.lit(cx)
+                < F.try_divide(
+                    (x2 - x1) * (F.lit(cy) - y1), (y2 - y1)
+                )
+                + x1
+            )
+        )
+        corner_cross.append(F.when(crosses, 1).otherwise(0))
+
+    box_edges = [
+        (min_lat, min_lon, min_lat, max_lon),
+        (min_lat, max_lon, max_lat, max_lon),
+        (max_lat, max_lon, max_lat, min_lon),
+        (max_lat, min_lon, min_lat, min_lon),
+    ]
+    cross_any = F.lit(False)
+    for by1, bx1, by2, bx2 in box_edges:
+        o1 = _orient(x1, y1, x2, y2, F.lit(bx1), F.lit(by1))
+        o2 = _orient(x1, y1, x2, y2, F.lit(bx2), F.lit(by2))
+        o3 = _orient(
+            F.lit(bx1), F.lit(by1), F.lit(bx2), F.lit(by2), x1, y1
+        )
+        o4 = _orient(
+            F.lit(bx1), F.lit(by1), F.lit(bx2), F.lit(by2), x2, y2
+        )
+        cross_any = cross_any | ((o1 * o2 <= 0) & (o3 * o4 <= 0))
+
+    agg = edges.select(
+        id_col,
+        v_in.cast("int").alias("vin"),
+        cross_any.cast("int").alias("ec"),
+        *[c.alias(f"cc{j}") for j, c in enumerate(corner_cross)],
+    ).groupBy(id_col).agg(
+        F.min("vin").alias("all_in"),
+        F.max("vin").alias("any_in"),
+        F.max("ec").alias("edge_cross"),
+        *[
+            (F.sum(f"cc{j}") % 2 == 1).alias(f"corner_in{j}")
+            for j in range(4)
+        ],
+    )
+    corner_in_all = (
+        F.col("corner_in0")
+        & F.col("corner_in1")
+        & F.col("corner_in2")
+        & F.col("corner_in3")
+    )
+    corner_in_any = (
+        F.col("corner_in0")
+        | F.col("corner_in1")
+        | F.col("corner_in2")
+        | F.col("corner_in3")
+    )
+    intersects = (
+        (F.col("any_in") == 1) | corner_in_any | (F.col("edge_cross") == 1)
+    )
+    return agg.select(
+        id_col,
+        (F.col("all_in") == 1).alias("within"),
+        (corner_in_all & (F.col("edge_cross") == 0)).alias("contains"),
+        intersects.alias("intersects"),
+        (~intersects).alias("disjoint"),
+    )

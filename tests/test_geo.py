@@ -230,3 +230,89 @@ class TestPolygon:
 
         with _pytest.raises(ValueError, match="3 vertices"):
             polygon_query(df, "lat", "lon", [(0.0, 0.0), (1.0, 1.0)]).collect()
+
+
+class TestShapeBoxRelations:
+    BOX = (0.0, 10.0, 0.0, 10.0)  # min_lat, max_lat, min_lon, max_lon
+
+    def _shapes(self, spark, polys):
+        rows = [
+            (i, [p[0] for p in poly], [p[1] for p in poly])
+            for i, poly in enumerate(polys)
+        ]
+        return spark.createDataFrame(
+            rows, "shape_id long, lats array<double>, lons array<double>"
+        )
+
+    def _relations(self, spark, polys):
+        from lucene_spark.operators.geo import shape_box_relations
+
+        out = shape_box_relations(
+            self._shapes(spark, polys), *self.BOX
+        ).collect()
+        return {
+            r["shape_id"]: (
+                r["within"], r["contains"], r["intersects"], r["disjoint"]
+            )
+            for r in out
+        }
+
+    def test_known_relations(self, spark):
+        polys = [
+            # 0: fully inside the box
+            [(2.0, 2.0), (2.0, 4.0), (4.0, 3.0)],
+            # 1: huge triangle containing the whole box
+            [(-30.0, -30.0), (-30.0, 60.0), (60.0, -10.0)],
+            # 2: fully outside, far away
+            [(50.0, 50.0), (50.0, 55.0), (55.0, 52.0)],
+            # 3: straddles the box edge (one vertex in, one out)
+            [(5.0, 5.0), (5.0, 15.0), (8.0, 12.0)],
+            # 4: crosses the box with NO vertex inside and not
+            #    containing it (a thin sliver through the middle)
+            [(-5.0, 4.5), (-5.0, 5.5), (15.0, 5.5), (15.0, 4.5)],
+        ]
+        rel = self._relations(spark, polys)
+        assert rel[0] == (True, False, True, False)
+        assert rel[1] == (False, True, True, False)
+        assert rel[2] == (False, False, False, True)
+        assert rel[3] == (False, False, True, False)
+        assert rel[4] == (False, False, True, False)
+
+    def test_relation_implications_random(self, spark):
+        import random
+
+        rng = random.Random(7)
+        polys = []
+        for _ in range(40):
+            cy = rng.uniform(-20, 30)
+            cx = rng.uniform(-20, 30)
+            r = rng.uniform(0.5, 25)
+            nv = rng.randint(3, 7)
+            poly = []
+            for k in range(nv):
+                import math
+
+                a = 2 * math.pi * k / nv + 0.1
+                poly.append((cy + r * math.sin(a), cx + r * math.cos(a)))
+            polys.append(poly)
+        # guarantee every relation appears regardless of the draw
+        polys.append([(2.0, 2.0), (2.0, 4.0), (4.0, 3.0)])  # within
+        polys.append(
+            [(-30.0, -30.0), (-30.0, 60.0), (60.0, -10.0)]
+        )  # contains
+        polys.append([(50.0, 50.0), (50.0, 55.0), (55.0, 52.0)])  # disjoint
+        rel = self._relations(spark, polys)
+        assert len(rel) == 43
+        hit = [0, 0, 0]
+        for w, c, i, d in rel.values():
+            if w:
+                assert i and not d
+                hit[0] += 1
+            if c:
+                assert i and not d
+                hit[1] += 1
+            assert d == (not i)
+            if d:
+                hit[2] += 1
+        # the random mix exercises every relation at least once
+        assert all(h > 0 for h in hit)
