@@ -100,6 +100,12 @@ _TOKP = (
     "tokp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term, "
     "generate_subscripts(string_split(text, ' '), 1) - 1 AS p FROM documents)"
 )
+
+from lucene_spark.functions.phonetic import soundex_sql as _phx_sql
+
+_soundex_sql_term = _phx_sql("term")
+_soundex_sql_query = _phx_sql("'windoe'")
+
 _DL = "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)"
 _ST = "st AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE AS sttf FROM dl)"
 
@@ -3020,6 +3026,19 @@ def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.scored_boolean(should=["window"]), "score + ln(1 + doclen)"
     )
     return _topk_by_doc_id(s, rescored)
+
+
+def _q_phonetic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex phonetic matching (analysis/phonetic PhoneticFilter via
+    query-time dictionary expansion): docs containing any term whose
+    American Soundex code equals soundex('windoe') = W530."""
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_phonetic("windoe")
+    return s._attach_urls(
+        s._globalize(sc.withColumn("local_docid", F.col("docid")))
+    ).select(
+        _doc_id("url"), F.col("score").cast("double").alias("score")
+    ).orderBy("doc_id")
 
 
 def _q_fuzzy_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6022,6 +6041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_range_match": _q_multi_range,
         "term_automaton_top10": _q_term_automaton,
         "fuzzy_like_this_top10": _q_fuzzy_like_this,
+        "phonetic_match": _q_phonetic_match,
         "function_score_top10": _q_function_score,
         "total_hits_relation": _q_total_hits_relation,
         "split_index_top10": _q_split_index,
@@ -6720,6 +6740,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    round((w - w/(1 + tf*inv)) + ln(1 + dl), 6) AS score
             FROM sc ORDER BY 2 DESC, doc_id LIMIT 10""",
+        "phonetic_match": f"""
+            WITH {_TOK},
+            vocab AS (SELECT DISTINCT term FROM tok),
+            m AS (SELECT term FROM vocab
+                  WHERE {_soundex_sql_term} = {_soundex_sql_query})
+            SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+            WHERE term IN (SELECT term FROM m)
+            ORDER BY doc_id""",
         "fuzzy_like_this_top10": f"""
             WITH {_TOK}, {_DL}, {_ST},
             vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df

@@ -1,0 +1,100 @@
+"""Phonetic matching — the ``analysis/phonetic`` module's Soundex leg
+(``lucene/analysis/phonetic/.../PhoneticFilter.java`` wraps the
+commons-codec encoders; Soundex is the American Soundex archive
+standard those encoders implement).
+
+The encoder is deliberately formulated as a string-rewrite PIPELINE —
+class-map, collapse adjacent duplicates, drop the leading code,
+strip separators, pad — because every step is a regexp/replace that
+Python `re`, Spark's Java regex, and DuckDB's RE2 all execute
+identically (no backreferences anywhere: RE2 has none, so the
+duplicate collapse is seven per-digit replaces).  The canonical
+genealogy vectors (Robert/Rupert→R163, Ashcraft→A261, Tymczak→T522,
+Pfister→P236) pin the semantics:
+
+1. uppercase; characters outside A-Z drop.
+2. map B F P V→1, C G J K Q S X Z→2, D T→3, L→4, M N→5, R→6;
+   H and W are REMOVED (they do not separate duplicate codes);
+   vowels + Y map to the separator ``0`` (they DO separate).
+3. collapse adjacent equal digits (handles the skip-duplicate rule,
+   including a second letter coding like the first).
+4. drop the first code (the first letter is kept as a letter; an
+   H/W first letter contributed no code, so nothing drops),
+   delete the ``0`` separators, truncate to 3 digits, right-pad
+   with zeros.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_CLASSES = [
+    ("[BFPV]", "1"),
+    ("[CGJKQSXZ]", "2"),
+    ("[DT]", "3"),
+    ("L", "4"),
+    ("[MN]", "5"),
+    ("R", "6"),
+    ("[HW]", ""),
+    ("[AEIOUY]", "0"),
+]
+
+# adjacent-duplicate collapse without backreferences (RE2-safe)
+_COLLAPSE = [(f"{d}{d}+", str(d)) for d in range(7)]
+
+
+def soundex(term: str) -> str | None:
+    """American Soundex code (letter + 3 digits), or None when no
+    letter survives (the encoder's empty-input contract)."""
+    u = re.sub("[^A-Z]", "", term.upper())
+    if not u:
+        return None
+    enc = u
+    for pat, rep in _CLASSES + _COLLAPSE:
+        enc = re.sub(pat, rep, enc)
+    body = enc if u[0] in "HW" else enc[1:]
+    digits = body.replace("0", "")
+    return u[0] + (digits[:3] + "000")[:3]
+
+
+def soundex_col(c: Column) -> Column:
+    """The identical pipeline over a Spark string column — pure JVM
+    regexp_replace chains inside whole-stage codegen (no UDF), so the
+    term-dictionary scan computes codes at full speed."""
+    enc = F.regexp_replace(F.upper(c), "[^A-Z]", "")
+    first = F.substring(enc, 1, 1)
+    mapped = enc
+    for pat, rep in _CLASSES + _COLLAPSE:
+        mapped = F.regexp_replace(mapped, pat, rep)
+    body = F.when(first.isin("H", "W"), mapped).otherwise(
+        F.substring(mapped, 2, 2_000_000_000)
+    )
+    digits = F.translate(body, "0", "")
+    return F.when(F.length(enc) == 0, F.lit(None)).otherwise(
+        F.concat(
+            first, F.substring(F.concat(digits, F.lit("000")), 1, 3)
+        )
+    )
+
+
+def soundex_sql(expr: str) -> str:
+    """The identical pipeline as a DuckDB SQL expression (RE2 regex —
+    hence the per-digit collapse), step-for-step the Python and Spark
+    encoders, so oracle and engine can never disagree."""
+    enc = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    first = f"substr({enc}, 1, 1)"
+    mapped = enc
+    for pat, rep in _CLASSES + _COLLAPSE:
+        mapped = f"regexp_replace({mapped}, '{pat}', '{rep}', 'g')"
+    body = (
+        f"CASE WHEN {first} IN ('H', 'W') THEN {mapped} "
+        f"ELSE substr({mapped}, 2) END"
+    )
+    digits = f"replace({body}, '0', '')"
+    return (
+        f"CASE WHEN length({enc}) = 0 THEN NULL ELSE "
+        f"{first} || substr({digits} || '000', 1, 3) END"
+    )

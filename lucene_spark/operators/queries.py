@@ -434,6 +434,36 @@ class QueryOpsMixin:
     def fuzzy_query(self, term: str, k: int = 10, **kw) -> DataFrame:
         return self._finish_topk(self.scored_fuzzy(term, **kw), k)
 
+    def expand_phonetic(self, term: str) -> list[str]:
+        """Soundex expansion against the term dictionary — the
+        query-side counterpart of the ``analysis/phonetic`` module's
+        PhoneticFilter (which injects codes at INDEX time; expanding
+        at query time against the dictionary gives the same match set
+        without a second indexed field, the same trade this engine's
+        fuzzy/wildcard rewrites make).  The code comparison runs as a
+        JVM regexp chain over the (tiny) terms table — no UDF."""
+        from ..functions.phonetic import soundex, soundex_col
+
+        code = soundex(term)
+        if code is None:
+            return []
+        rows = (
+            self._terms_df.where(soundex_col(F.col("term")) == code)
+            .select("term")
+            .limit(MAX_EXPANSIONS)
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)
+
+    def scored_phonetic(self, term: str, boost: float = 1.0) -> DataFrame:
+        terms = self.expand_phonetic(term)
+        if not terms:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        return self.scored_term_in_set(terms, boost)
+
+    def phonetic_query(self, term: str, k: int = 10, **kw) -> DataFrame:
+        return self._finish_topk(self.scored_phonetic(term, **kw), k)
+
     def scored_fuzzy_like_this(
         self,
         query_terms: list[str],

@@ -1,0 +1,85 @@
+"""Soundex (analysis/phonetic): canonical vectors + three-way parity
+(Python mirror, Spark column chain, DuckDB SQL expression)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.functions.phonetic import soundex, soundex_col, soundex_sql
+
+# the canonical American Soundex genealogy vectors
+VECTORS = [
+    ("Robert", "R163"),
+    ("Rupert", "R163"),
+    ("Ashcraft", "A261"),
+    ("Ashcroft", "A261"),
+    ("Tymczak", "T522"),
+    ("Pfister", "P236"),
+    ("Honeyman", "H555"),
+    ("Washington", "W252"),
+    ("Lee", "L000"),
+    ("Gutierrez", "G362"),
+    ("Jackson", "J250"),
+    ("window", "W530"),
+    ("windoe", "W530"),
+    ("hw", None),  # H/W strip everything -> no code body, letter kept
+]
+
+
+class TestSoundex:
+    def test_canonical_vectors(self):
+        for word, code in VECTORS:
+            if code is None:
+                continue
+            assert soundex(word) == code, word
+
+    def test_hw_only_word(self):
+        # letters survive the clean, codes all strip -> padded zeros
+        assert soundex("hw") == "H000"
+        assert soundex("123") is None
+        assert soundex("") is None
+
+    def test_spark_column_parity(self, spark):
+        words = [w for w, _ in VECTORS] + ["", "123", "o'brien"]
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        got = {
+            r["w"]: r["code"]
+            for r in df.select(
+                "w", soundex_col(F.col("w")).alias("code")
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == soundex(w), w
+
+    def test_duckdb_sql_parity(self):
+        words = [w for w, _ in VECTORS] + ["", "123", "o'brien"]
+        con = duckdb.connect()
+        for w in words:
+            lit = "'" + w.replace("'", "''") + "'"
+            code = con.execute(
+                f"SELECT {soundex_sql(lit)}"
+            ).fetchone()[0]
+            assert code == soundex(w), w
+
+
+class TestPhoneticQuery:
+    def test_expansion_finds_homophones(self, searcher):
+        terms = searcher.expand_phonetic("windoe")
+        assert "window" in terms
+        for t in terms:
+            assert soundex(t) == soundex("windoe")
+
+    def test_query_matches_expansion_docs(self, searcher, naive):
+        terms = searcher.expand_phonetic("windoe")
+        rows = searcher.phonetic_query("windoe", k=10_000).collect()
+        urls = {r["url"] for r in rows}
+        expect = {
+            naive.urls[i]
+            for i in range(naive.N)
+            if any(naive.tf(t)[i] > 0 for t in terms)
+        }
+        assert urls == expect
+        assert rows and all(r["score"] == 1.0 for r in rows)
+
+    def test_no_code_matches_nothing(self, searcher):
+        assert searcher.phonetic_query("123", k=10).count() == 0
