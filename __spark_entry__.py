@@ -4703,6 +4703,40 @@ def _q_interval_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_position_range(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SpanPositionRangeQuery analog (queries/spans/
+    SpanPositionRangeQuery.java:30): ordered intervals with start
+    position >= 2 and end position < 40."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s,
+        s.scored_intervals(
+            ["the", "query"], ordered=True, position_start=2,
+            first_end=40,
+        ),
+    )
+
+
+def _interval_position_range_sql(
+    t0: str, t1: str, start: int, end: int, k: int = 10
+) -> str:
+    """The _interval_first_sql chain with BOTH bounds: the emission's
+    val is the interval end; its start = val - gap - 1 (gap = width-2
+    for the 2-term chain)."""
+    return f"""WITH RECURSIVE {_TOK}, {_TOKP}, {_DL}, {_ST},
+{_chain_cte(t0, t1, adjust=0)},
+fr AS (
+  SELECT doc_id, sum(1.0/greatest(gap, 1)) AS freq
+  FROM emits
+  WHERE slot = 1 AND val < {end} AND (val - gap - 1) >= {start}
+  GROUP BY doc_id HAVING freq > 0
+)
+SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
+FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _interval_first_sql(t0: str, t1: str, end: int, k: int = 10) -> str:
     """Ordered-interval oracle restricted to intervals whose END
     position (the slot-1 emission's val) is < end —
@@ -6066,6 +6100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sloppy_repeat_top10": _q_sloppy_repeat,
         "interval_ordered_top10": _q_interval,
         "interval_first_top10": _q_interval_first,
+        "interval_position_range_top10": _q_interval_position_range,
         "interval_phrase_top10": _q_interval_phrase,
         "interval_maxgaps_top10": _q_interval_maxgaps,
         "interval_not_containing_top10": _q_interval_containing,
@@ -7148,6 +7183,9 @@ def oracle_sql() -> dict[str, str]:
         "sloppy_phrase_top10": _sloppy_sql("the", "query", 2),
         "interval_ordered_top10": _interval_ordered_sql("the", "query"),
         "interval_first_top10": _interval_first_sql("the", "query", 40),
+        "interval_position_range_top10": _interval_position_range_sql(
+            "the", "query", 2, 40
+        ),
         "interval_phrase_top10": _interval_phrase_sql("the", "query"),
         "interval_maxgaps_top10": _interval_maxgaps_sql("the", "query", 1),
         "surround_top10": _interval_maxgaps_sql("window", "the", 2),

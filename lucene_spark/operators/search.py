@@ -2154,6 +2154,7 @@ class Searcher(QueryOpsMixin):
         max_gaps: int | None = None,
         extend: tuple[int, int] | None = None,
         first_end: int | None = None,
+        position_start: int | None = None,
     ) -> DataFrame:
         """IntervalQuery (``lucene/queries/.../intervals/
         IntervalQuery.java:59-84``): docs scored by their minimal
@@ -2176,6 +2177,11 @@ class Searcher(QueryOpsMixin):
           (``queries/spans/SpanFirstQuery.java:33``): keep only
           intervals ending before position ``first_end`` (Lucene's
           exclusive ``end() <= n`` over spans ⇔ last position < n).
+        - ``position_start``: with ``first_end`` this is
+          SpanPositionRangeQuery (``queries/spans/
+          SpanPositionRangeQuery.java:30``): keep intervals whose
+          START position is >= ``position_start`` (spans with
+          start() >= start); SpanFirstQuery is the start=0 case.
         """
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
@@ -2200,6 +2206,7 @@ class Searcher(QueryOpsMixin):
             and extend is None
             and max_width is None
             and first_end is None
+            and position_start is None
         ):
             # vectorized fast path: phrase intervals all have width n
             # and weight 1, so freq = the exact-phrase count — pure
@@ -2231,6 +2238,7 @@ class Searcher(QueryOpsMixin):
                 and len(set(terms)) == 2
                 and extend is None
                 and first_end is None
+                and position_start is None
             ):
                 kern = _make_pair_freq_kernel(
                     mode, min_extent=n_terms, max_width=max_width
@@ -2244,6 +2252,7 @@ class Searcher(QueryOpsMixin):
                     _mw=max_width,
                     _ext=extend,
                     _fe=first_end,
+                    _ps=position_start,
                 ):
                     if _mode == "ordered":
                         iv = ordered_intervals(lists)
@@ -2255,6 +2264,8 @@ class Searcher(QueryOpsMixin):
                         iv = extend_intervals(iv, _ext[0], _ext[1])
                     if _fe is not None:
                         iv = [i for i in iv if i[1] < _fe]
+                    if _ps is not None:
+                        iv = [i for i in iv if i[0] >= _ps]
                     return interval_freq(iv, _me, _mw)
 
                 kern = _make_freq_kernel(n_terms, freq_fn)

@@ -680,3 +680,68 @@ class TestMultitermIntervalSources:
         assert set(got) == set(expect) and got
         for d in got:
             assert abs(got[d] - float(expect[d])) <= 1e-6
+
+
+class TestPositionRange:
+    """SpanPositionRangeQuery: intervals with start >= s and end < e
+    (SpanFirstQuery is the s=0 case)."""
+
+    def test_start_zero_equals_first(self, searcher):
+        a = searcher.scored_intervals(
+            ["the", "query"], ordered=True, first_end=40,
+            position_start=0,
+        ).collect()
+        b = searcher.scored_intervals(
+            ["the", "query"], ordered=True, first_end=40
+        ).collect()
+        assert sorted((r["segment_id"], r["docid"], r["score"]) for r in a) \
+            == sorted((r["segment_id"], r["docid"], r["score"]) for r in b)
+
+    def test_range_is_subset_and_monotone(self, searcher):
+        full = {
+            (r["segment_id"], r["docid"])
+            for r in searcher.scored_intervals(
+                ["the", "query"], ordered=True
+            ).collect()
+        }
+        ranged = {
+            (r["segment_id"], r["docid"])
+            for r in searcher.scored_intervals(
+                ["the", "query"], ordered=True,
+                position_start=5, first_end=30,
+            ).collect()
+        }
+        assert ranged <= full
+
+    def test_matches_naive_positions(self, searcher, naive):
+        from pyspark.sql import functions as F
+        # naive: minimal ordered intervals (a before b, minimal) with
+        # start >= 3 and last position < 25 must exist
+        expect = set()
+        for i in range(naive.N):
+            terms_i, pos_i = naive.analyzed[i]
+            a_pos = [p for t, p in zip(terms_i, pos_i) if t == "value"]
+            b_pos = [p for t, p in zip(terms_i, pos_i) if t == "vector"]
+            ok = False
+            for a in a_pos:
+                nb = [b for b in b_pos if b > a]
+                if not nb:
+                    continue
+                b = min(nb)
+                # minimal interval check: no later a' in (a, b)
+                if any(a < a2 < b for a2 in a_pos):
+                    continue
+                if a >= 3 and b < 25:
+                    ok = True
+            if ok:
+                expect.add(naive.urls[i])
+        urls = {
+            r["url"]
+            for r in searcher._attach_urls(
+                searcher.scored_intervals(
+                    ["value", "vector"], ordered=True,
+                    position_start=3, first_end=25,
+                ).withColumn("local_docid", F.col("docid"))
+            ).collect()
+        }
+        assert urls == expect
