@@ -66,7 +66,9 @@ def parse_wav(data: bytes):
         cid, size = struct.unpack_from("<4sI", data, pos)
         pos += 8
         body = data[pos : pos + size]
-        if cid == b"fmt " and size >= 16:
+        # a declared size larger than the remaining bytes (truncated
+        # blob) must degrade to None, not crash mid-unpack
+        if cid == b"fmt " and size >= 16 and len(body) >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             raw = body

@@ -116,3 +116,30 @@ class TestWavAudio:
         assert r0["energy"] == int((w * w).sum())
         neg = w < 0
         assert r0["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())
+
+
+class TestWavFuzz:
+    def test_parser_never_crashes_on_garbage(self):
+        """Random byte blobs and truncations of a valid WAV: the
+        parser returns a result or None, never raises."""
+        import random
+
+        import numpy as np
+
+        from lucene_spark.functions.wav import encode_wav, parse_wav
+
+        rng = random.Random(99)
+        valid = encode_wav(
+            (np.arange(200, dtype=np.int16) * 13 % 1024) - 512, 16000
+        )
+        for _ in range(100):
+            n = rng.randint(0, 80)
+            blob = bytes(rng.getrandbits(8) for _ in range(n))
+            parse_wav(blob)  # must not raise
+        for cut in range(0, len(valid), 7):
+            parse_wav(valid[:cut])  # truncations must not raise
+        # bit flips inside the container
+        for _ in range(60):
+            b = bytearray(valid)
+            b[rng.randrange(len(b))] ^= 0xFF
+            parse_wav(bytes(b))

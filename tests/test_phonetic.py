@@ -83,3 +83,32 @@ class TestPhoneticQuery:
 
     def test_no_code_matches_nothing(self, searcher):
         assert searcher.phonetic_query("123", k=10).count() == 0
+
+
+class TestSoundexFuzz:
+    def test_random_words_three_way_parity(self, spark):
+        """Seeded random strings (letters, digits, apostrophes,
+        unicode-ish) through all three implementations."""
+        import random
+
+        import duckdb
+
+        rng = random.Random(123)
+        alphabet = "abcdefghijklmnopqrstuvwxyz'-0123456789 é"
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+            for _ in range(200)
+        ]
+        con = duckdb.connect()
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        got = {
+            r["w"]: r["code"]
+            for r in df.select(
+                "w", soundex_col(F.col("w")).alias("code")
+            ).collect()
+        }
+        for w in set(words):
+            py = soundex(w)
+            assert got[w] == py, w
+            lit = "'" + w.replace("'", "''") + "'"
+            assert con.execute(f"SELECT {soundex_sql(lit)}").fetchone()[0] == py, w
