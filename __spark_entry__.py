@@ -2829,7 +2829,7 @@ def _q_shape_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LatLonShape.newBoxQuery relations (core/document/LatLonShape
     .java + ShapeField.QueryRelation): pentagons synthesized per
     doc_id (center + radius arithmetic), counted per relation against
-    the box [-2,2]x[-2,2]."""
+    the _SHAPE_BOX rectangle."""
     from lucene_spark.operators.geo import shape_box_relations
 
     d = _docs_table(spark, sf_dir).where(F.col("doc_id") < 400).select(
@@ -4723,14 +4723,14 @@ def _interval_position_range_sql(
     t0: str, t1: str, start: int, end: int, k: int = 10
 ) -> str:
     """The _interval_first_sql chain with BOTH bounds: the emission's
-    val is the interval end; its start = val - gap - 1 (gap = width-2
-    for the 2-term chain)."""
+    val is the interval END position and gap = end - start (the chain
+    runs with adjust=0), so the interval start = val - gap."""
     return f"""WITH RECURSIVE {_TOK}, {_TOKP}, {_DL}, {_ST},
 {_chain_cte(t0, t1, adjust=0)},
 fr AS (
   SELECT doc_id, sum(1.0/greatest(gap, 1)) AS freq
   FROM emits
-  WHERE slot = 1 AND val < {end} AND (val - gap - 1) >= {start}
+  WHERE slot = 1 AND val < {end} AND (val - gap) >= {start}
   GROUP BY doc_id HAVING freq > 0
 )
 SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score

@@ -21,10 +21,6 @@ import struct
 import numpy as np
 
 
-class WavError(ValueError):
-    pass
-
-
 def encode_wav(
     samples: np.ndarray, sample_rate: int = 8000, channels: int = 1
 ) -> bytes:
@@ -76,8 +72,13 @@ def parse_wav(data: bytes):
     if fmt is None or raw is None:
         return None
     audio_format, channels, sample_rate, _br, _ba, bits = fmt
-    if audio_format != 1 or bits not in (8, 16) or channels < 1:
-        return None  # non-PCM (float/mp3/...) -> NULL-marked
+    if (
+        audio_format != 1
+        or bits not in (8, 16)
+        or channels < 1
+        or sample_rate <= 0
+    ):
+        return None  # non-PCM / corrupt header -> NULL-marked
     if bits == 16:
         n = len(raw) // (2 * channels)
         s = np.frombuffer(raw[: n * 2 * channels], dtype="<i2").astype(

@@ -2296,12 +2296,13 @@ class Searcher(QueryOpsMixin):
         max_gaps: int | None = None,
         extend: tuple[int, int] | None = None,
         first_end: int | None = None,
+        position_start: int | None = None,
     ) -> DataFrame:
         return self._finish_topk(
             self.scored_intervals(
                 terms, ordered, max_width,
                 mode=mode, max_gaps=max_gaps, extend=extend,
-                first_end=first_end,
+                first_end=first_end, position_start=position_start,
             ),
             k,
         )

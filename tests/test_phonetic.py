@@ -22,7 +22,7 @@ VECTORS = [
     ("Jackson", "J250"),
     ("window", "W530"),
     ("windoe", "W530"),
-    ("hw", None),  # H/W strip everything -> no code body, letter kept
+    ("hw", "H000"),  # H/W contribute no codes -> letter + zero pad
 ]
 
 
