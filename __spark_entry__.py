@@ -5962,12 +5962,196 @@ def _q_doc_values_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_values_stats(_get_searcher(spark, sf_dir), "doclen")
 
 
+_QUALITY_QUERIES = [("window", 7), ("spark", 11), ("data", 13)]
+_QUALITY_LCM = 232792560  # lcm(1..20), QualityStats.MAX_POINTS
+_QUALITY_P_AT = (1, 5, 10, 20)
+
+
+def _quality_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged-retrieval fixture: top-20 single-term BM25 runs for three
+    queries against a deterministic binary judge (doc relevant to query
+    q iff doc_id % m_q == 0), through operators/quality.quality_stats
+    (benchmark/quality/QualityStats.java:81-127, TrecJudge.java:90-113)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from lucene_spark.operators.quality import quality_stats
+
+    s = _get_searcher(spark, sf_dir)
+    runs = []
+    for term, _m in _QUALITY_QUERIES:
+        sc = s.scored_boolean(should=[term])
+        with_url = s._attach_urls(sc.withColumn("local_docid", F.col("docid")))
+        runs.append(
+            with_url.select(_doc_id("url"), "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20)
+            .select(F.lit(term).alias("query_id"), "doc_id", "score")
+        )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    run = reduce(DataFrame.unionByName, runs).select(
+        "query_id", "doc_id", F.row_number().over(wr).alias("rank")
+    )
+    docs = _docs_table(spark, sf_dir)
+    judgments = reduce(
+        DataFrame.unionByName,
+        [
+            docs.where(F.col("doc_id") % F.lit(m) == 0).select(
+                F.lit(term).alias("query_id"), "doc_id"
+            )
+            for term, m in _QUALITY_QUERIES
+        ],
+    )
+    return quality_stats(run, judgments, p_at=_QUALITY_P_AT)
+
+
+_QUALITY_MEASURES = [f"p_at_{n}" for n in _QUALITY_P_AT] + [
+    "recall",
+    "mrr",
+    "avg_precision",
+]
+
+
+def _quality_cte() -> str:
+    """CTE chain mirroring _quality_stats_df bit-for-bit: the same BM25
+    double expressions pick/rank the runs, integer rel/cum algebra, and
+    the engine's exact-scaled average-precision numerator (sum of
+    cum * (lcm // rank), one float division at the end)."""
+    norm = _norm_len_sql("dl.dl")
+    terms = _quoted([t for t, _ in _QUALITY_QUERIES])
+    vals = ", ".join(f"('{t}', {m})" for t, m in _QUALITY_QUERIES)
+    L = _QUALITY_LCM
+    pats = ", ".join(
+        f"sum(CASE WHEN rnk <= {n} THEN rel ELSE 0 END)::BIGINT AS g{n}"
+        for n in _QUALITY_P_AT
+    )
+    pcols = ", ".join(f"g{n}*1.0/{n} AS p_at_{n}" for n in _QUALITY_P_AT)
+    return f"""WITH {_TOK}, {_DL}, {_ST},
+      tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+             WHERE term IN ({terms}) GROUP BY doc_id, term),
+      df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+      sc AS (SELECT tf.doc_id, tf.term,
+                    ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+                    tf.tf AS tf
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                  JOIN df ON tf.term = df.term CROSS JOIN st),
+      run AS (SELECT term AS query_id, doc_id,
+                     row_number() OVER (PARTITION BY term
+                       ORDER BY w - w/(1 + tf*inv) DESC, doc_id) AS rnk
+              FROM sc QUALIFY rnk <= 20),
+      qm AS (SELECT * FROM (VALUES {vals}) AS t(query_id, m)),
+      jd AS (SELECT qm.query_id, d.doc_id FROM documents d
+             JOIN qm ON d.doc_id % qm.m = 0),
+      mg AS (SELECT query_id, count(*)::BIGINT AS max_good_points
+             FROM jd GROUP BY query_id),
+      rr AS (SELECT r.query_id, r.rnk,
+                    CASE WHEN j.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+             FROM run r LEFT JOIN jd j
+               ON r.query_id = j.query_id AND r.doc_id = j.doc_id),
+      cm AS (SELECT query_id, rnk, rel,
+                    sum(rel) OVER (PARTITION BY query_id ORDER BY rnk) AS cum
+             FROM rr),
+      ag AS (SELECT query_id,
+                    max(rnk)::BIGINT AS num_points,
+                    sum(rel)::BIGINT AS num_good_points,
+                    coalesce(sum(CASE WHEN rel = 1
+                      THEN cum * ({L} // rnk) END), 0)::BIGINT AS prel,
+                    min(CASE WHEN rel = 1 THEN rnk END) AS frst,
+                    {pats}
+             FROM cm GROUP BY query_id),
+      qs AS (SELECT ag.query_id, ag.num_points, ag.num_good_points,
+                    mg.max_good_points, {pcols},
+                    CASE WHEN mg.max_good_points > 0
+                         THEN num_good_points*1.0/mg.max_good_points
+                         ELSE num_good_points*1.0/num_points END AS recall,
+                    CASE WHEN frst <= 5 THEN 1.0/frst ELSE 0.0 END AS mrr,
+                    CASE WHEN mg.max_good_points > 0
+                         THEN (prel*1.0/{L}.0 + 0.0)/mg.max_good_points
+                         ELSE 0.0 END AS avg_precision
+             FROM ag JOIN mg ON ag.query_id = mg.query_id)"""
+
+
+def _quality_sql_stats() -> str:
+    rounded = ", ".join(
+        f"round({c}, 6) AS {c}" for c in _QUALITY_MEASURES
+    )
+    return (
+        f"{_quality_cte()} SELECT query_id, num_points, num_good_points, "
+        f"max_good_points, {rounded} FROM qs ORDER BY query_id"
+    )
+
+
+def _quality_sql_average() -> str:
+    q = 1_000_000
+    good = "max_good_points > 0"
+    qsums = ", ".join(
+        f"sum(CASE WHEN {good} THEN CAST(floor({c}*{q} + 0.5) AS BIGINT) "
+        f"END)::BIGINT AS s_{c}"
+        for c in _QUALITY_MEASURES
+    )
+    avgs = ", ".join(
+        "round(s_{c}*1.0/(good_queries*{q}), 6) AS {name}".format(
+            c=c,
+            q=q,
+            name="avg_precision" if c == "avg_precision" else f"avg_{c}",
+        )
+        for c in _QUALITY_MEASURES
+    )
+    return f"""{_quality_cte()},
+      av AS (SELECT count(*)::BIGINT AS num_queries,
+                    sum(CASE WHEN {good} THEN 1 ELSE 0 END)::BIGINT
+                      AS good_queries,
+                    sum(CASE WHEN {good} THEN num_points END)::BIGINT AS s_np,
+                    sum(CASE WHEN {good} THEN num_good_points END)::BIGINT
+                      AS s_ng,
+                    sum(CASE WHEN {good} THEN max_good_points END)::BIGINT
+                      AS s_mg,
+                    {qsums}
+             FROM qs)
+      SELECT num_queries, good_queries,
+             round(s_np*1.0/good_queries, 6) AS avg_num_points,
+             round(s_ng*1.0/good_queries, 6) AS avg_num_good_points,
+             round(s_mg*1.0/good_queries, 6) AS avg_max_good_points,
+             {avgs}
+      FROM av"""
+
+
+def _q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _quality_stats_df(spark, sf_dir)
+    return st.select(
+        "query_id",
+        "num_points",
+        "num_good_points",
+        "max_good_points",
+        *[F.round(c, 6).alias(c) for c in _QUALITY_MEASURES],
+    ).orderBy("query_id")
+
+
+def _q_quality_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QualityStats.average (QualityStats.java:195-234): measures over
+    positively-judged queries only, 1e-6-quantized exact integer mean."""
+    from lucene_spark.operators.quality import quality_average
+
+    av = quality_average(_quality_stats_df(spark, sf_dir), p_at=_QUALITY_P_AT)
+    keep = ["num_queries", "good_queries"]
+    rounded = [
+        c for c in av.columns if c not in keep
+    ]
+    return av.select(*keep, *[F.round(c, 6).alias(c) for c in rounded])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
         "high_freq_terms": _q_high_freq_terms,
         "term_info": _q_term_info,
         "doc_values_stats": _q_doc_values_stats,
+        "quality_stats_judged": _q_quality_stats,
+        "quality_average_judged": _q_quality_average,
         "postings_term": _q_postings,
         "bm25_top10_term": _q_bm25_term,
         "bm25_top10_or": _q_bm25_or,
@@ -6207,6 +6391,8 @@ def oracle_sql() -> dict[str, str]:
                    round(var_pop(dl), 6) AS variance,
                    round(stddev_pop(dl), 6) AS stdev
             FROM dl""",
+        "quality_stats_judged": _quality_sql_stats(),
+        "quality_average_judged": _quality_sql_average(),
         "bm25_top10_term": _bm25_sql(["window"]),
         "time_travel_top10": _bm25_sql(
             ["window"], corpus_where="doc_id % 2 = 0"

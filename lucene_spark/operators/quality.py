@@ -1,0 +1,221 @@
+"""Judged-retrieval quality metrics (the reference's ``benchmark/quality``
+package):
+
+- ``quality_stats`` — per-query ``QualityStats``
+  (``benchmark/quality/QualityStats.java:81-127``).  Lucene's
+  ``addResult`` walks a query's ranked hits once, accumulating:
+  cumulative-relevant/rank = precision at each rank; the sum of that at
+  the relevant ranks, over the judge's maxRecall, = average precision
+  (``getAvp``, :122-124); the reciprocal of the FIRST relevant rank,
+  counted only when that rank <= 5 (:87-89 "first point, but only
+  within 5 top scores"), = MRR; recall = relevant-found / maxRecall,
+  falling back to the final precision point when the judge knows no
+  relevant docs (:100).  ``getPrecisionAt(n)`` beyond the run length
+  extrapolates as ``numGoodPoints / n`` (:113-116) — identical to
+  counting relevant hits at rank <= n and dividing by n, which is the
+  single expression used here for every cutoff.
+- The judge is binary, like ``TrecJudge``
+  (``benchmark/quality/trec/TrecJudge.java:90-113``): a (query, doc)
+  membership set whose per-query size is ``maxRecall``.
+- ``quality_average`` — ``QualityStats.average``
+  (``QualityStats.java:195-234``): counts and measures are averaged
+  over the queries with positive judgments only ("other measures go by
+  'good' queries only").
+
+Determinism at scale: a 1000-executor sum of ``cum/rank`` doubles is
+order-dependent in the last ulp, so the average-precision numerator is
+accumulated as EXACT scaled integers — each relevant rank contributes
+``cum * (L // rank)`` with ``L = lcm(1..exact_max_rank)`` — and one
+float division happens at the end.  Ranks beyond ``exact_max_rank``
+(none, for runs cut at the reference's MAX_POINTS = 20) fall back to a
+float tail.  ``quality_average`` quantizes each per-query measure to
+1e-6 before an exact integer mean for the same reason; this deviates
+from the reference's single-threaded float loop by < 1e-6.
+
+Scale shape: one broadcast-able join of the run (top-k per query —
+small) against the judgment set, a window over rank within each query,
+then a per-query aggregate.  No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def quality_stats(
+    run: DataFrame,
+    judgments: DataFrame,
+    *,
+    query_col: str = "query_id",
+    key_col: str = "doc_id",
+    rank_col: str = "rank",
+    p_at: tuple[int, ...] = (1, 5, 10, 20),
+    mrr_cutoff: int = 5,
+    exact_max_rank: int = 20,
+    broadcast_judgments: bool = True,
+) -> DataFrame:
+    """Per-query TREC quality stats.
+
+    ``run``: one row per retrieved hit — (query_col, key_col, rank_col)
+    with rank 1-based and dense within each query.  ``judgments``: one
+    row per RELEVANT (query, doc) pair (binary TrecJudge).  Queries
+    present in the run but absent from the judgments get
+    max_good_points = 0 and the reference's fallback recall.
+
+    Returns one row per query: num_points, num_good_points,
+    max_good_points, p_at_<n> for each cutoff, recall, mrr,
+    avg_precision (all unrounded doubles except the long counts).
+    """
+    jd = judgments.select(query_col, key_col).distinct()
+    if broadcast_judgments:
+        jd = F.broadcast(jd)
+    rel = run.join(
+        jd.withColumn("_rel", F.lit(1)), on=[query_col, key_col], how="left"
+    ).select(
+        F.col(query_col).alias("query_id"),
+        F.col(rank_col).cast("long").alias("rnk"),
+        F.coalesce(F.col("_rel"), F.lit(0)).alias("rel"),
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cm = rel.withColumn("cum", F.sum("rel").over(w))
+
+    # Exact scaled average-precision numerator (see module docstring).
+    lcm = math.lcm(*range(1, exact_max_rank + 1))
+    is_rel = F.col("rel") == 1
+    exact_contrib = F.when(
+        is_rel & (F.col("rnk") <= exact_max_rank),
+        F.col("cum") * (F.lit(lcm).cast("double") / F.col("rnk")).cast("long"),
+    )
+    tail_contrib = F.when(
+        is_rel & (F.col("rnk") > exact_max_rank),
+        F.col("cum").cast("double") / F.col("rnk"),
+    ).otherwise(F.lit(0.0))
+
+    aggs = [
+        F.max("rnk").alias("num_points"),
+        F.sum("rel").cast("long").alias("num_good_points"),
+        F.coalesce(F.sum(exact_contrib), F.lit(0)).cast("long").alias("_prel"),
+        F.sum(tail_contrib).alias("_prel_tail"),
+        F.min(F.when(is_rel, F.col("rnk"))).alias("_first_rel"),
+    ]
+    for n in p_at:
+        aggs.append(
+            F.sum(F.when(F.col("rnk") <= n, F.col("rel")).otherwise(0))
+            .cast("long")
+            .alias(f"_g{n}")
+        )
+    ag = cm.groupBy("query_id").agg(*aggs)
+
+    mg = jd.groupBy(query_col).agg(
+        F.count("*").cast("long").alias("max_good_points")
+    )
+    out = ag.join(
+        mg.withColumnRenamed(query_col, "query_id"), on="query_id", how="left"
+    ).withColumn(
+        "max_good_points", F.coalesce(F.col("max_good_points"), F.lit(0))
+    )
+
+    has_judged = F.col("max_good_points") > 0
+    prel = (
+        F.col("_prel").cast("double") / F.lit(float(lcm))
+        + F.col("_prel_tail")
+    )
+    cols = [
+        F.col("query_id"),
+        F.col("num_points"),
+        F.col("num_good_points"),
+        F.col("max_good_points"),
+    ]
+    for n in p_at:
+        cols.append(
+            (F.col(f"_g{n}").cast("double") / F.lit(n)).alias(f"p_at_{n}")
+        )
+    cols.extend(
+        [
+            F.when(
+                has_judged,
+                F.col("num_good_points").cast("double")
+                / F.col("max_good_points"),
+            )
+            .otherwise(
+                F.col("num_good_points").cast("double") / F.col("num_points")
+            )
+            .alias("recall"),
+            F.when(
+                F.col("_first_rel") <= mrr_cutoff,
+                F.lit(1.0) / F.col("_first_rel"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mrr"),
+            F.when(has_judged, prel / F.col("max_good_points"))
+            .otherwise(F.lit(0.0))
+            .alias("avg_precision"),
+        ]
+    )
+    return out.select(*cols)
+
+
+def quality_average(
+    stats: DataFrame,
+    *,
+    p_at: tuple[int, ...] = (1, 5, 10, 20),
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """``QualityStats.average``: one row summarizing a ``quality_stats``
+    result.  Counts and measures average over "good" queries (positive
+    judgments) only, per the reference; ``num_queries`` counts all.
+    Each measure is quantized to 1/``quant`` before an exact integer
+    mean (order-free across partitionings; < 1e-6 from the reference's
+    float loop at the default)."""
+    good = F.col("max_good_points") > 0
+    q = F.lit(quant)
+
+    def _qsum(col: str):
+        return F.sum(
+            F.when(good, F.floor(F.col(col) * q + F.lit(0.5)).cast("long"))
+        ).alias(f"_s_{col}")
+
+    measure_cols = [f"p_at_{n}" for n in p_at] + [
+        "recall",
+        "mrr",
+        "avg_precision",
+    ]
+    aggs = [
+        F.count("*").cast("long").alias("num_queries"),
+        F.sum(F.when(good, 1).otherwise(0)).cast("long").alias("good_queries"),
+        F.sum(F.when(good, F.col("num_points"))).alias("_s_np"),
+        F.sum(F.when(good, F.col("num_good_points"))).alias("_s_ng"),
+        F.sum(F.when(good, F.col("max_good_points"))).alias("_s_mg"),
+    ]
+    aggs.extend(_qsum(c) for c in measure_cols)
+    ag = stats.agg(*aggs)
+
+    m = F.col("good_queries")
+    cols = [F.col("num_queries"), F.col("good_queries")]
+    for src, name in (
+        ("_s_np", "avg_num_points"),
+        ("_s_ng", "avg_num_good_points"),
+        ("_s_mg", "avg_max_good_points"),
+    ):
+        cols.append(
+            F.try_divide(F.col(src).cast("double"), m.cast("double")).alias(
+                name
+            )
+        )
+    for c in measure_cols:
+        # the averaged stats object keeps getAvp()'s name, like the
+        # reference's average() returning another QualityStats
+        name = "avg_precision" if c == "avg_precision" else f"avg_{c}"
+        cols.append(
+            F.try_divide(
+                F.col(f"_s_{c}").cast("double"), (m * q).cast("double")
+            ).alias(name)
+        )
+    return ag.select(*cols)

@@ -1,0 +1,204 @@
+"""quality_stats / quality_average vs a naive single-threaded mirror of
+the reference's QualityStats.addResult / average loops
+(benchmark/quality/QualityStats.java:81-127,195-234)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from lucene_spark.operators.quality import quality_average, quality_stats
+
+P_AT = (1, 5, 10, 20)
+
+
+def _naive_stats(ranked_rel: list[bool], max_good: int) -> dict:
+    """Line-for-line mirror of QualityStats.addResult over one query."""
+    num_points = 0
+    num_good = 0
+    prel_sum = 0.0
+    mrr = 0.0
+    recall = 0.0
+    p_at = {}
+    for n, is_rel in enumerate(ranked_rel, start=1):
+        if is_rel:
+            num_good += 1
+            if num_good == 1 and n <= 5:
+                mrr = 1.0 / n
+        num_points = n
+        p = num_good / num_points
+        if is_rel:
+            prel_sum += p
+        if n <= 20:
+            p_at[n] = p
+        recall = p if max_good <= 0 else num_good / max_good
+    out = {
+        "num_points": num_points,
+        "num_good_points": num_good,
+        "max_good_points": max_good,
+        "recall": recall,
+        "mrr": mrr,
+        "avg_precision": 0.0 if max_good == 0 else prel_sum / max_good,
+    }
+    for n in P_AT:
+        if n > num_points:  # getPrecisionAt extrapolation, :113-116
+            out[f"p_at_{n}"] = num_good / n
+        else:
+            out[f"p_at_{n}"] = p_at[n]
+    return out
+
+
+def _run_frames(spark, cases):
+    """cases: {qid: (ranked_rel, relevant_keys_universe)} where the run
+    docs are keyed 1000+rank and judged docs are the given universe."""
+    run_rows, jd_rows = [], []
+    for qid, (ranked_rel, universe) in cases.items():
+        good = 0
+        for r, is_rel in enumerate(ranked_rel, start=1):
+            if is_rel:
+                key = universe[good]
+                good += 1
+            else:
+                key = 10_000 + r
+            run_rows.append((qid, key, r))
+        for key in universe:
+            jd_rows.append((qid, key))
+    run = spark.createDataFrame(run_rows, "query_id string, doc_id long, rank int")
+    jd = spark.createDataFrame(
+        jd_rows or [("_none_", -1)], "query_id string, doc_id long"
+    )
+    if not jd_rows:
+        jd = jd.where("doc_id >= 0")
+    return run, jd
+
+
+def _collect(df):
+    return {r["query_id"]: r.asDict() for r in df.collect()}
+
+
+class TestQualityStats:
+    def test_hand_case(self, spark):
+        # ranks:      1      2     3      4      5     6
+        # relevant:   no     yes   no     yes    no    no
+        rel = [False, True, False, True, False, False]
+        universe = list(range(1, 11))  # 10 relevant docs exist
+        run, jd = _run_frames(spark, {"q": (rel, universe)})
+        got = _collect(quality_stats(run, jd, p_at=P_AT))["q"]
+        assert got["num_points"] == 6
+        assert got["num_good_points"] == 2
+        assert got["max_good_points"] == 10
+        assert got["p_at_1"] == 0.0
+        assert got["p_at_5"] == pytest.approx(2 / 5)
+        assert got["p_at_10"] == pytest.approx(2 / 10)  # extrapolated
+        assert got["p_at_20"] == pytest.approx(2 / 20)
+        assert got["recall"] == pytest.approx(2 / 10)
+        assert got["mrr"] == pytest.approx(1 / 2)
+        # AvP = (p@2 + p@4) / maxGood = (1/2 + 2/4) / 10
+        assert got["avg_precision"] == pytest.approx(0.1)
+
+    def test_mrr_only_within_cutoff(self, spark):
+        # first relevant at rank 6 -> MRR is 0 (QualityStats.java:87-89)
+        rel = [False] * 5 + [True]
+        run, jd = _run_frames(spark, {"q": (rel, [1])})
+        got = _collect(quality_stats(run, jd))["q"]
+        assert got["mrr"] == 0.0
+        assert got["recall"] == 1.0
+
+    def test_unjudged_query_recall_fallback(self, spark):
+        # no judgments at all: maxGood=0 -> recall = final precision,
+        # avp = 0 (QualityStats.java:100,122-124)
+        rel = [False, False, False]
+        run, jd = _run_frames(spark, {"q": (rel, [])})
+        got = _collect(quality_stats(run, jd))["q"]
+        assert got["max_good_points"] == 0
+        assert got["recall"] == 0.0
+        assert got["avg_precision"] == 0.0
+        assert got["mrr"] == 0.0
+
+    def test_randomized_vs_naive(self, spark):
+        rng = random.Random(42)
+        cases = {}
+        for i in range(12):
+            length = rng.randint(1, 20)
+            rel = [rng.random() < 0.35 for _ in range(length)]
+            extra_unfound = rng.randint(0, 5)
+            universe = list(range(1, sum(rel) + extra_unfound + 1))
+            cases[f"q{i}"] = (rel, universe)
+        run, jd = _run_frames(spark, cases)
+        got = _collect(quality_stats(run, jd, p_at=P_AT))
+        for qid, (rel, universe) in cases.items():
+            want = _naive_stats(rel, len(universe))
+            for k, v in want.items():
+                assert got[qid][k] == pytest.approx(v, abs=1e-12), (qid, k)
+
+    def test_avp_exact_matches_float(self, spark):
+        # the scaled-integer numerator equals the float loop exactly
+        # for ranks <= 20 (every cum/rank is p/q with q | lcm(1..20))
+        rel = [True, False, True, True, False, True] + [False] * 10 + [True]
+        run, jd = _run_frames(spark, {"q": (rel, list(range(1, 9)))})
+        got = _collect(quality_stats(run, jd))["q"]
+        want = _naive_stats(rel, 8)
+        assert got["avg_precision"] == pytest.approx(
+            want["avg_precision"], abs=1e-12
+        )
+
+    def test_tail_beyond_exact_max_rank(self, spark):
+        # ranks past exact_max_rank go through the float tail
+        rel = [False] * 22 + [True, True]
+        run, jd = _run_frames(spark, {"q": (rel, [1, 2, 3])})
+        got = _collect(quality_stats(run, jd, exact_max_rank=20))["q"]
+        want = _naive_stats(rel, 3)
+        assert got["avg_precision"] == pytest.approx(
+            want["avg_precision"], rel=1e-12
+        )
+        assert got["num_points"] == 24
+
+
+class TestQualityAverage:
+    def test_average_good_queries_only(self, spark):
+        cases = {
+            "a": ([True, False, True], [1, 2, 3, 4]),
+            "b": ([False, True], [1, 2]),
+            "unjudged": ([False, False], []),  # excluded from measures
+        }
+        run, jd = _run_frames(spark, cases)
+        st = quality_stats(run, jd, p_at=P_AT)
+        row = quality_average(st, p_at=P_AT).collect()[0].asDict()
+        assert row["num_queries"] == 3
+        assert row["good_queries"] == 2
+        na, nb = _naive_stats(*[(cases["a"][0], 4)][0]), _naive_stats(
+            cases["b"][0], 2
+        )
+        for k in ("recall", "mrr", "avg_precision", "p_at_5"):
+            want = (na[k] + nb[k]) / 2
+            name = "avg_precision" if k == "avg_precision" else f"avg_{k}"
+            assert row[name] == pytest.approx(want, abs=2e-6), k
+        assert row["avg_num_points"] == pytest.approx((3 + 2) / 2)
+        assert row["avg_num_good_points"] == pytest.approx((2 + 1) / 2)
+        assert row["avg_max_good_points"] == pytest.approx((4 + 2) / 2)
+
+    def test_average_no_good_queries_is_null(self, spark):
+        run, jd = _run_frames(spark, {"q": ([False], [])})
+        st = quality_stats(run, jd)
+        row = quality_average(st).collect()[0].asDict()
+        assert row["good_queries"] == 0
+        assert row["avg_recall"] is None  # try_divide, DuckDB-parity
+
+
+def test_plans_are_python_free(spark):
+    run, jd = _run_frames(spark, {"q": ([True, False], [1, 2])})
+    st = quality_stats(run, jd)
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "mapinpandas" not in plan.lower()
+    av = quality_average(st)
+    plan = av._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_lcm_contract():
+    # the exact numerator relies on every rank 1..20 dividing the scale
+    lcm = math.lcm(*range(1, 21))
+    assert all(lcm % r == 0 for r in range(1, 21))
