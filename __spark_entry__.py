@@ -6144,6 +6144,37 @@ def _q_quality_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     return av.select(*keep, *[F.round(c, 6).alias(c) for c in rounded])
 
 
+def _q_bp_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPIndexReorderer (misc/index/BPIndexReorderer.java) over the
+    corpus doc-term incidence.  The oracle certifies the output is a
+    bijection onto 0..N-1 via symmetric functions (count / min / max /
+    sum / sum-of-squares are permutation-invariant and derivable from N
+    alone); exact permutation parity with the reference recursion is
+    pinned by tests/test_reorder.py's naive mirror."""
+    from lucene_spark.operators.reorder import bp_reorder
+
+    docs = _docs_table(spark, sf_dir)
+    edges = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    mapping = bp_reorder(
+        edges,
+        min_doc_freq=2,
+        max_doc_freq=0.5,
+        min_partition_size=64,
+        max_iters=3,
+    )
+    return mapping.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc").alias("n_docs"),
+        F.min("new_docid").alias("min_id"),
+        F.max("new_docid").alias("max_id"),
+        F.sum("new_docid").alias("id_sum"),
+        F.sum(F.col("new_docid") * F.col("new_docid")).alias("id_sqsum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
@@ -6152,6 +6183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_values_stats": _q_doc_values_stats,
         "quality_stats_judged": _q_quality_stats,
         "quality_average_judged": _q_quality_average,
+        "bp_reorder_certificate": _q_bp_reorder,
         "postings_term": _q_postings,
         "bm25_top10_term": _q_bm25_term,
         "bm25_top10_or": _q_bm25_or,
@@ -6393,6 +6425,13 @@ def oracle_sql() -> dict[str, str]:
             FROM dl""",
         "quality_stats_judged": _quality_sql_stats(),
         "quality_average_judged": _quality_sql_average(),
+        "bp_reorder_certificate": """
+            WITH c AS (SELECT count(*)::BIGINT AS n FROM documents)
+            SELECT n, n AS n_docs, 0::BIGINT AS min_id,
+                   (n - 1)::BIGINT AS max_id,
+                   (n * (n - 1) // 2)::BIGINT AS id_sum,
+                   ((n - 1) * n * (2 * n - 1) // 6)::BIGINT AS id_sqsum
+            FROM c""",
         "bm25_top10_term": _bm25_sql(["window"]),
         "time_travel_top10": _bm25_sql(
             ["window"], corpus_where="doc_id % 2 = 0"

@@ -1,0 +1,246 @@
+"""Recursive-graph-bisection doc ID reordering (the reference's
+``misc/index/BPIndexReorderer.java``), the Dhulipala et al. "Compressing
+graphs and inverted indexes with recursive graph bisection" algorithm
+with the Mackenzie et al. simulated-annealing gain gate.
+
+Reference semantics re-expressed as driver-coordinated DataFrame rounds
+(the same shape as this repo's BPE trainer):
+
+- Each recursion level splits every slice (docid-sorted at entry,
+  ``IndexReorderingTask.call``: depth>0 re-sorts, :236-246) at
+  ``halfLength = length/2``; slices with ``halfLength <
+  minPartitionSize`` stop recursing (:242-245).
+- Up to ``maxIters`` swap rounds per slice (:260-269, default 20 from
+  ``AbstractBPReorderer.DEFAULT_MAX_ITERS``).  Each round recomputes a
+  per-doc bias = sum over the doc's terms of ``log2(rightDocFreq) -
+  log2(leftDocFreq)`` with zero guards (``computeBias``, :576-597 —
+  "negative when a document is attracted to the left"), using the side
+  doc-freqs as of the round start (``ComputeBiasTask`` runs before the
+  selection).
+- The round stops the slice for good when ``maxLeftBias - minRightBias
+  <= iter`` (:386-402, the annealing gate); otherwise docs re-partition
+  so the ``halfLength`` smallest under (bias, docid) form the left side
+  (``Selector.comparePivot`` ties on doc ID, :414-421).
+- The final permutation is the depth-first concatenation of leaf
+  slices, each internally in original-docid order.
+
+All slices at a level advance in lockstep: a converged slice's
+assignment no longer changes, so freezing it is exactly Lucene's
+per-slice ``break``.  Term universe: ``minDocFreq <= df <= maxDocFreq *
+numDocs`` (:103-135); docs whose terms are all filtered keep bias 0.
+
+Declared deviations (documented, test-pinned): exact ``log2`` instead
+of the 256-entry ``fastLog2`` mantissa table (:940-957 — affects only
+near-tie splits), and no parent/block structure (the block-join
+variant's parents BitSet).
+
+Scale shape: per round, one co-partitionable join of the edge table
+with the assignment on doc, one (slice, term) aggregate, one window per
+slice — all partial-agg friendly; the driver sees only a one-row moved
+count per round and the per-level emptiness probe.  Final numbering
+avoids a global single-partition window: per-slice counts get prefix
+summed (a window over the tiny slice table), then docs number within
+their slice.  Lineage is cut every round with an eager localCheckpoint
+(the iterative-loop rule in this repo's dev notes).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+_STATE_COLS = ["doc", "slice", "half", "active", "side", "frozen"]
+
+
+def bp_reorder(
+    edges: DataFrame,
+    *,
+    doc_col: str = "doc",
+    term_col: str = "term",
+    docs: DataFrame | None = None,
+    min_doc_freq: int = 1,
+    max_doc_freq: float = 1.0,
+    min_partition_size: int = 32,
+    max_iters: int = 20,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Return (doc, new_docid): the BP permutation of the documents in
+    ``edges`` (distinct (doc, term) incidence pairs).  ``docs``
+    optionally supplies the full doc universe (docs with no qualifying
+    terms reorder with bias 0, like Lucene's maxDoc loop).
+
+    ``deterministic=True`` folds each doc's bias contributions in
+    ascending-term order (sort_array + aggregate) so the result is
+    bit-stable under any partitioning; the default sums them with a
+    normal aggregate (order-free only up to float association).
+    """
+    e = edges.select(
+        F.col(doc_col).alias("doc"), F.col(term_col).alias("term")
+    ).distinct()
+    if docs is None:
+        doc_universe = e.select("doc").distinct()
+    else:
+        doc_universe = docs.select(F.col(doc_col).alias("doc")).distinct()
+    n_docs = doc_universe.count()
+
+    df_t = e.groupBy("term").agg(F.count("*").alias("df"))
+    keep = df_t.where(
+        (F.col("df") >= min_doc_freq)
+        & (F.col("df") <= float(max_doc_freq) * n_docs)
+    ).select("term")
+    e = e.join(keep, "term").localCheckpoint(eager=True)
+
+    state = doc_universe.select("doc", F.lit(0).cast("long").alias("slice"))
+
+    for _level in range(64):
+        ws = Window.partitionBy("slice")
+        wr = ws.orderBy("doc")
+        cur = (
+            state.withColumn("r", F.row_number().over(wr))
+            .withColumn("half", F.floor(F.count("*").over(ws) / 2))
+            .withColumn("active", F.col("half") >= min_partition_size)
+            .withColumn(
+                "side",
+                (F.col("active") & (F.col("r") > F.col("half"))).cast("int"),
+            )
+            .withColumn("frozen", F.lit(False))
+            .select(*_STATE_COLS)
+            .localCheckpoint(eager=True)
+        )
+        if cur.where(F.col("active")).isEmpty():
+            state = cur
+            break
+
+        for it in range(max_iters):
+            live = F.col("active") & ~F.col("frozen")
+            act = cur.where(live)
+            ed = e.join(act.select("doc", "slice", "side"), "doc")
+            dfs = ed.groupBy("slice", "term").agg(
+                F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias(
+                    "dfl"
+                ),
+                F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias(
+                    "dfr"
+                ),
+            )
+            contrib = F.when(
+                F.col("dfr") > 0, F.log2(F.col("dfr"))
+            ).otherwise(F.lit(0.0)) - F.when(
+                F.col("dfl") > 0, F.log2(F.col("dfl"))
+            ).otherwise(
+                F.lit(0.0)
+            )
+            rows = ed.join(dfs, ["slice", "term"]).select(
+                "doc", "term", contrib.alias("c")
+            )
+            if deterministic:
+                bias = rows.groupBy("doc").agg(
+                    F.aggregate(
+                        F.sort_array(
+                            F.collect_list(F.struct("term", "c"))
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["c"],
+                    ).alias("bias")
+                )
+            else:
+                bias = rows.groupBy("doc").agg(F.sum("c").alias("bias"))
+            b = (
+                act.join(bias, "doc", "left")
+                .withColumn("bias", F.coalesce(F.col("bias"), F.lit(0.0)))
+            )
+            gains = b.groupBy("slice").agg(
+                (
+                    F.max(F.when(F.col("side") == 0, F.col("bias")))
+                    - F.min(F.when(F.col("side") == 1, F.col("bias")))
+                ).alias("gain")
+            )
+            gains = gains.select(
+                "slice", (F.col("gain") > F.lit(float(it))).alias("moved")
+            )
+            moved_n = (
+                gains.agg(F.sum(F.col("moved").cast("long"))).first()[0] or 0
+            )
+            if moved_n == 0:
+                cur = cur.withColumn(
+                    "frozen", F.col("frozen") | F.col("active")
+                )
+                break
+
+            bj = b.join(gains, "slice")
+            stay = bj.where(~F.col("moved")).select(
+                "doc",
+                "slice",
+                "half",
+                "active",
+                "side",
+                F.lit(True).alias("frozen"),
+            )
+            wb = Window.partitionBy("slice").orderBy(
+                F.asc("bias"), F.asc("doc")
+            )
+            mv = (
+                bj.where(F.col("moved"))
+                .withColumn("r2", F.row_number().over(wb))
+                .select(
+                    "doc",
+                    "slice",
+                    "half",
+                    "active",
+                    (F.col("r2") > F.col("half")).cast("int").alias("side"),
+                    F.lit(False).alias("frozen"),
+                )
+            )
+            rest = cur.where(~live).select(*_STATE_COLS)
+            cur = (
+                mv.unionByName(stay)
+                .unionByName(rest)
+                .localCheckpoint(eager=True)
+            )
+
+        state = cur.select(
+            "doc", (F.col("slice") * 2 + F.col("side")).alias("slice")
+        )
+
+    per = state.groupBy("slice").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("slice", "off")
+    w_in = Window.partitionBy("slice").orderBy("doc")
+    return (
+        state.join(off, "slice")
+        .select(
+            "doc",
+            (F.col("off") + F.row_number().over(w_in) - 1).alias(
+                "new_docid"
+            ),
+        )
+    )
+
+
+def log_gap_cost(edges: DataFrame, mapping: DataFrame | None = None,
+                 *, doc_col: str = "doc", term_col: str = "term") -> float:
+    """Sum over terms of log2(gap) between consecutive postings under
+    the (optionally remapped) doc order — the objective BP minimizes
+    (BPIndexReorderer.java:62-66).  Driver-side float for tests/
+    benchmarks."""
+    e = edges.select(
+        F.col(doc_col).alias("doc"), F.col(term_col).alias("term")
+    ).distinct()
+    if mapping is not None:
+        e = e.join(mapping, "doc").select(
+            F.col("new_docid").alias("doc"), "term"
+        )
+    w = Window.partitionBy("term").orderBy("doc")
+    gap = (F.col("doc") - F.lag("doc").over(w)).alias("gap")
+    row = (
+        e.select("term", gap)
+        .where(F.col("gap").isNotNull())
+        .agg(F.sum(F.log2(F.col("gap"))).alias("cost"))
+        .first()
+    )
+    return float(row["cost"] or 0.0)

@@ -1,0 +1,149 @@
+"""bp_reorder vs a naive single-machine mirror of BPIndexReorderer's
+recursion (misc/index/BPIndexReorderer.java:236-315,344-474,576-597),
+plus the objective check: log-gap cost drops on a clustered corpus."""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+from lucene_spark.operators.reorder import bp_reorder, log_gap_cost
+
+
+def _g(x: int) -> float:
+    return math.log2(x) if x > 0 else 0.0
+
+
+def naive_bp(doc_terms: dict[int, list[str]], min_partition_size: int,
+             max_iters: int) -> list[int]:
+    """Line-for-line mirror: docid-sorted slices, halfLength split,
+    annealing gate gain <= iter, (bias, doc) selection, term-ascending
+    bias fold."""
+
+    def recurse(ids: list[int]) -> list[int]:
+        half = len(ids) // 2
+        if half < min_partition_size:
+            return ids
+        left, right = list(ids[:half]), list(ids[half:])
+        for it in range(max_iters):
+            dfl: Counter = Counter()
+            dfr: Counter = Counter()
+            for d in left:
+                dfl.update(set(doc_terms[d]))
+            for d in right:
+                dfr.update(set(doc_terms[d]))
+            bias = {}
+            for d in left + right:
+                acc = 0.0
+                for t in sorted(set(doc_terms[d])):
+                    acc += _g(dfr[t]) - _g(dfl[t])
+                bias[d] = acc
+            gain = max(bias[d] for d in left) - min(bias[d] for d in right)
+            if gain <= it:
+                break
+            order = sorted(left + right, key=lambda d: (bias[d], d))
+            left, right = order[:half], order[half:]
+        return recurse(sorted(left)) + recurse(sorted(right))
+
+    return recurse(sorted(doc_terms))
+
+
+def _edges_df(spark, doc_terms):
+    rows = [
+        (d, t) for d, ts in doc_terms.items() for t in sorted(set(ts))
+    ]
+    return spark.createDataFrame(rows, "doc long, term string")
+
+
+def _perm(df) -> list[int]:
+    rows = df.orderBy("new_docid").collect()
+    return [r["doc"] for r in rows]
+
+
+def _random_corpus(rng, n_docs, vocab, terms_per_doc):
+    return {
+        d: rng.sample(vocab, rng.randint(1, terms_per_doc))
+        for d in range(n_docs)
+    }
+
+
+class TestMirrorParity:
+    def test_two_term_docs_default_path(self, spark):
+        # <= 2 bias addends per doc: float addition is commutative, so
+        # even the order-free default aggregate is bit-exact
+        rng = random.Random(7)
+        vocab = [f"t{i}" for i in range(12)]
+        doc_terms = _random_corpus(rng, 48, vocab, 2)
+        got = _perm(
+            bp_reorder(
+                _edges_df(spark, doc_terms),
+                min_partition_size=8,
+                max_iters=3,
+            )
+        )
+        assert got == naive_bp(doc_terms, 8, 3)
+
+    def test_general_corpus_deterministic_path(self, spark):
+        rng = random.Random(11)
+        vocab = [f"t{i}" for i in range(20)]
+        doc_terms = _random_corpus(rng, 48, vocab, 6)
+        got = _perm(
+            bp_reorder(
+                _edges_df(spark, doc_terms),
+                min_partition_size=8,
+                max_iters=3,
+                deterministic=True,
+            )
+        )
+        assert got == naive_bp(doc_terms, 8, 3)
+
+
+class TestInvariants:
+    def test_bijection_and_leaf_order(self, spark):
+        rng = random.Random(3)
+        vocab = [f"t{i}" for i in range(10)]
+        doc_terms = _random_corpus(rng, 40, vocab, 4)
+        out = bp_reorder(
+            _edges_df(spark, doc_terms), min_partition_size=8, max_iters=2
+        ).collect()
+        new_ids = sorted(r["new_docid"] for r in out)
+        assert new_ids == list(range(40))
+        assert len({r["doc"] for r in out}) == 40
+
+    def test_min_doc_freq_filters_but_keeps_docs(self, spark):
+        # one doc whose only term is a singleton: filtered from the
+        # bias graph, still present in the permutation (bias 0)
+        doc_terms = {d: ["common"] for d in range(16)}
+        doc_terms[16] = ["unique_term"]
+        out = bp_reorder(
+            _edges_df(spark, doc_terms),
+            min_doc_freq=2,
+            min_partition_size=4,
+            max_iters=2,
+        ).collect()
+        assert sorted(r["new_docid"] for r in out) == list(range(17))
+
+    def test_clustered_corpus_reduces_log_gap_cost(self, spark):
+        # two topics interleaved by docid parity: BP should group them
+        rng = random.Random(5)
+        topics = {
+            0: [f"a{i}" for i in range(8)],
+            1: [f"b{i}" for i in range(8)],
+        }
+        doc_terms = {
+            d: rng.sample(topics[d % 2], 4) + [f"x{d}"] for d in range(64)
+        }
+        edges = _edges_df(spark, doc_terms)
+        mapping = bp_reorder(
+            edges, min_doc_freq=2, min_partition_size=8, max_iters=6
+        )
+        before = log_gap_cost(edges)
+        after = log_gap_cost(edges, mapping)
+        assert after < before, (before, after)
+
+    def test_tiny_corpus_is_identity(self, spark):
+        # halfLength < minPartitionSize at the root: no reordering
+        doc_terms = {d: [f"t{d % 3}"] for d in range(10)}
+        got = _perm(bp_reorder(_edges_df(spark, doc_terms)))
+        assert got == list(range(10))
