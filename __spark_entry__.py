@@ -845,6 +845,10 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
                 spark, wp, idx, num_segments=n_seg,
                 index_sort="doclen_desc",
             )
+        elif kind == "bp":
+            build_index(
+                spark, wp, idx, num_segments=n_seg, index_sort="bp"
+            )
         elif kind in ("del", "softdel", "upd", "dvu"):
             build_index(spark, wp, idx, num_segments=n_seg)
         elif kind == "feat":
@@ -5057,6 +5061,16 @@ def _q_index_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_bp_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index_sort='bp' (misc/index/BPIndexReorderer.java via the
+    BPReorderingMergePolicy integration point): per-segment recursive-
+    graph-bisection docid assignment, run in-kernel at build.  Docids
+    are permuted for posting locality, but (url, score) results are
+    invariant — the oracle is the plain BM25 query."""
+    s = _variant_searcher(spark, sf_dir, "bp")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IndexCommit time travel (DirectoryReader.open(IndexCommit)):
     open GENERATION 1 of the NRT-appended index — the snapshot that
@@ -6339,6 +6353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nrt_appended_top10": _q_nrt,
         "time_travel_top10": _q_time_travel,
         "index_sorted_top10": _q_index_sorted,
+        "bp_sorted_top10": _q_bp_sorted,
         "english_analyzer_top10": _q_english,
         "french_analyzer_top10": _q_french,
         "german_analyzer_top10": _q_german,
@@ -6437,6 +6452,7 @@ def oracle_sql() -> dict[str, str]:
             ["window"], corpus_where="doc_id % 2 = 0"
         ),
         "index_sorted_top10": _bm25_sql(["window"]),
+        "bp_sorted_top10": _bm25_sql(["window"]),
         "bm25_top10_or": _bm25_sql(OR_TERMS),
         "bm25_top10_and": _bm25_sql(AND_TERMS, mode="must"),
         "bm25_top10_and_not": _bm25_sql(["window"], must_not=["spark"]),

@@ -103,7 +103,9 @@ def _build_one_segment(
     (``core/index/IndexWriterConfig.java:475-482``): docids within the
     segment follow the sort, enabling early termination on queries
     sorted the same way. 'url' (default, the canonical deterministic
-    order) or 'doclen_desc' (longest docs first; ties by url)."""
+    order), 'doclen_desc' (longest docs first; ties by url), or 'bp'
+    (recursive-graph-bisection clustering per segment, the
+    BPReorderingMergePolicy analog — operators/reorder.py)."""
     import pandas as pd
 
     t0 = time.monotonic()
@@ -127,6 +129,24 @@ def _build_one_segment(
             raise ValueError("salt_splits requires index_sort='url'")
         # stable re-sort on top of the url order -> (doclen desc, url)
         order2 = np.argsort(-doclens, kind="stable")
+        urls_s = [urls_s[i] for i in order2]
+        texts_s = [texts_s[i] for i in order2]
+        terms_col = [terms_col[i] for i in order2]
+        pos_col = [pos_col[i] for i in order2]
+        doclens = doclens[order2]
+    elif index_sort == "bp":
+        # BPReorderingMergePolicy analog (misc/index/
+        # BPIndexReorderer.java): recursive-graph-bisection docid
+        # assignment WITHIN the segment, run entirely in-kernel (numpy,
+        # zero extra shuffles) over the just-analyzed term sets.
+        # Clusters docs sharing terms -> smaller posting deltas and
+        # tighter block-max bounds; search results are docid-layout-
+        # invariant (tested).  Entry order (url) is the tie base.
+        if local_ids is not None:
+            raise ValueError("salt_splits requires index_sort='url'")
+        from .reorder import bp_permutation
+
+        order2 = bp_permutation(terms_col)
         urls_s = [urls_s[i] for i in order2]
         texts_s = [texts_s[i] for i in order2]
         terms_col = [terms_col[i] for i in order2]

@@ -222,6 +222,136 @@ def bp_reorder(
     )
 
 
+def bp_permutation(
+    terms_col,
+    *,
+    min_doc_freq: int = 2,
+    max_doc_freq: float = 1.0,
+    min_partition_size: int = 32,
+    max_iters: int = 20,
+):
+    """Single-segment numpy BP: the in-kernel integration point, the
+    analog of ``BPReorderingMergePolicy`` / single-leaf
+    ``BPIndexReorderer.reorder`` (misc/index/BPIndexReorderer.java) —
+    Lucene reorders within one segment, so the build kernel can run the
+    whole recursion locally with zero extra shuffles.
+
+    ``terms_col``: per-doc term lists (post-analysis, row order = the
+    segment's entry docid order).  Returns ``order`` (int64 array):
+    original row index at each new local docid.  Same semantics as
+    :func:`bp_reorder` (halfLength split, annealing gate ``gain <=
+    iter``, (bias, docid) selection ties, per-slice freezing in
+    lockstep levels); bias contributions fold in ascending-term order
+    per doc, bit-matching the naive reference mirror.
+
+    ``min_partition_size=32`` / ``max_iters=20`` are the reference
+    defaults; ``min_doc_freq`` defaults to 2 (not the reference's
+    4096, which assumes multi-million-doc segments — df-1 terms can
+    never pull two docs together, so 2 is the semantic floor)."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(terms_col)
+    if n // 2 < min_partition_size:
+        return np.arange(n, dtype=np.int64)
+
+    # unique (doc, term) edges, doc-major with terms ascending (the
+    # fold order of the bias sum — matches the deterministic mirror)
+    docs_rep: list[int] = []
+    toks: list[str] = []
+    for i, ts in enumerate(terms_col):
+        u = sorted(set(ts))
+        toks.extend(u)
+        docs_rep.extend([i] * len(u))
+    doc_idx = np.asarray(docs_rep, dtype=np.int64)
+    codes, uniques = pd.factorize(np.asarray(toks, dtype=object))
+    df = np.bincount(codes, minlength=len(uniques))
+    ok = (df >= min_doc_freq) & (df <= float(max_doc_freq) * n)
+    keep = ok[codes]
+    doc_idx = doc_idx[keep]
+    term_idx = np.unique(codes[keep], return_inverse=True)[1]
+    n_terms = int(term_idx.max()) + 1 if len(term_idx) else 1
+
+    slice_of = np.zeros(n, dtype=np.int64)
+    ids = np.arange(n, dtype=np.int64)
+
+    for _level in range(64):
+        srt = np.argsort(slice_of, kind="stable")  # (slice, docid) order
+        sl_sorted = slice_of[srt]
+        starts = np.r_[0, np.flatnonzero(sl_sorted[1:] != sl_sorted[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, n])
+        halves = sizes // 2
+        active_g = halves >= min_partition_size
+        if not active_g.any():
+            break
+        n_groups = len(sizes)
+        g_sorted = np.repeat(np.arange(n_groups, dtype=np.int64), sizes)
+        pos_in = ids - np.repeat(starts, sizes)
+        half_rep = np.repeat(halves, sizes)
+        side_sorted = (
+            np.repeat(active_g, sizes) & (pos_in >= half_rep)
+        ).astype(np.int8)
+        group_of = np.empty(n, dtype=np.int64)
+        group_of[srt] = g_sorted
+        side = np.empty(n, dtype=np.int8)
+        side[srt] = side_sorted
+        frozen_g = ~active_g.copy()
+
+        for it in range(max_iters):
+            live = ~frozen_g[group_of]
+            em = live[doc_idx]
+            d_i = doc_idx[em]
+            t_i = term_idx[em]
+            if len(d_i) == 0:
+                break
+            key = group_of[d_i] * n_terms + t_i
+            uk, inv = np.unique(key, return_inverse=True)
+            s_i = side[d_i]
+            dfl = np.bincount(inv, weights=(s_i == 0), minlength=len(uk))
+            dfr = np.bincount(inv, weights=(s_i == 1), minlength=len(uk))
+            with np.errstate(divide="ignore"):
+                gl = np.where(dfl > 0, np.log2(np.maximum(dfl, 1)), 0.0)
+                gr = np.where(dfr > 0, np.log2(np.maximum(dfr, 1)), 0.0)
+            contrib = gr - gl
+            bias = np.bincount(d_i, weights=contrib[inv], minlength=n)
+            # annealing gate per live slice: maxLeftBias - minRightBias
+            maxl = np.full(n_groups, -np.inf)
+            minr = np.full(n_groups, np.inf)
+            live_docs = np.flatnonzero(live)
+            ld_side = side[live_docs]
+            lg = group_of[live_docs]
+            lb = bias[live_docs]
+            np.maximum.at(maxl, lg[ld_side == 0], lb[ld_side == 0])
+            np.minimum.at(minr, lg[ld_side == 1], lb[ld_side == 1])
+            moved_g = (maxl - minr) > float(it)
+            newly_frozen = ~frozen_g & ~moved_g
+            frozen_g |= newly_frozen
+            if not moved_g.any():
+                break
+            # re-partition moved slices by (bias, docid)
+            mdocs = live_docs[moved_g[lg]]
+            mg = group_of[mdocs]
+            o2 = np.lexsort((mdocs, bias[mdocs], mg))
+            md_sorted = mdocs[o2]
+            mg_sorted = mg[o2]
+            m_starts = np.r_[
+                0, np.flatnonzero(mg_sorted[1:] != mg_sorted[:-1]) + 1
+            ]
+            m_sizes = np.diff(np.r_[m_starts, len(md_sorted)])
+            m_pos = np.arange(len(md_sorted)) - np.repeat(m_starts, m_sizes)
+            m_half = halves[mg_sorted[m_starts]]
+            side[md_sorted] = (
+                m_pos >= np.repeat(m_half, m_sizes)
+            ).astype(np.int8)
+
+        act_doc = active_g[group_of]
+        slice_of = np.where(
+            act_doc, slice_of * 2 + side, slice_of * 2
+        ).astype(np.int64)
+
+    return np.argsort(slice_of, kind="stable").astype(np.int64)
+
+
 def log_gap_cost(edges: DataFrame, mapping: DataFrame | None = None,
                  *, doc_col: str = "doc", term_col: str = "term") -> float:
     """Sum over terms of log2(gap) between consecutive postings under

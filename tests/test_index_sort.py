@@ -48,6 +48,40 @@ class TestIndexSort:
         ]
         assert a == b
 
+    def test_bp_sort_same_results_as_default(
+        self, spark, web_pages, tmp_path, searcher
+    ):
+        """index_sort='bp' (per-segment recursive graph bisection,
+        BPReorderingMergePolicy analog) permutes docids but must not
+        change any (url, score) search result."""
+        d = str(tmp_path / "bp_idx")
+        build_index(spark, web_pages, d, num_segments=2, index_sort="bp")
+        s = Searcher(spark, d)
+        for kwargs in (
+            {"should": ["window", "spark"]},
+            {"must": ["the", "window"]},
+        ):
+            a = sorted(
+                (r["url"], round(r["score"], 5))
+                for r in s.boolean_query(k=10, **kwargs).collect()
+            )
+            b = sorted(
+                (r["url"], round(r["score"], 5))
+                for r in searcher.boolean_query(k=10, **kwargs).collect()
+            )
+            assert a == b, kwargs
+
+    def test_bp_sort_is_docid_bijection(self, spark, web_pages, tmp_path):
+        d = str(tmp_path / "bp_idx2")
+        build_index(spark, web_pages, d, num_segments=2, index_sort="bp")
+        s = Searcher(spark, d)
+        rows = s._docs.select("segment_id", "local_docid").collect()
+        by_seg = {}
+        for r in rows:
+            by_seg.setdefault(r["segment_id"], []).append(r["local_docid"])
+        for seg, ids in by_seg.items():
+            assert sorted(ids) == list(range(len(ids))), seg
+
     def test_unknown_sort_raises(self, spark, web_pages, tmp_path):
         with pytest.raises(Exception, match="unknown index_sort"):
             build_index(

@@ -8,7 +8,11 @@ import math
 import random
 from collections import Counter
 
-from lucene_spark.operators.reorder import bp_reorder, log_gap_cost
+from lucene_spark.operators.reorder import (
+    bp_permutation,
+    bp_reorder,
+    log_gap_cost,
+)
 
 
 def _g(x: int) -> float:
@@ -147,3 +151,55 @@ class TestInvariants:
         doc_terms = {d: [f"t{d % 3}"] for d in range(10)}
         got = _perm(bp_reorder(_edges_df(spark, doc_terms)))
         assert got == list(range(10))
+
+
+class TestNumpyKernelParity:
+    """bp_permutation (the in-kernel single-segment path used by
+    index_sort='bp') against the same naive mirror, and against the
+    distributed bp_reorder."""
+
+    def test_matches_naive_mirror(self):
+        for seed in (7, 11, 23):
+            rng = random.Random(seed)
+            vocab = [f"t{i}" for i in range(20)]
+            doc_terms = _random_corpus(rng, 64, vocab, 6)
+            order = bp_permutation(
+                [doc_terms[d] for d in range(64)],
+                min_doc_freq=1,
+                min_partition_size=8,
+                max_iters=3,
+            )
+            assert list(order) == naive_bp(doc_terms, 8, 3), seed
+
+    def test_matches_distributed_bp_reorder(self, spark):
+        rng = random.Random(13)
+        vocab = [f"t{i}" for i in range(16)]
+        doc_terms = _random_corpus(rng, 48, vocab, 5)
+        order = bp_permutation(
+            [doc_terms[d] for d in range(48)],
+            min_doc_freq=2,
+            min_partition_size=8,
+            max_iters=4,
+        )
+        dist = _perm(
+            bp_reorder(
+                _edges_df(spark, doc_terms),
+                min_doc_freq=2,
+                min_partition_size=8,
+                max_iters=4,
+                deterministic=True,
+            )
+        )
+        assert list(order) == dist
+
+    def test_tiny_is_identity_and_bijection(self):
+        assert list(bp_permutation([["a"], ["a"], ["b"]])) == [0, 1, 2]
+        rng = random.Random(3)
+        vocab = [f"t{i}" for i in range(10)]
+        doc_terms = _random_corpus(rng, 40, vocab, 4)
+        order = bp_permutation(
+            [doc_terms[d] for d in range(40)],
+            min_partition_size=8,
+            max_iters=2,
+        )
+        assert sorted(order) == list(range(40))
