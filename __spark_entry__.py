@@ -745,6 +745,39 @@ def _multi_phrase_sql(slots: list[list[str]], k: int = 10) -> str:
       FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _phrase_wildcard_sql(pattern_rx: str, literal: str, k: int = 10) -> str:
+    """PhraseWildcardQuery oracle: slot 0 = wildcard expansions derived
+    IN SQL (distinct matching terms, per-term df), slot 1 = a literal;
+    idf summed over every expansion plus the literal — the same
+    convention as _multi_phrase_sql with the slot set computed instead
+    of quoted."""
+    norm = _norm_len_sql("dl.dl")
+    lit_df = (
+        f"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = '{literal}')"
+    )
+    return f"""WITH {_TOK}, {_TOKP}, {_DL}, {_ST},
+      wterms AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+                 WHERE regexp_matches(term, '{pattern_rx}') GROUP BY term),
+      u0 AS (SELECT DISTINCT tokp.doc_id, p - 0 AS p
+             FROM tokp JOIN wterms USING (term)),
+      u1 AS (SELECT DISTINCT doc_id, p - 1 AS p FROM tokp
+             WHERE term = '{literal}'),
+      pf AS (SELECT u0.doc_id, count(*)::BIGINT AS pf FROM u0
+             JOIN u1 ON u0.doc_id = u1.doc_id AND u0.p = u1.p
+             GROUP BY u0.doc_id),
+      widf AS (SELECT sum(ln(1 + (st.n - df + 0.5)/(df + 0.5))) AS w0
+               FROM wterms CROSS JOIN st),
+      sc AS (SELECT pf.doc_id,
+                    (widf.w0
+                     + ln(1 + (st.n - {lit_df} + 0.5)/({lit_df} + 0.5))) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+                    pf.pf AS pf
+             FROM pf JOIN dl ON pf.doc_id = dl.doc_id
+             CROSS JOIN st CROSS JOIN widf)
+      SELECT doc_id, round(w - w/(1 + pf*inv), 6) AS score
+      FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _const_match_sql(term_pred: str, k: int = 1000) -> str:
     return f"""WITH {_TOK}
       SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE {term_pred}
@@ -2751,6 +2784,17 @@ def _q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(
         s, s.scored_multi_phrase([["window", "table"], ["the"]])
     )
+
+
+def _q_phrase_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java):
+    't*' expands against the term dictionary (well under the budget,
+    so no truncation — the budget rule is pinned by
+    tests/test_phrase_wildcard.py), then scores as a MultiPhraseQuery;
+    the oracle recomputes the expansion set and the summed idf in
+    SQL."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(s, s.scored_phrase_wildcard(["t*", "window"]))
 
 
 def _q_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6299,6 +6343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_tokens": _q_ngram_tokens,
         "parsed_query_top10": _q_parsed,
         "multi_phrase_top10": _q_multi_phrase,
+        "phrase_wildcard_top10": _q_phrase_wildcard,
         "complex_phrase_top10": _q_complex_phrase,
         "surround_top10": _q_surround,
         "point_range_doclen": _q_point_range,
@@ -6953,6 +6998,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_phrase_top10": _multi_phrase_sql(
             [["window", "table"], ["the"]]
         ),
+        "phrase_wildcard_top10": _phrase_wildcard_sql("^t.*$", "window"),
         "point_range_doclen": f"""
             WITH {_TOK}, {_DL}
             SELECT doc_id, 1.0 AS score FROM dl

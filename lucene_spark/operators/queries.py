@@ -314,6 +314,91 @@ class QueryOpsMixin:
     def wildcard_query(self, pattern: str, k: int = 10) -> DataFrame:
         return self._finish_topk(self.scored_wildcard(pattern), k)
 
+    def scored_phrase_wildcard(
+        self,
+        phrase_terms: list[str],
+        max_multi_term_expansions: int = MAX_EXPANSIONS,
+    ) -> DataFrame:
+        """PhraseWildcardQuery (``sandbox/search/PhraseWildcardQuery
+        .java:87``): a phrase where terms containing unescaped ``*`` /
+        ``?`` are multi-terms expanded against the term dictionary,
+        with a TOTAL expansion budget shared across all multi-terms.
+
+        Reference semantics mirrored exactly:
+
+        - single terms resolve FIRST; any with no postings -> no-match
+          weight without expanding anything (:160-177 early stop);
+        - multi-terms then expand sequentially in phrase order with
+          ``maxExpansionsForTerm = remainingExpansions /
+          remainingMultiTerms`` (integer division, unused budget
+          carries forward, :179-207), taking matching terms in sorted
+          term order up to the cap (:490-511 termsEnum order);
+        - a multi-term with zero expansions -> no match (:167-171);
+        - scoring = MultiPhraseQuery over the expanded slots: slot
+          positions are the union of the expansions' positions and the
+          idf is summed over every single term and every expansion
+          (:249-258 termStatsList -> one SimScorer).
+
+        Rewrites: empty -> no match, one slot -> the bare term /
+        constant-score wildcard query (:116-122).  Declared deviation:
+        expansion enumeration is against the GLOBAL term dictionary
+        (our terms table), not per-segment smallest-first
+        (segmentOptimizationEnabled) — with one term dictionary the
+        reference's per-segment budget spreading reduces to this.
+        Slop is out of scope (builder default 0)."""
+        if not phrase_terms:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        is_multi = [
+            bool(re.search(r"(?<!\\)[*?]", t)) for t in phrase_terms
+        ]
+        if len(phrase_terms) == 1:
+            if is_multi[0]:
+                return self.scored_wildcard(phrase_terms[0])
+            return self.scored_postings([phrase_terms[0]])
+        singles = [t for t, m in zip(phrase_terms, is_multi) if not m]
+        stats = self.term_stats(singles)
+        if any(t not in stats for t in singles):
+            return self._empty_scored().select("segment_id", "docid", "score")
+        remaining = int(max_multi_term_expansions)
+        n_multi = sum(is_multi)
+        slots: list[list[str]] = []
+        for t, m in zip(phrase_terms, is_multi):
+            if not m:
+                slots.append([t])
+                continue
+            cap = remaining // n_multi
+            rx = "^" + wildcard_to_regex(t) + "$"
+            rows = (
+                self._terms_df.where(F.col("term").rlike(rx))
+                .select("term")
+                .distinct()
+                .orderBy("term")
+                .limit(max(cap, 0))
+                .collect()
+            )
+            exp = [r["term"] for r in rows]
+            if not exp:
+                return self._empty_scored().select(
+                    "segment_id", "docid", "score"
+                )
+            remaining -= len(exp)
+            n_multi -= 1
+            slots.append(exp)
+        return self.scored_multi_phrase(slots)
+
+    def phrase_wildcard_query(
+        self,
+        phrase_terms: list[str],
+        k: int = 10,
+        max_multi_term_expansions: int = MAX_EXPANSIONS,
+    ) -> DataFrame:
+        return self._finish_topk(
+            self.scored_phrase_wildcard(
+                phrase_terms, max_multi_term_expansions
+            ),
+            k,
+        )
+
     def scored_regexp(self, regex: str, boost: float = 1.0) -> DataFrame:
         """RegexpQuery (``core/search/RegexpQuery.java:42``) — full-term
         match, like Lucene's automaton (anchored both ends)."""

@@ -1,0 +1,106 @@
+"""PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java):
+expansion-budget mirror vs explicit MultiPhraseQuery slots, early-stop
+semantics, and the single-slot rewrites."""
+
+from __future__ import annotations
+
+import re
+
+from lucene_spark.operators.queries import wildcard_to_regex
+
+
+def _vocab(searcher) -> list[str]:
+    return sorted(
+        r["term"]
+        for r in searcher._terms_df.select("term").distinct().collect()
+    )
+
+
+def _mirror_slots(searcher, phrase_terms, budget):
+    """Driver-side mirror of the reference's sequential budget split
+    (PhraseWildcardQuery.java:179-207): cap = remaining // remaining
+    multi-terms, expansions in sorted term order, carry-forward."""
+    vocab = _vocab(searcher)
+    is_multi = [bool(re.search(r"(?<!\\)[*?]", t)) for t in phrase_terms]
+    remaining, n_multi = budget, sum(is_multi)
+    slots = []
+    for t, m in zip(phrase_terms, is_multi):
+        if not m:
+            slots.append([t])
+            continue
+        cap = remaining // n_multi
+        rx = re.compile("^" + wildcard_to_regex(t) + "$")
+        exp = [v for v in vocab if rx.match(v)][:cap]
+        assert exp, f"test phrase needs expansions for {t}"
+        remaining -= len(exp)
+        n_multi -= 1
+        slots.append(exp)
+    return slots
+
+
+def _rows(df):
+    return sorted(
+        (r["segment_id"], r["docid"], round(r["score"], 6))
+        for r in df.collect()
+    )
+
+
+class TestBudgetMirror:
+    def test_equals_multi_phrase_on_full_expansion(self, searcher):
+        got = searcher.scored_phrase_wildcard(["t*", "window"])
+        want = searcher.scored_multi_phrase(
+            _mirror_slots(searcher, ["t*", "window"], 1024)
+        )
+        assert _rows(got) == _rows(want)
+        assert len(_rows(got)) > 0
+
+    def test_sequential_budget_truncates_in_term_order(self, searcher):
+        # budget 3 over two multi-terms: first gets 3//2=1 expansion,
+        # carry-forward gives the second 2
+        phrase = ["s*", "t*"]
+        got = searcher.scored_phrase_wildcard(
+            phrase, max_multi_term_expansions=3
+        )
+        slots = _mirror_slots(searcher, phrase, 3)
+        assert len(slots[0]) == 1 and len(slots[1]) == 2
+        want = searcher.scored_multi_phrase(slots)
+        assert _rows(got) == _rows(want)
+
+    def test_tight_budget_single_expansion_each(self, searcher):
+        phrase = ["s*", "window"]
+        got = searcher.scored_phrase_wildcard(
+            phrase, max_multi_term_expansions=1
+        )
+        slots = _mirror_slots(searcher, phrase, 1)
+        assert len(slots[0]) == 1
+        want = searcher.scored_multi_phrase(slots)
+        assert _rows(got) == _rows(want)
+
+
+class TestEarlyStop:
+    def test_missing_single_term_skips_expansion(self, searcher):
+        got = searcher.scored_phrase_wildcard(["zzz_absent", "t*"])
+        assert got.count() == 0
+
+    def test_zero_expansion_multi_term_no_match(self, searcher):
+        got = searcher.scored_phrase_wildcard(["window", "zzz*"])
+        assert got.count() == 0
+
+    def test_empty_phrase(self, searcher):
+        assert searcher.scored_phrase_wildcard([]).count() == 0
+
+
+class TestRewrites:
+    def test_single_multi_term_is_wildcard_query(self, searcher):
+        a = _rows(searcher.scored_phrase_wildcard(["t*"]))
+        b = _rows(searcher.scored_wildcard("t*"))
+        assert a == b and len(a) > 0
+
+    def test_single_literal_is_term_query(self, searcher):
+        a = _rows(searcher.scored_phrase_wildcard(["window"]))
+        b = _rows(searcher.scored_postings(["window"]))
+        assert a == b and len(a) > 0
+
+    def test_escaped_wildcard_is_literal(self, searcher):
+        # "t\\*" is the literal term "t*": not indexed -> no match
+        assert searcher.scored_phrase_wildcard(["t\\*", "window"]).count() == 0
