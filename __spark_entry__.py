@@ -1266,6 +1266,30 @@ def _dv_boosted_bm25_sql(
       FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _distance_feature_sql(
+    term: str, origin: int, pivot: int, boost: float, k: int = 10
+) -> str:
+    """BM25(term) + a long distance feature on doclen: the feature adds
+    boost * pivot/(pivot + |dl - origin|) to every hit (all docs carry
+    a doclen, so the SHOULD clause always contributes)."""
+    norm = _norm_len_sql("dl.dl")
+    return f"""WITH {_TOK}, {_DL}, {_ST},
+      tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+             WHERE term = '{term}' GROUP BY doc_id),
+      df AS (SELECT count(*)::BIGINT AS df FROM tf),
+      sc AS (SELECT tf.doc_id,
+                    ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+                    tf.tf AS tf, dl.dl AS dl
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN st CROSS JOIN df)
+      SELECT doc_id,
+             round((w - w/(1 + tf*inv))
+                   + {boost} * ({pivot}.0 / ({pivot}.0 + abs(dl - {origin}))),
+                   6) AS score
+      FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _updated_bm25_sql(term: str, k: int = 10) -> str:
     """BM25 after update_documents: the corpus is documents plus the
     appended new versions; old versions of the updated ids are
@@ -3300,6 +3324,47 @@ def _q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LongField.newDistanceFeatureQuery as a SHOULD clause next to a
+    scoring MUST (core/document/LongDistanceFeatureQuery.java:121):
+    BM25("window") + 2.0 * 10/(10 + |doclen - 30|) — the recency-boost
+    recipe with doclen standing in for the timestamp field. Every doc
+    has a doclen, so the feature term contributes to every hit."""
+    s = _get_searcher(spark, sf_dir)
+    base = s.scored_boolean(should=["window"])
+    feat = s.scored_distance_feature(
+        F.col("doclen"), origin=30, pivot=10, boost=2.0
+    )
+    comb = (
+        base.join(
+            feat.withColumnRenamed("score", "fscore"),
+            ["segment_id", "docid"],
+            "left",
+        )
+        .withColumn(
+            "score", F.col("score") + F.coalesce("fscore", F.lit(0.0))
+        )
+        .drop("fscore")
+    )
+    return _topk_by_doc_id(s, comb)
+
+
+def _q_geo_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLonPoint.newDistanceFeatureQuery (LatLonPoint.java:369): the
+    10 customers scoring highest on pivot/(pivot + haversine) around
+    (48.25, 2.5), pivot 100 km — rank order equals nearest-first, the
+    scores are the saturating feature values."""
+    from lucene_spark.operators.geo import distance_feature
+
+    pts = _geo_customers(spark, sf_dir)
+    sc = distance_feature(pts, "lat", "lon", 48.25, 2.5, 100_000.0)
+    return (
+        sc.select("c_custkey", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
 def _q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LatLonPoint.nearest analog: global 10 nearest customers to
     (48.25, 2.5), custkey tie-break."""
@@ -3372,6 +3437,14 @@ def _geo_distance_sql() -> str:
 d AS (SELECT c_custkey, {hav} AS m FROM pts)
 SELECT c_custkey, round(m / 1000.0, 2) AS dist_km
 FROM d WHERE m <= 3000000.0"""
+
+
+def _geo_distance_feature_sql() -> str:
+    hav = _GEO_HAV.format(qlat=48.25, qlon=2.5)
+    return f"""WITH {_GEO_PTS},
+d AS (SELECT c_custkey, {hav} AS m FROM pts),
+s AS (SELECT c_custkey, round(100000.0/(100000.0 + m), 6) AS score FROM d)
+SELECT c_custkey, score FROM s ORDER BY score DESC, c_custkey LIMIT 10"""
 
 
 def _geo_nearest_sql() -> str:
@@ -6318,6 +6391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_groups": _q_url_dedup,
         "free_text_suggest": _q_free_text_suggest,
         "geo_distance_custkeys": _q_geo_distance,
+        "distance_feature_top10": _q_distance_feature,
+        "geo_distance_feature_top10": _q_geo_distance_feature,
         "geo_polygon_custkeys": _q_geo_polygon,
         "geo_nearest_top10": _q_geo_nearest,
         "shingle_tokens": _q_shingles,
@@ -6961,6 +7036,10 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_groups": _URL_DEDUP_SQL,
         "free_text_suggest": _FREE_TEXT_SUGGEST_SQL,
         "geo_distance_custkeys": _geo_distance_sql(),
+        "distance_feature_top10": _distance_feature_sql(
+            "window", origin=30, pivot=10, boost=2.0
+        ),
+        "geo_distance_feature_top10": _geo_distance_feature_sql(),
         "geo_polygon_custkeys": _geo_polygon_sql(),
         "geo_nearest_top10": _geo_nearest_sql(),
         "shingle_tokens": _SHINGLES_SQL,

@@ -131,6 +131,36 @@ def nearest(
     return df.withColumn("distance_m", dist).orderBy(*order).limit(k)
 
 
+def distance_feature(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    lat: float,
+    lon: float,
+    pivot_m: float,
+    boost: float = 1.0,
+) -> DataFrame:
+    """LatLonPoint.newDistanceFeatureQuery (``core/document/LatLonPoint
+    .java:369`` -> ``LatLonPointDistanceFeatureQuery.java``): score =
+    ``boost * pivot / (pivot + haversine_m(origin, point))`` — the geo
+    twin of the long distance feature; rows without coordinates do not
+    match (advanceExact false).  Adds a ``score`` column; ranking by it
+    descending equals ranking by distance ascending, which is how the
+    reference's BKD skipper prunes — here the scalable plan is the
+    plain column computation."""
+    if pivot_m <= 0:
+        raise ValueError("pivotDistance must be > 0, got %r" % pivot_m)
+    dist = haversine_meters(
+        F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon)
+    )
+    score = F.lit(float(boost)) * (
+        F.lit(float(pivot_m)) / (F.lit(float(pivot_m)) + dist)
+    )
+    return df.where(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    ).withColumn("score", score)
+
+
 def polygon_contains(
     lat_col: Column, lon_col: Column, polygon: list[tuple[float, float]]
 ) -> Column:

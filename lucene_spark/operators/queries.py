@@ -1328,6 +1328,59 @@ class QueryOpsMixin:
             F.expr(expr).cast(score_t).alias("score"),
         )
 
+    def scored_distance_feature(
+        self,
+        value_expr: Column,
+        origin: int,
+        pivot: int,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """LongField.newDistanceFeatureQuery (``core/document/LongField
+        .java:200`` -> ``core/document/LongDistanceFeatureQuery.java:41``):
+        a feature clause scoring ``boost * pivot / (pivot + distance)``
+        with ``distance = max(value, origin) - min(value, origin)``
+        (:117-121 — the reference saturates int64 underflow to
+        Long.MAX_VALUE; mirrored with a NULL-distance -> 0-score guard
+        since Spark ANSI mode would throw instead).  Docs without a
+        value do not match (:112-115 ``advanceExact`` false).  Typical
+        use is recency boosting as a SHOULD clause next to a scoring
+        MUST.  The plan is a docs-table projection — no postings are
+        read, the reference's BKD skipper is an optimization of the
+        same result set."""
+        if pivot <= 0:
+            raise ValueError("pivotDistance must be > 0, got %r" % pivot)
+        score_t = "float" if self.dtype == np.float32 else "double"
+        vals = self._filter_live(
+            self._docs.select(
+                "segment_id",
+                F.col("local_docid").alias("docid"),
+                value_expr.cast("long").alias("v"),
+            )
+        ).where(F.col("v").isNotNull())
+        dist = (
+            F.greatest(F.col("v"), F.lit(int(origin)))
+            - F.least(F.col("v"), F.lit(int(origin)))
+        ).cast("double")
+        score = F.lit(float(boost)) * (
+            F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+        )
+        return vals.select(
+            "segment_id", "docid", score.cast(score_t).alias("score")
+        )
+
+    def distance_feature_query(
+        self,
+        value_expr: Column,
+        origin: int,
+        pivot: int,
+        boost: float = 1.0,
+        k: int = 10,
+    ) -> DataFrame:
+        return self._finish_topk(
+            self.scored_distance_feature(value_expr, origin, pivot, boost),
+            k,
+        )
+
     # ------------------------------------------------------------------
     def match_all(self) -> DataFrame:
         """MatchAllDocsQuery (``core/search/MatchAllDocsQuery.java:23``):

@@ -1,0 +1,141 @@
+"""DistanceFeatureQuery — long and LatLon variants.
+
+Reference: core/document/LongDistanceFeatureQuery.java:121
+(score = boost * pivot / (pivot + distance)),
+core/document/LatLonPointDistanceFeatureQuery.java (haversine
+distance), LongField.java:200 / LatLonPoint.java:369 factories.
+"""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _url_doclen(searcher):
+    rows = searcher._attach_urls(
+        searcher._docs.select(
+            "segment_id",
+            F.col("local_docid").alias("docid"),
+            F.col("local_docid").alias("local_docid"),
+            "doclen",
+        )
+    ).collect()
+    return {r["url"]: r["doclen"] for r in rows}
+
+
+def _feature_by_url(searcher, scored):
+    rows = searcher._attach_urls(
+        scored.withColumn("local_docid", F.col("docid"))
+    ).collect()
+    return {r["url"]: r["score"] for r in rows}
+
+
+class TestLongDistanceFeature:
+    def test_formula_exact(self, searcher, web_pages):
+        # independent doclen: whitespace token count of the raw text
+        expected_dl = {
+            r["url"]: len(r["text"].split())
+            for r in web_pages.select("url", "text").collect()
+        }
+        got = _feature_by_url(
+            searcher,
+            searcher.scored_distance_feature(
+                F.col("doclen"), origin=30, pivot=10, boost=2.0
+            ),
+        )
+        assert set(got) == set(expected_dl)
+        for url, dl in expected_dl.items():
+            want = 2.0 * (10.0 / (10.0 + abs(dl - 30)))
+            assert got[url] == pytest.approx(want, rel=1e-6)
+
+    def test_score_at_origin_equals_boost(self, searcher):
+        dls = _url_doclen(searcher)
+        origin = next(iter(sorted(dls.values())))
+        got = _feature_by_url(
+            searcher,
+            searcher.scored_distance_feature(
+                F.col("doclen"), origin=origin, pivot=7, boost=3.5
+            ),
+        )
+        at_origin = [u for u, d in dls.items() if d == origin]
+        assert at_origin
+        for u in at_origin:
+            assert got[u] == pytest.approx(3.5, rel=1e-9)
+        # range property: (0, boost] everywhere
+        assert all(0.0 < s <= 3.5 + 1e-9 for s in got.values())
+
+    def test_missing_value_does_not_match(self, searcher):
+        dls = _url_doclen(searcher)
+        cut = sorted(dls.values())[len(dls) // 2]
+        expr = F.when(F.col("doclen") >= cut, F.col("doclen"))
+        got = _feature_by_url(
+            searcher,
+            searcher.scored_distance_feature(expr, origin=30, pivot=10),
+        )
+        assert set(got) == {u for u, d in dls.items() if d >= cut}
+
+    def test_pivot_must_be_positive(self, searcher):
+        with pytest.raises(ValueError):
+            searcher.scored_distance_feature(
+                F.col("doclen"), origin=0, pivot=0
+            )
+
+    def test_topk_ranking_monotone_in_distance(self, searcher):
+        dls = _url_doclen(searcher)
+        top = searcher.distance_feature_query(
+            F.col("doclen"), origin=25, pivot=5, k=10
+        )
+        rows = top.collect()
+        dist = [abs(dls[r["url"]] - 25) for r in rows]
+        assert dist == sorted(dist)
+
+
+class TestGeoDistanceFeature:
+    def _pts(self, spark):
+        data = [
+            (1, 48.25, 2.5),
+            (2, 48.30, 2.6),
+            (3, 0.0, 0.0),
+            (4, None, 12.0),
+            (5, -45.0, 170.0),
+        ]
+        return spark.createDataFrame(
+            data, "id long, lat double, lon double"
+        )
+
+    @staticmethod
+    def _hav_m(lat1, lon1, lat2, lon2):
+        r = 6371008.7714
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+        a = (
+            math.sin(dp / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * r * math.asin(min(1.0, math.sqrt(a)))
+
+    def test_formula_and_null_exclusion(self, spark):
+        from lucene_spark.operators.geo import distance_feature
+
+        out = {
+            r["id"]: r["score"]
+            for r in distance_feature(
+                self._pts(spark), "lat", "lon", 48.25, 2.5, 100_000.0, 2.0
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3, 5}  # id 4 has NULL lat
+        for i, lat, lon in [(1, 48.25, 2.5), (2, 48.30, 2.6), (3, 0.0, 0.0)]:
+            m = self._hav_m(lat, lon, 48.25, 2.5)
+            assert out[i] == pytest.approx(
+                2.0 * 100_000.0 / (100_000.0 + m), rel=1e-9
+            )
+        assert out[1] == pytest.approx(2.0, rel=1e-12)  # at the origin
+
+    def test_pivot_must_be_positive(self, spark):
+        from lucene_spark.operators.geo import distance_feature
+
+        with pytest.raises(ValueError):
+            distance_feature(
+                self._pts(spark), "lat", "lon", 48.25, 2.5, 0.0
+            )
