@@ -2145,6 +2145,40 @@ def _q_facet_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("bucket").cast("int").alias("bucket"), "cnt")
 
 
+def _q_function_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionRangeQuery (queries/function/FunctionRangeQuery.java:44):
+    doclen in (20, 45] — the score IS the value-source value
+    (ValueSourceScorer), not a constant."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s,
+        s.scored_function_range(
+            F.col("doclen"), lower=20, upper=45, include_lower=False
+        ),
+    )
+
+
+def _q_function_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionMatchQuery (queries/function/FunctionMatchQuery.java:86):
+    constant score over docs whose doclen satisfies the predicate
+    doclen % 7 == 3."""
+    s = _get_searcher(spark, sf_dir)
+    return _const_matches(
+        s, s.scored_function_match(F.col("doclen"), lambda v: v % 7 == 3)
+    )
+
+
+def _q_histogram_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HistogramCollector (sandbox/facet/plain/histograms/
+    HistogramCollector.java): doclen buckets of width 8
+    (floorDiv(doclen, 8)) over the docs matching 'window' — the
+    query-gated collector path; match-all is the same aggregation
+    without the gate."""
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_boolean(should=["window"])
+    return s.histogram_facet_counts(F.col("doclen"), 8, scored=sc)
+
+
 # ---- training-data pipeline operators ------------------------------------
 
 
@@ -6348,6 +6382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_top10": _q_fusion,
         "group_by_lang_top2": _q_group_by_lang,
         "facet_doclen_ranges": _q_facet_doclen,
+        "histogram_doclen": _q_histogram_doclen,
+        "function_range_top10": _q_function_range,
+        "function_match_docs": _q_function_match,
         "dedup_exact_groups": _q_dedup_exact,
         "minhash_sig8": _q_minhash,
         "simhash64": _q_simhash,
@@ -6686,6 +6723,22 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 2 END AS bucket
                   FROM m JOIN dl USING (doc_id))
             SELECT bucket, count(*)::BIGINT AS cnt FROM b GROUP BY bucket""",
+        "function_range_top10": f"""
+            WITH {_TOK}, {_DL}
+            SELECT doc_id, round(CAST(dl AS DOUBLE), 6) AS score FROM dl
+            WHERE dl > 20 AND dl <= 45
+            ORDER BY 2 DESC, doc_id LIMIT 10""",
+        "function_match_docs": f"""
+            WITH {_TOK}, {_DL}
+            SELECT doc_id, 1.0 AS score FROM dl WHERE dl % 7 = 3
+            ORDER BY doc_id LIMIT 1000""",
+        "histogram_doclen": f"""
+            WITH {_TOK}, {_DL},
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window')
+            SELECT CAST(dl.dl // 8 AS BIGINT) AS bucket,
+                   count(*)::BIGINT AS cnt
+            FROM m JOIN dl USING (doc_id)
+            GROUP BY 1 ORDER BY 1""",
         "dedup_exact_groups": """
             SELECT md5(text) AS content_hash,
                    min(doc_id) AS canonical_id,

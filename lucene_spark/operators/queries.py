@@ -902,6 +902,62 @@ class QueryOpsMixin:
             .orderBy("bucket")
         )
 
+    def histogram_facet_counts(
+        self,
+        value_col: Column,
+        bucket_width: int,
+        scored: DataFrame | None = None,
+        max_buckets: int = 1024,
+    ) -> DataFrame:
+        """HistogramCollector (``sandbox/facet/plain/histograms/
+        HistogramCollector.java:51``): match counts per fixed-width
+        bucket ``Math.floorDiv(value, bucketWidth)`` (:109 and
+        HistogramNaiveLeafCollector), over every live doc when
+        ``scored`` is None (the reference's MATCH_ALL bulk path) or
+        the query's matches otherwise.  ``maxBuckets`` is enforced on
+        the REDUCED bucket set (HistogramCollectorManager.java:97) —
+        here one driver-side count of the aggregated (tiny) result;
+        the per-leaf incremental check is an early-exit optimization
+        of the same error.  floorDiv is exact integer algebra
+        (``(v - pmod(v, w)) div w``), not a double floor — large longs
+        never lose precision."""
+        if bucket_width < 1:
+            raise ValueError(
+                "bucketWidth must be at least 1, got: %r" % bucket_width
+            )
+        if max_buckets < 1:
+            raise ValueError(
+                "maxBuckets must be at least 1, got: %r" % max_buckets
+            )
+        g = self._filter_live(
+            self._docs.select(
+                "segment_id",
+                F.col("local_docid").alias("docid"),
+                value_col.cast("long").alias("v"),
+            )
+        ).where(F.col("v").isNotNull())
+        if scored is not None:
+            g = g.join(
+                scored.select("segment_id", "docid").distinct(),
+                ["segment_id", "docid"],
+                "left_semi",
+            )
+        bucket = F.expr(
+            f"(v - pmod(v, {int(bucket_width)}L)) div {int(bucket_width)}L"
+        )
+        out = (
+            g.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy("bucket")
+        )
+        n = out.count()
+        if n > max_buckets:
+            raise ValueError(
+                "Too many buckets in the histogram: %d > maxBuckets=%d"
+                % (n, max_buckets)
+            )
+        return out
+
     # ------------------------------------------------------------------
     # MoreLikeThis
     # ------------------------------------------------------------------
@@ -1326,6 +1382,64 @@ class QueryOpsMixin:
             "segment_id",
             "docid",
             F.expr(expr).cast(score_t).alias("score"),
+        )
+
+    def scored_function_range(
+        self,
+        value_expr: Column,
+        lower: float | None = None,
+        upper: float | None = None,
+        include_lower: bool = True,
+        include_upper: bool = True,
+    ) -> DataFrame:
+        """FunctionRangeQuery (``queries/function/FunctionRangeQuery
+        .java:44``): docs whose value-source value lies in the range —
+        and THE SCORE IS THE VALUE itself (ValueSourceScorer semantics;
+        the doc comment contrasts this with the constant-scoring
+        doc-values range).  ``None`` bounds are open like the
+        reference's null lowerVal/upperVal; value-less docs never
+        match."""
+        score_t = "float" if self.dtype == np.float32 else "double"
+        vals = self._filter_live(
+            self._docs.select(
+                "segment_id",
+                F.col("local_docid").alias("docid"),
+                value_expr.cast("double").alias("v"),
+            )
+        ).where(F.col("v").isNotNull())
+        if lower is not None:
+            vals = vals.where(
+                F.col("v") >= lower if include_lower else F.col("v") > lower
+            )
+        if upper is not None:
+            vals = vals.where(
+                F.col("v") <= upper if include_upper else F.col("v") < upper
+            )
+        return vals.select(
+            "segment_id", "docid", F.col("v").cast(score_t).alias("score")
+        )
+
+    def scored_function_match(
+        self, value_expr: Column, predicate, boost: float = 1.0
+    ) -> DataFrame:
+        """FunctionMatchQuery (``queries/function/FunctionMatchQuery
+        .java:86-108``): constant-score (ConstantScoreWeight, score =
+        boost) over docs whose DoubleValues value satisfies the
+        predicate; docs without a value don't match (advanceExact
+        false).  ``predicate`` is a Column -> boolean-Column callable —
+        the DoublePredicate, compiled by Catalyst instead of the JVM."""
+        score_t = "float" if self.dtype == np.float32 else "double"
+        vals = self._filter_live(
+            self._docs.select(
+                "segment_id",
+                F.col("local_docid").alias("docid"),
+                value_expr.cast("double").alias("v"),
+            )
+        ).where(F.col("v").isNotNull())
+        return vals.where(predicate(F.col("v"))).select(
+            "segment_id",
+            "docid",
+            F.lit(float(boost)).cast(score_t).alias("score"),
         )
 
     def scored_distance_feature(

@@ -1,0 +1,77 @@
+"""FunctionRangeQuery / FunctionMatchQuery.
+
+Reference: queries/function/FunctionRangeQuery.java:44 (score = the
+value-source value, range bounds inclusive/exclusive per flags),
+queries/function/FunctionMatchQuery.java:86-108 (ConstantScoreWeight
+over a DoublePredicate; value-less docs never match).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _live_doclens(searcher):
+    return {
+        (r["segment_id"], r["docid"]): r["doclen"]
+        for r in searcher._filter_live(
+            searcher._docs.select(
+                "segment_id",
+                F.col("local_docid").alias("docid"),
+                "doclen",
+            )
+        ).collect()
+    }
+
+
+class TestFunctionRange:
+    @pytest.mark.parametrize(
+        "inc_lo,inc_hi",
+        [(True, True), (True, False), (False, True), (False, False)],
+    )
+    def test_bounds_and_value_scores(self, searcher, inc_lo, inc_hi):
+        dls = _live_doclens(searcher)
+        lo, hi = 20, 40
+        got = {
+            (r["segment_id"], r["docid"]): r["score"]
+            for r in searcher.scored_function_range(
+                F.col("doclen"),
+                lower=lo,
+                upper=hi,
+                include_lower=inc_lo,
+                include_upper=inc_hi,
+            ).collect()
+        }
+        want = {
+            k: float(d)
+            for k, d in dls.items()
+            if (d >= lo if inc_lo else d > lo)
+            and (d <= hi if inc_hi else d < hi)
+        }
+        assert got == want  # score IS the value
+
+    def test_open_bounds(self, searcher):
+        dls = _live_doclens(searcher)
+        got = searcher.scored_function_range(F.col("doclen")).collect()
+        assert len(got) == len(dls)  # both bounds open -> all docs
+
+
+class TestFunctionMatch:
+    def test_predicate_and_constant_score(self, searcher):
+        dls = _live_doclens(searcher)
+        got = {
+            (r["segment_id"], r["docid"]): r["score"]
+            for r in searcher.scored_function_match(
+                F.col("doclen"), lambda v: v % 7 == 3, boost=2.5
+            ).collect()
+        }
+        want = {k for k, d in dls.items() if d % 7 == 3}
+        assert set(got) == want
+        assert all(s == pytest.approx(2.5) for s in got.values())
+
+    def test_missing_value_never_matches(self, searcher):
+        expr = F.when(F.col("doclen") > 25, F.col("doclen"))
+        got = searcher.scored_function_match(
+            expr, lambda v: F.lit(True)
+        ).count()
+        dls = _live_doclens(searcher)
+        assert got == sum(1 for d in dls.values() if d > 25)

@@ -1,0 +1,80 @@
+"""HistogramCollector — fixed-width numeric histogram facet.
+
+Reference: sandbox/facet/plain/histograms/HistogramCollector.java
+(bucket = Math.floorDiv(value, bucketWidth)),
+HistogramCollectorManager.java:79-97 (argument validation and the
+reduce-time maxBuckets check).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _doclens(searcher):
+    return [
+        r["doclen"]
+        for r in searcher._filter_live(
+            searcher._docs.select(
+                "segment_id",
+                F.col("local_docid").alias("docid"),
+                "doclen",
+            )
+        ).collect()
+    ]
+
+
+class TestHistogram:
+    def test_match_all_floor_div(self, searcher):
+        dls = _doclens(searcher)
+        expected: dict[int, int] = {}
+        for d in dls:
+            expected[d // 8] = expected.get(d // 8, 0) + 1
+        got = {
+            r["bucket"]: r["cnt"]
+            for r in searcher.histogram_facet_counts(
+                F.col("doclen"), 8
+            ).collect()
+        }
+        assert got == expected
+
+    def test_negative_values_floor_not_truncate(self, searcher):
+        # Java floorDiv(-1, 8) == -1, not 0 — shift doclen negative
+        dls = _doclens(searcher)
+        shift = max(dls) // 2
+        expected: dict[int, int] = {}
+        for d in dls:
+            expected[(d - shift) // 8] = expected.get((d - shift) // 8, 0) + 1
+        got = {
+            r["bucket"]: r["cnt"]
+            for r in searcher.histogram_facet_counts(
+                F.col("doclen") - shift, 8
+            ).collect()
+        }
+        assert got == expected
+        assert any(b < 0 for b in got)
+
+    def test_query_gated(self, searcher, naive):
+        sc = searcher.scored_boolean(should=["window"])
+        got = {
+            r["bucket"]: r["cnt"]
+            for r in searcher.histogram_facet_counts(
+                F.col("doclen"), 10, scored=sc
+            ).collect()
+        }
+        match_count = sum(got.values())
+        top = searcher.boolean_query(should=["window"], k=10**9)
+        assert match_count == top.count()
+
+    def test_max_buckets_enforced_on_reduced_set(self, searcher):
+        with pytest.raises(ValueError, match="Too many buckets"):
+            searcher.histogram_facet_counts(
+                F.col("doclen"), 1, max_buckets=2
+            )
+
+    def test_argument_validation(self, searcher):
+        with pytest.raises(ValueError, match="bucketWidth"):
+            searcher.histogram_facet_counts(F.col("doclen"), 0)
+        with pytest.raises(ValueError, match="maxBuckets"):
+            searcher.histogram_facet_counts(
+                F.col("doclen"), 8, max_buckets=0
+            )
