@@ -1266,6 +1266,30 @@ def _dv_boosted_bm25_sql(
       FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _group_heads_sql(term: str) -> str:
+    """AllGroupHeadsCollector oracle: full single-term BM25 match set,
+    one row_number window per lang, rank-1 rows only; window ordering
+    on the UNROUNDED score like the engine."""
+    norm = _norm_len_sql("dl.dl")
+    return f"""WITH {_TOK}, {_DL}, {_ST},
+      tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+             WHERE term = '{term}' GROUP BY doc_id),
+      df AS (SELECT count(*)::BIGINT AS df FROM tf),
+      sc AS (SELECT tf.doc_id,
+                    ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+                    tf.tf AS tf
+             FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN st CROSS JOIN df),
+      s2 AS (SELECT doc_id, (w - w/(1 + tf*inv)) AS s FROM sc),
+      j AS (SELECT s2.doc_id, s, d.lang
+            FROM s2 JOIN documents d USING (doc_id))
+      SELECT lang, doc_id, round(s, 6) AS score FROM j
+      QUALIFY row_number()
+              OVER (PARTITION BY lang ORDER BY s DESC, doc_id) = 1
+      ORDER BY lang"""
+
+
 def _distance_feature_sql(
     term: str, origin: int, pivot: int, boost: float, k: int = 10
 ) -> str:
@@ -2131,6 +2155,48 @@ def _q_group_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 2)
         .select("lang", "doc_id", "score", "rn")
+    )
+
+
+def _q_group_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllGroupHeadsCollector (grouping/AllGroupHeadsCollector.java:28):
+    the single best 'data' match per lang — EVERY matching group, one
+    head each, relevance sort with docid tie-break."""
+    from lucene_spark.operators.grouping import all_group_heads
+
+    s = _get_searcher(spark, sf_dir)
+    matched = s._attach_urls(
+        s.scored_boolean(should=["data"]).withColumn(
+            "local_docid", F.col("docid")
+        )
+    ).select(_doc_id("url"), F.col("score"))
+    docs = _docs_table(spark, sf_dir).select("doc_id", "lang")
+    g = matched.join(F.broadcast(docs), "doc_id")
+    heads = all_group_heads(g, F.col("lang"), keep_group_col_name="grp")
+    return heads.select(
+        F.col("grp").alias("lang"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    ).orderBy("lang")
+
+
+def _q_group_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermGroupFacetCollector (grouping/TermGroupFacetCollector
+    .java:38): among 'data' matches grouped by source, how many
+    distinct sources carry each lang value — each group counts once
+    per facet value; facetPrefix 'e' keeps en/es."""
+    from lucene_spark.operators.grouping import grouped_facet_counts
+
+    s = _get_searcher(spark, sf_dir)
+    matched = s._attach_urls(
+        s.scored_boolean(should=["data"]).withColumn(
+            "local_docid", F.col("docid")
+        )
+    ).select(_doc_id("url"))
+    docs = _docs_table(spark, sf_dir).select("doc_id", "lang", "source")
+    g = matched.join(F.broadcast(docs), "doc_id")
+    return grouped_facet_counts(
+        g, F.col("source"), F.col("lang"), prefix="e"
     )
 
 
@@ -6382,6 +6448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_top10": _q_fusion,
         "group_by_lang_top2": _q_group_by_lang,
         "facet_doclen_ranges": _q_facet_doclen,
+        "group_heads_by_lang": _q_group_heads,
+        "group_facet_lang_by_source": _q_group_facet,
         "histogram_doclen": _q_histogram_doclen,
         "function_range_top10": _q_function_range,
         "function_match_docs": _q_function_match,
@@ -6723,6 +6791,14 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 2 END AS bucket
                   FROM m JOIN dl USING (doc_id))
             SELECT bucket, count(*)::BIGINT AS cnt FROM b GROUP BY bucket""",
+        "group_heads_by_lang": _group_heads_sql("data"),
+        "group_facet_lang_by_source": f"""
+            WITH {_TOK},
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data')
+            SELECT d.lang AS value, count(DISTINCT d.source)::BIGINT AS cnt
+            FROM m JOIN documents d USING (doc_id)
+            WHERE d.lang LIKE 'e%'
+            GROUP BY 1 ORDER BY cnt DESC, value""",
         "function_range_top10": f"""
             WITH {_TOK}, {_DL}
             SELECT doc_id, round(CAST(dl AS DOUBLE), 6) AS score FROM dl

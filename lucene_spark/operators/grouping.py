@@ -1,0 +1,82 @@
+"""Grouping-module tail: AllGroupHeadsCollector and
+TermGroupFacetCollector as pure window/aggregate algebra.
+
+Both are collector-side constructs in the reference — they consume an
+already-matched doc stream plus a group selector.  Here the matched
+stream is any DataFrame carrying the group/facet/sort columns; the
+selectors are Columns, so they compose with index attributes or
+external dimension tables alike.  Each runs as ONE hash shuffle on
+its key (window for heads, partial-aggregating distinct for facets) —
+no per-group state on the driver, which is what makes both shapes
+hold at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def all_group_heads(
+    matches: DataFrame,
+    group_col: Column,
+    order_cols: list[Column] | None = None,
+    keep_group_col_name: str = "grp",
+) -> DataFrame:
+    """AllGroupHeadsCollector (``grouping/.../AllGroupHeadsCollector
+    .java:28``): the single most relevant doc — the *group head* — for
+    EVERY group that matches the query (not just the top-N groups of
+    the two-pass collector).  ``order_cols`` is the within-group Sort;
+    the default mirrors ``Sort.RELEVANCE`` with the collector's
+    first-encountered (lowest docid) preference on score ties.
+
+    One ``row_number`` window partitioned by the group key; rows other
+    than rank 1 are dropped before any further join, so the output is
+    exactly one row per group."""
+    if order_cols is None:
+        order_cols = [F.desc("score"), F.asc("doc_id")]
+    from pyspark.sql import Window
+
+    g = matches.withColumn(keep_group_col_name, group_col)
+    w = Window.partitionBy(keep_group_col_name).orderBy(*order_cols)
+    return (
+        g.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def grouped_facet_counts(
+    matches: DataFrame,
+    group_col: Column,
+    facet_col: Column,
+    prefix: str | None = None,
+    min_count: int = 1,
+    order_by_count: bool = True,
+) -> DataFrame:
+    """TermGroupFacetCollector (``grouping/.../TermGroupFacetCollector
+    .java:38``): grouped facet counts — a facet value counts each
+    GROUP once, i.e. the count is the number of distinct groups that
+    have at least one matching doc carrying that value.  ``prefix``
+    is the facetPrefix restriction; rows below ``min_count`` are
+    dropped (GroupedFacetResult.addFacetCount:157-159); ordering is
+    count desc then value asc when ``order_by_count``
+    (GroupFacetCollector.java:141-149 — "Highest count first!"),
+    plain value order otherwise.
+
+    ``count(DISTINCT group)`` partial-aggregates map-side per
+    (value, group) before the final count — the scan never funnels
+    raw matches to one reducer."""
+    g = matches.select(
+        facet_col.alias("value"), group_col.alias("__grp")
+    ).where(F.col("value").isNotNull())
+    if prefix is not None:
+        g = g.where(F.col("value").startswith(prefix))
+    out = (
+        g.groupBy("value")
+        .agg(F.countDistinct("__grp").alias("cnt"))
+        .where(F.col("cnt") >= int(min_count))
+    )
+    if order_by_count:
+        return out.orderBy(F.desc("cnt"), F.asc("value"))
+    return out.orderBy(F.asc("value"))

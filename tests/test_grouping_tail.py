@@ -1,0 +1,94 @@
+"""AllGroupHeadsCollector / TermGroupFacetCollector.
+
+Reference: grouping/AllGroupHeadsCollector.java:28 (one head per
+matching group under the within-group sort),
+grouping/TermGroupFacetCollector.java:38 + GroupFacetCollector.java:
+141-159 (each group counts once per facet value; count-desc-then-value
+ordering; minCount drop).
+"""
+
+import pyspark.sql.functions as F
+
+
+def _frame(spark):
+    rows = [
+        # (doc, grp, facet, score)
+        (1, "g1", "en", 3.0),
+        (2, "g1", "en", 5.0),  # head of g1
+        (3, "g1", "es", 1.0),
+        (4, "g2", "en", 5.0),  # ties doc 5 on score -> lowest doc wins
+        (5, "g2", "fr", 5.0),
+        (6, "g3", "es", 0.5),
+        (7, "g3", None, 9.0),  # NULL facet ignored by facet counts
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, grp string, facet string, score double"
+    )
+
+
+class TestAllGroupHeads:
+    def test_one_head_per_group_relevance_sort(self, spark):
+        from lucene_spark.operators.grouping import all_group_heads
+
+        heads = {
+            r["g"]: r["doc_id"]
+            for r in all_group_heads(
+                _frame(spark), F.col("grp"), keep_group_col_name="g"
+            ).collect()
+        }
+        assert heads == {"g1": 2, "g2": 4, "g3": 7}
+
+    def test_custom_within_group_sort(self, spark):
+        from lucene_spark.operators.grouping import all_group_heads
+
+        heads = {
+            r["g"]: r["doc_id"]
+            for r in all_group_heads(
+                _frame(spark),
+                F.col("grp"),
+                order_cols=[F.asc("score"), F.asc("doc_id")],
+                keep_group_col_name="g",
+            ).collect()
+        }
+        assert heads == {"g1": 3, "g2": 4, "g3": 6}
+
+
+class TestGroupedFacetCounts:
+    def test_each_group_counts_once(self, spark):
+        from lucene_spark.operators.grouping import grouped_facet_counts
+
+        rows = grouped_facet_counts(
+            _frame(spark), F.col("grp"), F.col("facet")
+        ).collect()
+        # en: g1 twice but counts once, + g2 -> 2; es: g1+g3 -> 2; fr: g2 -> 1
+        assert [(r["value"], r["cnt"]) for r in rows] == [
+            ("en", 2),
+            ("es", 2),
+            ("fr", 1),
+        ]
+
+    def test_prefix_and_min_count(self, spark):
+        from lucene_spark.operators.grouping import grouped_facet_counts
+
+        rows = grouped_facet_counts(
+            _frame(spark),
+            F.col("grp"),
+            F.col("facet"),
+            prefix="e",
+            min_count=2,
+        ).collect()
+        assert [(r["value"], r["cnt"]) for r in rows] == [
+            ("en", 2),
+            ("es", 2),
+        ]
+
+    def test_value_order_mode(self, spark):
+        from lucene_spark.operators.grouping import grouped_facet_counts
+
+        rows = grouped_facet_counts(
+            _frame(spark),
+            F.col("grp"),
+            F.col("facet"),
+            order_by_count=False,
+        ).collect()
+        assert [r["value"] for r in rows] == ["en", "es", "fr"]
