@@ -2299,6 +2299,48 @@ def _q_infix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyzing_infix_suggest(sugg, "agg sc", k=5)
 
 
+def _q_blended_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlendedInfixSuggester (suggest/analyzing/BlendedInfixSuggester
+    .java:50), POSITION_RECIPROCAL: the infix match set for 'agg sc'
+    re-scored by weight/(pos+1) on the first matching token position,
+    weight<10 prescaled x10, Java long truncation, score-desc
+    text-DESC tie order (descendingSet)."""
+    from lucene_spark.operators.suggest_lm import blended_infix_suggest
+
+    docs = _docs_table(spark, sf_dir)
+    sugg = docs.select(
+        F.array_join(F.slice(F.split("text", " "), 1, 6), " ").alias(
+            "suggestion"
+        ),
+        F.col("n_chars").alias("weight"),
+    )
+    return blended_infix_suggest(sugg, "agg sc", k=5, blender="reciprocal")
+
+
+def _q_context_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ContextQuery (suggest/document/ContextQuery.java:44) over the
+    'th' prefix completion, contexts = exact('src3', 2.0) +
+    prefix('src1', 3.0): only suggestions from those sources survive,
+    scored weight * matched boost (CompletionScorer.score)."""
+    from lucene_spark.operators.suggest_lm import context_suggest
+
+    docs = _docs_table(spark, sf_dir)
+    sugg = docs.select(
+        F.array_join(F.slice(F.split("text", " "), 1, 2), " ").alias(
+            "suggestion"
+        ),
+        F.col("source").alias("context"),
+        F.col("n_chars").alias("weight"),
+    )
+    out = context_suggest(
+        sugg,
+        "th",
+        contexts=[("src3", 2.0, True), ("src1", 3.0, False)],
+        k=5,
+    )
+    return out.select("suggestion", F.round("score", 6).alias("score"))
+
+
 def _q_fuzzy_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzySuggester lookup (suggest/analyzing/FuzzySuggester.java:
     60-113): the typed prefix 'windoe' completes against suggestions
@@ -6461,6 +6503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "dynamic_range_facets": _q_dynamic_ranges,
         "infix_suggest": _q_infix_suggest,
+        "blended_infix_suggest": _q_blended_infix,
+        "context_suggest": _q_context_suggest,
         "fuzzy_suggest": _q_fuzzy_suggest,
         "ann_cosine_top10": _q_ann_cosine,
         "byte_knn_top10": _q_byte_knn,
@@ -6849,6 +6893,49 @@ def oracle_sql() -> dict[str, str]:
         "lm_doc_scores": _lm_doc_scores_sql(),
         "dynamic_range_facets": _dynamic_ranges_sql(),
         "infix_suggest": _infix_suggest_sql("agg", "sc"),
+        "context_suggest": """
+            WITH s AS (SELECT array_to_string(
+                         list_slice(string_split(text, ' '), 1, 2), ' ')
+                         AS suggestion,
+                       source AS ctx, max(n_chars)::DOUBLE AS weight
+                FROM documents GROUP BY 1, 2),
+            m AS (SELECT suggestion, weight,
+                         CASE WHEN starts_with(ctx, 'src1') THEN 3.0
+                              WHEN ctx = 'src3' THEN 2.0 END AS boost
+                  FROM s WHERE starts_with(suggestion, 'th')),
+            f AS (SELECT suggestion,
+                         max(CASE WHEN boost = 0 THEN weight
+                                  WHEN weight = 0 THEN boost
+                                  ELSE weight * boost END) AS score
+                  FROM m WHERE boost IS NOT NULL GROUP BY suggestion)
+            SELECT suggestion, round(score, 6) AS score FROM f
+            ORDER BY score DESC, suggestion LIMIT 5""",
+        "blended_infix_suggest": """
+            WITH s AS (SELECT array_to_string(
+                         list_slice(string_split(text, ' '), 1, 6), ' ')
+                         AS suggestion,
+                       max(n_chars)::BIGINT AS weight
+                FROM documents GROUP BY 1),
+            m AS (SELECT suggestion, weight,
+                         string_split(suggestion, ' ') AS ts FROM s
+                  WHERE list_contains(string_split(suggestion, ' '), 'agg')
+                    AND len(list_filter(string_split(suggestion, ' '),
+                                        x -> starts_with(x, 'sc'))) > 0),
+            pos AS (SELECT suggestion, min(i - 1) AS p FROM
+                      (SELECT suggestion, unnest(ts) AS t,
+                              generate_subscripts(ts, 1) AS i FROM m) u
+                    WHERE t = 'agg' OR starts_with(t, 'sc')
+                    GROUP BY suggestion),
+            sc AS (SELECT m.suggestion,
+                          CASE WHEN starts_with(m.suggestion, 'agg sc')
+                               THEN 1.0 ELSE 1.0/(p + 1.0) END AS coef,
+                          CASE WHEN weight = 0 THEN 1
+                               ELSE weight END AS w0
+                   FROM m JOIN pos USING (suggestion))
+            SELECT suggestion,
+                   trunc((CASE WHEN w0 < 10 AND w0 > -10 THEN w0 * 10
+                               ELSE w0 END) * coef)::BIGINT AS score
+            FROM sc ORDER BY score DESC, suggestion DESC LIMIT 5""",
         "fuzzy_suggest": """
             WITH raw AS (
               SELECT lower(array_to_string(

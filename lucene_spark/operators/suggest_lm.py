@@ -168,6 +168,177 @@ def analyzing_infix_suggest(
     )
 
 
+_LINEAR_COEF = 0.10  # BlendedInfixSuggester.LINEAR_COEF
+
+
+def blended_infix_suggest(
+    suggestions: DataFrame,
+    query: str,
+    k: int = 5,
+    blender: str = "linear",
+    exponent: float = 2.0,
+    text_col: str = "suggestion",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """BlendedInfixSuggester lookup (``lucene/suggest/.../analyzing/
+    BlendedInfixSuggester.java:50``): the AnalyzingInfixSuggester
+    match set, re-scored by WHERE the first matching token sits in the
+    suggestion (createCoefficient :319-346 takes the minimum first-
+    occurrence position over matched/prefix tokens):
+
+    - coefficient = 1 when the suggestion startsWith the raw key
+      (:259-261), else per blender (:360-376): ``linear`` =
+      1 − 0.10·pos, ``reciprocal`` = 1/(pos+1),
+      ``exponential_reciprocal`` = 1/(pos+1)^exponent;
+    - weight 0 → 1, then |weight| < 1/0.10 scales ×10 so small
+      weights still discriminate after the long truncation
+      (:266-270);
+    - score = (long)(weight · coefficient) — Java long cast,
+      truncation toward zero (:271);
+    - ties order by score desc then text DESC: the TreeSet is built
+      on (value asc, key asc) and returned as ``descendingSet()``
+      (:283, LookUpComparator :381-396) — the opposite text order
+      from the base suggester's.
+    """
+    if blender not in ("linear", "reciprocal", "exponential_reciprocal"):
+        raise ValueError(f"unknown blender {blender!r}")
+    toks = [t for t in query.lower().split(" ") if t]
+    if not toks:
+        raise ValueError("empty suggest query")
+    if query != query.rstrip():
+        full, prefix = toks, None
+    else:
+        full, prefix = toks[:-1], toks[-1]
+    base = (
+        suggestions.select(
+            F.lower(F.col(text_col)).alias("suggestion"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .groupBy("suggestion")
+        .agg(F.max("weight").alias("weight"))
+        .withColumn("ts", F.split(F.col("suggestion"), " "))
+    )
+    cond = (
+        F.lit(True)
+        if prefix is None
+        else F.exists("ts", lambda x: x.startswith(prefix))
+    )
+    for t in full:
+        cond = cond & F.array_contains("ts", t)
+
+    def _is_match(x):
+        m = F.lit(False)
+        if full:
+            m = x.isin(*full) if len(full) > 1 else (x == full[0])
+        if prefix is not None:
+            m = m | x.startswith(prefix)
+        return m
+
+    pos = F.array_min(
+        F.array_compact(
+            F.transform(
+                "ts",
+                lambda x, i: F.when(_is_match(x), i).otherwise(
+                    F.lit(None).cast("int")
+                ),
+            )
+        )
+    ).cast("double")
+    if blender == "linear":
+        coef = F.lit(1.0) - F.lit(_LINEAR_COEF) * pos
+    elif blender == "reciprocal":
+        coef = F.lit(1.0) / (pos + F.lit(1.0))
+    else:
+        coef = F.lit(1.0) / F.pow(pos + F.lit(1.0), F.lit(float(exponent)))
+    coef = F.when(
+        F.col("suggestion").startswith(query.lower()), F.lit(1.0)
+    ).otherwise(coef)
+    w = F.when(F.col("weight") == 0, F.lit(1)).otherwise(F.col("weight"))
+    lim = 1.0 / _LINEAR_COEF
+    w = F.when((w < lim) & (w > -lim), w * 10).otherwise(w).cast("double")
+    return (
+        base.where(cond)
+        .withColumn("score", (w * coef).cast("long"))
+        .select("suggestion", "score")
+        .orderBy(F.desc("score"), F.desc("suggestion"))
+        .limit(k)
+    )
+
+
+def context_suggest(
+    suggestions: DataFrame,
+    query: str,
+    contexts: list[tuple[str, float, bool]] | None = None,
+    match_all: bool = False,
+    k: int = 5,
+    text_col: str = "suggestion",
+    weight_col: str = "weight",
+    context_col: str = "context",
+) -> DataFrame:
+    """ContextQuery over a PrefixCompletionQuery (``suggest/document/
+    ContextQuery.java:44``, ``PrefixCompletionQuery.java:41``,
+    ``CompletionScorer.java:98-106``): complete the typed prefix,
+    filtering/boosting by context.
+
+    - ``contexts`` entries are ``(context, boost, exact)`` — exact
+      matches the context value, non-exact matches any context with
+      that PREFIX (addContext(ctx, boost, false), :121-124); boost
+      must be >= 0 (:125-127);
+    - ``match_all`` = addAllContexts (:146-151): every context (and
+      context-less suggestions) passes with boost 1;
+    - score = CompletionScorer.score(weight, boost): boost 0 ->
+      weight, weight 0 -> boost, else weight * boost;
+    - a (suggestion, context) pair indexed twice keeps its max weight
+      (update-by-key storage); a suggestion whose contexts match
+      several specs scores each path and the collector keeps the best
+      (FST path dedup) — here max-over-specs then max-over-contexts;
+    - declared deviation: results dedup by suggestion TEXT (our frame
+      has no docids); order = score desc, text asc
+      (TopSuggestDocsCollector's score-then-docID).
+    """
+    if contexts is None and not match_all:
+        raise ValueError("no contexts added and match_all is False")
+    for c, b, _ in contexts or []:
+        if b < 0:
+            raise ValueError("'boost' must be >= 0")
+    base = (
+        suggestions.select(
+            F.lower(F.col(text_col)).alias("suggestion"),
+            F.col(context_col).alias("ctx"),
+            F.col(weight_col).cast("double").alias("weight"),
+        )
+        .groupBy("suggestion", "ctx")
+        .agg(F.max("weight").alias("weight"))
+        .where(F.col("suggestion").startswith(query.lower()))
+    )
+    boost = F.lit(None).cast("double")
+    for c, b, exact in contexts or []:
+        cond = (
+            (F.col("ctx") == c) if exact else F.col("ctx").startswith(c)
+        )
+        boost = F.when(
+            cond & (F.coalesce(boost, F.lit(-1.0)) < float(b)),
+            F.lit(float(b)),
+        ).otherwise(boost)
+    if match_all:
+        boost = F.coalesce(boost, F.lit(1.0))
+    scored = base.withColumn("boost", boost).where(
+        F.col("boost").isNotNull()
+    )
+    score = (
+        F.when(F.col("boost") == 0.0, F.col("weight"))
+        .when(F.col("weight") == 0.0, F.col("boost"))
+        .otherwise(F.col("weight") * F.col("boost"))
+    )
+    return (
+        scored.withColumn("score", score)
+        .groupBy("suggestion")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("suggestion"))
+        .limit(k)
+    )
+
+
 def fuzzy_suggest(
     suggestions: DataFrame,
     query: str,

@@ -1,0 +1,98 @@
+"""BlendedInfixSuggester.
+
+Reference: suggest/analyzing/BlendedInfixSuggester.java:258-271
+(coefficient selection, weight prescale, long truncation),
+:319-346 (first-matching-token position), :360-376 (blender types),
+:381-396 + :283 (descendingSet tie order: score desc, text desc).
+"""
+
+import pytest
+
+
+def _sugg(spark, rows):
+    return spark.createDataFrame(rows, "suggestion string, weight long")
+
+
+class TestBlendedInfix:
+    def test_reciprocal_position_scoring(self, spark):
+        from lucene_spark.operators.suggest_lm import blended_infix_suggest
+
+        rows = [
+            ("star wars the force", 100),  # 'star' at pos 0 -> 100/1
+            ("the star wars saga", 100),  # pos 1 -> 100/2 = 50
+            ("a long tale of star", 100),  # pos 4 -> 100/5 = 20
+            ("no match here", 100),
+        ]
+        got = [
+            (r["suggestion"], r["score"])
+            for r in blended_infix_suggest(
+                _sugg(spark, rows), "star", k=5, blender="reciprocal"
+            ).collect()
+        ]
+        assert got == [
+            ("star wars the force", 100),
+            ("the star wars saga", 50),
+            ("a long tale of star", 20),
+        ]
+
+    def test_linear_negative_coefficient_and_key_prefix(self, spark):
+        from lucene_spark.operators.suggest_lm import blended_infix_suggest
+
+        # 'deep' at position 11 -> 1 - 0.1*11 = -0.1 -> negative score;
+        # the suggestion STARTING with the key keeps coefficient 1.
+        far = "a b c d e f g h i j k deep"
+        rows = [(far, 1000), ("deep learning rocks", 1000)]
+        got = {
+            r["suggestion"]: r["score"]
+            for r in blended_infix_suggest(
+                _sugg(spark, rows), "deep", k=5, blender="linear"
+            ).collect()
+        }
+        assert got["deep learning rocks"] == 1000
+        assert got[far] == int(1000 * (1 - 0.1 * 11))
+
+    def test_small_weight_prescale_and_zero(self, spark):
+        from lucene_spark.operators.suggest_lm import blended_infix_suggest
+
+        rows = [("x star", 3), ("y star one", 0)]
+        got = {
+            r["suggestion"]: r["score"]
+            for r in blended_infix_suggest(
+                _sugg(spark, rows), "star", k=5, blender="reciprocal"
+            ).collect()
+        }
+        # weight 3 < 10 -> 30; pos 1 -> 30/2 = 15 (long-truncated)
+        assert got["x star"] == 15
+        # weight 0 -> 1 -> x10 -> 10; pos 1 -> 5
+        assert got["y star one"] == 5
+
+    def test_exponential_reciprocal(self, spark):
+        from lucene_spark.operators.suggest_lm import blended_infix_suggest
+
+        rows = [("a b star", 900)]
+        got = blended_infix_suggest(
+            _sugg(spark, rows),
+            "star",
+            k=5,
+            blender="exponential_reciprocal",
+            exponent=2.0,
+        ).collect()
+        assert got[0]["score"] == 100  # 900 / 3^2
+
+    def test_tie_order_text_descending(self, spark):
+        from lucene_spark.operators.suggest_lm import blended_infix_suggest
+
+        rows = [("alpha star", 40), ("beta star", 40)]
+        got = [
+            r["suggestion"]
+            for r in blended_infix_suggest(
+                _sugg(spark, rows), "star", k=5, blender="reciprocal"
+            ).collect()
+        ]
+        assert got == ["beta star", "alpha star"]  # descendingSet order
+
+    def test_unknown_blender_raises(self, spark):
+        from lucene_spark.operators.suggest_lm import blended_infix_suggest
+
+        with pytest.raises(ValueError):
+            blended_infix_suggest(_sugg(spark, [("a", 1)]), "a", blender="x")

@@ -1,0 +1,99 @@
+"""ContextQuery over prefix completion.
+
+Reference: suggest/document/ContextQuery.java:44-151 (exact/prefix
+context specs, boost >= 0, addAllContexts),
+CompletionScorer.java:98-106 (score(weight, boost) special cases).
+"""
+
+import pytest
+
+
+def _sugg(spark, rows):
+    return spark.createDataFrame(
+        rows, "suggestion string, context string, weight long"
+    )
+
+
+BASE = [
+    ("the query", "news", 10),
+    ("the table", "blog", 10),
+    ("the window", "news_uk", 10),
+    ("thermal", "wiki", 10),
+    ("other", "news", 99),  # prefix 'th' doesn't match
+]
+
+
+class TestContextSuggest:
+    def test_exact_context_filter_and_boost(self, spark):
+        from lucene_spark.operators.suggest_lm import context_suggest
+
+        got = {
+            r["suggestion"]: r["score"]
+            for r in context_suggest(
+                _sugg(spark, BASE), "th", contexts=[("news", 2.0, True)]
+            ).collect()
+        }
+        assert got == {"the query": 20.0}  # news_uk NOT matched by exact
+
+    def test_prefix_context_spec(self, spark):
+        from lucene_spark.operators.suggest_lm import context_suggest
+
+        got = {
+            r["suggestion"]: r["score"]
+            for r in context_suggest(
+                _sugg(spark, BASE), "th", contexts=[("news", 2.0, False)]
+            ).collect()
+        }
+        assert got == {"the query": 20.0, "the window": 20.0}
+
+    def test_match_all_contexts_boost_one(self, spark):
+        from lucene_spark.operators.suggest_lm import context_suggest
+
+        got = {
+            r["suggestion"]: r["score"]
+            for r in context_suggest(
+                _sugg(spark, BASE), "th", match_all=True
+            ).collect()
+        }
+        assert got == {
+            "the query": 10.0,
+            "the table": 10.0,
+            "the window": 10.0,
+            "thermal": 10.0,
+        }
+
+    def test_score_special_cases(self, spark):
+        from lucene_spark.operators.suggest_lm import context_suggest
+
+        rows = [("th a", "c1", 0), ("th b", "c2", 7)]
+        got = {
+            r["suggestion"]: r["score"]
+            for r in context_suggest(
+                _sugg(spark, rows),
+                "th",
+                contexts=[("c1", 5.0, True), ("c2", 0.0, True)],
+            ).collect()
+        }
+        assert got["th a"] == 5.0  # weight 0 -> boost
+        assert got["th b"] == 7.0  # boost 0 -> weight
+
+    def test_best_matching_spec_wins(self, spark):
+        from lucene_spark.operators.suggest_lm import context_suggest
+
+        rows = [("th x", "news", 10)]
+        got = context_suggest(
+            _sugg(spark, rows),
+            "th",
+            contexts=[("news", 2.0, True), ("ne", 4.0, False)],
+        ).collect()
+        assert got[0]["score"] == 40.0  # max boost across matching specs
+
+    def test_validation(self, spark):
+        from lucene_spark.operators.suggest_lm import context_suggest
+
+        with pytest.raises(ValueError, match="no contexts"):
+            context_suggest(_sugg(spark, BASE), "th")
+        with pytest.raises(ValueError, match="boost"):
+            context_suggest(
+                _sugg(spark, BASE), "th", contexts=[("c", -1.0, True)]
+            )
