@@ -1380,6 +1380,51 @@ def _bm25f_sql(term: str, w_body: float = 1.0, w_title: float = 2.0, k: int = 10
       FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _multi_field_sql(
+    terms: list[str], w_body: float = 1.0, w_title: float = 2.0, k: int = 10
+) -> str:
+    """MultiFieldQueryParser oracle: per-(term, field) BM25 branches
+    with EACH FIELD'S OWN stats (df, sttf, norms — unlike BM25F's
+    blended pseudo-field), scaled by the field boost and summed per
+    doc through the SHOULD disjunction."""
+    qb = _norm_len_sql("f.len_b")
+    qt = _norm_len_sql("f.len_t")
+    tf_cols = []
+    for i, t in enumerate(terms):
+        tf_cols.append(f"len(list_filter(body, t -> t = '{t}')) AS tfb{i}")
+        tf_cols.append(
+            f"len(list_filter(list_slice(body, 1, {_TITLE_TOKENS}), "
+            f"t -> t = '{t}')) AS tft{i}"
+        )
+    branches = []
+    for i in range(len(terms)):
+        for fld, w, tf, q, sttf in (
+            ("b", w_body, f"tfb{i}", qb, "sttfb"),
+            ("t", w_title, f"tft{i}", qt, "sttft"),
+        ):
+            df_sub = f"(SELECT count(*) FROM f WHERE {tf} > 0)"
+            wx = f"ln(1 + (st.n - {df_sub} + 0.5)/({df_sub} + 0.5))"
+            inv = f"1.0/(1.2*(0.25 + 0.75*{q}/(st.{sttf}/st.n)))"
+            branches.append(
+                f"""SELECT f.doc_id,
+                      {w!r} * ({wx} - {wx}/(1 + f.{tf}*{inv})) AS s
+                    FROM f CROSS JOIN st WHERE f.{tf} > 0"""
+            )
+    union = "\n UNION ALL \n".join(branches)
+    return f"""WITH
+      base AS (SELECT doc_id, string_split(text, ' ') AS body
+               FROM documents),
+      f AS (SELECT doc_id, len(body) AS len_b,
+                   len(list_slice(body, 1, {_TITLE_TOKENS})) AS len_t,
+                   {", ".join(tf_cols)}
+            FROM base),
+      st AS (SELECT count(*)::BIGINT AS n, sum(len_b) AS sttfb,
+                    sum(len_t) AS sttft FROM f),
+      u AS ({union})
+      SELECT doc_id, round(sum(s), 6) AS score FROM u
+      GROUP BY doc_id ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _blended_sql(term: str, k: int = 10) -> str:
     """BlendedTermQuery oracle: per-field BM25 with the BLENDED
     docFreq (max across fields), each field keeping its own norms and
@@ -5102,6 +5147,21 @@ def _q_combined_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(body, sc, 10)
 
 
+def _q_multi_field_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiFieldQueryParser (queryparser/classic/MultiFieldQueryParser
+    .java:60-97, getFieldQuery :254-300): 'window spark' parsed with no
+    explicit field — each term expands to body OR title (boosts 1 / 2),
+    per-field BM25 with each field's OWN stats, SHOULD-summed."""
+    from lucene_spark.plans.multi_field import scored_multi_field
+
+    body = _get_searcher(spark, sf_dir)
+    title = _variant_searcher(spark, sf_dir, "title")
+    sc = scored_multi_field(
+        {"body": (body, 1.0), "title": (title, 2.0)}, "window spark"
+    )
+    return _topk_by_doc_id(body, sc)
+
+
 def _q_blended_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.operators.combined import blended_term_scored
 
@@ -6608,6 +6668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_prefix_top10": _q_interval_prefix,
         "interval_fuzzy_top10": _q_interval_fuzzy,
         "combined_field_top10": _q_combined_field,
+        "multi_field_parsed_top10": _q_multi_field_parsed,
         "blended_term_top10": _q_blended_term,
         "mlt_top10": _q_mlt,
         "post_delete_top10": _q_post_delete,
@@ -7514,6 +7575,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, dist::INT AS dist, doc_freq FROM cand
             ORDER BY dist, doc_freq DESC, term LIMIT 5""",
         "combined_field_top10": _bm25f_sql("window"),
+        "multi_field_parsed_top10": _multi_field_sql(["window", "spark"]),
         "blended_term_top10": _blended_sql("window"),
         "mlt_top10": _mlt_sql(0),
         "post_delete_top10": _excluded_bm25_sql("window", _DEL_IDS),

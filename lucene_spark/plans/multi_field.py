@@ -1,0 +1,111 @@
+"""MultiFieldQueryParser: classic-grammar queries where every
+unfielded leaf expands to one sub-query per field, OR'd together.
+
+Reference: ``queryparser/classic/MultiFieldQueryParser.java:60-97``
+(parse delegates to the classic grammar with field == null) and
+:254-300 (``getFieldQuery``: a leaf with no explicit field becomes a
+BooleanQuery of SHOULD clauses, one per configured field, each
+wrapped in the field's boost from the boosts map).  The SHOULD
+disjunction sums matching sub-scores, so a doc's leaf score is
+Σ_field boost_f · score_f(leaf).
+
+Groups recurse with the field still unset, so nested leaves expand
+per field too — mirrored by `_mf_group` below.  The per-field
+Searchers must share the docid layout (same rows, same shuffle — the
+CombinedFieldQuery multi-field convention in ``operators/
+combined.py``), which makes the cross-field sum a plain
+union-and-aggregate with no key translation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_spark.plans.parser import (
+    Clause,
+    QueryParseError,
+    _scored_clause,
+    parse,
+)
+
+
+def _sum_frames(searcher, frames: list[DataFrame]) -> DataFrame:
+    score_t = "float" if searcher.dtype.__name__ == "float32" else "double"
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    return u.groupBy("segment_id", "docid").agg(
+        F.sum("score").cast(score_t).alias("score")
+    )
+
+
+def _mf_clause(fields: dict, c: Clause) -> DataFrame | None:
+    if c.kind == "group":
+        df = _mf_group(fields, c.children)
+        if c.boost != 1.0:
+            primary = next(iter(fields.values()))[0]
+            score_t = (
+                "float"
+                if primary.dtype.__name__ == "float32"
+                else "double"
+            )
+            df = df.select(
+                "segment_id",
+                "docid",
+                (F.col("score") * float(c.boost))
+                .cast(score_t)
+                .alias("score"),
+            )
+        return df
+    frames = []
+    for _, (s, w) in fields.items():
+        df = _scored_clause(s, replace(c, boost=c.boost * float(w)))
+        if df is not None:
+            frames.append(df)
+    if not frames:
+        return None
+    primary = next(iter(fields.values()))[0]
+    return _sum_frames(primary, frames)
+
+
+def _mf_group(fields: dict, clauses: list[Clause]) -> DataFrame:
+    primary = next(iter(fields.values()))[0]
+    must, should, must_not = [], [], []
+    for c in clauses:
+        df = _mf_clause(fields, c)
+        if df is None:
+            if c.occur == "MUST":
+                return primary._empty_scored().select(
+                    "segment_id", "docid", "score"
+                )
+            continue
+        {"MUST": must, "SHOULD": should, "MUST_NOT": must_not}[
+            c.occur
+        ].append(df)
+    return primary.scored_boolean_clauses(must, should, must_not)
+
+
+def scored_multi_field(
+    fields: dict[str, tuple[object, float]], query: str
+) -> DataFrame:
+    """The scored (segment_id, docid, score) frame for a multi-field
+    parse — the collector-free form for composition."""
+    if not fields:
+        raise QueryParseError("MultiFieldQueryParser needs >= 1 field")
+    return _mf_group(fields, parse(query))
+
+
+def execute_multi_field(
+    fields: dict[str, tuple[object, float]], query: str, k: int = 10
+) -> DataFrame:
+    """Parse ``query`` with the classic grammar and run it across
+    ``fields`` (name -> (Searcher, boost)); top-k through the primary
+    (first) field's collector."""
+    if not fields:
+        raise QueryParseError("MultiFieldQueryParser needs >= 1 field")
+    clauses = parse(query)
+    primary = next(iter(fields.values()))[0]
+    return primary._finish_topk(_mf_group(fields, clauses), k)

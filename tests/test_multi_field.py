@@ -1,0 +1,74 @@
+"""MultiFieldQueryParser.
+
+Reference: queryparser/classic/MultiFieldQueryParser.java:60-97
+(classic grammar, field unset) and :254-300 (per-field SHOULD
+expansion with boosts map).
+
+The same Searcher registered as two fields with boosts (1, 2) must
+score every doc exactly 3x the single-field parse — the cross-field
+disjunction sum with no second index needed.
+"""
+
+import pytest
+
+from lucene_spark.plans.multi_field import (
+    execute_multi_field,
+    scored_multi_field,
+)
+from lucene_spark.plans.parser import QueryParseError, _scored_group, parse
+
+
+def _by_key(df):
+    return {
+        (r["segment_id"], r["docid"]): r["score"] for r in df.collect()
+    }
+
+
+class TestMultiField:
+    def test_two_fields_sum_with_boosts(self, searcher):
+        single = _by_key(_scored_group(searcher, parse("window spark")))
+        multi = _by_key(
+            scored_multi_field(
+                {"f1": (searcher, 1.0), "f2": (searcher, 2.0)},
+                "window spark",
+            )
+        )
+        assert set(multi) == set(single)
+        for k, s in single.items():
+            assert multi[k] == pytest.approx(3.0 * s, rel=1e-6)
+
+    def test_must_not_spans_fields(self, searcher):
+        got = _by_key(
+            scored_multi_field(
+                {"f1": (searcher, 1.0), "f2": (searcher, 1.0)},
+                "+window -spark",
+            )
+        )
+        want = _by_key(
+            _scored_group(searcher, parse("+window -spark"))
+        )
+        assert set(got) == set(want)
+        for k, s in want.items():
+            assert got[k] == pytest.approx(2.0 * s, rel=1e-6)
+
+    def test_group_recursion_expands_leaves(self, searcher):
+        got = _by_key(
+            scored_multi_field(
+                {"f1": (searcher, 1.0), "f2": (searcher, 1.0)},
+                "(window table)^2",
+            )
+        )
+        want = _by_key(
+            _scored_group(searcher, parse("(window table)^2"))
+        )
+        assert set(got) == set(want)
+        for k, s in want.items():
+            assert got[k] == pytest.approx(2.0 * s, rel=1e-6)
+
+    def test_topk_shape_and_empty_fields(self, searcher):
+        rows = execute_multi_field(
+            {"f1": (searcher, 1.0)}, "window", k=5
+        ).collect()
+        assert len(rows) == 5
+        with pytest.raises(QueryParseError):
+            execute_multi_field({}, "window")
