@@ -2918,6 +2918,21 @@ def _q_lmjm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_indri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndriDirichletSimilarity term query (IndriDirichletSimilarity
+    .java:68-73, mu=2000, P = ttf/sttf, NO clamp — scores are negative
+    log-probabilities by design)."""
+    s = _sim_searcher(spark, sf_dir, "indri")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
+def _q_multi_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiSimilarity([BM25, Classic]) term query (MultiSimilarity
+    .java:47-69): sub-scores summed in double."""
+    s = _sim_searcher(spark, sf_dir, "multi")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Occur.FILTER: required, scoreless — BM25('window') gated by a
     constant-score prefix clause that contributes nothing."""
@@ -6580,6 +6595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_sim_top10": _q_classic,
         "lmd_sim_top10": _q_lmd,
         "lmjm_sim_top10": _q_lmjm,
+        "indri_sim_top10": _q_indri,
+        "multi_sim_top10": _q_multi_sim,
         "dfr_sim_top10": _q_dfr,
         "boolean_sim_top10": _q_boolean_sim,
         "dfi_sim_top10": _q_dfi_sim,
@@ -7083,6 +7100,37 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_ivf_seeded_topk": _ann_ivf_seeded_sql(),
+        "indri_sim_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            ttf AS (SELECT count(*)::BIGINT AS ttf FROM tok
+                    WHERE term = 'window')
+            SELECT tf.doc_id AS doc_id,
+                   round(ln((tf.tf + 2000.0 * (ttf.ttf / st.sttf))
+                            / ({_norm_len_sql('dl.dl')} + 2000.0)),
+                         6) AS score
+            FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN st CROSS JOIN ttf
+            ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
+        "multi_sim_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            df AS (SELECT count(*)::BIGINT AS df FROM tf),
+            parts AS (SELECT tf.doc_id,
+                   ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                   1.0/(1.2*(0.25 + 0.75*{_norm_len_sql('dl.dl')}
+                             /(st.sttf/st.n))) AS inv,
+                   tf.tf AS tf,
+                   sqrt(tf.tf)
+                     * (ln((st.n + 1) / (df.df + 1.0)) + 1.0)
+                     / sqrt({_norm_len_sql('dl.dl')}) AS classic
+            FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN st CROSS JOIN df)
+            SELECT doc_id,
+                   round((w - w/(1 + tf*inv)) + classic, 6) AS score
+            FROM parts ORDER BY 2 DESC, doc_id LIMIT 10""",
         "classic_sim_top10": f"""
             WITH {_TOK}, {_DL}, {_ST},
             tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok

@@ -206,6 +206,14 @@ def bind_similarity(
         return bind_dfi_std(
             doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
         )
+    if name == "indri":
+        return bind_indri(
+            doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
+        )
+    if name == "multi":
+        return bind_multi(
+            doc_freq, total_term_freq, doc_count, sttf, boost, dtype=dtype
+        )
     if name == "sweetspot":
         # the registry binding uses a visibly non-default "plateau"
         # configuration (defaults degrade exactly to classic, which
@@ -219,7 +227,7 @@ def bind_similarity(
     raise ValueError(
         f"unknown similarity {name!r} (bm25 | classic | lmd | lmjm |"
         " dfr_ifl2 | ib_lld2 | f2exp | boolean | rawtf | dfi_std |"
-        " sweetspot)"
+        " indri | multi | sweetspot)"
     )
 
 
@@ -315,6 +323,59 @@ def bind_rawtf(
         return (boost * freqs.astype(np.float64, copy=False)).astype(
             dtype
         )
+
+    return BoundScorer(score_fn)
+
+
+def bind_indri(
+    doc_freq, total_term_freq, doc_count, sttf, boost, mu: float = 2000.0,
+    dtype=np.float32,
+) -> BoundScorer:
+    """IndriDirichletSimilarity (``core/search/similarities/
+    IndriDirichletSimilarity.java:68-73``, default mu 2000 :58-60):
+    score = ln((tf + mu·P) / (doclen + mu)) with the
+    IndriCollectionModel P = ttf / sumTotalTermFreq (:104-112 — no +1
+    smoothing, unlike the LMD DefaultCollectionModel).  UNLIKE
+    LMDirichlet there is NO clamp at 0 (:81 there, absent here):
+    Indri's log-probabilities are negative by design and are meant to
+    be summed by IndriAndQuery."""
+    p = total_term_freq / np.float64(sttf)
+    lt = LENGTH_TABLE.astype(np.float64)
+
+    def score_fn(freqs, norms):
+        doclen = lt[np.asarray(norms, dtype=np.int64)]
+        s = boost * np.log(
+            (freqs.astype(np.float64, copy=False) + mu * p)
+            / (doclen + mu)
+        )
+        return s.astype(dtype)
+
+    return BoundScorer(score_fn)
+
+
+def bind_multi(
+    doc_freq, total_term_freq, doc_count, sttf, boost,
+    names: tuple[str, ...] = ("bm25", "classic"),
+    dtype=np.float32,
+) -> BoundScorer:
+    """MultiSimilarity (``core/search/similarities/MultiSimilarity
+    .java:47-69``): each sub-similarity scores independently (own
+    float path), the per-doc results are summed in DOUBLE and cast
+    back (:63-68).  Binding = one scorer per sub-similarity over the
+    same stats, like MultiSimilarity.scorer building subScorers."""
+    subs = [
+        bind_similarity(
+            n, doc_freq, total_term_freq, doc_count, sttf, boost,
+            1.2, 0.75, dtype,
+        )
+        for n in names
+    ]
+
+    def score_fn(freqs, norms):
+        total = np.zeros(len(freqs), dtype=np.float64)
+        for sub in subs:
+            total += sub.score_fn(freqs, norms).astype(np.float64)
+        return total.astype(dtype)
 
     return BoundScorer(score_fn)
 

@@ -217,3 +217,62 @@ class TestSparkIntegration:
             for r in s.term_query("window", k=5, prune=False).collect()
         ]
         assert a == b
+
+
+class TestIndriAndMulti:
+    """IndriDirichletSimilarity.java:68-73 (no clamp, negative
+    log-probs) and MultiSimilarity.java:47-69 (double sum of subs)."""
+
+    def test_indri_known_value_and_no_clamp(self):
+        from lucene_spark.functions.similarities import bind_indri
+        from lucene_spark.functions.smallfloat import LENGTH_TABLE
+
+        k = bind_indri(10, 50, 100, 10_000, 1.0, dtype=np.float64)
+        norm = 50
+        dl = float(LENGTH_TABLE[norm])
+        want = np.log((4.0 + 2000.0 * (50 / 10_000.0)) / (dl + 2000.0))
+        got = k.score(
+            np.array([4.0], dtype=np.float32),
+            np.array([norm], dtype=np.int64),
+        )[0]
+        assert got == pytest.approx(want, rel=1e-12)
+        assert got < 0  # Indri does NOT clamp, unlike LMDirichlet
+
+    def test_indri_monotonic_freq_and_doclen(self):
+        from lucene_spark.functions.similarities import bind_indri
+
+        k = bind_indri(10, 50, 100, 10_000, 1.0)
+        freqs = np.arange(1, 100, dtype=np.float32)
+        s = k.score(freqs, np.full(len(freqs), 77, dtype=np.int64))
+        assert np.all(np.diff(s) >= 0)
+        s2 = k.score(np.full(255, 5.0, dtype=np.float32), ALL_NORMS[1:])
+        assert np.all(np.diff(s2) <= 1e-9)
+
+    def test_multi_is_sum_of_subs(self):
+        from lucene_spark.functions.similarities import (
+            bind_bm25,
+            bind_classic,
+            bind_multi,
+        )
+
+        m = bind_multi(10, 50, 100, 10_000, 1.0)
+        b = bind_bm25(10, 50, 100, 10_000, 1.0, 1.2, 0.75, np.float32)
+        c = bind_classic(10, 50, 100, 10_000, 1.0)
+        f = np.array([1.0, 4.0, 9.0], dtype=np.float32)
+        n = np.array([10, 100, 200], dtype=np.int64)
+        want = b.score(f, n).astype(np.float64) + c.score(f, n).astype(
+            np.float64
+        )
+        got = m.score(f, n)
+        assert got == pytest.approx(want.astype(np.float32), rel=1e-7)
+
+    def test_registry_dispatch_new_names(self):
+        from lucene_spark.functions.similarities import bind_similarity
+
+        for name in ("indri", "multi"):
+            k = bind_similarity(name, 10, 50, 100, 10_000, 1.0, 1.2,
+                                0.75, np.float32)
+            assert np.isfinite(
+                k.score(np.array([2.0], dtype=np.float32),
+                        np.array([30], dtype=np.int64))
+            ).all()
