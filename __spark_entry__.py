@@ -868,7 +868,7 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             "finnish_snowball", "dutch", "turkish", "serbian",
             "galician", "portuguese_rslp", "brazilian", "tamil",
             "telugu",
-            "hungarian_snowball", "estonian",
+            "hungarian_snowball", "estonian", "ngram2_tok",
         ):
             build_index(
                 spark, wp, idx, num_segments=n_seg, analyzer=kind
@@ -3021,6 +3021,56 @@ def _q_phrase_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL."""
     s = _get_searcher(spark, sf_dir)
     return _topk_by_doc_id(s, s.scored_phrase_wildcard(["t*", "window"]))
+
+
+def _q_ngram_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NGramPhraseQuery (core/search/NGramPhraseQuery.java:40-69):
+    'window' on an NGramTokenizer(2,2) index — the rewrite consults
+    only grams wi/0, nd/2, ow/4; idf sums over the kept grams, freq
+    counts the sparse-position alignments."""
+    s = _variant_searcher(spark, sf_dir, "ngram2_tok")
+    return _topk_by_doc_id(s, s.scored_ngram_phrase("window", 2))
+
+
+def _ngram_phrase_sql(word: str, n: int = 2, k: int = 10) -> str:
+    grams = [word[i : i + n] for i in range(len(word) - n + 1)]
+    keep = [i for i in range(len(grams)) if i % n == 0 or i == len(grams) - 1]
+    norm = _norm_len_sql("dlg.dl")
+    us = []
+    for j, i in enumerate(keep):
+        us.append(
+            f"u{j} AS (SELECT doc_id, p - {i} AS p FROM tokg "
+            f"WHERE term = '{grams[i]}')"
+        )
+    joins = " ".join(
+        f"JOIN u{j} USING (doc_id, p)" for j in range(1, len(keep))
+    )
+    idf = " + ".join(
+        f"""ln(1 + (stg.n - (SELECT count(DISTINCT doc_id) FROM tokg
+             WHERE term = '{grams[i]}') + 0.5)
+            /((SELECT count(DISTINCT doc_id) FROM tokg
+               WHERE term = '{grams[i]}') + 0.5))"""
+        for i in keep
+    )
+    return f"""WITH
+      g AS (SELECT doc_id,
+                   [substr(text, i, {n})
+                    FOR i IN range(1, length(text) - {n - 2})] AS gs
+            FROM documents),
+      tokg AS (SELECT doc_id, unnest(gs) AS term,
+                      generate_subscripts(gs, 1) - 1 AS p FROM g),
+      dlg AS (SELECT doc_id, count(*) AS dl FROM tokg GROUP BY doc_id),
+      stg AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     count(*) AS sttf FROM tokg),
+      {", ".join(us)},
+      pf AS (SELECT u0.doc_id, count(*)::BIGINT AS pf FROM u0 {joins}
+             GROUP BY u0.doc_id),
+      sc AS (SELECT pf.doc_id, ({idf}) AS w,
+                    1.0/(1.2*(0.25 + 0.75*{norm}/(stg.sttf/stg.n))) AS inv,
+                    pf.pf AS pf
+             FROM pf JOIN dlg ON pf.doc_id = dlg.doc_id CROSS JOIN stg)
+      SELECT doc_id, round(w - w/(1 + pf*inv), 6) AS score
+      FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
 def _q_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6645,6 +6695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_query_top10": _q_parsed,
         "multi_phrase_top10": _q_multi_phrase,
         "phrase_wildcard_top10": _q_phrase_wildcard,
+        "ngram_phrase_top10": _q_ngram_phrase,
         "complex_phrase_top10": _q_complex_phrase,
         "surround_top10": _q_surround,
         "point_range_doclen": _q_point_range,
@@ -7403,6 +7454,7 @@ def oracle_sql() -> dict[str, str]:
             [["window", "table"], ["the"]]
         ),
         "phrase_wildcard_top10": _phrase_wildcard_sql("^t.*$", "window"),
+        "ngram_phrase_top10": _ngram_phrase_sql("window", 2),
         "point_range_doclen": f"""
             WITH {_TOK}, {_DL}
             SELECT doc_id, 1.0 AS score FROM dl

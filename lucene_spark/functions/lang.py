@@ -1337,6 +1337,12 @@ def _build_chains() -> dict:
         "ngram": AnalyzerChain(
             "ngram", frozenset(), stream=_ngram_stream()
         ),
+        # NGramTokenizer(2,2) field (ngram/NGramTokenizer.java): raw
+        # text bigrams at consecutive positions — the configuration
+        # NGramPhraseQuery optimizes for
+        "ngram2_tok": AnalyzerChain(
+            "ngram2_tok", frozenset(), tokenizer=_ngram2_tokenizer()
+        ),
     }
 
 
@@ -1362,6 +1368,12 @@ def _ngram_stream():
     from .ngram_filter import ngram_stream_factory
 
     return ngram_stream_factory()
+
+
+def _ngram2_tokenizer():
+    from .ngram_filter import ngram_tokenizer_factory
+
+    return ngram_tokenizer_factory(2, 2)
 
 
 def _cjk_stops() -> frozenset:

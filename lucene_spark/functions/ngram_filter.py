@@ -21,6 +21,34 @@ autocomplete configuration: stopwords should not produce grams).
 from __future__ import annotations
 
 
+def ngram_tokenizer_factory(min_gram: int = 2, max_gram: int = 2):
+    """NGramTokenizer (``analysis/common/.../ngram/NGramTokenizer
+    .java:30-60``): grams the RAW text — isTokenChar accepts every
+    char by default, so grams cross whitespace — emitting all
+    substrings of length min..max at CONSECUTIVE positions (one
+    position per start offset; gram sizes at a start offset are
+    emitted before advancing).  This is the position model
+    NGramPhraseQuery expects (one gram = one position), unlike
+    NGramTokenFilter's posInc-0 stacking above.
+
+    Used as an AnalyzerChain ``tokenizer`` (replaces UAX#29); the
+    chain's per-token lowercase then applies to each gram."""
+    if not 1 <= min_gram <= max_gram:
+        raise ValueError("need 1 <= min_gram <= max_gram")
+
+    def tokenize(text: str) -> list[str]:
+        out: list[str] = []
+        n = len(text)
+        for i in range(n - min_gram + 1):
+            for g in range(min_gram, max_gram + 1):
+                if i + g > n:
+                    break
+                out.append(text[i : i + g])
+        return out
+
+    return tokenize
+
+
 def _gram_stream(edge_only: bool, min_gram: int, max_gram: int,
                  preserve_original: bool):
     if not 1 <= min_gram <= max_gram:

@@ -399,6 +399,34 @@ class QueryOpsMixin:
             k,
         )
 
+    def scored_ngram_phrase(self, text: str, n: int) -> DataFrame:
+        """NGramPhraseQuery (``core/search/NGramPhraseQuery.java:
+        40-69``): a phrase over an n-gram tokenized field, optimized
+        at rewrite — when slop == 0, n >= 2 and the phrase has >= 3
+        consecutive gram terms, only every n-th gram plus the last is
+        consulted ("AB/0 CD/2" instead of "AB/0 BC/1 CD/2"; the
+        dropped grams are implied by their overlapping neighbours, so
+        the match set is identical); otherwise the plain PhraseQuery
+        runs.  The rewritten query IS a sparse-position PhraseQuery,
+        so scoring sums idf over the KEPT terms only — exactly the
+        reference's rewritten builder (:61-67)."""
+        grams = [text[i : i + n] for i in range(len(text) - n + 1)]
+        if not grams:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        if n >= 2 and len(grams) >= 3:
+            keep = [
+                i
+                for i in range(len(grams))
+                if i % n == 0 or i == len(grams) - 1
+            ]
+            return self.scored_phrase(
+                [grams[i] for i in keep], positions=keep
+            )
+        return self.scored_phrase(grams)
+
+    def ngram_phrase_query(self, text: str, n: int, k: int = 10) -> DataFrame:
+        return self._finish_topk(self.scored_ngram_phrase(text, n), k)
+
     def scored_regexp(self, regex: str, boost: float = 1.0) -> DataFrame:
         """RegexpQuery (``core/search/RegexpQuery.java:42``) — full-term
         match, like Lucene's automaton (anchored both ends)."""

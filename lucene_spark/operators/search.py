@@ -2015,30 +2015,46 @@ class Searcher(QueryOpsMixin):
             )
         return weight, cache
 
-    def scored_phrase(self, terms: list[str]) -> DataFrame:
+    def scored_phrase(
+        self, terms: list[str], positions: list[int] | None = None
+    ) -> DataFrame:
         """Exact PhraseQuery scorer, slop=0 — full match set.
 
         Two-phase execution (``core/search/TwoPhaseIterator.java``):
         docid conjunction first, position decode only for candidate
         blocks (``_candidate_positions``). Alignment check is pure
         DataFrame array algebra over one per-doc term→positions map:
-        positions of phrase slot i shifted by -i, intersected across
-        slots (ExactPhraseMatcher semantics — repeated phrase terms
-        just reuse the same map entry at several offsets);
-        phrase_freq = |intersection|. Scored as one pseudo-term with
-        idf = sum of term idfs (BM25Similarity.idfExplain over
-        TermStats[]).
+        positions of phrase slot i shifted by -positions[i],
+        intersected across slots (ExactPhraseMatcher semantics —
+        repeated phrase terms just reuse the same map entry at
+        several offsets); phrase_freq = |intersection|. Scored as one
+        pseudo-term with idf = sum of term idfs
+        (BM25Similarity.idfExplain over TermStats[]).
+
+        ``positions`` is PhraseQuery.Builder.add(Term, position)
+        (``core/search/PhraseQuery.java:108-135``): explicit slot
+        positions WITH GAPS — a gap means "any term may sit there".
+        NGramPhraseQuery's rewrite emits exactly such sparse
+        phrases.  Default = consecutive 0..n-1.
         """
+        if positions is None:
+            positions = list(range(len(terms)))
+        if len(positions) != len(terms):
+            raise ValueError("positions must parallel terms")
+        if sorted(positions) != list(positions):
+            # Builder.add: position must be >= the previous (equal =
+            # overlapping tokens, both required at the same spot)
+            raise ValueError("positions must be non-decreasing")
         stats = self.term_stats(terms)
         if any(t not in stats for t in terms):
             return self._empty_scored().select("segment_id", "docid", "score")
 
         pos_rows = self._candidate_positions(terms)
         per_doc = self._pivot_positions(pos_rows, len(set(terms)))
-        inter = F.col("pm")[terms[0]]
+        inter = _shift_positions(F.col("pm")[terms[0]], positions[0])
         for i in range(1, len(terms)):
             inter = F.array_intersect(
-                inter, _shift_positions(F.col("pm")[terms[i]], i)
+                inter, _shift_positions(F.col("pm")[terms[i]], positions[i])
             )
         matched = per_doc.withColumn("phrase_freq", F.size(inter)).where(
             F.col("phrase_freq") > 0

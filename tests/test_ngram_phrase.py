@@ -1,0 +1,71 @@
+"""NGramPhraseQuery + sparse-position PhraseQuery.
+
+Reference: core/search/NGramPhraseQuery.java:40-69 (rewrite keeps
+every n-th gram plus the last when slop==0, n>=2, >=3 consecutive
+terms; match set provably identical on a true n-gram field),
+core/search/PhraseQuery.java:108-135 (Builder.add with explicit
+positions), analysis/common NGramTokenizer (grams at consecutive
+positions over the raw text).
+"""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def gram_searcher(spark, web_pages, tmp_path_factory):
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+
+    d = str(tmp_path_factory.mktemp("ngram_idx") / "idx")
+    build_index(
+        spark, web_pages, d, num_segments=4, analyzer="ngram2_tok"
+    )
+    return Searcher(spark, d)
+
+
+def _doc_set(df):
+    return {(r["segment_id"], r["docid"]) for r in df.collect()}
+
+
+class TestNGramPhrase:
+    def test_rewrite_match_set_equals_full_phrase(self, gram_searcher):
+        s = gram_searcher
+        word = "window"
+        grams = [word[i : i + 2] for i in range(len(word) - 1)]
+        full = _doc_set(s.scored_phrase(grams))
+        rewritten = _doc_set(s.scored_ngram_phrase(word, 2))
+        assert rewritten == full
+        assert len(full) > 0
+
+    def test_rewrite_uses_sparse_positions(self, gram_searcher):
+        # same docs via the explicit sparse phrase wi/0 nd/2 ow/4
+        s = gram_searcher
+        sparse = _doc_set(
+            s.scored_phrase(["wi", "nd", "ow"], positions=[0, 2, 4])
+        )
+        assert sparse == _doc_set(s.scored_ngram_phrase("window", 2))
+
+    def test_short_phrase_not_optimized(self, gram_searcher):
+        # 3-char word -> 2 grams -> not optimizable -> full phrase
+        s = gram_searcher
+        assert _doc_set(s.scored_ngram_phrase("the", 2)) == _doc_set(
+            s.scored_phrase(["th", "he"])
+        )
+
+    def test_gram_positions_are_consecutive(self):
+        from lucene_spark.functions.ngram_filter import (
+            ngram_tokenizer_factory,
+        )
+
+        tok = ngram_tokenizer_factory(2, 2)
+        assert tok("window") == ["wi", "in", "nd", "do", "ow"]
+        assert tok("a") == []
+        assert tok("ab cd") == ["ab", "b ", " c", "cd"]  # crosses spaces
+
+    def test_position_validation(self, gram_searcher):
+        with pytest.raises(ValueError, match="parallel"):
+            gram_searcher.scored_phrase(["wi", "nd"], positions=[0])
+        with pytest.raises(ValueError, match="non-decreasing"):
+            gram_searcher.scored_phrase(
+                ["wi", "nd"], positions=[2, 0]
+            )
