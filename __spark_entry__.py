@@ -2933,6 +2933,46 @@ def _q_multi_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_indri_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndriAndQuery over ['window', 'spark'] (IndriAndScorer.java:
+    41-66): union of matches, each term contributing its Indri score
+    or its freq-0 smoothing score, averaged over the boost sum."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(s, s.scored_indri_and(["window", "spark"]))
+
+
+def _indri_and_sql(terms: list[str], mu: float = 2000.0, k: int = 10) -> str:
+    norm = _norm_len_sql("dl.dl")
+    tfs, ttfs, joins, parts = [], [], [], []
+    for i, t in enumerate(terms):
+        tfs.append(
+            f"tf{i} AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok "
+            f"WHERE term = '{t}' GROUP BY doc_id)"
+        )
+        ttfs.append(
+            f"ttf{i} AS (SELECT count(*)::BIGINT AS ttf FROM tok "
+            f"WHERE term = '{t}')"
+        )
+        joins.append(f"LEFT JOIN tf{i} ON c.doc_id = tf{i}.doc_id")
+        parts.append(
+            f"ln((coalesce(tf{i}.tf, 0) + ({mu!r} * (ttf{i}.ttf / st.sttf)))"
+            f" / ({norm} + {mu!r}))"
+        )
+    cand = " UNION ".join(
+        f"SELECT doc_id FROM tf{i}" for i in range(len(terms))
+    )
+    cross = " ".join(f"CROSS JOIN ttf{i}" for i in range(len(terms)))
+    return f"""WITH {_TOK}, {_DL}, {_ST},
+      {", ".join(tfs)}, {", ".join(ttfs)},
+      c AS ({cand})
+      SELECT c.doc_id,
+             round(({" + ".join(parts)}) / {float(len(terms))!r}, 6)
+               AS score
+      FROM c {" ".join(joins)}
+      JOIN dl ON c.doc_id = dl.doc_id CROSS JOIN st {cross}
+      ORDER BY 2 DESC, c.doc_id LIMIT {k}"""
+
+
 def _q_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Occur.FILTER: required, scoreless — BM25('window') gated by a
     constant-score prefix clause that contributes nothing."""
@@ -6646,6 +6686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmd_sim_top10": _q_lmd,
         "lmjm_sim_top10": _q_lmjm,
         "indri_sim_top10": _q_indri,
+        "indri_and_top10": _q_indri_and,
         "multi_sim_top10": _q_multi_sim,
         "dfr_sim_top10": _q_dfr,
         "boolean_sim_top10": _q_boolean_sim,
@@ -7164,6 +7205,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dl ON tf.doc_id = dl.doc_id
             CROSS JOIN st CROSS JOIN ttf
             ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
+        "indri_and_top10": _indri_and_sql(["window", "spark"]),
         "multi_sim_top10": f"""
             WITH {_TOK}, {_DL}, {_ST},
             tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok

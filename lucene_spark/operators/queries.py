@@ -1412,6 +1412,77 @@ class QueryOpsMixin:
             F.expr(expr).cast(score_t).alias("score"),
         )
 
+    def scored_indri_and(
+        self,
+        terms: list[str],
+        boosts: dict[str, float] | None = None,
+        mu: float = 2000.0,
+    ) -> DataFrame:
+        """IndriAndQuery (``core/search/IndriAndQuery.java:21``,
+        ``IndriAndScorer.java:41-66``): docs matching ANY clause score
+        ``(Σ_t boost_t · indri_t(tf_t, dl)) / Σ_t boost_t`` where an
+        ABSENT term contributes its smoothing score — the Indri
+        formula at freq 0 over the SAME doc's norm-decoded length
+        (``TermScorer.java:108-114``: ``scorer.score(0, norm)``).
+        Terms with no postings have no scorer and drop from BOTH sums
+        (:45-59 — boostSum only accumulates live subscorers).
+
+        Pure Catalyst: per-term freqs pivot to columns, the doc length
+        decodes from the norm byte via a 256-entry literal array
+        (SmallFloat LENGTH_TABLE), and the whole score is one column
+        expression — no Python in the loop."""
+        from lucene_spark.functions.smallfloat import LENGTH_TABLE
+
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        if boosts is None:
+            boosts = {}
+        b = {t: float(boosts.get(t, 1.0)) for t in present}
+        sttf = float(self.field_stats["sum_total_term_freq"])
+        score_t = "float" if self.dtype == np.float32 else "double"
+
+        rows = self.scored_postings(present).select(
+            "term", "segment_id", "docid", "freq", "norm"
+        )
+        aggs = [
+            F.max(F.when(F.col("term") == t, F.col("freq"))).alias(
+                f"__f{i}"
+            )
+            for i, t in enumerate(present)
+        ] + [F.first("norm").alias("norm")]
+        per_doc = rows.groupBy("segment_id", "docid").agg(*aggs)
+
+        lt = F.array(*[F.lit(float(v)) for v in LENGTH_TABLE])
+        dl = F.element_at(lt, F.col("norm").cast("int") + 1)
+        total = None
+        for i, t in enumerate(present):
+            p = stats[t][1] / sttf  # ttf / sumTotalTermFreq
+            contrib = F.lit(b[t]) * F.log(
+                (
+                    F.coalesce(F.col(f"__f{i}"), F.lit(0)).cast("double")
+                    + F.lit(mu * p)
+                )
+                / (dl + F.lit(mu))
+            )
+            total = contrib if total is None else total + contrib
+        score = (total / F.lit(sum(b.values()))).cast(score_t)
+        return per_doc.select(
+            "segment_id", "docid", score.alias("score")
+        )
+
+    def indri_and_query(
+        self,
+        terms: list[str],
+        k: int = 10,
+        boosts: dict[str, float] | None = None,
+        mu: float = 2000.0,
+    ) -> DataFrame:
+        return self._finish_topk(
+            self.scored_indri_and(terms, boosts, mu), k
+        )
+
     def scored_function_range(
         self,
         value_expr: Column,

@@ -1,0 +1,106 @@
+"""IndriAndQuery.
+
+Reference: core/search/IndriAndQuery.java:21, IndriAndScorer.java:
+41-66 (matched-or-smoothed per-clause scores averaged over the boost
+sum), TermScorer.java:108-114 (smoothingScore = score(0, norm)).
+"""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _mirror(searcher, web_pages, terms, boosts=None, mu=2000.0):
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+
+    boosts = boosts or {t: 1.0 for t in terms}
+    docs = {
+        r["url"]: r["text"].split()
+        for r in web_pages.select("url", "text").collect()
+    }
+    norms = {
+        r["url"]: r["norm"]
+        for r in searcher._attach_urls(
+            searcher._docs.withColumn("docid", F.col("local_docid"))
+        ).collect()
+    }
+    sttf = float(sum(len(v) for v in docs.values()))
+    stats = searcher.term_stats(terms)
+    present = [t for t in terms if t in stats]
+    expected = {}
+    for url, toks in docs.items():
+        if not any(t in toks for t in present):
+            continue
+        dl = float(LENGTH_TABLE[norms[url]])
+        total, bsum = 0.0, 0.0
+        for t in present:
+            p = stats[t][1] / sttf
+            tf = toks.count(t)
+            total += boosts[t] * math.log((tf + mu * p) / (dl + mu))
+            bsum += boosts[t]
+        expected[url] = total / bsum
+    return expected
+
+
+class TestIndriAnd:
+    def test_mirror_scores_and_union_matchset(self, searcher, web_pages):
+        terms = ["window", "spark"]
+        want = _mirror(searcher, web_pages, terms)
+        got = {
+            r["url"]: r["score"]
+            for r in searcher._attach_urls(
+                searcher.scored_indri_and(terms).withColumn(
+                    "local_docid", F.col("docid")
+                )
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for u, s in want.items():
+            assert got[u] == pytest.approx(s, rel=1e-6)
+
+    def test_smoothing_differs_from_missing(self, searcher, web_pages):
+        # a doc with only one of the two terms must still get BOTH
+        # contributions (one real, one smoothing) — its score is lower
+        # than a same-length doc with both terms
+        want = _mirror(searcher, web_pages, ["window", "spark"])
+        docs = {
+            r["url"]: r["text"].split()
+            for r in web_pages.select("url", "text").collect()
+        }
+        only_one = [
+            u
+            for u, t in docs.items()
+            if ("window" in t) != ("spark" in t)
+        ]
+        assert only_one  # corpus has partial matches
+        assert all(u in want for u in only_one)
+
+    def test_boosts_weight_the_average(self, searcher, web_pages):
+        terms = ["window", "spark"]
+        boosts = {"window": 3.0, "spark": 1.0}
+        want = _mirror(searcher, web_pages, terms, boosts)
+        got = {
+            r["url"]: r["score"]
+            for r in searcher._attach_urls(
+                searcher.scored_indri_and(terms, boosts=boosts).withColumn(
+                    "local_docid", F.col("docid")
+                )
+            ).collect()
+        }
+        for u, s in want.items():
+            assert got[u] == pytest.approx(s, rel=1e-6)
+
+    def test_unknown_terms_drop_from_both_sums(self, searcher, web_pages):
+        want = _mirror(searcher, web_pages, ["window"])
+        got = {
+            r["url"]: r["score"]
+            for r in searcher._attach_urls(
+                searcher.scored_indri_and(
+                    ["window", "zzzznotaterm"]
+                ).withColumn("local_docid", F.col("docid"))
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for u, s in want.items():
+            assert got[u] == pytest.approx(s, rel=1e-6)
