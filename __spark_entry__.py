@@ -3704,6 +3704,76 @@ def _q_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# concave quadrilateral in (y, x) — the XY plane has no dateline, so
+# the vertices may be anything
+_XY_POLY = [
+    (-55.2, -120.4),
+    (55.8, -100.2),
+    (5.1, 10.3),
+    (55.4, 150.6),
+]
+
+
+def _q_xy_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYPointField.newGeometryQuery with an XYPolygon (XYPointField
+    .java:208-224): cartesian even-odd crossing over a concave quad —
+    the same customer coordinates read as flat (x, y)."""
+    from lucene_spark.operators.geo import xy_polygon_query
+
+    pts = _geo_customers(spark, sf_dir)
+    return xy_polygon_query(pts, "lon", "lat", _XY_POLY).select(
+        "c_custkey", F.lit(1.0).alias("score")
+    )
+
+
+def _q_xy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYPointField.newDistanceQuery (XYPointField.java:185-200):
+    euclidean circle radius 40 around (20.5, 10.25); output = the
+    exact distance."""
+    from lucene_spark.operators.geo import xy_distance_query
+
+    pts = _geo_customers(spark, sf_dir)
+    hit = xy_distance_query(pts, "lon", "lat", 20.5, 10.25, 40.0)
+    dx = F.col("lon") - F.lit(20.5)
+    dy = F.col("lat") - F.lit(10.25)
+    return hit.select(
+        "c_custkey", F.round(F.sqrt(dx * dx + dy * dy), 6).alias("dist")
+    )
+
+
+def _xy_polygon_sql() -> str:
+    terms = []
+    n = len(_XY_POLY)
+    for i in range(n):
+        y1, x1 = _XY_POLY[i]
+        y2, x2 = _XY_POLY[(i + 1) % n]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({y1} > lat) != ({y2} > lat)) AND "
+            f"(lon < ({x2} - {x1}) * (lat - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    cross = " + ".join(terms)
+    ys = [p[0] for p in _XY_POLY]
+    xs = [p[1] for p in _XY_POLY]
+    return f"""WITH {_GEO_PTS}
+SELECT c_custkey, 1.0 AS score FROM pts
+WHERE lon >= {min(xs)} AND lon <= {max(xs)}
+  AND lat >= {min(ys)} AND lat <= {max(ys)}
+  AND ({cross}) % 2 = 1"""
+
+
+def _xy_distance_sql() -> str:
+    return f"""WITH {_GEO_PTS}
+SELECT c_custkey,
+       round(sqrt((lon - 20.5)*(lon - 20.5)
+                  + (lat - 10.25)*(lat - 10.25)), 6) AS dist
+FROM pts
+WHERE (lon - 20.5)*(lon - 20.5) + (lat - 10.25)*(lat - 10.25)
+      <= 40.0*40.0"""
+
+
 def _geo_polygon_sql() -> str:
     terms = []
     n = len(_GEO_POLY)
@@ -6711,6 +6781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_feature_top10": _q_distance_feature,
         "geo_distance_feature_top10": _q_geo_distance_feature,
         "geo_polygon_custkeys": _q_geo_polygon,
+        "xy_polygon_custkeys": _q_xy_polygon,
+        "xy_distance_custkeys": _q_xy_distance,
         "geo_nearest_top10": _q_geo_nearest,
         "shingle_tokens": _q_shingles,
         "arabic_analyzer_tokens": _q_arabic_analyzer,
@@ -7459,6 +7531,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geo_distance_feature_top10": _geo_distance_feature_sql(),
         "geo_polygon_custkeys": _geo_polygon_sql(),
+        "xy_polygon_custkeys": _xy_polygon_sql(),
+        "xy_distance_custkeys": _xy_distance_sql(),
         "geo_nearest_top10": _geo_nearest_sql(),
         "shingle_tokens": _SHINGLES_SQL,
         "arabic_analyzer_tokens": _ARABIC_SQL,

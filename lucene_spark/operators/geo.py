@@ -131,6 +131,58 @@ def nearest(
     return df.withColumn("distance_m", dist).orderBy(*order).limit(k)
 
 
+def xy_polygon_query(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    polygon_yx: list[tuple[float, float]],
+) -> DataFrame:
+    """XYPointField.newGeometryQuery with an XYPolygon
+    (``core/document/XYPointField.java:208-224``,
+    ``core/geo/XYPolygon.java``): the cartesian twin of
+    LatLonPoint.newPolygonQuery — identical even-odd crossing algebra
+    over (x, y) floats, a plain min/max bbox prune (pushdown-able
+    comparisons), and NO dateline/pole special cases (XYGeometry is a
+    flat plane).  ``polygon_yx`` lists vertices as (y, x) pairs like
+    the LatLon operator's (lat, lon)."""
+    ys = [p[0] for p in polygon_yx]
+    xs = [p[1] for p in polygon_yx]
+    boxed = df.where(
+        (F.col(x_col) >= min(xs))
+        & (F.col(x_col) <= max(xs))
+        & (F.col(y_col) >= min(ys))
+        & (F.col(y_col) <= max(ys))
+    )
+    return boxed.where(
+        polygon_contains(F.col(y_col), F.col(x_col), polygon_yx)
+    )
+
+
+def xy_distance_query(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x: float,
+    y: float,
+    radius: float,
+) -> DataFrame:
+    """XYPointField.newDistanceQuery (``core/document/XYPointField
+    .java:185-200``): euclidean circle — bbox prune then the exact
+    (x−cx)² + (y−cy)² ≤ r² verify, all plain column comparisons (the
+    haversine of the flat plane is Pythagoras)."""
+    if radius <= 0:
+        raise ValueError("radius must be > 0")
+    boxed = df.where(
+        (F.col(x_col) >= x - radius)
+        & (F.col(x_col) <= x + radius)
+        & (F.col(y_col) >= y - radius)
+        & (F.col(y_col) <= y + radius)
+    )
+    dx = F.col(x_col) - F.lit(x)
+    dy = F.col(y_col) - F.lit(y)
+    return boxed.where(dx * dx + dy * dy <= radius * radius)
+
+
 def distance_feature(
     df: DataFrame,
     lat_col: str,

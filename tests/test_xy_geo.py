@@ -1,0 +1,88 @@
+"""XYPointField cartesian queries.
+
+Reference: core/document/XYPointField.java:185-224 (newDistanceQuery
+= euclidean circle, newGeometryQuery = XYPolygon even-odd crossing),
+core/geo/XYPolygon.java — the flat-plane twins of the LatLon
+operators, no dateline/pole cases.
+"""
+
+import pytest
+
+# concave "arrow" polygon in (y, x)
+POLY = [(0.0, 0.0), (10.0, 4.0), (0.0, 8.0), (4.0, 4.0)]
+
+
+def _pts(spark):
+    rows = [
+        (1, 4.0, 2.0),  # inside left wing
+        (2, 4.0, 6.0),  # inside right wing
+        (3, 1.0, 4.0),  # in the concave notch -> OUTSIDE
+        (4, 4.0, 4.5),  # above the notch, inside
+        (5, 20.0, 20.0),  # far outside (bbox-pruned)
+        (6, 5.0, -1.0),  # inside bbox-y, outside x
+    ]
+    return spark.createDataFrame(rows, "id long, y double, x double")
+
+
+class TestXYPolygon:
+    def test_concave_even_odd(self, spark):
+        from lucene_spark.operators.geo import xy_polygon_query
+
+        got = {
+            r["id"]
+            for r in xy_polygon_query(_pts(spark), "x", "y", POLY).collect()
+        }
+        assert got == {1, 2, 4}
+
+    def test_mirror_against_shapely_free_crossing(self, spark):
+        # naive python even-odd mirror over a random grid
+        import random
+
+        from lucene_spark.operators.geo import xy_polygon_query
+
+        rng = random.Random(7)
+        rows = [
+            (i, rng.uniform(-2, 12), rng.uniform(-2, 10))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "id long, y double, x double")
+
+        def inside(y, x):
+            c = 0
+            n = len(POLY)
+            for i in range(n):
+                y1, x1 = POLY[i]
+                y2, x2 = POLY[(i + 1) % n]
+                if y1 == y2:
+                    continue
+                if (y1 > y) != (y2 > y) and x < (x2 - x1) * (y - y1) / (
+                    y2 - y1
+                ) + x1:
+                    c += 1
+            return c % 2 == 1
+
+        want = {i for i, y, x in rows if inside(y, x)}
+        got = {
+            r["id"]
+            for r in xy_polygon_query(df, "x", "y", POLY).collect()
+        }
+        assert got == want
+
+
+class TestXYDistance:
+    def test_circle_boundary_inclusive(self, spark):
+        from lucene_spark.operators.geo import xy_distance_query
+
+        rows = [(1, 0.0, 3.0), (2, 4.0, 0.0), (3, 3.0, 4.0), (4, 3.1, 4.0)]
+        df = spark.createDataFrame(rows, "id long, y double, x double")
+        got = {
+            r["id"]
+            for r in xy_distance_query(df, "x", "y", 0.0, 0.0, 5.0).collect()
+        }
+        assert got == {1, 2, 3}  # (3,4) on the r=5 circle included
+
+    def test_radius_validation(self, spark):
+        from lucene_spark.operators.geo import xy_distance_query
+
+        with pytest.raises(ValueError):
+            xy_distance_query(_pts(spark), "x", "y", 0, 0, 0.0)
