@@ -3438,6 +3438,21 @@ def _q_term_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_stream_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TokenStreamToTermAutomatonQuery (sandbox/search/
+    TokenStreamToTermAutomatonQuery.java:48-106): the synonym-graph
+    token stream window(+1,len1) merge(+0,len2) table(+1,len1) —
+    'merge' stacks over 'window table' like a multi-word synonym —
+    converts to the automaton accepting [window table] | [merge]."""
+    from lucene_spark.plans.token_graph import token_stream_paths
+
+    s = _get_searcher(spark, sf_dir)
+    paths = token_stream_paths(
+        [("window", 1, 1), ("merge", 0, 2), ("table", 1, 1)]
+    )
+    return _topk_by_doc_id(s, s.scored_term_automaton(paths))
+
+
 def _q_multi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MultiRangeQuery (sandbox/search/MultiRangeQuery.java:49): docs
     whose analyzed length is in [10,20] OR [40,50], constant score."""
@@ -6814,6 +6829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_range_doclen": _q_point_range,
         "multi_range_match": _q_multi_range,
         "term_automaton_top10": _q_term_automaton,
+        "token_stream_automaton_top10": _q_token_stream_automaton,
         "fuzzy_like_this_top10": _q_fuzzy_like_this,
         "phonetic_match": _q_phonetic_match,
         "function_score_top10": _q_function_score,
@@ -7712,6 +7728,28 @@ def oracle_sql() -> dict[str, str]:
             dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
                     FROM tok
                     WHERE term IN ('value', 'vector', 'table', 'hash')
+                    GROUP BY term),
+            w AS (SELECT sum(ln(1 + (st.n - df + 0.5)/(df + 0.5))) AS w
+                  FROM dfq CROSS JOIN st)
+            SELECT mm.doc_id AS doc_id,
+                   round(w.w - w.w/(1 + mm.freq
+                       * (1.0/(1.2*(0.25 + 0.75*{_norm_len_sql('dl.dl')}
+                                    /(st.sttf/st.n))))), 6) AS score
+            FROM mm JOIN dl ON mm.doc_id = dl.doc_id
+            CROSS JOIN st CROSS JOIN w
+            ORDER BY 2 DESC, mm.doc_id LIMIT 10""",
+        "token_stream_automaton_top10": f"""
+            WITH {_TOK}, {_TOKP}, {_DL}, {_ST},
+            m1 AS (SELECT a.doc_id, a.p FROM tokp a
+                   JOIN tokp b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                   WHERE a.term = 'window' AND b.term = 'table'),
+            m2 AS (SELECT doc_id, p FROM tokp WHERE term = 'merge'),
+            mm AS (SELECT doc_id, count(DISTINCT p)::BIGINT AS freq
+                   FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+                   GROUP BY doc_id),
+            dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                    FROM tok
+                    WHERE term IN ('window', 'merge', 'table')
                     GROUP BY term),
             w AS (SELECT sum(ln(1 + (st.n - df + 0.5)/(df + 0.5))) AS w
                   FROM dfq CROSS JOIN st)

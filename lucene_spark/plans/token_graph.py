@@ -1,0 +1,75 @@
+"""TokenStreamToTermAutomatonQuery: token graph -> term automaton.
+
+Reference: ``sandbox/search/TokenStreamToTermAutomatonQuery.java:
+48-106`` — consume a token stream carrying PositionIncrement and
+PositionLength attributes (the synonym-graph shape: posInc 0 stacks
+an alternative at the current position, posLength > 1 lets one token
+span several positions, e.g. "ny" over "new york") and create the
+TermAutomatonQuery whose transition labels are the terms.
+
+States are token-graph positions; every transition consumes exactly
+one INDEXED position at match time regardless of its posLength (the
+automaton is abstract — posLength shapes the graph, not the doc
+walk).  The accepted-path set is therefore the enumeration of label
+sequences from state 0 to the final position, which is exactly the
+input :meth:`Searcher.scored_term_automaton` takes.
+
+Mirrored rules:
+
+- ``posInc > 1`` raises ``cannot handle holes`` (:73-75) unless
+  ``preserve_position_increments=False``, which clamps it to 1
+  (:69-71);
+- the first token must advance (assert pos > -1 || posInc > 0,
+  :66);
+- dead-end branches (a state with no outgoing transition short of
+  the final position) accept nothing — they simply contribute no
+  path, like unreachable automaton states after determinize.
+"""
+
+from __future__ import annotations
+
+
+def token_stream_paths(
+    tokens: list[tuple[str, int, int]],
+    preserve_position_increments: bool = True,
+    max_paths: int = 256,
+) -> list[list[list[str]]]:
+    """``(term, posInc, posLength)`` tuples -> accepted path set for
+    ``scored_term_automaton`` (each path a list of single-term
+    slots)."""
+    pos = -1
+    transitions: dict[int, list[tuple[str, int]]] = {}
+    max_end = 0
+    for term, pos_inc, pos_len in tokens:
+        if pos_len < 1:
+            raise ValueError("posLength must be >= 1")
+        if not preserve_position_increments and pos_inc > 1:
+            pos_inc = 1
+        if pos == -1 and pos_inc < 1:
+            raise ValueError("first token must have posInc >= 1")
+        if pos_inc > 1:
+            raise ValueError(
+                "cannot handle holes; to accept any term, use the "
+                "ANY-slot form of scored_term_automaton directly"
+            )
+        pos += pos_inc
+        transitions.setdefault(pos, []).append((term, pos + pos_len))
+        max_end = max(max_end, pos + pos_len)
+    if not transitions:
+        return []
+    paths: list[list[str]] = []
+    stack: list[tuple[int, list[str]]] = [(0, [])]
+    while stack:
+        state, acc = stack.pop()
+        if state == max_end:
+            if acc:
+                paths.append(acc)
+            continue
+        for term, to in transitions.get(state, []):
+            if len(paths) + len(stack) > max_paths:
+                raise ValueError(
+                    f"token graph expands past max_paths={max_paths}"
+                )
+            stack.append((to, acc + [term]))
+    paths.sort()
+    return [[[t] for t in p] for p in paths]

@@ -1,0 +1,60 @@
+"""TokenStreamToTermAutomatonQuery converter.
+
+Reference: sandbox/search/TokenStreamToTermAutomatonQuery.java:48-106
+(posInc/posLength graph pull, hole rejection, posInc clamping when
+preservePositionIncrements=false).
+"""
+
+import pytest
+
+from lucene_spark.plans.token_graph import token_stream_paths
+
+
+class TestTokenStreamPaths:
+    def test_linear_stream(self):
+        got = token_stream_paths([("a", 1, 1), ("b", 1, 1), ("c", 1, 1)])
+        assert got == [[["a"], ["b"], ["c"]]]
+
+    def test_stacked_synonym_same_length(self):
+        got = token_stream_paths([("fast", 1, 1), ("quick", 0, 1)])
+        assert got == [[["fast"]], [["quick"]]]
+
+    def test_multiword_synonym_pos_length(self):
+        # ny spans "new york" (posLength 2)
+        got = token_stream_paths(
+            [("new", 1, 1), ("ny", 0, 2), ("york", 1, 1)]
+        )
+        assert got == [[["new"], ["york"]], [["ny"]]]
+
+    def test_dead_end_branch_contributes_nothing(self):
+        # "short" ends at state 1 with no outgoing transition to 2
+        got = token_stream_paths(
+            [("long", 1, 2), ("short", 0, 1)]
+        )
+        assert got == [[["long"]]]
+
+    def test_holes_rejected_and_clamped(self):
+        with pytest.raises(ValueError, match="holes"):
+            token_stream_paths([("a", 1, 1), ("b", 2, 1)])
+        got = token_stream_paths(
+            [("a", 1, 1), ("b", 2, 1)],
+            preserve_position_increments=False,
+        )
+        assert got == [[["a"], ["b"]]]
+
+    def test_first_token_must_advance(self):
+        with pytest.raises(ValueError, match="first token"):
+            token_stream_paths([("a", 0, 1)])
+
+    def test_path_explosion_guard(self):
+        toks = []
+        for i in range(20):
+            toks.append((f"a{i}", 1, 1))
+            toks.append((f"b{i}", 0, 1))
+        with pytest.raises(ValueError, match="max_paths"):
+            token_stream_paths(toks)
+
+    def test_empty_and_validation(self):
+        assert token_stream_paths([]) == []
+        with pytest.raises(ValueError, match="posLength"):
+            token_stream_paths([("a", 1, 0)])
