@@ -3113,6 +3113,20 @@ def _ngram_phrase_sql(word: str, n: int = 2, k: int = 10) -> str:
       FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _q_precedence_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrecedenceQueryParser (queryparser/flexible/precedence/
+    PrecedenceQueryParser.java:19-58): 'window AND table OR spark'
+    parses as (window AND table) OR spark — the conjunction is ONE
+    optional clause, so spark-only docs match (classic's promotion
+    would require window AND table everywhere)."""
+    from lucene_spark.plans.precedence import scored_precedence
+
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s, scored_precedence(s, "window AND table OR spark")
+    )
+
+
 def _q_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ComplexPhraseQueryParser: '"(window table) th*"' — a group of
     alternatives followed by a prefix pattern, expanded against the
@@ -6821,6 +6835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngram_tokens": _q_edge_ngram_tokens,
         "ngram_tokens": _q_ngram_tokens,
         "parsed_query_top10": _q_parsed,
+        "precedence_parsed_top10": _q_precedence_parsed,
         "multi_phrase_top10": _q_multi_phrase,
         "phrase_wildcard_top10": _q_phrase_wildcard,
         "ngram_phrase_top10": _q_ngram_phrase,
@@ -7579,6 +7594,32 @@ def oracle_sql() -> dict[str, str]:
         "ngram_tokens": _NGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,
         "parsed_query_top10": _bm25_sql(["window", "spark"]),
+        "precedence_parsed_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+                   WHERE term IN ('window', 'table', 'spark')
+                   GROUP BY doc_id, term),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                   GROUP BY term),
+            sc AS (SELECT tf.doc_id, tf.term,
+                          ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                          1.0/(1.2*(0.25 + 0.75*{_norm_len_sql('dl.dl')}
+                                    /(st.sttf/st.n))) AS inv,
+                          tf.tf AS tf
+                   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                        JOIN df ON tf.term = df.term CROSS JOIN st),
+            s2 AS (SELECT doc_id, term, w - w/(1 + tf*inv) AS s FROM sc),
+            g AS (SELECT doc_id, sum(s) AS gs, count(*) AS nt FROM s2
+                  WHERE term IN ('window', 'table') GROUP BY doc_id),
+            sp AS (SELECT doc_id, s FROM s2 WHERE term = 'spark'),
+            u AS (SELECT coalesce(g.doc_id, sp.doc_id) AS doc_id,
+                         (CASE WHEN g.nt = 2 THEN g.gs ELSE 0 END)
+                           + coalesce(sp.s, 0) AS s,
+                         (coalesce(g.nt, 0) = 2
+                          OR sp.doc_id IS NOT NULL) AS m
+                  FROM g FULL JOIN sp ON g.doc_id = sp.doc_id)
+            SELECT doc_id, round(s, 6) AS score FROM u WHERE m
+            ORDER BY 2 DESC, doc_id LIMIT 10""",
         "complex_phrase_top10": _complex_phrase_pred_sql(
             ["term IN ('window', 'table')", "term LIKE 'th%'"]
         ),

@@ -1,0 +1,124 @@
+"""PrecedenceQueryParser: classic syntax, real boolean precedence.
+
+Reference: ``queryparser/flexible/precedence/PrecedenceQueryParser
+.java:19-58`` — same grammar as the classic parser but boolean
+operators group by precedence instead of the classic left-to-right
+modifier promotion: ``a AND b OR c`` parses as ``(+a +b) c``
+(the conjunction is one optional clause), NOT classic's ``+a +b c``.
+Its BooleanModifiersQueryNodeProcessor replaces the classic
+BooleanQuery2ModifierNodeProcessor
+(``flexible/precedence/processors/BooleanModifiersQueryNodeProcessor
+.java:35-47``).
+
+Grammar here (default operator OR, like the reference default):
+
+    orExpr  := andExpr ((OR)? andExpr)*      # juxtaposition = OR
+    andExpr := unary (AND unary)*            # binds tighter than OR
+    unary   := (NOT | + | -)? primary
+    primary := atom | '(' orExpr ')' ['^'boost]
+
+Atoms (terms, phrases, ranges, regex, fuzzy, wildcards, boosts)
+delegate to the classic parser's single-token path, so every leaf
+behaves identically in both parsers — only the boolean shape
+differs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from lucene_spark.plans.parser import (
+    Clause,
+    QueryParseError,
+    _lex,
+    _parse_clauses,
+    _scored_group,
+)
+
+
+def parse_precedence(
+    query: str, default_field: str = "text"
+) -> list[Clause]:
+    toks = _lex(query)
+    clauses, i = _or_expr(toks, 0, default_field, 0)
+    if i != len(toks):
+        raise QueryParseError(f"unbalanced ')' at token {i}")
+    if not clauses:
+        raise QueryParseError("empty query")
+    return clauses
+
+
+def _or_expr(toks, i, field, depth):
+    out: list[Clause] = []
+    while i < len(toks) and toks[i] != ")":
+        if toks[i].upper() == "OR":
+            if not out:
+                raise QueryParseError("leading OR")
+            i += 1
+            continue
+        cl, i = _and_expr(toks, i, field, depth)
+        out.append(cl)
+    return out, i
+
+
+def _and_expr(toks, i, field, depth):
+    first, i = _unary(toks, i, field, depth)
+    run = [first]
+    while i < len(toks) and toks[i].upper() == "AND":
+        nxt, i = _unary(toks, i + 1, field, depth)
+        run.append(nxt)
+    if len(run) == 1:
+        return first, i
+    for c in run:
+        if c.occur == "SHOULD":
+            c.occur = "MUST"
+    return Clause("group", "SHOULD", children=run), i
+
+
+def _unary(toks, i, field, depth):
+    if i >= len(toks):
+        raise QueryParseError("dangling operator")
+    occur = None
+    up = toks[i].upper()
+    if up == "NOT":
+        occur, i = "MUST_NOT", i + 1
+    elif toks[i] in ("+", "-"):
+        occur, i = ("MUST" if toks[i] == "+" else "MUST_NOT"), i + 1
+    cl, i = _primary(toks, i, field, depth)
+    if occur is not None:
+        cl.occur = occur
+    return cl, i
+
+
+def _primary(toks, i, field, depth):
+    if i >= len(toks):
+        raise QueryParseError("dangling operator")
+    if toks[i] == "(":
+        children, j = _or_expr(toks, i + 1, field, depth + 1)
+        if j >= len(toks) or toks[j] != ")":
+            raise QueryParseError("unbalanced '('")
+        j += 1
+        boost = 1.0
+        if j < len(toks) and re.fullmatch(r"\^[0-9.]+", toks[j]):
+            boost = float(toks[j][1:])
+            j += 1
+        if not children:
+            raise QueryParseError("empty group '()'")
+        return Clause("group", "SHOULD", boost=boost, children=children), j
+    sub, _ = _parse_clauses([toks[i]], 0, field, 0)
+    if len(sub) != 1:
+        raise QueryParseError(f"bad atom {toks[i]!r}")
+    return sub[0], i + 1
+
+
+def execute_precedence(searcher, query: str, k: int = 10) -> DataFrame:
+    """Parse with precedence and run; top-k frame like the classic
+    ``execute``."""
+    clauses = parse_precedence(query)
+    return searcher._finish_topk(_scored_group(searcher, clauses), k)
+
+
+def scored_precedence(searcher, query: str) -> DataFrame:
+    return _scored_group(searcher, parse_precedence(query))

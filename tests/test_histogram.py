@@ -62,8 +62,9 @@ class TestHistogram:
             ).collect()
         }
         match_count = sum(got.values())
-        top = searcher.boolean_query(should=["window"], k=10**9)
-        assert match_count == top.count()
+        assert match_count == searcher.scored_boolean(
+            should=["window"]
+        ).count()
 
     def test_max_buckets_enforced_on_reduced_set(self, searcher):
         with pytest.raises(ValueError, match="Too many buckets"):

@@ -1,0 +1,124 @@
+"""PrecedenceQueryParser.
+
+Reference: queryparser/flexible/precedence/PrecedenceQueryParser
+.java:19-58 and processors/BooleanModifiersQueryNodeProcessor.java:
+35-47 — AND binds tighter than OR, so 'a AND b OR c' is one optional
+conjunction plus one optional term, unlike the classic parser's
+left-to-right MUST promotion.
+"""
+
+import pytest
+
+from lucene_spark.plans.parser import QueryParseError, parse
+from lucene_spark.plans.precedence import (
+    parse_precedence,
+    scored_precedence,
+)
+
+
+def _shape(clauses):
+    out = []
+    for c in clauses:
+        if c.kind == "group":
+            out.append((c.occur, "group", _shape(c.children)))
+        else:
+            out.append((c.occur, c.kind, c.text))
+    return out
+
+
+class TestParseShapes:
+    def test_and_binds_tighter_than_or(self):
+        got = _shape(parse_precedence("a AND b OR c"))
+        assert got == [
+            (
+                "SHOULD",
+                "group",
+                [("MUST", "term", "a"), ("MUST", "term", "b")],
+            ),
+            ("SHOULD", "term", "c"),
+        ]
+        # classic parses the same string flat with promoted MUSTs
+        classic = _shape(parse("a AND b OR c"))
+        assert classic == [
+            ("MUST", "term", "a"),
+            ("MUST", "term", "b"),
+            ("SHOULD", "term", "c"),
+        ]
+
+    def test_juxtaposition_is_or(self):
+        got = _shape(parse_precedence("a b AND c"))
+        assert got == [
+            ("SHOULD", "term", "a"),
+            (
+                "SHOULD",
+                "group",
+                [("MUST", "term", "b"), ("MUST", "term", "c")],
+            ),
+        ]
+
+    def test_not_inside_conjunction(self):
+        got = _shape(parse_precedence("a AND NOT b"))
+        assert got == [
+            (
+                "SHOULD",
+                "group",
+                [("MUST", "term", "a"), ("MUST_NOT", "term", "b")],
+            )
+        ]
+
+    def test_parens_and_leaf_atoms_match_classic(self):
+        got = _shape(parse_precedence('(a OR b) AND "x y"~2'))
+        assert got == [
+            (
+                "SHOULD",
+                "group",
+                [
+                    (
+                        "MUST",
+                        "group",
+                        [("SHOULD", "term", "a"), ("SHOULD", "term", "b")],
+                    ),
+                    ("MUST", "phrase", "x y"),
+                ],
+            )
+        ]
+
+    def test_errors(self):
+        with pytest.raises(QueryParseError):
+            parse_precedence("OR a")
+        with pytest.raises(QueryParseError):
+            parse_precedence("a AND")
+        with pytest.raises(QueryParseError):
+            parse_precedence("(a")
+
+
+class TestExecution:
+    def test_or_of_conjunction_matches_spark_only_docs(self, searcher):
+        prec = {
+            (r["segment_id"], r["docid"])
+            for r in scored_precedence(
+                searcher, "window AND table OR spark"
+            ).collect()
+        }
+        spark_only = {
+            (r["segment_id"], r["docid"])
+            for r in searcher.scored_boolean(should=["spark"]).collect()
+        }
+        both = {
+            (r["segment_id"], r["docid"])
+            for r in searcher.scored_boolean(
+                must=["window", "table"]
+            ).collect()
+        }
+        assert prec == spark_only | both
+        # classic semantics over the same string require window+table
+        from lucene_spark.plans.parser import _scored_group
+
+        classic = {
+            (r["segment_id"], r["docid"])
+            for r in _scored_group(
+                searcher, parse("window AND table OR spark")
+            ).collect()
+        }
+        assert classic == both
+        assert prec > classic  # precedence admits spark-only docs
