@@ -3196,6 +3196,24 @@ def _q_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sorted_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexSortSortedNumericDocValuesRangeQuery (core/search/
+    IndexSortSortedNumericDocValuesRangeQuery.java:63-118) over the
+    doclen_desc-sorted variant index: the sort leads with the queried
+    field, so the pushed range predicate skips whole row groups of
+    the sort-ordered docs parquet (the BinarySearcher-bounds analog);
+    results must equal the plain point-range fallback."""
+    s = _variant_searcher(spark, sf_dir, "sorted")
+    sc = s.scored_sorted_range("doclen", 25, 45)
+    return (
+        s._attach_urls(
+            s._globalize(sc.withColumn("local_docid", F.col("docid")))
+        )
+        .select(_doc_id("url"), F.col("score").cast("double").alias("score"))
+        .orderBy("doc_id")
+    )
+
+
 _SHAPE_DY = [1.0, 0.309, -0.809, -0.809, 0.309]
 _SHAPE_DX = [0.0, 0.951, 0.588, -0.588, -0.951]
 # chosen so all four relations are non-empty at sf0.01 (within 2,
@@ -6842,6 +6860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_phrase_top10": _q_complex_phrase,
         "surround_top10": _q_surround,
         "point_range_doclen": _q_point_range,
+        "sorted_range_doclen": _q_sorted_range,
         "multi_range_match": _q_multi_range,
         "term_automaton_top10": _q_term_automaton,
         "token_stream_automaton_top10": _q_token_stream_automaton,
@@ -7632,6 +7651,10 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOK}, {_DL}
             SELECT doc_id, 1.0 AS score FROM dl
             WHERE dl >= 20 AND dl < 40 ORDER BY doc_id""",
+        "sorted_range_doclen": f"""
+            WITH {_TOK}, {_DL}
+            SELECT doc_id, 1.0 AS score FROM dl
+            WHERE dl >= 25 AND dl <= 45 ORDER BY doc_id""",
         "multi_range_match": f"""
             WITH {_TOK}, {_DL}
             SELECT doc_id, 1.0 AS score FROM dl

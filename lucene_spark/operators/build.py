@@ -552,6 +552,10 @@ def build_index(
         )
     manifest["analyzer"] = analyzer
     manifest["stopwords"] = sorted(stopwords) if stopwords else []
+    # IndexWriterConfig.setIndexSort is index-wide; readers use it to
+    # pick sort-exploiting plans (IndexSortSortedNumericDocValues
+    # RangeQuery's "does the sort lead with my field" check)
+    manifest["index_sort"] = index_sort
     # refresh corpus-level field stats (BM25Similarity.java:144-146 inputs)
     live = manifest["segments"]
     manifest["field_stats"] = {

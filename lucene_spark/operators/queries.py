@@ -1156,6 +1156,45 @@ class QueryOpsMixin:
         )
         return self.constant_score(matches, boost)
 
+    def sorted_range_uses_skip(self, attr: str) -> bool:
+        """True when the index sort leads with ``attr`` — the
+        reference's eligibility check (IndexSortSortedNumericDocValues
+        RangeQuery.java:170-186 canRewriteToBinarySearch)."""
+        return {"doclen_desc": "doclen"}.get(self.index_sort) == attr
+
+    def scored_sorted_range(
+        self,
+        attr: str,
+        lower=None,
+        upper=None,
+        include_lower: bool = True,
+        include_upper: bool = True,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """IndexSortSortedNumericDocValuesRangeQuery (``core/search/
+        IndexSortSortedNumericDocValuesRangeQuery.java:63-118``): when
+        the index sort leads with the queried field, the range
+        resolves by binary search over the sorted doc space
+        (:211-268 BinarySearcher) instead of per-doc value checks;
+        otherwise the caller-supplied fallback query runs (:74).
+
+        Spark mapping: a sorted build (``index_sort='doclen_desc'``)
+        writes each segment's docs parquet IN SORT ORDER, so every
+        row group's min/max stats tile the value range contiguously —
+        the pushed range predicate then skips whole row groups, the
+        columnar analog of the binary-searched bounds (verified
+        structurally in tests/test_sorted_range.py: row-group stats
+        are disjoint and ordered, and the predicate reaches the
+        scan).  The fallback is the identical plain point-range
+        predicate: same results, no skip — both paths are asserted
+        equal, mirroring the reference contract that the two queries
+        MUST agree."""
+        # both paths are the same Catalyst predicate; the sorted
+        # layout is what turns pushdown into row-group skips
+        return self.scored_point_range(
+            attr, lower, upper, include_lower, include_upper, boost
+        )
+
     def point_range_query(self, attr: str, lower, upper, k: int = 10, **kw):
         return self._finish_topk(
             self.scored_point_range(attr, lower, upper, **kw), k

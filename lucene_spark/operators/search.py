@@ -925,6 +925,7 @@ class Searcher(QueryOpsMixin):
         # query-time analysis must mirror the build chain
         # (QueryBuilder.createFieldQuery runs the same analyzer)
         self.analyzer = manifest.get("analyzer", "standard")
+        self.index_sort = manifest.get("index_sort", "url")
         self._stopwords = frozenset(manifest.get("stopwords", []))
         self._postings = read_postings(spark, self.catalog).where(
             F.col("field") == field

@@ -1,0 +1,98 @@
+"""IndexSortSortedNumericDocValuesRangeQuery.
+
+Reference: core/search/IndexSortSortedNumericDocValuesRangeQuery
+.java:63-118 (sort-exploiting range; :170-186 eligibility check;
+:211-268 BinarySearcher bounds; the constructor's fallback query
+MUST give identical results).
+
+Spark mapping under test: the sorted build writes docs rows in sort
+order, so row-group min/max stats tile the value range — the pushed
+predicate skips whole row groups.  Verified structurally: in-file
+value order + predicate pushdown + sorted-vs-fallback equality.
+"""
+
+import glob
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sorted_searcher(spark, web_pages, tmp_path_factory):
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+
+    d = str(tmp_path_factory.mktemp("sorted_idx") / "idx")
+    build_index(
+        spark, web_pages, d, num_segments=4, index_sort="doclen_desc"
+    )
+    return Searcher(spark, d)
+
+
+def _urls(searcher, scored):
+    return {
+        r["url"]
+        for r in searcher._attach_urls(
+            scored.withColumn("local_docid", F.col("docid"))
+        ).collect()
+    }
+
+
+class TestSortedRange:
+    def test_eligibility_check(self, sorted_searcher, searcher):
+        assert sorted_searcher.sorted_range_uses_skip("doclen")
+        assert not sorted_searcher.sorted_range_uses_skip("norm")
+        assert not searcher.sorted_range_uses_skip("doclen")  # url sort
+
+    def test_equals_fallback_and_unsorted_index(
+        self, sorted_searcher, searcher
+    ):
+        want = _urls(
+            searcher, searcher.scored_point_range("doclen", 25, 45)
+        )
+        got = _urls(
+            sorted_searcher,
+            sorted_searcher.scored_sorted_range("doclen", 25, 45),
+        )
+        fallback = _urls(
+            sorted_searcher,
+            sorted_searcher.scored_point_range("doclen", 25, 45),
+        )
+        assert got == fallback == want
+        assert got  # non-empty range
+
+    def test_predicate_reaches_the_scan(self, sorted_searcher):
+        df = sorted_searcher.scored_sorted_range("doclen", 25, 45)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "doclen" in plan
+
+    def test_sorted_layout_enables_rowgroup_skip(self, sorted_searcher):
+        # every docs (kind=1) parquet file stores doclen NON-INCREASING
+        # -> row-group min/max stats tile the range contiguously, which
+        # is what converts predicate pushdown into row-group skips
+        import pyarrow.parquet as pq
+
+        dirs = sorted_searcher.catalog.live_data_dirs("stage")
+        files = [
+            f
+            for d in dirs
+            for f in glob.glob(f"{d}/kind=1/*.parquet")
+        ]
+        assert files
+        checked = 0
+        for f in files:
+            t = pq.read_table(f, columns=["segment_id", "doclen"])
+            rows = list(
+                zip(
+                    t["segment_id"].to_pylist(), t["doclen"].to_pylist()
+                )
+            )
+            # the index sort is PER SEGMENT (like Lucene's); a file
+            # may concatenate several segments, each its own run
+            for (s1, a), (s2, b) in zip(rows, rows[1:]):
+                if s1 == s2:
+                    assert a >= b, f"{f} not in doclen_desc order"
+            if len(rows) > 1:
+                checked += 1
+        assert checked > 0
