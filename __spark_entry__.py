@@ -2362,6 +2362,22 @@ def _q_blended_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blended_infix_suggest(sugg, "agg sc", k=5, blender="reciprocal")
 
 
+def _q_regex_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexCompletionQuery (suggest/document/RegexCompletionQuery
+    .java:38-66): completions whose prefix matches (th|wi)[a-z],
+    weight-ranked."""
+    from lucene_spark.operators.suggest_lm import regex_complete
+
+    docs = _docs_table(spark, sf_dir)
+    sugg = docs.select(
+        F.array_join(F.slice(F.split("text", " "), 1, 2), " ").alias(
+            "suggestion"
+        ),
+        F.col("n_chars").alias("weight"),
+    )
+    return regex_complete(sugg, "(th|wi)[a-z]", k=5)
+
+
 def _q_context_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ContextQuery (suggest/document/ContextQuery.java:44) over the
     'th' prefix completion, contexts = exact('src3', 2.0) +
@@ -2543,6 +2559,25 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     return brute_force_topk(emb, [float(x) for x in q], k=10).select(
         "vec_id", F.round("cos", 6).alias("cos")
+    )
+
+
+def _q_diversified_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiversifyingChildrenFloatKnnVectorQuery (join module): child
+    vectors grouped under parent = vec_id % 50; each parent's best
+    cosine child survives, global top-10 of the survivors."""
+    from lucene_spark.operators.similarity import (
+        diversifying_children_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    children = emb.withColumn("parent", F.col("vec_id") % 50)
+    out = diversifying_children_topk(
+        children, [float(x) for x in q], k=10
+    )
+    return out.select(
+        "parent", "vec_id", F.round("cos", 6).alias("cos")
     )
 
 
@@ -6787,8 +6822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infix_suggest": _q_infix_suggest,
         "blended_infix_suggest": _q_blended_infix,
         "context_suggest": _q_context_suggest,
+        "regex_complete": _q_regex_complete,
         "fuzzy_suggest": _q_fuzzy_suggest,
         "ann_cosine_top10": _q_ann_cosine,
+        "diversified_knn_top10": _q_diversified_knn,
         "byte_knn_top10": _q_byte_knn,
         "filtered_knn_top10": _q_filtered_knn,
         "sort_rescore_ranks": _q_sort_rescore,
@@ -7185,6 +7222,15 @@ def oracle_sql() -> dict[str, str]:
         "lm_doc_scores": _lm_doc_scores_sql(),
         "dynamic_range_facets": _dynamic_ranges_sql(),
         "infix_suggest": _infix_suggest_sql("agg", "sc"),
+        "regex_complete": """
+            WITH s AS (SELECT array_to_string(
+                         list_slice(string_split(text, ' '), 1, 2), ' ')
+                         AS suggestion,
+                       max(n_chars)::BIGINT AS weight
+                FROM documents GROUP BY 1)
+            SELECT suggestion, weight FROM s
+            WHERE regexp_matches(suggestion, '^(?:(th|wi)[a-z])')
+            ORDER BY weight DESC, suggestion LIMIT 5""",
         "context_suggest": """
             WITH s AS (SELECT array_to_string(
                          list_slice(string_split(text, ' '), 1, 2), ' ')
@@ -7253,6 +7299,20 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT embedding::DOUBLE[] FROM embeddings
                         WHERE vec_id = 0)) DESC, vec_id
             LIMIT 10""",
+        "diversified_knn_top10": """
+            WITH e AS (SELECT vec_id, vec_id % 50 AS parent,
+                              embedding FROM embeddings),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0),
+            s AS (SELECT parent, vec_id,
+                         list_cosine_similarity(embedding::DOUBLE[], qv)
+                           AS c
+                  FROM e CROSS JOIN q),
+            b AS (SELECT parent, vec_id, c FROM s
+                  QUALIFY row_number() OVER
+                    (PARTITION BY parent ORDER BY c DESC, vec_id) = 1)
+            SELECT parent, vec_id, round(c, 6) AS cos FROM b
+            ORDER BY c DESC, vec_id LIMIT 10""",
         "filtered_knn_top10": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0),

@@ -96,6 +96,44 @@ def topk_per_query(
     )
 
 
+def diversifying_children_topk(
+    children: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    parent_col: str = "parent",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DiversifyingChildrenFloatKnnVectorQuery (``join/.../
+    DiversifyingChildrenFloatKnnVectorQuery.java:43-60`` +
+    ``DiversifyingNearestChildrenKnnCollector``): kNN over CHILD
+    vectors where each parent contributes at most ONE child — the
+    per-parent best (score desc, child id asc tie) — then the global
+    top-k of the survivors.  This is nested-document vector search:
+    a parent doc with many chunk embeddings appears once.
+
+    Exact scan here (the reference's HNSW walk prunes toward the
+    same diversified result); one window per parent key + one
+    TakeOrderedAndProject — the same two-shuffle shape as
+    AllGroupHeadsCollector, safe at any parent cardinality.  Scores
+    are raw cosine like the repo's other float-vector entries."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = children.select(
+        F.col(parent_col).alias("parent"),
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("cos"),
+    )
+    w = Window.partitionBy("parent").orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return best.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (seeded standard normal)."""
     rng = np.random.default_rng(seed)

@@ -265,6 +265,36 @@ def blended_infix_suggest(
     )
 
 
+def regex_complete(
+    suggestions: DataFrame,
+    pattern: str,
+    k: int = 5,
+    text_col: str = "suggestion",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """RegexCompletionQuery (``suggest/document/RegexCompletionQuery
+    .java:38-66``): completions with a PREFIX accepted by the regular
+    expression — the reference intersects the regex automaton with
+    the suggest FST's prefix paths; the column form is an anchored
+    ``rlike('^(?:pattern)')`` (unanchored at the end, so any prefix
+    match qualifies).  Ranked weight desc, text asc like the other
+    completion queries (score = index-time weight); duplicate
+    suggestion keys keep their max weight."""
+    base = (
+        suggestions.select(
+            F.lower(F.col(text_col)).alias("suggestion"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .groupBy("suggestion")
+        .agg(F.max("weight").alias("weight"))
+    )
+    return (
+        base.where(F.col("suggestion").rlike(f"^(?:{pattern})"))
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(k)
+    )
+
+
 def context_suggest(
     suggestions: DataFrame,
     query: str,

@@ -1,0 +1,84 @@
+"""DiversifyingChildrenFloatKnnVectorQuery + RegexCompletionQuery.
+
+Reference: join/DiversifyingChildrenFloatKnnVectorQuery.java:43-60 +
+DiversifyingNearestChildrenKnnCollector (one best child per parent in
+the kNN result), suggest/document/RegexCompletionQuery.java:38-66
+(regex-prefix completion).
+"""
+
+import pytest
+
+
+class TestDiversifiedKnn:
+    def test_one_child_per_parent(self, spark):
+        from lucene_spark.operators.similarity import (
+            diversifying_children_topk,
+        )
+
+        rows = [
+            # parent 1: child 11 closest to q
+            (11, 1, [1.0, 0.0]),
+            (12, 1, [0.9, 0.4359]),
+            # parent 2: both children far, 21 the better
+            (21, 2, [0.0, 1.0]),
+            (22, 2, [-1.0, 0.0]),
+            # parent 3: single child, middling
+            (31, 3, [0.7, 0.7141]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, parent long, embedding array<float>"
+        )
+        got = diversifying_children_topk(df, [1.0, 0.0], k=10).collect()
+        assert [(r["parent"], r["vec_id"]) for r in got] == [
+            (1, 11),
+            (3, 31),
+            (2, 21),
+        ]
+        # parent 1's second child never appears even though its score
+        # beats parent 2's best
+        assert 12 not in {r["vec_id"] for r in got}
+
+    def test_score_tie_breaks_on_child_id(self, spark):
+        from lucene_spark.operators.similarity import (
+            diversifying_children_topk,
+        )
+
+        rows = [
+            (5, 1, [1.0, 0.0]),
+            (3, 1, [2.0, 0.0]),  # same cosine direction, lower id
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, parent long, embedding array<float>"
+        )
+        got = diversifying_children_topk(df, [1.0, 0.0], k=1).collect()
+        assert got[0]["vec_id"] == 3
+
+
+class TestRegexComplete:
+    def test_prefix_regex_and_weight_order(self, spark):
+        from lucene_spark.operators.suggest_lm import regex_complete
+
+        rows = [
+            ("thermal store", 10),
+            ("the window", 30),
+            ("window table", 20),
+            ("other thing", 99),  # 'th' not at the START
+        ]
+        df = spark.createDataFrame(rows, "suggestion string, weight long")
+        got = [
+            (r["suggestion"], r["weight"])
+            for r in regex_complete(df, "(th|wi)[a-z]", k=5).collect()
+        ]
+        assert got == [
+            ("the window", 30),
+            ("window table", 20),
+            ("thermal store", 10),
+        ]
+
+    def test_dedup_keeps_max_weight(self, spark):
+        from lucene_spark.operators.suggest_lm import regex_complete
+
+        rows = [("thx", 1), ("thx", 7)]
+        df = spark.createDataFrame(rows, "suggestion string, weight long")
+        got = regex_complete(df, "th.", k=5).collect()
+        assert [(r["suggestion"], r["weight"]) for r in got] == [("thx", 7)]
