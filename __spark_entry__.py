@@ -4906,6 +4906,35 @@ FROM b
 """
 
 
+def _q_span_payload_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheckQuery
+    .java:45-99): span [alpha beta] over the synthesized payload text
+    'alpha|(id%5)/2 beta|(id%3) alpha|(id%7) gamma', GTE refs
+    [1.0, 2.0] — the oracle rebuilds the predicate by doc_id
+    arithmetic without parsing any payloads."""
+    from lucene_spark.operators.payloads import (
+        delimited_payload_postings,
+        span_payload_check,
+    )
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    synth = docs.select(
+        "doc_id",
+        F.format_string(
+            "alpha|%s beta|%s alpha|%s gamma",
+            ((F.col("doc_id") % 5) / F.lit(2.0)),
+            (F.col("doc_id") % 3).cast("double"),
+            (F.col("doc_id") % 7).cast("double"),
+        ).alias("text"),
+    )
+    pp = delimited_payload_postings(synth)
+    return span_payload_check(
+        pp, ["alpha", "beta"], [1.0, 2.0], op="gte"
+    )
+
+
 def _q_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PayloadScoreQuery + MaxPayloadFunction over deterministic
     delimited-payload text per doc_id:
@@ -6882,6 +6911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_hierarchy_tokens": _q_path_hierarchy,
         "synonym_index_tokens": _q_synonym_index_tokens,
         "payload_score_max": _q_payload_score,
+        "span_payload_check": _q_span_payload_check,
         "persian_analyzer_tokens": _q_persian_analyzer,
         "hindi_analyzer_tokens": _q_hindi_analyzer,
         "cjk_bigram_tokens": _q_cjk_bigram,
@@ -7665,6 +7695,12 @@ def oracle_sql() -> dict[str, str]:
         "path_hierarchy_tokens": _PATH_HIERARCHY_SQL,
         "synonym_index_tokens": _SYNONYM_INDEX_SQL,
         "payload_score_max": _PAYLOAD_SCORE_SQL,
+        "span_payload_check": """
+            SELECT doc_id, 1::BIGINT AS freq FROM documents
+            WHERE doc_id < 200
+              AND (doc_id % 5) / 2.0 >= 1.0
+              AND CAST(doc_id % 3 AS DOUBLE) >= 2.0
+            ORDER BY doc_id""",
         "persian_analyzer_tokens": _PERSIAN_SQL,
         "hindi_analyzer_tokens": _HINDI_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,

@@ -67,6 +67,57 @@ def delimited_payload_postings(
 _FNS = {"max": F.max, "min": F.min, "avg": F.avg, "sum": F.sum}
 
 
+_PAYLOAD_OPS = ("eq", "gt", "gte", "lt", "lte")
+
+
+def span_payload_check(
+    payload_postings: DataFrame,
+    terms: list[str],
+    payloads: list[float],
+    op: str = "eq",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SpanPayloadCheckQuery (``queries/payloads/SpanPayloadCheckQuery
+    .java:45-99``): an exact adjacent term span whose payload at EVERY
+    position satisfies ``op`` against the reference list (one
+    reference per span slot; MatchOperation EQ/GT/GTE/LT/LTE,
+    :63-73; FLOAT payload type).  A position with a NULL payload
+    fails every operation (no payload bytes to compare).  Returns
+    ``(id, freq)`` with freq = matching span starts — the slop-0 span
+    frequency the wrapping SpanScorer would see.
+
+    Plan: one filtered projection per slot (term + payload predicate
+    pushed to the scan), equi-joined on (id, start) — the conjunction
+    shape of the exact-phrase pass with the payload check folded into
+    the per-slot filter."""
+    if len(terms) != len(payloads):
+        raise ValueError("one reference payload per span slot")
+    if op not in _PAYLOAD_OPS:
+        raise ValueError(f"unknown operation {op!r}")
+    import operator as _op
+
+    cmp = {
+        "eq": _op.eq, "gt": _op.gt, "gte": _op.ge,
+        "lt": _op.lt, "lte": _op.le,
+    }[op]
+    frames = []
+    for i, (t, ref) in enumerate(zip(terms, payloads)):
+        cond = cmp(F.col("payload"), F.lit(float(ref)))
+        frames.append(
+            payload_postings.where((F.col("term") == t) & cond).select(
+                id_col, (F.col("position") - i).alias("p")
+            )
+        )
+    j = frames[0]
+    for f in frames[1:]:
+        j = j.join(f, [id_col, "p"])
+    return (
+        j.groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(id_col)
+    )
+
+
 def payload_score(
     payload_df: DataFrame,
     term: str,

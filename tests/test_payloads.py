@@ -84,3 +84,63 @@ class TestPlan:
         plan = pp._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "mapInPandas" not in plan.lower()
+
+
+class TestSpanPayloadCheck:
+    """SpanPayloadCheckQuery.java:45-99: per-slot payload predicate on
+    an exact adjacent span; NULL payloads fail every operation."""
+
+    @pytest.fixture(scope="class")
+    def spp(self, spark):
+        from lucene_spark.operators.payloads import (
+            delimited_payload_postings,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "x|1.0 y|2.0 z"),      # span (x y) payloads 1,2
+                (2, "x|1.0 y|9.0"),        # y payload mismatch for EQ
+                (3, "x y|2.0"),            # x payload NULL -> fails
+                (4, "x|1.0 q y|2.0"),      # not adjacent
+                (5, "x|1.0 y|2.0 x|1.0 y|2.0"),  # two matching starts
+            ],
+            "doc_id long, text string",
+        )
+        return delimited_payload_postings(docs)
+
+    def test_eq_and_adjacency_and_null(self, spp):
+        from lucene_spark.operators.payloads import span_payload_check
+
+        got = {
+            r["doc_id"]: r["freq"]
+            for r in span_payload_check(
+                spp, ["x", "y"], [1.0, 2.0], op="eq"
+            ).collect()
+        }
+        assert got == {1: 1, 5: 2}
+
+    def test_gte_and_lt(self, spp):
+        from lucene_spark.operators.payloads import span_payload_check
+
+        gte = {
+            r["doc_id"]
+            for r in span_payload_check(
+                spp, ["x", "y"], [1.0, 2.0], op="gte"
+            ).collect()
+        }
+        assert gte == {1, 2, 5}  # doc 2's y=9.0 passes >=2
+        lt = {
+            r["doc_id"]
+            for r in span_payload_check(
+                spp, ["y"], [3.0], op="lt"
+            ).collect()
+        }
+        assert lt == {1, 3, 4, 5}  # all y=2.0 rows; doc 2's 9.0 fails
+
+    def test_validation(self, spp):
+        from lucene_spark.operators.payloads import span_payload_check
+
+        with pytest.raises(ValueError, match="one reference"):
+            span_payload_check(spp, ["x", "y"], [1.0])
+        with pytest.raises(ValueError, match="operation"):
+            span_payload_check(spp, ["x"], [1.0], op="ne")
