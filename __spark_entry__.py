@@ -333,7 +333,13 @@ def _fusion_sql(terms: list[str], alpha: float = 0.5, k: int = 10) -> str:
       FROM gt ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
-def _chain_cte(t0: str, t1: str, adjust: int) -> str:
+def _chain_cte(
+    t0: str,
+    t1: str,
+    adjust: int,
+    p0_pred: str | None = None,
+    p1_pred: str | None = None,
+) -> str:
     """Shared CTEs computing the 2-term crossing chain — the closed
     form of Lucene's greedy sloppy/interval matchers (see
     ``lucene_spark.operators.search.pair_boundary_freqs``): with
@@ -345,10 +351,12 @@ def _chain_cte(t0: str, t1: str, adjust: int) -> str:
     ``adjust=1`` subtracts the phrase offset from t1 (sloppy adjusted
     positions); 0 keeps raw positions (intervals). The caller must open
     with WITH RECURSIVE and provide tok/tokp."""
+    p0 = p0_pred or f"term = '{t0}'"
+    p1 = p1_pred or f"term = '{t1}'"
     return f"""pos AS (
-  SELECT doc_id, p::BIGINT AS val, 0 AS slot FROM tokp WHERE term = '{t0}'
+  SELECT doc_id, p::BIGINT AS val, 0 AS slot FROM tokp WHERE {p0}
   UNION ALL
-  SELECT doc_id, p::BIGINT - {adjust}, 1 FROM tokp WHERE term = '{t1}'
+  SELECT doc_id, p::BIGINT - {adjust}, 1 FROM tokp WHERE {p1}
 ),
 mg AS (
   SELECT doc_id, val, slot,

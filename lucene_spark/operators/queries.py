@@ -516,23 +516,34 @@ class QueryOpsMixin:
         rows = cand.select("term").limit(MAX_EXPANSIONS).collect()
         return sorted(r["term"] for r in rows)
 
-    def expand_source(self, pattern: str) -> list[str]:
+    def expand_source(
+        self, pattern: str, max_expansions: int = 128
+    ) -> list[str]:
         """Multiterm interval-source expansion (``Intervals.prefix`` /
-        ``Intervals.wildcard``, ``Intervals.java:160-205``): a pattern
-        with ``*``/``?`` expands against the term dictionary (bounded
-        by MAX_EXPANSIONS, like the automaton rewrites); a plain term
-        returns itself. Feed the result as a ``scored_interval_or``
-        slot — or() over the expansion is exactly Lucene's
-        MultiTermIntervalsSource disjunction."""
+        ``Intervals.wildcard``, ``Intervals.java:64,160-205`` —
+        DEFAULT_MAX_EXPANSIONS 128): a pattern with ``*``/``?``
+        expands against the term dictionary; a plain term returns
+        itself.  Exceeding ``max_expansions`` RAISES like
+        MultiTermIntervalsSource's IllegalStateException
+        (``MultiTermIntervalsSource.java:69-76``) — never silent
+        truncation, which would silently change interval semantics.
+        Feed the result as a ``scored_interval_or`` slot — or() over
+        the expansion is exactly Lucene's MultiTermIntervalsSource
+        disjunction."""
         if "*" not in pattern and "?" not in pattern:
             return [pattern]
         rx = "^" + wildcard_to_regex(pattern) + "$"
         rows = (
             self._terms_df.where(F.col("term").rlike(rx))
             .select("term")
-            .limit(MAX_EXPANSIONS)
+            .limit(int(max_expansions) + 1)
             .collect()
         )
+        if len(rows) > max_expansions:
+            raise ValueError(
+                f"Pattern {pattern!r} expanded to too many terms "
+                f"(limit {max_expansions})"
+            )
         return sorted(r["term"] for r in rows)
 
     def scored_fuzzy(

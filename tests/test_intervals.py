@@ -745,3 +745,18 @@ class TestPositionRange:
             ).collect()
         }
         assert urls == expect
+
+
+class TestMultiTermExpansionCap:
+    """MultiTermIntervalsSource.java:69-76: exceeding maxExpansions
+    RAISES (IllegalStateException), never silent truncation."""
+
+    def test_overflow_raises(self, searcher):
+        import pytest
+
+        with pytest.raises(ValueError, match="too many terms"):
+            searcher.expand_source("*", max_expansions=3)
+
+    def test_under_cap_expands_sorted(self, searcher):
+        terms = searcher.expand_source("win*")
+        assert terms == sorted(terms) and "window" in terms
