@@ -2976,6 +2976,22 @@ def _q_multi_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_js_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expressions module (js/JavascriptCompiler.java:105 +
+    Javascript.g4): FunctionScoreQuery with the compiled expression
+    'sqrt(_score) + logn(2, doclen) / 10 + (doclen < 30 ? 0.2 : 0.0)'
+    — Catalyst is the bytecode compiler."""
+    from lucene_spark.plans.javascript import compile_js
+
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_boolean(should=["window"])
+    sql = compile_js(
+        "sqrt(_score) + logn(2, doclen) / 10 + (doclen < 30 ? 0.2 : 0.0)",
+        {"_score": "score", "doclen": "doclen"},
+    )
+    return _topk_by_doc_id(s, s.function_score(sc, sql))
+
+
 def _q_indri_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IndriAndQuery over ['window', 'spark'] (IndriAndScorer.java:
     41-66): union of matches, each term contributing its Indri score
@@ -6878,6 +6894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmjm_sim_top10": _q_lmjm,
         "indri_sim_top10": _q_indri,
         "indri_and_top10": _q_indri_and,
+        "js_expression_top10": _q_js_expression,
         "multi_sim_top10": _q_multi_sim,
         "dfr_sim_top10": _q_dfr,
         "boolean_sim_top10": _q_boolean_sim,
@@ -7426,6 +7443,24 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN st CROSS JOIN ttf
             ORDER BY 2 DESC, tf.doc_id LIMIT 10""",
         "indri_and_top10": _indri_and_sql(["window", "spark"]),
+        "js_expression_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            df AS (SELECT count(*)::BIGINT AS df FROM tf),
+            sc AS (SELECT tf.doc_id, dl.dl AS dl,
+                          ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                          1.0/(1.2*(0.25 + 0.75*{_norm_len_sql('dl.dl')}
+                                    /(st.sttf/st.n))) AS inv,
+                          tf.tf AS tf
+                   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN st CROSS JOIN df),
+            s2 AS (SELECT doc_id, dl, (w - w/(1 + tf*inv)) AS s FROM sc)
+            SELECT doc_id,
+                   round(sqrt(s) + (ln(CAST(dl AS DOUBLE)) / ln(2.0)) / 10
+                         + (CASE WHEN dl < 30 THEN 0.2 ELSE 0.0 END),
+                         6) AS score
+            FROM s2 ORDER BY 2 DESC, doc_id LIMIT 10""",
         "multi_sim_top10": f"""
             WITH {_TOK}, {_DL}, {_ST},
             tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok

@@ -1,0 +1,288 @@
+"""Lucene expressions module: the Javascript grammar compiled to
+Catalyst.
+
+Reference: ``expressions/src/java/org/apache/lucene/expressions/js/
+Javascript.g4`` (the full precedence ladder: parens > unary >
+mul/div/rem > add/sub > shifts > comparisons > eq/ne > & > ^ > | >
+&& > || > right-assoc ?:), ``JavascriptCompiler.java:105`` (the ASM
+compiler this replaces with a SQL-string emitter — Catalyst IS the
+bytecode compiler here) and ``JavascriptCompiler.properties`` (the
+26 default functions).
+
+Semantics mirrored:
+
+- everything evaluates in DOUBLE; comparisons and boolean operators
+  yield 1.0 / 0.0, truthiness is ``!= 0`` (the grammar's boolcomp/
+  booleqne/booland/boolor productions);
+- bitwise ops and shifts cast operands to long (Java ``(long)``
+  double truncation — Spark's BIGINT cast truncates identically)
+  and the result widens back to double;
+- numeric literals: decimal, hex ``0x...``, octal ``0...``;
+- the 26 default functions translate to Spark built-ins; ``logn(b,
+  x)`` = ln(x)/ln(b) (MathUtil.log ARG ORDER: base first), the
+  haversines are the SloppyMath great-circle (the repo's shared
+  haversine formula);
+- variables resolve through ``bindings`` (SimpleBindings analog);
+  unbound names raise like an unresolved reference.
+
+``compile_js`` returns a Spark SQL expression STRING so it composes
+with ``Searcher.function_score`` (whole-stage codegen, no UDF).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+      (?P<num>0[xX][0-9a-fA-F]+|\d+\.\d*(?:[eE][+-]?\d+)?
+              |\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+    | (?P<name>[_$a-zA-Z][_$a-zA-Z0-9]*(?:\.[_$a-zA-Z][_$a-zA-Z0-9]*)*)
+    | (?P<op><<|>>>|>>|<=|>=|==|!=|&&|\|\||[-+*/%()!,~<>&^|?:])
+    )""",
+    re.VERBOSE,
+)
+
+# name -> (arity, sql_template) — {0},{1},... are argument slots
+_FUNCTIONS = {
+    "abs": (1, "abs({0})"),
+    "acos": (1, "acos({0})"),
+    "acosh": (1, "acosh({0})"),
+    "asin": (1, "asin({0})"),
+    "asinh": (1, "asinh({0})"),
+    "atan": (1, "atan({0})"),
+    "atan2": (2, "atan2({0}, {1})"),
+    "atanh": (1, "atanh({0})"),
+    "ceil": (1, "ceil(CAST({0} AS DOUBLE))"),
+    "cos": (1, "cos({0})"),
+    "cosh": (1, "cosh({0})"),
+    "exp": (1, "exp({0})"),
+    "floor": (1, "floor(CAST({0} AS DOUBLE))"),
+    "ln": (1, "ln({0})"),
+    "log10": (1, "log10({0})"),
+    "logn": (2, "(ln({1}) / ln({0}))"),  # MathUtil.log(base, x)
+    "max": (2, "greatest({0}, {1})"),
+    "min": (2, "least({0}, {1})"),
+    "pow": (2, "power({0}, {1})"),
+    "sin": (1, "sin({0})"),
+    "sinh": (1, "sinh({0})"),
+    "sqrt": (1, "sqrt({0})"),
+    "tan": (1, "tan({0})"),
+    "tanh": (1, "tanh({0})"),
+}
+
+_HAV = (
+    "(2.0 * 6371008.7714 * asin(least(1.0, sqrt("
+    "pow(sin(radians(({2}) - ({0})) / 2), 2) + "
+    "cos(radians({0})) * cos(radians({2})) * "
+    "pow(sin(radians(({3}) - ({1})) / 2), 2)))))"
+)
+_FUNCTIONS["haversinMeters"] = (4, _HAV)
+_FUNCTIONS["haversin"] = (4, "(" + _HAV + " / 1000.0)")
+
+
+class JsParseError(ValueError):
+    pass
+
+
+def _lex(src: str) -> list[str]:
+    out, i = [], 0
+    while i < len(src):
+        m = _TOKEN.match(src, i)
+        if not m or m.end() == m.start():
+            if src[i:].strip():
+                raise JsParseError(f"bad token at {src[i:]!r}")
+            break
+        out.append(m.group().strip())
+        i = m.end()
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list[str], bindings: dict[str, str]):
+        self.toks = toks
+        self.i = 0
+        self.bindings = bindings
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def eat(self, tok: str | None = None) -> str:
+        t = self.peek()
+        if t is None or (tok is not None and t != tok):
+            raise JsParseError(f"expected {tok!r}, got {t!r}")
+        self.i += 1
+        return t
+
+    # precedence ladder, lowest first ------------------------------
+    def conditional(self) -> str:
+        cond = self.boolor()
+        if self.peek() == "?":
+            self.eat("?")
+            a = self.conditional()
+            self.eat(":")
+            b = self.conditional()  # right-assoc
+            return f"(CASE WHEN ({cond}) != 0 THEN {a} ELSE {b} END)"
+        return cond
+
+    def _bool_chain(self, next_fn, ops: dict[str, str]):
+        left = next_fn()
+        while self.peek() in ops:
+            op = self.eat()
+            right = next_fn()
+            left = ops[op].format(left, right)
+        return left
+
+    def boolor(self):
+        return self._bool_chain(
+            self.booland,
+            {"||": "(CASE WHEN ({0}) != 0 OR ({1}) != 0 "
+                   "THEN 1.0 ELSE 0.0 END)"},
+        )
+
+    def booland(self):
+        return self._bool_chain(
+            self.bwor,
+            {"&&": "(CASE WHEN ({0}) != 0 AND ({1}) != 0 "
+                   "THEN 1.0 ELSE 0.0 END)"},
+        )
+
+    def bwor(self):
+        return self._bool_chain(
+            self.bwxor,
+            {"|": "(CAST(CAST({0} AS BIGINT) | CAST({1} AS BIGINT)"
+                  " AS DOUBLE))"},
+        )
+
+    def bwxor(self):
+        return self._bool_chain(
+            self.bwand,
+            {"^": "(CAST(CAST({0} AS BIGINT) ^ CAST({1} AS BIGINT)"
+                  " AS DOUBLE))"},
+        )
+
+    def bwand(self):
+        return self._bool_chain(
+            self.eqne,
+            {"&": "(CAST(CAST({0} AS BIGINT) & CAST({1} AS BIGINT)"
+                  " AS DOUBLE))"},
+        )
+
+    def eqne(self):
+        return self._bool_chain(
+            self.comparison,
+            {
+                "==": "(CASE WHEN ({0}) = ({1}) THEN 1.0 ELSE 0.0 END)",
+                "!=": "(CASE WHEN ({0}) = ({1}) THEN 0.0 ELSE 1.0 END)",
+            },
+        )
+
+    def comparison(self):
+        tpl = "(CASE WHEN ({0}) %s ({1}) THEN 1.0 ELSE 0.0 END)"
+        return self._bool_chain(
+            self.shift,
+            {op: tpl % op for op in ("<", "<=", ">", ">=")},
+        )
+
+    def shift(self):
+        return self._bool_chain(
+            self.addsub,
+            {
+                "<<": "(CAST(shiftleft(CAST({0} AS BIGINT), "
+                      "CAST({1} AS INT)) AS DOUBLE))",
+                ">>": "(CAST(shiftright(CAST({0} AS BIGINT), "
+                      "CAST({1} AS INT)) AS DOUBLE))",
+                ">>>": "(CAST(shiftrightunsigned(CAST({0} AS BIGINT), "
+                       "CAST({1} AS INT)) AS DOUBLE))",
+            },
+        )
+
+    def addsub(self):
+        return self._bool_chain(
+            self.muldiv,
+            {"+": "(({0}) + ({1}))", "-": "(({0}) - ({1}))"},
+        )
+
+    def muldiv(self):
+        return self._bool_chain(
+            self.unary,
+            {
+                "*": "(({0}) * ({1}))",
+                "/": "(({0}) / ({1}))",
+                "%": "(({0}) % ({1}))",
+            },
+        )
+
+    def unary(self):
+        t = self.peek()
+        if t == "!":
+            self.eat()
+            e = self.unary()
+            return f"(CASE WHEN ({e}) != 0 THEN 0.0 ELSE 1.0 END)"
+        if t == "~":
+            self.eat()
+            e = self.unary()
+            return f"(CAST(~CAST({e} AS BIGINT) AS DOUBLE))"
+        if t == "-":
+            self.eat()
+            return f"(-({self.unary()}))"
+        if t == "+":
+            self.eat()
+            return self.unary()
+        return self.primary()
+
+    def primary(self):
+        t = self.peek()
+        if t is None:
+            raise JsParseError("unexpected end of expression")
+        if t == "(":
+            self.eat("(")
+            e = self.conditional()
+            self.eat(")")
+            return f"({e})"
+        if re.fullmatch(r"0[xX][0-9a-fA-F]+", t):
+            self.eat()
+            return f"CAST({int(t, 16)} AS DOUBLE)"
+        if re.fullmatch(r"0\d+", t):
+            self.eat()
+            return f"CAST({int(t, 8)} AS DOUBLE)"
+        if re.fullmatch(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?", t):
+            self.eat()
+            return f"CAST({float(t)!r} AS DOUBLE)"
+        if re.fullmatch(r"[_$a-zA-Z][_$a-zA-Z0-9.]*", t):
+            self.eat()
+            if self.peek() == "(":
+                return self._call(t)
+            if t not in self.bindings:
+                raise JsParseError(f"unbound variable {t!r}")
+            return f"(CAST({self.bindings[t]} AS DOUBLE))"
+        raise JsParseError(f"unexpected token {t!r}")
+
+    def _call(self, name: str) -> str:
+        if name not in _FUNCTIONS:
+            raise JsParseError(f"unknown function {name!r}")
+        arity, tpl = _FUNCTIONS[name]
+        self.eat("(")
+        args = []
+        if self.peek() != ")":
+            args.append(self.conditional())
+            while self.peek() == ",":
+                self.eat(",")
+                args.append(self.conditional())
+        self.eat(")")
+        if len(args) != arity:
+            raise JsParseError(
+                f"{name} takes {arity} args, got {len(args)}"
+            )
+        return "(" + tpl.format(*args) + ")"
+
+
+def compile_js(source: str, bindings: dict[str, str]) -> str:
+    """JavascriptCompiler.compile analog: expression source +
+    SimpleBindings (name -> column/SQL fragment) -> a Spark SQL
+    expression string for ``F.expr`` / ``function_score``."""
+    p = _Parser(_lex(source), bindings)
+    out = p.conditional()
+    if p.peek() is not None:
+        raise JsParseError(f"trailing input at {p.peek()!r}")
+    return out

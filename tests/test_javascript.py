@@ -1,0 +1,132 @@
+"""Lucene expressions (Javascript grammar) -> Catalyst compiler.
+
+Reference: expressions/js/Javascript.g4 (precedence ladder),
+JavascriptCompiler.properties (the 26 default functions; logn takes
+base FIRST), JavascriptCompiler.java:105 (double-everything, 1/0
+booleans, long-cast bitwise).
+"""
+
+import math
+
+import pytest
+
+from lucene_spark.plans.javascript import JsParseError, compile_js
+
+
+def _eval(spark, src, bindings=None):
+    sql = compile_js(src, bindings or {})
+    return spark.sql(f"SELECT {sql} AS v").collect()[0]["v"]
+
+
+class TestJsCompile:
+    @pytest.mark.parametrize(
+        "src,want",
+        [
+            ("1 + 2 * 3", 7.0),
+            ("(1 + 2) * 3", 9.0),
+            ("2 * 3 % 4", 2.0),
+            ("-2 - -3", 1.0),
+            ("10 / 4", 2.5),
+            ("1 < 2", 1.0),
+            ("2 <= 1", 0.0),
+            ("3 == 3", 1.0),
+            ("3 != 3", 0.0),
+            ("1 && 2", 1.0),
+            ("1 && 0", 0.0),
+            ("0 || 3", 1.0),
+            ("!5", 0.0),
+            ("!0", 1.0),
+            ("1 < 2 ? 10 : 20", 10.0),
+            ("0 ? 10 : 2 ? 30 : 40", 30.0),  # right-assoc ternary
+            ("5 & 3", 1.0),
+            ("5 | 3", 7.0),
+            ("5 ^ 3", 6.0),
+            ("~0", -1.0),
+            ("1 << 4", 16.0),
+            ("256 >> 2", 64.0),
+            ("0x10 + 010", 24.0),  # hex + octal literals
+            ("7.5 % 2", 1.5),
+        ],
+    )
+    def test_operator_semantics(self, spark, src, want):
+        assert _eval(spark, src) == pytest.approx(want, abs=1e-12)
+
+    def test_unsigned_shift(self, spark):
+        # Java: -1L >>> 60 == 15
+        assert _eval(spark, "0 - 1 >>> 60") == 15.0
+
+    @pytest.mark.parametrize(
+        "src,want",
+        [
+            ("sqrt(16)", 4.0),
+            ("ln(exp(3))", 3.0),
+            ("log10(1000)", 3.0),
+            ("logn(2, 8)", 3.0),  # base FIRST (MathUtil.log)
+            ("min(3, 2) + max(3, 2)", 5.0),
+            ("pow(2, 10)", 1024.0),
+            ("abs(0 - 7)", 7.0),
+            ("ceil(1.2) + floor(1.8)", 3.0),
+            ("atan2(0, 1)", 0.0),
+            ("cosh(0) + sinh(0) + tanh(0)", 1.0),
+            ("asinh(0) + acosh(1) + atanh(0)", 0.0),
+        ],
+    )
+    def test_default_functions(self, spark, src, want):
+        assert _eval(spark, src) == pytest.approx(want, rel=1e-12)
+
+    def test_haversin_meters_matches_geo_kernel(self, spark):
+        got = _eval(spark, "haversinMeters(48.25, 2.5, 48.30, 2.6)")
+        r = 6371008.7714
+        p1, p2 = math.radians(48.25), math.radians(48.30)
+        dp, dl = math.radians(0.05), math.radians(0.1)
+        a = (
+            math.sin(dp / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        want = 2 * r * math.asin(min(1.0, math.sqrt(a)))
+        assert got == pytest.approx(want, rel=1e-9)
+        km = _eval(spark, "haversin(48.25, 2.5, 48.30, 2.6)")
+        assert km == pytest.approx(want / 1000.0, rel=1e-9)
+
+    def test_bindings_and_errors(self, spark):
+        df = spark.createDataFrame([(4.0, 2.0)], "a double, b double")
+        df.createOrReplaceTempView("t")
+        sql = compile_js("sqrt(x) + y", {"x": "a", "y": "b"})
+        got = spark.sql(f"SELECT {sql} AS v FROM t").collect()[0]["v"]
+        assert got == 4.0
+        with pytest.raises(JsParseError, match="unbound"):
+            compile_js("nope + 1", {})
+        with pytest.raises(JsParseError, match="unknown function"):
+            compile_js("cbrt(8)", {})
+        with pytest.raises(JsParseError, match="takes 2"):
+            compile_js("pow(2)", {})
+        with pytest.raises(JsParseError):
+            compile_js("1 +", {})
+
+
+class TestFunctionScoreIntegration:
+    def test_js_rescoring_matches_manual(self, searcher):
+        import pyspark.sql.functions as F
+
+        sc = searcher.scored_boolean(should=["window"])
+        sql = compile_js(
+            "sqrt(_score) + (doclen < 30 ? 0.2 : 0.0)",
+            {"_score": "score", "doclen": "doclen"},
+        )
+        got = {
+            (r["segment_id"], r["docid"]): r["score"]
+            for r in searcher.function_score(sc, sql).collect()
+        }
+        base = searcher.scored_boolean(should=["window"]).withColumn(
+            "local_docid", F.col("docid")
+        )
+        manual = {
+            (r["segment_id"], r["docid"]): math.sqrt(r["score"])
+            + (0.2 if r["doclen"] < 30 else 0.0)
+            for r in base.join(
+                searcher._docs, ["segment_id", "local_docid"]
+            ).collect()
+        }
+        assert set(got) == set(manual)
+        for k, v in manual.items():
+            assert got[k] == pytest.approx(v, rel=1e-6)
