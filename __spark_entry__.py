@@ -1724,6 +1724,33 @@ def _stratified_sample_sql() -> str:
                          ELSE 0.1 END) * 1000000"""
 
 
+def _q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture (p^alpha, alpha=0.5 over
+    lang): micro-unit-quantized sqrt weights, exact-integer sum,
+    arithmetic-hash membership — the oracle rebuilds the fractions
+    from the same counts."""
+    from lucene_spark.operators.sampling import domain_mixture_sample
+
+    return domain_mixture_sample(
+        _docs_table(spark, sf_dir), "lang", total=3000
+    ).select("doc_id", "lang")
+
+
+def _domain_mixture_sql(total: int = 3000) -> str:
+    return f"""
+        WITH c AS (SELECT lang AS d, count(*)::BIGINT AS n
+                   FROM documents GROUP BY lang),
+        w AS (SELECT d, n,
+                     floor(sqrt(n) * 1000000 + 0.5)::BIGINT AS wq
+              FROM c),
+        s AS (SELECT sum(wq)::BIGINT AS sw FROM w),
+        f AS (SELECT d, least(1.0, (({total} * wq) / sw) / n) AS frac
+              FROM w CROSS JOIN s)
+        SELECT doc_id, lang FROM documents JOIN f ON lang = f.d
+        WHERE (((doc_id % 1000000 + 1000000) % 1000000) * 2654435761)
+                % 1000000 < frac * 1000000"""
+
+
 def _q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.operators.sampling import pack_windows
 
@@ -6840,6 +6867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_top6": _q_diversified,
         "simple_parsed_top10": _q_simple_parsed,
         "stratified_sample": _q_stratified_sample,
+        "domain_mixture_sample": _q_domain_mixture,
         "pack_windows": _q_pack_windows,
         "gopher_quality_flags": _q_gopher_flags,
         "bpe_encode_tokens": _q_bpe_encode,
@@ -7122,6 +7150,7 @@ def oracle_sql() -> dict[str, str]:
         "diversified_top6": _diversified_sql("data"),
         "simple_parsed_top10": _simple_parsed_sql("dup", "win"),
         "stratified_sample": _stratified_sample_sql(),
+        "domain_mixture_sample": _domain_mixture_sql(),
         "pack_windows": _pack_windows_sql(),
         "gopher_quality_flags": _gopher_flags_sql(),
         "bpe_encode_tokens": _bpe_encode_sql(_BPE_MERGES),

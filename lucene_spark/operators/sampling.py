@@ -110,6 +110,65 @@ def stratified_sample(
     return df.where(_keep_hash(id_col) < expr * _HASH_MOD)
 
 
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    total: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain mixture sampling — the ``p^alpha``
+    rule LM pipelines use to rebalance domains (GPT-3's dataset
+    mixture weighting; XLM's alpha-smoothed multinomial): sampling
+    weight ``w_d ∝ n_d^alpha``, ``alpha < 1`` up-weights small
+    domains; target quota ``quota_d = total · w_d / Σ w``; per-domain
+    keep-fraction ``min(1, quota_d / n_d)``, membership by the same
+    reshuffle-invariant arithmetic hash as :func:`stratified_sample`
+    (deterministic — never ``sampleBy``'s nondeterminism).
+
+    The weights quantize to integer micro-units
+    (``floor(n^alpha · 1e6 + 0.5)``) BEFORE the cross-domain sum, so
+    the sum is exact integer arithmetic — order-free at any executor
+    count and bit-identical to the SQL oracle (the same trick the
+    quality metrics use for AvP numerators).  ``alpha == 0.5`` uses
+    ``sqrt`` (IEEE correctly-rounded on every platform, unlike
+    ``pow``'s last-ulp wiggle).
+
+    One dimension-sized counts aggregate drives the plan; data rows
+    only pay the final hash filter."""
+    import math
+
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(domain_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    wq = {
+        d: int(
+            math.floor(
+                (math.sqrt(n) if alpha == 0.5 else math.pow(n, alpha))
+                * 1_000_000
+                + 0.5
+            )
+        )
+        for d, n in counts.items()
+    }
+    sw = sum(wq.values())  # exact integer — summation order free
+    frac_expr = F.lit(0.0)
+    for d in sorted(counts):
+        frac = min(1.0, ((total * wq[d]) / sw) / counts[d])
+        frac_expr = F.when(
+            F.col(domain_col) == d, F.lit(frac)
+        ).otherwise(frac_expr)
+    return df.where(_keep_hash(id_col) < frac_expr * _HASH_MOD)
+
+
 def pack_windows(
     docs: DataFrame,
     max_tokens: int,

@@ -141,3 +141,64 @@ class TestGlobalPrefixSum:
 
         df = spark.createDataFrame([], "id long, v long")
         assert global_prefix_sum(df, "id", "v").count() == 0
+
+
+class TestDomainMixture:
+    """p^alpha domain mixture: micro-unit weights, exact-integer sum,
+    alpha<1 up-weights small domains, fraction capped at 1."""
+
+    def _df(self, spark, sizes):
+        rows = []
+        i = 0
+        for d, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, d))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, dom string")
+
+    def test_alpha_half_upweights_small_domains(self, spark):
+        from lucene_spark.operators.sampling import domain_mixture_sample
+
+        df = self._df(spark, {"big": 900, "small": 100})
+        out = domain_mixture_sample(df, "dom", total=500, id_col="doc_id")
+        got = {
+            r["dom"]: r["cnt"]
+            for r in out.groupBy("dom").count().withColumnRenamed(
+                "count", "cnt"
+            ).collect()
+        }
+        # weights sqrt(900):sqrt(100) = 3:1 -> quotas 375:125;
+        # small keeps 125/100 -> capped at ALL 100 docs
+        assert got["small"] == 100
+        # big keeps ~375/900 of its docs (hash scatter, generous band)
+        assert 300 <= got["big"] <= 450
+        # raw proportional sampling would have kept ~50 small docs:
+        # alpha=0.5 up-weighted the small domain
+        assert got["small"] / 100 > got["big"] / 900
+
+    def test_deterministic_and_repartition_invariant(self, spark):
+        from lucene_spark.operators.sampling import domain_mixture_sample
+
+        df = self._df(spark, {"a": 200, "b": 50})
+        one = {
+            r["doc_id"]
+            for r in domain_mixture_sample(df, "dom", total=100).collect()
+        }
+        two = {
+            r["doc_id"]
+            for r in domain_mixture_sample(
+                df.repartition(7), "dom", total=100
+            ).collect()
+        }
+        assert one == two
+
+    def test_validation(self, spark):
+        import pytest
+
+        from lucene_spark.operators.sampling import domain_mixture_sample
+
+        df = self._df(spark, {"a": 3})
+        with pytest.raises(ValueError, match="total"):
+            domain_mixture_sample(df, "dom", total=-1)
+        with pytest.raises(ValueError, match="alpha"):
+            domain_mixture_sample(df, "dom", total=10, alpha=0.0)
