@@ -245,7 +245,11 @@ class _Parser:
             return f"CAST({int(t, 16)} AS DOUBLE)"
         if re.fullmatch(r"0\d+", t):
             self.eat()
-            return f"CAST({int(t, 8)} AS DOUBLE)"
+            try:
+                v = int(t, 8)
+            except ValueError:
+                raise JsParseError(f"invalid octal literal {t!r}")
+            return f"CAST({v} AS DOUBLE)"
         if re.fullmatch(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?", t):
             self.eat()
             return f"CAST({float(t)!r} AS DOUBLE)"

@@ -130,3 +130,9 @@ class TestFunctionScoreIntegration:
         assert set(got) == set(manual)
         for k, v in manual.items():
             assert got[k] == pytest.approx(v, rel=1e-6)
+
+
+class TestLiteralEdgeCases:
+    def test_invalid_octal_is_a_parse_error(self):
+        with pytest.raises(JsParseError, match="octal"):
+            compile_js("08 + 1", {})
