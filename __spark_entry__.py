@@ -1724,6 +1724,35 @@ def _stratified_sample_sql() -> str:
                          ELSE 0.1 END) * 1000000"""
 
 
+def _q_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InetAddressPoint.newPrefixQuery (core/document/InetAddressPoint
+    .java:218-239): synthesized per-doc IPv4 '10.(id%200).((id*7)%256)
+    .((id*13)%256)' — every 11th doc malformed ('999.1.2', parses
+    NULL, never matches) — filtered by CIDR 10.42.0.0/16; output the
+    parsed 32-bit key, which the oracle rebuilds arithmetically
+    without ever seeing an address string."""
+    from lucene_spark.functions.ip import ip4_to_long, ip_prefix_query
+
+    i = F.col("doc_id")
+    docs = _docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.when(i % 11 == 0, F.lit("999.1.2"))
+        .otherwise(
+            F.format_string(
+                "10.%s.%s.%s",
+                (i % 200).cast("string"),
+                ((i * 7) % 256).cast("string"),
+                ((i * 13) % 256).cast("string"),
+            )
+        )
+        .alias("ip"),
+    )
+    hit = ip_prefix_query(docs, "ip", "10.42.0.0", 16)
+    return hit.select(
+        "doc_id", ip4_to_long(F.col("ip")).alias("ip_key")
+    ).orderBy("doc_id")
+
+
 def _q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain mixture (p^alpha, alpha=0.5 over
     lang): micro-unit-quantized sqrt weights, exact-integer sum,
@@ -6868,6 +6897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_parsed_top10": _q_simple_parsed,
         "stratified_sample": _q_stratified_sample,
         "domain_mixture_sample": _q_domain_mixture,
+        "ip_cidr_match": _q_ip_cidr,
         "pack_windows": _q_pack_windows,
         "gopher_quality_flags": _q_gopher_flags,
         "bpe_encode_tokens": _q_bpe_encode,
@@ -7151,6 +7181,14 @@ def oracle_sql() -> dict[str, str]:
         "simple_parsed_top10": _simple_parsed_sql("dup", "win"),
         "stratified_sample": _stratified_sample_sql(),
         "domain_mixture_sample": _domain_mixture_sql(),
+        "ip_cidr_match": """
+            SELECT doc_id,
+                   (10 * 16777216 + (doc_id % 200) * 65536
+                    + ((doc_id * 7) % 256) * 256
+                    + ((doc_id * 13) % 256))::BIGINT AS ip_key
+            FROM documents
+            WHERE doc_id % 200 = 42 AND doc_id % 11 != 0
+            ORDER BY doc_id""",
         "pack_windows": _pack_windows_sql(),
         "gopher_quality_flags": _gopher_flags_sql(),
         "bpe_encode_tokens": _bpe_encode_sql(_BPE_MERGES),

@@ -1,0 +1,104 @@
+"""InetAddressPoint: IP address indexing and network queries.
+
+Reference: ``core/document/InetAddressPoint.java`` — addresses encode
+to a fixed 16-byte IPv4-mapped-IPv6 form (:170-191) so one sortable
+key serves both families; ``newExactQuery`` (:205) = a
+[value, value] range, ``newPrefixQuery`` (:218-239) rewrites the CIDR
+block to the [network, broadcast] range, ``newRangeQuery`` (:261)
+compares the encoded bytes, ``newSetQuery`` is membership.
+
+Spark mapping: IPv4 parses to an unsigned 32-bit value held in a
+BIGINT — on the IPv4-mapped-IPv6 plane every IPv4 comparison equals
+the 16-byte comparison, so the integer IS the encoded key for the
+v4 subspace.  Parsing is pure Catalyst (split + try-arith: malformed
+or out-of-range octets yield NULL, never an error — the analyzer's
+bad-input convention), so scans stay whole-stage codegen and the
+range/CIDR predicates push down to parquet min/max stats exactly
+like any numeric point.  Declared deviation: IPv6 literals are out
+of scope (the corpus synthesizes IPv4); the BIGINT key leaves
+headroom to widen to two longs if v6 ever lands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ip4_to_long(col: Column) -> Column:
+    """Dotted-quad string -> unsigned 32-bit value in a BIGINT; NULL
+    for malformed input (wrong part count, non-numeric or >255
+    octets, empty parts)."""
+    parts = F.split(col, r"\.")
+    octets = [
+        F.try_element_at(parts, F.lit(i + 1)).cast("long")
+        for i in range(4)
+    ]
+    valid = (F.size(parts) == 4) & F.lit(True)
+    for o in octets:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    v = (
+        octets[0] * F.lit(16777216)
+        + octets[1] * F.lit(65536)
+        + octets[2] * F.lit(256)
+        + octets[3]
+    )
+    return F.when(valid, v)
+
+
+def _parse_ip4(ip: str) -> int:
+    parts = ip.split(".")
+    if len(parts) != 4:
+        raise ValueError(f"not an IPv4 literal: {ip!r}")
+    out = 0
+    for p in parts:
+        o = int(p)
+        if not 0 <= o <= 255:
+            raise ValueError(f"octet out of range in {ip!r}")
+        out = (out << 8) | o
+    return out
+
+
+def ip_range_query(
+    df: DataFrame, ip_col: str, lower: str, upper: str
+) -> DataFrame:
+    """InetAddressPoint.newRangeQuery (:261): inclusive encoded-key
+    range; rows with unparseable addresses never match (NULL key)."""
+    lo, hi = _parse_ip4(lower), _parse_ip4(upper)
+    key = ip4_to_long(F.col(ip_col))
+    return df.where((key >= lo) & (key <= hi))
+
+
+def ip_exact_query(df: DataFrame, ip_col: str, value: str) -> DataFrame:
+    """InetAddressPoint.newExactQuery (:205) = the [value, value]
+    range."""
+    return ip_range_query(df, ip_col, value, value)
+
+
+def ip_prefix_query(
+    df: DataFrame, ip_col: str, value: str, prefix_length: int
+) -> DataFrame:
+    """InetAddressPoint.newPrefixQuery (:218-239): the CIDR block
+    ``value/prefix_length`` rewritten to its [network, broadcast]
+    range — the reference masks the low bits down and up; here
+    ``prefix_length`` counts bits of the 32-bit v4 plane (the
+    reference's 16-byte form has the v4 block at bits 0..31, so a
+    v4 /n equals its 16-byte /(96+n))."""
+    if not 0 <= prefix_length <= 32:
+        raise ValueError(
+            f"illegal prefixLength '{prefix_length}': must be 0..32"
+        )
+    v = _parse_ip4(value)
+    host_bits = 32 - prefix_length
+    lo = (v >> host_bits << host_bits) if host_bits else v
+    hi = lo | ((1 << host_bits) - 1) if host_bits else v
+    key = ip4_to_long(F.col(ip_col))
+    return df.where((key >= lo) & (key <= hi))
+
+
+def ip_set_query(
+    df: DataFrame, ip_col: str, values: list[str]
+) -> DataFrame:
+    """InetAddressPoint.newSetQuery (:274): encoded-key membership."""
+    keys = [_parse_ip4(v) for v in values]
+    return df.where(ip4_to_long(F.col(ip_col)).isin(keys))

@@ -1,0 +1,102 @@
+"""InetAddressPoint queries (IPv4 subspace of the 16-byte plane).
+
+Reference: core/document/InetAddressPoint.java:170-191 (fixed encode),
+:205 (exact = [v, v] range), :218-239 (CIDR -> [network, broadcast]),
+:261 (inclusive range), :274 (set membership).
+"""
+
+import pytest
+
+from lucene_spark.functions.ip import (
+    _parse_ip4,
+    ip_exact_query,
+    ip_prefix_query,
+    ip_range_query,
+    ip_set_query,
+)
+
+
+def _df(spark):
+    rows = [
+        (1, "10.0.0.1"),
+        (2, "10.0.0.255"),
+        (3, "10.0.1.0"),
+        (4, "192.168.7.13"),
+        (5, "255.255.255.255"),
+        (6, "0.0.0.0"),
+        (7, "not.an.ip"),
+        (8, "1.2.3.999"),   # octet out of range
+        (9, "1.2.3"),       # wrong part count
+        (10, None),
+    ]
+    return spark.createDataFrame(rows, "id long, ip string")
+
+
+class TestParse:
+    def test_parse_literal(self):
+        assert _parse_ip4("0.0.0.0") == 0
+        assert _parse_ip4("255.255.255.255") == 2**32 - 1
+        assert _parse_ip4("10.0.0.1") == 10 * 2**24 + 1
+        with pytest.raises(ValueError):
+            _parse_ip4("1.2.3")
+        with pytest.raises(ValueError):
+            _parse_ip4("1.2.3.256")
+
+
+class TestQueries:
+    def test_range_inclusive_and_malformed_never_match(self, spark):
+        got = {
+            r["id"]
+            for r in ip_range_query(
+                _df(spark), "ip", "10.0.0.1", "10.0.1.0"
+            ).collect()
+        }
+        assert got == {1, 2, 3}  # both endpoints inclusive
+
+    def test_exact(self, spark):
+        got = {
+            r["id"]
+            for r in ip_exact_query(
+                _df(spark), "ip", "192.168.7.13"
+            ).collect()
+        }
+        assert got == {4}
+
+    def test_cidr_prefix(self, spark):
+        got = {
+            r["id"]
+            for r in ip_prefix_query(
+                _df(spark), "ip", "10.0.0.0", 24
+            ).collect()
+        }
+        assert got == {1, 2}  # 10.0.1.0 is the next /24
+        whole = {
+            r["id"]
+            for r in ip_prefix_query(
+                _df(spark), "ip", "1.2.3.4", 0
+            ).collect()
+        }
+        assert whole == {1, 2, 3, 4, 5, 6}  # /0 = every VALID address
+        host = {
+            r["id"]
+            for r in ip_prefix_query(
+                _df(spark), "ip", "10.0.0.255", 32
+            ).collect()
+        }
+        assert host == {2}
+        with pytest.raises(ValueError, match="prefixLength"):
+            ip_prefix_query(_df(spark), "ip", "1.2.3.4", 33)
+
+    def test_set_membership(self, spark):
+        got = {
+            r["id"]
+            for r in ip_set_query(
+                _df(spark), "ip", ["0.0.0.0", "10.0.1.0", "8.8.8.8"]
+            ).collect()
+        }
+        assert got == {3, 6}
+
+    def test_predicate_pushes_down(self, spark):
+        df = ip_range_query(_df(spark), "ip", "10.0.0.0", "10.255.255.255")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan  # pure Catalyst parse
