@@ -3979,6 +3979,81 @@ SELECT c_custkey, round(m / 1000.0, 2) AS dist_km
 FROM d ORDER BY m, c_custkey LIMIT 10"""
 
 
+_GEO3D_PATH = [(0.25, -30.5), (10.25, 0.5), (30.25, 20.5)]
+_GEO3D_WIDTH = 750_000.0
+
+
+def _q_geo3d_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo3DPoint.newPathQuery (spatial3d/Geo3DPoint.java:168 →
+    geom/GeoStandardPath.java): customers within 750 km of a 3-vertex
+    geodesic path — plane-bounded segment capsule as constant dot
+    products (operators/geo3d.py); the oracle mirrors the identical
+    vector algebra with the driver-computed plane constants embedded
+    at full precision."""
+    from lucene_spark.operators.geo3d import (
+        path_distance_meters,
+        path_query,
+    )
+
+    pts = _geo_customers(spark, sf_dir)
+    hit = path_query(pts, "lat", "lon", _GEO3D_PATH, _GEO3D_WIDTH)
+    dist = path_distance_meters(F.col("lat"), F.col("lon"), _GEO3D_PATH)
+    return hit.select(
+        "c_custkey", F.round(dist / 1000.0, 2).alias("dist_km")
+    )
+
+
+def _geo3d_path_sql() -> str:
+    from lucene_spark.operators.geo3d import segment_constants
+
+    def dot(c):
+        return f"(px*{c[0]!r} + py*{c[1]!r} + pz*{c[2]!r})"
+
+    def clamp(e):
+        return f"least(1.0, greatest(-1.0, {e}))"
+
+    ds = []
+    for a, b, n, na, bn in segment_constants(_GEO3D_PATH):
+        cross = f"asin({clamp(f'abs({dot(n)})')})"
+        cap = f"least(acos({clamp(dot(a))}), acos({clamp(dot(b))}))"
+        ds.append(
+            f"CASE WHEN {dot(na)} >= 0 AND {dot(bn)} >= 0"
+            f" THEN {cross} ELSE {cap} END"
+        )
+    dist = f"least({', '.join(ds)}) * 6371008.7714"
+    return f"""WITH {_GEO_PTS},
+v AS (SELECT c_custkey,
+        cos(radians(lat))*cos(radians(lon)) AS px,
+        cos(radians(lat))*sin(radians(lon)) AS py,
+        sin(radians(lat)) AS pz
+      FROM pts),
+d AS (SELECT c_custkey, {dist} AS m FROM v)
+SELECT c_custkey, round(m / 1000.0, 2) AS dist_km
+FROM d WHERE m <= {_GEO3D_WIDTH!r}"""
+
+
+def _q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HeatmapFacetCounter analog (spatial-extras/.../prefix/
+    HeatmapFacetCounter.java:78): grid-cell match counts over a query
+    region — one map-side-combined groupBy of at most cells_lat x
+    cells_lon rows (operators/geo.py heatmap_counts)."""
+    from lucene_spark.operators.geo import heatmap_counts
+
+    pts = _geo_customers(spark, sf_dir)
+    return heatmap_counts(
+        pts, "lat", "lon", -40.0, 40.0, -100.0, 100.0, 8, 10
+    )
+
+
+_HEATMAP_SQL = f"""WITH {_GEO_PTS}
+SELECT least(floor((lat - (-40.0)) / 10.0), 7)::BIGINT AS cell_lat,
+       least(floor((lon - (-100.0)) / 20.0), 9)::BIGINT AS cell_lon,
+       count(*)::BIGINT AS cnt
+FROM pts
+WHERE lat >= -40.0 AND lat <= 40.0 AND lon >= -100.0 AND lon <= 100.0
+GROUP BY 1, 2"""
+
+
 def _q_frequent_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level cross-doc dedup (the C4/RefinedWeb boilerplate-line
     rule; operators/dedup.py frequent_lines): synthesized multi-line
@@ -6980,6 +7055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xy_polygon_custkeys": _q_xy_polygon,
         "xy_distance_custkeys": _q_xy_distance,
         "geo_nearest_top10": _q_geo_nearest,
+        "geo3d_path_match": _q_geo3d_path,
+        "heatmap_facets": _q_heatmap,
         "shingle_tokens": _q_shingles,
         "arabic_analyzer_tokens": _q_arabic_analyzer,
         "russian_snowball_tokens": _q_russian_snowball,
@@ -7784,6 +7861,8 @@ def oracle_sql() -> dict[str, str]:
         "xy_polygon_custkeys": _xy_polygon_sql(),
         "xy_distance_custkeys": _xy_distance_sql(),
         "geo_nearest_top10": _geo_nearest_sql(),
+        "geo3d_path_match": _geo3d_path_sql(),
+        "heatmap_facets": _HEATMAP_SQL,
         "shingle_tokens": _SHINGLES_SQL,
         "arabic_analyzer_tokens": _ARABIC_SQL,
         "russian_snowball_tokens": _RUSSIAN_SB_SQL,

@@ -1,0 +1,194 @@
+"""Geo3D path and cap queries: the spatial3d module's geodesic shapes
+as unit-sphere vector algebra.
+
+Reference: ``spatial3d/src/java/org/apache/lucene/spatial3d/
+Geo3DPoint.java`` — ``newPathQuery`` (:168) matches points within
+``pathWidthMeters`` of a lat/lon polyline; the shape it builds
+(``GeoPathFactory`` → ``geom/GeoStandardPath.java``) is a chain of
+PLANE-BOUNDED SEGMENTS (each great-circle segment is the region
+between two cutoff planes perpendicular to the path at its endpoints,
+within a max distance of the segment's plane) plus circular endpoint
+caps.  ``newDistanceQuery`` (:219) is the degenerate one-point path —
+a spherical cap (``GeoCircleFactory``).
+
+Spark mapping: every per-point test is a dot product against
+DRIVER-COMPUTED constant vectors, so the whole query is one
+whole-stage-codegen filter with no UDFs and no shuffles:
+
+- point → unit vector ``P = (cos lat cos lon, cos lat sin lon,
+  sin lat)`` (the reference's ``GeoPoint`` construction,
+  ``spatial3d/geom/GeoPoint.java:101``);
+- for segment (A, B): the great-circle normal ``n = (A×B)/|A×B|``
+  gives the cross-track angle ``asin(|P·n|)`` — the distance to the
+  segment's plane; the two cutoff-plane tests are ``P·(n×A) >= 0``
+  and ``P·(B×n) >= 0`` (exactly the reference's plane-sidedness
+  membership, with the planes precomputed once per query);
+- outside the cutoff planes the distance falls through to the
+  endpoint caps: ``acos(P·A)`` / ``acos(P·B)``;
+- the path distance is the MIN over segments, and the match test is
+  ``distance <= width`` on the mean-Earth sphere (the reference's
+  PlanetModel.SPHERE; WGS84 flattening is a declared deviation —
+  0.3 % worst-case, irrelevant to rank order on synthetic tests).
+
+At 100 TB this is the same shape as every other geo predicate here:
+a constant-vs-column comparison that Catalyst keeps inside codegen,
+preceded by a pushdown-able lat/lon bounding-box prune.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.geo import EARTH_MEAN_RADIUS_METERS
+
+
+def _unit(lat: float, lon: float) -> tuple[float, float, float]:
+    """Unit sphere vector of a lat/lon in degrees (GeoPoint.java:101)."""
+    rlat, rlon = math.radians(lat), math.radians(lon)
+    return (
+        math.cos(rlat) * math.cos(rlon),
+        math.cos(rlat) * math.sin(rlon),
+        math.sin(rlat),
+    )
+
+
+def _cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _norm(v):
+    m = math.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+    if m == 0.0:
+        raise ValueError("degenerate path segment (antipodal or equal points)")
+    return (v[0] / m, v[1] / m, v[2] / m)
+
+
+def point_vector_cols(lat_col: Column, lon_col: Column):
+    """The (x, y, z) unit-vector columns of a point — plain trig, stays
+    in whole-stage codegen."""
+    rlat, rlon = F.radians(lat_col), F.radians(lon_col)
+    return (
+        F.cos(rlat) * F.cos(rlon),
+        F.cos(rlat) * F.sin(rlon),
+        F.sin(rlat),
+    )
+
+
+def _dot(p, c) -> Column:
+    # fixed left-to-right association so oracle SQL can mirror it
+    return p[0] * F.lit(c[0]) + p[1] * F.lit(c[1]) + p[2] * F.lit(c[2])
+
+
+def _clamp(col: Column) -> Column:
+    return F.least(F.lit(1.0), F.greatest(F.lit(-1.0), col))
+
+
+def segment_constants(path: list[tuple[float, float]]):
+    """Driver-side constants per segment: (A, B, n, n×A, B×n) with A/B
+    the endpoint unit vectors and n the segment plane's unit normal —
+    the GeoStandardPath.PathSegment plane set, built once per query."""
+    if len(path) < 2:
+        raise ValueError("a path needs at least two points")
+    segs = []
+    for (lat1, lon1), (lat2, lon2) in zip(path, path[1:]):
+        a, b = _unit(lat1, lon1), _unit(lat2, lon2)
+        n = _norm(_cross(a, b))
+        segs.append((a, b, n, _cross(n, a), _cross(b, n)))
+    return segs
+
+
+def path_distance_meters(
+    lat_col: Column, lon_col: Column, path: list[tuple[float, float]]
+) -> Column:
+    """Exact great-circle distance from a point column to the polyline:
+    per segment, the cross-track angle ``asin(|P·n|)`` when the point
+    lies between the cutoff planes, else the nearer endpoint-cap angle;
+    MIN over segments, scaled by the mean-Earth radius."""
+    p = point_vector_cols(lat_col, lon_col)
+    dists = []
+    for a, b, n, na, bn in segment_constants(path):
+        cross_track = F.asin(_clamp(F.abs(_dot(p, n))))
+        between = (_dot(p, na) >= 0) & (_dot(p, bn) >= 0)
+        cap = F.least(
+            F.acos(_clamp(_dot(p, a))), F.acos(_clamp(_dot(p, b)))
+        )
+        dists.append(F.when(between, cross_track).otherwise(cap))
+    return F.least(*dists) * F.lit(EARTH_MEAN_RADIUS_METERS) if len(
+        dists
+    ) > 1 else dists[0] * F.lit(EARTH_MEAN_RADIUS_METERS)
+
+
+def _arc_lat_range(a, b, n, na, bn) -> tuple[float, float]:
+    """Exact latitude range of ONE great-circle arc.  The endpoints do
+    not bound it — an arc between two same-latitude points bulges
+    poleward — so include the circle's north/south apex when the apex
+    lies between the segment's cutoff planes (the same plane-sidedness
+    test the query itself uses).  Apex of the circle with unit normal
+    n: the in-plane direction maximizing z is ``(-nx·nz, -ny·nz,
+    nx²+ny²)`` (the pole projected onto the plane)."""
+    lats = [math.degrees(math.asin(max(-1.0, min(1.0, a[2])))),
+            math.degrees(math.asin(max(-1.0, min(1.0, b[2]))))]
+    lo, hi = min(lats), max(lats)
+    nx, ny, nz = n
+    horiz = nx * nx + ny * ny
+    if horiz > 0.0:
+        apex = _norm((-nx * nz, -ny * nz, horiz))
+        for t, is_north in ((apex, True), ((-apex[0], -apex[1], -apex[2]), False)):
+            inside = (
+                t[0] * na[0] + t[1] * na[1] + t[2] * na[2] >= 0
+                and t[0] * bn[0] + t[1] * bn[1] + t[2] * bn[2] >= 0
+            )
+            if inside:
+                alat = math.degrees(math.asin(max(-1.0, min(1.0, t[2]))))
+                hi = max(hi, alat) if is_north else hi
+                lo = min(lo, alat) if not is_north else lo
+    return lo, hi
+
+
+def path_query(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    path: list[tuple[float, float]],
+    width_m: float,
+) -> DataFrame:
+    """Geo3DPoint.newPathQuery: points within ``width_m`` of the
+    polyline ``path`` (the GeoStandardPath capsule).  A latitude
+    bounding prune (sound: |Δlat| between two points never exceeds
+    their angular distance, and the per-arc latitude range accounts
+    for poleward bulge) runs first so parquet row-group stats can
+    skip; the exact capsule test verifies survivors."""
+    ang_deg = math.degrees(width_m / EARTH_MEAN_RADIUS_METERS)
+    lo = math.inf
+    hi = -math.inf
+    for seg in segment_constants(path):
+        s_lo, s_hi = _arc_lat_range(*seg)
+        lo, hi = min(lo, s_lo), max(hi, s_hi)
+    lat = F.col(lat_col)
+    pruned = df.where((lat >= lo - ang_deg) & (lat <= hi + ang_deg))
+    dist = path_distance_meters(F.col(lat_col), F.col(lon_col), path)
+    return pruned.where(dist <= width_m)
+
+
+def cap_query(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    lat: float,
+    lon: float,
+    radius_m: float,
+) -> DataFrame:
+    """Geo3DPoint.newDistanceQuery: the spherical cap ``acos(P·C) <=
+    radius`` — the one-point path degenerate case, kept separate
+    because it needs no segment planes."""
+    c = _unit(lat, lon)
+    p = point_vector_cols(F.col(lat_col), F.col(lon_col))
+    ang = F.acos(_clamp(_dot(p, c)))
+    return df.where(ang * F.lit(EARTH_MEAN_RADIUS_METERS) <= radius_m)

@@ -1,0 +1,220 @@
+"""Geo3D path/cap queries (operators/geo3d.py) and heatmap facet
+counts (operators/geo.py): vector-algebra distances against dense arc
+sampling, cap-vs-haversine cross-checks, poleward-bulge prune
+soundness, grid counts against pandas."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.geo import (
+    EARTH_MEAN_RADIUS_METERS,
+    distance_query,
+    heatmap_counts,
+)
+from lucene_spark.operators.geo3d import (
+    _arc_lat_range,
+    _unit,
+    cap_query,
+    path_distance_meters,
+    path_query,
+    segment_constants,
+)
+
+R = EARTH_MEAN_RADIUS_METERS
+
+
+def _sampled_path_dist(lat, lon, path, n=20001):
+    """Brute-force distance to the polyline: densely sample every arc
+    by slerp and take the min haversine — independent of the plane
+    algebra under test."""
+    p = np.array(_unit(lat, lon))
+    best = math.inf
+    for (la1, lo1), (la2, lo2) in zip(path, path[1:]):
+        a, b = np.array(_unit(la1, lo1)), np.array(_unit(la2, lo2))
+        omega = math.acos(max(-1.0, min(1.0, float(a @ b))))
+        t = np.linspace(0.0, 1.0, n)
+        pts = (
+            np.sin((1 - t)[:, None] * omega) * a[None, :]
+            + np.sin(t[:, None] * omega) * b[None, :]
+        ) / math.sin(omega)
+        dots = np.clip(pts @ p, -1.0, 1.0)
+        best = min(best, float(np.arccos(dots).min()))
+    return best * R
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), float(lat), float(lon))
+        for i, (lat, lon) in enumerate(
+            zip(rng.uniform(-80, 80, 300), rng.uniform(-175, 175, 300))
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "id long, lat double, lon double"
+    ).cache()
+
+
+def _engine_dist(spark, lat, lon, path):
+    df = spark.createDataFrame([(lat, lon)], "lat double, lon double")
+    col = path_distance_meters(F.col("lat"), F.col("lon"), path)
+    return df.select(col.alias("d")).collect()[0]["d"]
+
+
+class TestPathDistance:
+    def test_cross_track_on_equator_path(self, spark):
+        # path along the equator; a point at lat d sits exactly d
+        # degrees cross-track
+        path = [(0.0, 0.0), (0.0, 90.0)]
+        for d in (1.0, 5.0, 20.0):
+            got = _engine_dist(spark, d, 45.0, path)
+            assert got == pytest.approx(math.radians(d) * R, rel=1e-9)
+
+    def test_endpoint_cap(self, spark):
+        # beyond the first endpoint on the equator: distance is to the
+        # endpoint itself
+        path = [(0.0, 0.0), (0.0, 90.0)]
+        got = _engine_dist(spark, 0.0, -10.0, path)
+        assert got == pytest.approx(math.radians(10.0) * R, rel=1e-9)
+
+    def test_on_path_is_zero(self, spark):
+        path = [(10.0, 0.0), (20.0, 30.0), (5.0, 60.0)]
+        for lat, lon in path:
+            assert _engine_dist(spark, lat, lon, path) < 1e-3
+
+    def test_matches_dense_sampling(self, spark):
+        path = [(10.0, -30.0), (25.0, 10.0), (5.0, 50.0)]
+        rng = np.random.default_rng(3)
+        for lat, lon in zip(
+            rng.uniform(-40, 60, 25), rng.uniform(-60, 80, 25)
+        ):
+            got = _engine_dist(spark, float(lat), float(lon), path)
+            ref = _sampled_path_dist(float(lat), float(lon), path)
+            # sampling resolution bounds the reference's own error
+            assert got == pytest.approx(ref, abs=R * 2e-4)
+
+    def test_poleward_bulge(self, spark):
+        # arc between two lat-45 points bulges poleward to its apex at
+        # ~54.74 (asin(sqrt(2/3))): a lat-50 point at the middle
+        # longitude sits UNDER the arc, ~4.74 degrees from it — far
+        # nearer than either vertex (~30 degrees away)
+        path = [(45.0, 0.0), (45.0, 90.0)]
+        got = _engine_dist(spark, 50.0, 45.0, path)
+        apex_lat = math.degrees(math.asin(math.sqrt(2.0 / 3.0)))
+        assert got == pytest.approx(
+            math.radians(apex_lat - 50.0) * R, rel=1e-2
+        )
+        ref = _sampled_path_dist(50.0, 45.0, path)
+        assert got == pytest.approx(ref, abs=R * 2e-4)
+
+
+class TestArcLatRange:
+    def test_bulge_included(self):
+        segs = segment_constants([(45.0, 0.0), (45.0, 90.0)])
+        lo, hi = _arc_lat_range(*segs[0])
+        assert lo == pytest.approx(45.0, abs=1e-9)
+        assert hi > 54.0  # apex of this circle is ~54.7 degrees
+
+    def test_monotone_arc_is_vertex_bounded(self):
+        segs = segment_constants([(0.0, 0.0), (30.0, 10.0)])
+        lo, hi = _arc_lat_range(*segs[0])
+        assert lo == pytest.approx(0.0, abs=1e-9)
+        assert hi == pytest.approx(30.0, abs=1e-6)
+
+
+class TestPathQuery:
+    def test_equals_unpruned_filter(self, spark, pts):
+        # the latitude prune must not drop any true match, including
+        # ones above every vertex latitude (bulge region)
+        path = [(45.0, -60.0), (45.0, 30.0), (20.0, 80.0)]
+        width = 900_000.0
+        got = {
+            r["id"]
+            for r in path_query(pts, "lat", "lon", path, width).collect()
+        }
+        dist = path_distance_meters(F.col("lat"), F.col("lon"), path)
+        exp = {
+            r["id"] for r in pts.where(dist <= width).collect()
+        }
+        assert got == exp
+
+    def test_matches_brute_force(self, spark, pts):
+        path = [(10.0, -30.0), (25.0, 10.0), (5.0, 50.0)]
+        width = 1_200_000.0
+        got = {
+            r["id"]
+            for r in path_query(pts, "lat", "lon", path, width).collect()
+        }
+        rows = pts.collect()
+        tol = R * 2e-4
+        for r in rows:
+            ref = _sampled_path_dist(r["lat"], r["lon"], path)
+            if ref < width - tol:
+                assert r["id"] in got
+            elif ref > width + tol:
+                assert r["id"] not in got
+
+
+class TestCapQuery:
+    def test_equals_haversine_distance_query(self, spark, pts):
+        # acos(P.C) on unit vectors == haversine: the two modules must
+        # select identical sets
+        for lat, lon, radius in (
+            (48.25, 2.5, 2_000_000.0),
+            (-30.0, 150.0, 5_000_000.0),
+        ):
+            a = {
+                r["id"]
+                for r in cap_query(pts, "lat", "lon", lat, lon, radius).collect()
+            }
+            b = {
+                r["id"]
+                for r in distance_query(
+                    pts, "lat", "lon", lat, lon, radius
+                ).collect()
+            }
+            assert a == b
+
+
+class TestHeatmap:
+    def test_counts_match_pandas(self, spark, pts):
+        got = {
+            (r["cell_lat"], r["cell_lon"]): r["cnt"]
+            for r in heatmap_counts(
+                pts, "lat", "lon", -60.0, 60.0, -120.0, 120.0, 6, 8
+            ).collect()
+        }
+        pdf = pts.toPandas()
+        inr = pdf[
+            (pdf.lat >= -60) & (pdf.lat <= 60)
+            & (pdf.lon >= -120) & (pdf.lon <= 120)
+        ]
+        exp = {}
+        for _, row in inr.iterrows():
+            ci = min(int((row.lat + 60) // 20), 5)
+            cj = min(int((row.lon + 120) // 30), 7)
+            exp[(ci, cj)] = exp.get((ci, cj), 0) + 1
+        assert got == exp
+        assert sum(got.values()) == len(inr)
+
+    def test_max_edge_clamps(self, spark):
+        df = spark.createDataFrame(
+            [(0, 60.0, 120.0), (1, 59.9, 119.9), (2, 60.1, 0.0)],
+            "id long, lat double, lon double",
+        )
+        got = {
+            (r["cell_lat"], r["cell_lon"]): r["cnt"]
+            for r in heatmap_counts(
+                df, "lat", "lon", -60.0, 60.0, -120.0, 120.0, 6, 8
+            ).collect()
+        }
+        # edge point clamps into the last cell; out-of-region dropped
+        assert got == {(5, 7): 2}
+
+    def test_bad_grid_raises(self, spark, pts):
+        with pytest.raises(ValueError):
+            heatmap_counts(pts, "lat", "lon", 0, 1, 0, 1, 0, 4)
