@@ -218,3 +218,23 @@ class TestHeatmap:
     def test_bad_grid_raises(self, spark, pts):
         with pytest.raises(ValueError):
             heatmap_counts(pts, "lat", "lon", 0, 1, 0, 1, 0, 4)
+
+
+class TestPlans:
+    def test_path_query_python_free(self, spark, pts):
+        path = [(10.0, -30.0), (25.0, 10.0)]
+        plan = (
+            path_query(pts, "lat", "lon", path, 500_000.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "mapInPandas" not in plan
+
+    def test_heatmap_partial_aggregation(self, spark, pts):
+        plan = (
+            heatmap_counts(pts, "lat", "lon", -60, 60, -120, 120, 6, 8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        # map-side combine: a partial_count before the exchange
+        assert "partial_count" in plan or "partial" in plan.lower()
