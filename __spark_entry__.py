@@ -4054,6 +4054,85 @@ WHERE lat >= -40.0 AND lat <= 40.0 AND lon >= -100.0 AND lon <= 100.0
 GROUP BY 1, 2"""
 
 
+def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeohashPrefixTree cell ids (spatial-extras/.../tree/
+    GeohashPrefixTree.java): precision-5 base-32 geohash per customer
+    point, computed as driver-unrolled bit interleave in pure Catalyst
+    (functions/geohash.py); the oracle mirrors the identical integer
+    shift/mask algebra."""
+    from lucene_spark.functions.geohash import geohash_encode
+
+    pts = _geo_customers(spark, sf_dir)
+    return pts.select(
+        "c_custkey",
+        geohash_encode(F.col("lat"), F.col("lon"), 5).alias("gh"),
+    )
+
+
+def _geohash_cells_sql(precision: int = 5) -> str:
+    from lucene_spark.functions.geohash import _BASE32, _bit_counts
+
+    lon_bits, lat_bits = _bit_counts(precision)
+    lat_id = (
+        f"least(floor((lat + 90.0) / 180.0 * {float(1 << lat_bits)!r}),"
+        f" {(1 << lat_bits) - 1})::BIGINT"
+    )
+    lon_id = (
+        f"least(floor((lon + 180.0) / 360.0 * {float(1 << lon_bits)!r}),"
+        f" {(1 << lon_bits) - 1})::BIGINT"
+    )
+    chars = []
+    for c in range(precision):
+        terms = []
+        for k in range(5):
+            pos = 5 * c + k
+            if pos % 2 == 0:
+                src, bits = "lon_id", lon_bits
+            else:
+                src, bits = "lat_id", lat_bits
+            terms.append(
+                f"(({src} >> {bits - 1 - pos // 2}) % 2) * {1 << (4 - k)}"
+            )
+        chars.append(
+            f"substring('{_BASE32}', ({' + '.join(terms)}) + 1, 1)"
+        )
+    gh = " || ".join(chars)
+    return f"""WITH {_GEO_PTS},
+ids AS (SELECT c_custkey, {lat_id} AS lat_id, {lon_id} AS lon_id FROM pts)
+SELECT c_custkey, {gh} AS gh FROM ids"""
+
+
+def _q_geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RecursivePrefixTreeStrategy's cell-intersection join
+    (spatial-extras) as an explicit banded self-join: all customer
+    pairs within 1,500 km — grid-bucket, 3x3-neighborhood equi-join
+    (lon wraps), exact haversine verify (functions/geohash.py
+    geo_radius_pairs).  The brute-force cross-join oracle proves
+    CANDIDATE COMPLETENESS: any pair the banding missed would be a
+    row-count mismatch."""
+    from lucene_spark.functions.geohash import geo_radius_pairs
+
+    pts = _geo_customers(spark, sf_dir)
+    pairs = geo_radius_pairs(
+        pts, "c_custkey", "lat", "lon", 1_500_000.0
+    )
+    return pairs.select(
+        "id1", "id2",
+        F.round(F.col("dist_m") / 1000.0, 2).alias("dist_km"),
+    )
+
+
+_GEO_PAIRS_SQL = f"""WITH {_GEO_PTS},
+d AS (SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        2 * 6371008.7714 * asin(least(1.0, sqrt(
+          pow(sin(radians(b.lat - a.lat) / 2), 2)
+          + cos(radians(a.lat)) * cos(radians(b.lat))
+            * pow(sin(radians(b.lon - a.lon) / 2), 2)))) AS m
+      FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey)
+SELECT id1, id2, round(m / 1000.0, 2) AS dist_km
+FROM d WHERE m <= 1500000.0"""
+
+
 def _q_frequent_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level cross-doc dedup (the C4/RefinedWeb boilerplate-line
     rule; operators/dedup.py frequent_lines): synthesized multi-line
@@ -7057,6 +7136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_nearest_top10": _q_geo_nearest,
         "geo3d_path_match": _q_geo3d_path,
         "heatmap_facets": _q_heatmap,
+        "geohash_cells": _q_geohash_cells,
+        "geo_radius_pairs": _q_geo_radius_pairs,
         "shingle_tokens": _q_shingles,
         "arabic_analyzer_tokens": _q_arabic_analyzer,
         "russian_snowball_tokens": _q_russian_snowball,
@@ -7863,6 +7944,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_nearest_top10": _geo_nearest_sql(),
         "geo3d_path_match": _geo3d_path_sql(),
         "heatmap_facets": _HEATMAP_SQL,
+        "geohash_cells": _geohash_cells_sql(),
+        "geo_radius_pairs": _GEO_PAIRS_SQL,
         "shingle_tokens": _SHINGLES_SQL,
         "arabic_analyzer_tokens": _ARABIC_SQL,
         "russian_snowball_tokens": _RUSSIAN_SB_SQL,

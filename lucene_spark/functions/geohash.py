@@ -1,0 +1,206 @@
+"""Geohash encoding and banded radius joins: the spatial-extras
+prefix-tree strategy re-expressed as grid-cell column algebra.
+
+Reference: ``spatial-extras/src/java/org/apache/lucene/spatial/prefix/
+tree/GeohashPrefixTree.java`` — cells are base-32 characters of
+interleaved lon/lat bits (lon takes the even bit positions, 3 of the
+5 bits in odd characters; the classic Geohash layout), and
+``RecursivePrefixTreeStrategy.java`` — shapes index as covering cell
+sets and queries intersect cell prefixes before verifying exact
+geometry.
+
+Spark mapping:
+
+- ``geohash_encode`` is a DRIVER-UNROLLED bit-interleave: the lat/lon
+  integer cell ordinals are two ``floor`` expressions, every base-32
+  character is a constant-shift/mask sum over them, and the string is
+  a ``concat`` of ``substr`` lookups into the literal alphabet — all
+  whole-stage codegen, no UDF.
+- ``geo_radius_pairs`` is the prefix-tree JOIN made explicit: bucket
+  every point into a grid cell sized so that any two points within
+  ``radius_m`` are in the same or an adjacent cell, explode one side
+  to its 3x3 neighborhood (longitude wraps at the dateline), hash-join
+  on the cell key, and verify exact haversine on candidates only.
+  This is the geo twin of the MinHash banded self-join in
+  ``operators/dedup.py``: candidate generation is an equi-join on a
+  derived key (shuffle-friendly, never all-pairs), verification is
+  exact and runs on candidates only — the shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.geo import (
+    EARTH_MEAN_RADIUS_METERS,
+    haversine_meters,
+)
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _bit_counts(precision: int) -> tuple[int, int]:
+    """(lon_bits, lat_bits) of a geohash at ``precision`` characters:
+    bits alternate lon-first, so lon gets the ceiling half."""
+    total = 5 * precision
+    return (total + 1) // 2, total // 2
+
+
+def geohash_encode(
+    lat_col: Column, lon_col: Column, precision: int = 7
+) -> Column:
+    """The base-32 geohash string of a point (GeohashPrefixTree cell
+    id at level ``precision``).  Pure Catalyst: two floors, then one
+    constant-shift/mask sum per character."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be 1..12")
+    lon_bits, lat_bits = _bit_counts(precision)
+    # integer cell ordinals on each axis; clamp the degenerate max
+    # edge (lat=90, lon=180) into the last cell
+    lat_id = F.least(
+        F.floor((lat_col + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
+        F.lit((1 << lat_bits) - 1),
+    ).cast("long")
+    lon_id = F.least(
+        F.floor((lon_col + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
+        F.lit((1 << lon_bits) - 1),
+    ).cast("long")
+    chars = []
+    for c in range(precision):
+        val: Column | None = None
+        for k in range(5):
+            pos = 5 * c + k  # global bit position, 0 = most significant
+            if pos % 2 == 0:  # lon bit
+                idx = pos // 2  # 0 = most significant lon bit
+                bit = F.shiftright(lon_id, lon_bits - 1 - idx) % 2
+            else:
+                idx = pos // 2
+                bit = F.shiftright(lat_id, lat_bits - 1 - idx) % 2
+            term = bit * F.lit(1 << (4 - k))
+            val = term if val is None else val + term
+        # computed-start substring into the literal alphabet
+        chars.append(
+            F.substring(F.lit(_BASE32), (val + 1).cast("int"), F.lit(1))
+        )
+    return F.concat(*chars)
+
+
+def _grid_cells(
+    lat_col: Column, lon_col: Column, radius_m: float, max_abs_lat: float
+):
+    """Integer (lat_cell, lon_cell) sized so any two points within
+    ``radius_m`` (both at |lat| <= max_abs_lat) differ by at most one
+    cell per axis.  Latitude: |Δlat| never exceeds the angular radius,
+    so the cell height is exactly that (+0.1 % float slack).
+    Longitude: the max wrapped |Δlon| between two in-radius points in
+    the band is ``2·asin(sin(r/2R)/cos(max_abs_lat))`` (both at the
+    band edge) — the exact spherical bound, NOT the linear
+    ``r/(R·cosφ)`` underestimate; cells are then made UNIFORM by
+    flooring the cell count so the dateline wrap is exact and every
+    cell stays at least that wide."""
+    ang = radius_m / EARTH_MEAN_RADIUS_METERS
+    cell_h = math.degrees(ang) * 1.001
+    s = math.sin(ang / 2.0)
+    cos_l = math.cos(math.radians(max_abs_lat))
+    if s >= cos_l:
+        n_lon = 1  # radius spans every longitude in the band
+    else:
+        dlon_max = math.degrees(2.0 * math.asin(s / cos_l)) * 1.001
+        n_lon = max(1, int(math.floor(360.0 / dlon_max)))
+    cell_w = 360.0 / n_lon
+    lat_cell = F.floor((lat_col + F.lit(90.0)) / F.lit(cell_h)).cast("long")
+    lon_cell = F.floor((lon_col + F.lit(180.0)) / F.lit(cell_w)).cast("long")
+    # lon=180 exactly falls into cell n_lon — wrap it to 0
+    lon_cell = lon_cell % n_lon
+    return lat_cell, lon_cell, n_lon
+
+
+def geo_radius_pairs(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_m: float,
+    max_abs_lat: float = 80.0,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """All pairs of points within ``radius_m`` of each other, as a
+    banded self-join (RecursivePrefixTreeStrategy's cell-intersection
+    made explicit): grid-bucket -> explode the probe side to its 3x3
+    neighborhood (lon wraps) -> equi-join on the cell -> exact
+    haversine verify -> ``id1 < id2`` dedup.  Rows with |lat| >
+    ``max_abs_lat`` are excluded (declared: the conservative
+    longitude-cell bound degrades at the poles, exactly where the
+    reference's prefix tree needs distErrPct slack).
+
+    ``max_bucket`` drops pathological buckets before the self-join
+    (same skew guard as the MinHash band join in dedup.py) — a
+    degenerate coordinate shared by millions of rows would otherwise
+    go quadratic.
+
+    Returns (id1, id2, dist_m).
+    """
+    if radius_m <= 0:
+        raise ValueError("radius_m must be > 0")
+    pts = df.select(
+        F.col(id_col).alias("_gid"),
+        F.col(lat_col).alias("_glat"),
+        F.col(lon_col).alias("_glon"),
+    ).where(F.abs(F.col("_glat")) <= max_abs_lat)
+    lat_cell, lon_cell, n_lon = _grid_cells(
+        F.col("_glat"), F.col("_glon"), radius_m, max_abs_lat
+    )
+    base = pts.select(
+        "_gid", "_glat", "_glon",
+        lat_cell.alias("_clat"), lon_cell.alias("_clon"),
+    )
+    if max_bucket is not None:
+        sizes = base.groupBy("_clat", "_clon").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        base = base.join(
+            sizes.where(F.col("_bn") > max_bucket).select("_clat", "_clon"),
+            ["_clat", "_clon"],
+            "left_anti",
+        )
+    # probe side: each point claims its 3x3 neighborhood so the build
+    # side stays un-exploded (3x fewer rows shuffled than exploding
+    # both sides)
+    # distinct wrapped lon offsets: with n_lon < 3 the three
+    # neighbors collapse and a naive explode would duplicate pairs
+    lon_offsets = sorted({d % n_lon for d in (-1, 0, 1)})
+    probe = base.select(
+        F.col("_gid").alias("_pid"),
+        F.col("_glat").alias("_plat"),
+        F.col("_glon").alias("_plon"),
+        F.explode(
+            F.array(*[F.col("_clat") + d for d in (-1, 0, 1)])
+        ).alias("_jlat"),
+        "_clon",
+    ).select(
+        "_pid", "_plat", "_plon", "_jlat",
+        F.explode(
+            F.array(
+                *[(F.col("_clon") + d) % n_lon for d in lon_offsets]
+            )
+        ).alias("_jlon"),
+    )
+    cand = probe.join(
+        base,
+        (probe["_jlat"] == base["_clat"]) & (probe["_jlon"] == base["_clon"]),
+    ).where(F.col("_pid") < F.col("_gid"))
+    dist = haversine_meters(
+        F.col("_plat"), F.col("_plon"), F.col("_glat"), F.col("_glon")
+    )
+    return (
+        cand.withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= radius_m)
+        .select(
+            F.col("_pid").alias("id1"),
+            F.col("_gid").alias("id2"),
+            "dist_m",
+        )
+    )

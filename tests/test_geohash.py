@@ -1,0 +1,209 @@
+"""Geohash encoding + banded radius join (functions/geohash.py):
+encode vs an independent reference implementation, pair completeness
+vs brute force incl. dateline and high-latitude cases, skew guard."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.functions.geohash import (
+    _BASE32,
+    geo_radius_pairs,
+    geohash_encode,
+)
+from lucene_spark.operators.geo import EARTH_MEAN_RADIUS_METERS
+
+R = EARTH_MEAN_RADIUS_METERS
+
+
+def _ref_geohash(lat, lon, precision):
+    """Classic interval-halving geohash encoder — independent of the
+    integer-ordinal bit algebra under test."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits, out, even = 0, [], True
+    val = 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                val = (val << 1) | 1
+                lon_lo = mid
+            else:
+                val <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                val = (val << 1) | 1
+                lat_lo = mid
+            else:
+                val <<= 1
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(_BASE32[val])
+            bits, val = 0, 0
+    return "".join(out)
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    a = (
+        math.sin(dlat / 2) ** 2
+        + math.cos(math.radians(lat1))
+        * math.cos(math.radians(lat2))
+        * math.sin(dlon / 2) ** 2
+    )
+    return 2 * R * math.asin(min(1.0, math.sqrt(a)))
+
+
+def _encode(spark, rows, precision):
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    out = df.select(
+        "id",
+        geohash_encode(F.col("lat"), F.col("lon"), precision).alias("gh"),
+    )
+    return {r["id"]: r["gh"] for r in out.collect()}
+
+
+class TestEncode:
+    def test_wikipedia_example(self, spark):
+        got = _encode(spark, [(0, 57.64911, 10.40744)], 7)
+        assert got[0] == "u4pruyd"
+
+    def test_origin(self, spark):
+        got = _encode(spark, [(0, 0.0, 0.0)], 5)
+        assert got[0] == _ref_geohash(0.0, 0.0, 5)
+
+    def test_random_matches_reference(self, spark):
+        rng = np.random.default_rng(11)
+        rows = [
+            (int(i), float(lat), float(lon))
+            for i, (lat, lon) in enumerate(
+                zip(rng.uniform(-89, 89, 80), rng.uniform(-179, 179, 80))
+            )
+        ]
+        for p in (1, 4, 7, 12):
+            got = _encode(spark, rows, p)
+            for i, lat, lon in rows:
+                assert got[i] == _ref_geohash(lat, lon, p), (i, lat, lon, p)
+
+    def test_edges_clamp(self, spark):
+        got = _encode(spark, [(0, 90.0, 180.0), (1, -90.0, -180.0)], 4)
+        assert got[0] == "zzzz"
+        assert got[1] == "0000"
+
+    def test_bad_precision(self):
+        with pytest.raises(ValueError):
+            geohash_encode(F.col("x"), F.col("y"), 0)
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rng = np.random.default_rng(23)
+    rows = [
+        (int(i), float(lat), float(lon))
+        for i, (lat, lon) in enumerate(
+            zip(rng.uniform(-75, 75, 250), rng.uniform(-180, 180, 250))
+        )
+    ]
+    # dateline pair and a high-latitude pair near the band edge
+    rows += [
+        (900, 0.0, 179.95),
+        (901, 0.0, -179.95),
+        (902, 79.5, 10.0),
+        (903, 79.5, 14.0),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, lat double, lon double"
+    ).cache()
+
+
+class TestRadiusPairs:
+    def _brute(self, rows, radius):
+        out = set()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                if _hav(a[1], a[2], b[1], b[2]) <= radius:
+                    out.add((min(a[0], b[0]), max(a[0], b[0])))
+        return out
+
+    @pytest.mark.parametrize("radius", [150_000.0, 600_000.0])
+    def test_matches_brute_force(self, spark, pts, radius):
+        got = {
+            (r["id1"], r["id2"])
+            for r in geo_radius_pairs(
+                pts, "id", "lat", "lon", radius
+            ).collect()
+        }
+        rows = [(r["id"], r["lat"], r["lon"]) for r in pts.collect()]
+        assert got == self._brute(rows, radius)
+
+    def test_dateline_pair_found(self, spark, pts):
+        got = {
+            (r["id1"], r["id2"])
+            for r in geo_radius_pairs(
+                pts, "id", "lat", "lon", 50_000.0
+            ).collect()
+        }
+        assert (900, 901) in got
+
+    def test_high_latitude_pair_found(self, spark, pts):
+        # ~81 km apart at lat 79.5 — the linear lon-cell bound would
+        # be exact here; the asin bound keeps them adjacent
+        d = _hav(79.5, 10.0, 79.5, 14.0)
+        got = {
+            (r["id1"], r["id2"])
+            for r in geo_radius_pairs(
+                pts, "id", "lat", "lon", d + 1000.0
+            ).collect()
+        }
+        assert (902, 903) in got
+
+    def test_band_filter_excludes_polar(self, spark):
+        df = spark.createDataFrame(
+            [(0, 85.0, 0.0), (1, 85.0, 1.0), (2, 10.0, 0.0), (3, 10.2, 0.0)],
+            "id long, lat double, lon double",
+        )
+        got = {
+            (r["id1"], r["id2"])
+            for r in geo_radius_pairs(
+                df, "id", "lat", "lon", 100_000.0, max_abs_lat=80.0
+            ).collect()
+        }
+        # polar rows excluded by the declared band; in-band pair kept
+        assert got == {(2, 3)}
+
+    def test_skew_guard_drops_degenerate_bucket(self, spark):
+        rows = [(i, 1.25, 2.5) for i in range(500)] + [
+            (1000, 40.0, 40.0),
+            (1001, 40.1, 40.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, lat double, lon double"
+        )
+        guarded = geo_radius_pairs(
+            df, "id", "lat", "lon", 50_000.0, max_bucket=100
+        )
+        got = {(r["id1"], r["id2"]) for r in guarded.collect()}
+        # the 500-row degenerate bucket is dropped; the honest pair
+        # elsewhere survives
+        assert got == {(1000, 1001)}
+        unguarded = geo_radius_pairs(
+            df, "id", "lat", "lon", 50_000.0, max_bucket=None
+        )
+        assert unguarded.count() == 500 * 499 // 2 + 1
+
+    def test_plan_python_free(self, spark, pts):
+        plan = (
+            geo_radius_pairs(pts, "id", "lat", "lon", 100_000.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "mapInPandas" not in plan
