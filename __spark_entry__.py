@@ -4032,6 +4032,43 @@ SELECT c_custkey, round(m / 1000.0, 2) AS dist_km
 FROM d WHERE m <= {_GEO3D_WIDTH!r}"""
 
 
+_GEO3D_QUAD = [(0.25, -20.5), (-20.25, 0.5), (0.25, 20.5), (20.25, 0.5)]
+
+
+def _q_geo3d_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo3DPoint.newShapeQuery with a convex GeoPolygon
+    (spatial3d/geom/GeoConvexPolygon.java:179 isWithin): membership is
+    an AND of edge-plane dot products against driver-computed normals
+    (operators/geo3d.py convex_polygon_query); the oracle mirrors the
+    same constants."""
+    from lucene_spark.operators.geo3d import convex_polygon_query
+
+    pts = _geo_customers(spark, sf_dir)
+    return convex_polygon_query(pts, "lat", "lon", _GEO3D_QUAD).select(
+        "c_custkey"
+    )
+
+
+def _geo3d_polygon_sql() -> str:
+    from lucene_spark.operators.geo3d import _cross, _norm, _unit
+
+    vs = [_unit(la, lo) for la, lo in _GEO3D_QUAD]
+    conds = []
+    for i in range(len(vs)):
+        n = _norm(_cross(vs[i], vs[(i + 1) % len(vs)]))
+        # >= -MINIMUM_RESOLUTION, the engine's SidedPlane tolerance
+        conds.append(
+            f"(px*{n[0]!r} + py*{n[1]!r} + pz*{n[2]!r}) >= -1e-12"
+        )
+    return f"""WITH {_GEO_PTS},
+v AS (SELECT c_custkey,
+        cos(radians(lat))*cos(radians(lon)) AS px,
+        cos(radians(lat))*sin(radians(lon)) AS py,
+        sin(radians(lat)) AS pz
+      FROM pts)
+SELECT c_custkey FROM v WHERE {' AND '.join(conds)}"""
+
+
 def _q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HeatmapFacetCounter analog (spatial-extras/.../prefix/
     HeatmapFacetCounter.java:78): grid-cell match counts over a query
@@ -7135,6 +7172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xy_distance_custkeys": _q_xy_distance,
         "geo_nearest_top10": _q_geo_nearest,
         "geo3d_path_match": _q_geo3d_path,
+        "geo3d_polygon_match": _q_geo3d_polygon,
         "heatmap_facets": _q_heatmap,
         "geohash_cells": _q_geohash_cells,
         "geo_radius_pairs": _q_geo_radius_pairs,
@@ -7943,6 +7981,7 @@ def oracle_sql() -> dict[str, str]:
         "xy_distance_custkeys": _xy_distance_sql(),
         "geo_nearest_top10": _geo_nearest_sql(),
         "geo3d_path_match": _geo3d_path_sql(),
+        "geo3d_polygon_match": _geo3d_polygon_sql(),
         "heatmap_facets": _HEATMAP_SQL,
         "geohash_cells": _geohash_cells_sql(),
         "geo_radius_pairs": _GEO_PAIRS_SQL,

@@ -44,6 +44,10 @@ from pyspark.sql import functions as F
 
 from lucene_spark.operators.geo import EARTH_MEAN_RADIUS_METERS
 
+# spatial3d/geom/Vector.java MINIMUM_RESOLUTION: the reference's
+# plane-sidedness tolerance
+MINIMUM_RESOLUTION = 1e-12
+
 
 def _unit(lat: float, lon: float) -> tuple[float, float, float]:
     """Unit sphere vector of a lat/lon in degrees (GeoPoint.java:101)."""
@@ -192,3 +196,49 @@ def cap_query(
     p = point_vector_cols(F.col(lat_col), F.col(lon_col))
     ang = F.acos(_clamp(_dot(p, c)))
     return df.where(ang * F.lit(EARTH_MEAN_RADIUS_METERS) <= radius_m)
+
+
+def convex_polygon_query(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    vertices: list[tuple[float, float]],
+) -> DataFrame:
+    """Geo3DPoint.newShapeQuery with a convex GeoPolygon
+    (``spatial3d/geom/GeoConvexPolygon.java:179`` ``isWithin`` — the
+    point must sit on the inner side of every edge plane).  Vertices
+    are (lat, lon) in counter-clockwise order seen from outside the
+    sphere; each edge's plane normal is the driver-side cross product
+    of its endpoint vectors, so membership is an AND of constant dot
+    products — one codegen'd predicate, no UDF.  Raises if the
+    vertex list is not convex/CCW (some vertex on the wrong side of
+    an edge plane), mirroring GeoConvexPolygon's construction check.
+
+    Membership is ``P·n >= -MINIMUM_RESOLUTION`` per edge — the
+    reference's SidedPlane tolerance (``geom/Vector.java``
+    MINIMUM_RESOLUTION = 1e-12), without which a polygon's own
+    vertices (dot == ±fp-noise on their two edge planes) match
+    arbitrarily.
+    """
+    if len(vertices) < 3:
+        raise ValueError("a polygon needs at least three vertices")
+    vs = [_unit(lat, lon) for lat, lon in vertices]
+    normals = []
+    for i in range(len(vs)):
+        a, b = vs[i], vs[(i + 1) % len(vs)]
+        n = _norm(_cross(a, b))
+        for j, v in enumerate(vs):
+            if j in (i, (i + 1) % len(vs)):
+                continue
+            if v[0] * n[0] + v[1] * n[1] + v[2] * n[2] < -MINIMUM_RESOLUTION:
+                raise ValueError(
+                    "vertices are not convex/CCW: vertex %d is on the "
+                    "outer side of edge %d" % (j, i)
+                )
+        normals.append(n)
+    p = point_vector_cols(F.col(lat_col), F.col(lon_col))
+    cond = None
+    for n in normals:
+        c = _dot(p, n) >= -MINIMUM_RESOLUTION
+        cond = c if cond is None else cond & c
+    return df.where(cond)

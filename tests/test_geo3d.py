@@ -238,3 +238,72 @@ class TestPlans:
         assert "BatchEvalPython" not in plan
         # map-side combine: a partial_count before the exchange
         assert "partial_count" in plan or "partial" in plan.lower()
+
+
+class TestConvexPolygon:
+    QUAD = [(0.25, -20.5), (-20.25, 0.5), (0.25, 20.5), (20.25, 0.5)]
+
+    def test_membership(self, spark, pts):
+        from lucene_spark.operators.geo3d import convex_polygon_query
+
+        got = {
+            r["id"]
+            for r in convex_polygon_query(
+                pts, "lat", "lon", self.QUAD
+            ).collect()
+        }
+        # independent check: for a convex spherical polygon the point
+        # is inside iff it is on the inner side of every edge's great
+        # circle — recompute with numpy from scratch
+        import numpy as np
+
+        vs = [np.array(_unit(la, lo)) for la, lo in self.QUAD]
+        ns = [
+            np.cross(vs[i], vs[(i + 1) % 4])
+            / np.linalg.norm(np.cross(vs[i], vs[(i + 1) % 4]))
+            for i in range(4)
+        ]
+        exp = set()
+        for r in pts.collect():
+            p = np.array(_unit(r["lat"], r["lon"]))
+            if all(float(p @ n) >= -1e-12 for n in ns):
+                exp.add(r["id"])
+        assert got == exp
+
+    def test_vertices_and_center_inside(self, spark):
+        from lucene_spark.operators.geo3d import convex_polygon_query
+
+        rows = [(i, la, lo) for i, (la, lo) in enumerate(self.QUAD)]
+        rows.append((99, 0.0, 0.5))
+        df = spark.createDataFrame(rows, "id long, lat double, lon double")
+        got = {
+            r["id"]
+            for r in convex_polygon_query(df, "lat", "lon", self.QUAD).collect()
+        }
+        assert got == {0, 1, 2, 3, 99}
+
+    def test_far_point_outside(self, spark):
+        from lucene_spark.operators.geo3d import convex_polygon_query
+
+        df = spark.createDataFrame(
+            [(0, 60.0, 120.0)], "id long, lat double, lon double"
+        )
+        assert convex_polygon_query(df, "lat", "lon", self.QUAD).count() == 0
+
+    def test_wrong_orientation_raises(self, spark, pts):
+        from lucene_spark.operators.geo3d import convex_polygon_query
+
+        with pytest.raises(ValueError, match="convex"):
+            convex_polygon_query(
+                pts, "lat", "lon", list(reversed(self.QUAD))
+            )
+
+    def test_concave_raises(self, spark, pts):
+        from lucene_spark.operators.geo3d import convex_polygon_query
+
+        concave = [
+            (0.25, -20.5), (-20.25, 0.5), (0.25, 20.5),
+            (-1.0, 0.5),  # dent past the centroid: reflex vertex
+        ]
+        with pytest.raises(ValueError, match="convex"):
+            convex_polygon_query(pts, "lat", "lon", concave)
