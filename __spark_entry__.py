@@ -4106,18 +4106,30 @@ def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geohash_axis_sql(coord: str, lo0: float, extent: float, nbits: int):
+    """Mirror functions/geohash.py _axis_ordinal: floor estimate,
+    clamp, then the exact-boundary +-1 correction, clamp again."""
+    step = extent / float(1 << nbits)
+    mx = (1 << nbits) - 1
+    est = (
+        f"greatest(0, least(floor(({coord} - ({lo0!r})) / {extent!r}"
+        f" * {float(1 << nbits)!r})::BIGINT, {mx}))"
+    )
+    b_lo = f"({lo0!r} + {coord}_est * {step!r})"
+    fixed = (
+        f"CASE WHEN {coord} < {b_lo} THEN {coord}_est - 1"
+        f" WHEN {coord} >= ({b_lo} + {step!r}) THEN {coord}_est + 1"
+        f" ELSE {coord}_est END"
+    )
+    return est, f"greatest(0, least({fixed}, {mx}))"
+
+
 def _geohash_cells_sql(precision: int = 5) -> str:
     from lucene_spark.functions.geohash import _BASE32, _bit_counts
 
     lon_bits, lat_bits = _bit_counts(precision)
-    lat_id = (
-        f"least(floor((lat + 90.0) / 180.0 * {float(1 << lat_bits)!r}),"
-        f" {(1 << lat_bits) - 1})::BIGINT"
-    )
-    lon_id = (
-        f"least(floor((lon + 180.0) / 360.0 * {float(1 << lon_bits)!r}),"
-        f" {(1 << lon_bits) - 1})::BIGINT"
-    )
+    lat_est, lat_id = _geohash_axis_sql("lat", -90.0, 180.0, lat_bits)
+    lon_est, lon_id = _geohash_axis_sql("lon", -180.0, 360.0, lon_bits)
     chars = []
     for c in range(precision):
         terms = []
@@ -4135,7 +4147,9 @@ def _geohash_cells_sql(precision: int = 5) -> str:
         )
     gh = " || ".join(chars)
     return f"""WITH {_GEO_PTS},
-ids AS (SELECT c_custkey, {lat_id} AS lat_id, {lon_id} AS lon_id FROM pts)
+est AS (SELECT c_custkey, lat, lon,
+               {lat_est} AS lat_est, {lon_est} AS lon_est FROM pts),
+ids AS (SELECT c_custkey, {lat_id} AS lat_id, {lon_id} AS lon_id FROM est)
 SELECT c_custkey, {gh} AS gh FROM ids"""
 
 

@@ -49,25 +49,52 @@ def _bit_counts(precision: int) -> tuple[int, int]:
     return (total + 1) // 2, total // 2
 
 
+def _axis_ordinal(
+    coord: Column, lo0: float, extent: float, nbits: int
+) -> Column:
+    """Exact cell ordinal: canonical geohash interval-halving compares
+    the coordinate against midpoints that are ALL exact doubles on
+    these axes (every boundary is ``lo0 + i * extent/2^nbits`` with a
+    dyadic step, representable exactly), so the canonical bit sequence
+    equals exact-boundary comparison.  ``floor((coord-lo0)/extent *
+    2^nbits)`` rounds three times and can land one cell off within an
+    ulp of a boundary — so correct the estimate by comparing against
+    the EXACTLY-computed boundaries of the estimated cell (products
+    and sums here are exact: step is dyadic, the scale is a power of
+    two)."""
+    step = extent / float(1 << nbits)  # dyadic, exact
+    est = F.floor(
+        (coord - F.lit(lo0)) / F.lit(extent) * F.lit(float(1 << nbits))
+    ).cast("long")
+    est = F.greatest(
+        F.lit(0), F.least(est, F.lit((1 << nbits) - 1))
+    )
+    b_lo = F.lit(lo0) + est.cast("double") * F.lit(step)
+    b_hi = b_lo + F.lit(step)
+    fixed = (
+        F.when(coord < b_lo, est - 1)
+        .when(coord >= b_hi, est + 1)
+        .otherwise(est)
+    )
+    return F.greatest(
+        F.lit(0), F.least(fixed, F.lit((1 << nbits) - 1))
+    )
+
+
 def geohash_encode(
     lat_col: Column, lon_col: Column, precision: int = 7
 ) -> Column:
     """The base-32 geohash string of a point (GeohashPrefixTree cell
-    id at level ``precision``).  Pure Catalyst: two floors, then one
-    constant-shift/mask sum per character."""
+    id at level ``precision``).  Pure Catalyst: two boundary-exact
+    ordinals (see ``_axis_ordinal``), then one constant-shift/mask sum
+    per character — bit-identical to canonical interval-halving
+    encoders for every input, including coordinates within an ulp of
+    cell boundaries."""
     if not 1 <= precision <= 12:
         raise ValueError("geohash precision must be 1..12")
     lon_bits, lat_bits = _bit_counts(precision)
-    # integer cell ordinals on each axis; clamp the degenerate max
-    # edge (lat=90, lon=180) into the last cell
-    lat_id = F.least(
-        F.floor((lat_col + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
-        F.lit((1 << lat_bits) - 1),
-    ).cast("long")
-    lon_id = F.least(
-        F.floor((lon_col + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
-        F.lit((1 << lon_bits) - 1),
-    ).cast("long")
+    lat_id = _axis_ordinal(lat_col, -90.0, 180.0, lat_bits)
+    lon_id = _axis_ordinal(lon_col, -180.0, 360.0, lon_bits)
     chars = []
     for c in range(precision):
         val: Column | None = None
@@ -101,7 +128,10 @@ def _grid_cells(
     ``r/(R·cosφ)`` underestimate; cells are then made UNIFORM by
     flooring the cell count so the dateline wrap is exact and every
     cell stays at least that wide."""
-    ang = radius_m / EARTH_MEAN_RADIUS_METERS
+    # no geodesic exceeds pi*R; a larger radius means "every pair" and
+    # an unclamped ang > pi would make sin(ang/2) non-monotone and
+    # silently shrink the lon bound below the true one
+    ang = min(radius_m / EARTH_MEAN_RADIUS_METERS, math.pi)
     cell_h = math.degrees(ang) * 1.001
     s = math.sin(ang / 2.0)
     cos_l = math.cos(math.radians(max_abs_lat))

@@ -450,23 +450,40 @@ def heatmap_counts(
     empty cells are absent (the reference emits 0s for them — callers
     densify if needed; the sparse form is what scales).  Points
     exactly on the max edge clamp into the last cell, mirroring the
-    reference's region-intersection inclusiveness.
+    reference's region-intersection inclusiveness.  A region with
+    ``min_lon > max_lon`` crosses the dateline (the reference's
+    world-wrap rectangles): longitudes are unwrapped into
+    ``[min_lon, min_lon + 360)`` before bucketing.  For in-range
+    points of a non-crossing region the unwrap is the exact identity
+    ``lon - min_lon``, so oracle arithmetic is unchanged.
     """
     if cells_lat <= 0 or cells_lon <= 0:
         raise ValueError("grid must have at least one cell per axis")
+    if min_lat >= max_lat:
+        raise ValueError("degenerate latitude extent: min_lat >= max_lat")
+    if min_lon == max_lon:
+        raise ValueError(
+            "degenerate longitude extent (equal endpoints is ambiguous: "
+            "empty or full wrap)"
+        )
     lat, lon = F.col(lat_col), F.col(lon_col)
+    lon_extent = (max_lon - min_lon) % 360.0
+    if lon_extent == 0.0:  # min_lon > max_lon by exactly 360
+        lon_extent = 360.0
     size_lat = (max_lat - min_lat) / cells_lat
-    size_lon = (max_lon - min_lon) / cells_lon
+    size_lon = lon_extent / cells_lon
+    # unwrapped offset from the west edge; identity (lon - min_lon)
+    # for in-range points of a non-crossing region
+    lon_off = ((lon - F.lit(min_lon)) % 360.0 + 360.0) % 360.0
     in_region = (
-        (lat >= min_lat) & (lat <= max_lat)
-        & (lon >= min_lon) & (lon <= max_lon)
+        (lat >= min_lat) & (lat <= max_lat) & (lon_off <= lon_extent)
     )
     cell_lat = F.least(
         F.floor((lat - F.lit(min_lat)) / F.lit(size_lat)),
         F.lit(cells_lat - 1),
     )
     cell_lon = F.least(
-        F.floor((lon - F.lit(min_lon)) / F.lit(size_lon)),
+        F.floor(lon_off / F.lit(size_lon)),
         F.lit(cells_lon - 1),
     )
     return (

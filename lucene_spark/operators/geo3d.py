@@ -191,11 +191,20 @@ def cap_query(
 ) -> DataFrame:
     """Geo3DPoint.newDistanceQuery: the spherical cap ``acos(P·C) <=
     radius`` — the one-point path degenerate case, kept separate
-    because it needs no segment planes."""
+    because it needs no segment planes.  A latitude band prune
+    (sound: |Δlat| never exceeds the angular distance) runs first so
+    the acos predicate only sees row-groups the parquet stats could
+    not skip."""
+    ang_deg = math.degrees(radius_m / EARTH_MEAN_RADIUS_METERS)
+    band = (F.col(lat_col) >= lat - ang_deg) & (
+        F.col(lat_col) <= lat + ang_deg
+    )
     c = _unit(lat, lon)
     p = point_vector_cols(F.col(lat_col), F.col(lon_col))
     ang = F.acos(_clamp(_dot(p, c)))
-    return df.where(ang * F.lit(EARTH_MEAN_RADIUS_METERS) <= radius_m)
+    return df.where(band).where(
+        ang * F.lit(EARTH_MEAN_RADIUS_METERS) <= radius_m
+    )
 
 
 def convex_polygon_query(

@@ -237,7 +237,7 @@ class TestPlans:
         )
         assert "BatchEvalPython" not in plan
         # map-side combine: a partial_count before the exchange
-        assert "partial_count" in plan or "partial" in plan.lower()
+        assert "partial_count" in plan
 
 
 class TestConvexPolygon:

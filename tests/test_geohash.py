@@ -207,3 +207,87 @@ class TestRadiusPairs:
         )
         assert "BatchEvalPython" not in plan
         assert "mapInPandas" not in plan
+
+
+class TestEncodeBoundaries:
+    def test_one_ulp_below_dyadic_boundary(self, spark):
+        # the floor-estimate path alone mis-cells coordinates within
+        # an ulp of a cell boundary; the exact-boundary correction
+        # must agree with canonical interval-halving there
+        lat = 38.89160156249999   # 1 ulp-ish below a p=5 lat boundary
+        lon = -79.76074218749999
+        got = _encode(spark, [(0, lat, lon)], 5)
+        assert got[0] == _ref_geohash(lat, lon, 5) == "dnzm1"
+
+    def test_crafted_boundary_lattice(self, spark):
+        import math as m
+
+        rows = []
+        step_lat = 180.0 / (1 << 12)
+        step_lon = 360.0 / (1 << 13)
+        i = 0
+        for k in (100, 2047, 2048, 3000):
+            b_lat = -90.0 + k * step_lat
+            b_lon = -180.0 + k * step_lon
+            for la in (
+                m.nextafter(b_lat, -200), b_lat, m.nextafter(b_lat, 200)
+            ):
+                for lo in (
+                    m.nextafter(b_lon, -400), b_lon, m.nextafter(b_lon, 400)
+                ):
+                    rows.append((i, la, lo))
+                    i += 1
+        got = _encode(spark, rows, 5)
+        for rid, la, lo in rows:
+            assert got[rid] == _ref_geohash(la, lo, 5), (la, lo)
+
+
+class TestRadiusClampAndDateline:
+    def test_planet_sized_radius_matches_all_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(0, 0.0, 0.0), (1, 0.0, 179.5), (2, -45.0, -90.0)],
+            "id long, lat double, lon double",
+        )
+        got = {
+            (r["id1"], r["id2"])
+            for r in geo_radius_pairs(
+                df, "id", "lat", "lon", 39_000_000.0
+            ).collect()
+        }
+        # every geodesic is <= pi*R ~ 20,015 km, so all pairs match
+        assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+class TestHeatmapDateline:
+    def test_dateline_crossing_region(self, spark):
+        from lucene_spark.operators.geo import heatmap_counts
+
+        df = spark.createDataFrame(
+            [
+                (0, 0.5, 175.5),    # west half of the wrap region
+                (1, 0.5, -175.5),   # east half
+                (2, 0.5, 0.0),      # outside
+                (3, 0.5, 170.0),    # west edge, first cell
+            ],
+            "id long, lat double, lon double",
+        )
+        got = {
+            (r["cell_lat"], r["cell_lon"]): r["cnt"]
+            for r in heatmap_counts(
+                df, "lat", "lon", -10.0, 10.0, 170.0, -170.0, 2, 4
+            ).collect()
+        }
+        # extent 20 deg of lon split into 4 five-degree cells:
+        # 170->175 | 175->180 | 180->-175 | -175->-170
+        assert got == {(1, 0): 1, (1, 1): 1, (1, 2): 1}
+
+    def test_degenerate_extents_raise(self, spark):
+        from lucene_spark.operators.geo import heatmap_counts
+
+        df = spark.createDataFrame(
+            [(0, 0.0, 0.0)], "id long, lat double, lon double"
+        )
+        with pytest.raises(ValueError):
+            heatmap_counts(df, "lat", "lon", 5.0, 5.0, 0.0, 10.0, 2, 2)
+        with pytest.raises(ValueError):
+            heatmap_counts(df, "lat", "lon", 0.0, 10.0, 5.0, 5.0, 2, 2)
