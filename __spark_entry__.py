@@ -333,13 +333,7 @@ def _fusion_sql(terms: list[str], alpha: float = 0.5, k: int = 10) -> str:
       FROM gt ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
-def _chain_cte(
-    t0: str,
-    t1: str,
-    adjust: int,
-    p0_pred: str | None = None,
-    p1_pred: str | None = None,
-) -> str:
+def _chain_cte(t0: str, t1: str, adjust: int) -> str:
     """Shared CTEs computing the 2-term crossing chain — the closed
     form of Lucene's greedy sloppy/interval matchers (see
     ``lucene_spark.operators.search.pair_boundary_freqs``): with
@@ -351,12 +345,10 @@ def _chain_cte(
     ``adjust=1`` subtracts the phrase offset from t1 (sloppy adjusted
     positions); 0 keeps raw positions (intervals). The caller must open
     with WITH RECURSIVE and provide tok/tokp."""
-    p0 = p0_pred or f"term = '{t0}'"
-    p1 = p1_pred or f"term = '{t1}'"
     return f"""pos AS (
-  SELECT doc_id, p::BIGINT AS val, 0 AS slot FROM tokp WHERE {p0}
+  SELECT doc_id, p::BIGINT AS val, 0 AS slot FROM tokp WHERE term = '{t0}'
   UNION ALL
-  SELECT doc_id, p::BIGINT - {adjust}, 1 FROM tokp WHERE {p1}
+  SELECT doc_id, p::BIGINT - {adjust}, 1 FROM tokp WHERE term = '{t1}'
 ),
 mg AS (
   SELECT doc_id, val, slot,
@@ -1768,7 +1760,7 @@ def _q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _domain_mixture_sql(total: int = 3000) -> str:
     return f"""
         WITH c AS (SELECT lang AS d, count(*)::BIGINT AS n
-                   FROM documents GROUP BY lang),
+                   FROM documents WHERE lang IS NOT NULL GROUP BY lang),
         w AS (SELECT d, n,
                      floor(sqrt(n) * 1000000 + 0.5)::BIGINT AS wq
               FROM c),

@@ -30,8 +30,12 @@ def ip4_to_long(col: Column) -> Column:
     for malformed input (wrong part count, non-numeric or >255
     octets, empty parts)."""
     parts = F.split(col, r"\.")
+    # try_cast, not cast: under Spark 4 ANSI mode a plain cast of a
+    # non-numeric octet ('1.2.3.4x' has four dot-parts, so the size
+    # guard alone does not protect it) raises CAST_INVALID_INPUT
+    # instead of honoring the malformed -> NULL contract
     octets = [
-        F.try_element_at(parts, F.lit(i + 1)).cast("long")
+        F.try_element_at(parts, F.lit(i + 1)).try_cast("long")
         for i in range(4)
     ]
     valid = (F.size(parts) == 4) & F.lit(True)

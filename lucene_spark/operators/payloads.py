@@ -92,6 +92,8 @@ def span_payload_check(
     the per-slot filter."""
     if len(terms) != len(payloads):
         raise ValueError("one reference payload per span slot")
+    if not terms:
+        raise ValueError("a span needs at least one slot")
     if op not in _PAYLOAD_OPS:
         raise ValueError(f"unknown operation {op!r}")
     import operator as _op

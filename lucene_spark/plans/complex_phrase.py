@@ -95,7 +95,16 @@ def expand_complex_phrase(searcher, phrase: str) -> list[list[str]]:
             if spec[0] == "term":
                 terms.append(spec[1])
             elif spec[0] == "wild":
-                terms.extend(searcher.expand_source(spec[1]))
+                # bounded by the automaton-rewrite clause budget
+                # (BooleanQuery.TooManyClauses at 1024), not the
+                # intervals default of 128
+                from lucene_spark.operators.queries import MAX_EXPANSIONS
+
+                terms.extend(
+                    searcher.expand_source(
+                        spec[1], max_expansions=MAX_EXPANSIONS
+                    )
+                )
             else:
                 terms.extend(
                     searcher.expand_fuzzy(spec[1], max_edits=spec[2])

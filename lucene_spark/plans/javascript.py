@@ -204,12 +204,18 @@ class _Parser:
         )
 
     def muldiv(self):
+        # try_divide / try_mod, not bare operators: Spark 4 ANSI mode
+        # raises DIVIDE_BY_ZERO on a zero divisor, where the reference
+        # JavascriptCompiler's double math yields Infinity/NaN.
+        # Declared deviation: a zero divisor yields NULL here (the
+        # repo-wide try_divide convention, which DuckDB's double
+        # division mirrors exactly), not Infinity.
         return self._bool_chain(
             self.unary,
             {
                 "*": "(({0}) * ({1}))",
-                "/": "(({0}) / ({1}))",
-                "%": "(({0}) % ({1}))",
+                "/": "(try_divide(({0}), ({1})))",
+                "%": "(try_mod(({0}), ({1})))",
             },
         )
 

@@ -173,7 +173,15 @@ def _scored(node, searcher):
     if kind == "term":
         t = node[1]
         if "*" in t or "?" in t:
-            terms = searcher.expand_source(t)
+            # surround's own budget is maxBasicQueries=1024
+            # (queryparser/surround/query/BasicQueryFactory.java) —
+            # NOT the intervals default of 128; exceeding it raises
+            # TooManyBasicQueries, which expand_source mirrors
+            from lucene_spark.operators.queries import MAX_EXPANSIONS
+
+            terms = searcher.expand_source(
+                t, max_expansions=MAX_EXPANSIONS
+            )
             if not terms:
                 return _leaf(searcher, searcher._empty_scored())
             return _leaf(searcher, searcher.scored_boolean(should=terms))

@@ -28,6 +28,8 @@ def _df(spark):
         (8, "1.2.3.999"),   # octet out of range
         (9, "1.2.3"),       # wrong part count
         (10, None),
+        (11, "10.0.0.4x"),  # 4 parts, non-numeric octet (ANSI cast trap)
+        (12, "10.0..1"),    # 4 parts, empty octet
     ]
     return spark.createDataFrame(rows, "id long, ip string")
 

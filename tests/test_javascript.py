@@ -55,6 +55,14 @@ class TestJsCompile:
         # Java: -1L >>> 60 == 15
         assert _eval(spark, "0 - 1 >>> 60") == 15.0
 
+    def test_zero_divisor_yields_null_not_error(self, spark):
+        # ANSI mode would raise DIVIDE_BY_ZERO on bare '/'; the
+        # compiler emits try_divide/try_mod (declared deviation from
+        # Java's Infinity/NaN)
+        assert _eval(spark, "1 / 0") is None
+        assert _eval(spark, "7 % 0") is None
+        assert _eval(spark, "1 / (2 - 2)") is None
+
     @pytest.mark.parametrize(
         "src,want",
         [

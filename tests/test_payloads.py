@@ -144,3 +144,5 @@ class TestSpanPayloadCheck:
             span_payload_check(spp, ["x", "y"], [1.0])
         with pytest.raises(ValueError, match="operation"):
             span_payload_check(spp, ["x"], [1.0], op="ne")
+        with pytest.raises(ValueError, match="at least one slot"):
+            span_payload_check(spp, [], [])
