@@ -106,6 +106,16 @@ from lucene_spark.functions.phonetic import soundex_sql as _phx_sql
 _soundex_sql_term = _phx_sql("term")
 _soundex_sql_query = _phx_sql("'windoe'")
 
+from lucene_spark.functions.phonetic import (
+    refined_soundex_sql as _phx_ref_sql,
+    caverphone2_sql as _phx_cav_sql,
+)
+
+_ref_soundex_sql_term = _phx_ref_sql("term")
+_ref_soundex_sql_query = _phx_ref_sql("'windoe'")
+_caverphone_sql_term = _phx_cav_sql("term")
+_caverphone_sql_query = _phx_cav_sql("'windoe'")
+
 _DL = "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)"
 _ST = "st AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE AS sttf FROM dl)"
 
@@ -1743,6 +1753,58 @@ def _q_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select(
         "doc_id", ip4_to_long(F.col("ip")).alias("ip_key")
     ).orderBy("doc_id")
+
+
+def _q_ip6_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InetAddressPoint on the FULL 16-byte plane (core/document/
+    InetAddressPoint.java:170-239): synthesized per-doc IPv6
+    '2001:db8:<g3>::<g7>' (compressed, minimal-width groups), every
+    17th doc malformed (':::' never parses), every 5th an
+    IPv4-mapped '::ffff:10.a.b.c' textual form (parses fine but sits
+    outside the block — the cross-family non-match) — filtered by
+    CIDR 2001:db8::/36 via the 32-hex-char key whose lexicographic
+    order IS the reference's byte order; output the key, which the
+    oracle rebuilds arithmetically without parsing anything."""
+    from lucene_spark.functions.ip import inet_prefix_query, ip_to_key
+
+    i = F.col("doc_id")
+    hx = lambda c: F.lower(F.conv(c.cast("string"), 10, 16))  # noqa: E731
+    docs = _docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.when(i % 17 == 0, F.lit("2001:db8:::bad"))
+        .when(
+            i % 5 == 0,
+            F.format_string(
+                "::ffff:10.%s.%s.%s",
+                (i % 200).cast("string"),
+                ((i * 7) % 256).cast("string"),
+                ((i * 13) % 256).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("2001:db8:"),
+                hx((i * 37) % 8192),
+                F.lit("::"),
+                hx((i * 3) % 65536),
+            )
+        )
+        .alias("ip"),
+    )
+    hit = inet_prefix_query(docs, "ip", "2001:db8::", 36)
+    return hit.select(
+        "doc_id", ip_to_key(F.col("ip")).alias("ip_key")
+    ).orderBy("doc_id")
+
+
+_IP6_CIDR_SQL = """
+SELECT doc_id,
+       '20010db8' || printf('%04x', (doc_id * 37) % 8192) ||
+       repeat('0', 16) || printf('%04x', (doc_id * 3) % 65536) AS ip_key
+FROM documents
+WHERE doc_id % 17 <> 0 AND doc_id % 5 <> 0
+  AND (doc_id * 37) % 8192 < 4096
+"""
 
 
 def _q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3544,6 +3606,34 @@ def _q_phonetic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_refined_soundex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedSoundex phonetic matching (PhoneticFilterFactory's
+    RefinedSoundex registry entry; commons-codec RefinedSoundex.java
+    mapping "01360240043788015936020505"): docs containing any term
+    whose refined code equals refined_soundex('windoe') = W0860."""
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_phonetic("windoe", encoder="refined_soundex")
+    return s._attach_urls(
+        s._globalize(sc.withColumn("local_docid", F.col("docid")))
+    ).select(
+        _doc_id("url"), F.col("score").cast("double").alias("score")
+    ).orderBy("doc_id")
+
+
+def _q_caverphone_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caverphone 2.0 phonetic matching (PhoneticFilterFactory's
+    Caverphone registry entry; commons-codec Caverphone2.java — the
+    'Caverphone Revisited' rewrite sequence): docs containing any term
+    whose code equals caverphone2('windoe') = WNTA111111."""
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_phonetic("windoe", encoder="caverphone2")
+    return s._attach_urls(
+        s._globalize(sc.withColumn("local_docid", F.col("docid")))
+    ).select(
+        _doc_id("url"), F.col("score").cast("double").alias("score")
+    ).orderBy("doc_id")
+
+
 def _q_fuzzy_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java:
     54-340): two misspelled sources ('valu', 'tabel'); both are absent
@@ -5074,6 +5164,142 @@ SELECT doc_id,
        'aa ' || base || ' zz' AS terms,
        '0' AS positions
 FROM b
+"""
+
+
+def _mk_chain_tokens_q(chain_name: str, make_text, doc: str):
+    """Construction-oracle factory for analyzer-chain entries: text
+    synthesized deterministically from doc_id, the REAL chain runs in
+    an Arrow batch, the oracle rebuilds (terms, positions) by string
+    algebra without ever running the chain."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.functions.lang import chain_analyze, get_chain
+
+        docs = _docs_table(spark, sf_dir).select("doc_id").where(
+            F.col("doc_id") < 200
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            chain = get_chain(chain_name)
+            for pdf in batches:
+                ids = pdf["doc_id"].tolist()
+                t_out, p_out = [], []
+                for i in ids:
+                    terms, pos = chain_analyze(make_text(i), chain)
+                    t_out.append("|".join(terms))
+                    p_out.append(",".join(map(str, pos)))
+                yield pd.DataFrame(
+                    {"doc_id": ids, "terms": t_out, "positions": p_out}
+                )
+
+        return docs.mapInPandas(
+            gen, schema="doc_id long, terms string, positions string"
+        )
+
+    q.__doc__ = doc
+    return q
+
+
+_q_type_filter = _mk_chain_tokens_q(
+    "type_words",
+    lambda i: f"w{i % 7} {i % 100} v{(i * 3) % 5} {i % 10}",
+    "TypeTokenFilter whitelist on <ALPHANUM> (core/TypeTokenFilter"
+    ".java): the two <NUM> tokens drop, leaving position gaps 0,2.",
+)
+
+_q_limit_count = _mk_chain_tokens_q(
+    "limit_count",
+    lambda i: " ".join(f"t{(i + k) % 9}" for k in range(3 + i % 4)),
+    "LimitTokenCountFilter maxTokenCount=4 (miscellaneous/"
+    "LimitTokenCountFilter.java): first four of 3..6 tokens.",
+)
+
+_q_limit_position = _mk_chain_tokens_q(
+    "limit_position",
+    lambda i: " ".join(f"s{(i * 2 + k) % 9}" for k in range(2 + i % 4)),
+    "LimitTokenPositionFilter maxTokenPosition=3 (miscellaneous/"
+    "LimitTokenPositionFilter.java): tokens at 1-based positions <=3.",
+)
+
+_q_hyphenated = _mk_chain_tokens_q(
+    "hyphenated",
+    lambda i: (
+        f"pre{i % 5}- fix{i % 7} mid{(i * 3) % 11} tail{i % 4}-"
+    ),
+    "WhitespaceTokenizer -> HyphenatedWordsFilter (miscellaneous/"
+    "HyphenatedWordsFilter.java): 'pre-'+'fix' join at the first "
+    "part's position; the dangling final hyphen is added back.",
+)
+
+_q_concat_graph = _mk_chain_tokens_q(
+    "concat_graph",
+    lambda i: f"A{i % 5} b{i % 7} C{(i * 2) % 9}",
+    "ConcatenateGraphFilter (miscellaneous/ConcatenateGraphFilter"
+    ".java): the whole lowercased stream joins into ONE token with "
+    "SEP_LABEL U+001F at position 0.",
+)
+
+_TYPE_FILTER_SQL = """
+SELECT doc_id,
+       'w' || CAST(doc_id % 7 AS VARCHAR) || '|' ||
+       'v' || CAST((doc_id * 3) % 5 AS VARCHAR) AS terms,
+       '0,2' AS positions
+FROM documents WHERE doc_id < 200
+"""
+
+_LIMIT_COUNT_SQL = """
+WITH d AS (
+  SELECT doc_id, LEAST(3 + doc_id % 4, 4) AS m
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       (SELECT string_agg('t' || CAST((doc_id + g.k) % 9 AS VARCHAR),
+                          '|' ORDER BY g.k)
+        FROM (SELECT unnest(generate_series(0, CAST(m - 1 AS BIGINT)))
+              AS k) g) AS terms,
+       (SELECT string_agg(CAST(g.k AS VARCHAR), ',' ORDER BY g.k)
+        FROM (SELECT unnest(generate_series(0, CAST(m - 1 AS BIGINT)))
+              AS k) g) AS positions
+FROM d
+"""
+
+_LIMIT_POSITION_SQL = """
+WITH d AS (
+  SELECT doc_id, LEAST(2 + doc_id % 4, 3) AS m
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       (SELECT string_agg(
+            's' || CAST((doc_id * 2 + g.k) % 9 AS VARCHAR),
+            '|' ORDER BY g.k)
+        FROM (SELECT unnest(generate_series(0, CAST(m - 1 AS BIGINT)))
+              AS k) g) AS terms,
+       (SELECT string_agg(CAST(g.k AS VARCHAR), ',' ORDER BY g.k)
+        FROM (SELECT unnest(generate_series(0, CAST(m - 1 AS BIGINT)))
+              AS k) g) AS positions
+FROM d
+"""
+
+_HYPHENATED_SQL = """
+SELECT doc_id,
+       'pre' || CAST(doc_id % 5 AS VARCHAR) ||
+       'fix' || CAST(doc_id % 7 AS VARCHAR) || '|' ||
+       'mid' || CAST((doc_id * 3) % 11 AS VARCHAR) || '|' ||
+       'tail' || CAST(doc_id % 4 AS VARCHAR) || '-' AS terms,
+       '0,1,2' AS positions
+FROM documents WHERE doc_id < 200
+"""
+
+_CONCAT_GRAPH_SQL = """
+SELECT doc_id,
+       'a' || CAST(doc_id % 5 AS VARCHAR) || chr(31) ||
+       'b' || CAST(doc_id % 7 AS VARCHAR) || chr(31) ||
+       'c' || CAST((doc_id * 2) % 9 AS VARCHAR) AS terms,
+       '0' AS positions
+FROM documents WHERE doc_id < 200
 """
 
 
@@ -7095,6 +7321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "domain_mixture_sample": _q_domain_mixture,
         "ip_cidr_match": _q_ip_cidr,
+        "ip6_cidr_match": _q_ip6_cidr,
         "pack_windows": _q_pack_windows,
         "gopher_quality_flags": _q_gopher_flags,
         "bpe_encode_tokens": _q_bpe_encode,
@@ -7192,6 +7419,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compound_tokens": _q_compound_tokens,
         "keyword_repeat_tokens": _q_keyword_repeat,
         "fingerprint_tokens": _q_fingerprint_filter,
+        "type_filter_tokens": _q_type_filter,
+        "limit_count_tokens": _q_limit_count,
+        "limit_position_tokens": _q_limit_position,
+        "hyphenated_tokens": _q_hyphenated,
+        "concat_graph_token": _q_concat_graph,
         "auto_stop_words": _q_auto_stop_words,
         "path_hierarchy_tokens": _q_path_hierarchy,
         "synonym_index_tokens": _q_synonym_index_tokens,
@@ -7218,6 +7450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stream_automaton_top10": _q_token_stream_automaton,
         "fuzzy_like_this_top10": _q_fuzzy_like_this,
         "phonetic_match": _q_phonetic_match,
+        "refined_soundex_match": _q_refined_soundex_match,
+        "caverphone_match": _q_caverphone_match,
         "function_score_top10": _q_function_score,
         "total_hits_relation": _q_total_hits_relation,
         "split_index_top10": _q_split_index,
@@ -7391,6 +7625,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 200 = 42 AND doc_id % 11 != 0
             ORDER BY doc_id""",
+        "ip6_cidr_match": _IP6_CIDR_SQL,
         "pack_windows": _pack_windows_sql(),
         "gopher_quality_flags": _gopher_flags_sql(),
         "bpe_encode_tokens": _bpe_encode_sql(_BPE_MERGES),
@@ -8001,6 +8236,11 @@ def oracle_sql() -> dict[str, str]:
         "compound_tokens": _COMPOUND_SQL,
         "keyword_repeat_tokens": _KEYWORD_REPEAT_SQL,
         "fingerprint_tokens": _FINGERPRINT_SQL,
+        "type_filter_tokens": _TYPE_FILTER_SQL,
+        "limit_count_tokens": _LIMIT_COUNT_SQL,
+        "limit_position_tokens": _LIMIT_POSITION_SQL,
+        "hyphenated_tokens": _HYPHENATED_SQL,
+        "concat_graph_token": _CONCAT_GRAPH_SQL,
         "auto_stop_words": f"""
             WITH {_TOK}
             SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq
@@ -8132,6 +8372,22 @@ def oracle_sql() -> dict[str, str]:
             vocab AS (SELECT DISTINCT term FROM tok),
             m AS (SELECT term FROM vocab
                   WHERE {_soundex_sql_term} = {_soundex_sql_query})
+            SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+            WHERE term IN (SELECT term FROM m)
+            ORDER BY doc_id""",
+        "refined_soundex_match": f"""
+            WITH {_TOK},
+            vocab AS (SELECT DISTINCT term FROM tok),
+            m AS (SELECT term FROM vocab
+                  WHERE {_ref_soundex_sql_term} = {_ref_soundex_sql_query})
+            SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+            WHERE term IN (SELECT term FROM m)
+            ORDER BY doc_id""",
+        "caverphone_match": f"""
+            WITH {_TOK},
+            vocab AS (SELECT DISTINCT term FROM tok),
+            m AS (SELECT term FROM vocab
+                  WHERE {_caverphone_sql_term} = {_caverphone_sql_query})
             SELECT DISTINCT doc_id, 1.0 AS score FROM tok
             WHERE term IN (SELECT term FROM m)
             ORDER BY doc_id""",

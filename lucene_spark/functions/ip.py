@@ -14,9 +14,20 @@ v4 subspace.  Parsing is pure Catalyst (split + try-arith: malformed
 or out-of-range octets yield NULL, never an error — the analyzer's
 bad-input convention), so scans stay whole-stage codegen and the
 range/CIDR predicates push down to parquet min/max stats exactly
-like any numeric point.  Declared deviation: IPv6 literals are out
-of scope (the corpus synthesizes IPv4); the BIGINT key leaves
-headroom to widen to two longs if v6 ever lands.
+like any numeric point.
+
+The FULL 16-byte plane (both families) is the ``inet_*`` family
+below: addresses encode to a fixed-width 32-hex-char lowercase key —
+on fixed-width hex, LEXICOGRAPHIC comparison equals the reference's
+byte-order comparison (:170-191), so the string key is totally
+ordered exactly like the 16-byte form, predicates stay sargable
+(string min/max stats), and the whole parse (``::`` expansion,
+embedded dotted-quad tails, IPv4-mapped addresses) is one Catalyst
+expression tree — whole-stage codegen, no UDF.  Malformed addresses
+parse NULL and never match.  One leniency note: ``::`` is required
+to stand for at least one zero group (the RFC 4291 reading, matching
+Python's ``ipaddress``; Java's parser historically tolerates an
+eight-group ``::``).
 """
 
 from __future__ import annotations
@@ -106,3 +117,147 @@ def ip_set_query(
     """InetAddressPoint.newSetQuery (:274): encoded-key membership."""
     keys = [_parse_ip4(v) for v in values]
     return df.where(ip4_to_long(F.col(ip_col)).isin(keys))
+
+
+# ----- the full 16-byte plane (IPv4 + IPv6), 32-hex-char keys -----
+
+_HEX_GROUP = "[0-9a-f]{1,4}"
+_V4_MAPPED_PREFIX = "0" * 20 + "ffff"
+
+
+def _v4_hex(v4_long: Column) -> Column:
+    """Unsigned-32 BIGINT -> 8 lowercase hex chars (NULL-propagating)."""
+    return F.lower(F.lpad(F.conv(v4_long.cast("string"), 10, 16), 8, "0"))
+
+
+def _groups_hex(part: Column) -> Column:
+    """':'-separated 1-4-digit hex groups -> concatenated 4-padded
+    hex ('' for the empty part on either side of '::')."""
+    return F.when(part == "", F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.split(part, ":"), lambda g: F.lpad(g, 4, "0")
+            ),
+            "",
+        )
+    )
+
+
+def _group_count(part: Column) -> Column:
+    return F.when(part == "", F.lit(0)).otherwise(
+        F.size(F.split(part, ":"))
+    )
+
+
+def ip_to_key(col: Column) -> Column:
+    """Address string (either family) -> the 32-hex-char encoded key
+    (InetAddressPoint.encode's 16-byte IPv4-mapped-IPv6 form as
+    fixed-width lowercase hex); NULL for malformed input.  Accepts
+    dotted-quad IPv4, full and ``::``-compressed IPv6, and IPv6 with
+    an embedded dotted-quad tail (``::ffff:1.2.3.4``)."""
+    s = F.lower(col)
+
+    # plain IPv4 -> mapped key
+    v4 = ip4_to_long(s)
+    v4_key = F.concat(F.lit(_V4_MAPPED_PREFIX), _v4_hex(v4))
+
+    # embedded dotted-quad tail: rewrite ':a.b.c.d' -> ':xxxx:yyyy'
+    # (the tail counts as two groups, InetAddressPoint.java:170-191's
+    # IPv4-in-IPv6 textual forms)
+    has_tail = s.rlike(r"^[0-9a-f:]*:[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+    tail_v4 = ip4_to_long(F.regexp_extract(s, r":([0-9.]+)$", 1))
+    tail_hex = _v4_hex(tail_v4)
+    rewritten = F.concat(
+        F.regexp_replace(s, r":[0-9.]+$", ":"),
+        F.substring(tail_hex, 1, 4),
+        F.lit(":"),
+        F.substring(tail_hex, 5, 4),
+    )
+    s6 = F.when(has_tail, F.when(tail_v4.isNotNull(), rewritten)).otherwise(
+        s
+    )
+
+    # full form: exactly 8 groups, no '::'
+    full_ok = s6.rlike(f"^{_HEX_GROUP}(:{_HEX_GROUP}){{7}}$")
+    full_key = _groups_hex(s6)
+
+    # compressed form: exactly one '::', each side empty or a valid
+    # group list, and at least one group elided
+    dc = F.split(s6, "::", -1)
+    left, right = F.element_at(dc, 1), F.try_element_at(dc, F.lit(2))
+    side_re = f"^{_HEX_GROUP}(:{_HEX_GROUP})*$"
+    comp_ok = (
+        (F.size(dc) == 2)
+        & ((left == "") | left.rlike(side_re))
+        & ((right == "") | right.rlike(side_re))
+        & (_group_count(left) + _group_count(right) <= 7)
+    )
+    lhex, rhex = _groups_hex(left), _groups_hex(right)
+    comp_key = F.concat(
+        F.rpad(lhex, F.lit(32) - F.length(rhex), "0"), rhex
+    )
+
+    return F.when(v4.isNotNull(), v4_key).otherwise(
+        F.when(full_ok, full_key).otherwise(F.when(comp_ok, comp_key))
+    )
+
+
+def ip_key_literal(ip: str) -> str:
+    """Driver-side constant -> 32-hex key (stdlib ``ipaddress``;
+    IPv4 maps onto the v4-mapped-v6 block like the reference's
+    encode)."""
+    import ipaddress
+
+    a = ipaddress.ip_address(ip)
+    if a.version == 4:
+        return _V4_MAPPED_PREFIX + format(int(a), "08x")
+    return a.exploded.replace(":", "")
+
+
+def inet_range_query(
+    df: DataFrame, ip_col: str, lower: str, upper: str
+) -> DataFrame:
+    """newRangeQuery on the full plane: inclusive key range; the
+    fixed-width hex comparison IS the 16-byte comparison."""
+    lo, hi = ip_key_literal(lower), ip_key_literal(upper)
+    key = ip_to_key(F.col(ip_col))
+    return df.where((key >= lo) & (key <= hi))
+
+
+def inet_exact_query(df: DataFrame, ip_col: str, value: str) -> DataFrame:
+    """newExactQuery on the full plane — note cross-family equality:
+    '::ffff:1.2.3.4' matches rows holding '1.2.3.4' (both encode to
+    the same 16-byte form, InetAddressPoint.java:170-191)."""
+    return inet_range_query(df, ip_col, value, value)
+
+
+def inet_prefix_query(
+    df: DataFrame, ip_col: str, value: str, prefix_length: int
+) -> DataFrame:
+    """newPrefixQuery on the full plane: the CIDR block rewritten to
+    its [network, broadcast] key range.  ``prefix_length`` counts
+    bits of the VALUE's family (an IPv4 /n is the 16-byte /(96+n),
+    InetAddressPoint.java:218-239)."""
+    import ipaddress
+
+    a = ipaddress.ip_address(value)
+    if not 0 <= prefix_length <= a.max_prefixlen:
+        raise ValueError(
+            f"illegal prefixLength '{prefix_length}': must be "
+            f"0..{a.max_prefixlen}"
+        )
+    net = ipaddress.ip_network(f"{value}/{prefix_length}", strict=False)
+    return inet_range_query(
+        df,
+        ip_col,
+        str(net.network_address),
+        str(net.broadcast_address),
+    )
+
+
+def inet_set_query(
+    df: DataFrame, ip_col: str, values: list[str]
+) -> DataFrame:
+    """newSetQuery on the full plane: encoded-key membership."""
+    keys = [ip_key_literal(v) for v in values]
+    return df.where(ip_to_key(F.col(ip_col)).isin(keys))

@@ -1176,6 +1176,35 @@ def _build_chains() -> dict:
         "fingerprint": AnalyzerChain(
             "fingerprint", frozenset(), stream=_fp_stream()
         ),
+        # TypeTokenFilter (core/TypeTokenFilter.java) whitelist on
+        # <ALPHANUM>: numeric tokens drop with position gaps
+        "type_words": AnalyzerChain(
+            "type_words", frozenset(), stream=_tt_stream()
+        ),
+        # LimitTokenCountFilter (miscellaneous/LimitTokenCountFilter
+        # .java) maxTokenCount=4, consumeAllTokens=false
+        "limit_count": AnalyzerChain(
+            "limit_count", frozenset(), stream=_lc_stream()
+        ),
+        # LimitTokenPositionFilter (miscellaneous/
+        # LimitTokenPositionFilter.java) maxTokenPosition=3
+        "limit_position": AnalyzerChain(
+            "limit_position", frozenset(), stream=_lp_stream()
+        ),
+        # WhitespaceTokenizer -> HyphenatedWordsFilter
+        # (miscellaneous/HyphenatedWordsFilter.java): line-break
+        # hyphenation repair; trailing-hyphen tokens join the next
+        "hyphenated": AnalyzerChain(
+            "hyphenated",
+            frozenset(),
+            tokenizer=_ws_tokenizer(),
+            stream=_hw_stream(),
+        ),
+        # ConcatenateGraphFilter (miscellaneous/
+        # ConcatenateGraphFilter.java): one SEP_LABEL-joined token
+        "concat_graph": AnalyzerChain(
+            "concat_graph", frozenset(), stream=_ccg_stream()
+        ),
         # CommonGramsFilter chain (commongrams/CommonGramsFilter.java):
         # common-word bigrams stacked at the first word's position,
         # replacing stop filtering (common set = English stops)
@@ -1512,6 +1541,44 @@ def _fp_stream():
     from .miscfilters import fingerprint_stream_factory
 
     return fingerprint_stream_factory(ENGLISH_STOP_WORDS)
+
+
+def _tt_stream():
+    from .miscfilters import type_token_stream_factory
+    from .uax29 import ACTION_WORD
+
+    return type_token_stream_factory(frozenset({ACTION_WORD}))
+
+
+def _lc_stream():
+    from .miscfilters import limit_count_stream_factory
+
+    return limit_count_stream_factory(4)
+
+
+def _lp_stream():
+    from .miscfilters import limit_position_stream_factory
+
+    return limit_position_stream_factory(3)
+
+
+def _hw_stream():
+    from .miscfilters import hyphenated_words_stream_factory
+
+    return hyphenated_words_stream_factory()
+
+
+def _ws_tokenizer():
+    # WhitespaceTokenizer (core/WhitespaceTokenizer.java): split on
+    # Character.isWhitespace runs — the tokenizer the reference pairs
+    # HyphenatedWordsFilter with (it must SEE trailing hyphens)
+    return lambda text: text.split()
+
+
+def _ccg_stream():
+    from .miscfilters import concatenate_graph_stream_factory
+
+    return concatenate_graph_stream_factory()
 
 
 def _cg_stream():

@@ -212,6 +212,114 @@ def codepoint_count_keep(token: str, min_cp: int, max_cp: int) -> bool:
     return min_cp <= len(token) <= max_cp
 
 
+def type_token_stream_factory(
+    keep_types: frozenset, use_white_list: bool = True
+):
+    """TypeTokenFilter (``core/TypeTokenFilter.java``): keep (white
+    list) or drop tokens whose tokenizer TYPE is in the set — a
+    FilteringTokenFilter, so dropped tokens leave position gaps.
+    Types are the UAX#29 DFA actions (uax29.ACTION_*); on the ASCII
+    fast path (``types=None``) each token re-runs the DFA standalone,
+    which agrees with the in-context type because the fast path only
+    fires on whitespace-separated safe text."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        if types is None and tokens:
+            from .uax29 import tokenize_dfa_batch_typed
+
+            _t, _i, acts, _o = tokenize_dfa_batch_typed(tokens)
+            types = [a[0] for a in acts]
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, (tok, ty) in enumerate(zip(tokens, types or [])):
+            if (ty in keep_types) != use_white_list:
+                continue
+            terms.append(_java_lower(tok))
+            positions.append(pos)
+        return terms, positions
+
+    return stream
+
+
+def limit_count_stream_factory(max_token_count: int):
+    """LimitTokenCountFilter (``miscellaneous/LimitTokenCountFilter
+    .java``): emit only the first maxTokenCount tokens (the default
+    consumeAllTokens=false truncation)."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        kept = tokens[:max_token_count]
+        return [_java_lower(t) for t in kept], list(range(len(kept)))
+
+    return stream
+
+
+def limit_position_stream_factory(max_token_position: int):
+    """LimitTokenPositionFilter (``miscellaneous/
+    LimitTokenPositionFilter.java``): emit tokens while the 1-based
+    accumulated position <= maxTokenPosition."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(tokens):
+            if pos + 1 > max_token_position:
+                break
+            terms.append(_java_lower(tok))
+            positions.append(pos)
+        return terms, positions
+
+    return stream
+
+
+def hyphenated_words_stream_factory():
+    """HyphenatedWordsFilter (``miscellaneous/HyphenatedWordsFilter
+    .java``): a token ending in '-' buffers (hyphen stripped) and
+    joins the following token(s); the joined word takes the FIRST
+    part's captured state, and output positions stay consecutive
+    (each emit restores posInc=1, :71-106).  A dangling final
+    hyphen is added back (:99-103).  Meant for tokenizers that keep
+    trailing hyphens (whitespace), like the reference."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        out: list[str] = []
+        buf: list[str] = []
+        for tok in tokens:
+            if tok.endswith("-") and len(tok) > 0:
+                buf.append(tok[:-1])
+            elif buf:
+                buf.append(tok)
+                out.append("".join(buf))
+                buf = []
+            else:
+                out.append(tok)
+        if buf:
+            out.append("".join(buf) + "-")
+        return [_java_lower(t) for t in out], list(range(len(out)))
+
+    return stream
+
+
+CONCAT_SEP_LABEL = "\u001f"
+
+
+def concatenate_graph_stream_factory(
+    preserve_sep: bool = True, sep: str = CONCAT_SEP_LABEL
+):
+    """ConcatenateGraphFilter (``miscellaneous/
+    ConcatenateGraphFilter.java``): the whole stream concatenates to
+    ONE token at position 0, tokens joined by SEP_LABEL (U+001F) when
+    preserveSep — the suggester's FST-input surface form.  Empty
+    streams emit nothing (a graph with no paths)."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        if not tokens:
+            return [], []
+        low = [_java_lower(t) for t in tokens]
+        return [(sep if preserve_sep else "").join(low)], [0]
+
+    return stream
+
+
 def synonym_stream_factory(
     mapping: dict,
     stop_words: frozenset = frozenset(),

@@ -1,7 +1,11 @@
-"""Phonetic matching — the ``analysis/phonetic`` module's Soundex leg
+"""Phonetic matching — the ``analysis/phonetic`` module's encoders
 (``lucene/analysis/phonetic/.../PhoneticFilter.java`` wraps the
-commons-codec encoders; Soundex is the American Soundex archive
-standard those encoders implement).
+commons-codec encoders; ``PhoneticFilterFactory.java:62-80`` registers
+them by name — this file covers the Soundex, RefinedSoundex and
+Caverphone (2.0) registry entries as rewrite pipelines; the
+dictionary/rule-table encoders (DoubleMetaphone, BeiderMorse,
+DaitchMokotoff, Cologne, Nysiis) are declared deviations — their
+context-sensitive scans don't reduce to RE2-safe rewrites).
 
 The encoder is deliberately formulated as a string-rewrite PIPELINE —
 class-map, collapse adjacent duplicates, drop the leading code,
@@ -80,6 +84,159 @@ def soundex_col(c: Column) -> Column:
     )
 
 
+def _pipeline_py(text: str, steps: list[tuple[str, str]]) -> str:
+    for pat, rep in steps:
+        text = re.sub(pat, rep, text)
+    return text
+
+
+def _pipeline_col(c: Column, steps: list[tuple[str, str]]) -> Column:
+    for pat, rep in steps:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def _pipeline_sql(expr: str, steps: list[tuple[str, str]]) -> str:
+    for pat, rep in steps:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return expr
+
+
+# RefinedSoundex (commons-codec RefinedSoundex.java US_ENGLISH string
+# "01360240043788015936020505"): first letter kept verbatim, then EVERY
+# letter contributes its class digit (vowels AND h/w code 0, nothing is
+# dropped or truncated), adjacent equal digits collapse.
+_REFINED_CLASSES = [
+    ("[AEHIOUWY]", "0"),
+    ("[BP]", "1"),
+    ("[FV]", "2"),
+    ("[CKS]", "3"),
+    ("[GJ]", "4"),
+    ("[QXZ]", "5"),
+    ("[DT]", "6"),
+    ("L", "7"),
+    ("[MN]", "8"),
+    ("R", "9"),
+]
+_REFINED_COLLAPSE = [(f"{d}{d}+", str(d)) for d in range(10)]
+
+
+def refined_soundex(term: str) -> str | None:
+    """RefinedSoundex code (letter + one digit per collapsed class
+    run), or None when no letter survives the clean."""
+    u = re.sub("[^A-Z]", "", term.upper())
+    if not u:
+        return None
+    return u[0] + _pipeline_py(u, _REFINED_CLASSES + _REFINED_COLLAPSE)
+
+
+def refined_soundex_col(c: Column) -> Column:
+    enc = F.regexp_replace(F.upper(c), "[^A-Z]", "")
+    code = F.concat(
+        F.substring(enc, 1, 1),
+        _pipeline_col(enc, _REFINED_CLASSES + _REFINED_COLLAPSE),
+    )
+    return F.when(F.length(enc) == 0, F.lit(None)).otherwise(code)
+
+
+def refined_soundex_sql(expr: str) -> str:
+    enc = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    code = (
+        f"substr({enc}, 1, 1) || "
+        f"{_pipeline_sql(enc, _REFINED_CLASSES + _REFINED_COLLAPSE)}"
+    )
+    return f"CASE WHEN length({enc}) = 0 THEN NULL ELSE {code} END"
+
+
+# Caverphone 2.0 (commons-codec Caverphone2.java, the published
+# "Caverphone Revisited" rewrite sequence verbatim).  The spec IS a
+# regex-replace pipeline; capitals introduced mid-stream (S/T/P/K/F/
+# M/N/W/R/L/A/Y) are final output and invisible to the later
+# lowercase-pattern steps.  No backreferences anywhere: RE2-safe.
+_CAVERPHONE2 = [
+    ("[^a-z]", ""),
+    ("e$", ""),
+    ("^cough", "cou2f"),
+    ("^rough", "rou2f"),
+    ("^tough", "tou2f"),
+    ("^enough", "enou2f"),
+    ("^trough", "trou2f"),
+    ("^gn", "2n"),
+    ("mb$", "m2"),
+    ("cq", "2q"),
+    ("ci", "si"),
+    ("ce", "se"),
+    ("cy", "sy"),
+    ("tch", "2ch"),
+    ("c", "k"),
+    ("q", "k"),
+    ("x", "k"),
+    ("v", "f"),
+    ("dg", "2g"),
+    ("tio", "sio"),
+    ("tia", "sia"),
+    ("d", "t"),
+    ("ph", "fh"),
+    ("b", "p"),
+    ("sh", "s2"),
+    ("z", "s"),
+    ("^[aeiou]", "A"),
+    ("[aeiou]", "3"),
+    ("j", "y"),
+    ("^y3", "Y3"),
+    ("^y", "A"),
+    ("y", "3"),
+    ("3gh3", "3kh3"),
+    ("gh", "22"),
+    ("g", "k"),
+    ("s+", "S"),
+    ("t+", "T"),
+    ("p+", "P"),
+    ("k+", "K"),
+    ("f+", "F"),
+    ("m+", "M"),
+    ("n+", "N"),
+    ("w3", "W3"),
+    ("wh3", "Wh3"),
+    ("w$", "3"),
+    ("w", "2"),
+    ("^h", "A"),
+    ("h", "2"),
+    ("r3", "R3"),
+    ("r$", "3"),
+    ("r", "2"),
+    ("l3", "L3"),
+    ("l$", "3"),
+    ("l", "2"),
+    ("2", ""),
+    ("3$", "A"),
+    ("3", ""),
+]
+_CAVERPHONE_PAD = "1111111111"
+
+
+def caverphone2(term: str) -> str:
+    """Caverphone 2.0 code — always exactly 10 characters (the encoder
+    pads with '1'; commons-codec returns the pad even for empty
+    input, kept here for exact parity)."""
+    out = _pipeline_py(term.lower(), _CAVERPHONE2)
+    return (out + _CAVERPHONE_PAD)[:10]
+
+
+def caverphone2_col(c: Column) -> Column:
+    out = _pipeline_col(F.lower(c), _CAVERPHONE2)
+    return F.substring(F.concat(out, F.lit(_CAVERPHONE_PAD)), 1, 10)
+
+
+def caverphone2_sql(expr: str) -> str:
+    out = _pipeline_sql(f"lower({expr})", _CAVERPHONE2)
+    return f"substr({out} || '{_CAVERPHONE_PAD}', 1, 10)"
+
+
+# PhoneticFilterFactory's name registry (the RE2-expressible subset)
+ENCODERS: dict = {}
+
+
 def soundex_sql(expr: str) -> str:
     """The identical pipeline as a DuckDB SQL expression (RE2 regex —
     hence the per-digit collapse), step-for-step the Python and Spark
@@ -98,3 +255,16 @@ def soundex_sql(expr: str) -> str:
         f"CASE WHEN length({enc}) = 0 THEN NULL ELSE "
         f"{first} || substr({digits} || '000', 1, 3) END"
     )
+
+
+ENCODERS.update(
+    {
+        "soundex": (soundex, soundex_col, soundex_sql),
+        "refined_soundex": (
+            refined_soundex,
+            refined_soundex_col,
+            refined_soundex_sql,
+        ),
+        "caverphone2": (caverphone2, caverphone2_col, caverphone2_sql),
+    }
+)

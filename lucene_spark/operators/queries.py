@@ -558,29 +558,36 @@ class QueryOpsMixin:
     def fuzzy_query(self, term: str, k: int = 10, **kw) -> DataFrame:
         return self._finish_topk(self.scored_fuzzy(term, **kw), k)
 
-    def expand_phonetic(self, term: str) -> list[str]:
-        """Soundex expansion against the term dictionary — the
+    def expand_phonetic(
+        self, term: str, encoder: str = "soundex"
+    ) -> list[str]:
+        """Phonetic expansion against the term dictionary — the
         query-side counterpart of the ``analysis/phonetic`` module's
         PhoneticFilter (which injects codes at INDEX time; expanding
         at query time against the dictionary gives the same match set
         without a second indexed field, the same trade this engine's
-        fuzzy/wildcard rewrites make).  The code comparison runs as a
-        JVM regexp chain over the (tiny) terms table — no UDF."""
-        from ..functions.phonetic import soundex, soundex_col
+        fuzzy/wildcard rewrites make).  ``encoder`` selects from the
+        PhoneticFilterFactory-style name registry (soundex /
+        refined_soundex / caverphone2).  The code comparison runs as
+        a JVM regexp chain over the (tiny) terms table — no UDF."""
+        from ..functions.phonetic import ENCODERS
 
-        code = soundex(term)
+        enc_py, enc_col, _ = ENCODERS[encoder]
+        code = enc_py(term)
         if code is None:
             return []
         rows = (
-            self._terms_df.where(soundex_col(F.col("term")) == code)
+            self._terms_df.where(enc_col(F.col("term")) == code)
             .select("term")
             .limit(MAX_EXPANSIONS)
             .collect()
         )
         return sorted(r["term"] for r in rows)
 
-    def scored_phonetic(self, term: str, boost: float = 1.0) -> DataFrame:
-        terms = self.expand_phonetic(term)
+    def scored_phonetic(
+        self, term: str, boost: float = 1.0, encoder: str = "soundex"
+    ) -> DataFrame:
+        terms = self.expand_phonetic(term, encoder=encoder)
         if not terms:
             return self._empty_scored().select("segment_id", "docid", "score")
         return self.scored_term_in_set(terms, boost)

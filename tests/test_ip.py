@@ -6,6 +6,7 @@ Reference: core/document/InetAddressPoint.java:170-191 (fixed encode),
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from lucene_spark.functions.ip import (
     _parse_ip4,
@@ -102,3 +103,131 @@ class TestQueries:
         df = ip_range_query(_df(spark), "ip", "10.0.0.0", "10.255.255.255")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan  # pure Catalyst parse
+
+
+class TestInetFullPlane:
+    """The 16-byte (both-families) key: InetAddressPoint.java:170-239
+    semantics over the 32-hex-char lexicographic key."""
+
+    VALID = [
+        "1.2.3.4", "0.0.0.0", "255.255.255.255",
+        "::", "::1", "1::", "2001:db8::1",
+        "2001:0db8:0000:0000:0000:ff00:0042:8329",
+        "fe80::204:61ff:fe9d:f156",
+        "::ffff:192.168.0.1", "64:ff9b::1.2.3.4",
+        "1:2:3:4:5:6:7:8", "1::2:3:4:5:6:7", "A:B:C:D::", "FE80::1",
+        "1:2:3:4:5:6:1.2.3.4",
+    ]
+    MALFORMED = [
+        "1.2.3.400", "1.2.3", "1.2.3.4.5", "2001:db8:::1", "1::2::3",
+        "12345::", "g::1", ":::", "1:2:3:4:5:6:7:8:9", "1:2:3:4:5:6:7",
+        "::1.2.3.400", "1:2:3:4:5:6:7:1.2.3.4", "::ffff:1.2.3", "",
+        "1:2:3:4:5:6:7:8::", "::1:2:3:4:5:6:7:8",
+    ]
+
+    def test_key_parity_with_stdlib(self, spark):
+        """ip_to_key must agree with ipaddress-exploded on every
+        valid form and yield NULL on every malformed one."""
+        import ipaddress
+
+        from lucene_spark.functions.ip import ip_key_literal, ip_to_key
+
+        cases = self.VALID + self.MALFORMED
+        df = spark.createDataFrame([(c,) for c in cases], "ip string")
+        got = {
+            r["ip"]: r["k"]
+            for r in df.select(
+                "ip", ip_to_key(F.col("ip")).alias("k")
+            ).collect()
+        }
+        for c in self.VALID:
+            ipaddress.ip_address(c)  # precondition: stdlib-valid
+            assert got[c] == ip_key_literal(c), c
+        for c in self.MALFORMED:
+            with pytest.raises(ValueError):
+                ipaddress.ip_address(c)  # precondition: stdlib-invalid
+            assert got[c] is None, c
+
+    def test_key_order_is_byte_order(self):
+        """Lexicographic order of the fixed-width hex keys == numeric
+        order of the 128-bit values (the reference's byte compare)."""
+        import ipaddress
+
+        from lucene_spark.functions.ip import ip_key_literal
+
+        # order by the ENCODED (v4-mapped) integer, like the reference
+        def enc_int(s):
+            a = ipaddress.ip_address(s)
+            if a.version == 4:
+                return int(ipaddress.IPv6Address("::ffff:0.0.0.0")) + int(a)
+            return int(a)
+
+        by_int = sorted(self.VALID, key=enc_int)
+        by_key = sorted(self.VALID, key=ip_key_literal)
+        assert by_int == by_key
+
+    def test_cross_family_exact(self, spark):
+        """'::ffff:1.2.3.4' and '1.2.3.4' encode identically."""
+        from lucene_spark.functions.ip import inet_exact_query
+
+        df = spark.createDataFrame(
+            [(1, "1.2.3.4"), (2, "::ffff:1.2.3.4"), (3, "1.2.3.5")],
+            "id long, ip string",
+        )
+        got = {
+            r["id"]
+            for r in inet_exact_query(df, "ip", "::ffff:1.2.3.4").collect()
+        }
+        assert got == {1, 2}
+
+    def test_v6_prefix_and_range(self, spark):
+        from lucene_spark.functions.ip import (
+            inet_prefix_query,
+            inet_range_query,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "2001:db8::1"),
+                (2, "2001:db8:0fff::ffff"),
+                (3, "2001:db8:1000::"),
+                (4, "bogus"),
+                (5, "2001:db7:ffff:ffff::"),
+            ],
+            "id long, ip string",
+        )
+        got = {
+            r["id"]
+            for r in inet_prefix_query(df, "ip", "2001:db8::", 36).collect()
+        }
+        assert got == {1, 2}
+        got = {
+            r["id"]
+            for r in inet_range_query(
+                df, "ip", "2001:db7::", "2001:db8:0fff::ffff"
+            ).collect()
+        }
+        assert got == {1, 2, 5}
+        with pytest.raises(ValueError, match="prefixLength"):
+            inet_prefix_query(df, "ip", "2001:db8::", 129)
+
+    def test_v6_set(self, spark):
+        from lucene_spark.functions.ip import inet_set_query
+
+        df = spark.createDataFrame(
+            [(1, "::1"), (2, "0:0:0:0:0:0:0:1"), (3, "::2"), (4, "1.2.3.4")],
+            "id long, ip string",
+        )
+        got = {
+            r["id"]
+            for r in inet_set_query(df, "ip", ["::1", "1.2.3.4"]).collect()
+        }
+        assert got == {1, 2, 4}
+
+    def test_pure_catalyst(self, spark):
+        from lucene_spark.functions.ip import inet_prefix_query
+
+        df = spark.createDataFrame([(1, "::1")], "id long, ip string")
+        out = inet_prefix_query(df, "ip", "2001:db8::", 36)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan

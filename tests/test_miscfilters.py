@@ -94,3 +94,89 @@ class TestSmallFilters:
         terms, pos = chain_analyze("the fast car", chain)
         assert terms == ["fast", "quick", "rapid", "car"]
         assert pos == [1, 1, 1, 2]
+
+
+class TestTypeTokenFilter:
+    def test_whitelist_drops_nums_with_gaps(self):
+        terms, pos = chain_analyze("w3 17 v5 42", get_chain("type_words"))
+        assert terms == ["w3", "v5"]
+        assert pos == [0, 2]  # FilteringTokenFilter position gaps
+
+    def test_dfa_path_agrees_with_ascii_fast_path(self):
+        # é forces the DFA path; types come from the tokenizer there
+        terms, pos = chain_analyze(
+            "w3 17 vé5 42", get_chain("type_words")
+        )
+        assert terms == ["w3", "vé5"]
+        assert pos == [0, 2]
+
+    def test_blacklist_mode(self):
+        from lucene_spark.functions.miscfilters import (
+            type_token_stream_factory,
+        )
+        from lucene_spark.functions.uax29 import ACTION_NUM
+
+        st = type_token_stream_factory(
+            frozenset({ACTION_NUM}), use_white_list=False
+        )
+        terms, pos = st(["w3", "17", "v5"], None, frozenset())
+        assert terms == ["w3", "v5"] and pos == [0, 2]
+
+
+class TestLimitFilters:
+    def test_limit_count_truncates(self):
+        terms, pos = chain_analyze(
+            "A b C d E f", get_chain("limit_count")
+        )
+        assert terms == ["a", "b", "c", "d"] and pos == [0, 1, 2, 3]
+
+    def test_limit_count_short_stream(self):
+        terms, pos = chain_analyze("A b", get_chain("limit_count"))
+        assert terms == ["a", "b"] and pos == [0, 1]
+
+    def test_limit_position(self):
+        terms, pos = chain_analyze(
+            "A b C d E", get_chain("limit_position")
+        )
+        assert terms == ["a", "b", "c"] and pos == [0, 1, 2]
+
+
+class TestHyphenatedWords:
+    def test_join_and_dangling(self):
+        terms, pos = chain_analyze(
+            "net- work cost- free done end-", get_chain("hyphenated")
+        )
+        # joined words take consecutive output positions (each emit
+        # restores posInc=1); the dangling hyphen is added back
+        assert terms == ["network", "costfree", "done", "end-"]
+        assert pos == [0, 1, 2, 3]
+
+    def test_multi_hyphen_accumulates(self):
+        terms, _ = chain_analyze("na- ve- ly done", get_chain("hyphenated"))
+        assert terms == ["navely", "done"]
+
+    def test_whitespace_tokenizer_keeps_hyphen(self):
+        # the chain must NOT use the UAX#29 tokenizer (it strips '-')
+        terms, _ = chain_analyze("only- one", get_chain("hyphenated"))
+        assert terms == ["onlyone"]
+
+
+class TestConcatenateGraph:
+    def test_single_joined_token(self):
+        from lucene_spark.functions.miscfilters import CONCAT_SEP_LABEL
+
+        terms, pos = chain_analyze("A b C", get_chain("concat_graph"))
+        assert terms == [f"a{CONCAT_SEP_LABEL}b{CONCAT_SEP_LABEL}c"]
+        assert pos == [0]
+
+    def test_empty_stream(self):
+        assert chain_analyze("", get_chain("concat_graph")) == ([], [])
+
+    def test_no_preserve_sep(self):
+        from lucene_spark.functions.miscfilters import (
+            concatenate_graph_stream_factory,
+        )
+
+        st = concatenate_graph_stream_factory(preserve_sep=False)
+        terms, pos = st(["a", "b"], None, frozenset())
+        assert terms == ["ab"] and pos == [0]

@@ -112,3 +112,133 @@ class TestSoundexFuzz:
             assert got[w] == py, w
             lit = "'" + w.replace("'", "''") + "'"
             assert con.execute(f"SELECT {soundex_sql(lit)}").fetchone()[0] == py, w
+
+
+from lucene_spark.functions.phonetic import (  # noqa: E402
+    caverphone2,
+    caverphone2_col,
+    caverphone2_sql,
+    refined_soundex,
+    refined_soundex_col,
+    refined_soundex_sql,
+)
+
+# commons-codec RefinedSoundexTest vectors
+REFINED_VECTORS = [
+    ("testing", "T6036084"),
+    ("TESTING", "T6036084"),
+    ("The", "T60"),
+    ("quick", "Q503"),
+    ("brown", "B1908"),
+    ("fox", "F205"),
+    ("jumped", "J408106"),
+    ("over", "O0209"),
+    ("lazy", "L7050"),
+    ("dogs", "D6043"),
+    ("d", "D6"),
+    ("b", "B1"),
+]
+
+# commons-codec Caverphone2Test vectors ("Caverphone Revisited" spec)
+CAVERPHONE_VECTORS = [
+    ("Peter", "PTA1111111"),
+    ("ready", "RTA1111111"),
+    ("social", "SSA1111111"),
+    ("able", "APA1111111"),
+    ("Tedder", "TTA1111111"),
+    ("Karleen", "KLN1111111"),
+    ("Dyun", "TN11111111"),
+    ("Stevenson", "STFNSN1111"),
+    ("Thompson", "TMPSN11111"),
+    ("mb", "M111111111"),
+    ("mbmb", "MPM1111111"),
+    ("Cailean", "KLN1111111"),
+    ("Kellen", "KLN1111111"),
+]
+
+
+class TestRefinedSoundex:
+    def test_canonical_vectors(self):
+        for word, code in REFINED_VECTORS:
+            assert refined_soundex(word) == code, word
+
+    def test_empty_contract(self):
+        assert refined_soundex("") is None
+        assert refined_soundex("123") is None
+        # every letter codes (H/W are class 0, not dropped)
+        assert refined_soundex("hw") == "H0"
+
+    def test_three_way_parity(self, spark):
+        import duckdb
+
+        words = [w for w, _ in REFINED_VECTORS] + ["", "123", "o'brien", "hw"]
+        con = duckdb.connect()
+        df = spark.createDataFrame([(w,) for w in set(words)], "w string")
+        got = {
+            r["w"]: r["code"]
+            for r in df.select(
+                "w", refined_soundex_col(F.col("w")).alias("code")
+            ).collect()
+        }
+        for w in set(words):
+            py = refined_soundex(w)
+            assert got[w] == py, w
+            lit = "'" + w.replace("'", "''") + "'"
+            assert (
+                con.execute(
+                    f"SELECT {refined_soundex_sql(lit)}"
+                ).fetchone()[0]
+                == py
+            ), w
+
+
+class TestCaverphone2:
+    def test_canonical_vectors(self):
+        for word, code in CAVERPHONE_VECTORS:
+            assert caverphone2(word) == code, word
+
+    def test_always_ten_chars(self):
+        # commons-codec pads even the empty clean (exact parity)
+        assert caverphone2("") == "1111111111"
+        assert caverphone2("123") == "1111111111"
+        for w, _ in CAVERPHONE_VECTORS:
+            assert len(caverphone2(w)) == 10
+
+    def test_three_way_parity(self, spark):
+        import duckdb
+        import random
+
+        rng = random.Random(321)
+        alphabet = "abcdefghijklmnopqrstuvwxyz'-019 é"
+        words = [w for w, _ in CAVERPHONE_VECTORS] + [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+            for _ in range(200)
+        ]
+        con = duckdb.connect()
+        df = spark.createDataFrame([(w,) for w in set(words)], "w string")
+        got = {
+            r["w"]: r["code"]
+            for r in df.select(
+                "w", caverphone2_col(F.col("w")).alias("code")
+            ).collect()
+        }
+        for w in set(words):
+            py = caverphone2(w)
+            assert got[w] == py, w
+            lit = "'" + w.replace("'", "''") + "'"
+            assert (
+                con.execute(f"SELECT {caverphone2_sql(lit)}").fetchone()[0]
+                == py
+            ), w
+
+
+class TestEncoderRegistry:
+    def test_expansion_per_encoder(self, searcher):
+        for enc, fn in [
+            ("refined_soundex", refined_soundex),
+            ("caverphone2", caverphone2),
+        ]:
+            terms = searcher.expand_phonetic("windoe", encoder=enc)
+            assert "window" in terms, enc
+            for t in terms:
+                assert fn(t) == fn("windoe"), (enc, t)
