@@ -4151,6 +4151,50 @@ v AS (SELECT c_custkey,
 SELECT c_custkey FROM v WHERE {' AND '.join(conds)}"""
 
 
+_GEO3D_WGS84_TRI = [(35.25, -15.5), (5.25, 10.5), (42.25, 30.5)]
+
+
+def _q_geo3d_wgs84_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo3DPoint's DEFAULT planet model is WGS84 (spatial3d/
+    Geo3DPoint.java:65): convex polygon membership with vertices and
+    point vectors scaled onto the normalized ellipsoid exactly as
+    GeoPoint.java:64-77 does (operators/geo3d.py PlanetModel); the
+    oracle mirrors the ellipsoid magnitude scaling and the
+    WGS84-vertex edge normals at full precision."""
+    from lucene_spark.operators.geo3d import WGS84, convex_polygon_query
+
+    pts = _geo_customers(spark, sf_dir)
+    return convex_polygon_query(
+        pts, "lat", "lon", _GEO3D_WGS84_TRI, planet_model=WGS84
+    ).select("c_custkey")
+
+
+def _geo3d_wgs84_polygon_sql() -> str:
+    from lucene_spark.operators.geo3d import WGS84, _cross, _norm, _unit
+
+    vs = [_unit(la, lo, WGS84) for la, lo in _GEO3D_WGS84_TRI]
+    conds = []
+    for i in range(len(vs)):
+        n = _norm(_cross(vs[i], vs[(i + 1) % len(vs)]))
+        conds.append(
+            f"(px*{n[0]!r} + py*{n[1]!r} + pz*{n[2]!r}) >= -1e-12"
+        )
+    ixy2 = 1.0 / (WGS84.xy_scaling * WGS84.xy_scaling)
+    iz2 = 1.0 / (WGS84.z_scaling * WGS84.z_scaling)
+    return f"""WITH {_GEO_PTS},
+u AS (SELECT c_custkey,
+        cos(radians(lat))*cos(radians(lon)) AS ux,
+        cos(radians(lat))*sin(radians(lon)) AS uy,
+        sin(radians(lat)) AS uz
+      FROM pts),
+v AS (SELECT c_custkey,
+        ux * (1.0/sqrt((ux*ux + uy*uy)*{ixy2!r} + uz*uz*{iz2!r})) AS px,
+        uy * (1.0/sqrt((ux*ux + uy*uy)*{ixy2!r} + uz*uz*{iz2!r})) AS py,
+        uz * (1.0/sqrt((ux*ux + uy*uy)*{ixy2!r} + uz*uz*{iz2!r})) AS pz
+      FROM u)
+SELECT c_custkey FROM v WHERE {' AND '.join(conds)}"""
+
+
 def _q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HeatmapFacetCounter analog (spatial-extras/.../prefix/
     HeatmapFacetCounter.java:78): grid-cell match counts over a query
@@ -7406,6 +7450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_nearest_top10": _q_geo_nearest,
         "geo3d_path_match": _q_geo3d_path,
         "geo3d_polygon_match": _q_geo3d_polygon,
+        "geo3d_wgs84_polygon": _q_geo3d_wgs84_polygon,
         "heatmap_facets": _q_heatmap,
         "geohash_cells": _q_geohash_cells,
         "geo_radius_pairs": _q_geo_radius_pairs,
@@ -8223,6 +8268,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_nearest_top10": _geo_nearest_sql(),
         "geo3d_path_match": _geo3d_path_sql(),
         "geo3d_polygon_match": _geo3d_polygon_sql(),
+        "geo3d_wgs84_polygon": _geo3d_wgs84_polygon_sql(),
         "heatmap_facets": _HEATMAP_SQL,
         "geohash_cells": _geohash_cells_sql(),
         "geo_radius_pairs": _GEO_PAIRS_SQL,

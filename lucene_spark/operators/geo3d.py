@@ -26,9 +26,18 @@ whole-stage-codegen filter with no UDFs and no shuffles:
 - outside the cutoff planes the distance falls through to the
   endpoint caps: ``acos(P·A)`` / ``acos(P·B)``;
 - the path distance is the MIN over segments, and the match test is
-  ``distance <= width`` on the mean-Earth sphere (the reference's
-  PlanetModel.SPHERE; WGS84 flattening is a declared deviation —
-  0.3 % worst-case, irrelevant to rank order on synthetic tests).
+  ``distance <= width`` on the mean-Earth sphere — exactly the
+  reference's DEFAULT shapes (``GeoCircleFactory.makeGeoCircle:46``
+  returns the sphere-math GeoStandardCircle on every planet model;
+  the ellipsoid-exact circle is the separate opt-in
+  ``makeExactGeoCircle``, a declared deviation here).
+
+PlanetModel support (``geom/PlanetModel.java``): ``WGS84`` scales
+points onto the normalized ellipsoid exactly as ``GeoPoint.java:
+64-77`` does; ``convex_polygon_query`` accepts a planet model
+(Geo3DPoint defaults to WGS84, :65), and ``surface_distance_meters``
+is the reference's iterative Vincenty geodesic (PlanetModel.java:
+469-550).
 
 At 100 TB this is the same shape as every other geo predicate here:
 a constant-vs-column comparison that Catalyst keeps inside codegen,
@@ -38,6 +47,7 @@ preceded by a pushdown-able lat/lon bounding-box prune.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -49,14 +59,158 @@ from lucene_spark.operators.geo import EARTH_MEAN_RADIUS_METERS
 MINIMUM_RESOLUTION = 1e-12
 
 
-def _unit(lat: float, lon: float) -> tuple[float, float, float]:
-    """Unit sphere vector of a lat/lon in degrees (GeoPoint.java:101)."""
+@dataclass(frozen=True)
+class PlanetModel:
+    """geom/PlanetModel.java:139-149 — an ellipsoid of revolution
+    normalized to mean radius 1: points scale to ``x²/xy² + y²/xy² +
+    z²/z² = 1`` with ``xy = a/R``, ``z = b/R``, ``R = (2a+b)/3``.
+    SPHERE is (1, 1); WGS84 uses the :35 semi-axes."""
+
+    xy_scaling: float = 1.0
+    z_scaling: float = 1.0
+
+    @staticmethod
+    def from_axes(semi_major: float, semi_minor: float) -> "PlanetModel":
+        mean_radius = (2.0 * semi_major + semi_minor) / 3.0
+        return PlanetModel(
+            semi_major / mean_radius, semi_minor / mean_radius
+        )
+
+    def magnitude(self, ux: float, uy: float, uz: float) -> float:
+        """Vector.java:549-556 computeDesiredEllipsoidMagnitude: the
+        scale projecting a unit direction onto the ellipsoid."""
+        ixy2 = 1.0 / (self.xy_scaling * self.xy_scaling)
+        iz2 = 1.0 / (self.z_scaling * self.z_scaling)
+        return 1.0 / math.sqrt((ux * ux + uy * uy) * ixy2 + uz * uz * iz2)
+
+    @property
+    def scaled_flattening(self) -> float:
+        """PlanetModel.java:148 — (xy − z)/xy, the ellipsoid's
+        flattening in mean-radius-normalized units."""
+        return (self.xy_scaling - self.z_scaling) / self.xy_scaling
+
+    @property
+    def square_ratio(self) -> float:
+        """PlanetModel.java:149 — (xy² − z²)/z², Vincenty's u²
+        numerator ratio."""
+        return (
+            self.xy_scaling * self.xy_scaling
+            - self.z_scaling * self.z_scaling
+        ) / (self.z_scaling * self.z_scaling)
+
+    @property
+    def z_inverse_scale(self) -> float:
+        """zScaling · inverseScale (PlanetModel.java:145,159) — the
+        factor converting Vincenty's ellipsoidal arc to the model's
+        mean-radius-normalized angle (:550)."""
+        scale = (2.0 * self.xy_scaling + self.z_scaling) / 3.0
+        return self.z_scaling / scale
+
+
+SPHERE = PlanetModel()
+WGS84 = PlanetModel.from_axes(6378137.0, 6356752.314245)
+
+
+def _unit(
+    lat: float, lon: float, planet_model: PlanetModel = SPHERE
+) -> tuple[float, float, float]:
+    """Planet-surface vector of a lat/lon in degrees (GeoPoint.java:
+    64-77: the unit direction scaled onto the ellipsoid; on SPHERE
+    the magnitude is 1)."""
     rlat, rlon = math.radians(lat), math.radians(lon)
-    return (
+    u = (
         math.cos(rlat) * math.cos(rlon),
         math.cos(rlat) * math.sin(rlon),
         math.sin(rlat),
     )
+    if planet_model == SPHERE:
+        return u
+    m = planet_model.magnitude(*u)
+    return (u[0] * m, u[1] * m, u[2] * m)
+
+
+def surface_distance_meters(
+    lat1: float,
+    lon1: float,
+    lat2: float,
+    lon2: float,
+    planet_model: PlanetModel = WGS84,
+) -> float:
+    """Driver-side geodesic surface distance in meters between two
+    lat/lon pairs (degrees) — the reference's iterative Vincenty
+    (``geom/PlanetModel.java:469-550 surfaceDistance``), with the
+    same convergence bound (MINIMUM_RESOLUTION, ≤100 iterations) and
+    the same equatorial-line NaN guard.  The reference returns the
+    mean-radius-normalized adjusted angle; meters = angle × mean
+    radius (Geo3DUtil.java:159 converts the other way).  On SPHERE
+    the flattening terms vanish and this equals the great-circle arc
+    distance."""
+    f = planet_model.scaled_flattening
+    rlat1, rlon1 = math.radians(lat1), math.radians(lon1)
+    rlat2, rlon2 = math.radians(lat2), math.radians(lon2)
+    big_l = rlon2 - rlon1
+    u1 = math.atan((1.0 - f) * math.tan(rlat1))
+    u2 = math.atan((1.0 - f) * math.tan(rlat2))
+    sin_u1, cos_u1 = math.sin(u1), math.cos(u1)
+    sin_u2, cos_u2 = math.sin(u2), math.cos(u2)
+    cu1cu2, cu1su2 = cos_u1 * cos_u2, cos_u1 * sin_u2
+    su1su2, su1cu2 = sin_u1 * sin_u2, sin_u1 * cos_u2
+
+    lam, lam_p = big_l, 2.0 * math.pi
+    iters = 0
+    while True:
+        sin_lam, cos_lam = math.sin(lam), math.cos(lam)
+        sin_sigma = math.sqrt(
+            (cos_u2 * sin_lam) ** 2 + (cu1su2 - su1cu2 * cos_lam) ** 2
+        )
+        if sin_sigma == 0.0:
+            return 0.0
+        cos_sigma = su1su2 + cu1cu2 * cos_lam
+        sigma = math.atan2(sin_sigma, cos_sigma)
+        sin_alpha = cu1cu2 * sin_lam / sin_sigma
+        cos_sq_alpha = 1.0 - sin_alpha * sin_alpha
+        if cos_sq_alpha == 0.0:
+            cos2_sigma_m = 0.0  # equatorial line (PlanetModel.java:515)
+        else:
+            cos2_sigma_m = cos_sigma - 2.0 * su1su2 / cos_sq_alpha
+        c = f / 16.0 * cos_sq_alpha * (4.0 + f * (4.0 - 3.0 * cos_sq_alpha))
+        lam_p = lam
+        lam = big_l + (1.0 - c) * f * sin_alpha * (
+            sigma
+            + c
+            * sin_sigma
+            * (
+                cos2_sigma_m
+                + c * cos_sigma * (-1.0 + 2.0 * cos2_sigma_m * cos2_sigma_m)
+            )
+        )
+        iters += 1
+        if abs(lam - lam_p) < MINIMUM_RESOLUTION or iters >= 100:
+            break
+    u_sq = cos_sq_alpha * planet_model.square_ratio
+    a = 1.0 + u_sq / 16384.0 * (
+        4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))
+    )
+    b = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+    delta_sigma = (
+        b
+        * sin_sigma
+        * (
+            cos2_sigma_m
+            + b
+            / 4.0
+            * (
+                cos_sigma * (-1.0 + 2.0 * cos2_sigma_m * cos2_sigma_m)
+                - b
+                / 6.0
+                * cos2_sigma_m
+                * (-3.0 + 4.0 * sin_sigma * sin_sigma)
+                * (-3.0 + 4.0 * cos2_sigma_m * cos2_sigma_m)
+            )
+        )
+    )
+    angle = planet_model.z_inverse_scale * a * (sigma - delta_sigma)
+    return angle * EARTH_MEAN_RADIUS_METERS
 
 
 def _cross(a, b):
@@ -74,15 +228,27 @@ def _norm(v):
     return (v[0] / m, v[1] / m, v[2] / m)
 
 
-def point_vector_cols(lat_col: Column, lon_col: Column):
-    """The (x, y, z) unit-vector columns of a point — plain trig, stays
-    in whole-stage codegen."""
+def point_vector_cols(
+    lat_col: Column, lon_col: Column, planet_model: PlanetModel = SPHERE
+):
+    """The (x, y, z) planet-surface vector columns of a point — plain
+    trig (plus, on an ellipsoid, the GeoPoint magnitude scale of
+    Vector.java:549-556), stays in whole-stage codegen."""
     rlat, rlon = F.radians(lat_col), F.radians(lon_col)
-    return (
+    p = (
         F.cos(rlat) * F.cos(rlon),
         F.cos(rlat) * F.sin(rlon),
         F.sin(rlat),
     )
+    if planet_model == SPHERE:
+        return p
+    ixy2 = 1.0 / (planet_model.xy_scaling * planet_model.xy_scaling)
+    iz2 = 1.0 / (planet_model.z_scaling * planet_model.z_scaling)
+    m = F.lit(1.0) / F.sqrt(
+        (p[0] * p[0] + p[1] * p[1]) * F.lit(ixy2)
+        + p[2] * p[2] * F.lit(iz2)
+    )
+    return (p[0] * m, p[1] * m, p[2] * m)
 
 
 def _dot(p, c) -> Column:
@@ -212,6 +378,7 @@ def convex_polygon_query(
     lat_col: str,
     lon_col: str,
     vertices: list[tuple[float, float]],
+    planet_model: PlanetModel = SPHERE,
 ) -> DataFrame:
     """Geo3DPoint.newShapeQuery with a convex GeoPolygon
     (``spatial3d/geom/GeoConvexPolygon.java:179`` ``isWithin`` — the
@@ -228,10 +395,19 @@ def convex_polygon_query(
     MINIMUM_RESOLUTION = 1e-12), without which a polygon's own
     vertices (dot == ±fp-noise on their two edge planes) match
     arbitrarily.
+
+    ``planet_model`` (default SPHERE; Geo3DPoint.java:65 defaults to
+    WGS84) scales vertices and point columns onto the ellipsoid
+    exactly as GeoPoint does.  Because GeoConvexPolygon's edge planes
+    pass through the origin and the ellipsoid projection is a
+    positive per-vector scalar, membership is provably identical
+    across planet models up to the fp width of the tolerance band —
+    the ellipsoid construction is kept for parity with the
+    reference's geometry, and tests assert the invariance.
     """
     if len(vertices) < 3:
         raise ValueError("a polygon needs at least three vertices")
-    vs = [_unit(lat, lon) for lat, lon in vertices]
+    vs = [_unit(lat, lon, planet_model) for lat, lon in vertices]
     normals = []
     for i in range(len(vs)):
         a, b = vs[i], vs[(i + 1) % len(vs)]
@@ -245,7 +421,7 @@ def convex_polygon_query(
                     "outer side of edge %d" % (j, i)
                 )
         normals.append(n)
-    p = point_vector_cols(F.col(lat_col), F.col(lon_col))
+    p = point_vector_cols(F.col(lat_col), F.col(lon_col), planet_model)
     cond = None
     for n in normals:
         c = _dot(p, n) >= -MINIMUM_RESOLUTION

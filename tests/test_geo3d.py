@@ -307,3 +307,109 @@ class TestConvexPolygon:
         ]
         with pytest.raises(ValueError, match="convex"):
             convex_polygon_query(pts, "lat", "lon", concave)
+
+
+class TestPlanetModel:
+    """PlanetModel.java:139-159 normalization, GeoPoint.java:64-77
+    ellipsoid points, and the PlanetModel.java:469-550 Vincenty
+    surfaceDistance against closed-form geodesic facts."""
+
+    def test_wgs84_normalization(self):
+        from lucene_spark.operators.geo3d import WGS84
+
+        a, b = 6378137.0, 6356752.314245  # PlanetModel.java:35
+        r = (2.0 * a + b) / 3.0
+        assert WGS84.xy_scaling == a / r
+        assert WGS84.z_scaling == b / r
+        # flattening survives normalization: (xy-z)/xy == (a-b)/a
+        inv_f = 1.0 / WGS84.scaled_flattening
+        assert abs(inv_f - 298.257223563) < 1e-5
+
+    def test_unit_lies_on_ellipsoid_and_ray(self):
+        from lucene_spark.operators.geo3d import WGS84, _unit
+
+        rng = np.random.default_rng(11)
+        for lat, lon in zip(
+            rng.uniform(-89, 89, 50), rng.uniform(-180, 180, 50)
+        ):
+            x, y, z = _unit(float(lat), float(lon), WGS84)
+            lhs = (x * x + y * y) / WGS84.xy_scaling**2 + (
+                z * z
+            ) / WGS84.z_scaling**2
+            assert abs(lhs - 1.0) < 1e-12
+            # same ray as the sphere point (positive scalar multiple)
+            sx, sy, sz = _unit(float(lat), float(lon))
+            m = math.sqrt(x * x + y * y + z * z)
+            assert abs(x / m - sx) < 1e-12
+            assert abs(y / m - sy) < 1e-12
+            assert abs(z / m - sz) < 1e-12
+
+    def test_surface_distance_sphere_is_arc(self):
+        from lucene_spark.operators.geo3d import (
+            SPHERE,
+            _unit,
+            surface_distance_meters,
+        )
+
+        rng = np.random.default_rng(13)
+        for _ in range(25):
+            la1, lo1, la2, lo2 = (
+                float(rng.uniform(-80, 80)),
+                float(rng.uniform(-175, 175)),
+                float(rng.uniform(-80, 80)),
+                float(rng.uniform(-175, 175)),
+            )
+            d = surface_distance_meters(la1, lo1, la2, lo2, SPHERE)
+            arc = (
+                math.acos(
+                    max(
+                        -1.0,
+                        min(
+                            1.0,
+                            float(
+                                np.dot(_unit(la1, lo1), _unit(la2, lo2))
+                            ),
+                        ),
+                    )
+                )
+                * R
+            )
+            assert abs(d - arc) < 1e-4
+
+    def test_surface_distance_wgs84_quadrants(self):
+        from lucene_spark.operators.geo3d import surface_distance_meters
+
+        # meridian quadrant: the published WGS84 pole-to-equator
+        # geodesic, 10 001 965.729 m
+        d_pole = surface_distance_meters(0.0, 0.0, 90.0, 0.0)
+        assert abs(d_pole - 10_001_965.729) < 0.01
+        # equator quadrant: the geodesic follows the a-radius circle,
+        # a * pi/2
+        d_eq = surface_distance_meters(0.0, 0.0, 0.0, 90.0)
+        assert abs(d_eq - 6378137.0 * math.pi / 2.0) < 0.01
+        # identity and symmetry
+        assert surface_distance_meters(12.5, 33.25, 12.5, 33.25) == 0.0
+        assert surface_distance_meters(
+            10.0, 20.0, -35.5, 140.25
+        ) == pytest.approx(
+            surface_distance_meters(-35.5, 140.25, 10.0, 20.0), abs=1e-6
+        )
+
+    def test_polygon_membership_invariant_across_models(self, spark, pts):
+        from lucene_spark.operators.geo3d import (
+            WGS84,
+            convex_polygon_query,
+        )
+
+        quad = TestConvexPolygon.QUAD
+        sphere_ids = {
+            r["id"]
+            for r in convex_polygon_query(pts, "lat", "lon", quad).collect()
+        }
+        wgs84_ids = {
+            r["id"]
+            for r in convex_polygon_query(
+                pts, "lat", "lon", quad, planet_model=WGS84
+            ).collect()
+        }
+        assert wgs84_ids == sphere_ids
