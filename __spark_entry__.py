@@ -2720,6 +2720,113 @@ def _q_byte_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vector_sim_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FloatVectorSimilarityQuery (core/search/
+    FloatVectorSimilarityQuery.java, AbstractVectorSimilarityQuery.
+    java:41): ALL vectors with cosine similarity score >= 0.52 to
+    vec 3, restricted to labels {1, 3} via the pre-filter arm — a
+    radius query with no top-k truncation; score = max((1+cos)/2, 0)
+    (VectorUtil.java:411-413)."""
+    from lucene_spark.operators.similarity import vector_similarity_query
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 3).collect()[0]["embedding"]
+    hits = vector_similarity_query(
+        emb,
+        [float(x) for x in q],
+        0.52,
+        sim="cosine",
+        where=F.col("label").isin(1, 3),
+    )
+    return hits.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _q_vector_sim_byte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ByteVectorSimilarityQuery (core/search/
+    ByteVectorSimilarityQuery.java): int8-quantized vectors above a
+    MAXIMUM_INNER_PRODUCT threshold — scaleMaxInnerProductScore
+    (VectorUtil.java:394-399), exact integer dot then the double
+    scaling."""
+    from lucene_spark.operators.similarity import (
+        byte_vector_similarity_query,
+        quantize_to_bytes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = emb.select(
+        "vec_id", quantize_to_bytes(F.col("embedding")).alias("embedding_b")
+    )
+    hits = byte_vector_similarity_query(b, _BYTE_KNN_Q, 30.0, sim="mip")
+    return hits.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LateInteractionRescorer (core/search/LateInteractionRescorer.
+    java) over LateInteractionFloatValuesSource SUM_MAX_SIM
+    (core/search/LateInteractionFloatValuesSource.java:154-180):
+    cheap first-pass cosine top-50, then ColBERT-style multi-vector
+    rerank, final top-10.  Document multi-vectors are synthesized
+    deterministically from the embedding (identity, affine, reverse
+    token variants); the query multi-vector derives from vec 5 the
+    same way on both sides."""
+    from lucene_spark.operators.late_interaction import (
+        late_interaction_rescore,
+    )
+    from lucene_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v0 = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    v5 = [float(x) for x in emb.where(F.col("vec_id") == 5).collect()[0]["embedding"]]
+    first = brute_force_topk(emb, v0, k=50).select(
+        "vec_id", F.col("cos").alias("score")
+    )
+    e = F.col("embedding").cast("array<double>")
+    mv = emb.select(
+        "vec_id",
+        F.array(
+            e,
+            F.transform(e, lambda x: x * F.lit(0.5) + F.lit(0.1)),
+            F.reverse(e),
+        ).alias("tokens"),
+    )
+    qs = [v5, [x * 0.25 - 0.05 for x in v5]]
+    return (
+        late_interaction_rescore(first, mv, qs, sim="cosine")
+        .limit(10)
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )
+
+
+_LATE_INTERACTION_SQL = """
+    WITH q0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                WHERE vec_id = 0),
+    q5 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id = 5),
+    fp AS (SELECT vec_id FROM embeddings, q0
+           ORDER BY list_cosine_similarity(embedding::DOUBLE[], q0.v)
+                    DESC, vec_id
+           LIMIT 50),
+    mv AS (SELECT e.vec_id,
+                  [e.embedding::DOUBLE[],
+                   list_transform(e.embedding,
+                                  x -> CAST(x AS DOUBLE) * 0.5 + 0.1),
+                   list_reverse(e.embedding::DOUBLE[])] AS toks
+           FROM embeddings e JOIN fp USING (vec_id)),
+    qt AS (SELECT q5.v AS t0,
+                  list_transform(q5.v, x -> x * 0.25 - 0.05) AS t1
+           FROM q5),
+    s AS (SELECT vec_id,
+                 list_max(list_transform(toks, d -> greatest(0.0,
+                     (1.0 + list_cosine_similarity(d, t0)) / 2.0)))
+               + list_max(list_transform(toks, d -> greatest(0.0,
+                     (1.0 + list_cosine_similarity(d, t1)) / 2.0)))
+                 AS score
+          FROM mv, qt),
+    cut AS (SELECT vec_id, score FROM s
+            ORDER BY score DESC, vec_id LIMIT 10)
+    SELECT vec_id, round(score, 6) AS score FROM cut"""
+
+
 def _q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KnnFloatVectorQuery with a filter (core/search/
     KnnFloatVectorQuery.java:48): exact cosine top-10 restricted to
@@ -7406,6 +7513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top10": _q_ann_cosine,
         "diversified_knn_top10": _q_diversified_knn,
         "byte_knn_top10": _q_byte_knn,
+        "vector_sim_float": _q_vector_sim_float,
+        "vector_sim_byte": _q_vector_sim_byte,
+        "late_interaction_rescore": _q_late_interaction,
         "filtered_knn_top10": _q_filtered_knn,
         "sort_rescore_ranks": _q_sort_rescore,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
@@ -7968,6 +8078,36 @@ def oracle_sql() -> dict[str, str]:
                        * {float(sum(x * x for x in _BYTE_KNN_Q))})) / 2.0
                      DESC, vec_id
             LIMIT 10""",
+        "vector_sim_float": """
+            WITH s AS (
+              SELECT vec_id, label,
+                     greatest(0.0, (1.0 + list_cosine_similarity(
+                         embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings
+                          WHERE vec_id = 3))) / 2.0) AS score
+              FROM embeddings)
+            SELECT vec_id, round(score, 6) AS score FROM s
+            WHERE label IN (1, 3) AND score >= 0.52""",
+        "late_interaction_rescore": _LATE_INTERACTION_SQL,
+        "vector_sim_byte": f"""
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> greatest(-128,
+                         least(127, CAST(floor(CAST(x AS DOUBLE) * 127
+                                               + 0.5) AS BIGINT)))) AS b
+              FROM embeddings),
+            s AS (
+              SELECT vec_id,
+                     list_dot_product(b,
+                         {list(map(float, _BYTE_KNN_Q))}::DOUBLE[]) AS dot
+              FROM e),
+            m AS (
+              SELECT vec_id,
+                     CASE WHEN dot < 0 THEN 1.0 / (1.0 - dot)
+                          ELSE dot + 1.0 END AS score
+              FROM s)
+            SELECT vec_id, round(score, 6) AS score FROM m
+            WHERE score >= 30.0""",
         "embedding_near_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(

@@ -1,0 +1,170 @@
+"""Late-interaction (multi-vector) scoring: ColBERT-style SUM_MAX_SIM
+reranking over per-token vector fields.
+
+Reference: ``core/search/LateInteractionFloatValuesSource.java`` — a
+DoubleValuesSource scoring each document by the similarity between a
+multi-vector QUERY (one vector per query token) and the document's
+indexed multi-vector (``core/document/LateInteractionField.java``).
+The score function (``LateInteractionFloatValuesSource.java:151-182``
+``ScoreFunction.SUM_MAX_SIM``) is::
+
+    score(Q, D) = sum over q in Q of ( max over d in D of compare(q, d) )
+
+with ``compare`` one of the ``VectorSimilarityFunction`` float
+overloads (COSINE by default, :46) and ``Float.MIN_VALUE`` for an
+empty document multi-vector (:160-162).
+``core/search/LateInteractionRescorer.java`` wraps this as a
+second-pass rescorer over first-pass top-N hits: a missing
+multi-vector scores 0 by default (:64-66 ``combine``) or falls back
+to the first-pass score (``withFallbackToFirstPassScore``).
+
+Spark mapping: the document multi-vector is an
+``array<array<float>>`` column — the columnar twin of
+LateInteractionField's packed BinaryDocValues (the 4-byte dim header
+and float packing of ``LateInteractionField.java:74-120`` delegate to
+Spark/Parquet's native nested arrays).  The query multi-vector is a
+driver constant, so SUM_MAX_SIM unrolls per QUERY TOKEN into
+``array_max(transform(tokens, d -> compare(q_i, d)))`` columns summed
+left-to-right — higher-order functions only, whole-stage codegen, no
+UDF, no shuffle.  Rescoring joins the first-pass top-N (tiny, k rows)
+against the multi-vector table — Catalyst broadcasts the k-row side;
+at 100 TB the expensive multi-vector column is only ever read for the
+N candidates, mirroring the reference's "cheap first pass, expensive
+second pass" design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# java.lang.Float.MIN_VALUE — SUM_MAX_SIM's empty-doc sentinel
+# (LateInteractionFloatValuesSource.java:161)
+FLOAT_MIN_VALUE = 1.401298464324817e-45
+
+
+def _validate_query(query_vectors: list[list[float]]) -> list[list[float]]:
+    """LateInteractionFloatValuesSource.java:80-96 validateQueryVector:
+    non-empty, equal-dimension token vectors."""
+    if not query_vectors:
+        raise ValueError("queryVector must not be null or empty")
+    dim = len(query_vectors[0])
+    if dim == 0:
+        raise ValueError(
+            "composing token vectors in provided query vector should "
+            "not be null or empty"
+        )
+    for q in query_vectors[1:]:
+        if len(q) != dim:
+            raise ValueError(
+                "all composing token vectors in provided query vector "
+                "should have the same length"
+            )
+    return [[float(x) for x in q] for q in query_vectors]
+
+
+def _compare(q: list[float], d: Column, sim: str) -> Column:
+    """VectorSimilarityFunction float compare of a constant query
+    token against a document token vector column (the same four
+    formulas as ``similarity.float_vector_scores``)."""
+    qc = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    dd = d.cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(dd, qc, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    if sim == "euclidean":
+        sqdist = F.aggregate(
+            F.zip_with(dd, qc, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        return F.lit(1.0) / (F.lit(1.0) + sqdist)
+    if sim == "dot":
+        return F.greatest(F.lit(0.0), (F.lit(1.0) + dot) / F.lit(2.0))
+    if sim == "cosine":
+        # both norms as Spark folds (the query one constant-folds) —
+        # the exact shape DuckDB's list_cosine_similarity mirrors
+        def _n(col):
+            return F.sqrt(
+                F.aggregate(
+                    col,
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v * v,
+                )
+            )
+
+        return F.greatest(
+            F.lit(0.0),
+            (F.lit(1.0) + dot / (_n(dd) * _n(qc))) / F.lit(2.0),
+        )
+    if sim == "mip":
+        return F.when(dot < 0, F.lit(1.0) / (F.lit(1.0) - dot)).otherwise(
+            dot + F.lit(1.0)
+        )
+    raise ValueError(
+        f"unknown float similarity {sim!r} (euclidean | dot | cosine | mip)"
+    )
+
+
+def sum_max_sim(
+    tokens_col: Column,
+    query_vectors: list[list[float]],
+    sim: str = "cosine",
+) -> Column:
+    """SUM_MAX_SIM (LateInteractionFloatValuesSource.java:154-180):
+    for each query token, the max similarity over the document's token
+    vectors; summed over query tokens in order.  An empty or NULL
+    document multi-vector scores Float.MIN_VALUE (:160-162).  Pure
+    higher-order-function column algebra."""
+    qs = _validate_query(query_vectors)
+    total = None
+    for q in qs:
+        max_sim = F.array_max(
+            F.transform(tokens_col, lambda d: _compare(q, d, sim))
+        )
+        total = max_sim if total is None else total + max_sim
+    return F.when(
+        tokens_col.isNull() | (F.size(tokens_col) == 0),
+        F.lit(FLOAT_MIN_VALUE),
+    ).otherwise(total)
+
+
+def late_interaction_rescore(
+    first_pass: DataFrame,
+    multivec: DataFrame,
+    query_vectors: list[list[float]],
+    sim: str = "cosine",
+    fallback_to_first_pass: bool = False,
+    id_col: str = "vec_id",
+    tokens_col: str = "tokens",
+    score_col: str = "score",
+) -> DataFrame:
+    """LateInteractionRescorer (core/search/LateInteractionRescorer.
+    java): rescore first-pass hits by SUM_MAX_SIM against the
+    document multi-vectors.  A hit with no multi-vector value scores
+    0 (:64-66 ``combine``) — or keeps its first-pass score when
+    ``fallback_to_first_pass`` (:81-99).  Output: the first-pass rows
+    with ``score`` replaced, ordered (score desc, id asc) like
+    TopDocs after rescore.  The first-pass frame is k rows, so the
+    join broadcasts it; the multi-vector column is only read for
+    those k candidates."""
+    hits = first_pass.select(
+        F.col(id_col), F.col(score_col).alias("_first_pass")
+    )
+    joined = hits.join(
+        multivec.select(F.col(id_col), F.col(tokens_col)), id_col, "left"
+    )
+    li = sum_max_sim(F.col(tokens_col), query_vectors, sim)
+    present = F.col(tokens_col).isNotNull()
+    if fallback_to_first_pass:
+        new_score = F.when(present, li).otherwise(F.col("_first_pass"))
+    else:
+        new_score = F.when(present, li).otherwise(F.lit(0.0))
+    return (
+        joined.select(
+            F.col(id_col), new_score.alias(score_col)
+        )
+        .orderBy(F.desc(score_col), F.asc(id_col))
+    )

@@ -677,6 +677,19 @@ def filtered_brute_force_topk(
     the scan; ``candidates`` (a DataFrame of ids — the filter query's
     match set) restricts via a semi-join, broadcast when small.  Both
     compose."""
+    base = _apply_knn_filter(emb, where, candidates, id_col)
+    return brute_force_topk(base, query_vec, k, id_col, vec_col)
+
+
+def _apply_knn_filter(
+    emb: DataFrame,
+    where: Column | None,
+    candidates: DataFrame | None,
+    id_col: str,
+) -> DataFrame:
+    """The pre-filter arm shared by filtered KNN and the
+    similarity-threshold queries: a pushdown-able predicate and/or a
+    semi-join against a candidate-id frame (broadcast when small)."""
     base = emb
     if where is not None:
         base = base.where(where)
@@ -695,7 +708,115 @@ def filtered_brute_force_topk(
                 f" column); got {candidates.columns}"
             )
         base = base.join(cand_ids.distinct(), id_col, "left_semi")
-    return brute_force_topk(base, query_vec, k, id_col, vec_col)
+    return base
+
+
+def float_vector_scores(
+    emb: DataFrame,
+    query_vec: list[float],
+    sim: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector float similarity scores, the four
+    VectorSimilarityFunction float overloads
+    (``core/index/VectorSimilarityFunction.java:35-101``):
+
+    - ``euclidean``: 1 / (1 + squareDistance)      (VectorUtil.java:424-426)
+    - ``dot``:       max((1 + dot) / 2, 0)         (VectorUtil.java:411-413)
+    - ``cosine``:    max((1 + cos) / 2, 0)         (VectorUtil.java:411-413)
+    - ``mip``:       dot < 0 ? 1/(1 - dot) : dot+1 (VectorUtil.java:394-399)
+
+    Elements widen to double before the fold (DuckDB list-function
+    parity, like :func:`cosine`); pure column algebra, the literal
+    query folds into codegen and the scan prunes to (id, vec)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast(
+        "array<double>"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    if sim == "euclidean":
+        sqdist = F.aggregate(
+            F.zip_with(v, q, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        score = F.lit(1.0) / (F.lit(1.0) + sqdist)
+    elif sim == "dot":
+        score = F.greatest(
+            F.lit(0.0), (F.lit(1.0) + _dot(v, q)) / F.lit(2.0)
+        )
+    elif sim == "cosine":
+        score = F.greatest(
+            F.lit(0.0),
+            (F.lit(1.0) + cosine(F.col(vec_col), q)) / F.lit(2.0),
+        )
+    elif sim == "mip":
+        dot = _dot(v, q)
+        score = F.when(dot < 0, F.lit(1.0) / (F.lit(1.0) - dot)).otherwise(
+            dot + F.lit(1.0)
+        )
+    else:
+        raise ValueError(
+            f"unknown float similarity {sim!r} "
+            "(euclidean | dot | cosine | mip)"
+        )
+    return emb.select(F.col(id_col), score.alias("score"))
+
+
+def vector_similarity_query(
+    emb: DataFrame,
+    query_vec: list[float],
+    result_similarity: float,
+    sim: str = "cosine",
+    where: Column | None = None,
+    candidates: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FloatVectorSimilarityQuery (``core/search/
+    FloatVectorSimilarityQuery.java``, ``AbstractVectorSimilarityQuery.
+    java:41``): ALL vectors whose similarity to the query is at least
+    ``resultSimilarity`` — a radius query, not a top-k, so there is no
+    truncation and no driver-side k-heap.  Score = the similarity
+    itself.  The reference's graph-traversal budget (``decay``) is an
+    HNSW artifact with no columnar analog: the exact scan IS the
+    fallback the reference takes when traversal under-collects.  The
+    optional ``filter`` arm mirrors the reference's pre-filter
+    (``where`` pushes to the scan; ``candidates`` semi-joins a match
+    set).  At 100 TB this is one scan-side codegen'd predicate — no
+    shuffle at all."""
+    scored = float_vector_scores(
+        _apply_knn_filter(emb, where, candidates, id_col),
+        query_vec,
+        sim,
+        id_col,
+        vec_col,
+    )
+    return scored.where(F.col("score") >= float(result_similarity))
+
+
+def byte_vector_similarity_query(
+    emb: DataFrame,
+    query_bytes: list[int],
+    result_similarity: float,
+    sim: str = "cosine",
+    where: Column | None = None,
+    candidates: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding_b",
+) -> DataFrame:
+    """ByteVectorSimilarityQuery (``core/search/
+    ByteVectorSimilarityQuery.java``): the int8 twin of
+    :func:`vector_similarity_query`, scored with the byte overloads of
+    :func:`byte_vector_scores`."""
+    scored = byte_vector_scores(
+        _apply_knn_filter(emb, where, candidates, id_col),
+        query_bytes,
+        sim,
+        id_col,
+        vec_col,
+    )
+    return scored.where(F.col("score") >= float(result_similarity))
 
 
 def ivf_seeded_topk(

@@ -1,0 +1,161 @@
+"""Late-interaction SUM_MAX_SIM scoring and rescorer
+(operators/late_interaction.py) against numpy mirrors of
+LateInteractionFloatValuesSource.java:154-180 and
+LateInteractionRescorer.java combine semantics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.late_interaction import (
+    FLOAT_MIN_VALUE,
+    late_interaction_rescore,
+    sum_max_sim,
+)
+
+
+def _np_compare(q, d, sim):
+    q, d = np.asarray(q, dtype=np.float64), np.asarray(d, dtype=np.float64)
+    dot = float(q @ d)
+    if sim == "cosine":
+        return max(
+            (1.0 + dot / (np.linalg.norm(q) * np.linalg.norm(d))) / 2.0, 0.0
+        )
+    if sim == "mip":
+        return 1.0 / (1.0 - dot) if dot < 0 else dot + 1.0
+    if sim == "dot":
+        return max((1.0 + dot) / 2.0, 0.0)
+    if sim == "euclidean":
+        return 1.0 / (1.0 + float(((q - d) ** 2).sum()))
+    raise AssertionError(sim)
+
+
+def _np_sum_max_sim(qs, docs, sim):
+    if len(docs) == 0:
+        return FLOAT_MIN_VALUE
+    return sum(max(_np_compare(q, d, sim) for d in docs) for q in qs)
+
+
+@pytest.fixture(scope="module")
+def mv(spark):
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(40):
+        n_tok = 1 + (i % 4)  # varying token counts, incl. single
+        toks = [
+            [float(x) for x in rng.normal(size=8)] for _ in range(n_tok)
+        ]
+        rows.append((i, toks))
+    return (
+        spark.createDataFrame(
+            rows, "vec_id long, tokens array<array<float>>"
+        ).cache(),
+        {r[0]: r[1] for r in rows},
+    )
+
+
+QS = [
+    [0.5, -0.25, 1.0, 0.0, 0.75, -1.5, 0.25, 0.125],
+    [-0.75, 0.5, 0.0, 1.25, -0.5, 0.25, 1.0, -0.125],
+    [1.0, 1.0, -1.0, 0.5, 0.0, 0.0, -0.25, 0.75],
+]
+
+
+class TestSumMaxSim:
+    @pytest.mark.parametrize("sim", ["cosine", "mip", "dot", "euclidean"])
+    def test_matches_numpy(self, spark, mv, sim):
+        df, data = mv
+        got = {
+            r["vec_id"]: r["s"]
+            for r in df.select(
+                "vec_id", sum_max_sim(F.col("tokens"), QS, sim).alias("s")
+            ).collect()
+        }
+        # float32 storage: numpy mirror must see the same float32
+        # token values the engine reads back from the DataFrame
+        for i, toks in data.items():
+            toks32 = [np.asarray(t, dtype=np.float32) for t in toks]
+            exp = _np_sum_max_sim(QS, toks32, sim)
+            assert abs(got[i] - exp) < 1e-9, (sim, i)
+
+    def test_empty_doc_scores_float_min_value(self, spark):
+        df = spark.createDataFrame(
+            [(0, []), (1, None), (2, [[1.0, 0.0]])],
+            "vec_id long, tokens array<array<float>>",
+        )
+        got = {
+            r["vec_id"]: r["s"]
+            for r in df.select(
+                "vec_id",
+                sum_max_sim(F.col("tokens"), [[1.0, 0.0]]).alias("s"),
+            ).collect()
+        }
+        assert got[0] == FLOAT_MIN_VALUE
+        assert got[1] == FLOAT_MIN_VALUE
+        assert got[2] == pytest.approx(1.0)  # (1 + cos 1)/2
+
+    def test_query_validation(self):
+        with pytest.raises(ValueError, match="not be null or empty"):
+            sum_max_sim(F.col("t"), [])
+        with pytest.raises(ValueError, match="not be null or empty"):
+            sum_max_sim(F.col("t"), [[]])
+        with pytest.raises(ValueError, match="same length"):
+            sum_max_sim(F.col("t"), [[1.0, 2.0], [1.0]])
+
+
+class TestRescorer:
+    def test_rescore_and_missing_doc_combine(self, spark, mv):
+        df, data = mv
+        first = spark.createDataFrame(
+            [(0, 5.0), (1, 4.0), (2, 3.0), (999, 2.0)],
+            "vec_id long, score double",
+        )
+        got = late_interaction_rescore(first, df, QS).collect()
+        scores = {r["vec_id"]: r["score"] for r in got}
+        # doc 999 has no multi-vector: scores 0 (combine default)
+        assert scores[999] == 0.0
+        for i in (0, 1, 2):
+            toks32 = [
+                np.asarray(t, dtype=np.float32) for t in data[i]
+            ]
+            assert scores[i] == pytest.approx(
+                _np_sum_max_sim(QS, toks32, "cosine"), abs=1e-9
+            )
+        # ordered by (score desc, id asc)
+        out = [(r["score"], r["vec_id"]) for r in got]
+        assert out == sorted(out, key=lambda t: (-t[0], t[1]))
+
+    def test_fallback_to_first_pass(self, spark, mv):
+        df, _ = mv
+        first = spark.createDataFrame(
+            [(0, 5.0), (999, 2.0)], "vec_id long, score double"
+        )
+        got = {
+            r["vec_id"]: r["score"]
+            for r in late_interaction_rescore(
+                first, df, QS, fallback_to_first_pass=True
+            ).collect()
+        }
+        assert got[999] == 2.0
+
+
+class TestPlans:
+    def test_sum_max_sim_python_free(self, spark, mv):
+        df, _ = mv
+        plan = (
+            df.select(sum_max_sim(F.col("tokens"), QS).alias("s"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "mapInPandas" not in plan
+
+    def test_rescore_broadcasts_first_pass(self, spark, mv):
+        df, _ = mv
+        first = spark.createDataFrame(
+            [(0, 5.0), (1, 4.0)], "vec_id long, score double"
+        )
+        plan = (
+            late_interaction_rescore(first, df, QS)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan

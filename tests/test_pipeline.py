@@ -722,3 +722,119 @@ class TestSeededIvf:
             for r in ivf_seeded_topk(emb, queries, seeds, k=3).collect()
         ]
         assert set(exact) <= set(got) or got == exact
+
+
+class TestVectorSimilarityThreshold:
+    """Float/ByteVectorSimilarityQuery (core/search/
+    AbstractVectorSimilarityQuery.java:41): all vectors above a
+    similarity threshold, score = similarity — numpy mirrors for the
+    four VectorSimilarityFunction.java:35-101 formulas."""
+
+    def _mat(self, emb):
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        return ids, mat
+
+    def test_all_four_float_formulas_match_numpy(self, emb):
+        from lucene_spark.operators.similarity import float_vector_scores
+
+        ids, mat = self._mat(emb)
+        q = mat[3]
+        dots = mat @ q
+        expect = {
+            "euclidean": 1.0 / (1.0 + ((mat - q) ** 2).sum(axis=1)),
+            "dot": np.maximum((1.0 + dots) / 2.0, 0.0),
+            "cosine": np.maximum(
+                (1.0 + dots / (np.linalg.norm(mat, axis=1)
+                               * np.linalg.norm(q))) / 2.0,
+                0.0,
+            ),
+            "mip": np.where(dots < 0, 1.0 / (1.0 - dots), dots + 1.0),
+        }
+        for sim, exp in expect.items():
+            got = {
+                r["vec_id"]: r["score"]
+                for r in float_vector_scores(
+                    emb, list(map(float, q)), sim=sim
+                ).collect()
+            }
+            for i, e in zip(ids, exp):
+                assert abs(got[int(i)] - float(e)) < 1e-9, sim
+
+    def test_threshold_is_radius_not_topk(self, emb):
+        from lucene_spark.operators.similarity import (
+            vector_similarity_query,
+        )
+
+        ids, mat = self._mat(emb)
+        q = mat[3]
+        cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        scores = np.maximum((1.0 + cos) / 2.0, 0.0)
+        theta = float(np.quantile(scores, 0.9))
+        got = {
+            r["vec_id"]
+            for r in vector_similarity_query(
+                emb, list(map(float, q)), theta
+            ).collect()
+        }
+        exp = {int(i) for i, s in zip(ids, scores) if s >= theta}
+        assert got == exp
+        assert len(got) > 10  # more than any k — no truncation
+
+    def test_filter_arm(self, emb):
+        from lucene_spark.operators.similarity import (
+            vector_similarity_query,
+        )
+        from pyspark.sql import functions as SF
+
+        ids, mat = self._mat(emb)
+        q = mat[3]
+        got = vector_similarity_query(
+            emb, list(map(float, q)), 0.0, where=SF.col("label") == 2
+        ).count()
+        labels = {
+            r["vec_id"]: r["label"]
+            for r in emb.select("vec_id", "label").collect()
+        }
+        assert got == sum(1 for v in labels.values() if v == 2)
+
+    def test_byte_variant_matches_numpy(self, emb):
+        from lucene_spark.operators.similarity import (
+            byte_vector_similarity_query,
+            quantize_to_bytes,
+        )
+        from pyspark.sql import functions as SF
+
+        b = emb.select(
+            "vec_id",
+            quantize_to_bytes(SF.col("embedding")).alias("embedding_b"),
+        )
+        ids, mat = self._mat(emb)
+        bm = np.clip(np.floor(mat * 127.0 + 0.5), -128, 127)
+        qb = [((i * 29) % 13) - 6 for i in range(64)]
+        dots = bm @ np.array(qb, dtype=np.float64)
+        mip = np.where(dots < 0, 1.0 / (1.0 - dots), dots + 1.0)
+        theta = float(np.quantile(mip, 0.8))
+        got = {
+            r["vec_id"]
+            for r in byte_vector_similarity_query(
+                b, qb, theta, sim="mip"
+            ).collect()
+        }
+        exp = {int(i) for i, s in zip(ids, mip) if s >= theta}
+        assert got == exp
+
+    def test_threshold_plan_python_free_no_shuffle(self, emb):
+        from lucene_spark.operators.similarity import (
+            vector_similarity_query,
+        )
+
+        ids, mat = self._mat(emb)
+        plan = (
+            vector_similarity_query(emb, list(map(float, mat[3])), 0.5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "mapInPandas" not in plan
+        assert "Exchange" not in plan  # scan-side filter only
