@@ -4302,6 +4302,79 @@ v AS (SELECT c_custkey,
 SELECT c_custkey FROM v WHERE {' AND '.join(conds)}"""
 
 
+_BIGINT_LOWER = -(10**31)
+_BIGINT_UPPER = 5 * 10**33
+
+
+def _q_bigint128_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigIntegerPoint.newRangeQuery (sandbox/document/
+    BigIntegerPoint.java:199-214): inclusive 128-bit signed range over
+    values synthesized as hi/lo BIGINT pairs — the engine compares
+    fixed-width sortable hex keys (sign-bit-flipped byte order,
+    NumericUtils.bigIntToSortableBytes), the oracle computes the same
+    values natively in DuckDB HUGEINT arithmetic."""
+    from lucene_spark.functions.int128 import bigint_range_query
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = F.col("o_orderkey") * F.lit(48271) % F.lit(1000000007)
+    pts = o.select(
+        "o_orderkey",
+        (
+            F.col("o_orderkey") * F.lit(2654435761)
+            - F.lit(3_000_000_000_000)
+        ).alias("hi"),
+        F.when(F.col("o_orderkey") % 2 == 0, m).otherwise(-m).alias("lo"),
+    )
+    return bigint_range_query(
+        pts, "hi", "lo", _BIGINT_LOWER, _BIGINT_UPPER
+    ).select("o_orderkey")
+
+
+_BIGINT128_SQL = f"""
+    WITH pts AS (
+      SELECT o_orderkey,
+             (o_orderkey * 2654435761 - 3000000000000)::HUGEINT AS hi,
+             (CASE WHEN o_orderkey % 2 = 0
+                   THEN o_orderkey * 48271 % 1000000007
+                   ELSE -(o_orderkey * 48271 % 1000000007) END)::HUGEINT
+               AS lo
+      FROM orders),
+    v AS (
+      SELECT o_orderkey,
+             hi * 18446744073709551616::HUGEINT
+               + (CASE WHEN lo < 0
+                       THEN lo + 18446744073709551616::HUGEINT
+                       ELSE lo END) AS value
+      FROM pts)
+    SELECT o_orderkey FROM v
+    WHERE value BETWEEN {_BIGINT_LOWER} AND {_BIGINT_UPPER}"""
+
+
+def _q_float_point_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FloatPointNearestNeighbor (sandbox/document/
+    FloatPointNearestNeighbor.java): k nearest customers to a 2-D
+    point by squared euclidean distance, ties by id (:122-126) —
+    TakeOrderedAndProject, the columnar twin of the BKD best-first
+    traversal."""
+    from lucene_spark.operators.geo import float_point_nearest
+
+    pts = _geo_customers(spark, sf_dir)
+    return float_point_nearest(
+        pts, ["lat", "lon"], [10.25, -20.5], k=10, id_col="c_custkey"
+    ).select("c_custkey", F.round("dist_sq", 6).alias("dist_sq"))
+
+
+_FLOAT_POINT_NEAREST_SQL = f"""
+    WITH {_GEO_PTS},
+    d AS (SELECT c_custkey,
+                 (lat - 10.25) * (lat - 10.25)
+                   + (lon - (-20.5)) * (lon - (-20.5)) AS dist_sq
+          FROM pts),
+    cut AS (SELECT c_custkey, dist_sq FROM d
+            ORDER BY dist_sq, c_custkey LIMIT 10)
+    SELECT c_custkey, round(dist_sq, 6) AS dist_sq FROM cut"""
+
+
 def _q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HeatmapFacetCounter analog (spatial-extras/.../prefix/
     HeatmapFacetCounter.java:78): grid-cell match counts over a query
@@ -7561,6 +7634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo3d_path_match": _q_geo3d_path,
         "geo3d_polygon_match": _q_geo3d_polygon,
         "geo3d_wgs84_polygon": _q_geo3d_wgs84_polygon,
+        "bigint128_range": _q_bigint128_range,
+        "float_point_nearest": _q_float_point_nearest,
         "heatmap_facets": _q_heatmap,
         "geohash_cells": _q_geohash_cells,
         "geo_radius_pairs": _q_geo_radius_pairs,
@@ -8409,6 +8484,8 @@ def oracle_sql() -> dict[str, str]:
         "geo3d_path_match": _geo3d_path_sql(),
         "geo3d_polygon_match": _geo3d_polygon_sql(),
         "geo3d_wgs84_polygon": _geo3d_wgs84_polygon_sql(),
+        "bigint128_range": _BIGINT128_SQL,
+        "float_point_nearest": _FLOAT_POINT_NEAREST_SQL,
         "heatmap_facets": _HEATMAP_SQL,
         "geohash_cells": _geohash_cells_sql(),
         "geo_radius_pairs": _GEO_PAIRS_SQL,

@@ -1,0 +1,98 @@
+"""BigIntegerPoint: 128-bit signed integer point queries.
+
+Reference: ``sandbox/src/java/org/apache/lucene/sandbox/document/
+BigIntegerPoint.java`` — a 16-byte (128-bit) signed integer field
+with ``newExactQuery`` / ``newRangeQuery`` / ``newSetQuery`` over the
+sortable-bytes encoding (:152-158 ``encodeDimension`` delegates to
+``NumericUtils.bigIntToSortableBytes``: big-endian two's complement
+with the SIGN BIT FLIPPED, so unsigned byte order equals numeric
+order across the full signed domain).
+
+Spark mapping: a 128-bit value is carried as two BIGINT columns
+``(hi, lo)`` — ``hi`` the signed upper 64 bits, ``lo`` the unsigned
+lower 64 bits held in a signed BIGINT (the natural columnar split;
+Spark's DECIMAL(38) cannot hold the full ±2^127 domain).  The
+sortable encoding is the same fixed-width-hex-key trick as
+InetAddressPoint (``functions/ip.py``): key = hex16(hi ^ 2^63) ||
+hex16(lo).  On fixed-width lowercase hex, LEXICOGRAPHIC order equals
+the reference's flipped-sign byte order, the string key min/max
+parquet stats keep range predicates sargable, and everything is one
+whole-stage-codegen Catalyst expression — no UDF, no shuffle.
+
+Query constants are Python ints (arbitrary precision), validated to
+the reference's MIN_VALUE/MAX_VALUE bounds (:52-56) with the same
+"field value out of bounds" rejection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BigIntegerPoint.java:52-56
+MIN_VALUE = -(1 << 127)
+MAX_VALUE = (1 << 127) - 1
+
+_SIGN_FLIP = -(1 << 63)  # BIGINT with only the sign bit set
+
+
+def _hex16(col: Column) -> Column:
+    """Fixed 16-char lowercase hex of a BIGINT (two's complement —
+    ``F.hex`` of a negative long is already 16 chars)."""
+    return F.lower(F.lpad(F.hex(col), 16, "0"))
+
+
+def int128_key(hi_col: Column, lo_col: Column) -> Column:
+    """(hi, lo) -> the 32-hex sortable key (the columnar
+    ``bigIntToSortableBytes``: sign bit of the upper word flipped)."""
+    return F.concat(_hex16(hi_col.bitwiseXOR(F.lit(_SIGN_FLIP))), _hex16(lo_col))
+
+
+def int128_key_literal(value: int) -> str:
+    """Driver-side constant -> 32-hex key; rejects values outside the
+    128-bit signed domain (BigIntegerPoint's IllegalArgumentException
+    for out-of-range input)."""
+    value = int(value)
+    if value < MIN_VALUE or value > MAX_VALUE:
+        raise ValueError(
+            f"field value out of bounds for 128 bits: {value}"
+        )
+    # two's complement 128-bit, then flip the sign bit = add 2^127
+    # to the signed value's offset representation
+    return format((value - MIN_VALUE) & ((1 << 128) - 1), "032x")
+
+
+def bigint_range_query(
+    df: DataFrame,
+    hi_col: str,
+    lo_col: str,
+    lower: int,
+    upper: int,
+) -> DataFrame:
+    """newRangeQuery (BigIntegerPoint.java:199-214): inclusive
+    [lower, upper] over the 128-bit value."""
+    key = int128_key(F.col(hi_col), F.col(lo_col))
+    return df.where(
+        (key >= int128_key_literal(lower))
+        & (key <= int128_key_literal(upper))
+    )
+
+
+def bigint_exact_query(
+    df: DataFrame, hi_col: str, lo_col: str, value: int
+) -> DataFrame:
+    """newExactQuery (:168) — the degenerate [value, value] range."""
+    return df.where(
+        int128_key(F.col(hi_col), F.col(lo_col))
+        == int128_key_literal(value)
+    )
+
+
+def bigint_set_query(
+    df: DataFrame, hi_col: str, lo_col: str, values: list[int]
+) -> DataFrame:
+    """newSetQuery (:240-272): membership over the encoded keys."""
+    keys = sorted({int128_key_literal(v) for v in values})
+    return df.where(
+        int128_key(F.col(hi_col), F.col(lo_col)).isin(keys)
+    )

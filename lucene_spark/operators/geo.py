@@ -183,6 +183,38 @@ def xy_distance_query(
     return boxed.where(dx * dx + dy * dy <= radius * radius)
 
 
+def float_point_nearest(
+    df: DataFrame,
+    cols: list[str],
+    origin: list[float],
+    k: int = 10,
+    id_col: str = "id",
+) -> DataFrame:
+    """FloatPointNearestNeighbor (``sandbox/document/
+    FloatPointNearestNeighbor.java``): the k nearest documents to an
+    N-dimensional float point by squared euclidean distance, ties by
+    docid ascending (:122-126 — a tying hit with the larger doc never
+    replaces the queue bottom).  The reference prunes with a BKD
+    best-first cell traversal; columnar Spark's equivalent "visit few
+    points" plan is TakeOrderedAndProject over the scan — a per-
+    partition k-heap then a k-row merge, no shuffle of the data
+    itself.  Output: (id, dist_sq) ascending."""
+    if len(cols) != len(origin):
+        raise ValueError(
+            f"{len(cols)} dimension columns but {len(origin)}-dim origin"
+        )
+    dist = None
+    for c, o in zip(cols, origin):
+        d = F.col(c) - F.lit(float(o))
+        term = d * d
+        dist = term if dist is None else dist + term
+    return (
+        df.select(F.col(id_col), dist.alias("dist_sq"))
+        .orderBy(F.asc("dist_sq"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def distance_feature(
     df: DataFrame,
     lat_col: str,

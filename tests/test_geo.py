@@ -316,3 +316,46 @@ class TestShapeBoxRelations:
                 hit[2] += 1
         # the random mix exercises every relation at least once
         assert all(h > 0 for h in hit)
+
+
+class TestFloatPointNearest:
+    """FloatPointNearestNeighbor (sandbox/document/
+    FloatPointNearestNeighbor.java): k nearest by squared euclidean,
+    ties by id ascending (:122-126)."""
+
+    def test_matches_numpy(self, spark, points):
+        from lucene_spark.operators.geo import float_point_nearest
+
+        got = float_point_nearest(
+            points, ["lat", "lon"], [10.0, 10.0], k=7
+        ).collect()
+        rows = points.collect()
+        exp = sorted(
+            rows,
+            key=lambda r: (
+                (r["lat"] - 10.0) ** 2 + (r["lon"] - 10.0) ** 2,
+                r["id"],
+            ),
+        )[:7]
+        assert [r["id"] for r in got] == [r["id"] for r in exp]
+        for g, e in zip(got, exp):
+            d = (e["lat"] - 10.0) ** 2 + (e["lon"] - 10.0) ** 2
+            assert abs(g["dist_sq"] - d) < 1e-9
+
+    def test_tie_breaks_by_id(self, spark):
+        from lucene_spark.operators.geo import float_point_nearest
+
+        # four points at identical distance from the origin
+        df = spark.createDataFrame(
+            [(3, 1.0, 0.0), (1, -1.0, 0.0), (2, 0.0, 1.0), (0, 0.0, -1.0),
+             (9, 5.0, 5.0)],
+            "id long, x double, y double",
+        )
+        got = float_point_nearest(df, ["x", "y"], [0.0, 0.0], k=3)
+        assert [r["id"] for r in got.collect()] == [0, 1, 2]
+
+    def test_dim_mismatch_raises(self, spark, points):
+        from lucene_spark.operators.geo import float_point_nearest
+
+        with pytest.raises(ValueError, match="dimension"):
+            float_point_nearest(points, ["lat", "lon"], [1.0], k=3)

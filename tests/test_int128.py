@@ -1,0 +1,126 @@
+"""BigIntegerPoint 128-bit point queries (functions/int128.py):
+sortable-key order properties, column-vs-driver encode agreement, and
+query semantics against Python-int mirrors."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.functions.int128 import (
+    MAX_VALUE,
+    MIN_VALUE,
+    bigint_exact_query,
+    bigint_range_query,
+    bigint_set_query,
+    int128_key,
+    int128_key_literal,
+)
+
+
+def _split(value: int) -> tuple[int, int]:
+    """Python int -> (signed hi, signed lo) BIGINT pair."""
+    u = value & ((1 << 128) - 1)  # two's complement unsigned form
+    hi, lo = u >> 64, u & ((1 << 64) - 1)
+    if hi >= 1 << 63:
+        hi -= 1 << 64
+    if lo >= 1 << 63:
+        lo -= 1 << 64
+    return hi, lo
+
+
+class TestKeyLiteral:
+    def test_goldens(self):
+        assert int128_key_literal(0) == "8" + "0" * 31
+        assert int128_key_literal(MIN_VALUE) == "0" * 32
+        assert int128_key_literal(MAX_VALUE) == "f" * 32
+        assert int128_key_literal(-1) == "7" + "f" * 31
+        assert int128_key_literal(1) == "8" + "0" * 30 + "1"
+
+    def test_order_preserving(self):
+        rng = np.random.default_rng(31)
+        vals = [MIN_VALUE, -1, 0, 1, MAX_VALUE] + [
+            int(rng.integers(-(2**62), 2**62)) * int(rng.integers(1, 2**62))
+            for _ in range(200)
+        ]
+        by_num = sorted(vals)
+        by_key = sorted(vals, key=int128_key_literal)
+        assert by_num == by_key
+
+    def test_out_of_bounds(self):
+        with pytest.raises(ValueError, match="out of bounds"):
+            int128_key_literal(MAX_VALUE + 1)
+        with pytest.raises(ValueError, match="out of bounds"):
+            int128_key_literal(MIN_VALUE - 1)
+
+
+class TestColumnKey:
+    def test_matches_literal(self, spark):
+        rng = np.random.default_rng(37)
+        vals = [MIN_VALUE, -1, 0, 1, MAX_VALUE] + [
+            int(rng.integers(-(2**62), 2**62)) * int(rng.integers(1, 2**62))
+            for _ in range(100)
+        ]
+        rows = []
+        for i, v in enumerate(vals):
+            hi, lo = _split(v)
+            rows.append((i, hi, lo))
+        df = spark.createDataFrame(rows, "id long, hi long, lo long")
+        got = {
+            r["id"]: r["k"]
+            for r in df.select(
+                "id", int128_key(F.col("hi"), F.col("lo")).alias("k")
+            ).collect()
+        }
+        for i, v in enumerate(vals):
+            assert got[i] == int128_key_literal(v), v
+
+
+class TestQueries:
+    @pytest.fixture(scope="class")
+    def data(self, spark):
+        rng = np.random.default_rng(41)
+        vals = [
+            int(rng.integers(-(2**40), 2**40)) * (3**20)
+            for _ in range(300)
+        ]
+        rows = []
+        for i, v in enumerate(vals):
+            hi, lo = _split(v)
+            rows.append((i, hi, lo))
+        df = spark.createDataFrame(
+            rows, "id long, hi long, lo long"
+        ).cache()
+        return df, vals
+
+    def test_range(self, data):
+        df, vals = data
+        lo_q, hi_q = sorted(vals)[50], sorted(vals)[250]
+        got = {
+            r["id"]
+            for r in bigint_range_query(df, "hi", "lo", lo_q, hi_q).collect()
+        }
+        exp = {i for i, v in enumerate(vals) if lo_q <= v <= hi_q}
+        assert got == exp
+
+    def test_exact_and_set(self, data):
+        df, vals = data
+        got = {
+            r["id"]
+            for r in bigint_exact_query(df, "hi", "lo", vals[7]).collect()
+        }
+        assert got == {i for i, v in enumerate(vals) if v == vals[7]}
+        picks = [vals[1], vals[5], vals[9], MAX_VALUE]
+        got = {
+            r["id"]
+            for r in bigint_set_query(df, "hi", "lo", picks).collect()
+        }
+        assert got == {i for i, v in enumerate(vals) if v in set(picks)}
+
+    def test_plan_python_free(self, data):
+        df, _ = data
+        plan = (
+            bigint_range_query(df, "hi", "lo", -(10**30), 10**30)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "mapInPandas" not in plan
