@@ -4375,6 +4375,56 @@ _FLOAT_POINT_NEAREST_SQL = f"""
     SELECT c_custkey, round(dist_sq, 6) AS dist_sq FROM cut"""
 
 
+def _q_half_float_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HalfFloatPoint.newRangeQuery (sandbox/document/HalfFloatPoint.
+    java): values round to the nearest half float (ties to even,
+    :159-165 roundShift) and compare as sign-flipped sortable shorts.
+    Values ±(1 + k/8192) land mid-grid so the oracle reproduces the
+    rounded sortable short by the SAME integer arithmetic —
+    i = k*1024 + 4096; i -= (i div 8192) mod 2; s = ±(15360 + i div
+    8192) — while the engine runs the general vectorized bit kernel."""
+    from lucene_spark.functions.halffloat import (
+        half_range_query,
+        half_sortable_col,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey") % 8192
+    mag = F.lit(1.0) + k.cast("double") / F.lit(8192.0)
+    v = F.when(F.col("o_orderkey") % 2 == 0, mag).otherwise(-mag)
+    pts = o.select("o_orderkey", v.alias("v"))
+    hits = half_range_query(pts, "v", -1.5, 1.25)
+    return hits.select(
+        "o_orderkey", half_sortable_col(F.col("v")).alias("half_key")
+    )
+
+
+def _half_float_range_sql() -> str:
+    from lucene_spark.functions.halffloat import (
+        half_float_to_sortable_short,
+    )
+
+    lo = half_float_to_sortable_short(-1.5)
+    hi = half_float_to_sortable_short(1.25)
+    return f"""
+    WITH q AS (
+      SELECT o_orderkey, o_orderkey % 8192 AS k,
+             o_orderkey % 2 = 0 AS pos
+      FROM orders),
+    r AS (
+      SELECT o_orderkey, pos,
+             (k * 1024 + 4096)
+               - ((k * 1024 + 4096) // 8192) % 2 AS i
+      FROM q),
+    s AS (
+      SELECT o_orderkey,
+             CASE WHEN pos THEN 15360 + i // 8192
+                  ELSE -(15360 + i // 8192) - 1 END AS half_key
+      FROM r)
+    SELECT o_orderkey, half_key FROM s
+    WHERE half_key BETWEEN {lo} AND {hi}"""
+
+
 def _q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HeatmapFacetCounter analog (spatial-extras/.../prefix/
     HeatmapFacetCounter.java:78): grid-cell match counts over a query
@@ -7635,6 +7685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo3d_polygon_match": _q_geo3d_polygon,
         "geo3d_wgs84_polygon": _q_geo3d_wgs84_polygon,
         "bigint128_range": _q_bigint128_range,
+        "half_float_range": _q_half_float_range,
         "float_point_nearest": _q_float_point_nearest,
         "heatmap_facets": _q_heatmap,
         "geohash_cells": _q_geohash_cells,
@@ -8485,6 +8536,7 @@ def oracle_sql() -> dict[str, str]:
         "geo3d_polygon_match": _geo3d_polygon_sql(),
         "geo3d_wgs84_polygon": _geo3d_wgs84_polygon_sql(),
         "bigint128_range": _BIGINT128_SQL,
+        "half_float_range": _half_float_range_sql(),
         "float_point_nearest": _FLOAT_POINT_NEAREST_SQL,
         "heatmap_facets": _HEATMAP_SQL,
         "geohash_cells": _geohash_cells_sql(),

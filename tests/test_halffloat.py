@@ -1,0 +1,177 @@
+"""HalfFloatPoint (functions/halffloat.py): reference goldens
+(TestHalfFloatPoint.java:40-58,235-281), numpy-float16 agreement,
+kernel-vs-scalar-port equality, and query semantics."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.functions.halffloat import (
+    half_exact_query,
+    half_float_to_short_bits,
+    half_float_to_sortable_short,
+    half_range_query,
+    half_set_query,
+    half_sortable_col,
+    next_down,
+    next_up,
+    short_bits_to_half_float,
+)
+
+
+GOLDENS = [
+    ("0011110000000000", 1.0),
+    ("0011110000000001", 1.0009765625),
+    ("1100000000000000", -2.0),
+    ("0111101111111111", 65504.0),  # max value
+    ("0000010000000000", 2.0**-14),  # min positive normal
+    ("0000001111111111", 2.0**-14 - 2.0**-24),  # max subnormal
+    ("0000000000000001", 2.0**-24),  # min positive subnormal
+    ("0000000000000000", 0.0),
+    ("1000000000000000", -0.0),
+    ("0111110000000000", float("inf")),
+    ("1111110000000000", float("-inf")),
+    ("0111111000000000", float("nan")),
+    ("0011010101010101", 0.333251953125),
+]
+
+
+class TestConversion:
+    def test_reference_goldens(self):
+        for bits_s, v in GOLDENS:
+            bits = int(bits_s, 2)
+            assert half_float_to_short_bits(v) == bits, v
+            back = short_bits_to_half_float(bits)
+            if math.isnan(v):
+                assert math.isnan(back)
+            else:
+                assert np.float32(back) == np.float32(v)
+                assert np.copysign(1, back) == np.copysign(1, v)
+
+    def test_denormal_float_rounds_to_zero(self):
+        # TestHalfFloatPoint.java:43
+        assert half_float_to_short_bits(1.4e-45) == 0
+
+    def test_matches_numpy_float16(self):
+        rng = np.random.default_rng(5)
+        vals = np.concatenate(
+            [
+                rng.normal(scale=s, size=3000).astype(np.float32)
+                for s in (1e-8, 1e-3, 1.0, 1e3, 1e7)
+            ]
+            + [
+                np.array(
+                    [65519.99, 65520.0, -65520.0, 6.1e-5, 5.9e-8,
+                     2.0**-25, 3 * 2.0**-26],
+                    dtype=np.float32,
+                )
+            ]
+        )
+        np_bits = vals.astype(np.float16).view(np.uint16)
+        port = np.array(
+            [half_float_to_short_bits(float(v)) for v in vals],
+            dtype=np.uint16,
+        )
+        assert (np_bits == port).all()
+
+    def test_sortable_order(self):
+        rng = np.random.default_rng(7)
+        vals = rng.normal(scale=100.0, size=500).astype(np.float32)
+        halves = vals.astype(np.float16).astype(np.float64)
+        ss = [half_float_to_sortable_short(float(v)) for v in vals]
+        for i in range(len(vals)):
+            for j in range(i + 1, min(i + 20, len(vals))):
+                if halves[i] < halves[j]:
+                    assert ss[i] < ss[j]
+                elif halves[i] > halves[j]:
+                    assert ss[i] > ss[j]
+                else:
+                    assert ss[i] == ss[j]
+
+
+class TestNextUpDown:
+    def test_reference_assertions(self):
+        # TestHalfFloatPoint.java:235-281
+        assert math.isnan(next_up(float("nan")))
+        assert next_up(float("inf")) == float("inf")
+        assert next_up(float("-inf")) == -65504.0
+        assert next_up(0.0) == 2.0**-24
+        assert next_up(1.4e-45) == next_up(0.0)
+        assert next_up(-1.4e-45) == 0.0
+        assert np.copysign(1, next_up(-1.4e-45)) < 0  # -0f
+        assert np.copysign(1, next_up(-0.0)) > 0  # +0f
+        assert math.isnan(next_down(float("nan")))
+        assert next_down(float("-inf")) == float("-inf")
+        assert next_down(float("inf")) == 65504.0
+        assert next_down(0.0) == 0.0
+        assert np.copysign(1, next_down(0.0)) < 0  # -0f
+        assert next_down(1.4e-45) == 0.0
+        assert np.copysign(1, next_down(1.4e-45)) > 0  # +0f
+
+    def test_steps_one_ulp(self):
+        assert next_up(1.0) == 1.0009765625
+        assert next_down(1.0009765625) == 1.0
+        # a value between two halves steps to the upper one
+        assert next_up(1.0001) == 1.0009765625
+
+
+class TestKernelAndQueries:
+    @pytest.fixture(scope="class")
+    def data(self, spark):
+        rng = np.random.default_rng(11)
+        vals = [float(v) for v in rng.normal(scale=10.0, size=400)]
+        vals += [0.0, -0.0, 1.0, 1.0001, -2.0, 65504.0, 70000.0, 6e-8]
+        df = spark.createDataFrame(
+            list(enumerate(vals)), "id long, v double"
+        ).cache()
+        return df, vals
+
+    def test_kernel_matches_scalar_port(self, data):
+        df, vals = data
+        got = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id", half_sortable_col(F.col("v")).alias("s")
+            ).collect()
+        }
+        for i, v in enumerate(vals):
+            assert got[i] == half_float_to_sortable_short(v), v
+
+    def test_range_query(self, data):
+        df, vals = data
+        got = {
+            r["id"] for r in half_range_query(df, "v", -1.5, 1.25).collect()
+        }
+        lo = half_float_to_sortable_short(-1.5)
+        hi = half_float_to_sortable_short(1.25)
+        exp = {
+            i
+            for i, v in enumerate(vals)
+            if lo <= half_float_to_sortable_short(v) <= hi
+        }
+        assert got == exp and got
+
+    def test_exact_matches_anything_rounding_equal(self, data):
+        df, vals = data
+        # 1.0001 rounds to 1.0 (the nearer half float), so an exact
+        # query for 1.0 matches it too — the reference's documented
+        # round-to-nearest indexing semantics
+        got = {r["id"] for r in half_exact_query(df, "v", 1.0).collect()}
+        exp = {i for i, v in enumerate(vals) if v in (1.0, 1.0001)}
+        assert got >= exp
+        for i in got:
+            assert half_float_to_sortable_short(
+                vals[i]
+            ) == half_float_to_sortable_short(1.0)
+
+    def test_set_query(self, data):
+        df, vals = data
+        got = {
+            r["id"]
+            for r in half_set_query(df, "v", [65504.0, -2.0]).collect()
+        }
+        # 70000 overflows to +inf, which is NOT 65504
+        exp = {i for i, v in enumerate(vals) if v in (65504.0, -2.0)}
+        assert got == exp
