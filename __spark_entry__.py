@@ -3801,6 +3801,49 @@ def _q_multi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_dv_multi_range_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SortedNumericDocValuesMultiRangeQuery (sandbox/search/
+    SortedNumericDocValuesMultiRangeQuery.java:49): a union of ranges
+    stabbing a multi-valued numeric doc-values field — values here are
+    three deterministic residues of doc_id; ranges exercise the
+    resolveOverlaps merge ([5,10]+[8,15] -> [5,15]), the reverse-range
+    drop ((50,40) matches nothing, :105), and a point range (20,20)."""
+    s = _get_searcher(spark, sf_dir)
+    did = F.substring(F.col("url"), -8, 8).cast("long")
+    vals = F.array(did % 97, (did * 7) % 89, (did * 13) % 83)
+    sc = s.scored_dv_multi_range(
+        vals, [(5, 10), (8, 15), (50, 40), (20, 20)]
+    )
+    return s._attach_urls(
+        s._globalize(sc.withColumn("local_docid", F.col("docid")))
+    ).select(
+        _doc_id("url"), F.col("score").cast("double").alias("score")
+    ).orderBy("doc_id")
+
+
+def _q_dv_multi_range_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SortedSetDocValuesMultiRangeQuery (sandbox/search/
+    SortedSetDocValuesMultiRangeQuery.java, stabbing builder
+    DocValuesMultiRangeQuery.java:118): the BytesRef twin over a
+    multi-valued string field; Spark's UTF8 binary comparison is
+    BytesRef order.  Single-range semantics = newSlowRangeQuery with
+    both bounds inclusive (the builder javadoc's contract)."""
+    s = _get_searcher(spark, sf_dir)
+    did = F.substring(F.col("url"), -8, 8).cast("long")
+    vals = F.array(
+        F.concat(F.lit("t"), (did % 7).cast("string")),
+        F.concat(F.lit("u"), (did % 3).cast("string")),
+    )
+    sc = s.scored_dv_multi_range(
+        vals, [("t1", "t3"), ("t3", "t5"), ("u9", "u0"), ("u1", "u1")]
+    )
+    return s._attach_urls(
+        s._globalize(sc.withColumn("local_docid", F.col("docid")))
+    ).select(
+        _doc_id("url"), F.col("score").cast("double").alias("score")
+    ).orderBy("doc_id")
+
+
 def _q_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CoveringQuery (sandbox/search/CoveringQuery.java:51): per-doc
     minimum clause count — long docs (doclen>=30) need all 3 terms,
@@ -7737,6 +7780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_hits_relation": _q_total_hits_relation,
         "split_index_top10": _q_split_index,
         "range_field_counts": _q_range_field,
+        "dv_multi_range_long": _q_dv_multi_range_long,
+        "dv_multi_range_str": _q_dv_multi_range_str,
         "xml_parsed_top10": _q_xml_parsed,
         "shape_box_relations": _q_shape_box,
         "covering_top10": _q_covering,
@@ -8627,6 +8672,20 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOK}, {_DL}
             SELECT doc_id, 1.0 AS score FROM dl
             WHERE (dl BETWEEN 10 AND 20) OR (dl BETWEEN 40 AND 50)
+            ORDER BY doc_id""",
+        "dv_multi_range_long": """
+            SELECT doc_id, 1.0 AS score FROM documents
+            WHERE ((doc_id % 97) BETWEEN 5 AND 15 OR (doc_id % 97) = 20)
+               OR (((doc_id * 7) % 89) BETWEEN 5 AND 15
+                   OR ((doc_id * 7) % 89) = 20)
+               OR (((doc_id * 13) % 83) BETWEEN 5 AND 15
+                   OR ((doc_id * 13) % 83) = 20)
+            ORDER BY doc_id""",
+        "dv_multi_range_str": """
+            SELECT doc_id, 1.0 AS score FROM documents
+            WHERE ('t' || CAST(doc_id % 7 AS VARCHAR)
+                      BETWEEN 't1' AND 't5')
+               OR ('u' || CAST(doc_id % 3 AS VARCHAR) = 'u1')
             ORDER BY doc_id""",
         "split_index_top10": _bm25_sql(
             ["window"], corpus_where="doc_id % 2 = 0"

@@ -1257,6 +1257,70 @@ class QueryOpsMixin:
     ) -> DataFrame:
         return self._finish_topk(self.scored_multi_range(attr, ranges, **kw), k)
 
+    def scored_dv_multi_range(
+        self,
+        values: Column,
+        ranges: list[tuple],
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """DocValuesMultiRangeQuery stabbing builders (``sandbox/search/
+        SortedNumericDocValuesMultiRangeQuery.java:49`` and
+        ``SortedSetDocValuesMultiRangeQuery.java``, built via
+        ``DocValuesMultiRangeQuery.java:118-180``): a union of
+        inclusive [lower, upper] ranges over a MULTI-VALUED doc-values
+        field — a doc matches when ANY of its values falls inside ANY
+        range; constant score.  ``resolveOverlaps``
+        (SortedNumericDocValuesMultiRangeQuery.java:88-148) merges
+        overlapping/touching clauses and silently DROPS reverse ranges
+        (:105 "else drop reverse ranges"); docs missing the field never
+        match (:236-238 advance miss → no match).  The SortedSet
+        builder's javadoc pins single-range behavior to
+        ``newSlowRangeQuery(..., true, true)`` — both bounds inclusive.
+
+        Spark mapping: multi-valued doc values are an ``array<T>``
+        column over the docs frame (``values`` is any Column expression
+        there — numeric for the SortedNumeric twin, string for the
+        SortedSet twin, where Spark's UTF8 binary comparison matches
+        BytesRef byte order).  The union-of-ranges stab is one
+        ``exists(values, v -> ...)`` higher-order function — pure
+        Catalyst, no UDF; NULL arrays coalesce to no-match.  Unlike the
+        point twin above there is nothing to push to the scan (the
+        reference's DV variant likewise scans doc values rather than
+        the BKD tree), but the predicate stays in whole-stage codegen
+        and column pruning still drops every other doc column.
+        """
+        kept = [(lo, hi) for lo, hi in ranges if not lo > hi]
+        if not kept:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        merged: list[list] = []
+        for lo, hi in sorted(kept, key=lambda r: (r[0], r[1])):
+            if merged and lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+
+        def _in_any(v: Column) -> Column:
+            pred = None
+            for lo, hi in merged:
+                p = (v >= F.lit(lo)) & (v <= F.lit(hi))
+                pred = p if pred is None else (pred | p)
+            return pred
+
+        stab = F.coalesce(F.exists(values, _in_any), F.lit(False))
+        matches = self._filter_live(
+            self._docs.where(stab).select(
+                "segment_id", F.col("local_docid").alias("docid")
+            )
+        )
+        return self.constant_score(matches, boost)
+
+    def dv_multi_range_query(
+        self, values: Column, ranges: list[tuple], k: int = 10, **kw
+    ) -> DataFrame:
+        return self._finish_topk(
+            self.scored_dv_multi_range(values, ranges, **kw), k
+        )
+
     def scored_covering(
         self,
         clauses: list[DataFrame],

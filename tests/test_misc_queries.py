@@ -99,6 +99,83 @@ class TestMultiRange:
         assert searcher.multi_range_query("doclen", [], k=10).count() == 0
 
 
+class TestDvMultiRange:
+    """SortedNumeric/SortedSetDocValuesMultiRangeQuery
+    (sandbox/search/SortedNumericDocValuesMultiRangeQuery.java:49)."""
+
+    def _vals(self):
+        from pyspark.sql import functions as F
+
+        return F.array(F.col("doclen") % 7, F.col("doclen") % 11)
+
+    def test_any_value_in_any_range(self, searcher, naive):
+        got = {
+            r["url"]
+            for r in searcher.dv_multi_range_query(
+                self._vals(), [(2, 3), (9, 10), (8, 1), (5, 5)], k=10_000
+            ).collect()
+        }
+        expect = set()
+        for i in range(naive.N):
+            vs = (naive.doclens[i] % 7, naive.doclens[i] % 11)
+            if any(2 <= v <= 3 or 9 <= v <= 10 or v == 5 for v in vs):
+                expect.add(naive.urls[i])
+        assert got == expect
+        assert got  # non-vacuous
+
+    def test_reverse_range_drops_overlap_merges(self, searcher):
+        # (8, 1) is a reverse range: dropped, never "wraps"
+        a = searcher.dv_multi_range_query(self._vals(), [(8, 1)], k=10_000)
+        assert a.count() == 0
+        # [2,5]+[4,8] == [2,8]
+        b = searcher.dv_multi_range_query(
+            self._vals(), [(2, 5), (4, 8)], k=10_000
+        )
+        c = searcher.dv_multi_range_query(self._vals(), [(2, 8)], k=10_000)
+        assert {r["url"] for r in b.collect()} == {
+            r["url"] for r in c.collect()
+        }
+
+    def test_null_array_never_matches(self, searcher):
+        from pyspark.sql import functions as F
+
+        vals = F.when(
+            F.col("doclen") % 2 == 0, F.array(F.col("doclen") % 7)
+        )  # odd-doclen docs: NULL doc values -> advance miss, no match
+        got = searcher.dv_multi_range_query(vals, [(0, 6)], k=10_000)
+        urls = [r["url"] for r in got.collect()]
+        doclens = {
+            r["url"]: r["doclen"]
+            for r in searcher._docs.select("url", "doclen").collect()
+        }
+        assert urls and all(doclens[u] % 2 == 0 for u in urls)
+
+    def test_string_values_inclusive_bounds(self, searcher, naive):
+        from pyspark.sql import functions as F
+
+        vals = F.array(
+            F.concat(F.lit("k"), (F.col("doclen") % 5).cast("string"))
+        )
+        got = {
+            r["url"]
+            for r in searcher.dv_multi_range_query(
+                vals, [("k1", "k3")], k=10_000
+            ).collect()
+        }
+        expect = {
+            naive.urls[i]
+            for i in range(naive.N)
+            if 1 <= naive.doclens[i] % 5 <= 3
+        }
+        assert got == expect
+
+    def test_python_free_plan(self, searcher):
+        df = searcher.scored_dv_multi_range(self._vals(), [(2, 3), (5, 5)])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "mapinpandas" not in plan.lower()
+
+
 class TestCovering:
     def _clauses(self, searcher):
         return [
