@@ -7614,9 +7614,87 @@ def _q_bp_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pk_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered primary-key lookup (BloomFilteringPostingsFormat,
+    ``codecs/bloom/BloomFilteringPostingsFormat.java`` +
+    ``codecs/bloom/FuzzySet.java:122-133``): per-segment FuzzySets over
+    the url field prune segments that provably lack a probe key; the
+    oracle is the plain exact lookup — a Bloom filter has no false
+    negatives, so the pruned scan must return identical rows."""
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.pk import build_pk_bloom, pk_lookup
+    from lucene_spark.sources.catalog import IndexCatalog
+    from lucene_spark.sources.web_pages import load_web_pages
+
+    idx = _index_dir(sf_dir) + "_pkbloom"
+    cat = IndexCatalog(idx)
+    if not cat.committed_segment_ids():
+        build_index(
+            spark,
+            load_web_pages(spark, sf_dir),
+            idx,
+            num_segments=_num_segments(sf_dir),
+        )
+    if not cat.read_manifest().get("pk_bloom"):
+        build_pk_bloom(spark, idx, field="url")
+    ids = [
+        int(r["doc_id"])
+        for r in _docs_table(spark, sf_dir)
+        .where(F.col("doc_id") % 100 == 7)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(10)
+        .collect()
+    ]
+    keys = [_url_of(i) for i in ids] + [
+        _url_of(99999991),
+        "https://absent.example/x",
+    ]
+    out = pk_lookup(spark, idx, keys)
+    return out.select(_doc_id("url"), F.col("doclen").alias("dl")).orderBy(
+        "doc_id"
+    )
+
+
+def _q_id_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDVersion workflow (sandbox/codecs/idversion/
+    IDVersionPostingsFormat.java:33-64): batch 1 indexes a slice with
+    version = doc_id % 97; batch 2 retries the even half at version 50
+    — applied only where 50 > the indexed version (seekExact's strict
+    compare). The oracle replays the version arithmetic."""
+    from lucene_spark.operators.pk import add_versioned, lookup_id_versions
+    from lucene_spark.sources.catalog import IndexCatalog
+    from lucene_spark.sources.web_pages import load_web_pages
+
+    idx = _index_dir(sf_dir) + "_idver"
+    wp = load_web_pages(spark, sf_dir)
+    num = F.substring("url", -8, 8).cast("long")
+    slice_ = wp.where(num % 10 == 3)
+    cat = IndexCatalog(idx)
+    if not cat.committed_segment_ids():
+        add_versioned(
+            spark,
+            idx,
+            slice_.select("url", "text", (num % 97).alias("version")),
+            num_segments=2,
+        )
+        add_versioned(
+            spark,
+            idx,
+            slice_.where(num % 2 == 0).select(
+                "url", "text", F.lit(50).cast("long").alias("version")
+            ),
+            num_segments=2,
+        )
+    out = lookup_id_versions(spark, idx, slice_.select("url"))
+    return out.select(_doc_id("url"), "version").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
+        "pk_lookup": _q_pk_lookup,
+        "id_version_lookup": _q_id_version,
         "high_freq_terms": _q_high_freq_terms,
         "term_info": _q_term_info,
         "doc_values_stats": _q_doc_values_stats,
@@ -7886,6 +7964,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS total_term_freq
             FROM tok WHERE term IN ('window', 'spark', 'data', 'the')
             GROUP BY term""",
+        "pk_lookup": f"""
+            WITH {_TOK}, {_DL},
+            probe AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 7
+                      ORDER BY doc_id LIMIT 10)
+            SELECT p.doc_id, dl.dl AS dl
+            FROM probe p JOIN dl ON p.doc_id = dl.doc_id
+            ORDER BY p.doc_id""",
+        "id_version_lookup": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 AND 50 > doc_id % 97
+                        THEN 50 ELSE doc_id % 97 END AS version
+            FROM documents WHERE doc_id % 10 = 3
+            ORDER BY doc_id""",
         "postings_term": f"""
             WITH {_TOK}
             SELECT doc_id, count(*)::BIGINT AS tf FROM tok

@@ -1,0 +1,192 @@
+"""MurmurHash3 x64 128 — the hash behind Lucene's Bloom postings.
+
+Port of the public MurmurHash3 algorithm as fixed by Lucene
+(``core/util/StringHelper.java:226-330``): seed 104729 for the
+``BytesRef`` overload used by ``codecs/bloom/FuzzySet.java:122``, the
+int32-truncating probe rule lives in the caller (see operators/pk.py).
+
+Two implementations with equality tests in tests/test_pk.py:
+
+- ``murmur3_x64_128(data, seed)`` — scalar reference port (per call,
+  used at query time on a handful of probe keys, driver-side);
+- ``murmur3_x64_128_batch(arr)`` — numpy-vectorized over thousands of
+  variable-length byte strings at once (used at sidecar-build time
+  inside the per-segment kernel; no per-row Python).
+
+All arithmetic is explicit uint64 wraparound; numpy's native modular
+multiply makes the batch path a handful of array ops per 16-byte block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+_N1 = 0x52DCE729
+_N2 = 0x38495AB5
+_M = 5
+_MASK = 0xFFFFFFFFFFFFFFFF
+
+LUCENE_SEED = 104729  # StringHelper.murmurhash3_x64_128(BytesRef) seed
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _MASK
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _MASK
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = LUCENE_SEED) -> tuple[int, int]:
+    """Scalar port. Returns (h1, h2) as unsigned 64-bit ints; Lucene's
+    ``hash[0]`` is h1 (the "msb" in FuzzySet), ``hash[1]`` is h2."""
+    h1 = h2 = seed & 0xFFFFFFFF
+    length = len(data)
+    nblocks = length >> 4
+    for i in range(nblocks):
+        o = i << 4
+        k1 = int.from_bytes(data[o : o + 8], "little")
+        k2 = int.from_bytes(data[o + 8 : o + 16], "little")
+        k1 = (k1 * _C1) & _MASK
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * _C2) & _MASK
+        h1 ^= k1
+        h1 = _rotl(h1, 27)
+        h1 = (h1 + h2) & _MASK
+        h1 = (h1 * _M + _N1) & _MASK
+        k2 = (k2 * _C2) & _MASK
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * _C1) & _MASK
+        h2 ^= k2
+        h2 = _rotl(h2, 31)
+        h2 = (h2 + h1) & _MASK
+        h2 = (h2 * _M + _N2) & _MASK
+
+    tail = data[nblocks << 4 :]
+    k1 = k2 = 0
+    t = len(tail)
+    if t > 8:
+        k2 = int.from_bytes(tail[8:], "little")
+        k2 = (k2 * _C2) & _MASK
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * _C1) & _MASK
+        h2 ^= k2
+        t = 8  # fall through to the k1 cases with the first 8 bytes
+    if 0 < len(tail):
+        k1 = int.from_bytes(tail[:t] if t < 8 else tail[:8], "little")
+        if len(tail) >= 1:
+            k1 = (k1 * _C1) & _MASK
+            k1 = _rotl(k1, 31)
+            k1 = (k1 * _C2) & _MASK
+            h1 ^= k1
+
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _MASK
+    h2 = (h2 + h1) & _MASK
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _MASK
+    h2 = (h2 + h1) & _MASK
+    return h1, h2
+
+
+def _np_rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _np_fmix64(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xFF51AFD7ED558CCD)
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xC4CEB9FE1A85EC53)
+    k = k ^ (k >> np.uint64(33))
+    return k
+
+
+def murmur3_x64_128_batch(
+    values: list[bytes] | np.ndarray, seed: int = LUCENE_SEED
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized scalar-port twin over N variable-length byte strings.
+
+    Strategy: right-pad all strings with zeros into one (N, maxlen16)
+    uint8 matrix (maxlen16 = max length rounded up to a 16 multiple),
+    view it as little-endian uint64 lanes, then run the block mixes
+    lane-by-lane with an "active" mask per block index (a string only
+    absorbs blocks i < len>>4; the tail bytes are re-gathered per
+    string because the zero padding already gives the switch-ladder's
+    partial little-endian load for free — loading 8 zero-padded bytes
+    equals ORing the `len & 7` case arms).
+    """
+    n = len(values)
+    if n == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.uint64))
+    lens = np.fromiter((len(v) for v in values), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    width = ((maxlen + 15) // 16) * 16
+    if width == 0:
+        width = 16  # all-empty batch still needs one lane column
+    mat = np.zeros((n, width), dtype=np.uint8)
+    for i, v in enumerate(values):  # one memcpy per row, no arithmetic
+        if len(v):
+            mat[i, : len(v)] = np.frombuffer(v, dtype=np.uint8)
+    lanes = mat.view("<u8").reshape(n, width // 8)
+
+    h1 = np.full(n, np.uint64(seed & 0xFFFFFFFF), dtype=np.uint64)
+    h2 = h1.copy()
+    nblocks = (lens >> 4).astype(np.int64)
+    max_blocks = int(nblocks.max())
+    C1 = np.uint64(_C1)
+    C2 = np.uint64(_C2)
+    M = np.uint64(_M)
+    N1 = np.uint64(_N1)
+    N2 = np.uint64(_N2)
+    for i in range(max_blocks):
+        act = nblocks > i
+        k1 = lanes[:, 2 * i].copy()
+        k2 = lanes[:, 2 * i + 1].copy()
+        k1 = _np_rotl(k1 * C1, 31) * C2
+        nh1 = h1 ^ k1
+        nh1 = _np_rotl(nh1, 27) + h2
+        nh1 = nh1 * M + N1
+        k2 = _np_rotl(k2 * C2, 33) * C1
+        nh2 = h2 ^ k2
+        nh2 = _np_rotl(nh2, 31) + nh1
+        nh2 = nh2 * M + N2
+        h1 = np.where(act, nh1, h1)
+        h2 = np.where(act, nh2, h2)
+
+    # tails: the zero padding makes the partial LE loads exact
+    tail_lane = (nblocks * 2).astype(np.int64)
+    rows = np.arange(n)
+    safe1 = np.minimum(tail_lane, lanes.shape[1] - 1)
+    safe2 = np.minimum(tail_lane + 1, lanes.shape[1] - 1)
+    t1 = lanes[rows, safe1]
+    t2 = lanes[rows, safe2]
+    tlen = (lens & 15).astype(np.int64)
+    has_k2 = tlen > 8
+    k2 = np.where(has_k2, t2, np.uint64(0))
+    k2 = _np_rotl(k2 * C2, 33) * C1
+    h2 = np.where(has_k2, h2 ^ k2, h2)
+    has_k1 = tlen >= 1
+    k1 = np.where(has_k1, t1, np.uint64(0))
+    k1 = _np_rotl(k1 * C1, 31) * C2
+    h1 = np.where(has_k1, h1 ^ k1, h1)
+
+    ulens = lens.astype(np.uint64)
+    h1 ^= ulens
+    h2 ^= ulens
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _np_fmix64(h1)
+    h2 = _np_fmix64(h2)
+    h1 = h1 + h2
+    h2 = h2 + h1
+    return h1, h2

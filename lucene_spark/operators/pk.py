@@ -1,0 +1,429 @@
+"""Primary-key operators: Bloom-filtered lookups + versioned IDs.
+
+Two reference features re-expressed for the segment-table index:
+
+**BloomFilteringPostingsFormat** (``codecs/bloom/BloomFilteringPostingsFormat.java``,
+``codecs/bloom/FuzzySet.java``): per-segment Bloom filters over a
+primary-key field offer "fast-fail" — a segment whose filter answers
+NO for a key provably does not contain it and is never read. The port
+keeps the reference's exact probe geometry: MurmurHash3 x64 128 with
+seed 104729 (``core/util/StringHelper.java:231``), k probe positions
+``((int)(lsb + i*msb)) & bloomSize`` with an all-ones ``bloomSize``
+mask (``FuzzySet.java:122-133``), and ``createOptimalSet`` sizing
+(``FuzzySet.java:96-105``, default fpp 0.1023 per
+``DefaultBloomFilterFactory.java:36``). Deviation (improvement): Lucene
+sizes by ``maxDoc`` then downsizes at flush because it streams terms;
+we know each segment's exact distinct-key count at sidecar-build time
+and size optimally up front, so ``downsize`` is unnecessary.
+
+Scale shape: filters are segment-level METADATA (a few hundred KB per
+10M-doc segment at fpp 0.1) — the sidecar is built with one
+per-segment vectorized kernel (no per-row Python), loaded driver-side
+exactly like Lucene holds ``.blm`` heaps per SegmentReader, and the
+surviving segment list is pushed into the parquet scan as a
+``segment_id IN (...)`` predicate: at 10^12 docs a PK probe touches
+only the row groups of MAYBE segments.
+
+**IDVersionPostingsFormat** (``sandbox/codecs/idversion/IDVersionPostingsFormat.java:33-57``):
+every ID carries a long version; indexing a document may be skipped if
+the ID was already indexed with a version > N
+(``IDVersionSegmentTermsEnum.seekExact(BytesRef,long)``). The analog
+records (url, version) rows in a ``pk_versions`` sidecar generation per
+applied batch; the current version of a live ID is the max over
+generations semi-joined against live docs — a deleted ID loses its
+version history exactly like Lucene, where the term vanishes with the
+doc. ``add_versioned`` is the reference's recommended workflow
+(seekExact + skip stale, then updateDocument) as one distributed plan:
+no ID ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.murmur import murmur3_x64_128, murmur3_x64_128_batch
+from ..sources.catalog import IndexCatalog
+
+# FuzzySet.usableBitSetSizes: (1 << (i+6)) - 1, i in 0..25
+_USABLE_SIZES = [(1 << (i + 6)) - 1 for i in range(26)]
+
+# IDVersionPostingsFormat.MIN_VERSION / MAX_VERSION (ZigZag headroom)
+MIN_VERSION = 0
+MAX_VERSION = 0x3FFFFFFFFFFFFFFF
+
+DEFAULT_FPP = 0.1023  # DefaultBloomFilterFactory.java:36
+
+
+def _nearest_set_size(max_bits: int) -> int:
+    """FuzzySet.getNearestSetSize: largest all-ones size <= max_bits."""
+    result = _USABLE_SIZES[0]
+    for s in _USABLE_SIZES:
+        if s <= max_bits:
+            result = s
+    return result
+
+
+class FuzzySet:
+    """Bloom filter with Lucene's FuzzySet geometry (NO / MAYBE)."""
+
+    def __init__(self, words: np.ndarray, bloom_size: int, hash_count: int):
+        self.words = words  # uint64 little-endian word array
+        self.bloom_size = int(bloom_size)  # all-ones mask
+        self.hash_count = int(hash_count)
+
+    @classmethod
+    def create_optimal(
+        cls, max_unique: int, fpp: float = DEFAULT_FPP
+    ) -> "FuzzySet":
+        """FuzzySet.createOptimalSet(maxNumUniqueValues, targetMaxFpp)."""
+        n = max(1, int(max_unique))
+        set_size = int(
+            math.ceil((n * math.log(fpp)) / math.log(1 / (2 ** math.log(2))))
+        )
+        set_size = _nearest_set_size(2 * set_size)
+        k = int(round((set_size / n) * math.log(2)))
+        k = max(1, k)
+        nwords = (set_size + 1 + 63) // 64
+        return cls(np.zeros(nwords, dtype=np.uint64), set_size, k)
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Probe positions for N hashes: shape (N, hash_count).
+
+        FuzzySet.java:126-128 — msb = hash[0] (h1), lsb = hash[1] (h2),
+        pos_i = ((int)(lsb + i*msb)) & bloomSize. The Java int cast
+        keeps the low 32 bits; bloomSize < 2^31 so masking the uint64
+        directly is bit-identical."""
+        i = np.arange(self.hash_count, dtype=np.uint64)
+        mix = h2[:, None] + i[None, :] * h1[:, None]  # uint64 wraparound
+        return (mix & np.uint64(self.bloom_size)).astype(np.int64)
+
+    def add_batch(self, values: list[bytes]) -> None:
+        if not values:
+            return
+        h1, h2 = murmur3_x64_128_batch(values)
+        pos = self._positions(h1, h2).ravel()
+        words = pos >> 6
+        bits = np.uint64(1) << (pos & 63).astype(np.uint64)
+        np.bitwise_or.at(self.words, words, bits)
+
+    def contains(self, value: bytes) -> bool:
+        """True = MAYBE, False = definitively NO."""
+        h1, h2 = murmur3_x64_128(value)
+        for i in range(self.hash_count):
+            p = ((h2 + i * h1) & 0xFFFFFFFFFFFFFFFF) & self.bloom_size
+            if not (int(self.words[p >> 6]) >> (p & 63)) & 1:
+                return False
+        return True
+
+    def saturation(self) -> float:
+        set_bits = int(
+            sum(bin(int(w)).count("1") for w in self.words)
+        )
+        return set_bits / float(self.bloom_size)
+
+    def to_bytes(self) -> bytes:
+        return self.words.tobytes()
+
+    @classmethod
+    def from_bytes(
+        cls, data: bytes, bloom_size: int, hash_count: int
+    ) -> "FuzzySet":
+        return cls(
+            np.frombuffer(data, dtype=np.uint64).copy(),
+            bloom_size,
+            hash_count,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecar
+# ---------------------------------------------------------------------------
+
+_BLOOM_SCHEMA = (
+    "segment_id long, field string, num_values long, bloom_size long, "
+    "hash_count int, bits binary"
+)
+
+
+def build_pk_bloom(
+    spark: SparkSession,
+    index_dir: str,
+    field: str = "url",
+    fpp: float = DEFAULT_FPP,
+) -> int:
+    """Build (or rebuild) the per-segment Bloom sidecar for a key field.
+
+    One vectorized kernel per segment (groupBy segment_id +
+    applyInPandas — the per-segment pass mirrors the per-segment .blm
+    write at flush). The manifest records the covered segment set;
+    lookups treat uncovered segments (e.g. appended after the sidecar
+    build) as MAYBE, so the sidecar is always safe, never required.
+    Returns the number of filters written."""
+    from .build import read_docs
+
+    catalog = IndexCatalog(index_dir)
+    docs = read_docs(spark, catalog).select("segment_id", F.col(field))
+
+    def make_filter(pdf):
+        import pandas as pd
+
+        sid = int(pdf["segment_id"].iloc[0])
+        vals = pdf[field].drop_duplicates()
+        enc = [v.encode("utf-8") for v in vals]
+        fs = FuzzySet.create_optimal(len(enc), fpp)
+        fs.add_batch(enc)
+        return pd.DataFrame(
+            {
+                "segment_id": [sid],
+                "field": [field],
+                "num_values": [len(enc)],
+                "bloom_size": [fs.bloom_size],
+                "hash_count": [fs.hash_count],
+                "bits": [fs.to_bytes()],
+            }
+        )
+
+    out = docs.groupBy("segment_id").applyInPandas(
+        make_filter, schema=_BLOOM_SCHEMA
+    )
+    d = catalog.new_commit_dir("pk_bloom")
+    out.write.mode("overwrite").parquet(d)
+    rows = spark.read.parquet(d).select("segment_id").collect()
+    covered = sorted(int(r["segment_id"]) for r in rows)
+    man = catalog.read_manifest()
+    man["pk_bloom"] = {
+        "dir": d[len(catalog.index_dir) + 1 :],
+        "field": field,
+        "segments": covered,
+        "fpp": float(fpp),
+    }
+    catalog.commit_manifest(man)
+    return len(covered)
+
+
+def load_pk_blooms(
+    spark: SparkSession, catalog: IndexCatalog, field: str = "url"
+) -> dict[int, FuzzySet]:
+    """Driver-side filter map {segment_id: FuzzySet} — segment-level
+    metadata, the in-heap ``.blm`` analog. Empty dict when no sidecar
+    (or a sidecar for a different field) exists."""
+    man = catalog.read_manifest()
+    rec = man.get("pk_bloom")
+    if not rec or rec.get("field") != field:
+        return {}
+    rows = spark.read.parquet(f"{catalog.index_dir}/{rec['dir']}").collect()
+    live = catalog.committed_segment_ids()
+    out = {}
+    for r in rows:
+        if int(r["segment_id"]) in live:
+            out[int(r["segment_id"])] = FuzzySet.from_bytes(
+                bytes(r["bits"]), int(r["bloom_size"]), int(r["hash_count"])
+            )
+    return out
+
+
+def bloom_candidate_segments(
+    catalog: IndexCatalog,
+    blooms: dict[int, FuzzySet],
+    keys: list[str],
+) -> list[int]:
+    """Segments that MAYBE contain at least one key, plus every live
+    segment without a filter (uncovered = always MAYBE)."""
+    live = sorted(catalog.committed_segment_ids())
+    enc = [k.encode("utf-8") for k in keys]
+    out = []
+    for sid in live:
+        fs = blooms.get(sid)
+        if fs is None or any(fs.contains(e) for e in enc):
+            out.append(int(sid))
+    return out
+
+
+def pk_lookup(
+    spark: SparkSession,
+    index_dir: str,
+    keys: list[str],
+    field: str = "url",
+    use_bloom: bool = True,
+) -> DataFrame:
+    """Exact primary-key lookup over live docs. With a Bloom sidecar,
+    only MAYBE segments are scanned (identical results either way — a
+    Bloom filter has no false negatives; tests assert the equality).
+    Returns (url, segment_id, local_docid, doclen)."""
+    from .build import read_docs
+    from .deletes import read_tombstones
+
+    catalog = IndexCatalog(index_dir)
+    docs = read_docs(spark, catalog)
+    if use_bloom:
+        blooms = load_pk_blooms(spark, catalog, field)
+        if blooms:
+            cands = bloom_candidate_segments(catalog, blooms, keys)
+            docs = docs.where(F.col("segment_id").isin(cands))
+    docs = docs.where(F.col(field).isin(list(keys)))
+    tomb = read_tombstones(spark, catalog)
+    if tomb is not None:
+        docs = docs.join(
+            tomb, ["segment_id", "local_docid"], "left_anti"
+        )
+    return docs.select(field, "segment_id", "local_docid", "doclen")
+
+
+# ---------------------------------------------------------------------------
+# IDVersion
+# ---------------------------------------------------------------------------
+
+
+def _read_version_rows(
+    spark: SparkSession, catalog: IndexCatalog
+) -> DataFrame | None:
+    man = catalog.read_manifest()
+    gens = man.get("pk_versions", [])
+    if not gens:
+        return None
+    parts = []
+    for seq, g in enumerate(gens):
+        parts.append(
+            spark.read.parquet(f"{catalog.index_dir}/{g['dir']}")
+            .withColumn("seq", F.lit(int(seq)))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lookup_id_versions(
+    spark: SparkSession,
+    index_dir: str,
+    ids: DataFrame,
+    id_col: str = "url",
+) -> DataFrame:
+    """(url, version) for the LIVE docs among ``ids``. The semi-join
+    against live docs enforces the delete rule: a deleted ID has no
+    version (a later add with any version wins), exactly like the term
+    disappearing from Lucene's ID field."""
+    catalog = IndexCatalog(index_dir)
+    vers = _read_version_rows(spark, catalog)
+    probe = ids.select(F.col(id_col).alias("url")).distinct()
+    if vers is None:
+        return probe.limit(0).withColumn(
+            "version", F.lit(None).cast("long")
+        )
+    from .build import read_docs
+    from .deletes import read_tombstones
+
+    docs = read_docs(spark, catalog).select("url", "segment_id", "local_docid")
+    tomb = read_tombstones(spark, catalog)
+    if tomb is not None:
+        docs = docs.join(tomb, ["segment_id", "local_docid"], "left_anti")
+    live_probe = docs.join(probe, "url", "left_semi").select("url").distinct()
+    # latest applied generation wins (NOT max version): after a delete,
+    # a LOWER version may legitimately be re-applied — the newest
+    # generation's row is the live doc's version
+    return (
+        vers.join(live_probe, "url", "left_semi")
+        .groupBy("url")
+        .agg(F.max_by("version", "seq").alias("version"))
+    )
+
+
+def seek_exact(
+    spark: SparkSession,
+    index_dir: str,
+    ids: DataFrame,
+    min_version: int,
+    id_col: str = "url",
+) -> DataFrame:
+    """IDVersionSegmentTermsEnum.seekExact(id, minVersion) over a batch:
+    the ids already indexed with version > min_version (the "skip this
+    stale update" set)."""
+    cur = lookup_id_versions(spark, index_dir, ids, id_col)
+    return cur.where(F.col("version") > int(min_version)).select(
+        F.col("url").alias(id_col), "version"
+    )
+
+
+def add_versioned(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    id_col: str = "url",
+    version_col: str = "version",
+    num_segments: int = 2,
+    field: str = "text",
+) -> dict:
+    """Index a batch of versioned documents, skipping any whose ID is
+    already live with an equal-or-higher version (the reference's
+    seekExact + LiveFieldValues indexing workflow,
+    ``IDVersionPostingsFormat.java:36-46``). Versions must lie in
+    [MIN_VERSION, MAX_VERSION] (``IDVersionPostingsFormat.java:58-64``).
+
+    Returns {"applied": n, "skipped": n}. Winners replace prior docs
+    via ``update_documents`` (tombstone + fresh segment) and their
+    (url, version) rows land as one ``pk_versions`` generation."""
+    from .deletes import update_documents
+
+    catalog = IndexCatalog(index_dir)
+    bad = batch.where(
+        (F.col(version_col) < MIN_VERSION)
+        | (F.col(version_col) > MAX_VERSION)
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"version out of range [{MIN_VERSION}, {MAX_VERSION}]"
+        )
+    batch = batch.withColumn(version_col, F.col(version_col).cast("long"))
+    total = batch.count()
+    cur = lookup_id_versions(spark, index_dir, batch.select(id_col), id_col)
+    winners = (
+        batch.join(
+            cur.withColumnRenamed("version", "__cur_version"),
+            batch[id_col] == cur["url"],
+            "left",
+        )
+        .where(
+            F.col("__cur_version").isNull()
+            | (F.col(version_col) > F.col("__cur_version"))
+        )
+        .drop("__cur_version")
+        .drop(cur["url"])
+    )
+    winners = winners.persist()
+    n_apply = winners.count()
+    if n_apply:
+        man = catalog.read_manifest()
+        if man["segments"]:
+            update_documents(
+                spark,
+                index_dir,
+                winners.select(F.col(id_col).alias("url"), field),
+                num_segments=num_segments,
+                field=field,
+            )
+        else:
+            from .build import build_index
+
+            build_index(
+                spark,
+                winners.select(F.col(id_col).alias("url"), field),
+                index_dir,
+                num_segments=num_segments,
+                field=field,
+            )
+        d = catalog.new_commit_dir("pk_versions")
+        winners.select(
+            F.col(id_col).alias("url"),
+            F.col(version_col).alias("version"),
+        ).write.mode("overwrite").parquet(d)
+        man = catalog.read_manifest()
+        man.setdefault("pk_versions", []).append(
+            {"dir": d[len(catalog.index_dir) + 1 :], "count": int(n_apply)}
+        )
+        catalog.commit_manifest(man)
+    winners.unpersist()
+    return {"applied": int(n_apply), "skipped": int(total - n_apply)}

@@ -1,0 +1,309 @@
+"""Primary-key operators: Bloom sidecar (FuzzySet) + IDVersion."""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.functions.murmur import (
+    murmur3_x64_128,
+    murmur3_x64_128_batch,
+)
+from lucene_spark.operators.pk import (
+    MAX_VERSION,
+    FuzzySet,
+    add_versioned,
+    bloom_candidate_segments,
+    build_pk_bloom,
+    load_pk_blooms,
+    lookup_id_versions,
+    pk_lookup,
+    seek_exact,
+)
+from lucene_spark.sources.catalog import IndexCatalog
+
+
+class TestMurmur:
+    def test_canonical_vector(self):
+        # the widely-published x64_128 digest prints each half
+        # little-endian; as integers:
+        h1, h2 = murmur3_x64_128(
+            b"The quick brown fox jumps over the lazy dog", seed=0
+        )
+        digest = h1.to_bytes(8, "little") + h2.to_bytes(8, "little")
+        assert digest.hex() == "6c1b07bc7bbc4be347939ac4a93c437a"
+
+    def test_empty_seed0(self):
+        assert murmur3_x64_128(b"", seed=0) == (0, 0)
+
+    def test_batch_matches_scalar(self):
+        rng = random.Random(42)
+        lens = [0, 1, 7, 8, 9, 15, 16, 17, 24, 31, 32, 33, 48, 63, 64, 100]
+        vals = [
+            bytes(rng.randrange(256) for _ in range(rng.choice(lens)))
+            for _ in range(400)
+        ]
+        h1, h2 = murmur3_x64_128_batch(vals)
+        for i, v in enumerate(vals):
+            assert (int(h1[i]), int(h2[i])) == murmur3_x64_128(v)
+
+    def test_batch_all_empty(self):
+        h1, h2 = murmur3_x64_128_batch([b"", b""])
+        s = murmur3_x64_128(b"")
+        assert (int(h1[0]), int(h2[0])) == s
+        assert (int(h1[1]), int(h2[1])) == s
+
+
+class TestFuzzySet:
+    def test_optimal_sizing_golden(self):
+        # FuzzySet.createOptimalSet(1000, 0.1023):
+        # raw = ceil(1000*ln(.1023)/ln(1/2^ln2)) = 4745
+        # nearest all-ones <= 9490 -> 8191; k = round(8191/1000*ln2) = 6
+        fs = FuzzySet.create_optimal(1000)
+        assert fs.bloom_size == 8191
+        assert fs.hash_count == 6
+
+    def test_min_size_floor(self):
+        fs = FuzzySet.create_optimal(1)
+        assert fs.bloom_size >= 63  # usableBitSetSizes[0]
+        assert fs.hash_count >= 1
+
+    def test_no_false_negatives(self):
+        rng = random.Random(7)
+        keys = [f"https://example.com/{rng.random()}".encode() for _ in range(2000)]
+        fs = FuzzySet.create_optimal(2000)
+        fs.add_batch(keys)
+        assert all(fs.contains(k) for k in keys)
+
+    def test_false_positive_rate_near_target(self):
+        rng = random.Random(11)
+        keys = [f"k{rng.random()}".encode() for _ in range(5000)]
+        fs = FuzzySet.create_optimal(5000)
+        fs.add_batch(keys)
+        absent = [f"absent{rng.random()}".encode() for _ in range(4000)]
+        fp = sum(fs.contains(a) for a in absent) / len(absent)
+        assert fp < 0.25  # target 0.1023; generous bound vs chance
+
+    def test_roundtrip_bytes(self):
+        fs = FuzzySet.create_optimal(100)
+        fs.add_batch([b"alpha", b"beta"])
+        fs2 = FuzzySet.from_bytes(fs.to_bytes(), fs.bloom_size, fs.hash_count)
+        assert fs2.contains(b"alpha") and fs2.contains(b"beta")
+        assert np.array_equal(fs.words, fs2.words)
+
+    def test_add_batch_matches_scalar_contains_geometry(self):
+        # every added value must probe the same positions contains()
+        # checks: adding via the batch path then flipping any probed
+        # bit off must turn contains() to NO
+        fs = FuzzySet.create_optimal(10)
+        fs.add_batch([b"solo"])
+        h1, h2 = murmur3_x64_128(b"solo")
+        pos = [
+            ((h2 + i * h1) & 0xFFFFFFFFFFFFFFFF) & fs.bloom_size
+            for i in range(fs.hash_count)
+        ]
+        assert fs.contains(b"solo")
+        w = fs.words.copy()
+        fs.words[pos[0] >> 6] &= ~(np.uint64(1) << np.uint64(pos[0] & 63))
+        assert not fs.contains(b"solo")
+        fs.words = w
+
+
+@pytest.fixture(scope="module")
+def pk_index(spark, web_pages, tmp_path_factory):
+    from lucene_spark.operators.build import build_index
+
+    d = str(tmp_path_factory.mktemp("pk") / "idx")
+    build_index(spark, web_pages, d, num_segments=4)
+    return d
+
+
+class TestBloomSidecar:
+    def test_build_covers_all_segments(self, spark, pk_index):
+        n = build_pk_bloom(spark, pk_index, field="url")
+        catalog = IndexCatalog(pk_index)
+        assert n == len(catalog.committed_segment_ids())
+        blooms = load_pk_blooms(spark, catalog, "url")
+        assert set(blooms) == catalog.committed_segment_ids()
+
+    def test_lookup_equals_unpruned(self, spark, pk_index, web_pages):
+        build_pk_bloom(spark, pk_index, field="url")
+        some = [r["url"] for r in web_pages.limit(7).collect()]
+        keys = some + ["https://absent.example/x", "nope"]
+        a = sorted(
+            (r["url"], r["segment_id"], r["local_docid"])
+            for r in pk_lookup(spark, pk_index, keys, use_bloom=True).collect()
+        )
+        b = sorted(
+            (r["url"], r["segment_id"], r["local_docid"])
+            for r in pk_lookup(
+                spark, pk_index, keys, use_bloom=False
+            ).collect()
+        )
+        assert a == b
+        assert {u for u, _, _ in a} == set(some)
+
+    def test_absent_keys_prune_segments(self, spark, pk_index):
+        build_pk_bloom(spark, pk_index, field="url")
+        catalog = IndexCatalog(pk_index)
+        blooms = load_pk_blooms(spark, catalog, "url")
+        total_live = len(catalog.committed_segment_ids())
+        rng = random.Random(3)
+        probes = [f"https://never-indexed.example/{rng.random()}" for _ in range(30)]
+        maybe = sum(
+            len(bloom_candidate_segments(catalog, blooms, [p]))
+            for p in probes
+        )
+        # expectation ~ fpp * segments * probes = 0.1 * 4 * 30 = 12
+        assert maybe < 0.75 * total_live * len(probes)
+
+    def test_present_key_never_pruned_away(self, spark, pk_index, web_pages):
+        build_pk_bloom(spark, pk_index, field="url")
+        catalog = IndexCatalog(pk_index)
+        blooms = load_pk_blooms(spark, catalog, "url")
+        rows = web_pages.select("url").limit(50).collect()
+        docs_seg = {
+            r["url"]: r["segment_id"]
+            for r in pk_lookup(
+                spark, pk_index, [r["url"] for r in rows], use_bloom=False
+            ).collect()
+        }
+        for r in rows:
+            cands = bloom_candidate_segments(catalog, blooms, [r["url"]])
+            assert docs_seg[r["url"]] in cands
+
+    def test_uncovered_segments_are_maybe(self, spark, pk_index):
+        catalog = IndexCatalog(pk_index)
+        blooms = load_pk_blooms(spark, catalog, "url")
+        some = sorted(blooms)[:2]
+        partial = {k: blooms[k] for k in some}
+        cands = bloom_candidate_segments(
+            catalog, partial, ["https://never-indexed.example/zz"]
+        )
+        uncovered = catalog.committed_segment_ids() - set(some)
+        assert uncovered <= set(cands)
+
+
+@pytest.fixture()
+def versioned_index(spark, tmp_path):
+    return str(tmp_path / "vidx")
+
+
+def _batch(spark, pairs):
+    return spark.createDataFrame(
+        [(u, f"doc body for {u}", int(v)) for u, v in pairs],
+        "url string, text string, version long",
+    )
+
+
+class TestIDVersion:
+    def test_fresh_apply_then_stale_skip(self, spark, versioned_index):
+        r1 = add_versioned(
+            spark,
+            versioned_index,
+            _batch(spark, [(f"u{i}", 10) for i in range(12)]),
+        )
+        assert r1 == {"applied": 12, "skipped": 0}
+        # stale: same ids, lower version
+        r2 = add_versioned(
+            spark,
+            versioned_index,
+            _batch(spark, [(f"u{i}", 5) for i in range(6)]),
+        )
+        assert r2 == {"applied": 0, "skipped": 6}
+        # equal version is also stale (seekExact requires strictly >)
+        r3 = add_versioned(
+            spark, versioned_index, _batch(spark, [("u0", 10)])
+        )
+        assert r3 == {"applied": 0, "skipped": 1}
+        # newer wins
+        r4 = add_versioned(
+            spark,
+            versioned_index,
+            _batch(spark, [(f"u{i}", 20) for i in range(3)]),
+        )
+        assert r4 == {"applied": 3, "skipped": 0}
+        vers = {
+            r["url"]: r["version"]
+            for r in lookup_id_versions(
+                spark,
+                versioned_index,
+                spark.createDataFrame(
+                    [(f"u{i}",) for i in range(12)], "url string"
+                ),
+            ).collect()
+        }
+        assert vers["u0"] == 20 and vers["u2"] == 20
+        assert vers["u3"] == 10 and vers["u11"] == 10
+
+    def test_seek_exact_min_version(self, spark, versioned_index):
+        add_versioned(
+            spark,
+            versioned_index,
+            _batch(spark, [("a", 3), ("b", 8), ("c", 15)]),
+        )
+        ids = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "url string")
+        got = {
+            r["url"]: r["version"]
+            for r in seek_exact(spark, versioned_index, ids, 7).collect()
+        }
+        assert got == {"b": 8, "c": 15}
+
+    def test_delete_forgets_version(self, spark, versioned_index):
+        from lucene_spark.operators.deletes import delete_by_urls
+
+        add_versioned(
+            spark, versioned_index, _batch(spark, [("gone", 99), ("kept", 99)])
+        )
+        delete_by_urls(spark, versioned_index, ["gone"])
+        # a deleted ID has no version: any version may be re-applied
+        r = add_versioned(
+            spark, versioned_index, _batch(spark, [("gone", 1), ("kept", 1)])
+        )
+        assert r == {"applied": 1, "skipped": 1}
+        vers = {
+            row["url"]: row["version"]
+            for row in lookup_id_versions(
+                spark,
+                versioned_index,
+                spark.createDataFrame([("gone",), ("kept",)], "url string"),
+            ).collect()
+        }
+        assert vers == {"gone": 1, "kept": 99}
+
+    def test_version_bounds_rejected(self, spark, versioned_index):
+        with pytest.raises(ValueError):
+            add_versioned(
+                spark, versioned_index, _batch(spark, [("x", -1)])
+            )
+        with pytest.raises(ValueError):
+            add_versioned(
+                spark,
+                versioned_index,
+                _batch(spark, [("x", MAX_VERSION + 1)]),
+            )
+
+    def test_search_sees_only_winners(self, spark, versioned_index):
+        from lucene_spark.operators.search import Searcher
+
+        add_versioned(
+            spark,
+            versioned_index,
+            spark.createDataFrame(
+                [("doc1", "alpha beta gamma", 5)],
+                "url string, text string, version long",
+            ),
+        )
+        add_versioned(
+            spark,
+            versioned_index,
+            spark.createDataFrame(
+                [("doc1", "delta epsilon", 3)],  # stale, must not index
+                "url string, text string, version long",
+            ),
+        )
+        s = Searcher(spark, versioned_index)
+        hits = s.term_query("alpha", k=5).collect()
+        assert [h["url"] for h in hits] == ["doc1"]
+        assert s.term_query("delta", k=5).count() == 0
