@@ -7690,11 +7690,61 @@ def _q_id_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_doc_id("url"), "version").orderBy("doc_id")
 
 
+def _q_binary_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place binary doc-values updates
+    (``core/index/IndexWriter.java:1976-2004`` updateBinaryDocValue):
+    generation 1 titles every doc_id%5==0 doc, generation 2 overrides
+    the doc_id%10==0 half — latest generation wins; never-updated docs
+    resolve NULL. The oracle replays the two-generation arithmetic."""
+    from lucene_spark.operators.build import build_index, read_docs
+    from lucene_spark.operators.docvalues import (
+        update_binary_docvalue_by_keys,
+        with_binary_docvalue,
+    )
+    from lucene_spark.sources.catalog import IndexCatalog
+    from lucene_spark.sources.web_pages import load_web_pages
+
+    idx = _index_dir(sf_dir) + "_dvb"
+    wp = load_web_pages(spark, sf_dir)
+    num = F.substring("url", -8, 8).cast("long")
+    cat = IndexCatalog(idx)
+    if not cat.committed_segment_ids():
+        build_index(spark, wp, idx, num_segments=_num_segments(sf_dir))
+    if not cat.read_manifest().get("dv_updates_bin"):
+        update_binary_docvalue_by_keys(
+            spark,
+            idx,
+            wp.where(num % 5 == 0).select(
+                "url",
+                F.concat(
+                    F.lit("T"), (num % 1000).cast("string")
+                ).alias("value"),
+            ),
+            "title",
+        )
+        update_binary_docvalue_by_keys(
+            spark,
+            idx,
+            wp.where(num % 10 == 0).select(
+                "url", F.lit("OVERRIDE").alias("value")
+            ),
+            "title",
+        )
+    docs = read_docs(spark, cat)
+    out = with_binary_docvalue(spark, cat, docs, "title", base=None)
+    return (
+        out.select(_doc_id("url"), "title")
+        .where((F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 7 == 1))
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
         "pk_lookup": _q_pk_lookup,
         "id_version_lookup": _q_id_version,
+        "binary_docvalue_title": _q_binary_dv,
         "high_freq_terms": _q_high_freq_terms,
         "term_info": _q_term_info,
         "doc_values_stats": _q_doc_values_stats,
@@ -7976,6 +8026,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 2 = 0 AND 50 > doc_id % 97
                         THEN 50 ELSE doc_id % 97 END AS version
             FROM documents WHERE doc_id % 10 = 3
+            ORDER BY doc_id""",
+        "binary_docvalue_title": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN 'OVERRIDE'
+                        WHEN doc_id % 5 = 0
+                        THEN 'T' || CAST(doc_id % 1000 AS VARCHAR)
+                        ELSE NULL END AS title
+            FROM documents
+            WHERE doc_id % 5 = 0 OR doc_id % 7 = 1
             ORDER BY doc_id""",
         "postings_term": f"""
             WITH {_TOK}

@@ -226,6 +226,149 @@ def read_numeric_docvalues(
     )
 
 
+DV_BIN_SCHEMA = "segment_id long, local_docid long, field string, value string"
+
+
+def _commit_dv_bin(
+    catalog: IndexCatalog, df: DataFrame, field: str, op: dict
+) -> int:
+    d = catalog.new_commit_dir("dv_updates_bin")
+    df.select("segment_id", "local_docid", "field", "value").distinct(
+    ).write.mode("overwrite").parquet(d)
+    n = df.sparkSession.read.parquet(d).count()
+    man = catalog.read_manifest()
+    man.setdefault("dv_updates_bin", []).append(
+        {
+            "dir": d[len(catalog.index_dir) + 1 :],
+            "field": field,
+            "count": int(n),
+            "op": op,
+        }
+    )
+    catalog.commit_manifest(man)
+    return n
+
+
+def update_binary_docvalue_by_urls(
+    spark: SparkSession,
+    index_dir: str,
+    urls: list[str],
+    field: str,
+    value: str,
+) -> int:
+    """IndexWriter.updateBinaryDocValue analog
+    (``core/index/IndexWriter.java:1976-2004``): set a per-document
+    payload without reindexing. The BytesRef payload maps to a Parquet
+    string column (UTF-8 is the byte carrier); resolution, update-time
+    binding, time travel, and merge interplay all mirror the numeric
+    twin above."""
+    from .build import read_docs
+
+    catalog = IndexCatalog(index_dir)
+    docs = read_docs(spark, catalog)
+    v = docs.where(F.col("url").isin(list(urls))).select(
+        "segment_id",
+        "local_docid",
+        F.lit(field).alias("field"),
+        F.lit(value).cast("string").alias("value"),
+    )
+    return _commit_dv_bin(
+        catalog, v, field, {"kind": "by_urls", "n_keys": len(urls)}
+    )
+
+
+def update_binary_docvalue_by_keys(
+    spark: SparkSession,
+    index_dir: str,
+    keys: DataFrame,
+    field: str,
+    key_col: str = "url",
+    value_col: str = "value",
+) -> int:
+    """Distributed bulk form: per-key payloads via a shuffle join —
+    no key or payload ever reaches the driver."""
+    from .build import read_docs
+
+    catalog = IndexCatalog(index_dir)
+    docs = read_docs(spark, catalog)
+    v = docs.join(
+        keys.select(
+            F.col(key_col).alias("url"),
+            F.col(value_col).cast("string").alias("value"),
+        ),
+        "url",
+    ).select(
+        "segment_id",
+        "local_docid",
+        F.lit(field).alias("field"),
+        "value",
+    )
+    return _commit_dv_bin(
+        catalog, v, field, {"kind": "by_keys", "value_col": value_col}
+    )
+
+
+def read_binary_docvalues(
+    spark: SparkSession, catalog: IndexCatalog, field: str
+) -> DataFrame | None:
+    """CURRENT (segment_id, local_docid, value) string overlay for
+    ``field``, latest op wins (generation order = manifest position)."""
+    man = catalog.read_manifest()
+    gens = [
+        (seq, g)
+        for seq, g in enumerate(man.get("dv_updates_bin", []))
+        if g["field"] in (field, "*")
+    ]
+    if not gens:
+        return None
+    parts = []
+    for seq, g in gens:
+        parts.append(
+            spark.read.parquet(f"{catalog.index_dir}/{g['dir']}")
+            .where(F.col("field") == field)
+            .select("segment_id", "local_docid", "value")
+            .withColumn("seq", F.lit(int(seq)))
+        )
+    allops = parts[0]
+    for p in parts[1:]:
+        allops = allops.unionByName(p)
+    live = [int(s) for s in sorted(catalog.committed_segment_ids())]
+    return (
+        allops.where(F.col("segment_id").isin(live))
+        .groupBy("segment_id", "local_docid")
+        .agg(F.max_by("value", "seq").alias("value"))
+    )
+
+
+def with_binary_docvalue(
+    spark: SparkSession,
+    catalog: IndexCatalog,
+    df: DataFrame,
+    field: str,
+    base=None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """BinaryDocValues.binaryValue() read path: one left join against
+    the resolved overlay, fallback to ``base``."""
+    out = out_col or field
+    if base is None:
+        base = F.lit(None).cast("string")
+    elif isinstance(base, str):
+        base = F.col(base).cast("string")
+    dv = read_binary_docvalues(spark, catalog, field)
+    if dv is None:
+        return df.withColumn(out, base)
+    return (
+        df.join(
+            dv.withColumnRenamed("value", "__dvb_value"),
+            ["segment_id", "local_docid"],
+            "left",
+        )
+        .withColumn(out, F.coalesce(F.col("__dvb_value"), base))
+        .drop("__dvb_value")
+    )
+
+
 def with_numeric_docvalue(
     spark: SparkSession,
     catalog: IndexCatalog,

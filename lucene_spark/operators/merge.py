@@ -671,19 +671,71 @@ def merge_segments(
             },
         }
 
-    # numeric doc-values overlays (operators/docvalues.py): resolve the
-    # group's ops latest-wins per (field, doc) NOW, then remap — concat
-    # merges by the constant per-segment offsets (like hard tombstones),
-    # reclaiming merges by the survivor-density formula with reclaimed
-    # docs' rows dropped (Lucene bakes dv updates into the merged
-    # segment: ReadersAndUpdates.java:338-420 / SegmentMerger). The
-    # consolidated generation is appended at the END of the manifest
-    # list, so later updates still win by list position.
-    dv_rel = None
-    if man_now.get("dv_updates"):
+    # doc-values overlays (operators/docvalues.py, numeric + binary):
+    # resolve the group's ops latest-wins per (field, doc) NOW, then
+    # remap — concat merges by the constant per-segment offsets (like
+    # hard tombstones), reclaiming merges by the survivor-density
+    # formula with reclaimed docs' rows dropped (Lucene bakes dv
+    # updates into the merged segment: ReadersAndUpdates.java:338-420 /
+    # SegmentMerger). The consolidated generation is appended at the
+    # END of the manifest list, so later updates still win by list
+    # position. Both overlay tables carry identically — only the value
+    # type differs (double vs string).
+    def _make_dv_remap_kernel(del_bc, off_bc, value_sql_type):
+        def _dv_remap_kernel(batches):
+            import pyarrow as _pa
+
+            vtype = (
+                _pa.float64() if value_sql_type == "double" else _pa.string()
+            )
+            for batch in batches:
+                segs = batch.column("segment_id").to_numpy(
+                    zero_copy_only=False
+                )
+                locs = batch.column("local_docid").to_numpy(
+                    zero_copy_only=False
+                )
+                flds = batch.column("field").to_pylist()
+                vals = batch.column("value").to_pylist()
+                new_loc = np.empty(len(segs), dtype=np.int64)
+                keep = np.ones(len(segs), dtype=bool)
+                for j in range(len(segs)):
+                    sid = int(segs[j])
+                    x = int(locs[j])
+                    drop = del_bc.get(sid, np.empty(0, dtype=np.int64))
+                    k = int(np.searchsorted(drop, x))
+                    if k < len(drop) and drop[k] == x:
+                        keep[j] = False  # reclaimed: value dies too
+                        new_loc[j] = -1
+                    else:
+                        new_loc[j] = off_bc[sid] + x - k
+                yield _pa.RecordBatch.from_arrays(
+                    [
+                        _pa.array(new_loc[keep], type=_pa.int64()),
+                        _pa.array(
+                            [f for f, m in zip(flds, keep) if m],
+                            type=_pa.string(),
+                        ),
+                        _pa.array(
+                            [v for v, m in zip(vals, keep) if m],
+                            type=vtype,
+                        ),
+                    ],
+                    names=["local_docid", "field", "value"],
+                )
+
+        return _dv_remap_kernel
+
+    dv_rels: dict[str, dict] = {}
+    for dv_key, dv_type in (
+        ("dv_updates", "double"),
+        ("dv_updates_bin", "string"),
+    ):
+        if not man_now.get(dv_key):
+            continue
         dvdirs = [
             (seq, f"{catalog.index_dir}/{g['dir']}")
-            for seq, g in enumerate(man_now["dv_updates"])
+            for seq, g in enumerate(man_now[dv_key])
         ]
         dvparts = []
         for seq, d in dvdirs:
@@ -702,48 +754,11 @@ def merge_segments(
         if deleted:
             del_bc = {int(k): v for k, v in deleted.items()}
             off_bc = {int(k): int(v) for k, v in offsets.items()}
-
-            def _dv_remap_kernel(batches):
-                for batch in batches:
-                    segs = batch.column("segment_id").to_numpy(
-                        zero_copy_only=False
-                    )
-                    locs = batch.column("local_docid").to_numpy(
-                        zero_copy_only=False
-                    )
-                    flds = batch.column("field").to_pylist()
-                    vals = batch.column("value").to_numpy(
-                        zero_copy_only=False
-                    )
-                    new_loc = np.empty(len(segs), dtype=np.int64)
-                    keep = np.ones(len(segs), dtype=bool)
-                    for j in range(len(segs)):
-                        sid = int(segs[j])
-                        x = int(locs[j])
-                        drop = del_bc.get(
-                            sid, np.empty(0, dtype=np.int64)
-                        )
-                        k = int(np.searchsorted(drop, x))
-                        if k < len(drop) and drop[k] == x:
-                            keep[j] = False  # reclaimed: value dies too
-                            new_loc[j] = -1
-                        else:
-                            new_loc[j] = off_bc[sid] + x - k
-                    import pyarrow as _pa
-
-                    yield _pa.RecordBatch.from_pydict(
-                        {
-                            "local_docid": new_loc[keep],
-                            "field": [
-                                f for f, m in zip(flds, keep) if m
-                            ],
-                            "value": vals[keep],
-                        }
-                    )
-
             remapped_dv = resolved.mapInArrow(
-                _dv_remap_kernel,
-                schema="local_docid long, field string, value double",
+                _make_dv_remap_kernel(del_bc, off_bc, dv_type),
+                schema=(
+                    f"local_docid long, field string, value {dv_type}"
+                ),
             ).select(
                 F.lit(int(new_id)).cast("long").alias("segment_id"),
                 "local_docid",
@@ -765,9 +780,9 @@ def merge_segments(
             )
         n_dv = remapped_dv.count()
         if n_dv:
-            dvdir = catalog.new_commit_dir("dv_updates")
+            dvdir = catalog.new_commit_dir(dv_key)
             remapped_dv.write.mode("overwrite").parquet(dvdir)
-            dv_rel = {
+            dv_rels[dv_key] = {
                 "dir": dvdir[len(catalog.index_dir) + 1 :],
                 "field": "*",
                 "count": int(n_dv),
@@ -794,8 +809,8 @@ def merge_segments(
         manifest.setdefault("deletes", []).append(del_rel)
     if soft_rel:
         manifest.setdefault("soft_deletes", []).append(soft_rel)
-    if dv_rel:
-        manifest.setdefault("dv_updates", []).append(dv_rel)
+    for _k, _rel in dv_rels.items():
+        manifest.setdefault(_k, []).append(_rel)
     keep = [s for s in manifest["segments"] if s["segment_id"] not in set(group)]
     lineage = {
         "merged_from": [int(g) for g in group],

@@ -1,0 +1,155 @@
+"""In-place binary doc-values updates (IndexWriter.updateBinaryDocValue
+analog): the string-payload twin of the numeric overlay — latest-wins
+resolution, update-time binding, time travel, numeric/binary
+independence, and merge interplay (concat carry + reclaim drop/remap)."""
+
+import pytest
+
+from lucene_spark.operators.build import build_index, read_docs
+from lucene_spark.operators.deletes import delete_by_urls, update_documents
+from lucene_spark.operators.docvalues import (
+    read_binary_docvalues,
+    update_binary_docvalue_by_keys,
+    update_binary_docvalue_by_urls,
+    update_numeric_docvalue_by_urls,
+    with_binary_docvalue,
+    with_numeric_docvalue,
+)
+from lucene_spark.operators.merge import maybe_merge
+from lucene_spark.sources.catalog import IndexCatalog, PointInTimeCatalog
+
+from .conftest import NUM_SEGMENTS
+
+
+def _resolved(spark, d, field="label", base=None):
+    cat = IndexCatalog(d)
+    out = with_binary_docvalue(
+        spark, cat, read_docs(spark, cat), field, base=base
+    )
+    return {r["url"]: r[field] for r in out.select("url", field).collect()}
+
+
+@pytest.fixture()
+def dvb_index(spark, web_pages, tmp_path):
+    d = str(tmp_path / "dvb_idx")
+    build_index(spark, web_pages, d, num_segments=NUM_SEGMENTS)
+    return d
+
+
+class TestBinaryDocValues:
+    def test_update_and_latest_wins(self, spark, web_pages, dvb_index):
+        urls = [r["url"] for r in web_pages.select("url").limit(3).collect()]
+        n = update_binary_docvalue_by_urls(
+            spark, dvb_index, urls, "label", "first"
+        )
+        assert n == 3
+        got = _resolved(spark, dvb_index)
+        for u, v in got.items():
+            assert v == ("first" if u in urls else None)
+
+        update_binary_docvalue_by_urls(
+            spark, dvb_index, urls[:1], "label", "second"
+        )
+        got2 = _resolved(spark, dvb_index)
+        assert got2[urls[0]] == "second"
+        assert got2[urls[1]] == "first" and got2[urls[2]] == "first"
+
+    def test_by_keys_distributed(self, spark, web_pages, dvb_index):
+        import pyspark.sql.functions as F
+
+        keys = (
+            web_pages.select("url")
+            .limit(5)
+            .withColumn("value", F.concat(F.lit("tag:"), F.col("url")))
+        )
+        n = update_binary_docvalue_by_keys(spark, dvb_index, keys, "label")
+        assert n == 5
+        got = _resolved(spark, dvb_index)
+        for r in keys.collect():
+            assert got[r["url"]] == r["value"]
+
+    def test_independent_of_numeric_overlay(
+        self, spark, web_pages, dvb_index
+    ):
+        u = web_pages.select("url").limit(1).collect()[0]["url"]
+        update_binary_docvalue_by_urls(spark, dvb_index, [u], "label", "x")
+        update_numeric_docvalue_by_urls(spark, dvb_index, [u], "label", 9.0)
+        cat = IndexCatalog(dvb_index)
+        docs = read_docs(spark, cat)
+        both = with_numeric_docvalue(
+            spark,
+            cat,
+            with_binary_docvalue(spark, cat, docs, "label", out_col="s"),
+            "label",
+            out_col="n",
+        )
+        row = {r["url"]: (r["s"], r["n"]) for r in both.collect()}[u]
+        assert row == ("x", 9.0)
+
+    def test_time_travel(self, spark, dvb_index):
+        cat = IndexCatalog(dvb_index)
+        gen_before = cat.read_manifest()["generation"]
+        urls = [r["url"] for r in read_docs(spark, cat).limit(2).collect()]
+        update_binary_docvalue_by_urls(spark, dvb_index, urls, "label", "z")
+        pinned = PointInTimeCatalog(dvb_index, gen_before)
+        assert read_binary_docvalues(spark, pinned, "label") is None
+        assert read_binary_docvalues(spark, cat, "label") is not None
+
+    def test_replaced_doc_does_not_inherit(
+        self, spark, web_pages, dvb_index
+    ):
+        victim = web_pages.select("url").limit(1).collect()[0]["url"]
+        update_binary_docvalue_by_urls(
+            spark, dvb_index, [victim], "label", "old"
+        )
+        assert _resolved(spark, dvb_index)[victim] == "old"
+        update_documents(
+            spark,
+            dvb_index,
+            spark.createDataFrame(
+                [(victim, "replacement text body")],
+                "url string, text string",
+            ),
+            num_segments=1,
+        )
+        assert _resolved(spark, dvb_index)[victim] is None
+
+    def test_concat_merge_carries_values(self, spark, web_pages, dvb_index):
+        urls = [r["url"] for r in web_pages.select("url").limit(4).collect()]
+        update_binary_docvalue_by_urls(
+            spark, dvb_index, urls, "label", "kept"
+        )
+        before = _resolved(spark, dvb_index)
+        created = maybe_merge(
+            spark, dvb_index, merge_factor=2, min_merge_docs=1
+        )
+        assert created
+        assert _resolved(spark, dvb_index) == before
+
+    def test_reclaim_merge_drops_and_remaps(
+        self, spark, web_pages, dvb_index
+    ):
+        rows = [r["url"] for r in web_pages.select("url").limit(6).collect()]
+        updated, deleted_too = rows[:4], rows[3:5]
+        update_binary_docvalue_by_urls(
+            spark, dvb_index, updated, "label", "v"
+        )
+        delete_by_urls(spark, dvb_index, deleted_too)
+        before = _resolved(spark, dvb_index)
+        created = maybe_merge(
+            spark,
+            dvb_index,
+            policy="tiered",
+            min_merge_docs=1,
+            segs_per_tier=2,
+            max_merge_at_once=4,
+        )
+        assert created
+        after = _resolved(spark, dvb_index)
+        assert after == {
+            u: v for u, v in before.items() if u not in deleted_too
+        }
+        live_updated = [u for u in updated if u not in deleted_too]
+        assert sorted(u for u, v in after.items() if v == "v") == sorted(
+            live_updated
+        )
