@@ -901,6 +901,20 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
 
             build_index(spark, wp, idx, num_segments=8)
             maybe_merge(spark, idx, merge_factor=2, min_merge_docs=1)
+        elif kind == "mof":
+            # one big flush + four tiny ones (MergeOnFlush input shape)
+            num = F.substring("url", -8, 8).cast("long")
+            build_index(
+                spark, wp.where(num % 10 < 7), idx, num_segments=1
+            )
+            build_index(
+                spark, wp.where(num % 10 == 7), idx, num_segments=2,
+                segment_id_offset=1,
+            )
+            build_index(
+                spark, wp.where(num % 10 >= 8), idx, num_segments=2,
+                segment_id_offset=3,
+            )
         elif kind == "grafted":
             # even half built natively; odd half grafted wholesale
             # via addIndexes — results must equal one flat build
@@ -937,6 +951,22 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
             from lucene_spark.operators.addindexes import add_indexes
 
             add_indexes(spark, idx, [idx + "_src"])
+    if kind == "mof":
+        # the merge runs OUTSIDE the build guard, keyed on lineage, so
+        # an interrupted earlier run self-heals on next use
+        man = IndexCatalog(idx).read_manifest()
+        if not any(
+            s.get("lineage", {}).get("policy") == "MergeOnFlushMergePolicy"
+            for s in man["segments"]
+        ):
+            from lucene_spark.operators.merge import merge_on_flush
+
+            sizes = [
+                s["num_docs"]
+                for s in man["segments"]
+                if s["status"] == "COMMITTED"
+            ]
+            merge_on_flush(spark, idx, small_threshold_docs=max(sizes))
     if kind == "rollback":
         # delete then roll back to the pre-delete commit: the head must
         # serve the full corpus again (IndexWriter-on-older-IndexCommit)
@@ -7690,6 +7720,16 @@ def _q_id_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_doc_id("url"), "version").orderBy("doc_id")
 
 
+def _q_merge_on_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query over an index whose four tiny flushed segments were merged
+    into ONE by the MergeOnFlushMergePolicy analog
+    (``sandbox/index/MergeOnFlushMergePolicy.java:57-76``) — (url,
+    score) results must equal the flat corpus, so the oracle is the
+    plain BM25 query."""
+    s = _variant_searcher(spark, sf_dir, "mof")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_binary_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-place binary doc-values updates
     (``core/index/IndexWriter.java:1976-2004`` updateBinaryDocValue):
@@ -7745,6 +7785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_lookup": _q_pk_lookup,
         "id_version_lookup": _q_id_version,
         "binary_docvalue_title": _q_binary_dv,
+        "merge_on_flush_top10": _q_merge_on_flush,
         "high_freq_terms": _q_high_freq_terms,
         "term_info": _q_term_info,
         "doc_values_stats": _q_doc_values_stats,
@@ -9118,6 +9159,7 @@ def oracle_sql() -> dict[str, str]:
         "add_indexes_top10": _bm25_sql(["window"]),
         "rollback_top10": _bm25_sql(["window"]),
         "merged_index_top10": _bm25_sql(["window"]),
+        "merge_on_flush_top10": _bm25_sql(["window"]),
         "nrt_appended_top10": _bm25_sql(["window"]),
         "english_analyzer_top10": _english_bm25_sql("scan"),
         "french_analyzer_top10": _stop_filtered_bm25_sql(

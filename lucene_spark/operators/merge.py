@@ -962,3 +962,46 @@ def force_merge_deletes(
             )
         )
     return created
+
+
+def find_full_flush_merges(
+    manifest: dict, small_threshold_docs: int
+) -> list[int] | None:
+    """MergeOnFlushMergePolicy.findFullFlushMerges
+    (``sandbox/index/MergeOnFlushMergePolicy.java:57-76``): every
+    committed segment smaller than the threshold joins ONE merge; null
+    unless at least two qualify. The reference thresholds by
+    sizeInBytes (default 100 MB); the analog thresholds by doc count —
+    the manifest's native size measure (declared deviation; byte
+    attribution lives in operators/diskusage.py but segments can share
+    commit files, so doc count is the stable per-segment unit)."""
+    small = [
+        int(s["segment_id"])
+        for s in manifest["segments"]
+        if s.get("status") == "COMMITTED"
+        and int(s["num_docs"]) < int(small_threshold_docs)
+    ]
+    return small if len(small) > 1 else None
+
+
+def merge_on_flush(
+    spark: SparkSession,
+    index_dir: str,
+    small_threshold_docs: int = 100_000,
+) -> int | None:
+    """Merge all tiny segments into one on commit — the
+    MergeOnFlushMergePolicy analog, run right after an append/flush so
+    readers never accumulate a long tail of micro-segments (the NRT
+    pattern the reference wraps around another policy). The group may
+    be non-adjacent, so docids follow the TIERED reassignment rule;
+    (url, score) results are invariant (tests assert). Returns the new
+    segment id, or None when fewer than two segments qualify."""
+    catalog = IndexCatalog(index_dir)
+    group = find_full_flush_merges(
+        catalog.read_manifest(), small_threshold_docs
+    )
+    if not group:
+        return None
+    return merge_segments(
+        spark, catalog, group, policy="MergeOnFlushMergePolicy"
+    )

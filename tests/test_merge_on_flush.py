@@ -1,0 +1,82 @@
+"""MergeOnFlushMergePolicy analog: all tiny segments merge into ONE on
+commit (sandbox/index/MergeOnFlushMergePolicy.java:57-76)."""
+
+import pyspark.sql.functions as F
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.merge import find_full_flush_merges, merge_on_flush
+from lucene_spark.operators.search import Searcher
+from lucene_spark.sources.catalog import IndexCatalog
+
+
+def _build_mixed(spark, web_pages, d):
+    """One big segment (~7/10 of docs) + four tiny appended segments."""
+    num = F.substring("url", -8, 8).cast("long")
+    build_index(spark, web_pages.where(num % 10 < 7), d, num_segments=1)
+    for m in (7, 8):
+        build_index(
+            spark,
+            web_pages.where(num % 10 == m),
+            d,
+            num_segments=2,
+            segment_id_offset=2 * (m - 6),
+        )
+    return d
+
+
+class TestMergeOnFlush:
+    def test_small_segments_merge_into_one(self, spark, web_pages, tmp_path):
+        d = _build_mixed(spark, web_pages, str(tmp_path / "mof"))
+        cat = IndexCatalog(d)
+        man = cat.read_manifest()
+        sizes = {
+            s["segment_id"]: s["num_docs"]
+            for s in man["segments"]
+            if s["status"] == "COMMITTED"
+        }
+        big = max(sizes.values())
+        small = [sid for sid, n in sizes.items() if n < big]
+        assert len(small) == 4
+
+        plan = find_full_flush_merges(man, small_threshold_docs=big)
+        assert sorted(plan) == sorted(small)
+
+        before = [
+            (r["url"], round(r["score"], 5))
+            for r in Searcher(spark, d).term_query("the", k=10).collect()
+        ]
+        new_id = merge_on_flush(spark, d, small_threshold_docs=big)
+        assert new_id is not None
+        man2 = cat.read_manifest()
+        live = [
+            s for s in man2["segments"] if s["status"] == "COMMITTED"
+        ]
+        # one big + ONE merged segment
+        assert len(live) == 2
+        assert {s["num_docs"] for s in live} == {
+            big,
+            sum(sizes[s] for s in small),
+        }
+        after = [
+            (r["url"], round(r["score"], 5))
+            for r in Searcher(spark, d).term_query("the", k=10).collect()
+        ]
+        assert after == before  # (url, score) invariant under the merge
+
+    def test_noop_below_two_candidates(self, spark, web_pages, tmp_path):
+        d = str(tmp_path / "mof1")
+        build_index(spark, web_pages, d, num_segments=2)
+        # threshold below every segment: nothing qualifies
+        assert merge_on_flush(spark, d, small_threshold_docs=1) is None
+        man = IndexCatalog(d).read_manifest()
+        # exactly one small segment also refuses (needs > 1)
+        assert (
+            find_full_flush_merges(man, small_threshold_docs=10**9)
+            is not None
+        )
+        one_small = dict(man)
+        one_small["segments"] = man["segments"][:1]
+        assert (
+            find_full_flush_merges(one_small, small_threshold_docs=10**9)
+            is None
+        )
