@@ -7720,6 +7720,102 @@ def _q_id_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_doc_id("url"), "version").orderBy("doc_id")
 
 
+_BBOX_Q = (-10.0, -20.0, 25.0, 30.0)
+
+
+def _bbox_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-customer geo bounding boxes; every constant is
+    binary-exact (multiples of 2^-k) so Spark, Python, and DuckDB
+    compute identical doubles before quantization."""
+    c = F.col("c_custkey")
+    min_lat = (c * 7 % 100 - 50 + 0.125).cast("double")
+    min_lon = (c * 13 % 300 - 150 + 0.25).cast("double")
+    return spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        min_lat.alias("min_lat"),
+        min_lon.alias("min_lon"),
+        (min_lat + (c % 10) * 0.625 + 0.125).alias("max_lat"),
+        (min_lon + (c % 7) * 1.25 + 0.25).alias("max_lon"),
+    )
+
+
+def _q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLonBoundingBox relations
+    (``sandbox/document/LatLonBoundingBox.java:142-227``): indexed 2-D
+    geo boxes vs a search box on the GeoEncodingUtils 32-bit grid; one
+    row per INTERSECTING box with its within/contains/crosses flags.
+    The oracle requantizes with the same floor division."""
+    from lucene_spark.operators.geo import geo_box_relations
+
+    boxes = _bbox_customers(spark, sf_dir)
+    inter = geo_box_relations(boxes, *_BBOX_Q, mode="intersects").select(
+        "c_custkey"
+    )
+
+    def flag(mode):
+        return geo_box_relations(boxes, *_BBOX_Q, mode=mode).select(
+            "c_custkey", F.lit(1).alias(mode[:4])
+        )
+
+    out = (
+        inter.join(flag("within"), "c_custkey", "left")
+        .join(flag("contains"), "c_custkey", "left")
+        .join(flag("crosses"), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("with", F.lit(0)).alias("win"),
+            F.coalesce("cont", F.lit(0)).alias("cont"),
+            F.coalesce("cros", F.lit(0)).alias("crs"),
+        )
+    )
+    return out.orderBy("c_custkey")
+
+
+def _geo_bbox_sql() -> str:
+    from lucene_spark.operators.geo import (
+        LAT_DECODE,
+        LON_DECODE,
+        encode_latitude,
+        encode_longitude,
+    )
+
+    qminlat = encode_latitude(_BBOX_Q[0])
+    qminlon = encode_longitude(_BBOX_Q[1])
+    qmaxlat = encode_latitude(_BBOX_Q[2])
+    qmaxlon = encode_longitude(_BBOX_Q[3])
+    return f"""WITH b AS (
+  SELECT c_custkey,
+         CAST(c_custkey*7 % 100 - 50 + 0.125 AS DOUBLE) AS min_lat,
+         CAST(c_custkey*13 % 300 - 150 + 0.25 AS DOUBLE) AS min_lon
+  FROM customer),
+bb AS (
+  SELECT c_custkey, min_lat, min_lon,
+         min_lat + (c_custkey % 10) * 0.625 + 0.125 AS max_lat,
+         min_lon + (c_custkey % 7) * 1.25 + 0.25 AS max_lon
+  FROM b),
+e AS (
+  SELECT c_custkey,
+         CAST(floor(min_lat / {LAT_DECODE!r}) AS BIGINT) AS dminlat,
+         CAST(floor(min_lon / {LON_DECODE!r}) AS BIGINT) AS dminlon,
+         CAST(floor(max_lat / {LAT_DECODE!r}) AS BIGINT) AS dmaxlat,
+         CAST(floor(max_lon / {LON_DECODE!r}) AS BIGINT) AS dmaxlon
+  FROM bb)
+SELECT c_custkey,
+       CASE WHEN dminlat >= {qminlat} AND dmaxlat <= {qmaxlat}
+             AND dminlon >= {qminlon} AND dmaxlon <= {qmaxlon}
+            THEN 1 ELSE 0 END AS win,
+       CASE WHEN dminlat <= {qminlat} AND dmaxlat >= {qmaxlat}
+             AND dminlon <= {qminlon} AND dmaxlon >= {qmaxlon}
+            THEN 1 ELSE 0 END AS cont,
+       CASE WHEN NOT (dminlat >= {qminlat} AND dmaxlat <= {qmaxlat}
+             AND dminlon >= {qminlon} AND dmaxlon <= {qmaxlon})
+            THEN 1 ELSE 0 END AS crs
+FROM e
+WHERE dminlat <= {qmaxlat} AND dmaxlat >= {qminlat}
+  AND dminlon <= {qmaxlon} AND dmaxlon >= {qminlon}
+ORDER BY c_custkey"""
+
+
 def _q_merge_on_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query over an index whose four tiny flushed segments were merged
     into ONE by the MergeOnFlushMergePolicy analog
@@ -7786,6 +7882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_version_lookup": _q_id_version,
         "binary_docvalue_title": _q_binary_dv,
         "merge_on_flush_top10": _q_merge_on_flush,
+        "geo_bbox_relations": _q_geo_bbox,
         "high_freq_terms": _q_high_freq_terms,
         "term_info": _q_term_info,
         "doc_values_stats": _q_doc_values_stats,
@@ -9160,6 +9257,7 @@ def oracle_sql() -> dict[str, str]:
         "rollback_top10": _bm25_sql(["window"]),
         "merged_index_top10": _bm25_sql(["window"]),
         "merge_on_flush_top10": _bm25_sql(["window"]),
+        "geo_bbox_relations": _geo_bbox_sql(),
         "nrt_appended_top10": _bm25_sql(["window"]),
         "english_analyzer_top10": _english_bm25_sql("scan"),
         "french_analyzer_top10": _stop_filtered_bm25_sql(

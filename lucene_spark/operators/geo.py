@@ -523,3 +523,125 @@ def heatmap_counts(
         .groupBy(cell_lat.alias("cell_lat"), cell_lon.alias("cell_lon"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LatLonBoundingBox (sandbox/document/LatLonBoundingBox.java)
+# ---------------------------------------------------------------------------
+
+# GeoEncodingUtils quantization (core/geo/GeoEncodingUtils.java:38-113):
+# 32-bit grid, floor toward -90/-180, the +90/+180 maxima nudged down
+# one ulp before encoding so they stay representable.
+LAT_SCALE = float(1 << 32) / 180.0
+LAT_DECODE = 1.0 / LAT_SCALE
+LON_SCALE = float(1 << 32) / 360.0
+LON_DECODE = 1.0 / LON_SCALE
+
+_NEXTDOWN_90 = math.nextafter(90.0, 0.0)
+_NEXTDOWN_180 = math.nextafter(180.0, 0.0)
+
+
+def encode_latitude(lat: float) -> int:
+    """Scalar GeoEncodingUtils.encodeLatitude (:58-65): driver-side
+    quantization of query constants; tests pin the column twin."""
+    if not -90.0 <= lat <= 90.0:
+        raise ValueError(f"latitude out of bounds: {lat}")
+    if lat == 90.0:
+        lat = _NEXTDOWN_90
+    return int(math.floor(lat / LAT_DECODE))
+
+
+def encode_longitude(lon: float) -> int:
+    """Scalar GeoEncodingUtils.encodeLongitude (:90-97)."""
+    if not -180.0 <= lon <= 180.0:
+        raise ValueError(f"longitude out of bounds: {lon}")
+    if lon == 180.0:
+        lon = _NEXTDOWN_180
+    return int(math.floor(lon / LON_DECODE))
+
+
+def encode_latitude_col(col) -> Column:
+    """Column twin of ``encode_latitude`` — same IEEE division and
+    floor, so doc-side quantization is bit-identical to the driver's
+    query-constant quantization."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.when(c == 90.0, F.lit(_NEXTDOWN_90)).otherwise(c)
+    return F.floor(c / F.lit(LAT_DECODE)).cast("long")
+
+
+def encode_longitude_col(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.when(c == 180.0, F.lit(_NEXTDOWN_180)).otherwise(c)
+    return F.floor(c / F.lit(LON_DECODE)).cast("long")
+
+
+def geo_box_relations(
+    boxes: DataFrame,
+    q_min_lat: float,
+    q_min_lon: float,
+    q_max_lat: float,
+    q_max_lon: float,
+    mode: str = "intersects",
+    cols: tuple = ("min_lat", "min_lon", "max_lat", "max_lon"),
+) -> DataFrame:
+    """LatLonBoundingBox queries
+    (``sandbox/document/LatLonBoundingBox.java:142-227``): each doc
+    carries a 2-D geo bounding box; the four factory queries relate it
+    to the search box via RangeFieldQuery.QueryType over the QUANTIZED
+    coordinates — both sides go through the same
+    ``GeoEncodingUtils.encodeLatitude/encodeLongitude`` grid
+    (``LatLonBoundingBox.encode`` :230-243), so boxes that touch only
+    after quantization match exactly like the reference. Dateline
+    wrapping is not supported (the reference's own limitation, :56-60).
+
+    - ``intersects``: per-dim  doc.min <= q.max AND doc.max >= q.min
+    - ``within``:     per-dim  doc.min >= q.min AND doc.max <= q.max
+    - ``contains``:   per-dim  doc.min <= q.min AND doc.max >= q.max
+    - ``crosses``:    INTERSECTS AND NOT WITHIN
+      (``core/document/RangeFieldQuery.java:259-268``)
+
+    Pure Catalyst comparisons on quantized longs — every mode pushes
+    into the parquet scan (row-group min/max pruning on the four
+    columns = the 4-dim BKD cell skip)."""
+    if q_min_lat > q_max_lat or q_min_lon > q_max_lon:
+        raise ValueError("query box min must not exceed max")
+    dmin_lat = encode_latitude_col(cols[0])
+    dmin_lon = encode_longitude_col(cols[1])
+    dmax_lat = encode_latitude_col(cols[2])
+    dmax_lon = encode_longitude_col(cols[3])
+    qmin_lat = F.lit(encode_latitude(q_min_lat))
+    qmin_lon = F.lit(encode_longitude(q_min_lon))
+    qmax_lat = F.lit(encode_latitude(q_max_lat))
+    qmax_lon = F.lit(encode_longitude(q_max_lon))
+
+    intersects = (
+        (dmin_lat <= qmax_lat)
+        & (dmax_lat >= qmin_lat)
+        & (dmin_lon <= qmax_lon)
+        & (dmax_lon >= qmin_lon)
+    )
+    within = (
+        (dmin_lat >= qmin_lat)
+        & (dmax_lat <= qmax_lat)
+        & (dmin_lon >= qmin_lon)
+        & (dmax_lon <= qmax_lon)
+    )
+    if mode == "intersects":
+        pred = intersects
+    elif mode == "within":
+        pred = within
+    elif mode == "contains":
+        pred = (
+            (dmin_lat <= qmin_lat)
+            & (dmax_lat >= qmax_lat)
+            & (dmin_lon <= qmin_lon)
+            & (dmax_lon >= qmax_lon)
+        )
+    elif mode == "crosses":
+        pred = intersects & ~within
+    else:
+        raise ValueError(
+            f"unknown box relation {mode!r} "
+            "(intersects | within | contains | crosses)"
+        )
+    return boxes.where(pred)

@@ -1,0 +1,209 @@
+"""LatLonBoundingBox: quantized 2-D box field relations
+(sandbox/document/LatLonBoundingBox.java + GeoEncodingUtils grid)."""
+
+import math
+import random
+
+import pytest
+
+from lucene_spark.operators.geo import (
+    LAT_DECODE,
+    LON_DECODE,
+    encode_latitude,
+    encode_latitude_col,
+    encode_longitude,
+    encode_longitude_col,
+    geo_box_relations,
+)
+
+MODES = ("intersects", "within", "contains", "crosses")
+
+
+class TestQuantization:
+    def test_goldens(self):
+        assert encode_latitude(0.0) == 0
+        assert encode_longitude(0.0) == 0
+        # +90/+180 nudge down one ulp -> the top grid cell
+        assert encode_latitude(90.0) == (1 << 31) - 1
+        assert encode_longitude(180.0) == (1 << 31) - 1
+        assert encode_latitude(-90.0) == -(1 << 31)
+        assert encode_longitude(-180.0) == -(1 << 31)
+
+    def test_bounds_checked(self):
+        with pytest.raises(ValueError):
+            encode_latitude(90.0000001)
+        with pytest.raises(ValueError):
+            encode_longitude(-180.0000001)
+
+    def test_floor_direction(self):
+        # quantization floors toward -90/-180: encoding then decoding
+        # never moves a value up past itself
+        for v in (-89.99, -45.3, -0.0001, 0.0001, 33.333, 89.99):
+            e = encode_latitude(v)
+            assert e * LAT_DECODE <= v < (e + 1) * LAT_DECODE
+        for v in (-179.99, -31.4, 0.5, 179.99):
+            e = encode_longitude(v)
+            assert e * LON_DECODE <= v < (e + 1) * LON_DECODE
+
+    def test_column_matches_scalar(self, spark):
+        rng = random.Random(5)
+        vals = [
+            (rng.uniform(-90, 90), rng.uniform(-180, 180))
+            for _ in range(300)
+        ] + [(90.0, 180.0), (-90.0, -180.0), (0.0, 0.0)]
+        df = spark.createDataFrame(vals, "lat double, lon double")
+        rows = df.select(
+            "lat",
+            "lon",
+            encode_latitude_col("lat").alias("elat"),
+            encode_longitude_col("lon").alias("elon"),
+        ).collect()
+        for r in rows:
+            assert r["elat"] == encode_latitude(r["lat"])
+            assert r["elon"] == encode_longitude(r["lon"])
+
+
+def _mirror(box, q, mode):
+    """Pure-python relation mirror on quantized ints."""
+    dmin_lat, dmin_lon, dmax_lat, dmax_lon = (
+        encode_latitude(box[0]),
+        encode_longitude(box[1]),
+        encode_latitude(box[2]),
+        encode_longitude(box[3]),
+    )
+    qmin_lat, qmin_lon, qmax_lat, qmax_lon = (
+        encode_latitude(q[0]),
+        encode_longitude(q[1]),
+        encode_latitude(q[2]),
+        encode_longitude(q[3]),
+    )
+    inter = (
+        dmin_lat <= qmax_lat
+        and dmax_lat >= qmin_lat
+        and dmin_lon <= qmax_lon
+        and dmax_lon >= qmin_lon
+    )
+    within = (
+        dmin_lat >= qmin_lat
+        and dmax_lat <= qmax_lat
+        and dmin_lon >= qmin_lon
+        and dmax_lon <= qmax_lon
+    )
+    if mode == "intersects":
+        return inter
+    if mode == "within":
+        return within
+    if mode == "contains":
+        return (
+            dmin_lat <= qmin_lat
+            and dmax_lat >= qmax_lat
+            and dmin_lon <= qmin_lon
+            and dmax_lon >= qmax_lon
+        )
+    return inter and not within
+
+
+def _random_boxes(n, seed):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        lat0 = rng.uniform(-89, 80)
+        lon0 = rng.uniform(-179, 160)
+        out.append(
+            (
+                i,
+                lat0,
+                lon0,
+                min(lat0 + rng.uniform(0, 30), 90.0),
+                min(lon0 + rng.uniform(0, 40), 180.0),
+            )
+        )
+    return out
+
+
+class TestBoxRelations:
+    Q = (-10.0, -20.0, 25.0, 30.0)
+
+    @pytest.fixture(scope="class")
+    def boxes(self, spark):
+        return spark.createDataFrame(
+            _random_boxes(400, 13),
+            "id long, min_lat double, min_lon double, "
+            "max_lat double, max_lon double",
+        ).cache()
+
+    @pytest.mark.parametrize("mode", MODES)
+    def test_matches_mirror(self, spark, boxes, mode):
+        got = {
+            r["id"]
+            for r in geo_box_relations(boxes, *self.Q, mode=mode).collect()
+        }
+        want = {
+            b[0]
+            for b in _random_boxes(400, 13)
+            if _mirror((b[1], b[2], b[3], b[4]), self.Q, mode)
+        }
+        assert got == want
+        if mode in ("within", "crosses"):
+            assert got  # the random cloud hits every relation
+
+    def test_implications(self, spark, boxes):
+        inter = {
+            r["id"]
+            for r in geo_box_relations(
+                boxes, *self.Q, mode="intersects"
+            ).collect()
+        }
+        within = {
+            r["id"]
+            for r in geo_box_relations(boxes, *self.Q, mode="within").collect()
+        }
+        crosses = {
+            r["id"]
+            for r in geo_box_relations(
+                boxes, *self.Q, mode="crosses"
+            ).collect()
+        }
+        contains = {
+            r["id"]
+            for r in geo_box_relations(
+                boxes, *self.Q, mode="contains"
+            ).collect()
+        }
+        assert within <= inter and contains <= inter
+        assert crosses == inter - within
+
+    def test_touching_boxes_intersect(self, spark):
+        # doc box shares exactly one edge with the query box
+        df = spark.createDataFrame(
+            [(1, 25.0, -20.0, 40.0, 0.0)],
+            "id long, min_lat double, min_lon double, "
+            "max_lat double, max_lon double",
+        )
+        assert geo_box_relations(df, *self.Q, mode="intersects").count() == 1
+        assert geo_box_relations(df, *self.Q, mode="within").count() == 0
+
+    def test_quantization_boundary(self, spark):
+        # a doc box that only touches the query box AFTER flooring to
+        # the grid: doc.max_lat sits less than one cell above q.min_lat
+        qmin = -10.0
+        eps = LAT_DECODE * 0.25
+        grid = math.floor(qmin / LAT_DECODE) * LAT_DECODE
+        df = spark.createDataFrame(
+            [(1, -40.0, -10.0, grid + eps, 0.0)],
+            "id long, min_lat double, min_lon double, "
+            "max_lat double, max_lon double",
+        )
+        # raw doubles: grid+eps < -10.0 is FALSE (grid <= -10 < grid+cell),
+        # but both quantize to the same cell -> touch -> intersects
+        assert (
+            geo_box_relations(df, qmin, -20.0, 25.0, 30.0, mode="intersects")
+            .count()
+            == 1
+        )
+
+    def test_bad_args(self, spark, boxes):
+        with pytest.raises(ValueError):
+            geo_box_relations(boxes, 10, 0, -10, 5)
+        with pytest.raises(ValueError):
+            geo_box_relations(boxes, *self.Q, mode="overlapsish")
