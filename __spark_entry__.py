@@ -7720,6 +7720,81 @@ def _q_id_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_doc_id("url"), "version").orderBy("doc_id")
 
 
+def _q_multi_pass_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiPassIndexSplitter seq mode
+    (``misc/index/MultiPassIndexSplitter.java:83-99``): equal
+    increasing global-docid ranges, last part takes the remainder.
+    Part membership is docid-geometry (not SQL-derivable), but the
+    part SIZES are pure arithmetic over the corpus count because
+    global docids are dense 0..N-1 — the oracle replays floor(N/3)."""
+    import os
+
+    from lucene_spark.operators.build import read_docs
+    from lucene_spark.operators.splitter import multi_pass_split
+    from lucene_spark.sources.catalog import IndexCatalog
+
+    src = _index_dir(sf_dir)
+    _get_searcher(spark, sf_dir)  # ensure the shared index exists
+    outs = [_index_dir(sf_dir) + f"_mps{i}" for i in range(3)]
+    if not all(
+        IndexCatalog(o).committed_segment_ids() for o in outs
+    ) or not all(os.path.isdir(o) for o in outs):
+        multi_pass_split(spark, src, outs, seq=True)
+    rows = []
+    for i, o in enumerate(outs):
+        n = read_docs(spark, IndexCatalog(o)).count()
+        rows.append((i, int(n)))
+    return spark.createDataFrame(rows, "part long, num_docs long").orderBy(
+        "part"
+    )
+
+
+def _q_rearranged_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexRearranger (``misc/index/IndexRearranger.java:45-75``):
+    segment geometry from doclen-band selectors, segments in selector
+    order. Returns per-segment ordinal, doc count, and doclen sum —
+    the oracle recomputes each band from the token table."""
+    from lucene_spark.operators.build import read_docs
+    from lucene_spark.operators.splitter import rearrange_index
+    from lucene_spark.sources.catalog import IndexCatalog
+
+    _get_searcher(spark, sf_dir)  # ensure the shared index exists
+    dst = _index_dir(sf_dir) + "_rearranged"
+    if not IndexCatalog(dst).committed_segment_ids():
+        sels = [
+            F.col("doclen") < 30,
+            (F.col("doclen") >= 30) & (F.col("doclen") < 60),
+            F.col("doclen") >= 60,
+        ]
+        rearrange_index(spark, _index_dir(sf_dir), dst, sels)
+    cat = IndexCatalog(dst)
+    live = sorted(
+        (
+            s
+            for s in cat.read_manifest()["segments"]
+            if s["status"] == "COMMITTED"
+        ),
+        key=lambda s: s["sort_key"],
+    )
+    ordinal = {s["segment_id"]: i for i, s in enumerate(live)}
+    ord_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), int(v)) for k, v in ordinal.items()],
+            "segment_id long, seg long",
+        )
+    )
+    return (
+        read_docs(spark, cat)
+        .join(ord_df, "segment_id")
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("num_docs"),
+            F.sum("doclen").alias("sum_dl"),
+        )
+        .orderBy("seg")
+    )
+
+
 _BBOX_Q = (-10.0, -20.0, 25.0, 30.0)
 
 
@@ -7883,6 +7958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_docvalue_title": _q_binary_dv,
         "merge_on_flush_top10": _q_merge_on_flush,
         "geo_bbox_relations": _q_geo_bbox,
+        "multi_pass_split_parts": _q_multi_pass_split,
+        "rearranged_segments": _q_rearranged_segments,
         "high_freq_terms": _q_high_freq_terms,
         "term_info": _q_term_info,
         "doc_values_stats": _q_doc_values_stats,
@@ -9258,6 +9335,21 @@ def oracle_sql() -> dict[str, str]:
         "merged_index_top10": _bm25_sql(["window"]),
         "merge_on_flush_top10": _bm25_sql(["window"]),
         "geo_bbox_relations": _geo_bbox_sql(),
+        "multi_pass_split_parts": """
+            WITH n AS (SELECT count(*)::BIGINT AS n FROM documents)
+            SELECT 0::BIGINT AS part, (n // 3)::BIGINT AS num_docs FROM n
+            UNION ALL SELECT 1, n // 3 FROM n
+            UNION ALL SELECT 2, n - 2 * (n // 3) FROM n
+            ORDER BY part""",
+        "rearranged_segments": f"""
+            WITH {_TOK}, {_DL}
+            SELECT 0::BIGINT AS seg, count(*)::BIGINT AS num_docs,
+                   sum(dl)::BIGINT AS sum_dl FROM dl WHERE dl < 30
+            UNION ALL
+            SELECT 1, count(*), sum(dl) FROM dl WHERE dl >= 30 AND dl < 60
+            UNION ALL
+            SELECT 2, count(*), sum(dl) FROM dl WHERE dl >= 60
+            ORDER BY seg""",
         "nrt_appended_top10": _bm25_sql(["window"]),
         "english_analyzer_top10": _english_bm25_sql("scan"),
         "french_analyzer_top10": _stop_filtered_bm25_sql(

@@ -92,3 +92,123 @@ def split_index(
         shutil.rmtree(dst, ignore_errors=True)
         shutil.move(tmp, dst)
     return dst_pass_dir, dst_fail_dir
+
+
+def multi_pass_split(
+    spark: SparkSession,
+    src_dir: str,
+    out_dirs: list[str],
+    seq: bool = True,
+) -> list[str]:
+    """MultiPassIndexSplitter.split
+    (``misc/index/MultiPassIndexSplitter.java:59-120``): split one
+    index into ``len(out_dirs)`` equal parts, reading the source once
+    per part (the reference's multi-pass design — each pass applies
+    "artificial deletes" to everything outside the selected partition;
+    here: clone + tombstone complement + reclaim, the PKIndexSplitter
+    machinery).
+
+    ``seq=True``: part i keeps the i-th equal increasing GLOBAL docid
+    range ``[i*partLen, (i+1)*partLen)``, the last part takes the
+    remainder (:83-99). ``seq=False``: round-robin — global docid j
+    lands in part ``j % numParts`` (:101-106, the kept docs of part i
+    are exactly ``(j + numParts - i) % numParts == 0``). Docids are
+    the reference's numbering: deleted docs still occupy their slot
+    (and stay deleted in every part), so the ranges match Lucene's
+    maxDoc arithmetic. The source index is untouched."""
+    from .build import read_docs
+    from .deletes import delete_by_keys
+
+    num_parts = len(out_dirs)
+    if num_parts < 2:
+        raise ValueError("need at least 2 output parts")
+    catalog = IndexCatalog(src_dir)
+    bases = catalog.segment_bases()
+    base_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), int(v)) for k, v in bases.items()],
+            "segment_id long, base long",
+        )
+    )
+    docs = (
+        read_docs(spark, catalog)
+        .join(base_df, "segment_id")
+        .select(
+            "url", (F.col("base") + F.col("local_docid")).alias("gdocid")
+        )
+    )
+    max_doc = sum(
+        s["num_docs"]
+        for s in catalog.read_manifest()["segments"]
+        if s.get("status") == "COMMITTED"
+    )
+    part_len = max_doc // num_parts
+    for i, dst in enumerate(out_dirs):
+        if seq:
+            lo = i * part_len
+            hi = (i + 1) * part_len if i < num_parts - 1 else max_doc
+            keep = (F.col("gdocid") >= lo) & (F.col("gdocid") < hi)
+        else:
+            keep = F.col("gdocid") % num_parts == i
+        tmp = dst.rstrip("/") + ".inprogress"
+        _clone_index(src_dir, tmp)
+        delete_by_keys(spark, tmp, docs.where(~keep).select("url"))
+        _reclaim_all(spark, tmp)
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.move(tmp, dst)
+    return list(out_dirs)
+
+
+def rearrange_index(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    segment_selectors: list[Column],
+    deletes: Column | None = None,
+) -> str:
+    """IndexRearranger (``misc/index/IndexRearranger.java:45-75``):
+    copy the index into a new one whose segment GEOMETRY follows the
+    selectors — selector i's docs become segment i, segments appear in
+    selector order, then the optional ``deletes`` selector tombstones
+    docs in the rearranged index (reference step 2). Selectors are
+    Columns over the docs-table row (url/doclen/norm) and should
+    partition the live docs; a selector matching nothing produces no
+    segment (the reference likewise discards all-deleted segments,
+    :54-56). Use case mirrors the reference: reproduce another index's
+    segment shape so performance comparisons don't measure geometry
+    noise."""
+    from .addindexes import add_indexes
+    from .build import read_docs
+    from .deletes import delete_by_keys
+
+    src_docs = read_docs(spark, IndexCatalog(src_dir)).select(
+        "url", "doclen", "norm"
+    )
+    parts: list[str] = []
+    scratch = dst_dir.rstrip("/") + ".parts"
+    shutil.rmtree(scratch, ignore_errors=True)
+    for i, sel in enumerate(segment_selectors):
+        pred = F.coalesce(sel, F.lit(False))
+        if src_docs.where(pred).limit(1).count() == 0:
+            continue  # no segment from an empty selector
+        part = f"{scratch}/p{i}"
+        _clone_index(src_dir, part)
+        delete_by_keys(spark, part, src_docs.where(~pred).select("url"))
+        _reclaim_all(spark, part)
+        parts.append(part)
+    if not parts:
+        raise ValueError("every selector matched zero documents")
+    tmp = dst_dir.rstrip("/") + ".inprogress"
+    _clone_index(parts[0], tmp)
+    if len(parts) > 1:
+        add_indexes(spark, tmp, parts[1:])
+    if deletes is not None:
+        dst_docs = read_docs(spark, IndexCatalog(tmp)).select(
+            "url", "doclen", "norm"
+        )
+        victims = dst_docs.where(F.coalesce(deletes, F.lit(False)))
+        delete_by_keys(spark, tmp, victims.select("url"))
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    shutil.move(tmp, dst_dir)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return dst_dir

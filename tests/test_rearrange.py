@@ -1,0 +1,163 @@
+"""MultiPassIndexSplitter (equal parts, seq + round-robin) and
+IndexRearranger (segment geometry from document selectors)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.build import build_index, read_docs
+from lucene_spark.operators.deletes import delete_by_urls, read_tombstones
+from lucene_spark.operators.search import Searcher
+from lucene_spark.operators.splitter import multi_pass_split, rearrange_index
+from lucene_spark.sources.catalog import IndexCatalog
+
+
+@pytest.fixture(scope="module")
+def src_index(spark, web_pages, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mps") / "src")
+    build_index(spark, web_pages, d, num_segments=4)
+    return d
+
+
+def _gdocids(spark, d):
+    cat = IndexCatalog(d)
+    bases = cat.segment_bases()
+    rows = read_docs(spark, cat).select(
+        "url", "segment_id", "local_docid"
+    ).collect()
+    return {
+        r["url"]: bases[r["segment_id"]] + r["local_docid"] for r in rows
+    }
+
+
+def _urls(spark, d):
+    cat = IndexCatalog(d)
+    docs = read_docs(spark, cat)
+    t = read_tombstones(spark, cat)
+    if t is not None:
+        docs = docs.join(t, ["segment_id", "local_docid"], "left_anti")
+    return {r["url"] for r in docs.select("url").collect()}
+
+
+class TestMultiPassSplit:
+    def test_seq_ranges(self, spark, src_index, tmp_path):
+        gd = _gdocids(spark, src_index)
+        max_doc = len(gd)
+        outs = [str(tmp_path / f"part{i}") for i in range(3)]
+        multi_pass_split(spark, src_index, outs, seq=True)
+        part_len = max_doc // 3
+        got_all = set()
+        for i, d in enumerate(outs):
+            lo = i * part_len
+            hi = (i + 1) * part_len if i < 2 else max_doc
+            want = {u for u, g in gd.items() if lo <= g < hi}
+            got = _urls(spark, d)
+            assert got == want
+            assert got.isdisjoint(got_all)
+            got_all |= got
+        assert got_all == set(gd)
+
+    def test_round_robin(self, spark, src_index, tmp_path):
+        gd = _gdocids(spark, src_index)
+        outs = [str(tmp_path / f"rr{i}") for i in range(3)]
+        multi_pass_split(spark, src_index, outs, seq=False)
+        for i, d in enumerate(outs):
+            want = {u for u, g in gd.items() if g % 3 == i}
+            assert _urls(spark, d) == want
+
+    def test_deleted_docs_in_no_part(self, spark, web_pages, tmp_path):
+        d = str(tmp_path / "src_del")
+        build_index(spark, web_pages, d, num_segments=4)
+        victims = [
+            r["url"] for r in web_pages.select("url").limit(5).collect()
+        ]
+        delete_by_urls(spark, d, victims)
+        outs = [str(tmp_path / f"dp{i}") for i in range(2)]
+        multi_pass_split(spark, d, outs, seq=True)
+        for out in outs:
+            part_urls = _urls(spark, out)
+            assert part_urls.isdisjoint(victims)
+            # parts carry no live tombstones after the reclaim
+            from lucene_spark.operators.deletes import deleted_count
+
+            assert deleted_count(spark, out) == 0
+        total = sum(len(_urls(spark, o)) for o in outs)
+        assert total == web_pages.count() - len(victims)
+
+    def test_parts_are_searchable(self, spark, src_index, tmp_path):
+        outs = [str(tmp_path / f"sp{i}") for i in range(2)]
+        multi_pass_split(spark, src_index, outs, seq=True)
+        hits = Searcher(spark, outs[0]).term_query("the", k=5).collect()
+        assert hits and all(h["url"] in _urls(spark, outs[0]) for h in hits)
+
+    def test_needs_two_parts(self, spark, src_index, tmp_path):
+        with pytest.raises(ValueError):
+            multi_pass_split(spark, src_index, [str(tmp_path / "one")])
+
+
+class TestRearrange:
+    def test_selector_order_becomes_segment_order(
+        self, spark, src_index, tmp_path
+    ):
+        dst = str(tmp_path / "re")
+        sels = [
+            F.col("doclen") < 30,
+            (F.col("doclen") >= 30) & (F.col("doclen") < 60),
+            F.col("doclen") >= 60,
+        ]
+        rearrange_index(spark, src_index, dst, sels)
+        cat = IndexCatalog(dst)
+        man = cat.read_manifest()
+        live = sorted(
+            (s for s in man["segments"] if s["status"] == "COMMITTED"),
+            key=lambda s: s["sort_key"],
+        )
+        assert len(live) == 3
+        docs = read_docs(spark, cat).collect()
+        by_seg = {}
+        for r in docs:
+            by_seg.setdefault(r["segment_id"], []).append(r["doclen"])
+        # segment 0 (first selector) holds the short docs, etc.
+        s0, s1, s2 = (by_seg[s["segment_id"]] for s in live)
+        assert all(d < 30 for d in s0)
+        assert all(30 <= d < 60 for d in s1)
+        assert all(d >= 60 for d in s2)
+        # partition is exact
+        assert len(docs) == len(_urls(spark, src_index))
+
+    def test_empty_selector_skipped_and_deletes_applied(
+        self, spark, src_index, tmp_path
+    ):
+        dst = str(tmp_path / "re2")
+        sels = [
+            F.col("doclen") < 0,  # matches nothing -> no segment
+            F.col("doclen") < 40,
+            F.col("doclen") >= 40,
+        ]
+        rearrange_index(
+            spark, src_index, dst, sels, deletes=F.col("doclen") == 41
+        )
+        cat = IndexCatalog(dst)
+        live = [
+            s
+            for s in cat.read_manifest()["segments"]
+            if s["status"] == "COMMITTED"
+        ]
+        assert len(live) == 2
+        urls = _urls(spark, dst)
+        src_docs = read_docs(spark, IndexCatalog(src_index))
+        kept = {
+            r["url"]
+            for r in src_docs.where(F.col("doclen") != 41)
+            .select("url")
+            .collect()
+        }
+        assert urls == kept
+
+    def test_all_empty_selectors_raise(self, spark, src_index, tmp_path):
+        with pytest.raises(ValueError):
+            rearrange_index(
+                spark,
+                src_index,
+                str(tmp_path / "re3"),
+                [F.col("doclen") < 0],
+            )
