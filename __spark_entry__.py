@@ -7720,6 +7720,48 @@ def _q_id_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_doc_id("url"), "version").orderBy("doc_id")
 
 
+def _q_fvh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastVectorHighlighter (vectorhighlight package,
+    operators/fvh.py). frag_char_size above every doc length makes the
+    frag-list degenerate to ONE whole-document fragment whose start
+    centers to 0 and whose highlights are exactly the term occurrences
+    — SQL-expressible as word-boundary regex tagging, with the
+    fragment score = term frequency. The windowed packing keeps its
+    golden tests in tests/test_fvh.py."""
+    from lucene_spark.operators.fvh import fast_vector_highlight
+    from lucene_spark.sources.web_pages import load_web_pages
+
+    s = _get_searcher(spark, sf_dir)
+    top = s.term_query("window", k=5).select(_doc_id("url"), "url")
+    out = fast_vector_highlight(
+        top,
+        load_web_pages(spark, sf_dir),
+        terms=["window"],
+        frag_char_size=10**6,
+        max_num_fragments=1,
+    )
+    return out.select(
+        "doc_id",
+        "fragment",
+        F.col("frag_score").cast("double").alias("boost"),
+    ).orderBy("doc_id")
+
+
+def _fvh_sql(term: str = "window", k: int = 5) -> str:
+    bm25 = _bm25_sql([term], k=k)
+    return f"""
+WITH topk AS (SELECT doc_id FROM ({bm25})),
+d AS (SELECT t.doc_id, doc.text FROM topk t
+      JOIN documents doc ON doc.doc_id = t.doc_id)
+SELECT doc_id,
+       regexp_replace(text, '\\b{term}\\b', '<b>{term}</b>', 'g')
+         AS fragment,
+       CAST(len(list_filter(string_split(text, ' '),
+                x -> x = '{term}')) AS DOUBLE) AS boost
+FROM d ORDER BY doc_id
+"""
+
+
 def _q_multi_pass_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MultiPassIndexSplitter seq mode
     (``misc/index/MultiPassIndexSplitter.java:83-99``): equal
@@ -7959,6 +8001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_on_flush_top10": _q_merge_on_flush,
         "geo_bbox_relations": _q_geo_bbox,
         "multi_pass_split_parts": _q_multi_pass_split,
+        "fvh_fragments": _q_fvh,
         "rearranged_segments": _q_rearranged_segments,
         "high_freq_terms": _q_high_freq_terms,
         "term_info": _q_term_info,
@@ -9335,6 +9378,7 @@ def oracle_sql() -> dict[str, str]:
         "merged_index_top10": _bm25_sql(["window"]),
         "merge_on_flush_top10": _bm25_sql(["window"]),
         "geo_bbox_relations": _geo_bbox_sql(),
+        "fvh_fragments": _fvh_sql(),
         "multi_pass_split_parts": """
             WITH n AS (SELECT count(*)::BIGINT AS n FROM documents)
             SELECT 0::BIGINT AS part, (n // 3)::BIGINT AS num_docs FROM n

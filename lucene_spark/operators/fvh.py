@@ -1,0 +1,373 @@
+"""FastVectorHighlighter: phrase-aware fragment highlighting.
+
+Port of the vectorhighlight pipeline
+(``highlighter/.../vectorhighlight/FastVectorHighlighter.java``) for
+the top-k rows of a query result:
+
+1. **FieldTermStack** (``FieldTermStack.java``) — the document's
+   query-relevant tokens in position order with character offsets.
+   The reference reads indexed term vectors; this engine derives the
+   same stream by offset-tracked re-analysis (the established
+   TermVectors route of ``operators/termvectors.py`` — analyzer
+   determinism makes both identical).
+2. **FieldPhraseList** (``FieldPhraseList.java:61-117``) — greedy
+   longest-phrase matching of the token stream against the query's
+   term/phrase trie: extend while the next token continues a known
+   phrase, on failure backtrack-shrink re-probing each prefix
+   (:102-111), validity = every position gap ≤ slop
+   (``FieldQuery.java:460-476``), overlapping matches merge and
+   ACCUMULATE boost (``addIfNoOverlap`` :167-180). Consecutive-position
+   terms extend one highlight span — the intervening whitespace is
+   tagged with them (WeightedPhraseInfo ctor :246-256).
+3. **BaseFragListBuilder** (``BaseFragListBuilder.java:46-106``) —
+   pack phrase infos into fragments of ``frag_char_size`` chars:
+   margin rule, the acceptPhrase multi-term length cut (:120-122),
+   center the matched span, never step back past the previous
+   fragment. Fragment score = Σ phrase boosts
+   (``SimpleFieldFragList.java:40-53``).
+4. **ScoreOrderFragmentsBuilder** — fragments sorted score desc then
+   start offset asc; each snippet wraps the in-window highlight spans
+   in pre/post tags.
+
+Deviation (declared): the per-position stacked-token walk
+(``TermInfo.getNext()`` rings, for index-time synonyms) collapses to
+the single token our standard chain emits per position.
+
+Scale shape: one ``mapInPandas`` over at most k fetched documents
+(identical to ``operators/highlight.py``) — the per-doc Python is
+bounded by k, never by corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import _java_lower, tokenize_with_offsets
+
+MARGIN_DEFAULT = 6  # BaseFragListBuilder.java:27
+MIN_FRAG_CHAR_SIZE_FACTOR = 3  # :28
+
+
+class _Trie:
+    """QueryPhraseMap analog: term/phrase trie with terminal boosts."""
+
+    __slots__ = ("children", "terminal", "boost", "slop")
+
+    def __init__(self):
+        self.children: dict[str, _Trie] = {}
+        self.terminal = False
+        self.boost = 0.0
+        self.slop = 0
+
+    def add(self, path: list[str], boost: float, slop: int = 0) -> None:
+        node = self
+        for t in path:
+            node = node.children.setdefault(t, _Trie())
+        node.terminal = True
+        node.boost = float(boost)
+        node.slop = int(slop)
+
+
+def build_query_trie(
+    terms: dict[str, float] | list[str],
+    phrases: list[tuple[list[str], float]] | None = None,
+    phrase_slop: int = 0,
+) -> _Trie:
+    root = _Trie()
+    if isinstance(terms, dict):
+        for t, b in terms.items():
+            root.add([t], b)
+    else:
+        for t in terms:
+            root.add([t], 1.0)
+    for words, boost in phrases or []:
+        root.add(list(words), boost, phrase_slop)
+    return root
+
+
+def field_term_stack(text: str, term_universe: set[str]) -> list[tuple]:
+    """(term, position, start_offset, end_offset) for query-relevant
+    tokens in position order (FieldTermStack keeps only the query's
+    terms, ``FieldTermStack.java:71-106``)."""
+    out = []
+    for pos, (tok, s, e) in enumerate(tokenize_with_offsets(text)):
+        term = _java_lower(tok)
+        if term in term_universe:
+            out.append((term, pos, s, e))
+    return out
+
+
+def _toffs(cand: list[tuple]) -> list[list[int]]:
+    """WeightedPhraseInfo offset spans: consecutive positions extend
+    the previous span (whitespace between is highlighted too)."""
+    spans = [[cand[0][2], cand[0][3]]]
+    pos = cand[0][1]
+    for term, p, s, e in cand[1:]:
+        if p - pos == 1:
+            spans[-1][1] = e
+        else:
+            spans.append([s, e])
+        pos = p
+    return spans
+
+
+def _valid(node: _Trie, cand: list[tuple]) -> bool:
+    """FieldQuery.QueryPhraseMap.isValidTermOrPhrase (:460-476)."""
+    if not node.terminal:
+        return False
+    if len(cand) == 1:
+        return True
+    pos = cand[0][1]
+    for ti in cand[1:]:
+        if abs(ti[1] - pos - 1) > node.slop:
+            return False
+        pos = ti[1]
+    return True
+
+
+def _search_phrase(root: _Trie, cand: list[tuple]) -> _Trie | None:
+    node = root
+    for ti in cand:
+        node = node.children.get(ti[0])
+        if node is None:
+            return None
+    return node if _valid(node, cand) else None
+
+
+def field_phrase_list(stack: list[tuple], root: _Trie) -> list[dict]:
+    """Greedy longest-match (FieldPhraseList ctor :61-117). Returns
+    non-overlapping phrase infos {spans, start, end, boost} in
+    position order; overlapping hits accumulate boost (:167-180)."""
+    phrase_list: list[dict] = []
+
+    def add_if_no_overlap(cand: list[tuple], boost: float) -> None:
+        spans = _toffs(cand)
+        start, end = spans[0][0], spans[-1][1]
+        for ex in phrase_list:
+            if ex["start"] < end and ex["end"] > start:
+                ex["boost"] += boost  # accumulate, drop the new spans
+                return
+        phrase_list.append(
+            {"spans": spans, "start": start, "end": end, "boost": boost}
+        )
+
+    i = 0
+    n = len(stack)
+    while i < n:
+        ti = stack[i]
+        i += 1
+        curr = root.children.get(ti[0])
+        if curr is None or not ti[0]:
+            continue
+        cand = [ti]
+        while True:
+            nxt = stack[i] if i < n else None
+            nxt_map = curr.children.get(nxt[0]) if nxt else None
+            if nxt is None or nxt_map is None:
+                if _valid(curr, cand):
+                    add_if_no_overlap(cand, curr.boost)
+                else:
+                    # backtrack-shrink, re-probing every prefix (:102-111)
+                    while len(cand) > 1:
+                        i -= 1  # push the tail token back
+                        cand.pop()
+                        m = _search_phrase(root, cand)
+                        if m is not None:
+                            add_if_no_overlap(cand, m.boost)
+                            break
+                break
+            cand.append(nxt)
+            curr = nxt_map
+            i += 1
+    return phrase_list
+
+
+def frag_list(
+    phrase_infos: list[dict],
+    frag_char_size: int,
+    margin: int = MARGIN_DEFAULT,
+) -> list[dict]:
+    """BaseFragListBuilder.createFieldFragList (:46-106): fragments
+    {start, end, phrases, boost} with the margin/centering rules."""
+    min_frag = max(1, margin * MIN_FRAG_CHAR_SIZE_FACTOR)
+    if frag_char_size < min_frag:
+        raise ValueError(
+            f"frag_char_size({frag_char_size}) must be >= {min_frag}"
+        )
+
+    def accept(info: dict, match_len: int) -> bool:
+        # discard multi-span phrases longer than the fragment (:120-122)
+        return len(info["spans"]) <= 1 or match_len <= frag_char_size
+
+    frags: list[dict] = []
+    queue = list(phrase_infos)
+    qi = 0
+    start_offset = 0
+    while qi < len(queue):
+        info = queue[qi]
+        if info["start"] < start_offset:
+            qi += 1
+            continue
+        wpil = []
+        cur_start = info["start"]
+        cur_end = info["end"]
+        span_start = max(cur_start - margin, start_offset)
+        span_end = max(cur_end, span_start + frag_char_size)
+        if accept(info, cur_end - cur_start):
+            wpil.append(info)
+        qi += 1
+        while qi < len(queue):
+            info = queue[qi]
+            if info["end"] <= span_end:
+                cur_end = info["end"]
+                if accept(info, cur_end - cur_start):
+                    wpil.append(info)
+                qi += 1
+            else:
+                break
+        if not wpil:
+            continue
+        match_len = cur_end - cur_start
+        new_margin = max(0, (frag_char_size - match_len) // 2)
+        span_start = cur_start - new_margin
+        if span_start < start_offset:
+            span_start = start_offset
+        span_end = span_start + max(match_len, frag_char_size)
+        start_offset = span_end
+        frags.append(
+            {
+                "start": span_start,
+                "end": span_end,
+                "phrases": wpil,
+                "boost": sum(p["boost"] for p in wpil),
+            }
+        )
+    return frags
+
+
+def build_fragments(
+    text: str,
+    frags: list[dict],
+    max_num_fragments: int = 3,
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+    score_order: bool = True,
+) -> list[tuple[str, float]]:
+    """Snippet strings with highlight tags; ScoreOrderFragmentsBuilder
+    sort (boost desc, start asc) and the max-fragments cut."""
+    order = (
+        sorted(frags, key=lambda f: (-f["boost"], f["start"]))
+        if score_order
+        else frags
+    )
+    out = []
+    for f in order[:max_num_fragments]:
+        lo = max(0, f["start"])
+        hi = min(len(text), f["end"])
+        spans = sorted(
+            (max(s, lo), min(e, hi))
+            for p in f["phrases"]
+            for s, e in p["spans"]
+            if s < hi and e > lo
+        )
+        buf, cur = [], lo
+        for s, e in spans:
+            if s < cur:
+                continue
+            buf.append(text[cur:s])
+            buf.append(pre_tag)
+            buf.append(text[s:e])
+            buf.append(post_tag)
+            cur = e
+        buf.append(text[cur:hi])
+        out.append(("".join(buf), float(f["boost"])))
+    return out
+
+
+def highlight_doc(
+    text: str,
+    root: _Trie,
+    term_universe: set[str],
+    frag_char_size: int = 100,
+    max_num_fragments: int = 3,
+    margin: int = MARGIN_DEFAULT,
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+) -> list[tuple[str, float]]:
+    stack = field_term_stack(text, term_universe)
+    phrases = field_phrase_list(stack, root)
+    frags = frag_list(phrases, frag_char_size, margin)
+    return build_fragments(
+        text, frags, max_num_fragments, pre_tag, post_tag
+    )
+
+
+def _universe(root: _Trie) -> set[str]:
+    out, todo = set(), [root]
+    while todo:
+        node = todo.pop()
+        for t, ch in node.children.items():
+            out.add(t)
+            todo.append(ch)
+    return out
+
+
+def fast_vector_highlight(
+    top: DataFrame,
+    source: DataFrame,
+    terms: dict[str, float] | list[str],
+    phrases: list[tuple[list[str], float]] | None = None,
+    phrase_slop: int = 0,
+    url_col: str = "url",
+    text_col: str = "text",
+    frag_char_size: int = 100,
+    max_num_fragments: int = 3,
+    margin: int = MARGIN_DEFAULT,
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+) -> DataFrame:
+    """FastVectorHighlighter.getBestFragments over a top-k frame: one
+    row per (doc, fragment) with the fragment's text and score, in
+    score order per doc. The k urls broadcast into the stored-fields
+    fetch; one Arrow-batched kernel highlights at most k docs."""
+    root = build_query_trie(terms, phrases, phrase_slop)
+    uni = _universe(root)
+    fetched = top.join(
+        source.select(F.col(url_col), F.col(text_col)), url_col, "left"
+    )
+    top_cols = [f.name for f in top.schema.fields]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in top.schema.fields
+    ) + ", frag_rank int, fragment string, frag_score float"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                text = r[text_col] if isinstance(r[text_col], str) else ""
+                frs = highlight_doc(
+                    text,
+                    root,
+                    uni,
+                    frag_char_size,
+                    max_num_fragments,
+                    margin,
+                    pre_tag,
+                    post_tag,
+                )
+                for rank, (snip, score) in enumerate(frs):
+                    rec = {c: r[c] for c in top_cols}
+                    rec["frag_rank"] = rank
+                    rec["fragment"] = snip
+                    rec["frag_score"] = score
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=top_cols + ["frag_rank", "fragment", "frag_score"],
+            )
+
+    return fetched.mapInPandas(kernel, schema=out_schema)

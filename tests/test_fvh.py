@@ -1,0 +1,175 @@
+"""FastVectorHighlighter: greedy phrase matching, fragment packing,
+score-ordered snippets (vectorhighlight package port)."""
+
+import pytest
+
+from lucene_spark.operators.fvh import (
+    build_query_trie,
+    fast_vector_highlight,
+    field_phrase_list,
+    field_term_stack,
+    frag_list,
+    highlight_doc,
+)
+
+
+def _phrases(text, terms=None, phrases=None, slop=0):
+    root = build_query_trie(terms or [], phrases or [], slop)
+    uni = set()
+    stack_universe = [root]
+    while stack_universe:
+        n = stack_universe.pop()
+        for t, ch in n.children.items():
+            uni.add(t)
+            stack_universe.append(ch)
+    return field_phrase_list(field_term_stack(text, uni), root)
+
+
+class TestFieldPhraseList:
+    def test_single_term_occurrences(self):
+        pl = _phrases("the cat sat on the cat mat", terms=["cat"])
+        assert [(p["start"], p["end"]) for p in pl] == [(4, 7), (19, 22)]
+        assert all(p["boost"] == 1.0 for p in pl)
+
+    def test_phrase_matched_as_unit(self):
+        pl = _phrases(
+            "big brown fox and brown dog", phrases=[(["brown", "fox"], 2.0)]
+        )
+        assert len(pl) == 1
+        p = pl[0]
+        # consecutive positions -> ONE span covering the whitespace
+        assert p["spans"] == [[4, 13]]
+        assert p["boost"] == 2.0
+
+    def test_phrase_member_alone_not_matched(self):
+        # 'fox' appears alone; it is only a phrase member, not a term
+        pl = _phrases("the fox runs", phrases=[(["brown", "fox"], 2.0)])
+        assert pl == []
+
+    def test_backtrack_shrink_to_prefix(self):
+        # query: term 'a' AND phrase (a b). Text 'a c' -> greedy tries
+        # to extend a, fails on c, falls back to the valid term 'a'
+        pl = _phrases("a c b", terms=["a"], phrases=[(["a", "b"], 5.0)])
+        assert len(pl) == 1
+        assert pl[0]["boost"] == 1.0
+        assert pl[0]["start"] == 0 and pl[0]["end"] == 1
+
+    def test_longest_match_wins(self):
+        pl = _phrases(
+            "x a b y", terms=["a"], phrases=[(["a", "b"], 5.0)]
+        )
+        assert len(pl) == 1
+        assert pl[0]["boost"] == 5.0  # the phrase, not the bare term
+        assert pl[0]["spans"] == [[2, 5]]
+
+    def test_slop_gap_validity(self):
+        # gap of one token between a and b: invalid at slop 0,
+        # valid (two spans) at slop 1
+        t = "a z b"
+        assert _phrases(t, phrases=[(["a", "b"], 1.0)], slop=0) == []
+        pl = _phrases(t, phrases=[(["a", "b"], 1.0)], slop=1)
+        assert len(pl) == 1
+        assert pl[0]["spans"] == [[0, 1], [4, 5]]
+
+    def test_overlap_accumulates_boost(self):
+        # 'a b' and term 'b': after the phrase matches [a b], the term
+        # b at the same offsets merges into it, boost accumulates
+        pl = _phrases("a b a b", terms=["b"], phrases=[(["a", "b"], 2.0)])
+        # two phrase matches, each later-overlapping b folded in?
+        # b tokens are CONSUMED by the phrase matches, so no overlap:
+        assert [p["boost"] for p in pl] == [2.0, 2.0]
+        # now a text where b occurs alone after a non-matching gap
+        pl2 = _phrases("a b b", terms=["b"], phrases=[(["a", "b"], 2.0)])
+        assert [p["boost"] for p in pl2] == [2.0, 1.0]
+
+
+class TestFragList:
+    def test_single_fragment_covers_all_when_huge(self):
+        pl = _phrases("the cat sat on the cat mat", terms=["cat"])
+        frags = frag_list(pl, frag_char_size=1000)
+        assert len(frags) == 1
+        assert frags[0]["boost"] == 2.0
+        assert len(frags[0]["phrases"]) == 2
+
+    def test_fragments_advance_monotonically(self):
+        text = " ".join(["cat"] + ["filler"] * 30 + ["cat"] + ["pad"] * 30)
+        pl = _phrases(text, terms=["cat"])
+        frags = frag_list(pl, frag_char_size=40)
+        assert len(frags) == 2
+        assert frags[1]["start"] >= frags[0]["end"]
+
+    def test_min_frag_char_size(self):
+        with pytest.raises(ValueError):
+            frag_list([], frag_char_size=10)  # < margin*3 = 18
+
+    def test_centering(self):
+        text = "x" * 50 + " cat " + "y" * 50
+        pl = _phrases(text, terms=["cat"])
+        (f,) = frag_list(pl, frag_char_size=21)
+        # match is 3 chars, newMargin = (21-3)//2 = 9
+        assert f["start"] == 51 - 9
+        assert f["end"] == f["start"] + 21
+
+
+class TestSnippets:
+    def test_tags_and_score_order(self):
+        text = (
+            "alpha beta "
+            + "filler " * 20
+            + "alpha beta alpha "
+            + "tail " * 20
+        )
+        root = build_query_trie([], [(["alpha", "beta"], 1.0)])
+        frs = highlight_doc(
+            text,
+            root,
+            {"alpha", "beta"},
+            frag_char_size=60,
+            max_num_fragments=2,
+        )
+        assert len(frs) == 2
+        # score order: the 2-hit fragment first
+        assert frs[0][1] >= frs[1][1]
+        assert "<b>alpha beta</b>" in frs[0][0] or "<b>alpha beta</b>" in frs[1][0]
+
+    def test_no_hits_no_fragments(self):
+        root = build_query_trie(["zzz"])
+        assert highlight_doc("plain text here", root, {"zzz"}) == []
+
+
+class TestSparkWrapper:
+    def test_end_to_end(self, spark, web_pages, searcher):
+        top = searcher.term_query("window", k=5)
+        out = fast_vector_highlight(
+            top.select("url", "score"),
+            web_pages,
+            terms=["window"],
+            frag_char_size=80,
+            max_num_fragments=2,
+        ).collect()
+        assert out
+        urls_in = {r["url"] for r in top.collect()}
+        for r in out:
+            assert r["url"] in urls_in
+            assert "<b>window</b>" in r["fragment"]
+            assert r["frag_score"] >= 1.0
+
+    def test_huge_fragment_counts_equal_tf(self, spark, web_pages, searcher):
+        top = searcher.term_query("window", k=3)
+        out = fast_vector_highlight(
+            top.select("url"),
+            web_pages,
+            terms=["window"],
+            frag_char_size=10**6,
+            max_num_fragments=1,
+        ).collect()
+        texts = {
+            r["url"]: r["text"]
+            for r in web_pages.join(
+                top.select("url"), "url", "left_semi"
+            ).collect()
+        }
+        for r in out:
+            tf = texts[r["url"]].split().count("window")
+            assert r["fragment"].count("<b>") == tf
+            assert r["frag_score"] == float(tf)
