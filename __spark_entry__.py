@@ -7720,6 +7720,34 @@ def _q_id_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_doc_id("url"), "version").orderBy("doc_id")
 
 
+def _q_bp_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BpVectorReorderer (misc/index/BpVectorReorderer.java) over the
+    embeddings table: docids reassigned so cosine-similar vectors sit
+    adjacent. Bijection certificate oracle (symmetric functions
+    derivable from N alone); exact permutation parity with the
+    reference recursion is pinned by tests/test_reorder_vec.py's
+    kernel==distributed equality."""
+    from lucene_spark.operators.reorder_vec import bp_vector_reorder
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mapping = bp_vector_reorder(
+        emb,
+        "cosine",
+        id_col="vec_id",
+        vec_col="embedding",
+        min_partition_size=128,
+        max_iters=8,
+    )
+    return mapping.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc").alias("n_docs"),
+        F.min("new_docid").alias("min_id"),
+        F.max("new_docid").alias("max_id"),
+        F.sum("new_docid").alias("id_sum"),
+        F.sum(F.col("new_docid") * F.col("new_docid")).alias("id_sqsum"),
+    )
+
+
 def _q_fvh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FastVectorHighlighter (vectorhighlight package,
     operators/fvh.py). frag_char_size above every doc length makes the
@@ -8002,6 +8030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox_relations": _q_geo_bbox,
         "multi_pass_split_parts": _q_multi_pass_split,
         "fvh_fragments": _q_fvh,
+        "bp_vector_certificate": _q_bp_vector,
         "rearranged_segments": _q_rearranged_segments,
         "high_freq_terms": _q_high_freq_terms,
         "term_info": _q_term_info,
@@ -9379,6 +9408,13 @@ def oracle_sql() -> dict[str, str]:
         "merge_on_flush_top10": _bm25_sql(["window"]),
         "geo_bbox_relations": _geo_bbox_sql(),
         "fvh_fragments": _fvh_sql(),
+        "bp_vector_certificate": """
+            WITH c AS (SELECT count(*)::BIGINT AS n FROM embeddings)
+            SELECT n, n AS n_docs, 0::BIGINT AS min_id,
+                   (n - 1)::BIGINT AS max_id,
+                   (n * (n - 1) // 2)::BIGINT AS id_sum,
+                   ((n - 1) * n * (2 * n - 1) // 6)::BIGINT AS id_sqsum
+            FROM c""",
         "multi_pass_split_parts": """
             WITH n AS (SELECT count(*)::BIGINT AS n FROM documents)
             SELECT 0::BIGINT AS part, (n // 3)::BIGINT AS num_docs FROM n

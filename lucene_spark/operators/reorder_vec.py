@@ -1,0 +1,341 @@
+"""BpVectorReorderer: recursive graph bisection over VECTOR similarity.
+
+Port of ``misc/index/BpVectorReorderer.java``: docids are reassigned so
+that vector-similar documents get nearby ids (helping delta-compressed
+vector storage and graph locality), using the same recursive-bisection
+skeleton as the term-based BPIndexReorderer but with the per-side
+CENTROID standing in for the posting-gain model:
+
+- per side, centroid = mean of the side's vectors for EUCLIDEAN /
+  MAXIMUM_INNER_PRODUCT, the unit-normalized SUM for COSINE /
+  DOT_PRODUCT (``computeCentroid`` :268-284 — colinear scaling doesn't
+  change the induced partition, so the normalizer is free);
+- per doc, bias = squareDistance(v, left) − squareDistance(v, right)
+  for EUCLIDEAN, dot(v, right) − dot(v, left) otherwise
+  (``computeBias`` :564-574) — positive pulls the doc right;
+- a slice stops iterating when ``500 * gain <= scale`` where gain =
+  maxLeftBias − minRightBias and scale = |leftCentroid −
+  rightCentroid| (the empirical 1/500-of-centroid-motion rule,
+  ``shuffle`` :315-340), or when a reselection moves nothing;
+- halfLength split, ``minPartitionSize`` recursion floor, ``maxIters``
+  per level (reference defaults 32 / 20), centroids fully recomputed
+  every round (``MAX_CENTROID_UPDATES = 0`` :77-85).
+
+Declared determinizations (the reference's IntroSelector is an
+UNSTABLE order-statistics select, so it pins neither of these):
+(bias, docid) ordering breaks selection ties, and every slice keeps
+its docs in ascending original-id order — the same conventions as the
+term BP port in ``operators/reorder.py``. Arithmetic is float64 (the
+reference uses float32 accumulators; at float64 the 1/500 gate and
+selection order are strictly more stable).
+
+Two implementations with an exact-permutation parity test:
+
+- ``bp_vector_permutation`` — numpy, level-synchronous, the in-kernel
+  (per-segment) integration point;
+- ``bp_vector_reorder`` — distributed lockstep DataFrame rounds: one
+  posexplode of the vectors ONCE into a (doc, pos, val) edge table,
+  then per round two partial-agg-friendly aggregations (per-side
+  dimension sums → centroids; per-doc bias dots) and one per-slice
+  window — the same plan shape as ``bp_reorder``, no driver data
+  beyond a one-row moved count. Lineage is cut every round with an
+  eager localCheckpoint (driver OOMs on nested plans otherwise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SIMS = ("euclidean", "cosine", "dot", "mip")
+
+
+def _check_sim(similarity: str) -> str:
+    if similarity not in SIMS:
+        raise ValueError(f"similarity must be one of {SIMS}")
+    return similarity
+
+
+def bp_vector_permutation(
+    vectors,
+    similarity: str = "cosine",
+    *,
+    min_partition_size: int = 32,
+    max_iters: int = 20,
+) -> np.ndarray:
+    """Single-segment numpy BP over vectors. Returns ``order`` (int64):
+    original row index at each new local docid."""
+    _check_sim(similarity)
+    V = np.asarray(vectors, dtype=np.float64)
+    n = len(V)
+    if n // 2 < min_partition_size:
+        return np.arange(n, dtype=np.int64)
+    dim = V.shape[1]
+    slice_of = np.zeros(n, dtype=np.int64)
+    ids = np.arange(n, dtype=np.int64)
+
+    for _level in range(64):
+        srt = np.argsort(slice_of, kind="stable")  # (slice, docid) order
+        sl_sorted = slice_of[srt]
+        starts = np.r_[0, np.flatnonzero(sl_sorted[1:] != sl_sorted[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, n])
+        halves = sizes // 2
+        active_g = halves >= min_partition_size
+        if not active_g.any():
+            break
+        n_groups = len(sizes)
+        pos_in = np.arange(n) - np.repeat(starts, sizes)
+        side_sorted = (
+            np.repeat(active_g, sizes) & (pos_in >= np.repeat(halves, sizes))
+        ).astype(np.int8)
+        group_of = np.empty(n, dtype=np.int64)
+        group_of[srt] = np.repeat(np.arange(n_groups, dtype=np.int64), sizes)
+        side = np.empty(n, dtype=np.int8)
+        side[srt] = side_sorted
+
+        live_g = active_g.copy()
+        for _it in range(max_iters):
+            if not live_g.any():
+                break
+            live = live_g[group_of]
+            g = group_of[live]
+            s = side[live].astype(np.int64)
+            Vl = V[live]
+            sums = np.zeros((n_groups, 2, dim))
+            np.add.at(sums, (g, s), Vl)
+            cnts = np.zeros((n_groups, 2))
+            np.add.at(cnts, (g, s), 1.0)
+            cnts = np.maximum(cnts, 1.0)
+            if similarity in ("euclidean", "mip"):
+                cent = sums / cnts[:, :, None]
+            else:  # cosine / dot: unit-normalized sum
+                norm = np.sqrt((sums * sums).sum(axis=2, keepdims=True))
+                cent = np.where(norm > 0, sums / np.maximum(norm, 1e-300), 0.0)
+            cl, cr = cent[:, 0, :], cent[:, 1, :]
+            diff = cr - cl
+            core = (Vl * diff[g]).sum(axis=1)
+            if similarity == "euclidean":
+                const = (cl * cl).sum(1) - (cr * cr).sum(1)
+                bias_l = 2.0 * core + const[g]
+            else:
+                bias_l = core
+            scale = np.sqrt((diff * diff).sum(1))
+            maxl = np.full(n_groups, -np.inf)
+            minr = np.full(n_groups, np.inf)
+            np.maximum.at(maxl, g[s == 0], bias_l[s == 0])
+            np.minimum.at(minr, g[s == 1], bias_l[s == 1])
+            gain = maxl - minr
+            live_g &= 500.0 * gain > scale  # shuffle():336-340
+            if not live_g.any():
+                break
+            # reselect live slices by (bias, docid)
+            still = live_g[g]
+            mdocs = ids[live][still]
+            mb = bias_l[still]
+            mg = g[still]
+            o2 = np.lexsort((mdocs, mb, mg))
+            md_sorted = mdocs[o2]
+            mg_sorted = mg[o2]
+            m_starts = np.r_[
+                0, np.flatnonzero(mg_sorted[1:] != mg_sorted[:-1]) + 1
+            ]
+            m_sizes = np.diff(np.r_[m_starts, len(md_sorted)])
+            m_pos = np.arange(len(md_sorted)) - np.repeat(m_starts, m_sizes)
+            m_half = halves[mg_sorted[m_starts]]
+            new_side = (m_pos >= np.repeat(m_half, m_sizes)).astype(np.int8)
+            changed = new_side != side[md_sorted]
+            side[md_sorted] = new_side
+            # moved == 0 -> that slice's loop is over (shuffle() == 0)
+            moved_per_g = np.zeros(n_groups, dtype=bool)
+            np.logical_or.at(moved_per_g, mg_sorted, changed)
+            live_g &= moved_per_g
+        act_doc = active_g[group_of]
+        slice_of = np.where(
+            act_doc, slice_of * 2 + side, slice_of * 2
+        ).astype(np.int64)
+
+    return np.argsort(slice_of, kind="stable").astype(np.int64)
+
+
+def bp_vector_reorder(
+    df: DataFrame,
+    similarity: str = "cosine",
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    min_partition_size: int = 32,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Distributed BpVectorReorderer: (doc, new_docid) mapping — a
+    bijection onto 0..N-1 with vector-similar docs adjacent."""
+    _check_sim(similarity)
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc"), F.col(vec_col).alias("v")
+    )
+    edges = base.select(
+        "doc", F.posexplode("v").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double")).localCheckpoint(
+        eager=True
+    )
+    state = base.select("doc", F.lit(0).cast("long").alias("slice"))
+    n = state.count()
+
+    for _level in range(64):
+        ws = Window.partitionBy("slice")
+        w_in = Window.partitionBy("slice").orderBy("doc")
+        st = (
+            state.withColumn("cnt", F.count("*").over(ws))
+            .withColumn("half", (F.col("cnt") / 2).cast("long"))
+            .withColumn("active", F.col("half") >= min_partition_size)
+            .withColumn(
+                "side",
+                (
+                    F.col("active")
+                    & (F.row_number().over(w_in) > F.col("half"))
+                ).cast("int"),
+            )
+            .select("doc", "slice", "half", "active", "side")
+            .localCheckpoint(eager=True)
+        )
+        if st.where("active").limit(1).count() == 0:
+            break
+
+        for _it in range(max_iters):
+            act = st.where("active")
+            ed = act.join(edges, "doc")
+            sums = ed.groupBy("slice", "side", "pos").agg(
+                F.sum("val").alias("s")
+            )
+            cnts = act.groupBy("slice", "side").agg(
+                F.count("*").alias("c")
+            )
+            if similarity in ("euclidean", "mip"):
+                cent = sums.join(cnts, ["slice", "side"]).select(
+                    "slice",
+                    "side",
+                    "pos",
+                    (F.col("s") / F.col("c")).alias("cv"),
+                )
+            else:
+                norms = sums.groupBy("slice", "side").agg(
+                    F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm")
+                )
+                cent = sums.join(norms, ["slice", "side"]).select(
+                    "slice",
+                    "side",
+                    "pos",
+                    F.when(F.col("nrm") > 0, F.col("s") / F.col("nrm"))
+                    .otherwise(F.lit(0.0))
+                    .alias("cv"),
+                )
+            cpair = cent.groupBy("slice", "pos").agg(
+                F.coalesce(
+                    F.max(F.when(F.col("side") == 0, F.col("cv"))),
+                    F.lit(0.0),
+                ).alias("cl"),
+                F.coalesce(
+                    F.max(F.when(F.col("side") == 1, F.col("cv"))),
+                    F.lit(0.0),
+                ).alias("cr"),
+            )
+            sconst = cpair.groupBy("slice").agg(
+                F.sum(
+                    F.col("cl") * F.col("cl") - F.col("cr") * F.col("cr")
+                ).alias("const"),
+                F.sqrt(
+                    F.sum(
+                        (F.col("cl") - F.col("cr"))
+                        * (F.col("cl") - F.col("cr"))
+                    )
+                ).alias("scale"),
+            )
+            core = (
+                ed.join(cpair, ["slice", "pos"])
+                .groupBy("doc", "slice", "side")
+                .agg(
+                    F.sum(
+                        F.col("val") * (F.col("cr") - F.col("cl"))
+                    ).alias("core")
+                )
+            )
+            if similarity == "euclidean":
+                b = core.join(sconst, "slice").select(
+                    "doc",
+                    "slice",
+                    "side",
+                    "scale",
+                    (2.0 * F.col("core") + F.col("const")).alias("bias"),
+                )
+            else:
+                b = core.join(sconst, "slice").select(
+                    "doc", "slice", "side", "scale", F.col("core").alias("bias")
+                )
+            gains = b.groupBy("slice").agg(
+                (
+                    F.max(F.when(F.col("side") == 0, F.col("bias")))
+                    - F.min(F.when(F.col("side") == 1, F.col("bias")))
+                ).alias("gain"),
+                F.first("scale").alias("scale"),
+            ).select(
+                "slice",
+                (500.0 * F.col("gain") > F.col("scale")).alias("live"),
+            )
+            bj = b.join(gains, "slice").where("live")
+            wb = Window.partitionBy("slice").orderBy("bias", "doc")
+            resel = bj.join(
+                st.select("doc", "half"), "doc"
+            ).withColumn(
+                "new_side",
+                (F.row_number().over(wb) > F.col("half")).cast("int"),
+            )
+            moved = resel.where(
+                F.col("new_side") != F.col("side")
+            ).count()
+            st = (
+                st.join(
+                    resel.select("doc", "new_side"), "doc", "left"
+                )
+                .withColumn(
+                    "side", F.coalesce("new_side", F.col("side"))
+                )
+                .drop("new_side")
+                .localCheckpoint(eager=True)
+            )
+            if moved == 0:
+                break
+
+        state = st.select(
+            "doc",
+            F.when(
+                F.col("active"), F.col("slice") * 2 + F.col("side")
+            )
+            .otherwise(F.col("slice") * 2)
+            .alias("slice"),
+        ).localCheckpoint(eager=True)
+
+    # final numbering: slice-offset prefix sums, docs numbered within
+    # their slice by ascending original id (no global window)
+    per = state.groupBy("slice").agg(F.count("*").alias("cnt"))
+    off = per.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("slice").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("slice", "off")
+    w_in = Window.partitionBy("slice").orderBy("doc")
+    return (
+        state.join(off, "slice")
+        .select(
+            "doc",
+            (F.row_number().over(w_in) - 1 + F.col("off")).alias(
+                "new_docid"
+            ),
+        )
+    )

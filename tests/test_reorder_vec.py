@@ -1,0 +1,105 @@
+"""BpVectorReorderer: numpy kernel vs distributed twin, cluster
+locality, convergence gate, bijection."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.reorder_vec import (
+    bp_vector_permutation,
+    bp_vector_reorder,
+)
+
+
+def _two_clusters(n=96, dim=8, seed=3):
+    """Interleaved-by-id points from two well-separated clusters."""
+    rng = np.random.RandomState(seed)
+    a = rng.normal(loc=5.0, scale=0.4, size=(n // 2, dim))
+    b = rng.normal(loc=-5.0, scale=0.4, size=(n // 2, dim))
+    V = np.empty((n, dim))
+    V[0::2] = a
+    V[1::2] = b
+    return V
+
+
+class TestKernel:
+    @pytest.mark.parametrize("sim", ["euclidean", "cosine", "dot", "mip"])
+    def test_bijection(self, sim):
+        V = _two_clusters()
+        order = bp_vector_permutation(V, sim, min_partition_size=8)
+        assert sorted(order.tolist()) == list(range(len(V)))
+
+    @pytest.mark.parametrize("sim", ["euclidean", "cosine"])
+    def test_clusters_become_contiguous(self, sim):
+        V = _two_clusters()
+        n = len(V)
+        order = bp_vector_permutation(V, sim, min_partition_size=8)
+        # after reorder, the first half should be (almost) one cluster
+        first = order[: n // 2]
+        parity = np.bincount(first % 2, minlength=2)
+        assert parity.max() == n // 2  # perfectly separated
+
+    def test_small_input_identity(self):
+        V = np.ones((10, 4))
+        order = bp_vector_permutation(V, "cosine", min_partition_size=32)
+        assert order.tolist() == list(range(10))
+
+    def test_identical_vectors_converge_immediately(self):
+        V = np.ones((128, 4))
+        order = bp_vector_permutation(V, "euclidean", min_partition_size=8)
+        # gain = 0, scale = 0 -> 500*0 <= 0 stops every slice; the
+        # identity split remains
+        assert order.tolist() == list(range(128))
+
+    def test_bad_similarity(self):
+        with pytest.raises(ValueError):
+            bp_vector_permutation(np.ones((4, 2)), "manhattan")
+
+    def test_locality_objective_improves(self):
+        V = _two_clusters(n=128)
+        order = bp_vector_permutation(V, "euclidean", min_partition_size=8)
+        perm = np.empty(len(V), dtype=np.int64)
+        perm[order] = np.arange(len(V))
+
+        def adj_cost(P):
+            # mean distance between consecutively-numbered docs
+            idx = np.argsort(P)
+            W = V[idx]
+            return float(np.linalg.norm(W[1:] - W[:-1], axis=1).mean())
+
+        assert adj_cost(perm) < adj_cost(np.arange(len(V)))
+
+
+class TestDistributed:
+    @pytest.mark.parametrize("sim", ["euclidean", "cosine"])
+    def test_matches_kernel_exactly(self, spark, sim):
+        V = _two_clusters(n=64, dim=6, seed=11)
+        order = bp_vector_permutation(V, sim, min_partition_size=8)
+        perm = np.empty(len(V), dtype=np.int64)
+        perm[order] = np.arange(len(V))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+            "id long, vec array<double>",
+        ).repartition(4)
+        got = {
+            r["doc"]: r["new_docid"]
+            for r in bp_vector_reorder(
+                df, sim, min_partition_size=8
+            ).collect()
+        }
+        assert got == {i: int(perm[i]) for i in range(len(V))}
+
+    def test_bijection_on_embeddings(self, spark):
+        emb = (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .limit(80)
+        )
+        cols = emb.columns
+        id_col = "id" if "id" in cols else cols[0]
+        vec_col = "embedding" if "embedding" in cols else cols[-1]
+        out = bp_vector_reorder(
+            emb, "cosine", id_col=id_col, vec_col=vec_col,
+            min_partition_size=8,
+        )
+        rows = out.collect()
+        assert sorted(r["new_docid"] for r in rows) == list(range(len(rows)))
