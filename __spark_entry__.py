@@ -7720,6 +7720,43 @@ def _q_id_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_doc_id("url"), "version").orderBy("doc_id")
 
 
+def _q_analyzing_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzingSuggester (suggest/analyzing/AnalyzingSuggester.java):
+    analyzed-PREFIX completion with PRESERVE_SEP token boundaries and
+    weight-desc ranking. The U+001F separator mapping is order-
+    preserving on this corpus, so the oracle's plain-text prefix and
+    tie order match exactly."""
+    from lucene_spark.operators.suggest_lm import analyzing_suggest
+
+    docs = _docs_table(spark, sf_dir)
+    sugg = docs.select(
+        F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias(
+            "suggestion"
+        ),
+        F.col("n_chars").alias("weight"),
+    )
+    return analyzing_suggest(sugg, "wi", k=5)
+
+
+def _q_multi_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-valued range facets (facet/range/LongRangeFacetCounts.java
+    over a MultiLongValuesSource): per-token lengths as the values
+    array, overlapping inclusive ranges, each doc counted once per
+    matching range — no explode, one exists() aggregate."""
+    from lucene_spark.operators.queries import multi_range_facet_counts
+
+    docs = _docs_table(spark, sf_dir)
+    vals = docs.select(
+        F.transform(
+            F.split("text", " "), lambda x: F.length(x).cast("long")
+        ).alias("vs")
+    )
+    out = multi_range_facet_counts(
+        vals, "vs", [("short", 1, 3), ("mid", 3, 6), ("long", 7, 99)]
+    )
+    return out.orderBy("label")
+
+
 def _q_bp_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BpVectorReorderer (misc/index/BpVectorReorderer.java) over the
     embeddings table: docids reassigned so cosine-similar vectors sit
@@ -8031,6 +8068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_pass_split_parts": _q_multi_pass_split,
         "fvh_fragments": _q_fvh,
         "bp_vector_certificate": _q_bp_vector,
+        "analyzing_suggest": _q_analyzing_suggest,
+        "multi_range_facet_tokenlen": _q_multi_range_facets,
         "rearranged_segments": _q_rearranged_segments,
         "high_freq_terms": _q_high_freq_terms,
         "term_info": _q_term_info,
@@ -9408,6 +9447,33 @@ def oracle_sql() -> dict[str, str]:
         "merge_on_flush_top10": _bm25_sql(["window"]),
         "geo_bbox_relations": _geo_bbox_sql(),
         "fvh_fragments": _fvh_sql(),
+        "analyzing_suggest": """
+            WITH sugg AS (
+              SELECT array_to_string(string_split(text, ' ')[1:4], ' ')
+                       AS suggestion,
+                     max(n_chars)::BIGINT AS weight
+              FROM documents GROUP BY 1)
+            SELECT suggestion, weight FROM sugg
+            WHERE suggestion LIKE 'wi%'
+            ORDER BY weight DESC, suggestion LIMIT 5""",
+        "multi_range_facet_tokenlen": """
+            WITH t AS (SELECT string_split(text, ' ') AS toks
+                       FROM documents)
+            SELECT 'long' AS label,
+                   sum(CASE WHEN len(list_filter(toks,
+                       x -> len(x) >= 7 AND len(x) <= 99)) > 0
+                       THEN 1 ELSE 0 END)::BIGINT AS cnt FROM t
+            UNION ALL
+            SELECT 'mid',
+                   sum(CASE WHEN len(list_filter(toks,
+                       x -> len(x) >= 3 AND len(x) <= 6)) > 0
+                       THEN 1 ELSE 0 END) FROM t
+            UNION ALL
+            SELECT 'short',
+                   sum(CASE WHEN len(list_filter(toks,
+                       x -> len(x) >= 1 AND len(x) <= 3)) > 0
+                       THEN 1 ELSE 0 END) FROM t
+            ORDER BY label""",
         "bp_vector_certificate": """
             WITH c AS (SELECT count(*)::BIGINT AS n FROM embeddings)
             SELECT n, n AS n_docs, 0::BIGINT AS min_id,

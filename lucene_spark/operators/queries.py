@@ -2046,3 +2046,38 @@ def range_field_match(
             "(intersects | within | contains | crosses)"
         )
     return ranges.where(pred)
+
+
+def multi_range_facet_counts(
+    df: DataFrame,
+    values_col,
+    ranges: list[tuple],
+) -> DataFrame:
+    """LongRangeFacetCounts over a MULTI-VALUED values source
+    (``facet/range/LongRangeFacetCounts.java:48-76`` with
+    ``MultiLongValuesSource``; ``facet/range/LongRange.java:28-62``
+    inclusive bounds): each range counts the DOCS with at least one
+    value inside it — a doc with several values in one range counts
+    once, and ranges may OVERLAP (each is evaluated independently,
+    the sandbox OverlappingLongRangeFacetCutter semantics).
+
+    ``ranges``: (label, min, max) with INCLUSIVE bounds (LongRange's
+    minInclusive/maxInclusive defaults). Scale shape: one projection
+    computes an ``exists`` higher-order predicate per range (pure
+    Catalyst, no explode — the array is never unnested), one global
+    aggregate row, unpivoted to (label, count) rows. Shuffles exactly
+    one partial-agg row per task regardless of input size."""
+    c = F.col(values_col) if isinstance(values_col, str) else values_col
+    aggs = []
+    for i, (label, lo, hi) in enumerate(ranges):
+        flag = F.exists(
+            c, lambda v: (v >= F.lit(lo)) & (v <= F.lit(hi))
+        )
+        aggs.append(F.sum(flag.cast("long")).alias(f"__r{i}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{label}', __r{i}" for i, (label, _, _) in enumerate(ranges)
+    )
+    return row.selectExpr(
+        f"stack({len(ranges)}, {stack_args}) AS (label, cnt)"
+    )

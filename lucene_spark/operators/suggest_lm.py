@@ -452,3 +452,63 @@ def fuzzy_suggest(
         .orderBy(F.desc("weight"), F.asc("suggestion"))
         .limit(k)
     )
+
+
+def analyzing_suggest(
+    suggestions: DataFrame,
+    query: str,
+    k: int = 5,
+    exact_first: bool = True,
+    preserve_sep: bool = True,
+    text_col: str = "suggestion",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """AnalyzingSuggester lookup
+    (``suggest/analyzing/AnalyzingSuggester.java:63-104,699-830``):
+    completions whose ANALYZED form starts with the analyzed query —
+    with PRESERVE_SEP the token boundary is a real byte (SEP_LABEL
+    U+001F, :133-136), so "par qu" completes "par query" but not
+    "parquet"; without it tokens concatenate and it does. EXACT_FIRST
+    (:115,716-806) surfaces exact analyzed matches before anything
+    else regardless of weight; otherwise weight descending, ties by
+    the analyzed form (:82). Duplicate surface forms keep their
+    highest weight (the suggester's by-key storage, :505-515).
+
+    Pure Catalyst: the analyzed key is a lower+split+join column, the
+    prefix test whole-stage codegen, the top-k one
+    TakeOrderedAndProject."""
+    toks = [t for t in query.lower().split(" ") if t]
+    if not toks:
+        raise ValueError("empty suggest query")
+    sep = "\x1f" if preserve_sep else ""
+    qkey = sep.join(toks)
+    base = (
+        suggestions.select(
+            F.col(text_col).alias("suggestion"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .groupBy("suggestion")
+        .agg(F.max("weight").alias("weight"))
+        .withColumn(
+            "akey",
+            F.array_join(
+                F.filter(
+                    F.split(F.lower("suggestion"), " "),
+                    lambda x: x != "",
+                ),
+                sep,
+            ),
+        )
+    )
+    hit = base.where(F.col("akey").startswith(qkey))
+    exact = (
+        (F.col("akey") == qkey).cast("int")
+        if exact_first
+        else F.lit(0)
+    )
+    return (
+        hit.withColumn("exact", exact)
+        .orderBy(F.desc("exact"), F.desc("weight"), F.asc("akey"))
+        .limit(k)
+        .select("suggestion", "weight")
+    )

@@ -1,0 +1,141 @@
+"""AnalyzingSuggester, multi-valued range facets, and the
+LargeNumHitsTopDocsCollector -> Catalyst sort-fallback mapping."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lucene_spark.operators.queries import multi_range_facet_counts
+from lucene_spark.operators.suggest_lm import analyzing_suggest
+
+
+@pytest.fixture()
+def sugg(spark):
+    return spark.createDataFrame(
+        [
+            ("par query plan", 10),
+            ("parquet files", 50),
+            ("par query", 7),
+            ("partition keys", 30),
+            ("par query plan", 3),  # dup, lower weight
+        ],
+        "suggestion string, weight long",
+    )
+
+
+class TestAnalyzingSuggest:
+    def test_preserve_sep_blocks_cross_token(self, spark, sugg):
+        got = [
+            r["suggestion"]
+            for r in analyzing_suggest(sugg, "par qu", k=5).collect()
+        ]
+        # 'parquet files' must NOT match: the separator is a real byte
+        assert got == ["par query plan", "par query"]
+
+    def test_no_preserve_sep_concatenates(self, spark, sugg):
+        got = [
+            r["suggestion"]
+            for r in analyzing_suggest(
+                sugg, "parqu", k=5, preserve_sep=False
+            ).collect()
+        ]
+        # concatenated forms: parquet, parqueryplan, parquery all match
+        assert set(got) == {"parquet files", "par query plan", "par query"}
+        assert got[0] == "parquet files"  # weight 50 first
+
+    def test_exact_first_beats_weight(self, spark, sugg):
+        got = [
+            r["suggestion"]
+            for r in analyzing_suggest(sugg, "par query", k=5).collect()
+        ]
+        # exact analyzed match surfaces first despite lower weight
+        assert got[0] == "par query"
+        assert got[1] == "par query plan"
+        got2 = [
+            r["suggestion"]
+            for r in analyzing_suggest(
+                sugg, "par query", k=5, exact_first=False
+            ).collect()
+        ]
+        assert got2[0] == "par query plan"  # weight 10 > 7
+
+    def test_duplicates_keep_max_weight(self, spark, sugg):
+        rows = analyzing_suggest(sugg, "par query plan", k=5).collect()
+        assert len(rows) == 1 and rows[0]["weight"] == 10
+
+    def test_empty_query_raises(self, spark, sugg):
+        with pytest.raises(ValueError):
+            analyzing_suggest(sugg, "  ")
+
+
+class TestMultiRangeFacets:
+    @pytest.fixture()
+    def vals(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, [1, 2, 9]),
+                (2, [5, 5, 5]),
+                (3, [9]),
+                (4, []),
+                (5, [2, 3]),
+            ],
+            "id long, vs array<long>",
+        )
+
+    def test_counts_doc_once_and_overlaps(self, spark, vals):
+        got = {
+            r["label"]: r["cnt"]
+            for r in multi_range_facet_counts(
+                vals,
+                "vs",
+                [("low", 1, 3), ("mid", 3, 6), ("high", 8, 99)],
+            ).collect()
+        }
+        # doc 1 has 1 and 2 in 'low' but counts ONCE; ranges overlap
+        # at 3 (doc 5 counts in low AND mid)
+        assert got == {"low": 2, "mid": 2, "high": 2}
+
+    def test_plan_python_free_no_explode(self, spark, vals):
+        plan = (
+            multi_range_facet_counts(vals, "vs", [("a", 1, 2)])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        # the exists() predicate folds into the map-side partial
+        # aggregate — the value arrays are never exploded (the only
+        # Generate is the one-row stack() unpivot ABOVE the aggregate)
+        assert "partial_sum(cast(exists(" in plan
+
+
+class TestLargeTopK:
+    def test_sort_fallback_threshold(self, spark, web_pages, searcher):
+        """LargeNumHitsTopDocsCollector
+        (sandbox/search/LargeNumHitsTopDocsCollector.java:37-49: when
+        numHits is huge, maintaining a priority queue is slower than
+        collecting everything and sorting once) maps to Catalyst's
+        spark.sql.execution.topKSortFallbackThreshold: above it,
+        orderBy+limit plans a full Sort instead of per-partition
+        TakeOrderedAndProject heaps — the engine gets the reference's
+        large-hits strategy from the optimizer, per plan inspection."""
+        scored = searcher.term_query("the", k=10)
+        plan_small = scored._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan_small
+
+        old = spark.conf.get("spark.sql.execution.topKSortFallbackThreshold")
+        try:
+            spark.conf.set(
+                "spark.sql.execution.topKSortFallbackThreshold", "5"
+            )
+            big = searcher.term_query("the", k=10)
+            plan_big = big._jdf.queryExecution().executedPlan().toString()
+            assert "TakeOrderedAndProject" not in plan_big
+            assert "Sort" in plan_big
+            # results are identical either way
+            a = [(r["url"], round(r["score"], 5)) for r in big.collect()]
+            b = [(r["url"], round(r["score"], 5)) for r in scored.collect()]
+            assert a == b
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.topKSortFallbackThreshold", old
+            )
