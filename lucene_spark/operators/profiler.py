@@ -1,0 +1,107 @@
+"""Query profiler: per-node execution breakdown for a search.
+
+The sandbox QueryProfiler family
+(``sandbox/search/QueryProfilerIndexSearcher.java`` wraps a search so
+every query node records a breakdown — ``QueryProfilerResult.java:33-60``
+is a tree of (type, description, totalTime, breakdown map);
+``QueryProfilerTimingType.java:23-36`` splits leaf-level timers from
+the global CREATE_WEIGHT) re-thought for Spark's execution model:
+
+- **CREATE_WEIGHT** is this engine's driver-side Weight construction —
+  the term-stats lookup a Searcher performs before planning (cached
+  per point-in-time reader, exactly one real collect). Profiled by
+  wall clock around the stats call.
+- The **leaf-level timers** (BUILD_SCORER/NEXT_DOC/SCORE/...) happen
+  inside Tungsten, where Spark already maintains per-operator SQL
+  metrics. The analog of the per-query-node breakdown tree is the
+  EXECUTED PLAN tree with its metric map — ``profile_plan`` walks the
+  JVM plan after an action and returns one row per physical node:
+  (node_id, depth, node, metrics). numOutputRows ≈ how many docs a
+  scorer's next_doc produced; scan metrics ≈ build_scorer + I/O;
+  exchange metrics ≈ the slice boundaries.
+- ``profiled_term_query`` composes both: run the query, return the
+  rows plus a QueryProfilerResult-shaped dict (type, description,
+  total_time_ms, breakdown, children = the plan-node rows).
+
+Timings are wall-clock and machine-dependent — this is a diagnostic
+operator (pytest-validated structure, no value oracle), same category
+as CheckIndex / IndexDiskUsage.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+
+
+def profile_plan(df: DataFrame) -> list[dict]:
+    """One dict per physical-plan node of ``df``'s EXECUTED plan:
+    {node_id, depth, node, metrics:{name: value}}. Call after an
+    action so the metrics are populated (Spark fills them during
+    execution; un-run nodes report zeros)."""
+    qe = df._jdf.queryExecution()
+    root = qe.executedPlan()
+    out: list[dict] = []
+    counter = [0]
+
+    def walk(node, depth):
+        nid = counter[0]
+        counter[0] += 1
+        metrics = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[str(kv._1())] = int(kv._2().value())
+        out.append(
+            {
+                "node_id": nid,
+                "depth": depth,
+                "node": str(node.nodeName()),
+                "metrics": metrics,
+            }
+        )
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), depth + 1)
+        # AQE wrappers report no children: AdaptiveSparkPlanExec hides
+        # the final plan behind executedPlan(), and each materialized
+        # QueryStageExec (Result/Shuffle/Broadcast) behind plan()
+        name = str(node.nodeName())
+        if name.startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan(), depth + 1)
+        elif "QueryStage" in name:
+            walk(node.plan(), depth + 1)
+
+    walk(root, 0)
+    return out
+
+
+def profiled_term_query(searcher, term: str, k: int = 10) -> tuple:
+    """Run ``term_query`` under the profiler: returns (rows, profile)
+    where profile mirrors QueryProfilerResult — type, description,
+    total_time_ms, breakdown {create_weight_ms, execute_ms,
+    rows_returned}, children = the plan-node metric rows."""
+    t0 = time.monotonic()
+    stats = searcher.term_stats([term])
+    t_weight = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    df = searcher.term_query(term, k=k)
+    rows = df.collect()
+    t_exec = time.monotonic() - t1
+
+    children = profile_plan(df)
+    profile = {
+        "type": "TermQuery",
+        "description": f"text:{term}",
+        "total_time_ms": (t_weight + t_exec) * 1000.0,
+        "breakdown": {
+            "create_weight_ms": t_weight * 1000.0,
+            "execute_ms": t_exec * 1000.0,
+            "rows_returned": len(rows),
+            "doc_freq": int(stats.get(term, (0, 0))[0]),
+        },
+        "children": children,
+    }
+    return rows, profile

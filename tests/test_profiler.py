@@ -1,0 +1,42 @@
+"""QueryProfiler analog: executed-plan metric tree + phase breakdown."""
+
+from lucene_spark.operators.profiler import profile_plan, profiled_term_query
+
+
+class TestProfiler:
+    def test_profiled_term_query_structure(self, spark, searcher):
+        rows, prof = profiled_term_query(searcher, "window", k=10)
+        assert prof["type"] == "TermQuery"
+        assert prof["description"] == "text:window"
+        assert prof["breakdown"]["rows_returned"] == len(rows) <= 10
+        assert prof["breakdown"]["doc_freq"] > 0
+        assert prof["breakdown"]["create_weight_ms"] >= 0.0
+        assert prof["total_time_ms"] >= prof["breakdown"]["execute_ms"]
+        assert prof["children"], "plan tree must not be empty"
+
+    def test_plan_tree_shape_and_metrics(self, spark, searcher):
+        df = searcher.term_query("the", k=5)
+        n = len(df.collect())  # run THIS plan so its metrics populate
+        nodes = profile_plan(df)
+        # a tree: node 0 is the root at depth 0, depths grow by 1
+        assert nodes[0]["depth"] == 0
+        assert all(
+            isinstance(x["metrics"], dict) and x["node"] for x in nodes
+        )
+        ids = [x["node_id"] for x in nodes]
+        assert ids == sorted(ids) and len(set(ids)) == len(ids)
+        # after the action, SOME node reports real output rows
+        assert any(
+            v > 0
+            for x in nodes
+            for k, v in x["metrics"].items()
+            if "rows" in k.lower()
+        )
+        assert n >= 0
+
+    def test_profile_plain_dataframe(self, spark):
+        df = spark.range(100).selectExpr("id % 7 AS k").groupBy("k").count()
+        df.collect()
+        nodes = profile_plan(df)
+        names = " ".join(x["node"] for x in nodes)
+        assert "Aggregate" in names or "HashAggregate" in names
