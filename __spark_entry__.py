@@ -7720,6 +7720,52 @@ def _q_id_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_doc_id("url"), "version").orderBy("doc_id")
 
 
+def _q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (Lee et al. 2022,
+    operators/dedup.py:duplicate_spans): every duplicated 6-token
+    window is removed except its globally-first occurrence; the oracle
+    replays window extraction, keep-first ranking, and the indexed
+    token filter in SQL. key_mode='exact' here so both sides compare
+    the same string keys (the hash64 scale path is asserted equal in
+    tests/test_substr_dedup.py)."""
+    from lucene_spark.operators.dedup import dedup_substrings
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    out = dedup_substrings(docs, n=6, key_mode="exact")
+    return (
+        out.where(F.col("doc_id") % 4 == 1)
+        .select("doc_id", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
+_EXACT_SUBSTR_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, text
+           FROM documents),
+win AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 6)) AS p,
+               toks
+        FROM d WHERE len(toks) >= 6),
+w2 AS (SELECT doc_id, p, array_to_string(toks[p+1:p+6], ' ') AS w
+       FROM win),
+mk AS (SELECT doc_id, p,
+              count(*) OVER (PARTITION BY w) AS c,
+              row_number() OVER (PARTITION BY w
+                                 ORDER BY doc_id, p) AS rn
+       FROM w2),
+rem AS (SELECT doc_id, list(p) AS rps
+        FROM mk WHERE c > 1 AND rn > 1 GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN rem.rps IS NULL THEN d.text
+            -- DuckDB's array_to_string([]) is NULL; Spark's is ''
+            ELSE coalesce(array_to_string(list_filter(d.toks,
+                 (x, i) -> len(list_filter(rem.rps,
+                     q -> q + 1 <= i AND i <= q + 6)) = 0), ' '), '')
+       END AS clean_text
+FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
+WHERE d.doc_id % 4 = 1 ORDER BY d.doc_id
+"""
+
+
 def _q_analyzing_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AnalyzingSuggester (suggest/analyzing/AnalyzingSuggester.java):
     analyzed-PREFIX completion with PRESERVE_SEP token boundaries and
@@ -8069,6 +8115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fvh_fragments": _q_fvh,
         "bp_vector_certificate": _q_bp_vector,
         "analyzing_suggest": _q_analyzing_suggest,
+        "exact_substr_dedup": _q_exact_substr,
         "multi_range_facet_tokenlen": _q_multi_range_facets,
         "rearranged_segments": _q_rearranged_segments,
         "high_freq_terms": _q_high_freq_terms,
@@ -9447,6 +9494,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_on_flush_top10": _bm25_sql(["window"]),
         "geo_bbox_relations": _geo_bbox_sql(),
         "fvh_fragments": _fvh_sql(),
+        "exact_substr_dedup": _EXACT_SUBSTR_SQL,
         "analyzing_suggest": """
             WITH sugg AS (
               SELECT array_to_string(string_split(text, ' ')[1:4], ' ')

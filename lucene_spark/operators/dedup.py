@@ -746,3 +746,104 @@ def dedup_clusters(
         )
         .withColumn("keep", F.col("id") == F.col("canonical"))
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_mode: str = "hash64",
+) -> DataFrame:
+    """Exact-substring duplicate spans, the ExactSubstr rule of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): every n-token window whose exact token sequence occurs
+    more than once in the corpus (across OR within documents) is a
+    duplicate span — except the globally FIRST occurrence (min
+    (doc_id, pos)), which is kept so one copy of the text survives.
+
+    Returns (doc_id, pos) of the windows to remove. ``key_mode``:
+    "hash64" (default) shuffles only a 64-bit xxhash of each window —
+    the 100 TB path, the window text itself never moves; "exact"
+    shuffles the window string (oracle parity; tests assert both modes
+    agree). Scale shape: one posexplode per token position, one
+    groupBy window key with a min-(doc,pos) aggregate — both
+    partial-agg friendly; skew on a viral boilerplate window is
+    bounded because only (key, doc, pos) triples shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    wins = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__toks"),
+        )
+        .where(F.size("__toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("__toks") - n)
+            ).alias("p"),
+            F.col("__toks").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.array_join(F.slice("toks", F.col("p") + 1, n), " ").alias(
+                "w"
+            ),
+        )
+    )
+    if key_mode == "hash64":
+        wins = wins.select("doc_id", "p", F.xxhash64("w").alias("w"))
+    elif key_mode != "exact":
+        raise ValueError("key_mode must be 'hash64' or 'exact'")
+    per_key = wins.groupBy("w").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "p")).alias("first"),
+    )
+    return (
+        wins.join(per_key, "w")
+        .where(
+            (F.col("cnt") > 1)
+            & (
+                (F.col("doc_id") != F.col("first.doc_id"))
+                | (F.col("p") != F.col("first.p"))
+            )
+        )
+        .select("doc_id", "p")
+    )
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_mode: str = "hash64",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Rewrite every document with its duplicate spans removed: a token
+    is dropped when ANY removed window covers it (overlapping removed
+    windows merge naturally); the globally-first occurrence of each
+    duplicated sequence survives. Order-preserving, one aggregation of
+    removed positions per doc, then a pure-Catalyst indexed filter —
+    the text column itself never shuffles."""
+    spans = duplicate_spans(docs, n, id_col, text_col, key_mode)
+    rem = spans.groupBy("doc_id").agg(
+        F.collect_list("p").alias("__rps")
+    )
+    joined = docs.join(
+        rem, docs[id_col] == rem["doc_id"], "left"
+    ).drop(rem["doc_id"])
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("__rps"), lambda p: (p <= i) & (i < p + n)
+        ),
+    )
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("__rps").isNull(), F.col(text_col)).otherwise(
+            F.array_join(kept, " ")
+        ),
+    ).drop("__rps")

@@ -1,0 +1,99 @@
+"""ExactSubstr span dedup (Lee et al. 2022): duplicate n-token windows
+removed everywhere except the globally-first occurrence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.dedup import dedup_substrings, duplicate_spans
+
+
+@pytest.fixture()
+def corpus(spark):
+    # doc 1 and doc 2 share a 6-token span; doc 3 repeats it twice
+    # internally; doc 4 is clean; doc 5 is shorter than the window
+    shared = "alpha beta gamma delta epsilon zeta"
+    return spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail one"),
+            (2, f"{shared} completely different ending here"),
+            (3, f"{shared} bridge tokens {shared}"),
+            (4, "totally unique text with no repeats at all"),
+            (5, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestDuplicateSpans:
+    def test_first_occurrence_kept(self, spark, corpus):
+        spans = {
+            (r["doc_id"], r["p"])
+            for r in duplicate_spans(corpus, n=6).collect()
+        }
+        # the shared span first occurs in doc 1 at p=2 -> kept;
+        # doc 2 p=0 and doc 3 p=0 and doc 3's second copy removed
+        assert (1, 2) not in spans
+        assert (2, 0) in spans
+        assert (3, 0) in spans
+        assert any(d == 3 and p > 0 for d, p in spans)
+        assert not any(d in (4, 5) for d, p in spans)
+
+    def test_hash_and_exact_agree(self, spark, corpus):
+        a = sorted(
+            (r["doc_id"], r["p"])
+            for r in duplicate_spans(corpus, n=6, key_mode="hash64").collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["p"])
+            for r in duplicate_spans(corpus, n=6, key_mode="exact").collect()
+        )
+        assert a == b
+
+    def test_bad_key_mode(self, spark, corpus):
+        with pytest.raises(ValueError):
+            duplicate_spans(corpus, n=6, key_mode="md5").collect()
+
+
+class TestDedupSubstrings:
+    def test_rewrite(self, spark, corpus):
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in dedup_substrings(corpus, n=6).collect()
+        }
+        # doc 1 keeps the first occurrence intact
+        assert out[1] == "intro words alpha beta gamma delta epsilon zeta tail one"
+        # doc 2 loses the shared prefix
+        assert out[2] == "completely different ending here"
+        # doc 3 loses both copies (neither is the global first)
+        assert out[3] == "bridge tokens"
+        # untouched docs pass through byte-identically
+        assert out[4] == "totally unique text with no repeats at all"
+        assert out[5] == "short doc"
+
+    def test_overlapping_spans_merge(self, spark):
+        # one doc: x a b c a b c a b c y with n=3 -> the repeated
+        # 'a b c' windows overlap; first window (p=1) survives
+        df = spark.createDataFrame(
+            [(1, "x a b c a b c a b c y"), (2, "a b c z z z")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in dedup_substrings(df, n=3).collect()
+        }
+        # every token covered by a non-first duplicate window drops
+        assert out[1].startswith("x a b c")
+        assert "a b c a b c a b c" not in out[1]
+        assert out[1].endswith("y")
+
+    def test_corpus_scale_smoke(self, spark, web_pages):
+        docs = web_pages.select(
+            F.substring("url", -8, 8).cast("long").alias("doc_id"), "text"
+        )
+        out = dedup_substrings(docs, n=6)
+        total = out.count()
+        assert total == docs.count()
+        changed = out.where(
+            F.col("clean_text") != F.col("text")
+        ).count()
+        assert changed > 0  # the synthetic corpus repeats phrases
