@@ -7720,6 +7720,61 @@ def _q_id_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_doc_id("url"), "version").orderBy("doc_id")
 
 
+def _q_facet_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet sets (facet/facetset/MatchingFacetSetsCounts.java:103-136):
+    two 2-dim points per doc synthesized from doc_id; the exact matcher
+    counts matching SETS (a doc can contribute 2), the range matcher is
+    inclusive per dimension, __total__ counts docs once."""
+    from lucene_spark.operators.queries import facet_set_counts
+
+    docs = _docs_table(spark, sf_dir)
+    pts = docs.select(
+        F.array(
+            F.array(
+                (F.col("doc_id") % 5).cast("long"),
+                (F.col("doc_id") % 7).cast("long"),
+            ),
+            F.array(
+                (F.col("doc_id") % 3).cast("long"),
+                (F.col("doc_id") % 7).cast("long"),
+            ),
+        ).alias("ps")
+    )
+    out = facet_set_counts(
+        pts,
+        "ps",
+        [
+            ("exact", "p23", [2, 3]),
+            ("range", "rng", [(1, 3), (2, 5)]),
+        ],
+    )
+    return out.orderBy("label")
+
+
+_FACET_SETS_SQL = """
+WITH m AS (
+  SELECT doc_id % 5 AS a1, doc_id % 7 AS b1,
+         doc_id % 3 AS a2, doc_id % 7 AS b2
+  FROM documents)
+SELECT '__total__' AS label,
+       sum(CASE WHEN (a1 = 2 AND b1 = 3) OR (a2 = 2 AND b2 = 3)
+                 OR (a1 BETWEEN 1 AND 3 AND b1 BETWEEN 2 AND 5)
+                 OR (a2 BETWEEN 1 AND 3 AND b2 BETWEEN 2 AND 5)
+            THEN 1 ELSE 0 END)::BIGINT AS cnt FROM m
+UNION ALL
+SELECT 'p23',
+       sum((CASE WHEN a1 = 2 AND b1 = 3 THEN 1 ELSE 0 END)
+         + (CASE WHEN a2 = 2 AND b2 = 3 THEN 1 ELSE 0 END)) FROM m
+UNION ALL
+SELECT 'rng',
+       sum((CASE WHEN a1 BETWEEN 1 AND 3 AND b1 BETWEEN 2 AND 5
+            THEN 1 ELSE 0 END)
+         + (CASE WHEN a2 BETWEEN 1 AND 3 AND b2 BETWEEN 2 AND 5
+            THEN 1 ELSE 0 END)) FROM m
+ORDER BY label
+"""
+
+
 def _q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span dedup (Lee et al. 2022,
     operators/dedup.py:duplicate_spans): every duplicated 6-token
@@ -8116,6 +8171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bp_vector_certificate": _q_bp_vector,
         "analyzing_suggest": _q_analyzing_suggest,
         "exact_substr_dedup": _q_exact_substr,
+        "facet_set_counts": _q_facet_sets,
         "multi_range_facet_tokenlen": _q_multi_range_facets,
         "rearranged_segments": _q_rearranged_segments,
         "high_freq_terms": _q_high_freq_terms,
@@ -9495,6 +9551,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_bbox_relations": _geo_bbox_sql(),
         "fvh_fragments": _fvh_sql(),
         "exact_substr_dedup": _EXACT_SUBSTR_SQL,
+        "facet_set_counts": _FACET_SETS_SQL,
         "analyzing_suggest": """
             WITH sugg AS (
               SELECT array_to_string(string_split(text, ' ')[1:4], ' ')

@@ -2081,3 +2081,82 @@ def multi_range_facet_counts(
     return row.selectExpr(
         f"stack({len(ranges)}, {stack_args}) AS (label, cnt)"
     )
+
+
+def facet_set_counts(
+    df: DataFrame,
+    points_col,
+    matchers: list[tuple],
+) -> DataFrame:
+    """Facet sets (``facet/facetset/``): documents carry MULTI-VALUED
+    k-dimensional long points ("facet sets", e.g. (genre, year)
+    pairs); matchers count them —
+
+    - ``("exact", label, [v1..vk])``: set == the target point
+      (``ExactFacetSetMatcher.java:38-48``);
+    - ``("range", label, [(lo1,hi1)..(lok,hik)])``: every dimension
+      inside its INCLUSIVE range (``RangeFacetSetMatcher.java:41-61``,
+      DimRange min/max).
+
+    Counting follows ``MatchingFacetSetsCounts.java:103-136`` exactly:
+    a matcher counts every matching SET, so a doc with two sets
+    matching the same matcher contributes 2 — while the ``__total__``
+    row counts DOCS with at least one match across all matchers once.
+
+    ``points_col``: array<array<long>>. One projection computes a
+    per-matcher ``size(filter(points, pred))`` (pure Catalyst, arrays
+    never exploded), one aggregate row, unpivoted to (label, cnt)."""
+    c = F.col(points_col) if isinstance(points_col, str) else points_col
+
+    # NOTE: predicate factories, not default-argument lambdas — PySpark
+    # derives the higher-order-function arity from the PYTHON signature,
+    # so a bound `lambda p, t=target:` would register as a 2-arg lambda
+    def _exact(values):
+        target = F.array(*[F.lit(int(v)).cast("long") for v in values])
+
+        def p(x):
+            return x == target
+
+        return p
+
+    def _range(rngs):
+        def p(x):
+            cond = F.lit(True)
+            for i, (lo, hi) in enumerate(rngs):
+                cond = (
+                    cond
+                    & (x[i] >= F.lit(int(lo)))
+                    & (x[i] <= F.lit(int(hi)))
+                )
+            return cond
+
+        return p
+
+    preds = []
+    labels = []
+    for spec in matchers:
+        kind, label = spec[0], spec[1]
+        if kind == "exact":
+            preds.append(_exact(spec[2]))
+        elif kind == "range":
+            preds.append(_range(spec[2]))
+        else:
+            raise ValueError(f"unknown matcher kind {kind!r}")
+        labels.append(label)
+    aggs = [
+        F.sum(F.size(F.filter(c, p)).cast("long")).alias(f"__m{i}")
+        for i, p in enumerate(preds)
+    ]
+    doc_hit = None
+    for p in preds:
+        e = F.exists(c, p)
+        doc_hit = e if doc_hit is None else (doc_hit | e)
+    aggs.append(F.sum(doc_hit.cast("long")).alias("__tot"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{label}', __m{i}" for i, label in enumerate(labels)
+    )
+    stack_args += ", '__total__', __tot"
+    return row.selectExpr(
+        f"stack({len(labels) + 1}, {stack_args}) AS (label, cnt)"
+    )

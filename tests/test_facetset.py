@@ -1,0 +1,87 @@
+"""Facet sets (facet/facetset/): exact + range matchers over
+multi-valued k-dim points, per-SET matcher counts, per-DOC total."""
+
+import pytest
+
+from lucene_spark.operators.queries import facet_set_counts
+
+
+@pytest.fixture()
+def pts(spark):
+    return spark.createDataFrame(
+        [
+            (1, [[2, 3], [1, 1]]),
+            (2, [[2, 3], [2, 3]]),  # two sets matching the same exact
+            (3, [[9, 9]]),
+            (4, []),
+            (5, [[1, 4]]),
+        ],
+        "id long, ps array<array<long>>",
+    )
+
+
+class TestFacetSets:
+    def test_exact_counts_sets_not_docs(self, spark, pts):
+        got = {
+            r["label"]: r["cnt"]
+            for r in facet_set_counts(
+                pts, "ps", [("exact", "g2y3", [2, 3])]
+            ).collect()
+        }
+        # doc 1 contributes 1, doc 2 contributes TWO (both its sets
+        # match — MatchingFacetSetsCounts counts[j]++ per set)
+        assert got["g2y3"] == 3
+        # ...but the total counts docs once
+        assert got["__total__"] == 2
+
+    def test_range_matcher_inclusive(self, spark, pts):
+        got = {
+            r["label"]: r["cnt"]
+            for r in facet_set_counts(
+                pts, "ps", [("range", "r", [(1, 2), (1, 4)])]
+            ).collect()
+        }
+        # matching sets: doc1 [2,3] and [1,1]; doc2 [2,3] x2; doc5 [1,4]
+        assert got["r"] == 5
+        assert got["__total__"] == 3
+
+    def test_multiple_matchers_and_total(self, spark, pts):
+        got = {
+            r["label"]: r["cnt"]
+            for r in facet_set_counts(
+                pts,
+                "ps",
+                [
+                    ("exact", "a", [9, 9]),
+                    ("range", "b", [(1, 1), (1, 1)]),
+                ],
+            ).collect()
+        }
+        assert got["a"] == 1 and got["b"] == 1
+        assert got["__total__"] == 2  # docs 3 and 1
+
+    def test_dim_mismatch_never_matches_exact(self, spark):
+        df = spark.createDataFrame(
+            [(1, [[2, 3, 4]])], "id long, ps array<array<long>>"
+        )
+        got = {
+            r["label"]: r["cnt"]
+            for r in facet_set_counts(
+                df, "ps", [("exact", "x", [2, 3])]
+            ).collect()
+        }
+        assert got["x"] == 0
+
+    def test_bad_kind(self, spark, pts):
+        with pytest.raises(ValueError):
+            facet_set_counts(pts, "ps", [("fuzzy", "x", [1])])
+
+    def test_plan_no_explode(self, spark, pts):
+        plan = (
+            facet_set_counts(pts, "ps", [("exact", "x", [1, 1])])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "partial_sum" in plan  # map-side combine, no explode

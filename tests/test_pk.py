@@ -173,6 +173,34 @@ class TestBloomSidecar:
             cands = bloom_candidate_segments(catalog, blooms, [r["url"]])
             assert docs_seg[r["url"]] in cands
 
+    def test_lookup_plan_pushes_both_predicates(self, spark, pk_index, web_pages):
+        build_pk_bloom(spark, pk_index, field="url")
+        present = web_pages.select("url").limit(1).collect()[0]["url"]
+        df = pk_lookup(spark, pk_index, [present])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the bloom verdict becomes a segment_id IN (...) pushed into
+        # the parquet scan next to the url predicate — a NO segment's
+        # row groups are never read, driver metadata did the fast-fail
+        assert "PushedFilters" in plan
+        pushed = plan[plan.index("PushedFilters") :][:400]
+        assert "segment_id" in pushed
+        assert "url" in pushed
+        assert "BatchEvalPython" not in plan
+
+        # when the blooms prune EVERY segment, isin([]) constant-folds
+        # the whole scan away — an empty LocalTableScan, zero I/O
+        catalog = IndexCatalog(pk_index)
+        blooms = load_pk_blooms(spark, catalog, "url")
+        probe = "https://never-indexed.example/q"
+        if not bloom_candidate_segments(catalog, blooms, [probe]):
+            p2 = (
+                pk_lookup(spark, pk_index, [probe])
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "LocalTableScan <empty>" in p2
+
     def test_uncovered_segments_are_maybe(self, spark, pk_index):
         catalog = IndexCatalog(pk_index)
         blooms = load_pk_blooms(spark, catalog, "url")
