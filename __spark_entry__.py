@@ -3915,6 +3915,21 @@ def _q_join_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", F.round("join_score", 4).alias("join_score"))
 
 
+def _q_join_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinUtil join, score mode Min (join/ScoreMode.java:35): the
+    lowest matching-order value per customer."""
+    from lucene_spark.operators.joins import join_query
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    frm = orders.where(F.col("o_totalprice") > 100000).select(
+        "o_custkey", F.col("o_totalprice").alias("score")
+    )
+    return join_query(
+        frm, customer, "o_custkey", "c_custkey", "min"
+    ).select("c_custkey", F.round("join_score", 4).alias("join_score"))
+
+
 def _q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ToParentBlockJoin, score mode Max: orders by best matching item."""
     from lucene_spark.operators.joins import to_parent_join
@@ -8344,6 +8359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covering_top10": _q_covering,
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
+        "join_min_customers": _q_join_min,
         "block_join_orders_max": _q_block_join,
         "drill_sideways_docs": _q_drill_sideways,
         # round-2: previously pytest-only operators
@@ -9472,6 +9488,11 @@ def oracle_sql() -> dict[str, str]:
         "join_total_customers": """
             SELECT c.c_custkey,
                    round(sum(o.o_totalprice), 4) AS join_score
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE o.o_totalprice > 100000 GROUP BY c.c_custkey""",
+        "join_min_customers": """
+            SELECT c.c_custkey,
+                   round(min(o.o_totalprice), 4) AS join_score
             FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
             WHERE o.o_totalprice > 100000 GROUP BY c.c_custkey""",
         "block_join_orders_max": """

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 _SCORE_AGGS = {
     "none": None,
     "max": F.max,
+    "min": F.min,  # ScoreMode.Min (join/ScoreMode.java:35)
     "total": F.sum,
     "avg": F.avg,
 }
