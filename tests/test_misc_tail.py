@@ -1,7 +1,6 @@
 """AnalyzingSuggester, multi-valued range facets, and the
 LargeNumHitsTopDocsCollector -> Catalyst sort-fallback mapping."""
 
-import pyspark.sql.functions as F
 import pytest
 
 from lucene_spark.operators.queries import multi_range_facet_counts

@@ -4,7 +4,6 @@ import random
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from lucene_spark.functions.murmur import (
     murmur3_x64_128,

@@ -3,7 +3,6 @@ locality, convergence gate, bijection."""
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from lucene_spark.operators.reorder_vec import (
     bp_vector_permutation,
