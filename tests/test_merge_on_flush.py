@@ -63,6 +63,35 @@ class TestMergeOnFlush:
         ]
         assert after == before  # (url, score) invariant under the merge
 
+    def test_deletes_survive_the_merge(self, spark, web_pages, tmp_path):
+        from lucene_spark.operators.deletes import delete_by_urls
+
+        d = _build_mixed(spark, web_pages, str(tmp_path / "mofdel"))
+        cat = IndexCatalog(d)
+        sizes = {
+            s["segment_id"]: s["num_docs"]
+            for s in cat.read_manifest()["segments"]
+            if s["status"] == "COMMITTED"
+        }
+        big = max(sizes.values())
+        # tombstone one doc that lives in a SMALL (to-be-merged) segment
+        num = F.substring("url", -8, 8).cast("long")
+        victim = (
+            web_pages.where(num % 10 == 7).select("url").limit(1).collect()
+        )[0]["url"]
+        delete_by_urls(spark, d, [victim])
+        s = Searcher(spark, d)
+        before = {r["url"] for r in s.term_query("the", k=50).collect()}
+        assert victim not in before
+
+        assert merge_on_flush(spark, d, small_threshold_docs=big) is not None
+        s2 = Searcher(spark, d)
+        after = {r["url"] for r in s2.term_query("the", k=50).collect()}
+        # the tombstone was remapped to the merged segment: the deleted
+        # doc stays invisible and everything else is unchanged
+        assert victim not in after
+        assert after == before
+
     def test_noop_below_two_candidates(self, spark, web_pages, tmp_path):
         d = str(tmp_path / "mof1")
         build_index(spark, web_pages, d, num_segments=2)
