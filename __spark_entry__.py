@@ -3314,6 +3314,33 @@ def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_monitor_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation with exact-phrase MUST clauses (the presearcher +
+    single-doc verify of lucene/monitor, expressed as one window
+    equi-join): a phrase-only query and a phrase+boolean mix. The
+    oracle uses space-guarded LIKE containment — equivalent to
+    token-boundary phrase match on this pure [a-z space] corpus."""
+    from lucene_spark.streaming.monitor import Monitor, MonitorQuery
+
+    m = Monitor(spark)
+    m.register(MonitorQuery("p_only", phrases=[["the", "query"]]))
+    m.register(
+        MonitorQuery(
+            "p_mix",
+            must=["window"],
+            phrases=[["the", "query"]],
+        )
+    )
+    docs = _docs_table(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    return (
+        m.match_batch(docs)
+        .select(F.col("url").cast("long").alias("doc_id"), "query_id")
+        .orderBy("doc_id", "query_id")
+    )
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signal: fraction of duplicate
     word 2-grams per doc (functions/textstats.repetition_score) —
@@ -8360,6 +8387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi_customers": _q_join_semi,
         "join_total_customers": _q_join_total,
         "join_min_customers": _q_join_min,
+        "monitor_phrase_matches": _q_monitor_phrase,
         "block_join_orders_max": _q_block_join,
         "drill_sideways_docs": _q_drill_sideways,
         # round-2: previously pytest-only operators
@@ -9495,6 +9523,15 @@ def oracle_sql() -> dict[str, str]:
                    round(min(o.o_totalprice), 4) AS join_score
             FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
             WHERE o.o_totalprice > 100000 GROUP BY c.c_custkey""",
+        "monitor_phrase_matches": """
+            WITH ph AS (SELECT doc_id,
+                   (' ' || text || ' ') LIKE '% the query %' AS has_phrase,
+                   (' ' || text || ' ') LIKE '% window %' AS has_window
+                 FROM documents)
+            SELECT doc_id, 'p_only' AS query_id FROM ph WHERE has_phrase
+            UNION ALL
+            SELECT doc_id, 'p_mix' FROM ph WHERE has_phrase AND has_window
+            ORDER BY doc_id, query_id""",
         "block_join_orders_max": """
             SELECT o.o_orderkey,
                    round(max(l.l_extendedprice), 4) AS join_score

@@ -38,6 +38,11 @@ class MonitorQuery:
     should: list[str] = field(default_factory=list)
     must_not: list[str] = field(default_factory=list)
     min_should_match: int = 0
+    # exact-phrase MUST clauses (monitor/Monitor.java registers any
+    # Query; the TermFilteredPresearcher extracts phrase terms as
+    # required candidates and the single-doc index verifies positions
+    # — here the window join IS both the presearch and the verify)
+    phrases: list[list[str]] = field(default_factory=list)
 
 
 class Monitor:
@@ -72,7 +77,14 @@ class Monitor:
             [t for txt in q.should for t in self._analyze_text(txt)],
             [t for txt in q.must_not for t in self._analyze_text(txt)],
             q.min_should_match,
+            [
+                self._analyze_text(
+                    p if isinstance(p, str) else " ".join(p)
+                )
+                for p in q.phrases
+            ],
         )
+        norm.phrases = [p for p in norm.phrases if p]
         self._queries[q.query_id] = norm
 
     def _query_terms_df(self) -> DataFrame:
@@ -95,12 +107,26 @@ class Monitor:
                 len(set(q.must)),
                 len(set(q.should)),
                 q.min_should_match,
+                len({" ".join(p) for p in q.phrases}),
             )
             for q in self._queries.values()
         ]
         return self.spark.createDataFrame(
             rows,
-            "query_id string, n_must int, n_should int, msm int",
+            "query_id string, n_must int, n_should int, msm int, "
+            "n_phrases int",
+        )
+
+    def _query_phrase_df(self) -> DataFrame | None:
+        rows = [
+            (q.query_id, len(p), " ".join(p))
+            for q in self._queries.values()
+            for p in q.phrases
+        ]
+        if not rows:
+            return None
+        return self.spark.createDataFrame(
+            rows, "query_id string, n int, wkey string"
         )
 
     def match_batch(
@@ -124,11 +150,16 @@ class Monitor:
             terms_col, _ = analyze_series(texts, stopwords=stop, stem=stem)
             return pd.Series(terms_col)
 
-        doc_terms = docs.select(
+        qp = self._query_phrase_df()
+        analyzed = docs.select(
             F.col(url_col).alias("url"),
-            F.explode(
-                F.array_distinct(_doc_terms(F.col(text_col)))
-            ).alias("term"),
+            _doc_terms(F.col(text_col)).alias("toks"),
+        )
+        if qp is not None:
+            analyzed = analyzed.persist()
+        doc_terms = analyzed.select(
+            "url",
+            F.explode(F.array_distinct("toks")).alias("term"),
         )
         qt = F.broadcast(self._query_terms_df())
         hits = (
@@ -146,20 +177,68 @@ class Monitor:
                 ).alias("x"),
             )
         )
+        if qp is not None:
+            # phrase clauses: per needed length n, explode the doc's
+            # n-token windows and equi-join the phrase keys — the join
+            # is simultaneously the presearcher (candidate selection by
+            # exact window) and the position verification
+            ns = sorted(
+                {len(p) for q in self._queries.values() for p in q.phrases}
+            )
+            wins = None
+            for n in ns:
+                w = analyzed.where(F.size("toks") >= n).select(
+                    "url",
+                    F.lit(n).alias("n"),
+                    F.explode(
+                        F.sequence(F.lit(0), F.size("toks") - n)
+                    ).alias("p"),
+                    "toks",
+                ).select(
+                    "url",
+                    "n",
+                    F.array_join(
+                        F.slice("toks", F.col("p") + 1, n), " "
+                    ).alias("wkey"),
+                ).distinct()
+                wins = w if wins is None else wins.unionByName(w)
+            phits = (
+                wins.join(F.broadcast(qp), ["n", "wkey"])
+                .groupBy("url", "query_id")
+                .agg(F.countDistinct("wkey").alias("p"))
+            )
+            hits = hits.join(phits, ["url", "query_id"], "full").select(
+                "url",
+                "query_id",
+                F.coalesce("m", F.lit(0)).alias("m"),
+                F.coalesce("s", F.lit(0)).alias("s"),
+                F.coalesce("x", F.lit(0)).alias("x"),
+                F.coalesce("p", F.lit(0)).alias("p"),
+            )
+        else:
+            hits = hits.withColumn("p", F.lit(0))
         meta = F.broadcast(self._query_meta_df())
         matched = (
             hits.join(meta, "query_id")
             .where(
                 (F.col("m") == F.col("n_must"))
                 & (F.col("x") == 0)
+                & (F.col("p") == F.col("n_phrases"))
                 & (
                     F.when(F.col("msm") > 0, F.col("s") >= F.col("msm"))
-                    .when(F.col("n_must") == 0, F.col("s") >= 1)
+                    .when(
+                        (F.col("n_must") == 0)
+                        & (F.col("n_phrases") == 0),
+                        F.col("s") >= 1,
+                    )
                     .otherwise(F.lit(True))
                 )
             )
             .select("url", "query_id")
         )
+        # NOTE: `analyzed` stays persisted until evaluation — matched is
+        # lazy, so an eager unpersist here would drop the cache before
+        # the terms and windows branches both read it
         return matched
 
     def match_stream(

@@ -109,3 +109,83 @@ class TestAnalyzerParity:
         got = {(r["url"], r["query_id"]) for r in m.match_batch(docs).collect()}
         # 'the' stop-filtered from the query; 'Window' lowercased doc-side
         assert got == {("u1", "q")}
+
+
+class TestPhraseClauses:
+    """Stored queries with exact-phrase MUST clauses: the window
+    equi-join is both the presearcher candidate selection and the
+    position verification."""
+
+    def test_phrase_must_match_and_order_matters(self, spark):
+        from lucene_spark.streaming.monitor import Monitor, MonitorQuery
+
+        m = Monitor(spark)
+        m.register(MonitorQuery("p1", phrases=[["alpha", "beta"]]))
+        m.register(
+            MonitorQuery("p2", must=["gamma"], phrases=[["alpha", "beta"]])
+        )
+        docs = spark.createDataFrame(
+            [
+                ("d1", "alpha beta gamma"),
+                ("d2", "beta alpha gamma"),  # wrong order
+                ("d3", "alpha beta"),        # phrase but no gamma
+                ("d4", "alpha gamma beta"),  # gap
+            ],
+            "url string, text string",
+        )
+        got = {
+            (r["url"], r["query_id"])
+            for r in m.match_batch(docs).collect()
+        }
+        assert got == {("d1", "p1"), ("d3", "p1"), ("d1", "p2")}
+
+    def test_phrase_is_analyzed_like_docs(self, spark):
+        from lucene_spark.streaming.monitor import Monitor, MonitorQuery
+
+        m = Monitor(spark, stopwords={"the"})
+        # the stop word vanishes from BOTH sides; the phrase string
+        # form is also accepted
+        m.register(MonitorQuery("q", phrases=["The Alpha BETA"]))
+        docs = spark.createDataFrame(
+            [("d1", "alpha beta here"), ("d2", "alpha only")],
+            "url string, text string",
+        )
+        got = {r["url"] for r in m.match_batch(docs).collect()}
+        assert got == {"d1"}
+
+    def test_mixed_phrase_and_boolean(self, spark):
+        from lucene_spark.streaming.monitor import Monitor, MonitorQuery
+
+        m = Monitor(spark)
+        m.register(
+            MonitorQuery(
+                "q",
+                should=["x", "y"],
+                min_should_match=1,
+                must_not=["bad"],
+                phrases=[["a", "b"], ["c", "d"]],
+            )
+        )
+        docs = spark.createDataFrame(
+            [
+                ("ok", "a b c d x"),
+                ("no_phrase2", "a b x"),
+                ("no_should", "a b c d z"),
+                ("blocked", "a b c d x bad"),
+            ],
+            "url string, text string",
+        )
+        got = {r["url"] for r in m.match_batch(docs).collect()}
+        assert got == {"ok"}
+
+    def test_termless_queries_unaffected(self, spark):
+        from lucene_spark.streaming.monitor import Monitor, MonitorQuery
+
+        m = Monitor(spark)
+        m.register(MonitorQuery("t", must=["alpha"]))
+        docs = spark.createDataFrame(
+            [("d1", "alpha beta")], "url string, text string"
+        )
+        assert [
+            r["query_id"] for r in m.match_batch(docs).collect()
+        ] == ["t"]
