@@ -154,6 +154,7 @@ def build_pk_bloom(
     index_dir: str,
     field: str = "url",
     fpp: float = DEFAULT_FPP,
+    only_missing: bool = False,
 ) -> int:
     """Build (or rebuild) the per-segment Bloom sidecar for a key field.
 
@@ -162,11 +163,32 @@ def build_pk_bloom(
     write at flush). The manifest records the covered segment set;
     lookups treat uncovered segments (e.g. appended after the sidecar
     build) as MAYBE, so the sidecar is always safe, never required.
-    Returns the number of filters written."""
+
+    ``only_missing=True`` is the steady-state maintenance mode: a
+    filter is computed only for live segments the sidecar doesn't
+    cover yet (new flushes, merge outputs); existing filters are
+    carried forward byte-identically — exactly how Lucene's ``.blm``
+    files are written once per segment and never touched again. At
+    10^12 docs a refresh therefore costs one pass over the NEW
+    segments only. Returns the number of filters covering the index
+    after the call."""
     from .build import read_docs
 
     catalog = IndexCatalog(index_dir)
     docs = read_docs(spark, catalog).select("segment_id", F.col(field))
+
+    carried = None
+    if only_missing:
+        man0 = catalog.read_manifest()
+        rec0 = man0.get("pk_bloom")
+        if rec0 and rec0.get("field") == field:
+            live = catalog.committed_segment_ids()
+            keep = sorted(set(int(s) for s in rec0["segments"]) & live)
+            if keep:
+                carried = spark.read.parquet(
+                    f"{catalog.index_dir}/{rec0['dir']}"
+                ).where(F.col("segment_id").isin(keep))
+                docs = docs.where(~F.col("segment_id").isin(keep))
 
     def make_filter(pdf):
         import pandas as pd
@@ -190,6 +212,8 @@ def build_pk_bloom(
     out = docs.groupBy("segment_id").applyInPandas(
         make_filter, schema=_BLOOM_SCHEMA
     )
+    if carried is not None:
+        out = out.unionByName(carried.select(*out.columns))
     d = catalog.new_commit_dir("pk_bloom")
     out.write.mode("overwrite").parquet(d)
     rows = spark.read.parquet(d).select("segment_id").collect()

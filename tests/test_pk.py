@@ -200,6 +200,44 @@ class TestBloomSidecar:
             )
             assert "LocalTableScan <empty>" in p2
 
+    def test_incremental_build_carries_filters(
+        self, spark, web_pages, tmp_path
+    ):
+        from lucene_spark.operators.build import build_index
+
+        d = str(tmp_path / "inc_idx")
+        import pyspark.sql.functions as SF
+
+        n = SF.substring("url", -8, 8).cast("long")
+        build_index(spark, web_pages.where(n % 2 == 0), d, num_segments=2)
+        build_pk_bloom(spark, d, field="url")
+        cat = IndexCatalog(d)
+        before = {
+            sid: fs.to_bytes()
+            for sid, fs in load_pk_blooms(spark, cat, "url").items()
+        }
+        # append a new segment, then refresh incrementally
+        build_index(
+            spark,
+            web_pages.where(n % 2 == 1),
+            d,
+            num_segments=1,
+            segment_id_offset=2,
+        )
+        covered = build_pk_bloom(spark, d, field="url", only_missing=True)
+        assert covered == len(cat.committed_segment_ids()) == 3
+        after = load_pk_blooms(spark, cat, "url")
+        # old filters carried byte-identically; the new one exists
+        for sid, raw in before.items():
+            assert after[sid].to_bytes() == raw
+        assert set(after) - set(before)
+        # lookups stay exact across old and new segments
+        some = [r["url"] for r in web_pages.limit(6).collect()]
+        a = sorted(
+            r["url"] for r in pk_lookup(spark, d, some).collect()
+        )
+        assert a == sorted(some)
+
     def test_uncovered_segments_are_maybe(self, spark, pk_index):
         catalog = IndexCatalog(pk_index)
         blooms = load_pk_blooms(spark, catalog, "url")
