@@ -3314,6 +3314,19 @@ def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_standard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardQueryParser interval-function clause
+    (flexible/standard/StandardSyntaxParser.jj:374-640, plans/
+    standard_fn.py): ``fn:maxgaps(1 fn:ordered(the query))`` parsed
+    and executed through the interval algebra — same oracle as the
+    direct maxgaps operator."""
+    from lucene_spark.plans.standard_fn import parse_fn, scored_fn
+
+    s = _get_searcher(spark, sf_dir)
+    scored = scored_fn(s, parse_fn("fn:maxgaps(1 fn:ordered(the query))"))
+    return _topk_by_doc_id(s, scored)
+
+
 def _q_monitor_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percolation with exact-phrase MUST clauses (the presearcher +
     single-doc verify of lucene/monitor, expressed as one window
@@ -8388,6 +8401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_total_customers": _q_join_total,
         "join_min_customers": _q_join_min,
         "monitor_phrase_matches": _q_monitor_phrase,
+        "standard_fn_parsed_top10": _q_standard_fn,
         "block_join_orders_max": _q_block_join,
         "drill_sideways_docs": _q_drill_sideways,
         # round-2: previously pytest-only operators
@@ -9884,6 +9898,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "interval_phrase_top10": _interval_phrase_sql("the", "query"),
         "interval_maxgaps_top10": _interval_maxgaps_sql("the", "query", 1),
+        "standard_fn_parsed_top10": _interval_maxgaps_sql("the", "query", 1),
         "surround_top10": _interval_maxgaps_sql("window", "the", 2),
         "interval_or_top10": _interval_or_sql(["window", "spark"], "data"),
         "interval_prefix_top10": _interval_prefix_sql("win", "data"),

@@ -1,0 +1,268 @@
+"""StandardQueryParser interval functions — the ``fn:`` clause syntax.
+
+The flexible "standard" parser's distinguishing feature over the
+classic syntax is interval function clauses
+(``queryparser/flexible/standard/StandardQueryParser.java:204-224``;
+grammar ``StandardSyntaxParser.jj:374-640``; one node class per
+function under ``flexible/standard/nodes/intervalfn/``):
+
+    fn:ordered(quick brown fox)
+    fn:maxwidth(5 fn:atLeast(2 quick brown fox))
+    fn:containing(fn:ordered(the query) window)
+    fn:within(window 3 fn:ordered(the query))
+    fn:extend(fn:phrase(the query) 1 2)
+
+This module parses that grammar faithfully (names, argument orders,
+numeric-argument positions all from the .jj productions) and maps each
+tree onto the engine's interval algebra (``operators/search.py``):
+leaf term sequences become ordered/unordered/phrase sources;
+maxgaps/maxwidth/extend wrap a leaf source; atLeast/or take term
+lists; the two-source relations (containing/containedBy/not*/before/
+after/overlapping/nonOverlapping/within/notWithin) take two leaf
+sources. Declared deviation: arbitrary DEEP nesting (a filter relation
+whose operand is itself a filter relation) raises
+``UnsupportedIntervalNesting`` — the engine's interval kernels compose
+one wrapper over term sources, which covers every example in the
+reference's documentation; a bare term is accepted anywhere a source
+is expected (grammar rule IntervalText)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+class UnsupportedIntervalNesting(QueryParseError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""fn:[A-Za-z]+|\(|\)|[^\s()]+""", re.VERBOSE
+)
+
+# grammar production names (StandardSyntaxParser.jj), lowercased
+_FN_NAMES = {
+    "ordered", "unordered", "phrase", "or", "atleast", "maxwidth",
+    "maxgaps", "extend", "within", "notwithin", "containing",
+    "notcontaining", "containedby", "notcontainedby", "before",
+    "after", "overlapping", "nonoverlapping", "unorderednooverlaps",
+}
+
+_TWO_SOURCE_OPS = {
+    # fn name -> (engine op, a/b argument order per the grammar)
+    "containing": ("containing", "big_first"),
+    "notcontaining": ("not_containing", "big_first"),
+    "containedby": ("contained_by", "small_first"),
+    "notcontainedby": ("not_contained_by", "small_first"),
+    "before": ("before", "source_first"),
+    "after": ("after", "source_first"),
+    "overlapping": ("overlapping", "source_first"),
+    "nonoverlapping": ("non_overlapping", "source_first"),
+}
+
+
+def _tokenize(text: str) -> list[str]:
+    out = _TOKEN_RE.findall(text)
+    if not out:
+        raise QueryParseError("empty fn query")
+    return out
+
+
+def parse_fn(text: str):
+    """Parse one interval-function expression into a tree:
+    ("fn", name, [args]) | ("term", t) | ("num", n)."""
+    toks = _tokenize(text.strip())
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        if t is None:
+            raise QueryParseError("unexpected end of fn expression")
+        pos[0] += 1
+        return t
+
+    def expr():
+        t = take()
+        if t.startswith("fn:"):
+            name = t[3:].lower()
+            if name not in _FN_NAMES:
+                raise QueryParseError(f"unknown interval function {t!r}")
+            if take() != "(":
+                raise QueryParseError(f"expected '(' after {t}")
+            args = []
+            while peek() not in (")", None):
+                args.append(expr())
+            if take() != ")":
+                raise QueryParseError(f"missing ')' for {t}")
+            if not args:
+                raise QueryParseError(f"{t} needs arguments")
+            return ("fn", name, args)
+        if t in ("(", ")"):
+            raise QueryParseError(f"unexpected {t!r}")
+        if re.fullmatch(r"\d+", t):
+            return ("num", int(t))
+        return ("term", t.lower())
+
+    tree = expr()
+    if peek() is not None:
+        raise QueryParseError(f"trailing input at {peek()!r}")
+    return tree
+
+
+def _leaf_source(node) -> tuple[list[str], str]:
+    """(terms, mode) for a LEAF interval source: a bare term, or
+    ordered/unordered/phrase over bare terms only."""
+    if node[0] == "term":
+        return [node[1]], "ordered"
+    if node[0] == "fn" and node[1] in ("ordered", "unordered", "phrase"):
+        terms = []
+        for a in node[2]:
+            if a[0] != "term":
+                raise UnsupportedIntervalNesting(
+                    f"fn:{node[1]} nested inside a relation must hold "
+                    f"plain terms (got {a[0]})"
+                )
+            terms.append(a[1])
+        return terms, node[1]
+    raise UnsupportedIntervalNesting(
+        f"expected a term source here, got {node!r}"
+    )
+
+
+def fn_query(searcher, text: str, k: int = 10) -> DataFrame:
+    """Execute one fn: clause against a Searcher, returning the top-k
+    interval-scored docs (IntervalQuery saturation scoring)."""
+    scored = scored_fn(searcher, parse_fn(text))
+    return searcher._finish_topk(scored, k)
+
+
+def scored_fn(searcher, node) -> DataFrame:
+    if node[0] == "term":
+        return searcher.scored_intervals([node[1]], mode="ordered")
+    assert node[0] == "fn"
+    name, args = node[1], node[2]
+
+    if name in ("ordered", "unordered", "phrase"):
+        # plain source of terms -> direct interval scoring
+        terms, _ = _leaf_source(node)
+        return searcher.scored_intervals(terms, mode=name)
+
+    if name == "or":
+        slots = []
+        for a in args:
+            if a[0] != "term":
+                raise UnsupportedIntervalNesting(
+                    "fn:or over non-term sources is not supported"
+                )
+            slots.append([a[1]])
+        return searcher.scored_interval_or(slots)
+
+    if name == "atleast":
+        if args[0][0] != "num":
+            raise QueryParseError("fn:atLeast needs a leading number")
+        n = args[0][1]
+        terms = []
+        for a in args[1:]:
+            if a[0] != "term":
+                raise UnsupportedIntervalNesting(
+                    "fn:atLeast over non-term sources is not supported"
+                )
+            terms.append(a[1])
+        return searcher.scored_interval_at_least(terms, n)
+
+    if name in ("maxwidth", "maxgaps"):
+        if args[0][0] != "num" or len(args) != 2:
+            raise QueryParseError(
+                f"fn:{name} takes (NUMBER source) per the grammar"
+            )
+        n = args[0][1]
+        # fn:maxwidth(5 fn:atLeast(2 a b c)) — the documented example
+        inner = args[1]
+        if (
+            name == "maxwidth"
+            and inner[0] == "fn"
+            and inner[1] == "atleast"
+        ):
+            if inner[2][0][0] != "num":
+                raise QueryParseError("fn:atLeast needs a number")
+            m = inner[2][0][1]
+            terms = [
+                a[1] for a in inner[2][1:] if a[0] == "term"
+            ]
+            if len(terms) != len(inner[2]) - 1:
+                raise UnsupportedIntervalNesting(
+                    "fn:atLeast over non-term sources is not supported"
+                )
+            return searcher.scored_interval_at_least(
+                terms, m, max_width=n
+            )
+        terms, mode = _leaf_source(inner)
+        kw = {"max_gaps": n} if name == "maxgaps" else {"max_width": n}
+        return searcher.scored_intervals(terms, mode=mode, **kw)
+
+    if name == "extend":
+        # grammar: fn:extend(source BEFORE AFTER)
+        if len(args) != 3 or args[1][0] != "num" or args[2][0] != "num":
+            raise QueryParseError(
+                "fn:extend takes (source NUMBER NUMBER) per the grammar"
+            )
+        terms, mode = _leaf_source(args[0])
+        return searcher.scored_intervals(
+            terms, mode=mode, extend=(args[1][1], args[2][1])
+        )
+
+    if name in ("within", "notwithin"):
+        # grammar: fn:within(source NUMBER reference)
+        if len(args) != 3 or args[1][0] != "num":
+            raise QueryParseError(
+                f"fn:{name} takes (source NUMBER reference)"
+            )
+        a_terms, a_mode = _leaf_source(args[0])
+        b_terms, b_mode = _leaf_source(args[2])
+        return searcher.scored_interval_filter(
+            a_terms,
+            b_terms,
+            "within" if name == "within" else "not_within",
+            a_ordered=a_mode != "unordered",
+            b_ordered=b_mode != "unordered",
+            positions=args[1][1],
+        )
+
+    if name == "unorderednooverlaps":
+        if len(args) != 2:
+            raise QueryParseError(
+                "fn:unorderedNoOverlaps takes exactly two sources"
+            )
+        a_terms, _ = _leaf_source(args[0])
+        b_terms, _ = _leaf_source(args[1])
+        if len(a_terms) != 1 or len(b_terms) != 1:
+            raise UnsupportedIntervalNesting(
+                "fn:unorderedNoOverlaps supports single-term operands"
+            )
+        return searcher.scored_intervals(
+            a_terms + b_terms, mode="unordered"
+        )
+
+    if name in _TWO_SOURCE_OPS:
+        op, _order = _TWO_SOURCE_OPS[name]
+        if len(args) != 2:
+            raise QueryParseError(f"fn:{name} takes exactly two sources")
+        a_terms, a_mode = _leaf_source(args[0])
+        b_terms, b_mode = _leaf_source(args[1])
+        return searcher.scored_interval_filter(
+            a_terms,
+            b_terms,
+            op,
+            a_ordered=a_mode != "unordered",
+            b_ordered=b_mode != "unordered",
+        )
+
+    raise QueryParseError(f"unhandled interval function fn:{name}")

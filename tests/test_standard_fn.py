@@ -1,0 +1,149 @@
+"""StandardQueryParser fn: interval clauses -> interval algebra."""
+
+import pytest
+
+from lucene_spark.plans.standard_fn import (
+    QueryParseError,
+    UnsupportedIntervalNesting,
+    fn_query,
+    parse_fn,
+    scored_fn,
+)
+
+
+def _rows(df):
+    return sorted(
+        (r["segment_id"], r["docid"], round(r["score"], 6))
+        for r in df.collect()
+    )
+
+
+class TestParse:
+    def test_tree_shapes(self):
+        t = parse_fn("fn:maxwidth(5 fn:atLeast(2 quick brown fox))")
+        assert t == (
+            "fn",
+            "maxwidth",
+            [
+                ("num", 5),
+                (
+                    "fn",
+                    "atleast",
+                    [
+                        ("num", 2),
+                        ("term", "quick"),
+                        ("term", "brown"),
+                        ("term", "fox"),
+                    ],
+                ),
+            ],
+        )
+
+    def test_errors(self):
+        for bad in (
+            "fn:bogus(a b)",
+            "fn:ordered(a b",
+            "fn:ordered()",
+            "fn:ordered(a) trailing",
+            "",
+        ):
+            with pytest.raises(QueryParseError):
+                parse_fn(bad)
+
+
+class TestExecution:
+    def test_ordered_equals_direct(self, searcher):
+        got = _rows(scored_fn(searcher, parse_fn("fn:ordered(the query)")))
+        want = _rows(
+            searcher.scored_intervals(["the", "query"], mode="ordered")
+        )
+        assert got == want and got
+
+    def test_maxgaps_equals_direct(self, searcher):
+        got = _rows(
+            scored_fn(searcher, parse_fn("fn:maxgaps(1 fn:ordered(the query))"))
+        )
+        want = _rows(
+            searcher.scored_intervals(["the", "query"], max_gaps=1)
+        )
+        assert got == want and got
+
+    def test_documented_maxwidth_atleast(self, searcher):
+        got = _rows(
+            scored_fn(
+                searcher,
+                parse_fn("fn:maxwidth(5 fn:atLeast(2 the query window))"),
+            )
+        )
+        want = _rows(
+            searcher.scored_interval_at_least(
+                ["the", "query", "window"], 2, max_width=5
+            )
+        )
+        assert got == want and got
+
+    def test_containing_equals_direct(self, searcher):
+        got = _rows(
+            scored_fn(
+                searcher,
+                parse_fn("fn:containing(fn:unordered(the query) window)"),
+            )
+        )
+        want = _rows(
+            searcher.scored_interval_filter(
+                ["the", "query"],
+                ["window"],
+                "containing",
+                a_ordered=False,
+            )
+        )
+        assert got == want
+
+    def test_within_positions(self, searcher):
+        got = _rows(
+            scored_fn(
+                searcher,
+                parse_fn("fn:within(window 3 fn:ordered(the query))"),
+            )
+        )
+        want = _rows(
+            searcher.scored_interval_filter(
+                ["window"],
+                ["the", "query"],
+                "within",
+                positions=3,
+            )
+        )
+        assert got == want
+
+    def test_extend_arg_order(self, searcher):
+        got = _rows(
+            scored_fn(
+                searcher, parse_fn("fn:extend(fn:ordered(the query) 1 2)")
+            )
+        )
+        want = _rows(
+            searcher.scored_intervals(
+                ["the", "query"], mode="ordered", extend=(1, 2)
+            )
+        )
+        assert got == want
+
+    def test_or_equals_direct(self, searcher):
+        got = _rows(scored_fn(searcher, parse_fn("fn:or(window spark)")))
+        want = _rows(searcher.scored_interval_or([["window"], ["spark"]]))
+        assert got == want and got
+
+    def test_deep_nesting_declared_unsupported(self, searcher):
+        with pytest.raises(UnsupportedIntervalNesting):
+            scored_fn(
+                searcher,
+                parse_fn(
+                    "fn:containing(fn:containing(a b) c)"
+                ),
+            )
+
+    def test_topk_wrapper(self, searcher):
+        out = fn_query(searcher, "fn:phrase(the query)", k=5).collect()
+        assert 0 < len(out) <= 5
+        assert all(r["score"] > 0 for r in out)
