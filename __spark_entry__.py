@@ -8213,6 +8213,48 @@ def _q_binary_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_function_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionQuery over the ValueSource tree (queries/function/
+    FunctionQuery.java:40-115): every doc matches, scored by
+    idf('window')·tf('window') + recip(termfreq('spark'),1,1000,1000)
+    — IDFValueSource.java:57-58 (ClassicSimilarity idf over maxDoc),
+    TFValueSource.java:134-153 (sqrt tf), ReciprocalFloatFunction
+    .java:66-67 (a/(m·x+b))."""
+    from lucene_spark.operators.valuesources import VS, function_query
+
+    s = _get_searcher(spark, sf_dir)
+    src = VS.sum(
+        VS.product(VS.idf("window"), VS.tf("window")),
+        VS.recip(VS.termfreq("spark"), 1.0, 1000.0, 1000.0),
+    )
+    return _topk_by_doc_id(s, function_query(s, src))
+
+
+def _q_scale_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScaleFloatFunction (queries/function/valuesource/
+    ScaleFloatFunction.java:56-129): termfreq('the') rescaled to [0,1]
+    via the reference's whole-index min/max pre-pass, plus the decoded
+    norm (NormValueSource.java:75-92 = 1/sqrt(quantized doclen))."""
+    from lucene_spark.operators.valuesources import VS, function_query
+
+    s = _get_searcher(spark, sf_dir)
+    src = VS.sum(VS.scale(VS.termfreq("the"), 0.0, 1.0), VS.norm())
+    return _topk_by_doc_id(s, function_query(s, src))
+
+
+def _q_query_vs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryValueSource (queries/function/valuesource/
+    QueryValueSource.java:39-134): the BM25 sub-query's score where it
+    matches, defVal=0.1 elsewhere, doubled by ProductFloatFunction —
+    FunctionQuery semantics keep every doc in the result."""
+    from lucene_spark.operators.valuesources import VS, function_query
+
+    s = _get_searcher(spark, sf_dir)
+    sub = s.scored_boolean(should=["window"])
+    src = VS.product(VS.query(sub, default=0.1), VS.const(2.0))
+    return _topk_by_doc_id(s, function_query(s, src))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
@@ -8223,6 +8265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox_relations": _q_geo_bbox,
         "multi_pass_split_parts": _q_multi_pass_split,
         "fvh_fragments": _q_fvh,
+        "function_query_top10": _q_function_query,
+        "scale_query_top10": _q_scale_query,
+        "query_vs_top10": _q_query_vs,
         "bp_vector_certificate": _q_bp_vector,
         "analyzing_suggest": _q_analyzing_suggest,
         "exact_substr_dedup": _q_exact_substr,
@@ -9363,6 +9408,55 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n > 10000 THEN 'GREATER_THAN_OR_EQUAL_TO'
                         ELSE 'EQUAL_TO' END
             FROM c""",
+        "function_query_top10": f"""
+            WITH {_TOK},
+            st AS (SELECT count(*)::BIGINT AS n FROM documents),
+            tfw AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                    WHERE term = 'window' GROUP BY doc_id),
+            tfs AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                    WHERE term = 'spark' GROUP BY doc_id),
+            dfw AS (SELECT count(*)::BIGINT AS df FROM tfw),
+            sc AS (SELECT d.doc_id,
+                          (ln((st.n + 1.0)/(dfw.df + 1.0)) + 1.0)
+                            * sqrt(coalesce(tfw.tf, 0)::DOUBLE)
+                          + 1000.0/(1.0*coalesce(tfs.tf, 0)::DOUBLE + 1000.0)
+                            AS s
+                   FROM documents d
+                   LEFT JOIN tfw ON d.doc_id = tfw.doc_id
+                   LEFT JOIN tfs ON d.doc_id = tfs.doc_id
+                   CROSS JOIN st CROSS JOIN dfw)
+            SELECT doc_id, round(s, 6) AS score
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10""",
+        "scale_query_top10": f"""
+            WITH {_TOK}, {_DL},
+            tft AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                    WHERE term = 'the' GROUP BY doc_id),
+            allv AS (SELECT d.doc_id, coalesce(tft.tf, 0)::DOUBLE AS v
+                     FROM documents d LEFT JOIN tft ON d.doc_id = tft.doc_id),
+            b AS (SELECT min(v) AS mn, max(v) AS mx FROM allv),
+            sc AS (SELECT allv.doc_id,
+                          (allv.v - b.mn) * (1.0/(b.mx - b.mn)) + 0.0
+                          + 1.0/sqrt({_norm_len_sql('dl.dl')}) AS s
+                   FROM allv JOIN dl ON allv.doc_id = dl.doc_id CROSS JOIN b)
+            SELECT doc_id, round(s, 6) AS score
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10""",
+        "query_vs_top10": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            df AS (SELECT count(*)::BIGINT AS df FROM tf),
+            bs AS (SELECT tf.doc_id,
+                          ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                          1.0/(1.2*(0.25 + 0.75*{_norm_len_sql('dl.dl')}
+                                    /(st.sttf/st.n))) AS inv,
+                          tf.tf AS tf
+                   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN st CROSS JOIN df),
+            ds AS (SELECT doc_id, (w - w/(1 + tf*inv)) AS s FROM bs),
+            sc AS (SELECT d.doc_id, coalesce(ds.s, 0.1) * 2.0 AS s
+                   FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id)
+            SELECT doc_id, round(s, 6) AS score
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10""",
         "function_score_top10": f"""
             WITH {_TOK}, {_DL}, {_ST},
             tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok

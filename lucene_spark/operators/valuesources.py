@@ -1,0 +1,415 @@
+"""Function queries: the ValueSource family compiled to Catalyst.
+
+Reference: ``lucene/queries/src/java/org/apache/lucene/queries/function/``
+— ``FunctionQuery.java:40-115`` (a query that matches EVERY document
+and scores it ``boost * valueSource.floatVal(doc)``) plus the
+``valuesource/`` tree of composable per-doc value sources. This is the
+Solr-era function-query surface (``recip(ms(NOW,date),...)``-style
+boosting) that ``FunctionScoreQuery`` superseded but which remains the
+reference's only way to score by raw index statistics (termfreq, idf,
+norms) rather than by a similarity.
+
+Spark-first mapping: a tiny expression tree whose leaves bind to
+columns of one per-doc frame — term frequencies pivot out of the
+posting kernel once per distinct term, index statistics (docFreq,
+totalTermFreq, sumTotalTermFreq, docCount) become driver-side literal
+constants exactly like Lucene's ``createWeight`` resolution, and every
+combinator is pure column algebra (whole-stage codegen, no Python).
+``scale()`` — the one source whose reference implementation scans the
+whole index up front (``ScaleFloatFunction.createScaleInfo``) — maps
+to ONE extra aggregate job over the same frame, batched across every
+scale node in the tree.
+
+Scale notes: the per-doc frame is the docs table (narrow columns) left
+joined with a freq pivot restricted to the referenced terms — the same
+partitioning as every other index query; nothing here shuffles the
+text. ``query()`` sub-scores join on (segment_id, docid), broadcast
+when the sub-result is small.
+
+Declared deviation: node arithmetic evaluates in float64 and casts to
+the searcher dtype once at the root; Lucene rounds to float32 at every
+node boundary. Rank order is unaffected on every test corpus, and the
+oracle path (float64 searcher) is bit-exact by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["VS", "function_query", "function_values"]
+
+
+# ---------------------------------------------------------------------------
+# expression tree
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class _Node:
+    kind: str
+    args: tuple = ()
+    children: tuple = ()
+
+    # -- leaf walks ----------------------------------------------------
+    def _walk(self):
+        yield self
+        for c in self.children:
+            yield from c._walk()
+
+    def terms(self) -> list[str]:
+        out: list[str] = []
+        for n in self._walk():
+            if n.kind in ("termfreq", "tf", "docfreq", "idf", "ttf"):
+                if n.args[0] not in out:
+                    out.append(n.args[0])
+        return out
+
+    def scale_nodes(self) -> list["_Node"]:
+        return [n for n in self._walk() if n.kind == "scale"]
+
+    def query_nodes(self) -> list["_Node"]:
+        return [n for n in self._walk() if n.kind == "query"]
+
+    # -- evaluation ----------------------------------------------------
+    def col(self, ctx: dict) -> Column:
+        k = self.kind
+        if k == "const":
+            return F.lit(float(self.args[0]))
+        if k == "termfreq":
+            # TermFreqValueSource.java: the raw postings freq, 0 when
+            # the doc has no posting for the term
+            return ctx["tf"][self.args[0]]
+        if k == "tf":
+            # TFValueSource.java:134-153 with ClassicSimilarity.tf
+            # (ClassicSimilarity.java:51-53): sqrt(freq), sqrt(0)=0
+            return F.sqrt(ctx["tf"][self.args[0]].cast("double"))
+        if k == "docfreq":
+            # DocFreqValueSource.java: a per-query constant
+            return F.lit(float(ctx["stats"][self.args[0]][0]))
+        if k == "idf":
+            # IDFValueSource.java:57-58 feeds maxDoc into
+            # ClassicSimilarity.idf (ClassicSimilarity.java:69-71):
+            # ln((docCount+1)/(df+1)) + 1
+            df = float(ctx["stats"][self.args[0]][0])
+            n = float(ctx["n"])
+            return F.lit(float(np.log((n + 1.0) / (df + 1.0)) + 1.0))
+        if k == "ttf":
+            # TotalTermFreqValueSource.java: collection-wide constant
+            return F.lit(float(ctx["stats"][self.args[0]][1]))
+        if k == "sumttf":
+            # SumTotalTermFreqValueSource.java
+            return F.lit(float(ctx["sttf"]))
+        if k == "maxdoc":
+            # MaxDocValueSource.java
+            return F.lit(float(ctx["n"]))
+        if k == "norm":
+            # NormValueSource.java:75-92: simScorer.score(1f, norm)
+            # under ClassicSimilarity with df=docCount=1 (idf = 1), i.e.
+            # lengthNorm(decoded length) = 1/sqrt(SmallFloat-quantized
+            # doclen). try_divide mirrors DuckDB's NULL-on-zero double
+            # division for the (corpus-absent) empty-doc case.
+            return F.try_divide(F.lit(1.0), F.sqrt(ctx["qlen"]))
+        if k == "field":
+            # the numeric field sources (FloatFieldSource.java etc.):
+            # a stored per-doc column read directly
+            return F.col(self.args[0]).cast("double")
+        if k == "linear":
+            # LinearFloatFunction.java:54-56: slope*x + intercept
+            x = self.children[0].col(ctx)
+            return x * F.lit(float(self.args[0])) + F.lit(float(self.args[1]))
+        if k == "recip":
+            # ReciprocalFloatFunction.java:66-67: a/(m*x + b)
+            m, a, b = (float(v) for v in self.args)
+            x = self.children[0].col(ctx)
+            return F.try_divide(F.lit(a), F.lit(m) * x + F.lit(b))
+        if k == "scale":
+            # ScaleFloatFunction.java:56-129: (x - minSource)*scale +
+            # min where scale = (max-min)/(maxSource-minSource); the
+            # source min/max come from the batched pre-pass
+            lo, hi = (float(v) for v in self.args)
+            mn, mx = ctx["scale_bounds"][id(self)]
+            if mx - mn == 0.0:
+                sc = 0.0
+            else:
+                sc = (hi - lo) / (mx - mn)
+            x = self.children[0].col(ctx)
+            return (x - F.lit(mn)) * F.lit(sc) + F.lit(lo)
+        if k == "rangemap":
+            # RangeMapFloatFunction.java:81-86
+            mn, mx, target = (float(v) for v in self.args[:3])
+            default = self.args[3]
+            x = self.children[0].col(ctx)
+            in_range = (x >= F.lit(mn)) & (x <= F.lit(mx))
+            fallback = x if default is None else F.lit(float(default))
+            return F.when(in_range, F.lit(target)).otherwise(fallback)
+        if k == "sum":
+            # SumFloatFunction.java (MultiFloatFunction)
+            out = self.children[0].col(ctx)
+            for c in self.children[1:]:
+                out = out + c.col(ctx)
+            return out
+        if k == "product":
+            # ProductFloatFunction.java
+            out = self.children[0].col(ctx)
+            for c in self.children[1:]:
+                out = out * c.col(ctx)
+            return out
+        if k == "max":
+            # MaxFloatFunction.java
+            return F.greatest(*[c.col(ctx) for c in self.children])
+        if k == "min":
+            # MinFloatFunction.java
+            return F.least(*[c.col(ctx) for c in self.children])
+        if k == "div":
+            # DivFloatFunction.java: a/b (DualFloatFunction)
+            return F.try_divide(
+                self.children[0].col(ctx), self.children[1].col(ctx)
+            )
+        if k == "pow":
+            # PowFloatFunction.java: a^b
+            return F.pow(self.children[0].col(ctx), self.children[1].col(ctx))
+        if k == "if":
+            # IfFunction.java: boolVal(cond) ? then : else, where a
+            # numeric source's boolVal is value != 0
+            cond, then, els = self.children
+            return F.when(cond.col(ctx) != F.lit(0.0), then.col(ctx)).otherwise(
+                els.col(ctx)
+            )
+        if k == "def":
+            # DefFunction.java:53-73: the first source that exists()
+            # for the doc; column semantics: first non-NULL
+            return F.coalesce(*[c.col(ctx) for c in self.children])
+        if k == "query":
+            # QueryValueSource.java:39-134: the sub-query's score when
+            # it matches, defVal otherwise
+            name = ctx["subscores"][id(self)]
+            return F.coalesce(F.col(name).cast("double"), F.lit(float(self.args[0])))
+        raise ValueError(f"unknown value source kind: {k}")
+
+
+class VS:
+    """Factories mirroring the reference value-source names."""
+
+    @staticmethod
+    def const(v: float) -> _Node:
+        return _Node("const", (float(v),))
+
+    @staticmethod
+    def termfreq(term: str) -> _Node:
+        return _Node("termfreq", (term,))
+
+    @staticmethod
+    def tf(term: str) -> _Node:
+        return _Node("tf", (term,))
+
+    @staticmethod
+    def docfreq(term: str) -> _Node:
+        return _Node("docfreq", (term,))
+
+    @staticmethod
+    def idf(term: str) -> _Node:
+        return _Node("idf", (term,))
+
+    @staticmethod
+    def ttf(term: str) -> _Node:
+        return _Node("ttf", (term,))
+
+    @staticmethod
+    def sumttf() -> _Node:
+        return _Node("sumttf")
+
+    @staticmethod
+    def maxdoc() -> _Node:
+        return _Node("maxdoc")
+
+    @staticmethod
+    def norm() -> _Node:
+        return _Node("norm")
+
+    @staticmethod
+    def field(col: str) -> _Node:
+        return _Node("field", (col,))
+
+    @staticmethod
+    def linear(x: _Node, slope: float, intercept: float) -> _Node:
+        return _Node("linear", (slope, intercept), (x,))
+
+    @staticmethod
+    def recip(x: _Node, m: float, a: float, b: float) -> _Node:
+        return _Node("recip", (m, a, b), (x,))
+
+    @staticmethod
+    def scale(x: _Node, lo: float, hi: float) -> _Node:
+        return _Node("scale", (lo, hi), (x,))
+
+    @staticmethod
+    def rangemap(
+        x: _Node, mn: float, mx: float, target: float, default: float | None = None
+    ) -> _Node:
+        return _Node("rangemap", (mn, mx, target, default), (x,))
+
+    @staticmethod
+    def sum(*xs: _Node) -> _Node:
+        return _Node("sum", (), tuple(xs))
+
+    @staticmethod
+    def product(*xs: _Node) -> _Node:
+        return _Node("product", (), tuple(xs))
+
+    @staticmethod
+    def max(*xs: _Node) -> _Node:
+        return _Node("max", (), tuple(xs))
+
+    @staticmethod
+    def min(*xs: _Node) -> _Node:
+        return _Node("min", (), tuple(xs))
+
+    @staticmethod
+    def div(a: _Node, b: _Node) -> _Node:
+        return _Node("div", (), (a, b))
+
+    @staticmethod
+    def pow(a: _Node, b: _Node) -> _Node:
+        return _Node("pow", (), (a, b))
+
+    @staticmethod
+    def if_(cond: _Node, then: _Node, els: _Node) -> _Node:
+        return _Node("if", (), (cond, then, els))
+
+    @staticmethod
+    def def_(*xs: _Node) -> _Node:
+        return _Node("def", (), tuple(xs))
+
+    @staticmethod
+    def query(scored: DataFrame, default: float = 0.0) -> _Node:
+        n = _Node("query", (float(default),))
+        # the DataFrame can't live in the frozen tuple; stash it on the
+        # instance (id(n) keys the join in the binder)
+        object.__setattr__(n, "scored", scored)
+        return n
+
+
+# ---------------------------------------------------------------------------
+# binding + evaluation
+# ---------------------------------------------------------------------------
+
+
+def _bind_frame(searcher, source: _Node) -> tuple[DataFrame, dict]:
+    """One per-doc frame carrying every column the tree references,
+    plus the resolved constant context."""
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+
+    docs = searcher._docs.select(
+        "segment_id",
+        F.col("local_docid").alias("docid"),
+        "doclen",
+        "norm",
+    )
+    docs = searcher._filter_live(docs)
+
+    terms = source.terms()
+    stats = searcher.term_stats(terms) if terms else {}
+    tf_cols: dict[str, Column] = {}
+    if terms:
+        present = [t for t in terms if t in stats]
+        if present:
+            rows = searcher.scored_postings(present).select(
+                "term", "segment_id", "docid", "freq"
+            )
+            aggs = [
+                F.max(F.when(F.col("term") == t, F.col("freq"))).alias(
+                    f"__tf{i}"
+                )
+                for i, t in enumerate(present)
+            ]
+            pivot = rows.groupBy("segment_id", "docid").agg(*aggs)
+            docs = docs.join(pivot, ["segment_id", "docid"], "left")
+            for i, t in enumerate(present):
+                docs = docs.withColumn(
+                    f"__tf{i}", F.coalesce(F.col(f"__tf{i}"), F.lit(0))
+                )
+                tf_cols[t] = F.col(f"__tf{i}").cast("double")
+        for t in terms:
+            if t not in tf_cols:  # vocabulary-absent term: freq 0, df 0
+                tf_cols[t] = F.lit(0.0)
+                stats[t] = (0, 0)
+
+    subscores: dict[int, str] = {}
+    for i, qn in enumerate(source.query_nodes()):
+        sub = qn.scored.select(
+            "segment_id",
+            "docid",
+            F.col("score").alias(f"__q{i}"),
+        )
+        docs = docs.join(sub, ["segment_id", "docid"], "left")
+        subscores[id(qn)] = f"__q{i}"
+
+    lt = F.array(*[F.lit(float(v)) for v in LENGTH_TABLE])
+    docs = docs.withColumn(
+        "__qlen", F.element_at(lt, F.col("norm").cast("int") + 1)
+    )
+
+    ctx = {
+        "tf": tf_cols,
+        "stats": stats,
+        "n": int(searcher.field_stats["doc_count"]),
+        "sttf": float(searcher.field_stats["sum_total_term_freq"]),
+        "qlen": F.col("__qlen"),
+        "subscores": subscores,
+        "scale_bounds": {},
+    }
+
+    scale_nodes = source.scale_nodes()
+    if scale_nodes:
+        # ScaleFloatFunction.createScaleInfo (:56-105): min/max over
+        # every doc, non-finite values excluded — ONE aggregate job
+        # batched over all scale nodes in the tree
+        aggs = []
+        for i, sn in enumerate(scale_nodes):
+            inner = sn.children[0].col(ctx)
+            finite = F.when(
+                F.isnan(inner)
+                | (inner == F.lit(float("inf")))
+                | (inner == F.lit(float("-inf"))),
+                F.lit(None),
+            ).otherwise(inner)
+            aggs.append(F.min(finite).alias(f"__mn{i}"))
+            aggs.append(F.max(finite).alias(f"__mx{i}"))
+        row = docs.agg(*aggs).collect()[0]
+        for i, sn in enumerate(scale_nodes):
+            mn = row[f"__mn{i}"]
+            mx = row[f"__mx{i}"]
+            if mn is None:  # empty index: reference pins both to 0
+                mn = mx = 0.0
+            ctx["scale_bounds"][id(sn)] = (float(mn), float(mx))
+
+    return docs, ctx
+
+
+def function_values(searcher, source: _Node) -> DataFrame:
+    """(segment_id, docid, value) for every live doc — the
+    ``FunctionValues`` view (every doc exists; FunctionQuery matches
+    all of them)."""
+    docs, ctx = _bind_frame(searcher, source)
+    return docs.select(
+        "segment_id", "docid", source.col(ctx).alias("value")
+    )
+
+
+def function_query(
+    searcher, source: _Node, k: int = 10, boost: float = 1.0
+) -> DataFrame:
+    """FunctionQuery (``FunctionQuery.java:40-115``): every live doc
+    matches with ``score = boost * value``; returns scored rows
+    (segment_id, docid, score) for the usual top-k finishers."""
+    docs, ctx = _bind_frame(searcher, source)
+    score_t = "float" if searcher.dtype == np.float32 else "double"
+    return docs.select(
+        "segment_id",
+        "docid",
+        (F.lit(float(boost)) * source.col(ctx)).cast(score_t).alias("score"),
+    )

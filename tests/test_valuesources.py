@@ -1,0 +1,202 @@
+"""Function queries: the ValueSource tree vs a naive numpy mirror.
+
+Reference semantics: queries/function/FunctionQuery.java (matches all
+docs), valuesource/*.java per-node formulas (cited in the module).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.functions.smallfloat import byte4_to_int, int_to_byte4
+from lucene_spark.operators.valuesources import VS, function_query, function_values
+
+
+def _values_by_url(searcher, source) -> dict[str, float]:
+    df = function_values(searcher, source)
+    with_url = searcher._attach_urls(
+        df.withColumn("local_docid", F.col("docid"))
+    )
+    return {
+        r["url"]: r["value"] for r in with_url.select("url", "value").collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def naive_maps(naive):
+    qlen = byte4_to_int(int_to_byte4(naive.doclens)).astype(np.float64)
+    return {
+        "urls": naive.urls,
+        "qlen": qlen,
+    }
+
+
+class TestLeaves:
+    def test_termfreq_and_tf(self, searcher, naive):
+        vals = _values_by_url(searcher, VS.termfreq("window"))
+        tf = naive.tf("window")
+        for i, u in enumerate(naive.urls):
+            assert vals[u] == pytest.approx(float(tf[i]))
+        sq = _values_by_url(searcher, VS.tf("window"))
+        for i, u in enumerate(naive.urls):
+            assert sq[u] == pytest.approx(float(np.sqrt(tf[i])))
+
+    def test_docfreq_idf_ttf_constants(self, searcher, naive):
+        df = naive.doc_freq("window")
+        ttf = int(naive.tf("window").sum())
+        n = naive.N
+        vals = _values_by_url(searcher, VS.docfreq("window"))
+        assert set(vals.values()) == {float(df)}
+        vals = _values_by_url(searcher, VS.idf("window"))
+        expected = float(np.log((n + 1.0) / (df + 1.0)) + 1.0)
+        uniq = set(vals.values())
+        assert len(uniq) == 1 and uniq.pop() == pytest.approx(expected)
+        vals = _values_by_url(searcher, VS.ttf("window"))
+        assert set(vals.values()) == {float(ttf)}
+        vals = _values_by_url(searcher, VS.sumttf())
+        assert set(vals.values()) == {float(naive.sttf)}
+
+    def test_vocabulary_absent_term_is_zero_everywhere(self, searcher, naive):
+        vals = _values_by_url(searcher, VS.termfreq("zzzznotaterm"))
+        assert set(vals.values()) == {0.0}
+        vals = _values_by_url(searcher, VS.docfreq("zzzznotaterm"))
+        assert set(vals.values()) == {0.0}
+
+    def test_norm_is_inverse_sqrt_quantized_len(
+        self, searcher, naive, naive_maps
+    ):
+        vals = _values_by_url(searcher, VS.norm())
+        for i, u in enumerate(naive.urls):
+            assert vals[u] == pytest.approx(
+                1.0 / np.sqrt(naive_maps["qlen"][i]), rel=1e-9
+            )
+
+    def test_field_source(self, searcher, naive):
+        vals = _values_by_url(searcher, VS.field("doclen"))
+        for i, u in enumerate(naive.urls):
+            assert vals[u] == pytest.approx(float(naive.doclens[i]))
+
+
+class TestCombinators:
+    def test_linear_recip_rangemap(self, searcher, naive):
+        tf = naive.tf("window").astype(np.float64)
+        vals = _values_by_url(
+            searcher, VS.linear(VS.termfreq("window"), 2.0, 3.0)
+        )
+        for i, u in enumerate(naive.urls):
+            assert vals[u] == pytest.approx(2.0 * tf[i] + 3.0)
+        # ReciprocalFloatFunction: a/(m*x+b)
+        vals = _values_by_url(
+            searcher, VS.recip(VS.termfreq("window"), 1.0, 1000.0, 1000.0)
+        )
+        for i, u in enumerate(naive.urls):
+            assert vals[u] == pytest.approx(1000.0 / (tf[i] + 1000.0))
+        # RangeMapFloatFunction: in [1,5] -> 10, default = raw value
+        vals = _values_by_url(
+            searcher, VS.rangemap(VS.termfreq("window"), 1.0, 5.0, 10.0)
+        )
+        for i, u in enumerate(naive.urls):
+            exp = 10.0 if 1.0 <= tf[i] <= 5.0 else tf[i]
+            assert vals[u] == pytest.approx(exp)
+        # explicit default
+        vals = _values_by_url(
+            searcher,
+            VS.rangemap(VS.termfreq("window"), 1.0, 5.0, 10.0, default=-1.0),
+        )
+        for i, u in enumerate(naive.urls):
+            exp = 10.0 if 1.0 <= tf[i] <= 5.0 else -1.0
+            assert vals[u] == pytest.approx(exp)
+
+    def test_scale_matches_reference_rule(self, searcher, naive):
+        # ScaleFloatFunction: (x - min)*((hi-lo)/(max-min)) + lo over
+        # every live doc's value
+        tf = naive.tf("the").astype(np.float64)
+        lo, hi = 0.0, 1.0
+        mn, mx = tf.min(), tf.max()
+        scale = (hi - lo) / (mx - mn)
+        vals = _values_by_url(searcher, VS.scale(VS.termfreq("the"), lo, hi))
+        for i, u in enumerate(naive.urls):
+            assert vals[u] == pytest.approx((tf[i] - mn) * scale + lo)
+
+    def test_scale_constant_source_maps_to_zero_span(self, searcher):
+        # maxSource == minSource => scale = 0, every doc maps to lo
+        vals = _values_by_url(searcher, VS.scale(VS.const(7.0), 2.0, 9.0))
+        assert set(vals.values()) == {2.0}
+
+    def test_product_sum_max_min_div_pow(self, searcher, naive):
+        a = naive.tf("window").astype(np.float64)
+        b = naive.tf("spark").astype(np.float64)
+        cases = {
+            "sum": (VS.sum, a + b),
+            "product": (VS.product, a * b),
+            "max": (VS.max, np.maximum(a, b)),
+            "min": (VS.min, np.minimum(a, b)),
+        }
+        for name, (fac, exp) in cases.items():
+            vals = _values_by_url(
+                searcher, fac(VS.termfreq("window"), VS.termfreq("spark"))
+            )
+            for i, u in enumerate(naive.urls):
+                assert vals[u] == pytest.approx(exp[i]), name
+        vals = _values_by_url(
+            searcher,
+            VS.div(VS.termfreq("window"), VS.linear(VS.termfreq("spark"), 1.0, 1.0)),
+        )
+        for i, u in enumerate(naive.urls):
+            assert vals[u] == pytest.approx(a[i] / (b[i] + 1.0))
+        vals = _values_by_url(
+            searcher, VS.pow(VS.linear(VS.termfreq("window"), 1.0, 1.0), VS.const(2.0))
+        )
+        for i, u in enumerate(naive.urls):
+            assert vals[u] == pytest.approx((a[i] + 1.0) ** 2)
+
+    def test_if_and_def(self, searcher, naive):
+        tf = naive.tf("window").astype(np.float64)
+        vals = _values_by_url(
+            searcher,
+            VS.if_(VS.termfreq("window"), VS.const(5.0), VS.const(-5.0)),
+        )
+        for i, u in enumerate(naive.urls):
+            assert vals[u] == (5.0 if tf[i] > 0 else -5.0)
+        # def(): first non-NULL — a NULL-capable source is try_divide
+        # by zero; def falls through to the constant
+        vals = _values_by_url(
+            searcher,
+            VS.def_(VS.div(VS.const(1.0), VS.const(0.0)), VS.const(3.0)),
+        )
+        assert set(vals.values()) == {3.0}
+
+
+class TestQueryValueSource:
+    def test_query_scores_with_default(self, searcher, naive):
+        sub = searcher.scored_boolean(should=["window"])
+        vals = _values_by_url(searcher, VS.query(sub, default=0.25))
+        scores = naive.term_scores("window")
+        tf = naive.tf("window")
+        for i, u in enumerate(naive.urls):
+            if tf[i] > 0:
+                assert vals[u] == pytest.approx(float(scores[i]), rel=1e-5)
+            else:
+                assert vals[u] == 0.25
+
+
+class TestFunctionQuery:
+    def test_matches_all_docs_with_boost(self, searcher, naive):
+        out = function_query(searcher, VS.const(1.5), k=10, boost=2.0)
+        rows = out.collect()
+        assert len(rows) == naive.N
+        assert {float(r["score"]) for r in rows} == {3.0}
+
+    def test_topk_order(self, searcher, naive):
+        scored = function_query(
+            searcher, VS.recip(VS.termfreq("window"), -1.0, 1.0, 10.0)
+        )
+        top = searcher._finish_topk(scored, 5).collect()
+        tf = naive.tf("window").astype(np.float64)
+        per_doc = 1.0 / (10.0 - tf)
+        order = sorted(
+            range(naive.N), key=lambda i: (-per_doc[i], i)
+        )[:5]
+        assert [r["url"] for r in top] == [naive.urls[i] for i in order]
