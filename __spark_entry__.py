@@ -630,6 +630,32 @@ SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
 FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
 
 
+def _span_not_sql(
+    t0: str, t1: str, filt: str, pre: int, post: int, k: int = 10
+) -> str:
+    """SpanNotQuery oracle (queries/spans/SpanNotQuery.java:173-215):
+    unordered (t0, t1) minimal intervals [val-gap, val] rejected when a
+    ``filt`` position w satisfies w >= start - pre AND w <= end + post
+    (the accept loop's two cursor tests in inclusive-end coordinates);
+    docs lacking filt keep all their intervals."""
+    return f"""WITH RECURSIVE {_TOK}, {_TOKP}, {_DL}, {_ST},
+{_chain_cte(t0, t1, adjust=0)},
+fpos AS (SELECT doc_id, p::BIGINT AS w FROM tokp WHERE term = '{filt}'),
+kept AS (
+  SELECT e.doc_id, e.gap FROM emits e
+  WHERE NOT EXISTS (SELECT 1 FROM fpos f
+                    WHERE f.doc_id = e.doc_id
+                      AND f.w >= (e.val - e.gap) - {pre}
+                      AND f.w <= e.val + {post})
+),
+fr AS (
+  SELECT doc_id, sum(1.0/greatest(gap, 1)) AS freq
+  FROM kept GROUP BY doc_id HAVING freq > 0
+)
+SELECT doc_id, round(1.0 - 1.0/(1.0 + freq), 6) AS score
+FROM fr ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _interval_or_sql(
     or_terms: list[str], t1: str, k: int = 10
 ) -> str:
@@ -6326,6 +6352,20 @@ def _q_interval_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNotQuery with pre/post window (queries/spans/
+    SpanNotQuery.java:63-71,173-215): unordered ("the","query") spans
+    with no "window" occurrence within 1 token before or 2 after."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(
+        s,
+        s.scored_interval_filter(
+            ["the", "query"], ["window"], "span_not",
+            a_ordered=False, pre=1, post=2,
+        ),
+    )
+
+
 def _q_combined_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CombinedFieldQuery (BM25F) over body (w=1) + title (first 8
     tokens, w=2), title as a second per-field index."""
@@ -8466,6 +8506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_phrase_top10": _q_interval_phrase,
         "interval_maxgaps_top10": _q_interval_maxgaps,
         "interval_not_containing_top10": _q_interval_containing,
+        "span_not_top10": _q_span_not,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -10003,6 +10044,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_not_containing_top10": _interval_not_containing_sql(
             "the", "query", "window"
         ),
+        "span_not_top10": _span_not_sql("the", "query", "window", 1, 2),
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

@@ -151,7 +151,7 @@ def sloppy_phrase_freq(adjusted_pos_lists: list[list[int]], slop: int) -> float:
 INTERVAL_OPS = (
     "containing", "not_containing", "contained_by", "not_contained_by",
     "before", "after", "overlapping", "non_overlapping",
-    "within", "not_within",
+    "within", "not_within", "span_not",
 )
 
 
@@ -159,6 +159,8 @@ def filter_intervals(
     a_iv: list[tuple[int, int]],
     b_iv: list[tuple[int, int]],
     op: str,
+    pre: int = 0,
+    post: int = 0,
 ) -> list[tuple[int, int]]:
     """Interval algebra combinators over two minimal-interval lists
     (``lucene/queries/.../intervals/Intervals.java``):
@@ -175,7 +177,16 @@ def filter_intervals(
       (``OverlappingIntervalsSource``);
     - ``non_overlapping``: A-intervals intersecting none
       (``NonOverlappingIntervalsSource``; ``Intervals.notWithin(a, n,
-      b)`` = non_overlapping against extend(b, n, n)).
+      b)`` = non_overlapping against extend(b, n, n));
+    - ``span_not``: SpanNotQuery's windowed exclusion
+      (``queries/spans/SpanNotQuery.java:173-215``) — A-intervals
+      rejected when a B-interval comes within ``pre`` tokens before or
+      ``post`` tokens after; the accept loop's two cursor tests
+      ``exclude.end <= cand.start - pre`` (:202) and ``exclude.start -
+      post >= cand.end`` (:210) convert to inclusive-end coordinates as
+      reject iff ∃B: b_end ≥ a_start − pre ∧ b_start ≤ a_end + post.
+      Negative ``pre``/``post`` permit that much overlap (:63-65), and
+      ``pre = post = 0`` degrades to ``non_overlapping`` (tested).
     """
     if op == "containing":
         return [
@@ -206,6 +217,13 @@ def filter_intervals(
         return [
             i for i in a_iv
             if not any(s <= i[1] and i[0] <= e for s, e in b_iv)
+        ]
+    if op == "span_not":
+        return [
+            i for i in a_iv
+            if not any(
+                e >= i[0] - pre and s <= i[1] + post for s, e in b_iv
+            )
         ]
     if op == "before":
         if not b_iv:
@@ -2499,6 +2517,8 @@ class Searcher(QueryOpsMixin):
         pivot: float = 1.0,
         boost: float = 1.0,
         positions: int | None = None,
+        pre: int = 0,
+        post: int = 0,
     ) -> DataFrame:
         """Interval filter algebra (``Intervals.containing/containedBy/
         notContaining/notContainedBy/before/after/overlapping/
@@ -2511,6 +2531,11 @@ class Searcher(QueryOpsMixin):
         within = containedBy against extend(B, positions, positions);
         notWithin = nonOverlapping against the same extension.
 
+        ``span_not`` takes ``pre``/``post`` — SpanNotQuery's windowed
+        exclusion (``queries/spans/SpanNotQuery.java:63-71,173-215``);
+        like the other negative ops, a doc with no B keeps all its A
+        intervals.
+
         For the negative ops B is optional per doc (a doc without B
         keeps all its A intervals); positive ops require both sources,
         so B joins the candidate conjunction."""
@@ -2521,6 +2546,8 @@ class Searcher(QueryOpsMixin):
                 raise ValueError(f"{op} requires positions=")
         elif positions is not None:
             raise ValueError(f"positions= only applies to within ops")
+        if (pre or post) and op != "span_not":
+            raise ValueError("pre/post only apply to span_not")
         stats = self.term_stats(a_terms + b_terms)
         if any(t not in stats for t in a_terms):
             return self._empty_scored().select("segment_id", "docid", "score")
@@ -2559,6 +2586,7 @@ class Searcher(QueryOpsMixin):
         def freq_fn(
             lists, _na=n_a, _nb=n_b, _ao=a_ordered, _bo=b_ordered,
             _op=eff_op, _mw=max_width, _bx=b_extend,
+            _pre=pre, _post=post,
         ):
             a_lists, b_lists = lists[:_na], lists[_na:]
             if any(not pl for pl in a_lists):
@@ -2578,7 +2606,7 @@ class Searcher(QueryOpsMixin):
                     b_iv = extend_intervals(b_iv, _bx, _bx)
             else:
                 b_iv = []
-            kept = filter_intervals(a_iv, b_iv, _op)
+            kept = filter_intervals(a_iv, b_iv, _op, _pre, _post)
             return interval_freq(kept, _na, _mw)
 
         matched = joined.mapInArrow(

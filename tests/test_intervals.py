@@ -760,3 +760,92 @@ class TestMultiTermExpansionCap:
     def test_under_cap_expands_sorted(self, searcher):
         terms = searcher.expand_source("win*")
         assert terms == sorted(terms) and "window" in terms
+
+
+class TestSpanNot:
+    """SpanNotQuery (queries/spans/SpanNotQuery.java:63-71,173-215):
+    A-intervals rejected when a B-interval falls within pre tokens
+    before or post tokens after; negative pre/post allow overlap."""
+
+    def test_windowed_exclusion_cases(self):
+        from lucene_spark.operators.search import filter_intervals
+
+        a = [(5, 6)]
+        # touching window edges: b at start-pre and end+post both reject
+        assert filter_intervals(a, [(3, 3)], "span_not", 2, 0) == []
+        assert filter_intervals(a, [(8, 8)], "span_not", 0, 2) == []
+        # one past the window survives
+        assert filter_intervals(a, [(2, 2)], "span_not", 2, 0) == a
+        assert filter_intervals(a, [(9, 9)], "span_not", 0, 2) == a
+        # no B keeps everything
+        assert filter_intervals(a, [], "span_not", 5, 5) == a
+
+    def test_negative_pre_post_allow_overlap(self):
+        from lucene_spark.operators.search import filter_intervals
+
+        a = [(5, 8)]
+        # b overlaps the tail only; post=-2 tolerates b.start >= end-1
+        assert filter_intervals(a, [(8, 9)], "span_not", 0, -2) == a
+        assert filter_intervals(a, [(6, 9)], "span_not", 0, -2) == []
+        # pre=-2 tolerates b ending before start+1
+        assert filter_intervals(a, [(4, 6)], "span_not", -2, 0) == a
+        assert filter_intervals(a, [(4, 7)], "span_not", -2, 0) == []
+
+    def test_zero_window_equals_non_overlapping(self):
+        import random
+
+        from lucene_spark.operators.search import filter_intervals
+
+        rng = random.Random(7)
+        for _ in range(200):
+            a = sorted(
+                (s, s + rng.randrange(3))
+                for s in rng.sample(range(30), rng.randrange(1, 6))
+            )
+            b = sorted(
+                (s, s + rng.randrange(3))
+                for s in rng.sample(range(30), rng.randrange(0, 5))
+            )
+            assert filter_intervals(a, b, "span_not", 0, 0) == \
+                filter_intervals(a, b, "non_overlapping")
+
+    def _mirror(self, naive, a_terms, b_term, pre, post, pivot=1.0):
+        from lucene_spark.operators.search import filter_intervals
+
+        out = {}
+        for i, (terms_i, pos_i) in enumerate(naive.analyzed):
+            pos_of = {}
+            for t, p in zip(terms_i, pos_i):
+                pos_of.setdefault(t, []).append(p)
+            if not all(t in pos_of for t in a_terms):
+                continue
+            a_iv = unordered_intervals([sorted(pos_of[t]) for t in a_terms])
+            b_iv = [(p, p) for p in sorted(pos_of.get(b_term, []))]
+            kept = filter_intervals(a_iv, b_iv, "span_not", pre, post)
+            f = interval_freq(kept, len(a_terms), None)
+            if f > 0:
+                out[i] = np.float32(1.0 * (1.0 - pivot / (pivot + f)))
+        return out
+
+    @pytest.mark.parametrize("pre,post", [(0, 0), (1, 2), (-1, 3)])
+    def test_spark_matches_mirror(self, searcher, naive, pre, post):
+        got = {
+            r["docid"]: r["score"]
+            for r in searcher._globalize(
+                searcher.scored_interval_filter(
+                    ["the", "query"], ["window"], "span_not",
+                    a_ordered=False, pre=pre, post=post,
+                )
+            ).collect()
+        }
+        expect = self._mirror(naive, ["the", "query"], "window", pre, post)
+        assert set(got) == set(expect)
+        for d in got:
+            assert abs(got[d] - float(expect[d])) <= 1e-6
+        assert got, "fixture should match"
+
+    def test_pre_post_rejected_on_other_ops(self, searcher):
+        with pytest.raises(ValueError, match="span_not"):
+            searcher.scored_interval_filter(
+                ["the"], ["window"], "containing", pre=1
+            )
