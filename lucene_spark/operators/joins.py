@@ -104,6 +104,45 @@ def to_child_join(
     return children.join(F.broadcast(keys), parent_key)
 
 
+def block_join_sort_key(
+    child_matches: DataFrame,
+    parents: DataFrame,
+    parent_key: str,
+    value_col: str,
+    selector: str = "min",
+    missing=None,
+) -> DataFrame:
+    """ToParentBlockJoinSortField
+    (``join/.../ToParentBlockJoinSortField.java:43-114`` +
+    ``BlockJoinSelector.java:96-165``): each parent acquires a sort key
+    selected from its children's ``value_col`` — MIN for natural child
+    order, MAX for reversed (``reverseChildren``); ``child_matches``
+    is the child filter's match set (the BitSetProducer selection), so
+    only accepted children participate. A parent with no accepted
+    valued child takes the ``missing`` value (the ``childMissingValue``
+    parameter; NULL when unset — Spark's nulls-first/last on the final
+    sort plays SortField's missing-first/last role).
+
+    Scale shape: one map-side-combinable groupBy on the parent key (one
+    row per parent with matches) then a key join — AQE broadcasts the
+    selected side when small. Returns ``parents`` plus ``sort_value``;
+    the caller orders by it (asc = natural, desc = reverseParents).
+    """
+    sel = selector.lower()
+    if sel not in ("min", "max"):
+        raise ValueError(f"unknown block-join selector {selector!r}")
+    agg = F.min if sel == "min" else F.max
+    keys = child_matches.groupBy(parent_key).agg(
+        agg(value_col).alias("sort_value")
+    )
+    out = parents.join(keys, parent_key, "left")
+    if missing is not None:
+        out = out.withColumn(
+            "sort_value", F.coalesce(F.col("sort_value"), F.lit(missing))
+        )
+    return out
+
+
 def drill_sideways(
     base: DataFrame,
     dims: dict[str, Column],

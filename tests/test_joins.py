@@ -136,3 +136,65 @@ class TestDrillSideways:
             ).fetchall()
         )
         assert got_src == expect_src
+
+
+class TestBlockJoinSort:
+    """ToParentBlockJoinSortField (ToParentBlockJoinSortField.java:43-114,
+    BlockJoinSelector.java:96-165): parent sort key = min/max of a child
+    value over the child filter's matches; missing value for parents
+    without accepted children."""
+
+    def test_min_selector_with_missing(self, tables, duck):
+        from lucene_spark.operators.joins import block_join_sort_key
+
+        kids = tables["lineitem"].where(F.col("l_quantity") > 45).select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+        )
+        got = block_join_sort_key(
+            kids, tables["orders"], "o_orderkey", "l_extendedprice",
+            selector="min", missing=1e18,
+        )
+        rows = got.orderBy("sort_value", "o_orderkey").limit(20).collect()
+        expect = duck.execute(
+            "SELECT o_orderkey, coalesce(sel, 1e18) AS sv FROM orders "
+            "LEFT JOIN (SELECT l_orderkey, min(l_extendedprice) AS sel "
+            "           FROM lineitem WHERE l_quantity > 45 "
+            "           GROUP BY l_orderkey) s ON o_orderkey = l_orderkey "
+            "ORDER BY sv, o_orderkey LIMIT 20"
+        ).fetchall()
+        assert [(r["o_orderkey"], round(r["sort_value"], 4)) for r in rows] \
+            == [(a, round(b, 4)) for a, b in expect]
+
+    def test_max_selector_null_missing(self, tables, duck):
+        from lucene_spark.operators.joins import block_join_sort_key
+
+        kids = tables["lineitem"].where(F.col("l_quantity") > 45).select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+        )
+        got = block_join_sort_key(
+            kids, tables["orders"], "o_orderkey", "l_extendedprice",
+            selector="max",
+        )
+        rows = got.orderBy(
+            F.desc_nulls_last("sort_value"), "o_orderkey"
+        ).limit(20).collect()
+        expect = duck.execute(
+            "SELECT o_orderkey, sel FROM orders "
+            "LEFT JOIN (SELECT l_orderkey, max(l_extendedprice) AS sel "
+            "           FROM lineitem WHERE l_quantity > 45 "
+            "           GROUP BY l_orderkey) s ON o_orderkey = l_orderkey "
+            "ORDER BY sel DESC NULLS LAST, o_orderkey LIMIT 20"
+        ).fetchall()
+        assert [(r["o_orderkey"],
+                 None if r["sort_value"] is None else round(r["sort_value"], 4))
+                for r in rows] \
+            == [(a, None if b is None else round(b, 4)) for a, b in expect]
+
+    def test_bad_selector_raises(self, tables):
+        from lucene_spark.operators.joins import block_join_sort_key
+
+        with pytest.raises(ValueError, match="selector"):
+            block_join_sort_key(
+                tables["lineitem"], tables["orders"], "o_orderkey",
+                "l_extendedprice", selector="median",
+            )
