@@ -4014,6 +4014,30 @@ def _q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_block_join_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToParentBlockJoinSortField (ToParentBlockJoinSortField.java:43-114):
+    orders sorted by the MIN child l_extendedprice over qty>45 children;
+    childless parents take the missing value (sort last)."""
+    from lucene_spark.operators.joins import block_join_sort_key
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    kids = lineitem.where(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    out = block_join_sort_key(
+        kids, orders, "o_orderkey", "l_extendedprice",
+        selector="min", missing=1e18,
+    )
+    return (
+        out.orderBy("sort_value", "o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey", F.round("sort_value", 4).alias("sort_value")
+        )
+    )
+
+
 def _q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DrillSideways over documents: dims lang x source, drill-down
     lang='en' AND source='src1'; one frame, tagged per dimension."""
@@ -8488,6 +8512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monitor_phrase_matches": _q_monitor_phrase,
         "standard_fn_parsed_top10": _q_standard_fn,
         "block_join_orders_max": _q_block_join,
+        "block_join_sort_min20": _q_block_join_sort,
         "drill_sideways_docs": _q_drill_sideways,
         # round-2: previously pytest-only operators
         "fuzzy_match": _q_fuzzy,
@@ -9686,6 +9711,14 @@ def oracle_sql() -> dict[str, str]:
                    round(max(l.l_extendedprice), 4) AS join_score
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             WHERE l.l_quantity > 45 GROUP BY o.o_orderkey""",
+        "block_join_sort_min20": """
+            SELECT o_orderkey,
+                   round(coalesce(sel, 1e18), 4) AS sort_value
+            FROM orders LEFT JOIN (
+              SELECT l_orderkey, min(l_extendedprice) AS sel
+              FROM lineitem WHERE l_quantity > 45
+              GROUP BY l_orderkey) s ON o_orderkey = l_orderkey
+            ORDER BY coalesce(sel, 1e18), o_orderkey LIMIT 20""",
         "drill_sideways_docs": """
             SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS cnt
             FROM documents WHERE source = 'src1' GROUP BY lang
