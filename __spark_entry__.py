@@ -7481,6 +7481,26 @@ def _q_nb_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id", "class")
 
 
+def _q_bm25_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25NBClassifier analog (BM25NBClassifier.java:120-231):
+    posteriors of the first 4 docs' texts against lang classes —
+    prior = ln(class-clause BM25), likelihood = ln(class score + best
+    text BM25 per word over class docs), softmax-normalized; ONE
+    postings aggregation replaces O(words x classes) top-1 queries."""
+    from lucene_spark.operators.classify import bm25_nb_scores
+
+    s = _get_searcher(spark, sf_dir)
+    texts = (
+        _docs_table(spark, sf_dir)
+        .where(F.col("doc_id") < 4)
+        .select("doc_id", "text")
+    )
+    sc = bm25_nb_scores(s, _lang_classes(spark, sf_dir), texts)
+    return sc.select(
+        F.col("id"), F.col("class"), F.round("score", 6).alias("score")
+    ).orderBy("id", "class")
+
+
 def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNearestNeighborClassifier vote over a deterministic neighbor
     set: BM25 top-10 for 'window' (doc_id tie-break), class = lang;
@@ -8598,6 +8618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_facet_associations": _q_assoc_facets,
         "long_value_facets": _q_long_value_facets,
         "nb_classify_posteriors": _q_nb_posteriors,
+        "bm25_nb_posteriors": _q_bm25_nb,
         "knn_classify_vote": _q_knn_classify,
         "classification_metrics": _q_classification_metrics,
         "sessionize_stats": _q_sessionize_stats,
@@ -10012,6 +10033,52 @@ def oracle_sql() -> dict[str, str]:
             fin AS (SELECT id, class,
                            exp(sc - (m + ln(sum(exp(sc - m))
                              OVER (PARTITION BY id)))) AS score FROM norm)
+            SELECT id, class, round(score, 6) AS score
+            FROM fin ORDER BY id, class""",
+        "bm25_nb_posteriors": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            itok AS (SELECT doc_id AS id, term, count(*)::BIGINT AS tf
+                     FROM tok WHERE doc_id < 4 GROUP BY doc_id, term),
+            vtf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+                    WHERE term IN (SELECT DISTINCT term FROM itok)
+                    GROUP BY doc_id, term),
+            vdf AS (SELECT term, count(*)::BIGINT AS df FROM vtf
+                    GROUP BY term),
+            sc AS (SELECT vtf.doc_id, vtf.term,
+                          ln(1 + (st.n - vdf.df + 0.5)/(vdf.df + 0.5)) AS w,
+                          1.0/(1.2*(0.25 +
+                            0.75*{_norm_len_sql('dl.dl')}/(st.sttf/st.n)))
+                            AS inv,
+                          vtf.tf AS tf
+                   FROM vtf JOIN dl ON vtf.doc_id = dl.doc_id
+                        JOIN vdf ON vtf.term = vdf.term CROSS JOIN st),
+            cls AS (SELECT doc_id, lang AS class FROM documents
+                    WHERE lang IS NOT NULL AND lang <> ''),
+            cn AS (SELECT count(*)::BIGINT AS n FROM cls),
+            cst AS (SELECT class, count(*)::BIGINT AS cdf FROM cls
+                    GROUP BY class),
+            csc AS (SELECT cst.class,
+                           ln(1 + (cn.n - cst.cdf + 0.5)/(cst.cdf + 0.5))
+                           - ln(1 + (cn.n - cst.cdf + 0.5)/(cst.cdf + 0.5))
+                             /(1 + 1.0*(1.0/(1.2*(0.25 + 0.75*1.0/1.0))))
+                             AS cs
+                    FROM cst CROSS JOIN cn),
+            mx AS (SELECT sc.term, cls.class,
+                          max(sc.w - sc.w/(1 + sc.tf*sc.inv)) AS mx
+                   FROM sc JOIN cls USING (doc_id)
+                   GROUP BY sc.term, cls.class),
+            raw AS (SELECT itok.id, csc.class,
+                           ln(csc.cs) + sum(itok.tf *
+                             ln(csc.cs + coalesce(mx.mx, 0.0))) AS s
+                    FROM itok CROSS JOIN csc
+                    LEFT JOIN mx
+                      ON mx.term = itok.term AND mx.class = csc.class
+                    GROUP BY itok.id, csc.class, csc.cs),
+            nrm AS (SELECT id, class, s,
+                           max(s) OVER (PARTITION BY id) AS m FROM raw),
+            fin AS (SELECT id, class,
+                           exp(s - (m + ln(sum(exp(s - m))
+                             OVER (PARTITION BY id)))) AS score FROM nrm)
             SELECT id, class, round(score, 6) AS score
             FROM fin ORDER BY id, class""",
         "knn_classify_vote": f"""

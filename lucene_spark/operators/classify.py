@@ -185,18 +185,7 @@ def naive_bayes_scores(
         (F.col("prior") + F.coalesce(F.col("ll"), F.lit(0.0))).alias("s"),
     )
     # normClassificationResults: softmax via log-sum-exp per input
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id")
-    smax = F.max("s").over(w)
-    with_lse = raw.withColumn(
-        "lse",
-        smax
-        + F.log(F.sum(F.exp(F.col("s") - smax)).over(w)),
-    )
-    return with_lse.select(
-        "id", "class", F.exp(F.col("s") - F.col("lse")).alias("score")
-    )
+    return _softmax_norm(raw)
 
 
 def naive_bayes_classify(
@@ -212,6 +201,154 @@ def naive_bayes_classify(
     determinism; Lucene's loop keeps the first of equal scores in
     term order, which is the same ordering)."""
     scores = naive_bayes_scores(
+        searcher, classes_df, texts_df, id_col, text_col, class_col
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("class"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _softmax_norm(raw: DataFrame, id_col: str = "id", s_col: str = "s") -> DataFrame:
+    """normClassificationResults (BM25NBClassifier.java:147-173 =
+    SimpleNaiveBayesClassifier.java:289-316): per-input softmax via
+    log-sum-exp."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col)
+    smax = F.max(s_col).over(w)
+    with_lse = raw.withColumn(
+        "lse", smax + F.log(F.sum(F.exp(F.col(s_col) - smax)).over(w))
+    )
+    return with_lse.select(
+        id_col, "class", F.exp(F.col(s_col) - F.col("lse")).alias("score")
+    )
+
+
+def bm25_nb_scores(
+    searcher,
+    classes_df: DataFrame,
+    texts_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    class_col: str = "class",
+) -> DataFrame:
+    """(id, class, score): ``BM25NBClassifier`` — naive bayes
+    approximated "by pure queries on BM25"
+    (classification/BM25NBClassifier.java:43-232). The reference runs
+    one top-1 BooleanQuery per (word, class) pair:
+
+    * logPrior(c)  = ln(top-1 score of MUST class:c)       (:222-231)
+    * P(w | c)     = top-1 score of (MUST class:c, SHOULD text:w),
+                     or 1 when that cannot happen           (:205-220)
+    * score(c)     = logPrior + sum over token occurrences of ln(P)
+    * softmax normalization                                 (:147-173)
+
+    Because every class-c doc scores the MUST clause identically (the
+    class pseudo-field is single-token: tf = 1, len = avgLen = 1), the
+    boolean top-1 decomposes: it is cs(c) + max over class-c docs of
+    the word's text-field BM25 score (0 when no class doc contains the
+    word, which also covers the reference's P=1 branch since
+    ln(cs + 0) replays the class-only top hit). So the whole
+    classifier collapses to ONE distributed postings aggregation:
+    mx(w, c) = max score per (term, class) — instead of
+    O(words x classes) searcher round-trips per input.
+
+    Scale shape: mx and the per-class constants are vocab x classes
+    rows (tiny, broadcast); inputs are analyzed in one Arrow kernel
+    pass and scored with one groupBy."""
+    spark = searcher.spark
+    classes_df = classes_df.where(
+        F.col(class_col).isNotNull() & (F.col(class_col) != "")
+    ).select("url", F.col(class_col).alias("class"))
+
+    doc_classes = (
+        searcher._docs.select("segment_id", "local_docid", "url")
+        .join(classes_df, "url")
+    )
+    rows = doc_classes.groupBy("class").agg(
+        F.count("*").alias("class_df")
+    ).collect()
+    if not rows:
+        return spark.createDataFrame([], "id long, class string, score double")
+    docs_with_class = sum(int(r["class_df"]) for r in rows)
+
+    import math
+
+    # class-clause BM25 constant: idf over the class pseudo-field
+    # (docCount = docsWithClass), tf = 1, len = avgLen = 1 — the same
+    # `w - w/(1 + tf*inv)` shape as the text kernel, float64 for the
+    # oracle path (the driver searcher is float64)
+    k1, b = float(searcher.k1), float(searcher.b)
+    inv1 = 1.0 / (k1 * (1.0 - b + b * 1.0 / 1.0))
+
+    def cs_of(df_c: int) -> float:
+        w = math.log(1 + (docs_with_class - df_c + 0.5) / (df_c + 0.5))
+        return w - w / (1 + 1.0 * inv1)
+
+    class_stats = spark.createDataFrame(
+        [(r["class"], cs_of(int(r["class_df"]))) for r in rows],
+        "class string, cs double",
+    )
+
+    tokens = _texts_tokens(searcher, texts_df, id_col, text_col)
+    vocab = [r["term"] for r in tokens.select("term").distinct().collect()]
+    if vocab:
+        # mx(w, c): best text-field BM25 score of w over class-c docs —
+        # decoded from the index postings in one pass
+        mx = (
+            searcher._attach_urls(
+                searcher.scored_postings(vocab).withColumn(
+                    "local_docid", F.col("docid")
+                )
+            )
+            .join(classes_df, "url")
+            .groupBy("term", "class")
+            .agg(F.max("score").alias("mx"))
+        )
+    else:
+        mx = spark.createDataFrame([], "term string, class string, mx double")
+
+    ll = (
+        tokens.crossJoin(F.broadcast(class_stats))
+        .join(F.broadcast(mx), ["term", "class"], "left")
+        .groupBy("id", "class")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log(F.col("cs") + F.coalesce(F.col("mx"), F.lit(0.0)))
+            ).alias("ll")
+        )
+    )
+    base = (
+        texts_df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .crossJoin(F.broadcast(class_stats))
+    )
+    raw = base.join(ll, ["id", "class"], "left").select(
+        "id",
+        "class",
+        (F.log("cs") + F.coalesce(F.col("ll"), F.lit(0.0))).alias("s"),
+    )
+    return _softmax_norm(raw)
+
+
+def bm25_nb_classify(
+    searcher,
+    classes_df: DataFrame,
+    texts_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    class_col: str = "class",
+) -> DataFrame:
+    """(id, class, score): ``BM25NBClassifier.assignClass`` for every
+    input — the max-posterior class per text (class-name tie-break,
+    matching the reference's first-in-term-order keep)."""
+    scores = bm25_nb_scores(
         searcher, classes_df, texts_df, id_col, text_col, class_col
     )
     from pyspark.sql import Window

@@ -201,3 +201,92 @@ class TestSplitter:
         # disjoint
         assert tr.join(te, "url", "left_semi").count() == 0
         assert tr.join(cv, "url", "left_semi").count() == 0
+
+
+def _expected_bm25nb(tokens: list[str]):
+    """Independent recomputation of BM25NBClassifier's query-based
+    formula (BM25NBClassifier.java:120-231) for the ROWS corpus:
+    prior = ln(class-clause top-1 score); per-word likelihood =
+    ln(class score + best text BM25 of the word over class docs)."""
+    docs = [(t.split(), c) for _, t, c in ROWS]
+    n = len(docs)
+    avgdl = sum(len(t) for t, _ in docs) / n
+
+    def idf(w):
+        df = sum(1 for t, _ in docs if w in t)
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def bm25(w, toks):
+        tf = toks.count(w)
+        if tf == 0:
+            return 0.0
+        wgt = idf(w)
+        inv = 1.0 / (1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+        return wgt - wgt / (1 + tf * inv)
+
+    out = {}
+    for cls in ("spam", "ham"):
+        cdf = sum(1 for _, c in docs if c == cls)
+        wc = math.log(1 + (n - cdf + 0.5) / (cdf + 0.5))
+        cs = wc - wc / (1 + 1.0 / 1.2)
+        s = math.log(cs)
+        for w in tokens:
+            mx = max((bm25(w, t) for t, c in docs if c == cls), default=0.0)
+            s += math.log(cs + mx)
+        out[cls] = s
+    smax = max(out.values())
+    lse = smax + math.log(sum(math.exp(v - smax) for v in out.values()))
+    return {c: math.exp(v - lse) for c, v in out.items()}
+
+
+class TestBM25NB:
+    def test_formula_exact(self, spark, nb_index):
+        from lucene_spark.operators.classify import bm25_nb_scores
+
+        s, classes = nb_index
+        texts = spark.createDataFrame(
+            [(1, "buy pills"), (2, "meeting review agenda"),
+             (3, "spam meeting"), (4, "zzzzz")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id"], r["class"]): r["score"]
+            for r in bm25_nb_scores(s, classes, texts).collect()
+        }
+        for i, toks in [(1, ["buy", "pills"]),
+                        (2, ["meeting", "review", "agenda"]),
+                        (3, ["spam", "meeting"]),
+                        (4, ["zzzzz"])]:  # unseen word: ln(cs + 0)
+            exp = _expected_bm25nb(toks)
+            for cls, p in exp.items():
+                # engine text scores are float32 by default; the mirror
+                # is float64 — tolerance covers the cast
+                assert got[(i, cls)] == pytest.approx(p, rel=1e-4), (i, cls)
+
+    def test_classify_argmax(self, spark, nb_index):
+        from lucene_spark.operators.classify import bm25_nb_classify
+
+        s, classes = nb_index
+        texts = spark.createDataFrame(
+            [(1, "buy cheap pills"), (2, "quarterly meeting notes")],
+            "doc_id long, text string",
+        )
+        got = {r["id"]: r["class"]
+               for r in bm25_nb_classify(s, classes, texts).collect()}
+        assert got == {1: "spam", 2: "ham"}
+
+    def test_empty_text_prior_only(self, spark, nb_index):
+        """No tokens: posteriors reduce to softmax of ln(cs_c) —
+        cs ordering follows rarity (spam df=2 < ham df=3 so spam's
+        class clause scores HIGHER: BM25 idf favors the rare class,
+        unlike the count-prior of SimpleNaiveBayes)."""
+        from lucene_spark.operators.classify import bm25_nb_scores
+
+        s, classes = nb_index
+        texts = spark.createDataFrame([(9, "")], "doc_id long, text string")
+        rows = {r["class"]: r["score"]
+                for r in bm25_nb_scores(s, classes, texts).collect()}
+        exp = _expected_bm25nb([])
+        assert rows["spam"] == pytest.approx(exp["spam"], rel=1e-6)
+        assert rows["spam"] > rows["ham"]
+        assert abs(sum(rows.values()) - 1.0) < 1e-9
