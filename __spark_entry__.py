@@ -190,6 +190,71 @@ def _bm25_sql(
     )
 
 
+def _nearest_fuzzy_sql() -> str:
+    """NearestFuzzyQuery oracle prefix for sources 'valu'+'tabel':
+    CTE chain ending in nfs(doc_id, s) — FuzzyLikeThis variant
+    selection at the classifier's pinned constants, then BM25 doc
+    scoring with the shared artificial-df=1 idf (engine:
+    queries.py scored_nearest_fuzzy)."""
+    norm = _norm_len_sql("dl.dl")
+    return f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                      FROM tok GROUP BY term),
+            v AS (
+              SELECT 'valu' AS src, term, df,
+                     CASE WHEN term = 'valu' THEN 1.0
+                          ELSE 1.0 - damerau_levenshtein('valu', term)
+                               / CAST(least(length(term), 4) AS DOUBLE)
+                     END AS boost
+              FROM vocab
+              WHERE length(term) BETWEEN 3 AND 5 AND term LIKE 'va%'
+                    AND damerau_levenshtein('valu', term) <= 1
+              UNION ALL
+              SELECT 'tabel', term, df,
+                     CASE WHEN term = 'tabel' THEN 1.0
+                          ELSE 1.0 - damerau_levenshtein('tabel', term)
+                               / CAST(least(length(term), 5) AS DOUBLE)
+                     END
+              FROM vocab
+              WHERE length(term) BETWEEN 4 AND 6 AND term LIKE 'ta%'
+                    AND damerau_levenshtein('tabel', term) <= 1),
+            srcdf AS (
+              SELECT src,
+                     coalesce(
+                       (SELECT df FROM vocab WHERE vocab.term = v2.src),
+                       CAST(floor(sum(df) * 1.0 / count(*)) AS BIGINT)
+                     ) AS df_src
+              FROM v v2 GROUP BY src),
+            scoredv AS (
+              SELECT v.term,
+                     v.boost * v.boost
+                       * (ln((st.n + 1.0) / (s.df_src + 1.0)) + 1.0) AS sc,
+                     row_number() OVER (PARTITION BY v.src
+                                        ORDER BY v.boost DESC, v.term)
+                       AS rn_per
+              FROM v JOIN srcdf s ON v.src = s.src CROSS JOIN st),
+            cut AS (
+              SELECT term, sc FROM (
+                SELECT term, sc,
+                       row_number() OVER (ORDER BY sc DESC, term) AS rn
+                FROM scoredv WHERE rn_per <= 50)
+              WHERE rn <= 300),
+            w AS (SELECT term, sum(sc) AS w FROM cut GROUP BY term),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+                   WHERE term IN (SELECT term FROM w)
+                   GROUP BY doc_id, term),
+            nfs AS (SELECT tf.doc_id,
+                           sum(w.w * (ln(1 + (st.n - 1 + 0.5)/(1 + 0.5))
+                               - ln(1 + (st.n - 1 + 0.5)/(1 + 0.5))
+                                 / (1.0 + tf.tf *
+                                    (1.0/(1.2*(0.25 + 0.75*{norm}
+                                       /(st.sttf/st.n))))))) AS s
+                    FROM tf JOIN w ON tf.term = w.term
+                         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+                    GROUP BY tf.doc_id)"""
+
+
 def _phrase_sql(terms: list[str], k: int = 10) -> str:
     norm = _norm_len_sql("dl.dl")
     join = " ".join(
@@ -3851,6 +3916,33 @@ def _q_fuzzy_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_num_terms=8,
         ),
     )
+
+
+def _q_nearest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NearestFuzzyQuery (classification/utils/NearestFuzzyQuery.java:
+    49-316): FuzzyLikeThis selection at the pinned constants
+    (maxEdits=1, prefix=2, 50/300 queues) over two misspelled sources;
+    docs score variants as artificial-df=1 TermQueries under BM25
+    (shared idf1 = ln(1 + (N - 0.5)/1.5), real norms)."""
+    s = _get_searcher(spark, sf_dir)
+    return _topk_by_doc_id(s, s.scored_nearest_fuzzy(["valu", "tabel"]))
+
+
+def _q_knn_fuzzy_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNearestFuzzyClassifier (KNearestFuzzyClassifier.java:50-202):
+    NearestFuzzyQuery top-10 neighbors of 'valu tabel' over
+    class-bearing docs, voted count x (totalBoost/count) / k with the
+    sumdoc correction (buildListFromTopDocs — identical to the MLT
+    kNN's)."""
+    from lucene_spark.operators.classify import knn_fuzzy_classify
+
+    s = _get_searcher(spark, sf_dir)
+    out = knn_fuzzy_classify(
+        s, _lang_classes(spark, sf_dir), "valu tabel", k=10
+    )
+    return out.select(
+        "class", F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("class"))
 
 
 def _q_term_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8514,6 +8606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_automaton_top10": _q_term_automaton,
         "token_stream_automaton_top10": _q_token_stream_automaton,
         "fuzzy_like_this_top10": _q_fuzzy_like_this,
+        "nearest_fuzzy_top10": _q_nearest_fuzzy,
+        "knn_fuzzy_classify_vote": _q_knn_fuzzy_classify,
         "phonetic_match": _q_phonetic_match,
         "refined_soundex_match": _q_refined_soundex_match,
         "caverphone_match": _q_caverphone_match,
@@ -9639,6 +9733,23 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY tf.doc_id)
             SELECT doc_id, round(s, 6) AS score FROM sc
             ORDER BY 2 DESC, doc_id LIMIT 10""",
+        "nearest_fuzzy_top10": f"""
+            {_nearest_fuzzy_sql()}
+            SELECT doc_id, round(s, 6) AS score FROM nfs
+            ORDER BY s DESC, doc_id LIMIT 10""",
+        "knn_fuzzy_classify_vote": f"""
+            {_nearest_fuzzy_sql()},
+            top AS (SELECT doc_id, s FROM nfs
+                    ORDER BY s DESC, doc_id LIMIT 10),
+            j AS (SELECT t.s AS score, d.lang AS class
+                  FROM top t JOIN documents d USING (doc_id)),
+            m AS (SELECT max(score) AS mx, count(*)::BIGINT AS sumdoc
+                  FROM j)
+            SELECT class,
+                   round(sum(score / m.mx) /
+                         least(m.sumdoc, 10)::DOUBLE, 6) AS score
+            FROM j CROSS JOIN m GROUP BY class, m.mx, m.sumdoc
+            ORDER BY score DESC, class""",
         "term_automaton_top10": f"""
             WITH {_TOK}, {_TOKP}, {_DL}, {_ST},
             m1 AS (SELECT a.doc_id, a.p FROM tokp a

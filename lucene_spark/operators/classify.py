@@ -411,6 +411,50 @@ def knn_classify(
     return voted.orderBy(F.desc("score"), F.asc("class"))
 
 
+def knn_fuzzy_classify(
+    searcher,
+    classes_df: DataFrame,
+    text: str,
+    k: int = 10,
+    class_col: str = "class",
+    neighbors: DataFrame | None = None,
+) -> DataFrame:
+    """(class, score) ranked desc — ``KNearestFuzzyClassifier``
+    (classification/KNearestFuzzyClassifier.java:50-202): top-k of a
+    NearestFuzzyQuery over the input text, restricted to class-bearing
+    docs (the MUST ``WildcardQuery(class:*)`` clause, :142-143), then
+    the exact same rank vote as KNearestNeighborClassifier
+    (buildListFromTopDocs :157-202 is line-identical between the two).
+
+    Tie-break at the k boundary is (score desc, url asc) — Lucene
+    breaks on internal docid; url is this engine's deterministic
+    stand-in (declared deviation, same as the MLT-kNN entry).
+    ``neighbors`` overrides the search like :func:`knn_classify`."""
+    classes_df = classes_df.where(
+        F.col(class_col).isNotNull() & (F.col(class_col) != "")
+    ).select("url", F.col(class_col).alias("class"))
+    if neighbors is None:
+        import pandas as pd
+
+        from ..functions.analysis import analyze_series
+        from ..functions.lang import get_chain
+
+        chain = get_chain(searcher.analyzer, stopwords=searcher._stopwords)
+        toks, _pos = analyze_series(pd.Series([text]), chain=chain)
+        terms = list(dict.fromkeys(toks[0]))
+        scored = searcher.scored_nearest_fuzzy(terms)
+        with_url = searcher._attach_urls(
+            scored.withColumn("local_docid", F.col("docid"))
+        )
+        neighbors = (
+            with_url.join(classes_df.select("url"), "url", "left_semi")
+            .orderBy(F.desc("score"), F.asc("url"))
+            .limit(k)
+            .select("url", "score")
+        )
+    return knn_classify(searcher, classes_df, "", k=k, neighbors=neighbors)
+
+
 # ---------------------------------------------------------------------------
 # evaluation utilities
 # ---------------------------------------------------------------------------

@@ -630,6 +630,62 @@ class QueryOpsMixin:
         (Weight creation, like every multi-term rewrite here)."""
         import math
 
+        weights = self._fuzzy_like_weights(
+            query_terms, max_edits, prefix_length,
+            max_num_terms, max_variants_per_term,
+        )
+        if not weights:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        doc_count = self.field_stats["doc_count"]
+        wmap = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(weights.items()), "term string, w double"
+            )
+        )
+        rows = self.scored_postings(list(weights), need_positions=False)
+        idf1 = math.log((doc_count + 1) / 2.0) + 1.0
+        from ..functions.similarities import classic_norm_table
+
+        nt = classic_norm_table(np.float64)
+        ntab = F.array(*[F.lit(float(x)) for x in nt])
+        if ignore_tf:
+            contrib = F.col("w")
+        else:
+            contrib = (
+                F.col("w")
+                * F.sqrt(F.col("freq").cast("double"))
+                * F.lit(idf1)
+                * F.element_at(ntab, F.col("norm") + 1)
+            )
+        score_t = "float" if self.dtype == np.float32 else "double"
+        return (
+            rows.join(wmap, "term")
+            .groupBy("segment_id", "docid")
+            .agg(F.sum(contrib).alias("score_acc"))
+            .select(
+                "segment_id",
+                "docid",
+                F.col("score_acc").cast(score_t).alias("score"),
+            )
+        )
+
+    def _fuzzy_like_weights(
+        self,
+        query_terms: list[str],
+        max_edits: int,
+        prefix_length: int,
+        max_num_terms: int,
+        max_variants_per_term: int,
+    ) -> dict[str, float]:
+        """Shared FuzzyLikeThis/NearestFuzzy variant selection
+        (FuzzyLikeThisQuery.java:194-259 = NearestFuzzyQuery.java:
+        131-196, identical logic): per-source fuzzy enumeration with
+        FuzzyTermsEnum boosts, per-term then global PQ cuts, kept
+        scores boost² · (ln((N+1)/(df_src+1)) + 1) with the
+        avg-variant-df fallback; the same variant reached from two
+        sources contributes twice (two ScoreTerms in the rewrite)."""
+        import math
+
         doc_count = self.field_stats["doc_count"]
         sources = list(dict.fromkeys(query_terms))
         src_stats = self.term_stats(sources)
@@ -667,36 +723,61 @@ class QueryOpsMixin:
             idf_src = math.log((doc_count + 1) / (df_src + 1.0)) + 1.0
             for t, b in scored_v:
                 chosen.append((t, b * b * idf_src))
-        if not chosen:
-            return self._empty_scored().select("segment_id", "docid", "score")
         # global queue: top max_num_terms by (score desc, smaller term)
         chosen.sort(key=lambda v: (-v[1], v[0]))
         chosen = chosen[:max_num_terms]
-        # the same variant reached from two source terms contributes
-        # twice (two ScoreTerms in the rewritten BooleanQuery)
         weights: dict[str, float] = {}
         for t, w in chosen:
             weights[t] = weights.get(t, 0.0) + w
+        return weights
+
+    def scored_nearest_fuzzy(self, query_terms: list[str]) -> DataFrame:
+        """NearestFuzzyQuery (classification/utils/NearestFuzzyQuery.java:
+        49-316): FuzzyLikeThisQuery simplified for KNN classification.
+        Variant selection is the shared logic with the classifier's
+        PINNED constants — maxEdits=1, prefixLength=2, 50 variants per
+        term, 300 global terms (:54-58) — and the same
+        ln((N+1)/(df+1))+1 idf (:197-199).  Doc scoring differs from
+        FuzzyLikeThis: the rewritten TermQueries carry an artificial
+        df=ttf=1 TermStates (:201-215) but run under the searcher's
+        BM25 similarity (KNearestFuzzyClassifier.java:97-99), so each
+        variant contributes w_v · (idf₁ − idf₁/(1 + tf·inv(len))) with
+        one shared idf₁ = ln(1 + (N − 0.5)/1.5) and the real norms —
+        pure column algebra over one postings decode."""
+        import math
+
+        weights = self._fuzzy_like_weights(
+            query_terms, max_edits=1, prefix_length=2,
+            max_num_terms=300, max_variants_per_term=50,
+        )
+        if not weights:
+            return self._empty_scored().select("segment_id", "docid", "score")
+        doc_count = int(self.field_stats["doc_count"])
+        avgdl = self.field_stats["sum_total_term_freq"] / float(doc_count)
+        idf1 = math.log(1.0 + (doc_count - 1 + 0.5) / (1 + 0.5))
+        from ..functions.smallfloat import byte4_to_int
+
+        lens = byte4_to_int(np.arange(256)).astype(np.float64)
+        inv = 1.0 / (
+            float(self.k1)
+            * ((1.0 - float(self.b)) + float(self.b) * lens / avgdl)
+        )
+        itab = F.array(*[F.lit(float(x)) for x in inv])
         wmap = F.broadcast(
             self.spark.createDataFrame(
                 sorted(weights.items()), "term string, w double"
             )
         )
         rows = self.scored_postings(list(weights), need_positions=False)
-        idf1 = math.log((doc_count + 1) / 2.0) + 1.0
-        from ..functions.similarities import classic_norm_table
-
-        nt = classic_norm_table(np.float64)
-        ntab = F.array(*[F.lit(float(x)) for x in nt])
-        if ignore_tf:
-            contrib = F.col("w")
-        else:
-            contrib = (
-                F.col("w")
-                * F.sqrt(F.col("freq").cast("double"))
-                * F.lit(idf1)
-                * F.element_at(ntab, F.col("norm") + 1)
+        contrib = F.col("w") * (
+            F.lit(idf1)
+            - F.lit(idf1)
+            / (
+                F.lit(1.0)
+                + F.col("freq").cast("double")
+                * F.element_at(itab, F.col("norm") + 1)
             )
+        )
         score_t = "float" if self.dtype == np.float32 else "double"
         return (
             rows.join(wmap, "term")
@@ -708,6 +789,9 @@ class QueryOpsMixin:
                 F.col("score_acc").cast(score_t).alias("score"),
             )
         )
+
+    def nearest_fuzzy_query(self, query_terms: list[str], k: int = 10) -> DataFrame:
+        return self._finish_topk(self.scored_nearest_fuzzy(query_terms), k)
 
     def fuzzy_like_this_query(
         self, query_terms: list[str], k: int = 10, **kw

@@ -290,3 +290,47 @@ class TestBM25NB:
         assert rows["spam"] == pytest.approx(exp["spam"], rel=1e-6)
         assert rows["spam"] > rows["ham"]
         assert abs(sum(rows.values()) - 1.0) < 1e-9
+
+
+class TestKnnFuzzy:
+    """KNearestFuzzyClassifier (KNearestFuzzyClassifier.java:50-202):
+    NearestFuzzyQuery neighbors over class-bearing docs + the same
+    vote as KNearestNeighborClassifier."""
+
+    def test_misspelled_input_classified(self, spark, nb_index):
+        from lucene_spark.operators.classify import knn_fuzzy_classify
+
+        s, classes = nb_index
+        got = knn_fuzzy_classify(s, classes, "pillz offer", k=3).collect()
+        assert got and got[0]["class"] == "spam"
+        # pillz->pills and offer occur only in spam docs: ham never votes
+        assert {r["class"] for r in got} == {"spam"}
+
+    def test_class_filter_restricts_neighbors(self, spark, nb_index):
+        """The MUST class:* clause: docs without a class row cannot be
+        neighbors (here: restrict classes to ham only — a spam-only
+        matching text then votes from ham docs alone or not at all)."""
+        from lucene_spark.operators.classify import knn_fuzzy_classify
+
+        s, classes = nb_index
+        ham_only = classes.where(F.col("class") == "ham")
+        got = knn_fuzzy_classify(s, ham_only, "meeting agenda", k=3).collect()
+        assert got and all(r["class"] == "ham" for r in got)
+
+    def test_vote_matches_knn_on_same_neighbors(self, spark, nb_index):
+        """buildListFromTopDocs is line-identical between the two
+        classifiers: with a pinned neighbor set the votes agree."""
+        from lucene_spark.operators.classify import (
+            knn_classify,
+            knn_fuzzy_classify,
+        )
+
+        s, classes = nb_index
+        nb = spark.createDataFrame(
+            [("u://1", 1.0), ("u://3", 0.6)], "url string, score double"
+        )
+        a = {(r["class"], round(r["score"], 9))
+             for r in knn_fuzzy_classify(s, classes, "", k=3, neighbors=nb).collect()}
+        b = {(r["class"], round(r["score"], 9))
+             for r in knn_classify(s, classes, "", k=3, neighbors=nb).collect()}
+        assert a == b

@@ -462,3 +462,99 @@ class TestPlanAssertions:
         plan = df._jdf.queryExecution().executedPlan().toString()
         # one hash aggregate + join; no Python eval in the combine
         assert "BatchEvalPython" not in plan
+
+
+class TestNearestFuzzy:
+    """NearestFuzzyQuery (classification/utils/NearestFuzzyQuery.java:
+    49-316): FuzzyLikeThis variant selection with pinned constants
+    (maxEdits=1, prefix=2, 50/300 queue sizes) but BM25 doc scoring
+    with an artificial df=1 idf shared by every variant."""
+
+    def _mirror(self, searcher, naive, sources):
+        import math
+
+        from lucene_spark.functions.smallfloat import LENGTH_TABLE
+        from lucene_spark.operators.queries import osa_distance
+
+        chosen = []
+        for src in dict.fromkeys(sources):
+            variants = searcher.expand_fuzzy(src, 1, 2)
+            sv, total_df = [], 0
+            for t in variants:
+                df = naive.doc_freq(t)
+                if df == 0:
+                    continue
+                ed = 0 if t == src else osa_distance(src, t, 1)
+                boost = (
+                    1.0 if ed == 0
+                    else 1.0 - ed / float(min(len(t), len(src)))
+                )
+                sv.append((t, boost))
+                total_df += df
+            if not sv:
+                continue
+            nvar = len(sv)
+            sv.sort(key=lambda v: (-v[1], v[0]))
+            sv = sv[:50]
+            df_src = naive.doc_freq(src) or total_df // nvar
+            idf_src = math.log((naive.N + 1) / (df_src + 1.0)) + 1.0
+            chosen += [(t, b * b * idf_src) for t, b in sv]
+        chosen.sort(key=lambda v: (-v[1], v[0]))
+        weights = {}
+        for t, w in chosen[:300]:
+            weights[t] = weights.get(t, 0.0) + w
+        idf1 = math.log(1.0 + (naive.N - 1 + 0.5) / (1 + 0.5))
+        avgdl = naive.sttf / naive.N
+        lens = LENGTH_TABLE.astype(np.float64)[naive.norms]
+        inv = 1.0 / (1.2 * (0.25 + 0.75 * lens / avgdl))
+        scores = np.zeros(naive.N)
+        for t, w in weights.items():
+            tf = naive.tf(t)
+            m = tf > 0
+            scores[m] += w * (idf1 - idf1 / (1 + tf[m] * inv[m]))
+        return {
+            naive.urls[i]: scores[i]
+            for i in range(naive.N)
+            if scores[i] > 0
+        }
+
+    def test_formula_mirror_exact_source(self, searcher, naive):
+        got = {
+            r["url"]: r["score"]
+            for r in searcher.nearest_fuzzy_query(["window"], k=10_000)
+            .collect()
+        }
+        exp = self._mirror(searcher, naive, ["window"])
+        assert set(got) == set(exp)
+        for u, s in got.items():
+            assert s == pytest.approx(exp[u], rel=1e-4), u
+
+    def test_formula_mirror_misspelled_sources(self, searcher, naive):
+        got = {
+            r["url"]: r["score"]
+            for r in searcher.nearest_fuzzy_query(
+                ["windoq", "tabel"], k=10_000
+            ).collect()
+        }
+        exp = self._mirror(searcher, naive, ["windoq", "tabel"])
+        assert set(got) == set(exp)
+        for u, s in got.items():
+            assert s == pytest.approx(exp[u], rel=1e-4), u
+
+    def test_prefix_two_pinned(self, searcher):
+        """prefix=2 is fixed: a one-edit variant differing in the
+        first two chars is never enumerated (PREFIX_LENGTH = 2,
+        NearestFuzzyQuery.java:57)."""
+        vs = set(searcher.expand_fuzzy("windoq", 1, 2))
+        assert all(v[:2] == "wi" for v in vs)
+
+    def test_flt_same_selection_different_doc_scoring(self, searcher):
+        """Same variants as FuzzyLikeThis at the pinned params, but the
+        BM25 df=1 doc scoring orders/values differently from the
+        Classic sqrt(tf)/sqrt(len) chain."""
+        nf = searcher.nearest_fuzzy_query(["windoq"], k=10_000).collect()
+        flt = searcher.fuzzy_like_this_query(
+            ["windoq"], max_edits=1, prefix_length=2,
+            max_num_terms=300, k=10_000,
+        ).collect()
+        assert {r["url"] for r in nf} == {r["url"] for r in flt}
