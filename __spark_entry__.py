@@ -4153,6 +4153,29 @@ def _q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def _q_block_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlockGroupingCollector (grouping/BlockGroupingCollector.java:
+    68-512): 'data' matches grouped by lang; top-3 groups by best doc
+    score, top-2 docs each, plus the single-pass totalGroupCount /
+    totalHitCount."""
+    from lucene_spark.operators.grouping import block_group_top_k
+
+    s = _get_searcher(spark, sf_dir)
+    scored = s._attach_urls(
+        s.scored_boolean(should=["data"]).withColumn(
+            "local_docid", F.col("docid")
+        )
+    ).select(_doc_id("url"), "score")
+    docs = _docs_table(spark, sf_dir).select("doc_id", "lang")
+    m = scored.join(F.broadcast(docs), "doc_id")
+    out = block_group_top_k(m, F.col("lang"), n_groups=3, k_per_group=2)
+    return out.select(
+        "grp", "g_rank", "rn", "doc_id",
+        F.round("score", 6).alias("score"),
+        "total_group_count", "total_hits",
+    ).orderBy("g_rank", "rn")
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.functions.textstats import subword_count, token_count
 
@@ -8627,6 +8650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standard_fn_parsed_top10": _q_standard_fn,
         "block_join_orders_max": _q_block_join,
         "block_join_sort_min20": _q_block_join_sort,
+        "block_grouping_top": _q_block_grouping,
         "drill_sideways_docs": _q_drill_sideways,
         # round-2: previously pytest-only operators
         "fuzzy_match": _q_fuzzy,
@@ -9843,6 +9867,39 @@ def oracle_sql() -> dict[str, str]:
                    round(max(l.l_extendedprice), 4) AS join_score
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             WHERE l.l_quantity > 45 GROUP BY o.o_orderkey""",
+        "block_grouping_top": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'data' GROUP BY doc_id),
+            df AS (SELECT count(*)::BIGINT AS df FROM tf),
+            ds AS (SELECT tf.doc_id,
+                          ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+                          - ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+                            /(1 + tf.tf *
+                              (1.0/(1.2*(0.25 +
+                                 0.75*{_norm_len_sql('dl.dl')}
+                                 /(st.sttf/st.n))))) AS s
+                   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN df CROSS JOIN st),
+            g AS (SELECT d.lang AS grp, ds.doc_id, ds.s
+                  FROM ds JOIN documents d USING (doc_id)),
+            gr AS (SELECT grp, max(s) AS g_key,
+                          count(*)::BIGINT AS g_hits
+                   FROM g GROUP BY grp),
+            stats AS (SELECT count(*)::BIGINT AS total_group_count,
+                             sum(g_hits)::BIGINT AS total_hits FROM gr),
+            kept AS (SELECT grp, g_key,
+                            row_number() OVER (ORDER BY g_key DESC, grp)
+                              AS g_rank
+                     FROM gr QUALIFY g_rank <= 3),
+            ranked AS (SELECT g.grp, kept.g_rank,
+                              row_number() OVER (PARTITION BY g.grp
+                                ORDER BY g.s DESC, g.doc_id) AS rn,
+                              g.doc_id, g.s
+                       FROM g JOIN kept USING (grp) QUALIFY rn <= 2)
+            SELECT grp, g_rank, rn, doc_id, round(s, 6) AS score,
+                   stats.total_group_count, stats.total_hits
+            FROM ranked CROSS JOIN stats ORDER BY g_rank, rn""",
         "block_join_sort_min20": """
             SELECT o_orderkey,
                    round(coalesce(sel, 1e18), 4) AS sort_value

@@ -80,3 +80,76 @@ def grouped_facet_counts(
     if order_by_count:
         return out.orderBy(F.desc("cnt"), F.asc("value"))
     return out.orderBy(F.asc("value"))
+
+
+def block_group_top_k(
+    matches: DataFrame,
+    group_col: Column,
+    n_groups: int = 10,
+    k_per_group: int = 2,
+    group_offset: int = 0,
+    within_offset: int = 0,
+    group_sort_agg: Column | None = None,
+    group_order: list[Column] | None = None,
+    within_order: list[Column] | None = None,
+) -> DataFrame:
+    """BlockGroupingCollector (``grouping/.../BlockGroupingCollector
+    .java:68-512``): single-pass grouping over doc blocks — the top
+    ``n_groups`` groups by a group sort, each carrying its top
+    ``k_per_group`` docs by a within-group sort, plus the collector's
+    free ``totalGroupCount`` (every matched group, not just the kept
+    ones — the AllGroupsCollector the two-pass family needs
+    separately) and ``totalHitCount``.  ``groupOffset`` /
+    ``withinGroupOffset`` replay ``getTopGroups``' paging
+    (:265-372).  The group sort defaults to ``Sort.RELEVANCE`` —
+    compare groups on their best-scoring doc (:99-213's OneGroup
+    topGroupDoc under relevance) with first-group (smaller key) ties;
+    ``group_sort_agg`` + ``group_order`` override it for field sorts.
+    Lucene leaves ``groupValue`` null (blocks carry no group term);
+    here ``grp`` IS the block key the caller grouped by, strictly
+    more informative.
+
+    Scale shape: ONE hash shuffle on the group key feeds both the
+    per-group aggregate and the within-group window (same
+    partitioning, no second exchange); the kept-group set is tiny and
+    broadcast back; the stats are one extra partial aggregate —
+    nothing funnels raw matches to the driver."""
+    from pyspark.sql import Window
+
+    if group_sort_agg is None:
+        group_sort_agg = F.max("score")
+    if group_order is None:
+        group_order = [F.desc("g_key"), F.asc("grp")]
+    if within_order is None:
+        within_order = [F.desc("score"), F.asc("doc_id")]
+
+    g = matches.withColumn("grp", group_col)
+    groups = g.groupBy("grp").agg(
+        group_sort_agg.alias("g_key"), F.count("*").alias("g_hits")
+    )
+    stats = groups.agg(
+        F.count("*").alias("total_group_count"),
+        F.sum("g_hits").alias("total_hits"),
+    )
+    # distributed top-(offset+n) first (TakeOrderedAndProject — the PQ
+    # analog, never a global single-partition sort of all groups), THEN
+    # rank the tiny survivor set for paging
+    lim = group_offset + n_groups
+    gw = Window.orderBy(*group_order)
+    kept = (
+        groups.orderBy(*group_order)
+        .limit(lim)
+        .withColumn("g_rank", F.row_number().over(gw))
+        .where(F.col("g_rank") > group_offset)
+        .select("grp", "g_key", "g_rank")
+    )
+    w = Window.partitionBy("grp").orderBy(*within_order)
+    ranked = (
+        g.join(F.broadcast(kept), "grp")
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            (F.col("rn") > within_offset)
+            & (F.col("rn") <= within_offset + k_per_group)
+        )
+    )
+    return ranked.crossJoin(F.broadcast(stats))

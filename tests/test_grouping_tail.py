@@ -92,3 +92,59 @@ class TestGroupedFacetCounts:
             order_by_count=False,
         ).collect()
         assert [r["value"] for r in rows] == ["en", "es", "fr"]
+
+
+class TestBlockGrouping:
+    """BlockGroupingCollector (BlockGroupingCollector.java:68-512):
+    single-pass top-N groups + top-k docs per group + free
+    totalGroupCount / totalHitCount, with group/within paging."""
+
+    def test_relevance_group_sort_and_stats(self, spark):
+        from lucene_spark.operators.grouping import block_group_top_k
+
+        out = block_group_top_k(
+            _frame(spark), F.col("grp"), n_groups=2, k_per_group=2
+        ).collect()
+        # groups by best score: g3 (9.0), then g1/g2 tie at 5.0 -> g1
+        got = {(r["grp"], r["rn"]): r["doc_id"] for r in out}
+        assert got == {("g3", 1): 7, ("g3", 2): 6,
+                       ("g1", 1): 2, ("g1", 2): 1}
+        ranks = {r["grp"]: r["g_rank"] for r in out}
+        assert ranks == {"g3": 1, "g1": 2}
+        # stats cover ALL matched groups/docs, not just the kept ones
+        assert all(r["total_group_count"] == 3 for r in out)
+        assert all(r["total_hits"] == 7 for r in out)
+
+    def test_group_and_within_offsets(self, spark):
+        from lucene_spark.operators.grouping import block_group_top_k
+
+        out = block_group_top_k(
+            _frame(spark), F.col("grp"),
+            n_groups=1, k_per_group=1,
+            group_offset=1, within_offset=1,
+        ).collect()
+        # skip g3; g1's second-best doc (score 3.0 = doc 1)
+        assert [(r["grp"], r["g_rank"], r["rn"], r["doc_id"])
+                for r in out] == [("g1", 2, 2, 1)]
+
+    def test_field_group_sort_override(self, spark):
+        from lucene_spark.operators.grouping import block_group_top_k
+
+        # group sort: fewest hits first (a field-ish sort), grp tie asc
+        out = block_group_top_k(
+            _frame(spark), F.col("grp"),
+            n_groups=1, k_per_group=3,
+            group_sort_agg=F.count("*"),
+            group_order=[F.asc("g_key"), F.asc("grp")],
+        ).collect()
+        assert {r["grp"] for r in out} == {"g2"}
+        assert sorted(r["doc_id"] for r in out) == [4, 5]
+
+    def test_plan_is_one_shuffle_plus_broadcasts(self, spark):
+        from lucene_spark.operators.grouping import block_group_top_k
+
+        df = block_group_top_k(_frame(spark), F.col("grp"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        # the kept-group set and stats come back as broadcasts
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
