@@ -7616,6 +7616,34 @@ def _q_bm25_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id", "class")
 
 
+def _q_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanPerceptronClassifier (BooleanPerceptronClassifier.java:
+    60-240): exact distributed replay — train over docs 0-7 (class =
+    lang=='en'), batchSize=4 (refresh candidates at ordinals 0 and 4,
+    stale-FST reads, last-writer-wins windows, trailing updates
+    discarded), then assignClass docs 0-3 with the trained model."""
+    from lucene_spark.operators.classify import (
+        boolean_perceptron_classify,
+        train_boolean_perceptron,
+    )
+
+    s = _get_searcher(spark, sf_dir)
+    docs = _docs_table(spark, sf_dir)
+    train = docs.where(F.col("doc_id") < 8).select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", "true")
+        .otherwise("false")
+        .alias("class"),
+    )
+    model = train_boolean_perceptron(s, train, batch_size=4)
+    texts = docs.where(F.col("doc_id") < 4).select("doc_id", "text")
+    out = boolean_perceptron_classify(s, model, texts)
+    return out.select(
+        "id", "assigned", F.round("score", 6).alias("score")
+    ).orderBy("id")
+
+
 def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNearestNeighborClassifier vote over a deterministic neighbor
     set: BM25 top-10 for 'window' (doc_id tie-break), class = lang;
@@ -8737,6 +8765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "long_value_facets": _q_long_value_facets,
         "nb_classify_posteriors": _q_nb_posteriors,
         "bm25_nb_posteriors": _q_bm25_nb,
+        "perceptron_classify": _q_perceptron,
         "knn_classify_vote": _q_knn_classify,
         "classification_metrics": _q_classification_metrics,
         "sessionize_stats": _q_sessionize_stats,
@@ -9761,6 +9790,69 @@ def oracle_sql() -> dict[str, str]:
             {_nearest_fuzzy_sql()}
             SELECT doc_id, round(s, 6) AS score FROM nfs
             ORDER BY s DESC, doc_id LIMIT 10""",
+        "perceptron_classify": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            w0 AS (SELECT term, count(*)::BIGINT AS w FROM tok
+                   GROUP BY term),
+            bias AS (SELECT st.sttf/st.n AS b FROM st),
+            tr AS (SELECT doc_id AS ord, (lang = 'en') AS correct
+                   FROM documents WHERE doc_id < 8),
+            ttf AS (SELECT doc_id AS ord, term, count(*)::BIGINT AS tf
+                    FROM tok WHERE doc_id < 8 GROUP BY doc_id, term),
+            p0 AS (SELECT t.ord,
+                          sum(t.tf * coalesce(w0.w, 0))::BIGINT AS outv
+                   FROM ttf t LEFT JOIN w0 USING (term) GROUP BY t.ord),
+            m0 AS (SELECT p0.ord,
+                          CASE WHEN tr.correct THEN 1 ELSE -1 END
+                            AS modifier
+                   FROM p0 JOIN tr USING (ord) CROSS JOIN bias
+                   WHERE (p0.outv >= bias.b) <> tr.correct),
+            r0 AS (SELECT min(ord) AS r FROM m0 WHERE ord % 4 = 0),
+            u0 AS (SELECT term, tf, modifier,
+                          row_number() OVER (PARTITION BY term
+                            ORDER BY ord DESC) AS rn
+                   FROM ttf JOIN m0 USING (ord) CROSS JOIN r0
+                   WHERE ord <= r0.r),
+            d0 AS (SELECT u.term,
+                          CASE WHEN w0.w IS NULL THEN 0
+                               ELSE greatest(0, w0.w + u.modifier * u.tf)
+                          END::BIGINT AS w
+                   FROM u0 u LEFT JOIN w0 USING (term) WHERE u.rn = 1),
+            w1 AS (SELECT term, w FROM w0
+                   WHERE term NOT IN (SELECT term FROM d0)
+                   UNION ALL SELECT term, w FROM d0),
+            p1 AS (SELECT t.ord,
+                          sum(t.tf * coalesce(w1.w, 0))::BIGINT AS outv
+                   FROM ttf t LEFT JOIN w1 USING (term) CROSS JOIN r0
+                   WHERE r0.r IS NOT NULL AND t.ord > r0.r
+                   GROUP BY t.ord),
+            m1 AS (SELECT p1.ord,
+                          CASE WHEN tr.correct THEN 1 ELSE -1 END
+                            AS modifier
+                   FROM p1 JOIN tr USING (ord) CROSS JOIN bias
+                   WHERE (p1.outv >= bias.b) <> tr.correct),
+            r1 AS (SELECT min(ord) AS r FROM m1 WHERE ord % 4 = 0),
+            u1 AS (SELECT term, tf, modifier,
+                          row_number() OVER (PARTITION BY term
+                            ORDER BY ord DESC) AS rn
+                   FROM ttf JOIN m1 USING (ord) CROSS JOIN r1
+                   WHERE ord <= r1.r),
+            d1 AS (SELECT u.term,
+                          CASE WHEN w1.w IS NULL THEN 0
+                               ELSE greatest(0, w1.w + u.modifier * u.tf)
+                          END::BIGINT AS w
+                   FROM u1 u LEFT JOIN w1 USING (term) WHERE u.rn = 1),
+            w2 AS (SELECT term, w FROM w1
+                   WHERE term NOT IN (SELECT term FROM d1)
+                   UNION ALL SELECT term, w FROM d1),
+            cls AS (SELECT doc_id AS id, term, count(*)::BIGINT AS tf
+                    FROM tok WHERE doc_id < 4 GROUP BY doc_id, term),
+            o AS (SELECT c.id,
+                         sum(c.tf * coalesce(w2.w, 0))::BIGINT AS outv
+                  FROM cls c LEFT JOIN w2 USING (term) GROUP BY c.id)
+            SELECT id, (outv >= bias.b) AS assigned,
+                   round(1 - exp(-abs(bias.b - outv)/bias.b), 6) AS score
+            FROM o CROSS JOIN bias ORDER BY id""",
         "knn_fuzzy_classify_vote": f"""
             {_nearest_fuzzy_sql()},
             top AS (SELECT doc_id, s FROM nfs

@@ -71,8 +71,9 @@ def _texts_tokens(searcher, texts_df: DataFrame, id_col: str, text_col: str) -> 
                 terms.extend(terms_i)
             yield pd.DataFrame({"id": ids, "term": terms})
 
+    id_type = dict(texts_df.dtypes)[id_col]
     toks = texts_df.select(id_col, text_col).mapInPandas(
-        kernel, schema=f"id long, term string"
+        kernel, schema=f"id {id_type}, term string"
     )
     return toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
 
@@ -545,4 +546,190 @@ def split_dataset(
         df.where(b >= cv_hi),
         df.where(b < t_hi),
         df.where((b >= t_hi) & (b < cv_hi)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boolean perceptron
+# ---------------------------------------------------------------------------
+
+
+def perceptron_bias(searcher) -> float:
+    """The automatic bias: average field length
+    (BooleanPerceptronClassifier.java:98-112)."""
+    return searcher.field_stats["sum_total_term_freq"] / float(
+        searcher.field_stats["doc_count"]
+    )
+
+
+def train_boolean_perceptron(
+    searcher,
+    train_df: DataFrame,
+    batch_size: int = 1,
+    bias: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    class_col: str = "class",
+) -> DataFrame:
+    """(term, weight) — the trained model of
+    ``BooleanPerceptronClassifier`` (classification/
+    BooleanPerceptronClassifier.java:60-220), replayed EXACTLY:
+
+    * initial weights = each dictionary term's totalTermFreq (:115-121);
+    * docs stream in ``id_col`` order (the reference's constant-score
+      class:* search yields docid order);
+    * prediction sums the STALE FST's weights over token occurrences,
+      assigned = sum >= bias (:223-240) — the FST refreshes only at a
+      misclassified doc whose ordinal is ≡ 0 (mod batchSize) (:160-166);
+    * a misclassified doc writes max(0, fst[t] + modifier·tf_d(t)) for
+      each of its terms, reading the STALE fst (:168-201), so within a
+      refresh window the LAST misclassified doc containing a term wins;
+    * updates after the final refresh are DISCARDED — the model is the
+      FST, and ``weights.clear()`` (:166) throws the tail away.
+
+    Those stale-read semantics make the replay distributed: each
+    refresh window is one parallel prediction pass over the remaining
+    docs (join with the snapshot frame) + one per-term max-ordinal
+    aggregate for the delta; the snapshot advances S ← S ⊕ Δ(window)
+    with an eager localCheckpoint per round (iterative-loop
+    invariant).  Only the refresh ordinal (one long) is collected per
+    round; the model never funnels to the driver.  Rounds = number of
+    FST refreshes ≈ misclassified-multiples-of-batchSize: size
+    ``batch_size`` to bound driver round-trips, exactly like the
+    reference sizes its FST rebuild cost."""
+    from pyspark.sql import Window
+
+    if bias is None:
+        bias = perceptron_bias(searcher)
+    train = train_df.where(
+        F.col(text_col).isNotNull() & F.col(class_col).isNotNull()
+    )
+    meta = (
+        train.select(
+            F.col(id_col).alias("id"),
+            (F.lower(F.col(class_col).cast("string")) == "true").alias(
+                "correct"
+            ),
+        )
+        .withColumn(
+            "ord",
+            F.row_number().over(Window.orderBy(F.asc("id"))) - 1,
+        )
+    )
+    tokens = (
+        _texts_tokens(searcher, train, id_col, text_col)
+        .join(meta, "id")
+        .persist()
+    )
+    tokens.count()  # materialize once; static across rounds
+
+    s_df = searcher._terms_df.select(
+        "term", F.col("total_term_freq").cast("long").alias("weight")
+    ).localCheckpoint(eager=True)
+
+    pos = 0
+    while True:
+        pred = (
+            tokens.where(F.col("ord") >= pos)
+            .join(s_df, "term", "left")
+            .groupBy("id", "ord", "correct")
+            .agg(
+                F.sum(
+                    F.col("tf") * F.coalesce(F.col("weight"), F.lit(0))
+                ).alias("out")
+            )
+        )
+        # docs whose text analyzed to nothing never enter tokens: their
+        # output is 0 -> assigned = (0 >= bias), usually False
+        empty = meta.where(F.col("ord") >= pos).join(
+            tokens.select("id").distinct(), "id", "left_anti"
+        ).select("id", "ord", "correct", F.lit(0).cast("long").alias("out"))
+        mis = (
+            pred.unionByName(empty)
+            .withColumn("assigned", F.col("out") >= F.lit(float(bias)))
+            .where(F.col("assigned") != F.col("correct"))
+            .select(
+                "id",
+                "ord",
+                F.when(F.col("correct"), F.lit(1))
+                .otherwise(F.lit(-1))
+                .alias("modifier"),
+            )
+        )
+        r_row = (
+            mis.where(F.col("ord") % batch_size == 0)
+            .agg(F.min("ord").alias("r"))
+            .collect()[0]
+        )
+        r = r_row["r"]
+        if r is None:
+            # no refresh left: trailing updates are discarded (:166)
+            break
+        win = mis.where(F.col("ord") <= r).select("id", "modifier")
+        wtok = tokens.join(win, "id")
+        w_last = Window.partitionBy("term").orderBy(F.desc("ord"))
+        winner = (
+            wtok.withColumn("rn", F.row_number().over(w_last))
+            .where(F.col("rn") == 1)
+            .select("term", "tf", "modifier")
+        )
+        delta = winner.join(s_df, "term", "left").select(
+            "term",
+            F.when(F.col("weight").isNull(), F.lit(0).cast("long"))
+            .otherwise(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.col("weight") + F.col("modifier") * F.col("tf"),
+                )
+            )
+            .alias("weight"),
+        )
+        s_df = (
+            s_df.join(delta, "term", "left_anti")
+            .unionByName(delta)
+            .localCheckpoint(eager=True)
+        )
+        pos = int(r) + 1
+    tokens.unpersist()
+    return s_df
+
+
+def boolean_perceptron_classify(
+    searcher,
+    weights_df: DataFrame,
+    texts_df: DataFrame,
+    bias: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, assigned, score) — ``assignClass`` (:223-240): sum the
+    model weights over token occurrences (absent terms contribute 0),
+    assigned = sum >= bias, score = 1 − exp(−|bias − sum| / bias)."""
+    if bias is None:
+        bias = perceptron_bias(searcher)
+    tokens = _texts_tokens(searcher, texts_df, id_col, text_col)
+    out = (
+        tokens.join(weights_df, "term", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.coalesce(F.col("weight"), F.lit(0))
+            ).alias("out")
+        )
+    )
+    base = texts_df.select(F.col(id_col).alias("id")).distinct()
+    b = float(bias)
+    return (
+        base.join(out, "id", "left")
+        .withColumn("out", F.coalesce(F.col("out"), F.lit(0)))
+        .select(
+            "id",
+            (F.col("out") >= F.lit(b)).alias("assigned"),
+            (
+                F.lit(1.0)
+                - F.exp(
+                    -F.abs(F.lit(b) - F.col("out").cast("double")) / F.lit(b)
+                )
+            ).alias("score"),
+        )
     )

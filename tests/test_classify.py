@@ -334,3 +334,99 @@ class TestKnnFuzzy:
         b = {(r["class"], round(r["score"], 9))
              for r in knn_classify(s, classes, "", k=3, neighbors=nb).collect()}
         assert a == b
+
+
+def _mirror_perceptron(batch_size: int, bias: float):
+    """Sequential replay of BooleanPerceptronClassifier.java:60-220
+    over ROWS (class true = spam): stale-FST predictions, continuous
+    weights-map writes, FST refresh only at misclassified ordinals
+    ≡ 0 (mod batchSize), trailing updates discarded."""
+    from collections import Counter
+
+    docs = sorted(
+        (u, t.split(), c == "spam") for u, t, c in ROWS
+    )  # ord = url order (engine: id asc)
+    wm = Counter()
+    for _, toks, _ in docs:
+        wm.update(toks)
+    wm = dict(wm)
+    fst = dict(wm)
+    for ordn, (_, toks, correct) in enumerate(docs):
+        out = sum(fst.get(t, 0) for t in toks)
+        assigned = out >= bias
+        if assigned != correct:
+            mod = 1 if correct else -1
+            from collections import Counter as C
+
+            for t, tf in C(toks).items():
+                prev = fst.get(t)
+                wm[t] = 0 if prev is None else max(0, prev + mod * tf)
+            if ordn % batch_size == 0:
+                fst = dict(wm)
+    return fst
+
+
+class TestBooleanPerceptron:
+    """BooleanPerceptronClassifier (BooleanPerceptronClassifier.java:
+    60-240): exact replay incl. stale-FST reads, last-writer-wins
+    windows, and the discarded trailing updates."""
+
+    def _train_frame(self, spark):
+        return spark.createDataFrame(
+            [(u, t, "true" if c == "spam" else "false") for u, t, c in ROWS],
+            "doc_id string, text string, class string",
+        )
+
+    @pytest.mark.parametrize("batch", [1, 2, 4])
+    def test_exact_replay(self, spark, nb_index, batch):
+        from lucene_spark.operators.classify import (
+            perceptron_bias,
+            train_boolean_perceptron,
+        )
+
+        s, _ = nb_index
+        bias = perceptron_bias(s)
+        got = {
+            r["term"]: r["weight"]
+            for r in train_boolean_perceptron(
+                s, self._train_frame(spark), batch_size=batch,
+                id_col="doc_id",
+            ).collect()
+        }
+        exp = _mirror_perceptron(batch, bias)
+        assert got == exp, {
+            t: (got.get(t), exp.get(t))
+            for t in set(got) | set(exp)
+            if got.get(t) != exp.get(t)
+        }
+
+    def test_classify_formula(self, spark, nb_index):
+        import math
+
+        from lucene_spark.operators.classify import (
+            boolean_perceptron_classify,
+            perceptron_bias,
+            train_boolean_perceptron,
+        )
+
+        s, _ = nb_index
+        bias = perceptron_bias(s)
+        model = train_boolean_perceptron(
+            s, self._train_frame(spark), batch_size=1, id_col="doc_id"
+        )
+        fst = {r["term"]: r["weight"] for r in model.collect()}
+        texts = spark.createDataFrame(
+            [(1, "buy pills now"), (2, "quarterly review"), (3, "")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["id"]: r
+            for r in boolean_perceptron_classify(s, model, texts).collect()
+        }
+        for i, toks in [(1, ["buy", "pills", "now"]),
+                        (2, ["quarterly", "review"]), (3, [])]:
+            out = sum(fst.get(t, 0) for t in toks)
+            assert rows[i]["assigned"] == (out >= bias)
+            assert rows[i]["score"] == pytest.approx(
+                1 - math.exp(-abs(bias - out) / bias), abs=1e-12
+            )
