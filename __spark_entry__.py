@@ -7644,6 +7644,96 @@ def _q_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def _q_caching_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CachingNaiveBayesClassifier (CachingNaiveBayesClassifier.java:
+    96-254): like SimpleNaiveBayes but with NO log prior and the
+    justCachedTerms low-occurrence filter — terms with indexed
+    docFreq <= minTermOccurrenceInCache(=2) are never searched, so
+    their hits are 0 for every class."""
+    from lucene_spark.operators.classify import caching_naive_bayes_scores
+
+    s = _get_searcher(spark, sf_dir)
+    texts = (
+        _docs_table(spark, sf_dir)
+        .where(F.col("doc_id") < 4)
+        .select("doc_id", "text")
+    )
+    sc = caching_naive_bayes_scores(
+        s, _lang_classes(spark, sf_dir), texts, min_term_occurrence=2
+    )
+    return sc.select(
+        F.col("id"), F.col("class"), F.round("score", 6).alias("score")
+    ).orderBy("id", "class")
+
+
+def _q_doc_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleNaiveBayesDocumentClassifier
+    (document/SimpleNaiveBayesDocumentClassifier.java:105-273): body
+    (boost 1) + title (first 8 tokens, boost 2) against lang classes —
+    per field, prior + boost * token-averaged log-likelihood with the
+    FIELD's own avgUniqueTerms in the denominator."""
+    from lucene_spark.operators.classify import naive_bayes_document_scores
+
+    body = _get_searcher(spark, sf_dir)
+    title = _variant_searcher(spark, sf_dir, "title")
+    docs = (
+        _docs_table(spark, sf_dir)
+        .where(F.col("doc_id") < 4)
+        .select(
+            "doc_id",
+            F.col("text").alias("body"),
+            F.concat_ws(
+                " ", F.slice(F.split("text", " "), 1, _TITLE_TOKENS)
+            ).alias("title"),
+        )
+    )
+    sc = naive_bayes_document_scores(
+        {"body": (body, 1.0), "title": (title, 2.0)},
+        _lang_classes(spark, sf_dir),
+        docs,
+    )
+    return sc.select(
+        F.col("id"), F.col("class"), F.round("score", 6).alias("score")
+    ).orderBy("id", "class")
+
+
+def _q_knn_doc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNearestNeighborDocumentClassifier
+    (document/KNearestNeighborDocumentClassifier.java:118-155): MLT
+    clauses for doc 0's body + title (boost 2), each selected term a
+    TermQuery boosted by fieldBoost * tfidf/bestTfidf, SHOULD-summed;
+    top-10 (doc_id tie-break) then the buildListFromTopDocs vote."""
+    from lucene_spark.operators.classify import (
+        knn_document_classify,
+        knn_document_scored,
+    )
+    from lucene_spark.sources.web_pages import url_for_doc_id_col
+
+    body = _get_searcher(spark, sf_dir)
+    title = _variant_searcher(spark, sf_dir, "title")
+    fields = {"body": (body, 1.0), "title": (title, 2.0)}
+    classes = _lang_classes(spark, sf_dir)
+    seed = (
+        _docs_table(spark, sf_dir)
+        .where(F.col("doc_id") == 0)
+        .select("text")
+        .first()["text"]
+    )
+    doc = {"body": seed, "title": " ".join(seed.split()[:_TITLE_TOKENS])}
+    scored = knn_document_scored(
+        fields, classes, doc,
+        min_term_freq=1, min_doc_freq=2, max_query_terms=15,
+    )
+    top = _topk_by_doc_id(body, scored, k=10)
+    neighbors = top.select(url_for_doc_id_col().alias("url"), "score")
+    out = knn_document_classify(
+        fields, classes, doc, k=10, neighbors=neighbors
+    )
+    return out.select(
+        "class", F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("class"))
+
+
 def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNearestNeighborClassifier vote over a deterministic neighbor
     set: BM25 top-10 for 'window' (doc_id tie-break), class = lang;
@@ -8766,6 +8856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify_posteriors": _q_nb_posteriors,
         "bm25_nb_posteriors": _q_bm25_nb,
         "perceptron_classify": _q_perceptron,
+        "caching_nb_posteriors": _q_caching_nb,
+        "doc_nb_posteriors": _q_doc_nb,
+        "knn_doc_classify_vote": _q_knn_doc_classify,
         "knn_classify_vote": _q_knn_classify,
         "classification_metrics": _q_classification_metrics,
         "sessionize_stats": _q_sessionize_stats,
@@ -9853,6 +9946,172 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, (outv >= bias.b) AS assigned,
                    round(1 - exp(-abs(bias.b - outv)/bias.b), 6) AS score
             FROM o CROSS JOIN bias ORDER BY id""",
+        "caching_nb_posteriors": f"""
+            WITH {_TOK},
+            udoc AS (SELECT DISTINCT doc_id, term FROM tok),
+            sdf AS (SELECT count(*)::DOUBLE AS sum_doc_freq FROM udoc),
+            nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            cs AS (SELECT lang AS class,
+                          (sdf.sum_doc_freq / nn.n) * count(*) + nn.n AS den
+                   FROM documents CROSS JOIN sdf CROSS JOIN nn
+                   GROUP BY lang, sdf.sum_doc_freq, nn.n),
+            itok AS (SELECT doc_id AS id, term, count(*)::BIGINT AS tf
+                     FROM tok WHERE doc_id < 4 GROUP BY doc_id, term),
+            tdf AS (SELECT term, count(*)::BIGINT AS df FROM udoc
+                    GROUP BY term),
+            hits AS (SELECT u.term, d.lang AS class, count(*)::BIGINT AS h
+                     FROM udoc u JOIN documents d USING (doc_id)
+                          JOIN tdf ON tdf.term = u.term
+                     WHERE u.term IN (SELECT DISTINCT term FROM itok)
+                       AND tdf.df > 2
+                     GROUP BY u.term, d.lang),
+            raw AS (SELECT itok.id, cs.class,
+                           sum(itok.tf *
+                             ln((coalesce(h.h, 0) + 1.0) / cs.den)) AS sc
+                    FROM itok CROSS JOIN cs
+                    LEFT JOIN hits h
+                      ON h.term = itok.term AND h.class = cs.class
+                    GROUP BY itok.id, cs.class),
+            norm AS (SELECT id, class, sc,
+                            max(sc) OVER (PARTITION BY id) AS m FROM raw),
+            fin AS (SELECT id, class,
+                           exp(sc - (m + ln(sum(exp(sc - m))
+                             OVER (PARTITION BY id)))) AS score FROM norm)
+            SELECT id, class, round(score, 6) AS score
+            FROM fin ORDER BY id, class""",
+        "doc_nb_posteriors": f"""
+            WITH {_TOK},
+            tokt AS (SELECT doc_id,
+                            unnest(list_slice(string_split(text, ' '),
+                                              1, {_TITLE_TOKENS})) AS term
+                     FROM documents),
+            nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            cls AS (SELECT lang AS class, count(*)::BIGINT AS cdf
+                    FROM documents GROUP BY lang),
+            udb AS (SELECT DISTINCT doc_id, term FROM tok),
+            udt AS (SELECT DISTINCT doc_id, term FROM tokt),
+            ab AS (SELECT (SELECT count(*) FROM udb)::DOUBLE / nn.n AS au
+                   FROM nn),
+            "at" AS (SELECT (SELECT count(*) FROM udt)::DOUBLE / nn.n AS au
+                   FROM nn),
+            ib AS (SELECT doc_id AS id, term, count(*)::BIGINT AS tf
+                   FROM tok WHERE doc_id < 4 GROUP BY doc_id, term),
+            it AS (SELECT doc_id AS id, term, count(*)::BIGINT AS tf
+                   FROM tokt WHERE doc_id < 4 GROUP BY doc_id, term),
+            hb AS (SELECT u.term, d.lang AS class, count(*)::BIGINT AS h
+                   FROM udb u JOIN documents d USING (doc_id)
+                   WHERE u.term IN (SELECT DISTINCT term FROM ib)
+                   GROUP BY u.term, d.lang),
+            ht AS (SELECT u.term, d.lang AS class, count(*)::BIGINT AS h
+                   FROM udt u JOIN documents d USING (doc_id)
+                   WHERE u.term IN (SELECT DISTINCT term FROM it)
+                   GROUP BY u.term, d.lang),
+            cb AS (SELECT ib.id, cls.class,
+                          (ln(cls.cdf) - ln(nn.n))
+                          + 1.0 * sum(ib.tf *
+                              ln((coalesce(hb.h, 0) + 1.0) /
+                                 (ab.au * cls.cdf + nn.n))) / sum(ib.tf)
+                            AS c
+                   FROM ib CROSS JOIN cls CROSS JOIN nn CROSS JOIN ab
+                   LEFT JOIN hb
+                     ON hb.term = ib.term AND hb.class = cls.class
+                   GROUP BY ib.id, cls.class, cls.cdf, nn.n, ab.au),
+            ct AS (SELECT it.id, cls.class,
+                          (ln(cls.cdf) - ln(nn.n))
+                          + 2.0 * sum(it.tf *
+                              ln((coalesce(ht.h, 0) + 1.0) /
+                                 ("at".au * cls.cdf + nn.n))) / sum(it.tf)
+                            AS c
+                   FROM it CROSS JOIN cls CROSS JOIN nn CROSS JOIN "at"
+                   LEFT JOIN ht
+                     ON ht.term = it.term AND ht.class = cls.class
+                   GROUP BY it.id, cls.class, cls.cdf, nn.n, "at".au),
+            raw AS (SELECT id, class, sum(c) AS sc
+                    FROM (SELECT * FROM cb UNION ALL SELECT * FROM ct)
+                    GROUP BY id, class),
+            norm AS (SELECT id, class, sc,
+                            max(sc) OVER (PARTITION BY id) AS m FROM raw),
+            fin AS (SELECT id, class,
+                           exp(sc - (m + ln(sum(exp(sc - m))
+                             OVER (PARTITION BY id)))) AS score FROM norm)
+            SELECT id, class, round(score, 6) AS score
+            FROM fin ORDER BY id, class""",
+        "knn_doc_classify_vote": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tokt AS (SELECT doc_id,
+                            unnest(list_slice(string_split(text, ' '),
+                                              1, {_TITLE_TOKENS})) AS term
+                     FROM documents),
+            dlt AS (SELECT doc_id, count(*) AS dl FROM tokt
+                    GROUP BY doc_id),
+            stt AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE AS sttf
+                    FROM dlt),
+            seedb AS (SELECT term, count(*)::BIGINT AS tf FROM tok
+                      WHERE doc_id = 0 GROUP BY term),
+            dfb AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                    FROM tok GROUP BY term),
+            selb AS (SELECT s.term, d.df,
+                            s.tf * (ln((st.n + 1.0)/(d.df + 1.0)) + 1.0)
+                              AS sc
+                     FROM seedb s JOIN dfb d USING (term) CROSS JOIN st
+                     WHERE d.df >= 2
+                     ORDER BY sc DESC, s.term LIMIT 15),
+            bb AS (SELECT term, df,
+                          sc / (SELECT max(sc) FROM selb) AS bst
+                   FROM selb),
+            seedt AS (SELECT term, count(*)::BIGINT AS tf FROM tokt
+                      WHERE doc_id = 0 GROUP BY term),
+            dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                    FROM tokt GROUP BY term),
+            selt AS (SELECT s.term, d.df,
+                            s.tf * (ln((stt.n + 1.0)/(d.df + 1.0)) + 1.0)
+                              AS sc
+                     FROM seedt s JOIN dft d USING (term) CROSS JOIN stt
+                     WHERE d.df >= 2
+                     ORDER BY sc DESC, s.term LIMIT 15),
+            bt AS (SELECT term, df,
+                          2.0 * sc / (SELECT max(sc) FROM selt) AS bst
+                   FROM selt),
+            vtb AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+                    WHERE term IN (SELECT term FROM bb)
+                    GROUP BY doc_id, term),
+            prb AS (SELECT vtb.doc_id,
+                           ln(1 + (st.n - bb.df + 0.5)/(bb.df + 0.5)) AS w,
+                           1.0/(1.2*(0.25 +
+                             0.75*{_norm_len_sql('dl.dl')}/(st.sttf/st.n)))
+                             AS inv,
+                           vtb.tf AS tf, bb.bst AS bst
+                    FROM vtb JOIN dl ON vtb.doc_id = dl.doc_id
+                         JOIN bb ON bb.term = vtb.term CROSS JOIN st),
+            scb AS (SELECT doc_id, bst * (w - w/(1 + tf*inv)) AS s
+                    FROM prb),
+            vtt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokt
+                    WHERE term IN (SELECT term FROM bt)
+                    GROUP BY doc_id, term),
+            prt AS (SELECT vtt.doc_id,
+                           ln(1 + (stt.n - bt.df + 0.5)/(bt.df + 0.5)) AS w,
+                           1.0/(1.2*(0.25 +
+                             0.75*{_norm_len_sql('dlt.dl')}/(stt.sttf/stt.n)))
+                             AS inv,
+                           vtt.tf AS tf, bt.bst AS bst
+                    FROM vtt JOIN dlt ON vtt.doc_id = dlt.doc_id
+                         JOIN bt ON bt.term = vtt.term CROSS JOIN stt),
+            sct AS (SELECT doc_id, bst * (w - w/(1 + tf*inv)) AS s
+                    FROM prt),
+            tot AS (SELECT doc_id, sum(s) AS s
+                    FROM (SELECT * FROM scb UNION ALL SELECT * FROM sct)
+                    GROUP BY doc_id),
+            top AS (SELECT doc_id, round(s, 6) AS score FROM tot
+                    ORDER BY score DESC, doc_id LIMIT 10),
+            j AS (SELECT t.score, d.lang AS class
+                  FROM top t JOIN documents d USING (doc_id)),
+            m AS (SELECT max(score) AS mx, count(*)::BIGINT AS sumdoc
+                  FROM j)
+            SELECT class,
+                   round(sum(score / m.mx) /
+                         least(m.sumdoc, 10)::DOUBLE, 6) AS score
+            FROM j CROSS JOIN m GROUP BY class, m.mx, m.sumdoc
+            ORDER BY score DESC, class""",
         "knn_fuzzy_classify_vote": f"""
             {_nearest_fuzzy_sql()},
             top AS (SELECT doc_id, s FROM nfs

@@ -733,3 +733,356 @@ def boolean_perceptron_classify(
             ).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# caching naive bayes
+# ---------------------------------------------------------------------------
+
+
+def caching_naive_bayes_scores(
+    searcher,
+    classes_df: DataFrame,
+    texts_df: DataFrame,
+    min_term_occurrence: int = 0,
+    just_cached_terms: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    class_col: str = "class",
+) -> DataFrame:
+    """(id, class, score) — ``CachingNaiveBayesClassifier``
+    (classification/CachingNaiveBayesClassifier.java:96-254), which is
+    NOT score-identical to SimpleNaiveBayes:
+
+    * no log prior — the accumulator starts at 0 (:116-118) and only
+      likelihoods are summed;
+    * den(c) = avgUniqueTermsPerDoc * docFreq(c) + docsWithClass
+      (``classTermFreq`` built in reInitCache :244-252);
+    * with ``justCachedTerms`` (the constructor default via
+      ``reInitCache(0, true)``), a word whose indexed docFreq is
+      <= ``minTermOccurrenceInCache`` is never searched: its hits are
+      0 for every class (:212-231, 168-170) — the documented
+      low-occurrence filter;
+    * softmax normalization (:92-94).
+
+    The reference's cache (one count() query per (word, class), memoized
+    across calls) is exactly what the distributed shape replaces: the
+    (term, class, hits) model is ONE postings aggregation per call, so
+    there is nothing left to memoize — callers scoring many batches
+    against a static index can persist the model themselves."""
+    spark = searcher.spark
+    classes_df = classes_df.where(
+        F.col(class_col).isNotNull() & (F.col(class_col) != "")
+    ).select("url", F.col(class_col).alias("class"))
+
+    doc_classes = (
+        searcher._docs.select("segment_id", "local_docid", "url")
+        .join(classes_df, "url")
+    )
+    rows = doc_classes.groupBy("class").agg(
+        F.count("*").alias("class_df")
+    ).collect()
+    if not rows:
+        return spark.createDataFrame([], "id long, class string, score double")
+    docs_with_class = sum(int(r["class_df"]) for r in rows)
+
+    sum_doc_freq = int(
+        searcher._terms_df.agg(F.sum("doc_freq")).collect()[0][0] or 0
+    )
+    avg_unique = sum_doc_freq / float(searcher.field_stats["doc_count"])
+
+    class_stats = spark.createDataFrame(
+        [
+            (r["class"], avg_unique * r["class_df"] + docs_with_class)
+            for r in rows
+        ],
+        "class string, den double",
+    )
+
+    tokens = _texts_tokens(searcher, texts_df, id_col, text_col)
+    vocab = [r["term"] for r in tokens.select("term").distinct().collect()]
+    if vocab:
+        hits = (
+            searcher._attach_urls(
+                searcher.scored_postings(vocab).withColumn(
+                    "local_docid", F.col("docid")
+                )
+            )
+            .join(classes_df, "url")
+            .groupBy("term", "class")
+            .agg(F.count("*").alias("hits"))
+        )
+        if just_cached_terms and min_term_occurrence > 0:
+            # the cache skeleton holds terms with docFreq > min; others
+            # are never searched -> hits = 0 for every class
+            skeleton = searcher._terms_df.where(
+                F.col("doc_freq") > min_term_occurrence
+            ).select("term")
+            hits = hits.join(skeleton, "term", "left_semi")
+    else:
+        hits = spark.createDataFrame([], "term string, class string, hits long")
+
+    ll = (
+        tokens.crossJoin(F.broadcast(class_stats))
+        .join(F.broadcast(hits), ["term", "class"], "left")
+        .groupBy("id", "class")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log(
+                    (F.coalesce(F.col("hits"), F.lit(0)) + F.lit(1.0))
+                    / F.col("den")
+                )
+            ).alias("ll")
+        )
+    )
+    base = (
+        texts_df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .crossJoin(F.broadcast(class_stats.select("class")))
+    )
+    raw = base.join(ll, ["id", "class"], "left").select(
+        "id", "class", F.coalesce(F.col("ll"), F.lit(0.0)).alias("s")
+    )
+    return _softmax_norm(raw)
+
+
+# ---------------------------------------------------------------------------
+# document classifiers (multi-field, per-field analyzers + boosts)
+# ---------------------------------------------------------------------------
+
+
+def naive_bayes_document_scores(
+    fields: dict[str, tuple[object, float]],
+    classes_df: DataFrame,
+    docs_df: DataFrame,
+    id_col: str = "doc_id",
+    class_col: str = "class",
+) -> DataFrame:
+    """(id, class, score) — ``SimpleNaiveBayesDocumentClassifier``
+    (classification/document/SimpleNaiveBayesDocumentClassifier.java:
+    105-273), the multi-field NB whose formula differs from the
+    single-field classifier in three ways:
+
+    * per field VALUE: contribution = logPrior(c) + boost_f *
+      logLikelihood (:118-135) — the prior is added once per value;
+    * logLikelihood is AVERAGED over the value's tokens
+      (``result / tokenizedText.length`` :230) instead of summed;
+    * den_f(c) = avgUniqueTerms_f * docFreq(c) + docsWithClass uses
+      the FIELD's own sumDocFreq/docCount (:240-251), and hits_f(w,c)
+      counts class-c docs containing w in THAT field (:261-276).
+
+    ``fields``: field name -> (Searcher over that field's index,
+    boost) — the per-field-index layout of ``operators/combined.py``
+    (aligned docid layouts, one analyzer chain per field = the
+    reference's field2analyzer). ``docs_df``: ``id_col`` plus one
+    string column per field name (single-valued; a NULL field
+    contributes nothing, like an absent Document field). Declared
+    deviation: a PRESENT value that analyzes to zero tokens is
+    skipped, where the reference's 0/0 division poisons the doc's
+    scores with NaN (:230).
+
+    Scale shape: per field, one Arrow analysis pass + one postings
+    aggregation for (term, class, hits); per-class constants broadcast;
+    contributions union across fields and reduce in one groupBy."""
+    first = next(iter(fields.values()))[0]
+    spark = first.spark
+    classes_df = classes_df.where(
+        F.col(class_col).isNotNull() & (F.col(class_col) != "")
+    ).select("url", F.col(class_col).alias("class"))
+
+    doc_classes = (
+        first._docs.select("segment_id", "local_docid", "url")
+        .join(classes_df, "url")
+    )
+    rows = doc_classes.groupBy("class").agg(
+        F.count("*").alias("class_df")
+    ).collect()
+    if not rows:
+        return spark.createDataFrame([], "id long, class string, score double")
+    docs_with_class = sum(int(r["class_df"]) for r in rows)
+
+    import math
+
+    contribs = []
+    for fname, (s_f, boost_f) in fields.items():
+        sum_doc_freq = int(
+            s_f._terms_df.agg(F.sum("doc_freq")).collect()[0][0] or 0
+        )
+        avg_unique = sum_doc_freq / float(s_f.field_stats["doc_count"])
+        class_stats = spark.createDataFrame(
+            [
+                (
+                    r["class"],
+                    math.log(r["class_df"]) - math.log(docs_with_class),
+                    avg_unique * r["class_df"] + docs_with_class,
+                )
+                for r in rows
+            ],
+            "class string, prior double, den double",
+        )
+        tokens = _texts_tokens(
+            s_f, docs_df.where(F.col(fname).isNotNull()), id_col, fname
+        )
+        vocab = [
+            r["term"] for r in tokens.select("term").distinct().collect()
+        ]
+        if vocab:
+            hits = (
+                s_f._attach_urls(
+                    s_f.scored_postings(vocab).withColumn(
+                        "local_docid", F.col("docid")
+                    )
+                )
+                .join(classes_df, "url")
+                .groupBy("term", "class")
+                .agg(F.count("*").alias("hits"))
+            )
+        else:
+            hits = spark.createDataFrame(
+                [], "term string, class string, hits long"
+            )
+        contribs.append(
+            tokens.crossJoin(F.broadcast(class_stats))
+            .join(F.broadcast(hits), ["term", "class"], "left")
+            .groupBy("id", "class")
+            .agg(
+                (
+                    F.first("prior")
+                    + F.lit(float(boost_f))
+                    * F.sum(
+                        F.col("tf")
+                        * F.log(
+                            (F.coalesce(F.col("hits"), F.lit(0)) + F.lit(1.0))
+                            / F.col("den")
+                        )
+                    )
+                    / F.sum("tf")
+                ).alias("contrib")
+            )
+        )
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    per_class = u.groupBy("id", "class").agg(F.sum("contrib").alias("s"))
+    # every id x class row (a doc whose every field is empty scores 0)
+    base = (
+        docs_df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(r["class"],) for r in rows], "class string"
+                )
+            )
+        )
+    )
+    raw = base.join(per_class, ["id", "class"], "left").select(
+        "id", "class", F.coalesce(F.col("s"), F.lit(0.0)).alias("s")
+    )
+    return _softmax_norm(raw)
+
+
+def knn_document_scored(
+    fields: dict[str, tuple[object, float]],
+    classes_df: DataFrame,
+    doc: dict[str, str],
+    class_col: str = "class",
+    **mlt_kw,
+) -> DataFrame | None:
+    """(segment_id, docid, score) — the MLT BooleanQuery of
+    ``KNearestNeighborDocumentClassifier.knnSearch``
+    (classification/document/KNearestNeighborDocumentClassifier.java:
+    118-155): one MoreLikeThis clause per field over ``doc``'s values
+    with ``mlt.setBoost(true)`` — each selected term becomes a
+    TermQuery boosted by fieldBoost * (tfidf / bestTfidf) (MoreLikeThis
+    createQueryFromCollection semantics) — SHOULD-summed across fields,
+    MUST class-exists (the class:* wildcard). ``None`` when no field
+    yields a clause.
+
+    ``fields``: field name -> (Searcher, boost); ``doc``: field name ->
+    unseen text (the reference's Document values; absent fields add no
+    clause). Per-field term selection and idf use that field's index,
+    like the reference's per-field MultiTerms stats."""
+    import math
+
+    first = next(iter(fields.values()))[0]
+    classes_df = classes_df.where(
+        F.col(class_col).isNotNull() & (F.col(class_col) != "")
+    ).select("url", F.col(class_col).alias("class"))
+
+    clause_frames = []
+    for fname, (s_f, boost_f) in fields.items():
+        text = doc.get(fname)
+        if not text:
+            continue
+        terms = s_f.more_like_this_terms(text, **mlt_kw)
+        if not terms:
+            continue
+        # replay the selection's tf*idf to get the per-term boosts
+        tf: dict[str, int] = {}
+        for t in s_f.analyze_query(text):
+            tf[t] = tf.get(t, 0) + 1
+        stats = s_f.term_stats(terms)
+        doc_count = s_f.field_stats["doc_count"]
+        scored_terms = []
+        for t in terms:
+            df_ = stats.get(t, (0, 0))[0]
+            idf = math.log((doc_count + 1) / (df_ + 1)) + 1.0
+            scored_terms.append((t, tf[t] * idf))
+        best = max(sc for _, sc in scored_terms)
+        for t, sc in scored_terms:
+            w = float(boost_f) * sc / best
+            clause_frames.append(
+                s_f.scored_postings([t]).select(
+                    "segment_id",
+                    F.col("docid"),
+                    (F.col("score").cast("double") * F.lit(w)).alias(
+                        "score"
+                    ),
+                )
+            )
+    if not clause_frames:
+        return None
+    u = clause_frames[0]
+    for c in clause_frames[1:]:
+        u = u.unionByName(c)
+    summed = u.groupBy("segment_id", "docid").agg(
+        F.sum("score").alias("score")
+    )
+    # MUST class-exists: semi-join against class-bearing urls
+    return (
+        first._attach_urls(summed.withColumn("local_docid", F.col("docid")))
+        .join(classes_df.select("url"), "url", "left_semi")
+        .select("segment_id", "docid", "score")
+    )
+
+
+def knn_document_classify(
+    fields: dict[str, tuple[object, float]],
+    classes_df: DataFrame,
+    doc: dict[str, str],
+    k: int = 10,
+    class_col: str = "class",
+    neighbors: DataFrame | None = None,
+    **mlt_kw,
+) -> DataFrame:
+    """(class, score) ranked desc — ``KNearestNeighborDocumentClassifier``:
+    :func:`knn_document_scored` top-k, then the same
+    buildListFromTopDocs vote as ``knn_classify``. ``neighbors``
+    (url, score) overrides the search for callers that need an
+    external-id k-boundary tie-break."""
+    first = next(iter(fields.values()))[0]
+    classes_df = classes_df.where(
+        F.col(class_col).isNotNull() & (F.col(class_col) != "")
+    ).select("url", F.col(class_col).alias("class"))
+    if neighbors is None:
+        scored = knn_document_scored(fields, classes_df, doc, **mlt_kw)
+        if scored is None:
+            return first.spark.createDataFrame(
+                [], "class string, score double"
+            )
+        neighbors = first._finish_topk(scored, k)
+    return knn_classify(
+        first, classes_df, "", k=k, class_col="class", neighbors=neighbors
+    )

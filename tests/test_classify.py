@@ -430,3 +430,258 @@ class TestBooleanPerceptron:
             assert rows[i]["score"] == pytest.approx(
                 1 - math.exp(-abs(bias - out) / bias), abs=1e-12
             )
+
+
+# ---------------------------------------------------------------------------
+# CachingNaiveBayesClassifier
+# ---------------------------------------------------------------------------
+
+
+def _expected_caching_nb(tokens, min_occ=0):
+    """Independent recomputation of CachingNaiveBayesClassifier
+    (:96-170, 212-254): NO prior, den = avgUnique*docFreq(c)+dwc,
+    low-occurrence terms (indexed df <= min_occ) never searched."""
+    docs = [(set(t.split()), c) for _, t, c in ROWS]
+    n = len(docs)
+    avg_unique = sum(len(u) for u, _ in docs) / n
+    dwc = n
+    out = {}
+    for cls in ("spam", "ham"):
+        cdf = sum(1 for _, c in docs if c == cls)
+        den = avg_unique * cdf + dwc
+        s = 0.0
+        for w in tokens:
+            df_w = sum(1 for u, _ in docs if w in u)
+            hits = (
+                0
+                if (min_occ > 0 and df_w <= min_occ)
+                else sum(1 for u, c in docs if c == cls and w in u)
+            )
+            s += math.log((hits + 1) / den)
+        out[cls] = s
+    smax = max(out.values())
+    lse = smax + math.log(sum(math.exp(v - smax) for v in out.values()))
+    return {c: math.exp(v - lse) for c, v in out.items()}
+
+
+class TestCachingNaiveBayes:
+    CASES = [
+        (1, ["buy", "pills"]),
+        (2, ["meeting", "review", "agenda"]),
+        (3, ["spam", "meeting", "unknownword"]),
+    ]
+
+    def _texts(self, spark):
+        return spark.createDataFrame(
+            [(1, "buy pills"), (2, "meeting review agenda"),
+             (3, "spam meeting unknownword")],
+            "doc_id long, text string",
+        )
+
+    @pytest.mark.parametrize("min_occ", [0, 1, 2])
+    def test_formula_exact(self, spark, nb_index, min_occ):
+        from lucene_spark.operators.classify import caching_naive_bayes_scores
+
+        s, classes = nb_index
+        got = {
+            (r["id"], r["class"]): r["score"]
+            for r in caching_naive_bayes_scores(
+                s, classes, self._texts(spark), min_term_occurrence=min_occ
+            ).collect()
+        }
+        for i, toks in self.CASES:
+            exp = _expected_caching_nb(toks, min_occ)
+            for c, v in exp.items():
+                assert got[(i, c)] == pytest.approx(v, abs=1e-12), (
+                    i, c, min_occ
+                )
+
+    def test_differs_from_simple_nb(self, spark, nb_index):
+        """No prior => different posteriors than SimpleNaiveBayes when
+        class priors are uneven (2 spam vs 3 ham)."""
+        from lucene_spark.operators.classify import caching_naive_bayes_scores
+
+        s, classes = nb_index
+        texts = self._texts(spark)
+        caching = {
+            (r["id"], r["class"]): r["score"]
+            for r in caching_naive_bayes_scores(s, classes, texts).collect()
+        }
+        simple = {
+            (r["id"], r["class"]): r["score"]
+            for r in naive_bayes_scores(s, classes, texts).collect()
+        }
+        assert any(
+            abs(caching[k] - simple[k]) > 1e-9 for k in caching
+        )
+
+
+# ---------------------------------------------------------------------------
+# document classifiers (multi-field)
+# ---------------------------------------------------------------------------
+
+_TITLE_N = 3
+
+
+@pytest.fixture(scope="module")
+def doc_indexes(spark, tmp_path_factory):
+    """Aligned body + title (first 3 tokens) indexes over ROWS."""
+    base = tmp_path_factory.mktemp("docclassify")
+    body_rows = [(u, t) for u, t, _ in ROWS]
+    title_rows = [(u, " ".join(t.split()[:_TITLE_N])) for u, t, _ in ROWS]
+    bdir, tdir = str(base / "body"), str(base / "title")
+    build_index(
+        spark,
+        spark.createDataFrame(body_rows, "url string, text string"),
+        bdir, num_segments=2,
+    )
+    build_index(
+        spark,
+        spark.createDataFrame(title_rows, "url string, text string"),
+        tdir, num_segments=2,
+    )
+    classes = spark.createDataFrame(
+        [(u, c) for u, _, c in ROWS], "url string, class string"
+    )
+    return Searcher(spark, bdir), Searcher(spark, tdir), classes
+
+
+def _expected_doc_nb(doc_fields, boosts):
+    """SimpleNaiveBayesDocumentClassifier.java:105-135,199-273 mirror:
+    per present field, prior + boost * (sum ln((hits+1)/den_f)) / ntok,
+    den_f from the FIELD's own sumDocFreq/docCount."""
+    corpora = {
+        "body": [(t.split(), c) for _, t, c in ROWS],
+        "title": [(t.split()[:_TITLE_N], c) for _, t, c in ROWS],
+    }
+    n = len(ROWS)
+    dwc = n
+    out = {}
+    for cls in ("spam", "ham"):
+        cdf = sum(1 for _, c in corpora["body"] if c == cls)
+        prior = math.log(cdf) - math.log(dwc)
+        s = 0.0
+        for fname, toks in doc_fields.items():
+            if not toks:
+                continue
+            corpus = corpora[fname]
+            avg_unique = sum(len(set(t)) for t, _ in corpus) / n
+            den = avg_unique * cdf + dwc
+            ll = sum(
+                math.log(
+                    (sum(1 for t, c in corpus if c == cls and w in t) + 1)
+                    / den
+                )
+                for w in toks
+            ) / len(toks)
+            s += prior + boosts[fname] * ll
+        out[cls] = s
+    smax = max(out.values())
+    lse = smax + math.log(sum(math.exp(v - smax) for v in out.values()))
+    return {c: math.exp(v - lse) for c, v in out.items()}
+
+
+class TestDocumentNaiveBayes:
+    def test_formula_exact(self, spark, doc_indexes):
+        from lucene_spark.operators.classify import (
+            naive_bayes_document_scores,
+        )
+
+        body, title, classes = doc_indexes
+        docs = spark.createDataFrame(
+            [
+                (1, "buy pills spam", "spam offer"),
+                (2, "meeting review agenda", "quarterly notes"),
+                (3, "spam meeting", None),  # absent title field
+            ],
+            "doc_id long, body string, title string",
+        )
+        got = {
+            (r["id"], r["class"]): r["score"]
+            for r in naive_bayes_document_scores(
+                {"body": (body, 1.0), "title": (title, 2.0)}, classes, docs
+            ).collect()
+        }
+        cases = [
+            (1, {"body": ["buy", "pills", "spam"],
+                 "title": ["spam", "offer"]}),
+            (2, {"body": ["meeting", "review", "agenda"],
+                 "title": ["quarterly", "notes"]}),
+            (3, {"body": ["spam", "meeting"], "title": []}),
+        ]
+        for i, fields in cases:
+            exp = _expected_doc_nb(fields, {"body": 1.0, "title": 2.0})
+            for c, v in exp.items():
+                assert got[(i, c)] == pytest.approx(v, abs=1e-12), (i, c)
+
+
+class TestKnnDocumentClassifier:
+    MLT_KW = dict(min_term_freq=1, min_doc_freq=1, max_query_terms=10)
+
+    def test_boosted_clause_sum(self, spark, doc_indexes):
+        """knn_document_scored == per-term engine postings combined in
+        Python with independently computed MLT boosts."""
+        from lucene_spark.operators.classify import knn_document_scored
+
+        body, title, classes = doc_indexes
+        doc = {"body": "spam buy pills review", "title": "spam buy"}
+        boosts = {"body": 1.0, "title": 2.0}
+        expected = {}
+        for fname, s_f in (("body", body), ("title", title)):
+            toks = doc[fname].split()
+            tf = {t: toks.count(t) for t in set(toks)}
+            stats = s_f.term_stats(list(tf))
+            n = s_f.field_stats["doc_count"]
+            sel = {
+                t: tf[t] * (math.log((n + 1) / (stats[t][0] + 1)) + 1.0)
+                for t in tf
+                if t in stats
+            }
+            best = max(sel.values())
+            for t, sc in sel.items():
+                w = boosts[fname] * sc / best
+                for r in s_f.scored_postings([t]).collect():
+                    key = (r["segment_id"], r["docid"])
+                    expected[key] = expected.get(key, 0.0) + w * float(
+                        r["score"]
+                    )
+        got = {
+            (r["segment_id"], r["docid"]): r["score"]
+            for r in knn_document_scored(
+                {"body": (body, 1.0), "title": (title, 2.0)},
+                classes, doc, **self.MLT_KW,
+            ).collect()
+        }
+        assert set(got) == set(expected)
+        for k in got:
+            assert got[k] == pytest.approx(expected[k], rel=1e-12), k
+
+    def test_vote(self, spark, doc_indexes):
+        from lucene_spark.operators.classify import (
+            knn_document_classify,
+            knn_document_scored,
+        )
+
+        body, title, classes = doc_indexes
+        fields = {"body": (body, 1.0), "title": (title, 2.0)}
+        doc = {"body": "spam buy pills review", "title": "spam buy"}
+        scored = knn_document_scored(fields, classes, doc, **self.MLT_KW)
+        top = body._finish_topk(scored, 3).collect()
+        cls_of = {u: c for u, _, c in ROWS}
+        mx = max(r["score"] for r in top)
+        votes = {}
+        for r in top:
+            votes.setdefault(cls_of[r["url"]], []).append(r["score"] / mx)
+        sumdoc = len(top)
+        exp = {
+            c: sum(b) / min(sumdoc, 3) for c, b in votes.items()
+        }
+        got = {
+            r["class"]: r["score"]
+            for r in knn_document_classify(
+                fields, classes, doc, k=3, **self.MLT_KW
+            ).collect()
+        }
+        assert set(got) == set(exp)
+        for c in got:
+            assert got[c] == pytest.approx(exp[c], rel=1e-12)
