@@ -6323,6 +6323,113 @@ def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sorted_numeric_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SortedNumericSortField with SortedNumericSelector.MAX
+    (core/search/SortedNumericSortField.java:43,
+    SortedNumericSelector.java:38-75): 'window' matches sorted by the
+    MAX of each doc's multi-valued token-length values, desc."""
+    from lucene_spark.operators.queries import sorted_numeric_sort_key
+
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_boolean(should=["window"])
+    docs = s._docs.select(
+        "segment_id", F.col("local_docid").alias("docid"), "url"
+    )
+    vals = _docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "), lambda t: F.length(t).cast("int")
+        ).alias("vals"),
+    )
+    g = (
+        sc.join(docs, ["segment_id", "docid"])
+        .withColumn("doc_id", _doc_id("url"))
+        .join(vals, "doc_id")
+        .withColumn("key", sorted_numeric_sort_key(F.col("vals"), "max"))
+    )
+    return (
+        g.orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.col("key").cast("long").alias("key"))
+    )
+
+
+def _q_sorted_set_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SortedSetSortField with SortedSetSelector.MIDDLE_MIN
+    (core/search/SortedSetSortField.java:48,
+    SortedSetSelector.java:329): 'window' matches sorted by the
+    (count-1)>>>1 ordinal of each doc's distinct sorted token set."""
+    from lucene_spark.operators.queries import sorted_set_sort_key
+
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_boolean(should=["window"])
+    docs = s._docs.select(
+        "segment_id", F.col("local_docid").alias("docid"), "url"
+    )
+    vals = _docs_table(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("vals")
+    )
+    g = (
+        sc.join(docs, ["segment_id", "docid"])
+        .withColumn("doc_id", _doc_id("url"))
+        .join(vals, "doc_id")
+        .withColumn(
+            "key", sorted_set_sort_key(F.col("vals"), "middle_min")
+        )
+    )
+    return (
+        g.orderBy(F.asc("key"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "key")
+    )
+
+
+def _q_named_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NamedMatches.findNamedMatches (core/search/NamedMatches.java:
+    52-77): which named sub-queries matched each doc, for w='window'
+    OR s='spark'; first 20 matching docs by doc_id."""
+    s = _get_searcher(spark, sf_dir)
+    nm = s.named_matches(
+        {
+            "w": s.scored_postings(["window"]),
+            "s": s.scored_postings(["spark"]),
+        }
+    )
+    docs = s._docs.select(
+        "segment_id", F.col("local_docid").alias("docid"), "url"
+    )
+    return (
+        nm.join(docs, ["segment_id", "docid"])
+        .withColumn("doc_id", _doc_id("url"))
+        .select("doc_id", F.array_join("names", ",").alias("names"))
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+def _q_term_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight#matches for a TermQuery — TermMatchesIterator
+    (core/search/TermMatchesIterator.java:28-96): the ordered match
+    positions of 'window' for the first 20 matching docs."""
+    s = _get_searcher(spark, sf_dir)
+    p = s.term_match_positions("window")
+    docs = s._docs.select(
+        "segment_id", F.col("local_docid").alias("docid"), "url"
+    )
+    return (
+        p.join(docs, ["segment_id", "docid"])
+        .withColumn("doc_id", _doc_id("url"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform("positions", lambda x: x.cast("string")), ","
+            ).alias("positions"),
+        )
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
 def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _get_searcher(spark, sf_dir)
     rows = s.suggest("window", max_edits=2, num=5)
@@ -8778,6 +8885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_exists_count": _q_field_exists,
         "rescore_top10": _q_rescore,
         "search_after_page2": _q_search_after,
+        "sorted_numeric_sort_top10": _q_sorted_numeric_sort,
+        "sorted_set_sort_top10": _q_sorted_set_sort,
+        "named_matches_first20": _q_named_matches,
+        "term_match_positions": _q_term_match_positions,
         "suggest_terms": _q_suggest,
         "sloppy_phrase_top10": _q_sloppy,
         "sloppy_repeat_top10": _q_sloppy_repeat,
@@ -10285,6 +10396,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.doc_id, dl.dl::BIGINT AS doclen
             FROM m JOIN dl USING (doc_id)
             ORDER BY dl.dl, m.doc_id LIMIT 5 OFFSET 5""",
+        "sorted_numeric_sort_top10": f"""
+            WITH {_TOK},
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window'),
+            k AS (SELECT d.doc_id,
+                         list_max(list_transform(
+                           string_split(d.text, ' '),
+                           x -> length(x)))::BIGINT AS key
+                  FROM documents d JOIN m USING (doc_id))
+            SELECT doc_id, key FROM k
+            ORDER BY key DESC, doc_id LIMIT 10""",
+        "sorted_set_sort_top10": f"""
+            WITH {_TOK},
+            m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window'),
+            k AS (SELECT d.doc_id,
+                         list_sort(list_distinct(
+                           string_split(d.text, ' '))) AS s
+                  FROM documents d JOIN m USING (doc_id)),
+            k2 AS (SELECT doc_id, s[((len(s) - 1) // 2) + 1] AS key
+                   FROM k)
+            SELECT doc_id, key FROM k2
+            ORDER BY key, doc_id LIMIT 10""",
+        "named_matches_first20": f"""
+            WITH {_TOK},
+            w AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window'),
+            s AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+            u AS (SELECT doc_id, 'w' AS name FROM w
+                  UNION ALL SELECT doc_id, 's' FROM s)
+            SELECT doc_id,
+                   string_agg(name, ',' ORDER BY name) AS names
+            FROM u GROUP BY doc_id ORDER BY doc_id LIMIT 20""",
+        "term_match_positions": f"""
+            WITH {_TOKP}
+            SELECT doc_id,
+                   string_agg(p::VARCHAR, ',' ORDER BY p) AS positions
+            FROM tokp WHERE term = 'window'
+            GROUP BY doc_id ORDER BY doc_id LIMIT 20""",
         "suggest_terms": f"""
             WITH {_TOK},
             cand AS (SELECT term,

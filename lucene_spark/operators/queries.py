@@ -1992,6 +1992,81 @@ class QueryOpsMixin:
             k,
         )
 
+    # ------------------------------------------------------------------
+    # Matches API
+    # ------------------------------------------------------------------
+    def named_matches(self, clauses: dict[str, DataFrame]) -> DataFrame:
+        """``NamedMatches.findNamedMatches``
+        (core/search/NamedMatches.java:52-77): wrap each sub-query in a
+        name and report, per matching doc, WHICH named sub-queries
+        matched. ``clauses``: name -> scored frame (any clause type);
+        output (segment_id, docid, names array<string> name-sorted).
+        One union + groupBy — the per-doc Weight#matches probes become
+        a single distributed aggregation."""
+        tagged = [
+            df.select("segment_id", "docid").distinct().withColumn(
+                "name", F.lit(n)
+            )
+            for n, df in clauses.items()
+        ]
+        u = tagged[0]
+        for t in tagged[1:]:
+            u = u.unionByName(t)
+        return u.groupBy("segment_id", "docid").agg(
+            F.array_sort(F.collect_set("name")).alias("names")
+        )
+
+    def term_match_positions(self, term: str) -> DataFrame:
+        """``Weight#matches`` for a TermQuery — the
+        ``TermMatchesIterator`` stream (core/search/
+        TermMatchesIterator.java:28-96): per matching live doc, the
+        ordered match positions (start == end position per match, as a
+        single-term iterator). Offsets are n/a: the index stores
+        positions only, the reference's matches fall back the same way
+        when offsets were not indexed."""
+        p = self.scored_postings([term], need_positions=True)
+        return self._filter_live(
+            p.select(
+                "segment_id",
+                "docid",
+                F.array_sort("positions").alias("positions"),
+            )
+        )
+
+
+def sorted_numeric_sort_key(values: Column, selector: str = "min") -> Column:
+    """``SortedNumericSelector.wrap`` (core/search/
+    SortedNumericSelector.java:38-75): reduce a doc's multi-valued
+    numeric doc values to the single sort value — MIN (first of the
+    sorted values) or MAX (last). NULL for missing/empty docs, so the
+    caller applies SortField.missingValue via ``F.coalesce``."""
+    values = F.when(F.size(values) > 0, values)
+    if selector == "min":
+        return F.array_min(values)
+    if selector == "max":
+        return F.array_max(values)
+    raise ValueError(f"unknown SortedNumericSelector {selector!r}")
+
+
+def sorted_set_sort_key(values: Column, selector: str = "min") -> Column:
+    """``SortedSetSelector.wrap`` (core/search/SortedSetSelector.java:
+    43-107): reduce a doc's SORTED SET of values (distinct, ordered —
+    SortedSetDocValues ordinal semantics) to one sort value. MIN/MAX =
+    first/last ordinal; MIDDLE_MIN picks index (count-1)>>>1 (:329),
+    MIDDLE_MAX index count>>>1 (:413). NULL for missing/empty docs."""
+    s = F.array_sort(F.array_distinct(values))
+    s = F.when(F.size(s) > 0, s)
+    n = F.size(s)
+    if selector == "min":
+        return F.element_at(s, F.lit(1))
+    if selector == "max":
+        return F.element_at(s, n)
+    if selector == "middle_min":
+        return F.element_at(s, ((n - F.lit(1)) / F.lit(2)).cast("int") + 1)
+    if selector == "middle_max":
+        return F.element_at(s, (n / F.lit(2)).cast("int") + 1)
+    raise ValueError(f"unknown SortedSetSelector {selector!r}")
+
 
 def auto_stop_words(
     searcher,

@@ -1,0 +1,124 @@
+"""Matches API (NamedMatches, TermMatchesIterator) and the
+multi-valued sort selectors (SortedNumeric/SortedSetSelector)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.operators.queries import (
+    sorted_numeric_sort_key,
+    sorted_set_sort_key,
+)
+
+
+class TestSelectors:
+    ROWS = [
+        (1, [5, 2, 9]),
+        (2, [7]),
+        (3, [4, 4, 1, 8]),   # duplicates: set selectors dedupe
+        (4, []),             # empty -> NULL key
+        (5, None),           # missing -> NULL key
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "id long, vals array<int>"
+        )
+
+    def test_numeric_min_max(self, spark):
+        df = self._df(spark)
+        got = {
+            r["id"]: (r["mn"], r["mx"])
+            for r in df.select(
+                "id",
+                sorted_numeric_sort_key(F.col("vals"), "min").alias("mn"),
+                sorted_numeric_sort_key(F.col("vals"), "max").alias("mx"),
+            ).collect()
+        }
+        exp = {
+            i: ((min(v), max(v)) if v else (None, None))
+            for i, v in self.ROWS
+        }
+        assert got == exp
+
+    @pytest.mark.parametrize(
+        "sel,pick",
+        [
+            ("min", lambda s: s[0]),
+            ("max", lambda s: s[-1]),
+            # SortedSetSelector.java:329 / :413
+            ("middle_min", lambda s: s[(len(s) - 1) >> 1]),
+            ("middle_max", lambda s: s[len(s) >> 1]),
+        ],
+    )
+    def test_set_selectors(self, spark, sel, pick):
+        df = self._df(spark)
+        got = {
+            r["id"]: r["k"]
+            for r in df.select(
+                "id", sorted_set_sort_key(F.col("vals"), sel).alias("k")
+            ).collect()
+        }
+        exp = {
+            i: (pick(sorted(set(v))) if v else None) for i, v in self.ROWS
+        }
+        assert got == exp
+
+    def test_set_selectors_strings_even_count(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["d", "b", "a", "c"])], "id long, vals array<string>"
+        )
+        row = df.select(
+            sorted_set_sort_key(F.col("vals"), "middle_min").alias("lo"),
+            sorted_set_sort_key(F.col("vals"), "middle_max").alias("hi"),
+        ).collect()[0]
+        assert (row["lo"], row["hi"]) == ("b", "c")
+
+
+def _doc_map(searcher, web_pages):
+    """(segment_id, local_docid) -> analyzed tokens, via the docs table."""
+    from lucene_spark.functions.analysis import analyze
+
+    texts = {r["url"]: r["text"] for r in web_pages.collect()}
+    out = {}
+    for r in searcher._docs.select(
+        "segment_id", "local_docid", "url"
+    ).collect():
+        toks, pos = analyze(texts[r["url"]])
+        out[(r["segment_id"], r["local_docid"])] = (toks, pos)
+    return out
+
+
+class TestNamedMatches:
+    def test_names_per_doc(self, spark, searcher, web_pages):
+        """findNamedMatches == per-clause membership recomputed from
+        the analyzed corpus."""
+        clauses = {
+            "w": searcher.scored_postings(["window"]),
+            "s": searcher.scored_postings(["spark"]),
+        }
+        got = {
+            (r["segment_id"], r["docid"]): list(r["names"])
+            for r in searcher.named_matches(clauses).collect()
+        }
+        exp = {}
+        for key, (toks, _) in _doc_map(searcher, web_pages).items():
+            names = sorted(
+                n for n, t in [("w", "window"), ("s", "spark")] if t in toks
+            )
+            if names:
+                exp[key] = names
+        assert got == exp
+
+
+class TestTermMatchPositions:
+    def test_positions(self, spark, searcher, web_pages):
+        got = {
+            (r["segment_id"], r["docid"]): list(r["positions"])
+            for r in searcher.term_match_positions("window").collect()
+        }
+        exp = {}
+        for key, (toks, pos) in _doc_map(searcher, web_pages).items():
+            ps = [int(p) for t, p in zip(toks, pos) if t == "window"]
+            if ps:
+                exp[key] = ps
+        assert got == exp
