@@ -31,6 +31,55 @@ from pyspark.sql import functions as F
 from ..functions.analysis import analyze
 
 
+def term_weight(term: str) -> float:
+    """TermWeightor.DEFAULT = lengthWeightor(3, 0.3)
+    (monitor/TermWeightor.java:29,122-133): longer terms are assumed
+    rarer; weight = 4 − 3·exp(−0.3·len) over the UTF-8 byte length,
+    lengths ≥ 32 clamped to the length-31 norm."""
+    import math
+
+    n = len(term.encode("utf-8"))
+    if n >= 32:
+        n = 31
+    return 4.0 - 3.0 * math.exp(-0.3 * n)
+
+
+def presearch_terms(q: "MonitorQuery") -> list[str]:
+    """TermFilteredPresearcher term minimization via the QueryTree
+    (monitor/QueryTree.java:144-240, QueryAnalyzer.java:77-141):
+
+    * MUST terms and phrases form a CONJUNCTION, whose collectTerms
+      visits only the highest-weight child (:203-205) — and a phrase
+      child (itself a conjunction of its terms) contributes only ITS
+      best term, so a conjunctive query presearches on ONE term;
+    * with no conjunctive clauses, SHOULD terms form a DISJUNCTION and
+      ALL of them are indexed (:252-257);
+    * MUST_NOT clauses are never presearchable (:82-91); a
+      pure-negation query gets no presearch terms here (this Monitor
+      never matches pure-negation queries — a declared deviation from
+      the reference's ANYTOKEN match-all).
+
+    Ties keep the first-encountered child, mirroring the stable
+    children sort."""
+    conj: list[list[str]] = [[t] for t in q.must] + [
+        list(p) for p in q.phrases if p
+    ]
+    if conj:
+        best_child, best_w = None, float("-inf")
+        for child in conj:
+            w = max(term_weight(t) for t in child)
+            if w > best_w:
+                best_child, best_w = child, w
+        best_t, best_w = None, float("-inf")
+        for t in best_child:
+            w = term_weight(t)
+            if w > best_w:
+                best_t, best_w = t, w
+        return [best_t]
+    # dict.fromkeys: first-occurrence order, deduped
+    return list(dict.fromkeys(q.should))
+
+
 @dataclass
 class MonitorQuery:
     query_id: str
@@ -100,6 +149,16 @@ class Monitor:
             rows, "query_id string, term string, occur string"
         )
 
+    def _presearch_terms_df(self) -> DataFrame:
+        rows = [
+            (q.query_id, t)
+            for q in self._queries.values()
+            for t in presearch_terms(q)
+        ]
+        return self.spark.createDataFrame(
+            rows, "query_id string, term string"
+        )
+
     def _query_meta_df(self) -> DataFrame:
         rows = [
             (
@@ -130,10 +189,26 @@ class Monitor:
         )
 
     def match_batch(
-        self, docs: DataFrame, url_col: str = "url", text_col: str = "text"
+        self,
+        docs: DataFrame,
+        url_col: str = "url",
+        text_col: str = "text",
+        presearch: bool = True,
     ) -> DataFrame:
         """(url, query_id) pairs for every stored query matching each
-        doc. One analyzer pass + one broadcast join + one groupBy."""
+        doc. One analyzer pass + one broadcast join + one groupBy.
+
+        ``presearch=True`` (the TermFilteredPresearcher analog,
+        monitor/TermFilteredPresearcher.java:62): candidate (url,
+        query_id) pairs come from joining docs against each query's
+        MINIMIZED term set (:func:`presearch_terms` — one best-weighted
+        term per conjunctive query), and only candidates pay the full
+        boolean verification. A query like ``the AND zyzzyva`` then
+        costs one candidate row per 'zyzzyva' doc instead of one per
+        'the' doc — the property that keeps percolation linear when
+        stored queries contain frequent terms. ``presearch=False`` runs
+        the exhaustive any-term join; both paths must return identical
+        matches (tested)."""
         if not self._queries:
             return self.spark.createDataFrame(
                 [], "url string, query_id string"
@@ -155,15 +230,32 @@ class Monitor:
             F.col(url_col).alias("url"),
             _doc_terms(F.col(text_col)).alias("toks"),
         )
-        if qp is not None:
+        if qp is not None or presearch:
+            # both the candidate and verification joins (and the phrase
+            # windows) re-read the analyzed docs: one analyzer pass
             analyzed = analyzed.persist()
         doc_terms = analyzed.select(
             "url",
             F.explode(F.array_distinct("toks")).alias("term"),
         )
         qt = F.broadcast(self._query_terms_df())
+        if presearch:
+            # candidate selection on the minimized term set, then the
+            # full boolean verified over candidates only
+            cand = (
+                doc_terms.join(
+                    F.broadcast(self._presearch_terms_df()), "term"
+                )
+                .select("url", "query_id")
+                .distinct()
+            )
+            pairs = cand.join(doc_terms, "url").join(
+                qt, ["query_id", "term"]
+            )
+        else:
+            pairs = doc_terms.join(qt, "term")
         hits = (
-            doc_terms.join(qt, "term")
+            pairs
             .groupBy("url", "query_id")
             .agg(
                 F.countDistinct(

@@ -189,3 +189,82 @@ class TestPhraseClauses:
         assert [
             r["query_id"] for r in m.match_batch(docs).collect()
         ] == ["t"]
+
+
+class TestPresearcher:
+    """TermFilteredPresearcher term minimization (QueryTree.java:
+    184-240, TermWeightor.java:122-133) and presearch == exhaustive
+    match equality."""
+
+    def test_length_weightor(self):
+        import math
+
+        from lucene_spark.streaming.monitor import term_weight
+
+        assert term_weight("ab") == pytest.approx(
+            4 - 3 * math.exp(-0.3 * 2)
+        )
+        # >= 32 bytes clamps to the length-31 norm
+        assert term_weight("x" * 40) == pytest.approx(
+            4 - 3 * math.exp(-0.3 * 31)
+        )
+        # multi-byte terms weigh by UTF-8 byte length
+        assert term_weight("é") == pytest.approx(4 - 3 * math.exp(-0.3 * 2))
+
+    def test_conjunction_picks_single_best_term(self):
+        from lucene_spark.streaming.monitor import presearch_terms
+
+        q = MonitorQuery("q", must=["the", "zyzzyva", "of"])
+        assert presearch_terms(q) == ["zyzzyva"]
+
+    def test_should_ignored_when_must_present(self):
+        from lucene_spark.streaming.monitor import presearch_terms
+
+        q = MonitorQuery(
+            "q", must=["window"], should=["averyveryverylongshouldterm"]
+        )
+        assert presearch_terms(q) == ["window"]
+
+    def test_disjunction_keeps_all_terms(self):
+        from lucene_spark.streaming.monitor import presearch_terms
+
+        q = MonitorQuery("q", should=["merge", "batch", "merge"])
+        assert presearch_terms(q) == ["merge", "batch"]
+
+    def test_phrase_contributes_its_best_term(self):
+        from lucene_spark.streaming.monitor import presearch_terms
+
+        # phrase child is a conjunction: only its best term competes
+        q = MonitorQuery("q", must=["of"], phrases=[["the", "windowpane"]])
+        assert presearch_terms(q) == ["windowpane"]
+
+    def test_must_not_never_presearched(self):
+        from lucene_spark.streaming.monitor import presearch_terms
+
+        q = MonitorQuery(
+            "q", must=["window"], must_not=["absolutelyenormousnegation"]
+        )
+        assert presearch_terms(q) == ["window"]
+        assert presearch_terms(MonitorQuery("q2", must_not=["spark"])) == []
+
+    def test_presearch_equals_exhaustive(self, monitor, spark, web_pages):
+        monitor.register(
+            MonitorQuery(
+                "q_mixed",
+                must=["the", "window"],
+                should=["spark"],
+                phrases=[["window", "functions"]],
+            )
+        )
+        a = {
+            (r["url"], r["query_id"])
+            for r in monitor.match_batch(web_pages, presearch=True).collect()
+        }
+        b = {
+            (r["url"], r["query_id"])
+            for r in monitor.match_batch(
+                web_pages, presearch=False
+            ).collect()
+        }
+        assert a == b
+        assert a, "fixture should produce matches"
