@@ -6323,6 +6323,33 @@ def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_js_expression_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A second expressions-module shape (Javascript.g4): comparison-
+    as-double feeding a right-assoc ternary —
+    sqrt(_score) + ln(doclen) * (doclen > 40 ? 1.5 : 1), top-10 by the
+    compiled expression with doc_id tie-break."""
+    from lucene_spark.plans.javascript import compile_js
+
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_boolean(should=["window"])
+    docs = s._docs.select(
+        "segment_id", F.col("local_docid").alias("docid"), "url", "doclen"
+    )
+    g = sc.join(docs, ["segment_id", "docid"]).withColumn(
+        "doc_id", _doc_id("url")
+    )
+    sql = compile_js(
+        "sqrt(_score) + ln(doclen) * (doclen > 40 ? 1.5 : 1)",
+        {"_score": "score", "doclen": "doclen"},
+    )
+    g = g.withColumn("e", F.expr(sql))
+    return (
+        g.orderBy(F.desc("e"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("e", 6).alias("escore"))
+    )
+
+
 def _q_sorted_numeric_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SortedNumericSortField with SortedNumericSelector.MAX
     (core/search/SortedNumericSortField.java:43,
@@ -8885,6 +8912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_exists_count": _q_field_exists,
         "rescore_top10": _q_rescore,
         "search_after_page2": _q_search_after,
+        "js_expression_rescore": _q_js_expression_rescore,
         "sorted_numeric_sort_top10": _q_sorted_numeric_sort,
         "sorted_set_sort_top10": _q_sorted_set_sort,
         "named_matches_first20": _q_named_matches,
@@ -10396,6 +10424,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.doc_id, dl.dl::BIGINT AS doclen
             FROM m JOIN dl USING (doc_id)
             ORDER BY dl.dl, m.doc_id LIMIT 5 OFFSET 5""",
+        "js_expression_rescore": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id, term),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                   GROUP BY term),
+            sc AS (SELECT tf.doc_id,
+                          ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) AS w,
+                          1.0/(1.2*(0.25 +
+                            0.75*{_norm_len_sql('dl.dl')}/(st.sttf/st.n)))
+                            AS inv,
+                          tf.tf AS tf
+                   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                        JOIN df ON tf.term = df.term CROSS JOIN st),
+            ds AS (SELECT doc_id, sum(w - w/(1 + tf*inv)) AS s
+                   FROM sc GROUP BY doc_id),
+            e AS (SELECT ds.doc_id,
+                         sqrt(ds.s) + ln(dl.dl) *
+                           (CASE WHEN dl.dl > 40 THEN 1.5 ELSE 1.0 END)
+                           AS e
+                  FROM ds JOIN dl USING (doc_id))
+            SELECT doc_id, round(e, 6) AS escore FROM e
+            ORDER BY e DESC, doc_id LIMIT 10""",
         "sorted_numeric_sort_top10": f"""
             WITH {_TOK},
             m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window'),

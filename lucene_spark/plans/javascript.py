@@ -61,8 +61,15 @@ _FUNCTIONS = {
     "ln": (1, "ln({0})"),
     "log10": (1, "log10({0})"),
     "logn": (2, "(ln({1}) / ln({0}))"),  # MathUtil.log(base, x)
+    # Java Math.min/max return NaN when either arg is NaN; Spark's
+    # least() picks the non-NaN value (NaN sorts greatest), so min
+    # needs the explicit branch (greatest already propagates NaN)
     "max": (2, "greatest({0}, {1})"),
-    "min": (2, "least({0}, {1})"),
+    "min": (
+        2,
+        "(CASE WHEN isnan({0}) OR isnan({1}) THEN double('NaN') "
+        "ELSE least({0}, {1}) END)",
+    ),
     "pow": (2, "power({0}, {1})"),
     "sin": (1, "sin({0})"),
     "sinh": (1, "sinh({0})"),
@@ -187,13 +194,16 @@ class _Parser:
     def shift(self):
         return self._bool_chain(
             self.addsub,
+            # the count masks to 6 bits BEFORE the INT cast (the JVM
+            # long shift's own masking; also keeps a huge double count
+            # from overflowing the ANSI INT cast)
             {
                 "<<": "(CAST(shiftleft(CAST({0} AS BIGINT), "
-                      "CAST({1} AS INT)) AS DOUBLE))",
+                      "CAST(CAST({1} AS BIGINT) & 63 AS INT)) AS DOUBLE))",
                 ">>": "(CAST(shiftright(CAST({0} AS BIGINT), "
-                      "CAST({1} AS INT)) AS DOUBLE))",
+                      "CAST(CAST({1} AS BIGINT) & 63 AS INT)) AS DOUBLE))",
                 ">>>": "(CAST(shiftrightunsigned(CAST({0} AS BIGINT), "
-                       "CAST({1} AS INT)) AS DOUBLE))",
+                       "CAST(CAST({1} AS BIGINT) & 63 AS INT)) AS DOUBLE))",
             },
         )
 
@@ -204,19 +214,25 @@ class _Parser:
         )
 
     def muldiv(self):
-        # try_divide / try_mod, not bare operators: Spark 4 ANSI mode
-        # raises DIVIDE_BY_ZERO on a zero divisor, where the reference
-        # JavascriptCompiler's double math yields Infinity/NaN.
-        # Declared deviation: a zero divisor yields NULL here (the
-        # repo-wide try_divide convention, which DuckDB's double
-        # division mirrors exactly), not Infinity.
+        # Java double semantics under Spark 4 ANSI mode (which raises
+        # DIVIDE_BY_ZERO/REMAINDER_BY_ZERO on bare operators): a zero
+        # divisor branches to the JVM's results — x/0 = +-Infinity
+        # signed by the dividend (0/0 and NaN/0 = NaN), x%0 = NaN —
+        # while the nonzero path stays try_divide/try_mod, which never
+        # raises. (x / -0.0 signs like +0.0: declared deviation.)
+        div = (
+            "(CASE WHEN ({1}) = 0.0D THEN "
+            "(CASE WHEN ({0}) = 0.0D OR isnan({0}) THEN double('NaN') "
+            "ELSE double('Infinity') * signum({0}) END) "
+            "ELSE try_divide(({0}), ({1})) END)"
+        )
+        rem = (
+            "(CASE WHEN ({1}) = 0.0D THEN double('NaN') "
+            "ELSE try_mod(({0}), ({1})) END)"
+        )
         return self._bool_chain(
             self.unary,
-            {
-                "*": "(({0}) * ({1}))",
-                "/": "(try_divide(({0}), ({1})))",
-                "%": "(try_mod(({0}), ({1})))",
-            },
+            {"*": "(({0}) * ({1}))", "/": div, "%": rem},
         )
 
     def unary(self):

@@ -55,13 +55,12 @@ class TestJsCompile:
         # Java: -1L >>> 60 == 15
         assert _eval(spark, "0 - 1 >>> 60") == 15.0
 
-    def test_zero_divisor_yields_null_not_error(self, spark):
+    def test_zero_divisor_java_semantics_not_ansi_error(self, spark):
         # ANSI mode would raise DIVIDE_BY_ZERO on bare '/'; the
-        # compiler emits try_divide/try_mod (declared deviation from
-        # Java's Infinity/NaN)
-        assert _eval(spark, "1 / 0") is None
-        assert _eval(spark, "7 % 0") is None
-        assert _eval(spark, "1 / (2 - 2)") is None
+        # compiler branches to Java's Infinity/NaN instead
+        assert _eval(spark, "1 / 0") == float("inf")
+        assert math.isnan(_eval(spark, "7 % 0"))
+        assert _eval(spark, "1 / (2 - 2)") == float("inf")
 
     @pytest.mark.parametrize(
         "src,want",
@@ -144,3 +143,31 @@ class TestLiteralEdgeCases:
     def test_invalid_octal_is_a_parse_error(self):
         with pytest.raises(JsParseError, match="octal"):
             compile_js("08 + 1", {})
+
+
+class TestJavaDoubleCorners:
+    """JavascriptCompiler's JVM double semantics under Spark ANSI mode
+    (the bare / and % operators would raise DIVIDE_BY_ZERO)."""
+
+    def test_division_by_zero_signed_infinity(self, spark):
+        assert _eval(spark, "3 / 0") == float("inf")
+        assert _eval(spark, "-3 / 0") == float("-inf")
+        assert math.isnan(_eval(spark, "0 / 0"))
+        assert math.isnan(_eval(spark, "(0 / 0) / 0"))  # NaN dividend
+
+    def test_mod_by_zero_is_nan(self, spark):
+        assert math.isnan(_eval(spark, "3 % 0"))
+        assert _eval(spark, "-7 % 4") == -3.0  # sign of dividend
+
+    def test_min_max_nan_propagates(self, spark):
+        # Java Math.min/max return NaN for NaN args; Spark's least()
+        # alone would return the non-NaN operand
+        assert math.isnan(_eval(spark, "min(1, 0 / 0)"))
+        assert math.isnan(_eval(spark, "max(1, 0 / 0)"))
+        assert _eval(spark, "min(3, 7) + max(3, 7)") == 10.0
+
+    def test_shift_count_masked_to_6_bits(self, spark):
+        # the JVM long shift masks the distance: 1 << 66 == 1 << 2
+        assert _eval(spark, "1 << 66") == 4.0
+        assert _eval(spark, "-1 >>> 48") == float((2**64 - 1) >> 48)
+        assert _eval(spark, "-16 >> 2") == -4.0
