@@ -6323,6 +6323,61 @@ def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupingSearch by value ranges — LongRangeGroupSelector /
+    LongRangeFactory (grouping/LongRangeFactory.java:33-60): 'window'
+    matches grouped into doclen ranges [20+10k, +10) with the
+    below-min (LONG_MIN, 20) and above-max (60, LONG_MAX) buckets;
+    per group the match count + best-scoring doc."""
+    from pyspark.sql import Window as W
+
+    from lucene_spark.operators.queries import long_range_group_key
+
+    s = _get_searcher(spark, sf_dir)
+    sc = s.scored_boolean(should=["window"])
+    docs = s._docs.select(
+        "segment_id", F.col("local_docid").alias("docid"), "url", "doclen"
+    )
+    g = (
+        sc.join(docs, ["segment_id", "docid"])
+        .withColumn("doc_id", _doc_id("url"))
+        .withColumn(
+            "k", long_range_group_key(F.col("doclen"), 20, 10, 60)
+        )
+    )
+    w = W.partitionBy("k").orderBy(F.desc("score"), F.asc("doc_id"))
+    t = (
+        g.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(W.partitionBy("k")))
+        .where(F.col("rn") == 1)
+    )
+    return t.select(
+        F.col("k.gmin").alias("gmin"),
+        F.col("k.gmax").alias("gmax"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("doc_id").alias("top_doc_id"),
+        F.round("score", 6).alias("top_score"),
+    ).orderBy("gmin")
+
+
+def _q_memory_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MemoryIndex (memory/MemoryIndex.java:123): each of the first 64
+    docs scored inside its OWN single-doc index for window OR spark —
+    idf collapses to ln(4/3), avgdl = the doc's own length, norms pay
+    the SmallFloat byte round-trip like any real segment."""
+    from lucene_spark.operators.memory_index import memory_index_scores
+
+    docs = (
+        _docs_table(spark, sf_dir)
+        .where(F.col("doc_id") < 64)
+        .select("doc_id", "text")
+    )
+    out = memory_index_scores(docs, should=["window", "spark"])
+    return out.select(
+        F.col("id").alias("doc_id"), F.round("score", 6).alias("score")
+    ).orderBy("doc_id")
+
+
 def _q_js_expression_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A second expressions-module shape (Javascript.g4): comparison-
     as-double feeding a right-assoc ternary —
@@ -8913,6 +8968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_top10": _q_rescore,
         "search_after_page2": _q_search_after,
         "js_expression_rescore": _q_js_expression_rescore,
+        "memory_index_scores": _q_memory_index,
+        "range_grouping_doclen": _q_range_grouping,
         "sorted_numeric_sort_top10": _q_sorted_numeric_sort,
         "sorted_set_sort_top10": _q_sorted_set_sort,
         "named_matches_first20": _q_named_matches,
@@ -10424,6 +10481,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.doc_id, dl.dl::BIGINT AS doclen
             FROM m JOIN dl USING (doc_id)
             ORDER BY dl.dl, m.doc_id LIMIT 5 OFFSET 5""",
+        "range_grouping_doclen": f"""
+            WITH {_TOK}, {_DL}, {_ST},
+            tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+                   WHERE term = 'window' GROUP BY doc_id),
+            df AS (SELECT count(*)::BIGINT AS df FROM tf),
+            ds AS (SELECT tf.doc_id,
+                          ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+                            - ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) /
+                              (1 + tf.tf *
+                               (1.0/(1.2*(0.25 +
+                                 0.75*{_norm_len_sql('dl.dl')}/(st.sttf/st.n)))))
+                            AS s,
+                          dl.dl AS dl
+                   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN st CROSS JOIN df),
+            r AS (SELECT doc_id, s,
+                         CASE WHEN dl < 20 THEN (-9223372036854775807 - 1)
+                              WHEN dl >= 60 THEN 60
+                              ELSE dl - ((dl - 20) % 10) END AS gmin,
+                         CASE WHEN dl < 20 THEN 20
+                              WHEN dl >= 60 THEN 9223372036854775807
+                              ELSE dl - ((dl - 20) % 10) + 10 END AS gmax
+                  FROM ds),
+            t AS (SELECT gmin, gmax, doc_id, s,
+                         row_number() OVER (PARTITION BY gmin
+                           ORDER BY s DESC, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY gmin) AS cnt
+                  FROM r)
+            SELECT gmin, gmax, cnt::BIGINT AS cnt,
+                   doc_id AS top_doc_id, round(s, 6) AS top_score
+            FROM t WHERE rn = 1 ORDER BY gmin""",
+        "memory_index_scores": f"""
+            WITH {_TOK},
+            d AS (SELECT doc_id, count(*) AS dl FROM tok
+                  WHERE doc_id < 64 GROUP BY doc_id),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+                   WHERE doc_id < 64 AND term IN ('window', 'spark')
+                   GROUP BY doc_id, term),
+            sc AS (SELECT tf.doc_id,
+                          ln(1 + 0.5/1.5) AS w,
+                          1.0/(1.2*(0.25 +
+                            0.75*{_norm_len_sql('d.dl')}/d.dl)) AS inv,
+                          tf.tf AS tf
+                   FROM tf JOIN d ON tf.doc_id = d.doc_id)
+            SELECT doc_id,
+                   round(sum(w - w/(1 + tf*inv)), 6) AS score
+            FROM sc GROUP BY doc_id ORDER BY doc_id""",
         "js_expression_rescore": f"""
             WITH {_TOK}, {_DL}, {_ST},
             tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok

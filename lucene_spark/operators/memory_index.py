@@ -1,0 +1,155 @@
+"""MemoryIndex — the ``lucene/memory`` module's single-document
+in-memory index, vectorized over a whole DataFrame of documents.
+
+Lucene's ``MemoryIndex`` (memory/src/java/org/apache/lucene/memory/
+MemoryIndex.java:123) analyzes ONE document into a RAM index and
+answers ``search(query) -> float``: the BM25 score of that document in
+an index where it is the only doc (used for percolation scoring,
+query debugging, and highlight offsets). The Spark twin scores EVERY
+row of a DataFrame as its own single-doc index in one pass — the
+per-doc statistics make each score independent, which is exactly what
+makes the batch form embarrassingly parallel:
+
+- docCount = 1 and docFreq = 1 for every present term, so the BM25
+  idf collapses to the constant ln(1 + 0.5/1.5) = ln(4/3);
+- avgFieldLength = the doc's own length (sumTotalTermFreq/docCount),
+  while the length norm still round-trips through SmallFloat's byte
+  quantization like any real segment (MemoryIndex.java stores norms
+  via the similarity's computeNorm);
+- a BooleanQuery scores like the engine's boolean_query: MUST terms
+  all present (else no match), >= min_should_match SHOULD terms (>= 1
+  when there are no MUSTs), no MUST_NOT term present; matching
+  clause scores sum.
+
+One Arrow-batched analysis kernel + pure column algebra; no per-doc
+driver work.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.smallfloat import byte4_to_int, int_to_byte4
+
+# idf of the only doc in a 1-doc index: ln(1 + (1 - 1 + 0.5)/(1 + 0.5))
+SINGLE_DOC_IDF = math.log(1.0 + 0.5 / 1.5)
+
+
+def _doc_term_freqs(
+    texts_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords=None,
+    stem: bool = False,
+) -> DataFrame:
+    """(id, term, tf, dl): per-doc analyzed term frequencies + length."""
+    import pandas as pd
+
+    from ..functions.analysis import analyze_series
+
+    stop = frozenset(stopwords or [])
+    id_type = dict(texts_df.dtypes)[id_col]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            terms_col, _ = analyze_series(
+                pdf[text_col], stopwords=stop, stem=stem
+            )
+            ids, terms, dls = [], [], []
+            for i, toks in zip(pdf[id_col], terms_col):
+                ids.extend([i] * len(toks))
+                terms.extend(toks)
+                dls.extend([len(toks)] * len(toks))
+            # the SmallFloat byte4 round-trip every real segment's
+            # norms pay (computeNorm -> byte -> decoded length)
+            qdl = byte4_to_int(int_to_byte4(np.asarray(dls, dtype=np.int64)))
+            yield pd.DataFrame(
+                {"id": ids, "term": terms, "dl": dls, "qdl": qdl}
+            )
+
+    toks = texts_df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"id {id_type}, term string, dl long, qdl long"
+    )
+    return toks.groupBy("id", "term", "dl", "qdl").agg(
+        F.count("*").alias("tf")
+    )
+
+
+def memory_index_scores(
+    texts_df: DataFrame,
+    should: list[str] | None = None,
+    must: list[str] | None = None,
+    must_not: list[str] | None = None,
+    min_should_match: int = 0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords=None,
+    stem: bool = False,
+) -> DataFrame:
+    """(id, score) — ``MemoryIndex.search`` for every row: the BM25
+    BooleanQuery score of each doc inside its own single-doc index.
+    Non-matching docs are omitted (Lucene returns 0.0f; a left join
+    with ``texts_df`` restores them if needed)."""
+    should = list(should or [])
+    must = list(must or [])
+    must_not = list(must_not or [])
+    qterms = sorted(set(should) | set(must) | set(must_not))
+    if not qterms:
+        raise ValueError("empty query")
+
+    tf = _doc_term_freqs(
+        texts_df, id_col, text_col, stopwords=stopwords, stem=stem
+    ).where(F.col("term").isin(qterms))
+
+    w = F.lit(float(SINGLE_DOC_IDF))
+    inv = F.lit(1.0) / (
+        F.lit(float(k1))
+        * (
+            F.lit(1.0 - b)
+            + F.lit(float(b))
+            * F.col("qdl").cast("double")
+            / F.col("dl").cast("double")
+        )
+    )
+    clause_score = w - w / (F.lit(1.0) + F.col("tf").cast("double") * inv)
+
+    scored = tf.select(
+        "id",
+        "term",
+        clause_score.alias("s"),
+        F.col("term").isin(must).alias("is_must"),
+        F.col("term").isin(should).alias("is_should"),
+        F.col("term").isin(must_not).alias("is_not"),
+    )
+    agg = scored.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("is_must") | F.col("is_should"), F.col("s")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("score"),
+        F.count_distinct(
+            F.when(F.col("is_must"), F.col("term"))
+        ).alias("m"),
+        F.count_distinct(
+            F.when(F.col("is_should"), F.col("term"))
+        ).alias("sh"),
+        F.count_distinct(
+            F.when(F.col("is_not"), F.col("term"))
+        ).alias("x"),
+    )
+    n_must = len(set(must))
+    msm = min_should_match if min_should_match > 0 else (
+        0 if must else 1
+    )
+    return agg.where(
+        (F.col("m") == F.lit(n_must))
+        & (F.col("x") == 0)
+        & (F.col("sh") >= F.lit(msm))
+    ).select("id", "score")

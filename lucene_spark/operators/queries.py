@@ -2034,6 +2034,60 @@ class QueryOpsMixin:
         )
 
 
+_LONG_MIN, _LONG_MAX = -(1 << 63), (1 << 63) - 1
+_DBL_MIN, _DBL_MAX = 4.9e-324, 1.7976931348623157e308  # Java Double.MIN/MAX_VALUE
+
+
+def long_range_group_key(
+    value: Column, min_v: int, width: int, max_v: int
+) -> Column:
+    """``LongRangeFactory.getRange`` + ``LongRangeGroupSelector``
+    (grouping/LongRangeFactory.java:33-60, LongRangeGroupSelector.java):
+    the group key struct (gmin inclusive, gmax exclusive) for grouping
+    search hits by value ranges — values below ``min`` fall in
+    (Long.MIN_VALUE, min), values >= ``max`` in (max, Long.MAX_VALUE),
+    otherwise [min + bucket*width, +width). NULL values yield a NULL
+    key (the selector's SKIP state — drop them before grouping)."""
+    v = value.cast("long")
+    bmin = v - F.pmod(v - F.lit(min_v), F.lit(width))
+
+    def _s(lo, hi):
+        return F.struct(lo.cast("long").alias("gmin"),
+                        hi.cast("long").alias("gmax"))
+
+    return (
+        F.when(v.isNull(), F.lit(None))
+        .when(v < min_v, _s(F.lit(_LONG_MIN), F.lit(min_v)))
+        .when(v >= max_v, _s(F.lit(max_v), F.lit(_LONG_MAX)))
+        .otherwise(_s(bmin, bmin + F.lit(width)))
+    )
+
+
+def double_range_group_key(
+    value: Column, min_v: float, width: float, max_v: float
+) -> Column:
+    """``DoubleRangeFactory.getRange`` (grouping/DoubleRangeFactory.
+    java:33-60): as :func:`long_range_group_key` over doubles — the
+    out-of-range sentinels are Java's Double.MIN_VALUE/MAX_VALUE (the
+    smallest POSITIVE denormal, not -inf: reference quirk kept) and
+    the bucket floor is a real floor."""
+    v = value.cast("double")
+    bmin = F.lit(float(min_v)) + F.floor(
+        (v - F.lit(float(min_v))) / F.lit(float(width))
+    ).cast("double") * F.lit(float(width))
+
+    def _s(lo, hi):
+        return F.struct(lo.cast("double").alias("gmin"),
+                        hi.cast("double").alias("gmax"))
+
+    return (
+        F.when(v.isNull(), F.lit(None))
+        .when(v < min_v, _s(F.lit(_DBL_MIN), F.lit(float(min_v))))
+        .when(v >= max_v, _s(F.lit(float(max_v)), F.lit(_DBL_MAX)))
+        .otherwise(_s(bmin, bmin + F.lit(float(width))))
+    )
+
+
 def sorted_numeric_sort_key(values: Column, selector: str = "min") -> Column:
     """``SortedNumericSelector.wrap`` (core/search/
     SortedNumericSelector.java:38-75): reduce a doc's multi-valued

@@ -122,3 +122,53 @@ class TestTermMatchPositions:
             if ps:
                 exp[key] = ps
         assert got == exp
+
+
+class TestRangeGroupSelectors:
+    """LongRangeFactory/DoubleRangeFactory group keys
+    (grouping/LongRangeFactory.java:33-60)."""
+
+    def test_long_ranges(self, spark):
+        from lucene_spark.operators.queries import long_range_group_key
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 20), (3, 29), (4, 30), (5, 59), (6, 60),
+             (7, 1000), (8, None)],
+            "id long, v long",
+        )
+        got = {
+            r["id"]: (None if r["k"] is None
+                      else (r["k"]["gmin"], r["k"]["gmax"]))
+            for r in df.select(
+                "id",
+                long_range_group_key(F.col("v"), 20, 10, 60).alias("k"),
+            ).collect()
+        }
+        lmin, lmax = -(1 << 63), (1 << 63) - 1
+        assert got == {
+            1: (lmin, 20), 2: (20, 30), 3: (20, 30), 4: (30, 40),
+            5: (50, 60), 6: (60, lmax), 7: (60, lmax), 8: None,
+        }
+
+    def test_double_ranges(self, spark):
+        from lucene_spark.operators.queries import double_range_group_key
+
+        df = spark.createDataFrame(
+            [(1, 0.5), (2, 1.0), (3, 2.49), (4, 9.9), (5, 10.0)],
+            "id long, v double",
+        )
+        got = {
+            r["id"]: (r["k"]["gmin"], r["k"]["gmax"])
+            for r in df.select(
+                "id",
+                double_range_group_key(
+                    F.col("v"), 1.0, 1.5, 10.0
+                ).alias("k"),
+            ).collect()
+        }
+        # Java Double.MIN_VALUE sentinel (smallest positive denormal)
+        assert got[1] == (4.9e-324, 1.0)
+        assert got[2] == (1.0, 2.5)
+        assert got[3] == (1.0, 2.5)
+        assert got[4] == (8.5, 10.0)
+        assert got[5] == (10.0, 1.7976931348623157e308)

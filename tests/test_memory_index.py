@@ -1,0 +1,104 @@
+"""MemoryIndex (lucene/memory): every row scored as its own
+single-doc index — formula mirror + parity with a real 1-doc index."""
+
+import math
+
+import pytest
+
+from lucene_spark.functions.smallfloat import byte4_to_int, int_to_byte4
+from lucene_spark.operators.memory_index import (
+    SINGLE_DOC_IDF,
+    memory_index_scores,
+)
+
+DOCS = [
+    (1, "spark window functions over spark frames"),
+    (2, "merge policies and batch commits"),
+    (3, "window"),
+    (4, "the quick brown fox"),
+]
+
+
+def _mirror(tokens, should=(), must=(), must_not=(), msm=0,
+            k1=1.2, b=0.75):
+    dl = len(tokens)
+    if dl == 0:
+        return None
+    qdl = float(byte4_to_int(int_to_byte4([dl]))[0])
+    inv = 1.0 / (k1 * (1 - b + b * qdl / dl))
+    w = SINGLE_DOC_IDF
+
+    def s(t):
+        tf = tokens.count(t)
+        return w - w / (1 + tf * inv) if tf else None
+
+    if any(tokens.count(t) for t in must_not):
+        return None
+    if any(s(t) is None for t in must):
+        return None
+    sh = [t for t in set(should) if s(t) is not None]
+    need = msm if msm > 0 else (0 if must else 1)
+    if len(sh) < need:
+        return None
+    return sum(s(t) for t in set(must)) + sum(s(t) for t in sh)
+
+
+def _got(spark, **kw):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return {
+        r["id"]: r["score"]
+        for r in memory_index_scores(df, **kw).collect()
+    }
+
+
+class TestMemoryIndex:
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(should=["window", "spark"]),
+            dict(must=["spark", "window"]),
+            dict(should=["window", "merge", "batch"], min_should_match=2),
+            dict(must=["window"], must_not=["spark"]),
+            dict(should=["spark"], must=["window"]),
+        ],
+    )
+    def test_formula_mirror(self, spark, kw):
+        got = _got(spark, **kw)
+        for i, text in DOCS:
+            exp = _mirror(
+                text.split(),
+                should=kw.get("should", ()),
+                must=kw.get("must", ()),
+                must_not=kw.get("must_not", ()),
+                msm=kw.get("min_should_match", 0),
+            )
+            if exp is None:
+                assert i not in got, (i, kw)
+            else:
+                assert got[i] == pytest.approx(exp, abs=1e-12), (i, kw)
+
+    def test_parity_with_real_single_doc_index(self, spark, tmp_path):
+        """MemoryIndex.search == the score of the same doc in a real
+        index where it is the only document."""
+        from lucene_spark.operators.build import build_index
+        from lucene_spark.operators.search import Searcher
+
+        url, text = "u://solo", DOCS[0][1]
+        d = str(tmp_path / "solo")
+        build_index(
+            spark,
+            spark.createDataFrame([(url, text)], "url string, text string"),
+            d,
+            num_segments=1,
+        )
+        s = Searcher(spark, d)
+        real = s.boolean_query(should=["spark", "window"], k=1).collect()
+        got = _got(spark, should=["spark", "window"])
+        assert real and got[1] == pytest.approx(
+            float(real[0]["score"]), abs=1e-6
+        )
+
+    def test_empty_query_raises(self, spark):
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        with pytest.raises(ValueError):
+            memory_index_scores(df)
