@@ -3405,6 +3405,36 @@ def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_monitor_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScoringMatch.DEFAULT_MATCHER (monitor/ScoringMatch.java:20-45):
+    the same four stored queries as monitor_matches, every match
+    scored with BM25 against the matched doc's single-doc index
+    (one-doc DocumentBatch = MemoryIndex, DocumentBatch.java:101)."""
+    from lucene_spark.streaming.monitor import (
+        Monitor,
+        MonitorQuery,
+        scoring_match_batch,
+    )
+
+    m = Monitor(spark)
+    m.register(MonitorQuery("q_and", must=["window", "spark"]))
+    m.register(MonitorQuery("q_or", should=["lpad", "rpad"]))
+    m.register(MonitorQuery("q_not", must=["window"], must_not=["spark"]))
+    m.register(
+        MonitorQuery(
+            "q_msm", should=["window", "spark", "data"], min_should_match=2
+        )
+    )
+    docs = _docs_table(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    return scoring_match_batch(m, docs).select(
+        F.col("url").cast("long").alias("doc_id"),
+        "query_id",
+        F.round("score", 6).alias("score"),
+    ).orderBy("doc_id", "query_id")
+
+
 def _q_standard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StandardQueryParser interval-function clause
     (flexible/standard/StandardSyntaxParser.jj:374-640, plans/
@@ -8970,6 +9000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_expression_rescore": _q_js_expression_rescore,
         "memory_index_scores": _q_memory_index,
         "range_grouping_doclen": _q_range_grouping,
+        "monitor_scoring_matches": _q_monitor_scoring,
         "sorted_numeric_sort_top10": _q_sorted_numeric_sort,
         "sorted_set_sort_top10": _q_sorted_set_sort,
         "named_matches_first20": _q_named_matches,
@@ -10481,6 +10512,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.doc_id, dl.dl::BIGINT AS doclen
             FROM m JOIN dl USING (doc_id)
             ORDER BY dl.dl, m.doc_id LIMIT 5 OFFSET 5""",
+        "monitor_scoring_matches": f"""
+            WITH {_TOK}, {_DL},
+            dt AS (SELECT DISTINCT doc_id, term FROM tok),
+            m AS (
+              SELECT d.doc_id, 'q_and' AS query_id FROM documents d
+              WHERE EXISTS (SELECT 1 FROM dt WHERE dt.doc_id = d.doc_id
+                            AND term = 'window')
+                AND EXISTS (SELECT 1 FROM dt WHERE dt.doc_id = d.doc_id
+                            AND term = 'spark')
+              UNION ALL
+              SELECT d.doc_id, 'q_or' FROM documents d
+              WHERE EXISTS (SELECT 1 FROM dt WHERE dt.doc_id = d.doc_id
+                            AND term IN ('lpad', 'rpad'))
+              UNION ALL
+              SELECT d.doc_id, 'q_not' FROM documents d
+              WHERE EXISTS (SELECT 1 FROM dt WHERE dt.doc_id = d.doc_id
+                            AND term = 'window')
+                AND NOT EXISTS (SELECT 1 FROM dt
+                                WHERE dt.doc_id = d.doc_id
+                                  AND term = 'spark')
+              UNION ALL
+              SELECT d.doc_id, 'q_msm' FROM documents d
+              WHERE (SELECT count(DISTINCT term) FROM dt
+                     WHERE dt.doc_id = d.doc_id
+                       AND term IN ('window', 'spark', 'data')) >= 2),
+            q AS (SELECT dl.doc_id,
+                         1.0/(1.2*(0.25 +
+                           0.75*{_norm_len_sql('dl.dl')}/dl.dl)) AS inv
+                  FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+                   WHERE term IN ('window','spark','lpad','rpad','data')
+                   GROUP BY doc_id, term),
+            s AS (SELECT q.doc_id, tf.term,
+                         ln(1 + 0.5/1.5)
+                           - ln(1 + 0.5/1.5)/(1 + tf.tf*q.inv) AS s
+                  FROM tf JOIN q ON tf.doc_id = q.doc_id),
+            qa AS (SELECT 'q_and' AS query_id,
+                          unnest(['window','spark']) AS term
+                   UNION ALL SELECT 'q_or', unnest(['lpad','rpad'])
+                   UNION ALL SELECT 'q_not', unnest(['window'])
+                   UNION ALL SELECT 'q_msm',
+                          unnest(['window','spark','data']))
+            SELECT m.doc_id, m.query_id, round(sum(s.s), 6) AS score
+            FROM m JOIN qa USING (query_id)
+                 JOIN s ON s.doc_id = m.doc_id AND s.term = qa.term
+            GROUP BY m.doc_id, m.query_id
+            HAVING sum(s.s) > 0
+            ORDER BY m.doc_id, m.query_id""",
         "range_grouping_doclen": f"""
             WITH {_TOK}, {_DL}, {_ST},
             tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok

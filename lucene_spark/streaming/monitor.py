@@ -359,3 +359,150 @@ class Monitor:
         if trigger_once:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+def scoring_match_batch(
+    monitor: Monitor,
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    presearch: bool = True,
+) -> DataFrame:
+    """(url, query_id, score) — ``ScoringMatch.DEFAULT_MATCHER``
+    (monitor/ScoringMatch.java:20-45): every percolator match scored
+    with BM25 against the matched DOCUMENT's single-doc index — a
+    one-doc DocumentBatch is literally a ``MemoryIndex``
+    (DocumentBatch.java:101-110), so docCount = 1, every present
+    term's df = 1 (idf = ln(4/3)), avgdl = the doc's own length, and
+    norms pay the SmallFloat round-trip. Matches scoring 0 are
+    dropped (:37 ``if (score > 0)``).
+
+    Clause scores mirror the engine's boolean sum: term clauses keep
+    their registration multiplicity (duplicate clauses score twice,
+    like duplicate BooleanClauses); an exact-phrase clause scores as a
+    PhraseQuery — idf = Σ per-term idfs = n_terms·ln(4/3), freq = the
+    number of matching windows. The match SET is exactly
+    ``match_batch``'s; scoring joins are one broadcast + one groupBy
+    more."""
+    from ..operators.memory_index import SINGLE_DOC_IDF, _doc_term_freqs
+
+    spark = monitor.spark
+    matched = monitor.match_batch(
+        docs, url_col, text_col, presearch=presearch
+    )
+    tf = _doc_term_freqs(
+        docs, url_col, text_col,
+        stopwords=monitor._stopwords, stem=monitor._stem,
+    ).withColumnRenamed("id", "url")
+
+    w1 = float(SINGLE_DOC_IDF)
+    inv = F.lit(1.0) / (
+        F.lit(float(k1))
+        * (
+            F.lit(1.0 - b)
+            + F.lit(float(b))
+            * F.col("qdl").cast("double")
+            / F.col("dl").cast("double")
+        )
+    )
+
+    # term clauses, multiplicity kept (duplicate clauses score twice)
+    trows = [
+        (q.query_id, t)
+        for q in monitor._queries.values()
+        for t in list(q.must) + list(q.should)
+    ]
+    parts = []
+    if trows:
+        qt = spark.createDataFrame(trows, "query_id string, term string")
+        parts.append(
+            matched.join(F.broadcast(qt), "query_id")
+            .join(tf, ["url", "term"])
+            .select(
+                "url",
+                "query_id",
+                (
+                    F.lit(w1)
+                    - F.lit(w1)
+                    / (F.lit(1.0) + F.col("tf").cast("double") * inv)
+                ).alias("s"),
+            )
+        )
+
+    # phrase clauses: freq = matching n-token windows, idf = n·ln(4/3)
+    prows = [
+        (q.query_id, len(p), " ".join(p))
+        for q in monitor._queries.values()
+        for p in q.phrases
+    ]
+    if prows:
+        qp = spark.createDataFrame(
+            prows, "query_id string, n int, wkey string"
+        )
+        ns = sorted({n for _, n, _ in prows})
+        stop, stem = monitor._stopwords, monitor._stem
+
+        @F.pandas_udf("array<string>")
+        def _toks(texts):
+            import pandas as pd
+
+            from lucene_spark.functions.analysis import analyze_series
+
+            terms_col, _ = analyze_series(texts, stopwords=stop, stem=stem)
+            return pd.Series(terms_col)
+
+        analyzed = docs.select(
+            F.col(url_col).alias("url"), _toks(F.col(text_col)).alias("toks")
+        )
+        wins = None
+        for n in ns:
+            wn = analyzed.where(F.size("toks") >= n).select(
+                "url",
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.sequence(F.lit(0), F.size("toks") - n)
+                ).alias("p"),
+                "toks",
+            ).select(
+                "url",
+                "n",
+                F.array_join(
+                    F.slice("toks", F.col("p") + 1, n), " "
+                ).alias("wkey"),
+            )
+            wins = wn if wins is None else wins.unionByName(wn)
+        pfreq = (
+            wins.join(F.broadcast(qp), ["n", "wkey"])
+            .groupBy("url", "query_id", "n", "wkey")
+            .agg(F.count("*").alias("freq"))
+        )
+        dlens = tf.select("url", "dl", "qdl").distinct()
+        wp = F.col("n").cast("double") * F.lit(w1)
+        parts.append(
+            matched.join(pfreq, ["url", "query_id"])
+            .join(dlens, "url")
+            .select(
+                "url",
+                "query_id",
+                (
+                    wp
+                    - wp
+                    / (F.lit(1.0) + F.col("freq").cast("double") * inv)
+                ).alias("s"),
+            )
+        )
+
+    if not parts:
+        return spark.createDataFrame(
+            [], "url string, query_id string, score double"
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("url", "query_id")
+        .agg(F.sum("s").alias("score"))
+        .where(F.col("score") > 0)
+    )

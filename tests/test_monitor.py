@@ -268,3 +268,98 @@ class TestPresearcher:
         }
         assert a == b
         assert a, "fixture should produce matches"
+
+
+class TestScoringMatch:
+    """ScoringMatch.DEFAULT_MATCHER: matches scored with BM25 against
+    the doc's own single-doc index (a 1-doc DocumentBatch IS a
+    MemoryIndex, DocumentBatch.java:101-110)."""
+
+    DOCS = [
+        ("d1", "spark window functions over spark window frames"),
+        ("d2", "merge policies and batch commits"),
+        ("d3", "window"),
+    ]
+
+    def _mirror(self, toks, terms, phrase=None, k1=1.2, b=0.75):
+        import math
+
+        from lucene_spark.functions.smallfloat import (
+            byte4_to_int,
+            int_to_byte4,
+        )
+        from lucene_spark.operators.memory_index import SINGLE_DOC_IDF
+
+        dl = len(toks)
+        qdl = float(byte4_to_int(int_to_byte4([dl]))[0])
+        inv = 1.0 / (k1 * (1 - b + b * qdl / dl))
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf:
+                s += SINGLE_DOC_IDF - SINGLE_DOC_IDF / (1 + tf * inv)
+        if phrase:
+            n = len(phrase)
+            freq = sum(
+                1
+                for i in range(len(toks) - n + 1)
+                if toks[i:i + n] == phrase
+            )
+            if freq:
+                w = n * SINGLE_DOC_IDF
+                s += w - w / (1 + freq * inv)
+        return s
+
+    def test_scores_match_mirror(self, spark):
+        from lucene_spark.streaming.monitor import (
+            Monitor,
+            MonitorQuery,
+            scoring_match_batch,
+        )
+
+        m = Monitor(spark)
+        m.register(MonitorQuery("q_and", must=["spark", "window"]))
+        m.register(MonitorQuery("q_or", should=["window", "merge"]))
+        # duplicate clause scores twice, like duplicate BooleanClauses
+        m.register(MonitorQuery("q_dup", should=["window", "window"]))
+        m.register(
+            MonitorQuery(
+                "q_ph", must=["frames"], phrases=[["spark", "window"]]
+            )
+        )
+        docs = spark.createDataFrame(self.DOCS, "url string, text string")
+        got = {
+            (r["url"], r["query_id"]): r["score"]
+            for r in scoring_match_batch(m, docs).collect()
+        }
+        t1 = self.DOCS[0][1].split()
+        t3 = self.DOCS[2][1].split()
+        exp = {
+            ("d1", "q_and"): self._mirror(t1, ["spark", "window"]),
+            ("d1", "q_or"): self._mirror(t1, ["window", "merge"]),
+            ("d1", "q_dup"): self._mirror(t1, ["window", "window"]),
+            ("d1", "q_ph"): self._mirror(
+                t1, ["frames"], phrase=["spark", "window"]
+            ),
+            ("d2", "q_or"): self._mirror(
+                self.DOCS[1][1].split(), ["window", "merge"]
+            ),
+            ("d3", "q_or"): self._mirror(t3, ["window", "merge"]),
+            ("d3", "q_dup"): self._mirror(t3, ["window", "window"]),
+        }
+        assert set(got) == set(exp)
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k], abs=1e-12), k
+
+    def test_match_set_equals_match_batch(self, monitor, spark, web_pages):
+        from lucene_spark.streaming.monitor import scoring_match_batch
+
+        a = {
+            (r["url"], r["query_id"])
+            for r in scoring_match_batch(monitor, web_pages).collect()
+        }
+        b = {
+            (r["url"], r["query_id"])
+            for r in monitor.match_batch(web_pages).collect()
+        }
+        assert a == b  # no stored query here can match with score 0
