@@ -7001,6 +7001,38 @@ def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_lifetime_acquired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SearcherLifetimeManager (core/search/SearcherLifetimeManager.
+    java:77): record the gen-1 snapshot and the live searcher, prune
+    with PruneByAge under injected clocks (the old one's age = time
+    since the newer record = 40s <= 100s, kept), acquire the OLD
+    version and page from the pinned point-in-time view."""
+    import numpy as np
+
+    from lucene_spark.operators.lifetime import (
+        PruneByAge,
+        SearcherLifetimeManager,
+    )
+    from lucene_spark.operators.search import Searcher
+
+    _variant_searcher(spark, sf_dir, "nrt")
+    key = (sf_dir, "nrt_gen1")
+    if key not in _SEARCHERS:
+        _SEARCHERS[key] = Searcher(
+            spark, _index_dir(sf_dir) + "_nrt",
+            dtype=np.float64, generation=1,
+        )
+    old = _SEARCHERS[key]
+    live = _variant_searcher(spark, sf_dir, "nrt")
+    mgr = SearcherLifetimeManager()
+    v_old = mgr.record(old, now=0.0)
+    mgr.record(live, now=10.0)
+    mgr.prune(PruneByAge(100.0), now=50.0)
+    s = mgr.acquire(v_old)
+    assert s is old
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_nrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query over an NRT-appended index (two streaming micro-batches)."""
     s = _variant_searcher(spark, sf_dir, "nrt")
@@ -9034,6 +9066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_index_top10": _q_merged,
         "nrt_appended_top10": _q_nrt,
         "time_travel_top10": _q_time_travel,
+        "lifetime_acquired_top10": _q_lifetime_acquired,
         "index_sorted_top10": _q_index_sorted,
         "bp_sorted_top10": _q_bp_sorted,
         "english_analyzer_top10": _q_english,
@@ -9158,6 +9191,9 @@ def oracle_sql() -> dict[str, str]:
             FROM c""",
         "bm25_top10_term": _bm25_sql(["window"]),
         "time_travel_top10": _bm25_sql(
+            ["window"], corpus_where="doc_id % 2 = 0"
+        ),
+        "lifetime_acquired_top10": _bm25_sql(
             ["window"], corpus_where="doc_id % 2 = 0"
         ),
         "index_sorted_top10": _bm25_sql(["window"]),

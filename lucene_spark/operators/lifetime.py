@@ -1,0 +1,109 @@
+"""SearcherLifetimeManager — pinned point-in-time searchers for
+consistent paging across index changes
+(core/search/SearcherLifetimeManager.java:77).
+
+Lucene keeps old ``IndexSearcher``s alive by reader refcount so a user
+paging through results keeps seeing the SAME point-in-time view while
+the index changes underneath. Here a recorded searcher is a
+generation-pinned :class:`~lucene_spark.operators.search.Searcher`
+(snapshot manifests make the files immutable — the catalog's retained
+generations play the refcount's role), keyed by its
+``opened_generation`` exactly as the reference keys by
+``DirectoryReader.getVersion()`` (:113-118).
+
+The reference's prune-age quirk is replicated (:196-210): trackers
+sort newest-first and a tracker's age is ``now − the NEXT-NEWER
+tracker's record time`` — the time since it stopped being the live
+searcher — so the newest tracker always has age 0 and can never be
+pruned. Clocks are injectable (``now=``) so tests and deterministic
+replays never read a wall clock.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+
+class AlreadyClosedError(RuntimeError):
+    pass
+
+
+@dataclass
+class PruneByAge:
+    """SearcherLifetimeManager.PruneByAge (:173-190): prune searchers
+    older than ``max_age_sec`` (age per the newer-neighbor rule)."""
+
+    max_age_sec: float
+
+    def __post_init__(self):
+        if self.max_age_sec < 0:
+            raise ValueError(
+                f"max_age_sec must be > 0 (got {self.max_age_sec})"
+            )
+
+    def __call__(self, age_sec: float, searcher) -> bool:
+        return age_sec > self.max_age_sec
+
+
+class SearcherLifetimeManager:
+    def __init__(self):
+        self._trackers: dict[int, tuple[object, float]] = {}
+        self._closed = False
+
+    def _ensure_open(self):
+        if self._closed:
+            raise AlreadyClosedError(
+                "this SearcherLifetimeManager instance is closed"
+            )
+
+    def record(self, searcher, now: float | None = None) -> int:
+        """Track a searcher; returns its version token
+        (``opened_generation`` = the DirectoryReader version). Re-
+        recording the same version is a no-op for the same searcher
+        and an error for a different instance (:122-131)."""
+        self._ensure_open()
+        version = int(searcher.opened_generation)
+        cur = self._trackers.get(version)
+        if cur is None:
+            self._trackers[version] = (
+                searcher,
+                time.monotonic() if now is None else float(now),
+            )
+        elif cur[0] is not searcher:
+            raise ValueError(
+                "the provided searcher has the same underlying reader "
+                "version yet the searcher instance differs from before"
+            )
+        return version
+
+    def acquire(self, version: int):
+        """The searcher recorded for ``version``, or None if pruned
+        (:141-147) — the caller falls back to the current searcher."""
+        self._ensure_open()
+        t = self._trackers.get(int(version))
+        return None if t is None else t[0]
+
+    def release(self, searcher) -> None:
+        """API parity no-op: parquet snapshots need no refcounting;
+        retention is the catalog's concern."""
+
+    def prune(self, pruner, now: float | None = None) -> None:
+        """Drop trackers ``pruner(age_sec, searcher)`` says to drop —
+        age 0 for the newest, else now − the next-newer record time
+        (:196-210)."""
+        self._ensure_open()
+        now = time.monotonic() if now is None else float(now)
+        items = sorted(
+            self._trackers.items(), key=lambda kv: -kv[1][1]
+        )  # newest first
+        last_rec = None
+        for version, (searcher, rec) in items:
+            age = 0.0 if last_rec is None else now - last_rec
+            if pruner(age, searcher):
+                del self._trackers[version]
+            last_rec = rec
+
+    def close(self) -> None:
+        self._closed = True
+        self._trackers.clear()

@@ -1,0 +1,86 @@
+"""SearcherLifetimeManager (core/search/SearcherLifetimeManager.java):
+version-keyed point-in-time searchers with the newest-neighbor prune
+age rule."""
+
+import pytest
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.lifetime import (
+    AlreadyClosedError,
+    PruneByAge,
+    SearcherLifetimeManager,
+)
+from lucene_spark.operators.search import Searcher
+
+
+@pytest.fixture(scope="module")
+def two_gen_index(spark, tmp_path_factory):
+    """A two-generation index: gen 1 = first batch, gen 2 = appended."""
+    from lucene_spark.streaming.nrt import append_batch
+
+    d = str(tmp_path_factory.mktemp("lifetime") / "idx")
+    rows1 = [(f"u://{i}", "spark window functions") for i in range(4)]
+    rows2 = [(f"u://x{i}", "window frames appended") for i in range(4)]
+    build_index(
+        spark,
+        spark.createDataFrame(rows1, "url string, text string"),
+        d, num_segments=2,
+    )
+    append_batch(
+        spark,
+        spark.createDataFrame(rows2, "url string, text string"),
+        d, batch_id=1, num_segments=2,
+    )
+    return d
+
+
+class TestLifetime:
+    def test_record_acquire_points_in_time(self, spark, two_gen_index):
+        mgr = SearcherLifetimeManager()
+        old = Searcher(spark, two_gen_index, generation=1)
+        new = Searcher(spark, two_gen_index)
+        v_old = mgr.record(old, now=0.0)
+        v_new = mgr.record(new, now=10.0)
+        assert v_old != v_new
+        got = mgr.acquire(v_old)
+        assert got is old
+        # the pinned snapshot still answers from the gen-1 corpus
+        urls = {r["url"] for r in got.boolean_query(
+            should=["window"], k=10).collect()}
+        assert urls == {f"u://{i}" for i in range(4)}
+        assert mgr.acquire(999999) is None
+
+    def test_same_version_different_instance_rejected(
+        self, spark, two_gen_index
+    ):
+        mgr = SearcherLifetimeManager()
+        a = Searcher(spark, two_gen_index, generation=1)
+        b = Searcher(spark, two_gen_index, generation=1)
+        mgr.record(a, now=0.0)
+        assert mgr.record(a, now=5.0) == a.opened_generation  # idempotent
+        with pytest.raises(ValueError):
+            mgr.record(b, now=5.0)
+
+    def test_prune_age_is_time_since_newer_searcher(
+        self, spark, two_gen_index
+    ):
+        mgr = SearcherLifetimeManager()
+        old = Searcher(spark, two_gen_index, generation=1)
+        new = Searcher(spark, two_gen_index)
+        v_old = mgr.record(old, now=0.0)
+        v_new = mgr.record(new, now=10.0)
+        # old's age = now - NEW's record time (time since it stopped
+        # being live), NOT now - its own record time
+        mgr.prune(PruneByAge(50.0), now=55.0)  # age 45 <= 50: kept
+        assert mgr.acquire(v_old) is old
+        mgr.prune(PruneByAge(50.0), now=70.0)  # age 60 > 50: pruned
+        assert mgr.acquire(v_old) is None
+        # the newest always has age 0 and survives any max age
+        mgr.prune(PruneByAge(0.0), now=1e9)
+        assert mgr.acquire(v_new) is new
+
+    def test_closed(self, spark, two_gen_index):
+        mgr = SearcherLifetimeManager()
+        mgr.close()
+        with pytest.raises(AlreadyClosedError):
+            mgr.acquire(1)
