@@ -3475,6 +3475,37 @@ def _q_monitor_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_monitor_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HighlightsMatch.MATCHER (monitor/HighlightsMatch.java:37-88):
+    hit positions per percolator match over the first 200 docs — term
+    clauses hit at every occurrence, the phrase clause emits per-slot
+    sub-match hits for each matching window."""
+    from lucene_spark.streaming.monitor import (
+        Monitor,
+        MonitorQuery,
+        highlights_match_batch,
+    )
+
+    m = Monitor(spark)
+    m.register(MonitorQuery("q_and", must=["window", "spark"]))
+    m.register(MonitorQuery("p_only", phrases=[["the", "query"]]))
+    docs = (
+        _docs_table(spark, sf_dir)
+        .where(F.col("doc_id") < 200)
+        .select(F.col("doc_id").cast("string").alias("url"), "text")
+    )
+    return (
+        highlights_match_batch(m, docs)
+        .select(
+            F.col("url").cast("long").alias("doc_id"),
+            "query_id",
+            "start_pos",
+            "end_pos",
+        )
+        .orderBy("doc_id", "query_id", "start_pos")
+    )
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signal: fraction of duplicate
     word 2-grams per doc (functions/textstats.repetition_score) —
@@ -9033,6 +9064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_index_scores": _q_memory_index,
         "range_grouping_doclen": _q_range_grouping,
         "monitor_scoring_matches": _q_monitor_scoring,
+        "monitor_highlight_hits": _q_monitor_highlights,
         "sorted_numeric_sort_top10": _q_sorted_numeric_sort,
         "sorted_set_sort_top10": _q_sorted_set_sort,
         "named_matches_first20": _q_named_matches,
@@ -10548,6 +10580,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.doc_id, dl.dl::BIGINT AS doclen
             FROM m JOIN dl USING (doc_id)
             ORDER BY dl.dl, m.doc_id LIMIT 5 OFFSET 5""",
+        "monitor_highlight_hits": f"""
+            WITH {_TOKP},
+            t AS (SELECT doc_id, term, p FROM tokp WHERE doc_id < 200),
+            dt AS (SELECT DISTINCT doc_id, term FROM t),
+            m_and AS (SELECT d.doc_id FROM (SELECT DISTINCT doc_id
+                                            FROM t) d
+                      WHERE EXISTS (SELECT 1 FROM dt
+                                    WHERE dt.doc_id = d.doc_id
+                                      AND term = 'window')
+                        AND EXISTS (SELECT 1 FROM dt
+                                    WHERE dt.doc_id = d.doc_id
+                                      AND term = 'spark')),
+            h_and AS (SELECT t.doc_id, 'q_and' AS query_id,
+                             t.p AS start_pos, t.p AS end_pos
+                      FROM t JOIN m_and USING (doc_id)
+                      WHERE t.term IN ('window', 'spark')),
+            ph AS (SELECT a.doc_id, a.p FROM t a
+                   JOIN t b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+                   WHERE a.term = 'the' AND b.term = 'query'),
+            h_ph AS (SELECT doc_id, 'p_only' AS query_id,
+                            p AS start_pos, p AS end_pos FROM ph
+                     UNION
+                     SELECT doc_id, 'p_only', p + 1, p + 1 FROM ph)
+            SELECT DISTINCT doc_id, query_id,
+                   start_pos::INT AS start_pos, end_pos::INT AS end_pos
+            FROM (SELECT * FROM h_and UNION ALL SELECT * FROM h_ph)
+            ORDER BY doc_id, query_id, start_pos""",
         "monitor_scoring_matches": f"""
             WITH {_TOK}, {_DL},
             dt AS (SELECT DISTINCT doc_id, term FROM tok),

@@ -506,3 +506,138 @@ def scoring_match_batch(
         .agg(F.sum("s").alias("score"))
         .where(F.col("score") > 0)
     )
+
+
+def highlights_match_batch(
+    monitor: Monitor,
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    presearch: bool = True,
+) -> DataFrame:
+    """(url, query_id, start_pos, end_pos) — ``HighlightsMatch.MATCHER``
+    (monitor/HighlightsMatch.java:37-88): for every percolator match,
+    the SET of hit positions the query's Matches iterator reports.
+    Term clauses hit at (p, p) for each occurrence; an exact-phrase
+    clause walks its SUB-matches (:55-66 — the per-term iterators), so
+    a phrase matching at window w contributes (w+i, w+i) for each slot
+    i. Offsets are n/a (positions-only index, the same declared
+    fallback as ``term_match_positions``). must_not terms never hit —
+    a match guarantees none are present."""
+    matched = monitor.match_batch(
+        docs, url_col, text_col, presearch=presearch
+    )
+    stop, stem = monitor._stopwords, monitor._stem
+    id_type = dict(docs.dtypes)[url_col]
+
+    def kernel(batches):
+        import pandas as pd
+
+        from lucene_spark.functions.analysis import analyze_series
+
+        for pdf in batches:
+            terms_col, pos_col = analyze_series(
+                pdf[text_col], stopwords=stop, stem=stem
+            )
+            urls, terms, ps = [], [], []
+            for u, toks, pos in zip(pdf[url_col], terms_col, pos_col):
+                urls.extend([u] * len(toks))
+                terms.extend(toks)
+                ps.extend(int(p) for p in pos)
+            yield pd.DataFrame({"url": urls, "term": terms, "p": ps})
+
+    tpos = docs.select(url_col, text_col).mapInPandas(
+        kernel, schema=f"url {id_type}, term string, p int"
+    )
+
+    parts = []
+    trows = sorted(
+        {
+            (q.query_id, t)
+            for q in monitor._queries.values()
+            for t in set(q.must) | set(q.should)
+        }
+    )
+    if trows:
+        qt = monitor.spark.createDataFrame(
+            trows, "query_id string, term string"
+        )
+        parts.append(
+            matched.join(F.broadcast(qt), "query_id")
+            .join(tpos, ["url", "term"])
+            .select(
+                "url",
+                "query_id",
+                F.col("p").alias("start_pos"),
+                F.col("p").alias("end_pos"),
+            )
+        )
+
+    prows = [
+        (q.query_id, len(p), " ".join(p))
+        for q in monitor._queries.values()
+        for p in q.phrases
+    ]
+    if prows:
+        qp = monitor.spark.createDataFrame(
+            prows, "query_id string, n int, wkey string"
+        )
+        ns = sorted({n for _, n, _ in prows})
+
+        @F.pandas_udf("array<string>")
+        def _toks(texts):
+            import pandas as pd
+
+            from lucene_spark.functions.analysis import analyze_series
+
+            terms_col, _ = analyze_series(texts, stopwords=stop, stem=stem)
+            return pd.Series(terms_col)
+
+        analyzed = docs.select(
+            F.col(url_col).alias("url"), _toks(F.col(text_col)).alias("toks")
+        )
+        wins = None
+        for n in ns:
+            wn = analyzed.where(F.size("toks") >= n).select(
+                "url",
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.sequence(F.lit(0), F.size("toks") - n)
+                ).alias("p"),
+                "toks",
+            ).select(
+                "url",
+                "n",
+                "p",
+                F.array_join(
+                    F.slice("toks", F.col("p") + 1, n), " "
+                ).alias("wkey"),
+            )
+            wins = wn if wins is None else wins.unionByName(wn)
+        # sub-matches: one hit per phrase slot of each matching window
+        parts.append(
+            matched.join(
+                wins.join(F.broadcast(qp), ["n", "wkey"]),
+                ["url", "query_id"],
+            )
+            .select("url", "query_id", "p", "n")
+            .withColumn(
+                "slot", F.explode(F.sequence(F.lit(0), F.col("n") - 1))
+            )
+            .select(
+                "url",
+                "query_id",
+                (F.col("p") + F.col("slot")).alias("start_pos"),
+            )
+            .withColumn("end_pos", F.col("start_pos"))
+        )
+
+    if not parts:
+        return monitor.spark.createDataFrame(
+            [], f"url {id_type}, query_id string, "
+                "start_pos int, end_pos int"
+        )
+    u = parts[0]
+    for pt in parts[1:]:
+        u = u.unionByName(pt)
+    return u.distinct()

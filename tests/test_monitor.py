@@ -363,3 +363,46 @@ class TestScoringMatch:
             for r in monitor.match_batch(web_pages).collect()
         }
         assert a == b  # no stored query here can match with score 0
+
+
+class TestHighlightsMatch:
+    """HighlightsMatch.MATCHER (monitor/HighlightsMatch.java:37-88):
+    hit positions per match; phrase clauses emit per-slot sub-match
+    hits."""
+
+    def test_hits_mirror(self, spark):
+        from lucene_spark.streaming.monitor import (
+            Monitor,
+            MonitorQuery,
+            highlights_match_batch,
+        )
+
+        m = Monitor(spark)
+        m.register(MonitorQuery("q_and", must=["spark", "window"]))
+        m.register(
+            MonitorQuery("q_ph", phrases=[["spark", "window"]])
+        )
+        docs = [
+            ("d1", "spark window spark window frames"),
+            ("d2", "window only here"),
+        ]
+        df = spark.createDataFrame(docs, "url string, text string")
+        got = {
+            (r["url"], r["query_id"], r["start_pos"], r["end_pos"])
+            for r in highlights_match_batch(m, df).collect()
+        }
+        exp = set()
+        for url, text in docs:
+            toks = text.split()
+            # q_and: both terms present -> every occurrence hits
+            if "spark" in toks and "window" in toks:
+                for i, t in enumerate(toks):
+                    if t in ("spark", "window"):
+                        exp.add((url, "q_and", i, i))
+            # q_ph: per-slot sub-matches of each matching window
+            for i in range(len(toks) - 1):
+                if toks[i] == "spark" and toks[i + 1] == "window":
+                    exp.add((url, "q_ph", i, i))
+                    exp.add((url, "q_ph", i + 1, i + 1))
+        assert got == exp
+        assert ("d1", "q_ph", 0, 0) in got and ("d1", "q_ph", 2, 2) in got
