@@ -3475,6 +3475,44 @@ def _q_monitor_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_monitor_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MonitorQuerySerializer + WritableQueryIndex +
+    ConcurrentQueryLoader (monitor/MonitorQuerySerializer.java:38,
+    WritableQueryIndex.java:35, ConcurrentQueryLoader.java:33):
+    stored queries registered FROM QUERY STRINGS, persisted, reloaded
+    into a fresh Monitor, and percolated — matches must equal the
+    original registry's."""
+    import os
+
+    from lucene_spark.streaming.monitor import (
+        Monitor,
+        load_queries,
+        monitor_query_from_string,
+        save_queries,
+    )
+
+    m = Monitor(spark)
+    m.register(monitor_query_from_string("q_and", "+window +spark"))
+    m.register(monitor_query_from_string("q_ph", '"the query"'))
+    m.register(monitor_query_from_string("q_not", "+window -spark"))
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scratch",
+        "monitor_queries_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    save_queries(m, path)
+    m2 = Monitor(spark)
+    load_queries(m2, path)
+    docs = _docs_table(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    return (
+        m2.match_batch(docs)
+        .select(F.col("url").cast("long").alias("doc_id"), "query_id")
+        .orderBy("doc_id", "query_id")
+    )
+
+
 def _q_monitor_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HighlightsMatch.MATCHER (monitor/HighlightsMatch.java:37-88):
     hit positions per percolator match over the first 200 docs — term
@@ -9065,6 +9103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_grouping_doclen": _q_range_grouping,
         "monitor_scoring_matches": _q_monitor_scoring,
         "monitor_highlight_hits": _q_monitor_highlights,
+        "monitor_loaded_matches": _q_monitor_loaded,
         "sorted_numeric_sort_top10": _q_sorted_numeric_sort,
         "sorted_set_sort_top10": _q_sorted_set_sort,
         "named_matches_first20": _q_named_matches,
@@ -10580,6 +10619,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.doc_id, dl.dl::BIGINT AS doclen
             FROM m JOIN dl USING (doc_id)
             ORDER BY dl.dl, m.doc_id LIMIT 5 OFFSET 5""",
+        "monitor_loaded_matches": f"""
+            WITH {_TOKP},
+            dt AS (SELECT DISTINCT doc_id, term FROM tokp),
+            ph AS (SELECT DISTINCT a.doc_id FROM tokp a
+                   JOIN tokp b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+                   WHERE a.term = 'the' AND b.term = 'query')
+            SELECT * FROM (
+              SELECT d.doc_id, 'q_and' AS query_id FROM documents d
+              WHERE EXISTS (SELECT 1 FROM dt WHERE dt.doc_id = d.doc_id
+                            AND term = 'window')
+                AND EXISTS (SELECT 1 FROM dt WHERE dt.doc_id = d.doc_id
+                            AND term = 'spark')
+              UNION ALL
+              SELECT doc_id, 'q_ph' FROM ph
+              UNION ALL
+              SELECT d.doc_id, 'q_not' FROM documents d
+              WHERE EXISTS (SELECT 1 FROM dt WHERE dt.doc_id = d.doc_id
+                            AND term = 'window')
+                AND NOT EXISTS (SELECT 1 FROM dt
+                                WHERE dt.doc_id = d.doc_id
+                                  AND term = 'spark'))
+            ORDER BY doc_id, query_id""",
         "monitor_highlight_hits": f"""
             WITH {_TOKP},
             t AS (SELECT doc_id, term, p FROM tokp WHERE doc_id < 200),

@@ -641,3 +641,79 @@ def highlights_match_batch(
     for pt in parts[1:]:
         u = u.unionByName(pt)
     return u.distinct()
+
+
+def monitor_query_from_string(query_id: str, query: str) -> MonitorQuery:
+    """``MonitorQuerySerializer.fromParser`` analog (monitor/
+    MonitorQuerySerializer.java:38-48 — stored queries round-trip
+    through their QUERY STRING, parsed on load): the classic-parser
+    syntax mapped onto the flat MonitorQuery shape. Supported: bare /
+    +must / -must_not terms and exact "quoted phrases" (a +phrase or
+    bare phrase registers as a phrase clause; a -phrase is not
+    representable and raises, as does any other clause type — the
+    percolator's flat boolean model is a declared subset)."""
+    from ..plans.parser import QueryParseError, parse
+
+    must, should, must_not, phrases = [], [], [], []
+    for c in parse(query):
+        if c.kind == "term":
+            {"MUST": must, "SHOULD": should, "MUST_NOT": must_not}[
+                c.occur
+            ].append(c.text)
+        elif c.kind == "phrase" and c.slop == 0 and c.occur != "MUST_NOT":
+            phrases.append(c.text.split())
+        else:
+            raise QueryParseError(
+                f"clause {c.kind}/{c.occur} not representable as a "
+                "MonitorQuery"
+            )
+    return MonitorQuery(
+        query_id, must=must, should=should, must_not=must_not,
+        phrases=phrases,
+    )
+
+
+def save_queries(monitor: Monitor, path: str) -> None:
+    """Persist the registry as a (query_id, mq fields) parquet — the
+    WritableQueryIndex role (monitor/WritableQueryIndex.java:35): a
+    Monitor survives restarts by reloading its stored queries.
+    Registered queries are stored POST-analysis (the reference caches
+    the parsed/decomposed form alongside the serialized source)."""
+    rows = [
+        (
+            q.query_id,
+            list(q.must),
+            list(q.should),
+            list(q.must_not),
+            q.min_should_match,
+            [" ".join(p) for p in q.phrases],
+        )
+        for q in monitor._queries.values()
+    ]
+    monitor.spark.createDataFrame(
+        rows,
+        "query_id string, must array<string>, should array<string>, "
+        "must_not array<string>, msm int, phrases array<string>",
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_queries(monitor: Monitor, path: str) -> int:
+    """Bulk-(re)register every stored query from ``path`` — the
+    ConcurrentQueryLoader role (monitor/ConcurrentQueryLoader.java:33:
+    parallel add() calls into the query index; one parquet read and a
+    driver-side registry fill here, since the registry is already the
+    broadcastable form). Returns the number of queries loaded."""
+    n = 0
+    for r in monitor.spark.read.parquet(path).collect():
+        mq = MonitorQuery(
+            r["query_id"],
+            must=list(r["must"]),
+            should=list(r["should"]),
+            must_not=list(r["must_not"]),
+            min_should_match=int(r["msm"]),
+            phrases=[p.split(" ") for p in r["phrases"]],
+        )
+        # fields are stored post-analysis: bypass re-analysis
+        monitor._queries[mq.query_id] = mq
+        n += 1
+    return n

@@ -406,3 +406,58 @@ class TestHighlightsMatch:
                     exp.add((url, "q_ph", i + 1, i + 1))
         assert got == exp
         assert ("d1", "q_ph", 0, 0) in got and ("d1", "q_ph", 2, 2) in got
+
+
+class TestPersistence:
+    """MonitorQuerySerializer / WritableQueryIndex /
+    ConcurrentQueryLoader: parse-from-string registration and
+    save/load round-trip."""
+
+    def test_parse_registration(self, spark):
+        from lucene_spark.plans.parser import QueryParseError
+        from lucene_spark.streaming.monitor import (
+            monitor_query_from_string,
+        )
+
+        q = monitor_query_from_string(
+            "q1", '+window -spark batch "the query"'
+        )
+        assert (q.must, q.should, q.must_not) == (
+            ["window"], ["batch"], ["spark"]
+        )
+        assert q.phrases == [["the", "query"]]
+        with pytest.raises(QueryParseError):
+            monitor_query_from_string("q2", "wild*card")
+        with pytest.raises(QueryParseError):
+            monitor_query_from_string("q3", '-"no neg phrases"')
+
+    def test_save_load_roundtrip(self, spark, web_pages, tmp_path):
+        from lucene_spark.streaming.monitor import (
+            Monitor,
+            MonitorQuery,
+            load_queries,
+            save_queries,
+        )
+
+        m = Monitor(spark)
+        m.register(MonitorQuery("q_and", must=["window", "spark"]))
+        m.register(
+            MonitorQuery(
+                "q_msm", should=["window", "spark", "data"],
+                min_should_match=2,
+            )
+        )
+        m.register(MonitorQuery("q_ph", phrases=[["the", "query"]]))
+        p = str(tmp_path / "queries")
+        save_queries(m, p)
+        m2 = Monitor(spark)
+        assert load_queries(m2, p) == 3
+        a = {
+            (r["url"], r["query_id"])
+            for r in m.match_batch(web_pages).collect()
+        }
+        b = {
+            (r["url"], r["query_id"])
+            for r in m2.match_batch(web_pages).collect()
+        }
+        assert a == b and a
