@@ -6354,6 +6354,19 @@ def _q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _const_matches(s, s.scored_regexp("s.*k"))
 
 
+def _q_lucene_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene RegExp syntax (core/util/automaton/RegExp.java:40-350,
+    flags=ALL — the RegexpQuery default): intersection, union, and a
+    quoted literal — terms containing both an 'a' and an 'e', or the
+    exact quoted literal "window". Exercises the &-to-lookahead and
+    "..."-escape translations that plain rlike passthrough would
+    silently mis-evaluate."""
+    s = _get_searcher(spark, sf_dir)
+    return _const_matches(
+        s, s.scored_regexp('.*a.*&.*e.*|"window"')
+    )
+
+
 def _q_term_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _get_searcher(spark, sf_dir)
     return _const_matches(
@@ -9093,6 +9106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-2: previously pytest-only operators
         "fuzzy_match": _q_fuzzy,
         "regexp_match": _q_regexp,
+        "lucene_regexp_match": _q_lucene_regexp,
         "term_in_set_match": _q_term_in_set,
         "match_all_count": _q_match_all,
         "field_exists_count": _q_field_exists,
@@ -10606,6 +10620,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "regexp_match": _const_match_sql(
             "regexp_matches(term, '^(?:s.*k)$')"
+        ),
+        "lucene_regexp_match": _const_match_sql(
+            "(regexp_full_match(term, '.*a.*') AND "
+            "regexp_full_match(term, '.*e.*')) OR term = 'window'"
         ),
         "term_in_set_match": _const_match_sql(
             "term IN ('window', 'table', 'data')"

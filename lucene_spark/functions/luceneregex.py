@@ -1,0 +1,306 @@
+"""Lucene RegExp syntax -> Java regex translation.
+
+``RegexpQuery`` patterns use LUCENE's own regular-expression language
+(core/util/automaton/RegExp.java:40-350, default flags ``RegExp.ALL``),
+which differs from Java/Spark ``rlike`` syntax in ways that silently
+change results if passed through verbatim:
+
+- ``&``        intersection (both operands must match)        [0x0001]
+- ``#``        the empty language (matches nothing)           [0x0004]
+- ``@``        any string                                     [0x0008]
+- ``<n-m>``    numeric interval, inclusive; if the two written
+               endpoints have the same number of digits the match
+               must have exactly that length (leading-zero padded),
+               otherwise any number of leading zeros is allowed
+               (RegExp.java:1460-1494, Automata.makeDecimalInterval)
+- ``"..."``    quoted literal
+- ``.``        ANY codepoint (Java's ``.`` excludes newlines — the
+               caller wraps with ``(?s)``)
+- anchoring    the automaton matches the WHOLE term
+- ``^ $ = !``  are ordinary characters in Lucene and must be escaped
+               for Java
+
+This module compiles the Lucene grammar (mirroring RegExp.java's
+parser precedence: union > intersection > concatenation > repetition >
+char class > simple, :1229-1575) into a Java regex string for the
+term-dictionary ``rlike`` filter. Intersection compiles to lookaheads
+anchored at the term end — exact whenever the intersection's match
+region extends to the END of the term (top level, union arms, the
+final element of a concatenation; the parser backtracks to grant the
+final element its suffix position). An intersection anywhere else, or
+under a quantifier, raises ``LuceneRegexError`` as a declared
+unsupported corner (the reference composes automata, which have no
+positional restriction). ``<identifier>`` automaton references raise
+like the reference does without an AutomatonProvider.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class LuceneRegexError(ValueError):
+    pass
+
+
+_JAVA_SPECIAL = set(".^$|?*+()[]{}\\")
+
+
+def _esc(ch: str) -> str:
+    return "\\" + ch if ch in _JAVA_SPECIAL else ch
+
+
+def _rng(lo: str, hi: str) -> list[str]:
+    """Regex alternatives matching fixed-width digit strings in
+    [lo, hi] (both the same width)."""
+    if lo == hi:
+        return [lo]
+    a, b = int(lo[0]), int(hi[0])
+    if len(lo) == 1:
+        return [f"[{a}-{b}]"]
+    rest = len(lo) - 1
+    if a == b:
+        return [lo[0] + alt for alt in _rng(lo[1:], hi[1:])]
+    out = [lo[0] + alt for alt in _rng(lo[1:], "9" * rest)]
+    if b - a >= 2:
+        mid = f"[{a + 1}-{b - 1}]" if b - a > 2 else str(a + 1)
+        out.append(mid + f"[0-9]{{{rest}}}")
+    out.extend(hi[0] + alt for alt in _rng("0" * rest, hi[1:]))
+    return out
+
+
+def _interval_regex(smin: str, smax: str) -> str:
+    """``<n-m>`` (RegExp.java:1470-1488 + Automata.makeDecimalInterval):
+    same written length -> exactly that many digits; otherwise any
+    number of leading zeros before the significant digits."""
+    imin, imax = int(smin), int(smax)
+    if imin > imax:
+        imin, imax = imax, imin
+        smin, smax = smax, smin
+    if len(smin) == len(smax):
+        return "(?:" + "|".join(_rng(smin, smax)) + ")"
+    alts = []
+    for w in range(len(str(imin)), len(str(imax)) + 1):
+        lo = imin if w == len(str(imin)) else 10 ** (w - 1)
+        hi = min(imax, 10**w - 1)
+        if lo > hi:
+            continue
+        alts.extend(_rng(str(lo).zfill(w), str(hi).zfill(w)))
+    return "0*(?:" + "|".join(alts) + ")"
+
+
+def _has_lookahead(e: str) -> bool:
+    # "(?=" can only come from our intersection encoding: a user's
+    # literal '(', '?', '=' all escape or group differently
+    return "(?=" in e
+
+
+class _Parser:
+    """RegExp.java:1229-1575 mirrored; emits Java regex fragments.
+
+    ``at_end`` = this node's match region extends to the end of the
+    term (the precondition for the lookahead intersection encoding)."""
+
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def more(self) -> bool:
+        return self.i < len(self.s)
+
+    def peek(self, chars: str) -> bool:
+        return self.more() and self.s[self.i] in chars
+
+    def match(self, ch: str) -> bool:
+        if self.peek(ch):
+            self.i += 1
+            return True
+        return False
+
+    def next(self) -> str:
+        if not self.more():
+            raise LuceneRegexError("unexpected end of pattern")
+        ch = self.s[self.i]
+        self.i += 1
+        return ch
+
+    # --- grammar -------------------------------------------------
+    def union(self, at_end: bool) -> str:
+        parts = [self.inter(at_end)]
+        while self.match("|"):
+            parts.append(self.inter(at_end))
+        if len(parts) == 1:
+            return parts[0]
+        return "(?:" + "|".join(parts) + ")"
+
+    def inter(self, at_end: bool) -> str:
+        parts = [self.concat(at_end)]
+        while self.match("&"):
+            parts.append(self.concat(at_end))
+        if len(parts) == 1:
+            return parts[0]
+        if not at_end:
+            raise LuceneRegexError(
+                "intersection (&) is only supported where its match "
+                "region extends to the end of the term"
+            )
+        heads = "".join(f"(?=(?:{p})$)" for p in parts[:-1])
+        return "(?:" + heads + "(?:" + parts[-1] + "))"
+
+    def _at_concat_end(self) -> bool:
+        return not self.more() or self.peek(")|") or self.peek("&")
+
+    def concat(self, at_end: bool) -> str:
+        if self._at_concat_end():
+            # the reference's parseConcatExp always consumes at least
+            # one expression (RegExp.java:1237-1242)
+            raise LuceneRegexError(
+                f"unexpected end of expression at position {self.i}"
+            )
+        parts: list[str] = []
+        while not self._at_concat_end():
+            save = self.i
+            try:
+                parts.append(self.repeat(False))
+            except LuceneRegexError:
+                if not at_end:
+                    raise
+                # retry as the concatenation's FINAL element, which
+                # inherits the suffix position
+                self.i = save
+                e = self.repeat(True)
+                if not self._at_concat_end():
+                    raise
+                parts.append(e)
+        return "".join(parts)
+
+    def repeat(self, at_end: bool) -> str:
+        e = self.char_class_exp(at_end)
+        while self.peek("?*+{"):
+            if _has_lookahead(e):
+                raise LuceneRegexError(
+                    "repetition of an intersection is not supported"
+                )
+            if self.match("?"):
+                e = f"(?:{e})?"
+            elif self.match("*"):
+                e = f"(?:{e})*"
+            elif self.match("+"):
+                e = f"(?:{e})+"
+            elif self.match("{"):
+                start = self.i
+                while self.peek("0123456789"):
+                    self.i += 1
+                if start == self.i:
+                    raise LuceneRegexError("integer expected in {}")
+                n = self.s[start:self.i]
+                m = None
+                if self.match(","):
+                    start = self.i
+                    while self.peek("0123456789"):
+                        self.i += 1
+                    m = self.s[start:self.i]
+                if not self.match("}"):
+                    raise LuceneRegexError("expected '}'")
+                if m is None:
+                    e = f"(?:{e}){{{n}}}"
+                elif m == "":
+                    e = f"(?:{e}){{{n},}}"
+                else:
+                    if int(n) > int(m):
+                        raise LuceneRegexError(
+                            "invalid repetition range (out of order)"
+                        )
+                    e = f"(?:{e}){{{n},{m}}}"
+        return e
+
+    def char_class_exp(self, at_end: bool) -> str:
+        if self.match("["):
+            negate = self.match("^")
+            items = []
+            while self.more() and not self.peek("]"):
+                items.append(self._class_item())
+            if not self.match("]"):
+                raise LuceneRegexError("expected ']'")
+            return "[" + ("^" if negate else "") + "".join(items) + "]"
+        return self.simple(at_end)
+
+    def _class_item(self) -> str:
+        ch = self.next()
+        if ch == "\\":
+            nxt = self.next()
+            if nxt in "dDsSwW":
+                return "\\" + nxt
+            return self._cls_esc(nxt)
+        if self.peek("-") and self.i + 1 < len(self.s) and \
+                self.s[self.i + 1] != "]":
+            self.i += 1  # consume '-'
+            hi = self.next()
+            if hi == "\\":
+                hi = self.next()
+            return self._cls_esc(ch) + "-" + self._cls_esc(hi)
+        return self._cls_esc(ch)
+
+    @staticmethod
+    def _cls_esc(ch: str) -> str:
+        return "\\" + ch if ch in "\\]^-[&" else ch
+
+    def simple(self, at_end: bool) -> str:
+        if self.match("."):
+            return "."
+        if self.match("#"):
+            return "(?!x)x"  # empty language: never matches
+        if self.match("@"):
+            return ".*"
+        if self.match('"'):
+            start = self.i
+            while self.more() and self.s[self.i] != '"':
+                self.i += 1
+            if not self.match('"'):
+                raise LuceneRegexError("expected '\"'")
+            return re.escape(self.s[start:self.i - 1])
+        if self.match("("):
+            if self.match(")"):
+                return ""
+            e = self.union(at_end)
+            if not self.match(")"):
+                raise LuceneRegexError("expected ')'")
+            return "(?:" + e + ")"
+        if self.match("<"):
+            start = self.i
+            while self.more() and self.s[self.i] != ">":
+                self.i += 1
+            if not self.match(">"):
+                raise LuceneRegexError("expected '>'")
+            body = self.s[start:self.i - 1]
+            k = body.find("-")
+            if k <= 0 or k == len(body) - 1 or k != body.rfind("-"):
+                raise LuceneRegexError(
+                    "<identifier> automaton references need an "
+                    "AutomatonProvider (RegExp.java:1466-1469)"
+                )
+            smin, smax = body[:k], body[k + 1:]
+            if not (smin.isdigit() and smax.isdigit()):
+                raise LuceneRegexError("interval syntax error")
+            return _interval_regex(smin, smax)
+        ch = self.next()
+        if ch == "\\":
+            nxt = self.next()
+            if nxt in "dDsSwW":
+                return "\\" + nxt
+            return re.escape(nxt)
+        return _esc(ch)
+
+
+def lucene_regexp_to_java(pattern: str) -> str:
+    """Translate a Lucene RegExp pattern (default ``RegExp.ALL``
+    syntax) into an equivalent Java regex for a WHOLE-TERM anchored
+    match. The caller wraps with ``^(?s:...)$`` (``(?s)`` because
+    Lucene's ``.`` matches any codepoint including newlines)."""
+    p = _Parser(pattern)
+    out = p.union(at_end=True)
+    if p.more():
+        raise LuceneRegexError(
+            f"trailing input at position {p.i}: {p.s[p.i:]!r}"
+        )
+    return out

@@ -427,10 +427,23 @@ class QueryOpsMixin:
     def ngram_phrase_query(self, text: str, n: int, k: int = 10) -> DataFrame:
         return self._finish_topk(self.scored_ngram_phrase(text, n), k)
 
-    def scored_regexp(self, regex: str, boost: float = 1.0) -> DataFrame:
+    def scored_regexp(
+        self, regex: str, boost: float = 1.0, syntax: str = "lucene"
+    ) -> DataFrame:
         """RegexpQuery (``core/search/RegexpQuery.java:42``) — full-term
-        match, like Lucene's automaton (anchored both ends)."""
-        rx = "^(?:" + regex + ")$"
+        match, like Lucene's automaton (anchored both ends). The
+        pattern uses LUCENE RegExp syntax (``RegExp.ALL``, the query's
+        default): ``&`` intersection, ``<n-m>`` numeric intervals,
+        ``@``/``#``, quoted literals, any-codepoint ``.`` — translated
+        to an equivalent JVM regex by ``functions/luceneregex.py`` so
+        the predicate still pushes into the terms-table scan.
+        ``syntax="java"`` passes the pattern through untranslated."""
+        if syntax == "lucene":
+            from ..functions.luceneregex import lucene_regexp_to_java
+
+            rx = "^(?s:" + lucene_regexp_to_java(regex) + ")$"
+        else:
+            rx = "^(?:" + regex + ")$"
         return self.constant_score(
             self._matching_docids(F.col("term").rlike(rx)), boost
         )

@@ -1,0 +1,73 @@
+"""Lucene RegExp syntax -> Java regex (functions/luceneregex.py vs
+core/util/automaton/RegExp.java semantics), checked through Spark's
+actual rlike so the JVM regex engine is the one under test."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.functions.luceneregex import (
+    LuceneRegexError,
+    lucene_regexp_to_java,
+)
+
+CASES = [
+    # (pattern, matching terms, non-matching terms)
+    ("s.*k", ["spark", "sk"], ["sparky", "park"]),
+    ("ab&.*b", ["ab"], ["b", "abb" ]),
+    ("a.*&.*b", ["axb", "ab"], ["axc", "ba"]),
+    ("abc|def", ["abc", "def"], ["abd"]),
+    ("a|bc&.*c", ["a", "bc"], ["bd", "c"]),
+    ("@", ["anything", ""], []),
+    ("#", [], ["", "x"]),
+    ("<5-10>", ["7", "07", "0007", "10", "5"], ["11", "4", "007x"]),
+    ("<05-10>", ["07", "10", "05"], ["7", "010", "11"]),
+    ("<1-200>", ["157", "0099", "200", "1"], ["201", "0", "1570"]),
+    ('"a.b"', ["a.b"], ["axb"]),
+    ("foo\\&bar", ["foo&bar"], ["foobar"]),
+    ("[a-c]+", ["abcb"], ["abd", ""]),
+    ("[^a-c]", ["d"], ["b", "dd"]),
+    ("a{2,3}", ["aa", "aaa"], ["a", "aaaa"]),
+    ("x=y", ["x=y"], ["xy"]),
+    ("x(a.*&.*b)", ["xaqb", "xab"], ["xaqc", "ab"]),
+    ("(ab)+c", ["abc", "ababc"], ["ac", "abab"]),
+    ("\\d+", ["123"], ["12a"]),
+]
+
+
+@pytest.mark.parametrize("pat,yes,no", CASES)
+def test_translation_via_spark_rlike(spark, pat, yes, no):
+    rx = "^(?s:" + lucene_regexp_to_java(pat) + ")$"
+    terms = [(t,) for t in set(yes) | set(no)]
+    if not terms:
+        return
+    df = spark.createDataFrame(terms, "term string")
+    got = {
+        r["term"]
+        for r in df.where(F.col("term").rlike(rx)).collect()
+    }
+    assert got == set(yes), (pat, rx)
+
+
+def test_dot_matches_newline(spark):
+    rx = "^(?s:" + lucene_regexp_to_java("f.o") + ")$"
+    df = spark.createDataFrame([("f\no",), ("fxo",), ("fo",)], "term string")
+    got = {r["term"] for r in df.where(F.col("term").rlike(rx)).collect()}
+    assert got == {"f\no", "fxo"}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["(a&b)x", "(a&b)*", "<abc>", "a&", "a|", "&a", "(|a)", "a{3,2}",
+     '"unterminated', "[abc", "(abc"],
+)
+def test_errors(bad):
+    with pytest.raises(LuceneRegexError):
+        lucene_regexp_to_java(bad)
+
+
+def test_literal_question_mark_and_reserved_chars(spark):
+    # '?' after '(' is a LITERAL in Lucene (no (?:...) syntax)
+    rx = "^(?s:" + lucene_regexp_to_java("(?:a)") + ")$"
+    df = spark.createDataFrame([("?:a",), ("a",)], "term string")
+    got = {r["term"] for r in df.where(F.col("term").rlike(rx)).collect()}
+    assert got == {"?:a"}
