@@ -992,6 +992,11 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
 
             build_index(spark, wp, idx, num_segments=8)
             maybe_merge(spark, idx, merge_factor=2, min_merge_docs=1)
+        elif kind == "fmerged":
+            from lucene_spark.operators.merge import force_merge
+
+            build_index(spark, wp, idx, num_segments=8)
+            force_merge(spark, idx, max_num_segments=1)
         elif kind == "mof":
             # one big flush + four tiny ones (MergeOnFlush input shape)
             num = F.substring("url", -8, 8).cast("long")
@@ -7043,6 +7048,17 @@ def _q_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_force_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forceMerge(1) (IndexWriter.java:1932-1990 +
+    TieredMergePolicy.findForcedMerges): the whole index compacted to
+    ONE segment — (url, score) results invariant vs the flat build
+    (no deletes here, so stats are unchanged; with deletes, forceMerge
+    legitimately shifts scores by reclaiming — tests/test_merge.py
+    asserts the live-rebuild equivalence for that case)."""
+    s = _variant_searcher(spark, sf_dir, "fmerged")
+    return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
+
+
 def _q_index_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index sorting (IndexWriterConfig.setIndexSort, doclen desc):
     docids are reassigned by the sort, but (url, score) results are
@@ -9149,6 +9165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_indexes_top10": _q_add_indexes,
         "rollback_top10": _q_rollback,
         "merged_index_top10": _q_merged,
+        "force_merged_top10": _q_force_merged,
         "nrt_appended_top10": _q_nrt,
         "time_travel_top10": _q_time_travel,
         "lifetime_acquired_top10": _q_lifetime_acquired,
@@ -10882,6 +10899,7 @@ def oracle_sql() -> dict[str, str]:
         "add_indexes_top10": _bm25_sql(["window"]),
         "rollback_top10": _bm25_sql(["window"]),
         "merged_index_top10": _bm25_sql(["window"]),
+        "force_merged_top10": _bm25_sql(["window"]),
         "merge_on_flush_top10": _bm25_sql(["window"]),
         "geo_bbox_relations": _geo_bbox_sql(),
         "fvh_fragments": _fvh_sql(),

@@ -921,6 +921,50 @@ def maybe_merge(
     return created
 
 
+def force_merge(
+    spark: SparkSession,
+    index_dir: str,
+    max_num_segments: int = 1,
+    max_merge_at_once: int = 10,
+    reclaim_deletes: bool = True,
+) -> list[int]:
+    """IndexWriter.forceMerge analog (``core/index/IndexWriter.java:
+    1932-1990`` + ``TieredMergePolicy.findForcedMerges``): merge until
+    at most ``max_num_segments`` remain, ignoring the normal tier
+    thresholds. Each round groups the SMALLEST committed segments
+    (keeping individual merges balanced, the forced-merge planner's
+    aim) with at most ``max_merge_at_once`` inputs, re-planning on the
+    new manifest until the target count holds. Docids reassign like
+    any tiered merge, so only (url, score) results are invariant;
+    deletes reclaim physically by default (a forced merge is the
+    canonical compaction)."""
+    if max_num_segments < 1:
+        raise ValueError("max_num_segments must be >= 1")
+    catalog = IndexCatalog(index_dir)
+    created: list[int] = []
+    while True:
+        manifest = catalog.read_manifest()
+        segs = [
+            s for s in manifest["segments"]
+            if s.get("status") == "COMMITTED"
+        ]
+        if len(segs) <= max_num_segments:
+            break
+        segs.sort(key=lambda s: (s["num_docs"], s["segment_id"]))
+        take = min(max_merge_at_once, len(segs) - max_num_segments + 1)
+        group = [s["segment_id"] for s in segs[:take]]
+        created.append(
+            merge_segments(
+                spark,
+                catalog,
+                group,
+                policy="TieredMergePolicy",
+                reclaim_deletes=reclaim_deletes,
+            )
+        )
+    return created
+
+
 def force_merge_deletes(
     spark: SparkSession,
     index_dir: str,

@@ -217,3 +217,82 @@ class TestTieredMergeEndToEnd:
         assert after == baseline
         assert not ({u for u, _ in after} & set(victims))
         assert check_index(spark, d)["status"] == "OK"
+
+
+class TestForceMerge:
+    def test_force_merge_compacts_and_matches_live_rebuild(
+        self, spark, web_pages, tmp_path
+    ):
+        """forceMerge (IndexWriter.java:1932-1990): compaction to at
+        most maxNumSegments. Physical reclamation shrinks corpus stats
+        exactly like a Lucene merge, so scores after a FULL compaction
+        must equal a fresh index built from only the live docs (not
+        the pre-merge tombstone-masked scores, which still count the
+        deleted docs in docFreq/avgdl — Lucene semantics)."""
+        from pyspark.sql import functions as F
+
+        from lucene_spark.operators.build import build_index
+        from lucene_spark.operators.checkindex import check_index
+        from lucene_spark.operators.deletes import (
+            delete_by_urls,
+            read_tombstones,
+        )
+        from lucene_spark.operators.merge import force_merge
+        from lucene_spark.operators.search import Searcher
+        from lucene_spark.sources.catalog import IndexCatalog
+
+        d = str(tmp_path / "fm_idx")
+        build_index(spark, web_pages, d, num_segments=8)
+        victims = [
+            r["url"]
+            for r in Searcher(spark, d)
+            .term_query("window", k=2, prune=False)
+            .collect()
+        ]
+        delete_by_urls(spark, d, victims)
+
+        created = force_merge(spark, d, max_num_segments=3,
+                              max_merge_at_once=4)
+        assert created
+        cat = IndexCatalog(d)
+        live = [
+            x for x in cat.read_manifest()["segments"]
+            if x["status"] == "COMMITTED"
+        ]
+        assert len(live) <= 3
+
+        force_merge(spark, d, max_num_segments=1)
+        live = [
+            x for x in cat.read_manifest()["segments"]
+            if x["status"] == "COMMITTED"
+        ]
+        assert len(live) == 1
+        # idempotent once at the target
+        assert force_merge(spark, d, max_num_segments=1) == []
+
+        s = Searcher(spark, d)
+        after = {
+            (r["url"], round(float(r["score"]), 6))
+            for r in s.boolean_query(
+                should=["window", "spark"], k=10, prune=False
+            ).collect()
+        }
+        # reference: an index built fresh from the surviving docs
+        ref_dir = str(tmp_path / "fm_ref")
+        build_index(
+            spark,
+            web_pages.where(~F.col("url").isin(victims)),
+            ref_dir, num_segments=2,
+        )
+        ref = {
+            (r["url"], round(float(r["score"]), 6))
+            for r in Searcher(spark, ref_dir)
+            .boolean_query(should=["window", "spark"], k=10, prune=False)
+            .collect()
+        }
+        assert after == ref
+        assert not ({u for u, _ in after} & set(victims))
+        # compaction physically reclaimed the tombstones
+        t = read_tombstones(spark, s.catalog)
+        assert t is None or t.count() == 0
+        assert check_index(spark, d)["status"] == "OK"
