@@ -7048,6 +7048,23 @@ def _q_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_by_doc_id(s, s.scored_boolean(should=["window"]))
 
 
+def _q_check_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CheckJoinIndex (join/CheckJoinIndex.java:33-90) over the
+    customer(parent)/orders(child) block relation: verified counts —
+    raises on orphans / missing parents / duplicate parent keys."""
+    from lucene_spark.operators.joins import check_join_index
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    out = check_join_index(cust, orders, "c_custkey")
+    return spark.createDataFrame(
+        [(out["n_parents"], out["n_children"], out["n_orphans"])],
+        "n_parents long, n_children long, n_orphans long",
+    )
+
+
 def _q_force_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """forceMerge(1) (IndexWriter.java:1932-1990 +
     TieredMergePolicy.findForcedMerges): the whole index compacted to
@@ -9166,6 +9183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollback_top10": _q_rollback,
         "merged_index_top10": _q_merged,
         "force_merged_top10": _q_force_merged,
+        "check_join_counts": _q_check_join,
         "nrt_appended_top10": _q_nrt,
         "time_travel_top10": _q_time_travel,
         "lifetime_acquired_top10": _q_lifetime_acquired,
@@ -10900,6 +10918,13 @@ def oracle_sql() -> dict[str, str]:
         "rollback_top10": _bm25_sql(["window"]),
         "merged_index_top10": _bm25_sql(["window"]),
         "force_merged_top10": _bm25_sql(["window"]),
+        "check_join_counts": """
+            SELECT (SELECT count(*) FROM customer)::BIGINT AS n_parents,
+                   (SELECT count(*) FROM orders)::BIGINT AS n_children,
+                   (SELECT count(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey)
+                   )::BIGINT AS n_orphans""",
         "merge_on_flush_top10": _bm25_sql(["window"]),
         "geo_bbox_relations": _geo_bbox_sql(),
         "fvh_fragments": _fvh_sql(),

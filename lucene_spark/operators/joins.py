@@ -285,3 +285,63 @@ def taxonomy_facet_associations(
             .drop("__rn")
         )
     return out
+
+
+def check_join_index(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+) -> dict:
+    """``CheckJoinIndex.check`` (join/CheckJoinIndex.java:33-90)
+    adapted to the relational block layout: the reference walks each
+    segment's docid-adjacent blocks asserting (a) at least one parent
+    exists, (b) the last doc is a parent (no trailing orphan
+    children), and (c) liveDocs delete parents and their children
+    atomically. With blocks keyed by ``parent_key`` instead of docid
+    adjacency those invariants become: children must reference an
+    EXISTING parent (no orphans), at least one parent must exist when
+    any child does, and parent keys are unique (one parent per
+    block). The liveDocs check is the same orphan check applied to
+    post-delete frames — pass the live views and any block whose
+    parent and children were not deleted together surfaces as an
+    orphan or a childless missing key.
+
+    Raises ``ValueError`` with the reference's message shape on the
+    first violation; returns the verified counts when clean. One
+    aggregation job — no per-row driver work."""
+    p = parents.select(F.col(parent_key).alias("__k"))
+    c = children.select(F.col(parent_key).alias("__k"))
+    orphan = c.join(p, "__k", "left_anti")
+    stats = (
+        p.agg(
+            F.count("*").alias("n_parents"),
+            F.count_distinct("__k").alias("n_keys"),
+        )
+        .crossJoin(c.agg(F.count("*").alias("n_children")))
+        .crossJoin(orphan.agg(F.count("*").alias("n_orphans")))
+        .collect()[0]
+    )
+    n_parents = int(stats["n_parents"])
+    n_children = int(stats["n_children"])
+    n_orphans = int(stats["n_orphans"])
+    n_keys = int(stats["n_keys"])
+    if n_parents == 0 and n_children > 0:
+        raise ValueError(
+            "Every segment should have at least one parent, but this "
+            "index does not have any"
+        )
+    if n_orphans > 0:
+        raise ValueError(
+            f"The last document of a segment must always be a parent: "
+            f"{n_orphans} child documents reference no parent"
+        )
+    if n_keys != n_parents:
+        raise ValueError(
+            f"blocks must have exactly one parent: "
+            f"{n_parents - n_keys} duplicate parent keys"
+        )
+    return {
+        "n_parents": n_parents,
+        "n_children": n_children,
+        "n_orphans": 0,
+    }

@@ -198,3 +198,55 @@ class TestBlockJoinSort:
                 tables["lineitem"], tables["orders"], "o_orderkey",
                 "l_extendedprice", selector="median",
             )
+
+
+class TestCheckJoinIndex:
+    """CheckJoinIndex (join/CheckJoinIndex.java:33-90) over the
+    relational block layout."""
+
+    def test_clean_and_violations(self, spark):
+        from lucene_spark.operators.joins import check_join_index
+
+        parents = spark.createDataFrame(
+            [(1, "p1"), (2, "p2")], "pk long, name string"
+        )
+        children = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20)], "pk long, v long"
+        )
+        out = check_join_index(parents, children, "pk")
+        assert out == {"n_parents": 2, "n_children": 3, "n_orphans": 0}
+
+        orphaned = children.unionByName(
+            spark.createDataFrame([(9, 90)], "pk long, v long")
+        )
+        with pytest.raises(ValueError, match="parent"):
+            check_join_index(parents, orphaned, "pk")
+
+        none = parents.where("pk < 0")
+        with pytest.raises(ValueError, match="at least one parent"):
+            check_join_index(none, children, "pk")
+
+        dup = parents.unionByName(
+            spark.createDataFrame([(1, "p1b")], "pk long, name string")
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            check_join_index(dup, children, "pk")
+
+    def test_live_docs_atomicity_surfaces_as_orphans(self, spark):
+        """Deleting a parent but not its children (the reference's
+        liveDocs violation) shows up as orphans on the live views."""
+        from lucene_spark.operators.joins import check_join_index
+
+        parents = spark.createDataFrame(
+            [(1, "p1"), (2, "p2")], "pk long, name string"
+        )
+        children = spark.createDataFrame(
+            [(1, 10), (2, 20)], "pk long, v long"
+        )
+        live_parents = parents.where("pk != 1")  # parent deleted...
+        with pytest.raises(ValueError):
+            check_join_index(live_parents, children, "pk")  # ...kids not
+        ok = check_join_index(
+            live_parents, children.where("pk != 1"), "pk"
+        )
+        assert ok["n_parents"] == 1
