@@ -4257,6 +4257,21 @@ def _q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def _q_drill_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DrillDownQuery (facet/DrillDownQuery.java:47-150): lang IN
+    (en, fr) — two values OR-ed on one dimension — AND source='src1';
+    first 20 matches by doc_id plus the per-row lang."""
+    from lucene_spark.operators.joins import drill_down
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        drill_down(docs, {"lang": ["en", "fr"], "source": ["src1"]})
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
 def _q_block_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BlockGroupingCollector (grouping/BlockGroupingCollector.java:
     68-512): 'data' matches grouped by lang; top-3 groups by best doc
@@ -9136,6 +9151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_join_sort_min20": _q_block_join_sort,
         "block_grouping_top": _q_block_grouping,
         "drill_sideways_docs": _q_drill_sideways,
+        "drill_down_first20": _q_drill_down,
         # round-2: previously pytest-only operators
         "fuzzy_match": _q_fuzzy,
         "regexp_match": _q_regexp,
@@ -10642,6 +10658,10 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem WHERE l_quantity > 45
               GROUP BY l_orderkey) s ON o_orderkey = l_orderkey
             ORDER BY coalesce(sel, 1e18), o_orderkey LIMIT 20""",
+        "drill_down_first20": """
+            SELECT doc_id, lang FROM documents
+            WHERE lang IN ('en', 'fr') AND source = 'src1'
+            ORDER BY doc_id LIMIT 20""",
         "drill_sideways_docs": """
             SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS cnt
             FROM documents WHERE source = 'src1' GROUP BY lang

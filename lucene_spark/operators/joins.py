@@ -345,3 +345,24 @@ def check_join_index(
         "n_children": n_children,
         "n_orphans": 0,
     }
+
+
+def drill_down(
+    base: DataFrame,
+    dims: dict[str, list],
+) -> DataFrame:
+    """``DrillDownQuery`` (facet/DrillDownQuery.java:47-150): the base
+    query's matches AND one disjunction per drilled dimension —
+    multiple values added on the same dimension OR together
+    (:118-131), dimensions AND together. ``base`` with no further
+    constraint is the pure-browse MatchAllDocsQuery form (:72-80).
+    ``FacetQuery`` / ``MultiFacetQuery`` (facet/FacetQuery.java:28,
+    MultiFacetQuery.java:30) are the single-dimension sugar: exactly
+    this with one entry in ``dims``.
+
+    ``dims``: column name -> accepted values. Pure Catalyst isin
+    predicates — they push into the scan like any dimension filter."""
+    out = base
+    for col, values in dims.items():
+        out = out.where(F.col(col).isin(list(values)))
+    return out

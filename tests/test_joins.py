@@ -250,3 +250,27 @@ class TestCheckJoinIndex:
             live_parents, children.where("pk != 1"), "pk"
         )
         assert ok["n_parents"] == 1
+
+
+class TestDrillDown:
+    def test_or_within_dim_and_across_dims(self, spark):
+        from lucene_spark.operators.joins import drill_down
+
+        df = spark.createDataFrame(
+            [(1, "en", "a"), (2, "fr", "a"), (3, "en", "b"),
+             (4, "de", "a")],
+            "id long, lang string, src string",
+        )
+        got = {
+            r["id"]
+            for r in drill_down(
+                df, {"lang": ["en", "fr"], "src": ["a"]}
+            ).collect()
+        }
+        assert got == {1, 2}
+        # pure browse: no dims = the MatchAllDocs form
+        assert drill_down(df, {}).count() == 4
+        # FacetQuery sugar: one dim, one value
+        assert {
+            r["id"] for r in drill_down(df, {"lang": ["de"]}).collect()
+        } == {4}
