@@ -1031,17 +1031,25 @@ def knn_document_scored(
             idf = math.log((doc_count + 1) / (df_ + 1)) + 1.0
             scored_terms.append((t, tf[t] * idf))
         best = max(sc for _, sc in scored_terms)
-        for t, sc in scored_terms:
-            w = float(boost_f) * sc / best
-            clause_frames.append(
-                s_f.scored_postings([t]).select(
-                    "segment_id",
-                    F.col("docid"),
-                    (F.col("score").cast("double") * F.lit(w)).alias(
-                        "score"
-                    ),
-                )
+        weights = {
+            t: float(boost_f) * sc / best for t, sc in scored_terms
+        }
+        # ONE postings scan per field — per-term boosts applied via a
+        # literal map over the term column (25 MLT terms must not mean
+        # 25 scans)
+        wmap = F.create_map(
+            *[x for t, w in weights.items() for x in (F.lit(t), F.lit(w))]
+        )
+        clause_frames.append(
+            s_f.scored_postings(list(weights)).select(
+                "segment_id",
+                F.col("docid"),
+                (
+                    F.col("score").cast("double")
+                    * wmap[F.col("term")]
+                ).alias("score"),
             )
+        )
     if not clause_frames:
         return None
     u = clause_frames[0]
