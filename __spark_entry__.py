@@ -960,6 +960,22 @@ def _variant_searcher(spark: SparkSession, sf_dir: str, kind: str):
                 ),
             )
             build_index(spark, titled, idx, num_segments=n_seg)
+        elif kind in ("evens", "odds"):
+            # parallel position-parity fields for FieldMaskingSpanQuery:
+            # same urls + segment count as the body index, so the
+            # per-field docid layouts align
+            parity = 0 if kind == "evens" else 1
+            par = wp.withColumn(
+                "text",
+                F.array_join(
+                    F.filter(
+                        F.split("text", " "),
+                        lambda t, i: i % 2 == F.lit(parity),
+                    ),
+                    " ",
+                ),
+            )
+            build_index(spark, par, idx, num_segments=n_seg)
         elif kind in (
             "english", "french", "german",
             "swedish", "norwegian", "finnish", "czech", "bulgarian",
@@ -6826,6 +6842,63 @@ def _q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
+    27-120): two parallel per-field indexes — evens = tokens at even
+    text offsets, odds = tokens at odd offsets — composed by an
+    unordered near with slop = -1, so 'the'(evens) must sit at the
+    same masked position as 'query'(odds): the javadoc's denormalized
+    parallel-field shape (NearSpansUnordered.java:83-85 match rule,
+    SpanScorer.java:108-112 freq = 0.5 per aligned pair). Scored with
+    the reference's cross-field stats quirk (:63-66): idf from each
+    REAL field's df, docCount/avgdl/norm from the masked (evens)
+    field."""
+    from lucene_spark.operators.masked_span import field_masked_span_near
+
+    ev = _variant_searcher(spark, sf_dir, "evens")
+    od = _variant_searcher(spark, sf_dir, "odds")
+    scored = field_masked_span_near(
+        {"evens": ev, "odds": od},
+        [("evens", "the"), ("odds", "query")],
+        slop=-1,
+    )
+    return _topk_by_doc_id(ev, scored)
+
+
+def _field_masked_sql(t0: str = "the", t1: str = "query", k: int = 10) -> str:
+    """FieldMaskingSpanQuery oracle: rebuild the evens/odds parallel
+    fields by position parity, count aligned (t0@q evens, t1@q odds)
+    pairs (freq = 0.5 each — the slop=-1 unordered near emits exactly
+    one span per aligned position), then BM25 with idf over each REAL
+    field's df and docCount/avgdl/norm from the masked evens field."""
+    norm = _norm_len_sql("dlA.dl")
+    return f"""WITH tokp AS (SELECT doc_id,
+       unnest(string_split(text, ' ')) AS term,
+       generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+       FROM documents),
+ev AS (SELECT doc_id, term, p // 2 AS q FROM tokp WHERE p % 2 = 0),
+od AS (SELECT doc_id, term, (p - 1) // 2 AS q FROM tokp WHERE p % 2 = 1),
+dlA AS (SELECT doc_id, count(*) AS dl FROM ev GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+              (SELECT count(*) FROM ev)::DOUBLE AS sttf),
+dfa AS (SELECT count(DISTINCT doc_id)::BIGINT AS df FROM ev
+        WHERE term = '{t0}'),
+dfb AS (SELECT count(DISTINCT doc_id)::BIGINT AS df FROM od
+        WHERE term = '{t1}'),
+m AS (SELECT ev.doc_id, count(*)::BIGINT AS c
+      FROM ev JOIN od ON ev.doc_id = od.doc_id AND ev.q = od.q
+      WHERE ev.term = '{t0}' AND od.term = '{t1}' GROUP BY ev.doc_id),
+sc AS (SELECT m.doc_id,
+              ln(1 + (st.n - dfa.df + 0.5)/(dfa.df + 0.5))
+              + ln(1 + (st.n - dfb.df + 0.5)/(dfb.df + 0.5)) AS w,
+              1.0/(1.2*(0.25 + 0.75*{norm}/(st.sttf/st.n))) AS inv,
+              0.5 * m.c AS f
+       FROM m JOIN dlA ON m.doc_id = dlA.doc_id
+       CROSS JOIN st CROSS JOIN dfa CROSS JOIN dfb)
+SELECT doc_id, round(w - w/(1 + f*inv), 6) AS score
+FROM sc ORDER BY 2 DESC, doc_id LIMIT {k}"""
+
+
 def _q_combined_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CombinedFieldQuery (BM25F) over body (w=1) + title (first 8
     tokens, w=2), title as a second per-field index."""
@@ -9181,6 +9254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_maxgaps_top10": _q_interval_maxgaps,
         "interval_not_containing_top10": _q_interval_containing,
         "span_not_top10": _q_span_not,
+        "masked_span_top10": _q_masked_span,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -11282,6 +11356,7 @@ def oracle_sql() -> dict[str, str]:
             "the", "query", "window"
         ),
         "span_not_top10": _span_not_sql("the", "query", "window", 1, 2),
+        "masked_span_top10": _field_masked_sql(),
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

@@ -1,0 +1,300 @@
+"""FieldMaskingSpanQuery: span composition ACROSS fields.
+
+Reference: ``queries/spans/FieldMaskingSpanQuery.java:27-120`` — the
+wrapper "lies" about ``getField()`` so a ``SpanNearQuery`` (or any
+composite span) can combine sub-spans from DIFFERENT fields, the
+denormalized-relational trick in the class javadoc (studentfirstname
+"james" at position p AND studentsurname "jones" at the same p, via
+an unordered near with slop = -1).
+
+Match semantics replayed exactly for single-term sub-spans:
+
+- unordered: ``NearSpansUnordered.java:83-85`` — a heap over sub-span
+  start positions; a state matches when
+  ``maxEnd - minStart - totalSpanLength <= slop``; each call advances
+  the minimum-start span (:65-81).
+- ordered: ``NearSpansOrdered.java:100-120`` — each sub-span is
+  stretched to start at or after the previous span's end
+  (``advancePosition``), ``matchWidth`` accumulates the gaps, a match
+  needs ``matchWidth <= allowedSlop``; enumeration advances the FIRST
+  sub-span one position per step (:84-93). Pointers only ever move
+  forward, which the replay preserves.
+- freq: ``SpanScorer.java:108-112`` — every emitted span contributes
+  ``1 / (1 + width)`` where width is ``maxEnd - minStart`` (unordered,
+  :136-138 in NearSpansUnordered) or the gap sum (ordered :144-145).
+
+Scoring follows the reference's documented cross-field quirk
+(``FieldMaskingSpanQuery.java:63-66``): "scoring will be done using
+the Similarity and field statistics of the field name supplied, but
+with the term statistics of the real field" — so idf uses each
+clause's REAL-field docFreq while docCount, avgdl and the norm come
+from the MASKED (target) field's index.
+
+Spark shape: pass 1 intersects docids across the per-field indexes
+WITHOUT reading ``pos_block`` (the cross-index two-phase
+approximation); pass 2 decodes positions per clause only for posting
+blocks that contain a candidate doc. The per-field indexes must share
+the docid layout (build over the same urls with the same segment
+count — the ``combined.py`` invariant), so the docid equi-joins need
+no key translation.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import bm25
+from ..functions.smallfloat import byte4_to_int
+from .search import (
+    _FREQ_DDL,
+    _bind_scorers,
+    _make_freq_kernel,
+    _make_unpack_kernel,
+    _unpack_ddl,
+)
+
+
+def span_near_unordered_freq(pos_lists: list[list[int]], slop: int) -> float:
+    """NearSpansUnordered replay over single-term position lists:
+    freq = sum of 1/(1 + (maxEnd - minStart)) over every heap state
+    satisfying ``maxEnd - minStart - n <= slop`` (each sub-span has
+    length 1, so totalSpanLength = n)."""
+    n = len(pos_lists)
+    if any(not lst for lst in pos_lists):
+        return 0.0
+    ptrs = [0] * n
+    # SpanPositionQueue orders by (start, end); ends are start+1 here,
+    # so ties resolve by sub-span index (deterministic, and the match
+    # rule depends only on (top start, maxEnd), see module docstring)
+    heap = [(lst[0], i) for i, lst in enumerate(pos_lists)]
+    heapq.heapify(heap)
+    max_end = max(lst[0] for lst in pos_lists) + 1
+    freq = 0.0
+    while True:
+        start, i = heap[0]
+        if (max_end - start - n) <= slop:
+            freq += 1.0 / (1.0 + (max_end - start))
+        ptrs[i] += 1
+        if ptrs[i] >= len(pos_lists[i]):
+            return freq
+        nxt = pos_lists[i][ptrs[i]]
+        heapq.heapreplace(heap, (nxt, i))
+        if nxt + 1 > max_end:
+            max_end = nxt + 1
+
+
+def span_near_ordered_freq(pos_lists: list[list[int]], slop: int) -> float:
+    """NearSpansOrdered replay over single-term position lists: for
+    each successive position of the first sub-span, stretch the rest
+    to order (first position >= previous end, pointers monotone) and
+    emit 1/(1 + gapSum) when gapSum <= slop."""
+    n = len(pos_lists)
+    if any(not lst for lst in pos_lists):
+        return 0.0
+    ptrs = [0] * n
+    freq = 0.0
+    for a in pos_lists[0]:
+        prev_end = a + 1
+        width = 0
+        for i in range(1, n):
+            lst = pos_lists[i]
+            j = ptrs[i]
+            while j < len(lst) and lst[j] < prev_end:
+                j += 1
+            ptrs[i] = j
+            if j >= len(lst):
+                return freq  # one sub-span exhausted: no more matches
+            width += lst[j] - prev_end
+            prev_end = lst[j] + 1
+        if width <= slop:
+            freq += 1.0 / (1.0 + width)
+    return freq
+
+
+def _masked_weight_cache(masked, dfs: list[int]):
+    """Pseudo-term binding for the masked composite: weight = Σ idf
+    with each clause's REAL-field df but the MASKED field's docCount;
+    the norm-inverse cache comes from the masked field's avgdl (the
+    FieldMaskingSpanQuery.java:63-66 stats quirk). Summation runs in
+    clause order — the float64 oracle adds its idfs in the same order."""
+    doc_count = masked.field_stats["doc_count"]
+    sttf = masked.field_stats["sum_total_term_freq"]
+    if masked.dtype == np.float32:
+        weight = np.float32(
+            float(
+                np.sum(
+                    np.array(
+                        [bm25.idf(df, doc_count) for df in dfs],
+                        dtype=np.float64,
+                    )
+                )
+            )
+        )
+        cache = bm25.norm_inverse_cache(
+            bm25.avg_field_length(sttf, doc_count),
+            np.float32(masked.k1),
+            np.float32(masked.b),
+        )
+    else:
+        weight = np.float64(
+            sum(
+                math.log(1 + (doc_count - df + 0.5) / (df + 0.5))
+                for df in dfs
+            )
+        )
+        avgdl = sttf / float(doc_count)
+        cache = 1.0 / (
+            masked.k1
+            * (
+                (1 - masked.b)
+                + masked.b
+                * byte4_to_int(np.arange(256)).astype(np.float64)
+                / avgdl
+            )
+        )
+    return weight, cache
+
+
+def field_masked_span_near(
+    searchers: dict[str, object],
+    clauses: list[tuple[str, str]],
+    slop: int,
+    ordered: bool = False,
+    masked_field: str | None = None,
+) -> DataFrame:
+    """(segment_id, docid, score) for a SpanNearQuery whose clauses are
+    field-masked single terms: ``clauses = [(field, term), ...]``, all
+    masked onto ``masked_field`` (default: the first clause's field —
+    the unmasked sub-span that fixes the composite's field).
+
+    ``searchers``: field name -> Searcher over that field's index; all
+    must share the docid layout (same urls, same segment count)."""
+    if len(clauses) < 2:
+        raise ValueError("span near needs >= 2 clauses")
+    fields = [f for f, _ in clauses]
+    masked = searchers[masked_field if masked_field is not None else fields[0]]
+    bases = masked.catalog.segment_bases()
+    for f in set(fields):
+        if searchers[f].catalog.segment_bases() != bases:
+            raise ValueError("per-field indexes must share docid layout")
+
+    # createWeight: term stats from the REAL field, collection stats
+    # from the masked field
+    dfs: list[int] = []
+    for f, t in clauses:
+        st = searchers[f].term_stats([t])
+        if t not in st:
+            return masked._empty_scored().select(
+                "segment_id", "docid", "score"
+            )
+        dfs.append(st[t][0])
+
+    # pass 1: per-clause docids + block ids, pos_block never read
+    firsts = [
+        searchers[f]
+        .scored_postings([t])
+        .select("segment_id", "docid", "block_id")
+        for f, t in clauses
+    ]
+    cand = firsts[0].select("segment_id", "docid")
+    for fp in firsts[1:]:
+        cand = cand.join(
+            fp.select("segment_id", "docid"), ["segment_id", "docid"]
+        )
+    cand = cand.distinct()
+
+    # pass 2: decode positions per clause for candidate blocks only
+    n = len(clauses)
+    joined = None
+    for i, ((f, t), fp) in enumerate(zip(clauses, firsts)):
+        s = searchers[f]
+        blocks = (
+            fp.join(cand, ["segment_id", "docid"], "left_semi")
+            .select("segment_id", "block_id")
+            .distinct()
+        )
+        stats = s.term_stats([t])
+        scorers = _bind_scorers(
+            stats, s.field_stats, s.k1, s.b, 1.0, s.dtype, s.similarity
+        )
+        cols = [
+            "term", "segment_id", "block_id", "first_docid", "num_docs",
+            "doc_block", "freq_block", "norm_block",
+            "impact_freqs", "impact_norms", "pos_block",
+        ]
+        posts = (
+            s._postings.where(F.col("term") == t)
+            .join(blocks, ["segment_id", "block_id"], "left_semi")
+            .select(*cols)
+        )
+        kernel, _ = _make_unpack_kernel(scorers, s.dtype, True, None)
+        rows = s._filter_live(
+            posts.mapInArrow(kernel, schema=_unpack_ddl(s.dtype))
+        ).select(
+            "segment_id", "docid", F.col("positions").alias(f"p{i}")
+        )
+        joined = rows if joined is None else joined.join(
+            rows, ["segment_id", "docid"]
+        )
+
+    # norms come from the MASKED field's docs table
+    norms = masked._docs.select(
+        "segment_id", F.col("local_docid").alias("docid"), "norm"
+    )
+    joined = joined.join(norms, ["segment_id", "docid"]).select(
+        "segment_id", "docid", "norm", *[f"p{i}" for i in range(n)]
+    )
+
+    freq_fn = (
+        (lambda lists, _s=slop: span_near_ordered_freq(lists, _s))
+        if ordered
+        else (lambda lists, _s=slop: span_near_unordered_freq(lists, _s))
+    )
+    matched = joined.mapInArrow(
+        _make_freq_kernel(n, freq_fn), schema=_FREQ_DDL
+    ).withColumnRenamed("freq", "span_freq")
+
+    weight, cache = _masked_weight_cache(masked, dfs)
+    dtype = masked.dtype
+
+    @F.pandas_udf("float" if dtype == np.float32 else "double")
+    def ms_score(sf, norm):
+        import pandas as pd
+
+        return pd.Series(
+            bm25.score(
+                sf.to_numpy().astype(dtype), norm.to_numpy(), weight, cache
+            )
+        )
+
+    return matched.select(
+        "segment_id",
+        "docid",
+        ms_score(F.col("span_freq"), F.col("norm")).alias("score"),
+    )
+
+
+def field_masked_span_near_query(
+    searchers: dict[str, object],
+    clauses: list[tuple[str, str]],
+    slop: int,
+    ordered: bool = False,
+    masked_field: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k (docid, url, score) through the masked searcher's
+    collector (ties broken by docid like every other top-k here)."""
+    masked = searchers[
+        masked_field if masked_field is not None else clauses[0][0]
+    ]
+    return masked._finish_topk(
+        field_masked_span_near(
+            searchers, clauses, slop, ordered=ordered,
+            masked_field=masked_field,
+        ),
+        k,
+    )

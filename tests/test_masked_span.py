@@ -1,0 +1,222 @@
+"""FieldMaskingSpanQuery: cross-field span near over per-field
+indexes sharing the docid layout (queries/spans/
+FieldMaskingSpanQuery.java:27-120), with the NearSpansUnordered /
+NearSpansOrdered match replays validated against independent mirrors
+and the javadoc's denormalized-relational example end-to-end."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.smallfloat import byte4_to_int, int_to_byte4
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.masked_span import (
+    field_masked_span_near,
+    field_masked_span_near_query,
+    span_near_ordered_freq,
+    span_near_unordered_freq,
+)
+from lucene_spark.operators.search import Searcher
+
+LEN_TABLE = byte4_to_int(np.arange(256)).astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# independent mirrors of the two Lucene near-span enumerations
+# ---------------------------------------------------------------------------
+
+
+def _mirror_unordered(pos_lists, slop):
+    """Two-structure re-simulation WITHOUT a heap: keep explicit
+    cursors, pick the min-start by scanning, recompute maxEnd from the
+    cursors each state (the heap version carries it incrementally)."""
+    n = len(pos_lists)
+    if any(not lst for lst in pos_lists):
+        return 0.0
+    cur = [0] * n
+    max_end = max(lst[0] for lst in pos_lists) + 1
+    freq = 0.0
+    while True:
+        starts = [(pos_lists[i][cur[i]], i) for i in range(n)]
+        start, i = min(starts)
+        if (max_end - start - n) <= slop:
+            freq += 1.0 / (1.0 + (max_end - start))
+        cur[i] += 1
+        if cur[i] >= len(pos_lists[i]):
+            return freq
+        max_end = max(max_end, pos_lists[i][cur[i]] + 1)
+
+
+def _mirror_ordered(pos_lists, slop):
+    """Fresh-pointer greedy chain per first-term position (the replay
+    shares pointers across iterations; equality holds because minimal
+    chains are monotone in the anchor — this asserts that theorem)."""
+    freq = 0.0
+    for a in pos_lists[0]:
+        prev_end = a + 1
+        width = 0
+        ok = True
+        for lst in pos_lists[1:]:
+            nxt = [p for p in lst if p >= prev_end]
+            if not nxt:
+                ok = False
+                break
+            width += nxt[0] - prev_end
+            prev_end = nxt[0] + 1
+        if not ok:
+            break
+        if width <= slop:
+            freq += 1.0 / (1.0 + width)
+    return freq
+
+
+class TestFreqReplays:
+    def test_unordered_aligned_slop_minus_one(self):
+        # slop=-1 with 2 single-term clauses: one 0.5 per aligned pos
+        assert span_near_unordered_freq([[0, 2, 5], [0, 5, 7]], -1) == 1.0
+        assert span_near_unordered_freq([[1], [2]], -1) == 0.0
+
+    def test_unordered_adjacent_slop_zero(self):
+        # positions 0 and 1: width 2, 2 - 2 = 0 <= 0 -> 1/(1+2)
+        assert span_near_unordered_freq([[0], [1]], 0) == pytest.approx(
+            1.0 / 3.0
+        )
+
+    def test_ordered_basic(self):
+        # a@0, b@1: gap 0 -> weight 1; a@0, b@3: gap 2
+        assert span_near_ordered_freq([[0], [1]], 0) == 1.0
+        assert span_near_ordered_freq([[0], [3]], 1) == 0.0
+        assert span_near_ordered_freq([[0], [3]], 2) == pytest.approx(
+            1.0 / 3.0
+        )
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_randomized_vs_mirrors(self, seed):
+        rng = random.Random(seed)
+        for _ in range(200):
+            n = rng.randint(2, 4)
+            lists = [
+                sorted(rng.sample(range(0, 30), rng.randint(1, 8)))
+                for _ in range(n)
+            ]
+            for slop in (-1, 0, 1, 3, 50):
+                assert span_near_unordered_freq(
+                    lists, slop
+                ) == pytest.approx(_mirror_unordered(lists, slop)), (
+                    lists,
+                    slop,
+                )
+                assert span_near_ordered_freq(lists, slop) == pytest.approx(
+                    _mirror_ordered(lists, slop)
+                ), (lists, slop)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: the javadoc teacher/student example + the stats quirk
+# ---------------------------------------------------------------------------
+
+TEACHERS = [
+    # (url, firstname field, surname field)
+    ("https://t/1", "james", "jones"),
+    ("https://t/2", "james sally", "smith jones"),
+    ("https://t/3", "sally", "jones"),
+    ("https://t/4", "james kim lee", "parks jones smith"),
+]
+
+
+@pytest.fixture(scope="module")
+def teacher_searchers(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("masked")
+    first_dir = str(root / "first")
+    sur_dir = str(root / "sur")
+    fdf = spark.createDataFrame(
+        [(u, f) for u, f, _ in TEACHERS], "url string, text string"
+    )
+    sdf = spark.createDataFrame(
+        [(u, s) for u, _, s in TEACHERS], "url string, text string"
+    )
+    build_index(spark, fdf, first_dir, num_segments=2)
+    build_index(spark, sdf, sur_dir, num_segments=2)
+    return {
+        "first": Searcher(spark, first_dir, dtype=np.float64),
+        "sur": Searcher(spark, sur_dir, dtype=np.float64),
+    }
+
+
+class TestFieldMaskedNear:
+    def test_javadoc_example(self, teacher_searchers):
+        # james(first) aligned with jones(sur): teacher 1 only —
+        # teacher 2 has james@0 but jones@1 (sally jones), the case
+        # the javadoc example is built to exclude
+        hits = field_masked_span_near_query(
+            teacher_searchers, [("first", "james"), ("sur", "jones")],
+            slop=-1, k=10,
+        ).collect()
+        assert [r["url"] for r in hits] == ["https://t/1"]
+
+    def test_unordered_slop_zero_widens(self, teacher_searchers):
+        # slop=0 admits one position of drift: teacher 2 (james@0,
+        # jones@1) and teacher 4 (james@0, jones@1) now match too
+        hits = field_masked_span_near_query(
+            teacher_searchers, [("first", "james"), ("sur", "jones")],
+            slop=0, k=10,
+        ).collect()
+        assert {r["url"] for r in hits} == {
+            "https://t/1", "https://t/2", "https://t/4",
+        }
+
+    def test_ordered_masked(self, teacher_searchers):
+        # ordered james(first) .. jones(sur) with slop 1: jones'
+        # masked position must be at james' position + 1 or + 2
+        hits = field_masked_span_near_query(
+            teacher_searchers, [("first", "james"), ("sur", "jones")],
+            slop=1, ordered=True, k=10,
+        ).collect()
+        assert {r["url"] for r in hits} == {"https://t/2", "https://t/4"}
+
+    def test_missing_term_empty(self, teacher_searchers):
+        out = field_masked_span_near(
+            teacher_searchers, [("first", "zzz"), ("sur", "jones")], -1
+        )
+        assert out.count() == 0
+
+    def test_stats_quirk_score(self, teacher_searchers):
+        """idf uses each clause's REAL-field df; docCount, avgdl and
+        the norm come from the MASKED field (first) — recompute the
+        teacher-1 score by hand (FieldMaskingSpanQuery.java:63-66)."""
+        [hit] = field_masked_span_near_query(
+            teacher_searchers, [("first", "james"), ("sur", "jones")],
+            slop=-1, k=10,
+        ).collect()
+        n = 4  # docCount of the masked (first) index
+        df_james_first = 3
+        df_jones_sur = 4
+        w = sum(
+            math.log(1 + (n - df + 0.5) / (df + 0.5))
+            for df in (df_james_first, df_jones_sur)
+        )
+        # masked-field stats: first-name lengths 1, 2, 1, 3
+        sttf = 1 + 2 + 1 + 3
+        avgdl = sttf / n
+        dl = LEN_TABLE[int(int_to_byte4(np.array([1]))[0])]  # teacher 1
+        inv = 1.0 / (1.2 * (0.25 + 0.75 * dl / avgdl))
+        freq = 0.5  # one aligned pair
+        assert hit["score"] == pytest.approx(
+            w - w / (1 + freq * inv), rel=1e-12
+        )
+
+    def test_layout_mismatch_raises(self, spark, teacher_searchers,
+                                    tmp_path_factory):
+        other = str(tmp_path_factory.mktemp("masked_bad") / "idx")
+        fdf = spark.createDataFrame(
+            [(u, f) for u, f, _ in TEACHERS], "url string, text string"
+        )
+        build_index(spark, fdf, other, num_segments=1)  # different layout
+        bad = dict(teacher_searchers)
+        bad["sur"] = Searcher(spark, other, dtype=np.float64)
+        with pytest.raises(ValueError, match="share docid layout"):
+            field_masked_span_near(
+                bad, [("first", "james"), ("sur", "jones")], -1
+            )
