@@ -6842,6 +6842,90 @@ def _q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_core_analyzers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core analyzer chains (analysis/core/): KeywordAnalyzer (whole
+    text = one token), WhitespaceAnalyzer (split only), SimpleAnalyzer
+    (LetterTokenizer + lower), StopAnalyzer (letter + lower + stop w/
+    gaps), UpperCaseFilter (Java simple uppercase over the standard
+    tokenizer) and DecimalDigitFilter (Unicode digit fold) — one row
+    per (doc, chain) over deterministic mixed-case text containing a
+    hyphen, a digit suffix, a stop word and an Arabic-Indic digit."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "kbdgmprt"
+    names = [
+        "keyword", "whitespace", "simple", "stop_letter",
+        "uppercase", "decimal_digit",
+    ]
+
+    def gen(batches):
+        import pandas as pd
+
+        chains = {n: get_chain(n) for n in names}
+        for pdf in batches:
+            ids, cs, terms_out, pos_out = [], [], [], []
+            for i in pdf["doc_id"].tolist():
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                text = f"{base.upper()}-{base}7 the x٣y {base.upper()}"
+                for cname in names:
+                    terms, pos = chain_analyze(text, chains[cname])
+                    ids.append(i)
+                    cs.append(cname)
+                    terms_out.append("|".join(terms))
+                    pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "chain": cs,
+                    "terms": terms_out, "positions": pos_out,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, chain string, terms string, "
+        "positions string"
+    )
+
+
+_CORE_ANALYZERS_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             ['k','b','d','g','m','p','r','t']
+                 [1 + (doc_id*5 + g.k) % 8],
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+),
+u AS (SELECT doc_id, base, upper(base) AS ub FROM b)
+SELECT doc_id, 'keyword' AS chain,
+       ub || '-' || base || '7 the x٣y ' || ub AS terms,
+       '0' AS positions FROM u
+UNION ALL
+SELECT doc_id, 'whitespace',
+       ub || '-' || base || '7|the|x٣y|' || ub, '0,1,2,3' FROM u
+UNION ALL
+SELECT doc_id, 'simple',
+       base || '|' || base || '|the|x|y|' || base, '0,1,2,3,4,5' FROM u
+UNION ALL
+SELECT doc_id, 'stop_letter',
+       base || '|' || base || '|x|y|' || base, '0,1,3,4,5' FROM u
+UNION ALL
+SELECT doc_id, 'uppercase',
+       ub || '|' || ub || '7|THE|X٣Y|' || ub, '0,1,2,3,4' FROM u
+UNION ALL
+SELECT doc_id, 'decimal_digit',
+       base || '|' || base || '7|the|x3y|' || base, '0,1,2,3,4' FROM u
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -9255,6 +9339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_not_containing_top10": _q_interval_containing,
         "span_not_top10": _q_span_not,
         "masked_span_top10": _q_masked_span,
+        "core_analyzer_tokens": _q_core_analyzers,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -11357,6 +11442,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "span_not_top10": _span_not_sql("the", "query", "window", 1, 2),
         "masked_span_top10": _field_masked_sql(),
+        "core_analyzer_tokens": _CORE_ANALYZERS_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

@@ -59,6 +59,21 @@ def _java_lower(token: str) -> str:
     return "".join(out)
 
 
+def _java_upper(token: str) -> str:
+    """Per-codepoint simple uppercase mapping (Java
+    Character.toUpperCase, the UpperCaseFilter primitive —
+    ``core/UpperCaseFilter.java:33``): full mappings that expand to
+    more than one codepoint (ß -> SS) are NOT simple mappings, Java
+    keeps the original character."""
+    if token.isascii():
+        return token.upper()
+    out = []
+    for ch in token:
+        up = ch.upper()
+        out.append(up if len(up) == 1 else ch)
+    return "".join(out)
+
+
 # fast path: for text made only of ASCII alphanumerics and whitespace,
 # the UAX#29 DFA degenerates to whitespace split (every [A-Za-z0-9]+
 # run is one ALPHANUM token — no MidLetter/MidNum joiners present, and

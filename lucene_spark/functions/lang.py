@@ -1151,6 +1151,41 @@ def _build_chains() -> dict:
             stop_after_normalize=True,
             lower=lambda t: t,
         ),
+        # KeywordAnalyzer (core/KeywordAnalyzer.java): the whole text
+        # is one unmodified token
+        "keyword": AnalyzerChain(
+            "keyword", frozenset(),
+            tokenizer=_kw_tokenizer(), lower=lambda t: t,
+        ),
+        # WhitespaceAnalyzer (core/WhitespaceAnalyzer.java): whitespace
+        # split, no case fold, no stops
+        "whitespace": AnalyzerChain(
+            "whitespace", frozenset(),
+            tokenizer=_ws_tokenizer(), lower=lambda t: t,
+        ),
+        # SimpleAnalyzer (core/SimpleAnalyzer.java): LetterTokenizer +
+        # LowerCaseFilter
+        "simple": AnalyzerChain(
+            "simple", frozenset(), tokenizer=_letter_tokenizer()
+        ),
+        # StopAnalyzer (core/StopAnalyzer.java): LetterTokenizer +
+        # lower + stop; the reference takes the stop set as a
+        # constructor arg — this instance binds the English set, and
+        # get_chain(stopwords=...) is the constructor analog
+        "stop_letter": AnalyzerChain(
+            "stop_letter", ENGLISH_STOP_WORDS,
+            tokenizer=_letter_tokenizer(),
+        ),
+        # UpperCaseFilter (core/UpperCaseFilter.java) over the
+        # standard tokenizer: Java simple uppercase per codepoint
+        "uppercase": AnalyzerChain(
+            "uppercase", frozenset(), lower=_java_upper_hook()
+        ),
+        # DecimalDigitFilter (core/DecimalDigitFilter.java) over
+        # standard + lower: any Unicode decimal digit folds to 0-9
+        "decimal_digit": AnalyzerChain(
+            "decimal_digit", frozenset(), normalize=_dd_norm()
+        ),
         # Index-time single-token synonyms (SynonymGraphFilter over a
         # demo SynonymMap; multi-word paths stay query-side via
         # graph_synonym_query)
@@ -1573,6 +1608,49 @@ def _ws_tokenizer():
     # Character.isWhitespace runs — the tokenizer the reference pairs
     # HyphenatedWordsFilter with (it must SEE trailing hyphens)
     return lambda text: text.split()
+
+
+def _java_upper_hook():
+    from .analysis import _java_upper
+
+    return _java_upper
+
+
+def _dd_norm():
+    from .arabic import fold_decimal_digits
+
+    return fold_decimal_digits
+
+
+def _kw_tokenizer():
+    # KeywordTokenizer (core/KeywordTokenizer.java): the ENTIRE input
+    # is one token, verbatim (no trim, no length split — the buffer
+    # grows); empty input emits nothing
+    return lambda text: [text] if text else []
+
+
+def _letter_tokenizer():
+    # LetterTokenizer (core/LetterTokenizer.java via CharTokenizer:
+    # isTokenChar = Character.isLetter): maximal letter runs, hard
+    # split at maxTokenLen = 255 (CharTokenizer.java DEFAULT_MAX_WORD_LEN).
+    # Python str.isalpha matches Java isLetter on the L* categories.
+    def tok(text: str) -> list[str]:
+        out: list[str] = []
+        cur: list[str] = []
+        for ch in text:
+            if ch.isalpha():
+                cur.append(ch)
+                if len(cur) == 255:
+                    out.append("".join(cur))
+                    cur = []
+            elif cur:
+                out.append("".join(cur))
+                cur = []
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    return tok
 
 
 def _ccg_stream():

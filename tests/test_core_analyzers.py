@@ -1,0 +1,71 @@
+"""Core analyzer chains (analysis/core/): KeywordAnalyzer,
+WhitespaceAnalyzer, SimpleAnalyzer, StopAnalyzer, UpperCaseFilter,
+DecimalDigitFilter — golden cases pinned to the reference classes."""
+
+from lucene_spark.functions.analysis import _java_upper
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+
+def _an(name, text, **kw):
+    return chain_analyze(text, get_chain(name, **kw))
+
+
+class TestKeyword:
+    def test_whole_text_one_token(self):
+        # KeywordTokenizer.java: entire input verbatim, no trim
+        assert _an("keyword", "The  Quick-Brown fox ") == (
+            ["The  Quick-Brown fox "], [0]
+        )
+
+    def test_empty(self):
+        assert _an("keyword", "") == ([], [])
+
+
+class TestWhitespace:
+    def test_split_no_fold(self):
+        assert _an("whitespace", "The\tquick  BROWN\nfox") == (
+            ["The", "quick", "BROWN", "fox"], [0, 1, 2, 3]
+        )
+
+
+class TestSimpleAndStop:
+    def test_letter_runs_lowered(self):
+        # LetterTokenizer: digits/punct split; LowerCaseFilter applies
+        assert _an("simple", "Ab3Cd O'Neil-x") == (
+            ["ab", "cd", "o", "neil", "x"], [0, 1, 2, 3, 4]
+        )
+
+    def test_255_split(self):
+        # CharTokenizer.DEFAULT_MAX_WORD_LEN: a 600-letter run splits
+        # hard at 255
+        toks, pos = _an("simple", "a" * 600)
+        assert [len(t) for t in toks] == [255, 255, 90]
+        assert pos == [0, 1, 2]
+
+    def test_stop_analyzer_gaps(self):
+        # StopAnalyzer = LetterTokenizer + lower + stop w/ position gap
+        assert _an("stop_letter", "ship The anchor") == (
+            ["ship", "anchor"], [0, 2]
+        )
+
+    def test_stop_analyzer_custom_set(self):
+        # the CharArraySet constructor analog
+        assert _an("stop_letter", "ship the anchor",
+                   stopwords={"anchor"}) == (["ship", "the"], [0, 1])
+
+
+class TestUpperCase:
+    def test_simple_mapping(self):
+        # UpperCaseFilter.java: Java simple uppercase — ß keeps its
+        # codepoint (the full mapping SS is 2 cps), ı -> I
+        assert _java_upper("straße") == "STRAßE"
+        assert _java_upper("ımak") == "IMAK"
+        toks, _ = _an("uppercase", "The quick-brown ß")
+        assert toks == ["THE", "QUICK", "BROWN", "ß"]
+
+
+class TestDecimalDigit:
+    def test_fold(self):
+        # DecimalDigitFilter.java: any Unicode decimal digit -> 0-9
+        toks, _ = _an("decimal_digit", "x٣y ২৩ a12")
+        assert toks == ["x3y", "23", "a12"]
