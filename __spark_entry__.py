@@ -6926,6 +6926,85 @@ SELECT doc_id, 'decimal_digit',
 """
 
 
+_MARKER_POOL = ["running", "batches", "queries", "joining", "flying", "mice"]
+
+
+def _q_marker_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeywordAttribute plumbing (miscellaneous/): SetKeywordMarker +
+    PatternKeywordMarker (marked tokens bypass Porter),
+    StemmerOverrideFilter (dictionary replaces AND keyword-marks), and
+    ProtectedTermFilter wrapping TruncateTokenFilter(4) (the shipped
+    ConditionalTokenFilter) — one row per (doc, chain) over a
+    deterministic 5-word sequence from a 6-word pool."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    names = ["marked_stem", "stem_override", "protected_trunc"]
+
+    def gen(batches):
+        import pandas as pd
+
+        chains = {n: get_chain(n) for n in names}
+        for pdf in batches:
+            ids, cs, terms_out, pos_out = [], [], [], []
+            for i in pdf["doc_id"].tolist():
+                text = " ".join(
+                    _MARKER_POOL[(i * 3 + k) % 6] for k in range(5)
+                )
+                for cname in names:
+                    terms, pos = chain_analyze(text, chains[cname])
+                    ids.append(i)
+                    cs.append(cname)
+                    terms_out.append("|".join(terms))
+                    pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "chain": cs,
+                    "terms": terms_out, "positions": pos_out,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, chain string, terms string, "
+        "positions string"
+    )
+
+
+# expected per-slot outputs: Porter stems pinned as constants (the
+# pinned-constants oracle recipe), protection/override applied
+_MARKER_FILTERS_SQL = """
+WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id < 200
+),
+slots AS (
+  SELECT d.doc_id, g.k, (d.doc_id*3 + g.k) % 6 AS w
+  FROM d, (SELECT unnest(generate_series(0, 4)) AS k) g
+),
+e AS (
+  SELECT doc_id, k,
+    ['run','batch','queries','joining','fly','mice'][w + 1] AS marked,
+    ['sprint','batch','queri','join','fly','mouse'][w + 1] AS ovr,
+    ['runn','batc','queries','join','flyi','mice'][w + 1] AS prot
+  FROM slots
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(marked, '|' ORDER BY k) AS marked,
+         string_agg(ovr, '|' ORDER BY k) AS ovr,
+         string_agg(prot, '|' ORDER BY k) AS prot
+  FROM e GROUP BY doc_id
+)
+SELECT doc_id, 'marked_stem' AS chain, marked AS terms,
+       '0,1,2,3,4' AS positions FROM agg
+UNION ALL
+SELECT doc_id, 'stem_override', ovr, '0,1,2,3,4' FROM agg
+UNION ALL
+SELECT doc_id, 'protected_trunc', prot, '0,1,2,3,4' FROM agg
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -9340,6 +9419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_top10": _q_span_not,
         "masked_span_top10": _q_masked_span,
         "core_analyzer_tokens": _q_core_analyzers,
+        "marker_filter_tokens": _q_marker_filters,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -11443,6 +11523,7 @@ def oracle_sql() -> dict[str, str]:
         "span_not_top10": _span_not_sql("the", "query", "window", 1, 2),
         "masked_span_top10": _field_masked_sql(),
         "core_analyzer_tokens": _CORE_ANALYZERS_SQL,
+        "marker_filter_tokens": _MARKER_FILTERS_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

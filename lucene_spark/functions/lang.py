@@ -1186,6 +1186,22 @@ def _build_chains() -> dict:
         "decimal_digit": AnalyzerChain(
             "decimal_digit", frozenset(), normalize=_dd_norm()
         ),
+        # SetKeywordMarkerFilter({'queries'}) +
+        # PatternKeywordMarkerFilter(^join.*) + PorterStem: marked
+        # tokens bypass the stemmer (KeywordAttribute semantics)
+        "marked_stem": AnalyzerChain(
+            "marked_stem", frozenset(), stem=_marked_stem()
+        ),
+        # StemmerOverrideFilter({mice->mouse, running->sprint}) +
+        # PorterStem: overrides replace AND keyword-mark
+        "stem_override": AnalyzerChain(
+            "stem_override", frozenset(), stem=_ovr_stem()
+        ),
+        # ProtectedTermFilter({'queries'}, TruncateTokenFilter(4)) —
+        # the shipped ConditionalTokenFilter instance
+        "protected_trunc": AnalyzerChain(
+            "protected_trunc", frozenset(), stem=_prot_trunc()
+        ),
         # Index-time single-token synonyms (SynonymGraphFilter over a
         # demo SynonymMap; multi-word paths stay query-side via
         # graph_synonym_query)
@@ -1614,6 +1630,30 @@ def _java_upper_hook():
     from .analysis import _java_upper
 
     return _java_upper
+
+
+def _marked_stem():
+    from .miscfilters import keyword_marker_stem_factory
+    from .stemmer import porter_stem
+
+    return keyword_marker_stem_factory({"queries"}, r"join.*", porter_stem)
+
+
+def _ovr_stem():
+    from .miscfilters import stemmer_override_factory
+    from .stemmer import porter_stem
+
+    return stemmer_override_factory(
+        {"mice": "mouse", "running": "sprint"}, porter_stem
+    )
+
+
+def _prot_trunc():
+    from .miscfilters import protected_term_factory, truncate
+
+    return protected_term_factory(
+        {"queries"}, lambda t: truncate(t, 4)
+    )
 
 
 def _dd_norm():

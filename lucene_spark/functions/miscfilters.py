@@ -353,3 +353,49 @@ def synonym_stream_factory(
         return terms, positions
 
     return stream
+
+
+def keyword_marker_stem_factory(keywords, pattern, stem_fn):
+    """SetKeywordMarkerFilter / PatternKeywordMarkerFilter
+    (``miscellaneous/SetKeywordMarkerFilter.java:30-44``,
+    ``PatternKeywordMarkerFilter.java:33-47``) composed with a stemmer
+    that honors the KeywordAttribute: tokens in the set, or fully
+    matching the pattern (``matcher.matches()``), bypass the stem."""
+    import re as _re
+
+    pat = _re.compile(pattern) if pattern is not None else None
+    kws = frozenset(keywords)
+
+    def stem(token: str) -> str:
+        if token in kws or (pat is not None and pat.fullmatch(token)):
+            return token
+        return stem_fn(token)
+
+    return stem
+
+
+def stemmer_override_factory(overrides, stem_fn):
+    """StemmerOverrideFilter (``miscellaneous/StemmerOverrideFilter
+    .java:55-80``): a dictionary hit REPLACES the term and
+    keyword-marks it, so the downstream stemmer leaves the override
+    alone; misses stem normally."""
+    d = dict(overrides)
+
+    def stem(token: str) -> str:
+        hit = d.get(token)
+        return hit if hit is not None else stem_fn(token)
+
+    return stem
+
+
+def protected_term_factory(protected, inner):
+    """ProtectedTermFilter (``miscellaneous/ProtectedTermFilter
+    .java:35-52``) — the shipped ConditionalTokenFilter
+    (``ConditionalTokenFilter.java:51``): ``inner`` applies only to
+    tokens NOT in the protected set."""
+    ps = frozenset(protected)
+
+    def f(token: str) -> str:
+        return token if token in ps else inner(token)
+
+    return f

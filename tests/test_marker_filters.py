@@ -1,0 +1,69 @@
+"""KeywordAttribute plumbing: Set/PatternKeywordMarkerFilter,
+StemmerOverrideFilter, ProtectedTermFilter(ConditionalTokenFilter)."""
+
+from lucene_spark.functions.lang import chain_analyze, get_chain
+from lucene_spark.functions.miscfilters import (
+    keyword_marker_stem_factory,
+    protected_term_factory,
+    stemmer_override_factory,
+    truncate,
+)
+from lucene_spark.functions.stemmer import porter_stem
+
+
+class TestKeywordMarker:
+    def test_set_marker_bypasses_stem(self):
+        stem = keyword_marker_stem_factory({"queries"}, None, porter_stem)
+        assert stem("queries") == "queries"  # marked: no stem
+        assert stem("running") == "run"
+
+    def test_pattern_marker_full_match_only(self):
+        # PatternKeywordMarkerFilter uses matcher.matches(): 'join.*'
+        # protects 'joining' but not 'subjoining' (no full match)
+        stem = keyword_marker_stem_factory(set(), r"join.*", porter_stem)
+        assert stem("joining") == "joining"
+        assert stem("subjoining") == porter_stem("subjoining")
+
+
+class TestStemmerOverride:
+    def test_override_beats_stemmer(self):
+        stem = stemmer_override_factory(
+            {"mice": "mouse", "running": "sprint"}, porter_stem
+        )
+        assert stem("mice") == "mouse"
+        assert stem("running") == "sprint"  # porter would say 'run'
+        assert stem("batches") == "batch"
+
+    def test_override_output_not_restemmed(self):
+        # the override keyword-marks: output is the dict value verbatim
+        stem = stemmer_override_factory({"flying": "flying"}, porter_stem)
+        assert stem("flying") == "flying"
+
+
+class TestProtectedTerm:
+    def test_protected_skips_inner(self):
+        f = protected_term_factory({"queries"}, lambda t: truncate(t, 4))
+        assert f("queries") == "queries"
+        assert f("running") == "runn"
+        assert f("ab") == "ab"  # shorter than the truncate length
+
+
+class TestChains:
+    def test_marked_stem_chain(self):
+        terms, pos = chain_analyze(
+            "Running QUERIES joining mice", get_chain("marked_stem")
+        )
+        assert terms == ["run", "queries", "joining", "mice"]
+        assert pos == [0, 1, 2, 3]
+
+    def test_stem_override_chain(self):
+        terms, _ = chain_analyze(
+            "running mice batches", get_chain("stem_override")
+        )
+        assert terms == ["sprint", "mouse", "batch"]
+
+    def test_protected_trunc_chain(self):
+        terms, _ = chain_analyze(
+            "queries flying", get_chain("protected_trunc")
+        )
+        assert terms == ["queries", "flyi"]
