@@ -7005,6 +7005,87 @@ SELECT doc_id, 'protected_trunc', prot, '0,1,2,3,4' FROM agg
 """
 
 
+_SYN_POOL = ["fast", "window", "mouse", "quick", "spark"]
+
+
+def _q_synonym_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym rule-file parsers (synonym/SolrSynonymParser.java,
+    WordnetSynonymParser.java): the demo Solr rules ('fast, quick,
+    rapid' equivalence + explicit 'mouse => mice') and the same
+    synsets as WordNet prolog facts, parsed into the index-time
+    synonym stream — the explicit Solr mapping drops the original
+    while the WordNet equivalence keeps it."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    names = ["solr_synonyms", "wordnet_synonyms"]
+
+    def gen(batches):
+        import pandas as pd
+
+        chains = {n: get_chain(n) for n in names}
+        for pdf in batches:
+            ids, cs, terms_out, pos_out = [], [], [], []
+            for i in pdf["doc_id"].tolist():
+                text = " ".join(
+                    _SYN_POOL[(i * 7 + k) % 5] for k in range(4)
+                )
+                for cname in names:
+                    terms, pos = chain_analyze(text, chains[cname])
+                    ids.append(i)
+                    cs.append(cname)
+                    terms_out.append("|".join(terms))
+                    pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "chain": cs,
+                    "terms": terms_out, "positions": pos_out,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, chain string, terms string, "
+        "positions string"
+    )
+
+
+_SYNONYM_PARSERS_SQL = """
+WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id < 200
+),
+slots AS (
+  SELECT d.doc_id, g.k, (d.doc_id*7 + g.k) % 5 AS w
+  FROM d, (SELECT unnest(generate_series(0, 3)) AS k) g
+),
+e AS (
+  SELECT doc_id, k,
+    ['fast|quick|rapid','window','mice','quick|fast|rapid','spark']
+        [w + 1] AS solr_piece,
+    [3, 1, 1, 3, 1][w + 1] AS solr_cnt,
+    ['fast|quick|rapid','window','mouse|mice','quick|fast|rapid','spark']
+        [w + 1] AS wn_piece,
+    [3, 1, 2, 3, 1][w + 1] AS wn_cnt
+  FROM slots
+),
+agg AS (
+  SELECT doc_id,
+    string_agg(solr_piece, '|' ORDER BY k) AS solr_terms,
+    string_agg(ltrim(repeat(',' || CAST(k AS VARCHAR), solr_cnt), ','),
+               ',' ORDER BY k) AS solr_pos,
+    string_agg(wn_piece, '|' ORDER BY k) AS wn_terms,
+    string_agg(ltrim(repeat(',' || CAST(k AS VARCHAR), wn_cnt), ','),
+               ',' ORDER BY k) AS wn_pos
+  FROM e GROUP BY doc_id
+)
+SELECT doc_id, 'solr_synonyms' AS chain, solr_terms AS terms,
+       solr_pos AS positions FROM agg
+UNION ALL
+SELECT doc_id, 'wordnet_synonyms', wn_terms, wn_pos FROM agg
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -9420,6 +9501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "masked_span_top10": _q_masked_span,
         "core_analyzer_tokens": _q_core_analyzers,
         "marker_filter_tokens": _q_marker_filters,
+        "synonym_parser_tokens": _q_synonym_parsers,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -11524,6 +11606,7 @@ def oracle_sql() -> dict[str, str]:
         "masked_span_top10": _field_masked_sql(),
         "core_analyzer_tokens": _CORE_ANALYZERS_SQL,
         "marker_filter_tokens": _MARKER_FILTERS_SQL,
+        "synonym_parser_tokens": _SYNONYM_PARSERS_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

@@ -1208,6 +1208,16 @@ def _build_chains() -> dict:
         "synonyms": AnalyzerChain(
             "synonyms", frozenset(), stream=_syn_stream()
         ),
+        # SolrSynonymParser (synonym/SolrSynonymParser.java) rules
+        # feeding the same index-time synonym stream
+        "solr_synonyms": AnalyzerChain(
+            "solr_synonyms", frozenset(), stream=_solr_syn_stream()
+        ),
+        # WordnetSynonymParser (synonym/WordnetSynonymParser.java)
+        # prolog synsets feeding the same stream
+        "wordnet_synonyms": AnalyzerChain(
+            "wordnet_synonyms", frozenset(), stream=_wordnet_syn_stream()
+        ),
         # PathHierarchyTokenizer (path/PathHierarchyTokenizer.java):
         # prefix tokens at each delimiter; no lowercase/stop
         "path_hierarchy": AnalyzerChain(
@@ -1630,6 +1640,36 @@ def _java_upper_hook():
     from .analysis import _java_upper
 
     return _java_upper
+
+
+_SOLR_SYN_DEMO = """# demo Solr-format rules
+fast, quick, rapid
+mouse => mice
+"""
+
+_WORDNET_SYN_DEMO = (
+    "s(100000001,1,'fast',a,1,0).\n"
+    "s(100000001,2,'quick',a,1,0).\n"
+    "s(100000001,3,'rapid',a,1,0).\n"
+    "s(100000002,1,'mouse',n,1,0).\n"
+    "s(100000002,2,'mice',n,1,0).\n"
+)
+
+
+def _solr_syn_stream():
+    from .miscfilters import synonym_stream_factory
+    from .synparse import parse_solr_synonyms, rules_to_token_map
+
+    mapping = rules_to_token_map(parse_solr_synonyms(_SOLR_SYN_DEMO))
+    return synonym_stream_factory(mapping, include_original=False)
+
+
+def _wordnet_syn_stream():
+    from .miscfilters import synonym_stream_factory
+    from .synparse import parse_wordnet_synonyms, rules_to_token_map
+
+    mapping = rules_to_token_map(parse_wordnet_synonyms(_WORDNET_SYN_DEMO))
+    return synonym_stream_factory(mapping, include_original=False)
 
 
 def _marked_stem():

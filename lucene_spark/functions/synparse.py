@@ -1,0 +1,231 @@
+"""Synonym rule-file parsers: the Solr format and the WordNet prolog
+format.
+
+Reference: ``analysis/common/.../synonym/SolrSynonymParser.java:29-186``
+(blank/# comment lines; ``=>`` explicit mappings that ignore the expand
+flag and never keep the original; comma equivalences honoring expand —
+all ordered pairs with keepOrig, or legacy map-everything-to-first;
+backslash escaping where ``split`` keeps the escape and ``unescape``
+strips it, with ``trim()`` applied AFTER unescaping; merging of
+repeated LHS entries happens naturally in the rule list) and
+``WordnetSynonymParser.java:28-120`` (9-char synset id at line[2:11],
+consecutive same-id lines form a synset, the synonym text sits between
+the first and last single quote with ``''`` unescaping to ``'``;
+synsets of size <= 1 add nothing).
+
+Each rule's phrase text is analyzed like ``SynonymMap.Parser.analyze``
+(one token stream, consecutive positions required — a stop word inside
+a synonym phrase is an error, matching the reference's
+IllegalArgumentException).
+
+Rules are ``(input_words, output_words, keep_orig)`` tuples.
+``rules_to_token_map`` lowers the single-word subset onto the
+index-time ``synonym_stream_factory`` mapping (original first when any
+rule keeps it, then outputs in file order, first-wins dedup);
+multi-word inputs/outputs stay query-side via
+``queries.graph_synonym_query`` — the same declared split as the
+``synonyms`` chain.
+"""
+
+from __future__ import annotations
+
+from .lang import AnalyzerChain, chain_analyze
+
+Rule = tuple[tuple[str, ...], tuple[str, ...], bool]
+
+
+def _analyze_phrase(text: str, chain: AnalyzerChain, line_no: int):
+    terms, positions = chain_analyze(text, chain)
+    if not terms or positions != list(range(len(terms))):
+        # SynonymMap.Parser.analyze: "term: X analyzes to a token with
+        # position increment != 1" / zero tokens -> parse error
+        raise ValueError(
+            f"Invalid synonym rule at line {line_no}: {text!r} does not "
+            "analyze to a gap-free token stream"
+        )
+    return tuple(terms)
+
+
+def _solr_split(s: str, separator: str) -> list[str]:
+    """SolrSynonymParser.split: separator match, with a backslash
+    keeping itself AND the next char in the piece (unescape strips)."""
+    out: list[str] = []
+    sb: list[str] = []
+    pos, end = 0, len(s)
+    while pos < end:
+        if s.startswith(separator, pos):
+            if sb:
+                out.append("".join(sb))
+                sb = []
+            pos += len(separator)
+            continue
+        ch = s[pos]
+        pos += 1
+        if ch == "\\":
+            sb.append(ch)
+            if pos >= end:
+                break
+            ch = s[pos]
+            pos += 1
+        sb.append(ch)
+    if sb:
+        out.append("".join(sb))
+    return out
+
+
+def _solr_unescape(s: str) -> str:
+    if "\\" not in s:
+        return s
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\" and i < len(s) - 1:
+            i += 1
+            out.append(s[i])
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def parse_solr_synonyms(
+    text: str,
+    chain: AnalyzerChain | None = None,
+    expand: bool = True,
+    dedup: bool = True,
+) -> list[Rule]:
+    """Parse Solr-format synonym rules into (input, output, keep_orig)
+    tuples; ``chain`` analyzes each side (default: standard)."""
+    if chain is None:
+        # constructed directly (not via get_chain) so rule parsing can
+        # run inside _build_chains without re-entering the registry
+        chain = AnalyzerChain("standard", frozenset())
+    rules: list[Rule] = []
+    seen: set[tuple] = set()
+
+    def add(inp, outp, keep):
+        key = (inp, outp)
+        if dedup and key in seen:
+            return
+        seen.add(key)
+        rules.append((inp, outp, keep))
+
+    for ln, line in enumerate(text.splitlines(), start=1):
+        if not line or line[0] == "#":
+            continue
+        sides = _solr_split(line, "=>")
+        if len(sides) > 1:
+            if len(sides) != 2:
+                raise ValueError(
+                    f"Invalid synonym rule at line {ln}: more than one "
+                    "explicit mapping specified on the same line"
+                )
+            inputs = [
+                _analyze_phrase(_solr_unescape(p).strip(), chain, ln)
+                for p in _solr_split(sides[0], ",")
+            ]
+            outputs = [
+                _analyze_phrase(_solr_unescape(p).strip(), chain, ln)
+                for p in _solr_split(sides[1], ",")
+            ]
+            # explicit mappings never preserve the original
+            for i in inputs:
+                for o in outputs:
+                    add(i, o, False)
+        else:
+            inputs = [
+                _analyze_phrase(_solr_unescape(p).strip(), chain, ln)
+                for p in _solr_split(line, ",")
+            ]
+            if expand:
+                for i, a in enumerate(inputs):
+                    for j, b in enumerate(inputs):
+                        if i != j:
+                            add(a, b, True)
+            else:
+                # legacy: everything (incl. the first) maps to the first
+                for a in inputs:
+                    add(a, inputs[0], False)
+    return rules
+
+
+def parse_wordnet_synonyms(
+    text: str,
+    chain: AnalyzerChain | None = None,
+    expand: bool = True,
+    dedup: bool = True,
+) -> list[Rule]:
+    """Parse WordNet prolog ``s(...)`` facts into rules; consecutive
+    lines sharing the 9-char synset id at ``line[2:11]`` form one
+    synset."""
+    if chain is None:
+        # constructed directly (not via get_chain) so rule parsing can
+        # run inside _build_chains without re-entering the registry
+        chain = AnalyzerChain("standard", frozenset())
+    rules: list[Rule] = []
+    seen: set[tuple] = set()
+
+    def add(inp, outp, keep):
+        key = (inp, outp)
+        if dedup and key in seen:
+            return
+        seen.add(key)
+        rules.append((inp, outp, keep))
+
+    def flush(synset: list[tuple[str, ...]]):
+        if len(synset) <= 1:
+            return
+        if expand:
+            for i, a in enumerate(synset):
+                for j, b in enumerate(synset):
+                    if i != j:
+                        add(a, b, True)
+        else:
+            for a in synset:
+                add(a, synset[0], False)
+
+    last_id = ""
+    synset: list[tuple[str, ...]] = []
+    for ln, line in enumerate(text.splitlines(), start=1):
+        if not line.strip():
+            continue
+        syn_id = line[2:11]
+        if syn_id != last_id:
+            flush(synset)
+            synset = []
+        start = line.index("'") + 1
+        end = line.rindex("'")
+        phrase = line[start:end].replace("''", "'")
+        synset.append(_analyze_phrase(phrase, chain, ln))
+        last_id = syn_id
+    flush(synset)
+    return rules
+
+
+def rules_to_token_map(rules: list[Rule]) -> dict[str, list[str]]:
+    """Lower the single-word rule subset onto the index-time
+    ``synonym_stream_factory`` mapping: emission list per input =
+    original first (when any rule keeps it), then single-word outputs
+    in file order, first-wins dedup. Multi-word inputs/outputs are
+    skipped here (query-side via graph_synonym_query — declared)."""
+    keep: dict[str, bool] = {}
+    outs: dict[str, list[str]] = {}
+    for inp, outp, keep_orig in rules:
+        if len(inp) != 1 or len(outp) != 1:
+            continue
+        w = inp[0]
+        keep[w] = keep.get(w, False) or keep_orig
+        lst = outs.setdefault(w, [])
+        if outp[0] not in lst:
+            lst.append(outp[0])
+    mapping: dict[str, list[str]] = {}
+    for w, lst in outs.items():
+        emission: list[str] = []
+        if keep[w] and w not in emission:
+            emission.append(w)
+        for o in lst:
+            if o not in emission:
+                emission.append(o)
+        mapping[w] = emission
+    return mapping

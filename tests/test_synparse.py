@@ -1,0 +1,119 @@
+"""Solr + WordNet synonym rule-file parsers (synonym/
+SolrSynonymParser.java, WordnetSynonymParser.java)."""
+
+import pytest
+
+from lucene_spark.functions.lang import chain_analyze, get_chain
+from lucene_spark.functions.synparse import (
+    parse_solr_synonyms,
+    parse_wordnet_synonyms,
+    rules_to_token_map,
+)
+
+
+class TestSolrParser:
+    def test_comments_and_blanks_skipped(self):
+        assert parse_solr_synonyms("# comment\n\nfoo, bar") == [
+            (("foo",), ("bar",), True),
+            (("bar",), ("foo",), True),
+        ]
+
+    def test_explicit_mapping_never_keeps_orig(self):
+        rules = parse_solr_synonyms("i-pod, i pod => ipod")
+        # standard analyzer splits 'i-pod' -> (i, pod) = 'i pod'; the
+        # duplicate LHS dedups, leaving one multi-word rule
+        assert rules == [(("i", "pod"), ("ipod",), False)]
+
+    def test_merged_entries(self):
+        # SolrSynonymParser.java javadoc item 3: repeated LHS merge
+        rules = parse_solr_synonyms("foo => foo bar\nfoo => baz")
+        assert rules == [
+            (("foo",), ("foo", "bar"), False),
+            (("foo",), ("baz",), False),
+        ]
+
+    def test_expand_false_maps_to_first(self):
+        rules = parse_solr_synonyms("a, b, c", expand=False)
+        assert rules == [
+            (("a",), ("a",), False),
+            (("b",), ("a",), False),
+            (("c",), ("a",), False),
+        ]
+
+    def test_escaping(self):
+        # '\=>' escapes the arrow; whitespace chain keeps punctuation
+        rules = parse_solr_synonyms(
+            r"a\=>a => b\=>b", chain=get_chain("whitespace")
+        )
+        assert rules == [(("a=>a",), ("b=>b",), False)]
+
+    def test_double_arrow_raises(self):
+        with pytest.raises(ValueError, match="more than one explicit"):
+            parse_solr_synonyms("a => b => c")
+
+    def test_stopword_phrase_raises(self):
+        with pytest.raises(ValueError, match="gap-free"):
+            parse_solr_synonyms(
+                "the thing => gadget", chain=get_chain("english")
+            )
+
+
+class TestWordnetParser:
+    WN = (
+        "s(100000001,1,'wood',n,1,0).\n"
+        "s(100000001,2,'woods',n,1,0).\n"
+        "s(100000002,1,'forest',n,1,0).\n"
+    )
+
+    def test_synsets_group_by_id(self):
+        rules = parse_wordnet_synonyms(self.WN)
+        assert rules == [
+            (("wood",), ("woods",), True),
+            (("woods",), ("wood",), True),
+        ]  # singleton synset adds nothing
+
+    def test_quote_unescape(self):
+        rules = parse_wordnet_synonyms(
+            "s(100000003,1,'it''s',n,1,0).\n"
+            "s(100000003,2,'belongs',n,1,0).\n",
+            chain=get_chain("whitespace"),
+        )
+        assert (("it's",), ("belongs",), True) in rules
+
+    def test_expand_false(self):
+        rules = parse_wordnet_synonyms(self.WN, expand=False)
+        assert rules == [
+            (("wood",), ("wood",), False),
+            (("woods",), ("wood",), False),
+        ]
+
+
+class TestTokenMapAndChains:
+    def test_token_map_order(self):
+        rules = parse_solr_synonyms("fast, quick, rapid\nmouse => mice")
+        m = rules_to_token_map(rules)
+        assert m["fast"] == ["fast", "quick", "rapid"]  # orig kept first
+        assert m["quick"] == ["quick", "fast", "rapid"]
+        assert m["mouse"] == ["mice"]  # explicit: original dropped
+
+    def test_multiword_rules_excluded_from_index_map(self):
+        rules = parse_solr_synonyms("i pod => ipod\nipod => i pod")
+        assert rules_to_token_map(rules) == {}
+
+    def test_solr_chain_stacks_at_position(self):
+        terms, pos = chain_analyze(
+            "fast window mouse", get_chain("solr_synonyms")
+        )
+        assert terms == ["fast", "quick", "rapid", "window", "mice"]
+        assert pos == [0, 0, 0, 1, 2]
+
+    def test_wordnet_chain(self):
+        # the prolog synsets are EQUIVALENCES, so unlike the Solr
+        # demo's explicit mouse => mice the original is kept
+        terms, pos = chain_analyze(
+            "fast window mouse", get_chain("wordnet_synonyms")
+        )
+        assert terms == [
+            "fast", "quick", "rapid", "window", "mouse", "mice",
+        ]
+        assert pos == [0, 0, 0, 1, 2, 2]
