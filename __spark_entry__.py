@@ -7086,6 +7086,50 @@ SELECT doc_id, 'wordnet_synonyms', wn_terms, wn_pos FROM agg
 """
 
 
+def _q_delimited_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DelimitedTermFrequencyTokenFilter (miscellaneous/
+    DelimitedTermFrequencyTokenFilter.java): 'api|N Spark|2 plain'
+    over the whitespace tokenizer — the term stacks N times (freq/norm
+    grow by the declared term frequency), case preserved, undelimited
+    tokens untouched."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("delimited_tf")
+        for pdf in batches:
+            ids, terms_out, pos_out = [], [], []
+            for i in pdf["doc_id"].tolist():
+                text = f"api|{1 + i % 3} Spark|2 plain"
+                terms, pos = chain_analyze(text, chain)
+                ids.append(i)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_DELIMITED_TF_SQL = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 3 AS c FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       ltrim(repeat('|api', c), '|') || '|Spark|Spark|plain' AS terms,
+       ltrim(repeat(',0', c), ',') || ',1,1,2' AS positions
+FROM d
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -9502,6 +9546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_analyzer_tokens": _q_core_analyzers,
         "marker_filter_tokens": _q_marker_filters,
         "synonym_parser_tokens": _q_synonym_parsers,
+        "delimited_tf_tokens": _q_delimited_tf,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -11607,6 +11652,7 @@ def oracle_sql() -> dict[str, str]:
         "core_analyzer_tokens": _CORE_ANALYZERS_SQL,
         "marker_filter_tokens": _MARKER_FILTERS_SQL,
         "synonym_parser_tokens": _SYNONYM_PARSERS_SQL,
+        "delimited_tf_tokens": _DELIMITED_TF_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

@@ -1208,6 +1208,12 @@ def _build_chains() -> dict:
         "synonyms": AnalyzerChain(
             "synonyms", frozenset(), stream=_syn_stream()
         ),
+        # DelimitedTermFrequencyTokenFilter over the whitespace
+        # tokenizer (the tokenizer must not split on '|'); no case fold
+        "delimited_tf": AnalyzerChain(
+            "delimited_tf", frozenset(),
+            tokenizer=_ws_tokenizer(), stream=_dtf_stream(),
+        ),
         # SolrSynonymParser (synonym/SolrSynonymParser.java) rules
         # feeding the same index-time synonym stream
         "solr_synonyms": AnalyzerChain(
@@ -1654,6 +1660,12 @@ _WORDNET_SYN_DEMO = (
     "s(100000002,1,'mouse',n,1,0).\n"
     "s(100000002,2,'mice',n,1,0).\n"
 )
+
+
+def _dtf_stream():
+    from .miscfilters import delimited_term_frequency_stream_factory
+
+    return delimited_term_frequency_stream_factory()
 
 
 def _solr_syn_stream():

@@ -399,3 +399,38 @@ def protected_term_factory(protected, inner):
         return token if token in ps else inner(token)
 
     return f
+
+
+def delimited_term_frequency_stream_factory(delimiter: str = "|"):
+    """DelimitedTermFrequencyTokenFilter (``miscellaneous/
+    DelimitedTermFrequencyTokenFilter.java:28-74``): text before the
+    FIRST delimiter is the term, the textual integer after it the term
+    frequency; no delimiter leaves the token untouched. The reference
+    sets TermFrequencyAttribute on a positions-less field — here the
+    term stacks tf times at its position (posInc-0), which yields the
+    identical freq/norm contributions (FieldInvertState.length grows
+    by tf); the duplicated positions are the declared deviation.
+    Malformed or < 1 frequencies raise like ArrayUtil.parseInt /
+    TermFrequencyAttribute.setTermFrequency."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(tokens):
+            idx = tok.find(delimiter)
+            if idx < 0:
+                terms.append(tok)
+                positions.append(pos)
+                continue
+            term = tok[:idx]
+            tf = int(tok[idx + 1 :])
+            if tf < 1:
+                raise ValueError(
+                    f"Term frequency must be 1 or greater; got {tf}"
+                )
+            for _ in range(tf):
+                terms.append(term)
+                positions.append(pos)
+        return terms, positions
+
+    return stream

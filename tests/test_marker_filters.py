@@ -67,3 +67,31 @@ class TestChains:
             "queries flying", get_chain("protected_trunc")
         )
         assert terms == ["queries", "flyi"]
+
+
+class TestDelimitedTermFrequency:
+    def test_expansion_and_passthrough(self):
+        import pytest as _pt
+
+        from lucene_spark.functions.lang import chain_analyze, get_chain
+
+        terms, pos = chain_analyze(
+            "api|3 Spark|2 plain", get_chain("delimited_tf")
+        )
+        assert terms == ["api", "api", "api", "Spark", "Spark", "plain"]
+        assert pos == [0, 0, 0, 1, 1, 2]
+        # malformed / non-positive frequencies raise like the reference
+        with _pt.raises(ValueError):
+            chain_analyze("x|zero", get_chain("delimited_tf"))
+        with _pt.raises(ValueError):
+            chain_analyze("x|0", get_chain("delimited_tf"))
+
+    def test_first_delimiter_wins(self):
+        from lucene_spark.functions.miscfilters import (
+            delimited_term_frequency_stream_factory,
+        )
+
+        stream = delimited_term_frequency_stream_factory()
+        # only the FIRST '|' splits; the rest is the (textual) integer
+        terms, pos = stream(["a|2"], None, frozenset())
+        assert terms == ["a", "a"]
