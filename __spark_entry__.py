@@ -7130,6 +7130,72 @@ FROM d
 """
 
 
+def _q_char_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char filters (charfilter/MappingCharFilter.java greedy
+    longest-match; pattern/PatternReplaceCharFilter.java replaceAll):
+    both applied BEFORE tokenization over deterministic text with
+    mappable digraphs, a doubled letter and hyphenated digits."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "kbdgmprt"
+    names = ["mapped_chars", "pattern_replace"]
+
+    def gen(batches):
+        import pandas as pd
+
+        chains = {n: get_chain(n) for n in names}
+        for pdf in batches:
+            ids, cs, terms_out, pos_out = [], [], [], []
+            for i in pdf["doc_id"].tolist():
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                text = f"phase-{base} quiet {base}ee 1-2-3"
+                for cname in names:
+                    terms, pos = chain_analyze(text, chains[cname])
+                    ids.append(i)
+                    cs.append(cname)
+                    terms_out.append("|".join(terms))
+                    pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "chain": cs,
+                    "terms": terms_out, "positions": pos_out,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, chain string, terms string, "
+        "positions string"
+    )
+
+
+_CHAR_FILTERS_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             ['k','b','d','g','m','p','r','t']
+                 [1 + (doc_id*5 + g.k) % 8],
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id, 'mapped_chars' AS chain,
+       'fase|' || base || '|kwiet|' || base || 'ee|1|2|3' AS terms,
+       '0,1,2,3,4,5,6' AS positions FROM b
+UNION ALL
+SELECT doc_id, 'pattern_replace',
+       'phase|' || base || '|quiet|' || base || 'e|1|2|3',
+       '0,1,2,3,4,5,6' FROM b
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -9547,6 +9613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marker_filter_tokens": _q_marker_filters,
         "synonym_parser_tokens": _q_synonym_parsers,
         "delimited_tf_tokens": _q_delimited_tf,
+        "char_filter_tokens": _q_char_filters,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -11653,6 +11720,7 @@ def oracle_sql() -> dict[str, str]:
         "marker_filter_tokens": _MARKER_FILTERS_SQL,
         "synonym_parser_tokens": _SYNONYM_PARSERS_SQL,
         "delimited_tf_tokens": _DELIMITED_TF_SQL,
+        "char_filter_tokens": _CHAR_FILTERS_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

@@ -1,0 +1,67 @@
+"""Char filters: MappingCharFilter and PatternReplaceCharFilter.
+
+Reference: ``charfilter/MappingCharFilter.java:28-33`` +
+``NormalizeCharMap.java`` — greedy LONGEST-pattern match at each input
+point (the FST walk), replacement may be empty, replacements are
+emitted verbatim and never re-matched (the scan resumes after the
+matched input); the builder rejects empty and duplicate match strings.
+``pattern/PatternReplaceCharFilter.java:33-60`` — the whole input is
+matched with ``Matcher.replaceAll`` semantics before tokenization.
+
+Both plug into ``AnalyzerChain.char_filter`` (applied before the
+tokenizer, like the reference wraps the Reader). Offset correction is
+n/a here — positions are token-ordinal, not char offsets, the same
+model every other chain uses.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def mapping_char_filter_factory(mappings: dict[str, str]):
+    """NormalizeCharMap + MappingCharFilter: greedy longest-match
+    single-pass replacement."""
+    for k in mappings:
+        if not k:
+            raise ValueError("cannot match the empty string")
+    by_first: dict[str, list[str]] = {}
+    for k in mappings:
+        by_first.setdefault(k[0], []).append(k)
+    for lst in by_first.values():
+        lst.sort(key=len, reverse=True)  # longest pattern wins
+
+    def cf(text: str) -> str:
+        out: list[str] = []
+        i, n = 0, len(text)
+        while i < n:
+            cands = by_first.get(text[i])
+            if cands is not None:
+                for p in cands:
+                    if text.startswith(p, i):
+                        out.append(mappings[p])
+                        i += len(p)
+                        break
+                else:
+                    out.append(text[i])
+                    i += 1
+            else:
+                out.append(text[i])
+                i += 1
+        return "".join(out)
+
+    return cf
+
+
+def pattern_replace_char_filter_factory(pattern: str, replacement: str):
+    """PatternReplaceCharFilter: replaceAll over the whole input;
+    pattern restricted to the Java-regex/Python common subset (the
+    same discipline as scrub_pii); ``$N`` group references are
+    accepted in the Java spelling and translated."""
+    rx = re.compile(pattern)
+    py_repl = re.sub(r"\$(\d)", r"\\\1", replacement)
+
+    def cf(text: str) -> str:
+        return rx.sub(py_repl, text)
+
+    return cf

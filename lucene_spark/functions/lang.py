@@ -1208,6 +1208,17 @@ def _build_chains() -> dict:
         "synonyms": AnalyzerChain(
             "synonyms", frozenset(), stream=_syn_stream()
         ),
+        # MappingCharFilter (charfilter/MappingCharFilter.java):
+        # greedy longest-match pre-tokenizer replacement
+        "mapped_chars": AnalyzerChain(
+            "mapped_chars", frozenset(), char_filter=_map_cf()
+        ),
+        # PatternReplaceCharFilter (pattern/PatternReplaceCharFilter
+        # .java): regex replaceAll before tokenization (collapse
+        # repeated letters in the demo instance)
+        "pattern_replace": AnalyzerChain(
+            "pattern_replace", frozenset(), char_filter=_pr_cf()
+        ),
         # DelimitedTermFrequencyTokenFilter over the whitespace
         # tokenizer (the tokenizer must not split on '|'); no case fold
         "delimited_tf": AnalyzerChain(
@@ -1660,6 +1671,18 @@ _WORDNET_SYN_DEMO = (
     "s(100000002,1,'mouse',n,1,0).\n"
     "s(100000002,2,'mice',n,1,0).\n"
 )
+
+
+def _map_cf():
+    from .charfilters import mapping_char_filter_factory
+
+    return mapping_char_filter_factory({"ph": "f", "qu": "kw", "-": " "})
+
+
+def _pr_cf():
+    from .charfilters import pattern_replace_char_filter_factory
+
+    return pattern_replace_char_filter_factory(r"([a-z])\1+", "$1")
 
 
 def _dtf_stream():

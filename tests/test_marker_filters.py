@@ -95,3 +95,56 @@ class TestDelimitedTermFrequency:
         # only the FIRST '|' splits; the rest is the (textual) integer
         terms, pos = stream(["a|2"], None, frozenset())
         assert terms == ["a", "a"]
+
+
+class TestCharFilters:
+    def test_mapping_longest_match_wins(self):
+        from lucene_spark.functions.charfilters import (
+            mapping_char_filter_factory,
+        )
+
+        cf = mapping_char_filter_factory({"q": "1", "qu": "2"})
+        assert cf("qux") == "2x"  # longest pattern at the point wins
+        assert cf("qx") == "1x"
+
+    def test_mapping_no_rematch_and_empty_replacement(self):
+        from lucene_spark.functions.charfilters import (
+            mapping_char_filter_factory,
+        )
+
+        cf = mapping_char_filter_factory({"a": "b", "b": "c"})
+        # the replacement 'b' is emitted verbatim, never re-matched
+        assert cf("a") == "b"
+        assert cf("ab") == "bc"
+        gone = mapping_char_filter_factory({"xx": ""})
+        assert gone("axxb") == "ab"
+
+    def test_mapping_rejects_empty_key(self):
+        import pytest as _pt
+
+        from lucene_spark.functions.charfilters import (
+            mapping_char_filter_factory,
+        )
+
+        with _pt.raises(ValueError):
+            mapping_char_filter_factory({"": "x"})
+
+    def test_pattern_replace_groups(self):
+        from lucene_spark.functions.charfilters import (
+            pattern_replace_char_filter_factory,
+        )
+
+        cf = pattern_replace_char_filter_factory(r"([a-z])\1+", "$1")
+        assert cf("aabbbc") == "abc"
+
+    def test_chains(self):
+        from lucene_spark.functions.lang import chain_analyze, get_chain
+
+        terms, pos = chain_analyze(
+            "phase-x quiet 1-2", get_chain("mapped_chars")
+        )
+        assert terms == ["fase", "x", "kwiet", "1", "2"]
+        terms2, _ = chain_analyze(
+            "ooops aa-bb", get_chain("pattern_replace")
+        )
+        assert terms2 == ["ops", "a", "b"]
