@@ -7196,6 +7196,69 @@ SELECT doc_id, 'pattern_replace',
 """
 
 
+def _q_classic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClassicAnalyzer (classic/ClassicAnalyzer.java): the pre-3.1
+    grammar's distinguishing shapes in one deterministic text —
+    COMPANY (U&co), APOSTROPHE with ClassicFilter's 's strip, ACRONYM
+    with dots removed, HOST kept whole, EMAIL, dashed NUM — plus a
+    leading stop word for the position gap. Scanner validated
+    byte-identically against the COMPILED reference
+    (tests/fixtures/classic_goldens.json.gz, 2661 texts)."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "kbdgmprt"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("classic")
+        for pdf in batches:
+            ids, terms_out, pos_out = [], [], []
+            for i in pdf["doc_id"].tolist():
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                text = (
+                    f"The {base.upper()}&co {base}'s U.S.A. "
+                    f"www.{base}.org {base}@x.com 1-2-3"
+                )
+                terms, pos = chain_analyze(text, chain)
+                ids.append(i)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_CLASSIC_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             ['k','b','d','g','m','p','r','t']
+                 [1 + (doc_id*5 + g.k) % 8],
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id,
+       base || '&co|' || base || '|usa|www.' || base || '.org|'
+            || base || '@x.com|1-2-3' AS terms,
+       '1,2,3,4,5,6' AS positions
+FROM b
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -9614,6 +9677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_parser_tokens": _q_synonym_parsers,
         "delimited_tf_tokens": _q_delimited_tf,
         "char_filter_tokens": _q_char_filters,
+        "classic_tokens": _q_classic_tokens,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -11721,6 +11785,7 @@ def oracle_sql() -> dict[str, str]:
         "synonym_parser_tokens": _SYNONYM_PARSERS_SQL,
         "delimited_tf_tokens": _DELIMITED_TF_SQL,
         "char_filter_tokens": _CHAR_FILTERS_SQL,
+        "classic_tokens": _CLASSIC_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

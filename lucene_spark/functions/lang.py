@@ -1208,6 +1208,15 @@ def _build_chains() -> dict:
         "synonyms": AnalyzerChain(
             "synonyms", frozenset(), stream=_syn_stream()
         ),
+        # ClassicAnalyzer (classic/ClassicAnalyzer.java): the
+        # pre-3.1 StandardTokenizer grammar (HOST/EMAIL/COMPANY/
+        # ACRONYM/APOSTROPHE/NUM/CJ) -> ClassicFilter -> lower ->
+        # English stop; the whole text goes to the classic scanner
+        # which owns positions (too-long tokens skip with gaps)
+        "classic": AnalyzerChain(
+            "classic", ENGLISH_STOP_WORDS,
+            tokenizer=_kw_tokenizer(), stream=_classic_stream(),
+        ),
         # MappingCharFilter (charfilter/MappingCharFilter.java):
         # greedy longest-match pre-tokenizer replacement
         "mapped_chars": AnalyzerChain(
@@ -1671,6 +1680,12 @@ _WORDNET_SYN_DEMO = (
     "s(100000002,1,'mouse',n,1,0).\n"
     "s(100000002,2,'mice',n,1,0).\n"
 )
+
+
+def _classic_stream():
+    from .classic import classic_stream_factory
+
+    return classic_stream_factory()
 
 
 def _map_cf():

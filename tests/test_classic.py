@@ -1,0 +1,74 @@
+"""ClassicTokenizer DFA port vs compiled-reference goldens, plus the
+ClassicTokenizer/ClassicFilter post-processing and the classic chain."""
+
+import gzip
+import json
+import os
+
+from lucene_spark.functions.classic import (
+    classic_filter,
+    classic_tokenize,
+    scan_classic,
+)
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "classic_goldens.json.gz"
+)
+
+
+class TestGoldens:
+    def test_byte_identical_to_compiled_reference(self):
+        goldens = json.load(gzip.open(FIXTURE, "rt", encoding="utf-8"))
+        assert len(goldens) > 2500
+        bad = []
+        for text, toks in goldens.items():
+            mine = [[k, text[s:e]] for s, e, k in scan_classic(text)]
+            if mine != toks:
+                bad.append(text)
+        assert not bad, bad[:3]
+
+
+class TestTokenizer:
+    def test_acronym_dep_retypes_to_host(self):
+        # trailing-dot host form: ACRONYM_DEP -> HOST, final '.' dropped
+        toks, types, pos = classic_tokenize("www.nutch.org. rest")
+        assert toks == ["www.nutch.org", "rest"]
+        assert types == ["<HOST>", "<ALPHANUM>"]
+
+    def test_too_long_token_skipped_with_gap(self):
+        toks, types, pos = classic_tokenize("a " + "b" * 300 + " c")
+        assert toks == ["a", "c"]
+        assert pos == [0, 2]  # the skipped giant still takes a position
+
+    def test_classic_types(self):
+        toks, types, _ = classic_tokenize(
+            "XY&Z QUOTED's U.S.A. www.nutch.org x@y.com 1-800 一"
+        )
+        assert types == [
+            "<COMPANY>", "<APOSTROPHE>", "<ACRONYM>", "<HOST>",
+            "<EMAIL>", "<NUM>", "<CJ>",
+        ]
+
+
+class TestClassicFilter:
+    def test_apostrophe_s_stripped(self):
+        assert classic_filter("QUOTED's", "<APOSTROPHE>") == "QUOTED"
+        assert classic_filter("O'Neil'S", "<APOSTROPHE>") == "O'Neil"
+        # non-'s apostrophe forms unchanged
+        assert classic_filter("don't", "<APOSTROPHE>") == "don't"
+
+    def test_acronym_dots_removed(self):
+        assert classic_filter("U.S.A.", "<ACRONYM>") == "USA"
+
+    def test_other_types_untouched(self):
+        assert classic_filter("a.b", "<HOST>") == "a.b"
+
+
+class TestChain:
+    def test_classic_analyzer(self):
+        terms, pos = chain_analyze(
+            "The QUOTED's U.S.A. www.nutch.org", get_chain("classic")
+        )
+        assert terms == ["quoted", "usa", "www.nutch.org"]
+        assert pos == [1, 2, 3]  # 'The' stopped with a gap

@@ -1,0 +1,192 @@
+"""Generate ClassicTokenizer golden fixtures from the reference Java.
+
+Compiles the reference's generated JFlex scanner
+(``analysis/common/.../classic/ClassicTokenizerImpl.java`` — behavior
+study only, nothing is copied into the engine; the shim only removes
+the CharTermAttribute accessor and inlines the type constants) and
+runs it over (a) the sf0.001 corpus texts and (b) a randomized battery
+of classic-grammar-shaped strings (emails, hosts, acronyms,
+apostrophes, company forms, numbers with embedded punctuation, CJ
+chars, >255 runs), writing
+``tests/fixtures/classic_goldens.json.gz`` as
+{text: [[type_ordinal, token], ...]}.
+
+    python tools/classic_goldens.py
+
+Requires the read-only reference checkout and a JDK; the committed
+fixture is what tests consume, so neither is needed at test time.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import json
+import os
+import random
+import re
+import subprocess
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = (
+    "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/"
+    "analysis/classic/ClassicTokenizerImpl.java"
+)
+WORK = "/tmp/classic"
+FIXTURE = os.path.join(ROOT, "tests", "fixtures", "classic_goldens.json.gz")
+
+HARNESS = """
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import java.util.Base64;
+import org.apache.lucene.analysis.classic.ClassicTokenizerImpl;
+
+public class ClassicMain {
+  public static void main(String[] args) throws Exception {
+    BufferedReader in = new BufferedReader(
+        new InputStreamReader(System.in, StandardCharsets.UTF_8));
+    PrintWriter out = new PrintWriter(
+        new OutputStreamWriter(System.out, StandardCharsets.UTF_8));
+    String line;
+    Base64.Decoder dec = Base64.getDecoder();
+    Base64.Encoder enc = Base64.getEncoder();
+    while ((line = in.readLine()) != null) {
+      String text = new String(dec.decode(line), StandardCharsets.UTF_8);
+      ClassicTokenizerImpl sc =
+          new ClassicTokenizerImpl(new StringReader(text));
+      StringBuilder sb = new StringBuilder();
+      while (true) {
+        int t = sc.getNextToken();
+        if (t == ClassicTokenizerImpl.YYEOF) break;
+        if (sb.length() > 0) sb.append('\\t');
+        sb.append(t).append(' ').append(
+            enc.encodeToString(sc.yytext().getBytes(StandardCharsets.UTF_8)));
+      }
+      out.println(sb.toString());
+    }
+    out.flush();
+  }
+}
+"""
+
+
+def _compile():
+    pkg = os.path.join(WORK, "org/apache/lucene/analysis/classic")
+    os.makedirs(pkg, exist_ok=True)
+    src = open(REF, encoding="utf-8").read()
+    src = src.replace(
+        "import org.apache.lucene.analysis.tokenattributes."
+        "CharTermAttribute;\n",
+        "",
+    )
+    src = re.sub(
+        r"  public final void getText\(CharTermAttribute t\) \{\n.*?\n  \}\n",
+        "",
+        src,
+        flags=re.S,
+    )
+    src = src.replace(
+        "ClassicTokenizer.TOKEN_TYPES",
+        'new String[]{"<ALPHANUM>","<APOSTROPHE>","<ACRONYM>",'
+        '"<COMPANY>","<EMAIL>","<HOST>","<NUM>","<CJ>","<ACRONYM_DEP>"}',
+    )
+    for k, v in [
+        ("ACRONYM_DEP", 8), ("ALPHANUM", 0), ("APOSTROPHE", 1),
+        ("ACRONYM", 2), ("COMPANY", 3), ("EMAIL", 4), ("HOST", 5),
+        ("NUM", 6), ("CJ", 7),
+    ]:
+        src = src.replace(f"ClassicTokenizer.{k}", str(v))
+    src = src.replace(
+        "class ClassicTokenizerImpl", "public class ClassicTokenizerImpl", 1
+    )
+    src = src.replace(
+        "  ClassicTokenizerImpl(java.io.Reader in)",
+        "  public ClassicTokenizerImpl(java.io.Reader in)",
+        1,
+    )
+    with open(os.path.join(pkg, "ClassicTokenizerImpl.java"), "w") as f:
+        f.write(src)
+    with open(os.path.join(WORK, "ClassicMain.java"), "w") as f:
+        f.write(HARNESS)
+    subprocess.run(
+        [
+            "javac",
+            "org/apache/lucene/analysis/classic/ClassicTokenizerImpl.java",
+            "ClassicMain.java",
+        ],
+        cwd=WORK,
+        check=True,
+    )
+
+
+def _texts() -> list[str]:
+    import duckdb
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT text FROM read_parquet("
+            "'/root/testdata/sf0.001/documents.parquet')"
+        ).fetchall()
+    ]
+    rng = random.Random(42)
+    frags = [
+        "word", "B2B", "2B", "U.S.A.", "U.S.A", "I.B.M", "XY&Z", "A&B&C",
+        "QUOTED's", "O'Neil's", "don't", "ab'", "'ab",
+        "xyz@example.com", "a.b@c.d.org", "@nowhere", "x@y",
+        "www.nutch.org", "a.b.c.d", "a.b.c.d.", "example.com",
+        "3.14", "5,99", "1-800-555-1234", "12.34.56", "1,2,3/4",
+        "C++", "C#", "AT&T", "Excite@Home",
+        "一", "二三", "カタ", "한",
+        "café", "straße", "İstanbul", "naïve",
+        "a" * 260, "x" * 300 + ".com", "9" * 256,
+        "a..b", "a...", "...", "--", "''", "a-b", "a_b", "_ab_",
+        "t0ken", "2fast2furious", "mixed123mix", "123abc.456def",
+        "\U0001f600", "étude",
+    ]
+    seps = [" ", "  ", "\t", "\n", ", ", ". ", "; ", " - "]
+    for _ in range(2500):
+        k = rng.randint(1, 6)
+        parts = [rng.choice(frags) for _ in range(k)]
+        texts.append(
+            "".join(
+                p + (rng.choice(seps) if i < k - 1 else "")
+                for i, p in enumerate(parts)
+            )
+        )
+    return texts
+
+
+def main():
+    _compile()
+    texts = _texts()
+    payload = "\n".join(
+        base64.b64encode(t.encode("utf-8")).decode("ascii") for t in texts
+    )
+    proc = subprocess.run(
+        ["java", "ClassicMain"],
+        cwd=WORK,
+        input=payload.encode("ascii"),
+        capture_output=True,
+        check=True,
+    )
+    lines = proc.stdout.decode("utf-8").splitlines()
+    assert len(lines) == len(texts), (len(lines), len(texts))
+    goldens = {}
+    for text, line in zip(texts, lines):
+        toks = []
+        if line:
+            for part in line.split("\t"):
+                t, b64 = part.split(" ", 1)
+                toks.append(
+                    [int(t), base64.b64decode(b64).decode("utf-8")]
+                )
+        goldens[text] = toks
+    os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+    with gzip.open(FIXTURE, "wt", encoding="utf-8") as f:
+        json.dump(goldens, f, ensure_ascii=False)
+    print(f"wrote {len(goldens)} goldens -> {FIXTURE}")
+
+
+if __name__ == "__main__":
+    main()
