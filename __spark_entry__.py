@@ -7259,6 +7259,66 @@ FROM b
 """
 
 
+_MINHASH_POOL = [
+    "alpha", "bravo", "charlie", "delta",
+    "echo", "foxtrot", "golf", "hotel",
+]
+
+
+def _q_min_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashFilter (minhash/MinHashFilter.java) as the dedup signal
+    it exists for: per doc, a 12-word text that depends only on
+    doc_id % 17, analyzed through whitespace -> 5-shingles -> min-hash
+    (defaults, rotation on); docs grouped by the FULL 512-token
+    signature. Identical token streams give identical signatures by
+    construction; the 17 distinct streams collide nowhere (128-bit
+    murmur on fixed data — deterministic for this corpus), so the
+    engine's signature groups equal the oracle's doc_id%17 groups."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("min_hash")
+        for pdf in batches:
+            ids, sigs = [], []
+            for i in pdf["doc_id"].tolist():
+                g = i % 17
+                # every 5-word window must see a g-specific token, or
+                # rotated pools would share one shingle SET (and thus
+                # one signature) across groups
+                text = " ".join(
+                    f"g{g}" if k % 4 == 0
+                    else _MINHASH_POOL[(g + k) % 8]
+                    for k in range(12)
+                )
+                terms, _ = chain_analyze(text, chain)
+                ids.append(i)
+                sigs.append("|".join(terms))
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    sigs = docs.mapInPandas(gen, schema="doc_id long, sig string")
+    counts = sigs.groupBy("sig").agg(F.count("*").alias("n_dups"))
+    return (
+        sigs.join(counts, "sig")
+        .select("doc_id", "n_dups")
+        .orderBy("doc_id")
+    )
+
+
+_MIN_HASH_GROUPS_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 17 AS g FROM documents WHERE doc_id < 200
+),
+c AS (SELECT g, count(*)::BIGINT AS n_dups FROM d GROUP BY g)
+SELECT d.doc_id, c.n_dups FROM d JOIN c ON d.g = c.g ORDER BY d.doc_id
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -9678,6 +9738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delimited_tf_tokens": _q_delimited_tf,
         "char_filter_tokens": _q_char_filters,
         "classic_tokens": _q_classic_tokens,
+        "min_hash_groups": _q_min_hash_groups,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -11786,6 +11847,7 @@ def oracle_sql() -> dict[str, str]:
         "delimited_tf_tokens": _DELIMITED_TF_SQL,
         "char_filter_tokens": _CHAR_FILTERS_SQL,
         "classic_tokens": _CLASSIC_SQL,
+        "min_hash_groups": _MIN_HASH_GROUPS_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

@@ -1208,6 +1208,14 @@ def _build_chains() -> dict:
         "synonyms": AnalyzerChain(
             "synonyms", frozenset(), stream=_syn_stream()
         ),
+        # MinHashFilter (minhash/MinHashFilter.java): whitespace ->
+        # 5-word shingles -> min-hash signature tokens (defaults
+        # hashCount=1, bucketCount=512, hashSetSize=1, rotation on),
+        # hex-spelled terms (declared bijective re-encoding)
+        "min_hash": AnalyzerChain(
+            "min_hash", frozenset(),
+            tokenizer=_ws_tokenizer(), stream=_minhash_stream(),
+        ),
         # ClassicAnalyzer (classic/ClassicAnalyzer.java): the
         # pre-3.1 StandardTokenizer grammar (HOST/EMAIL/COMPANY/
         # ACRONYM/APOSTROPHE/NUM/CJ) -> ClassicFilter -> lower ->
@@ -1680,6 +1688,12 @@ _WORDNET_SYN_DEMO = (
     "s(100000002,1,'mouse',n,1,0).\n"
     "s(100000002,2,'mice',n,1,0).\n"
 )
+
+
+def _minhash_stream():
+    from .minhash import min_hash_stream_factory
+
+    return min_hash_stream_factory()
 
 
 def _classic_stream():

@@ -1,0 +1,154 @@
+"""MinHashFilter: min-hash signature tokens over a shingle stream.
+
+Reference: ``analysis/common/.../minhash/MinHashFilter.java:48-258``
+— each incoming token (typically a 5-word shingle) is hashed with
+murmur3_x64_128 over its UTF-16LE bytes at seed 0; variant ``i``
+rehashes via ``combineOrdered`` with the murmur hash of ``i``'s 4
+big-endian bytes (:347-354, val = hash·37 + intHash per 64-bit half);
+the 2^32 space of ``val2``'s high word is cut into ``bucketCount``
+ranges of ``ceil(2^32/bucketCount)`` (:131-134) and each (variant,
+bucket) keeps the ``hashSetSize`` smallest 128-bit values under the
+(val2, val1) unsigned order (FixedSizeTreeSet :318-343). With
+rotation (factory default when bucketCount > 1,
+``MinHashFilterFactory.java:49``) an empty bucket borrows the first
+hash of the next non-empty bucket cyclically (:183-201). Tokens emit
+variant-major, bucket-ascending, set-ascending, all at one position
+(posInc 1 then 0, :233-240).
+
+Term encoding: the reference packs raw 16-bit units into the term
+(int0/int1 of the variant + the leading 96 or full 128 bits of the
+hash, :288-311). Lone-surrogate code units don't survive UTF-8
+columns, so the default here is the equivalent HEX spelling of the
+same bits (a declared, bijective re-encoding); ``raw_chars=True``
+reproduces the reference's exact char layout for tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .murmur import murmur3_x64_128
+
+_M64 = (1 << 64) - 1
+
+
+def _int_hash(i: int) -> tuple[int, int]:
+    return murmur3_x64_128(struct.pack(">i", i), 0)
+
+
+def _combine_ordered(
+    h: tuple[int, int], ih: tuple[int, int]
+) -> tuple[int, int]:
+    # combineOrdered(hash, intHash): result starts at (0, 0), so
+    # val = hash_val * 37 + intHash_val per half, mod 2^64
+    return ((h[0] * 37 + ih[0]) & _M64, (h[1] * 37 + ih[1]) & _M64)
+
+
+def _encode(i: int, val1: int, val2: int, hash_count: int,
+            raw_chars: bool) -> str:
+    if raw_chars:
+        chars: list[int] = []
+        if hash_count > 1:
+            chars += [(i >> 16) & 0xFFFF, i & 0xFFFF]
+        chars += [
+            (val2 >> 48) & 0xFFFF, (val2 >> 32) & 0xFFFF,
+            (val2 >> 16) & 0xFFFF, val2 & 0xFFFF,
+            (val1 >> 48) & 0xFFFF, (val1 >> 32) & 0xFFFF,
+        ]
+        if hash_count == 1:
+            chars += [(val1 >> 16) & 0xFFFF, val1 & 0xFFFF]
+        return "".join(chr(c) for c in chars)
+    if hash_count > 1:
+        return f"{i:08x}{val2:016x}{val1 >> 32:08x}"
+    return f"{val2:016x}{val1:016x}"
+
+
+def min_hash_tokens(
+    tokens: list[str],
+    hash_count: int = 1,
+    bucket_count: int = 512,
+    hash_set_size: int = 1,
+    with_rotation: bool | None = None,
+    raw_chars: bool = False,
+) -> list[str]:
+    """Min-hash signature tokens in the reference's emission order."""
+    if hash_count <= 0 or bucket_count <= 0 or hash_set_size <= 0:
+        raise ValueError("hashCount/bucketCount/hashSetSize must be > 0")
+    if with_rotation is None:
+        with_rotation = bucket_count > 1
+    bucket_size = (1 << 32) // bucket_count
+    if (1 << 32) % bucket_count != 0:
+        bucket_size += 1
+    int_hashes = [_int_hash(i) for i in range(hash_count)]
+    # sets[i][bucket]: sorted unique list of (val2, val1), capped
+    sets: list[list[list[tuple[int, int]]]] = [
+        [[] for _ in range(bucket_count)] for _ in range(hash_count)
+    ]
+    for tok in tokens:
+        h = murmur3_x64_128(tok.encode("utf-16-le"), 0)
+        for i in range(hash_count):
+            v1, v2 = _combine_ordered(h, int_hashes[i])
+            bucket = (v2 >> 32) // bucket_size
+            s = sets[i][bucket]
+            key = (v2, v1)
+            # FixedSizeTreeSet.add: full + toAdd >= last -> reject
+            if len(s) >= hash_set_size and key >= s[-1]:
+                continue
+            if key in s:
+                continue
+            s.append(key)
+            s.sort()
+            if len(s) > hash_set_size:
+                s.pop()
+    if not any(s for buckets in sets for s in buckets):
+        return []
+    if with_rotation and hash_set_size == 1:
+        # the reference mutates in place scanning ascending, so a
+        # bucket filled earlier can seed a later empty bucket —
+        # committing each fill immediately replays that (:183-201)
+        for i in range(hash_count):
+            sets[i] = _rotate_in_place(sets[i], bucket_count)
+    out: list[str] = []
+    for i in range(hash_count):
+        for b in range(bucket_count):
+            for v2, v1 in sets[i][b]:
+                out.append(_encode(i, v1, v2, hash_count, raw_chars))
+    return out
+
+
+def _rotate_in_place(buckets: list[list[tuple[int, int]]], n: int):
+    for b in range(n):
+        if not buckets[b]:
+            for off in range(1, n):
+                src = buckets[(b + off) % n]
+                if src:
+                    buckets[b] = [src[0]]
+                    break
+    return buckets
+
+
+def min_hash_stream_factory(
+    shingle_size: int = 5,
+    hash_count: int = 1,
+    bucket_count: int = 512,
+    hash_set_size: int = 1,
+):
+    """Whitespace-ish chain body: lowercase+stop handled upstream is
+    NOT applied (the reference pairs MinHashFilter with whitespace +
+    ShingleFilter(5)); here: 5-word shingles over the surface tokens,
+    then min-hash tokens, all at position 0."""
+    from .shingle import shingle_stream_factory
+
+    shingles = shingle_stream_factory(
+        min_size=shingle_size, max_size=shingle_size,
+        output_unigrams=False,
+    )
+
+    def stream(tokens, types, stopwords, offsets=None):
+        sh_terms, _sh_pos = shingles(tokens, types, frozenset(), offsets)
+        terms = min_hash_tokens(
+            sh_terms, hash_count, bucket_count, hash_set_size
+        )
+        return terms, [0] * len(terms)
+
+    return stream

@@ -1,0 +1,99 @@
+"""MinHashFilter (minhash/MinHashFilter.java): murmur canonical
+vectors, bucket/rotation/set-cap semantics, term encodings."""
+
+import pytest
+
+from lucene_spark.functions.lang import chain_analyze, get_chain
+from lucene_spark.functions.minhash import (
+    _combine_ordered,
+    _int_hash,
+    min_hash_tokens,
+)
+from lucene_spark.functions.murmur import murmur3_x64_128
+
+
+def _signed(x):
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+class TestCanonicalVectors:
+    def test_int_hash_zero(self):
+        # TestMinHashFilter.java:39-44
+        v1, v2 = _int_hash(0)
+        assert _signed(v1) == -3485513579396041028
+        assert _signed(v2) == 6383328099726337777
+
+    def test_string_hash(self):
+        # TestMinHashFilter.java:46-52 (UTF-16LE bytes, seed 0)
+        b = "woof woof woof woof woof".encode("utf-16-le")
+        v1, v2 = murmur3_x64_128(b, 0)
+        assert _signed(v1) == 7638079586852243959
+        assert _signed(v2) == 4378804943379391304
+
+
+class TestFilterSemantics:
+    def test_single_shingle_rotation_fills_all_buckets(self):
+        toks = min_hash_tokens(["woof woof woof woof woof"] * 5)
+        assert len(toks) == 512  # one per bucket after rotation
+        assert len(set(toks)) == 1  # all the same borrowed hash
+
+    def test_no_rotation_single_bucket(self):
+        toks = min_hash_tokens(["a b c d e", "f g h i j"],
+                               bucket_count=1)
+        assert len(toks) == 1  # global minimum only
+
+    def test_hash_set_size_keeps_smallest(self):
+        shingles = [f"tok{i} a b c d" for i in range(50)]
+        top5 = min_hash_tokens(
+            shingles, bucket_count=1, hash_set_size=5
+        )
+        assert len(top5) == 5
+        allh = sorted(
+            min_hash_tokens([s], bucket_count=1)[0] for s in shingles
+        )
+        # hex encoding is order-preserving, so the 5 smallest match
+        assert top5 == allh[:5]
+
+    def test_hash_count_prefix(self):
+        toks = min_hash_tokens(
+            ["a b c d e"], hash_count=3, bucket_count=1
+        )
+        assert len(toks) == 3
+        assert [t[:8] for t in toks] == [
+            "00000000", "00000001", "00000002",
+        ]
+
+    def test_raw_char_layout_matches_reference_packing(self):
+        [hex_tok] = min_hash_tokens(["a b c d e"], bucket_count=1)
+        [raw_tok] = min_hash_tokens(
+            ["a b c d e"], bucket_count=1, raw_chars=True
+        )
+        # 8 chars of 16 bits each = val2 then val1, big-endian units
+        assert len(raw_tok) == 8
+        rebuilt = "".join(f"{ord(c):04x}" for c in raw_tok)
+        assert rebuilt == hex_tok
+
+    def test_determinism_and_separation(self):
+        a = min_hash_tokens(["q w e r t", "y u i o p"])
+        b = min_hash_tokens(["q w e r t", "y u i o p"])
+        c = min_hash_tokens(["q w e r t", "y u i o X"])
+        assert a == b
+        assert a != c
+
+    def test_combine_ordered(self):
+        h, ih = (5, 7), (11, 13)
+        assert _combine_ordered(h, ih) == (5 * 37 + 11, 7 * 37 + 13)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            min_hash_tokens(["x"], hash_count=0)
+
+
+class TestChain:
+    def test_chain_shingles_then_minhash(self):
+        text = "one two three four five six"
+        terms, pos = chain_analyze(text, get_chain("min_hash"))
+        # 2 shingles -> <= 512 bucket tokens, all at position 0
+        assert terms and set(pos) == {0}
+        # fewer than 5 words -> no shingle -> no tokens
+        assert chain_analyze("one two", get_chain("min_hash")) == ([], [])
