@@ -7319,6 +7319,69 @@ SELECT d.doc_id, c.n_dups FROM d JOIN c ON d.g = c.g ORDER BY d.doc_id
 """
 
 
+def _q_wikipedia_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WikipediaTokenizer (wikipedia/WikipediaTokenizerImpl.java):
+    MediaWiki markup over deterministic text — category link (markup
+    stripped, words typed 'c'), italics, external link (URL token and
+    first link word SHARE a position: the numLinkToks==0 posinc-0
+    rule, Impl action 9), heading. Scanner validated byte-identically
+    against the COMPILED reference (2,534 goldens)."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "kbdgmprt"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("wikipedia")
+        for pdf in batches:
+            ids, terms_out, pos_out = [], [], []
+            for i in pdf["doc_id"].tolist():
+                n = 3 + i % 3
+                base = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                text = (
+                    f"Intro text [[Category:{base} topic]] ''{base}x'' "
+                    f"[http://e.com/{base} {base} page] ==head=="
+                )
+                terms, pos = chain_analyze(text, chain)
+                ids.append(i)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_WIKIPEDIA_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             ['k','b','d','g','m','p','r','t']
+                 [1 + (doc_id*5 + g.k) % 8],
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id,
+       'Intro|text|' || base || '|topic|' || base
+           || 'x|http://e.com/' || base || '|' || base
+           || '|page|head' AS terms,
+       '0,1,2,3,4,5,5,6,7' AS positions
+FROM b
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -9739,6 +9802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_filter_tokens": _q_char_filters,
         "classic_tokens": _q_classic_tokens,
         "min_hash_groups": _q_min_hash_groups,
+        "wikipedia_tokens": _q_wikipedia_tokens,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -11848,6 +11912,7 @@ def oracle_sql() -> dict[str, str]:
         "char_filter_tokens": _CHAR_FILTERS_SQL,
         "classic_tokens": _CLASSIC_SQL,
         "min_hash_groups": _MIN_HASH_GROUPS_SQL,
+        "wikipedia_tokens": _WIKIPEDIA_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

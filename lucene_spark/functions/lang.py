@@ -1208,6 +1208,13 @@ def _build_chains() -> dict:
         "synonyms": AnalyzerChain(
             "synonyms", frozenset(), stream=_syn_stream()
         ),
+        # WikipediaTokenizer (wikipedia/WikipediaTokenizerImpl.java):
+        # MediaWiki-markup-aware tokenization, TOKENS_ONLY, surface
+        # forms kept (the reference ships no analyzer wrapper)
+        "wikipedia": AnalyzerChain(
+            "wikipedia", frozenset(),
+            tokenizer=_kw_tokenizer(), stream=_wiki_stream(),
+        ),
         # MinHashFilter (minhash/MinHashFilter.java): whitespace ->
         # 5-word shingles -> min-hash signature tokens (defaults
         # hashCount=1, bucketCount=512, hashSetSize=1, rotation on),
@@ -1688,6 +1695,12 @@ _WORDNET_SYN_DEMO = (
     "s(100000002,1,'mouse',n,1,0).\n"
     "s(100000002,2,'mice',n,1,0).\n"
 )
+
+
+def _wiki_stream():
+    from .wikipedia import wikipedia_stream_factory
+
+    return wikipedia_stream_factory()
 
 
 def _minhash_stream():

@@ -1,0 +1,110 @@
+"""WikipediaTokenizer: scanner goldens from the compiled reference,
+assembly-level cases transcribed from TestWikipediaTokenizer, and the
+chain."""
+
+import gzip
+import json
+import os
+
+from lucene_spark.functions.lang import chain_analyze, get_chain
+from lucene_spark.functions.wikipedia import (
+    BOTH,
+    TOKENS_ONLY,
+    UNTOKENIZED_ONLY,
+    UNTOKENIZED_TOKEN_FLAG,
+    scan_wikipedia,
+    wikipedia_tokenize,
+)
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "wikipedia_goldens.json.gz"
+)
+
+BOTH_TEST = (
+    "[[Category:a b c d]] [[Category:e f g]] [[link here]] "
+    "[[link there]] ''italics here'' something ''more italics'' "
+    "[[Category:h   i   j]]"
+)
+
+
+class TestGoldens:
+    def test_scanner_matches_compiled_reference(self):
+        goldens = json.load(gzip.open(FIXTURE, "rt", encoding="utf-8"))
+        assert len(goldens) > 2400
+        bad = []
+        for text, toks in goldens.items():
+            mine = [
+                [ty, pi, nw, text[s:e]]
+                for ty, pi, nw, s, e in scan_wikipedia(text)
+            ]
+            if mine != toks:
+                bad.append(text)
+        assert not bad, bad[:3]
+
+
+class TestAssembly:
+    def test_simple(self):
+        # TestWikipediaTokenizer.testSimple
+        rows = wikipedia_tokenize("This is a [[Category:foo]]")
+        assert [(r[0], r[1]) for r in rows] == [
+            ("This", "<ALPHANUM>"), ("is", "<ALPHANUM>"),
+            ("a", "<ALPHANUM>"), ("foo", "c"),
+        ]
+        assert [r[2] for r in rows] == [0, 1, 2, 3]
+
+    def test_both_mode(self):
+        # TestWikipediaTokenizer.testBoth: terms, posincs and flags
+        rows = wikipedia_tokenize(BOTH_TEST, BOTH, frozenset({"c", "i"}))
+        exp_terms = [
+            "a b c d", "a", "b", "c", "d", "e f g", "e", "f", "g",
+            "link", "here", "link", "there", "italics here", "italics",
+            "here", "something", "more italics", "more", "italics",
+            "h   i   j", "h", "i", "j",
+        ]
+        exp_posinc = [
+            1, 0, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 1,
+            1, 0, 1, 1, 1, 0, 1, 1, 0, 1, 1,
+        ]
+        exp_flags = [
+            UNTOKENIZED_TOKEN_FLAG, 0, 0, 0, 0,
+            UNTOKENIZED_TOKEN_FLAG, 0, 0, 0, 0, 0, 0, 0,
+            UNTOKENIZED_TOKEN_FLAG, 0, 0, 0,
+            UNTOKENIZED_TOKEN_FLAG, 0, 0,
+            UNTOKENIZED_TOKEN_FLAG, 0, 0, 0,
+        ]
+        assert [r[0] for r in rows] == exp_terms
+        pos, positions = -1, []
+        for pi in exp_posinc:
+            pos += pi
+            positions.append(pos)
+        assert [r[2] for r in rows] == positions
+        assert [r[3] for r in rows] == exp_flags
+
+    def test_untokenized_only(self):
+        rows = wikipedia_tokenize(
+            BOTH_TEST, UNTOKENIZED_ONLY, frozenset({"c", "i"})
+        )
+        assert [r[0] for r in rows][:6] == [
+            "a b c d", "e f g", "link", "here", "link", "there",
+        ]
+
+    def test_tokens_only_ignores_untokenized_set(self):
+        a = wikipedia_tokenize(BOTH_TEST, TOKENS_ONLY, frozenset({"c"}))
+        b = wikipedia_tokenize(BOTH_TEST, TOKENS_ONLY, frozenset())
+        assert a == b
+
+
+class TestChain:
+    def test_chain(self):
+        terms, pos = chain_analyze(
+            "Intro [[Category:kbd topic]] ''kbdx'' "
+            "[http://e.com/kbd kbd page]",
+            get_chain("wikipedia"),
+        )
+        assert terms == [
+            "Intro", "kbd", "topic", "kbdx",
+            "http://e.com/kbd", "kbd", "page",
+        ]
+        # the URL and the first link word share a position (the
+        # numLinkToks==0 -> posinc 0 rule, Impl action 9)
+        assert pos == [0, 1, 2, 3, 4, 4, 5]

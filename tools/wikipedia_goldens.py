@@ -1,0 +1,196 @@
+"""Generate WikipediaTokenizer scanner golden fixtures from the
+reference Java (behavior study only — the shim removes the
+CharTermAttribute accessor and inlines the type constants; nothing is
+copied into the engine). Runs the compiled scanner over a randomized
+battery of MediaWiki-markup strings and writes
+``tests/fixtures/wikipedia_goldens.json.gz`` as
+{text: [[type, posinc, numWikiSeen, token], ...]}.
+
+    python tools/wikipedia_goldens.py
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import json
+import os
+import random
+import re
+import subprocess
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = (
+    "/root/reference/lucene/analysis/common/src/java/org/apache/lucene/"
+    "analysis/wikipedia/WikipediaTokenizerImpl.java"
+)
+WORK = "/tmp/wiki"
+FIXTURE = os.path.join(
+    ROOT, "tests", "fixtures", "wikipedia_goldens.json.gz"
+)
+
+HARNESS = """
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import java.util.Base64;
+import org.apache.lucene.analysis.wikipedia.WikipediaTokenizerImpl;
+
+public class WikiMain {
+  public static void main(String[] args) throws Exception {
+    BufferedReader in = new BufferedReader(
+        new InputStreamReader(System.in, StandardCharsets.UTF_8));
+    PrintWriter out = new PrintWriter(
+        new OutputStreamWriter(System.out, StandardCharsets.UTF_8));
+    String line;
+    Base64.Decoder dec = Base64.getDecoder();
+    Base64.Encoder enc = Base64.getEncoder();
+    while ((line = in.readLine()) != null) {
+      String text = new String(dec.decode(line), StandardCharsets.UTF_8);
+      WikipediaTokenizerImpl sc =
+          new WikipediaTokenizerImpl(new StringReader(text));
+      StringBuilder sb = new StringBuilder();
+      while (true) {
+        int t = sc.getNextToken();
+        if (t == WikipediaTokenizerImpl.YYEOF) break;
+        if (sb.length() > 0) sb.append('\\t');
+        sb.append(t).append(' ').append(sc.getPositionIncrement())
+          .append(' ').append(sc.getNumWikiTokensSeen()).append(' ')
+          .append(enc.encodeToString(
+              sc.yytext().getBytes(StandardCharsets.UTF_8)));
+      }
+      out.println(sb.toString());
+    }
+    out.flush();
+  }
+}
+"""
+
+
+def _compile():
+    pkg = os.path.join(WORK, "org/apache/lucene/analysis/wikipedia")
+    os.makedirs(pkg, exist_ok=True)
+    src = open(REF, encoding="utf-8").read()
+    src = src.replace(
+        "import org.apache.lucene.analysis.tokenattributes."
+        "CharTermAttribute;\n",
+        "",
+    )
+    src = re.sub(
+        r"  final void getText\(CharTermAttribute t\) \{\n.*?\n  \}\n",
+        "",
+        src,
+        flags=re.S,
+    )
+    src = src.replace(
+        "WikipediaTokenizer.TOKEN_TYPES",
+        'new String[]{"<ALPHANUM>","<APOSTROPHE>","<ACRONYM>",'
+        '"<COMPANY>","<EMAIL>","<HOST>","<NUM>","<CJ>","il","el","ci",'
+        '"c","b","i","bi","h","sh","elu"}',
+    )
+    for k, v in [
+        ("ALPHANUM_ID", 0), ("APOSTROPHE_ID", 1), ("ACRONYM_ID", 2),
+        ("COMPANY_ID", 3), ("EMAIL_ID", 4), ("HOST_ID", 5),
+        ("NUM_ID", 6), ("CJ_ID", 7), ("INTERNAL_LINK_ID", 8),
+        ("EXTERNAL_LINK_ID", 9), ("CITATION_ID", 10),
+        ("CATEGORY_ID", 11), ("BOLD_ID", 12), ("ITALICS_ID", 13),
+        ("BOLD_ITALICS_ID", 14), ("HEADING_ID", 15),
+        ("SUB_HEADING_ID", 16), ("EXTERNAL_LINK_URL_ID", 17),
+    ]:
+        src = src.replace(f"WikipediaTokenizer.{k}", str(v))
+    src = src.replace(
+        "class WikipediaTokenizerImpl",
+        "public class WikipediaTokenizerImpl",
+        1,
+    )
+    src = src.replace(
+        "  WikipediaTokenizerImpl(java.io.Reader in)",
+        "  public WikipediaTokenizerImpl(java.io.Reader in)",
+        1,
+    )
+    with open(os.path.join(pkg, "WikipediaTokenizerImpl.java"), "w") as f:
+        f.write(src)
+    with open(os.path.join(WORK, "WikiMain.java"), "w") as f:
+        f.write(HARNESS)
+    subprocess.run(
+        [
+            "javac",
+            "org/apache/lucene/analysis/wikipedia/"
+            "WikipediaTokenizerImpl.java",
+            "WikiMain.java",
+        ],
+        cwd=WORK,
+        check=True,
+    )
+
+
+def _texts() -> list[str]:
+    rng = random.Random(7)
+    frags = [
+        "plain words here", "[[link]]", "[[link here again]]",
+        "[[Category:foo]]", "[[Category:a b c d]]",
+        "[[Category:blah| ]]", "[[:Category:bar none]]",
+        "[[link|display info]]", "''italics''", "'''bold'''",
+        "'''''five quotes'''''", "''unclosed italics [[Category:foo]]",
+        "'''same [[Category:foo]] goes", "==heading==",
+        "===sub head===", "[http://lucene.apache.org]",
+        "[http://lucene.apache.org here again]",
+        "[http://foo.boo.com/test/test/ Test Test]",
+        "[http://foo.boo.com/a.html?g=b&c=d Test]",
+        "{{citation needed}}", "<ref>Citation</ref>",
+        "<sup>martian</sup>", "<span class=\"glue\">code</span>",
+        "$3.25", "3.50.", "Here's Johnny.", "a@b.com", "AT&T",
+        "U.S.A.", "www.example.com", "B2B", "一二三", "naïve café",
+        "| pipe", "= equals =", "(parens)", "{{tmpl|arg=1}}",
+        "[[pipe|'']]", "''''four quotes''''", "== ==", "[ ]",
+        "[[]]", "{{}}", "'' ''",
+    ]
+    seps = [" ", "  ", "\n", " and ", " text "]
+    texts = []
+    for _ in range(3000):
+        k = rng.randint(1, 6)
+        parts = [rng.choice(frags) for _ in range(k)]
+        texts.append(
+            "".join(
+                p + (rng.choice(seps) if i < k - 1 else "")
+                for i, p in enumerate(parts)
+            )
+        )
+    return texts
+
+
+def main():
+    _compile()
+    texts = _texts()
+    payload = "\n".join(
+        base64.b64encode(t.encode("utf-8")).decode("ascii") for t in texts
+    )
+    proc = subprocess.run(
+        ["java", "WikiMain"],
+        cwd=WORK,
+        input=payload.encode("ascii"),
+        capture_output=True,
+        check=True,
+    )
+    lines = proc.stdout.decode("utf-8").splitlines()
+    assert len(lines) == len(texts), (len(lines), len(texts))
+    goldens = {}
+    for text, line in zip(texts, lines):
+        toks = []
+        if line:
+            for part in line.split("\t"):
+                t, pi, nw, b64 = part.split(" ", 3)
+                toks.append(
+                    [
+                        int(t), int(pi), int(nw),
+                        base64.b64decode(b64).decode("utf-8"),
+                    ]
+                )
+        goldens[text] = toks
+    os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+    with gzip.open(FIXTURE, "wt", encoding="utf-8") as f:
+        json.dump(goldens, f, ensure_ascii=False)
+    print(f"wrote {len(goldens)} goldens -> {FIXTURE}")
+
+
+if __name__ == "__main__":
+    main()
