@@ -7382,6 +7382,74 @@ FROM b
 """
 
 
+_HUNSPELL_POOL = [
+    "windows", "merging", "rebuild", "spark", "builds",
+    "merges", "remerging", "window",
+]
+# pinned expected stems through the demo .aff/.dic (window/S merge/GS
+# build/GR spark): unknown forms pass through unchanged
+_HUNSPELL_STEMS = [
+    "window", "merge", "build", "spark", "builds",
+    "merge", "merge", "window",
+]
+
+
+def _q_hunspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hunspell affix-rule stemming (hunspell/Dictionary.java,
+    Stemmer.java, HunspellStemFilter.java): a demo .aff/.dic with
+    suffix strip+replace (merging -> merge via 'e ing' strip rules),
+    a cross-product prefix (remerging -> merge), and pass-through for
+    flag-less forms ('builds': build carries G/R but not S)."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("hunspell_demo")
+        for pdf in batches:
+            ids, terms_out, pos_out = [], [], []
+            for i in pdf["doc_id"].tolist():
+                text = " ".join(
+                    _HUNSPELL_POOL[(i * 3 + k) % 8] for k in range(5)
+                )
+                terms, pos = chain_analyze(text, chain)
+                ids.append(i)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_HUNSPELL_SQL = """
+WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id < 200
+),
+slots AS (
+  SELECT d.doc_id, g.k, (d.doc_id*3 + g.k) % 8 AS w
+  FROM d, (SELECT unnest(generate_series(0, 4)) AS k) g
+),
+e AS (
+  SELECT doc_id, k,
+    ['window','merge','build','spark','builds','merge','merge',
+     'window'][w + 1] AS stem
+  FROM slots
+)
+SELECT doc_id,
+       string_agg(stem, '|' ORDER BY k) AS terms,
+       '0,1,2,3,4' AS positions
+FROM e GROUP BY doc_id
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -9803,6 +9871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_tokens": _q_classic_tokens,
         "min_hash_groups": _q_min_hash_groups,
         "wikipedia_tokens": _q_wikipedia_tokens,
+        "hunspell_tokens": _q_hunspell,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -11913,6 +11982,7 @@ def oracle_sql() -> dict[str, str]:
         "classic_tokens": _CLASSIC_SQL,
         "min_hash_groups": _MIN_HASH_GROUPS_SQL,
         "wikipedia_tokens": _WIKIPEDIA_SQL,
+        "hunspell_tokens": _HUNSPELL_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

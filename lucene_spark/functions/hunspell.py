@@ -1,0 +1,237 @@
+"""Hunspell affix-rule core: .aff/.dic parsing, stemming, spell check.
+
+Reference: ``analysis/common/.../hunspell/Dictionary.java`` (the text
+.aff/.dic formats: ``FLAG long|num`` modes, ``PFX/SFX flag
+cross_product count`` headers and ``flag strip affix[/continuation]
+condition`` rules, dic entries ``word/FLAGS``),
+``Stemmer.java`` (decomposition: the word itself per matching dic
+entry; one suffix strip where the base carries the rule's flag; the
+TWOFOLD chain where the inner suffix's rule must list the outer
+suffix's flag among its continuation flags — the ``simple.aff``
+``d/C`` shape, asserted by the reference's TestStemmer.testRecursiveSuffix
+— and prefix+suffix cross products where the root carries both flags),
+and ``HunspellStemFilter.java:90-120`` (unknown words pass through
+unchanged; stems stack at one position; dedup keeps first-seen order).
+
+This is the declared SUBSET of the 7.7k-line module: affix stripping,
+conditions, continuation twofold, cross products, NEEDAFFIX, and
+FLAG long/num. Out of scope (declared): compounding, ICONV/OCONV
+conversions, case-folding variants, CIRCUMFIX, FULLSTRIP, break
+tables, and the whole suggester — the engine consumes dictionaries
+for index-time stemming, not interactive spelling aid. Every stem
+expectation in the reference's TestStemmer simple battery is
+asserted verbatim in tests/test_hunspell.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class AffixRule:
+    flag: str
+    strip: str
+    affix: str
+    cond: "re.Pattern | None"  # None = '.' (always true)
+    cross: bool
+    continuation: tuple[str, ...]
+
+
+@dataclass
+class HunspellDictionary:
+    # word -> list of flag sets (one per dic ENTRY — duplicates kept,
+    # Stemmer emits one stem per matching entry)
+    entries: dict[str, list[frozenset[str]]] = field(default_factory=dict)
+    prefixes: list[AffixRule] = field(default_factory=list)
+    suffixes: list[AffixRule] = field(default_factory=list)
+    need_affix: str | None = None
+    flag_mode: str = "char"
+
+    # ------------------------------------------------------------------
+    # parsing
+    # ------------------------------------------------------------------
+    def _split_flags(self, s: str) -> tuple[str, ...]:
+        if not s:
+            return ()
+        if self.flag_mode == "long":
+            return tuple(s[i : i + 2] for i in range(0, len(s), 2))
+        if self.flag_mode == "num":
+            return tuple(x for x in s.split(",") if x)
+        return tuple(s)
+
+    @classmethod
+    def parse(cls, aff_text: str, dic_text: str) -> "HunspellDictionary":
+        d = cls()
+        lines = [ln.rstrip() for ln in aff_text.splitlines()]
+        i = 0
+        while i < len(lines):
+            parts = lines[i].split()
+            i += 1
+            if not parts or parts[0].startswith("#"):
+                continue
+            kw = parts[0]
+            if kw == "FLAG":
+                d.flag_mode = {"long": "long", "num": "num"}.get(
+                    parts[1], "char"
+                )
+            elif kw == "NEEDAFFIX":
+                d.need_affix = parts[1]
+            elif kw in ("PFX", "SFX"):
+                flag, cross, count = parts[1], parts[2] == "Y", int(parts[3])
+                for _ in range(count):
+                    rp = lines[i].split()
+                    i += 1
+                    # PFX flag strip affix [condition] [morph...]
+                    strip = "" if rp[2] == "0" else rp[2]
+                    affix_part = rp[3]
+                    if "/" in affix_part:
+                        affix, cont = affix_part.split("/", 1)
+                    else:
+                        affix, cont = affix_part, ""
+                    affix = "" if affix == "0" else affix
+                    cond_src = rp[4] if len(rp) > 4 else "."
+                    if cond_src == ".":
+                        cond = None
+                    elif kw == "SFX":
+                        cond = re.compile(f"(?:{cond_src})$")
+                    else:
+                        cond = re.compile(f"^(?:{cond_src})")
+                    rule = AffixRule(
+                        flag, strip, affix, cond, cross,
+                        d._split_flags(cont),
+                    )
+                    (d.suffixes if kw == "SFX" else d.prefixes).append(rule)
+        first = True
+        for ln in dic_text.splitlines():
+            ln = ln.strip()
+            if not ln:
+                continue
+            if first:
+                first = False
+                if ln.isdigit():
+                    continue  # the entry-count header
+            word = ln.split("\t")[0].split(" ")[0]
+            if "/" in word:
+                word, flags = word.split("/", 1)
+            else:
+                flags = ""
+            d.entries.setdefault(word, []).append(
+                frozenset(d._split_flags(flags))
+            )
+        return d
+
+    # ------------------------------------------------------------------
+    # stemming
+    # ------------------------------------------------------------------
+    def _root_entries(self, word: str, required: frozenset[str]):
+        """dic entries of ``word`` carrying every flag in ``required``
+        (entries marked NEEDAFFIX need required to be non-empty)."""
+        out = []
+        for fl in self.entries.get(word, ()):
+            if not required <= fl:
+                continue
+            if self.need_affix and self.need_affix in fl and not required:
+                continue
+            out.append(fl)
+        return out
+
+    def _strip_suffix(self, word: str, rule: AffixRule) -> str | None:
+        if not rule.affix or not word.endswith(rule.affix):
+            return None
+        base = word[: len(word) - len(rule.affix)] + rule.strip
+        if not base:
+            return None  # FULLSTRIP not supported (declared)
+        if rule.cond is not None and not rule.cond.search(base):
+            return None
+        return base
+
+    def _strip_prefix(self, word: str, rule: AffixRule) -> str | None:
+        if not rule.affix or not word.startswith(rule.affix):
+            return None
+        base = rule.strip + word[len(rule.affix):]
+        if not base:
+            return None
+        if rule.cond is not None and not rule.cond.search(base):
+            return None
+        return base
+
+    def stems(self, word: str) -> list[str]:
+        """All stems, one per matching decomposition (duplicates kept
+        like Stemmer.stem; ``unique_stems`` dedups)."""
+        out: list[str] = []
+        # the word itself, once per flag-compatible dic entry
+        out += [word for _ in self._root_entries(word, frozenset())]
+        # one suffix
+        for r in self.suffixes:
+            base = self._strip_suffix(word, r)
+            if base is None:
+                continue
+            out += [base for _ in self._root_entries(base, {r.flag})]
+            # twofold: inner suffix whose rule lists r.flag in its
+            # continuation; the root carries the INNER rule's flag
+            for r2 in self.suffixes:
+                if r.flag not in r2.continuation:
+                    continue
+                root = self._strip_suffix(base, r2)
+                if root is None:
+                    continue
+                out += [root for _ in self._root_entries(root, {r2.flag})]
+        # prefix, optionally crossed with one suffix
+        for p in self.prefixes:
+            base = self._strip_prefix(word, p)
+            if base is None:
+                continue
+            out += [base for _ in self._root_entries(base, {p.flag})]
+            if not p.cross:
+                continue
+            for r in self.suffixes:
+                if not r.cross:
+                    continue
+                root = self._strip_suffix(base, r)
+                if root is None:
+                    continue
+                out += [
+                    root
+                    for _ in self._root_entries(root, {p.flag, r.flag})
+                ]
+        return out
+
+    def unique_stems(self, word: str) -> list[str]:
+        seen: set[str] = set()
+        out: list[str] = []
+        for s in self.stems(word):
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    def is_correct(self, word: str) -> bool:
+        return bool(self.stems(word))
+
+
+def hunspell_stem_stream_factory(dictionary: HunspellDictionary):
+    """HunspellStemFilter (dedup=true): stems replace the token,
+    stacked at its position; unknown words pass through unchanged."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        from .analysis import _java_lower
+
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(tokens):
+            t = _java_lower(tok)
+            if t in stopwords:
+                continue
+            st = dictionary.unique_stems(t)
+            if not st:
+                terms.append(t)
+                positions.append(pos)
+                continue
+            for s in st:
+                terms.append(s)
+                positions.append(pos)
+        return terms, positions
+
+    return stream

@@ -1208,6 +1208,11 @@ def _build_chains() -> dict:
         "synonyms": AnalyzerChain(
             "synonyms", frozenset(), stream=_syn_stream()
         ),
+        # HunspellStemFilter (hunspell/HunspellStemFilter.java) over a
+        # demo .aff/.dic: affix-rule stemming, unknown words unchanged
+        "hunspell_demo": AnalyzerChain(
+            "hunspell_demo", frozenset(), stream=_hunspell_stream()
+        ),
         # WikipediaTokenizer (wikipedia/WikipediaTokenizerImpl.java):
         # MediaWiki-markup-aware tokenization, TOKENS_ONLY, surface
         # forms kept (the reference ships no analyzer wrapper)
@@ -1695,6 +1700,30 @@ _WORDNET_SYN_DEMO = (
     "s(100000002,1,'mouse',n,1,0).\n"
     "s(100000002,2,'mice',n,1,0).\n"
 )
+
+
+_HUNSPELL_DEMO_AFF = """SET UTF-8
+SFX S Y 1
+SFX S 0 s [^s]
+SFX G Y 2
+SFX G e ing e
+SFX G 0 ing [^e]
+PFX R Y 1
+PFX R 0 re .
+"""
+_HUNSPELL_DEMO_DIC = """4
+window/S
+merge/GSR
+build/GR
+spark
+"""
+
+
+def _hunspell_stream():
+    from .hunspell import HunspellDictionary, hunspell_stem_stream_factory
+
+    d = HunspellDictionary.parse(_HUNSPELL_DEMO_AFF, _HUNSPELL_DEMO_DIC)
+    return hunspell_stem_stream_factory(d)
 
 
 def _wiki_stream():

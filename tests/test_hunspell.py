@@ -1,0 +1,134 @@
+"""Hunspell affix-rule core: the reference's TestStemmer simple.aff
+battery asserted verbatim, plus flag modes, NEEDAFFIX, and the chain."""
+
+import pytest
+
+from lucene_spark.functions.hunspell import HunspellDictionary
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+# the same rule shapes as the reference's simple.aff/simple.dic test
+# fixture (hunspell/simple.aff — SFX A/C/D/E + PFX B with the d/C
+# continuation), whose expected stems TestStemmer.java:28-74 pins
+SIMPLE_AFF = """SET UTF-8
+SFX A Y 3
+SFX A   0     e         n
+SFX A   0     e         t
+SFX A   0     e         h
+SFX C Y 2
+SFX C   0     d/C       c
+SFX C   0     c         b
+SFX D Y 1
+SFX D   0     s         o
+SFX E Y 1
+SFX E   0     d         o
+PFX B Y 1
+PFX B   0     s         o
+"""
+SIMPLE_DIC = """9
+ab/C
+apach/A
+foo/D
+foo/E
+lucen/A
+lucene
+mahout/A
+moo/E
+olr/B
+db
+"""
+
+
+@pytest.fixture(scope="module")
+def simple():
+    return HunspellDictionary.parse(SIMPLE_AFF, SIMPLE_DIC)
+
+
+class TestStemmerBattery:
+    """TestStemmer.java expectations, verbatim."""
+
+    CASES = {
+        # testSimpleSuffix / testSimplePrefix
+        "lucene": ["lucene", "lucen"],
+        "mahoute": ["mahout"],
+        "solr": ["olr"],
+        # testRecursiveSuffix: no recursion — the 'c' suffix has no
+        # continuation, so abc+d cannot chain
+        "abcd": [],
+        # testAllStems
+        "ab": ["ab"],
+        "abc": ["ab"],
+        "apach": ["apach"],
+        "apache": ["apach"],
+        "foo": ["foo", "foo"],  # one stem per dic ENTRY (foo/D, foo/E)
+        "food": ["foo"],
+        "foos": ["foo"],
+        "lucen": ["lucen"],
+        "mahout": ["mahout"],
+        "moo": ["moo"],
+        "mood": ["moo"],
+        "olr": ["olr"],
+        # testBogusStems
+        "abs": [],
+        "abe": [],
+        "sab": [],
+        "sapach": [],
+        "sapache": [],
+        "apachee": [],
+        "sfoo": [],
+        "sfoos": [],
+        "fooss": [],
+        "lucenee": [],
+        "solre": [],
+    }
+
+    def test_all(self, simple):
+        for word, exp in self.CASES.items():
+            assert sorted(simple.stems(word)) == sorted(exp), word
+
+    def test_unique_stems(self, simple):
+        assert simple.unique_stems("foo") == ["foo"]
+
+    def test_is_correct(self, simple):
+        assert simple.is_correct("solr")
+        assert not simple.is_correct("abcd")
+
+
+class TestParsing:
+    def test_flag_long(self):
+        d = HunspellDictionary.parse(
+            "FLAG long\nSFX Aa Y 1\nSFX Aa 0 s .\n", "1\nword/AaBb\n"
+        )
+        assert d.stems("words") == ["word"]
+
+    def test_flag_num(self):
+        d = HunspellDictionary.parse(
+            "FLAG num\nSFX 65 Y 1\nSFX 65 0 s .\n", "1\nword/65,1002\n"
+        )
+        assert d.stems("words") == ["word"]
+
+    def test_needaffix(self):
+        d = HunspellDictionary.parse(
+            "NEEDAFFIX X\nSFX A Y 1\nSFX A 0 s .\n", "1\nstem/AX\n"
+        )
+        # the bare root is not a word; the affixed form is
+        assert d.stems("stem") == []
+        assert d.stems("stems") == ["stem"]
+
+    def test_strip_and_cross_product(self):
+        d = HunspellDictionary.parse(
+            "SFX G Y 1\nSFX G e ing e\nPFX R Y 1\nPFX R 0 re .\n",
+            "1\nmerge/GR\n",
+        )
+        assert d.stems("merging") == ["merge"]
+        assert d.stems("remerge") == ["merge"]
+        assert d.stems("remerging") == ["merge"]  # cross product
+
+
+class TestChain:
+    def test_hunspell_chain(self):
+        terms, pos = chain_analyze(
+            "Windows merging rebuild zzunknown",
+            get_chain("hunspell_demo"),
+        )
+        assert terms == ["window", "merge", "build", "zzunknown"]
+        assert pos == [0, 1, 2, 3]
