@@ -7450,6 +7450,101 @@ FROM e GROUP BY doc_id
 """
 
 
+def _q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC container parsing (functions/warc.py, ISO 28500 —
+    the Common Crawl ingest format): per doc a 3-record stream
+    (warcinfo + HTTP response + request) synthesized arithmetically,
+    odd docs gzipped ONE MEMBER PER RECORD (the Common Crawl layout);
+    the engine parses framing, gzip members, and the HTTP payload
+    back. The oracle rebuilds every field by arithmetic — identical
+    rows for gzipped and plain docs prove the member decompression."""
+    from lucene_spark.operators.warc import warc_records
+
+    base = (
+        _docs_table(spark, sf_dir)
+        .where(F.col("doc_id") < 64)
+        .select("doc_id")
+        .repartition(8)
+    )
+    alpha = "kbdgmprt"
+
+    def blobs(batches):
+        import pandas as pd
+
+        from lucene_spark.functions.warc import (
+            encode_http_response,
+            encode_warc_record,
+            gzip_members,
+        )
+
+        for pdf in batches:
+            urls, data = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 3
+                b = "".join(alpha[(did * 5 + k) % 8] for k in range(n))
+                body = f"{b} alpha beta {did % 7}".encode()
+                recs = [
+                    encode_warc_record(
+                        "warcinfo", b"software: spark-graft\r\n",
+                        content_type="application/warc-fields",
+                    ),
+                    encode_warc_record(
+                        "response",
+                        encode_http_response(
+                            body, content_type="text/plain"
+                        ),
+                        target_uri=f"http://e.org/{b}",
+                    ),
+                    encode_warc_record(
+                        "request",
+                        b"GET / HTTP/1.1\r\nHost: example.org\r\n\r\n",
+                        target_uri=f"http://e.org/{b}",
+                        content_type="application/http; msgtype=request",
+                    ),
+                ]
+                blob = (
+                    gzip_members(recs) if did % 2 else b"".join(recs)
+                )
+                urls.append(f"https://example.org/doc/{did:08d}")
+                data.append(blob)
+            yield pd.DataFrame({"url": urls, "warc": data})
+
+    frames = warc_records(
+        base.mapInPandas(blobs, schema="url string, warc binary")
+    )
+    return frames.select(
+        _doc_id("url"), "rec", "warc_type", "http_status",
+        "body_len", "text",
+    ).orderBy("doc_id", "rec")
+
+
+_WARC_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 64
+),
+b AS (
+  SELECT doc_id, L,
+         (SELECT string_agg(
+             ['k','b','d','g','m','p','r','t']
+                 [1 + (doc_id*5 + g.k) % 8],
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id, 0 AS rec, 'warcinfo' AS warc_type,
+       CAST(NULL AS INT) AS http_status,
+       23::BIGINT AS body_len, CAST(NULL AS VARCHAR) AS text FROM b
+UNION ALL
+SELECT doc_id, 1, 'response', 200,
+       CAST(L + 12 + length(CAST(doc_id % 7 AS VARCHAR)) AS BIGINT),
+       base || ' alpha beta ' || CAST(doc_id % 7 AS VARCHAR) FROM b
+UNION ALL
+SELECT doc_id, 2, 'request', NULL, 37::BIGINT, NULL FROM b
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -9872,6 +9967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_hash_groups": _q_min_hash_groups,
         "wikipedia_tokens": _q_wikipedia_tokens,
         "hunspell_tokens": _q_hunspell,
+        "warc_records": _q_warc_records,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -11983,6 +12079,7 @@ def oracle_sql() -> dict[str, str]:
         "min_hash_groups": _MIN_HASH_GROUPS_SQL,
         "wikipedia_tokens": _WIKIPEDIA_SQL,
         "hunspell_tokens": _HUNSPELL_SQL,
+        "warc_records": _WARC_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

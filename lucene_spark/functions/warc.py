@@ -1,0 +1,147 @@
+"""WARC (Web ARChive, ISO 28500) container codec — the Common Crawl
+wire format, the natural ingest container for a 100 TB webtext
+pipeline.
+
+Follows this repo's binary-format discipline (the wav/y4m/png
+pattern): blobs are synthesized arithmetically on the engine side for
+tests and oracles, then REALLY parsed back — the parser handles the
+published framing, not just its own output: ``WARC/1.0`` version
+line, CRLF header block terminated by an empty line, exactly
+``Content-Length`` payload bytes, the two-CRLF record separator, and
+optional per-stream gzip (Common Crawl gzips each record as its own
+member; concatenated-member decompression covers both one-member and
+member-per-record layouts). HTTP response payloads split into status
+line, headers, and body.
+
+Reference-parity note: the reference repo has no WARC reader — its
+content sources (`lucene/benchmark/.../feeds/TrecContentSource.java`)
+play this role for TREC containers; this module is part of the
+training-data-pipeline surface SURVEY §2's "content source" row
+delegates to Spark ingestion.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class WarcRecord:
+    warc_type: str
+    target_uri: str | None
+    date: str | None
+    content_type: str | None
+    payload: bytes
+    headers: tuple[tuple[str, str], ...]
+
+
+def encode_warc_record(
+    warc_type: str,
+    payload: bytes,
+    target_uri: str | None = None,
+    date: str = "2024-01-01T00:00:00Z",
+    content_type: str = "application/http; msgtype=response",
+    record_id: str = "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+) -> bytes:
+    lines = [b"WARC/1.0"]
+    lines.append(b"WARC-Type: " + warc_type.encode())
+    lines.append(b"WARC-Record-ID: " + record_id.encode())
+    lines.append(b"WARC-Date: " + date.encode())
+    if target_uri is not None:
+        lines.append(b"WARC-Target-URI: " + target_uri.encode())
+    lines.append(b"Content-Type: " + content_type.encode())
+    lines.append(b"Content-Length: " + str(len(payload)).encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def encode_http_response(
+    body: bytes,
+    status: int = 200,
+    reason: str = "OK",
+    content_type: str = "text/html",
+) -> bytes:
+    head = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode() + body
+
+
+def gzip_members(chunks: list[bytes]) -> bytes:
+    """One gzip member per chunk — the Common Crawl record layout."""
+    out = []
+    for c in chunks:
+        co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        out.append(co.compress(c) + co.flush())
+    return b"".join(out)
+
+
+def _gunzip_all(data: bytes) -> bytes:
+    """Decompress concatenated gzip members."""
+    out = []
+    while data:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        data = d.unused_data
+    return b"".join(out)
+
+
+def parse_warc(blob: bytes) -> list[WarcRecord]:
+    """Parse a (possibly gzipped) WARC stream into records."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gunzip_all(blob)
+    records: list[WarcRecord] = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        # skip inter-record CRLFs
+        while blob.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            break
+        end_ver = blob.index(b"\r\n", pos)
+        version = blob[pos:end_ver]
+        if not version.startswith(b"WARC/"):
+            raise ValueError(f"bad WARC version line at {pos}: {version!r}")
+        pos = end_ver + 2
+        headers: list[tuple[str, str]] = []
+        while not blob.startswith(b"\r\n", pos):
+            eol = blob.index(b"\r\n", pos)
+            line = blob[pos:eol].decode("utf-8", "replace")
+            k, _, v = line.partition(":")
+            headers.append((k.strip(), v.strip()))
+            pos = eol + 2
+        pos += 2  # the blank line
+        hmap = {k.lower(): v for k, v in headers}
+        length = int(hmap["content-length"])
+        payload = blob[pos : pos + length]
+        pos += length
+        records.append(
+            WarcRecord(
+                warc_type=hmap.get("warc-type", ""),
+                target_uri=hmap.get("warc-target-uri"),
+                date=hmap.get("warc-date"),
+                content_type=hmap.get("content-type"),
+                payload=payload,
+                headers=tuple(headers),
+            )
+        )
+    return records
+
+
+def parse_http_response(payload: bytes):
+    """(status:int, headers:dict, body:bytes) from an HTTP/1.x
+    response payload; non-HTTP payloads raise ValueError."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0 or not payload.startswith(b"HTTP/"):
+        raise ValueError("not an HTTP response payload")
+    head = payload[:sep].decode("utf-8", "replace").split("\r\n")
+    status = int(head[0].split(" ")[1])
+    headers = {}
+    for line in head[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    return status, headers, payload[sep + 4 :]

@@ -1,0 +1,70 @@
+"""WARC ingestion operators: explode (url, warc binary) rows into
+per-record frames and extract page text.
+
+Scale shape: one Arrow-batched mapInPandas pass per blob column —
+record framing, gzip member decompression, HTTP splitting and HTML
+stripping all happen inside the kernel, so raw archive bytes never
+enter a shuffle (the multimodal binary-column rule); downstream
+consumers select the text/metadata columns they need and Catalyst
+prunes the rest. At 100 TB the input is one row per WARC file (or
+per range-split chunk) and the kernel streams records out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def warc_records(
+    df: DataFrame, url_col: str = "url", blob_col: str = "warc"
+) -> DataFrame:
+    """One row per WARC record: (url, rec, warc_type, target_uri,
+    http_status, mime, body_len, text) — ``http_status``/``mime``/
+    ``text`` are NULL for non-HTTP records; text is the HTML-stripped
+    body of text/html responses, the raw decoded body otherwise."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..functions.html import strip_html
+        from ..functions.warc import parse_http_response, parse_warc
+
+        for pdf in batches:
+            rows = {
+                "url": [], "rec": [], "warc_type": [], "target_uri": [],
+                "http_status": [], "mime": [], "body_len": [], "text": [],
+            }
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                for i, rec in enumerate(parse_warc(bytes(blob))):
+                    rows["url"].append(url)
+                    rows["rec"].append(i)
+                    rows["warc_type"].append(rec.warc_type)
+                    rows["target_uri"].append(rec.target_uri)
+                    status = mime = text = None
+                    body_len = len(rec.payload)
+                    if rec.payload.startswith(b"HTTP/"):
+                        status, headers, body = parse_http_response(
+                            rec.payload
+                        )
+                        mime = headers.get("content-type")
+                        body_len = len(body)
+                        decoded = body.decode("utf-8", "replace")
+                        text = (
+                            strip_html(decoded)
+                            if mime is not None
+                            and mime.startswith("text/html")
+                            else decoded
+                        )
+                    rows["http_status"].append(status)
+                    rows["mime"].append(mime)
+                    rows["body_len"].append(body_len)
+                    rows["text"].append(text)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        gen,
+        schema=(
+            "url string, rec int, warc_type string, target_uri string, "
+            "http_status int, mime string, body_len long, text string"
+        ),
+    )

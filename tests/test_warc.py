@@ -1,0 +1,88 @@
+"""WARC container codec + the Spark record-explode operator."""
+
+import pytest
+
+from lucene_spark.functions.warc import (
+    encode_http_response,
+    encode_warc_record,
+    gzip_members,
+    parse_http_response,
+    parse_warc,
+)
+
+
+def _sample_stream() -> bytes:
+    info = encode_warc_record(
+        "warcinfo", b"software: test\r\n",
+        content_type="application/warc-fields",
+    )
+    resp = encode_warc_record(
+        "response",
+        encode_http_response(b"<html><body>Hello <b>web</b></body></html>"),
+        target_uri="http://example.org/a",
+    )
+    req = encode_warc_record(
+        "request",
+        b"GET /a HTTP/1.1\r\nHost: example.org\r\n\r\n",
+        target_uri="http://example.org/a",
+        content_type="application/http; msgtype=request",
+    )
+    return info + resp + req
+
+
+class TestCodec:
+    def test_roundtrip(self):
+        recs = parse_warc(_sample_stream())
+        assert [r.warc_type for r in recs] == [
+            "warcinfo", "response", "request",
+        ]
+        assert recs[1].target_uri == "http://example.org/a"
+        status, headers, body = parse_http_response(recs[1].payload)
+        assert status == 200
+        assert headers["content-type"] == "text/html"
+        assert body.startswith(b"<html>")
+
+    def test_gzip_member_per_record(self):
+        # the Common Crawl layout: one gzip member per record
+        stream = _sample_stream()
+        recs_plain = parse_warc(stream)
+        info = encode_warc_record(
+            "warcinfo", b"software: test\r\n",
+            content_type="application/warc-fields",
+        )
+        rest = stream[len(info):]
+        gz = gzip_members([info, rest])
+        recs_gz = parse_warc(gz)
+        assert [(r.warc_type, r.payload) for r in recs_gz] == [
+            (r.warc_type, r.payload) for r in recs_plain
+        ]
+
+    def test_content_length_framing_exact(self):
+        # a payload containing CRLFCRLF must not break framing
+        tricky = b"x\r\n\r\ny"
+        rec = encode_warc_record("resource", tricky,
+                                 content_type="text/plain")
+        [r] = parse_warc(rec)
+        assert r.payload == tricky
+
+    def test_bad_version_raises(self):
+        with pytest.raises(ValueError, match="WARC version"):
+            parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+class TestOperator:
+    def test_warc_records(self, spark):
+        from lucene_spark.operators.warc import warc_records
+
+        df = spark.createDataFrame(
+            [("f1", bytearray(_sample_stream()))], "url string, warc binary"
+        )
+        rows = {
+            (r["rec"]): r for r in warc_records(df).collect()
+        }
+        assert len(rows) == 3
+        assert rows[1]["http_status"] == 200
+        assert rows[1]["mime"] == "text/html"
+        assert rows[1]["text"].strip() == "Hello web"
+        assert rows[0]["http_status"] is None
+        assert rows[2]["warc_type"] == "request"
