@@ -7545,6 +7545,88 @@ SELECT doc_id, 2, 'request', NULL, 37::BIGINT, NULL FROM b
 """
 
 
+_ROBOTS_TXT = """User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /tmp/
+Allow: /
+
+User-agent: fancybot
+Disallow: /fancy
+
+User-agent: a
+User-agent: b
+Disallow: /shared
+"""
+# (path prefix, user agent, pinned RFC 9309 decision)
+_ROBOTS_CASES = [
+    ("/private/x", "*", False),          # longest-match Disallow
+    ("/private/ok/p", "*", True),        # longer Allow wins
+    ("/public/p", "*", True),            # '/' Allow
+    ("/tmp/f", "*", False),
+    ("/tmpfile", "*", True),             # '/tmp/' needs the slash
+    ("/fancy/x", "FancyBot/1.0", False), # named group beats *
+    ("/fancy/x", "otherbot", True),      # * group has no /fancy rule
+    ("/shared/x", "a-crawler", False),   # multi-agent group
+]
+
+
+def _q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance (RFC 9309): a pinned policy evaluated
+    per doc over the 8 decision shapes — longest-match rules, the
+    Allow tie preference, prefix semantics, named-vs-* group
+    selection, multi-agent groups."""
+    from lucene_spark.functions.robots import RobotsPolicy
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        pol = RobotsPolicy.parse(_ROBOTS_TXT)
+        for pdf in batches:
+            ids, ws, paths, agents, allowed = [], [], [], [], []
+            for i in pdf["doc_id"].tolist():
+                w = i % 8
+                tmpl, agent, _exp = _ROBOTS_CASES[w]
+                path = f"{tmpl}{i % 5}"
+                ids.append(i)
+                ws.append(w)
+                paths.append(path)
+                agents.append(agent)
+                allowed.append(pol.is_allowed(path, agent))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "w": ws, "path": paths,
+                    "agent": agents, "allowed": allowed,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id long, w int, path string, agent string, "
+        "allowed boolean",
+    ).orderBy("doc_id")
+
+
+_ROBOTS_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS w, doc_id % 5 AS s
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, w,
+  ['/private/x','/private/ok/p','/public/p','/tmp/f','/tmpfile',
+   '/fancy/x','/fancy/x','/shared/x'][w + 1]
+      || CAST(s AS VARCHAR) AS path,
+  ['*','*','*','*','*','FancyBot/1.0','otherbot','a-crawler'][w + 1]
+      AS agent,
+  [false,true,true,false,true,false,true,false][w + 1] AS allowed
+FROM d ORDER BY doc_id
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -9968,6 +10050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikipedia_tokens": _q_wikipedia_tokens,
         "hunspell_tokens": _q_hunspell,
         "warc_records": _q_warc_records,
+        "robots_decisions": _q_robots,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -12080,6 +12163,7 @@ def oracle_sql() -> dict[str, str]:
         "wikipedia_tokens": _WIKIPEDIA_SQL,
         "hunspell_tokens": _HUNSPELL_SQL,
         "warc_records": _WARC_SQL,
+        "robots_decisions": _ROBOTS_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

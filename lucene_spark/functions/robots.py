@@ -1,0 +1,103 @@
+"""robots.txt (RFC 9309) parsing and the allow/disallow decision —
+the crawl-compliance filter of a webtext ingestion pipeline.
+
+Semantics per RFC 9309 (public spec; the reference repo has no
+crawler — this extends the training-data surface like urls.py):
+
+- Groups: consecutive ``User-agent`` lines share the following
+  ``Allow``/``Disallow`` rules; groups with identical agents merge.
+- Group selection (§2.2.1): the group whose user-agent token is the
+  LONGEST case-insensitive substring of the crawler's product token
+  wins; ``*`` applies only when no named group matches.
+- Rule matching (§2.2.2): patterns match as path prefixes with ``*``
+  wildcards and a ``$`` end anchor; the rule with the most specific
+  (longest, in octets of the pattern) match wins; a tie between
+  Allow and Disallow resolves to Allow. No matching rule = allowed.
+- An empty ``Disallow:`` value matches nothing (allow all).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class _Rule:
+    allow: bool
+    pattern: str
+    regex: "re.Pattern | None"  # None for the empty pattern
+
+
+def _compile(pattern: str) -> "re.Pattern | None":
+    if pattern == "":
+        return None
+    out = []
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    for ch in body:
+        out.append(".*" if ch == "*" else re.escape(ch))
+    rx = "^" + "".join(out) + ("$" if anchored else "")
+    return re.compile(rx)
+
+
+class RobotsPolicy:
+    def __init__(self, groups: dict[str, list[_Rule]]):
+        self._groups = groups  # lowercased agent -> merged rules
+
+    @classmethod
+    def parse(cls, text: str) -> "RobotsPolicy":
+        groups: dict[str, list[_Rule]] = {}
+        agents: list[str] = []
+        last_was_agent = False
+        for raw in text.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                if not last_was_agent:
+                    agents = []
+                agents.append(val.lower())
+                for a in agents:
+                    groups.setdefault(a, [])
+                last_was_agent = True
+            elif key in ("allow", "disallow"):
+                last_was_agent = False
+                if not agents:
+                    continue  # rules before any group are ignored
+                rule = _Rule(key == "allow", val, _compile(val))
+                for a in set(agents):
+                    groups.setdefault(a, []).append(rule)
+            else:
+                last_was_agent = False
+        return cls(groups)
+
+    def _select_group(self, user_agent: str) -> list[_Rule]:
+        ua = user_agent.lower()
+        best: str | None = None
+        for agent in self._groups:
+            if agent != "*" and agent in ua:
+                if best is None or len(agent) > len(best):
+                    best = agent
+        if best is not None:
+            return self._groups[best]
+        return self._groups.get("*", [])
+
+    def is_allowed(self, path: str, user_agent: str = "*") -> bool:
+        rules = self._select_group(user_agent)
+        best_len = -1
+        best_allow = True
+        for r in rules:
+            if r.regex is None:
+                continue  # empty Disallow/Allow matches nothing
+            if r.regex.match(path):
+                plen = len(r.pattern)
+                if plen > best_len or (
+                    plen == best_len and r.allow and not best_allow
+                ):
+                    best_len = plen
+                    best_allow = r.allow
+        return best_allow if best_len >= 0 else True

@@ -1,0 +1,73 @@
+"""robots.txt (RFC 9309): group selection, longest-match rules,
+Allow-wins ties, wildcards and anchors."""
+
+from lucene_spark.functions.robots import RobotsPolicy
+
+
+ROBOTS = """# demo
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /tmp/
+Allow: /
+
+User-agent: fancybot
+Disallow: /fancy
+
+User-agent: a
+User-agent: b
+Disallow: /shared
+"""
+
+
+class TestRules:
+    def setup_method(self):
+        self.p = RobotsPolicy.parse(ROBOTS)
+
+    def test_longest_match_wins(self):
+        # /private/ok (Allow, len 11) beats /private (Disallow, len 8)
+        assert not self.p.is_allowed("/private/x")
+        assert self.p.is_allowed("/private/ok/page")
+
+    def test_no_match_allows(self):
+        assert self.p.is_allowed("/public")
+
+    def test_prefix_semantics(self):
+        assert not self.p.is_allowed("/tmp/x")
+        assert self.p.is_allowed("/tmpfile") or True  # '/tmp/' needs the slash
+        assert self.p.is_allowed("/tmpfile")
+
+    def test_group_selection_longest_agent(self):
+        assert not self.p.is_allowed("/fancy/x", "FancyBot/1.0")
+        # the * group, not fancybot's, governs other agents
+        assert self.p.is_allowed("/fancy/x", "otherbot")
+
+    def test_multi_agent_group(self):
+        assert not self.p.is_allowed("/shared/x", "a-crawler")
+        assert not self.p.is_allowed("/shared/x", "b-crawler")
+
+    def test_tie_prefers_allow(self):
+        p = RobotsPolicy.parse(
+            "User-agent: *\nDisallow: /page\nAllow: /page\n"
+        )
+        assert p.is_allowed("/page")
+
+    def test_wildcard_and_anchor(self):
+        p = RobotsPolicy.parse(
+            "User-agent: *\nDisallow: /*.pdf$\nDisallow: /a*b\n"
+        )
+        assert not p.is_allowed("/docs/x.pdf")
+        assert p.is_allowed("/docs/x.pdfx")  # $ anchors the end
+        assert not p.is_allowed("/aXXXb/c")
+
+    def test_empty_disallow_allows_all(self):
+        p = RobotsPolicy.parse("User-agent: *\nDisallow:\n")
+        assert p.is_allowed("/anything")
+
+    def test_group_merge_same_agent(self):
+        p = RobotsPolicy.parse(
+            "User-agent: *\nDisallow: /a\n\n"
+            "User-agent: *\nDisallow: /b\n"
+        )
+        assert not p.is_allowed("/a")
+        assert not p.is_allowed("/b")
