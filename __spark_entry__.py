@@ -7627,6 +7627,62 @@ FROM d ORDER BY doc_id
 """
 
 
+def _q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (functions/mojibake.py): per doc a clean
+    accented string is corrupted 1 or 2 rounds (UTF-8 bytes re-read as
+    sloppy cp1252 — the web-crawl defect) on the engine side and
+    fixed back; the oracle just constructs the clean string, so a
+    missed or spurious fix mismatches."""
+    from lucene_spark.functions.mojibake import (
+        fix_mojibake,
+        make_mojibake,
+    )
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "kbdgmprt"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fixed = [], []
+            for i in pdf["doc_id"].tolist():
+                n = 3 + i % 3
+                b = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                clean = f"café {b} déjà vu — {i % 7}"
+                broken = make_mojibake(clean, 1 + i % 2)
+                ids.append(i)
+                fixed.append(fix_mojibake(broken))
+            yield pd.DataFrame({"doc_id": ids, "fixed": fixed})
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, fixed string"
+    ).orderBy("doc_id")
+
+
+_MOJIBAKE_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             ['k','b','d','g','m','p','r','t']
+                 [1 + (doc_id*5 + g.k) % 8],
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id,
+       'café ' || base || ' déjà vu — ' || CAST(doc_id % 7 AS VARCHAR)
+           AS fixed
+FROM b ORDER BY doc_id
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -10051,6 +10107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hunspell_tokens": _q_hunspell,
         "warc_records": _q_warc_records,
         "robots_decisions": _q_robots,
+        "mojibake_fixed": _q_mojibake,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -12164,6 +12221,7 @@ def oracle_sql() -> dict[str, str]:
         "hunspell_tokens": _HUNSPELL_SQL,
         "warc_records": _WARC_SQL,
         "robots_decisions": _ROBOTS_SQL,
+        "mojibake_fixed": _MOJIBAKE_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

@@ -1,0 +1,90 @@
+"""Mojibake repair: reverse UTF-8-bytes-read-as-legacy-codepage
+damage ("café" → "cafÃ©"), the classic web-crawl encoding defect.
+
+The fix inverts the corruption: re-encode the text through cp1252
+(with the latin-1 fallback for the 0x80-0x9F bytes cp1252 leaves
+unmapped — the "sloppy cp1252" every decoder of real web bytes uses)
+and strictly decode the result as UTF-8. A fix is accepted ONLY when
+that strict decode succeeds AND the text actually contained a
+mojibake signature (a UTF-8 lead-byte character followed by a
+continuation-range character) — plain Latin text with stray accents
+round-trips unchanged. Repeated application unwinds double-encoded
+text; the loop stops at a fixed point (bounded, default 3 rounds).
+
+No external reference implements this in the studied repo; it is
+part of the training-data cleaning surface (the ftfy problem, built
+from the public UTF-8/cp1252 tables only).
+"""
+
+from __future__ import annotations
+
+# cp1252's 27 printable mappings in the 0x80-0x9F window; the 5 holes
+# (0x81 8D 8F 90 9D) fall back to the raw latin-1 byte
+_CP1252_REV = {}
+for _b in range(0x80, 0xA0):
+    try:
+        _CP1252_REV[bytes([_b]).decode("cp1252")] = _b
+    except UnicodeDecodeError:
+        pass
+
+
+def _sloppy_cp1252_encode(text: str) -> bytes | None:
+    out = bytearray()
+    for ch in text:
+        cp = ord(ch)
+        if cp < 0x80 or 0xA0 <= cp <= 0xFF:
+            out.append(cp)
+        elif ch in _CP1252_REV:
+            out.append(_CP1252_REV[ch])
+        elif 0x80 <= cp <= 0x9F:
+            out.append(cp)  # the cp1252 holes, latin-1 style
+        else:
+            return None  # genuine non-Latin char: not mojibake
+    return bytes(out)
+
+
+def _looks_mojibake(text: str) -> bool:
+    """A UTF-8 lead byte (as a cp1252/latin-1 char, 0xC2-0xF4) followed
+    by a continuation-range char (0x80-0xBF as cp1252/latin-1)."""
+    for a, b in zip(text, text[1:]):
+        ca = ord(a)
+        if 0xC2 <= ca <= 0xF4:
+            bb = _sloppy_cp1252_encode(b)
+            if bb and len(bb) == 1 and 0x80 <= bb[0] <= 0xBF:
+                return True
+    return False
+
+
+def fix_mojibake(text: str, max_rounds: int = 3) -> str:
+    for _ in range(max_rounds):
+        if not _looks_mojibake(text):
+            return text
+        raw = _sloppy_cp1252_encode(text)
+        if raw is None:
+            return text
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return text
+        if fixed == text:
+            return text
+        text = fixed
+    return text
+
+
+def make_mojibake(text: str, rounds: int = 1) -> str:
+    """The corruption itself (for tests/oracle construction): UTF-8
+    bytes re-read as sloppy cp1252."""
+    for _ in range(rounds):
+        raw = text.encode("utf-8")
+        out = []
+        for b in raw:
+            if b < 0x80 or 0xA0 <= b:
+                out.append(bytes([b]).decode("latin-1"))
+            else:
+                try:
+                    out.append(bytes([b]).decode("cp1252"))
+                except UnicodeDecodeError:
+                    out.append(chr(b))
+        text = "".join(out)
+    return text

@@ -1,0 +1,41 @@
+"""Mojibake repair: corruption round-trips, double encoding,
+stability on clean text, and the acceptance guards."""
+
+from lucene_spark.functions.mojibake import fix_mojibake, make_mojibake
+
+
+class TestFix:
+    CASES = [
+        "café au lait",
+        "naïve — test",
+        "Übung macht's",
+        "smart ’quote’ & déjà vu",
+        "русский текст",
+        "emoji 😀 here",
+    ]
+
+    def test_single_and_double_encoding(self):
+        for c in self.CASES:
+            assert fix_mojibake(make_mojibake(c, 1)) == c, c
+            assert fix_mojibake(make_mojibake(c, 2)) == c, c
+
+    def test_clean_text_stable(self):
+        for c in ["plain ascii", "café au lait", "Ångström — ok", "日本語"]:
+            assert fix_mojibake(c) == c, c
+
+    def test_cp1252_window_chars(self):
+        # â€™ (the smart-quote signature) uses cp1252 0x80-0x9F chars
+        assert fix_mojibake("donâ€™t") == "don’t"
+
+    def test_invalid_utf8_rejected(self):
+        # Ã followed by a non-continuation char: strict decode fails,
+        # the text stays untouched
+        s = "Ã!"
+        assert fix_mojibake(s) == s
+
+    def test_bounded_rounds(self):
+        s = make_mojibake("café", 5)
+        out = fix_mojibake(s, max_rounds=3)
+        # three rounds peel three layers, no infinite loop
+        assert out == make_mojibake("café", 2)
+        assert fix_mojibake(out, max_rounds=3) == "café"
