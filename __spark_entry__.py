@@ -7683,6 +7683,63 @@ FROM b ORDER BY doc_id
 """
 
 
+def _q_suggest_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SuggestStopFilter (suggest/analyzing/SuggestStopFilter.java:
+    74-118): even docs end mid-stopword ('... the' — kept as the
+    partial token being typed), odd docs carry a trailing separator
+    ('... the ' — a completed stopword, dropped)."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    alpha = "kbdgmprt"
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("suggest_stop")
+        for pdf in batches:
+            ids, terms_out, pos_out = [], [], []
+            for i in pdf["doc_id"].tolist():
+                n = 3 + i % 3
+                b = "".join(alpha[(i * 5 + k) % 8] for k in range(n))
+                text = f"the {b} ghost the" + (" " if i % 2 else "")
+                terms, pos = chain_analyze(text, chain)
+                ids.append(i)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_SUGGEST_STOP_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             ['k','b','d','g','m','p','r','t']
+                 [1 + (doc_id*5 + g.k) % 8],
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0
+            THEN base || '|ghost|the' ELSE base || '|ghost' END AS terms,
+       CASE WHEN doc_id % 2 = 0 THEN '1,2,3' ELSE '1,2' END AS positions
+FROM b
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -10108,6 +10165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": _q_warc_records,
         "robots_decisions": _q_robots,
         "mojibake_fixed": _q_mojibake,
+        "suggest_stop_tokens": _q_suggest_stop,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -12222,6 +12280,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_records": _WARC_SQL,
         "robots_decisions": _ROBOTS_SQL,
         "mojibake_fixed": _MOJIBAKE_SQL,
+        "suggest_stop_tokens": _SUGGEST_STOP_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

@@ -1208,6 +1208,13 @@ def _build_chains() -> dict:
         "synonyms": AnalyzerChain(
             "synonyms", frozenset(), stream=_syn_stream()
         ),
+        # SuggestStopFilter (suggest/analyzing/SuggestStopFilter.java):
+        # stop filter that keeps a FINAL stopword still being typed
+        # (no trailing token separator)
+        "suggest_stop": AnalyzerChain(
+            "suggest_stop", ENGLISH_STOP_WORDS,
+            tokenizer=_ss_tokenizer(), stream=_ss_stream(),
+        ),
         # HunspellStemFilter (hunspell/HunspellStemFilter.java) over a
         # demo .aff/.dic: affix-rule stemming, unknown words unchanged
         "hunspell_demo": AnalyzerChain(
@@ -1717,6 +1724,24 @@ merge/GSR
 build/GR
 spark
 """
+
+
+def _ss_tokenizer():
+    from .analysis import tokenize
+
+    def tok(text: str) -> list:
+        toks = tokenize(text)
+        if toks and not text.endswith(toks[-1]):
+            return toks + ["\x00SEP"]
+        return toks
+
+    return tok
+
+
+def _ss_stream():
+    from .miscfilters import suggest_stop_stream_factory
+
+    return suggest_stop_stream_factory()
 
 
 def _hunspell_stream():

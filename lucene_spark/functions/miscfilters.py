@@ -434,3 +434,33 @@ def delimited_term_frequency_stream_factory(delimiter: str = "|"):
         return terms, positions
 
     return stream
+
+
+def suggest_stop_stream_factory():
+    """SuggestStopFilter (``suggest/analyzing/SuggestStopFilter.java:
+    74-118``): like StopFilter, but the FINAL token, when it is a
+    stopword with NO token separator after it (the user is still
+    typing it), is kept and keyword-marked. The chain's tokenizer
+    appends a ``\\x00SEP`` sentinel when the text does not end exactly
+    at the last token, which is the endOffset == finalEndOffset test
+    in stream form."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        trailing_sep = bool(tokens) and tokens[-1] == "\x00SEP"
+        if trailing_sep:
+            tokens = tokens[:-1]
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(tokens):
+            t = _java_lower(tok)
+            if t in stopwords:
+                keep_partial = (
+                    pos == len(tokens) - 1 and not trailing_sep
+                )
+                if not keep_partial:
+                    continue
+            terms.append(t)
+            positions.append(pos)
+        return terms, positions
+
+    return stream

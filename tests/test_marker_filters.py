@@ -148,3 +148,20 @@ class TestCharFilters:
             "ooops aa-bb", get_chain("pattern_replace")
         )
         assert terms2 == ["ops", "a", "b"]
+
+
+class TestSuggestStop:
+    def test_keep_partial_final_stopword(self):
+        from lucene_spark.functions.lang import chain_analyze, get_chain
+
+        c = get_chain("suggest_stop")
+        # SuggestStopFilter.java:90-111 — the final stopword with no
+        # trailing separator is the user's partial token: keep it
+        assert chain_analyze("artistic the", c) == (
+            ["artistic", "the"], [0, 1]
+        )
+        assert chain_analyze("artistic the ", c) == (["artistic"], [0])
+        # non-final stopwords always drop, with position gaps
+        assert chain_analyze("the ghost", c) == (["ghost"], [1])
+        assert chain_analyze("the", c) == (["the"], [0])
+        assert chain_analyze("the.", c) == ([], [])
