@@ -7740,6 +7740,92 @@ FROM b
 """
 
 
+def _q_trec_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TREC collection parsing (benchmark/byTask/feeds/
+    TrecContentSource.java framing + TrecGov2Parser web shape +
+    newswire HEADLINE/TEXT shape): per doc a 2-record stream — one
+    GOV2 doc (DOCHDR url + Date + stripped html body) and one FT doc
+    (headline + two TEXT blocks) — synthesized arithmetically and
+    parsed back."""
+    from lucene_spark.operators.trec import trec_records
+
+    base = (
+        _docs_table(spark, sf_dir)
+        .where(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(8)
+    )
+    alpha = "kbdgmprt"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, data = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 3
+                b = "".join(alpha[(did * 5 + k) % 8] for k in range(n))
+                stream = (
+                    "<DOC>\n"
+                    f"<DOCNO> G-{did % 9} </DOCNO>\n"
+                    "<DOCHDR>\n"
+                    f"http://e.gov/{b}\n"
+                    f"Date: D{did % 7}\n"
+                    "</DOCHDR>\n"
+                    f"<html><body>{b} alpha {did % 5}</body></html>\n"
+                    "</DOC>\n"
+                    "<DOC>\n"
+                    f"<DOCNO>FT-{did % 9}</DOCNO>\n"
+                    f"<HEADLINE> head {b} </HEADLINE>\n"
+                    f"<TEXT>{b} one</TEXT>\n"
+                    f"<TEXT>{b} two</TEXT>\n"
+                    "</DOC>\n"
+                )
+                urls.append(f"https://example.org/doc/{did:08d}")
+                data.append(stream)
+            yield pd.DataFrame({"url": urls, "trec": data})
+
+    frames = trec_records(
+        base.mapInPandas(gen, schema="url string, trec string")
+    )
+    return frames.select(
+        _doc_id("url"), "rec", "docno", "doc_url", "date",
+        "headline", "text",
+    ).orderBy("doc_id", "rec")
+
+
+_TREC_SQL = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS L FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+             ['k','b','d','g','m','p','r','t']
+                 [1 + (doc_id*5 + g.k) % 8],
+             '' ORDER BY g.k)
+          FROM (SELECT unnest(generate_series(0, CAST(L-1 AS BIGINT)))
+                AS k) g) AS base
+  FROM d
+)
+SELECT doc_id, 0 AS rec,
+       'G-' || CAST(doc_id % 9 AS VARCHAR) AS docno,
+       'http://e.gov/' || base AS doc_url,
+       'D' || CAST(doc_id % 7 AS VARCHAR) AS date,
+       CAST(NULL AS VARCHAR) AS headline,
+       base || ' alpha ' || CAST(doc_id % 5 AS VARCHAR) AS text
+FROM b
+UNION ALL
+SELECT doc_id, 1,
+       'FT-' || CAST(doc_id % 9 AS VARCHAR),
+       NULL, NULL,
+       'head ' || base,
+       base || ' one' || chr(10) || base || ' two'
+FROM b
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -10166,6 +10252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_decisions": _q_robots,
         "mojibake_fixed": _q_mojibake,
         "suggest_stop_tokens": _q_suggest_stop,
+        "trec_records": _q_trec_records,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -12281,6 +12368,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_decisions": _ROBOTS_SQL,
         "mojibake_fixed": _MOJIBAKE_SQL,
         "suggest_stop_tokens": _SUGGEST_STOP_SQL,
+        "trec_records": _TREC_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

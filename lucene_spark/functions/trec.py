@@ -1,0 +1,73 @@
+"""TREC collection parsing — the reference benchmark's bulk-ingest
+feed (``lucene/benchmark/.../feeds/TrecContentSource.java:62-70``
+framing, ``TrecGov2Parser.java:24-55`` web shape,
+``TrecFTParser``/``TrecLATimesParser`` newswire shape).
+
+Framing: records between ``<DOC>``/``</DOC>``; ``<DOCNO>`` holds the
+id. Web-track records (GOV2 et al.) carry a ``<DOCHDR>`` block whose
+FIRST line is the crawl URL and whose ``Date: `` header is the crawl
+date; everything after ``</DOCHDR>`` is the HTML payload (the
+reference hands it to its HTMLParser — here the engine's
+strip_html). Newswire records instead carry ``<HEADLINE>`` and one or
+more ``<TEXT>`` blocks, concatenated in order. Date-string parsing is
+left to the caller (the reference tries 9 SimpleDateFormat patterns;
+the raw string is preserved here — declared).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class TrecDoc:
+    docno: str
+    url: str | None
+    date: str | None
+    headline: str | None
+    text: str
+
+
+def _between(buf: str, open_tag: str, close_tag: str, start: int = 0):
+    i = buf.find(open_tag, start)
+    if i < 0:
+        return None, -1
+    j = buf.find(close_tag, i + len(open_tag))
+    if j < 0:
+        return None, -1
+    return buf[i + len(open_tag) : j], j + len(close_tag)
+
+
+def parse_trec(stream: str) -> list[TrecDoc]:
+    from .html import strip_html
+
+    docs: list[TrecDoc] = []
+    pos = 0
+    while True:
+        buf, pos = _between(stream, "<DOC>", "</DOC>", pos)
+        if buf is None:
+            return docs
+        docno, _ = _between(buf, "<DOCNO>", "</DOCNO>")
+        docno = (docno or "").strip()
+        url = date = headline = None
+        hdr, after_hdr = _between(buf, "<DOCHDR>", "</DOCHDR>")
+        if hdr is not None:
+            lines = [ln.strip() for ln in hdr.strip().splitlines()]
+            if lines:
+                url = lines[0]
+            for ln in lines[1:]:
+                if ln.startswith("Date: "):
+                    date = ln[len("Date: "):]
+            text = strip_html(buf[after_hdr:]).strip()
+        else:
+            hl, _ = _between(buf, "<HEADLINE>", "</HEADLINE>")
+            headline = hl.strip() if hl is not None else None
+            parts = []
+            p = 0
+            while True:
+                t, p = _between(buf, "<TEXT>", "</TEXT>", p)
+                if t is None:
+                    break
+                parts.append(t.strip())
+            text = "\n".join(parts)
+        docs.append(TrecDoc(docno, url, date, headline, text))

@@ -1,0 +1,44 @@
+"""TREC bulk-ingest operator: explode (url, trec string) rows into
+per-document frames — the Spark twin of the reference's
+TrecContentSource feed loop (one kernel pass, collection text never
+shuffles; at scale the input is one row per collection file chunk)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def trec_records(
+    df: DataFrame, url_col: str = "url", text_col: str = "trec"
+) -> DataFrame:
+    """One row per <DOC>: (url, rec, docno, doc_url, date, headline,
+    text)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..functions.trec import parse_trec
+
+        for pdf in batches:
+            rows = {
+                "url": [], "rec": [], "docno": [], "doc_url": [],
+                "date": [], "headline": [], "text": [],
+            }
+            for url, stream in zip(pdf[url_col], pdf[text_col]):
+                for i, d in enumerate(parse_trec(stream)):
+                    rows["url"].append(url)
+                    rows["rec"].append(i)
+                    rows["docno"].append(d.docno)
+                    rows["doc_url"].append(d.url)
+                    rows["date"].append(d.date)
+                    rows["headline"].append(d.headline)
+                    rows["text"].append(d.text)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        gen,
+        schema=(
+            "url string, rec int, docno string, doc_url string, "
+            "date string, headline string, text string"
+        ),
+    )

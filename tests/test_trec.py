@@ -1,0 +1,66 @@
+"""TREC collection parsing (benchmark feeds TrecContentSource /
+TrecGov2Parser / newswire parsers)."""
+
+from lucene_spark.functions.trec import parse_trec
+
+GOV2 = """<DOC>
+<DOCNO> GX000-00-0000000 </DOCNO>
+<DOCHDR>
+http://example.gov/a
+HTTP/1.1 200 OK
+Date: Tue, 09 Dec 2003 22:39:20 GMT
+Content-Type: text/html
+</DOCHDR>
+<html><head><title>T</title></head><body>Hello <b>gov</b></body></html>
+</DOC>
+"""
+
+FT = """<DOC>
+<DOCNO>FT911-1</DOCNO>
+<HEADLINE> A headline </HEADLINE>
+<TEXT>first block</TEXT>
+<TEXT>second block</TEXT>
+</DOC>
+<DOC>
+<DOCNO>FT911-2</DOCNO>
+<TEXT>only</TEXT>
+</DOC>
+"""
+
+
+class TestParse:
+    def test_gov2_shape(self):
+        [d] = parse_trec(GOV2)
+        assert d.docno == "GX000-00-0000000"
+        assert d.url == "http://example.gov/a"
+        assert d.date == "Tue, 09 Dec 2003 22:39:20 GMT"
+        assert "Hello" in d.text and "gov" in d.text
+        assert "<b>" not in d.text  # html stripped
+
+    def test_newswire_shape(self):
+        a, b = parse_trec(FT)
+        assert a.docno == "FT911-1"
+        assert a.headline == "A headline"
+        assert a.text == "first block\nsecond block"
+        assert b.docno == "FT911-2" and b.headline is None
+
+    def test_mixed_stream(self):
+        docs = parse_trec(GOV2 + FT)
+        assert [d.docno for d in docs] == [
+            "GX000-00-0000000", "FT911-1", "FT911-2",
+        ]
+
+
+class TestOperator:
+    def test_trec_records(self, spark):
+        from lucene_spark.operators.trec import trec_records
+
+        df = spark.createDataFrame(
+            [("f1", GOV2 + FT)], "url string, trec string"
+        )
+        rows = sorted(
+            trec_records(df).collect(), key=lambda r: r["rec"]
+        )
+        assert len(rows) == 3
+        assert rows[0]["doc_url"] == "http://example.gov/a"
+        assert rows[1]["headline"] == "A headline"
