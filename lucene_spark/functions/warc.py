@@ -145,3 +145,40 @@ def parse_http_response(payload: bytes):
         k, _, v = line.partition(":")
         headers[k.strip().lower()] = v.strip()
     return status, headers, payload[sep + 4 :]
+
+
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "latin-1": "latin-1", "latin1": "latin-1",
+    "iso-8859-1": "latin-1", "iso8859-1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+}
+
+
+def decode_body(body: bytes, mime: str | None) -> tuple[str, str]:
+    """(text, charset used) for an HTTP body: the Content-Type
+    ``charset=`` parameter when it names a known encoding, else BOM
+    sniffing, else a strict UTF-8 attempt, else cp1252 (the
+    browser-compatible fallback for legacy web bytes; never fails)."""
+    declared = None
+    if mime and "charset=" in mime:
+        declared = (
+            mime.split("charset=", 1)[1].split(";")[0].strip().strip('"')
+        ).lower()
+        declared = _CHARSET_ALIASES.get(declared)
+    if declared:
+        try:
+            return body.decode(declared), declared
+        except (UnicodeDecodeError, LookupError):
+            pass  # lying servers: fall through to sniffing
+    if body[:3] == b"\xef\xbb\xbf":
+        return body[3:].decode("utf-8", "replace"), "utf-8"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return body.decode("utf-16"), "utf-16"
+    try:
+        return body.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return body.decode("cp1252", "replace"), "cp1252"

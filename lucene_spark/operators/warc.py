@@ -27,7 +27,11 @@ def warc_records(
         import pandas as pd
 
         from ..functions.html import strip_html
-        from ..functions.warc import parse_http_response, parse_warc
+        from ..functions.warc import (
+            decode_body,
+            parse_http_response,
+            parse_warc,
+        )
 
         for pdf in batches:
             rows = {
@@ -48,7 +52,10 @@ def warc_records(
                         )
                         mime = headers.get("content-type")
                         body_len = len(body)
-                        decoded = body.decode("utf-8", "replace")
+                        # charset= param, BOM, strict-UTF-8 then the
+                        # cp1252 browser fallback (functions/warc.py
+                        # decode_body)
+                        decoded, _cs = decode_body(body, mime)
                         text = (
                             strip_html(decoded)
                             if mime is not None

@@ -86,3 +86,45 @@ class TestOperator:
         assert rows[1]["text"].strip() == "Hello web"
         assert rows[0]["http_status"] is None
         assert rows[2]["warc_type"] == "request"
+
+
+class TestCharset:
+    def test_decode_body(self):
+        from lucene_spark.functions.warc import decode_body
+
+        assert decode_body("café".encode("utf-8"), "text/html") == (
+            "café", "utf-8"
+        )
+        assert decode_body(
+            "café".encode("latin-1"), "text/html; charset=ISO-8859-1"
+        ) == ("café", "latin-1")
+        # undeclared legacy bytes: strict UTF-8 fails -> cp1252
+        assert decode_body("café".encode("latin-1"), "text/html") == (
+            "café", "cp1252"
+        )
+        # BOM wins over nothing; lying charset= falls through to sniff
+        assert decode_body(b"\xef\xbb\xbfhi", None) == ("hi", "utf-8")
+        assert decode_body(
+            "naïve".encode("utf-8"), "text/html; charset=banana"
+        ) == ("naïve", "utf-8")
+
+    def test_operator_latin1_body(self, spark):
+        from lucene_spark.functions.warc import (
+            encode_http_response,
+            encode_warc_record,
+        )
+        from lucene_spark.operators.warc import warc_records
+
+        rec = encode_warc_record(
+            "response",
+            encode_http_response(
+                "s\xf8ster caf\xe9".encode("latin-1"),
+                content_type="text/plain; charset=iso-8859-1",
+            ),
+            target_uri="http://e.org/x",
+        )
+        df = spark.createDataFrame(
+            [("f", bytearray(rec))], "url string, warc binary"
+        )
+        [row] = warc_records(df).collect()
+        assert row["text"] == "søster café"
