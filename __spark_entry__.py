@@ -7826,6 +7826,52 @@ FROM b
 """
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed n-gram linear classifier (Joulin 2016
+    hashing trick) over REAL corpus text: md5-hash unigram+bigram
+    buckets mod 1024, arithmetic demo weights, sigmoid of the mean —
+    whole-stage codegen, no Python, no shuffle; the oracle replays
+    the hash (same md5 recipe as fingerprint) and the left-fold sum
+    in DuckDB."""
+    from lucene_spark.functions.textstats import hashed_linear_score
+
+    docs = _docs_table(spark, sf_dir).where(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.round(hashed_linear_score(F.col("text")), 6).alias("score"),
+    ).orderBy("doc_id")
+
+
+_QUALITY_CLASSIFIER_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS sp
+  FROM documents WHERE doc_id < 200
+),
+f AS (
+  SELECT doc_id,
+    list_concat(
+      [('0x'||substr(md5(t),1,15))::BIGINT % 1024 FOR t IN sp],
+      list_transform(
+        generate_series(1, len(sp) - 1),
+        i -> ('0x'||substr(md5(sp[i] || ' ' || sp[i+1]),1,15))::BIGINT
+             % 1024)
+    ) AS feats
+  FROM d
+),
+s AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(0.0::DOUBLE,
+        list_transform(feats,
+          k -> CAST((k*37 + 11) % 21 - 10 AS DOUBLE) / 10.0)),
+      (a, b) -> a + b) / CAST(len(feats) AS DOUBLE) AS x
+  FROM f
+)
+SELECT doc_id, round(1.0/(1.0 + exp(-x)), 6) AS score
+FROM s ORDER BY doc_id
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -10253,6 +10299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_fixed": _q_mojibake,
         "suggest_stop_tokens": _q_suggest_stop,
         "trec_records": _q_trec_records,
+        "quality_classifier_scores": _q_quality_classifier,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -12369,6 +12416,7 @@ def oracle_sql() -> dict[str, str]:
         "mojibake_fixed": _MOJIBAKE_SQL,
         "suggest_stop_tokens": _SUGGEST_STOP_SQL,
         "trec_records": _TREC_SQL,
+        "quality_classifier_scores": _QUALITY_CLASSIFIER_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

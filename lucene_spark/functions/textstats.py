@@ -332,3 +332,63 @@ def scrub_pii(text_col: Column) -> Column:
     out = F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
     return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def hashed_feature_buckets(
+    text_col: Column, n_buckets: int = 1024, bigrams: bool = True
+) -> Column:
+    """fastText-style hashing-trick feature buckets (Joulin et al.
+    2016, "Bag of Tricks"): md5-derived token hashes mod n_buckets for
+    every unigram and (optionally) every adjacent bigram, in text
+    order — the feature extraction of a linear quality classifier,
+    entirely JVM-side (the same SQL-replayable hash as fingerprint)."""
+    toks = tokens(text_col)
+    uni = F.transform(
+        toks, lambda t: F.pmod(token_hash(t), F.lit(n_buckets))
+    )
+    if not bigrams:
+        return uni
+    n = F.size(toks)
+    bi = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.pmod(
+            token_hash(
+                F.concat(
+                    F.element_at(toks, i), F.lit(" "),
+                    F.element_at(toks, i + 1),
+                )
+            ),
+            F.lit(n_buckets),
+        ),
+    )
+    return F.concat(uni, F.when(n >= 2, bi).otherwise(F.array()))
+
+
+def demo_bucket_weight(bucket: Column) -> Column:
+    """The pinned demo model: w(k) = ((k*37 + 11) % 21 - 10) / 10 —
+    pure arithmetic so the oracle recomputes it; a trained model
+    plugs in via a broadcast (bucket, weight) join instead."""
+    return ((bucket * 37 + 11) % 21 - 10).cast("double") / 10.0
+
+
+def hashed_linear_score(
+    text_col: Column,
+    n_buckets: int = 1024,
+    bias: float = 0.0,
+    bigrams: bool = True,
+    weight_fn=demo_bucket_weight,
+) -> Column:
+    """Linear classifier inference over hashed n-gram features:
+    sigmoid(bias + mean of bucket weights) — the fastText scoring
+    shape with scalar weights (a 1-dim embedding), the standard cheap
+    quality filter of webtext pipelines. Whole-stage codegen; no
+    Python, no shuffle."""
+    feats = hashed_feature_buckets(text_col, n_buckets, bigrams)
+    total = F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, b: acc + weight_fn(b),
+    )
+    mean = total / F.greatest(F.size(feats), F.lit(1)).cast("double")
+    x = mean + F.lit(float(bias))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-x))

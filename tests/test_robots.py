@@ -71,3 +71,40 @@ class TestRules:
         )
         assert not p.is_allowed("/a")
         assert not p.is_allowed("/b")
+
+
+class TestHashedLinearClassifier:
+    def test_feature_counts_and_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from lucene_spark.functions.textstats import (
+            hashed_feature_buckets,
+            hashed_linear_score,
+        )
+
+        df = spark.createDataFrame(
+            [("a b c",), ("solo",)], "text string"
+        )
+        rows = df.select(
+            F.size(hashed_feature_buckets(F.col("text"), 64)).alias("n"),
+            hashed_linear_score(F.col("text")).alias("s"),
+        ).collect()
+        # 3 unigrams + 2 bigrams; a single token has no bigram
+        assert [r["n"] for r in rows] == [5, 1]
+        assert all(0.0 < r["s"] < 1.0 for r in rows)
+        plan = df.select(
+            hashed_linear_score(F.col("text")).alias("s")
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_demo_weights_bounded(self, spark):
+        from pyspark.sql import functions as F
+
+        from lucene_spark.functions.textstats import demo_bucket_weight
+
+        df = spark.range(1024).select(
+            demo_bucket_weight(F.col("id")).alias("w")
+        )
+        mm = df.agg(F.min("w"), F.max("w")).collect()[0]
+        assert mm[0] == -1.0 and mm[1] == 1.0
