@@ -7872,6 +7872,95 @@ FROM s ORDER BY doc_id
 """
 
 
+def _q_inet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InetAddressRange (core/document/InetAddressRange.java:30-96):
+    per doc a v4 interval 10.a.b.0 — 10.a.(b+2).0 (a = id%4,
+    b = id%7), except id%5==0 docs which carry a GENUINE v6 range
+    (2001:db8::/ land) that must match no v4 query under the 16-byte
+    key order; all four RangeFieldQuery relations against
+    [10.1.3.0, 10.1.5.0] through the shared range_field_match
+    kernel over ip_to_key strings."""
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    a = (F.col("doc_id") % 4).cast("int")
+    b = (F.col("doc_id") % 7).cast("int")
+    v6 = F.col("doc_id") % 5 == 0
+    ranged = docs.select(
+        "doc_id",
+        F.when(
+            v6, F.concat(F.lit("2001:db8::"), F.conv(b.cast("string"), 10, 16))
+        ).otherwise(
+            F.format_string("10.%d.%d.0", a, b)
+        ).alias("lo"),
+        F.when(
+            v6,
+            F.concat(F.lit("2001:db8::ff"), F.conv(b.cast("string"), 10, 16)),
+        ).otherwise(
+            F.format_string("10.%d.%d.0", a, b + F.lit(2))
+        ).alias("hi"),
+    )
+    # key ONCE (the ip_to_key expression tree is large; 4 modes reuse
+    # the keyed frame through the shared range kernel)
+    from lucene_spark.functions.ip import ip_key_literal, ip_to_key
+    from lucene_spark.operators.queries import range_field_match
+
+    keyed = ranged.select(
+        "doc_id",
+        ip_to_key(F.col("lo")).alias("lo_key"),
+        ip_to_key(F.col("hi")).alias("hi_key"),
+    ).localCheckpoint(eager=True)  # don't re-inline the key tree 4x
+    q_lo = F.lit(ip_key_literal("10.1.3.0"))
+    q_hi = F.lit(ip_key_literal("10.1.5.0"))
+    parts = []
+    for mode in ("intersects", "within", "contains", "crosses"):
+        parts.append(
+            range_field_match(
+                keyed, q_lo, q_hi, mode=mode,
+                lo_col="lo_key", hi_col="hi_key",
+            ).select(F.lit(mode).alias("mode"), "doc_id")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("mode", "doc_id")
+
+
+_INET_RANGE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 AS BIGINT) AS a,
+         CAST(doc_id % 7 AS BIGINT) AS b,
+         doc_id % 5 = 0 AS v6
+  FROM documents WHERE doc_id < 200
+),
+n AS (
+  SELECT doc_id, v6,
+         (10 * 16777216) + (a * 65536) + (b * 256) AS lo,
+         (10 * 16777216) + (a * 65536) + ((b + 2) * 256) AS hi,
+         (10 * 16777216) + (1 * 65536) + (3 * 256) AS qlo,
+         (10 * 16777216) + (1 * 65536) + (5 * 256) AS qhi
+  FROM d
+),
+m AS (
+  SELECT doc_id, v6,
+         (lo <= qhi AND hi >= qlo) AS inter,
+         (lo >= qlo AND hi <= qhi) AS within
+  FROM n
+)
+SELECT 'intersects' AS mode, doc_id FROM m WHERE inter AND NOT v6
+UNION ALL
+SELECT 'within', doc_id FROM m WHERE within AND NOT v6
+UNION ALL
+SELECT 'contains', doc_id FROM m
+ WHERE doc_id IN (SELECT doc_id FROM n
+                  WHERE lo <= qlo AND hi >= qhi) AND NOT v6
+UNION ALL
+SELECT 'crosses', doc_id FROM m WHERE inter AND NOT within AND NOT v6
+ORDER BY mode, doc_id
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -10300,6 +10389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_stop_tokens": _q_suggest_stop,
         "trec_records": _q_trec_records,
         "quality_classifier_scores": _q_quality_classifier,
+        "inet_range_relations": _q_inet_range,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -12417,6 +12507,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_stop_tokens": _SUGGEST_STOP_SQL,
         "trec_records": _TREC_SQL,
         "quality_classifier_scores": _QUALITY_CLASSIFIER_SQL,
+        "inet_range_relations": _INET_RANGE_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

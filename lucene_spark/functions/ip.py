@@ -261,3 +261,35 @@ def inet_set_query(
     """newSetQuery on the full plane: encoded-key membership."""
     keys = [ip_key_literal(v) for v in values]
     return df.where(ip_to_key(F.col(ip_col)).isin(keys))
+
+
+def inet_address_range_match(
+    df,
+    lo_col: str,
+    hi_col: str,
+    q_lo: str,
+    q_hi: str,
+    mode: str = "intersects",
+):
+    """InetAddressRange (``core/document/InetAddressRange.java:30-96``):
+    docs carrying an IP interval [lo, hi] queried with the
+    RangeFieldQuery relations. The 16-byte sortable encoding becomes
+    the 32-hex ``ip_to_key`` string whose lexicographic order IS the
+    reference's byte order (both families, v4 mapped), so the
+    relations reduce to the same pushdown-able string-range
+    conjunctions as LongRange/DoubleRange — one shared
+    ``range_field_match`` kernel for every range-valued type."""
+    from ..operators.queries import range_field_match
+
+    keyed = df.withColumn("_lo_key", ip_to_key(F.col(lo_col))).withColumn(
+        "_hi_key", ip_to_key(F.col(hi_col))
+    )
+    out = range_field_match(
+        keyed,
+        F.lit(ip_key_literal(q_lo)),
+        F.lit(ip_key_literal(q_hi)),
+        mode=mode,
+        lo_col="_lo_key",
+        hi_col="_hi_key",
+    )
+    return out.drop("_lo_key", "_hi_key")

@@ -231,3 +231,46 @@ class TestInetFullPlane:
         out = inet_prefix_query(df, "ip", "2001:db8::", 36)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+class TestInetAddressRange:
+    def test_relations(self, spark):
+        from lucene_spark.functions.ip import inet_address_range_match
+
+        df = spark.createDataFrame(
+            [
+                ("inside", "10.0.0.200", "10.0.1.0"),
+                ("covers", "9.0.0.0", "11.0.0.0"),
+                ("left", "10.0.0.0", "10.0.0.255"),
+                ("out", "172.16.0.0", "172.16.0.1"),
+                ("v6", "2001:db8::1", "2001:db8::ff"),
+            ],
+            "id string, lo string, hi string",
+        )
+
+        def ids(mode):
+            return sorted(
+                r["id"]
+                for r in inet_address_range_match(
+                    df, "lo", "hi", "10.0.0.128", "10.0.1.128", mode
+                ).collect()
+            )
+
+        # InetAddressRange.java:30-96 via the RangeFieldQuery relations
+        assert ids("intersects") == ["covers", "inside", "left"]
+        assert ids("within") == ["inside"]
+        assert ids("contains") == ["covers"]
+        assert ids("crosses") == ["covers", "left"]
+
+    def test_cross_family_order(self, spark):
+        # v4-mapped keys sort below real v6 space: a v6 interval never
+        # matches a v4 query interval
+        from lucene_spark.functions.ip import inet_address_range_match
+
+        df = spark.createDataFrame(
+            [("v6", "::1", "2001:db8::1")], "id string, lo string, hi string"
+        )
+        got = inet_address_range_match(
+            df, "lo", "hi", "0.0.0.1", "255.255.255.254", "within"
+        ).collect()
+        assert got == []  # hi is beyond the whole v4-mapped band
