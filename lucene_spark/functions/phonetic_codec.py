@@ -1,0 +1,161 @@
+"""ColognePhonetic (Kölner Phonetik) and NYSIIS — the two rule-based
+commons-codec encoders the reference's PhoneticFilterFactory binds
+(``analysis/phonetic/.../PhoneticFilterFactory.java`` registry) that
+the earlier phonetic row declared out. Both are pure context rules
+(no dictionaries); these ports are validated against goldens from
+RUNNING the commons-codec implementation itself
+(tools/codec_phonetic_goldens.py — 29k+ corpus + randomized +
+cluster-heavy words, 100% exact).
+
+Behavioral facts the goldens pinned (beyond the published rule
+tables):
+
+- Cologne: 'H' emits nothing but RESETS the adjacent-duplicate
+  suppression ('schsch' -> 88, not 8), while characters dropped in
+  preprocessing (hyphens etc.) do not; the non-leading-0 removal runs
+  after collapsing (so 'ahha' -> 00 -> 0).
+- NYSIIS: the rule loop transcodes the char ARRAY in place left to
+  right — the H rule's "previous" is the already-transcoded previous
+  slot and its "next" the untranscoded next; when both neighbors are
+  vowels the H survives ('ahha' -> AH). The terminal block runs only
+  when the deduped key is longer than 1: trailing S dropped, then
+  AY -> Y only when 3+ chars remain, then a trailing A dropped even
+  if that empties the key ('as' -> ''). The strict 6-char cap applies
+  AFTER the terminal rules ('mississippians' -> MASASA keeps its
+  truncated trailing A).
+"""
+
+from __future__ import annotations
+
+_C_VOWELS = set("AEIJOUY")
+_UMLAUT = {"Ä": "A", "Ö": "O", "Ü": "U"}
+
+
+def cologne_phonetic(text: str) -> str:
+    up = []
+    for ch in text.upper():  # Java toUpperCase: ß -> SS like Python
+        ch = _UMLAUT.get(ch, ch)
+        if "A" <= ch <= "Z":
+            up.append(ch)
+    word = "".join(up)
+    n = len(word)
+    out: list[str] = []
+    last: str | None = None
+    for i, ch in enumerate(word):
+        prev = word[i - 1] if i > 0 else ""
+        nxt = word[i + 1] if i + 1 < n else ""
+        if ch == "H":
+            last = None  # ignored, but breaks the duplicate run
+            continue
+        if ch in _C_VOWELS:
+            code = "0"
+        elif ch == "B":
+            code = "1"
+        elif ch == "P":
+            code = "3" if nxt == "H" else "1"
+        elif ch in "DT":
+            code = "8" if (nxt and nxt in "CSZ") else "2"
+        elif ch in "FVW":
+            code = "3"
+        elif ch in "GKQ":
+            code = "4"
+        elif ch == "C":
+            # "initial" = nothing but H precedes (goldens: 'hcl' -> 45)
+            if all(c == "H" for c in word[:i]):
+                code = "4" if (nxt and nxt in "AHKLOQRUX") else "8"
+            elif prev in "SZ":
+                code = "8"
+            elif nxt and nxt in "AHKOQUX":
+                code = "4"
+            else:
+                code = "8"
+        elif ch == "X":
+            code = "8" if (prev and prev in "CKQ") else "48"
+        elif ch == "L":
+            code = "5"
+        elif ch in "MN":
+            code = "6"
+        elif ch == "R":
+            code = "7"
+        else:  # S, Z
+            code = "8"
+        for d in code:
+            if d != last:
+                out.append(d)
+            last = d
+    if not out:
+        return ""
+    return out[0] + "".join(d for d in out[1:] if d != "0")
+
+
+_N_VOWELS = set("AEIOU")
+
+
+def nysiis(text: str, strict: bool = True) -> str:
+    word = "".join(ch for ch in text.upper() if ch.isalpha())
+    if not word:
+        return ""
+    # first-character transcodes
+    if word.startswith("MAC"):
+        word = "MCC" + word[3:]
+    elif word.startswith("KN"):
+        word = "NN" + word[2:]
+    elif word.startswith("K"):
+        word = "C" + word[1:]
+    elif word.startswith(("PH", "PF")):
+        word = "FF" + word[2:]
+    elif word.startswith("SCH"):
+        word = "SSS" + word[3:]
+    # last-character transcodes
+    if word.endswith(("EE", "IE")):
+        word = word[:-2] + "Y"
+    elif word.endswith(("DT", "RT", "RD", "NT", "ND")):
+        word = word[:-2] + "D"
+    chars = list(word)
+    n = len(chars)
+    i = 1
+    while i < n:
+        ch = chars[i]
+        nxt = chars[i + 1] if i + 1 < n else ""
+        nxt2 = chars[i + 2] if i + 2 < n else ""
+        if ch == "E" and nxt == "V":
+            chars[i] = "A"
+            chars[i + 1] = "F"
+        elif ch in _N_VOWELS:
+            chars[i] = "A"
+        elif ch == "Q":
+            chars[i] = "G"
+        elif ch == "Z":
+            chars[i] = "S"
+        elif ch == "M":
+            chars[i] = "N"
+        elif ch == "K":
+            chars[i] = "N" if nxt == "N" else "C"
+        elif ch == "S" and nxt == "C" and nxt2 == "H":
+            chars[i] = chars[i + 1] = chars[i + 2] = "S"
+        elif ch == "P" and nxt == "H":
+            chars[i] = chars[i + 1] = "F"
+        elif ch == "H":
+            prev = chars[i - 1]  # already transcoded
+            if prev not in _N_VOWELS or (nxt and nxt not in _N_VOWELS) \
+                    or not nxt:
+                chars[i] = prev
+        elif ch == "W":
+            # previous TRANSCODED char (only differs at position 1,
+            # where the untouched first letter may be a non-A vowel)
+            if chars[i - 1] in _N_VOWELS:
+                chars[i] = chars[i - 1]
+        i += 1
+    key = [chars[0]]
+    for c in chars[1:]:
+        if c != key[-1]:
+            key.append(c)
+    if len(key) > 1:
+        if key[-1] == "S":
+            key.pop()
+        if len(key) > 2 and key[-1] == "Y" and key[-2] == "A":
+            del key[-2]
+        if key and key[-1] == "A":
+            key.pop()
+    out = "".join(key)
+    return out[:6] if strict else out

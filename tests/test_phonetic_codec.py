@@ -1,0 +1,51 @@
+"""Cologne + NYSIIS encoders vs compiled commons-codec goldens."""
+
+import gzip
+import json
+import os
+
+from lucene_spark.functions.phonetic_codec import cologne_phonetic, nysiis
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "codec_phonetic_goldens.json.gz"
+)
+
+
+class TestGoldens:
+    def test_all_words_exact(self):
+        goldens = json.load(gzip.open(FIXTURE, "rt", encoding="utf-8"))
+        assert len(goldens) > 25000
+        bad = []
+        for w, (c, n, nl) in goldens.items():
+            if (
+                cologne_phonetic(w) != c
+                or nysiis(w, True) != n
+                or nysiis(w, False) != nl
+            ):
+                bad.append(w)
+        assert not bad, bad[:5]
+
+
+class TestCanonical:
+    def test_cologne_wikipedia_examples(self):
+        assert cologne_phonetic("Müller-Lüdenscheidt") == "65752682"
+        assert cologne_phonetic("Breschnew") == "17863"
+        assert cologne_phonetic("Wikipedia") == "3412"
+
+    def test_cologne_h_breaks_runs(self):
+        # H emits nothing but resets the duplicate suppression
+        assert cologne_phonetic("schsch") == "88"
+        assert cologne_phonetic("phph") == "33"
+
+    def test_nysiis_reference_factory_vectors(self):
+        # TestPhoneticFilterFactory.java:196-204
+        assert [nysiis(w) for w in
+                ["Macintosh", "Knuth", "Bart", "Hurd"]] == [
+            "MCANT", "NAT", "BAD", "HAD",
+        ]
+
+    def test_nysiis_terminal_rules(self):
+        assert nysiis("May") == "MY"       # AY -> Y needs 3+ chars
+        assert nysiis("Ay") == "AY"        # ...so 'AY' itself survives
+        assert nysiis("as") == ""          # S then A removal may empty
+        assert nysiis("mississippians") == "MASASA"  # cap AFTER rules

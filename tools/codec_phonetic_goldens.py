@@ -1,0 +1,127 @@
+"""Generate ColognePhonetic + Nysiis golden fixtures by running the
+commons-codec implementation the reference's PhoneticFilterFactory
+binds (the codec jar ships with pyspark on this machine; behavior
+study only). Writes tests/fixtures/codec_phonetic_goldens.json.gz as
+{word: [cologne, nysiis_strict, nysiis_loose]}.
+
+    python tools/codec_phonetic_goldens.py
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import random
+import subprocess
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = "/tmp/phon"
+FIXTURE = os.path.join(
+    ROOT, "tests", "fixtures", "codec_phonetic_goldens.json.gz"
+)
+
+HARNESS = """
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import org.apache.commons.codec.language.ColognePhonetic;
+import org.apache.commons.codec.language.Nysiis;
+
+public class PhonMain {
+  public static void main(String[] args) throws Exception {
+    ColognePhonetic cologne = new ColognePhonetic();
+    Nysiis nysiis = new Nysiis(true);
+    Nysiis nysiisLoose = new Nysiis(false);
+    BufferedReader in = new BufferedReader(
+        new InputStreamReader(System.in, StandardCharsets.UTF_8));
+    PrintWriter out = new PrintWriter(
+        new OutputStreamWriter(System.out, StandardCharsets.UTF_8));
+    String line;
+    while ((line = in.readLine()) != null) {
+      String c, n, nl;
+      try { c = cologne.encode(line); } catch (Exception e) { c = "!ERR"; }
+      try { n = nysiis.encode(line); } catch (Exception e) { n = "!ERR"; }
+      try { nl = nysiisLoose.encode(line); } catch (Exception e) { nl = "!ERR"; }
+      out.println(c + "\\t" + n + "\\t" + nl);
+    }
+    out.flush();
+  }
+}
+"""
+
+
+def _jar() -> str:
+    hits = glob.glob("/opt/spark-*/jars/commons-codec-*.jar")
+    if not hits:
+        raise SystemExit("commons-codec jar not found")
+    return hits[0]
+
+
+def _words() -> list[str]:
+    import duckdb
+
+    vocab = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT DISTINCT unnest(string_split(text, ' ')) FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchall()
+    ]
+    names = [
+        "Meier", "Schmitt", "Meir", "Schmidt", "Macintosh", "Knuth",
+        "Bart", "Hurd", "Mueller", "Müller", "Breschnew", "Wikipedia",
+        "Darda", "Karleen", "Datha", "Carlene", "Chris", "Cecilia",
+        "Xavier", "Axel", "Maxx", "Phillip", "Pfeiffer", "Schwarz",
+        "Tsch", "Cz", "MacLeod", "McDonald", "Knight", "Philips",
+        "Schultz", "Wright", "Knox", "quickly", "pharaoh", "yacht",
+        "Eve", "Evelyn", "Ivy", "Show", "Shaw", "Haw", "Ah", "Oh",
+        "Bevel", "Devil", "ee", "ie", "dt", "rt", "rd", "nt", "nd",
+        "Ay", "May", "Say", "Dog", "S", "K", "C", "X", "H", "W", "Y",
+        "ss", "sss", "schsch", "CACA", "CHCH", "CKCK", "SCSC",
+    ]
+    rng = random.Random(13)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rand = []
+    for _ in range(20000):
+        n = rng.randint(1, 10)
+        rand.append("".join(rng.choice(alpha) for _ in range(n)))
+    # consonant-cluster-heavy strings hit the context rules hardest
+    clusters = ["sch", "ch", "ck", "ph", "pf", "kn", "mac", "th", "dt",
+                "cs", "cz", "xc", "kx", "qx", "ev", "aw", "ah", "ya"]
+    for _ in range(20000):
+        k = rng.randint(1, 5)
+        rand.append("".join(rng.choice(clusters + list(alpha))
+                            for _ in range(k)))
+    return [w for w in dict.fromkeys(vocab + names + rand) if w]
+
+
+def main():
+    os.makedirs(WORK, exist_ok=True)
+    with open(os.path.join(WORK, "PhonMain.java"), "w") as f:
+        f.write(HARNESS)
+    jar = _jar()
+    subprocess.run(
+        ["javac", "-cp", jar, "PhonMain.java"], cwd=WORK, check=True
+    )
+    words = _words()
+    proc = subprocess.run(
+        ["java", "-cp", f".:{jar}", "PhonMain"],
+        cwd=WORK,
+        input="\n".join(words).encode("utf-8"),
+        capture_output=True,
+        check=True,
+    )
+    lines = proc.stdout.decode("utf-8").splitlines()
+    assert len(lines) == len(words), (len(lines), len(words))
+    goldens = {
+        w: line.split("\t") for w, line in zip(words, lines)
+    }
+    os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+    with gzip.open(FIXTURE, "wt", encoding="utf-8") as f:
+        json.dump(goldens, f, ensure_ascii=False)
+    print(f"wrote {len(goldens)} goldens -> {FIXTURE}")
+
+
+if __name__ == "__main__":
+    main()
