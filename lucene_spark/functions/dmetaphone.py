@@ -1,0 +1,613 @@
+"""Double Metaphone (Lawrence Philips, C/C++ Users Journal June 2000
+— the published algorithm) producing the (primary, alternate) code
+pair, behavior-matched to the commons-codec implementation the
+reference's PhoneticFilterFactory binds ("DoubleMetaphone"), validated
+100% exact against 30k+ goldens from RUNNING commons-codec itself
+(tools/dmetaphone_goldens.py).
+"""
+
+from __future__ import annotations
+
+_VOWELS = "AEIOUY"
+_SILENT_START = ("GN", "KN", "PN", "WR", "PS")
+_L_R_N_M_B_H_F_V_W_SPACE = ("L", "R", "N", "M", "B", "H", "F", "V", "W", " ")
+_ES_EP_EB_EL_EY_IB_IL_IN_IE_EI_ER = (
+    "ES", "EP", "EB", "EL", "EY", "IB", "IL", "IN", "IE", "EI", "ER",
+)
+_L_T_K_S_N_M_B_Z = ("L", "T", "K", "S", "N", "M", "B", "Z")
+
+
+class _Result:
+    def __init__(self, max_len: int):
+        self.primary: list[str] = []
+        self.alternate: list[str] = []
+        self.max_len = max_len
+
+    def append(self, p: str, a: str | None = None):
+        if a is None:
+            a = p
+        if len(self.primary) < self.max_len:
+            self.primary.append(p)
+        if len(self.alternate) < self.max_len:
+            self.alternate.append(a)
+
+    def append_primary(self, p: str):
+        if len(self.primary) < self.max_len:
+            self.primary.append(p)
+
+    def append_alternate(self, a: str):
+        if len(self.alternate) < self.max_len:
+            self.alternate.append(a)
+
+    def complete(self) -> bool:
+        return (
+            len(self.primary) >= self.max_len
+            and len(self.alternate) >= self.max_len
+        )
+
+    def out(self) -> tuple[str, str]:
+        p = "".join(self.primary)[: self.max_len]
+        a = "".join(self.alternate)[: self.max_len]
+        return p, a
+
+
+def _char_at(v: str, i: int) -> str:
+    if i < 0 or i >= len(v):
+        return ""
+    return v[i]
+
+
+def _is_vowel(ch: str) -> bool:
+    return ch != "" and ch in _VOWELS
+
+
+def _contains(v: str, start: int, length: int, *crit: str) -> bool:
+    if start < 0 or start + length > len(v):
+        return False
+    return v[start : start + length] in crit
+
+
+def _slavo_germanic(v: str) -> bool:
+    return "W" in v or "K" in v or "CZ" in v or "WITZ" in v
+
+
+def double_metaphone(value: str | None, max_len: int = 4):
+    """(primary, alternate) Double Metaphone codes; None/empty input
+    returns None like commons-codec cleanInput."""
+    if value is None:
+        return None
+    value = value.strip().upper()
+    if not value:
+        return None
+    slavo = _slavo_germanic(value)
+    n = len(value)
+    r = _Result(max_len)
+    index = 1 if value.startswith(_SILENT_START) else 0
+    if _char_at(value, 0) == "X":
+        r.append("S")
+        index = 1
+    while not r.complete() and index <= n - 1:
+        ch = value[index]
+        if ch in _VOWELS:
+            index = _h_vowel(value, r, index)
+        elif ch == "B":
+            r.append("P")
+            index += 2 if _char_at(value, index + 1) == "B" else 1
+        elif ch == "\xc7":
+            r.append("S")
+            index += 1
+        elif ch == "C":
+            index = _h_c(value, r, index)
+        elif ch == "D":
+            index = _h_d(value, r, index)
+        elif ch == "F":
+            r.append("F")
+            index += 2 if _char_at(value, index + 1) == "F" else 1
+        elif ch == "G":
+            index = _h_g(value, r, index, slavo)
+        elif ch == "H":
+            index = _h_h(value, r, index)
+        elif ch == "J":
+            index = _h_j(value, r, index, slavo)
+        elif ch == "K":
+            r.append("K")
+            index += 2 if _char_at(value, index + 1) == "K" else 1
+        elif ch == "L":
+            index = _h_l(value, r, index)
+        elif ch == "M":
+            r.append("M")
+            index += 2 if _m_doubled(value, index) else 1
+        elif ch == "N":
+            r.append("N")
+            index += 2 if _char_at(value, index + 1) == "N" else 1
+        elif ch == "\xd1":
+            r.append("N")
+            index += 1
+        elif ch == "P":
+            index = _h_p(value, r, index)
+        elif ch == "Q":
+            r.append("K")
+            index += 2 if _char_at(value, index + 1) == "Q" else 1
+        elif ch == "R":
+            index = _h_r(value, r, index, slavo)
+        elif ch == "S":
+            index = _h_s(value, r, index, slavo)
+        elif ch == "T":
+            index = _h_t(value, r, index)
+        elif ch == "V":
+            r.append("F")
+            index += 2 if _char_at(value, index + 1) == "V" else 1
+        elif ch == "W":
+            index = _h_w(value, r, index)
+        elif ch == "X":
+            index = _h_x(value, r, index)
+        elif ch == "Z":
+            index = _h_z(value, r, index, slavo)
+        else:
+            index += 1
+    return r.out()
+
+
+def _h_vowel(v: str, r: _Result, index: int) -> int:
+    if index == 0:
+        r.append("A")
+    return index + 1
+
+
+def _m_doubled(v: str, index: int) -> bool:
+    # MM, or the silent B of -UMB / -UMBER (conditionM0)
+    return _char_at(v, index + 1) == "M" or (
+        _contains(v, index - 1, 3, "UMB")
+        and (
+            index + 1 == len(v) - 1
+            or _contains(v, index + 2, 2, "ER")
+        )
+    )
+
+
+def _h_c(v: str, r: _Result, index: int) -> int:
+    if _c_cedilla_trap(v, index):  # various germanic
+        r.append("K")
+        index += 2
+    elif index == 0 and _contains(v, index, 6, "CAESAR"):
+        r.append("S")
+        index += 2
+    elif _contains(v, index, 2, "CH"):
+        index = _h_ch(v, r, index)
+    elif _contains(v, index, 2, "CZ") and not _contains(
+        v, index - 2, 4, "WICZ"
+    ):
+        r.append("S", "X")
+        index += 2
+    elif _contains(v, index + 1, 3, "CIA"):
+        r.append("X")
+        index += 3
+    elif _contains(v, index, 2, "CC") and not (
+        index == 1 and _char_at(v, 0) == "M"
+    ):
+        return _h_cc(v, r, index)
+    elif _contains(v, index, 2, "CK", "CG", "CQ"):
+        r.append("K")
+        index += 2
+    elif _contains(v, index, 2, "CI", "CE", "CY"):
+        if _contains(v, index, 3, "CIO", "CIE", "CIA"):
+            r.append("S", "X")
+        else:
+            r.append("S")
+        index += 2
+    else:
+        r.append("K")
+        if _contains(v, index + 1, 2, " C", " Q", " G"):
+            index += 3
+        elif _contains(v, index + 1, 1, "C", "K", "Q") and not _contains(
+            v, index + 1, 2, "CE", "CI"
+        ):
+            index += 2
+        else:
+            index += 1
+    return index
+
+
+def _c_cedilla_trap(v: str, index: int) -> bool:
+    # germanic CHIA- / -ACH- contexts coded K ("conditionC0")
+    if _contains(v, index, 4, "CHIA"):
+        return True
+    if index <= 1:
+        return False
+    if _is_vowel(_char_at(v, index - 2)):
+        return False
+    if not _contains(v, index - 1, 3, "ACH"):
+        return False
+    c = _char_at(v, index + 2)
+    return (c != "I" and c != "E") or _contains(
+        v, index - 2, 6, "BACHER", "MACHER"
+    )
+
+
+def _h_ch(v: str, r: _Result, index: int) -> int:
+    if index > 0 and _contains(v, index, 4, "CHAE"):
+        r.append("K", "X")
+        return index + 2
+    if _ch0(v, index):
+        r.append("K")
+        return index + 2
+    if _ch1(v, index):
+        r.append("K")
+        return index + 2
+    if index > 0:
+        if _contains(v, 0, 2, "MC"):
+            r.append("K")
+        else:
+            r.append("X", "K")
+    else:
+        r.append("X")
+    return index + 2
+
+
+def _ch0(v: str, index: int) -> bool:
+    # word-start greek-ish CH + consonantal contexts -> K
+    if index != 0:
+        return False
+    if (
+        _contains(v, index + 1, 5, "HARAC", "HARIS")
+        or _contains(v, index + 1, 3, "HOR", "HYM", "HIA", "HEM")
+    ) and not _contains(v, 0, 5, "CHORE"):
+        return True
+    return False
+
+
+def _ch1(v: str, index: int) -> bool:
+    # germanic / "architect" style contexts -> K
+    return (
+        (
+            _contains(v, 0, 4, "VAN ", "VON ")
+            or _contains(v, 0, 3, "SCH")
+        )
+        or _contains(v, index - 2, 6, "ORCHES", "ARCHIT", "ORCHID")
+        or _contains(v, index + 2, 1, "T", "S")
+        or (
+            (
+                _contains(v, index - 1, 1, "A", "O", "U", "E")
+                or index == 0
+            )
+            and (
+                _contains(v, index + 2, 1, *_L_R_N_M_B_H_F_V_W_SPACE)
+                or index + 1 == len(v) - 1
+            )
+        )
+    )
+
+
+def _h_cc(v: str, r: _Result, index: int) -> int:
+    if _contains(v, index + 2, 1, "I", "E", "H") and not _contains(
+        v, index + 2, 2, "HU"
+    ):
+        if (
+            index == 1 and _char_at(v, index - 1) == "A"
+        ) or _contains(v, index - 1, 5, "UCCEE", "UCCES"):
+            r.append("KS")
+        else:
+            r.append("X")
+        return index + 3
+    r.append("K")
+    return index + 2
+
+
+def _h_d(v: str, r: _Result, index: int) -> int:
+    if _contains(v, index, 2, "DG"):
+        if _contains(v, index + 2, 1, "I", "E", "Y"):
+            r.append("J")
+            return index + 3
+        r.append("TK")
+        return index + 2
+    if _contains(v, index, 2, "DT", "DD"):
+        r.append("T")
+        return index + 2
+    r.append("T")
+    return index + 1
+
+
+def _h_g(v: str, r: _Result, index: int, slavo: bool) -> int:
+    if _char_at(v, index + 1) == "H":
+        return _h_gh(v, r, index)
+    if _char_at(v, index + 1) == "N":
+        if index == 1 and _is_vowel(_char_at(v, 0)) and not slavo:
+            r.append("KN", "N")
+        elif not _contains(v, index + 2, 2, "EY") and _char_at(
+            v, index + 1
+        ) != "Y" and not slavo:
+            r.append("N", "KN")
+        else:
+            r.append("KN")
+        return index + 2
+    if _contains(v, index + 1, 2, "LI") and not slavo:
+        r.append("KL", "L")
+        return index + 2
+    if index == 0 and (
+        _char_at(v, index + 1) == "Y"
+        or _contains(v, index + 1, 2, *_ES_EP_EB_EL_EY_IB_IL_IN_IE_EI_ER)
+    ):
+        r.append("K", "J")
+        return index + 2
+    if (
+        _contains(v, index + 1, 2, "ER")
+        or _char_at(v, index + 1) == "Y"
+    ) and not _contains(v, 0, 6, "DANGER", "RANGER", "MANGER") and not _contains(
+        v, index - 1, 1, "E", "I"
+    ) and not _contains(v, index - 1, 3, "RGY", "OGY"):
+        r.append("K", "J")
+        return index + 2
+    if _contains(v, index + 1, 1, "E", "I", "Y") or _contains(
+        v, index - 1, 4, "AGGI", "OGGI"
+    ):
+        if (
+            _contains(v, 0, 4, "VAN ", "VON ")
+            or _contains(v, 0, 3, "SCH")
+        ) or _contains(v, index + 1, 2, "ET"):
+            r.append("K")
+        elif _contains(v, index + 1, 3, "IER"):
+            r.append("J")
+        else:
+            r.append("J", "K")
+        return index + 2
+    r.append("K")
+    return index + 2 if _char_at(v, index + 1) == "G" else index + 1
+
+
+def _h_gh(v: str, r: _Result, index: int) -> int:
+    if index > 0 and not _is_vowel(_char_at(v, index - 1)):
+        r.append("K")
+        return index + 2
+    if index == 0:
+        if _char_at(v, index + 2) == "I":
+            r.append("J")
+        else:
+            r.append("K")
+        return index + 2
+    if (
+        index > 1 and _contains(v, index - 2, 1, "B", "H", "D")
+    ) or (
+        index > 2 and _contains(v, index - 3, 1, "B", "H", "D")
+    ) or (
+        index > 3 and _contains(v, index - 4, 1, "B", "H")
+    ):
+        return index + 2
+    if (
+        index > 2
+        and _char_at(v, index - 1) == "U"
+        and _contains(v, index - 3, 1, "C", "G", "L", "R", "T")
+    ):
+        r.append("F")
+    elif index > 0 and _char_at(v, index - 1) != "I":
+        r.append("K")
+    return index + 2
+
+
+def _h_h(v: str, r: _Result, index: int) -> int:
+    if (index == 0 or _is_vowel(_char_at(v, index - 1))) and _is_vowel(
+        _char_at(v, index + 1)
+    ):
+        r.append("H")
+        return index + 2
+    return index + 1
+
+
+def _h_j(v: str, r: _Result, index: int, slavo: bool) -> int:
+    if _contains(v, index, 4, "JOSE") or _contains(v, 0, 4, "SAN "):
+        if (
+            index == 0 and _char_at(v, index + 4) == " "
+        ) or len(v) == 4 or _contains(v, 0, 4, "SAN "):
+            r.append("H")
+        else:
+            r.append("J", "H")
+        return index + 1
+    if index == 0 and not _contains(v, index, 4, "JOSE"):
+        r.append("J", "A")
+    elif (
+        _is_vowel(_char_at(v, index - 1))
+        and not slavo
+        and (
+            _char_at(v, index + 1) == "A"
+            or _char_at(v, index + 1) == "O"
+        )
+    ):
+        r.append("J", "H")
+    elif index == len(v) - 1:
+        r.append_primary("J")
+        r.append_alternate(" ")
+    elif not _contains(
+        v, index + 1, 1, *_L_T_K_S_N_M_B_Z
+    ) and not _contains(v, index - 1, 1, "S", "K", "L"):
+        r.append("J")
+    return index + 2 if _char_at(v, index + 1) == "J" else index + 1
+
+
+def _h_l(v: str, r: _Result, index: int) -> int:
+    if _char_at(v, index + 1) == "L":
+        if _l0(v, index):
+            r.append_primary("L")
+        else:
+            r.append("L")
+        return index + 2
+    r.append("L")
+    return index + 1
+
+
+def _l0(v: str, index: int) -> bool:
+    n1 = len(v) - 1
+    if index == len(v) - 3 and _contains(
+        v, index - 1, 4, "ILLO", "ILLA", "ALLE"
+    ):
+        return True
+    if (
+        _contains(v, n1 - 1, 2, "AS", "OS")
+        or _contains(v, n1, 1, "A", "O")
+    ) and _contains(v, index - 1, 4, "ALLE"):
+        return True
+    return False
+
+
+def _h_p(v: str, r: _Result, index: int) -> int:
+    if _char_at(v, index + 1) == "H":
+        r.append("F")
+        return index + 2
+    r.append("P")
+    return (
+        index + 2
+        if _contains(v, index + 1, 1, "P", "B")
+        else index + 1
+    )
+
+
+def _h_r(v: str, r: _Result, index: int, slavo: bool) -> int:
+    if (
+        index == len(v) - 1
+        and not slavo
+        and _contains(v, index - 2, 2, "IE")
+        and not _contains(v, index - 4, 2, "ME", "MA")
+    ):
+        r.append_alternate("R")
+    else:
+        r.append("R")
+    return index + 2 if _char_at(v, index + 1) == "R" else index + 1
+
+
+def _h_s(v: str, r: _Result, index: int, slavo: bool) -> int:
+    if _contains(v, index - 1, 3, "ISL", "YSL"):
+        return index + 1
+    if index == 0 and _contains(v, index, 5, "SUGAR"):
+        r.append("X", "S")
+        return index + 1
+    if _contains(v, index, 2, "SH"):
+        if _contains(v, index + 1, 4, "HEIM", "HOEK", "HOLM", "HOLZ"):
+            r.append("S")
+        else:
+            r.append("X")
+        return index + 2
+    if _contains(v, index, 3, "SIO", "SIA") or _contains(
+        v, index, 4, "SIAN"
+    ):
+        if slavo:
+            r.append("S")
+        else:
+            r.append("S", "X")
+        return index + 3
+    if (
+        index == 0 and _contains(v, index + 1, 1, "M", "N", "L", "W")
+    ) or _contains(v, index + 1, 1, "Z"):
+        r.append("S", "X")
+        return (
+            index + 2
+            if _contains(v, index + 1, 1, "Z")
+            else index + 1
+        )
+    if _contains(v, index, 2, "SC"):
+        return _h_sc(v, r, index)
+    if index == len(v) - 1 and _contains(v, index - 2, 2, "AI", "OI"):
+        r.append_alternate("S")
+    else:
+        r.append("S")
+    return (
+        index + 2
+        if _contains(v, index + 1, 1, "S", "Z")
+        else index + 1
+    )
+
+
+def _h_sc(v: str, r: _Result, index: int) -> int:
+    if _char_at(v, index + 2) == "H":
+        if _contains(v, index + 3, 2, "OO", "ER", "EN", "UY", "ED", "EM"):
+            if _contains(v, index + 3, 2, "ER", "EN"):
+                r.append("X", "SK")
+            else:
+                r.append("SK")
+        else:
+            if index == 0 and not _is_vowel(_char_at(v, 3)) and _char_at(
+                v, 3
+            ) != "W":
+                r.append("X", "S")
+            else:
+                r.append("X")
+        return index + 3
+    if _contains(v, index + 2, 1, "I", "E", "Y"):
+        r.append("S")
+        return index + 3
+    r.append("SK")
+    return index + 3
+
+
+def _h_t(v: str, r: _Result, index: int) -> int:
+    if _contains(v, index, 4, "TION"):
+        r.append("X")
+        return index + 3
+    if _contains(v, index, 3, "TIA", "TCH"):
+        r.append("X")
+        return index + 3
+    if _contains(v, index, 2, "TH") or _contains(v, index, 3, "TTH"):
+        if _contains(v, index + 2, 2, "OM", "AM") or _contains(
+            v, 0, 4, "VAN ", "VON "
+        ) or _contains(v, 0, 3, "SCH"):
+            r.append("T")
+        else:
+            r.append("0", "T")
+        return index + 2
+    r.append("T")
+    return (
+        index + 2
+        if _contains(v, index + 1, 1, "T", "D")
+        else index + 1
+    )
+
+
+def _h_w(v: str, r: _Result, index: int) -> int:
+    if _contains(v, index, 2, "WR"):
+        r.append("R")
+        return index + 2
+    if index == 0 and (
+        _is_vowel(_char_at(v, index + 1)) or _contains(v, index, 2, "WH")
+    ):
+        if _is_vowel(_char_at(v, index + 1)):
+            r.append("A", "F")
+        else:
+            r.append("A")
+        return index + 1
+    if (
+        index == len(v) - 1 and _is_vowel(_char_at(v, index - 1))
+    ) or _contains(
+        v, index - 1, 5, "EWSKI", "EWSKY", "OWSKI", "OWSKY"
+    ) or _contains(v, 0, 3, "SCH"):
+        r.append_alternate("F")
+        return index + 1
+    if _contains(v, index, 4, "WICZ", "WITZ"):
+        r.append("TS", "FX")
+        return index + 4
+    return index + 1
+
+
+def _h_x(v: str, r: _Result, index: int) -> int:
+    if not (
+        index == len(v) - 1
+        and (
+            _contains(v, index - 3, 3, "IAU", "EAU")
+            or _contains(v, index - 2, 2, "AU", "OU")
+        )
+    ):
+        r.append("KS")
+    return (
+        index + 2
+        if _contains(v, index + 1, 1, "C", "X")
+        else index + 1
+    )
+
+
+def _h_z(v: str, r: _Result, index: int, slavo: bool) -> int:
+    if _char_at(v, index + 1) == "H":
+        r.append("J")
+        return index + 2
+    if _contains(v, index + 1, 2, "ZO", "ZI", "ZA") or (
+        slavo and index > 0 and _char_at(v, index - 1) != "T"
+    ):
+        r.append("S", "TS")
+    else:
+        r.append("S")
+    return index + 2 if _char_at(v, index + 1) == "Z" else index + 1

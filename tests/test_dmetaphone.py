@@ -1,0 +1,48 @@
+"""Double Metaphone vs compiled commons-codec goldens + canonical
+pairs."""
+
+import gzip
+import json
+import os
+
+from lucene_spark.functions.dmetaphone import double_metaphone
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "dmetaphone_goldens.json.gz"
+)
+
+
+class TestGoldens:
+    def test_all_words_exact(self):
+        goldens = json.load(gzip.open(FIXTURE, "rt", encoding="utf-8"))
+        assert len(goldens) > 28000
+        bad = []
+        for w, (p, a) in goldens.items():
+            got = double_metaphone(w)
+            if got is None or got[0] != p or got[1] != a:
+                bad.append((w, (p, a), got))
+        assert not bad, bad[:5]
+
+
+class TestCanonical:
+    def test_classic_pairs(self):
+        # the canonical "sounds alike across spellings" pairs
+        assert double_metaphone("Smith")[0] == double_metaphone("Smythe")[0]
+        assert (
+            double_metaphone("Katherine")[0]
+            == double_metaphone("Catherine")[0]
+        )
+
+    def test_primary_alternate_split(self):
+        # Slavic -WICZ: primary TS, alternate FX
+        p, a = double_metaphone("Filipowicz")
+        assert (p, a) == ("FLPT", "FLPF")
+
+    def test_silent_letters(self):
+        assert double_metaphone("Knox")[0].startswith("N")
+        assert double_metaphone("wright")[0].startswith("R")
+        assert double_metaphone("dumb")[0] == "TM"  # -UMB silent B
+
+    def test_none_and_empty(self):
+        assert double_metaphone(None) is None
+        assert double_metaphone("   ") is None

@@ -1,0 +1,139 @@
+"""DoubleMetaphone golden fixtures from the commons-codec
+implementation the reference binds (jar ships with pyspark; behavior
+study only). Writes tests/fixtures/dmetaphone_goldens.json.gz as
+{word: [primary, alternate]}.
+
+    python tools/dmetaphone_goldens.py
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import random
+import subprocess
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = "/tmp/phon"
+FIXTURE = os.path.join(
+    ROOT, "tests", "fixtures", "dmetaphone_goldens.json.gz"
+)
+
+HARNESS = """
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import org.apache.commons.codec.language.DoubleMetaphone;
+
+public class DmMain {
+  public static void main(String[] args) throws Exception {
+    DoubleMetaphone dm = new DoubleMetaphone();
+    dm.setMaxCodeLen(4);
+    BufferedReader in = new BufferedReader(
+        new InputStreamReader(System.in, StandardCharsets.UTF_8));
+    PrintWriter out = new PrintWriter(
+        new OutputStreamWriter(System.out, StandardCharsets.UTF_8));
+    String line;
+    while ((line = in.readLine()) != null) {
+      String p, a;
+      try { p = dm.doubleMetaphone(line, false); } catch (Exception e) { p = "!ERR"; }
+      try { a = dm.doubleMetaphone(line, true); } catch (Exception e) { a = "!ERR"; }
+      out.println((p == null ? "" : p) + "\\t" + (a == null ? "" : a));
+    }
+    out.flush();
+  }
+}
+"""
+
+NAMES = [
+    "Smith", "Smythe", "Schmidt", "Snider", "Schneider", "Jose",
+    "Joseph", "Xavier", "Wachtler", "Wechsler", "Filipowicz",
+    "Ghiradelli", "ghislane", "hugh", "laugh", "cough", "gough",
+    "McHugh", "McLaughlin", "Campbell", "raspberry", "Thompson",
+    "Thomas", "Catherine", "Katherine", "Cagney", "Agnes", "Wagner",
+    "Gnocchi", "bologna", "tagliaro", "biaggi", "Jankelowicz",
+    "Caesar", "chianti", "michael", "chemistry", "chorus", "architect",
+    "arch", "orchestra", "orchid", "wachtler", "succeed", "bacci",
+    "focaccia", "macias", "Czerny", "island", "isle", "sugar",
+    "schenker", "school", "schooner", "schermerhorn", "snider",
+    "accident", "accede", "bertucci", "hochmeier", "dumb", "thumb",
+    "edge", "edgar", "ghent", "bough", "rough", "broughton", "Jcasz",
+    "Carlysle", "Carlisle", "danger", "ranger", "manager", "Yankelovich",
+    "bajador", "cabrillo", "gallegos", "San Jacinto", "Yang", "whirl",
+    "white", "Uomo", "Womo", "Arnow", "Arnoff", "filipowicz", "zhao",
+    "jumped", "Jous", "held", "alle", "Alla", "pizza", "pezza",
+    "Piazza", "Xiaoping", "Zaxxon", "exam", "exceed", "Tsingtao",
+    "llama", "Villa", "Jalapeno", "padejo", "veranda", "Pnina",
+    "Knox", "gnostic", "wrangle", "wright", "Aggie", "Egger",
+    "cincinnati", "cinch", "concert", "concierge", "chagrin",
+]
+
+
+def _jar() -> str:
+    hits = glob.glob("/opt/spark-*/jars/commons-codec-*.jar")
+    if not hits:
+        raise SystemExit("commons-codec jar not found")
+    return hits[0]
+
+
+def _words() -> list[str]:
+    import duckdb
+
+    vocab = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT DISTINCT unnest(string_split(text, ' ')) FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchall()
+    ]
+    rng = random.Random(29)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    clusters = [
+        "sch", "ch", "cc", "ci", "ce", "cy", "ck", "cg", "cq", "cz",
+        "gh", "gn", "gg", "gi", "ge", "gy", "dge", "dg", "dt", "dd",
+        "kn", "gn", "pn", "wr", "ps", "mb", "ph", "pb", "sh", "sio",
+        "sia", "sz", "sc", "sl", "th", "tch", "tia", "tio", "wh", "wicz",
+        "witz", "x", "zh", "zz", "ll", "nn", "rr", "j", "ia", "io",
+        "au", "ou", "ua", "uo", "ea", "ee", "er", "es", "ier", "isl",
+        "usl", "umb", "omb", "acc", "ucc", "mac", "mc", "van ", "von ",
+        "heim", "hoch", "hugh", "ough", "augh",
+    ]
+    rand = []
+    for _ in range(15000):
+        n = rng.randint(1, 8)
+        rand.append("".join(rng.choice(alpha) for _ in range(n)))
+    for _ in range(25000):
+        k = rng.randint(1, 5)
+        rand.append("".join(rng.choice(clusters + list(alpha))
+                            for _ in range(k)))
+    return [w for w in dict.fromkeys(vocab + NAMES + rand) if w]
+
+
+def main():
+    os.makedirs(WORK, exist_ok=True)
+    with open(os.path.join(WORK, "DmMain.java"), "w") as f:
+        f.write(HARNESS)
+    jar = _jar()
+    subprocess.run(
+        ["javac", "-cp", jar, "DmMain.java"], cwd=WORK, check=True
+    )
+    words = _words()
+    proc = subprocess.run(
+        ["java", "-cp", f".:{jar}", "DmMain"],
+        cwd=WORK,
+        input="\n".join(words).encode("utf-8"),
+        capture_output=True,
+        check=True,
+    )
+    lines = proc.stdout.decode("utf-8").splitlines()
+    assert len(lines) == len(words), (len(lines), len(words))
+    goldens = {w: line.split("\t") for w, line in zip(words, lines)}
+    os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+    with gzip.open(FIXTURE, "wt", encoding="utf-8") as f:
+        json.dump(goldens, f, ensure_ascii=False)
+    print(f"wrote {len(goldens)} goldens -> {FIXTURE}")
+
+
+if __name__ == "__main__":
+    main()
