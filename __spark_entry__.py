@@ -8095,6 +8095,81 @@ FROM slots ORDER BY doc_id, word
 """
 
 
+_DMK_POOL = [
+    "Peters", "Moskowitz", "Auerbach", "Golden",
+    "Mintz", "Schwarz", "Lipshitz", "Lewinsky",
+]
+_DMK_ENC = [
+    "734000", "645740", "097400", "583600",
+    "664000", "474000", "874400", "876450",
+]
+_DMK_SDX = [
+    "734000|739400", "645740", "097400|097500", "583600",
+    "664000", "474000|479400", "874400", "876450",
+]
+
+
+def _q_daitch_mokotoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daitch-Mokotoff Soundex (the PhoneticFilterFactory
+    'DaitchMokotoff' encoder; rules decoded from the dmrules table,
+    engine validated 100% exact vs 23k compiled commons-codec
+    goldens): single code (encode) and all branch codes (soundex)
+    over an 8-name pool with pinned expectations — RS/RZ and CH
+    branching visible."""
+    from lucene_spark.functions.daitch_mokotoff import (
+        daitch_mokotoff,
+        daitch_mokotoff_encode,
+    )
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, words, encs, sdxs = [], [], [], []
+            for i in pdf["doc_id"].tolist():
+                for k in range(5):
+                    w = _DMK_POOL[(i * 7 + k) % 8]
+                    ids.append(i)
+                    words.append(w)
+                    encs.append(daitch_mokotoff_encode(w))
+                    sdxs.append(daitch_mokotoff(w))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "word": words,
+                    "dm_code": encs, "dm_branches": sdxs,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id long, word string, dm_code string, "
+        "dm_branches string",
+    ).orderBy("doc_id", "word")
+
+
+_DAITCH_MOKOTOFF_SQL = """
+WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id < 200
+),
+slots AS (
+  SELECT d.doc_id, g.k, (d.doc_id*7 + g.k) % 8 AS w
+  FROM d, (SELECT unnest(generate_series(0, 4)) AS k) g
+)
+SELECT doc_id,
+  ['Peters','Moskowitz','Auerbach','Golden','Mintz','Schwarz',
+   'Lipshitz','Lewinsky'][w + 1] AS word,
+  ['734000','645740','097400','583600','664000','474000','874400',
+   '876450'][w + 1] AS dm_code,
+  ['734000|739400','645740','097400|097500','583600','664000',
+   '474000|479400','874400','876450'][w + 1] AS dm_branches
+FROM slots ORDER BY doc_id, word
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -10526,6 +10601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inet_range_relations": _q_inet_range,
         "phonetic_codec_codes": _q_phonetic_codec,
         "double_metaphone_codes": _q_double_metaphone,
+        "daitch_mokotoff_codes": _q_daitch_mokotoff,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -12646,6 +12722,7 @@ def oracle_sql() -> dict[str, str]:
         "inet_range_relations": _INET_RANGE_SQL,
         "phonetic_codec_codes": _PHONETIC_CODEC_SQL,
         "double_metaphone_codes": _DOUBLE_METAPHONE_SQL,
+        "daitch_mokotoff_codes": _DAITCH_MOKOTOFF_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

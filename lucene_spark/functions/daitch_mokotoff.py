@@ -1,0 +1,110 @@
+"""Daitch-Mokotoff Soundex — the genealogy encoder of the
+PhoneticFilterFactory registry ('DaitchMokotoff'), driven by the
+decoded dmrules table (``_dm_rules.py``; pattern -> the three
+contextual replacement alternative lists: word start / before a
+vowel / other). Behavior matched to commons-codec
+DaitchMokotoffSoundex and validated against goldens from RUNNING it
+(tools/dmk_goldens.py):
+
+- input lowercased, whitespace dropped, single-char folds applied;
+- at each position the LONGEST matching pattern wins, the context
+  replacement chosen by whether the char AFTER the pattern is a
+  vowel (aeiou);
+- '|' alternatives fork branches (soundex() returns all, '|'-joined
+  in first-seen order; encode() follows only the first alternative);
+- a replacement is appended unless the previous replacement ends
+  with it (the empty vowel replacement appends nothing but resets the
+  suppression), with the m-n adjacency forced to code separately —
+  where the remembered previous char is the FIRST char of the prior
+  match, so "...nm m..." forces but "...nm n..." does not; branches
+  merge by CODE equality, first one wins;
+- codes truncate/zero-pad to 6 digits.
+"""
+
+from __future__ import annotations
+
+from ._dm_rules import FOLDS, RULES
+
+_VOWELS = set("aeiou")
+_BY_FIRST: dict[str, list] = {}
+for _r in RULES:
+    _BY_FIRST.setdefault(_r[0][0], []).append(_r)
+
+
+def _clean(text: str) -> str:
+    out = []
+    for ch in text.lower():
+        if ch.isspace():
+            continue
+        out.append(FOLDS.get(ch, ch))
+    return "".join(out)
+
+
+def daitch_mokotoff(text: str, branching: bool = True) -> str:
+    """soundex() when branching (all codes, '|'-joined); encode()
+    semantics when not (first alternative only)."""
+    word = _clean(text)
+    n = len(word)
+    # branch = (code string, last replacement or None)
+    branches: list[tuple[str, str | None]] = [("", None)]
+    index = 0
+    last_char = ""  # FIRST char of the previous match (commons-codec
+    # advances by pattern length but remembers only ch)
+    while index < n:
+        ch = word[index]
+        force = (last_char == "m" and ch == "n") or (
+            last_char == "n" and ch == "m"
+        )
+        matched = None
+        for pat, at_start, before_vowel, other in _BY_FIRST.get(ch, ()):
+            if word.startswith(pat, index):
+                matched = (pat, at_start, before_vowel, other)
+                break
+        if matched is None:
+            index += 1
+            last_char = ch
+            continue
+        pat, at_start, before_vowel, other = matched
+        if index == 0:
+            alts = at_start
+        elif (
+            index + len(pat) < n and word[index + len(pat)] in _VOWELS
+        ):
+            alts = before_vowel
+        else:
+            alts = other
+        if not branching:
+            alts = alts[:1]
+        new_branches: list[tuple[str, str | None]] = []
+        seen: set[str] = set()
+        for code, last_rep in branches:
+            for rep in alts:
+                # append unless the previous replacement ends with
+                # this one ("x".endswith("") is True, so a vowel's
+                # empty replacement appends nothing but RESETS the
+                # suppression by becoming the new lastReplacement)
+                if force or last_rep is None or not last_rep.endswith(rep):
+                    nb = (code + rep, rep)
+                else:
+                    nb = (code, rep)
+                # commons-codec merges branches by CODE equality
+                # (first wins), discarding the divergent
+                # lastReplacement
+                if nb[0] not in seen:
+                    seen.add(nb[0])
+                    new_branches.append(nb)
+        branches = new_branches
+        index += len(pat)
+        last_char = ch
+    out = []
+    seen_codes = set()
+    for code, _ in branches:
+        final = (code + "000000")[:6]
+        if final not in seen_codes:
+            seen_codes.add(final)
+            out.append(final)
+    return "|".join(out)
+
+
+def daitch_mokotoff_encode(text: str) -> str:
+    return daitch_mokotoff(text, branching=False)

@@ -1,0 +1,50 @@
+"""Daitch-Mokotoff Soundex vs compiled commons-codec goldens."""
+
+import gzip
+import json
+import os
+
+from lucene_spark.functions.daitch_mokotoff import (
+    daitch_mokotoff,
+    daitch_mokotoff_encode,
+)
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "dmk_goldens.json.gz"
+)
+
+
+class TestGoldens:
+    def test_all_words_exact(self):
+        goldens = json.load(gzip.open(FIXTURE, "rt", encoding="utf-8"))
+        assert len(goldens) > 20000
+        bad = []
+        for w, (enc, sdx) in goldens.items():
+            if (
+                daitch_mokotoff_encode(w) != enc
+                or daitch_mokotoff(w) != sdx
+            ):
+                bad.append(w)
+        assert not bad, bad[:5]
+
+
+class TestCanonical:
+    def test_branching(self):
+        # RS/RZ fork: Peters codes both ways, encode() takes the first
+        assert daitch_mokotoff("Peters") == "734000|739400"
+        assert daitch_mokotoff_encode("Peters") == "734000"
+
+    def test_genealogy_merges(self):
+        # the classic DM motivation: Slavic spelling variants share a
+        # branch
+        a = set(daitch_mokotoff("Moskowitz").split("|"))
+        b = set(daitch_mokotoff("Moskovitz").split("|"))
+        assert a & b
+
+    def test_mn_rule(self):
+        # mn/nm code separately; the remembered previous char is the
+        # FIRST char of the prior match ("...nm m" forces, "...nm n"
+        # does not)
+        assert daitch_mokotoff("mn") == "660000"
+        assert daitch_mokotoff("dfynmm") == "376660"
+        assert daitch_mokotoff("kysshnmn") == "546600"

@@ -1,0 +1,107 @@
+"""Daitch-Mokotoff golden fixtures from commons-codec (jar ships with
+pyspark; behavior study only). Writes
+tests/fixtures/dmk_goldens.json.gz as {word: [encode, soundex]}.
+
+    python tools/dmk_goldens.py
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import random
+import subprocess
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = "/tmp/phon"
+FIXTURE = os.path.join(ROOT, "tests", "fixtures", "dmk_goldens.json.gz")
+
+HARNESS = """
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import org.apache.commons.codec.language.DaitchMokotoffSoundex;
+
+public class DmkMain {
+  public static void main(String[] args) throws Exception {
+    DaitchMokotoffSoundex dm = new DaitchMokotoffSoundex();
+    BufferedReader in = new BufferedReader(
+        new InputStreamReader(System.in, StandardCharsets.UTF_8));
+    PrintWriter out = new PrintWriter(
+        new OutputStreamWriter(System.out, StandardCharsets.UTF_8));
+    String line;
+    while ((line = in.readLine()) != null) {
+      String enc, sdx;
+      try { enc = dm.encode(line); } catch (Exception e) { enc = "!ERR"; }
+      try { sdx = dm.soundex(line); } catch (Exception e) { sdx = "!ERR"; }
+      out.println(enc + "\\t" + sdx);
+    }
+    out.flush();
+  }
+}
+"""
+
+
+def _words():
+    import duckdb
+
+    vocab = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT DISTINCT unnest(string_split(text, ' ')) FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchall()
+    ]
+    names = [
+        "Peters", "Peterson", "Moskowitz", "Moskovitz", "Auerbach",
+        "Ohrbach", "Uhrbach", "Lipshitz", "Lippszyc", "Lewinsky",
+        "Levinsky", "Szlamawicz", "Shlamovitz", "Golden", "Goldberg",
+        "Mintz", "Schwarz", "czerny", "mintz", "mn", "nm", "manm",
+        "schtschrz", "ajajaj", "ay", "tsadik", "ţara", "ęąęą",
+    ]
+    rng = random.Random(31)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    clusters = [
+        "sch", "tsch", "sh", "ch", "ck", "cz", "cs", "sz", "strz",
+        "drz", "zh", "zdz", "ts", "tz", "dz", "th", "ai", "aj", "ay",
+        "ei", "eu", "ui", "oi", "mn", "nm", "rz", "rs", "chs", "ks",
+        "ia", "ie", "io", "iu", "shch", "szcz",
+    ]
+    rand = []
+    for _ in range(12000):
+        n = rng.randint(1, 8)
+        rand.append("".join(rng.choice(alpha) for _ in range(n)))
+    for _ in range(20000):
+        k = rng.randint(1, 5)
+        rand.append("".join(rng.choice(clusters + list(alpha))
+                            for _ in range(k)))
+    return [w for w in dict.fromkeys(vocab + names + rand) if w]
+
+
+def main():
+    os.makedirs(WORK, exist_ok=True)
+    with open(os.path.join(WORK, "DmkMain.java"), "w") as f:
+        f.write(HARNESS)
+    jar = glob.glob("/opt/spark-*/jars/commons-codec-*.jar")[0]
+    subprocess.run(["javac", "-cp", jar, "DmkMain.java"], cwd=WORK,
+                   check=True)
+    words = _words()
+    proc = subprocess.run(
+        ["java", "-cp", f".:{jar}", "DmkMain"],
+        cwd=WORK,
+        input="\n".join(words).encode("utf-8"),
+        capture_output=True,
+        check=True,
+    )
+    lines = proc.stdout.decode("utf-8").splitlines()
+    assert len(lines) == len(words)
+    goldens = {w: line.split("\t") for w, line in zip(words, lines)}
+    os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+    with gzip.open(FIXTURE, "wt", encoding="utf-8") as f:
+        json.dump(goldens, f, ensure_ascii=False)
+    print(f"wrote {len(goldens)} goldens -> {FIXTURE}")
+
+
+if __name__ == "__main__":
+    main()

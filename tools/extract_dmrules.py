@@ -1,0 +1,63 @@
+"""Decode the Daitch-Mokotoff rule table (dmrules.txt, ASF-licensed
+pure data shipped inside commons-codec — the implementation the
+reference's PhoneticFilterFactory 'DaitchMokotoff' entry binds) into
+``lucene_spark/functions/_dm_rules.py``.
+
+    python tools/extract_dmrules.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import zipfile
+import glob
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, "lucene_spark", "functions", "_dm_rules.py")
+
+
+def main():
+    jar = glob.glob("/opt/spark-*/jars/commons-codec-*.jar")[0]
+    with zipfile.ZipFile(jar) as z:
+        text = z.read(
+            "org/apache/commons/codec/language/dmrules.txt"
+        ).decode("utf-8")
+    rules = []
+    folds = {}
+    in_comment = False
+    for raw in text.splitlines():
+        line = raw.strip()
+        if in_comment:
+            if line.endswith("*/"):
+                in_comment = False
+            continue
+        if line.startswith("/*"):
+            in_comment = not line.endswith("*/")
+            continue
+        if not line or line.startswith("//"):
+            continue
+        m = re.match(r'^"([^"]*)"\s+"([^"]*)"\s+"([^"]*)"\s+"([^"]*)"', line)
+        if m:
+            pat, s, v, o = m.groups()
+            rules.append(
+                (pat, s.split("|"), v.split("|"), o.split("|"))
+            )
+            continue
+        m = re.match(r"^(\S)=(\S)$", line)
+        if m:
+            folds[m.group(1)] = m.group(2)
+    # longest-match-first per leading char
+    rules.sort(key=lambda r: (-len(r[0]), r[0]))
+    with open(OUT, "w", encoding="utf-8") as f:
+        f.write(
+            '"""Daitch-Mokotoff rule table decoded from commons-codec\n'
+            "dmrules.txt (pure data; tools/extract_dmrules.py).\"\"\"\n\n"
+        )
+        f.write(f"RULES = {rules!r}\n\nFOLDS = {folds!r}\n")
+    print(f"wrote {len(rules)} rules, {len(folds)} folds -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()
