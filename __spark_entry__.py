@@ -8170,6 +8170,65 @@ FROM slots ORDER BY doc_id, word
 """
 
 
+def _q_phonetic_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoubleMetaphoneFilter(inject=true) as an index-time CHAIN
+    (analysis/phonetic/DoubleMetaphoneFilter.java:38-99): the surface
+    token keeps its position, distinct primary/alternate codes stack
+    there with posInc 0 (codes equal to earlier emissions dropped,
+    like the reference's equals() guards)."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("double_metaphone")
+        for pdf in batches:
+            ids, terms_out, pos_out = [], [], []
+            for i in pdf["doc_id"].tolist():
+                text = " ".join(
+                    _DM_POOL[(i * 3 + k) % 8] for k in range(3)
+                )
+                terms, pos = chain_analyze(text, chain)
+                ids.append(i)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_PHONETIC_CHAIN_SQL = """
+WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id < 200
+),
+slots AS (
+  SELECT d.doc_id, g.k, (d.doc_id*3 + g.k) % 8 AS w
+  FROM d, (SELECT unnest(generate_series(0, 2)) AS k) g
+),
+e AS (
+  SELECT doc_id, k,
+    ['smith|SM0|XMT','smythe|SM0|XMT','schmidt|XMT|SMT',
+     'filipowicz|FLPT|FLPF','thompson|TMPS','wright|RT','jose|HS',
+     'xavier|SF|SFR'][w + 1] AS piece,
+    [3, 3, 3, 3, 2, 2, 2, 3][w + 1] AS cnt
+  FROM slots
+)
+SELECT doc_id,
+  string_agg(piece, '|' ORDER BY k) AS terms,
+  string_agg(ltrim(repeat(',' || CAST(k AS VARCHAR), cnt), ','),
+             ',' ORDER BY k) AS positions
+FROM e GROUP BY doc_id
+"""
+
+
 def _q_masked_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:
     27-120): two parallel per-field indexes — evens = tokens at even
@@ -10602,6 +10661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_codec_codes": _q_phonetic_codec,
         "double_metaphone_codes": _q_double_metaphone,
         "daitch_mokotoff_codes": _q_daitch_mokotoff,
+        "phonetic_chain_tokens": _q_phonetic_chain,
         "interval_within_top10": _q_interval_within,
         "interval_or_top10": _q_interval_or,
         "interval_prefix_top10": _q_interval_prefix,
@@ -12723,6 +12783,7 @@ def oracle_sql() -> dict[str, str]:
         "phonetic_codec_codes": _PHONETIC_CODEC_SQL,
         "double_metaphone_codes": _DOUBLE_METAPHONE_SQL,
         "daitch_mokotoff_codes": _DAITCH_MOKOTOFF_SQL,
+        "phonetic_chain_tokens": _PHONETIC_CHAIN_SQL,
         "highlight_top5": _highlight_sql("window"),
         "sloppy_repeat_top10": _sloppy_repeat_sql("the", "query", 3),
         "sessionize_stats": """

@@ -1208,6 +1208,17 @@ def _build_chains() -> dict:
         "synonyms": AnalyzerChain(
             "synonyms", frozenset(), stream=_syn_stream()
         ),
+        # DoubleMetaphoneFilter(inject=true): surface token + primary
+        # + alternate codes stacked at one position
+        "double_metaphone": AnalyzerChain(
+            "double_metaphone", frozenset(), stream=_dm_chain_stream()
+        ),
+        # PhoneticFilter(DaitchMokotoffSoundex, inject=true) — the
+        # single encode() code stacks (the '|' branch form is the
+        # rowed daitch_mokotoff() function)
+        "daitch_mokotoff": AnalyzerChain(
+            "daitch_mokotoff", frozenset(), stream=_dmk_chain_stream()
+        ),
         # SuggestStopFilter (suggest/analyzing/SuggestStopFilter.java):
         # stop filter that keeps a FINAL stopword still being typed
         # (no trailing token separator)
@@ -1724,6 +1735,28 @@ merge/GSR
 build/GR
 spark
 """
+
+
+def _dm_chain_stream():
+    from .dmetaphone import double_metaphone
+    from .miscfilters import phonetic_inject_stream_factory
+
+    def primary(t):
+        out = double_metaphone(t)
+        return out[0] if out else ""
+
+    def alternate(t):
+        out = double_metaphone(t)
+        return out[1] if out else ""
+
+    return phonetic_inject_stream_factory([primary, alternate])
+
+
+def _dmk_chain_stream():
+    from .daitch_mokotoff import daitch_mokotoff_encode
+    from .miscfilters import phonetic_inject_stream_factory
+
+    return phonetic_inject_stream_factory([daitch_mokotoff_encode])
 
 
 def _ss_tokenizer():

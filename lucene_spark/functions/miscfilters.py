@@ -464,3 +464,35 @@ def suggest_stop_stream_factory():
         return terms, positions
 
     return stream
+
+
+def phonetic_inject_stream_factory(encoders):
+    """PhoneticFilter / DoubleMetaphoneFilter with inject=true
+    (``analysis/phonetic/.../PhoneticFilter.java:48-53``,
+    ``DoubleMetaphoneFilter.java:38-99``): the surface token keeps its
+    position and its distinct non-empty codes stack there (posInc 0);
+    codes equal to the token or to an earlier code are dropped, like
+    the reference's equals() guards. The reference's intra-position
+    emission order (a capture/restore queue artifact) is normalized
+    to original-then-codes — positions and the token set are
+    identical, which is all the index sees."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(tokens):
+            t = _java_lower(tok)
+            if t in stopwords:
+                continue
+            terms.append(t)
+            positions.append(pos)
+            emitted = [t]
+            for enc in encoders:
+                code = enc(t)
+                if code and code not in emitted:
+                    emitted.append(code)
+                    terms.append(code)
+                    positions.append(pos)
+        return terms, positions
+
+    return stream

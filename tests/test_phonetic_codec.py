@@ -49,3 +49,25 @@ class TestCanonical:
         assert nysiis("Ay") == "AY"        # ...so 'AY' itself survives
         assert nysiis("as") == ""          # S then A removal may empty
         assert nysiis("mississippians") == "MASASA"  # cap AFTER rules
+
+
+class TestInjectChains:
+    def test_double_metaphone_chain(self):
+        from lucene_spark.functions.lang import chain_analyze, get_chain
+
+        terms, pos = chain_analyze(
+            "Smith Thompson", get_chain("double_metaphone")
+        )
+        # distinct codes stack; Thompson's equal primary/alternate
+        # emits once (the reference's equals() guard)
+        assert terms == ["smith", "SM0", "XMT", "thompson", "TMPS"]
+        assert pos == [0, 0, 0, 1, 1]
+
+    def test_daitch_mokotoff_chain(self):
+        from lucene_spark.functions.lang import chain_analyze, get_chain
+
+        terms, pos = chain_analyze(
+            "Peters golden", get_chain("daitch_mokotoff")
+        )
+        assert terms == ["peters", "734000", "golden", "583600"]
+        assert pos == [0, 0, 1, 1]
