@@ -881,7 +881,7 @@ def _phrase_wildcard_sql(pattern_rx: str, literal: str, k: int = 10) -> str:
 
 def _const_match_sql(term_pred: str, k: int = 1000) -> str:
     return f"""WITH {_TOK}
-      SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE {term_pred}
+      SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tok WHERE {term_pred}
       ORDER BY doc_id LIMIT {k}"""
 
 
@@ -4457,8 +4457,8 @@ _GEO_HAV = """2 * 6371008.7714 * asin(least(1.0, sqrt(
 
 _GEO_PTS = """pts AS (
   SELECT c_custkey,
-         c_custkey * 7 % 120 - 60 + 0.25 AS lat,
-         c_custkey * 13 % 340 - 170 + 0.5 AS lon
+         CAST(c_custkey * 7 % 120 - 60 + 0.25 AS DOUBLE) AS lat,
+         CAST(c_custkey * 13 % 340 - 170 + 0.5 AS DOUBLE) AS lon
   FROM customer
 )"""
 
@@ -4537,7 +4537,7 @@ def _xy_polygon_sql() -> str:
     ys = [p[0] for p in _XY_POLY]
     xs = [p[1] for p in _XY_POLY]
     return f"""WITH {_GEO_PTS}
-SELECT c_custkey, 1.0 AS score FROM pts
+SELECT c_custkey, CAST(1.0 AS DOUBLE) AS score FROM pts
 WHERE lon >= {min(xs)} AND lon <= {max(xs)}
   AND lat >= {min(ys)} AND lat <= {max(ys)}
   AND ({cross}) % 2 = 1"""
@@ -4568,7 +4568,7 @@ def _geo_polygon_sql() -> str:
         )
     cross = " + ".join(terms)
     return f"""WITH {_GEO_PTS}
-SELECT c_custkey, 1.0 AS score FROM pts
+SELECT c_custkey, CAST(1.0 AS DOUBLE) AS score FROM pts
 WHERE ({cross}) % 2 = 1"""
 
 
@@ -9977,13 +9977,13 @@ SELECT '__total__' AS label,
 UNION ALL
 SELECT 'p23',
        sum((CASE WHEN a1 = 2 AND b1 = 3 THEN 1 ELSE 0 END)
-         + (CASE WHEN a2 = 2 AND b2 = 3 THEN 1 ELSE 0 END)) FROM m
+         + (CASE WHEN a2 = 2 AND b2 = 3 THEN 1 ELSE 0 END))::BIGINT FROM m
 UNION ALL
 SELECT 'rng',
        sum((CASE WHEN a1 BETWEEN 1 AND 3 AND b1 BETWEEN 2 AND 5
             THEN 1 ELSE 0 END)
          + (CASE WHEN a2 BETWEEN 1 AND 3 AND b2 BETWEEN 2 AND 5
-            THEN 1 ELSE 0 END)) FROM m
+            THEN 1 ELSE 0 END))::BIGINT FROM m
 ORDER BY label
 """
 
@@ -10953,7 +10953,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 2 DESC, doc_id LIMIT 10""",
         "function_match_docs": f"""
             WITH {_TOK}, {_DL}
-            SELECT doc_id, 1.0 AS score FROM dl WHERE dl % 7 = 3
+            SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM dl WHERE dl % 7 = 3
             ORDER BY doc_id LIMIT 1000""",
         "histogram_doclen": f"""
             WITH {_TOK}, {_DL},
@@ -11292,13 +11292,13 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOK},
             tf AS (SELECT DISTINCT doc_id FROM tok
                    WHERE term = 'window')
-            SELECT doc_id, 1.0 AS score FROM tf
+            SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf
             ORDER BY 2 DESC, doc_id LIMIT 10""",
         "rawtf_sim_top10": f"""
             WITH {_TOK},
             tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM tok
                    WHERE term = 'window' GROUP BY doc_id)
-            SELECT doc_id, round(tf * 1.0, 6) AS score FROM tf
+            SELECT doc_id, round(CAST(tf AS DOUBLE), 6) AS score FROM tf
             ORDER BY 2 DESC, doc_id LIMIT 10""",
         "sweetspot_sim_top10": f"""
             WITH {_TOK}, {_DL}, {_ST},
@@ -11551,19 +11551,19 @@ def oracle_sql() -> dict[str, str]:
         "ngram_phrase_top10": _ngram_phrase_sql("window", 2),
         "point_range_doclen": f"""
             WITH {_TOK}, {_DL}
-            SELECT doc_id, 1.0 AS score FROM dl
+            SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM dl
             WHERE dl >= 20 AND dl < 40 ORDER BY doc_id""",
         "sorted_range_doclen": f"""
             WITH {_TOK}, {_DL}
-            SELECT doc_id, 1.0 AS score FROM dl
+            SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM dl
             WHERE dl >= 25 AND dl <= 45 ORDER BY doc_id""",
         "multi_range_match": f"""
             WITH {_TOK}, {_DL}
-            SELECT doc_id, 1.0 AS score FROM dl
+            SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM dl
             WHERE (dl BETWEEN 10 AND 20) OR (dl BETWEEN 40 AND 50)
             ORDER BY doc_id""",
         "dv_multi_range_long": """
-            SELECT doc_id, 1.0 AS score FROM documents
+            SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
             WHERE ((doc_id % 97) BETWEEN 5 AND 15 OR (doc_id % 97) = 20)
                OR (((doc_id * 7) % 89) BETWEEN 5 AND 15
                    OR ((doc_id * 7) % 89) = 20)
@@ -11571,7 +11571,7 @@ def oracle_sql() -> dict[str, str]:
                    OR ((doc_id * 13) % 83) = 20)
             ORDER BY doc_id""",
         "dv_multi_range_str": """
-            SELECT doc_id, 1.0 AS score FROM documents
+            SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
             WHERE ('t' || CAST(doc_id % 7 AS VARCHAR)
                       BETWEEN 't1' AND 't5')
                OR ('u' || CAST(doc_id % 3 AS VARCHAR) = 'u1')
@@ -11684,7 +11684,7 @@ def oracle_sql() -> dict[str, str]:
             vocab AS (SELECT DISTINCT term FROM tok),
             m AS (SELECT term FROM vocab
                   WHERE {_soundex_sql_term} = {_soundex_sql_query})
-            SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+            SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tok
             WHERE term IN (SELECT term FROM m)
             ORDER BY doc_id""",
         "refined_soundex_match": f"""
@@ -11692,7 +11692,7 @@ def oracle_sql() -> dict[str, str]:
             vocab AS (SELECT DISTINCT term FROM tok),
             m AS (SELECT term FROM vocab
                   WHERE {_ref_soundex_sql_term} = {_ref_soundex_sql_query})
-            SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+            SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tok
             WHERE term IN (SELECT term FROM m)
             ORDER BY doc_id""",
         "caverphone_match": f"""
@@ -11700,7 +11700,7 @@ def oracle_sql() -> dict[str, str]:
             vocab AS (SELECT DISTINCT term FROM tok),
             m AS (SELECT term FROM vocab
                   WHERE {_caverphone_sql_term} = {_caverphone_sql_query})
-            SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+            SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tok
             WHERE term IN (SELECT term FROM m)
             ORDER BY doc_id""",
         "fuzzy_like_this_top10": f"""
@@ -12451,12 +12451,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'mid',
                    sum(CASE WHEN len(list_filter(toks,
                        x -> len(x) >= 3 AND len(x) <= 6)) > 0
-                       THEN 1 ELSE 0 END) FROM t
+                       THEN 1 ELSE 0 END)::BIGINT FROM t
             UNION ALL
             SELECT 'short',
                    sum(CASE WHEN len(list_filter(toks,
                        x -> len(x) >= 1 AND len(x) <= 3)) > 0
-                       THEN 1 ELSE 0 END) FROM t
+                       THEN 1 ELSE 0 END)::BIGINT FROM t
             ORDER BY label""",
         "bp_vector_certificate": """
             WITH c AS (SELECT count(*)::BIGINT AS n FROM embeddings)
@@ -12476,9 +12476,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0::BIGINT AS seg, count(*)::BIGINT AS num_docs,
                    sum(dl)::BIGINT AS sum_dl FROM dl WHERE dl < 30
             UNION ALL
-            SELECT 1, count(*), sum(dl) FROM dl WHERE dl >= 30 AND dl < 60
+            SELECT 1, count(*)::BIGINT, sum(dl)::BIGINT
+            FROM dl WHERE dl >= 30 AND dl < 60
             UNION ALL
-            SELECT 2, count(*), sum(dl) FROM dl WHERE dl >= 60
+            SELECT 2, count(*)::BIGINT, sum(dl)::BIGINT
+            FROM dl WHERE dl >= 60
             ORDER BY seg""",
         "nrt_appended_top10": _bm25_sql(["window"]),
         "english_analyzer_top10": _english_bm25_sql("scan"),

@@ -423,7 +423,15 @@ def delimited_term_frequency_stream_factory(delimiter: str = "|"):
                 positions.append(pos)
                 continue
             term = tok[:idx]
-            tf = int(tok[idx + 1 :])
+            digits = tok[idx + 1 :]
+            # ArrayUtil.parseInt accepts ASCII '0'-'9' only — no sign,
+            # no whitespace, no Unicode digits (Python int() takes all
+            # three, which would index malformed tokens silently)
+            if not digits or any(c < "0" or c > "9" for c in digits):
+                raise ValueError(
+                    f"Input string does not contain a valid int: {digits!r}"
+                )
+            tf = int(digits)
             if tf < 1:
                 raise ValueError(
                     f"Term frequency must be 1 or greater; got {tf}"

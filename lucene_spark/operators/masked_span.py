@@ -62,7 +62,16 @@ def span_near_unordered_freq(pos_lists: list[list[int]], slop: int) -> float:
     """NearSpansUnordered replay over single-term position lists:
     freq = sum of 1/(1 + (maxEnd - minStart)) over every heap state
     satisfying ``maxEnd - minStart - n <= slop`` (each sub-span has
-    length 1, so totalSpanLength = n)."""
+    length 1, so totalSpanLength = n).
+
+    Tie handling caveat: (start, end) heap ties break by sub-span
+    index here, while Lucene's PriorityQueue keeps first-inserted
+    order. The emitted span SET is tie-order-invariant only for the
+    exhaustive ``slop=-1``-style accounting this module ships (every
+    heap state is scored, so enumeration order cannot change the sum);
+    exposing other slops where the advanced pointer matters would need
+    Lucene's first-inserted-wins replay — assert on the shipped entry
+    only (see field_masked_span_freq, the lone caller)."""
     n = len(pos_lists)
     if any(not lst for lst in pos_lists):
         return 0.0
