@@ -6265,6 +6265,24 @@ SELECT doc_id,
        '0,1,2,3,4,5' AS positions
 FROM documents WHERE doc_id < 200"""
 
+# ICUFoldingFilter (analysis/icu/ICUFoldingFilter.java:64-87, ported
+# via the reference's own gennorm2 UTR#30 source files — functions/
+# icufold.py, 30k goldens vs icu4j + the compiled utr30.nrm): accents
+# strip, ligature/fullwidth/roman-numeral compatibility folds, case
+# folds (ß→ss, Greek with diacritic removal) — all SQL-derivable from
+# doc_id by construction
+_q_icu_folding_tokens = _analysis_tokens_entry(
+    "icu_folding",
+    lambda i: f"CAFÉ{i} ﬁle Ⅸ Ｗｉｄｅ{i % 7} Straße{i % 3} ΣΊΣΥΦΟΣ{i % 5}",
+)
+_ICU_FOLDING_SQL = """
+SELECT doc_id,
+       'cafe' || doc_id || '|file|ix|wide' || (doc_id % 7)
+         || '|strasse' || (doc_id % 3) || '|σισυφοσ' || (doc_id % 5)
+         AS terms,
+       '0,1,2,3,4,5' AS positions
+FROM documents WHERE doc_id < 200"""
+
 # EdgeNGram 1..2 over the single token "w{id}": grams w, w+first digit
 _q_edge_ngram_tokens = _analysis_tokens_entry(
     "edge_ngram", lambda i: f"w{i}"
@@ -10573,6 +10591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cjk_bigram_tokens": _q_cjk_bigram,
         "ascii_folding_tokens": _q_ascii_folding,
         "word_delimiter_tokens": _q_wdgf_tokens,
+        "icu_folding_tokens": _q_icu_folding_tokens,
         "edge_ngram_tokens": _q_edge_ngram_tokens,
         "ngram_tokens": _q_ngram_tokens,
         "parsed_query_top10": _q_parsed,
@@ -11511,6 +11530,7 @@ def oracle_sql() -> dict[str, str]:
         "hindi_analyzer_tokens": _HINDI_SQL,
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,
         "word_delimiter_tokens": _WDGF_SQL,
+        "icu_folding_tokens": _ICU_FOLDING_SQL,
         "edge_ngram_tokens": _EDGE_NGRAM_SQL,
         "ngram_tokens": _NGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,

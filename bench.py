@@ -142,6 +142,149 @@ def main() -> None:
         4,
     )
 
+    # ------------------------------------------------------------------
+    # Non-toy query latency: the same 12 queries against the x512
+    # replicated corpus (2.56M docs, 128 segments — the corpus the
+    # scaling evidence already builds). At 5,000 docs every query is
+    # fixed overhead; here block-max pruning has real postings to skip,
+    # so this section is where the pruned plans must BEAT the forced
+    # exhaustive ones (q_*_exhaustive rows), with the ImpactsDISI
+    # skip-rate analog reported as decoded-vs-total block counts.
+    # Skippable for quick iterations with SPARK_GRAFT_BIG=0.
+    big_out: dict = {}
+    if os.environ.get("SPARK_GRAFT_BIG", "1") != "0":
+        from pyspark.sql import functions as F
+
+        big_repl = int(os.environ.get("SPARK_GRAFT_BIG_REPLICATE", "512"))
+        big_segs = int(os.environ.get("SPARK_GRAFT_BIG_SEGMENTS", "128"))
+        # Unlike the scaling bench (identical replicas — right for
+        # build throughput), the QUERY corpus must not be plain
+        # replication: with 512 verbatim copies of every doc, every
+        # posting block contains a copy of every top-scoring doc, so
+        # block-max upper bounds are uniform and NO corpus-agnostic
+        # pruning can skip (an adversarial case real corpora don't
+        # exhibit). Each replica instead keeps a deterministic word
+        # slice of its source doc — term frequencies and doc lengths
+        # then vary across replicas, giving the score skew a real
+        # crawl has and letting per-block upper bounds differ.
+        wp0 = load_web_pages(spark, sf_dir).repartition(big_segs)
+        toks = F.split(F.col("text"), " ")
+        wp_big = (
+            wp0.withColumn(
+                "r",
+                F.explode(F.sequence(F.lit(0), F.lit(big_repl - 1))),
+            )
+            .withColumn("url", F.concat("url", F.lit("-r"), F.col("r")))
+            .withColumn("_n", F.greatest(F.size(toks), F.lit(1)))
+            .withColumn("_start", (F.col("r") * 131) % F.col("_n"))
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.slice(
+                        toks,
+                        F.col("_start") + 1,
+                        F.greatest(
+                            F.col("_n") - F.col("_start"), F.lit(1)
+                        ),
+                    ),
+                    " ",
+                ),
+            )
+            .drop("r", "_n", "_start")
+            .cache()
+        )
+        n_big = wp_big.count()
+        idx_big = f"{idx_root}/lucene_spark_bench_big_{cpus}"
+        shutil.rmtree(idx_big, ignore_errors=True)
+        t0 = time.monotonic()
+        build_index(spark, wp_big, idx_big, num_segments=big_segs)
+        big_build = time.monotonic() - t0
+        wp_big.unpersist()
+
+        sb = Searcher(spark, idx_big)
+        big_queries = {
+            "q_term_top10": lambda: sb.term_query("window", k=10).collect(),
+            "q_term_rare": lambda: sb.term_query("lpad", k=10).collect(),
+            "q_or_top10": lambda: sb.boolean_query(
+                should=["window", "spark"], k=10
+            ).collect(),
+            "q_and_top10": lambda: sb.boolean_query(
+                must=["window", "spark"], k=10
+            ).collect(),
+            "q_and_not": lambda: sb.boolean_query(
+                must=["window"], must_not=["spark"], k=10
+            ).collect(),
+            "q_msm2": lambda: sb.boolean_query(
+                should=["window", "spark", "data"], min_should_match=2, k=10
+            ).collect(),
+            "q_phrase": lambda: sb.phrase_query(
+                ["the", "query"], k=10
+            ).collect(),
+            "q_sloppy": lambda: sb.sloppy_phrase_query(
+                ["the", "query"], slop=2, k=10
+            ).collect(),
+            "q_prefix": lambda: sb.prefix_query("wi", k=10).collect(),
+            "q_count": lambda: sb.count("window"),
+            "q_or_wand": lambda: sb.boolean_query(
+                should=["window", "spark"], k=10, prune=True
+            ).collect(),
+            "q_and_wand": lambda: sb.boolean_query(
+                must=["window", "spark"], k=10, prune=True
+            ).collect(),
+            # forced-exhaustive comparators for the forced-pruned rows
+            # above (q_or_top10/q_and_top10 show what the auto cost
+            # gate actually picks)
+            "q_or_exhaustive": lambda: sb.boolean_query(
+                should=["window", "spark"], k=10, prune=False
+            ).collect(),
+            "q_and_exhaustive": lambda: sb.boolean_query(
+                must=["window", "spark"], k=10, prune=False
+            ).collect(),
+            # single-term block-max: the in-kernel running-threshold
+            # skip lives INSIDE the one decode job (no extra driver
+            # round-trips), so this pair isolates pure decode savings
+            "q_term_pruned": lambda: sb.term_query(
+                "window", k=10, prune=True
+            ).collect(),
+            "q_term_exhaustive": lambda: sb.term_query(
+                "window", k=10, prune=False
+            ).collect(),
+        }
+        big_samples: dict[str, list[float]] = {n: [] for n in big_queries}
+        for fn in big_queries.values():  # warm-up, unclocked
+            fn()
+        for _ in range(3):  # interleaved rounds (steal-time hygiene)
+            for name, fn in big_queries.items():
+                t = time.monotonic()
+                fn()
+                big_samples[name].append(time.monotonic() - t)
+        big_q = {
+            name: round(sorted(ts)[1], 4) for name, ts in big_samples.items()
+        }
+
+        prune_ev = {}
+        for name, kw in [
+            ("q_or_wand", dict(should=["window", "spark"])),
+            ("q_and_wand", dict(must=["window", "spark"])),
+        ]:
+            st: dict = {}
+            sb.boolean_query(k=10, prune=True, stats_out=st, **kw).collect()
+            st["skip_rate"] = round(
+                1.0 - st["blocks_decoded"] / max(1, st["blocks_total"]), 4
+            )
+            st["theta"] = round(st["theta"], 4) if st["theta"] else None
+            prune_ev[name] = st
+
+        big_out = {
+            "queries_2p56m": big_q,
+            "n_docs_2p56m": n_big,
+            "build_sec_2p56m": round(big_build, 4),
+            "docs_per_sec_2p56m": round(n_big / big_build, 2),
+            "num_segments_2p56m": big_segs,
+            "prune_evidence_2p56m": prune_ev,
+        }
+        shutil.rmtree(idx_big, ignore_errors=True)
+
     total = round(build_sec + sum(q_times.values()), 4)
     out = {
         "metric": "index_build_plus_query_wall",
@@ -158,6 +301,7 @@ def main() -> None:
         "ann_lsh_cost_vs_brute": lsh_cost,
         "ann_ivf_recall_at10": ivf_recall,
         "ann_ivf_cost_vs_brute": ivf_cost,
+        **big_out,
     }
     print(json.dumps(out))
     shutil.rmtree(idx, ignore_errors=True)

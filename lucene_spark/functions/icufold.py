@@ -1,0 +1,180 @@
+"""ICUFoldingFilter — UTR#30 character folding + NFKC_CaseFold
+normalization, ported from the reference's own gennorm2 source data.
+
+Reference: ``lucene/analysis/icu/src/java/org/apache/lucene/analysis/
+icu/ICUFoldingFilter.java:64-87`` binds ``Normalizer2.getInstance(
+utr30.nrm, "utr30", COMPOSE)`` and normalizes each term
+(``ICUNormalizer2Filter.java:79-86``). The compiled ``utr30.nrm`` is
+built by ICU's gennorm2 over the eight plain-text rule files in
+``lucene/analysis/icu/src/data/utr30/`` (sorted filename order,
+``build.gradle:77-125``); ``tools/extract_utr30.py`` merges those
+files with gennorm2's later-file-overrides semantics into the
+committed ``utr30.npz`` (13,509 mappings, 60 two-way, 968 ccc
+entries).
+
+The normalizer is a from-scratch UAX#15 compose-mode engine over that
+custom data set:
+
+1. full recursive decomposition — every mapping (one-way foldings
+   like ``0301>`` removal and case folds ``0041>0061``, plus the 60
+   surviving two-way canonical pairs) is applied to a fixed point;
+   Hangul syllables decompose algorithmically (UAX#15 §3.12);
+2. canonical reordering of nonzero-ccc runs (stable sort by ccc);
+3. canonical composition: only the two-way pairs and algorithmic
+   Hangul LV/LVT recombine, with the standard starter/blocking rule.
+
+Byte-identity is golden-validated against icu4j loading the
+reference's compiled utr30.nrm (tools/icu_goldens.py; fixtures
+committed at tests/fixtures/icufold_goldens.json.gz).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+_SBASE, _LBASE, _VBASE, _TBASE = 0xAC00, 0x1100, 0x1161, 0x11A7
+_LCOUNT, _VCOUNT, _TCOUNT = 19, 21, 28
+_NCOUNT = _VCOUNT * _TCOUNT
+_SCOUNT = _LCOUNT * _NCOUNT
+
+
+@functools.lru_cache(maxsize=1)
+def _tables():
+    """(decomp: cp -> fully-expanded tuple, ccc: cp -> int,
+    pairs: (starter, second) -> composite, inert: frozenset)."""
+    path = os.path.join(os.path.dirname(__file__), "utr30.npz")
+    d = np.load(path)
+    cps = d["map_cps"]
+    offs = d["map_offsets"]
+    flat = d["map_flat"]
+    tw = d["map_twoway"]
+    raw: dict[int, tuple[int, ...]] = {}
+    pairs: dict[tuple[int, int], int] = {}
+    for i, cp in enumerate(cps):
+        targets = tuple(int(t) for t in flat[offs[i] : offs[i + 1]])
+        raw[int(cp)] = targets
+        if tw[i] and len(targets) == 2:
+            pairs[targets] = int(cp)
+    ccc = {
+        int(c): int(v) for c, v in zip(d["ccc_cps"], d["ccc_vals"])
+    }
+
+    # full recursive closure of every mapping (gennorm2 computes the
+    # same closure when compiling the .nrm)
+    decomp: dict[int, tuple[int, ...]] = {}
+
+    def expand(cp: int, seen: frozenset) -> tuple[int, ...]:
+        if cp in decomp:
+            return decomp[cp]
+        if _SBASE <= cp < _SBASE + _SCOUNT:
+            return _hangul_decomp(cp)
+        tgt = raw.get(cp)
+        if tgt is None or cp in seen:
+            return (cp,)
+        out: list[int] = []
+        for t in tgt:
+            out.extend(expand(t, seen | {cp}))
+        return tuple(out)
+
+    for cp in raw:
+        decomp[cp] = expand(cp, frozenset())
+
+    # inert = cannot change and cannot interact with neighbors: no
+    # mapping, ccc 0, not a composition second char, not Hangul jamo
+    # or syllable — the quickCheck==YES fast-path set for pure-ASCII
+    # and most Latin tokens
+    second_chars = {b for (_, b) in pairs}
+    inert = frozenset(
+        c
+        for c in range(0x80)
+        if c not in raw and ccc.get(c, 0) == 0 and c not in second_chars
+    )
+    return decomp, ccc, pairs, inert
+
+
+def _hangul_decomp(cp: int) -> tuple[int, ...]:
+    s = cp - _SBASE
+    l = _LBASE + s // _NCOUNT
+    v = _VBASE + (s % _NCOUNT) // _TCOUNT
+    t = s % _TCOUNT
+    return (l, v, _TBASE + t) if t else (l, v)
+
+
+def _hangul_compose(a: int, b: int) -> int | None:
+    if _LBASE <= a < _LBASE + _LCOUNT and _VBASE <= b < _VBASE + _VCOUNT:
+        return _SBASE + ((a - _LBASE) * _VCOUNT + (b - _VBASE)) * _TCOUNT
+    if (
+        _SBASE <= a < _SBASE + _SCOUNT
+        and (a - _SBASE) % _TCOUNT == 0
+        and _TBASE < b < _TBASE + _TCOUNT
+    ):
+        return a + (b - _TBASE)
+    return None
+
+
+def fold_text(text: str) -> str:
+    """Normalize ``text`` exactly as the reference's utr30 COMPOSE
+    Normalizer2 does (fold + NFKC + casefold + remove ignorables,
+    then canonically compose)."""
+    decomp, ccc, pairs, inert = _tables()
+    if all(ord(ch) in inert for ch in text):
+        return text
+
+    # 1. full decomposition
+    seq: list[int] = []
+    for ch in text:
+        cp = ord(ch)
+        d = decomp.get(cp)
+        if d is not None:
+            seq.extend(d)
+        elif _SBASE <= cp < _SBASE + _SCOUNT:
+            seq.extend(_hangul_decomp(cp))
+        else:
+            seq.append(cp)
+
+    # 2. canonical reordering (stable sort of each nonzero-ccc run)
+    i, n = 0, len(seq)
+    while i < n:
+        if ccc.get(seq[i], 0) == 0:
+            i += 1
+            continue
+        j = i
+        while j < n and ccc.get(seq[j], 0) != 0:
+            j += 1
+        if j - i > 1:
+            seq[i:j] = sorted(seq[i:j], key=lambda c: ccc.get(c, 0))
+        i = j
+
+    # 3. canonical composition (UAX#15 §3.11 + algorithmic Hangul)
+    out: list[int] = []
+    last_starter = -1
+    for cp in seq:
+        c = ccc.get(cp, 0)
+        if last_starter >= 0:
+            adjacent = last_starter == len(out) - 1
+            if adjacent or ccc.get(out[-1], 0) < c:
+                comp = pairs.get((out[last_starter], cp))
+                if comp is None and adjacent:
+                    comp = _hangul_compose(out[last_starter], cp)
+                if comp is not None:
+                    out[last_starter] = comp
+                    continue
+        if c == 0:
+            last_starter = len(out)
+        out.append(cp)
+    return "".join(map(chr, out))
+
+
+def fold_tokens(tokens: list[str]) -> list[str]:
+    """Batch fold with per-batch memoization (tokens repeat heavily)."""
+    cache: dict[str, str] = {}
+    out = []
+    for t in tokens:
+        v = cache.get(t)
+        if v is None:
+            v = cache[t] = fold_text(t)
+        out.append(v)
+    return out

@@ -1058,6 +1058,17 @@ def _build_chains() -> dict:
         "cjk": AnalyzerChain(
             "cjk", _cjk_stops(), stream=_cjk_stream()
         ),
+        # StandardTokenizer + ICUFoldingFilter (analysis/icu/
+        # ICUFoldingFilter.java:64-87) — the multilingual folding
+        # configuration: UTR#30 foldings + NFKC + case fold in one
+        # normalizer (functions/icufold.py, golden-validated against
+        # icu4j + the reference's compiled utr30.nrm). The normalizer
+        # owns case folding, so lower is identity (Lucene deployments
+        # put no LowerCaseFilter before ICUFoldingFilter).
+        "icu_folding": AnalyzerChain(
+            "icu_folding", frozenset(), lower=lambda t: t,
+            normalize=_icu_fold(),
+        ),
         # Nordic chains: tokenize -> lower -> stop -> light stem
         # (the *LightStemFilter configurations; the reference's
         # analyzer defaults use Snowball instead)
@@ -1540,6 +1551,12 @@ def _cjk_stream():
     from .cjk import cjk_stream
 
     return cjk_stream
+
+
+def _icu_fold():
+    from .icufold import fold_text
+
+    return fold_text
 
 
 _CHAINS: dict | None = None

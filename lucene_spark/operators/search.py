@@ -500,7 +500,12 @@ def _bind_scorers(stats, field_stats, k1, b, boost, dtype, similarity="bm25"):
 
 
 def _make_unpack_kernel(
-    scorers, dtype, need_positions, k_for_pruning, time_budget_ms=None
+    scorers,
+    dtype,
+    need_positions,
+    k_for_pruning,
+    time_budget_ms=None,
+    theta_rest=None,
 ):
     """mapInArrow kernel: block rows -> scored posting rows.
 
@@ -511,6 +516,15 @@ def _make_unpack_kernel(
     STRICT (``ub < kth``): a block whose bound ties the k-th score may
     hold a doc that wins the (score desc, docid asc) tie-break
     (HitQueue.java:76-83), so it must still be decoded.
+
+    ``theta_rest = (θ, {term: rest})`` is the FIXED-threshold variant
+    used by the boolean block-max plan: skip term t's block when
+    ``ub_block + rest[t] < θ`` (strict — ties decode), where rest[t]
+    is the summed global max UB of the other clauses. Unlike the
+    running-threshold mode this needs no heap and is sound with
+    tombstones as long as the caller derived θ from LIVE docs; the
+    filter runs inside the scan, so the pruned pass is ONE job with
+    no join against a metadata frame.
 
     ``time_budget_ms`` is the TimeLimitingBulkScorer analog
     (``core/search/TimeLimitingBulkScorer.java:33-77``): each TASK gets
@@ -574,6 +588,11 @@ def _make_unpack_kernel(
                     and ubs[j] < topk_heap[0]
                 ):
                     continue  # block cannot contribute a competitive doc
+                if theta_rest is not None and (
+                    ubs[j] + theta_rest[1].get(terms[j], 0.0)
+                    < theta_rest[0]
+                ):
+                    continue  # every doc in the block sums below θ
                 sc = scorers[terms[j]]
                 nd = int(nums[j])
                 docids = unpack_doc_block(dbufs[j], int(first[j]), nd)
@@ -1559,6 +1578,8 @@ class Searcher(QueryOpsMixin):
         min_should_match: int = 0,
         k: int = 10,
         prune: bool | str = "auto",
+        stats_out: dict | None = None,
+        bucket_rest: bool = False,
     ) -> DataFrame:
         """BooleanQuery Occur algebra (core/search/BooleanQuery.java:40).
 
@@ -1578,12 +1599,39 @@ class Searcher(QueryOpsMixin):
         """
         if prune == "auto":
             stats = self.term_stats(list(must or []) + list(should or []))
-            prune = (
-                sum(df for df, _ in stats.values()) >= self._PRUNE_MIN_POSTINGS
-            )
+            dfs = sorted(df for df, _ in stats.values())
+            total_df = sum(dfs)
+            if total_df < self._PRUNE_MIN_POSTINGS or not dfs:
+                # decode is cheaper than the plan's extra round-trips
+                prune = False
+            else:
+                n_buckets = max(
+                    1, int(self.field_stats["doc_count"]) // self._BUCKET
+                )
+                if must:
+                    # conjunction: the block-max plan only wins when
+                    # the leapfrog can gate decode on a sparse lead
+                    # clause (ConjunctionDISI's lead pick); dense-only
+                    # conjunctions skip nothing — every block of every
+                    # clause holds candidate docs — so the one-job
+                    # exhaustive plan is the BooleanScorer analog
+                    m_dfs = [
+                        stats[t][0] for t in set(must) if t in stats
+                    ]
+                    prune = bool(m_dfs) and min(m_dfs) < n_buckets
+                else:
+                    # disjunction: MaxScore's essential/non-essential
+                    # split pays when clause frequencies are mixed
+                    # (the dense clause becomes non-essential and is
+                    # decoded only near the sparse clause's docs); a
+                    # set of uniformly dense clauses yields uniform
+                    # block bounds and θ below all of them — nothing
+                    # skips, bulk-score exhaustively instead
+                    prune = dfs[0] * 8 <= dfs[-1] or dfs[0] < n_buckets
         if prune:
             return self._boolean_topk_blockmax(
-                should, must, must_not, min_should_match, k
+                should, must, must_not, min_should_match, k,
+                stats_out=stats_out, bucket_rest=bucket_rest,
             )
         return self._finish_topk(
             self.scored_boolean(should, must, must_not, min_should_match), k
@@ -1668,6 +1716,29 @@ class Searcher(QueryOpsMixin):
             posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
         )
 
+    def _unpack_terms_inkernel(
+        self, terms: list[str], scorers, theta: float, rest: dict
+    ) -> DataFrame:
+        """ONE-job pruned decode: scan the given terms' postings and
+        let the kernel skip block j of term t when
+        ``ub_j + rest[t] < θ`` (computed from the impact columns the
+        scan reads anyway). No metadata join, no extra pass — the
+        distributed analog of ImpactsDISI consulting its skip data
+        inline during iteration rather than in a planning phase."""
+        cols = [
+            "term", "segment_id", "block_id", "first_docid", "num_docs",
+            "doc_block", "freq_block", "norm_block",
+            "impact_freqs", "impact_norms",
+        ]
+        posts = self._postings.where(F.col("term").isin(terms)).select(*cols)
+        kernel, _ = _make_unpack_kernel(
+            scorers, self.dtype, False, None,
+            theta_rest=(float(theta), dict(rest)),
+        )
+        return self._filter_live(
+            posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
+        )
+
     def _boolean_topk_blockmax(
         self,
         should: list[str] | None = None,
@@ -1676,6 +1747,8 @@ class Searcher(QueryOpsMixin):
         min_should_match: int = 0,
         k: int = 10,
         leapfrog: bool | None = None,
+        stats_out: dict | None = None,
+        bucket_rest: bool = False,
     ) -> DataFrame:
         """Top-k BooleanQuery with block-max pruning — the WAND /
         MAXSCORE default execution generalized to the distributed
@@ -1734,6 +1807,219 @@ class Searcher(QueryOpsMixin):
         must_set = set(must)
         n_must = len(must_set & set(stats))
         msm = min_should_match
+
+        # -- TWO-JOB disjunction fast path (no MUST/msm/NOT clauses,
+        # no deletes): a block's skyline upper bound is ATTAINED by at
+        # least one real doc inside that block (the skyline keeps
+        # actual (freq, norm) pairs — CompetitiveImpactAccumulator
+        # semantics), and distinct blocks of one term hold disjoint
+        # docs, so the k highest block UBs of any single term are
+        # attained by ≥ k distinct docs whose TOTAL scores only grow
+        # with the other clauses (scores are non-negative). Hence
+        # θ = max over terms of that term's k-th-highest block UB is a
+        # valid lower bound of the true k-th best total — computed
+        # from the anchor collect alone, with NO seed decode job. The
+        # pruned pass then runs as ONE in-kernel-skip scan
+        # (_unpack_terms_inkernel), so the whole plan is: metadata
+        # collect + pruned decode. Deletes invalidate "attained by a
+        # live doc", so any tombstones fall through to the seeded
+        # general path below.
+        if (
+            n_must == 0
+            and msm == 0
+            and not mn_terms
+            and self._tombstones is None
+        ):
+            meta_f = self._block_meta(present, scorers)
+            n_anchor = max(k, 8)
+            wnd_f = Window.partitionBy("term").orderBy(
+                F.desc("ub"), F.asc("segment_id"), F.asc("block_id")
+            )
+            anchor_rows = (
+                meta_f.withColumn("_rn", F.row_number().over(wnd_f))
+                .where(F.col("_rn") <= n_anchor)
+                .drop("_rn")
+                .collect()
+            )
+            f_max_ub: dict[str, float] = {}
+            f_by_term: dict[str, list] = {}
+            for r in anchor_rows:
+                u = float(r["ub"])
+                f_max_ub[r["term"]] = max(f_max_ub.get(r["term"], 0.0), u)
+                f_by_term.setdefault(r["term"], []).append(u)
+            f_total = sum(f_max_ub.values())
+            f_rest = {t: f_total - f_max_ub.get(t, 0.0) for t in present}
+            theta0 = None
+            for ubs_t in f_by_term.values():
+                s_ubs = sorted(ubs_t, reverse=True)
+                if len(s_ubs) >= k:
+                    theta0 = (
+                        s_ubs[k - 1]
+                        if theta0 is None
+                        else max(theta0, s_ubs[k - 1])
+                    )
+            if theta0 is not None and not bucket_rest:
+                # Default 2-job plan: metadata collect + ONE
+                # in-kernel-skip decode scan with the GLOBAL rest
+                # bound. The tighter per-bucket plan below costs two
+                # extra metadata shuffles — at toy scale that exceeds
+                # any decode savings, and the auto cost gate already
+                # routes dense-uniform queries to the exhaustive plan;
+                # opt in via ``bucket_rest=True`` where block bounds
+                # actually vary (sorted indexes, Zipfian corpora).
+                rows = self._unpack_terms_inkernel(
+                    present, scorers, theta0, f_rest
+                )
+                if stats_out is not None:
+                    stats_out["blocks_total"] = meta_f.count()
+                    stats_out["blocks_after_leapfrog"] = None
+                    rest_df = F.broadcast(
+                        self.spark.createDataFrame(
+                            [(t, f_rest[t]) for t in present],
+                            "term string, rest double",
+                        )
+                    )
+                    stats_out["blocks_decoded"] = (
+                        meta_f.join(rest_df, "term")
+                        .where(F.col("ub") + F.col("rest") >= theta0)
+                        .count()
+                    )
+                    stats_out["theta"] = theta0
+                    stats_out["plan"] = "disjunction_fast_global_rest"
+                agg_f = rows.groupBy("segment_id", "docid").agg(
+                    F.sum("score").alias("score_acc")
+                )
+                cast_t = (
+                    FloatType() if self.dtype == np.float32 else "double"
+                )
+                scored_f = agg_f.select(
+                    "segment_id", "docid",
+                    F.col("score_acc").cast(cast_t).alias("score"),
+                )
+                final_f = self._finish_topk(scored_f, k)
+                out_f = final_f.collect()
+                return self.spark.createDataFrame(out_f, final_f.schema)
+
+            if theta0 is not None:
+                # Per-BUCKET rest bounds — the distributed analog of
+                # MaxScoreBulkScorer computing other-clause upper
+                # bounds per scoring window via advanceShallow
+                # (``MaxScoreBulkScorer.java:159-178``), strictly
+                # tighter than the global rest: for doc d in block j
+                # of term t, every other clause t' contributes at most
+                # bub(t', bucket(d)) = the max UB among t's blocks
+                # overlapping d's 8K-docid bucket (0 if t' has no
+                # block there). Keep block j iff SOME overlapped
+                # bucket satisfies ``ub_j + Σ_{t'≠t} bub(t', B) ≥ θ``
+                # (ties kept); if no bucket qualifies, every doc in j
+                # totals < θ. On a sorted index (doclen/BP), score
+                # mass clusters, bucket rests collapse in cold
+                # regions, and whole docid ranges prune — Lucene's
+                # index-sort early-termination story.
+                bmeta = self._bucketize_blocks(meta_f)
+                bub = bmeta.groupBy("segment_id", "bucket", "term").agg(
+                    F.max("ub").alias("bub")
+                )
+                tot = bub.groupBy("segment_id", "bucket").agg(
+                    F.sum("bub").alias("tot_ub")
+                )
+                keep = (
+                    bmeta.join(bub, ["segment_id", "bucket", "term"])
+                    .join(tot, ["segment_id", "bucket"])
+                    .where(
+                        F.col("ub") + (F.col("tot_ub") - F.col("bub"))
+                        >= theta0
+                    )
+                    .select("term", "segment_id", "block_id")
+                    .distinct()
+                    .persist()
+                )
+                n_keep = keep.count()
+                if n_keep <= 1024:
+                    # few survivors: collect the keys and push them
+                    # into the parquet scan as a literal predicate —
+                    # row-group stats then skip the binary columns of
+                    # pruned blocks entirely (no posting bytes read)
+                    keys = keep.collect()
+                    by_ts: dict[tuple, list[int]] = {}
+                    for r in keys:
+                        by_ts.setdefault(
+                            (r["term"], int(r["segment_id"])), []
+                        ).append(int(r["block_id"]))
+                    pred = None
+                    for (t, s_id), bids in by_ts.items():
+                        c = (
+                            (F.col("term") == t)
+                            & (F.col("segment_id") == s_id)
+                            & F.col("block_id").isin(bids)
+                        )
+                        pred = c if pred is None else (pred | c)
+                    cols = [
+                        "term", "segment_id", "block_id", "first_docid",
+                        "num_docs", "doc_block", "freq_block",
+                        "norm_block", "impact_freqs", "impact_norms",
+                    ]
+                    posts = self._postings.where(
+                        F.col("term").isin(present)
+                    )
+                    if pred is not None:
+                        posts = posts.where(pred)
+                    kernel, _ = _make_unpack_kernel(
+                        scorers, self.dtype, False, None
+                    )
+                    rows = self._filter_live(
+                        posts.select(*cols).mapInArrow(
+                            kernel, schema=_unpack_ddl(self.dtype)
+                        )
+                    )
+                else:
+                    # many survivors: semi-join decode, with the
+                    # global-rest θ filter still applied in-kernel to
+                    # save decode CPU on borderline blocks
+                    cols = [
+                        "term", "segment_id", "block_id", "first_docid",
+                        "num_docs", "doc_block", "freq_block",
+                        "norm_block", "impact_freqs", "impact_norms",
+                    ]
+                    posts = (
+                        self._postings.where(F.col("term").isin(present))
+                        .join(
+                            keep, ["term", "segment_id", "block_id"],
+                            "left_semi",
+                        )
+                        .select(*cols)
+                    )
+                    kernel, _ = _make_unpack_kernel(
+                        scorers, self.dtype, False, None,
+                        theta_rest=(float(theta0), dict(f_rest)),
+                    )
+                    rows = self._filter_live(
+                        posts.mapInArrow(
+                            kernel, schema=_unpack_ddl(self.dtype)
+                        )
+                    )
+                if stats_out is not None:
+                    stats_out["blocks_total"] = meta_f.count()
+                    stats_out["blocks_after_leapfrog"] = None
+                    stats_out["blocks_decoded"] = n_keep
+                    stats_out["theta"] = theta0
+                    stats_out["plan"] = "disjunction_fast_bucket_rest"
+                agg_f = rows.groupBy("segment_id", "docid").agg(
+                    F.sum("score").alias("score_acc")
+                )
+                cast_t = (
+                    FloatType() if self.dtype == np.float32 else "double"
+                )
+                scored_f = agg_f.select(
+                    "segment_id", "docid",
+                    F.col("score_acc").cast(cast_t).alias("score"),
+                )
+                final_f = self._finish_topk(scored_f, k)
+                out_f = final_f.collect()
+                keep.unpersist()
+                return self.spark.createDataFrame(out_f, final_f.schema)
+            # θ unavailable (fewer than k blocks everywhere — tiny
+            # term set): fall through to the seeded general plan
 
         # the metadata view is re-read by the anchor collect, the θ
         # seed, and the pruned pass — persist it once (MEMORY_AND_DISK:
@@ -1946,6 +2232,83 @@ class Searcher(QueryOpsMixin):
             ).drop("rest")
         elif theta is not None:
             pruned = meta.where(F.col("ub") >= theta)
+
+        # -- 4b. MaxScore essential/non-essential partition (pure
+        # disjunctions only — ``MaxScoreBulkScorer.java:109-143``
+        # partitionScorers): sort clauses by max UB ascending; the
+        # maximal prefix whose summed max UB stays STRICTLY below θ is
+        # non-essential — a doc matching only those clauses scores
+        # < θ and cannot enter the top-k (strict < keeps θ-ties
+        # competitive, preserving the docid tie-break invariant). A
+        # non-essential (typically dense/common) clause therefore
+        # never drives iteration: decode only its blocks overlapping
+        # the 8K-docid buckets of docs the essential clauses produced
+        # — the distributed analog of "advance non-essential scorers
+        # only to candidate docs". This is what makes a rare-OR-common
+        # query cheap: the common term's postings are read only near
+        # the rare term's docs.
+        essential = list(present)
+        ne_terms: list[str] = []
+        if (
+            theta is not None
+            and n_must == 0
+            and msm == 0
+            and len(present) > 1
+        ):
+            by_ub = sorted(present, key=lambda t: max_ub.get(t, 0.0))
+            acc = 0.0
+            for t in by_ub:
+                if acc + max_ub.get(t, 0.0) < theta:
+                    acc += max_ub.get(t, 0.0)
+                    ne_terms.append(t)
+                else:
+                    break
+            essential = [t for t in present if t not in ne_terms]
+        if ne_terms:
+            ess_rows = self._unpack_blocks(
+                pruned.where(F.col("term").isin(essential)),
+                scorers,
+                essential,
+            ).persist()
+            b = F.lit(self._BUCKET)
+            cand_buckets = ess_rows.select(
+                "segment_id",
+                (F.col("docid") / b).cast("long").alias("bucket"),
+            ).distinct()
+            ne_meta = (
+                self._bucketize_blocks(
+                    pruned.where(F.col("term").isin(ne_terms))
+                )
+                .join(cand_buckets, ["segment_id", "bucket"], "left_semi")
+                .drop("bucket")
+                .distinct()
+            )
+            rows = ess_rows.unionByName(
+                self._unpack_blocks(ne_meta, scorers, ne_terms)
+            )
+            if stats_out is not None:
+                stats_out["ne_terms"] = list(ne_terms)
+                stats_out["blocks_total"] = base_meta.count()
+                stats_out["blocks_after_leapfrog"] = None
+                stats_out["blocks_decoded"] = (
+                    pruned.where(F.col("term").isin(essential)).count()
+                    + ne_meta.count()
+                )
+                stats_out["theta"] = theta
+            agg = _exclude(_qualify(_agg_docs(rows)))
+            cast_t = FloatType() if self.dtype == np.float32 else "double"
+            scored = agg.select(
+                "segment_id", "docid",
+                F.col("score_acc").cast(cast_t).alias("score"),
+            )
+            final = self._finish_topk(scored, k)
+            out = final.collect()
+            ess_rows.unpersist()
+            meta.unpersist()
+            if meta is not base_meta:
+                base_meta.unpersist()
+            return self.spark.createDataFrame(out, final.schema)
+
         if lead_rows is not None:
             # the lead clause is already decoded — never re-unpack it
             # (keeping all its rows is safe: a pruned block only names
@@ -1962,6 +2325,22 @@ class Searcher(QueryOpsMixin):
                 )
         else:
             rows = self._unpack_blocks(pruned, scorers, present)
+        if stats_out is not None:
+            # ImpactsDISI skip-rate analog: how many posting blocks the
+            # pruned pass actually decodes vs the query terms' total.
+            # Metadata-only counts (no posting bytes) — opt-in, bench
+            # evidence only.
+            stats_out["blocks_total"] = base_meta.count()
+            stats_out["blocks_after_leapfrog"] = (
+                meta.count() if meta is not base_meta else None
+            )
+            n_final = pruned.count()
+            if lead_rows is not None:
+                n_final = pruned.where(F.col("term") != rarest).count() + (
+                    base_meta.where(F.col("term") == rarest).count()
+                )
+            stats_out["blocks_decoded"] = n_final
+            stats_out["theta"] = theta
         agg = _exclude(_qualify(_agg_docs(rows)))
         cast_t = FloatType() if self.dtype == np.float32 else "double"
         scored = agg.select(

@@ -1,0 +1,81 @@
+"""ICUFoldingFilter port (functions/icufold.py): golden replay vs
+icu4j loading the reference's compiled utr30.nrm (fixtures committed;
+tests need neither the jar nor the reference), plus chain wiring."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "icufold_goldens.json.gz"
+)
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    with gzip.open(FIXTURE, "rt", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def test_goldens_all_exact(goldens):
+    from lucene_spark.functions.icufold import fold_text
+
+    bad = []
+    for s, want in goldens.items():
+        got = fold_text(s)
+        if got != want:
+            bad.append((s, want, got))
+    assert not bad, f"{len(bad)}/{len(goldens)} mismatches: {bad[:5]}"
+
+
+def test_golden_battery_size(goldens):
+    assert len(goldens) >= 25000
+
+
+def test_fold_semantics():
+    from lucene_spark.functions.icufold import fold_text
+
+    # accents strip (folding removes the combining mark the canonical
+    # decomposition exposes), case folds, compatibility folds
+    assert fold_text("CAFÉ") == "cafe"
+    assert fold_text("straße") == "strasse"
+    assert fold_text("ﬃ") == "ffi"
+    assert fold_text("１２３") == "123"
+    assert fold_text("٠١٢") == "012"  # native digit folding
+    assert fold_text("‐–—") == "---"  # dash folding
+    assert fold_text("ｶﾀｶﾅ") == "カタカナ"  # halfwidth → composed kana
+    assert fold_text("İstanbul") == "istanbul"
+    # Hangul: halfwidth jamo compose into syllables; syllables stable
+    assert fold_text("한국") == "한국"
+    # default ignorables removed
+    assert fold_text("a­b‍b") == "abb"
+
+
+def test_idempotent(goldens):
+    """normalize(normalize(x)) == normalize(x) — the COMPOSE
+    normalizer is a projection."""
+    from lucene_spark.functions.icufold import fold_text
+
+    import itertools
+
+    for s, want in itertools.islice(goldens.items(), 2000):
+        assert fold_text(want) == want, repr(s)
+
+
+def test_chain_registered():
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    c = get_chain("icu_folding")
+    terms, pos = chain_analyze("Hello WÉrld ﬃ Straße ｶﾀｶﾅ １２３", c)
+    assert terms == ["hello", "werld", "ffi", "strasse", "カタカナ", "123"]
+    assert pos == [0, 1, 2, 3, 4, 5]
+
+
+def test_ascii_fast_path_identity():
+    from lucene_spark.functions.icufold import fold_text
+
+    assert fold_text("already folded 123") == "already folded 123"
+    # uppercase ASCII is NOT inert (utr30 case-folds it)
+    assert fold_text("MiXeD") == "mixed"

@@ -36,6 +36,22 @@ class TestBlockMaxBoolean:
         want = _rows(searcher.boolean_query(k=10, prune=False, **case))
         assert got == want
 
+    @pytest.mark.parametrize(
+        "case",
+        [c for c in CASES if not c.get("must") and not c.get("must_not")
+         and not c.get("min_should_match")],
+    )
+    def test_bucket_rest_equals_exhaustive(self, searcher, case):
+        """The per-bucket rest-bound plan (MaxScoreBulkScorer's
+        per-window rest analog) must be result-identical too."""
+        got = _rows(
+            searcher.boolean_query(
+                k=10, prune=True, bucket_rest=True, **case
+            )
+        )
+        want = _rows(searcher.boolean_query(k=10, prune=False, **case))
+        assert got == want
+
     def test_small_k_and_large_k(self, searcher):
         for k in (1, 3, 100):
             got = _rows(

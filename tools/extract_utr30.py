@@ -1,0 +1,100 @@
+"""Extract the UTR#30 gennorm2 source tables shipped in the reference
+tree (lucene/analysis/icu/src/data/utr30/*.txt — plain-text Unicode,
+Inc. data files, freely redistributable per their header) into a
+compact committed npz consumed by lucene_spark/functions/icufold.py.
+
+gennorm2 semantics reproduced here (ICU tools/gennorm2):
+- input files are processed in SORTED filename order (the reference's
+  build.gradle pins this: "gennorm generates file order-dependent
+  output, so make it constant"); a later file's MAPPING for a code
+  point replaces an earlier one's, while ccc lines are independent;
+- ``XXXX:ccc`` / ``XXXX..YYYY:ccc`` assign canonical combining class;
+- ``XXXX=Y1 Y2`` is a two-way (round-trip) mapping: canonical
+  decomposition that also composes;
+- ``XXXX>Y1 ...`` / ``XXXX..YYYY>...`` is a one-way mapping
+  (decomposition only); an empty right side removes the character;
+- ``* Unicode N`` version directives and ``#`` comments are ignored.
+
+Run: python tools/extract_utr30.py  (writes
+lucene_spark/functions/utr30.npz)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+SRC = "/root/reference/lucene/analysis/icu/src/data/utr30"
+OUT = os.path.join(
+    os.path.dirname(__file__), "..", "lucene_spark", "functions", "utr30.npz"
+)
+
+
+def parse_cp_range(tok: str) -> tuple[int, int]:
+    if ".." in tok:
+        a, b = tok.split("..")
+        return int(a, 16), int(b, 16)
+    v = int(tok, 16)
+    return v, v
+
+
+def main() -> int:
+    files = sorted(f for f in os.listdir(SRC) if f.endswith(".txt"))
+    assert len(files) == 8, files
+    ccc: dict[int, int] = {}
+    mapping: dict[int, tuple[tuple[int, ...], bool]] = {}
+    for fname in files:
+        with open(os.path.join(SRC, fname), encoding="utf-8") as f:
+            for raw in f:
+                line = raw.split("#", 1)[0].strip()
+                if not line or line.startswith("*"):
+                    continue
+                if ":" in line:
+                    lhs, rhs = line.split(":")
+                    lo, hi = parse_cp_range(lhs.strip())
+                    v = int(rhs.strip())
+                    for cp in range(lo, hi + 1):
+                        ccc[cp] = v
+                    continue
+                two_way = "=" in line
+                sep = "=" if two_way else ">"
+                lhs, rhs = line.split(sep, 1)
+                lo, hi = parse_cp_range(lhs.strip())
+                targets = tuple(int(t, 16) for t in rhs.split())
+                if two_way:
+                    assert lo == hi, line  # composition needs one cp
+                for cp in range(lo, hi + 1):
+                    mapping[cp] = (targets, two_way)
+
+    cps = np.array(sorted(mapping), dtype=np.int32)
+    offsets = np.zeros(len(cps) + 1, dtype=np.int32)
+    flat: list[int] = []
+    tw = np.zeros(len(cps), dtype=bool)
+    for i, cp in enumerate(cps):
+        targets, two_way = mapping[cp]
+        flat.extend(targets)
+        offsets[i + 1] = len(flat)
+        tw[i] = two_way
+    ccc_cps = np.array(sorted(ccc), dtype=np.int32)
+    ccc_vals = np.array([ccc[c] for c in ccc_cps], dtype=np.int16)
+
+    np.savez_compressed(
+        os.path.abspath(OUT),
+        map_cps=cps,
+        map_offsets=offsets,
+        map_flat=np.array(flat, dtype=np.int32),
+        map_twoway=tw,
+        ccc_cps=ccc_cps,
+        ccc_vals=ccc_vals,
+    )
+    print(
+        f"wrote {os.path.abspath(OUT)}: {len(cps)} mappings "
+        f"({int(tw.sum())} two-way), {len(ccc_cps)} ccc entries"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,177 @@
+"""ICUFoldingFilter golden fixtures: icu4j (jar ships with pyspark)
+loading the reference's own compiled utr30.nrm — exactly what
+ICUFoldingFilter.java:70-77 binds. Writes
+tests/fixtures/icufold_goldens.json.gz as {input: folded}, with
+non-BMP-safe strings kept as real Python strings (JSON handles them).
+
+    python tools/icu_goldens.py
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import random
+import subprocess
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = "/tmp/icufold"
+FIXTURE = os.path.join(ROOT, "tests", "fixtures", "icufold_goldens.json.gz")
+ICU_JAR = "/opt/spark-4.1.2-bin-hadoop3/jars/icu4j-77.1.jar"
+NRM = (
+    "/root/reference/lucene/analysis/icu/src/resources/org/apache/"
+    "lucene/analysis/icu/utr30.nrm"
+)
+
+HARNESS = """
+import com.ibm.icu.text.Normalizer2;
+import java.io.*;
+
+public class IcuFoldMain {
+  public static void main(String[] args) throws Exception {
+    Normalizer2 n = Normalizer2.getInstance(
+        new FileInputStream(args[0]), "utr30", Normalizer2.Mode.COMPOSE);
+    BufferedReader r = new BufferedReader(
+        new InputStreamReader(System.in, "UTF-8"));
+    PrintWriter w = new PrintWriter(
+        new BufferedWriter(new OutputStreamWriter(System.out, "UTF-8")));
+    String line;
+    while ((line = r.readLine()) != null) {
+      StringBuilder sb = new StringBuilder();
+      if (!line.isEmpty())
+        for (String h : line.trim().split(" "))
+          sb.appendCodePoint(Integer.parseInt(h, 16));
+      String out = n.normalize(sb.toString());
+      StringBuilder os = new StringBuilder();
+      out.codePoints().forEach(cp -> {
+        if (os.length() > 0) os.append(' ');
+        os.append(Integer.toHexString(cp));
+      });
+      w.println(os.toString());
+    }
+    w.flush();
+  }
+}
+"""
+
+
+def _battery() -> list[str]:
+    import duckdb
+
+    rng = random.Random(30)
+    vocab = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT DISTINCT unnest(string_split(text, ' ')) FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchall()
+    ][:3000]
+
+    hand = [
+        "Hello", "WÉrld", "ﬃ", "ﬂour", "１２３", "٠١٢", "۴۵۶",
+        "é", "é", "İstanbul", "ıI", "straße", "ẞ", "ÅÄÖ", "ﬁnal",
+        "가", "각", "간", "각", "한", "ﾊﾝｸﾞﾙ", "ｶﾀｶﾅ", "ウィキ",
+        "Ωμέγα", "ΣΊΣΥΦΟΣ", "τέλοσς", "Μΐ", "ΰ",
+        "Москва́", "Ёлка", "й", "й",
+        "डाॅ", "क़", "क़", "ড়", "ব়",
+        "⑴", "⒈", "①", "㈠", "Ⅷ", "ⅷ", "№", "™", "℡",
+        "½", "¼", "‐", "–", "—", "−", "⁓",
+        "✌", "❶", "➉", "✈", "⒜",
+        "⼀", "⼆", "⾦", "⻑", "豈", "侮", "勒",
+        "ボ", "パ", "ゔ", "ヴ", "ゞ", "ヾ",
+        "à̖", "à̖", "a̅̀̕",
+        "q̣̇", "q̣̇",
+        " ", "​", "‍", "­", "﻿", "⁠",
+        "ཱི", "ཱུ", "ཱྀ",
+        "ᠠ᠋", "ᡵ",
+        "𝐀𝐁𝐂", "𝔄𝔅", "𝕬𝕭", "𝟎𝟏", "𝟘𝟙", "🄀", "🄐", "🅰",
+        "𑂚", "𑂛", "𑂥",
+        "ﬠ", "ﬡ", "שׁ", "אָ", "ﭏ",
+        "ǅungla", "Ǆ", "ǋ", "Ǌ",
+        "ŉapostrophe", "ẚ", "ſ", "ẛ",
+    ]
+
+    # randomized cluster-heavy strings: base letters + combining marks
+    # with varying ccc so reordering + blocking + composition interact
+    bases = list("aeiouncsz") + ["о", "α", "ᄀ", "ᅡ", "ᆨ", "க", "ಕ"]
+    marks = [
+        "̀", "́", "̂", "̈", "̊", "̣",
+        "̧", "̨", "̖", "̛", "ͅ", "ٓ",
+        "़", "়", "ௗ", "ೂ", "゙", "゚",
+    ]
+    folds = [
+        "ﬁ", "Ⅸ", "½", "Ａ", "ｱ", "١", "𝐚", "⒝", "№", "Æ", "Œ", "Þ",
+        "­", "‌",
+    ]
+    rand = []
+    for _ in range(34000):
+        n = rng.randint(1, 8)
+        parts = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.45:
+                parts.append(rng.choice(bases))
+            elif r < 0.8:
+                parts.append(rng.choice(marks))
+            else:
+                parts.append(rng.choice(folds))
+        rand.append("".join(parts))
+
+    # random Hangul syllables + jamo mixes
+    for _ in range(3000):
+        s = []
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.5:
+                s.append(chr(0xAC00 + rng.randrange(11172)))
+            else:
+                s.append(
+                    rng.choice(
+                        [chr(0x1100 + rng.randrange(19)),
+                         chr(0x1161 + rng.randrange(21)),
+                         chr(0x11A8 + rng.randrange(27)),
+                         chr(0xFFA1 + rng.randrange(30))]
+                    )
+                )
+        rand.append("".join(s))
+
+    out, seen = [], set()
+    for s in vocab + hand + rand:
+        if s and s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def main() -> int:
+    os.makedirs(WORK, exist_ok=True)
+    src = os.path.join(WORK, "IcuFoldMain.java")
+    with open(src, "w") as f:
+        f.write(HARNESS)
+    subprocess.run(
+        ["javac", "-cp", ICU_JAR, "IcuFoldMain.java"], cwd=WORK, check=True
+    )
+    battery = _battery()
+    feed = "\n".join(
+        " ".join(hex(ord(c))[2:] for c in s) for s in battery
+    )
+    res = subprocess.run(
+        ["java", "-cp", f".:{ICU_JAR}", "IcuFoldMain", NRM],
+        cwd=WORK, input=feed, capture_output=True, text=True, check=True,
+    )
+    lines = res.stdout.splitlines()
+    assert len(lines) == len(battery), (len(lines), len(battery))
+    goldens = {}
+    for s, line in zip(battery, lines):
+        folded = "".join(
+            chr(int(h, 16)) for h in line.split()
+        ) if line.strip() else ""
+        goldens[s] = folded
+    with gzip.open(FIXTURE, "wt", encoding="utf-8") as f:
+        json.dump(goldens, f, ensure_ascii=True)
+    print(f"wrote {FIXTURE}: {len(goldens)} goldens")
+    return 0
+
+
+if __name__ == "__main__":
+    main()
