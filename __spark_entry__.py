@@ -6283,6 +6283,24 @@ SELECT doc_id,
        '0,1,2,3,4,5' AS positions
 FROM documents WHERE doc_id < 200"""
 
+# Index-time multi-word synonyms (SynonymGraphFilter → FlattenGraph,
+# functions/syngraph.py, canned-case-validated vs
+# TestFlattenGraphFilter.java): "merge join"→hashjoin stacks the
+# synonym at the match start with the originals spanning flattened
+# positions; "usa"→"united states of america" sausage-izes the 4-word
+# side path, shifting every following position by 3
+_q_multiword_synonym_tokens = _analysis_tokens_entry(
+    "multiword_synonyms",
+    lambda i: f"alpha{i % 3} merge join beta{i % 5} usa end{i}",
+)
+_MULTIWORD_SYN_SQL = """
+SELECT doc_id,
+       'alpha' || (doc_id % 3)
+         || '|hashjoin|merge|join|beta' || (doc_id % 5)
+         || '|united|usa|states|of|america|end' || doc_id AS terms,
+       '0,1,1,2,3,4,4,5,6,7,8' AS positions
+FROM documents WHERE doc_id < 200"""
+
 # EdgeNGram 1..2 over the single token "w{id}": grams w, w+first digit
 _q_edge_ngram_tokens = _analysis_tokens_entry(
     "edge_ngram", lambda i: f"w{i}"
@@ -10592,6 +10610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ascii_folding_tokens": _q_ascii_folding,
         "word_delimiter_tokens": _q_wdgf_tokens,
         "icu_folding_tokens": _q_icu_folding_tokens,
+        "multiword_synonym_tokens": _q_multiword_synonym_tokens,
         "edge_ngram_tokens": _q_edge_ngram_tokens,
         "ngram_tokens": _q_ngram_tokens,
         "parsed_query_top10": _q_parsed,
@@ -11531,6 +11550,7 @@ def oracle_sql() -> dict[str, str]:
         "cjk_bigram_tokens": _CJK_BIGRAM_SQL,
         "word_delimiter_tokens": _WDGF_SQL,
         "icu_folding_tokens": _ICU_FOLDING_SQL,
+        "multiword_synonym_tokens": _MULTIWORD_SYN_SQL,
         "edge_ngram_tokens": _EDGE_NGRAM_SQL,
         "ngram_tokens": _NGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,

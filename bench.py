@@ -301,6 +301,12 @@ def main() -> None:
         "ann_lsh_cost_vs_brute": lsh_cost,
         "ann_ivf_recall_at10": ivf_recall,
         "ann_ivf_cost_vs_brute": ivf_cost,
+        # IVF is the documented default ANN path (0.98 recall at
+        # ~0.25x brute cost); LSH is kept as the streaming-friendly
+        # option only — a bands/width/probes sweep cannot get it
+        # under ~0.47x at recall >= 0.8 on these embeddings (sign-bit
+        # neighbor structure too weak), so its row is informational
+        "ann_default_path": "ivf",
         **big_out,
     }
     print(json.dumps(out))

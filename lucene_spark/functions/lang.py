@@ -1493,6 +1493,15 @@ def _build_chains() -> dict:
         "word_delimiter": AnalyzerChain(
             "word_delimiter", frozenset(), stream=_word_delimiter_stream()
         ),
+        # SynonymGraphFilter + FlattenGraphFilter at INDEX time
+        # (functions/syngraph.py): multi-word rules change postings —
+        # side paths sausage-ized to linear positions exactly as the
+        # reference flattens them (demo rule set; production indexes
+        # build their own via multiword_synonym_stream_factory)
+        "multiword_synonyms": AnalyzerChain(
+            "multiword_synonyms", frozenset(),
+            stream=_multiword_synonym_stream(),
+        ),
         # Edge/character n-grams (ngram/EdgeNGramTokenFilter.java,
         # NGramTokenFilter.java, defaults 1..2) — autocomplete /
         # substring-search index configurations
@@ -1515,6 +1524,17 @@ def _ascii_fold():
     from .folding import ascii_fold
 
     return ascii_fold
+
+
+def _multiword_synonym_stream():
+    from .syngraph import multiword_synonym_stream_factory
+
+    return multiword_synonym_stream_factory(
+        {
+            "merge join": ["hashjoin"],
+            "usa": ["united states of america"],
+        }
+    )
 
 
 def _word_delimiter_stream():

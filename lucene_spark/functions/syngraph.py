@@ -1,0 +1,257 @@
+"""Index-time multi-word synonyms: SynonymGraphFilter graph emission +
+FlattenGraphFilter flattening — the reference's index-time synonym
+pipeline, so multi-word rules change POSTINGS instead of living only
+on the query side.
+
+References:
+- ``analysis/common/src/java/.../synonym/SynonymGraphFilter.java:425-550``
+  (bufferOutputTokens): a match spanning ``matchInputLength`` input
+  tokens spawns one side path per output phrase, all paths re-joining
+  at a shared end node; intermediate nodes number sequentially, the
+  original tokens (keepOrig) are buffered LAST.
+- ``analysis/common/src/java/.../core/FlattenGraphFilter.java:63-529``:
+  converts the graph to a single linear chain ("sausage-izes") because
+  the index ignores PositionLengthAttribute; ported 1:1 below
+  (InputNode/OutputNode bookkeeping, hole recovery, the posInc>1
+  mid-alt-path fix-up) with the streaming RollingBuffer replaced by a
+  consume-all-then-release-all pass — legal because node assignments
+  only grow monotonically as tokens arrive, so releasing after the
+  final token observes exactly the values the streaming filter would
+  have frozen.
+
+Validated against the expected token/posInc/posLen streams of the
+reference's own TestFlattenGraphFilter canned cases
+(tests/test_syngraph.py).
+"""
+
+from __future__ import annotations
+
+from .analysis import _java_lower
+
+_INF = float("inf")
+
+
+def _new_in():
+    return {
+        "tokens": [],  # (term, orig_posLen)
+        "node": -1,
+        "maxToNode": -1,
+        "minToNode": _INF,
+        "outputNode": -1,
+    }
+
+
+def _new_out():
+    return {"inputNodes": [], "node": -1}
+
+
+def flatten_graph(tokens: list[tuple[str, int, int]]) -> list[tuple[str, int, int]]:
+    """FlattenGraphFilter port: ``tokens`` is the incoming stream as
+    (term, posInc, posLen); returns the flattened stream in the same
+    shape."""
+    in_nodes: dict[int, dict] = {}
+    out_nodes: dict[int, dict] = {}
+    out_max_pos = 0
+
+    def get_in(i: int) -> dict:
+        if i not in in_nodes:
+            in_nodes[i] = _new_in()
+        return in_nodes[i]
+
+    def get_out(i: int) -> dict:
+        nonlocal out_max_pos
+        out_max_pos = max(out_max_pos, i)
+        if i not in out_nodes:
+            out_nodes[i] = _new_out()
+        return out_nodes[i]
+
+    # reset (FlattenGraphFilter.java:500-516)
+    n0 = get_in(0)
+    n0["node"] = 0
+    n0["outputNode"] = 0
+    o0 = get_out(0)
+    o0["node"] = 0
+    o0["inputNodes"].append(0)
+    input_from = -1
+
+    def recover_from_hole(src: dict, posinc: int) -> dict:
+        # FlattenGraphFilter.java:419-464
+        src["node"] = input_from
+        prev_input_from = input_from - posinc
+        if prev_input_from >= 0:
+            offset_src = get_in(prev_input_from)
+            if offset_src["minToNode"] < input_from:
+                out_index = get_in(offset_src["minToNode"])["outputNode"] + 1
+            else:
+                out_index = out_max_pos
+        else:
+            out_index = out_max_pos + 1
+        out_src = get_out(out_index)
+        src["outputNode"] = out_index
+        if out_src["node"] == -1:
+            out_src["node"] = out_index
+        out_src["inputNodes"].append(input_from)
+        return out_src
+
+    # consume phase (incrementToken's input branch)
+    for term, pos_inc, pos_len in tokens:
+        input_from += pos_inc
+        input_to = input_from + pos_len
+        src = get_in(input_from)
+        if src["node"] == -1:
+            recover_from_hole(src, pos_inc)
+        else:
+            if (
+                pos_inc > 1
+                and src["outputNode"]
+                - get_in(input_from - pos_inc)["outputNode"]
+                <= 1
+                and get_in(input_from - pos_inc)["minToNode"] != input_from
+            ):
+                # hole at the end of an alternate path: re-place this
+                # node (FlattenGraphFilter.java:342-359)
+                get_out(src["outputNode"])["inputNodes"].remove(input_from)
+                src["outputNode"] = -1
+                recover_from_hole(src, pos_inc)
+
+        src["tokens"].append((term, pos_len))
+        src["maxToNode"] = max(src["maxToNode"], input_to)
+        src["minToNode"] = min(src["minToNode"], input_to)
+
+        dest = get_in(input_to)
+        if dest["node"] == -1:
+            dest["node"] = input_to
+
+        output_end_node = src["outputNode"] + 1
+        if output_end_node > dest["outputNode"]:
+            if dest["outputNode"] != -1:
+                get_out(dest["outputNode"])["inputNodes"].remove(input_to)
+            get_out(output_end_node)["inputNodes"].append(input_to)
+            dest["outputNode"] = output_end_node
+
+    # release phase (releaseBufferedToken with done=True: every
+    # buffered token flushes in output-node order, insertion order
+    # within a node; empty input nodes — hole destinations — skip)
+    out: list[tuple[str, int, int]] = []
+    last_output_from = -1
+    for output_from in range(0, out_max_pos + 1):
+        onode = out_nodes.get(output_from)
+        if onode is None or not onode["inputNodes"]:
+            continue
+        for input_id in onode["inputNodes"]:
+            inode = in_nodes[input_id]
+            if not inode["tokens"]:
+                continue
+            for term, orig_len in inode["tokens"]:
+                pos_inc = output_from - last_output_from
+                to_node = get_in(inode["node"] + orig_len)
+                pos_len_out = max(1, to_node["outputNode"] - output_from)
+                last_output_from = output_from
+                out.append((term, pos_inc, pos_len_out))
+    return out
+
+
+def synonym_graph_tokens(
+    toks: list[str],
+    rules: dict[tuple, list[tuple]],
+    keep_orig: bool = True,
+) -> list[tuple[str, int, int]]:
+    """SynonymGraphFilter emission: greedy longest match of ``rules``
+    keys (tuples of words) over ``toks``; each match buffers its side
+    paths exactly as bufferOutputTokens does (paths' first tokens from
+    the shared start node, original tokens last, sequential
+    intermediate nodes). Returns (term, posInc, posLen) tokens."""
+    max_len = max((len(k) for k in rules), default=0)
+    buf: list[tuple[str, int, int]] = []  # (term, startNode, endNode)
+    next_node_out = 0
+    i = 0
+    n = len(toks)
+    while i < n:
+        match = None
+        for ln in range(min(max_len, n - i), 0, -1):
+            key = tuple(toks[i : i + ln])
+            if key in rules:
+                match = (ln, rules[key])
+                break
+        if match is None:
+            buf.append((toks[i], next_node_out, next_node_out + 1))
+            next_node_out += 1
+            i += 1
+            continue
+        ln, paths = match
+        total_path_nodes = (ln - 1) if keep_orig else 0
+        total_path_nodes += sum(len(p) - 1 for p in paths)
+        start_node = next_node_out
+        end_node = start_node + total_path_nodes + 1
+        first_idx = len(buf)
+        new_node_count = 0
+        for path in paths:
+            if len(path) == 1:
+                path_end = end_node
+            else:
+                path_end = next_node_out + new_node_count + 1
+                new_node_count += len(path) - 1
+            buf.append((path[0], start_node, path_end))
+        if keep_orig:
+            if ln == 1:
+                input_end = end_node
+            else:
+                input_end = next_node_out + new_node_count + 1
+            buf.append((toks[i], start_node, input_end))
+        next_node_out = end_node
+        for path_id, path in enumerate(paths):
+            if len(path) > 1:
+                last_node = buf[first_idx + path_id][2]
+                for w in path[1:-1]:
+                    buf.append((w, last_node, last_node + 1))
+                    last_node += 1
+                buf.append((path[-1], last_node, end_node))
+        if keep_orig and ln > 1:
+            last_node = buf[first_idx + len(paths)][2]
+            for w in toks[i + 1 : i + ln - 1]:
+                buf.append((w, last_node, last_node + 1))
+                last_node += 1
+            buf.append((toks[i + ln - 1], last_node, end_node))
+        i += ln
+
+    out: list[tuple[str, int, int]] = []
+    last_node_out = -1
+    for term, start, end in buf:
+        out.append((term, start - last_node_out, end - start))
+        last_node_out = start
+    return out
+
+
+def multiword_synonym_stream_factory(
+    rules: dict,
+    keep_orig: bool = True,
+):
+    """Chain stream: lowercase → SynonymGraphFilter → FlattenGraph →
+    stop-with-gaps. ``rules`` maps input phrases (space-separated str
+    or tuple) to lists of output phrases. Stopwords apply AFTER
+    flattening (the common analyzer order when both filters are
+    configured), leaving position gaps."""
+    norm_rules: dict[tuple, list[tuple]] = {}
+    for key, outs in rules.items():
+        k = tuple(key.split()) if isinstance(key, str) else tuple(key)
+        norm_rules[k] = [
+            tuple(o.split()) if isinstance(o, str) else tuple(o)
+            for o in outs
+        ]
+
+    def stream(tokens, types, stopwords, offsets=None):
+        toks = [_java_lower(t) for t in tokens]
+        graph = synonym_graph_tokens(toks, norm_rules, keep_orig)
+        flat = flatten_graph(graph)
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = -1
+        for term, pos_inc, _pos_len in flat:
+            pos += pos_inc
+            if term in stopwords:
+                continue
+            terms.append(term)
+            positions.append(pos)
+        return terms, positions
+
+    return stream

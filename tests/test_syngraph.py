@@ -1,0 +1,194 @@
+"""FlattenGraphFilter + SynonymGraphFilter index-time port
+(functions/syngraph.py) vs the reference's OWN canned test
+expectations (TestFlattenGraphFilter.java / TestSynonymGraphFilter
+semantics): each case is (input (term,posInc,posLen) stream →
+expected flattened stream), transcribed verbatim from the reference
+test file."""
+
+import pytest
+
+from lucene_spark.functions.syngraph import (
+    flatten_graph,
+    multiword_synonym_stream_factory,
+    synonym_graph_tokens,
+)
+
+# (name, input tokens, expected output) — token = (term, posInc, posLen)
+CANNED = [
+    (
+        "testAlreadyFlatten",  # TestFlattenGraphFilter.java:80
+        [("wtf", 1, 1), ("what", 0, 1), ("wow", 0, 1), ("the", 1, 1),
+         ("that's", 0, 1), ("fudge", 1, 1), ("funny", 0, 1),
+         ("happened", 1, 1)],
+        [("wtf", 1, 1), ("what", 0, 1), ("wow", 0, 1), ("the", 1, 1),
+         ("that's", 0, 1), ("fudge", 1, 1), ("funny", 0, 1),
+         ("happened", 1, 1)],
+    ),
+    (
+        "testWTF1",  # :107
+        [("wtf", 1, 5), ("what", 0, 1), ("wow", 0, 3), ("the", 1, 1),
+         ("fudge", 1, 3), ("that's", 1, 1), ("funny", 1, 1),
+         ("happened", 1, 1)],
+        [("wtf", 1, 3), ("what", 0, 1), ("wow", 0, 1), ("the", 1, 1),
+         ("that's", 0, 1), ("fudge", 1, 1), ("funny", 0, 1),
+         ("happened", 1, 1)],
+    ),
+    (
+        "testWTF2",  # :138
+        [("what", 1, 1), ("wow", 0, 3), ("wtf", 0, 5), ("the", 1, 1),
+         ("fudge", 1, 3), ("that's", 1, 1), ("funny", 1, 1),
+         ("happened", 1, 1)],
+        [("what", 1, 1), ("wow", 0, 1), ("wtf", 0, 3), ("the", 1, 1),
+         ("that's", 0, 1), ("fudge", 1, 1), ("funny", 0, 1),
+         ("happened", 1, 1)],
+    ),
+    (
+        "testNonGreedySynonyms",  # :168
+        [("wizard", 1, 1), ("wizard_of_oz", 0, 3), ("of", 1, 1),
+         ("oz", 1, 1), ("oz_screams", 0, 2), ("screams", 1, 1)],
+        [("wizard", 1, 1), ("wizard_of_oz", 0, 3), ("of", 1, 1),
+         ("oz", 1, 1), ("oz_screams", 0, 2), ("screams", 1, 1)],
+    ),
+    (
+        "testNonGraph",  # :198
+        [("hello", 1, 1), ("pseudo", 1, 1), ("world", 1, 1),
+         ("fun", 1, 1)],
+        [("hello", 1, 1), ("pseudo", 1, 1), ("world", 1, 1),
+         ("fun", 1, 1)],
+    ),
+    (
+        "testSimpleHole",  # :220
+        [("hello", 1, 1), ("hole", 2, 1), ("fun", 1, 1)],
+        [("hello", 1, 1), ("hole", 2, 1), ("fun", 1, 1)],
+    ),
+    (
+        "testHoleUnderSyn",  # :240
+        [("wizard", 1, 1), ("woz", 0, 3), ("oz", 2, 1)],
+        [("wizard", 1, 1), ("woz", 0, 3), ("oz", 2, 1)],
+    ),
+    (
+        "testStrangelyNumberedNodes",  # :266
+        [("dog", 1, 3), ("puppy", 0, 3), ("flies", 3, 1)],
+        [("dog", 1, 1), ("puppy", 0, 1), ("flies", 1, 1)],
+    ),
+    (
+        "testTwoLongParallelPaths",  # :289
+        [("a", 1, 1), ("b", 0, 2), ("a", 1, 2), ("b", 1, 2),
+         ("a", 1, 2), ("b", 1, 2), ("a", 1, 2), ("b", 1, 2),
+         ("a", 1, 2), ("b", 1, 2), ("a", 1, 2), ("b", 1, 2)],
+        [("a", 1, 1), ("b", 0, 1), ("a", 1, 1), ("b", 0, 1),
+         ("a", 1, 1), ("b", 0, 1), ("a", 1, 1), ("b", 0, 1),
+         ("a", 1, 1), ("b", 0, 1), ("a", 1, 1), ("b", 0, 1)],
+    ),
+    (
+        "testAltPathFirstStepHole",  # :329
+        [("abc", 1, 3), ("b", 1, 1), ("c", 1, 1)],
+        [("abc", 1, 3), ("b", 1, 1), ("c", 1, 1)],
+    ),
+    (
+        "testAltPathLastStepHole",  # :347
+        [("abc", 1, 3), ("a", 0, 1), ("b", 1, 1), ("d", 2, 1)],
+        [("abc", 1, 3), ("a", 0, 1), ("b", 1, 1), ("d", 2, 1)],
+    ),
+    (
+        "testLongHole",  # :372
+        [("hello", 1, 1), ("hole", 5, 1), ("fun", 1, 1)],
+        [("hello", 1, 1), ("hole", 2, 1), ("fun", 1, 1)],
+    ),
+    (
+        "testAltPathLastStepLongHole",  # :394
+        [("abc", 1, 3), ("a", 0, 1), ("d", 3, 1)],
+        [("abc", 1, 2), ("a", 0, 1), ("d", 2, 1)],
+    ),
+]
+
+
+@pytest.mark.parametrize("name,inp,want", CANNED, ids=[c[0] for c in CANNED])
+def test_flatten_canned(name, inp, want):
+    assert flatten_graph(inp) == want
+
+
+class TestSynonymGraphEmission:
+    def test_multiword_rhs_keep_orig(self):
+        """'wtf' -> 'what the fudge' + 'wow that's funny' keepOrig:
+        reproduces exactly the testWTF1 canned input stream (the
+        reference test's comment says that stream IS SynGraphFilter's
+        output for this config)."""
+        rules = {("wtf",): [("what", "the", "fudge"),
+                            ("wow", "that's", "funny")]}
+        toks = ["wtf", "happened"]
+        got = synonym_graph_tokens(toks, rules, keep_orig=True)
+        assert got == [
+            ("what", 1, 1), ("wow", 0, 3), ("wtf", 0, 5), ("the", 1, 1),
+            ("fudge", 1, 3), ("that's", 1, 1), ("funny", 1, 1),
+            ("happened", 1, 1),
+        ]
+
+    def test_multiword_lhs_single_rhs(self):
+        """'wizard of oz' -> 'woz' keepOrig: side path + original."""
+        rules = {("wizard", "of", "oz"): [("woz",)]}
+        got = synonym_graph_tokens(
+            ["the", "wizard", "of", "oz", "rocks"], rules, keep_orig=True
+        )
+        assert got == [
+            ("the", 1, 1),
+            ("woz", 1, 3), ("wizard", 0, 1), ("of", 1, 1), ("oz", 1, 1),
+            ("rocks", 1, 1),
+        ]
+
+    def test_no_keep_orig_collapses(self):
+        rules = {("wizard", "of", "oz"): [("woz",)]}
+        got = synonym_graph_tokens(
+            ["wizard", "of", "oz"], rules, keep_orig=False
+        )
+        assert got == [("woz", 1, 1)]
+
+    def test_greedy_longest_match(self):
+        rules = {
+            ("a",): [("x",)],
+            ("a", "b"): [("y",)],
+        }
+        got = synonym_graph_tokens(["a", "b"], rules, keep_orig=False)
+        assert got == [("y", 1, 1)]
+
+
+class TestStream:
+    def test_flattened_positions(self):
+        """End-to-end index-time stream: flattened positions are what
+        the postings see — 'wtf' stacks with 'what'@p, 'the'/'that's'
+        @p+1, 'fudge'/'funny'@p+2, next word at p+3."""
+        stream = multiword_synonym_stream_factory(
+            {"wtf": ["what the fudge", "wow that's funny"]}
+        )
+        terms, pos = stream(["WTF", "happened"], None, frozenset())
+        assert list(zip(terms, pos)) == [
+            ("what", 0), ("wow", 0), ("wtf", 0),
+            ("the", 1), ("that's", 1),
+            ("fudge", 2), ("funny", 2),
+            ("happened", 3),
+        ]
+
+    def test_collapse_no_orig(self):
+        stream = multiword_synonym_stream_factory(
+            {"wizard of oz": ["woz"]}, keep_orig=False
+        )
+        terms, pos = stream(
+            ["The", "Wizard", "of", "Oz", "rocks"], None, frozenset()
+        )
+        assert list(zip(terms, pos)) == [
+            ("the", 0), ("woz", 1), ("rocks", 2)
+        ]
+
+    def test_stop_after_flatten_leaves_gap(self):
+        stream = multiword_synonym_stream_factory(
+            {"usa": ["united states"]}
+        )
+        terms, pos = stream(
+            ["visit", "the", "USA", "now"], None, frozenset({"the"})
+        )
+        # the@1 dropped -> gap; usa stacks with united@2, states@3,
+        # now@4
+        assert list(zip(terms, pos)) == [
+            ("visit", 0), ("united", 2), ("usa", 2), ("states", 3),
+            ("now", 4),
+        ]
