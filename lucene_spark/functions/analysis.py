@@ -191,6 +191,7 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
         and chain.pre_stop is None
         and chain.lower is None
         and chain.tokenizer is None
+        and chain.tokenizer_batch is None
     )
     # partition: [a-z0-9 ]-only rows split directly; everything else
     # goes through ONE lockstep DFA batch (functions/uax29.py) so the
@@ -203,11 +204,19 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
     dfa_texts: list[str] = []
     cf = chain.char_filter if chain is not None else None
     custom_tok = chain.tokenizer if chain is not None else None
+    custom_tok_batch = (
+        chain.tokenizer_batch if chain is not None else None
+    )
+    batch_rows: list[int] = []
+    batch_texts: list[str] = []
     for i, t in enumerate(items):
         if cf is not None and t:
             t = cf(t)
         if not t:
             tok_lists[i] = []
+        elif custom_tok_batch is not None:
+            batch_rows.append(i)
+            batch_texts.append(t)
         elif custom_tok is not None:
             # chain-owned tokenizer (URL/email grammar): never the
             # whitespace fast path, never the standard DFA
@@ -217,6 +226,9 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
         else:
             dfa_rows.append(i)
             dfa_texts.append(t)
+    if batch_rows:
+        for i, tl in zip(batch_rows, custom_tok_batch(batch_texts)):
+            tok_lists[i] = tl
     dfa_set = set(dfa_rows)
     if dfa_rows:
         # stream chains (CJK bigrams) dispatch on the TypeAttribute, so

@@ -148,3 +148,156 @@ def tokenize_url_email_terms(text: str) -> tuple[list[str], list[str]]:
         [text[s:e] for s, e, _ in spans],
         [TYPE_NAMES[k] for _, _, k in spans],
     )
+
+
+def segment_batch_url_email(
+    texts: list[str], window: int = 255
+) -> list[list[tuple[int, int, int]]]:
+    """Lockstep-vectorized batch scanner — the ``uax29.segment_batch``
+    driver extended with this grammar's two lexical states and its
+    action side effects (skip, AVOID_BAD_URL re-scan, one-codepoint
+    URL backoff, 6-codepoint truncation, bare-URL state keep). All
+    documents advance one DFA transition per numpy step; per-token
+    action dispatch happens only on break lanes, as masked array ops.
+    Byte-identical to ``tokenize_url_email`` per doc (asserted over the
+    committed 3.8k-case golden battery in tests/test_urlemail.py)."""
+    (cmap_top, cmap_blocks, zz_action, rowmap, trans, attr,
+     lexstate) = _load()
+    n = len(texts)
+    if n == 0:
+        return []
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    starts_flat = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    joined = "".join(texts)
+    flat = np.frombuffer(
+        joined.encode("utf-32-le"), dtype="<u4"
+    ).astype(np.int32)
+    if len(flat):
+        off = flat & 255
+        idx = np.where(flat == off, off, cmap_top[flat >> 8] | off)
+        classes = cmap_blocks[idx]
+    else:
+        classes = flat
+    widths = (1 + (flat > 0xFFFF)).astype(np.int64)
+
+    lanes = np.arange(n)
+    alive = lanes[lens > 0]
+    doc_lens = lens[alive]
+    base = starts_flat[alive]
+    lex = np.zeros(len(alive), dtype=np.int32)  # YYINITIAL
+    st = lexstate[lex].astype(np.int64)
+    pos = np.zeros(len(alive), dtype=np.int64)  # token start
+    cur = np.zeros(len(alive), dtype=np.int64)
+    marked = np.full(len(alive), -1, dtype=np.int64)
+    action = np.full(len(alive), -1, dtype=np.int64)
+    u16 = np.zeros(len(alive), dtype=np.int64)
+
+    out_doc: list[np.ndarray] = []
+    out_start: list[np.ndarray] = []
+    out_end: list[np.ndarray] = []
+    out_act: list[np.ndarray] = []
+
+    while len(alive):
+        eof = cur >= doc_lens
+        safe = np.where(eof, 0, cur)
+        cls = classes[base + safe]
+        w = widths[base + safe]
+        stop = eof | (~eof & (u16 + w > window))
+        nxt = np.where(stop, -2, trans[rowmap[st] + cls])
+        ok = nxt >= 0
+        st = np.where(ok, np.maximum(nxt, 0), st)
+        cur = cur + ok
+        u16 = u16 + np.where(ok, w, 0)
+        a = attr[st]
+        acc = ok & ((a & 1) == 1)
+        action = np.where(acc, st, action)
+        marked = np.where(acc, cur, marked)
+        hard = acc & ((a & 8) == 8)
+        brk = stop | (nxt == -1) | hard
+
+        if not brk.any():
+            continue
+        b = brk.nonzero()[0]
+        # lanes whose scan accepted nothing: done (catch-all rule —
+        # only reachable at EOF with nothing consumed)
+        dead = action[b] < 0
+        live_b = b[~dead]
+        if len(live_b):
+            act = zz_action[action[live_b]]
+            p = pos[live_b]
+            m = marked[live_b]
+            # emission mask + spans per action kind
+            is_skip = act == 1
+            is_rescan = act == 14
+            is_trunc = act == 15
+            is_back = act == 12
+            emits = ~(is_skip | is_rescan)
+            end = np.where(is_trunc, p + 6, np.where(is_back, m - 1, m))
+            kind = np.where(
+                is_trunc,
+                ACTION_WORD,
+                np.where((act == 12) | (act == 13), ACTION_URL, act),
+            )
+            e_rows = live_b[emits]
+            if len(e_rows):
+                out_doc.append(alive[e_rows])
+                out_start.append(p[emits])
+                out_end.append(end[emits])
+                out_act.append(kind[emits])
+            # next-token state per action
+            new_pos = np.where(is_skip, m, np.where(is_rescan, p, end))
+            # lex: rescan -> AVOID_BAD_URL; skip/bare-URL(11) keep;
+            # everything else resets to YYINITIAL
+            keeps = is_skip | (act == 11)
+            new_lex = np.where(
+                is_rescan,
+                _AVOID_BAD_URL,
+                np.where(keeps, lex[live_b], _YYINITIAL),
+            ).astype(np.int32)
+            pos[live_b] = new_pos
+            cur[live_b] = new_pos
+            lex[live_b] = new_lex
+            st[live_b] = lexstate[new_lex]
+            marked[live_b] = -1
+            action[live_b] = -1
+            u16[live_b] = 0
+        # retire lanes: dead scans, or resumed past EOF
+        finished = np.zeros(len(alive), dtype=bool)
+        finished[b[dead]] = True
+        finished |= pos >= doc_lens
+        if finished.any():
+            keep = ~finished
+            alive = alive[keep]
+            doc_lens = doc_lens[keep]
+            base = base[keep]
+            lex = lex[keep]
+            st = st[keep]
+            pos = pos[keep]
+            cur = cur[keep]
+            marked = marked[keep]
+            action = action[keep]
+            u16 = u16[keep]
+
+    spans: list[list[tuple[int, int, int]]] = [[] for _ in range(n)]
+    if out_doc:
+        d = np.concatenate(out_doc)
+        s = np.concatenate(out_start)
+        e = np.concatenate(out_end)
+        a = np.concatenate(out_act)
+        order = np.lexsort((s, d))
+        dl = d[order].tolist()
+        sl = s[order].tolist()
+        el = e[order].tolist()
+        al = a[order].tolist()
+        for i in range(len(dl)):
+            spans[dl[i]].append((sl[i], el[i], al[i]))
+    return spans
+
+
+def tokenize_url_email_batch(texts: list[str]) -> list[list[str]]:
+    """Batch tokenizer hook for analyze_series: per-doc surface
+    tokens via the lockstep scanner."""
+    spans = segment_batch_url_email(texts)
+    return [
+        [t[s:e] for s, e, _ in sp] for t, sp in zip(texts, spans)
+    ]

@@ -69,3 +69,40 @@ class TestChain:
         )
         assert terms == ["http://x.io/q", "bob@y.org"]
         assert pos == [1, 3]
+
+
+def test_batch_scanner_identical_to_scalar():
+    """segment_batch_url_email (lockstep-vectorized) must reproduce the
+    scalar scanner span-for-span over the whole golden battery (the
+    battery itself is byte-validated against the compiled reference
+    scanner), and the chain's batch hook must not change
+    analyze_series output."""
+    import dataclasses
+    import gzip
+    import json
+    import os
+
+    import pandas as pd
+
+    from lucene_spark.functions.analysis import analyze_series
+    from lucene_spark.functions.lang import get_chain
+    from lucene_spark.functions.urlemail import (
+        segment_batch_url_email,
+        tokenize_url_email,
+    )
+
+    fx = os.path.join(
+        os.path.dirname(__file__), "fixtures", "urlemail_goldens.json.gz"
+    )
+    with gzip.open(fx, "rt") as f:
+        texts = list(json.load(f).keys())
+    batch = segment_batch_url_email(texts)
+    for t, sp in zip(texts, batch):
+        assert sp == tokenize_url_email(t), repr(t[:80])
+
+    chain = get_chain("uax29_url_email")
+    scalar_chain = dataclasses.replace(chain, tokenizer_batch=None)
+    sample = texts[:400]
+    assert analyze_series(pd.Series(sample), chain=chain) == analyze_series(
+        pd.Series(sample), chain=scalar_chain
+    )
