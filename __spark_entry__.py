@@ -6301,6 +6301,76 @@ SELECT doc_id,
        '0,1,1,2,3,4,4,5,6,7,8' AS positions
 FROM documents WHERE doc_id < 200"""
 
+_BM_POOL = [
+    "smith", "kowalski", "auerbach", "peters",
+    "schwarz", "levine", "moreno", "papadopoulos",
+]
+
+
+def _q_beider_morse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BeiderMorseFilter chain (phonetic/BeiderMorseFilter.java:83-118;
+    engine = functions/beidermorse.py, commons-codec bm port with 103k
+    jar-exact goldens): two pool names per doc; each name's PhoneticEngine
+    (GENERIC, APPROX) codes stack at the name's position. The oracle
+    carries the jar-derived code list per pool name (the
+    _PHONETIC_CHAIN_SQL constants pattern)."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("beider_morse")
+        for pdf in batches:
+            ids, terms_out, pos_out = [], [], []
+            for i in pdf["doc_id"].tolist():
+                text = " ".join(
+                    _BM_POOL[(i * 5 + k) % 8] for k in range(2)
+                )
+                terms, pos = chain_analyze(text, chain)
+                ids.append(i)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_BM_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+slots AS (
+  SELECT d.doc_id, g.k, (d.doc_id*5 + g.k) % 8 AS w
+  FROM d, (SELECT unnest(generate_series(0, 1)) AS k) g
+),
+codes AS (
+  SELECT doc_id, k,
+    ['zmit',
+     'kYvYlzki|kYvalzki|kYvolzki|kovYlzki|kovalzki|kovolzki|kowalzki|kowolzki|kuvalzki|kuvolzki',
+     'DrbYx|Drba|DrbaS|Drbas|DrbatS|Drbats|Drbax|Drbo|DrboS|Drbos|DrbotS|Drbots|Drbox|DrvatS|Drvats|Drvax|DrvotS|Drvots|Drvox',
+     'pYtYrz|pYtirz|pitYrz|pitirz',
+     'svYrts|svarts|svorts',
+     'lYvQni|lYvini|libini|livDni|livQni|livin|livini',
+     'morino',
+     'papatpulz|papotpulz|popatpulz|popotpulz'][w + 1] AS t,
+    [1, 10, 19, 4, 3, 7, 1, 4][w + 1] AS n
+  FROM slots
+)
+SELECT doc_id,
+       string_agg(t, '|' ORDER BY k) AS terms,
+       string_agg(
+         array_to_string(
+           list_transform(range(1, n + 1), x -> CAST(k AS VARCHAR)),
+           ','),
+         ',' ORDER BY k) AS positions
+FROM codes GROUP BY doc_id"""
+
 # EdgeNGram 1..2 over the single token "w{id}": grams w, w+first digit
 _q_edge_ngram_tokens = _analysis_tokens_entry(
     "edge_ngram", lambda i: f"w{i}"
@@ -10611,6 +10681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_delimiter_tokens": _q_wdgf_tokens,
         "icu_folding_tokens": _q_icu_folding_tokens,
         "multiword_synonym_tokens": _q_multiword_synonym_tokens,
+        "beider_morse_codes": _q_beider_morse,
         "edge_ngram_tokens": _q_edge_ngram_tokens,
         "ngram_tokens": _q_ngram_tokens,
         "parsed_query_top10": _q_parsed,
@@ -11551,6 +11622,7 @@ def oracle_sql() -> dict[str, str]:
         "word_delimiter_tokens": _WDGF_SQL,
         "icu_folding_tokens": _ICU_FOLDING_SQL,
         "multiword_synonym_tokens": _MULTIWORD_SYN_SQL,
+        "beider_morse_codes": _BM_SQL,
         "edge_ngram_tokens": _EDGE_NGRAM_SQL,
         "ngram_tokens": _NGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,

@@ -1,0 +1,562 @@
+"""Beider-Morse Phonetic Matching — a faithful port of commons-codec's
+``org.apache.commons.codec.language.bm`` engine (the encoder Lucene's
+BeiderMorseFilter binds, ``analysis/phonetic/BeiderMorseFilter.java:
+60-77``), driven by the SAME 127 plain-text rule files (Apache-2.0,
+vendored verbatim from the commons-codec jar into ``bmdata/``).
+
+Ported semantics (validated byte-exactly against the jar via
+tools/bm_goldens.py; quirks pinned by the goldens):
+
+- Lang.guessLanguages: substring/prefix/suffix/exact rules from
+  ``<nt>_lang.txt`` retain/remove over the full language inventory
+  (which INCLUDES the pseudo-language ``any``); empty result → ANY.
+- Rule context patterns compile exactly like ``Rule.pattern`` — with
+  the constructor's anchoring (left context right-anchored by an
+  appended ``$``, right context left-anchored by a prepended ``^``,
+  verified against the jar via reflection), the anchored/char-class
+  fast paths, and the Java-regex ``find()`` fallback.
+- ``#include`` uses Map.putAll: an included file's first-char buckets
+  REPLACE any same-key buckets parsed earlier in the including file.
+- PhonemeBuilder.apply caps the cross-product at maxPhonemes (20)
+  with the mid-loop break; phonemes do not dedup there (LinkedHashSet
+  on identity), but applyFinalRules merges same-text phonemes through
+  a TreeMap on the text comparator, merging language sets.
+- NAME_PREFIXES iterate in java.util.HashSet order (bucket order of
+  String.hashCode spread into 16 buckets) — reproduced exactly, since
+  "de la X" matches both "de" and "de la" and the iteration order
+  picks the winner.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import re
+
+_DATA = os.path.join(os.path.dirname(__file__), "bmdata")
+
+GENERIC, ASHKENAZI, SEPHARDIC = "gen", "ash", "sep"
+APPROX, EXACT, RULES = "approx", "exact", "rules"
+
+_DEFAULT_MAX_PHONEMES = 20
+
+ANY = "__any__"  # LanguageSet.ANY_LANGUAGE sentinel
+
+
+# ---------------------------------------------------------------- utils
+def _java_hashcode(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (31 * h + ord(ch)) & 0xFFFFFFFF
+    return h
+
+
+def _hashset_order(items: list[str]) -> list[str]:
+    """java.util.HashSet<String> iteration order for a set built from
+    Arrays.asList(...) with default capacity 16 (all NAME_PREFIXES
+    sets are <= 12 entries): buckets ascending, one entry per bucket
+    here (collisions would chain in insertion order)."""
+    buckets: dict[int, list[str]] = {}
+    for it in items:
+        h = _java_hashcode(it)
+        h ^= h >> 16
+        buckets.setdefault(h & 15, []).append(it)
+    out = []
+    for b in sorted(buckets):
+        out.extend(buckets[b])
+    return out
+
+
+_NAME_PREFIXES = {
+    GENERIC: _hashset_order(
+        ["da", "dal", "de", "del", "dela", "de la", "della", "des",
+         "di", "do", "dos", "du", "van", "von"]
+    ),
+    ASHKENAZI: _hashset_order(["bar", "ben", "da", "de", "van", "von"]),
+    SEPHARDIC: _hashset_order(
+        ["al", "el", "da", "dal", "de", "del", "dela", "de la",
+         "della", "des", "di", "do", "dos", "du", "van", "von"]
+    ),
+}
+
+
+def _read_lines(fname: str):
+    """Rule-file reader with commons-codec's comment handling:
+    ``/* ... */`` block comments (end only recognized as a line
+    SUFFIX), ``//`` line comments, blank skip."""
+    path = os.path.join(_DATA, fname)
+    out = []
+    in_block = False
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.rstrip("\n").rstrip("\r")
+            if in_block:
+                if line.rstrip().endswith("*/"):
+                    in_block = False
+                continue
+            if line.startswith("/*"):
+                in_block = True
+                continue
+            cmt = line.find("//")
+            if cmt >= 0:
+                line = line[:cmt]
+            line = line.strip()
+            if line:
+                out.append(line)
+    return out
+
+
+# ------------------------------------------------------------ languages
+@functools.lru_cache(maxsize=None)
+def _languages(name_type: str) -> frozenset:
+    return frozenset(_read_lines(f"{name_type}_languages.txt"))
+
+
+# LanguageSet: frozenset of names, or the ANY sentinel, or empty
+def _restrict(a, b):
+    if a is ANY:
+        return b
+    if b is ANY:
+        return a
+    return a & b
+
+
+def _merge(a, b):
+    """LanguageSet.merge — NOT commutative: ANY.merge(other) returns
+    OTHER (Languages$2.merge is a bare ``return other``, verified in
+    the jar's bytecode), while Some.merge(ANY) returns ANY. The caller
+    (applyFinalRules) always calls old.mergeWithLanguage(new), so the
+    argument order here must be (old, new)."""
+    if a is ANY:
+        return b
+    if a is not ANY and len(a) == 0:
+        return b
+    if b is not ANY and len(b) == 0:
+        return a
+    if b is ANY:
+        return ANY
+    return a | b
+
+
+def _is_empty(s):
+    return s is not ANY and len(s) == 0
+
+
+def _is_singleton(s):
+    return s is not ANY and len(s) == 1
+
+
+# ----------------------------------------------------------------- lang
+@functools.lru_cache(maxsize=None)
+def _lang_rules(name_type: str):
+    """Lang.loadFromResource: each line is ``pattern langs accept``;
+    the pattern is a full java.util.regex matched with find()
+    (char classes like ``o[aieu]`` appear in the data)."""
+    rules = []
+    for line in _read_lines(f"{name_type}_lang.txt"):
+        parts = line.split()
+        if len(parts) != 3:
+            continue
+        pattern, langs, accept = parts
+        rules.append(
+            (
+                re.compile(pattern),
+                frozenset(langs.split("+")),
+                accept == "true",
+            )
+        )
+    return rules
+
+
+def guess_languages(name_type: str, input_: str):
+    """Lang.guessLanguages: returns a LanguageSet (frozenset or ANY)."""
+    text = input_.lower()
+    langs = set(_languages(name_type))
+    for pattern, rlangs, accept in _lang_rules(name_type):
+        if pattern.search(text) is not None:
+            if accept:
+                langs &= rlangs
+            else:
+                langs -= rlangs
+    ls = frozenset(langs)
+    return ANY if len(ls) == 0 else ls
+
+
+# ---------------------------------------------------------------- rules
+class _Phoneme:
+    __slots__ = ("text", "languages")
+
+    def __init__(self, text: str, languages):
+        self.text = text
+        self.languages = languages
+
+
+def _phoneme_cmp_key(p: "_Phoneme"):
+    # Rule.Phoneme.COMPARATOR: char-by-char, shorter-prefix first —
+    # plain string ordering by UTF-16 code unit == Python str compare
+    # for BMP text (the rule phonemes are all BMP)
+    return p.text
+
+
+def _parse_phoneme(ph: str) -> _Phoneme:
+    open_ = ph.find("[")
+    if open_ >= 0:
+        if not ph.endswith("]"):
+            raise ValueError(f"Phoneme expression contains a '[' but "
+                             f"does not end in ']': {ph}")
+        before = ph[:open_]
+        inner = ph[open_ + 1 : -1]
+        return _Phoneme(before, frozenset(inner.split("+")))
+    return _Phoneme(ph, ANY)
+
+
+def _parse_phoneme_expr(ph: str) -> list[_Phoneme]:
+    if ph.startswith("("):
+        if not ph.endswith(")"):
+            raise ValueError(f"Phoneme starts with '(' so must end "
+                             f"with ')': {ph}")
+        body = ph[1:-1]
+        # Java String.split("[|]"): trailing empties dropped, leading
+        # and inner empties kept; "".split -> [""]
+        parts = re.split(r"\|", body)
+        while len(parts) > 1 and parts[-1] == "":
+            parts.pop()
+        phs = [_parse_phoneme(p) for p in parts]
+        # bytecode-verified condition (Rule.parsePhonemeExpr:99-162):
+        # append ONE extra empty phoneme iff the split did not already
+        # surface it — i.e. (>1 parts, parts[0] non-empty, body starts
+        # with '|') or (parts[-1] non-empty and body ends with '|')
+        if (
+            len(parts) > 1
+            and parts[0] != ""
+            and body.startswith("|")
+        ) or (parts[-1] != "" and body.endswith("|")):
+            phs.append(_Phoneme("", ANY))
+        return phs
+    return [_parse_phoneme(ph)]
+
+
+_JAVA_REGEX_CACHE: dict[str, "re.Pattern"] = {}
+
+
+def _compile_rpattern(regex: str):
+    """Rule.pattern: context matcher. Returns f(str) -> bool."""
+    starts = regex.startswith("^")
+    ends = regex.endswith("$")
+    content = regex[1 if starts else 0 : len(regex) - (1 if ends else 0)]
+    if "[" not in content:
+        if starts and ends:
+            if content == "":
+                return lambda s: len(s) == 0
+            c = content
+            return lambda s: s == c
+        if (starts or ends) and content == "":
+            return lambda s: True
+        if starts:
+            c = content
+            return lambda s: s.startswith(c)
+        if ends:
+            c = content
+            return lambda s: s.endswith(c)
+    elif content.startswith("[") and content.endswith("]"):
+        inner = content[1:-1]
+        if "[" not in inner:
+            negate = inner.startswith("^")
+            if negate:
+                inner = inner[1:]
+            should = not negate
+            cls = inner
+            if starts and ends:
+                return lambda s: len(s) == 1 and (s[0] in cls) == should
+            if starts:
+                return lambda s: len(s) > 0 and (s[0] in cls) == should
+            if ends:
+                return lambda s: len(s) > 0 and (s[-1] in cls) == should
+    pat = _JAVA_REGEX_CACHE.get(regex)
+    if pat is None:
+        pat = _JAVA_REGEX_CACHE[regex] = re.compile(regex)
+    return lambda s: pat.search(s) is not None
+
+
+class _Rule:
+    __slots__ = ("pattern", "lcontext", "rcontext", "phoneme")
+
+    def __init__(self, pattern, lcontext, rcontext, phoneme):
+        self.pattern = pattern
+        # Rule's constructor anchors the contexts before compiling:
+        # the left context is right-anchored (suffix of the text
+        # before the pattern), the right context left-anchored —
+        # verified against the jar via reflection (lctx "^" compiles
+        # to "^$", matching only an empty left part)
+        self.lcontext = _compile_rpattern(lcontext + "$")
+        self.rcontext = _compile_rpattern("^" + rcontext)
+        self.phoneme = phoneme
+
+    def matches(self, input_: str, i: int) -> bool:
+        ipl = i + len(self.pattern)
+        if ipl > len(input_):
+            return False
+        if input_[i:ipl] != self.pattern:
+            return False
+        if not self.rcontext(input_[ipl:]):
+            return False
+        return self.lcontext(input_[:i])
+
+
+def _strip_quotes(s: str) -> str:
+    if s.startswith('"'):
+        s = s[1:]
+    if s.endswith('"'):
+        s = s[:-1]
+    return s
+
+
+def _parse_rules(fname: str) -> dict[str, list[_Rule]]:
+    lines: dict[str, list[_Rule]] = {}
+    for line in _read_lines(fname):
+        if line.startswith("#include"):
+            incl = line[len("#include"):].strip()
+            # Map.putAll: included buckets REPLACE same-key buckets
+            lines.update(_parse_rules(f"{incl}.txt"))
+            continue
+        parts = line.split()
+        if len(parts) != 4:
+            raise ValueError(
+                f"malformed rule statement in {fname}: {line!r}"
+            )
+        pat = _strip_quotes(parts[0])
+        lcon = _strip_quotes(parts[1])
+        rcon = _strip_quotes(parts[2])
+        ph = _parse_phoneme_expr(_strip_quotes(parts[3]))
+        r = _Rule(pat, lcon, rcon, ph)
+        lines.setdefault(pat[:1], []).append(r)
+    return lines
+
+
+@functools.lru_cache(maxsize=None)
+def _rules_map(name_type: str, rule_type: str, lang: str):
+    fname = f"{name_type}_{rule_type}_{lang}.txt"
+    if not os.path.exists(os.path.join(_DATA, fname)):
+        return {}
+    return _parse_rules(fname)
+
+
+def _rules_for(name_type: str, rule_type: str, lang_set):
+    if _is_singleton(lang_set):
+        return _rules_map(name_type, rule_type, next(iter(lang_set)))
+    return _rules_map(name_type, rule_type, "any")
+
+
+# ------------------------------------------------------ phoneme builder
+class _PhonemeBuilder:
+    __slots__ = ("phonemes",)
+
+    def __init__(self, phonemes: list[_Phoneme]):
+        self.phonemes = phonemes  # insertion-ordered, identity dedup
+
+    @classmethod
+    def empty(cls, languages):
+        return cls([_Phoneme("", languages)])
+
+    def append(self, s: str):
+        for p in self.phonemes:
+            p.text += s
+
+    def apply(self, phoneme_expr: list[_Phoneme], max_phonemes: int):
+        new: list[_Phoneme] = []
+        done = False
+        for left in self.phonemes:
+            if done:
+                break
+            for right in phoneme_expr:
+                langs = _restrict(left.languages, right.languages)
+                if not _is_empty(langs):
+                    if len(new) < max_phonemes:
+                        new.append(
+                            _Phoneme(left.text + right.text, langs)
+                        )
+                        if len(new) >= max_phonemes:
+                            done = True
+                            break
+        self.phonemes = new
+
+    def make_string(self) -> str:
+        return "|".join(p.text for p in self.phonemes)
+
+
+def _rules_application(rules, input_, builder, i, max_phonemes):
+    """RulesApplication.invoke: returns (new_i, found)."""
+    found = False
+    pattern_length = 1
+    bucket = rules.get(input_[i : i + 1])
+    if bucket is not None:
+        for rule in bucket:
+            pattern_length = len(rule.pattern)
+            if rule.matches(input_, i):
+                builder.apply(rule.phoneme, max_phonemes)
+                found = True
+                break
+    if not found:
+        pattern_length = 1
+    return i + pattern_length, found
+
+
+# --------------------------------------------------------------- engine
+class PhoneticEngine:
+    """PhoneticEngine(nameType, ruleType, concat[, maxPhonemes]).
+    Lucene's BeiderMorseFilter default = (GENERIC, APPROX, True)."""
+
+    def __init__(
+        self,
+        name_type: str = GENERIC,
+        rule_type: str = APPROX,
+        concat: bool = True,
+        max_phonemes: int = _DEFAULT_MAX_PHONEMES,
+    ):
+        if rule_type == RULES:
+            raise ValueError("ruleType must not be RULES")
+        self.name_type = name_type
+        self.rule_type = rule_type
+        self.concat = concat
+        self.max_phonemes = max_phonemes
+
+    def _apply_final_rules(self, builder: _PhonemeBuilder, final_rules):
+        if not final_rules:
+            return builder
+        # TreeMap<Phoneme, Phoneme> on the text comparator
+        merged: dict[str, _Phoneme] = {}
+        for phoneme in builder.phonemes:
+            sub = _PhonemeBuilder.empty(phoneme.languages)
+            text = phoneme.text
+            i = 0
+            while i < len(text):
+                new_i, found = _rules_application(
+                    final_rules, text, sub, i, self.max_phonemes
+                )
+                if not found:
+                    sub.append(text[i : i + 1])
+                i = new_i
+            for new_ph in sub.phonemes:
+                old = merged.get(new_ph.text)
+                if old is not None:
+                    merged[new_ph.text] = _Phoneme(
+                        new_ph.text,
+                        _merge(old.languages, new_ph.languages),
+                    )
+                else:
+                    merged[new_ph.text] = new_ph
+        out = [merged[k] for k in sorted(merged)]
+        return _PhonemeBuilder(out)
+
+    def encode(self, input_: str, language_set=None) -> str:
+        if language_set is None:
+            language_set = guess_languages(self.name_type, input_)
+        rules = _rules_for(self.name_type, RULES, language_set)
+        final1 = _rules_map(self.name_type, self.rule_type, "common")
+        final2 = _rules_for(self.name_type, self.rule_type, language_set)
+
+        input_ = input_.lower().replace("-", " ").strip()
+
+        if self.name_type == GENERIC:
+            if len(input_) >= 2 and input_[:2] == "d'":
+                remainder = input_[2:]
+                combined = "d" + remainder
+                return (
+                    "(" + self.encode(remainder) + ")-("
+                    + self.encode(combined) + ")"
+                )
+            for ln in _NAME_PREFIXES[GENERIC]:
+                if input_.startswith(ln + " "):
+                    remainder = input_[len(ln) + 1 :]
+                    combined = ln + remainder
+                    return (
+                        "(" + self.encode(remainder) + ")-("
+                        + self.encode(combined) + ")"
+                    )
+
+        words = re.split(r"\s+", input_) if input_ else [""]
+        words2: list[str] = []
+        if self.name_type == SEPHARDIC:
+            for w in words:
+                parts = w.split("'")
+                words2.append(parts[-1])
+            words2 = [
+                w for w in words2
+                if w not in set(_NAME_PREFIXES[SEPHARDIC])
+            ]
+        elif self.name_type == ASHKENAZI:
+            words2 = [
+                w for w in words
+                if w not in set(_NAME_PREFIXES[ASHKENAZI])
+            ]
+        else:
+            words2 = list(words)
+
+        if self.concat:
+            input_ = " ".join(words2)
+        elif len(words2) == 1:
+            input_ = words[0]
+        elif words2:
+            return "-".join(self.encode(w) for w in words2)
+
+        builder = _PhonemeBuilder.empty(language_set)
+        i = 0
+        while i < len(input_):
+            i, _found = _rules_application(
+                rules, input_, builder, i, self.max_phonemes
+            )
+        builder = self._apply_final_rules(builder, final1)
+        builder = self._apply_final_rules(builder, final2)
+        return builder.make_string()
+
+
+@functools.lru_cache(maxsize=4)
+def _default_engine(name_type=GENERIC, rule_type=APPROX, concat=True):
+    return PhoneticEngine(name_type, rule_type, concat)
+
+
+def beider_morse_encode(
+    name: str,
+    name_type: str = GENERIC,
+    rule_type: str = APPROX,
+    concat: bool = True,
+) -> str:
+    """BeiderMorseEncoder.encode equivalent."""
+    return _default_engine(name_type, rule_type, concat).encode(name)
+
+
+_TOKEN_RE = re.compile(r"[^()|-]+")
+
+
+def beider_morse_tokens(name: str, **kw) -> list[str]:
+    """BeiderMorseFilter token view: the encoded string split on the
+    filter's ``[^()|-]+`` matcher (BeiderMorseFilter.java:60), tokens
+    stacked at one position."""
+    return _TOKEN_RE.findall(beider_morse_encode(name, **kw))
+
+
+def beider_morse_stream_factory(
+    name_type: str = GENERIC,
+    rule_type: str = APPROX,
+    concat: bool = True,
+):
+    """BeiderMorseFilter as an index-time chain stream
+    (``analysis/phonetic/BeiderMorseFilter.java:83-118``): each term
+    encodes through the engine; the matcher's tokens replace it,
+    stacked at the surface token's position (first keeps the posInc,
+    the rest posInc 0 — in our (terms, positions) model: all at the
+    same position)."""
+
+    def stream(tokens, types, stopwords, offsets=None):
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(tokens):
+            for code in beider_morse_tokens(
+                tok, name_type=name_type, rule_type=rule_type,
+                concat=concat,
+            ):
+                terms.append(code)
+                positions.append(pos)
+        return terms, positions
+
+    return stream

@@ -1,0 +1,73 @@
+"""Beider-Morse port (functions/beidermorse.py) vs commons-codec jar
+goldens — 25,750 names × 4 engine configs, all byte-exact (fixtures
+committed; tests need neither the jar nor the reference)."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "bm_goldens.json.gz"
+)
+
+CONFIGS = {
+    "gen_approx": ("gen", "approx"),
+    "gen_exact": ("gen", "exact"),
+    "ash_approx": ("ash", "approx"),
+    "sep_approx": ("sep", "approx"),
+}
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    with gzip.open(FIXTURE, "rt", encoding="utf-8") as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("key", sorted(CONFIGS))
+def test_goldens_all_exact(goldens, key):
+    from lucene_spark.functions.beidermorse import beider_morse_encode
+
+    nt, rt = CONFIGS[key]
+    bad = []
+    for name, want in goldens.items():
+        got = beider_morse_encode(name, name_type=nt, rule_type=rt)
+        if got != want[key]:
+            bad.append((name, want[key], got))
+    assert not bad, f"{key}: {len(bad)}/{len(goldens)}: {bad[:3]}"
+
+
+def test_golden_battery_size(goldens):
+    assert len(goldens) >= 25000
+
+
+def test_semantics_spot():
+    from lucene_spark.functions.beidermorse import (
+        beider_morse_encode,
+        beider_morse_tokens,
+        guess_languages,
+    )
+
+    # prefix fan-out: "(rest)-(combined)"
+    enc = beider_morse_encode("van Helsing")
+    assert enc.startswith("(") and ")-(" in enc
+    # apostrophe d' handling
+    enc = beider_morse_encode("d'Artagnan")
+    assert ")-(" in enc
+    # language guessing narrows on diagnostic substrings
+    langs = guess_languages("gen", "Wojciechowski")
+    assert langs != "__any__" and "polish" in langs
+    # filter token view strips the ()|- structure
+    toks = beider_morse_tokens("smith")
+    assert toks == ["zmit"]
+
+
+def test_chain_registered():
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    c = get_chain("beider_morse")
+    terms, pos = chain_analyze("smith moreno", c)
+    assert terms == ["zmit", "morino"]
+    assert pos == [0, 1]

@@ -1,0 +1,141 @@
+"""Beider-Morse golden fixtures from commons-codec (the jar ships with
+pyspark). Writes tests/fixtures/bm_goldens.json.gz as
+{name: {"gen_approx": enc, "gen_exact": enc, "ash_approx": enc,
+"sep_approx": enc}}.
+
+    python tools/bm_goldens.py
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import random
+import subprocess
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = "/tmp/bmgold"
+FIXTURE = os.path.join(ROOT, "tests", "fixtures", "bm_goldens.json.gz")
+JAR = "/opt/spark-4.1.2-bin-hadoop3/jars/commons-codec-1.19.0.jar"
+
+HARNESS = """
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import org.apache.commons.codec.language.bm.*;
+
+public class BmMain {
+  public static void main(String[] args) throws Exception {
+    PhoneticEngine genApprox = new PhoneticEngine(NameType.GENERIC, RuleType.APPROX, true);
+    PhoneticEngine genExact = new PhoneticEngine(NameType.GENERIC, RuleType.EXACT, true);
+    PhoneticEngine ashApprox = new PhoneticEngine(NameType.ASHKENAZI, RuleType.APPROX, true);
+    PhoneticEngine sepApprox = new PhoneticEngine(NameType.SEPHARDIC, RuleType.APPROX, true);
+    BufferedReader in = new BufferedReader(
+        new InputStreamReader(System.in, StandardCharsets.UTF_8));
+    PrintWriter out = new PrintWriter(new BufferedWriter(
+        new OutputStreamWriter(System.out, StandardCharsets.UTF_8)));
+    String line;
+    while ((line = in.readLine()) != null) {
+      String a, b, c, d;
+      try { a = genApprox.encode(line); } catch (Exception e) { a = "!ERR"; }
+      try { b = genExact.encode(line); } catch (Exception e) { b = "!ERR"; }
+      try { c = ashApprox.encode(line); } catch (Exception e) { c = "!ERR"; }
+      try { d = sepApprox.encode(line); } catch (Exception e) { d = "!ERR"; }
+      out.println(a + "\\t" + b + "\\t" + c + "\\t" + d);
+    }
+    out.flush();
+  }
+}
+"""
+
+
+def _names() -> list[str]:
+    import duckdb
+
+    rng = random.Random(41)
+    vocab = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT DISTINCT unnest(string_split(text, ' ')) FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchall()
+    ]
+
+    hand = [
+        "Washington", "Schwarzenegger", "Moskowitz", "Moskovitz",
+        "Auerbach", "Ohrbach", "Lipshitz", "Lipschitz", "Lewinsky",
+        "Levinsky", "Szlamawicz", "Shlamovitz", "Tsenkovskaya",
+        "de la Cruz", "del Rio", "van Helsing", "von Neumann",
+        "d'Artagnan", "d'Angelo", "di Caprio", "dos Santos",
+        "O'Brien", "McDonald", "MacLeod", "Fitzgerald",
+        "Jankelowicz", "Yankelovich", "Gonzalez", "Gonçalves",
+        "Müller", "Mueller", "Meyer", "Maier", "Mayr",
+        "Kowalski", "Kovalsky", "Wojciechowski", "Voytsekhovsky",
+        "Czerny", "Cherny", "Tchernyi", "Txakoli",
+        "Papadopoulos", "Papadopulos", "Ceauşescu", "Ceausescu",
+        "Nagy", "Horváth", "Kovács", "Szabó",
+        "Ben Gurion", "Bar Kochba", "al Rashid", "el Greco",
+        "Ña", "São", "Åström", "Øberg", "Þór",
+        "ben", "van", "de", "de la", "",
+        "x", "q", "qq", "'", "''", "a'b'c",
+        "jean-pierre", "marie-claire", "abd-al-rahman",
+    ]
+
+    # randomized cluster-heavy surnames from rule-relevant fragments
+    frags = [
+        "sch", "tsch", "witz", "wicz", "vich", "ovitz", "berg",
+        "stein", "sky", "ski", "czy", "szcz", "ström", "ière",
+        "eaux", "oux", "gh", "kh", "zh", "ya", "ja", "dj", "tz",
+        "cz", "sz", "ch", "sh", "th", "ph", "ck", "qu", "gn",
+        "ll", "ñ", "ç", "ö", "ü", "é", "ą", "ż", "ł",
+        "a", "e", "i", "o", "u", "b", "d", "g", "k", "l", "m",
+        "n", "p", "r", "s", "t", "v", "z",
+    ]
+    prefixes = ["", "", "", "van ", "von ", "de ", "del ", "d'",
+                "ben ", "bar ", "al ", "mc", "o'", "fitz"]
+    rand = []
+    for _ in range(26000):
+        n = rng.randint(2, 6)
+        name = rng.choice(prefixes) + "".join(
+            rng.choice(frags) for _ in range(n)
+        )
+        rand.append(name)
+
+    out, seen = [], set()
+    for s in vocab + hand + rand:
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def main() -> int:
+    os.makedirs(WORK, exist_ok=True)
+    with open(os.path.join(WORK, "BmMain.java"), "w") as f:
+        f.write(HARNESS)
+    subprocess.run(
+        ["javac", "-cp", JAR, "BmMain.java"], cwd=WORK, check=True
+    )
+    names = _names()
+    res = subprocess.run(
+        ["java", "-cp", f".:{JAR}", "BmMain"],
+        cwd=WORK, input="\n".join(names), capture_output=True,
+        text=True, check=True,
+    )
+    lines = res.stdout.splitlines()
+    assert len(lines) == len(names), (len(lines), len(names))
+    goldens = {}
+    for name, line in zip(names, lines):
+        a, b, c, d = line.split("\t")
+        goldens[name] = {
+            "gen_approx": a, "gen_exact": b,
+            "ash_approx": c, "sep_approx": d,
+        }
+    with gzip.open(FIXTURE, "wt", encoding="utf-8") as f:
+        json.dump(goldens, f, ensure_ascii=True)
+    print(f"wrote {FIXTURE}: {len(goldens)} goldens")
+    return 0
+
+
+if __name__ == "__main__":
+    main()
