@@ -6301,6 +6301,72 @@ SELECT doc_id,
        '0,1,1,2,3,4,4,5,6,7,8' AS positions
 FROM documents WHERE doc_id < 200"""
 
+def _q_hunspell_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hunspell COMPOUNDRULE spell check (hunspell/CompoundRule.java,
+    Hunspell.java:437-496 checkCompoundRules, ported round 4): the
+    reference's own compoundrule4 English-ordinal grammar
+    (``n*1t``/``n*mp`` patterns over digit entries + ONLYINCOMPOUND
+    ordinal tails, vendored at tests/fixtures/hunspell_compound/).
+    Word = str(doc_id) + cycling ordinal suffix; the ORACLE computes
+    the expected verdict from English ordinal arithmetic alone
+    (teens take 'th'; else last digit 1/2/3 -> st/nd/rd) — the
+    grammar provably encodes exactly that rule, so no engine echo."""
+    import os as _os
+
+    from lucene_spark.functions.hunspell import HunspellDictionary
+
+    fx = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "fixtures", "hunspell_compound",
+    )
+    with open(_os.path.join(fx, "compoundrule4.aff")) as f:
+        aff = f.read()
+    with open(_os.path.join(fx, "compoundrule4.dic")) as f:
+        dic = f.read()
+    d = HunspellDictionary.parse(aff, dic)
+    sufs = ["st", "nd", "rd", "th"]
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            words = [f"{i}{sufs[i % 4]}" for i in ids]
+            ok = [d.is_correct(w) for w in words]
+            yield pd.DataFrame(
+                {"doc_id": ids, "word": words, "correct": ok}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, word string, correct boolean"
+    )
+
+
+_HUNSPELL_COMPOUND_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+w AS (
+  SELECT doc_id,
+         ['st','nd','rd','th'][(doc_id % 4) + 1] AS suf,
+         doc_id % 10 AS last_digit,
+         doc_id % 100 AS teens_probe
+  FROM d
+)
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) || suf AS word,
+       CASE
+         WHEN teens_probe BETWEEN 11 AND 13 THEN suf = 'th'
+         WHEN last_digit = 1 THEN suf = 'st'
+         WHEN last_digit = 2 THEN suf = 'nd'
+         WHEN last_digit = 3 THEN suf = 'rd'
+         ELSE suf = 'th'
+       END AS correct
+FROM w"""
+
+
 _BM_POOL = [
     "smith", "kowalski", "auerbach", "peters",
     "schwarz", "levine", "moreno", "papadopoulos",
@@ -10682,6 +10748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icu_folding_tokens": _q_icu_folding_tokens,
         "multiword_synonym_tokens": _q_multiword_synonym_tokens,
         "beider_morse_codes": _q_beider_morse,
+        "hunspell_compound_check": _q_hunspell_compound,
         "edge_ngram_tokens": _q_edge_ngram_tokens,
         "ngram_tokens": _q_ngram_tokens,
         "parsed_query_top10": _q_parsed,
@@ -11623,6 +11690,7 @@ def oracle_sql() -> dict[str, str]:
         "icu_folding_tokens": _ICU_FOLDING_SQL,
         "multiword_synonym_tokens": _MULTIWORD_SYN_SQL,
         "beider_morse_codes": _BM_SQL,
+        "hunspell_compound_check": _HUNSPELL_COMPOUND_SQL,
         "edge_ngram_tokens": _EDGE_NGRAM_SQL,
         "ngram_tokens": _NGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,

@@ -39,6 +39,65 @@ class AffixRule:
     continuation: tuple[str, ...]
 
 
+class CompoundRule:
+    """COMPOUNDRULE pattern over entry flags with ``()``, ``?``, ``*``
+    — 1:1 port of ``hunspell/CompoundRule.java:26-100`` (the parsed
+    flag string with meta chars inline; the recursive matcher with
+    greedy-then-backtrack ``*``)."""
+
+    def __init__(self, rule: str, split_flags):
+        data: list[str] = []
+        pos = 0
+        while pos < len(rule):
+            lp = rule.find("(", pos)
+            if lp < 0:
+                data.extend(split_flags(rule[pos:]))
+                break
+            data.extend(split_flags(rule[pos:lp]))
+            rp = rule.find(")", lp + 1)
+            if rp < 0:
+                raise ValueError(f"Unmatched parentheses: {rule}")
+            data.extend(split_flags(rule[lp + 1 : rp]))
+            pos = rp + 1
+            if pos < len(rule) and rule[pos] in "?*":
+                data.append(rule[pos])
+                pos += 1
+        self.data = data
+
+    @staticmethod
+    def _has(word_forms, flag) -> bool:
+        return any(flag in fs for fs in word_forms)
+
+    def _match(self, words, pi: int, wi: int, fully: bool) -> bool:
+        data = self.data
+        if pi >= len(data):
+            return wi >= len(words)
+        if wi >= len(words) and not fully:
+            return True
+        flag = data[pi]
+        if pi < len(data) - 1 and data[pi + 1] == "*":
+            start = wi
+            while wi < len(words) and self._has(words[wi], flag):
+                wi += 1
+            while wi >= start:
+                if self._match(words, pi + 2, wi, fully):
+                    return True
+                wi -= 1
+            return False
+        cur = wi < len(words) and self._has(words[wi], flag)
+        if pi < len(data) - 1 and data[pi + 1] == "?":
+            if cur and self._match(words, pi + 2, wi + 1, fully):
+                return True
+            return self._match(words, pi + 2, wi, fully)
+        return cur and self._match(words, pi + 1, wi + 1, fully)
+
+    def may_match(self, words) -> bool:
+        return self._match(words, 0, 0, False)
+
+    def fully_matches(self, words) -> bool:
+        return self._match(words, 0, 0, True)
+
+
 @dataclass
 class HunspellDictionary:
     # word -> list of flag sets (one per dic ENTRY — duplicates kept,
@@ -48,6 +107,15 @@ class HunspellDictionary:
     suffixes: list[AffixRule] = field(default_factory=list)
     need_affix: str | None = None
     flag_mode: str = "char"
+    # compounding subset (round-4): COMPOUNDRULE patterns +
+    # COMPOUNDFLAG all-parts compounding; CHECKCOMPOUND* refinements,
+    # COMPOUNDBEGIN/MIDDLE/END contexts and PERMIT/FORBID flags stay
+    # declared out
+    compound_rules: list = field(default_factory=list)
+    compound_min: int = 3  # Dictionary.java default
+    compound_flag: str | None = None
+    compound_max: int = 10**9  # COMPOUNDWORDMAX, default unlimited
+    only_in_compound: str | None = None
 
     # ------------------------------------------------------------------
     # parsing
@@ -78,6 +146,23 @@ class HunspellDictionary:
                 )
             elif kw == "NEEDAFFIX":
                 d.need_affix = parts[1]
+            elif kw == "COMPOUNDMIN":
+                # Dictionary.java:448 clamps to >= 1
+                d.compound_min = max(1, int(parts[1]))
+            elif kw == "COMPOUNDWORDMAX":
+                d.compound_max = int(parts[1])
+            elif kw == "COMPOUNDFLAG":
+                d.compound_flag = parts[1]
+            elif kw == "ONLYINCOMPOUND":
+                d.only_in_compound = parts[1]
+            elif kw == "COMPOUNDRULE":
+                n = int(parts[1])
+                for _ in range(n):
+                    rp = lines[i].split()
+                    i += 1
+                    d.compound_rules.append(
+                        CompoundRule(rp[1], d._split_flags)
+                    )
             elif kw in ("PFX", "SFX"):
                 flag, cross, count = parts[1], parts[2] == "Y", int(parts[3])
                 for _ in range(count):
@@ -207,8 +292,123 @@ class HunspellDictionary:
                 out.append(s)
         return out
 
+    def _analysis_flags(self, word: str) -> list[frozenset]:
+        """Entry flag sets for every valid decomposition of ``word``
+        (the formID view the compound matcher consumes): the word
+        itself, one-suffix, twofold-suffix, prefix and prefix+suffix
+        forms — mirroring ``stems`` but yielding flags."""
+        out: list[frozenset] = []
+        out += self._root_entries(word, frozenset())
+        for r in self.suffixes:
+            base = self._strip_suffix(word, r)
+            if base is None:
+                continue
+            out += self._root_entries(base, {r.flag})
+            for r2 in self.suffixes:
+                if r.flag not in r2.continuation:
+                    continue
+                root = self._strip_suffix(base, r2)
+                if root is not None:
+                    out += self._root_entries(root, {r2.flag})
+        for p in self.prefixes:
+            base = self._strip_prefix(word, p)
+            if base is None:
+                continue
+            out += self._root_entries(base, {p.flag})
+            if not p.cross:
+                continue
+            for r in self.suffixes:
+                if not r.cross:
+                    continue
+                root = self._strip_suffix(base, r)
+                if root is not None:
+                    out += self._root_entries(root, {p.flag, r.flag})
+        return out
+
+    # -- compounding (Hunspell.java:437-496 checkCompoundRules + the
+    # COMPOUNDFLAG all-parts subset) --------------------------------
+    def _check_compound_rules(self, rest: str, words: list) -> bool:
+        if len(words) >= 100:
+            return False
+        limit = len(rest) - self.compound_min + 1
+        for break_pos in range(self.compound_min, limit):
+            forms = self.entries.get(rest[:break_pos])
+            if forms:
+                words.append(forms)
+                if any(r.may_match(words) for r in self.compound_rules):
+                    if self._check_last_compound_part(
+                        rest[break_pos:], words
+                    ):
+                        words.pop()
+                        return True
+                    if self._check_compound_rules(
+                        rest[break_pos:], words
+                    ):
+                        words.pop()
+                        return True
+                words.pop()
+        return False
+
+    def _check_last_compound_part(self, rest: str, words: list) -> bool:
+        """The LAST compound part may be any stemmable form (affixed
+        included — '10ths' = 1/0th+s), its entry flags closing the
+        rule (checkLastCompoundPart's doStem with COMPOUND_RULE_END)."""
+        for fs in self._analysis_flags(rest):
+            words.append([fs])
+            ok = any(
+                r.fully_matches(words) for r in self.compound_rules
+            )
+            words.pop()
+            if ok:
+                return True
+        return False
+
+    def _check_compound_flag(self, word: str, depth: int = 0) -> bool:
+        """COMPOUNDFLAG subset: >= 2 parts, each >= COMPOUNDMIN chars
+        and a dictionary form carrying the compound flag."""
+        if depth + 2 > self.compound_max:
+            return False
+        cf = self.compound_flag
+        limit = len(word) - self.compound_min + 1
+        for break_pos in range(self.compound_min, limit):
+            head = word[:break_pos]
+            if not any(
+                cf in fs for fs in self._analysis_flags(head)
+            ):
+                continue
+            tail = word[break_pos:]
+            if len(tail) >= self.compound_min and any(
+                cf in fs for fs in self._analysis_flags(tail)
+            ):
+                return True
+            if self._check_compound_flag(tail, depth + 1):
+                return True
+        return False
+
+    def _correct_standalone(self, word: str) -> bool:
+        oc = self.only_in_compound
+        for fs in self._analysis_flags(word):
+            if oc is not None and oc in fs:
+                continue  # usable only inside compounds
+            return True
+        return False
+
     def is_correct(self, word: str) -> bool:
-        return bool(self.stems(word))
+        """Spell check: simple/affixed form, else COMPOUNDRULE
+        decomposition, else COMPOUNDFLAG compounding; uppercase input
+        falls back to its lowercase form (the WordCase subset)."""
+        for w in (word, word.lower()):
+            if self._correct_standalone(w):
+                return True
+            if self.compound_rules and self._check_compound_rules(
+                w, []
+            ):
+                return True
+            if self.compound_flag and self._check_compound_flag(w):
+                return True
+            if w == word.lower():
+                break
+        return False
 
 
 def hunspell_stem_stream_factory(dictionary: HunspellDictionary):

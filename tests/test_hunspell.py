@@ -132,3 +132,57 @@ class TestChain:
         )
         assert terms == ["window", "merge", "build", "zzunknown"]
         assert pos == [0, 1, 2, 3]
+
+
+class TestCompounds:
+    """COMPOUNDRULE + COMPOUNDFLAG subset (round 4) vs the reference's
+    own hunspell test batteries (compoundrule..compoundrule8,
+    compoundflag — .good must all pass, .wrong must all fail; data
+    vendored at fixtures/hunspell_compound/)."""
+
+    BASE = __import__("os").path.join(
+        __import__("os").path.dirname(__file__),
+        "fixtures", "hunspell_compound",
+    )
+
+    def _load(self, name):
+        import os
+
+        from lucene_spark.functions.hunspell import HunspellDictionary
+
+        with open(os.path.join(self.BASE, f"{name}.aff"),
+                  encoding="utf-8", errors="replace") as f:
+            aff = f.read()
+        with open(os.path.join(self.BASE, f"{name}.dic"),
+                  encoding="utf-8", errors="replace") as f:
+            dic = f.read()
+        return HunspellDictionary.parse(aff, dic)
+
+    @pytest.mark.parametrize(
+        "name",
+        ["compoundrule", "compoundrule2", "compoundrule3",
+         "compoundrule4", "compoundrule5", "compoundrule6",
+         "compoundrule7", "compoundrule8", "compoundflag"],
+    )
+    def test_battery(self, name):
+        import os
+
+        d = self._load(name)
+        with open(os.path.join(self.BASE, f"{name}.good")) as f:
+            good = f.read().split()
+        with open(os.path.join(self.BASE, f"{name}.wrong")) as f:
+            wrong = f.read().split()
+        miss = [w for w in good if not d.is_correct(w)]
+        accept = [w for w in wrong if d.is_correct(w)]
+        assert not miss and not accept, (
+            f"{name}: good-missed={miss} wrong-accepted={accept}"
+        )
+
+    def test_only_in_compound_standalone_rejected(self):
+        d = self._load("compoundrule4")
+        assert not d.is_correct("1th")  # ONLYINCOMPOUND tail alone
+        assert d.is_correct("11th")  # but fine closing a compound
+
+    def test_affixed_last_part(self):
+        d = self._load("compoundrule4")
+        assert d.is_correct("10ths")  # last part via SFX S on 0th
