@@ -80,6 +80,112 @@ def presearch_terms(q: "MonitorQuery") -> list[str]:
     return list(dict.fromkeys(q.should))
 
 
+class _QTLeaf:
+    __slots__ = ("term", "w")
+
+    def __init__(self, term: str):
+        self.term = term
+        self.w = term_weight(term)
+
+    def weight(self) -> float:
+        return self.w
+
+    def collect(self, out: list) -> None:
+        out.append(self.term)
+
+    def advance(self, min_weight: float) -> bool:
+        return False
+
+
+class _QTConj:
+    """ConjunctionQueryTree (monitor/QueryTree.java:184-220): children
+    sorted by weight descending (stable); collect visits only the best
+    child; advancePhase first recurses into the best child, then
+    removes it so the next pass collects the runner-up (respecting
+    ``min_weight``)."""
+
+    __slots__ = ("children",)
+
+    def __init__(self, children: list):
+        self.children = sorted(
+            children, key=lambda c: -c.weight()
+        )
+
+    def weight(self) -> float:
+        return self.children[0].weight()
+
+    def collect(self, out: list) -> None:
+        self.children[0].collect(out)
+
+    def advance(self, min_weight: float) -> bool:
+        if self.children[0].advance(min_weight):
+            self.children.sort(key=lambda c: -c.weight())
+            return True
+        if len(self.children) == 1:
+            return False
+        if self.children[1].weight() <= min_weight:
+            return False
+        self.children.pop(0)
+        return True
+
+
+class _QTDisj:
+    """DisjunctionQueryTree (:238-268): collect visits ALL children;
+    advancePhase advances every child (any success re-sorts)."""
+
+    __slots__ = ("children",)
+
+    def __init__(self, children: list):
+        self.children = sorted(children, key=lambda c: c.weight())
+
+    def weight(self) -> float:
+        return self.children[0].weight()
+
+    def collect(self, out: list) -> None:
+        for c in self.children:
+            c.collect(out)
+
+    def advance(self, min_weight: float) -> bool:
+        changed = False
+        for c in self.children:
+            changed |= c.advance(min_weight)
+        if not changed:
+            return False
+        self.children.sort(key=lambda c: c.weight())
+        return True
+
+
+def multipass_presearch_terms(
+    q: "MonitorQuery", passes: int, min_weight: float = 0.0
+) -> list[list[str]]:
+    """MultipassTermFilteredPresearcher.buildQueryDocument
+    (monitor/MultipassTermFilteredPresearcher.java:139-162): collect
+    the query tree's best-path terms once per pass, advancing the tree
+    between passes, so each pass's term set is SUFFICIENT to select
+    the query and a candidate doc must hit EVERY pass. The phrase
+    "hello world" indexes 'hello' in pass 0 and 'world' in pass 1 —
+    a doc containing only 'hello' stops being a candidate. When the
+    tree exhausts its phases early, later passes repeat the last
+    phase (advancePhase returns false, state unchanged — the
+    reference keeps calling it harmlessly)."""
+    conj_children: list = [_QTLeaf(t) for t in q.must] + [
+        _QTConj([_QTLeaf(t) for t in p]) for p in q.phrases if p
+    ]
+    if conj_children:
+        tree = _QTConj(conj_children)
+    elif q.should:
+        tree = _QTDisj([_QTLeaf(t) for t in q.should])
+    else:
+        return [[] for _ in range(passes)]
+    out: list[list[str]] = []
+    for _ in range(passes):
+        terms: list[str] = []
+        tree.collect(terms)
+        out.append(list(dict.fromkeys(terms)))
+        tree.advance(min_weight)
+    return out
+
+
 @dataclass
 class MonitorQuery:
     query_id: str
@@ -159,6 +265,21 @@ class Monitor:
             rows, "query_id string, term string"
         )
 
+    def _presearch_terms_multipass_df(
+        self, passes: int, min_weight: float = 0.0
+    ) -> DataFrame:
+        rows = [
+            (q.query_id, p, t)
+            for q in self._queries.values()
+            for p, terms in enumerate(
+                multipass_presearch_terms(q, passes, min_weight)
+            )
+            for t in terms
+        ]
+        return self.spark.createDataFrame(
+            rows, "query_id string, pass int, term string"
+        )
+
     def _query_meta_df(self) -> DataFrame:
         rows = [
             (
@@ -193,7 +314,8 @@ class Monitor:
         docs: DataFrame,
         url_col: str = "url",
         text_col: str = "text",
-        presearch: bool = True,
+        presearch: bool | str = True,
+        passes: int = 2,
     ) -> DataFrame:
         """(url, query_id) pairs for every stored query matching each
         doc. One analyzer pass + one broadcast join + one groupBy.
@@ -208,7 +330,16 @@ class Monitor:
         'the' doc — the property that keeps percolation linear when
         stored queries contain frequent terms. ``presearch=False`` runs
         the exhaustive any-term join; both paths must return identical
-        matches (tested)."""
+        matches (tested).
+
+        ``presearch="multipass"`` (MultipassTermFilteredPresearcher,
+        monitor/MultipassTermFilteredPresearcher.java:35-56): each
+        query indexes ``passes`` sufficient term sets collected from
+        successive query-tree phases, and a candidate doc must hit a
+        term from EVERY pass — tightening candidates for
+        nested-disjunction/phrase queries (a doc with one half of a
+        two-term phrase is no longer a candidate). Same verification,
+        identical final matches (tested)."""
         if not self._queries:
             return self.spark.createDataFrame(
                 [], "url string, query_id string"
@@ -239,7 +370,25 @@ class Monitor:
             F.explode(F.array_distinct("toks")).alias("term"),
         )
         qt = F.broadcast(self._query_terms_df())
-        if presearch:
+        if presearch == "multipass":
+            # conjunctive pass filter: a candidate must match >= 1
+            # term of EVERY pass's sufficient set
+            pt = F.broadcast(
+                self._presearch_terms_multipass_df(passes)
+            )
+            cand = (
+                doc_terms.join(pt, "term")
+                .select("url", "query_id", "pass")
+                .distinct()
+                .groupBy("url", "query_id")
+                .agg(F.countDistinct("pass").alias("_np"))
+                .where(F.col("_np") == passes)
+                .select("url", "query_id")
+            )
+            pairs = cand.join(doc_terms, "url").join(
+                qt, ["query_id", "term"]
+            )
+        elif presearch:
             # candidate selection on the minimized term set, then the
             # full boolean verified over candidates only
             cand = (

@@ -461,3 +461,118 @@ class TestPersistence:
             for r in m2.match_batch(web_pages).collect()
         }
         assert a == b and a
+
+
+class TestMultipassPresearcher:
+    """MultipassTermFilteredPresearcher (round 4): pass-wise term
+    collection from the query tree + the conjunctive candidate filter;
+    presearch == exhaustive on matches, and strictly fewer candidates
+    on half-phrase docs."""
+
+    def test_pass_terms_phrase(self):
+        from lucene_spark.streaming.monitor import (
+            MonitorQuery,
+            multipass_presearch_terms,
+        )
+
+        q = MonitorQuery("p", phrases=[["hello", "world"]])
+        ps = multipass_presearch_terms(q, 2)
+        # 'hello' and 'world' land in different passes (the javadoc's
+        # own example); equal weights keep the stable order
+        assert sorted(ps[0] + ps[1]) == ["hello", "world"]
+        assert ps[0] != ps[1]
+
+    def test_pass_terms_conjunction_advances(self):
+        from lucene_spark.streaming.monitor import (
+            MonitorQuery,
+            multipass_presearch_terms,
+        )
+
+        q = MonitorQuery("c", must=["zyzzyva", "the", "windowsill"])
+        ps = multipass_presearch_terms(q, 3)
+        # per pass one term, by weight (longer = heavier), no repeats
+        # until phases exhaust
+        assert [len(p) for p in ps] == [1, 1, 1]
+        assert ps[0] == ["windowsill"]  # 10 bytes > 7 > 3
+        assert ps[1] == ["zyzzyva"]
+        assert ps[2] == ["the"]
+        # exhausted tree repeats the last phase
+        ps4 = multipass_presearch_terms(q, 4)
+        assert ps4[3] == ["the"]
+
+    def test_pass_terms_disjunction_all_terms_every_pass(self):
+        from lucene_spark.streaming.monitor import (
+            MonitorQuery,
+            multipass_presearch_terms,
+        )
+
+        q = MonitorQuery("d", should=["merge", "batch"])
+        ps = multipass_presearch_terms(q, 2)
+        assert sorted(ps[0]) == ["batch", "merge"]
+        assert sorted(ps[1]) == ["batch", "merge"]
+
+    def test_matches_identical_and_candidates_reduced(self, spark):
+        from lucene_spark.streaming.monitor import Monitor, MonitorQuery
+
+        m = Monitor(spark)
+        m.register(
+            MonitorQuery("ph", phrases=[["hello", "world"]])
+        )
+        m.register(MonitorQuery("cj", must=["alpha", "beta"]))
+        m.register(MonitorQuery("dj", should=["gamma", "delta"]))
+        docs = spark.createDataFrame(
+            [
+                ("u1", "hello world out there"),   # ph matches
+                ("u2", "hello there nothing"),     # half phrase
+                ("u3", "world peace only"),          # other half
+                ("u4", "alpha beta gamma"),        # cj + dj
+                ("u5", "alpha only here"),         # half conjunction
+                ("u6", "delta quadrant"),          # dj
+                ("u7", "no relevant terms"),
+            ],
+            "url string, text string",
+        )
+        got_multi = {
+            (r["url"], r["query_id"])
+            for r in m.match_batch(docs, presearch="multipass").collect()
+        }
+        got_exh = {
+            (r["url"], r["query_id"])
+            for r in m.match_batch(docs, presearch=False).collect()
+        }
+        got_single = {
+            (r["url"], r["query_id"])
+            for r in m.match_batch(docs, presearch=True).collect()
+        }
+        assert got_multi == got_exh == got_single
+        assert ("u1", "ph") in got_multi and ("u4", "cj") in got_multi
+
+        # candidate-count reduction: half-phrase docs u2/u3 are
+        # single-pass candidates for 'ph' but not multipass candidates
+        from pyspark.sql import functions as F
+
+        toks = docs.select(
+            "url", F.split("text", r"\s+").alias("toks")
+        ).select("url", F.explode("toks").alias("term"))
+        single = (
+            toks.join(m._presearch_terms_df(), "term")
+            .select("url", "query_id")
+            .distinct()
+        )
+        multi_pt = m._presearch_terms_multipass_df(2)
+        multi = (
+            toks.join(multi_pt, "term")
+            .select("url", "query_id", "pass")
+            .distinct()
+            .groupBy("url", "query_id")
+            .agg(F.countDistinct("pass").alias("np"))
+            .where(F.col("np") == 2)
+            .select("url", "query_id")
+        )
+        n_single = single.count()
+        n_multi = multi.count()
+        assert n_multi < n_single
+        multi_set = {(r["url"], r["query_id"]) for r in multi.collect()}
+        assert ("u2", "ph") not in multi_set
+        assert ("u3", "ph") not in multi_set
+        assert ("u5", "cj") not in multi_set
