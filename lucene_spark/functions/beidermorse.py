@@ -191,13 +191,6 @@ class _Phoneme:
         self.languages = languages
 
 
-def _phoneme_cmp_key(p: "_Phoneme"):
-    # Rule.Phoneme.COMPARATOR: char-by-char, shorter-prefix first —
-    # plain string ordering by UTF-16 code unit == Python str compare
-    # for BMP text (the rule phonemes are all BMP)
-    return p.text
-
-
 def _parse_phoneme(ph: str) -> _Phoneme:
     open_ = ph.find("[")
     if open_ >= 0:
@@ -445,6 +438,9 @@ class PhoneticEngine:
                     )
                 else:
                     merged[new_ph.text] = new_ph
+        # TreeMap order under Phoneme.COMPARATOR = char-by-char UTF-16
+        # comparison; Python's str sort (code points) coincides for
+        # the BMP-only phoneme alphabet the rule files emit
         out = [merged[k] for k in sorted(merged)]
         return _PhonemeBuilder(out)
 
