@@ -116,6 +116,9 @@ class HunspellDictionary:
     compound_flag: str | None = None
     compound_max: int = 10**9  # COMPOUNDWORDMAX, default unlimited
     only_in_compound: str | None = None
+    check_compound_dup: bool = False
+    check_compound_triple: bool = False
+    check_compound_case: bool = False
 
     # ------------------------------------------------------------------
     # parsing
@@ -128,6 +131,24 @@ class HunspellDictionary:
         if self.flag_mode == "num":
             return tuple(x for x in s.split(",") if x)
         return tuple(s)
+
+    @classmethod
+    def parse_bytes(
+        cls, aff_bytes: bytes, dic_bytes: bytes
+    ) -> "HunspellDictionary":
+        """Dictionary.java's encoding handling: the .aff's ``SET``
+        directive names the charset for BOTH files; the default is
+        ISO8859-1 (the germancompounding battery relies on it)."""
+        enc = "latin-1"
+        for raw in aff_bytes.splitlines():
+            if raw.startswith(b"SET"):
+                name = raw.split()[1].decode("ascii").lower()
+                enc = {
+                    "utf-8": "utf-8", "utf8": "utf-8",
+                    "iso8859-1": "latin-1", "iso-8859-1": "latin-1",
+                }.get(name, name)
+                break
+        return cls.parse(aff_bytes.decode(enc), dic_bytes.decode(enc))
 
     @classmethod
     def parse(cls, aff_text: str, dic_text: str) -> "HunspellDictionary":
@@ -155,6 +176,12 @@ class HunspellDictionary:
                 d.compound_flag = parts[1]
             elif kw == "ONLYINCOMPOUND":
                 d.only_in_compound = parts[1]
+            elif kw == "CHECKCOMPOUNDDUP":
+                d.check_compound_dup = True
+            elif kw == "CHECKCOMPOUNDTRIPLE":
+                d.check_compound_triple = True
+            elif kw == "CHECKCOMPOUNDCASE":
+                d.check_compound_case = True
             elif kw == "COMPOUNDRULE":
                 n = int(parts[1])
                 for _ in range(n):
@@ -363,26 +390,69 @@ class HunspellDictionary:
                 return True
         return False
 
+    def _may_break(self, word: str, break_pos: int) -> bool:
+        """Hunspell.mayBreakIntoCompounds (Hunspell.java:419-434):
+        CHECKCOMPOUNDCASE forbids an uppercase letter on either side of
+        the boundary unless one side is a dash; CHECKCOMPOUNDTRIPLE
+        forbids a doubled boundary letter extending to a triple."""
+        a, b = word[break_pos - 1], word[break_pos]
+        if self.check_compound_case:
+            if (a.isupper() or b.isupper()) and a != "-" and b != "-":
+                return False
+        if self.check_compound_triple and a == b:
+            if (break_pos > 1 and word[break_pos - 2] == a) or (
+                break_pos < len(word) - 1 and word[break_pos + 1] == b
+            ):
+                return False
+        return True
+
     def _check_compound_flag(self, word: str, depth: int = 0) -> bool:
         """COMPOUNDFLAG subset: >= 2 parts, each >= COMPOUNDMIN chars
-        and a dictionary form carrying the compound flag."""
+        and a dictionary form carrying the compound flag; boundary
+        refinements per _may_break; CHECKCOMPOUNDDUP forbids equal
+        CLOSING parts only (Java compares prev.root vs lastRoot —
+        'foofoobar' stays good, 'foobarbar' does not)."""
         if depth + 2 > self.compound_max:
             return False
         cf = self.compound_flag
         limit = len(word) - self.compound_min + 1
         for break_pos in range(self.compound_min, limit):
+            if not self._may_break(word, break_pos):
+                continue
             head = word[:break_pos]
             if not any(
                 cf in fs for fs in self._analysis_flags(head)
             ):
                 continue
             tail = word[break_pos:]
-            if len(tail) >= self.compound_min and any(
-                cf in fs for fs in self._analysis_flags(tail)
+            if (
+                len(tail) >= self.compound_min
+                and not (self.check_compound_dup and head == tail)
+                and any(
+                    cf in fs for fs in self._analysis_flags(tail)
+                )
             ):
                 return True
             if self._check_compound_flag(tail, depth + 1):
                 return True
+        return False
+
+    def _check_breaks(self, word: str, depth: int = 0) -> bool:
+        """Hunspell's default break table ({'-' mid, '^-', '-$'}):
+        a word spelled as dash-joined correct sub-words is correct
+        ('foo-Bar' — each side checked recursively)."""
+        if depth > 4 or "-" not in word:
+            return False
+        if word.endswith("-") and self.is_correct(word[:-1]):
+            return True
+        if word.startswith("-") and self.is_correct(word[1:]):
+            return True
+        for i, ch in enumerate(word):
+            if ch == "-" and 0 < i < len(word) - 1:
+                if self.is_correct(word[:i]) and self.is_correct(
+                    word[i + 1 :]
+                ):
+                    return True
         return False
 
     def _correct_standalone(self, word: str) -> bool:
@@ -405,6 +475,8 @@ class HunspellDictionary:
             ):
                 return True
             if self.compound_flag and self._check_compound_flag(w):
+                return True
+            if self._check_breaks(w):
                 return True
             if w == word.lower():
                 break

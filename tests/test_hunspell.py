@@ -150,19 +150,20 @@ class TestCompounds:
 
         from lucene_spark.functions.hunspell import HunspellDictionary
 
-        with open(os.path.join(self.BASE, f"{name}.aff"),
-                  encoding="utf-8", errors="replace") as f:
+        with open(os.path.join(self.BASE, f"{name}.aff"), "rb") as f:
             aff = f.read()
-        with open(os.path.join(self.BASE, f"{name}.dic"),
-                  encoding="utf-8", errors="replace") as f:
+        with open(os.path.join(self.BASE, f"{name}.dic"), "rb") as f:
             dic = f.read()
-        return HunspellDictionary.parse(aff, dic)
+        # SET-directive-aware decode (ISO8859-1 default)
+        return HunspellDictionary.parse_bytes(aff, dic)
 
     @pytest.mark.parametrize(
         "name",
         ["compoundrule", "compoundrule2", "compoundrule3",
          "compoundrule4", "compoundrule5", "compoundrule6",
-         "compoundrule7", "compoundrule8", "compoundflag"],
+         "compoundrule7", "compoundrule8", "compoundflag",
+         "checkcompounddup", "checkcompoundtriple",
+         "checkcompoundcase"],
     )
     def test_battery(self, name):
         import os
