@@ -119,6 +119,13 @@ class HunspellDictionary:
     check_compound_dup: bool = False
     check_compound_triple: bool = False
     check_compound_case: bool = False
+    check_compound_rep: bool = False
+    compound_forbid: str | None = None  # COMPOUNDFORBIDFLAG
+    # CHECKCOMPOUNDPATTERN simple form: (endChars, beginChars) pairs
+    # forbidding a boundary where part1 ends with end and part2 begins
+    # with begin
+    compound_patterns: list = field(default_factory=list)
+    rep_table: list = field(default_factory=list)  # (from, to)
 
     # ------------------------------------------------------------------
     # parsing
@@ -176,6 +183,14 @@ class HunspellDictionary:
                 d.compound_flag = parts[1]
             elif kw == "ONLYINCOMPOUND":
                 d.only_in_compound = parts[1]
+            elif kw == "CHECKCOMPOUNDREP":
+                d.check_compound_rep = True
+            elif kw == "COMPOUNDFORBIDFLAG":
+                d.compound_forbid = parts[1]
+            elif kw == "CHECKCOMPOUNDPATTERN" and len(parts) >= 3:
+                d.compound_patterns.append((parts[1], parts[2]))
+            elif kw == "REP" and len(parts) >= 3:
+                d.rep_table.append((parts[1], parts[2]))
             elif kw == "CHECKCOMPOUNDDUP":
                 d.check_compound_dup = True
             elif kw == "CHECKCOMPOUNDTRIPLE":
@@ -319,29 +334,46 @@ class HunspellDictionary:
                 out.append(s)
         return out
 
-    def _analysis_flags(self, word: str) -> list[frozenset]:
+    def _analysis_flags(
+        self, word: str, include_appended: bool = False
+    ) -> list[frozenset]:
         """Entry flag sets for every valid decomposition of ``word``
         (the formID view the compound matcher consumes): the word
         itself, one-suffix, twofold-suffix, prefix and prefix+suffix
-        forms — mirroring ``stems`` but yielding flags."""
+        forms — mirroring ``stems`` but yielding flags.
+        ``include_appended`` unions each affix rule's continuation
+        flags into the form (Dictionary.isFlagAppendedByAffix — how a
+        zero-suffix can grant COMPOUNDFLAG, the compoundforbid.aff
+        ``foo/S`` + ``SFX S 0 bar/YX`` shape)."""
+
+        def app(entries, *rules):
+            if not include_appended:
+                return entries
+            extra = frozenset(
+                f for r in rules for f in r.continuation
+            )
+            return [fl | extra for fl in entries]
+
         out: list[frozenset] = []
         out += self._root_entries(word, frozenset())
         for r in self.suffixes:
             base = self._strip_suffix(word, r)
             if base is None:
                 continue
-            out += self._root_entries(base, {r.flag})
+            out += app(self._root_entries(base, {r.flag}), r)
             for r2 in self.suffixes:
                 if r.flag not in r2.continuation:
                     continue
                 root = self._strip_suffix(base, r2)
                 if root is not None:
-                    out += self._root_entries(root, {r2.flag})
+                    out += app(
+                        self._root_entries(root, {r2.flag}), r, r2
+                    )
         for p in self.prefixes:
             base = self._strip_prefix(word, p)
             if base is None:
                 continue
-            out += self._root_entries(base, {p.flag})
+            out += app(self._root_entries(base, {p.flag}), p)
             if not p.cross:
                 continue
             for r in self.suffixes:
@@ -349,7 +381,10 @@ class HunspellDictionary:
                     continue
                 root = self._strip_suffix(base, r)
                 if root is not None:
-                    out += self._root_entries(root, {p.flag, r.flag})
+                    out += app(
+                        self._root_entries(root, {p.flag, r.flag}),
+                        p, r,
+                    )
         return out
 
     # -- compounding (Hunspell.java:437-496 checkCompoundRules + the
@@ -406,12 +441,45 @@ class HunspellDictionary:
                 return False
         return True
 
-    def _check_compound_flag(self, word: str, depth: int = 0) -> bool:
+    def _pattern_prohibits(self, part1: str, rest: str) -> bool:
+        """CHECKCOMPOUNDPATTERN simple form
+        (hunspell/CheckCompoundPattern.java prohibitsCompounding):
+        forbid the boundary when part1 ends with the pattern's end
+        chars and the following text begins with its begin chars."""
+        return any(
+            part1.endswith(end) and rest.startswith(begin)
+            for end, begin in self.compound_patterns
+        )
+
+    def _rep_misspells(self, region: str) -> bool:
+        """CHECKCOMPOUNDREP (Hunspell.isMisspelledSimpleWord): the
+        two-part region with ONE REP-table substitution applied is
+        itself a correct simple word — the compound then counts as a
+        misspelling of that word (szer+víz vs dic szerviz, REP í→i)."""
+        if not self.check_compound_rep:
+            return False
+        for frm, to in self.rep_table:
+            start = 0
+            while True:
+                i = region.find(frm, start)
+                if i < 0:
+                    break
+                cand = region[:i] + to + region[i + len(frm):]
+                if self._correct_standalone(cand):
+                    return True
+                start = i + 1
+        return False
+
+    def _check_compound_flag(
+        self, word: str, depth: int = 0, prev: str | None = None
+    ) -> bool:
         """COMPOUNDFLAG subset: >= 2 parts, each >= COMPOUNDMIN chars
-        and a dictionary form carrying the compound flag; boundary
-        refinements per _may_break; CHECKCOMPOUNDDUP forbids equal
-        CLOSING parts only (Java compares prev.root vs lastRoot —
-        'foofoobar' stays good, 'foobarbar' does not)."""
+        and a dictionary form carrying the compound flag (entry flag
+        OR affix-appended); boundary refinements per _may_break +
+        CHECKCOMPOUNDPATTERN; CHECKCOMPOUNDREP checks each adjacent
+        two-part region; CHECKCOMPOUNDDUP forbids equal CLOSING parts
+        only (Java compares prev.root vs lastRoot — 'foofoobar' stays
+        good, 'foobarbar' does not)."""
         if depth + 2 > self.compound_max:
             return False
         cf = self.compound_flag
@@ -420,20 +488,40 @@ class HunspellDictionary:
             if not self._may_break(word, break_pos):
                 continue
             head = word[:break_pos]
+            tail = word[break_pos:]
+            if self._pattern_prohibits(head, tail):
+                continue
+            if self.compound_forbid is not None and any(
+                self.compound_forbid in fs
+                for fs in self.entries.get(head, ())
+            ):
+                # COMPOUNDFORBIDFLAG on a RAW dic form of a begin/
+                # middle part poisons the whole part — even when an
+                # affixed analysis without the flag exists
+                # (Stemmer.doStem:237-240 returns false outright)
+                continue
             if not any(
-                cf in fs for fs in self._analysis_flags(head)
+                cf in fs
+                for fs in self._analysis_flags(
+                    head, include_appended=True
+                )
             ):
                 continue
-            tail = word[break_pos:]
+            if prev is not None and self._rep_misspells(prev + head):
+                continue
             if (
                 len(tail) >= self.compound_min
                 and not (self.check_compound_dup and head == tail)
+                and not self._rep_misspells(head + tail)
                 and any(
-                    cf in fs for fs in self._analysis_flags(tail)
+                    cf in fs
+                    for fs in self._analysis_flags(
+                        tail, include_appended=True
+                    )
                 )
             ):
                 return True
-            if self._check_compound_flag(tail, depth + 1):
+            if self._check_compound_flag(tail, depth + 1, prev=head):
                 return True
         return False
 

@@ -163,7 +163,8 @@ class TestCompounds:
          "compoundrule4", "compoundrule5", "compoundrule6",
          "compoundrule7", "compoundrule8", "compoundflag",
          "checkcompounddup", "checkcompoundtriple",
-         "checkcompoundcase"],
+         "checkcompoundcase", "checkcompoundpattern",
+         "checkcompoundrep", "compoundforbid"],
     )
     def test_battery(self, name):
         import os
@@ -171,8 +172,11 @@ class TestCompounds:
         d = self._load(name)
         with open(os.path.join(self.BASE, f"{name}.good")) as f:
             good = f.read().split()
-        with open(os.path.join(self.BASE, f"{name}.wrong")) as f:
-            wrong = f.read().split()
+        wrong_path = os.path.join(self.BASE, f"{name}.wrong")
+        wrong = (
+            open(wrong_path).read().split()
+            if os.path.exists(wrong_path) else []
+        )
         miss = [w for w in good if not d.is_correct(w)]
         accept = [w for w in wrong if d.is_correct(w)]
         assert not miss and not accept, (
