@@ -17,6 +17,9 @@ CASES = [
     dict(must=["the", "window"]),  # rare MUST leapfrogs 'the'
     dict(must=["window"], must_not=["spark"]),
     dict(should=["window", "spark", "data"], min_should_match=2),
+    # pure disjunction + NOT: skips the no-deletes fast path and
+    # exercises the seeded general plan (MaxScore split branch)
+    dict(should=["window", "spark"], must_not=["the"]),
     dict(must=["window", "spark"], should=["data"]),
     dict(must=["window"], should=["spark"], must_not=["the"]),
     dict(should=["window", "nosuchterm"]),
