@@ -542,10 +542,13 @@ def _make_unpack_kernel(
     out_schema = _unpack_schema(score_pa)
 
     def kernel(batches):
-        import heapq
         import time as _time
 
-        topk_heap: list[float] = []  # partition-local kth-score tracker
+        # partition-local kth-score tracker — a small numpy buffer
+        # updated per BLOCK with np.partition (the per-doc Python heap
+        # this replaces cost ~1 interpreted iteration per posting:
+        # 0.5 s of pure overhead per million postings)
+        topk_buf = np.empty(0, dtype=np.float64)
         deadline = (
             _time.monotonic() + time_budget_ms / 1000.0
             if time_budget_ms is not None
@@ -584,8 +587,8 @@ def _make_unpack_kernel(
                     break
                 if (
                     k_for_pruning
-                    and len(topk_heap) >= k_for_pruning
-                    and ubs[j] < topk_heap[0]
+                    and len(topk_buf) >= k_for_pruning
+                    and ubs[j] < topk_buf[0]
                 ):
                     continue  # block cannot contribute a competitive doc
                 if theta_rest is not None and (
@@ -600,11 +603,17 @@ def _make_unpack_kernel(
                 norms = np.frombuffer(nbufs[j], dtype=np.uint8)
                 scores = sc.score(freqs.astype(dtype), norms)
                 if k_for_pruning:
-                    for s in scores:
-                        if len(topk_heap) < k_for_pruning:
-                            heapq.heappush(topk_heap, float(s))
-                        elif s > topk_heap[0]:
-                            heapq.heapreplace(topk_heap, float(s))
+                    topk_buf = np.concatenate(
+                        [topk_buf, scores.astype(np.float64)]
+                    )
+                    if len(topk_buf) > k_for_pruning:
+                        topk_buf = np.partition(
+                            topk_buf, -k_for_pruning
+                        )[-k_for_pruning:]
+                    # keep the k-th best at index 0 (the heap-top
+                    # contract the skip test reads)
+                    if len(topk_buf) >= k_for_pruning:
+                        topk_buf[0] = topk_buf.min()
                 out["term"].extend([terms[j]] * nd)
                 out["segment_id"].append(np.full(nd, segs[j]))
                 out["block_id"].append(np.full(nd, bids[j]))
