@@ -14,13 +14,20 @@ and ``HunspellStemFilter.java:90-120`` (unknown words pass through
 unchanged; stems stack at one position; dedup keeps first-seen order).
 
 This is the declared SUBSET of the 7.7k-line module: affix stripping,
-conditions, continuation twofold, cross products, NEEDAFFIX, and
-FLAG long/num. Out of scope (declared): compounding, ICONV/OCONV
-conversions, case-folding variants, CIRCUMFIX, FULLSTRIP, break
-tables, and the whole suggester — the engine consumes dictionaries
-for index-time stemming, not interactive spelling aid. Every stem
-expectation in the reference's TestStemmer simple battery is
-asserted verbatim in tests/test_hunspell.py.
+conditions, continuation twofold, cross products, NEEDAFFIX, FLAG
+long/num — plus (round 4) the COMPOUND machine: COMPOUNDRULE pattern
+matching, COMPOUNDFLAG and the COMPOUNDBEGIN/MIDDLE/END positional
+contexts with COMPOUNDPERMITFLAG affix gating and cross-affix
+appended-flag satisfaction (the germancompounding decapitalizing-
+prefix algebra), COMPOUNDFORBIDFLAG/FORBIDDENWORD,
+CHECKCOMPOUNDDUP/TRIPLE/CASE/PATTERN(simple)/REP, the default '-'
+break table, and SET-charset parsing — all 16 reference compound
+batteries (.good/.wrong) green verbatim. Out of scope (declared):
+ICONV/OCONV, CIRCUMFIX directive, FULLSTRIP, CHECKCOMPOUNDPATTERN
+replacement form, custom BREAK tables, and the whole suggester — the
+engine consumes dictionaries for index-time stemming, not interactive
+spelling aid. Every stem expectation in the reference's TestStemmer
+simple battery is asserted verbatim in tests/test_hunspell.py.
 """
 
 from __future__ import annotations
@@ -107,10 +114,8 @@ class HunspellDictionary:
     suffixes: list[AffixRule] = field(default_factory=list)
     need_affix: str | None = None
     flag_mode: str = "char"
-    # compounding subset (round-4): COMPOUNDRULE patterns +
-    # COMPOUNDFLAG all-parts compounding; CHECKCOMPOUND* refinements,
-    # COMPOUNDBEGIN/MIDDLE/END contexts and PERMIT/FORBID flags stay
-    # declared out
+    # compounding (round-4): COMPOUNDRULE patterns, COMPOUNDFLAG and
+    # the BEGIN/MIDDLE/END positional contexts, boundary refinements
     compound_rules: list = field(default_factory=list)
     compound_min: int = 3  # Dictionary.java default
     compound_flag: str | None = None
@@ -121,6 +126,13 @@ class HunspellDictionary:
     check_compound_case: bool = False
     check_compound_rep: bool = False
     compound_forbid: str | None = None  # COMPOUNDFORBIDFLAG
+    # COMPOUNDBEGIN/MIDDLE/END positional flags + COMPOUNDPERMITFLAG
+    # (the germancompounding machine)
+    compound_begin: str | None = None
+    compound_middle: str | None = None
+    compound_end: str | None = None
+    compound_permit: str | None = None
+    forbidden_word: str | None = None  # FORBIDDENWORD
     # CHECKCOMPOUNDPATTERN simple form: (endChars, beginChars) pairs
     # forbidding a boundary where part1 ends with end and part2 begins
     # with begin
@@ -187,6 +199,16 @@ class HunspellDictionary:
                 d.check_compound_rep = True
             elif kw == "COMPOUNDFORBIDFLAG":
                 d.compound_forbid = parts[1]
+            elif kw == "COMPOUNDBEGIN":
+                d.compound_begin = parts[1]
+            elif kw == "COMPOUNDMIDDLE":
+                d.compound_middle = parts[1]
+            elif kw == "COMPOUNDEND":
+                d.compound_end = parts[1]
+            elif kw == "COMPOUNDPERMITFLAG":
+                d.compound_permit = parts[1]
+            elif kw == "FORBIDDENWORD":
+                d.forbidden_word = parts[1]
             elif kw == "CHECKCOMPOUNDPATTERN" and len(parts) >= 3:
                 d.compound_patterns.append((parts[1], parts[2]))
             elif kw == "REP" and len(parts) >= 3:
@@ -441,6 +463,158 @@ class HunspellDictionary:
                 return False
         return True
 
+    # -- WordContext-aware analysis (Stemmer.isAffixCompatible /
+    # isRootCompatibleWithContext, the germancompounding machine) ----
+    def _affix_ok(
+        self, rule: AffixRule, is_prefix: bool, ctx: str,
+        has_other_prefix: bool = False,
+    ) -> bool:
+        """Stemmer.isAffixCompatible (Stemmer.java:537-560) on the
+        affix's APPENDED continuation flags."""
+        cont = rule.continuation
+        if ctx == "simple":
+            return not (
+                self.only_in_compound and self.only_in_compound in cont
+            )
+        if not is_prefix and (
+            self.compound_forbid and self.compound_forbid in cont
+        ):
+            return False
+        allowed_wo_permit = (is_prefix and ctx == "begin") or (
+            not is_prefix and ctx == "end"
+        )
+        if not allowed_wo_permit and not (
+            self.compound_permit and self.compound_permit in cont
+        ):
+            return False
+        if (
+            ctx == "end"
+            and not is_prefix
+            and not has_other_prefix
+            and self.only_in_compound
+            and self.only_in_compound in cont
+        ):
+            return False
+        return True
+
+    def _strip_suffix_z(self, word: str, rule: AffixRule) -> str | None:
+        """_strip_suffix variant admitting ZERO affixes (the
+        germancompounding ``SFX B 0 0/UPX`` flag-appending rules)."""
+        if rule.affix:
+            return self._strip_suffix(word, rule)
+        base = word + rule.strip
+        if not base:
+            return None
+        if rule.cond is not None and not rule.cond.search(base):
+            return None
+        return base
+
+    def _strip_prefix_z(self, word: str, rule: AffixRule) -> str | None:
+        if rule.affix:
+            return self._strip_prefix(word, rule)
+        base = rule.strip + word
+        if not base:
+            return None
+        if rule.cond is not None and not rule.cond.search(base):
+            return None
+        return base
+
+    def _forms_in_context(self, word: str, ctx: str) -> list[frozenset]:
+        """Valid analyses of ``word`` in a WordContext, as entry ∪
+        appended flag sets. ``ctx`` ∈ {simple, begin, middle, end}.
+        In begin/middle, a RAW dic form carrying COMPOUNDFORBIDFLAG
+        poisons the whole word (Stemmer.doStem:237-240). The
+        positional requirement (COMPOUNDBEGIN/... or COMPOUNDFLAG,
+        satisfiable by appended flags) filters the result."""
+        fw = self.forbidden_word
+        raw = self.entries.get(word, ())
+        if ctx in ("begin", "middle") and self.compound_forbid:
+            if any(self.compound_forbid in fs for fs in raw):
+                return []
+
+        cands: list[frozenset] = []
+        for fs in raw:
+            if self.need_affix and self.need_affix in fs:
+                continue
+            cands.append(fs)
+        for r in self.suffixes:
+            if not self._affix_ok(r, False, ctx):
+                continue
+            base = self._strip_suffix_z(word, r)
+            if base is None:
+                continue
+            ext = frozenset(r.continuation)
+            cands += [
+                fs | ext for fs in self._root_entries(base, {r.flag})
+            ]
+            for r2 in self.suffixes:
+                if r.flag not in r2.continuation:
+                    continue
+                root = self._strip_suffix_z(base, r2)
+                if root is not None:
+                    ext2 = ext | frozenset(r2.continuation)
+                    cands += [
+                        fs | ext2
+                        for fs in self._root_entries(root, {r2.flag})
+                    ]
+        for p in self.prefixes:
+            if not self._affix_ok(p, True, ctx):
+                continue
+            base = self._strip_prefix_z(word, p)
+            if base is None:
+                continue
+            pext = frozenset(p.continuation)
+            cands += [
+                fs | pext for fs in self._root_entries(base, {p.flag})
+            ]
+            if not p.cross:
+                continue
+            for r in self.suffixes:
+                if not r.cross:
+                    continue
+                if not self._affix_ok(
+                    r, False, ctx, has_other_prefix=True
+                ):
+                    continue
+                root = self._strip_suffix_z(base, r)
+                if root is None:
+                    continue
+                ext = pext | frozenset(r.continuation)
+                # cross-affix flag satisfaction: each affix's flag may
+                # sit on the root OR in the OTHER affix's continuation
+                # (how the D decapitalizing prefix binds through the
+                # s/VPDX suffix in germancompounding)
+                for fs in self.entries.get(root, ()):
+                    p_ok = p.flag in fs or p.flag in r.continuation
+                    r_ok = r.flag in fs or r.flag in p.continuation
+                    if p_ok and r_ok:
+                        cands.append(fs | ext)
+
+        out = []
+        for flags in cands:
+            if fw and fw in flags:
+                continue
+            if ctx == "simple":
+                if (
+                    self.only_in_compound
+                    and self.only_in_compound in flags
+                ):
+                    continue
+            else:
+                req = {
+                    "begin": self.compound_begin,
+                    "middle": self.compound_middle,
+                    "end": self.compound_end,
+                }[ctx]
+                ok = (req is not None and req in flags) or (
+                    self.compound_flag is not None
+                    and self.compound_flag in flags
+                )
+                if not ok:
+                    continue
+            out.append(flags)
+        return out
+
     def _pattern_prohibits(self, part1: str, rest: str) -> bool:
         """CHECKCOMPOUNDPATTERN simple form
         (hunspell/CheckCompoundPattern.java prohibitsCompounding):
@@ -473,16 +647,19 @@ class HunspellDictionary:
     def _check_compound_flag(
         self, word: str, depth: int = 0, prev: str | None = None
     ) -> bool:
-        """COMPOUNDFLAG subset: >= 2 parts, each >= COMPOUNDMIN chars
-        and a dictionary form carrying the compound flag (entry flag
-        OR affix-appended); boundary refinements per _may_break +
-        CHECKCOMPOUNDPATTERN; CHECKCOMPOUNDREP checks each adjacent
-        two-part region; CHECKCOMPOUNDDUP forbids equal CLOSING parts
-        only (Java compares prev.root vs lastRoot — 'foofoobar' stays
-        good, 'foobarbar' does not)."""
+        """COMPOUNDFLAG / COMPOUNDBEGIN-MIDDLE-END compounding
+        (Hunspell.checkCompounds): >= 2 parts, each >= COMPOUNDMIN
+        chars and a WordContext-valid analysis (_forms_in_context —
+        positional flag satisfied by the entry OR affix-appended
+        continuations, permit-gated affixes, COMPOUNDFORBIDFLAG raw
+        poisoning, FORBIDDENWORD rejection); boundary refinements per
+        _may_break + CHECKCOMPOUNDPATTERN; CHECKCOMPOUNDREP checks
+        each adjacent two-part region; CHECKCOMPOUNDDUP forbids equal
+        CLOSING parts only (Java compares prev.root vs lastRoot —
+        'foofoobar' stays good, 'foobarbar' does not)."""
         if depth + 2 > self.compound_max:
             return False
-        cf = self.compound_flag
+        head_ctx = "begin" if prev is None else "middle"
         limit = len(word) - self.compound_min + 1
         for break_pos in range(self.compound_min, limit):
             if not self._may_break(word, break_pos):
@@ -491,21 +668,7 @@ class HunspellDictionary:
             tail = word[break_pos:]
             if self._pattern_prohibits(head, tail):
                 continue
-            if self.compound_forbid is not None and any(
-                self.compound_forbid in fs
-                for fs in self.entries.get(head, ())
-            ):
-                # COMPOUNDFORBIDFLAG on a RAW dic form of a begin/
-                # middle part poisons the whole part — even when an
-                # affixed analysis without the flag exists
-                # (Stemmer.doStem:237-240 returns false outright)
-                continue
-            if not any(
-                cf in fs
-                for fs in self._analysis_flags(
-                    head, include_appended=True
-                )
-            ):
+            if not self._forms_in_context(head, head_ctx):
                 continue
             if prev is not None and self._rep_misspells(prev + head):
                 continue
@@ -513,12 +676,7 @@ class HunspellDictionary:
                 len(tail) >= self.compound_min
                 and not (self.check_compound_dup and head == tail)
                 and not self._rep_misspells(head + tail)
-                and any(
-                    cf in fs
-                    for fs in self._analysis_flags(
-                        tail, include_appended=True
-                    )
-                )
+                and self._forms_in_context(tail, "end")
             ):
                 return True
             if self._check_compound_flag(tail, depth + 1, prev=head):
@@ -544,12 +702,7 @@ class HunspellDictionary:
         return False
 
     def _correct_standalone(self, word: str) -> bool:
-        oc = self.only_in_compound
-        for fs in self._analysis_flags(word):
-            if oc is not None and oc in fs:
-                continue  # usable only inside compounds
-            return True
-        return False
+        return bool(self._forms_in_context(word, "simple"))
 
     def is_correct(self, word: str) -> bool:
         """Spell check: simple/affixed form, else COMPOUNDRULE
@@ -562,7 +715,9 @@ class HunspellDictionary:
                 w, []
             ):
                 return True
-            if self.compound_flag and self._check_compound_flag(w):
+            if (
+                self.compound_flag or self.compound_begin
+            ) and self._check_compound_flag(w):
                 return True
             if self._check_breaks(w):
                 return True

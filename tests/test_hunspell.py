@@ -164,7 +164,8 @@ class TestCompounds:
          "compoundrule7", "compoundrule8", "compoundflag",
          "checkcompounddup", "checkcompoundtriple",
          "checkcompoundcase", "checkcompoundpattern",
-         "checkcompoundrep", "compoundforbid"],
+         "checkcompoundrep", "compoundforbid",
+         "germancompounding"],
     )
     def test_battery(self, name):
         import os
