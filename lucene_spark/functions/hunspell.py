@@ -21,8 +21,9 @@ contexts with COMPOUNDPERMITFLAG affix gating and cross-affix
 appended-flag satisfaction (the germancompounding decapitalizing-
 prefix algebra), COMPOUNDFORBIDFLAG/FORBIDDENWORD,
 CHECKCOMPOUNDDUP/TRIPLE/CASE/PATTERN(simple)/REP, the default '-'
-break table, and SET-charset parsing — all 16 reference compound
-batteries (.good/.wrong) green verbatim. Out of scope (declared):
+break table, and SET-charset parsing — all 18 reference compound
+batteries (.good/.wrong) green verbatim (incl. germancompounding,
+SIMPLIFIEDTRIPLE, FORCEUCASE). Out of scope (declared):
 ICONV/OCONV, CIRCUMFIX directive, FULLSTRIP, CHECKCOMPOUNDPATTERN
 replacement form, custom BREAK tables, and the whole suggester — the
 engine consumes dictionaries for index-time stemming, not interactive
@@ -133,6 +134,8 @@ class HunspellDictionary:
     compound_end: str | None = None
     compound_permit: str | None = None
     forbidden_word: str | None = None  # FORBIDDENWORD
+    simplified_triple: bool = False  # SIMPLIFIEDTRIPLE
+    force_ucase: str | None = None  # FORCEUCASE
     # CHECKCOMPOUNDPATTERN simple form: (endChars, beginChars) pairs
     # forbidding a boundary where part1 ends with end and part2 begins
     # with begin
@@ -209,6 +212,10 @@ class HunspellDictionary:
                 d.compound_permit = parts[1]
             elif kw == "FORBIDDENWORD":
                 d.forbidden_word = parts[1]
+            elif kw == "SIMPLIFIEDTRIPLE":
+                d.simplified_triple = True
+            elif kw == "FORCEUCASE":
+                d.force_ucase = parts[1]
             elif kw == "CHECKCOMPOUNDPATTERN" and len(parts) >= 3:
                 d.compound_patterns.append((parts[1], parts[2]))
             elif kw == "REP" and len(parts) >= 3:
@@ -668,7 +675,20 @@ class HunspellDictionary:
             tail = word[break_pos:]
             if self._pattern_prohibits(head, tail):
                 continue
-            if not self._forms_in_context(head, head_ctx):
+            head_forms = self._forms_in_context(head, head_ctx)
+            if not head_forms and (
+                self.simplified_triple
+                and break_pos < len(word)
+                and word[break_pos - 1] == word[break_pos]
+            ):
+                # SIMPLIFIEDTRIPLE (Hunspell.java:226-230): the
+                # doubled boundary letter may be SHARED — the head
+                # borrows one extra char while the tail keeps it
+                # ('glassko' = glass + sko)
+                head_forms = self._forms_in_context(
+                    word[: break_pos + 1], head_ctx
+                )
+            if not head_forms:
                 continue
             if prev is not None and self._rep_misspells(prev + head):
                 continue
@@ -677,11 +697,26 @@ class HunspellDictionary:
                 and not (self.check_compound_dup and head == tail)
                 and not self._rep_misspells(head + tail)
                 and self._forms_in_context(tail, "end")
+                and not self._force_ucase_problem(tail)
             ):
                 return True
             if self._check_compound_flag(tail, depth + 1, prev=head):
                 return True
         return False
+
+    def _force_ucase_problem(self, last_part: str) -> bool:
+        """FORCEUCASE (Hunspell.hasForceUCaseProblem): a compound whose
+        LAST root carries the flag must be capitalized; the original
+        word's case is recorded by is_correct before its lowercase
+        fallback."""
+        if self.force_ucase is None or self._input_titled:
+            return False
+        return any(
+            self.force_ucase in fs
+            for fs in self.entries.get(last_part, ())
+        )
+
+    _input_titled = False
 
     def _check_breaks(self, word: str, depth: int = 0) -> bool:
         """Hunspell's default break table ({'-' mid, '^-', '-$'}):
@@ -708,7 +743,11 @@ class HunspellDictionary:
         """Spell check: simple/affixed form, else COMPOUNDRULE
         decomposition, else COMPOUNDFLAG compounding; uppercase input
         falls back to its lowercase form (the WordCase subset)."""
+        titled = bool(word[:1].isupper())
         for w in (word, word.lower()):
+            # re-pin per iteration: the break-table recursion below
+            # re-enters is_correct and overwrites the marker
+            self._input_titled = titled
             if self._correct_standalone(w):
                 return True
             if self.compound_rules and self._check_compound_rules(

@@ -165,7 +165,7 @@ class TestCompounds:
          "checkcompounddup", "checkcompoundtriple",
          "checkcompoundcase", "checkcompoundpattern",
          "checkcompoundrep", "compoundforbid",
-         "germancompounding"],
+         "germancompounding", "simplifiedtriple", "forceucase"],
     )
     def test_battery(self, name):
         import os
