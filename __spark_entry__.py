@@ -6367,6 +6367,62 @@ SELECT doc_id,
 FROM w"""
 
 
+def _q_hunspell_german(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """German COMPOUNDBEGIN/MIDDLE/END compounding over the
+    reference's own germancompounding grammar (the decapitalizing-
+    prefix flag algebra; hunspell/Stemmer.java isAffixCompatible /
+    isRootCompatibleWithContext — engine battery-validated verbatim,
+    20 good + 50 wrong). Words = P1+P2 with P1 cycling
+    {Computer, Arbeits, computer, arbeits} and P2 cycling lowercase
+    continuations; German compounding accepts exactly the
+    capitalized-first-part forms (lowercase begins lack the
+    U-appending zero suffix), so the oracle is the case test
+    ``doc_id % 4 < 2`` — pure arithmetic, no engine echo."""
+    import os as _os
+
+    from lucene_spark.functions.hunspell import HunspellDictionary
+
+    fx = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "fixtures", "hunspell_compound",
+    )
+    with open(_os.path.join(fx, "germancompounding.aff"), "rb") as f:
+        aff = f.read()
+    with open(_os.path.join(fx, "germancompounding.dic"), "rb") as f:
+        dic = f.read()
+    d = HunspellDictionary.parse_bytes(aff, dic)
+    p1s = ["Computer", "Arbeits", "computer", "arbeits"]
+    p2s = ["computer", "arbeit", "computern"]
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 240
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            words = [p1s[i % 4] + p2s[i % 3] for i in ids]
+            ok = [d.is_correct(w) for w in words]
+            yield pd.DataFrame(
+                {"doc_id": ids, "word": words, "correct": ok}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, word string, correct boolean"
+    )
+
+
+_HUNSPELL_GERMAN_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240)
+SELECT doc_id,
+       ['Computer','Arbeits','computer','arbeits'][(doc_id % 4) + 1]
+         || ['computer','arbeit','computern'][(doc_id % 3) + 1] AS word,
+       (doc_id % 4) < 2 AS correct
+FROM d"""
+
+
 _BM_POOL = [
     "smith", "kowalski", "auerbach", "peters",
     "schwarz", "levine", "moreno", "papadopoulos",
@@ -10749,6 +10805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiword_synonym_tokens": _q_multiword_synonym_tokens,
         "beider_morse_codes": _q_beider_morse,
         "hunspell_compound_check": _q_hunspell_compound,
+        "hunspell_german_compound_check": _q_hunspell_german,
         "edge_ngram_tokens": _q_edge_ngram_tokens,
         "ngram_tokens": _q_ngram_tokens,
         "parsed_query_top10": _q_parsed,
@@ -11691,6 +11748,7 @@ def oracle_sql() -> dict[str, str]:
         "multiword_synonym_tokens": _MULTIWORD_SYN_SQL,
         "beider_morse_codes": _BM_SQL,
         "hunspell_compound_check": _HUNSPELL_COMPOUND_SQL,
+        "hunspell_german_compound_check": _HUNSPELL_GERMAN_SQL,
         "edge_ngram_tokens": _EDGE_NGRAM_SQL,
         "ngram_tokens": _NGRAM_SQL,
         "ascii_folding_tokens": _ASCII_FOLDING_SQL,
