@@ -526,24 +526,29 @@ class HunspellDictionary:
             return None
         return base
 
-    def _forms_in_context(self, word: str, ctx: str) -> list[frozenset]:
-        """Valid analyses of ``word`` in a WordContext, as entry ∪
-        appended flag sets. ``ctx`` ∈ {simple, begin, middle, end}.
-        In begin/middle, a RAW dic form carrying COMPOUNDFORBIDFLAG
-        poisons the whole word (Stemmer.doStem:237-240). The
-        positional requirement (COMPOUNDBEGIN/... or COMPOUNDFLAG,
-        satisfiable by appended flags) filters the result."""
+    def _forms_in_context(
+        self, word: str, ctx: str
+    ) -> list[tuple[str, frozenset]]:
+        """Valid analyses of ``word`` in a WordContext, as
+        (dictionary root, entry ∪ appended flag set) pairs. ``ctx`` ∈
+        {simple, begin, middle, end}. In begin/middle, a RAW dic form
+        carrying COMPOUNDFORBIDFLAG poisons the whole word
+        (Stemmer.doStem:237-240). The positional requirement
+        (COMPOUNDBEGIN/... or COMPOUNDFLAG, satisfiable by appended
+        flags) filters the result. The root is what the reference's
+        CHECKCOMPOUNDDUP / FORCEUCASE closing-pair checks compare
+        (Hunspell.java prev.root / lastRoot semantics)."""
         fw = self.forbidden_word
         raw = self.entries.get(word, ())
         if ctx in ("begin", "middle") and self.compound_forbid:
             if any(self.compound_forbid in fs for fs in raw):
                 return []
 
-        cands: list[frozenset] = []
+        cands: list[tuple[str, frozenset]] = []
         for fs in raw:
             if self.need_affix and self.need_affix in fs:
                 continue
-            cands.append(fs)
+            cands.append((word, fs))
         for r in self.suffixes:
             if not self._affix_ok(r, False, ctx):
                 continue
@@ -552,7 +557,8 @@ class HunspellDictionary:
                 continue
             ext = frozenset(r.continuation)
             cands += [
-                fs | ext for fs in self._root_entries(base, {r.flag})
+                (base, fs | ext)
+                for fs in self._root_entries(base, {r.flag})
             ]
             for r2 in self.suffixes:
                 if r.flag not in r2.continuation:
@@ -561,7 +567,7 @@ class HunspellDictionary:
                 if root is not None:
                     ext2 = ext | frozenset(r2.continuation)
                     cands += [
-                        fs | ext2
+                        (root, fs | ext2)
                         for fs in self._root_entries(root, {r2.flag})
                     ]
         for p in self.prefixes:
@@ -572,7 +578,8 @@ class HunspellDictionary:
                 continue
             pext = frozenset(p.continuation)
             cands += [
-                fs | pext for fs in self._root_entries(base, {p.flag})
+                (base, fs | pext)
+                for fs in self._root_entries(base, {p.flag})
             ]
             if not p.cross:
                 continue
@@ -595,10 +602,10 @@ class HunspellDictionary:
                     p_ok = p.flag in fs or p.flag in r.continuation
                     r_ok = r.flag in fs or r.flag in p.continuation
                     if p_ok and r_ok:
-                        cands.append(fs | ext)
+                        cands.append((root, fs | ext))
 
         out = []
-        for flags in cands:
+        for root, flags in cands:
             if fw and fw in flags:
                 continue
             if ctx == "simple":
@@ -619,7 +626,7 @@ class HunspellDictionary:
                 )
                 if not ok:
                     continue
-            out.append(flags)
+            out.append((root, flags))
         return out
 
     def _pattern_prohibits(self, part1: str, rest: str) -> bool:
@@ -694,27 +701,44 @@ class HunspellDictionary:
                 continue
             if (
                 len(tail) >= self.compound_min
-                and not (self.check_compound_dup and head == tail)
                 and not self._rep_misspells(head + tail)
-                and self._forms_in_context(tail, "end")
-                and not self._force_ucase_problem(tail)
+                and self._closing_pair_ok(head_forms, tail)
             ):
                 return True
             if self._check_compound_flag(tail, depth + 1, prev=head):
                 return True
         return False
 
-    def _force_ucase_problem(self, last_part: str) -> bool:
-        """FORCEUCASE (Hunspell.hasForceUCaseProblem): a compound whose
-        LAST root carries the flag must be capitalized; the original
-        word's case is recorded by is_correct before its lowercase
-        fallback."""
-        if self.force_ucase is None or self._input_titled:
+    def _closing_pair_ok(
+        self, head_forms: list[tuple[str, frozenset]], tail: str
+    ) -> bool:
+        """Per-analysis closing-pair checks on (head, tail), both done
+        at ROOT granularity like the reference (Hunspell.java compares
+        prev.root vs lastRoot, and hasForceUCaseProblem reads the flag
+        off the stemmed root's entry, not the surface form):
+
+        - FORCEUCASE: a tail analysis whose flag set carries the flag
+          is rejected unless the ORIGINAL word was capitalized.
+        - CHECKCOMPOUNDDUP: a (head-root, tail-root) pair with equal
+          roots is rejected; another analysis pair may still succeed.
+        """
+        end_forms = self._forms_in_context(tail, "end")
+        if not end_forms:
             return False
-        return any(
-            self.force_ucase in fs
-            for fs in self.entries.get(last_part, ())
-        )
+        head_roots = {r for r, _ in head_forms}
+        for t_root, t_flags in end_forms:
+            if (
+                self.force_ucase is not None
+                and not self._input_titled
+                and self.force_ucase in t_flags
+            ):
+                continue
+            if self.check_compound_dup and not any(
+                h != t_root for h in head_roots
+            ):
+                continue
+            return True
+        return False
 
     _input_titled = False
 

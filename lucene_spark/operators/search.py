@@ -611,9 +611,16 @@ def _make_unpack_kernel(
                             topk_buf, -k_for_pruning
                         )[-k_for_pruning:]
                     # keep the k-th best at index 0 (the heap-top
-                    # contract the skip test reads)
+                    # contract the skip test reads); swap, don't
+                    # overwrite — assigning min() would duplicate the
+                    # min over a live score when len == k exactly and
+                    # permanently depress the threshold
                     if len(topk_buf) >= k_for_pruning:
-                        topk_buf[0] = topk_buf.min()
+                        i_min = int(topk_buf.argmin())
+                        if i_min != 0:
+                            topk_buf[0], topk_buf[i_min] = (
+                                topk_buf[i_min], topk_buf[0],
+                            )
                 out["term"].extend([terms[j]] * nd)
                 out["segment_id"].append(np.full(nd, segs[j]))
                 out["block_id"].append(np.full(nd, bids[j]))
