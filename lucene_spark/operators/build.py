@@ -48,12 +48,54 @@ from ..functions.smallfloat import int_to_byte4
 from ..sources.catalog import IndexCatalog
 from .codec import (
     BLOCK_SIZE,
+    ENC_FOR,
+    _PFOR_MAX_EXCEPTIONS,
+    bits_required,
     encode_position_deltas,
     impact_skyline,
     pack_doc_block,
     pack_freq_block,
     pack_pos_block,
 )
+
+# ---- memoized single-posting encodings (the Zipf-tail fast path) ----
+# A df=1 block's doc_block is always the DENSE marker (the single
+# docid lives in first_docid), its freq_block is ALL_ONES when tf=1,
+# and its pos_block/freq_block/impact arrays depend only on tiny
+# scalars — precompute/memoize them so the dominant block class costs
+# a dict lookup instead of four numpy pack calls.
+_DOC_DENSE = pack_doc_block(np.array([0], dtype=np.int64))
+_FREQ_ALL_ONES = pack_freq_block(np.array([1], dtype=np.int64))
+_BYTE1 = [bytes([i]) for i in range(256)]
+_IMPACT_ONE = np.array([1], dtype=np.int32)
+_impact_memo: dict[int, np.ndarray] = {}
+_pos_single_memo: dict[int, bytes] = {}
+_freq_single_memo: dict[int, bytes] = {}
+
+
+def _impact_arr(v: int) -> np.ndarray:
+    a = _impact_memo.get(v)
+    if a is None:
+        a = _impact_memo[v] = np.array([v], dtype=np.int32)
+    return a
+
+
+def _pos_single(delta: int) -> bytes:
+    b = _pos_single_memo.get(delta)
+    if b is None:
+        b = _pos_single_memo[delta] = pack_pos_block(
+            np.array([delta], dtype=np.int64)
+        )
+    return b
+
+
+def _freq_single(f: int) -> bytes:
+    b = _freq_single_memo.get(f)
+    if b is None:
+        b = _freq_single_memo[f] = pack_freq_block(
+            np.array([f], dtype=np.int64)
+        )
+    return b
 
 STAGE_DDL = (
     "kind tinyint, segment_id long, field string, term string, block_id int, "
@@ -254,40 +296,229 @@ def _build_one_segment(
     pos_deltas = encode_position_deltas(p_arr, tfs)
     occ_offsets = np.r_[0, np.cumsum(tfs)]
 
-    cols: dict[str, list] = {k.name: [] for k in STAGE_SCHEMA}
+    # ---- block emit, vectorized across terms ----
+    # A Zipfian web vocabulary makes the block COUNT the cost driver
+    # (most terms have df 1-2, so blocks ≈ distinct terms): any
+    # per-block Python beyond a few microseconds dominates the build.
+    # Block boundaries are computed wholesale, then blocks split into
+    # three classes: df=1/tf=1 singletons (fully vectorized, memoized
+    # constant encodings), single-posting multi-tf blocks (grouped
+    # matrix packbits per (tf, bits)), and general multi-posting
+    # blocks (the scalar codec, now a small minority). Byte output is
+    # identical to the scalar codec per class — asserted by
+    # tests/test_build_fastpath.py against pack_* directly.
+    n_posts_total = len(post_starts)
+    nblocks = (term_post_counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total_blocks = int(nblocks.sum())
+    term_of_block = np.repeat(
+        np.arange(len(term_post_counts)), nblocks
+    )
+    ord_in_term = (
+        np.arange(total_blocks)
+        - np.repeat(np.cumsum(nblocks) - nblocks, nblocks)
+    )
+    blo = term_first_post[term_of_block] + ord_in_term * BLOCK_SIZE
+    bhi = np.minimum(
+        blo + BLOCK_SIZE,
+        term_first_post[term_of_block] + term_post_counts[term_of_block],
+    )
+    num_docs_b = (bhi - blo).astype(np.int32)
+    # [blo[i], bhi[i]) partitions the posting index space in order, so
+    # reduceat over blo gives per-block sums in one pass
+    btf = (
+        np.add.reduceat(tfs, blo)
+        if total_blocks
+        else np.zeros(0, dtype=np.int64)
+    )
+    occ_lo_b = occ_offsets[blo]
+    occ_hi_b = occ_offsets[bhi]
 
-    for ti, first_post in enumerate(term_first_post):
-        n_post = term_post_counts[ti]
-        term = post_terms[first_post]
-        for b0 in range(0, n_post, BLOCK_SIZE):
-            lo = first_post + b0
-            hi = min(first_post + b0 + BLOCK_SIZE, first_post + n_post)
-            dids = post_docids[lo:hi]
-            fs = tfs[lo:hi]
-            ns = post_norms[lo:hi]
-            occ_lo, occ_hi = occ_offsets[lo], occ_offsets[hi]
-            i_f, i_n = impact_skyline(fs, ns)
-            cols["kind"].append(0)
-            cols["segment_id"].append(seg_id)
-            cols["field"].append(field)
-            cols["term"].append(term)
-            cols["block_id"].append(b0 // BLOCK_SIZE)
-            cols["first_docid"].append(int(dids[0]))
-            cols["last_docid"].append(int(dids[-1]))
-            cols["num_docs"].append(len(dids))
-            cols["block_total_tf"].append(int(fs.sum()))
-            cols["doc_block"].append(pack_doc_block(dids))
-            cols["freq_block"].append(pack_freq_block(fs))
-            cols["norm_block"].append(ns.astype(np.uint8).tobytes())
-            cols["pos_block"].append(pack_pos_block(pos_deltas[occ_lo:occ_hi]))
-            cols["impact_freqs"].append(i_f.astype(np.int32))
-            cols["impact_norms"].append(i_n.astype(np.int32))
-            cols["url"].append(None)
-            cols["doclen"].append(0)
-            cols["norm"].append(0)
+    doc_blocks = np.empty(total_blocks, dtype=object)
+    freq_blocks = np.empty(total_blocks, dtype=object)
+    norm_blocks = np.empty(total_blocks, dtype=object)
+    pos_blocks = np.empty(total_blocks, dtype=object)
+    imp_f = np.empty(total_blocks, dtype=object)
+    imp_n = np.empty(total_blocks, dtype=object)
 
-    if cols["kind"]:
-        yield pa.RecordBatch.from_pydict(cols, schema=STAGE_SCHEMA)
+    single = num_docs_b == 1
+    sing_tf = np.where(single, tfs[blo], 0)
+    # class 1: one posting, tf 1 — the dominant class on a Zipf tail
+    m1 = np.flatnonzero(single & (sing_tf == 1))
+    # class 2: one posting, tf > 1
+    m2 = np.flatnonzero(single & (sing_tf > 1))
+    # class 3: everything else — the scalar codec path
+    m3 = np.flatnonzero(~single)
+
+    if len(m1):
+        doc_blocks[m1] = [_DOC_DENSE] * len(m1)
+        freq_blocks[m1] = [_FREQ_ALL_ONES] * len(m1)
+        norms1 = post_norms[blo[m1]].astype(np.uint8)
+        norm_blocks[m1] = [_BYTE1[v] for v in norms1]
+        imp_f[m1] = [_IMPACT_ONE] * len(m1)
+        imp_n[m1] = [_impact_arr(int(v)) for v in norms1]
+        d1 = pos_deltas[occ_lo_b[m1]]
+        pos_blocks[m1] = [_pos_single(int(d)) for d in d1]
+    if len(m2):
+        doc_blocks[m2] = [_DOC_DENSE] * len(m2)
+        norms2 = post_norms[blo[m2]].astype(np.uint8)
+        norm_blocks[m2] = [_BYTE1[v] for v in norms2]
+        fs2 = sing_tf[m2]
+        freq_blocks[m2] = [_freq_single(int(f)) for f in fs2]
+        imp_f[m2] = [_impact_arr(int(f)) for f in fs2]
+        imp_n[m2] = [_impact_arr(int(v)) for v in norms2]
+        # group by (tf, bits): same-shape blocks pack as ONE bit
+        # matrix; packbits(axis=1) pads each row to a byte boundary
+        # exactly like the per-block scalar pack
+        for f in np.unique(fs2):
+            grp_f = np.flatnonzero(fs2 == f)
+            starts = occ_lo_b[m2[grp_f]]
+            vals2d = pos_deltas[starts[:, None] + np.arange(int(f))]
+            maxd = vals2d.max(axis=1)
+            # bit_length via frexp exponent (exact for ints < 2^53)
+            bits_g = np.frexp(np.maximum(maxd, 1).astype(np.float64))[1]
+            for bits in np.unique(bits_g):
+                grp = np.flatnonzero(bits_g == bits)
+                b = int(bits)
+                vals = vals2d[grp].reshape(-1).astype(np.uint64)
+                mat = (
+                    (vals[:, None] >> np.arange(b, dtype=np.uint64)) & 1
+                ).astype(np.uint8)
+                rows = np.packbits(
+                    mat.reshape(len(grp), int(f) * b), axis=1,
+                    bitorder="little",
+                )
+                head = bytes([ENC_FOR, b])
+                idxs = m2[grp_f[grp]]
+                pos_blocks[idxs] = [head + r.tobytes() for r in rows]
+    def _pack_for_rows(vals2d: np.ndarray, width: int, bits: int):
+        """FOR-pack each row of a (G, width) matrix — one bit-matrix
+        packbits(axis=1), per-row byte padding identical to the scalar
+        pack_bits call on each row."""
+        vals = vals2d.reshape(-1).astype(np.uint64)
+        mat = (
+            (vals[:, None] >> np.arange(bits, dtype=np.uint64)) & 1
+        ).astype(np.uint8)
+        packed = np.packbits(
+            mat.reshape(len(vals2d), width * bits), axis=1,
+            bitorder="little",
+        )
+        head = bytes([ENC_FOR, bits])
+        return [head + r.tobytes() for r in packed]
+
+    n3 = num_docs_b[m3].astype(np.int64)
+    for n_u in np.unique(n3):
+        n_i = int(n_u)
+        grp = m3[n3 == n_u]
+        offs = blo[grp][:, None] + np.arange(n_i)
+        dmat = post_docids[offs]
+        fmat = tfs[offs]
+        nmat = post_norms[offs].astype(np.uint8)
+        norm_blocks[grp] = [r.tobytes() for r in nmat]
+        # -- doc blocks: dense / FOR vectorized, bitset rows scalar --
+        gaps = np.diff(dmat, axis=1)
+        gmax = gaps.max(axis=1)
+        dense = gmax == 1
+        if dense.any():
+            doc_blocks[grp[dense]] = [_DOC_DENSE] * int(dense.sum())
+        nd = np.flatnonzero(~dense)
+        if len(nd):
+            bits_d = np.frexp(gmax[nd].astype(np.float64))[1]
+            span = dmat[nd, -1] - dmat[nd, 0] + 1
+            for_bytes = 2 + ((n_i - 1) * bits_d + 7) // 8
+            bitset_bytes = 1 + (span + 7) // 8
+            use_bs = bitset_bytes < for_bytes
+            for i in grp[nd[use_bs]]:
+                lo = int(blo[i])
+                doc_blocks[i] = pack_doc_block(post_docids[lo:lo + n_i])
+            fr = nd[~use_bs]
+            for b in np.unique(bits_d[~use_bs]):
+                sel = fr[bits_d[~use_bs] == b]
+                doc_blocks[grp[sel]] = _pack_for_rows(
+                    gaps[sel], n_i - 1, int(b)
+                )
+        # -- freq blocks: ALL_ONES / FOR vectorized; PFOR-eligible
+        #    (n > 8) rows keep the scalar cost-model pack --
+        fmax = fmat.max(axis=1)
+        ones = fmax == 1
+        if ones.any():
+            freq_blocks[grp[ones]] = [_FREQ_ALL_ONES] * int(ones.sum())
+        rest = np.flatnonzero(~ones)
+        if len(rest):
+            if n_i > _PFOR_MAX_EXCEPTIONS:
+                for i in grp[rest]:
+                    lo = int(blo[i])
+                    freq_blocks[i] = pack_freq_block(tfs[lo:lo + n_i])
+            else:
+                fm1 = fmat[rest] - 1
+                bits_f = np.frexp(
+                    np.maximum(fmax[rest] - 1, 1).astype(np.float64)
+                )[1]
+                for b in np.unique(bits_f):
+                    sel = rest[bits_f == b]
+                    freq_blocks[grp[sel]] = _pack_for_rows(
+                        fmat[sel] - 1, n_i, int(b)
+                    )
+        # -- impacts: closed-form 2-element skyline, scalar otherwise
+        if n_i == 2:
+            for j, i in enumerate(grp):
+                f_a, f_b = int(fmat[j, 0]), int(fmat[j, 1])
+                n_a, n_b = int(nmat[j, 0]), int(nmat[j, 1])
+                if n_a == n_b:
+                    imp_f[i] = _impact_arr(max(f_a, f_b))
+                    imp_n[i] = _impact_arr(n_a)
+                else:
+                    if n_b < n_a:
+                        f_a, f_b, n_a, n_b = f_b, f_a, n_b, n_a
+                    if f_b > f_a:
+                        imp_f[i] = np.array([f_a, f_b], dtype=np.int32)
+                        imp_n[i] = np.array([n_a, n_b], dtype=np.int32)
+                    else:
+                        imp_f[i] = _impact_arr(f_a)
+                        imp_n[i] = _impact_arr(n_a)
+        else:
+            for j, i in enumerate(grp):
+                i_f, i_n = impact_skyline(fmat[j], nmat[j])
+                imp_f[i] = i_f.astype(np.int32)
+                imp_n[i] = i_n.astype(np.int32)
+        # -- pos blocks: grouped by (occurrence count, bits) --
+        occ = occ_hi_b[grp] - occ_lo_b[grp]
+        for o in np.unique(occ):
+            o_i = int(o)
+            g2 = np.flatnonzero(occ == o)
+            starts = occ_lo_b[grp[g2]]
+            vals2d = pos_deltas[starts[:, None] + np.arange(o_i)]
+            maxd = vals2d.max(axis=1)
+            bits_p = np.frexp(np.maximum(maxd, 1).astype(np.float64))[1]
+            for b in np.unique(bits_p):
+                sel = g2[bits_p == b]
+                pos_blocks[grp[sel]] = _pack_for_rows(
+                    vals2d[bits_p == b], o_i, int(b)
+                )
+
+    if total_blocks:
+        yield pa.RecordBatch.from_pydict(
+            {
+                "kind": np.zeros(total_blocks, dtype=np.int8),
+                "segment_id": np.full(total_blocks, seg_id, dtype=np.int64),
+                "field": [field] * total_blocks,
+                "term": post_terms[blo],
+                "block_id": ord_in_term.astype(np.int32),
+                "first_docid": post_docids[blo],
+                "last_docid": post_docids[bhi - 1],
+                "num_docs": num_docs_b,
+                "block_total_tf": btf,
+                "doc_block": doc_blocks,
+                "freq_block": freq_blocks,
+                "norm_block": norm_blocks,
+                "pos_block": pos_blocks,
+                "impact_freqs": imp_f,
+                "impact_norms": imp_n,
+                "url": [None] * total_blocks,
+                "doclen": np.zeros(total_blocks, dtype=np.int32),
+                "norm": np.zeros(total_blocks, dtype=np.int32),
+            },
+            schema=STAGE_SCHEMA,
+        )
     # lineage metrics row is derived downstream (docs count + wall time
     # recorded by the driver); keep the builder pure.
     del t0

@@ -260,16 +260,26 @@ def impact_skyline(freqs: np.ndarray, norms: np.ndarray):
     """
     freqs = np.asarray(freqs, dtype=np.int64)
     norms = np.asarray(norms).astype(np.uint8).astype(np.int64)
+    n = len(freqs)
+    if n == 1:
+        return freqs, norms
     order = np.lexsort((-freqs, norms))
     n_sorted = norms[order]
     f_sorted = freqs[order]
-    # first occurrence per norm (has max freq within the norm)
-    first = np.r_[True, n_sorted[1:] != n_sorted[:-1]]
+    # first occurrence per norm (has max freq within the norm);
+    # np.empty + slice-compare instead of np.r_ — this runs once per
+    # posting block and np.r_'s index_tricks machinery dominated the
+    # vocabulary-heavy build profile
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    np.not_equal(n_sorted[1:], n_sorted[:-1], out=first[1:])
     nf = n_sorted[first]
     ff = f_sorted[first]
     # keep only strictly increasing freq as norm increases
     cummax = np.maximum.accumulate(ff)
-    keep = np.r_[True, ff[1:] > cummax[:-1]]
+    keep = np.empty(len(ff), dtype=bool)
+    keep[0] = True
+    np.greater(ff[1:], cummax[:-1], out=keep[1:])
     return ff[keep], nf[keep]
 
 

@@ -1178,8 +1178,16 @@ class Searcher(QueryOpsMixin):
             .distinct()
         )
 
-        stats = self.term_stats(uniq)
-        present = [t for t in uniq if t in stats]
+        return self._positions_for_blocks(uniq, cand_blocks)
+
+    def _positions_for_blocks(
+        self, terms: list[str], blocks: DataFrame
+    ) -> DataFrame:
+        """Decode + score WITH positions only the posting blocks named
+        by ``blocks`` (term, segment_id, block_id) — the .pos-file
+        seek analog; liveDocs applied."""
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
         scorers = _bind_scorers(
             stats, self.field_stats, self.k1, self.b, 1.0, self.dtype,
             self.similarity,
@@ -1191,7 +1199,11 @@ class Searcher(QueryOpsMixin):
         ]
         posts = (
             self._postings.where(F.col("term").isin(present))
-            .join(cand_blocks, ["term", "segment_id", "block_id"], "left_semi")
+            .join(
+                blocks.select("term", "segment_id", "block_id").distinct(),
+                ["term", "segment_id", "block_id"],
+                "left_semi",
+            )
             .select(*cols)
         )
         kernel, _ = _make_unpack_kernel(scorers, self.dtype, True, None)
@@ -1643,7 +1655,21 @@ class Searcher(QueryOpsMixin):
                     # set of uniformly dense clauses yields uniform
                     # block bounds and θ below all of them — nothing
                     # skips, bulk-score exhaustively instead
-                    prune = dfs[0] * 8 <= dfs[-1] or dfs[0] < n_buckets
+                    skewed = dfs[0] * 8 <= dfs[-1]
+                    prune = skewed or dfs[0] < n_buckets
+                    if skewed:
+                        # extreme df skew means the rare clause's max
+                        # UB dominates the GLOBAL rest bound, so the
+                        # 2-job global-rest plan cannot skip the dense
+                        # clause's blocks (ub_dense + rest_rare ≥ θ
+                        # everywhere); the per-bucket rest collapses
+                        # to 0 wherever the rare clause has no block —
+                        # exactly MaxScoreBulkScorer's per-window
+                        # bound — and is worth its two extra metadata
+                        # shuffles. Only the auto plan opts in; forced
+                        # prune=True keeps the caller's bucket_rest
+                        # (bench comparators isolate each plan).
+                        bucket_rest = True
         if prune:
             return self._boolean_topk_blockmax(
                 should, must, must_not, min_should_match, k,
@@ -2465,18 +2491,60 @@ class Searcher(QueryOpsMixin):
 
         pos_rows = self._candidate_positions(terms)
         per_doc = self._pivot_positions(pos_rows, len(set(terms)))
-        inter = _shift_positions(F.col("pm")[terms[0]], positions[0])
-        for i in range(1, len(terms)):
-            inter = F.array_intersect(
-                inter, _shift_positions(F.col("pm")[terms[i]], positions[i])
-            )
-        matched = per_doc.withColumn("phrase_freq", F.size(inter)).where(
-            F.col("phrase_freq") > 0
+        weight, cache = self._pseudo_term_weight_cache(terms, stats)
+        return self._phrase_match_scores(
+            per_doc, terms, positions, 0, weight, cache
         )
 
-        # bind a pseudo-term scorer with summed idf (double acc -> f32)
-        weight, cache = self._pseudo_term_weight_cache(terms, stats)
+    def _phrase_match_scores(
+        self,
+        per_doc: DataFrame,
+        terms: list[str],
+        positions: list[int] | None,
+        slop: int,
+        weight,
+        cache,
+    ) -> DataFrame:
+        """(segment_id, docid, score) phrase scores for the docs in a
+        per-doc pivot (term→positions map + norm) — the matcher +
+        pseudo-term BM25 scorer shared by the exhaustive and block-max
+        phrase plans. ``slop == 0`` runs the exact array-intersect
+        matcher; ``slop > 0`` the SloppyPhraseMatcher kernel."""
         dtype = self.dtype
+        if slop == 0:
+            if positions is None:
+                positions = list(range(len(terms)))
+            inter = _shift_positions(F.col("pm")[terms[0]], positions[0])
+            for i in range(1, len(terms)):
+                inter = F.array_intersect(
+                    inter,
+                    _shift_positions(F.col("pm")[terms[i]], positions[i]),
+                )
+            matched = per_doc.withColumn(
+                "phrase_freq", F.size(inter)
+            ).where(F.col("phrase_freq") > 0)
+        else:
+            n_terms = len(terms)
+            joined = per_doc.select(
+                "segment_id",
+                "docid",
+                "norm",
+                *[F.col("pm")[t].alias(f"p{i}") for i, t in enumerate(terms)],
+            )
+            group_of = {t: gi for gi, t in enumerate(dict.fromkeys(terms))}
+            groups = [group_of[t] for t in terms]
+            slot_offsets = list(range(n_terms))
+            if n_terms == 2 and len(set(terms)) == 2:
+                kern = _make_pair_freq_kernel("sloppy", slop=slop)
+            else:
+
+                def freq_fn(lists, _o=slot_offsets, _g=groups, _s=slop):
+                    return sloppy_phrase_freq_repeats(lists, _o, _g, _s)
+
+                kern = _make_freq_kernel(n_terms, freq_fn)
+            matched = joined.mapInArrow(
+                kern, schema=_FREQ_DDL
+            ).withColumnRenamed("freq", "phrase_freq")
 
         @F.pandas_udf("float" if dtype == np.float32 else "double")
         def phrase_score(pf, norm):
@@ -2493,9 +2561,39 @@ class Searcher(QueryOpsMixin):
             phrase_score(F.col("phrase_freq"), F.col("norm")).alias("score"),
         )
 
-    def phrase_query(self, terms: list[str], k: int = 10) -> DataFrame:
-        """Exact PhraseQuery top-k (core/search/PhraseQuery.java:71)."""
+    def phrase_query(
+        self,
+        terms: list[str],
+        k: int = 10,
+        prune: bool | str = "auto",
+        stats_out: dict | None = None,
+    ) -> DataFrame:
+        """Exact PhraseQuery top-k (core/search/PhraseQuery.java:71).
+
+        ``prune`` picks the physical plan like ``boolean_query``:
+        the block-max positional plan (`_phrase_topk_blockmax`) pays
+        two extra driver round-trips (candidate materialization + θ
+        seed), which only amortize once the cheapest phrase term
+        carries enough postings that pos_block decode dominates —
+        "auto" uses it when min(doc_freq) ≥ ``_PRUNE_MIN_POSTINGS``.
+        Both plans produce identical results (pytest-asserted)."""
+        if prune == "auto":
+            prune = self._phrase_prune_auto(terms)
+        if prune:
+            return self._phrase_topk_blockmax(
+                terms, k, slop=0, stats_out=stats_out
+            )
         return self._finish_topk(self.scored_phrase(terms), k)
+
+    def _phrase_prune_auto(self, terms: list[str]) -> bool:
+        stats = self.term_stats(terms)
+        uniq = set(terms)
+        dfs = [stats[t][0] for t in uniq if t in stats]
+        return (
+            len(dfs) == len(uniq)
+            and bool(dfs)
+            and min(dfs) >= self._PRUNE_MIN_POSTINGS
+        )
 
     def scored_sloppy_phrase(self, terms: list[str], slop: int) -> DataFrame:
         """Sloppy PhraseQuery (``core/search/SloppyPhraseMatcher.java``,
@@ -2521,57 +2619,235 @@ class Searcher(QueryOpsMixin):
         per_doc = self._pivot_positions(
             self._candidate_positions(terms), len(set(terms))
         )
-        n_terms = len(terms)
-        joined = per_doc.select(
-            "segment_id",
-            "docid",
-            "norm",
-            # RAW positions per phrase slot; a repeated term reuses its
-            # map entry at every offset it occupies
-            *[F.col("pm")[t].alias(f"p{i}") for i, t in enumerate(terms)],
-        )
-        group_of = {t: gi for gi, t in enumerate(dict.fromkeys(terms))}
-        groups = [group_of[t] for t in terms]
-        slot_offsets = list(range(n_terms))
-
-        if n_terms == 2 and len(set(terms)) == 2:
-            # distinct-2-term fast path: run-boundary closed form,
-            # fully vectorized (pair_boundary_freqs)
-            kern = _make_pair_freq_kernel("sloppy", slop=slop)
-        else:
-
-            def freq_fn(lists, _o=slot_offsets, _g=groups, _s=slop):
-                return sloppy_phrase_freq_repeats(lists, _o, _g, _s)
-
-            kern = _make_freq_kernel(n_terms, freq_fn)
-
-        matched = joined.mapInArrow(kern, schema=_FREQ_DDL).withColumnRenamed(
-            "freq", "phrase_freq"
-        )
-
         weight, cache = self._pseudo_term_weight_cache(terms, stats)
-        dtype = self.dtype
-
-        @F.pandas_udf("float" if dtype == np.float32 else "double")
-        def sp_score(pf, norm):
-            import pandas as pd
-
-            return pd.Series(
-                bm25.score(
-                    pf.to_numpy().astype(dtype), norm.to_numpy(), weight, cache
-                )
-            )
-
-        return matched.select(
-            "segment_id",
-            "docid",
-            sp_score(F.col("phrase_freq"), F.col("norm")).alias("score"),
+        # RAW positions per phrase slot; a repeated term reuses its
+        # map entry at every offset it occupies; the distinct-2-term
+        # fast path runs the run-boundary closed form vectorized
+        # (pair_boundary_freqs)
+        return self._phrase_match_scores(
+            per_doc, terms, None, slop, weight, cache
         )
 
     def sloppy_phrase_query(
-        self, terms: list[str], slop: int, k: int = 10
+        self,
+        terms: list[str],
+        slop: int,
+        k: int = 10,
+        prune: bool | str = "auto",
+        stats_out: dict | None = None,
     ) -> DataFrame:
+        if prune == "auto":
+            prune = self._phrase_prune_auto(terms)
+        if prune:
+            return self._phrase_topk_blockmax(
+                terms, k, slop=slop, stats_out=stats_out
+            )
         return self._finish_topk(self.scored_sloppy_phrase(terms, slop), k)
+
+    def _phrase_topk_blockmax(
+        self,
+        terms: list[str],
+        k: int,
+        slop: int = 0,
+        positions: list[int] | None = None,
+        stats_out: dict | None = None,
+        seed_n: int | None = None,
+    ) -> DataFrame:
+        """Block-max pruning for positional queries — the ImpactsEnum-
+        through-PhraseWeight analog (``core/search/PhraseQuery.java``
+        max-score from term impacts, ``ExactPhraseMatcher.java:37``
+        advanceShallow): phrase_freq ≤ min over the phrase's distinct
+        terms of the doc's term freq (each slot consumes one
+        occurrence; sloppyWeight ≤ 1 keeps the bound valid for sloppy
+        matching), so score(min_freq, norm) upper-bounds the phrase
+        score per DOC — a doc-granular bound, tighter than Lucene's
+        per-block skyline.
+
+        Plan: docid-conjunction pass (no pos_block) → per-doc upper
+        bounds → verify the top-``seed_n`` docs by bound to seed θ =
+        k-th true phrase score → decode pos_block only for blocks
+        holding a doc with ``ub ≥ θ`` (skip is STRICT ``ub < θ``; a
+        doc tying the k-th score survives, per the tie discipline).
+        Bounds are computed AFTER liveDocs filtering, so the path is
+        sound with tombstones (unlike in-kernel freq-threshold
+        pruning, which is score-order-sensitive)."""
+        uniq = list(dict.fromkeys(terms))
+        stats = self.term_stats(uniq)
+        if any(t not in stats for t in uniq):
+            return self._finish_topk(
+                self._empty_scored().select("segment_id", "docid", "score"),
+                k,
+            )
+        weight, cache = self._pseudo_term_weight_cache(terms, stats)
+        dtype = self.dtype
+
+        @F.pandas_udf("double")
+        def ub_score(fr, norm):
+            import pandas as pd
+
+            s = bm25.score(
+                fr.to_numpy().astype(dtype), norm.to_numpy(), weight, cache
+            )
+            return pd.Series(np.asarray(s, dtype=np.float64))
+
+        first_pass = self.scored_postings(uniq, need_positions=False)
+        cand = (
+            first_pass.groupBy("segment_id", "docid")
+            .agg(
+                F.first("norm").alias("norm"),
+                F.min("freq").alias("ub_freq"),
+                F.countDistinct("term").alias("nt"),
+                F.collect_set(F.struct("term", "block_id")).alias("blocks"),
+            )
+            .where(F.col("nt") >= len(uniq))
+            .withColumn("ub", ub_score(F.col("ub_freq"), F.col("norm")))
+            .persist()
+        )
+        persisted: list[DataFrame] = [cand]
+        try:
+            n_cand = cand.count()
+            if seed_n is None:
+                seed_n = max(4 * k, 64)
+
+            def _prefix_keys(n: int) -> DataFrame:
+                # deterministic UB-descending prefix (TakeOrdered):
+                # prefixes nest, so each widening round's decode is a
+                # superset of the last — total seed work is a
+                # geometric series over the final round
+                return (
+                    cand.orderBy(F.desc("ub"), "segment_id", "docid")
+                    .select("segment_id", "docid")
+                    .limit(n)
+                )
+
+            # -- θ seed with geometric widening: phrase verification
+            # has a data-dependent hit rate (a candidate doc holds all
+            # terms but maybe not the phrase), so one fixed-size seed
+            # round can come up short of k true matches. Widen ×8
+            # until k matches exist or the prefix stops being a small
+            # fraction of the candidates (at which point give up
+            # pruning — TakeOrdered's single merge task must never be
+            # fed a near-full sort at scale).
+            theta = None
+            cur = min(seed_n, n_cand)
+            scored_prefix = None
+            verified_all = False
+            while True:
+                keys = _prefix_keys(cur)
+                if scored_prefix is not None:
+                    scored_prefix.unpersist()
+                    persisted.remove(scored_prefix)
+                scored_prefix = self._verify_phrase_docs(
+                    cand, keys, uniq, terms, positions, slop,
+                    weight, cache,
+                ).persist()
+                persisted.append(scored_prefix)
+                top = scored_prefix.orderBy(F.desc("score")).limit(k).collect()
+                if len(top) >= k:
+                    theta = float(top[k - 1]["score"])
+                    break
+                if cur >= n_cand:
+                    verified_all = True
+                    break
+                nxt = cur * 8
+                if nxt >= max(n_cand // 2, 1):
+                    # fewer than k matches in a large prefix: verify
+                    # the remainder without an ordering pass
+                    rest_keys = cand.select("segment_id", "docid").join(
+                        keys, ["segment_id", "docid"], "left_anti"
+                    )
+                    scored_rest = self._verify_phrase_docs(
+                        cand, rest_keys, uniq, terms, positions, slop,
+                        weight, cache,
+                    )
+                    scored_prefix = scored_prefix.unionByName(scored_rest)
+                    verified_all = True
+                    cur = n_cand
+                    break
+                cur = nxt
+
+            if verified_all or theta is None or theta <= 0:
+                scored = scored_prefix
+                n_verified = n_cand
+                surv = None
+            else:
+                keys = _prefix_keys(cur)
+                surv = cand.where(F.col("ub") >= theta).join(
+                    keys, ["segment_id", "docid"], "left_anti"
+                ).persist()
+                persisted.append(surv)
+                scored = scored_prefix.unionByName(
+                    self._verify_phrase_docs(
+                        cand, surv.select("segment_id", "docid"), uniq,
+                        terms, positions, slop, weight, cache,
+                    )
+                )
+                n_verified = cur + surv.count()
+            final = self._finish_topk(scored, k)
+            out = final.collect()
+            if stats_out is not None:
+
+                def _n_blocks(c: DataFrame) -> int:
+                    return (
+                        c.select(
+                            "segment_id", F.explode("blocks").alias("b")
+                        )
+                        .select("b.term", "segment_id", "b.block_id")
+                        .distinct()
+                        .count()
+                    )
+
+                stats_out["plan"] = "phrase_doc_ub"
+                stats_out["n_candidates"] = n_cand
+                stats_out["n_verified"] = n_verified
+                stats_out["theta"] = (
+                    float(theta) if theta is not None else None
+                )
+                stats_out["blocks_total"] = _n_blocks(cand)
+                if surv is not None:
+                    dec = cand.join(
+                        _prefix_keys(cur), ["segment_id", "docid"],
+                        "left_semi",
+                    ).unionByName(surv.select(*cand.columns))
+                    stats_out["blocks_decoded"] = _n_blocks(dec)
+                else:
+                    stats_out["blocks_decoded"] = stats_out["blocks_total"]
+            return self.spark.createDataFrame(out, final.schema)
+        finally:
+            for p in persisted:
+                p.unpersist()
+
+    def _verify_phrase_docs(
+        self,
+        cand: DataFrame,
+        doc_keys: DataFrame,
+        uniq: list[str],
+        terms: list[str],
+        positions: list[int] | None,
+        slop: int,
+        weight,
+        cache,
+    ) -> DataFrame:
+        """Exact phrase scores for exactly the docs in ``doc_keys``:
+        pos_block is decoded only for the posting blocks that contain
+        one of those docs (the per-candidate .pos seek)."""
+        sel = cand.join(doc_keys, ["segment_id", "docid"], "left_semi")
+        blocks = (
+            sel.select("segment_id", F.explode("blocks").alias("b"))
+            .select(
+                F.col("b.term").alias("term"),
+                "segment_id",
+                F.col("b.block_id").alias("block_id"),
+            )
+            .distinct()
+        )
+        pos_rows = self._positions_for_blocks(uniq, blocks).join(
+            doc_keys, ["segment_id", "docid"], "left_semi"
+        )
+        per_doc = self._pivot_positions(pos_rows, len(set(uniq)))
+        return self._phrase_match_scores(
+            per_doc, terms, positions, slop, weight, cache
+        )
 
     def scored_intervals(
         self,

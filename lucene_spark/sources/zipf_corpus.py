@@ -1,0 +1,98 @@
+"""Deterministic Zipfian web-page corpus.
+
+The driver testdata corpus has a ~31-word uniform vocabulary — the
+worst case for block-max pruning (flat per-block upper bounds, every
+term dense), useful as the adversarial comparator but unable to show
+the machinery winning. Real crawls are Zipfian: term frequencies fall
+off ~1/rank, so query pairs with extreme doc-freq ratios exist and
+per-block score bounds vary. This module synthesizes such a corpus —
+the mixed-frequency bench section's input — with NO external data and
+NO Python in the hot path: every column is a pure Spark SQL expression
+(xxhash64 + pow inside whole-stage codegen), deterministic in
+(doc id, seed) at any parallelism or scale.
+
+Sampling: word at (doc, pos) has rank j = floor(V^u) with
+u = hash(doc, pos)/2^30 uniform in [0,1), giving
+P(rank=j) = ln((j+1)/j)/ln V ≈ 1/(j ln V) — the classic Zipf(s=1)
+inverse-CDF over a V-term vocabulary ("t1".."t{V-1}"). Doc length is
+uniform in [16, 256], so norms spread ~16x and a doclen-sorted index
+(``build_index(index_sort="doclen_desc")``) clusters score mass into
+few posting blocks — the layout where Lucene's block-max machinery
+(and ours) earns its skips.
+
+Expected doc frequency of "t{j}" at corpus size N (for LP << 1):
+df ≈ N * (1 - exp(-L̄ * P(j))), L̄ = 136. At N = 1.28M, V = 2^20:
+"t50" ≈ 229k (the dense clause), "t500000" ≈ 25 (the rare clause) —
+a ~9000:1 ratio, far past the df-ratio ≥ 8 shape the boolean cost
+gate keys on.
+
+Schema matches the ``web_pages`` content source (BASELINE.json
+input_hint): url, warc_ts, html (minimal wrapper bytes), text, lang.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ZIPF_URL_PREFIX = "https://zipf.example.org/doc/"
+
+
+def zipf_web_pages(
+    spark: SparkSession,
+    n_docs: int,
+    vocab: int = 1 << 20,
+    seed: int = 20260821,
+    partitions: int | None = None,
+    min_len: int = 16,
+    max_len: int = 256,
+) -> DataFrame:
+    """Synthesize ``n_docs`` Zipfian web pages, deterministically.
+
+    Pure column expressions end to end (no UDFs): the same (id, seed)
+    yields the same row at any partitioning, so builds over this
+    corpus are reproducible across cluster sizes — the property the
+    scaling-efficiency evidence depends on.
+    """
+    parts = partitions or max(
+        32, spark.sparkContext.defaultParallelism * 2
+    )
+    span = max_len - min_len + 1
+    base = spark.range(0, n_docs, 1, parts)
+    doclen = (
+        F.lit(min_len)
+        + F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(span))
+    ).cast("int")
+
+    def word(pos):
+        u = (
+            F.pmod(
+                F.xxhash64(F.col("id"), pos, F.lit(seed + 1)),
+                F.lit(1 << 30),
+            ).cast("double")
+            / F.lit(float(1 << 30))
+        )
+        rank = F.floor(F.pow(F.lit(float(vocab)), u)).cast("long")
+        return F.concat(F.lit("t"), rank.cast("string"))
+
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(0), doclen - 1), word), " "
+    )
+    url = F.concat(
+        F.lit(ZIPF_URL_PREFIX),
+        F.lpad(F.col("id").cast("string"), 9, "0"),
+    )
+    return base.select(
+        url.alias("url"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("id").cast("double"))
+        ).alias("warc_ts"),
+        # minimal wrapper: the binary column exists for shape parity
+        # with the web_pages source; the index consumes text only
+        F.encode(
+            F.concat(F.lit("<html>"), url, F.lit("</html>")), "utf-8"
+        ).alias("html"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+    )

@@ -1,0 +1,109 @@
+"""Vectorized block-emit fast paths must be byte-identical to the
+scalar codec (pack_doc_block/pack_freq_block/pack_pos_block +
+impact_skyline) for every block class — the vocabulary-heavy build
+optimization must not change a single bit on disk."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.operators.build import _build_one_segment
+from lucene_spark.operators.codec import (
+    impact_skyline,
+    pack_doc_block,
+    pack_freq_block,
+    pack_pos_block,
+    unpack_doc_block,
+    unpack_freq_block,
+    unpack_pos_block,
+    decode_position_deltas,
+)
+
+
+def _blocks_of(urls, texts, index_sort="url"):
+    rows = []
+    for batch in _build_one_segment(0, urls, texts, "text", None, index_sort):
+        d = batch.to_pydict()
+        for i in range(len(d["kind"])):
+            if d["kind"][i] == 0:
+                rows.append({k: d[k][i] for k in d})
+    return rows
+
+
+def _naive_postings(urls, texts):
+    """(term -> [(docid, tf, positions)]) with url-sorted docids and
+    the StandardAnalyzer chain approximated by lower().split() — texts
+    here use plain ascii words so the chains agree."""
+    order = sorted(range(len(urls)), key=lambda i: urls[i])
+    post = {}
+    for docid, i in enumerate(order):
+        toks = texts[i].lower().split()
+        for pos, t in enumerate(toks):
+            post.setdefault(t, {}).setdefault(docid, []).append(pos)
+    return post
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_blocks_roundtrip_random_corpus(seed):
+    rng = np.random.default_rng(seed)
+    n_docs = 120
+    vocab = [f"w{j}" for j in range(400)]  # many df=1 terms
+    urls = [f"u{i:04d}" for i in range(n_docs)]
+    texts = [
+        " ".join(
+            rng.choice(vocab, size=rng.integers(1, 60)).tolist()
+            + (["dense"] * int(rng.integers(0, 4)))
+        )
+        for i in range(n_docs)
+    ]
+    naive = _naive_postings(urls, texts)
+    rows = _blocks_of(urls, texts)
+    seen = {}
+    for r in rows:
+        term = r["term"]
+        n = r["num_docs"]
+        dids = unpack_doc_block(r["doc_block"], r["first_docid"], n)
+        fs = unpack_freq_block(r["freq_block"], n)
+        deltas = unpack_pos_block(r["pos_block"], int(fs.sum()))
+        pos = decode_position_deltas(deltas, fs)
+        bounds = np.cumsum(fs)[:-1]
+        plists = np.split(pos, bounds)
+        for d, f, pl in zip(dids, fs, plists):
+            seen.setdefault(term, {})[int(d)] = list(map(int, pl))
+            assert f == len(pl)
+        # byte identity vs the scalar codec on the same content
+        norms = np.frombuffer(r["norm_block"], dtype=np.uint8)
+        assert r["doc_block"] == pack_doc_block(dids)
+        assert r["freq_block"] == pack_freq_block(fs)
+        assert r["pos_block"] == pack_pos_block(deltas)
+        i_f, i_n = impact_skyline(fs, norms)
+        assert list(r["impact_freqs"]) == i_f.astype(int).tolist()
+        assert list(r["impact_norms"]) == i_n.astype(int).tolist()
+    assert seen == naive
+
+
+def test_single_posting_classes_exact():
+    """df=1/tf=1 and df=1/tf>1 blocks (the vectorized classes) hit
+    byte-identical encodings including position bit widths > 8."""
+    urls = ["a", "b", "c"]
+    texts = [
+        "one",                              # df=1 tf=1 at pos 0
+        "x " * 300 + "deep",                # singleton at position 300
+        "rep y rep y rep",                  # df=1 tf=3
+    ]
+    naive = _naive_postings(urls, texts)
+    rows = _blocks_of(urls, texts)
+    by_term = {r["term"]: r for r in rows}
+    for term, posting in naive.items():
+        r = by_term[term]
+        n = r["num_docs"]
+        dids = unpack_doc_block(r["doc_block"], r["first_docid"], n)
+        fs = unpack_freq_block(r["freq_block"], n)
+        deltas = unpack_pos_block(r["pos_block"], int(fs.sum()))
+        pos = decode_position_deltas(deltas, fs)
+        got = {
+            int(d): pl.tolist()
+            for d, pl in zip(
+                dids, np.split(pos, np.cumsum(fs)[:-1])
+            )
+        }
+        assert got == posting, term

@@ -1,0 +1,115 @@
+"""Block-max positional pruning: the doc-UB phrase plan must be
+result-identical to the exhaustive two-phase matcher — the
+pruned-vs-complete pattern of tests/test_wand.py applied to
+PhraseQuery/SloppyPhraseQuery (``core/search/PhraseQuery.java``
+max-score-from-impacts through ``ImpactsEnum``,
+``ExactPhraseMatcher.java:37`` advanceShallow)."""
+
+import pytest
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.deletes import delete_by_urls
+from lucene_spark.operators.search import Searcher
+
+PHRASES = [
+    ["the", "query"],
+    ["window", "function"],
+    ["the", "the"],  # repeated term: ub = freq(the) still sound
+    ["a", "window", "function"],
+]
+
+
+def _rows(df):
+    return [(r["docid"], r["url"], r["score"]) for r in df.collect()]
+
+
+class TestPhraseBlockMax:
+    @pytest.mark.parametrize("terms", PHRASES)
+    def test_exact_pruned_equals_exhaustive(self, searcher, terms):
+        # seed_n small enough that θ-seeding + skipping really happen
+        # at sf0.001 (the auto gate would route this corpus exhaustive)
+        got = _rows(searcher._phrase_topk_blockmax(terms, k=5, seed_n=8))
+        want = _rows(searcher.phrase_query(terms, k=5, prune=False))
+        assert got == want
+
+    @pytest.mark.parametrize("terms", PHRASES)
+    @pytest.mark.parametrize("slop", [1, 3])
+    def test_sloppy_pruned_equals_exhaustive(self, searcher, terms, slop):
+        got = _rows(
+            searcher._phrase_topk_blockmax(terms, k=5, slop=slop, seed_n=8)
+        )
+        want = _rows(
+            searcher.sloppy_phrase_query(terms, slop=slop, k=5, prune=False)
+        )
+        assert got == want
+
+    def test_small_and_large_k(self, searcher):
+        for k in (1, 3, 50, 10**6):
+            got = _rows(
+                searcher._phrase_topk_blockmax(
+                    ["the", "query"], k=k, seed_n=8
+                )
+            )
+            want = _rows(
+                searcher.phrase_query(["the", "query"], k=k, prune=False)
+            )
+            assert got == want
+
+    def test_stats_report_skips_or_not(self, searcher):
+        st: dict = {}
+        _rows(
+            searcher._phrase_topk_blockmax(
+                ["the", "query"], k=3, seed_n=8, stats_out=st
+            )
+        )
+        assert st["plan"] == "phrase_doc_ub"
+        assert st["blocks_decoded"] <= st["blocks_total"]
+        assert st["n_verified"] <= st["n_candidates"]
+
+    def test_auto_gate_routes_small_corpus_exhaustive(self, searcher):
+        # sf0.001 dfs are far below _PRUNE_MIN_POSTINGS
+        assert searcher._phrase_prune_auto(["the", "query"]) is False
+        # identical results either way through the public API
+        got = _rows(searcher.phrase_query(["the", "query"], k=5))
+        want = _rows(searcher.phrase_query(["the", "query"], k=5, prune=False))
+        assert got == want
+
+    def test_pruned_with_deletes(self, spark, web_pages, tmp_path):
+        """Doc-level bounds are computed after liveDocs filtering, so
+        the pruned phrase plan stays exact on an index with
+        tombstones — including when the deleted docs were the former
+        top hits (the θ a stale bound would have seeded)."""
+        d = str(tmp_path / "phrase_del")
+        build_index(spark, web_pages, d, num_segments=4)
+        s0 = Searcher(spark, d)
+        victims = [
+            r["url"]
+            for r in s0.phrase_query(
+                ["the", "query"], k=3, prune=False
+            ).collect()
+        ]
+        delete_by_urls(spark, d, victims)
+        s = Searcher(spark, d)
+        assert s._tombstones is not None
+        for terms, slop in ((["the", "query"], 0), (["the", "query"], 2)):
+            got = _rows(
+                s._phrase_topk_blockmax(terms, k=10, slop=slop, seed_n=8)
+            )
+            if slop:
+                want = _rows(
+                    s.sloppy_phrase_query(terms, slop=slop, k=10, prune=False)
+                )
+            else:
+                want = _rows(s.phrase_query(terms, k=10, prune=False))
+            assert got == want
+            assert not ({u for _, u, _ in got} & set(victims))
+
+    def test_missing_term_empty(self, searcher):
+        assert (
+            _rows(
+                searcher._phrase_topk_blockmax(
+                    ["the", "nosuchterm"], k=5, seed_n=8
+                )
+            )
+            == []
+        )

@@ -1,0 +1,72 @@
+"""Zipf corpus generator: determinism + distribution shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.sources.zipf_corpus import zipf_web_pages
+
+
+class TestZipfCorpus:
+    def test_deterministic_across_partitioning(self, spark):
+        a = zipf_web_pages(spark, 500, partitions=2).orderBy("url")
+        b = zipf_web_pages(spark, 500, partitions=13).orderBy("url")
+        ra = [(r["url"], r["text"]) for r in a.collect()]
+        rb = [(r["url"], r["text"]) for r in b.collect()]
+        assert ra == rb
+
+    def test_schema_matches_web_pages_shape(self, spark):
+        df = zipf_web_pages(spark, 10)
+        assert [f.name for f in df.schema.fields] == [
+            "url", "warc_ts", "html", "text", "lang",
+        ]
+        assert dict(df.dtypes)["warc_ts"] == "timestamp"
+        assert dict(df.dtypes)["html"] == "binary"
+
+    def test_doc_lengths_in_range(self, spark):
+        lens = (
+            zipf_web_pages(spark, 2000)
+            .select(F.size(F.split("text", " ")).alias("n"))
+            .agg(F.min("n"), F.max("n"), F.avg("n"))
+            .first()
+        )
+        assert lens[0] >= 16 and lens[1] <= 256
+        assert 120 <= lens[2] <= 152  # E[L] = 136
+
+    def test_zipf_tail_shape(self, spark):
+        """Empirical token share of rank j tracks ln((j+1)/j)/ln V."""
+        n = 4000
+        v = 1 << 20
+        tf = dict(
+            zipf_web_pages(spark, n)
+            .select(F.explode(F.split("text", " ")).alias("w"))
+            .groupBy("w")
+            .count()
+            .orderBy(F.desc("count"))
+            .limit(200)
+            .collect()
+        )
+        total = n * 136
+        for j in (1, 2, 10, 50):
+            expect = math.log((j + 1) / j) / math.log(v)
+            got = tf.get(f"t{j}", 0) / total
+            assert got == pytest.approx(expect, rel=0.25), (j, got, expect)
+        # rank ordering: t1 strictly dominates t50 dominates t5000
+        assert tf[f"t{1}"] > tf[f"t{50}"] > tf.get(f"t{5000}", 0)
+
+    def test_df_skew_exists(self, spark):
+        """The rare/dense doc-freq ratio the pruning gate keys on."""
+        docs = zipf_web_pages(spark, 20000).select(
+            F.array_distinct(F.split("text", " ")).alias("ws")
+        )
+        counts = (
+            docs.select(F.explode("ws").alias("w"))
+            .where(F.col("w").isin("t50", "t5000"))
+            .groupBy("w")
+            .count()
+            .collect()
+        )
+        byw = {r["w"]: r["count"] for r in counts}
+        # expected presence: t50 ~ 0.178*N, t5000 ~ 0.00196*N
+        assert byw["t50"] > 8 * byw.get("t5000", 1)
