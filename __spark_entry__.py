@@ -6367,6 +6367,87 @@ SELECT doc_id,
 FROM w"""
 
 
+def _q_hunspell_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hunspell ICONV/OCONV + CHECKCOMPOUNDPATTERN replacement form
+    (hunspell/ConvTable.java applyMappings greedy longest-match;
+    CheckCompoundPattern.java expandReplacement + the enabling-pattern
+    arm Hunspell.java:384 — round 5): the reference's own conv battery
+    (input conversion folds case variants before lookup, output
+    conversion re-marks stems: drinkABle -> drInk) and the
+    checkcompoundpattern3 flag-gated boundary-replacement grammar
+    (bozan = boo/X + ban/Y via 'o/X b/Y z'; fozan fails the X flag).
+    Word choices cycle by doc_id; the ORACLE lists the reference's
+    expected stem/verdict per pool slot — both pools are reference
+    test vectors, not engine echoes."""
+    import os as _os
+
+    from lucene_spark.functions.hunspell import HunspellDictionary
+
+    fx = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "fixtures", "hunspell_compound",
+    )
+
+    def _load(name):
+        with open(_os.path.join(fx, f"{name}.aff"), "rb") as f:
+            aff = f.read()
+        with open(_os.path.join(fx, f"{name}.dic"), "rb") as f:
+            dic = f.read()
+        return HunspellDictionary.parse_bytes(aff, dic)
+
+    conv = _load("conv")
+    pat = _load("checkcompoundpattern3")
+    conv_pool = ["drink", "drInk", "drInkAble", "drInkABle",
+                 "drinkABle", "undrinkable"]
+    pat_pool = ["bozan", "fozan", "bozar", "foobar", "booban",
+                "barfoo", "fooban", "boobarfoo"]
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 240
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            cw = [conv_pool[i % 6] for i in ids]
+            pw = [pat_pool[i % 8] for i in ids]
+            stems = ["|".join(conv.unique_stems(w)) for w in cw]
+            ok = [pat.is_correct(w) for w in pw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "conv_word": cw,
+                    "conv_stems": stems,
+                    "pattern_word": pw,
+                    "pattern_ok": ok,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, conv_word string, conv_stems string, "
+            "pattern_word string, pattern_ok boolean"
+        ),
+    )
+
+
+_HUNSPELL_CONV_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240)
+SELECT doc_id,
+       ['drink','drInk','drInkAble','drInkABle','drinkABle',
+        'undrinkable'][(doc_id % 6) + 1] AS conv_word,
+       ['drInk','drInk','drInk','drInk','drInk',''][(doc_id % 6) + 1]
+         AS conv_stems,
+       ['bozan','fozan','bozar','foobar','booban','barfoo','fooban',
+        'boobarfoo'][(doc_id % 8) + 1] AS pattern_word,
+       [true,false,false,true,false,true,true,true][(doc_id % 8) + 1]
+         AS pattern_ok
+FROM d"""
+
+
 def _q_hunspell_german(spark: SparkSession, sf_dir: str) -> DataFrame:
     """German COMPOUNDBEGIN/MIDDLE/END compounding over the
     reference's own germancompounding grammar (the decapitalizing-
@@ -10805,6 +10886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiword_synonym_tokens": _q_multiword_synonym_tokens,
         "beider_morse_codes": _q_beider_morse,
         "hunspell_compound_check": _q_hunspell_compound,
+        "hunspell_conv_stems": _q_hunspell_conv,
         "hunspell_german_compound_check": _q_hunspell_german,
         "edge_ngram_tokens": _q_edge_ngram_tokens,
         "ngram_tokens": _q_ngram_tokens,
@@ -11748,6 +11830,7 @@ def oracle_sql() -> dict[str, str]:
         "multiword_synonym_tokens": _MULTIWORD_SYN_SQL,
         "beider_morse_codes": _BM_SQL,
         "hunspell_compound_check": _HUNSPELL_COMPOUND_SQL,
+        "hunspell_conv_stems": _HUNSPELL_CONV_SQL,
         "hunspell_german_compound_check": _HUNSPELL_GERMAN_SQL,
         "edge_ngram_tokens": _EDGE_NGRAM_SQL,
         "ngram_tokens": _NGRAM_SQL,

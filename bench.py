@@ -285,6 +285,161 @@ def main() -> None:
         }
         shutil.rmtree(idx_big, ignore_errors=True)
 
+    # ------------------------------------------------------------------
+    # Zipfian mixed-frequency section: the corpus where block-max
+    # pruning EARNS its skips. The driver testdata vocabulary (~31
+    # uniform words) is the adversarial case — flat block bounds,
+    # nothing skippable, the cost gate correctly routes exhaustive
+    # (the rows above document that). Real crawls are Zipfian; this
+    # section builds a deterministic Zipf(s=1) corpus
+    # (sources/zipf_corpus.py) with a doclen-sorted index and times
+    # rare+common query shapes pruned vs exhaustive, with the
+    # skip-rate evidence and the auto gate's plan choice recorded.
+    # Skippable with SPARK_GRAFT_ZIPF=0.
+    zipf_out: dict = {}
+    if os.environ.get("SPARK_GRAFT_ZIPF", "1") != "0":
+        from lucene_spark.sources.zipf_corpus import zipf_web_pages
+
+        n_zipf = int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "2560000"))
+        zipf_segs = int(os.environ.get("SPARK_GRAFT_ZIPF_SEGMENTS", "64"))
+        zp = zipf_web_pages(spark, n_zipf).cache()
+        n_z = zp.count()
+        idx_z = f"{idx_root}/lucene_spark_bench_zipf_{cpus}"
+        shutil.rmtree(idx_z, ignore_errors=True)
+        t0 = time.monotonic()
+        build_index(
+            spark, zp, idx_z, num_segments=zipf_segs,
+            index_sort="doclen_desc",
+        )
+        zipf_build = time.monotonic() - t0
+        zp.unpersist()
+        sz = Searcher(spark, idx_z)
+
+        rare, dense, dense2 = "t500000", "t50", "t51"
+        multi = [rare, "t1", "t2", "t3", "t5", "t8", "t13", "t21"]
+        zipf_queries = {
+            # rare-OR-common pair: df ratio ~10^4 (the shape the auto
+            # gate keys on); pruned = driver-planned per-bucket rest
+            "q_or_rc": lambda: sz.boolean_query(
+                should=[rare, dense], k=10
+            ).collect(),
+            "q_or_rc_pruned": lambda: sz.boolean_query(
+                should=[rare, dense], k=10, prune=True, bucket_rest=True
+            ).collect(),
+            "q_or_rc_exhaustive": lambda: sz.boolean_query(
+                should=[rare, dense], k=10, prune=False
+            ).collect(),
+            # multi-clause expanded disjunction — the classic WAND
+            # setting: the exhaustive plan decodes + shuffles every
+            # dense clause's postings; MaxScore makes them all
+            # non-essential
+            "q_or_multi": lambda: sz.boolean_query(
+                should=multi, k=10
+            ).collect(),
+            "q_or_multi_pruned": lambda: sz.boolean_query(
+                should=multi, k=10, prune=True, bucket_rest=True
+            ).collect(),
+            "q_or_multi_exhaustive": lambda: sz.boolean_query(
+                should=multi, k=10, prune=False
+            ).collect(),
+            # rare-AND-common: sparse-lead driver plan vs full decode
+            "q_and_rc": lambda: sz.boolean_query(
+                must=[rare, "t1"], k=10
+            ).collect(),
+            "q_and_rc_pruned": lambda: sz.boolean_query(
+                must=[rare, "t1"], k=10, prune=True
+            ).collect(),
+            "q_and_rc_exhaustive": lambda: sz.boolean_query(
+                must=[rare, "t1"], k=10, prune=False
+            ).collect(),
+            # positional block-max (round-5): pos_block decoded only
+            # for blocks holding a doc whose bound reaches θ
+            "q_phrase_rc": lambda: sz.phrase_query(
+                [dense, dense2], k=10
+            ).collect(),
+            "q_phrase_rc_pruned": lambda: sz.phrase_query(
+                [dense, dense2], k=10, prune=True
+            ).collect(),
+            "q_phrase_rc_exhaustive": lambda: sz.phrase_query(
+                [dense, dense2], k=10, prune=False
+            ).collect(),
+            "q_sloppy_rc_pruned": lambda: sz.sloppy_phrase_query(
+                [dense, dense2], slop=2, k=10, prune=True
+            ).collect(),
+            "q_sloppy_rc_exhaustive": lambda: sz.sloppy_phrase_query(
+                [dense, dense2], slop=2, k=10, prune=False
+            ).collect(),
+        }
+        zipf_samples: dict[str, list[float]] = {n: [] for n in zipf_queries}
+        for fn in zipf_queries.values():  # warm-up, unclocked
+            fn()
+        for _ in range(3):  # interleaved rounds (steal-time hygiene)
+            for name, fn in zipf_queries.items():
+                t = time.monotonic()
+                fn()
+                zipf_samples[name].append(time.monotonic() - t)
+        zipf_q = {
+            n: round(sorted(ts)[1], 4) for n, ts in zipf_samples.items()
+        }
+
+        # skip-rate + plan evidence, incl. what the AUTO gate picked
+        zipf_ev: dict = {}
+        for name, run in [
+            (
+                "q_or_rc",
+                lambda st: sz.boolean_query(
+                    should=[rare, dense], k=10, stats_out=st
+                ),
+            ),
+            (
+                "q_or_multi",
+                lambda st: sz.boolean_query(
+                    should=multi, k=10, stats_out=st
+                ),
+            ),
+            (
+                "q_and_rc",
+                lambda st: sz.boolean_query(
+                    must=[rare, "t1"], k=10, stats_out=st
+                ),
+            ),
+            (
+                "q_phrase_rc",
+                lambda st: sz.phrase_query(
+                    [dense, dense2], k=10, stats_out=st
+                ),
+            ),
+            (
+                "q_sloppy_rc",
+                lambda st: sz.sloppy_phrase_query(
+                    [dense, dense2], slop=2, k=10, stats_out=st
+                ),
+            ),
+        ]:
+            st: dict = {}
+            run(st).collect()
+            ev = {
+                "auto_plan": st.get("plan", "exhaustive"),
+                "theta": round(st["theta"], 4) if st.get("theta") else None,
+                "blocks_total": st.get("blocks_total"),
+                "blocks_decoded": st.get("blocks_decoded"),
+            }
+            if st.get("blocks_total"):
+                ev["skip_rate"] = round(
+                    1.0 - st["blocks_decoded"] / st["blocks_total"], 4
+                )
+            zipf_ev[name] = ev
+
+        zipf_out = {
+            "queries_zipf": zipf_q,
+            "n_docs_zipf": n_z,
+            "build_sec_zipf": round(zipf_build, 4),
+            "docs_per_sec_zipf": round(n_z / zipf_build, 2),
+            "num_segments_zipf": zipf_segs,
+            "prune_evidence_zipf": zipf_ev,
+        }
+        shutil.rmtree(idx_z, ignore_errors=True)
+
     total = round(build_sec + sum(q_times.values()), 4)
     out = {
         "metric": "index_build_plus_query_wall",
@@ -308,6 +463,7 @@ def main() -> None:
         # neighbor structure too weak), so its row is informational
         "ann_default_path": "ivf",
         **big_out,
+        **zipf_out,
     }
     print(json.dumps(out))
     shutil.rmtree(idx, ignore_errors=True)

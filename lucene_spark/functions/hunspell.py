@@ -20,15 +20,19 @@ matching, COMPOUNDFLAG and the COMPOUNDBEGIN/MIDDLE/END positional
 contexts with COMPOUNDPERMITFLAG affix gating and cross-affix
 appended-flag satisfaction (the germancompounding decapitalizing-
 prefix algebra), COMPOUNDFORBIDFLAG/FORBIDDENWORD,
-CHECKCOMPOUNDDUP/TRIPLE/CASE/PATTERN(simple)/REP, the default '-'
-break table, and SET-charset parsing — all 18 reference compound
-batteries (.good/.wrong) green verbatim (incl. germancompounding,
-SIMPLIFIEDTRIPLE, FORCEUCASE). Out of scope (declared):
-ICONV/OCONV, CIRCUMFIX directive, FULLSTRIP, CHECKCOMPOUNDPATTERN
-replacement form, custom BREAK tables, and the whole suggester — the
-engine consumes dictionaries for index-time stemming, not interactive
-spelling aid. Every stem expectation in the reference's TestStemmer
-simple battery is asserted verbatim in tests/test_hunspell.py.
+CHECKCOMPOUNDDUP/TRIPLE/CASE/REP, the FULL CHECKCOMPOUNDPATTERN form
+(flag-gated '0'/literal boundaries + the replacement expansion arm,
+round 5), ICONV/OCONV conversion tables (round 5 — greedy
+longest-match, applied to lookups, dic entries, and produced stems),
+the default '-' break table, and SET-charset parsing — all 20
+reference compound batteries (.good/.wrong) green verbatim (incl.
+germancompounding, SIMPLIFIEDTRIPLE, FORCEUCASE,
+checkcompoundpattern2/3) plus TestConv's stem expectations. Out of
+scope (declared): CIRCUMFIX directive, FULLSTRIP, IGNORE, custom
+BREAK tables, and the whole suggester — the engine consumes
+dictionaries for index-time stemming, not interactive spelling aid.
+Every stem expectation in the reference's TestStemmer simple battery
+is asserted verbatim in tests/test_hunspell.py.
 """
 
 from __future__ import annotations
@@ -107,6 +111,55 @@ class CompoundRule:
 
 
 @dataclass
+class CompoundPattern:
+    """One CHECKCOMPOUNDPATTERN row (CheckCompoundPattern.java:30-50):
+    chars split from flags at '/', replacement = the optional 4th
+    column."""
+
+    end: str
+    end_flags: tuple
+    begin: str
+    begin_flags: tuple
+    replacement: str | None = None
+
+
+class ConvTable:
+    """ICONV/OCONV replacement table (ConvTable.java applyMappings):
+    greedy longest-match scan left to right; after a replacement the
+    scan resumes AFTER the inserted output (outputs are never
+    re-converted). The FST longest-arc walk is equivalent to trying
+    this position's keys longest-first."""
+
+    def __init__(self, mappings: dict[str, str]):
+        self._by_first: dict[str, list[tuple[str, str]]] = {}
+        for k, v in mappings.items():
+            if k:
+                self._by_first.setdefault(k[0], []).append((k, v))
+        for lst in self._by_first.values():
+            lst.sort(key=lambda kv: -len(kv[0]))
+
+    def apply(self, s: str) -> str:
+        out: list[str] = []
+        i = 0
+        n = len(s)
+        while i < n:
+            cands = self._by_first.get(s[i])
+            if cands:
+                for k, v in cands:
+                    if s.startswith(k, i):
+                        out.append(v)
+                        i += len(k)
+                        break
+                else:
+                    out.append(s[i])
+                    i += 1
+            else:
+                out.append(s[i])
+                i += 1
+        return "".join(out)
+
+
+@dataclass
 class HunspellDictionary:
     # word -> list of flag sets (one per dic ENTRY — duplicates kept,
     # Stemmer emits one stem per matching entry)
@@ -136,11 +189,18 @@ class HunspellDictionary:
     forbidden_word: str | None = None  # FORBIDDENWORD
     simplified_triple: bool = False  # SIMPLIFIEDTRIPLE
     force_ucase: str | None = None  # FORCEUCASE
-    # CHECKCOMPOUNDPATTERN simple form: (endChars, beginChars) pairs
-    # forbidding a boundary where part1 ends with end and part2 begins
-    # with begin
+    # CHECKCOMPOUNDPATTERN full form (CheckCompoundPattern.java):
+    # endChars[/flags] beginChars[/flags] [replacement]. '0' chars =
+    # the non-affixed root-surface check; flags are required on the
+    # adjacent parts' roots for the pattern to apply; a replacement
+    # ALSO licenses the compound spelled with the boundary collapsed
+    # to it (the modified German/Indic boundary forms).
     compound_patterns: list = field(default_factory=list)
     rep_table: list = field(default_factory=list)  # (from, to)
+    # ICONV/OCONV input/output conversion tables (ConvTable.java):
+    # greedy longest-match, the replaced output never rescanned
+    iconv: "ConvTable | None" = None
+    oconv: "ConvTable | None" = None
 
     # ------------------------------------------------------------------
     # parsing
@@ -217,7 +277,39 @@ class HunspellDictionary:
             elif kw == "FORCEUCASE":
                 d.force_ucase = parts[1]
             elif kw == "CHECKCOMPOUNDPATTERN" and len(parts) >= 3:
-                d.compound_patterns.append((parts[1], parts[2]))
+
+                def _chars_flags(tok: str):
+                    if "/" in tok:
+                        chars, fl = tok.split("/", 1)
+                        return chars, tuple(d._split_flags(fl))
+                    return tok, ()
+
+                e_c, e_f = _chars_flags(parts[1])
+                b_c, b_f = _chars_flags(parts[2])
+                repl = (
+                    parts[3]
+                    if len(parts) >= 4 and not parts[3].startswith("#")
+                    else None
+                )
+                d.compound_patterns.append(
+                    CompoundPattern(e_c, e_f, b_c, b_f, repl)
+                )
+            elif kw in ("ICONV", "OCONV") and len(parts) >= 3:
+                # the 2-token "ICONV <n>" count header falls through
+                # (len == 2); mapping rows take parts[1:3], trailing
+                # comments tolerated like Dictionary.splitBySpace
+                tbl = d.iconv if kw == "ICONV" else d.oconv
+                if tbl is None:
+                    tbl = ConvTable({})
+                    if kw == "ICONV":
+                        d.iconv = tbl
+                    else:
+                        d.oconv = tbl
+                first_ch = parts[1][0]
+                tbl._by_first.setdefault(first_ch, []).append(
+                    (parts[1], parts[2])
+                )
+                tbl._by_first[first_ch].sort(key=lambda kv: -len(kv[0]))
             elif kw == "REP" and len(parts) >= 3:
                 d.rep_table.append((parts[1], parts[2]))
             elif kw == "CHECKCOMPOUNDDUP":
@@ -273,6 +365,10 @@ class HunspellDictionary:
                 word, flags = word.split("/", 1)
             else:
                 flags = ""
+            if d.iconv is not None:
+                # Dictionary.java readDic cleans entry words through
+                # the same input conversion the lookups go through
+                word = d.iconv.apply(word)
             d.entries.setdefault(word, []).append(
                 frozenset(d._split_flags(flags))
             )
@@ -315,7 +411,10 @@ class HunspellDictionary:
 
     def stems(self, word: str) -> list[str]:
         """All stems, one per matching decomposition (duplicates kept
-        like Stemmer.stem; ``unique_stems`` dedups)."""
+        like Stemmer.stem; ``unique_stems`` dedups). ICONV cleans the
+        input, OCONV converts each produced stem (Stemmer.newStem)."""
+        if self.iconv is not None:
+            word = self.iconv.apply(word)
         out: list[str] = []
         # the word itself, once per flag-compatible dic entry
         out += [word for _ in self._root_entries(word, frozenset())]
@@ -352,6 +451,8 @@ class HunspellDictionary:
                     root
                     for _ in self._root_entries(root, {p.flag, r.flag})
                 ]
+        if self.oconv is not None:
+            out = [self.oconv.apply(s) for s in out]
         return out
 
     def unique_stems(self, word: str) -> list[str]:
@@ -629,15 +730,81 @@ class HunspellDictionary:
             out.append((root, flags))
         return out
 
-    def _pattern_prohibits(self, part1: str, rest: str) -> bool:
-        """CHECKCOMPOUNDPATTERN simple form
-        (hunspell/CheckCompoundPattern.java prohibitsCompounding):
-        forbid the boundary when part1 ends with the pattern's end
-        chars and the following text begins with its begin chars."""
-        return any(
-            part1.endswith(end) and rest.startswith(begin)
-            for end, begin in self.compound_patterns
-        )
+    def _pattern_prohibits_pair(
+        self,
+        pat: CompoundPattern,
+        prev_surface: str,
+        prev_root: str,
+        prev_flags: frozenset,
+        cur_word: str,
+        cur_root: str,
+        cur_flags: frozenset,
+    ) -> bool:
+        """CheckCompoundPattern.prohibitsCompounding at ROOT
+        granularity: end/begin chars matched against the word text at
+        the boundary ('0' = the non-affixed root-surface check), and
+        the optional flags required on the adjacent roots' analyses
+        for the pattern to apply."""
+        if pat.end == "0":
+            if not prev_surface.endswith(prev_root):
+                return False
+        elif not prev_surface.endswith(pat.end):
+            return False
+        if pat.begin == "0":
+            if not cur_word.startswith(cur_root):
+                return False
+        elif not cur_word.startswith(pat.begin):
+            return False
+        if pat.end_flags and not all(
+            x in prev_flags for x in pat.end_flags
+        ):
+            return False
+        if pat.begin_flags and not all(
+            x in cur_flags for x in pat.begin_flags
+        ):
+            return False
+        return True
+
+    def _filter_boundary(
+        self, boundary, cur_word: str, forms: list
+    ) -> list:
+        """Keep the analyses of the CURRENT part that may stand after
+        the previous part across ``boundary``: a normal boundary
+        forbids pairs some pattern prohibits (CompoundPart.mayCompound
+        noneMatch); an 'enabled' boundary — created by a pattern
+        REPLACEMENT expansion — requires the enabling pattern's
+        conditions to HOLD (Hunspell.java:384)."""
+        if boundary is None or not self.compound_patterns:
+            return forms
+        kind = boundary[0]
+        if kind == "enabled":
+            pat, prev_surface, prev_forms = (
+                boundary[1], boundary[2], boundary[3]
+            )
+            return [
+                (r, f)
+                for (r, f) in forms
+                if any(
+                    self._pattern_prohibits_pair(
+                        pat, prev_surface, pr, pf, cur_word, r, f
+                    )
+                    for pr, pf in prev_forms
+                )
+            ]
+        _, prev_surface, prev_forms = boundary
+        return [
+            (r, f)
+            for (r, f) in forms
+            if any(
+                not any(
+                    self._pattern_prohibits_pair(
+                        p, prev_surface, pr, pf, cur_word, r, f
+                    )
+                    for p in self.compound_patterns
+                )
+                for pr, pf in prev_forms
+            )
+        ]
 
     def _rep_misspells(self, region: str) -> bool:
         """CHECKCOMPOUNDREP (Hunspell.isMisspelledSimpleWord): the
@@ -659,7 +826,11 @@ class HunspellDictionary:
         return False
 
     def _check_compound_flag(
-        self, word: str, depth: int = 0, prev: str | None = None
+        self,
+        word: str,
+        depth: int = 0,
+        prev: str | None = None,
+        boundary=None,
     ) -> bool:
         """COMPOUNDFLAG / COMPOUNDBEGIN-MIDDLE-END compounding
         (Hunspell.checkCompounds): >= 2 parts, each >= COMPOUNDMIN
@@ -676,41 +847,89 @@ class HunspellDictionary:
         head_ctx = "begin" if prev is None else "middle"
         limit = len(word) - self.compound_min + 1
         for break_pos in range(self.compound_min, limit):
-            if not self._may_break(word, break_pos):
-                continue
             head = word[:break_pos]
             tail = word[break_pos:]
-            if self._pattern_prohibits(head, tail):
-                continue
-            head_forms = self._forms_in_context(head, head_ctx)
-            if not head_forms and (
-                self.simplified_triple
-                and break_pos < len(word)
-                and word[break_pos - 1] == word[break_pos]
-            ):
-                # SIMPLIFIEDTRIPLE (Hunspell.java:226-230): the
-                # doubled boundary letter may be SHARED — the head
-                # borrows one extra char while the tail keeps it
-                # ('glassko' = glass + sko)
-                head_forms = self._forms_in_context(
-                    word[: break_pos + 1], head_ctx
+            if self._may_break(word, break_pos):
+                head_forms = self._forms_in_context(head, head_ctx)
+                if not head_forms and (
+                    self.simplified_triple
+                    and break_pos < len(word)
+                    and word[break_pos - 1] == word[break_pos]
+                ):
+                    # SIMPLIFIEDTRIPLE (Hunspell.java:226-230): the
+                    # doubled boundary letter may be SHARED — the head
+                    # borrows one extra char while the tail keeps it
+                    # ('glassko' = glass + sko)
+                    head_forms = self._forms_in_context(
+                        word[: break_pos + 1], head_ctx
+                    )
+                head_forms = self._filter_boundary(
+                    boundary, word, head_forms
                 )
-            if not head_forms:
-                continue
-            if prev is not None and self._rep_misspells(prev + head):
-                continue
-            if (
-                len(tail) >= self.compound_min
-                and not self._rep_misspells(head + tail)
-                and self._closing_pair_ok(head_forms, tail)
-            ):
-                return True
-            if self._check_compound_flag(tail, depth + 1, prev=head):
-                return True
+                if head_forms and not (
+                    prev is not None and self._rep_misspells(prev + head)
+                ):
+                    if (
+                        len(tail) >= self.compound_min
+                        and not self._rep_misspells(head + tail)
+                        and self._closing_pair_ok(
+                            head, head_forms, tail
+                        )
+                    ):
+                        return True
+                    if self._check_compound_flag(
+                        tail, depth + 1, prev=head,
+                        boundary=("normal", head, head_forms),
+                    ):
+                        return True
+            # CHECKCOMPOUNDPATTERN replacement arm
+            # (Hunspell.checkCompoundPatternReplacements): when the
+            # text at break_pos spells a pattern's replacement, the
+            # compound may be the EXPANDED boundary (endChars +
+            # beginChars) written in modified form; the expanded
+            # part's following boundary must then SATISFY the
+            # enabling pattern (flags included) rather than avoid it.
+            for pat in self.compound_patterns:
+                if not pat.replacement:
+                    continue
+                if not word.startswith(pat.replacement, break_pos):
+                    continue
+                exp_head = head + pat.end
+                exp_tail = (
+                    pat.begin + word[break_pos + len(pat.replacement):]
+                )
+                hf = self._forms_in_context(exp_head, head_ctx)
+                hf = [
+                    (r, f)
+                    for (r, f) in hf
+                    if (
+                        (pat.end != "0" or exp_head.endswith(r))
+                        and all(x in f for x in pat.end_flags)
+                    )
+                ]
+                if not hf:
+                    continue
+                eb = ("enabled", pat, exp_head, hf)
+                if (
+                    len(exp_tail) >= self.compound_min
+                    and not self._rep_misspells(exp_head + exp_tail)
+                    and self._closing_pair_ok(
+                        exp_head, hf, exp_tail, boundary=eb
+                    )
+                ):
+                    return True
+                if self._check_compound_flag(
+                    exp_tail, depth + 1, prev=exp_head, boundary=eb
+                ):
+                    return True
         return False
 
     def _closing_pair_ok(
-        self, head_forms: list[tuple[str, frozenset]], tail: str
+        self,
+        head: str,
+        head_forms: list[tuple[str, frozenset]],
+        tail: str,
+        boundary=None,
     ) -> bool:
         """Per-analysis closing-pair checks on (head, tail), both done
         at ROOT granularity like the reference (Hunspell.java compares
@@ -721,10 +940,20 @@ class HunspellDictionary:
           is rejected unless the ORIGINAL word was capitalized.
         - CHECKCOMPOUNDDUP: a (head-root, tail-root) pair with equal
           roots is rejected; another analysis pair may still succeed.
+        - CHECKCOMPOUNDPATTERN (prev.mayCompound): the head→tail pair
+          must avoid every pattern — or, across an 'enabled'
+          (replacement-expanded) boundary, SATISFY the enabler.
         """
         end_forms = self._forms_in_context(tail, "end")
         if not end_forms:
             return False
+        end_forms = self._filter_boundary(
+            boundary
+            if boundary is not None
+            else ("normal", head, head_forms),
+            tail,
+            end_forms,
+        )
         head_roots = {r for r, _ in head_forms}
         for t_root, t_flags in end_forms:
             if (
@@ -766,7 +995,10 @@ class HunspellDictionary:
     def is_correct(self, word: str) -> bool:
         """Spell check: simple/affixed form, else COMPOUNDRULE
         decomposition, else COMPOUNDFLAG compounding; uppercase input
-        falls back to its lowercase form (the WordCase subset)."""
+        falls back to its lowercase form (the WordCase subset). ICONV
+        is applied first (Hunspell.spell -> Dictionary.cleanInput)."""
+        if self.iconv is not None:
+            word = self.iconv.apply(word)
         titled = bool(word[:1].isupper())
         for w in (word, word.lower()):
             # re-pin per iteration: the break-table recursion below

@@ -1781,6 +1781,493 @@ class Searcher(QueryOpsMixin):
             posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
         )
 
+    # lead clauses up to this many postings are collected to the
+    # driver for the sparse-lead conjunction plan (tiny: ~24 B/row)
+    _LEAD_COLLECT_MAX = 1024
+
+    def _conjunction_sparse_lead(
+        self,
+        present: list[str],
+        lead: str,
+        scorers,
+        k: int,
+        stats_out: dict | None = None,
+    ) -> DataFrame:
+        """Exact sparse-lead AND: decode + collect the lead clause,
+        then decode other clauses only in blocks overlapping the
+        lead's 8K-docid buckets, keeping exactly the lead docids."""
+        import functools
+        import operator
+
+        lead_rows = (
+            self.scored_postings([lead])
+            .select("segment_id", "docid", "score")
+            .collect()
+        )
+        if not lead_rows:
+            return self._finish_topk(
+                self._empty_scored().select("segment_id", "docid", "score"),
+                k,
+            )
+        others = [t for t in present if t != lead]
+        by_seg: dict[int, list[int]] = {}
+        lead_score: dict[tuple[int, int], float] = {}
+        for r in lead_rows:
+            s, d = int(r["segment_id"]), int(r["docid"])
+            by_seg.setdefault(s, []).append(d)
+            lead_score[(s, d)] = float(r["score"])
+        B = self._BUCKET
+        pred = None
+        doc_pred = None
+        for s, ds in by_seg.items():
+            ranges = _merge_ranges(
+                sorted({((d // B) * B, (d // B) * B + B - 1) for d in ds})
+            )
+            c = (F.col("segment_id") == s) & functools.reduce(
+                operator.or_,
+                [
+                    (F.col("first_docid") <= hi)
+                    & (F.col("last_docid") >= lo)
+                    for lo, hi in ranges
+                ],
+            )
+            pred = c if pred is None else (pred | c)
+            dc = (F.col("segment_id") == s) & F.col("docid").isin(ds)
+            doc_pred = dc if doc_pred is None else (doc_pred | dc)
+        cols = [
+            "term", "segment_id", "block_id", "first_docid", "num_docs",
+            "doc_block", "freq_block", "norm_block",
+            "impact_freqs", "impact_norms",
+        ]
+        posts = (
+            self._postings.where(F.col("term").isin(others))
+            .where(pred)
+            .select(*cols)
+        )
+        kernel, _ = _make_unpack_kernel(scorers, self.dtype, False, None)
+        rows = self._filter_live(
+            posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
+        ).where(doc_pred)
+        agg = (
+            rows.groupBy("segment_id", "docid")
+            .agg(
+                F.sum("score").alias("osum"),
+                F.countDistinct("term").alias("nt"),
+            )
+            .where(F.col("nt") >= len(others))
+        )
+        lead_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(s, d, v) for (s, d), v in lead_score.items()],
+                "segment_id long, docid long, lscore double",
+            )
+        )
+        cast_t = FloatType() if self.dtype == np.float32 else "double"
+        # double accumulate, one cast — same rounding as the
+        # exhaustive plan's sum-then-cast
+        scored = agg.join(lead_df, ["segment_id", "docid"]).select(
+            "segment_id",
+            "docid",
+            (F.col("osum") + F.col("lscore")).cast(cast_t).alias("score"),
+        )
+        final = self._finish_topk(scored, k)
+        out = final.collect()
+        if stats_out is not None:
+            n_lead_blocks = (
+                self._postings.where(F.col("term") == lead).count()
+            )
+            n_other_total = (
+                self._postings.where(F.col("term").isin(others)).count()
+            )
+            n_other_dec = (
+                self._postings.where(F.col("term").isin(others))
+                .where(pred)
+                .count()
+            )
+            stats_out["plan"] = "conjunction_sparse_lead"
+            stats_out["blocks_total"] = n_lead_blocks + n_other_total
+            stats_out["blocks_decoded"] = n_lead_blocks + n_other_dec
+            stats_out["blocks_after_leapfrog"] = None
+            stats_out["theta"] = None
+        return self.spark.createDataFrame(out, final.schema)
+
+    # query-term block metadata up to this many rows is collected for
+    # driver-side planning (~100 B/row → ~25 MB at the cap; ≈ 67M
+    # summed postings across the query's clauses)
+    _META_COLLECT_MAX = 262144
+
+    def _disjunction_driver_planned(
+        self,
+        meta_rows,
+        present: list[str],
+        scorers,
+        k: int,
+        bucket_rest: bool,
+        stats_out: dict | None,
+    ) -> DataFrame | None:
+        """Driver-planned disjunction: θ, per-term rest bounds, and
+        (with ``bucket_rest``) the per-bucket keep set computed in
+        numpy over the COLLECTED block metadata — the in-memory skip
+        data a Lucene searcher consults — then ONE pruned decode job.
+        Returns None when θ is unavailable (every term has < k
+        blocks)."""
+        n = len(meta_rows)
+        if n == 0:
+            return self._finish_topk(
+                self._empty_scored().select("segment_id", "docid", "score"),
+                k,
+            )
+        terms_a = np.array([r["term"] for r in meta_rows], dtype=object)
+        seg = np.array(
+            [r["segment_id"] for r in meta_rows], dtype=np.int64
+        )
+        blk = np.array([r["block_id"] for r in meta_rows], dtype=np.int64)
+        first = np.array(
+            [r["first_docid"] for r in meta_rows], dtype=np.int64
+        )
+        last = np.array(
+            [r["last_docid"] for r in meta_rows], dtype=np.int64
+        )
+        ub = np.array([r["ub"] for r in meta_rows], dtype=np.float64)
+
+        t_of = {t: i for i, t in enumerate(present)}
+        tidx = np.array([t_of[t] for t in terms_a], dtype=np.int64)
+        theta0 = None
+        f_max_ub: dict[str, float] = {}
+        for t in present:
+            ubs_t = ub[tidx == t_of[t]]
+            if len(ubs_t):
+                f_max_ub[t] = float(ubs_t.max())
+                if len(ubs_t) >= k:
+                    kth = float(np.partition(ubs_t, -k)[-k])
+                    theta0 = kth if theta0 is None else max(theta0, kth)
+        if theta0 is None:
+            return None
+        f_total = sum(f_max_ub.values())
+        f_rest = {t: f_total - f_max_ub.get(t, 0.0) for t in present}
+
+        cols = [
+            "term", "segment_id", "block_id", "first_docid", "num_docs",
+            "doc_block", "freq_block", "norm_block",
+            "impact_freqs", "impact_norms",
+        ]
+        if not bucket_rest:
+            rows = self._unpack_terms_inkernel(
+                present, scorers, theta0, f_rest
+            )
+            plan = "disjunction_driver_global_rest"
+            if stats_out is not None:
+                rest_a = np.array([f_rest[t] for t in terms_a])
+                stats_out["blocks_decoded"] = int(
+                    (ub + rest_a >= theta0).sum()
+                )
+        else:
+            # per-bucket rest in numpy: explode blocks to overlapped
+            # 8K-docid buckets, bub = max UB per (seg, bucket, term),
+            # tot = Σ bub per (seg, bucket); keep block j iff some
+            # overlapped bucket has ub_j + (tot − bub_term) ≥ θ
+            # (ties kept — strict-< skip discipline)
+            B = self._BUCKET
+            b0 = first // B
+            b1 = last // B
+            cnt = b1 - b0 + 1
+            tot_e = int(cnt.sum())
+            ridx = np.repeat(np.arange(n), cnt)
+            bucket = np.repeat(b0, cnt) + (
+                np.arange(tot_e)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            n_terms = len(present)
+            sb = seg[ridx] * np.int64(1 << 40) + bucket
+            key = sb * np.int64(n_terms) + tidx[ridx]
+            uk, inv = np.unique(key, return_inverse=True)
+            bub = np.zeros(len(uk))
+            np.maximum.at(bub, inv, ub[ridx])
+            usb = uk // np.int64(n_terms)
+            _, usb_inv = np.unique(usb, return_inverse=True)
+            tot = np.zeros(usb_inv.max() + 1)
+            np.add.at(tot, usb_inv, bub)
+            rest_e = tot[usb_inv[inv]] - bub[inv]
+            keep_e = ub[ridx] + rest_e >= theta0
+            keep_mask = np.zeros(n, dtype=bool)
+            np.logical_or.at(keep_mask, ridx, keep_e)
+            kidx = np.flatnonzero(keep_mask)
+            plan = "disjunction_driver_bucket_rest"
+            if stats_out is not None:
+                stats_out["blocks_decoded"] = int(len(kidx))
+            if len(kidx) == 0:
+                rows = self._empty_scored()
+            elif len(kidx) <= 1024:
+                # literal predicate → parquet row-group pruning skips
+                # the pruned blocks' binary columns entirely
+                by_ts: dict[tuple, list[int]] = {}
+                for i in kidx:
+                    by_ts.setdefault(
+                        (terms_a[i], int(seg[i])), []
+                    ).append(int(blk[i]))
+                pred = None
+                for (t, s_id), bids in by_ts.items():
+                    c = (
+                        (F.col("term") == t)
+                        & (F.col("segment_id") == s_id)
+                        & F.col("block_id").isin(bids)
+                    )
+                    pred = c if pred is None else (pred | c)
+                posts = (
+                    self._postings.where(F.col("term").isin(present))
+                    .where(pred)
+                    .select(*cols)
+                )
+                kernel, _ = _make_unpack_kernel(
+                    scorers, self.dtype, False, None
+                )
+                rows = self._filter_live(
+                    posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
+                )
+            else:
+                keys_df = self.spark.createDataFrame(
+                    [
+                        (str(terms_a[i]), int(seg[i]), int(blk[i]))
+                        for i in kidx
+                    ],
+                    "term string, segment_id long, block_id int",
+                )
+                posts = (
+                    self._postings.where(F.col("term").isin(present))
+                    .join(
+                        keys_df,
+                        ["term", "segment_id", "block_id"],
+                        "left_semi",
+                    )
+                    .select(*cols)
+                )
+                kernel, _ = _make_unpack_kernel(
+                    scorers, self.dtype, False, None,
+                    theta_rest=(float(theta0), dict(f_rest)),
+                )
+                rows = self._filter_live(
+                    posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
+                )
+        if stats_out is not None:
+            stats_out["blocks_total"] = n
+            stats_out["blocks_after_leapfrog"] = None
+            stats_out["theta"] = theta0
+            stats_out["plan"] = plan
+        agg = rows.groupBy("segment_id", "docid").agg(
+            F.sum("score").alias("score_acc")
+        )
+        cast_t = FloatType() if self.dtype == np.float32 else "double"
+        scored = agg.select(
+            "segment_id", "docid",
+            F.col("score_acc").cast(cast_t).alias("score"),
+        )
+        final = self._finish_topk(scored, k)
+        out = final.collect()
+        return self.spark.createDataFrame(out, final.schema)
+
+    def _disjunction_fast_distributed(
+        self,
+        meta_f: DataFrame,
+        present: list[str],
+        scorers,
+        k: int,
+        bucket_rest: bool,
+        stats_out: dict | None,
+    ) -> DataFrame | None:
+        """The distributed disjunction fast plan (window anchor
+        collect + optional per-bucket rest shuffles) for term
+        sets whose block metadata exceeds the driver collect cap.
+        Returns None when θ is unavailable (tiny term set)."""
+        n_anchor = max(k, 8)
+        wnd_f = Window.partitionBy("term").orderBy(
+            F.desc("ub"), F.asc("segment_id"), F.asc("block_id")
+        )
+        anchor_rows = (
+            meta_f.withColumn("_rn", F.row_number().over(wnd_f))
+            .where(F.col("_rn") <= n_anchor)
+            .drop("_rn")
+            .collect()
+        )
+        f_max_ub: dict[str, float] = {}
+        f_by_term: dict[str, list] = {}
+        for r in anchor_rows:
+            u = float(r["ub"])
+            f_max_ub[r["term"]] = max(f_max_ub.get(r["term"], 0.0), u)
+            f_by_term.setdefault(r["term"], []).append(u)
+        f_total = sum(f_max_ub.values())
+        f_rest = {t: f_total - f_max_ub.get(t, 0.0) for t in present}
+        theta0 = None
+        for ubs_t in f_by_term.values():
+            s_ubs = sorted(ubs_t, reverse=True)
+            if len(s_ubs) >= k:
+                theta0 = (
+                    s_ubs[k - 1]
+                    if theta0 is None
+                    else max(theta0, s_ubs[k - 1])
+                )
+        if theta0 is not None and not bucket_rest:
+            # Default 2-job plan: metadata collect + ONE
+            # in-kernel-skip decode scan with the GLOBAL rest
+            # bound. The tighter per-bucket plan below costs two
+            # extra metadata shuffles — at toy scale that exceeds
+            # any decode savings, and the auto cost gate already
+            # routes dense-uniform queries to the exhaustive plan;
+            # opt in via ``bucket_rest=True`` where block bounds
+            # actually vary (sorted indexes, Zipfian corpora).
+            rows = self._unpack_terms_inkernel(
+                present, scorers, theta0, f_rest
+            )
+            if stats_out is not None:
+                stats_out["blocks_total"] = meta_f.count()
+                stats_out["blocks_after_leapfrog"] = None
+                rest_df = F.broadcast(
+                    self.spark.createDataFrame(
+                        [(t, f_rest[t]) for t in present],
+                        "term string, rest double",
+                    )
+                )
+                stats_out["blocks_decoded"] = (
+                    meta_f.join(rest_df, "term")
+                    .where(F.col("ub") + F.col("rest") >= theta0)
+                    .count()
+                )
+                stats_out["theta"] = theta0
+                stats_out["plan"] = "disjunction_fast_global_rest"
+            agg_f = rows.groupBy("segment_id", "docid").agg(
+                F.sum("score").alias("score_acc")
+            )
+            cast_t = (
+                FloatType() if self.dtype == np.float32 else "double"
+            )
+            scored_f = agg_f.select(
+                "segment_id", "docid",
+                F.col("score_acc").cast(cast_t).alias("score"),
+            )
+            final_f = self._finish_topk(scored_f, k)
+            out_f = final_f.collect()
+            return self.spark.createDataFrame(out_f, final_f.schema)
+
+        if theta0 is not None:
+            # Per-BUCKET rest bounds — the distributed analog of
+            # MaxScoreBulkScorer computing other-clause upper
+            # bounds per scoring window via advanceShallow
+            # (``MaxScoreBulkScorer.java:159-178``), strictly
+            # tighter than the global rest: for doc d in block j
+            # of term t, every other clause t' contributes at most
+            # bub(t', bucket(d)) = the max UB among t's blocks
+            # overlapping d's 8K-docid bucket (0 if t' has no
+            # block there). Keep block j iff SOME overlapped
+            # bucket satisfies ``ub_j + Σ_{t'≠t} bub(t', B) ≥ θ``
+            # (ties kept); if no bucket qualifies, every doc in j
+            # totals < θ. On a sorted index (doclen/BP), score
+            # mass clusters, bucket rests collapse in cold
+            # regions, and whole docid ranges prune — Lucene's
+            # index-sort early-termination story.
+            bmeta = self._bucketize_blocks(meta_f)
+            bub = bmeta.groupBy("segment_id", "bucket", "term").agg(
+                F.max("ub").alias("bub")
+            )
+            tot = bub.groupBy("segment_id", "bucket").agg(
+                F.sum("bub").alias("tot_ub")
+            )
+            keep = (
+                bmeta.join(bub, ["segment_id", "bucket", "term"])
+                .join(tot, ["segment_id", "bucket"])
+                .where(
+                    F.col("ub") + (F.col("tot_ub") - F.col("bub"))
+                    >= theta0
+                )
+                .select("term", "segment_id", "block_id")
+                .distinct()
+                .persist()
+            )
+            n_keep = keep.count()
+            if n_keep <= 1024:
+                # few survivors: collect the keys and push them
+                # into the parquet scan as a literal predicate —
+                # row-group stats then skip the binary columns of
+                # pruned blocks entirely (no posting bytes read)
+                keys = keep.collect()
+                by_ts: dict[tuple, list[int]] = {}
+                for r in keys:
+                    by_ts.setdefault(
+                        (r["term"], int(r["segment_id"])), []
+                    ).append(int(r["block_id"]))
+                pred = None
+                for (t, s_id), bids in by_ts.items():
+                    c = (
+                        (F.col("term") == t)
+                        & (F.col("segment_id") == s_id)
+                        & F.col("block_id").isin(bids)
+                    )
+                    pred = c if pred is None else (pred | c)
+                cols = [
+                    "term", "segment_id", "block_id", "first_docid",
+                    "num_docs", "doc_block", "freq_block",
+                    "norm_block", "impact_freqs", "impact_norms",
+                ]
+                posts = self._postings.where(
+                    F.col("term").isin(present)
+                )
+                if pred is not None:
+                    posts = posts.where(pred)
+                kernel, _ = _make_unpack_kernel(
+                    scorers, self.dtype, False, None
+                )
+                rows = self._filter_live(
+                    posts.select(*cols).mapInArrow(
+                        kernel, schema=_unpack_ddl(self.dtype)
+                    )
+                )
+            else:
+                # many survivors: semi-join decode, with the
+                # global-rest θ filter still applied in-kernel to
+                # save decode CPU on borderline blocks
+                cols = [
+                    "term", "segment_id", "block_id", "first_docid",
+                    "num_docs", "doc_block", "freq_block",
+                    "norm_block", "impact_freqs", "impact_norms",
+                ]
+                posts = (
+                    self._postings.where(F.col("term").isin(present))
+                    .join(
+                        keep, ["term", "segment_id", "block_id"],
+                        "left_semi",
+                    )
+                    .select(*cols)
+                )
+                kernel, _ = _make_unpack_kernel(
+                    scorers, self.dtype, False, None,
+                    theta_rest=(float(theta0), dict(f_rest)),
+                )
+                rows = self._filter_live(
+                    posts.mapInArrow(
+                        kernel, schema=_unpack_ddl(self.dtype)
+                    )
+                )
+            if stats_out is not None:
+                stats_out["blocks_total"] = meta_f.count()
+                stats_out["blocks_after_leapfrog"] = None
+                stats_out["blocks_decoded"] = n_keep
+                stats_out["theta"] = theta0
+                stats_out["plan"] = "disjunction_fast_bucket_rest"
+            agg_f = rows.groupBy("segment_id", "docid").agg(
+                F.sum("score").alias("score_acc")
+            )
+            cast_t = (
+                FloatType() if self.dtype == np.float32 else "double"
+            )
+            scored_f = agg_f.select(
+                "segment_id", "docid",
+                F.col("score_acc").cast(cast_t).alias("score"),
+            )
+            final_f = self._finish_topk(scored_f, k)
+            out_f = final_f.collect()
+            keep.unpersist()
+            return self.spark.createDataFrame(out_f, final_f.schema)
+        # θ unavailable (fewer than k blocks for every term)
+        return None
+
     def _boolean_topk_blockmax(
         self,
         should: list[str] | None = None,
@@ -1850,6 +2337,30 @@ class Searcher(QueryOpsMixin):
         n_must = len(must_set & set(stats))
         msm = min_should_match
 
+        # -- sparse-lead conjunction driver plan: a pure AND whose
+        # rarest clause is small enough to COLLECT — the
+        # ConjunctionDISI lead materialized driver-side, the way a
+        # Lucene searcher holds the lead iterator in memory. One job
+        # decodes the lead's postings (liveDocs applied — sound with
+        # tombstones), its (segment, docid) set becomes a literal
+        # parquet predicate (row-group pruning skips the other
+        # clauses' cold blocks entirely), and one more job decodes
+        # just the overlapping blocks and keeps exactly the lead
+        # docids. Exact intersection — no θ, no tie hazards — at 2
+        # decode jobs vs the seeded path's ~5.
+        if (
+            n_must == len(present) >= 2
+            and msm == 0
+            and not mn_terms
+            and leapfrog is None  # forced leapfrog pins the general path
+            and min(stats[t][0] for t in present)
+            <= self._LEAD_COLLECT_MAX
+        ):
+            rarest0 = min(present, key=lambda t: stats[t][0])
+            return self._conjunction_sparse_lead(
+                present, rarest0, scorers, k, stats_out
+            )
+
         # -- TWO-JOB disjunction fast path (no MUST/msm/NOT clauses,
         # no deletes): a block's skyline upper bound is ATTAINED by at
         # least one real doc inside that block (the skyline keeps
@@ -1873,195 +2384,27 @@ class Searcher(QueryOpsMixin):
             and self._tombstones is None
         ):
             meta_f = self._block_meta(present, scorers)
-            n_anchor = max(k, 8)
-            wnd_f = Window.partitionBy("term").orderBy(
-                F.desc("ub"), F.asc("segment_id"), F.asc("block_id")
-            )
-            anchor_rows = (
-                meta_f.withColumn("_rn", F.row_number().over(wnd_f))
-                .where(F.col("_rn") <= n_anchor)
-                .drop("_rn")
-                .collect()
-            )
-            f_max_ub: dict[str, float] = {}
-            f_by_term: dict[str, list] = {}
-            for r in anchor_rows:
-                u = float(r["ub"])
-                f_max_ub[r["term"]] = max(f_max_ub.get(r["term"], 0.0), u)
-                f_by_term.setdefault(r["term"], []).append(u)
-            f_total = sum(f_max_ub.values())
-            f_rest = {t: f_total - f_max_ub.get(t, 0.0) for t in present}
-            theta0 = None
-            for ubs_t in f_by_term.values():
-                s_ubs = sorted(ubs_t, reverse=True)
-                if len(s_ubs) >= k:
-                    theta0 = (
-                        s_ubs[k - 1]
-                        if theta0 is None
-                        else max(theta0, s_ubs[k - 1])
-                    )
-            if theta0 is not None and not bucket_rest:
-                # Default 2-job plan: metadata collect + ONE
-                # in-kernel-skip decode scan with the GLOBAL rest
-                # bound. The tighter per-bucket plan below costs two
-                # extra metadata shuffles — at toy scale that exceeds
-                # any decode savings, and the auto cost gate already
-                # routes dense-uniform queries to the exhaustive plan;
-                # opt in via ``bucket_rest=True`` where block bounds
-                # actually vary (sorted indexes, Zipfian corpora).
-                rows = self._unpack_terms_inkernel(
-                    present, scorers, theta0, f_rest
+            # driver-side planning when the query terms' block
+            # metadata fits a bounded collect (~25 MB at the cap):
+            # θ, per-term rest bounds, and the per-bucket keep set are
+            # all numpy over collected skip data — exactly how a
+            # Lucene searcher consults in-memory impacts — replacing
+            # the window job and two metadata shuffles. Web-scale
+            # terms (beyond the cap: ~67M postings across the query's
+            # clauses) fall through to the distributed plan.
+            head = meta_f.limit(self._META_COLLECT_MAX + 1).collect()
+            if len(head) <= self._META_COLLECT_MAX:
+                res = self._disjunction_driver_planned(
+                    head, present, scorers, k, bucket_rest, stats_out
                 )
-                if stats_out is not None:
-                    stats_out["blocks_total"] = meta_f.count()
-                    stats_out["blocks_after_leapfrog"] = None
-                    rest_df = F.broadcast(
-                        self.spark.createDataFrame(
-                            [(t, f_rest[t]) for t in present],
-                            "term string, rest double",
-                        )
-                    )
-                    stats_out["blocks_decoded"] = (
-                        meta_f.join(rest_df, "term")
-                        .where(F.col("ub") + F.col("rest") >= theta0)
-                        .count()
-                    )
-                    stats_out["theta"] = theta0
-                    stats_out["plan"] = "disjunction_fast_global_rest"
-                agg_f = rows.groupBy("segment_id", "docid").agg(
-                    F.sum("score").alias("score_acc")
+            else:
+                res = self._disjunction_fast_distributed(
+                    meta_f, present, scorers, k, bucket_rest, stats_out
                 )
-                cast_t = (
-                    FloatType() if self.dtype == np.float32 else "double"
-                )
-                scored_f = agg_f.select(
-                    "segment_id", "docid",
-                    F.col("score_acc").cast(cast_t).alias("score"),
-                )
-                final_f = self._finish_topk(scored_f, k)
-                out_f = final_f.collect()
-                return self.spark.createDataFrame(out_f, final_f.schema)
-
-            if theta0 is not None:
-                # Per-BUCKET rest bounds — the distributed analog of
-                # MaxScoreBulkScorer computing other-clause upper
-                # bounds per scoring window via advanceShallow
-                # (``MaxScoreBulkScorer.java:159-178``), strictly
-                # tighter than the global rest: for doc d in block j
-                # of term t, every other clause t' contributes at most
-                # bub(t', bucket(d)) = the max UB among t's blocks
-                # overlapping d's 8K-docid bucket (0 if t' has no
-                # block there). Keep block j iff SOME overlapped
-                # bucket satisfies ``ub_j + Σ_{t'≠t} bub(t', B) ≥ θ``
-                # (ties kept); if no bucket qualifies, every doc in j
-                # totals < θ. On a sorted index (doclen/BP), score
-                # mass clusters, bucket rests collapse in cold
-                # regions, and whole docid ranges prune — Lucene's
-                # index-sort early-termination story.
-                bmeta = self._bucketize_blocks(meta_f)
-                bub = bmeta.groupBy("segment_id", "bucket", "term").agg(
-                    F.max("ub").alias("bub")
-                )
-                tot = bub.groupBy("segment_id", "bucket").agg(
-                    F.sum("bub").alias("tot_ub")
-                )
-                keep = (
-                    bmeta.join(bub, ["segment_id", "bucket", "term"])
-                    .join(tot, ["segment_id", "bucket"])
-                    .where(
-                        F.col("ub") + (F.col("tot_ub") - F.col("bub"))
-                        >= theta0
-                    )
-                    .select("term", "segment_id", "block_id")
-                    .distinct()
-                    .persist()
-                )
-                n_keep = keep.count()
-                if n_keep <= 1024:
-                    # few survivors: collect the keys and push them
-                    # into the parquet scan as a literal predicate —
-                    # row-group stats then skip the binary columns of
-                    # pruned blocks entirely (no posting bytes read)
-                    keys = keep.collect()
-                    by_ts: dict[tuple, list[int]] = {}
-                    for r in keys:
-                        by_ts.setdefault(
-                            (r["term"], int(r["segment_id"])), []
-                        ).append(int(r["block_id"]))
-                    pred = None
-                    for (t, s_id), bids in by_ts.items():
-                        c = (
-                            (F.col("term") == t)
-                            & (F.col("segment_id") == s_id)
-                            & F.col("block_id").isin(bids)
-                        )
-                        pred = c if pred is None else (pred | c)
-                    cols = [
-                        "term", "segment_id", "block_id", "first_docid",
-                        "num_docs", "doc_block", "freq_block",
-                        "norm_block", "impact_freqs", "impact_norms",
-                    ]
-                    posts = self._postings.where(
-                        F.col("term").isin(present)
-                    )
-                    if pred is not None:
-                        posts = posts.where(pred)
-                    kernel, _ = _make_unpack_kernel(
-                        scorers, self.dtype, False, None
-                    )
-                    rows = self._filter_live(
-                        posts.select(*cols).mapInArrow(
-                            kernel, schema=_unpack_ddl(self.dtype)
-                        )
-                    )
-                else:
-                    # many survivors: semi-join decode, with the
-                    # global-rest θ filter still applied in-kernel to
-                    # save decode CPU on borderline blocks
-                    cols = [
-                        "term", "segment_id", "block_id", "first_docid",
-                        "num_docs", "doc_block", "freq_block",
-                        "norm_block", "impact_freqs", "impact_norms",
-                    ]
-                    posts = (
-                        self._postings.where(F.col("term").isin(present))
-                        .join(
-                            keep, ["term", "segment_id", "block_id"],
-                            "left_semi",
-                        )
-                        .select(*cols)
-                    )
-                    kernel, _ = _make_unpack_kernel(
-                        scorers, self.dtype, False, None,
-                        theta_rest=(float(theta0), dict(f_rest)),
-                    )
-                    rows = self._filter_live(
-                        posts.mapInArrow(
-                            kernel, schema=_unpack_ddl(self.dtype)
-                        )
-                    )
-                if stats_out is not None:
-                    stats_out["blocks_total"] = meta_f.count()
-                    stats_out["blocks_after_leapfrog"] = None
-                    stats_out["blocks_decoded"] = n_keep
-                    stats_out["theta"] = theta0
-                    stats_out["plan"] = "disjunction_fast_bucket_rest"
-                agg_f = rows.groupBy("segment_id", "docid").agg(
-                    F.sum("score").alias("score_acc")
-                )
-                cast_t = (
-                    FloatType() if self.dtype == np.float32 else "double"
-                )
-                scored_f = agg_f.select(
-                    "segment_id", "docid",
-                    F.col("score_acc").cast(cast_t).alias("score"),
-                )
-                final_f = self._finish_topk(scored_f, k)
-                out_f = final_f.collect()
-                keep.unpersist()
-                return self.spark.createDataFrame(out_f, final_f.schema)
-            # θ unavailable (fewer than k blocks everywhere — tiny
-            # term set): fall through to the seeded general plan
+            if res is not None:
+                return res
+            # θ unavailable (fewer than k blocks for every term):
+            # fall through to the seeded general plan below
 
         # the metadata view is re-read by the anchor collect, the θ
         # seed, and the pruned pass — persist it once (MEMORY_AND_DISK:
@@ -2707,7 +3050,10 @@ class Searcher(QueryOpsMixin):
         try:
             n_cand = cand.count()
             if seed_n is None:
-                seed_n = max(4 * k, 64)
+                # phrase hit rate among candidates can be ~1%; a
+                # larger first round costs little decode but saves
+                # whole widening round-trips
+                seed_n = max(4 * k, 256)
 
             def _prefix_keys(n: int) -> DataFrame:
                 # deterministic UB-descending prefix (TakeOrdered):

@@ -165,7 +165,8 @@ class TestCompounds:
          "checkcompounddup", "checkcompoundtriple",
          "checkcompoundcase", "checkcompoundpattern",
          "checkcompoundrep", "compoundforbid",
-         "germancompounding", "simplifiedtriple", "forceucase"],
+         "germancompounding", "simplifiedtriple", "forceucase",
+         "checkcompoundpattern2", "checkcompoundpattern3", "oconv"],
     )
     def test_battery(self, name):
         import os
@@ -192,3 +193,60 @@ class TestCompounds:
     def test_affixed_last_part(self):
         d = self._load("compoundrule4")
         assert d.is_correct("10ths")  # last part via SFX S on 0th
+
+
+class TestConvTables(TestCompounds):
+    """ICONV/OCONV (round 5) vs the reference's conv battery —
+    TestConv.java stem expectations verbatim (ICONV cleans the input
+    AND the dic entries; OCONV converts every produced stem)."""
+
+    def test_conv_stems(self):
+        d = self._load("conv")
+        for word, stem in [
+            ("drink", "drInk"),
+            ("drInk", "drInk"),
+            ("drInkAble", "drInk"),
+            ("drInkABle", "drInk"),
+            ("drinkABle", "drInk"),
+        ]:
+            assert d.unique_stems(word) == [stem], (word, stem)
+
+    def test_conv_whitespace_and_comment_parsing(self):
+        # the oconv.aff table mixes tabs/spaces and trailing comments
+        d = self._load("oconv")
+        assert d.oconv is not None
+        assert d.oconv.apply("abcde\u00e9") == "ABCDE\u00c9"
+
+    def test_iconv_longest_match_not_rescanned(self):
+        from lucene_spark.functions.hunspell import ConvTable
+
+        t = ConvTable({"a": "b", "ab": "x", "b": "z"})
+        # longest match 'ab' wins over 'a'; output 'x' not rescanned
+        assert t.apply("aab") == "bx"
+        # replaced output containing a key char is skipped
+        t2 = ConvTable({"a": "bb", "b": "c"})
+        assert t2.apply("ab") == "bbc"
+
+
+class TestCompoundPatternReplacement(TestCompounds):
+    """The CHECKCOMPOUNDPATTERN replacement/flag forms beyond the
+    batteries: the enabling pattern must HOLD across the expanded
+    boundary (Hunspell.java:384 enablingPattern arm)."""
+
+    def test_pattern2_expansion_details(self):
+        d = self._load("checkcompoundpattern2")
+        # 'fozar' = foo+bar via 'o b z'; plain foobar prohibited
+        assert d.is_correct("fozar")
+        assert not d.is_correct("foobar")
+        # second pattern 'oo ba u': 'fur' = foo+bar collapsed
+        assert d.is_correct("fur")
+
+    def test_pattern3_flag_gating(self):
+        d = self._load("checkcompoundpattern3")
+        # expansion licensed only when boo/..X and ban/..Y flags align
+        assert d.is_correct("bozan")     # boo(X) + ban(Y) via z
+        assert not d.is_correct("fozan")  # foo lacks X
+        assert not d.is_correct("bozar")  # bar lacks Y
+        # literal-form prohibition applies only to flagged pairs
+        assert d.is_correct("foobar")
+        assert not d.is_correct("booban")

@@ -112,3 +112,71 @@ class TestBlockMaxBoolean:
             want = _rows(s.boolean_query(k=10, prune=False, **case))
             assert got == want
             assert not ({u for _, u, _ in got} & set(victims))
+
+
+class TestDriverPlannedVariants:
+    """Round-5 driver-side planning: every plan variant must stay
+    result-identical to the exhaustive scorer, including the
+    distributed fallbacks that only engage past the driver collect
+    caps (forced here by shrinking the caps on the instance)."""
+
+    def test_sparse_lead_conjunction_plan_fires(self, searcher):
+        st: dict = {}
+        got = _rows(
+            searcher.boolean_query(
+                must=["window", "spark"], k=10, prune=True, stats_out=st
+            )
+        )
+        want = _rows(
+            searcher.boolean_query(must=["window", "spark"], k=10, prune=False)
+        )
+        assert got == want
+        assert st.get("plan") == "conjunction_sparse_lead"
+        assert st["blocks_decoded"] <= st["blocks_total"]
+
+    def test_disjunction_driver_planned_both_rests(self, searcher):
+        # k=1: θ needs k blocks per term and sf0.001 terms have few —
+        # at k=10 the plan correctly falls through to the seeded path
+        for bucket_rest in (False, True):
+            st: dict = {}
+            got = _rows(
+                searcher.boolean_query(
+                    should=["window", "spark"], k=1, prune=True,
+                    bucket_rest=bucket_rest, stats_out=st,
+                )
+            )
+            want = _rows(
+                searcher.boolean_query(
+                    should=["window", "spark"], k=1, prune=False
+                )
+            )
+            assert got == want
+            assert st.get("plan", "").startswith("disjunction_driver"), st
+
+    def test_distributed_fallbacks_past_caps(self, searcher):
+        old_meta, old_lead = searcher._META_COLLECT_MAX, searcher._LEAD_COLLECT_MAX
+        try:
+            searcher._META_COLLECT_MAX = 0
+            searcher._LEAD_COLLECT_MAX = 0
+            for case in (
+                dict(should=["window", "spark"]),
+                dict(should=["window", "spark"], bucket_rest=True),
+                dict(must=["window", "spark"]),
+            ):
+                st: dict = {}
+                kw = dict(case)
+                br = kw.pop("bucket_rest", False)
+                got = _rows(
+                    searcher.boolean_query(
+                        k=10, prune=True, bucket_rest=br, stats_out=st, **kw
+                    )
+                )
+                want = _rows(searcher.boolean_query(k=10, prune=False, **kw))
+                assert got == want
+                assert not st.get("plan", "").startswith(
+                    "disjunction_driver"
+                ), st
+                assert st.get("plan") != "conjunction_sparse_lead"
+        finally:
+            searcher._META_COLLECT_MAX = old_meta
+            searcher._LEAD_COLLECT_MAX = old_lead
