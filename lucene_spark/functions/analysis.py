@@ -177,6 +177,16 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
     if stem:
         from .stemmer import porter_stem
     items = [t if isinstance(t, str) else "" for t in texts]
+    # batch stream (wikipedia): the stream owns tokenization and
+    # positions, vectorized across the whole batch in one lockstep
+    # scan — route every row through it and return directly
+    if chain is not None and chain.stream_batch is not None:
+        cf0 = chain.char_filter
+        texts_f = [
+            cf0(t) if (cf0 is not None and t) else t for t in items
+        ]
+        pairs = chain.stream_batch(texts_f)
+        return [p[0] for p in pairs], [p[1] for p in pairs]
     # trivial chain = tokenize + lower + stop only (StandardAnalyzer
     # and language chains without elision/normalize/stem/stream): the
     # per-token apply_token dispatch collapses to one str.lower on the

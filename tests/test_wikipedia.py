@@ -108,3 +108,41 @@ class TestChain:
         # the URL and the first link word share a position (the
         # numLinkToks==0 -> posinc 0 rule, Impl action 9)
         assert pos == [0, 1, 2, 3, 4, 4, 5]
+
+
+class TestLockstepBatch:
+    """Round-5 lockstep scanner: byte identity with the scalar walk
+    over the full golden battery, at batch speed."""
+
+    def test_batch_equals_scalar_on_goldens(self):
+        from lucene_spark.functions.wikipedia import (
+            scan_wikipedia_batch,
+        )
+
+        goldens = json.load(gzip.open(FIXTURE, "rt", encoding="utf-8"))
+        texts = list(goldens.keys())
+        batch = scan_wikipedia_batch(texts)
+        for t, rows in zip(texts, batch):
+            assert [tuple(r) for r in rows] == scan_wikipedia(t), t
+
+    def test_tokenize_batch_equals_scalar(self):
+        from lucene_spark.functions.wikipedia import (
+            wikipedia_tokenize_batch,
+        )
+
+        goldens = json.load(gzip.open(FIXTURE, "rt", encoding="utf-8"))
+        texts = list(goldens.keys())[:400] + [BOTH_TEST, "", "plain text"]
+        assert wikipedia_tokenize_batch(texts) == [
+            wikipedia_tokenize(t) for t in texts
+        ]
+
+    def test_analyze_series_routes_through_batch(self):
+        from lucene_spark.functions.analysis import analyze_series
+
+        chain = get_chain("wikipedia")
+        assert chain.stream_batch is not None
+        texts = [BOTH_TEST, "", "Link to [[foo bar]] ''it''", None]
+        terms_col, pos_col = analyze_series(texts, chain=chain)
+        for t, terms, poss in zip(texts, terms_col, pos_col):
+            et, ep = chain_analyze(t or "", chain)
+            assert terms == et and poss == ep, t
