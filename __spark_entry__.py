@@ -6367,6 +6367,57 @@ SELECT doc_id,
 FROM w"""
 
 
+def _q_icu_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based ICUTokenizer (icu/segmentation/ICUTokenizer.java +
+    the in-tree Default.rbbi word-break rules, round 5): the
+    icu_tokenizer chain over deterministic ASCII text exercising the
+    rule families the oracle can replay by string algebra —
+    apostrophe joins (rule 6/7 MidNumLet), numeric joins (rule 11/12),
+    hyphen splits, acronym dots, underscore ExtendNumLet joins. The
+    non-ASCII script behavior (CJK/Hangul/Hebrew/emoji) is pinned by
+    the 2,600-text compiled-reference golden battery instead
+    (tests/test_icutok.py) — the corpus here is ASCII-only so DuckDB
+    constructs the expected tokens without a tokenizer."""
+    from lucene_spark.functions.lang import chain_analyze, get_chain
+
+    docs = _docs_table(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        chain = get_chain("icu_tokenizer")
+        for pdf in batches:
+            ids, terms_out, pos_out = [], [], []
+            for i in pdf["doc_id"].tolist():
+                text = (
+                    f"w{i} don't {i}.5 re-index u.s.a x_{i % 7}"
+                )
+                terms, pos = chain_analyze(text, chain)
+                ids.append(i)
+                terms_out.append("|".join(terms))
+                pos_out.append(",".join(map(str, pos)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "terms": terms_out, "positions": pos_out}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, terms string, positions string"
+    )
+
+
+_ICU_TOKENIZER_SQL = """
+SELECT doc_id,
+       'w' || CAST(doc_id AS VARCHAR) || '|don''t|'
+         || CAST(doc_id AS VARCHAR)
+         || '.5|re|index|u.s.a|x_' || CAST(doc_id % 7 AS VARCHAR)
+         AS terms,
+       '0,1,2,3,4,5,6' AS positions
+FROM documents WHERE doc_id < 200
+"""
+
+
 def _q_hunspell_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hunspell ICONV/OCONV + CHECKCOMPOUNDPATTERN replacement form
     (hunspell/ConvTable.java applyMappings greedy longest-match;
@@ -10887,6 +10938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "beider_morse_codes": _q_beider_morse,
         "hunspell_compound_check": _q_hunspell_compound,
         "hunspell_conv_stems": _q_hunspell_conv,
+        "icu_tokenizer_tokens": _q_icu_tokenizer,
         "hunspell_german_compound_check": _q_hunspell_german,
         "edge_ngram_tokens": _q_edge_ngram_tokens,
         "ngram_tokens": _q_ngram_tokens,
@@ -11831,6 +11883,7 @@ def oracle_sql() -> dict[str, str]:
         "beider_morse_codes": _BM_SQL,
         "hunspell_compound_check": _HUNSPELL_COMPOUND_SQL,
         "hunspell_conv_stems": _HUNSPELL_CONV_SQL,
+        "icu_tokenizer_tokens": _ICU_TOKENIZER_SQL,
         "hunspell_german_compound_check": _HUNSPELL_GERMAN_SQL,
         "edge_ngram_tokens": _EDGE_NGRAM_SQL,
         "ngram_tokens": _NGRAM_SQL,

@@ -202,6 +202,9 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
         and chain.lower is None
         and chain.tokenizer is None
         and chain.tokenizer_batch is None
+        # stream_batch rows never reach here (routed above), but the
+        # guard stays total over chain fields per the invariant
+        and chain.stream_batch is None
     )
     # partition: [a-z0-9 ]-only rows split directly; everything else
     # goes through ONE lockstep DFA batch (functions/uax29.py) so the

@@ -1,0 +1,419 @@
+"""Rule-based ICUTokenizer: Default.rbbi + ScriptIterator, ported.
+
+Reference: ``lucene/analysis/icu/src/java/.../segmentation/`` —
+``ICUTokenizer.java:205-224`` (incrementTokenBuffer: skip rule-status-0
+ranges), ``CompositeBreakIterator.java`` (script runs → per-script
+break iterator), ``ScriptIterator.java`` (same-script runs with
+Common/Inherited merging, script-extension matching, combining-mark
+inheritance per UTR #24), ``BreakIteratorWrapper.java`` (emoji
+sequence status 299), ``DefaultICUTokenizerConfig.java:127-142``
+(rule status → token type). The break rules are the reference's OWN
+in-tree plain-text source ``src/data/uax29/Default.rbbi`` (ICU word
+break rules, UAX #29, modified to avoid dictionary chaining) —
+hand-transcribed below rule for rule; the character classes come from
+``icu_wordbreak.npz``, extracted from icu4j's public property API by
+the committed ``tools/extract_icu_wordbreak.py``.
+
+Engine: the RBBI forward algorithm with ``!!chain`` semantics — all
+(non-``^``-anchored) rules participate in overlap chaining: when a
+rule match completes by consuming the character at position i, the
+chain may continue through any rule whose first element also matches
+that same character; the boundary is the furthest accepted position
+and the rule status is the numerically largest among the rules
+accepting there (the ``{300} overrides {200}`` comment in the rule
+file). Validated token-for-token against the COMPILED reference
+segmentation classes driving an icu4j break iterator compiled from
+the same rule source (tools/icu_tokenizer_goldens.py; 2,599
+mixed-script texts / 18k tokens committed at
+tests/fixtures/icu_tokenizer_goldens.json.gz).
+
+Configuration pinned: DefaultICUTokenizerConfig(cjkAsWords=false,
+myanmarAsWords=true) — the pure rule-based setup. The dictionary
+break engines (Japanese composite, Thai/Lao/Khmer LSTM/dictionary,
+Myanmar syllable dictionary) remain declared out (binary models).
+
+COST (published): scalar per-codepoint NFA walk, opt-in chain — the
+default crawl path stays on the lockstep 'standard' chain; use this
+chain when ICU script-aware typing or non-Latin break fidelity is
+required.
+
+Declared caveat (the dictionary class): icu4j routes characters in
+the rule file's ``$dictionary`` set through built-in dictionary break
+engines even for rule-compiled iterators — Thai/Lao/Khmer/Myanmar
+words and multi-word KATAKANA runs are subdivided by frequency
+dictionaries the tree does not ship. This port applies the RULES
+alone: those runs stay whole (each still a single well-typed token).
+The golden corpus covers exactly the rule-based scripts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_NPZ = os.path.join(os.path.dirname(__file__), "icu_wordbreak.npz")
+_data = None
+
+# base-class bit indices (tools/extract_icu_wordbreak.py)
+_CR, _LF, _NL, _EXTWB, _ZWJ, _RI, _FMT = 0, 1, 2, 3, 4, 5, 6
+_KATA, _HEB, _ALET, _SQ, _DQ, _MNL, _MIDL = 7, 8, 9, 10, 11, 12, 13
+_MIDN, _NUM, _ENL, _WSS, _XPIC, _HIRA = 14, 15, 16, 17, 18, 19
+_IDEO, _HAN, _CTRL, _CPLX, _EMOJI, _MARK = 20, 21, 22, 23, 24, 25
+
+# element ids used by the transcribed rules (disjoint from base bits;
+# each is a DERIVED class evaluated into a per-cp element bitmask)
+(E_CR, E_LF, E_NL, E_ZWJ, E_XPIC, E_WSS, E_EXFM, E_OTHER1, E_NUM,
+ E_ALP, E_HANGS, E_HEB, E_KATA, E_HIRA, E_IDEO, E_MIDL, E_MNL, E_SQ,
+ E_DQ, E_MIDN, E_ENL, E_RI, E_ANY) = range(23)
+
+# ICU RuleBasedBreakIterator word statuses
+WORD_NONE = 0
+WORD_NUMBER = 100
+WORD_LETTER = 200
+WORD_KANA = 300
+WORD_IDEO = 400
+EMOJI_SEQUENCE_STATUS = 299  # ICUTokenizerConfig.java:28
+
+_EMOJI_RK = frozenset(
+    [0x2A, 0x23, 0xA9, 0xAE, 0x2122, 0x3030, 0x303D]
+    + list(range(0x30, 0x3A))
+)
+
+
+def _load():
+    global _data
+    if _data is None:
+        z = np.load(_NPZ)
+        mask = z["mask"].astype(np.uint32)
+        script = z["script"].astype(np.int16)
+        consts = z["consts"].astype(np.int64)
+        ext = {}
+        cps = z["ext_cp"]
+        offs = z["ext_off"]
+        vals = z["ext_val"]
+        for i, cp in enumerate(cps.tolist()):
+            ext[cp] = frozenset(
+                vals[offs[i]:offs[i + 1]].astype(int).tolist()
+            )
+        b = lambda i: (mask >> np.uint32(i)) & np.uint32(1)  # noqa: E731
+        hangul_syll = np.zeros(0x110000, dtype=bool)
+        hangul_syll[0xAC00:0xD7A4] = True
+        extend = (b(_EXTWB) == 1) & (b(_HAN) == 0)  # $Extend - Han
+        dict_cjk = (
+            (b(_HAN) == 1) | (b(_HIRA) == 1) | (b(_KATA) == 1)
+            | hangul_syll
+        )
+        aletter_plus = ((b(_ALET) == 1) & ~dict_cjk) | (
+            (b(_CPLX) == 1) & ~extend & (b(_CTRL) == 0)
+        )
+        exfm = extend | (b(_FMT) == 1) | (b(_ZWJ) == 1)
+        crlfnl = (b(_CR) == 1) | (b(_LF) == 1) | (b(_NL) == 1)
+        elem = np.zeros(0x110000, dtype=np.uint32)
+
+        def set_bit(eid, cond):
+            elem[cond] |= np.uint32(1 << eid)
+
+        set_bit(E_CR, b(_CR) == 1)
+        set_bit(E_LF, b(_LF) == 1)
+        set_bit(E_NL, b(_NL) == 1)
+        set_bit(E_ZWJ, b(_ZWJ) == 1)
+        set_bit(E_XPIC, b(_XPIC) == 1)
+        set_bit(E_WSS, b(_WSS) == 1)
+        set_bit(E_EXFM, exfm)
+        set_bit(E_OTHER1, ~crlfnl & ~exfm)  # [^$CR $LF $Newline $ExFm]
+        set_bit(E_NUM, b(_NUM) == 1)
+        set_bit(E_ALP, aletter_plus)
+        set_bit(E_HANGS, hangul_syll)
+        set_bit(E_HEB, b(_HEB) == 1)
+        set_bit(E_KATA, b(_KATA) == 1)
+        set_bit(E_HIRA, b(_HIRA) == 1)
+        set_bit(E_IDEO, b(_IDEO) == 1)
+        set_bit(E_MIDL, b(_MIDL) == 1)
+        set_bit(E_MNL, b(_MNL) == 1)
+        set_bit(E_SQ, b(_SQ) == 1)
+        set_bit(E_DQ, b(_DQ) == 1)
+        set_bit(E_MIDN, b(_MIDN) == 1)
+        set_bit(E_ENL, b(_ENL) == 1)
+        set_bit(E_RI, b(_RI) == 1)
+        set_bit(E_ANY, np.ones(0x110000, dtype=bool))
+        emoji_set = (b(_EMOJI) == 1) | (b(_XPIC) == 1)
+        _data = {
+            "elem": elem,
+            "script": script,
+            "ext": ext,
+            "mark": b(_MARK) == 1,
+            "emoji": emoji_set,
+            "consts": consts,
+        }
+    return _data
+
+
+# ---------------------------------------------------------------------------
+# Rules (Default.rbbi, transcribed in file order; '^' = no incoming
+# chain; quantifier per element: 1 = exactly one, '*' = any, '+' = one
+# or more). A = union of element ids.
+# ---------------------------------------------------------------------------
+def _seq(*parts):
+    out = []
+    for p in parts:
+        if (
+            isinstance(p, tuple)
+            and len(p) == 2
+            and isinstance(p[1], str)
+        ):
+            ids, q = p
+        else:
+            ids, q = p, "1"
+        if isinstance(ids, int):
+            ids = (ids,)
+        m = 0
+        for i in ids:
+            m |= 1 << i
+        out.append((np.uint32(m), q))
+    return out
+
+
+_AL_HEB = (E_ALP, E_HEB)
+_RULES = [
+    # (anchored, elements, status)
+    (False, _seq(E_CR, E_LF), 0),                       # 3
+    (False, _seq(E_ZWJ, E_XPIC), 0),                    # 3c
+    (False, _seq(E_WSS, E_WSS), 0),                     # 3d
+    (True, _seq((E_EXFM, "+")), 0),                     # ^$ExFm+
+    (False, _seq(E_OTHER1, (E_EXFM, "*")), 0),          # attach trailing
+    (False, _seq(E_NUM, (E_EXFM, "*")), 100),
+    (False, _seq(E_ALP, (E_EXFM, "*")), 200),
+    (False, _seq(E_HANGS), 200),
+    (False, _seq(E_HEB, (E_EXFM, "*")), 200),
+    (False, _seq(E_KATA, (E_EXFM, "*")), 300),
+    (False, _seq(E_HIRA, (E_EXFM, "*")), 300),
+    (False, _seq(E_IDEO, (E_EXFM, "*")), 400),
+    (False, _seq(_AL_HEB, (E_EXFM, "*"), _AL_HEB), 0),  # 5
+    (False, _seq(_AL_HEB, (E_EXFM, "*"), (E_MIDL, E_MNL, E_SQ),
+                 (E_EXFM, "*"), _AL_HEB), 200),         # 6/7
+    (False, _seq(E_HEB, (E_EXFM, "*"), E_SQ), 200),     # 7a
+    (False, _seq(E_HEB, (E_EXFM, "*"), E_DQ, (E_EXFM, "*"), E_HEB),
+     0),                                                # 7b/c
+    (False, _seq(E_NUM, (E_EXFM, "*"), E_NUM), 0),      # 8
+    (False, _seq(_AL_HEB, (E_EXFM, "*"), E_NUM), 0),    # 9
+    (False, _seq(E_NUM, (E_EXFM, "*"), _AL_HEB), 0),    # 10
+    (False, _seq(E_NUM, (E_EXFM, "*"), (E_MIDN, E_MNL, E_SQ),
+                 (E_EXFM, "*"), E_NUM), 0),             # 11/12
+    (False, _seq(E_KATA, (E_EXFM, "*"), E_KATA), 300),  # 13
+    (False, _seq(E_ALP, (E_EXFM, "*"), E_ENL), 200),    # 13a
+    (False, _seq(E_HEB, (E_EXFM, "*"), E_ENL), 200),
+    (False, _seq(E_NUM, (E_EXFM, "*"), E_ENL), 100),
+    (False, _seq(E_KATA, (E_EXFM, "*"), E_ENL), 300),
+    (False, _seq(E_ENL, (E_EXFM, "*"), E_ENL), 200),
+    (False, _seq(E_ENL, (E_EXFM, "*"), E_ALP), 200),    # 13b
+    (False, _seq(E_ENL, (E_EXFM, "*"), E_HEB), 200),
+    (False, _seq(E_ENL, (E_EXFM, "*"), E_NUM), 100),
+    (False, _seq(E_ENL, (E_EXFM, "*"), E_KATA), 300),
+    (True, _seq(E_RI, (E_EXFM, "*"), E_RI), 0),         # 15-17
+    (False, _seq(E_HANGS, E_HANGS), 200),               # hangul chain
+    (False, _seq(E_ANY), 0),                            # 999
+]
+
+
+def _compile_rules():
+    """Each rule → mini-NFA: states are rule positions; transitions
+    labelled by element mask. State layout per rule: position i =
+    'about to match element i'; '*' elements add an epsilon skip and
+    a self-loop; accepting after the last element."""
+    compiled = []
+    for anchored, seq, status in _RULES:
+        # closure of positions reachable without consuming: from
+        # position i, all j >= i where elements i..j-1 are all '*'
+        n = len(seq)
+        eps = []
+        for i in range(n + 1):
+            js = [i]
+            j = i
+            while j < n and seq[j][1] == "*":
+                j += 1
+                js.append(j)
+            eps.append(js)
+        compiled.append((anchored, seq, status, eps, n))
+    return compiled
+
+
+_COMPILED = _compile_rules()
+
+
+def _consume(ri, p, e, nxt):
+    """Advance item (rule ri, position p) on element bitmask ``e``;
+    returns the rule's status when the landing set accepts, else
+    None. Landing positions after consuming at a '*'/'+' element
+    include the element itself (self-loop) plus the ε-closure past
+    it; single elements land on the closure past them."""
+    anchored, seq, status, eps, rn = _COMPILED[ri]
+    if p >= rn:
+        return None
+    m, q = seq[p]
+    if not (e & int(m)):
+        return None
+    if q == "1":
+        land = eps[p + 1]
+    else:
+        land = [p] + eps[p + 1]
+    for t in land:
+        nxt.add((ri, t))
+    return status if rn in land else None
+
+
+def _next_boundary(elem_cp: np.ndarray, b: int):
+    """(end, status) of the boundary after position ``b`` — the RBBI
+    forward scan with ``!!chain`` overlap chaining: when any rule
+    accepts by consuming the char at i, non-anchored rules may
+    restart ON that same char; the boundary is the furthest accepted
+    position, status the numerically largest there."""
+    n = len(elem_cp)
+    items: set[tuple[int, int]] = set()
+    for ri, (anchored, _s, _st, eps, _rn) in enumerate(_COMPILED):
+        for p in eps[0]:
+            items.add((ri, p))
+    best_end = b + 1  # rule 999 guarantees one-cp progress
+    best_status = 0
+    i = b
+    while i < n and items:
+        e = int(elem_cp[i])
+        nxt: set[tuple[int, int]] = set()
+        acc = None
+        for ri, p in items:
+            st = _consume(ri, p, e, nxt)
+            if st is not None:
+                acc = st if acc is None else max(acc, st)
+        if acc is not None:
+            # overlap chaining: restart every non-anchored rule on
+            # THIS character (its start closure, consumed here)
+            for ri, (anchored, _s, _st, eps, _rn) in enumerate(
+                _COMPILED
+            ):
+                if anchored:
+                    continue
+                for p in eps[0]:
+                    st = _consume(ri, p, e, nxt)
+                    if st is not None:
+                        acc = max(acc, st)
+            if i + 1 > best_end:
+                best_end = i + 1
+                best_status = acc
+            else:
+                best_status = max(best_status, acc)
+        items = nxt
+        i += 1
+    return best_end, best_status
+
+
+class _RBBI:
+    """Boundary iterator over one text region (code point indexed)."""
+
+    def __init__(self, elem_cp: np.ndarray):
+        self.elem = elem_cp
+        self.pos = 0
+        self.status = WORD_NONE
+
+    def next(self):
+        if self.pos >= len(self.elem):
+            return None
+        end, status = _next_boundary(self.elem, self.pos)
+        self.pos = end
+        self.status = status
+        return end
+
+
+def _script_runs(cps: list[int], d) -> list[tuple[int, int, int]]:
+    """ScriptIterator.next() 1:1 (combineCJ=False): (start, limit,
+    script_code) runs over code point indices."""
+    script = d["script"]
+    ext = d["ext"]
+    mark = d["mark"]
+    COMMON, INHERITED = int(d["consts"][0]), int(d["consts"][1])
+    runs = []
+    n = len(cps)
+    idx = 0
+    while idx < n:
+        run_start = idx
+        code = COMMON
+        while idx < n:
+            ch = cps[idx]
+            sc = int(script[ch])
+            same = (
+                code == sc
+                or code <= INHERITED
+                or sc <= INHERITED
+                or code in ext.get(ch, frozenset([sc]))
+            )
+            if same or bool(mark[ch]):
+                idx += 1
+                if code <= INHERITED and sc > INHERITED:
+                    code = sc
+            else:
+                break
+        runs.append((run_start, idx, code))
+    return runs
+
+
+def _is_emoji_token(cps: list[int], start: int, end: int, d) -> bool:
+    """BreakIteratorWrapper.isEmoji over code points."""
+    cp = cps[start]
+    if not bool(d["emoji"][cp]):
+        return False
+    if cp in _EMOJI_RK:
+        trailer = start + 1
+        return trailer < end and cps[trailer] in (0xFE0F, 0x20E3)
+    return True
+
+
+def icu_tokenize(text: str) -> list[tuple[str, str, int]]:
+    """(term, type, script_code) rows — ICUTokenizer.incrementToken
+    with DefaultICUTokenizerConfig(cjkAsWords=False,
+    myanmarAsWords=True)."""
+    if not text:
+        return []
+    d = _load()
+    cps = [ord(c) for c in text]
+    # surrogate pairs: python strs are code points already
+    elem_all = d["elem"][np.array(cps, dtype=np.int64)]
+    HANGUL, HIRAGANA = int(d["consts"][2]), int(d["consts"][3])
+    out: list[tuple[str, str, int]] = []
+    # build the text as code point list for slicing
+    chars = list(text)
+    for r_start, r_limit, script_code in _script_runs(cps, d):
+        it = _RBBI(elem_all[r_start:r_limit])
+        start = 0
+        while True:
+            end = it.next()
+            if end is None:
+                break
+            status = it.status
+            a, b = r_start + start, r_start + end
+            start = end
+            if status == WORD_NONE:
+                # emoji sequences carry no word status from the rules
+                # but are emitted with the EMOJI type
+                if _is_emoji_token(cps, a, b, d):
+                    status = EMOJI_SEQUENCE_STATUS
+                else:
+                    continue
+            elif _is_emoji_token(cps, a, b, d):
+                status = EMOJI_SEQUENCE_STATUS
+            term = "".join(chars[a:b])
+            if status == WORD_IDEO:
+                ty = "<IDEOGRAPHIC>"
+            elif status == WORD_KANA:
+                ty = (
+                    "<HIRAGANA>" if script_code == HIRAGANA
+                    else "<KATAKANA>"
+                )
+            elif status == WORD_LETTER:
+                ty = "<HANGUL>" if script_code == HANGUL else "<ALPHANUM>"
+            elif status == WORD_NUMBER:
+                ty = "<NUM>"
+            elif status == EMOJI_SEQUENCE_STATUS:
+                ty = "<EMOJI>"
+            else:
+                ty = "<OTHER>"
+            out.append((term, ty, script_code))
+    return out

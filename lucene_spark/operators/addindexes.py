@@ -113,7 +113,14 @@ def add_indexes(
             mapping,
         )
         commit_id = dest.new_commit_dir("stage")
-        stage.write.mode("overwrite").partitionBy("kind").parquet(commit_id)
+        # 8 MB row groups: term/block_id min-max stats as the
+        # dictionary-seek analog (see build.py staged write)
+        (
+            stage.write.mode("overwrite")
+            .option("parquet.block.size", str(8 * 1024 * 1024))
+            .partitionBy("kind")
+            .parquet(commit_id)
+        )
         rel_commit = commit_id[len(dest.index_dir) + 1 :]
 
         terms_dirs = src.live_data_dirs("terms")

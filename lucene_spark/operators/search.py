@@ -2980,7 +2980,13 @@ class Searcher(QueryOpsMixin):
         stats_out: dict | None = None,
     ) -> DataFrame:
         if prune == "auto":
-            prune = self._phrase_prune_auto(terms)
+            # the distinct-2-term sloppy matcher runs the vectorized
+            # run-boundary closed form (pair_boundary_freqs) — cheap
+            # enough that the θ-seeded plan's extra rounds never pay;
+            # the gate routes that shape exhaustive (measured at 640k
+            # and 2.56M docs). 3+-term sloppy keeps the pruned option.
+            pair_kernel = len(terms) == 2 and len(set(terms)) == 2
+            prune = not pair_kernel and self._phrase_prune_auto(terms)
         if prune:
             return self._phrase_topk_blockmax(
                 terms, k, slop=slop, stats_out=stats_out

@@ -1,0 +1,70 @@
+"""ICUTokenizer (Default.rbbi rules + ScriptIterator): goldens from
+the COMPILED reference segmentation classes + canned semantics."""
+
+import gzip
+import json
+import os
+
+from lucene_spark.functions.icutok import icu_tokenize
+from lucene_spark.functions.lang import chain_analyze, get_chain
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "icu_tokenizer_goldens.json.gz"
+)
+
+
+class TestGoldens:
+    def test_matches_compiled_reference(self):
+        goldens = json.load(gzip.open(FIXTURE, "rt", encoding="utf-8"))
+        assert len(goldens) > 2500
+        bad = []
+        for text, toks in goldens.items():
+            mine = [[t, ty, sc] for t, ty, sc in icu_tokenize(text)]
+            if mine != toks:
+                bad.append((text, toks, mine))
+        assert not bad, bad[:3]
+
+
+class TestSemantics:
+    def test_types_and_scripts(self):
+        rows = icu_tokenize("Spark 3.14 漢字 カタカナ 한글 あ 😀")
+        assert [(t, ty) for t, ty, _ in rows] == [
+            ("Spark", "<ALPHANUM>"), ("3.14", "<NUM>"),
+            ("漢", "<IDEOGRAPHIC>"), ("字", "<IDEOGRAPHIC>"),
+            ("カタカナ", "<KATAKANA>"), ("한글", "<HANGUL>"),
+            ("あ", "<HIRAGANA>"), ("😀", "<EMOJI>"),
+        ]
+
+    def test_script_boundaries_without_spaces(self):
+        # script changes break tokens even with no separator
+        rows = icu_tokenize("abc漢かナ한")
+        assert [t for t, _, _ in rows] == ["abc", "漢", "か", "ナ", "한"]
+
+    def test_midletter_and_apostrophe(self):
+        rows = icu_tokenize("don't re-index U.S.A")
+        assert [t for t, _, _ in rows] == [
+            "don't", "re", "index", "U.S.A",
+        ]
+
+    def test_hebrew_quotes(self):
+        # 7a: hebrew + final single quote kept; 7b/c double quote join
+        rows = icu_tokenize("אב' א\"ב")
+        assert [t for t, _, _ in rows] == ["אב'", 'א"ב']
+
+    def test_regional_indicator_pairs(self):
+        rows = icu_tokenize("\U0001f1fa\U0001f1f8\U0001f1ef\U0001f1f5")
+        assert [ty for _, ty, _ in rows] == ["<EMOJI>", "<EMOJI>"]
+        assert [len(t) for t, _, _ in rows] == [2, 2]
+
+    def test_combining_marks_inherit_script(self):
+        rows = icu_tokenize("न्न café")
+        assert [t for t, _, _ in rows] == ["न्न", "café"]
+
+    def test_chain(self):
+        chain = get_chain("icu_tokenizer")
+        terms, pos = chain_analyze("Spark 漢字 3.14", chain)
+        assert terms == ["Spark", "漢", "字", "3.14"]
+        assert pos == [0, 1, 2, 3]
+
+    def test_empty(self):
+        assert icu_tokenize("") == []

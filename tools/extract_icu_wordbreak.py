@@ -1,0 +1,181 @@
+"""Extract the character-class data Default.rbbi is defined over.
+
+The rule file (``lucene/analysis/icu/src/data/uax29/Default.rbbi``)
+builds its classes from public Unicode properties (Word_Break,
+Extended_Pictographic, LineBreak=Complex_Context, GCB=Control, the
+Han/Hiragana scripts, Ideographic, the Hangul-syllable range). This
+tool queries icu4j (the exact library the reference's tokenizer runs
+on, shipped in the Spark jars dir) for every code point and writes
+``lucene_spark/functions/icu_wordbreak.npz``:
+
+- ``mask``  : uint32[0x110000] — bit per base class (bit order below)
+- ``script``: int16[0x110000]  — UScript.getScript
+- ``ext_cp`` / ``ext_off`` / ``ext_val``: script-extension table for
+  code points whose extensions go beyond the primary script
+  (UScript.hasScript), CSR-packed
+- ``consts``: [COMMON, INHERITED, HANGUL, HIRAGANA, JAPANESE, MYANMAR]
+
+Run: python tools/extract_icu_wordbreak.py
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+HARNESS = r"""
+import com.ibm.icu.lang.UCharacter;
+import com.ibm.icu.lang.UProperty;
+import com.ibm.icu.lang.UScript;
+import java.io.*;
+import java.util.*;
+
+public class ExtractWB {
+  public static void main(String[] args) throws Exception {
+    int N = 0x110000;
+    int[] mask = new int[N];
+    short[] script = new short[N];
+    // Word_Break property values (UProperty.WORD_BREAK int values):
+    // resolve by NAME so icu version bumps can't silently renumber
+    String[] wbNames = {"CR","LF","Newline","Extend","ZWJ",
+      "Regional_Indicator","Format","Katakana","Hebrew_Letter",
+      "ALetter","Single_Quote","Double_Quote","MidNumLet","MidLetter",
+      "MidNum","Numeric","ExtendNumLet","WSegSpace"};
+    int[] wbVals = new int[wbNames.length];
+    for (int i = 0; i < wbNames.length; i++)
+      wbVals[i] = UCharacter.getPropertyValueEnum(UProperty.WORD_BREAK, wbNames[i]);
+    int saVal = UCharacter.getPropertyValueEnum(UProperty.LINE_BREAK, "Complex_Context");
+    int gcbControl = UCharacter.getPropertyValueEnum(
+        UProperty.GRAPHEME_CLUSTER_BREAK, "Control");
+    for (int cp = 0; cp < N; cp++) {
+      int m = 0;
+      int wb = UCharacter.getIntPropertyValue(cp, UProperty.WORD_BREAK);
+      for (int i = 0; i < wbVals.length; i++)
+        if (wb == wbVals[i]) { m |= (1 << i); break; }
+      if (UCharacter.hasBinaryProperty(cp, UProperty.EXTENDED_PICTOGRAPHIC))
+        m |= (1 << 18);
+      int sc = UScript.getScript(cp);
+      if (sc == UScript.HIRAGANA) m |= (1 << 19);
+      if (UCharacter.hasBinaryProperty(cp, UProperty.IDEOGRAPHIC)) m |= (1 << 20);
+      if (sc == UScript.HAN) m |= (1 << 21);
+      if (UCharacter.getIntPropertyValue(cp, UProperty.GRAPHEME_CLUSTER_BREAK) == gcbControl)
+        m |= (1 << 22);
+      if (UCharacter.getIntPropertyValue(cp, UProperty.LINE_BREAK) == saVal)
+        m |= (1 << 23);
+      if (UCharacter.hasBinaryProperty(cp, UProperty.EMOJI)) m |= (1 << 24);
+      int gc = UCharacter.getType(cp);
+      if (gc == UCharacter.COMBINING_SPACING_MARK
+          || gc == UCharacter.NON_SPACING_MARK
+          || gc == UCharacter.ENCLOSING_MARK) m |= (1 << 25);
+      mask[cp] = m;
+      script[cp] = (short) sc;
+    }
+    DataOutputStream out = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(args[0])));
+    for (int cp = 0; cp < N; cp++) out.writeInt(mask[cp]);
+    for (int cp = 0; cp < N; cp++) out.writeShort(script[cp]);
+    // script extensions beyond the primary script
+    BitSet bs = new BitSet();
+    StringBuilder sb = new StringBuilder();
+    int nExt = 0;
+    ByteArrayOutputStream extBytes = new ByteArrayOutputStream();
+    DataOutputStream ext = new DataOutputStream(extBytes);
+    for (int cp = 0; cp < N; cp++) {
+      bs.clear();
+      UScript.getScriptExtensions(cp, bs);
+      int prim = script[cp];
+      boolean nontrivial = false;
+      for (int s = bs.nextSetBit(0); s >= 0; s = bs.nextSetBit(s + 1))
+        if (s != prim) { nontrivial = true; break; }
+      if (!nontrivial) continue;
+      nExt++;
+      ext.writeInt(cp);
+      ext.writeInt(bs.cardinality());
+      for (int s = bs.nextSetBit(0); s >= 0; s = bs.nextSetBit(s + 1))
+        ext.writeShort((short) s);
+    }
+    out.writeInt(nExt);
+    out.write(extBytes.toByteArray());
+    out.writeInt(UScript.COMMON); out.writeInt(UScript.INHERITED);
+    out.writeInt(UScript.HANGUL); out.writeInt(UScript.HIRAGANA);
+    out.writeInt(UScript.JAPANESE); out.writeInt(UScript.MYANMAR);
+    out.close();
+  }
+}
+"""
+
+BITS = [
+    "CR", "LF", "Newline", "ExtendWB", "ZWJ", "RI", "Format",
+    "KatakanaWB", "Hebrew", "ALetter", "SQ", "DQ", "MidNumLet",
+    "MidLetter", "MidNum", "NumericWB", "ExtendNumLet", "WSegSpace",
+    "ExtPict", "Hiragana", "Ideographic", "Han", "ControlGCB",
+    "ComplexContext", "Emoji", "MarkGC",
+]
+
+
+def main() -> None:
+    jar = "/opt/spark-4.1.2-bin-hadoop3/jars/icu4j-77.1.jar"
+    work = "/tmp/icu_wb_extract"
+    os.makedirs(work, exist_ok=True)
+    with open(os.path.join(work, "ExtractWB.java"), "w") as f:
+        f.write(HARNESS)
+    subprocess.run(
+        ["javac", "-cp", jar, "ExtractWB.java"], cwd=work, check=True
+    )
+    raw_path = os.path.join(work, "wb.bin")
+    subprocess.run(
+        ["java", "-cp", f"{jar}:.", "ExtractWB", raw_path],
+        cwd=work, check=True,
+    )
+    with open(raw_path, "rb") as f:
+        data = f.read()
+    n = 0x110000
+    mask = np.frombuffer(data, dtype=">i4", count=n).astype(np.uint32)
+    off = n * 4
+    script = np.frombuffer(data, dtype=">i2", count=n, offset=off).astype(
+        np.int16
+    )
+    off += n * 2
+    n_ext = int(np.frombuffer(data, dtype=">i4", count=1, offset=off)[0])
+    off += 4
+    ext_cp = np.empty(n_ext, dtype=np.int32)
+    ext_off = np.zeros(n_ext + 1, dtype=np.int64)
+    vals = []
+    for i in range(n_ext):
+        cp = int(np.frombuffer(data, dtype=">i4", count=1, offset=off)[0])
+        cnt = int(
+            np.frombuffer(data, dtype=">i4", count=1, offset=off + 4)[0]
+        )
+        off += 8
+        v = np.frombuffer(data, dtype=">i2", count=cnt, offset=off).astype(
+            np.int16
+        )
+        off += cnt * 2
+        ext_cp[i] = cp
+        vals.append(v)
+        ext_off[i + 1] = ext_off[i] + cnt
+    consts = np.frombuffer(data, dtype=">i4", count=6, offset=off).astype(
+        np.int32
+    )
+    ext_val = (
+        np.concatenate(vals) if vals else np.empty(0, dtype=np.int16)
+    )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "lucene_spark", "functions", "icu_wordbreak.npz",
+    )
+    np.savez_compressed(
+        out, mask=mask, script=script, ext_cp=ext_cp, ext_off=ext_off,
+        ext_val=ext_val, consts=consts,
+    )
+    print(
+        f"wrote {out}: {n_ext} ext rows, consts={consts.tolist()}, "
+        f"size={os.path.getsize(out)}"
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,228 @@
+"""Generate ICUTokenizer goldens from the COMPILED reference classes.
+
+The reference's rule-based segmentation stack (ScriptIterator +
+CharArrayIterator + BreakIteratorWrapper + CompositeBreakIterator,
+``lucene/analysis/icu/src/java/.../segmentation/``) compiles cleanly
+against the icu4j jar shipped with Spark; the break iterator itself is
+compiled at runtime FROM THE REFERENCE'S OWN RULE SOURCE
+(``src/data/uax29/Default.rbbi``) via icu4j's public
+``new RuleBasedBreakIterator(String rules)``. The harness replays
+``ICUTokenizer.incrementTokenBuffer`` (skip rule-status-0 ranges, type
+from DefaultICUTokenizerConfig.getType) over a deterministic
+mixed-script corpus and writes
+``tests/fixtures/icu_tokenizer_goldens.json.gz``:
+{text: [[term, type, script_code], ...]}.
+
+Config pinned: DefaultICUTokenizerConfig(cjkAsWords=false,
+myanmarAsWords=true) — the pure rule-based configuration (no
+dictionary break engines anywhere; the JAPANESE arm of
+getBreakIterator is unreachable because ScriptIterator never returns
+the JAPANESE composite script when combineCJ is false).
+
+Run: python tools/icu_tokenizer_goldens.py
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import random
+import subprocess
+import sys
+
+REF_SEG = (
+    "/root/reference/lucene/analysis/icu/src/java/org/apache/lucene/"
+    "analysis/icu/segmentation"
+)
+RBBI = "/root/reference/lucene/analysis/icu/src/data/uax29/Default.rbbi"
+JAR = "/opt/spark-4.1.2-bin-hadoop3/jars/icu4j-77.1.jar"
+
+MAIN = r"""
+package org.apache.lucene.analysis.icu.segmentation;
+
+import com.ibm.icu.lang.UScript;
+import com.ibm.icu.text.BreakIterator;
+import com.ibm.icu.text.RuleBasedBreakIterator;
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import java.nio.file.*;
+
+public class GoldenMain {
+  public static void main(String[] args) throws Exception {
+    String rules = new String(
+        Files.readAllBytes(Paths.get(args[0])), StandardCharsets.UTF_8);
+    final RuleBasedBreakIterator rbbi = new RuleBasedBreakIterator(rules);
+    ICUTokenizerConfig config = new ICUTokenizerConfig() {
+      public boolean combineCJ() { return false; }
+      public RuleBasedBreakIterator getBreakIterator(int script) {
+        return (RuleBasedBreakIterator) rbbi.clone();
+      }
+      public String getType(int script, int ruleStatus) {
+        switch (ruleStatus) {
+          case RuleBasedBreakIterator.WORD_IDEO: return "<IDEOGRAPHIC>";
+          case RuleBasedBreakIterator.WORD_KANA:
+            return script == UScript.HIRAGANA ? "<HIRAGANA>" : "<KATAKANA>";
+          case RuleBasedBreakIterator.WORD_LETTER:
+            return script == UScript.HANGUL ? "<HANGUL>" : "<ALPHANUM>";
+          case RuleBasedBreakIterator.WORD_NUMBER: return "<NUM>";
+          case ICUTokenizerConfig.EMOJI_SEQUENCE_STATUS: return "<EMOJI>";
+          default: return "<OTHER>";
+        }
+      }
+    };
+    CompositeBreakIterator breaker = new CompositeBreakIterator(config);
+    BufferedReader in = new BufferedReader(
+        new InputStreamReader(System.in, StandardCharsets.UTF_8));
+    PrintWriter outw = new PrintWriter(new BufferedWriter(
+        new OutputStreamWriter(System.out, StandardCharsets.UTF_8)));
+    String line;
+    while ((line = in.readLine()) != null) {
+      byte[] raw = new byte[line.length() / 2];
+      for (int i = 0; i < raw.length; i++)
+        raw[i] = (byte) Integer.parseInt(line.substring(2*i, 2*i+2), 16);
+      String text = new String(raw, StandardCharsets.UTF_8);
+      char[] buf = text.toCharArray();
+      breaker.setText(buf, 0, buf.length);
+      StringBuilder sb = new StringBuilder();
+      int start = breaker.current();
+      int end = breaker.next();
+      while (end != BreakIterator.DONE) {
+        if (breaker.getRuleStatus() != 0) {
+          String term = new String(buf, start, end - start);
+          byte[] tb = term.getBytes(StandardCharsets.UTF_8);
+          for (byte b : tb) sb.append(String.format("%02x", b));
+          sb.append(',')
+            .append(config.getType(
+                breaker.getScriptCode(), breaker.getRuleStatus()))
+            .append(',').append(breaker.getScriptCode()).append(';');
+        }
+        start = end;
+        end = breaker.next();
+      }
+      outw.println(sb);
+    }
+    outw.flush();
+  }
+}
+"""
+
+# fragment pools per writing system / rule family
+LATIN = ["hello", "world", "don't", "it's", "U.S.A", "x", "Spark",
+         "joined", "query", "re-index", "naive", "café", "résumé"]
+NUM = ["3.14", "1,000", "42", "7", "2026", "0x1f", "12:30", "1_000"]
+HEBREW = ["שלום", "אב'", "א\"ב",
+          "מים"]
+ARABIC = ["مرحبا", "كتاب"]
+CYR = ["привет", "мир"]
+GREEK = ["γεια", "κόσμο"]
+HAN = ["中文", "漢字測試", "一"]
+HIRA = ["あいう", "かな"]
+KATA = ["カタカナ", "テスト"]
+HANGUL = ["한글", "안녕하세요"]
+THAI = ["สวัสดี",
+        "ภาษาไทย"]
+LAO = ["ສວັສດີ"]
+MYANMAR = ["မင်ဂလာပါ"]
+DEVA = ["नमस्ते", "हिंदी"]
+EMOJI = ["\U0001f600", "\U0001f469‍\U0001f4bb",
+         "\U0001f1fa\U0001f1f8", "©️", "#⃣", "3⃣",
+         "\U0001f3f3️‍\U0001f308"]
+MARKS = ["é", "äb", "न्न"]
+SEP = [" ", "  ", "\n", "\r\n", "\t", ". ", ", ", "-", "_", "'", '"',
+       "　", ""]
+# THAI/LAO/MYANMAR are excluded: icu4j routes $dictionary characters
+# through its built-in dictionary break engines even for
+# rule-compiled iterators, so their reference behavior is
+# dictionary-bound — the declared-out half of the deviation. The
+# goldens cover exactly the rule-based scripts the port claims.
+POOLS = [LATIN, NUM, HEBREW, ARABIC, CYR, GREEK, HAN, HIRA, KATA,
+         HANGUL, DEVA, EMOJI, MARKS]
+
+
+def corpus(n: int = 2600, seed: int = 42) -> list[str]:
+    rng = random.Random(seed)
+    texts = []
+    # every fragment alone
+    for pool in POOLS:
+        texts.extend(pool)
+    # randomized concatenations, 2-8 fragments, mixed separators.
+    # Two KATAKANA fragments are never joined with the empty
+    # separator: a multi-word kana RUN is subdivided by icu4j's CJK
+    # dictionary engine (the declared-out class — same as Thai), so
+    # such texts would golden dictionary behavior, not the rules.
+    while len(texts) < n:
+        k = rng.randint(2, 8)
+        parts = []
+        prev_kata = False
+        for _ in range(k):
+            pool = rng.choice(POOLS)
+            frag = rng.choice(pool)
+            sep = rng.choice(SEP)
+            if prev_kata and pool is KATA and parts and parts[-1] == "":
+                parts[-1] = " "
+            parts.append(frag)
+            parts.append(sep)
+            prev_kata = pool is KATA
+        texts.append("".join(parts))
+    # dedupe preserving order
+    seen = set()
+    out = []
+    for t in texts:
+        if t and t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def main() -> None:
+    work = "/tmp/icu_tok_golden"
+    pkg = os.path.join(
+        work, "org", "apache", "lucene", "analysis", "icu",
+        "segmentation",
+    )
+    os.makedirs(pkg, exist_ok=True)
+    for f in ("ScriptIterator.java", "CharArrayIterator.java",
+              "BreakIteratorWrapper.java", "CompositeBreakIterator.java",
+              "ICUTokenizerConfig.java"):
+        with open(os.path.join(REF_SEG, f), "rb") as src, open(
+            os.path.join(pkg, f), "wb"
+        ) as dst:
+            dst.write(src.read())
+    with open(os.path.join(pkg, "GoldenMain.java"), "w") as f:
+        f.write(MAIN)
+    subprocess.run(
+        ["javac", "-encoding", "UTF-8", "-cp", JAR]
+        + [os.path.join(pkg, f) for f in os.listdir(pkg) if f.endswith(".java")],
+        check=True,
+    )
+    texts = corpus()
+    stdin = "".join(t.encode("utf-8").hex() + "\n" for t in texts)
+    res = subprocess.run(
+        ["java", "-cp", f"{JAR}:{work}",
+         "org.apache.lucene.analysis.icu.segmentation.GoldenMain", RBBI],
+        input=stdin.encode(), capture_output=True, check=True,
+    )
+    lines = res.stdout.decode().splitlines()
+    assert len(lines) == len(texts), (len(lines), len(texts))
+    goldens = {}
+    for t, ln in zip(texts, lines):
+        toks = []
+        for item in ln.split(";"):
+            if not item:
+                continue
+            hx, ty, sc = item.split(",")
+            toks.append([bytes.fromhex(hx).decode("utf-8"), ty, int(sc)])
+        goldens[t] = toks
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "icu_tokenizer_goldens.json.gz",
+    )
+    with gzip.open(out, "wt", encoding="utf-8") as f:
+        json.dump(goldens, f, ensure_ascii=False)
+    n_tok = sum(len(v) for v in goldens.values())
+    print(f"wrote {out}: {len(goldens)} texts, {n_tok} tokens")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
