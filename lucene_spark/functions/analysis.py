@@ -162,7 +162,8 @@ def analyze(
     return terms, positions
 
 
-def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None):
+def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None,
+                   want_offsets=False):
     """Batch analyze a pandas Series of strings.
 
     Returns (list_of_term_lists, list_of_position_lists) — the batch
@@ -172,7 +173,23 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
     ``chain`` (a ``functions.lang.AnalyzerChain``) supersedes
     stopwords/stem and applies the full per-language chain
     (elision → lower → stop → normalize → stem).
+
+    ``want_offsets=True`` additionally returns per-kept-token (start,
+    end) CODE-POINT offsets as a third list (the
+    ``IndexOptions..._AND_OFFSETS`` analog) — every row then goes
+    through the typed lockstep DFA (the fast whitespace path cannot
+    produce offsets); only tokenizer-owning-free chains support it
+    (stream/custom-tokenizer chains own their own text views).
     """
+    if want_offsets and chain is not None and (
+        chain.stream is not None
+        or chain.stream_batch is not None
+        or chain.tokenizer is not None
+        or chain.tokenizer_batch is not None
+    ):
+        raise ValueError(
+            "offsets are only supported for standard-tokenizer chains"
+        )
     stop = stopwords if stopwords is not None else frozenset()
     if stem:
         from .stemmer import porter_stem
@@ -234,7 +251,7 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
             # chain-owned tokenizer (URL/email grammar): never the
             # whitespace fast path, never the standard DFA
             tok_lists[i] = custom_tok(t)
-        elif _FAST_SAFE_RE.match(t):
+        elif _FAST_SAFE_RE.match(t) and not want_offsets:
             tok_lists[i] = tokenize(t.lower() if trivial else t)
         else:
             dfa_rows.append(i)
@@ -247,7 +264,9 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
         # stream chains (CJK bigrams) dispatch on the TypeAttribute, so
         # keep the DFA actions for those rows; ASCII fast-path rows
         # keep types=None (provably no CJK present)
-        if chain is not None and chain.stream is not None:
+        if want_offsets or (
+            chain is not None and chain.stream is not None
+        ):
             from .uax29 import tokenize_dfa_batch_typed
 
             toks_b, _incs, acts_b, offs_b = tokenize_dfa_batch_typed(
@@ -265,6 +284,7 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
                 tok_lists[i] = tl
     terms_col = []
     pos_col = []
+    off_col = [] if want_offsets else None
     for row_i, toks in enumerate(tok_lists):
         terms: list[str] = []
         positions: list[int] = []
@@ -303,4 +323,9 @@ def analyze_series(texts, stopwords=None, lowercase=True, stem=False, chain=None
                 positions.append(pos)
         terms_col.append(terms)
         pos_col.append(positions)
+        if want_offsets:
+            offs = off_lists[row_i] or []
+            off_col.append([offs[p] for p in positions])
+    if want_offsets:
+        return terms_col, pos_col, off_col
     return terms_col, pos_col

@@ -210,6 +210,46 @@ def unpack_pos_block(buf: bytes, total_occurrences: int) -> np.ndarray:
     return unpack_bits(buf[2:], bits, total_occurrences).astype(np.int64)
 
 
+def _for_block_len(buf: bytes, n: int, offset: int = 0) -> int:
+    """Byte length of one FOR/ALL_ONES sub-block holding ``n`` values
+    starting at ``offset`` in ``buf`` (for sequentially-concatenated
+    sub-blocks like the offsets payload)."""
+    enc = buf[offset]
+    if enc == ENC_ALL_ONES:
+        return 1
+    bits = buf[offset + 1]
+    return 2 + (n * bits + 7) // 8
+
+
+def pack_off_block(
+    starts: np.ndarray, ends: np.ndarray, freqs: np.ndarray
+) -> bytes:
+    """Char-offset payload for one posting block — the opt-in
+    ``IndexOptions..._AND_OFFSETS`` analog: per occurrence (start,
+    end), stored as delta-encoded starts (grouped per doc like
+    positions) followed by FOR-packed token lengths. Units are CODE
+    POINTS (declared deviation: Lucene stores UTF-16 units; identical
+    on BMP-only/ASCII text)."""
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    s_block = pack_pos_block(encode_position_deltas(starts, freqs))
+    l_block = pack_pos_block(ends - starts)
+    return s_block + l_block
+
+
+def unpack_off_block(
+    buf: bytes, freqs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) per occurrence for one posting block."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    n = int(freqs.sum())
+    s_len = _for_block_len(buf, n)
+    s_deltas = unpack_pos_block(buf[:s_len], n)
+    starts = decode_position_deltas(s_deltas, freqs)
+    lens = unpack_pos_block(buf[s_len:], n)
+    return starts, starts + lens
+
+
 def encode_position_deltas(positions: np.ndarray, freqs: np.ndarray) -> np.ndarray:
     """Flat positions (grouped per doc, each group ascending) -> deltas.
 

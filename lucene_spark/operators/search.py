@@ -506,6 +506,8 @@ def _make_unpack_kernel(
     k_for_pruning,
     time_budget_ms=None,
     theta_rest=None,
+    block_keys=None,
+    block_ranges=None,
 ):
     """mapInArrow kernel: block rows -> scored posting rows.
 
@@ -557,6 +559,40 @@ def _make_unpack_kernel(
         expired = False
 
         for batch in batches:
+            if block_keys is not None or block_ranges is not None:
+                # driver-planned keep filter: the scan pushed only the
+                # cheap term filter into parquet (row-group pruning on
+                # term min/max); exact membership — a set lookup per
+                # block, or docid-range overlap against the lead's
+                # merged bucket ranges — runs BEFORE the Arrow→Python
+                # blob conversion. A many-branch catalyst predicate
+                # measured 3-5x slower (build + per-row evaluation).
+                s_l = batch.column("segment_id").to_pylist()
+                if block_keys is not None:
+                    t_l = batch.column("term").to_pylist()
+                    b_l = batch.column("block_id").to_pylist()
+                    keep_idx = [
+                        j for j in range(len(s_l))
+                        if (t_l[j], s_l[j], b_l[j]) in block_keys
+                    ]
+                else:
+                    import bisect as _bisect
+
+                    f_l = batch.column("first_docid").to_pylist()
+                    l_l = batch.column("last_docid").to_pylist()
+                    keep_idx = []
+                    for j in range(len(s_l)):
+                        rngs = block_ranges.get(s_l[j])
+                        if not rngs:
+                            continue
+                        starts_r, ends_r = rngs
+                        p = _bisect.bisect_right(starts_r, l_l[j]) - 1
+                        if p >= 0 and ends_r[p] >= f_l[j]:
+                            keep_idx.append(j)
+                if not keep_idx:
+                    continue
+                if len(keep_idx) < len(s_l):
+                    batch = batch.take(pa.array(keep_idx, pa.int32()))
             terms = batch.column("term").to_pylist()
             first = batch.column("first_docid").to_numpy(zero_copy_only=False)
             nums = batch.column("num_docs").to_numpy(zero_copy_only=False)
@@ -997,6 +1033,9 @@ class Searcher(QueryOpsMixin):
         from .deletes import read_tombstones
 
         self._tombstones = read_tombstones(spark, self.catalog)
+        # per-reader skip-data memo (_collect_block_meta): immutable
+        # for this point-in-time reader's lifetime
+        self._block_meta_memo: dict = {}
         # reader-core identity for LRUQueryCache keying: the manifest
         # generation this reader was opened at (NOT call-time — the
         # snapshot must keep hitting its own cache entries after later
@@ -1197,16 +1236,34 @@ class Searcher(QueryOpsMixin):
             "doc_block", "freq_block", "norm_block",
             "impact_freqs", "impact_norms", "pos_block",
         ]
-        posts = (
-            self._postings.where(F.col("term").isin(present))
-            .join(
-                blocks.select("term", "segment_id", "block_id").distinct(),
-                ["term", "segment_id", "block_id"],
-                "left_semi",
+        keys = blocks.select("term", "segment_id", "block_id").distinct()
+        # bounded collect → kernel-closure keep set (one set lookup
+        # per block before pos_block conversion) instead of a shuffle
+        # semi-join against the whole postings table; past the cap the
+        # distributed semi-join takes over (web-scale candidate sets)
+        head = keys.limit(self._META_COLLECT_MAX + 1).collect()
+        if len(head) <= self._META_COLLECT_MAX:
+            keep_set = frozenset(
+                (r["term"], int(r["segment_id"]), int(r["block_id"]))
+                for r in head
             )
-            .select(*cols)
-        )
-        kernel, _ = _make_unpack_kernel(scorers, self.dtype, True, None)
+            posts = self._postings.where(
+                F.col("term").isin(present)
+            ).select(*cols)
+            kernel, _ = _make_unpack_kernel(
+                scorers, self.dtype, True, None, block_keys=keep_set
+            )
+        else:
+            posts = (
+                self._postings.where(F.col("term").isin(present))
+                .join(
+                    keys,
+                    ["term", "segment_id", "block_id"],
+                    "left_semi",
+                )
+                .select(*cols)
+            )
+            kernel, _ = _make_unpack_kernel(scorers, self.dtype, True, None)
         return self._filter_live(
             posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
         )
@@ -1247,14 +1304,59 @@ class Searcher(QueryOpsMixin):
         ).drop(docs["segment_id"]).drop(docs["local_docid"])
 
     def _finish_topk(self, scored: DataFrame, k: int) -> DataFrame:
-        """Global top-k with (score desc, docid asc) tie-break, then url."""
+        """Global top-k with (score desc, docid asc) tie-break, then url.
+
+        For collector-sized k the top rows are collected FIRST and the
+        stored-field (url) fetch becomes a ≤k-docid literal lookup
+        into the docs table — parquet row-group stats on
+        (segment, local_docid) prune the scan to a handful of pages,
+        replacing a full docs-table join that cost as much as the
+        whole scoring pass at multi-million-doc corpora. Large k
+        (export-style) keeps the distributed join."""
         scored = scored.withColumn("local_docid", F.col("docid"))
         g = self._globalize(scored)
         top = g.orderBy(F.desc("score"), F.asc("docid")).limit(k)
-        out = self._attach_urls(top)
-        return out.select("docid", "url", "score").orderBy(
-            F.desc("score"), F.asc("docid")
+        if k > 1024:
+            out = self._attach_urls(top)
+            return out.select("docid", "url", "score").orderBy(
+                F.desc("score"), F.asc("docid")
+            )
+        rows = top.select(
+            "segment_id", "local_docid", "docid", "score"
+        ).collect()
+        schema = "docid long, url string, score " + (
+            "float" if self.dtype == np.float32 else "double"
         )
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        by_seg: dict[int, list[int]] = {}
+        for r in rows:
+            by_seg.setdefault(int(r["segment_id"]), []).append(
+                int(r["local_docid"])
+            )
+        pred = None
+        for s_id, ds in by_seg.items():
+            c = (F.col("segment_id") == s_id) & F.col(
+                "local_docid"
+            ).isin(ds)
+            pred = c if pred is None else (pred | c)
+        url_of = {
+            (int(r["segment_id"]), int(r["local_docid"])): r["url"]
+            for r in self._docs.select(
+                "segment_id", "local_docid", "url"
+            )
+            .where(pred)
+            .collect()
+        }
+        out_rows = [
+            (
+                int(r["docid"]),
+                url_of[(int(r["segment_id"]), int(r["local_docid"]))],
+                float(r["score"]),
+            )
+            for r in rows
+        ]
+        return self.spark.createDataFrame(out_rows, schema)
 
     # ------------------------------------------------------------------
     # explain
@@ -1796,9 +1898,6 @@ class Searcher(QueryOpsMixin):
         """Exact sparse-lead AND: decode + collect the lead clause,
         then decode other clauses only in blocks overlapping the
         lead's 8K-docid buckets, keeping exactly the lead docids."""
-        import functools
-        import operator
-
         lead_rows = (
             self.scored_postings([lead])
             .select("segment_id", "docid", "score")
@@ -1817,37 +1916,33 @@ class Searcher(QueryOpsMixin):
             by_seg.setdefault(s, []).append(d)
             lead_score[(s, d)] = float(r["score"])
         B = self._BUCKET
-        pred = None
-        doc_pred = None
+        # per-segment merged bucket ranges, shipped in the kernel
+        # closure: the scan pushes only the term filter (parquet
+        # row-group pruning); block span-overlap runs in-kernel before
+        # blob conversion. Lead-docid exactness comes from the final
+        # inner join against the broadcast lead frame.
+        block_ranges = {}
         for s, ds in by_seg.items():
             ranges = _merge_ranges(
                 sorted({((d // B) * B, (d // B) * B + B - 1) for d in ds})
             )
-            c = (F.col("segment_id") == s) & functools.reduce(
-                operator.or_,
-                [
-                    (F.col("first_docid") <= hi)
-                    & (F.col("last_docid") >= lo)
-                    for lo, hi in ranges
-                ],
+            block_ranges[s] = (
+                [lo for lo, _ in ranges], [hi for _, hi in ranges],
             )
-            pred = c if pred is None else (pred | c)
-            dc = (F.col("segment_id") == s) & F.col("docid").isin(ds)
-            doc_pred = dc if doc_pred is None else (doc_pred | dc)
         cols = [
-            "term", "segment_id", "block_id", "first_docid", "num_docs",
-            "doc_block", "freq_block", "norm_block",
-            "impact_freqs", "impact_norms",
+            "term", "segment_id", "block_id", "first_docid",
+            "last_docid", "num_docs", "doc_block", "freq_block",
+            "norm_block", "impact_freqs", "impact_norms",
         ]
-        posts = (
-            self._postings.where(F.col("term").isin(others))
-            .where(pred)
-            .select(*cols)
+        posts = self._postings.where(F.col("term").isin(others)).select(
+            *cols
         )
-        kernel, _ = _make_unpack_kernel(scorers, self.dtype, False, None)
+        kernel, _ = _make_unpack_kernel(
+            scorers, self.dtype, False, None, block_ranges=block_ranges
+        )
         rows = self._filter_live(
             posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
-        ).where(doc_pred)
+        )
         agg = (
             rows.groupBy("segment_id", "docid")
             .agg(
@@ -1873,17 +1968,26 @@ class Searcher(QueryOpsMixin):
         final = self._finish_topk(scored, k)
         out = final.collect()
         if stats_out is not None:
+            import bisect as _bisect
+
             n_lead_blocks = (
                 self._postings.where(F.col("term") == lead).count()
             )
-            n_other_total = (
-                self._postings.where(F.col("term").isin(others)).count()
-            )
-            n_other_dec = (
+            ometa = (
                 self._postings.where(F.col("term").isin(others))
-                .where(pred)
-                .count()
+                .select("segment_id", "first_docid", "last_docid")
+                .collect()
             )
+            n_other_total = len(ometa)
+            n_other_dec = 0
+            for r in ometa:
+                rngs = block_ranges.get(int(r["segment_id"]))
+                if not rngs:
+                    continue
+                starts_r, ends_r = rngs
+                p = _bisect.bisect_right(starts_r, int(r["last_docid"])) - 1
+                if p >= 0 and ends_r[p] >= int(r["first_docid"]):
+                    n_other_dec += 1
             stats_out["plan"] = "conjunction_sparse_lead"
             stats_out["blocks_total"] = n_lead_blocks + n_other_total
             stats_out["blocks_decoded"] = n_lead_blocks + n_other_dec
@@ -1928,7 +2032,16 @@ class Searcher(QueryOpsMixin):
         last = np.array(
             [r["last_docid"] for r in meta_rows], dtype=np.int64
         )
-        ub = np.array([r["ub"] for r in meta_rows], dtype=np.float64)
+        dtype = self.dtype
+        ub = np.array(
+            [
+                scorers[r["term"]].max_from_impacts(
+                    r["impact_freqs"], r["impact_norms"], dtype
+                )
+                for r in meta_rows
+            ],
+            dtype=np.float64,
+        )
 
         t_of = {t: i for i, t in enumerate(present)}
         tidx = np.array([t_of[t] for t in terms_a], dtype=np.int64)
@@ -1997,53 +2110,24 @@ class Searcher(QueryOpsMixin):
                 stats_out["blocks_decoded"] = int(len(kidx))
             if len(kidx) == 0:
                 rows = self._empty_scored()
-            elif len(kidx) <= 1024:
-                # literal predicate → parquet row-group pruning skips
-                # the pruned blocks' binary columns entirely
-                by_ts: dict[tuple, list[int]] = {}
-                for i in kidx:
-                    by_ts.setdefault(
-                        (terms_a[i], int(seg[i])), []
-                    ).append(int(blk[i]))
-                pred = None
-                for (t, s_id), bids in by_ts.items():
-                    c = (
-                        (F.col("term") == t)
-                        & (F.col("segment_id") == s_id)
-                        & F.col("block_id").isin(bids)
-                    )
-                    pred = c if pred is None else (pred | c)
-                posts = (
-                    self._postings.where(F.col("term").isin(present))
-                    .where(pred)
-                    .select(*cols)
-                )
-                kernel, _ = _make_unpack_kernel(
-                    scorers, self.dtype, False, None
-                )
-                rows = self._filter_live(
-                    posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
-                )
             else:
-                keys_df = self.spark.createDataFrame(
-                    [
-                        (str(terms_a[i]), int(seg[i]), int(blk[i]))
-                        for i in kidx
-                    ],
-                    "term string, segment_id long, block_id int",
+                # keep-set shipped IN the kernel closure: the scan
+                # pushes only the term filter (parquet row-group
+                # pruning on term — the dictionary-seek analog) and
+                # the kernel drops non-kept blocks with one set
+                # lookup each, before any blob conversion. A
+                # many-branch literal predicate measured 3-5x slower
+                # (catalyst build + per-row evaluation) at 2.56M docs.
+                keep_set = frozenset(
+                    (str(terms_a[i]), int(seg[i]), int(blk[i]))
+                    for i in kidx
                 )
-                posts = (
-                    self._postings.where(F.col("term").isin(present))
-                    .join(
-                        keys_df,
-                        ["term", "segment_id", "block_id"],
-                        "left_semi",
-                    )
-                    .select(*cols)
-                )
+                posts = self._postings.where(
+                    F.col("term").isin(present)
+                ).select(*cols)
                 kernel, _ = _make_unpack_kernel(
                     scorers, self.dtype, False, None,
-                    theta_rest=(float(theta0), dict(f_rest)),
+                    block_keys=keep_set,
                 )
                 rows = self._filter_live(
                     posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
@@ -2383,21 +2467,24 @@ class Searcher(QueryOpsMixin):
             and not mn_terms
             and self._tombstones is None
         ):
-            meta_f = self._block_meta(present, scorers)
             # driver-side planning when the query terms' block
             # metadata fits a bounded collect (~25 MB at the cap):
             # θ, per-term rest bounds, and the per-bucket keep set are
             # all numpy over collected skip data — exactly how a
             # Lucene searcher consults in-memory impacts — replacing
-            # the window job and two metadata shuffles. Web-scale
-            # terms (beyond the cap: ~67M postings across the query's
-            # clauses) fall through to the distributed plan.
-            head = meta_f.limit(self._META_COLLECT_MAX + 1).collect()
+            # the window job and two metadata shuffles. The RAW
+            # impact columns are collected and the per-block UBs
+            # computed on the driver (no Python-worker stage at all).
+            # Web-scale terms (beyond the cap: ~67M postings across
+            # the query's clauses) fall through to the distributed
+            # plan.
+            head = self._collect_block_meta(present, with_impacts=True)
             if len(head) <= self._META_COLLECT_MAX:
                 res = self._disjunction_driver_planned(
                     head, present, scorers, k, bucket_rest, stats_out
                 )
             else:
+                meta_f = self._block_meta(present, scorers)
                 res = self._disjunction_fast_distributed(
                     meta_f, present, scorers, k, bucket_rest, stats_out
                 )
@@ -2993,6 +3080,63 @@ class Searcher(QueryOpsMixin):
             )
         return self._finish_topk(self.scored_sloppy_phrase(terms, slop), k)
 
+    # phrase verification doc sets up to this size are planned on the
+    # driver (block cover via searchsorted over collected block meta)
+    _PHRASE_KEYS_CAP = 200_000
+
+    def _collect_block_meta(self, terms: list[str], with_impacts: bool):
+        """Bounded collect of the query terms' block metadata, MEMOIZED
+        per Searcher — a Searcher is a point-in-time reader (never
+        reused across index mutations, per the term_stats contract),
+        so skip data is immutable for its lifetime, exactly like the
+        in-memory skip/impact structures a Lucene searcher holds.
+        Returns the row list, possibly cap+1 long (callers treat that
+        as 'too big, go distributed')."""
+        key = (tuple(sorted(terms)), with_impacts)
+        cached = self._block_meta_memo.get(key)
+        if cached is not None:
+            return cached
+        cols = [
+            "term", "segment_id", "block_id", "first_docid",
+            "last_docid",
+        ]
+        if with_impacts:
+            cols += ["impact_freqs", "impact_norms"]
+        rows = (
+            self._postings.where(F.col("term").isin(list(terms)))
+            .select(*cols)
+            .limit(self._META_COLLECT_MAX + 1)
+            .collect()
+        )
+        if len(self._block_meta_memo) < 64:
+            self._block_meta_memo[key] = rows
+        return rows
+
+    def _decode_pos_blocks(self, terms, keep_set):
+        """Decode + score WITH positions; ``keep_set`` (term,
+        segment_id, block_id) triples filter blocks IN the kernel
+        (None = all blocks of the terms)."""
+        stats = self.term_stats(terms)
+        present = [t for t in terms if t in stats]
+        scorers = _bind_scorers(
+            stats, self.field_stats, self.k1, self.b, 1.0, self.dtype,
+            self.similarity,
+        )
+        cols = [
+            "term", "segment_id", "block_id", "first_docid", "num_docs",
+            "doc_block", "freq_block", "norm_block",
+            "impact_freqs", "impact_norms", "pos_block",
+        ]
+        posts = self._postings.where(F.col("term").isin(present)).select(
+            *cols
+        )
+        kernel, _ = _make_unpack_kernel(
+            scorers, self.dtype, True, None, block_keys=keep_set
+        )
+        return self._filter_live(
+            posts.mapInArrow(kernel, schema=_unpack_ddl(self.dtype))
+        )
+
     def _phrase_topk_blockmax(
         self,
         terms: list[str],
@@ -3013,13 +3157,20 @@ class Searcher(QueryOpsMixin):
         per-block skyline.
 
         Plan: docid-conjunction pass (no pos_block) → per-doc upper
-        bounds → verify the top-``seed_n`` docs by bound to seed θ =
-        k-th true phrase score → decode pos_block only for blocks
-        holding a doc with ``ub ≥ θ`` (skip is STRICT ``ub < θ``; a
-        doc tying the k-th score survives, per the tie discipline).
-        Bounds are computed AFTER liveDocs filtering, so the path is
-        sound with tombstones (unlike in-kernel freq-threshold
-        pruning, which is score-order-sensitive)."""
+        bounds → verify the top docs by bound (θ-seed with geometric
+        widening — phrase hit rate is data-dependent) → decode
+        pos_block only for blocks holding a doc with ``ub ≥ θ`` (skip
+        is STRICT ``ub < θ``; ties survive, per the tie discipline).
+        The pos_block cover for a verification doc set is computed ON
+        THE DRIVER from collected block metadata (searchsorted per
+        (term, segment) — the .pos seek planned from in-memory skip
+        data) and shipped into the decode kernel as a keep set; doc
+        sets or metadata past the driver caps fall back to one
+        distributed two-phase pass. Bounds are computed AFTER liveDocs
+        filtering, so the path is sound with tombstones. Per-round
+        top-k rows are collected in GLOBAL (score desc, global docid
+        asc) order, so LIMIT-boundary ties match the exhaustive plan.
+        """
         uniq = list(dict.fromkeys(terms))
         stats = self.term_stats(uniq)
         if any(t not in stats for t in uniq):
@@ -3030,15 +3181,25 @@ class Searcher(QueryOpsMixin):
         weight, cache = self._pseudo_term_weight_cache(terms, stats)
         dtype = self.dtype
 
-        @F.pandas_udf("double")
-        def ub_score(fr, norm):
-            import pandas as pd
-
-            s = bm25.score(
-                fr.to_numpy().astype(dtype), norm.to_numpy(), weight, cache
+        # UB as a pure Catalyst expression (score = w - w/(1 + f*c[n]),
+        # monotone in f*c) — no second Python-worker stage in the
+        # candidate job. Computed in float64 and inflated by 1e-6
+        # relative so float32 rounding of TRUE scores can never exceed
+        # it (rel err ≤ 2^-24): the bound stays sound, ties stay safe.
+        cache_arr = F.array(*[F.lit(float(c)) for c in cache])
+        wt = float(weight)
+        ub_expr = (
+            (
+                F.lit(wt)
+                - F.lit(wt)
+                / (
+                    F.lit(1.0)
+                    + F.col("ub_freq").cast("double")
+                    * F.element_at(cache_arr, F.col("norm") + 1)
+                )
             )
-            return pd.Series(np.asarray(s, dtype=np.float64))
-
+            * F.lit(1.0 + 1e-6)
+        )
         first_pass = self.scored_postings(uniq, need_positions=False)
         cand = (
             first_pass.groupBy("segment_id", "docid")
@@ -3046,160 +3207,195 @@ class Searcher(QueryOpsMixin):
                 F.first("norm").alias("norm"),
                 F.min("freq").alias("ub_freq"),
                 F.countDistinct("term").alias("nt"),
-                F.collect_set(F.struct("term", "block_id")).alias("blocks"),
             )
             .where(F.col("nt") >= len(uniq))
-            .withColumn("ub", ub_score(F.col("ub_freq"), F.col("norm")))
+            .withColumn("ub", ub_expr)
             .persist()
         )
-        persisted: list[DataFrame] = [cand]
         try:
             n_cand = cand.count()
             if seed_n is None:
-                # phrase hit rate among candidates can be ~1%; a
-                # larger first round costs little decode but saves
-                # whole widening round-trips
-                seed_n = max(4 * k, 256)
+                seed_n = max(4 * k, 256, n_cand // 64)
+            seed_n = min(seed_n, self._PHRASE_KEYS_CAP)
 
-            def _prefix_keys(n: int) -> DataFrame:
-                # deterministic UB-descending prefix (TakeOrdered):
-                # prefixes nest, so each widening round's decode is a
-                # superset of the last — total seed work is a
-                # geometric series over the final round
+            meta_rows = self._collect_block_meta(uniq, with_impacts=False)
+            cover = None
+            if len(meta_rows) <= self._META_COLLECT_MAX:
+                grouped: dict = {}
+                for r in meta_rows:
+                    grouped.setdefault(
+                        (r["term"], int(r["segment_id"])), []
+                    ).append(
+                        (
+                            int(r["first_docid"]),
+                            int(r["last_docid"]),
+                            int(r["block_id"]),
+                        )
+                    )
+                cover = {
+                    key: (
+                        np.array([x[0] for x in sorted(lst)]),
+                        np.array([x[1] for x in sorted(lst)]),
+                        np.array([x[2] for x in sorted(lst)]),
+                    )
+                    for key, lst in grouped.items()
+                }
+            blocks_total = len(meta_rows)
+            decoded_keys: set = set()
+
+            def _cover_blocks(doc_rows):
+                keep = set()
+                by_seg: dict[int, list[int]] = {}
+                for r in doc_rows:
+                    by_seg.setdefault(int(r["segment_id"]), []).append(
+                        int(r["docid"])
+                    )
+                for (t, sgi), (firsts, lasts, bids) in cover.items():
+                    ds = by_seg.get(sgi)
+                    if not ds:
+                        continue
+                    da = np.array(ds, dtype=np.int64)
+                    idx = np.searchsorted(firsts, da, side="right") - 1
+                    ok = (idx >= 0) & (
+                        lasts[np.maximum(idx, 0)] >= da
+                    )
+                    for bi in np.unique(bids[idx[ok]]):
+                        keep.add((t, sgi, int(bi)))
+                return keep
+
+            def _verify(doc_rows=None, doc_df=None):
+                if doc_df is None:
+                    doc_df = self.spark.createDataFrame(
+                        [
+                            (int(r["segment_id"]), int(r["docid"]))
+                            for r in doc_rows
+                        ],
+                        "segment_id long, docid long",
+                    )
+                if doc_rows is not None and cover is not None:
+                    keep = _cover_blocks(doc_rows)
+                    decoded_keys.update(keep)
+                    pos_rows = self._decode_pos_blocks(uniq, keep)
+                else:
+                    decoded_keys.update(
+                        (r["term"], int(r["segment_id"]), int(r["block_id"]))
+                        for r in meta_rows
+                    )
+                    pos_rows = self._decode_pos_blocks(uniq, None)
+                pos_rows = pos_rows.join(
+                    F.broadcast(doc_df), ["segment_id", "docid"],
+                    "left_semi",
+                )
+                per_doc = self._pivot_positions(pos_rows, len(set(uniq)))
+                return self._phrase_match_scores(
+                    per_doc, terms, positions, slop, weight, cache
+                )
+
+            def _round_top(sc_df):
+                # GLOBAL tie order for the collected top rows — the
+                # LIMIT boundary must break ties exactly like the
+                # exhaustive plan (score desc, global docid asc)
+                g = sc_df.join(
+                    F.broadcast(self._bases_df), "segment_id"
+                ).withColumn("gdoc", F.col("doc_base") + F.col("docid"))
                 return (
-                    cand.orderBy(F.desc("ub"), "segment_id", "docid")
-                    .select("segment_id", "docid")
-                    .limit(n)
+                    g.orderBy(F.desc("score"), F.asc("gdoc"))
+                    .limit(k)
+                    .select("segment_id", "docid", "score")
+                    .collect()
                 )
 
-            # -- θ seed with geometric widening: phrase verification
-            # has a data-dependent hit rate (a candidate doc holds all
-            # terms but maybe not the phrase), so one fixed-size seed
-            # round can come up short of k true matches. Widen ×8
-            # until k matches exist or the prefix stops being a small
-            # fraction of the candidates (at which point give up
-            # pruning — TakeOrdered's single merge task must never be
-            # fed a near-full sort at scale).
+            tops: list = []
             theta = None
-            cur = min(seed_n, n_cand)
-            scored_prefix = None
             verified_all = False
-            while True:
-                keys = _prefix_keys(cur)
-                if scored_prefix is not None:
-                    scored_prefix.unpersist()
-                    persisted.remove(scored_prefix)
-                scored_prefix = self._verify_phrase_docs(
-                    cand, keys, uniq, terms, positions, slop,
-                    weight, cache,
-                ).persist()
-                persisted.append(scored_prefix)
-                top = scored_prefix.orderBy(F.desc("score")).limit(k).collect()
-                if len(top) >= k:
-                    theta = float(top[k - 1]["score"])
-                    break
-                if cur >= n_cand:
-                    verified_all = True
-                    break
-                nxt = cur * 8
-                if nxt >= max(n_cand // 2, 1):
-                    # fewer than k matches in a large prefix: verify
-                    # the remainder without an ordering pass
-                    rest_keys = cand.select("segment_id", "docid").join(
-                        keys, ["segment_id", "docid"], "left_anti"
-                    )
-                    scored_rest = self._verify_phrase_docs(
-                        cand, rest_keys, uniq, terms, positions, slop,
-                        weight, cache,
-                    )
-                    scored_prefix = scored_prefix.unionByName(scored_rest)
-                    verified_all = True
-                    cur = n_cand
-                    break
-                cur = nxt
-
-            if verified_all or theta is None or theta <= 0:
-                scored = scored_prefix
-                n_verified = n_cand
-                surv = None
-            else:
-                keys = _prefix_keys(cur)
-                surv = cand.where(F.col("ub") >= theta).join(
-                    keys, ["segment_id", "docid"], "left_anti"
-                ).persist()
-                persisted.append(surv)
-                scored = scored_prefix.unionByName(
-                    self._verify_phrase_docs(
-                        cand, surv.select("segment_id", "docid"), uniq,
-                        terms, positions, slop, weight, cache,
+            n_verified = n_cand
+            if cover is None:
+                # metadata beyond the driver cap: one distributed
+                # two-phase pass over every candidate (no pruning)
+                tops.extend(
+                    _round_top(
+                        _verify(doc_df=cand.select("segment_id", "docid"))
                     )
                 )
-                n_verified = cur + surv.count()
-            final = self._finish_topk(scored, k)
+                verified_all = True
+                cur = n_cand
+            else:
+                cur = min(seed_n, n_cand)
+                last_keys_df = None
+                while True:
+                    keys_df = (
+                        cand.orderBy(F.desc("ub"), "segment_id", "docid")
+                        .select("segment_id", "docid")
+                        .limit(cur)
+                    )
+                    last_keys_df = keys_df
+                    key_rows = keys_df.collect()
+                    top = _round_top(_verify(doc_rows=key_rows))
+                    tops.extend(top)
+                    if len(top) >= k:
+                        theta = float(top[k - 1]["score"])
+                        break
+                    if cur >= n_cand:
+                        verified_all = True
+                        break
+                    nxt = cur * 8
+                    if (
+                        nxt >= max(n_cand // 2, 1)
+                        or nxt > self._PHRASE_KEYS_CAP
+                    ):
+                        rest = cand.select("segment_id", "docid").join(
+                            keys_df, ["segment_id", "docid"], "left_anti"
+                        )
+                        tops.extend(_round_top(_verify(doc_df=rest)))
+                        verified_all = True
+                        break
+                    cur = nxt
+                if not verified_all and theta is not None:
+                    surv = cand.where(F.col("ub") >= theta).join(
+                        last_keys_df, ["segment_id", "docid"],
+                        "left_anti",
+                    )
+                    surv_rows = (
+                        surv.select("segment_id", "docid")
+                        .limit(self._PHRASE_KEYS_CAP + 1)
+                        .collect()
+                    )
+                    n_verified = cur + len(surv_rows)
+                    if surv_rows:
+                        if len(surv_rows) <= self._PHRASE_KEYS_CAP:
+                            sc2 = _verify(doc_rows=surv_rows)
+                        else:
+                            sc2 = _verify(
+                                doc_df=surv.select("segment_id", "docid")
+                            )
+                            n_verified = n_cand
+                        tops.extend(_round_top(sc2))
+
+            scored_local = self.spark.createDataFrame(
+                [
+                    (int(r["segment_id"]), int(r["docid"]), float(r["score"]))
+                    for r in tops
+                ],
+                "segment_id long, docid long, score "
+                + ("float" if dtype == np.float32 else "double"),
+            ).distinct()
+            final = self._finish_topk(scored_local, k)
             out = final.collect()
             if stats_out is not None:
-
-                def _n_blocks(c: DataFrame) -> int:
-                    return (
-                        c.select(
-                            "segment_id", F.explode("blocks").alias("b")
-                        )
-                        .select("b.term", "segment_id", "b.block_id")
-                        .distinct()
-                        .count()
-                    )
-
                 stats_out["plan"] = "phrase_doc_ub"
                 stats_out["n_candidates"] = n_cand
-                stats_out["n_verified"] = n_verified
+                stats_out["n_verified"] = (
+                    n_cand if verified_all else n_verified
+                )
                 stats_out["theta"] = (
                     float(theta) if theta is not None else None
                 )
-                stats_out["blocks_total"] = _n_blocks(cand)
-                if surv is not None:
-                    dec = cand.join(
-                        _prefix_keys(cur), ["segment_id", "docid"],
-                        "left_semi",
-                    ).unionByName(surv.select(*cand.columns))
-                    stats_out["blocks_decoded"] = _n_blocks(dec)
-                else:
-                    stats_out["blocks_decoded"] = stats_out["blocks_total"]
+                stats_out["blocks_total"] = blocks_total
+                stats_out["blocks_decoded"] = len(decoded_keys)
             return self.spark.createDataFrame(out, final.schema)
         finally:
-            for p in persisted:
-                p.unpersist()
+            cand.unpersist()
 
-    def _verify_phrase_docs(
-        self,
-        cand: DataFrame,
-        doc_keys: DataFrame,
-        uniq: list[str],
-        terms: list[str],
-        positions: list[int] | None,
-        slop: int,
-        weight,
-        cache,
-    ) -> DataFrame:
-        """Exact phrase scores for exactly the docs in ``doc_keys``:
-        pos_block is decoded only for the posting blocks that contain
-        one of those docs (the per-candidate .pos seek)."""
-        sel = cand.join(doc_keys, ["segment_id", "docid"], "left_semi")
-        blocks = (
-            sel.select("segment_id", F.explode("blocks").alias("b"))
-            .select(
-                F.col("b.term").alias("term"),
-                "segment_id",
-                F.col("b.block_id").alias("block_id"),
-            )
-            .distinct()
-        )
-        pos_rows = self._positions_for_blocks(uniq, blocks).join(
-            doc_keys, ["segment_id", "docid"], "left_semi"
-        )
-        per_doc = self._pivot_positions(pos_rows, len(set(uniq)))
-        return self._phrase_match_scores(
-            per_doc, terms, positions, slop, weight, cache
-        )
 
     def scored_intervals(
         self,
