@@ -6418,6 +6418,83 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def _q_offsets_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offsets-from-postings (round 5 — the opt-in
+    ``IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS`` analog,
+    ``core/index/IndexOptions.java``; read path
+    operators/offsets.py): a dedicated index built with
+    ``index_offsets=True`` stores per-occurrence (start, end) char
+    offsets (delta starts + FOR lengths beside pos_block); the entry
+    decodes every stored occurrence of 'window'. The ORACLE rebuilds
+    each offset as the running sum of token lengths + 1 over the
+    space-split text (the corpus is single-space ASCII, where the
+    standard chain provably equals the split) — stored offsets vs
+    string algebra, no engine echo. Note the exclusive-cumsum ROWS
+    frame (oracle-authoring rule)."""
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.offsets import term_offsets
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.sources.catalog import IndexCatalog
+    from lucene_spark.sources.web_pages import load_web_pages
+
+    idx = _index_dir(sf_dir) + "_offsets"
+    if not IndexCatalog(idx).committed_segment_ids():
+        wp = load_web_pages(spark, sf_dir).where(
+            F.col("url") < "https://example.org/doc/00000300"
+        )
+        build_index(spark, wp, idx, num_segments=4, index_offsets=True)
+    s = Searcher(spark, idx)
+    rows = term_offsets(s, ["window"])
+    docs = s._docs.select(
+        "segment_id", F.col("local_docid").alias("docid"), "url"
+    )
+    out = (
+        rows.join(docs, ["segment_id", "docid"])
+        .select(
+            _doc_id("url"),
+            F.posexplode(F.arrays_zip("starts", "ends")).alias(
+                "ord", "se"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("ord").cast("long").alias("ord"),
+            F.col("se.starts").cast("long").alias("start_off"),
+            F.col("se.ends").cast("long").alias("end_off"),
+        )
+    )
+    return out.orderBy("doc_id", "ord")
+
+
+_OFFSETS_SQL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+),
+s AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM d
+),
+t AS (
+  SELECT doc_id, toks[g.i] AS tok, CAST(g.i - 1 AS BIGINT) AS pos
+  FROM s, unnest(generate_series(1, len(toks))) AS g(i)
+),
+o AS (
+  SELECT doc_id, tok, pos,
+         SUM(len(tok) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prior
+  FROM t
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+            AS BIGINT) AS ord,
+       CAST(COALESCE(prior, 0) AS BIGINT) AS start_off,
+       CAST(COALESCE(prior, 0) + len(tok) AS BIGINT) AS end_off
+FROM o WHERE tok = 'window'
+ORDER BY doc_id, ord
+"""
+
+
 def _q_hunspell_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hunspell ICONV/OCONV + CHECKCOMPOUNDPATTERN replacement form
     (hunspell/ConvTable.java applyMappings greedy longest-match;
@@ -10938,6 +11015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "beider_morse_codes": _q_beider_morse,
         "hunspell_compound_check": _q_hunspell_compound,
         "hunspell_conv_stems": _q_hunspell_conv,
+        "offsets_postings": _q_offsets_postings,
         "icu_tokenizer_tokens": _q_icu_tokenizer,
         "hunspell_german_compound_check": _q_hunspell_german,
         "edge_ngram_tokens": _q_edge_ngram_tokens,
@@ -11883,6 +11961,7 @@ def oracle_sql() -> dict[str, str]:
         "beider_morse_codes": _BM_SQL,
         "hunspell_compound_check": _HUNSPELL_COMPOUND_SQL,
         "hunspell_conv_stems": _HUNSPELL_CONV_SQL,
+        "offsets_postings": _OFFSETS_SQL,
         "icu_tokenizer_tokens": _ICU_TOKENIZER_SQL,
         "hunspell_german_compound_check": _HUNSPELL_GERMAN_SQL,
         "edge_ngram_tokens": _EDGE_NGRAM_SQL,

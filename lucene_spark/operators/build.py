@@ -101,6 +101,7 @@ STAGE_DDL = (
     "kind tinyint, segment_id long, field string, term string, block_id int, "
     "first_docid long, last_docid long, num_docs int, block_total_tf long, "
     "doc_block binary, freq_block binary, norm_block binary, pos_block binary, "
+    "off_block binary, "
     "impact_freqs array<int>, impact_norms array<int>, "
     "url string, doclen int, norm int"
 )
@@ -120,6 +121,10 @@ STAGE_SCHEMA = pa.schema(
         ("freq_block", pa.binary()),
         ("norm_block", pa.binary()),
         ("pos_block", pa.binary()),
+        # opt-in char offsets (IndexOptions..._AND_OFFSETS analog):
+        # delta starts + FOR lengths per occurrence; None unless the
+        # build ran with index_offsets=True
+        ("off_block", pa.binary()),
         ("impact_freqs", pa.list_(pa.int32())),
         ("impact_norms", pa.list_(pa.int32())),
         ("url", pa.string()),
@@ -138,6 +143,7 @@ def _build_one_segment(
     index_sort: str = "url",
     chain=None,
     docids=None,
+    index_offsets: bool = False,
 ) -> Iterator[pa.RecordBatch]:
     """Build all rows for one segment. Pure function of (urls, texts).
 
@@ -163,7 +169,15 @@ def _build_one_segment(
     texts_s = [texts[i] for i in order]
     n_docs = len(urls_s)
 
-    terms_col, pos_col = analyze_series(texts_s, stopwords=stopwords, chain=chain)
+    if index_offsets:
+        terms_col, pos_col, off_col = analyze_series(
+            texts_s, stopwords=stopwords, chain=chain, want_offsets=True
+        )
+    else:
+        terms_col, pos_col = analyze_series(
+            texts_s, stopwords=stopwords, chain=chain
+        )
+        off_col = None
     doclens = np.array([len(t) for t in terms_col], dtype=np.int64)
 
     if index_sort == "doclen_desc":
@@ -171,6 +185,8 @@ def _build_one_segment(
             raise ValueError("salt_splits requires index_sort='url'")
         # stable re-sort on top of the url order -> (doclen desc, url)
         order2 = np.argsort(-doclens, kind="stable")
+        if off_col is not None:
+            off_col = [off_col[i] for i in order2]
         urls_s = [urls_s[i] for i in order2]
         texts_s = [texts_s[i] for i in order2]
         terms_col = [terms_col[i] for i in order2]
@@ -189,6 +205,8 @@ def _build_one_segment(
         from .reorder import bp_permutation
 
         order2 = bp_permutation(terms_col)
+        if off_col is not None:
+            off_col = [off_col[i] for i in order2]
         urls_s = [urls_s[i] for i in order2]
         texts_s = [texts_s[i] for i in order2]
         terms_col = [terms_col[i] for i in order2]
@@ -216,6 +234,7 @@ def _build_one_segment(
             "freq_block": [None] * n_docs,
             "norm_block": [None] * n_docs,
             "pos_block": [None] * n_docs,
+            "off_block": [None] * n_docs,
             "impact_freqs": [None] * n_docs,
             "impact_norms": [None] * n_docs,
             "url": urls_s,
@@ -235,6 +254,21 @@ def _build_one_segment(
     flat_pos = np.concatenate(
         [np.asarray(p, dtype=np.int64) for p in pos_col if p]
     )
+    if off_col is not None:
+        flat_ostart = np.concatenate(
+            [
+                np.asarray([o[0] for o in offs], dtype=np.int64)
+                for offs in off_col
+                if offs
+            ]
+        )
+        flat_oend = np.concatenate(
+            [
+                np.asarray([o[1] for o in offs], dtype=np.int64)
+                for offs in off_col
+                if offs
+            ]
+        )
     flat_docid = np.repeat(local_ids, doclens)
 
     # TermsHash + sortTerms analog (``index/TermsHashPerField.java``,
@@ -261,7 +295,11 @@ def _build_one_segment(
     kb_pos = int(flat_pos.max()).bit_length() or 1
     kb_doc = (int(local_ids[-1]).bit_length() or 1) if n_docs else 1
     kb_rank = max(len(uniques) - 1, 1).bit_length()
-    if local_ids[0] >= 0 and kb_pos + kb_doc + kb_rank <= 63:
+    if (
+        off_col is None
+        and local_ids[0] >= 0
+        and kb_pos + kb_doc + kb_rank <= 63
+    ):
         keys = np.sort(
             (term_rank.astype(np.int64) << (kb_doc + kb_pos))
             | (flat_docid << kb_pos)
@@ -270,11 +308,32 @@ def _build_one_segment(
         p_arr = keys & ((1 << kb_pos) - 1)
         d_arr = (keys >> kb_pos) & ((1 << kb_doc) - 1)
         r_arr = keys >> (kb_pos + kb_doc)
+        o_s_arr = o_e_arr = None
+    elif local_ids[0] >= 0 and kb_pos + kb_doc + kb_rank <= 63:
+        # offsets mode: the packed key must carry its permutation so
+        # the offset arrays follow — argsort instead of sort
+        keys = (
+            (term_rank.astype(np.int64) << (kb_doc + kb_pos))
+            | (flat_docid << kb_pos)
+            | flat_pos
+        )
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        p_arr = keys & ((1 << kb_pos) - 1)
+        d_arr = (keys >> kb_pos) & ((1 << kb_doc) - 1)
+        r_arr = keys >> (kb_pos + kb_doc)
+        o_s_arr = flat_ostart[order]
+        o_e_arr = flat_oend[order]
     else:  # degenerate ranges: stable 3-key fallback
         order = np.lexsort((flat_pos, flat_docid, term_rank))
         r_arr = term_rank[order]
         d_arr = flat_docid[order]
         p_arr = flat_pos[order]
+        if off_col is not None:
+            o_s_arr = flat_ostart[order]
+            o_e_arr = flat_oend[order]
+        else:
+            o_s_arr = o_e_arr = None
 
     # posting boundaries: first row of each (term, docid) group
     new_term = np.r_[True, r_arr[1:] != r_arr[:-1]]
@@ -334,6 +393,7 @@ def _build_one_segment(
     occ_hi_b = occ_offsets[bhi]
 
     doc_blocks = np.empty(total_blocks, dtype=object)
+    off_blocks = np.empty(total_blocks, dtype=object)
     freq_blocks = np.empty(total_blocks, dtype=object)
     norm_blocks = np.empty(total_blocks, dtype=object)
     pos_blocks = np.empty(total_blocks, dtype=object)
@@ -405,6 +465,19 @@ def _build_one_segment(
         head = bytes([ENC_FOR, bits])
         return [head + r.tobytes() for r in packed]
 
+    if o_s_arr is not None:
+        # offsets payloads, per block (opt-in path: scalar per block
+        # is fine — offsets indexes trade build time for stored
+        # offsets, like Lucene's larger .pos/.pay files)
+        from .codec import pack_off_block
+
+        for i in range(total_blocks):
+            lo_i, hi_i = occ_lo_b[i], occ_hi_b[i]
+            off_blocks[i] = pack_off_block(
+                o_s_arr[lo_i:hi_i],
+                o_e_arr[lo_i:hi_i],
+                tfs[blo[i]:bhi[i]],
+            )
     n3 = num_docs_b[m3].astype(np.int64)
     for n_u in np.unique(n3):
         n_i = int(n_u)
@@ -511,6 +584,7 @@ def _build_one_segment(
                 "freq_block": freq_blocks,
                 "norm_block": norm_blocks,
                 "pos_block": pos_blocks,
+                "off_block": off_blocks,
                 "impact_freqs": imp_f,
                 "impact_norms": imp_n,
                 "url": [None] * total_blocks,
@@ -524,7 +598,8 @@ def _build_one_segment(
     del t0
 
 
-def _make_builder(field: str, stopwords, index_sort: str = "url", chain=None):
+def _make_builder(field: str, stopwords, index_sort: str = "url", chain=None,
+                  index_offsets: bool = False):
     stopset = frozenset(stopwords) if stopwords else frozenset()
 
     def build_segments(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -556,7 +631,8 @@ def _make_builder(field: str, stopwords, index_sort: str = "url", chain=None):
             us = list(np.concatenate(url_chunks))
             ts = list(np.concatenate(text_chunks))
             yield from _build_one_segment(
-                seg_id, us, ts, field, stopset, index_sort, chain
+                seg_id, us, ts, field, stopset, index_sort, chain,
+                index_offsets=index_offsets,
             )
 
     return build_segments
@@ -605,6 +681,7 @@ def build_index(
     waves: int = 1,
     analyzer: str = "standard",
     salt_splits: int = 1,
+    index_offsets: bool = False,
 ) -> IndexCatalog:
     """Build (or resume) the inverted index for ``web_pages[field]``.
 
@@ -714,7 +791,11 @@ def build_index(
         )
     else:
         staged = src.repartition(num_segments, "segment_id").mapInArrow(
-            _make_builder(field, stopwords, index_sort, chain), schema=STAGE_DDL
+            _make_builder(
+                field, stopwords, index_sort, chain,
+                index_offsets=index_offsets,
+            ),
+            schema=STAGE_DDL,
         )
 
     commit_id = catalog.new_commit_dir("stage")
@@ -839,6 +920,25 @@ def read_postings(spark: SparkSession, catalog: IndexCatalog) -> DataFrame:
         "segment_id", "field", "term", "block_id", "first_docid", "last_docid",
         "num_docs", "block_total_tf", "doc_block", "freq_block", "norm_block",
         "pos_block", "impact_freqs", "impact_norms",
+    )
+
+
+def read_postings_offsets(
+    spark: SparkSession, catalog: IndexCatalog
+) -> DataFrame:
+    """read_postings + the opt-in ``off_block`` column (None for
+    segments written before the column existed or without
+    index_offsets)."""
+    dirs = [f"{d}/kind=0" for d in catalog.live_data_dirs("stage")]
+    dirs += [f"{d}/kind=0" for d in catalog.live_data_dirs("features")]
+    df = spark.read.parquet(*dirs)
+    if "off_block" not in df.columns:
+        df = df.withColumn("off_block", F.lit(None).cast("binary"))
+    return df.where(_live_filter(catalog)).select(
+        "segment_id", "field", "term", "block_id", "first_docid",
+        "last_docid", "num_docs", "block_total_tf", "doc_block",
+        "freq_block", "norm_block", "pos_block", "off_block",
+        "impact_freqs", "impact_norms",
     )
 
 

@@ -178,6 +178,7 @@ def attach_feature_field(
                     "freq_block": pack_freq_block(f),
                     "norm_block": ones.astype(np.uint8).tobytes(),
                     "pos_block": None,
+                    "off_block": None,
                     "impact_freqs": i_f.astype(np.int32).tolist(),
                     "impact_norms": i_n.astype(np.int32).tolist(),
                     "url": None,

@@ -39,6 +39,19 @@ def _best_passage(
     hits = [
         (s, e) for tok, s, e in toks if _java_lower(tok) in terms
     ]
+    return _best_passage_hits(text, hits, passage_chars, pre, post)
+
+
+def _best_passage_hits(
+    text: str,
+    hits: list[tuple[int, int]],
+    passage_chars: int,
+    pre: str,
+    post: str,
+) -> tuple[str, int]:
+    """Passage selection from precomputed hit offsets — the shared
+    body for the re-analysis source above and the offsets-from-
+    postings source (operators/offsets.py)."""
     if not hits:
         return "", 0
     # best window: two pointers over hit start offsets

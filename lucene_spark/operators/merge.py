@@ -227,9 +227,11 @@ def _make_reclaim_kernel(
         impact_skyline,
         pack_doc_block,
         pack_freq_block,
+        pack_off_block,
         pack_pos_block,
         unpack_doc_block,
         unpack_freq_block,
+        unpack_off_block,
         unpack_pos_block,
     )
 
@@ -261,6 +263,7 @@ def _make_reclaim_kernel(
             fbufs = cols["freq_block"].to_pylist()
             nbufs = cols["norm_block"].to_pylist()
             pbufs = cols["pos_block"].to_pylist()
+            obufs = cols["off_block"].to_pylist()
 
             for j in range(n):
                 sid = int(segs[j])
@@ -315,6 +318,15 @@ def _make_reclaim_kernel(
                 new_norms = norms[keep]
                 new_pos = pos[pos_keep]
                 sky_f, sky_n = impact_skyline(new_freqs, new_norms)
+                over = {}
+                if obufs[j] is not None:
+                    # offsets carry through reclaim: filter the
+                    # per-occurrence (start, end) pairs by the same
+                    # survivor mask and repack
+                    o_s, o_e = unpack_off_block(obufs[j], freqs)
+                    over["off_block"] = pack_off_block(
+                        o_s[pos_keep], o_e[pos_keep], new_freqs
+                    )
                 emit(
                     j,
                     block_id=int(bids[j]) + boff,
@@ -330,6 +342,7 @@ def _make_reclaim_kernel(
                     ),
                     impact_freqs=[int(x) for x in sky_f],
                     impact_norms=[int(x) for x in sky_n],
+                    **over,
                 )
             if out["kind"]:
                 yield pa.RecordBatch.from_pydict(out, schema=STAGE_SCHEMA)
@@ -392,6 +405,11 @@ def merge_segments(
             spark.read.parquet(*[f"{d}/kind={kind}" for d in src_dirs])
             .withColumn("kind", F.lit(kind).cast("tinyint"))
         )
+        if "off_block" not in part.columns:
+            # pre-offsets-column index: carry None (schema compat)
+            part = part.withColumn(
+                "off_block", F.lit(None).cast("binary")
+            )
         stage = part if stage is None else stage.unionByName(part)
     stage = stage.where(F.col("segment_id").isin([int(g) for g in group]))
 

@@ -1,0 +1,255 @@
+"""Offsets-from-postings: read the opt-in ``off_block`` column.
+
+The build's ``index_offsets=True`` option stores per-occurrence
+(start, end) character offsets parallel to positions
+(``IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS``,
+``core/index/IndexOptions.java``) — delta-encoded starts + FOR-packed
+lengths per posting block (codec.pack_off_block). This module is the
+read path: decode offsets for given terms (optionally restricted to a
+doc set) and route highlighting through stored offsets instead of
+query-time re-analysis — the UnifiedHighlighter OffsetSource.POSTINGS
+mode (``uhighlight/FieldOffsetStrategy.java``), which removes the
+offsets-domain deviation for indexes built with the option.
+
+Offsets are CODE POINTS (declared: Lucene stores UTF-16 units;
+identical for BMP/ASCII text). Offsets mode equals re-analysis mode
+token-for-token on any corpus the standard chain tokenizes —
+asserted in tests/test_offsets.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+_OFF_DDL = (
+    "term string, segment_id long, docid long, starts array<int>, "
+    "ends array<int>"
+)
+
+
+def term_offsets(
+    searcher,
+    terms: list[str],
+    doc_keys: DataFrame | None = None,
+) -> DataFrame:
+    """(term, segment_id, docid, starts, ends) rows for every posting
+    of ``terms`` in an offsets-enabled index; ``doc_keys``
+    (segment_id, docid) restricts decode to blocks containing those
+    docs (the per-candidate .pos/.off seek, via the same driver block
+    cover the phrase planner uses)."""
+    from .codec import (
+        unpack_doc_block,
+        unpack_freq_block,
+        unpack_off_block,
+    )
+
+    stats = searcher.term_stats(terms)
+    present = [t for t in terms if t in stats]
+    if not present:
+        return searcher.spark.createDataFrame([], _OFF_DDL)
+    cols = [
+        "term", "segment_id", "block_id", "first_docid", "num_docs",
+        "doc_block", "freq_block", "off_block",
+    ]
+    posts = searcher._postings_with_offsets().where(
+        F.col("term").isin(present)
+    ).select(*cols)
+    keep_set = None
+    if doc_keys is not None:
+        rows = doc_keys.select("segment_id", "docid").limit(
+            searcher._PHRASE_KEYS_CAP + 1
+        ).collect()
+        if len(rows) <= searcher._PHRASE_KEYS_CAP:
+            meta = searcher._collect_block_meta(
+                present, with_impacts=False
+            )
+            if len(meta) <= searcher._META_COLLECT_MAX:
+                by_seg: dict[int, list[int]] = {}
+                for r in rows:
+                    by_seg.setdefault(int(r["segment_id"]), []).append(
+                        int(r["docid"])
+                    )
+                grouped: dict = {}
+                for r in meta:
+                    grouped.setdefault(
+                        (r["term"], int(r["segment_id"])), []
+                    ).append(
+                        (
+                            int(r["first_docid"]),
+                            int(r["last_docid"]),
+                            int(r["block_id"]),
+                        )
+                    )
+                keep_set = set()
+                for (t, sgi), lst in grouped.items():
+                    ds = by_seg.get(sgi)
+                    if not ds:
+                        continue
+                    lst = sorted(lst)
+                    firsts = np.array([x[0] for x in lst])
+                    lasts = np.array([x[1] for x in lst])
+                    bids = np.array([x[2] for x in lst])
+                    da = np.array(ds, dtype=np.int64)
+                    idx = np.searchsorted(firsts, da, side="right") - 1
+                    ok = (idx >= 0) & (lasts[np.maximum(idx, 0)] >= da)
+                    for bi in np.unique(bids[idx[ok]]):
+                        keep_set.add((t, sgi, int(bi)))
+
+    out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("segment_id", pa.int64()),
+            ("docid", pa.int64()),
+            ("starts", pa.list_(pa.int32())),
+            ("ends", pa.list_(pa.int32())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]):
+        for batch in batches:
+            t_l = batch.column("term").to_pylist()
+            s_l = batch.column("segment_id").to_pylist()
+            b_l = batch.column("block_id").to_pylist()
+            if keep_set is not None:
+                idxs = [
+                    j for j in range(len(t_l))
+                    if (t_l[j], s_l[j], b_l[j]) in keep_set
+                ]
+                if not idxs:
+                    continue
+                batch = batch.take(pa.array(idxs, pa.int32()))
+                t_l = batch.column("term").to_pylist()
+                s_l = batch.column("segment_id").to_pylist()
+            first = batch.column("first_docid").to_pylist()
+            nums = batch.column("num_docs").to_pylist()
+            dbufs = batch.column("doc_block").to_pylist()
+            fbufs = batch.column("freq_block").to_pylist()
+            obufs = batch.column("off_block").to_pylist()
+            o_t, o_s, o_d, o_st, o_en = [], [], [], [], []
+            for j in range(len(t_l)):
+                if obufs[j] is None:
+                    raise ValueError(
+                        "index was not built with index_offsets=True"
+                    )
+                nd = int(nums[j])
+                dids = unpack_doc_block(dbufs[j], int(first[j]), nd)
+                freqs = unpack_freq_block(fbufs[j], nd)
+                starts, ends = unpack_off_block(obufs[j], freqs)
+                bounds = np.cumsum(freqs)[:-1]
+                st_split = np.split(starts.astype(np.int32), bounds)
+                en_split = np.split(ends.astype(np.int32), bounds)
+                for d, sa, ea in zip(dids, st_split, en_split):
+                    o_t.append(t_l[j])
+                    o_s.append(int(s_l[j]))
+                    o_d.append(int(d))
+                    o_st.append(sa)
+                    o_en.append(ea)
+            if o_t:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "term": o_t,
+                        "segment_id": np.array(o_s, dtype=np.int64),
+                        "docid": np.array(o_d, dtype=np.int64),
+                        "starts": o_st,
+                        "ends": o_en,
+                    },
+                    schema=out_schema,
+                )
+
+    from .codec import with_codecs
+
+    rows = posts.mapInArrow(with_codecs(kernel), schema=_OFF_DDL)
+    rows = searcher._filter_live(rows)
+    if doc_keys is not None:
+        rows = rows.join(
+            F.broadcast(doc_keys.select("segment_id", "docid")),
+            ["segment_id", "docid"],
+            "left_semi",
+        )
+    return rows
+
+
+def highlight_from_offsets(
+    searcher,
+    top: DataFrame,
+    source: DataFrame,
+    query_terms: list[str],
+    url_col: str = "url",
+    text_col: str = "text",
+    passage_chars: int = 120,
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+) -> DataFrame:
+    """``operators.highlight.highlight`` with hit offsets read FROM
+    THE INDEX instead of re-analysis — identical output by
+    construction when the index's analyzer chain equals the
+    re-analysis chain (asserted in tests). ``top`` needs a url
+    column; the ≤k docids are resolved via the docs table and their
+    offsets decoded from covered blocks only."""
+    from .highlight import _best_passage_hits
+
+    urls = [r[url_col] for r in top.select(url_col).collect()]
+    if not urls:
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in top.schema.fields
+        ) + ", snippet string, n_hits int"
+        return top.sparkSession.createDataFrame([], out_schema)
+    docs = (
+        searcher._docs.select("segment_id", "local_docid", "url")
+        .where(F.col("url").isin(urls))
+        .collect()
+    )
+    key_of_url = {
+        r["url"]: (int(r["segment_id"]), int(r["local_docid"]))
+        for r in docs
+    }
+    doc_keys = searcher.spark.createDataFrame(
+        list(key_of_url.values()), "segment_id long, docid long"
+    )
+    offs = term_offsets(searcher, query_terms, doc_keys).collect()
+    hits_by_key: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for r in offs:
+        hits_by_key.setdefault(
+            (int(r["segment_id"]), int(r["docid"])), []
+        ).extend(zip(r["starts"], r["ends"]))
+    hits_by_url = {
+        u: sorted(hits_by_key.get(kk, []))
+        for u, kk in key_of_url.items()
+    }
+
+    fetched = top.join(
+        source.select(F.col(url_col), F.col(text_col)), url_col, "left"
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in top.schema.fields
+    ) + ", snippet string, n_hits int"
+    top_cols = [f.name for f in top.schema.fields]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            snippets, counts = [], []
+            for url, text in zip(pdf[url_col], pdf[text_col]):
+                snip, n = _best_passage_hits(
+                    text if isinstance(text, str) else "",
+                    hits_by_url.get(url, []),
+                    passage_chars,
+                    pre_tag,
+                    post_tag,
+                )
+                snippets.append(snip)
+                counts.append(n)
+            res = pdf[top_cols].copy()
+            res["snippet"] = snippets
+            res["n_hits"] = pd.array(counts, dtype="int32")
+            yield res
+
+    return fetched.mapInPandas(kernel, schema=out_schema)

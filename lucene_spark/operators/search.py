@@ -1036,6 +1036,7 @@ class Searcher(QueryOpsMixin):
         # per-reader skip-data memo (_collect_block_meta): immutable
         # for this point-in-time reader's lifetime
         self._block_meta_memo: dict = {}
+        self._postings_off = None
         # reader-core identity for LRUQueryCache keying: the manifest
         # generation this reader was opened at (NOT call-time — the
         # snapshot must keep hitting its own cache entries after later
@@ -1048,6 +1049,17 @@ class Searcher(QueryOpsMixin):
         # optional LRUQueryCache (operators/querycache.py); assign to
         # enable filter-set caching through _matching_docids
         self.query_cache = None
+
+    def _postings_with_offsets(self) -> DataFrame:
+        """Postings view including the opt-in off_block column
+        (operators/offsets.py read path)."""
+        if self._postings_off is None:
+            from .build import read_postings_offsets
+
+            self._postings_off = read_postings_offsets(
+                self.spark, self.catalog
+            ).where(F.col("field") == self.field)
+        return self._postings_off
 
     def _filter_live(self, df: DataFrame, docid_col: str = "docid") -> DataFrame:
         """Drop deleted docs (liveDocs anti-join); no-op when the index

@@ -4,11 +4,19 @@ sorted, floats to 1e-6) — the same comparison the round driver runs
 at sf0.01, here at sf0.001 for speed."""
 
 import math
+import os
 
 import duckdb
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+# driver-hash breadth insurance (round-4 verdict ask #7): CI runs at
+# sf0.001; set SPARK_GRAFT_CONTRACT_SF_DIR=/root/testdata/sf0.01 to
+# replay every entry at the driver's scale so scale-dependent oracle
+# divergence (LIMIT-boundary ties, overflow) can't hide below the
+# driver's 50-entry sample.
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_CONTRACT_SF_DIR", "/root/testdata/sf0.001"
+)
 
 
 @pytest.fixture(scope="module")

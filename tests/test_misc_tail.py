@@ -117,7 +117,10 @@ class TestLargeTopK:
         orderBy+limit plans a full Sort instead of per-partition
         TakeOrderedAndProject heaps — the engine gets the reference's
         large-hits strategy from the optimizer, per plan inspection."""
-        scored = searcher.term_query("the", k=10)
+        # collector-sized k (≤1024) materializes eagerly through the
+        # pinpoint-url path (round 5), so the optimizer's strategy is
+        # observable on the large-k plan, where it organically applies
+        scored = searcher.term_query("the", k=2000)
         plan_small = scored._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan_small
 
@@ -126,7 +129,7 @@ class TestLargeTopK:
             spark.conf.set(
                 "spark.sql.execution.topKSortFallbackThreshold", "5"
             )
-            big = searcher.term_query("the", k=10)
+            big = searcher.term_query("the", k=2000)
             plan_big = big._jdf.queryExecution().executedPlan().toString()
             assert "TakeOrderedAndProject" not in plan_big
             assert "Sort" in plan_big

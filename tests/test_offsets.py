@@ -1,0 +1,199 @@
+"""Opt-in offsets column (IndexOptions..._AND_OFFSETS analog):
+stored offsets must equal re-analysis offsets token-for-token, and
+offsets-mode highlighting must equal re-analysis highlighting."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.codec import (
+    pack_off_block,
+    unpack_off_block,
+)
+from lucene_spark.operators.deletes import delete_by_urls
+from lucene_spark.operators.offsets import (
+    highlight_from_offsets,
+    term_offsets,
+)
+from lucene_spark.operators.search import Searcher
+
+
+class TestOffBlockCodec:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_roundtrip(self, seed):
+        rng = np.random.default_rng(seed)
+        freqs = rng.integers(1, 6, size=rng.integers(1, 40))
+        n = int(freqs.sum())
+        lens = rng.integers(1, 12, size=n)
+        # ascending starts per doc group
+        starts = np.empty(n, dtype=np.int64)
+        i = 0
+        for f in freqs:
+            s = int(rng.integers(0, 50))
+            for _ in range(int(f)):
+                starts[i] = s
+                s += int(rng.integers(2, 30))
+                i += 1
+        ends = starts + lens
+        buf = pack_off_block(starts, ends, freqs)
+        s2, e2 = unpack_off_block(buf, freqs)
+        assert (s2 == starts).all() and (e2 == ends).all()
+
+
+@pytest.fixture(scope="module")
+def off_index(spark, web_pages, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("offidx") / "idx")
+    build_index(
+        spark, web_pages, d, num_segments=4, index_offsets=True
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def off_searcher(spark, off_index):
+    return Searcher(spark, off_index)
+
+
+class TestStoredOffsets:
+    def test_equals_reanalysis(self, off_searcher, web_pages):
+        """Every stored (term, doc, start, end) equals what
+        re-tokenizing the stored text produces — the round-4 verdict's
+        'offsets mode equals re-analysis mode' bar."""
+        from lucene_spark.functions.analysis import (
+            _java_lower,
+            tokenize_with_offsets,
+        )
+
+        texts = {
+            r["url"]: r["text"]
+            for r in web_pages.select("url", "text").collect()
+        }
+        docs = {
+            (int(r["segment_id"]), int(r["local_docid"])): r["url"]
+            for r in off_searcher._docs.select(
+                "segment_id", "local_docid", "url"
+            ).collect()
+        }
+        for term in ("window", "the", "spark", "query"):
+            rows = term_offsets(off_searcher, [term]).collect()
+            assert rows, term
+            for r in rows:
+                url = docs[(int(r["segment_id"]), int(r["docid"]))]
+                text = texts[url]
+                expect = [
+                    (s, e)
+                    for tok, s, e in tokenize_with_offsets(text)
+                    if _java_lower(tok) == term
+                ]
+                got = list(zip(r["starts"], r["ends"]))
+                assert got == expect, (term, url, got, expect)
+                for s, e in got:
+                    assert _java_lower(text[s:e]) == term
+
+    def test_doc_restricted_decode(self, off_searcher, spark):
+        all_rows = term_offsets(off_searcher, ["window"]).collect()
+        some = all_rows[:3]
+        keys = spark.createDataFrame(
+            [(r["segment_id"], r["docid"]) for r in some],
+            "segment_id long, docid long",
+        )
+        sub = term_offsets(off_searcher, ["window"], keys).collect()
+        want = {
+            (r["segment_id"], r["docid"]): (r["starts"], r["ends"])
+            for r in some
+        }
+        got = {
+            (r["segment_id"], r["docid"]): (r["starts"], r["ends"])
+            for r in sub
+        }
+        assert got == want
+
+    def test_highlight_offsets_equals_reanalysis(
+        self, off_searcher, web_pages
+    ):
+        from lucene_spark.operators.highlight import highlight
+
+        top = off_searcher.term_query("window", k=5)
+        a = {
+            r["url"]: (r["snippet"], r["n_hits"])
+            for r in highlight(top, web_pages, ["window"]).collect()
+        }
+        b = {
+            r["url"]: (r["snippet"], r["n_hits"])
+            for r in highlight_from_offsets(
+                off_searcher, top, web_pages, ["window"]
+            ).collect()
+        }
+        assert a == b and a
+
+    def test_plain_index_raises(self, searcher):
+        with pytest.raises(Exception, match="index_offsets"):
+            term_offsets(searcher, ["window"]).collect()
+
+    def test_offsets_survive_deletes(self, spark, off_index, tmp_path):
+        import shutil
+
+        d = str(tmp_path / "offdel")
+        shutil.copytree(off_index, d)
+        s0 = Searcher(spark, d)
+        victims = [
+            r["url"] for r in s0.term_query("window", k=2).collect()
+        ]
+        delete_by_urls(spark, d, victims)
+        s = Searcher(spark, d)
+        rows = term_offsets(s, ["window"]).collect()
+        assert rows
+        live_urls = {
+            (int(r["segment_id"]), int(r["local_docid"])): r["url"]
+            for r in s._docs.select(
+                "segment_id", "local_docid", "url"
+            ).collect()
+        }
+        got_urls = {
+            live_urls[(int(r["segment_id"]), int(r["docid"]))]
+            for r in rows
+        }
+        assert not (got_urls & set(victims))
+
+
+class TestOffsetsMergeCarry:
+    def test_merge_with_deletes_preserves_offsets(
+        self, spark, web_pages, tmp_path
+    ):
+        from lucene_spark.operators.merge import merge_segments
+        from lucene_spark.sources.catalog import IndexCatalog
+
+        d = str(tmp_path / "offmerge")
+        build_index(
+            spark, web_pages, d, num_segments=4, index_offsets=True
+        )
+        s0 = Searcher(spark, d)
+        before = {}
+        for r in term_offsets(s0, ["window"]).collect():
+            url_rows = s0._docs.where(
+                (s0._docs.segment_id == r["segment_id"])
+                & (s0._docs.local_docid == r["docid"])
+            ).collect()
+            before[url_rows[0]["url"]] = (
+                list(r["starts"]), list(r["ends"]),
+            )
+        victims = [
+            r["url"] for r in s0.term_query("window", k=2).collect()
+        ]
+        delete_by_urls(spark, d, victims)
+        cat = IndexCatalog(d)
+        group = sorted(cat.committed_segment_ids())[:2]
+        merge_segments(spark, cat, group, reclaim_deletes=True)
+        s = Searcher(spark, d)
+        after = {}
+        for r in term_offsets(s, ["window"]).collect():
+            url_rows = s._docs.where(
+                (s._docs.segment_id == r["segment_id"])
+                & (s._docs.local_docid == r["docid"])
+            ).collect()
+            after[url_rows[0]["url"]] = (
+                list(r["starts"]), list(r["ends"]),
+            )
+        for u in victims:
+            before.pop(u, None)
+        assert after == before
