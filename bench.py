@@ -95,8 +95,12 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in queries}
     for name, fn in queries.items():  # warm-up pass, unclocked
         fn()
-    for _ in range(3):  # interleaved rounds
-        for name, fn in queries.items():
+    items = list(queries.items())
+    for r in range(3):  # interleaved rounds, ROTATED: a heavy query's
+        # tail cost (GC, shuffle cleanup) lands on whatever runs next;
+        # rotating the order per round puts a different victim in that
+        # slot each time so the per-query MEDIAN sheds it
+        for name, fn in items[r:] + items[:r]:
             t = time.monotonic()
             fn()
             samples[name].append(time.monotonic() - t)
@@ -253,8 +257,9 @@ def main() -> None:
         big_samples: dict[str, list[float]] = {n: [] for n in big_queries}
         for fn in big_queries.values():  # warm-up, unclocked
             fn()
-        for _ in range(3):  # interleaved rounds (steal-time hygiene)
-            for name, fn in big_queries.items():
+        big_items = list(big_queries.items())
+        for r in range(3):  # interleaved + rotated (see above)
+            for name, fn in big_items[r * 3:] + big_items[: r * 3]:
                 t = time.monotonic()
                 fn()
                 big_samples[name].append(time.monotonic() - t)
@@ -373,8 +378,9 @@ def main() -> None:
         zipf_samples: dict[str, list[float]] = {n: [] for n in zipf_queries}
         for fn in zipf_queries.values():  # warm-up, unclocked
             fn()
-        for _ in range(3):  # interleaved rounds (steal-time hygiene)
-            for name, fn in zipf_queries.items():
+        zipf_items = list(zipf_queries.items())
+        for r in range(3):  # interleaved + rotated (see above)
+            for name, fn in zipf_items[r * 3:] + zipf_items[: r * 3]:
                 t = time.monotonic()
                 fn()
                 zipf_samples[name].append(time.monotonic() - t)
@@ -382,13 +388,22 @@ def main() -> None:
             n: round(sorted(ts)[1], 4) for n, ts in zipf_samples.items()
         }
 
-        # skip-rate + plan evidence, incl. what the AUTO gate picked
+        # evidence: what the AUTO gate picked (its threshold is
+        # measured — below ~16M summed postings the one-job exhaustive
+        # plan beats the pruned plans' extra driver round-trips on
+        # this deployment class, even at 85% skip rates) + the FORCED
+        # pruned plan's skip stats, so the machinery's skipping is on
+        # record either way
         zipf_ev: dict = {}
-        for name, run in [
+        for name, auto_run, forced_run in [
             (
                 "q_or_rc",
                 lambda st: sz.boolean_query(
                     should=[rare, dense], k=10, stats_out=st
+                ),
+                lambda st: sz.boolean_query(
+                    should=[rare, dense], k=10, prune=True,
+                    bucket_rest=True, stats_out=st,
                 ),
             ),
             (
@@ -396,11 +411,18 @@ def main() -> None:
                 lambda st: sz.boolean_query(
                     should=multi, k=10, stats_out=st
                 ),
+                lambda st: sz.boolean_query(
+                    should=multi, k=10, prune=True, bucket_rest=True,
+                    stats_out=st,
+                ),
             ),
             (
                 "q_and_rc",
                 lambda st: sz.boolean_query(
                     must=[rare, "t1"], k=10, stats_out=st
+                ),
+                lambda st: sz.boolean_query(
+                    must=[rare, "t1"], k=10, prune=True, stats_out=st
                 ),
             ),
             (
@@ -408,18 +430,28 @@ def main() -> None:
                 lambda st: sz.phrase_query(
                     [dense, dense2], k=10, stats_out=st
                 ),
+                lambda st: sz.phrase_query(
+                    [dense, dense2], k=10, prune=True, stats_out=st
+                ),
             ),
             (
                 "q_sloppy_rc",
                 lambda st: sz.sloppy_phrase_query(
                     [dense, dense2], slop=2, k=10, stats_out=st
                 ),
+                lambda st: sz.sloppy_phrase_query(
+                    [dense, dense2], slop=2, k=10, prune=True,
+                    stats_out=st,
+                ),
             ),
         ]:
+            st_auto: dict = {}
+            auto_run(st_auto).collect()
             st: dict = {}
-            run(st).collect()
+            forced_run(st).collect()
             ev = {
-                "auto_plan": st.get("plan", "exhaustive"),
+                "auto_plan": st_auto.get("plan", "exhaustive"),
+                "pruned_plan": st.get("plan"),
                 "theta": round(st["theta"], 4) if st.get("theta") else None,
                 "blocks_total": st.get("blocks_total"),
                 "blocks_decoded": st.get("blocks_decoded"),

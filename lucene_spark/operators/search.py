@@ -1743,8 +1743,20 @@ class Searcher(QueryOpsMixin):
             stats = self.term_stats(list(must or []) + list(should or []))
             dfs = sorted(df for df, _ in stats.values())
             total_df = sum(dfs)
-            if total_df < self._PRUNE_MIN_POSTINGS or not dfs:
-                # decode is cheaper than the plan's extra round-trips
+            if (
+                total_df < self._PRUNE_DECODE_MIN
+                or not dfs
+            ):
+                # decode is cheaper than the plan's extra round-trips.
+                # The bar is MEASURED, not assumed: on this class of
+                # deployment (tmpfs/local) the pruned plans' extra
+                # driver round-trips cost ~1-1.5 s ≈ the one-job
+                # exhaustive decode+aggregate of ~10M postings, so
+                # below ~16M summed postings the BooleanScorer-shaped
+                # plan wins even at 85% block-skip rates
+                # (BENCH prune_evidence_zipf rows). Scan-bound
+                # deployments (real disk/S3, where skipped blocks save
+                # IO, not just CPU) should LOWER this.
                 prune = False
             else:
                 n_buckets = max(
@@ -1798,6 +1810,16 @@ class Searcher(QueryOpsMixin):
     # below this many summed postings the exhaustive one-job plan wins
     # (decode is cheaper than two extra driver round-trips)
     _PRUNE_MIN_POSTINGS = 100_000
+    # the boolean AUTO gate's absolute bar (see boolean_query): the
+    # pruned plans' fixed driver cost equals the exhaustive
+    # decode+aggregate of roughly this many postings on this
+    # deployment class — measured at 2.56M Zipf docs, local[32]/tmpfs
+    _PRUNE_DECODE_MIN = 16_000_000
+    # phrase auto gate: pos-decode savings beat the candidate pass +
+    # seed rounds once the cheapest phrase term carries this many
+    # postings (measured: pruned loses at 640k docs / 132k df, wins
+    # at 2.56M / 527k df)
+    _PHRASE_PRUNE_MIN_DF = 300_000
 
     def _block_meta(self, terms: list[str], scorers) -> DataFrame:
         """Metadata-only view of the query terms' posting blocks with a
@@ -3034,7 +3056,7 @@ class Searcher(QueryOpsMixin):
         return (
             len(dfs) == len(uniq)
             and bool(dfs)
-            and min(dfs) >= self._PRUNE_MIN_POSTINGS
+            and min(dfs) >= self._PHRASE_PRUNE_MIN_DF
         )
 
     def scored_sloppy_phrase(self, terms: list[str], slop: int) -> DataFrame:
